@@ -1,0 +1,71 @@
+package graft.dists
+
+/** Distribution registries mirroring the reference's semantics
+  * (reference: src/spark_bestfit/distributions.py:10-605): name lookup,
+  * a default-exclusion set, a "slow" set used for partition weighting and
+  * anti-straggler interleaving, a support-at-zero filter, and custom
+  * registration.
+  *
+  * Coverage is tiered (SURVEY.md §7.4): this registry carries the families
+  * with exact JVM implementations; names outside it fail fits with the
+  * sentinel row rather than crashing, exactly like unknown scipy names in
+  * the reference.
+  */
+object DistRegistry extends Serializable {
+
+  private val builtin: Map[String, ContinuousDist] =
+    ContinuousFamilies.all.map(d => d.name -> d).toMap
+
+  @volatile private var custom: Map[String, ContinuousDist] = Map.empty
+
+  def register(d: ContinuousDist): Unit = synchronized {
+    require(d.name.nonEmpty, "distribution needs a name")
+    custom += (d.name -> d)
+  }
+
+  def get(name: String): Option[ContinuousDist] =
+    custom.get(name).orElse(builtin.get(name))
+
+  def allNames: Seq[String] = (builtin.keySet ++ custom.keySet).toSeq.sorted
+
+  /** Distributions excluded by default for speed, mirroring the intent of
+    * the reference's DEFAULT_EXCLUSIONS (the very slow scipy families;
+    * reference: src/spark_bestfit/distributions.py:33-54). Our JVM tier
+    * keeps everything cheap, so the default exclusion set is empty, but
+    * the knob exists for API parity. */
+  val defaultExclusions: Set[String] = Set.empty
+
+  /** Families whose MLE refinement dominates runtime — weighted 3× in the
+    * partition count calculation and interleaved across partitions
+    * (reference: src/spark_bestfit/distributions.py:58-75, core.py:31-67). */
+  val slowDistributions: Set[String] = Set(
+    "beta", "t", "genextreme", "genpareto", "invgauss", "nakagami",
+    "betaprime", "triang", "fisk", "gompertz")
+
+  /** Names with standardized support lower bound >= 0. */
+  def supportsAtZero(name: String): Boolean = get(name).exists(_.supportAtZero)
+
+  /** The default fit list: all registered, minus exclusions. */
+  def defaultNames: Seq[String] = allNames.filterNot(defaultExclusions)
+
+  /** Positive-skew-only families skipped by the prefilter when sample skew
+    * < -1 (reference: src/spark_bestfit/continuous_fitter.py:1006-1034). */
+  val positiveSkewOnly: Set[String] = Set(
+    "expon", "lognorm", "gamma", "weibull_min", "pareto", "rayleigh", "chi2",
+    "chi", "invgauss", "halfnorm", "halflogistic", "halfcauchy", "maxwell",
+    "fisk", "genpareto", "erlang", "wald", "gompertz", "betaprime")
+}
+
+object DiscreteRegistry extends Serializable {
+  private val builtin: Map[String, DiscreteDist] =
+    DiscreteFamilies.all.map(d => d.name -> d).toMap
+
+  @volatile private var custom: Map[String, DiscreteDist] = Map.empty
+
+  def register(d: DiscreteDist): Unit = synchronized { custom += (d.name -> d) }
+
+  def get(name: String): Option[DiscreteDist] =
+    custom.get(name).orElse(builtin.get(name))
+
+  def allNames: Seq[String] = (builtin.keySet ++ custom.keySet).toSeq.sorted
+}

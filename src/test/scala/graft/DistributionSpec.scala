@@ -1,0 +1,207 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dists._
+import graft.functions.{Metrics, SpecialMath => SM}
+
+/** Spark-free math tests, mirroring the reference's known-distribution
+  * pattern (/root/reference/tests/conftest.py:91-178): generate seeded
+  * samples from a known family via inverse-transform, fit, and assert
+  * parameter recovery within tolerance + distribution invariants. */
+class DistributionSpec extends AnyFunSuite {
+
+  /** Deterministic sample via inverse transform with a seeded generator. */
+  def sample(d: ContinuousDist, params: Array[Double], n: Int, seed: Long = 42L): Array[Double] = {
+    val rng = new java.util.Random(seed)
+    Array.fill(n)(d.ppf(rng.nextDouble() match {
+      case u if u <= 0.0 => 1e-12
+      case u if u >= 1.0 => 1 - 1e-12
+      case u => u
+    }, params))
+  }
+
+  def sampleD(d: DiscreteDist, params: Array[Double], n: Int, seed: Long = 42L): Array[Long] = {
+    val rng = new java.util.Random(seed)
+    val (lo, _) = d.support(params)
+    Array.fill(n) {
+      val u = rng.nextDouble()
+      // inverse transform by scanning the CDF
+      var k = lo
+      var c = d.pmf(k, params)
+      while (c < u && k < lo + 100000) { k += 1; c += d.pmf(k, params) }
+      k
+    }
+  }
+
+  test("ppf/cdf round-trip for every registered continuous family") {
+    val shapeExamples: Map[String, Array[Double]] = Map(
+      "norm" -> Array(0.0, 1.0), "expon" -> Array(0.0, 2.0),
+      "uniform" -> Array(1.0, 3.0), "lognorm" -> Array(0.6, 0.0, 2.0),
+      "gamma" -> Array(2.5, 0.0, 1.5), "weibull_min" -> Array(1.8, 0.0, 2.0),
+      "weibull_max" -> Array(1.8, 10.0, 2.0), "beta" -> Array(2.0, 3.0, 0.0, 1.0),
+      "pareto" -> Array(2.5, 0.0, 1.0), "cauchy" -> Array(1.0, 2.0),
+      "laplace" -> Array(0.5, 1.5), "logistic" -> Array(2.0, 1.0),
+      "gumbel_r" -> Array(1.0, 2.0), "gumbel_l" -> Array(1.0, 2.0),
+      "rayleigh" -> Array(0.0, 2.0), "chi2" -> Array(4.0, 0.0, 1.0),
+      "t" -> Array(6.0, 0.0, 1.0), "invgauss" -> Array(0.8, 0.0, 1.0),
+      "halfnorm" -> Array(0.0, 1.0), "halflogistic" -> Array(0.0, 1.0),
+      "halfcauchy" -> Array(0.0, 1.0), "powerlaw" -> Array(1.7, 0.0, 1.0),
+      "triang" -> Array(0.3, 0.0, 1.0), "maxwell" -> Array(0.0, 1.5),
+      "chi" -> Array(3.0, 0.0, 1.0), "fisk" -> Array(2.2, 0.0, 1.0),
+      "genpareto" -> Array(0.2, 0.0, 1.0), "genextreme" -> Array(0.1, 0.0, 1.0),
+      "arcsine" -> Array(0.0, 1.0), "cosine" -> Array(0.0, 1.0),
+      "nakagami" -> Array(1.4, 0.0, 1.0), "betaprime" -> Array(3.0, 4.0, 0.0, 1.0),
+      "gompertz" -> Array(1.2, 0.0, 1.0), "erlang" -> Array(3.0, 0.0, 2.0),
+      "wald" -> Array(0.0, 1.0))
+    for (d <- ContinuousFamilies.all) {
+      val p = shapeExamples(d.name)
+      for (q <- Seq(0.01, 0.1, 0.3, 0.5, 0.7, 0.9, 0.99)) {
+        val x = d.ppf(q, p)
+        assert(java.lang.Double.isFinite(x), s"${d.name}.ppf($q) = $x")
+        val back = d.cdf(x, p)
+        assert(math.abs(back - q) < 1e-6, s"${d.name}: cdf(ppf($q)) = $back")
+      }
+      // cdf monotone + pdf nonnegative on a grid
+      val grid = (1 to 99).map(i => d.ppf(i / 100.0, p))
+      grid.sliding(2).foreach { case Seq(a, b) =>
+        assert(d.cdf(a, p) <= d.cdf(b, p) + 1e-12, s"${d.name} cdf not monotone")
+      }
+      grid.foreach { x => assert(d.pdf(x, p) >= 0, s"${d.name} pdf<0 at $x") }
+    }
+  }
+
+  test("logpdf agrees with log(pdf) where pdf > 0") {
+    val p = Array(2.5, 0.0, 1.5)
+    for (q <- Seq(0.05, 0.5, 0.95)) {
+      val x = ContinuousFamilies.Gamma.ppf(q, p)
+      val lp = ContinuousFamilies.Gamma.logpdf(x, p)
+      assert(math.abs(math.exp(lp) - ContinuousFamilies.Gamma.pdf(x, p)) < 1e-12)
+    }
+  }
+
+  test("normal fit recovers loc=50 scale=10") {
+    val xs = sample(ContinuousFamilies.Norm, Array(50.0, 10.0), 10000)
+    val p = ContinuousFamilies.Norm.fit(xs)
+    assert(math.abs(p(0) - 50.0) < 0.5, s"loc=${p(0)}")
+    assert(math.abs(p(1) - 10.0) < 0.5, s"scale=${p(1)}")
+  }
+
+  test("exponential fit recovers scale=5") {
+    val xs = sample(ContinuousFamilies.Expon, Array(0.0, 5.0), 10000)
+    val p = ContinuousFamilies.Expon.fit(xs)
+    assert(math.abs(p(1) - 5.0) < 0.3, s"scale=${p(1)}")
+  }
+
+  test("gamma fit recovers shape=2 scale=2") {
+    val xs = sample(ContinuousFamilies.Gamma, Array(2.0, 0.0, 2.0), 10000)
+    val p = ContinuousFamilies.Gamma.fit(xs)
+    assert(math.abs(p(0) - 2.0) < 0.3, s"shape=${p(0)}")
+    assert(math.abs(p(2) - 2.0) < 0.4, s"scale=${p(2)}")
+  }
+
+  test("weibull fit recovers c=2 scale=10") {
+    val xs = sample(ContinuousFamilies.WeibullMin, Array(2.0, 0.0, 10.0), 10000)
+    val p = ContinuousFamilies.WeibullMin.fit(xs)
+    assert(math.abs(p(0) - 2.0) < 0.3, s"c=${p(0)}")
+    assert(math.abs(p(2) - 10.0) < 0.5, s"scale=${p(2)}")
+  }
+
+  test("lognorm fit recovers s=0.5 scale=e") {
+    val xs = sample(ContinuousFamilies.LogNorm, Array(0.5, 0.0, math.exp(1.0)), 10000)
+    val p = ContinuousFamilies.LogNorm.fit(xs)
+    assert(math.abs(p(0) - 0.5) < 0.1, s"s=${p(0)}")
+    assert(math.abs(p(2) - math.exp(1.0)) < 0.3, s"scale=${p(2)}")
+  }
+
+  test("model selection: norm data ranks norm best by AIC among rivals") {
+    val xs = sample(ContinuousFamilies.Norm, Array(50.0, 10.0), 10000)
+    val rivals = Seq("norm", "cauchy", "logistic", "gumbel_r", "laplace", "uniform")
+    val aics = rivals.map { nm =>
+      val d = DistRegistry.get(nm).get
+      val p = d.fit(xs)
+      val (aic, _) = Metrics.informationCriteria(FrozenDist(d, p), p.length, xs)
+      nm -> aic
+    }
+    assert(aics.minBy(_._2)._1 == "norm", s"AICs: $aics")
+  }
+
+  test("KS statistic small for the true family, p reasonable") {
+    val xs = sample(ContinuousFamilies.Norm, Array(0.0, 1.0), 5000)
+    val p = ContinuousFamilies.Norm.fit(xs)
+    val (d, pv) = Metrics.ksStatistic(FrozenDist(ContinuousFamilies.Norm, p), xs)
+    assert(d < 0.02, s"KS D=$d")
+    assert(pv > 0.01, s"KS p=$pv")
+    // wrong family should have much larger D
+    val pe = ContinuousFamilies.Expon.fit(xs.map(x => x - xs.min + 0.01))
+    val (dBad, _) = Metrics.ksStatistic(
+      FrozenDist(ContinuousFamilies.Expon, pe), xs.map(x => x - xs.min + 0.01))
+    assert(dBad > d * 3, s"expected worse fit: $dBad vs $d")
+  }
+
+  test("AD statistic and p-value for normal data") {
+    val xs = sample(ContinuousFamilies.Norm, Array(10.0, 3.0), 5000)
+    val p = ContinuousFamilies.Norm.fit(xs)
+    val a2 = Metrics.adStatistic(FrozenDist(ContinuousFamilies.Norm, p), xs)
+    assert(a2 < 2.0, s"A2=$a2")
+    val pv = Metrics.adPValue(ContinuousFamilies.Norm, xs)
+    assert(pv.isDefined && pv.get >= 0.005 && pv.get <= 0.25, s"ad p=$pv")
+    assert(Metrics.adPValue(ContinuousFamilies.Gamma, xs).isEmpty)
+  }
+
+  test("truncated wrapper: mass renormalized, ppf maps quantiles") {
+    val t = new Truncated(ContinuousFamilies.Norm, Array(0.0, 1.0), -1.0, 1.0)
+    assert(math.abs(t.cdf(1.0) - 1.0) < 1e-12)
+    assert(math.abs(t.cdf(-1.0)) < 1e-12)
+    assert(math.abs(t.ppf(0.5)) < 1e-9) // symmetric
+    val integral = (0 until 1000).map { i =>
+      val x = -1.0 + 2.0 * i / 1000.0
+      t.pdf(x) * 2.0 / 1000.0
+    }.sum
+    assert(math.abs(integral - 1.0) < 0.01, s"truncated pdf integrates to $integral")
+  }
+
+  test("poisson fit recovers mu=7; ranks best by AIC vs geom/nbinom") {
+    val xs = sampleD(DiscreteFamilies.Poisson, Array(7.0), 5000)
+    val p = DiscreteFamilies.Poisson.fit(xs)
+    assert(math.abs(p(0) - 7.0) < 0.2, s"mu=${p(0)}")
+    val rivals = Seq(DiscreteFamilies.Poisson, DiscreteFamilies.NBinom, DiscreteFamilies.DLaplace)
+    val aics = rivals.map { d =>
+      val pp = d.fit(xs)
+      d.name -> Metrics.informationCriteriaDiscrete(d, pp, xs)._1
+    }
+    assert(aics.minBy(_._2)._1 == "poisson", s"AICs: $aics")
+  }
+
+  test("nbinom fit recovers n=5 p=0.4") {
+    val xs = sampleD(DiscreteFamilies.NBinom, Array(5.0, 0.4), 5000)
+    val p = DiscreteFamilies.NBinom.fit(xs)
+    assert(math.abs(p(0) - 5.0) < 1.0, s"n=${p(0)}")
+    assert(math.abs(p(1) - 0.4) < 0.05, s"p=${p(1)}")
+  }
+
+  test("discrete KS matches the reference's index formulation") {
+    val xs = sampleD(DiscreteFamilies.Poisson, Array(7.0), 5000)
+    val p = DiscreteFamilies.Poisson.fit(xs)
+    val (d, pv) = Metrics.ksDiscrete(DiscreteFamilies.Poisson, p, xs)
+    // brute-force the reference's definition over every sorted index
+    val sorted = xs.sorted
+    val n = sorted.length
+    val dBrute = (0 until n).map { i =>
+      val f = DiscreteFamilies.Poisson.cdf(sorted(i), p)
+      math.max((i + 1).toDouble / n - f, f - i.toDouble / n)
+    }.max
+    assert(math.abs(d - dBrute) < 1e-12, s"D=$d brute=$dBrute")
+    assert(pv >= 0.0 && pv <= 1.0)
+    // D is bounded below by the largest PMF jump under this formulation;
+    // for a good fit it should not exceed maxJump by much
+    val maxJump = (0L to 30L).map(k => DiscreteFamilies.Poisson.pmf(k, p)).max
+    assert(d < maxJump + 0.05, s"D=$d maxJump=$maxJump")
+  }
+
+  test("special functions: normal ppf, kolmogorov, zeta") {
+    assert(math.abs(SM.normPpf(0.975) - 1.959963984540054) < 1e-9)
+    assert(math.abs(SM.normCdf(1.96) - 0.9750021048517795) < 1e-12)
+    assert(math.abs(DiscreteFamilies.zeta(2.0) - math.Pi * math.Pi / 6) < 1e-8)
+    assert(math.abs(SM.kolmogorovSf(0.828) - 0.4993) < 0.001) // K(0.828) ≈ 0.5007
+  }
+}
