@@ -1,13 +1,194 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{SparkSession, DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` carries one entry per implemented operator from SURVEY.md §2;
+  * `oracleSql` carries DuckDB-runnable ANSI SQL for the SQL-expressible
+  * subset (identical column names AND identical IEEE arithmetic shape, so
+  * value hashes line up). Fit results are verified by the rows-only check
+  * plus the ScalaTest tolerance suites.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def li(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+
+  /** The reference fits once and serves best/filter/summary off the cached
+    * combined DataFrame (continuous_fitter.py:409-414, collection.py). Our
+    * harness queries are independent closures, so the shared "results
+    * collection" lives in this memo: one full fit per (dir, spec), reused
+    * by every downstream query. */
+  private val fitMemo = new java.util.concurrent.ConcurrentHashMap[String, FitResults]()
+
+  /** Memoized at COLUMN granularity: overlapping multi-column queries
+    * (e.g. {price, discount, tax} then {price, discount}) reuse each
+    * column's cached results instead of refitting. */
+  private def cachedFit(s: SparkSession, dir: String, cols: Seq[String],
+                        dists: Option[Seq[String]] = None,
+                        cfg: FitConfig = FitConfig()): FitResults = {
+    val perCol = cols.map { c =>
+      fitMemo.computeIfAbsent(
+        s"$dir|$c|${dists.map(_.mkString(",")).getOrElse("ALL")}|$cfg",
+        _ => Fitter.fit(s, li(s, dir), Seq(c), dists, cfg))
+    }
+    if (perCol.length == 1) perCol.head
+    else new FitResults(perCol.map(_.df).reduce(_ union _))
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * full continuous fit of lineitem.l_extendedprice, best family per
+    * metric ranking. */
+  def entry(spark: SparkSession): DataFrame = {
+    val df = li(spark, "/root/testdata/sf0.001")
+    Fitter.fit(spark, df, Seq("l_extendedprice")).best(10, "aic")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- fitting operators (rows-only checks; E1-E7, §2.5) ----
+    "fit_continuous" -> ((s, dir) =>
+      cachedFit(s, dir, Seq("l_extendedprice")).successful
+        .orderBy("distribution")),
+    "fit_best_aic" -> ((s, dir) =>
+      cachedFit(s, dir, Seq("l_extendedprice")).best(5, "aic")),
+    "fit_multi_column" -> ((s, dir) =>
+      cachedFit(s, dir, Seq("l_extendedprice", "l_discount", "l_tax"))
+        .bestPerColumn(3, "aic")),
+    "fit_discrete" -> ((s, dir) =>
+      Fitter.fitDiscrete(s, li(s, dir), "l_quantity").successful
+        .orderBy("distribution")),
+    "fit_bounded" -> ((s, dir) =>
+      Fitter.fit(s, li(s, dir), Seq("l_extendedprice"),
+        distributions = Some(Seq("norm", "lognorm", "gamma", "weibull_min", "uniform")),
+        cfg = FitConfig(lowerBound = Some(900.0), upperBound = Some(105000.0)))
+        .successful.orderBy("distribution")),
+    "fit_mse_heavy_tail" -> ((s, dir) =>
+      Fitter.fit(s, li(s, dir), Seq("l_extendedprice"),
+        distributions = Some(Seq("norm", "lognorm", "gamma", "pareto", "fisk")),
+        cfg = FitConfig(estimationMethod = "mse")).successful.orderBy("distribution")),
+    "fit_lazy" -> ((s, dir) =>
+      cachedFit(s, dir, Seq("l_extendedprice"),
+        cfg = FitConfig(lazyMetrics = true)).best(5, "aic")),
+    "fit_summary" -> ((s, dir) =>
+      cachedFit(s, dir, Seq("l_extendedprice")).summary),
+    "fit_quality_report" -> ((s, dir) =>
+      cachedFit(s, dir, Seq("l_extendedprice", "l_discount")).qualityReport("aic")),
+
+    // ---- relational/statistical core (oracle-checked; A2-A10, F5, F6) ----
+    "q_stats" -> ((s, dir) => {
+      li(s, dir).agg(
+        F.min("l_extendedprice").as("mn"),
+        F.max("l_extendedprice").as("mx"),
+        F.count(F.col("l_extendedprice")).as("cnt"),
+        F.round(F.avg("l_extendedprice"), 4).as("mean"),
+        F.round(F.stddev_pop("l_extendedprice"), 4).as("std"),
+        F.round(F.skewness(F.col("l_extendedprice")), 6).as("skew"),
+        F.round(F.kurtosis(F.col("l_extendedprice")), 6).as("kurt"))
+    }),
+    "q_hist" -> ((s, dir) => {
+      // equal-width histogram, same IEEE arithmetic as the DuckDB oracle
+      val df = li(s, dir)
+      val r = df.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).head()
+      val mn = r.getDouble(0); val mx = r.getDouble(1)
+      val hi = mx + (mx - mn) * 1e-10
+      val width = (hi - mn) / 40
+      df.select(F.least(F.greatest(
+          F.floor((F.col("l_extendedprice") - F.lit(mn)) / F.lit(width)), F.lit(0L)),
+          F.lit(39L)).as("bin"))
+        .groupBy("bin").agg(F.count(F.lit(1)).as("cnt"))
+        .orderBy("bin")
+    }),
+    "q_pmf" -> ((s, dir) =>
+      li(s, dir).select(F.col("l_quantity").cast("long").as("k"))
+        .groupBy("k").agg(F.count(F.lit(1)).as("cnt"))
+        .orderBy("k")),
+    "q_quantiles" -> ((s, dir) =>
+      li(s, dir).agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))),
+    "q_topk" -> ((s, dir) =>
+      li(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc, F.col("l_orderkey").asc,
+          F.col("l_linenumber").asc)
+        .limit(100)),
+    "q_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(F.col("l_extendedprice").desc, F.col("l_orderkey").asc,
+          F.col("l_linenumber").asc)
+      li(s, dir)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 5)
+        .orderBy("l_returnflag", "rk")
+    }),
+    "q_corr_pearson" -> ((s, dir) =>
+      li(s, dir).agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).as("price_qty"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).as("price_disc"),
+        F.round(F.corr("l_quantity", "l_tax"), 6).as("qty_tax"))),
+    "q_filter_count" -> ((s, dir) =>
+      li(s, dir).where(
+          F.col("l_discount") >= 0.02 && F.col("l_discount") <= 0.08 &&
+          F.col("l_tax") < 0.05 && F.col("l_extendedprice") > 10000.0)
+        .agg(F.count(F.lit(1)).as("cnt"))),
+    "q_distinct_flags" -> ((s, dir) =>
+      li(s, dir).select("l_returnflag").distinct().orderBy("l_returnflag"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_stats" ->
+      """WITH mu AS (SELECT avg(l_extendedprice) AS m, min(l_extendedprice) AS mn,
+        |  max(l_extendedprice) AS mx, count(l_extendedprice) AS cnt FROM lineitem),
+        |mom AS (SELECT avg(power(l_extendedprice - mu.m, 2)) AS m2,
+        |  avg(power(l_extendedprice - mu.m, 3)) AS m3,
+        |  avg(power(l_extendedprice - mu.m, 4)) AS m4 FROM lineitem, mu)
+        |SELECT mu.mn AS mn, mu.mx AS mx, mu.cnt AS cnt, round(mu.m, 4) AS mean,
+        |  round(sqrt(mom.m2), 4) AS std,
+        |  round(mom.m3 / power(mom.m2, 1.5), 6) AS skew,
+        |  round(mom.m4 / power(mom.m2, 2) - 3, 6) AS kurt
+        |FROM mu, mom""".stripMargin,
+    "q_hist" ->
+      """WITH b AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem),
+        |w AS (SELECT mn, ((mx + (mx - mn) * 1e-10) - mn) / 40 AS width FROM b)
+        |SELECT least(greatest(CAST(floor((l_extendedprice - w.mn) / w.width) AS BIGINT), 0), 39) AS bin,
+        |count(*) AS cnt
+        |FROM lineitem, w GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q_pmf" ->
+      """SELECT CAST(l_quantity AS BIGINT) AS k, count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY k""".stripMargin,
+    "q_quantiles" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem""".stripMargin,
+    "q_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 100""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rk FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS BIGINT) AS rk
+        |  FROM lineitem) t
+        |WHERE rk <= 5 ORDER BY l_returnflag, rk""".stripMargin,
+    "q_corr_pearson" ->
+      """SELECT round(corr(l_extendedprice, l_quantity), 6) AS price_qty,
+        |round(corr(l_extendedprice, l_discount), 6) AS price_disc,
+        |round(corr(l_quantity, l_tax), 6) AS qty_tax
+        |FROM lineitem""".stripMargin,
+    "q_filter_count" ->
+      """SELECT count(*) AS cnt FROM lineitem
+        |WHERE l_discount >= 0.02 AND l_discount <= 0.08
+        |AND l_tax < 0.05 AND l_extendedprice > 10000.0""".stripMargin,
+    "q_distinct_flags" ->
+      "SELECT DISTINCT l_returnflag FROM lineitem ORDER BY l_returnflag"
+  )
 }

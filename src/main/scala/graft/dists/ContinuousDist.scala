@@ -105,21 +105,41 @@ trait ContinuousDist extends Serializable {
     * Families with exact closed-form MLEs disable it. */
   def refineAfterWarmStart: Boolean = true
 
+  /** Sum of standardized log-densities over z values. Families whose
+    * logpdf0 contains shape-only constants (lgamma terms etc.) override
+    * this to hoist them out of the point loop — the single hottest path
+    * in the whole engine (every Nelder-Mead evaluation runs it over the
+    * 10K fitting sample). Returns -inf if any point is off-support. */
+  def logpdf0Sum(zs: Array[Double], s: Array[Double]): Double = {
+    var ll = 0.0
+    var i = 0
+    while (i < zs.length) {
+      val lp = logpdf0(zs(i), s)
+      if (lp.isNaN || lp == Double.NegativeInfinity) return Double.NegativeInfinity
+      ll += lp
+      i += 1
+    }
+    ll
+  }
+
   /** Negative log-likelihood with domain penalties; used by fit() and the
     * MSE/censored estimators. */
   final def negLogLik(p: Array[Double], xs: Array[Double]): Double = {
     val sc = scale(p); val s = shapes(p)
     if (sc <= 0.0 || !shapesValid(s)) return Optimize.Penalty
-    var ll = 0.0
+    val l = loc(p)
+    val a = a0(s); val b = b0(s)
+    val zs = new Array[Double](xs.length)
     var i = 0
     while (i < xs.length) {
-      val lp = logpdf(xs(i), p)
-      if (lp.isNaN) return Optimize.Penalty
-      if (lp == Double.NegativeInfinity) return Optimize.Penalty
-      ll += lp
+      val z = (xs(i) - l) / sc
+      if (z < a || z > b) return Optimize.Penalty
+      zs(i) = z
       i += 1
     }
-    -ll
+    val ll = logpdf0Sum(zs, s)
+    if (ll == Double.NegativeInfinity || ll.isNaN) return Optimize.Penalty
+    -(ll - xs.length * math.log(sc))
   }
 
   /** Maximum-likelihood fit: family warm start, then (optionally) a

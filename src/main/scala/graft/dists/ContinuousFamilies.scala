@@ -78,6 +78,19 @@ object ContinuousFamilies {
     def pdf0(z: Double, s: Array[Double]) = math.exp(logpdf0(z, s))
     def cdf0(z: Double, s: Array[Double]) = if (z <= 0) 0.0 else SM.normCdf(math.log(z) / s(0))
     def ppf0(q: Double, s: Array[Double]) = math.exp(s(0) * SM.normPpf(q))
+    override def logpdf0Sum(zs: Array[Double], s: Array[Double]): Double = {
+      val sig = s(0); val c = math.log(sig) + SM.LnSqrtTwoPi
+      val inv2s2 = 1.0 / (2 * sig * sig)
+      var ll = 0.0; var i = 0
+      while (i < zs.length) {
+        val z = zs(i)
+        if (z <= 0) return Double.NegativeInfinity
+        val lz = math.log(z)
+        ll += -lz * lz * inv2s2 - lz
+        i += 1
+      }
+      ll - zs.length * c
+    }
     def warmStart(xs: Array[Double]) = {
       val (mn, _) = minMax(xs)
       val l = if (mn > 0) 0.0 else locBelowMin(xs)
@@ -99,6 +112,17 @@ object ContinuousFamilies {
     def pdf0(z: Double, s: Array[Double]) = math.exp(logpdf0(z, s))
     def cdf0(z: Double, s: Array[Double]) = SM.gammaInc(s(0), z)
     def ppf0(q: Double, s: Array[Double]) = SM.gammaIncInv(s(0), q)
+    override def logpdf0Sum(zs: Array[Double], s: Array[Double]): Double = {
+      val a = s(0); val c = SM.lgamma(a)
+      var ll = 0.0; var i = 0
+      while (i < zs.length) {
+        val z = zs(i)
+        if (z <= 0) return Double.NegativeInfinity
+        ll += (a - 1) * math.log(z) - z
+        i += 1
+      }
+      ll - zs.length * c
+    }
     def warmStart(xs: Array[Double]) = {
       val (mn, _) = minMax(xs)
       val l = if (mn > 0) 0.0 else locBelowMin(xs)
@@ -186,6 +210,17 @@ object ContinuousFamilies {
     def pdf0(z: Double, s: Array[Double]) = math.exp(logpdf0(z, s))
     def cdf0(z: Double, s: Array[Double]) = SM.betaInc(s(0), s(1), z)
     def ppf0(q: Double, s: Array[Double]) = SM.betaIncInv(s(0), s(1), q)
+    override def logpdf0Sum(zs: Array[Double], s: Array[Double]): Double = {
+      val c = SM.lbeta(s(0), s(1))
+      var ll = 0.0; var i = 0
+      while (i < zs.length) {
+        val z = zs(i)
+        if (z <= 0 || z >= 1) return Double.NegativeInfinity
+        ll += (s(0) - 1) * math.log(z) + (s(1) - 1) * math.log1p(-z)
+        i += 1
+      }
+      ll - zs.length * c
+    }
     def warmStart(xs: Array[Double]) = {
       val (mn, mx) = minMax(xs)
       val span = math.max(mx - mn, 1e-300)
@@ -312,6 +347,18 @@ object ContinuousFamilies {
     def ppf0(q: Double, s: Array[Double]) = 2.0 * SM.gammaIncInv(s(0) / 2, q)
     // chi2(df, loc, sc): (x-loc)/(2·sc) ~ gamma(df/2, 1), so a gamma fit
     // (a, loc, gsc) maps to (df, loc, sc) = (2a, loc, gsc/2).
+    override def logpdf0Sum(zs: Array[Double], s: Array[Double]): Double = {
+      val k2 = s(0) / 2
+      val c = k2 * math.log(2.0) + SM.lgamma(k2)
+      var ll = 0.0; var i = 0
+      while (i < zs.length) {
+        val z = zs(i)
+        if (z <= 0) return Double.NegativeInfinity
+        ll += (k2 - 1) * math.log(z) - z / 2
+        i += 1
+      }
+      ll - zs.length * c
+    }
     def warmStart(xs: Array[Double]) = {
       val g = Gamma.warmStart(xs)
       Array(2 * g(0), g(1), g(2) / 2.0)
@@ -350,6 +397,13 @@ object ContinuousFamilies {
         val t = math.sqrt(v * (1 - x) / x)
         if (q < 0.5) -t else t
       }
+    }
+    override def logpdf0Sum(zs: Array[Double], s: Array[Double]): Double = {
+      val v = s(0)
+      val c = SM.lgamma((v + 1) / 2) - SM.lgamma(v / 2) - 0.5 * math.log(v * math.Pi)
+      var ll = 0.0; var i = 0
+      while (i < zs.length) { val z = zs(i); ll += math.log1p(z * z / v); i += 1 }
+      zs.length * c - (v + 1) / 2 * ll
     }
     def warmStart(xs: Array[Double]) = {
       val (m, sd) = meanStd(xs)
@@ -508,6 +562,18 @@ object ContinuousFamilies {
     def pdf0(z: Double, s: Array[Double]) = math.exp(logpdf0(z, s))
     def cdf0(z: Double, s: Array[Double]) = if (z <= 0) 0.0 else SM.gammaInc(s(0) / 2, z * z / 2)
     def ppf0(q: Double, s: Array[Double]) = math.sqrt(2 * SM.gammaIncInv(s(0) / 2, q))
+    override def logpdf0Sum(zs: Array[Double], s: Array[Double]): Double = {
+      val df = s(0)
+      val c = (df / 2 - 1) * math.log(2.0) + SM.lgamma(df / 2)
+      var ll = 0.0; var i = 0
+      while (i < zs.length) {
+        val z = zs(i)
+        if (z <= 0) return Double.NegativeInfinity
+        ll += (df - 1) * math.log(z) - 0.5 * z * z
+        i += 1
+      }
+      ll - zs.length * c
+    }
     def warmStart(xs: Array[Double]) = {
       val l = locBelowMin(xs)
       val y = xs.map(_ - l)
@@ -658,6 +724,18 @@ object ContinuousFamilies {
     def pdf0(z: Double, s: Array[Double]) = math.exp(logpdf0(z, s))
     def cdf0(z: Double, s: Array[Double]) = if (z <= 0) 0.0 else SM.gammaInc(s(0), s(0) * z * z)
     def ppf0(q: Double, s: Array[Double]) = math.sqrt(SM.gammaIncInv(s(0), q) / s(0))
+    override def logpdf0Sum(zs: Array[Double], s: Array[Double]): Double = {
+      val nu = s(0)
+      val c = math.log(2.0) + nu * math.log(nu) - SM.lgamma(nu)
+      var ll = 0.0; var i = 0
+      while (i < zs.length) {
+        val z = zs(i)
+        if (z <= 0) return Double.NegativeInfinity
+        ll += (2 * nu - 1) * math.log(z) - nu * z * z
+        i += 1
+      }
+      ll + zs.length * c
+    }
     def warmStart(xs: Array[Double]) = {
       val l = locBelowMin(xs)
       val y2 = xs.map(v => { val d = v - l; d * d })
@@ -677,6 +755,17 @@ object ContinuousFamilies {
     def pdf0(z: Double, s: Array[Double]) = math.exp(logpdf0(z, s))
     def cdf0(z: Double, s: Array[Double]) = if (z <= 0) 0.0 else SM.betaInc(s(0), s(1), z / (1 + z))
     def ppf0(q: Double, s: Array[Double]) = { val y = SM.betaIncInv(s(0), s(1), q); y / (1 - y) }
+    override def logpdf0Sum(zs: Array[Double], s: Array[Double]): Double = {
+      val c = SM.lbeta(s(0), s(1))
+      var ll = 0.0; var i = 0
+      while (i < zs.length) {
+        val z = zs(i)
+        if (z <= 0) return Double.NegativeInfinity
+        ll += (s(0) - 1) * math.log(z) - (s(0) + s(1)) * math.log1p(z)
+        i += 1
+      }
+      ll - zs.length * c
+    }
     def warmStart(xs: Array[Double]) = {
       val l = locBelowMin(xs)
       Array(2.0, 3.0, l, math.max(median(xs.map(_ - l)), 1e-9))

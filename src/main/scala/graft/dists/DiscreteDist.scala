@@ -44,13 +44,21 @@ trait DiscreteDist extends Serializable {
   def refine: Boolean = true
 
   final def negLogLik(p: Array[Double], xs: Array[Long]): Double = {
+    val (vals, cnts) = DiscreteDist.compress(xs)
+    negLogLikCompressed(p, vals, cnts)
+  }
+
+  /** Likelihood over (distinct value, count) pairs: integer samples have
+    * few distinct values, so Σ cnt_k · logpmf(k) turns a 10K-point loop
+    * into a ~50-point one — the discrete fit hot path. */
+  final def negLogLikCompressed(p: Array[Double], vals: Array[Long], cnts: Array[Long]): Double = {
     if (!valid(p)) return Optimize.Penalty
     var ll = 0.0
     var i = 0
-    while (i < xs.length) {
-      val lp = logpmf(xs(i), p)
+    while (i < vals.length) {
+      val lp = logpmf(vals(i), p)
       if (lp.isNaN || lp == Double.NegativeInfinity) return Optimize.Penalty
-      ll += lp
+      ll += cnts(i) * lp
       i += 1
     }
     -ll
@@ -59,10 +67,12 @@ trait DiscreteDist extends Serializable {
   def fit(xs: Array[Long]): Array[Double] = {
     val w0 = initial(xs)
     if (!refine) return w0
+    val (vals, cnts) = DiscreteDist.compress(xs)
+    def negLogLik(p: Array[Double]): Double = negLogLikCompressed(p, vals, cnts)
     if (integerParams.isEmpty) {
-      val f0 = negLogLik(w0, xs)
+      val f0 = negLogLik(w0)
       if (f0 >= Optimize.Penalty) return w0
-      val (best, fb) = Optimize.nelderMead(negLogLik(_, xs), w0, maxIter = 300)
+      val (best, fb) = Optimize.nelderMead(negLogLik(_), w0, maxIter = 300)
       if (fb < f0) best else w0
     } else {
       // profile over the integer parameter(s): optimize the continuous rest
@@ -79,7 +89,7 @@ trait DiscreteDist extends Serializable {
           val full = p0.clone()
           var j = 0
           while (j < free.length) { full(free(j)) = v(j); j += 1 }
-          negLogLik(full, xs)
+          negLogLik(full)
         }
         if (free.nonEmpty) {
           val v0 = free.map(p0)
@@ -93,7 +103,7 @@ trait DiscreteDist extends Serializable {
             }
           }
         } else {
-          val fb = negLogLik(p0, xs)
+          val fb = negLogLik(p0)
           if (fb < fBest) { fBest = fb; best = p0 }
         }
       }
@@ -117,6 +127,24 @@ trait DiscreteDist extends Serializable {
     s / xs.length
   }
   protected def maxOf(xs: Array[Long]): Long = xs.max
+}
+
+object DiscreteDist {
+  /** (distinct values, counts), values ascending. */
+  def compress(xs: Array[Long]): (Array[Long], Array[Long]) = {
+    val sorted = xs.clone()
+    java.util.Arrays.sort(sorted)
+    val vals = new scala.collection.mutable.ArrayBuffer[Long]()
+    val cnts = new scala.collection.mutable.ArrayBuffer[Long]()
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j) == sorted(i)) j += 1
+      vals += sorted(i); cnts += (j - i).toLong
+      i = j
+    }
+    (vals.toArray, cnts.toArray)
+  }
 }
 
 object DiscreteFamilies {

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Query surface over the cached results table (reference:
+  * src/spark_bestfit/collection.py:51-1216). Every method is a plain
+  * DataFrame op, so Catalyst folds filters and the cached relation is
+  * reused — no refitting ever happens here.
+  */
+final class FitResults(val df: DataFrame) extends Serializable {
+
+  import FitResults._
+
+  def count: Long = df.count()
+
+  /** Drop sentinel rows from failed fits (sse = +inf)
+    * (reference: backends/spark.py:193). */
+  def successful: DataFrame = df.where(F.col("sse") < F.lit(Double.PositiveInfinity))
+
+  /** Top-n by a metric, ascending, NULLS LAST — lazy-metric rows sort
+    * after real ones (reference: collection.py:336-420). */
+  def best(n: Int = 1, metric: String = "sse"): DataFrame = {
+    requireMetric(metric)
+    df.orderBy(F.col(metric).asc_nulls_last, F.col("distribution").asc)
+      .limit(n)
+  }
+
+  /** Conjunctive metric thresholds (reference: collection.py:450-494). */
+  def filterByMetrics(
+      maxSse: Option[Double] = None,
+      maxAic: Option[Double] = None,
+      maxBic: Option[Double] = None,
+      maxKs: Option[Double] = None,
+      minPvalue: Option[Double] = None,
+      maxAd: Option[Double] = None): FitResults = {
+    var out = df
+    maxSse.foreach(t => out = out.where(F.col("sse") < t))
+    maxAic.foreach(t => out = out.where(F.col("aic") < t))
+    maxBic.foreach(t => out = out.where(F.col("bic") < t))
+    maxKs.foreach(t => out = out.where(F.col("ks_statistic") < t))
+    minPvalue.foreach(t => out = out.where(F.col("pvalue") > t))
+    maxAd.foreach(t => out = out.where(F.col("ad_statistic") < t))
+    new FitResults(out)
+  }
+
+  def forColumn(column: String): FitResults =
+    new FitResults(df.where(F.col("column_name") === column))
+
+  /** Distinct non-null fitted column names (reference: collection.py:522-544). */
+  def columnNames: Seq[String] =
+    df.select("column_name").na.drop().distinct()
+      .orderBy("column_name").collect().map(_.getString(0)).toSeq
+
+  /** Top-n per column via a window — one shuffle, not a per-column loop
+    * (reference does this column-at-a-time, collection.py:546-567; the
+    * windowed form is the scalable equivalent). */
+  def bestPerColumn(n: Int = 1, metric: String = "sse"): DataFrame = {
+    requireMetric(metric)
+    val w = Window.partitionBy("column_name")
+      .orderBy(F.col(metric).asc_nulls_last, F.col("distribution").asc)
+    df.withColumn("rank", F.row_number().over(w))
+      .where(F.col("rank") <= n)
+      .drop("rank")
+  }
+
+  /** min/mean/max of every metric + total count in one aggregation
+    * (reference: collection.py:569-623). */
+  def summary: DataFrame = {
+    val metricsCols = Seq("sse", "aic", "bic", "ks_statistic", "pvalue", "ad_statistic")
+    val aggs = metricsCols.flatMap { m =>
+      Seq(F.min(m).as(s"min_$m"), F.avg(m).as(s"mean_$m"), F.max(m).as(s"max_$m"))
+    } :+ F.count(F.lit(1)).as("n_results")
+    successful.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Count of fits passing the acceptability thresholds:
+    * pvalue ≥ minPvalue AND ks ≤ maxKs AND (ad null OR ad ≤ maxAd)
+    * (reference: collection.py:696-713). */
+  def acceptableCount(minPvalue: Double = 0.05, maxKs: Double = 0.1,
+                      maxAd: Double = 2.0): Long =
+    df.where(
+      F.col("pvalue") >= minPvalue &&
+      F.col("ks_statistic") <= maxKs &&
+      (F.col("ad_statistic").isNull || F.col("ad_statistic") <= maxAd)).count()
+
+  /** Per-column fit-quality report: counts + best family by the metric
+    * (reference: collection.py:625-713). */
+  def qualityReport(metric: String = "sse"): DataFrame = {
+    requireMetric(metric)
+    val w = Window.partitionBy("column_name")
+      .orderBy(F.col(metric).asc_nulls_last, F.col("distribution").asc)
+    df.withColumn("rank", F.row_number().over(w))
+      .groupBy("column_name")
+      .agg(
+        F.count(F.lit(1)).as("n_fits"),
+        F.sum(F.when(F.col("sse") < Double.PositiveInfinity, 1).otherwise(0)).as("n_successful"),
+        F.sum(F.when(F.col("pvalue") >= 0.05 && F.col("ks_statistic") <= 0.1, 1).otherwise(0)).as("n_acceptable"),
+        F.max(F.when(F.col("rank") === 1, F.col("distribution"))).as("best_distribution"),
+        F.max(F.when(F.col("rank") === 1, F.col(metric))).as("best_metric_value"))
+      .orderBy("column_name")
+  }
+}
+
+object FitResults {
+  val sortableMetrics: Set[String] = Set("sse", "aic", "bic", "ks_statistic", "ad_statistic")
+
+  private def requireMetric(metric: String): Unit =
+    require(sortableMetrics(metric),
+      s"metric must be one of ${sortableMetrics.mkString(", ")}, got '$metric'")
+}

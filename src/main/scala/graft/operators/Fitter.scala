@@ -1,0 +1,352 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, functions => F}
+import graft.dists._
+import graft.functions.{Metrics, SpecialMath => SM}
+
+/** One row of the results table — the reference's 19-column flat schema
+  * with JVM-native doubles (reference: src/spark_bestfit/estimation.py:
+  * 51-76, FIT_RESULT_SCHEMA; flat columns replaced a MapType in v2.0 for
+  * ~20% perf, which we keep). */
+final case class FitResult(
+    column_name: String,
+    distribution: String,
+    parameters: Array[Double],
+    sse: Double,
+    aic: Double,
+    bic: Double,
+    ks_statistic: Option[Double],
+    pvalue: Option[Double],
+    ad_statistic: Option[Double],
+    ad_pvalue: Option[Double],
+    data_min: Double,
+    data_max: Double,
+    data_mean: Double,
+    data_stddev: Double,
+    data_count: Double,
+    data_kurtosis: Double,
+    data_skewness: Double,
+    lower_bound: Option[Double],
+    upper_bound: Option[Double])
+
+/** Fit configuration (reference: src/spark_bestfit/config.py:35-427). */
+final case class FitConfig(
+    bins: Int = 50,
+    useRiceRule: Boolean = false,
+    supportAtZeroOnly: Boolean = false,
+    fittingSampleSize: Int = 10000,
+    sampleSeed: Long = 42L,
+    lazyMetrics: Boolean = false,
+    estimationMethod: String = "mle", // mle | mse | auto
+    lowerBound: Option[Double] = None,
+    upperBound: Option[Double] = None,
+    prefilter: Option[String] = None, // None | "standard" | "aggressive"
+    maxDistributions: Int = Int.MaxValue,
+    numPartitions: Option[Int] = None,
+    censoringColumn: Option[String] = None)
+
+/** Everything a fit task needs, broadcast once per column: ~8 KB histogram
+  * + ~80 KB sample (reference: backends/spark.py:143-147; executor
+  * overhead stays < 2 MB per task regardless of data size,
+  * docs/performance.rst:94-116). */
+final case class FitContext(
+    columnName: String,
+    hist: Hist,
+    sample: Array[Double],
+    stats: DataStats,
+    censoring: Option[Array[Boolean]]) extends Serializable
+
+final case class DataStats(
+    min: Double, max: Double, mean: Double, stddev: Double,
+    count: Double, kurtosis: Double, skewness: Double) extends Serializable
+
+object DataStats {
+  /** Stats of the fitting sample (np conventions: population std, Fisher
+    * excess kurtosis; reference: estimation.py:81-102). */
+  def of(xs: Array[Double]): DataStats = {
+    val (n, mean, std, skew, kurt, mn, mx) = SM.moments(xs)
+    DataStats(mn, mx, mean, std, n.toDouble, kurt, skew)
+  }
+}
+
+object Fitter {
+
+  /** Sentinel row for failed fits — never crash the job
+    * (reference: estimation.py:739-772). */
+  def failed(distName: String, columnName: String, st: DataStats,
+             lb: Option[Double], ub: Option[Double]): FitResult =
+    FitResult(columnName, distName, Array(Double.NaN),
+      Double.PositiveInfinity, Double.PositiveInfinity, Double.PositiveInfinity,
+      Some(Double.PositiveInfinity), Some(0.0), Some(Double.PositiveInfinity), None,
+      st.min, st.max, st.mean, st.stddev, st.count, st.kurtosis, st.skewness, lb, ub)
+
+  /** The per-distribution fit kernel (reference: estimation.py:583-736).
+    * Runs inside the executor-side map; must never throw. */
+  def fitOne(distName: String, ctx: FitContext, cfg: FitConfig): FitResult = {
+    val st = ctx.stats
+    try {
+      val dist = DistRegistry.get(distName).getOrElse(
+        return failed(distName, ctx.columnName, st, cfg.lowerBound, cfg.upperBound))
+
+      val params: Array[Double] = ctx.censoring match {
+        case Some(censor) =>
+          try Estimators.fitCensoredMle(dist, ctx.sample, censor)
+          catch { case _: Throwable =>
+            dist.fit(ctx.sample.zip(censor).filter(_._2).map(_._1))
+          }
+        case None => cfg.estimationMethod match {
+          case "mse" =>
+            try Estimators.fitMse(dist, ctx.sample)
+            catch { case _: Throwable => dist.fit(ctx.sample) }
+          case _ => dist.fit(ctx.sample)
+        }
+      }
+      if (params.exists(p => !java.lang.Double.isFinite(p)))
+        return failed(distName, ctx.columnName, st, cfg.lowerBound, cfg.upperBound)
+
+      val frozen = FrozenModel(dist, params, cfg.lowerBound, cfg.upperBound)
+
+      val sse = Metrics.sseContinuous(frozen, ctx.hist.density, ctx.hist.edges)
+      if (!java.lang.Double.isFinite(sse))
+        return failed(distName, ctx.columnName, st, cfg.lowerBound, cfg.upperBound)
+
+      val (aic, bic) = Metrics.informationCriteria(frozen, params.length, ctx.sample)
+
+      val (ks, pv, ad, adP) =
+        if (cfg.lazyMetrics || ctx.censoring.isDefined) (None, None, None, None)
+        else {
+          val (k, p) = Metrics.ksStatistic(frozen, ctx.sample)
+          val a = Metrics.adStatistic(frozen, ctx.sample)
+          val ap = if (cfg.lowerBound.isEmpty && cfg.upperBound.isEmpty)
+            Metrics.adPValue(dist, ctx.sample) else None
+          (Some(k), Some(p), Some(a), ap)
+        }
+
+      FitResult(ctx.columnName, distName, params, sse, aic, bic,
+        ks, pv, ad, adP,
+        st.min, st.max, st.mean, st.stddev, st.count, st.kurtosis, st.skewness,
+        cfg.lowerBound, cfg.upperBound)
+    } catch {
+      case _: Throwable => failed(distName, ctx.columnName, st, cfg.lowerBound, cfg.upperBound)
+    }
+  }
+
+  /** Partition count: min(effective, 2·cores) with slow families weighted
+    * 3× (reference: base_fitter.py:524-544, backends/spark.py:309-328). */
+  def partitionCount(spark: SparkSession, distNames: Seq[String], requested: Option[Int]): Int = {
+    requested.getOrElse {
+      val nSlow = distNames.count(DistRegistry.slowDistributions)
+      val effective = distNames.length + 2 * nSlow
+      val cores = spark.sparkContext.defaultParallelism
+      math.max(1, math.min(effective, 2 * cores))
+    }
+  }
+
+  /** Anti-straggler interleaving: spread slow families evenly through the
+    * name list so no partition holds several of them
+    * (reference: core.py:31-67). */
+  def interleave(names: Seq[String]): Seq[String] = {
+    val (slow, fast) = names.partition(DistRegistry.slowDistributions)
+    if (slow.isEmpty || fast.isEmpty) return names
+    val stride = math.max(1, (slow.length + fast.length) / slow.length)
+    val out = new scala.collection.mutable.ArrayBuffer[String](names.length)
+    val fi = fast.iterator; val si = slow.iterator
+    var i = 0
+    while (fi.hasNext || si.hasNext) {
+      if (i % stride == 0 && si.hasNext) out += si.next()
+      else if (fi.hasNext) out += fi.next()
+      else if (si.hasNext) out += si.next()
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** Prefilter: drop intrinsically positive-skew families on clearly
+    * negative-skew samples; 'aggressive' also drops uniform on
+    * high-kurtosis samples; restore all if everything got filtered
+    * (reference: continuous_fitter.py:966-1063). */
+  def prefilter(names: Seq[String], stats: DataStats, mode: Option[String]): Seq[String] = {
+    if (mode.isEmpty) return names
+    var out = names
+    if (stats.skewness < -1.0)
+      out = out.filterNot(DistRegistry.positiveSkewOnly)
+    if (mode.contains("aggressive") && stats.kurtosis > 10.0)
+      out = out.filterNot(_ == "uniform")
+    if (out.isEmpty) names else out
+  }
+
+  /** Collect the fitting sample for one column: ≤ sampleSize rows, NaN/null
+    * filtered, deterministic seed; exact-size driver downsample when the
+    * pre-sample overshoots (reference: base_fitter.py:681-700,
+    * estimation.py:946-967). */
+  def fittingSample(df: DataFrame, column: String, sampleSize: Int, seed: Long,
+                    totalCount: Option[Long] = None): Array[Double] = {
+    val c = F.col(column).cast("double")
+    val valid = df.select(c.as("x")).where(F.col("x").isNotNull && !F.isnan(F.col("x")))
+    val n = totalCount.getOrElse(valid.count())
+    val collected: Array[Double] =
+      if (n <= sampleSize) {
+        valid.collect().map(_.getDouble(0))
+      } else {
+        // oversample slightly so the post-filter size still reaches target
+        val fraction = math.min(1.0, sampleSize * 1.2 / n)
+        val arr = valid.sample(withReplacement = false, fraction, seed)
+          .limit(sampleSize * 2).collect().map(_.getDouble(0))
+        arr
+      }
+    if (collected.length <= sampleSize) collected
+    else exactResample(collected, sampleSize, seed)
+  }
+
+  /** Exact-size downsample without replacement via seeded Fisher-Yates
+    * (reference: estimation.py:946-967). */
+  def exactResample(xs: Array[Double], n: Int, seed: Long): Array[Double] = {
+    val rng = new java.util.Random(seed)
+    val a = xs.clone()
+    var i = 0
+    while (i < n) {
+      val j = i + rng.nextInt(a.length - i)
+      val t = a(i); a(i) = a(j); a(j) = t
+      i += 1
+    }
+    java.util.Arrays.copyOfRange(a, 0, n)
+  }
+
+  /** Fit all requested continuous families to one or more numeric columns.
+    *
+    * Pipeline per column (reference lifecycle, SURVEY.md §3.1): distributed
+    * histogram + 10K sample collect → driver stats/prefilter/interleave →
+    * broadcast FitContext → `Dataset[String].map(fitOne)` fan-out (a plain
+    * JVM closure — the reference's Arrow/pandas-UDF hop does not exist
+    * here) → union → cache.
+    */
+  def fit(spark: SparkSession, df: DataFrame, columns: Seq[String],
+          distributions: Option[Seq[String]] = None,
+          cfg: FitConfig = FitConfig()): FitResults = {
+    import spark.implicits._
+    require(columns.nonEmpty, "at least one column required")
+    val schema = df.schema
+    columns.foreach { c =>
+      val fld = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"column '$c' not found"))
+      require(fld.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"column '$c' is not numeric: ${fld.dataType}")
+    }
+
+    // unknown names flow through to fitOne and come back as sentinel rows,
+    // matching the reference's never-crash UDF behavior
+    val baseNames = distributions.getOrElse(DistRegistry.defaultNames)
+    val supportFiltered =
+      if (cfg.supportAtZeroOnly) baseNames.filter(DistRegistry.supportsAtZero)
+      else baseNames
+    val capped = supportFiltered.take(cfg.maxDistributions)
+
+    val perColumn = columns.map { column =>
+      val censorOpt = cfg.censoringColumn.map { cc =>
+        // paired (value, event) sample — censored path collects both
+        val rows = df.select(F.col(column).cast("double"), F.col(cc).cast("boolean"))
+          .where(F.col(column).isNotNull && !F.isnan(F.col(column)))
+          .limit(cfg.fittingSampleSize).collect()
+        (rows.map(_.getDouble(0)), rows.map(_.getBoolean(1)))
+      }
+
+      // one (min,max,count) scan shared by the histogram and the sampler
+      val colStats = Histogram.columnStats(df, column)
+      val sample = censorOpt.map(_._1).getOrElse(
+        fittingSample(df, column, cfg.fittingSampleSize, cfg.sampleSeed,
+          totalCount = Some(colStats._3)))
+      if (sample.isEmpty)
+        throw new IllegalArgumentException(s"column '$column' has no valid data")
+
+      val hist = Histogram.continuous(df, column, cfg.bins, cfg.useRiceRule,
+        precomputed = Some(colStats))
+      val stats = DataStats.of(sample)
+
+      val method =
+        if (cfg.estimationMethod == "auto")
+          { if (Estimators.isHeavyTailed(sample, stats)) "mse" else "mle" }
+        else cfg.estimationMethod
+
+      val names = interleave(prefilter(capped, stats, cfg.prefilter))
+      val nParts = partitionCount(spark, names, cfg.numPartitions)
+
+      val ctx = FitContext(column, hist, sample, stats, censorOpt.map(_._2))
+      val bc = spark.sparkContext.broadcast(ctx)
+      val cfgFinal = cfg.copy(estimationMethod = method)
+
+      val results: Dataset[FitResult] = spark.createDataset(names)
+        .repartition(nParts)
+        .map(name => fitOne(name, bc.value, cfgFinal))
+      results.toDF()
+    }
+
+    val combined = perColumn.reduce(_ union _).cache()
+    combined.count() // materialize, as the reference does (continuous_fitter.py:409-414)
+    new FitResults(combined)
+  }
+
+  /** Discrete fit over the registry's discrete families
+    * (reference: discrete_fitter.py + discrete_fitting.py:380-470). */
+  def fitDiscrete(spark: SparkSession, df: DataFrame, column: String,
+                  distributions: Option[Seq[String]] = None,
+                  cfg: FitConfig = FitConfig()): FitResults = {
+    import spark.implicits._
+    val pmf = Histogram.discretePmf(df, column)
+    val sampleD: Array[Long] = {
+      val c = F.col(column).cast("long")
+      val valid = df.select(c.as("k")).where(F.col("k").isNotNull)
+      val n = pmf.total
+      if (n <= cfg.fittingSampleSize) valid.collect().map(_.getLong(0))
+      else {
+        val arr = valid.sample(withReplacement = false,
+            math.min(1.0, cfg.fittingSampleSize * 1.2 / n), cfg.sampleSeed)
+          .limit(cfg.fittingSampleSize * 2).collect().map(_.getLong(0))
+        if (arr.length <= cfg.fittingSampleSize) arr
+        else {
+          val rng = new java.util.Random(cfg.sampleSeed)
+          val a = arr.clone()
+          var i = 0
+          while (i < cfg.fittingSampleSize) {
+            val j = i + rng.nextInt(a.length - i)
+            val t = a(i); a(i) = a(j); a(j) = t
+            i += 1
+          }
+          java.util.Arrays.copyOfRange(a, 0, cfg.fittingSampleSize)
+        }
+      }
+    }
+    val stats = DataStats.of(sampleD.map(_.toDouble))
+    val names = distributions.getOrElse(DiscreteRegistry.allNames)
+      .filter(n => DiscreteRegistry.get(n).isDefined)
+
+    // SSE compares empirical vs fitted PMF at the unique observed values
+    // (reference: discrete_fitting.py:184-209)
+    val bc = spark.sparkContext.broadcast((sampleD, pmf, stats, column))
+
+    val results = spark.createDataset(names)
+      .repartition(math.max(1, math.min(names.length, 2 * spark.sparkContext.defaultParallelism)))
+      .map { name =>
+        val (sample, pm, st, colName) = bc.value
+        try {
+          val dist = DiscreteRegistry.get(name).get
+          val params = dist.fit(sample)
+          if (params.exists(p => !java.lang.Double.isFinite(p)))
+            failed(name, colName, st, None, None)
+          else {
+            val sse = Metrics.sseDiscrete(dist, params, pm.xs, pm.p)
+            val (aic, bic) = Metrics.informationCriteriaDiscrete(dist, params, sample)
+            val (ks, pv) = Metrics.ksDiscrete(dist, params, sample)
+            FitResult(colName, name, params, sse, aic, bic,
+              Some(ks), Some(pv), None, None,
+              st.min, st.max, st.mean, st.stddev, st.count, st.kurtosis, st.skewness,
+              None, None)
+          }
+        } catch {
+          case _: Throwable => failed(name, column, stats, None, None)
+        }
+      }
+    val combined = results.toDF().cache()
+    combined.count()
+    new FitResults(combined)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+/** The compressed data representations fitting runs on: an equal-width
+  * density histogram (~100 doubles) and a discrete empirical PMF
+  * (reference: src/spark_bestfit/storage.py:82-97, histogram.py:51-132,
+  * backends/spark.py:373-427, discrete_fitting.py:127-149).
+  *
+  * Scale design: the raw column is never collected. One pass computes
+  * (min, max, count); a second computes per-bin counts with pure Catalyst
+  * arithmetic — `floor((x−min)/width)` clamped to the last bin — which
+  * stays inside whole-stage codegen and shuffles only ~bins rows after
+  * partial aggregation. At 100 TB this is two scans and a ~100-row
+  * collect; no Bucketizer model or UDF is involved.
+  */
+final case class Hist(density: Array[Double], edges: Array[Double]) extends Serializable {
+  def nBins: Int = math.max(edges.length - 1, 0)
+  def isSingular: Boolean = edges.length == 1
+}
+
+final case class Pmf(xs: Array[Long], p: Array[Double], total: Long) extends Serializable
+
+object Histogram {
+
+  /** Rice rule: bins = 2·ceil(N^(1/3)) (reference: histogram.py:92-95). */
+  def riceBins(n: Long): Int = math.max(2, 2 * math.ceil(math.cbrt(n.toDouble)).toInt)
+
+  /** Distributed equal-width histogram normalized to density.
+    * Mirrors the reference edge handling: epsilon-widened last edge so the
+    * max value lands in the final bin; min==max collapses to a singular
+    * one-bin histogram; all-null raises (reference: histogram.py:96-132). */
+  /** (min, max, count) of the valid values in one scan. */
+  def columnStats(df: DataFrame, column: String): (Double, Double, Long) = {
+    val c = F.col(column).cast("double")
+    val valid = df.select(c.as("x")).where(F.col("x").isNotNull && !F.isnan(F.col("x")))
+    val row = valid.agg(
+      F.min("x").as("mn"), F.max("x").as("mx"), F.count("x").as("cnt")).head()
+    if (row.isNullAt(0) || row.getLong(2) == 0L)
+      throw new IllegalArgumentException(
+        s"Cannot compute histogram: column '$column' contains no valid (non-null) values")
+    (row.getDouble(0), row.getDouble(1), row.getLong(2))
+  }
+
+  def continuous(df: DataFrame, column: String, bins: Int = 50,
+                 useRiceRule: Boolean = false, approxCount: Option[Long] = None,
+                 precomputed: Option[(Double, Double, Long)] = None): Hist = {
+    val c = F.col(column).cast("double")
+    val valid = df.select(c.as("x")).where(F.col("x").isNotNull && !F.isnan(F.col("x")))
+    val (mn, mx, total) = precomputed.getOrElse(columnStats(df, column))
+
+    if (mn == mx) return Hist(Array(1.0), Array(mn))
+
+    val nBins = math.max(2, if (useRiceRule) riceBins(approxCount.getOrElse(total)) else bins)
+    val epsilon = (mx - mn) * 1e-10
+    val hi = mx + epsilon
+    val width = (hi - mn) / nBins
+    val edges = Array.tabulate(nBins + 1)(i => mn + i * (hi - mn) / nBins)
+
+    // bin index via codegen'd arithmetic; clamp FP edge cases into range
+    val binCol = F.least(
+      F.greatest(F.floor((F.col("x") - F.lit(mn)) / F.lit(width)), F.lit(0L)),
+      F.lit((nBins - 1).toLong))
+    val counts = valid
+      .select(binCol.as("bin"))
+      .groupBy("bin").agg(F.count(F.lit(1)).as("cnt"))
+      .collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+
+    val density = Array.tabulate(nBins) { i =>
+      counts.getOrElse(i, 0L).toDouble / (total * width)
+    }
+    Hist(density, edges)
+  }
+
+  /** Distributed empirical PMF over integer-valued data: distinct values
+    * + relative frequencies, sorted by value (reference:
+    * discrete_fitting.py:127-149). One shuffle of ~distinct-count rows. */
+  def discretePmf(df: DataFrame, column: String): Pmf = {
+    val c = F.col(column).cast("long")
+    val grouped = df.select(c.as("k")).where(F.col("k").isNotNull)
+      .groupBy("k").agg(F.count(F.lit(1)).as("cnt"))
+      .orderBy("k")
+      .collect()
+    if (grouped.isEmpty)
+      throw new IllegalArgumentException(s"column '$column' contains no valid values")
+    val xs = grouped.map(_.getLong(0))
+    val counts = grouped.map(_.getLong(1))
+    val total = counts.sum
+    Pmf(xs, counts.map(_.toDouble / total), total)
+  }
+}

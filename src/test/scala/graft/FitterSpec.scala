@@ -1,0 +1,180 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.{SparkSession, functions => F}
+import graft.operators._
+import graft.dists.ContinuousFamilies
+
+/** Spark integration tests for the fit pipeline, mirroring the
+  * reference's known-distribution fixtures
+  * (/root/reference/tests/conftest.py:91-178). */
+class FitterSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def toDf(xs: Array[Double], col: String = "value") = {
+    import spark.implicits._
+    spark.createDataset(xs.toSeq).toDF(col)
+  }
+
+  private def sample(d: graft.dists.ContinuousDist, params: Array[Double], n: Int): Array[Double] = {
+    val rng = new java.util.Random(42L)
+    Array.fill(n)(d.ppf(math.min(1 - 1e-12, math.max(1e-12, rng.nextDouble())), params))
+  }
+
+  test("histogram: density integrates to 1, Rice rule, singular and null edge cases") {
+    val df = toDf(sample(ContinuousFamilies.Norm, Array(50.0, 10.0), 10000))
+    val h = Histogram.continuous(df, "value", bins = 50)
+    assert(h.nBins == 50)
+    val area = h.density.zipWithIndex.map { case (d, i) => d * (h.edges(i + 1) - h.edges(i)) }.sum
+    assert(math.abs(area - 1.0) < 1e-9, s"area=$area")
+    assert(Histogram.riceBins(10000) == 2 * math.ceil(math.cbrt(10000)).toInt)
+
+    val hc = Histogram.continuous(toDf(Array.fill(100)(42.0)), "value")
+    assert(hc.isSingular && hc.density.sameElements(Array(1.0)))
+
+    intercept[IllegalArgumentException] {
+      Histogram.continuous(toDf(Array.empty[Double]), "value")
+    }
+  }
+
+  test("end-to-end fit: normal(50,10) ranks norm best by AIC with recovered params") {
+    val df = toDf(sample(ContinuousFamilies.Norm, Array(50.0, 10.0), 10000))
+    val results = Fitter.fit(spark, df, Seq("value"))
+    val top = results.best(3, "aic").collect()
+    assert(top.head.getAs[String]("distribution") == "norm",
+      s"top-3: ${top.map(_.getAs[String]("distribution")).mkString(",")}")
+    val params = top.head.getSeq[Double](top.head.fieldIndex("parameters"))
+    assert(math.abs(params(0) - 50.0) < 0.5 && math.abs(params(1) - 10.0) < 0.5)
+    // provenance stats present
+    assert(math.abs(top.head.getAs[Double]("data_mean") - 50.0) < 0.5)
+    assert(top.head.getAs[Double]("data_count") == 10000.0)
+  }
+
+  test("failed fits produce sentinel rows, filtered by successful") {
+    val df = toDf(sample(ContinuousFamilies.Norm, Array(0.0, 1.0), 2000))
+    val results = Fitter.fit(spark, df, Seq("value"),
+      distributions = Some(Seq("norm", "no_such_dist")))
+    assert(results.count == 2)
+    assert(results.successful.count() == 1)
+    val sentinel = results.df.where(F.col("distribution") === "no_such_dist").head()
+    assert(sentinel.getAs[Double]("sse").isPosInfinity)
+  }
+
+  test("multi-column fit + bestPerColumn + columnNames") {
+    import spark.implicits._
+    val n = 5000
+    val a = sample(ContinuousFamilies.Norm, Array(0.0, 1.0), n)
+    val b = sample(ContinuousFamilies.Expon, Array(0.0, 5.0), n)
+    val df = a.zip(b).toSeq.toDF("x", "y")
+    val results = Fitter.fit(spark, df, Seq("x", "y"),
+      distributions = Some(Seq("norm", "expon", "uniform", "logistic")))
+    assert(results.columnNames == Seq("x", "y"))
+    val best = results.bestPerColumn(1, "aic").collect()
+    assert(best.length == 2)
+    val byCol = best.map(r => r.getAs[String]("column_name") -> r.getAs[String]("distribution")).toMap
+    assert(byCol("x") == "norm", s"x best: ${byCol("x")}")
+    assert(byCol("y") == "expon", s"y best: ${byCol("y")}")
+  }
+
+  test("bounded fit: truncated models evaluated, bounds recorded") {
+    val df = toDf(sample(ContinuousFamilies.Norm, Array(50.0, 10.0), 5000))
+    val results = Fitter.fit(spark, df, Seq("value"),
+      distributions = Some(Seq("norm", "logistic")),
+      cfg = FitConfig(lowerBound = Some(20.0), upperBound = Some(80.0)))
+    val rows = results.successful.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("lower_bound") == 20.0)
+      assert(r.getAs[Double]("upper_bound") == 80.0)
+      assert(r.isNullAt(r.fieldIndex("ad_pvalue"))) // no A-D p for bounded fits
+    }
+  }
+
+  test("lazy metrics: ks/ad null, eager has them") {
+    val df = toDf(sample(ContinuousFamilies.Norm, Array(0.0, 1.0), 3000))
+    val lazyR = Fitter.fit(spark, df, Seq("value"),
+      distributions = Some(Seq("norm")), cfg = FitConfig(lazyMetrics = true))
+    val r = lazyR.df.head()
+    assert(r.isNullAt(r.fieldIndex("ks_statistic")) && r.isNullAt(r.fieldIndex("ad_statistic")))
+    assert(java.lang.Double.isFinite(r.getAs[Double]("aic")))
+  }
+
+  test("discrete fit: poisson(7) data ranks poisson best by AIC") {
+    import spark.implicits._
+    val rng = new java.util.Random(42L)
+    val xs = Array.fill(5000) {
+      val u = rng.nextDouble()
+      var k = 0L; var c = graft.dists.DiscreteFamilies.Poisson.pmf(k, Array(7.0))
+      while (c < u && k < 1000) { k += 1; c += graft.dists.DiscreteFamilies.Poisson.pmf(k, Array(7.0)) }
+      k
+    }
+    val df = xs.toSeq.toDF("counts")
+    val results = Fitter.fitDiscrete(spark, df, "counts",
+      distributions = Some(Seq("poisson", "nbinom", "geom", "dlaplace")))
+    val top = results.best(1, "aic").head()
+    assert(top.getAs[String]("distribution") == "poisson")
+    assert(math.abs(top.getSeq[Double](top.fieldIndex("parameters")).head - 7.0) < 0.2)
+  }
+
+  test("censored fit: weibull survival data recovers shape within tolerance") {
+    import spark.implicits._
+    val rng = new java.util.Random(42L)
+    val n = 1000
+    val rows = (1 to n).map { _ =>
+      val t = ContinuousFamilies.WeibullMin.ppf(rng.nextDouble(), Array(2.0, 0.0, 10.0))
+      val c = 5.0 + 15.0 * rng.nextDouble()
+      (math.min(t, c), t <= c)
+    }
+    val df = rows.toDF("time", "event")
+    val results = Fitter.fit(spark, df, Seq("time"),
+      distributions = Some(Seq("weibull_min")),
+      cfg = FitConfig(censoringColumn = Some("event")))
+    val r = results.successful.head()
+    val params = r.getSeq[Double](r.fieldIndex("parameters"))
+    assert(math.abs(params.head - 2.0) < 0.5, s"c=${params.head}")
+    assert(r.isNullAt(r.fieldIndex("ks_statistic"))) // KS invalid for censored
+  }
+
+  test("summary + acceptableCount + filterByMetrics + qualityReport run") {
+    val df = toDf(sample(ContinuousFamilies.Norm, Array(0.0, 1.0), 3000))
+    val results = Fitter.fit(spark, df, Seq("value"),
+      distributions = Some(Seq("norm", "logistic", "cauchy", "uniform")))
+    val s = results.summary.head()
+    assert(s.getAs[Long]("n_results") == 4)
+    assert(results.acceptableCount() >= 1) // norm should be acceptable
+    assert(results.filterByMetrics(maxKs = Some(0.05)).count >= 1)
+    val q = results.qualityReport("aic").head()
+    assert(q.getAs[String]("best_distribution") == "norm")
+  }
+
+  test("interleave spreads slow distributions; partitionCount honors caps") {
+    val names = Seq("beta", "t", "norm", "expon", "uniform", "gamma", "invgauss", "laplace")
+    val inter = Fitter.interleave(names)
+    assert(inter.sorted == names.sorted)
+    val slowIdx = inter.zipWithIndex.collect {
+      case (n, i) if graft.dists.DistRegistry.slowDistributions(n) => i }
+    assert(slowIdx.sliding(2).forall { case Seq(a, b) => b - a >= 2; case _ => true },
+      s"slow clustered: $inter")
+    assert(Fitter.partitionCount(spark, names, Some(7)) == 7)
+    assert(Fitter.partitionCount(spark, names, None) <= 2 * spark.sparkContext.defaultParallelism)
+  }
+
+  test("harness queries run on sf0.001 and entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    val dir = "/root/testdata/sf0.001"
+    for ((name, fn) <- SparkEntry.queries if !name.startsWith("fit_")) {
+      val n = fn(spark, dir).count()
+      assert(n > 0, s"query $name returned 0 rows")
+    }
+  }
+}
