@@ -17,6 +17,12 @@ object SparkEntry {
   private def li(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")
 
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
   /** The reference fits once and serves best/filter/summary off the cached
     * combined DataFrame (continuous_fitter.py:409-414, collection.py). Our
     * harness queries are independent closures, so the shared "results
@@ -138,7 +144,53 @@ object SparkEntry {
           F.col("l_tax") < 0.05 && F.col("l_extendedprice") > 10000.0)
         .agg(F.count(F.lit(1)).as("cnt"))),
     "q_distinct_flags" -> ((s, dir) =>
-      li(s, dir).select("l_returnflag").distinct().orderBy("l_returnflag"))
+      li(s, dir).select("l_returnflag").distinct().orderBy("l_returnflag")),
+
+    // ---- training-data pipeline ops over documents/embeddings ----
+    "q_doc_tokens" -> ((s, dir) =>
+      docs(s, dir).select(F.col("doc_id"),
+        TextOps.tokenCount(F.col("text")).as("n_tokens"),
+        F.length(F.col("text")).as("text_len"))
+        .orderBy("doc_id")),
+    "q_doc_quality" -> ((s, dir) =>
+      TextOps.qualityScore(docs(s, dir), "text")
+        .select("doc_id", "n_tokens", "mean_token_len", "type_token_ratio",
+          "stopword_ratio", "punct_ratio", "quality_score")
+        .orderBy("doc_id")),
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir), "doc_id", "text").orderBy("text_md5")),
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(docs(s, dir), "doc_id", "text", threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+    "q_dedup_minhash_survivors" -> ((s, dir) =>
+      Dedup.minhashSurvivors(docs(s, dir), "doc_id", "text", threshold = 0.8)
+        .select("doc_id").orderBy("doc_id")),
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 10)
+        .orderBy("id_a", "id_b")),
+    "q_lang_id" -> ((s, dir) =>
+      TextOps.withLanguage(docs(s, dir), "text")
+        .select("doc_id", "detected_lang").orderBy("doc_id")),
+    "q_fingerprint" -> ((s, dir) =>
+      TextOps.withFingerprint(docs(s, dir), "text")
+        .select("doc_id", "fingerprint").orderBy("doc_id")),
+    "q_ann_bruteforce" -> ((s, dir) => {
+      val q = emb(s, dir).where(F.col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      Similarity.bruteForceTopK(emb(s, dir), "embedding", "vec_id", q, 20)
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      val q = emb(s, dir).where(F.col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      Similarity.lshTopK(emb(s, dir), "embedding", "vec_id", q, 10, nPlanes = 8)
+    }),
+    "q_embedding_near_dup" -> ((s, dir) =>
+      Similarity.nearDupPairs(emb(s, dir), "embedding", "vec_id",
+        threshold = 0.3, nPlanes = 8).orderBy("id_a", "id_b")),
+    "q_multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        docs(s, dir).select(F.col("doc_id"), F.col("text").cast("binary").as("payload")),
+        "payload").orderBy("doc_id"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -189,6 +241,47 @@ object SparkEntry {
         |WHERE l_discount >= 0.02 AND l_discount <= 0.08
         |AND l_tax < 0.05 AND l_extendedprice > 10000.0""".stripMargin,
     "q_distinct_flags" ->
-      "SELECT DISTINCT l_returnflag FROM lineitem ORDER BY l_returnflag"
+      "SELECT DISTINCT l_returnflag FROM lineitem ORDER BY l_returnflag",
+    "q_doc_tokens" ->
+      """SELECT doc_id, length(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |length(text) AS text_len FROM documents ORDER BY doc_id""".stripMargin,
+    "q_doc_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    length(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |    CASE WHEN length(regexp_extract_all(text, '\S+')) > 0
+        |      THEN round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / length(regexp_extract_all(text, '\S+')), 6)
+        |      ELSE 0.0 END AS mean_token_len,
+        |    CASE WHEN length(regexp_extract_all(lower(text), '[a-z]+')) > 0
+        |      THEN round(CAST(length(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS DOUBLE) / length(regexp_extract_all(lower(text), '[a-z]+')), 6)
+        |      ELSE 0.0 END AS type_token_ratio,
+        |    CASE WHEN length(regexp_extract_all(lower(text), '[a-z]+')) > 0
+        |      THEN round(CAST(length(list_filter(regexp_extract_all(lower(text), '[a-z]+'), w -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','be','this','that'], w))) AS DOUBLE) / length(regexp_extract_all(lower(text), '[a-z]+')), 6)
+        |      ELSE 0.0 END AS stopword_ratio,
+        |    CASE WHEN length(text) > 0
+        |      THEN round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 6)
+        |      ELSE 0.0 END AS punct_ratio
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, mean_token_len, type_token_ratio, stopword_ratio, punct_ratio,
+        |  round(least(n_tokens / 50.0, 1.0) * 0.4 + type_token_ratio * 0.3 +
+        |    (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2 +
+        |    least(mean_token_len / 8.0, 1.0) * 0.1, 6) AS quality_score
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS survivor_id,
+        |count(*) AS n_copies FROM documents GROUP BY md5(text)
+        |ORDER BY text_md5""".stripMargin,
+    // NOTE: list_cosine_similarity returns float32 in DuckDB — explicit
+    // double arithmetic over zipped unnest keeps both engines in doubles
+    "q_ann_bruteforce" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |pairs AS (
+        |  SELECT e.vec_id AS vid, CAST(unnest(e.embedding) AS DOUBLE) AS a,
+        |         CAST(unnest(q.qe) AS DOUBLE) AS b
+        |  FROM embeddings e, q),
+        |agg AS (SELECT vid, sum(a*b) AS dp, sum(a*a) AS na, sum(b*b) AS nb
+        |        FROM pairs GROUP BY vid)
+        |SELECT vid AS vec_id, round(dp / (sqrt(na) * sqrt(nb)), 6) AS cosine
+        |FROM agg ORDER BY cosine DESC, vec_id ASC LIMIT 20""".stripMargin
   )
 }

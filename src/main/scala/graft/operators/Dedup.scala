@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB regime:
+  *
+  *  - exact: one hash-shuffle on a 32-char digest, never on raw text;
+  *  - MinHash+LSH: per-doc signatures computed in a single executor-local
+  *    pass (no shingle explosion), banded so candidate generation is a
+  *    groupBy on small (band, hash) keys; bucket-size cap guards against
+  *    degenerate-key skew;
+  *  - SimHash: 64-bit signatures, banded on 16-bit chunks, verified by
+  *    codegen'd xor+bit_count;
+  *  - n-gram Jaccard: exact verification on LSH candidates only, never
+  *    all-pairs.
+  */
+object Dedup {
+
+  /** splitmix64 — stable 64-bit avalanche mix, pure integer math. */
+  @inline private[operators] def mix64(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  @inline private[operators] def hashString(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h = (h ^ s.charAt(i)) * 0x100000001b3L; i += 1 }
+    mix64(h)
+  }
+
+  /** Exact dedup: group identical texts by md5 digest, keep the smallest
+    * id as survivor. Returns (hash, survivor_id, n_copies). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(F.md5(F.col(textCol).cast("binary")).as("text_md5"))
+      .agg(F.min(idCol).as("survivor_id"), F.count(F.lit(1)).as("n_copies"))
+
+  /** Rows that survive exact dedup (min id per distinct text). */
+  def exactSurvivors(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exact(df, idCol, textCol).select(F.col("survivor_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ---- MinHash ----
+
+  /** Word n-gram shingles of a normalized text. */
+  private[operators] def shingles(text: String, n: Int): Array[String] = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) { if (toks.isEmpty) Array.empty else Array(toks.mkString(" ")) }
+    else Array.tabulate(toks.length - n + 1)(i => toks.slice(i, i + n).mkString(" "))
+  }
+
+  /** MinHash signature: hash each shingle once, derive k permutation
+    * minima via seed mixing — O(shingles · k) integer ops per document,
+    * computed where the document already lives (no shuffle). */
+  private[operators] def minhashSignature(text: String, k: Int, shingleSize: Int): Array[Long] = {
+    val sh = shingles(text, shingleSize)
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      val h = hashString(sh(i))
+      var j = 0
+      while (j < k) {
+        val v = mix64(h ^ (j.toLong * 0x9e3779b97f4a7c15L))
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Estimated Jaccard = fraction of equal signature slots. */
+  private[operators] def estJaccard(a: Seq[Long], b: Seq[Long]): Double = {
+    var eq = 0
+    var i = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.length
+  }
+
+  /** Exact n-gram Jaccard between two texts. */
+  def ngramJaccard(a: String, b: String, n: Int = 3): Double = {
+    val sa = shingles(a, n).toSet
+    val sb = shingles(b, n).toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else if (sa.isEmpty || sb.isEmpty) 0.0
+    else sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  /** Near-duplicate pairs via MinHash + banded LSH.
+    *
+    * @param numHashes   signature length k (bands · rowsPerBand)
+    * @param bands       LSH bands; collision threshold ≈ (1/bands)^(1/rows)
+    * @param threshold   minimum estimated Jaccard to emit
+    * @param maxBucket   skip degenerate buckets larger than this (skew guard)
+    * @return (id_a, id_b, est_jaccard) with id_a < id_b
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 128, bands: Int = 32,
+                   threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val sigUdf = F.udf((t: String) => minhashSignature(t, numHashes, 3))
+    val sigs = df.select(F.col(idCol).cast("long").as("id"),
+      sigUdf(F.col(textCol)).as("sig"))
+
+    // band keys: hash of each signature slice — small (band, key) shuffle
+    val bandKey = F.udf((sig: Seq[Long], band: Int) => {
+      var h = 0xcbf29ce484222325L ^ band.toLong
+      var i = band * rows
+      while (i < (band + 1) * rows) { h = mix64(h ^ sig(i)); i += 1 }
+      h
+    })
+    val banded = sigs.select(
+      F.col("id"), F.col("sig"),
+      F.explode(F.array((0 until bands).map(b =>
+        F.struct(F.lit(b).as("band"), bandKey(F.col("sig"), F.lit(b)).as("bkey"))): _*)).as("bk"))
+      .select(F.col("id"), F.col("sig"), F.col("bk.band"), F.col("bk.bkey"))
+
+    // candidate pairs from co-bucketed docs; cap degenerate buckets
+    val buckets = banded.groupBy("band", "bkey")
+      .agg(F.collect_list(F.struct(F.col("id"), F.col("sig"))).as("members"))
+      .where(F.size(F.col("members")).between(2, maxBucket))
+
+    val pairUdf = F.udf((members: Seq[org.apache.spark.sql.Row]) => {
+      val sorted = members.sortBy(_.getLong(0))
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+      var i = 0
+      while (i < sorted.length) {
+        var j = i + 1
+        while (j < sorted.length) {
+          val est = estJaccard(sorted(i).getSeq[Long](1), sorted(j).getSeq[Long](1))
+          out += ((sorted(i).getLong(0), sorted(j).getLong(0), est))
+          j += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    })
+    buckets.select(F.explode(pairUdf(F.col("members"))).as("p"))
+      .select(F.col("p._1").as("id_a"), F.col("p._2").as("id_b"),
+        F.round(F.col("p._3"), 6).as("est_jaccard"))
+      .where(F.col("est_jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Survivors after MinHash near-dup removal: drop the larger id of
+    * every near-dup pair (union-find light — one pass is the standard
+    * large-scale approximation). */
+  def minhashSurvivors(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double = 0.8): DataFrame = {
+    val dupIds = minhashPairs(df, idCol, textCol, threshold = threshold)
+      .select(F.col("id_b").as(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash over word tokens. */
+  def simhash64(text: String): Long = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = hashString(toks(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  private val simhashUdf = F.udf(simhash64 _)
+
+  def withSimhash(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("simhash", simhashUdf(F.col(textCol)))
+
+  /** Near-dup pairs by SimHash: band the 64-bit signature into
+    * maxHamming+1 chunks — by pigeonhole, any pair within the Hamming
+    * budget shares at least one exact chunk — then verify candidates with
+    * codegen'd xor+bit_count. Classic dedup uses maxHamming=3 (4×16-bit
+    * chunks); larger budgets shrink chunks and grow buckets, so keep the
+    * budget small at scale. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 32)")
+    val nBands = maxHamming + 1
+    val bits = 64 / nBands
+    val sigs = withSimhash(df, textCol)
+      .select(F.col(idCol).cast("long").as("id"), F.col("simhash"))
+    val banded = sigs.select(F.col("id"), F.col("simhash"),
+      F.explode(F.array((0 until nBands).map { b =>
+        val width = if (b == nBands - 1) 64 - b * bits else bits
+        val mask = if (width >= 64) -1L else (1L << width) - 1
+        F.struct(
+          F.lit(b).as("band"),
+          F.shiftrightunsigned(F.col("simhash"), b * bits).bitwiseAND(mask).as("chunk"))
+      }: _*)).as("bk"))
+      .select(F.col("id"), F.col("simhash"), F.col("bk.band"), F.col("bk.chunk"))
+
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b,
+        F.col("a.band") === F.col("b.band") &&
+        F.col("a.chunk") === F.col("b.chunk") &&
+        F.col("a.id") < F.col("b.id"))
+      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
+        F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).as("hamming"))
+      .where(F.col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+}

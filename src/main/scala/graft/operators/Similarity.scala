@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k with the dot product expressed in
+  * native `zip_with`/`aggregate` functions — fully codegen'd, scales as
+  * one scan + a k-row ordered take (Spark's TakeOrderedAndProject), no
+  * UDF and no driver collect of vectors.
+  *
+  * Scale path: random-hyperplane LSH — a 16-bit signature per vector
+  * (again native expressions over a broadcast-literal hyperplane set),
+  * bucketed so queries touch only matching buckets. At 100 TB the
+  * signature computation is embarrassingly parallel and the bucket join
+  * is a hash join on a 16-bit key.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ over two array columns, as a native expression. Elements are
+    * cast to double BEFORE multiplying — float×float then widen loses the
+    * low bits and would diverge from the DuckDB oracle's arithmetic. */
+  def dot(a: Column, b: Column): Column =
+    F.aggregate(F.zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      F.lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    F.sqrt(F.aggregate(F.transform(a, x => x.cast("double") * x.cast("double")),
+      F.lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k against a literal query vector. */
+  def bruteForceTopK(df: DataFrame, embCol: String, idCol: String,
+                     query: Array[Float], k: Int): DataFrame = {
+    val q = F.lit(query)
+    df.select(F.col(idCol),
+        F.round(cosine(F.col(embCol), q), 6).as("cosine"))
+      .orderBy(F.col("cosine").desc, F.col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (seeded, executor-free). */
+  private[operators] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    Array.tabulate(nPlanes) { p =>
+      Array.tabulate(dim) { d =>
+        // splitmix64 → uniform in (-1, 1)
+        val z = Dedup.mix64(seed + p * 1000003L + d)
+        (z.toDouble / Long.MaxValue)
+      }
+    }
+  }
+
+  /** Sign-of-dot-product LSH signature as a native expression: bit b set
+    * iff ⟨v, h_b⟩ > 0. */
+  def lshSignature(emb: Column, planes: Array[Array[Double]]): Column = {
+    planes.zipWithIndex.map { case (h, i) =>
+      F.when(dot(emb, F.lit(h)) > 0, F.lit(1L << i)).otherwise(F.lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Bucketed approximate top-k: vectors sharing the query's LSH bucket
+    * (or differing in ≤ 1 signature bit via probing) are ranked exactly. */
+  def lshTopK(df: DataFrame, embCol: String, idCol: String,
+              query: Array[Float], k: Int,
+              nPlanes: Int = 16, seed: Long = 42L): DataFrame = {
+    val dim = query.length
+    val planes = hyperplanes(nPlanes, dim, seed)
+    // query signature computed driver-side with the same arithmetic
+    val qSig = planes.zipWithIndex.map { case (h, i) =>
+      var s = 0.0
+      var d = 0
+      while (d < dim) { s += query(d) * h(d); d += 1 }
+      if (s > 0) 1L << i else 0L
+    }.sum
+    // multiprobe: exact bucket + all 1-bit-flipped buckets
+    val probes = qSig +: Array.tabulate(nPlanes)(b => qSig ^ (1L << b))
+    val withSig = df.withColumn("lsh_bucket", lshSignature(F.col(embCol), planes))
+    withSig.where(F.col("lsh_bucket").isin(probes.map(Long.box): _*))
+      .select(F.col(idCol), F.round(cosine(F.col(embCol), F.lit(query)), 6).as("cosine"))
+      .orderBy(F.col("cosine").desc, F.col(idCol).asc)
+      .limit(k)
+  }
+
+  /** All near-duplicate embedding pairs with cosine ≥ threshold, via LSH
+    * bucketing + exact verification inside buckets (id_a < id_b). */
+  def nearDupPairs(df: DataFrame, embCol: String, idCol: String,
+                   threshold: Double = 0.95, nPlanes: Int = 12,
+                   seed: Long = 42L, maxBucket: Int = 2000): DataFrame = {
+    val dim = df.select(F.size(F.col(embCol))).head().getInt(0)
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val withSig = df.select(F.col(idCol).cast("long").as("id"),
+      F.col(embCol).as("emb"),
+      lshSignature(F.col(embCol), planes).as("bucket"))
+    val a = withSig.as("a"); val b = withSig.as("b")
+    a.join(b, F.col("a.bucket") === F.col("b.bucket") && F.col("a.id") < F.col("b.id"))
+      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
+        F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6).as("cosine"))
+      .where(F.col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, and document
+  * fingerprinting. Everything except langId/fingerprint stays in native
+  * Catalyst expressions (codegen'd, no UDF in the scan hot path), so
+  * filters push down and the ops scale to arbitrary corpus sizes.
+  */
+object TextOps {
+
+  /** Whitespace-delimited token count via a codegen'd regexp — the
+    * BPE-ish approximation used for budget accounting. */
+  def tokenCount(text: Column): Column =
+    F.size(F.regexp_extract_all(text, F.lit("\\S+"), F.lit(0)))
+
+  /** Word tokens (lowercased alphabetic runs). */
+  def wordTokens(text: Column): Column =
+    F.regexp_extract_all(F.lower(text), F.lit("[a-z]+"), F.lit(0))
+
+  private val stopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "be", "this", "that")
+
+  /** Per-document quality features + a composite score, all native
+    * expressions: token count, type-token ratio, mean token length,
+    * stopword ratio, punctuation ratio. */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = F.col(textCol)
+    val toks = tokenCount(t)
+    val words = wordTokens(t)
+    val nonWs = F.length(F.regexp_replace(t, "\\s+", ""))
+    val punct = F.length(t) - F.length(F.regexp_replace(t, "[.,!?;:]", ""))
+    val stopArr = F.array(stopwords.map(F.lit): _*)
+    df.withColumn("n_tokens", toks)
+      .withColumn("n_chars", F.length(t))
+      .withColumn("mean_token_len",
+        F.when(toks > 0, F.round(nonWs.cast("double") / toks, 6)).otherwise(0.0))
+      .withColumn("type_token_ratio",
+        F.when(F.size(words) > 0,
+          F.round(F.size(F.array_distinct(words)).cast("double") / F.size(words), 6))
+          .otherwise(0.0))
+      .withColumn("stopword_ratio",
+        F.when(F.size(words) > 0,
+          F.round(F.size(F.filter(words, w => F.array_contains(stopArr, w)))
+            .cast("double") / F.size(words), 6)).otherwise(0.0))
+      .withColumn("punct_ratio",
+        F.when(F.length(t) > 0,
+          F.round(punct.cast("double") / F.length(t), 6)).otherwise(0.0))
+  }
+
+  /** Composite quality score in [0,1]: length in a sane band, some
+    * lexical diversity, punctuation not dominating — the standard cheap
+    * pre-training heuristics. */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val f = qualityFeatures(df, textCol)
+    f.withColumn("quality_score", F.round(
+      F.least(F.col("n_tokens") / 50.0, F.lit(1.0)) * 0.4 +
+      F.col("type_token_ratio") * 0.3 +
+      (F.lit(1.0) - F.least(F.col("punct_ratio") * 5.0, F.lit(1.0))) * 0.2 +
+      F.least(F.col("mean_token_len") / 8.0, F.lit(1.0)) * 0.1, 6))
+  }
+
+  // --- language identification (executor-local heuristic) ---
+
+  /** Tiny per-language marker-word + script profiles. Real corpora would
+    * use char-trigram models; the shape (UDF over the text column,
+    * broadcastable profile data) is identical. */
+  private val langMarkers: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "is", "that", "with", "for", "this"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für"),
+    "fr" -> Set("le", "la", "les", "et", "est", "une", "dans", "pour", "que"),
+    "es" -> Set("el", "los", "las", "es", "una", "para", "con", "por", "como"),
+    "it" -> Set("il", "che", "di", "non", "per", "una", "sono", "con"),
+    "pt" -> Set("o", "os", "um", "uma", "não", "para", "com", "por"),
+    "nl" -> Set("de", "het", "een", "van", "niet", "met", "voor", "zijn"))
+
+  /** Heuristic language ID: script detection first (CJK/Cyrillic/Arabic),
+    * then marker-word voting; "und" (undetermined) when nothing scores. */
+  def detectLanguage(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    var cjk = 0; var cyr = 0; var ara = 0; var latin = 0
+    var i = 0
+    val n = math.min(text.length, 2000)
+    while (i < n) {
+      val c = text.charAt(i)
+      if ((c >= 0x4E00 && c <= 0x9FFF) || (c >= 0x3040 && c <= 0x30FF)) cjk += 1
+      else if (c >= 0x0400 && c <= 0x04FF) cyr += 1
+      else if (c >= 0x0600 && c <= 0x06FF) ara += 1
+      else if (Character.isLetter(c)) latin += 1
+      i += 1
+    }
+    val scripted = cjk + cyr + ara
+    if (scripted > latin) {
+      if (cjk >= cyr && cjk >= ara) return "zh"
+      if (cyr >= ara) return "ru"
+      return "ar"
+    }
+    val words = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty).take(500)
+    if (words.isEmpty) return "und"
+    var best = "und"; var bestScore = 0
+    for ((lang, markers) <- langMarkers) {
+      val score = words.count(markers)
+      if (score > bestScore) { bestScore = score; best = lang }
+    }
+    if (bestScore == 0) "und" else best
+  }
+
+  private val langIdUdf = F.udf(detectLanguage _)
+
+  def withLanguage(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("detected_lang", langIdUdf(F.col(textCol)))
+
+  // --- document fingerprinting ---
+
+  /** 64-bit content fingerprint: polynomial rolling hash over the
+    * whitespace-normalized text. Pure integer arithmetic — identical on
+    * every executor/JVM. */
+  def fingerprint64(text: String): Long = {
+    if (text == null) return 0L
+    var h = 1125899906842597L // large prime seed
+    var i = 0
+    var prevSpace = false
+    while (i < text.length) {
+      val c = text.charAt(i)
+      val isSpace = Character.isWhitespace(c)
+      if (!isSpace) { h = 31L * h + c; prevSpace = false }
+      else if (!prevSpace) { h = 31L * h + ' '; prevSpace = true }
+      i += 1
+    }
+    // splitmix64 finalizer for avalanche
+    var z = h
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private val fingerprintUdf = F.udf(fingerprint64 _)
+
+  def withFingerprint(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("fingerprint", fingerprintUdf(F.col(textCol)))
+}

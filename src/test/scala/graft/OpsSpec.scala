@@ -1,0 +1,182 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.{SparkSession, functions => F}
+import graft.operators._
+
+/** Tests for the training-data pipeline operators (dedup, text analysis,
+  * similarity search, multimodal plumbing). */
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-ops-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  import scala.jdk.CollectionConverters._
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps min id per distinct text") {
+    val df = docsDf(Seq(
+      (1L, "hello world"), (2L, "hello world"), (3L, "goodbye"),
+      (7L, "hello world"), (4L, "goodbye"), (5L, "unique text")))
+    val survivors = Dedup.exactSurvivors(df, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(survivors.sameElements(Array(1L, 3L, 5L)))
+    val groups = Dedup.exact(df, "doc_id", "text").collect()
+    assert(groups.length == 3)
+    assert(groups.map(_.getAs[Long]("n_copies")).sum == 6)
+  }
+
+  test("minhash: near-identical docs pair with high est jaccard, unrelated don't") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
+    val other = (100 to 160).map(i => s"zzz$i").mkString(" ")
+    val df = docsDf(Seq((1L, base), (2L, nearDup), (3L, other), (4L, base)))
+    val pairs = Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(pairSet.contains((1L, 4L)), s"exact dup pair missing: ${pairSet.mkString(",")}")
+    assert(pairSet.contains((1L, 2L)) || pairSet.contains((2L, 4L)),
+      s"near dup pair missing: ${pairSet.mkString(",")}")
+    assert(!pairSet.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc paired")
+    val exactPair = pairs.find(p => (p._1, p._2) == (1L, 4L)).get
+    assert(exactPair._3 == 1.0)
+    // survivors drop the duplicate side
+    val surv = Dedup.minhashSurvivors(df, "doc_id", "text", threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surv.contains(1L) && surv.contains(3L) && !surv.contains(4L))
+  }
+
+  test("ngram jaccard exact values") {
+    assert(Dedup.ngramJaccard("a b c d", "a b c d") == 1.0)
+    assert(Dedup.ngramJaccard("a b c d", "x y z w") == 0.0)
+    val j = Dedup.ngramJaccard("a b c d e", "a b c d x")
+    assert(j > 0 && j < 1)
+  }
+
+  test("simhash: hamming distance small for near-dups, large for unrelated") {
+    val base = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 100).map(i => if (i % 50 == 0) "CHANGED" + i else s"tok$i").mkString(" ")
+    val other = (500 to 600).map(i => s"qqq$i").mkString(" ")
+    val hBase = Dedup.simhash64(base)
+    val hNear = Dedup.simhash64(near)
+    val hOther = Dedup.simhash64(other)
+    val nearDist = java.lang.Long.bitCount(hBase ^ hNear)
+    assert(nearDist <= 12, s"near-dup hamming $nearDist")
+    assert(java.lang.Long.bitCount(hBase ^ hOther) > 20)
+
+    val df = docsDf(Seq((1L, base), (2L, near), (3L, other)))
+    // budget >= actual distance → pigeonhole guarantees candidate generation
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = math.max(3, nearDist))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("text quality features and language id") {
+    val df = docsDf(Seq(
+      (1L, "The quick brown fox jumps over the lazy dog and runs to the forest"),
+      (2L, "aaa aaa aaa aaa aaa")))
+    val q = TextOps.qualityScore(df, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(q(1L).getAs[Int]("n_tokens") == 14)
+    assert(q(1L).getAs[Double]("type_token_ratio") > q(2L).getAs[Double]("type_token_ratio"))
+    assert(q(1L).getAs[Double]("stopword_ratio") > 0.2) // the, over, the, and, to, the
+    assert(q(1L).getAs[Double]("quality_score") > q(2L).getAs[Double]("quality_score"))
+
+    assert(TextOps.detectLanguage("the cat sat on the mat with a hat") == "en")
+    assert(TextOps.detectLanguage("der Hund ist nicht in der Schule und das Haus") == "de")
+    assert(TextOps.detectLanguage("le chat est dans la maison pour les enfants") == "fr")
+    assert(TextOps.detectLanguage("el perro es una mascota para los niños") == "es")
+    assert(TextOps.detectLanguage("这是一个中文句子的例子") == "zh")
+    assert(TextOps.detectLanguage("это русское предложение") == "ru")
+    assert(TextOps.detectLanguage("") == "und")
+    assert(TextOps.detectLanguage("zzz qqq xxx") == "und")
+  }
+
+  test("fingerprint: whitespace-insensitive, content-sensitive, deterministic") {
+    val a = TextOps.fingerprint64("hello   world\n foo")
+    val b = TextOps.fingerprint64("hello world foo")
+    val c = TextOps.fingerprint64("hello world bar")
+    assert(a == b)
+    assert(a != c)
+    assert(a == TextOps.fingerprint64("hello   world\n foo")) // stable
+  }
+
+  test("brute-force cosine top-k: self first, orthogonal excluded") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.7f, 0.7f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, "embedding", "vec_id",
+      Array(1.0f, 0.0f, 0.0f), 3).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(0L, 1L, 4L))
+    assert(top.head.getDouble(1) == 1.0)
+  }
+
+  test("LSH top-k finds the same near neighbors as brute force on clustered data") {
+    import spark.implicits._
+    val rng = new java.util.Random(7L)
+    val dim = 16
+    // two clusters around +e1 and -e1
+    val rows = (0 until 200).map { i =>
+      val center = if (i % 2 == 0) 1.0f else -1.0f
+      val v = Array.tabulate(dim)(d =>
+        (if (d == 0) center else 0.0f) + 0.05f * rng.nextFloat())
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val query = Array.tabulate(dim)(d => if (d == 0) 1.0f else 0.0f)
+    val bf = Similarity.bruteForceTopK(df, "embedding", "vec_id", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val lsh = Similarity.lshTopK(df, "embedding", "vec_id", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(lsh.intersect(bf).size >= 8, s"recall too low: ${lsh.intersect(bf).size}/10")
+    // near-dup pairs: clustered same-side vectors have cosine ~1
+    val nd = Similarity.nearDupPairs(df.limit(20), "embedding", "vec_id", threshold = 0.9)
+    assert(nd.count() > 0)
+  }
+
+  test("multimodal: stub decoder plumbing preserves rows and derives features") {
+    import spark.implicits._
+    val df = Seq((1L, "some text payload"), (2L, ""), (3L, "other bytes here"))
+      .toDF("id", "txt")
+      .select(F.col("id"), F.col("txt").cast("binary").as("payload"))
+    val out = Multimodal.extractFeatures(df, "payload")
+    assert(out.count() == 3)
+    val r = out.where(F.col("id") === 1).head()
+    assert(r.getAs[String]("format") == "raw")
+    assert(r.getAs[Long]("n_bytes") == "some text payload".length)
+    assert(r.getSeq[Float](r.fieldIndex("features")).length == 8)
+    val empty = out.where(F.col("id") === 2).head()
+    assert(empty.getAs[String]("format") == "empty")
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(df, "payload")
+      .where(F.col("id") === 3).head().getSeq[Float](5)
+    assert(again == out.where(F.col("id") === 3).head().getSeq[Float](5))
+  }
+
+  test("harness doc/embedding queries return rows on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    for (name <- Seq("q_doc_tokens", "q_doc_quality", "q_dedup_exact",
+        "q_dedup_minhash", "q_dedup_minhash_survivors", "q_dedup_simhash",
+        "q_lang_id", "q_fingerprint", "q_ann_bruteforce", "q_ann_lsh",
+        "q_embedding_near_dup", "q_multimodal_features")) {
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+}
