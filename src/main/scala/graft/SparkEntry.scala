@@ -190,7 +190,74 @@ object SparkEntry {
     "q_multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
         docs(s, dir).select(F.col("doc_id"), F.col("text").cast("binary").as("payload")),
-        "payload").orderBy("doc_id"))
+        "payload").orderBy("doc_id")),
+
+    // ---- generation / multivariate (G1-G7, M13, M14, P2, A8) ----
+    "q_generate_samples" -> ((s, dir) => {
+      // G1/G2: fit best family to l_extendedprice, generate 100K rows
+      // distributed, report the generated sample's stats
+      val best = cachedFit(s, dir, Seq("l_extendedprice")).best(1, "aic").head()
+      Sampling.generate(s, best.getAs[String]("distribution"),
+          best.getSeq[Double](best.fieldIndex("parameters")).toArray, 100000L, seed = 42L)
+        .agg(F.count(F.lit(1)).as("n"),
+          F.round(F.avg("sample"), 2).as("mean"),
+          F.round(F.stddev_pop("sample"), 2).as("std"))
+    }),
+    "q_stratified_sample" -> ((s, dir) =>
+      // P2: stratified sample with tail boost; per-bin deterministic counts
+      Sampling.stratifiedSample(li(s, dir), "l_extendedprice", 0.1, numBins = 5, seed = 42L)
+        .agg(F.count(F.lit(1)).as("n_sampled"),
+          F.round(F.min("l_extendedprice"), 2).as("mn"),
+          F.round(F.max("l_extendedprice"), 2).as("mx"))),
+    "q_copula_sample" -> ((s, dir) => {
+      val cols = Seq("l_extendedprice", "l_discount", "l_tax")
+      val results = cachedFit(s, dir, cols)
+      val cop = GaussianCopula.fit(s, li(s, dir), results, cols, metric = "aic")
+      val sampled = cop.sampleDistributed(s, 50000L, seed = 42L)
+      sampled.agg(
+        F.count(F.lit(1)).as("n"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 2).as("corr_pd"),
+        F.round(F.corr("l_extendedprice", "l_tax"), 2).as("corr_pt"),
+        F.round(F.avg("l_extendedprice"), 0).as("mean_price"))
+    }),
+    "q_mvn_fit" -> ((s, dir) => {
+      import s.implicits._
+      val mvn = MultivariateNormal.fit(li(s, dir),
+        Seq("l_extendedprice", "l_quantity", "l_discount"))
+      mvn.columns.zipWithIndex.map { case (c, i) =>
+        (c, math.round(mvn.mean(i) * 100) / 100.0,
+          math.round(mvn.cov(i)(i) * 100) / 100.0,
+          math.round(mvn.correlation(i)((i + 1) % 3) * 1e6) / 1e6)
+      }.toDF("column", "mean", "variance", "corr_next")
+    }),
+    "q_gmm" -> ((s, dir) => {
+      val (r, _) = Mixture.fit(li(s, dir), Seq("l_extendedprice"), k = 3, seed = 42L)
+      Mixture.report(s, r).orderBy("component")
+    }),
+    "q_bootstrap_ci" -> ((s, dir) => {
+      import s.implicits._
+      val sample = Fitter.fittingSample(li(s, dir), "l_extendedprice", 2000, 42L)
+      Bootstrap.confidenceIntervals(s, graft.dists.ContinuousFamilies.Norm,
+          sample, b = 200, seed = 42L)
+        .map(ci => (ci.param, math.round(ci.lower * 10) / 10.0,
+          math.round(ci.upper * 10) / 10.0))
+        .toDF("param", "lower", "upper")
+    }),
+    "q_lazy_best_ks" -> ((s, dir) => {
+      // M14/F8: lazy fit, then top-5 by K-S — forces the deferred-metric
+      // recompute path (3n+5 AIC candidates, driver-side KS/AD fill)
+      val r = cachedFit(s, dir, Seq("l_extendedprice"), cfg = FitConfig(lazyMetrics = true))
+      r.bestLazy(s, 5, "ks_statistic")
+    }),
+    "q_corr_spearman" -> ((s, dir) => {
+      // A8 (reference default): Spearman via min-rank windows + Pearson on
+      // ranks — same construction as the DuckDB oracle
+      val df = li(s, dir)
+      val ra = F.rank().over(Window.orderBy("l_extendedprice")).cast("double")
+      val rb = F.rank().over(Window.orderBy("l_quantity")).cast("double")
+      df.select(ra.as("ra"), rb.as("rb"))
+        .agg(F.round(F.corr("ra", "rb"), 6).as("spearman_price_qty"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -282,6 +349,12 @@ object SparkEntry {
         |agg AS (SELECT vid, sum(a*b) AS dp, sum(a*a) AS na, sum(b*b) AS nb
         |        FROM pairs GROUP BY vid)
         |SELECT vid AS vec_id, round(dp / (sqrt(na) * sqrt(nb)), 6) AS cosine
-        |FROM agg ORDER BY cosine DESC, vec_id ASC LIMIT 20""".stripMargin
+        |FROM agg ORDER BY cosine DESC, vec_id ASC LIMIT 20""".stripMargin,
+    "q_corr_spearman" ->
+      """WITH r AS (SELECT
+        |  CAST(rank() OVER (ORDER BY l_extendedprice) AS DOUBLE) AS ra,
+        |  CAST(rank() OVER (ORDER BY l_quantity) AS DOUBLE) AS rb
+        |FROM lineitem)
+        |SELECT round(corr(ra, rb), 6) AS spearman_price_qty FROM r""".stripMargin
   )
 }

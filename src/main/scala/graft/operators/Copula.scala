@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, functions => F}
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.stat.Correlation
+import org.apache.spark.TaskContext
+import org.apache.commons.math3.linear.{Array2DRowRealMatrix, CholeskyDecomposition}
+import graft.dists.{ContinuousDist, DistRegistry, Truncated}
+import graft.functions.{SpecialMath => SM}
+
+/** One marginal of a copula: a fitted family + params + optional bounds. */
+final case class Marginal(
+    column: String,
+    distName: String,
+    params: Array[Double],
+    lowerBound: Option[Double] = None,
+    upperBound: Option[Double] = None) extends Serializable
+
+/** Gaussian copula for correlated multi-column synthetic data
+  * (reference: src/spark_bestfit/copula.py:43-499): best marginal per
+  * column + Spearman rank correlation + cached Cholesky factor.
+  *
+  * Sampling (reference copula.py:178-390): z ~ N(0, I); correlate with
+  * z·Lᵀ; map to uniforms via Φ; transform through each marginal's ppf
+  * (honoring truncation). Distributed via the partition-seeded generator
+  * pattern of `Sampling` — the Cholesky factor and marginal specs ship in
+  * a broadcast-sized closure; rows are born on executors.
+  */
+final class GaussianCopula(
+    val marginals: Seq[Marginal],
+    val correlation: Array[Array[Double]]) extends Serializable {
+
+  val columns: Seq[String] = marginals.map(_.column)
+
+  /** Cholesky factor L (lower), cached at construction
+    * (reference: copula.py:71-84). */
+  @transient lazy val cholesky: Array[Array[Double]] = GaussianCopula.chol(correlation)
+
+  def sampleLocal(n: Int, seed: Long = 42L, returnUniform: Boolean = false): Array[Array[Double]] = {
+    val rng = new java.util.SplittableRandom(seed)
+    val l = cholesky
+    val k = marginals.length
+    val ppfs = marginals.map(GaussianCopula.marginalPpf).toArray
+    Array.fill(n) {
+      val z = Array.fill(k)(GaussianCopula.nextGaussian(rng))
+      val out = new Array[Double](k)
+      var i = 0
+      while (i < k) {
+        var s = 0.0
+        var j = 0
+        while (j <= i) { s += l(i)(j) * z(j); j += 1 }
+        val u = SM.normCdf(s)
+        out(i) = if (returnUniform) u else ppfs(i)(u)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Distributed sampling: one row per sample, one column per marginal. */
+  def sampleDistributed(spark: SparkSession, n: Long, seed: Long = 42L,
+                        numPartitions: Int = 0): DataFrame = {
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.sparkContext.defaultParallelism
+    val counts = Sampling.partitionCounts(n, parts)
+    val bcCounts = spark.sparkContext.broadcast(counts)
+    val l = cholesky
+    val margs = marginals.toArray
+    val k = margs.length
+    val schema = org.apache.spark.sql.types.StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.DoubleType)))
+    val rows = spark.range(0, parts, 1, parts).rdd.mapPartitions { _ =>
+      val pid = TaskContext.getPartitionId()
+      val rng = new java.util.SplittableRandom(seed + pid)
+      val ppfs = margs.map(GaussianCopula.marginalPpf)
+      Iterator.range(0L, bcCounts.value(pid)).map { _ =>
+        val z = Array.fill(k)(GaussianCopula.nextGaussian(rng))
+        val out = new Array[Any](k)
+        var i = 0
+        while (i < k) {
+          var s = 0.0
+          var j = 0
+          while (j <= i) { s += l(i)(j) * z(j); j += 1 }
+          out(i) = ppfs(i)(SM.normCdf(s))
+          i += 1
+        }
+        Row.fromSeq(out.toSeq)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+}
+
+object GaussianCopula {
+
+  private[operators] def chol(corr: Array[Array[Double]]): Array[Array[Double]] = {
+    val m = new Array2DRowRealMatrix(corr)
+    // small ridge for numerical PD-ness, as the reference's cov handling does
+    new CholeskyDecomposition(m, 1e-10, 1e-10).getL.getData
+  }
+
+  private[operators] def marginalPpf(m: Marginal): Double => Double = {
+    val dist = DistRegistry.get(m.distName).getOrElse(
+      throw new IllegalArgumentException(s"unknown distribution '${m.distName}'"))
+    if (m.lowerBound.isDefined || m.upperBound.isDefined) {
+      val t = new Truncated(dist, m.params,
+        m.lowerBound.getOrElse(Double.NegativeInfinity),
+        m.upperBound.getOrElse(Double.PositiveInfinity))
+      (u: Double) => t.ppf(clampU(u))
+    } else (u: Double) => dist.ppf(clampU(u), m.params)
+  }
+
+  @inline private def clampU(u: Double): Double =
+    math.min(1 - 1e-16, math.max(1e-300, u))
+
+  /** Box-Muller-free gaussian via inverse transform (keeps the draw count
+    * per sample fixed, so partition seeds stay reproducible). */
+  @inline private[operators] def nextGaussian(rng: java.util.SplittableRandom): Double =
+    SM.normPpf(math.min(1 - 1e-16, math.max(1e-300, rng.nextDouble())))
+
+  /** Spearman (default) or Pearson correlation matrix over the columns,
+    * distributed via Spark ML's Correlation on assembled vectors with
+    * invalid rows skipped (reference: backends/spark.py:334-371). */
+  def correlationMatrix(df: DataFrame, columns: Seq[String],
+                        method: String = "spearman"): Array[Array[Double]] = {
+    val assembler = new VectorAssembler()
+      .setInputCols(columns.toArray).setOutputCol("__features")
+      .setHandleInvalid("skip")
+    val vecDf = assembler.transform(
+      df.select(columns.map(c => F.col(c).cast("double").as(c)): _*))
+    val m = Correlation.corr(vecDf, "__features", method)
+      .head().getAs[org.apache.spark.ml.linalg.Matrix](0)
+    Array.tabulate(columns.length, columns.length)((i, j) => m(i, j))
+  }
+
+  /** Fit: best marginal per column by the metric + Spearman correlation
+    * (reference: copula.py:86-158). */
+  def fit(spark: SparkSession, df: DataFrame, results: FitResults,
+          columns: Seq[String], metric: String = "sse",
+          corrMethod: String = "spearman"): GaussianCopula = {
+    val marginals = columns.map { c =>
+      val best = results.forColumn(c).best(1, metric).head()
+      Marginal(c,
+        best.getAs[String]("distribution"),
+        best.getSeq[Double](best.fieldIndex("parameters")).toArray,
+        Option(best.getAs[java.lang.Double]("lower_bound")).map(_.doubleValue),
+        Option(best.getAs[java.lang.Double]("upper_bound")).map(_.doubleValue))
+    }
+    new GaussianCopula(marginals, correlationMatrix(df, columns, corrMethod))
+  }
+}

@@ -8,7 +8,10 @@ import org.apache.spark.sql.expressions.Window
   * DataFrame op, so Catalyst folds filters and the cached relation is
   * reused — no refitting ever happens here.
   */
-final class FitResults(val df: DataFrame) extends Serializable {
+final class FitResults(
+    val df: DataFrame,
+    val samples: Map[String, Array[Double]] = Map.empty,
+    val cfg: FitConfig = FitConfig()) extends Serializable {
 
   import FitResults._
 
@@ -45,7 +48,29 @@ final class FitResults(val df: DataFrame) extends Serializable {
   }
 
   def forColumn(column: String): FitResults =
-    new FitResults(df.where(F.col("column_name") === column))
+    new FitResults(df.where(F.col("column_name") === column), samples, cfg)
+
+  /** Lazy-metric top-n (reference: collection.py:1008-1120): when the
+    * requested metric was deferred at fit time, pre-select 3n+5 candidates
+    * by AIC as a proxy, recompute K-S/A-D for only those from the cached
+    * sample, re-sort by the requested metric. */
+  def bestLazy(spark: org.apache.spark.sql.SparkSession, n: Int, metric: String): DataFrame = {
+    requireMetric(metric)
+    val needsRecompute = Set("ks_statistic", "ad_statistic")(metric) &&
+      df.where(F.col(metric).isNotNull).isEmpty
+    if (!needsRecompute) return best(n, metric)
+    val candidates = df.orderBy(F.col("aic").asc_nulls_last).limit(3 * n + 5)
+    val filled = FitResults.fillMetrics(spark, candidates, samples, cfg)
+    new FitResults(filled, samples, cfg).best(n, metric)
+  }
+
+  /** Fill deferred K-S/A-D for every row → an eager FitResults
+    * (reference: collection.py:918-1006, materialize()). */
+  def materialize(spark: org.apache.spark.sql.SparkSession): FitResults = {
+    val filled = FitResults.fillMetrics(spark, df, samples, cfg).cache()
+    filled.count()
+    new FitResults(filled, samples, cfg)
+  }
 
   /** Distinct non-null fitted column names (reference: collection.py:522-544). */
   def columnNames: Seq[String] =
@@ -108,4 +133,34 @@ object FitResults {
   private def requireMetric(metric: String): Unit =
     require(sortableMetrics(metric),
       s"metric must be one of ${sortableMetrics.mkString(", ")}, got '$metric'")
+
+  /** Recompute deferred K-S/A-D(/A-D p) from the cached per-column sample
+    * for rows where they are null (reference: metrics.py:325-382 +
+    * collection.py:174-297 — the cached-array path; we always cache). */
+  private[operators] def fillMetrics(
+      spark: org.apache.spark.sql.SparkSession,
+      candidates: DataFrame,
+      samples: Map[String, Array[Double]],
+      cfg: FitConfig): DataFrame = {
+    import spark.implicits._
+    import graft.dists.{DistRegistry, FrozenModel}
+    import graft.functions.Metrics
+    val rows = candidates.as[FitResult].collect()
+    val filled = rows.map { r =>
+      if (r.ks_statistic.isDefined || !samples.contains(r.column_name)) r
+      else DistRegistry.get(r.distribution) match {
+        case Some(dist) if r.parameters.forall(java.lang.Double.isFinite) =>
+          val sample = samples(r.column_name)
+          val frozen = FrozenModel(dist, r.parameters, r.lower_bound, r.upper_bound)
+          val (ks, pv) = Metrics.ksStatistic(frozen, sample)
+          val ad = Metrics.adStatistic(frozen, sample)
+          val adP = if (r.lower_bound.isEmpty && r.upper_bound.isEmpty)
+            Metrics.adPValue(dist, sample) else None
+          r.copy(ks_statistic = Some(ks), pvalue = Some(pv),
+            ad_statistic = Some(ad), ad_pvalue = adP)
+        case _ => r
+      }
+    }
+    spark.createDataset(filled.toSeq).toDF()
+  }
 }

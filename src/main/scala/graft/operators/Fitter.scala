@@ -277,12 +277,12 @@ object Fitter {
       val results: Dataset[FitResult] = spark.createDataset(names)
         .repartition(nParts)
         .map(name => fitOne(name, bc.value, cfgFinal))
-      results.toDF()
+      (results.toDF(), column -> sample)
     }
 
-    val combined = perColumn.reduce(_ union _).cache()
+    val combined = perColumn.map(_._1).reduce(_ union _).cache()
     combined.count() // materialize, as the reference does (continuous_fitter.py:409-414)
-    new FitResults(combined)
+    new FitResults(combined, perColumn.map(_._2).toMap, cfg)
   }
 
   /** Discrete fit over the registry's discrete families

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, functions => F}
+import org.apache.spark.TaskContext
+import graft.dists.{ContinuousDist, DistRegistry, Truncated}
+
+/** Distributed sample generation — the reference's "write side"
+  * (reference: src/spark_bestfit/backends/spark.py:429-514,
+  * sampling.py:16-83): n is split across partitions (base + remainder),
+  * each partition draws from a seeded generator with seed = base +
+  * partition_id, and rows are produced where they will live — nothing
+  * flows through the driver.
+  *
+  * Draws are inverse-transform: u ~ U(0,1) from a per-partition
+  * SplittableRandom, x = ppf(u). One closed-form ppf per row, fully
+  * executor-local, linearly scalable to any n.
+  */
+object Sampling {
+
+  /** Rows per partition: base + 1 for the first (n % parts) partitions. */
+  def partitionCounts(n: Long, parts: Int): Array[Long] = {
+    val base = n / parts
+    val rem = (n % parts).toInt
+    Array.tabulate(parts)(i => base + (if (i < rem) 1L else 0L))
+  }
+
+  /** Generate `n` samples of a fitted (optionally truncated) distribution
+    * as a one-column DataFrame. */
+  def generate(spark: SparkSession, distName: String, params: Array[Double],
+               n: Long, seed: Long = 42L, numPartitions: Int = 0,
+               lowerBound: Option[Double] = None,
+               upperBound: Option[Double] = None,
+               columnName: String = "sample"): DataFrame = {
+    import spark.implicits._
+    val dist = DistRegistry.get(distName).getOrElse(
+      throw new IllegalArgumentException(s"unknown distribution '$distName'"))
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.sparkContext.defaultParallelism
+    val counts = partitionCounts(n, parts)
+    val bcCounts = spark.sparkContext.broadcast(counts)
+    val lb = lowerBound; val ub = upperBound
+
+    val ds: Dataset[Double] = spark.range(0, parts, 1, parts).mapPartitions { _ =>
+      val pid = TaskContext.getPartitionId()
+      val rng = new java.util.SplittableRandom(seed + pid)
+      val m = bcCounts.value(pid)
+      val ppf: Double => Double =
+        if (lb.isDefined || ub.isDefined) {
+          val t = new Truncated(dist, params,
+            lb.getOrElse(Double.NegativeInfinity), ub.getOrElse(Double.PositiveInfinity))
+          t.ppf _
+        } else (q: Double) => dist.ppf(q, params)
+      Iterator.range(0L, m).map { _ =>
+        var u = rng.nextDouble()
+        if (u <= 0.0) u = Double.MinPositiveValue
+        if (u >= 1.0) u = 1.0 - 1e-16
+        ppf(u)
+      }
+    }
+    ds.toDF(columnName)
+  }
+
+  /** Driver-side sampling from a fitted model (small n; reference
+    * storage.py:368-385). */
+  def sampleLocal(dist: ContinuousDist, params: Array[Double], n: Int,
+                  seed: Long = 42L,
+                  lowerBound: Option[Double] = None,
+                  upperBound: Option[Double] = None): Array[Double] = {
+    val rng = new java.util.SplittableRandom(seed)
+    val ppf: Double => Double =
+      if (lowerBound.isDefined || upperBound.isDefined) {
+        val t = new Truncated(dist, params,
+          lowerBound.getOrElse(Double.NegativeInfinity),
+          upperBound.getOrElse(Double.PositiveInfinity))
+        t.ppf _
+      } else (q: Double) => dist.ppf(q, params)
+    Array.fill(n)(ppf(math.min(1 - 1e-16, math.max(Double.MinPositiveValue, rng.nextDouble()))))
+  }
+
+  /** Stratified sample with tail boost (reference: base_fitter.py:388-477):
+    * approxQuantile percentile bins → per-bin fractions via sampleBy, with
+    * the first/last bins boosted so each tail keeps ≥ minTailRows expected
+    * rows. Falls back to uniform sampling when quantiles collapse. */
+  def stratifiedSample(df: DataFrame, column: String, fraction: Double,
+                       numBins: Int = 5, seed: Long = 42L,
+                       minTailRows: Long = 500L): DataFrame = {
+    val probs = (1 until numBins).map(_.toDouble / numBins).toArray
+    val splits = df.stat.approxQuantile(column, probs, 0.01).distinct.sorted
+    if (splits.length < 1) return df.sample(withReplacement = false, fraction, seed)
+    val edges = Double.NegativeInfinity +: splits.toSeq :+ Double.PositiveInfinity
+    val binCount = edges.length - 1
+    val total = df.count()
+    val perBin = total.toDouble / binCount
+    val tailFraction = math.min(1.0, math.max(fraction, minTailRows / perBin))
+    val fractions = (0 until binCount).map { b =>
+      (b: Any) -> (if (b == 0 || b == binCount - 1) tailFraction else fraction)
+    }.toMap
+    val binned = df.withColumn("__bin",
+      edges.sliding(2).zipWithIndex.foldLeft(F.lit(-1)) { case (acc, (Seq(lo, hi), i)) =>
+        F.when(F.col(column) > lo && F.col(column) <= hi, F.lit(i)).otherwise(acc)
+      })
+    binned.stat.sampleBy("__bin", fractions, seed).drop("__bin")
+  }
+}

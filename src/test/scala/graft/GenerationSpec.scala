@@ -1,0 +1,153 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.{SparkSession, functions => F}
+import graft.operators._
+import graft.dists.ContinuousFamilies
+
+/** Tests for distributed generation, copula, MVN, GMM, bootstrap, and the
+  * lazy-metric recompute path. */
+class GenerationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-gen-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("distributed generation: moments match the target distribution, seeded reproducibly") {
+    val df = Sampling.generate(spark, "norm", Array(50.0, 10.0), 40000L, seed = 7L, numPartitions = 8)
+    val r = df.agg(F.avg("sample"), F.stddev_pop("sample"), F.count(F.lit(1))).head()
+    assert(math.abs(r.getDouble(0) - 50.0) < 0.3, s"mean=${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - 10.0) < 0.3, s"std=${r.getDouble(1)}")
+    assert(r.getLong(2) == 40000L)
+    // same seed → identical draw
+    val again = Sampling.generate(spark, "norm", Array(50.0, 10.0), 40000L, seed = 7L, numPartitions = 8)
+      .agg(F.avg("sample")).head().getDouble(0)
+    assert(again == r.getDouble(0))
+    // partition counts: base + remainder
+    assert(Sampling.partitionCounts(10, 4).toSeq == Seq(3L, 3L, 2L, 2L))
+  }
+
+  test("truncated generation stays inside bounds") {
+    val df = Sampling.generate(spark, "norm", Array(0.0, 1.0), 5000L,
+      lowerBound = Some(-1.0), upperBound = Some(1.0))
+    val r = df.agg(F.min("sample"), F.max("sample")).head()
+    assert(r.getDouble(0) >= -1.0 && r.getDouble(1) <= 1.0)
+  }
+
+  test("stratified sample keeps tails and respects bins") {
+    import spark.implicits._
+    val rng = new java.util.Random(3L)
+    val df = Seq.fill(20000)(rng.nextGaussian() * 10 + 50).toDF("v")
+    val sampled = Sampling.stratifiedSample(df, "v", 0.05, numBins = 5, seed = 42L)
+    val n = sampled.count()
+    assert(n > 500 && n < 20000, s"n=$n")
+    // tail boost: sampled min/max near the population extremes
+    val (pmn, pmx) = { val r = df.agg(F.min("v"), F.max("v")).head(); (r.getDouble(0), r.getDouble(1)) }
+    val (smn, smx) = { val r = sampled.agg(F.min("v"), F.max("v")).head(); (r.getDouble(0), r.getDouble(1)) }
+    assert(smn - pmn < 5.0 && pmx - smx < 5.0, s"tails lost: [$smn,$smx] vs [$pmn,$pmx]")
+  }
+
+  test("gaussian copula: fit + sample preserves marginals and rank correlation") {
+    import spark.implicits._
+    // correlated bivariate: y = x + noise, both transformed
+    val rng = new java.util.Random(11L)
+    val rows = Seq.fill(8000) {
+      val x = rng.nextGaussian()
+      val y = 0.8 * x + 0.6 * rng.nextGaussian()
+      (50 + 10 * x, math.exp(y)) // norm marginal, lognorm marginal
+    }
+    val df = rows.toDF("a", "b")
+    val results = Fitter.fit(spark, df, Seq("a", "b"),
+      distributions = Some(Seq("norm", "lognorm", "gamma", "uniform")))
+    val cop = GaussianCopula.fit(spark, df, results, Seq("a", "b"), metric = "aic")
+    assert(cop.marginals.head.distName == "norm")
+    assert(math.abs(cop.correlation(0)(1) - 0.78) < 0.08,
+      s"spearman=${cop.correlation(0)(1)}")
+
+    val sampled = cop.sampleDistributed(spark, 20000L, seed = 5L)
+    val stats = sampled.agg(F.avg("a"), F.stddev_pop("a"), F.corr("a", "b")).head()
+    assert(math.abs(stats.getDouble(0) - 50.0) < 1.0)
+    assert(math.abs(stats.getDouble(1) - 10.0) < 1.0)
+    assert(stats.getDouble(2) > 0.4, s"sampled corr=${stats.getDouble(2)}")
+    // local twin agrees in distribution
+    val local = cop.sampleLocal(5000, seed = 5L)
+    val meanA = local.map(_(0)).sum / local.length
+    assert(math.abs(meanA - 50.0) < 1.0)
+  }
+
+  test("MVN: fit recovers mean/cov, density + mahalanobis + sampling work") {
+    import spark.implicits._
+    val rng = new java.util.Random(13L)
+    val rows = Seq.fill(10000) {
+      val x = rng.nextGaussian(); val y = 0.5 * x + 0.8 * rng.nextGaussian()
+      (2.0 + x, -1.0 + y)
+    }
+    val df = rows.toDF("x", "y")
+    val mvn = MultivariateNormal.fit(df, Seq("x", "y"))
+    assert(math.abs(mvn.mean(0) - 2.0) < 0.05)
+    assert(math.abs(mvn.mean(1) + 1.0) < 0.05)
+    assert(math.abs(mvn.cov(0)(0) - 1.0) < 0.07)
+    assert(math.abs(mvn.cov(0)(1) - 0.5) < 0.07)
+    assert(mvn.mahalanobis(mvn.mean) == 0.0)
+    assert(mvn.logpdf(mvn.mean) > mvn.logpdf(Array(5.0, 5.0)))
+    assert(mvn.conditionEstimate < 1e10)
+    val s = mvn.sampleDistributed(spark, 10000L, seed = 3L)
+      .agg(F.avg("x"), F.corr("x", "y")).head()
+    assert(math.abs(s.getDouble(0) - 2.0) < 0.1)
+    assert(s.getDouble(1) > 0.3)
+  }
+
+  test("GMM recovers bimodal structure with sensible AIC/BIC") {
+    import spark.implicits._
+    val rng = new java.util.Random(17L)
+    val rows = Seq.fill(6000)(
+      if (rng.nextDouble() < 0.4) rng.nextGaussian() else 5.0 + rng.nextGaussian())
+    val df = rows.toDF("v")
+    val (r, assigned) = Mixture.fit(df, Seq("v"), k = 2, seed = 42L)
+    assert(r.k == 2)
+    val means = r.means.map(_.head).sorted
+    assert(math.abs(means(0) - 0.0) < 0.5 && math.abs(means(1) - 5.0) < 0.5,
+      s"means=${means.toSeq}")
+    val w = r.weights.sorted
+    assert(math.abs(w(0) - 0.4) < 0.1, s"weights=${r.weights.toSeq}")
+    assert(java.lang.Double.isFinite(r.aic) && r.bic > r.aic)
+    assert(assigned.select("component").distinct().count() == 2)
+    assert(Mixture.freeParams(2, 1) == 5)
+  }
+
+  test("bootstrap CIs bracket the true parameters") {
+    val rng = new java.util.Random(19L)
+    val sample = Array.fill(1500)(50.0 + 10.0 * rng.nextGaussian())
+    val cis = Bootstrap.confidenceIntervals(spark, ContinuousFamilies.Norm,
+      sample, b = 120, seed = 42L)
+    assert(cis.map(_.param) == Seq("loc", "scale"))
+    val loc = cis(0); val scale = cis(1)
+    assert(loc.lower < 50.0 && 50.0 < loc.upper, s"loc CI [${loc.lower}, ${loc.upper}]")
+    assert(scale.lower < 10.1 && 9.9 < scale.upper, s"scale CI [${scale.lower}, ${scale.upper}]")
+    assert(loc.upper - loc.lower < 2.0) // tight at n=1500
+  }
+
+  test("lazy fit + bestLazy recomputes deferred KS/AD only for candidates") {
+    import spark.implicits._
+    val rng = new java.util.Random(23L)
+    val df = Seq.fill(5000)(50.0 + 10.0 * rng.nextGaussian()).toDF("value")
+    val results = Fitter.fit(spark, df, Seq("value"),
+      distributions = Some(Seq("norm", "logistic", "cauchy", "laplace", "uniform")),
+      cfg = FitConfig(lazyMetrics = true))
+    // all deferred
+    assert(results.df.where(F.col("ks_statistic").isNotNull).count() == 0)
+    val top = results.bestLazy(spark, 2, "ks_statistic").collect()
+    assert(top.length == 2)
+    assert(top.head.getAs[String]("distribution") == "norm")
+    assert(!top.head.isNullAt(top.head.fieldIndex("ks_statistic")))
+    // materialize fills every row
+    val mat = results.materialize(spark)
+    assert(mat.df.where(F.col("ks_statistic").isNull).count() == 0)
+  }
+}
