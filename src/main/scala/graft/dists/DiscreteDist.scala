@@ -351,7 +351,28 @@ object DiscreteFamilies {
     }
   }
 
+  object BetaBinom extends DiscreteDist {
+    val name = "betabinom"; val paramNames = Seq("n", "a", "b")
+    override def integerParams = Set(0)
+    def valid(p: Array[Double]) = p(0) >= 1 && p(1) > 0 && p(2) > 0
+    def logpmf(k: Long, p: Array[Double]) = {
+      val n = math.round(p(0)).toDouble
+      if (k < 0 || k > n) Double.NegativeInfinity
+      else lchoose(n, k.toDouble) + SM.lbeta(k + p(1), n - k + p(2)) - SM.lbeta(p(1), p(2))
+    }
+    def support(p: Array[Double]) = (0L, math.round(p(0)))
+    override protected def intLowerBound(xs: Array[Long]) = math.max(1L, maxOf(xs))
+    def initial(xs: Array[Long]): Array[Double] = {
+      val n = maxOf(xs).toDouble
+      val m = mean(xs) / math.max(n, 1)
+      val v = variance(xs) / math.max(n * n, 1)
+      // method-of-moments on the scaled beta mean/variance
+      val c = math.max(m * (1 - m) / math.max(v, 1e-9) - 1.0, 0.2)
+      Array(n, math.max(m * c, 0.05), math.max((1 - m) * c, 0.05))
+    }
+  }
+
   val all: Seq[DiscreteDist] = Seq(
     Poisson, Geom, Binom, NBinom, Zipf, Zipfian, DLaplace, LogSer, Planck,
-    Boltzmann, YuleSimon)
+    Boltzmann, YuleSimon, BetaBinom)
 }

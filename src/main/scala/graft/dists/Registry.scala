@@ -14,7 +14,7 @@ package graft.dists
 object DistRegistry extends Serializable {
 
   private val builtin: Map[String, ContinuousDist] =
-    ContinuousFamilies.all.map(d => d.name -> d).toMap
+    (ContinuousFamilies.all ++ ContinuousFamiliesB.all).map(d => d.name -> d).toMap
 
   @volatile private var custom: Map[String, ContinuousDist] = Map.empty
 
@@ -40,7 +40,9 @@ object DistRegistry extends Serializable {
     * (reference: src/spark_bestfit/distributions.py:58-75, core.py:31-67). */
   val slowDistributions: Set[String] = Set(
     "beta", "t", "genextreme", "genpareto", "invgauss", "nakagami",
-    "betaprime", "triang", "fisk", "gompertz")
+    "betaprime", "triang", "fisk", "gompertz",
+    "burr", "burr12", "johnsonsu", "johnsonsb", "exponweib", "exponnorm",
+    "foldnorm")
 
   /** Names with standardized support lower bound >= 0. */
   def supportsAtZero(name: String): Boolean = get(name).exists(_.supportAtZero)
@@ -53,7 +55,9 @@ object DistRegistry extends Serializable {
   val positiveSkewOnly: Set[String] = Set(
     "expon", "lognorm", "gamma", "weibull_min", "pareto", "rayleigh", "chi2",
     "chi", "invgauss", "halfnorm", "halflogistic", "halfcauchy", "maxwell",
-    "fisk", "genpareto", "erlang", "wald", "gompertz", "betaprime")
+    "fisk", "genpareto", "erlang", "wald", "gompertz", "betaprime",
+    "lomax", "loglaplace", "invweibull", "levy", "exponweib", "gilbrat",
+    "burr", "burr12", "moyal")
 }
 
 object DiscreteRegistry extends Serializable {

@@ -52,8 +52,20 @@ class DistributionSpec extends AnyFunSuite {
       "arcsine" -> Array(0.0, 1.0), "cosine" -> Array(0.0, 1.0),
       "nakagami" -> Array(1.4, 0.0, 1.0), "betaprime" -> Array(3.0, 4.0, 0.0, 1.0),
       "gompertz" -> Array(1.2, 0.0, 1.0), "erlang" -> Array(3.0, 0.0, 2.0),
-      "wald" -> Array(0.0, 1.0))
-    for (d <- ContinuousFamilies.all) {
+      "wald" -> Array(0.0, 1.0),
+      // Tier B
+      "lomax" -> Array(2.5, 0.0, 1.0), "loglaplace" -> Array(2.0, 0.0, 1.0),
+      "truncexpon" -> Array(3.0, 0.0, 1.0), "bradford" -> Array(1.5, 0.0, 1.0),
+      "burr" -> Array(2.0, 1.5, 0.0, 1.0), "burr12" -> Array(2.0, 1.5, 0.0, 1.0),
+      "johnsonsu" -> Array(0.5, 1.5, 0.0, 1.0), "johnsonsb" -> Array(0.3, 1.2, 0.0, 1.0),
+      "exponnorm" -> Array(1.5, 0.0, 1.0), "foldnorm" -> Array(1.2, 0.0, 1.0),
+      "invweibull" -> Array(2.5, 0.0, 1.0), "genlogistic" -> Array(1.8, 0.0, 1.0),
+      "dgamma" -> Array(2.0, 0.0, 1.0), "dweibull" -> Array(1.8, 0.0, 1.0),
+      "hypsecant" -> Array(0.0, 1.0), "semicircular" -> Array(0.0, 1.0),
+      "anglit" -> Array(0.0, 1.0), "moyal" -> Array(0.0, 1.0),
+      "levy" -> Array(0.0, 1.0), "levy_l" -> Array(0.0, 1.0),
+      "exponweib" -> Array(1.5, 1.8, 0.0, 1.0), "gilbrat" -> Array(0.0, 1.0))
+    for (d <- ContinuousFamilies.all ++ ContinuousFamiliesB.all) {
       val p = shapeExamples(d.name)
       for (q <- Seq(0.01, 0.1, 0.3, 0.5, 0.7, 0.9, 0.99)) {
         val x = d.ppf(q, p)
@@ -196,6 +208,30 @@ class DistributionSpec extends AnyFunSuite {
     // for a good fit it should not exceed maxJump by much
     val maxJump = (0L to 30L).map(k => DiscreteFamilies.Poisson.pmf(k, p)).max
     assert(d < maxJump + 0.05, s"D=$d maxJump=$maxJump")
+  }
+
+  test("Tier-B fit recovery: lomax, johnsonsu, dweibull, betabinom") {
+    val xsL = sample(ContinuousFamiliesB.Lomax, Array(3.0, 0.0, 2.0), 8000)
+    val pL = ContinuousFamiliesB.Lomax.fit(xsL)
+    assert(math.abs(pL(0) - 3.0) < 1.0, s"lomax c=${pL(0)}")
+
+    val xsJ = sample(ContinuousFamiliesB.JohnsonSU, Array(0.5, 1.5, 10.0, 2.0), 8000)
+    val pJ = ContinuousFamiliesB.JohnsonSU.fit(xsJ)
+    val llTrue = -ContinuousFamiliesB.JohnsonSU.negLogLik(Array(0.5, 1.5, 10.0, 2.0), xsJ)
+    val llFit = -ContinuousFamiliesB.JohnsonSU.negLogLik(pJ, xsJ)
+    assert(llFit >= llTrue - 10.0, s"johnsonsu LL fit=$llFit true=$llTrue")
+
+    val xsD = sample(ContinuousFamiliesB.DWeibull, Array(2.0, 5.0, 3.0), 8000)
+    val pD = ContinuousFamiliesB.DWeibull.fit(xsD)
+    assert(math.abs(pD(0) - 2.0) < 0.4, s"dweibull c=${pD(0)}")
+    assert(math.abs(pD(1) - 5.0) < 0.3, s"dweibull loc=${pD(1)}")
+
+    val xsB = sampleD(DiscreteFamilies.BetaBinom, Array(20.0, 2.0, 3.0), 4000)
+    val pB = DiscreteFamilies.BetaBinom.fit(xsB)
+    val (aicBB, _) = Metrics.informationCriteriaDiscrete(DiscreteFamilies.BetaBinom, pB, xsB)
+    val pBin = DiscreteFamilies.Binom.fit(xsB)
+    val (aicBin, _) = Metrics.informationCriteriaDiscrete(DiscreteFamilies.Binom, pBin, xsB)
+    assert(aicBB < aicBin, s"betabinom AIC $aicBB should beat binom $aicBin on overdispersed data")
   }
 
   test("special functions: normal ppf, kolmogorov, zeta") {
