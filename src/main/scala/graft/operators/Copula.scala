@@ -69,10 +69,13 @@ final class GaussianCopula(
     val k = margs.length
     val schema = org.apache.spark.sql.types.StructType(columns.map(c =>
       org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.DoubleType)))
+    // quantile tables built ONCE driver-side (~64 KB each), shipped in
+    // the closure — per-partition construction would redo the exact-ppf
+    // grid on every task
+    val ppfs = margs.map(GaussianCopula.marginalPpf)
     val rows = spark.range(0, parts, 1, parts).rdd.mapPartitions { _ =>
       val pid = TaskContext.getPartitionId()
       val rng = new java.util.SplittableRandom(seed + pid)
-      val ppfs = margs.map(GaussianCopula.marginalPpf)
       Iterator.range(0L, bcCounts.value(pid)).map { _ =>
         val z = Array.fill(k)(GaussianCopula.nextGaussian(rng))
         val out = new Array[Any](k)
@@ -102,12 +105,17 @@ object GaussianCopula {
   private[operators] def marginalPpf(m: Marginal): Double => Double = {
     val dist = DistRegistry.get(m.distName).getOrElse(
       throw new IllegalArgumentException(s"unknown distribution '${m.distName}'"))
-    if (m.lowerBound.isDefined || m.upperBound.isDefined) {
-      val t = new Truncated(dist, m.params,
-        m.lowerBound.getOrElse(Double.NegativeInfinity),
-        m.upperBound.getOrElse(Double.PositiveInfinity))
-      (u: Double) => t.ppf(clampU(u))
-    } else (u: Double) => dist.ppf(clampU(u), m.params)
+    val exact: Double => Double =
+      if (m.lowerBound.isDefined || m.upperBound.isDefined) {
+        val t = new Truncated(dist, m.params,
+          m.lowerBound.getOrElse(Double.NegativeInfinity),
+          m.upperBound.getOrElse(Double.PositiveInfinity))
+        (u: Double) => t.ppf(clampU(u))
+      } else (u: Double) => dist.ppf(clampU(u), m.params)
+    // fast-ppf table for the bulk path (iterative quantiles would cost
+    // hundreds of CDF evals per draw; see Sampling.TabulatedPpf)
+    val table = new Sampling.TabulatedPpf(exact)
+    (u: Double) => table(u)
   }
 
   @inline private def clampU(u: Double): Double =
