@@ -11,7 +11,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,32 +23,53 @@ object Bench {
 
     warmUp(spark)
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"BENCH QUERY FAILED: $name -> $e"); false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 
-  /** JIT warm-up over synthetic data: continuous + discrete fit kernels,
-    * minhash/simhash, cosine — the hot executor-side code paths. */
+  /** JIT warm-up over synthetic data, parallelized across a thread pool:
+    * every continuous family (Tier A AND Tier B), every discrete family,
+    * the truncated and MSE estimation paths, minhash/simhash, cosine —
+    * the hot executor-side code paths. */
   private def warmUp(spark: SparkSession): Unit = {
     import spark.implicits._
     try {
       val rng = new java.util.Random(1L)
-      val xs = Array.fill(4000)(50.0 + 10.0 * rng.nextGaussian())
-      graft.dists.ContinuousFamilies.all.foreach { d =>
-        try d.fit(xs) catch { case _: Throwable => }
+      val xs = Array.fill(3000)(50.0 + 10.0 * rng.nextGaussian())
+      val ks = Array.fill(3000)((rng.nextInt(30) + 1).toLong)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(4, Runtime.getRuntime.availableProcessors() / 2))
+      val tasks = new java.util.concurrent.ConcurrentLinkedQueue[java.util.concurrent.Future[_]]()
+      def submit(body: => Unit): Unit =
+        tasks.add(pool.submit(new Runnable {
+          def run(): Unit = try body catch { case _: Throwable => }
+        }))
+      (graft.dists.ContinuousFamilies.all ++ graft.dists.ContinuousFamiliesB.all)
+        .foreach { d => submit(d.fit(xs)) }
+      graft.dists.DiscreteFamilies.all.foreach { d => submit(d.fit(ks)) }
+      // truncated + MSE estimation paths (fit_bounded / fit_mse_heavy_tail)
+      submit {
+        val frozen = graft.dists.FrozenModel(
+          graft.dists.ContinuousFamilies.Norm, Array(50.0, 10.0), Some(20.0), Some(80.0))
+        graft.functions.Metrics.ksStatistic(frozen, xs)
+        graft.functions.Metrics.adStatistic(frozen, xs)
       }
-      val ks = Array.fill(4000)((rng.nextInt(30) + 1).toLong)
-      graft.dists.DiscreteFamilies.all.foreach { d =>
-        try d.fit(ks) catch { case _: Throwable => }
-      }
+      submit(operators.Estimators.fitMse(graft.dists.ContinuousFamilies.Gamma, xs.map(math.abs)))
+      pool.shutdown()
+      pool.awaitTermination(600, java.util.concurrent.TimeUnit.SECONDS)
+
       val docs = (0 until 50).map(i =>
         (i.toLong, (0 until 50).map(j => s"w${(i * j) % 37}").mkString(" "))).toDF("doc_id", "text")
       operators.Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.1).count()

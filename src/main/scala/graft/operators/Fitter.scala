@@ -43,7 +43,14 @@ final case class FitConfig(
     prefilter: Option[String] = None, // None | "standard" | "aggressive"
     maxDistributions: Int = Int.MaxValue,
     numPartitions: Option[Int] = None,
-    censoringColumn: Option[String] = None)
+    censoringColumn: Option[String] = None,
+    // adaptive pre-fit sampling policy (reference: base_fitter.py:243-477)
+    samplingStrategy: String = "auto", // auto | uniform | stratified | none
+    sampleThresholdRows: Long = 10000000L,
+    sampleCapRows: Long = 1000000L,
+    sampleFraction: Double = 0.35,
+    pilotRows: Long = 100000L,
+    skewThresholdForStratified: Double = 2.0)
 
 /** Everything a fit task needs, broadcast once per column: ~8 KB histogram
   * + ~80 KB sample (reference: backends/spark.py:143-147; executor
@@ -241,48 +248,137 @@ object Fitter {
       else baseNames
     val capped = supportFiltered.take(cfg.maxDistributions)
 
-    val perColumn = columns.map { column =>
-      val censorOpt = cfg.censoringColumn.map { cc =>
-        // paired (value, event) sample — censored path collects both
-        val rows = df.select(F.col(column).cast("double"), F.col(cc).cast("boolean"))
-          .where(F.col(column).isNotNull && !F.isnan(F.col(column)))
-          .limit(cfg.fittingSampleSize).collect()
-        (rows.map(_.getDouble(0)), rows.map(_.getBoolean(1)))
+    // ---- shared-scan data collection: ONE stats scan + ONE histogram
+    // shuffle + ONE sample scan for ALL columns (the reference fits 3
+    // columns for ~the price of 1, docs/_static/benchmark_summary.md:36-43;
+    // round 1 looped columns and paid 3×) ----
+
+    // censored fitting collects the paired (value, event) sample per
+    // column; everything else rides the shared scans
+    val censorByCol: Map[String, (Array[Double], Array[Boolean])] =
+      cfg.censoringColumn match {
+        case None => Map.empty
+        case Some(cc) => columns.map { column =>
+          val rows = df.select(F.col(column).cast("double"), F.col(cc).cast("boolean"))
+            .where(F.col(column).isNotNull && !F.isnan(F.col(column)))
+            .limit(cfg.fittingSampleSize).collect()
+          column -> (rows.map(_.getDouble(0)), rows.map(_.getBoolean(1)))
+        }.toMap
       }
 
-      // one (min,max,count) scan shared by the histogram and the sampler
-      val colStats = Histogram.columnStats(df, column)
-      val sample = censorOpt.map(_._1).getOrElse(
-        fittingSample(df, column, cfg.fittingSampleSize, cfg.sampleSeed,
-          totalCount = Some(colStats._3)))
-      if (sample.isEmpty)
-        throw new IllegalArgumentException(s"column '$column' has no valid data")
+    // NaN→null per column so min/max/count are NaN-safe in one agg
+    val cleaned = df.select(columns.map { c =>
+      val cd = F.col(c).cast("double")
+      F.when(F.isnan(cd), F.lit(null)).otherwise(cd).as(c)
+    }: _*)
+    val statAggs = columns.flatMap(c =>
+      Seq(F.min(c).as(s"mn_$c"), F.max(c).as(s"mx_$c"), F.count(c).as(s"cnt_$c")))
+    val statRow = cleaned.agg(statAggs.head, statAggs.tail: _*).head()
+    val colStats: Map[String, (Double, Double, Long)] = columns.zipWithIndex.map {
+      case (c, i) =>
+        if (statRow.isNullAt(3 * i) || statRow.getLong(3 * i + 2) == 0L)
+          throw new IllegalArgumentException(s"column '$c' has no valid data")
+        c -> ((statRow.getDouble(3 * i), statRow.getDouble(3 * i + 1), statRow.getLong(3 * i + 2)))
+    }.toMap
 
-      val hist = Histogram.continuous(df, column, cfg.bins, cfg.useRiceRule,
-        precomputed = Some(colStats))
-      val stats = DataStats.of(sample)
+    // one sample scan shared by every column; per-column null filter +
+    // exact-size downsample happen on the collected rows
+    val nMax = colStats.values.map(_._3).max
+    val sampleRows: Array[org.apache.spark.sql.Row] =
+      if (nMax <= cfg.fittingSampleSize) cleaned.collect()
+      else cleaned
+        .sample(withReplacement = false,
+          math.min(1.0, cfg.fittingSampleSize * 1.2 / nMax), cfg.sampleSeed)
+        .limit(cfg.fittingSampleSize * 2).collect()
+    val samples: Map[String, Array[Double]] = columns.zipWithIndex.map { case (c, i) =>
+      val arr = sampleRows.iterator.filterNot(_.isNullAt(i)).map(_.getDouble(i)).toArray
+      val sized =
+        if (arr.length <= cfg.fittingSampleSize) arr
+        else exactResample(arr, cfg.fittingSampleSize, cfg.sampleSeed)
+      if (sized.isEmpty)
+        throw new IllegalArgumentException(s"column '$c' has no valid data")
+      c -> sized
+    }.toMap
 
-      val method =
-        if (cfg.estimationMethod == "auto")
-          { if (Estimators.isHeavyTailed(sample, stats)) "mse" else "mle" }
-        else cfg.estimationMethod
-
-      val names = interleave(prefilter(capped, stats, cfg.prefilter))
-      val nParts = partitionCount(spark, names, cfg.numPartitions)
-
-      val ctx = FitContext(column, hist, sample, stats, censorOpt.map(_._2))
-      val bc = spark.sparkContext.broadcast(ctx)
-      val cfgFinal = cfg.copy(estimationMethod = method)
-
-      val results: Dataset[FitResult] = spark.createDataset(names)
-        .repartition(nParts)
-        .map(name => fitOne(name, bc.value, cfgFinal))
-      (results.toDF(), column -> sample)
+    // one histogram pass for all non-singular columns: explode
+    // (columnIndex, bin) pairs → ONE ~(columns·bins)-row shuffle; bin
+    // arithmetic identical to Histogram.continuous
+    case class HistSpec(c: String, mn: Double, hi: Double, nBins: Int, width: Double)
+    val specs = columns.flatMap { c =>
+      val (mn, mx, cnt) = colStats(c)
+      if (mn == mx) None
+      else {
+        val nBins = math.max(2,
+          if (cfg.useRiceRule) Histogram.riceBins(cnt) else cfg.bins)
+        val hi = mx + (mx - mn) * 1e-10
+        Some(HistSpec(c, mn, hi, nBins, (hi - mn) / nBins))
+      }
+    }
+    val histByCol: Map[String, Hist] = {
+      val countsByCol: Map[Int, Map[Int, Long]] =
+        if (specs.isEmpty) Map.empty
+        else {
+          val entries = F.array(specs.zipWithIndex.map { case (sp, i) =>
+            val bin = F.least(
+              F.greatest(F.floor((F.col(sp.c) - F.lit(sp.mn)) / F.lit(sp.width)), F.lit(0L)),
+              F.lit((sp.nBins - 1).toLong))
+            F.when(F.col(sp.c).isNotNull,
+              F.struct(F.lit(i).as("ci"), bin.as("bin"))).otherwise(F.lit(null))
+          }: _*)
+          cleaned.select(F.explode(entries).as("e"))
+            .where(F.col("e").isNotNull)
+            .groupBy(F.col("e.ci").as("ci"), F.col("e.bin").as("bin"))
+            .agg(F.count(F.lit(1)).as("cnt"))
+            .collect()
+            .groupBy(_.getInt(0))
+            .map { case (ci, rows) =>
+              ci -> rows.map(r => r.getLong(1).toInt -> r.getLong(2)).toMap
+            }
+        }
+      columns.map { c =>
+        val (mn, mx, cnt) = colStats(c)
+        if (mn == mx) c -> Hist(Array(1.0), Array(mn))
+        else {
+          val i = specs.indexWhere(_.c == c)
+          val sp = specs(i)
+          val counts = countsByCol.getOrElse(i, Map.empty)
+          val edges = Array.tabulate(sp.nBins + 1)(j => sp.mn + j * (sp.hi - sp.mn) / sp.nBins)
+          val density = Array.tabulate(sp.nBins)(b =>
+            counts.getOrElse(b, 0L).toDouble / (cnt * sp.width))
+          c -> Hist(density, edges)
+        }
+      }.toMap
     }
 
-    val combined = perColumn.map(_._1).reduce(_ union _).cache()
+    // ---- one fan-out job over every (column, family) pair ----
+    val ctxs: Map[String, FitContext] = columns.map { c =>
+      val sample = censorByCol.get(c).map(_._1).getOrElse(samples(c))
+      c -> FitContext(c, histByCol(c), sample, DataStats.of(sample),
+        censorByCol.get(c).map(_._2))
+    }.toMap
+    val methodByCol: Map[String, String] = columns.map { c =>
+      c -> (if (cfg.estimationMethod == "auto") {
+        if (Estimators.isHeavyTailed(ctxs(c).sample, ctxs(c).stats)) "mse" else "mle"
+      } else cfg.estimationMethod)
+    }.toMap
+    val pairs: Seq[(String, String)] = columns.flatMap { c =>
+      interleave(prefilter(capped, ctxs(c).stats, cfg.prefilter)).map(n => (c, n))
+    }
+    val nParts = cfg.numPartitions.getOrElse(
+      math.max(1, math.min(pairs.length, 2 * spark.sparkContext.defaultParallelism)))
+
+    val bc = spark.sparkContext.broadcast((ctxs, methodByCol))
+    val cfgBase = cfg
+    val results: Dataset[FitResult] = spark.createDataset(pairs)
+      .repartition(nParts)
+      .map { case (c, name) =>
+        val (ctxMap, methods) = bc.value
+        fitOne(name, ctxMap(c), cfgBase.copy(estimationMethod = methods(c)))
+      }
+
+    val combined = results.toDF().cache()
     combined.count() // materialize, as the reference does (continuous_fitter.py:409-414)
-    new FitResults(combined, perColumn.map(_._2).toMap, cfg)
+    new FitResults(combined, samples ++ censorByCol.map { case (c, v) => c -> v._1 }, cfg)
   }
 
   /** Discrete fit over the registry's discrete families

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+/** Scale-safe rank construction.
+  *
+  * SQL `rank()` (min-rank with ties) over a whole table normally forces a
+  * single-partition window — every row through one task. This operator
+  * computes the same ranks with no global window:
+  *
+  *   1. aggregate counts per distinct value (one hash shuffle),
+  *   2. range-partition + sort the distinct values (ascending partitions),
+  *   3. collect ONLY the per-partition count sums (≤ #partitions longs),
+  *   4. per-partition running prefix sums seeded by the broadcast offsets,
+  *   5. hash-join the (value → rank) table back to the rows.
+  *
+  * Every stage is distributed; driver traffic is O(#partitions).
+  * (Same construction Spark uses internally for zipWithIndex.)
+  */
+object Ranks {
+
+  /** (value, rank) table for a numeric column: rank = SQL min-rank, i.e.
+    * 1 + count of rows with a strictly smaller value. */
+  def minRanks(df: DataFrame, column: String, rankCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.select(F.col(column).cast("double").as("__v"))
+      .where(F.col("__v").isNotNull && !F.isnan(F.col("__v")))
+      .groupBy("__v").agg(F.count(F.lit(1)).as("__c"))
+    val sorted = counts
+      .repartitionByRange(F.col("__v"))
+      .sortWithinPartitions("__v")
+      .as[(Double, Long)]
+      .rdd
+    sorted.cache()
+    val partSums = sorted
+      .mapPartitionsWithIndex { case (i, it) =>
+        var s = 0L; it.foreach(s += _._2); Iterator((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val ranked = sorted.mapPartitionsWithIndex { case (i, it) =>
+      var running = bc.value(i)
+      it.map { case (v, c) => val r = running + 1; running += c; (v, r.toDouble) }
+    }.toDF(column, rankCol)
+    sorted.unpersist(blocking = false)
+    ranked
+  }
+
+  /** Spearman rank correlation of two columns with SQL rank() (min-rank)
+    * tie semantics — Pearson correlation over joined rank tables. */
+  def spearman(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val ra = minRanks(df, colA, "__ra")
+    val rb = minRanks(df, colB, "__rb")
+    df.select(F.col(colA).cast("double").as(colA), F.col(colB).cast("double").as(colB))
+      .join(ra, Seq(colA))
+      .join(rb, Seq(colB))
+      .agg(F.corr("__ra", "__rb").as("spearman"))
+  }
+}

@@ -97,19 +97,54 @@ object Similarity {
   }
 
   /** All near-duplicate embedding pairs with cosine ≥ threshold, via LSH
-    * bucketing + exact verification inside buckets (id_a < id_b). */
+    * bucketing + exact verification inside buckets (id_a < id_b).
+    *
+    * Scale-safety: vectors are L2-normalized ONCE before bucketing (so
+    * verification is a dot product, no per-pair norm recompute), and the
+    * `maxBucket` cap is enforced — buckets larger than the cap are
+    * dropped rather than joined quadratically (a degenerate LSH bucket is
+    * otherwise an unguarded O(n²) self-join). */
   def nearDupPairs(df: DataFrame, embCol: String, idCol: String,
                    threshold: Double = 0.95, nPlanes: Int = 12,
                    seed: Long = 42L, maxBucket: Int = 2000): DataFrame = {
     val dim = df.select(F.size(F.col(embCol))).head().getInt(0)
     val planes = hyperplanes(nPlanes, dim, seed)
-    val withSig = df.select(F.col(idCol).cast("long").as("id"),
-      F.col(embCol).as("emb"),
-      lshSignature(F.col(embCol), planes).as("bucket"))
-    val a = withSig.as("a"); val b = withSig.as("b")
-    a.join(b, F.col("a.bucket") === F.col("b.bucket") && F.col("a.id") < F.col("b.id"))
-      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
-        F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6).as("cosine"))
-      .where(F.col("cosine") >= threshold)
+    val normalized = df.select(F.col(idCol).cast("long").as("id"),
+        F.col(embCol).as("__e"),
+        norm(F.col(embCol)).as("__n"),
+        lshSignature(F.col(embCol), planes).as("bucket"))
+      .select(F.col("id"),
+        F.transform(F.col("__e"), x => x.cast("double") / F.col("__n")).as("emb"),
+        F.col("bucket"))
+
+    val buckets = normalized.groupBy("bucket")
+      .agg(F.collect_list(F.struct(F.col("id"), F.col("emb"))).as("members"))
+      .where(F.size(F.col("members")).between(2, maxBucket))
+
+    val pairUdf = F.udf((members: Seq[org.apache.spark.sql.Row]) => {
+      val sorted = members
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var i = 0
+      while (i < sorted.length) {
+        var j = i + 1
+        while (j < sorted.length) {
+          val a = sorted(i)._2; val b = sorted(j)._2
+          var s = 0.0
+          var d = 0
+          val n = math.min(a.length, b.length)
+          while (d < n) { s += a(d) * b(d); d += 1 }
+          val c = math.rint(s * 1e6) / 1e6
+          if (c >= threshold) out += ((sorted(i)._1, sorted(j)._1, c))
+          j += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    })
+    buckets
+      .select(F.explode(pairUdf(F.col("members"))).as("p"))
+      .select(F.col("p._1").as("id_a"), F.col("p._2").as("id_b"),
+        F.col("p._3").as("cosine"))
   }
 }
