@@ -30,5 +30,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // aggregations, cached fit tables, and broadcasts all share this heap.
   // 8g starved it into GC storms at sf0.1 (round-1 driver bench was 21×
   // the warm-run numbers); size to the machine instead.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // NOTE on this VM: guest RAM is lazily materialized on first touch at
+  // ~40 MB/s (snapshot-restored sandbox). Bench.warmUp touches memory
+  // up-front (untimed) instead of -Xms/-XX:+AlwaysPreTouch, which would
+  // serialize that cost into JVM startup.
+  // ~40 harness queries × whole-stage codegen generate hundreds of
+  // classes; the 240 MB default code cache fills mid-bench and HotSpot
+  // silently stops compiling — late queries then run the math kernels
+  // interpreted (observed 30-100× per-fit inflation). Size it out of the
+  // way and keep flushing enabled.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

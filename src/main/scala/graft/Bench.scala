@@ -18,18 +18,28 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // collect_list/percentile aggregations (LSH buckets, quantiles) use
+      // ObjectHashAggregate; the default 128-key fallback degrades them to
+      // sort-based aggregation almost immediately
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "16384")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
 
     warmUp(spark)
 
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // optional filter: runMain graft.Bench q_hist,q_stats (debug aid)
+    val only: Option[Set[String]] = args.headOption.map(_.split(",").toSet)
+    val selected = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"BENCH QUERY FAILED: $name -> $e"); false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"BENCH DONE $name%-28s $dt%8.2f s")
+      (name, dt, ok)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -43,9 +53,39 @@ object Bench {
     * every continuous family (Tier A AND Tier B), every discrete family,
     * the truncated and MSE estimation paths, minhash/simhash, cosine —
     * the hot executor-side code paths. */
+  /** Touch `gb` gigabytes of heap so the sandbox materializes the VM's
+    * RAM before anything is timed: this environment restores guest memory
+    * lazily at ~40 MB/s on FIRST touch (later touches run at GB/s), and
+    * an untouched heap otherwise turns every young-gen expansion
+    * mid-query into a multi-minute whole-process freeze. */
+  private def warmMemory(gb: Int): Unit = {
+    val chunkBytes = 128 * 1024 * 1024
+    val nChunks = (gb.toLong * 1024 * 1024 * 1024 / chunkBytes).toInt
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val keep = new java.util.concurrent.ConcurrentLinkedQueue[Array[Byte]]()
+    val futs = (0 until nChunks).map { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          val a = new Array[Byte](chunkBytes)
+          var i = 0
+          while (i < a.length) { a(i) = 1; i += 4096 }
+          // hold every chunk until the sweep completes — dropping early
+          // would let the allocator recycle the same regions instead of
+          // faulting fresh address space
+          keep.add(a)
+        }
+      })
+    }
+    futs.foreach(f => try f.get() catch { case _: Throwable => })
+    pool.shutdown()
+    keep.clear()
+    System.gc()
+  }
+
   private def warmUp(spark: SparkSession): Unit = {
     import spark.implicits._
     try {
+      warmMemory(sys.env.getOrElse("SPARK_GRAFT_WARM_GB", "16").toInt)
       val rng = new java.util.Random(1L)
       val xs = Array.fill(3000)(50.0 + 10.0 * rng.nextGaussian())
       val ks = Array.fill(3000)((rng.nextInt(30) + 1).toLong)
@@ -56,7 +96,8 @@ object Bench {
         tasks.add(pool.submit(new Runnable {
           def run(): Unit = try body catch { case _: Throwable => }
         }))
-      (graft.dists.ContinuousFamilies.all ++ graft.dists.ContinuousFamiliesB.all)
+      (graft.dists.ContinuousFamilies.all ++ graft.dists.ContinuousFamiliesB.all ++
+        graft.dists.ContinuousFamiliesC.all ++ graft.dists.ContinuousFamiliesD.all)
         .foreach { d => submit(d.fit(xs)) }
       graft.dists.DiscreteFamilies.all.foreach { d => submit(d.fit(ks)) }
       // truncated + MSE estimation paths (fit_bounded / fit_mse_heavy_tail)

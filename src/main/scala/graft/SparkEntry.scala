@@ -23,8 +23,13 @@ object SparkEntry {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
-  private def events(spark: SparkSession, dir: String): DataFrame =
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    // events.parquet carries an INT64 TIMESTAMP(NANOS) column that Spark
+    // rejects even when pruned away (PARQUET_TYPE_ILLEGAL); read nanos as
+    // plain longs — the fit only consumes `value`
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
+  }
 
   /** The driver's oracle comparator sorts result frames with pandas, which
     * cannot hash array cells — every harness output must be array-free.
@@ -301,6 +306,19 @@ object SparkEntry {
       val r = cachedFit(s, dir, Seq("l_extendedprice"), cfg = FitConfig(lazyMetrics = true))
       fitOut(r.bestLazy(s, 5, "ks_statistic"))
     }),
+    "q_dist_udf" -> ((s, dir) => {
+      // §2.9 SQL surface: scalar dist_* UDFs usable from plain SQL over the
+      // scipy-convention parameter arrays a fit emits
+      graft.functions.SqlUdfs.register(s)
+      li(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_orderkey, l_linenumber,
+          |  round(dist_cdf('expon', array(0.0D, 10000.0D), l_extendedprice), 6) AS expon_cdf,
+          |  round(dist_pdf('uniform', array(900.0D, 104100.0D), l_extendedprice), 9) AS unif_pdf,
+          |  round(dist_ppf('uniform', array(0.0D, 1.0D),
+          |        dist_cdf('uniform', array(900.0D, 104100.0D), l_extendedprice)), 6) AS unit_q
+          |FROM lineitem_v ORDER BY l_orderkey, l_linenumber LIMIT 50""".stripMargin)
+    }),
     "q_corr_spearman" -> ((s, dir) =>
       // A8 (reference default): Spearman with SQL rank() tie semantics,
       // computed scale-safe (Ranks: distinct-count shuffle + range-
@@ -400,6 +418,13 @@ object SparkEntry {
         |        FROM pairs GROUP BY vid)
         |SELECT vid AS vec_id, round(dp / (sqrt(na) * sqrt(nb)), 6) AS cosine
         |FROM agg ORDER BY cosine DESC, vec_id ASC LIMIT 20""".stripMargin,
+    "q_dist_udf" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(1.0 - exp(-(l_extendedprice - 0.0) / 10000.0), 6) AS expon_cdf,
+        |  round(CASE WHEN l_extendedprice >= 900.0 AND l_extendedprice <= 105000.0
+        |        THEN 1.0 / 104100.0 ELSE 0.0 END, 9) AS unif_pdf,
+        |  round((l_extendedprice - 900.0) / 104100.0, 6) AS unit_q
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 50""".stripMargin,
     "q_corr_spearman" ->
       """WITH r AS (SELECT
         |  CAST(rank() OVER (ORDER BY l_extendedprice) AS DOUBLE) AS ra,

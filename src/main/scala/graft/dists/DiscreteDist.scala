@@ -372,7 +372,161 @@ object DiscreteFamilies {
     }
   }
 
+  /** Shared continuous-relaxation fit for the all-integer-parameter
+    * families (hypergeom/nhypergeom): Nelder-Mead over real-valued
+    * parameters with the lgamma-smooth likelihood, then rounding + a
+    * constraint repair so the final integers still cover the sample
+    * (reference: distributions.py:446-467 fits the same three integers
+    * box-bounded). */
+  private def fitRelaxedInts(xs: Array[Long], w0: Array[Double],
+                             nll: Array[Double] => Double,
+                             repair: Array[Double] => Array[Double]): Array[Double] = {
+    val f0 = nll(w0)
+    if (f0 >= Optimize.Penalty) return repair(w0)
+    val (best, fb) = Optimize.nelderMead(nll, w0, maxIter = 300)
+    repair(if (fb < f0) best else w0)
+  }
+
+  /** Hypergeometric(M, n, N): draws without replacement — pmf(k) =
+    * C(n,k)·C(M−n,N−k)/C(M,N) (reference: distributions.py:446-475). */
+  object Hypergeom extends DiscreteDist {
+    val name = "hypergeom"; val paramNames = Seq("M", "n", "N")
+    override def integerParams = Set(0, 1, 2)
+    def valid(p: Array[Double]) = {
+      val m = math.round(p(0)); val n = math.round(p(1)); val nn = math.round(p(2))
+      m >= 1 && n >= 0 && nn >= 0 && n <= m && nn <= m
+    }
+    def logpmf(k: Long, p: Array[Double]) = {
+      val m = math.round(p(0)).toDouble
+      val n = math.round(p(1)).toDouble
+      val nn = math.round(p(2)).toDouble
+      if (k < math.max(0, nn - (m - n)) || k > math.min(n, nn)) Double.NegativeInfinity
+      else lchoose(n, k.toDouble) + lchoose(m - n, nn - k) - lchoose(m, nn)
+    }
+    def support(p: Array[Double]) = {
+      val m = math.round(p(0)); val n = math.round(p(1)); val nn = math.round(p(2))
+      (math.max(0L, nn - (m - n)), math.min(n, nn))
+    }
+    def initial(xs: Array[Long]) = {
+      val mx = maxOf(xs).toDouble; val m = mean(xs)
+      val draws = math.max(mx + 5, m * 2)
+      val succ = math.max(mx + 10, draws)
+      Array(math.max(succ + draws, succ * 2), succ, draws)
+    }
+    override def fit(xs: Array[Long]): Array[Double] = {
+      val (vals, cnts) = DiscreteDist.compress(xs)
+      val kMin = vals.head; val kMax = vals.last
+      // smooth likelihood: identical lgamma algebra with UNROUNDED params
+      def nll(p: Array[Double]): Double = {
+        val m = p(0); val n = p(1); val nn = p(2)
+        if (!(m >= kMax + 1 && n >= kMax && nn >= kMax && n <= m && nn <= m &&
+              m - n >= nn - kMin)) return Optimize.Penalty
+        var ll = 0.0
+        var i = 0
+        while (i < vals.length) {
+          val k = vals(i).toDouble
+          val lp = lchoose(n, k) + lchoose(m - n, nn - k) - lchoose(m, nn)
+          if (lp.isNaN || lp.isInfinite) return Optimize.Penalty
+          ll += cnts(i) * lp
+          i += 1
+        }
+        -ll
+      }
+      fitRelaxedInts(xs, initial(xs), nll, { p =>
+        val n = math.max(math.round(p(1)), kMax)
+        val nn = math.max(math.round(p(2)), kMax)
+        val m = math.max(math.round(p(0)), math.max(n, nn) + math.max(nn - kMin, 0L))
+        Array(m.toDouble, n.toDouble, nn.toDouble)
+      })
+    }
+  }
+
+  /** Negative hypergeometric(M, n, r): failures drawn before the r-th
+    * success — pmf(k) = C(k+r−1,k)·C(M−r−k,n−r)/C(M,n), k ∈ [0, M−n]
+    * (reference: distributions.py:538-548). */
+  object NHypergeom extends DiscreteDist {
+    val name = "nhypergeom"; val paramNames = Seq("M", "n", "r")
+    override def integerParams = Set(0, 1, 2)
+    def valid(p: Array[Double]) = {
+      val m = math.round(p(0)); val n = math.round(p(1)); val r = math.round(p(2))
+      m >= 1 && n >= 0 && n <= m && r >= 1 && r <= n
+    }
+    def logpmf(k: Long, p: Array[Double]) = {
+      val m = math.round(p(0)).toDouble
+      val n = math.round(p(1)).toDouble
+      val r = math.round(p(2)).toDouble
+      if (k < 0 || k > m - n) Double.NegativeInfinity
+      else lchoose(k + r - 1, k.toDouble) + lchoose(m - r - k, n - r) - lchoose(m, n)
+    }
+    def support(p: Array[Double]) = (0L, math.round(p(0)) - math.round(p(1)))
+    def initial(xs: Array[Long]) = {
+      val mx = maxOf(xs).toDouble
+      Array(mx * 2 + 20, mx + 10, mx + 5)
+    }
+    override def fit(xs: Array[Long]): Array[Double] = {
+      val (vals, cnts) = DiscreteDist.compress(xs)
+      val kMax = vals.last
+      def nll(p: Array[Double]): Double = {
+        val m = p(0); val n = p(1); val r = p(2)
+        if (!(r >= 1 && r <= n && n <= m && m - n >= kMax && m - r - kMax >= n - r))
+          return Optimize.Penalty
+        var ll = 0.0
+        var i = 0
+        while (i < vals.length) {
+          val k = vals(i).toDouble
+          val lp = lchoose(k + r - 1, k) + lchoose(m - r - k, n - r) - lchoose(m, n)
+          if (lp.isNaN || lp.isInfinite) return Optimize.Penalty
+          ll += cnts(i) * lp
+          i += 1
+        }
+        -ll
+      }
+      fitRelaxedInts(xs, initial(xs), nll, { p =>
+        val r = math.max(math.round(p(2)), 1L)
+        val n = math.max(math.round(p(1)), r)
+        val m = math.max(math.round(p(0)), n + kMax)
+        Array(m.toDouble, n.toDouble, r.toDouble)
+      })
+    }
+  }
+
+  /** Skellam(μ₁, μ₂): difference of two independent Poissons — support all
+    * of ℤ; pmf via the modified Bessel I (reference:
+    * distributions.py:516-531). */
+  object Skellam extends DiscreteDist {
+    val name = "skellam"; val paramNames = Seq("mu1", "mu2")
+    def valid(p: Array[Double]) = p(0) > 0 && p(1) > 0
+    def logpmf(k: Long, p: Array[Double]) = {
+      val mu1 = p(0); val mu2 = p(1)
+      -(mu1 + mu2) + (k / 2.0) * math.log(mu1 / mu2) +
+        SM.logBesselI(math.abs(k).toDouble, 2 * math.sqrt(mu1 * mu2))
+    }
+    def support(p: Array[Double]) = {
+      // practical support: mean ± 40σ keeps the summation-based cdf finite
+      val m = p(0) - p(1); val sd = math.sqrt(p(0) + p(1))
+      (math.floor(m - 40 * sd - 5).toLong, math.ceil(m + 40 * sd + 5).toLong)
+    }
+    def initial(xs: Array[Long]) = {
+      val m = mean(xs); val v = variance(xs)
+      Array(math.max((v + m) / 2, 0.1), math.max((v - m) / 2, 0.1))
+    }
+  }
+
+  /** Beta-negative-binomial(n, a, b): nbinom with Beta-mixed success
+    * probability (reference: distributions.py:483-489). */
+  object BetaNBinom extends DiscreteDist {
+    val name = "betanbinom"; val paramNames = Seq("n", "a", "b")
+    def valid(p: Array[Double]) = p(0) > 0 && p(1) > 0 && p(2) > 0
+    def logpmf(k: Long, p: Array[Double]) = {
+      val n = p(0); val a = p(1); val b = p(2)
+      if (k < 0) Double.NegativeInfinity
+      else lchoose(n + k - 1, k.toDouble) + SM.lbeta(a + n, b + k) - SM.lbeta(a, b)
+    }
+    def support(p: Array[Double]) = (0L, Long.MaxValue)
+    def initial(xs: Array[Long]) = Array(math.max(mean(xs), 1.0), 1.0, 1.0)
+  }
+
   val all: Seq[DiscreteDist] = Seq(
     Poisson, Geom, Binom, NBinom, Zipf, Zipfian, DLaplace, LogSer, Planck,
-    Boltzmann, YuleSimon, BetaBinom)
+    Boltzmann, YuleSimon, BetaBinom, Hypergeom, NHypergeom, Skellam, BetaNBinom)
 }

@@ -14,7 +14,9 @@ package graft.dists
 object DistRegistry extends Serializable {
 
   private val builtin: Map[String, ContinuousDist] =
-    (ContinuousFamilies.all ++ ContinuousFamiliesB.all).map(d => d.name -> d).toMap
+    (ContinuousFamilies.all ++ ContinuousFamiliesB.all ++
+      ContinuousFamiliesC.all ++ ContinuousFamiliesD.all)
+      .map(d => d.name -> d).toMap
 
   @volatile private var custom: Map[String, ContinuousDist] = Map.empty
 
@@ -42,7 +44,14 @@ object DistRegistry extends Serializable {
     "beta", "t", "genextreme", "genpareto", "invgauss", "nakagami",
     "betaprime", "triang", "fisk", "gompertz",
     "burr", "burr12", "johnsonsu", "johnsonsb", "exponweib", "exponnorm",
-    "foldnorm")
+    "foldnorm",
+    // Tier C/D: families whose cdf/pdf kernels are series- or
+    // quadrature-backed (reference: distributions.py:58-75 weights the
+    // same names)
+    "rice", "ncx2", "ncf", "norminvgauss", "vonmises", "vonmises_line",
+    "tukeylambda", "pearson3", "powerlognorm", "gengamma", "genexpon",
+    "jf_skew_t", "skewnorm", "kappa4", "truncweibull_min", "foldcauchy",
+    "argus", "crystalball")
 
   /** Names with standardized support lower bound >= 0. */
   def supportsAtZero(name: String): Boolean = get(name).exists(_.supportAtZero)

@@ -112,6 +112,91 @@ object SpecialMath extends Serializable {
     math.min(1.0, math.max(0.0, sum))
   }
 
+  /** log I_v(x): modified Bessel function of the first kind, v >= 0,
+    * x >= 0, in log space. Power series summed around its peak term with
+    * a running-max logsumexp — stable for large x where I_v overflows.
+    * Used by the Skellam pmf and the Rice density. */
+  def logBesselI(v: Double, x: Double): Double = {
+    if (x < 0 || v < 0) return Double.NaN
+    if (x == 0.0) return if (v == 0.0) 0.0 else Double.NegativeInfinity
+    val lxh = math.log(x / 2)
+    // term t_m = (2m+v)·ln(x/2) − lnΓ(m+1) − lnΓ(m+v+1); peak near
+    // m* = (sqrt(v² + x²) − v)/2
+    val mStar = math.max(0L, math.round((math.sqrt(v * v + x * x) - v) / 2))
+    if (mStar > 40) {
+      // Debye/Olver uniform asymptotic (A&S 9.7.7) with the u₁ correction:
+      // log I_v(x) ≈ r + v·ln(x/(v+r)) − ½ln(2πr) + ln(1 + (3r²−5v²)/(24r³)),
+      // r = sqrt(v²+x²); relative error O(r⁻²) in this regime
+      val r = math.sqrt(v * v + x * x)
+      val c1 = (3 * r * r - 5 * v * v) / (24 * r * r * r)
+      return r + v * math.log(x / (v + r)) - 0.5 * math.log(2 * math.Pi * r) + math.log1p(c1)
+    }
+    @inline def term(m: Long): Double =
+      (2 * m + v) * lxh - lgamma(m + 1.0) - lgamma(m + v + 1.0)
+    val tMax = term(mStar)
+    var sum = 1.0 // the peak term itself, scaled to exp(0)
+    var m = mStar + 1
+    var t = term(m)
+    while (t - tMax > -37 && m < mStar + 100000) { sum += math.exp(t - tMax); m += 1; t = term(m) }
+    m = mStar - 1
+    while (m >= 0) {
+      val tm = term(m)
+      if (tm - tMax <= -37) m = -1
+      else { sum += math.exp(tm - tMax); m -= 1 }
+    }
+    tMax + math.log(sum)
+  }
+
+  /** Marcum Q₁(a, b) complement: P(R <= b) for a Rician amplitude with
+    * noncentrality a — 1 − Q₁(a, b) = Σ_m Poisson(m; a²/2)·P(m+1, b²/2). */
+  def riceCdf(a: Double, b: Double): Double = {
+    if (b <= 0) return 0.0
+    val la = a * a / 2
+    val lb = b * b / 2
+    // Poisson-weighted incomplete-gamma mixture, summed around the
+    // Poisson mode with early exit on negligible tails
+    val mode = math.max(0L, math.floor(la).toLong)
+    var total = 0.0
+    @inline def w(m: Long): Double = math.exp(-la + m * math.log(la) - lgamma(m + 1.0))
+    var m = mode
+    while (m >= 0) {
+      val wm = w(m)
+      if (wm < 1e-18 && m < mode) m = -1
+      else { total += wm * gammaInc(m + 1.0, lb); m -= 1 }
+    }
+    m = mode + 1
+    var wm = w(m)
+    while (wm > 1e-18 && m < mode + 100000) {
+      total += wm * gammaInc(m + 1.0, lb)
+      m += 1
+      wm = w(m)
+    }
+    math.min(1.0, math.max(0.0, total))
+  }
+
+  /** log K₁(x): modified Bessel function of the second kind, order 1.
+    * Abramowitz & Stegun 9.8.3/9.8.7 polynomial fits for x ≤ 2, the
+    * 9.8.8 asymptotic rational for x > 2 — the standard public
+    * approximations (|ε| < 1e-7 relative). */
+  def logBesselK1(x: Double): Double = {
+    if (x <= 0) return Double.NaN
+    if (x <= 2.0) {
+      val t = x / 3.75
+      val t2 = t * t
+      val i1 = x * (0.5 + t2 * (0.87890594 + t2 * (0.51498869 + t2 * (0.15084934 +
+        t2 * (0.02658733 + t2 * (0.00301532 + t2 * 0.00032411))))))
+      val u = x * x / 4.0
+      val xk1 = x * math.log(x / 2) * i1 + 1.0 + u * (0.15443144 + u * (-0.67278579 +
+        u * (-0.18156897 + u * (-0.01919402 + u * (-0.00110404 + u * -0.00004686)))))
+      math.log(xk1 / x)
+    } else {
+      val u = 2.0 / x
+      val p = 1.25331414 + u * (0.23498619 + u * (-0.03655620 + u * (0.01504268 +
+        u * (-0.00780353 + u * (0.00325614 + u * -0.00068245)))))
+      -x - 0.5 * math.log(x) + math.log(p)
+    }
+  }
+
   /** Sample moments matching numpy: population (ddof=0) variance,
     * Fisher skewness g1, excess kurtosis g2. Returns
     * (n, mean, std, skew, exkurtosis, min, max). */

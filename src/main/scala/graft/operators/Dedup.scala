@@ -150,11 +150,12 @@ object Dedup {
       .select(F.col("id_a"), F.col("id_b"),
         F.round(estUdf(F.col("sig_a"), F.col("sig_b")), 6).as("est_jaccard"))
       .where(F.col("est_jaccard") >= threshold)
-    // materialize the (small) pairs table, then release the signature
-    // cache — signatures are ~1 KB/doc and must not outlive the call at
-    // corpus scale
-    val pinned = pairs.persist()
-    pinned.count()
+    // materialize the (small) pairs table lineage-free, then release the
+    // signature cache — signatures are ~1 KB/doc and must not outlive the
+    // call at corpus scale. localCheckpoint (vs persist) means the pairs
+    // blocks are freed by the ContextCleaner once the caller drops the
+    // DataFrame, instead of leaking one pinned relation per call.
+    val pinned = pairs.localCheckpoint(true)
     sigs.unpersist(blocking = false)
     pinned
   }

@@ -90,6 +90,15 @@ object Fitter {
   /** The per-distribution fit kernel (reference: estimation.py:583-736).
     * Runs inside the executor-side map; must never throw. */
   def fitOne(distName: String, ctx: FitContext, cfg: FitConfig): FitResult = {
+    val t0 = System.nanoTime()
+    val r = fitOneImpl(distName, ctx, cfg)
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (dt > 2.0)
+      System.err.println(f"SLOW FIT: $distName%-18s ${ctx.columnName}%-18s $dt%7.2f s")
+    r
+  }
+
+  private def fitOneImpl(distName: String, ctx: FitContext, cfg: FitConfig): FitResult = {
     val st = ctx.stats
     try {
       val dist = DistRegistry.get(distName).getOrElse(
@@ -281,15 +290,28 @@ object Fitter {
         c -> ((statRow.getDouble(3 * i), statRow.getDouble(3 * i + 1), statRow.getLong(3 * i + 2)))
     }.toMap
 
-    // one sample scan shared by every column; per-column null filter +
-    // exact-size downsample happen on the collected rows
+    // ---- adaptive pre-fit sampling (A7/P3/P1, reference:
+    // base_fitter.py:243-477): inputs above the row threshold are reduced
+    // ONCE here — pilot skew decides uniform vs stratified — and both the
+    // histogram and the sample scan below run over the reduced frame. At
+    // 100 TB this bounds every downstream scan instead of rescanning the
+    // corpus per fit.
     val nMax = colStats.values.map(_._3).max
+    val (scanDf, samplePlan) = AdaptiveSampling.prepare(cleaned, columns, nMax, cfg)
+
+    // one sample scan shared by every column; per-column null filter +
+    // exact-size downsample happen on the collected rows. The fraction is
+    // derived from the MINIMUM per-column count so sparse (nully) columns
+    // still reach the fitting sample size; the row cap bounds the collect.
+    val reduceFactor = samplePlan.map(_.fraction).getOrElse(1.0)
+    val nMin = math.max(1L, (colStats.values.map(_._3).min * reduceFactor).toLong)
+    val nMaxEff = math.max(1L, (nMax * reduceFactor).toLong)
     val sampleRows: Array[org.apache.spark.sql.Row] =
-      if (nMax <= cfg.fittingSampleSize) cleaned.collect()
-      else cleaned
+      if (nMaxEff <= cfg.fittingSampleSize) scanDf.collect()
+      else scanDf
         .sample(withReplacement = false,
-          math.min(1.0, cfg.fittingSampleSize * 1.2 / nMax), cfg.sampleSeed)
-        .limit(cfg.fittingSampleSize * 2).collect()
+          math.min(1.0, cfg.fittingSampleSize * 1.2 / nMin), cfg.sampleSeed)
+        .limit(cfg.fittingSampleSize * 4).collect()
     val samples: Map[String, Array[Double]] = columns.zipWithIndex.map { case (c, i) =>
       val arr = sampleRows.iterator.filterNot(_.isNullAt(i)).map(_.getDouble(i)).toArray
       val sized =
@@ -325,7 +347,7 @@ object Fitter {
             F.when(F.col(sp.c).isNotNull,
               F.struct(F.lit(i).as("ci"), bin.as("bin"))).otherwise(F.lit(null))
           }: _*)
-          cleaned.select(F.explode(entries).as("e"))
+          scanDf.select(F.explode(entries).as("e"))
             .where(F.col("e").isNotNull)
             .groupBy(F.col("e.ci").as("ci"), F.col("e.bin").as("bin"))
             .agg(F.count(F.lit(1)).as("cnt"))
@@ -343,8 +365,11 @@ object Fitter {
           val sp = specs(i)
           val counts = countsByCol.getOrElse(i, Map.empty)
           val edges = Array.tabulate(sp.nBins + 1)(j => sp.mn + j * (sp.hi - sp.mn) / sp.nBins)
+          // normalize by the rows the histogram scan actually saw (the
+          // adaptive sampler may have reduced it below the full count)
+          val nScan = math.max(counts.values.sum, 1L)
           val density = Array.tabulate(sp.nBins)(b =>
-            counts.getOrElse(b, 0L).toDouble / (cnt * sp.width))
+            counts.getOrElse(b, 0L).toDouble / (nScan * sp.width))
           c -> Hist(density, edges)
         }
       }.toMap

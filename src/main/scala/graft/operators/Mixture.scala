@@ -35,8 +35,12 @@ object Mixture {
     val assembler = new VectorAssembler()
       .setInputCols(columns.toArray).setOutputCol("__features")
       .setHandleInvalid("skip")
+    // lineage-free materialization (vs cache()): the blocks are released
+    // by the ContextCleaner when the frame is dropped, so repeated fits
+    // don't accumulate pinned relations
     val vecDf = assembler.transform(
-      df.select(columns.map(c => F.col(c).cast("double").as(c)): _*)).cache()
+      df.select(columns.map(c => F.col(c).cast("double").as(c)): _*))
+      .localCheckpoint(true)
     val n = vecDf.count()
     val gmm = new GaussianMixture()
       .setK(k).setSeed(seed).setMaxIter(maxIter).setTol(tol)

@@ -44,18 +44,29 @@ object Ranks {
       var running = bc.value(i)
       it.map { case (v, c) => val r = running + 1; running += c; (v, r.toDouble) }
     }.toDF(column, rankCol)
+    // lineage-free copy so the rank table survives the unpersist of
+    // `sorted` without recomputing the shuffle; storage is released by the
+    // ContextCleaner when the caller drops the DataFrame
+    val pinned = ranked.localCheckpoint(true)
     sorted.unpersist(blocking = false)
-    ranked
+    pinned
   }
 
   /** Spearman rank correlation of two columns with SQL rank() (min-rank)
-    * tie semantics — Pearson correlation over joined rank tables. */
+    * tie semantics — Pearson correlation over joined rank tables. The
+    * result is computed eagerly so the rank tables' cache lifecycle ends
+    * inside this call. */
   def spearman(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val ra = minRanks(df, colA, "__ra")
     val rb = minRanks(df, colB, "__rb")
-    df.select(F.col(colA).cast("double").as(colA), F.col(colB).cast("double").as(colB))
+    val rho = df
+      .select(F.col(colA).cast("double").as(colA), F.col(colB).cast("double").as(colB))
       .join(ra, Seq(colA))
       .join(rb, Seq(colB))
       .agg(F.corr("__ra", "__rb").as("spearman"))
+      .head().getDouble(0)
+    Seq(rho).toDF("spearman")
   }
 }

@@ -36,7 +36,14 @@ object Sampling {
     private val uMin = 1e-7
     private val uMax = 1 - 1e-7
     private val us = Array.tabulate(gridSize + 1)(i => uMin + (uMax - uMin) * i / gridSize)
-    private val xs = us.map(exact)
+    // series-backed quantiles (ncx2, rice, …) cost ~ms per exact call;
+    // build the grid on all driver cores instead of one
+    private val xs = {
+      val a = new Array[Double](gridSize + 1)
+      java.util.stream.IntStream.rangeClosed(0, gridSize).parallel()
+        .forEach(i => a(i) = exact(us(i)))
+      a
+    }
     def apply(u: Double): Double = {
       if (u <= uMin || u >= uMax) return exact(u)
       val t = (u - uMin) / (uMax - uMin) * gridSize

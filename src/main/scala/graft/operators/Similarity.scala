@@ -73,13 +73,23 @@ object Similarity {
     udf(emb)
   }
 
+  /** Planes sized to the corpus: 2^p buckets targeting ~64 vectors per
+    * bucket, clamped to [8, 24] — 8 planes on 2K vectors, ~24 on 10⁹;
+    * selectivity then tracks corpus growth instead of degenerating. */
+  def autoPlanes(n: Long, targetBucket: Int = 64): Int = {
+    val p = math.ceil(math.log(math.max(n, 1L).toDouble / targetBucket) / math.log(2.0)).toInt
+    math.min(24, math.max(8, p))
+  }
+
   /** Bucketed approximate top-k: vectors sharing the query's LSH bucket
-    * (or differing in ≤ 1 signature bit via probing) are ranked exactly. */
+    * (or differing in ≤ 1 signature bit via probing) are ranked exactly.
+    * nPlanes ≤ 0 sizes the signature from the corpus row count. */
   def lshTopK(df: DataFrame, embCol: String, idCol: String,
               query: Array[Float], k: Int,
-              nPlanes: Int = 16, seed: Long = 42L): DataFrame = {
+              nPlanes: Int = 0, seed: Long = 42L): DataFrame = {
     val dim = query.length
-    val planes = hyperplanes(nPlanes, dim, seed)
+    val np = if (nPlanes > 0) nPlanes else autoPlanes(df.count())
+    val planes = hyperplanes(np, dim, seed)
     // query signature computed driver-side with the same arithmetic
     val qSig = planes.zipWithIndex.map { case (h, i) =>
       var s = 0.0
@@ -88,7 +98,7 @@ object Similarity {
       if (s > 0) 1L << i else 0L
     }.sum
     // multiprobe: exact bucket + all 1-bit-flipped buckets
-    val probes = qSig +: Array.tabulate(nPlanes)(b => qSig ^ (1L << b))
+    val probes = qSig +: Array.tabulate(np)(b => qSig ^ (1L << b))
     val withSig = df.withColumn("lsh_bucket", lshSignature(F.col(embCol), planes))
     withSig.where(F.col("lsh_bucket").isin(probes.map(Long.box): _*))
       .select(F.col(idCol), F.round(cosine(F.col(embCol), F.lit(query)), 6).as("cosine"))
@@ -108,7 +118,8 @@ object Similarity {
                    threshold: Double = 0.95, nPlanes: Int = 12,
                    seed: Long = 42L, maxBucket: Int = 2000): DataFrame = {
     val dim = df.select(F.size(F.col(embCol))).head().getInt(0)
-    val planes = hyperplanes(nPlanes, dim, seed)
+    val np = if (nPlanes > 0) nPlanes else autoPlanes(df.count())
+    val planes = hyperplanes(np, dim, seed)
     val normalized = df.select(F.col(idCol).cast("long").as("id"),
         F.col(embCol).as("__e"),
         norm(F.col(embCol)).as("__n"),

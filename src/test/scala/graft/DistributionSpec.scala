@@ -64,8 +64,32 @@ class DistributionSpec extends AnyFunSuite {
       "hypsecant" -> Array(0.0, 1.0), "semicircular" -> Array(0.0, 1.0),
       "anglit" -> Array(0.0, 1.0), "moyal" -> Array(0.0, 1.0),
       "levy" -> Array(0.0, 1.0), "levy_l" -> Array(0.0, 1.0),
-      "exponweib" -> Array(1.5, 1.8, 0.0, 1.0), "gilbrat" -> Array(0.0, 1.0))
-    for (d <- ContinuousFamilies.all ++ ContinuousFamiliesB.all) {
+      "exponweib" -> Array(1.5, 1.8, 0.0, 1.0), "gilbrat" -> Array(0.0, 1.0),
+      // Tier C
+      "alpha" -> Array(2.0, 0.0, 1.0), "fatiguelife" -> Array(0.8, 0.0, 1.0),
+      "foldcauchy" -> Array(1.5, 0.0, 1.0), "f" -> Array(5.0, 12.0, 0.0, 1.0),
+      "gennorm" -> Array(1.5, 0.0, 1.0), "halfgennorm" -> Array(1.5, 0.0, 1.0),
+      "invgamma" -> Array(3.0, 0.0, 1.0), "loggamma" -> Array(2.0, 0.0, 1.0),
+      "loguniform" -> Array(0.5, 4.0, 0.0, 1.0), "skewnorm" -> Array(3.0, 0.0, 1.0),
+      "skewcauchy" -> Array(0.4, 0.0, 1.0), "trapezoid" -> Array(0.3, 0.7, 0.0, 1.0),
+      "truncnorm" -> Array(-1.0, 2.0, 0.0, 1.0), "truncpareto" -> Array(1.8, 5.0, 0.0, 1.0),
+      "truncweibull_min" -> Array(1.5, 0.2, 2.5, 0.0, 1.0),
+      "powernorm" -> Array(2.2, 0.0, 1.0), "powerlognorm" -> Array(2.0, 0.5, 0.0, 1.0),
+      "pearson3" -> Array(0.8, 0.0, 1.0), "rice" -> Array(1.5, 0.0, 1.0),
+      "gengamma" -> Array(2.0, 1.5, 0.0, 1.0),
+      // Tier D
+      "genexpon" -> Array(1.0, 1.0, 2.0, 0.0, 1.0),
+      "genhalflogistic" -> Array(0.5, 0.0, 1.0), "kappa3" -> Array(1.5, 0.0, 1.0),
+      "kappa4" -> Array(0.3, 0.2, 0.0, 1.0), "rdist" -> Array(3.0, 0.0, 1.0),
+      "argus" -> Array(1.5, 0.0, 1.0), "crystalball" -> Array(1.2, 3.0, 0.0, 1.0),
+      "laplace_asymmetric" -> Array(1.5, 0.0, 1.0),
+      "jf_skew_t" -> Array(3.0, 2.0, 0.0, 1.0), "wrapcauchy" -> Array(0.5, 0.0, 1.0),
+      "tukeylambda" -> Array(0.2, 0.0, 1.0), "recipinvgauss" -> Array(0.7, 0.0, 1.0),
+      "vonmises_line" -> Array(2.0, 0.0, 1.0), "vonmises" -> Array(2.0, 0.0, 1.0),
+      "ncx2" -> Array(4.0, 2.0, 0.0, 1.0), "ncf" -> Array(5.0, 12.0, 2.0, 0.0, 1.0),
+      "norminvgauss" -> Array(1.5, 0.5, 0.0, 1.0))
+    for (d <- ContinuousFamilies.all ++ ContinuousFamiliesB.all ++
+              ContinuousFamiliesC.all ++ ContinuousFamiliesD.all) {
       val p = shapeExamples(d.name)
       for (q <- Seq(0.01, 0.1, 0.3, 0.5, 0.7, 0.9, 0.99)) {
         val x = d.ppf(q, p)
@@ -232,6 +256,67 @@ class DistributionSpec extends AnyFunSuite {
     val pBin = DiscreteFamilies.Binom.fit(xsB)
     val (aicBin, _) = Metrics.informationCriteriaDiscrete(DiscreteFamilies.Binom, pBin, xsB)
     assert(aicBB < aicBin, s"betabinom AIC $aicBB should beat binom $aicBin on overdispersed data")
+  }
+
+  test("Tier-C/D fit recovery: skewnorm, invgamma, rice, truncnorm") {
+    val xsS = sample(ContinuousFamiliesC.SkewNorm, Array(4.0, 10.0, 2.0), 8000)
+    val pS = ContinuousFamiliesC.SkewNorm.fit(xsS)
+    val llTrue = -ContinuousFamiliesC.SkewNorm.negLogLik(Array(4.0, 10.0, 2.0), xsS)
+    val llFit = -ContinuousFamiliesC.SkewNorm.negLogLik(pS, xsS)
+    assert(llFit >= llTrue - 10.0, s"skewnorm LL fit=$llFit true=$llTrue")
+
+    val xsI = sample(ContinuousFamiliesC.InvGamma, Array(3.0, 0.0, 2.0), 8000)
+    val pI = ContinuousFamiliesC.InvGamma.fit(xsI)
+    assert(math.abs(pI(0) - 3.0) < 1.2, s"invgamma a=${pI(0)}")
+
+    val xsR = sample(ContinuousFamiliesC.Rice, Array(2.0, 0.0, 1.5), 6000)
+    val pR = ContinuousFamiliesC.Rice.fit(xsR)
+    val llTrueR = -ContinuousFamiliesC.Rice.negLogLik(Array(2.0, 0.0, 1.5), xsR)
+    val llFitR = -ContinuousFamiliesC.Rice.negLogLik(pR, xsR)
+    assert(llFitR >= llTrueR - 10.0, s"rice LL fit=$llFitR true=$llTrueR")
+
+    val xsT = sample(ContinuousFamiliesC.TruncNorm, Array(-1.0, 1.5, 5.0, 2.0), 8000)
+    val pT = ContinuousFamiliesC.TruncNorm.fit(xsT)
+    val llTrueT = -ContinuousFamiliesC.TruncNorm.negLogLik(Array(-1.0, 1.5, 5.0, 2.0), xsT)
+    val llFitT = -ContinuousFamiliesC.TruncNorm.negLogLik(pT, xsT)
+    assert(llFitT >= llTrueT - 10.0, s"truncnorm LL fit=$llFitT true=$llTrueT")
+  }
+
+  test("new discrete families: skellam, hypergeom, betanbinom, nhypergeom") {
+    // skellam recovery
+    val xsSk = sampleD(DiscreteFamilies.Skellam, Array(6.0, 2.0), 4000)
+    val pSk = DiscreteFamilies.Skellam.fit(xsSk)
+    assert(math.abs(pSk(0) - 6.0) < 1.5 && math.abs(pSk(1) - 2.0) < 1.0,
+      s"skellam fit ${pSk.toSeq}")
+    // hypergeom: pmf sums to 1 over support, fit produces consistent ints
+    val pH = Array(50.0, 20.0, 10.0)
+    val sumH = (0L to 10L).map(DiscreteFamilies.Hypergeom.pmf(_, pH)).sum
+    assert(math.abs(sumH - 1.0) < 1e-9, s"hypergeom pmf sum=$sumH")
+    val xsH = sampleD(DiscreteFamilies.Hypergeom, pH, 3000)
+    val fH = DiscreteFamilies.Hypergeom.fit(xsH)
+    assert(fH.forall(v => v == math.round(v).toDouble), s"hypergeom ints ${fH.toSeq}")
+    assert(DiscreteFamilies.Hypergeom.valid(fH) &&
+      xsH.max <= math.min(math.round(fH(1)), math.round(fH(2))), s"hypergeom covers sample")
+    // betanbinom: overdispersed vs nbinom
+    val xsB = sampleD(DiscreteFamilies.BetaNBinom, Array(8.0, 3.0, 4.0), 3000)
+    val pB = DiscreteFamilies.BetaNBinom.fit(xsB)
+    val (aicB, _) = Metrics.informationCriteriaDiscrete(DiscreteFamilies.BetaNBinom, pB, xsB)
+    assert(java.lang.Double.isFinite(aicB), s"betanbinom aic=$aicB")
+    // nhypergeom: pmf sums to 1 over its finite support
+    val pN = Array(50.0, 40.0, 5.0)
+    val sumN = (0L to 10L).map(DiscreteFamilies.NHypergeom.pmf(_, pN)).sum
+    assert(math.abs(sumN - 1.0) < 1e-9, s"nhypergeom pmf sum=$sumN")
+  }
+
+  test("logBesselI and logBesselK1 against reference values") {
+    // I_0(1) = 1.2660658777520084, I_1(2) = 1.5906368546373291
+    assert(math.abs(math.exp(SM.logBesselI(0.0, 1.0)) - 1.2660658777520084) < 1e-10)
+    assert(math.abs(math.exp(SM.logBesselI(1.0, 2.0)) - 1.5906368546373291) < 1e-10)
+    // large-argument asymptotic branch: I_0(100) = 1.0737517071310738e42
+    assert(math.abs(SM.logBesselI(0.0, 100.0) - math.log(1.0737517071310738e42)) < 1e-4)
+    // K_1(1) = 0.6019072301972346, K_1(5) = 0.004044613445452164
+    assert(math.abs(math.exp(SM.logBesselK1(1.0)) - 0.6019072301972346) < 1e-6)
+    assert(math.abs(math.exp(SM.logBesselK1(5.0)) - 0.004044613445452164) < 1e-7)
   }
 
   test("special functions: normal ppf, kolmogorov, zeta") {

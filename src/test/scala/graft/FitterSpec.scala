@@ -162,6 +162,32 @@ class FitterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q.getAs[String]("best_distribution") == "norm")
   }
 
+  test("adaptive sampling: policy selects none/uniform/stratified; fit uses the reduced frame") {
+    val cfg = FitConfig(sampleThresholdRows = 5000L, sampleCapRows = 2000L,
+      sampleFraction = 0.35, pilotRows = 2000L)
+    // below threshold → no plan
+    assert(AdaptiveSampling.plan(4000L, 0.0, cfg).isEmpty)
+    // above threshold, mild skew → uniform, fraction capped by sampleCapRows
+    val p1 = AdaptiveSampling.plan(100000L, 0.5, cfg).get
+    assert(p1.strategy == "uniform" && math.abs(p1.fraction - 0.02) < 1e-9, s"$p1")
+    // heavy skew → stratified
+    val p2 = AdaptiveSampling.plan(100000L, 5.0, cfg).get
+    assert(p2.strategy == "stratified", s"$p2")
+    // forced strategy overrides the skew decision
+    val p3 = AdaptiveSampling.plan(100000L, 5.0, cfg.copy(samplingStrategy = "uniform")).get
+    assert(p3.strategy == "uniform")
+
+    // end-to-end: a 20K-row fit with a 5K threshold still recovers ~norm
+    // and the histogram over the reduced scan stays normalized
+    val df = toDf(sample(ContinuousFamilies.Norm, Array(50.0, 10.0), 20000))
+    val r = Fitter.fit(spark, df, Seq("value"), Some(Seq("norm", "expon")), cfg)
+    val best = r.best(1, "aic").head()
+    assert(best.getAs[String]("distribution") == "norm")
+    val params = best.getSeq[Double](best.fieldIndex("parameters"))
+    assert(math.abs(params(0) - 50.0) < 1.0 && math.abs(params(1) - 10.0) < 1.0,
+      s"params=$params")
+  }
+
   test("interleave spreads slow distributions; partitionCount honors caps") {
     val names = Seq("beta", "t", "norm", "expon", "uniform", "gamma", "invgauss", "laplace")
     val inter = Fitter.interleave(names)
