@@ -23,23 +23,29 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-javaOptions ++= jdk17AddOpens ++ Seq(
+val baseJvmOpts = jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] runs 32 concurrent tasks in ONE JVM: sorts, collect_list
-  // aggregations, cached fit tables, and broadcasts all share this heap.
-  // 8g starved it into GC storms at sf0.1 (round-1 driver bench was 21×
-  // the warm-run numbers); size to the machine instead.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  // NOTE on this VM: guest RAM is lazily materialized on first touch at
-  // ~40 MB/s (snapshot-restored sandbox). Bench.warmUp touches memory
-  // up-front (untimed) instead of -Xms/-XX:+AlwaysPreTouch, which would
-  // serialize that cost into JVM startup.
   // ~40 harness queries × whole-stage codegen generate hundreds of
-  // classes; the 240 MB default code cache fills mid-bench and HotSpot
-  // silently stops compiling — late queries then run the math kernels
-  // interpreted (observed 30-100× per-fit inflation). Size it out of the
-  // way and keep flushing enabled.
+  // classes; keep the code cache out of the way.
   "-XX:ReservedCodeCacheSize=1g",
   "-XX:+UseCodeCacheFlushing",
 )
+// NOTE on this VM: guest RAM faults in at ~40 MB/s on first touch AND
+// freed memory is continuously reclaimed by the sandbox (balloon /
+// free-page reporting), so warmth decays within minutes. For the TIMED
+// mains (Bench/Verify via `run`) the only stable configuration is a
+// fixed, fully-pretouched heap the JVM never shrinks: Xms = Xmx +
+// AlwaysPreTouch + ParallelGC (G1 uncommits idle regions, handing them
+// straight back to the reclaimer). The pretouch costs ~5 min of startup
+// — untimed, and worth it: without it, mid-query young-gen growth froze
+// the whole process for minutes (r1/r2 driver benches were 14× slower).
+run / javaOptions := baseJvmOpts ++ Seq(
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  "-XX:+AlwaysPreTouch",
+  "-XX:+UseParallelGC",
+)
+// Tests don't need stall-free timing — plain lazy heap keeps their
+// startup fast.
+Test / javaOptions := baseJvmOpts ++ Seq("-Xmx8g")

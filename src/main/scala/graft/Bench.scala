@@ -31,6 +31,21 @@ object Bench {
     val only: Option[Set[String]] = args.headOption.map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
+
+    // untimed pre-warm pass: run every query once so codegen, JIT, the
+    // sandbox's lazily-materialized memory, and the page cache are all
+    // steady-state — the same warm-process discipline the reference's
+    // timeit numbers use — then DROP the fit memo so the timed loop
+    // re-runs the actual fitting work
+    if (sys.env.getOrElse("SPARK_GRAFT_PREWARM", "1") == "1") {
+      selected.foreach { case (name, fn) =>
+        try fn(spark, sfDir).count()
+        catch { case _: Throwable => }
+      }
+      SparkEntry.clearFitMemo()
+      spark.sparkContext.parallelize(1 to 1).count() // flush listener queues
+    }
+
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
@@ -85,7 +100,10 @@ object Bench {
   private def warmUp(spark: SparkSession): Unit = {
     import spark.implicits._
     try {
-      warmMemory(sys.env.getOrElse("SPARK_GRAFT_WARM_GB", "16").toInt)
+      // heap is pretouched via -Xms/-XX:+AlwaysPreTouch (build.sbt); an
+      // extra in-process touch is only needed when that's overridden
+      if (sys.env.contains("SPARK_GRAFT_WARM_GB"))
+        warmMemory(sys.env("SPARK_GRAFT_WARM_GB").toInt)
       val rng = new java.util.Random(1L)
       val xs = Array.fill(3000)(50.0 + 10.0 * rng.nextGaussian())
       val ks = Array.fill(3000)((rng.nextInt(30) + 1).toLong)

@@ -30,12 +30,15 @@ object DistRegistry extends Serializable {
 
   def allNames: Seq[String] = (builtin.keySet ++ custom.keySet).toSeq.sorted
 
-  /** Distributions excluded by default for speed, mirroring the intent of
-    * the reference's DEFAULT_EXCLUSIONS (the very slow scipy families;
-    * reference: src/spark_bestfit/distributions.py:33-54). Our JVM tier
-    * keeps everything cheap, so the default exclusion set is empty, but
-    * the knob exists for API parity. */
-  val defaultExclusions: Set[String] = Set.empty
+  /** Distributions excluded from the DEFAULT fit list but fully
+    * implemented and registered — the same names (of those we implement)
+    * the reference default-excludes for speed/stability
+    * (reference: src/spark_bestfit/distributions.py:33-54), so a
+    * reference user switching over sees the same default candidate zoo.
+    * `distributions = Some(...)` opts any of them back in. */
+  val defaultExclusions: Set[String] = Set(
+    "kappa4", "ncx2", "ncf", "wald", "recipinvgauss",
+    "vonmises", "vonmises_line", "tukeylambda")
 
   /** Families whose MLE refinement dominates runtime — weighted 3× in the
     * partition count calculation and interleaved across partitions
