@@ -296,7 +296,7 @@ object SparkEntry {
       // per-row breeze density evaluation (non-codegen) stays bounded as
       // SF grows
       val capped = li(s, dir).select("l_extendedprice")
-        .limit(100000).repartition(32)
+        .limit(50000).repartition(32)
       val (r, _) = Mixture.fit(capped, Seq("l_extendedprice"), k = 3, seed = 42L,
         maxIter = 30, tol = 1e-3)
       Mixture.report(s, r)

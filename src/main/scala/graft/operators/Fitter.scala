@@ -389,8 +389,11 @@ object Fitter {
     val pairs: Seq[(String, String)] = columns.flatMap { c =>
       interleave(prefilter(capped, ctxs(c).stats, cfg.prefilter)).map(n => (c, n))
     }
+    // fine-grained tasks (≤2 fits each) keep one slow family from
+    // queueing behind another on the same core — the wall clock floor is
+    // then the single slowest fit, not a partition's sum
     val nParts = cfg.numPartitions.getOrElse(
-      math.max(1, math.min(pairs.length, 2 * spark.sparkContext.defaultParallelism)))
+      math.max(1, math.min(pairs.length, 4 * spark.sparkContext.defaultParallelism)))
 
     val bc = spark.sparkContext.broadcast((ctxs, methodByCol))
     val cfgBase = cfg
