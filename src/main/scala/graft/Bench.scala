@@ -58,9 +58,12 @@ object Bench {
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errors = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val errors = results.filterNot(_._3).map(_._1)
+    if (errors.nonEmpty)
+      System.err.println(s"BENCH ERRORS: ${errors.mkString(",")}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    // exact round-1 schema — the driver's parser accepted this shape
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -116,8 +116,28 @@ object SpecialMath extends Serializable {
     * x >= 0, in log space. Power series summed around its peak term with
     * a running-max logsumexp — stable for large x where I_v overflows.
     * Used by the Skellam pmf and the Rice density. */
+  /** log I₀(x) via the A&S 9.8.1/9.8.2 polynomial fits (|ε| < 2e-7
+    * relative) — ~20 flops instead of the O(√x) series; the Rice and
+    * von Mises density loops call this per sample point. */
+  def logBesselI0(x0: Double): Double = {
+    val x = math.abs(x0)
+    if (x <= 3.75) {
+      val t = x / 3.75
+      val t2 = t * t
+      math.log(1.0 + t2 * (3.5156229 + t2 * (3.0899424 + t2 * (1.2067492 +
+        t2 * (0.2659732 + t2 * (0.0360768 + t2 * 0.0045813))))))
+    } else {
+      val u = 3.75 / x
+      val p = 0.39894228 + u * (0.01328592 + u * (0.00225319 + u * (-0.00157565 +
+        u * (0.00916281 + u * (-0.02057706 + u * (0.02635537 + u * (-0.01647633 +
+        u * 0.00392377)))))))
+      x - 0.5 * math.log(x) + math.log(p)
+    }
+  }
+
   def logBesselI(v: Double, x: Double): Double = {
     if (x < 0 || v < 0) return Double.NaN
+    if (v == 0.0) return logBesselI0(x)
     if (x == 0.0) return if (v == 0.0) 0.0 else Double.NegativeInfinity
     val lxh = math.log(x / 2)
     // term t_m = (2m+v)·ln(x/2) − lnΓ(m+1) − lnΓ(m+v+1); peak near
