@@ -68,22 +68,15 @@ object Multimodal {
 
   /** Decode a binary column into metadata + features, executor-local.
     * Output: all input columns except the binary payload, plus the
-    * feature struct fields. Partitioning is preserved — no shuffle. */
+    * feature struct fields. The decoder runs as a struct-returning scalar
+    * UDF, so the plan stays inside whole-stage codegen (no RDD
+    * round-trip) and partitioning is preserved — no shuffle. */
   def extractFeatures(df: DataFrame, binCol: String,
                       decoder: MediaDecoder = StubDecoder): DataFrame = {
-    val spark = df.sparkSession
-    val inSchema = df.schema
-    val binIdx = inSchema.fieldIndex(binCol)
-    val outSchema = StructType(
-      inSchema.fields.zipWithIndex.filter(_._2 != binIdx).map(_._1) ++ featureSchema.fields)
-    val outRows = df.rdd.mapPartitions { it =>
-      it.map { row =>
-        val bytes = if (row.isNullAt(binIdx)) null else row.getAs[Array[Byte]](binIdx)
-        val m = decoder.decode(bytes)
-        val kept = (0 until row.length).filter(_ != binIdx).map(row.get)
-        Row.fromSeq(kept ++ Seq(m.n_bytes, m.format, m.width, m.height, m.features.toSeq))
-      }
-    }
-    spark.createDataFrame(outRows, outSchema)
+    val dec = decoder
+    val decodeUdf = F.udf((bytes: Array[Byte]) => dec.decode(bytes))
+    val kept = df.columns.filterNot(_ == binCol).map(F.col)
+    df.withColumn("__media", decodeUdf(F.col(binCol)))
+      .select(kept :+ F.col("__media.*"): _*)
   }
 }
