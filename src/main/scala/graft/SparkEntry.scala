@@ -37,9 +37,12 @@ object SparkEntry {
   private def arrStr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     F.concat_ws(",", F.transform(c, x => F.format_string("%.6f", x.cast("double"))))
 
-  /** FitResult frames carry `parameters: array<double>` — stringify it. */
+  /** FitResult frames carry `parameters: array<double>` — stringify it;
+    * `fit_seconds` is wall-clock (nondeterministic) so it is dropped from
+    * harness output to keep the dump stable across runs. */
   private def fitOut(df: DataFrame): DataFrame =
     df.withColumn("parameters", arrStr(F.col("parameters")))
+      .drop("fit_seconds")
 
   /** The reference fits once and serves best/filter/summary off the cached
     * combined DataFrame (continuous_fitter.py:409-414, collection.py). Our
@@ -239,12 +242,35 @@ object SparkEntry {
     "q_embedding_near_dup" -> ((s, dir) =>
       Similarity.nearDupPairs(emb(s, dir), "embedding", "vec_id",
         threshold = 0.3, nPlanes = 8).orderBy("id_a", "id_b")),
+    "q_ann_ivf" -> ((s, dir) => {
+      // IVF coarse-quantizer ANN: build index, probe 8 cells, exact rank
+      val q = emb(s, dir).where(F.col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val idx = Similarity.ivfBuild(emb(s, dir), "embedding", "vec_id")
+      Similarity.ivfTopK(idx, q, 10, nProbe = 8)
+    }),
     "q_multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
         docs(s, dir).select(F.col("doc_id"), F.col("text").cast("binary").as("payload")),
         "payload")
         .withColumn("features", arrStr(F.col("features")))
         .orderBy("doc_id")),
+    "q_media_meta" -> ((s, dir) =>
+      // SQL-expressible slice of the multimodal surface (n_bytes + format
+      // sniff) so the binary-column plumbing gets an exact oracle row
+      Multimodal.extractFeatures(
+        docs(s, dir).select(F.col("doc_id"), F.col("text").cast("binary").as("payload")),
+        "payload")
+        .select("doc_id", "n_bytes", "format")
+        .orderBy("doc_id")),
+    "q_qq_plot" -> ((s, dir) =>
+      // distributed Q-Q data against a FIXED expon(0, 1000) model — exact
+      // order statistics via the scale-safe rank-select path
+      PlotData.qqDist(li(s, dir), "l_extendedprice", "expon",
+        Array(0.0, 1000.0), points = 100).orderBy("rank")),
+    "q_pp_plot" -> ((s, dir) =>
+      PlotData.ppDist(li(s, dir), "l_extendedprice", "expon",
+        Array(0.0, 1000.0), points = 100).orderBy("rank")),
 
     // ---- generation / multivariate (G1-G7, M13, M14, P2, A8) ----
     "q_generate_samples" -> ((s, dir) => {
@@ -342,6 +368,38 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_media_meta" ->
+      """SELECT doc_id,
+        |  CAST(coalesce(octet_length(encode(text)), 0) AS BIGINT) AS n_bytes,
+        |  CASE WHEN text IS NULL OR octet_length(encode(text)) = 0
+        |       THEN 'empty' ELSE 'raw' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_qq_plot" ->
+      """WITH c AS (SELECT count(l_extendedprice) AS n FROM lineitem
+        |           WHERE l_extendedprice IS NOT NULL),
+        |t AS (SELECT DISTINCT greatest(1, (j * n) // 100) AS r, n
+        |      FROM generate_series(1, 100) g(j), c),
+        |o AS (SELECT l_extendedprice AS v,
+        |        row_number() OVER (ORDER BY l_extendedprice) AS rn
+        |      FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        |SELECT CAST(t.r AS BIGINT) AS rank,
+        |  round(0.0 + 1000.0 * (-ln(1.0 - ((t.r - 0.375) / (t.n + 0.25)))), 6)
+        |    AS theoretical_quantile,
+        |  o.v AS sample_quantile
+        |FROM t JOIN o ON o.rn = t.r ORDER BY rank""".stripMargin,
+    "q_pp_plot" ->
+      """WITH c AS (SELECT count(l_extendedprice) AS n FROM lineitem
+        |           WHERE l_extendedprice IS NOT NULL),
+        |t AS (SELECT DISTINCT greatest(1, (j * n) // 100) AS r, n
+        |      FROM generate_series(1, 100) g(j), c),
+        |o AS (SELECT l_extendedprice AS v,
+        |        row_number() OVER (ORDER BY l_extendedprice) AS rn
+        |      FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        |SELECT CAST(t.r AS BIGINT) AS rank,
+        |  (t.r - 0.5) / t.n AS empirical_cdf,
+        |  round(CASE WHEN ((o.v - 0.0) / 1000.0) <= 0 THEN 0.0
+        |        ELSE 1.0 - exp(-((o.v - 0.0) / 1000.0)) END, 6) AS model_cdf
+        |FROM t JOIN o ON o.rn = t.r ORDER BY rank""".stripMargin,
     "q_stats" ->
       """WITH mu AS (SELECT avg(l_extendedprice) AS m, min(l_extendedprice) AS mn,
         |  max(l_extendedprice) AS mx, count(l_extendedprice) AS cnt FROM lineitem),

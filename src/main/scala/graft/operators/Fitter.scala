@@ -27,7 +27,8 @@ final case class FitResult(
     data_kurtosis: Double,
     data_skewness: Double,
     lower_bound: Option[Double],
-    upper_bound: Option[Double])
+    upper_bound: Option[Double],
+    fit_seconds: Double = 0.0)
 
 /** Fit configuration (reference: src/spark_bestfit/config.py:35-427). */
 final case class FitConfig(
@@ -95,7 +96,10 @@ object Fitter {
     val dt = (System.nanoTime() - t0) / 1e9
     if (dt > 2.0)
       System.err.println(f"SLOW FIT: $distName%-18s ${ctx.columnName}%-18s $dt%7.2f s")
-    r
+    // per-family wall time rides on the row so stragglers are diagnosable
+    // from the results table alone (no log scraping) — at 1000 executors
+    // this is the only practical way to see which family ate the stage
+    r.copy(fit_seconds = dt)
   }
 
   private def fitOneImpl(distName: String, ctx: FitContext, cfg: FitConfig): FitResult = {
@@ -451,7 +455,8 @@ object Fitter {
       .repartition(math.max(1, math.min(names.length, 2 * spark.sparkContext.defaultParallelism)))
       .map { name =>
         val (sample, pm, st, colName) = bc.value
-        try {
+        val t0 = System.nanoTime()
+        val res = try {
           val dist = DiscreteRegistry.get(name).get
           val params = dist.fit(sample)
           if (params.exists(p => !java.lang.Double.isFinite(p)))
@@ -466,8 +471,9 @@ object Fitter {
               None, None)
           }
         } catch {
-          case _: Throwable => failed(name, column, stats, None, None)
+          case _: Throwable => failed(name, colName, st, None, None)
         }
+        res.copy(fit_seconds = (System.nanoTime() - t0) / 1e9)
       }
     val combined = results.toDF().cache()
     combined.count()

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 import graft.dists.{DistRegistry, FrozenModel}
 
 /** Plot-DATA operators (reference: src/spark_bestfit/plotting.py renders
@@ -82,6 +82,84 @@ object PlotData {
       ((i - 0.5) / n, m.cdf(sorted(i - 1)))
     }
     rows.toDF("empirical_cdf", "model_cdf")
+  }
+
+  /** Exact order statistics of `column` at `points` evenly-spaced ranks
+    * r_j = max(1, j·n div points), computed scale-safely: one value
+    * groupBy shuffle, range partitioning, per-partition cumulative
+    * offsets broadcast back (the Ranks pattern) — NO single-partition
+    * window, so this holds at 100 TB where a global row_number() dies.
+    * Returns (n, DataFrame(rank: long, sample_quantile: double)). */
+  private def rankSelect(df: DataFrame, column: String,
+                         points: Int): (Long, DataFrame) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .select(F.col(column).cast("double").as("__v"))
+      .where(F.col("__v").isNotNull && !F.isnan(F.col("__v")))
+      .groupBy("__v").agg(F.count(F.lit(1)).as("__c"))
+    val sorted = counts
+      .repartitionByRange(F.col("__v"))
+      .sortWithinPartitions("__v")
+      .as[(Double, Long)]
+      .rdd
+    sorted.cache()
+    val partSums = sorted
+      .mapPartitionsWithIndex { case (i, it) =>
+        var s = 0L; it.foreach(s += _._2); Iterator((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val n = partSums.sum
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val targets = (1 to points).map(j => math.max(1L, j.toLong * n / points))
+      .distinct.sorted.toArray
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val bcT = spark.sparkContext.broadcast(targets)
+    val rows = sorted.mapPartitionsWithIndex { case (i, it) =>
+      var cum = bcOff.value(i)
+      val ts = bcT.value
+      it.flatMap { case (v, c) =>
+        val lo = cum + 1; val hi = cum + c; cum += c
+        var idx = java.util.Arrays.binarySearch(ts, lo)
+        if (idx < 0) idx = -idx - 1
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        while (idx < ts.length && ts(idx) <= hi) { out += ((ts(idx), v)); idx += 1 }
+        out
+      }
+    }.toDF("rank", "sample_quantile")
+    // lineage-free copy so the result survives the unpersist (Ranks pattern)
+    val pinned = rows.localCheckpoint(true)
+    sorted.unpersist(blocking = false)
+    (n, pinned)
+  }
+
+  /** Distributed Q-Q data: exact order statistics at `points` ranks vs
+    * theoretical quantiles at Blom positions (r − 0.375)/(n + 0.25) —
+    * the scale path for qqData's driver-side sample variant. Theoretical
+    * quantiles are rounded to 6 decimals so the output is stable across
+    * libm implementations. */
+  def qqDist(df: DataFrame, column: String, distName: String,
+             params: Array[Double], points: Int = 100,
+             lb: Option[Double] = None, ub: Option[Double] = None): DataFrame = {
+    val m = frozen(distName, params, lb, ub)
+    val (n, os) = rankSelect(df, column, points)
+    val ppfUdf = F.udf((r: Long) => m.ppf((r - 0.375) / (n + 0.25)))
+    os.select(F.col("rank"),
+      F.round(ppfUdf(F.col("rank")), 6).as("theoretical_quantile"),
+      F.col("sample_quantile"))
+  }
+
+  /** Distributed P-P data: empirical CDF (r − 0.5)/n vs model CDF at the
+    * same exact order statistics. */
+  def ppDist(df: DataFrame, column: String, distName: String,
+             params: Array[Double], points: Int = 100,
+             lb: Option[Double] = None, ub: Option[Double] = None): DataFrame = {
+    val m = frozen(distName, params, lb, ub)
+    val (n, os) = rankSelect(df, column, points)
+    val cdfUdf = F.udf((x: Double) => m.cdf(x))
+    os.select(F.col("rank"),
+      ((F.col("rank") - F.lit(0.5)) / F.lit(n.toDouble)).as("empirical_cdf"),
+      F.round(cdfUdf(F.col("sample_quantile")), 6).as("model_cdf"))
   }
 
   /** ECDF vs fitted CDF over the sample range — plot_cdf_comparison. */

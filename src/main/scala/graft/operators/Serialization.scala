@@ -74,6 +74,7 @@ object Serialization {
     node.put("data_kurtosis", r.data_kurtosis); node.put("data_skewness", r.data_skewness)
     r.lower_bound.foreach(node.put("lower_bound", _))
     r.upper_bound.foreach(node.put("upper_bound", _))
+    node.put("fit_seconds", r.fit_seconds)
     save(path, node)
   }
 
@@ -90,7 +91,8 @@ object Serialization {
       n.get("data_mean").asDouble(), n.get("data_stddev").asDouble(),
       n.get("data_count").asDouble(),
       n.get("data_kurtosis").asDouble(), n.get("data_skewness").asDouble(),
-      opt("lower_bound"), opt("upper_bound"))
+      opt("lower_bound"), opt("upper_bound"),
+      opt("fit_seconds").getOrElse(0.0))
   }
 
   // ---- copula (S5) ----

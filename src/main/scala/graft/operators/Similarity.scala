@@ -106,6 +106,77 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) index: a k-means coarse quantizer splits the
+    * corpus into `nCells` cells; a query probes only its `nProbe` nearest
+    * cells and ranks exactly inside them. This is the billion-scale ANN
+    * path (FAISS IVF-Flat structure re-expressed on Spark): the quantizer
+    * trains on a bounded sample, assignment is one distributed
+    * `model.transform` pass, and the assigned table — repartitioned by
+    * cell — serves every query with a cell-pruned scan instead of a full
+    * one. Vectors are L2-normalized up front so in-cell ranking is a
+    * plain dot product (= cosine). */
+  final case class IvfIndex(centroids: Array[Array[Double]], assigned: DataFrame)
+
+  /** ~√n cells (clamped [16, 65536]) keeps cells ~√n large — the standard
+    * IVF balance between probe fan-out and in-cell scan cost. */
+  def autoCells(n: Long): Int =
+    math.min(65536, math.max(16, math.round(math.sqrt(math.max(n, 1L).toDouble)).toInt))
+
+  def ivfBuild(df: DataFrame, embCol: String, idCol: String,
+               nCells: Int = 0, seed: Long = 42L,
+               trainCap: Int = 100000): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val n = df.count()
+    val cells = if (nCells > 0) nCells else autoCells(n)
+    val normalized = df
+      .select(F.col(idCol).cast("long").as("id"), F.col(embCol).as("__e"),
+        norm(F.col(embCol)).as("__n"))
+      .select(F.col("id"),
+        F.transform(F.col("__e"), x => x.cast("double") / F.col("__n")).as("emb"))
+    val vecs = normalized.withColumn("__vec", array_to_vector(F.col("emb")))
+    // quantizer trains on ≤ trainCap rows regardless of corpus size — at
+    // 100 TB the k-means never sees more than a bounded sample
+    val trainFrac = math.min(1.0, trainCap.toDouble * 1.2 / math.max(n, 1L))
+    val train = vecs.select("__vec")
+      .sample(withReplacement = false, trainFrac, seed)
+      .limit(trainCap)
+    val model = new KMeans()
+      .setK(math.max(2, math.min(cells.toLong, math.min(n, trainCap.toLong)).toInt))
+      .setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("__vec").setPredictionCol("cell")
+      .fit(train)
+    val assigned = model.transform(vecs)
+      .select(F.col("id"), F.col("emb"), F.col("cell"))
+      .repartition(F.col("cell"))
+    IvfIndex(model.clusterCenters.map(_.toArray), assigned)
+  }
+
+  /** Approximate top-k against a prebuilt IVF index: rank exactly inside
+    * the `nProbe` cells whose centroids are Euclidean-nearest the
+    * normalized query (the same metric the quantizer assigned with). */
+  def ivfTopK(index: IvfIndex, query: Array[Float], k: Int,
+              nProbe: Int = 8): DataFrame = {
+    val qn = {
+      var s = 0.0; query.foreach(v => s += v.toDouble * v.toDouble)
+      val nrm = math.sqrt(s)
+      query.map(v => if (nrm == 0) 0.0 else v.toDouble / nrm)
+    }
+    val probes = index.centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      val m = math.min(c.length, qn.length)
+      var j = 0
+      while (j < m) { val t = c(j) - qn(j); d += t * t; j += 1 }
+      (i, d)
+    }.sortBy(_._2).take(math.max(1, nProbe)).map(_._1)
+    index.assigned
+      .where(F.col("cell").isin(probes.map(Int.box).toSeq: _*))
+      .select(F.col("id"),
+        F.round(dot(F.col("emb"), F.lit(qn)), 6).as("cosine"))
+      .orderBy(F.col("cosine").desc, F.col("id").asc)
+      .limit(k)
+  }
+
   /** All near-duplicate embedding pairs with cosine ≥ threshold, via LSH
     * bucketing + exact verification inside buckets (id_a < id_b).
     *

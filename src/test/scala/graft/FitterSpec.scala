@@ -69,6 +69,18 @@ class FitterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(normRow.getAs[Double]("data_count") == 10000.0)
   }
 
+  test("fit_seconds records per-family wall time on every result row") {
+    val df = toDf(sample(ContinuousFamilies.Norm, Array(10.0, 2.0), 2000))
+    val rows = Fitter.fit(spark, df, Seq("value"),
+      distributions = Some(Seq("norm", "expon"))).df
+      .select("distribution", "fit_seconds").collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val t = r.getDouble(1)
+      assert(t >= 0.0 && t < 60.0, s"${r.getString(0)} fit_seconds=$t")
+    }
+  }
+
   test("failed fits produce sentinel rows, filtered by successful") {
     val df = toDf(sample(ContinuousFamilies.Norm, Array(0.0, 1.0), 2000))
     val results = Fitter.fit(spark, df, Seq("value"),

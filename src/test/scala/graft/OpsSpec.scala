@@ -150,6 +150,53 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nd.count() > 0)
   }
 
+  test("IVF top-k matches brute force on clustered data; probes prune cells") {
+    import spark.implicits._
+    val rng = new java.util.Random(11L)
+    val dim = 16
+    val rows = (0 until 300).map { i =>
+      val center = i % 3 // three clusters along e1, e2, e3
+      val v = Array.tabulate(dim)(d =>
+        (if (d == center) 1.0f else 0.0f) + 0.05f * rng.nextFloat())
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val query = Array.tabulate(dim)(d => if (d == 0) 1.0f else 0.0f)
+    val idx = Similarity.ivfBuild(df, "embedding", "vec_id", nCells = 12)
+    assert(idx.centroids.length > 1)
+    val ivf = Similarity.ivfTopK(idx, query, 10, nProbe = 4)
+      .collect().map(_.getLong(0)).toSet
+    val bf = Similarity.bruteForceTopK(df, "embedding", "vec_id", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf.intersect(bf).size >= 8, s"IVF recall too low: ${ivf.intersect(bf).size}/10")
+    // probing every cell reproduces brute force exactly
+    val all = Similarity.ivfTopK(idx, query, 10, nProbe = idx.centroids.length)
+      .collect().map(_.getLong(0)).toSet
+    assert(all == bf)
+  }
+
+  test("distributed QQ/PP data: exact order statistics, Blom positions") {
+    import spark.implicits._
+    val df = new scala.util.Random(3L).shuffle((1 to 1000).toList)
+      .map(_.toDouble).toDF("v") // 1..1000 shuffled
+    val qq = PlotData.qqDist(df, "v", "uniform", Array(0.0, 1.0), points = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(qq.map(_._1).toSeq == (1 to 10).map(_ * 100L))
+    qq.foreach { case (r, theo, samp) =>
+      assert(samp == r.toDouble, s"order statistic at rank $r was $samp")
+      val p = (r - 0.375) / (1000 + 0.25)
+      assert(math.abs(theo - p) < 1e-6, s"Blom position at rank $r: $theo vs $p")
+    }
+    val pp = PlotData.ppDist(df, "v", "uniform", Array(0.0, 1000.0), points = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    pp.foreach { case (r, ecdf, mcdf) =>
+      assert(math.abs(ecdf - (r - 0.5) / 1000.0) < 1e-12)
+      assert(math.abs(mcdf - r / 1000.0) < 1e-6, s"uniform cdf at rank $r: $mcdf")
+    }
+  }
+
   test("multimodal: stub decoder plumbing preserves rows and derives features") {
     import spark.implicits._
     val df = Seq((1L, "some text payload"), (2L, ""), (3L, "other bytes here"))
@@ -174,7 +221,8 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (name <- Seq("q_doc_tokens", "q_doc_quality", "q_dedup_exact",
         "q_dedup_minhash", "q_dedup_minhash_survivors", "q_dedup_simhash",
         "q_lang_id", "q_fingerprint", "q_ann_bruteforce", "q_ann_lsh",
-        "q_embedding_near_dup", "q_multimodal_features")) {
+        "q_ann_ivf", "q_embedding_near_dup", "q_multimodal_features",
+        "q_media_meta", "q_qq_plot", "q_pp_plot")) {
       val n = SparkEntry.queries(name)(spark, dir).count()
       assert(n > 0, s"$name returned 0 rows")
     }
