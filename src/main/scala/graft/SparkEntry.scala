@@ -345,6 +345,23 @@ object SparkEntry {
       val r = cachedFit(s, dir, Seq("l_extendedprice"), cfg = FitConfig(lazyMetrics = true))
       fitOut(r.bestLazy(s, 5, "ks_statistic"))
     }),
+    "q_hist_agg" -> ((s, dir) => {
+      // §2.9's custom Catalyst aggregate: hist_counts computes the same
+      // 40-bin histogram as q_hist in ONE partial-aggregate pass (the
+      // exchange carries one array per partition, not grouped rows)
+      graft.functions.SqlUdfs.register(s)
+      val st = li(s, dir)
+        .agg(F.min("l_extendedprice"), F.max("l_extendedprice")).head()
+      val mn = st.getDouble(0)
+      val hi = st.getDouble(1) + (st.getDouble(1) - mn) * 1e-10
+      li(s, dir).where(F.col("l_extendedprice").isNotNull)
+        .agg(F.call_udf("hist_counts", F.col("l_extendedprice"),
+          F.lit(mn), F.lit(hi), F.lit(40)).as("h"))
+        .select(F.posexplode(F.col("h")).as(Seq("pos", "cnt")))
+        .where(F.col("cnt") > 0)
+        .select(F.col("pos").cast("long").as("bin"), F.col("cnt"))
+        .orderBy("bin")
+    }),
     "q_dist_udf" -> ((s, dir) => {
       // §2.9 SQL surface: scalar dist_* UDFs usable from plain SQL over the
       // scipy-convention parameter arrays a fit emits
@@ -412,6 +429,12 @@ object SparkEntry {
         |  round(mom.m4 / power(mom.m2, 2) - 3, 6) AS kurt
         |FROM mu, mom""".stripMargin,
     "q_hist" ->
+      """WITH b AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem),
+        |w AS (SELECT mn, ((mx + (mx - mn) * 1e-10) - mn) / 40 AS width FROM b)
+        |SELECT least(greatest(CAST(floor((l_extendedprice - w.mn) / w.width) AS BIGINT), 0), 39) AS bin,
+        |count(*) AS cnt
+        |FROM lineitem, w GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q_hist_agg" ->
       """WITH b AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem),
         |w AS (SELECT mn, ((mx + (mx - mn) * 1e-10) - mn) / 40 AS width FROM b)
         |SELECT least(greatest(CAST(floor((l_extendedprice - w.mn) / w.width) AS BIGINT), 0), 39) AS bin,

@@ -37,6 +37,9 @@ object SqlUdfs {
       (name: String, params: Seq[Double], k: Long) =>
         DiscreteRegistry.get(name)
           .map(d => finiteOrNull(d.pmf(k, params.toArray))).orNull)
-    Seq("dist_pdf", "dist_logpdf", "dist_cdf", "dist_ppf", "dist_pmf")
+    spark.udf.register("hist_counts",
+      org.apache.spark.sql.functions.udaf(HistAggregator))
+    Seq("dist_pdf", "dist_logpdf", "dist_cdf", "dist_ppf", "dist_pmf",
+      "hist_counts")
   }
 }

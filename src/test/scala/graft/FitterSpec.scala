@@ -69,6 +69,31 @@ class FitterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(normRow.getAs[Double]("data_count") == 10000.0)
   }
 
+  test("hist_counts SQL aggregate matches Histogram.continuous and composes with GROUP BY") {
+    graft.functions.SqlUdfs.register(spark)
+    val xs = sample(ContinuousFamilies.Norm, Array(0.0, 1.0), 5000)
+    val df = toDf(xs)
+    val h = Histogram.continuous(df, "value", bins = 20)
+    val lo = h.edges.head; val hi = h.edges.last
+    val counts = df
+      .agg(F.call_udf("hist_counts", F.col("value"),
+        F.lit(lo), F.lit(hi), F.lit(20)).as("h"))
+      .head().getSeq[Long](0)
+    val width = (hi - lo) / 20
+    val expected = h.density.map(d => math.round(d * xs.length * width))
+    assert(counts.toArray.sameElements(expected), s"$counts vs ${expected.toSeq}")
+    assert(counts.sum == xs.length)
+    // per-group histograms with a single shuffle — the groupBy/floor plan
+    // can't express this without a second grouping key
+    val grouped = df.withColumn("grp", (F.col("value") > 0).cast("int"))
+      .groupBy("grp")
+      .agg(F.call_udf("hist_counts", F.col("value"),
+        F.lit(lo), F.lit(hi), F.lit(20)).as("h"))
+      .collect()
+    assert(grouped.length == 2)
+    assert(grouped.map(_.getSeq[Long](1).sum).sum == xs.length)
+  }
+
   test("fit_seconds records per-family wall time on every result row") {
     val df = toDf(sample(ContinuousFamilies.Norm, Array(10.0, 2.0), 2000))
     val rows = Fitter.fit(spark, df, Seq("value"),
