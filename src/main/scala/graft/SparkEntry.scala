@@ -321,8 +321,10 @@ object SparkEntry {
       // input deterministically (LocalLimit, no count() pre-scan) so
       // per-row breeze density evaluation (non-codegen) stays bounded as
       // SF grows
+      // 8 partitions, not 32: EM here is scheduling-bound (30 iterations
+      // of sub-ms tasks), so fewer/larger partitions cut wall time
       val capped = li(s, dir).select("l_extendedprice")
-        .limit(50000).repartition(32)
+        .limit(50000).repartition(8)
       val (r, _) = Mixture.fit(capped, Seq("l_extendedprice"), k = 3, seed = 42L,
         maxIter = 30, tol = 1e-3)
       Mixture.report(s, r)

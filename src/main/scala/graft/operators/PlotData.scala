@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
-import graft.dists.{DistRegistry, FrozenModel}
+import graft.dists.{DiscreteRegistry, DistRegistry, FrozenModel}
 
 /** Plot-DATA operators (reference: src/spark_bestfit/plotting.py renders
   * eight matplotlib figures; the data each one plots is engine work —
@@ -84,6 +84,20 @@ object PlotData {
     rows.toDF("empirical_cdf", "model_cdf")
   }
 
+  /** Empirical PMF vs fitted PMF at the observed support — the data
+    * behind plot_discrete_distribution (reference: plotting.py:735). */
+  def pmfComparison(spark: SparkSession, pmf: Pmf,
+                    distName: String, params: Array[Double]): DataFrame = {
+    import spark.implicits._
+    val d = DiscreteRegistry.get(distName).getOrElse(
+      throw new IllegalArgumentException(s"unknown discrete distribution '$distName'"))
+    val rows = pmf.xs.zip(pmf.p).map { case (k, pe) =>
+      val pm = d.pmf(k, params)
+      (k, pe, if (pm.isNaN || pm.isInfinite) 0.0 else pm)
+    }
+    rows.toSeq.toDF("k", "empirical_pmf", "model_pmf")
+  }
+
   /** Exact order statistics of `column` at `points` evenly-spaced ranks
     * r_j = max(1, j·n div points), computed scale-safely: one value
     * groupBy shuffle, range partitioning, per-partition cumulative
@@ -94,37 +108,40 @@ object PlotData {
                          points: Int): (Long, DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._
-    val counts = df
+    // ONE range shuffle of the raw values (no pre-aggregation: the
+    // second shuffle a distinct-value pass costs outweighs the dedup for
+    // typical near-unique numeric columns), then per-partition sizes →
+    // global offsets → targeted emit
+    val sorted = df
       .select(F.col(column).cast("double").as("__v"))
       .where(F.col("__v").isNotNull && !F.isnan(F.col("__v")))
-      .groupBy("__v").agg(F.count(F.lit(1)).as("__c"))
-    val sorted = counts
       .repartitionByRange(F.col("__v"))
       .sortWithinPartitions("__v")
-      .as[(Double, Long)]
+      .as[Double]
       .rdd
     sorted.cache()
-    val partSums = sorted
+    val partSizes = sorted
       .mapPartitionsWithIndex { case (i, it) =>
-        var s = 0L; it.foreach(s += _._2); Iterator((i, s))
+        var s = 0L; while (it.hasNext) { it.next(); s += 1 }; Iterator((i, s))
       }
       .collect().sortBy(_._1).map(_._2)
-    val n = partSums.sum
-    val offsets = partSums.scanLeft(0L)(_ + _)
+    val n = partSizes.sum
+    val offsets = partSizes.scanLeft(0L)(_ + _)
     val targets = (1 to points).map(j => math.max(1L, j.toLong * n / points))
       .distinct.sorted.toArray
     val bcOff = spark.sparkContext.broadcast(offsets)
     val bcT = spark.sparkContext.broadcast(targets)
     val rows = sorted.mapPartitionsWithIndex { case (i, it) =>
-      var cum = bcOff.value(i)
+      var r = bcOff.value(i)
       val ts = bcT.value
-      it.flatMap { case (v, c) =>
-        val lo = cum + 1; val hi = cum + c; cum += c
-        var idx = java.util.Arrays.binarySearch(ts, lo)
-        if (idx < 0) idx = -idx - 1
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
-        while (idx < ts.length && ts(idx) <= hi) { out += ((ts(idx), v)); idx += 1 }
-        out
+      var idx = java.util.Arrays.binarySearch(ts, r + 1)
+      if (idx < 0) idx = -idx - 1
+      it.flatMap { v =>
+        r += 1
+        if (idx < ts.length && ts(idx) == r) {
+          idx += 1
+          Iterator((r, v))
+        } else Iterator.empty
       }
     }.toDF("rank", "sample_quantile")
     // lineage-free copy so the result survives the unpersist (Ranks pattern)

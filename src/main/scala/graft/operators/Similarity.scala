@@ -141,9 +141,12 @@ object Similarity {
     val train = vecs.select("__vec")
       .sample(withReplacement = false, trainFrac, seed)
       .limit(trainCap)
+    // random init + few iterations: the quantizer only has to be good
+    // enough to bucket — queries re-rank exactly inside probed cells, so
+    // kmeans||'s extra init rounds buy recall nothing here
     val model = new KMeans()
       .setK(math.max(2, math.min(cells.toLong, math.min(n, trainCap.toLong)).toInt))
-      .setSeed(seed).setMaxIter(20)
+      .setSeed(seed).setMaxIter(10).setInitMode("random")
       .setFeaturesCol("__vec").setPredictionCol("cell")
       .fit(train)
     val assigned = model.transform(vecs)

@@ -69,6 +69,15 @@ class FitterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(normRow.getAs[Double]("data_count") == 10000.0)
   }
 
+  test("pmfComparison pairs empirical and model pmf over the observed support") {
+    val pmf = Pmf(Array(0L, 1L, 2L, 3L), Array(0.4, 0.3, 0.2, 0.1), 10L)
+    val out = PlotData.pmfComparison(spark, pmf, "poisson", Array(1.0))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(math.abs(out(0)._3 - math.exp(-1.0)) < 1e-12) // P(X=0) = e^-1
+    assert(math.abs(out.map(_._2).sum - 1.0) < 1e-12)
+  }
+
   test("hist_counts SQL aggregate matches Histogram.continuous and composes with GROUP BY") {
     graft.functions.SqlUdfs.register(spark)
     val xs = sample(ContinuousFamilies.Norm, Array(0.0, 1.0), 5000)
