@@ -18,6 +18,10 @@ object ProfileShared {
       Seq("l_extendedprice", "l_discount", "l_tax"))
     val n = r.df.count()
     println(f"FIT WALL: ${(System.nanoTime() - t0) / 1e9}%.1f s, rows=$n")
+    r.df.orderBy(org.apache.spark.sql.functions.col("fit_seconds").desc)
+      .select("column_name", "distribution", "fit_seconds")
+      .limit(15).collect()
+      .foreach(x => println(f"  ${x.getString(0)}%-18s ${x.getString(1)}%-18s ${x.getDouble(2)}%6.2f s"))
     spark.stop()
   }
 }

@@ -794,6 +794,7 @@ object ContinuousFamilies {
     val name = "erlang"; val shapeNames = Seq("a")
     override def shapesValid(s: Array[Double]) = s(0) > 0
     override def logpdf0(z: Double, s: Array[Double]) = Gamma.logpdf0(z, s)
+    override def logpdf0Sum(zs: Array[Double], s: Array[Double]) = Gamma.logpdf0Sum(zs, s)
     def pdf0(z: Double, s: Array[Double]) = Gamma.pdf0(z, s)
     def cdf0(z: Double, s: Array[Double]) = Gamma.cdf0(z, s)
     def ppf0(q: Double, s: Array[Double]) = Gamma.ppf0(q, s)

@@ -302,6 +302,17 @@ object ContinuousFamiliesB {
       if (az == 0 && s(0) < 1) Double.NegativeInfinity
       else (s(0) - 1) * math.log(az) - az - math.log(2.0) - SM.lgamma(s(0))
     }
+    override def logpdf0Sum(zs: Array[Double], s: Array[Double]): Double = {
+      val a = s(0); val k = math.log(2.0) + SM.lgamma(a)
+      var ll = 0.0; var i = 0
+      while (i < zs.length) {
+        val az = math.abs(zs(i))
+        if (az == 0 && a < 1) return Double.NegativeInfinity
+        ll += (a - 1) * math.log(az) - az
+        i += 1
+      }
+      ll - zs.length * k
+    }
     def pdf0(z: Double, s: Array[Double]) = math.exp(logpdf0(z, s))
     def cdf0(z: Double, s: Array[Double]) = {
       val g = SM.gammaInc(s(0), math.abs(z))
@@ -459,6 +470,18 @@ object ContinuousFamiliesB {
         val zc = math.pow(z, c)
         math.log(a * c) + (a - 1) * math.log(-math.expm1(-zc)) - zc + (c - 1) * math.log(z)
       }
+    }
+    override def logpdf0Sum(zs: Array[Double], s: Array[Double]): Double = {
+      val a = s(0); val c = s(1); val k = math.log(a * c)
+      var ll = 0.0; var i = 0
+      while (i < zs.length) {
+        val z = zs(i)
+        if (z <= 0) return Double.NegativeInfinity
+        val zc = math.pow(z, c)
+        ll += (a - 1) * math.log(-math.expm1(-zc)) - zc + (c - 1) * math.log(z)
+        i += 1
+      }
+      ll + zs.length * k
     }
     def pdf0(z: Double, s: Array[Double]) = math.exp(logpdf0(z, s))
     def cdf0(z: Double, s: Array[Double]) =

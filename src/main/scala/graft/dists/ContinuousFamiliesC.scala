@@ -48,6 +48,17 @@ object ContinuousFamiliesC {
       val u = s(0) - SM.normPpf(q * SM.normCdf(s(0)))
       if (u <= 0) Double.PositiveInfinity else 1.0 / u
     }
+    override def logpdf0Sum(zs: Array[Double], s: Array[Double]): Double = {
+      val a = s(0); val c = math.log(SM.normCdf(a)) // shape-only Φ(a) hoisted
+      var ll = 0.0; var i = 0
+      while (i < zs.length) {
+        val z = zs(i)
+        if (z <= 0) return Double.NegativeInfinity
+        ll += SM.normLogPdf(a - 1.0 / z) - 2 * math.log(z)
+        i += 1
+      }
+      ll - zs.length * c
+    }
     def warmStart(xs: Array[Double]) = {
       val l = locBelowMin(xs)
       val med = median(xs) - l
@@ -125,6 +136,18 @@ object ContinuousFamiliesC {
       val u = SM.betaIncInv(s(0) / 2, s(1) / 2, q)
       if (u >= 1.0) Double.PositiveInfinity else s(1) * u / (s(0) * (1 - u))
     }
+    override def logpdf0Sum(zs: Array[Double], s: Array[Double]): Double = {
+      val m = s(0); val n = s(1)
+      val c = (m / 2) * math.log(m) + (n / 2) * math.log(n) - SM.lbeta(m / 2, n / 2)
+      var ll = 0.0; var i = 0
+      while (i < zs.length) {
+        val z = zs(i)
+        if (z <= 0) return Double.NegativeInfinity
+        ll += (m / 2 - 1) * math.log(z) - ((m + n) / 2) * math.log(n + m * z)
+        i += 1
+      }
+      ll + zs.length * c
+    }
     def warmStart(xs: Array[Double]) = {
       val l = locBelowMin(xs)
       val y = xs.map(_ - l)
@@ -142,6 +165,12 @@ object ContinuousFamiliesC {
     override def logpdf0(z: Double, s: Array[Double]) = {
       val b = s(0)
       math.log(b / 2) - SM.lgamma(1.0 / b) - math.pow(math.abs(z), b)
+    }
+    override def logpdf0Sum(zs: Array[Double], s: Array[Double]): Double = {
+      val b = s(0); val k = math.log(b / 2) - SM.lgamma(1.0 / b)
+      var ll = 0.0; var i = 0
+      while (i < zs.length) { ll -= math.pow(math.abs(zs(i)), b); i += 1 }
+      ll + zs.length * k
     }
     def pdf0(z: Double, s: Array[Double]) = math.exp(logpdf0(z, s))
     def cdf0(z: Double, s: Array[Double]): Double = {
@@ -170,6 +199,17 @@ object ContinuousFamiliesC {
     override def logpdf0(z: Double, s: Array[Double]) =
       if (z < 0) Double.NegativeInfinity
       else math.log(s(0)) - SM.lgamma(1.0 / s(0)) - math.pow(z, s(0))
+    override def logpdf0Sum(zs: Array[Double], s: Array[Double]): Double = {
+      val b = s(0); val k = math.log(b) - SM.lgamma(1.0 / b)
+      var ll = 0.0; var i = 0
+      while (i < zs.length) {
+        val z = zs(i)
+        if (z < 0) return Double.NegativeInfinity
+        ll -= math.pow(z, b)
+        i += 1
+      }
+      ll + zs.length * k
+    }
     def pdf0(z: Double, s: Array[Double]) = math.exp(logpdf0(z, s))
     def cdf0(z: Double, s: Array[Double]) =
       if (z <= 0) 0.0 else SM.gammaInc(1.0 / s(0), math.pow(z, s(0)))
@@ -197,6 +237,17 @@ object ContinuousFamiliesC {
       val x = SM.gammaIncInv(s(0), 1 - q)
       if (x <= 0) Double.PositiveInfinity else 1.0 / x
     }
+    override def logpdf0Sum(zs: Array[Double], s: Array[Double]): Double = {
+      val a = s(0); val c = SM.lgamma(a)
+      var ll = 0.0; var i = 0
+      while (i < zs.length) {
+        val z = zs(i)
+        if (z <= 0) return Double.NegativeInfinity
+        ll += -(a + 1) * math.log(z) - 1.0 / z
+        i += 1
+      }
+      ll - zs.length * c
+    }
     def warmStart(xs: Array[Double]) = {
       val l = locBelowMin(xs)
       val y = xs.map(_ - l)
@@ -216,6 +267,12 @@ object ContinuousFamiliesC {
     def pdf0(z: Double, s: Array[Double]) = math.exp(logpdf0(z, s))
     def cdf0(z: Double, s: Array[Double]) = SM.gammaInc(s(0), math.exp(z))
     def ppf0(q: Double, s: Array[Double]) = math.log(SM.gammaIncInv(s(0), q))
+    override def logpdf0Sum(zs: Array[Double], s: Array[Double]): Double = {
+      val c0 = s(0); val c = SM.lgamma(c0)
+      var ll = 0.0; var i = 0
+      while (i < zs.length) { val z = zs(i); ll += c0 * z - math.exp(z); i += 1 }
+      ll - zs.length * c
+    }
     def warmStart(xs: Array[Double]) = {
       val (m, sd) = meanStd(xs)
       // c from the skewness-free moment pair: mean = ψ(c), var = ψ′(c)
@@ -364,6 +421,17 @@ object ContinuousFamiliesC {
       else (SM.normCdf(z) - SM.normCdf(s(0))) / delta(s)
     def ppf0(q: Double, s: Array[Double]) =
       SM.normPpf(SM.normCdf(s(0)) + q * delta(s))
+    override def logpdf0Sum(zs: Array[Double], s: Array[Double]): Double = {
+      val a = s(0); val b = s(1); val c = math.log(delta(s)) // 2 Φ calls hoisted
+      var ll = 0.0; var i = 0
+      while (i < zs.length) {
+        val z = zs(i)
+        if (z < a || z > b) return Double.NegativeInfinity
+        ll += SM.normLogPdf(z)
+        i += 1
+      }
+      ll - zs.length * c
+    }
     def warmStart(xs: Array[Double]) = {
       val (m, sd) = meanStd(xs)
       val (mn, mx) = minMax(xs)
@@ -443,6 +511,18 @@ object ContinuousFamiliesC {
     def pdf0(z: Double, s: Array[Double]) = math.exp(logpdf0(z, s))
     def cdf0(z: Double, s: Array[Double]) = 1 - math.pow(SM.normCdf(-z), s(0))
     def ppf0(q: Double, s: Array[Double]) = -SM.normPpf(math.pow(1 - q, 1.0 / s(0)))
+    override def logpdf0Sum(zs: Array[Double], s: Array[Double]): Double = {
+      val c0 = s(0); val c = math.log(c0)
+      var ll = 0.0; var i = 0
+      while (i < zs.length) {
+        val z = zs(i)
+        val t = SM.normCdf(-z)
+        if (t <= 0) return Double.NegativeInfinity
+        ll += SM.normLogPdf(z) + (c0 - 1) * math.log(t)
+        i += 1
+      }
+      ll + zs.length * c
+    }
     def warmStart(xs: Array[Double]) = {
       val (m, sd) = meanStd(xs)
       Array(1.0, m, math.max(sd, 1e-9))
@@ -462,6 +542,21 @@ object ContinuousFamiliesC {
         if (t <= 0) Double.NegativeInfinity
         else math.log(c / sg) - math.log(z) + SM.normLogPdf(u) + (c - 1) * math.log(t)
       }
+    }
+    override def logpdf0Sum(zs: Array[Double], s: Array[Double]): Double = {
+      val c0 = s(0); val sg = s(1); val c = math.log(c0 / sg)
+      var ll = 0.0; var i = 0
+      while (i < zs.length) {
+        val z = zs(i)
+        if (z <= 0) return Double.NegativeInfinity
+        val lz = math.log(z)
+        val u = lz / sg
+        val t = SM.normCdf(-u)
+        if (t <= 0) return Double.NegativeInfinity
+        ll += SM.normLogPdf(u) - lz + (c0 - 1) * math.log(t)
+        i += 1
+      }
+      ll + zs.length * c
     }
     def pdf0(z: Double, s: Array[Double]) = math.exp(logpdf0(z, s))
     def cdf0(z: Double, s: Array[Double]) =
@@ -546,6 +641,18 @@ object ContinuousFamiliesC {
       val a = s(0); val c = s(1)
       if (z <= 0) Double.NegativeInfinity
       else math.log(math.abs(c)) + (c * a - 1) * math.log(z) - math.pow(z, c) - SM.lgamma(a)
+    }
+    override def logpdf0Sum(zs: Array[Double], s: Array[Double]): Double = {
+      val a = s(0); val c = s(1)
+      val k = math.log(math.abs(c)) - SM.lgamma(a)
+      var ll = 0.0; var i = 0
+      while (i < zs.length) {
+        val z = zs(i)
+        if (z <= 0) return Double.NegativeInfinity
+        ll += (c * a - 1) * math.log(z) - math.pow(z, c)
+        i += 1
+      }
+      ll + zs.length * k
     }
     def pdf0(z: Double, s: Array[Double]) = math.exp(logpdf0(z, s))
     def cdf0(z: Double, s: Array[Double]): Double = {

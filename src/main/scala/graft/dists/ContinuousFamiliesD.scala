@@ -162,6 +162,17 @@ object ContinuousFamiliesD {
       if (z <= -1 || z >= 1) Double.NegativeInfinity
       else (c / 2 - 1) * math.log1p(-z * z) - SM.lbeta(0.5, c / 2)
     }
+    override def logpdf0Sum(zs: Array[Double], s: Array[Double]): Double = {
+      val c = s(0); val k = SM.lbeta(0.5, c / 2)
+      var ll = 0.0; var i = 0
+      while (i < zs.length) {
+        val z = zs(i)
+        if (z <= -1 || z >= 1) return Double.NegativeInfinity
+        ll += (c / 2 - 1) * math.log1p(-z * z)
+        i += 1
+      }
+      ll - zs.length * k
+    }
     def pdf0(z: Double, s: Array[Double]) = math.exp(logpdf0(z, s))
     def cdf0(z: Double, s: Array[Double]) =
       if (z <= -1) 0.0 else if (z >= 1) 1.0
@@ -202,6 +213,21 @@ object ContinuousFamiliesD {
       else 1 - psi(chi * math.sqrt(1 - z * z)) / psi(chi)
     }
     def ppf0(q: Double, s: Array[Double]) = ppfBisect(this, q, s, 0.0, 1.0)
+    override def logpdf0Sum(zs: Array[Double], s: Array[Double]): Double = {
+      val chi = s(0)
+      // ln[χ³/(√2π·ψ(χ))] hoisted — ψ costs Φ + φ per call
+      val k = 3 * math.log(chi) - math.log(SM.SqrtTwoPi * psi(chi))
+      val h = chi * chi / 2
+      var ll = 0.0; var i = 0
+      while (i < zs.length) {
+        val z = zs(i)
+        if (z <= 0 || z >= 1) return Double.NegativeInfinity
+        val u = 1 - z * z
+        ll += math.log(z) + 0.5 * math.log(u) - h * u
+        i += 1
+      }
+      ll + zs.length * k
+    }
     def warmStart(xs: Array[Double]) = {
       val (mn, mx) = minMax(xs)
       val span = math.max(mx - mn, 1e-9)
@@ -241,6 +267,19 @@ object ContinuousFamiliesD {
     }
     def ppf0(q: Double, s: Array[Double]) =
       ppfBisect(this, q, s, Double.NegativeInfinity, Double.PositiveInfinity)
+    override def logpdf0Sum(zs: Array[Double], s: Array[Double]): Double = {
+      val b = s(0); val m = s(1)
+      val lnN = math.log(nconst(s)) // erf+exp+pow normalization hoisted
+      val lnA = m * math.log(m / b) - b * b / 2
+      val shift = m / b - b
+      var ll = 0.0; var i = 0
+      while (i < zs.length) {
+        val z = zs(i)
+        ll += (if (z > -b) -z * z / 2 else lnA - m * math.log(shift - z))
+        i += 1
+      }
+      ll + zs.length * lnN
+    }
     def warmStart(xs: Array[Double]) = {
       val (m, sd) = meanStd(xs)
       Array(1.0, 3.0, m, math.max(sd, 1e-9))
@@ -287,6 +326,19 @@ object ContinuousFamiliesD {
       val r = math.sqrt(a + b + z * z)
       (a + 0.5) * math.log1p(z / r) + (b + 0.5) * math.log1p(-z / r) -
         (a + b - 1) * math.log(2.0) - SM.lbeta(a, b) - 0.5 * math.log(a + b)
+    }
+    override def logpdf0Sum(zs: Array[Double], s: Array[Double]): Double = {
+      val a = s(0); val b = s(1)
+      val k = (a + b - 1) * math.log(2.0) + SM.lbeta(a, b) + 0.5 * math.log(a + b)
+      val ab = a + b
+      var ll = 0.0; var i = 0
+      while (i < zs.length) {
+        val z = zs(i)
+        val r = math.sqrt(ab + z * z)
+        ll += (a + 0.5) * math.log1p(z / r) + (b + 0.5) * math.log1p(-z / r)
+        i += 1
+      }
+      ll - zs.length * k
     }
     def pdf0(z: Double, s: Array[Double]) = math.exp(logpdf0(z, s))
     def cdf0(z: Double, s: Array[Double]): Double = {

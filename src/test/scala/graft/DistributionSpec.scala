@@ -106,6 +106,33 @@ class DistributionSpec extends AnyFunSuite {
     }
   }
 
+  test("logpdf0Sum overrides agree with the naive logpdf0 sum for every family") {
+    val rng = new java.util.Random(9L)
+    val xs = Array.fill(500)(1.0 + 9.0 * rng.nextDouble())
+    var covered = 0
+    for (name <- DistRegistry.allNames) {
+      val d = DistRegistry.get(name).get
+      val p = try d.warmStart(xs) catch { case _: Throwable => null }
+      if (p != null && d.scale(p) > 0 && d.shapesValid(d.shapes(p))) {
+        val s = d.shapes(p); val l = d.loc(p); val sc = d.scale(p)
+        val zs = xs.map(x => (x - l) / sc)
+          .filter(z => z >= d.a0(s) && z <= d.b0(s))
+        if (zs.nonEmpty) {
+          val naive = zs.map(d.logpdf0(_, s)).sum
+          val fast = d.logpdf0Sum(zs, s)
+          if (naive.isNegInfinity || naive.isNaN)
+            assert(fast.isNegInfinity, s"$name: fast=$fast naive=$naive")
+          else {
+            assert(math.abs(fast - naive) <= 1e-6 * math.max(1.0, math.abs(naive)),
+              s"$name: fast=$fast naive=$naive")
+            covered += 1
+          }
+        }
+      }
+    }
+    assert(covered > 60, s"only $covered families exercised")
+  }
+
   test("logpdf agrees with log(pdf) where pdf > 0") {
     val p = Array(2.5, 0.0, 1.5)
     for (q <- Seq(0.05, 0.5, 0.95)) {
