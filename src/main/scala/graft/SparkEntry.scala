@@ -229,6 +229,14 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       TextOps.withFingerprint(docs(s, dir), "text")
         .select("doc_id", "fingerprint").orderBy("doc_id")),
+    "q_fingerprint_md5" -> ((s, dir) =>
+      // md5 content fingerprint over whitespace-normalized text — the
+      // oracle-checkable variant of the fingerprint surface (identical
+      // normalize+digest exists in DuckDB)
+      docs(s, dir).select(F.col("doc_id"),
+        F.md5(F.encode(F.regexp_replace(F.trim(F.coalesce(F.col("text"), F.lit(""))),
+          "\\s+", " "), "UTF-8")).as("fp_md5"))
+        .orderBy("doc_id")),
     "q_ann_bruteforce" -> ((s, dir) => {
       val q = emb(s, dir).where(F.col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).toArray
@@ -242,6 +250,11 @@ object SparkEntry {
     "q_embedding_near_dup" -> ((s, dir) =>
       Similarity.nearDupPairs(emb(s, dir), "embedding", "vec_id",
         threshold = 0.3, nPlanes = 8).orderBy("id_a", "id_b")),
+    "q_embedding_near_dup_exact" -> ((s, dir) =>
+      // exact all-pairs verification baseline for the LSH path — DuckDB
+      // oracle-checked, so the cosine arithmetic itself gets a hash row
+      Similarity.nearDupPairsExact(emb(s, dir), "embedding", "vec_id",
+        threshold = 0.3).orderBy("id_a", "id_b")),
     "q_ann_ivf" -> ((s, dir) => {
       // IVF coarse-quantizer ANN: build index, probe 8 cells, exact rank
       val q = emb(s, dir).where(F.col("vec_id") === 0)
@@ -521,6 +534,34 @@ object SparkEntry {
         |        THEN 1.0 / 104100.0 ELSE 0.0 END, 9) AS unif_pdf,
         |  round((l_extendedprice - 900.0) / 104100.0, 6) AS unit_q
         |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 50""".stripMargin,
+    "q_embedding_near_dup_exact" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(unnest(a.embedding) AS DOUBLE) AS x,
+        |    CAST(unnest(b.embedding) AS DOUBLE) AS y
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |agg AS (SELECT id_a, id_b, sum(x*y) AS dp, sum(x*x) AS na, sum(y*y) AS nb
+        |        FROM p GROUP BY id_a, id_b)
+        |SELECT id_a, id_b, round(dp / (sqrt(na) * sqrt(nb)), 6) AS cosine
+        |FROM agg WHERE round(dp / (sqrt(na) * sqrt(nb)), 6) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_fingerprint_md5" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g')) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mvn_fit" ->
+      """WITH s AS (SELECT
+        |  avg(l_extendedprice) AS m0, avg(l_quantity) AS m1, avg(l_discount) AS m2,
+        |  var_samp(l_extendedprice) AS v0, var_samp(l_quantity) AS v1,
+        |  var_samp(l_discount) AS v2,
+        |  corr(l_extendedprice, l_quantity) AS c01,
+        |  corr(l_quantity, l_discount) AS c12,
+        |  corr(l_discount, l_extendedprice) AS c20
+        |FROM lineitem)
+        |SELECT 'l_extendedprice' AS "column", round(m0, 2) AS mean,
+        |  round(v0, 2) AS variance, round(c01, 6) AS corr_next FROM s
+        |UNION ALL SELECT 'l_quantity', round(m1, 2), round(v1, 2), round(c12, 6) FROM s
+        |UNION ALL SELECT 'l_discount', round(m2, 2), round(v2, 2), round(c20, 6) FROM s""".stripMargin,
     "q_corr_spearman" ->
       """WITH r AS (SELECT
         |  CAST(rank() OVER (ORDER BY l_extendedprice) AS DOUBLE) AS ra,

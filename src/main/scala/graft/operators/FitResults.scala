@@ -56,10 +56,13 @@ final class FitResults(
     * sample, re-sort by the requested metric. */
   def bestLazy(spark: org.apache.spark.sql.SparkSession, n: Int, metric: String): DataFrame = {
     requireMetric(metric)
+    // recompute iff any SUCCESSFUL fit still has the metric deferred —
+    // failed-fit sentinels carry ks = +inf, so a bare isNotNull probe
+    // would see them and skip the fill, ranking a sentinel "best"
     val needsRecompute = Set("ks_statistic", "ad_statistic")(metric) &&
-      df.where(F.col(metric).isNotNull).isEmpty
+      !df.where(F.col("sse") < Double.PositiveInfinity && F.col(metric).isNull).isEmpty
     if (!needsRecompute) return best(n, metric)
-    val candidates = df.orderBy(F.col("aic").asc_nulls_last).limit(3 * n + 5)
+    val candidates = successful.orderBy(F.col("aic").asc_nulls_last).limit(3 * n + 5)
     val filled = FitResults.fillMetrics(spark, candidates, samples, cfg)
     new FitResults(filled, samples, cfg).best(n, metric)
   }

@@ -180,6 +180,22 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact near-duplicate pairs: every (id_a < id_b) with cosine ≥
+    * threshold — the verification baseline the LSH path is measured
+    * against. O(n²) by definition, so callers bound the corpus (recall
+    * audits run on a sample); the right side is broadcast so the pair
+    * enumeration is shuffle-free, and the cosine is the same
+    * dot/(norm·norm) arithmetic as [[bruteForceTopK]]. */
+  def nearDupPairsExact(df: DataFrame, embCol: String, idCol: String,
+                        threshold: Double = 0.95): DataFrame = {
+    val a = df.select(F.col(idCol).cast("long").as("id_a"), F.col(embCol).as("emb_a"))
+    val b = df.select(F.col(idCol).cast("long").as("id_b"), F.col(embCol).as("emb_b"))
+    a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+      .select(F.col("id_a"), F.col("id_b"),
+        F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).as("cosine"))
+      .where(F.col("cosine") >= threshold)
+  }
+
   /** All near-duplicate embedding pairs with cosine ≥ threshold, via LSH
     * bucketing + exact verification inside buckets (id_a < id_b).
     *

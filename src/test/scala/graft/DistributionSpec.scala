@@ -347,6 +347,32 @@ class DistributionSpec extends AnyFunSuite {
     assert(math.abs(math.exp(SM.logBesselK1(5.0)) - 0.004044613445452164) < 1e-7)
   }
 
+  test("rational erfc matches commons-math erfc across the full domain") {
+    import org.apache.commons.math3.special.{Erf => CErf}
+    // dense core grid + deep-tail spot checks; commons-math is accurate
+    // to ~1e-15 rel, so agreement here validates the Cody coefficients
+    var x = -8.0
+    while (x <= 8.0) {
+      val fast = SM.erfc(x)
+      val ref = CErf.erfc(x)
+      val tol = math.max(1e-13, 5e-14 * math.abs(ref))
+      assert(math.abs(fast - ref) <= tol, s"erfc($x): $fast vs $ref")
+      x += 0.0137
+    }
+    for (t <- Seq(10.0, 15.0, 20.0, 26.0)) {
+      val fast = SM.erfc(t)
+      val ref = CErf.erfc(t)
+      assert(math.abs(fast - ref) <= 1e-12 * math.max(ref, 1e-300) + 1e-320,
+        s"erfc($t): $fast vs $ref")
+      assert(SM.erfc(-t) == 2.0 - SM.erfc(t))
+    }
+    assert(SM.erfc(30.0) == 0.0 && SM.erfc(-30.0) == 2.0)
+    // normCdf round-trip with ppf stays consistent after the swap
+    // (tolerance bounded by commons-math erfInv tail accuracy ~1e-7 rel)
+    for (q <- Seq(1e-10, 1e-4, 0.025, 0.5, 0.975, 1 - 1e-6))
+      assert(math.abs(SM.normCdf(SM.normPpf(q)) - q) <= 1e-6 * q + 1e-15)
+  }
+
   test("special functions: normal ppf, kolmogorov, zeta") {
     assert(math.abs(SM.normPpf(0.975) - 1.959963984540054) < 1e-9)
     assert(math.abs(SM.normCdf(1.96) - 0.9750021048517795) < 1e-12)

@@ -164,6 +164,24 @@ class FitterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(java.lang.Double.isFinite(r.getAs[Double]("aic")))
   }
 
+  test("bestLazy recomputes deferred K-S even when a failed-fit sentinel exists") {
+    val df = toDf(sample(ContinuousFamilies.Norm, Array(50.0, 10.0), 3000))
+    // argus on far-from-[0,1] data fails → sentinel row with ks = +inf;
+    // the regression: that sentinel made bestLazy skip the lazy fill and
+    // rank (inf, null, null...) instead of real recomputed statistics
+    val lazyR = Fitter.fit(spark, df, Seq("value"),
+      distributions = Some(Seq("norm", "uniform", "expon", "argus")),
+      cfg = FitConfig(lazyMetrics = true))
+    val top = lazyR.bestLazy(spark, 2, "ks_statistic").collect()
+    assert(top.nonEmpty)
+    top.foreach { r =>
+      val ks = r.getAs[Double]("ks_statistic")
+      assert(java.lang.Double.isFinite(ks) && ks < 0.5,
+        s"expected finite recomputed ks, got $ks for ${r.getAs[String]("distribution")}")
+    }
+    assert(top.head.getAs[String]("distribution") == "norm")
+  }
+
   test("discrete fit: poisson(7) data ranks poisson best by AIC") {
     import spark.implicits._
     val rng = new java.util.Random(42L)
