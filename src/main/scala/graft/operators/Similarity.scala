@@ -188,12 +188,43 @@ object Similarity {
     * dot/(norm·norm) arithmetic as [[bruteForceTopK]]. */
   def nearDupPairsExact(df: DataFrame, embCol: String, idCol: String,
                         threshold: Double = 0.95): DataFrame = {
-    val a = df.select(F.col(idCol).cast("long").as("id_a"), F.col(embCol).as("emb_a"))
-    val b = df.select(F.col(idCol).cast("long").as("id_b"), F.col(embCol).as("emb_b"))
-    a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-      .select(F.col("id_a"), F.col("id_b"),
-        F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).as("cosine"))
-      .where(F.col("cosine") >= threshold)
+    val spark = df.sparkSession
+    import spark.implicits._
+    // the corpus (or audit sample) is collected and broadcast — bounded by
+    // this op's contract — and each task scores a slice of rows against
+    // all later rows in primitive-array loops. A broadcast join expressing
+    // the same thing pays per-pair array deserialization + boxing, which
+    // at 2M pairs is ~50× the arithmetic cost.
+    val vecs = df.select(F.col(idCol).cast("long"), F.col(embCol))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val norms = vecs.map { case (_, e) =>
+      var s = 0.0; var i = 0
+      while (i < e.length) { s += e(i).toDouble * e(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    val bc = spark.sparkContext.broadcast((vecs, norms))
+    val n = vecs.length
+    val parts = math.max(1, math.min(n, 4 * spark.sparkContext.defaultParallelism))
+    spark.createDataset(0 until n).repartition(parts)
+      .flatMap { i =>
+        val (vs, ns) = bc.value
+        val (idA, ea) = vs(i)
+        val na = ns(i)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var j = i + 1
+        while (j < vs.length) {
+          val eb = vs(j)._2
+          var s = 0.0; var d = 0
+          val m = math.min(ea.length, eb.length)
+          while (d < m) { s += ea(d).toDouble * eb(d).toDouble; d += 1 }
+          // half-up at 6 decimals — the same rounding F.round/DuckDB use
+          // for the positive cosines that can pass the threshold
+          val c = math.floor(s / (na * ns(j)) * 1e6 + 0.5) / 1e6
+          if (c >= threshold) out += ((idA, vs(j)._1, c))
+          j += 1
+        }
+        out
+      }.toDF("id_a", "id_b", "cosine")
   }
 
   /** All near-duplicate embedding pairs with cosine ≥ threshold, via LSH
