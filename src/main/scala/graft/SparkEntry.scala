@@ -130,6 +130,19 @@ object SparkEntry {
         cfg = FitConfig(censoringColumn = Some("uncensored")))
         .successful.orderBy("distribution"))
     }),
+    "fit_closed_form" -> ((s, dir) =>
+      // closed-form MLE families (norm/expon/uniform) fitted on the FULL
+      // column — lifting the sample cap makes the estimates SQL-exact, so
+      // the sampling → MLE pipeline itself gets a DuckDB hash row instead
+      // of a rows-only check
+      Fitter.fit(s, li(s, dir), Seq("l_extendedprice"),
+        distributions = Some(Seq("norm", "expon", "uniform")),
+        cfg = FitConfig(fittingSampleSize = 2000000))
+        .successful
+        .select(F.col("distribution"),
+          F.round(F.element_at(F.col("parameters"), 1), 4).as("p_loc"),
+          F.round(F.element_at(F.col("parameters"), 2), 4).as("p_scale"))
+        .orderBy("distribution")),
     "fit_summary" -> ((s, dir) =>
       cachedFit(s, dir, Seq("l_extendedprice")).summary),
     "fit_quality_report" -> ((s, dir) =>
@@ -545,6 +558,15 @@ object SparkEntry {
         |SELECT id_a, id_b, round(dp / (sqrt(na) * sqrt(nb)), 6) AS cosine
         |FROM agg WHERE round(dp / (sqrt(na) * sqrt(nb)), 6) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+    "fit_closed_form" ->
+      """WITH s AS (SELECT avg(l_extendedprice) AS m, min(l_extendedprice) AS mn,
+        |  max(l_extendedprice) AS mx, stddev_pop(l_extendedprice) AS sd
+        |FROM lineitem)
+        |SELECT 'expon' AS distribution, round(mn, 4) AS p_loc,
+        |  round(m - mn, 4) AS p_scale FROM s
+        |UNION ALL SELECT 'norm', round(m, 4), round(sd, 4) FROM s
+        |UNION ALL SELECT 'uniform', round(mn, 4), round(mx - mn, 4) FROM s
+        |ORDER BY 1""".stripMargin,
     "q_fingerprint_md5" ->
       """SELECT doc_id,
         |  md5(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g')) AS fp_md5

@@ -146,7 +146,7 @@ object Similarity {
     // kmeans||'s extra init rounds buy recall nothing here
     val model = new KMeans()
       .setK(math.max(2, math.min(cells.toLong, math.min(n, trainCap.toLong)).toInt))
-      .setSeed(seed).setMaxIter(10).setInitMode("random")
+      .setSeed(seed).setMaxIter(6).setInitMode("random")
       .setFeaturesCol("__vec").setPredictionCol("cell")
       .fit(train)
     val assigned = model.transform(vecs)
