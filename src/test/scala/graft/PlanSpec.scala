@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan audits: the properties that make the harness queries
+  * survive a 100× scale-up are asserted here, so a regression in plan
+  * shape (lost pushdown, a global sort where a top-k take belongs, a
+  * single-partition window) fails CI rather than showing up as a 100 TB
+  * incident. Runs against the sf0.001 testdata.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  @transient lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-plan-audit")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def physicalPlan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q_topk plans as TakeOrderedAndProject, not a global sort") {
+    val plan = physicalPlan("q_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    // a global Sort before the limit would shuffle the full table
+    assert(!plan.contains("Sort ["), plan.take(800))
+  }
+
+  test("q_topk_per_group pushes the rank limit into the shuffle (WindowGroupLimit)") {
+    val plan = physicalPlan("q_topk_per_group")
+    // Spark 4's WindowGroupLimit drops rows beyond rank k on the map side,
+    // so the exchange carries ≤ k·groups·partitions rows, not the table
+    assert(plan.contains("WindowGroupLimit"), plan.take(1200))
+  }
+
+  test("q_filter_count pushes all four predicates into the parquet scan") {
+    val plan = physicalPlan("q_filter_count")
+    assert(plan.contains("PushedFilters:"), plan.take(800))
+    for (c <- Seq("l_discount", "l_tax", "l_extendedprice"))
+      assert(plan.replaceAll("\\s+", " ").matches(s".*PushedFilters:.*$c.*"),
+        s"predicate on $c not pushed:\n${plan.take(1200)}")
+  }
+
+  test("q_stats prunes the scan to the single aggregated column") {
+    val plan = physicalPlan("q_stats").replaceAll("\\s+", " ")
+    val readSchema = "ReadSchema: [^ ]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("l_extendedprice"), plan.take(800))
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_comment"),
+      s"scan reads more columns than the aggregate needs: $readSchema")
+  }
+
+  test("q_doc_tokens is pure native expressions (no UDF in the scan path)") {
+    // AQE prints the pre-execution plan without codegen spans; the
+    // codegen-ability property is "native expressions only, no ScalaUDF"
+    val plan = physicalPlan("q_doc_tokens")
+    assert(plan.contains("regexp_extract_all"), plan.take(800))
+    assert(!plan.contains("BatchEvalUDF") && !plan.contains("ScalaUDF"), plan.take(800))
+  }
+
+  test("q_corr_spearman has no single-partition exchange") {
+    val plan = physicalPlan("q_corr_spearman")
+    // the round-1 global Window.orderBy plan carried SinglePartition —
+    // the scale-safe rank construction must not
+    assert(!plan.contains("SinglePartition") ||
+      plan.indexOf("SinglePartition") > plan.indexOf("HashAggregate"),
+      plan.take(1500))
+  }
+
+  test("fit fan-out partition count tracks cores and family count") {
+    val nParts = operators.Fitter.partitionCount(spark,
+      graft.dists.DistRegistry.defaultNames, None)
+    assert(nParts >= 2 && nParts <= 2 * spark.sparkContext.defaultParallelism)
+  }
+}
