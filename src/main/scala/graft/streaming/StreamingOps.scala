@@ -1,6 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, functions => F}
+import org.apache.spark.sql.streaming.GroupStateTimeout
+import graft.dists.{DistRegistry, FrozenModel}
 
 /** Structured Streaming surface: the engine's aggregations re-expressed
   * over unbounded inputs (readStream → transform → writeStream), designed
@@ -79,5 +81,76 @@ object StreamingOps {
       .agg(F.count(F.lit(1)).as("cnt"), F.avg("v").as("mean"),
         F.min("v").as("mn"), F.max("v").as("mx"),
         F.stddev_pop("v").as("std"))
+  }
+
+  /** Per-window distribution-drift score against a fitted reference model:
+    * the histogram rides the hist_counts typed aggregate (ONE array-state
+    * row per window, partial-aggregated map-side), and the drift is the
+    * SSE between each window's empirical bin share and the model's bin
+    * probability (tails folded into the clamped edge bins). This is the
+    * streaming companion of the batch fit: fit once on yesterday's data,
+    * watch today's stream drift away from it. */
+  def windowedDriftScore(df: DataFrame, valueCol: String, timeCol: String,
+                         distName: String, params: Array[Double],
+                         binStart: Double, binWidth: Double, numBins: Int,
+                         window: String = "1 minute",
+                         watermark: String = "2 minutes"): DataFrame = {
+    val dist = DistRegistry.get(distName).getOrElse(
+      throw new IllegalArgumentException(s"unknown distribution '$distName'"))
+    val m = FrozenModel(dist, params, None, None)
+    val expected: Array[Double] = Array.tabulate(numBins) { i =>
+      val lo = binStart + i * binWidth
+      val hi = lo + binWidth
+      val p =
+        if (numBins == 1) 1.0
+        else if (i == 0) m.cdf(hi)
+        else if (i == numBins - 1) 1.0 - m.cdf(lo)
+        else m.cdf(hi) - m.cdf(lo)
+      if (p.isNaN) 0.0 else p
+    }
+    val histUdaf = F.udaf(graft.functions.HistAggregator)
+    val share = (c: Column) => c.cast("double") / F.col("n")
+    df.withWatermark(timeCol, watermark)
+      .select(F.window(F.col(timeCol), window).as("window"),
+        F.col(valueCol).cast("double").as("v"))
+      .groupBy("window")
+      .agg(
+        histUdaf(F.col("v"), F.lit(binStart),
+          F.lit(binStart + binWidth * numBins), F.lit(numBins)).as("h"),
+        F.count(F.lit(1)).as("n"))
+      .select(F.col("window"), F.col("n"),
+        F.round(F.aggregate(
+          F.zip_with(F.col("h"), F.lit(expected),
+            (c, p) => (share(c) - p) * (share(c) - p)),
+          F.lit(0.0), (acc, x) => acc + x), 8).as("drift_sse"))
+  }
+
+  /** Per-key running statistics via explicit streaming state
+    * (mapGroupsWithState): Welford count/mean/M2 updated per micro-batch.
+    * State is three doubles per key — fixed-size regardless of throughput
+    * — and the Welford recurrence is exact, so the emitted stats equal a
+    * batch aggregate over everything seen so far. */
+  final case class KeyStats(key: String, n: Long, mean: Double, m2: Double) {
+    def variance: Double = if (n > 0) m2 / n else 0.0
+    def std: Double = math.sqrt(variance)
+  }
+
+  def keyedRunningStats(ds: Dataset[(String, Double)]): Dataset[KeyStats] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .mapGroupsWithState[KeyStats, KeyStats](GroupStateTimeout.NoTimeout()) {
+        (key, values, state) =>
+          var (n, mean, m2) = state.getOption
+            .map(s => (s.n, s.mean, s.m2)).getOrElse((0L, 0.0, 0.0))
+          values.foreach { case (_, v) =>
+            n += 1
+            val d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+          }
+          val s = KeyStats(key, n, mean, m2)
+          state.update(s)
+          s
+      }
   }
 }

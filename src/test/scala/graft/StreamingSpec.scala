@@ -61,6 +61,62 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(first.getAs[Long]("cnt") == 2 && first.getAs[Double]("mean") == 15.0)
   }
 
+  test("windowedDriftScore is near zero for on-model data, large off-model") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rng = new java.util.Random(7L)
+    // window 1: uniform(0,100) samples (the reference model); window 2:
+    // everything piled at 95 (drifted)
+    val onModel = (1 to 400).map(i =>
+      (ts(f"2026-01-01 00:00:${10 + i % 40}%02d"), rng.nextDouble() * 100.0))
+    val drifted = (1 to 400).map(i =>
+      (ts(f"2026-01-01 00:01:${10 + i % 40}%02d"), 95.0))
+    val stream = MemoryStream[(java.sql.Timestamp, Double)]
+    val drift = StreamingOps.windowedDriftScore(
+      stream.toDF().toDF("ts", "v"), "v", "ts",
+      "uniform", Array(0.0, 100.0), binStart = 0.0, binWidth = 10.0, numBins = 10,
+      window = "1 minute", watermark = "5 minutes")
+    stream.addData(onModel ++ drifted: _*)
+    val q = drift.writeStream.format("memory").queryName("drift_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("drift_out").collect()
+      .map(r => r.getStruct(0).getTimestamp(0).getTime -> r.getAs[Double]("drift_sse"))
+      .sortBy(_._1).map(_._2)
+    assert(rows.length == 2)
+    // on-model: each bin share ≈ 0.1 → SSE ~ sampling noise; drifted: one
+    // bin holds everything → SSE ≈ (1-0.1)² + 9·0.1² = 0.9
+    assert(rows(0) < 0.05, s"on-model drift ${rows(0)}")
+    assert(rows(1) > 0.5, s"drifted drift ${rows(1)}")
+  }
+
+  test("keyedRunningStats carries Welford state across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(String, Double)]
+    val stats = StreamingOps.keyedRunningStats(stream.toDS())
+    val q = stats.writeStream.format("memory").queryName("keystats_out")
+      .outputMode("update").start()
+    stream.addData(("a", 1.0), ("a", 3.0), ("b", 10.0))
+    q.processAllAvailable()
+    stream.addData(("a", 5.0), ("b", 30.0))
+    q.processAllAvailable()
+    q.stop()
+    // memory sink in update mode appends updated rows; take the LAST row
+    // per key
+    val last = spark.table("keystats_out").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("n"), r.getAs[Double]("mean"),
+        r.getAs[Double]("m2")))
+      .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2) }
+    val a = last("a")
+    assert(a._2 == 3 && math.abs(a._3 - 3.0) < 1e-12, s"a=$a") // mean(1,3,5)=3
+    assert(math.abs(a._4 - 8.0) < 1e-12, s"a.m2=${a._4}") // M2 = (1-3)²+(3-3)²+(5-3)²
+    val b = last("b")
+    assert(b._2 == 2 && math.abs(b._3 - 20.0) < 1e-12, s"b=$b")
+  }
+
   test("streamingDedup drops repeated texts within the watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
