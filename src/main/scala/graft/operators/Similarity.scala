@@ -122,11 +122,52 @@ object Similarity {
   def autoCells(n: Long): Int =
     math.min(65536, math.max(16, math.round(math.sqrt(math.max(n, 1L).toDouble)).toInt))
 
+  /** Lloyd's k-means on a driver-resident sample — the quantizer trains
+    * on ≤ trainCap rows BY DESIGN (FAISS trains IVF quantizers the same
+    * way), so a distributed k-means would spend its time on job
+    * scheduling, not arithmetic. 6 iterations: probed cells are re-ranked
+    * exactly, so quantizer polish buys no recall. */
+  private[operators] def lloyd(train: Array[Array[Double]], k: Int,
+                               iters: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new java.util.Random(seed)
+    val n = train.length
+    val dim = train.headOption.map(_.length).getOrElse(0)
+    val idx = rng.ints(0, n).distinct().limit(k).toArray
+    var centroids = idx.map(train(_).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Double](k, dim)
+      val counts = new Array[Long](k)
+      var i = 0
+      while (i < n) {
+        val v = train(i)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val ctr = centroids(c)
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = v(j) - ctr(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        val s = sums(best)
+        var j = 0
+        while (j < dim) { s(j) += v(j); j += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) train(rng.nextInt(n)).clone() // reseed empty cell
+        else { val s = sums(c); Array.tabulate(dim)(j => s(j) / counts(c)) }
+      }
+      it += 1
+    }
+    centroids
+  }
+
   def ivfBuild(df: DataFrame, embCol: String, idCol: String,
                nCells: Int = 0, seed: Long = 42L,
                trainCap: Int = 100000): IvfIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val n = df.count()
     val cells = if (nCells > 0) nCells else autoCells(n)
     val normalized = df
@@ -134,25 +175,36 @@ object Similarity {
         norm(F.col(embCol)).as("__n"))
       .select(F.col("id"),
         F.transform(F.col("__e"), x => x.cast("double") / F.col("__n")).as("emb"))
-    val vecs = normalized.withColumn("__vec", array_to_vector(F.col("emb")))
     // quantizer trains on ≤ trainCap rows regardless of corpus size — at
     // 100 TB the k-means never sees more than a bounded sample
     val trainFrac = math.min(1.0, trainCap.toDouble * 1.2 / math.max(n, 1L))
-    val train = vecs.select("__vec")
+    val train = normalized.select("emb")
       .sample(withReplacement = false, trainFrac, seed)
       .limit(trainCap)
-    // random init + few iterations: the quantizer only has to be good
-    // enough to bucket — queries re-rank exactly inside probed cells, so
-    // kmeans||'s extra init rounds buy recall nothing here
-    val model = new KMeans()
-      .setK(math.max(2, math.min(cells.toLong, math.min(n, trainCap.toLong)).toInt))
-      .setSeed(seed).setMaxIter(6).setInitMode("random")
-      .setFeaturesCol("__vec").setPredictionCol("cell")
-      .fit(train)
-    val assigned = model.transform(vecs)
-      .select(F.col("id"), F.col("emb"), F.col("cell"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val k = math.max(2, math.min(cells.toLong, math.min(n, train.length.toLong)).toInt)
+    val centroids = lloyd(train, k, iters = 6, seed = seed)
+    // assignment is one distributed scoring pass against the broadcast
+    // centroid matrix (k·dim doubles)
+    val bc = df.sparkSession.sparkContext.broadcast(centroids)
+    val assignUdf = F.udf((v: Seq[Double]) => {
+      val cs = bc.value
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val ctr = cs(c)
+        var d = 0.0; var j = 0
+        val m = math.min(ctr.length, v.length)
+        while (j < m) { val t = v(j) - ctr(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    })
+    val assigned = normalized
+      .withColumn("cell", assignUdf(F.col("emb")))
       .repartition(F.col("cell"))
-    IvfIndex(model.clusterCenters.map(_.toArray), assigned)
+    IvfIndex(centroids, assigned)
   }
 
   /** Approximate top-k against a prebuilt IVF index: rank exactly inside
