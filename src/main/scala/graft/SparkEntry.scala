@@ -143,6 +143,15 @@ object SparkEntry {
           F.round(F.element_at(F.col("parameters"), 1), 4).as("p_loc"),
           F.round(F.element_at(F.col("parameters"), 2), 4).as("p_scale"))
         .orderBy("distribution")),
+    "fit_closed_form_discrete" -> ((s, dir) =>
+      // the discrete kernel's closed-form family (poisson MLE = sample
+      // mean) on the FULL column — gives the E7 path a DuckDB hash row
+      Fitter.fitDiscrete(s, li(s, dir), "l_quantity",
+        distributions = Some(Seq("poisson")),
+        cfg = FitConfig(fittingSampleSize = 2000000))
+        .successful
+        .select(F.col("distribution"),
+          F.round(F.element_at(F.col("parameters"), 1), 4).as("mu"))),
     "fit_summary" -> ((s, dir) =>
       cachedFit(s, dir, Seq("l_extendedprice")).summary),
     "fit_quality_report" -> ((s, dir) =>
@@ -567,6 +576,9 @@ object SparkEntry {
         |UNION ALL SELECT 'norm', round(m, 4), round(sd, 4) FROM s
         |UNION ALL SELECT 'uniform', round(mn, 4), round(mx - mn, 4) FROM s
         |ORDER BY 1""".stripMargin,
+    "fit_closed_form_discrete" ->
+      """SELECT 'poisson' AS distribution,
+        |  round(avg(CAST(l_quantity AS BIGINT)), 4) AS mu FROM lineitem""".stripMargin,
     "q_fingerprint_md5" ->
       """SELECT doc_id,
         |  md5(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g')) AS fp_md5
