@@ -17,16 +17,14 @@ import org.apache.spark.sql.{Column, DataFrame, functions => F}
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ over two array columns, as a native expression. Elements are
-    * cast to double BEFORE multiplying — float×float then widen loses the
-    * low bits and would diverge from the DuckDB oracle's arithmetic. */
-  def dot(a: Column, b: Column): Column =
-    F.aggregate(F.zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      F.lit(0.0), (acc, x) => acc + x)
+  /** Σ aᵢ·bᵢ over two array columns via the codegen'd ArrayDotProduct
+    * expression (higher-order `zip_with`/`aggregate` are interpreted —
+    * CodegenFallback — and dominated the brute-force scan). Elements are
+    * cast to double BEFORE multiplying and folded strictly left-to-right,
+    * the exact arithmetic of the HOF formulation and the DuckDB oracle. */
+  def dot(a: Column, b: Column): Column = graft.functions.ArrayDot.dot(a, b)
 
-  def norm(a: Column): Column =
-    F.sqrt(F.aggregate(F.transform(a, x => x.cast("double") * x.cast("double")),
-      F.lit(0.0), (acc, x) => acc + x))
+  def norm(a: Column): Column = F.sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

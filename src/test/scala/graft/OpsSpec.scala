@@ -113,6 +113,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == TextOps.fingerprint64("hello   world\n foo")) // stable
   }
 
+  test("codegen'd array_dot is bit-identical to the zip_with/aggregate fold") {
+    import spark.implicits._
+    val rng = new java.util.Random(11L)
+    val rows = (0L until 50L).map(i =>
+      (i, Array.fill(37)(rng.nextFloat() * 4 - 2))).toDF("id", "a")
+      .withColumn("b", F.reverse(F.col("a")))
+    val hofDot = F.aggregate(
+      F.zip_with(F.col("a"), F.col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      F.lit(0.0), (acc, x) => acc + x)
+    val diff = rows.select(
+      (graft.functions.ArrayDot.dot(F.col("a"), F.col("b")) - hofDot).as("d"))
+      .agg(F.max(F.abs(F.col("d")))).head().getDouble(0)
+    assert(diff == 0.0, s"codegen dot diverged from HOF fold by $diff")
+    // null array → null
+    val nullRow = Seq((1L, null.asInstanceOf[Array[Float]], Array(1.0f)))
+      .toDF("id", "a", "b")
+    assert(nullRow.select(graft.functions.ArrayDot.dot(F.col("a"), F.col("b")))
+      .head().isNullAt(0))
+  }
+
   test("brute-force cosine top-k: self first, orthogonal excluded") {
     import spark.implicits._
     val vecs = Seq(
