@@ -53,10 +53,24 @@ object Dedup {
     else Array.tabulate(toks.length - n + 1)(i => toks.slice(i, i + n).mkString(" "))
   }
 
-  /** MinHash signature: hash each shingle once, derive k permutation
-    * minima via seed mixing — O(shingles · k) integer ops per document,
-    * computed where the document already lives (no shuffle). */
+  /** Per-slot permutation coefficients: odd multipliers + offsets derived
+    * once from the golden-ratio mix — deterministic across JVMs. */
+  private def permCoeffs(k: Int): (Array[Long], Array[Long]) = {
+    val a = Array.tabulate(k)(j => mix64(0xa076_1d64_78bd_642fL + j) | 1L)
+    val b = Array.tabulate(k)(j => mix64(0xe703_7ed1_a0b4_28dbL + j))
+    (a, b)
+  }
+  private val permA = permCoeffs(512)._1
+  private val permB = permCoeffs(512)._2
+
+  /** MinHash signature: hash each shingle once (FNV + avalanche), derive
+    * the k permutation minima with multiply-shift 2-universal hashing
+    * (`a_j·h + b_j`, odd a_j) — 2 integer ops per slot instead of a full
+    * mix, which is the textbook minwise-permutation family over an
+    * already well-mixed input. O(shingles · k) per document, computed
+    * where the document lives (no shuffle). */
   private[operators] def minhashSignature(text: String, k: Int, shingleSize: Int): Array[Long] = {
+    require(k <= permA.length, s"numHashes capped at ${permA.length}")
     val sh = shingles(text, shingleSize)
     val sig = Array.fill(k)(Long.MaxValue)
     var i = 0
@@ -64,7 +78,7 @@ object Dedup {
       val h = hashString(sh(i))
       var j = 0
       while (j < k) {
-        val v = mix64(h ^ (j.toLong * 0x9e3779b97f4a7c15L))
+        val v = permA(j) * h + permB(j)
         if (v < sig(j)) sig(j) = v
         j += 1
       }
