@@ -77,6 +77,6 @@ object Multimodal {
     val decodeUdf = F.udf((bytes: Array[Byte]) => dec.decode(bytes))
     val kept = df.columns.filterNot(_ == binCol).map(F.col)
     df.withColumn("__media", decodeUdf(F.col(binCol)))
-      .select(kept :+ F.col("__media.*"): _*)
+      .select((kept :+ F.col("__media.*")).toIndexedSeq: _*)
   }
 }

@@ -98,7 +98,7 @@ object Similarity {
     // multiprobe: exact bucket + all 1-bit-flipped buckets
     val probes = qSig +: Array.tabulate(np)(b => qSig ^ (1L << b))
     val withSig = df.withColumn("lsh_bucket", lshSignature(F.col(embCol), planes))
-    withSig.where(F.col("lsh_bucket").isin(probes.map(Long.box): _*))
+    withSig.where(F.col("lsh_bucket").isin(probes.map(Long.box).toIndexedSeq: _*))
       .select(F.col(idCol), F.round(cosine(F.col(embCol), F.lit(query)), 6).as("cosine"))
       .orderBy(F.col("cosine").desc, F.col(idCol).asc)
       .limit(k)
