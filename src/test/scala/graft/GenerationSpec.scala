@@ -121,6 +121,29 @@ class GenerationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Mixture.freeParams(2, 1) == 5)
   }
 
+  test("GMM sampling reproduces component weights and means") {
+    import spark.implicits._
+    val rng = new java.util.Random(17L)
+    val rows = Seq.fill(6000)(
+      if (rng.nextDouble() < 0.4) rng.nextGaussian() else 5.0 + rng.nextGaussian())
+    val (r, _) = Mixture.fit(rows.toDF("v"), Seq("v"), k = 2, seed = 42L)
+    val sampled = Mixture.sampleDistributed(spark, r, 20000L, seed = 7L)
+    assert(sampled.count() == 20000L)
+    // per-component share matches the fitted weights
+    val byComp = sampled.groupBy("component").count().collect()
+      .map(x => x.getInt(0) -> x.getLong(1)).toMap
+    (0 until r.k).foreach { c =>
+      val share = byComp.getOrElse(c, 0L).toDouble / 20000.0
+      assert(math.abs(share - r.weights(c)) < 0.03,
+        s"component $c share $share vs weight ${r.weights(c)}")
+    }
+    // overall mean matches the mixture mean
+    val mixMean = (0 until r.k).map(c => r.weights(c) * r.means(c)(0)).sum
+    val sampleMean = sampled.agg(org.apache.spark.sql.functions.avg("v"))
+      .head().getDouble(0)
+    assert(math.abs(sampleMean - mixMean) < 0.1, s"$sampleMean vs $mixMean")
+  }
+
   test("bootstrap CIs bracket the true parameters") {
     val rng = new java.util.Random(19L)
     val sample = Array.fill(1500)(50.0 + 10.0 * rng.nextGaussian())
