@@ -231,6 +231,17 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "mean_token_len", "type_token_ratio",
           "stopword_ratio", "punct_ratio", "quality_score")
         .orderBy("doc_id")),
+    "q_quality_by_length" -> ((s, dir) =>
+      // composed curation step: quality scoring → bucketed aggregation
+      // (the "how much good data do I have per length band" query every
+      // training-data pipeline runs before filtering)
+      TextOps.qualityScore(docs(s, dir), "text")
+        .select((F.col("n_tokens") / 100).cast("long").as("len_bucket"),
+          F.col("quality_score"))
+        .groupBy("len_bucket")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.round(F.avg("quality_score"), 6).as("avg_quality"))
+        .orderBy("len_bucket")),
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), "doc_id", "text").orderBy("text_md5")),
     "q_dedup_minhash" -> ((s, dir) =>
@@ -533,6 +544,29 @@ object SparkEntry {
         |    (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2 +
         |    least(mean_token_len / 8.0, 1.0) * 0.1, 6) AS quality_score
         |FROM f ORDER BY doc_id""".stripMargin,
+    "q_quality_by_length" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    length(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |    CASE WHEN length(regexp_extract_all(text, '\S+')) > 0
+        |      THEN round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / length(regexp_extract_all(text, '\S+')), 6)
+        |      ELSE 0.0 END AS mean_token_len,
+        |    CASE WHEN length(regexp_extract_all(lower(text), '[a-z]+')) > 0
+        |      THEN round(CAST(length(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS DOUBLE) / length(regexp_extract_all(lower(text), '[a-z]+')), 6)
+        |      ELSE 0.0 END AS type_token_ratio,
+        |    CASE WHEN length(text) > 0
+        |      THEN round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 6)
+        |      ELSE 0.0 END AS punct_ratio
+        |  FROM documents),
+        |q AS (
+        |  SELECT CAST(floor(n_tokens / 100.0) AS BIGINT) AS len_bucket,
+        |    round(least(n_tokens / 50.0, 1.0) * 0.4 + type_token_ratio * 0.3 +
+        |      (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2 +
+        |      least(mean_token_len / 8.0, 1.0) * 0.1, 6) AS quality_score
+        |  FROM f)
+        |SELECT len_bucket, count(*) AS n_docs,
+        |  round(avg(quality_score), 6) AS avg_quality
+        |FROM q GROUP BY len_bucket ORDER BY len_bucket""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS survivor_id,
         |count(*) AS n_copies FROM documents GROUP BY md5(text)
