@@ -33,8 +33,7 @@ class DistributionSpec extends AnyFunSuite {
     }
   }
 
-  test("ppf/cdf round-trip for every registered continuous family") {
-    val shapeExamples: Map[String, Array[Double]] = Map(
+  private val shapeExamples: Map[String, Array[Double]] = Map(
       "norm" -> Array(0.0, 1.0), "expon" -> Array(0.0, 2.0),
       "uniform" -> Array(1.0, 3.0), "lognorm" -> Array(0.6, 0.0, 2.0),
       "gamma" -> Array(2.5, 0.0, 1.5), "weibull_min" -> Array(1.8, 0.0, 2.0),
@@ -88,6 +87,8 @@ class DistributionSpec extends AnyFunSuite {
       "vonmises_line" -> Array(2.0, 0.0, 1.0), "vonmises" -> Array(2.0, 0.0, 1.0),
       "ncx2" -> Array(4.0, 2.0, 0.0, 1.0), "ncf" -> Array(5.0, 12.0, 2.0, 0.0, 1.0),
       "norminvgauss" -> Array(1.5, 0.5, 0.0, 1.0))
+
+  test("ppf/cdf round-trip for every registered continuous family") {
     for (d <- ContinuousFamilies.all ++ ContinuousFamiliesB.all ++
               ContinuousFamiliesC.all ++ ContinuousFamiliesD.all) {
       val p = shapeExamples(d.name)
@@ -103,6 +104,26 @@ class DistributionSpec extends AnyFunSuite {
         assert(d.cdf(a, p) <= d.cdf(b, p) + 1e-12, s"${d.name} cdf not monotone")
       }
       grid.foreach { x => assert(d.pdf(x, p) >= 0, s"${d.name} pdf<0 at $x") }
+    }
+  }
+
+  test("pdf matches the numerical cdf derivative for every family") {
+    // central difference (cdf(x+h) − cdf(x−h)) / 2h ≈ pdf(x): a silent
+    // cdf0/pdf0 disagreement corrupts SSE (CDF-differencing) vs AIC
+    // (logpdf) rankings without failing any single-function test
+    for (d <- ContinuousFamilies.all ++ ContinuousFamiliesB.all ++
+              ContinuousFamiliesC.all ++ ContinuousFamiliesD.all) {
+      val p = shapeExamples(d.name)
+      for (q <- Seq(0.15, 0.35, 0.5, 0.65, 0.85)) {
+        val x = d.ppf(q, p)
+        val pdf = d.pdf(x, p)
+        if (java.lang.Double.isFinite(x) && java.lang.Double.isFinite(pdf) && pdf > 1e-8) {
+          val h = 1e-5 * (1.0 + math.abs(x))
+          val num = (d.cdf(x + h, p) - d.cdf(x - h, p)) / (2 * h)
+          assert(math.abs(num - pdf) <= 2e-3 * pdf + 1e-7,
+            s"${d.name}: pdf($x)=$pdf but dCDF/dx=$num (q=$q)")
+        }
+      }
     }
   }
 
