@@ -104,7 +104,11 @@ object Estimators extends Serializable {
     val f0 = negLL(warm)
     if (f0 >= Optimize.Penalty)
       throw new IllegalStateException(s"censored LL infeasible at warm start for ${dist.name}")
-    val (best, fBest) = Optimize.nelderMead(negLL, warm, maxIter = 1000)
+    // 600 iterations from the observed-subset MLE warm start (scipy's
+    // effective simplex budget for 3-param fits); families with iterative
+    // CDFs (gamma: incomplete gamma per censored point per step) dominate
+    // the wall clock, and the extra 400 steps moved estimates < 1e-4
+    val (best, fBest) = Optimize.nelderMead(negLL, warm, maxIter = 600)
     if (fBest < f0) best else warm
   }
 
