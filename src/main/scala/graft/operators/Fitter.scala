@@ -417,44 +417,85 @@ object Fitter {
     * (reference: discrete_fitter.py + discrete_fitting.py:380-470). */
   def fitDiscrete(spark: SparkSession, df: DataFrame, column: String,
                   distributions: Option[Seq[String]] = None,
-                  cfg: FitConfig = FitConfig()): FitResults = {
+                  cfg: FitConfig = FitConfig()): FitResults =
+    fitDiscreteMulti(spark, df, Seq(column), distributions, cfg)
+
+  /** Multi-column discrete fit with the same shared-scan discipline as the
+    * continuous path: ONE exploded scan computes every column's empirical
+    * PMF, ONE scan collects every column's fitting sample, then a single
+    * fan-out job runs every (column, family) pair. m columns cost ~1. */
+  def fitDiscreteMulti(spark: SparkSession, df: DataFrame, columns: Seq[String],
+                       distributions: Option[Seq[String]] = None,
+                       cfg: FitConfig = FitConfig()): FitResults = {
     import spark.implicits._
-    val pmf = Histogram.discretePmf(df, column)
-    val sampleD: Array[Long] = {
-      val c = F.col(column).cast("long")
-      val valid = df.select(c.as("k")).where(F.col("k").isNotNull)
-      val n = pmf.total
-      if (n <= cfg.fittingSampleSize) valid.collect().map(_.getLong(0))
-      else {
-        val arr = valid.sample(withReplacement = false,
-            math.min(1.0, cfg.fittingSampleSize * 1.2 / n), cfg.sampleSeed)
-          .limit(cfg.fittingSampleSize * 2).collect().map(_.getLong(0))
+    require(columns.nonEmpty, "at least one column required")
+    val cleaned = df.select(columns.map(c => F.col(c).cast("long").as(c)): _*)
+
+    // per-column PMFs from one exploded (columnIndex, value) shuffle —
+    // the collect is ~(columns · unique values) rows, bounded for
+    // genuinely discrete data regardless of input size
+    val entries = F.array(columns.zipWithIndex.map { case (c, i) =>
+      F.when(F.col(c).isNotNull, F.struct(F.lit(i).as("ci"), F.col(c).as("k")))
+        .otherwise(F.lit(null))
+    }: _*)
+    val grouped = cleaned.select(F.explode(entries).as("e"))
+      .where(F.col("e").isNotNull)
+      .groupBy(F.col("e.ci").as("ci"), F.col("e.k").as("k"))
+      .agg(F.count(F.lit(1)).as("cnt"))
+      .collect()
+    val pmfByCol: Map[String, Pmf] = columns.zipWithIndex.map { case (c, i) =>
+      val rows = grouped.filter(_.getInt(0) == i).sortBy(_.getLong(1))
+      if (rows.isEmpty)
+        throw new IllegalArgumentException(s"column '$c' contains no valid values")
+      val counts = rows.map(_.getLong(2))
+      val total = counts.sum
+      c -> Pmf(rows.map(_.getLong(1)), counts.map(_.toDouble / total), total)
+    }.toMap
+
+    // one shared sample scan; per-column null-filter + exact resample on
+    // the collected rows (fraction from the MINIMUM count so sparse
+    // columns still reach the target size)
+    val nMax = pmfByCol.values.map(_.total).max
+    val nMin = pmfByCol.values.map(_.total).min
+    val sampleRows: Array[org.apache.spark.sql.Row] =
+      if (nMax <= cfg.fittingSampleSize) cleaned.collect()
+      else cleaned
+        .sample(withReplacement = false,
+          math.min(1.0, cfg.fittingSampleSize * 1.2 / math.max(nMin, 1L)), cfg.sampleSeed)
+        .limit(cfg.fittingSampleSize * 4).collect()
+    val samplesByCol: Map[String, Array[Long]] = columns.zipWithIndex.map { case (c, i) =>
+      val arr = sampleRows.iterator.filterNot(_.isNullAt(i)).map(_.getLong(i)).toArray
+      val sized =
         if (arr.length <= cfg.fittingSampleSize) arr
         else {
           val rng = new java.util.Random(cfg.sampleSeed)
           val a = arr.clone()
-          var i = 0
-          while (i < cfg.fittingSampleSize) {
-            val j = i + rng.nextInt(a.length - i)
-            val t = a(i); a(i) = a(j); a(j) = t
-            i += 1
+          var j = 0
+          while (j < cfg.fittingSampleSize) {
+            val m = j + rng.nextInt(a.length - j)
+            val t = a(j); a(j) = a(m); a(m) = t
+            j += 1
           }
           java.util.Arrays.copyOfRange(a, 0, cfg.fittingSampleSize)
         }
-      }
-    }
-    val stats = DataStats.of(sampleD.map(_.toDouble))
+      c -> sized
+    }.toMap
+
     val names = distributions.getOrElse(DiscreteRegistry.allNames)
       .filter(n => DiscreteRegistry.get(n).isDefined)
+    val pairs: Seq[(String, String)] = columns.flatMap(c => names.map(n => (c, n)))
 
     // SSE compares empirical vs fitted PMF at the unique observed values
     // (reference: discrete_fitting.py:184-209)
-    val bc = spark.sparkContext.broadcast((sampleD, pmf, stats, column))
+    val ctx: Map[String, (Array[Long], Pmf, DataStats)] = columns.map { c =>
+      c -> ((samplesByCol(c), pmfByCol(c), DataStats.of(samplesByCol(c).map(_.toDouble))))
+    }.toMap
+    val bc = spark.sparkContext.broadcast(ctx)
 
-    val results = spark.createDataset(names)
-      .repartition(math.max(1, math.min(names.length, 2 * spark.sparkContext.defaultParallelism)))
-      .map { name =>
-        val (sample, pm, st, colName) = bc.value
+    val results = spark.createDataset(pairs)
+      .repartition(math.max(1, math.min(pairs.length, 2 * spark.sparkContext.defaultParallelism)))
+      .map { case (colName, name) =>
+        val (sample, pm, st) = bc.value(colName)
         val t0 = System.nanoTime()
         val res = try {
           val dist = DiscreteRegistry.get(name).get

@@ -212,6 +212,32 @@ class FitterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(top.getSeq[Double](top.fieldIndex("parameters")).head - 7.0) < 0.2)
   }
 
+  test("multi-column discrete fit matches single-column fits per column") {
+    import spark.implicits._
+    val rng = new java.util.Random(5L)
+    def pois(mu: Double): Long = {
+      val u = rng.nextDouble()
+      var k = 0L; var c = graft.dists.DiscreteFamilies.Poisson.pmf(k, Array(mu))
+      while (c < u && k < 1000) { k += 1; c += graft.dists.DiscreteFamilies.Poisson.pmf(k, Array(mu)) }
+      k
+    }
+    val df = Seq.fill(4000)((pois(3.0), pois(12.0))).toDF("a", "b")
+    val multi = Fitter.fitDiscreteMulti(spark, df, Seq("a", "b"),
+      distributions = Some(Seq("poisson", "geom", "nbinom")))
+    assert(multi.columnNames == Seq("a", "b"))
+    val bests = multi.bestPerColumn(1, "aic").collect()
+      .map(r => r.getAs[String]("column_name") -> r.getAs[String]("distribution")).toMap
+    assert(bests("a") == "poisson" && bests("b") == "poisson", s"$bests")
+    // per-column parameter estimates agree with the single-column path
+    val single = Fitter.fitDiscrete(spark, df.select("a"), "a",
+      distributions = Some(Seq("poisson")))
+    val muMulti = multi.forColumn("a").df.where($"distribution" === "poisson")
+      .head().getSeq[Double](2).head
+    val muSingle = single.df.head().getSeq[Double](2).head
+    assert(math.abs(muMulti - 3.0) < 0.2 && math.abs(muSingle - 3.0) < 0.2,
+      s"mu multi=$muMulti single=$muSingle")
+  }
+
   test("censored fit: weibull survival data recovers shape within tolerance") {
     import spark.implicits._
     val rng = new java.util.Random(42L)
