@@ -212,6 +212,17 @@ class FitterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(top.getSeq[Double](top.fieldIndex("parameters")).head - 7.0) < 0.2)
   }
 
+  test("supportAtZeroOnly restricts the candidate list to lb-0 families") {
+    val df = toDf(sample(ContinuousFamilies.Gamma, Array(2.0, 0.0, 3.0), 3000))
+    val r = Fitter.fit(spark, df, Seq("value"),
+      distributions = Some(Seq("norm", "expon", "gamma", "uniform", "halfnorm")),
+      cfg = FitConfig(supportAtZeroOnly = true))
+    val fitted = r.df.select("distribution").collect().map(_.getString(0)).toSet
+    // scipy semantics: uniform.a == 0, so uniform passes the filter too
+    assert(fitted == Set("expon", "gamma", "halfnorm", "uniform"),
+      s"expected exactly the lb-0 families, got $fitted")
+  }
+
   test("multi-column discrete fit matches single-column fits per column") {
     import spark.implicits._
     val rng = new java.util.Random(5L)
