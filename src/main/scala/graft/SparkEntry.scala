@@ -141,7 +141,12 @@ object SparkEntry {
         .successful
         .select(F.col("distribution"),
           F.round(F.element_at(F.col("parameters"), 1), 4).as("p_loc"),
-          F.round(F.element_at(F.col("parameters"), 2), 4).as("p_scale"))
+          F.round(F.element_at(F.col("parameters"), 2), 4).as("p_scale"),
+          // AIC = 2k − 2·Σ logpdf over the full column is SQL-expressible
+          // for closed-form families, hash-checking the information-
+          // criteria pipeline (the LL is stationary at the MLE, so
+          // cross-engine parameter noise is second-order)
+          F.round(F.col("aic"), 2).as("aic_r"))
         .orderBy("distribution")),
     "fit_closed_form_discrete" -> ((s, dir) =>
       // the discrete kernel's closed-form family (poisson MLE = sample
@@ -603,12 +608,21 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
     "fit_closed_form" ->
       """WITH s AS (SELECT avg(l_extendedprice) AS m, min(l_extendedprice) AS mn,
-        |  max(l_extendedprice) AS mx, stddev_pop(l_extendedprice) AS sd
-        |FROM lineitem)
+        |  max(l_extendedprice) AS mx, stddev_pop(l_extendedprice) AS sd,
+        |  count(l_extendedprice) AS n FROM lineitem),
+        |ll AS (SELECT
+        |  sum(-0.5 * pow((l.l_extendedprice - s.m) / s.sd, 2))
+        |    - s.n * ln(s.sd) - s.n * 0.5 * ln(2 * pi()) AS ll_norm,
+        |  sum(-(l.l_extendedprice - s.mn) / (s.m - s.mn))
+        |    - s.n * ln(s.m - s.mn) AS ll_expon,
+        |  -s.n * ln(s.mx - s.mn) AS ll_unif
+        |  FROM lineitem l, s GROUP BY s.n, s.sd, s.m, s.mn, s.mx)
         |SELECT 'expon' AS distribution, round(mn, 4) AS p_loc,
-        |  round(m - mn, 4) AS p_scale FROM s
-        |UNION ALL SELECT 'norm', round(m, 4), round(sd, 4) FROM s
-        |UNION ALL SELECT 'uniform', round(mn, 4), round(mx - mn, 4) FROM s
+        |  round(m - mn, 4) AS p_scale, round(4 - 2 * ll_expon, 2) AS aic_r FROM s, ll
+        |UNION ALL SELECT 'norm', round(m, 4), round(sd, 4),
+        |  round(4 - 2 * ll_norm, 2) FROM s, ll
+        |UNION ALL SELECT 'uniform', round(mn, 4), round(mx - mn, 4),
+        |  round(4 - 2 * ll_unif, 2) FROM s, ll
         |ORDER BY 1""".stripMargin,
     "fit_closed_form_discrete" ->
       """SELECT 'poisson' AS distribution,
