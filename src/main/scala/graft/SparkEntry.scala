@@ -146,7 +146,11 @@ object SparkEntry {
           // for closed-form families, hash-checking the information-
           // criteria pipeline (the LL is stationary at the MLE, so
           // cross-engine parameter noise is second-order)
-          F.round(F.col("aic"), 2).as("aic_r"))
+          F.round(F.col("aic"), 2).as("aic_r"),
+          // K-S is SQL-expressible where the CDF is (expon/uniform; DuckDB
+          // has no erf, so the norm row carries a −1 sentinel both sides)
+          F.when(F.col("distribution") === "norm", F.lit(-1.0))
+            .otherwise(F.round(F.col("ks_statistic"), 6)).as("ks_r"))
         .orderBy("distribution")),
     "fit_closed_form_discrete" -> ((s, dir) =>
       // the discrete kernel's closed-form family (poisson MLE = sample
@@ -616,13 +620,24 @@ object SparkEntry {
         |  sum(-(l.l_extendedprice - s.mn) / (s.m - s.mn))
         |    - s.n * ln(s.m - s.mn) AS ll_expon,
         |  -s.n * ln(s.mx - s.mn) AS ll_unif
-        |  FROM lineitem l, s GROUP BY s.n, s.sd, s.m, s.mn, s.mx)
+        |  FROM lineitem l, s GROUP BY s.n, s.sd, s.m, s.mn, s.mx),
+        |ranked AS (SELECT l_extendedprice AS x,
+        |  CAST(row_number() OVER (ORDER BY l_extendedprice) AS DOUBLE) AS rn
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |ks AS (SELECT
+        |  max(greatest(rn / s.n - (1.0 - exp(-(r.x - s.mn) / (s.m - s.mn))),
+        |               (1.0 - exp(-(r.x - s.mn) / (s.m - s.mn))) - (rn - 1.0) / s.n))
+        |    AS d_expon,
+        |  max(greatest(rn / s.n - (r.x - s.mn) / (s.mx - s.mn),
+        |               (r.x - s.mn) / (s.mx - s.mn) - (rn - 1.0) / s.n)) AS d_unif
+        |  FROM ranked r, s GROUP BY s.n, s.m, s.mn, s.mx)
         |SELECT 'expon' AS distribution, round(mn, 4) AS p_loc,
-        |  round(m - mn, 4) AS p_scale, round(4 - 2 * ll_expon, 2) AS aic_r FROM s, ll
+        |  round(m - mn, 4) AS p_scale, round(4 - 2 * ll_expon, 2) AS aic_r,
+        |  round(d_expon, 6) AS ks_r FROM s, ll, ks
         |UNION ALL SELECT 'norm', round(m, 4), round(sd, 4),
-        |  round(4 - 2 * ll_norm, 2) FROM s, ll
+        |  round(4 - 2 * ll_norm, 2), -1.0 FROM s, ll, ks
         |UNION ALL SELECT 'uniform', round(mn, 4), round(mx - mn, 4),
-        |  round(4 - 2 * ll_unif, 2) FROM s, ll
+        |  round(4 - 2 * ll_unif, 2), round(d_unif, 6) FROM s, ll, ks
         |ORDER BY 1""".stripMargin,
     "fit_closed_form_discrete" ->
       """SELECT 'poisson' AS distribution,
