@@ -25,6 +25,15 @@ object DistRegistry extends Serializable {
     custom += (d.name -> d)
   }
 
+  def unregister(name: String): Unit = synchronized { custom -= name }
+
+  /** Immutable snapshot of the runtime-registered families. Fit jobs ship
+    * this inside the broadcast fit context so executors resolve custom
+    * names WITHOUT touching this driver-JVM map — `register` on the driver
+    * is invisible to executor JVMs on a real cluster (the reference ships
+    * custom dists the same way, estimation.py:496-528, 637-641). */
+  def customSnapshot: Map[String, ContinuousDist] = custom
+
   def get(name: String): Option[ContinuousDist] =
     custom.get(name).orElse(builtin.get(name))
 
@@ -79,6 +88,11 @@ object DiscreteRegistry extends Serializable {
   @volatile private var custom: Map[String, DiscreteDist] = Map.empty
 
   def register(d: DiscreteDist): Unit = synchronized { custom += (d.name -> d) }
+
+  def unregister(name: String): Unit = synchronized { custom -= name }
+
+  /** Executor-safe snapshot; see [[DistRegistry.customSnapshot]]. */
+  def customSnapshot: Map[String, DiscreteDist] = custom
 
   def get(name: String): Option[DiscreteDist] =
     custom.get(name).orElse(builtin.get(name))

@@ -13,14 +13,22 @@ import graft.dists.{DistRegistry, DiscreteRegistry, FrozenModel, FrozenDist}
   * directly. Unknown names and bad params return NULL, never throw. */
 object SqlUdfs {
 
-  private def model(name: String, params: Seq[Double]): Option[FrozenModel] =
-    DistRegistry.get(name).map(d => FrozenDist(d, params.toArray))
-
   private def finiteOrNull(v: Double): java.lang.Double =
     if (java.lang.Double.isFinite(v)) java.lang.Double.valueOf(v) else null
 
-  /** Register every UDF on the session; returns the registered names. */
+  /** Register every UDF on the session; returns the registered names.
+    *
+    * The custom-registry snapshot is captured HERE, on the driver, and
+    * rides the UDF closures to executors — `DistRegistry.get` inside a
+    * UDF body would consult the executor JVM's (empty) custom map on a
+    * real cluster. Dists registered after this call need a re-`register`
+    * to become visible to SQL. */
   def register(spark: SparkSession): Seq[String] = {
+    val customC = DistRegistry.customSnapshot
+    val customD = DiscreteRegistry.customSnapshot
+    def model(name: String, params: Seq[Double]): Option[FrozenModel] =
+      customC.get(name).orElse(DistRegistry.get(name))
+        .map(d => FrozenDist(d, params.toArray))
     spark.udf.register("dist_pdf",
       (name: String, params: Seq[Double], x: Double) =>
         model(name, params).map(m => finiteOrNull(m.pdf(x))).orNull)
@@ -35,7 +43,7 @@ object SqlUdfs {
         model(name, params).map(m => finiteOrNull(m.ppf(q))).orNull)
     spark.udf.register("dist_pmf",
       (name: String, params: Seq[Double], k: Long) =>
-        DiscreteRegistry.get(name)
+        customD.get(name).orElse(DiscreteRegistry.get(name))
           .map(d => finiteOrNull(d.pmf(k, params.toArray))).orNull)
     spark.udf.register("hist_counts",
       org.apache.spark.sql.functions.udaf(HistAggregator))

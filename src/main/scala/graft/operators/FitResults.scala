@@ -17,6 +17,13 @@ final class FitResults(
 
   def count: Long = df.count()
 
+  /** Release the cached results relation (fit() caches it eagerly).
+    * Queries still work afterwards — they just recompute the lineage.
+    * Long-lived sessions fitting many columns should call this when a
+    * collection is no longer needed, or executors accumulate one pinned
+    * relation per fit (reference: collection.py unpersist lifecycle). */
+  def unpersist(): this.type = { df.unpersist(); this }
+
   /** Drop sentinel rows from failed fits (sse = +inf)
     * (reference: backends/spark.py:193). */
   def successful: DataFrame = df.where(F.col("sse") < F.lit(Double.PositiveInfinity))
@@ -44,7 +51,9 @@ final class FitResults(
     maxKs.foreach(t => out = out.where(F.col("ks_statistic") < t))
     minPvalue.foreach(t => out = out.where(F.col("pvalue") > t))
     maxAd.foreach(t => out = out.where(F.col("ad_statistic") < t))
-    new FitResults(out)
+    // keep samples/cfg so a filtered lazy collection can still fill
+    // deferred metrics (bestLazy/materialize)
+    new FitResults(out, samples, cfg)
   }
 
   def forColumn(column: String): FitResults =

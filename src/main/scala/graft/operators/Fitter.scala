@@ -89,10 +89,17 @@ object Fitter {
       st.min, st.max, st.mean, st.stddev, st.count, st.kurtosis, st.skewness, lb, ub)
 
   /** The per-distribution fit kernel (reference: estimation.py:583-736).
-    * Runs inside the executor-side map; must never throw. */
-  def fitOne(distName: String, ctx: FitContext, cfg: FitConfig): FitResult = {
+    * Runs inside the executor-side map; must never throw.
+    *
+    * `custom` is the broadcast snapshot of runtime-registered families —
+    * on a real cluster the driver's `DistRegistry.register` is invisible
+    * to executor JVMs, so custom names MUST resolve from this map first
+    * (reference ships custom dists in the broadcast the same way,
+    * estimation.py:496-528, 637-641). */
+  def fitOne(distName: String, ctx: FitContext, cfg: FitConfig,
+             custom: Map[String, ContinuousDist] = Map.empty): FitResult = {
     val t0 = System.nanoTime()
-    val r = fitOneImpl(distName, ctx, cfg)
+    val r = fitOneImpl(distName, ctx, cfg, custom)
     val dt = (System.nanoTime() - t0) / 1e9
     if (dt > 2.0)
       System.err.println(f"SLOW FIT: $distName%-18s ${ctx.columnName}%-18s $dt%7.2f s")
@@ -102,10 +109,11 @@ object Fitter {
     r.copy(fit_seconds = dt)
   }
 
-  private def fitOneImpl(distName: String, ctx: FitContext, cfg: FitConfig): FitResult = {
+  private def fitOneImpl(distName: String, ctx: FitContext, cfg: FitConfig,
+                         custom: Map[String, ContinuousDist]): FitResult = {
     val st = ctx.stats
     try {
-      val dist = DistRegistry.get(distName).getOrElse(
+      val dist = custom.get(distName).orElse(DistRegistry.get(distName)).getOrElse(
         return failed(distName, ctx.columnName, st, cfg.lowerBound, cfg.upperBound))
 
       val params: Array[Double] = ctx.censoring match {
@@ -232,6 +240,21 @@ object Fitter {
     java.util.Arrays.copyOfRange(a, 0, n)
   }
 
+  /** Same seeded Fisher-Yates, over whole rows, so paired columns (e.g.
+    * value + censor flag) stay aligned through the downsample. */
+  def exactResampleRows(xs: Array[org.apache.spark.sql.Row], n: Int,
+                        seed: Long): Array[org.apache.spark.sql.Row] = {
+    val rng = new java.util.Random(seed)
+    val a = xs.clone()
+    var i = 0
+    while (i < n) {
+      val j = i + rng.nextInt(a.length - i)
+      val t = a(i); a(i) = a(j); a(j) = t
+      i += 1
+    }
+    java.util.Arrays.copyOfRange(a, 0, n)
+  }
+
   /** Fit all requested continuous families to one or more numeric columns.
     *
     * Pipeline per column (reference lifecycle, SURVEY.md §3.1): distributed
@@ -267,15 +290,28 @@ object Fitter {
     // round 1 looped columns and paid 3×) ----
 
     // censored fitting collects the paired (value, event) sample per
-    // column; everything else rides the shared scans
+    // column with the same seeded-sample + exact-resample discipline as
+    // the continuous path — a bare `.limit` would take the head of the
+    // table in partition order, a time-biased (and layout-dependent)
+    // subsample when the source is time-ordered
     val censorByCol: Map[String, (Array[Double], Array[Boolean])] =
       cfg.censoringColumn match {
         case None => Map.empty
         case Some(cc) => columns.map { column =>
-          val rows = df.select(F.col(column).cast("double"), F.col(cc).cast("boolean"))
-            .where(F.col(column).isNotNull && !F.isnan(F.col(column)))
-            .limit(cfg.fittingSampleSize).collect()
-          column -> (rows.map(_.getDouble(0)), rows.map(_.getBoolean(1)))
+          val valid = df
+            .select(F.col(column).cast("double").as("x"), F.col(cc).cast("boolean").as("e"))
+            .where(F.col("x").isNotNull && !F.isnan(F.col("x")))
+          val n = valid.count()
+          val rows =
+            if (n <= cfg.fittingSampleSize) valid.collect()
+            else valid
+              .sample(withReplacement = false,
+                math.min(1.0, cfg.fittingSampleSize * 1.2 / n), cfg.sampleSeed)
+              .limit(cfg.fittingSampleSize * 2).collect()
+          val sized =
+            if (rows.length <= cfg.fittingSampleSize) rows
+            else exactResampleRows(rows, cfg.fittingSampleSize, cfg.sampleSeed)
+          column -> (sized.map(_.getDouble(0)), sized.map(_.getBoolean(1)))
         }.toMap
       }
 
@@ -399,13 +435,15 @@ object Fitter {
     val nParts = cfg.numPartitions.getOrElse(
       math.max(1, math.min(pairs.length, 4 * spark.sparkContext.defaultParallelism)))
 
-    val bc = spark.sparkContext.broadcast((ctxs, methodByCol))
+    // the custom-registry snapshot rides the broadcast so runtime-registered
+    // families resolve on executor JVMs (not just in local mode)
+    val bc = spark.sparkContext.broadcast((ctxs, methodByCol, DistRegistry.customSnapshot))
     val cfgBase = cfg
     val results: Dataset[FitResult] = spark.createDataset(pairs)
       .repartition(nParts)
       .map { case (c, name) =>
-        val (ctxMap, methods) = bc.value
-        fitOne(name, ctxMap(c), cfgBase.copy(estimationMethod = methods(c)))
+        val (ctxMap, methods, customDists) = bc.value
+        fitOne(name, ctxMap(c), cfgBase.copy(estimationMethod = methods(c)), customDists)
       }
 
     val combined = results.toDF().cache()
@@ -490,15 +528,16 @@ object Fitter {
     val ctx: Map[String, (Array[Long], Pmf, DataStats)] = columns.map { c =>
       c -> ((samplesByCol(c), pmfByCol(c), DataStats.of(samplesByCol(c).map(_.toDouble))))
     }.toMap
-    val bc = spark.sparkContext.broadcast(ctx)
+    val bc = spark.sparkContext.broadcast((ctx, DiscreteRegistry.customSnapshot))
 
     val results = spark.createDataset(pairs)
       .repartition(math.max(1, math.min(pairs.length, 2 * spark.sparkContext.defaultParallelism)))
       .map { case (colName, name) =>
-        val (sample, pm, st) = bc.value(colName)
+        val (ctxMap, customDists) = bc.value
+        val (sample, pm, st) = ctxMap(colName)
         val t0 = System.nanoTime()
         val res = try {
-          val dist = DiscreteRegistry.get(name).get
+          val dist = customDists.get(name).orElse(DiscreteRegistry.get(name)).get
           val params = dist.fit(sample)
           if (params.exists(p => !java.lang.Double.isFinite(p)))
             failed(name, colName, st, None, None)

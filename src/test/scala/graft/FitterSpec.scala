@@ -318,6 +318,88 @@ class FitterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Fitter.partitionCount(spark, names, None) <= 2 * spark.sparkContext.defaultParallelism)
   }
 
+  test("custom distributions ride the broadcast: names absent from the builtin registry fit through the fan-out") {
+    // a renamed Gaussian under a name no registry carries
+    object CustomGauss extends graft.dists.ContinuousDist {
+      private val base = ContinuousFamilies.Norm
+      val name = "customgauss_bx"
+      def shapeNames: Seq[String] = Seq.empty
+      def pdf0(z: Double, s: Array[Double]): Double = base.pdf0(z, s)
+      def cdf0(z: Double, s: Array[Double]): Double = base.cdf0(z, s)
+      def ppf0(q: Double, s: Array[Double]): Double = base.ppf0(q, s)
+      def warmStart(xs: Array[Double]): Array[Double] = base.warmStart(xs)
+    }
+    val xs = sample(ContinuousFamilies.Norm, Array(10.0, 2.0), 5000)
+
+    // kernel-level: resolution must work from the PASSED map alone (that
+    // is all an executor JVM has on a real cluster) ...
+    val hist = Histogram.continuous(toDf(xs), "value")
+    val ctx = FitContext("value", hist, xs, DataStats.of(xs), None)
+    val viaBroadcast = Fitter.fitOne(CustomGauss.name, ctx, FitConfig(),
+      custom = Map(CustomGauss.name -> CustomGauss))
+    assert(viaBroadcast.sse < Double.PositiveInfinity, "broadcast-map resolution failed")
+    assert(math.abs(viaBroadcast.parameters(0) - 10.0) < 0.3)
+    // ... and an unknown name with no map entry still yields the sentinel
+    assert(Fitter.fitOne(CustomGauss.name, ctx, FitConfig()).sse.isInfinite)
+
+    // end-to-end: register on the driver, fit through the distributed
+    // fan-out (fit() snapshots the registry into the broadcast)
+    graft.dists.DistRegistry.register(CustomGauss)
+    try {
+      val r = Fitter.fit(spark, toDf(xs), Seq("value"),
+        distributions = Some(Seq(CustomGauss.name)))
+      val row = r.successful.head()
+      assert(row.getAs[String]("distribution") == CustomGauss.name)
+      val p = row.getSeq[Double](row.fieldIndex("parameters"))
+      assert(math.abs(p(0) - 10.0) < 0.3 && math.abs(p(1) - 2.0) < 0.3, s"p=$p")
+    } finally graft.dists.DistRegistry.unregister(CustomGauss.name)
+    assert(graft.dists.DistRegistry.get(CustomGauss.name).isEmpty)
+  }
+
+  test("custom discrete distributions ride the broadcast through fitDiscrete") {
+    object CustomPois extends graft.dists.DiscreteDist {
+      private val base = graft.dists.DiscreteFamilies.all.find(_.name == "poisson").get
+      val name = "custompois_bx"
+      def paramNames: Seq[String] = base.paramNames
+      def valid(p: Array[Double]): Boolean = base.valid(p)
+      def logpmf(k: Long, p: Array[Double]): Double = base.logpmf(k, p)
+      def support(p: Array[Double]): (Long, Long) = base.support(p)
+      def initial(xs: Array[Long]): Array[Double] = base.initial(xs)
+    }
+    import spark.implicits._
+    val rng = new java.util.Random(7L)
+    val xs = Array.fill(3000) { // poisson(4) via inversion
+      var k = 0L; var p = math.exp(-4.0); var u = rng.nextDouble()
+      while (u > p && k < 100) { u -= p; k += 1; p *= 4.0 / k }
+      k
+    }
+    graft.dists.DiscreteRegistry.register(CustomPois)
+    try {
+      val r = Fitter.fitDiscrete(spark, xs.toSeq.toDF("k"), "k",
+        distributions = Some(Seq(CustomPois.name)))
+      val row = r.successful.head()
+      assert(row.getAs[String]("distribution") == CustomPois.name)
+      val mu = row.getSeq[Double](row.fieldIndex("parameters")).head
+      assert(math.abs(mu - 4.0) < 0.2, s"mu=$mu")
+    } finally graft.dists.DiscreteRegistry.unregister(CustomPois.name)
+  }
+
+  test("censored sample is seed-deterministic and not a prefix of the table") {
+    import spark.implicits._
+    // 30K rows laid out so any `.limit(10000)` prefix sees ONLY value=5.0;
+    // a real seeded sample sees the 5/50 mixture (mean ~27.5)
+    val rows = (Array.fill(15000)((5.0, true)) ++ Array.fill(15000)((50.0, true))).toSeq
+    val df = rows.toDF("time", "event")
+    val cfg = FitConfig(censoringColumn = Some("event"))
+    val fit1 = Fitter.fit(spark, df, Seq("time"), Some(Seq("expon")), cfg)
+    val m1 = fit1.df.head().getAs[Double]("data_mean")
+    assert(m1 > 20.0 && m1 < 35.0, s"prefix-biased censored sample: mean=$m1")
+    // same seed → identical sample → identical estimate
+    val fit2 = Fitter.fit(spark, df, Seq("time"), Some(Seq("expon")), cfg)
+    assert(fit2.df.head().getAs[Double]("data_mean") == m1)
+    assert(fit2.df.head().getSeq[Double](2) == fit1.df.head().getSeq[Double](2))
+  }
+
   test("harness queries run on sf0.001 and entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     val dir = "/root/testdata/sf0.001"
