@@ -135,8 +135,8 @@ object SparkEntry {
       // column — lifting the sample cap makes the estimates SQL-exact, so
       // the sampling → MLE pipeline itself gets a DuckDB hash row instead
       // of a rows-only check
-      Fitter.fit(s, li(s, dir), Seq("l_extendedprice"),
-        distributions = Some(Seq("norm", "expon", "uniform")),
+      cachedFit(s, dir, Seq("l_extendedprice"),
+        dists = Some(Seq("norm", "expon", "uniform")),
         cfg = FitConfig(fittingSampleSize = 2000000))
         .successful
         .select(F.col("distribution"),
@@ -153,16 +153,63 @@ object SparkEntry {
             .otherwise(F.round(F.col("ks_statistic"), 6)).as("ks_r"))
         .orderBy("distribution")),
     "fit_closed_form_discrete" -> ((s, dir) =>
-      // the discrete kernel's closed-form family (poisson MLE = sample
-      // mean) on the FULL column — gives the E7 path a DuckDB hash row
+      // the discrete kernel's closed-form families on the FULL column —
+      // poisson (mu = mean), geom (p = 1/mean), planck (λ = ln(1+1/mean)),
+      // randint (low = min, high = max+1) — gives the E7 path a 4-family
+      // DuckDB hash row over both 1- and 2-parameter estimates
       Fitter.fitDiscrete(s, li(s, dir), "l_quantity",
-        distributions = Some(Seq("poisson")),
+        distributions = Some(Seq("poisson", "geom", "planck", "randint")),
         cfg = FitConfig(fittingSampleSize = 2000000))
         .successful
+        // F.get is 0-based and null-safe — 1-param families surface p2 as
+        // NULL instead of an ANSI out-of-bounds error
         .select(F.col("distribution"),
-          F.round(F.element_at(F.col("parameters"), 1), 4).as("mu"))),
+          F.round(F.get(F.col("parameters"), F.lit(0)), 4).as("p1"),
+          F.round(F.get(F.col("parameters"), F.lit(1)), 4).as("p2"))
+        .orderBy("distribution")),
     "fit_summary" -> ((s, dir) =>
       cachedFit(s, dir, Seq("l_extendedprice")).summary),
+    "fit_summary_closed_form" -> ((s, dir) =>
+      // A9's 19-aggregate summary over the closed-form full-column fit:
+      // the AIC slice is SQL-exact, so the summary AGGREGATION itself
+      // (min/mean/max over metric columns + count) gets a hash row
+      cachedFit(s, dir, Seq("l_extendedprice"),
+        dists = Some(Seq("norm", "expon", "uniform")),
+        cfg = FitConfig(fittingSampleSize = 2000000))
+        .summary
+        .select(F.col("n_results"),
+          F.round(F.col("min_aic"), 2).as("min_aic_r"),
+          F.round(F.col("mean_aic"), 2).as("mean_aic_r"),
+          F.round(F.col("max_aic"), 2).as("max_aic_r"))),
+    "fit_acceptable_count" -> ((s, dir) => {
+      // A10's conjunctive acceptability count where every live threshold
+      // is SQL-expressible: K-S on closed-form CDFs (expon/uniform),
+      // pvalue/A-D legs neutralized (≥0 / ≤inf pass-through)
+      import s.implicits._
+      val n = cachedFit(s, dir, Seq("l_extendedprice"),
+        dists = Some(Seq("expon", "uniform")),
+        cfg = FitConfig(fittingSampleSize = 2000000))
+        .acceptableCount(minPvalue = 0.0, maxKs = 0.05, maxAd = Double.MaxValue)
+      Seq(n).toDF("n_acceptable")
+    }),
+    "fit_filter_metrics" -> ((s, dir) =>
+      // F2's conjunctive metric-threshold filter on the same closed-form
+      // fit: which families clear ks ≤ 0.05 is SQL-decidable
+      cachedFit(s, dir, Seq("l_extendedprice"),
+        dists = Some(Seq("expon", "uniform")),
+        cfg = FitConfig(fittingSampleSize = 2000000))
+        .filterByMetrics(maxKs = Some(0.05))
+        .df.select(F.col("distribution"),
+          F.round(F.col("ks_statistic"), 6).as("ks_r"))
+        .orderBy("distribution")),
+    "fit_best_closed_form" -> ((s, dir) =>
+      // F5's top-k on actual fit output (not the relational emulation):
+      // the AIC ranking among closed-form families is SQL-decidable
+      cachedFit(s, dir, Seq("l_extendedprice"),
+        dists = Some(Seq("norm", "expon", "uniform")),
+        cfg = FitConfig(fittingSampleSize = 2000000))
+        .best(1, "aic")
+        .select(F.col("distribution"), F.round(F.col("aic"), 2).as("aic_r"))),
     "fit_quality_report" -> ((s, dir) =>
       cachedFit(s, dir, Seq("l_extendedprice", "l_discount")).qualityReport("aic")),
 
@@ -310,6 +357,23 @@ object SparkEntry {
         "payload")
         .withColumn("features", arrStr(F.col("features")))
         .orderBy("doc_id")),
+    "q_image_decode" -> ((s, dir) => {
+      // REAL image decode, hash-checked: synthesize a deterministic PNG
+      // per doc_id on executors, decode it back with javax.imageio, and
+      // report dimensions + mean luma — all SQL-expressible from doc_id
+      // alone because the payload is constructed, lossless, and constant
+      val pngUdf = F.udf((id: Long) => Multimodal.syntheticPng(id))
+      Multimodal.extractFeatures(
+        docs(s, dir).select(F.col("doc_id")).where(F.col("doc_id") < 64)
+          .withColumn("payload", pngUdf(F.col("doc_id"))),
+        "payload")
+        .select(F.col("doc_id"),
+          F.col("width").cast("long").as("width"),
+          F.col("height").cast("long").as("height"),
+          F.col("format"),
+          F.round(F.element_at(F.col("features"), 4).cast("double"), 5).as("luma_mean"))
+        .orderBy("doc_id")
+    }),
     "q_media_meta" -> ((s, dir) =>
       // SQL-expressible slice of the multimodal surface (n_bytes + format
       // sniff) so the binary-column plumbing gets an exact oracle row
@@ -442,6 +506,13 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_image_decode" ->
+      """SELECT doc_id,
+        |  CAST(16 + doc_id % 32 AS BIGINT) AS width,
+        |  CAST(16 + doc_id % 16 AS BIGINT) AS height,
+        |  'png' AS format,
+        |  round(CAST((doc_id * 7) % 256 AS DOUBLE) / 255.0, 5) AS luma_mean
+        |FROM documents WHERE doc_id < 64 ORDER BY doc_id""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id,
         |  CAST(coalesce(octet_length(encode(text)), 0) AS BIGINT) AS n_bytes,
@@ -640,8 +711,83 @@ object SparkEntry {
         |  round(4 - 2 * ll_unif, 2), round(d_unif, 6) FROM s, ll, ks
         |ORDER BY 1""".stripMargin,
     "fit_closed_form_discrete" ->
-      """SELECT 'poisson' AS distribution,
-        |  round(avg(CAST(l_quantity AS BIGINT)), 4) AS mu FROM lineitem""".stripMargin,
+      """WITH s AS (SELECT avg(CAST(l_quantity AS BIGINT)) AS m,
+        |  min(CAST(l_quantity AS BIGINT)) AS mn,
+        |  max(CAST(l_quantity AS BIGINT)) AS mx FROM lineitem)
+        |SELECT 'geom' AS distribution, round(1.0 / m, 4) AS p1,
+        |  CAST(NULL AS DOUBLE) AS p2 FROM s
+        |UNION ALL SELECT 'planck', round(ln(1 + 1.0 / m), 4), NULL FROM s
+        |UNION ALL SELECT 'poisson', round(m, 4), NULL FROM s
+        |UNION ALL SELECT 'randint', round(CAST(mn AS DOUBLE), 4),
+        |  round(CAST(mx AS DOUBLE) + 1.0, 4) FROM s
+        |ORDER BY 1""".stripMargin,
+    "fit_summary_closed_form" ->
+      """WITH s AS (SELECT avg(l_extendedprice) AS m, min(l_extendedprice) AS mn,
+        |  max(l_extendedprice) AS mx, stddev_pop(l_extendedprice) AS sd,
+        |  count(l_extendedprice) AS n FROM lineitem),
+        |ll AS (SELECT
+        |  sum(-0.5 * pow((l.l_extendedprice - s.m) / s.sd, 2))
+        |    - s.n * ln(s.sd) - s.n * 0.5 * ln(2 * pi()) AS ll_norm,
+        |  sum(-(l.l_extendedprice - s.mn) / (s.m - s.mn))
+        |    - s.n * ln(s.m - s.mn) AS ll_expon,
+        |  -s.n * ln(s.mx - s.mn) AS ll_unif
+        |  FROM lineitem l, s GROUP BY s.n, s.sd, s.m, s.mn, s.mx),
+        |a AS (SELECT 4 - 2 * ll_norm AS aic_n, 4 - 2 * ll_expon AS aic_e,
+        |  4 - 2 * ll_unif AS aic_u FROM ll)
+        |SELECT CAST(3 AS BIGINT) AS n_results,
+        |  round(least(aic_n, aic_e, aic_u), 2) AS min_aic_r,
+        |  round((aic_n + aic_e + aic_u) / 3.0, 2) AS mean_aic_r,
+        |  round(greatest(aic_n, aic_e, aic_u), 2) AS max_aic_r
+        |FROM a""".stripMargin,
+    "fit_acceptable_count" ->
+      """WITH s AS (SELECT avg(l_extendedprice) AS m, min(l_extendedprice) AS mn,
+        |  max(l_extendedprice) AS mx, count(l_extendedprice) AS n FROM lineitem),
+        |ranked AS (SELECT l_extendedprice AS x,
+        |  CAST(row_number() OVER (ORDER BY l_extendedprice) AS DOUBLE) AS rn
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |ks AS (SELECT
+        |  max(greatest(rn / s.n - (1.0 - exp(-(r.x - s.mn) / (s.m - s.mn))),
+        |               (1.0 - exp(-(r.x - s.mn) / (s.m - s.mn))) - (rn - 1.0) / s.n))
+        |    AS d_expon,
+        |  max(greatest(rn / s.n - (r.x - s.mn) / (s.mx - s.mn),
+        |               (r.x - s.mn) / (s.mx - s.mn) - (rn - 1.0) / s.n)) AS d_unif
+        |  FROM ranked r, s GROUP BY s.n, s.m, s.mn, s.mx)
+        |SELECT CAST(CASE WHEN d_expon <= 0.05 THEN 1 ELSE 0 END
+        |          + CASE WHEN d_unif  <= 0.05 THEN 1 ELSE 0 END AS BIGINT)
+        |  AS n_acceptable FROM ks""".stripMargin,
+    "fit_filter_metrics" ->
+      """WITH s AS (SELECT avg(l_extendedprice) AS m, min(l_extendedprice) AS mn,
+        |  max(l_extendedprice) AS mx, count(l_extendedprice) AS n FROM lineitem),
+        |ranked AS (SELECT l_extendedprice AS x,
+        |  CAST(row_number() OVER (ORDER BY l_extendedprice) AS DOUBLE) AS rn
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |ks AS (SELECT
+        |  max(greatest(rn / s.n - (1.0 - exp(-(r.x - s.mn) / (s.m - s.mn))),
+        |               (1.0 - exp(-(r.x - s.mn) / (s.m - s.mn))) - (rn - 1.0) / s.n))
+        |    AS d_expon,
+        |  max(greatest(rn / s.n - (r.x - s.mn) / (s.mx - s.mn),
+        |               (r.x - s.mn) / (s.mx - s.mn) - (rn - 1.0) / s.n)) AS d_unif
+        |  FROM ranked r, s GROUP BY s.n, s.m, s.mn, s.mx)
+        |SELECT d.distribution, round(d.d, 6) AS ks_r
+        |FROM (SELECT 'expon' AS distribution, d_expon AS d FROM ks
+        |      UNION ALL SELECT 'uniform', d_unif FROM ks) d
+        |WHERE d.d < 0.05 ORDER BY d.distribution""".stripMargin,
+    "fit_best_closed_form" ->
+      """WITH s AS (SELECT avg(l_extendedprice) AS m, min(l_extendedprice) AS mn,
+        |  max(l_extendedprice) AS mx, stddev_pop(l_extendedprice) AS sd,
+        |  count(l_extendedprice) AS n FROM lineitem),
+        |ll AS (SELECT
+        |  sum(-0.5 * pow((l.l_extendedprice - s.m) / s.sd, 2))
+        |    - s.n * ln(s.sd) - s.n * 0.5 * ln(2 * pi()) AS ll_norm,
+        |  sum(-(l.l_extendedprice - s.mn) / (s.m - s.mn))
+        |    - s.n * ln(s.m - s.mn) AS ll_expon,
+        |  -s.n * ln(s.mx - s.mn) AS ll_unif
+        |  FROM lineitem l, s GROUP BY s.n, s.sd, s.m, s.mn, s.mx),
+        |a AS (SELECT 'norm' AS distribution, 4 - 2 * ll_norm AS aic FROM ll
+        |  UNION ALL SELECT 'expon', 4 - 2 * ll_expon FROM ll
+        |  UNION ALL SELECT 'uniform', 4 - 2 * ll_unif FROM ll)
+        |SELECT distribution, round(aic, 2) AS aic_r FROM a
+        |ORDER BY aic ASC, distribution ASC LIMIT 1""".stripMargin,
     "q_fingerprint_md5" ->
       """SELECT doc_id,
         |  md5(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g')) AS fp_md5

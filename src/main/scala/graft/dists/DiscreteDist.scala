@@ -526,7 +526,35 @@ object DiscreteFamilies {
     def initial(xs: Array[Long]) = Array(math.max(mean(xs), 1.0), 1.0, 1.0)
   }
 
+  /** scipy randint: discrete uniform on [low, high-1], pmf 1/(high-low).
+    * MLE is closed-form: low = min(x), high = max(x) + 1. */
+  object Randint extends DiscreteDist {
+    val name = "randint"; val paramNames = Seq("low", "high")
+    def valid(p: Array[Double]) = p(1) > p(0)
+    def logpmf(k: Long, p: Array[Double]) =
+      if (k < p(0) || k >= p(1)) Double.NegativeInfinity
+      else -math.log(p(1) - p(0))
+    override def cdf(k: Long, p: Array[Double]) =
+      if (k < p(0)) 0.0
+      else if (k >= p(1) - 1) 1.0
+      else (math.floor(k.toDouble) - p(0) + 1.0) / (p(1) - p(0))
+    def support(p: Array[Double]) = (math.ceil(p(0)).toLong, math.ceil(p(1)).toLong - 1L)
+    override def integerParams = Set(0, 1)
+    override def refine = false // MLE: tightest covering interval
+    def initial(xs: Array[Long]) = {
+      var mn = Long.MaxValue; var mx = Long.MinValue
+      var i = 0
+      while (i < xs.length) {
+        if (xs(i) < mn) mn = xs(i)
+        if (xs(i) > mx) mx = xs(i)
+        i += 1
+      }
+      Array(mn.toDouble, mx.toDouble + 1.0)
+    }
+  }
+
   val all: Seq[DiscreteDist] = Seq(
     Poisson, Geom, Binom, NBinom, Zipf, Zipfian, DLaplace, LogSer, Planck,
-    Boltzmann, YuleSimon, BetaBinom, Hypergeom, NHypergeom, Skellam, BetaNBinom)
+    Boltzmann, YuleSimon, BetaBinom, Hypergeom, NHypergeom, Skellam, BetaNBinom,
+    Randint)
 }

@@ -1,18 +1,20 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession, functions => F}
+import org.apache.spark.sql.{DataFrame, functions => F}
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: media payloads ride as opaque `binary`
   * columns with typed metadata; decode / feature-extraction runs
-  * executor-local over `mapPartitions` with a pluggable decoder, so the
-  * Spark side (schema, batching, partitioning) is real and tested even
-  * though this container has no image/audio codecs.
+  * executor-local as a struct-returning scalar UDF, so the Spark side
+  * (schema, batching, partitioning) never shuffles.
   *
-  * STUB NOTE: `StubDecoder` below is a deterministic fake — it parses
-  * nothing, it derives metadata and a fixed-length feature vector from
-  * the raw bytes. Swap in a real codec (JNI image lib, ffmpeg pipe, …)
-  * by implementing `MediaDecoder`; every other line stays unchanged.
+  * Image decoding is REAL: `ImageIoDecoder` parses PNG/JPEG/BMP/GIF via
+  * `javax.imageio` (in the JDK — no external deps) and computes
+  * stride-sampled pixel statistics. Non-image payloads (and bytes no
+  * reader accepts) fall back to honest byte statistics with
+  * width = height = 0 — nothing is fabricated. Audio/video codecs are
+  * not in the JDK; those formats take the byte-stats path and a real
+  * codec plugs in via `MediaDecoder` with every other line unchanged.
   */
 object Multimodal {
 
@@ -28,20 +30,25 @@ object Multimodal {
     def decode(bytes: Array[Byte]): MediaFeatures
   }
 
-  /** Deterministic fake decoder: byte statistics instead of pixels. */
-  object StubDecoder extends MediaDecoder {
+  /** Container sniff from magic bytes (what a real pipeline keys the
+    * decoder dispatch on — cheaper than trying every reader). */
+  def sniffFormat(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.isEmpty) "empty"
+    else if (bytes.length > 7 && bytes(0) == 0x89.toByte && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G') "png"
+    else if (bytes.length > 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) "jpeg"
+    else if (bytes.length > 2 && bytes(0) == 'B' && bytes(1) == 'M') "bmp"
+    else if (bytes.length > 5 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') "gif"
+    else "raw"
+  }
+
+  /** Fallback for payloads no image reader accepts: deterministic byte
+    * statistics, with width/height honestly reported as 0 (unknown) —
+    * it parses nothing and fabricates nothing. */
+  object ByteStatsDecoder extends MediaDecoder {
     def decode(bytes: Array[Byte]): MediaFeatures = {
       if (bytes == null || bytes.isEmpty)
         return MediaFeatures(0L, "empty", 0, 0, Array.fill(8)(0.0f))
-      // "format" sniffing from magic bytes, as a real decoder would
-      val format =
-        if (bytes.length > 3 && bytes(0) == 0x89.toByte && bytes(1) == 'P') "png"
-        else if (bytes.length > 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) "jpeg"
-        else "raw"
-      // deterministic pseudo-dimensions from content hash
-      val h = Dedup.mix64(bytes.foldLeft(0xcbf29ce484222325L)((a, b) => (a ^ b) * 0x100000001b3L))
-      val width = 64 + (math.abs(h) % 512).toInt
-      val height = 64 + (math.abs(h >>> 20) % 512).toInt
       // 8 "features": chunked byte means normalized to [0,1]
       val chunk = math.max(1, bytes.length / 8)
       val feats = Array.tabulate(8) { i =>
@@ -55,7 +62,57 @@ object Multimodal {
           (s.toDouble / ((to - from) * 255.0)).toFloat
         }
       }
-      MediaFeatures(bytes.length.toLong, format, width, height, feats)
+      MediaFeatures(bytes.length.toLong, sniffFormat(bytes), 0, 0, feats)
+    }
+  }
+
+  /** Real image decode via `javax.imageio` (JDK-built-in PNG/JPEG/BMP/GIF
+    * readers): true dimensions plus stride-sampled pixel statistics —
+    * [meanR, meanG, meanB, meanLuma, stdLuma, minLuma, maxLuma,
+    * w/(w+h)]. Sampling stride caps the per-image work at ~64K pixels
+    * so a 100-megapixel payload costs the same as a thumbnail. */
+  object ImageIoDecoder extends MediaDecoder {
+    def decode(bytes: Array[Byte]): MediaFeatures = {
+      val fmt = sniffFormat(bytes)
+      if (fmt == "empty" || fmt == "raw") return ByteStatsDecoder.decode(bytes)
+      try {
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file spooling on executors
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) return ByteStatsDecoder.decode(bytes)
+        val w = img.getWidth; val h = img.getHeight
+        if (w <= 0 || h <= 0) return ByteStatsDecoder.decode(bytes)
+        val stride = math.max(1, math.sqrt(w.toDouble * h / 65536.0).toInt)
+        var n = 0L
+        var sr = 0.0; var sg = 0.0; var sb = 0.0
+        var sl = 0.0; var sl2 = 0.0
+        var mnL = 1.0; var mxL = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = ((rgb >> 16) & 0xFF) / 255.0
+            val g = ((rgb >> 8) & 0xFF) / 255.0
+            val b = (rgb & 0xFF) / 255.0
+            val l = 0.299 * r + 0.587 * g + 0.114 * b
+            sr += r; sg += g; sb += b
+            sl += l; sl2 += l * l
+            if (l < mnL) mnL = l
+            if (l > mxL) mxL = l
+            n += 1
+            x += stride
+          }
+          y += stride
+        }
+        val meanL = sl / n
+        val varL = math.max(0.0, sl2 / n - meanL * meanL)
+        MediaFeatures(bytes.length.toLong, fmt, w, h, Array(
+          (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+          meanL.toFloat, math.sqrt(varL).toFloat,
+          mnL.toFloat, mxL.toFloat, (w.toDouble / (w + h)).toFloat))
+      } catch {
+        case _: Throwable => ByteStatsDecoder.decode(bytes)
+      }
     }
   }
 
@@ -72,11 +129,36 @@ object Multimodal {
     * UDF, so the plan stays inside whole-stage codegen (no RDD
     * round-trip) and partitioning is preserved — no shuffle. */
   def extractFeatures(df: DataFrame, binCol: String,
-                      decoder: MediaDecoder = StubDecoder): DataFrame = {
+                      decoder: MediaDecoder = ImageIoDecoder): DataFrame = {
     val dec = decoder
     val decodeUdf = F.udf((bytes: Array[Byte]) => dec.decode(bytes))
     val kept = df.columns.filterNot(_ == binCol).map(F.col)
     df.withColumn("__media", decodeUdf(F.col(binCol)))
       .select((kept :+ F.col("__media.*")).toIndexedSeq: _*)
+  }
+
+  /** Deterministic synthetic PNG for harness/oracle use: a
+    * (16 + id % 32) × (16 + id % 16) image filled with the constant gray
+    * level (id · 7) mod 256, encoded by the JDK PNG writer. PNG is
+    * lossless, so the decode side recovers the exact dimensions and
+    * mean-luma = gray/255 — SQL-expressible from `id` alone, which is
+    * what makes the decode path hash-checkable against DuckDB. */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = (16 + (id % 32)).toInt
+    val h = (16 + (id % 16)).toInt
+    val gray = ((id * 7) % 256).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 }

@@ -217,7 +217,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("multimodal: stub decoder plumbing preserves rows and derives features") {
+  test("multimodal: javax.imageio decode recovers true dimensions and pixel stats") {
+    import spark.implicits._
+    // round-trip: synthesize lossless PNGs, decode through the fan-out
+    val ids = (0L until 40L).toSeq
+    val df = ids.toDF("id")
+      .withColumn("payload", F.udf((id: Long) => Multimodal.syntheticPng(id)).apply(F.col("id")))
+    val out = Multimodal.extractFeatures(df, "payload").collect()
+    assert(out.length == 40)
+    for (r <- out) {
+      val id = r.getAs[Long]("id")
+      assert(r.getAs[String]("format") == "png")
+      assert(r.getAs[Int]("width") == (16 + id % 32).toInt, s"id=$id")
+      assert(r.getAs[Int]("height") == (16 + id % 16).toInt, s"id=$id")
+      val feats = r.getSeq[Float](r.fieldIndex("features"))
+      val gray = ((id * 7) % 256) / 255.0
+      // constant-fill image: meanR/G/B and meanLuma = gray, stdLuma = 0
+      assert(math.abs(feats(0) - gray) < 1e-6, s"meanR id=$id")
+      assert(math.abs(feats(3) - gray) < 1e-6, s"meanLuma id=$id")
+      assert(feats(4) < 1e-6, s"stdLuma id=$id")
+    }
+    // non-image bytes fall back to byte stats with HONEST unknown dims
+    val raw = Multimodal.ImageIoDecoder.decode("just some text".getBytes)
+    assert(raw.format == "raw" && raw.width == 0 && raw.height == 0)
+    // a corrupted PNG header (sniffs png, unreadable) also falls back
+    val corrupt = Multimodal.ImageIoDecoder.decode(
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2, 3))
+    assert(corrupt.width == 0 && corrupt.height == 0)
+  }
+
+  test("multimodal: byte-stats fallback plumbing preserves rows and derives features") {
     import spark.implicits._
     val df = Seq((1L, "some text payload"), (2L, ""), (3L, "other bytes here"))
       .toDF("id", "txt")
