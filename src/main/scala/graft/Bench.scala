@@ -62,8 +62,46 @@ object Bench {
     if (errors.nonEmpty)
       System.err.println(s"BENCH ERRORS: ${errors.mkString(",")}")
     val total = results.map(_._2).sum
-    // exact round-1 schema — the driver's parser accepted this shape
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // two-point scale check: re-time the headline fit queries at the next
+    // SF down (10× less data) with a cold fit memo at BOTH points. The
+    // reference's contract is that fit time is flat in N — histogram +
+    // bounded sample decouple fit cost from data size
+    // (reference: docs/performance.rst:7-13) — so ratio ≈ 1.0 is the
+    // pass signal, and ratio ≈ 10 would mean a full-data scan leaked into
+    // the fit path.
+    val sf2 = sys.env.getOrElse("SPARK_GRAFT_SF2_DIR",
+      if (sfDir.endsWith("sf0.1")) sfDir.stripSuffix("0.1") + "0.01"
+      else if (sfDir.endsWith("sf0.01")) sfDir.stripSuffix("0.01") + "0.001"
+      else "")
+    val scaleJson =
+      if (only.nonEmpty || sf2.isEmpty || !new java.io.File(sf2).isDirectory ||
+          sys.env.getOrElse("SPARK_GRAFT_SCALECHECK", "1") != "1") ""
+      else {
+        val fitNames = Seq("fit_multi_column", "fit_lazy")
+        val qmap = SparkEntry.queries
+        def timeAt(dir: String): Seq[(String, Double)] = {
+          fitNames.foreach(n => try qmap(n)(spark, dir).count() catch { case _: Throwable => })
+          fitNames.map { n =>
+            SparkEntry.clearFitMemo() // every point times a full re-fit
+            val t0 = System.nanoTime()
+            try qmap(n)(spark, dir).count() catch { case _: Throwable => }
+            n -> (System.nanoTime() - t0) / 1e9
+          }
+        }
+        val big = timeAt(sfDir).toMap
+        val small = timeAt(sf2).toMap
+        val entries = fitNames.map { n =>
+          val r = if (small(n) > 0) big(n) / small(n) else 0.0
+          System.err.println(f"SCALE CHECK $n%-20s $sfDir ${big(n)}%6.2f s | $sf2 ${small(n)}%6.2f s | ratio $r%5.2f")
+          s""""$n":{"big_sec":${big(n)},"small_sec":${small(n)},"ratio":$r}"""
+        }
+        s""","scale_check":{"sf_big":"$sfDir","sf_small":"$sf2","fit_queries":${entries.mkString("{", ",", "}")}}"""
+      }
+
+    // exact round-1 schema — the driver's parser accepted this shape;
+    // scale_check rides as an extra trailing key
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaleJson}""")
     spark.stop()
   }
 
