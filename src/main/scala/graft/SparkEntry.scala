@@ -49,7 +49,39 @@ object SparkEntry {
     * harness queries are independent closures, so the shared "results
     * collection" lives in this memo: one full fit per (dir, spec), reused
     * by every downstream query. */
-  private val fitMemo = new java.util.concurrent.ConcurrentHashMap[String, FitResults]()
+  private val fitMemoMax = 64
+
+  /** LRU-bounded: a long-lived session cycling through many (dir, column,
+    * dists, cfg) specs evicts the least-recently-used fit and unpersists
+    * its cached relation instead of pinning one relation per spec
+    * forever. 64 is ~an order of magnitude above what one harness sweep
+    * creates. */
+  private val fitMemo: java.util.Map[String, FitResults] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, FitResults](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, FitResults]): Boolean = {
+          val evict = size() > fitMemoMax
+          if (evict)
+            try e.getValue.unpersist()
+            catch { case _: Throwable => }
+          evict
+        }
+      })
+
+  /** Memoize an arbitrary fit under an explicit key — the non-li-continuous
+    * fits (discrete, bounded, censored, MSE) go through here so
+    * `clearFitMemo` can release EVERY cached relation a harness sweep
+    * creates (nothing stays pinned for the life of the session). */
+  private def memoFit(key: String)(mk: => FitResults): FitResults = {
+    val hit = fitMemo.get(key)
+    if (hit != null) hit
+    else {
+      val v = mk
+      val prev = fitMemo.putIfAbsent(key, v)
+      if (prev != null) { v.unpersist(); prev } else v
+    }
+  }
 
   /** Drop every memoized fit (and its cached relation). The bench's
     * untimed pre-warm pass calls this so the timed queries re-run the
@@ -58,7 +90,7 @@ object SparkEntry {
   def clearFitMemo(): Unit = {
     val it = fitMemo.values().iterator()
     while (it.hasNext) {
-      try it.next().df.unpersist(blocking = false)
+      try it.next().unpersist()
       catch { case _: Throwable => }
     }
     fitMemo.clear()
@@ -105,17 +137,18 @@ object SparkEntry {
       fitOut(cachedFit(s, dir, Seq("l_extendedprice", "l_discount", "l_tax"))
         .bestPerColumn(3, "aic"))),
     "fit_discrete" -> ((s, dir) =>
-      fitOut(Fitter.fitDiscrete(s, li(s, dir), "l_quantity").successful
+      fitOut(memoFit(s"$dir|disc|l_quantity|ALL")(
+        Fitter.fitDiscrete(s, li(s, dir), "l_quantity")).successful
         .orderBy("distribution"))),
     "fit_bounded" -> ((s, dir) =>
-      fitOut(Fitter.fit(s, li(s, dir), Seq("l_extendedprice"),
+      fitOut(memoFit(s"$dir|bounded")(Fitter.fit(s, li(s, dir), Seq("l_extendedprice"),
         distributions = Some(Seq("norm", "lognorm", "gamma", "weibull_min", "uniform")),
-        cfg = FitConfig(lowerBound = Some(900.0), upperBound = Some(105000.0)))
+        cfg = FitConfig(lowerBound = Some(900.0), upperBound = Some(105000.0))))
         .successful.orderBy("distribution"))),
     "fit_mse_heavy_tail" -> ((s, dir) =>
-      fitOut(Fitter.fit(s, li(s, dir), Seq("l_extendedprice"),
+      fitOut(memoFit(s"$dir|mse")(Fitter.fit(s, li(s, dir), Seq("l_extendedprice"),
         distributions = Some(Seq("norm", "lognorm", "gamma", "pareto", "fisk")),
-        cfg = FitConfig(estimationMethod = "mse")).successful.orderBy("distribution"))),
+        cfg = FitConfig(estimationMethod = "mse"))).successful.orderBy("distribution"))),
     "fit_lazy" -> ((s, dir) =>
       fitOut(cachedFit(s, dir, Seq("l_extendedprice"),
         cfg = FitConfig(lazyMetrics = true)).best(5, "aic"))),
@@ -125,9 +158,9 @@ object SparkEntry {
       val ev = events(s, dir).select(F.col("value"),
         (F.col("value") < F.lit(75.0)).as("uncensored"))
         .withColumn("value", F.least(F.col("value"), F.lit(75.0)))
-      fitOut(Fitter.fit(s, ev, Seq("value"),
+      fitOut(memoFit(s"$dir|censored")(Fitter.fit(s, ev, Seq("value"),
         distributions = Some(Seq("norm", "lognorm", "gamma", "weibull_min", "expon")),
-        cfg = FitConfig(censoringColumn = Some("uncensored")))
+        cfg = FitConfig(censoringColumn = Some("uncensored"))))
         .successful.orderBy("distribution"))
     }),
     "fit_closed_form" -> ((s, dir) =>
@@ -157,9 +190,10 @@ object SparkEntry {
       // poisson (mu = mean), geom (p = 1/mean), planck (λ = ln(1+1/mean)),
       // randint (low = min, high = max+1) — gives the E7 path a 4-family
       // DuckDB hash row over both 1- and 2-parameter estimates
-      Fitter.fitDiscrete(s, li(s, dir), "l_quantity",
-        distributions = Some(Seq("poisson", "geom", "planck", "randint")),
-        cfg = FitConfig(fittingSampleSize = 2000000))
+      memoFit(s"$dir|disc|l_quantity|cf")(
+        Fitter.fitDiscrete(s, li(s, dir), "l_quantity",
+          distributions = Some(Seq("poisson", "geom", "planck", "randint")),
+          cfg = FitConfig(fittingSampleSize = 2000000)))
         .successful
         // F.get is 0-based and null-safe — 1-param families surface p2 as
         // NULL instead of an ANSI out-of-bounds error
@@ -411,11 +445,16 @@ object SparkEntry {
     "q_copula_sample" -> ((s, dir) => {
       val cols = Seq("l_extendedprice", "l_discount", "l_tax")
       val results = cachedFit(s, dir, cols)
-      // Spearman rank correlation converges fast in n; a deterministic
-      // 100K-row cap (LocalLimit stops the scan early — no count() pre-scan)
+      // Spearman rank correlation converges fast in n; a 100K-row cap
       // keeps the mllib rank-sort off the critical path while the estimate
-      // stays within ~0.3% of the full-data value
-      val corrInput = li(s, dir).select((cols :+ "l_orderkey").map(F.col): _*)
+      // stays within ~0.3% of the full-data value. orderBy(unique key) +
+      // limit compiles to TakeOrderedAndProject — a bounded per-partition
+      // heap, NOT a full sort — and pins the row SET independent of
+      // partition layout (a bare limit takes whatever partitions come up
+      // first)
+      val corrInput = li(s, dir)
+        .select((cols :+ "l_orderkey" :+ "l_linenumber").map(F.col): _*)
+        .orderBy("l_orderkey", "l_linenumber")
         .limit(100000).repartition(32)
       val cop = GaussianCopula.fit(s, corrInput, results, cols, metric = "aic")
       val sampled = cop.sampleDistributed(s, 50000L, seed = 42L)
@@ -437,13 +476,16 @@ object SparkEntry {
     }),
     "q_gmm" -> ((s, dir) => {
       // EM parameter estimates stabilize well below 100K rows; cap the
-      // input deterministically (LocalLimit, no count() pre-scan) so
-      // per-row breeze density evaluation (non-codegen) stays bounded as
-      // SF grows
+      // input so per-row breeze density evaluation (non-codegen) stays
+      // bounded as SF grows. orderBy(unique key) + limit →
+      // TakeOrderedAndProject: bounded heap, layout-independent row set
       // 8 partitions, not 32: EM here is scheduling-bound (30 iterations
       // of sub-ms tasks), so fewer/larger partitions cut wall time
-      val capped = li(s, dir).select("l_extendedprice")
-        .limit(50000).repartition(8)
+      val capped = li(s, dir)
+        .select("l_extendedprice", "l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(50000)
+        .select("l_extendedprice").repartition(8)
       val (r, _) = Mixture.fit(capped, Seq("l_extendedprice"), k = 3, seed = 42L,
         maxIter = 30, tol = 1e-3)
       Mixture.report(s, r)

@@ -1,6 +1,6 @@
 package graft.dists
 
-import graft.functions.{SpecialMath => SM}
+import graft.functions.{Optimize, SpecialMath => SM}
 import ContinuousDist.{meanStd, minMax, median, quantile}
 import ContinuousFamilies.ppfBisect
 
@@ -767,8 +767,251 @@ object ContinuousFamiliesD {
     }
   }
 
+  /** Relativistic Breit-Wigner (scipy ≥1.11 `rel_breitwigner`, shape
+    * ρ = M/Γ): pdf0(z, ρ) ∝ 1/((z²−ρ²)² + ρ²) on z ≥ 0. The CDF is
+    * exact: the quartic factors into the real quadratics
+    * (z²−bz+c)(z²+bz+c) with c = ρ√(ρ²+1), b² = 2(ρ²+c), and the
+    * partial-fraction integral reduces to one log and two arctans. The
+    * normalization k = 2cd/π is derived as 1/F(∞) from the same
+    * factorization, so pdf/cdf are self-consistent by construction. */
+  object RelBreitwigner extends ContinuousDist with PositiveSupport {
+    val name = "rel_breitwigner"; val shapeNames = Seq("rho")
+    override def shapesValid(s: Array[Double]) = s(0) > 0
+    // b, c, d with d² = 4c−b² = 2ρ(√(ρ²+1)−ρ) in cancellation-free form
+    @inline private def bcd(rho: Double): (Double, Double, Double) = {
+      val r1 = math.sqrt(rho * rho + 1.0)
+      val c = rho * r1
+      val b = math.sqrt(2.0 * (rho * rho + c))
+      val d = math.sqrt(2.0 * rho / (r1 + rho))
+      (b, c, d)
+    }
+    /** ∫₀^z du/((u²−ρ²)²+ρ²); A = −1/(2bc) is the log coefficient. */
+    @inline private def fAt(z: Double, b: Double, c: Double, d: Double): Double = {
+      val logTerm = -0.25 / (b * c) *
+        math.log((z * z - b * z + c) / (z * z + b * z + c))
+      val atanTerm = 0.5 / (c * d) *
+        (math.atan((2 * z - b) / d) + math.atan((2 * z + b) / d))
+      logTerm + atanTerm
+    }
+    def pdf0(z: Double, s: Array[Double]) = {
+      if (z < 0) 0.0
+      else {
+        val rho = s(0)
+        val (_, c, d) = bcd(rho)
+        val t = z * z - rho * rho
+        2.0 * c * d / (math.Pi * (t * t + rho * rho))
+      }
+    }
+    def cdf0(z: Double, s: Array[Double]) = {
+      if (z <= 0) 0.0
+      else {
+        val (b, c, d) = bcd(s(0))
+        math.min(1.0, math.max(0.0, fAt(z, b, c, d) * 2.0 * c * d / math.Pi))
+      }
+    }
+    def ppf0(q: Double, s: Array[Double]) =
+      ppfBisect(this, q, s, 0.0, Double.PositiveInfinity)
+    def warmStart(xs: Array[Double]) = {
+      // the standardized density is a Lorentzian of IQR ≈ 1 centered near
+      // ρ: scale from the IQR, then ρ from the scaled median
+      val l = locBelowMin(xs)
+      val y = xs.map(_ - l)
+      val sc = math.max(quantile(y, 0.75) - quantile(y, 0.25), 1e-9)
+      Array(math.max(0.5, median(y) / sc), l, sc)
+    }
+  }
+
+  /** Irwin–Hall (scipy ≥1.16 `irwinhall`): sum of n iid U(0,1); support
+    * [0, n]. pdf/cdf are the alternating piecewise-polynomial sums;
+    * evaluation mirrors z → n−z (the density is symmetric) so the
+    * alternating sum always runs on the smaller half, which bounds the
+    * cancellation. n is capped at 40 — beyond that the sum loses the
+    * mantissa (and the family is indistinguishable from a normal). */
+  object IrwinHall extends ContinuousDist {
+    val name = "irwinhall"; val shapeNames = Seq("n")
+    override def shapesValid(s: Array[Double]) = s(0) >= 0.5 && s(0) <= 40.49
+    override def a0(s: Array[Double]) = 0.0
+    override def b0(s: Array[Double]) = math.max(1, math.round(s(0))).toDouble
+    @inline private def nOf(s: Array[Double]) = math.max(1, math.round(s(0)).toInt)
+    /** Σ_{k=0}^{⌊z⌋} (−1)^k C(n,k) (z−k)^pow — shared by pdf (pow=n−1)
+      * and cdf (pow=n); binomials by exact multiplicative recurrence
+      * (C(40,20) < 2^53). */
+    @inline private def altSum(z: Double, n: Int, pow: Int): Double = {
+      var sum = 0.0
+      var binom = 1.0
+      var k = 0
+      val kMax = math.min(n, math.floor(z).toInt)
+      while (k <= kMax) {
+        val term = binom * math.pow(z - k, pow)
+        sum += (if ((k & 1) == 0) term else -term)
+        binom = binom * (n - k) / (k + 1)
+        k += 1
+      }
+      sum
+    }
+    def pdf0(z: Double, s: Array[Double]) = {
+      val n = nOf(s)
+      if (z < 0 || z > n) 0.0
+      else {
+        val zz = if (z > 0.5 * n) n - z else z // symmetry halves cancellation
+        math.max(0.0, altSum(zz, n, n - 1) / math.exp(SM.lgamma(n.toDouble)))
+      }
+    }
+    def cdf0(z: Double, s: Array[Double]) = {
+      val n = nOf(s)
+      if (z <= 0) 0.0
+      else if (z >= n) 1.0
+      else if (z > 0.5 * n) 1.0 - cdfLower(n - z, n)
+      else cdfLower(z, n)
+    }
+    @inline private def cdfLower(z: Double, n: Int): Double =
+      math.min(1.0, math.max(0.0, altSum(z, n, n) / math.exp(SM.lgamma(n + 1.0))))
+    def ppf0(q: Double, s: Array[Double]) =
+      ppfBisect(this, q, s, 0.0, nOf(s).toDouble)
+    def warmStart(xs: Array[Double]) = {
+      // n lives on an integer plateau the NM polish can't cross, and the
+      // kurtosis-moment estimate of n (−6/(5n)) is far too noisy — so
+      // profile: for each candidate n, moment-match loc/scale
+      // (var = n/12·scale², mean = n/2·scale + loc) and keep the n whose
+      // start likelihood wins; the generic refine then polishes loc/scale
+      val (_, m, sd, _, _, mn, mx) = SM.moments(xs)
+      (1 to 40).map { n =>
+        // moment-matched scale, then widened so [loc, loc+n·scale] covers
+        // the data — an uncovered sample is −inf likelihood and a penalty
+        // start sends the NM refine wandering across n plateaus
+        val scM = math.max(sd, 1e-9) * math.sqrt(12.0 / n)
+        val sc = math.max(scM, (mx - mn) / n * (1.0 + 1e-9))
+        val loc = mn - 0.5 * (n * sc - (mx - mn))
+        val cand = Array(n.toDouble, loc, sc)
+        (negLogLik(cand, xs), cand)
+      }.minBy(_._1)._2
+    }
+  }
+
+  /** Landau (scipy ≥1.15 `landau`): the α=1, β=1 stable distribution, no
+    * shape parameters. There is no closed form; the standardized pdf is
+    * p(z) = (1/π)∫₀^∞ exp(−t·ln t − zt)·sin(πt) dt, evaluated ONCE per
+    * JVM by Simpson quadrature onto a fixed grid (step 0.01 on
+    * [−4.5, 15], geometric to 400), with the exact 1/z² stable-law right
+    * tail grafted past the grid and total mass renormalized. pdf0
+    * interpolates the grid linearly; cdf0 uses cubic Hermite with the
+    * tabulated density as the derivative, so cdf′ ≈ pdf to O(h²) (the
+    * SSE/AIC pipelines need that consistency). Mass below −4.5 is
+    * < 1e−20 and is truncated. */
+  object Landau extends ContinuousDist {
+    val name = "landau"; val shapeNames = Seq.empty
+
+    private val zLo = -4.5
+    private val coreHi = 15.0
+    private val coreStep = 0.01
+    private val zHi = 400.0
+
+    /** Direct quadrature of the Landau integral — init-time only. */
+    private def rawPdf(z: Double): Double = {
+      // envelope exp(−t(ln t + z)) dies once t ln t + zt > 45
+      val tMax = if (z >= 0) 25.0 else 3.0 * math.exp(-z) + 25.0
+      val n0 = math.max(1200, (tMax / 0.02).toInt)
+      val n = if (n0 % 2 == 0) n0 else n0 + 1
+      val h = tMax / n
+      @inline def f(t: Double): Double =
+        if (t <= 0.0) 0.0
+        else math.exp(-t * math.log(t) - z * t) * math.sin(math.Pi * t)
+      var sum = f(0.0) + f(tMax)
+      var i = 1
+      while (i < n) {
+        sum += (if ((i & 1) == 1) 4.0 else 2.0) * f(i * h)
+        i += 1
+      }
+      math.max(0.0, sum * h / (3.0 * math.Pi))
+    }
+
+    // (grid, pdf, cdf, tail constant C with pdf≈C/z² beyond the grid,
+    //  standardized quartiles for the warm start)
+    private lazy val table: (Array[Double], Array[Double], Array[Double],
+        Double, Double, Double, Double) = {
+      val core = (0 to ((coreHi - zLo) / coreStep).toInt)
+        .map(i => zLo + i * coreStep)
+      val geo = Iterator.iterate(coreHi * 1.005)(_ * 1.005)
+        .takeWhile(_ < zHi).toSeq
+      val zs = (core ++ geo :+ zHi).toArray
+      val pdf = zs.map(rawPdf)
+      // cumulative Simpson: midpoint-refined per segment
+      val cdf = new Array[Double](zs.length)
+      var i = 1
+      while (i < zs.length) {
+        val h = zs(i) - zs(i - 1)
+        val mid = rawPdf(0.5 * (zs(i) + zs(i - 1)))
+        cdf(i) = cdf(i - 1) + h / 6.0 * (pdf(i - 1) + 4.0 * mid + pdf(i))
+        i += 1
+      }
+      // stable-law right tail p(z) = C/z²: continuity in the density, then
+      // renormalize so cdf_end + C/z_end = 1 exactly
+      val cRaw = pdf.last * zHi * zHi
+      val total = cdf.last + cRaw / zHi
+      var j = 0
+      while (j < zs.length) { pdf(j) /= total; cdf(j) /= total; j += 1 }
+      val c = cRaw / total
+      def q(p: Double): Double = {
+        val k = cdf.indexWhere(_ >= p)
+        if (k <= 0) zs(0)
+        else zs(k - 1) + (zs(k) - zs(k - 1)) * (p - cdf(k - 1)) / (cdf(k) - cdf(k - 1))
+      }
+      (zs, pdf, cdf, c, q(0.25), q(0.5), q(0.75))
+    }
+
+    @inline private def idxOf(z: Double, zs: Array[Double]): Int = {
+      if (z < coreHi) ((z - zLo) / coreStep).toInt
+      else {
+        var lo = ((coreHi - zLo) / coreStep).toInt; var hi = zs.length - 1
+        while (hi - lo > 1) {
+          val mid = (lo + hi) >>> 1
+          if (zs(mid) <= z) lo = mid else hi = mid
+        }
+        lo
+      }
+    }
+
+    def pdf0(z: Double, s: Array[Double]) = {
+      val (zs, pdf, _, c, _, _, _) = table
+      if (z <= zLo) 0.0
+      else if (z >= zHi) c / (z * z)
+      else {
+        val i = math.min(idxOf(z, zs), zs.length - 2)
+        val w = (z - zs(i)) / (zs(i + 1) - zs(i))
+        pdf(i) * (1.0 - w) + pdf(i + 1) * w
+      }
+    }
+
+    def cdf0(z: Double, s: Array[Double]) = {
+      val (zs, pdf, cdf, c, _, _, _) = table
+      if (z <= zLo) 0.0
+      else if (z >= zHi) 1.0 - c / z
+      else {
+        val i = math.min(idxOf(z, zs), zs.length - 2)
+        val h = zs(i + 1) - zs(i)
+        val t = (z - zs(i)) / h
+        // cubic Hermite with the density as the derivative: cdf′ tracks
+        // pdf to O(h²), which the cdf-vs-pdf consistency property needs
+        val t2 = t * t; val t3 = t2 * t
+        (2 * t3 - 3 * t2 + 1) * cdf(i) + (t3 - 2 * t2 + t) * h * pdf(i) +
+          (-2 * t3 + 3 * t2) * cdf(i + 1) + (t3 - t2) * h * pdf(i + 1)
+      }
+    }
+
+    def ppf0(q: Double, s: Array[Double]) =
+      ppfBisect(this, q, s, zLo, Double.PositiveInfinity)
+
+    def warmStart(xs: Array[Double]) = {
+      val (_, _, _, _, q25, q50, q75) = table
+      val iqr = math.max(quantile(xs, 0.75) - quantile(xs, 0.25), 1e-9)
+      val sc = iqr / (q75 - q25)
+      Array(median(xs) - q50 * sc, sc)
+    }
+  }
+
   val all: Seq[ContinuousDist] = Seq(
     GenExpon, GenHalfLogistic, Kappa3, Kappa4, RDist, Argus, CrystalBall,
     LaplaceAsymmetric, JFSkewT, WrapCauchy, TukeyLambda, RecipInvGauss,
-    VonMisesLine, VonMises, Ncx2, Ncf, NormInvGauss)
+    VonMisesLine, VonMises, Ncx2, Ncf, NormInvGauss,
+    RelBreitwigner, IrwinHall, Landau)
 }

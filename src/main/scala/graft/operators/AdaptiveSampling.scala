@@ -60,7 +60,7 @@ object AdaptiveSampling {
         val reduced = p.strategy match {
           case "stratified" =>
             Sampling.stratifiedSample(df, columns.head, p.fraction,
-              seed = cfg.sampleSeed)
+              seed = cfg.sampleSeed, knownCount = Some(n))
           case _ =>
             df.sample(withReplacement = false, p.fraction, cfg.sampleSeed)
         }

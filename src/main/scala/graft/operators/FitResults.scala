@@ -11,7 +11,8 @@ import org.apache.spark.sql.expressions.Window
 final class FitResults(
     val df: DataFrame,
     val samples: Map[String, Array[Double]] = Map.empty,
-    val cfg: FitConfig = FitConfig()) extends Serializable {
+    val cfg: FitConfig = FitConfig(),
+    cachedRoot: Option[DataFrame] = None) extends Serializable {
 
   import FitResults._
 
@@ -21,8 +22,14 @@ final class FitResults(
     * Queries still work afterwards — they just recompute the lineage.
     * Long-lived sessions fitting many columns should call this when a
     * collection is no longer needed, or executors accumulate one pinned
-    * relation per fit (reference: collection.py unpersist lifecycle). */
-  def unpersist(): this.type = { df.unpersist(); this }
+    * relation per fit (reference: collection.py unpersist lifecycle).
+    *
+    * Derived views (forColumn/filterByMetrics) carry the ORIGINAL cached
+    * relation along — unpersisting the filtered plan would be a no-op
+    * against the cache manager, which matches plans exactly. */
+  def unpersist(): this.type = { cachedRoot.getOrElse(df).unpersist(); this }
+
+  private def root: Option[DataFrame] = Some(cachedRoot.getOrElse(df))
 
   /** Drop sentinel rows from failed fits (sse = +inf)
     * (reference: backends/spark.py:193). */
@@ -53,11 +60,11 @@ final class FitResults(
     maxAd.foreach(t => out = out.where(F.col("ad_statistic") < t))
     // keep samples/cfg so a filtered lazy collection can still fill
     // deferred metrics (bestLazy/materialize)
-    new FitResults(out, samples, cfg)
+    new FitResults(out, samples, cfg, root)
   }
 
   def forColumn(column: String): FitResults =
-    new FitResults(df.where(F.col("column_name") === column), samples, cfg)
+    new FitResults(df.where(F.col("column_name") === column), samples, cfg, root)
 
   /** Lazy-metric top-n (reference: collection.py:1008-1120): when the
     * requested metric was deferred at fit time, pre-select 3n+5 candidates

@@ -115,13 +115,16 @@ object Sampling {
     * rows. Falls back to uniform sampling when quantiles collapse. */
   def stratifiedSample(df: DataFrame, column: String, fraction: Double,
                        numBins: Int = 5, seed: Long = 42L,
-                       minTailRows: Long = 500L): DataFrame = {
+                       minTailRows: Long = 500L,
+                       knownCount: Option[Long] = None): DataFrame = {
     val probs = (1 until numBins).map(_.toDouble / numBins).toArray
     val splits = df.stat.approxQuantile(column, probs, 0.01).distinct.sorted
     if (splits.length < 1) return df.sample(withReplacement = false, fraction, seed)
     val edges = Double.NegativeInfinity +: splits.toSeq :+ Double.PositiveInfinity
     val binCount = edges.length - 1
-    val total = df.count()
+    // the fitter already holds the row count from its shared stats scan —
+    // recounting here would add a full agg scan per stratified fit
+    val total = knownCount.getOrElse(df.count())
     val perBin = total.toDouble / binCount
     val tailFraction = math.min(1.0, math.max(fraction, minTailRows / perBin))
     val fractions = (0 until binCount).map { b =>

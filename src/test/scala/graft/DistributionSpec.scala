@@ -86,7 +86,9 @@ class DistributionSpec extends AnyFunSuite {
       "tukeylambda" -> Array(0.2, 0.0, 1.0), "recipinvgauss" -> Array(0.7, 0.0, 1.0),
       "vonmises_line" -> Array(2.0, 0.0, 1.0), "vonmises" -> Array(2.0, 0.0, 1.0),
       "ncx2" -> Array(4.0, 2.0, 0.0, 1.0), "ncf" -> Array(5.0, 12.0, 2.0, 0.0, 1.0),
-      "norminvgauss" -> Array(1.5, 0.5, 0.0, 1.0))
+      "norminvgauss" -> Array(1.5, 0.5, 0.0, 1.0),
+      "rel_breitwigner" -> Array(4.0, 0.0, 1.0),
+      "irwinhall" -> Array(6.0, 0.0, 1.0), "landau" -> Array(0.0, 1.0))
 
   test("ppf/cdf round-trip for every registered continuous family") {
     for (d <- ContinuousFamilies.all ++ ContinuousFamiliesB.all ++
@@ -328,6 +330,34 @@ class DistributionSpec extends AnyFunSuite {
     val llTrueT = -ContinuousFamiliesC.TruncNorm.negLogLik(Array(-1.0, 1.5, 5.0, 2.0), xsT)
     val llFitT = -ContinuousFamiliesC.TruncNorm.negLogLik(pT, xsT)
     assert(llFitT >= llTrueT - 10.0, s"truncnorm LL fit=$llFitT true=$llTrueT")
+  }
+
+  test("version-new family recovery: rel_breitwigner, irwinhall, landau") {
+    // rel_breitwigner: LL at the fit must match/beat the truth
+    val xsB = sample(ContinuousFamiliesD.RelBreitwigner, Array(5.0, 0.0, 2.0), 8000)
+    val pB = ContinuousFamiliesD.RelBreitwigner.fit(xsB)
+    val llTrueB = -ContinuousFamiliesD.RelBreitwigner.negLogLik(Array(5.0, 0.0, 2.0), xsB)
+    val llFitB = -ContinuousFamiliesD.RelBreitwigner.negLogLik(pB, xsB)
+    assert(llFitB >= llTrueB - 10.0, s"rel_breitwigner LL fit=$llFitB true=$llTrueB")
+
+    // irwinhall: small n is sharply identifiable (support corners); the
+    // integer shape recovers exactly and loc/scale stay close. (Large n
+    // is near-normal — adjacent n are statistically indistinguishable by
+    // design, so exact recovery is only a meaningful contract for small n.)
+    val xsH = sample(ContinuousFamiliesD.IrwinHall, Array(3.0, 2.0, 3.0), 8000)
+    val pH = ContinuousFamiliesD.IrwinHall.fit(xsH)
+    assert(math.round(pH(0)) == 3L, s"irwinhall n=${pH(0)}")
+    assert(math.abs(pH(1) - 2.0) < 0.5 && math.abs(pH(2) - 3.0) < 0.5,
+      s"irwinhall loc/scale=${pH.toSeq}")
+
+    // landau: table is a proper distribution and loc/scale recover
+    val xsL = sample(ContinuousFamiliesD.Landau, Array(10.0, 2.0), 8000)
+    val pL = ContinuousFamiliesD.Landau.fit(xsL)
+    val llTrueL = -ContinuousFamiliesD.Landau.negLogLik(Array(10.0, 2.0), xsL)
+    val llFitL = -ContinuousFamiliesD.Landau.negLogLik(pL, xsL)
+    assert(llFitL >= llTrueL - 10.0, s"landau LL fit=$llFitL true=$llTrueL")
+    assert(math.abs(pL(0) - 10.0) < 1.0 && math.abs(pL(1) - 2.0) < 0.6,
+      s"landau loc/scale=${pL.toSeq}")
   }
 
   test("new discrete families: skellam, hypergeom, betanbinom, nhypergeom") {

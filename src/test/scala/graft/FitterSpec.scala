@@ -400,6 +400,19 @@ class FitterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fit2.df.head().getSeq[Double](2) == fit1.df.head().getSeq[Double](2))
   }
 
+  test("a harness fit sweep leaves no pinned relations after clearFitMemo") {
+    spark.sharedState.cacheManager.clearCache()
+    val dir = "/root/testdata/sf0.001"
+    for (name <- Seq("fit_continuous", "fit_discrete", "fit_bounded",
+        "fit_mse_heavy_tail", "fit_censored", "fit_closed_form",
+        "fit_summary_closed_form", "fit_acceptable_count", "fit_lazy"))
+      SparkEntry.queries(name)(spark, dir).count()
+    assert(!spark.sharedState.cacheManager.isEmpty, "sweep should cache fits")
+    SparkEntry.clearFitMemo()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "clearFitMemo must release every relation the sweep cached")
+  }
+
   test("harness queries run on sf0.001 and entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
     val dir = "/root/testdata/sf0.001"
