@@ -30,8 +30,15 @@ object Mixture {
     * (reference: mixture.py:280-305). */
   def freeParams(k: Int, d: Int): Int = (k - 1) + k * d + k * d * (d + 1) / 2
 
+  /** `nInit` > 1 runs EM from that many seeded starts and keeps the run
+    * with the best converged log-likelihood (the reference's n_init,
+    * mixture.py:424-711; Spark ML's GaussianMixture is single-init, so
+    * the restart loop lives here). The assembled input is materialized
+    * once and shared by every restart. */
   def fit(df: DataFrame, columns: Seq[String], k: Int,
-          seed: Long = 42L, maxIter: Int = 100, tol: Double = 1e-4): (GaussianMixtureResult, DataFrame) = {
+          seed: Long = 42L, maxIter: Int = 100, tol: Double = 1e-4,
+          nInit: Int = 1): (GaussianMixtureResult, DataFrame) = {
+    require(nInit >= 1, "nInit must be >= 1")
     val assembler = new VectorAssembler()
       .setInputCols(columns.toArray).setOutputCol("__features")
       .setHandleInvalid("skip")
@@ -43,9 +50,11 @@ object Mixture {
       .localCheckpoint(true)
     val n = vecDf.count()
     val gmm = new GaussianMixture()
-      .setK(k).setSeed(seed).setMaxIter(maxIter).setTol(tol)
+      .setK(k).setMaxIter(maxIter).setTol(tol)
       .setFeaturesCol("__features")
-    val model = gmm.fit(vecDf)
+    val model = (0 until nInit)
+      .map(i => gmm.setSeed(seed + i).fit(vecDf))
+      .maxBy(_.summary.logLikelihood)
     val d = columns.length
     val ll = model.summary.logLikelihood
     val p = freeParams(k, d)

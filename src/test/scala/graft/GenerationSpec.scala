@@ -121,6 +121,20 @@ class GenerationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Mixture.freeParams(2, 1) == 5)
   }
 
+  test("GMM nInit restarts keep the best-likelihood run") {
+    import spark.implicits._
+    val rng = new java.util.Random(23L)
+    val rows = Seq.fill(4000)(
+      if (rng.nextDouble() < 0.5) rng.nextGaussian() else 6.0 + rng.nextGaussian())
+    val df = rows.toDF("v")
+    val (single, _) = Mixture.fit(df, Seq("v"), k = 3, seed = 42L, maxIter = 25)
+    val (multi, _) = Mixture.fit(df, Seq("v"), k = 3, seed = 42L, maxIter = 25, nInit = 4)
+    // the restart pool contains the single-init seed, so best-of-4 can
+    // never be worse
+    assert(multi.logLikelihood >= single.logLikelihood - 1e-9,
+      s"multi=${multi.logLikelihood} single=${single.logLikelihood}")
+  }
+
   test("GMM sampling reproduces component weights and means") {
     import spark.implicits._
     val rng = new java.util.Random(17L)
