@@ -44,6 +44,19 @@ object SparkEntry {
     df.withColumn("parameters", arrStr(F.col("parameters")))
       .drop("fit_seconds")
 
+  /** Layout-stable bounded cap: orderBy over the (l_orderkey,
+    * l_linenumber) unique key + limit compiles to TakeOrderedAndProject —
+    * a bounded per-partition heap, NOT a full sort — and pins the row SET
+    * independent of partition layout (a bare limit takes whichever
+    * partitions answer first). PlanSpec asserts the plan shape. */
+  private[graft] def keyCappedLineitem(s: SparkSession, dir: String,
+                                       n: Int, cols: Seq[String]): DataFrame =
+    li(s, dir)
+      .select((cols ++ Seq("l_orderkey", "l_linenumber")).distinct.map(F.col): _*)
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(n)
+      .select(cols.map(F.col): _*)
+
   /** The reference fits once and serves best/filter/summary off the cached
     * combined DataFrame (continuous_fitter.py:409-414, collection.py). Our
     * harness queries are independent closures, so the shared "results
@@ -200,6 +213,23 @@ object SparkEntry {
         .select(F.col("distribution"),
           F.round(F.get(F.col("parameters"), F.lit(0)), 4).as("p1"),
           F.round(F.get(F.col("parameters"), F.lit(1)), 4).as("p2"))
+        .orderBy("distribution")),
+    "fit_bounded_closed_form" -> ((s, dir) =>
+      // D3's truncation renormalization, hash-checked: closed-form
+      // families under [900, 105000] bounds on the FULL column. The expon
+      // model keeps ~6e-4 tail mass beyond the upper bound, so its
+      // truncated AIC/K-S differ from the plain fit by a
+      // SQL-reproducible −n·ln(mass) / rescaled-CDF amount
+      cachedFit(s, dir, Seq("l_extendedprice"),
+        dists = Some(Seq("expon", "uniform")),
+        cfg = FitConfig(fittingSampleSize = 2000000,
+          lowerBound = Some(900.0), upperBound = Some(105000.0)))
+        .successful
+        .select(F.col("distribution"),
+          F.round(F.element_at(F.col("parameters"), 1), 4).as("p_loc"),
+          F.round(F.element_at(F.col("parameters"), 2), 4).as("p_scale"),
+          F.round(F.col("aic"), 2).as("aic_r"),
+          F.round(F.col("ks_statistic"), 6).as("ks_r"))
         .orderBy("distribution")),
     "fit_summary" -> ((s, dir) =>
       cachedFit(s, dir, Seq("l_extendedprice")).summary),
@@ -391,6 +421,21 @@ object SparkEntry {
         "payload")
         .withColumn("features", arrStr(F.col("features")))
         .orderBy("doc_id")),
+    "q_jaccard_exact" -> ((s, dir) => {
+      // the exact n-gram Jaccard verifier behind MinHash candidate
+      // filtering, hash-checked pairwise on a deterministic doc slice —
+      // word 3-gram shingle sets are reproducible in DuckDB list algebra
+      val j = F.udf((a: String, b: String) => Dedup.ngramJaccard(a, b))
+      val d = docs(s, dir)
+        .select(F.col("doc_id"), F.coalesce(F.col("text"), F.lit("")).as("text"))
+        .where(F.col("doc_id") < 16)
+      val a = d.select(F.col("doc_id").as("id_a"), F.col("text").as("ta"))
+      val b = d.select(F.col("doc_id").as("id_b"), F.col("text").as("tb"))
+      a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(F.col("id_a"), F.col("id_b"),
+          F.round(j(F.col("ta"), F.col("tb")), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
     "q_image_decode" -> ((s, dir) => {
       // REAL image decode, hash-checked: synthesize a deterministic PNG
       // per doc_id on executors, decode it back with javax.imageio, and
@@ -445,17 +490,11 @@ object SparkEntry {
     "q_copula_sample" -> ((s, dir) => {
       val cols = Seq("l_extendedprice", "l_discount", "l_tax")
       val results = cachedFit(s, dir, cols)
-      // Spearman rank correlation converges fast in n; a 100K-row cap
-      // keeps the mllib rank-sort off the critical path while the estimate
-      // stays within ~0.3% of the full-data value. orderBy(unique key) +
-      // limit compiles to TakeOrderedAndProject — a bounded per-partition
-      // heap, NOT a full sort — and pins the row SET independent of
-      // partition layout (a bare limit takes whatever partitions come up
-      // first)
-      val corrInput = li(s, dir)
-        .select((cols :+ "l_orderkey" :+ "l_linenumber").map(F.col): _*)
-        .orderBy("l_orderkey", "l_linenumber")
-        .limit(100000).repartition(32)
+      // Spearman rank correlation converges fast in n; a 100K-row
+      // key-capped input keeps the mllib rank-sort off the critical path
+      // while the estimate stays within ~0.3% of the full-data value
+      val corrInput = keyCappedLineitem(s, dir, 100000, cols :+ "l_orderkey")
+        .repartition(32)
       val cop = GaussianCopula.fit(s, corrInput, results, cols, metric = "aic")
       val sampled = cop.sampleDistributed(s, 50000L, seed = 42L)
       sampled.agg(
@@ -475,17 +514,13 @@ object SparkEntry {
       }.toDF("column", "mean", "variance", "corr_next")
     }),
     "q_gmm" -> ((s, dir) => {
-      // EM parameter estimates stabilize well below 100K rows; cap the
-      // input so per-row breeze density evaluation (non-codegen) stays
-      // bounded as SF grows. orderBy(unique key) + limit →
-      // TakeOrderedAndProject: bounded heap, layout-independent row set
+      // EM parameter estimates stabilize well below 100K rows; the
+      // key-capped input bounds the per-row breeze density evaluation
+      // (non-codegen) as SF grows.
       // 8 partitions, not 32: EM here is scheduling-bound (30 iterations
       // of sub-ms tasks), so fewer/larger partitions cut wall time
-      val capped = li(s, dir)
-        .select("l_extendedprice", "l_orderkey", "l_linenumber")
-        .orderBy("l_orderkey", "l_linenumber")
-        .limit(50000)
-        .select("l_extendedprice").repartition(8)
+      val capped = keyCappedLineitem(s, dir, 50000, Seq("l_extendedprice"))
+        .repartition(8)
       val (r, _) = Mixture.fit(capped, Seq("l_extendedprice"), k = 3, seed = 42L,
         maxIter = 30, tol = 1e-3)
       Mixture.report(s, r)
@@ -548,6 +583,26 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_jaccard_exact" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |              x -> x <> '') AS w
+        |  FROM documents WHERE doc_id < 16),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(w) = 0 THEN []
+        |       WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(w) - 1),
+        |              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |  END AS s FROM t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CASE
+        |    WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+        |    WHEN len(a.s) = 0 OR len(b.s) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |         / len(list_distinct(list_concat(a.s, b.s)))
+        |  END, 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_image_decode" ->
       """SELECT doc_id,
         |  CAST(16 + doc_id % 32 AS BIGINT) AS width,
@@ -762,6 +817,41 @@ object SparkEntry {
         |UNION ALL SELECT 'poisson', round(m, 4), NULL FROM s
         |UNION ALL SELECT 'randint', round(CAST(mn AS DOUBLE), 4),
         |  round(CAST(mx AS DOUBLE) + 1.0, 4) FROM s
+        |ORDER BY 1""".stripMargin,
+    "fit_bounded_closed_form" ->
+      """WITH s AS (SELECT avg(l_extendedprice) AS m, min(l_extendedprice) AS mn,
+        |  max(l_extendedprice) AS mx, count(l_extendedprice) AS n FROM lineitem),
+        |msk AS (SELECT
+        |  greatest(0.0, 1.0 - exp(-(105000.0 - mn) / (m - mn)))
+        |    - greatest(0.0, 1.0 - exp(-(900.0 - mn) / (m - mn))) AS mass_e,
+        |  least(1.0, greatest(0.0, (105000.0 - mn) / (mx - mn)))
+        |    - least(1.0, greatest(0.0, (900.0 - mn) / (mx - mn))) AS mass_u,
+        |  greatest(0.0, 1.0 - exp(-(900.0 - mn) / (m - mn))) AS flo_e,
+        |  least(1.0, greatest(0.0, (900.0 - mn) / (mx - mn))) AS flo_u
+        |  FROM s),
+        |ll AS (SELECT
+        |  sum(-(l.l_extendedprice - s.mn) / (s.m - s.mn))
+        |    - s.n * ln(s.m - s.mn) - s.n * ln(k.mass_e) AS ll_e,
+        |  -s.n * ln(s.mx - s.mn) - s.n * ln(k.mass_u) AS ll_u
+        |  FROM lineitem l, s, msk k GROUP BY s.n, s.m, s.mn, s.mx, k.mass_e, k.mass_u),
+        |ranked AS (SELECT l_extendedprice AS x,
+        |  CAST(row_number() OVER (ORDER BY l_extendedprice) AS DOUBLE) AS rn
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |ks AS (SELECT
+        |  max(greatest(
+        |    rn / s.n - (greatest(0.0, 1.0 - exp(-(r.x - s.mn) / (s.m - s.mn))) - k.flo_e) / k.mass_e,
+        |    (greatest(0.0, 1.0 - exp(-(r.x - s.mn) / (s.m - s.mn))) - k.flo_e) / k.mass_e - (rn - 1.0) / s.n))
+        |    AS d_e,
+        |  max(greatest(
+        |    rn / s.n - (least(1.0, greatest(0.0, (r.x - s.mn) / (s.mx - s.mn))) - k.flo_u) / k.mass_u,
+        |    (least(1.0, greatest(0.0, (r.x - s.mn) / (s.mx - s.mn))) - k.flo_u) / k.mass_u - (rn - 1.0) / s.n))
+        |    AS d_u
+        |  FROM ranked r, s, msk k GROUP BY s.n, s.m, s.mn, s.mx, k.flo_e, k.flo_u, k.mass_e, k.mass_u)
+        |SELECT 'expon' AS distribution, round(mn, 4) AS p_loc,
+        |  round(m - mn, 4) AS p_scale, round(4 - 2 * ll_e, 2) AS aic_r,
+        |  round(d_e, 6) AS ks_r FROM s, ll, ks
+        |UNION ALL SELECT 'uniform', round(mn, 4), round(mx - mn, 4),
+        |  round(4 - 2 * ll_u, 2), round(d_u, 6) FROM s, ll, ks
         |ORDER BY 1""".stripMargin,
     "fit_summary_closed_form" ->
       """WITH s AS (SELECT avg(l_extendedprice) AS m, min(l_extendedprice) AS mn,

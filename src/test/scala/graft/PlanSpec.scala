@@ -73,6 +73,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan.take(1500))
   }
 
+  test("q_image_decode decodes without a shuffle before the final order") {
+    // the decode UDF runs where the rows are born: the only exchanges
+    // allowed are the final orderBy's range partitioning (and AQE reads)
+    val plan = physicalPlan("q_image_decode")
+    val decodeIdx = plan.indexOf("graft.operators.Multimodal")
+    val body = if (decodeIdx >= 0) plan.substring(decodeIdx) else plan
+    assert(!body.contains("hashpartitioning"),
+      "decode stage should not hash-shuffle payloads: " + plan.take(1200))
+  }
+
+  test("q_copula/q_gmm input cap plans as TakeOrderedAndProject (bounded heap, layout-stable)") {
+    // a bare limit() takes whichever partitions answer first — the
+    // keyCappedLineitem cap (shared by q_copula_sample / q_gmm) must
+    // compile to a top-K take, not a global sort + limit
+    val plan = SparkEntry.keyCappedLineitem(spark, dir, 50000, Seq("l_extendedprice"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"cap is not a bounded top-K take: ${plan.take(1200)}")
+    assert(!plan.contains("GlobalLimit"),
+      s"cap still carries a bare global limit: ${plan.take(1200)}")
+  }
+
   test("fit fan-out partition count tracks cores and family count") {
     val nParts = operators.Fitter.partitionCount(spark,
       graft.dists.DistRegistry.defaultNames, None)
