@@ -767,6 +767,109 @@ object ContinuousFamiliesD {
     }
   }
 
+  /** Noncentral t(df, nc): pdf in closed form via two Kummer ₁F₁ calls
+    * with POSITIVE argument nc²z²/(2(df+z²)) — the direct power series in
+    * nc·z alternates and cancels, the Kummer form never does. CDF by
+    * Lenth's series: Φ(−δ) + ½Σ[pⱼ·I_x(j+½, df/2) + qⱼ·I_x(j+1, df/2)]
+    * with Poisson-type weights in δ²/2, mirroring the Ncx2/Ncf mixture
+    * loops; negative z via the (z, δ) → (−z, −δ) reflection. In the
+    * reference this family is default-EXCLUDED for speed
+    * (distributions.py:52 '~1.4s'); registered here, excluded by default,
+    * opt-in via distributions=Some(...). */
+  object Nct extends ContinuousDist {
+    val name = "nct"; val shapeNames = Seq("df", "nc")
+    override def shapesValid(s: Array[Double]) = s(0) > 0
+
+    /** ₁F₁(a; b; z) for z ≥ 0, a,b > 0 — all-positive-term series. */
+    @inline private def hyp1f1Pos(a: Double, b: Double, z: Double): Double = {
+      var term = 1.0
+      var sum = 1.0
+      var k = 0
+      while (term > sum * 1e-16 && k < 10000) {
+        term *= (a + k) * z / ((b + k) * (k + 1))
+        sum += term
+        k += 1
+      }
+      sum
+    }
+
+    override def logpdf0(z: Double, s: Array[Double]): Double = {
+      val p = pdf0(z, s)
+      if (p <= 0.0) Double.NegativeInfinity else math.log(p)
+    }
+
+    def pdf0(z: Double, s: Array[Double]): Double = {
+      val n = s(0); val nc = s(1)
+      val x2 = z * z
+      val fac1 = n + x2
+      val logPx = 0.5 * n * math.log(n) + SM.lgamma(n + 1.0) -
+        (n * math.log(2.0) + 0.5 * nc * nc + 0.5 * n * math.log(fac1) +
+          SM.lgamma(0.5 * n))
+      val valF = nc * nc * x2 / (2.0 * fac1)
+      val trm1 = math.sqrt(2.0) * nc * z * hyp1f1Pos(0.5 * n + 1.0, 1.5, valF) /
+        (fac1 * math.exp(SM.lgamma(0.5 * (n + 1.0))))
+      val trm2 = hyp1f1Pos(0.5 * (n + 1.0), 0.5, valF) /
+        (math.sqrt(fac1) * math.exp(SM.lgamma(0.5 * n + 1.0)))
+      val p = math.exp(logPx) * (trm1 + trm2)
+      if (java.lang.Double.isFinite(p)) math.max(0.0, p) else 0.0
+    }
+
+    def cdf0(z: Double, s: Array[Double]): Double = {
+      val n = s(0)
+      if (z < 0) return 1.0 - cdfNonneg(-z, n, -s(1))
+      cdfNonneg(z, n, s(1))
+    }
+
+    /** Lenth (1989) series for t ≥ 0. */
+    private def cdfNonneg(t: Double, n: Double, del: Double): Double = {
+      val x = t * t / (t * t + n)
+      val l2 = 0.5 * del * del
+      var total = SM.normCdf(-del)
+      if (x > 0) {
+        val mode = math.max(0L, math.floor(l2).toLong)
+        @inline def pw(j: Long): Double =
+          if (l2 <= 0) { if (j == 0) 1.0 else 0.0 }
+          else math.exp(-l2 + j * math.log(l2) - SM.lgamma(j + 1.0))
+        @inline def qw(j: Long): Double =
+          if (l2 <= 0) {
+            if (j == 0) del / math.exp(SM.lgamma(1.5) + 0.5 * math.log(2.0)) else 0.0
+          } else del / math.sqrt(2.0) *
+            math.exp(-l2 + j * math.log(l2) - SM.lgamma(j + 1.5))
+        var j = mode
+        while (j >= 0) {
+          val p = pw(j)
+          if (p < 1e-17 && j < mode) j = -1
+          else {
+            total += 0.5 * (p * SM.betaInc(j + 0.5, 0.5 * n, x) +
+              qw(j) * SM.betaInc(j + 1.0, 0.5 * n, x))
+            j -= 1
+          }
+        }
+        j = mode + 1
+        var p = pw(j)
+        while (p > 1e-17 && j < mode + 100000) {
+          total += 0.5 * (p * SM.betaInc(j + 0.5, 0.5 * n, x) +
+            qw(j) * SM.betaInc(j + 1.0, 0.5 * n, x))
+          j += 1
+          p = pw(j)
+        }
+      }
+      math.min(1.0, math.max(0.0, total))
+    }
+
+    def ppf0(q: Double, s: Array[Double]) =
+      ppfBisect(this, q, s, Double.NegativeInfinity, Double.PositiveInfinity)
+
+    def warmStart(xs: Array[Double]) = {
+      // loc and δ are confounded — pin a moderate df, set δ's sign from
+      // the sample skew, and let the NM refine separate them
+      val (_, _, _, skew, _, _, _) = SM.moments(xs)
+      val del = math.max(-3.0, math.min(3.0, skew * 2.0))
+      val sc = math.max((quantile(xs, 0.75) - quantile(xs, 0.25)) / 1.5, 1e-9)
+      Array(5.0, del, median(xs) - del * sc, sc)
+    }
+  }
+
   /** Relativistic Breit-Wigner (scipy ≥1.11 `rel_breitwigner`, shape
     * ρ = M/Γ): pdf0(z, ρ) ∝ 1/((z²−ρ²)² + ρ²) on z ≥ 0. The CDF is
     * exact: the quartic factors into the real quadratics
@@ -1013,5 +1116,5 @@ object ContinuousFamiliesD {
     GenExpon, GenHalfLogistic, Kappa3, Kappa4, RDist, Argus, CrystalBall,
     LaplaceAsymmetric, JFSkewT, WrapCauchy, TukeyLambda, RecipInvGauss,
     VonMisesLine, VonMises, Ncx2, Ncf, NormInvGauss,
-    RelBreitwigner, IrwinHall, Landau)
+    Nct, RelBreitwigner, IrwinHall, Landau)
 }

@@ -47,7 +47,7 @@ object DistRegistry extends Serializable {
     * `distributions = Some(...)` opts any of them back in. */
   val defaultExclusions: Set[String] = Set(
     "kappa4", "ncx2", "ncf", "wald", "recipinvgauss",
-    "vonmises", "vonmises_line", "tukeylambda")
+    "vonmises", "vonmises_line", "tukeylambda", "nct")
 
   /** Families whose MLE refinement dominates runtime — weighted 3× in the
     * partition count calculation and interleaved across partitions
@@ -63,7 +63,7 @@ object DistRegistry extends Serializable {
     "rice", "ncx2", "ncf", "norminvgauss", "vonmises", "vonmises_line",
     "tukeylambda", "pearson3", "powerlognorm", "gengamma", "genexpon",
     "jf_skew_t", "skewnorm", "kappa4", "truncweibull_min", "foldcauchy",
-    "argus", "crystalball")
+    "argus", "crystalball", "nct")
 
   /** Names with standardized support lower bound >= 0. */
   def supportsAtZero(name: String): Boolean = get(name).exists(_.supportAtZero)

@@ -87,6 +87,7 @@ class DistributionSpec extends AnyFunSuite {
       "vonmises_line" -> Array(2.0, 0.0, 1.0), "vonmises" -> Array(2.0, 0.0, 1.0),
       "ncx2" -> Array(4.0, 2.0, 0.0, 1.0), "ncf" -> Array(5.0, 12.0, 2.0, 0.0, 1.0),
       "norminvgauss" -> Array(1.5, 0.5, 0.0, 1.0),
+      "nct" -> Array(6.0, 1.5, 0.0, 1.0),
       "rel_breitwigner" -> Array(4.0, 0.0, 1.0),
       "irwinhall" -> Array(6.0, 0.0, 1.0), "landau" -> Array(0.0, 1.0))
 
@@ -332,7 +333,7 @@ class DistributionSpec extends AnyFunSuite {
     assert(llFitT >= llTrueT - 10.0, s"truncnorm LL fit=$llFitT true=$llTrueT")
   }
 
-  test("version-new family recovery: rel_breitwigner, irwinhall, landau") {
+  test("version-new family recovery: rel_breitwigner, irwinhall, landau, nct") {
     // rel_breitwigner: LL at the fit must match/beat the truth
     val xsB = sample(ContinuousFamiliesD.RelBreitwigner, Array(5.0, 0.0, 2.0), 8000)
     val pB = ContinuousFamiliesD.RelBreitwigner.fit(xsB)
@@ -349,6 +350,15 @@ class DistributionSpec extends AnyFunSuite {
     assert(math.round(pH(0)) == 3L, s"irwinhall n=${pH(0)}")
     assert(math.abs(pH(1) - 2.0) < 0.5 && math.abs(pH(2) - 3.0) < 0.5,
       s"irwinhall loc/scale=${pH.toSeq}")
+
+    // nct: excluded-by-default noncentral t; LL at the fit must
+    // match/beat the truth (df/nc/loc are partially confounded, so exact
+    // parameter recovery is not the contract)
+    val xsN = sample(ContinuousFamiliesD.Nct, Array(6.0, 1.5, 0.0, 1.0), 6000)
+    val pN = ContinuousFamiliesD.Nct.fit(xsN)
+    val llTrueN = -ContinuousFamiliesD.Nct.negLogLik(Array(6.0, 1.5, 0.0, 1.0), xsN)
+    val llFitN = -ContinuousFamiliesD.Nct.negLogLik(pN, xsN)
+    assert(llFitN >= llTrueN - 10.0, s"nct LL fit=$llFitN true=$llTrueN")
 
     // landau: table is a proper distribution and loc/scale recover
     val xsL = sample(ContinuousFamiliesD.Landau, Array(10.0, 2.0), 8000)
