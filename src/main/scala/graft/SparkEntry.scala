@@ -44,17 +44,18 @@ object SparkEntry {
     df.withColumn("parameters", arrStr(F.col("parameters")))
       .drop("fit_seconds")
 
-  /** Layout-stable bounded cap: orderBy over the (l_orderkey,
-    * l_linenumber) unique key + limit compiles to TakeOrderedAndProject —
-    * a bounded per-partition heap, NOT a full sort — and pins the row SET
-    * independent of partition layout (a bare limit takes whichever
-    * partitions answer first). PlanSpec asserts the plan shape. */
+  /** Layout-stable bounded cap: a `l_orderkey < K` range predicate is
+    * pushed into the parquet scan (PlanSpec asserts it), selects the SAME
+    * row set regardless of partition layout (a bare limit takes whichever
+    * partitions answer first), and — because TPC-H order keys are a
+    * fixed-density sequence — keeps the selected row count bounded as SF
+    * grows (~K/4 orders → ~K lineitem rows). An orderBy+limit top-K was
+    * tried first and costs a k-row heap merge per partition; the
+    * predicate costs nothing. */
   private[graft] def keyCappedLineitem(s: SparkSession, dir: String,
-                                       n: Int, cols: Seq[String]): DataFrame =
+                                       maxOrderKey: Long, cols: Seq[String]): DataFrame =
     li(s, dir)
-      .select((cols ++ Seq("l_orderkey", "l_linenumber")).distinct.map(F.col): _*)
-      .orderBy("l_orderkey", "l_linenumber")
-      .limit(n)
+      .where(F.col("l_orderkey") < maxOrderKey)
       .select(cols.map(F.col): _*)
 
   /** The reference fits once and serves best/filter/summary off the cached
@@ -415,6 +416,18 @@ object SparkEntry {
       val idx = Similarity.ivfBuild(emb(s, dir), "embedding", "vec_id")
       Similarity.ivfTopK(idx, q, 10, nProbe = 8)
     }),
+    "q_ann_ivf_full" -> ((s, dir) => {
+      // IVF probed EXHAUSTIVELY (nProbe = every cell) must reproduce the
+      // brute-force top-k bit-for-bit — a DuckDB hash row over the whole
+      // IVF machinery (normalize, assign, probe, re-rank); the recall of
+      // the 8-probe variant above is then a pure pruning question
+      val q = emb(s, dir).where(F.col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val idx = Similarity.ivfBuild(emb(s, dir), "embedding", "vec_id")
+      Similarity.ivfTopK(idx, q, 20, nProbe = idx.centroids.length)
+        .select(F.col("id").as("vec_id"), F.col("cosine"))
+        .orderBy(F.col("cosine").desc, F.col("vec_id").asc)
+    }),
     "q_multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
         docs(s, dir).select(F.col("doc_id"), F.col("text").cast("binary").as("payload")),
@@ -751,6 +764,17 @@ object SparkEntry {
     // NOTE: list_cosine_similarity returns float32 in DuckDB — explicit
     // double arithmetic over zipped unnest keeps both engines in doubles
     "q_ann_bruteforce" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |pairs AS (
+        |  SELECT e.vec_id AS vid, CAST(unnest(e.embedding) AS DOUBLE) AS a,
+        |         CAST(unnest(q.qe) AS DOUBLE) AS b
+        |  FROM embeddings e, q),
+        |agg AS (SELECT vid, sum(a*b) AS dp, sum(a*a) AS na, sum(b*b) AS nb
+        |        FROM pairs GROUP BY vid)
+        |SELECT vid AS vec_id, round(dp / (sqrt(na) * sqrt(nb)), 6) AS cosine
+        |FROM agg ORDER BY cosine DESC, vec_id ASC LIMIT 20""".stripMargin,
+    "q_ann_ivf_full" ->
+      // identical to the brute-force oracle: full-probe IVF IS exhaustive
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |pairs AS (
         |  SELECT e.vec_id AS vid, CAST(unnest(e.embedding) AS DOUBLE) AS a,

@@ -936,6 +936,15 @@ object ContinuousFamiliesD {
     override def a0(s: Array[Double]) = 0.0
     override def b0(s: Array[Double]) = math.max(1, math.round(s(0))).toDouble
     @inline private def nOf(s: Array[Double]) = math.max(1, math.round(s(0)).toInt)
+    // 1/k! for k ≤ 41 — pdf0/cdf0 sit in the MLE hot loop, and
+    // exp(lgamma(n)) per call costs more than the whole alternating sum
+    private val invFact: Array[Double] = {
+      val a = new Array[Double](42)
+      a(0) = 1.0
+      var k = 1
+      while (k < 42) { a(k) = a(k - 1) / k; k += 1 }
+      a
+    }
     /** Σ_{k=0}^{⌊z⌋} (−1)^k C(n,k) (z−k)^pow — shared by pdf (pow=n−1)
       * and cdf (pow=n); binomials by exact multiplicative recurrence
       * (C(40,20) < 2^53). */
@@ -957,7 +966,7 @@ object ContinuousFamiliesD {
       if (z < 0 || z > n) 0.0
       else {
         val zz = if (z > 0.5 * n) n - z else z // symmetry halves cancellation
-        math.max(0.0, altSum(zz, n, n - 1) / math.exp(SM.lgamma(n.toDouble)))
+        math.max(0.0, altSum(zz, n, n - 1) * invFact(n - 1))
       }
     }
     def cdf0(z: Double, s: Array[Double]) = {
@@ -968,7 +977,7 @@ object ContinuousFamiliesD {
       else cdfLower(z, n)
     }
     @inline private def cdfLower(z: Double, n: Int): Double =
-      math.min(1.0, math.max(0.0, altSum(z, n, n) / math.exp(SM.lgamma(n + 1.0))))
+      math.min(1.0, math.max(0.0, altSum(z, n, n) * invFact(n)))
     def ppf0(q: Double, s: Array[Double]) =
       ppfBisect(this, q, s, 0.0, nOf(s).toDouble)
     def warmStart(xs: Array[Double]) = {
@@ -978,7 +987,11 @@ object ContinuousFamiliesD {
       // (var = n/12·scale², mean = n/2·scale + loc) and keep the n whose
       // start likelihood wins; the generic refine then polishes loc/scale
       val (_, m, sd, _, _, mn, mx) = SM.moments(xs)
-      (1 to 40).map { n =>
+      // rank candidates on a ≤2K subsample: the n-scan only needs to land
+      // on the right integer plateau, and 40 full-sample NLL sweeps would
+      // dominate the whole fit's cost
+      val sub = if (xs.length > 2000) java.util.Arrays.copyOfRange(xs, 0, 2000) else xs
+      val shortlist = (1 to 40).map { n =>
         // moment-matched scale, then widened so [loc, loc+n·scale] covers
         // the data — an uncovered sample is −inf likelihood and a penalty
         // start sends the NM refine wandering across n plateaus
@@ -986,8 +999,12 @@ object ContinuousFamiliesD {
         val sc = math.max(scM, (mx - mn) / n * (1.0 + 1e-9))
         val loc = mn - 0.5 * (n * sc - (mx - mn))
         val cand = Array(n.toDouble, loc, sc)
-        (negLogLik(cand, xs), cand)
-      }.minBy(_._1)._2
+        (negLogLik(cand, sub), cand)
+      }.sortBy(_._1).take(3)
+      // adjacent n are too close for a subsample to separate — settle the
+      // finalists on the full sample (3 full NLL sweeps, not 40)
+      shortlist.map { case (_, cand) => (negLogLik(cand, xs), cand) }
+        .minBy(_._1)._2
     }
   }
 

@@ -83,16 +83,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "decode stage should not hash-shuffle payloads: " + plan.take(1200))
   }
 
-  test("q_copula/q_gmm input cap plans as TakeOrderedAndProject (bounded heap, layout-stable)") {
+  test("q_copula/q_gmm input cap pushes the key range into the parquet scan") {
     // a bare limit() takes whichever partitions answer first — the
-    // keyCappedLineitem cap (shared by q_copula_sample / q_gmm) must
-    // compile to a top-K take, not a global sort + limit
+    // keyCappedLineitem range predicate (shared by q_copula_sample /
+    // q_gmm) must reach the scan as a pushed filter, not a post-scan
+    // Filter over the full read, and must not plan any limit at all
     val plan = SparkEntry.keyCappedLineitem(spark, dir, 50000, Seq("l_extendedprice"))
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("TakeOrderedAndProject"),
-      s"cap is not a bounded top-K take: ${plan.take(1200)}")
-    assert(!plan.contains("GlobalLimit"),
-      s"cap still carries a bare global limit: ${plan.take(1200)}")
+      .queryExecution.executedPlan.toString.replaceAll("\\s+", " ")
+    assert(plan.contains("PushedFilters:") &&
+      "PushedFilters: \\[[^\\]]*LessThan\\(l_orderkey".r.findFirstIn(plan).isDefined,
+      s"key range not pushed to scan: ${plan.take(1200)}")
+    assert(!plan.contains("GlobalLimit") && !plan.contains("TakeOrderedAndProject"),
+      s"cap should be a pure predicate: ${plan.take(1200)}")
   }
 
   test("fit fan-out partition count tracks cores and family count") {
