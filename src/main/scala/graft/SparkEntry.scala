@@ -215,6 +215,21 @@ object SparkEntry {
           F.round(F.get(F.col("parameters"), F.lit(0)), 4).as("p1"),
           F.round(F.get(F.col("parameters"), F.lit(1)), 4).as("p2"))
         .orderBy("distribution")),
+    "fit_lazy_closed_form" -> ((s, dir) => {
+      // M14/F8 hash-checked: fit with DEFERRED metrics (ks null), then
+      // bestLazy's AIC-preselect + K-S recompute from the cached sample.
+      // With the cap lifted, the cached sample IS the column, so the
+      // lazily-filled K-S is SQL-exact (norm row masked — DuckDB has no
+      // erf)
+      cachedFit(s, dir, Seq("l_extendedprice"),
+        dists = Some(Seq("norm", "expon", "uniform")),
+        cfg = FitConfig(fittingSampleSize = 2000000, lazyMetrics = true))
+        .bestLazy(s, 3, "ks_statistic")
+        .select(F.col("distribution"),
+          F.when(F.col("distribution") === "norm", F.lit(-1.0))
+            .otherwise(F.round(F.col("ks_statistic"), 6)).as("ks_r"))
+        .orderBy("distribution")
+    }),
     "fit_bounded_closed_form" -> ((s, dir) =>
       // D3's truncation renormalization, hash-checked: closed-form
       // families under [900, 105000] bounds on the FULL column. The expon
@@ -841,6 +856,23 @@ object SparkEntry {
         |UNION ALL SELECT 'poisson', round(m, 4), NULL FROM s
         |UNION ALL SELECT 'randint', round(CAST(mn AS DOUBLE), 4),
         |  round(CAST(mx AS DOUBLE) + 1.0, 4) FROM s
+        |ORDER BY 1""".stripMargin,
+    "fit_lazy_closed_form" ->
+      """WITH s AS (SELECT avg(l_extendedprice) AS m, min(l_extendedprice) AS mn,
+        |  max(l_extendedprice) AS mx, count(l_extendedprice) AS n FROM lineitem),
+        |ranked AS (SELECT l_extendedprice AS x,
+        |  CAST(row_number() OVER (ORDER BY l_extendedprice) AS DOUBLE) AS rn
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |ks AS (SELECT
+        |  max(greatest(rn / s.n - (1.0 - exp(-(r.x - s.mn) / (s.m - s.mn))),
+        |               (1.0 - exp(-(r.x - s.mn) / (s.m - s.mn))) - (rn - 1.0) / s.n))
+        |    AS d_expon,
+        |  max(greatest(rn / s.n - (r.x - s.mn) / (s.mx - s.mn),
+        |               (r.x - s.mn) / (s.mx - s.mn) - (rn - 1.0) / s.n)) AS d_unif
+        |  FROM ranked r, s GROUP BY s.n, s.m, s.mn, s.mx)
+        |SELECT 'expon' AS distribution, round(d_expon, 6) AS ks_r FROM ks
+        |UNION ALL SELECT 'norm', -1.0 FROM ks
+        |UNION ALL SELECT 'uniform', round(d_unif, 6) FROM ks
         |ORDER BY 1""".stripMargin,
     "fit_bounded_closed_form" ->
       """WITH s AS (SELECT avg(l_extendedprice) AS m, min(l_extendedprice) AS mn,
