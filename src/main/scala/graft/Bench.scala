@@ -80,21 +80,30 @@ object Bench {
       else {
         val fitNames = Seq("fit_multi_column", "fit_lazy")
         val qmap = SparkEntry.queries
-        def timeAt(dir: String): Seq[(String, Double)] = {
+        // a failed point must NOT record its near-zero wall time — that
+        // would fabricate a huge ratio; None drops the query from the
+        // scale_check instead
+        def timeAt(dir: String): Map[String, Option[Double]] = {
           fitNames.foreach(n => try qmap(n)(spark, dir).count() catch { case _: Throwable => })
           fitNames.map { n =>
             SparkEntry.clearFitMemo() // every point times a full re-fit
             val t0 = System.nanoTime()
-            try qmap(n)(spark, dir).count() catch { case _: Throwable => }
-            n -> (System.nanoTime() - t0) / 1e9
-          }
+            val ok = try { qmap(n)(spark, dir).count(); true }
+              catch { case e: Throwable =>
+                System.err.println(s"SCALE CHECK FAILED: $n @ $dir -> $e"); false }
+            n -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+          }.toMap
         }
-        val big = timeAt(sfDir).toMap
-        val small = timeAt(sf2).toMap
-        val entries = fitNames.map { n =>
-          val r = if (small(n) > 0) big(n) / small(n) else 0.0
-          System.err.println(f"SCALE CHECK $n%-20s $sfDir ${big(n)}%6.2f s | $sf2 ${small(n)}%6.2f s | ratio $r%5.2f")
-          s""""$n":{"big_sec":${big(n)},"small_sec":${small(n)},"ratio":$r}"""
+        val big = timeAt(sfDir)
+        val small = timeAt(sf2)
+        val entries = fitNames.flatMap { n =>
+          (big(n), small(n)) match {
+            case (Some(b), Some(sm)) if sm > 0 =>
+              val r = b / sm
+              System.err.println(f"SCALE CHECK $n%-20s $sfDir $b%6.2f s | $sf2 $sm%6.2f s | ratio $r%5.2f")
+              Some(s""""$n":{"big_sec":$b,"small_sec":$sm,"ratio":$r}""")
+            case _ => None
+          }
         }
         s""","scale_check":{"sf_big":"$sfDir","sf_small":"$sf2","fit_queries":${entries.mkString("{", ",", "}")}}"""
       }

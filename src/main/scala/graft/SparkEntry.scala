@@ -76,9 +76,24 @@ object SparkEntry {
         override def removeEldestEntry(
             e: java.util.Map.Entry[String, FitResults]): Boolean = {
           val evict = size() > fitMemoMax
-          if (evict)
-            try e.getValue.unpersist()
-            catch { case _: Throwable => }
+          if (evict) {
+            // per-column slices of one multi-column fit share a cached
+            // root — only release it when the LAST sharing entry leaves,
+            // or the surviving siblings silently refit on every action
+            val victim = e.getValue
+            val shared = {
+              val it = values().iterator()
+              var found = false
+              while (!found && it.hasNext) {
+                val v = it.next()
+                found = (v ne victim) && (v.rootDf eq victim.rootDf)
+              }
+              found
+            }
+            if (!shared)
+              try victim.unpersist()
+              catch { case _: Throwable => }
+          }
           evict
         }
       })
@@ -101,7 +116,9 @@ object SparkEntry {
     * untimed pre-warm pass calls this so the timed queries re-run the
     * real fitting work against a warm JVM, exactly like the reference's
     * warm-process timeit loops. */
-  def clearFitMemo(): Unit = {
+  def clearFitMemo(): Unit = fitMemo.synchronized {
+    // synchronizedMap iteration needs the wrapper lock — and the
+    // access-ordered LinkedHashMap mutates its link chain even on get()
     val it = fitMemo.values().iterator()
     while (it.hasNext) {
       try it.next().unpersist()

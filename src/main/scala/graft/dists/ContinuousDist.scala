@@ -187,6 +187,21 @@ object ContinuousDist {
 
   def median(xs: Array[Double]): Double = quantile(xs, 0.5)
 
+  /** Seeded partial Fisher-Yates: an unbiased n-element subsample (a head
+    * slice of an ordered sample would be its left tail). */
+  def seededSubsample(xs: Array[Double], n: Int, seed: Long): Array[Double] = {
+    val rng = new java.util.Random(seed)
+    val a = xs.clone()
+    var i = 0
+    val k = math.min(n, a.length)
+    while (i < k) {
+      val j = i + rng.nextInt(a.length - i)
+      val t = a(i); a(i) = a(j); a(j) = t
+      i += 1
+    }
+    java.util.Arrays.copyOfRange(a, 0, k)
+  }
+
   /** numpy 'linear' interpolation quantile on a copy. */
   def quantile(xs: Array[Double], q: Double): Double = {
     val a = xs.clone()

@@ -963,7 +963,10 @@ object ContinuousFamiliesD {
     }
     def pdf0(z: Double, s: Array[Double]) = {
       val n = nOf(s)
-      if (z < 0 || z > n) 0.0
+      // out-of-range n degrades to NaN like every other family's invalid
+      // shape (the SQL UDFs map it to NULL) — never an array overrun
+      if (n > 40) Double.NaN
+      else if (z < 0 || z > n) 0.0
       else {
         val zz = if (z > 0.5 * n) n - z else z // symmetry halves cancellation
         math.max(0.0, altSum(zz, n, n - 1) * invFact(n - 1))
@@ -971,7 +974,8 @@ object ContinuousFamiliesD {
     }
     def cdf0(z: Double, s: Array[Double]) = {
       val n = nOf(s)
-      if (z <= 0) 0.0
+      if (n > 40) Double.NaN
+      else if (z <= 0) 0.0
       else if (z >= n) 1.0
       else if (z > 0.5 * n) 1.0 - cdfLower(n - z, n)
       else cdfLower(z, n)
@@ -990,7 +994,9 @@ object ContinuousFamiliesD {
       // rank candidates on a ≤2K subsample: the n-scan only needs to land
       // on the right integer plateau, and 40 full-sample NLL sweeps would
       // dominate the whole fit's cost
-      val sub = if (xs.length > 2000) java.util.Arrays.copyOfRange(xs, 0, 2000) else xs
+      // seeded shuffle, not a prefix — a head slice of an ordered sample
+      // would rank candidates on the left tail alone
+      val sub = if (xs.length > 2000) ContinuousDist.seededSubsample(xs, 2000, 42L) else xs
       val shortlist = (1 to 40).map { n =>
         // moment-matched scale, then widened so [loc, loc+n·scale] covers
         // the data — an uncovered sample is −inf likelihood and a penalty

@@ -29,6 +29,12 @@ final class FitResults(
     * against the cache manager, which matches plans exactly. */
   def unpersist(): this.type = { cachedRoot.getOrElse(df).unpersist(); this }
 
+  /** The relation that actually sits in the cache manager — shared by
+    * every derived view of the same fit. Cache-lifecycle code (e.g. an
+    * LRU evicting one view) needs identity on this to avoid unpersisting
+    * a relation its siblings still use. */
+  private[graft] def rootDf: DataFrame = cachedRoot.getOrElse(df)
+
   private def root: Option[DataFrame] = Some(cachedRoot.getOrElse(df))
 
   /** Drop sentinel rows from failed fits (sse = +inf)

@@ -228,22 +228,17 @@ object Fitter {
 
   /** Exact-size downsample without replacement via seeded Fisher-Yates
     * (reference: estimation.py:946-967). */
-  def exactResample(xs: Array[Double], n: Int, seed: Long): Array[Double] = {
-    val rng = new java.util.Random(seed)
-    val a = xs.clone()
-    var i = 0
-    while (i < n) {
-      val j = i + rng.nextInt(a.length - i)
-      val t = a(i); a(i) = a(j); a(j) = t
-      i += 1
-    }
-    java.util.Arrays.copyOfRange(a, 0, n)
-  }
+  def exactResample(xs: Array[Double], n: Int, seed: Long): Array[Double] =
+    exactResampleG(xs, n, seed)
 
   /** Same seeded Fisher-Yates, over whole rows, so paired columns (e.g.
     * value + censor flag) stay aligned through the downsample. */
   def exactResampleRows(xs: Array[org.apache.spark.sql.Row], n: Int,
-                        seed: Long): Array[org.apache.spark.sql.Row] = {
+                        seed: Long): Array[org.apache.spark.sql.Row] =
+    exactResampleG(xs, n, seed)
+
+  private def exactResampleG[T: scala.reflect.ClassTag](
+      xs: Array[T], n: Int, seed: Long): Array[T] = {
     val rng = new java.util.Random(seed)
     val a = xs.clone()
     var i = 0
@@ -252,7 +247,7 @@ object Fitter {
       val t = a(i); a(i) = a(j); a(j) = t
       i += 1
     }
-    java.util.Arrays.copyOfRange(a, 0, n)
+    a.slice(0, n)
   }
 
   /** Fit all requested continuous families to one or more numeric columns.

@@ -52,8 +52,11 @@ object Mixture {
     val gmm = new GaussianMixture()
       .setK(k).setMaxIter(maxIter).setTol(tol)
       .setFeaturesCol("__features")
-    val model = (0 until nInit)
-      .map(i => gmm.setSeed(seed + i).fit(vecDf))
+    // NaN-safe best-of: TotalOrdering ranks NaN above every finite value,
+    // so a degenerate run (singular covariance) would win a bare maxBy
+    val runs = (0 until nInit).map(i => gmm.setSeed(seed + i).fit(vecDf))
+    val finite = runs.filter(m => java.lang.Double.isFinite(m.summary.logLikelihood))
+    val model = (if (finite.nonEmpty) finite else runs)
       .maxBy(_.summary.logLikelihood)
     val d = columns.length
     val ll = model.summary.logLikelihood

@@ -62,7 +62,11 @@ object Multimodal {
           (s.toDouble / ((to - from) * 255.0)).toFloat
         }
       }
-      MediaFeatures(bytes.length.toLong, sniffFormat(bytes), 0, 0, feats)
+      // always "raw": this decoder decoded nothing, so reporting a
+      // sniffed container name would be misleading — and magic strings
+      // like "BM"/"GIF" are legal ASCII text prefixes, so a sniff here
+      // would misclassify ordinary documents ("BMW sales ...")
+      MediaFeatures(bytes.length.toLong, "raw", 0, 0, feats)
     }
   }
 
