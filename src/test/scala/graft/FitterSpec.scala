@@ -384,6 +384,31 @@ class FitterSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.dists.DiscreteRegistry.unregister(CustomPois.name)
   }
 
+  test("SQL UDFs capture the custom-dist snapshot at registration time") {
+    object CustomTri extends graft.dists.ContinuousDist {
+      private val base = ContinuousFamilies.Norm
+      val name = "customtri_sx"
+      def shapeNames: Seq[String] = Seq.empty
+      def pdf0(z: Double, s: Array[Double]): Double = base.pdf0(z, s)
+      def cdf0(z: Double, s: Array[Double]): Double = base.cdf0(z, s)
+      def ppf0(q: Double, s: Array[Double]): Double = base.ppf0(q, s)
+      def warmStart(xs: Array[Double]): Array[Double] = base.warmStart(xs)
+    }
+    graft.dists.DistRegistry.register(CustomTri)
+    try {
+      graft.functions.SqlUdfs.register(spark)
+      val p = spark.sql(
+        s"SELECT dist_pdf('${CustomTri.name}', array(0.0D, 1.0D), 0.0D)").head()
+      assert(math.abs(p.getDouble(0) - 1.0 / math.sqrt(2 * math.Pi)) < 1e-12)
+    } finally graft.dists.DistRegistry.unregister(CustomTri.name)
+    // re-registering the UDFs AFTER unregister captures the new snapshot:
+    // the name now resolves to nothing → NULL, never an exception
+    graft.functions.SqlUdfs.register(spark)
+    val gone = spark.sql(
+      s"SELECT dist_pdf('${CustomTri.name}', array(0.0D, 1.0D), 0.0D)").head()
+    assert(gone.isNullAt(0))
+  }
+
   test("censored sample is seed-deterministic and not a prefix of the table") {
     import spark.implicits._
     // 30K rows laid out so any `.limit(10000)` prefix sees ONLY value=5.0;
