@@ -466,6 +466,16 @@ object SparkEntry {
         "payload")
         .withColumn("features", arrStr(F.col("features")))
         .orderBy("doc_id")),
+    "q_vocab_topk" -> ((s, dir) =>
+      // vocabulary-building pass: top tokens with doc frequency, one
+      // token shuffle + bounded top-k
+      TextOps.vocabTopK(docs(s, dir), "doc_id", "text", 100)),
+    "q_tfidf_top" -> ((s, dir) =>
+      // per-doc top-3 terms by smoothed TF-IDF; corpus-wide df,
+      // broadcast-joined to the target slice's tf
+      TextOps.tfidfTopTerms(docs(s, dir),
+        docs(s, dir).where(F.col("doc_id") < 50), "doc_id", "text", 3)
+        .orderBy("id", "rank")),
     "q_jaccard_exact" -> ((s, dir) => {
       // the exact n-gram Jaccard verifier behind MinHash candidate
       // filtering, hash-checked pairwise on a deterministic doc slice —
@@ -628,6 +638,31 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_vocab_topk" ->
+      """WITH w AS (SELECT doc_id AS id,
+        |  unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |         x -> x <> '')) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS n_occurrences,
+        |  count(DISTINCT id) AS n_docs
+        |FROM w GROUP BY token
+        |ORDER BY n_occurrences DESC, token ASC LIMIT 100""".stripMargin,
+    "q_tfidf_top" ->
+      """WITH w AS (SELECT doc_id AS id,
+        |  unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |         x -> x <> '')) AS token
+        |  FROM documents),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd FROM documents),
+        |dfreq AS (SELECT token, count(DISTINCT id) AS df FROM w GROUP BY token),
+        |tf AS (SELECT id, token, count(*) AS tf FROM w WHERE id < 50 GROUP BY id, token),
+        |scored AS (SELECT tf.id, tf.token,
+        |  tf.tf * (ln((1.0 + n.nd) / (1.0 + dfreq.df)) + 1.0) AS tfidf
+        |  FROM tf JOIN dfreq USING (token), n),
+        |r AS (SELECT id, token, tfidf,
+        |  CAST(row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, token ASC)
+        |       AS BIGINT) AS rank FROM scored)
+        |SELECT id, rank, token, round(tfidf, 6) AS tfidf_r
+        |FROM r WHERE rank <= 3 ORDER BY id, rank""".stripMargin,
     "q_jaccard_exact" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),

@@ -140,4 +140,52 @@ object TextOps {
 
   def withFingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", fingerprintUdf(F.col(textCol)))
+
+  /** Whitespace tokens, lowercased, as an exploded (id, token) frame —
+    * the shared first stage of the corpus-statistics ops below. Pure
+    * native expressions; the explode happens where the rows live. */
+  private def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(F.col(idCol).as("id"),
+        F.explode(F.filter(
+          F.split(F.lower(F.coalesce(F.col(textCol), F.lit(""))), "\\s+"),
+          t => t =!= "")).as("token"))
+
+  /** Corpus vocabulary statistics: top-k tokens by occurrence count with
+    * document frequency — the vocabulary-building pass of a training-data
+    * pipeline. ONE shuffle on token (count + countDistinct share it),
+    * then a bounded top-k take; scales to any corpus since the
+    * aggregation state is the vocabulary, not the corpus. */
+  def vocabTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    tokens(df, idCol, textCol)
+      .groupBy("token")
+      .agg(F.count(F.lit(1)).as("n_occurrences"),
+        F.countDistinct(F.col("id")).as("n_docs"))
+      .orderBy(F.col("n_occurrences").desc, F.col("token").asc)
+      .limit(k)
+
+  /** Per-document top-k terms by smoothed TF-IDF
+    * (idf = ln((1+N)/(1+df)) + 1, sklearn's smooth_idf): document
+    * frequencies aggregate over the WHOLE corpus, term frequencies over
+    * the target slice, joined on token and ranked per document with a
+    * rank-limited window. The df table is vocabulary-sized — at 100 TB it
+    * broadcast-joins against the per-doc tf rows. */
+  def tfidfTopTerms(corpus: DataFrame, slice: DataFrame,
+                    idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = corpus.select(F.col(idCol)).distinct().count()
+    val dfreq = tokens(corpus, idCol, textCol)
+      .groupBy("token").agg(F.countDistinct(F.col("id")).as("df"))
+    val tf = tokens(slice, idCol, textCol)
+      .groupBy("id", "token").agg(F.count(F.lit(1)).as("tf"))
+    val scored = tf.join(F.broadcast(dfreq), "token")
+      .withColumn("tfidf",
+        F.col("tf") * (F.log((F.lit(1.0) + F.lit(nDocs.toDouble)) /
+          (F.lit(1.0) + F.col("df"))) + F.lit(1.0)))
+    val w = Window.partitionBy("id")
+      .orderBy(F.col("tfidf").desc, F.col("token").asc)
+    scored.withColumn("rank", F.row_number().over(w))
+      .where(F.col("rank") <= k)
+      .select(F.col("id"), F.col("rank").cast("long").as("rank"),
+        F.col("token"), F.round(F.col("tfidf"), 6).as("tfidf_r"))
+  }
 }

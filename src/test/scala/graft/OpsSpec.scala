@@ -217,6 +217,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("vocabTopK and tfidfTopTerms compute corpus statistics exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat"),
+      (3L, "a cat and a dog")).toDF("doc_id", "text")
+    val vocab = TextOps.vocabTopK(docs, "doc_id", "text", 3).collect()
+    // 'the' x3 in 2 docs wins; ties broken by token asc
+    assert(vocab(0).getString(0) == "the" &&
+      vocab(0).getLong(1) == 3L && vocab(0).getLong(2) == 2L, vocab.mkString(","))
+    assert(vocab(1).getString(0) == "a" && vocab(1).getLong(1) == 2L)
+
+    val top = TextOps.tfidfTopTerms(docs, docs.where(F.col("doc_id") === 1), "doc_id", "text", 2)
+      .collect()
+    assert(top.length == 2)
+    // doc 1: 'the' tf=2 idf=ln(4/3)+1 ≈ 2.575 ranks first; then the
+    // df=1 tokens (mat, on) at ln(2)+1 ≈ 1.693, tie broken by token asc
+    assert(top(0).getString(2) == "the", top.mkString(","))
+    assert(math.abs(top(0).getDouble(3) - 2.0 * (math.log(4.0 / 3.0) + 1.0)) < 1e-5)
+    assert(top(1).getString(2) == "mat", top.mkString(","))
+    assert(math.abs(top(1).getDouble(3) - (math.log(2.0) + 1.0)) < 1e-5)
+  }
+
   test("multimodal: javax.imageio decode recovers true dimensions and pixel stats") {
     import spark.implicits._
     // round-trip: synthesize lossless PNGs, decode through the fan-out
