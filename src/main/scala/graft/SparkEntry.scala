@@ -466,6 +466,36 @@ object SparkEntry {
         "payload")
         .withColumn("features", arrStr(F.col("features")))
         .orderBy("doc_id")),
+    "q_clean_pipeline" -> ((s, dir) => {
+      // the composed curation pipeline end-to-end: quality scoring →
+      // threshold filter → exact dedup (min-id survivor) → per-language
+      // token budget. One hash row covers the COMPOSITION of three
+      // operators, not just each in isolation
+      val kept = TextOps.qualityScore(docs(s, dir), "text")
+        .where(F.col("quality_score") >= 0.5)
+      val survivors = kept
+        .groupBy(F.md5(F.col("text").cast("binary")).as("h"))
+        .agg(F.min("doc_id").as("doc_id"))
+        .select("doc_id")
+      kept.join(survivors, "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum("n_tokens").cast("long").as("total_tokens"),
+          F.round(F.avg("quality_score"), 6).as("avg_quality"))
+        .orderBy("lang")
+    }),
+    "q_time_windows" -> ((s, dir) =>
+      // tumbling 1-hour windows over the event stream (batch analog of
+      // the streaming windowed aggregates): integer nanos division keeps
+      // the bucketing exact — a double division would lose precision at
+      // 1.7e18 ns
+      events(s, dir)
+        .withColumn("hour_bucket", F.expr("ts div 3600000000000"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(F.count(F.lit(1)).as("n_events"),
+          F.countDistinct(F.col("user_id")).as("n_users"),
+          F.round(F.avg("value"), 6).as("avg_value"))
+        .orderBy("hour_bucket", "event_type")),
     "q_vocab_topk" -> ((s, dir) =>
       // vocabulary-building pass: top tokens with doc frequency, one
       // token shuffle + bounded top-k
@@ -638,6 +668,37 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_clean_pipeline" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, text,
+        |    length(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |    CASE WHEN length(regexp_extract_all(text, '\S+')) > 0
+        |      THEN round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / length(regexp_extract_all(text, '\S+')), 6)
+        |      ELSE 0.0 END AS mean_token_len,
+        |    CASE WHEN length(regexp_extract_all(lower(text), '[a-z]+')) > 0
+        |      THEN round(CAST(length(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS DOUBLE) / length(regexp_extract_all(lower(text), '[a-z]+')), 6)
+        |      ELSE 0.0 END AS type_token_ratio,
+        |    CASE WHEN length(text) > 0
+        |      THEN round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 6)
+        |      ELSE 0.0 END AS punct_ratio
+        |  FROM documents),
+        |q AS (SELECT doc_id, lang, text, n_tokens,
+        |  round(least(n_tokens / 50.0, 1.0) * 0.4 + type_token_ratio * 0.3 +
+        |    (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2 +
+        |    least(mean_token_len / 8.0, 1.0) * 0.1, 6) AS quality_score
+        |  FROM f),
+        |kept AS (SELECT * FROM q WHERE quality_score >= 0.5),
+        |surv AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text))
+        |SELECT k.lang, count(*) AS n_docs,
+        |  CAST(sum(k.n_tokens) AS BIGINT) AS total_tokens,
+        |  round(avg(k.quality_score), 6) AS avg_quality
+        |FROM kept k JOIN surv s ON k.doc_id = s.doc_id
+        |GROUP BY k.lang ORDER BY k.lang""".stripMargin,
+    "q_time_windows" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+        |  count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        |  round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_vocab_topk" ->
       """WITH w AS (SELECT doc_id AS id,
         |  unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),

@@ -97,6 +97,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"cap should be a pure predicate: ${plan.take(1200)}")
   }
 
+  test("q_tfidf_top broadcasts the vocabulary-sized df table and rank-limits the window") {
+    val plan = physicalPlan("q_tfidf_top")
+    assert(plan.contains("BroadcastHashJoin"),
+      "df table should broadcast-join against per-doc tf: " + plan.take(1200))
+    assert(plan.contains("WindowGroupLimit"),
+      "per-doc top-k should push the rank limit into the shuffle: " + plan.take(1200))
+  }
+
   test("fit fan-out partition count tracks cores and family count") {
     val nParts = operators.Fitter.partitionCount(spark,
       graft.dists.DistRegistry.defaultNames, None)
