@@ -466,6 +466,20 @@ object SparkEntry {
         "payload")
         .withColumn("features", arrStr(F.col("features")))
         .orderBy("doc_id")),
+    "q_asof_join" -> ((s, dir) => {
+      // as-of join: each click enriched with the user's latest prior (or
+      // simultaneous) purchase value — one key shuffle + sort, no range
+      // explosion; DuckDB's native ASOF LEFT JOIN is the oracle
+      val ev = events(s, dir)
+      val clicks = ev.where(F.col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.where(F.col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(F.max("value").as("last_purchase_value"))
+      AsOfJoin.asofLeft(clicks, purchases, "user_id", "ts", Seq("last_purchase_value"))
+        .select(F.col("event_id"), F.col("user_id"),
+          F.round(F.col("last_purchase_value"), 6).as("last_purchase_value"))
+        .orderBy("event_id")
+    }),
     "q_clean_pipeline" -> ((s, dir) => {
       // the composed curation pipeline end-to-end: quality scoring →
       // threshold filter → exact dedup (min-id survivor) → per-language
@@ -668,6 +682,14 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_asof_join" ->
+      """SELECT l.event_id, l.user_id, round(r.pv, 6) AS last_purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS pv FROM events
+        |                WHERE event_type = 'purchase' GROUP BY 1, 2) r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY event_id""".stripMargin,
     "q_clean_pipeline" ->
       """WITH f AS (
         |  SELECT doc_id, lang, text,

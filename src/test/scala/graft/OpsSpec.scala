@@ -217,6 +217,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("asofLeft picks the latest prior right row per key, inclusive on ties") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 250L), (3L, 20L, 100L), (4L, 10L, 50L))
+      .toDF("event_id", "k", "t")
+    val right = Seq((10L, 100L, 1.0), (10L, 200L, 2.0), (20L, 500L, 9.0))
+      .toDF("k", "t", "v")
+    val out = AsOfJoin.asofLeft(left, right, "k", "t", Seq("v"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("v"))) None else Some(r.getDouble(r.fieldIndex("v"))))).toMap
+    assert(out(1L) == Some(1.0)) // tie at t=100 is inclusive
+    assert(out(2L) == Some(2.0)) // latest prior of 100, 200
+    assert(out(3L) == None)      // right row is in the future
+    assert(out(4L) == None)      // no prior right row
+    // one hash shuffle on the key, no range-join explosion
+    val plan = AsOfJoin.asofLeft(left, right, "k", "t", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(800))
+    assert("hashpartitioning\\(k".r.findAllIn(plan).size >= 1, plan.take(800))
+  }
+
   test("vocabTopK and tfidfTopTerms compute corpus statistics exactly") {
     import spark.implicits._
     val docs = Seq(
