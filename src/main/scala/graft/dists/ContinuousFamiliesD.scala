@@ -1027,16 +1027,33 @@ object ContinuousFamiliesD {
   object Landau extends ContinuousDist {
     val name = "landau"; val shapeNames = Seq.empty
 
-    private val zLo = -4.5
+    // left edge −3.6, not further: the quadrature integrand's envelope is
+    // e^(e^(−z−1)) — at z = −4.5 that is ~e^33 and Simpson noise on the
+    // cancelling oscillations fabricates ~0.5% of spurious mass, while
+    // the TRUE density below −3.6 is < 2e-6 (double-exponential tail), so
+    // truncating there costs ~1e-6 of mass and removes the noise source
+    private val zLo = -3.6
     private val coreHi = 15.0
     private val coreStep = 0.01
     private val zHi = 400.0
 
     /** Direct quadrature of the Landau integral — init-time only. */
     private def rawPdf(z: Double): Double = {
-      // envelope exp(−t(ln t + z)) dies once t ln t + zt > 45
-      val tMax = if (z >= 0) 25.0 else 3.0 * math.exp(-z) + 25.0
-      val n0 = math.max(1200, (tMax / 0.02).toInt)
+      // envelope exp(−t(ln t + z)) dies once t ln t + zt > 45. For large
+      // z the integrand lives entirely in t ≲ 1/z, so BOTH the range and
+      // the step must shrink with z — a fixed 0.02 step under-resolves
+      // e^(−zt) beyond z ≈ 30 and silently loses ~1% of the tail mass
+      // (which the renormalization then smears into a shifted median)
+      val tMax =
+        if (z >= 3) math.min(25.0, 60.0 / z + 1.0)
+        else if (z >= 0) 25.0
+        else 3.0 * math.exp(-z) + 25.0
+      // left of 0 the envelope grows double-exponentially; h = 0.005
+      // keeps the per-period Simpson error ~envelope·h⁴ below 1e-4 at the
+      // −3.6 edge
+      val n0 =
+        if (z < 0) math.max(24000, (tMax / 0.005).toInt)
+        else math.max(4000, (tMax / 0.02).toInt)
       val n = if (n0 % 2 == 0) n0 else n0 + 1
       val h = tMax / n
       @inline def f(t: Double): Double =

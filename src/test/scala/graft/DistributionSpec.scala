@@ -370,6 +370,23 @@ class DistributionSpec extends AnyFunSuite {
       s"landau loc/scale=${pL.toSeq}")
   }
 
+  test("landau table reproduces published distribution constants") {
+    val d = ContinuousFamiliesD.Landau
+    val p = Array(0.0, 1.0)
+    // mode x ≈ -0.22278 (Kölbig & Schorr 1984): the density peak
+    val grid = (-100 to 100).map(i => i * 0.005)
+    val peak = grid.maxBy(z => d.pdf(z, p))
+    assert(math.abs(peak - (-0.22278)) < 0.01, s"mode=$peak")
+    assert(math.abs(d.pdf(peak, p) - 0.18065) < 0.002, s"peak density=${d.pdf(peak, p)}")
+    // median ≈ 1.35578
+    assert(math.abs(d.ppf(0.5, p) - 1.35578) < 0.01, s"median=${d.ppf(0.5, p)}")
+    // heavy right tail: p(x) ~ 1/x² ⇒ P(X > x)·x → ~1 (slowly-varying
+    // correction keeps it a few % above 1 at x = 200)
+    val x = 200.0
+    val sf = 1.0 - d.cdf(x, p)
+    assert(sf * x > 0.9 && sf * x < 1.2, s"tail sf*x=${sf * x}")
+  }
+
   test("new discrete families: skellam, hypergeom, betanbinom, nhypergeom") {
     // skellam recovery
     val xsSk = sampleD(DiscreteFamilies.Skellam, Array(6.0, 2.0), 4000)
