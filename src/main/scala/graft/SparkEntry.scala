@@ -232,6 +232,22 @@ object SparkEntry {
           F.round(F.get(F.col("parameters"), F.lit(0)), 4).as("p1"),
           F.round(F.get(F.col("parameters"), F.lit(1)), 4).as("p2"))
         .orderBy("distribution")),
+    "fit_grouped_closed_form" -> ((s, dir) =>
+      // group-wise fitting (beyond-reference): closed-form families per
+      // l_returnflag segment on the FULL groups — per-group MLE params
+      // and AIC are SQL-exact, so the whole grouped pipeline (stats
+      // shuffle, per-group sampling, fan-out) gets a hash row
+      memoFit(s"$dir|grouped|cf")(
+        Fitter.fitGrouped(s, li(s, dir), "l_returnflag", "l_extendedprice",
+          distributions = Some(Seq("norm", "expon")),
+          cfg = FitConfig(fittingSampleSize = 2000000)))
+        .successful
+        .select(F.col("column_name").as("grp"),
+          F.col("distribution"),
+          F.round(F.element_at(F.col("parameters"), 1), 4).as("p_loc"),
+          F.round(F.element_at(F.col("parameters"), 2), 4).as("p_scale"),
+          F.round(F.col("aic"), 2).as("aic_r"))
+        .orderBy("grp", "distribution")),
     "fit_lazy_closed_form" -> ((s, dir) => {
       // M14/F8 hash-checked: fit with DEFERRED metrics (ks null), then
       // bestLazy's AIC-preselect + K-S recompute from the cached sample.
@@ -466,6 +482,15 @@ object SparkEntry {
         "payload")
         .withColumn("features", arrStr(F.col("features")))
         .orderBy("doc_id")),
+    "q_sessionize" -> ((s, dir) =>
+      // gap-based sessionization (30-min gap): one key shuffle feeds the
+      // lag flag + running-sum numbering; spans are exact integers.
+      // ts is truncated to microseconds FIRST because DuckDB's TIMESTAMP
+      // is µs-precision — both engines then sessionize identical values
+      Sessionize.summarize(
+        events(s, dir).withColumn("ts", F.expr("(ts div 1000) * 1000")),
+        "user_id", "ts", 1800000000000L)
+        .orderBy("user_id", "session_idx")),
     "q_asof_join" -> ((s, dir) => {
       // as-of join: each click enriched with the user's latest prior (or
       // simultaneous) purchase value — one key shuffle + sort, no range
@@ -682,6 +707,19 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS tns FROM events),
+        |f AS (SELECT user_id, tns,
+        |  CASE WHEN lag(tns) OVER w IS NULL
+        |         OR tns - lag(tns) OVER w > 1800000000000 THEN 1 ELSE 0 END AS nf
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns)),
+        |s AS (SELECT user_id, tns,
+        |  CAST(sum(nf) OVER (PARTITION BY user_id ORDER BY tns) AS BIGINT) AS session_idx
+        |  FROM f)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(tns) AS t_start, max(tns) - min(tns) AS span
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
     "q_asof_join" ->
       """SELECT l.event_id, l.user_id, round(r.pv, 6) AS last_purchase_value
         |FROM (SELECT event_id, user_id, ts FROM events
@@ -992,6 +1030,24 @@ object SparkEntry {
         |UNION ALL SELECT 'randint', round(CAST(mn AS DOUBLE), 4),
         |  round(CAST(mx AS DOUBLE) + 1.0, 4) FROM s
         |ORDER BY 1""".stripMargin,
+    "fit_grouped_closed_form" ->
+      """WITH s AS (SELECT l_returnflag AS grp, avg(l_extendedprice) AS m,
+        |  min(l_extendedprice) AS mn, stddev_pop(l_extendedprice) AS sd,
+        |  count(l_extendedprice) AS n FROM lineitem GROUP BY 1),
+        |ll AS (SELECT l.l_returnflag AS grp,
+        |  sum(-0.5 * pow((l.l_extendedprice - s.m) / s.sd, 2))
+        |    - s.n * ln(s.sd) - s.n * 0.5 * ln(2 * pi()) AS ll_norm,
+        |  sum(-(l.l_extendedprice - s.mn) / (s.m - s.mn))
+        |    - s.n * ln(s.m - s.mn) AS ll_expon
+        |  FROM lineitem l JOIN s ON l.l_returnflag = s.grp
+        |  GROUP BY 1, s.n, s.sd, s.m, s.mn)
+        |SELECT s.grp, 'expon' AS distribution, round(s.mn, 4) AS p_loc,
+        |  round(s.m - s.mn, 4) AS p_scale, round(4 - 2 * ll.ll_expon, 2) AS aic_r
+        |FROM s JOIN ll ON s.grp = ll.grp
+        |UNION ALL SELECT s.grp, 'norm', round(s.m, 4), round(s.sd, 4),
+        |  round(4 - 2 * ll.ll_norm, 2)
+        |FROM s JOIN ll ON s.grp = ll.grp
+        |ORDER BY 1, 2""".stripMargin,
     "fit_lazy_closed_form" ->
       """WITH s AS (SELECT avg(l_extendedprice) AS m, min(l_extendedprice) AS mn,
         |  max(l_extendedprice) AS mx, count(l_extendedprice) AS n FROM lineitem),

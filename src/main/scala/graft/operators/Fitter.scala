@@ -446,6 +446,116 @@ object Fitter {
     new FitResults(combined, samples ++ censorByCol.map { case (c, v) => c -> v._1 }, cfg)
   }
 
+  /** Group-wise continuous fit: fit every requested family to `valueCol`
+    * WITHIN each distinct `groupCol` value — "fit a distribution per
+    * segment", the grouped generalization of [[fit]] (beyond the
+    * reference, which fits whole columns only; its lifecycle per group
+    * would rescan the table G times).
+    *
+    * Shared-scan discipline, independent of the number of groups:
+    * ONE stats shuffle (groupBy stats), ONE histogram shuffle (broadcast
+    * spec join → (group, bin) counts), ONE sample pass (per-group
+    * `sampleBy` with fractions sized from the stats), then a single
+    * (group, family) fan-out through the same [[fitOne]] kernel. Results
+    * carry the group value in `column_name`. Driver state is
+    * O(groups · (bins + sampleSize)) — groups must be segment-like
+    * (flags, categories), not key-like. */
+  def fitGrouped(spark: SparkSession, df: DataFrame, groupCol: String,
+                 valueCol: String,
+                 distributions: Option[Seq[String]] = None,
+                 cfg: FitConfig = FitConfig()): FitResults = {
+    import spark.implicits._
+    val vc = F.col(valueCol).cast("double")
+    val cleaned = df
+      .select(F.col(groupCol).cast("string").as("g"),
+        F.when(F.isnan(vc), F.lit(null)).otherwise(vc).as("x"))
+      .where(F.col("g").isNotNull && F.col("x").isNotNull)
+
+    // 1) one stats shuffle
+    val statRows = cleaned.groupBy("g")
+      .agg(F.min("x").as("mn"), F.max("x").as("mx"), F.count("x").as("cnt"))
+      .collect()
+    require(statRows.nonEmpty, s"no valid data in '$valueCol'")
+    val stats: Map[String, (Double, Double, Long)] = statRows.map { r =>
+      r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    }.toMap
+
+    // 2) one histogram shuffle: broadcast per-group bin specs, then a
+    // (group, bin) count — ~groups·bins rows regardless of input size
+    val specs = stats.toSeq.collect { case (g, (mn, mx, cnt)) if mn < mx =>
+      val nBins = math.max(2,
+        if (cfg.useRiceRule) Histogram.riceBins(cnt) else cfg.bins)
+      val hi = mx + (mx - mn) * 1e-10
+      (g, mn, (hi - mn) / nBins, nBins, hi)
+    }
+    val histByGroup: Map[String, Hist] = if (specs.isEmpty) Map.empty else {
+      val specDf = specs.map(s => (s._1, s._2, s._3, s._4)).toDF("g", "bmn", "width", "nb")
+      val counts = cleaned.join(F.broadcast(specDf), "g")
+        .select(F.col("g"),
+          F.least(
+            F.greatest(F.floor((F.col("x") - F.col("bmn")) / F.col("width")), F.lit(0L)),
+            (F.col("nb") - 1).cast("long")).as("bin"))
+        .groupBy("g", "bin").agg(F.count(F.lit(1)).as("cnt"))
+        .collect()
+        .groupBy(_.getString(0))
+      specs.map { case (g, mn, width, nBins, hi) =>
+        val byBin = counts.getOrElse(g, Array.empty)
+          .map(r => r.getLong(1).toInt -> r.getLong(2)).toMap
+        val nScan = math.max(byBin.values.sum, 1L)
+        val edges = Array.tabulate(nBins + 1)(j => mn + j * (hi - mn) / nBins)
+        val density = Array.tabulate(nBins)(b =>
+          byBin.getOrElse(b, 0L).toDouble / (nScan * width))
+        g -> Hist(density, edges)
+      }.toMap
+    }
+
+    // 3) one sample pass: per-group fractions from the known counts
+    val nMax = stats.values.map(_._3).max
+    val sampleRows: Array[(String, Double)] =
+      if (nMax <= cfg.fittingSampleSize)
+        cleaned.as[(String, Double)].collect()
+      else {
+        val fracs: Map[String, Double] = stats.map { case (g, (_, _, n)) =>
+          g -> math.min(1.0, cfg.fittingSampleSize * 1.2 / n)
+        }
+        cleaned.stat.sampleBy("g", fracs.map { case (k, v) => (k: Any, v) }, cfg.sampleSeed)
+          .as[(String, Double)].collect()
+      }
+    val samples: Map[String, Array[Double]] = sampleRows.groupBy(_._1).map {
+      case (g, rows) =>
+        val arr = rows.map(_._2)
+        g -> (if (arr.length <= cfg.fittingSampleSize) arr
+              else exactResample(arr, cfg.fittingSampleSize, cfg.sampleSeed))
+    }
+
+    // 4) one (group, family) fan-out through the shared kernel
+    val baseNames = distributions.getOrElse(DistRegistry.defaultNames)
+    val capped = (if (cfg.supportAtZeroOnly)
+      baseNames.filter(DistRegistry.supportsAtZero) else baseNames)
+      .take(cfg.maxDistributions)
+    val ctxs: Map[String, FitContext] = samples.map { case (g, sample) =>
+      val (mn, _, _) = stats(g)
+      val hist = histByGroup.getOrElse(g, Hist(Array(1.0), Array(mn)))
+      g -> FitContext(g, hist, sample, DataStats.of(sample), None)
+    }
+    val pairs: Seq[(String, String)] = ctxs.keys.toSeq.sorted.flatMap { g =>
+      interleave(prefilter(capped, ctxs(g).stats, cfg.prefilter)).map(n => (g, n))
+    }
+    val nParts = cfg.numPartitions.getOrElse(
+      math.max(1, math.min(pairs.length, 4 * spark.sparkContext.defaultParallelism)))
+    val bc = spark.sparkContext.broadcast((ctxs, DistRegistry.customSnapshot))
+    val cfgBase = cfg
+    val results = spark.createDataset(pairs)
+      .repartition(nParts)
+      .map { case (g, name) =>
+        val (ctxMap, customDists) = bc.value
+        fitOne(name, ctxMap(g), cfgBase, customDists)
+      }
+    val combined = results.toDF().cache()
+    combined.count()
+    new FitResults(combined, samples, cfg)
+  }
+
   /** Discrete fit over the registry's discrete families
     * (reference: discrete_fitter.py + discrete_fitting.py:380-470). */
   def fitDiscrete(spark: SparkSession, df: DataFrame, column: String,

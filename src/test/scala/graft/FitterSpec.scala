@@ -384,6 +384,37 @@ class FitterSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.dists.DiscreteRegistry.unregister(CustomPois.name)
   }
 
+  test("fitGrouped fits per segment: params recover per group, sampling caps hold") {
+    import spark.implicits._
+    val rng = new java.util.Random(11L)
+    val rows = (1 to 8000).map { _ =>
+      if (rng.nextBoolean()) ("a", 10.0 + 2.0 * rng.nextGaussian())
+      else ("b", 50.0 + 5.0 * rng.nextGaussian())
+    }
+    val df = rows.toDF("seg", "v")
+    val r = Fitter.fitGrouped(spark, df, "seg", "v",
+      distributions = Some(Seq("norm", "expon", "uniform")))
+    val best = r.bestPerColumn(1, "aic").collect()
+      .map(x => x.getAs[String]("column_name") -> x).toMap
+    assert(best("a").getAs[String]("distribution") == "norm")
+    assert(best("b").getAs[String]("distribution") == "norm")
+    val pa = best("a").getSeq[Double](best("a").fieldIndex("parameters"))
+    val pb = best("b").getSeq[Double](best("b").fieldIndex("parameters"))
+    assert(math.abs(pa(0) - 10.0) < 0.3 && math.abs(pa(1) - 2.0) < 0.3, s"a=$pa")
+    assert(math.abs(pb(0) - 50.0) < 0.5 && math.abs(pb(1) - 5.0) < 0.5, s"b=$pb")
+    // above the cap, the per-group sample respects fittingSampleSize
+    val r2 = Fitter.fitGrouped(spark, df, "seg", "v",
+      distributions = Some(Seq("norm")), cfg = FitConfig(fittingSampleSize = 500))
+    for (row <- r2.successful.collect()) {
+      assert(row.getAs[Double]("data_count") <= 650.0,
+        s"sample not capped: ${row.getAs[Double]("data_count")}")
+      // estimates still near truth from the capped sample
+      val p = row.getSeq[Double](row.fieldIndex("parameters"))
+      if (row.getAs[String]("column_name") == "a")
+        assert(math.abs(p(0) - 10.0) < 0.6)
+    }
+  }
+
   test("SQL UDFs capture the custom-dist snapshot at registration time") {
     object CustomTri extends graft.dists.ContinuousDist {
       private val base = ContinuousFamilies.Norm

@@ -217,6 +217,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sessionize splits on gaps and numbers sessions per key") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 100L), (1L, 150L), (1L, 151L), // session 1 (gaps <= 50)
+      (1L, 300L),                         // session 2 (gap 149 > 50)
+      (2L, 100L)                          // other key: its own session 1
+    ).toDF("k", "t")
+    val out = Sessionize.assign(df, "k", "t", gap = 50L)
+      .orderBy("k", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 100L, 1L), (1L, 150L, 1L), (1L, 151L, 1L),
+      (1L, 300L, 2L), (2L, 100L, 1L)), out.toSeq.toString)
+    val sums = Sessionize.summarize(df, "k", "t", 50L)
+      .orderBy("k", "session_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(sums.toSeq == Seq((1L, 1L, 3L, 51L), (1L, 2L, 1L, 0L), (2L, 1L, 1L, 0L)))
+  }
+
   test("asofLeft picks the latest prior right row per key, inclusive on ties") {
     import spark.implicits._
     val left = Seq((1L, 10L, 100L), (2L, 10L, 250L), (3L, 20L, 100L), (4L, 10L, 50L))
