@@ -125,6 +125,19 @@ object StreamingOps {
           F.lit(0.0), (acc, x) => acc + x), 8).as("drift_sse"))
   }
 
+  /** Streaming gap-based sessionization via the native `session_window`:
+    * per-key sessions close once no event arrives within `gap`, emitting
+    * (key, session window, n_events, value sum). The streaming companion
+    * of the batch [[graft.operators.Sessionize]] — state per open session
+    * is one window row, bounded by the watermark horizon. */
+  def sessionStats(df: DataFrame, keyCol: String, timeCol: String,
+                   valueCol: String, gap: String = "30 minutes",
+                   watermark: String = "1 hour"): DataFrame =
+    df.withWatermark(timeCol, watermark)
+      .groupBy(F.col(keyCol), F.session_window(F.col(timeCol), gap).as("session"))
+      .agg(F.count(F.lit(1)).as("n_events"),
+        F.sum(F.col(valueCol).cast("double")).as("value_sum"))
+
   /** Per-key running statistics via explicit streaming state
     * (mapGroupsWithState): Welford count/mean/M2 updated per micro-batch.
     * State is three doubles per key — fixed-size regardless of throughput

@@ -40,6 +40,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(4L) == 2, s"bin4=${rows.get(4L)}") // 49.9 + clamped 60.0
   }
 
+  test("sessionStats closes gap-based sessions like the batch Sessionize") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(String, java.sql.Timestamp, Double)]
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val out = StreamingOps.sessionStats(
+      stream.toDF().toDF("k", "t", "v"), "k", "t", "v", gap = "5 minutes")
+    // u1: events at 0,2,4 min (one session), then 20 min (second session)
+    stream.addData(("u1", ts(0), 1.0), ("u1", ts(2), 2.0), ("u1", ts(4), 3.0),
+      ("u1", ts(20), 9.0), ("u2", ts(1), 5.0))
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_out")
+      .select("k", "n_events", "value_sum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set(("u1", 3L, 6.0), ("u1", 1L, 9.0), ("u2", 1L, 5.0)), rows.toString)
+    // batch Sessionize agrees on the same data (gap semantics parity)
+    val batch = Seq(("u1", 0L), ("u1", 2L), ("u1", 4L), ("u1", 20L), ("u2", 1L))
+      .toDF("k", "t")
+    val b = operators.Sessionize.summarize(batch, "k", "t", gap = 5L)
+      .select("k", "n_events").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(b.toSet == Set(("u1", 3L), ("u1", 1L), ("u2", 1L)))
+  }
+
   test("windowedStats groups by event-time window with a watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
