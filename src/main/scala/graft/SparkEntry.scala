@@ -494,8 +494,11 @@ object SparkEntry {
     "q_asof_join" -> ((s, dir) => {
       // as-of join: each click enriched with the user's latest prior (or
       // simultaneous) purchase value — one key shuffle + sort, no range
-      // explosion; DuckDB's native ASOF LEFT JOIN is the oracle
+      // explosion; DuckDB's native ASOF LEFT JOIN is the oracle.
+      // ts truncates to µs first: DuckDB TIMESTAMP is µs-precision, so a
+      // same-µs click/purchase pair would compare differently on raw ns
       val ev = events(s, dir)
+        .withColumn("ts", F.expr("(ts div 1000) * 1000"))
       val clicks = ev.where(F.col("event_type") === "click")
         .select("event_id", "user_id", "ts")
       val purchases = ev.where(F.col("event_type") === "purchase")
@@ -510,13 +513,15 @@ object SparkEntry {
       // threshold filter → exact dedup (min-id survivor) → per-language
       // token budget. One hash row covers the COMPOSITION of three
       // operators, not just each in isolation
-      val kept = TextOps.qualityScore(docs(s, dir), "text")
+      // rank-1-per-hash keeps the min-doc_id survivor in ONE pass over
+      // the scored frame — a groupBy+self-join would evaluate the
+      // regex-heavy scoring subtree twice
+      val w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+        .orderBy(F.col("doc_id").asc)
+      TextOps.qualityScore(docs(s, dir), "text")
         .where(F.col("quality_score") >= 0.5)
-      val survivors = kept
-        .groupBy(F.md5(F.col("text").cast("binary")).as("h"))
-        .agg(F.min("doc_id").as("doc_id"))
-        .select("doc_id")
-      kept.join(survivors, "doc_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") === 1)
         .groupBy("lang")
         .agg(F.count(F.lit(1)).as("n_docs"),
           F.sum("n_tokens").cast("long").as("total_tokens"),

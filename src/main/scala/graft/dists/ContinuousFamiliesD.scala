@@ -1018,12 +1018,13 @@ object ContinuousFamiliesD {
     * shape parameters. There is no closed form; the standardized pdf is
     * p(z) = (1/π)∫₀^∞ exp(−t·ln t − zt)·sin(πt) dt, evaluated ONCE per
     * JVM by Simpson quadrature onto a fixed grid (step 0.01 on
-    * [−4.5, 15], geometric to 400), with the exact 1/z² stable-law right
+    * [−3.6, 15], geometric to 400), with the exact 1/z² stable-law right
     * tail grafted past the grid and total mass renormalized. pdf0
     * interpolates the grid linearly; cdf0 uses cubic Hermite with the
     * tabulated density as the derivative, so cdf′ ≈ pdf to O(h²) (the
-    * SSE/AIC pipelines need that consistency). Mass below −4.5 is
-    * < 1e−20 and is truncated. */
+    * SSE/AIC pipelines need that consistency). The < 2e−6 of true mass
+    * below −3.6 is truncated — see the zLo note for why the edge sits
+    * there. */
   object Landau extends ContinuousDist {
     val name = "landau"; val shapeNames = Seq.empty
 

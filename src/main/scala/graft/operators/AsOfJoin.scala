@@ -29,18 +29,24 @@ object AsOfJoin {
     require(rightVals.nonEmpty, "need at least one right payload column")
     val clash = rightVals.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty, s"right payload columns collide with left: $clash")
+    // the payload rides as ONE struct so the window carries a whole right
+    // ROW atomically — per-column last(ignoreNulls) would stitch fields
+    // from different right rows (and resurrect a stale value where the
+    // matched row's field is genuinely null)
     val r = right
-      .select((Seq(key, time) ++ rightVals).map(F.col): _*)
+      .select(F.col(key), F.col(time),
+        F.struct(rightVals.map(F.col): _*).as("__payload"))
       .withColumn("__side", F.lit(0))
     val l = left.withColumn("__side", F.lit(1))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(key)
       .orderBy(F.col(time).asc, F.col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rightVals.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, F.last(F.col(c), ignoreNulls = true).over(w))
-    }
+    val carried = unioned
+      .withColumn("__carried", F.last(F.col("__payload"), ignoreNulls = true).over(w))
       .where(F.col("__side") === 1)
-      .drop("__side")
+    val outCols = left.columns.map(F.col) ++
+      rightVals.map(c => F.col(s"__carried.$c").as(c))
+    carried.select(outCols.toIndexedSeq: _*)
   }
 }

@@ -227,9 +227,11 @@ object Fitter {
   }
 
   /** Exact-size downsample without replacement via seeded Fisher-Yates
-    * (reference: estimation.py:946-967). */
+    * (reference: estimation.py:946-967). Delegates to the shared kernel
+    * in [[graft.dists.ContinuousDist.seededSubsample]] so there is ONE
+    * implementation of the sampling discipline. */
   def exactResample(xs: Array[Double], n: Int, seed: Long): Array[Double] =
-    exactResampleG(xs, n, seed)
+    graft.dists.ContinuousDist.seededSubsample(xs, n, seed)
 
   /** Same seeded Fisher-Yates, over whole rows, so paired columns (e.g.
     * value + censor flag) stay aligned through the downsample. */
@@ -465,6 +467,9 @@ object Fitter {
                  distributions: Option[Seq[String]] = None,
                  cfg: FitConfig = FitConfig()): FitResults = {
     import spark.implicits._
+    // explicit error beats a silently-ignored config field
+    require(cfg.censoringColumn.isEmpty,
+      "censored fitting is not supported in grouped fits")
     val vc = F.col(valueCol).cast("double")
     val cleaned = df
       .select(F.col(groupCol).cast("string").as("g"),
@@ -509,10 +514,13 @@ object Fitter {
       }.toMap
     }
 
-    // 3) one sample pass: per-group fractions from the known counts
-    val nMax = stats.values.map(_._3).max
+    // 3) one sample pass: per-group fractions from the known counts. The
+    // full-collect shortcut gates on the TOTAL row count — gating on the
+    // max group size would let many small groups pull the whole table
+    // onto the driver
+    val totalRows = stats.values.map(_._3).sum
     val sampleRows: Array[(String, Double)] =
-      if (nMax <= cfg.fittingSampleSize)
+      if (totalRows <= cfg.fittingSampleSize.toLong * 4)
         cleaned.as[(String, Double)].collect()
       else {
         val fracs: Map[String, Double] = stats.map { case (g, (_, _, n)) =>
@@ -538,18 +546,24 @@ object Fitter {
       val hist = histByGroup.getOrElse(g, Hist(Array(1.0), Array(mn)))
       g -> FitContext(g, hist, sample, DataStats.of(sample), None)
     }
+    // per-group auto method selection, same rule as fit()
+    val methodByGroup: Map[String, String] = ctxs.map { case (g, ctx) =>
+      g -> (if (cfg.estimationMethod == "auto") {
+        if (Estimators.isHeavyTailed(ctx.sample, ctx.stats)) "mse" else "mle"
+      } else cfg.estimationMethod)
+    }
     val pairs: Seq[(String, String)] = ctxs.keys.toSeq.sorted.flatMap { g =>
       interleave(prefilter(capped, ctxs(g).stats, cfg.prefilter)).map(n => (g, n))
     }
     val nParts = cfg.numPartitions.getOrElse(
       math.max(1, math.min(pairs.length, 4 * spark.sparkContext.defaultParallelism)))
-    val bc = spark.sparkContext.broadcast((ctxs, DistRegistry.customSnapshot))
+    val bc = spark.sparkContext.broadcast((ctxs, methodByGroup, DistRegistry.customSnapshot))
     val cfgBase = cfg
     val results = spark.createDataset(pairs)
       .repartition(nParts)
       .map { case (g, name) =>
-        val (ctxMap, customDists) = bc.value
-        fitOne(name, ctxMap(g), cfgBase, customDists)
+        val (ctxMap, methods, customDists) = bc.value
+        fitOne(name, ctxMap(g), cfgBase.copy(estimationMethod = methods(g)), customDists)
       }
     val combined = results.toDF().cache()
     combined.count()

@@ -248,6 +248,16 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == Some(2.0)) // latest prior of 100, 200
     assert(out(3L) == None)      // right row is in the future
     assert(out(4L) == None)      // no prior right row
+    // multi-payload: fields come from ONE matched right row, never a
+    // composite — and a genuinely-null newest field stays null
+    val right2 = Seq((10L, 100L, Some(0.0), Some(5.0)), (10L, 200L, Some(1.0), None))
+      .toDF("k", "t", "a", "b")
+    val row250 = AsOfJoin.asofLeft(Seq((9L, 10L, 250L)).toDF("event_id", "k", "t"),
+        right2, "k", "t", Seq("a", "b")).head()
+    assert(row250.getDouble(row250.fieldIndex("a")) == 1.0)
+    assert(row250.isNullAt(row250.fieldIndex("b")),
+      "null field of the matched row must not be backfilled from an older row")
+
     // one hash shuffle on the key, no range-join explosion
     val plan = AsOfJoin.asofLeft(left, right, "k", "t", Seq("v"))
       .queryExecution.executedPlan.toString
