@@ -482,6 +482,30 @@ object SparkEntry {
         "payload")
         .withColumn("features", arrStr(F.col("features")))
         .orderBy("doc_id")),
+    "q_join_revenue" -> ((s, dir) => {
+      // multi-table join-aggregation (lineitem ⋈ orders ⋈ customer ⋈
+      // nation): the two fact joins shuffle on their keys, the nation dim
+      // broadcasts (PlanSpec asserts it). Revenue rounds per-row to 6
+      // then sums as DECIMAL — exact and order-independent, so the total
+      // is reproducible across engines where a double sum is not
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_custkey")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select("c_custkey", "c_nationkey")
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+        .select("n_nationkey", "n_name")
+      li(s, dir).select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(ord, F.col("l_orderkey") === F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") === F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") === F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          F.round(
+            F.sum(F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 6)
+              .cast("decimal(24,6)")).cast("double"), 2).as("revenue"),
+          F.count(F.lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
     "q_sessionize" -> ((s, dir) =>
       // gap-based sessionization (30-min gap): one key shuffle feeds the
       // lag flag + running-sum numbering; spans are exact integers.
@@ -712,6 +736,16 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_join_revenue" ->
+      """SELECT n.n_name,
+        |  round(CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount), 6)
+        |        AS DECIMAL(24,6))) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS tns FROM events),
         |f AS (SELECT user_id, tns,

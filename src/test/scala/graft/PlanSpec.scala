@@ -97,6 +97,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"cap should be a pure predicate: ${plan.take(1200)}")
   }
 
+  test("q_join_revenue broadcasts the nation dim and prunes fact scans") {
+    val plan = physicalPlan("q_join_revenue").replaceAll("\\s+", " ")
+    assert(plan.contains("BroadcastHashJoin"),
+      "nation dim should broadcast: " + plan.take(1200))
+    // fact scan pruned to the join/agg columns only
+    val liSchema = "ReadSchema: [^ ]*l_extendedprice[^ ]*".r.findFirstIn(plan).getOrElse("")
+    assert(!liSchema.contains("l_comment") && !liSchema.contains("l_shipdate"),
+      s"lineitem scan not pruned: $liSchema")
+  }
+
   test("q_tfidf_top broadcasts the vocabulary-sized df table and rank-limits the window") {
     val plan = physicalPlan("q_tfidf_top")
     assert(plan.contains("BroadcastHashJoin"),
