@@ -280,6 +280,17 @@ object SparkEntry {
           F.round(F.col("aic"), 2).as("aic_r"),
           F.round(F.col("ks_statistic"), 6).as("ks_r"))
         .orderBy("distribution")),
+    "fit_closed_form_bernoulli" -> ((s, dir) =>
+      // bernoulli MLE (= indicator mean) on a derived 0/1 column, full
+      // data — one more closed-form hash row for the discrete kernel
+      memoFit(s"$dir|disc|qflag|bern")(
+        Fitter.fitDiscrete(s,
+          li(s, dir).select((F.col("l_quantity") <= 25).cast("long").as("qflag")),
+          "qflag", distributions = Some(Seq("bernoulli")),
+          cfg = FitConfig(fittingSampleSize = 2000000)))
+        .successful
+        .select(F.col("distribution"),
+          F.round(F.get(F.col("parameters"), F.lit(0)), 4).as("p1"))),
     "fit_summary" -> ((s, dir) =>
       cachedFit(s, dir, Seq("l_extendedprice")).summary),
     "fit_summary_closed_form" -> ((s, dir) =>
@@ -1139,6 +1150,11 @@ object SparkEntry {
         |UNION ALL SELECT 'uniform', round(mn, 4), round(mx - mn, 4),
         |  round(4 - 2 * ll_u, 2), round(d_u, 6) FROM s, ll, ks
         |ORDER BY 1""".stripMargin,
+    "fit_closed_form_bernoulli" ->
+      """SELECT 'bernoulli' AS distribution,
+        |  round(avg(CASE WHEN CAST(l_quantity AS BIGINT) <= 25
+        |            THEN 1.0 ELSE 0.0 END), 4) AS p1
+        |FROM lineitem""".stripMargin,
     "fit_summary_closed_form" ->
       """WITH s AS (SELECT avg(l_extendedprice) AS m, min(l_extendedprice) AS mn,
         |  max(l_extendedprice) AS mx, stddev_pop(l_extendedprice) AS sd,

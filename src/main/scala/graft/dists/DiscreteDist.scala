@@ -526,6 +526,30 @@ object DiscreteFamilies {
     def initial(xs: Array[Long]) = Array(math.max(mean(xs), 1.0), 1.0, 1.0)
   }
 
+  /** scipy bernoulli: single trial, P(X=1) = p. MLE is the sample mean. */
+  object Bernoulli extends DiscreteDist {
+    val name = "bernoulli"; val paramNames = Seq("p")
+    def valid(p: Array[Double]) = p(0) >= 0.0 && p(0) <= 1.0
+    def logpmf(k: Long, p: Array[Double]) =
+      if (k == 1L) { if (p(0) <= 0.0) Double.NegativeInfinity else math.log(p(0)) }
+      else if (k == 0L) { if (p(0) >= 1.0) Double.NegativeInfinity else math.log1p(-p(0)) }
+      else Double.NegativeInfinity
+    override def cdf(k: Long, p: Array[Double]) =
+      if (k < 0) 0.0 else if (k < 1) 1.0 - p(0) else 1.0
+    def support(p: Array[Double]) = (0L, 1L)
+    override def refine = false // MLE is the sample mean
+    def initial(xs: Array[Long]): Array[Double] = {
+      // any value outside {0,1} makes the family inapplicable — signal
+      // with invalid params so the kernel emits the sentinel row
+      var i = 0
+      while (i < xs.length) {
+        if (xs(i) != 0L && xs(i) != 1L) return Array(Double.NaN)
+        i += 1
+      }
+      Array(mean(xs))
+    }
+  }
+
   /** scipy randint: discrete uniform on [low, high-1], pmf 1/(high-low).
     * MLE is closed-form: low = min(x), high = max(x) + 1. */
   object Randint extends DiscreteDist {
@@ -556,5 +580,5 @@ object DiscreteFamilies {
   val all: Seq[DiscreteDist] = Seq(
     Poisson, Geom, Binom, NBinom, Zipf, Zipfian, DLaplace, LogSer, Planck,
     Boltzmann, YuleSimon, BetaBinom, Hypergeom, NHypergeom, Skellam, BetaNBinom,
-    Randint)
+    Randint, Bernoulli)
 }

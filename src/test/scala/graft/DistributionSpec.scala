@@ -370,6 +370,18 @@ class DistributionSpec extends AnyFunSuite {
       s"landau loc/scale=${pL.toSeq}")
   }
 
+  test("bernoulli: closed-form MLE and the non-binary sentinel contract") {
+    val d = DiscreteFamilies.Bernoulli
+    val xs = sampleD(d, Array(0.3), 4000)
+    val p = d.fit(xs)
+    assert(math.abs(p(0) - 0.3) < 0.03, s"p=${p(0)}")
+    assert(math.abs(d.pmf(1L, Array(0.3)) - 0.3) < 1e-12)
+    assert(d.cdf(0L, Array(0.3)) == 0.7)
+    // non-binary data → invalid params (the fit kernel then emits the
+    // never-crash sentinel row instead of a bogus fit)
+    assert(d.initial(Array(0L, 1L, 2L)).exists(_.isNaN))
+  }
+
   test("landau table reproduces published distribution constants") {
     val d = ContinuousFamiliesD.Landau
     val p = Array(0.0, 1.0)
