@@ -415,6 +415,24 @@ class FitterSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("fitGrouped with a single group agrees with the flat fit") {
+    import spark.implicits._
+    val rng = new java.util.Random(5L)
+    val xs = Array.fill(4000)(20.0 + 4.0 * rng.nextGaussian())
+    val flat = Fitter.fit(spark, xs.toSeq.toDF("v"), Seq("v"),
+      distributions = Some(Seq("norm", "expon", "uniform")))
+    val grouped = Fitter.fitGrouped(spark,
+      xs.toSeq.map(x => ("all", x)).toDF("g", "v"), "g", "v",
+      distributions = Some(Seq("norm", "expon", "uniform")))
+    val fp = flat.successful.collect()
+      .map(r => r.getAs[String]("distribution") -> r.getSeq[Double](2)).toMap
+    val gp = grouped.successful.collect()
+      .map(r => r.getAs[String]("distribution") -> r.getSeq[Double](2)).toMap
+    assert(fp.keySet == gp.keySet)
+    for ((d, p) <- fp; (a, b) <- p.zip(gp(d)))
+      assert(math.abs(a - b) < 1e-9, s"$d: flat=$p grouped=${gp(d)}")
+  }
+
   test("SQL UDFs capture the custom-dist snapshot at registration time") {
     object CustomTri extends graft.dists.ContinuousDist {
       private val base = ContinuousFamilies.Norm
