@@ -167,8 +167,10 @@ object TextOps {
     * (idf = ln((1+N)/(1+df)) + 1, sklearn's smooth_idf): document
     * frequencies aggregate over the WHOLE corpus, term frequencies over
     * the target slice, joined on token and ranked per document with a
-    * rank-limited window. The df table is vocabulary-sized — at 100 TB it
-    * broadcast-joins against the per-doc tf rows. */
+    * rank-limited window. The BROADCAST side is the slice's tf table —
+    * bounded by the caller's slice by construction — while the df table
+    * is vocabulary-sized and therefore unbounded at corpus scale (a
+    * web-scale vocabulary does not fit in a broadcast). */
   def tfidfTopTerms(corpus: DataFrame, slice: DataFrame,
                     idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -177,7 +179,7 @@ object TextOps {
       .groupBy("token").agg(F.countDistinct(F.col("id")).as("df"))
     val tf = tokens(slice, idCol, textCol)
       .groupBy("id", "token").agg(F.count(F.lit(1)).as("tf"))
-    val scored = tf.join(F.broadcast(dfreq), "token")
+    val scored = dfreq.join(F.broadcast(tf), "token")
       .withColumn("tfidf",
         F.col("tf") * (F.log((F.lit(1.0) + F.lit(nDocs.toDouble)) /
           (F.lit(1.0) + F.col("df"))) + F.lit(1.0)))

@@ -107,10 +107,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"lineitem scan not pruned: $liSchema")
   }
 
-  test("q_tfidf_top broadcasts the vocabulary-sized df table and rank-limits the window") {
+  test("q_tfidf_top broadcasts the bounded slice tf table and rank-limits the window") {
     val plan = physicalPlan("q_tfidf_top")
     assert(plan.contains("BroadcastHashJoin"),
-      "df table should broadcast-join against per-doc tf: " + plan.take(1200))
+      "slice tf should broadcast-join against the distributed df table: " + plan.take(1200))
     assert(plan.contains("WindowGroupLimit"),
       "per-doc top-k should push the rank limit into the shuffle: " + plan.take(1200))
   }
