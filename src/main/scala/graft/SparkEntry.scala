@@ -617,6 +617,24 @@ object SparkEntry {
           F.round(F.element_at(F.col("features"), 4).cast("double"), 5).as("luma_mean"))
         .orderBy("doc_id")
     }),
+    "q_image_resize" -> ((s, dir) => {
+      // REAL resize, hash-checked through a decode round-trip: constant-
+      // fill PNGs are invariant under bilinear resampling, so the 8×8
+      // output's dimensions AND mean luma are SQL-predictable from doc_id
+      val pngUdf = F.udf((id: Long) => Multimodal.syntheticPng(id))
+      Multimodal.extractFeatures(
+        Multimodal.resizeImages(
+          docs(s, dir).select(F.col("doc_id")).where(F.col("doc_id") < 64)
+            .withColumn("payload", pngUdf(F.col("doc_id"))),
+          "payload", 8, 8)
+          .select(F.col("doc_id"), F.col("resized")),
+        "resized")
+        .select(F.col("doc_id"),
+          F.col("width").cast("long").as("width"),
+          F.col("height").cast("long").as("height"),
+          F.round(F.element_at(F.col("features"), 4).cast("double"), 5).as("luma_mean"))
+        .orderBy("doc_id")
+    }),
     "q_media_meta" -> ((s, dir) =>
       // SQL-expressible slice of the multimodal surface (n_bytes + format
       // sniff) so the binary-column plumbing gets an exact oracle row
@@ -854,6 +872,11 @@ object SparkEntry {
         |  END, 6) AS jaccard
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_image_resize" ->
+      """SELECT doc_id,
+        |  CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |  round(CAST((doc_id * 7) % 256 AS DOUBLE) / 255.0, 5) AS luma_mean
+        |FROM documents WHERE doc_id < 64 ORDER BY doc_id""".stripMargin,
     "q_image_decode" ->
       """SELECT doc_id,
         |  CAST(16 + doc_id % 32 AS BIGINT) AS width,

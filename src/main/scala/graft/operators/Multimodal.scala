@@ -141,6 +141,38 @@ object Multimodal {
       .select((kept :+ F.col("__media.*")).toIndexedSeq: _*)
   }
 
+  /** Real image resize (JDK Graphics2D bilinear) re-encoded as PNG;
+    * payloads no reader accepts come back null. Executor-local scalar
+    * UDF — same no-shuffle plumbing as [[extractFeatures]]. Audio/video
+    * frame-sampling would slot in the same way but the JDK ships no
+    * codec for them; those formats stay behind a [[MediaDecoder]]
+    * implementation supplied by the caller. */
+  def resizeImages(df: DataFrame, binCol: String, width: Int, height: Int,
+                   outCol: String = "resized"): DataFrame = {
+    val resizeUdf = F.udf((bytes: Array[Byte]) => resizeOne(bytes, width, height))
+    df.withColumn(outCol, resizeUdf(F.col(binCol)))
+  }
+
+  private[graft] def resizeOne(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    if (bytes == null || bytes.isEmpty) return null
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return null
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    } catch { case _: Throwable => null }
+  }
+
   /** Deterministic synthetic PNG for harness/oracle use: a
     * (16 + id % 32) × (16 + id % 16) image filled with the constant gray
     * level (id · 7) mod 256, encoded by the JDK PNG writer. PNG is

@@ -309,6 +309,13 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(feats(3) - gray) < 1e-6, s"meanLuma id=$id")
       assert(feats(4) < 1e-6, s"stdLuma id=$id")
     }
+    // real resize: dims change, constant fill preserved, raw bytes → null
+    val small = Multimodal.resizeOne(Multimodal.syntheticPng(5L), 8, 8)
+    val dec = Multimodal.ImageIoDecoder.decode(small)
+    assert(dec.width == 8 && dec.height == 8, s"${dec.width}x${dec.height}")
+    assert(math.abs(dec.features(3) - ((5 * 7) % 256) / 255.0) < 1e-6, "resize must preserve constant luma")
+    assert(Multimodal.resizeOne("not an image".getBytes, 8, 8) == null)
+
     // non-image bytes fall back to byte stats with HONEST unknown dims
     val raw = Multimodal.ImageIoDecoder.decode("just some text".getBytes)
     assert(raw.format == "raw" && raw.width == 0 && raw.height == 0)
