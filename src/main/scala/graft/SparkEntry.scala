@@ -635,6 +635,23 @@ object SparkEntry {
           F.round(F.element_at(F.col("features"), 4).cast("double"), 5).as("luma_mean"))
         .orderBy("doc_id")
     }),
+    "q_frame_sample" -> ((s, dir) => {
+      // REAL video-style frame sampling, hash-checked: synthetic animated
+      // GIFs (4 + id%5 frames), keep every 2nd frame; each kept frame's
+      // dimensions and mean luma are SQL-predictable from (doc_id, k)
+      val gifUdf = F.udf((id: Long) => Multimodal.syntheticGif(id, (4 + id % 5).toInt))
+      Multimodal.extractFeatures(
+        Multimodal.sampleFrames(
+          docs(s, dir).select(F.col("doc_id")).where(F.col("doc_id") < 48)
+            .withColumn("payload", gifUdf(F.col("doc_id"))),
+          "payload", every = 2),
+        "frame")
+        .select(F.col("doc_id"),
+          F.col("frame_index").cast("long").as("frame_index"),
+          F.col("width").cast("long").as("width"),
+          F.round(F.element_at(F.col("features"), 4).cast("double"), 5).as("luma_mean"))
+        .orderBy("doc_id", "frame_index")
+    }),
     "q_media_meta" -> ((s, dir) =>
       // SQL-expressible slice of the multimodal surface (n_bytes + format
       // sniff) so the binary-column plumbing gets an exact oracle row
@@ -877,6 +894,13 @@ object SparkEntry {
         |  CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
         |  round(CAST((doc_id * 7) % 256 AS DOUBLE) / 255.0, 5) AS luma_mean
         |FROM documents WHERE doc_id < 64 ORDER BY doc_id""".stripMargin,
+    "q_frame_sample" ->
+      """SELECT d.doc_id, CAST(t.k AS BIGINT) AS frame_index,
+        |  CAST(16 + d.doc_id % 16 AS BIGINT) AS width,
+        |  round(CAST((d.doc_id * 7 + t.k * 11) % 256 AS DOUBLE) / 255.0, 5) AS luma_mean
+        |FROM documents d, generate_series(0, 8, 2) AS t(k)
+        |WHERE d.doc_id < 48 AND t.k < 4 + d.doc_id % 5
+        |ORDER BY d.doc_id, frame_index""".stripMargin,
     "q_image_decode" ->
       """SELECT doc_id,
         |  CAST(16 + doc_id % 32 AS BIGINT) AS width,

@@ -173,6 +173,102 @@ object Multimodal {
     } catch { case _: Throwable => null }
   }
 
+  /** One sampled frame of a multi-frame container. */
+  case class Frame(frame_index: Int, frame: Array[Byte])
+
+  /** Frame sampling over multi-frame containers (animated GIF via the
+    * JDK's multi-image reader): keep every `every`-th frame, re-encoded
+    * as PNG so the sampled frames compose with [[extractFeatures]] /
+    * [[resizeImages]] unchanged. Executor-local generator UDF — one
+    * input row fans out to its kept frames with no shuffle, so
+    * partitioning survives and a 100-TB scan stays a scan. Payloads no
+    * reader accepts (or video codecs the JDK lacks) yield zero rows —
+    * honest absence, not fabricated frames. */
+  def sampleFrames(df: DataFrame, binCol: String, every: Int,
+                   outCol: String = "frame"): DataFrame = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    val sampleUdf = F.udf((bytes: Array[Byte]) => framesOf(bytes, every))
+    val kept = df.columns.filterNot(_ == binCol).map(F.col)
+    df.withColumn("__frames", sampleUdf(F.col(binCol)))
+      .select((kept :+ F.inline(F.col("__frames"))).toIndexedSeq: _*)
+      .withColumnRenamed("frame", outCol)
+  }
+
+  private[graft] def framesOf(bytes: Array[Byte], every: Int): Seq[Frame] = {
+    if (bytes == null || bytes.isEmpty) return Seq.empty
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return Seq.empty
+        val reader = readers.next()
+        reader.setInput(iis)
+        try {
+          val n = reader.getNumImages(true)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Frame]
+          var i = 0
+          while (i < n) {
+            val img = reader.read(i)
+            // re-encode from an RGB copy: the JDK PNG writer pushes
+            // indexed/gray images through a colorspace transform that
+            // is NOT value-preserving; a 1:1 palette-lookup copy is
+            val rgb = new java.awt.image.BufferedImage(
+              img.getWidth, img.getHeight,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = rgb.createGraphics()
+            try g.drawImage(img, 0, 0, null) finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(rgb, "png", bos)
+            out += Frame(i, bos.toByteArray)
+            i += every
+          }
+          out.toSeq
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case _: Throwable => Seq.empty }
+  }
+
+  /** Deterministic synthetic animated GIF for harness/oracle use: frame
+    * k of `nFrames` is a (16 + id % 16)-square filled with gray level
+    * (id · 7 + k · 11) mod 256. The palette is an explicit identity
+    * gray `IndexColorModel`, so GIF's LZW round-trip is exactly
+    * lossless and frame luma stays SQL-expressible from (id, k). */
+  def syntheticGif(id: Long, nFrames: Int): Array[Byte] = {
+    val size = (16 + (id % 16)).toInt
+    val ident = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, ident, ident, ident)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var k = 0
+      while (k < nFrames) {
+        val gray = ((id * 7 + k * 11) % 256).toInt
+        val img = new java.awt.image.BufferedImage(size, size,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < size) {
+          var x = 0
+          while (x < size) { raster.setSample(x, y, 0, gray); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        k += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
   /** Deterministic synthetic PNG for harness/oracle use: a
     * (16 + id % 32) × (16 + id % 16) image filled with the constant gray
     * level (id · 7) mod 256, encoded by the JDK PNG writer. PNG is

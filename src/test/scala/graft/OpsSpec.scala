@@ -325,6 +325,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(corrupt.width == 0 && corrupt.height == 0)
   }
 
+  test("multimodal: GIF frame sampling keeps every k-th frame with exact luma") {
+    import spark.implicits._
+    // local round-trip: 7 frames, stride 2 → frames 0,2,4,6
+    val gif = Multimodal.syntheticGif(5L, 7)
+    val frames = Multimodal.framesOf(gif, 2)
+    assert(frames.map(_.frame_index) == Seq(0, 2, 4, 6))
+    for (fr <- frames) {
+      val dec = Multimodal.ImageIoDecoder.decode(fr.frame)
+      val gray = ((5L * 7 + fr.frame_index * 11) % 256) / 255.0
+      assert(dec.width == 16 + 5 && dec.height == 16 + 5)
+      assert(math.abs(dec.features(3) - gray) < 1e-6, s"frame=${fr.frame_index}")
+      assert(dec.features(4) < 1e-6, "constant frame must have zero luma std")
+    }
+    // through the DataFrame fan-out: row count = Σ ceil(nFrames/2)
+    val df = (0L until 8L).toDF("id")
+      .withColumn("payload",
+        F.udf((id: Long) => Multimodal.syntheticGif(id, (3 + id % 4).toInt)).apply(F.col("id")))
+    val out = Multimodal.extractFeatures(
+      Multimodal.sampleFrames(df, "payload", every = 2), "frame").collect()
+    val expected = (0L until 8L).map(id => ((3 + id % 4) + 1) / 2).sum
+    assert(out.length == expected, s"got ${out.length}, want $expected")
+    // non-image payloads produce zero frames, not fabricated ones
+    assert(Multimodal.framesOf("plain text".getBytes, 2).isEmpty)
+    assert(Multimodal.framesOf(null, 2).isEmpty)
+  }
+
   test("multimodal: byte-stats fallback plumbing preserves rows and derives features") {
     import spark.implicits._
     val df = Seq((1L, "some text payload"), (2L, ""), (3L, "other bytes here"))
