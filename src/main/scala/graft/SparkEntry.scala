@@ -194,6 +194,24 @@ object SparkEntry {
         cfg = FitConfig(censoringColumn = Some("uncensored"))))
         .successful.orderBy("distribution"))
     }),
+    "fit_censored_closed_form" -> ((s, dir) => {
+      // M3 hash row: the right-censored exponential MLE is closed-form
+      // (loc = min observed event, scale = total exposure above loc per
+      // observed event), so fitting the FULL column makes the censored
+      // collection + kernel SQL-checkable; the NM polish converges to the
+      // closed form well inside the 4-decimal rounding
+      val ev = events(s, dir).select(F.col("value"),
+        (F.col("value") < F.lit(75.0)).as("uncensored"))
+        .withColumn("value", F.least(F.col("value"), F.lit(75.0)))
+      memoFit(s"$dir|censored_cf")(Fitter.fit(s, ev, Seq("value"),
+        distributions = Some(Seq("expon")),
+        cfg = FitConfig(censoringColumn = Some("uncensored"),
+          fittingSampleSize = 2000000)))
+        .successful
+        .select(F.col("distribution"),
+          F.round(F.element_at(F.col("parameters"), 1), 4).as("p_loc"),
+          F.round(F.element_at(F.col("parameters"), 2), 4).as("p_scale"))
+    }),
     "fit_closed_form" -> ((s, dir) =>
       // closed-form MLE families (norm/expon/uniform) fitted on the FULL
       // column — lifting the sample cap makes the estimates SQL-exact, so
@@ -652,6 +670,21 @@ object SparkEntry {
           F.round(F.element_at(F.col("features"), 4).cast("double"), 5).as("luma_mean"))
         .orderBy("doc_id", "frame_index")
     }),
+    "q_audio_features" -> ((s, dir) => {
+      // REAL audio decode, hash-checked: synthetic constant-PCM WAVs make
+      // rate / frames / duration / rms SQL-predictable from doc_id
+      val wavUdf = F.udf((id: Long) => Multimodal.syntheticWav(id))
+      Multimodal.extractAudioFeatures(
+        docs(s, dir).select(F.col("doc_id")).where(F.col("doc_id") < 64)
+          .withColumn("payload", wavUdf(F.col("doc_id"))),
+        "payload")
+        .select(F.col("doc_id"), F.col("sample_rate"),
+          F.col("channels").cast("long").as("channels"),
+          F.col("n_frames"),
+          F.round(F.col("duration_s"), 6).as("duration_s"),
+          F.round(F.col("rms"), 6).as("rms"))
+        .orderBy("doc_id")
+    }),
     "q_media_meta" -> ((s, dir) =>
       // SQL-expressible slice of the multimodal surface (n_bytes + format
       // sniff) so the binary-column plumbing gets an exact oracle row
@@ -670,6 +703,16 @@ object SparkEntry {
         Array(0.0, 1000.0), points = 100).orderBy("rank")),
 
     // ---- generation / multivariate (G1-G7, M13, M14, P2, A8) ----
+    "q_generate_grid" -> ((s, dir) =>
+      // G1/D4 hash row: the midpoint-grid generation mode is partition-
+      // independent and RNG-free, so a uniform grid's count / mean /
+      // extremes replay exactly in SQL (same loc + scale·u op shape)
+      Sampling.generateGrid(s, "uniform", Array(10.0, 70.0), 100000L,
+        numPartitions = 32)
+        .agg(F.count(F.lit(1)).as("n"),
+          F.round(F.avg("sample"), 6).as("mean_s"),
+          F.round(F.min("sample"), 6).as("min_s"),
+          F.round(F.max("sample"), 6).as("max_s"))),
     "q_generate_samples" -> ((s, dir) => {
       // G1/G2: fit best family to l_extendedprice, generate 100K rows
       // distributed, report the generated sample's stats
@@ -893,6 +936,14 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
         |  round(CAST((doc_id * 7) % 256 AS DOUBLE) / 255.0, 5) AS luma_mean
+        |FROM documents WHERE doc_id < 64 ORDER BY doc_id""".stripMargin,
+    "q_audio_features" ->
+      """SELECT doc_id,
+        |  CAST(8000 AS DOUBLE) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(1000 + (doc_id % 10) * 100 AS BIGINT) AS n_frames,
+        |  round(CAST(1000 + (doc_id % 10) * 100 AS DOUBLE) / 8000.0, 6) AS duration_s,
+        |  round(CAST((doc_id * 37) % 16384 AS DOUBLE) / 32768.0, 6) AS rms
         |FROM documents WHERE doc_id < 64 ORDER BY doc_id""".stripMargin,
     "q_frame_sample" ->
       """SELECT d.doc_id, CAST(t.k AS BIGINT) AS frame_index,
@@ -1197,6 +1248,21 @@ object SparkEntry {
         |UNION ALL SELECT 'uniform', round(mn, 4), round(mx - mn, 4),
         |  round(4 - 2 * ll_u, 2), round(d_u, 6) FROM s, ll, ks
         |ORDER BY 1""".stripMargin,
+    "q_generate_grid" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(10.0 + 70.0 * ((t.k + 0.5) / 100000.0)), 6) AS mean_s,
+        |  round(min(10.0 + 70.0 * ((t.k + 0.5) / 100000.0)), 6) AS min_s,
+        |  round(max(10.0 + 70.0 * ((t.k + 0.5) / 100000.0)), 6) AS max_s
+        |FROM generate_series(0, 99999) AS t(k)""".stripMargin,
+    "fit_censored_closed_form" ->
+      """WITH c AS (SELECT LEAST(value, 75.0) AS t, value < 75.0 AS obs
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        |m AS (SELECT min(t) FILTER (WHERE obs) AS l FROM c),
+        |s AS (SELECT sum(c.t - m.l) /
+        |        sum(CASE WHEN c.obs THEN 1 ELSE 0 END) AS sc FROM c, m)
+        |SELECT 'expon' AS distribution,
+        |  round(m.l, 4) AS p_loc, round(s.sc, 4) AS p_scale
+        |FROM m, s""".stripMargin,
     "fit_closed_form_bernoulli" ->
       """SELECT 'bernoulli' AS distribution,
         |  round(avg(CASE WHEN CAST(l_quantity AS BIGINT) <= 25

@@ -10,11 +10,14 @@ import org.apache.spark.sql.types._
   *
   * Image decoding is REAL: `ImageIoDecoder` parses PNG/JPEG/BMP/GIF via
   * `javax.imageio` (in the JDK — no external deps) and computes
-  * stride-sampled pixel statistics. Non-image payloads (and bytes no
-  * reader accepts) fall back to honest byte statistics with
-  * width = height = 0 — nothing is fabricated. Audio/video codecs are
-  * not in the JDK; those formats take the byte-stats path and a real
-  * codec plugs in via `MediaDecoder` with every other line unchanged.
+  * stride-sampled pixel statistics. Audio decoding is REAL for the
+  * JDK's uncompressed formats: `extractAudioFeatures` parses WAV/AIFF/AU
+  * via `javax.sound.sampled` and streams RMS/peak over the PCM. Frame
+  * sampling over animated GIFs is REAL via the JDK multi-image reader.
+  * Payloads no reader accepts fall back to honest byte statistics with
+  * width = height = 0 — nothing is fabricated. Compressed codecs the
+  * JDK lacks (mp3, aac, mp4) plug in via `MediaDecoder` with every
+  * other line unchanged.
   */
 object Multimodal {
 
@@ -171,6 +174,98 @@ object Multimodal {
       javax.imageio.ImageIO.write(out, "png", bos)
       bos.toByteArray
     } catch { case _: Throwable => null }
+  }
+
+  /** Decoded audio metadata + signal statistics. */
+  case class AudioFeatures(
+      n_bytes: Long,
+      format: String,
+      sample_rate: Double,
+      channels: Int,
+      n_frames: Long,
+      duration_s: Double,
+      rms: Double,
+      peak: Double)
+
+  /** Real audio decode via `javax.sound.sampled` (JDK-built-in WAV/AIFF/
+    * AU readers): true sample rate / channel count / frame count plus
+    * streamed signal statistics (RMS and peak of the normalized PCM).
+    * Executor-local struct UDF — same no-shuffle plumbing as
+    * [[extractFeatures]]. Non-audio payloads report format "raw" with
+    * zeroed stats; compressed codecs the JDK lacks (mp3, aac) take the
+    * same honest fallback until a caller supplies a decoder. */
+  def extractAudioFeatures(df: DataFrame, binCol: String): DataFrame = {
+    val decodeUdf = F.udf((bytes: Array[Byte]) => decodeAudio(bytes))
+    val kept = df.columns.filterNot(_ == binCol).map(F.col)
+    df.withColumn("__audio", decodeUdf(F.col(binCol)))
+      .select((kept :+ F.col("__audio.*")).toIndexedSeq: _*)
+  }
+
+  private[graft] def decodeAudio(bytes: Array[Byte]): AudioFeatures = {
+    if (bytes == null || bytes.isEmpty)
+      return AudioFeatures(0L, "empty", 0.0, 0, 0L, 0.0, 0.0, 0.0)
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val rate = fmt.getSampleRate.toDouble
+        val nFrames = ais.getFrameLength
+        var ss = 0.0; var peak = 0.0; var cnt = 0L
+        // signal stats for uncompressed signed 16-bit PCM (the WAV
+        // default); other encodings keep header metadata only
+        if (fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16) {
+          val le = !fmt.isBigEndian
+          val buf = new Array[Byte](math.max(2, fmt.getFrameSize) * 4096)
+          var read = ais.read(buf)
+          while (read > 0) {
+            var i = 0
+            while (i + 1 < read) {
+              val v16 =
+                if (le) (((buf(i + 1) & 0xFF) << 8) | (buf(i) & 0xFF)).toShort
+                else (((buf(i) & 0xFF) << 8) | (buf(i + 1) & 0xFF)).toShort
+              val v = v16.toDouble / 32768.0
+              ss += v * v
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              cnt += 1
+              i += 2
+            }
+            read = ais.read(buf)
+          }
+        }
+        val rms = if (cnt > 0) math.sqrt(ss / cnt) else 0.0
+        AudioFeatures(bytes.length.toLong, "wav", rate, fmt.getChannels,
+          nFrames, if (rate > 0) nFrames / rate else 0.0, rms, peak)
+      } finally ais.close()
+    } catch {
+      case _: Throwable => AudioFeatures(bytes.length.toLong, "raw", 0.0, 0, 0L, 0.0, 0.0, 0.0)
+    }
+  }
+
+  /** Deterministic synthetic WAV for harness/oracle use: mono signed
+    * 16-bit little-endian PCM at 8 kHz, 1000 + (id % 10)·100 frames all
+    * holding the constant value (id · 37) mod 16384 — so frame count,
+    * duration, RMS and peak are SQL-expressible from `id` alone (the
+    * /32768 normalizer is a power of two, so rms = c/32768 is exact). */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = 1000 + (id % 10).toInt * 100
+    val c = ((id * 37) % 16384).toInt
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      data(2 * i) = (c & 0xFF).toByte
+      data(2 * i + 1) = ((c >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
   }
 
   /** One sampled frame of a multi-frame container. */

@@ -92,6 +92,37 @@ object Sampling {
     ds.toDF(columnName)
   }
 
+  /** Deterministic low-discrepancy generation: draw i maps the midpoint
+    * grid u_i = (i + 0.5)/n through the EXACT quantile function. Same
+    * distributed layout as [[generate]] (spark.range splits the index
+    * space; rows are produced where they will live), but the output SET
+    * is reproducible independent of partitioning and RNG — the
+    * stratified/QMC analogue of the seeded path for variance-reduced
+    * Monte Carlo, and the one an external engine can replay exactly. */
+  def generateGrid(spark: SparkSession, distName: String, params: Array[Double],
+                   n: Long, numPartitions: Int = 0,
+                   lowerBound: Option[Double] = None,
+                   upperBound: Option[Double] = None,
+                   columnName: String = "sample"): DataFrame = {
+    import spark.implicits._
+    require(n > 0, "n must be positive")
+    val dist = DistRegistry.get(distName).getOrElse(
+      throw new IllegalArgumentException(s"unknown distribution '$distName'"))
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.sparkContext.defaultParallelism
+    val exactPpf: Double => Double =
+      if (lowerBound.isDefined || upperBound.isDefined) {
+        val t = new Truncated(dist, params,
+          lowerBound.getOrElse(Double.NegativeInfinity),
+          upperBound.getOrElse(Double.PositiveInfinity))
+        t.ppf _
+      } else (q: Double) => dist.ppf(q, params)
+    val nn = n.toDouble
+    spark.range(0L, n, 1L, parts)
+      .map(i => exactPpf((i + 0.5) / nn))
+      .toDF(columnName)
+  }
+
   /** Driver-side sampling from a fitted model (small n; reference
     * storage.py:368-385). */
   def sampleLocal(dist: ContinuousDist, params: Array[Double], n: Int,

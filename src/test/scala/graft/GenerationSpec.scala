@@ -33,6 +33,26 @@ class GenerationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Sampling.partitionCounts(10, 4).toSeq == Seq(3L, 3L, 2L, 2L))
   }
 
+  test("grid generation is exact, partition-independent, and bound-aware") {
+    // uniform(10, 70): draw i is exactly 10 + 70·(i+0.5)/n
+    val n = 1000
+    val a = Sampling.generateGrid(spark, "uniform", Array(10.0, 70.0), n,
+      numPartitions = 4).collect().map(_.getDouble(0)).sorted
+    val b = Sampling.generateGrid(spark, "uniform", Array(10.0, 70.0), n,
+      numPartitions = 7).collect().map(_.getDouble(0)).sorted
+    assert(a.sameElements(b), "grid output must not depend on partitioning")
+    for (i <- 0 until n)
+      assert(a(i) == 10.0 + 70.0 * ((i + 0.5) / n.toDouble), s"i=$i")
+    // normal grid: symmetric around loc, median pair straddles it exactly
+    val g = Sampling.generateGrid(spark, "norm", Array(5.0, 2.0), 400)
+      .collect().map(_.getDouble(0)).sorted
+    assert(math.abs((g(199) + g(200)) / 2 - 5.0) < 1e-9)
+    // truncation routes through the truncated quantile
+    val t = Sampling.generateGrid(spark, "norm", Array(0.0, 1.0), 500,
+      lowerBound = Some(-1.0), upperBound = Some(1.5)).collect().map(_.getDouble(0))
+    assert(t.forall(x => x >= -1.0 && x <= 1.5))
+  }
+
   test("truncated generation stays inside bounds") {
     val df = Sampling.generate(spark, "norm", Array(0.0, 1.0), 5000L,
       lowerBound = Some(-1.0), upperBound = Some(1.0))

@@ -351,6 +351,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.framesOf(null, 2).isEmpty)
   }
 
+  test("multimodal: WAV audio decode recovers format metadata and exact RMS") {
+    import spark.implicits._
+    // local round-trip: constant PCM → rms = peak = c/32768 exactly
+    val wav = Multimodal.syntheticWav(7L)
+    val af = Multimodal.decodeAudio(wav)
+    assert(af.format == "wav" && af.sample_rate == 8000.0 && af.channels == 1)
+    assert(af.n_frames == 1700, s"n_frames=${af.n_frames}")
+    assert(math.abs(af.duration_s - 1700.0 / 8000.0) < 1e-12)
+    val c = (7L * 37 % 16384).toDouble / 32768.0
+    assert(math.abs(af.rms - c) < 1e-9, s"rms=${af.rms} want $c")
+    assert(math.abs(af.peak - c) < 1e-12)
+    // through the DataFrame fan-out
+    val df = (0L until 10L).toDF("id")
+      .withColumn("payload", F.udf((id: Long) => Multimodal.syntheticWav(id)).apply(F.col("id")))
+    val out = Multimodal.extractAudioFeatures(df, "payload").collect()
+    assert(out.length == 10)
+    for (r <- out)
+      assert(r.getAs[Long]("n_frames") == 1000 + (r.getAs[Long]("id") % 10) * 100)
+    // non-audio payloads fall back honestly
+    val raw = Multimodal.decodeAudio("not audio at all".getBytes)
+    assert(raw.format == "raw" && raw.n_frames == 0L && raw.rms == 0.0)
+    assert(Multimodal.decodeAudio(null).format == "empty")
+  }
+
   test("multimodal: byte-stats fallback plumbing preserves rows and derives features") {
     import spark.implicits._
     val df = Seq((1L, "some text payload"), (2L, ""), (3L, "other bytes here"))
