@@ -167,6 +167,19 @@ object SparkEntry {
     "fit_multi_column" -> ((s, dir) =>
       fitOut(cachedFit(s, dir, Seq("l_extendedprice", "l_discount", "l_tax"))
         .bestPerColumn(3, "aic"))),
+    "fit_multi_closed_form" -> ((s, dir) =>
+      // the multi-column shared-scan path (ONE stats agg + ONE histogram
+      // shuffle + ONE sample scan for ALL columns) hash-checked: norm MLE
+      // on the full columns is (mean, std_pop), SQL-exact per column
+      memoFit(s"$dir|multi|cf")(Fitter.fit(s,
+        li(s, dir), Seq("l_quantity", "l_extendedprice", "l_discount"),
+        distributions = Some(Seq("norm")),
+        cfg = FitConfig(fittingSampleSize = 2000000)))
+        .successful
+        .select(F.col("column_name"), F.col("distribution"),
+          F.round(F.element_at(F.col("parameters"), 1), 4).as("p_loc"),
+          F.round(F.element_at(F.col("parameters"), 2), 4).as("p_scale"))
+        .orderBy("column_name")),
     "fit_discrete" -> ((s, dir) =>
       fitOut(memoFit(s"$dir|disc|l_quantity|ALL")(
         Fitter.fitDiscrete(s, li(s, dir), "l_quantity")).successful
@@ -180,6 +193,19 @@ object SparkEntry {
       fitOut(memoFit(s"$dir|mse")(Fitter.fit(s, li(s, dir), Seq("l_extendedprice"),
         distributions = Some(Seq("norm", "lognorm", "gamma", "pareto", "fisk")),
         cfg = FitConfig(estimationMethod = "mse"))).successful.orderBy("distribution"))),
+    "fit_mse_closed_form" -> ((s, dir) =>
+      // M2 hash row: the uniform MSP optimum is closed form (Cheng & Amin
+      // 1983) and the estimator takes that exact path, so the MSE
+      // pipeline (full-column sample → thinned order statistics →
+      // spacing maximizer) replays in SQL; m = 2000 thinned points at
+      // every SF ≥ 0.001, so the (m±1) constants are literals
+      memoFit(s"$dir|mse|cf")(Fitter.fit(s, li(s, dir), Seq("l_extendedprice"),
+        distributions = Some(Seq("uniform")),
+        cfg = FitConfig(estimationMethod = "mse", fittingSampleSize = 2000000)))
+        .successful
+        .select(F.col("distribution"),
+          F.round(F.element_at(F.col("parameters"), 1), 4).as("p_loc"),
+          F.round(F.element_at(F.col("parameters"), 2), 4).as("p_scale"))),
     "fit_lazy" -> ((s, dir) =>
       fitOut(cachedFit(s, dir, Seq("l_extendedprice"),
         cfg = FitConfig(lazyMetrics = true)).best(5, "aic"))),
@@ -1254,6 +1280,24 @@ object SparkEntry {
         |  round(min(10.0 + 70.0 * ((t.k + 0.5) / 100000.0)), 6) AS min_s,
         |  round(max(10.0 + 70.0 * ((t.k + 0.5) / 100000.0)), 6) AS max_s
         |FROM generate_series(0, 99999) AS t(k)""".stripMargin,
+    "fit_mse_closed_form" ->
+      """WITH s AS (SELECT min(l_extendedprice) AS mn,
+        |  max(l_extendedprice) AS mx FROM lineitem)
+        |SELECT 'uniform' AS distribution,
+        |  round(mn - (mx - mn) / 1999.0, 4) AS p_loc,
+        |  round((mx - mn) * 2001.0 / 1999.0, 4) AS p_scale
+        |FROM s""".stripMargin,
+    "fit_multi_closed_form" ->
+      """SELECT c.column_name, 'norm' AS distribution,
+        |  round(c.m, 4) AS p_loc, round(c.sd, 4) AS p_scale
+        |FROM (
+        |  SELECT 'l_quantity' AS column_name, avg(l_quantity) AS m,
+        |    stddev_pop(l_quantity) AS sd FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', avg(l_extendedprice),
+        |    stddev_pop(l_extendedprice) FROM lineitem
+        |  UNION ALL SELECT 'l_discount', avg(l_discount),
+        |    stddev_pop(l_discount) FROM lineitem) c
+        |ORDER BY c.column_name""".stripMargin,
     "fit_censored_closed_form" ->
       """WITH c AS (SELECT LEAST(value, 75.0) AS t, value < 75.0 AS obs
         |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),

@@ -105,6 +105,12 @@ trait ContinuousDist extends Serializable {
     * Families with exact closed-form MLEs disable it. */
   def refineAfterWarmStart: Boolean = true
 
+  /** Exact maximizer of the maximum-spacing objective on the given
+    * SORTED points, if the family has one (Cheng & Amin 1983 give the
+    * uniform case in closed form). `None` routes the MSE estimator
+    * through the generic Nelder-Mead path. */
+  def mspClosedForm(sorted: Array[Double]): Option[Array[Double]] = None
+
   /** Sum of standardized log-densities over z values. Families whose
     * logpdf0 contains shape-only constants (lgamma terms etc.) override
     * this to hoist them out of the point loop — the single hottest path

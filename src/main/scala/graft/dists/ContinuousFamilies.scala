@@ -66,6 +66,16 @@ object ContinuousFamilies {
     def ppf0(q: Double, s: Array[Double]) = q
     override def refineAfterWarmStart = false // exact MLE: [min, max]
     def warmStart(xs: Array[Double]) = { val (mn, mx) = minMax(xs); Array(mn, math.max(mx - mn, 1e-300)) }
+    /** MSP optimum in closed form (Cheng & Amin 1983): with m sorted
+      * points spanning range R, the boundary spacings each take mass
+      * 1/(m+1), so loc = x₍₁₎ − R/(m−1) and scale = R·(m+1)/(m−1). */
+    override def mspClosedForm(sorted: Array[Double]): Option[Array[Double]] = {
+      val m = sorted.length
+      val r = sorted(m - 1) - sorted(0)
+      if (m < 2 || r <= 0.0) None
+      else Some(Array(sorted(0) - r / (m - 1).toDouble,
+        r * (m + 1).toDouble / (m - 1).toDouble))
+    }
   }
 
   object LogNorm extends ContinuousDist with PositiveSupport {

@@ -43,6 +43,14 @@ object Estimators extends Serializable {
       }
     val n = sorted.length
 
+    // families with an exact MSP maximizer skip the simplex entirely —
+    // evaluated on the same thinned order statistics the objective uses,
+    // so the fast path IS the optimum of the numeric objective
+    dist.mspClosedForm(sorted) match {
+      case Some(p) if dist.scale(p) > 0 => return p
+      case _ =>
+    }
+
     def objective(p: Array[Double]): Double = {
       val sc = dist.scale(p)
       if (sc <= 0 || !dist.shapesValid(dist.shapes(p))) return Optimize.Penalty

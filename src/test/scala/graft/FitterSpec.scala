@@ -195,6 +195,35 @@ class FitterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.length == mle.length)
   }
 
+  test("MSP uniform closed form is the argmax of the spacing objective") {
+    val rng = new java.util.Random(7L)
+    val xs = Array.fill(1500)(10.0 + 70.0 * rng.nextDouble())
+    val p = operators.Estimators.fitMse(ContinuousFamilies.Uniform, xs)
+    val sorted = xs.sorted
+    val m = sorted.length
+    val r = sorted(m - 1) - sorted(0)
+    assert(p(0) == sorted(0) - r / (m - 1), s"loc ${p(0)}")
+    assert(p(1) == r * (m + 1).toDouble / (m - 1), s"scale ${p(1)}")
+    // the closed form must dominate nearby perturbations on the actual
+    // numeric objective (mean negative log spacing, lower is better)
+    def obj(q: Array[Double]): Double = {
+      var prev = 0.0; var sum = 0.0
+      for (x <- sorted) {
+        var f = ContinuousFamilies.Uniform.cdf(x, q)
+        f = math.min(1 - 1e-12, math.max(1e-12, f))
+        sum += math.log(math.max(f - prev, 1e-12)); prev = f
+      }
+      -(sum + math.log(math.max(1.0 - prev, 1e-12))) / (m + 1)
+    }
+    val f0 = obj(p)
+    for (d <- Seq(0.01, -0.01)) {
+      assert(f0 <= obj(Array(p(0) + d, p(1))), s"loc perturbation $d wins")
+      assert(f0 <= obj(Array(p(0), p(1) + d)), s"scale perturbation $d wins")
+    }
+    // degenerate range falls through without crashing
+    assert(ContinuousFamilies.Uniform.mspClosedForm(Array(3.0, 3.0, 3.0)).isEmpty)
+  }
+
   test("discrete fit: poisson(7) data ranks poisson best by AIC") {
     import spark.implicits._
     val rng = new java.util.Random(42L)

@@ -83,6 +83,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "decode stage should not hash-shuffle payloads: " + plan.take(1200))
   }
 
+  test("q_frame_sample and q_audio_features decode without payload shuffles") {
+    // the frame generator and audio decoder both run where the payload
+    // rows are born; only the final orderBy may exchange
+    for (q <- Seq("q_frame_sample", "q_audio_features")) {
+      val plan = physicalPlan(q)
+      val idx = plan.indexOf("graft.operators.Multimodal")
+      val body = if (idx >= 0) plan.substring(idx) else plan
+      assert(!body.contains("hashpartitioning"),
+        s"$q should not hash-shuffle payloads: " + plan.take(1200))
+    }
+  }
+
   test("q_copula/q_gmm input cap pushes the key range into the parquet scan") {
     // a bare limit() takes whichever partitions answer first — the
     // keyCappedLineitem range predicate (shared by q_copula_sample /
