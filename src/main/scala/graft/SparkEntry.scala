@@ -504,6 +504,20 @@ object SparkEntry {
         .select("embedding").head().getSeq[Float](0).toArray
       Similarity.lshTopK(emb(s, dir), "embedding", "vec_id", q, 10, nPlanes = 8)
     }),
+    "q_embedding_quantize" -> ((s, dir) => {
+      // int8 symmetric quantization, hash-checked: per-dim scales from
+      // one map-side-combined pass over the corpus, then a pure per-row
+      // quantize — integers replay exactly in SQL
+      val e = emb(s, dir)
+      val scales = Similarity.quantizeScales(e, "embedding")
+      Similarity.quantizeEmbeddings(e, "embedding", scales)
+        .where(F.col("vec_id") < 100)
+        .select(F.col("vec_id"),
+          F.posexplode(F.col("q_embedding")).as(Seq("dim", "q")))
+        .select(F.col("vec_id"), F.col("dim").cast("long").as("dim"),
+          F.col("q").cast("long").as("q"))
+        .orderBy("vec_id", "dim")
+    }),
     "q_embedding_near_dup" -> ((s, dir) =>
       Similarity.nearDupPairs(emb(s, dir), "embedding", "vec_id",
         threshold = 0.3, nPlanes = 8).orderBy("id_a", "id_b")),
@@ -963,6 +977,16 @@ object SparkEntry {
         |  CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
         |  round(CAST((doc_id * 7) % 256 AS DOUBLE) / 255.0, 5) AS luma_mean
         |FROM documents WHERE doc_id < 64 ORDER BY doc_id""".stripMargin,
+    "q_embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, g.pos AS pos,
+        |    CAST(embedding[g.pos + 1] AS DOUBLE) AS v
+        |  FROM embeddings, generate_series(0, 63) AS g(pos)),
+        |s AS (SELECT pos, max(abs(v)) AS s FROM e GROUP BY pos)
+        |SELECT e.vec_id, CAST(e.pos AS BIGINT) AS dim,
+        |  CAST(round(e.v / s.s * 127.0) AS BIGINT) AS q
+        |FROM e JOIN s ON e.pos = s.pos
+        |WHERE e.vec_id < 100
+        |ORDER BY e.vec_id, dim""".stripMargin,
     "q_audio_features" ->
       """SELECT doc_id,
         |  CAST(8000 AS DOUBLE) AS sample_rate,

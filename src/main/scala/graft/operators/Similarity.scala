@@ -230,6 +230,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-dimension |max| scales for symmetric int8 quantization. The
+    * posexplode aggregation is map-side combined, so the shuffle carries
+    * dims·partitions rows, not rows·dims — one cheap pass at any corpus
+    * size. All-zero dimensions get scale 1 so they quantize to 0. */
+  def quantizeScales(df: DataFrame, embCol: String): Array[Double] = {
+    val rows = df
+      .select(F.posexplode(F.col(embCol)).as(Seq("pos", "v")))
+      .groupBy("pos").agg(F.max(F.abs(F.col("v").cast("double"))).as("s"))
+      .collect()
+    require(rows.nonEmpty, s"no vectors in column '$embCol'")
+    val scales = Array.fill(rows.map(_.getInt(0)).max + 1)(1.0)
+    rows.foreach(r => if (r.getDouble(1) > 0) scales(r.getInt(0)) = r.getDouble(1))
+    scales
+  }
+
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * 4× memory shrink before ANN serving (q_d = round(127·x_d/s_d),
+    * |x_d| ≤ s_d so the byte range is never exceeded). Scales ship as a
+    * broadcast literal inside a zip_with, so the quantize is a pure
+    * per-row map: no shuffle, partitioning preserved. Dequantization is
+    * q_d·s_d/127 — [[dequantizeEmbeddings]] — with ≤ s_d/254 per-dim
+    * error, which keeps cosine neighborhoods intact (asserted in spec). */
+  def quantizeEmbeddings(df: DataFrame, embCol: String, scales: Array[Double],
+                         outCol: String = "q_embedding"): DataFrame =
+    df.withColumn(outCol,
+      F.zip_with(F.col(embCol), F.lit(scales),
+        (x, s) => F.round(x.cast("double") / s * F.lit(127.0), 0).cast("tinyint")))
+
+  /** Inverse of [[quantizeEmbeddings]]: x̂_d = q_d·s_d/127. */
+  def dequantizeEmbeddings(df: DataFrame, qCol: String, scales: Array[Double],
+                           outCol: String = "embedding"): DataFrame =
+    df.withColumn(outCol,
+      F.zip_with(F.col(qCol), F.lit(scales),
+        (q, s) => (q.cast("double") * s / F.lit(127.0)).cast("float")))
+
   /** Exact near-duplicate pairs: every (id_a < id_b) with cosine ≥
     * threshold — the verification baseline the LSH path is measured
     * against. O(n²) by definition, so callers bound the corpus (recall

@@ -170,6 +170,46 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nd.count() > 0)
   }
 
+  test("int8 quantization: bounded per-dim error, cosine structure preserved") {
+    import spark.implicits._
+    val rng = new java.util.Random(3L)
+    val dim = 16
+    val rows = (0 until 100).map(i =>
+      (i.toLong, Array.fill(dim)((rng.nextFloat() - 0.5f) * (i % 5 + 1))))
+    val df = rows.toDF("vec_id", "embedding")
+    val scales = Similarity.quantizeScales(df, "embedding")
+    assert(scales.length == dim)
+    // scales are the true per-dim max|x|
+    for (d <- 0 until dim) {
+      val mx = rows.map(r => math.abs(r._2(d).toDouble)).max
+      assert(scales(d) == mx, s"dim $d")
+    }
+    val q = Similarity.quantizeEmbeddings(df, "embedding", scales)
+    // byte range respected, per-dim dequantization error ≤ s_d/254 + ulp
+    val deq = Similarity.dequantizeEmbeddings(q, "q_embedding", scales, "emb2")
+      .select("vec_id", "embedding", "emb2").collect()
+    for (r <- deq) {
+      val orig = r.getSeq[Float](1); val back = r.getSeq[Float](2)
+      for (d <- 0 until dim)
+        assert(math.abs(orig(d) - back(d)) <= scales(d) / 254.0 + 1e-6,
+          s"vec ${r.getLong(0)} dim $d: ${orig(d)} vs ${back(d)}")
+    }
+    // brute-force neighborhoods survive the 4x shrink
+    val query = rows.head._2
+    val bf = Similarity.bruteForceTopK(df, "embedding", "vec_id", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val dq = Similarity.dequantizeEmbeddings(
+      Similarity.quantizeEmbeddings(df, "embedding", scales).drop("embedding"),
+      "q_embedding", scales, "embedding")
+    val qf = Similarity.bruteForceTopK(dq, "embedding", "vec_id", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(bf.intersect(qf).size >= 8, s"recall ${bf.intersect(qf).size}/10")
+    // all-zero dimension quantizes to 0 under the scale-1 guard
+    val z = Seq((0L, Array(0.0f, 2.0f))).toDF("vec_id", "embedding")
+    val zs = Similarity.quantizeScales(z, "embedding")
+    assert(zs(0) == 1.0 && zs(1) == 2.0)
+  }
+
   test("IVF top-k matches brute force on clustered data; probes prune cells") {
     import spark.implicits._
     val rng = new java.util.Random(11L)
