@@ -474,6 +474,21 @@ object SparkEntry {
     "q_dedup_minhash_survivors" -> ((s, dir) =>
       Dedup.minhashSurvivors(docs(s, dir), "doc_id", "text", threshold = 0.8)
         .select("doc_id").orderBy("doc_id")),
+    "q_dedup_clusters" -> ((s, dir) => {
+      // duplicate-cluster resolution, hash-checked: shingle-overlap
+      // candidate pairs (inverted-index join, stop-shingle cap) closed
+      // transitively by alternating large-star/small-star connected
+      // components; singletons label themselves. The DuckDB oracle
+      // replays the same pair graph with a recursive min-label CTE.
+      val d = docs(s, dir).where(F.col("doc_id") < 300)
+        .select(F.col("doc_id"), F.coalesce(F.col("text"), F.lit("")).as("text"))
+      val pairs = Dedup.shingleSharePairs(d, "doc_id", "text", n = 4, maxShingleFreq = 100)
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      d.join(cc, d("doc_id") === cc("id"), "left")
+        .select(F.col("doc_id"),
+          F.coalesce(F.col("component"), F.col("doc_id")).as("component"))
+        .orderBy("doc_id")
+    }),
     "q_dedup_simhash" -> ((s, dir) =>
       // maxHamming=3 → 4×16-bit chunks, the classic configuration; larger
       // budgets shrink chunks into a tiny keyspace and the banded join
@@ -1147,6 +1162,30 @@ object SparkEntry {
       """SELECT md5(text) AS text_md5, min(doc_id) AS survivor_id,
         |count(*) AS n_copies FROM documents GROUP BY md5(text)
         |ORDER BY text_md5""".stripMargin,
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |              x -> x <> '') AS w
+        |  FROM documents WHERE doc_id < 300),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(w) = 0 THEN []
+        |       WHEN len(w) < 4 THEN [array_to_string(w, ' ')]
+        |       ELSE list_distinct(list_transform(range(1, len(w) - 2),
+        |              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+        |  END AS s FROM t),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |ok AS (SELECT g FROM ex GROUP BY g HAVING count(*) BETWEEN 2 AND 100),
+        |kept AS (SELECT ex.doc_id, ex.g FROM ex JOIN ok ON ex.g = ok.g),
+        |pairs AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |edges AS (SELECT ia AS src, ib AS dst FROM pairs
+        |  UNION ALL SELECT ib, ia FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM t
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+        |SELECT id AS doc_id, min(r) AS component
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     // NOTE: list_cosine_similarity returns float32 in DuckDB — explicit
     // double arithmetic over zipped unnest keeps both engines in doubles
     "q_ann_bruteforce" ->

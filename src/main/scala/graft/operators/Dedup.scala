@@ -257,4 +257,95 @@ object Dedup {
         F.col("p._3").as("hamming"))
       .dropDuplicates("id_a", "id_b")
   }
+
+  // ---- Connected components (duplicate-cluster resolution) ----
+
+  /** Candidate pairs of documents sharing at least one word n-gram — the
+    * inverted-index join behind shingle-overlap clustering. Each doc
+    * explodes to its distinct shingles (id + shingle only, never the
+    * text), shingles more frequent than `maxShingleFreq` are dropped as
+    * stop-shingles (the skew guard: a boilerplate phrase shared by
+    * millions of docs would otherwise produce a quadratic bucket), and
+    * the self-join runs on the shingle hash key. Shuffle carries
+    * (shingle, id) rows — linear in corpus token count. */
+  def shingleSharePairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 4, maxShingleFreq: Int = 100): DataFrame = {
+    val shUdf = F.udf((t: String) => shingles(if (t == null) "" else t, n).distinct)
+    val ex = df.select(F.col(idCol).cast("long").as("id"),
+        F.explode(shUdf(F.col(textCol))).as("g"))
+    val ok = ex.groupBy("g").agg(F.count(F.lit(1)).as("n"))
+      .where(F.col("n").between(2, maxShingleFreq))
+      .select("g")
+    val keyed = ex.join(ok, Seq("g"), "left_semi")
+    keyed.as("a").join(keyed.as("b"),
+        F.col("a.g") === F.col("b.g") && F.col("a.id") < F.col("b.id"))
+      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Connected components over an undirected edge list via alternating
+    * large-star / small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14). Converges in O(log² n) rounds
+    * regardless of component diameter — unlike plain label propagation,
+    * whose round count is the graph diameter — and each round is two
+    * grouped shuffles over (node, node) pairs with no driver-side state,
+    * so a 100 TB candidate graph needs only edge-list-sized shuffles.
+    * Lineage is truncated per round with an eager localCheckpoint (an
+    * iterative loop would otherwise stack O(rounds) shuffle stages into
+    * one plan).
+    *
+    * Returns (id, component) for every node incident to an edge, where
+    * component is the minimum node id in its component. Isolated nodes
+    * don't appear — callers left-join and coalesce(component, id).
+    * Mirrors the duplicate-cluster resolution step production dedup runs
+    * after MinHash/SimHash candidate generation (reference surfaces only
+    * pairwise duplicates; clustering is the scale-out completion). */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 50): DataFrame = {
+    val u = F.col("u"); val v = F.col("v")
+    // canonical orientation (u > v), self-loops dropped
+    var e = edges
+      .select(F.col(aCol).cast("long").as("x"), F.col(bCol).cast("long").as("y"))
+      .where(F.col("x") =!= F.col("y"))
+      .select(F.greatest(F.col("x"), F.col("y")).as("u"),
+        F.least(F.col("x"), F.col("y")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // large-star: symmetrize, attach each strictly-larger neighbor to
+      // the minimum of the closed neighborhood (emitted edge keeps u > v)
+      val sym = e.union(e.select(v.as("u"), u.as("v")))
+      val lsMin = sym.groupBy("u").agg(F.min("v").as("mn"))
+      val ls = sym.join(lsMin, "u").where(v > u)
+        .select(v.as("u"), F.least(F.col("mn"), u).as("v"))
+        .distinct()
+      // small-star: group by the larger endpoint, attach it and its
+      // non-minimal smaller neighbors to the minimal one
+      val ssMin = ls.groupBy("u").agg(F.min("v").as("mn"))
+      val next = ls.join(ssMin, "u").where(v =!= F.col("mn"))
+        .select(v.as("u"), F.col("mn").as("v"))
+        .union(ssMin.select(u, F.col("mn").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      converged = next.count() == e.count() && next.except(e).isEmpty
+      e = next
+      it += 1
+    }
+    // at convergence every edge is (node, root): roots label themselves
+    e.select(u.as("id"), v.as("component"))
+      .union(e.select(v.as("id"), v.as("component")).distinct())
+      .distinct()
+  }
+
+  /** One survivor per duplicate cluster: the minimum id. Docs absent
+    * from the edge list survive trivially. */
+  def clusterSurvivors(df: DataFrame, idCol: String, edges: DataFrame,
+                       aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val cc = connectedComponents(edges, aCol, bCol)
+    val drop = cc.where(F.col("id") =!= F.col("component"))
+      .select(F.col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
 }

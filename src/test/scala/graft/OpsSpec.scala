@@ -37,6 +37,51 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(groups.map(_.getAs[Long]("n_copies")).sum == 6)
   }
 
+  test("connected components: chains, cliques, singletons, survivors") {
+    import spark.implicits._
+    // a 30-node path (diameter 29 — the case plain label propagation
+    // needs 29 rounds for), a triangle, one extra pair, reversed and
+    // duplicated edges, and a self-loop to ignore
+    val path = (0L until 29L).map(i => (i + 1, i))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val extra = Seq((200L, 201L), (201L, 200L), (200L, 201L), (300L, 300L))
+    val edges = (path ++ tri ++ extra).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (i <- 0L to 29L) assert(cc(i) == 0L, s"path node $i")
+    for (i <- 100L to 102L) assert(cc(i) == 100L, s"triangle node $i")
+    assert(cc(200L) == 200L && cc(201L) == 200L)
+    assert(!cc.contains(300L), "self-loop node is not incident to a real edge")
+    assert(cc.size == 35)
+    // survivors: min id per cluster + untouched docs
+    val docs = ((0L to 29L) ++ (100L to 102L) ++ Seq(200L, 201L, 999L))
+      .map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val surv = Dedup.clusterSurvivors(docs, "doc_id",
+        edges.where($"id_a" =!= $"id_b"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(surv.sameElements(Array(0L, 100L, 200L, 999L)))
+    // empty edge list: no rows, no crash
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b").count() == 0)
+  }
+
+  test("shingle-share pairs: overlap found, stop-shingle cap enforced") {
+    val df = docsDf(Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zzz alpha beta gamma delta yyy"),   // shares 4-grams with 1
+      (3L, "totally different words here now"),
+      (4L, "common stop phrase here"), (5L, "common stop phrase here"),
+      (6L, "common stop phrase here")))
+    val p = Dedup.shingleSharePairs(df, "doc_id", "text", n = 4, maxShingleFreq = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p.contains((1L, 2L)))
+    assert(!p.exists(t => t._1 == 3L || t._2 == 3L))
+    // cap at 2: the 3-way shared shingle (freq 3) is dropped entirely
+    val capped = Dedup.shingleSharePairs(df, "doc_id", "text", n = 4, maxShingleFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)))
+  }
+
   test("minhash: near-identical docs pair with high est jaccard, unrelated don't") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
