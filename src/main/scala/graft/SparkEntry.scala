@@ -260,6 +260,21 @@ object SparkEntry {
           F.when(F.col("distribution") === "norm", F.lit(-1.0))
             .otherwise(F.round(F.col("ks_statistic"), 6)).as("ks_r"))
         .orderBy("distribution")),
+    "fit_ad_closed_form" -> ((s, dir) =>
+      // M9/M10 hash row: the Anderson-Darling statistic over the FULL
+      // column is SQL-expressible where the CDF is (expon/uniform), and
+      // the expon A-D p-value replays the Stephens table interpolation
+      // (scipy.anderson refit convention: loc=0, scale=mean). Reuses the
+      // memoized fit_closed_form relation, so the bench pays no new fit.
+      cachedFit(s, dir, Seq("l_extendedprice"),
+        dists = Some(Seq("norm", "expon", "uniform")),
+        cfg = FitConfig(fittingSampleSize = 2000000))
+        .successful
+        .where(F.col("distribution") =!= "norm")
+        .select(F.col("distribution"),
+          F.round(F.col("ad_statistic"), 4).as("ad_r"),
+          F.round(F.col("ad_pvalue"), 4).as("ad_p"))
+        .orderBy("distribution")),
     "fit_closed_form_discrete" -> ((s, dir) =>
       // the discrete kernel's closed-form families on the FULL column —
       // poisson (mu = mean), geom (p = 1/mean), planck (λ = ln(1+1/mean)),
@@ -1255,6 +1270,37 @@ object SparkEntry {
         |  round(4 - 2 * ll_norm, 2), -1.0 FROM s, ll, ks
         |UNION ALL SELECT 'uniform', round(mn, 4), round(mx - mn, 4),
         |  round(4 - 2 * ll_unif, 2), round(d_unif, 6) FROM s, ll, ks
+        |ORDER BY 1""".stripMargin,
+    "fit_ad_closed_form" ->
+      """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |st AS (SELECT min(x) AS mn, max(x) AS mx, avg(x) AS mu,
+        |  CAST(count(*) AS DOUBLE) AS n FROM v),
+        |r AS (SELECT x, CAST(row_number() OVER (ORDER BY x) AS DOUBLE) AS rk FROM v),
+        |c AS (SELECT rk, n,
+        |  greatest(least(1.0 - exp(-(x - mn) / (mu - mn)), 1.0 - 1e-10), 1e-10) AS fe,
+        |  greatest(least((x - mn) / (mx - mn), 1.0 - 1e-10), 1e-10) AS fu,
+        |  greatest(least(1.0 - exp(-x / mu), 1.0 - 1e-10), 1e-10) AS fr
+        | FROM r, st),
+        |a AS (SELECT max(n) AS n,
+        |  sum((2*rk - 1)*ln(fe) + (2*n + 1 - 2*rk)*ln(1.0 - fe)) AS se,
+        |  sum((2*rk - 1)*ln(fu) + (2*n + 1 - 2*rk)*ln(1.0 - fu)) AS su,
+        |  sum((2*rk - 1)*ln(fr) + (2*n + 1 - 2*rk)*ln(1.0 - fr)) AS sr
+        | FROM c),
+        |p AS (SELECT n, -n - se/n AS ae, -n - su/n AS au, -n - sr/n AS ar,
+        |  1.0 + 0.6/n AS corr FROM a)
+        |SELECT 'expon' AS distribution, round(ae, 4) AS ad_r,
+        |  round(CASE WHEN ar < 0.922/corr THEN 0.25
+        |    WHEN ar > 1.957/corr THEN 0.005
+        |    WHEN ar <= 1.078/corr
+        |      THEN 0.15 - (ar - 0.922/corr)/(1.078/corr - 0.922/corr)*0.05
+        |    WHEN ar <= 1.341/corr
+        |      THEN 0.10 - (ar - 1.078/corr)/(1.341/corr - 1.078/corr)*0.05
+        |    WHEN ar <= 1.606/corr
+        |      THEN 0.05 - (ar - 1.341/corr)/(1.606/corr - 1.341/corr)*0.025
+        |    ELSE 0.025 - (ar - 1.606/corr)/(1.957/corr - 1.606/corr)*0.015
+        |  END, 4) AS ad_p FROM p
+        |UNION ALL SELECT 'uniform', round(au, 4), CAST(NULL AS DOUBLE) FROM p
         |ORDER BY 1""".stripMargin,
     "fit_closed_form_discrete" ->
       """WITH s AS (SELECT avg(CAST(l_quantity AS BIGINT)) AS m,
