@@ -260,6 +260,30 @@ object SparkEntry {
           F.when(F.col("distribution") === "norm", F.lit(-1.0))
             .otherwise(F.round(F.col("ks_statistic"), 6)).as("ks_r"))
         .orderBy("distribution")),
+    "q_adaptive_plan" -> ((s, dir) => {
+      // A7/P1/P3 hash row: the adaptive sampling policy made SQL-exact by
+      // giving the pilot a budget >= the column (fraction 1.0 keeps every
+      // row), so pilot skewness is the population skewness, and the
+      // strategy/fraction decision is a CASE over it. events.value (skew
+      // 1.93) selects stratified at threshold 1.5; l_extendedprice
+      // (symmetric) selects uniform.
+      import s.implicits._
+      val cfg = FitConfig(sampleThresholdRows = 5000, pilotRows = 10000000L,
+        skewThresholdForStratified = 1.5)
+      def planRow(name: String, df: org.apache.spark.sql.DataFrame, col: String) = {
+        val n = df.count()
+        val sk = AdaptiveSampling.pilotSkewness(df, col, n, cfg)
+        val p = AdaptiveSampling.plan(n, sk, cfg)
+          .getOrElse(AdaptiveSampling.SamplePlan("full", 1.0))
+        (name, n, sk, p.strategy, p.fraction)
+      }
+      Seq(planRow("events.value", events(s, dir), "value"),
+          planRow("lineitem.l_extendedprice", li(s, dir), "l_extendedprice"))
+        .toDF("column_name", "n_rows", "pilot_skew", "strategy", "fraction")
+        .withColumn("pilot_skew", F.round(F.col("pilot_skew"), 6))
+        .withColumn("fraction", F.round(F.col("fraction"), 6))
+        .orderBy("column_name")
+    }),
     "fit_ad_closed_form" -> ((s, dir) =>
       // M9/M10 hash row: the Anderson-Darling statistic over the FULL
       // column is SQL-expressible where the CDF is (expon/uniform), and
@@ -1271,6 +1295,25 @@ object SparkEntry {
         |UNION ALL SELECT 'uniform', round(mn, 4), round(mx - mn, 4),
         |  round(4 - 2 * ll_unif, 2), round(d_unif, 6) FROM s, ll, ks
         |ORDER BY 1""".stripMargin,
+    "q_adaptive_plan" ->
+      """WITH sk AS (
+        |  SELECT 'events.value' AS column_name, count(*) AS n_rows,
+        |    (sum(pow(value - (SELECT avg(value) FROM events), 3)) / count(*))
+        |      / pow(sum(pow(value - (SELECT avg(value) FROM events), 2))
+        |            / count(*), 1.5) AS skew
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'lineitem.l_extendedprice', count(*),
+        |    (sum(pow(l_extendedprice
+        |         - (SELECT avg(l_extendedprice) FROM lineitem), 3)) / count(*))
+        |      / pow(sum(pow(l_extendedprice
+        |         - (SELECT avg(l_extendedprice) FROM lineitem), 2))
+        |            / count(*), 1.5)
+        |  FROM lineitem)
+        |SELECT column_name, n_rows, round(skew, 6) AS pilot_skew,
+        |  CASE WHEN abs(skew) > 1.5 THEN 'stratified' ELSE 'uniform' END AS strategy,
+        |  round(least(0.35, 1000000.0 / n_rows), 6) AS fraction
+        |FROM sk ORDER BY column_name""".stripMargin,
     "fit_ad_closed_form" ->
       """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
         |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
