@@ -260,6 +260,34 @@ object SparkEntry {
           F.when(F.col("distribution") === "norm", F.lit(-1.0))
             .otherwise(F.round(F.col("ks_statistic"), 6)).as("ks_r"))
         .orderBy("distribution")),
+    "fit_serde_closed_form" -> ((s, dir) => {
+      // S3 hash row: every closed-form fit result goes model -> JSON file
+      // -> model on the driver, and the SELECT reads params/AIC from the
+      // ROUND-TRIPPED objects. The oracle is the same closed-form SQL as
+      // fit_closed_form, so a green hash proves the JSON sink preserves
+      // values bit-for-bit through write + parse.
+      import s.implicits._
+      val fits = cachedFit(s, dir, Seq("l_extendedprice"),
+        dists = Some(Seq("norm", "expon", "uniform")),
+        cfg = FitConfig(fittingSampleSize = 2000000))
+        .successful.as[FitResult].collect()
+      val tmp = java.nio.file.Files.createTempDirectory("graft_serde")
+      val back = try {
+        fits.map { r =>
+          val p = tmp.resolve(r.distribution + ".json")
+          Serialization.saveFitResult(r, p.toString)
+          val loaded = Serialization.loadFitResult(p.toString)
+          java.nio.file.Files.delete(p)
+          loaded
+        }.toSeq
+      } finally java.nio.file.Files.delete(tmp)
+      s.createDataset(back).toDF()
+        .select(F.col("distribution"),
+          F.round(F.element_at(F.col("parameters"), 1), 4).as("p_loc"),
+          F.round(F.element_at(F.col("parameters"), 2), 4).as("p_scale"),
+          F.round(F.col("aic"), 2).as("aic_r"))
+        .orderBy("distribution")
+    }),
     "q_adaptive_plan" -> ((s, dir) => {
       // A7/P1/P3 hash row: the adaptive sampling policy made SQL-exact by
       // giving the pilot a budget >= the column (fraction 1.0 keeps every
@@ -1294,6 +1322,25 @@ object SparkEntry {
         |  round(4 - 2 * ll_norm, 2), -1.0 FROM s, ll, ks
         |UNION ALL SELECT 'uniform', round(mn, 4), round(mx - mn, 4),
         |  round(4 - 2 * ll_unif, 2), round(d_unif, 6) FROM s, ll, ks
+        |ORDER BY 1""".stripMargin,
+    "fit_serde_closed_form" ->
+      """WITH s AS (SELECT avg(l_extendedprice) AS m, min(l_extendedprice) AS mn,
+        |  max(l_extendedprice) AS mx, stddev_pop(l_extendedprice) AS sd,
+        |  count(l_extendedprice) AS n FROM lineitem),
+        |ll AS (SELECT
+        |  sum(-0.5 * pow((l.l_extendedprice - s.m) / s.sd, 2))
+        |    - s.n * ln(s.sd) - s.n * 0.5 * ln(2 * pi()) AS ll_norm,
+        |  sum(-(l.l_extendedprice - s.mn) / (s.m - s.mn))
+        |    - s.n * ln(s.m - s.mn) AS ll_expon,
+        |  -s.n * ln(s.mx - s.mn) AS ll_unif
+        |  FROM lineitem l, s GROUP BY s.n, s.sd, s.m, s.mn, s.mx)
+        |SELECT 'expon' AS distribution, round(mn, 4) AS p_loc,
+        |  round(m - mn, 4) AS p_scale, round(4 - 2 * ll_expon, 2) AS aic_r
+        |FROM s, ll
+        |UNION ALL SELECT 'norm', round(m, 4), round(sd, 4),
+        |  round(4 - 2 * ll_norm, 2) FROM s, ll
+        |UNION ALL SELECT 'uniform', round(mn, 4), round(mx - mn, 4),
+        |  round(4 - 2 * ll_unif, 2) FROM s, ll
         |ORDER BY 1""".stripMargin,
     "q_adaptive_plan" ->
       """WITH sk AS (
