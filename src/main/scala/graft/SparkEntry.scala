@@ -683,6 +683,26 @@ object SparkEntry {
           F.round(F.col("last_purchase_value"), 6).as("last_purchase_value"))
         .orderBy("event_id")
     }),
+    "q_pii_mask" -> ((s, dir) => {
+      // normalization + PII scrubbing, hash-checked on the full output
+      // strings: the synthetic corpus carries no PII, so the query plants
+      // deterministic emails/IPs/SSN-shaped ids (same construction in the
+      // oracle), then masks them through the codegen'd regexp chain. The
+      // patterns live in the Java∩RE2 subset so DuckDB replays them.
+      val d = docs(s, dir).where(F.col("doc_id") < 50)
+        .withColumn("aug", F.concat(
+          F.lit("User user"), F.col("doc_id"), F.lit("@Example.COM  \t"),
+          F.coalesce(F.col("text"), F.lit("")),
+          F.lit(" ip 10.0."), F.col("doc_id") % 256,
+          F.lit(".7 id 123-45-6789 end")))
+      TextOps.withCleanText(d, "aug")
+        .select(F.col("doc_id"),
+          F.col("n_emails").cast("long").as("n_emails"),
+          F.col("n_ips").cast("long").as("n_ips"),
+          F.col("n_ids").cast("long").as("n_ids"),
+          F.col("clean_text"))
+        .orderBy("doc_id")
+    }),
     "q_clean_pipeline" -> ((s, dir) => {
       // the composed curation pipeline end-to-end: quality scoring →
       // threshold filter → exact dedup (min-id survivor) → per-language
@@ -978,6 +998,27 @@ object SparkEntry {
         |                WHERE event_type = 'purchase' GROUP BY 1, 2) r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY event_id""".stripMargin,
+    "q_pii_mask" ->
+      """WITH a AS (SELECT doc_id,
+        |  'User user' || doc_id || '@Example.COM  ' || chr(9) ||
+        |  coalesce(text, '') || ' ip 10.0.' || (doc_id % 256) ||
+        |  '.7 id 123-45-6789 end' AS aug
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(aug,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(aug, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT)
+        |    AS n_ids,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    trim(regexp_replace(regexp_replace(lower(aug),
+        |      '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g') AS clean_text
+        |FROM a ORDER BY doc_id""".stripMargin,
     "q_clean_pipeline" ->
       """WITH f AS (
         |  SELECT doc_id, lang, text,

@@ -190,4 +190,42 @@ object TextOps {
       .select(F.col("id"), F.col("rank").cast("long").as("rank"),
         F.col("token"), F.round(F.col("tfidf"), 6).as("tfidf_r"))
   }
+
+  // --- normalization + PII masking (pre-training text hygiene) ---
+
+  /** Conservative text normalization: lowercase, ASCII control chars to
+    * spaces, whitespace runs collapsed to one space, ends trimmed. Pure
+    * codegen'd regexp chain — no UDF, scan-friendly at corpus scale.
+    * Patterns stay in the Java∩RE2 regex subset so downstream SQL
+    * engines replay them identically. */
+  def normalizeText(text: Column): Column =
+    F.regexp_replace(
+      F.trim(F.regexp_replace(F.lower(text), "[\\x00-\\x1f\\x7f]", " ")),
+      "\\s+", " ")
+
+  /** PII patterns (Java∩RE2-portable). Masking order matters: emails
+    * first so their host dots can't be re-matched as addresses. */
+  private[operators] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[operators] val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** Mask emails, IPv4 addresses and SSN-shaped ids with typed tokens —
+    * the standard scrubbing pass before a corpus ships to
+    * training. Codegen'd regexp_replace chain, no shuffle. */
+  def maskPii(text: Column): Column =
+    F.regexp_replace(
+      F.regexp_replace(
+        F.regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      SsnRe, "<ID>")
+
+  /** Normalization + masking + per-kind match counts in one projection. */
+  def withCleanText(df: DataFrame, textCol: String,
+                    outCol: String = "clean_text"): DataFrame = {
+    val t = F.coalesce(F.col(textCol), F.lit(""))
+    df.withColumn("n_emails", F.size(F.regexp_extract_all(t, F.lit(EmailRe), F.lit(0))))
+      .withColumn("n_ips", F.size(F.regexp_extract_all(t, F.lit(Ipv4Re), F.lit(0))))
+      .withColumn("n_ids", F.size(F.regexp_extract_all(t, F.lit(SsnRe), F.lit(0))))
+      .withColumn(outCol, maskPii(normalizeText(t)))
+  }
 }

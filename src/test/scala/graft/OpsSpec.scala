@@ -37,6 +37,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(groups.map(_.getAs[Long]("n_copies")).sum == 6)
   }
 
+  test("normalize + PII mask: controls collapsed, typed tokens, counts") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "  Mail Bob@Corp.IO\tnow\r\nor 192.168.1.17 / 987-65-4321 ok"),
+      (2L, "no pii here   justjunk"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextOps.withCleanText(df, "text").orderBy("doc_id")
+      .select("doc_id", "n_emails", "n_ips", "n_ids", "clean_text").collect()
+    assert(out(0).getString(4) == "mail <EMAIL> now or <IP> / <ID> ok")
+    assert((out(0).getInt(1), out(0).getInt(2), out(0).getInt(3)) == ((1, 1, 1)))
+    assert(out(1).getString(4) == "no pii here justjunk")
+    assert((out(1).getInt(1), out(1).getInt(2), out(1).getInt(3)) == ((0, 0, 0)))
+    assert(out(2).getString(4) == "")
+    // version strings look like IPs by design (documented limitation of
+    // the \b-delimited pattern); longer runs don't match
+    val v = Seq((1L, "v 1.2.3.4567 and 1.2.3.4")).toDF("doc_id", "text")
+    val c = TextOps.withCleanText(v, "text").head().getAs[String]("clean_text")
+    assert(c == "v 1.2.3.4567 and <IP>")
+  }
+
   test("connected components: chains, cliques, singletons, survivors") {
     import spark.implicits._
     // a 30-node path (diameter 29 — the case plain label propagation
