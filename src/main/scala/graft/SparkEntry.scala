@@ -683,6 +683,17 @@ object SparkEntry {
           F.round(F.col("last_purchase_value"), 6).as("last_purchase_value"))
         .orderBy("event_id")
     }),
+    "q_train_split" -> ((s, dir) =>
+      // deterministic 90/5/5 split assignment by md5(doc_id) bucket —
+      // content-addressed, so the same doc lands in the same split on any
+      // partitioning/cluster/engine (randomSplit can't promise that).
+      // Hash-checked: DuckDB replays the md5-hex bucket and CASE ranges.
+      Sampling.deterministicSplit(docs(s, dir), "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.min("split_bucket").as("min_bucket"),
+          F.max("split_bucket").as("max_bucket"))
+        .orderBy("split")),
     "q_pii_mask" -> ((s, dir) => {
       // normalization + PII scrubbing, hash-checked on the full output
       // strings: the synthetic corpus carries no PII, so the query plants
@@ -998,6 +1009,17 @@ object SparkEntry {
         |                WHERE event_type = 'purchase' GROUP BY 1, 2) r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY event_id""".stripMargin,
+    "q_train_split" ->
+      """WITH b AS (SELECT
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    % 10000 AS bucket FROM documents),
+        |s AS (SELECT bucket,
+        |  CASE WHEN bucket < 9000 THEN 'train'
+        |       WHEN bucket < 9500 THEN 'val'
+        |       ELSE 'test' END AS split FROM b)
+        |SELECT split, count(*) AS n_docs, min(bucket) AS min_bucket,
+        |  max(bucket) AS max_bucket
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
     "q_pii_mask" ->
       """WITH a AS (SELECT doc_id,
         |  'User user' || doc_id || '@Example.COM  ' || chr(9) ||

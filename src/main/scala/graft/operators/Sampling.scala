@@ -167,4 +167,38 @@ object Sampling {
       })
     binned.stat.sampleBy("__bin", fractions, seed).drop("__bin")
   }
+
+  /** Deterministic, content/key-addressed train/val/test assignment: the
+    * row's bucket is the first 32 bits of md5(key) mod `buckets`, and
+    * splits own contiguous cumulative-weight bucket ranges. Unlike
+    * `randomSplit` (partition-layout-dependent) this is a pure per-row
+    * projection: the same key lands in the same split on any cluster
+    * size, partitioning, or engine — the property a 100 TB corpus needs
+    * so an incremental re-run never migrates a document across splits
+    * (and never leaks val/test into train). No shuffle; codegen'd
+    * md5 + conv.
+    *
+    * @param weights (name, weight) in declared order; normalized
+    *                internally, split by cumulative share of buckets. */
+  def deterministicSplit(df: DataFrame, keyCol: String,
+                         weights: Seq[(String, Double)] =
+                           Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+                         buckets: Int = 10000,
+                         bucketCol: String = "split_bucket",
+                         splitCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
+    val total = weights.map(_._2).sum
+    // cumulative upper bucket bound per split; last pinned to `buckets`
+    val bounds = weights.map(_._2 / total)
+      .scanLeft(0.0)(_ + _).tail.map(c => math.round(c * buckets))
+      .updated(weights.length - 1, buckets.toLong)
+    val bucket = F.conv(F.substring(
+        F.md5(F.col(keyCol).cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % buckets
+    val split = weights.zip(bounds).reverse
+      .foldLeft(F.lit(weights.last._1)) { case (acc, ((name, _), hi)) =>
+        F.when(F.col(bucketCol) < hi, F.lit(name)).otherwise(acc)
+      }
+    df.withColumn(bucketCol, bucket).withColumn(splitCol, split)
+  }
 }

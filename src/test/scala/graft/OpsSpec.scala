@@ -57,6 +57,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c == "v 1.2.3.4567 and <IP>")
   }
 
+  test("deterministic split: layout-stable, exhaustive, weight-shaped") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val a = Sampling.deterministicSplit(df, "doc_id")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // identical assignment after a reshuffle — the randomSplit failure mode
+    val b = Sampling.deterministicSplit(df.repartition(13), "doc_id")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    assert(a.size == 2000 && a.values.toSet == Set("train", "val", "test"))
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.9) < 0.03, s"train ${frac("train")}")
+    assert(math.abs(frac("val") - 0.05) < 0.02 && math.abs(frac("test") - 0.05) < 0.02)
+    // custom weights cover the bucket space exactly (last bound pinned)
+    val c = Sampling.deterministicSplit(df, "doc_id",
+      weights = Seq("x" -> 1.0, "y" -> 2.0), buckets = 7)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c.values.sum == 2000 && c.keySet == Set("x", "y"))
+  }
+
   test("connected components: chains, cliques, singletons, survivors") {
     import spark.implicits._
     // a 30-node path (diameter 29 — the case plain label propagation
