@@ -683,6 +683,21 @@ object SparkEntry {
           F.round(F.col("last_purchase_value"), 6).as("last_purchase_value"))
         .orderBy("event_id")
     }),
+    "q_repetition" -> ((s, dir) =>
+      // Gopher-style repetition filters, hash-checked per doc: token
+      // duplication ratio + top-bigram share + the filter flag, replayed
+      // in DuckDB list algebra
+      TextOps.repetitionFeatures(docs(s, dir).where(F.col("doc_id") < 100), "text")
+        .select("doc_id", "n_tokens", "dup_token_ratio",
+          "top_bigram_share", "is_repetitive")
+        .orderBy("doc_id")),
+    "q_chunk_docs" -> ((s, dir) =>
+      // context-window chunking (32-token windows, 8-token overlap),
+      // hash-checked on the full chunk strings: DuckDB replays the
+      // stride arithmetic with list slices
+      TextOps.chunkDocuments(docs(s, dir).where(F.col("doc_id") < 20),
+          "doc_id", "text", chunkSize = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_id")),
     "q_train_split" -> ((s, dir) =>
       // deterministic 90/5/5 split assignment by md5(doc_id) bucket —
       // content-addressed, so the same doc lands in the same split on any
@@ -1009,6 +1024,44 @@ object SparkEntry {
         |                WHERE event_type = 'purchase' GROUP BY 1, 2) r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY event_id""".stripMargin,
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |              x -> x <> '') AS w
+        |  FROM documents WHERE doc_id < 100),
+        |f AS (SELECT doc_id, len(w) AS n,
+        |  CASE WHEN len(w) > 0
+        |    THEN round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+        |    ELSE 0.0 END AS dup_token_ratio,
+        |  CASE WHEN len(w) >= 2 THEN
+        |    round(CAST(list_max(list_transform(
+        |        list_distinct(list_transform(range(1, len(w)),
+        |          i -> w[i] || ' ' || w[i+1])),
+        |        d -> len(list_filter(list_transform(range(1, len(w)),
+        |          i -> w[i] || ' ' || w[i+1]), x -> x = d)))) AS DOUBLE)
+        |      / (len(w) - 1), 6)
+        |  ELSE 0.0 END AS top_bigram_share
+        | FROM t)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, dup_token_ratio,
+        |  top_bigram_share,
+        |  (dup_token_ratio > 0.6 OR top_bigram_share > 0.18) AS is_repetitive
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q_chunk_docs" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+        |              x -> x <> '') AS w
+        |  FROM documents WHERE doc_id < 20),
+        |n AS (SELECT doc_id, w,
+        |  CASE WHEN len(w) = 0 THEN 0
+        |       ELSE greatest(CAST(ceil((len(w) - 32.0) / 24.0) AS BIGINT) + 1, 1)
+        |  END AS nc FROM t),
+        |c AS (SELECT doc_id, unnest(range(0, nc)) AS chunk_id, w FROM n)
+        |SELECT doc_id, chunk_id,
+        |  array_to_string(w[(chunk_id * 24 + 1):(chunk_id * 24 + 32)], ' ')
+        |    AS chunk_text,
+        |  CAST(len(w[(chunk_id * 24 + 1):(chunk_id * 24 + 32)]) AS BIGINT)
+        |    AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "q_train_split" ->
       """WITH b AS (SELECT
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)

@@ -219,6 +219,75 @@ object TextOps {
         Ipv4Re, "<IP>"),
       SsnRe, "<ID>")
 
+  /** Fixed-window document chunking with overlap — the pre-training
+    * segmentation pass (context-window-sized pieces, overlapping so no
+    * boundary context is lost). Chunks are produced by an executor-local
+    * explode where the document lives: no shuffle, output size
+    * ≈ corpus_tokens / (chunkSize − overlap) rows regardless of document
+    * count. Chunk k covers tokens [k·stride, k·stride + chunkSize);
+    * the final chunk keeps whatever remains. Empty documents yield no
+    * chunks.
+    *
+    * @return (idCol, chunk_id, chunk_text, n_tokens) */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkSize: Int = 512, overlap: Int = 64): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    val toks = F.filter(
+      F.split(F.coalesce(F.col(textCol), F.lit("")), "\\s+"), t => t =!= "")
+    val chunk = F.slice(F.col("__toks"),
+      (F.col("chunk_id") * stride + 1).cast("int"), F.lit(chunkSize))
+    df.select(F.col(idCol), toks.as("__toks"))
+      .withColumn("__n", F.size(F.col("__toks")))
+      .where(F.col("__n") > 0)
+      .withColumn("__nc", F.greatest(
+        F.ceil((F.col("__n") - F.lit(chunkSize)).cast("double") / stride)
+          .cast("long") + 1L, F.lit(1L)))
+      .withColumn("chunk_id", F.explode(F.sequence(F.lit(0L), F.col("__nc") - 1)))
+      .select(F.col(idCol), F.col("chunk_id"),
+        F.array_join(chunk, " ").as("chunk_text"),
+        F.size(chunk).cast("long").as("n_tokens"))
+  }
+
+  /** Repetition features (the Gopher/C4-style curation filters): token
+    * duplication ratio and the share of all bigrams held by the most
+    * frequent bigram — high values mean boilerplate/looping text. All
+    * native array expressions, executor-local, no shuffle; per-doc cost
+    * is O(distinct_bigrams · tokens), bounded by document length. The
+    * `is_repetitive` flag applies the thresholds callers tune. */
+  def repetitionFeatures(df: DataFrame, textCol: String,
+                         maxDupTokenRatio: Double = 0.6,
+                         maxTopBigramShare: Double = 0.18): DataFrame = {
+    val toks = F.filter(
+      F.split(F.lower(F.coalesce(F.col(textCol), F.lit(""))), "\\s+"),
+      t => t =!= "")
+    val n = F.size(F.col("__toks"))
+    val bg = F.transform(
+      F.slice(F.col("__toks"), F.lit(1),
+        F.greatest(F.size(F.col("__toks")) - 1, F.lit(0))),
+      (_, i) => F.concat(
+        F.element_at(F.col("__toks"), i + 1), F.lit(" "),
+        F.element_at(F.col("__toks"), i + 2)))
+    val topBigram = F.array_max(F.transform(F.array_distinct(F.col("__bg")),
+      d => F.size(F.filter(F.col("__bg"), x => x === d))))
+    df.withColumn("__toks", toks)
+      .withColumn("n_tokens", n.cast("long"))
+      .withColumn("dup_token_ratio",
+        F.when(n > 0, F.round(F.lit(1.0) -
+          F.size(F.array_distinct(F.col("__toks"))).cast("double") / n, 6))
+          .otherwise(0.0))
+      .withColumn("__bg", bg)
+      .withColumn("top_bigram_share",
+        F.when(F.size(F.col("__bg")) > 0,
+          F.round(topBigram.cast("double") / F.size(F.col("__bg")), 6))
+          .otherwise(0.0))
+      .withColumn("is_repetitive",
+        F.col("dup_token_ratio") > maxDupTokenRatio ||
+          F.col("top_bigram_share") > maxTopBigramShare)
+      .drop("__toks", "__bg")
+  }
+
   /** Normalization + masking + per-kind match counts in one projection. */
   def withCleanText(df: DataFrame, textCol: String,
                     outCol: String = "clean_text"): DataFrame = {

@@ -57,6 +57,48 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c == "v 1.2.3.4567 and <IP>")
   }
 
+  test("repetition features: looping text flagged, diverse text passes") {
+    val df = docsDf(Seq(
+      (1L, "buy now buy now buy now buy now buy now"),
+      (2L, "the quick brown fox jumps over one lazy dog today"),
+      (3L, ""), (4L, "single")))
+    val out = TextOps.repetitionFeatures(df, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("dup_token_ratio"),
+          r.getAs[Double]("top_bigram_share"), r.getAs[Boolean]("is_repetitive"))))
+      .toMap
+    // 10 tokens, 2 distinct → dup 0.8; "buy now" holds 5 of 9 bigrams
+    assert(out(1L)._1 == 10L && out(1L)._2 == 0.8)
+    assert(out(1L)._3 == math.rint(5.0 / 9.0 * 1e6) / 1e6 && out(1L)._4)
+    // fully diverse: dup 0, every bigram unique (share 1/9), not flagged
+    assert(out(2L)._2 == 0.0 && !out(2L)._4)
+    // degenerate docs: zeros, unflagged
+    assert(out(3L) == ((0L, 0.0, 0.0, false)))
+    assert(out(4L) == ((1L, 0.0, 0.0, false)))
+  }
+
+  test("document chunking: stride windows, overlap, tails, empty docs") {
+    val df = docsDf(Seq(
+      (1L, (1 to 10).map("t" + _).mkString(" ")), // 10 tokens
+      (2L, "a b c"), (3L, ""), (4L, null.asInstanceOf[String]), (5L, "solo")))
+    val out = TextOps.chunkDocuments(df, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1: stride 3, nc = ceil((10-4)/3)+1 = 3 → windows at offsets 0,3,6
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._3).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(d1.map(_._4).toSeq == Seq(4L, 4L, 4L))
+    // doc 2 (3 tokens < chunk): single short chunk
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "a b c", 3L)))
+    // empty and null docs: no chunks; single token: one chunk
+    assert(!out.exists(t => t._1 == 3L || t._1 == 4L))
+    assert(out.filter(_._1 == 5L).toSeq == Seq((5L, 0L, "solo", 1L)))
+    // every token of doc 1 appears in some chunk (coverage)
+    val covered = d1.flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 10).map("t" + _).toSet)
+  }
+
   test("deterministic split: layout-stable, exhaustive, weight-shaped") {
     import spark.implicits._
     val df = (0L until 2000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
