@@ -633,6 +633,42 @@ object SparkEntry {
         "payload")
         .withColumn("features", arrStr(F.col("features")))
         .orderBy("doc_id")),
+    "q_partitioned_sink" -> ((s, dir) => {
+      // partitioned parquet sink + partition-pruned read-back: write the
+      // corpus partitioned by lang (the layout a 100 TB text lake uses so
+      // per-language jobs touch only their directories), read it back
+      // through a lang filter the scan prunes (OpsSpec asserts the
+      // PartitionFilters), aggregate. The oracle aggregates the SOURCE
+      // table — a green hash proves the sink+source round-trip loses
+      // nothing and the pruned read sees exactly the right rows.
+      val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+      docs(s, dir).select("doc_id", "lang", "text")
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      s.read.parquet(out).where(F.col("lang").isin("en", "fr"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).as("total_chars"),
+          F.min("doc_id").as("min_id"), F.max("doc_id").as("max_id"))
+        .orderBy("lang")
+    }),
+    "q_salted_join" -> ((s, dir) => {
+      // skew-mitigated join, hash-checked by EQUIVALENCE: salting must
+      // not change join semantics, so the oracle is the plain SQL join.
+      // The salt spreads any hot orderkey across 8 reducers; the dim side
+      // replicates 8x (it's orders — bounded), the fact side pays one
+      // pmod. Same decimal revenue discipline as q_join_revenue.
+      val dim = s.read.parquet(s"$dir/orders.parquet")
+        .select(F.col("o_orderkey").as("l_orderkey"), F.col("o_orderpriority"))
+      SkewJoin.saltedJoin(
+          li(s, dir).select("l_orderkey", "l_extendedprice", "l_discount"),
+          dim, Seq("l_orderkey"), saltFactor = 8)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).as("n_items"),
+          F.round(
+            F.sum(F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 6)
+              .cast("decimal(24,6)")).cast("double"), 2).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
     "q_join_revenue" -> ((s, dir) => {
       // multi-table join-aggregation (lineitem ⋈ orders ⋈ customer ⋈
       // nation): the two fact joins shuffle on their keys, the nation dim
@@ -993,6 +1029,18 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_partitioned_sink" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE lang IN ('en', 'fr')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_salted_join" ->
+      """SELECT o.o_orderpriority, count(*) AS n_items,
+        |  round(CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount), 6)
+        |        AS DECIMAL(24,6))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
     "q_join_revenue" ->
       """SELECT n.n_name,
         |  round(CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount), 6)

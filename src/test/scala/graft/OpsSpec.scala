@@ -57,6 +57,46 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c == "v 1.2.3.4567 and <IP>")
   }
 
+  test("partitioned sink: lang directories, pruned read-back, no loss") {
+    import spark.implicits._
+    val df = Seq((1L, "en", "hello"), (2L, "fr", "bonjour"), (3L, "en", "bye"),
+      (4L, "de", "hallo")).toDF("doc_id", "lang", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_spec").toString
+    df.write.mode("overwrite").partitionBy("lang").parquet(out)
+    assert(new java.io.File(out, "lang=en").isDirectory)
+    val back = spark.read.parquet(out).where($"lang" === "en")
+    // the filter reaches PartitionFilters (directory pruning), not data scan
+    assert(back.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(back.select("doc_id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 3L)))
+    val all = spark.read.parquet(out)
+    assert(all.count() == 4 &&
+      all.select("doc_id", "lang", "text").collect().length == 4)
+  }
+
+  test("salted join: equivalence to plain join, salt in the shuffle keys") {
+    import spark.implicits._
+    // hot key 1 holds 90% of the fact side
+    val big = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i)).toDF("k", "v")
+    val dim = Seq((1L, "hot"), (950L, "cold")).toDF("k", "name")
+    val plain = big.join(dim, Seq("k")).select("k", "v", "name")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    val salted = SkewJoin.saltedJoin(big, dim, Seq("k"), saltFactor = 4)
+    val got = salted.select("k", "v", "name")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    assert(got.sameElements(plain) && got.length == 901)
+    assert(!salted.columns.contains("__salt"))
+    // the exchange partitions on (k, __salt), not k alone
+    assert(salted.queryExecution.executedPlan.toString.contains("__salt"))
+    // left join keeps every unmatched fact row exactly once
+    val lo = SkewJoin.saltedJoin(big, dim, Seq("k"), 4, "left_outer")
+    assert(lo.count() == 1000 && lo.where($"name".isNull).count() == 99)
+    // profile surfaces the hot key with its share
+    val prof = SkewJoin.keySkewProfile(big, Seq("k"), 2).collect()
+    assert(prof(0).getLong(0) == 1L && prof(0).getLong(1) == 900L
+      && prof(0).getDouble(2) == 0.9)
+  }
+
   test("repetition features: looping text flagged, diverse text passes") {
     val df = docsDf(Seq(
       (1L, "buy now buy now buy now buy now buy now"),
