@@ -311,7 +311,20 @@ object Dedup {
         F.least(F.col("x"), F.col("y")).as("v"))
       .distinct()
       .localCheckpoint(true)
-    var converged = false
+    // (count, Σu, Σv, Σhash) fingerprint: one map-side-combined agg job
+    // per round instead of the two shuffle jobs an `except` would cost.
+    // A fingerprint match is only a CANDIDATE for convergence — it is
+    // confirmed with one exact set-difference before the loop exits, so
+    // a hash collision can delay termination by a round but never return
+    // a wrong result.
+    def fingerprint(df: DataFrame): (Long, Long, Long, Long) = {
+      val r = df.agg(F.count(F.lit(1)), F.sum("u"), F.sum("v"),
+        F.sum(F.hash(F.col("u"), F.col("v")).cast("long"))).head()
+      if (r.isNullAt(1)) (0L, 0L, 0L, 0L)
+      else (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    var fpE = fingerprint(e)
+    var converged = fpE._1 == 0L
     var it = 0
     while (!converged && it < maxIter) {
       // large-star: symmetrize, attach each strictly-larger neighbor to
@@ -329,8 +342,11 @@ object Dedup {
         .union(ssMin.select(u, F.col("mn").as("v")))
         .distinct()
         .localCheckpoint(true)
-      converged = next.count() == e.count() && next.except(e).isEmpty
+      val fpN = fingerprint(next)
+      converged = fpN == fpE && next.except(e).isEmpty
+      e.unpersist()
       e = next
+      fpE = fpN
       it += 1
     }
     // at convergence every edge is (node, root): roots label themselves
