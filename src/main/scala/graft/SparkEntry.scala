@@ -343,6 +343,21 @@ object SparkEntry {
           F.round(F.get(F.col("parameters"), F.lit(0)), 4).as("p1"),
           F.round(F.get(F.col("parameters"), F.lit(1)), 4).as("p2"))
         .orderBy("distribution")),
+    "fit_ks_discrete" -> ((s, dir) =>
+      // M8 hash row: the discrete K-S statistic (tie-run D+/D- over
+      // distinct values) for all four closed-form discrete families on
+      // the FULL column. Every CDF is SQL-expressible (poisson via the
+      // cumulative pmf sum = regularized gamma, geom/planck via expm1
+      // identities, randint linearly), so the tie-run construction
+      // itself gets the oracle. Reuses the memoized discrete fit.
+      memoFit(s"$dir|disc|l_quantity|cf")(
+        Fitter.fitDiscrete(s, li(s, dir), "l_quantity",
+          distributions = Some(Seq("poisson", "geom", "planck", "randint")),
+          cfg = FitConfig(fittingSampleSize = 2000000)))
+        .successful
+        .select(F.col("distribution"),
+          F.round(F.col("ks_statistic"), 6).as("ks_r"))
+        .orderBy("distribution")),
     "fit_grouped_closed_form" -> ((s, dir) =>
       // group-wise fitting (beyond-reference): closed-form families per
       // l_returnflag segment on the FULL groups — per-group MLE params
@@ -959,6 +974,25 @@ object SparkEntry {
           math.round(mvn.correlation(i)((i + 1) % 3) * 1e6) / 1e6)
       }.toDF("column", "mean", "variance", "corr_next")
     }),
+    "q_mvn_serde" -> ((s, dir) => {
+      // S5 hash row: the MVN model goes save -> JSON -> load, and the
+      // output reads means/variances/correlations from the ROUND-TRIPPED
+      // object against the same moment SQL as q_mvn_fit — proving the
+      // multivariate sink preserves the mean vector and covariance
+      // matrix exactly (correlation is derived from the loaded cov).
+      import s.implicits._
+      val mvn = MultivariateNormal.fit(li(s, dir),
+        Seq("l_extendedprice", "l_quantity", "l_discount"))
+      val p = java.nio.file.Files.createTempFile("graft_mvn", ".json")
+      Serialization.saveMvn(mvn, p.toString)
+      val back = Serialization.loadMvn(p.toString)
+      java.nio.file.Files.delete(p)
+      back.columns.zipWithIndex.map { case (c, i) =>
+        (c, math.round(back.mean(i) * 100) / 100.0,
+          math.round(back.cov(i)(i) * 100) / 100.0,
+          math.round(back.correlation(i)((i + 1) % 3) * 1e6) / 1e6)
+      }.toDF("column", "mean", "variance", "corr_next")
+    }),
     "q_gmm" -> ((s, dir) => {
       // EM parameter estimates stabilize well below 100K rows; the
       // key-capped input bounds the per-row breeze density evaluation
@@ -1567,6 +1601,32 @@ object SparkEntry {
         |UNION ALL SELECT 'randint', round(CAST(mn AS DOUBLE), 4),
         |  round(CAST(mx AS DOUBLE) + 1.0, 4) FROM s
         |ORDER BY 1""".stripMargin,
+    "fit_ks_discrete" ->
+      """WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS x FROM lineitem),
+        |st AS (SELECT avg(x) AS mu, CAST(min(x) AS DOUBLE) AS mn,
+        |  CAST(max(x) AS DOUBLE) AS mx, CAST(count(*) AS DOUBLE) AS n FROM v),
+        |g AS (SELECT x, CAST(count(*) AS DOUBLE) AS c FROM v GROUP BY x),
+        |r AS (SELECT x, c, CAST(sum(c) OVER (ORDER BY x) AS DOUBLE) AS hi FROM g),
+        |ks AS (SELECT unnest(range(0, CAST(mx AS BIGINT) + 1)) AS k FROM st),
+        |pk AS (SELECT ks.k, exp(-st.mu + ks.k * ln(st.mu) - lgamma(ks.k + 1.0))
+        |         AS pmf FROM ks, st),
+        |pc AS (SELECT r.x, (SELECT sum(pmf) FROM pk WHERE pk.k <= r.x) AS fp FROM r),
+        |d AS (SELECT r.x, r.hi / st.n AS ehi, (r.hi - r.c) / st.n AS elo,
+        |  pc.fp AS f_poisson,
+        |  1.0 - exp(r.x * ln(1.0 - 1.0 / st.mu)) AS f_geom,
+        |  1.0 - exp(-ln(1.0 + 1.0 / st.mu) * (r.x + 1)) AS f_planck,
+        |  CASE WHEN r.x >= st.mx THEN 1.0
+        |       ELSE (r.x - st.mn + 1.0) / (st.mx + 1.0 - st.mn) END AS f_randint
+        | FROM r JOIN pc ON r.x = pc.x, st)
+        |SELECT 'geom' AS distribution,
+        |  round(max(greatest(ehi - f_geom, f_geom - elo)), 6) AS ks_r FROM d
+        |UNION ALL SELECT 'planck',
+        |  round(max(greatest(ehi - f_planck, f_planck - elo)), 6) FROM d
+        |UNION ALL SELECT 'poisson',
+        |  round(max(greatest(ehi - f_poisson, f_poisson - elo)), 6) FROM d
+        |UNION ALL SELECT 'randint',
+        |  round(max(greatest(ehi - f_randint, f_randint - elo)), 6) FROM d
+        |ORDER BY 1""".stripMargin,
     "fit_grouped_closed_form" ->
       """WITH s AS (SELECT l_returnflag AS grp, avg(l_extendedprice) AS m,
         |  min(l_extendedprice) AS mn, stddev_pop(l_extendedprice) AS sd,
@@ -1747,6 +1807,19 @@ object SparkEntry {
         |  md5(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g')) AS fp_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_mvn_fit" ->
+      """WITH s AS (SELECT
+        |  avg(l_extendedprice) AS m0, avg(l_quantity) AS m1, avg(l_discount) AS m2,
+        |  var_samp(l_extendedprice) AS v0, var_samp(l_quantity) AS v1,
+        |  var_samp(l_discount) AS v2,
+        |  corr(l_extendedprice, l_quantity) AS c01,
+        |  corr(l_quantity, l_discount) AS c12,
+        |  corr(l_discount, l_extendedprice) AS c20
+        |FROM lineitem)
+        |SELECT 'l_extendedprice' AS "column", round(m0, 2) AS mean,
+        |  round(v0, 2) AS variance, round(c01, 6) AS corr_next FROM s
+        |UNION ALL SELECT 'l_quantity', round(m1, 2), round(v1, 2), round(c12, 6) FROM s
+        |UNION ALL SELECT 'l_discount', round(m2, 2), round(v2, 2), round(c20, 6) FROM s""".stripMargin,
+    "q_mvn_serde" ->
       """WITH s AS (SELECT
         |  avg(l_extendedprice) AS m0, avg(l_quantity) AS m1, avg(l_discount) AS m2,
         |  var_samp(l_extendedprice) AS v0, var_samp(l_quantity) AS v1,
