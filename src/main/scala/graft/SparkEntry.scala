@@ -601,6 +601,17 @@ object SparkEntry {
         .select("embedding").head().getSeq[Float](0).toArray
       Similarity.lshTopK(emb(s, dir), "embedding", "vec_id", q, 10, nPlanes = 8)
     }),
+    "q_embedding_centroids" -> ((s, dir) => {
+      // per-language embedding centroids, hash-checked: embeddings join
+      // their documents row (vec_id = doc_id), posexplode, (lang, dim)
+      // mean — shuffle carries partial sums only
+      val d = docs(s, dir).select(F.col("doc_id"), F.col("lang"))
+      val e = emb(s, dir).join(d, F.col("vec_id") === F.col("doc_id"))
+      Similarity.groupCentroids(e, "lang", "embedding")
+        .select(F.col("grp").as("lang"), F.col("dim").cast("long").as("dim"),
+          F.round(F.col("centroid"), 6).as("centroid"))
+        .orderBy("lang", "dim")
+    }),
     "q_embedding_quantize" -> ((s, dir) => {
       // int8 symmetric quantization, hash-checked: per-dim scales from
       // one map-side-combined pass over the corpus, then a pure per-row
@@ -734,6 +745,13 @@ object SparkEntry {
           F.round(F.col("last_purchase_value"), 6).as("last_purchase_value"))
         .orderBy("event_id")
     }),
+    "q_unigram_logprob" -> ((s, dir) =>
+      // CCNet-style LM-quality stand-in, hash-checked: corpus-wide
+      // unigram frequencies, per-doc mean token log-probability on a
+      // bounded slice; DuckDB replays the same frequency model
+      TextOps.unigramLogProb(docs(s, dir),
+          docs(s, dir).where(F.col("doc_id") < 100), "doc_id", "text")
+        .orderBy("id")),
     "q_repetition" -> ((s, dir) =>
       // Gopher-style repetition filters, hash-checked per doc: token
       // duplication ratio + top-bigram share + the filter flag, replayed
@@ -1106,6 +1124,19 @@ object SparkEntry {
         |                WHERE event_type = 'purchase' GROUP BY 1, 2) r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY event_id""".stripMargin,
+    "q_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+        |    '\s+'), x -> x <> '')) AS token FROM documents),
+        |freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS nt FROM freq),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |  WHERE doc_id < 100 GROUP BY doc_id, token)
+        |SELECT tf.doc_id AS id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |  round(sum(tf.tf * ln(CAST(freq.cnt AS DOUBLE) / tot.nt))
+        |        / CAST(sum(tf.tf) AS DOUBLE), 6) AS mean_logprob
+        |FROM tf JOIN freq USING (token), tot
+        |GROUP BY tf.doc_id ORDER BY id""".stripMargin,
     "q_repetition" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
@@ -1257,6 +1288,15 @@ object SparkEntry {
         |  CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
         |  round(CAST((doc_id * 7) % 256 AS DOUBLE) / 255.0, 5) AS luma_mean
         |FROM documents WHERE doc_id < 64 ORDER BY doc_id""".stripMargin,
+    "q_embedding_centroids" ->
+      """WITH e AS (SELECT d.lang, g.pos AS pos,
+        |    CAST(em.embedding[g.pos + 1] AS DOUBLE) AS v
+        |  FROM embeddings em
+        |  JOIN documents d ON em.vec_id = d.doc_id,
+        |  generate_series(0, 63) AS g(pos))
+        |SELECT lang, CAST(pos AS BIGINT) AS dim,
+        |  round(avg(v), 6) AS centroid
+        |FROM e GROUP BY lang, pos ORDER BY lang, dim""".stripMargin,
     "q_embedding_quantize" ->
       """WITH e AS (SELECT vec_id, g.pos AS pos,
         |    CAST(embedding[g.pos + 1] AS DOUBLE) AS v

@@ -258,6 +258,16 @@ object Similarity {
       F.zip_with(F.col(embCol), F.lit(scales),
         (x, s) => F.round(x.cast("double") / s * F.lit(127.0), 0).cast("tinyint")))
 
+  /** Per-group embedding centroids (cluster summaries, per-language
+    * means, drift baselines). The posexplode aggregation is map-side
+    * combined, so the shuffle carries (group, dim) partial sums — never
+    * vectors — and the result is groups·dims rows at any corpus size. */
+  def groupCentroids(df: DataFrame, groupCol: String, embCol: String): DataFrame =
+    df.select(F.col(groupCol).as("grp"),
+        F.posexplode(F.col(embCol)).as(Seq("dim", "v")))
+      .groupBy("grp", "dim")
+      .agg(F.avg(F.col("v").cast("double")).as("centroid"))
+
   /** Inverse of [[quantizeEmbeddings]]: x̂_d = q_d·s_d/127. */
   def dequantizeEmbeddings(df: DataFrame, qCol: String, scales: Array[Double],
                            outCol: String = "embedding"): DataFrame =

@@ -191,6 +191,31 @@ object TextOps {
         F.col("token"), F.round(F.col("tfidf"), 6).as("tfidf_r"))
   }
 
+  /** Mean per-token unigram log-probability under the corpus's own
+    * unigram model — the cheap stand-in for the LM-perplexity quality
+    * filter (CCNet-style): documents whose tokens are corpus-typical
+    * score high, out-of-register junk scores low. Corpus frequencies
+    * aggregate in ONE token shuffle (vocabulary-sized state); the
+    * bounded target slice's tf table broadcasts to the frequency table
+    * the same way [[tfidfTopTerms]] joins — the vocabulary side never
+    * broadcasts. Empty documents produce no row.
+    *
+    * @return (id, n_tokens, mean_logprob) */
+  def unigramLogProb(corpus: DataFrame, slice: DataFrame,
+                     idCol: String, textCol: String): DataFrame = {
+    val freq = tokens(corpus, idCol, textCol)
+      .groupBy("token").agg(F.count(F.lit(1)).as("cnt"))
+    val totalTokens = freq.agg(F.sum("cnt")).head().getLong(0).toDouble
+    val tf = tokens(slice, idCol, textCol)
+      .groupBy("id", "token").agg(F.count(F.lit(1)).as("tf"))
+    freq.join(F.broadcast(tf), "token")
+      .groupBy("id")
+      .agg(F.sum("tf").cast("long").as("n_tokens"),
+        F.round(
+          F.sum(F.col("tf") * F.log(F.col("cnt").cast("double") / totalTokens))
+            / F.sum("tf"), 6).as("mean_logprob"))
+  }
+
   // --- normalization + PII masking (pre-training text hygiene) ---
 
   /** Conservative text normalization: lowercase, ASCII control chars to

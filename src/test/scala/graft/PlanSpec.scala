@@ -132,4 +132,47 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.dists.DistRegistry.defaultNames, None)
     assert(nParts >= 2 && nParts <= 2 * spark.sparkContext.defaultParallelism)
   }
+
+  test("chunking, repetition, split and quantize are shuffle-free projections") {
+    import org.apache.spark.sql.functions.col
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    for ((name, df) <- Seq(
+        "chunkDocuments" -> operators.TextOps.chunkDocuments(d, "doc_id", "text"),
+        "repetitionFeatures" -> operators.TextOps.repetitionFeatures(d, "text"),
+        "deterministicSplit" -> operators.Sampling.deterministicSplit(d, "doc_id"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"$name should be a per-row projection, found a shuffle:\n${plan.take(800)}")
+    }
+    // quantize: the per-row map is exchange-free once scales are known
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = operators.Similarity.quantizeEmbeddings(e, "embedding",
+      Array.fill(64)(1.0))
+    assert(!q.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("salted join partitions the exchange on (key, salt), dim replicates") {
+    import org.apache.spark.sql.functions.col
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_extendedprice")
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    // a dim small enough to broadcast still joins on (key, salt)...
+    val bPlan = operators.SkewJoin.saltedJoin(li, ord, Seq("l_orderkey"), 8)
+      .queryExecution.executedPlan.toString.replaceAll("\\s+", " ")
+    assert("Join \\[[^\\]]*__salt[^\\]]*\\]".r.findFirstIn(bPlan).isDefined,
+      s"salt missing from join keys: ${bPlan.take(800)}")
+    // ...and with broadcast off (the 100 TB case — the dim that needs
+    // salting doesn't fit in memory) every exchange carries the salt
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = operators.SkewJoin.saltedJoin(li, ord, Seq("l_orderkey"), 8)
+        .queryExecution.executedPlan.toString.replaceAll("\\s+", " ")
+      val parts = "hashpartitioning\\([^)]*\\)".r.findAllIn(plan).toSeq
+      assert(parts.nonEmpty, plan.take(800))
+      assert(parts.forall(_.contains("__salt")),
+        s"un-salted exchange found: ${parts.mkString("; ")}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }
