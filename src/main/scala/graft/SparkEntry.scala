@@ -28,7 +28,7 @@ object SparkEntry {
     // rejects even when pruned away (PARQUET_TYPE_ILLEGAL); read nanos as
     // plain longs — the fit only consumes `value`
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+    spark.read.parquet(s"$dir/{events}.parquet")
   }
 
   /** The driver's oracle comparator sorts result frames with pandas, which
@@ -745,6 +745,55 @@ object SparkEntry {
           F.round(F.col("last_purchase_value"), 6).as("last_purchase_value"))
         .orderBy("event_id")
     }),
+    "q_stream_hist" -> ((s, dir) => {
+      // Structured Streaming windowed histogram, hash-checked: the SAME
+      // operator that would tail a live ingest replays the bounded events
+      // source with Trigger.AvailableNow; the day-window bin counts are
+      // integer-exact, so the batch SQL oracle must match bit-for-bit.
+      // State per window is ≤ numBins rows at any throughput.
+      val schema = events(s, dir).schema
+      val src = s.readStream.schema(schema).parquet(s"$dir/{events}.parquet")
+        .withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
+      val hist = graft.streaming.StreamingOps.windowedHistogram(
+        src, "value", "event_ts", binStart = 0.0, binWidth = 50.0,
+        numBins = 10, window = "24 hours", watermark = "1 hour")
+      graft.streaming.StreamingOps.runToBatch(s, hist, "graft_stream_hist")
+        .select(F.unix_timestamp(F.col("window.start")).as("win_start"),
+          F.col("bin"), F.col("cnt"))
+        .orderBy("win_start", "bin")
+    }),
+    "q_stream_stats" -> ((s, dir) => {
+      // streaming per-day column statistics via the same availableNow
+      // replay — count exact, moments rounded like the batch q_stats
+      val schema = events(s, dir).schema
+      val src = s.readStream.schema(schema).parquet(s"$dir/{events}.parquet")
+        .withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
+      val stats = graft.streaming.StreamingOps.windowedStats(
+        src, "value", "event_ts", window = "24 hours", watermark = "1 hour")
+      graft.streaming.StreamingOps.runToBatch(s, stats, "graft_stream_stats")
+        .select(F.unix_timestamp(F.col("window.start")).as("win_start"),
+          F.col("cnt"), F.round(F.col("mean"), 6).as("mean_r"),
+          F.round(F.col("mn"), 2).as("mn"), F.round(F.col("mx"), 2).as("mx"),
+          F.round(F.col("std"), 4).as("std_r"))
+        .orderBy("win_start")
+    }),
+    "q_stream_drift" -> ((s, dir) => {
+      // per-window drift score against a fixed reference model (fit once
+      // offline, watch the stream walk away from it) — erf-based expected
+      // bin mass isn't SQL-replayable, so this is a rows-only check; the
+      // hist_counts state underneath is the hash-checked q_stream_hist path
+      val schema = events(s, dir).schema
+      val src = s.readStream.schema(schema).parquet(s"$dir/{events}.parquet")
+        .withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
+      val drift = graft.streaming.StreamingOps.windowedDriftScore(
+        src, "value", "event_ts", "expon", Array(0.0, 60.0),
+        binStart = 0.0, binWidth = 50.0, numBins = 10,
+        window = "24 hours", watermark = "1 hour")
+      graft.streaming.StreamingOps.runToBatch(s, drift, "graft_stream_drift")
+        .select(F.unix_timestamp(F.col("window.start")).as("win_start"),
+          F.col("n"), F.col("drift_sse"))
+        .orderBy("win_start")
+    }),
     "q_unigram_logprob" -> ((s, dir) =>
       // CCNet-style LM-quality stand-in, hash-checked: corpus-wide
       // unigram frequencies, per-doc mean token log-probability on a
@@ -1124,6 +1173,17 @@ object SparkEntry {
         |                WHERE event_type = 'purchase' GROUP BY 1, 2) r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY event_id""".stripMargin,
+    "q_stream_hist" ->
+      """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS win_start,
+        |  least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0), 9) AS bin,
+        |  count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_stats" ->
+      """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS win_start,
+        |  count(*) AS cnt, round(avg(value), 6) AS mean_r,
+        |  round(min(value), 2) AS mn, round(max(value), 2) AS mx,
+        |  round(stddev_pop(value), 4) AS std_r
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_unigram_logprob" ->
       """WITH tok AS (SELECT doc_id,
         |  unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')),

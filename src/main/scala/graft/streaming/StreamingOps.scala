@@ -166,4 +166,24 @@ object StreamingOps {
           s
       }
   }
+
+  /** Drive a streaming DataFrame over a bounded source to completion with
+    * `Trigger.AvailableNow` into an in-memory sink and return the final
+    * result as a batch DataFrame. This is the backfill entry point: the
+    * same streaming operator graph that runs 24/7 against a live source
+    * replays a historical directory to a terminal state, so batch and
+    * streaming answers can be compared bit-for-bit (the harness
+    * hash-checks the streaming aggregates against the batch SQL oracle
+    * through this). The memory sink holds only the AGGREGATED state
+    * (windows·bins rows), never the input. */
+  def runToBatch(spark: org.apache.spark.sql.SparkSession, streamDf: DataFrame,
+                 name: String, outputMode: String = "complete"): DataFrame = {
+    spark.catalog.dropTempView(name)
+    val q = streamDf.writeStream
+      .format("memory").queryName(name).outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
 }
