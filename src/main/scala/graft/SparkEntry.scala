@@ -801,6 +801,35 @@ object SparkEntry {
       TextOps.unigramLogProb(docs(s, dir),
           docs(s, dir).where(F.col("doc_id") < 100), "doc_id", "text")
         .orderBy("id")),
+    "q_decontaminate" -> ((s, dir) => {
+      // benchmark-overlap decontamination, hash-checked: every 50th
+      // document stands in as the held-out benchmark; its distinct 8-gram
+      // set broadcasts, so only matched (id, gram) pairs reach a shuffle
+      val d = docs(s, dir)
+      Decontam.contaminationReport(d, d.where(F.col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 8)
+        .orderBy("id")
+    }),
+    "q_pack_sequences" -> ((s, dir) => {
+      // concat-and-chunk packing at 1024 tokens/sequence, hash-checked:
+      // global token offsets come from the distributed prefix sum (no
+      // single-partition window anywhere in the plan)
+      val d = docs(s, dir).select(F.col("doc_id"),
+        TextOps.tokenCount(F.col("text")).cast("long").as("n_tokens"))
+      Packing.packSequences(d, "doc_id", "n_tokens", 1024L).orderBy("id")
+    }),
+    "q_domain_mix" -> ((s, dir) => {
+      // deterministic domain-mix resampling toward en30/de20/es20/fr15/zh15,
+      // hash-checked end-to-end: integer thresholds over md5 id-buckets
+      // make the surviving id SET engine-replayable, so per-domain counts
+      // AND id-sums must match exactly
+      val mixed = Sampling.domainMixSample(docs(s, dir), "lang", "doc_id",
+        Map("en" -> 30L, "de" -> 20L, "es" -> 20L, "fr" -> 15L, "zh" -> 15L),
+        buckets = 10000)
+      mixed.groupBy("lang")
+        .agg(F.count(F.lit(1)).as("n_docs"), F.sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    }),
     "q_repetition" -> ((s, dir) =>
       // Gopher-style repetition filters, hash-checked per doc: token
       // duplication ratio + top-bigram share + the filter flag, replayed
@@ -1197,6 +1226,48 @@ object SparkEntry {
         |        / CAST(sum(tf.tf) AS DOUBLE), 6) AS mean_logprob
         |FROM tf JOIN freq USING (token), tot
         |GROUP BY tf.doc_id ORDER BY id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH tok AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |    x -> x <> '') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(len(t) - 7),
+        |    i -> array_to_string(t[i+1:i+8], ' '))) AS gram
+        |  FROM tok WHERE len(t) >= 8),
+        |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+        |SELECT g.doc_id AS id, count(*) AS n_hits,
+        |  count(DISTINCT g.gram) AS n_uniq_grams
+        |FROM g JOIN bg USING (gram)
+        |GROUP BY g.doc_id ORDER BY id""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id AS id,
+        |  CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (SELECT id, n_tokens,
+        |  COALESCE(CAST(sum(n_tokens) OVER (ORDER BY id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |    0) AS "offset" FROM t)
+        |SELECT id, n_tokens, "offset",
+        |  "offset" // 1024 AS first_seq,
+        |  CASE WHEN n_tokens = 0 THEN "offset" // 1024
+        |       ELSE ("offset" + n_tokens - 1) // 1024 END AS last_seq,
+        |  CASE WHEN n_tokens = 0 THEN "offset" // 1024
+        |       ELSE ("offset" + n_tokens - 1) // 1024 END
+        |    - "offset" // 1024 + 1 AS n_seqs
+        |FROM o ORDER BY id""".stripMargin,
+    "q_domain_mix" ->
+      """WITH w AS (SELECT 'en' AS lang, 30 AS p UNION ALL
+        |  SELECT 'de', 20 UNION ALL SELECT 'es', 20 UNION ALL
+        |  SELECT 'fr', 15 UNION ALL SELECT 'zh', 15),
+        |n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |k AS (SELECT min(n.n // w.p) AS kk FROM n JOIN w USING (lang)),
+        |t AS (SELECT w.lang, (w.p * k.kk * 10000) // n.n AS thr
+        |      FROM w JOIN n USING (lang) CROSS JOIN k),
+        |b AS (SELECT doc_id, lang,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    % 10000 AS bucket FROM documents)
+        |SELECT b.lang, count(*) AS n_docs, CAST(sum(b.doc_id) AS BIGINT) AS id_sum
+        |FROM b JOIN t ON b.lang = t.lang WHERE b.bucket < t.thr
+        |GROUP BY b.lang ORDER BY b.lang""".stripMargin,
     "q_repetition" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/** Benchmark decontamination: find (and drop) training documents that
+  * share token n-grams with an evaluation/benchmark set, the standard
+  * n-gram-overlap hygiene step before LLM pretraining.
+  *
+  * Scale design (the asymmetry is the whole trick): benchmark suites are
+  * megabytes while the corpus is terabytes, so the benchmark's distinct
+  * n-gram set is built once and BROADCAST — corpus n-grams are generated
+  * per-row by codegen'd array expressions, filtered against the broadcast
+  * hash relation where the document lives, and only the surviving
+  * (id, gram) matches — a near-empty set on clean data — ever reach a
+  * shuffle. No corpus-sized exchange exists in the plan at any SF.
+  */
+object Decontam {
+
+  /** Lowercased whitespace-token n-grams of a text column as an array
+    * expression (pure Catalyst — stays inside whole-stage codegen).
+    * Documents shorter than `n` tokens contribute no n-grams. */
+  def gramsCol(textCol: Column, n: Int): Column = {
+    val toks = F.filter(
+      F.split(F.lower(F.coalesce(textCol, F.lit(""))), "\\s+"), t => t =!= "")
+    F.when(F.size(toks) >= n,
+      F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+        i => F.array_join(F.slice(toks, i + F.lit(1), F.lit(n)), " ")))
+      .otherwise(F.array().cast("array<string>"))
+  }
+
+  /** Per-document contamination report: corpus documents sharing at least
+    * one token n-gram with any benchmark document, with total and
+    * distinct matched-gram counts. Clean documents produce no row.
+    *
+    * @return (id, n_hits, n_uniq_grams) */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int = 8): DataFrame = {
+    val benchGrams = benchmark
+      .select(F.explode(gramsCol(F.col(textCol), n)).as("gram"))
+      .distinct()
+    corpus
+      .select(F.col(idCol).as("id"),
+        F.explode(gramsCol(F.col(textCol), n)).as("gram"))
+      .join(F.broadcast(benchGrams), "gram")
+      .groupBy("id")
+      .agg(F.count(F.lit(1)).as("n_hits"),
+        F.count_distinct(F.col("gram")).as("n_uniq_grams"))
+  }
+
+  /** Corpus rows that survive decontamination: no token n-gram shared
+    * with the benchmark set. The broadcast filter runs map-side; the
+    * left-anti join shuffles only the contaminated id list. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val dirty = contaminationReport(corpus, benchmark, idCol, textCol, n)
+      .select(F.col("id").as(idCol))
+    corpus.join(F.broadcast(dirty), Seq(idCol), "left_anti")
+  }
+}

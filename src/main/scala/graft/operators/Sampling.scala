@@ -192,13 +192,53 @@ object Sampling {
     val bounds = weights.map(_._2 / total)
       .scanLeft(0.0)(_ + _).tail.map(c => math.round(c * buckets))
       .updated(weights.length - 1, buckets.toLong)
-    val bucket = F.conv(F.substring(
-        F.md5(F.col(keyCol).cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("long") % buckets
+    val bucket = md5Bucket(F.col(keyCol), buckets)
     val split = weights.zip(bounds).reverse
       .foldLeft(F.lit(weights.last._1)) { case (acc, ((name, _), hi)) =>
         F.when(F.col(bucketCol) < hi, F.lit(name)).otherwise(acc)
       }
     df.withColumn(bucketCol, bucket).withColumn(splitCol, split)
+  }
+
+  /** First 32 bits of md5(key) mod `buckets` — the engine's deterministic
+    * per-row sampling coordinate (codegen'd, engine-replayable). */
+  def md5Bucket(keyCol: org.apache.spark.sql.Column, buckets: Int): org.apache.spark.sql.Column =
+    F.conv(F.substring(
+        F.md5(keyCol.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Deterministic domain-mix resampling: downsample each domain so the
+    * surviving corpus approximates target proportions `parts` (integer
+    * ratio parts, e.g. en→30, de→20 …), keyed by the md5 bucket of the
+    * id — reproducible across runs, partition layouts, and engines, with
+    * no RNG state.
+    *
+    * All threshold math is INTEGER: with n_g rows in domain g and
+    * K = min_g(n_g / parts_g), the kept fraction is parts_g·K / n_g,
+    * enforced as bucket < (parts_g·K·buckets) / n_g. The only driver
+    * traffic is the per-domain count (one tiny agg); the filter itself is
+    * a map-side codegen'd projection — no corpus shuffle at any scale.
+    * Domains absent from `parts` are dropped.
+    *
+    * @return input rows surviving the mix filter */
+  def domainMixSample(df: DataFrame, domainCol: String, idCol: String,
+                      parts: Map[String, Long],
+                      buckets: Int = 10000): DataFrame = {
+    require(parts.nonEmpty && parts.values.forall(_ > 0), "parts must be positive")
+    val counts: Map[String, Long] = df
+      .groupBy(domainCol).agg(F.count(F.lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = parts.filter { case (g, _) => counts.getOrElse(g, 0L) > 0L }
+    if (present.isEmpty) return df.limit(0)
+    val k = present.map { case (g, p) => counts(g) / p }.min
+    // BigInt guards p*K*buckets against Long overflow at extreme corpus sizes
+    val thr: Map[String, Long] = present.map { case (g, p) =>
+      g -> ((BigInt(p) * k * buckets) / counts(g)).toLong
+    }
+    val bucket = md5Bucket(F.col(idCol), buckets)
+    val thrCol = thr.foldLeft(F.lit(-1L)) { case (acc, (g, t)) =>
+      F.when(F.col(domainCol) === g, F.lit(t)).otherwise(acc)
+    }
+    df.where(bucket < thrCol)
   }
 }

@@ -601,6 +601,67 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == out.where(F.col("id") === 3).head().getSeq[Float](5))
   }
 
+  test("decontamination: shared n-grams flagged, clean docs survive") {
+    val bench = docsDf(Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight")))
+    val corpus = docsDf(Seq(
+      (1L, "prefix words the quick brown fox jumps over the lazy dog tonight and more"),
+      (2L, "totally unrelated content about spark catalyst optimizer internals here"),
+      (3L, "the quick brown fox jumps over the lazy dog tonight")))
+    val rep = Decontam.contaminationReport(corpus, bench, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rep.contains(1L) && rep.contains(3L) && !rep.contains(2L))
+    // doc 3 is the benchmark text verbatim: 10 tokens -> 3 distinct 8-grams
+    assert(rep(3L) == 3L)
+    val clean = Decontam.decontaminate(corpus, bench, "doc_id", "text", n = 8)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(clean.sameElements(Array(2L)))
+    // short docs (< n tokens) contribute nothing and never match
+    val short = docsDf(Seq((9L, "too short")))
+    assert(Decontam.contaminationReport(short, bench, "doc_id", "text", 8).count() == 0)
+  }
+
+  test("sequence packing: offsets are exact prefix sums, spans correct") {
+    import spark.implicits._
+    val df = Seq((1L, 500L), (2L, 600L), (3L, 0L), (4L, 2048L), (5L, 1L))
+      .toDF("doc_id", "n_tokens").repartition(3)
+    val out = Packing.packSequences(df, "doc_id", "n_tokens", 1024L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out(0) == ((1L, 0L, 0L, 0L, 1L)))       // [0,500)
+    assert(out(1) == ((2L, 500L, 0L, 1L, 2L)))     // [500,1100) spans seq 0-1
+    assert(out(2) == ((3L, 1100L, 1L, 1L, 1L)))    // empty doc: first==last
+    assert(out(3) == ((4L, 1100L, 1L, 3L, 3L)))    // [1100,3148) spans 1-3
+    assert(out(4) == ((5L, 3148L, 3L, 3L, 1L)))
+    // no single-partition exchange in the plan (prefix sum is distributed)
+    val plan = Packing.packSequences(df, "doc_id", "n_tokens", 1024L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan.take(500))
+  }
+
+  test("domain mix: integer thresholds hit target ratios, deterministic") {
+    import spark.implicits._
+    val rows = (0L until 400L).map(i => (i, if (i % 4 == 0) "big" else "small"))
+    val df = rows.toDF("doc_id", "lang") // big=100, small=300
+    val parts = Map("big" -> 1L, "small" -> 1L) // want 1:1 from a 1:3 corpus
+    val out = Sampling.domainMixSample(df, "lang", "doc_id", parts, buckets = 10000)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // K = min(100/1, 300/1) = 100 -> big keeps all (thr=buckets), small ~1/3
+    assert(byLang("big") == 100L)
+    assert(byLang("small") > 60L && byLang("small") < 140L,
+      s"small kept ${byLang("small")}, expected ~100")
+    // deterministic: same input -> identical surviving id set
+    val again = Sampling.domainMixSample(df, "lang", "doc_id", parts, buckets = 10000)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(again.sameElements(out.select("doc_id").collect().map(_.getLong(0)).sorted))
+    // domains missing from parts are dropped entirely
+    val dropped = Sampling.domainMixSample(df, "lang", "doc_id",
+      Map("big" -> 1L), buckets = 10000)
+    assert(dropped.select("lang").distinct().collect().map(_.getString(0))
+      .sameElements(Array("big")))
+  }
+
   test("harness doc/embedding queries return rows on sf0.001") {
     val dir = "/root/testdata/sf0.001"
     for (name <- Seq("q_doc_tokens", "q_doc_quality", "q_dedup_exact",
