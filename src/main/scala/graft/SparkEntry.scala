@@ -801,6 +801,17 @@ object SparkEntry {
       TextOps.unigramLogProb(docs(s, dir),
           docs(s, dir).where(F.col("doc_id") < 100), "doc_id", "text")
         .orderBy("id")),
+    "q_props_json" -> ((s, dir) =>
+      // semi-structured sidecar parse, hash-checked: the JSON property
+      // extracts with codegen'd get_json_object inside the scan
+      // projection (no UDF); only per-type partial aggregates shuffle
+      events(s, dir)
+        .select(F.col("event_type"),
+          F.get_json_object(F.col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).as("n"), F.sum("k").as("k_sum"),
+          F.min("k").as("k_min"), F.max("k").as("k_max"))
+        .orderBy("event_type")),
     "q_decontaminate" -> ((s, dir) => {
       // benchmark-overlap decontamination, hash-checked: every 50th
       // document stands in as the held-out benchmark; its distinct 8-gram
@@ -1226,6 +1237,12 @@ object SparkEntry {
         |        / CAST(sum(tf.tf) AS DOUBLE), 6) AS mean_logprob
         |FROM tf JOIN freq USING (token), tot
         |GROUP BY tf.doc_id ORDER BY id""".stripMargin,
+    "q_props_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_decontaminate" ->
       """WITH tok AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
