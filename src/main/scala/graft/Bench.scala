@@ -118,9 +118,45 @@ object Bench {
         s""","scale_check":{"sf_big":"$sfDir","sf_small":"$sf2","fit_queries":${entries.mkString("{", ",", "}")}}"""
       }
 
+    // distribution-count scaling sweep, mirroring the reference's
+    // 5/20/50/90-dist benchmark curve (docs/_static/benchmark_summary.md:
+    // 28-34): fit ONE column with growing candidate lists, cold memo per
+    // point. The contract is cost ≈ O(D) — flat per-distribution time —
+    // because the fan-out is a Dataset[distName].map over a broadcast
+    // context; a superlinear curve would mean per-fit data work leaked in.
+    val distJson =
+      if (only.nonEmpty || sys.env.getOrElse("SPARK_GRAFT_DISTCHECK", "1") != "1") ""
+      else {
+        val names = graft.dists.DistRegistry.defaultNames.sorted
+        val sizes = Seq(5, 20, 50, names.length).distinct.filter(_ <= names.length)
+        val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        val cfg = operators.FitConfig()
+        val pts = sizes.flatMap { k =>
+          val list = names.take(k)
+          def once(): Option[Double] = {
+            val t0 = System.nanoTime()
+            try {
+              val r = operators.Fitter.fit(spark, df, Seq("l_extendedprice"),
+                Some(list), cfg)
+              r.df.count()
+              r.unpersist()
+              Some((System.nanoTime() - t0) / 1e9)
+            } catch { case e: Throwable =>
+              System.err.println(s"DIST CHECK FAILED @ $k dists -> $e"); None }
+          }
+          once() // warm (JIT for the subset's kernels), discarded
+          once().map { t =>
+            System.err.println(f"DIST CHECK $k%3d dists  $t%6.2f s")
+            s""""$k":$t"""
+          }
+        }
+        if (pts.isEmpty) ""
+        else s""","dist_scaling":{"column":"l_extendedprice","points":${pts.mkString("{", ",", "}")}}"""
+      }
+
     // exact round-1 schema — the driver's parser accepted this shape;
-    // scale_check rides as an extra trailing key
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaleJson}""")
+    // scale_check + dist_scaling ride as extra trailing keys
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaleJson$distJson}""")
     spark.stop()
   }
 
