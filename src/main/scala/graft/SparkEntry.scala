@@ -571,6 +571,18 @@ object SparkEntry {
           F.coalesce(F.col("component"), F.col("doc_id")).as("component"))
         .orderBy("doc_id")
     }),
+    "q_dedup_incremental" -> ((s, dir) => {
+      // ingest-time dedup against a persisted signature index: docs < 400
+      // are "yesterday's corpus" (signatures computed once, text never
+      // re-read), the rest arrive as the new batch; only (new, old)
+      // candidates are generated and verified — no old-old work
+      val d = docs(s, dir)
+      val index = Dedup.minhashSignatures(
+        d.where(F.col("doc_id") < 400), "doc_id", "text")
+      Dedup.minhashPairsAgainst(index, d.where(F.col("doc_id") >= 400),
+          "doc_id", "text")
+        .orderBy("new_id", "old_id")
+    }),
     "q_dedup_simhash" -> ((s, dir) =>
       // maxHamming=3 → 4×16-bit chunks, the classic configuration; larger
       // budgets shrink chunks into a tiny keyspace and the banded join

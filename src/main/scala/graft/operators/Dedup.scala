@@ -117,28 +117,15 @@ object Dedup {
                    threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val sigUdf = F.udf((t: String) => minhashSignature(t, numHashes, 3))
     // signatures feed the band explode AND both verification joins —
     // cache so the text is hashed exactly once
-    val sigs = df.select(F.col(idCol).cast("long").as("id"),
-      sigUdf(F.col(textCol)).as("sig")).cache()
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, 3).cache()
 
-    // band keys: hash of each signature slice — small (band, key) shuffle
-    val bandKey = F.udf((sig: Seq[Long], band: Int) => {
-      var h = 0xcbf29ce484222325L ^ band.toLong
-      var i = band * rows
-      while (i < (band + 1) * rows) { h = mix64(h ^ sig(i)); i += 1 }
-      h
-    })
     // bands carry ONLY (id, band, bkey) — the 128-slot signatures stay
     // out of the band shuffle (at 5K docs that is already a ~160 MB
     // saving; at 100 TB it is the difference between shuffling ids and
     // shuffling the corpus)
-    val banded = sigs.select(
-      F.col("id"),
-      F.explode(F.array((0 until bands).map(b =>
-        F.struct(F.lit(b).as("band"), bandKey(F.col("sig"), F.lit(b)).as("bkey"))): _*)).as("bk"))
-      .select(F.col("id"), F.col("bk.band"), F.col("bk.bkey"))
+    val banded = bandedOf(sigs, bands, rows)
 
     // candidate id pairs from co-bucketed docs; cap degenerate buckets
     val buckets = banded.groupBy("band", "bkey")
@@ -171,6 +158,72 @@ object Dedup {
     // DataFrame, instead of leaking one pinned relation per call.
     val pinned = pairs.localCheckpoint(true)
     sigs.unpersist(blocking = false)
+    pinned
+  }
+
+  /** Persistable MinHash dedup index: one (id, sig) row per document.
+    * Band keys derive from the signature map-side (a few integer mixes
+    * per band), so the index carries no banding state and any
+    * bands/rows configuration can query it later. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 128, shingleSize: Int = 3): DataFrame = {
+    val sigUdf = F.udf((t: String) => minhashSignature(t, numHashes, shingleSize))
+    df.select(F.col(idCol).cast("long").as("id"), sigUdf(F.col(textCol)).as("sig"))
+  }
+
+  /** (id, band, bkey) band table derived map-side from signatures. */
+  private def bandedOf(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val bandKey = F.udf((sig: Seq[Long], band: Int) => {
+      var h = 0xcbf29ce484222325L ^ band.toLong
+      var i = band * rows
+      while (i < (band + 1) * rows) { h = mix64(h ^ sig(i)); i += 1 }
+      h
+    })
+    sigs.select(
+      F.col("id"),
+      F.explode(F.array((0 until bands).map(b =>
+        F.struct(F.lit(b).as("band"), bandKey(F.col("sig"), F.lit(b)).as("bkey"))): _*)).as("bk"))
+      .select(F.col("id"), F.col("bk.band"), F.col("bk.bkey"))
+  }
+
+  /** Incremental near-dup detection: (new, old) candidate pairs between a
+    * NEW document batch and an EXISTING signature index — the ingest-time
+    * shape of dedup at corpus scale. Old text is never re-read or
+    * re-hashed: the index is the (id, sig) table from
+    * [[minhashSignatures]] (typically a parquet table maintained across
+    * batches), bands derive map-side on both sides, the join shuffles
+    * (id, band, bkey) only, and old-old pairs are never generated or
+    * verified. Degenerate index buckets are capped like the batch path.
+    *
+    * @return (new_id, old_id, est_jaccard) */
+  def minhashPairsAgainst(index: DataFrame, newDocs: DataFrame,
+                          idCol: String, textCol: String,
+                          numHashes: Int = 128, bands: Int = 32,
+                          threshold: Double = 0.7,
+                          maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val newSigs = minhashSignatures(newDocs, idCol, textCol, numHashes, 3).cache()
+    val oldBanded = bandedOf(index, bands, rows)
+    val okBuckets = oldBanded.groupBy("band", "bkey")
+      .agg(F.count(F.lit(1)).as("__n"))
+      .where(F.col("__n") <= maxBucket).drop("__n")
+    val candidates = bandedOf(newSigs, bands, rows)
+      .select(F.col("id").as("new_id"), F.col("band"), F.col("bkey"))
+      .join(oldBanded.join(okBuckets, Seq("band", "bkey"), "left_semi")
+        .select(F.col("id").as("old_id"), F.col("band"), F.col("bkey")),
+        Seq("band", "bkey"))
+      .where(F.col("new_id") =!= F.col("old_id"))
+      .select("new_id", "old_id").dropDuplicates("new_id", "old_id")
+    val estUdf = F.udf((a: Seq[Long], b: Seq[Long]) => estJaccard(a, b))
+    val pairs = candidates
+      .join(newSigs.select(F.col("id").as("new_id"), F.col("sig").as("sig_n")), "new_id")
+      .join(index.select(F.col("id").as("old_id"), F.col("sig").as("sig_o")), "old_id")
+      .select(F.col("new_id"), F.col("old_id"),
+        F.round(estUdf(F.col("sig_n"), F.col("sig_o")), 6).as("est_jaccard"))
+      .where(F.col("est_jaccard") >= threshold)
+    val pinned = pairs.localCheckpoint(true)
+    newSigs.unpersist(blocking = false)
     pinned
   }
 

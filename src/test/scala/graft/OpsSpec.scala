@@ -601,6 +601,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == out.where(F.col("id") === 3).head().getSeq[Float](5))
   }
 
+  test("incremental minhash equals the batch cross-pairs, no old-old work") {
+    val base = "spark catalyst optimizer rewrites logical plans with rule batches"
+    val all = docsDf(Seq(
+      (0L, base), (1L, base + " fixedpoint"), // old near-dups of each other
+      (2L, "completely different text about parquet column chunk statistics pages"),
+      (10L, base + " until convergence"),     // new: near-dup of 0 and 1
+      (11L, "unrelated fresh document mentioning shuffle partitions and skew handling")))
+    val old = all.where(F.col("doc_id") < 10)
+    val fresh = all.where(F.col("doc_id") >= 10)
+    val index = Dedup.minhashSignatures(old, "doc_id", "text")
+    val incr = Dedup.minhashPairsAgainst(index, fresh, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // only new-vs-old pairs, never old-old (0,1) and never new-new
+    assert(incr.forall { case (n, o, _) => n >= 10 && o < 10 })
+    val batchCross = Dedup.minhashPairs(all, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a < 10 && b >= 10 }
+      .map { case (a, b, j) => (b, a, j) }
+    assert(incr.sorted.sameElements(batchCross.sorted),
+      s"incr=${incr.toSeq} batch=${batchCross.toSeq}")
+    assert(incr.exists { case (n, o, _) => n == 10L && o == 0L })
+  }
+
   test("decontamination: shared n-grams flagged, clean docs survive") {
     val bench = docsDf(Seq(
       (100L, "the quick brown fox jumps over the lazy dog tonight")))
