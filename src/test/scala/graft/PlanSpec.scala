@@ -133,6 +133,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nParts >= 2 && nParts <= 2 * spark.sparkContext.defaultParallelism)
   }
 
+  test("decontamination joins the corpus grams by broadcast, never by shuffle") {
+    import org.apache.spark.sql.functions.col
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = operators.Decontam.contaminationReport(
+        d, d.where(col("doc_id") % 50 === 0), "doc_id", "text", n = 8)
+      .queryExecution.executedPlan.toString
+    // the benchmark gram set broadcasts; the corpus-gram stream must hit
+    // it map-side — a SortMergeJoin here would shuffle every corpus gram
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+  }
+
   test("chunking, repetition, split and quantize are shuffle-free projections") {
     import org.apache.spark.sql.functions.col
     val d = spark.read.parquet(s"$dir/documents.parquet")
