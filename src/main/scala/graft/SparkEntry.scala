@@ -209,6 +209,20 @@ object SparkEntry {
     "fit_lazy" -> ((s, dir) =>
       fitOut(cachedFit(s, dir, Seq("l_extendedprice"),
         cfg = FitConfig(lazyMetrics = true)).best(5, "aic"))),
+    "fit_doc_len_closed_form" -> ((s, dir) =>
+      // the fitter is corpus-agnostic: the same closed-form norm pipeline
+      // hash-checked on a SECOND table (documents.n_chars, full column) —
+      // the document-length prior a packing/chunking policy consumes
+      memoFit(s"$dir|doclen|cf")(Fitter.fit(s,
+          docs(s, dir).select(F.col("n_chars").cast("double").as("len")),
+          Seq("len"), Some(Seq("norm")),
+          FitConfig(fittingSampleSize = 2000000)))
+        .successful
+        .select(F.col("distribution"),
+          F.round(F.element_at(F.col("parameters"), 1), 4).as("p_loc"),
+          F.round(F.element_at(F.col("parameters"), 2), 4).as("p_scale"),
+          F.round(F.col("aic"), 2).as("aic_r"))
+        .orderBy("distribution")),
     "fit_censored" -> ((s, dir) => {
       // M3: right-censored MLE over the events stream table — values above
       // the censor point are observed-as-at-least (event = false)
@@ -612,6 +626,18 @@ object SparkEntry {
       val q = emb(s, dir).where(F.col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).toArray
       Similarity.lshTopK(emb(s, dir), "embedding", "vec_id", q, 10, nPlanes = 8)
+    }),
+    "q_ann_pq" -> ((s, dir) => {
+      // product-quantized ANN serving: codebooks train on a bounded
+      // sample, codes are m bytes per vector (32x smaller than the
+      // floats), and the query scores by ADC table lookups — rows-only
+      // (k-means), with the exact re-rank left to q_ann_bruteforce
+      val e = emb(s, dir)
+      val cb = Similarity.pqTrain(e, "embedding", m = 8, k = 16)
+      val codes = Similarity.pqEncode(e, "embedding", cb)
+      val q = e.where(F.col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      Similarity.pqTopK(codes, "pq_code", "vec_id", q, cb, 10)
     }),
     "q_embedding_centroids" -> ((s, dir) => {
       // per-language embedding centroids, hash-checked: embeddings join
@@ -1721,6 +1747,16 @@ object SparkEntry {
         |UNION ALL SELECT 'uniform', round(mn, 4), round(mx - mn, 4),
         |  round(4 - 2 * ll_unif, 2), round(d_unif, 6) FROM s, ll, ks
         |ORDER BY 1""".stripMargin,
+    "fit_doc_len_closed_form" ->
+      """WITH s AS (SELECT avg(CAST(n_chars AS DOUBLE)) AS m,
+        |  stddev_pop(CAST(n_chars AS DOUBLE)) AS sd, count(*) AS n
+        |  FROM documents),
+        |ll AS (SELECT sum(-0.5 * pow((CAST(d.n_chars AS DOUBLE) - s.m) / s.sd, 2))
+        |    - s.n * ln(s.sd) - s.n * 0.5 * ln(2 * pi()) AS ll_norm
+        |  FROM documents d, s GROUP BY s.n, s.sd)
+        |SELECT 'norm' AS distribution, round(m, 4) AS p_loc,
+        |  round(sd, 4) AS p_scale, round(4 - 2 * ll_norm, 2) AS aic_r
+        |FROM s, ll""".stripMargin,
     "fit_serde_closed_form" ->
       """WITH s AS (SELECT avg(l_extendedprice) AS m, min(l_extendedprice) AS mn,
         |  max(l_extendedprice) AS mx, stddev_pop(l_extendedprice) AS sd,

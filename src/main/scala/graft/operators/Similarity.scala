@@ -230,6 +230,102 @@ object Similarity {
       .limit(k)
   }
 
+  // ---- product quantization (PQ) ----
+
+  /** PQ codebooks: `m` contiguous subspaces of `dSub` dims, each with `k`
+    * Lloyd's centers. m·k·dSub doubles total — kilobytes at any corpus
+    * size, broadcast whole. */
+  final case class PqCodebooks(m: Int, k: Int, dSub: Int,
+                               centroids: Array[Array[Array[Double]]])
+
+  /** Train PQ codebooks on a bounded driver sample (the FAISS
+    * discipline — quantizer quality saturates long before trainCap).
+    * Compression after [[pqEncode]] is d·4 bytes → m bytes per vector
+    * (32× at d=64, m=8): the serving-tier representation that keeps a
+    * trillion-vector corpus scannable. */
+  def pqTrain(df: DataFrame, embCol: String, m: Int = 8, k: Int = 16,
+              trainCap: Int = 10000, seed: Long = 42L): PqCodebooks = {
+    require(m > 0 && k > 1, "need m >= 1 subspaces and k >= 2 centers")
+    val n = df.count()
+    val trainFrac = math.min(1.0, trainCap.toDouble * 1.2 / math.max(n, 1L))
+    val train = df.select(embCol)
+      .sample(withReplacement = false, trainFrac, seed).limit(trainCap)
+      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(train.nonEmpty, "empty training sample")
+    val d = train.head.length
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val dSub = d / m
+    val kk = math.min(k, train.length)
+    val cbs = Array.tabulate(m) { sub =>
+      val slice = train.map(v =>
+        java.util.Arrays.copyOfRange(v, sub * dSub, (sub + 1) * dSub))
+      lloyd(slice, kk, iters = 8, seed = seed + sub)
+    }
+    PqCodebooks(m, kk, dSub, cbs)
+  }
+
+  /** Distributed PQ encoding: per row, argmin centroid per subspace
+    * against the broadcast codebooks — a pure map, no shuffle. */
+  def pqEncode(df: DataFrame, embCol: String, cb: PqCodebooks,
+               codeCol: String = "pq_code"): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(cb)
+    val enc = F.udf((v: Seq[Float]) => {
+      val c = bc.value
+      val out = new Array[Short](c.m)
+      var sub = 0
+      while (sub < c.m) {
+        val base = sub * c.dSub
+        val ctrs = c.centroids(sub)
+        var best = 0; var bestD = Double.MaxValue
+        var ci = 0
+        while (ci < ctrs.length) {
+          val ctr = ctrs(ci)
+          var dAcc = 0.0; var j = 0
+          while (j < c.dSub) {
+            val t = v(base + j).toDouble - ctr(j); dAcc += t * t; j += 1
+          }
+          if (dAcc < bestD) { bestD = dAcc; best = ci }
+          ci += 1
+        }
+        out(sub) = best.toShort
+        sub += 1
+      }
+      out
+    })
+    df.withColumn(codeCol, enc(F.col(embCol)))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: ONE m·k lookup table
+    * of query-to-centroid squared distances is built on the driver and
+    * broadcast; each row scores with m table lookups — no per-row vector
+    * arithmetic, the cheap serving path over the m-byte codes. Exact
+    * re-ranking of the short list (against the full vectors) is the
+    * caller's follow-up where recall matters. */
+  def pqTopK(encoded: DataFrame, codeCol: String, idCol: String,
+             query: Array[Float], cb: PqCodebooks, k: Int): DataFrame = {
+    val lut: Array[Array[Double]] = Array.tabulate(cb.m) { sub =>
+      val base = sub * cb.dSub
+      cb.centroids(sub).map { ctr =>
+        var dAcc = 0.0; var j = 0
+        while (j < cb.dSub) {
+          val t = query(base + j).toDouble - ctr(j); dAcc += t * t; j += 1
+        }
+        dAcc
+      }
+    }
+    val bc = encoded.sparkSession.sparkContext.broadcast(lut)
+    val score = F.udf((code: Seq[Short]) => {
+      val t = bc.value
+      var s = 0.0; var i = 0
+      while (i < code.length) { s += t(i)(code(i)); i += 1 }
+      s
+    })
+    encoded.select(F.col(idCol),
+        F.round(score(F.col(codeCol)), 6).as("pq_dist"))
+      .orderBy(F.col("pq_dist").asc, F.col(idCol).asc)
+      .limit(k)
+  }
+
   /** Per-dimension |max| scales for symmetric int8 quantization. The
     * posexplode aggregation is map-side combined, so the shuffle carries
     * dims·partitions rows, not rows·dims — one cheap pass at any corpus

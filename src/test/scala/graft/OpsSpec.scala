@@ -337,6 +337,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nd.count() > 0)
   }
 
+  test("PQ: codes compress 32x, ADC top-k finds the query's cluster") {
+    import spark.implicits._
+    val rng = new java.util.Random(7L)
+    // two well-separated clusters in 16 dims
+    def vec(center: Float) = Array.fill(16)(center + rng.nextFloat() * 0.1f)
+    val rows = (0L until 40L).map(i =>
+      (i, vec(if (i < 20) 1.0f else -1.0f).toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+      .select(F.col("vec_id"), F.col("embedding").cast("array<float>"))
+    val cb = Similarity.pqTrain(df, "embedding", m = 4, k = 4, seed = 1L)
+    assert(cb.m == 4 && cb.dSub == 4)
+    val codes = Similarity.pqEncode(df, "embedding", cb)
+    // m shorts per row — the 32x-class compression vs 16 floats
+    assert(codes.select("pq_code").head().getSeq[Short](0).length == 4)
+    // encoding is deterministic
+    val c1 = codes.orderBy("vec_id").select("pq_code").collect().map(_.getSeq[Short](0))
+    val c2 = Similarity.pqEncode(df, "embedding", cb)
+      .orderBy("vec_id").select("pq_code").collect().map(_.getSeq[Short](0))
+    assert(c1.zip(c2).forall { case (a, b) => a == b })
+    // a query at cluster A's center must retrieve only cluster A members
+    val q = Array.fill(16)(1.05f)
+    val top = Similarity.pqTopK(codes, "pq_code", "vec_id", q, cb, 10)
+      .collect().map(_.getLong(0))
+    assert(top.length == 10 && top.forall(_ < 20L), top.mkString(","))
+  }
+
   test("int8 quantization: bounded per-dim error, cosine structure preserved") {
     import spark.implicits._
     val rng = new java.util.Random(3L)
