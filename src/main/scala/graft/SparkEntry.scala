@@ -476,6 +476,18 @@ object SparkEntry {
         .select(F.col("distribution"), F.round(F.col("aic"), 2).as("aic_r"))),
     "fit_quality_report" -> ((s, dir) =>
       cachedFit(s, dir, Seq("l_extendedprice", "l_discount")).qualityReport("aic")),
+    "fit_quality_report_closed_form" -> ((s, dir) =>
+      // A9's quality-report aggregate on the closed-form CDF families:
+      // counts, the conjunctive acceptability (KS leg exact in SQL, p
+      // leg via the asymptotic Kolmogorov series — decisions sit far
+      // from the 0.05 boundary), and best-by-AIC are all SQL-decidable
+      cachedFit(s, dir, Seq("l_extendedprice"),
+        dists = Some(Seq("expon", "uniform")),
+        cfg = FitConfig(fittingSampleSize = 2000000))
+        .qualityReport("aic")
+        .select(F.col("column_name"), F.col("n_fits"), F.col("n_successful"),
+          F.col("n_acceptable"), F.col("best_distribution"),
+          F.round(F.col("best_metric_value"), 2).as("best_aic_r"))),
 
     // ---- relational/statistical core (oracle-checked; A2-A10, F5, F6) ----
     "q_stats" -> ((s, dir) => {
@@ -2005,6 +2017,41 @@ object SparkEntry {
         |SELECT CAST(CASE WHEN d_expon <= 0.05 THEN 1 ELSE 0 END
         |          + CASE WHEN d_unif  <= 0.05 THEN 1 ELSE 0 END AS BIGINT)
         |  AS n_acceptable FROM ks""".stripMargin,
+    "fit_quality_report_closed_form" ->
+      """WITH s AS (SELECT avg(l_extendedprice) AS m, min(l_extendedprice) AS mn,
+        |  max(l_extendedprice) AS mx, count(l_extendedprice) AS n FROM lineitem),
+        |ll AS (SELECT
+        |  sum(-(l.l_extendedprice - s.mn) / (s.m - s.mn))
+        |    - s.n * ln(s.m - s.mn) AS ll_expon,
+        |  -s.n * ln(s.mx - s.mn) AS ll_unif
+        |  FROM lineitem l, s GROUP BY s.n, s.m, s.mn, s.mx),
+        |ranked AS (SELECT l_extendedprice AS x,
+        |  CAST(row_number() OVER (ORDER BY l_extendedprice) AS DOUBLE) AS rn
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |ks AS (SELECT
+        |  max(greatest(rn / s.n - (1.0 - exp(-(r.x - s.mn) / (s.m - s.mn))),
+        |               (1.0 - exp(-(r.x - s.mn) / (s.m - s.mn))) - (rn - 1.0) / s.n))
+        |    AS d_expon,
+        |  max(greatest(rn / s.n - (r.x - s.mn) / (s.mx - s.mn),
+        |               (r.x - s.mn) / (s.mx - s.mn) - (rn - 1.0) / s.n)) AS d_unif,
+        |  max(s.n) AS nn FROM ranked r, s GROUP BY s.n, s.m, s.mn, s.mx)
+        |SELECT 'l_extendedprice' AS column_name, CAST(2 AS BIGINT) AS n_fits,
+        |  CAST(2 AS BIGINT) AS n_successful,
+        |  CAST((CASE WHEN d_expon <= 0.1 AND
+        |          2 * (exp(-2 * nn * d_expon * d_expon)
+        |             - exp(-8 * nn * d_expon * d_expon)
+        |             + exp(-18 * nn * d_expon * d_expon)) >= 0.05
+        |        THEN 1 ELSE 0 END)
+        |     + (CASE WHEN d_unif <= 0.1 AND
+        |          2 * (exp(-2 * nn * d_unif * d_unif)
+        |             - exp(-8 * nn * d_unif * d_unif)
+        |             + exp(-18 * nn * d_unif * d_unif)) >= 0.05
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS n_acceptable,
+        |  CASE WHEN (4 - 2 * ll_expon) <= (4 - 2 * ll_unif) THEN 'expon'
+        |       ELSE 'uniform' END AS best_distribution,
+        |  round(CASE WHEN (4 - 2 * ll_expon) <= (4 - 2 * ll_unif)
+        |        THEN 4 - 2 * ll_expon ELSE 4 - 2 * ll_unif END, 2) AS best_aic_r
+        |FROM s, ll, ks""".stripMargin,
     "fit_filter_metrics" ->
       """WITH s AS (SELECT avg(l_extendedprice) AS m, min(l_extendedprice) AS mn,
         |  max(l_extendedprice) AS mx, count(l_extendedprice) AS n FROM lineitem),
