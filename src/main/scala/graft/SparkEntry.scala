@@ -597,6 +597,12 @@ object SparkEntry {
           F.coalesce(F.col("component"), F.col("doc_id")).as("component"))
         .orderBy("doc_id")
     }),
+    "q_dup_spans" -> ((s, dir) =>
+      // exact duplicated-substring spans (Lee et al.-style), hash-checked:
+      // corpus-repeated 8-grams mark windows, fixed-k lag merge produces
+      // maximal per-doc spans; DuckDB replays the whole construction
+      Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text", k = 8, minCount = 2)
+        .orderBy("id", "island")),
     "q_dedup_incremental" -> ((s, dir) => {
       // ingest-time dedup against a persisted signature index: docs < 400
       // are "yesterday's corpus" (signatures computed once, text never
@@ -1293,6 +1299,26 @@ object SparkEntry {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_dup_spans" ->
+      """WITH tok AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |    x -> x <> '') AS t FROM documents),
+        |p AS (SELECT doc_id, t, unnest(range(len(t) - 7)) AS pos
+        |  FROM tok WHERE len(t) >= 8),
+        |g AS (SELECT doc_id, pos,
+        |    array_to_string(t[pos+1:pos+8], ' ') AS gram FROM p),
+        |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |m AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+        |f AS (SELECT doc_id, pos,
+        |  CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+        |       THEN 1 ELSE 0 END AS nf
+        |  FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |s AS (SELECT doc_id, pos,
+        |  CAST(sum(nf) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT)
+        |    AS island FROM f)
+        |SELECT doc_id AS id, island, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 7 AS BIGINT) AS span_end, count(*) AS n_grams
+        |FROM s GROUP BY doc_id, island ORDER BY id, island""".stripMargin,
     "q_decontaminate" ->
       """WITH tok AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),

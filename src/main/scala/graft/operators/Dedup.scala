@@ -336,6 +336,50 @@ object Dedup {
       .distinct()
   }
 
+  /** Duplicated-substring span detection — the exact-substring dedup of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better") re-expressed relationally, trading their suffix array for
+    * shuffle-friendly fixed-k gram matching: any k-token gram occurring
+    * ≥ `minCount` times across the corpus (including within one
+    * document) marks a duplicated window, and overlapping/adjacent
+    * marked windows merge into maximal per-document spans (the regions a
+    * cleaning pass would cut).
+    *
+    * Scale shape: one gram-hash shuffle over the token stream, one
+    * count filter, one semi-join back, then per-document windows (hash
+    * partitioned by id — no global window). No all-pairs work anywhere.
+    * Fixed k makes the merge a lag test: sorted window starts belong to
+    * one span iff the gap ≤ k.
+    *
+    * @return (id, island, span_start, span_end, n_grams) in token
+    *         coordinates, span_end inclusive */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8, minCount: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gramUdf = F.udf((t: String) => {
+      val toks = Option(t).getOrElse("").toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < k) Array.empty[(Int, String)]
+      else Array.tabulate(toks.length - k + 1)(i => (i, toks.slice(i, i + k).mkString(" ")))
+    })
+    val g = df.select(F.col(idCol).cast("long").as("id"),
+        F.explode(gramUdf(F.col(textCol))).as("pg"))
+      .select(F.col("id"), F.col("pg._1").cast("long").as("pos"), F.col("pg._2").as("gram"))
+    val dup = g.groupBy("gram").agg(F.count(F.lit(1)).as("__c"))
+      .where(F.col("__c") >= minCount).select("gram")
+    val marked = g.join(dup, Seq("gram"), "left_semi")
+    val w = Window.partitionBy("id").orderBy("pos")
+    marked
+      .withColumn("nf",
+        F.when(F.lag("pos", 1).over(w).isNull ||
+          F.col("pos") > F.lag("pos", 1).over(w) + k, 1).otherwise(0))
+      .withColumn("island", F.sum("nf")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("id", "island")
+      .agg(F.min("pos").as("span_start"),
+        (F.max("pos") + (k - 1)).as("span_end"),
+        F.count(F.lit(1)).as("n_grams"))
+  }
+
   /** Connected components over an undirected edge list via alternating
     * large-star / small-star (Kiveris et al., "Connected Components in
     * MapReduce and Beyond", SoCC'14). Converges in O(log² n) rounds

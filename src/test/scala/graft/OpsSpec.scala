@@ -627,6 +627,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == out.where(F.col("id") === 3).head().getSeq[Float](5))
   }
 
+  test("duplicated spans: shared runs merge to maximal spans, unique text clean") {
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ") // 12-token run
+    val df = docsDf(Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"$shared omega"),
+      (3L, "entirely unique words nothing here repeats at all in this corpus today")))
+    val spans = Dedup.duplicatedSpans(df, "doc_id", "text", k = 4, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sorted
+    // doc1: run occupies tokens 2..13 -> windows 2..10 merge -> span 2..13
+    // doc2: tokens 0..11 -> span 0..11; doc3: nothing
+    assert(spans.sameElements(Array((1L, 2L, 13L), (2L, 0L, 11L))), spans.mkString(","))
+    // within-document repetition is also caught (minCount counts
+    // occurrences, not documents): "a b c d e" repeats inside one doc
+    val rep = docsDf(Seq((9L, "a b c d e x y z a b c d e")))
+    val rs = Dedup.duplicatedSpans(rep, "doc_id", "text", k = 5, minCount = 2)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).sorted
+    assert(rs.sameElements(Array((0L, 4L), (8L, 12L))), rs.mkString(","))
+  }
+
   test("incremental minhash equals the batch cross-pairs, no old-old work") {
     val base = "spark catalyst optimizer rewrites logical plans with rule batches"
     val all = docsDf(Seq(
