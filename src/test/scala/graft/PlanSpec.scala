@@ -19,6 +19,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     .appName("graft-plan-audit")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+    // static conf: bucketed-table test writes its tables under /tmp
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
     .getOrCreate()
 
   override def afterAll(): Unit = spark.stop()
@@ -161,6 +164,38 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q = operators.Similarity.quantizeEmbeddings(e, "embedding",
       Array.fill(64)(1.0))
     assert(!q.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("bucketed tables sort-merge join with no exchange on either side") {
+    import org.apache.spark.sql.functions.col
+    // the co-located-join technique for repeated 100 TB joins: bucket both
+    // fact tables on the join key at write time, and every later join on
+    // that key skips its shuffle entirely
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_extendedprice")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_bucketed")
+    spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_orderpriority")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_bucketed")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(800))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should be shuffle-free:\n${plan.take(1200)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
   }
 
   test("salted join partitions the exchange on (key, salt), dim replicates") {
