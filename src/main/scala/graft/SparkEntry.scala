@@ -857,6 +857,15 @@ object SparkEntry {
       TextOps.unigramLogProb(docs(s, dir),
           docs(s, dir).where(F.col("doc_id") < 100), "doc_id", "text")
         .orderBy("id")),
+    "q_stratified_hash" -> ((s, dir) =>
+      // P2's stratified tail-boost semantics in deterministic form,
+      // hash-checked END-TO-END: exact-min/max equal-width strata,
+      // md5-bucket thresholds (10% mid, 50% tails) — the surviving row
+      // SET is engine-replayable, so the oracle compares every row
+      Sampling.stratifiedHashSample(events(s, dir), "value", "event_id",
+          fraction = 0.1, tailFraction = 0.5, numBins = 5, buckets = 10000)
+        .select(F.col("event_id"), F.round(F.col("value"), 2).as("value_r"))
+        .orderBy("event_id")),
     "q_props_json" -> ((s, dir) =>
       // semi-structured sidecar parse, hash-checked: the JSON property
       // extracts with codegen'd get_json_object inside the scan
@@ -1293,6 +1302,17 @@ object SparkEntry {
         |        / CAST(sum(tf.tf) AS DOUBLE), 6) AS mean_logprob
         |FROM tf JOIN freq USING (token), tot
         |GROUP BY tf.doc_id ORDER BY id""".stripMargin,
+    "q_stratified_hash" ->
+      """WITH s AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+        |b AS (SELECT event_id, value,
+        |  least(greatest(CAST(floor((value - s.mn) / ((s.mx - s.mn) / 5))
+        |    AS BIGINT), 0), 4) AS bin,
+        |  CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    % 10000 AS bucket
+        |  FROM events, s)
+        |SELECT event_id, round(value, 2) AS value_r FROM b
+        |WHERE bucket < (CASE WHEN bin = 0 OR bin = 4 THEN 5000 ELSE 1000 END)
+        |ORDER BY event_id""".stripMargin,
     "q_props_json" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,

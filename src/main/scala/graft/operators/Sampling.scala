@@ -207,6 +207,37 @@ object Sampling {
         F.md5(keyCol.cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long") % buckets
 
+  /** Deterministic stratified tail-boost sample — P2's semantics in
+    * engine-replayable form: equal-width strata from the EXACT min/max
+    * (one agg scan), md5-bucket keep-thresholds per stratum with the
+    * edge strata boosted to `tailFraction`. Unlike the seeded
+    * [[stratifiedSample]] (whose approxQuantile sketch and sampleBy RNG
+    * are engine-internal), every decision here is integer/double
+    * arithmetic another engine reproduces bit-for-bit — the variant to
+    * reach for when a sample must be auditable or re-derivable. Pure
+    * map-side filter after the one stats scan; no shuffle. */
+  def stratifiedHashSample(df: DataFrame, column: String, keyCol: String,
+                           fraction: Double, tailFraction: Double,
+                           numBins: Int = 5,
+                           buckets: Int = 10000): DataFrame = {
+    require(numBins >= 2 && fraction >= 0 && tailFraction >= 0, "bad config")
+    val r = df.agg(F.min(F.col(column).cast("double")),
+      F.max(F.col(column).cast("double"))).head()
+    val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+    if (mn == mx) return df.where(md5Bucket(F.col(keyCol), buckets) <
+      math.round(math.min(1.0, tailFraction) * buckets))
+    val width = (mx - mn) / numBins
+    val bin = F.least(
+      F.greatest(F.floor((F.col(column).cast("double") - F.lit(mn)) / F.lit(width)),
+        F.lit(0L)),
+      F.lit((numBins - 1).toLong))
+    val thrMid = math.round(math.min(1.0, fraction) * buckets)
+    val thrTail = math.round(math.min(1.0, tailFraction) * buckets)
+    val thr = F.when(bin === 0L || bin === (numBins - 1).toLong, F.lit(thrTail))
+      .otherwise(F.lit(thrMid))
+    df.where(md5Bucket(F.col(keyCol), buckets) < thr)
+  }
+
   /** Deterministic domain-mix resampling: downsample each domain so the
     * surviving corpus approximates target proportions `parts` (integer
     * ratio parts, e.g. en→30, de→20 …), keyed by the md5 bucket of the

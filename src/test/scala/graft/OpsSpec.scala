@@ -708,6 +708,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("SinglePartition"), plan.take(500))
   }
 
+  test("stratified hash sample boosts tails, keeps mid thin, deterministic") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, i.toDouble)).toDF("k", "v")
+    val out = Sampling.stratifiedHashSample(df, "v", "k",
+      fraction = 0.1, tailFraction = 0.8, numBins = 5, buckets = 10000)
+    val byBin = out.withColumn("bin",
+        F.least(F.greatest(F.floor(F.col("v") / 199.8), F.lit(0L)), F.lit(4L)))
+      .groupBy("bin").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // tails keep ~80% of ~200 rows, mid bins ~10%
+    assert(byBin(0L) > 120 && byBin(4L) > 120, byBin.toString)
+    assert(byBin.getOrElse(1L, 0L) < 50 && byBin.getOrElse(2L, 0L) < 50, byBin.toString)
+    // deterministic: identical id set across invocations
+    val again = Sampling.stratifiedHashSample(df, "v", "k", 0.1, 0.8, 5, 10000)
+      .select("k").collect().map(_.getLong(0)).sorted
+    assert(again.sameElements(out.select("k").collect().map(_.getLong(0)).sorted))
+  }
+
   test("domain mix: integer thresholds hit target ratios, deterministic") {
     import spark.implicits._
     val rows = (0L until 400L).map(i => (i, if (i % 4 == 0) "big" else "small"))
