@@ -167,6 +167,66 @@ object StreamingOps {
       }
   }
 
+  /** An open per-key session under explicit streaming state. */
+  final case class OpenSession(start: Long, last: Long, n: Long, valueSum: Double)
+
+  /** A closed session emitted once its gap expires. */
+  final case class ClosedSession(key: String, start: Long, end: Long,
+                                 n: Long, valueSum: Double)
+
+  /** Gap-based sessionization with EXPLICIT state via
+    * `flatMapGroupsWithState` + event-time timeout — the fully-custom
+    * state machine (vs [[sessionStats]], which leans on the native
+    * `session_window`). Sessions close either when a later event arrives
+    * past the gap (emitted immediately) or when the watermark passes
+    * last+gap with no successor (emitted by the timeout callback).
+    * State per key is ONE OpenSession — four numbers — bounded by key
+    * cardinality regardless of throughput; a key whose session closed by
+    * timeout holds no state at all.
+    *
+    * Input: (key, eventTime, value) with the watermark set on the
+    * timestamp column — it must survive into this operator (no
+    * projection dropping it), or Spark rejects the event-time timeout. */
+  def sessionizeWithState(ds: Dataset[(String, java.sql.Timestamp, Double)],
+                          gapMs: Long): Dataset[ClosedSession] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) { (key, events, state) =>
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          Iterator.single(ClosedSession(key, s.start, s.last, s.n, s.valueSum))
+        } else {
+          // micro-batch iterators are unsorted; order by event time first
+          val sorted = events.toArray
+            .map { case (k, t, v) => (k, t.getTime, v) }.sortBy(_._2)
+          val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+          var cur = state.getOption
+          sorted.foreach { case (_, t, v) =>
+            cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                cur = Some(OpenSession(s.start, math.max(s.last, t),
+                  s.n + 1, s.valueSum + v))
+              case Some(s) =>
+                closed += ClosedSession(key, s.start, s.last, s.n, s.valueSum)
+                cur = Some(OpenSession(t, t, 1L, v))
+              case None =>
+                cur = Some(OpenSession(t, t, 1L, v))
+            }
+          }
+          cur match {
+            case Some(s) =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            case None => state.remove()
+          }
+          closed.iterator
+        }
+      }
+  }
+
   /** Drive a streaming DataFrame over a bounded source to completion with
     * `Trigger.AvailableNow` into an in-memory sink and return the final
     * result as a batch DataFrame. This is the backfill entry point: the

@@ -66,6 +66,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b.toSet == Set(("u1", 3L), ("u1", 1L), ("u2", 1L)))
   }
 
+  test("sessionizeWithState closes sessions by gap and by event-time timeout") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(String, java.sql.Timestamp, Double)]
+    def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val input = stream.toDF().toDF("k", "t", "v")
+      .withWatermark("t", "0 seconds")
+      .as[(String, java.sql.Timestamp, Double)]
+    val out = StreamingOps.sessionizeWithState(input, gapMs = 5000L)
+    val q = out.writeStream.format("memory").queryName("fmgws_out")
+      .outputMode("append").start()
+    // batch 1: u1 opens a session (0s, 2s); u2 opens one (1s)
+    stream.addData(("u1", ts(0), 1.0), ("u1", ts(2), 2.0), ("u2", ts(1), 5.0))
+    q.processAllAvailable()
+    assert(spark.table("fmgws_out").count() == 0) // nothing closed yet
+    // batch 2: u1's event at 20s exceeds the 5s gap -> closes (0,2) inline;
+    // the watermark advance to 20s then times out u2's idle session
+    stream.addData(("u1", ts(20), 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("fmgws_out")
+      .select("key", "start", "end", "n", "valueSum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(rows == Set(
+      ("u1", ts(0).getTime, ts(2).getTime, 2L, 3.0),
+      ("u2", ts(1).getTime, ts(1).getTime, 1L, 5.0)), rows.toString)
+    // u1's session at 20s is still open (no successor, watermark at 20s)
+  }
+
   test("windowedStats groups by event-time window with a watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
