@@ -891,7 +891,8 @@ object SparkEntry {
       // global token offsets come from the distributed prefix sum (no
       // single-partition window anywhere in the plan)
       val d = docs(s, dir).select(F.col("doc_id"),
-        TextOps.tokenCount(F.col("text")).cast("long").as("n_tokens"))
+        TextOps.tokenCount(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+          .as("n_tokens"))
       Packing.packSequences(d, "doc_id", "n_tokens", 1024L).orderBy("id")
     }),
     "q_domain_mix" -> ((s, dir) => {
@@ -1353,7 +1354,7 @@ object SparkEntry {
         |GROUP BY g.doc_id ORDER BY id""".stripMargin,
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id AS id,
-        |  CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  CAST(length(regexp_extract_all(coalesce(text, ''), '\S+')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |o AS (SELECT id, n_tokens,
         |  COALESCE(CAST(sum(n_tokens) OVER (ORDER BY id

@@ -19,18 +19,14 @@ object Decontam {
   /** Lowercased whitespace-token n-grams of a text column. Documents
     * shorter than `n` tokens contribute no n-grams.
     *
-    * A compact UDF, not a Catalyst HOF chain: the equivalent
+    * A compact UDF over the shared [[Dedup.positionalNgrams]] kernel
+    * (one gram definition across decontamination and duplicated-span
+    * detection), not a Catalyst HOF chain: the equivalent
     * `transform(sequence, i -> array_join(slice(...)))` is interpreted
     * (HOFs are CodegenFallback) and measured 9× slower on the sf0.1
-    * corpus (2.8 s vs 0.3 s for the same 236K grams, identical output).
-    * One tokenize pass, one sliding window — same semantics as the SQL
-    * oracle's regexp_split/list_transform replay. */
+    * corpus (2.8 s vs 0.3 s for the same 236K grams, identical output). */
   def gramsCol(textCol: Column, n: Int): Column = {
-    val udf = F.udf((t: String) => {
-      val toks = Option(t).getOrElse("").toLowerCase.split("\\s+").filter(_.nonEmpty)
-      if (toks.length < n) Array.empty[String]
-      else Array.tabulate(toks.length - n + 1)(i => toks.slice(i, i + n).mkString(" "))
-    })
+    val udf = F.udf((t: String) => Dedup.positionalNgrams(t, n).map(_._2))
     udf(textCol)
   }
 

@@ -53,6 +53,17 @@ object Dedup {
     else Array.tabulate(toks.length - n + 1)(i => toks.slice(i, i + n).mkString(" "))
   }
 
+  /** STRICT positional token n-grams: lowercase whitespace tokens, empty
+    * for documents shorter than n (no whole-document fallback — that
+    * leniency is right for MinHash signatures, wrong for gram matching).
+    * The ONE gram definition behind decontamination and duplicated-span
+    * detection, so their gram spaces can never diverge. */
+  private[operators] def positionalNgrams(text: String, n: Int): Array[(Int, String)] = {
+    val toks = Option(text).getOrElse("").toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) Array.empty
+    else Array.tabulate(toks.length - n + 1)(i => (i, toks.slice(i, i + n).mkString(" ")))
+  }
+
   /** Per-slot permutation coefficients: odd multipliers + offsets derived
     * once from the golden-ratio mix — deterministic across JVMs. */
   private def permCoeffs(k: Int): (Array[Long], Array[Long]) = {
@@ -200,11 +211,17 @@ object Dedup {
                           idCol: String, textCol: String,
                           numHashes: Int = 128, bands: Int = 32,
                           threshold: Double = 0.7,
-                          maxBucket: Int = 1000): DataFrame = {
+                          maxBucket: Int = 1000,
+                          shingleSize: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val newSigs = minhashSignatures(newDocs, idCol, textCol, numHashes, 3).cache()
-    val oldBanded = bandedOf(index, bands, rows)
+    val newSigs =
+      minhashSignatures(newDocs, idCol, textCol, numHashes, shingleSize).cache()
+    // the index is consumed twice (band derivation + verification join);
+    // cache it so a lazily-built index isn't re-hashed per subtree —
+    // released below once the pairs are checkpointed
+    val idx = index.cache()
+    val oldBanded = bandedOf(idx, bands, rows)
     val okBuckets = oldBanded.groupBy("band", "bkey")
       .agg(F.count(F.lit(1)).as("__n"))
       .where(F.col("__n") <= maxBucket).drop("__n")
@@ -215,15 +232,25 @@ object Dedup {
         Seq("band", "bkey"))
       .where(F.col("new_id") =!= F.col("old_id"))
       .select("new_id", "old_id").dropDuplicates("new_id", "old_id")
-    val estUdf = F.udf((a: Seq[Long], b: Seq[Long]) => estJaccard(a, b))
+    val estUdf = F.udf((a: Seq[Long], b: Seq[Long]) => {
+      // a config drift between the persisted index and this call would
+      // otherwise be an IndexOutOfBounds (shorter index sigs) or a
+      // silently-deflated estimate (longer) — the worst failure mode for
+      // a dedup gate
+      require(a.length == b.length,
+        s"signature length mismatch: new=${a.length} index=${b.length} — " +
+          "the index was built with a different numHashes")
+      estJaccard(a, b)
+    })
     val pairs = candidates
       .join(newSigs.select(F.col("id").as("new_id"), F.col("sig").as("sig_n")), "new_id")
-      .join(index.select(F.col("id").as("old_id"), F.col("sig").as("sig_o")), "old_id")
+      .join(idx.select(F.col("id").as("old_id"), F.col("sig").as("sig_o")), "old_id")
       .select(F.col("new_id"), F.col("old_id"),
         F.round(estUdf(F.col("sig_n"), F.col("sig_o")), 6).as("est_jaccard"))
       .where(F.col("est_jaccard") >= threshold)
     val pinned = pairs.localCheckpoint(true)
     newSigs.unpersist(blocking = false)
+    idx.unpersist(blocking = false)
     pinned
   }
 
@@ -356,11 +383,7 @@ object Dedup {
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 8, minCount: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val gramUdf = F.udf((t: String) => {
-      val toks = Option(t).getOrElse("").toLowerCase.split("\\s+").filter(_.nonEmpty)
-      if (toks.length < k) Array.empty[(Int, String)]
-      else Array.tabulate(toks.length - k + 1)(i => (i, toks.slice(i, i + k).mkString(" ")))
-    })
+    val gramUdf = F.udf((t: String) => positionalNgrams(t, k))
     val g = df.select(F.col(idCol).cast("long").as("id"),
         F.explode(gramUdf(F.col(textCol))).as("pg"))
       .select(F.col("id"), F.col("pg._1").cast("long").as("pos"), F.col("pg._2").as("gram"))

@@ -25,9 +25,12 @@ object Packing {
     require(capacity > 0, "capacity must be positive")
     val spark = df.sparkSession
     import spark.implicits._
+    // null ids have no place in the order and are excluded; null token
+    // counts pack as zero-length documents (they occupy no tokens)
     val base = df
       .select(F.col(idCol).cast("long").as("id"),
-        F.col(nTokensCol).cast("long").as("n_tokens"))
+        F.coalesce(F.col(nTokensCol).cast("long"), F.lit(0L)).as("n_tokens"))
+      .where(F.col("id").isNotNull)
       .repartitionByRange(F.col("id"))
       .sortWithinPartitions("id")
       .as[(Long, Long)].rdd

@@ -182,7 +182,11 @@ object StreamingOps {
     * last+gap with no successor (emitted by the timeout callback).
     * State per key is ONE OpenSession — four numbers — bounded by key
     * cardinality regardless of throughput; a key whose session closed by
-    * timeout holds no state at all.
+    * timeout holds no state at all. Late-but-valid stragglers (above the
+    * watermark, behind the open session) merge into it with
+    * min-start/max-end — one OpenSession of state cannot retroactively
+    * split history; widen the watermark delay if exact late-event
+    * session boundaries matter.
     *
     * Input: (key, eventTime, value) with the watermark set on the
     * timestamp column — it must survive into this operator (no
@@ -206,9 +210,15 @@ object StreamingOps {
           var cur = state.getOption
           sorted.foreach { case (_, t, v) =>
             cur match {
-              case Some(s) if t - s.last <= gapMs =>
-                cur = Some(OpenSession(s.start, math.max(s.last, t),
-                  s.n + 1, s.valueSum + v))
+              // only a FORWARD gap splits sessions; a late-but-valid event
+              // (t inside or before the open session, still above the
+              // watermark) merges, extending start/end as needed — without
+              // buffering every event, retroactively splitting an earlier
+              // session isn't possible, so merge-with-min-start is the
+              // documented approximation for cross-batch stragglers
+              case Some(s) if t <= s.last || t - s.last <= gapMs =>
+                cur = Some(OpenSession(math.min(s.start, t),
+                  math.max(s.last, t), s.n + 1, s.valueSum + v))
               case Some(s) =>
                 closed += ClosedSession(key, s.start, s.last, s.n, s.valueSum)
                 cur = Some(OpenSession(t, t, 1L, v))
