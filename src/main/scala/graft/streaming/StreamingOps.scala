@@ -167,6 +167,47 @@ object StreamingOps {
       }
   }
 
+  /** [[keyedRunningStats]] on Spark 4's `transformWithState` API — the
+    * arbitrary-state v2 successor to mapGroupsWithState: typed
+    * `ValueState` in the RocksDB state store with a declarative TTL, so
+    * idle keys age out of state automatically instead of accumulating
+    * forever (the unbounded-key-cardinality hazard at ingest scale).
+    * Queries using this must run with the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`). */
+  class WelfordProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Double), KeyStats] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimerValues, OutputMode, TimeMode}
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[KeyStats] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[KeyStats]("welford",
+        org.apache.spark.sql.Encoders.product[KeyStats], TTLConfig(ttl))
+    override def handleInputRows(key: String, rows: Iterator[(String, Double)],
+                                 timerValues: TimerValues): Iterator[KeyStats] = {
+      var (n, mean, m2) = Option(state.get())
+        .map(s => (s.n, s.mean, s.m2)).getOrElse((0L, 0.0, 0.0))
+      rows.foreach { case (_, v) =>
+        n += 1
+        val d = v - mean
+        mean += d / n
+        m2 += d * (v - mean)
+      }
+      val s = KeyStats(key, n, mean, m2)
+      state.update(s)
+      Iterator.single(s)
+    }
+  }
+
+  def keyedRunningStatsTws(ds: Dataset[(String, Double)],
+                           ttl: java.time.Duration): Dataset[KeyStats] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .transformWithState(new WelfordProcessor(ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   /** An open per-key session under explicit streaming state. */
   final case class OpenSession(start: Long, last: Long, n: Long, valueSum: Double)
 

@@ -148,6 +148,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1) > 0.5, s"drifted drift ${rows(1)}")
   }
 
+  test("keyedRunningStatsTws: transformWithState Welford over RocksDB state") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[(String, Double)]
+      val out = StreamingOps.keyedRunningStatsTws(
+        stream.toDS(), java.time.Duration.ofHours(1))
+      val q = out.writeStream.format("memory").queryName("tws_out")
+        .outputMode("update").start()
+      // the TTL timer keeps scheduling micro-batches, so
+      // processAllAvailable never settles — poll the sink instead
+      def awaitRows(n: Long): Unit = {
+        val deadline = System.currentTimeMillis() + 120000
+        while (spark.table("tws_out").count() < n &&
+          System.currentTimeMillis() < deadline) Thread.sleep(200)
+        assert(spark.table("tws_out").count() >= n, s"timed out waiting for $n rows")
+      }
+      stream.addData(("a", 1.0), ("a", 3.0), ("b", 10.0))
+      awaitRows(2)
+      stream.addData(("a", 5.0)) // state must carry n=2, mean=2 across batches
+      awaitRows(3)
+      q.stop()
+      val last = spark.table("tws_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2) }
+      assert(last("a") == (("a", 3L, 3.0)), last.toString) // mean(1,3,5)=3
+      assert(last("b") == (("b", 1L, 10.0)), last.toString)
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("keyedRunningStats carries Welford state across micro-batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
