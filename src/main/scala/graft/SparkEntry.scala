@@ -833,6 +833,27 @@ object SparkEntry {
           F.round(F.col("std"), 4).as("std_r"))
         .orderBy("win_start")
     }),
+    "q_stream_sessions" -> ((s, dir) => {
+      // flatMapGroupsWithState sessionization over the bounded replay,
+      // hash-checked: closed sessions (inline gap-splits + watermark
+      // timeouts) must equal the batch sessionization minus any session
+      // still open at the final watermark — DuckDB replays exactly that
+      import s.implicits._
+      val schema = events(s, dir).schema
+      val src = s.readStream.schema(schema).parquet(s"$dir/{events}.parquet")
+        .withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("event_ts", "0 seconds")
+      val ds = src.select(F.col("user_id").cast("string").as("_1"),
+          F.col("event_ts").as("_2"), F.lit(0.0).as("_3"))
+        .as[(String, java.sql.Timestamp, Double)]
+      val closed = graft.streaming.StreamingOps.sessionizeWithState(ds, gapMs = 1800000L)
+      graft.streaming.StreamingOps.runToBatch(
+          s, closed.toDF(), "graft_stream_sessions", outputMode = "append")
+        .select(F.col("key").cast("long").as("user_id"),
+          F.col("start").as("start_ms"), F.col("end").as("end_ms"),
+          F.col("n").as("n_events"))
+        .orderBy("user_id", "start_ms")
+    }),
     "q_stream_drift" -> ((s, dir) => {
       // per-window drift score against a fixed reference model (fit once
       // offline, watch the stream walk away from it) — erf-based expected
@@ -1284,6 +1305,23 @@ object SparkEntry {
         |  least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0), 9) AS bin,
         |  count(*) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS tms FROM events),
+        |mx AS (SELECT max(tms) AS m FROM e),
+        |f AS (SELECT user_id, tms,
+        |  CASE WHEN lag(tms) OVER w IS NULL OR tms - lag(tms) OVER w > 1800000
+        |       THEN 1 ELSE 0 END AS nf
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms)),
+        |s AS (SELECT user_id, tms,
+        |  CAST(sum(nf) OVER (PARTITION BY user_id ORDER BY tms) AS BIGINT) AS sid
+        |  FROM f),
+        |g AS (SELECT user_id, sid, min(tms) AS start_ms, max(tms) AS end_ms,
+        |  count(*) AS n_events FROM s GROUP BY user_id, sid),
+        |l AS (SELECT user_id, max(sid) AS last_sid FROM g GROUP BY user_id)
+        |SELECT g.user_id, g.start_ms, g.end_ms, g.n_events
+        |FROM g JOIN l USING (user_id), mx
+        |WHERE g.sid < l.last_sid OR g.end_ms + 1800000 < mx.m
+        |ORDER BY user_id, start_ms""".stripMargin,
     "q_stream_stats" ->
       """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS win_start,
         |  count(*) AS cnt, round(avg(value), 6) AS mean_r,
