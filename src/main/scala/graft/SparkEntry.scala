@@ -1197,9 +1197,16 @@ object SparkEntry {
         .repartition(8)
       val (r, _) = Mixture.fit(capped, Seq("l_extendedprice"), k = 3, seed = 42L,
         maxIter = 30, tol = 1e-3)
+      // distributed EM partial sums reduce in nondeterministic order, so
+      // raw doubles wobble at ~1e-12 across runs — round well above that
+      // noise floor so repeated runs emit byte-identical rows
       Mixture.report(s, r)
-        .withColumn("means", arrStr(F.col("means")))
-        .withColumn("variances", arrStr(F.col("variances")))
+        .withColumn("weight", F.round(F.col("weight"), 6))
+        .withColumn("means", arrStr(F.transform(F.col("means"), x => F.round(x, 3))))
+        .withColumn("variances",
+          arrStr(F.transform(F.col("variances"), x => F.round(x, 1))))
+        .withColumn("aic", F.round(F.col("aic"), 1))
+        .withColumn("bic", F.round(F.col("bic"), 1))
         .orderBy("component")
     }),
     "q_bootstrap_ci" -> ((s, dir) => {
