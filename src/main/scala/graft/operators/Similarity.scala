@@ -163,28 +163,18 @@ object Similarity {
     centroids
   }
 
-  def ivfBuild(df: DataFrame, embCol: String, idCol: String,
-               nCells: Int = 0, seed: Long = 42L,
-               trainCap: Int = 100000): IvfIndex = {
-    val n = df.count()
-    val cells = if (nCells > 0) nCells else autoCells(n)
-    val normalized = df
-      .select(F.col(idCol).cast("long").as("id"), F.col(embCol).as("__e"),
+  /** L2-normalized (id, emb) projection of an embedding column. */
+  private def normalizedOf(df: DataFrame, embCol: String, idCol: String): DataFrame =
+    df.select(F.col(idCol).cast("long").as("id"), F.col(embCol).as("__e"),
         norm(F.col(embCol)).as("__n"))
       .select(F.col("id"),
         F.transform(F.col("__e"), x => x.cast("double") / F.col("__n")).as("emb"))
-    // quantizer trains on ≤ trainCap rows regardless of corpus size — at
-    // 100 TB the k-means never sees more than a bounded sample
-    val trainFrac = math.min(1.0, trainCap.toDouble * 1.2 / math.max(n, 1L))
-    val train = normalized.select("emb")
-      .sample(withReplacement = false, trainFrac, seed)
-      .limit(trainCap)
-      .collect().map(_.getSeq[Double](0).toArray)
-    val k = math.max(2, math.min(cells.toLong, math.min(n, train.length.toLong)).toInt)
-    val centroids = lloyd(train, k, iters = 6, seed = seed)
-    // assignment is one distributed scoring pass against the broadcast
-    // centroid matrix (k·dim doubles)
-    val bc = df.sparkSession.sparkContext.broadcast(centroids)
+
+  /** One distributed nearest-centroid scoring pass against the broadcast
+    * centroid matrix (k·dim doubles), co-locating rows by cell. */
+  private def assignCells(normalized: DataFrame,
+                          centroids: Array[Array[Double]]): DataFrame = {
+    val bc = normalized.sparkSession.sparkContext.broadcast(centroids)
     val assignUdf = F.udf((v: Seq[Double]) => {
       val cs = bc.value
       var best = 0; var bestD = Double.MaxValue
@@ -199,11 +189,40 @@ object Similarity {
       }
       best
     })
-    val assigned = normalized
+    normalized
       .withColumn("cell", assignUdf(F.col("emb")))
       .repartition(F.col("cell"))
-    IvfIndex(centroids, assigned)
   }
+
+  def ivfBuild(df: DataFrame, embCol: String, idCol: String,
+               nCells: Int = 0, seed: Long = 42L,
+               trainCap: Int = 100000): IvfIndex = {
+    val n = df.count()
+    val cells = if (nCells > 0) nCells else autoCells(n)
+    val normalized = normalizedOf(df, embCol, idCol)
+    // quantizer trains on ≤ trainCap rows regardless of corpus size — at
+    // 100 TB the k-means never sees more than a bounded sample
+    val trainFrac = math.min(1.0, trainCap.toDouble * 1.2 / math.max(n, 1L))
+    val train = normalized.select("emb")
+      .sample(withReplacement = false, trainFrac, seed)
+      .limit(trainCap)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val k = math.max(2, math.min(cells.toLong, math.min(n, train.length.toLong)).toInt)
+    val centroids = lloyd(train, k, iters = 6, seed = seed)
+    IvfIndex(centroids, assignCells(normalized, centroids))
+  }
+
+  /** Incrementally extend an IVF index with a NEW vector batch without
+    * retraining: centroids stay frozen (past assignments and probe
+    * behavior are untouched), the batch gets one distributed scoring
+    * pass, and the union is the maintained index — the ingest path for
+    * a corpus that grows daily. Re-train (ivfBuild) only when drift
+    * degrades cell balance. */
+  def ivfAssign(index: IvfIndex, newDf: DataFrame, embCol: String,
+                idCol: String): IvfIndex =
+    IvfIndex(index.centroids,
+      index.assigned.unionByName(
+        assignCells(normalizedOf(newDf, embCol, idCol), index.centroids)))
 
   /** Approximate top-k against a prebuilt IVF index: rank exactly inside
     * the `nProbe` cells whose centroids are Euclidean-nearest the

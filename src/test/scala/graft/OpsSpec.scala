@@ -363,6 +363,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.length == 10 && top.forall(_ < 20L), top.mkString(","))
   }
 
+  test("ivfAssign extends the index without retraining; queries find new rows") {
+    import spark.implicits._
+    val rng = new java.util.Random(3L)
+    def vec(center: Float) = Array.fill(16)(center + rng.nextFloat() * 0.1f)
+    val base = (0L until 30L).map(i =>
+      (i, vec(if (i < 15) 1.0f else -1.0f).toSeq))
+      .toDF("vec_id", "embedding")
+      .select(F.col("vec_id"), F.col("embedding").cast("array<float>"))
+    val index = Similarity.ivfBuild(base, "embedding", "vec_id", nCells = 2, seed = 5L)
+    val fresh = Seq((100L, vec(1.0f).toSeq), (101L, vec(-1.0f).toSeq))
+      .toDF("vec_id", "embedding")
+      .select(F.col("vec_id"), F.col("embedding").cast("array<float>"))
+    val extended = Similarity.ivfAssign(index, fresh, "embedding", "vec_id")
+    // centroids untouched; count grows by the batch
+    assert(extended.centroids eq index.centroids)
+    assert(extended.assigned.count() == 32)
+    // the new positive-cluster vector lands in the same cell as id 0
+    val cellOf = extended.assigned.select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cellOf(100L) == cellOf(0L) && cellOf(101L) == cellOf(20L), cellOf.toString)
+    // a query at the positive center now retrieves the new row
+    val top = Similarity.ivfTopK(extended, vec(1.0f), k = 5, nProbe = 1)
+      .collect().map(_.getLong(0))
+    assert(top.contains(100L), top.mkString(","))
+  }
+
   test("int8 quantization: bounded per-dim error, cosine structure preserved") {
     import spark.implicits._
     val rng = new java.util.Random(3L)
