@@ -19,14 +19,14 @@ object Decontam {
   /** Lowercased whitespace-token n-grams of a text column. Documents
     * shorter than `n` tokens contribute no n-grams.
     *
-    * A compact UDF over the shared [[Dedup.positionalNgrams]] kernel
+    * A compact UDF over the shared [[Dedup.tokenNgrams]] kernel
     * (one gram definition across decontamination and duplicated-span
     * detection), not a Catalyst HOF chain: the equivalent
     * `transform(sequence, i -> array_join(slice(...)))` is interpreted
     * (HOFs are CodegenFallback) and measured 9× slower on the sf0.1
     * corpus (2.8 s vs 0.3 s for the same 236K grams, identical output). */
   def gramsCol(textCol: Column, n: Int): Column = {
-    val udf = F.udf((t: String) => Dedup.positionalNgrams(t, n).map(_._2))
+    val udf = F.udf((t: String) => Dedup.tokenNgrams(t, n))
     udf(textCol)
   }
 

@@ -53,15 +53,22 @@ object Dedup {
     else Array.tabulate(toks.length - n + 1)(i => toks.slice(i, i + n).mkString(" "))
   }
 
-  /** STRICT positional token n-grams: lowercase whitespace tokens, empty
-    * for documents shorter than n (no whole-document fallback — that
+  /** STRICT token n-grams: lowercase whitespace tokens, empty for
+    * documents shorter than n (no whole-document fallback — that
     * leniency is right for MinHash signatures, wrong for gram matching).
     * The ONE gram definition behind decontamination and duplicated-span
     * detection, so their gram spaces can never diverge. */
-  private[operators] def positionalNgrams(text: String, n: Int): Array[(Int, String)] = {
+  private[operators] def tokenNgrams(text: String, n: Int): Array[String] = {
     val toks = Option(text).getOrElse("").toLowerCase.split("\\s+").filter(_.nonEmpty)
     if (toks.length < n) Array.empty
-    else Array.tabulate(toks.length - n + 1)(i => (i, toks.slice(i, i + n).mkString(" ")))
+    else Array.tabulate(toks.length - n + 1)(i => toks.slice(i, i + n).mkString(" "))
+  }
+
+  /** [[tokenNgrams]] with start positions (gram i starts at token i) —
+    * only the span path pays for the tuples. */
+  private[operators] def positionalNgrams(text: String, n: Int): Array[(Int, String)] = {
+    val gs = tokenNgrams(text, n)
+    Array.tabulate(gs.length)(i => (i, gs(i)))
   }
 
   /** Per-slot permutation coefficients: odd multipliers + offsets derived
@@ -218,9 +225,13 @@ object Dedup {
     val newSigs =
       minhashSignatures(newDocs, idCol, textCol, numHashes, shingleSize).cache()
     // the index is consumed twice (band derivation + verification join);
-    // cache it so a lazily-built index isn't re-hashed per subtree —
-    // released below once the pairs are checkpointed
-    val idx = index.cache()
+    // cache it so a lazily-built index isn't re-hashed per subtree — but
+    // only if the CALLER hasn't persisted it (cache() is keyed by plan,
+    // so unpersisting here would otherwise evict the caller's
+    // maintained-index cache and force a full re-hash on the next batch)
+    val callerCached =
+      index.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val idx = if (callerCached) index else index.cache()
     val oldBanded = bandedOf(idx, bands, rows)
     val okBuckets = oldBanded.groupBy("band", "bkey")
       .agg(F.count(F.lit(1)).as("__n"))
@@ -250,7 +261,7 @@ object Dedup {
       .where(F.col("est_jaccard") >= threshold)
     val pinned = pairs.localCheckpoint(true)
     newSigs.unpersist(blocking = false)
-    idx.unpersist(blocking = false)
+    if (!callerCached) idx.unpersist(blocking = false)
     pinned
   }
 

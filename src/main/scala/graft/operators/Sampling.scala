@@ -223,6 +223,9 @@ object Sampling {
     require(numBins >= 2 && fraction >= 0 && tailFraction >= 0, "bad config")
     val r = df.agg(F.min(F.col(column).cast("double")),
       F.max(F.col(column).cast("double"))).head()
+    // empty input / all-null column: no strata exist — zero rows out,
+    // not an NPE from reading a null aggregate
+    if (r.isNullAt(0) || r.isNullAt(1)) return df.limit(0)
     val (mn, mx) = (r.getDouble(0), r.getDouble(1))
     if (mn == mx) return df.where(md5Bucket(F.col(keyCol), buckets) <
       math.round(math.min(1.0, tailFraction) * buckets))

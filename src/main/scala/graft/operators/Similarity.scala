@@ -219,10 +219,23 @@ object Similarity {
     * a corpus that grows daily. Re-train (ivfBuild) only when drift
     * degrades cell balance. */
   def ivfAssign(index: IvfIndex, newDf: DataFrame, embCol: String,
-                idCol: String): IvfIndex =
-    IvfIndex(index.centroids,
-      index.assigned.unionByName(
-        assignCells(normalizedOf(newDf, embCol, idCol), index.centroids)))
+                idCol: String): IvfIndex = {
+    // an embedding-model swap (different dimension) would otherwise be
+    // silently truncated by the distance loop and mis-assign every new
+    // vector — fail fast like the minhash index does on config drift
+    val centroidDim = index.centroids.head.length
+    val firstRow = newDf.select(F.size(F.col(embCol))).head(1)
+    if (firstRow.isEmpty) return index // empty batch: nothing to ingest
+    val newDim = firstRow(0).getInt(0)
+    require(newDim == centroidDim,
+      s"embedding dimension mismatch: batch=$newDim index=$centroidDim — " +
+        "the index was built from a different embedding model; rebuild it")
+    // pin the new batch's assignment so N daily calls don't stack N
+    // normalize+score layers of lineage under every later query
+    val batch = assignCells(normalizedOf(newDf, embCol, idCol), index.centroids)
+      .localCheckpoint(true)
+    IvfIndex(index.centroids, index.assigned.unionByName(batch))
+  }
 
   /** Approximate top-k against a prebuilt IVF index: rank exactly inside
     * the `nProbe` cells whose centroids are Euclidean-nearest the

@@ -387,6 +387,16 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val top = Similarity.ivfTopK(extended, vec(1.0f), k = 5, nProbe = 1)
       .collect().map(_.getLong(0))
     assert(top.contains(100L), top.mkString(","))
+    // dimension drift (embedding-model swap) fails fast, never truncates
+    val wrongDim = Seq((200L, Array.fill(8)(1.0f).toSeq)).toDF("vec_id", "embedding")
+      .select(F.col("vec_id"), F.col("embedding").cast("array<float>"))
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfAssign(index, wrongDim, "embedding", "vec_id")
+    }
+    assert(err.getMessage.contains("dimension mismatch"))
+    // empty batch is a no-op
+    assert(Similarity.ivfAssign(index, fresh.limit(0), "embedding", "vec_id")
+      .assigned.count() == 30)
   }
 
   test("int8 quantization: bounded per-dim error, cosine structure preserved") {
@@ -749,6 +759,12 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val again = Sampling.stratifiedHashSample(df, "v", "k", 0.1, 0.8, 5, 10000)
       .select("k").collect().map(_.getLong(0)).sorted
     assert(again.sameElements(out.select("k").collect().map(_.getLong(0)).sorted))
+    // empty input / all-null column: zero rows, not an NPE
+    assert(Sampling.stratifiedHashSample(df.where(F.lit(false)), "v", "k",
+      0.1, 0.8, 5, 10000).count() == 0)
+    val nulls = (0L until 5L).map(i => (i, None: Option[Double])).toDF("k", "v")
+    assert(Sampling.stratifiedHashSample(nulls, "v", "k", 0.1, 0.8, 5, 10000)
+      .count() == 0)
   }
 
   test("domain mix: integer thresholds hit target ratios, deterministic") {
