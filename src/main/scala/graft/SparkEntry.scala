@@ -833,6 +833,20 @@ object SparkEntry {
           F.round(F.col("std"), 4).as("std_r"))
         .orderBy("win_start")
     }),
+    "q_stream_dedup" -> ((s, dir) => {
+      // streaming exact dedup over the bounded replay, hash-checked on
+      // the survivor COUNT (which specific row survives a duplicate
+      // group is arrival-order-dependent; how many survive is not):
+      // one md5 state row per distinct payload inside the horizon
+      val schema = events(s, dir).schema
+      val src = s.readStream.schema(schema).parquet(s"$dir/{events}.parquet")
+        .withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
+      val deduped = graft.streaming.StreamingOps.streamingDedup(
+        src, "props", "event_ts", watermark = "1 hour")
+        .groupBy().agg(F.count(F.lit(1)).as("n_survivors"))
+      graft.streaming.StreamingOps.runToBatch(
+        s, deduped, "graft_stream_dedup", outputMode = "complete")
+    }),
     "q_stream_sessions" -> ((s, dir) => {
       // flatMapGroupsWithState sessionization over the bounded replay,
       // hash-checked: closed sessions (inline gap-splits + watermark
@@ -1312,6 +1326,8 @@ object SparkEntry {
         |  least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0), 9) AS bin,
         |  count(*) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT count(DISTINCT props) AS n_survivors FROM events""",
     "q_stream_sessions" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS tms FROM events),
         |mx AS (SELECT max(tms) AS m FROM e),
