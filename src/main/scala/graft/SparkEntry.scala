@@ -892,6 +892,21 @@ object SparkEntry {
       TextOps.unigramLogProb(docs(s, dir),
           docs(s, dir).where(F.col("doc_id") < 100), "doc_id", "text")
         .orderBy("id")),
+    "q_heavy_hitters" -> ((s, dir) => {
+      // SpaceSaving top-k sketch in its exactness regime (k ≥ distinct
+      // keys — no eviction, zero error), hash-checked against a plain
+      // GROUP BY: bounded sketch state replaces the per-key shuffle. At
+      // real scale k ≪ distinct and the same aggregate returns
+      // guaranteed-overcount heavy hitters (bounds asserted in spec).
+      val ss = F.udaf(new graft.functions.SpaceSaving(256))
+      docs(s, dir)
+        .select(F.concat_ws("|", F.col("lang"), F.col("source")).as("k"))
+        .agg(ss(F.col("k")).as("hh"))
+        .select(F.explode(F.col("hh")).as("h"))
+        .select(F.col("h._1").as("key"), F.col("h._2").as("cnt"),
+          F.col("h._3").as("err"))
+        .orderBy("key")
+    }),
     "q_stratified_hash" -> ((s, dir) =>
       // P2's stratified tail-boost semantics in deterministic form,
       // hash-checked END-TO-END: exact-min/max equal-width strata,
@@ -1364,6 +1379,10 @@ object SparkEntry {
         |        / CAST(sum(tf.tf) AS DOUBLE), 6) AS mean_logprob
         |FROM tf JOIN freq USING (token), tot
         |GROUP BY tf.doc_id ORDER BY id""".stripMargin,
+    "q_heavy_hitters" ->
+      """SELECT lang || '|' || source AS key, count(*) AS cnt,
+        |  CAST(0 AS BIGINT) AS err
+        |FROM documents GROUP BY 1 ORDER BY key""".stripMargin,
     "q_stratified_hash" ->
       """WITH s AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
         |b AS (SELECT event_id, value,

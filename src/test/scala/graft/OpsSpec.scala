@@ -706,6 +706,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(incr.exists { case (n, o, _) => n == 10L && o == 0L })
   }
 
+  test("SpaceSaving sketch: exact when k >= distinct, safe bounds when k < distinct") {
+    import spark.implicits._
+    // skewed stream: a=500, b=200, c=100, d..f=10 each
+    val data = (Seq.fill(500)("a") ++ Seq.fill(200)("b") ++ Seq.fill(100)("c") ++
+      Seq.fill(10)("d") ++ Seq.fill(10)("e") ++ Seq.fill(10)("f"))
+    val df = data.toDF("k").repartition(7) // force multi-partial merges
+    val truth = data.groupBy(identity).map { case (kk, v) => kk -> v.size.toLong }
+    def run(k: Int) = {
+      val ss = F.udaf(new graft.functions.SpaceSaving(k))
+      df.agg(ss(F.col("k")).as("hh"))
+        .select(F.explode(F.col("hh")).as("h"))
+        .select("h._1", "h._2", "h._3").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    }
+    // exact regime: k >= 6 distinct -> zero error, counts equal groupBy
+    val exact = run(16)
+    assert(exact.forall(_._3 == 0L), exact.mkString(","))
+    assert(exact.map(t => t._1 -> t._2).toMap == truth)
+    // sketch regime: k=3 < 6 distinct -> at most 3 counters, every
+    // estimate is a safe overcount (true <= est <= true + err), and the
+    // dominant key (freq > n/k) survives with a tight estimate
+    val sk = run(3)
+    assert(sk.length <= 3)
+    for ((kk, est, err) <- sk; t = truth.getOrElse(kk, 0L)) {
+      assert(est >= t, s"$kk undercounted: est=$est true=$t")
+      assert(est - err <= t, s"$kk bound violated: est=$est err=$err true=$t")
+    }
+    val aRow = sk.find(_._1 == "a")
+    assert(aRow.isDefined, sk.mkString(","))
+    assert(aRow.get._2 >= 500L)
+  }
+
   test("decontamination: shared n-grams flagged, clean docs survive") {
     val bench = docsDf(Seq(
       (100L, "the quick brown fox jumps over the lazy dog tonight")))
