@@ -17,6 +17,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // collect_list/percentile aggregations (LSH buckets, quantiles) use
       // ObjectHashAggregate; the default 128-key fallback degrades them to

@@ -892,6 +892,26 @@ object SparkEntry {
       TextOps.unigramLogProb(docs(s, dir),
           docs(s, dir).where(F.col("doc_id") < 100), "doc_id", "text")
         .orderBy("id")),
+    "q_range_join" -> ((s, dir) => {
+      // point-in-interval range join, hash-checked: each early order
+      // opens a 30-day window; shipments landing in each window count
+      // via the bucketed join (hash join on week buckets + exact filter
+      // — never a broadcast-nested-loop over points x intervals)
+      val iv = s.read.parquet(s"$dir/orders.parquet")
+        .where(F.col("o_orderkey") < 200)
+        .select(F.col("o_orderkey"),
+          // NTZ -> LTZ -> epoch seconds; session tz is pinned UTC, so
+          // the wall-clock reading equals DuckDB's tz-free epoch()
+          F.col("o_orderdate").cast("timestamp").cast("long").as("w_start"),
+          (F.col("o_orderdate").cast("timestamp").cast("long") + 30L * 86400L)
+            .as("w_end"))
+      val pts = li(s, dir)
+        .select(F.col("l_shipdate").cast("timestamp").cast("long").as("p"))
+      RangeJoin.pointInInterval(pts, "p", iv, "w_start", "w_end",
+          bucketWidth = 7L * 86400L)
+        .groupBy("o_orderkey").agg(F.count(F.lit(1)).as("n_ship"))
+        .orderBy("o_orderkey")
+    }),
     "q_heavy_hitters" -> ((s, dir) => {
       // SpaceSaving top-k sketch in its exactness regime (k ≥ distinct
       // keys — no eviction, zero error), hash-checked against a plain
@@ -1379,6 +1399,15 @@ object SparkEntry {
         |        / CAST(sum(tf.tf) AS DOUBLE), 6) AS mean_logprob
         |FROM tf JOIN freq USING (token), tot
         |GROUP BY tf.doc_id ORDER BY id""".stripMargin,
+    "q_range_join" ->
+      """WITH iv AS (SELECT o_orderkey,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ws,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) + 30 * 86400 AS we
+        |  FROM orders WHERE o_orderkey < 200),
+        |p AS (SELECT CAST(floor(epoch(l_shipdate)) AS BIGINT) AS p FROM lineitem)
+        |SELECT o_orderkey, count(*) AS n_ship
+        |FROM iv JOIN p ON p.p BETWEEN iv.ws AND iv.we
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
     "q_heavy_hitters" ->
       """SELECT lang || '|' || source AS key, count(*) AS cnt,
         |  CAST(0 AS BIGINT) AS err

@@ -706,6 +706,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(incr.exists { case (n, o, _) => n == 10L && o == 0L })
   }
 
+  test("range join: bucketed result equals the naive theta join, edges inclusive") {
+    import spark.implicits._
+    val pts = Seq(0L, 5L, 10L, 17L, 23L, 99L).toDF("p")
+    val iv = Seq((1L, 0L, 10L), (2L, 10L, 20L), (3L, 95L, 99L), (4L, 40L, 41L))
+      .toDF("iid", "s", "e")
+    val got = RangeJoin.pointInInterval(pts, "p", iv, "s", "e", bucketWidth = 7L)
+      .select("iid", "p").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val naive = pts.join(iv, F.col("p").between(F.col("s"), F.col("e")))
+      .select("iid", "p").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.sameElements(naive), s"got=${got.toSeq} naive=${naive.toSeq}")
+    // boundary points (0, 10, 99) are inclusive; 10 lands in BOTH windows
+    assert(got.count(_._2 == 10L) == 2)
+    // an interval with no points yields no row
+    assert(!got.exists(_._1 == 4L))
+  }
+
   test("SpaceSaving sketch: exact when k >= distinct, safe bounds when k < distinct") {
     import spark.implicits._
     // skewed stream: a=500, b=200, c=100, d..f=10 each

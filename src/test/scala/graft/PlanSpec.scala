@@ -166,6 +166,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!q.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("range join plans as a hash join on buckets, never a nested loop") {
+    import org.apache.spark.sql.functions.col
+    val iv = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").cast("long").as("ws"),
+        (col("o_orderdate").cast("timestamp").cast("long") + 86400L).as("we"))
+    val pts = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_shipdate").cast("timestamp").cast("long").as("p"))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = operators.RangeJoin
+        .pointInInterval(pts, "p", iv, "ws", "we", 86400L)
+        .queryExecution.executedPlan.toString
+      // a naive BETWEEN theta join would be BroadcastNestedLoopJoin —
+      // points x intervals comparisons; the bucketed form is an equi-join
+      assert(!plan.contains("NestedLoop"), plan.take(1000))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        plan.take(1000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("bucketed tables sort-merge join with no exchange on either side") {
     import org.apache.spark.sql.functions.col
     // the co-located-join technique for repeated 100 TB joins: bucket both
