@@ -835,14 +835,17 @@ object SparkEntry {
     }),
     "q_stream_dedup" -> ((s, dir) => {
       // streaming exact dedup over the bounded replay, hash-checked on
-      // the survivor COUNT (which specific row survives a duplicate
-      // group is arrival-order-dependent; how many survive is not):
-      // one md5 state row per distinct payload inside the horizon
+      // the survivor COUNT: one md5 state row per distinct payload
+      // inside the horizon. The watermark must COVER the dataset's
+      // duplicate spread (~30 days here) for the count to equal
+      // count(DISTINCT) even if the replay splits into multiple
+      // micro-batches — a narrower horizon would evict state between
+      // batches and let later duplicates survive
       val schema = events(s, dir).schema
       val src = s.readStream.schema(schema).parquet(s"$dir/{events}.parquet")
         .withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
       val deduped = graft.streaming.StreamingOps.streamingDedup(
-        src, "props", "event_ts", watermark = "1 hour")
+        src, "props", "event_ts", watermark = "60 days")
         .groupBy().agg(F.count(F.lit(1)).as("n_survivors"))
       graft.streaming.StreamingOps.runToBatch(
         s, deduped, "graft_stream_dedup", outputMode = "complete")

@@ -29,15 +29,25 @@ object RangeJoin {
                       intervals: DataFrame, startCol: String, endCol: String,
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val p = points.withColumn("__b",
-      F.floor(F.col(pointCol).cast("long") / bucketWidth))
+    // collision-proof bucket column; inputs may share column names, so
+    // the containment filter resolves through the parent DataFrames
+    // rather than bare names
+    val b = {
+      var n = "__rj_bucket"
+      val taken = (points.columns ++ intervals.columns).toSet
+      while (taken.contains(n)) n = n + "_"
+      n
+    }
+    // bucket keys truncate; the exact containment filter compares the
+    // RAW values — truncating there would false-match fractional points
+    val p = points.withColumn(b,
+      F.floor(F.col(pointCol).cast("double") / bucketWidth).cast("long"))
     val iv = intervals
-      .withColumn("__b", F.explode(F.sequence(
-        F.floor(F.col(startCol).cast("long") / bucketWidth),
-        F.floor(F.col(endCol).cast("long") / bucketWidth))))
-    p.join(iv, Seq("__b"))
-      .where(F.col(pointCol).cast("long").between(
-        F.col(startCol).cast("long"), F.col(endCol).cast("long")))
-      .drop("__b")
+      .withColumn(b, F.explode(F.sequence(
+        F.floor(F.col(startCol).cast("double") / bucketWidth).cast("long"),
+        F.floor(F.col(endCol).cast("double") / bucketWidth).cast("long"))))
+    p.join(iv, Seq(b))
+      .where(p(pointCol).between(iv(startCol), iv(endCol)))
+      .drop(b)
   }
 }

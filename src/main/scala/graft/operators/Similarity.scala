@@ -224,7 +224,9 @@ object Similarity {
     // silently truncated by the distance loop and mis-assign every new
     // vector — fail fast like the minhash index does on config drift
     val centroidDim = index.centroids.head.length
-    val firstRow = newDf.select(F.size(F.col(embCol))).head(1)
+    val firstRow = newDf
+      .where(F.col(embCol).isNotNull)
+      .select(F.size(F.col(embCol))).head(1)
     if (firstRow.isEmpty) return index // empty batch: nothing to ingest
     val newDim = firstRow(0).getInt(0)
     require(newDim == centroidDim,
