@@ -833,6 +833,39 @@ object SparkEntry {
           F.round(F.col("std"), 4).as("std_r"))
         .orderBy("win_start")
     }),
+    "q_stream_welford" -> ((s, dir) => {
+      // transformWithState per-key Welford over the bounded replay,
+      // hash-checked: RocksDB ValueState carries (n, mean, M2) per
+      // event type; the final update-mode row per key must reproduce
+      // the batch count/avg/stddev_pop (Welford is numerically exact
+      // well past the rounding)
+      import s.implicits._
+      val saved = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val schema = events(s, dir).schema
+        val src = s.readStream.schema(schema).parquet(s"$dir/{events}.parquet")
+          .select(F.col("event_type").as("_1"), F.col("value").as("_2"))
+          .as[(String, Double)]
+        val stats = graft.streaming.StreamingOps.keyedRunningStatsTwsExact(src)
+        val out = graft.streaming.StreamingOps.runToBatch(
+          s, stats.toDF(), "graft_stream_welford", outputMode = "update")
+        // update mode emits one row per key per batch; the final state
+        // row is the one with the largest n
+        val w = Window.partitionBy("key").orderBy(F.col("n").desc)
+        out.withColumn("__rk", F.row_number().over(w)).where(F.col("__rk") === 1)
+          .select(F.col("key").as("event_type"), F.col("n"),
+            F.round(F.col("mean"), 6).as("mean_r"),
+            F.round(F.sqrt(F.col("m2") / F.col("n")), 4).as("std_r"))
+          .orderBy("event_type")
+      } finally {
+        saved match {
+          case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }),
     "q_stream_dedup" -> ((s, dir) => {
       // streaming exact dedup over the bounded replay, hash-checked on
       // the survivor COUNT: one md5 state row per distinct payload
@@ -1364,6 +1397,10 @@ object SparkEntry {
         |  least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0), 9) AS bin,
         |  count(*) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_welford" ->
+      """SELECT event_type, count(*) AS n, round(avg(value), 6) AS mean_r,
+        |  round(stddev_pop(value), 4) AS std_r
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_stream_dedup" ->
       """SELECT count(DISTINCT props) AS n_survivors FROM events""",
     "q_stream_sessions" ->

@@ -182,7 +182,8 @@ object StreamingOps {
       org.apache.spark.sql.streaming.ValueState[KeyStats] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[KeyStats]("welford",
-        org.apache.spark.sql.Encoders.product[KeyStats], TTLConfig(ttl))
+        org.apache.spark.sql.Encoders.product[KeyStats],
+        if (ttl == null) TTLConfig.NONE else TTLConfig(ttl))
     override def handleInputRows(key: String, rows: Iterator[(String, Double)],
                                  timerValues: TimerValues): Iterator[KeyStats] = {
       var (n, mean, m2) = Option(state.get())
@@ -205,6 +206,18 @@ object StreamingOps {
     ds.groupByKey(_._1)
       .transformWithState(new WelfordProcessor(ttl),
         org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
+  /** [[keyedRunningStatsTws]] without TTL, in TimeMode.None — no timer
+    * micro-batches, so an availableNow replay terminates and the final
+    * per-key stats are exact (the harness hash-checks them against
+    * batch SQL). Use the TTL variant for 24/7 unbounded-key streams. */
+  def keyedRunningStatsTwsExact(ds: Dataset[(String, Double)]): Dataset[KeyStats] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .transformWithState(new WelfordProcessor(null),
+        org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
