@@ -1345,7 +1345,91 @@ object SparkEntry {
       // partitioned prefix sums + hash-join back — no single-partition
       // global window)
       Ranks.spearman(li(s, dir), "l_extendedprice", "l_quantity")
-        .select(F.round(F.col("spearman"), 6).as("spearman_price_qty")))
+        .select(F.round(F.col("spearman"), 6).as("spearman_price_qty"))),
+    "q_sketch_bottomk" -> ((s, dir) => {
+      // KMV bottom-k sketch, hash-checked end-to-end: per language, the 8
+      // docs with the smallest md5(doc_id) — a content-addressed uniform
+      // sample whose selected SET is engine/layout/rerun-stable — plus
+      // the classic (k−1)/U(h_k) distinct-count estimate off the k-th
+      // smallest hash. State is ≤ k pairs per partial aggregate; the
+      // shuffle carries k rows per (partition, lang), never the group.
+      // The estimate arithmetic stays in Catalyst so DuckDB replays it
+      // bit-for-bit (same IEEE division off the same 32-bit hash prefix).
+      val bk = F.udaf(new graft.functions.BottomK(8))
+      val kLit = F.lit(8)
+      docs(s, dir)
+        .select(F.col("lang"),
+          F.md5(F.col("doc_id").cast("string")).as("h"), F.col("doc_id"))
+        .groupBy("lang")
+        .agg(bk(F.col("h"), F.col("doc_id")).as("bk"))
+        .withColumn("est_distinct",
+          F.when(F.size(F.col("bk")) < kLit,
+            F.size(F.col("bk")).cast("double"))
+            .otherwise((kLit - 1).cast("double") /
+              ((F.conv(F.substring(F.element_at(F.col("bk"), -1)("_1"), 1, 8),
+                16, 10).cast("double") + 1.0) / 4294967296.0)))
+        .select(F.col("lang"), F.round(F.col("est_distinct"), 4).as("est_r"),
+          F.posexplode(F.col("bk")).as(Seq("pos", "e")))
+        .select(F.col("lang"), F.col("est_r"),
+          (F.col("pos") + 1).cast("long").as("rk"),
+          F.col("e")("_2").as("doc_id"))
+        .orderBy("lang", "rk")
+    }),
+    "q_decontam_bloom" -> ((s, dir) => {
+      // the Bloom-prefiltered decontamination scale path, hash-checked
+      // against the SAME oracle as q_decontaminate: the bloom prunes
+      // corpus grams map-side (~12 bits/gram broadcast instead of the
+      // gram strings) and the exact verify join removes its false
+      // positives, so the report is exact — the bloom changes the plan,
+      // never the answer
+      val d = docs(s, dir)
+      Decontam.bloomContaminationReport(d,
+          d.where(F.col("doc_id") % 50 === 0), "doc_id", "text", n = 8)
+        .orderBy("id")
+    }),
+    "q_hist_merge" -> ((s, dir) => {
+      // mergeable-summary discipline, hash-checked: one hist_counts
+      // sketch per event_type batch (the per-batch persisted artifact in
+      // an incremental pipeline), element-wise merged into the global
+      // histogram — the merge never touches raw rows, so backfilling a
+      // new batch costs one sketch + one k-row merge, not a full rescan
+      val histUdaf = F.udaf(graft.functions.HistAggregator)
+      events(s, dir)
+        .where(F.col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(histUdaf(F.col("value"), F.lit(0.0), F.lit(500.0),
+          F.lit(10)).as("h"))
+        .select(F.posexplode(F.col("h")).as(Seq("pos", "cnt")))
+        .groupBy(F.col("pos").cast("long").as("bin"))
+        .agg(F.sum("cnt").as("cnt"))
+        .where(F.col("cnt") > 0) // a GROUP BY oracle can't see empty bins
+        .orderBy("bin")
+    }),
+    "q_stream_join" -> ((s, dir) => {
+      // watermarked stream-stream interval join (click → purchases of the
+      // same user in the trailing hour), hash-checked: inner-join matches
+      // are emitted exactly once, so the availableNow replay reproduces
+      // the batch interval join — DuckDB is the batch side
+      val schema = events(s, dir).schema
+      def src = s.readStream.schema(schema).parquet(s"$dir/{events}.parquet")
+        .withColumn("ts_us", F.expr("ts div 1000"))
+        .withColumn("event_ts", F.timestamp_micros(F.col("ts_us")))
+      val clicks = src.where(F.col("event_type") === "click")
+        .select(F.col("event_id").as("click_id"), F.col("user_id"),
+          F.col("ts_us").as("click_us"), F.col("event_ts").as("click_ts"))
+      val purchases = src.where(F.col("event_type") === "purchase")
+        .select(F.col("event_id").as("purchase_id"),
+          F.col("user_id"), F.col("value"),
+          F.col("event_ts").as("purchase_ts"))
+      val joined = graft.streaming.StreamingOps.intervalJoin(
+        clicks, purchases, "user_id", "click_ts", "purchase_ts",
+        lookback = "1 hour", watermark = "1 hour")
+      graft.streaming.StreamingOps
+        .runToBatch(s, joined, "graft_stream_join", outputMode = "append")
+        .select(F.col("click_id"), F.col("user_id"), F.col("purchase_id"),
+          F.round(F.col("value"), 6).as("purchase_value"))
+        .orderBy("click_id", "purchase_id")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2316,6 +2400,45 @@ object SparkEntry {
         |  CAST(rank() OVER (ORDER BY l_extendedprice) AS DOUBLE) AS ra,
         |  CAST(rank() OVER (ORDER BY l_quantity) AS DOUBLE) AS rb
         |FROM lineitem)
-        |SELECT round(corr(ra, rb), 6) AS spearman_price_qty FROM r""".stripMargin
+        |SELECT round(corr(ra, rb), 6) AS spearman_price_qty FROM r""".stripMargin,
+    "q_sketch_bottomk" ->
+      """WITH h AS (SELECT lang, doc_id,
+        |  md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+        |r AS (SELECT lang, doc_id, hh, CAST(row_number() OVER
+        |    (PARTITION BY lang ORDER BY hh, doc_id) AS BIGINT) AS rk,
+        |  count(*) OVER (PARTITION BY lang) AS n FROM h),
+        |e AS (SELECT lang,
+        |  CASE WHEN min(n) < 8 THEN CAST(min(n) AS DOUBLE)
+        |       ELSE 7.0 / ((CAST(('0x' || substr(max(CASE WHEN rk = 8
+        |           THEN hh END), 1, 8)) AS BIGINT) + 1.0) / 4294967296.0)
+        |  END AS est FROM r WHERE rk <= 8 GROUP BY lang)
+        |SELECT r.lang, round(e.est, 4) AS est_r, r.rk, r.doc_id
+        |FROM r JOIN e USING (lang) WHERE r.rk <= 8
+        |ORDER BY r.lang, r.rk""".stripMargin,
+    "q_decontam_bloom" ->
+      """WITH tok AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |    x -> x <> '') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(len(t) - 7),
+        |    i -> array_to_string(t[i+1:i+8], ' '))) AS gram
+        |  FROM tok WHERE len(t) >= 8),
+        |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+        |SELECT g.doc_id AS id, count(*) AS n_hits,
+        |  count(DISTINCT g.gram) AS n_uniq_grams
+        |FROM g JOIN bg USING (gram)
+        |GROUP BY g.doc_id ORDER BY id""".stripMargin,
+    "q_hist_merge" ->
+      """SELECT least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0), 9)
+        |    AS bin, count(*) AS cnt
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q_stream_join" ->
+      """SELECT l.event_id AS click_id, l.user_id,
+        |  r.event_id AS purchase_id, round(r.value, 6) AS purchase_value
+        |FROM events l JOIN events r ON l.user_id = r.user_id
+        |  AND l.event_type = 'click' AND r.event_type = 'purchase'
+        |  AND epoch_us(r.ts) BETWEEN epoch_us(l.ts) - 3600000000
+        |    AND epoch_us(l.ts)
+        |ORDER BY click_id, purchase_id""".stripMargin
   )
 }

@@ -59,4 +59,40 @@ object Decontam {
       .select(F.col("id").as(idCol))
     corpus.join(F.broadcast(dirty), Seq(idCol), "left_anti")
   }
+
+  /** [[contaminationReport]] for benchmark suites too large to broadcast
+    * as strings: a Bloom filter over the benchmark's distinct n-grams
+    * (~12 bits/gram at fpp 1% — 50-100× smaller than the gram strings)
+    * prunes corpus grams MAP-SIDE, and only the tiny bloom-survivor
+    * stream reaches the exact verification join that removes false
+    * positives. The output is therefore EXACTLY the exact report — the
+    * bloom changes the plan, never the answer — which is what makes the
+    * scale path hash-checkable against the plain n-gram-join oracle.
+    *
+    * At 100 TB: a 100M-gram benchmark is a ~150 MB bloom (broadcastable)
+    * vs ~10 GB of gram strings (not); corpus grams stay codegen'd and
+    * unshuffled; the verify join's inputs are the matches-plus-fpp
+    * stream and the benchmark grams, both ≪ corpus.
+    *
+    * @return (id, n_hits, n_uniq_grams), identical to contaminationReport */
+  def bloomContaminationReport(corpus: DataFrame, benchmark: DataFrame,
+                               idCol: String, textCol: String,
+                               n: Int = 8, fpp: Double = 0.01): DataFrame = {
+    val benchGrams = benchmark
+      .select(F.explode(gramsCol(F.col(textCol), n)).as("gram"))
+      .distinct()
+      .persist() // read twice: bloom build (action) + verify join
+    val nGrams = math.max(benchGrams.count(), 1L)
+    val bf = benchGrams.stat.bloomFilter("gram", nGrams, fpp)
+    val bfB = corpus.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = F.udf((g: String) => bfB.value.mightContain(g))
+    corpus
+      .select(F.col(idCol).as("id"),
+        F.explode(gramsCol(F.col(textCol), n)).as("gram"))
+      .where(mightContain(F.col("gram")))
+      .join(benchGrams, "gram") // exact verify: drops bloom false positives
+      .groupBy("id")
+      .agg(F.count(F.lit(1)).as("n_hits"),
+        F.count_distinct(F.col("gram")).as("n_uniq_grams"))
+  }
 }

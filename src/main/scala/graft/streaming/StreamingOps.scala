@@ -138,6 +138,33 @@ object StreamingOps {
       .agg(F.count(F.lit(1)).as("n_events"),
         F.sum(F.col(valueCol).cast("double")).as("value_sum"))
 
+  /** Watermarked stream-stream inner join: each left event pairs with the
+    * right-stream events of the same key whose event time falls in
+    * `[leftTime − lookback, leftTime]` — the click-to-recent-purchase
+    * attribution shape. Both sides carry watermarks and the join condition
+    * carries the time bound, so Spark derives a state-eviction horizon for
+    * BOTH buffers (without the interval condition, stream-stream join
+    * state grows forever). Inner-join matches are emitted exactly once,
+    * so the availableNow replay of a bounded source reproduces the batch
+    * interval join bit-for-bit — that equivalence is the harness check.
+    *
+    * At scale the state per key is the lookback window's worth of rows on
+    * each side; the join itself is a key-hash exchange of the two streams,
+    * identical in shape to the batch shuffle join. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTimeCol: String, rightTimeCol: String,
+                   lookback: String = "1 hour",
+                   watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTimeCol, watermark)
+    val r = right.withWatermark(rightTimeCol, watermark)
+    l.join(r,
+      l(keyCol) === r(keyCol) &&
+        r(rightTimeCol) >= l(leftTimeCol) - F.expr(s"INTERVAL $lookback") &&
+        r(rightTimeCol) <= l(leftTimeCol),
+      "inner")
+      .drop(r(keyCol))
+  }
+
   /** Per-key running statistics via explicit streaming state
     * (mapGroupsWithState): Welford count/mean/M2 updated per micro-batch.
     * State is three doubles per key — fixed-size regardless of throughput
