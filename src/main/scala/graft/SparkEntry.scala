@@ -23,12 +23,41 @@ object SparkEntry {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    // events.parquet carries an INT64 TIMESTAMP(NANOS) column that Spark
-    // rejects even when pruned away (PARQUET_TYPE_ILLEGAL); read nanos as
-    // plain longs — the fit only consumes `value`
+  /** Harness contract: `ts` is epoch-NANOS as BIGINT, whatever the file's
+    * physical type. Driver datasets have shipped `ts` as both INT64
+    * TIMESTAMP(NANOS) (readable only via the nanosAsLong legacy conf) and
+    * plain timestamp[us]; every downstream query does integer nanos
+    * arithmetic (`ts div 1000` → µs, `div 3600e9` → hours), so both
+    * shapes normalize here and nowhere else. */
+  private def rawEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/{events}.parquet")
+    // µs timestamps must arrive as TIMESTAMP (not NTZ) so unix_micros
+    // reads the stored value with no session-timezone dependence; pin
+    // UTC anyway so NTZ-typed frames from other readers cast cleanly
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.read.parquet(s"$dir/events.parquet")
+  }
+
+  private def tsToNanos(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df // already nanos
+      case _ =>
+        df.withColumn("ts",
+          F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000L))
+    }
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    tsToNanos(rawEvents(spark, dir))
+
+  /** Streaming twin of [[events]]: same nanos-BIGINT `ts` contract over a
+    * file-source stream (the source needs the file's real schema, so the
+    * normalization happens on the streaming frame, not the schema). The
+    * `{events}` brace-glob keeps the FileStreamSource's derived basePath
+    * at the directory — a bare file path fails its directory check. */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val raw = rawEvents(spark, dir)
+    tsToNanos(spark.readStream.schema(raw.schema).parquet(s"$dir/{events}.parquet"))
   }
 
   /** The driver's oracle comparator sorts result frames with pandas, which
@@ -807,8 +836,7 @@ object SparkEntry {
       // source with Trigger.AvailableNow; the day-window bin counts are
       // integer-exact, so the batch SQL oracle must match bit-for-bit.
       // State per window is ≤ numBins rows at any throughput.
-      val schema = events(s, dir).schema
-      val src = s.readStream.schema(schema).parquet(s"$dir/{events}.parquet")
+      val src = eventsStream(s, dir)
         .withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
       val hist = graft.streaming.StreamingOps.windowedHistogram(
         src, "value", "event_ts", binStart = 0.0, binWidth = 50.0,
@@ -821,8 +849,7 @@ object SparkEntry {
     "q_stream_stats" -> ((s, dir) => {
       // streaming per-day column statistics via the same availableNow
       // replay — count exact, moments rounded like the batch q_stats
-      val schema = events(s, dir).schema
-      val src = s.readStream.schema(schema).parquet(s"$dir/{events}.parquet")
+      val src = eventsStream(s, dir)
         .withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
       val stats = graft.streaming.StreamingOps.windowedStats(
         src, "value", "event_ts", window = "24 hours", watermark = "1 hour")
@@ -844,8 +871,7 @@ object SparkEntry {
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
-        val schema = events(s, dir).schema
-        val src = s.readStream.schema(schema).parquet(s"$dir/{events}.parquet")
+        val src = eventsStream(s, dir)
           .select(F.col("event_type").as("_1"), F.col("value").as("_2"))
           .as[(String, Double)]
         val stats = graft.streaming.StreamingOps.keyedRunningStatsTwsExact(src)
@@ -874,8 +900,7 @@ object SparkEntry {
       // count(DISTINCT) even if the replay splits into multiple
       // micro-batches — a narrower horizon would evict state between
       // batches and let later duplicates survive
-      val schema = events(s, dir).schema
-      val src = s.readStream.schema(schema).parquet(s"$dir/{events}.parquet")
+      val src = eventsStream(s, dir)
         .withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
       val deduped = graft.streaming.StreamingOps.streamingDedup(
         src, "props", "event_ts", watermark = "60 days")
@@ -889,8 +914,7 @@ object SparkEntry {
       // timeouts) must equal the batch sessionization minus any session
       // still open at the final watermark — DuckDB replays exactly that
       import s.implicits._
-      val schema = events(s, dir).schema
-      val src = s.readStream.schema(schema).parquet(s"$dir/{events}.parquet")
+      val src = eventsStream(s, dir)
         .withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
         .withWatermark("event_ts", "0 seconds")
       val ds = src.select(F.col("user_id").cast("string").as("_1"),
@@ -909,8 +933,7 @@ object SparkEntry {
       // offline, watch the stream walk away from it) — erf-based expected
       // bin mass isn't SQL-replayable, so this is a rows-only check; the
       // hist_counts state underneath is the hash-checked q_stream_hist path
-      val schema = events(s, dir).schema
-      val src = s.readStream.schema(schema).parquet(s"$dir/{events}.parquet")
+      val src = eventsStream(s, dir)
         .withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
       val drift = graft.streaming.StreamingOps.windowedDriftScore(
         src, "value", "event_ts", "expon", Array(0.0, 60.0),
@@ -1410,8 +1433,7 @@ object SparkEntry {
       // same user in the trailing hour), hash-checked: inner-join matches
       // are emitted exactly once, so the availableNow replay reproduces
       // the batch interval join — DuckDB is the batch side
-      val schema = events(s, dir).schema
-      def src = s.readStream.schema(schema).parquet(s"$dir/{events}.parquet")
+      def src = eventsStream(s, dir)
         .withColumn("ts_us", F.expr("ts div 1000"))
         .withColumn("event_ts", F.timestamp_micros(F.col("ts_us")))
       val clicks = src.where(F.col("event_type") === "click")
