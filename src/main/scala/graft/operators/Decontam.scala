@@ -81,9 +81,13 @@ object Decontam {
     val benchGrams = benchmark
       .select(F.explode(gramsCol(F.col(textCol), n)).as("gram"))
       .distinct()
-      .persist() // read twice: bloom build (action) + verify join
+      .persist() // shared by the two driver actions: count + bloom build
     val nGrams = math.max(benchGrams.count(), 1L)
     val bf = benchGrams.stat.bloomFilter("gram", nGrams, fpp)
+    // release before returning the lazy plan — the verify join recomputes
+    // the benchmark-sized gram set from lineage instead of pinning blocks
+    // for the caller's whole session
+    benchGrams.unpersist(blocking = false)
     val bfB = corpus.sparkSession.sparkContext.broadcast(bf)
     val mightContain = F.udf((g: String) => bfB.value.mightContain(g))
     corpus
