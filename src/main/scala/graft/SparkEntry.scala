@@ -651,6 +651,8 @@ object SparkEntry {
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")),
     "q_lang_id" -> ((s, dir) =>
+      // hash-checked: the script-count + marker-vote heuristic is fully
+      // deterministic (sorted-lang tie-break), so DuckDB replays it
       TextOps.withLanguage(docs(s, dir), "text")
         .select("doc_id", "detected_lang").orderBy("doc_id")),
     "q_fingerprint" -> ((s, dir) =>
@@ -2391,6 +2393,53 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g')) AS fp_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Replays TextOps.detectLanguage: script counts over the first 2000
+    // chars, then marker-word voting over the first 500 tokens with the
+    // pinned sorted-lang tie-break (simple CASE picks the FIRST score
+    // equal to the max — exactly "smallest lang code wins ties").
+    // `latin` is [A-Za-z] here vs Character.isLetter in the JVM — equal
+    // on any ASCII corpus, which the documents table is.
+    "q_lang_id" ->
+      """WITH c AS (SELECT doc_id, coalesce(text, '') AS x,
+        |    substr(coalesce(text, ''), 1, 2000) AS h FROM documents),
+        |sc AS (SELECT doc_id, x,
+        |  length(h) - length(regexp_replace(h,
+        |    '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]', '', 'g')) AS cjk,
+        |  length(h) - length(regexp_replace(h,
+        |    '[\x{0400}-\x{04FF}]', '', 'g')) AS cyr,
+        |  length(h) - length(regexp_replace(h,
+        |    '[\x{0600}-\x{06FF}]', '', 'g')) AS ara,
+        |  length(regexp_replace(h, '[^A-Za-z]', '', 'g')) AS latin
+        |  FROM c),
+        |w AS (SELECT doc_id, cjk, cyr, ara, latin,
+        |  list_filter(regexp_split_to_array(lower(x), '[^\p{L}]+'),
+        |    y -> y <> '')[1:500] AS ws FROM sc),
+        |v AS (SELECT doc_id, cjk, cyr, ara, latin, ws,
+        |  len(list_filter(ws, y -> y IN ('der','die','das','und','ist',
+        |    'nicht','ein','mit','für'))) AS s_de,
+        |  len(list_filter(ws, y -> y IN ('the','and','of','to','is',
+        |    'that','with','for','this'))) AS s_en,
+        |  len(list_filter(ws, y -> y IN ('el','los','las','es','una',
+        |    'para','con','por','como'))) AS s_es,
+        |  len(list_filter(ws, y -> y IN ('le','la','les','et','est',
+        |    'une','dans','pour','que'))) AS s_fr,
+        |  len(list_filter(ws, y -> y IN ('il','che','di','non','per',
+        |    'una','sono','con'))) AS s_it,
+        |  len(list_filter(ws, y -> y IN ('de','het','een','van','niet',
+        |    'met','voor','zijn'))) AS s_nl,
+        |  len(list_filter(ws, y -> y IN ('o','os','um','uma','não',
+        |    'para','com','por'))) AS s_pt FROM w)
+        |SELECT doc_id, CASE
+        |  WHEN cjk + cyr + ara > latin THEN
+        |    CASE WHEN cjk >= cyr AND cjk >= ara THEN 'zh'
+        |         WHEN cyr >= ara THEN 'ru' ELSE 'ar' END
+        |  WHEN len(ws) = 0 THEN 'und'
+        |  ELSE CASE greatest(s_de, s_en, s_es, s_fr, s_it, s_nl, s_pt)
+        |    WHEN 0 THEN 'und' WHEN s_de THEN 'de' WHEN s_en THEN 'en'
+        |    WHEN s_es THEN 'es' WHEN s_fr THEN 'fr' WHEN s_it THEN 'it'
+        |    WHEN s_nl THEN 'nl' ELSE 'pt' END
+        |  END AS detected_lang
+        |FROM v ORDER BY doc_id""".stripMargin,
     "q_mvn_fit" ->
       """WITH s AS (SELECT
         |  avg(l_extendedprice) AS m0, avg(l_quantity) AS m1, avg(l_discount) AS m2,

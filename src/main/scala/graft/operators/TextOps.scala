@@ -76,6 +76,12 @@ object TextOps {
     "pt" -> Set("o", "os", "um", "uma", "não", "para", "com", "por"),
     "nl" -> Set("de", "het", "een", "van", "niet", "met", "voor", "zijn"))
 
+  /** Voting order is pinned (sorted lang codes) so ties resolve to the
+    * lexicographically smallest language — a well-defined contract the
+    * DuckDB oracle can replay, instead of Map iteration order. */
+  private val langMarkersSorted: Array[(String, Set[String])] =
+    langMarkers.toArray.sortBy(_._1)
+
   /** Heuristic language ID: script detection first (CJK/Cyrillic/Arabic),
     * then marker-word voting; "und" (undetermined) when nothing scores. */
   def detectLanguage(text: String): String = {
@@ -100,7 +106,7 @@ object TextOps {
     val words = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty).take(500)
     if (words.isEmpty) return "und"
     var best = "und"; var bestScore = 0
-    for ((lang, markers) <- langMarkers) {
+    for ((lang, markers) <- langMarkersSorted) {
       val score = words.count(markers)
       if (score > bestScore) { bestScore = score; best = lang }
     }
