@@ -656,12 +656,14 @@ object SparkEntry {
       TextOps.withLanguage(docs(s, dir), "text")
         .select("doc_id", "detected_lang").orderBy("doc_id")),
     "q_fingerprint" -> ((s, dir) =>
+      // hash-checked: the rolling 31·h+c polynomial + splitmix64
+      // finalizer is pure mod-2^64 integer math, so the DuckDB oracle
+      // replays it bit-for-bit in HUGEINT arithmetic
       TextOps.withFingerprint(docs(s, dir), "text")
         .select("doc_id", "fingerprint").orderBy("doc_id")),
     "q_fingerprint_md5" -> ((s, dir) =>
-      // md5 content fingerprint over whitespace-normalized text — the
-      // oracle-checkable variant of the fingerprint surface (identical
-      // normalize+digest exists in DuckDB)
+      // md5 content fingerprint over whitespace-normalized text
+      // (identical normalize+digest exists in DuckDB)
       docs(s, dir).select(F.col("doc_id"),
         F.md5(F.encode(F.regexp_replace(F.trim(F.coalesce(F.col("text"), F.lit(""))),
           "\\s+", " "), "UTF-8")).as("fp_md5"))
@@ -2393,6 +2395,37 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g')) AS fp_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Replays TextOps.fingerprint64 bit-for-bit: whitespace-collapse,
+    // the 31·h+c polynomial over char codes, then the splitmix64
+    // finalizer — all in mod-2^64 HUGEINT arithmetic. Each ·K multiply
+    // is split into 32-bit halves (lo/hi of 0xbf58476d1ce4e5b9 and
+    // 0x94d049bb133111eb) so no intermediate exceeds 128 bits, and the
+    // unsigned result maps back to the signed BIGINT Spark emits.
+    "q_fingerprint" ->
+      """WITH n AS (SELECT doc_id, text IS NULL AS nul,
+        |    regexp_replace(coalesce(text, ''), '\s+', ' ', 'g') AS s
+        |  FROM documents),
+        |p AS (SELECT doc_id, nul,
+        |  CASE WHEN length(s) = 0 THEN CAST(1125899906842597 AS HUGEINT)
+        |  ELSE list_reduce(
+        |    list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |      list_transform(range(1, length(s) + 1),
+        |        i -> CAST(unicode(substr(s, CAST(i AS INT), 1)) AS HUGEINT))),
+        |    (acc, c) -> (31 * acc + c) % 18446744073709551616) END AS h
+        |  FROM n),
+        |x1 AS (SELECT doc_id, nul, xor(h, h >> 30) AS x FROM p),
+        |z1 AS (SELECT doc_id, nul, ((x % 4294967296) * 484763065
+        |  + (((x % 4294967296) * 3210233709 + (x >> 32) * 484763065)
+        |     % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x1),
+        |x2 AS (SELECT doc_id, nul, xor(z, z >> 27) AS x FROM z1),
+        |z2 AS (SELECT doc_id, nul, ((x % 4294967296) * 321982955
+        |  + (((x % 4294967296) * 2496678331 + (x >> 32) * 321982955)
+        |     % 4294967296) * 4294967296) % 18446744073709551616 AS z FROM x2),
+        |f AS (SELECT doc_id, nul, xor(z, z >> 31) AS zu FROM z2)
+        |SELECT doc_id, CAST(CASE WHEN nul THEN 0
+        |  WHEN zu >= 9223372036854775808 THEN zu - 18446744073709551616
+        |  ELSE zu END AS BIGINT) AS fingerprint
+        |FROM f ORDER BY doc_id""".stripMargin,
     // Replays TextOps.detectLanguage: script counts over the first 2000
     // chars, then marker-word voting over the first 500 tokens with the
     // pinned sorted-lang tie-break (simple CASE picks the FIRST score
