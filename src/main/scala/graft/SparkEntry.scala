@@ -606,9 +606,13 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), "doc_id", "text").orderBy("text_md5")),
     "q_dedup_minhash" -> ((s, dir) =>
+      // hash-checked: the whole LSH pipeline is deterministic integer
+      // math, so the DuckDB oracle replays signatures, band keys,
+      // buckets, and estimates bit-for-bit (see the oracle comment)
       Dedup.minhashPairs(docs(s, dir), "doc_id", "text", threshold = 0.5)
         .orderBy("id_a", "id_b")),
     "q_dedup_minhash_survivors" -> ((s, dir) =>
+      // hash-checked via the same SQL replay at threshold 0.8
       Dedup.minhashSurvivors(docs(s, dir), "doc_id", "text", threshold = 0.8)
         .select("doc_id").orderBy("doc_id")),
     "q_dedup_clusters" -> ((s, dir) => {
@@ -2426,6 +2430,301 @@ object SparkEntry {
         |  WHEN zu >= 9223372036854775808 THEN zu - 18446744073709551616
         |  ELSE zu END AS BIGINT) AS fingerprint
         |FROM f ORDER BY doc_id""".stripMargin,
+    // The next three oracles replay the ENTIRE MinHash+LSH pipeline in
+    // SQL — shingling, FNV-1a + splitmix64 shingle hashes, the 128
+    // multiply-shift permutation minima (signed-compare, like the JVM),
+    // per-band mix64 bucket keys, the bucket-size cap, candidate
+    // pairing, and slot-match Jaccard estimation — all in mod-2^64
+    // HUGEINT arithmetic (64×64 multiplies split into 32-bit halves).
+    // Machine-generated CTE chains; every constant mirrors Dedup.scala.
+    "q_dedup_minhash" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |      x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(t) = 0 THEN []
+        |    WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(len(t) - 2),
+        |      i -> array_to_string(t[i+1:i+3], ' ')) END) AS s FROM tok),
+        |f0 AS (SELECT DISTINCT doc_id, s FROM sh),
+        |f1 AS (SELECT doc_id, s, list_reduce(
+        |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |      list_transform(range(1, length(s) + 1),
+        |        i -> CAST(unicode(substr(s, CAST(i AS INT), 1)) AS HUGEINT))),
+        |    (acc, c) -> (xor(acc, c) * 1099511628211) % 18446744073709551616) AS h0 FROM f0),
+        |sma AS (SELECT doc_id, s, ((h0) + 11400714819323198485) % 18446744073709551616 AS z0 FROM f1),
+        |smb AS (SELECT doc_id, s, xor(z0, z0 >> 30) AS y0 FROM sma),
+        |smc AS (SELECT doc_id, s, (((y0) % 4294967296) * 484763065 + ((((y0) % 4294967296) * 3210233709 + ((y0) >> 32) * 484763065) % 4294967296) * 4294967296) % 18446744073709551616 AS z1 FROM smb),
+        |smd AS (SELECT doc_id, s, (((xor(z1, z1 >> 27)) % 4294967296) * 321982955 + ((((xor(z1, z1 >> 27)) % 4294967296) * 2496678331 + ((xor(z1, z1 >> 27)) >> 32) * 321982955) % 4294967296) * 4294967296) % 18446744073709551616 AS z2 FROM smc),
+        |sme AS (SELECT doc_id, s, xor(z2, z2 >> 31) AS h FROM smd),
+        |hsh AS (SELECT doc_id, h AS h_u FROM sme),
+        |cj0 AS (SELECT unnest(range(128)) AS j,
+        |  (CAST(11562461410679940143 AS HUGEINT) + unnest(range(128))) AS xa,
+        |  (CAST(16646288086500911323 AS HUGEINT) + unnest(range(128))) AS xb),
+        |caa AS (SELECT j, ((xa) + 11400714819323198485) % 18446744073709551616 AS z0 FROM cj0),
+        |cab AS (SELECT j, xor(z0, z0 >> 30) AS y0 FROM caa),
+        |cac AS (SELECT j, (((y0) % 4294967296) * 484763065 + ((((y0) % 4294967296) * 3210233709 + ((y0) >> 32) * 484763065) % 4294967296) * 4294967296) % 18446744073709551616 AS z1 FROM cab),
+        |cad AS (SELECT j, (((xor(z1, z1 >> 27)) % 4294967296) * 321982955 + ((((xor(z1, z1 >> 27)) % 4294967296) * 2496678331 + ((xor(z1, z1 >> 27)) >> 32) * 321982955) % 4294967296) * 4294967296) % 18446744073709551616 AS z2 FROM cac),
+        |cae AS (SELECT j, xor(z2, z2 >> 31) AS h FROM cad),
+        |cba AS (SELECT j, ((xb) + 11400714819323198485) % 18446744073709551616 AS z0 FROM cj0),
+        |cbb AS (SELECT j, xor(z0, z0 >> 30) AS y0 FROM cba),
+        |cbc AS (SELECT j, (((y0) % 4294967296) * 484763065 + ((((y0) % 4294967296) * 3210233709 + ((y0) >> 32) * 484763065) % 4294967296) * 4294967296) % 18446744073709551616 AS z1 FROM cbb),
+        |cbd AS (SELECT j, (((xor(z1, z1 >> 27)) % 4294967296) * 321982955 + ((((xor(z1, z1 >> 27)) % 4294967296) * 2496678331 + ((xor(z1, z1 >> 27)) >> 32) * 321982955) % 4294967296) * 4294967296) % 18446744073709551616 AS z2 FROM cbc),
+        |cbe AS (SELECT j, xor(z2, z2 >> 31) AS h FROM cbd),
+        |coeff AS (SELECT a.j,
+        |    a.h + CASE WHEN a.h % 2 = 0 THEN 1 ELSE 0 END AS a_u,
+        |    b.h AS b_u
+        |  FROM cae a JOIN cbe b USING (j)),
+        |sl AS (SELECT doc_id, j, min(CAST(CASE WHEN v >= 9223372036854775808 THEN v - 18446744073709551616
+        |      ELSE v END AS BIGINT)) AS slot
+        |  FROM (SELECT doc_id, j, (((a_u % 4294967296) * (h_u % 4294967296) + (((a_u % 4294967296) * (h_u >> 32) + (a_u >> 32) * (h_u % 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 + b_u) % 18446744073709551616 AS v FROM hsh CROSS JOIN coeff)
+        |  GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id, list(slot ORDER BY j) AS sg FROM sl GROUP BY doc_id),
+        |b0 AS (SELECT s.doc_id, b.band,
+        |  xor(CAST(14695981039346656037 AS HUGEINT), CAST(b.band AS HUGEINT)) AS h
+        |  FROM sig s CROSS JOIN (SELECT unnest(range(32)) AS band) b),
+        |bj0 AS (SELECT p.doc_id, p.band,
+        |  xor(p.h, CASE WHEN sl.slot < 0 THEN CAST(sl.slot AS HUGEINT) + 18446744073709551616
+        |               ELSE CAST(sl.slot AS HUGEINT) END) AS x
+        |  FROM b0 p JOIN sl ON sl.doc_id = p.doc_id AND sl.j = 4 * band + 0),
+        |bm0a AS (SELECT doc_id, band, ((x) + 11400714819323198485) % 18446744073709551616 AS z0 FROM bj0),
+        |bm0b AS (SELECT doc_id, band, xor(z0, z0 >> 30) AS y0 FROM bm0a),
+        |bm0c AS (SELECT doc_id, band, (((y0) % 4294967296) * 484763065 + ((((y0) % 4294967296) * 3210233709 + ((y0) >> 32) * 484763065) % 4294967296) * 4294967296) % 18446744073709551616 AS z1 FROM bm0b),
+        |bm0d AS (SELECT doc_id, band, (((xor(z1, z1 >> 27)) % 4294967296) * 321982955 + ((((xor(z1, z1 >> 27)) % 4294967296) * 2496678331 + ((xor(z1, z1 >> 27)) >> 32) * 321982955) % 4294967296) * 4294967296) % 18446744073709551616 AS z2 FROM bm0c),
+        |bm0e AS (SELECT doc_id, band, xor(z2, z2 >> 31) AS h FROM bm0d),
+        |bj1 AS (SELECT p.doc_id, p.band,
+        |  xor(p.h, CASE WHEN sl.slot < 0 THEN CAST(sl.slot AS HUGEINT) + 18446744073709551616
+        |               ELSE CAST(sl.slot AS HUGEINT) END) AS x
+        |  FROM bm0e p JOIN sl ON sl.doc_id = p.doc_id AND sl.j = 4 * band + 1),
+        |bm1a AS (SELECT doc_id, band, ((x) + 11400714819323198485) % 18446744073709551616 AS z0 FROM bj1),
+        |bm1b AS (SELECT doc_id, band, xor(z0, z0 >> 30) AS y0 FROM bm1a),
+        |bm1c AS (SELECT doc_id, band, (((y0) % 4294967296) * 484763065 + ((((y0) % 4294967296) * 3210233709 + ((y0) >> 32) * 484763065) % 4294967296) * 4294967296) % 18446744073709551616 AS z1 FROM bm1b),
+        |bm1d AS (SELECT doc_id, band, (((xor(z1, z1 >> 27)) % 4294967296) * 321982955 + ((((xor(z1, z1 >> 27)) % 4294967296) * 2496678331 + ((xor(z1, z1 >> 27)) >> 32) * 321982955) % 4294967296) * 4294967296) % 18446744073709551616 AS z2 FROM bm1c),
+        |bm1e AS (SELECT doc_id, band, xor(z2, z2 >> 31) AS h FROM bm1d),
+        |bj2 AS (SELECT p.doc_id, p.band,
+        |  xor(p.h, CASE WHEN sl.slot < 0 THEN CAST(sl.slot AS HUGEINT) + 18446744073709551616
+        |               ELSE CAST(sl.slot AS HUGEINT) END) AS x
+        |  FROM bm1e p JOIN sl ON sl.doc_id = p.doc_id AND sl.j = 4 * band + 2),
+        |bm2a AS (SELECT doc_id, band, ((x) + 11400714819323198485) % 18446744073709551616 AS z0 FROM bj2),
+        |bm2b AS (SELECT doc_id, band, xor(z0, z0 >> 30) AS y0 FROM bm2a),
+        |bm2c AS (SELECT doc_id, band, (((y0) % 4294967296) * 484763065 + ((((y0) % 4294967296) * 3210233709 + ((y0) >> 32) * 484763065) % 4294967296) * 4294967296) % 18446744073709551616 AS z1 FROM bm2b),
+        |bm2d AS (SELECT doc_id, band, (((xor(z1, z1 >> 27)) % 4294967296) * 321982955 + ((((xor(z1, z1 >> 27)) % 4294967296) * 2496678331 + ((xor(z1, z1 >> 27)) >> 32) * 321982955) % 4294967296) * 4294967296) % 18446744073709551616 AS z2 FROM bm2c),
+        |bm2e AS (SELECT doc_id, band, xor(z2, z2 >> 31) AS h FROM bm2d),
+        |bj3 AS (SELECT p.doc_id, p.band,
+        |  xor(p.h, CASE WHEN sl.slot < 0 THEN CAST(sl.slot AS HUGEINT) + 18446744073709551616
+        |               ELSE CAST(sl.slot AS HUGEINT) END) AS x
+        |  FROM bm2e p JOIN sl ON sl.doc_id = p.doc_id AND sl.j = 4 * band + 3),
+        |bm3a AS (SELECT doc_id, band, ((x) + 11400714819323198485) % 18446744073709551616 AS z0 FROM bj3),
+        |bm3b AS (SELECT doc_id, band, xor(z0, z0 >> 30) AS y0 FROM bm3a),
+        |bm3c AS (SELECT doc_id, band, (((y0) % 4294967296) * 484763065 + ((((y0) % 4294967296) * 3210233709 + ((y0) >> 32) * 484763065) % 4294967296) * 4294967296) % 18446744073709551616 AS z1 FROM bm3b),
+        |bm3d AS (SELECT doc_id, band, (((xor(z1, z1 >> 27)) % 4294967296) * 321982955 + ((((xor(z1, z1 >> 27)) % 4294967296) * 2496678331 + ((xor(z1, z1 >> 27)) >> 32) * 321982955) % 4294967296) * 4294967296) % 18446744073709551616 AS z2 FROM bm3c),
+        |bm3e AS (SELECT doc_id, band, xor(z2, z2 >> 31) AS h FROM bm3d),
+        |bk AS (SELECT doc_id, band, h AS bkey FROM bm3e),
+        |buckets AS (SELECT band, bkey, list(doc_id ORDER BY doc_id) AS members
+        |  FROM bk GROUP BY band, bkey HAVING count(*) BETWEEN 2 AND 1000),
+        |cand AS (SELECT DISTINCT m1.a AS id_a, m2.a AS id_b FROM (
+        |    SELECT unnest(members) AS a, band, bkey FROM buckets) m1
+        |  JOIN (SELECT unnest(members) AS a, band, bkey FROM buckets) m2
+        |    ON m1.band = m2.band AND m1.bkey = m2.bkey AND m1.a < m2.a),
+        |est AS (SELECT c.id_a, c.id_b,
+        |    round(len(list_filter(range(128), k -> sa.sg[k+1] = sb.sg[k+1])) / 128.0,
+        |      6) AS est_jaccard
+        |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+        |  JOIN sig sb ON sb.doc_id = c.id_b)
+        |SELECT id_a, id_b, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_minhash_survivors" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |      x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(t) = 0 THEN []
+        |    WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(len(t) - 2),
+        |      i -> array_to_string(t[i+1:i+3], ' ')) END) AS s FROM tok),
+        |f0 AS (SELECT DISTINCT doc_id, s FROM sh),
+        |f1 AS (SELECT doc_id, s, list_reduce(
+        |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |      list_transform(range(1, length(s) + 1),
+        |        i -> CAST(unicode(substr(s, CAST(i AS INT), 1)) AS HUGEINT))),
+        |    (acc, c) -> (xor(acc, c) * 1099511628211) % 18446744073709551616) AS h0 FROM f0),
+        |sma AS (SELECT doc_id, s, ((h0) + 11400714819323198485) % 18446744073709551616 AS z0 FROM f1),
+        |smb AS (SELECT doc_id, s, xor(z0, z0 >> 30) AS y0 FROM sma),
+        |smc AS (SELECT doc_id, s, (((y0) % 4294967296) * 484763065 + ((((y0) % 4294967296) * 3210233709 + ((y0) >> 32) * 484763065) % 4294967296) * 4294967296) % 18446744073709551616 AS z1 FROM smb),
+        |smd AS (SELECT doc_id, s, (((xor(z1, z1 >> 27)) % 4294967296) * 321982955 + ((((xor(z1, z1 >> 27)) % 4294967296) * 2496678331 + ((xor(z1, z1 >> 27)) >> 32) * 321982955) % 4294967296) * 4294967296) % 18446744073709551616 AS z2 FROM smc),
+        |sme AS (SELECT doc_id, s, xor(z2, z2 >> 31) AS h FROM smd),
+        |hsh AS (SELECT doc_id, h AS h_u FROM sme),
+        |cj0 AS (SELECT unnest(range(128)) AS j,
+        |  (CAST(11562461410679940143 AS HUGEINT) + unnest(range(128))) AS xa,
+        |  (CAST(16646288086500911323 AS HUGEINT) + unnest(range(128))) AS xb),
+        |caa AS (SELECT j, ((xa) + 11400714819323198485) % 18446744073709551616 AS z0 FROM cj0),
+        |cab AS (SELECT j, xor(z0, z0 >> 30) AS y0 FROM caa),
+        |cac AS (SELECT j, (((y0) % 4294967296) * 484763065 + ((((y0) % 4294967296) * 3210233709 + ((y0) >> 32) * 484763065) % 4294967296) * 4294967296) % 18446744073709551616 AS z1 FROM cab),
+        |cad AS (SELECT j, (((xor(z1, z1 >> 27)) % 4294967296) * 321982955 + ((((xor(z1, z1 >> 27)) % 4294967296) * 2496678331 + ((xor(z1, z1 >> 27)) >> 32) * 321982955) % 4294967296) * 4294967296) % 18446744073709551616 AS z2 FROM cac),
+        |cae AS (SELECT j, xor(z2, z2 >> 31) AS h FROM cad),
+        |cba AS (SELECT j, ((xb) + 11400714819323198485) % 18446744073709551616 AS z0 FROM cj0),
+        |cbb AS (SELECT j, xor(z0, z0 >> 30) AS y0 FROM cba),
+        |cbc AS (SELECT j, (((y0) % 4294967296) * 484763065 + ((((y0) % 4294967296) * 3210233709 + ((y0) >> 32) * 484763065) % 4294967296) * 4294967296) % 18446744073709551616 AS z1 FROM cbb),
+        |cbd AS (SELECT j, (((xor(z1, z1 >> 27)) % 4294967296) * 321982955 + ((((xor(z1, z1 >> 27)) % 4294967296) * 2496678331 + ((xor(z1, z1 >> 27)) >> 32) * 321982955) % 4294967296) * 4294967296) % 18446744073709551616 AS z2 FROM cbc),
+        |cbe AS (SELECT j, xor(z2, z2 >> 31) AS h FROM cbd),
+        |coeff AS (SELECT a.j,
+        |    a.h + CASE WHEN a.h % 2 = 0 THEN 1 ELSE 0 END AS a_u,
+        |    b.h AS b_u
+        |  FROM cae a JOIN cbe b USING (j)),
+        |sl AS (SELECT doc_id, j, min(CAST(CASE WHEN v >= 9223372036854775808 THEN v - 18446744073709551616
+        |      ELSE v END AS BIGINT)) AS slot
+        |  FROM (SELECT doc_id, j, (((a_u % 4294967296) * (h_u % 4294967296) + (((a_u % 4294967296) * (h_u >> 32) + (a_u >> 32) * (h_u % 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 + b_u) % 18446744073709551616 AS v FROM hsh CROSS JOIN coeff)
+        |  GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id, list(slot ORDER BY j) AS sg FROM sl GROUP BY doc_id),
+        |b0 AS (SELECT s.doc_id, b.band,
+        |  xor(CAST(14695981039346656037 AS HUGEINT), CAST(b.band AS HUGEINT)) AS h
+        |  FROM sig s CROSS JOIN (SELECT unnest(range(32)) AS band) b),
+        |bj0 AS (SELECT p.doc_id, p.band,
+        |  xor(p.h, CASE WHEN sl.slot < 0 THEN CAST(sl.slot AS HUGEINT) + 18446744073709551616
+        |               ELSE CAST(sl.slot AS HUGEINT) END) AS x
+        |  FROM b0 p JOIN sl ON sl.doc_id = p.doc_id AND sl.j = 4 * band + 0),
+        |bm0a AS (SELECT doc_id, band, ((x) + 11400714819323198485) % 18446744073709551616 AS z0 FROM bj0),
+        |bm0b AS (SELECT doc_id, band, xor(z0, z0 >> 30) AS y0 FROM bm0a),
+        |bm0c AS (SELECT doc_id, band, (((y0) % 4294967296) * 484763065 + ((((y0) % 4294967296) * 3210233709 + ((y0) >> 32) * 484763065) % 4294967296) * 4294967296) % 18446744073709551616 AS z1 FROM bm0b),
+        |bm0d AS (SELECT doc_id, band, (((xor(z1, z1 >> 27)) % 4294967296) * 321982955 + ((((xor(z1, z1 >> 27)) % 4294967296) * 2496678331 + ((xor(z1, z1 >> 27)) >> 32) * 321982955) % 4294967296) * 4294967296) % 18446744073709551616 AS z2 FROM bm0c),
+        |bm0e AS (SELECT doc_id, band, xor(z2, z2 >> 31) AS h FROM bm0d),
+        |bj1 AS (SELECT p.doc_id, p.band,
+        |  xor(p.h, CASE WHEN sl.slot < 0 THEN CAST(sl.slot AS HUGEINT) + 18446744073709551616
+        |               ELSE CAST(sl.slot AS HUGEINT) END) AS x
+        |  FROM bm0e p JOIN sl ON sl.doc_id = p.doc_id AND sl.j = 4 * band + 1),
+        |bm1a AS (SELECT doc_id, band, ((x) + 11400714819323198485) % 18446744073709551616 AS z0 FROM bj1),
+        |bm1b AS (SELECT doc_id, band, xor(z0, z0 >> 30) AS y0 FROM bm1a),
+        |bm1c AS (SELECT doc_id, band, (((y0) % 4294967296) * 484763065 + ((((y0) % 4294967296) * 3210233709 + ((y0) >> 32) * 484763065) % 4294967296) * 4294967296) % 18446744073709551616 AS z1 FROM bm1b),
+        |bm1d AS (SELECT doc_id, band, (((xor(z1, z1 >> 27)) % 4294967296) * 321982955 + ((((xor(z1, z1 >> 27)) % 4294967296) * 2496678331 + ((xor(z1, z1 >> 27)) >> 32) * 321982955) % 4294967296) * 4294967296) % 18446744073709551616 AS z2 FROM bm1c),
+        |bm1e AS (SELECT doc_id, band, xor(z2, z2 >> 31) AS h FROM bm1d),
+        |bj2 AS (SELECT p.doc_id, p.band,
+        |  xor(p.h, CASE WHEN sl.slot < 0 THEN CAST(sl.slot AS HUGEINT) + 18446744073709551616
+        |               ELSE CAST(sl.slot AS HUGEINT) END) AS x
+        |  FROM bm1e p JOIN sl ON sl.doc_id = p.doc_id AND sl.j = 4 * band + 2),
+        |bm2a AS (SELECT doc_id, band, ((x) + 11400714819323198485) % 18446744073709551616 AS z0 FROM bj2),
+        |bm2b AS (SELECT doc_id, band, xor(z0, z0 >> 30) AS y0 FROM bm2a),
+        |bm2c AS (SELECT doc_id, band, (((y0) % 4294967296) * 484763065 + ((((y0) % 4294967296) * 3210233709 + ((y0) >> 32) * 484763065) % 4294967296) * 4294967296) % 18446744073709551616 AS z1 FROM bm2b),
+        |bm2d AS (SELECT doc_id, band, (((xor(z1, z1 >> 27)) % 4294967296) * 321982955 + ((((xor(z1, z1 >> 27)) % 4294967296) * 2496678331 + ((xor(z1, z1 >> 27)) >> 32) * 321982955) % 4294967296) * 4294967296) % 18446744073709551616 AS z2 FROM bm2c),
+        |bm2e AS (SELECT doc_id, band, xor(z2, z2 >> 31) AS h FROM bm2d),
+        |bj3 AS (SELECT p.doc_id, p.band,
+        |  xor(p.h, CASE WHEN sl.slot < 0 THEN CAST(sl.slot AS HUGEINT) + 18446744073709551616
+        |               ELSE CAST(sl.slot AS HUGEINT) END) AS x
+        |  FROM bm2e p JOIN sl ON sl.doc_id = p.doc_id AND sl.j = 4 * band + 3),
+        |bm3a AS (SELECT doc_id, band, ((x) + 11400714819323198485) % 18446744073709551616 AS z0 FROM bj3),
+        |bm3b AS (SELECT doc_id, band, xor(z0, z0 >> 30) AS y0 FROM bm3a),
+        |bm3c AS (SELECT doc_id, band, (((y0) % 4294967296) * 484763065 + ((((y0) % 4294967296) * 3210233709 + ((y0) >> 32) * 484763065) % 4294967296) * 4294967296) % 18446744073709551616 AS z1 FROM bm3b),
+        |bm3d AS (SELECT doc_id, band, (((xor(z1, z1 >> 27)) % 4294967296) * 321982955 + ((((xor(z1, z1 >> 27)) % 4294967296) * 2496678331 + ((xor(z1, z1 >> 27)) >> 32) * 321982955) % 4294967296) * 4294967296) % 18446744073709551616 AS z2 FROM bm3c),
+        |bm3e AS (SELECT doc_id, band, xor(z2, z2 >> 31) AS h FROM bm3d),
+        |bk AS (SELECT doc_id, band, h AS bkey FROM bm3e),
+        |buckets AS (SELECT band, bkey, list(doc_id ORDER BY doc_id) AS members
+        |  FROM bk GROUP BY band, bkey HAVING count(*) BETWEEN 2 AND 1000),
+        |cand AS (SELECT DISTINCT m1.a AS id_a, m2.a AS id_b FROM (
+        |    SELECT unnest(members) AS a, band, bkey FROM buckets) m1
+        |  JOIN (SELECT unnest(members) AS a, band, bkey FROM buckets) m2
+        |    ON m1.band = m2.band AND m1.bkey = m2.bkey AND m1.a < m2.a),
+        |est AS (SELECT c.id_a, c.id_b,
+        |    round(len(list_filter(range(128), k -> sa.sg[k+1] = sb.sg[k+1])) / 128.0,
+        |      6) AS est_jaccard
+        |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+        |  JOIN sig sb ON sb.doc_id = c.id_b)
+        |SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT id_b FROM est WHERE est_jaccard >= 0.8)
+        |ORDER BY doc_id""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |      x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(t) = 0 THEN []
+        |    WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(len(t) - 2),
+        |      i -> array_to_string(t[i+1:i+3], ' ')) END) AS s FROM tok),
+        |f0 AS (SELECT DISTINCT doc_id, s FROM sh),
+        |f1 AS (SELECT doc_id, s, list_reduce(
+        |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |      list_transform(range(1, length(s) + 1),
+        |        i -> CAST(unicode(substr(s, CAST(i AS INT), 1)) AS HUGEINT))),
+        |    (acc, c) -> (xor(acc, c) * 1099511628211) % 18446744073709551616) AS h0 FROM f0),
+        |sma AS (SELECT doc_id, s, ((h0) + 11400714819323198485) % 18446744073709551616 AS z0 FROM f1),
+        |smb AS (SELECT doc_id, s, xor(z0, z0 >> 30) AS y0 FROM sma),
+        |smc AS (SELECT doc_id, s, (((y0) % 4294967296) * 484763065 + ((((y0) % 4294967296) * 3210233709 + ((y0) >> 32) * 484763065) % 4294967296) * 4294967296) % 18446744073709551616 AS z1 FROM smb),
+        |smd AS (SELECT doc_id, s, (((xor(z1, z1 >> 27)) % 4294967296) * 321982955 + ((((xor(z1, z1 >> 27)) % 4294967296) * 2496678331 + ((xor(z1, z1 >> 27)) >> 32) * 321982955) % 4294967296) * 4294967296) % 18446744073709551616 AS z2 FROM smc),
+        |sme AS (SELECT doc_id, s, xor(z2, z2 >> 31) AS h FROM smd),
+        |hsh AS (SELECT doc_id, h AS h_u FROM sme),
+        |cj0 AS (SELECT unnest(range(128)) AS j,
+        |  (CAST(11562461410679940143 AS HUGEINT) + unnest(range(128))) AS xa,
+        |  (CAST(16646288086500911323 AS HUGEINT) + unnest(range(128))) AS xb),
+        |caa AS (SELECT j, ((xa) + 11400714819323198485) % 18446744073709551616 AS z0 FROM cj0),
+        |cab AS (SELECT j, xor(z0, z0 >> 30) AS y0 FROM caa),
+        |cac AS (SELECT j, (((y0) % 4294967296) * 484763065 + ((((y0) % 4294967296) * 3210233709 + ((y0) >> 32) * 484763065) % 4294967296) * 4294967296) % 18446744073709551616 AS z1 FROM cab),
+        |cad AS (SELECT j, (((xor(z1, z1 >> 27)) % 4294967296) * 321982955 + ((((xor(z1, z1 >> 27)) % 4294967296) * 2496678331 + ((xor(z1, z1 >> 27)) >> 32) * 321982955) % 4294967296) * 4294967296) % 18446744073709551616 AS z2 FROM cac),
+        |cae AS (SELECT j, xor(z2, z2 >> 31) AS h FROM cad),
+        |cba AS (SELECT j, ((xb) + 11400714819323198485) % 18446744073709551616 AS z0 FROM cj0),
+        |cbb AS (SELECT j, xor(z0, z0 >> 30) AS y0 FROM cba),
+        |cbc AS (SELECT j, (((y0) % 4294967296) * 484763065 + ((((y0) % 4294967296) * 3210233709 + ((y0) >> 32) * 484763065) % 4294967296) * 4294967296) % 18446744073709551616 AS z1 FROM cbb),
+        |cbd AS (SELECT j, (((xor(z1, z1 >> 27)) % 4294967296) * 321982955 + ((((xor(z1, z1 >> 27)) % 4294967296) * 2496678331 + ((xor(z1, z1 >> 27)) >> 32) * 321982955) % 4294967296) * 4294967296) % 18446744073709551616 AS z2 FROM cbc),
+        |cbe AS (SELECT j, xor(z2, z2 >> 31) AS h FROM cbd),
+        |coeff AS (SELECT a.j,
+        |    a.h + CASE WHEN a.h % 2 = 0 THEN 1 ELSE 0 END AS a_u,
+        |    b.h AS b_u
+        |  FROM cae a JOIN cbe b USING (j)),
+        |sl AS (SELECT doc_id, j, min(CAST(CASE WHEN v >= 9223372036854775808 THEN v - 18446744073709551616
+        |      ELSE v END AS BIGINT)) AS slot
+        |  FROM (SELECT doc_id, j, (((a_u % 4294967296) * (h_u % 4294967296) + (((a_u % 4294967296) * (h_u >> 32) + (a_u >> 32) * (h_u % 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616 + b_u) % 18446744073709551616 AS v FROM hsh CROSS JOIN coeff)
+        |  GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id, list(slot ORDER BY j) AS sg FROM sl GROUP BY doc_id),
+        |b0 AS (SELECT s.doc_id, b.band,
+        |  xor(CAST(14695981039346656037 AS HUGEINT), CAST(b.band AS HUGEINT)) AS h
+        |  FROM sig s CROSS JOIN (SELECT unnest(range(32)) AS band) b),
+        |bj0 AS (SELECT p.doc_id, p.band,
+        |  xor(p.h, CASE WHEN sl.slot < 0 THEN CAST(sl.slot AS HUGEINT) + 18446744073709551616
+        |               ELSE CAST(sl.slot AS HUGEINT) END) AS x
+        |  FROM b0 p JOIN sl ON sl.doc_id = p.doc_id AND sl.j = 4 * band + 0),
+        |bm0a AS (SELECT doc_id, band, ((x) + 11400714819323198485) % 18446744073709551616 AS z0 FROM bj0),
+        |bm0b AS (SELECT doc_id, band, xor(z0, z0 >> 30) AS y0 FROM bm0a),
+        |bm0c AS (SELECT doc_id, band, (((y0) % 4294967296) * 484763065 + ((((y0) % 4294967296) * 3210233709 + ((y0) >> 32) * 484763065) % 4294967296) * 4294967296) % 18446744073709551616 AS z1 FROM bm0b),
+        |bm0d AS (SELECT doc_id, band, (((xor(z1, z1 >> 27)) % 4294967296) * 321982955 + ((((xor(z1, z1 >> 27)) % 4294967296) * 2496678331 + ((xor(z1, z1 >> 27)) >> 32) * 321982955) % 4294967296) * 4294967296) % 18446744073709551616 AS z2 FROM bm0c),
+        |bm0e AS (SELECT doc_id, band, xor(z2, z2 >> 31) AS h FROM bm0d),
+        |bj1 AS (SELECT p.doc_id, p.band,
+        |  xor(p.h, CASE WHEN sl.slot < 0 THEN CAST(sl.slot AS HUGEINT) + 18446744073709551616
+        |               ELSE CAST(sl.slot AS HUGEINT) END) AS x
+        |  FROM bm0e p JOIN sl ON sl.doc_id = p.doc_id AND sl.j = 4 * band + 1),
+        |bm1a AS (SELECT doc_id, band, ((x) + 11400714819323198485) % 18446744073709551616 AS z0 FROM bj1),
+        |bm1b AS (SELECT doc_id, band, xor(z0, z0 >> 30) AS y0 FROM bm1a),
+        |bm1c AS (SELECT doc_id, band, (((y0) % 4294967296) * 484763065 + ((((y0) % 4294967296) * 3210233709 + ((y0) >> 32) * 484763065) % 4294967296) * 4294967296) % 18446744073709551616 AS z1 FROM bm1b),
+        |bm1d AS (SELECT doc_id, band, (((xor(z1, z1 >> 27)) % 4294967296) * 321982955 + ((((xor(z1, z1 >> 27)) % 4294967296) * 2496678331 + ((xor(z1, z1 >> 27)) >> 32) * 321982955) % 4294967296) * 4294967296) % 18446744073709551616 AS z2 FROM bm1c),
+        |bm1e AS (SELECT doc_id, band, xor(z2, z2 >> 31) AS h FROM bm1d),
+        |bj2 AS (SELECT p.doc_id, p.band,
+        |  xor(p.h, CASE WHEN sl.slot < 0 THEN CAST(sl.slot AS HUGEINT) + 18446744073709551616
+        |               ELSE CAST(sl.slot AS HUGEINT) END) AS x
+        |  FROM bm1e p JOIN sl ON sl.doc_id = p.doc_id AND sl.j = 4 * band + 2),
+        |bm2a AS (SELECT doc_id, band, ((x) + 11400714819323198485) % 18446744073709551616 AS z0 FROM bj2),
+        |bm2b AS (SELECT doc_id, band, xor(z0, z0 >> 30) AS y0 FROM bm2a),
+        |bm2c AS (SELECT doc_id, band, (((y0) % 4294967296) * 484763065 + ((((y0) % 4294967296) * 3210233709 + ((y0) >> 32) * 484763065) % 4294967296) * 4294967296) % 18446744073709551616 AS z1 FROM bm2b),
+        |bm2d AS (SELECT doc_id, band, (((xor(z1, z1 >> 27)) % 4294967296) * 321982955 + ((((xor(z1, z1 >> 27)) % 4294967296) * 2496678331 + ((xor(z1, z1 >> 27)) >> 32) * 321982955) % 4294967296) * 4294967296) % 18446744073709551616 AS z2 FROM bm2c),
+        |bm2e AS (SELECT doc_id, band, xor(z2, z2 >> 31) AS h FROM bm2d),
+        |bj3 AS (SELECT p.doc_id, p.band,
+        |  xor(p.h, CASE WHEN sl.slot < 0 THEN CAST(sl.slot AS HUGEINT) + 18446744073709551616
+        |               ELSE CAST(sl.slot AS HUGEINT) END) AS x
+        |  FROM bm2e p JOIN sl ON sl.doc_id = p.doc_id AND sl.j = 4 * band + 3),
+        |bm3a AS (SELECT doc_id, band, ((x) + 11400714819323198485) % 18446744073709551616 AS z0 FROM bj3),
+        |bm3b AS (SELECT doc_id, band, xor(z0, z0 >> 30) AS y0 FROM bm3a),
+        |bm3c AS (SELECT doc_id, band, (((y0) % 4294967296) * 484763065 + ((((y0) % 4294967296) * 3210233709 + ((y0) >> 32) * 484763065) % 4294967296) * 4294967296) % 18446744073709551616 AS z1 FROM bm3b),
+        |bm3d AS (SELECT doc_id, band, (((xor(z1, z1 >> 27)) % 4294967296) * 321982955 + ((((xor(z1, z1 >> 27)) % 4294967296) * 2496678331 + ((xor(z1, z1 >> 27)) >> 32) * 321982955) % 4294967296) * 4294967296) % 18446744073709551616 AS z2 FROM bm3c),
+        |bm3e AS (SELECT doc_id, band, xor(z2, z2 >> 31) AS h FROM bm3d),
+        |bk AS (SELECT doc_id, band, h AS bkey FROM bm3e),
+        |ok AS (SELECT band, bkey FROM bk WHERE doc_id < 400
+        |  GROUP BY band, bkey HAVING count(*) <= 1000),
+        |cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        |  FROM bk n JOIN bk o ON n.band = o.band AND n.bkey = o.bkey
+        |  JOIN ok ON ok.band = n.band AND ok.bkey = n.bkey
+        |  WHERE n.doc_id >= 400 AND o.doc_id < 400 AND n.doc_id <> o.doc_id),
+        |est AS (SELECT c.new_id, c.old_id,
+        |    round(len(list_filter(range(128), k -> sa.sg[k+1] = sb.sg[k+1])) / 128.0,
+        |      6) AS est_jaccard
+        |  FROM cand c JOIN sig sa ON sa.doc_id = c.new_id
+        |  JOIN sig sb ON sb.doc_id = c.old_id)
+        |SELECT new_id, old_id, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.7
+        |ORDER BY new_id, old_id""".stripMargin,
     // Replays TextOps.detectLanguage: script counts over the first 2000
     // chars, then marker-word voting over the first 500 tokens with the
     // pinned sorted-lang tie-break (simple CASE picks the FIRST score
