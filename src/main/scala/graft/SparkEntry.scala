@@ -651,7 +651,8 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       // maxHamming=3 → 4×16-bit chunks, the classic configuration; larger
       // budgets shrink chunks into a tiny keyspace and the banded join
-      // degenerates to quadratic (round-1 bench: 68 s at maxHamming=10)
+      // degenerates to quadratic (round-1 bench: 68 s at maxHamming=10).
+      // Hash-checked: the DuckDB oracle replays the full SimHash pipeline
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")),
     "q_lang_id" -> ((s, dir) =>
@@ -2725,6 +2726,45 @@ object SparkEntry {
         |SELECT new_id, old_id, est_jaccard FROM est
         |WHERE est_jaccard >= 0.7
         |ORDER BY new_id, old_id""".stripMargin,
+    // SimHash replay: per-token FNV-1a+splitmix64 hashes, the 64 bit
+    // votes, signature assembly, 4x16-bit pigeonhole chunks, the bucket
+    // cap, and xor+bit_count verification - same HUGEINT discipline.
+    "q_dedup_simhash" ->
+      """WITH tk AS (SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |    x -> x <> '')) AS s FROM documents),
+        |g0 AS (SELECT doc_id, s, row_number() OVER () AS rn FROM tk),
+        |g1 AS (SELECT doc_id, rn, list_reduce(
+        |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |      list_transform(range(1, length(s) + 1),
+        |        i -> CAST(unicode(substr(s, CAST(i AS INT), 1)) AS HUGEINT))),
+        |    (acc, c) -> (xor(acc, c) * 1099511628211) % 18446744073709551616) AS h0 FROM g0),
+        |tma AS (SELECT doc_id, rn, ((h0) + 11400714819323198485) % 18446744073709551616 AS z0 FROM g1),
+        |tmb AS (SELECT doc_id, rn, xor(z0, z0 >> 30) AS y0 FROM tma),
+        |tmc AS (SELECT doc_id, rn, (((y0) % 4294967296) * 484763065 + ((((y0) % 4294967296) * 3210233709 + ((y0) >> 32) * 484763065) % 4294967296) * 4294967296) % 18446744073709551616 AS z1 FROM tmb),
+        |tmd AS (SELECT doc_id, rn, (((xor(z1, z1 >> 27)) % 4294967296) * 321982955 + ((((xor(z1, z1 >> 27)) % 4294967296) * 2496678331 + ((xor(z1, z1 >> 27)) >> 32) * 321982955) % 4294967296) * 4294967296) % 18446744073709551616 AS z2 FROM tmc),
+        |tme AS (SELECT doc_id, rn, xor(z2, z2 >> 31) AS h FROM tmd),
+        |hs AS (SELECT doc_id, h AS hu FROM tme),
+        |votes AS (SELECT doc_id, b, sum(CASE WHEN (hu >> b) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM hs CROSS JOIN (SELECT unnest(range(64)) AS b) GROUP BY doc_id, b),
+        |sigu AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (CAST(1 AS HUGEINT) << CAST(b AS INT))
+        |    ELSE CAST(0 AS HUGEINT) END) AS u FROM votes GROUP BY doc_id),
+        |sg AS (SELECT d.doc_id, coalesce(s.u, CAST(0 AS HUGEINT)) AS u,
+        |    CAST(CASE WHEN coalesce(s.u, CAST(0 AS HUGEINT)) >= 9223372036854775808
+        |      THEN coalesce(s.u, CAST(0 AS HUGEINT)) - 18446744073709551616
+        |      ELSE coalesce(s.u, CAST(0 AS HUGEINT)) END AS BIGINT) AS sig
+        |  FROM documents d LEFT JOIN sigu s USING (doc_id)),
+        |bc AS (SELECT doc_id, sig, band, (u >> (16 * CAST(band AS INT))) % 65536 AS chunk
+        |  FROM sg CROSS JOIN (SELECT unnest(range(4)) AS band) b),
+        |bu AS (SELECT band, chunk FROM bc GROUP BY band, chunk
+        |  HAVING count(*) BETWEEN 2 AND 1000),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    bit_count(xor(a.sig, b.sig)) AS hamming
+        |  FROM bc a JOIN bc b ON a.band = b.band AND a.chunk = b.chunk
+        |    AND a.doc_id < b.doc_id
+        |  JOIN bu k ON k.band = a.band AND k.chunk = a.chunk
+        |  WHERE bit_count(xor(a.sig, b.sig)) <= 3)
+        |SELECT id_a, id_b, hamming FROM cand ORDER BY id_a, id_b""".stripMargin,
     // Replays TextOps.detectLanguage: script counts over the first 2000
     // chars, then marker-word voting over the first 500 tokens with the
     // pinned sorted-lang tie-break (simple CASE picks the FIRST score
