@@ -679,6 +679,9 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb(s, dir), "embedding", "vec_id", q, 20)
     }),
     "q_ann_lsh" -> ((s, dir) => {
+      // hash-checked: seeded splitmix64 hyperplanes + strict left-fold
+      // signature dots are bit-reproducible, so DuckDB replays bucketing,
+      // multiprobe, and the rounded-cosine ranking exactly
       val q = emb(s, dir).where(F.col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).toArray
       Similarity.lshTopK(emb(s, dir), "embedding", "vec_id", q, 10, nPlanes = 8)
@@ -2012,6 +2015,48 @@ object SparkEntry {
         |        FROM pairs GROUP BY vid)
         |SELECT vid AS vec_id, round(dp / (sqrt(na) * sqrt(nb)), 6) AS cosine
         |FROM agg ORDER BY cosine DESC, vec_id ASC LIMIT 20""".stripMargin,
+    // LSH replay: the 8 hyperplanes regenerate from the same splitmix64
+    // sequence (seed 42), signature dots fold strictly left-to-right so
+    // every sign decision matches the JVM bit-for-bit, then multiprobe
+    // (exact bucket + 1-bit flips) and the rounded-cosine ranking.
+    "q_ann_lsh" ->
+      """WITH pd0 AS (SELECT unnest(range(8)) AS p),
+        |dd0 AS (SELECT unnest(range(64)) AS d),
+        |p0 AS (SELECT p, d, CAST(42 + p * 1000003 + d AS HUGEINT) AS x
+        |  FROM pd0 CROSS JOIN dd0),
+        |pma AS (SELECT p, d, ((x) + 11400714819323198485) % 18446744073709551616 AS z0 FROM p0),
+        |pmb AS (SELECT p, d, xor(z0, z0 >> 30) AS y0 FROM pma),
+        |pmc AS (SELECT p, d, (((y0) % 4294967296) * 484763065 + ((((y0) % 4294967296) * 3210233709 + ((y0) >> 32) * 484763065) % 4294967296) * 4294967296) % 18446744073709551616 AS z1 FROM pmb),
+        |pmd AS (SELECT p, d, (((xor(z1, z1 >> 27)) % 4294967296) * 321982955 + ((((xor(z1, z1 >> 27)) % 4294967296) * 2496678331 + ((xor(z1, z1 >> 27)) >> 32) * 321982955) % 4294967296) * 4294967296) % 18446744073709551616 AS z2 FROM pmc),
+        |pme AS (SELECT p, d, xor(z2, z2 >> 31) AS h FROM pmd),
+        |pl0 AS (SELECT p, d,
+        |  CAST(CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END AS BIGINT)
+        |    AS DOUBLE) / 9223372036854775807 AS hv FROM pme),
+        |pl AS (SELECT p, list(hv ORDER BY d) AS pvec FROM pl0 GROUP BY p),
+        |sigbits AS (SELECT e.vec_id, p.p,
+        |  CASE WHEN list_reduce(list_prepend(0.0,
+        |      list_transform(range(64),
+        |        d -> CAST(e.embedding[d+1] AS DOUBLE) * p.pvec[d+1])),
+        |      (a, b) -> a + b) > 0
+        |    THEN CAST(1 AS BIGINT) << CAST(p.p AS INT) ELSE 0 END AS bit
+        |  FROM embeddings e CROSS JOIN pl p),
+        |bsig AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket
+        |  FROM sigbits GROUP BY vec_id),
+        |probes AS (SELECT DISTINCT pb FROM (
+        |  SELECT bucket AS pb FROM bsig WHERE vec_id = 0
+        |  UNION ALL
+        |  SELECT xor(b.bucket, CAST(1 AS BIGINT) << CAST(t.b AS INT)) AS pb
+        |  FROM bsig b CROSS JOIN (SELECT unnest(range(8)) AS b) t
+        |  WHERE b.vec_id = 0)),
+        |cand AS (SELECT b.vec_id FROM bsig b JOIN probes pr ON b.bucket = pr.pb),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |pairs AS (SELECT e.vec_id AS vid, CAST(unnest(e.embedding) AS DOUBLE) AS a,
+        |    CAST(unnest(q.qe) AS DOUBLE) AS b
+        |  FROM embeddings e JOIN cand c ON c.vec_id = e.vec_id, q),
+        |agg AS (SELECT vid, sum(a*b) AS dp, sum(a*a) AS na, sum(b*b) AS nb
+        |  FROM pairs GROUP BY vid)
+        |SELECT vid AS vec_id, round(dp / (sqrt(na) * sqrt(nb)), 6) AS cosine
+        |FROM agg ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
     "q_ann_ivf_full" ->
       // identical to the brute-force oracle: full-probe IVF IS exhaustive
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
