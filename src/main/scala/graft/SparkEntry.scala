@@ -2057,6 +2057,47 @@ object SparkEntry {
         |  FROM pairs GROUP BY vid)
         |SELECT vid AS vec_id, round(dp / (sqrt(na) * sqrt(nb)), 6) AS cosine
         |FROM agg ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // Same plane replay for the near-dup path, plus L2 normalization
+    // (strict-fold norms) and half-even 6-decimal pair cosines.
+    "q_embedding_near_dup" ->
+      """WITH pd0 AS (SELECT unnest(range(8)) AS p),
+        |dd0 AS (SELECT unnest(range(64)) AS d),
+        |p0 AS (SELECT p, d, CAST(42 + p * 1000003 + d AS HUGEINT) AS x
+        |  FROM pd0 CROSS JOIN dd0),
+        |pma AS (SELECT p, d, ((x) + 11400714819323198485) % 18446744073709551616 AS z0 FROM p0),
+        |pmb AS (SELECT p, d, xor(z0, z0 >> 30) AS y0 FROM pma),
+        |pmc AS (SELECT p, d, (((y0) % 4294967296) * 484763065 + ((((y0) % 4294967296) * 3210233709 + ((y0) >> 32) * 484763065) % 4294967296) * 4294967296) % 18446744073709551616 AS z1 FROM pmb),
+        |pmd AS (SELECT p, d, (((xor(z1, z1 >> 27)) % 4294967296) * 321982955 + ((((xor(z1, z1 >> 27)) % 4294967296) * 2496678331 + ((xor(z1, z1 >> 27)) >> 32) * 321982955) % 4294967296) * 4294967296) % 18446744073709551616 AS z2 FROM pmc),
+        |pme AS (SELECT p, d, xor(z2, z2 >> 31) AS h FROM pmd),
+        |pl0 AS (SELECT p, d,
+        |  CAST(CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END AS BIGINT)
+        |    AS DOUBLE) / 9223372036854775807 AS hv FROM pme),
+        |pl AS (SELECT p, list(hv ORDER BY d) AS pvec FROM pl0 GROUP BY p),
+        |sigbits AS (SELECT e.vec_id, p.p,
+        |  CASE WHEN list_reduce(list_prepend(0.0,
+        |      list_transform(range(64),
+        |        d -> CAST(e.embedding[d+1] AS DOUBLE) * p.pvec[d+1])),
+        |      (a, b) -> a + b) > 0
+        |    THEN CAST(1 AS BIGINT) << CAST(p.p AS INT) ELSE 0 END AS bit
+        |  FROM embeddings e CROSS JOIN pl p),
+        |bsig AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket
+        |  FROM sigbits GROUP BY vec_id),
+        |nrm AS (SELECT e.vec_id, b.bucket,
+        |  list_transform(range(64), d -> CAST(e.embedding[d+1] AS DOUBLE) /
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(range(64),
+        |      i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE))),
+        |      (a, c) -> a + c))) AS ne
+        |  FROM embeddings e JOIN bsig b ON b.vec_id = e.vec_id),
+        |bu AS (SELECT bucket FROM nrm GROUP BY bucket
+        |  HAVING count(*) BETWEEN 2 AND 2000),
+        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round_even(list_reduce(list_prepend(0.0, list_transform(range(64),
+        |      d -> a.ne[d+1] * b.ne[d+1])), (x, y) -> x + y) * 1000000.0, 0)
+        |      / 1000000.0 AS cosine
+        |  FROM nrm a JOIN nrm b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  JOIN bu ON bu.bucket = a.bucket)
+        |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_ann_ivf_full" ->
       // identical to the brute-force oracle: full-probe IVF IS exhaustive
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
