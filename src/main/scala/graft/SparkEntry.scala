@@ -942,9 +942,10 @@ object SparkEntry {
     }),
     "q_stream_drift" -> ((s, dir) => {
       // per-window drift score against a fixed reference model (fit once
-      // offline, watch the stream walk away from it) — erf-based expected
-      // bin mass isn't SQL-replayable, so this is a rows-only check; the
-      // hist_counts state underneath is the hash-checked q_stream_hist path
+      // offline, watch the stream walk away from it) — hash-checked: the
+      // exponential reference masses replay as exp() arithmetic (expm1 vs
+      // exp-1 differ ~1 ULP, far below the 8-decimal rounding) and the
+      // SSE folds in bin order like the zip_with/aggregate expression
       val src = eventsStream(s, dir)
         .withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
       val drift = graft.streaming.StreamingOps.windowedDriftScore(
@@ -1544,6 +1545,33 @@ object SparkEntry {
         |  round(min(value), 2) AS mn, round(max(value), 2) AS mx,
         |  round(stddev_pop(value), 4) AS std_r
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Drift replay: day-window bin shares vs the frozen expon(0,60)
+    // reference — expected masses as exp() arithmetic, SSE as an ordered
+    // left fold matching the zip_with/aggregate evaluation order.
+    "q_stream_drift" ->
+      """WITH ev AS (SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS win_start,
+        |    least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0), 9) AS bin
+        |  FROM events),
+        |n AS (SELECT win_start, count(*) AS n FROM ev GROUP BY 1),
+        |c AS (SELECT win_start, bin, count(*) AS c FROM ev GROUP BY 1, 2),
+        |grid AS (SELECT n.win_start, n.n, b.i,
+        |    coalesce(c.c, 0) AS c
+        |  FROM n CROSS JOIN (SELECT unnest(range(10)) AS i) b
+        |  LEFT JOIN c ON c.win_start = n.win_start AND c.bin = b.i),
+        |pexp AS (SELECT i,
+        |  CASE WHEN i = 0 THEN -(exp(-(((0.0 + CAST(i AS DOUBLE) * 50.0) + 50.0) / 60.0)) - 1)
+        |       WHEN i = 9 THEN 1.0 - (-(exp(-((0.0 + CAST(i AS DOUBLE) * 50.0) / 60.0)) - 1))
+        |       ELSE (-(exp(-(((0.0 + CAST(i AS DOUBLE) * 50.0) + 50.0) / 60.0)) - 1))
+        |          - (-(exp(-((0.0 + CAST(i AS DOUBLE) * 50.0) / 60.0)) - 1)) END AS p
+        |  FROM (SELECT unnest(range(10)) AS i)),
+        |terms AS (SELECT g.win_start, g.n, g.i,
+        |    (CAST(g.c AS DOUBLE) / g.n - p.p) * (CAST(g.c AS DOUBLE) / g.n - p.p) AS t
+        |  FROM grid g JOIN pexp p ON p.i = g.i),
+        |agg AS (SELECT win_start, n,
+        |    round(list_reduce(list_prepend(0.0, list(t ORDER BY i)),
+        |      (a, x) -> a + x), 8) AS drift_sse
+        |  FROM terms GROUP BY win_start, n)
+        |SELECT win_start, n, drift_sse FROM agg ORDER BY win_start""".stripMargin,
     "q_unigram_logprob" ->
       """WITH tok AS (SELECT doc_id,
         |  unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')),
