@@ -1339,6 +1339,56 @@ object SparkEntry {
           math.round(ci.upper * 10) / 10.0))
         .toDF("param", "lower", "upper")
     }),
+    "q_bootstrap_hash" -> ((s, dir) =>
+      // M13's resampling pipeline hash-checked END-TO-END: md5-indexed
+      // draws replace the PRNG, the replicate statistic is an
+      // integer-exact sum, and DuckDB replays every draw, every replicate
+      // sum, and the percentile interpolation — the audit twin of the
+      // seeded q_bootstrap_ci above
+      Bootstrap.hashResampleCI(
+        s.read.parquet(s"$dir/orders.parquet")
+          .where(F.col("o_orderkey") < 2000).select("o_custkey"),
+        "o_custkey", b = 200)),
+    "q_gmm_score" -> ((s, dir) =>
+      // G7's serving path hash-checked: score every row under a FIXED
+      // 2-component mixture (as if loaded from the JSON sink) — the
+      // max-factored logsumexp density and the argmax assignment are pure
+      // codegen'd arithmetic, so DuckDB replays per-row log-likelihoods
+      // and hard assignments exactly; only integer counts and well-
+      // rounded sums shuffle
+      Mixture.score(li(s, dir).where(F.col("l_extendedprice").isNotNull),
+          Seq("l_extendedprice"),
+          weights = Array(0.6, 0.4),
+          means = Array(Array(20000.0), Array(60000.0)),
+          variances = Array(Array(2.0e8), Array(4.0e8)))
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.round(F.sum("loglik"), 2).as("ll_sum"),
+          F.round(F.avg("loglik"), 6).as("ll_avg"))
+        .orderBy("component")),
+    "q_copula_fit" -> ((s, dir) => {
+      // G4's fit path hash-checked: norm marginals on the full column
+      // (SQL-exact MLE), the scale-safe min-rank Spearman, and the
+      // 2x2 Cholesky factor the sampler consumes — everything DuckDB can
+      // replay: avg/stddev_pop, corr over rank(), and sqrt(1-rho^2)
+      import s.implicits._
+      val cols = Seq("l_extendedprice", "l_quantity")
+      val fr = cachedFit(s, dir, cols, dists = Some(Seq("norm")),
+        cfg = FitConfig(fittingSampleSize = 2000000))
+      val cop = GaussianCopula.fit(s, li(s, dir), fr, cols,
+        metric = "aic", corrMethod = "spearman_rank")
+      val rho = cop.correlation(0)(1)
+      val l = cop.cholesky
+      val m = cop.marginals
+      def r6(x: Double) = math.round(x * 1e6) / 1e6
+      def r4(x: Double) = math.round(x * 1e4) / 1e4
+      Seq(
+        ("chol_row2", r6(l(1)(0)), r6(l(1)(1))),
+        ("marginal_loc", r4(m(0).params(0)), r4(m(1).params(0))),
+        ("marginal_scale", r4(m(0).params(1)), r4(m(1).params(1))),
+        ("spearman", r6(rho), if (m.forall(_.distName == "norm")) 1.0 else 0.0))
+        .toDF("stat", "v1", "v2").orderBy("stat")
+    }),
     "q_lazy_best_ks" -> ((s, dir) => {
       // M14/F8: lazy fit, then top-5 by K-S — forces the deferred-metric
       // recompute path (3n+5 AIC candidates, driver-side KS/AD fill)
@@ -2958,6 +3008,67 @@ object SparkEntry {
         |  CAST(rank() OVER (ORDER BY l_quantity) AS DOUBLE) AS rb
         |FROM lineitem)
         |SELECT round(corr(ra, rb), 6) AS spearman_price_qty FROM r""".stripMargin,
+    // Replays the md5-indexed bootstrap draw-for-draw: same rank-sorted
+    // sample, same 32-bit md5 prefix mod n per (rep, j), same integer
+    // replicate sums, same linear-interpolation percentile.
+    "q_bootstrap_hash" ->
+      """WITH s AS (SELECT o_custkey AS x FROM orders
+        |  WHERE o_orderkey < 2000 AND o_custkey IS NOT NULL),
+        |i AS (SELECT x, CAST(row_number() OVER (ORDER BY x) AS BIGINT) - 1
+        |  AS idx FROM s),
+        |c AS (SELECT count(*) AS n FROM s),
+        |d AS (SELECT r.rep,
+        |    CAST(('0x' || substr(md5(CAST(r.rep AS VARCHAR) || '_' ||
+        |      CAST(j.j AS VARCHAR)), 1, 8)) AS BIGINT) % c.n AS idx
+        |  FROM c,
+        |    (SELECT unnest(range(200)) AS rep) r,
+        |    (SELECT unnest(range((SELECT n FROM c))) AS j) j),
+        |m AS (SELECT rep, sum(i.x) AS stat FROM d JOIN i USING (idx)
+        |  GROUP BY rep)
+        |SELECT count(*) AS b_reps,
+        |  round(quantile_cont(stat, 0.025), 4) AS sum_lower,
+        |  round(quantile_cont(stat, 0.975), 4) AS sum_upper,
+        |  round(quantile_cont(stat, 0.025) / c.n, 6) AS mean_lower,
+        |  round(quantile_cont(stat, 0.975) / c.n, 6) AS mean_upper,
+        |  c.n AS n
+        |FROM m, c GROUP BY c.n""".stripMargin,
+    // Replays the fixed-model mixture scoring: per-row component log
+    // densities, max-factored logsumexp, strict-> argmax — identical
+    // expression tree, so assignments and (rounded) LL sums match.
+    "q_gmm_score" ->
+      """WITH p AS (SELECT l_extendedprice AS x FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL),
+        |l AS (SELECT x,
+        |  (x - 20000.0) * (x - 20000.0) / (-400000000.0)
+        |    - 0.5 * ln(2 * pi() * 200000000.0) + ln(0.6) AS l0,
+        |  (x - 60000.0) * (x - 60000.0) / (-800000000.0)
+        |    - 0.5 * ln(2 * pi() * 400000000.0) + ln(0.4) AS l1
+        |  FROM p),
+        |sc AS (SELECT CASE WHEN l1 > l0 THEN 1 ELSE 0 END AS component,
+        |  greatest(l0, l1) + ln(exp(l0 - greatest(l0, l1))
+        |    + exp(l1 - greatest(l0, l1))) AS ll
+        |  FROM l)
+        |SELECT component, count(*) AS n, round(sum(ll), 2) AS ll_sum,
+        |  round(avg(ll), 6) AS ll_avg
+        |FROM sc GROUP BY component ORDER BY component""".stripMargin,
+    // Replays the copula fit: full-column norm MLE (avg/stddev_pop),
+    // min-rank Spearman, and the 2x2 Cholesky row the sampler uses
+    // (l21 = rho, l22 = sqrt(1 - rho^2)).
+    "q_copula_fit" ->
+      """WITH r AS (SELECT
+        |    CAST(rank() OVER (ORDER BY l_extendedprice) AS DOUBLE) AS ra,
+        |    CAST(rank() OVER (ORDER BY l_quantity) AS DOUBLE) AS rb
+        |  FROM lineitem),
+        |rho AS (SELECT corr(ra, rb) AS v FROM r),
+        |s AS (SELECT avg(l_extendedprice) AS m1,
+        |    stddev_pop(l_extendedprice) AS s1, avg(l_quantity) AS m2,
+        |    stddev_pop(l_quantity) AS s2 FROM lineitem)
+        |SELECT 'chol_row2' AS stat, round(rho.v, 6) AS v1,
+        |  round(sqrt(1 - rho.v * rho.v), 6) AS v2 FROM rho
+        |UNION ALL SELECT 'marginal_loc', round(m1, 4), round(m2, 4) FROM s
+        |UNION ALL SELECT 'marginal_scale', round(s1, 4), round(s2, 4) FROM s
+        |UNION ALL SELECT 'spearman', round(rho.v, 6), 1.0 FROM rho
+        |ORDER BY stat""".stripMargin,
     "q_sketch_bottomk" ->
       """WITH h AS (SELECT lang, doc_id,
         |  md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents),

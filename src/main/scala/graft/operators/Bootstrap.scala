@@ -88,4 +88,57 @@ object Bootstrap {
         point(p))
     }
   }
+
+  /** Deterministic, engine-replayable percentile bootstrap over a bounded
+    * column slice — the audit twin of [[confidenceIntervals]].
+    *
+    * Draw j of replicate i selects the value at rank `md5_32("i_j") mod n`
+    * in the value-sorted sample; the replicate statistic is the
+    * integer-exact SUM (and its derived mean), and the interval is the
+    * (α/2, 1−α/2) linear-interpolation percentile over replicates. The
+    * PRNG is replaced by the same content-addressed md5 coordinate the
+    * engine uses wherever a decision must survive partitioning / engine /
+    * rerun changes ([[Sampling.deterministicSplit]],
+    * [[Sampling.domainMixSample]], [[Sampling.stratifiedHashSample]]), so
+    * an external SQL engine can replay the WHOLE resampling pipeline
+    * hash-exactly — which no seeded-PRNG bootstrap permits.
+    *
+    * Scale contract: the input is the *fitting sample* (≤ ~10K rows under
+    * the sampling policy), so the rank window and the b·n draw grid are
+    * bounded by construction; the grid and the join still run distributed
+    * (the sorted sample broadcasts). Refusing oversized input is the same
+    * bounded-audit-op discipline as the exact near-dup baseline. */
+  def hashResampleCI(df: DataFrame, valueCol: String, b: Int = 200,
+                     alpha: Double = 0.05, maxSample: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    require(b >= 2, "need at least 2 replicates")
+    val spark = df.sparkSession
+    val s = df.select(F.col(valueCol).cast("long").as("x"))
+      .where(F.col("x").isNotNull)
+    val n = s.count()
+    require(n > 0, "empty sample")
+    require(n <= maxSample, s"hashResampleCI is a bounded audit op: " +
+      s"$n rows > cap $maxSample — pass the fitting sample, not the corpus")
+    // bounded global rank (≤ maxSample rows by the contract just enforced);
+    // ties share a value, so which tied row lands at which index cannot
+    // change any replicate sum
+    val w = org.apache.spark.sql.expressions.Window.orderBy("x")
+    val indexed = s.withColumn("idx", F.row_number().over(w).cast("long") - 1)
+    val draws = spark.range(b).toDF("rep")
+      .crossJoin(spark.range(n).toDF("j"))
+      .select(F.col("rep"),
+        Sampling.md5Bucket(F.concat_ws("_", F.col("rep"), F.col("j")), n.toInt)
+          .as("idx"))
+    val reps = draws.join(F.broadcast(indexed), "idx")
+      .groupBy("rep").agg(F.sum("x").as("stat"))
+    val lo = alpha / 2
+    val hi = 1 - alpha / 2
+    reps.agg(
+      F.count(F.lit(1)).as("b_reps"),
+      F.round(F.expr(s"percentile(stat, $lo)"), 4).as("sum_lower"),
+      F.round(F.expr(s"percentile(stat, $hi)"), 4).as("sum_upper"),
+      F.round(F.expr(s"percentile(stat, $lo)") / n, 6).as("mean_lower"),
+      F.round(F.expr(s"percentile(stat, $hi)") / n, 6).as("mean_upper"))
+      .withColumn("n", F.lit(n))
+  }
 }

@@ -128,9 +128,25 @@ object GaussianCopula {
 
   /** Spearman (default) or Pearson correlation matrix over the columns,
     * distributed via Spark ML's Correlation on assembled vectors with
-    * invalid rows skipped (reference: backends/spark.py:334-371). */
+    * invalid rows skipped (reference: backends/spark.py:334-371).
+    *
+    * `"spearman_rank"` routes each pair through [[Ranks.spearman]]
+    * instead: min-rank (SQL `rank()`) tie semantics via the scale-safe
+    * distributed rank construction — no single-partition sort, and the
+    * resulting matrix is replayable by an external SQL engine (the
+    * hash-audit path; ML's Spearman is the reference-parity default). */
   def correlationMatrix(df: DataFrame, columns: Seq[String],
                         method: String = "spearman"): Array[Array[Double]] = {
+    if (method == "spearman_rank") {
+      val m = Array.tabulate(columns.length, columns.length)((i, j) =>
+        if (i == j) 1.0 else Double.NaN)
+      for (i <- columns.indices; j <- (i + 1) until columns.length) {
+        val rho = Ranks.spearman(df, columns(i), columns(j)).head().getDouble(0)
+        m(i)(j) = rho
+        m(j)(i) = rho
+      }
+      return m
+    }
     val assembler = new VectorAssembler()
       .setInputCols(columns.toArray).setOutputCol("__features")
       .setHandleInvalid("skip")

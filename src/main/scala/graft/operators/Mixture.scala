@@ -123,6 +123,53 @@ object Mixture {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Serving-path scoring under a FIXED diagonal-covariance mixture —
+    * score new data under a saved model (e.g. one loaded back from the
+    * JSON sink) without refitting. Adds the per-row mixture
+    * log-likelihood and the hard component assignment as pure columnar
+    * arithmetic: max-factored logsumexp over per-component log densities,
+    * whole-stage codegen, no UDF, no shuffle — flat in row count, and
+    * every expression is SQL-replayable by an external engine.
+    *
+    * `variances(c)(i)` is component c's variance along `columns(i)`
+    * (diagonal covariance — the serving-tier restriction; full-covariance
+    * scoring stays on `model.transform` after [[fit]]). */
+  def score(df: DataFrame, columns: Seq[String], weights: Array[Double],
+            means: Array[Array[Double]], variances: Array[Array[Double]],
+            llCol: String = "loglik", assignCol: String = "component"): DataFrame = {
+    val k = weights.length
+    require(k >= 1 && means.length == k && variances.length == k,
+      "weights/means/variances must agree on k")
+    require(means.forall(_.length == columns.length) &&
+      variances.forall(_.length == columns.length),
+      "means/variances must agree with columns on d")
+    require(math.abs(weights.sum - 1.0) < 1e-9, "weights must sum to 1")
+    require(variances.forall(_.forall(_ > 0.0)), "variances must be positive")
+    val compLl: Seq[org.apache.spark.sql.Column] = (0 until k).map { c =>
+      val terms = columns.indices.map { i =>
+        val x = F.col(columns(i)).cast("double")
+        val mu = means(c)(i)
+        val v = variances(c)(i)
+        (x - F.lit(mu)) * (x - F.lit(mu)) / F.lit(-2.0 * v) -
+          F.lit(0.5 * math.log(2.0 * math.Pi * v))
+      }
+      terms.reduce(_ + _) + F.lit(math.log(weights(c)))
+    }
+    val ll =
+      if (k == 1) compLl.head
+      else {
+        val mx = compLl.reduce((a, b) => F.greatest(a, b))
+        mx + F.log(compLl.map(l => F.exp(l - mx)).reduce(_ + _))
+      }
+    // argmax with first-index tie-breaking: a strict > chain over the
+    // running best, same CASE ladder an external engine replays
+    val assign = compLl.zipWithIndex.tail.foldLeft(
+      (compLl.head, F.lit(0))) { case ((bestL, bestI), (l, i)) =>
+        (F.greatest(bestL, l), F.when(l > bestL, F.lit(i)).otherwise(bestI))
+    }._2
+    df.withColumn(llCol, ll).withColumn(assignCol, assign)
+  }
+
   /** Flat per-component report DataFrame (component, weight, means, diag
     * variances) — the query surface for the harness. */
   def report(spark: org.apache.spark.sql.SparkSession, r: GaussianMixtureResult): DataFrame = {

@@ -190,6 +190,79 @@ class GenerationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(loc.upper - loc.lower < 2.0) // tight at n=1500
   }
 
+  test("hash bootstrap: deterministic across reruns/partitioning, sane interval, bounded-input guard") {
+    import spark.implicits._
+    val rng = new java.util.Random(31L)
+    val xs = Seq.fill(800)((100 + rng.nextInt(900)).toLong)
+    val df = xs.toDF("v")
+    val r1 = Bootstrap.hashResampleCI(df, "v", b = 100).head()
+    // identical on rerun AND under a different partitioning — the md5
+    // coordinate depends only on content, never layout
+    val r2 = Bootstrap.hashResampleCI(df.repartition(7), "v", b = 100).head()
+    assert(r1 == r2)
+    assert(r1.getAs[Long]("b_reps") == 100L)
+    assert(r1.getAs[Long]("n") == 800L)
+    val (lo, hi) = (r1.getAs[Double]("mean_lower"), r1.getAs[Double]("mean_upper"))
+    val trueMean = xs.sum.toDouble / xs.length
+    assert(lo < trueMean && trueMean < hi, s"[$lo, $hi] should bracket $trueMean")
+    // CI width ~ 2·1.96·sd/sqrt(n): sd≈260, n=800 → half-width ≈ 18
+    assert(hi - lo > 5 && hi - lo < 60, s"width ${hi - lo}")
+    // the bounded-audit-op guard refuses corpus-sized input
+    intercept[IllegalArgumentException] {
+      Bootstrap.hashResampleCI(df, "v", b = 10, maxSample = 100)
+    }
+  }
+
+  test("mixture scoring under a fixed model: assignment boundary and exact single-component LL") {
+    import spark.implicits._
+    val df = Seq(-5.0, -1.0, 0.9, 1.1, 5.0).toDF("x")
+    val scored = Mixture.score(df, Seq("x"),
+      weights = Array(0.5, 0.5),
+      means = Array(Array(0.0), Array(2.0)),
+      variances = Array(Array(1.0), Array(1.0)))
+      .orderBy("x").collect()
+    // equal weights/variances → boundary at the midpoint x = 1
+    assert(scored.map(_.getAs[Int]("component")).toSeq == Seq(0, 0, 0, 1, 1))
+    // at x = -5 the exact mixture LL is the two-component logsumexp
+    val ll = scored.head.getAs[Double]("loglik")
+    val l0 = math.log(0.5) - 0.5 * math.log(2 * math.Pi) - 12.5
+    val l1 = math.log(0.5) - 0.5 * math.log(2 * math.Pi) - 24.5
+    val expect = l0 + math.log1p(math.exp(l1 - l0))
+    assert(math.abs(ll - expect) < 1e-12, s"$ll vs $expect")
+    // single-component degenerates to the plain normal loglik
+    val one = Mixture.score(df, Seq("x"), Array(1.0),
+      Array(Array(0.0)), Array(Array(1.0))).orderBy("x").head()
+    assert(math.abs(one.getAs[Double]("loglik") -
+      (-0.5 * math.log(2 * math.Pi) - 12.5)) < 1e-12)
+    assert(one.getAs[Int]("component") == 0)
+  }
+
+  test("copula fit with spearman_rank correlation: replayable matrix, cholesky consistency") {
+    import spark.implicits._
+    val rng = new java.util.Random(47L)
+    val rows = Seq.fill(3000) {
+      val a = rng.nextGaussian()
+      (50 + 10 * a, 20 + 4 * (0.8 * a + 0.6 * rng.nextGaussian()))
+    }
+    val df = rows.toDF("a", "b")
+    val fr = Fitter.fit(spark, df, Seq("a", "b"),
+      distributions = Some(Seq("norm")),
+      cfg = FitConfig(fittingSampleSize = 10000))
+    val cop = GaussianCopula.fit(spark, df, fr, Seq("a", "b"),
+      corrMethod = "spearman_rank")
+    val rho = cop.correlation(0)(1)
+    // matches the pairwise scale-safe Spearman exactly
+    val direct = Ranks.spearman(df, "a", "b").head().getDouble(0)
+    assert(rho == direct)
+    assert(rho > 0.6 && rho < 0.95, s"rho=$rho")
+    // cholesky of [[1, rho], [rho, 1]]
+    val l = cop.cholesky
+    assert(math.abs(l(0)(0) - 1.0) < 1e-12)
+    assert(math.abs(l(1)(0) - rho) < 1e-12)
+    assert(math.abs(l(1)(1) - math.sqrt(1 - rho * rho)) < 1e-12)
+    assert(cop.marginals.map(_.distName) == Seq("norm", "norm"))
+  }
+
   test("lazy fit + bestLazy recomputes deferred KS/AD only for candidates") {
     import spark.implicits._
     val rng = new java.util.Random(23L)
