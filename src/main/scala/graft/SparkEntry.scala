@@ -698,6 +698,30 @@ object SparkEntry {
         .select("embedding").head().getSeq[Float](0).toArray
       Similarity.pqTopK(codes, "pq_code", "vec_id", q, cb, 10)
     }),
+    "q_ann_pq_fixed" -> ((s, dir) => {
+      // the PQ serving path (encode + ADC top-k) hash-checked end-to-end:
+      // vectors are int8-quantized first (integer arithmetic → no float-
+      // accumulation ambiguity) and the codebooks are PINNED to the
+      // quantized embeddings of vec_id 0..15 sliced per subspace, so the
+      // argmin encode (first-index-on-tie) and the LUT scoring are exact
+      // integer computations DuckDB replays bit-for-bit. k-means
+      // TRAINING stays on q_ann_pq as the rows-only production path —
+      // this query proves the other two thirds of the PQ pipeline.
+      val e = emb(s, dir)
+      val scales = Similarity.quantizeScales(e, "embedding")
+      val q = Similarity.quantizeEmbeddings(e, "embedding", scales)
+        .select(F.col("vec_id"),
+          F.expr("transform(q_embedding, x -> CAST(x AS float))").as("qf"))
+      val cbVecs = q.where(F.col("vec_id") < 16).orderBy("vec_id").collect()
+        .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+      val (m, dSub) = (8, 8)
+      val cb = Similarity.PqCodebooks(m, cbVecs.length, dSub,
+        Array.tabulate(m)(sub => cbVecs.map(v =>
+          java.util.Arrays.copyOfRange(v, sub * dSub, (sub + 1) * dSub))))
+      val codes = Similarity.pqEncode(q, "qf", cb)
+      val qv = q.where(F.col("vec_id") === 0).head().getSeq[Float](1).toArray
+      Similarity.pqTopK(codes, "pq_code", "vec_id", qv, cb, 10)
+    }),
     "q_embedding_centroids" -> ((s, dir) => {
       // per-language embedding centroids, hash-checked: embeddings join
       // their documents row (vec_id = doc_id), posexplode, (lang, dim)
@@ -1887,6 +1911,32 @@ object SparkEntry {
         |SELECT lang, CAST(pos AS BIGINT) AS dim,
         |  round(avg(v), 6) AS centroid
         |FROM e GROUP BY lang, pos ORDER BY lang, dim""".stripMargin,
+    // Replays PQ encode + ADC scoring over the quantized vectors: the
+    // same per-subspace integer squared distances, argmin with
+    // first-index tie-break (row_number over (d2, c)), and the LUT sum
+    // for the query vector.
+    "q_ann_pq_fixed" ->
+      """WITH e AS (SELECT vec_id, g.pos AS pos,
+        |    CAST(embedding[g.pos + 1] AS DOUBLE) AS v
+        |  FROM embeddings, generate_series(0, 63) AS g(pos)),
+        |s AS (SELECT pos, max(abs(v)) AS s FROM e GROUP BY pos),
+        |q AS (SELECT e.vec_id, e.pos,
+        |    CAST(round(e.v / s.s * 127.0) AS BIGINT) AS qv
+        |  FROM e JOIN s ON e.pos = s.pos),
+        |dist AS (SELECT a.vec_id, a.pos // 8 AS sub, b.vec_id AS c,
+        |    CAST(sum((a.qv - b.qv) * (a.qv - b.qv)) AS DOUBLE) AS d2
+        |  FROM q a JOIN q b ON b.vec_id < 16 AND a.pos = b.pos
+        |  GROUP BY a.vec_id, a.pos // 8, b.vec_id),
+        |enc AS (SELECT vec_id, sub, c, d2,
+        |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, c)
+        |      AS rk FROM dist),
+        |code AS (SELECT vec_id, sub, c FROM enc WHERE rk = 1),
+        |lut AS (SELECT sub, c, d2 FROM dist WHERE vec_id = 0),
+        |adc AS (SELECT code.vec_id, round(sum(lut.d2), 6) AS pq_dist
+        |  FROM code JOIN lut ON code.sub = lut.sub AND code.c = lut.c
+        |  GROUP BY code.vec_id)
+        |SELECT vec_id, pq_dist FROM adc
+        |ORDER BY pq_dist, vec_id LIMIT 10""".stripMargin,
     "q_embedding_quantize" ->
       """WITH e AS (SELECT vec_id, g.pos AS pos,
         |    CAST(embedding[g.pos + 1] AS DOUBLE) AS v

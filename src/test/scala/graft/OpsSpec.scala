@@ -363,6 +363,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.length == 10 && top.forall(_ < 20L), top.mkString(","))
   }
 
+  test("PQ encode breaks exact distance ties toward the lowest centroid index") {
+    import spark.implicits._
+    // two identical centroids: every vector is equidistant to both, so
+    // the argmin MUST land on index 0 — the contract the SQL-replay
+    // oracle (row_number over (d2, c)) relies on
+    val cb = Similarity.PqCodebooks(2, 2, 2, Array(
+      Array(Array(0.0, 0.0), Array(0.0, 0.0)),
+      Array(Array(1.0, 1.0), Array(5.0, 5.0))))
+    val df = Seq((1L, Seq(3.0f, 4.0f, 2.9f, 3.1f))).toDF("vec_id", "embedding")
+      .select(F.col("vec_id"), F.col("embedding").cast("array<float>"))
+    val code = Similarity.pqEncode(df, "embedding", cb)
+      .select("pq_code").head().getSeq[Short](0)
+    assert(code(0) == 0.toShort) // tie → first index
+    assert(code(1) == 0.toShort) // (2.9,3.1) nearer (1,1) than (5,5)
+  }
+
   test("ivfAssign extends the index without retraining; queries find new rows") {
     import spark.implicits._
     val rng = new java.util.Random(3L)
