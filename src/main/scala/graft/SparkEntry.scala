@@ -1052,6 +1052,17 @@ object SparkEntry {
           "doc_id", "text", n = 8)
         .orderBy("id")
     }),
+    "q_decontam_fuzzy" -> ((s, dir) => {
+      // near-verbatim leakage detection, hash-checked: shared-5-gram
+      // candidates (stop-gram capped) verified by Levenshtein over
+      // normalized 400-char prefixes — DuckDB replays the candidate
+      // join AND the edit-distance DP exactly
+      val d = docs(s, dir)
+      Decontam.fuzzyContaminationReport(d, d.where(F.col("doc_id") % 50 === 0),
+          "doc_id", "text", k = 5, maxGramDocs = 50)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "bench_id")
+    }),
     "q_pack_sequences" -> ((s, dir) => {
       // concat-and-chunk packing at 1024 tokens/sequence, hash-checked:
       // global token offsets come from the distributed prefix sum (no
@@ -1731,6 +1742,37 @@ object SparkEntry {
         |  count(DISTINCT g.gram) AS n_uniq_grams
         |FROM g JOIN bg USING (gram)
         |GROUP BY g.doc_id ORDER BY id""".stripMargin,
+    // Replays the fuzzy tier: shared-5-gram candidates under the
+    // stop-gram cap, then the same Levenshtein DP over identically
+    // normalized prefixes (regexp_replace needs the 'g' flag to match
+    // Spark's replace-all semantics).
+    "q_decontam_fuzzy" ->
+      """WITH tok AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |    x -> x <> '') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(len(t) - 4),
+        |    i -> array_to_string(t[i+1:i+5], ' '))) AS gram
+        |  FROM tok WHERE len(t) >= 5),
+        |bg AS (SELECT DISTINCT doc_id AS bench_id, gram FROM g
+        |  WHERE doc_id % 50 = 0),
+        |mg AS (SELECT g.doc_id, g.gram FROM g
+        |  WHERE g.gram IN (SELECT gram FROM bg)),
+        |keep AS (SELECT gram FROM mg GROUP BY gram
+        |  HAVING count(DISTINCT doc_id) <= 50),
+        |pairs AS (SELECT DISTINCT mg.doc_id, bg.bench_id
+        |  FROM mg JOIN keep USING (gram) JOIN bg USING (gram)),
+        |pre AS (SELECT doc_id, substr(trim(regexp_replace(
+        |    lower(coalesce(text, '')), '\s+', ' ', 'g')), 1, 400) AS p
+        |  FROM documents)
+        |SELECT p.doc_id, p.bench_id,
+        |  CAST(levenshtein(ca.p, cb.p) AS INTEGER) AS edit_dist,
+        |  CAST(length(ca.p) AS INTEGER) AS len_a,
+        |  CAST(length(cb.p) AS INTEGER) AS len_b,
+        |  levenshtein(ca.p, cb.p) <= 0.2 * greatest(length(ca.p),
+        |    length(cb.p)) AS is_contaminated
+        |FROM pairs p JOIN pre ca ON p.doc_id = ca.doc_id
+        |JOIN pre cb ON p.bench_id = cb.doc_id
+        |ORDER BY p.doc_id, p.bench_id""".stripMargin,
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id AS id,
         |  CAST(length(regexp_extract_all(coalesce(text, ''), '\S+')) AS BIGINT) AS n_tokens

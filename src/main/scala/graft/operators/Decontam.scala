@@ -60,6 +60,60 @@ object Decontam {
     corpus.join(F.broadcast(dirty), Seq(idCol), "left_anti")
   }
 
+  /** Near-verbatim contamination — the fuzzy tier above exact n-gram
+    * overlap. Benchmark text that leaked into training data with small
+    * edits (tokenizer noise, punctuation drift, light paraphrase) defeats
+    * exact 8-gram matching as soon as every gram crosses an edit, so:
+    * candidates come from a SHORTER shared k-gram (map-side filter
+    * against the broadcast benchmark gram set — same asymmetry as the
+    * exact tier), boilerplate grams are dropped by a stop-gram cap
+    * (a gram in > maxGramDocs corpus docs is uninformative and would
+    * explode the pair set), and each surviving (corpus doc, benchmark
+    * doc) pair is verified with Levenshtein distance over normalized
+    * text prefixes. The O(len²) exact check touches only the near-empty
+    * candidate stream — never the corpus — so the plan stays
+    * broadcast-join-shaped at any corpus size.
+    *
+    * @param k            candidate gram length (< the exact tier's n)
+    * @param maxGramDocs  stop-gram cap on corpus document frequency
+    * @param prefixChars  normalized prefix length compared
+    * @param maxEditRatio contaminated ⇔ dist ≤ ratio · max(lenA, lenB)
+    * @return (id, bench_id, edit_dist, len_a, len_b, is_contaminated) */
+  def fuzzyContaminationReport(corpus: DataFrame, benchmark: DataFrame,
+                               idCol: String, textCol: String,
+                               k: Int = 5, maxGramDocs: Long = 50,
+                               prefixChars: Int = 400,
+                               maxEditRatio: Double = 0.2): DataFrame = {
+    def norm(c: Column): Column =
+      F.trim(F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), "\\s+", " "))
+    val cg = corpus.select(F.col(idCol).as("id"),
+      F.explode(gramsCol(F.col(textCol), k)).as("gram"))
+    val bg = benchmark.select(F.col(idCol).as("bench_id"),
+      F.explode(gramsCol(F.col(textCol), k)).as("gram")).distinct()
+    // matched corpus grams only (map-side broadcast filter), then the
+    // stop-gram cap over that small stream — the df agg shuffles gram
+    // keys of MATCHED grams, bounded by the benchmark's gram count
+    val mg = cg.join(F.broadcast(bg.select("gram").distinct()), "gram")
+    val keep = mg.groupBy("gram")
+      .agg(F.count_distinct(F.col("id")).as("df"))
+      .where(F.col("df") <= maxGramDocs).select("gram")
+    val pairs = mg.join(F.broadcast(keep), "gram")
+      .join(F.broadcast(bg), "gram")
+      .select("id", "bench_id").distinct()
+    val cPre = corpus.select(F.col(idCol).as("id"),
+      F.substring(norm(F.col(textCol)), 1, prefixChars).as("ca"))
+    val bPre = benchmark.select(F.col(idCol).as("bench_id"),
+      F.substring(norm(F.col(textCol)), 1, prefixChars).as("cb"))
+    pairs.join(cPre, "id").join(F.broadcast(bPre), "bench_id")
+      .select(F.col("id"), F.col("bench_id"),
+        F.levenshtein(F.col("ca"), F.col("cb")).as("edit_dist"),
+        F.length(F.col("ca")).as("len_a"),
+        F.length(F.col("cb")).as("len_b"))
+      .withColumn("is_contaminated",
+        F.col("edit_dist") <=
+          F.lit(maxEditRatio) * F.greatest(F.col("len_a"), F.col("len_b")))
+  }
+
   /** [[contaminationReport]] for benchmark suites too large to broadcast
     * as strings: a Bloom filter over the benchmark's distinct n-grams
     * (~12 bits/gram at fpp 1% — 50-100× smaller than the gram strings)

@@ -790,6 +790,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Decontam.contaminationReport(short, bench, "doc_id", "text", 8).count() == 0)
   }
 
+  test("fuzzy decontamination: edited near-copies flagged, stop-grams capped") {
+    val bench = docsDf(Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")))
+    val corpus = docsDf(Seq(
+      // near-copy: one token swapped → exact-tier 12-grams all broken,
+      // but 5-gram candidates + levenshtein catch it
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+      (2L, "completely different text with no shared token grams whatsoever today"),
+      // shares a 5-gram but the full text diverges → candidate generated,
+      // verification rejects it
+      (3L, "alpha beta gamma delta epsilon and then something entirely different " +
+        "follows for quite a while longer than the benchmark text itself runs")))
+    val rep = Decontam.fuzzyContaminationReport(corpus, bench, "doc_id", "text",
+        k = 5, maxGramDocs = 50, prefixChars = 400, maxEditRatio = 0.2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Int]("edit_dist"), r.getAs[Boolean]("is_contaminated"))).toMap
+    assert(rep.contains(1L) && rep(1L)._2, s"near-copy must flag: $rep")
+    assert(rep(1L)._1 <= 2, s"one-token swap is a tiny edit: ${rep(1L)}")
+    assert(!rep.contains(2L), "no shared grams → no candidate")
+    assert(rep.contains(3L) && !rep(3L)._2,
+      s"diverging text is a candidate but NOT contaminated: $rep")
+    // a gram present in every corpus doc generates no candidates
+    val boiler = docsDf((1L to 60L).map(i =>
+      (i, "standard header line alpha beta gamma delta epsilon" +
+        s" unique$i filler$i content$i")))
+    val capped = Decontam.fuzzyContaminationReport(
+      boiler, bench, "doc_id", "text", k = 5, maxGramDocs = 50)
+    assert(capped.count() == 0, "stop-gram cap must suppress boilerplate grams")
+  }
+
   test("sequence packing: offsets are exact prefix sums, spans correct") {
     import spark.implicits._
     val df = Seq((1L, 500L), (2L, 600L), (3L, 0L), (4L, 2048L), (5L, 1L))
