@@ -80,6 +80,11 @@ object Bench {
           sys.env.getOrElse("SPARK_GRAFT_SCALECHECK", "1") != "1") ""
       else {
         val fitNames = Seq("fit_multi_column", "fit_lazy")
+        // the pipeline ops have the OPPOSITE contract from fits: cost is
+        // LINEAR in rows (one signature pass + small-key banded shuffle),
+        // so across a 10× data step the pass signal is ratio ≲ 10 and a
+        // ratio ≫ 10 would mean a quadratic pair blow-up leaked in
+        val pipeNames = Seq("q_dedup_minhash", "q_unigram_logprob")
         val qmap = SparkEntry.queries
         // a failed point must NOT record its near-zero wall time — that
         // would fabricate a huge ratio; None drops the query from the
@@ -90,8 +95,9 @@ object Bench {
           // rather than mid-measurement
           spark.sparkContext.parallelize(1 to 1).count()
           System.gc()
-          fitNames.foreach(n => try qmap(n)(spark, dir).count() catch { case _: Throwable => })
-          fitNames.map { n =>
+          val names = fitNames ++ pipeNames
+          names.foreach(n => try qmap(n)(spark, dir).count() catch { case _: Throwable => })
+          names.map { n =>
             // best-of-2: a single sample is hostage to GC pauses and
             // shared-host noise, and one bad draw fabricates a bogus
             // ratio; min-of-two is the standard noise-robust estimator
@@ -107,7 +113,7 @@ object Bench {
         }
         val big = timeAt(sfDir)
         val small = timeAt(sf2)
-        val entries = fitNames.flatMap { n =>
+        def entriesFor(group: Seq[String]): Seq[String] = group.flatMap { n =>
           (big(n), small(n)) match {
             case (Some(b), Some(sm)) if sm > 0 =>
               val r = b / sm
@@ -116,7 +122,9 @@ object Bench {
             case _ => None
           }
         }
-        s""","scale_check":{"sf_big":"$sfDir","sf_small":"$sf2","fit_queries":${entries.mkString("{", ",", "}")}}"""
+        val fitEntries = entriesFor(fitNames)
+        val pipeEntries = entriesFor(pipeNames)
+        s""","scale_check":{"sf_big":"$sfDir","sf_small":"$sf2","fit_queries":${fitEntries.mkString("{", ",", "}")},"pipeline_queries":${pipeEntries.mkString("{", ",", "}")}}"""
       }
 
     // distribution-count scaling sweep, mirroring the reference's

@@ -251,9 +251,11 @@ class GenerationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cop = GaussianCopula.fit(spark, df, fr, Seq("a", "b"),
       corrMethod = "spearman_rank")
     val rho = cop.correlation(0)(1)
-    // matches the pairwise scale-safe Spearman exactly
+    // matches the pairwise scale-safe Spearman (to within the run-to-run
+    // reduce-order wobble of the distributed corr partial sums — the
+    // SQL-replay oracle rounds to 6 decimals for the same reason)
     val direct = Ranks.spearman(df, "a", "b").head().getDouble(0)
-    assert(rho == direct)
+    assert(math.abs(rho - direct) < 1e-9, s"$rho vs $direct")
     assert(rho > 0.6 && rho < 0.95, s"rho=$rho")
     // cholesky of [[1, rho], [rho, 1]]
     val l = cop.cholesky
