@@ -877,7 +877,7 @@ object SparkEntry {
       val hist = graft.streaming.StreamingOps.windowedHistogram(
         src, "value", "event_ts", binStart = 0.0, binWidth = 50.0,
         numBins = 10, window = "24 hours", watermark = "1 hour")
-      graft.streaming.StreamingOps.runToBatch(s, hist, "graft_stream_hist")
+      graft.streaming.StreamingOps.runToBatch(s, hist, "graft_stream_hist", statePartitions = 8)
         .select(F.unix_timestamp(F.col("window.start")).as("win_start"),
           F.col("bin"), F.col("cnt"))
         .orderBy("win_start", "bin")
@@ -889,7 +889,7 @@ object SparkEntry {
         .withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
       val stats = graft.streaming.StreamingOps.windowedStats(
         src, "value", "event_ts", window = "24 hours", watermark = "1 hour")
-      graft.streaming.StreamingOps.runToBatch(s, stats, "graft_stream_stats")
+      graft.streaming.StreamingOps.runToBatch(s, stats, "graft_stream_stats", statePartitions = 8)
         .select(F.unix_timestamp(F.col("window.start")).as("win_start"),
           F.col("cnt"), F.round(F.col("mean"), 6).as("mean_r"),
           F.round(F.col("mn"), 2).as("mn"), F.round(F.col("mx"), 2).as("mx"),
@@ -912,7 +912,8 @@ object SparkEntry {
           .as[(String, Double)]
         val stats = graft.streaming.StreamingOps.keyedRunningStatsTwsExact(src)
         val out = graft.streaming.StreamingOps.runToBatch(
-          s, stats.toDF(), "graft_stream_welford", outputMode = "update")
+          s, stats.toDF(), "graft_stream_welford", outputMode = "update",
+          statePartitions = 8)
         // update mode emits one row per key per batch; the final state
         // row is the one with the largest n
         val w = Window.partitionBy("key").orderBy(F.col("n").desc)
@@ -942,7 +943,8 @@ object SparkEntry {
         src, "props", "event_ts", watermark = "60 days")
         .groupBy().agg(F.count(F.lit(1)).as("n_survivors"))
       graft.streaming.StreamingOps.runToBatch(
-        s, deduped, "graft_stream_dedup", outputMode = "complete")
+        s, deduped, "graft_stream_dedup", outputMode = "complete",
+        statePartitions = 8)
     }),
     "q_stream_sessions" -> ((s, dir) => {
       // flatMapGroupsWithState sessionization over the bounded replay,
@@ -958,7 +960,8 @@ object SparkEntry {
         .as[(String, java.sql.Timestamp, Double)]
       val closed = graft.streaming.StreamingOps.sessionizeWithState(ds, gapMs = 1800000L)
       graft.streaming.StreamingOps.runToBatch(
-          s, closed.toDF(), "graft_stream_sessions", outputMode = "append")
+          s, closed.toDF(), "graft_stream_sessions", outputMode = "append",
+          statePartitions = 8)
         .select(F.col("key").cast("long").as("user_id"),
           F.col("start").as("start_ms"), F.col("end").as("end_ms"),
           F.col("n").as("n_events"))
@@ -976,7 +979,7 @@ object SparkEntry {
         src, "value", "event_ts", "expon", Array(0.0, 60.0),
         binStart = 0.0, binWidth = 50.0, numBins = 10,
         window = "24 hours", watermark = "1 hour")
-      graft.streaming.StreamingOps.runToBatch(s, drift, "graft_stream_drift")
+      graft.streaming.StreamingOps.runToBatch(s, drift, "graft_stream_drift", statePartitions = 8)
         .select(F.unix_timestamp(F.col("window.start")).as("win_start"),
           F.col("n"), F.col("drift_sse"))
         .orderBy("win_start")
@@ -1555,7 +1558,8 @@ object SparkEntry {
         clicks, purchases, "user_id", "click_ts", "purchase_ts",
         lookback = "1 hour", watermark = "1 hour")
       graft.streaming.StreamingOps
-        .runToBatch(s, joined, "graft_stream_join", outputMode = "append")
+        .runToBatch(s, joined, "graft_stream_join", outputMode = "append",
+          statePartitions = 8)
         .select(F.col("click_id"), F.col("user_id"), F.col("purchase_id"),
           F.round(F.col("value"), 6).as("purchase_value"))
         .orderBy("click_id", "purchase_id")

@@ -327,14 +327,30 @@ object StreamingOps {
     * hash-checks the streaming aggregates against the batch SQL oracle
     * through this). The memory sink holds only the AGGREGATED state
     * (windows·bins rows), never the input. */
+  /** `statePartitions` > 0 pins `spark.sql.shuffle.partitions` for the
+    * duration of the run (restored after). Stateful operators open one
+    * state store per shuffle partition, so their fixed cost scales with
+    * the SESSION's parallelism unless the state partition count is sized
+    * to the keyspace explicitly — at 32 session partitions a bounded
+    * stream-stream join pays 4× the store overhead it needs (measured
+    * 8.0 s → 3.9 s on the interval join). At real scale the same
+    * parameter sizes state to keys/throughput, decoupled from corpus
+    * parallelism; it is baked into the checkpoint, so pick it per query,
+    * not per session. */
   def runToBatch(spark: org.apache.spark.sql.SparkSession, streamDf: DataFrame,
-                 name: String, outputMode: String = "complete"): DataFrame = {
+                 name: String, outputMode: String = "complete",
+                 statePartitions: Int = 0): DataFrame = {
     spark.catalog.dropTempView(name)
-    val q = streamDf.writeStream
-      .format("memory").queryName(name).outputMode(outputMode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    if (statePartitions > 0) spark.conf.set(key, statePartitions)
+    try {
+      val q = streamDf.writeStream
+        .format("memory").queryName(name).outputMode(outputMode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally if (statePartitions > 0) spark.conf.set(key, prev)
     spark.table(name)
   }
 }
