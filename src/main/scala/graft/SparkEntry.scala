@@ -624,7 +624,7 @@ object SparkEntry {
       val d = docs(s, dir).where(F.col("doc_id") < 300)
         .select(F.col("doc_id"), F.coalesce(F.col("text"), F.lit("")).as("text"))
       val pairs = Dedup.shingleSharePairs(d, "doc_id", "text", n = 4, maxShingleFreq = 100)
-      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b", numPartitions = 8)
       d.join(cc, d("doc_id") === cc("id"), "left")
         .select(F.col("doc_id"),
           F.coalesce(F.col("component"), F.col("doc_id")).as("component"))

@@ -432,7 +432,24 @@ object Dedup {
     * after MinHash/SimHash candidate generation (reference surfaces only
     * pairwise duplicates; clustering is the scale-out completion). */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50, numPartitions: Int = 0): DataFrame = {
+    // the candidate-pair graph is orders of magnitude smaller than the
+    // corpus (pairs survive banding + caps), so the session's
+    // corpus-sized shuffle-partition count overpays per round; a
+    // caller-pinned partition count sizes each star-join round to the
+    // EDGE count. Same conf-pin/restore discipline as the streaming
+    // state sizing; the loop is driver-synchronous, so the temporary
+    // setting cannot leak into a concurrently-planned query of ours.
+    val spark = edges.sparkSession
+    val confKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(confKey)
+    if (numPartitions > 0) spark.conf.set(confKey, numPartitions)
+    try connectedComponentsImpl(edges, aCol, bCol, maxIter)
+    finally if (numPartitions > 0) spark.conf.set(confKey, prevParts)
+  }
+
+  private def connectedComponentsImpl(edges: DataFrame, aCol: String,
+                                      bCol: String, maxIter: Int): DataFrame = {
     val u = F.col("u"); val v = F.col("v")
     // canonical orientation (u > v), self-loops dropped
     var e = edges
