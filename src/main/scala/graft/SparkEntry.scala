@@ -1416,15 +1416,17 @@ object SparkEntry {
       // replay: avg/stddev_pop, corr over rank(), and sqrt(1-rho^2)
       import s.implicits._
       val cols = Seq("l_extendedprice", "l_quantity")
-      val fr = cachedFit(s, dir, cols, dists = Some(Seq("norm")),
-        cfg = FitConfig(fittingSampleSize = 2000000))
-      // Spearman converges fast in n — the key-capped input keeps the
-      // rank construction off the critical path (q_corr_spearman times
-      // the full-table version); the cap is a key predicate, so the row
-      // SET is layout-stable and the oracle replays it exactly
-      val cop = GaussianCopula.fit(s,
-        keyCappedLineitem(s, dir, 100000, cols :+ "l_orderkey"), fr, cols,
+      // everything fits over the SAME layout-stable key-capped slice
+      // (marginal MLE and Spearman alike): the cap is a key predicate the
+      // oracle replays verbatim, the lifted sample cap makes the norm
+      // params SQL-exact over that slice, and the full-table Spearman
+      // cost stays on q_corr_spearman where it is the thing measured
+      val capped = keyCappedLineitem(s, dir, 100000, cols :+ "l_orderkey")
+      val fr = Fitter.fit(s, capped, cols, Some(Seq("norm")),
+        FitConfig(fittingSampleSize = 2000000))
+      val cop = GaussianCopula.fit(s, capped, fr, cols,
         metric = "aic", corrMethod = "spearman_rank")
+      fr.unpersist() // marginals are extracted; don't pin the relation
       val rho = cop.correlation(0)(1)
       val l = cop.cholesky
       val m = cop.marginals
@@ -3168,7 +3170,8 @@ object SparkEntry {
         |rho AS (SELECT corr(ra, rb) AS v FROM r),
         |s AS (SELECT avg(l_extendedprice) AS m1,
         |    stddev_pop(l_extendedprice) AS s1, avg(l_quantity) AS m2,
-        |    stddev_pop(l_quantity) AS s2 FROM lineitem)
+        |    stddev_pop(l_quantity) AS s2 FROM lineitem
+        |  WHERE l_orderkey < 100000)
         |SELECT 'chol_row2' AS stat, round(rho.v, 6) AS v1,
         |  round(sqrt(1 - rho.v * rho.v), 6) AS v2 FROM rho
         |UNION ALL SELECT 'marginal_loc', round(m1, 4), round(m2, 4) FROM s
