@@ -166,6 +166,37 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!q.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("q_gmm_score is pure codegen'd arithmetic: no UDF, no pre-agg shuffle") {
+    val plan = physicalPlan("q_gmm_score").replaceAll("\\s+", " ")
+    // the scoring columns (logsumexp + argmax CASE ladder) must live in
+    // the scan-side projection inside whole-stage codegen
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"), plan.take(800))
+    // the whole score (logsumexp + CASE argmax) must sit in a Project
+    // directly over the scan, with the null filter pushed to parquet
+    // (AQE's pre-final plan string omits WholeStageCodegen spans, so
+    // assert the shape, not the codegen label)
+    assert(plan.contains("Project [") && plan.contains("greatest("), plan.take(800))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_extendedprice)]"), plan.take(800))
+    // exactly one exchange: the final groupBy(component) — scoring itself
+    // must not shuffle
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"scoring path shuffles more than the aggregate needs:\n${plan.take(1500)}")
+  }
+
+  test("hash bootstrap broadcasts the indexed sample into the draw-grid join") {
+    val plan = physicalPlan("q_bootstrap_hash").replaceAll("\\s+", " ")
+    // the b×n draw grid joins the rank-indexed sample by BROADCAST — a
+    // shuffle join here would exchange the grid at every scale
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
+  test("fuzzy decontamination joins benchmark grams and prefixes by broadcast") {
+    val plan = physicalPlan("q_decontam_fuzzy").replaceAll("\\s+", " ")
+    // three broadcast joins (gram filter, stop-gram keep-list, benchmark
+    // prefixes); the corpus side must never be the exchanged side
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3, plan.take(2000))
+  }
+
   test("range join plans as a hash join on buckets, never a nested loop") {
     import org.apache.spark.sql.functions.col
     val iv = spark.read.parquet(s"$dir/orders.parquet")
