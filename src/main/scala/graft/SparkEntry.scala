@@ -1439,6 +1439,61 @@ object SparkEntry {
         ("spearman", r6(rho), if (m.forall(_.distName == "norm")) 1.0 else 0.0))
         .toDF("stat", "v1", "v2").orderBy("stat")
     }),
+    "q_fit_drift" -> ((s, dir) => {
+      // model drift between two fit snapshots, hash-checked end-to-end:
+      // ONE grouped shared-scan fit estimates norm params on the even-
+      // and odd-orderkey halves (SF-independent parity split, SQL-exact
+      // MLE with the lifted sample cap), then the closed-form normal KL
+      // in both directions — the fit-vs-fit monitoring metric, replayed
+      // by DuckDB as avg/stddev_pop + the same formula
+      import s.implicits._
+      val half = li(s, dir).select(
+        F.when(F.col("l_orderkey") % 2 === 0, "a").otherwise("b").as("g"),
+        F.col("l_extendedprice"))
+      val fr = Fitter.fitGrouped(s, half, "g", "l_extendedprice",
+        Some(Seq("norm")), FitConfig(fittingSampleSize = 4000000))
+      val byG = fr.df.select("column_name", "parameters").collect()
+        .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      fr.unpersist()
+      val (m1, s1) = (byG("a")(0), byG("a")(1))
+      val (m2, s2) = (byG("b")(0), byG("b")(1))
+      def r4(x: Double) = math.round(x * 1e4) / 1e4
+      def r8(x: Double) = math.round(x * 1e8) / 1e8
+      Seq((r4(m1), r4(s1), r4(m2), r4(s2),
+        r8(graft.functions.Metrics.klNormal(m1, s1, m2, s2)),
+        r8(graft.functions.Metrics.klNormal(m2, s2, m1, s1))))
+        .toDF("mean_a", "std_a", "mean_b", "std_b", "kl_ab", "kl_ba")
+    }),
+    "q_copula_serde" -> ((s, dir) => {
+      // S5's copula sink hash-checked: the fitted copula goes save ->
+      // JSON -> load on the driver, and the output reads marginal
+      // params, Spearman, and the Cholesky row from the ROUND-TRIPPED
+      // object against the SAME oracle as q_copula_fit — a green hash
+      // proves the sink preserves every matrix and parameter exactly
+      import s.implicits._
+      val cols = Seq("l_extendedprice", "l_quantity")
+      val capped = keyCappedLineitem(s, dir, 100000, cols :+ "l_orderkey")
+      val fr = Fitter.fit(s, capped, cols, Some(Seq("norm")),
+        FitConfig(fittingSampleSize = 2000000))
+      val cop = GaussianCopula.fit(s, capped, fr, cols,
+        metric = "aic", corrMethod = "spearman_rank")
+      fr.unpersist()
+      val p = java.nio.file.Files.createTempFile("graft_copula", ".json")
+      Serialization.saveCopula(cop, p.toString)
+      val back = Serialization.loadCopula(p.toString)
+      java.nio.file.Files.delete(p)
+      val rho = back.correlation(0)(1)
+      val l = back.cholesky
+      val m = back.marginals
+      def r6(x: Double) = math.round(x * 1e6) / 1e6
+      def r4(x: Double) = math.round(x * 1e4) / 1e4
+      Seq(
+        ("chol_row2", r6(l(1)(0)), r6(l(1)(1))),
+        ("marginal_loc", r4(m(0).params(0)), r4(m(1).params(0))),
+        ("marginal_scale", r4(m(0).params(1)), r4(m(1).params(1))),
+        ("spearman", r6(rho), if (m.forall(_.distName == "norm")) 1.0 else 0.0))
+        .toDF("stat", "v1", "v2").orderBy("stat")
+    }),
     "q_lazy_best_ks" -> ((s, dir) => {
       // M14/F8: lazy fit, then top-5 by K-S — forces the deferred-metric
       // recompute path (3n+5 AIC candidates, driver-side KS/AD fill)
@@ -3178,6 +3233,40 @@ object SparkEntry {
         |UNION ALL SELECT 'marginal_scale', round(s1, 4), round(s2, 4) FROM s
         |UNION ALL SELECT 'spearman', round(rho.v, 6), 1.0 FROM rho
         |ORDER BY stat""".stripMargin,
+    // The serde round-trip must reproduce the fit bit-for-bit, so its
+    // oracle IS the fit oracle.
+    "q_copula_serde" ->
+      """WITH r AS (SELECT
+        |    CAST(rank() OVER (ORDER BY l_extendedprice) AS DOUBLE) AS ra,
+        |    CAST(rank() OVER (ORDER BY l_quantity) AS DOUBLE) AS rb
+        |  FROM lineitem WHERE l_orderkey < 100000),
+        |rho AS (SELECT corr(ra, rb) AS v FROM r),
+        |s AS (SELECT avg(l_extendedprice) AS m1,
+        |    stddev_pop(l_extendedprice) AS s1, avg(l_quantity) AS m2,
+        |    stddev_pop(l_quantity) AS s2 FROM lineitem
+        |  WHERE l_orderkey < 100000)
+        |SELECT 'chol_row2' AS stat, round(rho.v, 6) AS v1,
+        |  round(sqrt(1 - rho.v * rho.v), 6) AS v2 FROM rho
+        |UNION ALL SELECT 'marginal_loc', round(m1, 4), round(m2, 4) FROM s
+        |UNION ALL SELECT 'marginal_scale', round(s1, 4), round(s2, 4) FROM s
+        |UNION ALL SELECT 'spearman', round(rho.v, 6), 1.0 FROM rho
+        |ORDER BY stat""".stripMargin,
+    // Replays the grouped closed-form fit on the parity halves and the
+    // same KL arithmetic shape (ln + squared-difference ratio).
+    "q_fit_drift" ->
+      """WITH a AS (SELECT avg(l_extendedprice) AS m,
+        |    stddev_pop(l_extendedprice) AS s FROM lineitem
+        |  WHERE l_orderkey % 2 = 0),
+        |b AS (SELECT avg(l_extendedprice) AS m,
+        |    stddev_pop(l_extendedprice) AS s FROM lineitem
+        |  WHERE l_orderkey % 2 = 1)
+        |SELECT round(a.m, 4) AS mean_a, round(a.s, 4) AS std_a,
+        |  round(b.m, 4) AS mean_b, round(b.s, 4) AS std_b,
+        |  round(ln(b.s / a.s) + (a.s * a.s + (a.m - b.m) * (a.m - b.m))
+        |    / (2 * b.s * b.s) - 0.5, 8) AS kl_ab,
+        |  round(ln(a.s / b.s) + (b.s * b.s + (b.m - a.m) * (b.m - a.m))
+        |    / (2 * a.s * a.s) - 0.5, 8) AS kl_ba
+        |FROM a, b""".stripMargin,
     "q_sketch_bottomk" ->
       """WITH h AS (SELECT lang, doc_id,
         |  md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents),

@@ -230,4 +230,17 @@ object Metrics extends Serializable {
     }
     (d, SpecialMath.kolmogorovSf(math.sqrt(n.toDouble) * d))
   }
+
+  /** KL divergence KL(P‖Q) between two fitted normals — closed form:
+    * ln(σq/σp) + (σp² + (μp−μq)²)/(2σq²) − ½. The model-drift metric
+    * between two fit snapshots (yesterday's model vs today's): zero iff
+    * the fits agree, grows quadratically in the mean shift measured in
+    * target standard deviations. The arithmetic shape is kept
+    * SQL-replayable on purpose (no log1p/expm1 refactor) so drift values
+    * hash-check against an external engine's replay of the same formula. */
+  def klNormal(meanP: Double, stdP: Double, meanQ: Double, stdQ: Double): Double = {
+    require(stdP > 0 && stdQ > 0, "std must be positive")
+    math.log(stdQ / stdP) +
+      (stdP * stdP + (meanP - meanQ) * (meanP - meanQ)) / (2.0 * stdQ * stdQ) - 0.5
+  }
 }

@@ -235,6 +235,28 @@ class DistributionSpec extends AnyFunSuite {
     assert(Metrics.adPValue(ContinuousFamilies.Gamma, xs).isEmpty)
   }
 
+  test("normal KL divergence: identity zero, asymmetry, scale/shift structure") {
+    import graft.functions.Metrics.klNormal
+    assert(klNormal(5.0, 2.0, 5.0, 2.0) == 0.0)
+    // pure mean shift of k target-sigmas: KL = k²/2
+    assert(math.abs(klNormal(0.0, 1.0, 2.0, 1.0) - 2.0) < 1e-12)
+    // asymmetric in general
+    val pq = klNormal(0.0, 1.0, 0.0, 2.0)
+    val qp = klNormal(0.0, 2.0, 0.0, 1.0)
+    assert(pq != qp && pq > 0 && qp > 0)
+    // closed form vs direct Monte-Carlo estimate of E_P[ln p/q]
+    val rng = new java.util.Random(11L)
+    val est = (1 to 200000).map { _ =>
+      val x = 1.0 + 2.5 * rng.nextGaussian()
+      def lnpdf(m: Double, s: Double) =
+        -0.5 * math.log(2 * math.Pi * s * s) - (x - m) * (x - m) / (2 * s * s)
+      lnpdf(1.0, 2.5) - lnpdf(-0.5, 1.8)
+    }.sum / 200000
+    val exact = klNormal(1.0, 2.5, -0.5, 1.8)
+    assert(math.abs(est - exact) < 0.05, s"mc=$est exact=$exact")
+    intercept[IllegalArgumentException] { klNormal(0.0, 0.0, 0.0, 1.0) }
+  }
+
   test("truncated wrapper: mass renormalized, ppf maps quantiles") {
     val t = new Truncated(ContinuousFamilies.Norm, Array(0.0, 1.0), -1.0, 1.0)
     assert(math.abs(t.cdf(1.0) - 1.0) < 1e-12)
