@@ -1409,6 +1409,31 @@ object SparkEntry {
           F.round(F.sum("loglik"), 2).as("ll_sum"),
           F.round(F.avg("loglik"), 6).as("ll_avg"))
         .orderBy("component")),
+    "q_gmm_serde" -> ((s, dir) => {
+      // S5's GMM sink hash-checked: a fixed mixture goes save -> JSON ->
+      // load, and every row is scored with the ROUND-TRIPPED weights/
+      // means/covariances against the SAME oracle as q_gmm_score — a
+      // green hash proves the sink preserves the model exactly (any
+      // parameter drift would move log-likelihoods and assignments)
+      val model = GaussianMixtureResult(
+        columns = Seq("l_extendedprice"),
+        weights = Array(0.6, 0.4),
+        means = Array(Array(20000.0), Array(60000.0)),
+        covariances = Array(Array(Array(2.0e8)), Array(Array(4.0e8))),
+        logLikelihood = -1.0, n = 1L, aic = 0.0, bic = 0.0)
+      val p = java.nio.file.Files.createTempFile("graft_gmm", ".json")
+      Serialization.saveGmm(model, p.toString)
+      val back = Serialization.loadGmm(p.toString)
+      java.nio.file.Files.delete(p)
+      Mixture.score(li(s, dir).where(F.col("l_extendedprice").isNotNull),
+          back.columns, back.weights, back.means,
+          back.covariances.map(c => Array(c(0)(0))))
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.round(F.sum("loglik"), 2).as("ll_sum"),
+          F.round(F.avg("loglik"), 6).as("ll_avg"))
+        .orderBy("component")
+    }),
     "q_copula_fit" -> ((s, dir) => {
       // G4's fit path hash-checked: norm marginals on the full column
       // (SQL-exact MLE), the scale-safe min-rank Spearman, and the
@@ -3199,6 +3224,24 @@ object SparkEntry {
     // densities, max-factored logsumexp, strict-> argmax — identical
     // expression tree, so assignments and (rounded) LL sums match.
     "q_gmm_score" ->
+      """WITH p AS (SELECT l_extendedprice AS x FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL),
+        |l AS (SELECT x,
+        |  (x - 20000.0) * (x - 20000.0) / (-400000000.0)
+        |    - 0.5 * ln(2 * pi() * 200000000.0) + ln(0.6) AS l0,
+        |  (x - 60000.0) * (x - 60000.0) / (-800000000.0)
+        |    - 0.5 * ln(2 * pi() * 400000000.0) + ln(0.4) AS l1
+        |  FROM p),
+        |sc AS (SELECT CASE WHEN l1 > l0 THEN 1 ELSE 0 END AS component,
+        |  greatest(l0, l1) + ln(exp(l0 - greatest(l0, l1))
+        |    + exp(l1 - greatest(l0, l1))) AS ll
+        |  FROM l)
+        |SELECT component, count(*) AS n, round(sum(ll), 2) AS ll_sum,
+        |  round(avg(ll), 6) AS ll_avg
+        |FROM sc GROUP BY component ORDER BY component""".stripMargin,
+    // The GMM serde round-trip scores with the loaded model, so its
+    // oracle IS the fixed-model scoring oracle.
+    "q_gmm_serde" ->
       """WITH p AS (SELECT l_extendedprice AS x FROM lineitem
         |  WHERE l_extendedprice IS NOT NULL),
         |l AS (SELECT x,
