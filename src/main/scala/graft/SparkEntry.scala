@@ -1489,6 +1489,34 @@ object SparkEntry {
         r8(graft.functions.Metrics.klNormal(m2, s2, m1, s1))))
         .toDF("mean_a", "std_a", "mean_b", "std_b", "kl_ab", "kl_ba")
     }),
+    "q_drift_psi" -> ((s, dir) =>
+      // Population Stability Index between the parity halves of the
+      // price column, hash-checked: one (cohort, bin) conditional-sum
+      // aggregate (exchange carries <= bins rows), Laplace-smoothed
+      // probabilities, PSI + KL both ways — the standard serving-time
+      // feature-drift gauge, replayed exactly by DuckDB
+      Drift.histDrift(
+        li(s, dir).select(
+          F.when(F.col("l_orderkey") % 2 === 0, "a").otherwise("b").as("cohort"),
+          F.col("l_extendedprice")),
+        "cohort", "l_extendedprice", binStart = 0.0, binWidth = 5500.0,
+        numBins = 20)
+        .select(F.round(F.col("psi"), 8).as("psi"),
+          F.round(F.col("kl_ab"), 8).as("kl_ab"),
+          F.round(F.col("kl_ba"), 8).as("kl_ba"),
+          F.col("n_a"), F.col("n_b"), F.col("n_cells"))),
+    "q_drift_pmf" -> ((s, dir) =>
+      // the categorical twin: event-type mix drift between user-parity
+      // cohorts — label/source-mix drift over the union support
+      Drift.pmfDrift(
+        events(s, dir).select(
+          F.when(F.col("user_id") % 2 === 0, "a").otherwise("b").as("cohort"),
+          F.col("event_type")),
+        "cohort", "event_type")
+        .select(F.round(F.col("psi"), 8).as("psi"),
+          F.round(F.col("kl_ab"), 8).as("kl_ab"),
+          F.round(F.col("kl_ba"), 8).as("kl_ba"),
+          F.col("n_a"), F.col("n_b"), F.col("n_cells"))),
     "q_copula_serde" -> ((s, dir) => {
       // S5's copula sink hash-checked: the fitted copula goes save ->
       // JSON -> load on the driver, and the output reads marginal
@@ -3294,6 +3322,43 @@ object SparkEntry {
         |UNION ALL SELECT 'marginal_scale', round(s1, 4), round(s2, 4) FROM s
         |UNION ALL SELECT 'spearman', round(rho.v, 6), 1.0 FROM rho
         |ORDER BY stat""".stripMargin,
+    // Replays the PSI pipeline: same floor-bin cells, same conditional
+    // counts, same +0.5 smoothing, same divergence folds.
+    "q_drift_psi" ->
+      """WITH c AS (SELECT
+        |    CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    least(greatest(CAST(floor((l_extendedprice - 0.0) / 5500.0)
+        |      AS BIGINT), 0), 19) AS k
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |m AS (SELECT k, sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS cb
+        |  FROM c GROUP BY k),
+        |t AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS nc FROM m),
+        |p AS (SELECT (ca + 0.5) / (na + 0.5 * nc) AS pa,
+        |    (cb + 0.5) / (nb + 0.5 * nc) AS pb, na, nb, nc FROM m, t)
+        |SELECT round(sum((pa - pb) * ln(pa / pb)), 8) AS psi,
+        |  round(sum(pa * ln(pa / pb)), 8) AS kl_ab,
+        |  round(sum(pb * ln(pb / pa)), 8) AS kl_ba,
+        |  CAST(min(na) AS BIGINT) AS n_a, CAST(min(nb) AS BIGINT) AS n_b,
+        |  CAST(min(nc) AS BIGINT) AS n_cells
+        |FROM p""".stripMargin,
+    "q_drift_pmf" ->
+      """WITH c AS (SELECT
+        |    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    event_type AS k
+        |  FROM events WHERE event_type IS NOT NULL),
+        |m AS (SELECT k, sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS cb
+        |  FROM c GROUP BY k),
+        |t AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS nc FROM m),
+        |p AS (SELECT (ca + 0.5) / (na + 0.5 * nc) AS pa,
+        |    (cb + 0.5) / (nb + 0.5 * nc) AS pb, na, nb, nc FROM m, t)
+        |SELECT round(sum((pa - pb) * ln(pa / pb)), 8) AS psi,
+        |  round(sum(pa * ln(pa / pb)), 8) AS kl_ab,
+        |  round(sum(pb * ln(pb / pa)), 8) AS kl_ba,
+        |  CAST(min(na) AS BIGINT) AS n_a, CAST(min(nb) AS BIGINT) AS n_b,
+        |  CAST(min(nc) AS BIGINT) AS n_cells
+        |FROM p""".stripMargin,
     // Replays the grouped closed-form fit on the parity halves and the
     // same KL arithmetic shape (ln + squared-difference ratio).
     "q_fit_drift" ->

@@ -790,6 +790,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Decontam.contaminationReport(short, bench, "doc_id", "text", 8).count() == 0)
   }
 
+  test("drift metrics: zero on identical cohorts, grows with shift, layout-stable") {
+    import spark.implicits._
+    val rng = new java.util.Random(13L)
+    // identical cohorts → all divergences exactly 0 (pa == pb per cell)
+    val same = Seq("a", "b").flatMap(g =>
+      (1 to 2000).map(i => (g, (i % 7).toLong))).toDF("cohort", "v")
+    val zero = Drift.pmfDrift(same, "cohort", "v").head()
+    assert(zero.getAs[Double]("psi") == 0.0 && zero.getAs[Double]("kl_ab") == 0.0)
+    assert(zero.getAs[Long]("n_cells") == 7L)
+    // shifted continuous cohorts → PSI well above the 0.25 alarm line
+    val shifted = ((1 to 3000).map(_ => ("a", 50 + 10 * rng.nextGaussian())) ++
+      (1 to 3000).map(_ => ("b", 70 + 10 * rng.nextGaussian())))
+      .toDF("cohort", "x")
+    val r = Drift.histDrift(shifted, "cohort", "x", 0.0, 5.0, 30).head()
+    assert(r.getAs[Double]("psi") > 0.25, s"psi=${r.getAs[Double]("psi")}")
+    assert(r.getAs[Double]("kl_ab") > 0 && r.getAs[Double]("kl_ba") > 0)
+    // partitioning must not change a single bit of the result
+    val r2 = Drift.histDrift(shifted.repartition(13), "cohort", "x", 0.0, 5.0, 30).head()
+    assert(r.getAs[Long]("n_a") == r2.getAs[Long]("n_a"))
+    assert(math.abs(r.getAs[Double]("psi") - r2.getAs[Double]("psi")) < 1e-12)
+  }
+
   test("fuzzy decontamination: edited near-copies flagged, stop-grams capped") {
     val bench = docsDf(Seq(
       (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")))
