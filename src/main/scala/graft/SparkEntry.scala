@@ -1517,6 +1517,18 @@ object SparkEntry {
           F.round(F.col("kl_ab"), 8).as("kl_ab"),
           F.round(F.col("kl_ba"), 8).as("kl_ba"),
           F.col("n_a"), F.col("n_b"), F.col("n_cells"))),
+    "q_drift_ks" -> ((s, dir) =>
+      // two-sample KS between the parity cohorts, hash-checked: the
+      // scale-safe prefix-sum construction (no global window) must land
+      // on the exact integer-ratio D that DuckDB's cumulative-window
+      // replay computes
+      Drift.ksTwoSample(
+        li(s, dir).select(
+          F.when(F.col("l_orderkey") % 2 === 0, "a").otherwise("b").as("cohort"),
+          F.col("l_extendedprice")),
+        "cohort", "l_extendedprice")
+        .select(F.round(F.col("ks_d"), 9).as("ks_d"),
+          F.col("n_a"), F.col("n_b"))),
     "q_copula_serde" -> ((s, dir) => {
       // S5's copula sink hash-checked: the fitted copula goes save ->
       // JSON -> load on the driver, and the output reads marginal
@@ -3359,6 +3371,25 @@ object SparkEntry {
         |  CAST(min(na) AS BIGINT) AS n_a, CAST(min(nb) AS BIGINT) AS n_b,
         |  CAST(min(nc) AS BIGINT) AS n_cells
         |FROM p""".stripMargin,
+    // Replays the two-sample KS: cumulative conditional counts over the
+    // sorted distinct values, max |Fa - Fb| as exact integer ratios.
+    "q_drift_ks" ->
+      """WITH c AS (SELECT
+        |    CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    l_extendedprice AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |m AS (SELECT v, sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS cb
+        |  FROM c GROUP BY v),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM m),
+        |cum AS (SELECT
+        |    CAST(sum(ca) OVER (ORDER BY v) AS DOUBLE) AS fa,
+        |    CAST(sum(cb) OVER (ORDER BY v) AS DOUBLE) AS fb
+        |  FROM m)
+        |SELECT round(max(abs(fa / t.na - fb / t.nb)), 9) AS ks_d,
+        |  t.na AS n_a, t.nb AS n_b
+        |FROM cum, t GROUP BY t.na, t.nb""".stripMargin,
     // Replays the grouped closed-form fit on the parity halves and the
     // same KL arithmetic shape (ln + squared-difference ratio).
     "q_fit_drift" ->

@@ -49,6 +49,60 @@ object Drift {
     divergences(df.where(F.col(valueCol).isNotNull)
       .select(F.col(cohortCol).as("g"), F.col(valueCol).as("k")))
 
+  /** Two-sample Kolmogorov–Smirnov distance between the cohorts' empirical
+    * CDFs — the distribution-level drift test (sensitive to ANY shape
+    * change, not just binned mass moves), with the asymptotic p-value at
+    * effective n = na·nb/(na+nb).
+    *
+    * Scale shape: the same construction as [[Ranks.minRanks]] — one
+    * per-distinct-value conditional-count shuffle, range-partitioned
+    * per-partition running sums seeded by broadcast offsets (driver sees
+    * only ≤ #partitions longs), then a per-partition max of
+    * |Fa − Fb| folded on the driver. No global window, no single-partition
+    * stage; D is a ratio of exact integers, so it replays hash-exactly.
+    *
+    * @return one row: (ks_d, p_value, n_a, n_b) */
+  def ksTwoSample(df: DataFrame, cohortCol: String, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .select(F.col(cohortCol).as("g"), F.col(valueCol).cast("double").as("v"))
+      .where(F.col("v").isNotNull && !F.isnan(F.col("v")))
+      .groupBy("v").agg(
+        F.sum(F.when(F.col("g") === "a", 1L).otherwise(0L)).as("ca"),
+        F.sum(F.when(F.col("g") === "b", 1L).otherwise(0L)).as("cb"))
+    val sorted = counts
+      .repartitionByRange(F.col("v")).sortWithinPartitions("v")
+      .as[(Double, Long, Long)].rdd
+    sorted.cache()
+    try {
+      val partSums = sorted.mapPartitionsWithIndex { case (i, it) =>
+        var sa = 0L; var sb = 0L
+        it.foreach { r => sa += r._2; sb += r._3 }
+        Iterator((i, sa, sb))
+      }.collect().sortBy(_._1)
+      val na = partSums.map(_._2).sum
+      val nb = partSums.map(_._3).sum
+      require(na > 0 && nb > 0, "both cohorts need rows")
+      val offA = partSums.map(_._2).scanLeft(0L)(_ + _)
+      val offB = partSums.map(_._3).scanLeft(0L)(_ + _)
+      val bc = spark.sparkContext.broadcast((offA, offB))
+      val d = sorted.mapPartitionsWithIndex { case (i, it) =>
+        var cumA = bc.value._1(i); var cumB = bc.value._2(i)
+        var best = 0.0
+        it.foreach { case (_, a, b) =>
+          cumA += a; cumB += b
+          val diff = math.abs(cumA.toDouble / na - cumB.toDouble / nb)
+          if (diff > best) best = diff
+        }
+        Iterator(best)
+      }.collect().max
+      val nEff = na.toDouble * nb / (na.toDouble + nb)
+      val p = graft.functions.SpecialMath.kolmogorovSf(math.sqrt(nEff) * d)
+      Seq((d, p, na, nb)).toDF("ks_d", "p_value", "n_a", "n_b")
+    } finally sorted.unpersist(blocking = false)
+  }
+
   /** One (cell → both-cohort counts) aggregate, then the smoothed
     * divergence fold. Smoothing: p = (count + 0.5) / (n + 0.5·cells) —
     * strictly positive, integer-count-exact. */

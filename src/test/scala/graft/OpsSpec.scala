@@ -810,6 +810,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r2 = Drift.histDrift(shifted.repartition(13), "cohort", "x", 0.0, 5.0, 30).head()
     assert(r.getAs[Long]("n_a") == r2.getAs[Long]("n_a"))
     assert(math.abs(r.getAs[Double]("psi") - r2.getAs[Double]("psi")) < 1e-12)
+    // two-sample KS: a 2-sigma mean shift separates the CDFs by ~0.68
+    // (|Phi(z-1) - Phi(z+1)| maximum), p-value collapses; identical
+    // cohorts give a tiny D with p ~ 1
+    val ks = Drift.ksTwoSample(shifted, "cohort", "x").head()
+    val dKs = ks.getAs[Double]("ks_d")
+    assert(dKs > 0.55 && dKs < 0.8, s"D=$dKs")
+    assert(ks.getAs[Double]("p_value") < 1e-6)
+    val ksSame = Drift.ksTwoSample(same.select(F.col("cohort"),
+      F.col("v").cast("double").as("x")), "cohort", "x").head()
+    assert(ksSame.getAs[Double]("ks_d") == 0.0)
+    assert(ksSame.getAs[Double]("p_value") > 0.999)
   }
 
   test("fuzzy decontamination: edited near-copies flagged, stop-grams capped") {
