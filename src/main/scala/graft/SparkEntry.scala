@@ -154,7 +154,29 @@ object SparkEntry {
       catch { case _: Throwable => }
     }
     fitMemo.clear()
+    copulaMemo.synchronized(copulaMemo.clear())
   }
+
+  /** The fitted norm-marginal copula over the key-capped slice, shared by
+    * q_copula_fit and q_copula_serde (same model, different subjects:
+    * the fit VALUES vs the sink round-trip). Holds only driver-side
+    * parameters (no pinned relations), so eviction is just `clear` —
+    * dropped together with the fit memo so a timed bench loop still pays
+    * the fit exactly once. */
+  private val copulaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, GaussianCopula]()
+
+  private def cappedNormCopula(s: SparkSession, dir: String): GaussianCopula =
+    copulaMemo.computeIfAbsent(dir, _ => {
+      val cols = Seq("l_extendedprice", "l_quantity")
+      val capped = keyCappedLineitem(s, dir, 100000, cols :+ "l_orderkey")
+      val fr = Fitter.fit(s, capped, cols, Some(Seq("norm")),
+        FitConfig(fittingSampleSize = 2000000))
+      val cop = GaussianCopula.fit(s, capped, fr, cols,
+        metric = "aic", corrMethod = "spearman_rank")
+      fr.unpersist() // marginals are extracted; don't pin the relation
+      cop
+    })
 
   /** Memoized at COLUMN granularity: overlapping multi-column queries
     * (e.g. {price, discount, tax} then {price, discount}) reuse each
@@ -1440,18 +1462,12 @@ object SparkEntry {
       // 2x2 Cholesky factor the sampler consumes — everything DuckDB can
       // replay: avg/stddev_pop, corr over rank(), and sqrt(1-rho^2)
       import s.implicits._
-      val cols = Seq("l_extendedprice", "l_quantity")
       // everything fits over the SAME layout-stable key-capped slice
       // (marginal MLE and Spearman alike): the cap is a key predicate the
       // oracle replays verbatim, the lifted sample cap makes the norm
       // params SQL-exact over that slice, and the full-table Spearman
       // cost stays on q_corr_spearman where it is the thing measured
-      val capped = keyCappedLineitem(s, dir, 100000, cols :+ "l_orderkey")
-      val fr = Fitter.fit(s, capped, cols, Some(Seq("norm")),
-        FitConfig(fittingSampleSize = 2000000))
-      val cop = GaussianCopula.fit(s, capped, fr, cols,
-        metric = "aic", corrMethod = "spearman_rank")
-      fr.unpersist() // marginals are extracted; don't pin the relation
+      val cop = cappedNormCopula(s, dir)
       val rho = cop.correlation(0)(1)
       val l = cop.cholesky
       val m = cop.marginals
@@ -1536,13 +1552,7 @@ object SparkEntry {
       // object against the SAME oracle as q_copula_fit — a green hash
       // proves the sink preserves every matrix and parameter exactly
       import s.implicits._
-      val cols = Seq("l_extendedprice", "l_quantity")
-      val capped = keyCappedLineitem(s, dir, 100000, cols :+ "l_orderkey")
-      val fr = Fitter.fit(s, capped, cols, Some(Seq("norm")),
-        FitConfig(fittingSampleSize = 2000000))
-      val cop = GaussianCopula.fit(s, capped, fr, cols,
-        metric = "aic", corrMethod = "spearman_rank")
-      fr.unpersist()
+      val cop = cappedNormCopula(s, dir)
       val p = java.nio.file.Files.createTempFile("graft_copula", ".json")
       Serialization.saveCopula(cop, p.toString)
       val back = Serialization.loadCopula(p.toString)
