@@ -15,7 +15,8 @@ object DistRegistry extends Serializable {
 
   private val builtin: Map[String, ContinuousDist] =
     (ContinuousFamilies.all ++ ContinuousFamiliesB.all ++
-      ContinuousFamiliesC.all ++ ContinuousFamiliesD.all)
+      ContinuousFamiliesC.all ++ ContinuousFamiliesD.all ++
+      ContinuousFamiliesE.all)
       .map(d => d.name -> d).toMap
 
   @volatile private var custom: Map[String, ContinuousDist] = Map.empty
@@ -47,7 +48,16 @@ object DistRegistry extends Serializable {
     * `distributions = Some(...)` opts any of them back in. */
   val defaultExclusions: Set[String] = Set(
     "kappa4", "ncx2", "ncf", "wald", "recipinvgauss",
-    "vonmises", "vonmises_line", "tukeylambda", "nct")
+    "vonmises", "vonmises_line", "tukeylambda", "nct",
+    // Tier E: the rest of the reference's DEFAULT_EXCLUSIONS we implement
+    // (distributions.py:33-54) — registered, opt-in via
+    // distributions=Some(...), excluded from the default zoo like scipy
+    "mielke", "exponpow", "studentized_range", "gausshyper", "geninvgauss",
+    "genhyperbolic", "ksone", "kstwo", "kstwobign", "levy_stable",
+    // legacy scipy spelling kept for callers; the default zoo carries the
+    // modern `gibrat` only (scipy renamed it, so the reference's
+    // ALL_DISTRIBUTIONS has exactly one of the pair)
+    "gilbrat")
 
   /** Families whose MLE refinement dominates runtime — weighted 3× in the
     * partition count calculation and interleaved across partitions
@@ -63,7 +73,10 @@ object DistRegistry extends Serializable {
     "rice", "ncx2", "ncf", "norminvgauss", "vonmises", "vonmises_line",
     "tukeylambda", "pearson3", "powerlognorm", "gengamma", "genexpon",
     "jf_skew_t", "skewnorm", "kappa4", "truncweibull_min", "foldcauchy",
-    "argus", "crystalball", "nct")
+    "argus", "crystalball", "nct",
+    // Tier E opt-ins: quadrature/series-backed kernels
+    "geninvgauss", "genhyperbolic", "gausshyper", "studentized_range",
+    "ksone", "kstwo", "levy_stable")
 
   /** Names with standardized support lower bound >= 0. */
   def supportsAtZero(name: String): Boolean = get(name).exists(_.supportAtZero)
@@ -78,7 +91,7 @@ object DistRegistry extends Serializable {
     "chi", "invgauss", "halfnorm", "halflogistic", "halfcauchy", "maxwell",
     "fisk", "genpareto", "erlang", "wald", "gompertz", "betaprime",
     "lomax", "loglaplace", "invweibull", "levy", "exponweib", "gilbrat",
-    "burr", "burr12", "moyal")
+    "gibrat", "burr", "burr12", "moyal")
 }
 
 object DiscreteRegistry extends Serializable {
@@ -98,4 +111,15 @@ object DiscreteRegistry extends Serializable {
     custom.get(name).orElse(builtin.get(name))
 
   def allNames: Seq[String] = (builtin.keySet ++ custom.keySet).toSeq.sorted
+
+  /** The reference's discrete DEFAULT_EXCLUSIONS members we implement
+    * (reference: src/spark_bestfit/distributions.py:351-357 — bernoulli is
+    * "a special case of binomial with n=1", randint "trivial, not useful
+    * for fitting"; the non-central hypergeometrics and poisson_binom on
+    * that list are not registered here at all). Both stay registered and
+    * opt back in via distributions=Some(...). */
+  val defaultExclusions: Set[String] = Set("bernoulli", "randint")
+
+  /** The default discrete fit list — 16 names, matching the reference. */
+  def defaultNames: Seq[String] = allNames.filterNot(defaultExclusions)
 }

@@ -279,6 +279,123 @@ object SpecialMath extends Serializable {
     }
   }
 
+  /** log K_v(x): modified Bessel function of the second kind, arbitrary
+    * real order (K_{−v} = K_v), x > 0 — the standard two-regime evaluation
+    * (Temme, J. Comput. Phys. 19 (1975) for x ≤ 2; the Thompson–Barnett
+    * CF2 continued fraction for x > 2), reduced to order |μ| ≤ 1/2 and
+    * walked up with the forward recurrence K_{ν+1} = K_{ν−1} + (2ν/x)K_ν,
+    * which is stable for K. Everything is carried with an explicit log
+    * offset (the e^{−x} prefactor for large x, power-of-two renorms during
+    * the recurrence for large order), so the result neither overflows nor
+    * underflows across the (|v| ≤ 100, 1e-8 ≤ x ≤ 700) region the
+    * GIG/GH densities use. ~1 µs per call — safe in the per-point MLE
+    * loop. Order-1/2 has the closed form K = √(π/2x)e^{−x} and order 1
+    * has [[logBesselK1]]; agreement with both is property-tested. */
+  def logBesselK(v0: Double, x: Double): Double = {
+    if (x <= 0) return Double.NaN
+    val v = math.abs(v0)
+    val nl = math.floor(v + 0.5).toInt // recurrence steps
+    val mu = v - nl                     // |mu| <= 1/2
+    val mu2 = mu * mu
+    val Eps = 1e-16
+
+    var kmu = 0.0   // K_mu(x) scaled by e^{logOff}
+    var kmu1 = 0.0  // K_{mu+1}(x) scaled identically
+    var logOff = 0.0
+
+    if (x <= 2.0) {
+      // Temme's series
+      val x2 = 0.5 * x
+      val pimu = math.Pi * mu
+      val fact = if (math.abs(pimu) < 1e-12) 1.0 else pimu / math.sin(pimu)
+      var d = -math.log(x2)
+      var e = mu * d
+      val fact2 = if (math.abs(e) < 1e-12) 1.0 else math.sinh(e) / e
+      val gampl = 1.0 / CGamma.gamma(1.0 + mu) // 1/Γ(1+μ)
+      val gammi = 1.0 / CGamma.gamma(1.0 - mu) // 1/Γ(1−μ)
+      // (1/Γ(1−μ) − 1/Γ(1+μ))/(2μ) cancels catastrophically near μ=0:
+      // switch to the even Taylor series −(c₁ + c₃μ²) of 1/Γ(1+z)
+      // (c₁ = γ, c₃ = γ³/6 − γπ²/12 + ζ(3)/3) below 1e-4
+      val gam1 =
+        if (math.abs(mu) < 1e-4)
+          -(EulerGamma + (-0.04200263503409524) * mu2)
+        else (gammi - gampl) / (2.0 * mu)
+      val gam2 = 0.5 * (gammi + gampl)
+      var ff = fact * (gam1 * math.cosh(e) + gam2 * fact2 * d)
+      var sum = ff
+      e = math.exp(e)
+      var p = 0.5 * e / gampl
+      var q = 0.5 / (e * gammi)
+      var c = 1.0
+      d = x2 * x2
+      var sum1 = p
+      var i = 1
+      var go = true
+      while (i <= 300 && go) {
+        ff = (i * ff + p + q) / (i * i - mu2)
+        c *= d / i
+        p /= (i - mu)
+        q /= (i + mu)
+        val del = c * ff
+        sum += del
+        sum1 += c * (p - i * ff)
+        go = math.abs(del) > math.abs(sum) * Eps
+        i += 1
+      }
+      kmu = sum
+      kmu1 = sum1 * (2.0 / x)
+    } else {
+      // Steed/CF2; result carries e^{−x} in logOff
+      var b = 2.0 * (1.0 + x)
+      var d = 1.0 / b
+      var h = d
+      var delh = d
+      var q1 = 0.0
+      var q2 = 1.0
+      val a1 = 0.25 - mu2
+      var q = a1
+      var c = a1
+      var a = -a1
+      var s = 1.0 + q * delh
+      var i = 2
+      var go = true
+      while (i <= 10000 && go) {
+        a -= 2 * (i - 1)
+        c = -a * c / i
+        val qnew = (q1 - b * q2) / a
+        q1 = q2; q2 = qnew
+        q += c * qnew
+        b += 2.0
+        d = 1.0 / (b + a * d)
+        delh = (b * d - 1.0) * delh
+        h += delh
+        val dels = q * delh
+        s += dels
+        go = math.abs(dels / s) > Eps
+        i += 1
+      }
+      h = a1 * h
+      kmu = math.sqrt(math.Pi / (2.0 * x)) / s
+      kmu1 = kmu * (mu + x + 0.5 - h) / x
+      logOff = -x
+    }
+
+    // forward recurrence to order v = mu + nl, with power renormalization
+    var j = 1
+    while (j <= nl) {
+      // K_{ν+1} = K_{ν−1} + (2ν/x) K_ν with ν = mu + j
+      val kTemp = kmu + (2.0 * (mu + j) / x) * kmu1
+      kmu = kmu1
+      kmu1 = kTemp
+      if (kmu1 > 1e250) {
+        kmu /= 1e250; kmu1 /= 1e250; logOff += 250.0 * math.log(10.0)
+      }
+      j += 1
+    }
+    // after nl steps kmu holds K_{mu+nl} = K_v
+    math.log(kmu) + logOff
+  }
+
   /** Sample moments matching numpy: population (ddof=0) variance,
     * Fisher skewness g1, excess kurtosis g2. Returns
     * (n, mean, std, skew, exkurtosis, min, max). */

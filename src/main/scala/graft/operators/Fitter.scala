@@ -638,7 +638,9 @@ object Fitter {
       c -> sized
     }.toMap
 
-    val names = distributions.getOrElse(DiscreteRegistry.allNames)
+    // default zoo = registry minus the reference's discrete exclusions
+    // (bernoulli/randint stay opt-in, distributions.py:351-357)
+    val names = distributions.getOrElse(DiscreteRegistry.defaultNames)
       .filter(n => DiscreteRegistry.get(n).isDefined)
     val pairs: Seq[(String, String)] = columns.flatMap(c => names.map(n => (c, n)))
 

@@ -89,11 +89,21 @@ class DistributionSpec extends AnyFunSuite {
       "norminvgauss" -> Array(1.5, 0.5, 0.0, 1.0),
       "nct" -> Array(6.0, 1.5, 0.0, 1.0),
       "rel_breitwigner" -> Array(4.0, 0.0, 1.0),
-      "irwinhall" -> Array(6.0, 0.0, 1.0), "landau" -> Array(0.0, 1.0))
+      "irwinhall" -> Array(6.0, 0.0, 1.0), "landau" -> Array(0.0, 1.0),
+      // Tier E
+      "gibrat" -> Array(0.0, 1.0), "exponpow" -> Array(1.5, 0.0, 1.0),
+      "mielke" -> Array(3.0, 2.0, 0.0, 1.0), "kstwobign" -> Array(0.0, 1.0),
+      "ksone" -> Array(50.0, 0.0, 1.0), "kstwo" -> Array(30.0, 0.0, 1.0),
+      "geninvgauss" -> Array(1.2, 2.0, 0.0, 1.0),
+      "genhyperbolic" -> Array(0.8, 1.5, 0.3, 0.0, 1.0),
+      "gausshyper" -> Array(2.0, 3.0, 1.5, 0.8, 0.0, 1.0),
+      "studentized_range" -> Array(3.0, 10.0, 0.0, 1.0),
+      "levy_stable" -> Array(1.7, 0.5, 0.0, 1.0))
 
   test("ppf/cdf round-trip for every registered continuous family") {
     for (d <- ContinuousFamilies.all ++ ContinuousFamiliesB.all ++
-              ContinuousFamiliesC.all ++ ContinuousFamiliesD.all) {
+              ContinuousFamiliesC.all ++ ContinuousFamiliesD.all ++
+              ContinuousFamiliesE.all) {
       val p = shapeExamples(d.name)
       for (q <- Seq(0.01, 0.1, 0.3, 0.5, 0.7, 0.9, 0.99)) {
         val x = d.ppf(q, p)
@@ -115,7 +125,8 @@ class DistributionSpec extends AnyFunSuite {
     // cdf0/pdf0 disagreement corrupts SSE (CDF-differencing) vs AIC
     // (logpdf) rankings without failing any single-function test
     for (d <- ContinuousFamilies.all ++ ContinuousFamiliesB.all ++
-              ContinuousFamiliesC.all ++ ContinuousFamiliesD.all) {
+              ContinuousFamiliesC.all ++ ContinuousFamiliesD.all ++
+              ContinuousFamiliesE.all) {
       val p = shapeExamples(d.name)
       for (q <- Seq(0.15, 0.35, 0.5, 0.65, 0.85)) {
         val x = d.ppf(q, p)
@@ -390,6 +401,124 @@ class DistributionSpec extends AnyFunSuite {
     assert(llFitL >= llTrueL - 10.0, s"landau LL fit=$llFitL true=$llTrueL")
     assert(math.abs(pL(0) - 10.0) < 1.0 && math.abs(pL(1) - 2.0) < 0.6,
       s"landau loc/scale=${pL.toSeq}")
+  }
+
+  test("logBesselK matches closed half-integer forms, K1, and K0(1)") {
+    // K_{1/2}(x) = √(π/2x)·e^{−x} exactly
+    for (x <- Seq(0.1, 0.5, 1.0, 2.0, 5.0, 10.0, 50.0, 300.0, 650.0)) {
+      val exact = 0.5 * math.log(math.Pi / (2 * x)) - x
+      val got = SM.logBesselK(0.5, x)
+      assert(math.abs(got - exact) < 1e-9 * (1 + math.abs(exact)),
+        s"K_1/2($x): got=$got exact=$exact")
+      // K_{5/2}(x) = √(π/2x)·e^{−x}·(1 + 3/x + 3/x²)
+      val exact52 = exact + math.log(1.0 + 3.0 / x + 3.0 / (x * x))
+      val got52 = SM.logBesselK(2.5, x)
+      assert(math.abs(got52 - exact52) < 1e-9 * (1 + math.abs(exact52)),
+        s"K_5/2($x): got=$got52 exact=$exact52")
+      // order symmetry K_{−v} = K_v
+      assert(SM.logBesselK(-2.5, x) == got52)
+      // order 1 agrees with the A&S-fit logBesselK1 (that one is ~1e-7)
+      assert(math.abs(SM.logBesselK(1.0, x) - SM.logBesselK1(x)) < 2e-6,
+        s"K_1($x) vs logBesselK1")
+    }
+    // K_0(1) = 0.421024438240708... (A&S table 9.8)
+    assert(math.abs(math.exp(SM.logBesselK(0.0, 1.0)) - 0.4210244382407083) < 1e-9)
+    // high order via the half-integer closed form
+    // K_{n+1/2}(x) = √(π/2x) e^{−x} Σ_k (n+k)!/(k!(n−k)!) (2x)^{−k}
+    for ((n, x) <- Seq((10, 2.0), (30, 2.0), (30, 40.0), (60, 5.0))) {
+      var lse = Double.NegativeInfinity
+      for (k <- 0 to n) {
+        val lt = SM.lgamma(n + k + 1.0) - SM.lgamma(k + 1.0) -
+          SM.lgamma(n - k + 1.0) - k * math.log(2 * x)
+        lse = if (lse == Double.NegativeInfinity) lt
+              else math.max(lse, lt) + math.log1p(math.exp(-math.abs(lse - lt)))
+      }
+      val exact = 0.5 * math.log(math.Pi / (2 * x)) - x + lse
+      val got = SM.logBesselK(n + 0.5, x)
+      assert(math.abs(got - exact) < 1e-8 * (1 + math.abs(exact)),
+        s"K_{$n+1/2}($x): got=$got exact=$exact")
+    }
+  }
+
+  test("Tier-E recovery: gibrat, exponpow, mielke, geninvgauss, kstwobign") {
+    // gibrat ≡ lognorm(s=1): loc/scale recover
+    val xsG = sample(ContinuousFamiliesE.Gibrat, Array(1.0, 2.0), 6000)
+    val pG = ContinuousFamiliesE.Gibrat.fit(xsG)
+    assert(math.abs(pG(0) - 1.0) < 0.3 && math.abs(pG(1) - 2.0) < 0.3,
+      s"gibrat loc/scale=${pG.toSeq}")
+
+    val xsE = sample(ContinuousFamiliesE.ExponPow, Array(1.5, 0.0, 2.0), 6000)
+    val pE = ContinuousFamiliesE.ExponPow.fit(xsE)
+    assert(math.abs(pE(0) - 1.5) < 0.4, s"exponpow b=${pE.toSeq}")
+
+    val xsM = sample(ContinuousFamiliesE.Mielke, Array(3.0, 2.5, 0.0, 1.0), 6000)
+    val pM = ContinuousFamiliesE.Mielke.fit(xsM)
+    val llTrueM = -ContinuousFamiliesE.Mielke.negLogLik(Array(3.0, 2.5, 0.0, 1.0), xsM)
+    val llFitM = -ContinuousFamiliesE.Mielke.negLogLik(pM, xsM)
+    assert(llFitM >= llTrueM - 10.0, s"mielke LL fit=$llFitM true=$llTrueM")
+
+    val xsI = sample(ContinuousFamiliesE.GenInvGauss, Array(1.2, 2.0, 0.0, 1.5), 1500)
+    val pI = ContinuousFamiliesE.GenInvGauss.fit(xsI)
+    val llTrueI = -ContinuousFamiliesE.GenInvGauss.negLogLik(Array(1.2, 2.0, 0.0, 1.5), xsI)
+    val llFitI = -ContinuousFamiliesE.GenInvGauss.negLogLik(pI, xsI)
+    assert(llFitI >= llTrueI - 10.0, s"geninvgauss LL fit=$llFitI true=$llTrueI")
+
+    // kstwobign: the soft left edge (density ~ e^{−π²/8z²} → 0) leaves
+    // (loc, scale) individually weakly identified from a finite sample —
+    // the contract is the fitted LAW: LL matches/beats truth and the
+    // median loc + 0.82757·scale recovers
+    val xsK = sample(ContinuousFamiliesE.KsTwoBign, Array(5.0, 3.0), 6000)
+    val pK = ContinuousFamiliesE.KsTwoBign.fit(xsK)
+    val llTrueK = -ContinuousFamiliesE.KsTwoBign.negLogLik(Array(5.0, 3.0), xsK)
+    val llFitK = -ContinuousFamiliesE.KsTwoBign.negLogLik(pK, xsK)
+    assert(llFitK >= llTrueK - 10.0, s"kstwobign LL fit=$llFitK true=$llTrueK")
+    assert(math.abs((pK(0) + 0.82757 * pK(1)) - (5.0 + 0.82757 * 3.0)) < 0.25,
+      s"kstwobign median: loc/scale=${pK.toSeq}")
+  }
+
+  test("levy_stable anchors: α=2 is N(0,√2), α=1 is Cauchy, S(1/2,1) is Lévy") {
+    val d = ContinuousFamiliesE.LevyStable
+    // α = 2 (any β): X ~ N(0, √2)
+    for (x <- Seq(-2.0, 0.0, 1.0, 3.0)) {
+      val exact = SM.normPdf(x / math.sqrt(2.0)) / math.sqrt(2.0)
+      assert(math.abs(d.pdf(x, Array(2.0, 0.3, 0.0, 1.0)) - exact) < 1e-10, s"alpha=2 pdf($x)")
+      assert(math.abs(d.cdf(x, Array(2.0, 0.3, 0.0, 1.0)) - SM.normCdf(x / math.sqrt(2.0))) < 1e-10)
+    }
+    // α = 1, β = 0: standard Cauchy
+    assert(math.abs(d.pdf(0.0, Array(1.0, 0.0, 0.0, 1.0)) - 1.0 / math.Pi) < 1e-12)
+    assert(math.abs(d.cdf(1.0, Array(1.0, 0.0, 0.0, 1.0)) - 0.75) < 1e-12)
+    // α = 1/2, β = 1 (S1): the Lévy distribution —
+    // pdf(x) = x^{−3/2} e^{−1/(2x)}/√(2π), cdf(x) = erfc(1/√(2x))
+    for (x <- Seq(0.5, 1.0, 2.0, 5.0)) {
+      val exactPdf = math.pow(x, -1.5) * math.exp(-0.5 / x) / SM.SqrtTwoPi
+      val exactCdf = SM.erfc(1.0 / math.sqrt(2.0 * x))
+      val gotPdf = d.pdf(x, Array(0.5, 1.0, 0.0, 1.0))
+      val gotCdf = d.cdf(x, Array(0.5, 1.0, 0.0, 1.0))
+      assert(math.abs(gotPdf - exactPdf) < 2e-6 * exactPdf + 1e-12,
+        s"levy pdf($x): got=$gotPdf exact=$exactPdf")
+      assert(math.abs(gotCdf - exactCdf) < 2e-6,
+        s"levy cdf($x): got=$gotCdf exact=$exactCdf")
+      // no mass below 0 for the α<1, β=1 one-sided case
+      assert(d.pdf(-x, Array(0.5, 1.0, 0.0, 1.0)) == 0.0)
+    }
+    // symmetric α=1.3: cdf(0) = 1/2 and pdf is the mirror of −x
+    assert(math.abs(d.cdf(0.0, Array(1.3, 0.0, 0.0, 1.0)) - 0.5) < 1e-9)
+    assert(math.abs(d.pdf(1.5, Array(1.3, 0.4, 0.0, 1.0)) -
+      d.pdf(-1.5, Array(1.3, -0.4, 0.0, 1.0))) < 1e-9)
+  }
+
+  test("Tier-E default-zoo membership mirrors the reference registry") {
+    val names = DistRegistry.defaultNames.toSet
+    // gibrat (modern spelling) is IN the default zoo; the legacy spelling
+    // and every reference-DEFAULT_EXCLUSIONS member we implement are OUT
+    assert(names.contains("gibrat"))
+    for (n <- Seq("gilbrat", "mielke", "exponpow", "ksone", "kstwo",
+                  "kstwobign", "geninvgauss", "genhyperbolic", "gausshyper",
+                  "studentized_range", "nct", "tukeylambda", "levy_stable"))
+      assert(!names.contains(n), s"$n should be default-excluded")
+    // all Tier-E names resolve through the registry
+    for (d <- ContinuousFamiliesE.all)
+      assert(DistRegistry.get(d.name).contains(d), d.name)
   }
 
   test("bernoulli: closed-form MLE and the non-binary sentinel contract") {
