@@ -244,6 +244,15 @@ object SparkEntry {
       fitOut(memoFit(s"$dir|mse")(Fitter.fit(s, li(s, dir), Seq("l_extendedprice"),
         distributions = Some(Seq("norm", "lognorm", "gamma", "pareto", "fisk")),
         cfg = FitConfig(estimationMethod = "mse"))).successful.orderBy("distribution"))),
+    "fit_optin_excluded" -> ((s, dir) =>
+      // §2.9/D1 opt-in path: reference-DEFAULT_EXCLUSIONS families fitted
+      // through the distributed fan-out by explicit request — the
+      // fast-kernel Tier-E members (closed-form or series CDFs; the
+      // quadrature-heavy ones are opt-in the same way but not benched)
+      fitOut(memoFit(s"$dir|optin")(Fitter.fit(s, li(s, dir), Seq("l_extendedprice"),
+        distributions = Some(Seq("gibrat", "mielke", "exponpow", "kstwobign",
+          "wald", "tukeylambda"))))
+        .successful.orderBy("distribution"))),
     "fit_mse_closed_form" -> ((s, dir) =>
       // M2 hash row: the uniform MSP optimum is closed form (Cheng & Amin
       // 1983) and the estimator takes that exact path, so the MSE

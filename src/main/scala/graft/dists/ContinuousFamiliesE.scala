@@ -42,8 +42,11 @@ object ContinuousFamiliesE {
     override def shapesValid(s: Array[Double]) = s(0) > 0
     override def logpdf0(z: Double, s: Array[Double]) = {
       val b = s(0)
-      if (z < 0) Double.NegativeInfinity
-      else if (z == 0) { if (b < 1) Double.PositiveInfinity else if (b > 1) Double.NegativeInfinity else 0.0 }
+      // z == 0 maps to −∞ even for b < 1 (where the density truly
+      // diverges): feeding the +∞ spike to the MLE would reward parking
+      // loc exactly on a data point (the classic unbounded-likelihood
+      // pathology); scipy's fit penalizes the same way
+      if (z <= 0) Double.NegativeInfinity
       else {
         val zb = math.pow(z, b)
         if (zb > 700) Double.NegativeInfinity

@@ -507,6 +507,31 @@ class DistributionSpec extends AnyFunSuite {
       d.pdf(-1.5, Array(1.3, -0.4, 0.0, 1.0))) < 1e-9)
   }
 
+  test("levy_stable(1,1) and the Landau table agree up to the affine reparameterization") {
+    // Landau IS the α=1, β=1 stable law in a different location/scale
+    // convention. Both implementations here are fully independent (Landau:
+    // init-time Simpson of the Kölbig-Schorr integral onto a grid;
+    // levy_stable: Nolan's V₁ exponential-kernel integral), so agreement
+    // after fitting the affine map from two quantiles is a strong mutual
+    // correctness check of exactly the α=1 |β|=1 corner.
+    val lan = ContinuousFamiliesD.Landau
+    val ls = ContinuousFamiliesE.LevyStable
+    val pL = Array(0.0, 1.0)
+    val pS = Array(1.0, 1.0, 0.0, 1.0)
+    // affine map x_landau = A·x_stable + B from the 25th/75th quantiles
+    val (s25, s75) = (ls.ppf(0.25, pS), ls.ppf(0.75, pS))
+    val (l25, l75) = (lan.ppf(0.25, pL), lan.ppf(0.75, pL))
+    val a = (l75 - l25) / (s75 - s25)
+    val b = l25 - a * s25
+    assert(a > 0, s"degenerate affine fit a=$a")
+    for (q <- Seq(0.05, 0.1, 0.4, 0.6, 0.9, 0.95)) {
+      val viaStable = a * ls.ppf(q, pS) + b
+      val direct = lan.ppf(q, pL)
+      assert(math.abs(viaStable - direct) < 3e-2 * (1 + math.abs(direct)),
+        s"q=$q: stable-mapped=$viaStable landau=$direct (a=$a b=$b)")
+    }
+  }
+
   test("Tier-E default-zoo membership mirrors the reference registry") {
     val names = DistRegistry.defaultNames.toSet
     // gibrat (modern spelling) is IN the default zoo; the legacy spelling

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 import org.apache.spark.sql.{SparkSession, functions => F}
 import graft.operators._
-import graft.dists.ContinuousFamilies
+import graft.dists.{ContinuousFamilies, ContinuousFamiliesE}
 
 /** Spark integration tests for the fit pipeline, mirroring the
   * reference's known-distribution fixtures
@@ -383,6 +383,24 @@ class FitterSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(p(0) - 10.0) < 0.3 && math.abs(p(1) - 2.0) < 0.3, s"p=$p")
     } finally graft.dists.DistRegistry.unregister(CustomGauss.name)
     assert(graft.dists.DistRegistry.get(CustomGauss.name).isEmpty)
+  }
+
+  test("reference-excluded Tier-E families fit through the fan-out when opted in") {
+    // default zoo excludes them (mirroring DEFAULT_EXCLUSIONS) ...
+    val defaults = graft.dists.DistRegistry.defaultNames.toSet
+    assert(!defaults.contains("mielke") && !defaults.contains("kstwobign"))
+    assert(defaults.contains("gibrat"))
+    // ... but distributions=Some(...) routes them through the distributed
+    // fit exactly like any builtin (the same opt-in contract the
+    // reference's custom_exclusions/get_distributions surface has)
+    val xs = sample(ContinuousFamiliesE.Mielke, Array(3.0, 2.5, 0.0, 2.0), 5000)
+    val r = Fitter.fit(spark, toDf(xs), Seq("value"),
+      distributions = Some(Seq("mielke", "gibrat", "kstwobign")))
+    val rows = r.successful.collect()
+    assert(rows.length == 3, s"expected 3 successful fits, got ${rows.length}")
+    val best = r.best(1, "aic").head()
+    assert(best.getAs[String]("distribution") == "mielke",
+      s"mielke data should rank mielke best, got ${best.getAs[String]("distribution")}")
   }
 
   test("custom discrete distributions ride the broadcast through fitDiscrete") {
