@@ -871,6 +871,32 @@ object SparkEntry {
           F.count(F.lit(1)).as("n_items"))
         .orderBy("n_name")
     }),
+    "q_bucketed_join" -> ((s, dir) => {
+      // bucketed co-located join: both sides written ONCE with
+      // bucketBy(8, key) + sortBy, then the equi-join reads matching
+      // buckets pairwise with NO Exchange on either side (PlanSpec
+      // asserts it). At 100 TB this turns an every-query two-sided fact
+      // shuffle into a one-time layout cost. Data lands in a temp dir
+      // (external tables); the catalog entries are session-local.
+      // Oracle = the plain SQL join — bucketing must not change
+      // semantics, same decimal revenue discipline as q_salted_join.
+      val out = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+      Bucketed.writeBucketed(
+        li(s, dir).select("l_orderkey", "l_extendedprice", "l_discount"),
+        "graft_bkt_lineitem", 8, Seq("l_orderkey"), Some(s"$out/lineitem"))
+      Bucketed.writeBucketed(
+        s.read.parquet(s"$dir/orders.parquet")
+          .select(F.col("o_orderkey").as("l_orderkey"), F.col("o_orderpriority")),
+        "graft_bkt_orders", 8, Seq("l_orderkey"), Some(s"$out/orders"))
+      Bucketed.coLocatedJoin(s, "graft_bkt_lineitem", "graft_bkt_orders",
+          Seq("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).as("n_items"),
+          F.round(
+            F.sum(F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 6)
+              .cast("decimal(24,6)")).cast("double"), 2).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
     "q_sessionize" -> ((s, dir) =>
       // gap-based sessionization (30-min gap): one key shuffle feeds the
       // lag flag + running-sum numbering; spans are exact integers.
@@ -1715,6 +1741,12 @@ object SparkEntry {
         |FROM documents WHERE lang IN ('en', 'fr')
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_salted_join" ->
+      """SELECT o.o_orderpriority, count(*) AS n_items,
+        |  round(CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount), 6)
+        |        AS DECIMAL(24,6))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
+    "q_bucketed_join" ->
       """SELECT o.o_orderpriority, count(*) AS n_items,
         |  round(CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount), 6)
         |        AS DECIMAL(24,6))) AS DOUBLE), 2) AS revenue

@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+
+import graft.dists.{ContinuousDist, DistRegistry}
+
+/** `GraftExtensions` — the spark.sql.extensions entry point (§2.9). The
+  * session here is built WITH the extensions instance, the way
+  * `--conf spark.sql.extensions=graft.GraftExtensions` would.
+  */
+class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession = {
+    // other suites in this JVM may have left a default session without
+    // extensions; this suite needs its own
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-extensions-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = {
+    spark.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+  }
+
+  test("dist_pdf/cdf/ppf resolve as catalog functions without any register call") {
+    val row = spark.sql(
+      """SELECT dist_pdf('norm', array(0D, 1D), 0D)    AS pdf0,
+        |       dist_cdf('norm', array(0D, 1D), 0D)    AS cdf0,
+        |       dist_ppf('norm', array(0D, 1D), 0.975D) AS q975,
+        |       dist_logpdf('expon', array(0D, 2D), 1D) AS lp
+        |""".stripMargin).head()
+    assert(math.abs(row.getDouble(0) - 1.0 / math.sqrt(2 * math.Pi)) < 1e-12)
+    assert(math.abs(row.getDouble(1) - 0.5) < 1e-12)
+    assert(math.abs(row.getDouble(2) - 1.959963984540054) < 1e-9)
+    assert(math.abs(row.getDouble(3) - (math.log(0.5) - 0.5)) < 1e-12)
+  }
+
+  test("dist_pmf takes integer k; unknown name and bad params yield NULL") {
+    val row = spark.sql(
+      """SELECT dist_pmf('poisson', array(3D), 2)            AS pmf2,
+        |       dist_pdf('no_such_dist', array(1D, 2D), 0D)  AS unknown,
+        |       dist_pdf('norm', array(0D, -1D), 0D)         AS badscale,
+        |       dist_pdf('norm', array(0D, 1D), CAST(NULL AS DOUBLE)) AS nullx
+        |""".stripMargin).head()
+    val expected = math.exp(-3.0) * 9.0 / 2.0 // e^-3 3^2/2!
+    assert(math.abs(row.getDouble(0) - expected) < 1e-12)
+    assert(row.isNullAt(1) && row.isNullAt(2) && row.isNullAt(3))
+  }
+
+  test("array_dot injects as the codegen'd expression") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0, 5.0, 6.0)))
+      .toDF("a", "b")
+    df.createOrReplaceTempView("vecs")
+    val v = spark.sql("SELECT array_dot(a, b) AS d FROM vecs").head().getDouble(0)
+    assert(v == 1.0 * 4 + 2 * 5 + 3 * 6)
+  }
+
+  test("custom families registered on the driver reach the plan snapshot") {
+    // triangular-ish toy family under a name the builtin registry lacks
+    object Toy extends ContinuousDist {
+      val name = "toy_ext_dist"
+      val shapeNames: Seq[String] = Seq.empty
+      override def a0(s: Array[Double]): Double = 0.0
+      override def b0(s: Array[Double]): Double = 1.0
+      def pdf0(z: Double, s: Array[Double]): Double =
+        if (z >= 0 && z <= 1) 2 * z else 0.0
+      def cdf0(z: Double, s: Array[Double]): Double =
+        if (z < 0) 0 else if (z > 1) 1 else z * z
+      def ppf0(q: Double, s: Array[Double]): Double = math.sqrt(q)
+      def warmStart(xs: Array[Double]): Array[Double] = Array(0.0, 1.0)
+      override def refineAfterWarmStart: Boolean = false
+    }
+    DistRegistry.register(Toy)
+    try {
+      // builder runs at planning time → snapshot includes the new family
+      val v = spark.sql(
+        "SELECT dist_cdf('toy_ext_dist', array(0D, 1D), 0.5D) AS c").head().getDouble(0)
+      assert(math.abs(v - 0.25) < 1e-12)
+    } finally DistRegistry.unregister("toy_ext_dist")
+  }
+}

@@ -219,37 +219,6 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
-  test("bucketed tables sort-merge join with no exchange on either side") {
-    import org.apache.spark.sql.functions.col
-    // the co-located-join technique for repeated 100 TB joins: bucket both
-    // fact tables on the join key at write time, and every later join on
-    // that key skips its shuffle entirely
-    spark.sql("DROP TABLE IF EXISTS li_bucketed")
-    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
-    spark.read.parquet(s"$dir/lineitem.parquet")
-      .select("l_orderkey", "l_extendedprice")
-      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("li_bucketed")
-    spark.read.parquet(s"$dir/orders.parquet")
-      .select("o_orderkey", "o_orderpriority")
-      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("ord_bucketed")
-    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val plan = spark.table("li_bucketed")
-        .join(spark.table("ord_bucketed"),
-          col("l_orderkey") === col("o_orderkey"))
-        .queryExecution.executedPlan.toString
-      assert(plan.contains("SortMergeJoin"), plan.take(800))
-      assert(!plan.contains("Exchange"),
-        s"bucketed join should be shuffle-free:\n${plan.take(1200)}")
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
-      spark.sql("DROP TABLE IF EXISTS li_bucketed")
-      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
-    }
-  }
 
   test("salted join partitions the exchange on (key, salt), dim replicates") {
     import org.apache.spark.sql.functions.col
@@ -273,6 +242,36 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(parts.nonEmpty, plan.take(800))
       assert(parts.forall(_.contains("__salt")),
         s"un-salted exchange found: ${parts.mkString("; ")}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("bucketed co-located join runs with zero Exchange on either side") {
+    import org.apache.spark.sql.functions.col
+    operators.Bucketed.writeBucketed(
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_extendedprice"),
+      "plan_bkt_li", 4, Seq("l_orderkey"))
+    operators.Bucketed.writeBucketed(
+      spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+      "plan_bkt_ord", 4, Seq("l_orderkey"))
+    // broadcast off = the 100 TB regime where neither fact side fits in
+    // memory; matching bucket layouts must satisfy the sort-merge join's
+    // distribution requirement with NO shuffle
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = operators.Bucketed.coLocatedJoin(
+        spark, "plan_bkt_li", "plan_bkt_ord", Seq("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(800))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should be exchange-free:\n${plan.take(1200)}")
+      // sanity: the join result matches the plain shuffle join
+      val expected = spark.read.parquet(s"$dir/lineitem.parquet")
+        .join(spark.read.parquet(s"$dir/orders.parquet"),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expected)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 }
