@@ -36,6 +36,10 @@ import graft.functions.{ArrayDotProduct, DistScalar}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // monotone model-predicate folding: dist_cdf(..., x) >= q becomes a
+    // plain pushable range on x (see ModelPredicatePushdown)
+    ext.injectOptimizerRule(_ => graft.plans.ModelPredicatePushdown)
+
     def inject(name: String, builder: Seq[Expression] => Expression,
                usage: String): Unit =
       ext.injectFunction((FunctionIdentifier(name),

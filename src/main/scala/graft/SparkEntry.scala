@@ -611,6 +611,32 @@ object SparkEntry {
         .agg(F.count(F.lit(1)).as("cnt"))),
     "q_distinct_flags" -> ((s, dir) =>
       li(s, dir).select("l_returnflag").distinct().orderBy("l_returnflag")),
+    "q_model_filter" -> ((s, dir) => {
+      // model-predicate pushdown: "rows inside the fitted model's central
+      // 90%" written against dist_cdf with literal params; the
+      // ModelPredicatePushdown optimizer rule folds each monotone cdf
+      // comparison into a plain range on the column (cut = ppf(q),
+      // computed once on the driver), which then reaches the parquet scan
+      // as PushedFilters and prunes row groups by min/max stats (PlanSpec
+      // asserts both). Oracle replays the FOLDED predicate: the expon cut
+      // is loc - scale*ln(1-q), closed-form in DuckDB. Decimal-sum
+      // discipline keeps the aggregate order-independent.
+      import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      plans.ModelPredicatePushdown.install(s)
+      val cdf = ColumnBridge.column(graft.functions.DistScalar.build("cdf",
+        Seq(Literal("expon"),
+          CreateArray(Seq(Literal(900.0), Literal(30000.0))),
+          ColumnBridge.expression(F.col("l_extendedprice"))),
+        Map.empty, Map.empty))
+      li(s, dir).where(cdf >= F.lit(0.05) && cdf <= F.lit(0.95))
+        .agg(F.count(F.lit(1)).as("n_rows"),
+          F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("double"), 2).as("sum_price"),
+          F.round(F.min("l_extendedprice"), 2).as("mn"),
+          F.round(F.max("l_extendedprice"), 2).as("mx"))
+    }),
 
     // ---- training-data pipeline ops over documents/embeddings ----
     "q_doc_tokens" -> ((s, dir) =>
@@ -1170,6 +1196,14 @@ object SparkEntry {
           F.min("split_bucket").as("min_bucket"),
           F.max("split_bucket").as("max_bucket"))
         .orderBy("split")),
+    "q_global_shuffle" -> ((s, dir) =>
+      // deterministic corpus shuffle: total order by md5(doc_id ":" seed)
+      // (tie-broken by id), positions 0..n-1 assigned via the
+      // prefix-sum construction — one range shuffle, driver sees only
+      // per-partition counts. The full (doc_id, position) permutation is
+      // hash-checked against DuckDB's row_number over the same md5 order.
+      Sampling.globalShuffle(docs(s, dir), "doc_id", seed = 42L)
+        .select("doc_id", "position").orderBy("position")),
     "q_pii_mask" -> ((s, dir) => {
       // normalization + PII scrubbing, hash-checked on the full output
       // strings: the synthetic corpus carries no PII, so the query plants
@@ -2029,6 +2063,12 @@ object SparkEntry {
         |SELECT split, count(*) AS n_docs, min(bucket) AS min_bucket,
         |  max(bucket) AS max_bucket
         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    "q_global_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) - 1
+        |    AS BIGINT) AS position
+        |FROM documents ORDER BY position""".stripMargin,
     "q_pii_mask" ->
       """WITH a AS (SELECT doc_id,
         |  'User user' || doc_id || '@Example.COM  ' || chr(9) ||
@@ -2284,6 +2324,14 @@ object SparkEntry {
         |AND l_tax < 0.05 AND l_extendedprice > 10000.0""".stripMargin,
     "q_distinct_flags" ->
       "SELECT DISTINCT l_returnflag FROM lineitem ORDER BY l_returnflag",
+    "q_model_filter" ->
+      """SELECT count(*) AS n_rows,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
+        |  round(min(l_extendedprice), 2) AS mn,
+        |  round(max(l_extendedprice), 2) AS mx
+        |FROM lineitem
+        |WHERE l_extendedprice >= 900.0 - 30000.0 * ln(1.0 - 0.05)
+        |  AND l_extendedprice <= 900.0 - 30000.0 * ln(1.0 - 0.95)""".stripMargin,
     "q_doc_tokens" ->
       """SELECT doc_id, length(regexp_extract_all(text, '\S+')) AS n_tokens,
         |length(text) AS text_len FROM documents ORDER BY doc_id""".stripMargin,

@@ -106,7 +106,7 @@ object DistScalar {
     require(args.length == 3,
       s"dist_$kind(name, params, x) takes 3 arguments, got ${args.length}")
     def cast(e: Expression, t: DataType): Expression =
-      if (e.dataType == t) e else Cast(e, t)
+      if (e.resolved && e.dataType == t) e else Cast(e, t)
     DistScalar(kind,
       cast(args(0), StringType),
       cast(args(1), ArrayType(DoubleType)),

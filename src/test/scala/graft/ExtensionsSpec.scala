@@ -66,6 +66,36 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v == 1.0 * 4 + 2 * 5 + 3 * 6)
   }
 
+  test("cdf predicate folding rewrites to the same rows the row-wise filter keeps") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // spark.range (not a LocalRelation) so the optimizer can't collapse
+    // the whole query into a pre-evaluated literal relation
+    spark.range(1, 2001).select((col("id") * 0.37).as("x"))
+      .createOrReplaceTempView("mf")
+    // rewritten path: filter directly on dist_cdf (rule fires — the
+    // injected optimizer rule is active on this session)
+    val folded = spark.sql(
+      "SELECT count(*) AS n FROM mf WHERE dist_cdf('expon', array(10D, 200D), x) >= 0.25 AND dist_cdf('expon', array(10D, 200D), x) < 0.75")
+    val plan = folded.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("dist_cdf"),
+      s"rule should have folded the cdf comparisons:\n$plan")
+    // equivalence: the kept row set must be exactly what the row-wise
+    // cdf evaluation keeps, computed here straight off the engine's own
+    // frozen-model API (a nested-subquery SQL baseline is NOT independent
+    // — CollapseProject merges it into a filter and the rule folds it too)
+    val model = graft.dists.FrozenDist(
+      graft.dists.DistRegistry.get("expon").get, Array(10.0, 200.0))
+    val expected = (1 until 2001).map(_ * 0.37)
+      .count(x => model.cdf(x) >= 0.25 && model.cdf(x) < 0.75)
+    assert(folded.head().getLong(0) == expected)
+    // boundary thresholds stay row-wise (q = 0 or 1 would not be a
+    // strictly-increasing cut)
+    val boundary = spark.sql(
+      "SELECT count(*) FROM mf WHERE dist_cdf('expon', array(10D, 200D), x) >= 0.0")
+    assert(boundary.queryExecution.optimizedPlan.toString.contains("dist_cdf"))
+  }
+
   test("custom families registered on the driver reach the plan snapshot") {
     // triangular-ish toy family under a name the builtin registry lacks
     object Toy extends ContinuousDist {

@@ -928,4 +928,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(n > 0, s"$name returned 0 rows")
     }
   }
+
+  test("globalShuffle: contiguous positions, layout-independent, seed-sensitive") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def perm(d: org.apache.spark.sql.DataFrame, seed: Long): Seq[(Long, Long)] =
+      operators.Sampling.globalShuffle(d, "doc_id", seed)
+        .select("doc_id", "position").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val p1 = perm(df, 42L)
+    // positions are exactly 0..n-1 (a permutation, no gaps/dupes)
+    assert(p1.map(_._2).sorted == (0L until 500L))
+    // the order is a pure function of (key set, seed): any input layout
+    // (partition count, row order) produces the identical permutation
+    val p2 = perm(df.repartition(7).sortWithinPartitions(F.desc("doc_id")), 42L)
+    assert(p1 == p2)
+    // a different seed is a different permutation
+    assert(perm(df, 43L) != p1)
+  }
 }

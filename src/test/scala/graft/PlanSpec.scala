@@ -245,6 +245,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("q_model_filter folds the cdf predicate into pushed parquet range filters") {
+    val plan = physicalPlan("q_model_filter").replaceAll("\\s+", " ")
+    // the rewritten predicate must reach the scan as min/max-prunable
+    // range filters on the raw column...
+    assert(plan.contains("PushedFilters:") &&
+      "PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_extendedprice".r
+        .findFirstIn(plan).isDefined &&
+      "PushedFilters: \\[[^\\]]*LessThanOrEqual\\(l_extendedprice".r
+        .findFirstIn(plan).isDefined,
+      plan.take(1200))
+    // ...and the per-row cdf evaluation must be gone entirely
+    assert(!plan.contains("dist_cdf"), plan.take(1200))
+  }
+
   test("bucketed co-located join runs with zero Exchange on either side") {
     import org.apache.spark.sql.functions.col
     operators.Bucketed.writeBucketed(
