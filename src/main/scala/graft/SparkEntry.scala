@@ -1109,6 +1109,23 @@ object SparkEntry {
           F.col("h._3").as("err"))
         .orderBy("key")
     }),
+    "q_sketch_hll" -> ((s, dir) => {
+      // mergeable HLL distinct sketches: per-shard sketches union-merged
+      // vs a single-pass sketch per group. The hash row carries the
+      // EXACT distinct count (DuckDB-replayable) plus two engine-attested
+      // booleans the oracle pins to TRUE: the single-pass AND the
+      // shard-merged estimates both land within the lgK=12 error bound
+      // of exact — the property that lets 100 TB distincts re-aggregate
+      // from per-day sketches without touching raw data. A sketch
+      // regression flips a boolean and reddens the hash.
+      Sketches.hllDistinctByGroup(li(s, dir), "l_returnflag", "l_orderkey")
+        .select(F.col("l_returnflag"), F.col("n_exact"),
+          (F.abs(F.col("merged_est") - F.col("n_exact")) <
+            F.col("n_exact") * 0.02).as("merged_within_2pct"),
+          (F.abs(F.col("single_est") - F.col("n_exact")) <
+            F.col("n_exact") * 0.02).as("single_within_2pct"))
+        .orderBy("l_returnflag")
+    }),
     "q_stratified_hash" -> ((s, dir) =>
       // P2's stratified tail-boost semantics in deterministic form,
       // hash-checked END-TO-END: exact-min/max equal-width strata,
@@ -1904,6 +1921,10 @@ object SparkEntry {
       """SELECT lang || '|' || source AS key, count(*) AS cnt,
         |  CAST(0 AS BIGINT) AS err
         |FROM documents GROUP BY 1 ORDER BY key""".stripMargin,
+    "q_sketch_hll" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact,
+        |  TRUE AS merged_within_2pct, TRUE AS single_within_2pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_stratified_hash" ->
       """WITH s AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
         |b AS (SELECT event_id, value,

@@ -929,6 +929,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("HLL sketches: shard-merge and single pass both land within the error bound") {
+    import spark.implicits._
+    // two groups with known cardinalities, values interleaved across rows
+    val df = ((1 to 20000).map(i => ("a", (i % 7919).toLong)) ++
+      (1 to 9000).map(i => ("b", (i % 701).toLong))).toDF("g", "v")
+    val out = operators.Sketches.hllDistinctByGroup(df, "g", "v", shards = 4)
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("merged_est"),
+          r.getAs[Long]("single_est"))).toMap
+    assert(out("a")._1 == 7919 && out("b")._1 == 701)
+    for ((g, (exact, merged, single)) <- out) {
+      // the union adds no error beyond sketch precision: BOTH estimates
+      // land within the lgK=12 bound of exact (bit-equality only holds
+      // in dense mode — coupon-regime promotion can shift the merged
+      // representation, so tolerance is the honest contract)
+      assert(math.abs(single.toDouble - exact) < exact * 0.02,
+        s"group $g: single estimate $single vs exact $exact")
+      assert(math.abs(merged.toDouble - exact) < exact * 0.02,
+        s"group $g: merged estimate $merged vs exact $exact")
+    }
+  }
+
   test("globalShuffle: contiguous positions, layout-independent, seed-sensitive") {
     import spark.implicits._
     val df = (1L to 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
