@@ -1153,9 +1153,65 @@ object ContinuousFamiliesD {
     }
   }
 
+  /** Double Pareto-lognormal (scipy ≥1.16 `dpareto_lognorm`; Reed &
+    * Jorgensen 2004, "The double Pareto-lognormal distribution"): the
+    * law of e^{BM+drift} observed at an exponentially-distributed time —
+    * power-law upper tail z^{−α−1}, power-law lower tail z^{β−1}, a
+    * lognormal body with log-scale σ. Shapes (alpha, beta, sigma),
+    * standardized at log-location ν = 0 (loc/scale carry it as
+    * scale = e^ν). pdf/cdf are the closed Φ/Φc forms with every
+    * z-power·Φ product evaluated in log space (the raw products
+    * overflow/underflow across the tails); cdf′ = pdf holds analytically
+    * (verified term-by-term: the φ pieces cancel against Φ(y)′). The
+    * reference default-EXCLUDES this family for speed
+    * (src/spark_bestfit/distributions.py:53); registered here under the
+    * same opt-in semantics. */
+  object DParetoLognorm extends ContinuousDist with PositiveSupport {
+    val name = "dpareto_lognorm"
+    val shapeNames = Seq("alpha", "beta", "sigma")
+    override def shapesValid(s: Array[Double]) =
+      s(0) > 0 && s(1) > 0 && s(2) > 0
+
+    override def logpdf0(z: Double, s: Array[Double]): Double = {
+      if (z <= 0) return Double.NegativeInfinity
+      val a = s(0); val b = s(1); val t = s(2)
+      val lz = math.log(z); val y = lz / t
+      val c = math.log(a) + math.log(b) - math.log(a + b)
+      val u1 = -(a + 1.0) * lz + 0.5 * a * a * t * t + SM.normLogCdf(y - a * t)
+      val u2 = (b - 1.0) * lz + 0.5 * b * b * t * t + SM.normLogSf(y + b * t)
+      val m = math.max(u1, u2)
+      if (m.isNegInfinity) Double.NegativeInfinity
+      else c + m + math.log1p(math.exp(math.min(u1, u2) - m))
+    }
+    def pdf0(z: Double, s: Array[Double]) = math.exp(logpdf0(z, s))
+
+    def cdf0(z: Double, s: Array[Double]): Double = {
+      if (z <= 0) return 0.0
+      val a = s(0); val b = s(1); val t = s(2)
+      val lz = math.log(z); val y = lz / t
+      val e1 = math.exp(-a * lz + 0.5 * a * a * t * t + SM.normLogCdf(y - a * t))
+      val e2 = math.exp(b * lz + 0.5 * b * b * t * t + SM.normLogSf(y + b * t))
+      val f = SM.normCdf(y) - (b * e1 - a * e2) / (a + b)
+      math.min(1.0, math.max(0.0, f))
+    }
+
+    def ppf0(q: Double, s: Array[Double]) =
+      ppfBisect(this, q, s, 0.0, Double.PositiveInfinity)
+
+    def warmStart(xs: Array[Double]) = {
+      val (mn, _) = minMax(xs)
+      val l = if (mn > 0) 0.0 else locBelowMin(xs)
+      val logs = xs.map(x => math.log(x - l))
+      val (m, sd) = meanStd(logs)
+      // moderate tail indices + a body narrower than the log-spread (the
+      // Pareto wings account for part of the observed variance)
+      Array(2.5, 2.5, math.max(0.7 * sd, 1e-3), l, math.exp(m))
+    }
+  }
+
   val all: Seq[ContinuousDist] = Seq(
     GenExpon, GenHalfLogistic, Kappa3, Kappa4, RDist, Argus, CrystalBall,
     LaplaceAsymmetric, JFSkewT, WrapCauchy, TukeyLambda, RecipInvGauss,
     VonMisesLine, VonMises, Ncx2, Ncf, NormInvGauss,
-    Nct, RelBreitwigner, IrwinHall, Landau)
+    Nct, RelBreitwigner, IrwinHall, Landau, DParetoLognorm)
 }

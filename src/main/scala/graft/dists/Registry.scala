@@ -54,6 +54,7 @@ object DistRegistry extends Serializable {
     // distributions=Some(...), excluded from the default zoo like scipy
     "mielke", "exponpow", "studentized_range", "gausshyper", "geninvgauss",
     "genhyperbolic", "ksone", "kstwo", "kstwobign", "levy_stable",
+    "dpareto_lognorm", // reference excludes it as slow (distributions.py:53)
     // legacy scipy spelling kept for callers; the default zoo carries the
     // modern `gibrat` only (scipy renamed it, so the reference's
     // ALL_DISTRIBUTIONS has exactly one of the pair)
@@ -76,7 +77,9 @@ object DistRegistry extends Serializable {
     "argus", "crystalball", "nct",
     // Tier E opt-ins: quadrature/series-backed kernels
     "geninvgauss", "genhyperbolic", "gausshyper", "studentized_range",
-    "ksone", "kstwo", "levy_stable")
+    "ksone", "kstwo", "levy_stable",
+    // 5-param NM with two erfc per point-eval (reference: ~0.5 s class)
+    "dpareto_lognorm")
 
   /** Names with standardized support lower bound >= 0. */
   def supportsAtZero(name: String): Boolean = get(name).exists(_.supportAtZero)

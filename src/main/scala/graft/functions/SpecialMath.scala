@@ -29,6 +29,21 @@ object SpecialMath extends Serializable {
     * regularized-gamma path (~15× faster at equal double precision). */
   def normCdf(z: Double): Double = 0.5 * erfc(-z / SqrtTwo)
 
+  /** log Φc(z), finite far into the right tail where erfc underflows
+    * (z ≳ 37.5): switches to the standard asymptotic
+    * ln φ(z) − ln z + ln(1 − 1/z² + 3/z⁴) before the underflow point. */
+  def normLogSf(z: Double): Double = {
+    if (z < 25.0) math.log(normCdf(-z))
+    else {
+      val z2 = z * z
+      -0.5 * z2 - math.log(z) - LnSqrtTwoPi +
+        math.log1p((-1.0 + 3.0 / z2) / z2)
+    }
+  }
+
+  /** log Φ(z), finite far into the left tail. */
+  @inline def normLogCdf(z: Double): Double = normLogSf(-z)
+
   /** Standard normal inverse CDF Φ⁻¹(q). */
   def normPpf(q: Double): Double = {
     if (q <= 0.0) Double.NegativeInfinity

@@ -90,6 +90,7 @@ class DistributionSpec extends AnyFunSuite {
       "nct" -> Array(6.0, 1.5, 0.0, 1.0),
       "rel_breitwigner" -> Array(4.0, 0.0, 1.0),
       "irwinhall" -> Array(6.0, 0.0, 1.0), "landau" -> Array(0.0, 1.0),
+      "dpareto_lognorm" -> Array(2.5, 1.5, 0.5, 0.0, 1.0),
       // Tier E
       "gibrat" -> Array(0.0, 1.0), "exponpow" -> Array(1.5, 0.0, 1.0),
       "mielke" -> Array(3.0, 2.0, 0.0, 1.0), "kstwobign" -> Array(0.0, 1.0),
@@ -401,6 +402,17 @@ class DistributionSpec extends AnyFunSuite {
     assert(llFitL >= llTrueL - 10.0, s"landau LL fit=$llFitL true=$llTrueL")
     assert(math.abs(pL(0) - 10.0) < 1.0 && math.abs(pL(1) - 2.0) < 0.6,
       s"landau loc/scale=${pL.toSeq}")
+
+    // dpareto_lognorm: LL at the fit must match/beat the truth (the two
+    // tail indices and sigma are partially confounded at n=8000, so LL —
+    // not exact parameter recovery — is the contract, as for nct)
+    val dpln = ContinuousFamiliesD.DParetoLognorm
+    val pTrue = Array(2.5, 1.5, 0.5, 0.0, 1.0)
+    val xsP = sample(dpln, pTrue, 8000)
+    val pP = dpln.fit(xsP)
+    val llTrueP = -dpln.negLogLik(pTrue, xsP)
+    val llFitP = -dpln.negLogLik(pP, xsP)
+    assert(llFitP >= llTrueP - 10.0, s"dpareto_lognorm LL fit=$llFitP true=$llTrueP")
   }
 
   test("logBesselK matches closed half-integer forms, K1, and K0(1)") {
