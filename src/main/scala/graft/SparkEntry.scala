@@ -1126,6 +1126,32 @@ object SparkEntry {
             F.col("n_exact") * 0.02).as("single_within_2pct"))
         .orderBy("l_returnflag")
     }),
+    "q_theta_overlap" -> ((s, dir) => {
+      // join-free train/benchmark contamination triage: theta sketches
+      // of each side's 8-gram sets, set-algebra on the driver. lgK=18
+      // keeps both sides in the exact regime at sf<=0.1 (<=262144
+      // distinct grams), so every output — including the intersection —
+      // is EXACT and the oracle replays the literal set algebra; at
+      // 100 TB the same query runs at default lgK with error bounds.
+      val d = docs(s, dir)
+      val grams = d.select(F.col("doc_id"),
+        F.explode(Decontam.gramsCol(F.col("text"), 8)).as("gram"))
+      Sketches.thetaOverlap(
+        grams.where(F.col("doc_id") % 50 =!= 0), "gram",
+        grams.where(F.col("doc_id") % 50 === 0), "gram", lgK = 18)
+    }),
+    "q_theta_cohort" -> ((s, dir) => {
+      // pairwise source-overlap matrix from per-cohort theta sketches:
+      // one distributed pass, C·(C-1)/2 driver-side set ops. Exact
+      // regime at sf<=0.1 (per-source grams < 2^14), hash-checked
+      // against DuckDB's pairwise distinct-gram joins.
+      val d = docs(s, dir)
+      Sketches.thetaCohortOverlap(
+        d.select(F.col("source"),
+          F.explode(Decontam.gramsCol(F.col("text"), 8)).as("gram")),
+        "source", "gram", lgK = 14)
+        .orderBy("cohort_a", "cohort_b")
+    }),
     "q_stratified_hash" -> ((s, dir) =>
       // P2's stratified tail-boost semantics in deterministic form,
       // hash-checked END-TO-END: exact-min/max equal-width strata,
@@ -1925,6 +1951,49 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact,
         |  TRUE AS merged_within_2pct, TRUE AS single_within_2pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // exact-regime theta set algebra replayed literally: distinct 8-gram
+    // sets per side, counts by join. round_even matches rint.
+    "q_theta_overlap" ->
+      """WITH tok AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |    x -> x <> '') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(len(t) - 7),
+        |    i -> array_to_string(t[i+1:i+8], ' '))) AS gram
+        |  FROM tok WHERE len(t) >= 8),
+        |tr AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 <> 0),
+        |be AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        |c AS (SELECT count(*) AS n_common FROM tr JOIN be USING (gram)),
+        |n AS (SELECT (SELECT count(*) FROM tr) AS n_a,
+        |             (SELECT count(*) FROM be) AS n_b, n_common FROM c)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(n_common AS BIGINT) AS n_common,
+        |  CAST(n_a - n_common AS BIGINT) AS n_a_only,
+        |  CAST(n_b - n_common AS BIGINT) AS n_b_only,
+        |  round_even(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common)
+        |    * 1000000.0, 0) / 1000000.0 AS jaccard
+        |FROM n""".stripMargin,
+    "q_theta_cohort" ->
+      """WITH tok AS (SELECT source, doc_id,
+        |  list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |    x -> x <> '') AS t FROM documents),
+        |g AS (SELECT DISTINCT source, unnest(list_transform(range(len(t) - 7),
+        |    i -> array_to_string(t[i+1:i+8], ' '))) AS gram
+        |  FROM tok WHERE len(t) >= 8),
+        |n AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+        |c AS (SELECT a.source AS ca, b.source AS cb, count(*) AS n_common
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |p AS (SELECT x.source AS ca, y.source AS cb, x.n AS n_a, y.n AS n_b,
+        |    coalesce(c.n_common, 0) AS n_common
+        |  FROM n x JOIN n y ON x.source < y.source
+        |  LEFT JOIN c ON c.ca = x.source AND c.cb = y.source)
+        |SELECT ca AS cohort_a, cb AS cohort_b, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b, CAST(n_common AS BIGINT) AS n_common,
+        |  CAST(n_a - n_common AS BIGINT) AS n_a_only,
+        |  CAST(n_b - n_common AS BIGINT) AS n_b_only,
+        |  round_even(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common)
+        |    * 1000000.0, 0) / 1000000.0 AS jaccard
+        |FROM p ORDER BY cohort_a, cohort_b""".stripMargin,
     "q_stratified_hash" ->
       """WITH s AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
         |b AS (SELECT event_id, value,

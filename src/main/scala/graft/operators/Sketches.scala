@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketch, UpdateSketch}
+import org.apache.spark.sql.{DataFrame, Row, functions => F}
 
 /** Mergeable cardinality sketches (Datasketches HLL, builtin since Spark
   * 3.5: `hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`).
@@ -40,5 +42,109 @@ object Sketches {
         F.countDistinct(F.col(valueCol)).as("n_exact"),
         F.expr(s"hll_sketch_estimate(hll_sketch_agg($valueCol, $lgK))").as("single_est"))
     single.join(sharded, Seq(groupCol))
+  }
+
+  // ---- Theta sketches: distinct counts WITH set operations ----
+  //
+  // HLL unions; theta sketches also INTERSECT and DIFFERENCE
+  // (Dasgupta et al., "Theta-Sketch Framework", 2016). That buys the
+  // join-free contamination estimate: |train-grams ∩ bench-grams| from
+  // two ~k-entry sketches instead of a corpus × benchmark shuffle.
+  // Below ~k distinct values a theta sketch retains every hash
+  // (theta = 1), so estimates — including intersections — are EXACT;
+  // the harness queries run in that regime and hash-check against
+  // DuckDB's literal set algebra, which proves the whole sketch path
+  // (hashing, per-partition build, union merge, set ops). At 100 TB the
+  // same code runs with the default lgK and the error bounds take over.
+
+  /** One theta sketch over a column: per-partition `UpdateSketch`es
+    * (each a bounded ~8·2^lgK-byte table built where the data lives),
+    * compacted and union-merged on the driver — numPartitions small
+    * byte arrays travel, never values. */
+  def thetaSketch(df: DataFrame, valueCol: String, lgK: Int = 12): CompactSketch = {
+    val parts = df.select(F.col(valueCol).cast("string"))
+      .where(F.col(valueCol).isNotNull)
+      .rdd.mapPartitions { it =>
+        val sk = UpdateSketch.builder().setNominalEntries(1 << lgK).build()
+        it.foreach(r => sk.update(r.getString(0)))
+        Iterator.single(sk.compact().toByteArray)
+      }.collect()
+    unionOf(parts, lgK)
+  }
+
+  private def unionOf(parts: Array[Array[Byte]], lgK: Int): CompactSketch = {
+    val u = SetOperation.builder().setNominalEntries(1 << lgK).buildUnion()
+    parts.foreach(b => u.union(Sketch.wrap(Memory.wrap(b))))
+    u.getResult
+  }
+
+  private def overlapRow(a: CompactSketch, b: CompactSketch, lgK: Int)
+      : (Long, Long, Long, Long, Long, Double) = {
+    val inter = SetOperation.builder().setNominalEntries(1 << lgK)
+      .buildIntersection()
+    inter.intersect(a)
+    inter.intersect(b)
+    val common = inter.getResult.getEstimate
+    val aOnly = SetOperation.builder().buildANotB().aNotB(a, b).getEstimate
+    val bOnly = SetOperation.builder().buildANotB().aNotB(b, a).getEstimate
+    val uni = a.getEstimate + b.getEstimate - common
+    val jac = if (uni <= 0) 0.0 else common / uni
+    (math.round(a.getEstimate), math.round(b.getEstimate),
+      math.round(common), math.round(aOnly), math.round(bOnly),
+      math.rint(jac * 1e6) / 1e6)
+  }
+
+  private val overlapSchema = Seq("n_a", "n_b", "n_common", "n_a_only",
+    "n_b_only", "jaccard")
+
+  /** Join-free overlap estimate between two column value sets — the
+    * train/benchmark contamination triage at corpus scale: each side is
+    * sketched in one pass over its own data, and |A|, |B|, |A∩B|,
+    * |A\B|, |B\A|, Jaccard all come from driver-side set ops on two
+    * ~2^lgK-entry sketches. Exact below ~2^lgK distinct values per the
+    * class note; use [[graft.operators.Decontam]] for the row-level
+    * verdicts once this triage says the overlap is material. */
+  def thetaOverlap(dfA: DataFrame, colA: String, dfB: DataFrame,
+                   colB: String, lgK: Int = 12): DataFrame = {
+    val t = overlapRow(thetaSketch(dfA, colA, lgK), thetaSketch(dfB, colB, lgK), lgK)
+    val spark = dfA.sparkSession
+    import spark.implicits._
+    Seq(t).toDF(overlapSchema: _*)
+  }
+
+  /** Pairwise overlap matrix across the cohorts of one table (e.g.
+    * sources of a corpus): one distributed pass builds a sketch per
+    * (cohort, partition), per-cohort unions merge on the driver, and
+    * the C·(C−1)/2 pairwise set ops never touch data again. Emits one
+    * row per unordered cohort pair (a < b). */
+  def thetaCohortOverlap(df: DataFrame, cohortCol: String, valueCol: String,
+                         lgK: Int = 12): DataFrame = {
+    val parts: Array[(String, Array[Byte])] = df
+      .select(F.col(cohortCol).cast("string"), F.col(valueCol).cast("string"))
+      .where(F.col(cohortCol).isNotNull && F.col(valueCol).isNotNull)
+      .rdd.mapPartitions { it =>
+        val sks = scala.collection.mutable.HashMap.empty[String, UpdateSketch]
+        it.foreach { r =>
+          val sk = sks.getOrElseUpdate(r.getString(0),
+            UpdateSketch.builder().setNominalEntries(1 << lgK).build())
+          sk.update(r.getString(1))
+        }
+        sks.iterator.map { case (c, sk) => (c, sk.compact().toByteArray) }
+      }.collect()
+    val byCohort: Seq[(String, CompactSketch)] = parts.groupBy(_._1).toSeq
+      .map { case (c, ps) => (c, unionOf(ps.map(_._2), lgK)) }
+      .sortBy(_._1)
+    val rows = for {
+      i <- byCohort.indices
+      j <- (i + 1) until byCohort.length
+    } yield {
+      val (ca, sa) = byCohort(i)
+      val (cb, sb) = byCohort(j)
+      val t = overlapRow(sa, sb, lgK)
+      (ca, cb, t._1, t._2, t._3, t._4, t._5, t._6)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toDF(("cohort_a" +: "cohort_b" +: overlapSchema): _*)
   }
 }

@@ -951,6 +951,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("theta sketches: exact-regime set algebra and estimation-regime bounds") {
+    import spark.implicits._
+    // A = {0..4999}, B = {4000..6999}: |A∩B| = 1000, |A\B| = 4000
+    val a = (0 until 5000).map(_.toLong).toDF("v").repartition(5)
+    val b = (4000 until 7000).map(_.toLong).toDF("v").repartition(3)
+    // exact regime (lgK=13 → 8192 > 5000): every number is exact
+    val r = operators.Sketches.thetaOverlap(a, "v", b, "v", lgK = 13).head()
+    assert(r.getAs[Long]("n_a") == 5000 && r.getAs[Long]("n_b") == 3000)
+    assert(r.getAs[Long]("n_common") == 1000)
+    assert(r.getAs[Long]("n_a_only") == 4000 && r.getAs[Long]("n_b_only") == 2000)
+    assert(math.abs(r.getAs[Double]("jaccard") - 1000.0 / 7000.0) < 1e-6)
+    // estimation regime (lgK=6 → 64 nominal entries): estimates must
+    // land within the theta relative-error envelope (~1/√k per sketch;
+    // intersections compound, so the assert uses a generous 5σ band)
+    val e = operators.Sketches.thetaOverlap(a, "v", b, "v", lgK = 6).head()
+    assert(math.abs(e.getAs[Long]("n_a") - 5000.0) < 5000 * 0.65,
+      s"n_a estimate ${e.getAs[Long]("n_a")} outside the lgK=6 envelope")
+    assert(math.abs(e.getAs[Long]("n_common") - 1000.0) < 1000 * 0.95,
+      s"n_common estimate ${e.getAs[Long]("n_common")} outside the envelope")
+    // cohort matrix: three cohorts with known pairwise overlaps, exact
+    // regime; pairs with zero overlap must still appear
+    val df = ((0 until 100).map(i => ("x", i)) ++
+      (50 until 150).map(i => ("y", i)) ++
+      (1000 until 1100).map(i => ("z", i))).toDF("c", "v")
+    val m = operators.Sketches.thetaCohortOverlap(df, "c", "v", lgK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_common"), r.getAs[Long]("n_a"))).toMap
+    assert(m(("x", "y"))._1 == 50 && m(("x", "z"))._1 == 0)
+    assert(m(("y", "z"))._1 == 0 && m(("x", "y"))._2 == 100)
+    assert(m.size == 3)
+  }
+
   test("globalShuffle: contiguous positions, layout-independent, seed-sensitive") {
     import spark.implicits._
     val df = (1L to 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
