@@ -1126,6 +1126,21 @@ object SparkEntry {
             F.col("n_exact") * 0.02).as("single_within_2pct"))
         .orderBy("l_returnflag")
     }),
+    "q_zorder" -> ((s, dir) => {
+      // Morton-curve clustering for multi-dim data skipping: quantize
+      // (l_extendedprice, l_quantity) to a 256×256 grid off one shared
+      // min/max scan, interleave bits in a codegen'd expression chain,
+      // range-shuffle on the z-value. The z arithmetic is pure integer/
+      // IEEE work, so DuckDB replays every z-value bit-for-bit; the
+      // layout property (per-partition bounding boxes shrink on BOTH
+      // dims) is asserted in OpsSpec.
+      ZOrder.clusterByZ(li(s, dir), Seq("l_extendedprice", "l_quantity"),
+          bits = 8, numPartitions = 8)
+        .where(F.col("l_orderkey") < 200)
+        .select(F.col("l_orderkey"), F.col("l_linenumber").cast("long")
+          .as("l_linenumber"), F.col("z_value"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     "q_theta_overlap" -> ((s, dir) => {
       // join-free train/benchmark contamination triage: theta sketches
       // of each side's 8-gram sets, set-algebra on the driver. lgK=18
@@ -1951,6 +1966,24 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact,
         |  TRUE AS merged_within_2pct, TRUE AS single_within_2pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // same quantize shape as q_stratified_hash (floor((x-mn)/w) with
+    // w = (mx-mn)/2^bits computed first), then the bit interleave as a
+    // sum over range(bits) — integer-exact in both engines
+    "q_zorder" ->
+      """WITH s AS (SELECT min(l_extendedprice) AS mnx, max(l_extendedprice) AS mxx,
+        |  min(l_quantity) AS mny, max(l_quantity) AS mxy FROM lineitem),
+        |c AS (SELECT l_orderkey, l_linenumber,
+        |  least(greatest(CAST(floor((l_extendedprice - s.mnx)
+        |    / ((s.mxx - s.mnx) / 256)) AS BIGINT), 0), 255) AS cx,
+        |  least(greatest(CAST(floor((CAST(l_quantity AS DOUBLE) - s.mny)
+        |    / ((s.mxy - s.mny) / 256)) AS BIGINT), 0), 255) AS cy
+        |  FROM lineitem, s WHERE l_orderkey < 200)
+        |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(list_sum(list_transform(range(8), b ->
+        |    (((cx >> b) & 1) << (2 * b)) + (((cy >> b) & 1) << (2 * b + 1))))
+        |    AS BIGINT) AS z_value
+        |FROM c
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // exact-regime theta set algebra replayed literally: distinct 8-gram
     // sets per side, counts by join. round_even matches rint.
     "q_theta_overlap" ->

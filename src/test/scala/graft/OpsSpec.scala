@@ -951,6 +951,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("z-order: interleave is exact and clustering shrinks boxes on both dims") {
+    import spark.implicits._
+    // hand-checked interleave: cells (3, 5) at 3 bits → x bits at even
+    // positions, y at odd → 0b100111 = 39
+    val one = Seq((3L, 5L)).toDF("cx", "cy")
+      .select(operators.ZOrder.zValue(Seq(F.col("cx"), F.col("cy")), 3).as("z"))
+      .head().getLong(0)
+    assert(one == 39L, s"interleave(3,5)@3bits = $one, want 39")
+    // a 100×100 grid clustered into 16 partitions: every partition's
+    // bounding box must be a small fraction of the global extent on BOTH
+    // dimensions — the property that makes zone maps prune multi-dim
+    // predicates. A single-column sort would leave the other dim at ~1.
+    val grid = (for { x <- 0 until 100; y <- 0 until 100 }
+      yield (x.toDouble, y.toDouble)).toDF("x", "y").repartition(13)
+    val clustered = operators.ZOrder.clusterByZ(grid, Seq("x", "y"),
+      bits = 8, numPartitions = 16)
+    val bounds = operators.ZOrder.partitionBounds(clustered, Seq("x", "y"))
+      .collect().filter(_.getAs[Long]("n_rows") > 0L)
+    assert(bounds.length > 8, "clustering collapsed to too few partitions")
+    def avgExtent(dim: String): Double = bounds.map(r =>
+      (r.getAs[Double](s"max_$dim") - r.getAs[Double](s"min_$dim")) / 99.0)
+      .sum / bounds.length
+    val (ex, ey) = (avgExtent("x"), avgExtent("y"))
+    assert(ex < 0.6 && ey < 0.6,
+      f"avg per-partition extent x=$ex%.2f y=$ey%.2f — boxes did not shrink")
+    // nothing lost in the shuffle
+    assert(clustered.count() == 10000L)
+  }
+
   test("theta sketches: exact-regime set algebra and estimation-regime bounds") {
     import spark.implicits._
     // A = {0..4999}, B = {4000..6999}: |A∩B| = 1000, |A\B| = 4000
