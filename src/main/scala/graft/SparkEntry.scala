@@ -812,6 +812,34 @@ object SparkEntry {
       // oracle-checked, so the cosine arithmetic itself gets a hash row
       Similarity.nearDupPairsExact(emb(s, dir), "embedding", "vec_id",
         threshold = 0.3).orderBy("id_a", "id_b")),
+    "q_semdedup" -> ((s, dir) =>
+      // SemDeDup full path: trained coarse quantizer bounds pairwise
+      // work to within-cell comparisons (rows-only — centroids come from
+      // seeded k-means; the _fixed twin below hash-checks the machinery)
+      Similarity.semDedupPairs(emb(s, dir), "embedding", "vec_id",
+          threshold = 0.3, nCells = 8)
+        .orderBy("id_a", "id_b")),
+    "q_semdedup_fixed" -> ((s, dir) => {
+      // the deterministic twin: centroids pinned to the normalized
+      // embeddings of vec_id 0..7, so cell assignment and within-cell
+      // cosine are pure arithmetic — DuckDB replays normalize → argmin
+      // assign → pairwise dot end-to-end
+      val ctrs = emb(s, dir).where(F.col("vec_id") < 8)
+        .select(F.col("vec_id"), F.col("embedding")).collect()
+        .sortBy(_.getLong(0))
+        .map { r =>
+          val e = r.getSeq[Float](1).toArray
+          var ss = 0.0
+          e.foreach(x => ss += x.toDouble * x.toDouble)
+          val n = math.sqrt(ss)
+          e.map(_.toDouble / n)
+        }
+      Similarity.semDedupPairsWith(emb(s, dir), "embedding", "vec_id",
+          ctrs, threshold = 0.3)
+        .select(F.col("cell").cast("long").as("cell"), F.col("id_a"),
+          F.col("id_b"), F.col("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
     "q_ann_ivf" -> ((s, dir) => {
       // IVF coarse-quantizer ANN: build index, probe 8 cells, exact rank
       val q = emb(s, dir).where(F.col("vec_id") === 0)
@@ -2644,6 +2672,30 @@ object SparkEntry {
         |        THEN 1.0 / 104100.0 ELSE 0.0 END, 9) AS unif_pdf,
         |  round((l_extendedprice - 900.0) / 104100.0, 6) AS unit_q
         |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 50""".stripMargin,
+    // SemDeDup with pinned centroids: normalize → argmin-assign (lowest
+    // cid wins ties, mirroring the strict-< scan) → within-cell pairwise
+    // dot, every step the same left-to-right double arithmetic
+    "q_semdedup_fixed" ->
+      """WITH nrm AS (SELECT vec_id, list_transform(range(64), d ->
+        |    CAST(embedding[d+1] AS DOUBLE) / sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) *
+        |        CAST(embedding[i+1] AS DOUBLE))), (a, c) -> a + c))) AS ne
+        |  FROM embeddings),
+        |ctr AS (SELECT vec_id AS cid, ne AS ce FROM nrm WHERE vec_id < 8),
+        |asg AS (SELECT n.vec_id, n.ne, c.cid,
+        |    list_reduce(list_prepend(0.0, list_transform(range(64), j ->
+        |      (n.ne[j+1] - c.ce[j+1]) * (n.ne[j+1] - c.ce[j+1]))),
+        |      (a, b) -> a + b) AS dist
+        |  FROM nrm n CROSS JOIN ctr c
+        |  QUALIFY row_number() OVER (PARTITION BY n.vec_id
+        |    ORDER BY dist, c.cid) = 1),
+        |pairs AS (SELECT a.cid AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round_even(list_reduce(list_prepend(0.0, list_transform(range(64),
+        |      d -> a.ne[d+1] * b.ne[d+1])), (x, y) -> x + y)
+        |      * 1000000.0, 0) / 1000000.0 AS cosine
+        |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+        |SELECT CAST(cell AS BIGINT) AS cell, id_a, id_b, cosine FROM pairs
+        |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin,
     "q_embedding_near_dup_exact" ->
       """WITH p AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

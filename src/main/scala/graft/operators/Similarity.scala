@@ -504,4 +504,76 @@ object Similarity {
       .select(F.col("p._1").as("id_a"), F.col("p._2").as("id_b"),
         F.col("p._3").as("cosine"))
   }
+
+  // ---- semantic dedup (SemDeDup) ----
+
+  /** Semantic near-duplicate pairs by embedding-cluster partitioning —
+    * SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cells bound
+    * the pairwise work to within-cell comparisons, the pruning that made
+    * semantic dedup tractable on LAION-scale corpora. Reuses the IVF
+    * coarse-quantizer discipline (bounded driver-side Lloyd training,
+    * one distributed assignment pass); within each cell ≤ maxCell
+    * normalized members pair up in primitive-array loops, so total work
+    * is Σ cells m_c² · dim with m_c capped — never corpus². Pairs whose
+    * duplicates straddle a cell boundary are missed by construction;
+    * that recall trade IS the published algorithm (cells ≈ √n keeps it
+    * small).
+    *
+    * @return (cell, id_a, id_b, cosine) with id_a < id_b, cosine ≥
+    *         threshold, half-even-rounded to 6 decimals */
+  def semDedupPairs(df: DataFrame, embCol: String, idCol: String,
+                    threshold: Double = 0.95, nCells: Int = 0,
+                    seed: Long = 42L, maxCell: Int = 10000): DataFrame = {
+    val idx = ivfBuild(df, embCol, idCol, nCells, seed)
+    semDedupPairsWith(df, embCol, idCol, idx.centroids, threshold, maxCell)
+  }
+
+  /** [[semDedupPairs]] against caller-pinned centroids — the
+    * deterministic form (assignment and pairing are then pure
+    * arithmetic, SQL-replayable end-to-end), and the form an incremental
+    * pipeline uses to dedup a new batch against frozen cells. */
+  def semDedupPairsWith(df: DataFrame, embCol: String, idCol: String,
+                        centroids: Array[Array[Double]],
+                        threshold: Double, maxCell: Int = 10000): DataFrame = {
+    val assigned = assignCells(normalizedOf(df, embCol, idCol), centroids)
+    val cells = assigned.groupBy("cell")
+      .agg(F.collect_list(F.struct(F.col("id"), F.col("emb"))).as("members"))
+      .where(F.size(F.col("members")).between(2, maxCell))
+    val pairUdf = F.udf((members: Seq[org.apache.spark.sql.Row]) => {
+      val sorted = members
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var i = 0
+      while (i < sorted.length) {
+        var j = i + 1
+        while (j < sorted.length) {
+          val a = sorted(i)._2; val b = sorted(j)._2
+          var s = 0.0; var d = 0
+          val n = math.min(a.length, b.length)
+          while (d < n) { s += a(d) * b(d); d += 1 }
+          val c = math.rint(s * 1e6) / 1e6
+          if (c >= threshold) out += ((sorted(i)._1, sorted(j)._1, c))
+          j += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    })
+    cells
+      .select(F.col("cell"), F.explode(pairUdf(F.col("members"))).as("p"))
+      .select(F.col("cell"), F.col("p._1").as("id_a"),
+        F.col("p._2").as("id_b"), F.col("p._3").as("cosine"))
+  }
+
+  /** Rows surviving semantic dedup: the larger id of every within-cell
+    * near-dup pair is dropped (keep-min, the same survivor rule as the
+    * MinHash path, so mixed text+embedding pipelines agree on which copy
+    * lives). */
+  def semDedupSurvivors(df: DataFrame, embCol: String, idCol: String,
+                        threshold: Double = 0.95, nCells: Int = 0,
+                        seed: Long = 42L): DataFrame = {
+    val drop = semDedupPairs(df, embCol, idCol, threshold, nCells, seed)
+      .select(F.col("id_b").as(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
 }

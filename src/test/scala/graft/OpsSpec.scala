@@ -980,6 +980,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clustered.count() == 10000L)
   }
 
+  test("semDedup: within-cell near-dup pairs and keep-min survivors") {
+    import spark.implicits._
+    // three tight clusters of near-identical vectors, well separated
+    def jitter(base: Array[Float], i: Int): Array[Float] =
+      base.zipWithIndex.map { case (v, d) => v + (if (d == i % 4) 1e-3f else 0f) }
+    val a = Array(1f, 0f, 0f, 0f); val b = Array(0f, 1f, 0f, 0f)
+    val c = Array(0f, 0f, 1f, 0f)
+    val rows = Seq(1L -> a, 2L -> jitter(a, 1), 3L -> jitter(a, 2),
+      10L -> b, 11L -> jitter(b, 3), 99L -> c)
+    val df = rows.toDF("id", "emb")
+    // pinned centroids: the three cluster directions — fully deterministic
+    val ctrs = Array(a.map(_.toDouble), b.map(_.toDouble), c.map(_.toDouble))
+    val pairs = operators.Similarity
+      .semDedupPairsWith(df, "emb", "id", ctrs, threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)),
+      s"pairs = $pairs")
+    // trained path (seeded k-means): the cosine filter means emitted
+    // pairs are always TRUE near-dups — cell pruning can only lose
+    // recall (the published SemDeDup trade), never add false pairs
+    val trained = operators.Similarity
+      .semDedupPairs(df, "emb", "id", threshold = 0.95, nCells = 3, seed = 7L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(trained.subsetOf(pairs), s"trained pairs $trained ⊄ $pairs")
+    assert(trained.nonEmpty, "trained quantizer found no pairs at all")
+    // keep-min survivor rule: survivors = ids minus the larger side of
+    // every trained pair (self-consistency with the same seed)
+    val surv = operators.Similarity
+      .semDedupSurvivors(df, "emb", "id", threshold = 0.95, nCells = 3,
+        seed = 7L)
+      .select("id").as[Long].collect().toSet
+    val expected = rows.map(_._1).toSet -- trained.map(_._2)
+    assert(surv == expected, s"survivors = $surv, want $expected")
+  }
+
   test("theta sketches: exact-regime set algebra and estimation-regime bounds") {
     import spark.implicits._
     // A = {0..4999}, B = {4000..6999}: |A∩B| = 1000, |A\B| = 4000
