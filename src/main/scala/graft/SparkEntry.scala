@@ -1154,6 +1154,15 @@ object SparkEntry {
             F.col("n_exact") * 0.02).as("single_within_2pct"))
         .orderBy("l_returnflag")
     }),
+    "q_sketch_kll" -> ((s, dir) =>
+      // mergeable KLL quantile summaries: per-partition sketches merged
+      // on the driver, rank-checked at four probes. The hash row carries
+      // the EXACT ranks (order-exact 0/1 average) plus engine-attested
+      // within-eps booleans the oracle pins TRUE — same discipline as
+      // q_sketch_hll
+      Sketches.kllRankCheck(li(s, dir), "l_extendedprice",
+          Seq(10000.0, 30000.0, 60000.0, 90000.0))
+        .orderBy("probe")),
     "q_zorder" -> ((s, dir) => {
       // Morton-curve clustering for multi-dim data skipping: quantize
       // (l_extendedprice, l_quantity) to a 256×256 grid off one shared
@@ -1994,6 +2003,15 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact,
         |  TRUE AS merged_within_2pct, TRUE AS single_within_2pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_sketch_kll" ->
+      """SELECT p.probe,
+        |  round_even(avg(CASE WHEN l_extendedprice <= p.probe
+        |    THEN 1.0 ELSE 0.0 END) * 1000000.0, 0) / 1000000.0 AS exact_rank,
+        |  TRUE AS within_eps
+        |FROM lineitem CROSS JOIN (VALUES (10000.0), (30000.0), (60000.0),
+        |  (90000.0)) p(probe)
+        |WHERE l_extendedprice IS NOT NULL
+        |GROUP BY p.probe ORDER BY p.probe""".stripMargin,
     // same quantize shape as q_stratified_hash (floor((x-mn)/w) with
     // w = (mx-mn)/2^bits computed first), then the bit interleave as a
     // sum over range(bits) — integer-exact in both engines

@@ -44,6 +44,55 @@ object Sketches {
     single.join(sharded, Seq(groupCol))
   }
 
+  // ---- KLL quantile sketches: mergeable rank/quantile summaries ----
+
+  /** One KLL doubles sketch over a column: per-partition sketches (each
+    * O(k·log(n/k)) memory regardless of data size — Karnin/Lang/Liberty
+    * 2016) merged on the driver. The 100 TB story mirrors the HLL note:
+    * per-day/per-shard quantile summaries re-aggregate by merge without
+    * touching raw data, with the rank-error guarantee surviving the
+    * merge — a global `approx_percentile` would rescan everything. */
+  def kllSketch(df: DataFrame, valueCol: String, k: Int = 800)
+      : org.apache.datasketches.kll.KllDoublesSketch = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    val parts = df.select(F.col(valueCol).cast("double"))
+      .where(F.col(valueCol).isNotNull)
+      .rdd.mapPartitions { it =>
+        val sk = KllDoublesSketch.newHeapInstance(k)
+        it.foreach(r => sk.update(r.getDouble(0)))
+        Iterator.single(sk.toByteArray)
+      }.collect()
+    val merged = KllDoublesSketch.newHeapInstance(k)
+    parts.foreach(b =>
+      merged.merge(KllDoublesSketch.heapify(Memory.wrap(b))))
+    merged
+  }
+
+  /** Rank check at probe values: the EXACT rank (one codegen'd agg pass,
+    * SQL-replayable — 0/1 sums are order-exact in doubles) next to a
+    * boolean attesting the shard-merged sketch's rank landed within
+    * `eps`. KLL's guarantee is ~1.65/√k normalized rank error at 99%
+    * confidence (~0.006 at k=800), so eps=0.01 pins the contract with
+    * margin; a sketch/merge regression flips the boolean and reddens the
+    * oracle hash. */
+  def kllRankCheck(df: DataFrame, valueCol: String, probes: Seq[Double],
+                   k: Int = 800, eps: Double = 0.01): DataFrame = {
+    require(probes.nonEmpty, "need at least one probe")
+    val sk = kllSketch(df, valueCol, k)
+    val v = F.col(valueCol).cast("double")
+    val aggs = probes.zipWithIndex.map { case (p, i) =>
+      F.avg(F.when(v <= p, 1.0).otherwise(0.0)).as(s"__r$i")
+    }
+    val r = df.where(v.isNotNull).agg(aggs.head, aggs.tail: _*).head()
+    val spark = df.sparkSession
+    import spark.implicits._
+    probes.zipWithIndex.map { case (p, i) =>
+      val exact = r.getDouble(i)
+      val est = sk.getRank(p)
+      (p, math.rint(exact * 1e6) / 1e6, math.abs(est - exact) <= eps)
+    }.toDF("probe", "exact_rank", "within_eps")
+  }
+
   // ---- Theta sketches: distinct counts WITH set operations ----
   //
   // HLL unions; theta sketches also INTERSECT and DIFFERENCE

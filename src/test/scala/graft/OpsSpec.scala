@@ -980,6 +980,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clustered.count() == 10000L)
   }
 
+  test("KLL sketch: merged ranks and quantiles inside the error bound") {
+    import spark.implicits._
+    // 0..99999 shuffled deterministically across 8 partitions
+    val df = (0 until 100000).map(i => (i.toLong * 48271L % 100000L).toDouble)
+      .toDF("v").repartition(8)
+    val sk = operators.Sketches.kllSketch(df, "v", k = 800)
+    assert(sk.getN == 100000L)
+    // rank of value q·100000 is within the k=800 bound of q
+    for (q <- Seq(0.01, 0.25, 0.5, 0.75, 0.99)) {
+      val r = sk.getRank(q * 100000)
+      assert(math.abs(r - q) < 0.01, s"rank($q) = $r")
+      val x = sk.getQuantile(q)
+      assert(math.abs(x / 100000 - q) < 0.01, s"quantile($q) = $x")
+    }
+    val chk = operators.Sketches.kllRankCheck(df, "v",
+      Seq(25000.0, 50000.0, 75000.0)).collect()
+    assert(chk.forall(_.getAs[Boolean]("within_eps")),
+      "merged sketch rank fell outside eps")
+    // exact ranks are exact: 25001/100000 values are <= 25000.0
+    val exact = chk.map(r =>
+      r.getAs[Double]("probe") -> r.getAs[Double]("exact_rank")).toMap
+    assert(exact(25000.0) == 0.25001 && exact(50000.0) == 0.50001)
+  }
+
   test("semDedup: within-cell near-dup pairs and keep-min survivors") {
     import spark.implicits._
     // three tight clusters of near-identical vectors, well separated
