@@ -1265,6 +1265,15 @@ object SparkEntry {
         .agg(F.count(F.lit(1)).as("n_docs"), F.sum("doc_id").as("id_sum"))
         .orderBy("lang")
     }),
+    "q_weighted_sample" -> ((s, dir) =>
+      // length-proportional Bernoulli sample, hash-checked: inclusion
+      // p_i = min(1, f·N·wᵢ/W) over md5 buckets makes the surviving row
+      // SET engine-replayable — a fraction-0.2 sample that carries ≈0.2
+      // of the corpus CHARS instead of over-representing short docs
+      Sampling.weightedHashSample(
+          docs(s, dir).select("doc_id", "n_chars"), "n_chars", "doc_id",
+          fraction = 0.2)
+        .orderBy("doc_id")),
     "q_repetition" -> ((s, dir) =>
       // Gopher-style repetition filters, hash-checked per doc: token
       // duplication ratio + top-bigram share + the filter flag, replayed
@@ -2183,6 +2192,19 @@ object SparkEntry {
         |SELECT b.lang, count(*) AS n_docs, CAST(sum(b.doc_id) AS BIGINT) AS id_sum
         |FROM b JOIN t ON b.lang = t.lang WHERE b.bucket < t.thr
         |GROUP BY b.lang ORDER BY b.lang""".stripMargin,
+    // threshold arithmetic replayed in the same order: ((f·N)/W)·w·2^20,
+    // with W and N exact integer sums cast to double
+    "q_weighted_sample" ->
+      """WITH s AS (SELECT CAST(sum(n_chars) AS DOUBLE) AS W,
+        |  CAST(count(*) AS DOUBLE) AS N FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0)
+        |SELECT doc_id, n_chars FROM documents, s
+        |WHERE n_chars IS NOT NULL
+        |  AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 1048576
+        |    < least(1048576, CAST(floor(0.2 * N / W * n_chars * 1048576.0)
+        |      AS BIGINT))
+        |ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),

@@ -276,6 +276,31 @@ object Sampling {
     df.where(bucket < thrCol)
   }
 
+  /** Weight-proportional Bernoulli sample, deterministic via the md5
+    * coordinate: row i survives with p_i = min(1, fraction·N·wᵢ/W) — the
+    * "sample documents proportional to their token count" step that
+    * makes a fraction-f sample carry ≈ f of the corpus TOKENS (a uniform
+    * row sample over-represents short documents). Expected kept rows ≈
+    * fraction·N·E[w·1{p<1}]/E[w]; rows with p_i ≥ 1 (heavy docs) always
+    * survive. INTEGER weights only (token/char counts — their sum is
+    * order-exact in doubles, so the thresholds are engine-replayable);
+    * one tiny agg scan for (W, N), then a map-side codegen'd filter —
+    * no shuffle, no RNG state, stable across partition layouts. */
+  def weightedHashSample(df: DataFrame, weightCol: String, keyCol: String,
+                         fraction: Double,
+                         buckets: Int = 1 << 20): DataFrame = {
+    require(fraction >= 0, "fraction must be >= 0")
+    val w = F.col(weightCol).cast("long")
+    val r = df.where(w.isNotNull && w > 0)
+      .agg(F.sum(w), F.count(F.lit(1))).head()
+    if (r.isNullAt(0)) return df.limit(0)
+    val (total, n) = (r.getLong(0), r.getLong(1))
+    val c = fraction * n / total.toDouble
+    val thr = F.least(F.lit(buckets.toLong),
+      F.floor(F.lit(c) * w * F.lit(buckets.toDouble)))
+    df.where(w.isNotNull && (md5Bucket(F.col(keyCol), buckets) < thr))
+  }
+
   /** Deterministic global shuffle — the "shuffle the corpus once before
     * training" step every LLM data pipeline ends with. Rows get a total
     * order by `md5(key ":" seed)` (tie-broken by key, so the order is a

@@ -980,6 +980,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clustered.count() == 10000L)
   }
 
+  test("weightedHashSample: inclusion tracks weight, heavy rows always kept") {
+    import spark.implicits._
+    val df = (1 to 20000).map(i => (i.toLong, ((i % 100) + 1).toLong))
+      .toDF("id", "w")
+    val kept = operators.Sampling.weightedHashSample(df, "w", "id", 0.1)
+      .select("id", "w").as[(Long, Long)].collect()
+    // expected kept ≈ fraction·N = 2000 (all p_i < 1 here); md5 noise ±20%
+    assert(kept.length > 1500 && kept.length < 2500, s"kept ${kept.length}")
+    // inclusion probability ∝ weight: the top weight decile must be kept
+    // at several times the bottom decile's rate
+    val hi = kept.count(_._2 > 90) / 2000.0
+    val lo = kept.count(_._2 <= 10) / 2000.0
+    assert(hi > 3 * math.max(lo, 1e-4), f"hi=$hi%.3f lo=$lo%.3f")
+    // a row with p >= 1 always survives; zero/negative weights never do
+    val heavy = (df.union(Seq((999999L, 10000000L), (999998L, 0L))
+      .toDF("id", "w")))
+    val kept2 = operators.Sampling.weightedHashSample(heavy, "w", "id", 0.1)
+      .select("id").as[Long].collect().toSet
+    assert(kept2.contains(999999L) && !kept2.contains(999998L))
+    // layout-stable: identical set after a different partitioning
+    val kept3 = operators.Sampling
+      .weightedHashSample(df.repartition(7), "w", "id", 0.1)
+      .select("id").as[Long].collect().toSet
+    assert(kept3 == kept.map(_._1).toSet)
+  }
+
   test("KLL sketch: merged ranks and quantiles inside the error bound") {
     import spark.implicits._
     // 0..99999 shuffled deterministically across 8 partitions
