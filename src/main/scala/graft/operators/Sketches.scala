@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.datasketches.memory.Memory
 import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketch, UpdateSketch}
-import org.apache.spark.sql.{DataFrame, Row, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 
 /** Mergeable cardinality sketches (Datasketches HLL, builtin since Spark
   * 3.5: `hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`).
@@ -162,38 +162,40 @@ object Sketches {
   }
 
   /** Pairwise overlap matrix across the cohorts of one table (e.g.
-    * sources of a corpus): one distributed pass builds a sketch per
-    * (cohort, partition), per-cohort unions merge on the driver, and
-    * the C·(C−1)/2 pairwise set ops never touch data again. Emits one
-    * row per unordered cohort pair (a < b). */
+    * sources of a corpus), fully distributed: Spark 4's native
+    * `theta_sketch_agg` (a TypedImperativeAggregate — live sketches in
+    * the hash map, serialized only at the shuffle boundary) builds one
+    * sketch per cohort with map-side partials, then the C·(C−1)/2
+    * pairwise set ops run as scalar `theta_intersection`/
+    * `theta_difference` expressions over the C² self-joined sketch rows
+    * — ~2^lgK·8 bytes each, so even 10⁴ cohorts stay a trivially small
+    * join. Nothing ever funnels through the driver. Emits one row per
+    * unordered cohort pair (a < b), zero-overlap pairs included. */
   def thetaCohortOverlap(df: DataFrame, cohortCol: String, valueCol: String,
                          lgK: Int = 12): DataFrame = {
-    val parts: Array[(String, Array[Byte])] = df
-      .select(F.col(cohortCol).cast("string"), F.col(valueCol).cast("string"))
+    val sk = df
       .where(F.col(cohortCol).isNotNull && F.col(valueCol).isNotNull)
-      .rdd.mapPartitions { it =>
-        val sks = scala.collection.mutable.HashMap.empty[String, UpdateSketch]
-        it.foreach { r =>
-          val sk = sks.getOrElseUpdate(r.getString(0),
-            UpdateSketch.builder().setNominalEntries(1 << lgK).build())
-          sk.update(r.getString(1))
-        }
-        sks.iterator.map { case (c, sk) => (c, sk.compact().toByteArray) }
-      }.collect()
-    val byCohort: Seq[(String, CompactSketch)] = parts.groupBy(_._1).toSeq
-      .map { case (c, ps) => (c, unionOf(ps.map(_._2), lgK)) }
-      .sortBy(_._1)
-    val rows = for {
-      i <- byCohort.indices
-      j <- (i + 1) until byCohort.length
-    } yield {
-      val (ca, sa) = byCohort(i)
-      val (cb, sb) = byCohort(j)
-      val t = overlapRow(sa, sb, lgK)
-      (ca, cb, t._1, t._2, t._3, t._4, t._5, t._6)
-    }
-    val spark = df.sparkSession
-    import spark.implicits._
-    rows.toDF(("cohort_a" +: "cohort_b" +: overlapSchema): _*)
+      .groupBy(F.col(cohortCol).cast("string").as("cohort"))
+      .agg(F.expr(s"theta_sketch_agg(CAST($valueCol AS STRING), $lgK)")
+        .as("__sk"))
+    val a = sk.select(F.col("cohort").as("cohort_a"), F.col("__sk").as("__ska"))
+    val b = sk.select(F.col("cohort").as("cohort_b"), F.col("__sk").as("__skb"))
+    def est(c: Column): Column =
+      F.call_function("theta_sketch_estimate", c).cast("long")
+    val na = est(F.col("__ska"))
+    val nb = est(F.col("__skb"))
+    val common = est(
+      F.call_function("theta_intersection", F.col("__ska"), F.col("__skb")))
+    val aOnly = est(
+      F.call_function("theta_difference", F.col("__ska"), F.col("__skb")))
+    val bOnly = est(
+      F.call_function("theta_difference", F.col("__skb"), F.col("__ska")))
+    val uni = na + nb - common
+    a.join(b, F.col("cohort_a") < F.col("cohort_b"))
+      .select(F.col("cohort_a"), F.col("cohort_b"), na.as("n_a"), nb.as("n_b"),
+        common.as("n_common"), aOnly.as("n_a_only"), bOnly.as("n_b_only"),
+        F.when(uni > 0L,
+            F.rint(common.cast("double") / uni * 1e6) / 1e6)
+          .otherwise(0.0).as("jaccard"))
   }
 }
