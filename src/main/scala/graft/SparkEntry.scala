@@ -993,6 +993,34 @@ object SparkEntry {
           F.col("bin"), F.col("cnt"))
         .orderBy("win_start", "bin")
     }),
+    "q_stream_distinct" -> ((s, dir) => {
+      // streaming distinct-users-per-day via the HLL sketch aggregate
+      // (exact countDistinct is unsupported in streaming — unbounded
+      // state), hash-checked with the q_sketch_hll discipline: the
+      // replayed stream estimates join the batch-exact counts and the
+      // oracle pins the within-2% booleans TRUE alongside the exact
+      // counts
+      val src = eventsStream(s, dir)
+        .withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
+      val est = graft.streaming.StreamingOps.windowedDistinct(
+        src, "user_id", "event_ts", window = "24 hours",
+        watermark = "1 hour", lgK = 12)
+      val replayed = graft.streaming.StreamingOps
+        .runToBatch(s, est, "graft_stream_distinct", statePartitions = 8)
+        .select(F.unix_timestamp(F.col("window.start")).as("win_start"),
+          F.col("n_distinct_est"))
+      val exact = events(s, dir)
+        .withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .groupBy(F.window(F.col("event_ts"), "24 hours").as("window"))
+        .agg(F.count_distinct(F.col("user_id")).as("n_exact"))
+        .select(F.unix_timestamp(F.col("window.start")).as("win_start"),
+          F.col("n_exact"))
+      replayed.join(exact, "win_start")
+        .select(F.col("win_start"), F.col("n_exact"),
+          (F.abs(F.col("n_distinct_est") - F.col("n_exact")) <=
+            F.col("n_exact") * 0.02).as("within_2pct"))
+        .orderBy("win_start")
+    }),
     "q_stream_stats" -> ((s, dir) => {
       // streaming per-day column statistics via the same availableNow
       // replay — count exact, moments rounded like the batch q_stats
@@ -1926,6 +1954,10 @@ object SparkEntry {
         |  least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0), 9) AS bin,
         |  count(*) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_distinct" ->
+      """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS win_start,
+        |  count(DISTINCT user_id) AS n_exact, TRUE AS within_2pct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_welford" ->
       """SELECT event_type, count(*) AS n, round(avg(value), 6) AS mean_r,
         |  round(stddev_pop(value), 4) AS std_r

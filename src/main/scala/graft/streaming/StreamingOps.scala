@@ -51,6 +51,23 @@ object StreamingOps {
       .groupBy("window", "bin")
       .agg(F.count(F.lit(1)).as("cnt"))
 
+  /** Windowed distinct counts via the mergeable HLL sketch aggregate —
+    * the metric exact aggregation CANNOT provide in streaming
+    * (`countDistinct` needs unbounded per-window distinct state, which
+    * Structured Streaming rejects): state per window is one ~2^lgK-byte
+    * sketch regardless of throughput, micro-batch partials merge by
+    * sketch union, and the estimate carries HLL's ~1.6%/√(2^lgK·2⁻¹⁰)
+    * error contract. "Distinct users per day over an unbounded ingest"
+    * in bounded state. */
+  def windowedDistinct(df: DataFrame, valueCol: String, timeCol: String,
+                       window: String = "1 minute",
+                       watermark: String = "2 minutes",
+                       lgK: Int = 12): DataFrame =
+    df.withWatermark(timeCol, watermark)
+      .groupBy(F.window(F.col(timeCol), window).as("window"))
+      .agg(F.expr(s"hll_sketch_estimate(hll_sketch_agg($valueCol, $lgK))")
+        .as("n_distinct_est"))
+
   /** Running global histogram (update mode): one row per bin, state size
     * = numBins forever. */
   def runningHistogram(df: DataFrame, valueCol: String,
