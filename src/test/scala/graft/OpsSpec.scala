@@ -959,6 +959,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(operators.ZOrder.zValue(Seq(F.col("cx"), F.col("cy")), 3).as("z"))
       .head().getLong(0)
     assert(one == 39L, s"interleave(3,5)@3bits = $one, want 39")
+    // exhaustive bijection: 64×64 cells at 6 bits and 16³ cells at
+    // 4 bits must map exactly onto 0..4095 — any interleave slip
+    // (wrong position, dropped bit) breaks the bijection
+    val z2 = (for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong))
+      .toDF("cx", "cy")
+      .select(operators.ZOrder.zValue(Seq(F.col("cx"), F.col("cy")), 6).as("z"))
+      .as[Long].collect().sorted
+    assert(z2.sameElements(0L until 4096L), "2-D z-curve is not a bijection")
+    val z3 = (for { x <- 0 until 16; y <- 0 until 16; w <- 0 until 16 }
+      yield (x.toLong, y.toLong, w.toLong)).toDF("a", "b", "c")
+      .select(operators.ZOrder.zValue(
+        Seq(F.col("a"), F.col("b"), F.col("c")), 4).as("z"))
+      .as[Long].collect().sorted
+    assert(z3.sameElements(0L until 4096L), "3-D z-curve is not a bijection")
     // a 100×100 grid clustered into 16 partitions: every partition's
     // bounding box must be a small fraction of the global extent on BOTH
     // dimensions — the property that makes zone maps prune multi-dim

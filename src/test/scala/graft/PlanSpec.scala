@@ -166,6 +166,44 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!q.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("z-order clustering plans one range exchange; z-value stays codegen'd") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val plan = operators.ZOrder
+      .clusterByZ(li, Seq("l_extendedprice", "l_quantity"), bits = 8,
+        numPartitions = 8)
+      .queryExecution.executedPlan.toString
+    // exactly one Exchange — the rangepartitioning on z_value; the
+    // quantize+interleave must not introduce a hash shuffle or a UDF
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"want exactly 1 exchange, got $exchanges:\n${plan.take(900)}")
+    assert(plan.contains("rangepartitioning"), plan.take(400))
+    assert(!plan.toLowerCase.contains("batchevalpython") &&
+      !plan.contains("ScalaUDF"), "z-value must be native expressions")
+  }
+
+  test("weightedHashSample is a shuffle-free map-side filter") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = operators.Sampling
+      .weightedHashSample(d, "n_chars", "doc_id", 0.2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"the weighted filter must not shuffle:\n${plan.take(800)}")
+    assert(!plan.contains("ScalaUDF"), "threshold math must be codegen'd")
+  }
+
+  test("theta cohort matrix aggregates sketches distributed, pairs on sketch rows") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = operators.Sketches
+      .thetaCohortOverlap(d, "source", "doc_id", lgK = 12)
+      .queryExecution.executedPlan.toString
+    // the sketch agg must do a map-side partial (ObjectHashAggregate
+    // partial_theta_sketch_agg) before the cohort exchange — the shape
+    // that keeps the union off the driver
+    assert(plan.contains("ObjectHashAggregate"), plan.take(800))
+    assert(plan.contains("partial_theta_sketch_agg") ||
+      plan.contains("theta_sketch_agg"), plan.take(800))
+  }
+
   test("q_gmm_score is pure codegen'd arithmetic: no UDF, no pre-agg shuffle") {
     val plan = physicalPlan("q_gmm_score").replaceAll("\\s+", " ")
     // the scoring columns (logsumexp + argmax CASE ladder) must live in
