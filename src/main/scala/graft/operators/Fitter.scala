@@ -210,7 +210,7 @@ object Fitter {
   def fittingSample(df: DataFrame, column: String, sampleSize: Int, seed: Long,
                     totalCount: Option[Long] = None): Array[Double] = {
     val c = F.col(column).cast("double")
-    val valid = df.select(c.as("x")).where(F.col("x").isNotNull && !F.isnan(F.col("x")))
+    val valid = df.select(c.as("x")).where(validValue(F.col("x")))
     val n = totalCount.getOrElse(valid.count())
     val collected: Array[Double] =
       if (n <= sampleSize) {
@@ -224,6 +224,27 @@ object Fitter {
       }
     if (collected.length <= sampleSize) collected
     else exactResample(collected, sampleSize, seed)
+  }
+
+  /** Finite-value predicate: NaN AND ±Inf are invalid, like the
+    * reference's `data[np.isfinite(data)]` (estimation.py:146) — an inf
+    * would otherwise blow up min/max and give every histogram an
+    * infinite range. */
+  private def validValue(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.isNotNull && !F.isnan(c) &&
+      c =!= Double.PositiveInfinity && c =!= Double.NegativeInfinity
+
+  /** NaN/±Inf → null so aggregates and samples see only finite values. */
+  private def finiteOrNull(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    F.when(validValue(c), c).otherwise(F.lit(null))
+
+  /** Empty results with the full fit schema — the reference's contract
+    * for a column with no valid data (tests/test_numerical_stability.py:
+    * 105-116): queries over the collection work, `best()` returns zero
+    * rows, nothing throws. */
+  private def emptyResults(spark: SparkSession, cfg: FitConfig): FitResults = {
+    import spark.implicits._
+    new FitResults(spark.emptyDataset[FitResult].toDF(), Map.empty, cfg)
   }
 
   /** Exact-size downsample without replacement via seeded Fisher-Yates
@@ -297,7 +318,7 @@ object Fitter {
         case Some(cc) => columns.map { column =>
           val valid = df
             .select(F.col(column).cast("double").as("x"), F.col(cc).cast("boolean").as("e"))
-            .where(F.col("x").isNotNull && !F.isnan(F.col("x")))
+            .where(validValue(F.col("x")))
           val n = valid.count()
           val rows =
             if (n <= cfg.fittingSampleSize) valid.collect()
@@ -312,20 +333,24 @@ object Fitter {
         }.toMap
       }
 
-    // NaN→null per column so min/max/count are NaN-safe in one agg
+    // NaN/±Inf→null per column so min/max/count see only finite values
     val cleaned = df.select(columns.map { c =>
-      val cd = F.col(c).cast("double")
-      F.when(F.isnan(cd), F.lit(null)).otherwise(cd).as(c)
+      finiteOrNull(F.col(c).cast("double")).as(c)
     }: _*)
     val statAggs = columns.flatMap(c =>
       Seq(F.min(c).as(s"mn_$c"), F.max(c).as(s"mx_$c"), F.count(c).as(s"cnt_$c")))
     val statRow = cleaned.agg(statAggs.head, statAggs.tail: _*).head()
-    val colStats: Map[String, (Double, Double, Long)] = columns.zipWithIndex.map {
+    // a column with no finite values fits nothing but fails nothing —
+    // it is dropped here, and an all-invalid request returns the empty
+    // collection (the reference's contract, not an exception)
+    val colStats: Map[String, (Double, Double, Long)] = columns.zipWithIndex.flatMap {
       case (c, i) =>
-        if (statRow.isNullAt(3 * i) || statRow.getLong(3 * i + 2) == 0L)
-          throw new IllegalArgumentException(s"column '$c' has no valid data")
-        c -> ((statRow.getDouble(3 * i), statRow.getDouble(3 * i + 1), statRow.getLong(3 * i + 2)))
+        if (statRow.isNullAt(3 * i) || statRow.getLong(3 * i + 2) == 0L) None
+        else Some(c -> ((statRow.getDouble(3 * i), statRow.getDouble(3 * i + 1),
+          statRow.getLong(3 * i + 2))))
     }.toMap
+    val fitCols = columns.filter(colStats.contains)
+    if (fitCols.isEmpty) return emptyResults(spark, cfg)
 
     // ---- adaptive pre-fit sampling (A7/P3/P1, reference:
     // base_fitter.py:243-477): inputs above the row threshold are reduced
@@ -334,7 +359,7 @@ object Fitter {
     // 100 TB this bounds every downstream scan instead of rescanning the
     // corpus per fit.
     val nMax = colStats.values.map(_._3).max
-    val (scanDf, samplePlan) = AdaptiveSampling.prepare(cleaned, columns, nMax, cfg)
+    val (scanDf, samplePlan) = AdaptiveSampling.prepare(cleaned, fitCols, nMax, cfg)
 
     // one sample scan shared by every column; per-column null filter +
     // exact-size downsample happen on the collected rows. The fraction is
@@ -349,7 +374,8 @@ object Fitter {
         .sample(withReplacement = false,
           math.min(1.0, cfg.fittingSampleSize * 1.2 / nMin), cfg.sampleSeed)
         .limit(cfg.fittingSampleSize * 4).collect()
-    val samples: Map[String, Array[Double]] = columns.zipWithIndex.map { case (c, i) =>
+    val samples: Map[String, Array[Double]] = fitCols.map { c =>
+      val i = columns.indexOf(c) // scanDf keeps the original column order
       val arr = sampleRows.iterator.filterNot(_.isNullAt(i)).map(_.getDouble(i)).toArray
       val sized =
         if (arr.length <= cfg.fittingSampleSize) arr
@@ -363,7 +389,7 @@ object Fitter {
     // (columnIndex, bin) pairs → ONE ~(columns·bins)-row shuffle; bin
     // arithmetic identical to Histogram.continuous
     case class HistSpec(c: String, mn: Double, hi: Double, nBins: Int, width: Double)
-    val specs = columns.flatMap { c =>
+    val specs = fitCols.flatMap { c =>
       val (mn, mx, cnt) = colStats(c)
       if (mn == mx) None
       else {
@@ -394,7 +420,7 @@ object Fitter {
               ci -> rows.map(r => r.getLong(1).toInt -> r.getLong(2)).toMap
             }
         }
-      columns.map { c =>
+      fitCols.map { c =>
         val (mn, mx, cnt) = colStats(c)
         if (mn == mx) c -> Hist(Array(1.0), Array(mn))
         else {
@@ -413,17 +439,17 @@ object Fitter {
     }
 
     // ---- one fan-out job over every (column, family) pair ----
-    val ctxs: Map[String, FitContext] = columns.map { c =>
+    val ctxs: Map[String, FitContext] = fitCols.map { c =>
       val sample = censorByCol.get(c).map(_._1).getOrElse(samples(c))
       c -> FitContext(c, histByCol(c), sample, DataStats.of(sample),
         censorByCol.get(c).map(_._2))
     }.toMap
-    val methodByCol: Map[String, String] = columns.map { c =>
+    val methodByCol: Map[String, String] = fitCols.map { c =>
       c -> (if (cfg.estimationMethod == "auto") {
         if (Estimators.isHeavyTailed(ctxs(c).sample, ctxs(c).stats)) "mse" else "mle"
       } else cfg.estimationMethod)
     }.toMap
-    val pairs: Seq[(String, String)] = columns.flatMap { c =>
+    val pairs: Seq[(String, String)] = fitCols.flatMap { c =>
       interleave(prefilter(capped, ctxs(c).stats, cfg.prefilter)).map(n => (c, n))
     }
     // fine-grained tasks (≤2 fits each) keep one slow family from
@@ -445,7 +471,8 @@ object Fitter {
 
     val combined = results.toDF().cache()
     combined.count() // materialize, as the reference does (continuous_fitter.py:409-414)
-    new FitResults(combined, samples ++ censorByCol.map { case (c, v) => c -> v._1 }, cfg)
+    new FitResults(combined, samples ++ censorByCol.collect {
+      case (c, v) if fitCols.contains(c) => c -> v._1 }, cfg)
   }
 
   /** Group-wise continuous fit: fit every requested family to `valueCol`
@@ -586,7 +613,12 @@ object Fitter {
                        cfg: FitConfig = FitConfig()): FitResults = {
     import spark.implicits._
     require(columns.nonEmpty, "at least one column required")
-    val cleaned = df.select(columns.map(c => F.col(c).cast("long").as(c)): _*)
+    // route through double so NaN/±Inf become null BEFORE the long cast
+    // (a bare double→long cast turns NaN into 0 and would silently
+    // inject spurious zeros into the PMF)
+    val cleaned = df.select(columns.map { c =>
+      finiteOrNull(F.col(c).cast("double")).cast("long").as(c)
+    }: _*)
 
     // per-column PMFs from one exploded (columnIndex, value) shuffle —
     // the collect is ~(columns · unique values) rows, bounded for
@@ -600,14 +632,19 @@ object Fitter {
       .groupBy(F.col("e.ci").as("ci"), F.col("e.k").as("k"))
       .agg(F.count(F.lit(1)).as("cnt"))
       .collect()
-    val pmfByCol: Map[String, Pmf] = columns.zipWithIndex.map { case (c, i) =>
+    // all-invalid columns drop out; an all-invalid request returns the
+    // empty collection with the full schema (the reference's contract)
+    val pmfByCol: Map[String, Pmf] = columns.zipWithIndex.flatMap { case (c, i) =>
       val rows = grouped.filter(_.getInt(0) == i).sortBy(_.getLong(1))
-      if (rows.isEmpty)
-        throw new IllegalArgumentException(s"column '$c' contains no valid values")
-      val counts = rows.map(_.getLong(2))
-      val total = counts.sum
-      c -> Pmf(rows.map(_.getLong(1)), counts.map(_.toDouble / total), total)
+      if (rows.isEmpty) None
+      else {
+        val counts = rows.map(_.getLong(2))
+        val total = counts.sum
+        Some(c -> Pmf(rows.map(_.getLong(1)), counts.map(_.toDouble / total), total))
+      }
     }.toMap
+    val fitCols = columns.filter(pmfByCol.contains)
+    if (fitCols.isEmpty) return emptyResults(spark, cfg)
 
     // one shared sample scan; per-column null-filter + exact resample on
     // the collected rows (fraction from the MINIMUM count so sparse
@@ -620,7 +657,8 @@ object Fitter {
         .sample(withReplacement = false,
           math.min(1.0, cfg.fittingSampleSize * 1.2 / math.max(nMin, 1L)), cfg.sampleSeed)
         .limit(cfg.fittingSampleSize * 4).collect()
-    val samplesByCol: Map[String, Array[Long]] = columns.zipWithIndex.map { case (c, i) =>
+    val samplesByCol: Map[String, Array[Long]] = fitCols.map { c =>
+      val i = columns.indexOf(c)
       val arr = sampleRows.iterator.filterNot(_.isNullAt(i)).map(_.getLong(i)).toArray
       val sized =
         if (arr.length <= cfg.fittingSampleSize) arr
@@ -642,11 +680,11 @@ object Fitter {
     // (bernoulli/randint stay opt-in, distributions.py:351-357)
     val names = distributions.getOrElse(DiscreteRegistry.defaultNames)
       .filter(n => DiscreteRegistry.get(n).isDefined)
-    val pairs: Seq[(String, String)] = columns.flatMap(c => names.map(n => (c, n)))
+    val pairs: Seq[(String, String)] = fitCols.flatMap(c => names.map(n => (c, n)))
 
     // SSE compares empirical vs fitted PMF at the unique observed values
     // (reference: discrete_fitting.py:184-209)
-    val ctx: Map[String, (Array[Long], Pmf, DataStats)] = columns.map { c =>
+    val ctx: Map[String, (Array[Long], Pmf, DataStats)] = fitCols.map { c =>
       c -> ((samplesByCol(c), pmfByCol(c), DataStats.of(samplesByCol(c).map(_.toDouble))))
     }.toMap
     val bc = spark.sparkContext.broadcast((ctx, DiscreteRegistry.customSnapshot))

@@ -47,6 +47,54 @@ class FitterSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("NaN/Inf hygiene: contaminated fits clean, all-invalid returns empty schema") {
+    // the reference's numerical-stability contracts
+    // (tests/test_numerical_stability.py:89-195): NaN and ±Inf are
+    // filtered before any statistic, and a column with no finite value
+    // yields an EMPTY collection with the full schema — never a throw
+    val base = sample(ContinuousFamilies.Norm, Array(50.0, 10.0), 2000)
+    val dirty = base.clone()
+    dirty(0) = Double.PositiveInfinity
+    dirty(1) = Double.NegativeInfinity
+    (2 until 202).foreach(i => dirty(i) = Double.NaN)
+    val r = Fitter.fit(spark, toDf(dirty), Seq("value"),
+      distributions = Some(Seq("norm", "expon")))
+    val best = r.best(1, "aic").head()
+    assert(best.getAs[String]("distribution") == "norm")
+    assert(java.lang.Double.isFinite(best.getAs[Double]("aic")),
+      "inf leaked into the fit statistics")
+    assert(math.abs(best.getSeq[Double](best.fieldIndex("parameters")).head - 50.0) < 2.0)
+    // all-invalid continuous column: empty results, schema intact
+    val allBad = Fitter.fit(spark, toDf(Array.fill(50)(Double.NaN)),
+      Seq("value"), distributions = Some(Seq("norm")))
+    assert(allBad.count == 0L)
+    assert(allBad.df.columns.contains("distribution") &&
+      allBad.df.columns.contains("aic"), "empty results lost the schema")
+    assert(allBad.best(1, "aic").isEmpty)
+    // multi-column with one invalid member: the valid column still fits
+    val spark2 = spark
+    import spark2.implicits._
+    val mixed = base.map(v => (v, Double.NaN)).toSeq.toDF("good", "bad")
+    val rMixed = Fitter.fit(spark, mixed, Seq("good", "bad"),
+      distributions = Some(Seq("norm")))
+    assert(rMixed.df.select("column_name").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("good"))
+    // discrete: NaN must NOT become 0 in the PMF (double→long cast trap)
+    val pois = Array.fill(1000)(3L) ++ Array.fill(1000)(5L)
+    val dDirty = pois.map(_.toDouble) ++ Array.fill(500)(Double.NaN)
+    val dr = Fitter.fitDiscrete(spark, dDirty.toSeq.toDF("value"), "value",
+      distributions = Some(Seq("poisson")))
+    val mean = dr.df.head().getSeq[Double](
+      dr.df.head().fieldIndex("parameters")).head
+    assert(math.abs(mean - 4.0) < 0.1,
+      s"poisson MLE $mean — NaN rows leaked into the PMF as zeros")
+    // all-invalid discrete column: empty with schema
+    val dBad = Fitter.fitDiscrete(spark,
+      Array.fill(50)(Double.NaN).toSeq.toDF("value"), "value",
+      distributions = Some(Seq("poisson")))
+    assert(dBad.count == 0L && dBad.df.columns.contains("distribution"))
+  }
+
   test("end-to-end fit: normal(50,10) ranks norm best by AIC with recovered params") {
     val df = toDf(sample(ContinuousFamilies.Norm, Array(50.0, 10.0), 10000))
     val results = Fitter.fit(spark, df, Seq("value"))
