@@ -58,8 +58,14 @@ final class GaussianCopula(
   }
 
   /** Distributed sampling: one row per sample, one column per marginal. */
+  /** `returnUniform` skips the marginal ppf transform and emits the
+    * correlated uniforms themselves (reference: copula.py:255-356) — the
+    * cheap form when a caller feeds its own quantile functions, and the
+    * one that keeps rank correlation exactly (ppf is monotone, so both
+    * forms share the Spearman structure). */
   def sampleDistributed(spark: SparkSession, n: Long, seed: Long = 42L,
-                        numPartitions: Int = 0): DataFrame = {
+                        numPartitions: Int = 0,
+                        returnUniform: Boolean = false): DataFrame = {
     val parts = if (numPartitions > 0) numPartitions
                 else spark.sparkContext.defaultParallelism
     val counts = Sampling.partitionCounts(n, parts)
@@ -71,8 +77,9 @@ final class GaussianCopula(
       org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.DoubleType)))
     // quantile tables built ONCE driver-side (~64 KB each), shipped in
     // the closure — per-partition construction would redo the exact-ppf
-    // grid on every task
-    val ppfs = margs.map(GaussianCopula.marginalPpf)
+    // grid on every task. Not built at all on the uniform path.
+    val ppfs = if (returnUniform) Array.empty[Double => Double]
+               else margs.map(GaussianCopula.marginalPpf)
     val rows = spark.range(0, parts, 1, parts).rdd.mapPartitions { _ =>
       val pid = TaskContext.getPartitionId()
       val rng = new java.util.SplittableRandom(seed + pid)
@@ -84,7 +91,8 @@ final class GaussianCopula(
           var s = 0.0
           var j = 0
           while (j <= i) { s += l(i)(j) * z(j); j += 1 }
-          out(i) = ppfs(i)(SM.normCdf(s))
+          val u = SM.normCdf(s)
+          out(i) = if (returnUniform) u else ppfs(i)(u)
           i += 1
         }
         Row.fromSeq(out.toSeq)

