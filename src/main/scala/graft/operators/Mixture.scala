@@ -170,6 +170,34 @@ object Mixture {
     df.withColumn(llCol, ll).withColumn(assignCol, assign)
   }
 
+  /** Per-component posterior responsibilities p(c | x) — the reference's
+    * `predict_proba` (mixture.py responsibilities) as pure codegen'd
+    * columns: softmax of the per-component joint log densities via the
+    * same max-factored logsumexp as [[score]]. Emits `probaPrefix{c}`
+    * columns that sum to 1 per row. */
+  def scoreProba(df: DataFrame, columns: Seq[String], weights: Array[Double],
+                 means: Array[Array[Double]], variances: Array[Array[Double]],
+                 probaPrefix: String = "p_"): DataFrame = {
+    val k = weights.length
+    require(k >= 1 && means.length == k && variances.length == k,
+      "weights/means/variances must agree on k")
+    val compLl: Seq[org.apache.spark.sql.Column] = (0 until k).map { c =>
+      val terms = columns.indices.map { i =>
+        val x = F.col(columns(i)).cast("double")
+        val mu = means(c)(i)
+        val v = variances(c)(i)
+        (x - F.lit(mu)) * (x - F.lit(mu)) / F.lit(-2.0 * v) -
+          F.lit(0.5 * math.log(2.0 * math.Pi * v))
+      }
+      terms.reduce(_ + _) + F.lit(math.log(weights(c)))
+    }
+    val mx = compLl.reduce((a, b) => F.greatest(a, b))
+    val denom = compLl.map(l => F.exp(l - mx)).reduce(_ + _)
+    compLl.zipWithIndex.foldLeft(df) { case (acc, (l, c)) =>
+      acc.withColumn(s"$probaPrefix$c", F.exp(l - mx) / denom)
+    }
+  }
+
   /** Flat per-component report DataFrame (component, weight, means, diag
     * variances) — the query surface for the harness. */
   def report(spark: org.apache.spark.sql.SparkSession, r: GaussianMixtureResult): DataFrame = {

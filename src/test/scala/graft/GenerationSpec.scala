@@ -153,6 +153,28 @@ class GenerationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Mixture.freeParams(2, 1) == 5)
   }
 
+  test("GMM responsibilities: in [0,1], sum to 1, consistent with hard assign") {
+    import spark.implicits._
+    val w = Array(0.4, 0.6)
+    val mu = Array(Array(0.0), Array(5.0))
+    val vv = Array(Array(1.0), Array(1.0))
+    val pts = Seq(-0.5, 0.2, 2.5, 4.8, 6.0).toDF("v")
+    val both = Mixture.scoreProba(
+      Mixture.score(pts, Seq("v"), w, mu, vv), Seq("v"), w, mu, vv)
+    val rows = both.select("v", "component", "p_0", "p_1").collect()
+    for (r <- rows) {
+      val (p0, p1) = (r.getDouble(2), r.getDouble(3))
+      assert(p0 >= 0 && p0 <= 1 && p1 >= 0 && p1 <= 1)
+      assert(math.abs(p0 + p1 - 1.0) < 1e-12, s"p0+p1=${p0 + p1}")
+      // hard assignment is the posterior argmax
+      val argmax = if (p0 >= p1) 0 else 1
+      assert(r.getInt(1) == argmax, s"v=${r.getDouble(0)}: $r")
+    }
+    // far from both means in either direction, posteriors saturate
+    val m = rows.map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    assert(m(-0.5) > 0.99 && m(6.0) < 0.01)
+  }
+
   test("GMM nInit restarts keep the best-likelihood run") {
     import spark.implicits._
     val rng = new java.util.Random(23L)
