@@ -840,6 +840,35 @@ object SparkEntry {
           F.col("id_b"), F.col("cosine"))
         .orderBy("id_a", "id_b")
     }),
+    "q_knn_join" -> ((s, dir) => {
+      // batched k-NN join, production shape: trained quantizer, 4-probe
+      // pruned search for every query at once (rows-only — the _fixed
+      // twin below hash-checks the machinery exhaustively)
+      val idx = Similarity.ivfBuild(emb(s, dir), "embedding", "vec_id",
+        nCells = 8)
+      Similarity.ivfKnnJoin(idx, emb(s, dir).where(F.col("vec_id") < 50),
+          "embedding", "vec_id", k = 5, nProbe = 4)
+        .orderBy("q_id", "rank")
+    }),
+    "q_knn_join_fixed" -> ((s, dir) => {
+      // the deterministic twin: pinned centroids + exhaustive probing =
+      // per-query brute force through the full join machinery; DuckDB
+      // replays normalize → pairwise dot → per-query rank
+      val ctrs = emb(s, dir).where(F.col("vec_id") < 8)
+        .select(F.col("vec_id"), F.col("embedding")).collect()
+        .sortBy(_.getLong(0))
+        .map { r =>
+          val e = r.getSeq[Float](1).toArray
+          var ss = 0.0
+          e.foreach(x => ss += x.toDouble * x.toDouble)
+          val n = math.sqrt(ss)
+          e.map(_.toDouble / n)
+        }
+      val idx = Similarity.ivfBuildWith(emb(s, dir), "embedding", "vec_id", ctrs)
+      Similarity.ivfKnnJoin(idx, emb(s, dir).where(F.col("vec_id") < 20),
+          "embedding", "vec_id", k = 5, nProbe = ctrs.length)
+        .orderBy("q_id", "rank")
+    }),
     "q_ann_ivf" -> ((s, dir) => {
       // IVF coarse-quantizer ANN: build index, probe 8 cells, exact rank
       val q = emb(s, dir).where(F.col("vec_id") === 0)
@@ -2744,6 +2773,25 @@ object SparkEntry {
         |        THEN 1.0 / 104100.0 ELSE 0.0 END, 9) AS unif_pdf,
         |  round((l_extendedprice - 900.0) / 104100.0, 6) AS unit_q
         |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 50""".stripMargin,
+    // exhaustive-probe k-NN join IS per-query brute force: normalize,
+    // all-pairs dot, rank per query with the same (cosine desc, c_id)
+    // tie-break — rounding to 6 happens BEFORE ranking on both sides
+    "q_knn_join_fixed" ->
+      """WITH nrm AS (SELECT vec_id, list_transform(range(64), d ->
+        |    CAST(embedding[d+1] AS DOUBLE) / sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) *
+        |        CAST(embedding[i+1] AS DOUBLE))), (a, c) -> a + c))) AS ne
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, ne AS qe FROM nrm WHERE vec_id < 20),
+        |p AS (SELECT q.q_id, n.vec_id AS c_id,
+        |    round_even(list_reduce(list_prepend(0.0, list_transform(range(64),
+        |      d -> q.qe[d+1] * n.ne[d+1])), (x, y) -> x + y)
+        |      * 1000000.0, 0) / 1000000.0 AS cosine
+        |  FROM q CROSS JOIN nrm n),
+        |r AS (SELECT q_id, c_id, cosine, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cosine DESC, c_id) AS rk FROM p)
+        |SELECT q_id, c_id, cosine, CAST(rk AS BIGINT) AS rank
+        |FROM r WHERE rk <= 5 ORDER BY q_id, rank""".stripMargin,
     // SemDeDup with pinned centroids: normalize → argmin-assign (lowest
     // cid wins ties, mirroring the strict-< scan) → within-cell pairwise
     // dot, every step the same left-to-right double arithmetic

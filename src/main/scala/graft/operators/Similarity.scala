@@ -212,6 +212,13 @@ object Similarity {
     IvfIndex(centroids, assignCells(normalized, centroids))
   }
 
+  /** IVF index with caller-pinned centroids — the deterministic twin of
+    * [[ivfBuild]] (no sampled k-means), used by frozen-cell incremental
+    * pipelines and the hash-audit harness. */
+  def ivfBuildWith(df: DataFrame, embCol: String, idCol: String,
+                   centroids: Array[Array[Double]]): IvfIndex =
+    IvfIndex(centroids, assignCells(normalizedOf(df, embCol, idCol), centroids))
+
   /** Incrementally extend an IVF index with a NEW vector batch without
     * retraining: centroids stay frozen (past assignments and probe
     * behavior are untouched), the batch gets one distributed scoring
@@ -503,6 +510,53 @@ object Similarity {
       .select(F.explode(pairUdf(F.col("members"))).as("p"))
       .select(F.col("p._1").as("id_a"), F.col("p._2").as("id_b"),
         F.col("p._3").as("cosine"))
+  }
+
+  /** Batched k-NN JOIN: the top-k corpus neighbors of EVERY query row in
+    * one plan — the retrieval-eval / cross-corpus-linkage shape, where
+    * per-query [[ivfTopK]] calls would launch Q jobs. Each query probes
+    * its `nProbe` nearest cells (a map-side explode against the
+    * broadcast centroids), the probe table hash-joins the cell-assigned
+    * corpus, and per-query ranking is a window the optimizer rewrites to
+    * WindowGroupLimit (top-k pushed below the shuffle). A corpus vector
+    * lives in exactly one cell, so multiprobe never duplicates a
+    * candidate pair. `nProbe >= nCells` makes the join exhaustive —
+    * exact brute-force semantics through the full IVF machinery, the
+    * deterministic form the oracle replays.
+    *
+    * @return (q_id, c_id, cosine, rank) with rank 1..k per query */
+  def ivfKnnJoin(index: IvfIndex, queries: DataFrame, embCol: String,
+                 idCol: String, k: Int, nProbe: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && nProbe >= 1, "k and nProbe must be positive")
+    val bc = queries.sparkSession.sparkContext.broadcast(index.centroids)
+    val np = math.min(nProbe, index.centroids.length)
+    val probeUdf = F.udf((v: Seq[Double]) => {
+      val cs = bc.value
+      val ds = new Array[Double](cs.length)
+      var c = 0
+      while (c < cs.length) {
+        val ctr = cs(c)
+        var d = 0.0; var j = 0
+        val m = math.min(ctr.length, v.length)
+        while (j < m) { val t = v(j) - ctr(j); d += t * t; j += 1 }
+        ds(c) = d
+        c += 1
+      }
+      ds.zipWithIndex.sortBy { case (d, i) => (d, i) }.take(np).map(_._2)
+    })
+    val probed = normalizedOf(queries, embCol, idCol)
+      .select(F.col("id").as("q_id"), F.col("emb").as("q_emb"),
+        F.explode(probeUdf(F.col("emb"))).as("cell"))
+    val scored = probed
+      .join(index.assigned.select(F.col("id").as("c_id"),
+        F.col("emb").as("c_emb"), F.col("cell")), Seq("cell"))
+      .select(F.col("q_id"), F.col("c_id"),
+        F.round(dot(F.col("q_emb"), F.col("c_emb")), 6).as("cosine"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(F.col("cosine").desc, F.col("c_id").asc)
+    scored.withColumn("rank", F.row_number().over(w).cast("long"))
+      .where(F.col("rank") <= k)
   }
 
   // ---- semantic dedup (SemDeDup) ----

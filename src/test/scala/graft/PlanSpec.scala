@@ -204,6 +204,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan.contains("theta_sketch_agg"), plan.take(800))
   }
 
+  test("k-NN join pushes the per-query top-k below the shuffle (WindowGroupLimit)") {
+    val plan = physicalPlan("q_knn_join_fixed")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k must rewrite to WindowGroupLimit:\n${plan.take(900)}")
+  }
+
   test("q_gmm_score is pure codegen'd arithmetic: no UDF, no pre-agg shuffle") {
     val plan = physicalPlan("q_gmm_score").replaceAll("\\s+", " ")
     // the scoring columns (logsumexp + argmax CASE ladder) must live in
