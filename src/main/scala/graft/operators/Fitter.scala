@@ -613,11 +613,18 @@ object Fitter {
                        cfg: FitConfig = FitConfig()): FitResults = {
     import spark.implicits._
     require(columns.nonEmpty, "at least one column required")
-    // route through double so NaN/±Inf become null BEFORE the long cast
-    // (a bare double→long cast turns NaN into 0 and would silently
-    // inject spurious zeros into the PMF)
+    // floating columns route through double so NaN/±Inf become null
+    // BEFORE the long cast (a bare double→long cast turns NaN into 0 and
+    // would silently inject spurious zeros into the PMF); integral
+    // columns cast directly — no NaN possible, and the double hop would
+    // corrupt values above 2^53
     val cleaned = df.select(columns.map { c =>
-      finiteOrNull(F.col(c).cast("double")).cast("long").as(c)
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType =>
+          finiteOrNull(F.col(c).cast("double")).cast("long").as(c)
+        case _ => F.col(c).cast("long").as(c)
+      }
     }: _*)
 
     // per-column PMFs from one exploded (columnIndex, value) shuffle —

@@ -191,11 +191,18 @@ object Mixture {
       }
       terms.reduce(_ + _) + F.lit(math.log(weights(c)))
     }
-    val mx = compLl.reduce((a, b) => F.greatest(a, b))
-    val denom = compLl.map(l => F.exp(l - mx)).reduce(_ + _)
-    compLl.zipWithIndex.foldLeft(df) { case (acc, (l, c)) =>
-      acc.withColumn(s"$probaPrefix$c", F.exp(l - mx) / denom)
-    }
+    // materialize the shared max and denominator ONCE — inlining them
+    // into every p_c column would duplicate all k component-LL trees per
+    // output column (O(k²·d) expression nodes at analysis/codegen time)
+    val mxE = compLl.reduce((a, b) => F.greatest(a, b))
+    val withShared = df
+      .withColumn("__gmm_mx", mxE)
+      .withColumn("__gmm_denom",
+        compLl.map(l => F.exp(l - F.col("__gmm_mx"))).reduce(_ + _))
+    compLl.zipWithIndex.foldLeft(withShared) { case (acc, (l, c)) =>
+      acc.withColumn(s"$probaPrefix$c",
+        F.exp(l - F.col("__gmm_mx")) / F.col("__gmm_denom"))
+    }.drop("__gmm_mx", "__gmm_denom")
   }
 
   /** Flat per-component report DataFrame (component, weight, means, diag

@@ -552,7 +552,9 @@ object Similarity {
       .join(index.assigned.select(F.col("id").as("c_id"),
         F.col("emb").as("c_emb"), F.col("cell")), Seq("cell"))
       .select(F.col("q_id"), F.col("c_id"),
-        F.round(dot(F.col("q_emb"), F.col("c_emb")), 6).as("cosine"))
+        // rint (half-even) to pair with the oracle's round_even — the
+        // repo's convention for rounding BEFORE a rank comparison
+        (F.rint(dot(F.col("q_emb"), F.col("c_emb")) * 1e6) / 1e6).as("cosine"))
     val w = Window.partitionBy("q_id")
       .orderBy(F.col("cosine").desc, F.col("c_id").asc)
     scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -625,8 +627,8 @@ object Similarity {
     * lives). */
   def semDedupSurvivors(df: DataFrame, embCol: String, idCol: String,
                         threshold: Double = 0.95, nCells: Int = 0,
-                        seed: Long = 42L): DataFrame = {
-    val drop = semDedupPairs(df, embCol, idCol, threshold, nCells, seed)
+                        seed: Long = 42L, maxCell: Int = 10000): DataFrame = {
+    val drop = semDedupPairs(df, embCol, idCol, threshold, nCells, seed, maxCell)
       .select(F.col("id_b").as(idCol)).distinct()
     df.join(drop, Seq(idCol), "left_anti")
   }

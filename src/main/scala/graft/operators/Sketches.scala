@@ -86,6 +86,11 @@ object Sketches {
     val r = df.where(v.isNotNull).agg(aggs.head, aggs.tail: _*).head()
     val spark = df.sparkSession
     import spark.implicits._
+    // no non-null rows: empty result with the full schema (ranks over an
+    // empty population are undefined, not an NPE)
+    if (r.isNullAt(0))
+      return Seq.empty[(Double, Double, Boolean)]
+        .toDF("probe", "exact_rank", "within_eps")
     probes.zipWithIndex.map { case (p, i) =>
       val exact = r.getDouble(i)
       val est = sk.getRank(p)
@@ -180,8 +185,10 @@ object Sketches {
         .as("__sk"))
     val a = sk.select(F.col("cohort").as("cohort_a"), F.col("__sk").as("__ska"))
     val b = sk.select(F.col("cohort").as("cohort_b"), F.col("__sk").as("__skb"))
+    // round (not truncate) the estimate so the estimation regime agrees
+    // with the driver path's math.round; identity in the exact regime
     def est(c: Column): Column =
-      F.call_function("theta_sketch_estimate", c).cast("long")
+      F.round(F.call_function("theta_sketch_estimate", c)).cast("long")
     val na = est(F.col("__ska"))
     val nb = est(F.col("__skb"))
     val common = est(

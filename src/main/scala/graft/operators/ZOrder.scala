@@ -55,9 +55,12 @@ object ZOrder {
       Seq(F.min(F.col(c).cast("double")).as(s"__mn_$c"),
         F.max(F.col(c).cast("double")).as(s"__mx_$c")))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
+    // empty input / all-null column: null bounds degrade to the (0,0)
+    // degenerate range, so every row (if any) lands in cell 0 — no NPE
     val cells = cols.zipWithIndex.map { case (c, i) =>
-      cell(F.col(c).cast("double"),
-        F.lit(r.getDouble(2 * i)), F.lit(r.getDouble(2 * i + 1)), bits)
+      val mn = if (r.isNullAt(2 * i)) 0.0 else r.getDouble(2 * i)
+      val mx = if (r.isNullAt(2 * i + 1)) 0.0 else r.getDouble(2 * i + 1)
+      cell(F.col(c).cast("double"), F.lit(mn), F.lit(mx), bits)
     }
     val out = df.withColumn("z_value", zValue(cells, bits))
     val parts =

@@ -992,6 +992,9 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       f"avg per-partition extent x=$ex%.2f y=$ey%.2f — boxes did not shrink")
     // nothing lost in the shuffle
     assert(clustered.count() == 10000L)
+    // empty input: degenerate bounds, zero rows, no NPE
+    assert(operators.ZOrder.clusterByZ(grid.limit(0), Seq("x", "y"), 4, 2)
+      .count() == 0L)
   }
 
   test("weightedHashSample: inclusion tracks weight, heavy rows always kept") {
@@ -1034,6 +1037,10 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val x = sk.getQuantile(q)
       assert(math.abs(x / 100000 - q) < 0.01, s"quantile($q) = $x")
     }
+    // all-null input: empty result with schema, not an NPE
+    val empty = operators.Sketches.kllRankCheck(
+      Seq[Option[Double]](None, None).toDF("v"), "v", Seq(0.5))
+    assert(empty.count() == 0 && empty.columns.contains("exact_rank"))
     val chk = operators.Sketches.kllRankCheck(df, "v",
       Seq(25000.0, 50000.0, 75000.0)).collect()
     assert(chk.forall(_.getAs[Boolean]("within_eps")),
