@@ -432,7 +432,8 @@ object Dedup {
     * after MinHash/SimHash candidate generation (reference surfaces only
     * pairwise duplicates; clustering is the scale-out completion). */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 50, numPartitions: Int = 0): DataFrame = {
+                          maxIter: Int = 50, numPartitions: Int = 0,
+                          localThreshold: Long = 1000000L): DataFrame = {
     // the candidate-pair graph is orders of magnitude smaller than the
     // corpus (pairs survive banding + caps), so the session's
     // corpus-sized shuffle-partition count overpays per round; a
@@ -444,12 +445,33 @@ object Dedup {
     val confKey = "spark.sql.shuffle.partitions"
     val prevParts = spark.conf.get(confKey)
     if (numPartitions > 0) spark.conf.set(confKey, numPartitions)
-    try connectedComponentsImpl(edges, aCol, bCol, maxIter)
+    try connectedComponentsImpl(edges, aCol, bCol, maxIter, localThreshold)
     finally if (numPartitions > 0) spark.conf.set(confKey, prevParts)
   }
 
+  /** Driver union-find over a collected edge array — the small-graph
+    * fast path. Union-by-minimum root, so every component's label is its
+    * minimum node id: identical output contract to the star rounds. */
+  private def localComponents(arr: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    arr.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    arr.iterator.flatMap(p => Iterator(p._1, p._2)).toArray.distinct
+      .map(i => (i, find(i)))
+  }
+
   private def connectedComponentsImpl(edges: DataFrame, aCol: String,
-                                      bCol: String, maxIter: Int): DataFrame = {
+                                      bCol: String, maxIter: Int,
+                                      localThreshold: Long = 0L): DataFrame = {
     val u = F.col("u"); val v = F.col("v")
     // canonical orientation (u > v), self-loops dropped
     var e = edges
@@ -472,6 +494,20 @@ object Dedup {
       else (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     }
     var fpE = fingerprint(e)
+    // small-graph fast path: candidate-pair graphs survive banding and
+    // bucket caps, so they are normally orders of magnitude smaller than
+    // the corpus. Below the threshold (16 B/edge — 1M edges is 16 MB on
+    // the driver) a one-pass union-find replaces O(log² n) rounds of
+    // star shuffles; the output contract (component = min id) is
+    // identical, asserted equal in OpsSpec. The distributed rounds
+    // below remain the path for genuinely huge edge lists.
+    if (fpE._1 > 0L && fpE._1 <= localThreshold) {
+      val spark = e.sparkSession
+      import spark.implicits._
+      val arr = e.select("u", "v").as[(Long, Long)].collect()
+      e.unpersist()
+      return localComponents(arr).toSeq.toDF("id", "component")
+    }
     var converged = fpE._1 == 0L
     var it = 0
     while (!converged && it < maxIter) {

@@ -185,6 +185,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // empty edge list: no rows, no crash
     assert(Dedup.connectedComponents(
       Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b").count() == 0)
+    // the distributed star rounds (localThreshold=0 disables the
+    // union-find fast path) produce the identical labeling
+    val ccDist = Dedup.connectedComponents(edges, "id_a", "id_b",
+        localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccDist == cc, "fast path and star rounds disagree")
+    // and on a random graph with larger components
+    val rng = new java.util.Random(31L)
+    val rand = Seq.fill(400)((rng.nextInt(120).toLong, rng.nextInt(120).toLong))
+      .toDF("id_a", "id_b")
+    val a = Dedup.connectedComponents(rand, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.connectedComponents(rand, "id_a", "id_b", localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "fast path and star rounds disagree on the random graph")
   }
 
   test("shingle-share pairs: overlap found, stop-shingle cap enforced") {
