@@ -1322,6 +1322,12 @@ object SparkEntry {
         .agg(F.count(F.lit(1)).as("n_docs"), F.sum("doc_id").as("id_sum"))
         .orderBy("lang")
     }),
+    "q_corpus_report" -> ((s, dir) =>
+      // per-language corpus data card, hash-checked: volumes, dup
+      // pressure (distinct digests), and the quality profile from ONE
+      // scan + one groupBy — the before/after summary of a curation
+      // stage
+      TextOps.corpusReport(docs(s, dir), "text", "lang")),
     "q_weighted_sample" -> ((s, dir) =>
       // length-proportional Bernoulli sample, hash-checked: inclusion
       // p_i = min(1, f·N·wᵢ/W) over md5 buckets makes the surviving row
@@ -2253,6 +2259,37 @@ object SparkEntry {
         |SELECT b.lang, count(*) AS n_docs, CAST(sum(b.doc_id) AS BIGINT) AS id_sum
         |FROM b JOIN t ON b.lang = t.lang WHERE b.bucket < t.thr
         |GROUP BY b.lang ORDER BY b.lang""".stripMargin,
+    // the per-doc quality score is the q_doc_quality replay; integer
+    // volumes are exact, the two averages are rounded post-agg
+    "q_corpus_report" ->
+      """WITH f AS (
+        |  SELECT lang, text,
+        |    length(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |    length(text) AS n_chars,
+        |    CASE WHEN length(regexp_extract_all(text, '\S+')) > 0
+        |      THEN round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / length(regexp_extract_all(text, '\S+')), 6)
+        |      ELSE 0.0 END AS mean_token_len,
+        |    CASE WHEN length(regexp_extract_all(lower(text), '[a-z]+')) > 0
+        |      THEN round(CAST(length(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS DOUBLE) / length(regexp_extract_all(lower(text), '[a-z]+')), 6)
+        |      ELSE 0.0 END AS type_token_ratio,
+        |    CASE WHEN length(text) > 0
+        |      THEN round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 6)
+        |      ELSE 0.0 END AS punct_ratio
+        |  FROM documents),
+        |q AS (SELECT lang, text, n_tokens, n_chars,
+        |  round(least(n_tokens / 50.0, 1.0) * 0.4 + type_token_ratio * 0.3 +
+        |    (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2 +
+        |    least(mean_token_len / 8.0, 1.0) * 0.1, 6) AS quality_score
+        |  FROM f)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  count(DISTINCT md5(text)) AS n_unique_texts,
+        |  round(avg(quality_score), 6) AS avg_quality,
+        |  round(avg(CAST(n_tokens AS DOUBLE)), 2) AS avg_tokens,
+        |  CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+        |  CAST(max(n_tokens) AS BIGINT) AS max_tokens
+        |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
     // threshold arithmetic replayed in the same order: ((f·N)/W)·w·2^20,
     // with W and N exact integer sums cast to double
     "q_weighted_sample" ->

@@ -62,6 +62,28 @@ object TextOps {
       F.least(F.col("mean_token_len") / 8.0, F.lit(1.0)) * 0.1, 6))
   }
 
+  /** Per-cohort corpus data card — the one-call summary a training-data
+    * curation pass reports before/after each filter stage: doc and
+    * char/token volumes, exact-dup pressure (distinct md5 digests vs row
+    * count), and the quality-score profile. One scan computes every
+    * per-row feature codegen'd, then a single groupBy aggregates; the
+    * distinct count shuffles 16-byte digests, never text. */
+  def corpusReport(df: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val scored = qualityScore(df, textCol)
+    scored.groupBy(F.col(groupCol))
+      .agg(
+        F.count(F.lit(1)).as("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).as("total_chars"),
+        F.sum(F.col("n_tokens").cast("long")).as("total_tokens"),
+        F.count_distinct(F.md5(F.col(textCol).cast("binary")))
+          .as("n_unique_texts"),
+        F.round(F.avg("quality_score"), 6).as("avg_quality"),
+        F.round(F.avg(F.col("n_tokens").cast("double")), 2).as("avg_tokens"),
+        F.min("n_tokens").cast("long").as("min_tokens"),
+        F.max("n_tokens").cast("long").as("max_tokens"))
+      .orderBy(groupCol)
+  }
+
   // --- language identification (executor-local heuristic) ---
 
   /** Tiny per-language marker-word + script profiles. Real corpora would
