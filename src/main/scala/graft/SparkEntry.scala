@@ -1322,6 +1322,19 @@ object SparkEntry {
         .agg(F.count(F.lit(1)).as("n_docs"), F.sum("doc_id").as("id_sum"))
         .orderBy("lang")
     }),
+    "q_ntile_buckets" -> ((s, dir) =>
+      // tie-stable quantile binning on a heavily-tied column
+      // (l_quantity: 50 distinct values), hash-checked: same-value rows
+      // must share a bucket — the property NTILE lacks — and the DuckDB
+      // rank() replay pins every assignment
+      Ranks.quantileBuckets(
+          li(s, dir).where(F.col("l_orderkey") < 200)
+            .select(F.col("l_orderkey"), F.col("l_linenumber").cast("long")
+              .as("l_linenumber"), F.col("l_quantity")),
+          "l_quantity", k = 5)
+        .select(F.col("l_orderkey"), F.col("l_linenumber"),
+          F.col("l_quantity").cast("long").as("l_quantity"), F.col("bucket"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")),
     "q_corpus_report" -> ((s, dir) =>
       // per-language corpus data card, hash-checked: volumes, dup
       // pressure (distinct digests), and the quality profile from ONE
@@ -2259,6 +2272,20 @@ object SparkEntry {
         |SELECT b.lang, count(*) AS n_docs, CAST(sum(b.doc_id) AS BIGINT) AS id_sum
         |FROM b JOIN t ON b.lang = t.lang WHERE b.bucket < t.thr
         |GROUP BY b.lang ORDER BY b.lang""".stripMargin,
+    // min-rank NTILE replay: rank() is 1 + count(smaller) in both
+    // engines; the bucket arithmetic runs in doubles with the same shape
+    "q_ntile_buckets" ->
+      """WITH s AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(l_quantity AS DOUBLE) AS qv
+        |  FROM lineitem WHERE l_orderkey < 200),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s
+        |  WHERE qv IS NOT NULL AND NOT isnan(qv)),
+        |r AS (SELECT l_orderkey, l_linenumber, qv,
+        |  rank() OVER (ORDER BY qv) AS rk FROM s)
+        |SELECT l_orderkey, l_linenumber, CAST(qv AS BIGINT) AS l_quantity,
+        |  CAST(floor((CAST(rk AS DOUBLE) - 1) * 5 / n.n) + 1 AS BIGINT)
+        |    AS bucket
+        |FROM r, n ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
     // the per-doc quality score is the q_doc_quality replay; integer
     // volumes are exact, the two averages are rounded post-agg
     "q_corpus_report" ->

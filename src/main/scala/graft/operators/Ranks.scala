@@ -52,6 +52,27 @@ object Ranks {
     pinned
   }
 
+  /** Quantile buckets 1..k over a column — the curriculum/pacing binning
+    * step ("train on quality deciles") in deterministic, tie-stable
+    * form: every row with the same value lands in the same bucket
+    * (bucket = floor((minrank−1)·k/n)+1), unlike SQL NTILE whose
+    * within-tie assignment is arbitrary order. Scale shape: the
+    * [[minRanks]] prefix-sum construction (distinct values only, no
+    * global window) plus one value join back — rows with null/NaN get a
+    * null bucket. */
+  def quantileBuckets(df: DataFrame, column: String, k: Int,
+                      bucketCol: String = "bucket"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val v = F.col(column).cast("double")
+    val n = df.where(v.isNotNull && !F.isnan(v)).count()
+    if (n == 0L) return df.withColumn(bucketCol, F.lit(null).cast("long"))
+    val ranks = minRanks(df, column, "__rk").withColumnRenamed(column, "__v")
+    df.join(ranks, v === F.col("__v"), "left")
+      .withColumn(bucketCol,
+        (F.floor((F.col("__rk") - 1) * k / n) + 1).cast("long"))
+      .drop("__v", "__rk")
+  }
+
   /** Spearman rank correlation of two columns with SQL rank() (min-rank)
     * tie semantics — Pearson correlation over joined rank tables. The
     * result is computed eagerly so the rank tables' cache lifecycle ends

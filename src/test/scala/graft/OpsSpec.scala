@@ -1012,6 +1012,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 0L)
   }
 
+  test("quantileBuckets: tie-stable deciles, full coverage, empty input") {
+    import spark.implicits._
+    // 1000 rows over 10 heavily-tied values: each value = one decile
+    val df = (0 until 1000).map(i => (i.toLong, (i % 10).toDouble))
+      .toDF("id", "v").repartition(7)
+    val b = operators.Ranks.quantileBuckets(df, "v", 10)
+      .select("v", "bucket").as[(Double, Long)].collect()
+    // same value → same bucket (the property NTILE lacks), buckets 1..10
+    val byVal = b.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byVal.values.forall(_.size == 1), "tied values split across buckets")
+    assert(byVal.toSeq.sortBy(_._1).map(_._2.head) == (1L to 10L),
+      s"bucket assignment ${byVal.toSeq.sortBy(_._1)}")
+    // empty / all-null: null buckets, no crash
+    val e = operators.Ranks.quantileBuckets(
+      Seq.empty[(Long, Double)].toDF("id", "v"), "v", 4)
+    assert(e.count() == 0 && e.columns.contains("bucket"))
+  }
+
   test("weightedHashSample: inclusion tracks weight, heavy rows always kept") {
     import spark.implicits._
     val df = (1 to 20000).map(i => (i.toLong, ((i % 100) + 1).toLong))
