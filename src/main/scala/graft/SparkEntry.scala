@@ -1322,6 +1322,18 @@ object SparkEntry {
         .agg(F.count(F.lit(1)).as("n_docs"), F.sum("doc_id").as("id_sum"))
         .orderBy("lang")
     }),
+    "q_data_quality" -> ((s, dir) =>
+      // declarative contract validation (the Deequ shape) in ONE shared
+      // aggregate scan, hash-checked: null/range/uniqueness/accepted-
+      // values/regex rules compile to conditional counts — the range
+      // rule is deliberately tight so the report carries real failures
+      Validation.check(docs(s, dir), Seq(
+          Validation.NotNull("text"),
+          Validation.Unique("doc_id"),
+          Validation.AcceptedValues("lang", Seq("en", "de", "es", "fr", "zh")),
+          Validation.InRange("n_chars", 100.0, 500.0),
+          Validation.MatchesRegex("source", "src[0-9]+")))
+        .orderBy("column", "rule")),
     "q_ntile_buckets" -> ((s, dir) =>
       // tie-stable quantile binning on a heavily-tied column
       // (l_quantity: 50 distinct values), hash-checked: same-value rows
@@ -2272,6 +2284,30 @@ object SparkEntry {
         |SELECT b.lang, count(*) AS n_docs, CAST(sum(b.doc_id) AS BIGINT) AS id_sum
         |FROM b JOIN t ON b.lang = t.lang WHERE b.bucket < t.thr
         |GROUP BY b.lang ORDER BY b.lang""".stripMargin,
+    "q_data_quality" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |v AS (
+        |  SELECT 'text' AS "column", 'not_null' AS rule,
+        |    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS violations FROM documents
+        |  UNION ALL SELECT 'doc_id', 'unique',
+        |    CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT)
+        |    FROM documents
+        |  UNION ALL SELECT 'lang', 'accepted_values',
+        |    CAST(sum(CASE WHEN lang IS NOT NULL AND lang NOT IN
+        |      ('en','de','es','fr','zh') THEN 1 ELSE 0 END) AS BIGINT)
+        |    FROM documents
+        |  UNION ALL SELECT 'n_chars', 'in_range',
+        |    CAST(sum(CASE WHEN n_chars IS NOT NULL AND
+        |      (CAST(n_chars AS DOUBLE) < 100.0 OR CAST(n_chars AS DOUBLE) > 500.0)
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM documents
+        |  UNION ALL SELECT 'source', 'matches_regex',
+        |    CAST(sum(CASE WHEN source IS NOT NULL AND
+        |      NOT regexp_full_match(source, '(?:src[0-9]+)')
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM documents)
+        |SELECT v."column", v.rule, v.violations, n.n AS n_rows,
+        |  v.violations = 0 AS passed
+        |FROM v, n ORDER BY v."column", v.rule""".stripMargin,
     // min-rank NTILE replay: rank() is 1 + count(smaller) in both
     // engines; the bucket arithmetic runs in doubles with the same shape
     "q_ntile_buckets" ->

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/** Declarative data-quality constraints over a DataFrame — the
+  * contract-validation stage a production pipeline runs before
+  * publishing a table (the Deequ/Great-Expectations shape, re-expressed
+  * as one Spark plan). Every rule compiles to a conditional-count
+  * aggregate, so N rules cost ONE shared scan with map-side partials
+  * (uniqueness adds distinct counts to the same aggregate); nothing is
+  * collected but the k-row report.
+  */
+object Validation {
+
+  /** One constraint. `violations` counts the rows (or, for uniqueness,
+    * the surplus duplicates) breaking the rule. */
+  sealed trait Rule {
+    def column: String
+    def name: String
+    private[operators] def violations(df: DataFrame): Column
+  }
+
+  /** Column must be non-null (and non-NaN for floating columns — the
+    * NaN check is applied only to float/double types, because under
+    * ANSI mode a string→double cast would throw on non-numeric text). */
+  final case class NotNull(column: String) extends Rule {
+    val name = "not_null"
+    private[operators] def violations(df: DataFrame): Column = {
+      val c = F.col(column)
+      val bad = df.schema(column).dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType => c.isNull || F.isnan(c)
+        case _ => c.isNull
+      }
+      F.sum(F.when(bad, 1L).otherwise(0L))
+    }
+  }
+
+  /** Non-null, non-NaN values must lie in [lo, hi]. NaN is excluded
+    * explicitly — Spark comparisons order NaN above every value, which
+    * would double-report it here when [[NotNull]] already flags it. */
+  final case class InRange(column: String, lo: Double, hi: Double) extends Rule {
+    val name = "in_range"
+    private[operators] def violations(df: DataFrame): Column = {
+      val c = F.col(column).cast("double")
+      F.sum(F.when(c.isNotNull && !F.isnan(c) && (c < lo || c > hi), 1L)
+        .otherwise(0L))
+    }
+  }
+
+  /** Values must be unique: violations = n_non_null − n_distinct. */
+  final case class Unique(column: String) extends Rule {
+    val name = "unique"
+    private[operators] def violations(df: DataFrame): Column =
+      F.count(F.col(column)) - F.count_distinct(F.col(column))
+  }
+
+  /** Non-null values must be one of `allowed`. */
+  final case class AcceptedValues(column: String, allowed: Seq[String]) extends Rule {
+    val name = "accepted_values"
+    private[operators] def violations(df: DataFrame): Column = {
+      val c = F.col(column).cast("string")
+      F.sum(F.when(c.isNotNull &&
+        !c.isin(allowed.map(x => x: Any): _*), 1L).otherwise(0L))
+    }
+  }
+
+  /** Non-null values must fully match the regex (Java syntax; keep to
+    * the Java∩RE2 subset if an external engine must replay it). */
+  final case class MatchesRegex(column: String, pattern: String) extends Rule {
+    val name = "matches_regex"
+    private[operators] def violations(df: DataFrame): Column = {
+      val c = F.col(column).cast("string")
+      F.sum(F.when(c.isNotNull && !c.rlike("^(?:" + pattern + ")$"), 1L)
+        .otherwise(0L))
+    }
+  }
+
+  /** Run every rule in ONE aggregate pass. Returns the report:
+    * (column, rule, violations, n_rows, passed) — `passed` iff
+    * violations == 0. */
+  def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule required")
+    val aggs = F.count(F.lit(1)).as("__n") +:
+      rules.zipWithIndex.map { case (r, i) =>
+        F.coalesce(r.violations(df), F.lit(0L)).as(s"__v$i")
+      }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    rules.zipWithIndex.map { case (r, i) =>
+      val v = row.getLong(i + 1)
+      (r.column, r.name, v, n, v == 0L)
+    }.toDF("column", "rule", "violations", "n_rows", "passed")
+  }
+}

@@ -1012,6 +1012,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 0L)
   }
 
+  test("validation rules: each type counts its violations in one pass") {
+    import spark.implicits._
+    import operators.Validation._
+    val df = Seq(
+      (1L, Some(5.0), "en", "a1"),
+      (2L, Some(50.0), "en", "b2"),   // in_range violation (50 > 10)
+      (2L, Some(Double.NaN), "xx", "c3"), // dup id, NaN value, bad lang
+      (4L, None, "de", "nope")        // null value, regex violation
+    ).toDF("id", "v", "lang", "code")
+    val rep = check(df, Seq(
+        NotNull("v"), Unique("id"), InRange("v", 0.0, 10.0),
+        AcceptedValues("lang", Seq("en", "de")),
+        MatchesRegex("code", "[a-z][0-9]")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(4))).toMap
+    assert(rep(("v", "not_null")) == ((2L, false)))      // NaN + null
+    assert(rep(("id", "unique")) == ((1L, false)))       // one surplus dup
+    assert(rep(("v", "in_range")) == ((1L, false)))      // 50.0 only (NaN excluded)
+    assert(rep(("lang", "accepted_values")) == ((1L, false)))
+    assert(rep(("code", "matches_regex")) == ((1L, false)))
+    // a clean frame passes everything
+    val ok = check(Seq((1L, "x")).toDF("id", "s"),
+      Seq(NotNull("s"), Unique("id"))).collect()
+    assert(ok.forall(_.getBoolean(4)))
+  }
+
   test("quantileBuckets: tie-stable deciles, full coverage, empty input") {
     import spark.implicits._
     // 1000 rows over 10 heavily-tied values: each value = one decile
