@@ -1322,6 +1322,16 @@ object SparkEntry {
         .agg(F.count(F.lit(1)).as("n_docs"), F.sum("doc_id").as("id_sum"))
         .orderBy("lang")
     }),
+    "q_robust_outliers" -> ((s, dir) =>
+      // median/MAD robust z-scores, hash-checked end-to-end: both
+      // medians come from the exact rank-select construction with
+      // quantile_disc semantics, so DuckDB replays the scalars AND every
+      // per-row score; threshold 1.2 so the report carries real flags
+      Outliers.flag(events(s, dir), "value", threshold = 1.2)
+        .where(F.col("event_id") < 100)
+        .select(F.col("event_id"), F.round(F.col("value"), 2).as("value_r"),
+          F.col("robust_z"), F.col("is_outlier"))
+        .orderBy("event_id")),
     "q_data_quality" -> ((s, dir) =>
       // declarative contract validation (the Deequ shape) in ONE shared
       // aggregate scan, hash-checked: null/range/uniqueness/accepted-
@@ -2284,6 +2294,16 @@ object SparkEntry {
         |SELECT b.lang, count(*) AS n_docs, CAST(sum(b.doc_id) AS BIGINT) AS id_sum
         |FROM b JOIN t ON b.lang = t.lang WHERE b.bucket < t.thr
         |GROUP BY b.lang ORDER BY b.lang""".stripMargin,
+    "q_robust_outliers" ->
+      """WITH v AS (SELECT event_id, CAST(value AS DOUBLE) AS x FROM events),
+        |m AS (SELECT quantile_disc(x, 0.5) AS med FROM v
+        |  WHERE x IS NOT NULL AND NOT isnan(x)),
+        |d AS (SELECT quantile_disc(abs(x - m.med), 0.5) AS mad FROM v, m
+        |  WHERE x IS NOT NULL AND NOT isnan(x))
+        |SELECT event_id, round(x, 2) AS value_r,
+        |  round(abs(x - m.med) / (1.4826 * d.mad), 6) AS robust_z,
+        |  round(abs(x - m.med) / (1.4826 * d.mad), 6) > 1.2 AS is_outlier
+        |FROM v, m, d WHERE event_id < 100 ORDER BY event_id""".stripMargin,
     "q_data_quality" ->
       """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
         |v AS (

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+/** Robust outlier detection — median/MAD flagging, the data-cleaning
+  * stage that survives the outliers it hunts (mean/stddev z-scores are
+  * dragged by the very points they should flag).
+  *
+  * Exact medians come from the shared rank-select construction (one
+  * range shuffle + targeted emit, no global window, O(#partitions)
+  * driver traffic) with `quantile_disc` semantics — the value at
+  * 1-based rank floor((n−1)·q)+1 — so an external SQL engine replays
+  * every number. Two passes (median, then MAD over |x−median|), then a
+  * map-side flag column; nothing but the two scalars leaves the
+  * cluster.
+  */
+object Outliers {
+
+  /** Exact discrete quantile (DuckDB `quantile_disc` convention). */
+  def quantileDisc(df: DataFrame, column: String, q: Double): Double = {
+    require(q >= 0.0 && q <= 1.0, "q must be in [0,1]")
+    val (n, rows) = PlotData.rankSelectAt(df, column,
+      n => Array(math.floor((n - 1) * q).toLong + 1L))
+    require(n > 0, s"no finite values in '$column'")
+    rows.head().getDouble(1)
+  }
+
+  /** (median, mad): exact quantile_disc medians of x and |x−median|. */
+  def medianMad(df: DataFrame, column: String): (Double, Double) = {
+    val med = quantileDisc(df, column, 0.5)
+    val dev = df.select(
+      F.abs(F.col(column).cast("double") - med).as("__d"))
+    (med, quantileDisc(dev, "__d", 0.5))
+  }
+
+  /** Flag rows whose robust z-score |x−median| / (1.4826·MAD) exceeds
+    * `threshold` (3.5 is the conventional cut). Appends `robust_z`
+    * (rounded to 6) and `is_outlier`; rows with null/NaN values get
+    * null in both. A zero MAD (over half the values identical)
+    * degenerates to flagging every value different from the median. */
+  def flag(df: DataFrame, column: String, threshold: Double = 3.5): DataFrame = {
+    val (med, mad) = medianMad(df, column)
+    val c = F.col(column).cast("double")
+    val z =
+      if (mad > 0.0) F.abs(c - med) / F.lit(1.4826 * mad)
+      else F.when(F.abs(c - med) > 0.0, Double.PositiveInfinity).otherwise(0.0)
+    df.withColumn("robust_z",
+        F.when(c.isNotNull && !F.isnan(c), F.round(z, 6)))
+      .withColumn("is_outlier",
+        F.when(c.isNotNull && !F.isnan(c), F.col("robust_z") > threshold))
+  }
+}

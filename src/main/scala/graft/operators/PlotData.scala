@@ -105,7 +105,17 @@ object PlotData {
     * window, so this holds at 100 TB where a global row_number() dies.
     * Returns (n, DataFrame(rank: long, sample_quantile: double)). */
   private def rankSelect(df: DataFrame, column: String,
-                         points: Int): (Long, DataFrame) = {
+                         points: Int): (Long, DataFrame) =
+    rankSelectAt(df, column, n =>
+      (1 to points).map(j => math.max(1L, j.toLong * n / points))
+        .distinct.sorted.toArray)
+
+  /** Exact order statistics at caller-chosen ranks (1-based, derived
+    * from the total count): the shared scale-safe machinery behind the
+    * Q-Q/P-P points and the robust-statistics selections. */
+  private[operators] def rankSelectAt(df: DataFrame, column: String,
+                                      targetsOf: Long => Array[Long])
+      : (Long, DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._
     // ONE range shuffle of the raw values (no pre-aggregation: the
@@ -127,8 +137,7 @@ object PlotData {
       .collect().sortBy(_._1).map(_._2)
     val n = partSizes.sum
     val offsets = partSizes.scanLeft(0L)(_ + _)
-    val targets = (1 to points).map(j => math.max(1L, j.toLong * n / points))
-      .distinct.sorted.toArray
+    val targets = targetsOf(n)
     val bcOff = spark.sparkContext.broadcast(offsets)
     val bcT = spark.sparkContext.broadcast(targets)
     val rows = sorted.mapPartitionsWithIndex { case (i, it) =>

@@ -1012,6 +1012,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 0L)
   }
 
+  test("robust outliers: exact quantile_disc median/MAD, zero-MAD degeneracy") {
+    import spark.implicits._
+    // 1..9 plus one wild point: median 5 (of 10 values: disc -> 5),
+    // MAD = median(|x-5|) over {4,3,2,1,0,1,2,3,4,995} -> disc(0.5)=2
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).toDF("v").repartition(3)
+    val (med, mad) = operators.Outliers.medianMad(df, "v")
+    assert(med == 5.0 && mad == 2.0, s"med=$med mad=$mad")
+    val flagged = operators.Outliers.flag(df, "v")
+      .where($"is_outlier").select("v").as[Double].collect()
+    assert(flagged.toSeq == Seq(1000.0), s"flagged ${flagged.toSeq}")
+    // zero MAD (constant majority): every deviating value is flagged
+    val const = (Seq.fill(10)(7.0) :+ 9.0).toDF("v")
+    val f2 = operators.Outliers.flag(const, "v")
+      .where($"is_outlier").select("v").as[Double].collect()
+    assert(f2.toSeq == Seq(9.0))
+  }
+
   test("validation rules: each type counts its violations in one pass") {
     import spark.implicits._
     import operators.Validation._
