@@ -433,7 +433,7 @@ object Dedup {
     * pairwise duplicates; clustering is the scale-out completion). */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50, numPartitions: Int = 0,
-                          localThreshold: Long = 1000000L): DataFrame = {
+                          localThreshold: Long = 200000L): DataFrame = {
     // the candidate-pair graph is orders of magnitude smaller than the
     // corpus (pairs survive banding + caps), so the session's
     // corpus-sized shuffle-partition count overpays per round; a
@@ -471,7 +471,7 @@ object Dedup {
 
   private def connectedComponentsImpl(edges: DataFrame, aCol: String,
                                       bCol: String, maxIter: Int,
-                                      localThreshold: Long = 0L): DataFrame = {
+                                      localThreshold: Long): DataFrame = {
     val u = F.col("u"); val v = F.col("v")
     // canonical orientation (u > v), self-loops dropped
     var e = edges
@@ -496,11 +496,13 @@ object Dedup {
     var fpE = fingerprint(e)
     // small-graph fast path: candidate-pair graphs survive banding and
     // bucket caps, so they are normally orders of magnitude smaller than
-    // the corpus. Below the threshold (16 B/edge — 1M edges is 16 MB on
-    // the driver) a one-pass union-find replaces O(log² n) rounds of
-    // star shuffles; the output contract (component = min id) is
-    // identical, asserted equal in OpsSpec. The distributed rounds
-    // below remain the path for genuinely huge edge lists.
+    // the corpus. Below the threshold a one-pass union-find replaces
+    // O(log² n) rounds of star shuffles; the output contract
+    // (component = min id) is identical, asserted equal in OpsSpec. The
+    // default is conservative because the driver-side cost is boxed
+    // tuples + a HashMap, ~100 B/edge transient (not raw 16 B/edge) —
+    // 200K edges ≈ tens of MB on any sane driver. The distributed
+    // rounds below remain the path for genuinely huge edge lists.
     if (fpE._1 > 0L && fpE._1 <= localThreshold) {
       val spark = e.sparkSession
       import spark.implicits._

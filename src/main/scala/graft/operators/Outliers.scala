@@ -16,14 +16,20 @@ import org.apache.spark.sql.{DataFrame, functions => F}
   */
 object Outliers {
 
-  /** Exact discrete quantile (DuckDB `quantile_disc` convention). */
-  def quantileDisc(df: DataFrame, column: String, q: Double): Double = {
+  /** Exact discrete quantile (DuckDB `quantile_disc` convention);
+    * None when the column has no finite values. */
+  def quantileDiscOpt(df: DataFrame, column: String, q: Double): Option[Double] = {
     require(q >= 0.0 && q <= 1.0, "q must be in [0,1]")
     val (n, rows) = PlotData.rankSelectAt(df, column,
       n => Array(math.floor((n - 1) * q).toLong + 1L))
-    require(n > 0, s"no finite values in '$column'")
-    rows.head().getDouble(1)
+    if (n == 0L) None else Some(rows.head().getDouble(1))
   }
+
+  /** Exact discrete quantile; throws on a column with no finite values
+    * (use [[quantileDiscOpt]] where empty input is a valid state). */
+  def quantileDisc(df: DataFrame, column: String, q: Double): Double =
+    quantileDiscOpt(df, column, q).getOrElse(
+      throw new IllegalArgumentException(s"no finite values in '$column'"))
 
   /** (median, mad): exact quantile_disc medians of x and |x−median|. */
   def medianMad(df: DataFrame, column: String): (Double, Double) = {
@@ -39,8 +45,17 @@ object Outliers {
     * null in both. A zero MAD (over half the values identical)
     * degenerates to flagging every value different from the median. */
   def flag(df: DataFrame, column: String, threshold: Double = 3.5): DataFrame = {
-    val (med, mad) = medianMad(df, column)
     val c = F.col(column).cast("double")
+    // no finite values at all (empty frame or all null/NaN): pass every
+    // row through with null scores, per the null contract above
+    val medOpt = quantileDiscOpt(df, column, 0.5)
+    if (medOpt.isEmpty)
+      return df
+        .withColumn("robust_z", F.lit(null).cast("double"))
+        .withColumn("is_outlier", F.lit(null).cast("boolean"))
+    val med = medOpt.get
+    val mad = quantileDisc(
+      df.select(F.abs(c - med).as("__d")), "__d", 0.5)
     val z =
       if (mad > 0.0) F.abs(c - med) / F.lit(1.4826 * mad)
       else F.when(F.abs(c - med) > 0.0, Double.PositiveInfinity).otherwise(0.0)

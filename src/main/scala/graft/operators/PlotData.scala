@@ -137,7 +137,9 @@ object PlotData {
       .collect().sortBy(_._1).map(_._2)
     val n = partSizes.sum
     val offsets = partSizes.scanLeft(0L)(_ + _)
-    val targets = targetsOf(n)
+    // the emit loop walks targets monotonically — enforce the sorted,
+    // duplicate-free precondition rather than documenting it away
+    val targets = targetsOf(n).distinct.sorted
     val bcOff = spark.sparkContext.broadcast(offsets)
     val bcT = spark.sparkContext.broadcast(targets)
     val rows = sorted.mapPartitionsWithIndex { case (i, it) =>

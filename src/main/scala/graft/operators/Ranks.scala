@@ -21,7 +21,13 @@ object Ranks {
 
   /** (value, rank) table for a numeric column: rank = SQL min-rank, i.e.
     * 1 + count of rows with a strictly smaller value. */
-  def minRanks(df: DataFrame, column: String, rankCol: String): DataFrame = {
+  def minRanks(df: DataFrame, column: String, rankCol: String): DataFrame =
+    minRanksWithN(df, column, rankCol)._2
+
+  /** [[minRanks]] plus the total valid-row count (the last prefix-sum
+    * offset) — callers that also need n avoid a second scan. */
+  private[operators] def minRanksWithN(df: DataFrame, column: String,
+                                       rankCol: String): (Long, DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._
     val counts = df.select(F.col(column).cast("double").as("__v"))
@@ -49,7 +55,7 @@ object Ranks {
     // ContextCleaner when the caller drops the DataFrame
     val pinned = ranked.localCheckpoint(true)
     sorted.unpersist(blocking = false)
-    pinned
+    (offsets.last, pinned)
   }
 
   /** Quantile buckets 1..k over a column — the curriculum/pacing binning
@@ -64,9 +70,9 @@ object Ranks {
                       bucketCol: String = "bucket"): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val v = F.col(column).cast("double")
-    val n = df.where(v.isNotNull && !F.isnan(v)).count()
+    val (n, ranks0) = minRanksWithN(df, column, "__rk")
     if (n == 0L) return df.withColumn(bucketCol, F.lit(null).cast("long"))
-    val ranks = minRanks(df, column, "__rk").withColumnRenamed(column, "__v")
+    val ranks = ranks0.withColumnRenamed(column, "__v")
     df.join(ranks, v === F.col("__v"), "left")
       .withColumn(bucketCol,
         (F.floor((F.col("__rk") - 1) * k / n) + 1).cast("long"))

@@ -1022,6 +1022,11 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val flagged = operators.Outliers.flag(df, "v")
       .where($"is_outlier").select("v").as[Double].collect()
     assert(flagged.toSeq == Seq(1000.0), s"flagged ${flagged.toSeq}")
+    // no finite values: null-scored pass-through, not a throw
+    val ef = operators.Outliers.flag(
+      Seq(Option.empty[Double], Some(Double.NaN)).toDF("v"), "v")
+    assert(ef.count() == 2 &&
+      ef.select("robust_z").collect().forall(_.isNullAt(0)))
     // zero MAD (constant majority): every deviating value is flagged
     val const = (Seq.fill(10)(7.0) :+ 9.0).toDF("v")
     val f2 = operators.Outliers.flag(const, "v")
