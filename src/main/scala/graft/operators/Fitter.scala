@@ -41,6 +41,15 @@ final case class FitConfig(
     estimationMethod: String = "mle", // mle | mse | auto
     lowerBound: Option[Double] = None,
     upperBound: Option[Double] = None,
+    // per-column overrides for multi-column bounded fits (reference:
+    // config.py lower_bound/upper_bound scalar-or-dict); a column absent
+    // here falls back to the scalar bound above
+    lowerBounds: Map[String, Double] = Map.empty,
+    upperBounds: Map[String, Double] = Map.empty,
+    // explicit histogram bin edges (reference: config.py bins tuple
+    // form) — non-uniform widths allowed, values outside [head, last]
+    // are excluded from the histogram; overrides bins/useRiceRule
+    binEdges: Option[Seq[Double]] = None,
     prefilter: Option[String] = None, // None | "standard" | "aggressive"
     maxDistributions: Int = Int.MaxValue,
     numPartitions: Option[Int] = None,
@@ -112,9 +121,12 @@ object Fitter {
   private def fitOneImpl(distName: String, ctx: FitContext, cfg: FitConfig,
                          custom: Map[String, ContinuousDist]): FitResult = {
     val st = ctx.stats
+    // per-column bound overrides win over the scalar config bounds
+    val lb = cfg.lowerBounds.get(ctx.columnName).orElse(cfg.lowerBound)
+    val ub = cfg.upperBounds.get(ctx.columnName).orElse(cfg.upperBound)
     try {
       val dist = custom.get(distName).orElse(DistRegistry.get(distName)).getOrElse(
-        return failed(distName, ctx.columnName, st, cfg.lowerBound, cfg.upperBound))
+        return failed(distName, ctx.columnName, st, lb, ub))
 
       val params: Array[Double] = ctx.censoring match {
         case Some(censor) =>
@@ -130,13 +142,13 @@ object Fitter {
         }
       }
       if (params.exists(p => !java.lang.Double.isFinite(p)))
-        return failed(distName, ctx.columnName, st, cfg.lowerBound, cfg.upperBound)
+        return failed(distName, ctx.columnName, st, lb, ub)
 
-      val frozen = FrozenModel(dist, params, cfg.lowerBound, cfg.upperBound)
+      val frozen = FrozenModel(dist, params, lb, ub)
 
       val sse = Metrics.sseContinuous(frozen, ctx.hist.density, ctx.hist.edges)
       if (!java.lang.Double.isFinite(sse))
-        return failed(distName, ctx.columnName, st, cfg.lowerBound, cfg.upperBound)
+        return failed(distName, ctx.columnName, st, lb, ub)
 
       val (aic, bic) = Metrics.informationCriteria(frozen, params.length, ctx.sample)
 
@@ -145,7 +157,7 @@ object Fitter {
         else {
           val (k, p) = Metrics.ksStatistic(frozen, ctx.sample)
           val a = Metrics.adStatistic(frozen, ctx.sample)
-          val ap = if (cfg.lowerBound.isEmpty && cfg.upperBound.isEmpty)
+          val ap = if (lb.isEmpty && ub.isEmpty)
             Metrics.adPValue(dist, ctx.sample) else None
           (Some(k), Some(p), Some(a), ap)
         }
@@ -153,9 +165,9 @@ object Fitter {
       FitResult(ctx.columnName, distName, params, sse, aic, bic,
         ks, pv, ad, adP,
         st.min, st.max, st.mean, st.stddev, st.count, st.kurtosis, st.skewness,
-        cfg.lowerBound, cfg.upperBound)
+        lb, ub)
     } catch {
-      case _: Throwable => failed(distName, ctx.columnName, st, cfg.lowerBound, cfg.upperBound)
+      case _: Throwable => failed(distName, ctx.columnName, st, lb, ub)
     }
   }
 
@@ -389,7 +401,47 @@ object Fitter {
     // (columnIndex, bin) pairs → ONE ~(columns·bins)-row shuffle; bin
     // arithmetic identical to Histogram.continuous
     case class HistSpec(c: String, mn: Double, hi: Double, nBins: Int, width: Double)
-    val specs = fitCols.flatMap { c =>
+    // explicit bin edges (reference's tuple `bins` form): one CASE-chain
+    // bin expression per column in the SAME single exploded scan, with
+    // per-bin widths in the density normalization (edges may be
+    // non-uniform); values outside [head, last] are excluded
+    val explicitHists: Option[Map[String, Hist]] = cfg.binEdges.map { es =>
+      require(es.length >= 3 && es.sliding(2).forall(p => p(0) < p(1)),
+        "binEdges must be >= 3 strictly increasing values")
+      val edges = es.toArray
+      val k = edges.length - 1
+      def binOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        var e: org.apache.spark.sql.Column = F.lit((k - 1).toLong)
+        var i = k - 2
+        while (i >= 0) {
+          e = F.when(c < F.lit(edges(i + 1)), F.lit(i.toLong)).otherwise(e)
+          i -= 1
+        }
+        F.when(c >= edges.head && c <= edges.last, e)
+      }
+      val entries = F.array(fitCols.zipWithIndex.map { case (c, i) =>
+        F.when(F.col(c).isNotNull && binOf(F.col(c)).isNotNull,
+          F.struct(F.lit(i).as("ci"), binOf(F.col(c)).as("bin")))
+          .otherwise(F.lit(null))
+      }: _*)
+      val countsByCol = scanDf.select(F.explode(entries).as("e"))
+        .where(F.col("e").isNotNull)
+        .groupBy(F.col("e.ci").as("ci"), F.col("e.bin").as("bin"))
+        .agg(F.count(F.lit(1)).as("cnt"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (ci, rows) =>
+          ci -> rows.map(r => r.getLong(1).toInt -> r.getLong(2)).toMap
+        }
+      fitCols.zipWithIndex.map { case (c, i) =>
+        val counts = countsByCol.getOrElse(i, Map.empty[Int, Long])
+        val nIn = math.max(counts.values.sum, 1L)
+        val density = Array.tabulate(k)(b =>
+          counts.getOrElse(b, 0L).toDouble / (nIn * (edges(b + 1) - edges(b))))
+        c -> Hist(density, edges)
+      }.toMap
+    }
+    val specs = if (explicitHists.isDefined) Nil else fitCols.flatMap { c =>
       val (mn, mx, cnt) = colStats(c)
       if (mn == mx) None
       else {
@@ -399,7 +451,7 @@ object Fitter {
         Some(HistSpec(c, mn, hi, nBins, (hi - mn) / nBins))
       }
     }
-    val histByCol: Map[String, Hist] = {
+    val histByCol: Map[String, Hist] = explicitHists.getOrElse {
       val countsByCol: Map[Int, Map[Int, Long]] =
         if (specs.isEmpty) Map.empty
         else {

@@ -47,6 +47,43 @@ class FitterSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("per-column bounds and explicit bin edges (config tuple/dict forms)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // two columns, different truncation bounds via the dict form: each
+    // column's result rows must carry ITS bound, and the scalar default
+    // applies to columns absent from the map
+    val rng = new java.util.Random(41L)
+    val df = Seq.fill(4000)((math.abs(rng.nextGaussian()) * 10 + 1,
+      rng.nextDouble() * 100)).toDF("a", "b")
+    val r = Fitter.fit(spark, df, Seq("a", "b"),
+      distributions = Some(Seq("expon")),
+      cfg = FitConfig(lowerBound = Some(0.0),
+        lowerBounds = Map("b" -> 5.0), upperBounds = Map("b" -> 95.0)))
+    val rows = r.df.select("column_name", "lower_bound", "upper_bound")
+      .collect().map(x => x.getString(0) ->
+        (Option(x.getAs[java.lang.Double](1)), Option(x.getAs[java.lang.Double](2)))).toMap
+    assert(rows("a") == ((Some(0.0), None)), s"a bounds ${rows("a")}")
+    assert(rows("b") == ((Some(5.0), Some(95.0))), s"b bounds ${rows("b")}")
+    // explicit (non-uniform) bin edges: the fit uses exactly these bins;
+    // a norm fit on norm data stays best with finite SSE, and values
+    // outside the edge range are excluded rather than clamped
+    val xs = sample(ContinuousFamilies.Norm, Array(50.0, 10.0), 8000)
+    val edges = Seq(20.0, 35.0, 45.0, 50.0, 55.0, 65.0, 80.0)
+    val r2 = Fitter.fit(spark, toDf(xs), Seq("value"),
+      distributions = Some(Seq("norm", "expon")),
+      cfg = FitConfig(binEdges = Some(edges)))
+    val best = r2.best(1, "sse").head()
+    assert(best.getAs[String]("distribution") == "norm")
+    assert(java.lang.Double.isFinite(best.getAs[Double]("sse")))
+    // a malformed edge list fails fast
+    intercept[IllegalArgumentException] {
+      Fitter.fit(spark, toDf(xs), Seq("value"),
+        distributions = Some(Seq("norm")),
+        cfg = FitConfig(binEdges = Some(Seq(1.0, 1.0, 2.0))))
+    }
+  }
+
   test("NaN/Inf hygiene: contaminated fits clean, all-invalid returns empty schema") {
     // the reference's numerical-stability contracts
     // (tests/test_numerical_stability.py:89-195): NaN and ±Inf are
