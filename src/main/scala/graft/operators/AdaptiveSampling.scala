@@ -20,19 +20,25 @@ import org.apache.spark.sql.{DataFrame, functions => F}
   */
 object AdaptiveSampling {
 
-  final case class SamplePlan(strategy: String, fraction: Double)
+  final case class SamplePlan(strategy: String, fraction: Double,
+                              numBins: Int = 5)
 
-  /** Pure policy: which strategy and fraction apply to n rows with the
-    * given pilot skewness. None = fit on the full data. */
+  /** Pure policy: which strategy, fraction, and stratum count apply to n
+    * rows with the given pilot skewness. None = fit on the full data.
+    * Mirrors the reference's two-threshold select: |skew| ≥ mild picks
+    * stratified, |skew| ≥ high escalates to 10 strata
+    * (base_fitter.py:291-301, 367-387). */
   def plan(n: Long, pilotSkew: Double, cfg: FitConfig): Option[SamplePlan] = {
     if (n <= cfg.sampleThresholdRows) return None
     val fraction = math.min(cfg.sampleFraction, cfg.sampleCapRows.toDouble / n)
     val strategy = cfg.samplingStrategy match {
-      case "auto" => if (math.abs(pilotSkew) > cfg.skewThresholdForStratified)
+      case "auto" => if (math.abs(pilotSkew) >= cfg.skewThresholdMild)
         "stratified" else "uniform"
       case s => s
     }
-    Some(SamplePlan(strategy, fraction))
+    val bins =
+      if (math.abs(pilotSkew) >= cfg.skewThresholdForStratified) 10 else 5
+    Some(SamplePlan(strategy, fraction, bins))
   }
 
   /** Pilot skewness estimate from a small uniform sample — one cheap
@@ -60,7 +66,8 @@ object AdaptiveSampling {
         val reduced = p.strategy match {
           case "stratified" =>
             Sampling.stratifiedSample(df, columns.head, p.fraction,
-              seed = cfg.sampleSeed, knownCount = Some(n))
+              numBins = p.numBins, seed = cfg.sampleSeed,
+              knownCount = Some(n))
           case _ =>
             df.sample(withReplacement = false, p.fraction, cfg.sampleSeed)
         }

@@ -60,6 +60,10 @@ final case class FitConfig(
     sampleCapRows: Long = 1000000L,
     sampleFraction: Double = 0.35,
     pilotRows: Long = 100000L,
+    // mild threshold SELECTS stratified sampling, the high threshold
+    // escalates it to 10 strata (reference: base_fitter.py:291-301,
+    // 367-387 — skew_threshold_mild=0.5 / skew_threshold_high=2.0)
+    skewThresholdMild: Double = 0.5,
     skewThresholdForStratified: Double = 2.0)
 
 /** Everything a fit task needs, broadcast once per column: ~8 KB histogram

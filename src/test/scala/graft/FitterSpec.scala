@@ -399,12 +399,15 @@ class FitterSpec extends AnyFunSuite with BeforeAndAfterAll {
       sampleFraction = 0.35, pilotRows = 2000L)
     // below threshold → no plan
     assert(AdaptiveSampling.plan(4000L, 0.0, cfg).isEmpty)
-    // above threshold, mild skew → uniform, fraction capped by sampleCapRows
-    val p1 = AdaptiveSampling.plan(100000L, 0.5, cfg).get
+    // above threshold, near-symmetric → uniform, fraction capped
+    val p1 = AdaptiveSampling.plan(100000L, 0.3, cfg).get
     assert(p1.strategy == "uniform" && math.abs(p1.fraction - 0.02) < 1e-9, s"$p1")
-    // heavy skew → stratified
+    // mild skew (>= 0.5) → stratified with the default 5 strata
+    val pm = AdaptiveSampling.plan(100000L, 1.0, cfg).get
+    assert(pm.strategy == "stratified" && pm.numBins == 5, s"$pm")
+    // heavy skew (>= 2.0) → stratified, escalated to 10 strata
     val p2 = AdaptiveSampling.plan(100000L, 5.0, cfg).get
-    assert(p2.strategy == "stratified", s"$p2")
+    assert(p2.strategy == "stratified" && p2.numBins == 10, s"$p2")
     // forced strategy overrides the skew decision
     val p3 = AdaptiveSampling.plan(100000L, 5.0, cfg.copy(samplingStrategy = "uniform")).get
     assert(p3.strategy == "uniform")
