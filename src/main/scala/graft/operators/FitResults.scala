@@ -183,6 +183,17 @@ object FitResults {
             Metrics.adPValue(dist, sample) else None
           r.copy(ks_statistic = Some(ks), pvalue = Some(pv),
             ad_statistic = Some(ad), ad_pvalue = adP)
+        case None =>
+          // discrete families defer too: recompute the tie-aware
+          // discrete K-S from the cached (integral) sample; A-D stays
+          // undefined for discrete fits, as in the eager path
+          graft.dists.DiscreteRegistry.get(r.distribution) match {
+            case Some(d) if r.parameters.forall(java.lang.Double.isFinite) =>
+              val sample = samples(r.column_name).map(_.toLong)
+              val (ks, pv) = Metrics.ksDiscrete(d, r.parameters, sample)
+              r.copy(ks_statistic = Some(ks), pvalue = Some(pv))
+            case _ => r
+          }
         case _ => r
       }
     }

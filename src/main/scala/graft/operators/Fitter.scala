@@ -766,9 +766,17 @@ object Fitter {
           else {
             val sse = Metrics.sseDiscrete(dist, params, pm.xs, pm.p)
             val (aic, bic) = Metrics.informationCriteriaDiscrete(dist, params, sample)
-            val (ks, pv) = Metrics.ksDiscrete(dist, params, sample)
+            // lazy metrics defer the K-S pass exactly like the
+            // continuous path; FitResults.fillMetrics recomputes it from
+            // the cached sample on demand
+            val (ks, pv) =
+              if (cfg.lazyMetrics) (None, None)
+              else {
+                val (k, p) = Metrics.ksDiscrete(dist, params, sample)
+                (Some(k), Some(p))
+              }
             FitResult(colName, name, params, sse, aic, bic,
-              Some(ks), Some(pv), None, None,
+              ks, pv, None, None,
               st.min, st.max, st.mean, st.stddev, st.count, st.kurtosis, st.skewness,
               None, None)
           }
@@ -779,6 +787,8 @@ object Fitter {
       }
     val combined = results.toDF().cache()
     combined.count()
-    new FitResults(combined)
+    // carry the fitting samples so deferred metrics can fill on demand
+    new FitResults(combined,
+      samplesByCol.map { case (c, a) => c -> a.map(_.toDouble) }, cfg)
   }
 }

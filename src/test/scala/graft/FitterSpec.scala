@@ -247,6 +247,20 @@ class FitterSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = lazyR.df.head()
     assert(r.isNullAt(r.fieldIndex("ks_statistic")) && r.isNullAt(r.fieldIndex("ad_statistic")))
     assert(java.lang.Double.isFinite(r.getAs[Double]("aic")))
+    // discrete lazy: K-S deferred the same way, bestLazy fills it from
+    // the cached sample through the DiscreteRegistry branch
+    val spark2 = spark
+    import spark2.implicits._
+    val rng = new java.util.Random(19L)
+    val pois = Seq.fill(3000)((0 until 20).count(_ => rng.nextDouble() < 0.2).toLong)
+    val dLazy = Fitter.fitDiscrete(spark, pois.toDF("value"), "value",
+      distributions = Some(Seq("poisson", "geom")),
+      cfg = FitConfig(lazyMetrics = true))
+    val dr = dLazy.df.head()
+    assert(dr.isNullAt(dr.fieldIndex("ks_statistic")), "discrete ks not deferred")
+    val top = dLazy.bestLazy(spark, 1, "ks_statistic").head()
+    assert(top.getAs[String]("distribution") == "poisson")
+    assert(java.lang.Double.isFinite(top.getAs[Double]("ks_statistic")))
   }
 
   test("bestLazy recomputes deferred K-S even when a failed-fit sentinel exists") {
