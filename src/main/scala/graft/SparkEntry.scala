@@ -1235,6 +1235,24 @@ object SparkEntry {
           .as("l_linenumber"), F.col("z_value"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    "q_theta_artifact" -> ((s, dir) => {
+      // the persisted-summary lifecycle, hash-checked end-to-end: one
+      // theta sketch per source written to a parquet artifact table,
+      // read back, and union-merged into the GLOBAL distinct-gram count
+      // without ever touching raw text again — the re-aggregation that
+      // replaces a 100 TB rescan with a C-row sketch merge. Exact below
+      // 2^18 distinct grams, so the oracle is the literal COUNT(DISTINCT).
+      val grams = docs(s, dir).select(F.col("source"),
+        F.explode(Decontam.gramsCol(F.col("text"), 8)).as("gram"))
+      val artifacts = grams.groupBy("source")
+        .agg(F.expr("theta_sketch_agg(gram, 18)").as("sk"))
+      val out = java.nio.file.Files.createTempDirectory("graft_theta").toString
+      artifacts.write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .agg(F.expr("theta_sketch_estimate(theta_union_agg(sk, 18))")
+          .cast("long").as("n_distinct_grams"),
+          F.count(F.lit(1)).as("n_artifacts"))
+    }),
     "q_theta_overlap" -> ((s, dir) => {
       // join-free train/benchmark contamination triage: theta sketches
       // of each side's 8-gram sets, set-algebra on the driver. lgK=18
@@ -2141,6 +2159,16 @@ object SparkEntry {
         |    AS BIGINT) AS z_value
         |FROM c
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_theta_artifact" ->
+      """WITH tok AS (SELECT source, doc_id,
+        |  list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |    x -> x <> '') AS t FROM documents),
+        |g AS (SELECT source, unnest(list_transform(range(len(t) - 7),
+        |    i -> array_to_string(t[i+1:i+8], ' '))) AS gram
+        |  FROM tok WHERE len(t) >= 8)
+        |SELECT count(DISTINCT gram) AS n_distinct_grams,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_artifacts
+        |FROM g""".stripMargin,
     // exact-regime theta set algebra replayed literally: distinct 8-gram
     // sets per side, counts by join. round_even matches rint.
     "q_theta_overlap" ->
