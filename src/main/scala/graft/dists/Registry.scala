@@ -21,12 +21,23 @@ object DistRegistry extends Serializable {
 
   @volatile private var custom: Map[String, ContinuousDist] = Map.empty
 
-  def register(d: ContinuousDist): Unit = synchronized {
+  /** Register a runtime family. Mirrors the reference's safety contract
+    * (custom_distributions registry): a builtin name can never be
+    * shadowed, and re-registering a custom name requires an explicit
+    * `overwrite = true` (tests/test_custom_distributions.py:43-73). */
+  def register(d: ContinuousDist, overwrite: Boolean = false): Unit = synchronized {
     require(d.name.nonEmpty, "distribution needs a name")
+    require(!builtin.contains(d.name),
+      s"'${d.name}' is a builtin family — custom names must not shadow it")
+    require(overwrite || !custom.contains(d.name),
+      s"'${d.name}' is already registered; pass overwrite = true to replace it")
     custom += (d.name -> d)
   }
 
-  def unregister(name: String): Unit = synchronized { custom -= name }
+  def unregister(name: String): Unit = synchronized {
+    require(custom.contains(name), s"no custom distribution '$name' to unregister")
+    custom -= name
+  }
 
   /** Immutable snapshot of the runtime-registered families. Fit jobs ship
     * this inside the broadcast fit context so executors resolve custom
@@ -103,9 +114,20 @@ object DiscreteRegistry extends Serializable {
 
   @volatile private var custom: Map[String, DiscreteDist] = Map.empty
 
-  def register(d: DiscreteDist): Unit = synchronized { custom += (d.name -> d) }
+  /** Same safety contract as [[DistRegistry.register]]. */
+  def register(d: DiscreteDist, overwrite: Boolean = false): Unit = synchronized {
+    require(d.name.nonEmpty, "distribution needs a name")
+    require(!builtin.contains(d.name),
+      s"'${d.name}' is a builtin family — custom names must not shadow it")
+    require(overwrite || !custom.contains(d.name),
+      s"'${d.name}' is already registered; pass overwrite = true to replace it")
+    custom += (d.name -> d)
+  }
 
-  def unregister(name: String): Unit = synchronized { custom -= name }
+  def unregister(name: String): Unit = synchronized {
+    require(custom.contains(name), s"no custom distribution '$name' to unregister")
+    custom -= name
+  }
 
   /** Executor-safe snapshot; see [[DistRegistry.customSnapshot]]. */
   def customSnapshot: Map[String, DiscreteDist] = custom

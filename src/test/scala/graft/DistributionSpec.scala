@@ -415,6 +415,36 @@ class DistributionSpec extends AnyFunSuite {
     assert(llFitP >= llTrueP - 10.0, s"dpareto_lognorm LL fit=$llFitP true=$llTrueP")
   }
 
+  test("registry safety: no builtin shadowing, no silent overwrite, strict unregister") {
+    import graft.dists._
+    object Custom extends ContinuousDist with PositiveSupport {
+      val name = "reg_safety_test_dist"
+      val shapeNames = Seq.empty[String]
+      def pdf0(z: Double, s: Array[Double]) = math.exp(-z)
+      def cdf0(z: Double, s: Array[Double]) = 1 - math.exp(-z)
+      def ppf0(q: Double, s: Array[Double]) = -math.log1p(-q)
+      def warmStart(xs: Array[Double]) = Array(0.0, 1.0)
+    }
+    object Shadow extends ContinuousDist {
+      val name = "norm" // builtin name — must be rejected
+      val shapeNames = Seq.empty[String]
+      def pdf0(z: Double, s: Array[Double]) = 0.0
+      def cdf0(z: Double, s: Array[Double]) = 0.0
+      def ppf0(q: Double, s: Array[Double]) = 0.0
+      def warmStart(xs: Array[Double]) = Array(0.0, 1.0)
+    }
+    intercept[IllegalArgumentException] { DistRegistry.register(Shadow) }
+    DistRegistry.register(Custom)
+    try {
+      intercept[IllegalArgumentException] { DistRegistry.register(Custom) }
+      DistRegistry.register(Custom, overwrite = true) // explicit replace OK
+      assert(DistRegistry.get("reg_safety_test_dist").isDefined)
+    } finally DistRegistry.unregister("reg_safety_test_dist")
+    intercept[IllegalArgumentException] {
+      DistRegistry.unregister("reg_safety_test_dist") // already gone
+    }
+  }
+
   test("logBesselK matches closed half-integer forms, K1, and K0(1)") {
     // K_{1/2}(x) = √(π/2x)·e^{−x} exactly
     for (x <- Seq(0.1, 0.5, 1.0, 2.0, 5.0, 10.0, 50.0, 300.0, 650.0)) {
