@@ -73,6 +73,39 @@ object Histogram {
     Hist(density, edges)
   }
 
+  /** Histogram over EXPLICIT (possibly non-uniform) bin edges — the
+    * reference's tuple `bins` form. Bin i covers [edges(i), edges(i+1)),
+    * the last bin is closed, values outside [head, last] are excluded,
+    * and the density normalizes each bin by ITS width over the in-range
+    * count (integrates to 1 over the covered span). The bin expression
+    * is a codegen'd CASE chain — fine for the ≤~200-edge lists explicit
+    * binning is used for. */
+  def continuousWithEdges(df: DataFrame, column: String,
+                          edges: Seq[Double]): Hist = {
+    require(edges.length >= 3 && edges.sliding(2).forall(p => p(0) < p(1)),
+      "edges must be >= 3 strictly increasing values")
+    val ea = edges.toArray
+    val k = ea.length - 1
+    val c = F.col(column).cast("double")
+    val valid = df.select(c.as("x"))
+      .where(F.col("x").isNotNull && !F.isnan(F.col("x")) &&
+        F.col("x") >= ea.head && F.col("x") <= ea.last)
+    var bin: org.apache.spark.sql.Column = F.lit((k - 1).toLong)
+    var i = k - 2
+    while (i >= 0) {
+      bin = F.when(F.col("x") < F.lit(ea(i + 1)), F.lit(i.toLong)).otherwise(bin)
+      i -= 1
+    }
+    val counts = valid.select(bin.as("bin"))
+      .groupBy("bin").agg(F.count(F.lit(1)).as("cnt"))
+      .collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val nIn = math.max(counts.values.sum, 1L)
+    val density = Array.tabulate(k)(b =>
+      counts.getOrElse(b, 0L).toDouble / (nIn * (ea(b + 1) - ea(b))))
+    Hist(density, ea)
+  }
+
   /** Distributed empirical PMF over integer-valued data: distinct values
     * + relative frequencies, sorted by value (reference:
     * discrete_fitting.py:127-149). One shuffle of ~distinct-count rows. */

@@ -82,6 +82,13 @@ class FitterSpec extends AnyFunSuite with BeforeAndAfterAll {
         distributions = Some(Seq("norm")),
         cfg = FitConfig(binEdges = Some(Seq(1.0, 1.0, 2.0))))
     }
+    // the public explicit-edges histogram: density integrates to 1 over
+    // the covered span with per-bin widths; out-of-range values excluded
+    val h = Histogram.continuousWithEdges(toDf(xs), "value", edges)
+    val area = h.density.zipWithIndex
+      .map { case (d, i) => d * (h.edges(i + 1) - h.edges(i)) }.sum
+    assert(math.abs(area - 1.0) < 1e-9, s"area=$area")
+    assert(h.nBins == edges.length - 1)
   }
 
   test("NaN/Inf hygiene: contaminated fits clean, all-invalid returns empty schema") {
