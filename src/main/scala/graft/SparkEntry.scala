@@ -1249,7 +1249,7 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft_theta").toString
       artifacts.write.mode("overwrite").parquet(out)
       s.read.parquet(out)
-        .agg(F.expr("theta_sketch_estimate(theta_union_agg(sk, 18))")
+        .agg(F.round(F.expr("theta_sketch_estimate(theta_union_agg(sk, 18))"))
           .cast("long").as("n_distinct_grams"),
           F.count(F.lit(1)).as("n_artifacts"))
     }),

@@ -12,7 +12,12 @@ final class FitResults(
     val df: DataFrame,
     val samples: Map[String, Array[Double]] = Map.empty,
     val cfg: FitConfig = FitConfig(),
-    cachedRoot: Option[DataFrame] = None) extends Serializable {
+    cachedRoot: Option[DataFrame] = None,
+    // discrete fits keep the EXACT integral sample alongside the double
+    // view, so a lazy K-S recompute never round-trips values above 2^53
+    // through Double
+    private[operators] val discreteSamples: Map[String, Array[Long]] = Map.empty)
+  extends Serializable {
 
   import FitResults._
 
@@ -66,11 +71,12 @@ final class FitResults(
     maxAd.foreach(t => out = out.where(F.col("ad_statistic") < t))
     // keep samples/cfg so a filtered lazy collection can still fill
     // deferred metrics (bestLazy/materialize)
-    new FitResults(out, samples, cfg, root)
+    new FitResults(out, samples, cfg, root, discreteSamples)
   }
 
   def forColumn(column: String): FitResults =
-    new FitResults(df.where(F.col("column_name") === column), samples, cfg, root)
+    new FitResults(df.where(F.col("column_name") === column), samples, cfg, root,
+      discreteSamples)
 
   /** Lazy-metric top-n (reference: collection.py:1008-1120): when the
     * requested metric was deferred at fit time, pre-select 3n+5 candidates
@@ -85,16 +91,18 @@ final class FitResults(
       !df.where(F.col("sse") < Double.PositiveInfinity && F.col(metric).isNull).isEmpty
     if (!needsRecompute) return best(n, metric)
     val candidates = successful.orderBy(F.col("aic").asc_nulls_last).limit(3 * n + 5)
-    val filled = FitResults.fillMetrics(spark, candidates, samples, cfg)
-    new FitResults(filled, samples, cfg).best(n, metric)
+    val filled = FitResults.fillMetrics(spark, candidates, samples, cfg,
+      discreteSamples)
+    new FitResults(filled, samples, cfg, None, discreteSamples).best(n, metric)
   }
 
   /** Fill deferred K-S/A-D for every row → an eager FitResults
     * (reference: collection.py:918-1006, materialize()). */
   def materialize(spark: org.apache.spark.sql.SparkSession): FitResults = {
-    val filled = FitResults.fillMetrics(spark, df, samples, cfg).cache()
+    val filled = FitResults.fillMetrics(spark, df, samples, cfg,
+      discreteSamples).cache()
     filled.count()
-    new FitResults(filled, samples, cfg)
+    new FitResults(filled, samples, cfg, None, discreteSamples)
   }
 
   /** Distinct non-null fitted column names (reference: collection.py:522-544). */
@@ -166,7 +174,8 @@ object FitResults {
       spark: org.apache.spark.sql.SparkSession,
       candidates: DataFrame,
       samples: Map[String, Array[Double]],
-      cfg: FitConfig): DataFrame = {
+      cfg: FitConfig,
+      discreteSamples: Map[String, Array[Long]] = Map.empty): DataFrame = {
     import spark.implicits._
     import graft.dists.{DistRegistry, FrozenModel}
     import graft.functions.Metrics
@@ -189,7 +198,10 @@ object FitResults {
           // undefined for discrete fits, as in the eager path
           graft.dists.DiscreteRegistry.get(r.distribution) match {
             case Some(d) if r.parameters.forall(java.lang.Double.isFinite) =>
-              val sample = samples(r.column_name).map(_.toLong)
+              // the exact integral sample when available; the double
+              // view only as a fallback (lossy above 2^53)
+              val sample = discreteSamples.getOrElse(r.column_name,
+                samples(r.column_name).map(_.toLong))
               val (ks, pv) = Metrics.ksDiscrete(d, r.parameters, sample)
               r.copy(ks_statistic = Some(ks), pvalue = Some(pv))
             case _ => r

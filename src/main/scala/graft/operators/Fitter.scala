@@ -410,26 +410,17 @@ object Fitter {
     // per-bin widths in the density normalization (edges may be
     // non-uniform); values outside [head, last] are excluded
     val explicitHists: Option[Map[String, Hist]] = cfg.binEdges.map { es =>
-      require(es.length >= 3 && es.sliding(2).forall(p => p(0) < p(1)),
-        "binEdges must be >= 3 strictly increasing values")
-      val edges = es.toArray
-      val k = edges.length - 1
-      def binOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-        var e: org.apache.spark.sql.Column = F.lit((k - 1).toLong)
-        var i = k - 2
-        while (i >= 0) {
-          e = F.when(c < F.lit(edges(i + 1)), F.lit(i.toLong)).otherwise(e)
-          i -= 1
-        }
-        F.when(c >= edges.head && c <= edges.last, e)
-      }
+      // shared helpers with Histogram.continuousWithEdges — ONE bin/
+      // density definition. The struct is emitted unconditionally with a
+      // nullable bin (evaluating the CASE chain once per column per row)
+      // and null bins drop after the explode.
+      val edges = Histogram.validEdges(es)
       val entries = F.array(fitCols.zipWithIndex.map { case (c, i) =>
-        F.when(F.col(c).isNotNull && binOf(F.col(c)).isNotNull,
-          F.struct(F.lit(i).as("ci"), binOf(F.col(c)).as("bin")))
-          .otherwise(F.lit(null))
+        F.struct(F.lit(i).as("ci"),
+          Histogram.edgeBinExpr(F.col(c), edges).as("bin"))
       }: _*)
       val countsByCol = scanDf.select(F.explode(entries).as("e"))
-        .where(F.col("e").isNotNull)
+        .where(F.col("e.bin").isNotNull)
         .groupBy(F.col("e.ci").as("ci"), F.col("e.bin").as("bin"))
         .agg(F.count(F.lit(1)).as("cnt"))
         .collect()
@@ -439,10 +430,7 @@ object Fitter {
         }
       fitCols.zipWithIndex.map { case (c, i) =>
         val counts = countsByCol.getOrElse(i, Map.empty[Int, Long])
-        val nIn = math.max(counts.values.sum, 1L)
-        val density = Array.tabulate(k)(b =>
-          counts.getOrElse(b, 0L).toDouble / (nIn * (edges(b + 1) - edges(b))))
-        c -> Hist(density, edges)
+        c -> Hist(Histogram.edgeDensity(counts, edges), edges)
       }.toMap
     }
     val specs = if (explicitHists.isDefined) Nil else fitCols.flatMap { c =>
@@ -553,6 +541,11 @@ object Fitter {
     // explicit error beats a silently-ignored config field
     require(cfg.censoringColumn.isEmpty,
       "censored fitting is not supported in grouped fits")
+    // per-column bounds are keyed by COLUMN name; a grouped fit's context
+    // names are group values, so the map would silently miss (or a group
+    // named like a column would truncate unexpectedly)
+    require(cfg.lowerBounds.isEmpty && cfg.upperBounds.isEmpty,
+      "per-column bounds are not supported in grouped fits — use the scalar bounds")
     val vc = F.col(valueCol).cast("double")
     val cleaned = df
       .select(F.col(groupCol).cast("string").as("g"),
@@ -787,8 +780,11 @@ object Fitter {
       }
     val combined = results.toDF().cache()
     combined.count()
-    // carry the fitting samples so deferred metrics can fill on demand
+    // carry the fitting samples so deferred metrics can fill on demand —
+    // both the double view and the exact integral sample (the latter so
+    // a lazy K-S never loses bits above 2^53)
     new FitResults(combined,
-      samplesByCol.map { case (c, a) => c -> a.map(_.toDouble) }, cfg)
+      samplesByCol.map { case (c, a) => c -> a.map(_.toDouble) }, cfg,
+      None, samplesByCol)
   }
 }

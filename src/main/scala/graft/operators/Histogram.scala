@@ -82,28 +82,49 @@ object Histogram {
     * binning is used for. */
   def continuousWithEdges(df: DataFrame, column: String,
                           edges: Seq[Double]): Hist = {
-    require(edges.length >= 3 && edges.sliding(2).forall(p => p(0) < p(1)),
-      "edges must be >= 3 strictly increasing values")
-    val ea = edges.toArray
-    val k = ea.length - 1
+    val ea = validEdges(edges)
     val c = F.col(column).cast("double")
-    val valid = df.select(c.as("x"))
-      .where(F.col("x").isNotNull && !F.isnan(F.col("x")) &&
-        F.col("x") >= ea.head && F.col("x") <= ea.last)
-    var bin: org.apache.spark.sql.Column = F.lit((k - 1).toLong)
-    var i = k - 2
-    while (i >= 0) {
-      bin = F.when(F.col("x") < F.lit(ea(i + 1)), F.lit(i.toLong)).otherwise(bin)
-      i -= 1
-    }
-    val counts = valid.select(bin.as("bin"))
+    val counts = df.select(c.as("x"))
+      .where(F.col("x").isNotNull && !F.isnan(F.col("x")))
+      .select(edgeBinExpr(F.col("x"), ea).as("bin"))
+      .where(F.col("bin").isNotNull)
       .groupBy("bin").agg(F.count(F.lit(1)).as("cnt"))
       .collect()
       .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    Hist(edgeDensity(counts, ea), ea)
+  }
+
+  /** Validated explicit-edge array (≥ 3 strictly increasing values). */
+  private[operators] def validEdges(edges: Seq[Double]): Array[Double] = {
+    require(edges.length >= 3 && edges.sliding(2).forall(p => p(0) < p(1)),
+      "edges must be >= 3 strictly increasing values")
+    edges.toArray
+  }
+
+  /** Codegen'd CASE-chain bin index over explicit edges: bin i covers
+    * [edges(i), edges(i+1)), the last bin is closed, out-of-range (and
+    * null) values map to null. The ONE bin definition shared by the
+    * public histogram and the fitter's multi-column scan. */
+  private[operators] def edgeBinExpr(c: org.apache.spark.sql.Column,
+                                     ea: Array[Double]): org.apache.spark.sql.Column = {
+    val k = ea.length - 1
+    var bin: org.apache.spark.sql.Column = F.lit((k - 1).toLong)
+    var i = k - 2
+    while (i >= 0) {
+      bin = F.when(c < F.lit(ea(i + 1)), F.lit(i.toLong)).otherwise(bin)
+      i -= 1
+    }
+    F.when(c >= ea.head && c <= ea.last, bin)
+  }
+
+  /** Per-bin-width density from explicit-edge counts: integrates to 1
+    * over the covered span. */
+  private[operators] def edgeDensity(counts: Map[Int, Long],
+                                     ea: Array[Double]): Array[Double] = {
+    val k = ea.length - 1
     val nIn = math.max(counts.values.sum, 1L)
-    val density = Array.tabulate(k)(b =>
+    Array.tabulate(k)(b =>
       counts.getOrElse(b, 0L).toDouble / (nIn * (ea(b + 1) - ea(b))))
-    Hist(density, ea)
   }
 
   /** Distributed empirical PMF over integer-valued data: distinct values
