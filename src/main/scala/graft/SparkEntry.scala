@@ -1381,6 +1381,15 @@ object SparkEntry {
       // scan + one groupBy — the before/after summary of a curation
       // stage
       TextOps.corpusReport(docs(s, dir), "text", "lang")),
+    "q_kfold" -> ((s, dir) =>
+      // content-addressed 5-fold CV assignment, hash-checked: per-fold
+      // counts AND id sums pin every row's fold — stable across layouts,
+      // cluster sizes, and engines
+      Sampling.kFolds(docs(s, dir), "doc_id", 5)
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).as("n_docs"),
+          F.sum("doc_id").as("id_sum"))
+        .orderBy("fold")),
     "q_weighted_sample" -> ((s, dir) =>
       // length-proportional Bernoulli sample, hash-checked: inclusion
       // p_i = min(1, f·N·wᵢ/W) over md5 buckets makes the surviving row
@@ -2401,6 +2410,11 @@ object SparkEntry {
         |  CAST(min(n_tokens) AS BIGINT) AS min_tokens,
         |  CAST(max(n_tokens) AS BIGINT) AS max_tokens
         |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_kfold" ->
+      """SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 5 AS fold,
+        |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // threshold arithmetic replayed in the same order: ((f·N)/W)·w·2^20,
     // with W and N exact integer sums cast to double
     "q_weighted_sample" ->

@@ -276,6 +276,17 @@ object Sampling {
     df.where(bucket < thrCol)
   }
 
+  /** Deterministic k-fold assignment for cross-validation: fold =
+    * md5-bucket(key) mod k — content-addressed like
+    * [[deterministicSplit]], so folds are stable across runs, partition
+    * layouts, cluster sizes, and engines, and every row is in exactly
+    * one fold. Map-side projection, no shuffle. */
+  def kFolds(df: DataFrame, keyCol: String, k: Int,
+             foldCol: String = "fold"): DataFrame = {
+    require(k >= 2, "need at least 2 folds")
+    df.withColumn(foldCol, md5Bucket(F.col(keyCol), k))
+  }
+
   /** Weight-proportional Bernoulli sample, deterministic via the md5
     * coordinate: row i survives with p_i = min(1, fraction·N·wᵢ/W) — the
     * "sample documents proportional to their token count" step that
