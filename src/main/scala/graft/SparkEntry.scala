@@ -133,13 +133,23 @@ object SparkEntry {
     * creates (nothing stays pinned for the life of the session). */
   private def memoFit(key: String)(mk: => FitResults): FitResults = {
     val hit = fitMemo.get(key)
-    if (hit != null) hit
+    if (hit != null) { memoHits.incrementAndGet(); hit }
     else {
+      memoMisses.incrementAndGet()
       val v = mk
       val prev = fitMemo.putIfAbsent(key, v)
       if (prev != null) { v.unpersist(); prev } else v
     }
   }
+
+  /** Cumulative fit/copula-memo hit and miss counters. The bench reads
+    * them around each timed query so round-over-round deltas can be
+    * attributed to memo LAYOUT (which query pays a cold fit first) vs
+    * real plan changes — without this, whichever timed query first
+    * touches a spec books the whole fit and reads as a regression. */
+  private val memoHits = new java.util.concurrent.atomic.AtomicLong()
+  private val memoMisses = new java.util.concurrent.atomic.AtomicLong()
+  def memoCounters: (Long, Long) = (memoHits.get, memoMisses.get)
 
   /** Drop every memoized fit (and its cached relation). The bench's
     * untimed pre-warm pass calls this so the timed queries re-run the
@@ -166,7 +176,9 @@ object SparkEntry {
   private val copulaMemo =
     new java.util.concurrent.ConcurrentHashMap[String, GaussianCopula]()
 
-  private def cappedNormCopula(s: SparkSession, dir: String): GaussianCopula =
+  private def cappedNormCopula(s: SparkSession, dir: String): GaussianCopula = {
+    if (copulaMemo.containsKey(dir)) memoHits.incrementAndGet()
+    else memoMisses.incrementAndGet()
     copulaMemo.computeIfAbsent(dir, _ => {
       val cols = Seq("l_extendedprice", "l_quantity")
       val capped = keyCappedLineitem(s, dir, 100000, cols :+ "l_orderkey")
@@ -177,6 +189,7 @@ object SparkEntry {
       fr.unpersist() // marginals are extracted; don't pin the relation
       cop
     })
+  }
 
   /** Memoized at COLUMN granularity: overlapping multi-column queries
     * (e.g. {price, discount, tax} then {price, discount}) reuse each
@@ -190,6 +203,8 @@ object SparkEntry {
     // of the cached combined table land in the memo individually so
     // overlapping queries reuse them
     val missing = cols.filterNot(c => fitMemo.containsKey(key(c)))
+    memoHits.addAndGet(cols.length - missing.length)
+    memoMisses.addAndGet(missing.length)
     if (missing.nonEmpty) {
       val fitted = Fitter.fit(s, li(s, dir), missing, dists, cfg)
       missing.foreach(c => fitMemo.putIfAbsent(key(c), fitted.forColumn(c)))
@@ -252,6 +267,21 @@ object SparkEntry {
       fitOut(memoFit(s"$dir|optin")(Fitter.fit(s, li(s, dir), Seq("l_extendedprice"),
         distributions = Some(Seq("gibrat", "mielke", "exponpow", "kstwobign",
           "wald", "tukeylambda"))))
+        .successful.orderBy("distribution"))),
+    "fit_optin_quadrature" -> ((s, dir) =>
+      // the HARDEST opt-in kernels through the same distributed fan-out:
+      // levy_stable (Zolotarev-integral cdf), studentized_range (double
+      // quadrature), geninvgauss (Bessel-normalized) — the Tier-E members
+      // fit_optin_excluded skips. A 500-point sample + deferred metrics
+      // bound the quadrature bill (every NM step integrates per point);
+      // Bench SKIPS this row by name — it exists as the fan-out runtime
+      // signal for the opt-in path, not as a latency benchmark. Recovery
+      // accuracy is DistributionSpec's job.
+      fitOut(memoFit(s"$dir|optin|quad")(Fitter.fit(s, li(s, dir),
+        Seq("l_extendedprice"),
+        distributions = Some(Seq("levy_stable", "studentized_range",
+          "geninvgauss")),
+        cfg = FitConfig(fittingSampleSize = 500, lazyMetrics = true)))
         .successful.orderBy("distribution"))),
     "fit_mse_closed_form" -> ((s, dir) =>
       // M2 hash row: the uniform MSP optimum is closed form (Cheng & Amin
@@ -463,6 +493,22 @@ object SparkEntry {
             .otherwise(F.round(F.col("ks_statistic"), 6)).as("ks_r"))
         .orderBy("distribution")
     }),
+    "fit_lazy_select_closed_form" -> ((s, dir) =>
+      // M14/F8's SELECTION order hash-checked (fit_lazy_closed_form pins
+      // the metric FILL; this pins the decisions): 5 columns x {expon,
+      // uniform} = 10 lazy rows with n=1 makes the 3n+5=8-row AIC
+      // preselection BIND — two rows are excluded before any K-S exists —
+      // and the K-S re-sort then picks the winner among survivors.
+      // Closed-form MLE + lifted cap => every AIC and every recomputed
+      // K-S is SQL-exact, so DuckDB replays BOTH ranking decisions.
+      cachedFit(s, dir,
+        Seq("l_extendedprice", "l_quantity", "l_discount", "l_tax",
+          "l_orderkey"),
+        dists = Some(Seq("expon", "uniform")),
+        cfg = FitConfig(fittingSampleSize = 2000000, lazyMetrics = true))
+        .bestLazy(s, 1, "ks_statistic")
+        .select(F.col("column_name"), F.col("distribution"),
+          F.round(F.col("ks_statistic"), 6).as("ks_r"))),
     "fit_bounded_closed_form" -> ((s, dir) =>
       // D3's truncation renormalization, hash-checked: closed-form
       // families under [900, 105000] bounds on the FULL column. The expon
@@ -660,6 +706,20 @@ object SparkEntry {
         .agg(F.count(F.lit(1)).as("n_docs"),
           F.round(F.avg("quality_score"), 6).as("avg_quality"))
         .orderBy("len_bucket")),
+    "q_snapshot_diff" -> ((s, dir) => {
+      // dataset-versioning changeset hash-checked: old = doc_id < 400,
+      // new = doc_id >= 100 with every 7th doc's text amended — so
+      // [0,100) is removed, [400,...) is added, and the %7 rows inside
+      // the overlap are changed. Both engines compute md5 digests of the
+      // same bytes; only (id, status) ships out.
+      val d = docs(s, dir)
+      val oldSnap = d.where(F.col("doc_id") < 400).select("doc_id", "text")
+      val newSnap = d.where(F.col("doc_id") >= 100)
+        .select(F.col("doc_id"),
+          F.concat(F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 7 === 0, " v2").otherwise("")).as("text"))
+      Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text").orderBy("id")
+    }),
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), "doc_id", "text").orderBy("text_md5")),
     "q_dedup_minhash" -> ((s, dir) =>
@@ -888,12 +948,31 @@ object SparkEntry {
         .select(F.col("id").as("vec_id"), F.col("cosine"))
         .orderBy(F.col("cosine").desc, F.col("vec_id").asc)
     }),
-    "q_multimodal_features" -> ((s, dir) =>
+    "q_multimodal_features" -> ((s, dir) => {
+      // the FULL 8-feature extraction vector hash-checked: mixed
+      // synthetic payloads — constant-gray PNG, single-frame
+      // identity-palette GIF, and empty — are pure functions of doc_id,
+      // so every decoded dimension and every feature (channel means,
+      // luma mean/std/min/max, aspect ratio) is SQL-predictable. The
+      // raw-bytes fallback tier keeps its coverage in q_media_meta.
+      val payloadUdf = F.udf((id: Long) =>
+        if (id % 3 == 0) Multimodal.syntheticPng(id)
+        else if (id % 3 == 1) Multimodal.syntheticGif(id, 1)
+        else null)
+      def feat(i: Int, name: String) =
+        F.round(F.element_at(F.col("features"), i).cast("double"), 5).as(name)
       Multimodal.extractFeatures(
-        docs(s, dir).select(F.col("doc_id"), F.col("text").cast("binary").as("payload")),
+        docs(s, dir).select(F.col("doc_id")).where(F.col("doc_id") < 120)
+          .withColumn("payload", payloadUdf(F.col("doc_id"))),
         "payload")
-        .withColumn("features", arrStr(F.col("features")))
-        .orderBy("doc_id")),
+        .select(F.col("doc_id"), F.col("format"),
+          F.col("width").cast("long").as("width"),
+          F.col("height").cast("long").as("height"),
+          feat(1, "mean_r"), feat(2, "mean_g"), feat(3, "mean_b"),
+          feat(4, "luma_mean"), feat(5, "luma_std"),
+          feat(6, "luma_min"), feat(7, "luma_max"), feat(8, "aspect"))
+        .orderBy("doc_id")
+    }),
     "q_partitioned_sink" -> ((s, dir) => {
       // partitioned parquet sink + partition-pruned read-back: write the
       // corpus partitioned by lang (the layout a 100 TB text lake uses so
@@ -1642,6 +1721,21 @@ object SparkEntry {
         F.round(F.corr("l_extendedprice", "l_tax"), 2).as("corr_pt"),
         F.round(F.avg("l_extendedprice"), 0).as("mean_price"))
     }),
+    "q_copula_sample_fixed" -> ((s, _) =>
+      // G5's distributed-generation twin hash-checked END-TO-END: md5
+      // coordinates replace the PRNG (the q_bootstrap_hash discipline),
+      // a pinned rho=0.6 correlation goes through the REAL commons-math
+      // Cholesky, Phi is the REAL Cody erfc (branch 1 only — a pure
+      // rational polynomial, so DuckDB replays it with plain
+      // arithmetic), and the expon/uniform marginals apply their exact
+      // ppf. Every one of the 300x2 generated values hash-checks at 6
+      // decimals — the draw -> correlate -> Phi -> ppf pipeline is
+      // SQL-replayed bit-for-bit.
+      new GaussianCopula(
+        Seq(Marginal("x_expon", "expon", Array(10.0, 200.0)),
+          Marginal("x_unif", "uniform", Array(5.0, 50.0))),
+        Array(Array(1.0, 0.6), Array(0.6, 1.0)))
+        .hashSampleAudit(s, 300).orderBy("sample_id")),
     "q_mvn_fit" -> ((s, dir) => {
       import s.implicits._
       val mvn = MultivariateNormal.fit(li(s, dir),
@@ -2652,6 +2746,34 @@ object SparkEntry {
         |  'png' AS format,
         |  round(CAST((doc_id * 7) % 256 AS DOUBLE) / 255.0, 5) AS luma_mean
         |FROM documents WHERE doc_id < 64 ORDER BY doc_id""".stripMargin,
+    // Constant-gray payloads make every feature a closed form of doc_id:
+    // all channel/luma means are gray/255, std is 0, aspect is w/(w+h).
+    "q_multimodal_features" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |    ELSE 'empty' END AS format,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 32
+        |    WHEN 1 THEN 16 + doc_id % 16 ELSE 0 END AS BIGINT) AS width,
+        |  CAST(CASE doc_id % 3 WHEN 2 THEN 0
+        |    ELSE 16 + doc_id % 16 END AS BIGINT) AS height,
+        |  round(CASE WHEN doc_id % 3 = 2 THEN 0.0
+        |    ELSE CAST((doc_id * 7) % 256 AS DOUBLE) / 255.0 END, 5) AS mean_r,
+        |  round(CASE WHEN doc_id % 3 = 2 THEN 0.0
+        |    ELSE CAST((doc_id * 7) % 256 AS DOUBLE) / 255.0 END, 5) AS mean_g,
+        |  round(CASE WHEN doc_id % 3 = 2 THEN 0.0
+        |    ELSE CAST((doc_id * 7) % 256 AS DOUBLE) / 255.0 END, 5) AS mean_b,
+        |  round(CASE WHEN doc_id % 3 = 2 THEN 0.0
+        |    ELSE CAST((doc_id * 7) % 256 AS DOUBLE) / 255.0 END, 5) AS luma_mean,
+        |  0.0 AS luma_std,
+        |  round(CASE WHEN doc_id % 3 = 2 THEN 0.0
+        |    ELSE CAST((doc_id * 7) % 256 AS DOUBLE) / 255.0 END, 5) AS luma_min,
+        |  round(CASE WHEN doc_id % 3 = 2 THEN 0.0
+        |    ELSE CAST((doc_id * 7) % 256 AS DOUBLE) / 255.0 END, 5) AS luma_max,
+        |  round(CASE doc_id % 3
+        |    WHEN 0 THEN CAST(16 + doc_id % 32 AS DOUBLE)
+        |      / (32 + doc_id % 32 + doc_id % 16)
+        |    WHEN 1 THEN 0.5 ELSE 0.0 END, 5) AS aspect
+        |FROM documents WHERE doc_id < 120 ORDER BY doc_id""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id,
         |  CAST(coalesce(octet_length(encode(text)), 0) AS BIGINT) AS n_bytes,
@@ -2798,6 +2920,20 @@ object SparkEntry {
       """SELECT md5(text) AS text_md5, min(doc_id) AS survivor_id,
         |count(*) AS n_copies FROM documents GROUP BY md5(text)
         |ORDER BY text_md5""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id AS id, md5(coalesce(text, '')) AS h
+        |    FROM documents WHERE doc_id < 400),
+        |n AS (SELECT doc_id AS id,
+        |    md5(coalesce(text, '') ||
+        |      CASE WHEN doc_id % 7 = 0 THEN ' v2' ELSE '' END) AS h
+        |  FROM documents WHERE doc_id >= 100)
+        |SELECT coalesce(o.id, n.id) AS id,
+        |  CASE WHEN o.id IS NULL THEN 'added'
+        |       WHEN n.id IS NULL THEN 'removed'
+        |       WHEN o.h <> n.h THEN 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.id = n.id
+        |WHERE o.id IS NULL OR n.id IS NULL OR o.h <> n.h
+        |ORDER BY id""".stripMargin,
     "q_dedup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
@@ -3169,6 +3305,48 @@ object SparkEntry {
         |UNION ALL SELECT 'norm', -1.0 FROM ks
         |UNION ALL SELECT 'uniform', round(d_unif, 6) FROM ks
         |ORDER BY 1""".stripMargin,
+    // bestLazy's DECISIONS replayed: rank all 10 (column, family) rows by
+    // closed-form AIC, keep 3n+5 = 8, re-rank those by exact K-S, take 1.
+    "fit_lazy_select_closed_form" ->
+      """WITH vals AS (
+        |  SELECT 'l_extendedprice' AS c, CAST(l_extendedprice AS DOUBLE) AS x
+        |    FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |  UNION ALL SELECT 'l_quantity', CAST(l_quantity AS DOUBLE)
+        |    FROM lineitem WHERE l_quantity IS NOT NULL
+        |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE)
+        |    FROM lineitem WHERE l_discount IS NOT NULL
+        |  UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE)
+        |    FROM lineitem WHERE l_tax IS NOT NULL
+        |  UNION ALL SELECT 'l_orderkey', CAST(l_orderkey AS DOUBLE)
+        |    FROM lineitem WHERE l_orderkey IS NOT NULL),
+        |s AS (SELECT c, avg(x) AS m, min(x) AS mn, max(x) AS mx,
+        |    count(*) AS n FROM vals GROUP BY c),
+        |ll AS (SELECT v.c,
+        |    sum(-(v.x - s.mn) / (s.m - s.mn)) - s.n * ln(s.m - s.mn) AS ll_e,
+        |    -s.n * ln(s.mx - s.mn) AS ll_u
+        |  FROM vals v JOIN s ON v.c = s.c
+        |  GROUP BY v.c, s.n, s.m, s.mn, s.mx),
+        |ranked AS (SELECT c, x,
+        |    CAST(row_number() OVER (PARTITION BY c ORDER BY x) AS DOUBLE) AS rn
+        |  FROM vals),
+        |ks AS (SELECT r.c,
+        |    max(greatest(rn / s.n - (1.0 - exp(-(r.x - s.mn) / (s.m - s.mn))),
+        |      (1.0 - exp(-(r.x - s.mn) / (s.m - s.mn))) - (rn - 1.0) / s.n))
+        |      AS d_e,
+        |    max(greatest(rn / s.n - (r.x - s.mn) / (s.mx - s.mn),
+        |      (r.x - s.mn) / (s.mx - s.mn) - (rn - 1.0) / s.n)) AS d_u
+        |  FROM ranked r JOIN s ON r.c = s.c
+        |  GROUP BY r.c, s.n, s.m, s.mn, s.mx),
+        |cand AS (
+        |  SELECT ll.c AS column_name, 'expon' AS distribution,
+        |    4.0 - 2.0 * ll.ll_e AS aic, ks.d_e AS ks
+        |  FROM ll JOIN ks ON ll.c = ks.c
+        |  UNION ALL
+        |  SELECT ll.c, 'uniform', 4.0 - 2.0 * ll.ll_u, ks.d_u
+        |  FROM ll JOIN ks ON ll.c = ks.c),
+        |pre AS (SELECT * FROM cand ORDER BY aic ASC LIMIT 8)
+        |SELECT column_name, distribution, round(ks, 6) AS ks_r
+        |FROM pre ORDER BY ks ASC, distribution ASC LIMIT 1""".stripMargin,
     "fit_bounded_closed_form" ->
       """WITH s AS (SELECT avg(l_extendedprice) AS m, min(l_extendedprice) AS mn,
         |  max(l_extendedprice) AS mx, count(l_extendedprice) AS n FROM lineitem),
@@ -3856,6 +4034,37 @@ object SparkEntry {
     // Replays the copula fit: full-column norm MLE (avg/stddev_pop),
     // min-rank Spearman, and the 2x2 Cholesky row the sampler uses
     // (l21 = rho, l22 = sqrt(1 - rho^2)).
+    // The full generation pipeline replayed arithmetically: md5 draws,
+    // the 2x2 Cholesky row (0.6, sqrt(1-0.36)), Cody's branch-1 erfc
+    // (pure rational — no exp), exact expon/uniform ppf. Same operation
+    // order as the engine, so doubles match bit-for-bit pre-round.
+    "q_copula_sample_fixed" ->
+      """WITH draws AS (SELECT i,
+        |    ((CAST(('0x' || substr(md5('cs_' || i || '_0'), 1, 8)) AS BIGINT)
+        |      % 1001) / 1000.0 - 0.5) * 0.5 AS z1,
+        |    ((CAST(('0x' || substr(md5('cs_' || i || '_1'), 1, 8)) AS BIGINT)
+        |      % 1001) / 1000.0 - 0.5) * 0.5 AS z2
+        |  FROM range(0, 300) t(i)),
+        |ys AS (SELECT i, 1 AS c, z1 AS y FROM draws
+        |  UNION ALL
+        |  SELECT i, 2, 0.6 * z1 + sqrt(1.0 - 0.6 * 0.6) * z2 FROM draws),
+        |sq AS (SELECT i, c, -y / sqrt(2.0) AS x,
+        |    (-y / sqrt(2.0)) * (-y / sqrt(2.0)) AS xx FROM ys),
+        |us AS (SELECT i, c, 0.5 * (1.0 - x *
+        |    ((((1.85777706184603153e-1 * xx + 3.16112374387056560) * xx
+        |       + 1.13864154151050156e2) * xx + 3.77485237685302021e2) * xx
+        |       + 3.20937758913846947e3)
+        |    / ((((xx + 2.36012909523441209e1) * xx + 2.44024637934444173e2)
+        |       * xx + 1.28261652607737228e3) * xx + 2.84423683343917062e3))
+        |    AS u FROM sq),
+        |vals AS (SELECT i, c,
+        |    round_even((CASE WHEN c = 1 THEN 10.0 + 200.0 * (-ln(1.0 - u))
+        |      ELSE 5.0 + 50.0 * u END) * 1000000.0, 0) / 1000000.0 AS v
+        |  FROM us)
+        |SELECT i AS sample_id,
+        |  max(CASE WHEN c = 1 THEN v END) AS x_expon,
+        |  max(CASE WHEN c = 2 THEN v END) AS x_unif
+        |FROM vals GROUP BY i ORDER BY sample_id""".stripMargin,
     "q_copula_fit" ->
       """WITH r AS (SELECT
         |    CAST(rank() OVER (ORDER BY l_extendedprice) AS DOUBLE) AS ra,

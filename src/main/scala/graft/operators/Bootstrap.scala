@@ -104,26 +104,49 @@ object Bootstrap {
     * hash-exactly — which no seeded-PRNG bootstrap permits.
     *
     * Scale contract: the input is the *fitting sample* (≤ ~10K rows under
-    * the sampling policy), so the rank window and the b·n draw grid are
+    * the sampling policy), so the rank table and the b·n draw grid are
     * bounded by construction; the grid and the join still run distributed
-    * (the sorted sample broadcasts). Refusing oversized input is the same
+    * (the sorted sample broadcasts), and the ranks come from the
+    * [[Ranks]] prefix-sum construction — no single-partition window even
+    * inside the cap. Refusing oversized input is the same
     * bounded-audit-op discipline as the exact near-dup baseline. */
   def hashResampleCI(df: DataFrame, valueCol: String, b: Int = 200,
                      alpha: Double = 0.05, maxSample: Int = 100000): DataFrame = {
     import org.apache.spark.sql.{functions => F}
     require(b >= 2, "need at least 2 replicates")
     val spark = df.sparkSession
+    import spark.implicits._
     val s = df.select(F.col(valueCol).cast("long").as("x"))
       .where(F.col("x").isNotNull)
-    val n = s.count()
+    // dense 0..n−1 index over the value-sorted sample via the Ranks
+    // prefix-sum construction (distinct-value counts, range-partitioned
+    // sort, O(#partitions) longs to the driver, flatMap expansion) — the
+    // same ranks a global row_number window gives, with no
+    // single-partition WindowExec; ties share a value, so which tied row
+    // lands at which index cannot change any replicate sum. The total
+    // count falls out of the same pass (offsets.last), saving a scan.
+    val counts = s.groupBy("x").agg(F.count(F.lit(1)).as("c"))
+    val sorted = counts.repartitionByRange(F.col("x"))
+      .sortWithinPartitions("x").as[(Long, Long)].rdd
+    sorted.cache()
+    val partSums = sorted.mapPartitionsWithIndex { case (i, it) =>
+      var t = 0L; it.foreach(t += _._2); Iterator((i, t))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val n = offsets.last
     require(n > 0, "empty sample")
     require(n <= maxSample, s"hashResampleCI is a bounded audit op: " +
       s"$n rows > cap $maxSample — pass the fitting sample, not the corpus")
-    // bounded global rank (≤ maxSample rows by the contract just enforced);
-    // ties share a value, so which tied row lands at which index cannot
-    // change any replicate sum
-    val w = org.apache.spark.sql.expressions.Window.orderBy("x")
-    val indexed = s.withColumn("idx", F.row_number().over(w).cast("long") - 1)
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val indexed = sorted.mapPartitionsWithIndex { case (i, it) =>
+      var running = bcOff.value(i)
+      it.flatMap { case (v, c) =>
+        val start = running
+        running += c
+        (0L until c).iterator.map(o => (start + o, v))
+      }
+    }.toDF("idx", "x").localCheckpoint(true)
+    sorted.unpersist(blocking = false)
     val draws = spark.range(b).toDF("rep")
       .crossJoin(spark.range(n).toDF("j"))
       .select(F.col("rep"),

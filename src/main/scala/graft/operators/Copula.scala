@@ -100,6 +100,74 @@ final class GaussianCopula(
     }
     spark.createDataFrame(rows, schema)
   }
+
+  /** Deterministic, engine-replayable audit of the sampling pipeline —
+    * the md5-coordinate discipline of
+    * [[Bootstrap.hashResampleCI]] applied to copula generation. Draw j
+    * of sample i is `z_ij = ((md5_32("cs_i_j") mod 1001)/1000 − 0.5) ·
+    * 2·zScale` (content-addressed, no PRNG); the z-vector correlates
+    * through the REAL cached Cholesky factor, maps to uniforms through
+    * the REAL Φ ([[SM.normCdf]] — the same Cody erfc the sampler uses),
+    * and transforms through each marginal's EXACT ppf. The TabulatedPpf
+    * fast path is deliberately bypassed: the audit pins the
+    * mathematics, not the interpolation accelerator (GenerationSpec
+    * covers that separately).
+    *
+    * Bounding |z| ≤ zScale keeps every Φ argument y with |y|·√½ ≤
+    * 0.46875 — Cody's FIRST erfc branch, a pure rational polynomial
+    * with no exp/floor — so an external SQL engine can replay the
+    * entire draw → Cholesky → Φ → ppf pipeline with plain arithmetic,
+    * bit-for-bit. Outputs round half-even to 6 decimals.
+    */
+  def hashSampleAudit(spark: SparkSession, n: Int,
+                      zScale: Double = 0.25): DataFrame = {
+    val k = marginals.length
+    // |y_i| ≤ zScale·Σ_j|l_ij| ≤ zScale·√k (unit-norm correlation rows);
+    // branch-1 needs |y|/√2 ≤ 0.46875 ⇔ |y| ≤ 0.66290
+    require(zScale > 0 && zScale * math.sqrt(k.toDouble) <= 0.6629,
+      s"zScale·sqrt(k) must stay <= 0.6629 to remain in erfc branch 1")
+    require(marginals.forall(m => m.lowerBound.isEmpty && m.upperBound.isEmpty),
+      "hashSampleAudit audits unbounded marginals")
+    val l = cholesky
+    val dists = marginals.map(m => (DistRegistry.get(m.distName).getOrElse(
+      throw new IllegalArgumentException(s"unknown distribution '${m.distName}'")),
+      m.params)).toArray
+    val twoScale = 2.0 * zScale
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("sample_id",
+        org.apache.spark.sql.types.LongType) +:
+      columns.map(c => org.apache.spark.sql.types.StructField(
+        c, org.apache.spark.sql.types.DoubleType)))
+    val rows = spark.range(0, n.toLong).rdd.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { iv =>
+        val i = iv.longValue
+        val z = new Array[Double](k)
+        var j = 0
+        while (j < k) {
+          val d = md.digest(s"cs_${i}_$j".getBytes("UTF-8"))
+          val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          z(j) = ((h % 1001L) / 1000.0 - 0.5) * twoScale
+          j += 1
+        }
+        val out = new Array[Any](k + 1)
+        out(0) = i
+        var c = 0
+        while (c < k) {
+          var y = 0.0
+          var jj = 0
+          while (jj <= c) { y += l(c)(jj) * z(jj); jj += 1 }
+          val u = SM.normCdf(y)
+          val x = dists(c)._1.ppf(u, dists(c)._2)
+          out(c + 1) = math.rint(x * 1e6) / 1e6
+          c += 1
+        }
+        Row.fromSeq(out.toIndexedSeq)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
 }
 
 object GaussianCopula {

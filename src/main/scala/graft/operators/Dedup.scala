@@ -44,6 +44,32 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Corpus snapshot diff — the dataset-versioning primitive: which
+    * documents were ADDED, REMOVED, or CHANGED between two corpus
+    * versions. Content identity is the md5 digest the exact-dedup path
+    * uses, so "changed" means same id, different bytes. Both sides
+    * reduce to (id, digest) BEFORE the join — text never shuffles — so
+    * at 100 TB the diff costs two digest scans plus one id-key shuffle,
+    * and AQE broadcasts the small side when one snapshot is an
+    * incremental batch. Unchanged rows are omitted: the output is the
+    * changeset, small by construction in an incremental pipeline.
+    *
+    * @return (id, status ∈ added|removed|changed), one row per delta */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    def digests(df: DataFrame, as: String) = df.select(
+      F.col(idCol).cast("long").as("id"),
+      F.md5(F.coalesce(F.col(textCol), F.lit("")).cast("binary")).as(as))
+    digests(oldDf, "h_old")
+      .join(digests(newDf, "h_new"), Seq("id"), "full_outer")
+      .withColumn("status",
+        F.when(F.col("h_old").isNull, "added")
+          .when(F.col("h_new").isNull, "removed")
+          .when(F.col("h_old") =!= F.col("h_new"), "changed"))
+      .where(F.col("status").isNotNull)
+      .select(F.col("id"), F.col("status"))
+  }
+
   // ---- MinHash ----
 
   /** Word n-gram shingles of a normalized text. */
@@ -146,8 +172,11 @@ object Dedup {
     val banded = bandedOf(sigs, bands, rows)
 
     // candidate id pairs from co-bucketed docs; cap degenerate buckets
-    val buckets = banded.groupBy("band", "bkey")
-      .agg(F.collect_list(F.col("id")).as("members"))
+    // (dropped-bucket counts are observed + warn-logged, never silent)
+    val buckets = Observability.observeDropped(
+        banded.groupBy("band", "bkey")
+          .agg(F.collect_list(F.col("id")).as("members")),
+        "minhashPairs", F.size(F.col("members")), maxBucket)
       .where(F.size(F.col("members")).between(2, maxBucket))
 
     val pairUdf = F.udf((members: Seq[Long]) => {
@@ -329,8 +358,10 @@ object Dedup {
     // 2 and maxBucket) is the skew guard — one degenerate chunk value can
     // otherwise turn the band join quadratic. The 64-bit signature rides
     // along in the bucket (8 bytes/doc), so no join-back is needed.
-    val buckets = banded.groupBy("band", "chunk")
-      .agg(F.collect_list(F.struct(F.col("id"), F.col("simhash"))).as("members"))
+    val buckets = Observability.observeDropped(
+        banded.groupBy("band", "chunk")
+          .agg(F.collect_list(F.struct(F.col("id"), F.col("simhash"))).as("members")),
+        "simhashPairs", F.size(F.col("members")), maxBucket)
       .where(F.size(F.col("members")).between(2, maxBucket))
 
     val pairUdf = F.udf((members: Seq[org.apache.spark.sql.Row]) => {

@@ -17,6 +17,13 @@ import org.apache.spark.sql.{Column, DataFrame, functions => F}
   */
 object Similarity {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Recursive-split depth cap for oversize SemDeDup cells: with each
+    * round fanning a cell into ≥ ceil(size/maxCell)+1 sub-cells, 4 rounds
+    * separate anything k-means can separate; what remains is a point mass. */
+  private[operators] val maxSplitRounds = 4
+
   /** Σ aᵢ·bᵢ over two array columns via the codegen'd ArrayDotProduct
     * expression (higher-order `zip_with`/`aggregate` are interpreted —
     * CodegenFallback — and dominated the brute-force scan). Elements are
@@ -466,7 +473,8 @@ object Similarity {
     * verification is a dot product, no per-pair norm recompute), and the
     * `maxBucket` cap is enforced — buckets larger than the cap are
     * dropped rather than joined quadratically (a degenerate LSH bucket is
-    * otherwise an unguarded O(n²) self-join). */
+    * otherwise an unguarded O(n²) self-join); dropped buckets are
+    * observed and warn-logged via [[Observability]], never silent. */
   def nearDupPairs(df: DataFrame, embCol: String, idCol: String,
                    threshold: Double = 0.95, nPlanes: Int = 12,
                    seed: Long = 42L, maxBucket: Int = 2000): DataFrame = {
@@ -481,8 +489,10 @@ object Similarity {
         F.transform(F.col("__e"), x => x.cast("double") / F.col("__n")).as("emb"),
         F.col("bucket"))
 
-    val buckets = normalized.groupBy("bucket")
-      .agg(F.collect_list(F.struct(F.col("id"), F.col("emb"))).as("members"))
+    val buckets = Observability.observeDropped(
+        normalized.groupBy("bucket")
+          .agg(F.collect_list(F.struct(F.col("id"), F.col("emb"))).as("members")),
+        "embeddingNearDup", F.size(F.col("members")), maxBucket)
       .where(F.size(F.col("members")).between(2, maxBucket))
 
     val pairUdf = F.udf((members: Seq[org.apache.spark.sql.Row]) => {
@@ -532,18 +542,31 @@ object Similarity {
     val bc = queries.sparkSession.sparkContext.broadcast(index.centroids)
     val np = math.min(nProbe, index.centroids.length)
     val probeUdf = F.udf((v: Seq[Double]) => {
+      // np-element insertion selection over primitive arrays — no boxed
+      // (Double, Int) tuples, no full sort: on a billion-row assignment
+      // the per-row garbage of zipWithIndex.sortBy.take dominates.
+      // Scanning centroids in index order with strict-< insertion keeps
+      // the exact (distance, index) tie order of the sorted formulation.
       val cs = bc.value
-      val ds = new Array[Double](cs.length)
+      val bestIdx = new Array[Int](np)
+      val bestD = new Array[Double](np)
+      java.util.Arrays.fill(bestD, Double.PositiveInfinity)
       var c = 0
       while (c < cs.length) {
         val ctr = cs(c)
         var d = 0.0; var j = 0
         val m = math.min(ctr.length, v.length)
         while (j < m) { val t = v(j) - ctr(j); d += t * t; j += 1 }
-        ds(c) = d
+        if (d < bestD(np - 1)) {
+          var p = np - 1
+          while (p > 0 && d < bestD(p - 1)) {
+            bestD(p) = bestD(p - 1); bestIdx(p) = bestIdx(p - 1); p -= 1
+          }
+          bestD(p) = d; bestIdx(p) = c
+        }
         c += 1
       }
-      ds.zipWithIndex.sortBy { case (d, i) => (d, i) }.take(np).map(_._2)
+      bestIdx // np <= cs.length, so every slot is filled
     })
     val probed = normalizedOf(queries, embCol, idCol)
       .select(F.col("id").as("q_id"), F.col("emb").as("q_emb"),
@@ -587,14 +610,115 @@ object Similarity {
   /** [[semDedupPairs]] against caller-pinned centroids — the
     * deterministic form (assignment and pairing are then pure
     * arithmetic, SQL-replayable end-to-end), and the form an incremental
-    * pipeline uses to dedup a new batch against frozen cells. */
+    * pipeline uses to dedup a new batch against frozen cells.
+    *
+    * Oversize cells are SPLIT, not skipped: a k-means cell larger than
+    * `maxCell` is a dense semantic region — exactly where near-duplicates
+    * concentrate — so dropping it (an LSH-style skew guard) would zero
+    * out recall where it matters most. Instead each oversize cell is
+    * recursively re-clustered: sub-centroids train on a bounded
+    * deterministic hash-sample of the cell's members (the same FAISS
+    * bounded-training discipline as the coarse quantizer), one
+    * distributed pass re-assigns the members, and the loop repeats up to
+    * [[maxSplitRounds]] times until every leaf holds ≤ `maxCell` rows.
+    * Pairs are emitted within leaves (leaves are subsets of their parent
+    * cell, so the within-cell contract is unchanged and the `cell`
+    * output column still carries the top-level cell id). A leaf still
+    * oversize after the round cap — adversarially identical points that
+    * k-means cannot separate — is deterministically truncated to its
+    * `maxCell` lowest ids and the dropped-member count is logged, never
+    * silently zeroed. */
   def semDedupPairsWith(df: DataFrame, embCol: String, idCol: String,
                         centroids: Array[Array[Double]],
-                        threshold: Double, maxCell: Int = 10000): DataFrame = {
-    val assigned = assignCells(normalizedOf(df, embCol, idCol), centroids)
-    val cells = assigned.groupBy("cell")
+                        threshold: Double, maxCell: Int = 10000,
+                        splitSeed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    var assigned = assignCells(normalizedOf(df, embCol, idCol), centroids)
+      .withColumn("sub", F.lit(""))
+    // ---- oversize-cell splitting (bounded rounds, bounded training) ----
+    val splitTrainCap = 4096
+    var round = 0
+    var settled = false
+    while (round < maxSplitRounds && !settled) {
+      val oversize = assigned.groupBy("cell", "sub").count()
+        .where(F.col("count") > maxCell)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      if (oversize.isEmpty) settled = true
+      else {
+        // ~splitTrainCap training members per oversize leaf, selected by a
+        // deterministic id-hash stride (no RNG, no full collect)
+        val strides = oversize.map { case (k, n) =>
+          k -> math.max(1L, n / splitTrainCap)
+        }
+        val bcStrides = spark.sparkContext.broadcast(strides)
+        val sampleUdf = F.udf((cell: Int, sub: String, id: Long) =>
+          bcStrides.value.get((cell, sub)).exists(s =>
+            java.lang.Long.remainderUnsigned(Dedup.mix64(id), s) == 0L))
+        val train = assigned
+          .where(sampleUdf(F.col("cell"), F.col("sub"), F.col("id")))
+          .select("cell", "sub", "emb").collect()
+          .groupBy(r => (r.getInt(0), r.getString(1)))
+          .map { case (k, rows) =>
+            k -> rows.take(splitTrainCap).map(_.getSeq[Double](2).toArray)
+          }
+        val subCentroids = oversize.flatMap { case (k, n) =>
+          val sample = train.getOrElse(k, Array.empty[Array[Double]])
+          if (sample.length < 2) None // indistinguishable members: give up
+          else {
+            val kc = math.min(64,
+              math.max(2, math.ceil(n.toDouble / maxCell).toInt + 1))
+            val seed = splitSeed ^ (k.hashCode.toLong << 17) ^ n
+            Some(k -> lloyd(sample, math.min(kc, sample.length), 6, seed))
+          }
+        }
+        if (subCentroids.isEmpty) { settled = false; round = maxSplitRounds }
+        else {
+          val bcSub = spark.sparkContext.broadcast(subCentroids)
+          val reassignUdf = F.udf((cell: Int, sub: String, v: Seq[Double]) =>
+            bcSub.value.get((cell, sub)) match {
+              case Some(cs) =>
+                var best = 0; var bestD = Double.MaxValue
+                var c = 0
+                while (c < cs.length) {
+                  val ctr = cs(c)
+                  var d = 0.0; var j = 0
+                  val m = math.min(ctr.length, v.length)
+                  while (j < m) { val t = v(j) - ctr(j); d += t * t; j += 1 }
+                  if (d < bestD) { bestD = d; best = c }
+                  c += 1
+                }
+                s"$sub/$best"
+              case None => sub
+            })
+          assigned = assigned.withColumn("sub",
+            reassignUdf(F.col("cell"), F.col("sub"), F.col("emb")))
+          round += 1
+        }
+      }
+    }
+    if (!settled) {
+      // round cap exhausted: truncate residual oversize leaves to their
+      // maxCell lowest ids (deterministic) and say so — never silent
+      val residual = assigned.groupBy("cell", "sub").count()
+        .where(F.col("count") > maxCell)
+        .agg(F.coalesce(F.sum(F.col("count") - maxCell), F.lit(0L)).as("d"))
+        .head().getLong(0)
+      if (residual > 0) {
+        log.warn(s"semDedup: $residual members in unsplittable oversize " +
+          s"cells truncated to the $maxCell lowest ids per cell " +
+          s"(after $maxSplitRounds split rounds)")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cell", "sub").orderBy(F.col("id").asc)
+        assigned = assigned
+          .withColumn("__rn", F.row_number().over(w))
+          .where(F.col("__rn") <= maxCell).drop("__rn")
+      }
+    }
+    val cells = assigned.groupBy("cell", "sub")
       .agg(F.collect_list(F.struct(F.col("id"), F.col("emb"))).as("members"))
-      .where(F.size(F.col("members")).between(2, maxCell))
+      .where(F.size(F.col("members")) >= 2)
     val pairUdf = F.udf((members: Seq[org.apache.spark.sql.Row]) => {
       val sorted = members
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)

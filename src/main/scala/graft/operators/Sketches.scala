@@ -46,26 +46,44 @@ object Sketches {
 
   // ---- KLL quantile sketches: mergeable rank/quantile summaries ----
 
+  /** Tree depth for executor-side sketch merging: base-16 fan-in keeps
+    * the reduction O(log p) deep while each task unions a handful of
+    * kilobyte blobs. The driver receives ONE sketch, not one per
+    * partition — at 100 TB with ~10⁵ partitions a flat collect would
+    * ship GBs of sketch bytes into a single-threaded merge loop. */
+  private def treeDepth(numPartitions: Int): Int =
+    math.max(2, math.ceil(
+      math.log(math.max(numPartitions, 2).toDouble) / math.log(16.0)).toInt)
+
   /** One KLL doubles sketch over a column: per-partition sketches (each
     * O(k·log(n/k)) memory regardless of data size — Karnin/Lang/Liberty
-    * 2016) merged on the driver. The 100 TB story mirrors the HLL note:
-    * per-day/per-shard quantile summaries re-aggregate by merge without
-    * touching raw data, with the rank-error guarantee surviving the
-    * merge — a global `approx_percentile` would rescan everything. */
+    * 2016) union-merged in an executor-side `treeReduce` — the driver
+    * sees one sketch, so its traffic is O(1) in partition count. The
+    * 100 TB story mirrors the HLL note: per-day/per-shard quantile
+    * summaries re-aggregate by merge without touching raw data, with the
+    * rank-error guarantee surviving the merge — a global
+    * `approx_percentile` would rescan everything. NaN is excluded up
+    * front: `KllDoublesSketch.update` ignores NaN, so admitting it
+    * anywhere (here or in a rank denominator) would desynchronize the
+    * sketch population from the exact-rank population. */
   def kllSketch(df: DataFrame, valueCol: String, k: Int = 800)
       : org.apache.datasketches.kll.KllDoublesSketch = {
     import org.apache.datasketches.kll.KllDoublesSketch
-    val parts = df.select(F.col(valueCol).cast("double"))
-      .where(F.col(valueCol).isNotNull)
+    val v = F.col(valueCol).cast("double")
+    val rdd = df.select(v.as("v"))
+      .where(v.isNotNull && !F.isnan(v))
       .rdd.mapPartitions { it =>
         val sk = KllDoublesSketch.newHeapInstance(k)
         it.foreach(r => sk.update(r.getDouble(0)))
         Iterator.single(sk.toByteArray)
-      }.collect()
-    val merged = KllDoublesSketch.newHeapInstance(k)
-    parts.foreach(b =>
-      merged.merge(KllDoublesSketch.heapify(Memory.wrap(b))))
-    merged
+      }
+    if (rdd.getNumPartitions == 0) return KllDoublesSketch.newHeapInstance(k)
+    val bytes = rdd.treeReduce((a, b) => {
+      val sk = KllDoublesSketch.heapify(Memory.wrap(a))
+      sk.merge(KllDoublesSketch.heapify(Memory.wrap(b)))
+      sk.toByteArray
+    }, treeDepth(rdd.getNumPartitions))
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
   }
 
   /** Rank check at probe values: the EXACT rank (one codegen'd agg pass,
@@ -83,7 +101,10 @@ object Sketches {
     val aggs = probes.zipWithIndex.map { case (p, i) =>
       F.avg(F.when(v <= p, 1.0).otherwise(0.0)).as(s"__r$i")
     }
-    val r = df.where(v.isNotNull).agg(aggs.head, aggs.tail: _*).head()
+    // !isnan mirrors kllSketch's filter: the sketch ignores NaN updates,
+    // so a NaN row in this denominator (where `NaN <= p` is false — a
+    // phantom "above every probe" value) would skew exact vs sketch rank
+    val r = df.where(v.isNotNull && !F.isnan(v)).agg(aggs.head, aggs.tail: _*).head()
     val spark = df.sparkSession
     import spark.implicits._
     // no non-null rows: empty result with the full schema (ranks over an
@@ -113,23 +134,26 @@ object Sketches {
 
   /** One theta sketch over a column: per-partition `UpdateSketch`es
     * (each a bounded ~8·2^lgK-byte table built where the data lives),
-    * compacted and union-merged on the driver — numPartitions small
-    * byte arrays travel, never values. */
+    * compacted and union-merged executor-side in a `treeReduce` — the
+    * driver receives ONE ~2^lgK-entry sketch regardless of partition
+    * count; values never travel at all. */
   def thetaSketch(df: DataFrame, valueCol: String, lgK: Int = 12): CompactSketch = {
-    val parts = df.select(F.col(valueCol).cast("string"))
+    val rdd = df.select(F.col(valueCol).cast("string"))
       .where(F.col(valueCol).isNotNull)
       .rdd.mapPartitions { it =>
         val sk = UpdateSketch.builder().setNominalEntries(1 << lgK).build()
         it.foreach(r => sk.update(r.getString(0)))
         Iterator.single(sk.compact().toByteArray)
-      }.collect()
-    unionOf(parts, lgK)
-  }
-
-  private def unionOf(parts: Array[Array[Byte]], lgK: Int): CompactSketch = {
-    val u = SetOperation.builder().setNominalEntries(1 << lgK).buildUnion()
-    parts.foreach(b => u.union(Sketch.wrap(Memory.wrap(b))))
-    u.getResult
+      }
+    if (rdd.getNumPartitions == 0)
+      return UpdateSketch.builder().setNominalEntries(1 << lgK).build().compact()
+    val bytes = rdd.treeReduce((a, b) => {
+      val u = SetOperation.builder().setNominalEntries(1 << lgK).buildUnion()
+      u.union(Sketch.wrap(Memory.wrap(a)))
+      u.union(Sketch.wrap(Memory.wrap(b)))
+      u.getResult.toByteArray
+    }, treeDepth(rdd.getNumPartitions))
+    Sketch.wrap(Memory.wrap(bytes)).compact()
   }
 
   private def overlapRow(a: CompactSketch, b: CompactSketch, lgK: Int)

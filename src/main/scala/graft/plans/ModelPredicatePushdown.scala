@@ -42,7 +42,14 @@ import graft.functions.DistScalar
   *
   * Null semantics are preserved: a null x nulls both the original
   * predicate and the rewritten comparison; an unresolvable name leaves
-  * the expression untouched.
+  * the expression untouched. NaN x needs care: `dist_cdf(.., NaN)`
+  * evaluates to null (DistScalar nulls non-finite results) so the
+  * row-wise filter drops the row, but Spark's total ordering places NaN
+  * above every double, so a bare `x >= ppf(q)` would KEEP it. The
+  * greater-than rewrites therefore conjoin `NOT isnan(x)` — NaN rows
+  * evaluate to false (filter-equivalent to the original null), and null
+  * rows still null the conjunction. The less-than forms need no guard
+  * (`NaN <= c` is already false).
   *
   * Installed automatically by [[graft.GraftExtensions]]
   * (`injectOptimizerRule`), or on an existing session via [[install]].
@@ -88,15 +95,26 @@ object ModelPredicatePushdown extends Rule[LogicalPlan] {
       }
   }
 
+  /** `x >[=] c AND NOT isnan(x)` — Spark orders NaN above every double,
+    * so without the guard a greater-than rewrite would keep NaN rows the
+    * row-wise cdf (which nulls on NaN) dropped. Null x still nulls the
+    * conjunction (`null >= c` is null), matching the original.
+    */
+  private def nanSafeGreater(x: Expression, c: Double, strict: Boolean): Expression = {
+    val cmp: Expression =
+      if (strict) GreaterThan(x, Literal(c)) else GreaterThanOrEqual(x, Literal(c))
+    And(cmp, Not(IsNaN(x)))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case e @ GreaterThanOrEqual(d: DistScalar, qe) =>
         foldableDouble(qe).flatMap(cutoff(d, _))
-          .map(c => GreaterThanOrEqual(d.xExpr, Literal(c)): Expression)
+          .map(c => nanSafeGreater(d.xExpr, c, strict = false))
           .getOrElse(e)
       case e @ GreaterThan(d: DistScalar, qe) =>
         foldableDouble(qe).flatMap(cutoff(d, _))
-          .map(c => GreaterThan(d.xExpr, Literal(c)): Expression)
+          .map(c => nanSafeGreater(d.xExpr, c, strict = true))
           .getOrElse(e)
       case e @ LessThanOrEqual(d: DistScalar, qe) =>
         foldableDouble(qe).flatMap(cutoff(d, _))
@@ -117,11 +135,11 @@ object ModelPredicatePushdown extends Rule[LogicalPlan] {
           .getOrElse(e)
       case e @ LessThanOrEqual(qe, d: DistScalar) =>
         foldableDouble(qe).flatMap(cutoff(d, _))
-          .map(c => GreaterThanOrEqual(d.xExpr, Literal(c)): Expression)
+          .map(c => nanSafeGreater(d.xExpr, c, strict = false))
           .getOrElse(e)
       case e @ LessThan(qe, d: DistScalar) =>
         foldableDouble(qe).flatMap(cutoff(d, _))
-          .map(c => GreaterThan(d.xExpr, Literal(c)): Expression)
+          .map(c => nanSafeGreater(d.xExpr, c, strict = true))
           .getOrElse(e)
     }
 }

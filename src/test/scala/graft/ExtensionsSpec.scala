@@ -96,6 +96,27 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(boundary.queryExecution.optimizedPlan.toString.contains("dist_cdf"))
   }
 
+  test("folded greater-than predicates drop NaN x like the row-wise cdf does") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // row 0 carries NaN; the row-wise dist_cdf nulls it (dropped), while a
+    // bare x >= ppf(q) would KEEP it under Spark's NaN-above-all ordering —
+    // the rule's NOT isnan(x) guard is what this pins down
+    spark.range(0, 100)
+      .select(when(col("id") === 0, lit(Double.NaN))
+        .otherwise(col("id").cast("double")).as("x"))
+      .createOrReplaceTempView("mf_nan")
+    val folded = spark.sql(
+      "SELECT count(*) AS n FROM mf_nan WHERE dist_cdf('expon', array(0D, 50D), x) >= 0.25")
+    val plan = folded.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("dist_cdf"),
+      s"rule should still fold the guarded comparison:\n$plan")
+    val model = graft.dists.FrozenDist(
+      graft.dists.DistRegistry.get("expon").get, Array(0.0, 50.0))
+    val expected = (1 until 100).map(_.toDouble)
+      .count(x => model.cdf(x) >= 0.25)
+    assert(folded.head().getLong(0) == expected)
+  }
+
   test("custom families registered on the driver reach the plan snapshot") {
     // triangular-ish toy family under a name the builtin registry lacks
     object Toy extends ContinuousDist {

@@ -37,6 +37,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(groups.map(_.getAs[Long]("n_copies")).sum == 6)
   }
 
+  test("snapshotDiff: added/removed/changed changeset, unchanged omitted") {
+    import spark.implicits._
+    val oldS = Seq((1L, "a"), (2L, "b"), (3L, "c"),
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
+    val newS = Seq((2L, "b"), (3L, "C!"), (4L, ""), (5L, "e")).toDF("id", "text")
+    val diff = operators.Dedup.snapshotDiff(oldS, newS, "id", "text")
+      .as[(Long, String)].collect().toMap
+    // id 2 unchanged; id 4 null→"" coalesces equal (unchanged) — both omitted
+    assert(diff == Map(1L -> "removed", 3L -> "changed", 5L -> "added"))
+  }
+
   test("normalize + PII mask: controls collapsed, typed tokens, counts") {
     import spark.implicits._
     val df = Seq(
@@ -1132,6 +1143,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact(25000.0) == 0.25001 && exact(50000.0) == 0.50001)
   }
 
+  test("sketch builds tree-merge executor-side and equal the serial merge") {
+    import spark.implicits._
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    val df = (1 to 600).map(_.toDouble).toDF("v").repartition(64)
+    // KLL at k=800 > n: the sub-capacity regime retains every value, so
+    // the sketch is EXACT whatever the merge topology — tree vs serial
+    // collect-merge must agree rank-for-rank
+    val tree = operators.Sketches.kllSketch(df, "v", k = 800)
+    assert(tree.getN == 600)
+    assert(tree.getMinItem == 1.0 && tree.getMaxItem == 600.0)
+    val serial = {
+      val parts = df.select($"v").rdd.mapPartitions { it =>
+        val sk = KllDoublesSketch.newHeapInstance(800)
+        it.foreach(r => sk.update(r.getDouble(0)))
+        Iterator.single(sk.toByteArray)
+      }.collect()
+      val m = KllDoublesSketch.newHeapInstance(800)
+      parts.foreach(b => m.merge(KllDoublesSketch.heapify(Memory.wrap(b))))
+      m
+    }
+    for (p <- Seq(1.0, 150.0, 300.0, 599.0))
+      assert(tree.getRank(p) == serial.getRank(p), s"rank mismatch at $p")
+    // theta exact regime (600 < 2^12): the tree union is exact
+    val th = operators.Sketches.thetaSketch(df, "v", lgK = 12)
+    assert(math.round(th.getEstimate) == 600L)
+    // NaN rows leave BOTH the sketch and the exact-rank populations
+    // (KllDoublesSketch ignores NaN updates; an unfiltered denominator
+    // would count NaN as "above every probe" and skew exact_rank)
+    val withNaN = ((1 to 100).map(_.toDouble) ++ Seq(Double.NaN, Double.NaN))
+      .toDF("v").repartition(8)
+    val chk = operators.Sketches.kllRankCheck(withNaN, "v", Seq(50.0)).head()
+    assert(chk.getAs[Double]("exact_rank") == 0.5, "NaN leaked into the denominator")
+    assert(chk.getAs[Boolean]("within_eps"))
+  }
+
   test("semDedup: within-cell near-dup pairs and keep-min survivors") {
     import spark.implicits._
     // three tight clusters of near-identical vectors, well separated
@@ -1165,6 +1212,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("id").as[Long].collect().toSet
     val expected = rows.map(_._1).toSet -- trained.map(_._2)
     assert(surv == expected, s"survivors = $surv, want $expected")
+  }
+
+  test("semDedup: oversize cells split (dense regions keep yielding pairs)") {
+    import spark.implicits._
+    // 30 near-identical but DISTINCT vectors: one dense semantic region
+    // exceeding maxCell = 10. The pre-fix skew guard dropped the whole
+    // cell → zero pairs from exactly where near-dups concentrate.
+    val rows = (0 until 30).map { i =>
+      val v = Array(1f, 0f, 0f, 0f)
+      v(1 + i % 3) = 1e-3f * (1 + i / 3) // unique (axis, magnitude) jitter
+      (i.toLong, v)
+    }
+    val df = rows.toDF("id", "emb")
+    val ctr = Array(Array(1.0, 0.0, 0.0, 0.0))
+    val pairs = operators.Similarity
+      .semDedupPairsWith(df, "emb", "id", ctr, threshold = 0.95, maxCell = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty,
+      "dense oversize cell produced zero pairs (dropped instead of split)")
+    assert(pairs.forall { case (a, b) => a < b && a >= 0 && b < 30 })
+    // adversarial point mass: 30 IDENTICAL vectors k-means cannot
+    // separate — after the split-round cap the leaf is deterministically
+    // truncated to its maxCell lowest ids (and logged), never silenced
+    val same = (0 until 30)
+      .map(i => (i.toLong, Array(0f, 1f, 0f, 0f))).toDF("id", "emb")
+    val p2 = operators.Similarity
+      .semDedupPairsWith(same, "emb", "id", Array(Array(0.0, 1.0, 0.0, 0.0)),
+        threshold = 0.95, maxCell = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val ids = 0L until 10L
+    val want = (for (a <- ids; b <- ids if a < b) yield (a, b)).toSet
+    assert(p2 == want,
+      s"truncation should pair exactly the 10 lowest ids; got ${p2.size} pairs")
   }
 
   test("theta sketches: exact-regime set algebra and estimation-regime bounds") {
