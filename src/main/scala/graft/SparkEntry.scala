@@ -537,6 +537,28 @@ object SparkEntry {
         .successful
         .select(F.col("distribution"),
           F.round(F.get(F.col("parameters"), F.lit(0)), 4).as("p1"))),
+    "q_grouped_fit" -> ((s, dir) => {
+      // per-GROUP fitting in one aggregation pass, hash-checked: the
+      // sufficient-statistic families (norm/expon/uniform/lognorm) have
+      // closed-form MLE AND closed-form maximized loglik, so params,
+      // AIC, and the best-by-AIC pick per l_returnflag are all exact
+      // SQL over per-group aggregates — the shape that scales to 10^6
+      // groups where a driver loop over per-group fits cannot
+      val fits = GroupedFit.fitByGroup(li(s, dir), "l_extendedprice",
+        Seq("l_returnflag"))
+      val best = GroupedFit.bestByGroup(li(s, dir), "l_extendedprice",
+        Seq("l_returnflag"))
+        .select(F.col("l_returnflag"), F.col("distribution").as("best_family"))
+      fits.join(best, "l_returnflag")
+        .select(F.col("l_returnflag"), F.col("n"), F.col("distribution"),
+          F.round(F.get(F.col("parameters"), F.lit(0)), 4).as("p1"),
+          F.round(F.get(F.col("parameters"), F.lit(1)), 4).as("p2"),
+          F.round(F.coalesce(F.get(F.col("parameters"), F.lit(2)),
+            F.lit(-1.0)), 4).as("p3"),
+          F.round(F.col("aic"), 2).as("aic_r"),
+          F.col("best_family"))
+        .orderBy("l_returnflag", "distribution")
+    }),
     "fit_summary" -> ((s, dir) =>
       cachedFit(s, dir, Seq("l_extendedprice")).summary),
     "fit_summary_closed_form" -> ((s, dir) =>
@@ -1937,6 +1959,18 @@ object SparkEntry {
         "cohort", "l_extendedprice")
         .select(F.round(F.col("ks_d"), 9).as("ks_d"),
           F.col("n_a"), F.col("n_b"))),
+    "q_drift_ks_sketch" -> ((s, dir) =>
+      // the mergeable-sketch K-S next to its own audit: the KLL-probed
+      // estimate must land within the KLL+grid error bound of the exact
+      // integer-ratio D (which DuckDB replays); a sketch/merge/probe
+      // regression flips within_tol and reddens the hash
+      Drift.ksTwoSampleSketch(
+        li(s, dir).select(
+          F.when(F.col("l_orderkey") % 2 === 0, "a").otherwise("b").as("cohort"),
+          F.col("l_extendedprice")),
+        "cohort", "l_extendedprice")
+        .select(F.col("within_tol"), F.col("ks_d"), F.col("n_a"),
+          F.col("n_b"))),
     "q_copula_serde" -> ((s, dir) => {
       // S5's copula sink hash-checked: the fitted copula goes save ->
       // JSON -> load on the driver, and the output reads marginal
@@ -2920,6 +2954,40 @@ object SparkEntry {
       """SELECT md5(text) AS text_md5, min(doc_id) AS survivor_id,
         |count(*) AS n_copies FROM documents GROUP BY md5(text)
         |ORDER BY text_md5""".stripMargin,
+    // Per-group sufficient-statistic fits: params, loglik, AIC, and the
+    // per-group best pick are all closed forms of groupwise aggregates.
+    "q_grouped_fit" ->
+      """WITH s AS (SELECT l_returnflag AS g, count(*) AS n,
+        |    avg(l_extendedprice) AS m, var_pop(l_extendedprice) AS s2,
+        |    min(l_extendedprice) AS mn, max(l_extendedprice) AS mx,
+        |    avg(ln(l_extendedprice)) FILTER (WHERE l_extendedprice > 0)
+        |      AS mln,
+        |    var_pop(ln(l_extendedprice)) FILTER (WHERE l_extendedprice > 0)
+        |      AS s2ln
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |  GROUP BY l_returnflag),
+        |fits AS (
+        |  SELECT g, n, 'norm' AS distribution, m AS p1, sqrt(s2) AS p2,
+        |    -1.0 AS p3, -n / 2.0 * ln(2 * pi() * s2) - n / 2.0 AS ll, 2 AS k
+        |  FROM s WHERE n >= 2 AND s2 > 0
+        |  UNION ALL SELECT g, n, 'expon', mn, m - mn, -1.0,
+        |    -n * ln(m - mn) - n, 2 FROM s WHERE n >= 2 AND m - mn > 0
+        |  UNION ALL SELECT g, n, 'uniform', mn, mx - mn, -1.0,
+        |    -n * ln(mx - mn), 2 FROM s WHERE n >= 2 AND mx - mn > 0
+        |  UNION ALL SELECT g, n, 'lognorm', sqrt(s2ln), 0.0, exp(mln),
+        |    -n * mln - n / 2.0 * ln(2 * pi() * s2ln) - n / 2.0, 3
+        |  FROM s WHERE n >= 2 AND mn > 0 AND s2ln > 0),
+        |best AS (SELECT g, distribution AS best_family,
+        |    row_number() OVER (PARTITION BY g
+        |      ORDER BY 2.0 * k - 2.0 * ll ASC, distribution ASC) AS rk
+        |  FROM fits)
+        |SELECT f.g AS l_returnflag, CAST(f.n AS BIGINT) AS n,
+        |  f.distribution, round(f.p1, 4) AS p1, round(f.p2, 4) AS p2,
+        |  round(f.p3, 4) AS p3, round(2.0 * f.k - 2.0 * f.ll, 2) AS aic_r,
+        |  b.best_family
+        |FROM fits f JOIN (SELECT g, best_family FROM best WHERE rk = 1) b
+        |  ON f.g = b.g
+        |ORDER BY l_returnflag, distribution""".stripMargin,
     "q_snapshot_diff" ->
       """WITH o AS (SELECT doc_id AS id, md5(coalesce(text, '')) AS h
         |    FROM documents WHERE doc_id < 400),
@@ -4153,6 +4221,25 @@ object SparkEntry {
         |    CAST(sum(cb) OVER (ORDER BY v) AS DOUBLE) AS fb
         |  FROM m)
         |SELECT round(max(abs(fa / t.na - fb / t.nb)), 9) AS ks_d,
+        |  t.na AS n_a, t.nb AS n_b
+        |FROM cum, t GROUP BY t.na, t.nb""".stripMargin,
+    // The sketch path's audit: exact D + the within-bound boolean.
+    "q_drift_ks_sketch" ->
+      """WITH c AS (SELECT
+        |    CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    l_extendedprice AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |m AS (SELECT v, sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS cb
+        |  FROM c GROUP BY v),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM m),
+        |cum AS (SELECT
+        |    CAST(sum(ca) OVER (ORDER BY v) AS DOUBLE) AS fa,
+        |    CAST(sum(cb) OVER (ORDER BY v) AS DOUBLE) AS fb
+        |  FROM m)
+        |SELECT TRUE AS within_tol,
+        |  round(max(abs(fa / t.na - fb / t.nb)), 9) AS ks_d,
         |  t.na AS n_a, t.nb AS n_b
         |FROM cum, t GROUP BY t.na, t.nb""".stripMargin,
     // Replays the grouped closed-form fit on the parity halves and the

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Per-group distribution fitting in ONE aggregation pass — the
+  * 100 TB-native complement to the driver-orchestrated fan-out.
+  *
+  * [[Fitter]] fits ~100 families to a FEW columns: cost flat in N,
+  * linear in families, one broadcast context per fit. This operator
+  * inverts the shape: fit the sufficient-statistic families to
+  * MILLIONS of groups ("a latency distribution per customer", "a
+  * doc-length model per domain") — a workload the fan-out cannot touch
+  * (a driver loop over groups would launch one job per group) but that
+  * collapses to a single codegen'd groupBy when every family's MLE
+  * *and* maximized log-likelihood are exact functions of per-group
+  * aggregates:
+  *
+  *   - norm:    loc = mean, scale = √var_pop; ll = −n/2·ln(2πσ²) − n/2
+  *   - expon:   loc = min,  scale = mean−min; ll = −n·ln(scale) − n
+  *   - uniform: loc = min,  scale = max−min;  ll = −n·ln(scale)
+  *   - lognorm: s = √var_pop(ln x), scale = exp(mean(ln x)), loc = 0;
+  *              ll = −n·mean(ln x) − n/2·ln(2π·s²) − n/2  (x > 0 only)
+  *
+  * Everything — params, AIC/BIC, best-by-AIC — is plain column
+  * arithmetic over those aggregates: one shuffle on the group key,
+  * zero driver involvement, zero per-group jobs. Parameters follow the
+  * same scipy conventions as [[Fitter]] ([shape...], loc, scale), so a
+  * per-group row composes with the dist_* SQL surface and the samplers
+  * unchanged.
+  */
+object GroupedFit {
+
+  val families: Seq[String] = Seq("norm", "expon", "uniform", "lognorm")
+
+  /** One row per (group, family) with parameters, loglik, aic, bic.
+    * Groups where a family's MLE is undefined (zero variance, zero
+    * range, non-positive values for lognorm, n < 2) omit that family's
+    * row rather than emitting sentinels — per-group absence is the
+    * honest signal at 10⁶ groups. */
+  def fitByGroup(df: DataFrame, valueCol: String,
+                 groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val v = F.col(valueCol).cast("double")
+    val clean = df.where(v.isNotNull && !F.isnan(v))
+      .select(groupCols.map(F.col) :+ v.as("__v"): _*)
+    val x = F.col("__v")
+    val lnx = F.when(x > 0.0, F.log(x))
+    val agged = clean.groupBy(groupCols.map(F.col): _*).agg(
+      F.count(F.lit(1)).as("n"),
+      F.avg(x).as("m"),
+      F.var_pop(x).as("s2"),
+      F.min(x).as("mn"),
+      F.max(x).as("mx"),
+      F.avg(lnx).as("mln"),
+      F.var_pop(lnx).as("s2ln"))
+    val n = F.col("n").cast("double")
+    val twoPi = 2.0 * math.Pi
+    def fam(name: String, valid: Column, params: Column, k: Int,
+            ll: Column): Column =
+      F.when(valid, F.struct(
+        F.lit(name).as("distribution"),
+        params.as("parameters"),
+        ll.as("loglik"),
+        (F.lit(2.0 * k) - F.lit(2.0) * ll).as("aic"),
+        (F.lit(k.toDouble) * F.log(n) - F.lit(2.0) * ll).as("bic")))
+    val m = F.col("m"); val s2 = F.col("s2")
+    val mn = F.col("mn"); val mx = F.col("mx")
+    val mln = F.col("mln"); val s2ln = F.col("s2ln")
+    val fams = F.array(
+      fam("norm", F.col("n") >= 2 && s2 > 0.0,
+        F.array(m, F.sqrt(s2)), 2,
+        -n / 2.0 * F.log(F.lit(twoPi) * s2) - n / 2.0),
+      fam("expon", F.col("n") >= 2 && m - mn > 0.0,
+        F.array(mn, m - mn), 2,
+        -n * F.log(m - mn) - n),
+      fam("uniform", F.col("n") >= 2 && mx - mn > 0.0,
+        F.array(mn, mx - mn), 2,
+        -n * F.log(mx - mn)),
+      fam("lognorm", F.col("n") >= 2 && mn > 0.0 && s2ln > 0.0,
+        F.array(F.sqrt(s2ln), F.lit(0.0), F.exp(mln)), 3,
+        -n * mln - n / 2.0 * F.log(F.lit(twoPi) * s2ln) - n / 2.0))
+    agged
+      .select(groupCols.map(F.col) :+ F.col("n") :+
+        F.explode(F.filter(fams, _.isNotNull)).as("f"): _*)
+      .select(groupCols.map(F.col) :+ F.col("n") :+
+        F.col("f.distribution").as("distribution") :+
+        F.col("f.parameters").as("parameters") :+
+        F.col("f.loglik").as("loglik") :+
+        F.col("f.aic").as("aic") :+ F.col("f.bic").as("bic"): _*)
+  }
+
+  /** Best family per group by a metric (aic default; ties break on the
+    * family name). One parallel window over the group partitioning —
+    * no global sort, no driver. */
+  def bestByGroup(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                  metric: String = "aic"): DataFrame = {
+    require(Set("aic", "bic", "loglik")(metric), s"unknown metric $metric")
+    val fits = fitByGroup(df, valueCol, groupCols)
+    val ord = if (metric == "loglik") F.col(metric).desc else F.col(metric).asc
+    val w = Window.partitionBy(groupCols.map(F.col): _*)
+      .orderBy(ord, F.col("distribution").asc)
+    fits.withColumn("__rk", F.row_number().over(w))
+      .where(F.col("__rk") === 1).drop("__rk")
+  }
+}

@@ -37,6 +37,49 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(groups.map(_.getAs[Long]("n_copies")).sum == 6)
   }
 
+  test("ksTwoSampleSketch: estimate lands inside the KLL+grid bound") {
+    import spark.implicits._
+    val a = (1 to 20000).map(i => ("a", i.toDouble))
+    val b = (1 to 20000).map(i => ("b", i.toDouble + 2000.0)) // D = 0.1
+    val df = (a ++ b).toDF("g", "v").repartition(16)
+    val r = operators.Drift.ksTwoSampleSketch(df, "g", "v").head()
+    assert(r.getAs[Boolean]("within_tol"), "sketch KS outside tolerance")
+    assert(math.abs(r.getAs[Double]("ks_d") - 0.1) < 1e-9)
+    assert(r.getAs[Long]("n_a") == 20000 && r.getAs[Long]("n_b") == 20000)
+  }
+
+  test("GroupedFit: sufficient-statistic fits per group, closed-form AIC") {
+    import spark.implicits._
+    val a = (1 to 100).map(i => ("a", math.exp(0.01 * i)))
+    val b = Seq(("b", -1.0), ("b", 2.0), ("b", 5.0), ("b", 9.0))
+    val c = Seq(("c", 3.0), ("c", 3.0)) // degenerate: zero variance/range
+    val df = (a ++ b ++ c).toDF("g", "v")
+    val fits = operators.GroupedFit.fitByGroup(df, "v", Seq("g")).collect()
+    val byG = fits.groupBy(_.getString(0))
+    assert(byG("a").map(_.getAs[String]("distribution")).sorted
+      .sameElements(Array("expon", "lognorm", "norm", "uniform")))
+    // a negative value disqualifies lognorm for the whole group
+    assert(byG("b").map(_.getAs[String]("distribution")).sorted
+      .sameElements(Array("expon", "norm", "uniform")))
+    assert(!byG.contains("c"), "degenerate group should be absent, not sentinel")
+    // norm params are the exact population MLE
+    val na = byG("a").find(_.getAs[String]("distribution") == "norm").get
+    val xs = a.map(_._2)
+    val mean = xs.sum / xs.length
+    val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / xs.length)
+    val ps = na.getSeq[Double](na.fieldIndex("parameters"))
+    assert(math.abs(ps(0) - mean) < 1e-9 && math.abs(ps(1) - sd) < 1e-9)
+    // the closed-form loglik matches the zoo's logpdf sum at those params
+    val llRef = xs.map(x =>
+      graft.dists.ContinuousFamilies.Norm.logpdf(x, Array(mean, sd))).sum
+    assert(math.abs(na.getAs[Double]("loglik") - llRef) < 1e-6)
+    // bestByGroup = the min-AIC row per group
+    val best = operators.GroupedFit.bestByGroup(df, "v", Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getAs[String]("distribution")).toMap
+    val minAicA = byG("a").minBy(_.getAs[Double]("aic")).getAs[String]("distribution")
+    assert(best("a") == minAicA && best.size == 2)
+  }
+
   test("snapshotDiff: added/removed/changed changeset, unchanged omitted") {
     import spark.implicits._
     val oldS = Seq((1L, "a"), (2L, "b"), (3L, "c"),
