@@ -32,11 +32,17 @@ object Bench {
     val only: Option[Set[String]] = args.headOption.map(_.split(",").toSet)
     // fit_optin_quadrature is a correctness-harness row for the
     // quadrature-kernel opt-in fan-out (minutes of Zolotarev/Bessel
-    // integration by design); timing it would drown the 140 real
-    // latency signals, so the bench leaves it to Verify
+    // integration by design); timing it in the full sweep would drown
+    // the ~150 real latency signals, so the bench leaves it to Verify —
+    // but an EXPLICIT `runMain graft.Bench fit_optin_quadrature` request
+    // still times it (the debug aid must never silently bench nothing)
     val untimed = Set("fit_optin_quadrature")
-    val selected = SparkEntry.queries.toSeq
-      .filter { case (n, _) => only.forall(_.contains(n)) && !untimed(n) }
+    val selected = SparkEntry.queries.toSeq.filter { case (n, _) =>
+      only match {
+        case Some(set) => set(n)  // explicit request wins
+        case None => !untimed(n)
+      }
+    }
 
     // untimed pre-warm pass: run every query once so codegen, JIT, the
     // sandbox's lazily-materialized memory, and the page cache are all

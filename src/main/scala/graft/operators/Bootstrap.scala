@@ -129,24 +129,29 @@ object Bootstrap {
     val sorted = counts.repartitionByRange(F.col("x"))
       .sortWithinPartitions("x").as[(Long, Long)].rdd
     sorted.cache()
-    val partSums = sorted.mapPartitionsWithIndex { case (i, it) =>
-      var t = 0L; it.foreach(t += _._2); Iterator((i, t))
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = partSums.scanLeft(0L)(_ + _)
-    val n = offsets.last
-    require(n > 0, "empty sample")
-    require(n <= maxSample, s"hashResampleCI is a bounded audit op: " +
-      s"$n rows > cap $maxSample — pass the fitting sample, not the corpus")
-    val bcOff = spark.sparkContext.broadcast(offsets)
-    val indexed = sorted.mapPartitionsWithIndex { case (i, it) =>
-      var running = bcOff.value(i)
-      it.flatMap { case (v, c) =>
-        val start = running
-        running += c
-        (0L until c).iterator.map(o => (start + o, v))
-      }
-    }.toDF("idx", "x").localCheckpoint(true)
-    sorted.unpersist(blocking = false)
+    // try/finally: the bounded-audit refusal below throws AFTER the
+    // cache materialized — without the finally, a refused call pins the
+    // counts RDD in executor storage for the session's lifetime
+    val (n, indexed) = try {
+      val partSums = sorted.mapPartitionsWithIndex { case (i, it) =>
+        var t = 0L; it.foreach(t += _._2); Iterator((i, t))
+      }.collect().sortBy(_._1).map(_._2)
+      val offsets = partSums.scanLeft(0L)(_ + _)
+      val total = offsets.last
+      require(total > 0, "empty sample")
+      require(total <= maxSample, s"hashResampleCI is a bounded audit op: " +
+        s"$total rows > cap $maxSample — pass the fitting sample, not the corpus")
+      val bcOff = spark.sparkContext.broadcast(offsets)
+      val pinned = sorted.mapPartitionsWithIndex { case (i, it) =>
+        var running = bcOff.value(i)
+        it.flatMap { case (v, c) =>
+          val start = running
+          running += c
+          (0L until c).iterator.map(o => (start + o, v))
+        }
+      }.toDF("idx", "x").localCheckpoint(true)
+      (total, pinned)
+    } finally sorted.unpersist(blocking = false)
     val draws = spark.range(b).toDF("rep")
       .crossJoin(spark.range(n).toDF("j"))
       .select(F.col("rep"),

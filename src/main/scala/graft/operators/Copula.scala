@@ -116,9 +116,15 @@ final class GaussianCopula(
     * Bounding |z| ≤ zScale keeps every Φ argument y with |y|·√½ ≤
     * 0.46875 — Cody's FIRST erfc branch, a pure rational polynomial
     * with no exp/floor — so an external SQL engine can replay the
-    * entire draw → Cholesky → Φ → ppf pipeline with plain arithmetic,
-    * bit-for-bit. Outputs round half-even to 6 decimals.
-    */
+    * entire draw → Cholesky → Φ → ppf pipeline with plain arithmetic.
+    * Every step is bit-exact across engines EXCEPT a marginal ppf that
+    * uses log1p (e.g. expon's −log1p(−u)): SQL replays it as ln(1−u),
+    * which differs by ~1 ulp — invisible after the 6-decimal half-even
+    * rounding unless a value sits within ~1e-14 of a rounding boundary.
+    * The audit's draw set is FIXED (content-addressed, data-independent),
+    * so the harness either always passes or fails immediately — never
+    * flakes — but changing n/zScale/marginals re-rolls that dice;
+    * re-verify the hash after any such change. */
   def hashSampleAudit(spark: SparkSession, n: Int,
                       zScale: Double = 0.25): DataFrame = {
     val k = marginals.length

@@ -57,8 +57,11 @@ object Dedup {
     * @return (id, status ∈ added|removed|changed), one row per delta */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
                    textCol: String): DataFrame = {
+    // ids keep their native type — UUID/URL/string keys must join as
+    // themselves (a numeric cast would null them out and report the
+    // whole overlap as added+removed)
     def digests(df: DataFrame, as: String) = df.select(
-      F.col(idCol).cast("long").as("id"),
+      F.col(idCol).as("id"),
       F.md5(F.coalesce(F.col(textCol), F.lit("")).cast("binary")).as(as))
     digests(oldDf, "h_old")
       .join(digests(newDf, "h_new"), Seq("id"), "full_outer")

@@ -103,22 +103,32 @@ object Drift {
     } finally sorted.unpersist(blocking = false)
   }
 
-  /** Sketch-based two-sample K-S — the shard-mergeable form of
-    * [[ksTwoSample]]: each cohort reduces to ONE KLL sketch (built by
-    * [[Sketches.kllSketch]]'s executor-side tree merge; per-day / per-
-    * shard sketches union the same way with NO re-read of raw data —
-    * the property the exact path cannot offer), and D̂ is the max rank
-    * gap probed at a quantile grid of both sketches. KLL's rank
-    * guarantee (~1.65/√k at 99% per side) plus the grid pitch bound the
-    * error: |D̂ − D| ≤ εa + εb + 1/probes. The harness checks exactly
-    * that contract: D̂ must land within tolerance of the exact
-    * integer-ratio D (the kllRankCheck audit pattern).
+  /** D̂ from two ALREADY-BUILT KLL sketches — the per-shard union use
+    * case: per-day sketches (tree-merged by [[Sketches.kllSketch]], or
+    * unioned later with `KllDoublesSketch.merge`) compare here with NO
+    * access to raw data at all. D̂ is the max rank gap probed at a
+    * quantile grid of both sketches; KLL's rank guarantee (~1.65/√k at
+    * 99% per side) plus the grid pitch bound the error:
+    * |D̂ − D| ≤ εa + εb + 1/probes. */
+  def ksFromSketches(ska: org.apache.datasketches.kll.KllDoublesSketch,
+                     skb: org.apache.datasketches.kll.KllDoublesSketch,
+                     probes: Int = 200): Double = {
+    require(!ska.isEmpty && !skb.isEmpty, "both sketches need values")
+    val qs = (0 to probes).map(_.toDouble / probes)
+    val pts = (qs.map(ska.getQuantile) ++ qs.map(skb.getQuantile)).distinct
+    pts.map(x => math.abs(ska.getRank(x) - skb.getRank(x))).max
+  }
+
+  /** Sketch-only two-sample K-S — the shard-mergeable form of
+    * [[ksTwoSample]]: each cohort reduces to ONE KLL sketch and the
+    * estimate is [[ksFromSketches]]. This path never computes the exact
+    * D (that would re-read everything the sketch form exists to avoid);
+    * the harness row audits the estimate against the exact construction
+    * separately, the kllRankCheck pattern.
     *
-    * @return one row: (ks_est, within_tol, ks_d, n_a, n_b) — ks_d is
-    *         the exact distance from [[ksTwoSample]]'s construction */
+    * @return one row: (ks_est, n_a, n_b) */
   def ksTwoSampleSketch(df: DataFrame, cohortCol: String, valueCol: String,
-                        k: Int = 800, probes: Int = 200,
-                        tol: Double = 0.02): DataFrame = {
+                        k: Int = 800, probes: Int = 200): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(F.col(cohortCol).as("g"),
@@ -126,15 +136,9 @@ object Drift {
       .where(F.col("v").isNotNull && !F.isnan(F.col("v")))
     val ska = Sketches.kllSketch(base.where(F.col("g") === "a"), "v", k)
     val skb = Sketches.kllSketch(base.where(F.col("g") === "b"), "v", k)
-    require(!ska.isEmpty && !skb.isEmpty, "both cohorts need rows")
-    val qs = (0 to probes).map(_.toDouble / probes)
-    val pts = (qs.map(ska.getQuantile) ++ qs.map(skb.getQuantile)).distinct
-    val dEst = pts.map(x => math.abs(ska.getRank(x) - skb.getRank(x))).max
-    val exact = ksTwoSample(df, cohortCol, valueCol).head()
-    val d = exact.getDouble(0)
-    Seq((math.rint(dEst * 1e6) / 1e6, math.abs(dEst - d) <= tol,
-      math.rint(d * 1e9) / 1e9, ska.getN, skb.getN))
-      .toDF("ks_est", "within_tol", "ks_d", "n_a", "n_b")
+    val dEst = ksFromSketches(ska, skb, probes)
+    Seq((math.rint(dEst * 1e6) / 1e6, ska.getN, skb.getN))
+      .toDF("ks_est", "n_a", "n_b")
   }
 
   /** One (cell → both-cohort counts) aggregate, then the smoothed

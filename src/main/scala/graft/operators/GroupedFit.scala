@@ -77,8 +77,11 @@ object GroupedFit {
       fam("uniform", F.col("n") >= 2 && mx - mn > 0.0,
         F.array(mn, mx - mn), 2,
         -n * F.log(mx - mn)),
+      // k = 2: loc is PINNED at 0 (scipy fit(floc=0) convention), so
+      // only (s, scale) are estimated — charging 3 would bias the
+      // best-by-AIC pick against lognorm by a flat 2 AIC
       fam("lognorm", F.col("n") >= 2 && mn > 0.0 && s2ln > 0.0,
-        F.array(F.sqrt(s2ln), F.lit(0.0), F.exp(mln)), 3,
+        F.array(F.sqrt(s2ln), F.lit(0.0), F.exp(mln)), 2,
         -n * mln - n / 2.0 * F.log(F.lit(twoPi) * s2ln) - n / 2.0))
     agged
       .select(groupCols.map(F.col) :+ F.col("n") :+
@@ -90,17 +93,23 @@ object GroupedFit {
         F.col("f.aic").as("aic") :+ F.col("f.bic").as("bic"): _*)
   }
 
-  /** Best family per group by a metric (aic default; ties break on the
-    * family name). One parallel window over the group partitioning —
-    * no global sort, no driver. */
-  def bestByGroup(df: DataFrame, valueCol: String, groupCols: Seq[String],
-                  metric: String = "aic"): DataFrame = {
+  /** Best family per group from an ALREADY-COMPUTED [[fitByGroup]]
+    * frame (aic default; ties break on the family name). One parallel
+    * window over the group partitioning — no global sort, no driver,
+    * and no re-aggregation: callers wanting both the fits and the best
+    * pick (the headline use) pay for one pass. */
+  def bestFrom(fits: DataFrame, groupCols: Seq[String],
+               metric: String = "aic"): DataFrame = {
     require(Set("aic", "bic", "loglik")(metric), s"unknown metric $metric")
-    val fits = fitByGroup(df, valueCol, groupCols)
     val ord = if (metric == "loglik") F.col(metric).desc else F.col(metric).asc
     val w = Window.partitionBy(groupCols.map(F.col): _*)
       .orderBy(ord, F.col("distribution").asc)
     fits.withColumn("__rk", F.row_number().over(w))
       .where(F.col("__rk") === 1).drop("__rk")
   }
+
+  /** [[bestFrom]] over a fresh [[fitByGroup]] pass. */
+  def bestByGroup(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                  metric: String = "aic"): DataFrame =
+    bestFrom(fitByGroup(df, valueCol, groupCols), groupCols, metric)
 }

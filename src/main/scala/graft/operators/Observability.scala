@@ -22,8 +22,11 @@ object Observability {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  private val installed =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+  // weak keys: a static strong set would pin every session (and its
+  // listener-bus registration) for the process lifetime in
+  // session-per-tenant / per-suite services
+  private val installed = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
   private val seq = new java.util.concurrent.atomic.AtomicLong()
 
   private object DroppedListener extends QueryExecutionListener {
@@ -51,7 +54,8 @@ object Observability {
   def observeDropped(buckets: DataFrame, op: String, size: Column,
                      maxBucket: Int): DataFrame = {
     val spark = buckets.sparkSession
-    if (installed.add(spark)) spark.listenerManager.register(DroppedListener)
+    if (installed.putIfAbsent(spark, java.lang.Boolean.TRUE) == null)
+      spark.listenerManager.register(DroppedListener)
     // unique per call: duplicate observation names in one query tree are
     // an analysis error, and one operator can be instantiated many times
     val name = s"graft.dropped/$op/${seq.incrementAndGet()}"

@@ -692,8 +692,14 @@ object Similarity {
                 s"$sub/$best"
               case None => sub
             })
+          // pin each round's assignment (lineage-free, eager): without
+          // this, round k's size audit re-runs every earlier round's
+          // re-assign UDF plus the base assignment — O(rounds²) scans.
+          // Blocks are freed by the ContextCleaner once unreferenced.
+          // The no-oversize common path never reaches here.
           assigned = assigned.withColumn("sub",
             reassignUdf(F.col("cell"), F.col("sub"), F.col("emb")))
+            .localCheckpoint(true)
           round += 1
         }
       }

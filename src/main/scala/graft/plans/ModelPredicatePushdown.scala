@@ -34,9 +34,12 @@ import graft.functions.DistScalar
   * is continuous, and strictly increasing wherever 0 < cdf < 1), up to
   * the cdf/ppf inverse-pair round-trip error (≤ a few ULPs — the same
   * tolerance any cross-engine double comparison already carries). It
-  * fires only when kind == "cdf", name and params are foldable and
-  * resolve to a registered continuous family with a positive scale, and
-  * the threshold is a foldable double strictly inside (0, 1) — boundary
+  * fires only inside Filter CONDITIONS (see [[apply]] — in filters,
+  * null and false both drop the row, so the rewrite is invisible;
+  * value-producing contexts keep the row-wise expression), and only
+  * when kind == "cdf", name and params are foldable and resolve to a
+  * registered continuous family with a positive scale, and the
+  * threshold is a foldable double strictly inside (0, 1) — boundary
   * thresholds (q = 0, 1) keep the row-wise evaluation, as do discrete
   * families (their PMF steps break strict monotonicity at the cut).
   *
@@ -106,8 +109,23 @@ object ModelPredicatePushdown extends Rule[LogicalPlan] {
     And(cmp, Not(IsNaN(x)))
   }
 
+  /** The rewrite fires ONLY inside Filter conditions. Under filter
+    * semantics null and false are interchangeable (both drop the row),
+    * so the NaN guard's false-for-null-cdf substitution is invisible
+    * there — but in a projection, CASE arm, count(expr), or join
+    * condition the same substitution visibly changes NULL into
+    * false/true. Restricting to Filter keeps the scan-pruning benefit
+    * (that is where pushdown happens) and leaves every value-producing
+    * context with the row-wise expression's exact null semantics.
+    */
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressions {
+    plan.transform {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.copy(condition = rewrite(f.condition))
+    }
+
+  private def rewrite(expr: Expression): Expression =
+    expr.transformUp {
       case e @ GreaterThanOrEqual(d: DistScalar, qe) =>
         foldableDouble(qe).flatMap(cutoff(d, _))
           .map(c => nanSafeGreater(d.xExpr, c, strict = false))

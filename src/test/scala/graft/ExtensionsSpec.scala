@@ -115,6 +115,13 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expected = (1 until 100).map(_.toDouble)
       .count(x => model.cdf(x) >= 0.25)
     assert(folded.head().getLong(0) == expected)
+    // value-producing contexts stay row-wise: a PROJECTED comparison
+    // keeps dist_cdf (and with it null-on-NaN semantics) — the rule
+    // only rewrites Filter conditions, where null ≡ false
+    val proj = spark.sql(
+      "SELECT dist_cdf('expon', array(0D, 50D), x) >= 0.25 AS flag FROM mf_nan")
+    assert(proj.queryExecution.optimizedPlan.toString.contains("dist_cdf"),
+      "projection context must not be rewritten")
   }
 
   test("custom families registered on the driver reach the plan snapshot") {

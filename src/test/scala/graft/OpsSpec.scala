@@ -43,9 +43,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = (1 to 20000).map(i => ("b", i.toDouble + 2000.0)) // D = 0.1
     val df = (a ++ b).toDF("g", "v").repartition(16)
     val r = operators.Drift.ksTwoSampleSketch(df, "g", "v").head()
-    assert(r.getAs[Boolean]("within_tol"), "sketch KS outside tolerance")
-    assert(math.abs(r.getAs[Double]("ks_d") - 0.1) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ks_est") - 0.1) <= 0.02,
+      s"sketch KS ${r.getAs[Double]("ks_est")} outside the error bound")
     assert(r.getAs[Long]("n_a") == 20000 && r.getAs[Long]("n_b") == 20000)
+    // the sketch-pair form (shard-union use case) gives the same answer
+    val ska = operators.Sketches.kllSketch(df.where($"g" === "a"), "v")
+    val skb = operators.Sketches.kllSketch(df.where($"g" === "b"), "v")
+    val d2 = operators.Drift.ksFromSketches(ska, skb)
+    assert(math.abs(d2 - r.getAs[Double]("ks_est")) < 1e-6)
   }
 
   test("GroupedFit: sufficient-statistic fits per group, closed-form AIC") {
