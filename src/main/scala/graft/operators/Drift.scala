@@ -120,22 +120,46 @@ object Drift {
   }
 
   /** Sketch-only two-sample K-S — the shard-mergeable form of
-    * [[ksTwoSample]]: each cohort reduces to ONE KLL sketch and the
-    * estimate is [[ksFromSketches]]. This path never computes the exact
-    * D (that would re-read everything the sketch form exists to avoid);
-    * the harness row audits the estimate against the exact construction
+    * [[ksTwoSample]]: ONE pass over the data builds both cohorts' KLL
+    * sketches per partition (no second scan, no cohort filter re-read),
+    * the pairs tree-merge executor-side, and the estimate is
+    * [[ksFromSketches]]. This path never computes the exact D (that
+    * would re-read everything the sketch form exists to avoid); the
+    * harness row audits the estimate against the exact construction
     * separately, the kllRankCheck pattern.
     *
     * @return one row: (ks_est, n_a, n_b) */
   def ksTwoSampleSketch(df: DataFrame, cohortCol: String, valueCol: String,
                         k: Int = 800, probes: Int = 200): DataFrame = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
     val spark = df.sparkSession
     import spark.implicits._
-    val base = df.select(F.col(cohortCol).as("g"),
+    val base = df.select(F.col(cohortCol).cast("string").as("g"),
         F.col(valueCol).cast("double").as("v"))
-      .where(F.col("v").isNotNull && !F.isnan(F.col("v")))
-    val ska = Sketches.kllSketch(base.where(F.col("g") === "a"), "v", k)
-    val skb = Sketches.kllSketch(base.where(F.col("g") === "b"), "v", k)
+      .where(F.col("v").isNotNull && !F.isnan(F.col("v")) &&
+        F.col("g").isin("a", "b"))
+    val rdd = base.rdd.mapPartitions { it =>
+      val sa = KllDoublesSketch.newHeapInstance(k)
+      val sb = KllDoublesSketch.newHeapInstance(k)
+      it.foreach { r =>
+        if (r.getString(0) == "a") sa.update(r.getDouble(1))
+        else sb.update(r.getDouble(1))
+      }
+      Iterator.single((sa.toByteArray, sb.toByteArray))
+    }
+    require(rdd.getNumPartitions > 0, "empty input")
+    val (ba, bb) = rdd.treeReduce({ case ((a1, b1), (a2, b2)) =>
+      def merge(x: Array[Byte], y: Array[Byte]) = {
+        val m = KllDoublesSketch.heapify(Memory.wrap(x))
+        m.merge(KllDoublesSketch.heapify(Memory.wrap(y)))
+        m.toByteArray
+      }
+      (merge(a1, a2), merge(b1, b2))
+    }, math.max(2, math.ceil(
+      math.log(math.max(rdd.getNumPartitions, 2).toDouble) / math.log(16.0)).toInt))
+    val ska = KllDoublesSketch.heapify(Memory.wrap(ba))
+    val skb = KllDoublesSketch.heapify(Memory.wrap(bb))
     val dEst = ksFromSketches(ska, skb, probes)
     Seq((math.rint(dEst * 1e6) / 1e6, ska.getN, skb.getN))
       .toDF("ks_est", "n_a", "n_b")

@@ -67,6 +67,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("BatchEvalUDF") && !plan.contains("ScalaUDF"), plan.take(800))
   }
 
+  test("q_grouped_fit: grouped fitting is aggregation-shaped, no driver loop") {
+    val plan = physicalPlan("q_grouped_fit")
+    // the whole per-group fit (4 families x G groups) must be hash
+    // aggregation + window + join — no UDFs, no cartesian, and the
+    // window/join reuse the aggregation's group partitioning rather
+    // than adding their own exchanges
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalUDF"),
+      plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2,
+      s"grouped fit should need at most 2 group-key exchanges, got $exchanges:\n${plan.take(2000)}")
+  }
+
   test("q_corr_spearman has no single-partition exchange") {
     val plan = physicalPlan("q_corr_spearman")
     // the round-1 global Window.orderBy plan carried SinglePartition —
