@@ -283,6 +283,30 @@ object SparkEntry {
           "geninvgauss")),
         cfg = FitConfig(fittingSampleSize = 500, lazyMetrics = true)))
         .successful.orderBy("distribution"))),
+    "fit_heavy_tail_detector" -> ((s, dir) => {
+      // M11 hash-checked: the estimation_method="auto" router's actual
+      // decision inputs — numpy-linear p99, population excess kurtosis,
+      // max/p99 — computed by the REAL Estimators.isHeavyTailed over the
+      // cap-lifted sample (= the full column, so everything is exact
+      // SQL). `plain` (l_extendedprice) triggers neither branch; `heavy`
+      // ((106000−x)^−2, a Pareto-style inversion) triggers BOTH, with
+      // ~4x margin on the ratio and ~20x on kurtosis at every SF.
+      import s.implicits._
+      val base = li(s, dir).select(
+        F.col("l_extendedprice").cast("double").as("plain"),
+        F.pow(F.lit(106000.0) - F.col("l_extendedprice"), -2.0).as("heavy"))
+      def row(col: String) = {
+        val sample = Fitter.fittingSample(base, col, 2000000, 42L)
+        val stats = DataStats.of(sample)
+        val p99 = graft.dists.ContinuousDist.quantile(sample, 0.99)
+        (col, Estimators.isHeavyTailed(sample, stats),
+          math.rint(stats.max / p99 * 1e6) / 1e6,
+          math.rint(stats.kurtosis * 1e6) / 1e6)
+      }
+      Seq(row("heavy"), row("plain"))
+        .toDF("column_name", "heavy_tailed", "extreme_ratio", "kurtosis_r")
+        .orderBy("column_name")
+    }),
     "fit_mse_closed_form" -> ((s, dir) =>
       // M2 hash row: the uniform MSP optimum is closed form (Cheng & Amin
       // 1983) and the estimator takes that exact path, so the MSE
@@ -3377,6 +3401,26 @@ object SparkEntry {
         |UNION ALL SELECT 'norm', -1.0 FROM ks
         |UNION ALL SELECT 'uniform', round(d_unif, 6) FROM ks
         |ORDER BY 1""".stripMargin,
+    // M11's router inputs replayed: numpy-linear p99 = quantile_cont,
+    // population central moments, and the two threshold branches.
+    "fit_heavy_tail_detector" ->
+      """WITH t AS (
+        |  SELECT 'plain' AS c, CAST(l_extendedprice AS DOUBLE) AS x
+        |    FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |  UNION ALL SELECT 'heavy', pow(106000.0 - l_extendedprice, -2.0)
+        |    FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |m AS (SELECT c, avg(x) AS mu, count(*) AS n, max(x) AS mx,
+        |    quantile_cont(x, 0.99) AS p99 FROM t GROUP BY c),
+        |k AS (SELECT t.c,
+        |    (sum(pow(t.x - m.mu, 4)) / m.n)
+        |      / pow(sum(pow(t.x - m.mu, 2)) / m.n, 2) - 3.0 AS kurt
+        |  FROM t JOIN m ON t.c = m.c GROUP BY t.c, m.n, m.mu)
+        |SELECT m.c AS column_name,
+        |  (k.kurt > 6.0 OR m.mx / m.p99 > 3.0) AS heavy_tailed,
+        |  round_even(m.mx / m.p99 * 1000000.0, 0) / 1000000.0
+        |    AS extreme_ratio,
+        |  round_even(k.kurt * 1000000.0, 0) / 1000000.0 AS kurtosis_r
+        |FROM m JOIN k ON m.c = k.c ORDER BY column_name""".stripMargin,
     // bestLazy's DECISIONS replayed: rank all 10 (column, family) rows by
     // closed-form AIC, keep 3n+5 = 8, re-rank those by exact K-S, take 1.
     "fit_lazy_select_closed_form" ->
