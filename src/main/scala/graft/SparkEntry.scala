@@ -582,6 +582,27 @@ object SparkEntry {
           F.col("best_family"))
         .orderBy("l_returnflag", "distribution")
     }),
+    "q_grouped_fit_discrete" -> ((s, dir) => {
+      // E7's per-group form: the sufficient-statistic DISCRETE families.
+      // l_quantity (integers 1..50) admits only geom per group; the
+      // derived 0/1 indicator admits only bernoulli — the support checks
+      // (exact Σx²=Σx / integrality aggregates) are part of what the
+      // hash pins.
+      val d = li(s, dir)
+      val qty = GroupedFit.fitDiscreteByGroup(d, "l_quantity",
+        Seq("l_returnflag"))
+      val flag = GroupedFit.fitDiscreteByGroup(
+        d.select(F.col("l_returnflag"),
+          (F.col("l_quantity") <= 25).cast("double").as("qflag")),
+        "qflag", Seq("l_returnflag"))
+      qty.withColumn("value_col", F.lit("l_quantity"))
+        .unionByName(flag.withColumn("value_col", F.lit("qflag")))
+        .select(F.col("l_returnflag"), F.col("value_col"), F.col("n"),
+          F.col("distribution"),
+          F.round(F.get(F.col("parameters"), F.lit(0)), 6).as("p1"),
+          F.round(F.col("aic"), 2).as("aic_r"))
+        .orderBy("l_returnflag", "value_col", "distribution")
+    }),
     "fit_summary" -> ((s, dir) =>
       cachedFit(s, dir, Seq("l_extendedprice")).summary),
     "fit_summary_closed_form" -> ((s, dir) =>
@@ -2982,6 +3003,28 @@ object SparkEntry {
       """SELECT md5(text) AS text_md5, min(doc_id) AS survivor_id,
         |count(*) AS n_copies FROM documents GROUP BY md5(text)
         |ORDER BY text_md5""".stripMargin,
+    // Discrete per-group fits: geom on quantities, bernoulli on the
+    // indicator; p and the closed-form AIC replay from avg/count alone.
+    "q_grouped_fit_discrete" ->
+      """WITH q AS (SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS x
+        |    FROM lineitem WHERE l_quantity IS NOT NULL),
+        |f AS (SELECT l_returnflag AS g,
+        |    CASE WHEN l_quantity <= 25 THEN 1.0 ELSE 0.0 END AS x
+        |  FROM lineitem WHERE l_quantity IS NOT NULL),
+        |qs AS (SELECT g, count(*) AS n, avg(x) AS m FROM q GROUP BY g),
+        |fs AS (SELECT g, count(*) AS n, avg(x) AS m FROM f GROUP BY g)
+        |SELECT g AS l_returnflag, 'l_quantity' AS value_col,
+        |  CAST(n AS BIGINT) AS n, 'geom' AS distribution,
+        |  round(1.0 / m, 6) AS p1,
+        |  round(2.0 - 2.0 * (n * ln(1.0 / m)
+        |    + n * (m - 1.0) * ln(1.0 - 1.0 / m)), 2) AS aic_r
+        |FROM qs
+        |UNION ALL
+        |SELECT g, 'qflag', CAST(n AS BIGINT), 'bernoulli',
+        |  round(m, 6),
+        |  round(2.0 - 2.0 * (n * (m * ln(m) + (1.0 - m) * ln(1.0 - m))), 2)
+        |FROM fs
+        |ORDER BY l_returnflag, value_col, distribution""".stripMargin,
     // Per-group sufficient-statistic fits: params, loglik, AIC, and the
     // per-group best pick are all closed forms of groupwise aggregates.
     "q_grouped_fit" ->

@@ -93,6 +93,60 @@ object GroupedFit {
         F.col("f.aic").as("aic") :+ F.col("f.bic").as("bic"): _*)
   }
 
+  /** Discrete counterpart of [[fitByGroup]]: the sufficient-statistic
+    * DISCRETE families, one aggregation pass per million groups.
+    *
+    *   - bernoulli (x ∈ {0,1}): p = mean;
+    *     ll = n·(m·ln m + (1−m)·ln(1−m)),  0 < m < 1
+    *   - geometric (integer x ≥ 1): p = 1/mean;
+    *     ll = n·ln p + (Σx − n)·ln(1−p) = n·ln p + n·(m−1)·ln(1−p), m > 1
+    *
+    * Support checks are exact aggregates, not tolerances: bernoulli
+    * needs Σx² = Σx (true iff every value is 0 or 1 — both exact
+    * doubles); geometric needs zero rows with x ≠ floor(x) and min ≥ 1.
+    * Parameters are [p] (scipy convention, loc pinned 0 ⇒ k = 1). */
+  def fitDiscreteByGroup(df: DataFrame, valueCol: String,
+                         groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val v = F.col(valueCol).cast("double")
+    val clean = df.where(v.isNotNull && !F.isnan(v))
+      .select(groupCols.map(F.col) :+ v.as("__v"): _*)
+    val x = F.col("__v")
+    val agged = clean.groupBy(groupCols.map(F.col): _*).agg(
+      F.count(F.lit(1)).as("n"),
+      F.avg(x).as("m"),
+      F.min(x).as("mn"),
+      F.sum(x).as("sx"),
+      F.sum(x * x).as("sxx"),
+      F.sum(F.when(x =!= F.floor(x), 1L).otherwise(0L)).as("nonint"))
+    val n = F.col("n").cast("double")
+    val m = F.col("m")
+    def fam(name: String, valid: Column, p: Column, ll: Column): Column =
+      F.when(valid, F.struct(
+        F.lit(name).as("distribution"),
+        F.array(p).as("parameters"),
+        ll.as("loglik"),
+        (F.lit(2.0) - F.lit(2.0) * ll).as("aic"),
+        (F.log(n) - F.lit(2.0) * ll).as("bic")))
+    val fams = F.array(
+      fam("bernoulli",
+        F.col("n") >= 2 && F.col("sxx") === F.col("sx") && m > 0.0 && m < 1.0,
+        m, n * (m * F.log(m) + (F.lit(1.0) - m) * F.log(F.lit(1.0) - m))),
+      fam("geom",
+        F.col("n") >= 2 && F.col("nonint") === 0L && F.col("mn") >= 1.0 && m > 1.0,
+        F.lit(1.0) / m,
+        n * F.log(F.lit(1.0) / m) +
+          n * (m - 1.0) * F.log(F.lit(1.0) - F.lit(1.0) / m)))
+    agged
+      .select(groupCols.map(F.col) :+ F.col("n") :+
+        F.explode(F.filter(fams, _.isNotNull)).as("f"): _*)
+      .select(groupCols.map(F.col) :+ F.col("n") :+
+        F.col("f.distribution").as("distribution") :+
+        F.col("f.parameters").as("parameters") :+
+        F.col("f.loglik").as("loglik") :+
+        F.col("f.aic").as("aic") :+ F.col("f.bic").as("bic"): _*)
+  }
+
   /** Best family per group from an ALREADY-COMPUTED [[fitByGroup]]
     * frame (aic default; ties break on the family name). One parallel
     * window over the group partitioning — no global sort, no driver,

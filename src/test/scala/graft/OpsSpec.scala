@@ -88,6 +88,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(best("a") == minAicA && best.size == 2)
   }
 
+  test("fitDiscreteByGroup: exact support checks route bernoulli vs geom") {
+    import spark.implicits._
+    val rows = Seq("a" -> 1.0, "a" -> 2.0, "a" -> 3.0, "a" -> 2.0, // geom
+      "b" -> 0.0, "b" -> 1.0, "b" -> 1.0, "b" -> 0.0, // bernoulli
+      "c" -> 1.5, "c" -> 2.5) // non-integral: neither family applies
+    val fits = operators.GroupedFit
+      .fitDiscreteByGroup(rows.toDF("g", "v"), "v", Seq("g")).collect()
+    val byG = fits.groupBy(_.getString(0))
+    assert(byG("a").map(_.getAs[String]("distribution")).sameElements(Array("geom")))
+    assert(byG("b").map(_.getAs[String]("distribution")).sameElements(Array("bernoulli")))
+    assert(!byG.contains("c"))
+    // geom on {1,2,3,2}: p = 1/2, ll = Σ k·ln(1/2) = −8·ln 2
+    val ga = byG("a").head
+    assert(math.abs(ga.getSeq[Double](ga.fieldIndex("parameters"))(0) - 0.5) < 1e-12)
+    assert(math.abs(ga.getAs[Double]("loglik") - (-8.0 * math.log(2.0))) < 1e-9)
+    // bernoulli on {0,1,1,0}: p = 0.5, ll = 4·ln(1/2)
+    val gb = byG("b").head
+    assert(math.abs(gb.getSeq[Double](gb.fieldIndex("parameters"))(0) - 0.5) < 1e-12)
+    assert(math.abs(gb.getAs[Double]("loglik") - (-4.0 * math.log(2.0))) < 1e-9)
+  }
+
   test("snapshotDiff: added/removed/changed changeset, unchanged omitted") {
     import spark.implicits._
     val oldS = Seq((1L, "a"), (2L, "b"), (3L, "c"),
