@@ -2014,11 +2014,38 @@ object SparkEntry {
       val cohorts = li(s, dir).select(
         F.when(F.col("l_orderkey") % 2 === 0, "a").otherwise("b").as("cohort"),
         F.col("l_extendedprice"))
-      val est = Drift.ksTwoSampleSketch(cohorts, "cohort", "l_extendedprice")
-        .head().getAs[Double]("ks_est")
-      Drift.ksTwoSample(cohorts, "cohort", "l_extendedprice")
+      val sk = Drift.ksTwoSampleSketch(cohorts, "cohort", "l_extendedprice")
+        .head()
+      val est = sk.getAs[Double]("ks_est")
+      val pEst = sk.getAs[Double]("p_value")
+      // sketch p consistency: kolmogorovSf is decreasing in D, so the
+      // sketch p must land inside the p-band the d-tolerance implies —
+      // checked through the driver-side series, independent of the
+      // column-arithmetic p_exact below
+      val pBand = F.udf((d: Double, na: Long, nb: Long) => {
+        val nEff = na.toDouble * nb / (na.toDouble + nb)
+        val lo = graft.functions.SpecialMath.kolmogorovSf(
+          math.sqrt(nEff) * (d + 0.02))
+        val hi = graft.functions.SpecialMath.kolmogorovSf(
+          math.sqrt(nEff) * math.max(0.0, d - 0.02))
+        pEst >= lo - 1e-9 && pEst <= hi + 1e-9
+      })
+      val exact = Drift.ksTwoSample(cohorts, "cohort", "l_extendedprice")
         .select((F.abs(F.lit(est) - F.col("ks_d")) <= 0.02).as("within_tol"),
-          F.round(F.col("ks_d"), 9).as("ks_d"), F.col("n_a"), F.col("n_b"))
+          pBand(F.col("ks_d"), F.col("n_a"), F.col("n_b")).as("p_within_tol"),
+          F.round(F.col("ks_d"), 9).as("ks_d"),
+          F.col("n_a"), F.col("n_b"))
+      // exact-D significance, SQL-replayed: the Kolmogorov tail series
+      // Σ 2(−1)^{j+1} e^{−2j²t²} at t = √(n_a·n_b/(n_a+n_b))·D — the
+      // same arithmetic DuckDB folds over generate_series(1,100), both
+      // sides reading the ROUNDED ks_d so the inputs agree bit-exactly
+      val tt = F.sqrt(F.col("n_a").cast("double") * F.col("n_b") /
+        (F.col("n_a") + F.col("n_b"))) * F.col("ks_d")
+      val series = F.aggregate(F.sequence(F.lit(1), F.lit(100)), F.lit(0.0),
+        (acc, j) => acc + F.lit(2.0) * F.pow(F.lit(-1.0), j + 1) *
+          F.exp(F.lit(-2.0) * j * j * tt * tt))
+      exact.withColumn("p_exact",
+        F.round(F.least(F.lit(1.0), F.greatest(F.lit(0.0), series)), 6))
     }),
     "q_copula_serde" -> ((s, dir) => {
       // S5's copula sink hash-checked: the fitted copula goes save ->
@@ -4330,11 +4357,19 @@ object SparkEntry {
         |cum AS (SELECT
         |    CAST(sum(ca) OVER (ORDER BY v) AS DOUBLE) AS fa,
         |    CAST(sum(cb) OVER (ORDER BY v) AS DOUBLE) AS fb
-        |  FROM m)
-        |SELECT TRUE AS within_tol,
-        |  round(max(abs(fa / t.na - fb / t.nb)), 9) AS ks_d,
-        |  t.na AS n_a, t.nb AS n_b
-        |FROM cum, t GROUP BY t.na, t.nb""".stripMargin,
+        |  FROM m),
+        |d AS (SELECT round(max(abs(fa / t.na - fb / t.nb)), 9) AS ks_d,
+        |    t.na AS n_a, t.nb AS n_b
+        |  FROM cum, t GROUP BY t.na, t.nb),
+        |k AS (SELECT ks_d, n_a, n_b,
+        |    sqrt(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)) * ks_d AS tt
+        |  FROM d)
+        |SELECT TRUE AS within_tol, TRUE AS p_within_tol, k.ks_d,
+        |  k.n_a, k.n_b,
+        |  round(least(1.0, greatest(0.0,
+        |    (SELECT sum(2 * power(-1.0, g.j + 1) * exp(-2 * g.j * g.j * k.tt * k.tt))
+        |     FROM generate_series(1, 100) AS g(j)))), 6) AS p_exact
+        |FROM k""".stripMargin,
     // Replays the grouped closed-form fit on the parity halves and the
     // same KL arithmetic shape (ln + squared-difference ratio).
     "q_fit_drift" ->

@@ -61,16 +61,25 @@ object Drift {
     * |Fa − Fb| folded on the driver. No global window, no single-partition
     * stage; D is a ratio of exact integers, so it replays hash-exactly.
     *
+    * Cohort contract: rows whose `cohortCol` equals `labelA` or `labelB`
+    * (defaults "a"/"b") are compared; any OTHER label is ignored, and if
+    * either named cohort ends up empty the call fails fast rather than
+    * returning a vacuous D.
+    *
     * @return one row: (ks_d, p_value, n_a, n_b) */
-  def ksTwoSample(df: DataFrame, cohortCol: String, valueCol: String): DataFrame = {
+  def ksTwoSample(df: DataFrame, cohortCol: String, valueCol: String,
+                  labelA: String = "a", labelB: String = "b"): DataFrame = {
+    require(labelA != labelB, "cohort labels must differ")
     val spark = df.sparkSession
     import spark.implicits._
     val counts = df
-      .select(F.col(cohortCol).as("g"), F.col(valueCol).cast("double").as("v"))
-      .where(F.col("v").isNotNull && !F.isnan(F.col("v")))
+      .select(F.col(cohortCol).cast("string").as("g"),
+        F.col(valueCol).cast("double").as("v"))
+      .where(F.col("v").isNotNull && !F.isnan(F.col("v")) &&
+        F.col("g").isin(labelA, labelB))
       .groupBy("v").agg(
-        F.sum(F.when(F.col("g") === "a", 1L).otherwise(0L)).as("ca"),
-        F.sum(F.when(F.col("g") === "b", 1L).otherwise(0L)).as("cb"))
+        F.sum(F.when(F.col("g") === labelA, 1L).otherwise(0L)).as("ca"),
+        F.sum(F.when(F.col("g") === labelB, 1L).otherwise(0L)).as("cb"))
     val sorted = counts
       .repartitionByRange(F.col("v")).sortWithinPartitions("v")
       .as[(Double, Long, Long)].rdd
@@ -119,6 +128,28 @@ object Drift {
     pts.map(x => math.abs(ska.getRank(x) - skb.getRank(x))).max
   }
 
+  /** [[ksFromSketches]] plus the asymptotic two-sample significance: the
+    * Kolmogorov survival function at √(n_a·n_b/(n_a+n_b))·D̂ — the same
+    * tail series the exact [[ksTwoSample]] and the one-sample M7 metric
+    * use, at the counts the sketches carry exactly (KLL tracks N
+    * losslessly; only ranks are approximate). A drift monitor needs the
+    * calibrated threshold, not just the raw distance: D̂ = 0.01 is
+    * decisive at n = 10⁶ per side and meaningless at n = 100. Because
+    * D̂ carries the sketch error ε_a + ε_b + 1/probes, the p-value
+    * inherits it — at monitoring scale (n ≫ 10⁴) that error moves p
+    * across a 0.05 line only when D sits essentially ON the line, which
+    * is exactly when a monitor should escalate to the exact test anyway.
+    *
+    * @return (d_hat, p_value) */
+  def ksFromSketchesTest(ska: org.apache.datasketches.kll.KllDoublesSketch,
+                         skb: org.apache.datasketches.kll.KllDoublesSketch,
+                         probes: Int = 200): (Double, Double) = {
+    val d = ksFromSketches(ska, skb, probes)
+    val na = ska.getN.toDouble; val nb = skb.getN.toDouble
+    val nEff = na * nb / (na + nb)
+    (d, graft.functions.SpecialMath.kolmogorovSf(math.sqrt(nEff) * d))
+  }
+
   /** Sketch-only two-sample K-S — the shard-mergeable form of
     * [[ksTwoSample]]: ONE pass over the data builds both cohorts' KLL
     * sketches per partition (no second scan, no cohort filter re-read),
@@ -128,22 +159,31 @@ object Drift {
     * harness row audits the estimate against the exact construction
     * separately, the kllRankCheck pattern.
     *
-    * @return one row: (ks_est, n_a, n_b) */
+    * Cohort contract (same as [[ksTwoSample]]): only rows labelled
+    * `labelA`/`labelB` are sketched; any other label is ignored, and an
+    * empty named cohort fails fast ([[ksFromSketches]]' non-empty
+    * require) instead of yielding a silent one-sided comparison.
+    *
+    * @return one row: (ks_est, p_value, n_a, n_b) — p from
+    *         [[ksFromSketchesTest]], rounded like the estimate */
   def ksTwoSampleSketch(df: DataFrame, cohortCol: String, valueCol: String,
-                        k: Int = 800, probes: Int = 200): DataFrame = {
+                        k: Int = 800, probes: Int = 200,
+                        labelA: String = "a", labelB: String = "b"): DataFrame = {
     import org.apache.datasketches.kll.KllDoublesSketch
     import org.apache.datasketches.memory.Memory
+    require(labelA != labelB, "cohort labels must differ")
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(F.col(cohortCol).cast("string").as("g"),
         F.col(valueCol).cast("double").as("v"))
       .where(F.col("v").isNotNull && !F.isnan(F.col("v")) &&
-        F.col("g").isin("a", "b"))
+        F.col("g").isin(labelA, labelB))
+    val la = labelA // capture the string, not the enclosing object
     val rdd = base.rdd.mapPartitions { it =>
       val sa = KllDoublesSketch.newHeapInstance(k)
       val sb = KllDoublesSketch.newHeapInstance(k)
       it.foreach { r =>
-        if (r.getString(0) == "a") sa.update(r.getDouble(1))
+        if (r.getString(0) == la) sa.update(r.getDouble(1))
         else sb.update(r.getDouble(1))
       }
       Iterator.single((sa.toByteArray, sb.toByteArray))
@@ -160,9 +200,10 @@ object Drift {
       math.log(math.max(rdd.getNumPartitions, 2).toDouble) / math.log(16.0)).toInt))
     val ska = KllDoublesSketch.heapify(Memory.wrap(ba))
     val skb = KllDoublesSketch.heapify(Memory.wrap(bb))
-    val dEst = ksFromSketches(ska, skb, probes)
-    Seq((math.rint(dEst * 1e6) / 1e6, ska.getN, skb.getN))
-      .toDF("ks_est", "n_a", "n_b")
+    val (dEst, pEst) = ksFromSketchesTest(ska, skb, probes)
+    Seq((math.rint(dEst * 1e6) / 1e6, math.rint(pEst * 1e6) / 1e6,
+        ska.getN, skb.getN))
+      .toDF("ks_est", "p_value", "n_a", "n_b")
   }
 
   /** One (cell → both-cohort counts) aggregate, then the smoothed

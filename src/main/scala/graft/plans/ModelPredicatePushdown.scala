@@ -28,7 +28,9 @@ import graft.functions.DistScalar
   * comparison into a plain range on x, which then reaches the scan as a
   * `PushedFilters` entry and prunes row groups by their min/max stats —
   * the standard monotone-function predicate folding databases do, applied
-  * to the fitted-model surface.
+  * to the fitted-model surface. Within a Filter condition the rewrite is
+  * applied only to comparisons reachable from the root through And/Or —
+  * the positions where null ≡ false holds (see [[rewrite]]).
   *
   * Exactness: the rewrite holds exactly for continuous families (the CDF
   * is continuous, and strictly increasing wherever 0 < cdf < 1), up to
@@ -124,8 +126,26 @@ object ModelPredicatePushdown extends Rule[LogicalPlan] {
         f.copy(condition = rewrite(f.condition))
     }
 
-  private def rewrite(expr: Expression): Expression =
-    expr.transformUp {
+  /** Recurse ONLY through And/Or: those are the positions where a filter
+    * condition's null ≡ false equivalence actually holds (a conjunct or
+    * disjunct that turns from null to false cannot resurrect a row). A
+    * comparison nested under ANY other parent — Coalesce, IsNull,
+    * EqualNullSafe, Not, a CASE arm used as a value — can observe the
+    * difference: e.g. `coalesce(dist_cdf(..) >= q, true)` KEEPS a NaN-x
+    * row (cdf nulls → coalesce true) while the rewritten
+    * `x >= c AND NOT isnan(x)` is false. Those positions keep the
+    * row-wise expression. (Not(..) was previously saved only because
+    * BooleanSimplification happened to normalize it first in the same
+    * batch — incidental, now structural.)
+    */
+  private def rewrite(expr: Expression): Expression = expr match {
+    case And(l, r) => And(rewrite(l), rewrite(r))
+    case Or(l, r)  => Or(rewrite(l), rewrite(r))
+    case leaf      => rewriteComparison(leaf)
+  }
+
+  private def rewriteComparison(expr: Expression): Expression =
+    expr match {
       case e @ GreaterThanOrEqual(d: DistScalar, qe) =>
         foldableDouble(qe).flatMap(cutoff(d, _))
           .map(c => nanSafeGreater(d.xExpr, c, strict = false))
@@ -159,5 +179,6 @@ object ModelPredicatePushdown extends Rule[LogicalPlan] {
         foldableDouble(qe).flatMap(cutoff(d, _))
           .map(c => nanSafeGreater(d.xExpr, c, strict = true))
           .getOrElse(e)
+      case other => other
     }
 }

@@ -124,6 +124,42 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "projection context must not be rewritten")
   }
 
+  test("null-sensitive wrappers around a cdf comparison stay row-wise") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // Row 0 carries NaN x: the row-wise cdf NULLs it, and under
+    // coalesce(.., true) / IS NULL the row is KEPT — a rewrite to
+    // `x >= c AND NOT isnan(x)` (false) would silently drop it. The rule
+    // must only rewrite comparisons in positive And/Or positions.
+    spark.range(0, 100)
+      .select(when(col("id") === 0, lit(Double.NaN))
+        .otherwise(col("id").cast("double")).as("x"))
+      .createOrReplaceTempView("mf_wrap")
+    val model = graft.dists.FrozenDist(
+      graft.dists.DistRegistry.get("expon").get, Array(0.0, 50.0))
+    // coalesce(cdf >= q, true): NaN row kept, plus rows passing the cut
+    val co = spark.sql(
+      "SELECT count(*) AS n FROM mf_wrap WHERE coalesce(dist_cdf('expon', array(0D, 50D), x) >= 0.25, true)")
+    assert(co.queryExecution.optimizedPlan.toString.contains("dist_cdf"),
+      "comparison under coalesce must not be rewritten")
+    val expectedCo = 1 + (1 until 100).map(_.toDouble).count(x => model.cdf(x) >= 0.25)
+    assert(co.head().getLong(0) == expectedCo)
+    // (cdf >= q) IS NULL: keeps EXACTLY the NaN row
+    val isn = spark.sql(
+      "SELECT count(*) AS n FROM mf_wrap WHERE (dist_cdf('expon', array(0D, 50D), x) >= 0.25) IS NULL")
+    assert(isn.queryExecution.optimizedPlan.toString.contains("dist_cdf"),
+      "comparison under IS NULL must not be rewritten")
+    assert(isn.head().getLong(0) == 1L)
+    // positive AND/OR positions still fold — the restriction must not
+    // disable the rule where it is safe
+    val conj = spark.sql(
+      "SELECT count(*) AS n FROM mf_wrap WHERE dist_cdf('expon', array(0D, 50D), x) >= 0.25 OR x < 5D")
+    assert(!conj.queryExecution.optimizedPlan.toString.contains("dist_cdf"),
+      "comparison under Or must still fold")
+    val expectedConj = (1 until 100).map(_.toDouble)
+      .count(x => model.cdf(x) >= 0.25 || x < 5.0)
+    assert(conj.head().getLong(0) == expectedConj)
+  }
+
   test("custom families registered on the driver reach the plan snapshot") {
     // triangular-ish toy family under a name the builtin registry lacks
     object Toy extends ContinuousDist {

@@ -56,6 +56,97 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(d2 - 0.1) <= 0.02, s"sketch-pair KS $d2 outside bound")
   }
 
+  test("sketch KS significance: p tracks the exact construction; labels parameterized") {
+    import spark.implicits._
+    // shifted uniforms sized so t = √nEff·D ≈ 1 → p lands mid-range
+    // (~0.27), where a broken p computation can't hide behind 0 or 1;
+    // a foreign "z" cohort must be ignored by contract, not sketched
+    val n = 2000
+    val a = (1 to n).map(i => ("u", i.toDouble))
+    val b = (1 to n).map(i => ("w", i.toDouble + 63.0))
+    val noise = (1 to 500).map(i => ("z", 1e9 + i.toDouble))
+    val df = (a ++ b ++ noise).toDF("g", "v").repartition(8)
+    val ex = operators.Drift.ksTwoSample(df, "g", "v",
+      labelA = "u", labelB = "w").head()
+    val dEx = ex.getAs[Double]("ks_d"); val pEx = ex.getAs[Double]("p_value")
+    assert(ex.getAs[Long]("n_a") == n && ex.getAs[Long]("n_b") == n,
+      "foreign labels must not count toward either cohort")
+    assert(math.abs(dEx - 63.0 / n) < 1e-12, s"D=$dEx")
+    assert(pEx > 0.05 && pEx < 0.9, s"p=$pEx")
+    val sk = operators.Drift.ksTwoSampleSketch(df, "g", "v",
+      labelA = "u", labelB = "w").head()
+    assert(sk.getAs[Long]("n_a") == n && sk.getAs[Long]("n_b") == n)
+    assert(math.abs(sk.getAs[Double]("ks_est") - dEx) <= 0.02)
+    // p̂ must land inside the p-band the d-tolerance implies
+    // (kolmogorovSf is decreasing in D, so the band brackets exactly)
+    val nEff = n.toDouble * n / (2.0 * n)
+    val lo = functions.SpecialMath.kolmogorovSf(math.sqrt(nEff) * (dEx + 0.02))
+    val hi = functions.SpecialMath.kolmogorovSf(
+      math.sqrt(nEff) * math.max(0.0, dEx - 0.02))
+    val pEst = sk.getAs[Double]("p_value")
+    assert(pEst >= lo - 1e-6 && pEst <= hi + 1e-6,
+      s"sketch p=$pEst outside [$lo, $hi]")
+    // the sketch-pair API reports the same (d, p) contract
+    val ska = operators.Sketches.kllSketch(df.where($"g" === "u"), "v")
+    val skb = operators.Sketches.kllSketch(df.where($"g" === "w"), "v")
+    val (d2, p2) = operators.Drift.ksFromSketchesTest(ska, skb)
+    assert(math.abs(d2 - dEx) <= 0.02)
+    assert(p2 >= lo - 1e-6 && p2 <= hi + 1e-6, s"pair p=$p2 outside [$lo, $hi]")
+  }
+
+  test("Observability: skew-guard drops are observed with exact counts and warn") {
+    // 60 identical docs → identical minhash signatures → for EVERY one of
+    // the 32 bands a single bucket of exactly 60 members; maxBucket = 50
+    // drops them all, so the observation must read 32 buckets / 1920
+    // members — and the pair output must be empty (the guard really fired)
+    val dup = (1L to 60L).map(i => (i, "the very same text repeated verbatim"))
+    val distinct = (100L to 104L).map(i => (i, s"unique text number $i with filler"))
+    val df = docsDf(dup ++ distinct)
+    val captured =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, org.apache.spark.sql.Row)]()
+    val cap = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             d: Long): Unit =
+        // the hardened extraction: with every bucket dropped, AQE's
+        // empty-relation propagation prunes the CollectMetrics node from
+        // the final plan and plain qe.observedMetrics comes back empty
+        Observability.observedMetricsOf(qe).foreach { case (n, r) =>
+          if (n.startsWith("graft.dropped/minhashPairs")) captured.add((n, r))
+        }
+      override def onFailure(f: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(cap)
+    try {
+      assert(Dedup.minhashPairs(df, "doc_id", "text", maxBucket = 50).count() == 0L,
+        "all multi-member buckets exceed the cap, so no pairs may survive")
+      // the execution-listener bus is async; poll briefly
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (captured.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(!captured.isEmpty, "observed metric never reached the listener")
+      val (name, row) = captured.peek()
+      assert(row.getAs[Long]("dropped_buckets") == 32L,
+        s"one oversize bucket per band expected: $row")
+      assert(row.getAs[Long]("dropped_members") == 32L * 60L, s"$row")
+      // the warn decision the session listener applies to that same row
+      val msg = Observability.droppedWarning(name, row)
+      assert(msg.exists(m => m.contains("32 oversize") && m.contains("1920 members")),
+        s"warn message wrong: $msg")
+      // non-dropping rows and foreign observations stay silent
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("dropped_buckets",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("dropped_members",
+          org.apache.spark.sql.types.LongType)))
+      val zero = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](0L, 0L), schema)
+      assert(Observability.droppedWarning("graft.dropped/minhashPairs/9", zero).isEmpty)
+      assert(Observability.droppedWarning("other.metric", row).isEmpty)
+    } finally spark.listenerManager.unregister(cap)
+  }
+
   test("GroupedFit: sufficient-statistic fits per group, closed-form AIC") {
     import spark.implicits._
     val a = (1 to 100).map(i => ("a", math.exp(0.01 * i)))
