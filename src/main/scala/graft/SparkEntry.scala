@@ -603,6 +603,52 @@ object SparkEntry {
           F.round(F.col("aic"), 2).as("aic_r"))
         .orderBy("l_returnflag", "value_col", "distribution")
     }),
+    "q_grouped_fit_gof" -> ((s, dir) => {
+      // per-group GOODNESS of fit: exact-rank K-S of each fitted family
+      // against the group's ECDF plus the asymptotic p — the answer the
+      // grouped fitter's AIC ranking alone cannot give ("the winner per
+      // customer: is it actually a good fit?"). Restricted here to the
+      // elementary-CDF families DuckDB can replay (expon/uniform/
+      // rayleigh/pareto — norm/lognorm/halfnorm need erf); the CDF rides
+      // the same DistScalar scalar the SQL surface uses, so ANY
+      // registered family works in the operator itself
+      val d = li(s, dir)
+      val fits = GroupedFit.fitByGroup(d, "l_extendedprice",
+          Seq("l_returnflag"))
+        .where(F.col("distribution").isin("expon", "uniform", "rayleigh", "pareto"))
+      GroupedFit.gofByGroup(d, "l_extendedprice", Seq("l_returnflag"), fits)
+        .select(F.col("l_returnflag"), F.col("distribution"),
+          F.round(F.col("ks_d"), 6).as("ks_d"),
+          F.round(F.col("ks_p"), 6).as("ks_p"),
+          F.col("n"))
+        .orderBy("l_returnflag", "distribution")
+    }),
+    "q_grouped_generate" -> ((s, dir) => {
+      // grouped-fit → generation composability: the per-group best model
+      // (among the elementary-ppf families) feeds the SAME dist_ppf
+      // scalar the G1 samplers use, on a deterministic quantile grid —
+      // proving fitByGroup's parameter convention round-trips into the
+      // generation surface unchanged. Oracle replays the best-by-AIC
+      // pick AND each family's closed-form ppf.
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val d = li(s, dir)
+      val fits = GroupedFit.fitByGroup(d, "l_extendedprice",
+          Seq("l_returnflag"))
+        .where(F.col("distribution").isin("expon", "uniform", "rayleigh", "pareto"))
+      val best = GroupedFit.bestFrom(fits, Seq("l_returnflag"))
+      val grid = best.select(F.col("l_returnflag"), F.col("distribution"),
+        F.col("parameters"),
+        F.explode(F.array(Seq(0.05, 0.25, 0.5, 0.75, 0.95).map(F.lit): _*))
+          .as("q"))
+      val ppf = ColumnBridge.column(graft.functions.DistScalar.build("ppf",
+        Seq(ColumnBridge.expression(F.col("distribution")),
+          ColumnBridge.expression(F.col("parameters")),
+          ColumnBridge.expression(F.col("q"))),
+        Map.empty, Map.empty))
+      grid.select(F.col("l_returnflag"), F.col("distribution"), F.col("q"),
+        F.round(ppf, 4).as("x_q"))
+        .orderBy("l_returnflag", "q")
+    }),
     "fit_summary" -> ((s, dir) =>
       cachedFit(s, dir, Seq("l_extendedprice")).summary),
     "fit_summary_closed_form" -> ((s, dir) =>
@@ -3038,8 +3084,10 @@ object SparkEntry {
         |f AS (SELECT l_returnflag AS g,
         |    CASE WHEN l_quantity <= 25 THEN 1.0 ELSE 0.0 END AS x
         |  FROM lineitem WHERE l_quantity IS NOT NULL),
-        |qs AS (SELECT g, count(*) AS n, avg(x) AS m FROM q GROUP BY g),
-        |fs AS (SELECT g, count(*) AS n, avg(x) AS m FROM f GROUP BY g)
+        |qs AS (SELECT g, count(*) AS n, avg(x) AS m,
+        |    sum(lgamma(x + 1.0)) AS slg FROM q GROUP BY g),
+        |fs AS (SELECT g, count(*) AS n, avg(x) AS m,
+        |    sum(lgamma(x + 1.0)) AS slg FROM f GROUP BY g)
         |SELECT g AS l_returnflag, 'l_quantity' AS value_col,
         |  CAST(n AS BIGINT) AS n, 'geom' AS distribution,
         |  round(1.0 / m, 6) AS p1,
@@ -3047,9 +3095,19 @@ object SparkEntry {
         |    + n * (m - 1.0) * ln(1.0 - 1.0 / m)), 2) AS aic_r
         |FROM qs
         |UNION ALL
+        |SELECT g, 'l_quantity', CAST(n AS BIGINT), 'poisson',
+        |  round(m, 6),
+        |  round(2.0 - 2.0 * (n * m * ln(m) - n * m - slg), 2)
+        |FROM qs
+        |UNION ALL
         |SELECT g, 'qflag', CAST(n AS BIGINT), 'bernoulli',
         |  round(m, 6),
         |  round(2.0 - 2.0 * (n * (m * ln(m) + (1.0 - m) * ln(1.0 - m))), 2)
+        |FROM fs
+        |UNION ALL
+        |SELECT g, 'qflag', CAST(n AS BIGINT), 'poisson',
+        |  round(m, 6),
+        |  round(2.0 - 2.0 * (n * m * ln(m) - n * m - slg), 2)
         |FROM fs
         |ORDER BY l_returnflag, value_col, distribution""".stripMargin,
     // Per-group sufficient-statistic fits: params, loglik, AIC, and the
@@ -3061,7 +3119,8 @@ object SparkEntry {
         |    avg(ln(l_extendedprice)) FILTER (WHERE l_extendedprice > 0)
         |      AS mln,
         |    var_pop(ln(l_extendedprice)) FILTER (WHERE l_extendedprice > 0)
-        |      AS s2ln
+        |      AS s2ln,
+        |    sum(l_extendedprice * l_extendedprice) AS sxx
         |  FROM lineitem WHERE l_extendedprice IS NOT NULL
         |  GROUP BY l_returnflag),
         |fits AS (
@@ -3074,7 +3133,18 @@ object SparkEntry {
         |    -n * ln(mx - mn), 2 FROM s WHERE n >= 2 AND mx - mn > 0
         |  UNION ALL SELECT g, n, 'lognorm', sqrt(s2ln), 0.0, exp(mln),
         |    -n * mln - n / 2.0 * ln(2 * pi() * s2ln) - n / 2.0, 2
-        |  FROM s WHERE n >= 2 AND mn > 0 AND s2ln > 0),
+        |  FROM s WHERE n >= 2 AND mn > 0 AND s2ln > 0
+        |  UNION ALL SELECT g, n, 'rayleigh', 0.0, sqrt(sxx / (2.0 * n)),
+        |    -1.0, n * mln - n * ln(sxx / (2.0 * n)) - n, 1
+        |  FROM s WHERE n >= 2 AND mn > 0
+        |  UNION ALL SELECT g, n, 'halfnorm', 0.0, sqrt(sxx / n), -1.0,
+        |    n * (0.5 * ln(2.0 / pi())) - n / 2.0 * ln(sxx / n) - n / 2.0, 1
+        |  FROM s WHERE n >= 2 AND mn >= 0 AND sxx > 0
+        |  UNION ALL SELECT g, n, 'pareto', 1.0 / (mln - ln(mn)), 0.0, mn,
+        |    n * ln(1.0 / (mln - ln(mn)))
+        |      + n * (1.0 / (mln - ln(mn))) * ln(mn)
+        |      - (1.0 / (mln - ln(mn)) + 1.0) * n * mln, 2
+        |  FROM s WHERE n >= 2 AND mn > 0 AND mln > ln(mn)),
         |best AS (SELECT g, distribution AS best_family,
         |    row_number() OVER (PARTITION BY g
         |      ORDER BY 2.0 * k - 2.0 * ll ASC, distribution ASC) AS rk
@@ -3086,6 +3156,102 @@ object SparkEntry {
         |FROM fits f JOIN (SELECT g, best_family FROM best WHERE rk = 1) b
         |  ON f.g = b.g
         |ORDER BY l_returnflag, distribution""".stripMargin,
+    // Per-group K-S GOF: distinct-value ECDF vs each family's closed-form
+    // CDF (z = (x-loc)/scale, support clamps matching the cdf wrapper),
+    // D via a per-(group, family) cumulative window, p via the same
+    // 100-term Kolmogorov series the drift path replays.
+    "q_grouped_fit_gof" ->
+      """WITH s AS (SELECT l_returnflag AS g, count(*) AS n,
+        |    avg(l_extendedprice) AS m,
+        |    min(l_extendedprice) AS mn, max(l_extendedprice) AS mx,
+        |    avg(ln(l_extendedprice)) FILTER (WHERE l_extendedprice > 0)
+        |      AS mln,
+        |    sum(l_extendedprice * l_extendedprice) AS sxx
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |  GROUP BY l_returnflag),
+        |fits AS (
+        |  SELECT g, n, 'expon' AS distribution, mn AS loc, m - mn AS sc,
+        |    0.0 AS b FROM s WHERE n >= 2 AND m - mn > 0
+        |  UNION ALL SELECT g, n, 'uniform', mn, mx - mn, 0.0
+        |  FROM s WHERE n >= 2 AND mx - mn > 0
+        |  UNION ALL SELECT g, n, 'rayleigh', 0.0, sqrt(sxx / (2.0 * n)), 0.0
+        |  FROM s WHERE n >= 2 AND mn > 0
+        |  UNION ALL SELECT g, n, 'pareto', 0.0, mn, 1.0 / (mln - ln(mn))
+        |  FROM s WHERE n >= 2 AND mn > 0 AND mln > ln(mn)),
+        |v AS (SELECT l_returnflag AS g, l_extendedprice AS x,
+        |    count(*) AS c
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+        |j AS (SELECT f.g, f.distribution, f.n, v.x, v.c,
+        |    CASE f.distribution
+        |      WHEN 'expon' THEN CASE WHEN v.x <= f.loc THEN 0.0
+        |        ELSE 1.0 - exp(-((v.x - f.loc) / f.sc)) END
+        |      WHEN 'uniform' THEN least(1.0, greatest(0.0,
+        |        (v.x - f.loc) / f.sc))
+        |      WHEN 'rayleigh' THEN CASE WHEN v.x <= 0 THEN 0.0
+        |        ELSE 1.0 - exp(-0.5 * (v.x / f.sc) * (v.x / f.sc)) END
+        |      WHEN 'pareto' THEN CASE WHEN v.x <= f.sc THEN 0.0
+        |        ELSE 1.0 - power(v.x / f.sc, -f.b) END
+        |    END AS cdf
+        |  FROM v JOIN fits f ON v.g = f.g),
+        |cw AS (SELECT g, distribution, n, c, cdf,
+        |    sum(c) OVER (PARTITION BY g, distribution ORDER BY x) AS cum
+        |  FROM j),
+        |d AS (SELECT g, distribution, CAST(max(n) AS BIGINT) AS n,
+        |    max(greatest(abs(cum / n - cdf), abs((cum - c) / n - cdf)))
+        |      AS ks_d
+        |  FROM cw GROUP BY g, distribution),
+        |k AS (SELECT g, distribution, n, ks_d,
+        |    sqrt(CAST(n AS DOUBLE)) * ks_d AS tt FROM d)
+        |SELECT k.g AS l_returnflag, k.distribution,
+        |  round(k.ks_d, 6) AS ks_d,
+        |  round(least(1.0, greatest(0.0,
+        |    (SELECT sum(2 * power(-1.0, gs.j + 1)
+        |       * exp(-2 * gs.j * gs.j * k.tt * k.tt))
+        |     FROM generate_series(1, 100) AS gs(j)))), 6) AS ks_p,
+        |  k.n
+        |FROM k ORDER BY l_returnflag, distribution""".stripMargin,
+    // Grouped-fit → generation: best-of-subset by AIC per group, then
+    // each family's closed-form ppf on the fixed quantile grid.
+    "q_grouped_generate" ->
+      """WITH s AS (SELECT l_returnflag AS g, count(*) AS n,
+        |    avg(l_extendedprice) AS m,
+        |    min(l_extendedprice) AS mn, max(l_extendedprice) AS mx,
+        |    avg(ln(l_extendedprice)) FILTER (WHERE l_extendedprice > 0)
+        |      AS mln,
+        |    sum(l_extendedprice * l_extendedprice) AS sxx
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |  GROUP BY l_returnflag),
+        |fits AS (
+        |  SELECT g, n, 'expon' AS distribution, mn AS loc, m - mn AS sc,
+        |    0.0 AS b, -n * ln(m - mn) - n AS ll, 2 AS k
+        |  FROM s WHERE n >= 2 AND m - mn > 0
+        |  UNION ALL SELECT g, n, 'uniform', mn, mx - mn, 0.0,
+        |    -n * ln(mx - mn), 2 FROM s WHERE n >= 2 AND mx - mn > 0
+        |  UNION ALL SELECT g, n, 'rayleigh', 0.0, sqrt(sxx / (2.0 * n)),
+        |    0.0, n * mln - n * ln(sxx / (2.0 * n)) - n, 1
+        |  FROM s WHERE n >= 2 AND mn > 0
+        |  UNION ALL SELECT g, n, 'pareto', 0.0, mn,
+        |    1.0 / (mln - ln(mn)),
+        |    n * ln(1.0 / (mln - ln(mn)))
+        |      + n * (1.0 / (mln - ln(mn))) * ln(mn)
+        |      - (1.0 / (mln - ln(mn)) + 1.0) * n * mln, 2
+        |  FROM s WHERE n >= 2 AND mn > 0 AND mln > ln(mn)),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY g
+        |    ORDER BY 2.0 * k - 2.0 * ll ASC, distribution ASC) AS rk
+        |  FROM fits),
+        |grid AS (SELECT b.g, b.distribution, b.loc, b.sc, b.b, q.q
+        |  FROM (SELECT * FROM best WHERE rk = 1) b
+        |  CROSS JOIN (SELECT unnest([CAST(0.05 AS DOUBLE),
+        |    CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+        |    CAST(0.75 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS q) q)
+        |SELECT g AS l_returnflag, distribution, q,
+        |  round(CASE distribution
+        |    WHEN 'expon' THEN loc + sc * (-ln(1.0 - q))
+        |    WHEN 'uniform' THEN loc + sc * q
+        |    WHEN 'rayleigh' THEN loc + sc * sqrt(-2.0 * ln(1.0 - q))
+        |    WHEN 'pareto' THEN loc + sc * power(1.0 - q, -1.0 / b)
+        |  END, 4) AS x_q
+        |FROM grid ORDER BY l_returnflag, q""".stripMargin,
     "q_snapshot_diff" ->
       """WITH o AS (SELECT doc_id AS id, md5(coalesce(text, '')) AS h
         |    FROM documents WHERE doc_id < 400),

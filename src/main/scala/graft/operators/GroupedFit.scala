@@ -16,11 +16,18 @@ import org.apache.spark.sql.expressions.Window
   * *and* maximized log-likelihood are exact functions of per-group
   * aggregates:
   *
-  *   - norm:    loc = mean, scale = √var_pop; ll = −n/2·ln(2πσ²) − n/2
-  *   - expon:   loc = min,  scale = mean−min; ll = −n·ln(scale) − n
-  *   - uniform: loc = min,  scale = max−min;  ll = −n·ln(scale)
-  *   - lognorm: s = √var_pop(ln x), scale = exp(mean(ln x)), loc = 0;
-  *              ll = −n·mean(ln x) − n/2·ln(2π·s²) − n/2  (x > 0 only)
+  *   - norm:     loc = mean, scale = √var_pop; ll = −n/2·ln(2πσ²) − n/2
+  *   - expon:    loc = min,  scale = mean−min; ll = −n·ln(scale) − n
+  *   - uniform:  loc = min,  scale = max−min;  ll = −n·ln(scale)
+  *   - lognorm:  s = √var_pop(ln x), scale = exp(mean(ln x)), loc = 0;
+  *               ll = −n·mean(ln x) − n/2·ln(2π·s²) − n/2  (x > 0 only)
+  *   - rayleigh: loc = 0, scale σ = √(Σx²/2n);
+  *               ll = Σln x − n·ln(σ²) − n  (x > 0 only)
+  *   - halfnorm: loc = 0, scale σ = √(Σx²/n);
+  *               ll = n/2·ln(2/π) − n/2·ln(σ²) − n/2  (x ≥ 0)
+  *   - pareto:   scale x_m = min, loc = 0, b = 1/(mean(ln x) − ln x_m);
+  *               ll = n·ln b + n·b·ln x_m − (b+1)·Σln x  (x_m > 0,
+  *               some x > x_m)
   *
   * Everything — params, AIC/BIC, best-by-AIC — is plain column
   * arithmetic over those aggregates: one shuffle on the group key,
@@ -31,7 +38,8 @@ import org.apache.spark.sql.expressions.Window
   */
 object GroupedFit {
 
-  val families: Seq[String] = Seq("norm", "expon", "uniform", "lognorm")
+  val families: Seq[String] =
+    Seq("norm", "expon", "uniform", "lognorm", "rayleigh", "halfnorm", "pareto")
 
   /** One row per (group, family) with parameters, loglik, aic, bic.
     * Groups where a family's MLE is undefined (zero variance, zero
@@ -53,7 +61,8 @@ object GroupedFit {
       F.min(x).as("mn"),
       F.max(x).as("mx"),
       F.avg(lnx).as("mln"),
-      F.var_pop(lnx).as("s2ln"))
+      F.var_pop(lnx).as("s2ln"),
+      F.sum(x * x).as("sxx"))
     val n = F.col("n").cast("double")
     val twoPi = 2.0 * math.Pi
     def fam(name: String, valid: Column, params: Column, k: Int,
@@ -82,7 +91,28 @@ object GroupedFit {
       // best-by-AIC pick against lognorm by a flat 2 AIC
       fam("lognorm", F.col("n") >= 2 && mn > 0.0 && s2ln > 0.0,
         F.array(F.sqrt(s2ln), F.lit(0.0), F.exp(mln)), 2,
-        -n * mln - n / 2.0 * F.log(F.lit(twoPi) * s2ln) - n / 2.0))
+        -n * mln - n / 2.0 * F.log(F.lit(twoPi) * s2ln) - n / 2.0),
+      // rayleigh, loc pinned 0 ⇒ k = 1: σ² = Σx²/2n makes Σx²/(2σ²) = n
+      // exactly, so ll = Σln x − n·ln σ² − n
+      fam("rayleigh", F.col("n") >= 2 && mn > 0.0,
+        F.array(F.lit(0.0), F.sqrt(F.col("sxx") / (F.lit(2.0) * n))), 1,
+        n * mln - n * F.log(F.col("sxx") / (F.lit(2.0) * n)) - n),
+      // halfnorm, loc pinned 0 ⇒ k = 1: σ² = Σx²/n, Σx²/(2σ²) = n/2;
+      // x = 0 is INSIDE the support (pdf(0) = √(2/π)/σ), unlike rayleigh
+      fam("halfnorm", F.col("n") >= 2 && mn >= 0.0 && F.col("sxx") > 0.0,
+        F.array(F.lit(0.0), F.sqrt(F.col("sxx") / n)), 1,
+        n * F.lit(0.5 * math.log(2.0 / math.Pi)) -
+          n / 2.0 * F.log(F.col("sxx") / n) - n / 2.0),
+      // pareto with x_m pinned at the group min (the pareto MLE's own
+      // scale estimate); b̂ = 1/(mean(ln x) − ln x_m). k = 2: like
+      // uniform's data-derived support bounds, both b and x_m are
+      // estimated from the group
+      fam("pareto",
+        F.col("n") >= 2 && mn > 0.0 && mln > F.log(mn),
+        F.array(F.lit(1.0) / (mln - F.log(mn)), F.lit(0.0), mn), 2,
+        n * F.log(F.lit(1.0) / (mln - F.log(mn))) +
+          n * (F.lit(1.0) / (mln - F.log(mn))) * F.log(mn) -
+          (F.lit(1.0) / (mln - F.log(mn)) + 1.0) * n * mln))
     agged
       .select(groupCols.map(F.col) :+ F.col("n") :+
         F.explode(F.filter(fams, _.isNotNull)).as("f"): _*)
@@ -100,11 +130,17 @@ object GroupedFit {
     *     ll = n·(m·ln m + (1−m)·ln(1−m)),  0 < m < 1
     *   - geometric (integer x ≥ 1): p = 1/mean;
     *     ll = n·ln p + (Σx − n)·ln(1−p) = n·ln p + n·(m−1)·ln(1−p), m > 1
+    *   - poisson (integer x ≥ 0): λ = mean;
+    *     ll = n·λ·ln λ − n·λ − Σ ln(x!), where Σ ln(x!) = Σ lgamma(x+1)
+    *     is a plain per-row aggregate (the one non-codegen'd term — a
+    *     JVM lgamma call per row, same cost class as the hash functions
+    *     the dedup path runs per row)
     *
     * Support checks are exact aggregates, not tolerances: bernoulli
     * needs Σx² = Σx (true iff every value is 0 or 1 — both exact
-    * doubles); geometric needs zero rows with x ≠ floor(x) and min ≥ 1.
-    * Parameters are [p] (scipy convention, loc pinned 0 ⇒ k = 1). */
+    * doubles); geometric and poisson need zero rows with x ≠ floor(x)
+    * and min ≥ 1 (geometric) / min ≥ 0 (poisson).
+    * Parameters are [p] / [λ] (scipy convention, loc pinned 0 ⇒ k = 1). */
   def fitDiscreteByGroup(df: DataFrame, valueCol: String,
                          groupCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
@@ -112,13 +148,15 @@ object GroupedFit {
     val clean = df.where(v.isNotNull && !F.isnan(v))
       .select(groupCols.map(F.col) :+ v.as("__v"): _*)
     val x = F.col("__v")
+    val lgUdf = F.udf((v: Double) => graft.functions.SpecialMath.lgamma(v + 1.0))
     val agged = clean.groupBy(groupCols.map(F.col): _*).agg(
       F.count(F.lit(1)).as("n"),
       F.avg(x).as("m"),
       F.min(x).as("mn"),
       F.sum(x).as("sx"),
       F.sum(x * x).as("sxx"),
-      F.sum(F.when(x =!= F.floor(x), 1L).otherwise(0L)).as("nonint"))
+      F.sum(F.when(x =!= F.floor(x), 1L).otherwise(0L)).as("nonint"),
+      F.sum(lgUdf(x)).as("slg"))
     val n = F.col("n").cast("double")
     val m = F.col("m")
     def fam(name: String, valid: Column, p: Column, ll: Column): Column =
@@ -136,7 +174,11 @@ object GroupedFit {
         F.col("n") >= 2 && F.col("nonint") === 0L && F.col("mn") >= 1.0 && m > 1.0,
         F.lit(1.0) / m,
         n * F.log(F.lit(1.0) / m) +
-          n * (m - 1.0) * F.log(F.lit(1.0) - F.lit(1.0) / m)))
+          n * (m - 1.0) * F.log(F.lit(1.0) - F.lit(1.0) / m)),
+      fam("poisson",
+        F.col("n") >= 2 && F.col("nonint") === 0L && F.col("mn") >= 0.0 && m > 0.0,
+        m,
+        n * m * F.log(m) - n * m - F.col("slg")))
     agged
       .select(groupCols.map(F.col) :+ F.col("n") :+
         F.explode(F.filter(fams, _.isNotNull)).as("f"): _*)
@@ -166,4 +208,66 @@ object GroupedFit {
   def bestByGroup(df: DataFrame, valueCol: String, groupCols: Seq[String],
                   metric: String = "aic"): DataFrame =
     bestFrom(fitByGroup(df, valueCol, groupCols), groupCols, metric)
+
+  /** Per-group goodness of fit: the exact one-sample K-S distance of
+    * every (group, family) row in `fits` against that group's empirical
+    * CDF, plus the asymptotic significance — the answer to "the AIC
+    * winner per customer: is it actually a GOOD fit?" that the
+    * single-column path gives via M7 and [[fitByGroup]] alone cannot.
+    *
+    * Construction (exact-rank, hash-replayable): per-group DISTINCT
+    * value counts first (one groupBy — the family join then multiplies
+    * only distinct values, never raw rows), join the per-group fit rows
+    * (co-partitioned on the group key), model CDF per row through the
+    * same [[graft.functions.DistScalar]] scalar the SQL surface uses
+    * (any registered family works, custom conventions included), then
+    * D = max(|F̂(x) − F(x)|, |F̂(x⁻) − F(x)|) via a per-(group, family)
+    * running sum — a window PARTITIONED by (group, family), so state
+    * per partition is one group's distinct values: the 10⁶-small-groups
+    * regime this operator targets. `ks_p` is the asymptotic Kolmogorov
+    * tail at √n·D (the M7/M8 series, valid for the n ≫ 35 monitoring
+    * regime), computed in column arithmetic so an external engine can
+    * replay it term by term.
+    *
+    * @param fits output of [[fitByGroup]]/[[fitDiscreteByGroup]] (or a
+    *             filtered subset, e.g. [[bestFrom]] winners)
+    * @return one row per (group, distribution): ks_d, ks_p, n */
+  def gofByGroup(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                 fits: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    require(groupCols.nonEmpty, "need at least one group column")
+    val v = F.col(valueCol).cast("double")
+    val clean = df.where(v.isNotNull && !F.isnan(v))
+      .select(groupCols.map(F.col) :+ v.as("__v"): _*)
+    val vc = clean.groupBy((groupCols :+ "__v").map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("__c"))
+    val famRows = fits.select(
+      (groupCols.map(F.col) :+ F.col("distribution") :+
+        F.col("parameters") :+ F.col("n")): _*)
+    val joined = vc.join(famRows, groupCols)
+    val cdfCol = ColumnBridge.column(graft.functions.DistScalar.build("cdf",
+      Seq(ColumnBridge.expression(F.col("distribution")),
+        ColumnBridge.expression(F.col("parameters")),
+        ColumnBridge.expression(F.col("__v"))),
+      Map.empty, Map.empty))
+    val w = Window
+      .partitionBy((groupCols :+ "distribution").map(F.col): _*)
+      .orderBy(F.col("__v"))
+    val nD = F.col("n").cast("double")
+    val scored = joined
+      .withColumn("__cum", F.sum(F.col("__c")).over(w))
+      .withColumn("__cdf", cdfCol)
+      .withColumn("__d", F.greatest(
+        F.abs(F.col("__cum") / nD - F.col("__cdf")),
+        F.abs((F.col("__cum") - F.col("__c")) / nD - F.col("__cdf"))))
+    val agg = scored
+      .groupBy((groupCols :+ "distribution").map(F.col): _*)
+      .agg(F.max(F.col("__d")).as("ks_d"), F.first(F.col("n")).as("n"))
+    val t = F.sqrt(F.col("n").cast("double")) * F.col("ks_d")
+    val series = F.aggregate(F.sequence(F.lit(1), F.lit(100)), F.lit(0.0),
+      (acc, j) => acc + F.lit(2.0) * F.pow(F.lit(-1.0), j + 1) *
+        F.exp(F.lit(-2.0) * j * j * t * t))
+    agg.withColumn("ks_p",
+      F.least(F.lit(1.0), F.greatest(F.lit(0.0), series)))
+  }
 }

@@ -156,11 +156,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fits = operators.GroupedFit.fitByGroup(df, "v", Seq("g")).collect()
     val byG = fits.groupBy(_.getString(0))
     assert(byG("a").map(_.getAs[String]("distribution")).sorted
-      .sameElements(Array("expon", "lognorm", "norm", "uniform")))
-    // a negative value disqualifies lognorm for the whole group
+      .sameElements(Array("expon", "halfnorm", "lognorm", "norm", "pareto",
+        "rayleigh", "uniform")))
+    // a negative value disqualifies the positive-support families
     assert(byG("b").map(_.getAs[String]("distribution")).sorted
       .sameElements(Array("expon", "norm", "uniform")))
-    assert(!byG.contains("c"), "degenerate group should be absent, not sentinel")
+    // constant positive data: degenerate for every location-scale family,
+    // but the loc-pinned scale-only families (σ from Σx²) are well-defined
+    assert(byG("c").map(_.getAs[String]("distribution")).sorted
+      .sameElements(Array("halfnorm", "rayleigh")),
+      "scale-only families must survive a zero-variance positive group")
+    // rayleigh on constant 3.0: σ = √(Σx²/2n) = √(9/2) = 3/√2,
+    // ll = Σln3 − n·ln(σ²) − n
+    val rc = byG("c").find(_.getAs[String]("distribution") == "rayleigh").get
+    val rps = rc.getSeq[Double](rc.fieldIndex("parameters"))
+    assert(math.abs(rps(1) - 3.0 / math.sqrt(2.0)) < 1e-12)
+    assert(math.abs(rc.getAs[Double]("loglik") -
+      (2.0 * math.log(3.0) - 2.0 * math.log(4.5) - 2.0)) < 1e-9)
+    // pareto on group a: b = 1/(mean(ln x) − ln min); check against the
+    // zoo's logpdf sum at the closed-form params
+    val pa = byG("a").find(_.getAs[String]("distribution") == "pareto").get
+    val pps = pa.getSeq[Double](pa.fieldIndex("parameters"))
+    val lnxs = (1 to 100).map(i => 0.01 * i)
+    val bHat = 1.0 / (lnxs.sum / 100.0 - 0.01)
+    assert(math.abs(pps(0) - bHat) < 1e-9 && math.abs(pps(2) - math.exp(0.01)) < 1e-12)
+    val llPareto = (1 to 100).map(i => graft.dists.ContinuousFamilies.Pareto
+      .logpdf(math.exp(0.01 * i), Array(bHat, 0.0, math.exp(0.01)))).sum
+    assert(math.abs(pa.getAs[Double]("loglik") - llPareto) < 1e-6)
     // norm params are the exact population MLE
     val na = byG("a").find(_.getAs[String]("distribution") == "norm").get
     val xs = a.map(_._2)
@@ -176,7 +198,9 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val best = operators.GroupedFit.bestByGroup(df, "v", Seq("g"))
       .collect().map(r => r.getString(0) -> r.getAs[String]("distribution")).toMap
     val minAicA = byG("a").minBy(_.getAs[Double]("aic")).getAs[String]("distribution")
-    assert(best("a") == minAicA && best.size == 2)
+    assert(best("a") == minAicA && best.size == 3)
+    // constant positive group: rayleigh's ll beats halfnorm's at equal k
+    assert(best("c") == "rayleigh")
   }
 
   test("fitDiscreteByGroup: exact support checks route bernoulli vs geom") {
@@ -187,17 +211,56 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fits = operators.GroupedFit
       .fitDiscreteByGroup(rows.toDF("g", "v"), "v", Seq("g")).collect()
     val byG = fits.groupBy(_.getString(0))
-    assert(byG("a").map(_.getAs[String]("distribution")).sameElements(Array("geom")))
-    assert(byG("b").map(_.getAs[String]("distribution")).sameElements(Array("bernoulli")))
+    assert(byG("a").map(_.getAs[String]("distribution")).sorted
+      .sameElements(Array("geom", "poisson")))
+    assert(byG("b").map(_.getAs[String]("distribution")).sorted
+      .sameElements(Array("bernoulli", "poisson")))
     assert(!byG.contains("c"))
     // geom on {1,2,3,2}: p = 1/2, ll = Σ k·ln(1/2) = −8·ln 2
-    val ga = byG("a").head
+    val ga = byG("a").find(_.getAs[String]("distribution") == "geom").get
     assert(math.abs(ga.getSeq[Double](ga.fieldIndex("parameters"))(0) - 0.5) < 1e-12)
     assert(math.abs(ga.getAs[Double]("loglik") - (-8.0 * math.log(2.0))) < 1e-9)
     // bernoulli on {0,1,1,0}: p = 0.5, ll = 4·ln(1/2)
-    val gb = byG("b").head
+    val gb = byG("b").find(_.getAs[String]("distribution") == "bernoulli").get
     assert(math.abs(gb.getSeq[Double](gb.fieldIndex("parameters"))(0) - 0.5) < 1e-12)
     assert(math.abs(gb.getAs[Double]("loglik") - (-4.0 * math.log(2.0))) < 1e-9)
+    // poisson on {1,2,3,2}: λ = 2,
+    // ll = nλ·ln λ − nλ − Σ ln(x!) = 8·ln2 − 8 − (2·ln2 + ln6)
+    val pa = byG("a").find(_.getAs[String]("distribution") == "poisson").get
+    assert(math.abs(pa.getSeq[Double](pa.fieldIndex("parameters"))(0) - 2.0) < 1e-12)
+    assert(math.abs(pa.getAs[Double]("loglik") -
+      (8.0 * math.log(2.0) - 8.0 - 2.0 * math.log(2.0) - math.log(6.0))) < 1e-9)
+    // and against the zoo's own poisson logpmf at λ = 2
+    val llZoo = Seq(1L, 2L, 3L, 2L).map(k =>
+      math.log(graft.dists.DiscreteFamilies.Poisson.pmf(k, Array(2.0)))).sum
+    assert(math.abs(pa.getAs[Double]("loglik") - llZoo) < 1e-9)
+  }
+
+  test("gofByGroup: exact-rank per-group K-S with asymptotic p") {
+    import spark.implicits._
+    // uniform 1..100 in one group: the fitted uniform's K-S has a
+    // hand-computable exact value; a deliberately WRONG fit (expon on
+    // ramp data) must score much worse in the same output
+    val df = (1 to 100).map(i => ("g1", i.toDouble)).toDF("g", "v")
+    val fits = operators.GroupedFit.fitByGroup(df, "v", Seq("g"))
+    val gof = operators.GroupedFit.gofByGroup(df, "v", Seq("g"), fits)
+      .collect().map(r => r.getAs[String]("distribution") ->
+        (r.getAs[Double]("ks_d"), r.getAs[Double]("ks_p"))).toMap
+    // exact D for uniform(loc=1, scale=99) vs the ECDF of 1..100
+    val dExp = (1 to 100).flatMap { i =>
+      val cdf = math.min(1.0, math.max(0.0, (i - 1.0) / 99.0))
+      Seq(math.abs(i / 100.0 - cdf), math.abs((i - 1.0) / 100.0 - cdf))
+    }.max
+    assert(math.abs(gof("uniform")._1 - dExp) < 1e-12,
+      s"uniform D=${gof("uniform")._1} expected $dExp")
+    val pExp = graft.functions.SpecialMath.kolmogorovSf(10.0 * dExp)
+    assert(math.abs(gof("uniform")._2 - pExp) < 1e-9)
+    // the ramp is nothing like an exponential: D must be far larger
+    assert(gof("expon")._1 > 3 * gof("uniform")._1,
+      s"expon D=${gof("expon")._1} should dominate uniform D=${gof("uniform")._1}")
+    // every fitted family got a GOF row
+    assert(gof.keySet == fits.collect()
+      .map(_.getAs[String]("distribution")).toSet)
   }
 
   test("snapshotDiff: added/removed/changed changeset, unchanged omitted") {
