@@ -24,6 +24,11 @@ object Similarity {
     * separate anything k-means can separate; what remains is a point mass. */
   private[operators] val maxSplitRounds = 4
 
+  /** Oversize leaves trained per split round (largest first): bounds the
+    * per-round sub-centroid broadcast to ≤ 64·dim·4096 doubles even on a
+    * pathologically skewed corpus; the rest retry next round (logged). */
+  private[operators] val maxLeavesPerRound = 4096
+
   /** Σ aᵢ·bᵢ over two array columns via the codegen'd ArrayDotProduct
     * expression (higher-order `zip_with`/`aggregate` are interpreted —
     * CodegenFallback — and dominated the brute-force scan). Elements are
@@ -616,63 +621,92 @@ object Similarity {
     * `maxCell` is a dense semantic region — exactly where near-duplicates
     * concentrate — so dropping it (an LSH-style skew guard) would zero
     * out recall where it matters most. Instead each oversize cell is
-    * recursively re-clustered: sub-centroids train on a bounded
-    * deterministic hash-sample of the cell's members (the same FAISS
-    * bounded-training discipline as the coarse quantizer), one
-    * distributed pass re-assigns the members, and the loop repeats up to
-    * [[maxSplitRounds]] times until every leaf holds ≤ `maxCell` rows.
+    * recursively re-clustered: per-leaf sub-centroids train INSIDE the
+    * executors (`groupByKey(cell, sub).mapGroups` running Lloyd over a
+    * bounded deterministic id-hash sample, lowest ids first — the driver
+    * receives only the trained centroids, ≤ 64·dim doubles per leaf,
+    * never an embedding), one distributed pass re-assigns the members,
+    * and the loop repeats up to [[maxSplitRounds]] times until every
+    * leaf holds ≤ `maxCell` rows. At most [[maxLeavesPerRound]] leaves
+    * (the largest first) train per round, bounding the centroid
+    * broadcast; deferred leaves are logged and retried next round.
     * Pairs are emitted within leaves (leaves are subsets of their parent
     * cell, so the within-cell contract is unchanged and the `cell`
     * output column still carries the top-level cell id). A leaf still
     * oversize after the round cap — adversarially identical points that
     * k-means cannot separate — is deterministically truncated to its
     * `maxCell` lowest ids and the dropped-member count is logged, never
-    * silently zeroed. */
+    * silently zeroed.
+    *
+    * Cost shape: the assignment is pinned (lineage-free localCheckpoint)
+    * before the oversize audit, so the audit and the pairing aggregation
+    * both read the materialized blocks — the common no-oversize path
+    * pays ONE normalize+assign pass plus a map-side count, not two
+    * assignment passes. */
   def semDedupPairsWith(df: DataFrame, embCol: String, idCol: String,
                         centroids: Array[Array[Double]],
                         threshold: Double, maxCell: Int = 10000,
                         splitSeed: Long = 42L): DataFrame = {
     val spark = df.sparkSession
+    import spark.implicits._
     var assigned = assignCells(normalizedOf(df, embCol, idCol), centroids)
       .withColumn("sub", F.lit(""))
+      .localCheckpoint(true)
     // ---- oversize-cell splitting (bounded rounds, bounded training) ----
     val splitTrainCap = 4096
     var round = 0
     var settled = false
     while (round < maxSplitRounds && !settled) {
-      val oversize = assigned.groupBy("cell", "sub").count()
+      val counts = assigned.groupBy("cell", "sub").count()
         .where(F.col("count") > maxCell)
         .collect()
         .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
-        .toMap
-      if (oversize.isEmpty) settled = true
+      if (counts.isEmpty) settled = true
       else {
+        val oversize = counts.sortBy(-_._2).take(maxLeavesPerRound).toMap
+        if (counts.length > maxLeavesPerRound)
+          log.warn(s"semDedup: ${counts.length - maxLeavesPerRound} oversize " +
+            s"leaves beyond the per-round cap $maxLeavesPerRound deferred " +
+            "to the next split round")
         // ~splitTrainCap training members per oversize leaf, selected by a
-        // deterministic id-hash stride (no RNG, no full collect)
-        val strides = oversize.map { case (k, n) =>
-          k -> math.max(1L, n / splitTrainCap)
+        // deterministic id-hash stride (no RNG, no embedding collect)
+        val meta = oversize.map { case (k, n) =>
+          k -> (math.max(1L, n / splitTrainCap), n)
         }
-        val bcStrides = spark.sparkContext.broadcast(strides)
+        val bcMeta = spark.sparkContext.broadcast(meta)
         val sampleUdf = F.udf((cell: Int, sub: String, id: Long) =>
-          bcStrides.value.get((cell, sub)).exists(s =>
-            java.lang.Long.remainderUnsigned(Dedup.mix64(id), s) == 0L))
-        val train = assigned
+          bcMeta.value.get((cell, sub)).exists { case (s, _) =>
+            java.lang.Long.remainderUnsigned(Dedup.mix64(id), s) == 0L })
+        val seedBase = splitSeed
+        val trainCap = splitTrainCap
+        val cellCap = maxCell
+        val subCentroids: Map[(Int, String), Array[Array[Double]]] = assigned
           .where(sampleUdf(F.col("cell"), F.col("sub"), F.col("id")))
-          .select("cell", "sub", "emb").collect()
-          .groupBy(r => (r.getInt(0), r.getString(1)))
-          .map { case (k, rows) =>
-            k -> rows.take(splitTrainCap).map(_.getSeq[Double](2).toArray)
-          }
-        val subCentroids = oversize.flatMap { case (k, n) =>
-          val sample = train.getOrElse(k, Array.empty[Array[Double]])
-          if (sample.length < 2) None // indistinguishable members: give up
-          else {
+          .select(F.col("cell"), F.col("sub"), F.col("id"), F.col("emb"))
+          .as[(Int, String, Long, Seq[Double])]
+          .groupByKey { case (c, s, _, _) => (c, s) }
+          .mapGroups { (key: (Int, String),
+                        it: Iterator[(Int, String, Long, Seq[Double])]) =>
+            val (c, s) = key
+            // deterministic training set: the hash sample's lowest-id
+            // members in id order — invariant to shuffle arrival order.
+            // Buffer ≤ ~2·trainCap vectors (the stride guarantees it).
+            val buf = it.map { case (_, _, id, e) => (id, e.toArray) }.toArray
+            java.util.Arrays.sort(buf,
+              Ordering.by((t: (Long, Array[Double])) => t._1))
+            val sample = buf.take(trainCap).map(_._2)
+            val (_, n) = bcMeta.value((c, s))
             val kc = math.min(64,
-              math.max(2, math.ceil(n.toDouble / maxCell).toInt + 1))
-            val seed = splitSeed ^ (k.hashCode.toLong << 17) ^ n
-            Some(k -> lloyd(sample, math.min(kc, sample.length), 6, seed))
+              math.max(2, math.ceil(n.toDouble / cellCap).toInt + 1))
+            val seed = seedBase ^ ((c, s).hashCode.toLong << 17) ^ n
+            val ctrs =
+              if (sample.length < 2) Array.empty[Array[Double]]
+              else lloyd(sample, math.min(kc, sample.length), 6, seed)
+            ((c, s), ctrs)
           }
-        }
+          .collect()
+          .filter(_._2.nonEmpty) // indistinguishable members: give up
+          .toMap
         if (subCentroids.isEmpty) { settled = false; round = maxSplitRounds }
         else {
           val bcSub = spark.sparkContext.broadcast(subCentroids)
