@@ -1813,24 +1813,19 @@ object SparkEntry {
           F.round(F.min("l_extendedprice"), 2).as("mn"),
           F.round(F.max("l_extendedprice"), 2).as("mx"))),
     "q_copula_sample" -> ((s, dir) => {
-      val cols = Seq("l_extendedprice", "l_discount", "l_tax")
-      // an explicit 6-family candidate list: this query times the copula
-      // machinery (corr fit + Cholesky + distributed transform sampling),
-      // not the 86-family zoo — that cost is fit_multi_column's job, and
-      // paying it here double-counts whenever the memo is cold
-      val results = cachedFit(s, dir, cols, dists =
-        Some(Seq("norm", "expon", "uniform", "gamma", "lognorm", "beta")))
-      // Spearman rank correlation converges fast in n; a 100K-row
-      // key-capped input keeps the mllib rank-sort off the critical path
-      // while the estimate stays within ~0.3% of the full-data value
-      val corrInput = keyCappedLineitem(s, dir, 100000, cols :+ "l_orderkey")
-        .repartition(32)
-      val cop = GaussianCopula.fit(s, corrInput, results, cols, metric = "aic")
+      // G2/G5's RNG form rides the SAME memo-shared copula spec as
+      // q_copula_fit / q_copula_serde: the marginal fit + Spearman +
+      // Cholesky are paid ONCE per bench by whichever copula query runs
+      // first, so this row times what it is named for — the DISTRIBUTED
+      // sampling machinery (partition-seeded draws → Cholesky →
+      // Φ → marginal ppf) — instead of a third copy of the fit.
+      // Family-diverse ppf coverage lives in q_copula_sample_fixed and
+      // q_generate_grid; the sampled-moment sanity stays rows-only (RNG).
+      val cop = cappedNormCopula(s, dir)
       val sampled = cop.sampleDistributed(s, 50000L, seed = 42L)
       sampled.agg(
         F.count(F.lit(1)).as("n"),
-        F.round(F.corr("l_extendedprice", "l_discount"), 2).as("corr_pd"),
-        F.round(F.corr("l_extendedprice", "l_tax"), 2).as("corr_pt"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 2).as("corr_pq"),
         F.round(F.avg("l_extendedprice"), 0).as("mean_price"))
     }),
     "q_copula_sample_fixed" -> ((s, _) =>
