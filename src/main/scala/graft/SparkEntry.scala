@@ -649,6 +649,28 @@ object SparkEntry {
         F.round(ppf, 4).as("x_q"))
         .orderBy("l_returnflag", "q")
     }),
+    "q_grouped_fit_gof_sketch" -> ((s, dir) => {
+      // the sketch-probe GOF (per-group KLL aggregate → quantile-grid
+      // probes) audited against the exact-rank construction, the
+      // kllRankCheck discipline: D̂ must land within the KLL+grid error
+      // bound of the exact D for EVERY (group, family) — a sketch,
+      // merge, or probe regression flips within_tol and reddens the
+      // hash; the exact D itself replays in DuckDB
+      val d = li(s, dir)
+      val fits = GroupedFit.fitByGroup(d, "l_extendedprice",
+          Seq("l_returnflag"))
+        .where(F.col("distribution").isin("expon", "uniform", "rayleigh", "pareto"))
+      val est = GroupedFit.gofByGroupSketch(d, "l_extendedprice",
+          Seq("l_returnflag"), fits)
+        .select(F.col("l_returnflag"), F.col("distribution"),
+          F.col("ks_d_est"))
+      GroupedFit.gofByGroup(d, "l_extendedprice", Seq("l_returnflag"), fits)
+        .join(est, Seq("l_returnflag", "distribution"))
+        .select(F.col("l_returnflag"), F.col("distribution"),
+          (F.abs(F.col("ks_d_est") - F.col("ks_d")) <= 0.02).as("within_tol"),
+          F.round(F.col("ks_d"), 6).as("ks_d"), F.col("n"))
+        .orderBy("l_returnflag", "distribution")
+    }),
     "fit_summary" -> ((s, dir) =>
       cachedFit(s, dir, Seq("l_extendedprice")).summary),
     "fit_summary_closed_form" -> ((s, dir) =>
@@ -3205,6 +3227,51 @@ object SparkEntry {
         |     FROM generate_series(1, 100) AS gs(j)))), 6) AS ks_p,
         |  k.n
         |FROM k ORDER BY l_returnflag, distribution""".stripMargin,
+    // The sketch-probe GOF audit: exact D replay + the within-bound
+    // boolean (the sketch estimate itself is never hashed — KLL
+    // compaction is randomized; only the error CONTRACT is pinned).
+    "q_grouped_fit_gof_sketch" ->
+      """WITH s AS (SELECT l_returnflag AS g, count(*) AS n,
+        |    avg(l_extendedprice) AS m,
+        |    min(l_extendedprice) AS mn, max(l_extendedprice) AS mx,
+        |    avg(ln(l_extendedprice)) FILTER (WHERE l_extendedprice > 0)
+        |      AS mln,
+        |    sum(l_extendedprice * l_extendedprice) AS sxx
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |  GROUP BY l_returnflag),
+        |fits AS (
+        |  SELECT g, n, 'expon' AS distribution, mn AS loc, m - mn AS sc,
+        |    0.0 AS b FROM s WHERE n >= 2 AND m - mn > 0
+        |  UNION ALL SELECT g, n, 'uniform', mn, mx - mn, 0.0
+        |  FROM s WHERE n >= 2 AND mx - mn > 0
+        |  UNION ALL SELECT g, n, 'rayleigh', 0.0, sqrt(sxx / (2.0 * n)), 0.0
+        |  FROM s WHERE n >= 2 AND mn > 0
+        |  UNION ALL SELECT g, n, 'pareto', 0.0, mn, 1.0 / (mln - ln(mn))
+        |  FROM s WHERE n >= 2 AND mn > 0 AND mln > ln(mn)),
+        |v AS (SELECT l_returnflag AS g, l_extendedprice AS x,
+        |    count(*) AS c
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+        |j AS (SELECT f.g, f.distribution, f.n, v.x, v.c,
+        |    CASE f.distribution
+        |      WHEN 'expon' THEN CASE WHEN v.x <= f.loc THEN 0.0
+        |        ELSE 1.0 - exp(-((v.x - f.loc) / f.sc)) END
+        |      WHEN 'uniform' THEN least(1.0, greatest(0.0,
+        |        (v.x - f.loc) / f.sc))
+        |      WHEN 'rayleigh' THEN CASE WHEN v.x <= 0 THEN 0.0
+        |        ELSE 1.0 - exp(-0.5 * (v.x / f.sc) * (v.x / f.sc)) END
+        |      WHEN 'pareto' THEN CASE WHEN v.x <= f.sc THEN 0.0
+        |        ELSE 1.0 - power(v.x / f.sc, -f.b) END
+        |    END AS cdf
+        |  FROM v JOIN fits f ON v.g = f.g),
+        |cw AS (SELECT g, distribution, n, c, cdf,
+        |    sum(c) OVER (PARTITION BY g, distribution ORDER BY x) AS cum
+        |  FROM j)
+        |SELECT g AS l_returnflag, distribution, TRUE AS within_tol,
+        |  round(max(greatest(abs(cum / n - cdf), abs((cum - c) / n - cdf))), 6)
+        |    AS ks_d,
+        |  CAST(max(n) AS BIGINT) AS n
+        |FROM cw GROUP BY g, distribution
+        |ORDER BY l_returnflag, distribution""".stripMargin,
     // Grouped-fit → generation: best-of-subset by AIC per group, then
     // each family's closed-form ppf on the fixed quantile grid.
     "q_grouped_generate" ->

@@ -270,4 +270,68 @@ object GroupedFit {
     agg.withColumn("ks_p",
       F.least(F.lit(1.0), F.greatest(F.lit(0.0), series)))
   }
+
+  /** Sketch-probe form of [[gofByGroup]] — the scale path when SINGLE
+    * groups outgrow a partition-local sort (the exact form windows each
+    * group's distinct values inside one partition; a group with 10⁹
+    * distinct values breaks that). ONE
+    * [[Sketches.kllByGroup]] aggregation builds a ~3 KB KLL artifact per
+    * group; D̂ per (group, family) is then the max |rank − cdf| probed
+    * at BOTH the sketch's and the model's quantile grids (the
+    * [[Drift.ksFromSketches]] discipline), with error bounded by the
+    * KLL rank guarantee (~1.65/√k per side at 99%) plus the grid pitch
+    * 1/probes. Families resolve from the continuous registry (custom
+    * conventions via [[graft.dists.DistRegistry.register]]); unknown
+    * names yield null D̂ rather than an exception.
+    *
+    * @return one row per (group, distribution): ks_d_est, n */
+  def gofByGroupSketch(df: DataFrame, valueCol: String,
+                       groupCols: Seq[String], fits: DataFrame,
+                       k: Int = 800, probes: Int = 200): DataFrame = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    require(groupCols.nonEmpty, "need at least one group column")
+    val sketches = Sketches.kllByGroup(df, valueCol, groupCols, k)
+    val famRows = fits.select(
+      (groupCols.map(F.col) :+ F.col("distribution") :+
+        F.col("parameters")): _*)
+    val nProbes = probes
+    val probeUdf = F.udf((name: String, params: Seq[Double],
+                          bytes: Array[Byte]) =>
+      graft.dists.DistRegistry.get(name).flatMap { dist =>
+        val pa = params.toArray
+        if (pa.length != dist.numParams || dist.scale(pa) <= 0.0) None
+        else {
+          val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
+          if (sk.isEmpty) None
+          else {
+            val model = graft.dists.FrozenDist(dist, pa)
+            var best = 0.0
+            var i = 0
+            while (i <= nProbes) {
+              val q = i.toDouble / nProbes
+              // sketch-grid probe: where the DATA has mass
+              val xs = sk.getQuantile(q)
+              val ds = math.abs(sk.getRank(xs) - model.cdf(xs))
+              if (ds > best) best = ds
+              // model-grid probe: where the MODEL has mass — catches a
+              // gap the data grid skips over (heavy model tail, say)
+              if (q > 0.0 && q < 1.0) {
+                val xm = model.ppf(q)
+                if (java.lang.Double.isFinite(xm)) {
+                  val dm = math.abs(sk.getRank(xm) - model.cdf(xm))
+                  if (dm > best) best = dm
+                }
+              }
+              i += 1
+            }
+            Some(best)
+          }
+        }
+      })
+    sketches.join(famRows, groupCols)
+      .select(groupCols.map(F.col) :+ F.col("distribution") :+
+        probeUdf(F.col("distribution"), F.col("parameters"), F.col("kll"))
+          .as("ks_d_est") :+ F.col("n"): _*)
+  }
 }

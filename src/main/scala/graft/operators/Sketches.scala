@@ -86,6 +86,29 @@ object Sketches {
     KllDoublesSketch.heapify(Memory.wrap(bytes))
   }
 
+  /** One KLL sketch PER GROUP in a single aggregation —
+    * `groupBy(keys).agg(kll_sketch(x))` through the
+    * [[graft.functions.KllGroupSketch]] typed aggregate. Output: the
+    * group columns plus (`kll`: compact sketch bytes, `n`: exact row
+    * count). State per group is O(k·log(n/k)) wherever the partial
+    * aggregate runs, and the exchange carries one ~3 KB blob per
+    * (partition, group) — a group with 10⁹ values costs the same wire
+    * bytes as one with 10³, which is what makes this the scale path for
+    * per-group quantiles and the sketch K-S probe
+    * ([[GroupedFit.gofByGroupSketch]]) when single groups outgrow a
+    * partition-local sort. Artifacts union later via
+    * `KllDoublesSketch.merge` (per-day → per-month roll-ups) without
+    * re-reading data. */
+  def kllByGroup(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                 k: Int = 800): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val v = F.col(valueCol).cast("double")
+    val kllUdaf = F.udaf(new graft.functions.KllGroupSketch(k))
+    df.where(v.isNotNull && !F.isnan(v))
+      .groupBy(groupCols.map(F.col): _*)
+      .agg(kllUdaf(v).as("kll"), F.count(F.lit(1)).as("n"))
+  }
+
   /** Rank check at probe values: the EXACT rank (one codegen'd agg pass,
     * SQL-replayable — 0/1 sums are order-exact in doubles) next to a
     * boolean attesting the shard-merged sketch's rank landed within

@@ -263,6 +263,45 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getAs[String]("distribution")).toSet)
   }
 
+  test("kllByGroup + gofByGroupSketch: per-group artifacts honor the rank bound") {
+    import spark.implicits._
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    val a = (1 to 500).map(i => ("a", i.toDouble))   // exact regime (< k)
+    val b = (1 to 5000).map(i => ("b", i.toDouble))  // estimation regime
+    val df = (a ++ b).toDF("g", "v").repartition(8)
+    val sk = operators.Sketches.kllByGroup(df, "v", Seq("g")).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Array[Byte]]("kll"), r.getAs[Long]("n"))).toMap
+    assert(sk("a")._2 == 500 && sk("b")._2 == 5000)
+    val ska = KllDoublesSketch.heapify(Memory.wrap(sk("a")._1))
+    assert(ska.getN == 500)
+    assert(math.abs(ska.getQuantile(0.5) - 250.0) <= 1.0)
+    val skb = KllDoublesSketch.heapify(Memory.wrap(sk("b")._1))
+    assert(skb.getN == 5000)
+    assert(math.abs(skb.getRank(2500.0) - 0.5) <= 0.01)
+    // the sketch K-S probe tracks the exact construction within the
+    // KLL + grid bound, per (group, family)
+    val fits = operators.GroupedFit.fitByGroup(df, "v", Seq("g"))
+      .where(F.col("distribution").isin("expon", "uniform"))
+    val exact = operators.GroupedFit.gofByGroup(df, "v", Seq("g"), fits)
+      .collect().map(r => (r.getString(0), r.getAs[String]("distribution")) ->
+        r.getAs[Double]("ks_d")).toMap
+    val est = operators.GroupedFit.gofByGroupSketch(df, "v", Seq("g"), fits)
+      .collect().map(r => (r.getString(0), r.getAs[String]("distribution")) ->
+        r.getAs[Double]("ks_d_est")).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (key, dEst) =>
+      assert(math.abs(dEst - exact(key)) <= 0.02,
+        s"$key: sketch D=$dEst vs exact ${exact(key)}")
+    }
+    // unknown family → null estimate, never an exception
+    val bogus = fits.withColumn("distribution", F.lit("no_such_dist"))
+    val nulls = operators.GroupedFit
+      .gofByGroupSketch(df, "v", Seq("g"), bogus).collect()
+    assert(nulls.nonEmpty && nulls.forall(_.isNullAt(2)))
+  }
+
   test("snapshotDiff: added/removed/changed changeset, unchanged omitted") {
     import spark.implicits._
     val oldS = Seq((1L, "a"), (2L, "b"), (3L, "c"),
