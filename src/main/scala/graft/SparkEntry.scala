@@ -671,6 +671,23 @@ object SparkEntry {
           F.round(F.col("ks_d"), 6).as("ks_d"), F.col("n"))
         .orderBy("l_returnflag", "distribution")
     }),
+    "q_grouped_fit_weighted" -> ((s, dir) => {
+      // frequency-weighted per-group fitting: each price counts
+      // l_quantity times (the pre-aggregated "value × count" shape) —
+      // all seven closed forms over weighted sufficient statistics,
+      // n = Σw, every formula replayed by DuckDB from sum(w·x) shapes
+      GroupedFit.fitByGroupWeighted(li(s, dir), "l_extendedprice",
+          "l_quantity", Seq("l_returnflag"))
+        .select(F.col("l_returnflag"),
+          F.round(F.col("n"), 4).as("n_w"),
+          F.col("distribution"),
+          F.round(F.get(F.col("parameters"), F.lit(0)), 4).as("p1"),
+          F.round(F.get(F.col("parameters"), F.lit(1)), 4).as("p2"),
+          F.round(F.coalesce(F.get(F.col("parameters"), F.lit(2)),
+            F.lit(-1.0)), 4).as("p3"),
+          F.round(F.col("aic"), 2).as("aic_r"))
+        .orderBy("l_returnflag", "distribution")
+    }),
     "fit_summary" -> ((s, dir) =>
       cachedFit(s, dir, Seq("l_extendedprice")).summary),
     "fit_summary_closed_form" -> ((s, dir) =>
@@ -2043,6 +2060,23 @@ object SparkEntry {
           F.round(F.col("kl_ab"), 8).as("kl_ab"),
           F.round(F.col("kl_ba"), 8).as("kl_ba"),
           F.col("n_a"), F.col("n_b"), F.col("n_cells"))),
+    "q_drift_psi_by_group" -> ((s, dir) =>
+      // per-GROUP drift in one pass: "which return-flag segments
+      // drifted?" — (group, bin) conditional sums, per-group totals over
+      // the tiny cell frame, smoothed PSI/KL per group; a driver loop of
+      // histDrift calls would launch one job per group
+      Drift.histDriftByGroup(
+        li(s, dir).select(F.col("l_returnflag"),
+          F.when(F.col("l_orderkey") % 2 === 0, "a").otherwise("b").as("cohort"),
+          F.col("l_extendedprice")),
+        "cohort", "l_extendedprice", Seq("l_returnflag"),
+        binStart = 0.0, binWidth = 5500.0, numBins = 20)
+        .select(F.col("l_returnflag"),
+          F.round(F.col("psi"), 8).as("psi"),
+          F.round(F.col("kl_ab"), 8).as("kl_ab"),
+          F.round(F.col("kl_ba"), 8).as("kl_ba"),
+          F.col("n_a"), F.col("n_b"), F.col("n_cells"))
+        .orderBy("l_returnflag")),
     "q_drift_pmf" -> ((s, dir) =>
       // the categorical twin: event-type mix drift between user-parity
       // cohorts — label/source-mix drift over the union support
@@ -3272,6 +3306,54 @@ object SparkEntry {
         |  CAST(max(n) AS BIGINT) AS n
         |FROM cw GROUP BY g, distribution
         |ORDER BY l_returnflag, distribution""".stripMargin,
+    // Frequency-weighted grouped fit: the same seven closed forms over
+    // weighted sufficient statistics, n = sum(w), sum(w*x) shapes.
+    "q_grouped_fit_weighted" ->
+      """WITH r AS (SELECT l_returnflag AS g,
+        |    CAST(l_extendedprice AS DOUBLE) AS x,
+        |    CAST(l_quantity AS DOUBLE) AS w
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_quantity > 0),
+        |s AS (SELECT g, sum(w) AS sw, sum(w * x) AS swx,
+        |    sum(w * x * x) AS swxx, min(x) AS mn, max(x) AS mx,
+        |    sum(w * ln(x)) FILTER (WHERE x > 0) AS swln,
+        |    sum(w * ln(x) * ln(x)) FILTER (WHERE x > 0) AS swln2
+        |  FROM r GROUP BY g),
+        |d AS (SELECT g, sw, swx / sw AS m,
+        |    swxx / sw - (swx / sw) * (swx / sw) AS s2, mn, mx,
+        |    swln / sw AS mln,
+        |    swln2 / sw - (swln / sw) * (swln / sw) AS s2ln, swxx
+        |  FROM s),
+        |fits AS (
+        |  SELECT g, sw, 'norm' AS distribution, m AS p1, sqrt(s2) AS p2,
+        |    -1.0 AS p3, -sw / 2.0 * ln(2 * pi() * s2) - sw / 2.0 AS ll,
+        |    2 AS k
+        |  FROM d WHERE sw >= 2 AND s2 > 0
+        |  UNION ALL SELECT g, sw, 'expon', mn, m - mn, -1.0,
+        |    -sw * ln(m - mn) - sw, 2 FROM d WHERE sw >= 2 AND m - mn > 0
+        |  UNION ALL SELECT g, sw, 'uniform', mn, mx - mn, -1.0,
+        |    -sw * ln(mx - mn), 2 FROM d WHERE sw >= 2 AND mx - mn > 0
+        |  UNION ALL SELECT g, sw, 'lognorm', sqrt(s2ln), 0.0, exp(mln),
+        |    -sw * mln - sw / 2.0 * ln(2 * pi() * s2ln) - sw / 2.0, 2
+        |  FROM d WHERE sw >= 2 AND mn > 0 AND s2ln > 0
+        |  UNION ALL SELECT g, sw, 'rayleigh', 0.0,
+        |    sqrt(swxx / (2.0 * sw)), -1.0,
+        |    sw * mln - sw * ln(swxx / (2.0 * sw)) - sw, 1
+        |  FROM d WHERE sw >= 2 AND mn > 0
+        |  UNION ALL SELECT g, sw, 'halfnorm', 0.0, sqrt(swxx / sw), -1.0,
+        |    sw * (0.5 * ln(2.0 / pi())) - sw / 2.0 * ln(swxx / sw)
+        |      - sw / 2.0, 1
+        |  FROM d WHERE sw >= 2 AND mn >= 0 AND swxx > 0
+        |  UNION ALL SELECT g, sw, 'pareto', 1.0 / (mln - ln(mn)), 0.0, mn,
+        |    sw * ln(1.0 / (mln - ln(mn)))
+        |      + sw * (1.0 / (mln - ln(mn))) * ln(mn)
+        |      - (1.0 / (mln - ln(mn)) + 1.0) * sw * mln, 2
+        |  FROM d WHERE sw >= 2 AND mn > 0 AND mln > ln(mn))
+        |SELECT g AS l_returnflag, round(sw, 4) AS n_w, distribution,
+        |  round(p1, 4) AS p1, round(p2, 4) AS p2, round(p3, 4) AS p3,
+        |  round(2.0 * k - 2.0 * ll, 2) AS aic_r
+        |FROM fits ORDER BY l_returnflag, distribution""".stripMargin,
     // Grouped-fit → generation: best-of-subset by AIC per group, then
     // each family's closed-form ppf on the fixed quantile grid.
     "q_grouped_generate" ->
@@ -4535,6 +4617,30 @@ object SparkEntry {
         |  CAST(min(na) AS BIGINT) AS n_a, CAST(min(nb) AS BIGINT) AS n_b,
         |  CAST(min(nc) AS BIGINT) AS n_cells
         |FROM p""".stripMargin,
+    // Per-group PSI: the q_drift_psi construction with GROUP BY pushed
+    // through every CTE; per-group totals joined back, same smoothing.
+    "q_drift_psi_by_group" ->
+      """WITH c AS (SELECT l_returnflag AS grp,
+        |    CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    least(greatest(CAST(floor((l_extendedprice - 0.0) / 5500.0)
+        |      AS BIGINT), 0), 19) AS k
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |m AS (SELECT grp, k, sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS cb
+        |  FROM c GROUP BY grp, k),
+        |t AS (SELECT grp, sum(ca) AS na, sum(cb) AS nb, count(*) AS nc
+        |  FROM m GROUP BY grp),
+        |p AS (SELECT m.grp, (ca + 0.5) / (na + 0.5 * nc) AS pa,
+        |    (cb + 0.5) / (nb + 0.5 * nc) AS pb, na, nb, nc
+        |  FROM m JOIN t ON m.grp = t.grp
+        |  WHERE na > 0 AND nb > 0)
+        |SELECT grp AS l_returnflag,
+        |  round(sum((pa - pb) * ln(pa / pb)), 8) AS psi,
+        |  round(sum(pa * ln(pa / pb)), 8) AS kl_ab,
+        |  round(sum(pb * ln(pb / pa)), 8) AS kl_ba,
+        |  CAST(min(na) AS BIGINT) AS n_a, CAST(min(nb) AS BIGINT) AS n_b,
+        |  CAST(min(nc) AS BIGINT) AS n_cells
+        |FROM p GROUP BY grp ORDER BY l_returnflag""".stripMargin,
     "q_drift_pmf" ->
       """WITH c AS (SELECT
         |    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g,

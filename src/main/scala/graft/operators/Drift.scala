@@ -206,6 +206,82 @@ object Drift {
       .toDF("ks_est", "p_value", "n_a", "n_b")
   }
 
+  /** Per-GROUP drift: PSI + KL both ways per group in ONE aggregation
+    * pass — "which tenants / domains / languages drifted?" asked of a
+    * million groups at once, where running [[histDrift]] per group from
+    * the driver would launch one job per group. The same fixed binning
+    * as [[histDrift]]; cohort labels parameterized like [[ksTwoSample]].
+    *
+    * Scale shape: one groupBy on (group, bin) — partial-aggregated
+    * map-side, the exchange carries ≤ groups·bins rows — then per-group
+    * totals ride a window over that tiny frame (partitioned by group, so
+    * no global sort) and the divergences fold in a second groupBy of the
+    * same size. Groups where either cohort is EMPTY are omitted (the
+    * honest per-group signal, same discipline as
+    * [[GroupedFit.fitByGroup]]) rather than failing the whole frame.
+    *
+    * @return one row per group: (groupCols..., psi, kl_ab, kl_ba,
+    *         n_a, n_b, n_cells) */
+  def histDriftByGroup(df: DataFrame, cohortCol: String, valueCol: String,
+                       groupCols: Seq[String], binStart: Double,
+                       binWidth: Double, numBins: Int,
+                       labelA: String = "a", labelB: String = "b"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(numBins > 0 && binWidth > 0, "need positive bins/width")
+    require(labelA != labelB, "cohort labels must differ")
+    val v = F.col(valueCol).cast("double")
+    val bin = F.least(
+      F.greatest(F.floor((v - F.lit(binStart)) / F.lit(binWidth)), F.lit(0L)),
+      F.lit((numBins - 1).toLong))
+    divergencesByGroup(
+      df.where(v.isNotNull && F.col(cohortCol).isin(labelA, labelB))
+        .select(groupCols.map(F.col) :+
+          F.col(cohortCol).as("g") :+ bin.as("k"): _*),
+      groupCols, labelA, labelB)
+  }
+
+  /** [[pmfDrift]] per group — categorical/label drift for every group in
+    * one pass. Same contract as [[histDriftByGroup]]. */
+  def pmfDriftByGroup(df: DataFrame, cohortCol: String, valueCol: String,
+                      groupCols: Seq[String],
+                      labelA: String = "a", labelB: String = "b"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(labelA != labelB, "cohort labels must differ")
+    divergencesByGroup(
+      df.where(F.col(valueCol).isNotNull &&
+          F.col(cohortCol).isin(labelA, labelB))
+        .select(groupCols.map(F.col) :+
+          F.col(cohortCol).as("g") :+ F.col(valueCol).as("k"): _*),
+      groupCols, labelA, labelB)
+  }
+
+  private def divergencesByGroup(cells: DataFrame, groupCols: Seq[String],
+                                 labelA: String, labelB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = cells.groupBy((groupCols :+ "k").map(F.col): _*)
+      .agg(
+        F.sum(F.when(F.col("g") === labelA, 1L).otherwise(0L)).as("ca"),
+        F.sum(F.when(F.col("g") === labelB, 1L).otherwise(0L)).as("cb"))
+    val w = Window.partitionBy(groupCols.map(F.col): _*)
+    val tot = counts
+      .withColumn("na", F.sum("ca").over(w))
+      .withColumn("nb", F.sum("cb").over(w))
+      .withColumn("cells", F.count(F.lit(1)).over(w))
+      .where(F.col("na") > 0L && F.col("nb") > 0L)
+    val pa = (F.col("ca") + F.lit(0.5)) /
+      (F.col("na") + F.lit(0.5) * F.col("cells"))
+    val pb = (F.col("cb") + F.lit(0.5)) /
+      (F.col("nb") + F.lit(0.5) * F.col("cells"))
+    tot.groupBy(groupCols.map(F.col): _*)
+      .agg(
+        F.sum((pa - pb) * F.log(pa / pb)).as("psi"),
+        F.sum(pa * F.log(pa / pb)).as("kl_ab"),
+        F.sum(pb * F.log(pb / pa)).as("kl_ba"),
+        F.first(F.col("na")).as("n_a"),
+        F.first(F.col("nb")).as("n_b"),
+        F.first(F.col("cells")).as("n_cells"))
+  }
+
   /** One (cell → both-cohort counts) aggregate, then the smoothed
     * divergence fold. Smoothing: p = (count + 0.5) / (n + 0.5·cells) —
     * strictly positive, integer-count-exact. */

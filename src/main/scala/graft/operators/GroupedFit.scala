@@ -189,6 +189,88 @@ object GroupedFit {
         F.col("f.aic").as("aic") :+ F.col("f.bic").as("bic"): _*)
   }
 
+  /** FREQUENCY-WEIGHTED [[fitByGroup]]: each row counts `weightCol`
+    * times — the shape for pre-aggregated data ("value × occurrence
+    * count" tables, importance-capped corpus mixes) where exploding the
+    * weights back into rows would undo someone's aggregation. Every
+    * sufficient statistic becomes a weighted sum (n ⇒ Σw, mean ⇒
+    * Σwx/Σw, …) and the same seven closed forms apply verbatim, because
+    * the weighted MLE of an exponential-family model IS the unweighted
+    * MLE of the weight-replicated sample. `n` in the output is Σw (a
+    * DOUBLE — fractional weights are allowed; AIC/BIC use it as the
+    * effective sample size). Rows with w ≤ 0 or null are ignored.
+    * Weighted variances use the Σwx²/Σw − m² form so an external engine
+    * replays the exact arithmetic (the cancellation costs ~8 digits at
+    * worst — fine for parameters read at 4–6 decimals; callers needing
+    * ulp-tight σ on near-constant data should pre-center). */
+  def fitByGroupWeighted(df: DataFrame, valueCol: String, weightCol: String,
+                         groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val v = F.col(valueCol).cast("double")
+    val wt = F.col(weightCol).cast("double")
+    val clean = df.where(v.isNotNull && !F.isnan(v) &&
+        wt.isNotNull && !F.isnan(wt) && wt > 0.0)
+      .select(groupCols.map(F.col) :+ v.as("__v") :+ wt.as("__w"): _*)
+    val x = F.col("__v"); val w0 = F.col("__w")
+    val lnx = F.when(x > 0.0, F.log(x))
+    val agged = clean.groupBy(groupCols.map(F.col): _*).agg(
+      F.sum(w0).as("sw"),
+      F.sum(w0 * x).as("swx"),
+      F.sum(w0 * x * x).as("swxx"),
+      F.min(x).as("mn"),
+      F.max(x).as("mx"),
+      F.sum(w0 * lnx).as("swln"),
+      F.sum(w0 * lnx * lnx).as("swln2"))
+    val n = F.col("sw")
+    val m = F.col("swx") / n
+    val s2 = F.col("swxx") / n - m * m
+    val mln = F.col("swln") / n
+    val s2ln = F.col("swln2") / n - mln * mln
+    val mn = F.col("mn"); val mx = F.col("mx")
+    val twoPi = 2.0 * math.Pi
+    def fam(name: String, valid: Column, params: Column, k: Int,
+            ll: Column): Column =
+      F.when(valid, F.struct(
+        F.lit(name).as("distribution"),
+        params.as("parameters"),
+        ll.as("loglik"),
+        (F.lit(2.0 * k) - F.lit(2.0) * ll).as("aic"),
+        (F.lit(k.toDouble) * F.log(n) - F.lit(2.0) * ll).as("bic")))
+    val fams = F.array(
+      fam("norm", n >= 2.0 && s2 > 0.0,
+        F.array(m, F.sqrt(s2)), 2,
+        -n / 2.0 * F.log(F.lit(twoPi) * s2) - n / 2.0),
+      fam("expon", n >= 2.0 && m - mn > 0.0,
+        F.array(mn, m - mn), 2,
+        -n * F.log(m - mn) - n),
+      fam("uniform", n >= 2.0 && mx - mn > 0.0,
+        F.array(mn, mx - mn), 2,
+        -n * F.log(mx - mn)),
+      fam("lognorm", n >= 2.0 && mn > 0.0 && s2ln > 0.0,
+        F.array(F.sqrt(s2ln), F.lit(0.0), F.exp(mln)), 2,
+        -n * mln - n / 2.0 * F.log(F.lit(twoPi) * s2ln) - n / 2.0),
+      fam("rayleigh", n >= 2.0 && mn > 0.0,
+        F.array(F.lit(0.0), F.sqrt(F.col("swxx") / (F.lit(2.0) * n))), 1,
+        n * mln - n * F.log(F.col("swxx") / (F.lit(2.0) * n)) - n),
+      fam("halfnorm", n >= 2.0 && mn >= 0.0 && F.col("swxx") > 0.0,
+        F.array(F.lit(0.0), F.sqrt(F.col("swxx") / n)), 1,
+        n * F.lit(0.5 * math.log(2.0 / math.Pi)) -
+          n / 2.0 * F.log(F.col("swxx") / n) - n / 2.0),
+      fam("pareto", n >= 2.0 && mn > 0.0 && mln > F.log(mn),
+        F.array(F.lit(1.0) / (mln - F.log(mn)), F.lit(0.0), mn), 2,
+        n * F.log(F.lit(1.0) / (mln - F.log(mn))) +
+          n * (F.lit(1.0) / (mln - F.log(mn))) * F.log(mn) -
+          (F.lit(1.0) / (mln - F.log(mn)) + 1.0) * n * mln))
+    agged
+      .select(groupCols.map(F.col) :+ F.col("sw").as("n") :+
+        F.explode(F.filter(fams, _.isNotNull)).as("f"): _*)
+      .select(groupCols.map(F.col) :+ F.col("n") :+
+        F.col("f.distribution").as("distribution") :+
+        F.col("f.parameters").as("parameters") :+
+        F.col("f.loglik").as("loglik") :+
+        F.col("f.aic").as("aic") :+ F.col("f.bic").as("bic"): _*)
+  }
+
   /** Best family per group from an ALREADY-COMPUTED [[fitByGroup]]
     * frame (aic default; ties break on the family name). One parallel
     * window over the group partitioning — no global sort, no driver,

@@ -302,6 +302,72 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nulls.nonEmpty && nulls.forall(_.isNullAt(2)))
   }
 
+  test("histDriftByGroup: per-group PSI, empty-cohort groups omitted") {
+    import spark.implicits._
+    val rng = new java.util.Random(7L)
+    // group "s": identical cohorts → all divergences exactly 0;
+    // group "d": 2σ mean shift → PSI far above the 0.25 alarm;
+    // group "x": cohort a only → omitted (absence, not a sentinel)
+    val s0 = Seq("a", "b").flatMap(c => (1 to 1500).map(i => ("s", c, (i % 40).toDouble)))
+    val d0 = (1 to 1500).map(_ => ("d", "a", 50 + 10 * rng.nextGaussian())) ++
+      (1 to 1500).map(_ => ("d", "b", 70 + 10 * rng.nextGaussian()))
+    val x0 = (1 to 100).map(i => ("x", "a", i.toDouble))
+    val df = (s0 ++ d0 ++ x0).toDF("grp", "cohort", "v")
+    val out = Drift.histDriftByGroup(df, "cohort", "v", Seq("grp"),
+        binStart = 0.0, binWidth = 5.0, numBins = 30)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!out.contains("x"), "one-cohort group must be absent")
+    assert(out("s").getAs[Double]("psi") == 0.0)
+    assert(out("s").getAs[Long]("n_a") == 1500 && out("s").getAs[Long]("n_b") == 1500)
+    assert(out("d").getAs[Double]("psi") > 0.25, s"psi=${out("d").getAs[Double]("psi")}")
+    // a single-group input must agree exactly with the global histDrift
+    val only = df.where($"grp" === "d").select($"cohort", $"v")
+    val g = Drift.histDrift(only, "cohort", "v", 0.0, 5.0, 30).head()
+    assert(math.abs(out("d").getAs[Double]("psi") - g.getAs[Double]("psi")) < 1e-12)
+    assert(out("d").getAs[Long]("n_cells") == g.getAs[Long]("n_cells"))
+    // categorical twin: identical label mixes → zero divergence per group
+    val cat = Seq("g1", "g2").flatMap(grp => Seq("a", "b").flatMap(c =>
+      (1 to 300).map(i => (grp, c, s"label${i % 5}"))))
+      .toDF("grp", "cohort", "lab")
+    val cz = Drift.pmfDriftByGroup(cat, "cohort", "lab", Seq("grp")).collect()
+    assert(cz.length == 2 && cz.forall(_.getAs[Double]("psi") == 0.0))
+  }
+
+  test("fitByGroupWeighted: frequency weights = row replication") {
+    import spark.implicits._
+    // the defining property: integer weight w behaves exactly like the
+    // row repeated w times — same params, n = Σw
+    val base = (1 to 80).map(i => ("g", math.exp(0.02 * i), (i % 3 + 1)))
+    val weighted = base.toDF("g", "v", "w")
+    val exploded = base.flatMap { case (g, v, w) => Seq.fill(w)((g, v)) }
+      .toDF("g", "v")
+    val fw = operators.GroupedFit
+      .fitByGroupWeighted(weighted, "v", "w", Seq("g")).collect()
+      .map(r => r.getAs[String]("distribution") -> r).toMap
+    val fr = operators.GroupedFit.fitByGroup(exploded, "v", Seq("g")).collect()
+      .map(r => r.getAs[String]("distribution") -> r).toMap
+    assert(fw.keySet == fr.keySet && fw.keySet.size == 7,
+      s"all seven families expected: ${fw.keySet}")
+    val nExp = base.map(_._3).sum.toDouble
+    fw.foreach { case (dist, rw) =>
+      assert(rw.getAs[Double]("n") == nExp)
+      val pw = rw.getSeq[Double](rw.fieldIndex("parameters"))
+      val pr = fr(dist).getSeq[Double](fr(dist).fieldIndex("parameters"))
+      pw.zip(pr).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+          s"$dist params: weighted $pw vs replicated $pr") }
+      assert(math.abs(rw.getAs[Double]("loglik") - fr(dist).getAs[Double]("loglik"))
+        <= 1e-6 * math.abs(fr(dist).getAs[Double]("loglik")),
+        s"$dist loglik mismatch")
+    }
+    // zero/negative/null weights are ignored, not counted
+    val dirty = (weighted.collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2))) ++
+      Seq(("g", 5.0, 0), ("g", 7.0, -2))).toSeq.toDF("g", "v", "w")
+    val fd = operators.GroupedFit
+      .fitByGroupWeighted(dirty, "v", "w", Seq("g")).collect()
+    assert(fd.forall(_.getAs[Double]("n") == nExp))
+  }
+
   test("snapshotDiff: added/removed/changed changeset, unchanged omitted") {
     import spark.implicits._
     val oldS = Seq((1L, "a"), (2L, "b"), (3L, "c"),
