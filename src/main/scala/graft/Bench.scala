@@ -76,8 +76,11 @@ object Bench {
     }
     // 3-decimal fixed-point timings: ms resolution is already below
     // run-to-run noise, and full-precision doubles doubled the line
-    // length — which is what overflowed the driver's tail capture in r5
-    def fmt(v: Double): String = f"$v%.3f"
+    // length — which is what overflowed the driver's tail capture in r5.
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and
+    // a comma-decimal locale (de_DE, fr_FR) would emit invalid JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val memoJson = results

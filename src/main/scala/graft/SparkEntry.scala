@@ -2119,13 +2119,16 @@ object SparkEntry {
       // sketch p must land inside the p-band the d-tolerance implies —
       // checked through the driver-side series, independent of the
       // column-arithmetic p_exact below
+      // band slack 2e-6: pEst was rounded to 6 decimals by the sketch
+      // row (error ≤ 5e-7), so a 1e-9 slack could redden a valid
+      // estimate sitting on a band edge
       val pBand = F.udf((d: Double, na: Long, nb: Long) => {
         val nEff = na.toDouble * nb / (na.toDouble + nb)
         val lo = graft.functions.SpecialMath.kolmogorovSf(
           math.sqrt(nEff) * (d + 0.02))
         val hi = graft.functions.SpecialMath.kolmogorovSf(
           math.sqrt(nEff) * math.max(0.0, d - 0.02))
-        pEst >= lo - 1e-9 && pEst <= hi + 1e-9
+        pEst >= lo - 2e-6 && pEst <= hi + 2e-6
       })
       val exact = Drift.ksTwoSample(cohorts, "cohort", "l_extendedprice")
         .select((F.abs(F.lit(est) - F.col("ks_d")) <= 0.02).as("within_tol"),

@@ -38,7 +38,10 @@ object Drift {
     val bin = F.least(
       F.greatest(F.floor((v - F.lit(binStart)) / F.lit(binWidth)), F.lit(0L)),
       F.lit((numBins - 1).toLong))
-    divergences(df.where(v.isNotNull)
+    // NaN is excluded like every other Drift entry point: floor(NaN)
+    // codegens to 0L, so admitting it would silently count NaN rows as
+    // bin-0 mass (and desynchronize from any external replay)
+    divergences(df.where(v.isNotNull && !F.isnan(v))
       .select(F.col(cohortCol).as("g"), bin.as("k")))
   }
 
@@ -234,9 +237,10 @@ object Drift {
       F.greatest(F.floor((v - F.lit(binStart)) / F.lit(binWidth)), F.lit(0L)),
       F.lit((numBins - 1).toLong))
     divergencesByGroup(
-      df.where(v.isNotNull && F.col(cohortCol).isin(labelA, labelB))
+      df.where(v.isNotNull && !F.isnan(v) &&
+          F.col(cohortCol).isin(labelA, labelB))
         .select(groupCols.map(F.col) :+
-          F.col(cohortCol).as("g") :+ bin.as("k"): _*),
+          F.col(cohortCol).as("__g") :+ bin.as("__k"): _*),
       groupCols, labelA, labelB)
   }
 
@@ -251,35 +255,40 @@ object Drift {
       df.where(F.col(valueCol).isNotNull &&
           F.col(cohortCol).isin(labelA, labelB))
         .select(groupCols.map(F.col) :+
-          F.col(cohortCol).as("g") :+ F.col(valueCol).as("k"): _*),
+          F.col(cohortCol).as("__g") :+ F.col(valueCol).as("__k"): _*),
       groupCols, labelA, labelB)
   }
 
+  /** Internal columns are __-prefixed (the repo's GroupedFit discipline)
+    * so a user group column named na/cells/g/k can never be silently
+    * shadowed by the cohort totals. */
   private def divergencesByGroup(cells: DataFrame, groupCols: Seq[String],
                                  labelA: String, labelB: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = cells.groupBy((groupCols :+ "k").map(F.col): _*)
+    require(!groupCols.exists(_.startsWith("__")),
+      "group columns must not use the __ internal prefix")
+    val counts = cells.groupBy((groupCols :+ "__k").map(F.col): _*)
       .agg(
-        F.sum(F.when(F.col("g") === labelA, 1L).otherwise(0L)).as("ca"),
-        F.sum(F.when(F.col("g") === labelB, 1L).otherwise(0L)).as("cb"))
+        F.sum(F.when(F.col("__g") === labelA, 1L).otherwise(0L)).as("__ca"),
+        F.sum(F.when(F.col("__g") === labelB, 1L).otherwise(0L)).as("__cb"))
     val w = Window.partitionBy(groupCols.map(F.col): _*)
     val tot = counts
-      .withColumn("na", F.sum("ca").over(w))
-      .withColumn("nb", F.sum("cb").over(w))
-      .withColumn("cells", F.count(F.lit(1)).over(w))
-      .where(F.col("na") > 0L && F.col("nb") > 0L)
-    val pa = (F.col("ca") + F.lit(0.5)) /
-      (F.col("na") + F.lit(0.5) * F.col("cells"))
-    val pb = (F.col("cb") + F.lit(0.5)) /
-      (F.col("nb") + F.lit(0.5) * F.col("cells"))
+      .withColumn("__na", F.sum("__ca").over(w))
+      .withColumn("__nb", F.sum("__cb").over(w))
+      .withColumn("__cells", F.count(F.lit(1)).over(w))
+      .where(F.col("__na") > 0L && F.col("__nb") > 0L)
+    val pa = (F.col("__ca") + F.lit(0.5)) /
+      (F.col("__na") + F.lit(0.5) * F.col("__cells"))
+    val pb = (F.col("__cb") + F.lit(0.5)) /
+      (F.col("__nb") + F.lit(0.5) * F.col("__cells"))
     tot.groupBy(groupCols.map(F.col): _*)
       .agg(
         F.sum((pa - pb) * F.log(pa / pb)).as("psi"),
         F.sum(pa * F.log(pa / pb)).as("kl_ab"),
         F.sum(pb * F.log(pb / pa)).as("kl_ba"),
-        F.first(F.col("na")).as("n_a"),
-        F.first(F.col("nb")).as("n_b"),
-        F.first(F.col("cells")).as("n_cells"))
+        F.first(F.col("__na")).as("n_a"),
+        F.first(F.col("__nb")).as("n_b"),
+        F.first(F.col("__cells")).as("n_cells"))
   }
 
   /** One (cell → both-cohort counts) aggregate, then the smoothed
