@@ -1252,6 +1252,30 @@ object SparkEntry {
           F.col("bin"), F.col("cnt"))
         .orderBy("win_start", "bin")
     }),
+    "q_stream_grouped_fit" -> ((s, dir) => {
+      // streaming per-(window, key) distribution fitting, hash-checked:
+      // the GroupedFit closed forms ride a windowed streaming
+      // aggregation (state = ONE sufficient-statistic row per
+      // (day, event_type); family arithmetic + explode are stateless
+      // after the aggregate), and the batch SQL oracle replays every
+      // parameter and AIC — a live stream fitting models as windows
+      // close, reproduced exactly
+      val src = eventsStream(s, dir)
+        .withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
+      val fits = graft.streaming.StreamingOps.windowedGroupedFit(
+        src, "value", Seq("event_type"), "event_ts",
+        window = "24 hours", watermark = "1 hour")
+      graft.streaming.StreamingOps.runToBatch(s, fits,
+          "graft_stream_grouped_fit", statePartitions = 8)
+        .select(F.unix_timestamp(F.col("window.start")).as("win_start"),
+          F.col("event_type"), F.col("n"), F.col("distribution"),
+          F.round(F.get(F.col("parameters"), F.lit(0)), 4).as("p1"),
+          F.round(F.get(F.col("parameters"), F.lit(1)), 4).as("p2"),
+          F.round(F.coalesce(F.get(F.col("parameters"), F.lit(2)),
+            F.lit(-1.0)), 4).as("p3"),
+          F.round(F.col("aic"), 2).as("aic_r"))
+        .orderBy("win_start", "event_type", "distribution")
+    }),
     "q_stream_distinct" -> ((s, dir) => {
       // streaming distinct-users-per-day via the HLL sketch aggregate
       // (exact countDistinct is unsupported in streaming — unbounded
@@ -2359,6 +2383,45 @@ object SparkEntry {
       """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS win_start,
         |  count(DISTINCT user_id) AS n_exact, TRUE AS within_2pct
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Streaming grouped fit: the q_grouped_fit closed forms per
+    // (day window, event_type) — batch replay of the streaming result.
+    "q_stream_grouped_fit" ->
+      """WITH e AS (SELECT
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS ws,
+        |    event_type AS et, CAST(value AS DOUBLE) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |s AS (SELECT ws, et, count(*) AS n, avg(x) AS m, var_pop(x) AS s2,
+        |    min(x) AS mn, max(x) AS mx,
+        |    avg(ln(x)) FILTER (WHERE x > 0) AS mln,
+        |    var_pop(ln(x)) FILTER (WHERE x > 0) AS s2ln,
+        |    sum(x * x) AS sxx
+        |  FROM e GROUP BY ws, et),
+        |fits AS (
+        |  SELECT ws, et, n, 'norm' AS distribution, m AS p1, sqrt(s2) AS p2,
+        |    -1.0 AS p3, -n / 2.0 * ln(2 * pi() * s2) - n / 2.0 AS ll, 2 AS k
+        |  FROM s WHERE n >= 2 AND s2 > 0
+        |  UNION ALL SELECT ws, et, n, 'expon', mn, m - mn, -1.0,
+        |    -n * ln(m - mn) - n, 2 FROM s WHERE n >= 2 AND m - mn > 0
+        |  UNION ALL SELECT ws, et, n, 'uniform', mn, mx - mn, -1.0,
+        |    -n * ln(mx - mn), 2 FROM s WHERE n >= 2 AND mx - mn > 0
+        |  UNION ALL SELECT ws, et, n, 'lognorm', sqrt(s2ln), 0.0, exp(mln),
+        |    -n * mln - n / 2.0 * ln(2 * pi() * s2ln) - n / 2.0, 2
+        |  FROM s WHERE n >= 2 AND mn > 0 AND s2ln > 0
+        |  UNION ALL SELECT ws, et, n, 'rayleigh', 0.0, sqrt(sxx / (2.0 * n)),
+        |    -1.0, n * mln - n * ln(sxx / (2.0 * n)) - n, 1
+        |  FROM s WHERE n >= 2 AND mn > 0
+        |  UNION ALL SELECT ws, et, n, 'halfnorm', 0.0, sqrt(sxx / n), -1.0,
+        |    n * (0.5 * ln(2.0 / pi())) - n / 2.0 * ln(sxx / n) - n / 2.0, 1
+        |  FROM s WHERE n >= 2 AND mn >= 0 AND sxx > 0
+        |  UNION ALL SELECT ws, et, n, 'pareto', 1.0 / (mln - ln(mn)), 0.0, mn,
+        |    n * ln(1.0 / (mln - ln(mn)))
+        |      + n * (1.0 / (mln - ln(mn))) * ln(mn)
+        |      - (1.0 / (mln - ln(mn)) + 1.0) * n * mln, 2
+        |  FROM s WHERE n >= 2 AND mn > 0 AND mln > ln(mn))
+        |SELECT ws AS win_start, et AS event_type, CAST(n AS BIGINT) AS n,
+        |  distribution, round(p1, 4) AS p1, round(p2, 4) AS p2,
+        |  round(p3, 4) AS p3, round(2.0 * k - 2.0 * ll, 2) AS aic_r
+        |FROM fits ORDER BY win_start, event_type, distribution""".stripMargin,
     "q_stream_welford" ->
       """SELECT event_type, count(*) AS n, round(avg(value), 6) AS mean_r,
         |  round(stddev_pop(value), 4) AS std_r

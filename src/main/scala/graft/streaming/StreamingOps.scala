@@ -86,6 +86,36 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("__md5")
       .drop("__md5")
 
+  /** Streaming per-(window, key) distribution FITTING: the
+    * [[graft.operators.GroupedFit]] closed forms over a windowed
+    * streaming aggregation — "fit a latency model per (hour, tenant) on
+    * the live ingest, pick the best family by AIC as the window closes".
+    *
+    * Works because the whole fit is sufficient statistics: the stateful
+    * part is ONE bounded row per (window, key) — count/mean/var/min/max/
+    * log-moments/Σx², all built-in declarative aggregates the streaming
+    * engine partial-aggregates and watermark-expires like any windowed
+    * stats query — and the per-family parameter/loglik/AIC arithmetic
+    * plus the family explode are STATELESS projections after the
+    * aggregate. No fitting state grows with throughput; the driver-side
+    * fan-out fitter could never run inside a micro-batch.
+    *
+    * @return streaming frame of (window, keyCols..., n, distribution,
+    *         parameters, loglik, aic, bic) — one row per admissible
+    *         family per (window, key), same schema and semantics as the
+    *         batch [[graft.operators.GroupedFit.fitByGroup]] */
+  def windowedGroupedFit(df: DataFrame, valueCol: String,
+                         keyCols: Seq[String], timeCol: String,
+                         window: String = "1 minute",
+                         watermark: String = "2 minutes"): DataFrame = {
+    val base = df.withWatermark(timeCol, watermark)
+      .select((keyCols.map(F.col) :+
+        F.window(F.col(timeCol), window).as("window") :+
+        F.col(valueCol)): _*)
+    graft.operators.GroupedFit.fitByGroup(base, valueCol,
+      "window" +: keyCols)
+  }
+
   /** Streaming per-window column statistics (count/mean/min/max/stddev) —
     * the data-stats operator over an unbounded input. */
   def windowedStats(df: DataFrame, valueCol: String, timeCol: String,

@@ -40,6 +40,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(4L) == 2, s"bin4=${rows.get(4L)}") // 49.9 + clamped 60.0
   }
 
+  test("windowedGroupedFit: streaming fits equal the batch fitByGroup") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(String, java.sql.Timestamp, Double)]
+    // base aligned to a 10-minute boundary (1700000400 = :20:00) so the
+    // 0..7-minute event times all land in ONE window and the batch twin
+    // (which groups by key alone) sees the same populations
+    def ts(min: Int) = new java.sql.Timestamp(1700000400000L + min * 60000L)
+    // two keys inside one 10-minute window, positive values so every
+    // family is admissible for key a; key b holds a negative value
+    val rows = (1 to 40).map(i => ("a", ts(i % 8), math.exp(0.05 * i))) ++
+      (1 to 10).map(i => ("b", ts(i % 8), i - 2.0))
+    // watermark wider than the event-time span so no batching of the
+    // memory source can late-drop rows — this test pins the FIT
+    // arithmetic, not watermark semantics (windowedStats covers those)
+    val out = StreamingOps.windowedGroupedFit(
+      stream.toDF().toDF("k", "t", "v"), "v", Seq("k"), "t",
+      window = "10 minutes", watermark = "30 minutes")
+    stream.addData(rows: _*)
+    val q = out.writeStream.format("memory").queryName("gfit_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("gfit_out")
+      .select($"k", $"distribution", $"n", $"parameters", $"aic")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getSeq[Double](3), r.getDouble(4))).toMap
+    // batch twin over the same rows (window constant — all data in one)
+    val batch = operators.GroupedFit.fitByGroup(
+        rows.toDF("k", "t", "v"), "v", Seq("k")).collect()
+      .map(r => (r.getString(0), r.getAs[String]("distribution")) ->
+        (r.getAs[Long]("n"), r.getSeq[Double](r.fieldIndex("parameters")),
+          r.getAs[Double]("aic"))).toMap
+    assert(streamed.keySet == batch.keySet, s"${streamed.keySet} vs ${batch.keySet}")
+    assert(streamed.keys.count(_._1 == "a") == 7, "all 7 families for key a")
+    streamed.foreach { case (key, (n, ps, aic)) =>
+      val (nb, pb, ab) = batch(key)
+      assert(n == nb)
+      ps.zip(pb).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9, s"$key") }
+      assert(math.abs(aic - ab) < 1e-6, s"$key aic $aic vs $ab")
+    }
+  }
+
   test("sessionStats closes gap-based sessions like the batch Sessionize") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
