@@ -620,6 +620,7 @@ object SparkEntry {
         .select(F.col("l_returnflag"), F.col("distribution"),
           F.round(F.col("ks_d"), 6).as("ks_d"),
           F.round(F.col("ks_p"), 6).as("ks_p"),
+          F.round(F.col("ad_a2"), 4).as("ad_a2"),
           F.col("n"))
         .orderBy("l_returnflag", "distribution")
     }),
@@ -3311,13 +3312,16 @@ object SparkEntry {
         |    END AS cdf
         |  FROM v JOIN fits f ON v.g = f.g),
         |cw AS (SELECT g, distribution, n, c, cdf,
+        |    least(1.0 - 1e-10, greatest(1e-10, cdf)) AS fc,
         |    sum(c) OVER (PARTITION BY g, distribution ORDER BY x) AS cum
         |  FROM j),
         |d AS (SELECT g, distribution, CAST(max(n) AS BIGINT) AS n,
         |    max(greatest(abs(cum / n - cdf), abs((cum - c) / n - cdf)))
-        |      AS ks_d
+        |      AS ks_d,
+        |    -max(n) - sum(c * (2.0 * cum - c) * ln(fc)
+        |      + c * (2.0 * (n - cum) + c) * ln(1.0 - fc)) / max(n) AS ad_a2
         |  FROM cw GROUP BY g, distribution),
-        |k AS (SELECT g, distribution, n, ks_d,
+        |k AS (SELECT g, distribution, n, ks_d, ad_a2,
         |    sqrt(CAST(n AS DOUBLE)) * ks_d AS tt FROM d)
         |SELECT k.g AS l_returnflag, k.distribution,
         |  round(k.ks_d, 6) AS ks_d,
@@ -3325,6 +3329,7 @@ object SparkEntry {
         |    (SELECT sum(2 * power(-1.0, gs.j + 1)
         |       * exp(-2 * gs.j * gs.j * k.tt * k.tt))
         |     FROM generate_series(1, 100) AS gs(j)))), 6) AS ks_p,
+        |  round(k.ad_a2, 4) AS ad_a2,
         |  k.n
         |FROM k ORDER BY l_returnflag, distribution""".stripMargin,
     // The sketch-probe GOF audit: exact D replay + the within-bound

@@ -311,9 +311,18 @@ object GroupedFit {
     * regime), computed in column arithmetic so an external engine can
     * replay it term by term.
     *
+    * The same pass also yields the per-group Anderson–Darling A² (M9's
+    * per-group analog — tail-sensitive where K-S is median-sensitive):
+    * A² = −n − (1/n)·Σᵢ (2i−1)[ln F(x₍ᵢ₎) + ln(1−F(x₍ₙ₊₁₋ᵢ₎))]
+    * collapses over each DISTINCT value's tie block to exact integer
+    * weights w₁ = c·(2·cum − c) on ln F and w₂ = c·(2(n−cum) + c) on
+    * ln(1−F) — order-invariant within ties, so the running sum that
+    * already exists for K-S computes A² with two extra column products.
+    * F is clamped to [ε, 1−ε] (ε = 1e-10), the M9 convention.
+    *
     * @param fits output of [[fitByGroup]]/[[fitDiscreteByGroup]] (or a
     *             filtered subset, e.g. [[bestFrom]] winners)
-    * @return one row per (group, distribution): ks_d, ks_p, n */
+    * @return one row per (group, distribution): ks_d, n, ks_p, ad_a2 */
   def gofByGroup(df: DataFrame, valueCol: String, groupCols: Seq[String],
                  fits: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -336,15 +345,24 @@ object GroupedFit {
       .partitionBy((groupCols :+ "distribution").map(F.col): _*)
       .orderBy(F.col("__v"))
     val nD = F.col("n").cast("double")
+    val eps = graft.functions.Metrics.Eps
     val scored = joined
       .withColumn("__cum", F.sum(F.col("__c")).over(w))
       .withColumn("__cdf", cdfCol)
       .withColumn("__d", F.greatest(
         F.abs(F.col("__cum") / nD - F.col("__cdf")),
         F.abs((F.col("__cum") - F.col("__c")) / nD - F.col("__cdf"))))
+    val fc = F.least(F.lit(1.0 - eps), F.greatest(F.lit(eps), F.col("__cdf")))
+    val cD = F.col("__c").cast("double")
+    val adTerm =
+      cD * (F.lit(2.0) * F.col("__cum") - cD) * F.log(fc) +
+        cD * (F.lit(2.0) * (nD - F.col("__cum")) + cD) *
+          F.log(F.lit(1.0) - fc)
     val agg = scored
       .groupBy((groupCols :+ "distribution").map(F.col): _*)
-      .agg(F.max(F.col("__d")).as("ks_d"), F.first(F.col("n")).as("n"))
+      .agg(F.max(F.col("__d")).as("ks_d"), F.first(F.col("n")).as("n"),
+        (-F.first(F.col("n")).cast("double") -
+          F.sum(adTerm) / F.first(F.col("n")).cast("double")).as("ad_a2"))
     val t = F.sqrt(F.col("n").cast("double")) * F.col("ks_d")
     val series = F.aggregate(F.sequence(F.lit(1), F.lit(100)), F.lit(0.0),
       (acc, j) => acc + F.lit(2.0) * F.pow(F.lit(-1.0), j + 1) *

@@ -245,7 +245,8 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fits = operators.GroupedFit.fitByGroup(df, "v", Seq("g"))
     val gof = operators.GroupedFit.gofByGroup(df, "v", Seq("g"), fits)
       .collect().map(r => r.getAs[String]("distribution") ->
-        (r.getAs[Double]("ks_d"), r.getAs[Double]("ks_p"))).toMap
+        (r.getAs[Double]("ks_d"), r.getAs[Double]("ks_p"),
+          r.getAs[Double]("ad_a2"))).toMap
     // exact D for uniform(loc=1, scale=99) vs the ECDF of 1..100
     val dExp = (1 to 100).flatMap { i =>
       val cdf = math.min(1.0, math.max(0.0, (i - 1.0) / 99.0))
@@ -261,6 +262,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // every fitted family got a GOF row
     assert(gof.keySet == fits.collect()
       .map(_.getAs[String]("distribution")).toSet)
+    // the same pass's A² equals M9's driver-side adStatistic at the
+    // fitted params (exact here: avg(1..100) = 50.5, min = 1)
+    val xs = (1 to 100).map(_.toDouble).toArray
+    val adU = functions.Metrics.adStatistic(
+      graft.dists.FrozenModel(graft.dists.ContinuousFamilies.Uniform,
+        Array(1.0, 99.0), None, None), xs)
+    assert(math.abs(gof("uniform")._3 - adU) < 1e-9 * math.max(1.0, adU.abs),
+      s"uniform A²=${gof("uniform")._3} vs M9 $adU")
+    val adE = functions.Metrics.adStatistic(
+      graft.dists.FrozenModel(graft.dists.ContinuousFamilies.Expon,
+        Array(1.0, 49.5), None, None), xs)
+    assert(math.abs(gof("expon")._3 - adE) < 1e-9 * math.max(1.0, adE.abs),
+      s"expon A²=${gof("expon")._3} vs M9 $adE")
+    assert(gof("expon")._3 > gof("uniform")._3,
+      "the wrong family must score worse on A² too")
   }
 
   test("kllByGroup + gofByGroupSketch: per-group artifacts honor the rank bound") {
