@@ -81,6 +81,47 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"grouped fit should need at most 2 group-key exchanges, got $exchanges:\n${plan.take(2000)}")
   }
 
+  test("q_grouped_fit_weighted: one aggregation, no UDF, no extra exchange") {
+    val plan = physicalPlan("q_grouped_fit_weighted")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalUDF"),
+      plan.take(1200))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SinglePartition"),
+      plan.take(1200))
+    // weighted sufficient statistics are ONE groupBy: a single group-key
+    // hash exchange (the orderBy adds a range exchange, which is fine)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1,
+      s"weighted grouped fit should need 1 group-key exchange, got $exchanges:\n${plan.take(2000)}")
+  }
+
+  test("q_grouped_fit_gof: distinct-value K-S/A-D stays partitioned per group") {
+    val plan = physicalPlan("q_grouped_fit_gof")
+    // the model CDF is the native DistScalar expression, not a ScalaUDF;
+    // no cartesian pair blow-up; and the per-(group, family) window must
+    // never collapse to a single partition (the round-1 global-window
+    // failure shape this suite exists to catch)
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalUDF"),
+      plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("SinglePartition"), plan.take(1500))
+    assert(plan.contains("dist_cdf"), "DistScalar should drive the CDF: " +
+      plan.take(1500))
+  }
+
+  test("q_drift_psi_by_group: cell aggregation before any per-group work") {
+    val plan = physicalPlan("q_drift_psi_by_group")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalUDF"),
+      plan.take(1200))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SinglePartition"),
+      plan.take(1200))
+    // (group, bin) aggregate first, then group-partitioned window + final
+    // aggregate over the ≤ groups·bins cell frame: at most 3 hash
+    // exchanges, none carrying raw rows twice
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 3,
+      s"per-group drift grew extra shuffles ($exchanges):\n${plan.take(2000)}")
+  }
+
   test("q_corr_spearman has no single-partition exchange") {
     val plan = physicalPlan("q_corr_spearman")
     // the round-1 global Window.orderBy plan carried SinglePartition —
