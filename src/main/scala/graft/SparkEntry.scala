@@ -2325,6 +2325,79 @@ object SparkEntry {
     })
   )
 
+  /** The 7-family closed-form fits CTE shared by every grouped-fit
+    * oracle (q_grouped_fit, q_stream_grouped_fit, q_grouped_fit_weighted
+    * reads it over weighted stats): ONE copy of the MLE/loglik algebra,
+    * interpolated with the stats-CTE key columns — a formula correction
+    * can never update one oracle and silently leave a twin stale. The
+    * stats CTE must be named `s` and expose n, m, s2, mn, mx, mln,
+    * s2ln, sxx alongside the keys. */
+  private def groupedFitOracleArms(keys: String): String =
+    s"""fits AS (
+       |  SELECT $keys, n, 'norm' AS distribution, m AS p1, sqrt(s2) AS p2,
+       |    -1.0 AS p3, -n / 2.0 * ln(2 * pi() * s2) - n / 2.0 AS ll, 2 AS k
+       |  FROM s WHERE n >= 2 AND s2 > 0
+       |  UNION ALL SELECT $keys, n, 'expon', mn, m - mn, -1.0,
+       |    -n * ln(m - mn) - n, 2 FROM s WHERE n >= 2 AND m - mn > 0
+       |  UNION ALL SELECT $keys, n, 'uniform', mn, mx - mn, -1.0,
+       |    -n * ln(mx - mn), 2 FROM s WHERE n >= 2 AND mx - mn > 0
+       |  UNION ALL SELECT $keys, n, 'lognorm', sqrt(s2ln), 0.0, exp(mln),
+       |    -n * mln - n / 2.0 * ln(2 * pi() * s2ln) - n / 2.0, 2
+       |  FROM s WHERE n >= 2 AND mn > 0 AND s2ln > 0
+       |  UNION ALL SELECT $keys, n, 'rayleigh', 0.0, sqrt(sxx / (2.0 * n)),
+       |    -1.0, n * mln - n * ln(sxx / (2.0 * n)) - n, 1
+       |  FROM s WHERE n >= 2 AND mn > 0
+       |  UNION ALL SELECT $keys, n, 'halfnorm', 0.0, sqrt(sxx / n), -1.0,
+       |    n * (0.5 * ln(2.0 / pi())) - n / 2.0 * ln(sxx / n) - n / 2.0, 1
+       |  FROM s WHERE n >= 2 AND mn >= 0 AND sxx > 0
+       |  UNION ALL SELECT $keys, n, 'pareto', 1.0 / (mln - ln(mn)), 0.0, mn,
+       |    n * ln(1.0 / (mln - ln(mn)))
+       |      + n * (1.0 / (mln - ln(mn))) * ln(mn)
+       |      - (1.0 / (mln - ln(mn)) + 1.0) * n * mln, 2
+       |  FROM s WHERE n >= 2 AND mn > 0 AND mln > ln(mn))""".stripMargin
+
+  /** Shared prefix of the per-group GOF oracles (q_grouped_fit_gof and
+    * its sketch-audit twin): the elementary-CDF family parameters, the
+    * distinct-value frame, the per-(group, family) CDF CASE, and the
+    * cumulative window — identical by construction in both. */
+  private val groupedGofOraclePrefix: String =
+    """WITH s AS (SELECT l_returnflag AS g, count(*) AS n,
+      |    avg(l_extendedprice) AS m,
+      |    min(l_extendedprice) AS mn, max(l_extendedprice) AS mx,
+      |    avg(ln(l_extendedprice)) FILTER (WHERE l_extendedprice > 0)
+      |      AS mln,
+      |    sum(l_extendedprice * l_extendedprice) AS sxx
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+      |  GROUP BY l_returnflag),
+      |fits AS (
+      |  SELECT g, n, 'expon' AS distribution, mn AS loc, m - mn AS sc,
+      |    0.0 AS b FROM s WHERE n >= 2 AND m - mn > 0
+      |  UNION ALL SELECT g, n, 'uniform', mn, mx - mn, 0.0
+      |  FROM s WHERE n >= 2 AND mx - mn > 0
+      |  UNION ALL SELECT g, n, 'rayleigh', 0.0, sqrt(sxx / (2.0 * n)), 0.0
+      |  FROM s WHERE n >= 2 AND mn > 0
+      |  UNION ALL SELECT g, n, 'pareto', 0.0, mn, 1.0 / (mln - ln(mn))
+      |  FROM s WHERE n >= 2 AND mn > 0 AND mln > ln(mn)),
+      |v AS (SELECT l_returnflag AS g, l_extendedprice AS x,
+      |    count(*) AS c
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+      |j AS (SELECT f.g, f.distribution, f.n, v.x, v.c,
+      |    CASE f.distribution
+      |      WHEN 'expon' THEN CASE WHEN v.x <= f.loc THEN 0.0
+      |        ELSE 1.0 - exp(-((v.x - f.loc) / f.sc)) END
+      |      WHEN 'uniform' THEN least(1.0, greatest(0.0,
+      |        (v.x - f.loc) / f.sc))
+      |      WHEN 'rayleigh' THEN CASE WHEN v.x <= 0 THEN 0.0
+      |        ELSE 1.0 - exp(-0.5 * (v.x / f.sc) * (v.x / f.sc)) END
+      |      WHEN 'pareto' THEN CASE WHEN v.x <= f.sc THEN 0.0
+      |        ELSE 1.0 - power(v.x / f.sc, -f.b) END
+      |    END AS cdf
+      |  FROM v JOIN fits f ON v.g = f.g),
+      |cw AS (SELECT g, distribution, n, c, cdf,
+      |    least(1.0 - 1e-10, greatest(1e-10, cdf)) AS fc,
+      |    sum(c) OVER (PARTITION BY g, distribution ORDER BY x) AS cum
+      |  FROM j)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_partitioned_sink" ->
       """SELECT lang, count(*) AS n_docs,
@@ -2387,7 +2460,7 @@ object SparkEntry {
     // Streaming grouped fit: the q_grouped_fit closed forms per
     // (day window, event_type) — batch replay of the streaming result.
     "q_stream_grouped_fit" ->
-      """WITH e AS (SELECT
+      ("""WITH e AS (SELECT
         |    (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS ws,
         |    event_type AS et, CAST(value AS DOUBLE) AS x
         |  FROM events WHERE value IS NOT NULL),
@@ -2397,32 +2470,11 @@ object SparkEntry {
         |    var_pop(ln(x)) FILTER (WHERE x > 0) AS s2ln,
         |    sum(x * x) AS sxx
         |  FROM e GROUP BY ws, et),
-        |fits AS (
-        |  SELECT ws, et, n, 'norm' AS distribution, m AS p1, sqrt(s2) AS p2,
-        |    -1.0 AS p3, -n / 2.0 * ln(2 * pi() * s2) - n / 2.0 AS ll, 2 AS k
-        |  FROM s WHERE n >= 2 AND s2 > 0
-        |  UNION ALL SELECT ws, et, n, 'expon', mn, m - mn, -1.0,
-        |    -n * ln(m - mn) - n, 2 FROM s WHERE n >= 2 AND m - mn > 0
-        |  UNION ALL SELECT ws, et, n, 'uniform', mn, mx - mn, -1.0,
-        |    -n * ln(mx - mn), 2 FROM s WHERE n >= 2 AND mx - mn > 0
-        |  UNION ALL SELECT ws, et, n, 'lognorm', sqrt(s2ln), 0.0, exp(mln),
-        |    -n * mln - n / 2.0 * ln(2 * pi() * s2ln) - n / 2.0, 2
-        |  FROM s WHERE n >= 2 AND mn > 0 AND s2ln > 0
-        |  UNION ALL SELECT ws, et, n, 'rayleigh', 0.0, sqrt(sxx / (2.0 * n)),
-        |    -1.0, n * mln - n * ln(sxx / (2.0 * n)) - n, 1
-        |  FROM s WHERE n >= 2 AND mn > 0
-        |  UNION ALL SELECT ws, et, n, 'halfnorm', 0.0, sqrt(sxx / n), -1.0,
-        |    n * (0.5 * ln(2.0 / pi())) - n / 2.0 * ln(sxx / n) - n / 2.0, 1
-        |  FROM s WHERE n >= 2 AND mn >= 0 AND sxx > 0
-        |  UNION ALL SELECT ws, et, n, 'pareto', 1.0 / (mln - ln(mn)), 0.0, mn,
-        |    n * ln(1.0 / (mln - ln(mn)))
-        |      + n * (1.0 / (mln - ln(mn))) * ln(mn)
-        |      - (1.0 / (mln - ln(mn)) + 1.0) * n * mln, 2
-        |  FROM s WHERE n >= 2 AND mn > 0 AND mln > ln(mn))
+        |""".stripMargin + groupedFitOracleArms("ws, et") + """
         |SELECT ws AS win_start, et AS event_type, CAST(n AS BIGINT) AS n,
         |  distribution, round(p1, 4) AS p1, round(p2, 4) AS p2,
         |  round(p3, 4) AS p3, round(2.0 * k - 2.0 * ll, 2) AS aic_r
-        |FROM fits ORDER BY win_start, event_type, distribution""".stripMargin,
+        |FROM fits ORDER BY win_start, event_type, distribution""".stripMargin),
     "q_stream_welford" ->
       """SELECT event_type, count(*) AS n, round(avg(value), 6) AS mean_r,
         |  round(stddev_pop(value), 4) AS std_r
@@ -3231,7 +3283,7 @@ object SparkEntry {
     // Per-group sufficient-statistic fits: params, loglik, AIC, and the
     // per-group best pick are all closed forms of groupwise aggregates.
     "q_grouped_fit" ->
-      """WITH s AS (SELECT l_returnflag AS g, count(*) AS n,
+      ("""WITH s AS (SELECT l_returnflag AS g, count(*) AS n,
         |    avg(l_extendedprice) AS m, var_pop(l_extendedprice) AS s2,
         |    min(l_extendedprice) AS mn, max(l_extendedprice) AS mx,
         |    avg(ln(l_extendedprice)) FILTER (WHERE l_extendedprice > 0)
@@ -3241,28 +3293,7 @@ object SparkEntry {
         |    sum(l_extendedprice * l_extendedprice) AS sxx
         |  FROM lineitem WHERE l_extendedprice IS NOT NULL
         |  GROUP BY l_returnflag),
-        |fits AS (
-        |  SELECT g, n, 'norm' AS distribution, m AS p1, sqrt(s2) AS p2,
-        |    -1.0 AS p3, -n / 2.0 * ln(2 * pi() * s2) - n / 2.0 AS ll, 2 AS k
-        |  FROM s WHERE n >= 2 AND s2 > 0
-        |  UNION ALL SELECT g, n, 'expon', mn, m - mn, -1.0,
-        |    -n * ln(m - mn) - n, 2 FROM s WHERE n >= 2 AND m - mn > 0
-        |  UNION ALL SELECT g, n, 'uniform', mn, mx - mn, -1.0,
-        |    -n * ln(mx - mn), 2 FROM s WHERE n >= 2 AND mx - mn > 0
-        |  UNION ALL SELECT g, n, 'lognorm', sqrt(s2ln), 0.0, exp(mln),
-        |    -n * mln - n / 2.0 * ln(2 * pi() * s2ln) - n / 2.0, 2
-        |  FROM s WHERE n >= 2 AND mn > 0 AND s2ln > 0
-        |  UNION ALL SELECT g, n, 'rayleigh', 0.0, sqrt(sxx / (2.0 * n)),
-        |    -1.0, n * mln - n * ln(sxx / (2.0 * n)) - n, 1
-        |  FROM s WHERE n >= 2 AND mn > 0
-        |  UNION ALL SELECT g, n, 'halfnorm', 0.0, sqrt(sxx / n), -1.0,
-        |    n * (0.5 * ln(2.0 / pi())) - n / 2.0 * ln(sxx / n) - n / 2.0, 1
-        |  FROM s WHERE n >= 2 AND mn >= 0 AND sxx > 0
-        |  UNION ALL SELECT g, n, 'pareto', 1.0 / (mln - ln(mn)), 0.0, mn,
-        |    n * ln(1.0 / (mln - ln(mn)))
-        |      + n * (1.0 / (mln - ln(mn))) * ln(mn)
-        |      - (1.0 / (mln - ln(mn)) + 1.0) * n * mln, 2
-        |  FROM s WHERE n >= 2 AND mn > 0 AND mln > ln(mn)),
+        |""".stripMargin + groupedFitOracleArms("g") + """,
         |best AS (SELECT g, distribution AS best_family,
         |    row_number() OVER (PARTITION BY g
         |      ORDER BY 2.0 * k - 2.0 * ll ASC, distribution ASC) AS rk
@@ -3273,48 +3304,13 @@ object SparkEntry {
         |  b.best_family
         |FROM fits f JOIN (SELECT g, best_family FROM best WHERE rk = 1) b
         |  ON f.g = b.g
-        |ORDER BY l_returnflag, distribution""".stripMargin,
+        |ORDER BY l_returnflag, distribution""".stripMargin),
     // Per-group K-S GOF: distinct-value ECDF vs each family's closed-form
     // CDF (z = (x-loc)/scale, support clamps matching the cdf wrapper),
     // D via a per-(group, family) cumulative window, p via the same
     // 100-term Kolmogorov series the drift path replays.
     "q_grouped_fit_gof" ->
-      """WITH s AS (SELECT l_returnflag AS g, count(*) AS n,
-        |    avg(l_extendedprice) AS m,
-        |    min(l_extendedprice) AS mn, max(l_extendedprice) AS mx,
-        |    avg(ln(l_extendedprice)) FILTER (WHERE l_extendedprice > 0)
-        |      AS mln,
-        |    sum(l_extendedprice * l_extendedprice) AS sxx
-        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
-        |  GROUP BY l_returnflag),
-        |fits AS (
-        |  SELECT g, n, 'expon' AS distribution, mn AS loc, m - mn AS sc,
-        |    0.0 AS b FROM s WHERE n >= 2 AND m - mn > 0
-        |  UNION ALL SELECT g, n, 'uniform', mn, mx - mn, 0.0
-        |  FROM s WHERE n >= 2 AND mx - mn > 0
-        |  UNION ALL SELECT g, n, 'rayleigh', 0.0, sqrt(sxx / (2.0 * n)), 0.0
-        |  FROM s WHERE n >= 2 AND mn > 0
-        |  UNION ALL SELECT g, n, 'pareto', 0.0, mn, 1.0 / (mln - ln(mn))
-        |  FROM s WHERE n >= 2 AND mn > 0 AND mln > ln(mn)),
-        |v AS (SELECT l_returnflag AS g, l_extendedprice AS x,
-        |    count(*) AS c
-        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
-        |j AS (SELECT f.g, f.distribution, f.n, v.x, v.c,
-        |    CASE f.distribution
-        |      WHEN 'expon' THEN CASE WHEN v.x <= f.loc THEN 0.0
-        |        ELSE 1.0 - exp(-((v.x - f.loc) / f.sc)) END
-        |      WHEN 'uniform' THEN least(1.0, greatest(0.0,
-        |        (v.x - f.loc) / f.sc))
-        |      WHEN 'rayleigh' THEN CASE WHEN v.x <= 0 THEN 0.0
-        |        ELSE 1.0 - exp(-0.5 * (v.x / f.sc) * (v.x / f.sc)) END
-        |      WHEN 'pareto' THEN CASE WHEN v.x <= f.sc THEN 0.0
-        |        ELSE 1.0 - power(v.x / f.sc, -f.b) END
-        |    END AS cdf
-        |  FROM v JOIN fits f ON v.g = f.g),
-        |cw AS (SELECT g, distribution, n, c, cdf,
-        |    least(1.0 - 1e-10, greatest(1e-10, cdf)) AS fc,
-        |    sum(c) OVER (PARTITION BY g, distribution ORDER BY x) AS cum
-        |  FROM j),
+      (groupedGofOraclePrefix + """,
         |d AS (SELECT g, distribution, CAST(max(n) AS BIGINT) AS n,
         |    max(greatest(abs(cum / n - cdf), abs((cum - c) / n - cdf)))
         |      AS ks_d,
@@ -3331,100 +3327,46 @@ object SparkEntry {
         |     FROM generate_series(1, 100) AS gs(j)))), 6) AS ks_p,
         |  round(k.ad_a2, 4) AS ad_a2,
         |  k.n
-        |FROM k ORDER BY l_returnflag, distribution""".stripMargin,
+        |FROM k ORDER BY l_returnflag, distribution""".stripMargin),
     // The sketch-probe GOF audit: exact D replay + the within-bound
     // boolean (the sketch estimate itself is never hashed — KLL
     // compaction is randomized; only the error CONTRACT is pinned).
     "q_grouped_fit_gof_sketch" ->
-      """WITH s AS (SELECT l_returnflag AS g, count(*) AS n,
-        |    avg(l_extendedprice) AS m,
-        |    min(l_extendedprice) AS mn, max(l_extendedprice) AS mx,
-        |    avg(ln(l_extendedprice)) FILTER (WHERE l_extendedprice > 0)
-        |      AS mln,
-        |    sum(l_extendedprice * l_extendedprice) AS sxx
-        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
-        |  GROUP BY l_returnflag),
-        |fits AS (
-        |  SELECT g, n, 'expon' AS distribution, mn AS loc, m - mn AS sc,
-        |    0.0 AS b FROM s WHERE n >= 2 AND m - mn > 0
-        |  UNION ALL SELECT g, n, 'uniform', mn, mx - mn, 0.0
-        |  FROM s WHERE n >= 2 AND mx - mn > 0
-        |  UNION ALL SELECT g, n, 'rayleigh', 0.0, sqrt(sxx / (2.0 * n)), 0.0
-        |  FROM s WHERE n >= 2 AND mn > 0
-        |  UNION ALL SELECT g, n, 'pareto', 0.0, mn, 1.0 / (mln - ln(mn))
-        |  FROM s WHERE n >= 2 AND mn > 0 AND mln > ln(mn)),
-        |v AS (SELECT l_returnflag AS g, l_extendedprice AS x,
-        |    count(*) AS c
-        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
-        |j AS (SELECT f.g, f.distribution, f.n, v.x, v.c,
-        |    CASE f.distribution
-        |      WHEN 'expon' THEN CASE WHEN v.x <= f.loc THEN 0.0
-        |        ELSE 1.0 - exp(-((v.x - f.loc) / f.sc)) END
-        |      WHEN 'uniform' THEN least(1.0, greatest(0.0,
-        |        (v.x - f.loc) / f.sc))
-        |      WHEN 'rayleigh' THEN CASE WHEN v.x <= 0 THEN 0.0
-        |        ELSE 1.0 - exp(-0.5 * (v.x / f.sc) * (v.x / f.sc)) END
-        |      WHEN 'pareto' THEN CASE WHEN v.x <= f.sc THEN 0.0
-        |        ELSE 1.0 - power(v.x / f.sc, -f.b) END
-        |    END AS cdf
-        |  FROM v JOIN fits f ON v.g = f.g),
-        |cw AS (SELECT g, distribution, n, c, cdf,
-        |    sum(c) OVER (PARTITION BY g, distribution ORDER BY x) AS cum
-        |  FROM j)
+      (groupedGofOraclePrefix + """
         |SELECT g AS l_returnflag, distribution, TRUE AS within_tol,
         |  round(max(greatest(abs(cum / n - cdf), abs((cum - c) / n - cdf))), 6)
         |    AS ks_d,
         |  CAST(max(n) AS BIGINT) AS n
         |FROM cw GROUP BY g, distribution
-        |ORDER BY l_returnflag, distribution""".stripMargin,
+        |ORDER BY l_returnflag, distribution""".stripMargin),
     // Frequency-weighted grouped fit: the same seven closed forms over
     // weighted sufficient statistics, n = sum(w), sum(w*x) shapes.
+    // Weighted grouped fit: the weighted sufficient statistics are
+    // renamed to the shared arms' vocabulary (n = Σw, s2/mln/s2ln from
+    // weighted moments, sxx = Σw·x²) so the SAME fits CTE applies — the
+    // weighted MLE of these families IS the replicated-sample MLE.
     "q_grouped_fit_weighted" ->
-      """WITH r AS (SELECT l_returnflag AS g,
+      ("""WITH r AS (SELECT l_returnflag AS g,
         |    CAST(l_extendedprice AS DOUBLE) AS x,
         |    CAST(l_quantity AS DOUBLE) AS w
         |  FROM lineitem
         |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
         |    AND l_quantity > 0),
-        |s AS (SELECT g, sum(w) AS sw, sum(w * x) AS swx,
+        |w0 AS (SELECT g, sum(w) AS sw, sum(w * x) AS swx,
         |    sum(w * x * x) AS swxx, min(x) AS mn, max(x) AS mx,
         |    sum(w * ln(x)) FILTER (WHERE x > 0) AS swln,
         |    sum(w * ln(x) * ln(x)) FILTER (WHERE x > 0) AS swln2
         |  FROM r GROUP BY g),
-        |d AS (SELECT g, sw, swx / sw AS m,
+        |s AS (SELECT g, sw AS n, swx / sw AS m,
         |    swxx / sw - (swx / sw) * (swx / sw) AS s2, mn, mx,
         |    swln / sw AS mln,
-        |    swln2 / sw - (swln / sw) * (swln / sw) AS s2ln, swxx
-        |  FROM s),
-        |fits AS (
-        |  SELECT g, sw, 'norm' AS distribution, m AS p1, sqrt(s2) AS p2,
-        |    -1.0 AS p3, -sw / 2.0 * ln(2 * pi() * s2) - sw / 2.0 AS ll,
-        |    2 AS k
-        |  FROM d WHERE sw >= 2 AND s2 > 0
-        |  UNION ALL SELECT g, sw, 'expon', mn, m - mn, -1.0,
-        |    -sw * ln(m - mn) - sw, 2 FROM d WHERE sw >= 2 AND m - mn > 0
-        |  UNION ALL SELECT g, sw, 'uniform', mn, mx - mn, -1.0,
-        |    -sw * ln(mx - mn), 2 FROM d WHERE sw >= 2 AND mx - mn > 0
-        |  UNION ALL SELECT g, sw, 'lognorm', sqrt(s2ln), 0.0, exp(mln),
-        |    -sw * mln - sw / 2.0 * ln(2 * pi() * s2ln) - sw / 2.0, 2
-        |  FROM d WHERE sw >= 2 AND mn > 0 AND s2ln > 0
-        |  UNION ALL SELECT g, sw, 'rayleigh', 0.0,
-        |    sqrt(swxx / (2.0 * sw)), -1.0,
-        |    sw * mln - sw * ln(swxx / (2.0 * sw)) - sw, 1
-        |  FROM d WHERE sw >= 2 AND mn > 0
-        |  UNION ALL SELECT g, sw, 'halfnorm', 0.0, sqrt(swxx / sw), -1.0,
-        |    sw * (0.5 * ln(2.0 / pi())) - sw / 2.0 * ln(swxx / sw)
-        |      - sw / 2.0, 1
-        |  FROM d WHERE sw >= 2 AND mn >= 0 AND swxx > 0
-        |  UNION ALL SELECT g, sw, 'pareto', 1.0 / (mln - ln(mn)), 0.0, mn,
-        |    sw * ln(1.0 / (mln - ln(mn)))
-        |      + sw * (1.0 / (mln - ln(mn))) * ln(mn)
-        |      - (1.0 / (mln - ln(mn)) + 1.0) * sw * mln, 2
-        |  FROM d WHERE sw >= 2 AND mn > 0 AND mln > ln(mn))
-        |SELECT g AS l_returnflag, round(sw, 4) AS n_w, distribution,
+        |    swln2 / sw - (swln / sw) * (swln / sw) AS s2ln, swxx AS sxx
+        |  FROM w0),
+        |""".stripMargin + groupedFitOracleArms("g") + """
+        |SELECT g AS l_returnflag, round(n, 4) AS n_w, distribution,
         |  round(p1, 4) AS p1, round(p2, 4) AS p2, round(p3, 4) AS p3,
         |  round(2.0 * k - 2.0 * ll, 2) AS aic_r
-        |FROM fits ORDER BY l_returnflag, distribution""".stripMargin,
+        |FROM fits ORDER BY l_returnflag, distribution""".stripMargin),
     // Grouped-fit → generation: best-of-subset by AIC per group, then
     // each family's closed-form ppf on the fixed quantile grid.
     "q_grouped_generate" ->

@@ -358,17 +358,29 @@ object GroupedFit {
       cD * (F.lit(2.0) * F.col("__cum") - cD) * F.log(fc) +
         cD * (F.lit(2.0) * (nD - F.col("__cum")) + cD) *
           F.log(F.lit(1.0) - fc)
+    // a null model CDF at ANY value (DistScalar nulls unknown families,
+    // bad params, and non-finite results) voids the whole (group, family)
+    // row: a max/sum over the surviving points would report a finite,
+    // plausible-looking statistic for a fit M9's driver-side metrics
+    // would call +inf — null is the honest per-group signal
+    val badCdf = F.sum(F.when(F.col("__cdf").isNull, 1L).otherwise(0L))
     val agg = scored
       .groupBy((groupCols :+ "distribution").map(F.col): _*)
-      .agg(F.max(F.col("__d")).as("ks_d"), F.first(F.col("n")).as("n"),
-        (-F.first(F.col("n")).cast("double") -
-          F.sum(adTerm) / F.first(F.col("n")).cast("double")).as("ad_a2"))
+      .agg(
+        F.when(badCdf === 0L, F.max(F.col("__d"))).as("ks_d"),
+        F.first(F.col("n")).as("n"),
+        F.when(badCdf === 0L,
+          -F.first(F.col("n")).cast("double") -
+            F.sum(adTerm) / F.first(F.col("n")).cast("double")).as("ad_a2"))
     val t = F.sqrt(F.col("n").cast("double")) * F.col("ks_d")
     val series = F.aggregate(F.sequence(F.lit(1), F.lit(100)), F.lit(0.0),
       (acc, j) => acc + F.lit(2.0) * F.pow(F.lit(-1.0), j + 1) *
         F.exp(F.lit(-2.0) * j * j * t * t))
+    // greatest/least SKIP nulls, so a voided ks_d must null ks_p
+    // explicitly rather than clamp to 0
     agg.withColumn("ks_p",
-      F.least(F.lit(1.0), F.greatest(F.lit(0.0), series)))
+      F.when(F.col("ks_d").isNotNull,
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), series))))
   }
 
   /** Sketch-probe form of [[gofByGroup]] — the scale path when SINGLE

@@ -44,12 +44,17 @@ object StreamingOps {
   def windowedHistogram(df: DataFrame, valueCol: String, timeCol: String,
                         binStart: Double, binWidth: Double, numBins: Int,
                         window: String = "1 minute",
-                        watermark: String = "2 minutes"): DataFrame =
+                        watermark: String = "2 minutes"): DataFrame = {
+    val v = F.col(valueCol).cast("double")
+    // NaN excluded like the batch Histogram (floor(NaN) codegens to 0L,
+    // which would silently count NaN rows as bin-0 mass)
     df.withWatermark(timeCol, watermark)
+      .where(v.isNotNull && !F.isnan(v))
       .select(F.window(F.col(timeCol), window).as("window"),
-        binOf(F.col(valueCol).cast("double"), binStart, binWidth, numBins).as("bin"))
+        binOf(v, binStart, binWidth, numBins).as("bin"))
       .groupBy("window", "bin")
       .agg(F.count(F.lit(1)).as("cnt"))
+  }
 
   /** Windowed distinct counts via the mergeable HLL sketch aggregate —
     * the metric exact aggregation CANNOT provide in streaming
@@ -71,10 +76,13 @@ object StreamingOps {
   /** Running global histogram (update mode): one row per bin, state size
     * = numBins forever. */
   def runningHistogram(df: DataFrame, valueCol: String,
-                       binStart: Double, binWidth: Double, numBins: Int): DataFrame =
-    df.select(binOf(F.col(valueCol).cast("double"), binStart, binWidth, numBins).as("bin"))
+                       binStart: Double, binWidth: Double, numBins: Int): DataFrame = {
+    val v = F.col(valueCol).cast("double")
+    df.where(v.isNotNull && !F.isnan(v))
+      .select(binOf(v, binStart, binWidth, numBins).as("bin"))
       .groupBy("bin")
       .agg(F.count(F.lit(1)).as("cnt"))
+  }
 
   /** Streaming exact dedup: drop rows whose text fingerprint was already
     * seen within the watermark horizon. State = one md5 per surviving

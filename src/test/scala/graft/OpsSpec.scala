@@ -277,6 +277,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expon A²=${gof("expon")._3} vs M9 $adE")
     assert(gof("expon")._3 > gof("uniform")._3,
       "the wrong family must score worse on A² too")
+    // TIED values exercise the tie-block weights (w₁ = c(2·cum−c),
+    // w₂ = c(2(n−cum)+c)) non-trivially — with all-distinct data they
+    // degenerate to 2i−1 and a wrong sign on c would pass unnoticed
+    val dupDf = (1 to 50).flatMap(i => Seq(("t", i.toDouble), ("t", i.toDouble)))
+      .toDF("g", "v")
+    val dupFits = operators.GroupedFit.fitByGroup(dupDf, "v", Seq("g"))
+    val dupGof = operators.GroupedFit.gofByGroup(dupDf, "v", Seq("g"), dupFits)
+      .collect().map(r => r.getAs[String]("distribution") ->
+        (r.getAs[Double]("ks_d"), r.getAs[Double]("ad_a2"))).toMap
+    val dupXs = (1 to 50).flatMap(i => Seq(i.toDouble, i.toDouble)).toArray
+    val adDup = functions.Metrics.adStatistic(
+      graft.dists.FrozenModel(graft.dists.ContinuousFamilies.Uniform,
+        Array(1.0, 49.0), None, None), dupXs)
+    assert(math.abs(dupGof("uniform")._2 - adDup) < 1e-9 * math.max(1.0, adDup.abs),
+      s"tied A²=${dupGof("uniform")._2} vs M9 $adDup")
+    // tied K-S too: D from distinct-value cum counts must equal the
+    // raw-sample construction
+    val dDup = (1 to 50).flatMap { i =>
+      val cdf = math.min(1.0, math.max(0.0, (i - 1.0) / 49.0))
+      Seq(math.abs(2 * i / 100.0 - cdf), math.abs((2 * i - 2) / 100.0 - cdf))
+    }.max
+    assert(math.abs(dupGof("uniform")._1 - dDup) < 1e-12)
   }
 
   test("kllByGroup + gofByGroupSketch: per-group artifacts honor the rank bound") {

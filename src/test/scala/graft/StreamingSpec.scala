@@ -79,6 +79,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     streamed.foreach { case (key, (n, ps, aic)) =>
       val (nb, pb, ab) = batch(key)
       assert(n == nb)
+      assert(ps.length == pb.length, s"$key parameter arity $ps vs $pb")
       ps.zip(pb).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9, s"$key") }
       assert(math.abs(aic - ab) < 1e-6, s"$key aic $aic vs $ab")
     }
