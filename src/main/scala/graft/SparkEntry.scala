@@ -624,6 +624,22 @@ object SparkEntry {
           F.col("n"))
         .orderBy("l_returnflag", "distribution")
     }),
+    "q_grouped_fit_gof_discrete" -> ((s, dir) => {
+      // E7's per-group GOF: M8's rank-only discrete K-S for every
+      // (group, discrete family) row — geom and poisson per returnflag
+      // on the integer quantities; the registry cdf drives the model
+      // side (geom closed form, poisson regularized gamma), DuckDB
+      // replays geom exactly and poisson via the pmf series
+      val d = li(s, dir)
+      val fits = GroupedFit.fitDiscreteByGroup(d, "l_quantity",
+        Seq("l_returnflag"))
+      GroupedFit.gofDiscreteByGroup(d, "l_quantity", Seq("l_returnflag"), fits)
+        .select(F.col("l_returnflag"), F.col("distribution"),
+          F.round(F.col("ks_d"), 6).as("ks_d"),
+          F.round(F.col("ks_p"), 6).as("ks_p"),
+          F.col("n"))
+        .orderBy("l_returnflag", "distribution")
+    }),
     "q_grouped_generate" -> ((s, dir) => {
       // grouped-fit → generation composability: the per-group best model
       // (among the elementary-ppf families) feeds the SAME dist_ppf
@@ -3367,6 +3383,55 @@ object SparkEntry {
         |  round(p1, 4) AS p1, round(p2, 4) AS p2, round(p3, 4) AS p3,
         |  round(2.0 * k - 2.0 * ll, 2) AS aic_r
         |FROM fits ORDER BY l_returnflag, distribution""".stripMargin),
+    // Discrete per-group GOF: distinct-k ECDF vs model CDF (geom closed
+    // form; poisson as its pmf partial sum — equal to the engine's
+    // regularized gamma far below the 6-decimal rounding), same cum
+    // window and Kolmogorov series as the continuous oracle.
+    "q_grouped_fit_gof_discrete" ->
+      """WITH q AS (SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS x
+        |    FROM lineitem WHERE l_quantity IS NOT NULL),
+        |s AS (SELECT g, count(*) AS n, avg(x) AS m, min(x) AS mn,
+        |    sum(CASE WHEN x <> floor(x) THEN 1 ELSE 0 END) AS nonint
+        |  FROM q GROUP BY g),
+        |fits AS (
+        |  SELECT g, n, 'geom' AS distribution, 1.0 / m AS p1
+        |  FROM s WHERE n >= 2 AND nonint = 0 AND mn >= 1 AND m > 1
+        |  UNION ALL SELECT g, n, 'poisson', m
+        |  FROM s WHERE n >= 2 AND nonint = 0 AND mn >= 0 AND m > 0),
+        |v AS (SELECT g, x, count(*) AS c FROM q GROUP BY g, x),
+        |ser AS (SELECT j FROM generate_series(0, 200) AS gs(j)),
+        |pois AS (SELECT f.g, v.x,
+        |    sum(exp(ser.j * ln(f.p1) - f.p1 - lgamma(ser.j + 1.0))) AS pc
+        |  FROM v JOIN fits f ON v.g = f.g AND f.distribution = 'poisson'
+        |  JOIN ser ON ser.j <= v.x
+        |  GROUP BY f.g, v.x),
+        |j AS (SELECT f.g, f.distribution, f.n, v.x, v.c,
+        |    CASE f.distribution
+        |      WHEN 'geom' THEN CASE WHEN v.x < 1 THEN 0.0
+        |        ELSE 1.0 - power(1.0 - f.p1, v.x) END
+        |      WHEN 'poisson' THEN CASE WHEN v.x < 0 THEN 0.0
+        |        ELSE least(1.0, p.pc) END
+        |    END AS cdf
+        |  FROM v JOIN fits f ON v.g = f.g
+        |  LEFT JOIN pois p ON p.g = f.g AND p.x = v.x
+        |    AND f.distribution = 'poisson'),
+        |cw AS (SELECT g, distribution, n, c, cdf,
+        |    sum(c) OVER (PARTITION BY g, distribution ORDER BY x) AS cum
+        |  FROM j),
+        |d AS (SELECT g, distribution, CAST(max(n) AS BIGINT) AS n,
+        |    max(greatest(abs(cum / n - cdf), abs((cum - c) / n - cdf)))
+        |      AS ks_d
+        |  FROM cw GROUP BY g, distribution),
+        |k AS (SELECT g, distribution, n, ks_d,
+        |    sqrt(CAST(n AS DOUBLE)) * ks_d AS tt FROM d)
+        |SELECT k.g AS l_returnflag, k.distribution,
+        |  round(k.ks_d, 6) AS ks_d,
+        |  round(least(1.0, greatest(0.0,
+        |    (SELECT sum(2 * power(-1.0, gs.j + 1)
+        |       * exp(-2 * gs.j * gs.j * k.tt * k.tt))
+        |     FROM generate_series(1, 100) AS gs(j)))), 6) AS ks_p,
+        |  k.n
+        |FROM k ORDER BY l_returnflag, distribution""".stripMargin,
     // Grouped-fit → generation: best-of-subset by AIC per group, then
     // each family's closed-form ppf on the fixed quantile grid.
     "q_grouped_generate" ->

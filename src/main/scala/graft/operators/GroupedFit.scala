@@ -383,6 +383,62 @@ object GroupedFit {
         F.least(F.lit(1.0), F.greatest(F.lit(0.0), series))))
   }
 
+  /** Discrete counterpart of [[gofByGroup]] — M8's rank-only one-sample
+    * K-S per (group, family) for [[fitDiscreteByGroup]] rows:
+    * D = max over distinct k of max(F̂(k) − F(k), F(k) − F̂(k⁻)), the
+    * exact construction `Metrics.ksDiscrete` runs driver-side, evaluated
+    * as the same distinct-value window as the continuous path. The model
+    * CDF comes from the discrete registry via one JVM call per
+    * (group, family, distinct k) — bounded by the support size, the
+    * discrete regime's defining property, and the reason a UDF is
+    * acceptable here where the continuous path uses the native
+    * DistScalar. A null/non-finite CDF anywhere voids the row (same
+    * honesty contract as [[gofByGroup]]). `ks_p` is the asymptotic
+    * Kolmogorov tail — conservative for discrete data, exactly as M8
+    * documents.
+    *
+    * @return one row per (group, distribution): ks_d, n, ks_p */
+  def gofDiscreteByGroup(df: DataFrame, valueCol: String,
+                         groupCols: Seq[String], fits: DataFrame): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val v = F.col(valueCol).cast("double")
+    val clean = df.where(v.isNotNull && !F.isnan(v))
+      .select(groupCols.map(F.col) :+ v.as("__v"): _*)
+    val vc = clean.groupBy((groupCols :+ "__v").map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("__c"))
+    val famRows = fits.select(
+      (groupCols.map(F.col) :+ F.col("distribution") :+
+        F.col("parameters") :+ F.col("n")): _*)
+    val cdfUdf = F.udf((name: String, params: Seq[Double], x: Double) =>
+      graft.dists.DiscreteRegistry.get(name).flatMap { d =>
+        val c = d.cdf(math.floor(x).toLong, params.toArray)
+        if (java.lang.Double.isFinite(c)) Some(c) else None
+      })
+    val w = Window
+      .partitionBy((groupCols :+ "distribution").map(F.col): _*)
+      .orderBy(F.col("__v"))
+    val nD = F.col("n").cast("double")
+    val scored = vc.join(famRows, groupCols)
+      .withColumn("__cum", F.sum(F.col("__c")).over(w))
+      .withColumn("__cdf",
+        cdfUdf(F.col("distribution"), F.col("parameters"), F.col("__v")))
+      .withColumn("__d", F.greatest(
+        F.abs(F.col("__cum") / nD - F.col("__cdf")),
+        F.abs((F.col("__cum") - F.col("__c")) / nD - F.col("__cdf"))))
+    val badCdf = F.sum(F.when(F.col("__cdf").isNull, 1L).otherwise(0L))
+    val agg = scored
+      .groupBy((groupCols :+ "distribution").map(F.col): _*)
+      .agg(F.when(badCdf === 0L, F.max(F.col("__d"))).as("ks_d"),
+        F.first(F.col("n")).as("n"))
+    val t = F.sqrt(F.col("n").cast("double")) * F.col("ks_d")
+    val series = F.aggregate(F.sequence(F.lit(1), F.lit(100)), F.lit(0.0),
+      (acc, j) => acc + F.lit(2.0) * F.pow(F.lit(-1.0), j + 1) *
+        F.exp(F.lit(-2.0) * j * j * t * t))
+    agg.withColumn("ks_p",
+      F.when(F.col("ks_d").isNotNull,
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), series))))
+  }
+
   /** Sketch-probe form of [[gofByGroup]] — the scale path when SINGLE
     * groups outgrow a partition-local sort (the exact form windows each
     * group's distinct values inside one partition; a group with 10⁹

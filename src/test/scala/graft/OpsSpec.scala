@@ -234,6 +234,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val llZoo = Seq(1L, 2L, 3L, 2L).map(k =>
       math.log(graft.dists.DiscreteFamilies.Poisson.pmf(k, Array(2.0)))).sum
     assert(math.abs(pa.getAs[Double]("loglik") - llZoo) < 1e-9)
+    // discrete per-group GOF equals M8's driver-side ksDiscrete exactly
+    val gof = operators.GroupedFit.gofDiscreteByGroup(
+        rows.toDF("g", "v"), "v", Seq("g"),
+        operators.GroupedFit.fitDiscreteByGroup(
+          rows.toDF("g", "v"), "v", Seq("g"))).collect()
+      .map(r => (r.getString(0), r.getAs[String]("distribution")) ->
+        (r.getAs[Double]("ks_d"), r.getAs[Double]("ks_p"))).toMap
+    val (dG, pG) = functions.Metrics.ksDiscrete(
+      graft.dists.DiscreteFamilies.Geom, Array(0.5), Array(1L, 2L, 3L, 2L))
+    assert(math.abs(gof(("a", "geom"))._1 - dG) < 1e-12)
+    assert(math.abs(gof(("a", "geom"))._2 - pG) < 1e-9)
+    val (dP, _) = functions.Metrics.ksDiscrete(
+      graft.dists.DiscreteFamilies.Poisson, Array(2.0), Array(1L, 2L, 3L, 2L))
+    assert(math.abs(gof(("a", "poisson"))._1 - dP) < 1e-12)
+    val (dB, _) = functions.Metrics.ksDiscrete(
+      graft.dists.DiscreteFamilies.Bernoulli, Array(0.5),
+      Array(0L, 1L, 1L, 0L))
+    assert(math.abs(gof(("b", "bernoulli"))._1 - dB) < 1e-12)
   }
 
   test("gofByGroup: exact-rank per-group K-S with asymptotic p") {
