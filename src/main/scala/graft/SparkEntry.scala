@@ -2338,6 +2338,55 @@ object SparkEntry {
         .select(F.col("click_id"), F.col("user_id"), F.col("purchase_id"),
           F.round(F.col("value"), 6).as("purchase_value"))
         .orderBy("click_id", "purchase_id")
+    }),
+    "q_grouped_ols" -> ((s, dir) => {
+      // per-group simple OLS in ONE aggregation (slope/intercept/R²/
+      // residual σ/t all exact functions of {n, mean, var_pop,
+      // covar_pop}) — the "trend per tenant" workload at 10⁶-group
+      // scale; every formula replays in DuckDB from the same moments.
+      // resid σ (not σ²) is emitted: sqrt halves the relative float
+      // noise, the same discipline as the grouped-fit norm scale
+      Regression.olsByGroup(li(s, dir), "l_extendedprice", "l_quantity",
+          Seq("l_returnflag"))
+        .select(F.col("l_returnflag"), F.col("n"),
+          F.round(F.col("slope"), 4).as("slope_r"),
+          F.round(F.col("intercept"), 4).as("intercept_r"),
+          F.round(F.col("r2"), 6).as("r2_r"),
+          F.round(F.sqrt(F.col("resid_var")), 4).as("resid_std_r"),
+          F.round(F.col("t_stat"), 2).as("t_r"))
+        .orderBy("l_returnflag")
+    }),
+    "q_ols_multi" -> ((s, dir) => {
+      // multiple regression via the Gram-matrix aggregation + driver
+      // (k+1)×(k+1) solve; the DuckDB oracle re-solves the same normal
+      // equations by 3×3 Cramer cofactors — agreement pins the whole
+      // path (listwise filter, Gram sums, solve) to 2 decimals, the
+      // bound set by the system's conditioning, not the data pass
+      val m = Regression.olsFit(li(s, dir), "l_extendedprice",
+        Seq("l_quantity", "l_discount"))
+      import s.implicits._
+      m.features.indices.map(i =>
+          (m.features(i), math.rint(m.beta(i + 1) * 100) / 100))
+        .toDF("feature", "coef_r")
+        .union(Seq(("intercept", math.rint(m.beta(0) * 100) / 100))
+          .toDF("feature", "coef_r"))
+        .orderBy("feature")
+    }),
+    "q_logistic_quality" -> ((s, dir) => {
+      // IRLS logistic regression (3 fixed Newton steps from β=0 + one
+      // log-likelihood pass), trained ON the cluster — the quality-
+      // classifier shape. The oracle replays all three Newton steps as
+      // chained CTEs (2×2 solves in closed form) and the final ll with
+      // the same overflow-stable softplus, so the hash pins the entire
+      // iterate trajectory, not just the fixed point
+      val d = li(s, dir).withColumn("y",
+        (F.col("l_returnflag") === "R").cast("double"))
+      val m = Regression.logisticIrls(d, "y", Seq("l_discount"), iters = 3)
+      import s.implicits._
+      Seq((math.rint(m.beta(0) * 1e6) / 1e6,
+          math.rint(m.beta(1) * 1e6) / 1e6,
+          math.rint(m.logLik * 100) / 100, m.n))
+        .toDF("b0_r", "b1_r", "ll_r", "n")
     })
   )
 
@@ -4836,6 +4885,95 @@ object SparkEntry {
         |  AND l.event_type = 'click' AND r.event_type = 'purchase'
         |  AND epoch_us(r.ts) BETWEEN epoch_us(l.ts) - 3600000000
         |    AND epoch_us(l.ts)
-        |ORDER BY click_id, purchase_id""".stripMargin
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    "q_grouped_ols" ->
+      """WITH s AS (SELECT l_returnflag, count(*) AS n,
+        |    avg(l_quantity) AS mx, avg(l_extendedprice) AS my,
+        |    var_pop(l_quantity) AS vx, var_pop(l_extendedprice) AS vy,
+        |    covar_pop(l_quantity, l_extendedprice) AS cxy
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round(cxy / vx, 4) AS slope_r,
+        |  round(my - cxy / vx * mx, 4) AS intercept_r,
+        |  round(cxy * cxy / (vx * vy), 6) AS r2_r,
+        |  round(sqrt(n * vy * (1.0 - cxy * cxy / (vx * vy)) / (n - 2.0)),
+        |    4) AS resid_std_r,
+        |  round((cxy / vx) / sqrt(
+        |    (n * vy * (1.0 - cxy * cxy / (vx * vy)) / (n - 2.0)) / (n * vx)),
+        |    2) AS t_r
+        |FROM s WHERE n >= 3 AND vx > 0 AND vy > 0
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_ols_multi" ->
+      """WITH g AS (SELECT count(*) AS n,
+        |    sum(l_quantity) AS s1, sum(l_discount) AS s2,
+        |    sum(l_quantity * l_quantity) AS s11,
+        |    sum(l_quantity * l_discount) AS s12,
+        |    sum(l_discount * l_discount) AS s22,
+        |    sum(l_extendedprice) AS t0,
+        |    sum(l_quantity * l_extendedprice) AS t1,
+        |    sum(l_discount * l_extendedprice) AS t2
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_discount IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |d AS (SELECT
+        |    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s12 - s11 * s2) AS det,
+        |    t0 * (s11 * s22 - s12 * s12) - s1 * (t1 * s22 - s12 * t2)
+        |      + s2 * (t1 * s12 - s11 * t2) AS det0,
+        |    n * (t1 * s22 - s12 * t2) - t0 * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * t2 - t1 * s2) AS det1,
+        |    n * (s11 * t2 - t1 * s12) - s1 * (s1 * t2 - t1 * s2)
+        |      + t0 * (s1 * s12 - s11 * s2) AS det2
+        |  FROM g)
+        |SELECT feature, coef_r FROM (
+        |  SELECT 'intercept' AS feature,
+        |    round_even(det0 / det * 100.0, 0) / 100.0 AS coef_r FROM d
+        |  UNION ALL SELECT 'l_quantity',
+        |    round_even(det1 / det * 100.0, 0) / 100.0 FROM d
+        |  UNION ALL SELECT 'l_discount',
+        |    round_even(det2 / det * 100.0, 0) / 100.0 FROM d)
+        |ORDER BY feature""".stripMargin,
+    "q_logistic_quality" ->
+      """WITH base AS (SELECT l_discount AS x,
+        |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM lineitem
+        |  WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL),
+        |it1 AS (SELECT sum(0.25) AS h00, sum(0.25 * x) AS h01,
+        |    sum(0.25 * x * x) AS h11, sum(y - 0.5) AS g0,
+        |    sum((y - 0.5) * x) AS g1, count(*) AS n FROM base),
+        |b1 AS (SELECT (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+        |    (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1, n
+        |  FROM it1),
+        |p2 AS (SELECT y, x, b.b0 AS pb0, b.b1 AS pb1,
+        |    1.0 / (1.0 + exp(-(b.b0 + b.b1 * x))) AS p
+        |  FROM base CROSS JOIN b1 b),
+        |it2 AS (SELECT any_value(pb0) AS pb0, any_value(pb1) AS pb1,
+        |    sum(p * (1.0 - p)) AS h00, sum(p * (1.0 - p) * x) AS h01,
+        |    sum(p * (1.0 - p) * x * x) AS h11,
+        |    sum(y - p) AS g0, sum((y - p) * x) AS g1 FROM p2),
+        |b2 AS (SELECT
+        |    pb0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+        |    pb1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1
+        |  FROM it2),
+        |p3 AS (SELECT y, x, b.b0 AS pb0, b.b1 AS pb1,
+        |    1.0 / (1.0 + exp(-(b.b0 + b.b1 * x))) AS p
+        |  FROM base CROSS JOIN b2 b),
+        |it3 AS (SELECT any_value(pb0) AS pb0, any_value(pb1) AS pb1,
+        |    sum(p * (1.0 - p)) AS h00, sum(p * (1.0 - p) * x) AS h01,
+        |    sum(p * (1.0 - p) * x * x) AS h11,
+        |    sum(y - p) AS g0, sum((y - p) * x) AS g1 FROM p3),
+        |b3 AS (SELECT
+        |    pb0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+        |    pb1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1
+        |  FROM it3),
+        |ll AS (SELECT sum(y * z - (greatest(z, 0.0)
+        |      + ln(1.0 + exp(-abs(z))))) AS ll
+        |  FROM (SELECT y, b.b0 + b.b1 * x AS z FROM base CROSS JOIN b3 b))
+        |SELECT round_even(b3.b0 * 1e6, 0) / 1e6 AS b0_r,
+        |  round_even(b3.b1 * 1e6, 0) / 1e6 AS b1_r,
+        |  round_even(ll.ll * 100.0, 0) / 100.0 AS ll_r,
+        |  (SELECT n FROM b1) AS n
+        |FROM b3, ll""".stripMargin
   )
 }

@@ -1,0 +1,274 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, functions => F}
+
+/** Distributed regression over sufficient statistics — the modeling
+  * complement to [[GroupedFit]]'s distribution fitting.
+  *
+  * Three shapes, all built on the same principle: the data-sized part of
+  * the computation is ONE codegen'd aggregation (or a fixed small number
+  * of them), and the only thing that ever reaches the driver is a
+  * k×k Gram matrix — never rows.
+  *
+  *   - [[olsByGroup]]: simple linear regression per group. Slope,
+  *     intercept, R², residual variance and the slope's t-statistic are
+  *     all exact functions of {n, mean, var_pop, covar_pop}, so a
+  *     million groups cost one shuffle on the group key — the "fit a
+  *     trend per tenant / per domain / per feature-bucket" workload.
+  *   - [[olsFit]]: multiple linear regression (optionally ridge) for a
+  *     fixed small feature set. XᵀX and Xᵀy accumulate as k(k+1)/2 + k
+  *     plain `sum` columns in one pass; the (k+1)×(k+1) normal-equation
+  *     solve happens once on the driver. Exact (not SGD), deterministic,
+  *     and the per-row cost is codegen'd column arithmetic.
+  *   - [[logisticIrls]]: logistic regression by iteratively reweighted
+  *     least squares. Each Newton step is one aggregation producing the
+  *     gradient Xᵀ(y−p) and Hessian XᵀWX (W = diag p(1−p)); the driver
+  *     solves k×k and broadcasts the updated β inside the next
+  *     iteration's column expressions. A fixed iteration count keeps the
+  *     result deterministic and the pass count bounded — the standard
+  *     distributed-GLM shape (finite passes, no row ever collected),
+  *     which is how a quality classifier gets trained ON the cluster at
+  *     corpus scale.
+  *
+  * Reference analogue: the reference stops at distribution fitting; a
+  * training-data pipeline also needs conditional models ("does quality
+  * predict retention", "score documents by a trained filter") — this is
+  * that layer, built scale-first.
+  */
+object Regression {
+
+  /** Simple (one-regressor) OLS per group in one aggregation.
+    *
+    * Output: one row per group with n, slope, intercept, r2, resid_var
+    * (unbiased, df = n−2), slope_se, t_stat. Groups with n < 3 or zero
+    * x-variance are omitted (per-group absence over sentinels, the
+    * [[GroupedFit]] convention). Rows where either column is null/NaN
+    * are excluded pairwise.
+    */
+  def olsByGroup(df: DataFrame, yCol: String, xCol: String,
+                 groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val x = F.col(xCol).cast("double")
+    val y = F.col(yCol).cast("double")
+    val clean = df
+      .where(x.isNotNull && y.isNotNull && !F.isnan(x) && !F.isnan(y))
+      .select(groupCols.map(F.col) :+ x.as("__x") :+ y.as("__y"): _*)
+    val agged = clean.groupBy(groupCols.map(F.col): _*).agg(
+      F.count(F.lit(1)).as("n"),
+      F.avg("__x").as("mx"),
+      F.avg("__y").as("my"),
+      F.var_pop("__x").as("vx"),
+      F.var_pop("__y").as("vy"),
+      F.covar_pop("__x", "__y").as("cxy"))
+    val n = F.col("n").cast("double")
+    val vx = F.col("vx"); val vy = F.col("vy"); val cxy = F.col("cxy")
+    val slope = cxy / vx
+    val intercept = F.col("my") - slope * F.col("mx")
+    // r² = ρ² = c²/(vx·vy); residual SS = n·vy·(1−r²); σ̂² uses df n−2
+    val r2 = (cxy * cxy) / (vx * vy)
+    val residVar = n * vy * (F.lit(1.0) - r2) / (n - 2.0)
+    val slopeSe = F.sqrt(residVar / (n * vx))
+    agged
+      .where(F.col("n") >= 3 && vx > 0.0 && vy > 0.0)
+      .select(groupCols.map(F.col) :+ F.col("n") :+
+        slope.as("slope") :+ intercept.as("intercept") :+ r2.as("r2") :+
+        residVar.as("resid_var") :+ slopeSe.as("slope_se") :+
+        (slope / slopeSe).as("t_stat"): _*)
+  }
+
+  /** A fitted linear model: coefficient vector aligned to
+    * `"intercept" +: features`, plus fit diagnostics. */
+  final case class LinearModel(features: Seq[String], beta: Array[Double],
+                               n: Long, r2: Double) {
+    /** The model's prediction as a codegen'd column over `df`'s columns. */
+    def predict: Column =
+      features.zipWithIndex.foldLeft(F.lit(beta(0))) { case (acc, (f, i)) =>
+        acc + F.col(f).cast("double") * beta(i + 1)
+      }
+    def toDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      ("intercept" +: features).zip(beta.toSeq).toDF("feature", "coef")
+    }
+  }
+
+  /** Multiple linear regression (ridge when `lambda > 0`) via one
+    * Gram-matrix aggregation + a driver-side (k+1)×(k+1) solve.
+    *
+    * The intercept is always included and never penalized. Rows with any
+    * null/NaN feature or label are excluded listwise. Exact normal
+    * equations — deterministic up to float summation order.
+    */
+  def olsFit(df: DataFrame, yCol: String, xCols: Seq[String],
+             lambda: Double = 0.0): LinearModel = {
+    require(xCols.nonEmpty, "need at least one feature")
+    val k = xCols.length + 1 // + intercept
+    val feats = F.lit(1.0) +: xCols.map(c => F.col(c).cast("double"))
+    val y = F.col(yCol).cast("double")
+    val ok = (xCols.map(F.col(_).cast("double")) :+ y)
+      .map(c => c.isNotNull && !F.isnan(c)).reduce(_ && _)
+    // upper-triangle of XᵀX, then Xᵀy, then Σy, Σy², n
+    val gramCols =
+      (for { i <- 0 until k; j <- i until k }
+        yield F.sum(feats(i) * feats(j)).as(s"g_${i}_$j")) ++
+      (0 until k).map(i => F.sum(feats(i) * y).as(s"xy_$i")) :+
+      F.sum(y).as("sy") :+ F.sum(y * y).as("syy") :+
+      F.count(F.lit(1)).as("n")
+    val r: Row = df.where(ok).agg(gramCols.head, gramCols.tail: _*).head()
+    val n = r.getAs[Long]("n")
+    require(n > k, s"need more than $k rows, got $n")
+    val a = Array.ofDim[Double](k, k)
+    for { i <- 0 until k; j <- i until k } {
+      a(i)(j) = r.getAs[Double](s"g_${i}_$j"); a(j)(i) = a(i)(j)
+    }
+    if (lambda > 0.0) (1 until k).foreach(i => a(i)(i) += lambda)
+    val b = Array.tabulate(k)(i => r.getAs[Double](s"xy_$i"))
+    val beta = solve(a, b)
+    // R² from the same pass: SSR = Σy² − 2βᵀXᵀy + βᵀXᵀXβ, SST = Σy² − n·ȳ²
+    val xty = Array.tabulate(k)(i => r.getAs[Double](s"xy_$i"))
+    val xtx = Array.tabulate(k, k)((i, j) =>
+      r.getAs[Double](s"g_${math.min(i, j)}_${math.max(i, j)}"))
+    val ssr = r.getAs[Double]("syy") -
+      2.0 * dot(beta, xty) + dot(beta, matVec(xtx, beta))
+    val sy = r.getAs[Double]("sy")
+    val sst = r.getAs[Double]("syy") - sy * sy / n
+    LinearModel(xCols, beta, n, if (sst > 0) 1.0 - ssr / sst else 0.0)
+  }
+
+  /** A fitted logistic model: β aligned to `"intercept" +: features`,
+    * final-β log-likelihood, row count, and the fixed iteration count. */
+  final case class LogisticModel(features: Seq[String], beta: Array[Double],
+                                 logLik: Double, n: Long, iterations: Int) {
+    /** P(y=1 | x) as a codegen'd column (the quality-scorer surface). */
+    def score: Column = {
+      val z = features.zipWithIndex.foldLeft(F.lit(beta(0))) {
+        case (acc, (f, i)) => acc + F.col(f).cast("double") * beta(i + 1)
+      }
+      F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    }
+  }
+
+  /** Logistic regression by IRLS / Newton with a FIXED iteration count.
+    *
+    * β starts at 0 (so pass 1 sees p = ½ exactly); each of the `iters`
+    * passes aggregates gradient and Hessian as plain sums with the
+    * current β folded into the column expressions (broadcast by value —
+    * it is just literals in the plan), and one final pass evaluates the
+    * log-likelihood at the final β. Total jobs: iters + 1, independent
+    * of data size; no row data ever reaches the driver.
+    *
+    * `lambda` adds an L2 penalty (intercept exempt) to the Hessian and
+    * gradient — the standard stabilizer for separable data. Fixed
+    * `iters` (Newton converges quadratically; 4–8 is plenty for k ≤ 10)
+    * keeps the output deterministic and SQL-replayable.
+    */
+  def logisticIrls(df: DataFrame, labelCol: String, xCols: Seq[String],
+                   iters: Int = 6, lambda: Double = 0.0): LogisticModel = {
+    require(xCols.nonEmpty, "need at least one feature")
+    require(iters >= 1, "need at least one IRLS iteration")
+    val k = xCols.length + 1
+    val feats = F.lit(1.0) +: xCols.map(c => F.col(c).cast("double"))
+    val y = F.col(labelCol).cast("double")
+    val ok = (xCols.map(F.col(_).cast("double")) :+ y)
+      .map(c => c.isNotNull && !F.isnan(c)).reduce(_ && _)
+    val clean = df.where(ok)
+    var beta = Array.fill(k)(0.0)
+    var n = 0L
+    var it = 0
+    while (it < iters) {
+      val z = feats.zipWithIndex.foldLeft(F.lit(0.0)) {
+        case (acc, (f, i)) => acc + f * beta(i)
+      }
+      val p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+      val w = p * (F.lit(1.0) - p)
+      val cols =
+        (for { i <- 0 until k; j <- i until k }
+          yield F.sum(w * feats(i) * feats(j)).as(s"h_${i}_$j")) ++
+        (0 until k).map(i => F.sum((y - p) * feats(i)).as(s"g_$i")) :+
+        F.count(F.lit(1)).as("n")
+      val r = clean.agg(cols.head, cols.tail: _*).head()
+      n = r.getAs[Long]("n")
+      val h = Array.ofDim[Double](k, k)
+      for { i <- 0 until k; j <- i until k } {
+        h(i)(j) = r.getAs[Double](s"h_${i}_$j"); h(j)(i) = h(i)(j)
+      }
+      val g = Array.tabulate(k)(i => r.getAs[Double](s"g_$i"))
+      if (lambda > 0.0) (1 until k).foreach { i =>
+        h(i)(i) += lambda; g(i) -= lambda * beta(i)
+      }
+      val delta = solve(h, g)
+      beta = Array.tabulate(k)(i => beta(i) + delta(i))
+      it += 1
+    }
+    // final log-likelihood at the FINAL β: ll = Σ [y·z − ln(1+eᶻ)],
+    // written with log1p-style guard via the stable two-branch form
+    val zF = feats.zipWithIndex.foldLeft(F.lit(0.0)) {
+      case (acc, (f, i)) => acc + f * beta(i)
+    }
+    // ln(1+e^z) = max(z,0) + ln(1+e^{−|z|}) — no overflow either side
+    val softplus = F.greatest(zF, F.lit(0.0)) +
+      F.log(F.lit(1.0) + F.exp(-F.abs(zF)))
+    val ll = clean.agg(F.sum(y * zF - softplus).as("ll")).head()
+      .getAs[Double]("ll")
+    LogisticModel(xCols, beta, ll, n, iters)
+  }
+
+  // --- small dense linear algebra (k ≤ ~dozens; driver-side only) ---
+
+  /** Gaussian elimination with partial pivoting; mutates copies.
+    * Singularity is judged against the input's magnitude (an exactly
+    * collinear Gram matrix eliminates to ~1e-10 pivots, not 0.0). */
+  private[graft] def solve(aIn: Array[Array[Double]],
+                           bIn: Array[Double]): Array[Double] = {
+    val k = bIn.length
+    val a = Array.tabulate(k, k)((i, j) => aIn(i)(j))
+    val b = bIn.clone()
+    var scale = 0.0
+    for { i <- 0 until k; j <- 0 until k }
+      scale = math.max(scale, math.abs(a(i)(j)))
+    require(scale > 0.0, "zero system")
+    var col = 0
+    while (col < k) {
+      var piv = col; var best = math.abs(a(col)(col))
+      var r = col + 1
+      while (r < k) {
+        val v = math.abs(a(r)(col)); if (v > best) { best = v; piv = r }
+        r += 1
+      }
+      require(best > scale * 1e-12, s"singular system at column $col")
+      if (piv != col) {
+        val tmp = a(piv); a(piv) = a(col); a(col) = tmp
+        val tb = b(piv); b(piv) = b(col); b(col) = tb
+      }
+      r = col + 1
+      while (r < k) {
+        val f = a(r)(col) / a(col)(col)
+        if (f != 0.0) {
+          var j = col
+          while (j < k) { a(r)(j) -= f * a(col)(j); j += 1 }
+          b(r) -= f * b(col)
+        }
+        r += 1
+      }
+      col += 1
+    }
+    val x = new Array[Double](k)
+    var i = k - 1
+    while (i >= 0) {
+      var s = b(i); var j = i + 1
+      while (j < k) { s -= a(i)(j) * x(j); j += 1 }
+      x(i) = s / a(i)(i)
+      i -= 1
+    }
+    x
+  }
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private def matVec(m: Array[Array[Double]],
+                     v: Array[Double]): Array[Double] =
+    Array.tabulate(v.length)(i => dot(m(i), v))
+}

@@ -1,0 +1,168 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.{SparkSession, functions => F}
+import graft.operators._
+
+/** Regression operators: per-group OLS, Gram-matrix OLS/ridge, IRLS
+  * logistic. Recovery tests use deterministic constructions (no RNG). */
+class RegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-regression-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("olsByGroup recovers per-group slope/intercept on near-exact data") {
+    import spark.implicits._
+    // y = a_g + b_g·x + alternating ±1 "noise" (mean-zero, x-orthogonal
+    // over full periods so the OLS estimate stays exactly (a_g, b_g))
+    val rows = for {
+      (g, a, b) <- Seq(("g1", 2.0, 3.0), ("g2", -1.0, 0.5))
+      i <- 0 until 400
+    } yield (g, i.toDouble, a + b * i + (if (i % 2 == 0) 1.0 else -1.0))
+    val df = rows.toDF("g", "x", "y").repartition(4)
+    val out = Regression.olsByGroup(df, "y", "x", Seq("g"))
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out.keySet == Set("g1", "g2"))
+    val g1 = out("g1")
+    // ±1 alternating over an even count of consecutive integers is
+    // exactly orthogonal to x's centered values? Not exactly — allow a
+    // small tolerance driven by the 1/n cross-term.
+    assert(math.abs(g1.getAs[Double]("slope") - 3.0) < 0.01)
+    assert(math.abs(g1.getAs[Double]("intercept") - 2.0) < 1.5)
+    assert(g1.getAs[Double]("r2") > 0.999)
+    assert(g1.getAs[Double]("t_stat") > 100.0)
+    val g2 = out("g2")
+    assert(math.abs(g2.getAs[Double]("slope") - 0.5) < 0.01)
+    // resid_var ≈ 1 (the ±1 noise has unit variance; df-corrected)
+    assert(math.abs(g2.getAs[Double]("resid_var") - 1.0) < 0.05)
+  }
+
+  test("olsByGroup omits degenerate groups and agrees with olsFit") {
+    import spark.implicits._
+    val rows =
+      (0 until 100).map(i => ("ok", i.toDouble, 1.0 + 2.0 * i +
+        (if (i % 2 == 0) 0.5 else -0.5))) ++
+      Seq(("const_x", 1.0, 3.0), ("const_x", 1.0, 4.0), ("const_x", 1.0, 5.0)) ++
+      Seq(("tiny", 1.0, 2.0), ("tiny", 2.0, 3.0))
+    val df = rows.toDF("g", "x", "y")
+    val out = Regression.olsByGroup(df, "y", "x", Seq("g")).collect()
+    assert(out.map(_.getAs[String]("g")).toSet == Set("ok"),
+      "zero-x-variance and n<3 groups must be omitted")
+    val grp = out.head
+    val m = Regression.olsFit(df.where($"g" === "ok"), "y", Seq("x"))
+    assert(math.abs(grp.getAs[Double]("slope") - m.beta(1)) < 1e-8)
+    assert(math.abs(grp.getAs[Double]("intercept") - m.beta(0)) < 1e-8)
+  }
+
+  test("olsFit recovers exact multi-feature coefficients; ridge shrinks") {
+    import spark.implicits._
+    val rows = (0 until 500).map { i =>
+      val x1 = (i % 17).toDouble
+      val x2 = ((i * 7) % 13).toDouble
+      (x1, x2, 1.0 + 2.0 * x1 - 3.0 * x2)
+    }
+    val df = rows.toDF("x1", "x2", "y")
+    val m = Regression.olsFit(df, "y", Seq("x1", "x2"))
+    assert(math.abs(m.beta(0) - 1.0) < 1e-8)
+    assert(math.abs(m.beta(1) - 2.0) < 1e-8)
+    assert(math.abs(m.beta(2) + 3.0) < 1e-8)
+    assert(m.r2 > 1.0 - 1e-12 && m.n == 500)
+    // predict column reproduces y exactly on the noiseless data
+    val maxErr = df.select(
+      F.max(F.abs(m.predict - F.col("y"))).as("e")).head().getAs[Double]("e")
+    assert(maxErr < 1e-8)
+    // ridge shrinks the slope coefficients toward zero, intercept exempt
+    val r = Regression.olsFit(df, "y", Seq("x1", "x2"), lambda = 1000.0)
+    assert(math.abs(r.beta(1)) < math.abs(m.beta(1)))
+    assert(math.abs(r.beta(2)) < math.abs(m.beta(2)))
+    // collinear features → singular normal equations must fail fast
+    val dup = df.withColumn("x3", F.col("x1") * 2.0)
+    intercept[IllegalArgumentException] {
+      Regression.olsFit(dup, "y", Seq("x1", "x3"))
+    }
+  }
+
+  test("logisticIrls one Newton step matches the local closed form") {
+    import spark.implicits._
+    val rows = (0 until 1000).map { i =>
+      val x = (i % 21).toDouble / 10.0 - 1.0
+      val label = if ((i * 0.61803398875) % 1.0 <
+        1.0 / (1.0 + math.exp(-(0.4 + 1.5 * x)))) 1.0 else 0.0
+      (x, label)
+    }
+    val df = rows.toDF("x", "y")
+    val m1 = Regression.logisticIrls(df, "y", Seq("x"), iters = 1)
+    // independent local re-derivation: β₁ = (¼XᵀX)⁻¹ Xᵀ(y−½)
+    var (s1, sx, sxx, g0, g1) = (0.0, 0.0, 0.0, 0.0, 0.0)
+    rows.foreach { case (x, y) =>
+      s1 += 0.25; sx += 0.25 * x; sxx += 0.25 * x * x
+      g0 += y - 0.5; g1 += (y - 0.5) * x
+    }
+    val det = s1 * sxx - sx * sx
+    val b0 = (sxx * g0 - sx * g1) / det
+    val b1 = (s1 * g1 - sx * g0) / det
+    assert(math.abs(m1.beta(0) - b0) < 1e-9, s"${m1.beta(0)} vs $b0")
+    assert(math.abs(m1.beta(1) - b1) < 1e-9, s"${m1.beta(1)} vs $b1")
+  }
+
+  test("logisticIrls recovers planted coefficients and scores sanely") {
+    import spark.implicits._
+    val rows = (0 until 8000).map { i =>
+      val x = (i % 61).toDouble / 10.0 - 3.0
+      val p = 1.0 / (1.0 + math.exp(-(0.5 + 1.2 * x)))
+      // golden-ratio low-discrepancy sequence as the deterministic
+      // uniform draw — no RNG, reproducible across runs
+      val label = if ((i * 0.61803398875) % 1.0 < p) 1.0 else 0.0
+      (x, label)
+    }
+    val df = rows.toDF("x", "y").repartition(4)
+    val m = Regression.logisticIrls(df, "y", Seq("x"), iters = 8)
+    assert(math.abs(m.beta(0) - 0.5) < 0.15, s"b0=${m.beta(0)}")
+    assert(math.abs(m.beta(1) - 1.2) < 0.15, s"b1=${m.beta(1)}")
+    assert(m.logLik < 0.0 && m.n == 8000)
+    // Newton has converged: extra iterations do not move β materially
+    val m12 = Regression.logisticIrls(df, "y", Seq("x"), iters = 12)
+    assert(math.abs(m12.beta(1) - m.beta(1)) < 1e-9)
+    // score column is a calibrated probability: monotone in x, in (0,1)
+    val sc = df.select(F.col("x"), m.score.as("s"))
+      .groupBy("x").agg(F.first("s").as("s")).orderBy("x")
+      .collect().map(_.getAs[Double]("s"))
+    assert(sc.forall(s => s > 0.0 && s < 1.0))
+    assert(sc.zip(sc.tail).forall { case (a, b) => a < b })
+  }
+
+  test("ridge-regularized logistic handles perfectly separable data") {
+    import spark.implicits._
+    val rows = (0 until 200).map { i =>
+      val x = i.toDouble - 100.0
+      (x, if (x > 0) 1.0 else 0.0)
+    }
+    val df = rows.toDF("x", "y")
+    // unpenalized Newton on separable data diverges (‖β‖ → ∞, Hessian
+    // → singular); L2 keeps it finite and the solve well-posed
+    val m = Regression.logisticIrls(df, "y", Seq("x"), iters = 8,
+      lambda = 1.0)
+    assert(m.beta(1) > 0.0 && m.beta(1) < 100.0)
+    assert(!m.beta.exists(b => b.isNaN || b.isInfinite))
+  }
+
+  test("solve: pinned 3×3 system with pivoting") {
+    val a = Array(
+      Array(0.0, 2.0, 1.0),
+      Array(1.0, -2.0, -3.0),
+      Array(-1.0, 1.0, 2.0))
+    val b = Array(-8.0, 0.0, 3.0)
+    val x = Regression.solve(a, b)
+    // hand-solved: x = (-4, -5, 2)
+    assert(math.abs(x(0) + 4.0) < 1e-12)
+    assert(math.abs(x(1) + 5.0) < 1e-12)
+    assert(math.abs(x(2) - 2.0) < 1e-12)
+  }
+}
