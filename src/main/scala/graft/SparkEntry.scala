@@ -2387,7 +2387,62 @@ object SparkEntry {
           math.rint(m.beta(1) * 1e6) / 1e6,
           math.rint(m.logLik * 100) / 100, m.n))
         .toDF("b0_r", "b1_r", "ll_r", "n")
-    })
+    }),
+    "q_bpe_pairs" -> ((s, dir) =>
+      // BPE round-1 statistics: adjacent char-pair counts weighted by
+      // word frequency — the only corpus-sized pass is the word count;
+      // pair generation runs over the (much smaller) distinct-word
+      // table. The [a-z]+ token filter pins the symbol alphabet so
+      // substr replays identically in DuckDB
+      TextOps.bpePairCounts(docs(s, dir), "doc_id", "text", 50,
+        tokenRegex = "^[a-z]+$")),
+    "q_bpe_merges" -> ((s, dir) =>
+      // greedy BPE merge learning (8 rounds over the vocab table);
+      // deterministic tie-break, rows-only in the harness — the
+      // iterative rewrite isn't SQL, but OpsSpec pins the classic
+      // hand-computable example
+      TextOps.bpeMerges(docs(s, dir), "doc_id", "text", numMerges = 8)
+        .orderBy("merge_rank")),
+    "q_bigram_logprob" -> ((s, dir) =>
+      // interpolated bigram-LM quality score (the rung above
+      // q_unigram_logprob): map-side bigram construction, three
+      // vocabulary-sized count tables, slice tf broadcast to each —
+      // DuckDB replays the full interpolation
+      TextOps.bigramLogProb(docs(s, dir),
+          docs(s, dir).where(F.col("doc_id") < 100), "doc_id", "text")
+        .orderBy("id")),
+    "q_containment" -> ((s, dir) =>
+      // asymmetric n-gram containment — the doc-contains-doc dedup case
+      // Jaccard misses; inverted-index join with the stop-gram cap,
+      // per-direction containment against full pre-cap gram sizes
+      Dedup.containmentPairs(docs(s, dir), "doc_id", "text", n = 3,
+          threshold = 0.5, maxShingleFreq = 200)
+        .select(F.col("id_a"), F.col("id_b"), F.col("shared"),
+          F.col("size_a"), F.col("size_b"),
+          F.round(F.col("c_a"), 6).as("c_a_r"),
+          F.round(F.col("c_b"), 6).as("c_b_r"))
+        .orderBy("id_a", "id_b")),
+    "q_rank_transform" -> ((s, dir) =>
+      // rank-based inverse transform: plotting-position u through the
+      // dist_ppf scalar (exponentialize the events.value marginal) —
+      // prefix-sum ranks, no global window; ties transform identically
+      Ranks.rankInverseTransform(
+          events(s, dir).where(F.col("value").isNotNull &&
+            !F.isnan(F.col("value"))),
+          "value", "expon", Seq(0.0, 1.0))
+        .select(F.col("event_id"), F.round(F.col("u"), 6).as("u_r"),
+          F.round(F.col("transformed"), 6).as("x_r"))
+        .orderBy("event_id")),
+    "q_skew_report" -> ((s, dir) =>
+      // the pre-join skew diagnostic: key cardinality, hottest-key
+      // mass, exact count quantiles, max/mean ratio and the integer
+      // salt suggestion — two aggregations, key-sized state
+      SkewJoin.skewReport(events(s, dir), Seq("user_id"),
+        partitions = 32)),
+    "q_key_skew" -> ((s, dir) =>
+      // top-k heaviest keys with table share — the broadcast/salt/plain
+      // decision table; deterministic tie-break on (count desc, key)
+      SkewJoin.keySkewProfile(events(s, dir), Seq("user_id"), k = 20))
   )
 
   /** The 7-family closed-form fits CTE shared by every grouped-fit
@@ -4974,6 +5029,95 @@ object SparkEntry {
         |  round_even(b3.b1 * 1e6, 0) / 1e6 AS b1_r,
         |  round_even(ll.ll * 100.0, 0) / 100.0 AS ll_r,
         |  (SELECT n FROM b1) AS n
-        |FROM b3, ll""".stripMargin
+        |FROM b3, ll""".stripMargin,
+    "q_bpe_pairs" ->
+      """WITH tok AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |    x -> x <> '')) AS t FROM documents),
+        |w AS (SELECT t, count(*) AS wc FROM tok
+        |  WHERE regexp_matches(t, '^[a-z]+$') GROUP BY t),
+        |p AS (SELECT unnest(list_transform(range(1, len(t)),
+        |    i -> substr(t, i, 2))) AS pair, wc FROM w WHERE len(t) >= 2)
+        |SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
+    "q_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |    x -> x <> '') AS w FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS b FROM t WHERE len(w) >= 2),
+        |big AS (SELECT b, count(*) AS cb FROM bg GROUP BY b),
+        |m1 AS (SELECT split_part(b, ' ', 1) AS w1, sum(cb) AS c1
+        |  FROM big GROUP BY 1),
+        |uni AS (SELECT unnest(w) AS token FROM t),
+        |freq AS (SELECT token, count(*) AS cu FROM uni GROUP BY token),
+        |tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS nt FROM freq),
+        |tf AS (SELECT doc_id, b, count(*) AS tf FROM bg
+        |  WHERE doc_id < 100 GROUP BY doc_id, b)
+        |SELECT tf.doc_id AS id, CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+        |  round(sum(tf.tf * ln(0.7 * big.cb / m1.c1
+        |      + (1.0 - 0.7) * freq.cu / tot.nt))
+        |    / CAST(sum(tf.tf) AS DOUBLE), 6) AS mean_logprob
+        |FROM tf JOIN big USING (b)
+        |  JOIN m1 ON m1.w1 = split_part(tf.b, ' ', 1)
+        |  JOIN freq ON freq.token = split_part(tf.b, ' ', 2), tot
+        |GROUP BY tf.doc_id ORDER BY id""".stripMargin,
+    "q_containment" ->
+      """WITH t AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |    x -> x <> '') AS w FROM documents),
+        |g0 AS (SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+        |  FROM t WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM g0 GROUP BY doc_id),
+        |ok AS (SELECT g FROM g0 GROUP BY g
+        |  HAVING count(*) BETWEEN 2 AND 200),
+        |k AS (SELECT doc_id, g FROM g0 JOIN ok USING (g)),
+        |sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*) AS shared
+        |  FROM k a JOIN k b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT sh.id_a, sh.id_b, sh.shared, sa.sz AS size_a,
+        |  sb.sz AS size_b,
+        |  round(sh.shared / CAST(sa.sz AS DOUBLE), 6) AS c_a_r,
+        |  round(sh.shared / CAST(sb.sz AS DOUBLE), 6) AS c_b_r
+        |FROM sh JOIN sz sa ON sh.id_a = sa.doc_id
+        |  JOIN sz sb ON sh.id_b = sb.doc_id
+        |WHERE greatest(sh.shared / CAST(sa.sz AS DOUBLE),
+        |  sh.shared / CAST(sb.sz AS DOUBLE)) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_rank_transform" ->
+      """WITH v AS (SELECT event_id, value FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)),
+        |r AS (SELECT event_id,
+        |    rank() OVER (ORDER BY value) AS rk,
+        |    count(*) OVER () AS n FROM v)
+        |SELECT event_id, round((rk - 0.5) / n, 6) AS u_r,
+        |  round(-ln(1.0 - (rk - 0.5) / n), 6) AS x_r
+        |FROM r ORDER BY event_id""".stripMargin,
+    "q_skew_report" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events
+        |  GROUP BY user_id),
+        |s AS (SELECT count(*) AS n_keys,
+        |    CAST(sum(cnt) AS BIGINT) AS n_rows, max(cnt) AS max_cnt,
+        |    avg(cnt) AS mean_raw,
+        |    quantile_cont(cnt, 0.5) AS p50_cnt,
+        |    quantile_cont(cnt, 0.9) AS p90_cnt,
+        |    quantile_cont(cnt, 0.99) AS p99_cnt
+        |  FROM c)
+        |SELECT n_keys, n_rows, max_cnt, round(mean_raw, 4) AS mean_cnt,
+        |  p50_cnt, p90_cnt, p99_cnt,
+        |  round(CAST(max_cnt AS DOUBLE) * n_keys / n_rows, 4)
+        |    AS skew_ratio,
+        |  greatest(1, CAST(ceil(CAST(max_cnt AS DOUBLE) * 32 / n_rows)
+        |    AS BIGINT)) AS salt_suggest
+        |FROM s""".stripMargin,
+    "q_key_skew" ->
+      """WITH tot AS (SELECT count(*) AS n FROM events)
+        |SELECT user_id, count(*) AS n_rows,
+        |  round(count(*) / CAST(tot.n AS DOUBLE), 6) AS share
+        |FROM events, tot GROUP BY user_id, tot.n
+        |ORDER BY n_rows DESC, user_id ASC LIMIT 20""".stripMargin
   )
 }

@@ -408,6 +408,46 @@ object Dedup {
       .distinct()
   }
 
+  /** Asymmetric n-gram containment pairs — the doc-contains-doc case
+    * Jaccard structurally misses: a 50-gram doc fully embedded in a
+    * 5000-gram doc has Jaccard ≈ 0.01 but containment 1.0 (quote farms,
+    * boilerplate wrappers, page-of-a-book dupes).
+    *
+    * Same inverted-index shape as [[shingleSharePairs]]: distinct grams
+    * explode (id + gram, never text), stop-grams above `maxShingleFreq`
+    * drop map-side (observed by the caller via the returned plan's
+    * filter, same skew-guard contract), the self-join runs on the gram
+    * key, and ONE count aggregation per pair yields the shared-gram
+    * count. Containment in each direction divides by the full distinct-
+    * gram size of that doc (computed before the frequency cap, so a doc
+    * made of pure boilerplate scores low rather than spuriously high).
+    *
+    * @return (id_a, id_b, shared, size_a, size_b, c_a, c_b) with
+    *         id_a < id_b and max(c_a, c_b) ≥ threshold */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.8,
+                       maxShingleFreq: Int = 100): DataFrame = {
+    val shUdf = F.udf((t: String) => tokenNgrams(if (t == null) "" else t, n).distinct)
+    val ex = df.select(F.col(idCol).cast("long").as("id"),
+        F.explode(shUdf(F.col(textCol))).as("g"))
+    val sizes = ex.groupBy("id").agg(F.count(F.lit(1)).as("sz"))
+    val ok = ex.groupBy("g").agg(F.count(F.lit(1)).as("nf"))
+      .where(F.col("nf").between(2, maxShingleFreq))
+      .select("g")
+    val keyed = ex.join(ok, Seq("g"), "left_semi")
+    val shared = keyed.as("a").join(keyed.as("b"),
+        F.col("a.g") === F.col("b.g") && F.col("a.id") < F.col("b.id"))
+      .groupBy(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"))
+      .agg(F.count(F.lit(1)).as("shared"))
+    shared
+      .join(sizes.select(F.col("id").as("id_a"), F.col("sz").as("size_a")), "id_a")
+      .join(sizes.select(F.col("id").as("id_b"), F.col("sz").as("size_b")), "id_b")
+      .withColumn("c_a", F.col("shared").cast("double") / F.col("size_a"))
+      .withColumn("c_b", F.col("shared").cast("double") / F.col("size_b"))
+      .where(F.greatest(F.col("c_a"), F.col("c_b")) >= threshold)
+      .select("id_a", "id_b", "shared", "size_a", "size_b", "c_a", "c_b")
+  }
+
   /** Duplicated-substring span detection — the exact-substring dedup of
     * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
     * Better") re-expressed relationally, trading their suffix array for

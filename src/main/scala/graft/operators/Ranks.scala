@@ -79,6 +79,45 @@ object Ranks {
       .drop("__v", "__rk")
   }
 
+  /** Rank-based inverse transform ("quantile normalization"): map each
+    * value to its plotting position u = (min-rank − ½)/n and through a
+    * target distribution's PPF — the feature-engineering move that
+    * forces ANY empirical marginal into a chosen shape (Gaussianize a
+    * heavy-tailed feature, uniformize a score before calibration).
+    *
+    * Ranks come from the prefix-sum construction above (no global
+    * window); the PPF is the SAME `dist_ppf` scalar the samplers and
+    * the SQL surface use, so every registered family is a valid target
+    * and the parameter convention is shared. Ties (equal values) get
+    * equal min-ranks and therefore identical transformed values —
+    * deterministic under any partitioning. Null/NaN rows pass through
+    * with a null transform.
+    *
+    * @param params scipy-convention parameters ([shape...], loc, scale)
+    * @return `df` + `uCol` (the plotting position) + `outCol` */
+  def rankInverseTransform(df: DataFrame, column: String,
+                           dist: String, params: Seq[Double],
+                           outCol: String = "transformed",
+                           uCol: String = "u"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val v = F.col(column).cast("double")
+    val (n, ranks0) = minRanksWithN(df, column, "__rk")
+    if (n == 0L)
+      return df.withColumn(uCol, F.lit(null).cast("double"))
+        .withColumn(outCol, F.lit(null).cast("double"))
+    val ranks = ranks0.withColumnRenamed(column, "__v")
+    val u = (F.col("__rk") - 0.5) / n.toDouble
+    val ppf = ColumnBridge.column(graft.functions.DistScalar.build("ppf",
+      Seq(ColumnBridge.expression(F.lit(dist)),
+        ColumnBridge.expression(F.array(params.map(F.lit): _*)),
+        ColumnBridge.expression(F.col(uCol))),
+      Map.empty, Map.empty))
+    df.join(ranks, v === F.col("__v"), "left")
+      .withColumn(uCol, u)
+      .withColumn(outCol, ppf)
+      .drop("__v", "__rk")
+  }
+
   /** Spearman rank correlation of two columns with SQL rank() (min-rank)
     * tie semantics — Pearson correlation over joined rank tables. The
     * result is computed eagerly so the rank tables' cache lifecycle ends

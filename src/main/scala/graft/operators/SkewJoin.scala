@@ -61,4 +61,51 @@ object SkewJoin {
       .orderBy((F.col("n_rows").desc +: keys.map(F.col(_).asc)): _*)
       .limit(k)
   }
+
+  /** One-row skew report over a key's count distribution — the numbers
+    * an operator (or an engineer) reads before picking a join strategy
+    * at scale: key cardinality, hottest-key mass, count quantiles, the
+    * max/mean skew ratio, and a suggested salt factor.
+    *
+    * Two aggregations total: per-key counts (one map-side-combined
+    * shuffle, state = key cardinality), then a single summary row over
+    * the counts. Quantiles are exact by default (a sort-based aggregate
+    * over KEY-cardinality rows, not data rows); pass `exact = false`
+    * at 10⁸⁺-key scale to swap in `approx_percentile` — same schema,
+    * sketch-bounded memory.
+    *
+    * `salt_suggest` = ceil(max_cnt · partitions / n_rows), clamped to
+    * ≥ 1: how many even-partition-loads the hottest key alone weighs.
+    * 1 means "no salting needed"; k means "split the hot keys k ways
+    * before they straggle the join" — integer arithmetic, replayable.
+    */
+  def skewReport(df: DataFrame, keys: Seq[String], partitions: Int,
+                 exact: Boolean = true): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(partitions >= 1, "partitions must be >= 1")
+    val counts = df.groupBy(keys.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("cnt"))
+    def pct(p: Double) =
+      if (exact) F.percentile(F.col("cnt"), F.lit(p))
+      else F.approx_percentile(F.col("cnt"), F.lit(p), F.lit(10000))
+    counts.agg(
+        F.count(F.lit(1)).as("n_keys"),
+        F.sum("cnt").cast("long").as("n_rows"),
+        F.max("cnt").as("max_cnt"),
+        F.avg("cnt").as("__mean_raw"),
+        pct(0.5).as("p50_cnt"), pct(0.9).as("p90_cnt"),
+        pct(0.99).as("p99_cnt"))
+      // ratio from the integer aggregates (exact, replayable), not the
+      // display-rounded mean
+      .withColumn("skew_ratio",
+        F.round(F.col("max_cnt").cast("double") * F.col("n_keys") /
+          F.col("n_rows"), 4))
+      .withColumn("salt_suggest",
+        F.greatest(F.lit(1L),
+          F.ceil(F.col("max_cnt").cast("double") * partitions /
+            F.col("n_rows"))))
+      .withColumn("mean_cnt", F.round(F.col("__mean_raw"), 4))
+      .select("n_keys", "n_rows", "max_cnt", "mean_cnt", "p50_cnt",
+        "p90_cnt", "p99_cnt", "skew_ratio", "salt_suggest")
+  }
 }

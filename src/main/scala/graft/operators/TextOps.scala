@@ -341,6 +341,160 @@ object TextOps {
       .drop("__toks", "__bg")
   }
 
+  // --- tokenizer training primitives (BPE) ---
+
+  /** First-round BPE statistics: adjacent character-pair frequencies
+    * over the corpus, weighted by word frequency — the pair table whose
+    * argmax is BPE's first merge.
+    *
+    * Scale shape: the only corpus-sized pass is the word-count
+    * aggregation (one token shuffle, vocabulary-sized state); pair
+    * generation then runs over DISTINCT words — at web scale the vocab
+    * is orders of magnitude smaller than the corpus, which is exactly
+    * why BPE training is tractable at all. Pairs are emitted as the
+    * 2-char substring (chars are single symbols in round one, so the
+    * encoding is unambiguous) via a codegen'd substr transform, no UDF.
+    *
+    * `tokenRegex`, when set, keeps only matching tokens (the usual BPE
+    * pre-normalization — and it pins the symbol alphabet to a charset
+    * whose `substr` semantics replay identically in any SQL engine).
+    *
+    * @return top-k (pair, n) by count desc, pair asc — deterministic */
+  def bpePairCounts(df: DataFrame, idCol: String, textCol: String,
+                    k: Int, tokenRegex: String = null): DataFrame = {
+    val toks0 = tokens(df, idCol, textCol)
+    val filtered =
+      if (tokenRegex == null) toks0
+      else toks0.where(F.col("token").rlike(tokenRegex))
+    val words = filtered
+      .groupBy("token").agg(F.count(F.lit(1)).as("wc"))
+    val pairs = F.transform(
+      F.sequence(F.lit(1), F.length(F.col("token")) - 1),
+      i => F.col("token").substr(i, F.lit(2)))
+    words.where(F.length(F.col("token")) >= 2)
+      .select(F.explode(pairs).as("pair"), F.col("wc"))
+      .groupBy("pair").agg(F.sum("wc").as("n"))
+      .orderBy(F.col("n").desc, F.col("pair").asc)
+      .limit(k)
+  }
+
+  private val bpeMergeUdf = F.udf {
+    (syms: Seq[String], l: String, r: String) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+  }
+
+  /** Greedy BPE merge learning (Sennrich et al. 2016, re-expressed for
+    * the cluster): run `numMerges` rounds of [count adjacent symbol
+    * pairs over the distinct-word table, weighted by word frequency;
+    * merge the argmax pair everywhere].
+    *
+    * The corpus is touched ONCE (word-count shuffle); every round after
+    * that is an aggregation + a narrow map over the vocabulary, which is
+    * what makes N merges affordable — N jobs over vocab-sized data, not
+    * corpus-sized. Each round's rewrite is localCheckpointed so the plan
+    * stays O(1) deep instead of O(rounds). Ties break (count desc, left
+    * asc, right asc) — fully deterministic.
+    *
+    * @return (merge_rank, left, right, n) — the learned merge table in
+    *         order, the artifact a tokenizer ships */
+  def bpeMerges(df: DataFrame, idCol: String, textCol: String,
+                numMerges: Int, minPairCount: Long = 2L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab = tokens(df, idCol, textCol)
+      .groupBy("token").agg(F.count(F.lit(1)).as("wc"))
+      .select(F.split(F.col("token"), "").as("syms"), F.col("wc"))
+      .localCheckpoint(true)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val top = vocab
+        .select(F.posexplode(F.col("syms")).as(Seq("i", "l")), F.col("wc"),
+          F.col("syms"))
+        .where(F.col("i") < F.size(F.col("syms")) - 1)
+        .select(F.col("l"), F.get(F.col("syms"), F.col("i") + 1).as("r"),
+          F.col("wc"))
+        .groupBy("l", "r").agg(F.sum("wc").as("n"))
+        .orderBy(F.col("n").desc, F.col("l").asc, F.col("r").asc)
+        .head(1)
+      if (top.isEmpty || top(0).getAs[Long]("n") < minPairCount) exhausted = true
+      else {
+        val (l, r, n) = (top(0).getAs[String]("l"), top(0).getAs[String]("r"),
+          top(0).getAs[Long]("n"))
+        learned += ((round + 1, l, r, n))
+        val next = vocab.select(
+          bpeMergeUdf(F.col("syms"), F.lit(l), F.lit(r)).as("syms"),
+          F.col("wc")).localCheckpoint(true)
+        vocab.unpersist(false)
+        vocab = next
+      }
+      round += 1
+    }
+    vocab.unpersist(false)
+    learned.toSeq.toDF("merge_rank", "left", "right", "n")
+  }
+
+  /** Interpolated bigram-LM quality score — the next rung above
+    * [[unigramLogProb]] on the CCNet ladder: mean per-bigram
+    * ln(λ·P(w₂|w₁) + (1−λ)·P(w₂)) under the corpus's own counts.
+    *
+    * Bigrams are built map-side from each doc's token array (a codegen'd
+    * transform — no positional self-join), keyed as "w₁ w₂" (tokens
+    * cannot contain whitespace, so the key is unambiguous). The three
+    * corpus tables (bigram counts, bigram left-margins, unigram counts)
+    * are vocabulary-sized and aggregate in their own shuffles; the
+    * bounded slice's tf table broadcasts to each, never the reverse —
+    * the [[tfidfTopTerms]] discipline. Docs with < 2 tokens emit no row.
+    *
+    * @return (id, n_bigrams, mean_logprob) */
+  def bigramLogProb(corpus: DataFrame, slice: DataFrame,
+                    idCol: String, textCol: String,
+                    lambda: Double = 0.7): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
+    def bigrams(df: DataFrame): DataFrame = {
+      val w = F.filter(
+        F.split(F.lower(F.coalesce(F.col(textCol), F.lit(""))), "\\s+"),
+        t => t =!= "")
+      // the <2-token guard matters: sequence(0, -1) would DESCEND
+      df.select(F.col(idCol).as("id"), w.as("__w"))
+        .where(F.size(F.col("__w")) >= 2)
+        .select(F.col("id"),
+          F.explode(F.transform(
+            F.sequence(F.lit(0), F.size(F.col("__w")) - 2),
+            i => F.concat(F.get(F.col("__w"), i), F.lit(" "),
+              F.get(F.col("__w"), i + 1)))).as("b"))
+    }
+    val big = bigrams(corpus).groupBy("b").agg(F.count(F.lit(1)).as("cb"))
+    val margin = big
+      .select(F.split(F.col("b"), " ").getItem(0).as("w1"), F.col("cb"))
+      .groupBy("w1").agg(F.sum("cb").as("c1"))
+    val uni = tokens(corpus, idCol, textCol)
+      .groupBy("token").agg(F.count(F.lit(1)).as("cu"))
+    val totalTokens = uni.agg(F.sum("cu")).head().getLong(0).toDouble
+    val tf = bigrams(slice).groupBy("id", "b").agg(F.count(F.lit(1)).as("tf"))
+    val withBig = big.join(F.broadcast(tf), Seq("b"))
+    val withMargin = margin.join(
+      F.broadcast(withBig.withColumn("w1",
+        F.split(F.col("b"), " ").getItem(0))), Seq("w1"))
+    val scored = uni.join(
+      F.broadcast(withMargin.withColumn("token",
+        F.split(F.col("b"), " ").getItem(1))), Seq("token"))
+    scored.groupBy("id")
+      .agg(F.sum("tf").cast("long").as("n_bigrams"),
+        F.round(F.sum(F.col("tf") *
+          F.log(F.lit(lambda) * F.col("cb") / F.col("c1") +
+            F.lit(1.0 - lambda) * F.col("cu") / totalTokens))
+          / F.sum("tf"), 6).as("mean_logprob"))
+  }
+
   /** Normalization + masking + per-kind match counts in one projection. */
   def withCleanText(df: DataFrame, textCol: String,
                     outCol: String = "clean_text"): DataFrame = {

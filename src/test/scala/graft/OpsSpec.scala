@@ -25,6 +25,112 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.toDF("doc_id", "text")
   }
 
+  test("bpeMerges reproduces the classic Sennrich example") {
+    import spark.implicits._
+    // vocab {low:5, lower:2, newest:6, widest:3} — the worked example
+    // from the BPE paper: merges are (e,s,9), (es,t,9), (l,o,7)
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = TextOps.bpeMerges(df, "doc_id", "text", numMerges = 3)
+      .orderBy("merge_rank").collect()
+    val got = merges.map(r => (r.getAs[String]("left"),
+      r.getAs[String]("right"), r.getAs[Long]("n"))).toSeq
+    assert(got == Seq(("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L)))
+    // pair counts agree with the round-1 statistics op on the same data
+    val top = TextOps.bpePairCounts(df, "doc_id", "text", 2).collect()
+    assert(top.head.getAs[String]("pair") == "es" &&
+      top.head.getAs[Long]("n") == 9L)
+  }
+
+  test("bpeMerges stops early when no pair clears minPairCount") {
+    import spark.implicits._
+    val df = Seq((1L, "ab cd"), (2L, "ef gh")).toDF("doc_id", "text")
+    // every pair occurs once; minPairCount=2 → zero merges learned
+    val merges = TextOps.bpeMerges(df, "doc_id", "text", numMerges = 5)
+    assert(merges.count() == 0L)
+  }
+
+  test("bigramLogProb matches a hand-computed interpolated model") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val slice = corpus.where($"doc_id" === 2L)
+    val out = TextOps.bigramLogProb(corpus, slice, "doc_id", "text")
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_bigrams") == 2L)
+    // big: "a b"→3, "b c"→1; margins a→3, b→1+1=2; uni a:3 b:3 c:1 T=7
+    val pAb = 0.7 * 3.0 / 3.0 + 0.3 * 3.0 / 7.0
+    val pBc = 0.7 * 1.0 / 2.0 + 0.3 * 1.0 / 7.0
+    val want = (math.log(pAb) + math.log(pBc)) / 2.0
+    assert(math.abs(r.getAs[Double]("mean_logprob") - want) < 1e-6,
+      s"got ${r.getAs[Double]("mean_logprob")}, want $want")
+    // a one-token doc contributes no row
+    val single = Seq((3L, "a")).toDF("doc_id", "text")
+    assert(TextOps.bigramLogProb(corpus, single, "doc_id", "text")
+      .count() == 0L)
+  }
+
+  test("containmentPairs flags doc-contained-in-doc that Jaccard misses") {
+    import spark.implicits._
+    val big = (1 to 20).map(i => s"w$i").mkString(" ")
+    val sub = (5 to 12).map(i => s"w$i").mkString(" ")  // embedded in big
+    val other = (1 to 10).map(i => s"u$i").mkString(" ")
+    val df = Seq((1L, big), (2L, sub), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(df, "doc_id", "text", n = 3,
+      threshold = 0.5, maxShingleFreq = 100).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getAs[Long]("id_a") == 1L && p.getAs[Long]("id_b") == 2L)
+    assert(p.getAs[Long]("size_a") == 18L && p.getAs[Long]("size_b") == 6L)
+    assert(p.getAs[Long]("shared") == 6L)
+    assert(math.abs(p.getAs[Double]("c_b") - 1.0) < 1e-12)
+    assert(math.abs(p.getAs[Double]("c_a") - 6.0 / 18.0) < 1e-12)
+    // plain Jaccard on the same pair is 6/18 ≈ 0.33 — under any
+    // normal dedup threshold; containment is the signal here
+  }
+
+  test("rankInverseTransform: plotting positions through the exact ppf") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val out = Ranks.rankInverseTransform(df, "v", "expon", Seq(0.0, 1.0))
+      .orderBy("id").collect()
+    out.foreach { r =>
+      val i = r.getAs[Long]("id").toDouble
+      val u = (i - 0.5) / 100.0
+      assert(math.abs(r.getAs[Double]("u") - u) < 1e-12)
+      assert(math.abs(r.getAs[Double]("transformed") - (-math.log1p(-u))) < 1e-9)
+    }
+    // ties share a min-rank and therefore a transform value
+    val tied = Seq(1.0, 2.0, 2.0, 3.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val tv = Ranks.rankInverseTransform(tied, "v", "norm", Seq(0.0, 1.0))
+      .where($"v" === 2.0).select("transformed").collect()
+      .map(_.getDouble(0))
+    assert(tv.length == 2 && tv(0) == tv(1))
+  }
+
+  test("skewReport computes exact key-distribution diagnostics") {
+    import spark.implicits._
+    val rows = Seq.fill(80)("hot") ++ (1 to 20).map(i => s"k$i")
+    val df = rows.zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "x")
+      .repartition(4)
+    val r = SkewJoin.skewReport(df, Seq("k"), partitions = 10).head()
+    assert(r.getAs[Long]("n_keys") == 21L)
+    assert(r.getAs[Long]("n_rows") == 100L)
+    assert(r.getAs[Long]("max_cnt") == 80L)
+    assert(r.getAs[Double]("p50_cnt") == 1.0)
+    assert(math.abs(r.getAs[Double]("skew_ratio") - 16.8) < 1e-9)
+    assert(r.getAs[Long]("salt_suggest") == 8L)
+    // approx variant keeps the schema and lands on the same integers
+    val ra = SkewJoin.skewReport(df, Seq("k"), partitions = 10,
+      exact = false).head()
+    assert(ra.getAs[Long]("max_cnt") == 80L &&
+      ra.getAs[Long]("salt_suggest") == 8L)
+  }
+
   test("exact dedup keeps min id per distinct text") {
     val df = docsDf(Seq(
       (1L, "hello world"), (2L, "hello world"), (3L, "goodbye"),
