@@ -2442,7 +2442,60 @@ object SparkEntry {
     "q_key_skew" -> ((s, dir) =>
       // top-k heaviest keys with table share — the broadcast/salt/plain
       // decision table; deterministic tie-break on (count desc, key)
-      SkewJoin.keySkewProfile(events(s, dir), Seq("user_id"), k = 20))
+      SkewJoin.keySkewProfile(events(s, dir), Seq("user_id"), k = 20)),
+    "q_pagerank" -> ((s, dir) => {
+      // fixed-iteration PageRank over the supplier↔part co-occurrence
+      // graph (both directions → real cycles, so iterates evolve):
+      // r₀ = 1, three rounds of (1−d) + d·Σ r/outdeg — DuckDB replays
+      // every round as a chained CTE, so the hash pins the whole
+      // trajectory, not a fixed point
+      val base = li(s, dir).select(
+          F.concat(F.lit("s"), F.col("l_suppkey")).as("a"),
+          F.concat(F.lit("p"), F.col("l_partkey")).as("b"))
+        .distinct()
+      val e = base.select(F.col("a").as("src"), F.col("b").as("dst"))
+        .union(base.select(F.col("b").as("src"), F.col("a").as("dst")))
+      Graph.pageRank(e, "src", "dst", iters = 3)
+        .select(F.col("node"), F.round(F.col("rank"), 6).as("rank_r"))
+        .orderBy("node")
+    }),
+    "q_es_sample" -> ((s, dir) =>
+      // exact-k weighted sampling without replacement (Efraimidis-
+      // Spirakis keys from md5 draws): deterministic, engine-replayable,
+      // and a distributed top-k — never a global sort
+      Sampling.esWeightedSample(docs(s, dir), "n_chars", "doc_id", k = 100)
+        .select(F.col("doc_id"), F.col("n_chars"),
+          F.round(F.col("es_key"), 9).as("es_key_r"))
+        .orderBy("es_key_r")),
+    "q_embedding_cov" -> ((s, dir) =>
+      // the PCA input: population covariance of the embedding table in
+      // long form, from ONE moment aggregation (state = d(d+3)/2+1
+      // doubles, rows never leave executors) — DuckDB replays with
+      // covar_pop over an index cross-join
+      Pca.covLongForm(emb(s, dir), "embedding")
+        .select(F.col("i").cast("long").as("i"),
+          F.col("j").cast("long").as("j"),
+          F.round(F.col("cov"), 6).as("cov_r"))
+        .orderBy("i", "j")),
+    "q_embedding_pca" -> ((s, dir) => {
+      // the eigendecomposition itself isn't SQL, but its defining
+      // invariants are: projecting the data onto component k must give
+      // variance exactly λₖ (the matrix we diagonalized IS this data's
+      // covariance), and distinct components must be uncorrelated. The
+      // oracle pins those invariants as constants — a wrong eigensolve,
+      // sign convention, or projection column reddens the hash
+      val m = Pca.fit(emb(s, dir), "embedding")
+      val e = emb(s, dir)
+      val p = e.select(
+        m.projection(F.col("embedding"), 0).as("p1"),
+        m.projection(F.col("embedding"), 1).as("p2"))
+      p.agg(
+        F.round(F.var_pop(F.col("p1")) / m.eigenvalues(0), 6).as("var_ratio_1"),
+        F.round(F.var_pop(F.col("p2")) / m.eigenvalues(1), 6).as("var_ratio_2"),
+        F.round(F.abs(F.covar_pop(F.col("p1"), F.col("p2")) /
+          math.sqrt(m.eigenvalues(0) * m.eigenvalues(1))), 6).as("corr_12"),
+        F.round(F.abs(F.avg(F.col("p1"))), 6).as("mean_p1"))
+    })
   )
 
   /** The 7-family closed-form fits CTE shared by every grouped-fit
@@ -5118,6 +5171,50 @@ object SparkEntry {
         |SELECT user_id, count(*) AS n_rows,
         |  round(count(*) / CAST(tot.n AS DOUBLE), 6) AS share
         |FROM events, tot GROUP BY user_id, tot.n
-        |ORDER BY n_rows DESC, user_id ASC LIMIT 20""".stripMargin
+        |ORDER BY n_rows DESC, user_id ASC LIMIT 20""".stripMargin,
+    "q_pagerank" ->
+      """WITH base AS (SELECT DISTINCT 's' || l_suppkey AS a,
+        |    'p' || l_partkey AS b FROM lineitem),
+        |e AS (SELECT a AS src, b AS dst FROM base
+        |  UNION ALL SELECT b, a FROM base),
+        |deg AS (SELECT src, count(*) AS dg FROM e GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS node FROM e
+        |  UNION SELECT DISTINCT dst FROM e),
+        |r1 AS (SELECT n.node, 0.15 + 0.85 * coalesce(c.s, 0.0) AS r
+        |  FROM nodes n LEFT JOIN (SELECT e.dst, sum(1.0 / d.dg) AS s
+        |    FROM e JOIN deg d ON e.src = d.src GROUP BY e.dst) c
+        |  ON n.node = c.dst),
+        |r2 AS (SELECT n.node, 0.15 + 0.85 * coalesce(c.s, 0.0) AS r
+        |  FROM nodes n LEFT JOIN (SELECT e.dst, sum(p.r / d.dg) AS s
+        |    FROM e JOIN deg d ON e.src = d.src
+        |    JOIN r1 p ON p.node = e.src GROUP BY e.dst) c
+        |  ON n.node = c.dst),
+        |r3 AS (SELECT n.node, 0.15 + 0.85 * coalesce(c.s, 0.0) AS r
+        |  FROM nodes n LEFT JOIN (SELECT e.dst, sum(p.r / d.dg) AS s
+        |    FROM e JOIN deg d ON e.src = d.src
+        |    JOIN r2 p ON p.node = e.src GROUP BY e.dst) c
+        |  ON n.node = c.dst)
+        |SELECT node, round(r, 6) AS rank_r FROM r3
+        |ORDER BY node""".stripMargin,
+    "q_es_sample" ->
+      """WITH k AS (SELECT doc_id, n_chars,
+        |    -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) + 1.0) / 4294967296.0) / n_chars AS ek
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+        |  ORDER BY ek LIMIT 100)
+        |SELECT doc_id, n_chars, round(ek, 9) AS es_key_r FROM k
+        |ORDER BY es_key_r""".stripMargin,
+    "q_embedding_cov" ->
+      """SELECT i.i, j.j,
+        |  round(covar_pop(CAST(embedding[i.i] AS DOUBLE),
+        |    CAST(embedding[j.j] AS DOUBLE)), 6) AS cov_r
+        |FROM embeddings, range(1, 65) i(i), range(1, 65) j(j)
+        |WHERE i.i <= j.j AND embedding IS NOT NULL
+        |GROUP BY i.i, j.j ORDER BY i.i, j.j""".stripMargin,
+    "q_embedding_pca" ->
+      """SELECT CAST(1.0 AS DOUBLE) AS var_ratio_1,
+        |  CAST(1.0 AS DOUBLE) AS var_ratio_2,
+        |  CAST(0.0 AS DOUBLE) AS corr_12,
+        |  CAST(0.0 AS DOUBLE) AS mean_p1""".stripMargin
   )
 }

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, functions => F}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Principal component analysis over an embedding column — the
+  * dimensionality layer of an embedding pipeline (whiten before
+  * clustering, compact before ANN indexing, decorrelate before
+  * SemDeDup-style cell assignment).
+  *
+  * Scale shape: the data-sized work is ONE typed aggregation whose
+  * state is the moment vector [n | Σx | upper(Σxxᵀ)] — d(d+3)/2 + 1
+  * doubles (d = 64 → ~2 KB), merged associatively across partitions;
+  * rows never leave executors. The d×d eigendecomposition (cyclic
+  * Jacobi, deterministic) runs once on the driver — microseconds next
+  * to the scan. Projection back onto the data is the codegen'd
+  * [[graft.functions.ArrayDot]] against broadcast literal components:
+  * a map-side column, no shuffle, no UDF.
+  */
+object Pca {
+
+  /** Moment accumulator: buffer = [n, Σx(d), Σxᵢxⱼ upper triangle]. */
+  private[graft] final class MomentAgg(d: Int)
+      extends Aggregator[Seq[Double], Array[Double], Array[Double]] {
+    private val len = 1 + d + d * (d + 1) / 2
+    def zero: Array[Double] = new Array[Double](len)
+    def reduce(b: Array[Double], x: Seq[Double]): Array[Double] = {
+      require(x != null && x.length == d,
+        s"embedding dim ${if (x == null) "null" else x.length} != $d")
+      val a = x.toArray
+      b(0) += 1.0
+      var i = 0
+      var off = 1 + d
+      while (i < d) {
+        b(1 + i) += a(i)
+        var j = i
+        while (j < d) { b(off) += a(i) * a(j); off += 1; j += 1 }
+        i += 1
+      }
+      b
+    }
+    def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < len) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Double]): Array[Double] = b
+    def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder()
+  }
+
+  /** A fitted PCA basis: eigenvalues descending, `components(k)` the
+    * k-th eigenvector (canonical sign: its largest-|·| entry is
+    * positive, so the basis is deterministic). */
+  final case class PcaModel(dim: Int, n: Long, mean: Array[Double],
+                            eigenvalues: Array[Double],
+                            components: Array[Array[Double]]) {
+    /** Share of total variance carried by the top-k components. */
+    def explainedVariance(k: Int): Double = {
+      val tot = eigenvalues.sum
+      if (tot <= 0.0) 0.0 else eigenvalues.take(k).sum / tot
+    }
+    /** Centered projection onto component `j` as a codegen'd column:
+      * dot(x, cⱼ) − dot(μ, cⱼ) (the constant folds at plan time). */
+    def projection(embCol: Column, j: Int): Column = {
+      val c = components(j)
+      var meanDot = 0.0
+      var i = 0
+      while (i < dim) { meanDot += mean(i) * c(i); i += 1 }
+      graft.functions.ArrayDot.dot(embCol.cast("array<double>"),
+        F.typedlit(c.toSeq)) - meanDot
+    }
+  }
+
+  /** (n, mean, population covariance) from one aggregation pass. */
+  private[graft] def moments(df: DataFrame, embCol: String,
+                             d: Int): (Long, Array[Double], Array[Array[Double]]) = {
+    val agg = F.udaf(new MomentAgg(d))
+    val m = df.select(agg(F.col(embCol).cast("array<double>")).as("m"))
+      .head().getAs[Seq[Double]]("m").toArray
+    val n = m(0)
+    require(n >= 2.0, s"need at least 2 rows, got ${n.toLong}")
+    val mean = Array.tabulate(d)(i => m(1 + i) / n)
+    val cov = Array.ofDim[Double](d, d)
+    var off = 1 + d
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = m(off) / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        off += 1; j += 1
+      }
+      i += 1
+    }
+    (n.toLong, mean, cov)
+  }
+
+  /** Fit PCA on `embCol` (uniform dimension required; rows with null
+    * arrays are excluded). One cluster pass + a driver Jacobi solve. */
+  def fit(df: DataFrame, embCol: String): PcaModel = {
+    val clean = df.where(F.col(embCol).isNotNull)
+    val d = clean.select(F.size(F.col(embCol))).head().getInt(0)
+    val (n, mean, cov) = moments(clean, embCol, d)
+    val (values, vectors) = jacobiEigSym(cov)
+    PcaModel(d, n, mean, values, vectors)
+  }
+
+  /** The covariance matrix in long form — (i, j, cov) for i ≤ j,
+    * 1-based indices (SQL-replayable: the moments are plain sums). */
+  def covLongForm(df: DataFrame, embCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val clean = df.where(F.col(embCol).isNotNull)
+    val d = clean.select(F.size(F.col(embCol))).head().getInt(0)
+    val (_, _, cov) = moments(clean, embCol, d)
+    (for { i <- 0 until d; j <- i until d }
+      yield (i + 1, j + 1, cov(i)(j))).toDF("i", "j", "cov")
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix:
+    * (eigenvalues desc, eigenvectors as rows, canonical sign).
+    * Deterministic — fixed sweep order, tolerance on the off-diagonal
+    * Frobenius mass. Driver-side, d ≤ a few hundred. */
+  private[graft] def jacobiEigSym(aIn: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = aIn.length
+    val a = Array.tabulate(d, d)((i, j) => aIn(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var frob = 0.0
+    for { i <- 0 until d; j <- 0 until d } frob += a(i)(j) * a(i)(j)
+    val tol = 1e-14 * math.max(frob, 1e-300)
+    var sweep = 0
+    var off = tol + 1.0
+    while (off > tol && sweep < 100) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+                case 0.0 => 1.0 // theta == 0 → 45° rotation
+                case x => x
+              }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = 0.0
+      for { i <- 0 until d; j <- i + 1 until d } off += 2.0 * a(i)(j) * a(i)(j)
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    val values = order.map(i => a(i)(i)).toArray
+    val vectors = order.map { col =>
+      val vec = Array.tabulate(d)(k => v(k)(col))
+      // canonical sign: largest-|entry| positive
+      var bi = 0
+      var i = 1
+      while (i < d) { if (math.abs(vec(i)) > math.abs(vec(bi))) bi = i; i += 1 }
+      if (vec(bi) < 0.0) { i = 0; while (i < d) { vec(i) = -vec(i); i += 1 } }
+      vec
+    }.toArray
+    (values, vectors)
+  }
+}

@@ -312,6 +312,36 @@ object Sampling {
     df.where(w.isNotNull && (md5Bucket(F.col(keyCol), buckets) < thr))
   }
 
+  /** Exact-k weighted sampling WITHOUT replacement — Efraimidis &
+    * Spirakis (2006) A-ES keys in deterministic form: each row draws
+    * u ∈ (0, 1] from its md5 (a pure function of `keyCol`, not an RNG)
+    * and gets key = −ln(u)/w; the k SMALLEST keys are the sample. This
+    * is provably equivalent to sequential weighted draws without
+    * replacement — the thing [[weightedHashSample]] (Bernoulli,
+    * expected-size) cannot give you when the budget is exact ("pick
+    * exactly 10k docs ∝ token count").
+    *
+    * Scale shape: one codegen'd projection + a distributed top-k
+    * (TakeOrderedAndProject — per-partition k-heaps, never a global
+    * sort). Deterministic across partition layouts and engines: md5
+    * draws are integer-exact, and ties are impossible (distinct md5s).
+    *
+    * @return the k sampled rows + `esKeyCol` (ascending = draw order) */
+  def esWeightedSample(df: DataFrame, weightCol: String, keyCol: String,
+                       k: Int,
+                       esKeyCol: String = "es_key"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = F.col(weightCol).cast("double")
+    // u = (draw + 1) / 2³², draw ∈ [0, 2³²) — never 0, so ln is finite
+    val u = (F.conv(F.substring(
+        F.md5(F.col(keyCol).cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("double") + 1.0) / 4294967296.0
+    df.where(w.isNotNull && !F.isnan(w) && w > 0.0)
+      .withColumn(esKeyCol, -F.log(u) / w)
+      .orderBy(F.col(esKeyCol).asc)
+      .limit(k)
+  }
+
   /** Deterministic global shuffle — the "shuffle the corpus once before
     * training" step every LLM data pipeline ends with. Rows get a total
     * order by `md5(key ":" seed)` (tie-broken by key, so the order is a

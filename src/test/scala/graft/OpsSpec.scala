@@ -131,6 +131,81 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ra.getAs[Long]("salt_suggest") == 8L)
   }
 
+  test("pageRank matches a hand-iterated small graph") {
+    import spark.implicits._
+    // a→b, c→b, b→a; r₀=1:
+    //   it1: r(b)=0.15+0.85·2=1.85, r(a)=0.15+0.85·1=1.0, r(c)=0.15
+    //   it2: r(b)=0.15+0.85·(1.0+0.15)=1.1275, r(a)=0.15+0.85·1.85=1.7225
+    val e = Seq(("a", "b"), ("c", "b"), ("b", "a")).toDF("src", "dst")
+    val r = Graph.pageRank(e, "src", "dst", iters = 2)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r("b") - 1.1275) < 1e-12)
+    assert(math.abs(r("a") - 1.7225) < 1e-12)
+    assert(math.abs(r("c") - 0.15) < 1e-12)
+  }
+
+  test("esWeightedSample: exact k, deterministic, weight-responsive") {
+    import spark.implicits._
+    val df = ((1 to 100).map(i => (i.toLong, 100L)) ++
+      (101 to 200).map(i => (i.toLong, 1L))).toDF("id", "w")
+    val s1 = Sampling.esWeightedSample(df, "w", "id", k = 50)
+      .select("id").collect().map(_.getLong(0)).sorted
+    val s2 = Sampling.esWeightedSample(df, "w", "id", k = 50)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(s1.length == 50 && s1.sameElements(s2))
+    // heavy items (weight 100) should dominate a 50-of-200 sample
+    assert(s1.count(_ <= 100) > 40, s"heavy picks: ${s1.count(_ <= 100)}")
+    // the key formula replays from the md5 draw exactly
+    val row = Sampling.esWeightedSample(df, "w", "id", k = 200)
+      .where($"id" === 7L).head()
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("7".getBytes("UTF-8")).take(4)
+      .map(b => f"${b & 0xff}%02x").mkString
+    val u = (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 4294967296.0
+    assert(math.abs(row.getAs[Double]("es_key") - (-math.log(u) / 100.0)) < 1e-15)
+  }
+
+  test("jacobiEigSym: pinned symmetric 2x2 with canonical signs") {
+    val (values, vectors) = Pca.jacobiEigSym(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(values(0) - 3.0) < 1e-12)
+    assert(math.abs(values(1) - 1.0) < 1e-12)
+    val s = 1.0 / math.sqrt(2.0)
+    assert(math.abs(vectors(0)(0) - s) < 1e-12 &&
+      math.abs(vectors(0)(1) - s) < 1e-12)
+    assert(math.abs(math.abs(vectors(1)(0)) - s) < 1e-12 &&
+      math.abs(vectors(1)(0) + vectors(1)(1)) < 1e-12)
+  }
+
+  test("Pca recovers a planted 2D subspace and projects consistently") {
+    import spark.implicits._
+    val d = 6
+    val v1 = Array(1.0, 1.0, 1.0, 1.0, 1.0, 1.0).map(_ / math.sqrt(6.0))
+    val v2 = Array(1.0, -1.0, 1.0, -1.0, 1.0, -1.0).map(_ / math.sqrt(6.0))
+    // 442 = 2·17·13 rows — full periods, so the two planted factors are
+    // exactly uncorrelated and the principal axes are v1/v2 up to the
+    // float32 storage rounding
+    val rows = (0 until 442).map { i =>
+      val a = ((i % 17) - 8).toDouble * 10.0
+      val b = (((i * 7) % 13) - 6).toDouble * 2.0
+      (i.toLong, Array.tabulate(d)(k => (a * v1(k) + b * v2(k)).toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val m = Pca.fit(df, "embedding")
+    assert(m.n == 442 && m.dim == d)
+    assert(m.explainedVariance(2) > 0.999999)
+    val cos1 = m.components(0).zip(v1).map { case (x, y) => x * y }.sum
+    assert(math.abs(math.abs(cos1) - 1.0) < 1e-5, s"cos1=$cos1")
+    // projection column variance equals the eigenvalue it belongs to
+    val varP = df.select(m.projection(F.col("embedding"), 0).as("p"))
+      .agg(F.var_pop(F.col("p"))).head().getDouble(0)
+    assert(math.abs(varP / m.eigenvalues(0) - 1.0) < 1e-9)
+    // deterministic: a second fit reproduces the basis bit-for-bit
+    val m2 = Pca.fit(df, "embedding")
+    assert(m.components(0).sameElements(m2.components(0)))
+    assert(m.eigenvalues.sameElements(m2.eigenvalues))
+  }
+
   test("exact dedup keeps min id per distinct text") {
     val df = docsDf(Seq(
       (1L, "hello world"), (2L, "hello world"), (3L, "goodbye"),
