@@ -2477,6 +2477,66 @@ object SparkEntry {
           F.col("j").cast("long").as("j"),
           F.round(F.col("cov"), 6).as("cov_r"))
         .orderBy("i", "j")),
+    "q_stream_topk" -> ((s, dir) => {
+      // streaming per-window heavy hitters in SpaceSaving's exactness
+      // regime (cap ≥ distinct users/day → zero eviction, zero error):
+      // bounded sketch state replaces the unbounded per-key windowed
+      // groupBy; the replay's top-5 must match the batch GROUP BY
+      // bit-for-bit, and the err column must pin to 0
+      val src = eventsStream(s, dir)
+        .withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
+      val hh = graft.streaming.StreamingOps.windowedTopK(
+        src, "user_id", "event_ts", cap = 8192, window = "24 hours",
+        watermark = "1 hour")
+      val replayed = graft.streaming.StreamingOps
+        .runToBatch(s, hh, "graft_stream_topk", statePartitions = 8)
+        .select(F.unix_timestamp(F.col("window.start")).as("win_start"),
+          F.col("key"), F.col("cnt"), F.col("err"))
+      val w = Window.partitionBy("win_start")
+        .orderBy(F.col("cnt").desc, F.col("key").asc)
+      replayed.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 5)
+        .select(F.col("win_start"), F.col("rk"), F.col("key"),
+          F.col("cnt"), F.col("err"))
+        .orderBy("win_start", "rk")
+    }),
+    "q_stream_quantiles" -> ((s, dir) => {
+      // streaming windowed quantiles via mergeable KLL state (ONE ~3 KB
+      // sketch per window at any throughput — exact windowed quantiles
+      // are unbounded-state and rightly unsupported); audited with the
+      // kllRankCheck discipline: the exact rank of each probed value
+      // must land within the KLL bound (+1/n discretization) of its
+      // target, so a sketch/merge/probe regression flips the pinned
+      // booleans
+      val src = eventsStream(s, dir)
+        .withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
+      val qs = graft.streaming.StreamingOps.windowedQuantiles(
+        src, "value", "event_ts", probs = Seq(0.5, 0.9),
+        k = 800, window = "24 hours", watermark = "1 hour")
+      val replayed = graft.streaming.StreamingOps
+        .runToBatch(s, qs, "graft_stream_quantiles", statePartitions = 8)
+        .select(F.unix_timestamp(F.col("window.start")).as("win_start"),
+          F.col("n"), F.col("q_50"), F.col("q_90"))
+      events(s, dir)
+        .where(F.col("value").isNotNull && !F.isnan(F.col("value")))
+        .withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select(F.unix_timestamp(
+            F.window(F.col("event_ts"), "24 hours")("start")).as("win_start"),
+          F.col("value"))
+        .join(F.broadcast(replayed), "win_start")
+        .groupBy("win_start")
+        .agg(F.first("n").as("n"),
+          F.sum(F.when(F.col("value") <= F.col("q_50"), 1L).otherwise(0L))
+            .as("__le50"),
+          F.sum(F.when(F.col("value") <= F.col("q_90"), 1L).otherwise(0L))
+            .as("__le90"))
+        .select(F.col("win_start"), F.col("n"),
+          (F.abs(F.col("__le50").cast("double") / F.col("n") - 0.5)
+            <= F.lit(0.02) + F.lit(1.0) / F.col("n")).as("within_50"),
+          (F.abs(F.col("__le90").cast("double") / F.col("n") - 0.9)
+            <= F.lit(0.02) + F.lit(1.0) / F.col("n")).as("within_90"))
+        .orderBy("win_start")
+    }),
     "q_embedding_pca" -> ((s, dir) => {
       // the eigendecomposition itself isn't SQL, but its defining
       // invariants are: projecting the data onto component k must give
@@ -5211,6 +5271,25 @@ object SparkEntry {
         |FROM embeddings, range(1, 65) i(i), range(1, 65) j(j)
         |WHERE i.i <= j.j AND embedding IS NOT NULL
         |GROUP BY i.i, j.j ORDER BY i.i, j.j""".stripMargin,
+    "q_stream_topk" ->
+      """WITH w AS (SELECT
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400
+        |      AS win_start,
+        |    CAST(user_id AS VARCHAR) AS key
+        |  FROM events WHERE user_id IS NOT NULL),
+        |c AS (SELECT win_start, key, count(*) AS cnt FROM w
+        |  GROUP BY 1, 2),
+        |r AS (SELECT win_start, key, cnt, row_number() OVER (
+        |    PARTITION BY win_start ORDER BY cnt DESC, key ASC) AS rk
+        |  FROM c)
+        |SELECT win_start, rk, key, cnt, CAST(0 AS BIGINT) AS err
+        |FROM r WHERE rk <= 5 ORDER BY win_start, rk""".stripMargin,
+    "q_stream_quantiles" ->
+      """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400
+        |    AS win_start,
+        |  count(*) AS n, TRUE AS within_50, TRUE AS within_90
+        |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |GROUP BY 1 ORDER BY win_start""".stripMargin,
     "q_embedding_pca" ->
       """SELECT CAST(1.0 AS DOUBLE) AS var_ratio_1,
         |  CAST(1.0 AS DOUBLE) AS var_ratio_2,

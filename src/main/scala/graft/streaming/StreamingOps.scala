@@ -73,6 +73,71 @@ object StreamingOps {
       .agg(F.expr(s"hll_sketch_estimate(hll_sketch_agg($valueCol, $lgK))")
         .as("n_distinct_est"))
 
+  /** Windowed heavy hitters via the SpaceSaving typed aggregate — exact
+    * per-window top keys when `cap` ≥ the window's distinct-key count,
+    * guaranteed-overcount candidates beyond that; either way state per
+    * window is `cap` entries REGARDLESS of throughput (the per-key
+    * windowed groupBy would hold every key). Micro-batch partials merge
+    * by the sketch's own merge; the explode after the aggregation is
+    * stateless. Ranking/limit stays with the caller (a window function
+    * is not streamable — and the sink sees ≤ cap rows per window
+    * anyway).
+    *
+    * @return (window, key, cnt, err) — err is SpaceSaving's overcount
+    *         bound, 0 in the exactness regime */
+  def windowedTopK(df: DataFrame, keyCol: String, timeCol: String,
+                   cap: Int = 256, window: String = "1 minute",
+                   watermark: String = "2 minutes"): DataFrame = {
+    val ss = F.udaf(new graft.functions.SpaceSaving(cap))
+    df.withWatermark(timeCol, watermark)
+      .where(F.col(keyCol).isNotNull)
+      .select(F.window(F.col(timeCol), window).as("window"),
+        F.col(keyCol).cast("string").as("__k"))
+      .groupBy("window")
+      .agg(ss(F.col("__k")).as("hh"))
+      .select(F.col("window"), F.explode(F.col("hh")).as("h"))
+      .select(F.col("window"), F.col("h._1").as("key"),
+        F.col("h._2").as("cnt"), F.col("h._3").as("err"))
+  }
+
+  private lazy val kllProbeUdf = F.udf {
+    (bytes: Array[Byte], p: Double) =>
+      if (bytes == null) null
+      else {
+        val sk = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+          org.apache.datasketches.memory.Memory.wrap(bytes))
+        if (sk.isEmpty) null else java.lang.Double.valueOf(sk.getQuantile(p))
+      }
+  }
+
+  /** Windowed quantiles via the mergeable KLL sketch aggregate — the
+    * streaming analogue of [[graft.operators.Sketches.kllSketch]]:
+    * per-window state is ONE ~3 KB sketch however many rows the window
+    * sees (exact windowed quantiles would hold every value — Structured
+    * Streaming rightly rejects that), micro-batch partials merge by
+    * sketch union, probes carry KLL's ~1.33%/(k/100) rank-error
+    * contract. The probe projection after the aggregation is stateless.
+    *
+    * @return (window, n, q_<p> for each requested probe) */
+  def windowedQuantiles(df: DataFrame, valueCol: String, timeCol: String,
+                        probs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                        k: Int = 800, window: String = "1 minute",
+                        watermark: String = "2 minutes"): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p < 1.0),
+      "probes must be in (0, 1)")
+    val kll = F.udaf(new graft.functions.KllGroupSketch(k))
+    val v = F.col(valueCol).cast("double")
+    val agged = df.withWatermark(timeCol, watermark)
+      .where(v.isNotNull && !F.isnan(v))
+      .select(F.window(F.col(timeCol), window).as("window"), v.as("__v"))
+      .groupBy("window")
+      .agg(F.count(F.lit(1)).as("n"), kll(F.col("__v")).as("__sk"))
+    probs.foldLeft(agged) { (acc, p) =>
+      acc.withColumn(s"q_${(p * 100).round}",
+        kllProbeUdf(F.col("__sk"), F.lit(p)))
+    }.drop("__sk")
+  }
+
   /** Running global histogram (update mode): one row per bin, state size
     * = numBins forever. */
   def runningHistogram(df: DataFrame, valueCol: String,

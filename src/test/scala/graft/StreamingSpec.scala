@@ -162,6 +162,64 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(first.getAs[Long]("cnt") == 2 && first.getAs[Double]("mean") == 15.0)
   }
 
+  test("windowedTopK: exact heavy hitters per window, state-capped beyond") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val hh = StreamingOps.windowedTopK(
+      stream.toDF().toDF("ts", "k"), "k", "ts",
+      cap = 16, window = "1 minute", watermark = "1 minute")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // window 1: a×3, b×2, c×1; window 2: b×2, d×1 — split across two
+    // micro-batches so the sketch state must MERGE across them
+    stream.addData(
+      (ts("2026-01-01 00:00:05"), "a"), (ts("2026-01-01 00:00:10"), "a"),
+      (ts("2026-01-01 00:00:15"), "b"))
+    stream.addData(
+      (ts("2026-01-01 00:00:20"), "a"), (ts("2026-01-01 00:00:25"), "b"),
+      (ts("2026-01-01 00:00:30"), "c"),
+      (ts("2026-01-01 00:01:05"), "b"), (ts("2026-01-01 00:01:10"), "b"),
+      (ts("2026-01-01 00:01:20"), "d"))
+    val q = hh.writeStream.format("memory").queryName("topk_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("topk_out").collect()
+      .map(r => (r.getStruct(0).getTimestamp(0).toString.substring(14, 16),
+        r.getAs[String]("key")) -> (r.getAs[Long]("cnt"), r.getAs[Long]("err")))
+      .toMap
+    assert(rows(("00", "a")) == (3L, 0L))
+    assert(rows(("00", "b")) == (2L, 0L))
+    assert(rows(("00", "c")) == (1L, 0L))
+    assert(rows(("01", "b")) == (2L, 0L))
+    assert(rows(("01", "d")) == (1L, 0L))
+  }
+
+  test("windowedQuantiles: KLL state probes land on the exact quantiles") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Double)]
+    val qs = StreamingOps.windowedQuantiles(
+      stream.toDF().toDF("ts", "v"), "v", "ts", probs = Seq(0.5),
+      k = 800, window = "1 minute", watermark = "1 minute")
+    def ts(i: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-01 00:00:${i % 60}%02d.${i}%03d")
+    // 200 values 1..200 split across two micro-batches → p50 ≈ 100
+    stream.addData((1 to 120).map(i => (ts(i % 50), i.toDouble)): _*)
+    stream.addData((121 to 200).map(i => (ts(i % 50), i.toDouble)): _*)
+    val q = qs.writeStream.format("memory").queryName("kllq_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("kllq_out").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("n") == 200L)
+    val p50 = rows.head.getAs[Double]("q_50")
+    // n < k → the sketch is exact; the inclusive-rank quantile at 0.5
+    // of 1..200 is 100
+    assert(math.abs(p50 - 100.0) <= 1.0, s"p50=$p50")
+  }
+
   test("windowedDriftScore is near zero for on-model data, large off-model") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
