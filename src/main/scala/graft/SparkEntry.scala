@@ -2477,6 +2477,39 @@ object SparkEntry {
           F.col("j").cast("long").as("j"),
           F.round(F.col("cov"), 6).as("cov_r"))
         .orderBy("i", "j")),
+    "q_grouped_ols2" -> ((s, dir) =>
+      // two-feature OLS per group in ONE aggregation: centered moments
+      // collapse the 3×3 normal equations to a 2×2 Cramer solve in
+      // column arithmetic — every coefficient, R², and the residual σ
+      // replay in DuckDB from the same var_pop/covar_pop moments
+      Regression.olsByGroup2(li(s, dir), "l_extendedprice",
+          "l_quantity", "l_discount", Seq("l_returnflag"))
+        .select(F.col("l_returnflag"), F.col("n"),
+          F.round(F.col("intercept"), 4).as("intercept_r"),
+          F.round(F.col("b1"), 4).as("b1_r"),
+          F.round(F.col("b2"), 4).as("b2_r"),
+          F.round(F.col("r2"), 6).as("r2_r"),
+          F.round(F.sqrt(F.col("resid_var")), 4).as("resid_std_r"))
+        .orderBy("l_returnflag")),
+    "q_outliers_by_group" -> ((s, dir) =>
+      // per-group robust outliers ("anomalous FOR ITS event type"):
+      // group median/MAD via exact interpolated percentile
+      // (≡ quantile_cont), map-side robust z, flagged rows only
+      Outliers.flagByGroup(events(s, dir), "value", Seq("event_type"),
+          threshold = 2.5)
+        .where(F.col("is_outlier"))
+        .select(F.col("event_id"), F.col("event_type"), F.col("robust_z"))
+        .orderBy("event_id")),
+    "q_sparse_cosine" -> ((s, dir) =>
+      // sparse TF-IDF cosine near-dup pairs — the model-free lexical
+      // complement to the embedding ANN path; inverted-index join with
+      // the df-cap skew guard, norms over ALL terms (capped boilerplate
+      // can only under-estimate a cosine, never inflate it)
+      TextOps.tfidfCosinePairs(docs(s, dir), "doc_id", "text",
+          threshold = 0.25, maxDf = 100)
+        .select(F.col("id_a"), F.col("id_b"),
+          F.round(F.col("cosine"), 6).as("cosine_r"))
+        .orderBy("id_a", "id_b")),
     "q_stream_topk" -> ((s, dir) => {
       // streaming per-window heavy hitters in SpaceSaving's exactness
       // regime (cap ≥ distinct users/day → zero eviction, zero error):
@@ -5271,6 +5304,66 @@ object SparkEntry {
         |FROM embeddings, range(1, 65) i(i), range(1, 65) j(j)
         |WHERE i.i <= j.j AND embedding IS NOT NULL
         |GROUP BY i.i, j.j ORDER BY i.i, j.j""".stripMargin,
+    "q_grouped_ols2" ->
+      """WITH s AS (SELECT l_returnflag, count(*) AS n,
+        |    avg(l_quantity) AS m1, avg(l_discount) AS m2,
+        |    avg(l_extendedprice) AS my,
+        |    var_pop(l_quantity) AS v1, var_pop(l_discount) AS v2,
+        |    var_pop(l_extendedprice) AS vy,
+        |    covar_pop(l_quantity, l_discount) AS c12,
+        |    covar_pop(l_quantity, l_extendedprice) AS c1y,
+        |    covar_pop(l_discount, l_extendedprice) AS c2y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_discount IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY l_returnflag),
+        |b AS (SELECT l_returnflag, n, m1, m2, my, vy, c1y, c2y,
+        |    (v2 * c1y - c12 * c2y) / (v1 * v2 - c12 * c12) AS b1,
+        |    (v1 * c2y - c12 * c1y) / (v1 * v2 - c12 * c12) AS b2
+        |  FROM s WHERE n >= 4 AND v1 > 0 AND v2 > 0 AND vy > 0
+        |    AND (v1 * v2 - c12 * c12) > v1 * v2 * 1e-12)
+        |SELECT l_returnflag, n,
+        |  round(my - b1 * m1 - b2 * m2, 4) AS intercept_r,
+        |  round(b1, 4) AS b1_r, round(b2, 4) AS b2_r,
+        |  round((b1 * c1y + b2 * c2y) / vy, 6) AS r2_r,
+        |  round(sqrt(n * vy * (1.0 - (b1 * c1y + b2 * c2y) / vy)
+        |    / (n - 3.0)), 4) AS resid_std_r
+        |FROM b ORDER BY l_returnflag""".stripMargin,
+    "q_outliers_by_group" ->
+      """WITH v AS (SELECT event_id, event_type,
+        |    CAST(value AS DOUBLE) AS x FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)),
+        |med AS (SELECT event_type, quantile_cont(x, 0.5) AS med
+        |  FROM v GROUP BY 1),
+        |mad AS (SELECT v.event_type,
+        |    quantile_cont(abs(v.x - med.med), 0.5) AS mad
+        |  FROM v JOIN med USING (event_type) GROUP BY 1)
+        |SELECT v.event_id, v.event_type,
+        |  round(abs(v.x - med.med) / (1.4826 * mad.mad), 6) AS robust_z
+        |FROM v JOIN med USING (event_type) JOIN mad USING (event_type)
+        |WHERE round(abs(v.x - med.med) / (1.4826 * mad.mad), 6) > 2.5
+        |ORDER BY event_id""".stripMargin,
+    "q_sparse_cosine" ->
+      """WITH tok AS (SELECT doc_id AS id, unnest(list_filter(
+        |    regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |    x -> x <> '')) AS token FROM documents),
+        |tf AS (SELECT id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n
+        |  FROM documents),
+        |w AS (SELECT tf.id, tf.token, dfq.df,
+        |    tf.tf * (ln((1.0 + nd.n) / (1.0 + dfq.df)) + 1.0) AS w
+        |  FROM tf JOIN dfq USING (token), nd),
+        |norms AS (SELECT id, sqrt(sum(w * w)) AS norm FROM w GROUP BY id),
+        |k AS (SELECT token, id, w FROM w WHERE df <= 100),
+        |dt AS (SELECT a.id AS id_a, b.id AS id_b, sum(a.w * b.w) AS dt
+        |  FROM k a JOIN k b ON a.token = b.token AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT dt.id_a, dt.id_b,
+        |  round(dt.dt / (na.norm * nb.norm), 6) AS cosine_r
+        |FROM dt JOIN norms na ON dt.id_a = na.id
+        |  JOIN norms nb ON dt.id_b = nb.id
+        |WHERE dt.dt / (na.norm * nb.norm) >= 0.25
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_stream_topk" ->
       """WITH w AS (SELECT
         |    (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400

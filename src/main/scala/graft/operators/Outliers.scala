@@ -39,6 +39,40 @@ object Outliers {
     (med, quantileDisc(dev, "__d", 0.5))
   }
 
+  /** Per-GROUP robust flagging — "which rows are anomalous FOR THEIR
+    * tenant": group medians and MADs via Spark's exact interpolated
+    * `percentile` (≡ SQL `quantile_cont`, unlike the whole-column path's
+    * `quantile_disc` — each matches the replay surface it is checked
+    * against), two group aggregations + two hash joins on the group
+    * key, then the same map-side flag. Scales with group cardinality,
+    * not data: aggregation state is per-group, nothing is collected.
+    * Degenerate all-identical groups (MAD = 0) flag any deviation, like
+    * the global path. */
+  def flagByGroup(df: DataFrame, column: String, groupCols: Seq[String],
+                  threshold: Double = 3.5): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val c = F.col(column).cast("double")
+    val valid = c.isNotNull && !F.isnan(c)
+    val med = df.where(valid)
+      .groupBy(groupCols.map(F.col): _*)
+      .agg(F.percentile(c, F.lit(0.5)).as("__med"))
+    val j1 = df.join(med, groupCols, "left")
+    val mad = j1.where(valid)
+      .groupBy(groupCols.map(F.col): _*)
+      .agg(F.percentile(F.abs(c - F.col("__med")), F.lit(0.5)).as("__mad"))
+    val z = F.when(F.col("__mad") > 0.0,
+        F.abs(c - F.col("__med")) / (F.lit(1.4826) * F.col("__mad")))
+      .otherwise(F.when(F.abs(c - F.col("__med")) > 0.0,
+        Double.PositiveInfinity).otherwise(0.0))
+    j1.join(mad, groupCols, "left")
+      .withColumn("robust_z",
+        F.when(valid && F.col("__med").isNotNull, F.round(z, 6)))
+      .withColumn("is_outlier",
+        F.when(valid && F.col("__med").isNotNull,
+          F.col("robust_z") > threshold))
+      .drop("__med", "__mad")
+  }
+
   /** Flag rows whose robust z-score |x−median| / (1.4826·MAD) exceeds
     * `threshold` (3.5 is the conventional cut). Appends `robust_z`
     * (rounded to 6) and `is_outlier`; rows with null/NaN values get

@@ -76,6 +76,51 @@ object Regression {
         (slope / slopeSe).as("t_stat"): _*)
   }
 
+  /** TWO-feature OLS per group, still ONE aggregation: with centered
+    * moments the 3×3 normal equations collapse to a 2×2 Cramer solve in
+    * plain column arithmetic —
+    *
+    *   [vx1 c12; c12 vx2]·(β₁,β₂) = (c1y, c2y),  β₀ = ȳ − β₁x̄₁ − β₂x̄₂
+    *
+    * so "regress y on two drivers per tenant" scales to 10⁶ groups like
+    * [[olsByGroup]]. Groups with n < 4, a zero-variance feature, zero
+    * y-variance, or (near-)collinear features (1−ρ² ≤ 1e−12) are
+    * omitted. R² = (β₁·c1y + β₂·c2y)/vy; resid_var uses df = n−3.
+    */
+  def olsByGroup2(df: DataFrame, yCol: String, x1Col: String,
+                  x2Col: String, groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val x1 = F.col(x1Col).cast("double")
+    val x2 = F.col(x2Col).cast("double")
+    val y = F.col(yCol).cast("double")
+    val ok = Seq(x1, x2, y).map(c => c.isNotNull && !F.isnan(c)).reduce(_ && _)
+    val clean = df.where(ok).select(
+      groupCols.map(F.col) :+ x1.as("__x1") :+ x2.as("__x2") :+ y.as("__y"): _*)
+    val agged = clean.groupBy(groupCols.map(F.col): _*).agg(
+      F.count(F.lit(1)).as("n"),
+      F.avg("__x1").as("m1"), F.avg("__x2").as("m2"), F.avg("__y").as("my"),
+      F.var_pop("__x1").as("v1"), F.var_pop("__x2").as("v2"),
+      F.var_pop("__y").as("vy"),
+      F.covar_pop("__x1", "__x2").as("c12"),
+      F.covar_pop("__x1", "__y").as("c1y"),
+      F.covar_pop("__x2", "__y").as("c2y"))
+    val n = F.col("n").cast("double")
+    val v1 = F.col("v1"); val v2 = F.col("v2"); val vy = F.col("vy")
+    val c12 = F.col("c12"); val c1y = F.col("c1y"); val c2y = F.col("c2y")
+    val det = v1 * v2 - c12 * c12
+    val b1 = (v2 * c1y - c12 * c2y) / det
+    val b2 = (v1 * c2y - c12 * c1y) / det
+    val b0 = F.col("my") - b1 * F.col("m1") - b2 * F.col("m2")
+    val r2 = (b1 * c1y + b2 * c2y) / vy
+    val residVar = n * vy * (F.lit(1.0) - r2) / (n - 3.0)
+    agged
+      .where(F.col("n") >= 4 && v1 > 0.0 && v2 > 0.0 && vy > 0.0 &&
+        det > v1 * v2 * 1e-12)
+      .select(groupCols.map(F.col) :+ F.col("n") :+ b0.as("intercept") :+
+        b1.as("b1") :+ b2.as("b2") :+ r2.as("r2") :+
+        residVar.as("resid_var"): _*)
+  }
+
   /** A fitted linear model: coefficient vector aligned to
     * `"intercept" +: features`, plus fit diagnostics. */
   final case class LinearModel(features: Seq[String], beta: Array[Double],

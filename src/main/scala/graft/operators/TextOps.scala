@@ -244,6 +244,49 @@ object TextOps {
             / F.sum("tf"), 6).as("mean_logprob"))
   }
 
+  /** Sparse TF-IDF cosine similarity pairs — the lexical complement to
+    * the dense-embedding ANN path: no model required, and it catches
+    * vocabulary-level near-dups (template text, translations of
+    * boilerplate) embeddings may smear.
+    *
+    * Shape: tf per (doc, token) and df per token aggregate in one token
+    * shuffle each; weights w = tf·(smooth-idf) ([[tfidfTopTerms]]'s
+    * idf); per-doc norms once over ALL terms; the pair join runs
+    * inverted-index style on tokens with df ≤ `maxDf` (the stop-token
+    * skew guard — a token in half the corpus would contribute a
+    * quadratic bucket and ~zero idf mass). Norms keep capped tokens, so
+    * dropping boilerplate can only UNDER-estimate a cosine, never
+    * inflate it. One pair aggregation sums wₐ·w_b; cosine =
+    * dot/(‖a‖·‖b‖) ≥ `threshold`.
+    *
+    * @return (id_a, id_b, cosine) with id_a < id_b */
+  def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double = 0.8,
+                       maxDf: Int = 100): DataFrame = {
+    val nDocs = df.select(F.col(idCol)).distinct().count()
+    val tf = tokens(df, idCol, textCol)
+      .groupBy("id", "token").agg(F.count(F.lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).as("df"))
+    val w = tf.join(dfreq, "token")
+      .withColumn("w", F.col("tf") *
+        (F.log((F.lit(1.0) + F.lit(nDocs.toDouble)) /
+          (F.lit(1.0) + F.col("df"))) + F.lit(1.0)))
+    val norms = w.groupBy("id")
+      .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).as("norm"))
+    val keyed = w.where(F.col("df") <= maxDf)
+      .select(F.col("token"), F.col("id"), F.col("w"))
+    keyed.as("a").join(keyed.as("b"),
+        F.col("a.token") === F.col("b.token") &&
+          F.col("a.id") < F.col("b.id"))
+      .groupBy(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"))
+      .agg(F.sum(F.col("a.w") * F.col("b.w")).as("__dot"))
+      .join(norms.select(F.col("id").as("id_a"), F.col("norm").as("__na")), "id_a")
+      .join(norms.select(F.col("id").as("id_b"), F.col("norm").as("__nb")), "id_b")
+      .withColumn("cosine", F.col("__dot") / (F.col("__na") * F.col("__nb")))
+      .where(F.col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   // --- normalization + PII masking (pre-training text hygiene) ---
 
   /** Conservative text normalization: lowercase, ASCII control chars to

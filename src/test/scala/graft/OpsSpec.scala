@@ -131,6 +131,43 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ra.getAs[Long]("salt_suggest") == 8L)
   }
 
+  test("flagByGroup scores outliers against their OWN group's median/MAD") {
+    import spark.implicits._
+    // group a: tight around 10 with one spike; group b: tight around
+    // 1000 — a value of 50 is an outlier in a, unremarkable scale-wise
+    // only relative to b
+    val rows = (1 to 20).map(i => ("a", 10.0 + (i % 5) * 0.5)) ++
+      Seq(("a", 50.0)) ++
+      (1 to 20).map(i => ("b", 1000.0 + (i % 5) * 20.0)) ++ Seq(("b", 1040.0))
+    val df = rows.zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "g", "v")
+    val out = Outliers.flagByGroup(df, "v", Seq("g"), threshold = 3.5)
+    val flagged = out.where(F.col("is_outlier")).collect()
+    assert(flagged.length == 1)
+    assert(flagged.head.getAs[String]("g") == "a" &&
+      flagged.head.getAs[Double]("v") == 50.0)
+    // b's 1040 is within b's own spread — not flagged
+    assert(out.where($"v" === 1040.0).head().getAs[Boolean]("is_outlier") == false)
+  }
+
+  test("tfidfCosinePairs finds template near-dups and honors the df cap") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),   // near-dup of 1
+      (3L, "totally different words here entirely now"),
+      (4L, "common common common filler filler filler")).toDF("doc_id", "text")
+    val pairs = TextOps.tfidfCosinePairs(df, "doc_id", "text",
+      threshold = 0.5, maxDf = 100).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("id_a") == 1L &&
+      pairs.head.getAs[Long]("id_b") == 2L)
+    assert(pairs.head.getAs[Double]("cosine") > 0.6)
+    // a df cap of 1 drops every shared token → no pairs at all
+    assert(TextOps.tfidfCosinePairs(df, "doc_id", "text",
+      threshold = 0.1, maxDf = 1).count() == 0L)
+  }
+
   test("pageRank matches a hand-iterated small graph") {
     import spark.implicits._
     // a→b, c→b, b→a; r₀=1:

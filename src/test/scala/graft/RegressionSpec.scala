@@ -61,6 +61,35 @@ class RegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(grp.getAs[Double]("intercept") - m.beta(0)) < 1e-8)
   }
 
+  test("olsByGroup2 agrees with the Gram-matrix olsFit per group") {
+    import spark.implicits._
+    val rows = for {
+      g <- Seq("g1", "g2"); i <- 0 until 300
+    } yield {
+      val x1 = (i % 17).toDouble
+      val x2 = ((i * 7) % 13).toDouble
+      val bump = if (g == "g1") 1.0 else -2.0
+      (g, x1, x2, 3.0 + bump * x1 - 0.5 * x2 +
+        (if (i % 2 == 0) 0.25 else -0.25))
+    }
+    val df = rows.toDF("g", "x1", "x2", "y")
+    val grouped = Regression.olsByGroup2(df, "y", "x1", "x2", Seq("g"))
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    for (g <- Seq("g1", "g2")) {
+      val m = Regression.olsFit(df.where($"g" === g), "y", Seq("x1", "x2"))
+      val r = grouped(g)
+      assert(math.abs(r.getAs[Double]("intercept") - m.beta(0)) < 1e-8)
+      assert(math.abs(r.getAs[Double]("b1") - m.beta(1)) < 1e-8)
+      assert(math.abs(r.getAs[Double]("b2") - m.beta(2)) < 1e-8)
+      assert(r.getAs[Double]("r2") > 0.99)
+    }
+    // collinear features within a group → that group is omitted
+    val col = (0 until 50).map(i =>
+      ("bad", i.toDouble, 2.0 * i, i.toDouble)).toDF("g", "x1", "x2", "y")
+    assert(Regression.olsByGroup2(df.union(col), "y", "x1", "x2", Seq("g"))
+      .where($"g" === "bad").count() == 0L)
+  }
+
   test("olsFit recovers exact multi-feature coefficients; ridge shrinks") {
     import spark.implicits._
     val rows = (0 until 500).map { i =>
