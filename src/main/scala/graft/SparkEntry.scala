@@ -2477,6 +2477,35 @@ object SparkEntry {
           F.col("j").cast("long").as("j"),
           F.round(F.col("cov"), 6).as("cov_r"))
         .orderBy("i", "j")),
+    "q_hits" -> ((s, dir) => {
+      // HITS hubs/authorities on the bipartite supplier→part graph
+      // (2 fixed iterations): suppliers are hubs, parts authorities;
+      // DuckDB replays both normalized iterations as chained CTEs
+      val base = li(s, dir).select(
+          F.concat(F.lit("s"), F.col("l_suppkey")).as("src"),
+          F.concat(F.lit("p"), F.col("l_partkey")).as("dst"))
+        .distinct()
+      Graph.hits(base, "src", "dst", iters = 2)
+        .select(F.col("node"), F.round(F.col("hub"), 6).as("hub_r"),
+          F.round(F.col("authority"), 6).as("auth_r"))
+        .orderBy("node")
+    }),
+    "q_fuzzy_join" -> ((s, dir) => {
+      // blocked fuzzy join (record linkage): distinct part names
+      // blocked on their noun, verified with exact Levenshtein ≤ 3 —
+      // candidates only within blocks, never the quadratic cross join;
+      // DuckDB's levenshtein agrees exactly
+      val names = s.read.parquet(s"$dir/part.parquet")
+        .groupBy(F.col("p_name").as("key"))
+        .agg(F.min("p_partkey").as("id"))
+        .withColumn("block",
+          F.element_at(F.split(F.col("key"), " "), -1))
+        .select("id", "key", "block")
+      Dedup.fuzzyJoinBlocked(names, names, maxDistance = 3)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "key_a", "key_b", "distance")
+        .orderBy("id_a", "id_b")
+    }),
     "q_grouped_ols2" -> ((s, dir) =>
       // two-feature OLS per group in ONE aggregation: centered moments
       // collapse the 3×3 normal equations to a 2×2 Cramer solve in
@@ -5304,6 +5333,47 @@ object SparkEntry {
         |FROM embeddings, range(1, 65) i(i), range(1, 65) j(j)
         |WHERE i.i <= j.j AND embedding IS NOT NULL
         |GROUP BY i.i, j.j ORDER BY i.i, j.j""".stripMargin,
+    "q_hits" ->
+      """WITH base AS (SELECT DISTINCT 's' || l_suppkey AS src,
+        |    'p' || l_partkey AS dst FROM lineitem),
+        |nodes AS (SELECT DISTINCT src AS node FROM base
+        |  UNION SELECT DISTINCT dst FROM base),
+        |a1r AS (SELECT dst AS node, CAST(count(*) AS DOUBLE) AS a
+        |  FROM base GROUP BY dst),
+        |a1n AS (SELECT sqrt(sum(a * a)) AS z FROM a1r),
+        |a1 AS (SELECT n.node, coalesce(r.a, 0.0) / a1n.z AS a
+        |  FROM nodes n LEFT JOIN a1r r ON n.node = r.node, a1n),
+        |h1r AS (SELECT b.src AS node, sum(a1.a) AS h
+        |  FROM base b JOIN a1 ON a1.node = b.dst GROUP BY b.src),
+        |h1n AS (SELECT sqrt(sum(h * h)) AS z FROM h1r),
+        |h1 AS (SELECT n.node, coalesce(r.h, 0.0) / h1n.z AS h
+        |  FROM nodes n LEFT JOIN h1r r ON n.node = r.node, h1n),
+        |a2r AS (SELECT b.dst AS node, sum(h1.h) AS a
+        |  FROM base b JOIN h1 ON h1.node = b.src GROUP BY b.dst),
+        |a2n AS (SELECT sqrt(sum(a * a)) AS z FROM a2r),
+        |a2 AS (SELECT n.node, coalesce(r.a, 0.0) / a2n.z AS a
+        |  FROM nodes n LEFT JOIN a2r r ON n.node = r.node, a2n),
+        |h2r AS (SELECT b.src AS node, sum(a2.a) AS h
+        |  FROM base b JOIN a2 ON a2.node = b.dst GROUP BY b.src),
+        |h2n AS (SELECT sqrt(sum(h * h)) AS z FROM h2r),
+        |h2 AS (SELECT n.node, coalesce(r.h, 0.0) / h2n.z AS h
+        |  FROM nodes n LEFT JOIN h2r r ON n.node = r.node, h2n)
+        |SELECT n.node, round(h2.h, 6) AS hub_r, round(a2.a, 6) AS auth_r
+        |FROM nodes n JOIN h2 ON h2.node = n.node
+        |  JOIN a2 ON a2.node = n.node
+        |ORDER BY n.node""".stripMargin,
+    "q_fuzzy_join" ->
+      """WITH names AS (SELECT p_name AS key, min(p_partkey) AS id
+        |  FROM part GROUP BY p_name),
+        |b AS (SELECT id, key,
+        |    list_extract(string_split(key, ' '), -1) AS block
+        |  FROM names)
+        |SELECT a.id AS id_a, bb.id AS id_b, a.key AS key_a,
+        |  bb.key AS key_b,
+        |  CAST(levenshtein(a.key, bb.key) AS BIGINT) AS distance
+        |FROM b a JOIN b bb ON a.block = bb.block AND a.id < bb.id
+        |WHERE levenshtein(a.key, bb.key) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_grouped_ols2" ->
       """WITH s AS (SELECT l_returnflag, count(*) AS n,
         |    avg(l_quantity) AS m1, avg(l_discount) AS m2,

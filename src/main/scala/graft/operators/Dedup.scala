@@ -448,6 +448,35 @@ object Dedup {
       .select("id_a", "id_b", "shared", "size_a", "size_b", "c_a", "c_b")
   }
 
+  /** Blocked fuzzy (edit-distance) join — record linkage's workhorse:
+    * comparing every key pair is quadratic, so candidates are generated
+    * only WITHIN blocks (caller-chosen blocking key: a phonetic code, a
+    * name token, a sorted-ngram prefix) and verified with exact
+    * Levenshtein. Blocks more frequent than `maxBlockFreq` on either
+    * side are dropped map-side (the skew guard — one degenerate block
+    * would otherwise reintroduce the quadratic join).
+    *
+    * Inputs need columns (id, key, block). Shuffle carries (block, id,
+    * key) — linear; per-block work is bounded by the freq cap.
+    *
+    * @return (id_a, id_b, key_a, key_b, distance) with
+    *         distance ≤ maxDistance */
+  def fuzzyJoinBlocked(a: DataFrame, b: DataFrame, maxDistance: Int,
+                       maxBlockFreq: Int = 1000): DataFrame = {
+    require(maxDistance >= 0, "maxDistance must be >= 0")
+    def ok(df: DataFrame) = df.groupBy("block")
+      .agg(F.count(F.lit(1)).as("__n"))
+      .where(F.col("__n") <= maxBlockFreq).select("block")
+    val ka = a.join(ok(a), Seq("block"), "left_semi")
+    val kb = b.join(ok(b), Seq("block"), "left_semi")
+    ka.as("a").join(kb.as("b"), F.col("a.block") === F.col("b.block"))
+      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
+        F.col("a.key").as("key_a"), F.col("b.key").as("key_b"),
+        F.levenshtein(F.col("a.key"), F.col("b.key")).cast("long")
+          .as("distance"))
+      .where(F.col("distance") <= maxDistance)
+  }
+
   /** Duplicated-substring span detection — the exact-substring dedup of
     * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
     * Better") re-expressed relationally, trading their suffix array for

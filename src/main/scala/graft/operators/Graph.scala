@@ -56,4 +56,57 @@ object Graph {
     }
     ranks
   }
+
+  /** HITS hubs & authorities (Kleinberg) with a fixed iteration count:
+    * h₀ = 1, then per round a(v) = Σ_{u→v} h(u) normalized to unit
+    * 2-norm, h(u) = Σ_{u→v} a(v) normalized likewise. On a bipartite
+    * doc↔source graph this separates "pages that point at good content"
+    * from "content good pages point at" — the complementary quality
+    * prior to [[pageRank]]'s single score.
+    *
+    * Scale shape identical to [[pageRank]]: the checkpointed edge table
+    * is the only corpus-sized artifact; each round is two node-sized
+    * hash joins + two aggregations. The 2-norms are distributed
+    * aggregations whose single scalar lands on the driver (O(1)
+    * traffic) and re-enters the plan as a literal.
+    *
+    * @return (node, hub, authority) — nodes missing a role score 0 */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 8): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val e = edges.select(F.col(srcCol).cast("string").as("src"),
+      F.col(dstCol).cast("string").as("dst")).localCheckpoint(true)
+    val nodes = e.select(F.col("src").as("node"))
+      .union(e.select(F.col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    var hubs = nodes.withColumn("hub", F.lit(1.0))
+    var auths: DataFrame = null
+    var it = 0
+    while (it < iters) {
+      val aRaw = e.join(hubs.withColumnRenamed("node", "src"), "src")
+        .groupBy(F.col("dst").as("node"))
+        .agg(F.sum(F.col("hub")).as("__a"))
+      val aNorm = math.sqrt(aRaw
+        .agg(F.sum(F.col("__a") * F.col("__a"))).head().getDouble(0))
+      val a = nodes.join(aRaw, Seq("node"), "left")
+        .select(F.col("node"),
+          (F.coalesce(F.col("__a"), F.lit(0.0)) / aNorm).as("authority"))
+        .localCheckpoint(true)
+      val hRaw = e.join(a.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(F.col("src").as("node"))
+        .agg(F.sum(F.col("authority")).as("__h"))
+      val hNorm = math.sqrt(hRaw
+        .agg(F.sum(F.col("__h") * F.col("__h"))).head().getDouble(0))
+      val h = nodes.join(hRaw, Seq("node"), "left")
+        .select(F.col("node"),
+          (F.coalesce(F.col("__h"), F.lit(0.0)) / hNorm).as("hub"))
+        .localCheckpoint(true)
+      if (auths != null) auths.unpersist(false)
+      hubs.unpersist(false)
+      auths = a
+      hubs = h
+      it += 1
+    }
+    hubs.join(auths, "node")
+  }
 }

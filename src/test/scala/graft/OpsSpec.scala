@@ -168,6 +168,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       threshold = 0.1, maxDf = 1).count() == 0L)
   }
 
+  test("hits separates hubs from authorities on a known graph") {
+    import spark.implicits._
+    // h1, h2 both point at x; h1 also points at y. After convergence
+    // h1 is the stronger hub, x the stronger authority.
+    val e = Seq(("h1", "x"), ("h2", "x"), ("h1", "y")).toDF("src", "dst")
+    val out = Graph.hits(e, "src", "dst", iters = 4)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("hub"), r.getAs[Double]("authority"))).toMap
+    assert(out("h1")._1 > out("h2")._1)
+    assert(out("x")._2 > out("y")._2)
+    // pure hubs carry no authority; pure authorities no hub mass
+    assert(out("h1")._2 == 0.0 && out("x")._1 == 0.0)
+    // unit 2-norms after the final normalization steps
+    val hubNorm = out.values.map(v => v._1 * v._1).sum
+    val authNorm = out.values.map(v => v._2 * v._2).sum
+    assert(math.abs(hubNorm - 1.0) < 1e-9)
+    assert(math.abs(authNorm - 1.0) < 1e-9)
+  }
+
+  test("fuzzyJoinBlocked links within blocks and honors the freq cap") {
+    import spark.implicits._
+    val left = Seq((1L, "jon smith", "smith"), (2L, "john smith", "smith"),
+      (3L, "jane doe", "doe")).toDF("id", "key", "block")
+    val right = Seq((10L, "john smith", "smith"), (11L, "joan doe", "doe"),
+      (12L, "zzz qqq", "qqq")).toDF("id", "key", "block")
+    val out = Dedup.fuzzyJoinBlocked(left, right, maxDistance = 2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("distance"))).toSet
+    // jon→john d=1, john→john d=0, jane→joan d=2; zzz has no block peer
+    assert(out == Set((1L, 10L, 1L), (2L, 10L, 0L), (3L, 11L, 2L)))
+    // a degenerate block above the cap is dropped on both sides
+    val hot = (1 to 50).map(i => (100L + i, s"k$i", "hot")).toDF("id", "key", "block")
+    assert(Dedup.fuzzyJoinBlocked(hot, hot, maxDistance = 5,
+      maxBlockFreq = 10).count() == 0L)
+  }
+
   test("pageRank matches a hand-iterated small graph") {
     import spark.implicits._
     // a→b, c→b, b→a; r₀=1:
