@@ -2449,8 +2449,9 @@ object SparkEntry {
       // r₀ = 1, three rounds of (1−d) + d·Σ r/outdeg — DuckDB replays
       // every round as a chained CTE, so the hash pins the whole
       // trajectory, not a fixed point
-      val base = li(s, dir).select(
-          F.concat(F.lit("s"), F.col("l_suppkey")).as("a"),
+      val base = keyCappedLineitem(s, dir, 50000,
+          Seq("l_suppkey", "l_partkey"))
+        .select(F.concat(F.lit("s"), F.col("l_suppkey")).as("a"),
           F.concat(F.lit("p"), F.col("l_partkey")).as("b"))
         .distinct()
       val e = base.select(F.col("a").as("src"), F.col("b").as("dst"))
@@ -2481,8 +2482,9 @@ object SparkEntry {
       // HITS hubs/authorities on the bipartite supplier→part graph
       // (2 fixed iterations): suppliers are hubs, parts authorities;
       // DuckDB replays both normalized iterations as chained CTEs
-      val base = li(s, dir).select(
-          F.concat(F.lit("s"), F.col("l_suppkey")).as("src"),
+      val base = keyCappedLineitem(s, dir, 50000,
+          Seq("l_suppkey", "l_partkey"))
+        .select(F.concat(F.lit("s"), F.col("l_suppkey")).as("src"),
           F.concat(F.lit("p"), F.col("l_partkey")).as("dst"))
         .distinct()
       Graph.hits(base, "src", "dst", iters = 2)
@@ -5296,7 +5298,8 @@ object SparkEntry {
         |ORDER BY n_rows DESC, user_id ASC LIMIT 20""".stripMargin,
     "q_pagerank" ->
       """WITH base AS (SELECT DISTINCT 's' || l_suppkey AS a,
-        |    'p' || l_partkey AS b FROM lineitem),
+        |    'p' || l_partkey AS b FROM lineitem
+        |  WHERE l_orderkey < 50000),
         |e AS (SELECT a AS src, b AS dst FROM base
         |  UNION ALL SELECT b, a FROM base),
         |deg AS (SELECT src, count(*) AS dg FROM e GROUP BY src),
@@ -5335,7 +5338,8 @@ object SparkEntry {
         |GROUP BY i.i, j.j ORDER BY i.i, j.j""".stripMargin,
     "q_hits" ->
       """WITH base AS (SELECT DISTINCT 's' || l_suppkey AS src,
-        |    'p' || l_partkey AS dst FROM lineitem),
+        |    'p' || l_partkey AS dst FROM lineitem
+        |  WHERE l_orderkey < 50000),
         |nodes AS (SELECT DISTINCT src AS node FROM base
         |  UNION SELECT DISTINCT dst FROM base),
         |a1r AS (SELECT dst AS node, CAST(count(*) AS DOUBLE) AS a

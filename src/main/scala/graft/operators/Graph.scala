@@ -6,8 +6,26 @@ import org.apache.spark.sql.{DataFrame, functions => F}
   * pipelines use graph signals (inlink authority, hub scores) as
   * document-quality priors; this is that layer in fixed-iteration,
   * deterministic form.
+  *
+  * Execution shape shared by both operators: the edge table is cached
+  * (columnar) once and scanned per round; rank/score tables are
+  * node-sized. When the node count fits a broadcast (≤ [[maxBroadcastNodes]])
+  * every per-round join is a broadcast-hash join — the edge table never
+  * shuffles at all, which is the right plan for the "millions of nodes,
+  * billions of edges" regime. Beyond that the joins fall back to
+  * shuffle-hash on the key, the classic distributed-PageRank step. A
+  * checkpointed rank frame has no usable stats (LogicalRDD defaults to
+  * "huge"), so AQE alone would silently pick the shuffle plan even for
+  * tiny rank tables — the node count is measured once and the hint made
+  * explicit.
   */
 object Graph {
+
+  /** Rank tables up to this many nodes get broadcast-join hints. */
+  val maxBroadcastNodes: Long = 5000000L
+
+  private def maybeBroadcast(df: DataFrame, small: Boolean): DataFrame =
+    if (small) F.broadcast(df) else df
 
   /** PageRank with a FIXED iteration count (deterministic, replayable):
     * r₀ = 1 for every node, then `iters` rounds of
@@ -19,33 +37,38 @@ object Graph {
     * keeps the recurrence join-shaped). Duplicate edges count as
     * parallel edges; dedupe upstream if that is not the intent.
     *
-    * Scale shape: the edge table (joined once with out-degrees, then
-    * localCheckpointed) is the only corpus-sized artifact; each round is
-    * ONE hash join (ranks are node-sized) + ONE aggregation on dst —
-    * the standard distributed PageRank step. Each round's rank frame is
+    * Per round: ONE join of the cached edge table with the node-sized
+    * rank table + ONE aggregation on dst. Each round's rank frame is
     * eagerly checkpointed so the plan stays O(1) deep instead of
-    * O(iters); fixed `iters` bounds total work at iters·(join+agg).
+    * O(iters); the edge/node caches release before returning (the final
+    * checkpointed frame is self-contained).
     *
     * @return (node, rank) for every node appearing as src or dst */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 10, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
+    // persist the normalized edges FIRST: deg, ed, and nodes each scan
+    // them, and an uncached upstream (a distinct, a parsed read) would
+    // otherwise recompute per consumer
     val e = edges.select(F.col(srcCol).cast("string").as("src"),
-      F.col(dstCol).cast("string").as("dst"))
+      F.col(dstCol).cast("string").as("dst")).persist()
     val deg = e.groupBy("src").agg(F.count(F.lit(1)).as("__deg"))
-    val ed = e.join(deg, "src").localCheckpoint(true)
+    val ed = e.join(deg, "src").persist()
     val nodes = e.select(F.col("src").as("node"))
       .union(e.select(F.col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct().persist()
+    val small = nodes.count() <= maxBroadcastNodes // also materializes
     var ranks = nodes.withColumn("rank", F.lit(1.0))
     var it = 0
     while (it < iters) {
       val contrib = ed
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(maybeBroadcast(ranks.withColumnRenamed("node", "src"), small),
+          "src")
         .groupBy(F.col("dst").as("node"))
         .agg(F.sum(F.col("rank") / F.col("__deg")).as("__in"))
-      val next = nodes.join(contrib, Seq("node"), "left")
+      val next = nodes
+        .join(maybeBroadcast(contrib, small), Seq("node"), "left")
         .select(F.col("node"),
           (F.lit(1.0 - damping) + F.lit(damping) *
             F.coalesce(F.col("__in"), F.lit(0.0))).as("rank"))
@@ -54,6 +77,9 @@ object Graph {
       ranks = next
       it += 1
     }
+    e.unpersist(false)
+    ed.unpersist(false)
+    nodes.unpersist(false)
     ranks
   }
 
@@ -64,9 +90,9 @@ object Graph {
     * from "content good pages point at" — the complementary quality
     * prior to [[pageRank]]'s single score.
     *
-    * Scale shape identical to [[pageRank]]: the checkpointed edge table
-    * is the only corpus-sized artifact; each round is two node-sized
-    * hash joins + two aggregations. The 2-norms are distributed
+    * Per round: two edge joins + two aggregations; each raw score table
+    * is checkpointed BEFORE its norm is taken so the edge join runs
+    * once, not once per consumer. The 2-norms are distributed
     * aggregations whose single scalar lands on the driver (O(1)
     * traffic) and re-enters the plan as a literal.
     *
@@ -75,38 +101,49 @@ object Graph {
            iters: Int = 8): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     val e = edges.select(F.col(srcCol).cast("string").as("src"),
-      F.col(dstCol).cast("string").as("dst")).localCheckpoint(true)
+      F.col(dstCol).cast("string").as("dst")).persist()
     val nodes = e.select(F.col("src").as("node"))
       .union(e.select(F.col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct().persist()
+    val small = nodes.count() <= maxBroadcastNodes
     var hubs = nodes.withColumn("hub", F.lit(1.0))
     var auths: DataFrame = null
     var it = 0
     while (it < iters) {
-      val aRaw = e.join(hubs.withColumnRenamed("node", "src"), "src")
+      val aRaw = e
+        .join(maybeBroadcast(hubs.withColumnRenamed("node", "src"), small),
+          "src")
         .groupBy(F.col("dst").as("node"))
         .agg(F.sum(F.col("hub")).as("__a"))
+        .localCheckpoint(true) // ONE edge join, shared by norm + scores
       val aNorm = math.sqrt(aRaw
         .agg(F.sum(F.col("__a") * F.col("__a"))).head().getDouble(0))
-      val a = nodes.join(aRaw, Seq("node"), "left")
+      val a = nodes.join(maybeBroadcast(aRaw, small), Seq("node"), "left")
         .select(F.col("node"),
           (F.coalesce(F.col("__a"), F.lit(0.0)) / aNorm).as("authority"))
         .localCheckpoint(true)
-      val hRaw = e.join(a.withColumnRenamed("node", "dst"), "dst")
+      aRaw.unpersist(false)
+      val hRaw = e
+        .join(maybeBroadcast(a.withColumnRenamed("node", "dst"), small),
+          "dst")
         .groupBy(F.col("src").as("node"))
         .agg(F.sum(F.col("authority")).as("__h"))
+        .localCheckpoint(true)
       val hNorm = math.sqrt(hRaw
         .agg(F.sum(F.col("__h") * F.col("__h"))).head().getDouble(0))
-      val h = nodes.join(hRaw, Seq("node"), "left")
+      val h = nodes.join(maybeBroadcast(hRaw, small), Seq("node"), "left")
         .select(F.col("node"),
           (F.coalesce(F.col("__h"), F.lit(0.0)) / hNorm).as("hub"))
         .localCheckpoint(true)
+      hRaw.unpersist(false)
       if (auths != null) auths.unpersist(false)
       hubs.unpersist(false)
       auths = a
       hubs = h
       it += 1
     }
-    hubs.join(auths, "node")
+    e.unpersist(false)
+    nodes.unpersist(false)
+    hubs.join(maybeBroadcast(auths, small), "node")
   }
 }
