@@ -2188,6 +2188,91 @@ object SparkEntry {
       exact.withColumn("p_exact",
         F.round(F.least(F.lit(1.0), F.greatest(F.lit(0.0), series)), 6))
     }),
+    "q_drift_mwu" -> ((s, dir) =>
+      // Mann–Whitney rank-sum between the parity cohorts, hash-checked
+      // END TO END including the p-value: U and the tie sum are exact
+      // integer/half-integer sums (bit-identical to DuckDB's window
+      // replay), z is rounded to 6 decimals BEFORE the erfc, and the
+      // oracle carries the SAME Cody rational-Chebyshev erfc unrolled
+      // into SQL (all three branches) — the only cross-engine gap is
+      // exp() ULPs, absorbed by the p rounding
+      StatTests.mannWhitneyU(
+        li(s, dir).select(
+          F.when(F.col("l_orderkey") % 2 === 0, "a").otherwise("b").as("cohort"),
+          F.col("l_extendedprice")),
+        "cohort", "l_extendedprice")),
+    "q_drift_cvm" -> ((s, dir) =>
+      // Cramér–von Mises L² distance between the parity cohorts — the
+      // whole-shape complement to K-S's sup distance. The statistic is
+      // an exact integer-ratio sum over the pooled ECDF (hash-checked);
+      // the asymptotic ω² p-value rides a Bessel-K¼ series no SQL
+      // engine carries, so the API's p is pinned by the ScalaTest
+      // critical-value suite instead of the oracle
+      StatTests.cvmTwoSample(
+        li(s, dir).select(
+          F.when(F.col("l_orderkey") % 2 === 0, "a").otherwise("b").as("cohort"),
+          F.col("l_extendedprice")),
+        "cohort", "l_extendedprice")
+        .select(F.col("cvm_t"), F.col("n_a"), F.col("n_b"))),
+    "q_drift_chi2" -> ((s, dir) =>
+      // chi-squared homogeneity of the order-priority mix between
+      // customer-parity cohorts, p-value included: the 5-cell support
+      // gives dof = 4, so Q(dof/2, X²/2) is a finite Poisson sum the
+      // oracle replays from the ROUNDED X² — integer counts in, exact
+      // expected-count arithmetic, 6-decimal rounding out
+      StatTests.chiSquareTwoSample(
+        s.read.parquet(s"$dir/orders.parquet").select(
+          F.when(F.col("o_custkey") % 2 === 0, "a").otherwise("b").as("cohort"),
+          F.col("o_orderpriority")),
+        "cohort", "o_orderpriority")),
+    "q_chi2_gof_group" -> ((s, dir) =>
+      // per-GROUP chi-squared uniformity over a SHARED 7-cell support
+      // (user_id mod 7 within each event type) — ONE aggregation tests
+      // every group; X² folds from three sufficient statistics
+      // (Σo², n, observed cells) so missing cells cost nothing, and the
+      // per-GROUP p-value is Q(3, X²/2) from the rounded X²
+      StatTests.chiSquareGofByGroup(
+        events(s, dir).select(F.col("event_type"),
+          (F.col("user_id") % 7).as("cell")),
+        Seq("event_type"), "cell")
+        .orderBy("event_type")),
+    "q_drift_fdr" -> ((s, dir) => {
+      // Benjamini–Hochberg across the per-group tests — the step that
+      // makes per-group monitoring honest at scale (raw α would fire
+      // 5% of a million groups every run). Max-rank, the m·p/rank
+      // ratio, and the right-to-left running minimum all replay as
+      // exact window arithmetic over the rounded p inputs
+      val gof = StatTests.chiSquareGofByGroup(
+        events(s, dir).select(F.col("event_type"),
+          (F.col("user_id") % 7).as("cell")),
+        Seq("event_type"), "cell")
+      StatTests.bhAdjust(gof, "p_value", alpha = 0.05)
+        .select(F.col("event_type"), F.col("chi2"), F.col("p_value"),
+          F.col("bh_rank"), F.round(F.col("q_value"), 9).as("q_value"),
+          F.col("reject"))
+        .orderBy("event_type")
+    }),
+    "q_km_curve" -> ((s, dir) =>
+      // Kaplan–Meier per line status: duration = quantity, event =
+      // returned/accepted vs still-open ('N' = right-censored). One
+      // (group, t) aggregate, per-group windows over the ≤ groups·50
+      // cells frame — at-risk counts, the exp(Σ ln) product limit, and
+      // the Greenwood variance all replay in DuckDB to 6 decimals
+      Survival.kmByGroup(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select(F.col("l_linestatus"), F.col("l_quantity"),
+            (F.col("l_returnflag") =!= "N").as("ev")),
+        "l_quantity", "ev", Seq("l_linestatus"))
+        .orderBy("l_linestatus", "t")),
+    "q_km_median" -> ((s, dir) =>
+      // median survival + final level per group — the per-group fold
+      // over the product-limit curve (smallest t with S ≤ ½)
+      Survival.medianSurvival(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select(F.col("l_linestatus"), F.col("l_quantity"),
+            (F.col("l_returnflag") =!= "N").as("ev")),
+        "l_quantity", "ev", Seq("l_linestatus"))
+        .orderBy("l_linestatus")),
     "q_copula_serde" -> ((s, dir) => {
       // S5's copula sink hash-checked: the fitted copula goes save ->
       // JSON -> load on the driver, and the output reads marginal
@@ -2629,6 +2714,49 @@ object SparkEntry {
     * can never update one oracle and silently leave a twin stale. The
     * stats CTE must be named `s` and expose n, m, s2, mn, mx, mln,
     * s2ln, sxx alongside the keys. */
+  /** W. J. Cody's rational-Chebyshev erfc (the exact algorithm in
+    * `SpecialMath.erfc`, all three branches) unrolled into a DuckDB SQL
+    * expression over the non-negative argument `y` — same coefficient
+    * literals, same Horner association, same exp(−ysq²)·exp(−del)
+    * split, so both engines evaluate the identical IEEE expression and
+    * only exp() ULPs differ (absorbed by the caller's rounding). Used
+    * by the Mann–Whitney oracle to replay normal-approximation
+    * p-values without a native SQL erfc. */
+  private def codyErfcSql(y: String): String = {
+    val z = s"($y * $y)"
+    val num1 = s"((((1.85777706184603153e-1 * $z + 3.16112374387056560) * $z" +
+      s" + 1.13864154151050156e2) * $z + 3.77485237685302021e2) * $z" +
+      s" + 3.20937758913846947e3)"
+    val den1 = s"(((($z + 2.36012909523441209e1) * $z" +
+      s" + 2.44024637934444173e2) * $z + 1.28261652607737228e3) * $z" +
+      s" + 2.84423683343917062e3)"
+    val num2 = s"((((((((2.15311535474403846e-8 * $y" +
+      s" + 5.64188496988670089e-1) * $y + 8.88314979438837594) * $y" +
+      s" + 6.61191906371416295e1) * $y + 2.98635138197400131e2) * $y" +
+      s" + 8.81952221241769090e2) * $y + 1.71204761263407058e3) * $y" +
+      s" + 2.05107837782607147e3) * $y + 1.23033935479799725e3)"
+    val den2 = s"(((((((($y + 1.57449261107098347e1) * $y" +
+      s" + 1.17693950891312499e2) * $y + 5.37181101862009858e2) * $y" +
+      s" + 1.62138957456669019e3) * $y + 3.29079923573345963e3) * $y" +
+      s" + 4.36261909014324716e3) * $y + 3.43936767414372164e3) * $y" +
+      s" + 1.23033935480374942e3)"
+    val zi = s"(1.0 / ($y * $y))"
+    val num3 = s"(((((1.63153871373020978e-2 * $zi" +
+      s" + 3.05326634961232344e-1) * $zi + 3.60344899949804439e-1) * $zi" +
+      s" + 1.25781726111229246e-1) * $zi + 1.60837851487422766e-2) * $zi" +
+      s" + 6.58749161529837803e-4)"
+    val den3 = s"((((($zi + 2.56852019228982242) * $zi" +
+      s" + 1.87295284992346047) * $zi + 5.27905102951428412e-1) * $zi" +
+      s" + 6.05183413124413191e-2) * $zi + 2.33520497626869185e-3)"
+    val ysq = s"(floor($y * 16.0) / 16.0)"
+    val expf = s"(exp(-($ysq * $ysq)) * exp(-(($y - $ysq) * ($y + $ysq))))"
+    s"(CASE WHEN $y <= 0.46875 THEN 1.0 - $y * $num1 / $den1 " +
+      s"WHEN $y <= 4.0 THEN $expf * ($num2 / $den2) " +
+      s"WHEN $y < 26.543 THEN $expf * " +
+      s"((5.6418958354775628695e-1 - $zi * $num3 / $den3) / $y) " +
+      s"ELSE 0.0 END)"
+  }
+
   private def groupedFitOracleArms(keys: String): String =
     s"""fits AS (
        |  SELECT $keys, n, 'norm' AS distribution, m AS p1, sqrt(s2) AS p2,
@@ -5063,6 +5191,217 @@ object SparkEntry {
         |    (SELECT sum(2 * power(-1.0, g.j + 1) * exp(-2 * g.j * g.j * k.tt * k.tt))
         |     FROM generate_series(1, 100) AS g(j)))), 6) AS p_exact
         |FROM k""".stripMargin,
+    // Replays the Mann–Whitney pipeline: per-value conditional counts,
+    // the cumulative-cb window for U, the exact tie sum, the identical
+    // sigma/z arithmetic (z rounded to 6 BEFORE the erfc), and Cody's
+    // erfc unrolled into SQL by codyErfcSql.
+    "q_drift_mwu" ->
+      s"""WITH c AS (SELECT
+        |    CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    l_extendedprice AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |m AS (SELECT v, sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS cb
+        |  FROM c GROUP BY v),
+        |cum AS (SELECT v, ca, cb,
+        |    coalesce(CAST(sum(cb) OVER (ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cumb
+        |  FROM m),
+        |a AS (SELECT sum(ca * (cumb + 0.5 * cb)) AS u,
+        |    sum(CAST(ca + cb AS DOUBLE) * (ca + cb) * (ca + cb)
+        |      - (ca + cb)) AS ties,
+        |    CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM cum),
+        |st AS (SELECT u, na, nb, ties,
+        |    CAST(na + nb AS DOUBLE) AS n,
+        |    CAST(na AS DOUBLE) * nb / 2.0 AS mu FROM a),
+        |sg AS (SELECT u, na, nb, mu,
+        |    sqrt(CAST(na AS DOUBLE) * nb / 12.0
+        |      * ((n + 1.0) - ties / (n * (n - 1.0)))) AS sigma FROM st),
+        |zz AS (SELECT u, na, nb,
+        |    CASE WHEN sigma = 0.0 OR u = mu THEN 0.0
+        |      ELSE round_even((u - mu - 0.5 * sign(u - mu)) / sigma
+        |        * 1000000.0, 0) / 1000000.0 END AS z FROM sg),
+        |ye AS (SELECT u, na, nb, z, abs(z) / sqrt(2.0) AS y FROM zz)
+        |SELECT u AS u_a, z,
+        |  round_even(${codyErfcSql("y")} * 1000000.0, 0) / 1000000.0
+        |    AS p_value,
+        |  na AS n_a, nb AS n_b FROM ye""".stripMargin,
+    // Replays the pooled-ECDF integral: cumulative counts per distinct
+    // value, the squared gap weighted by pooled mass, and the same
+    // na·nb/N² scaling — all exact integer ratios until the final sum.
+    "q_drift_cvm" ->
+      """WITH c AS (SELECT
+        |    CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    l_extendedprice AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |m AS (SELECT v, sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS cb
+        |  FROM c GROUP BY v),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM m),
+        |cum AS (SELECT ca, cb,
+        |    CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+        |    CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cumb
+        |  FROM m),
+        |s AS (SELECT sum((ca + cb)
+        |      * (CAST(cuma AS DOUBLE) / t.na - CAST(cumb AS DOUBLE) / t.nb)
+        |      * (CAST(cuma AS DOUBLE) / t.na - CAST(cumb AS DOUBLE) / t.nb))
+        |      AS acc,
+        |    t.na AS na, t.nb AS nb FROM cum, t GROUP BY t.na, t.nb)
+        |SELECT round_even(CAST(na AS DOUBLE) * nb
+        |    / (CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE)) * acc
+        |    * 1000000.0, 0) / 1000000.0 AS cvm_t,
+        |  na AS n_a, nb AS n_b FROM s""".stripMargin,
+    // Replays the homogeneity test: per-cell expected counts from the
+    // margins, the (O−E)²/E fold, and Q(dof/2, X²/2) as the finite
+    // Poisson sum (dof = 4 is even) from the ROUNDED X².
+    "q_drift_chi2" ->
+      """WITH c AS (SELECT
+        |    CASE WHEN o_custkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    o_orderpriority AS v
+        |  FROM orders WHERE o_orderpriority IS NOT NULL),
+        |m AS (SELECT v, sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS cb
+        |  FROM c GROUP BY v),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb,
+        |    CAST(count(*) AS BIGINT) AS k FROM m),
+        |e AS (SELECT ca, cb,
+        |    CAST(t.na AS DOUBLE) * (ca + cb) / CAST(t.na + t.nb AS DOUBLE)
+        |      AS ea,
+        |    CAST(t.nb AS DOUBLE) * (ca + cb) / CAST(t.na + t.nb AS DOUBLE)
+        |      AS eb,
+        |    t.na AS na, t.nb AS nb, t.k AS k FROM m, t),
+        |x AS (SELECT round_even(sum((ca - ea) * (ca - ea) / ea
+        |      + (cb - eb) * (cb - eb) / eb) * 1000000.0, 0) / 1000000.0
+        |      AS chi2,
+        |    max(na) AS na, max(nb) AS nb, max(k) AS k FROM e)
+        |SELECT chi2, k - 1 AS dof,
+        |  round_even((SELECT sum(exp(-x.chi2 / 2.0
+        |      + s.j * ln(x.chi2 / 2.0) - lgamma(s.j + 1.0)))
+        |    FROM generate_series(0, 49) s(j) WHERE s.j < ((x.k - 1) // 2))
+        |    * 1000000.0, 0) / 1000000.0 AS p_value,
+        |  na AS n_a, nb AS n_b, k AS n_cells FROM x""".stripMargin,
+    // Replays the per-group uniformity fold from the same three
+    // sufficient statistics (Σo², n, observed cells) over the shared
+    // 7-cell support; p = Q(3, X²/2) as the finite Poisson sum.
+    "q_chi2_gof_group" ->
+      """WITH c AS (SELECT event_type, user_id % 7 AS v FROM events),
+        |cells AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS o
+        |  FROM c GROUP BY event_type, v),
+        |g AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS kg,
+        |    CAST(sum(o * o) AS BIGINT) AS ssq
+        |  FROM cells GROUP BY event_type),
+        |x AS (SELECT event_type,
+        |    round(ssq / (CAST(n AS DOUBLE) / 7.0) - 2.0 * n
+        |      + kg * (CAST(n AS DOUBLE) / 7.0)
+        |      + (7.0 - kg) * (CAST(n AS DOUBLE) / 7.0), 6) AS chi2,
+        |    n FROM g)
+        |SELECT event_type, chi2, CAST(6 AS BIGINT) AS dof,
+        |  round_even((SELECT sum(exp(-x.chi2 / 2.0
+        |      + s.j * ln(x.chi2 / 2.0) - lgamma(s.j + 1.0)))
+        |    FROM generate_series(0, 49) s(j) WHERE s.j < 3)
+        |    * 1000000.0, 0) / 1000000.0 AS p_value,
+        |  n FROM x ORDER BY event_type""".stripMargin,
+    // The per-group p-values plus the BH step-up: max-rank via the
+    // RANGE frame (ties share a rank), m·p/rank, right-to-left running
+    // minimum capped at 1, rejection at q ≤ α.
+    "q_drift_fdr" ->
+      """WITH c AS (SELECT event_type, user_id % 7 AS v FROM events),
+        |cells AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS o
+        |  FROM c GROUP BY event_type, v),
+        |g AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS kg,
+        |    CAST(sum(o * o) AS BIGINT) AS ssq
+        |  FROM cells GROUP BY event_type),
+        |x AS (SELECT event_type,
+        |    round(ssq / (CAST(n AS DOUBLE) / 7.0) - 2.0 * n
+        |      + kg * (CAST(n AS DOUBLE) / 7.0)
+        |      + (7.0 - kg) * (CAST(n AS DOUBLE) / 7.0), 6) AS chi2,
+        |    n FROM g),
+        |p AS (SELECT event_type, chi2,
+        |    round_even((SELECT sum(exp(-x.chi2 / 2.0
+        |        + s.j * ln(x.chi2 / 2.0) - lgamma(s.j + 1.0)))
+        |      FROM generate_series(0, 49) s(j) WHERE s.j < 3)
+        |      * 1000000.0, 0) / 1000000.0 AS p_value FROM x),
+        |f AS (SELECT event_type, chi2, p_value,
+        |    CAST(count(*) OVER (ORDER BY p_value RANGE BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER () AS BIGINT) AS m FROM p),
+        |q AS (SELECT event_type, chi2, p_value, rk,
+        |    least(1.0, min(CAST(m AS DOUBLE) * p_value / rk)
+        |      OVER (ORDER BY p_value ROWS BETWEEN CURRENT ROW
+        |        AND UNBOUNDED FOLLOWING)) AS qv FROM f)
+        |SELECT event_type, chi2, p_value, rk AS bh_rank,
+        |  round(qv, 9) AS q_value, qv <= 0.05 AS reject
+        |FROM q ORDER BY event_type""".stripMargin,
+    // Replays the product-limit construction: per-(group, t) event and
+    // total counts, at-risk from the partitioned cumulative window,
+    // survival as exp(Σ ln(1 − d/n)) in the same ascending order, and
+    // the Greenwood running sum — the exhausted-risk-set final row
+    // pinned to S = 0 with a null standard error on both sides.
+    "q_km_curve" ->
+      """WITH base AS (SELECT l_linestatus AS g,
+        |    CAST(l_quantity AS DOUBLE) AS t,
+        |    (l_returnflag <> 'N') AS e
+        |  FROM lineitem WHERE l_orderkey < 100000),
+        |cells AS (SELECT g, t,
+        |    CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY g, t),
+        |w AS (SELECT g, t, d, c,
+        |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT)
+        |      - CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS BIGINT) AS nr
+        |  FROM cells),
+        |s AS (SELECT g, t, d, c, nr,
+        |    CASE WHEN d = nr THEN 0.0
+        |      ELSE exp(sum(CASE WHEN d = nr THEN 0.0
+        |        ELSE ln(1.0 - CAST(d AS DOUBLE) / nr) END)
+        |        OVER (PARTITION BY g ORDER BY t ROWS BETWEEN
+        |          UNBOUNDED PRECEDING AND CURRENT ROW)) END AS surv,
+        |    sum(CASE WHEN d = nr THEN 0.0
+        |      ELSE CAST(d AS DOUBLE) / (nr * (nr - d)) END)
+        |      OVER (PARTITION BY g ORDER BY t ROWS BETWEEN
+        |        UNBOUNDED PRECEDING AND CURRENT ROW) AS gw
+        |  FROM w)
+        |SELECT g AS l_linestatus, t, nr AS n_risk, d AS n_event,
+        |  c - d AS n_censored, round(surv, 6) AS survival,
+        |  CASE WHEN d = nr THEN NULL
+        |    ELSE round(surv * sqrt(gw), 6) END AS std_err
+        |FROM s ORDER BY l_linestatus, t""".stripMargin,
+    // The per-group fold over the same curve: smallest t whose ROUNDED
+    // survival is ≤ ½, the subject count, and the final level.
+    "q_km_median" ->
+      """WITH base AS (SELECT l_linestatus AS g,
+        |    CAST(l_quantity AS DOUBLE) AS t,
+        |    (l_returnflag <> 'N') AS e
+        |  FROM lineitem WHERE l_orderkey < 100000),
+        |cells AS (SELECT g, t,
+        |    CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY g, t),
+        |w AS (SELECT g, t, d, c,
+        |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT)
+        |      - CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS BIGINT) AS nr
+        |  FROM cells),
+        |s AS (SELECT g, t, d, c, nr,
+        |    round(CASE WHEN d = nr THEN 0.0
+        |      ELSE exp(sum(CASE WHEN d = nr THEN 0.0
+        |        ELSE ln(1.0 - CAST(d AS DOUBLE) / nr) END)
+        |        OVER (PARTITION BY g ORDER BY t ROWS BETWEEN
+        |          UNBOUNDED PRECEDING AND CURRENT ROW)) END, 6) AS surv
+        |  FROM w)
+        |SELECT g AS l_linestatus,
+        |  min(CASE WHEN surv <= 0.5 THEN t END) AS median_t,
+        |  CAST(sum(c) AS BIGINT) AS n,
+        |  arg_max(surv, t) AS final_survival
+        |FROM s GROUP BY g ORDER BY l_linestatus""".stripMargin,
     // Replays the grouped closed-form fit on the parity halves and the
     // same KL arithmetic shape (ln + squared-difference ratio).
     "q_fit_drift" ->

@@ -189,6 +189,32 @@ object SpecialMath extends Serializable {
     math.min(1.0, math.max(0.0, sum))
   }
 
+  /** CDF of the Cramér–von Mises ω² limiting distribution (the
+    * two-sample statistic's null law as n_a, n_b → ∞):
+    * F(x) = 1/(π^{3/2}√x) · Σ_{k≥0} [Γ(k+½)/k!]·√(4k+1)·
+    *        e^{−(4k+1)²/(16x)}·K_{¼}((4k+1)²/(16x)),
+    * summed in log space through [[logBesselK]]. Terms decay like
+    * exp(−k²/x), so a dozen terms cover the whole usable range; large x
+    * saturates to 1 (the test only needs the upper tail anyway). */
+  def cvmCdfInf(x: Double): Double = {
+    if (x <= 0.0) return 0.0
+    if (x > 50.0) return 1.0
+    var tot = 0.0
+    var k = 0
+    var done = false
+    while (k < 40 && !done) {
+      val y = 4.0 * k + 1.0
+      val q = y * y / (16.0 * x)
+      val lt = lgamma(k + 0.5) - lgamma(k + 1.0) + 0.5 * math.log(y) -
+        q + logBesselK(0.25, q)
+      val term = math.exp(lt)
+      tot += term
+      if (k > 2 && term < 1e-18) done = true
+      k += 1
+    }
+    math.min(1.0, math.max(0.0, tot / (math.Pi * math.sqrt(math.Pi * x))))
+  }
+
   /** log I_v(x): modified Bessel function of the first kind, v >= 0,
     * x >= 0, in log space. Power series summed around its peak term with
     * a running-max logsumexp — stable for large x where I_v overflows.

@@ -1,0 +1,329 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import graft.functions.SpecialMath
+
+/** Classical two-sample / goodness-of-fit hypothesis tests plus
+  * multiple-testing control — the calibrated companions to the distance
+  * metrics in [[Drift]] (PSI/KL say "how far apart"; these say "is the
+  * gap explainable by sampling noise", which is the question a drift
+  * monitor actually acts on). Reference semantics: the same test family
+  * the reference's metrics layer exposes for fit quality
+  * (spark-bestfit `sb/metrics.py`), extended to the two-sample
+  * monitoring forms.
+  *
+  *  - [[mannWhitneyU]]: rank-sum location test (tie-corrected normal
+  *    approximation with continuity correction) — detects a median
+  *    shift the K-S test dilutes across the whole CDF.
+  *  - [[cvmTwoSample]]: Cramér–von Mises integral distance over the
+  *    pooled ECDF — an L² whole-shape test, more sensitive than K-S to
+  *    distributed (non-local) shape changes; asymptotic p from the ω²
+  *    limiting distribution (Bessel-K¼ series).
+  *  - [[chiSquareTwoSample]]: homogeneity of two categorical PMFs.
+  *  - [[chiSquareGofByGroup]]: per-GROUP uniformity test over a shared
+  *    categorical support — one aggregation for a million groups.
+  *  - [[bhAdjust]]: Benjamini–Hochberg FDR correction over any frame of
+  *    p-values — the step that makes per-group testing honest at scale
+  *    (10⁶ groups at α=0.05 yields 5·10⁴ false alarms uncorrected).
+  *
+  * Scale shape: every test reduces the data to per-distinct-value (or
+  * per-cell) counts with ONE map-side-combined aggregation, then walks
+  * the tiny counts frame with the [[Ranks]] prefix-sum construction
+  * (range partitions + broadcast offsets, O(#partitions) driver
+  * traffic, no global window). Statistics are ratios of exact integers,
+  * so an external SQL engine replays them bit-for-bit; p-values are
+  * computed from the ROUNDED statistic on both sides so ULP noise can
+  * never flip a decision across engines.
+  */
+object StatTests {
+
+  /** Per-distinct-value cohort counts, range-sorted ascending, plus the
+    * prefix-sum offsets: the shared substrate of the rank tests. The
+    * caller owns the returned RDD's unpersist. */
+  private def cohortCounts(df: DataFrame, cohortCol: String, valueCol: String,
+                           labelA: String, labelB: String):
+      (org.apache.spark.rdd.RDD[(Double, Long, Long)],
+       Long, Long, Array[Long], Array[Long]) = {
+    require(labelA != labelB, "cohort labels must differ")
+    val counts = df
+      .select(F.col(cohortCol).cast("string").as("g"),
+        F.col(valueCol).cast("double").as("v"))
+      .where(F.col("v").isNotNull && !F.isnan(F.col("v")) &&
+        F.col("g").isin(labelA, labelB))
+      .groupBy("v").agg(
+        F.sum(F.when(F.col("g") === labelA, 1L).otherwise(0L)).as("ca"),
+        F.sum(F.when(F.col("g") === labelB, 1L).otherwise(0L)).as("cb"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = counts
+      .repartitionByRange(F.col("v")).sortWithinPartitions("v")
+      .as[(Double, Long, Long)].rdd
+    sorted.cache()
+    val partSums = sorted.mapPartitionsWithIndex { case (i, it) =>
+      var sa = 0L; var sb = 0L
+      it.foreach { r => sa += r._2; sb += r._3 }
+      Iterator((i, sa, sb))
+    }.collect().sortBy(_._1)
+    val na = partSums.map(_._2).sum
+    val nb = partSums.map(_._3).sum
+    require(na > 0 && nb > 0, "both cohorts need rows")
+    (sorted, na, nb,
+      partSums.map(_._2).scanLeft(0L)(_ + _),
+      partSums.map(_._3).scanLeft(0L)(_ + _))
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) two-sample test: U_a = #{(x, y)
+    * ∈ a×b : x > y} + ½·#ties, the probability-scaled location statistic,
+    * with the tie-corrected normal approximation
+    * σ² = n_a·n_b/12 · (N+1 − Σ(t³−t)/(N(N−1))) and continuity
+    * correction z = (U − n_a·n_b/2 ∓ ½)/σ; two-sided p = erfc(|z|/√2).
+    * U is exact (a sum of count products — half-integers), so it replays
+    * bit-for-bit; p is evaluated at the 6-decimal-ROUNDED z on both
+    * sides, so the rational-Chebyshev erfc agrees across engines to the
+    * output rounding.
+    *
+    * Scale shape: one conditional-count aggregate per distinct value,
+    * then the prefix-sum walk accumulates U and the tie sum in a single
+    * partition-local pass — driver traffic O(#partitions).
+    *
+    * @return one row: (u_a, z, p_value, n_a, n_b) */
+  def mannWhitneyU(df: DataFrame, cohortCol: String, valueCol: String,
+                   labelA: String = "a", labelB: String = "b"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (sorted, na, nb, _, offB) =
+      cohortCounts(df, cohortCol, valueCol, labelA, labelB)
+    try {
+      val bc = spark.sparkContext.broadcast(offB)
+      val parts = sorted.mapPartitionsWithIndex { case (i, it) =>
+        var cumB = bc.value(i)
+        var u = 0.0; var ties = 0.0
+        it.foreach { case (_, ca, cb) =>
+          u += ca * (cumB + 0.5 * cb)
+          cumB += cb
+          val t = (ca + cb).toDouble
+          ties += t * t * t - t
+        }
+        Iterator((u, ties))
+      }.collect()
+      val u = parts.map(_._1).sum
+      val tieSum = parts.map(_._2).sum
+      val n = (na + nb).toDouble
+      val mU = na.toDouble * nb / 2.0
+      val sigma = math.sqrt(na.toDouble * nb / 12.0 *
+        ((n + 1.0) - tieSum / (n * (n - 1.0))))
+      val z =
+        if (sigma == 0.0 || u == mU) 0.0
+        else (u - mU - 0.5 * math.signum(u - mU)) / sigma
+      val zr = math.rint(z * 1e6) / 1e6
+      val p = math.rint(SpecialMath.erfc(
+        math.abs(zr) / math.sqrt(2.0)) * 1e6) / 1e6
+      Seq((u, zr, p, na, nb)).toDF("u_a", "z", "p_value", "n_a", "n_b")
+    } finally sorted.unpersist(blocking = false)
+  }
+
+  /** Cramér–von Mises two-sample statistic in the pooled-ECDF integral
+    * form (ties natural): T = n_a·n_b/N² · Σ_v c_v·(F_a(v) − F_b(v))²
+    * — the L² analogue of the K-S sup distance, integrating the squared
+    * ECDF gap against the pooled empirical measure. Asymptotic p-value
+    * from the ω² limiting distribution ([[SpecialMath.cvmCdfInf]]),
+    * evaluated at the 6-decimal-ROUNDED T.
+    *
+    * The p-value rides a Bessel-K¼ series no SQL engine carries, so the
+    * harness hash-checks the exact statistic and the ScalaTest suite
+    * pins p against the published ω² critical values.
+    *
+    * @return one row: (cvm_t, p_value, n_a, n_b) */
+  def cvmTwoSample(df: DataFrame, cohortCol: String, valueCol: String,
+                   labelA: String = "a", labelB: String = "b"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (sorted, na, nb, offA, offB) =
+      cohortCounts(df, cohortCol, valueCol, labelA, labelB)
+    try {
+      val bc = spark.sparkContext.broadcast((offA, offB))
+      val acc = sorted.mapPartitionsWithIndex { case (i, it) =>
+        var cumA = bc.value._1(i); var cumB = bc.value._2(i)
+        var s = 0.0
+        it.foreach { case (_, ca, cb) =>
+          cumA += ca; cumB += cb
+          val diff = cumA.toDouble / na - cumB.toDouble / nb
+          s += (ca + cb) * diff * diff
+        }
+        Iterator(s)
+      }.collect().sum
+      val nTot = (na + nb).toDouble
+      val t = na.toDouble * nb / (nTot * nTot) * acc
+      val tr = math.rint(t * 1e6) / 1e6
+      val p = math.rint(math.max(0.0,
+        1.0 - SpecialMath.cvmCdfInf(tr)) * 1e6) / 1e6
+      Seq((tr, p, na, nb)).toDF("cvm_t", "p_value", "n_a", "n_b")
+    } finally sorted.unpersist(blocking = false)
+  }
+
+  /** Chi-squared homogeneity test of two categorical PMFs: over the
+    * union support, X² = Σ_cells Σ_{g∈{a,b}} (O_gc − E_gc)²/E_gc with
+    * E_gc = n_g·c_c/N, df = cells − 1, p = Q(df/2, X²/2) (regularized
+    * upper incomplete gamma) evaluated at the 6-decimal-ROUNDED X².
+    * Intended for categorical/binned columns (the cells frame is the
+    * aggregation state — one row per distinct value).
+    *
+    * @return one row: (chi2, dof, p_value, n_a, n_b, n_cells) */
+  def chiSquareTwoSample(df: DataFrame, cohortCol: String, valueCol: String,
+                         labelA: String = "a", labelB: String = "b"): DataFrame = {
+    require(labelA != labelB, "cohort labels must differ")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df
+      .select(F.col(cohortCol).cast("string").as("g"), F.col(valueCol).as("v"))
+      .where(F.col("v").isNotNull && F.col("g").isin(labelA, labelB))
+      .groupBy("v").agg(
+        F.sum(F.when(F.col("g") === labelA, 1L).otherwise(0L)).as("ca"),
+        F.sum(F.when(F.col("g") === labelB, 1L).otherwise(0L)).as("cb"))
+    val head = cells.agg(F.sum("ca"), F.sum("cb"), F.count(F.lit(1))).head()
+    require(!head.isNullAt(0) && head.getLong(0) > 0 && head.getLong(1) > 0,
+      "both cohorts need rows")
+    val na = head.getLong(0); val nb = head.getLong(1)
+    val nCells = head.getLong(2)
+    require(nCells >= 2, "need at least two cells")
+    val n = (na + nb).toDouble
+    val ea = F.lit(na.toDouble) * (F.col("ca") + F.col("cb")) / F.lit(n)
+    val eb = F.lit(nb.toDouble) * (F.col("ca") + F.col("cb")) / F.lit(n)
+    val chi2 = cells.agg(F.sum(
+      (F.col("ca") - ea) * (F.col("ca") - ea) / ea +
+      (F.col("cb") - eb) * (F.col("cb") - eb) / eb)).head().getDouble(0)
+    val dof = nCells - 1L
+    val chiR = math.rint(chi2 * 1e6) / 1e6
+    val p = math.rint(SpecialMath.gammaIncC(dof / 2.0, chiR / 2.0) * 1e6) / 1e6
+    Seq((chiR, dof, p, na, nb, nCells))
+      .toDF("chi2", "dof", "p_value", "n_a", "n_b", "n_cells")
+  }
+
+  /** Per-GROUP chi-squared uniformity test over a SHARED categorical
+    * support — "which tenants' label mix deviates from uniform?" asked
+    * of every group in one aggregation. The support is the distinct
+    * values of `valueCol` across the WHOLE frame (k cells, so every
+    * group is tested against the same hypothesis and df = k−1 is
+    * shared); cells a group never produced contribute their full
+    * expected mass: X²_g = Σ_observed (O − n_g/k)²/(n_g/k) +
+    * (k − k_g)·(n_g/k).
+    *
+    * Scale shape: one (group, cell) aggregate (exchange ≤ groups·k
+    * rows), per-group fold, and the Q(df/2, ·/2) p-value — evaluated at
+    * the 6-decimal-ROUNDED X², a scalar call per GROUP row, never per
+    * data row.
+    *
+    * @return one row per group: (groupCols..., chi2, dof, p_value, n) */
+  def chiSquareGofByGroup(df: DataFrame, groupCols: Seq[String],
+                          valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(!groupCols.exists(_.startsWith("__")),
+      "group columns must not use the __ internal prefix")
+    val base = df
+      .select(groupCols.map(F.col) :+ F.col(valueCol).as("__v"): _*)
+      .where(F.col("__v").isNotNull)
+    val k = base.agg(F.countDistinct("__v")).head().getLong(0)
+    require(k >= 2, "need at least two cells in the support")
+    val cells = base.groupBy((groupCols :+ "__v").map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("__o"))
+    val pUdf = F.udf((chi2: Double, dof: Double) =>
+      math.rint(SpecialMath.gammaIncC(dof / 2.0, chi2 / 2.0) * 1e6) / 1e6)
+    cells.groupBy(groupCols.map(F.col): _*)
+      .agg(F.sum("__o").as("__n"), F.count(F.lit(1)).as("__kg"),
+        F.sum(F.col("__o") * F.col("__o")).as("__ssq"))
+      // Σ_obs (O − e)²/e = Σ O²/e − 2·Σ O + k_g·e with e = n/k; missing
+      // cells add (k − k_g)·e — all column arithmetic over the three
+      // sufficient statistics, so the fold is one codegen'd projection
+      .withColumn("__e", F.col("__n").cast("double") / F.lit(k.toDouble))
+      .withColumn("chi2", F.round(
+        F.col("__ssq") / F.col("__e") - F.lit(2.0) * F.col("__n") +
+          F.col("__kg") * F.col("__e") +
+          (F.lit(k.toDouble) - F.col("__kg")) * F.col("__e"), 6))
+      .withColumn("dof", F.lit(k - 1L))
+      .withColumn("p_value", pUdf(F.col("chi2"), F.col("dof").cast("double")))
+      .withColumn("n", F.col("__n"))
+      .drop("__n", "__kg", "__ssq", "__e")
+  }
+
+  /** Benjamini–Hochberg FDR adjustment: q_i = min(1, min_{j≥i} m·p_(j)/j)
+    * over the sorted p-values, with ties taking the LARGEST rank of
+    * their block (the standard step-up procedure — the right-to-left
+    * running minimum makes tied p-values share one q). Rejection at
+    * level α ⟺ q ≤ α reproduces the classic "largest i with
+    * p_(i) ≤ iα/m" rule.
+    *
+    * Scale shape: the [[Ranks]] construction on the p column — distinct
+    * p counts, range partitions, broadcast prefix offsets for the
+    * max-rank, then a per-partition SUFFIX minimum of m·p/rank seeded by
+    * a broadcast suffix-min of the partition minima (the mirror image of
+    * the prefix-sum trick; the only buffered state is one partition of
+    * DISTINCT p values). No global window anywhere; m may be millions.
+    *
+    * @return `df` + (bh_rank, q_value, reject) — null p rows get null
+    *         adjustments and reject = false */
+  def bhAdjust(df: DataFrame, pCol: String, alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0,1)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.select(F.col(pCol).cast("double").as("__p"))
+      .where(F.col("__p").isNotNull && !F.isnan(F.col("__p")))
+      .groupBy("__p").agg(F.count(F.lit(1)).as("__c"))
+    val sorted = counts
+      .repartitionByRange(F.col("__p")).sortWithinPartitions("__p")
+      .as[(Double, Long)].rdd
+    sorted.cache()
+    try {
+      val partSums = sorted.mapPartitionsWithIndex { case (i, it) =>
+        var s = 0L; it.foreach(s += _._2); Iterator((i, s))
+      }.collect().sortBy(_._1).map(_._2)
+      val m = partSums.sum
+      if (m == 0L)
+        return df.withColumn("bh_rank", F.lit(null).cast("long"))
+          .withColumn("q_value", F.lit(null).cast("double"))
+          .withColumn("reject", F.lit(false))
+      require(df.select(F.col(pCol).cast("double").as("p"))
+        .where(F.col("p") < 0.0 || F.col("p") > 1.0).isEmpty,
+        "p-values must lie in [0,1]")
+      val offsets = partSums.scanLeft(0L)(_ + _)
+      val bcOff = spark.sparkContext.broadcast(offsets)
+      // per-partition minimum of the ratio m·p/maxrank, then the driver
+      // suffix-mins those minima: partition i's seed is the smallest
+      // ratio anywhere to its right
+      val partMins = sorted.mapPartitionsWithIndex { case (i, it) =>
+        var cum = bcOff.value(i)
+        var best = Double.PositiveInfinity
+        it.foreach { case (p, c) =>
+          cum += c
+          val r = m.toDouble * p / cum
+          if (r < best) best = r
+        }
+        Iterator((i, best))
+      }.collect().sortBy(_._1).map(_._2)
+      val suffix = partMins.scanRight(Double.PositiveInfinity)(math.min)
+      val bcSuf = spark.sparkContext.broadcast(suffix)
+      val qTable = sorted.mapPartitionsWithIndex { case (i, it) =>
+        // suffix-min within the partition needs a right-to-left pass:
+        // buffer this partition's DISTINCT (p, count) rows — the same
+        // footprint its range-sort already used
+        val rows = it.toArray
+        var cum = bcOff.value(i)
+        val ranks = rows.map { case (_, c) => cum += c; cum }
+        var best = bcSuf.value(i + 1)
+        val out = new Array[(Double, Long, Double)](rows.length)
+        var j = rows.length - 1
+        while (j >= 0) {
+          val r = m.toDouble * rows(j)._1 / ranks(j)
+          if (r < best) best = r
+          out(j) = (rows(j)._1, ranks(j), math.min(1.0, best))
+          j -= 1
+        }
+        out.iterator
+      }.toDF("__p", "bh_rank", "q_value")
+      val pinned = qTable.localCheckpoint(true)
+      df.join(pinned, F.col(pCol).cast("double") === F.col("__p"), "left")
+        .withColumn("reject",
+          F.coalesce(F.col("q_value") <= F.lit(alpha), F.lit(false)))
+        .drop("__p")
+    } finally sorted.unpersist(blocking = false)
+  }
+}

@@ -1,0 +1,149 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.{SparkSession, functions => F}
+import graft.operators.{StatTests, Survival}
+import graft.functions.SpecialMath
+
+/** Hypothesis tests (Mann–Whitney, Cramér–von Mises, chi-squared, BH
+  * FDR) and Kaplan–Meier survival — hand-computed small examples. */
+class StatTestsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-stat-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("mannWhitneyU matches the hand-computed tie-corrected example") {
+    import spark.implicits._
+    // a = {1,2,3}, b = {2,3,4}: U_a = 1 + 0.5 + 0.5 = 2 (pairs won + ½·ties)
+    val df = (Seq(1, 2, 3).map(("a", _)) ++ Seq(2, 3, 4).map(("b", _)))
+      .toDF("cohort", "v")
+    val r = StatTests.mannWhitneyU(df, "cohort", "v").head()
+    assert(r.getAs[Double]("u_a") == 2.0)
+    // σ² = (9/12)(7 − 12/30) = 4.95, z = (2 − 4.5 + 0.5)/√4.95 = −0.898933
+    assert(math.abs(r.getAs[Double]("z") - -0.898933) < 1e-5)
+    // two-sided normal p ≈ 0.3687
+    assert(math.abs(r.getAs[Double]("p_value") - 0.3687) < 5e-3)
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+  }
+
+  test("mannWhitneyU on identical cohorts gives z = 0, p = 1") {
+    import spark.implicits._
+    val df = (Seq(1, 2, 3).map(("a", _)) ++ Seq(1, 2, 3).map(("b", _)))
+      .toDF("cohort", "v")
+    val r = StatTests.mannWhitneyU(df, "cohort", "v").head()
+    assert(r.getAs[Double]("z") == 0.0)
+    assert(r.getAs[Double]("p_value") == 1.0)
+  }
+
+  test("cvmTwoSample statistic and degenerate cases") {
+    import spark.implicits._
+    // a = {1}, b = {2}: at v=1 the ECDF gap is 1 with pooled mass ½ each →
+    // T = (1·1/4)·1 = 0.25
+    val df = Seq(("a", 1), ("b", 2)).toDF("cohort", "v")
+    val r = StatTests.cvmTwoSample(df, "cohort", "v").head()
+    assert(r.getAs[Double]("cvm_t") == 0.25)
+    // identical cohorts → T = 0, p = 1
+    val same = (Seq(1, 2).map(("a", _)) ++ Seq(1, 2).map(("b", _)))
+      .toDF("cohort", "v")
+    val r2 = StatTests.cvmTwoSample(same, "cohort", "v").head()
+    assert(r2.getAs[Double]("cvm_t") == 0.0)
+    assert(r2.getAs[Double]("p_value") == 1.0)
+  }
+
+  test("cvmCdfInf reproduces the published ω² critical values") {
+    // Anderson–Darling (1952) table: P(ω² > 0.34730) = 0.10,
+    // P(ω² > 0.46136) = 0.05, P(ω² > 0.74346) = 0.01
+    assert(math.abs(SpecialMath.cvmCdfInf(0.34730) - 0.90) < 2e-3)
+    assert(math.abs(SpecialMath.cvmCdfInf(0.46136) - 0.95) < 2e-3)
+    assert(math.abs(SpecialMath.cvmCdfInf(0.74346) - 0.99) < 2e-3)
+    assert(SpecialMath.cvmCdfInf(0.0) == 0.0)
+    assert(SpecialMath.cvmCdfInf(100.0) == 1.0)
+  }
+
+  test("chiSquareTwoSample matches the 2x2 hand example") {
+    import spark.implicits._
+    val rows = Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(10)(("b", "y"))
+    val r = StatTests.chiSquareTwoSample(rows.toDF("cohort", "v"),
+      "cohort", "v").head()
+    assert(math.abs(r.getAs[Double]("chi2") - 6.666667) < 1e-5)
+    assert(r.getAs[Long]("dof") == 1L)
+    // χ²(1) upper tail at 6.667 ≈ 0.00982
+    assert(math.abs(r.getAs[Double]("p_value") - 0.0098) < 1e-3)
+  }
+
+  test("chiSquareGofByGroup: uniform, skewed, and missing-cell groups") {
+    import spark.implicits._
+    val rows =
+      Seq.fill(5)(("g1", "a")) ++ Seq.fill(5)(("g1", "b")) ++
+      Seq.fill(8)(("g2", "a")) ++ Seq.fill(2)(("g2", "b")) ++
+      Seq.fill(4)(("g3", "a")) // g3 never produces cell b
+    val out = StatTests.chiSquareGofByGroup(rows.toDF("g", "v"),
+      Seq("g"), "v").orderBy("g").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Double]("chi2") == 0.0 &&
+      out(0).getAs[Double]("p_value") == 1.0)
+    assert(math.abs(out(1).getAs[Double]("chi2") - 3.6) < 1e-9)
+    assert(math.abs(out(1).getAs[Double]("p_value") - 0.0578) < 1e-3)
+    // missing cell contributes its full expected mass: (4−2)²/2 + 2 = 4
+    assert(out(2).getAs[Double]("chi2") == 4.0)
+    assert(out.forall(_.getAs[Long]("dof") == 1L))
+  }
+
+  test("bhAdjust reproduces the step-up rule with ties") {
+    import spark.implicits._
+    val df = Seq(0.005, 0.049, 0.05, 0.2).zipWithIndex
+      .map { case (p, i) => (i.toLong, p) }.toDF("id", "p")
+    val out = StatTests.bhAdjust(df, "p", alpha = 0.05)
+      .orderBy("id").collect()
+    // ratios m·p/rank = .02, .098, .0667, .2 → right-to-left cummin
+    val q = out.map(_.getAs[Double]("q_value"))
+    assert(math.abs(q(0) - 0.02) < 1e-12)
+    assert(math.abs(q(1) - 0.2 / 3.0) < 1e-12)
+    assert(math.abs(q(2) - 0.2 / 3.0) < 1e-12)
+    assert(math.abs(q(3) - 0.2) < 1e-12)
+    assert(out.map(_.getAs[Boolean]("reject")).toSeq ==
+      Seq(true, false, false, false))
+    // tied p-values share the largest rank of their block
+    val tied = Seq(0.01, 0.01, 0.04).zipWithIndex
+      .map { case (p, i) => (i.toLong, p) }.toDF("id", "p")
+    val qt = StatTests.bhAdjust(tied, "p").orderBy("id").collect()
+      .map(_.getAs[Double]("q_value"))
+    assert(math.abs(qt(0) - 0.015) < 1e-12 && math.abs(qt(1) - 0.015) < 1e-12)
+    assert(math.abs(qt(2) - 0.04) < 1e-12)
+  }
+
+  test("kmByGroup matches the classic product-limit worked example") {
+    import spark.implicits._
+    val df = Seq((1.0, true), (2.0, true), (3.0, false), (4.0, true),
+      (5.0, false)).map { case (t, e) => ("g", t, e) }
+      .toDF("g", "t", "e")
+    val km = Survival.kmByGroup(df, "t", "e", Seq("g")).orderBy("t").collect()
+    val surv = km.map(_.getAs[Double]("survival"))
+    assert(surv.toSeq == Seq(0.8, 0.6, 0.6, 0.3, 0.3))
+    val risk = km.map(_.getAs[Long]("n_risk"))
+    assert(risk.toSeq == Seq(5L, 4L, 3L, 2L, 1L))
+    // Greenwood at t=2: 0.6·√(1/20 + 1/12) = 0.219089
+    assert(math.abs(km(1).getAs[Double]("std_err") - 0.219089) < 1e-6)
+    val med = Survival.medianSurvival(df, "t", "e", Seq("g")).head()
+    assert(med.getAs[Double]("median_t") == 4.0)
+    assert(med.getAs[Long]("n") == 5L)
+    assert(med.getAs[Double]("final_survival") == 0.3)
+  }
+
+  test("kmByGroup: exhausted risk set ends the curve at S = 0") {
+    import spark.implicits._
+    val df = Seq(("g", 1.0, true), ("g", 2.0, true)).toDF("g", "t", "e")
+    val km = Survival.kmByGroup(df, "t", "e", Seq("g")).orderBy("t").collect()
+    assert(km(0).getAs[Double]("survival") == 0.5)
+    assert(km(1).getAs[Double]("survival") == 0.0)
+    assert(km(1).isNullAt(km(1).fieldIndex("std_err")))
+  }
+}
