@@ -2273,6 +2273,31 @@ object SparkEntry {
             (F.col("l_returnflag") =!= "N").as("ev")),
         "l_quantity", "ev", Seq("l_linestatus"))
         .orderBy("l_linestatus")),
+    "q_km_hazard" -> ((s, dir) =>
+      // Nelson–Aalen cumulative hazard per line status — the additive
+      // companion to q_km_curve over the same cells frame; hazard and
+      // its Poisson variance are pure ratio-of-integer window sums, so
+      // the replay has no ln/exp at all
+      Survival.naByGroup(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select(F.col("l_linestatus"), F.col("l_quantity"),
+            (F.col("l_returnflag") =!= "N").as("ev")),
+        "l_quantity", "ev", Seq("l_linestatus"))
+        .orderBy("l_linestatus", "t")),
+    "q_survival_logrank" -> ((s, dir) =>
+      // Mantel–Cox log-rank between the order-parity cohorts, p-value
+      // included end-to-end: O_a is an exact integer, E_a and V are
+      // 6-rounded sums of integer-ratio terms, X² folds from the
+      // ROUNDED pieces, and p = erfc(√(X²/2)) rides the same Cody
+      // erfc the MWU oracle replays
+      Survival.logRank(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select(
+            F.when(F.col("l_orderkey") % 2 === 0, "a").otherwise("b")
+              .as("cohort"),
+            F.col("l_quantity"),
+            (F.col("l_returnflag") =!= "N").as("ev")),
+        "l_quantity", "ev", "cohort")),
     "q_copula_serde" -> ((s, dir) => {
       // S5's copula sink hash-checked: the fitted copula goes save ->
       // JSON -> load on the driver, and the output reads marginal
@@ -5402,6 +5427,79 @@ object SparkEntry {
         |  CAST(sum(c) AS BIGINT) AS n,
         |  arg_max(surv, t) AS final_survival
         |FROM s GROUP BY g ORDER BY l_linestatus""".stripMargin,
+    // Replays the Nelson–Aalen fold over the same cells frame: at-risk
+    // window, the Σ d/n hazard, and the Σ d/n² Poisson variance — pure
+    // integer-ratio sums, rounded to 6.
+    "q_km_hazard" ->
+      """WITH base AS (SELECT l_linestatus AS g,
+        |    CAST(l_quantity AS DOUBLE) AS t,
+        |    (l_returnflag <> 'N') AS e
+        |  FROM lineitem WHERE l_orderkey < 100000),
+        |cells AS (SELECT g, t,
+        |    CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY g, t),
+        |w AS (SELECT g, t, d, c,
+        |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT)
+        |      - CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS BIGINT) AS nr
+        |  FROM cells)
+        |SELECT g AS l_linestatus, t, nr AS n_risk, d AS n_event,
+        |  c - d AS n_censored,
+        |  round(sum(CAST(d AS DOUBLE) / nr)
+        |    OVER (PARTITION BY g ORDER BY t ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_hazard,
+        |  round(sqrt(sum(CAST(d AS DOUBLE) / (nr * nr))
+        |    OVER (PARTITION BY g ORDER BY t ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS std_err
+        |FROM w ORDER BY l_linestatus, t""".stripMargin,
+    // Replays the Mantel–Cox fold: per-time cohort counts, prefix-sum
+    // at-risk, the exact-integer O_a, 6-rounded E_a and V, X² from the
+    // ROUNDED pieces, and p = erfc(√(X²/2)) via Cody's erfc.
+    "q_survival_logrank" ->
+      s"""WITH base AS (SELECT
+        |    CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    CAST(l_quantity AS DOUBLE) AS t,
+        |    (l_returnflag <> 'N') AS e
+        |  FROM lineitem WHERE l_orderkey < 100000),
+        |cells AS (SELECT t,
+        |    sum(CASE WHEN g = 'a' AND e THEN 1 ELSE 0 END) AS da,
+        |    sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN g = 'b' AND e THEN 1 ELSE 0 END) AS db,
+        |    sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS cb
+        |  FROM base GROUP BY t),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM cells),
+        |w AS (SELECT t, da, db,
+        |    CAST(tot.na - coalesce(CAST(sum(ca) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS DOUBLE) AS nat,
+        |    CAST(tot.nb - coalesce(CAST(sum(cb) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS DOUBLE) AS nbt,
+        |    tot.na AS na, tot.nb AS nb
+        |  FROM cells, tot),
+        |acc AS (SELECT CAST(sum(da) AS BIGINT) AS oa,
+        |    round_even(sum(CAST(da + db AS DOUBLE) * nat / (nat + nbt))
+        |      * 1000000.0, 0) / 1000000.0 AS ea,
+        |    round_even(sum(CASE WHEN nat + nbt > 1.0
+        |      THEN CAST(da + db AS DOUBLE) * (nat / (nat + nbt))
+        |        * (nbt / (nat + nbt))
+        |        * ((nat + nbt) - CAST(da + db AS DOUBLE))
+        |        / ((nat + nbt) - 1.0)
+        |      ELSE 0.0 END) * 1000000.0, 0) / 1000000.0 AS v,
+        |    max(na) AS na, max(nb) AS nb FROM w),
+        |x AS (SELECT CASE WHEN v <= 0.0 THEN 0.0
+        |      ELSE round_even((oa - ea) * (oa - ea) / v * 1000000.0, 0)
+        |        / 1000000.0 END AS chi2,
+        |    oa, ea, v, na, nb FROM acc),
+        |ye AS (SELECT chi2, oa, ea, v, na, nb,
+        |    sqrt(chi2 / 2.0) AS y FROM x)
+        |SELECT chi2, oa AS o_a, ea AS e_a, v AS var_lr,
+        |  round_even(${codyErfcSql("y")} * 1000000.0, 0) / 1000000.0
+        |    AS p_value,
+        |  na AS n_a, nb AS n_b FROM ye""".stripMargin,
     // Replays the grouped closed-form fit on the parity halves and the
     // same KL arithmetic shape (ln + squared-difference ratio).
     "q_fit_drift" ->

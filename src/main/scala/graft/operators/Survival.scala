@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Column, functions => F}
 import org.apache.spark.sql.expressions.Window
+import graft.functions.SpecialMath
 
 /** Nonparametric survival analysis — the Kaplan–Meier product-limit
   * estimator, per group, with Greenwood standard errors and median
@@ -88,6 +89,143 @@ object Survival {
         (F.col("__c") - F.col("__d")).as("n_censored"),
         F.round(F.col("__surv"), 6).as("survival"),
         stdErr.as("std_err")): _*)
+  }
+
+  /** Nelson–Aalen cumulative-hazard estimator per group: for each
+    * distinct duration t (ascending within a group),
+    *
+    *   H(t)      = Σ_{t' ≤ t} d(t')/n_risk(t'),
+    *   Var(H(t)) = Σ_{t' ≤ t} d(t')/n_risk(t')²   (Poisson/Aalen form),
+    *
+    * with the same right-censoring data model as [[kmByGroup]]. The
+    * additive companion to the product-limit curve: hazard increments
+    * are what a rate monitor or a piecewise-exponential fit consumes,
+    * and unlike K-M the estimator stays finite when the last risk set
+    * is exhausted. Same scale shape as [[kmByGroup]]: ONE (group, time)
+    * aggregation, per-GROUP windows over the tiny cells frame, pure
+    * ratio-of-integer arithmetic (no ln/exp at all — replays exactly).
+    *
+    * @return one row per (group, t): (groupCols..., t, n_risk, n_event,
+    *         n_censored, cum_hazard, std_err), both rounded to 6 */
+  def naByGroup(df: DataFrame, durationCol: String, eventCol: String,
+                groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(!groupCols.exists(_.startsWith("__")),
+      "group columns must not use the __ internal prefix")
+    val gCols = groupCols.map(F.col)
+    val cells = df
+      .select(gCols :+
+        F.col(durationCol).cast("double").as("__t") :+
+        F.col(eventCol).cast("boolean").as("__e"): _*)
+      .where(F.col("__t").isNotNull && !F.isnan(F.col("__t")) &&
+        F.col("__t") >= 0.0 && F.col("__e").isNotNull)
+      .groupBy(gCols :+ F.col("__t"): _*)
+      .agg(F.sum(F.when(F.col("__e"), 1L).otherwise(0L)).as("__d"),
+        F.count(F.lit(1)).as("__c"))
+    val wg = Window.partitionBy(gCols: _*)
+    val wOrd = wg.orderBy("__t")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val nRisk = F.sum("__c").over(wg) -
+      F.coalesce(F.sum("__c").over(wPrev), F.lit(0L))
+    val d = F.col("__d").cast("double")
+    cells.withColumn("__nr", nRisk)
+      .withColumn("__h", F.sum(d / F.col("__nr")).over(wCum))
+      .withColumn("__v",
+        F.sum(d / (F.col("__nr") * F.col("__nr"))).over(wCum))
+      .select(gCols ++ Seq(
+        F.col("__t").as("t"),
+        F.col("__nr").as("n_risk"),
+        F.col("__d").as("n_event"),
+        (F.col("__c") - F.col("__d")).as("n_censored"),
+        F.round(F.col("__h"), 6).as("cum_hazard"),
+        F.round(F.sqrt(F.col("__v")), 6).as("std_err")): _*)
+  }
+
+  /** Two-sample log-rank (Mantel–Cox) test: do two cohorts share one
+    * survival curve? Over the distinct event times of the pooled data,
+    * with n_g(t) = cohort-g subjects at risk and d_g(t) = cohort-g
+    * events,
+    *
+    *   O_a = Σ d_a(t),   E_a = Σ d(t)·n_a(t)/n(t),
+    *   V   = Σ d(t) · (n_a/n) · (1 − n_a/n) · (n − d)/(n − 1),
+    *   X²  = (O_a − E_a)²/V   ~ χ²(1),   p = erfc(√(X²/2)).
+    *
+    * Censored rows leave the risk set at their duration without
+    * counting as events (the same convention as [[kmByGroup]]).
+    *
+    * Scale shape: the [[StatTests]] prefix-sum construction — one
+    * (time) aggregate reduces the data to per-distinct-time cohort
+    * event/total counts, range-partitioned ascending; at-risk counts
+    * are n_g − (prefix count), seeded per partition by broadcast
+    * offsets, and each partition folds its O/E/V contribution locally
+    * — driver traffic O(#partitions), no global window. O_a is an
+    * exact integer; E_a and V are rounded to 6 before X² so the replay
+    * is deterministic, and p is evaluated at the ROUNDED X².
+    *
+    * @return one row: (chi2, o_a, e_a, var_lr, p_value, n_a, n_b) */
+  def logRank(df: DataFrame, durationCol: String, eventCol: String,
+              cohortCol: String, labelA: String = "a",
+              labelB: String = "b"): DataFrame = {
+    require(labelA != labelB, "cohort labels must differ")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df
+      .select(F.col(cohortCol).cast("string").as("g"),
+        F.col(durationCol).cast("double").as("t"),
+        F.col(eventCol).cast("boolean").as("e"))
+      .where(F.col("t").isNotNull && !F.isnan(F.col("t")) &&
+        F.col("t") >= 0.0 && F.col("e").isNotNull &&
+        F.col("g").isin(labelA, labelB))
+      .groupBy("t").agg(
+        F.sum(F.when(F.col("g") === labelA && F.col("e"), 1L)
+          .otherwise(0L)).as("da"),
+        F.sum(F.when(F.col("g") === labelA, 1L).otherwise(0L)).as("ca"),
+        F.sum(F.when(F.col("g") =!= labelA && F.col("e"), 1L)
+          .otherwise(0L)).as("db"),
+        F.sum(F.when(F.col("g") =!= labelA, 1L).otherwise(0L)).as("cb"))
+    val sorted = cells
+      .repartitionByRange(F.col("t")).sortWithinPartitions("t")
+      .as[(Double, Long, Long, Long, Long)].rdd
+    sorted.cache()
+    try {
+      val partSums = sorted.mapPartitionsWithIndex { case (i, it) =>
+        var sa = 0L; var sb = 0L
+        it.foreach { r => sa += r._3; sb += r._5 }
+        Iterator((i, sa, sb))
+      }.collect().sortBy(_._1)
+      val na = partSums.map(_._2).sum
+      val nb = partSums.map(_._3).sum
+      require(na > 0 && nb > 0, "both cohorts need rows")
+      val offA = partSums.map(_._2).scanLeft(0L)(_ + _)
+      val offB = partSums.map(_._3).scanLeft(0L)(_ + _)
+      val bc = spark.sparkContext.broadcast((offA, offB))
+      val parts = sorted.mapPartitionsWithIndex { case (i, it) =>
+        var cumA = bc.value._1(i); var cumB = bc.value._2(i)
+        var o = 0L; var e = 0.0; var v = 0.0
+        it.foreach { case (_, da, ca, db, cb) =>
+          val nAt = (na - cumA).toDouble
+          val nBt = (nb - cumB).toDouble
+          val nT = nAt + nBt
+          val dT = (da + db).toDouble
+          o += da
+          e += dT * nAt / nT
+          if (nT > 1.0)
+            v += dT * (nAt / nT) * (nBt / nT) * (nT - dT) / (nT - 1.0)
+          cumA += ca; cumB += cb
+        }
+        Iterator((o, e, v))
+      }.collect()
+      val oA = parts.map(_._1).sum
+      val eA = math.rint(parts.map(_._2).sum * 1e6) / 1e6
+      val vLr = math.rint(parts.map(_._3).sum * 1e6) / 1e6
+      val chi2 =
+        if (vLr <= 0.0) 0.0
+        else math.rint((oA - eA) * (oA - eA) / vLr * 1e6) / 1e6
+      val p = math.rint(SpecialMath.erfc(math.sqrt(chi2 / 2.0)) * 1e6) / 1e6
+      Seq((chi2, oA, eA, vLr, p, na, nb))
+        .toDF("chi2", "o_a", "e_a", "var_lr", "p_value", "n_a", "n_b")
+    } finally sorted.unpersist(blocking = false)
   }
 
   /** Median survival per group: the smallest t with S(t) ≤ ½ (null when

@@ -138,6 +138,48 @@ class StatTestsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(med.getAs[Double]("final_survival") == 0.3)
   }
 
+  test("naByGroup matches the hand-computed Nelson–Aalen example") {
+    import spark.implicits._
+    val df = Seq((1.0, true), (2.0, true), (3.0, false), (4.0, true),
+      (5.0, false)).map { case (t, e) => ("g", t, e) }
+      .toDF("g", "t", "e")
+    val na = Survival.naByGroup(df, "t", "e", Seq("g")).orderBy("t").collect()
+    val h = na.map(_.getAs[Double]("cum_hazard"))
+    assert(h.toSeq == Seq(0.2, 0.45, 0.45, 0.95, 0.95))
+    // Poisson variance at t=4: 1/25 + 1/16 + 1/4 = 0.3525 → se 0.593717
+    assert(math.abs(na(3).getAs[Double]("std_err") - 0.593717) < 1e-6)
+    assert(na.map(_.getAs[Long]("n_risk")).toSeq == Seq(5L, 4L, 3L, 2L, 1L))
+  }
+
+  test("logRank matches the hand-computed interleaved example") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0, true), ("a", 3.0, true),
+      ("b", 2.0, true), ("b", 4.0, true)).toDF("cohort", "t", "e")
+    val r = Survival.logRank(df, "t", "e", "cohort").head()
+    // O_a = 2, E_a = 1/2 + 1/3 + 1/2 = 1.333333,
+    // V = 1/4 + 2/9 + 1/4 = 0.722222 → X² = 0.615384
+    assert(r.getAs[Long]("o_a") == 2L)
+    assert(math.abs(r.getAs[Double]("e_a") - 1.333333) < 1e-6)
+    assert(math.abs(r.getAs[Double]("var_lr") - 0.722222) < 1e-6)
+    assert(math.abs(r.getAs[Double]("chi2") - 0.615384) < 1e-5)
+    // χ²(1) upper tail at 0.6154 ≈ 0.4328
+    assert(math.abs(r.getAs[Double]("p_value") - 0.4328) < 1e-3)
+  }
+
+  test("logRank on identical cohorts gives X² = 0, p = 1") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0, true), ("a", 2.0, true),
+      ("b", 1.0, true), ("b", 2.0, true)).toDF("cohort", "t", "e")
+    val r = Survival.logRank(df, "t", "e", "cohort").head()
+    assert(r.getAs[Double]("chi2") == 0.0)
+    assert(r.getAs[Double]("p_value") == 1.0)
+    // censored rows leave the risk set without counting as events
+    val cens = Seq(("a", 1.0, true), ("a", 2.0, false),
+      ("b", 1.0, false), ("b", 2.0, true)).toDF("cohort", "t", "e")
+    val rc = Survival.logRank(cens, "t", "e", "cohort").head()
+    assert(rc.getAs[Long]("o_a") == 1L)
+  }
+
   test("kmByGroup: exhausted risk set ends the curve at S = 0") {
     import spark.implicits._
     val df = Seq(("g", 1.0, true), ("g", 2.0, true)).toDF("g", "t", "e")
