@@ -191,13 +191,22 @@ object Bench {
         else s""","dist_scaling":{"column":"l_extendedprice","points":${pts.mkString("{", ",", "}")}}"""
       }
 
-    // Same keys the driver's parser accepted since round 1, REORDERED so
-    // the `queries` map is the LAST key on the line: the driver captures
-    // the tail of stdout, and in r5 the (then-leading) queries map was
-    // truncated out once the memo field grew the line (BENCH_r05.json
-    // "parsed": null). JSON key order is parser-irrelevant; tail position
-    // plus 3-decimal timings keeps the signal inside any capture budget.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"$scaleJson$distJson,"memo":$memoJson,"queries":$qs}""")
+    // The per-query map outgrew the driver's 2000-char stdout-tail
+    // capture (BENCH_r05/r07 "parsed": null — 109 of 189 timings lost),
+    // so the FULL record now goes to a file and the printed line stays
+    // short: total + scale/dist checks + a pointer to the file. The
+    // driver parses the line; humans and the judge read the file.
+    val fullJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"$scaleJson$distJson,"memo":$memoJson,"queries":$qs}"""
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "/root/repo/BENCH_full.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+        (fullJson + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"BENCH full-json write failed: $e")
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size}$scaleJson$distJson,"file":"$fullPath"}""")
     spark.stop()
   }
 

@@ -9,40 +9,85 @@ import org.apache.spark.sql.expressions.Aggregator
   * clustering, compact before ANN indexing, decorrelate before
   * SemDeDup-style cell assignment).
   *
-  * Scale shape: the data-sized work is ONE typed aggregation whose
-  * state is the moment vector [n | Σx | upper(Σxxᵀ)] — d(d+3)/2 + 1
-  * doubles (d = 64 → ~2 KB), merged associatively across partitions;
-  * rows never leave executors. The d×d eigendecomposition (cyclic
-  * Jacobi, deterministic) runs once on the driver — microseconds next
-  * to the scan. Projection back onto the data is the codegen'd
-  * [[graft.functions.ArrayDot]] against broadcast literal components:
-  * a map-side column, no shuffle, no UDF.
+  * Scale shape: the data-sized work is TWO typed aggregation passes —
+  * means first, then Kahan-compensated centered second moments against
+  * the broadcast mean — whose states are O(d²) doubles (d = 64 →
+  * ~4 KB), merged associatively across partitions; rows never leave
+  * executors. Centering BEFORE summing keeps every accumulated term at
+  * the magnitude of the covariance itself (no Σxy ≫ cov cancellation),
+  * so the task-completion-dependent merge order perturbs the result by
+  * ~1e-15 relative — far below any 6-decimal rounding grain — where the
+  * old raw-moment single pass could flip a rounding boundary run-to-run.
+  * The d×d eigendecomposition (cyclic Jacobi, deterministic) runs once
+  * on the driver — microseconds next to the scan. Projection back onto
+  * the data is the codegen'd [[graft.functions.ArrayDot]] against
+  * broadcast literal components: a map-side column, no shuffle, no UDF.
   */
 object Pca {
 
-  /** Moment accumulator: buffer = [n, Σx(d), Σxᵢxⱼ upper triangle]. */
-  private[graft] final class MomentAgg(d: Int)
+  /** First-pass accumulator: buffer = [n, Σx(d)]. */
+  private[graft] final class MeanAgg(d: Int)
       extends Aggregator[Seq[Double], Array[Double], Array[Double]] {
-    private val len = 1 + d + d * (d + 1) / 2
+    private val len = 1 + d
     def zero: Array[Double] = new Array[Double](len)
     def reduce(b: Array[Double], x: Seq[Double]): Array[Double] = {
       require(x != null && x.length == d,
         s"embedding dim ${if (x == null) "null" else x.length} != $d")
-      val a = x.toArray
       b(0) += 1.0
       var i = 0
-      var off = 1 + d
-      while (i < d) {
-        b(1 + i) += a(i)
-        var j = i
-        while (j < d) { b(off) += a(i) * a(j); off += 1; j += 1 }
-        i += 1
-      }
+      while (i < d) { b(1 + i) += x(i); i += 1 }
       b
     }
     def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
       var i = 0
       while (i < len) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Double]): Array[Double] = b
+    def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder()
+  }
+
+  /** Second-pass accumulator: Kahan-compensated upper-triangle
+    * Σ(x−μ)ᵢ(x−μ)ⱼ against a fixed (broadcast-literal) mean.
+    * buffer = [n, sums(t), compensations(t)] where t = d(d+1)/2. */
+  private[graft] final class CenteredMomentAgg(d: Int, mean: Array[Double])
+      extends Aggregator[Seq[Double], Array[Double], Array[Double]] {
+    private val tri = d * (d + 1) / 2
+    private val len = 1 + 2 * tri
+    @inline private def kadd(b: Array[Double], idx: Int, x: Double): Unit = {
+      // Kahan: idx holds the running sum, idx + tri its compensation
+      val y = x - b(idx + tri)
+      val t = b(idx) + y
+      b(idx + tri) = (t - b(idx)) - y
+      b(idx) = t
+    }
+    def zero: Array[Double] = new Array[Double](len)
+    def reduce(b: Array[Double], x: Seq[Double]): Array[Double] = {
+      require(x != null && x.length == d,
+        s"embedding dim ${if (x == null) "null" else x.length} != $d")
+      val c = new Array[Double](d)
+      var i = 0
+      while (i < d) { c(i) = x(i) - mean(i); i += 1 }
+      b(0) += 1.0
+      i = 0
+      var off = 1
+      while (i < d) {
+        var j = i
+        while (j < d) { kadd(b, off, c(i) * c(j)); off += 1; j += 1 }
+        i += 1
+      }
+      b
+    }
+    def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      a(0) += b(0)
+      var k = 1
+      while (k <= tri) {
+        // fold b's compensated pair into a as two compensated adds
+        kadd(a, k, b(k))
+        kadd(a, k, -b(k + tri))
+        k += 1
+      }
       a
     }
     def finish(b: Array[Double]): Array[Double] = b
@@ -73,22 +118,30 @@ object Pca {
     }
   }
 
-  /** (n, mean, population covariance) from one aggregation pass. */
+  /** (n, mean, population covariance) from two aggregation passes:
+    * means first, then centered + Kahan-compensated second moments, so
+    * the covariance is deterministic to ~machine precision regardless
+    * of partition merge order (the old raw-moment single pass could
+    * flip a 6-decimal rounding boundary run-to-run). */
   private[graft] def moments(df: DataFrame, embCol: String,
                              d: Int): (Long, Array[Double], Array[Array[Double]]) = {
-    val agg = F.udaf(new MomentAgg(d))
-    val m = df.select(agg(F.col(embCol).cast("array<double>")).as("m"))
+    val embD = F.col(embCol).cast("array<double>")
+    val meanAgg = F.udaf(new MeanAgg(d))
+    val m1 = df.select(meanAgg(embD).as("m"))
       .head().getAs[Seq[Double]]("m").toArray
-    val n = m(0)
+    val n = m1(0)
     require(n >= 2.0, s"need at least 2 rows, got ${n.toLong}")
-    val mean = Array.tabulate(d)(i => m(1 + i) / n)
+    val mean = Array.tabulate(d)(i => m1(1 + i) / n)
+    val centeredAgg = F.udaf(new CenteredMomentAgg(d, mean))
+    val m2 = df.select(centeredAgg(embD).as("m"))
+      .head().getAs[Seq[Double]]("m").toArray
     val cov = Array.ofDim[Double](d, d)
-    var off = 1 + d
+    var off = 1
     var i = 0
     while (i < d) {
       var j = i
       while (j < d) {
-        val c = m(off) / n - mean(i) * mean(j)
+        val c = m2(off) / n
         cov(i)(j) = c; cov(j)(i) = c
         off += 1; j += 1
       }
