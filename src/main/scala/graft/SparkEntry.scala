@@ -2298,6 +2298,27 @@ object SparkEntry {
             F.col("l_quantity"),
             (F.col("l_returnflag") =!= "N").as("ev")),
         "l_quantity", "ev", "cohort")),
+    "q_cox_ph" -> ((s, dir) => {
+      // Cox proportional hazards (Breslow ties, 3 fixed Newton steps
+      // from β=0 + one information/log-lik pass): does discount drive
+      // the return hazard? Each pass is ONE groupBy(t) cells
+      // aggregation + the t-DESC prefix fold (risk-set suffix sums) —
+      // the oracle replays every Newton step as chained CTEs with
+      // t-DESC window suffix sums, so the hash pins the whole iterate
+      // trajectory, the SE, and both log-likelihoods
+      val d = li(s, dir).where(F.col("l_orderkey") < 100000)
+        .select(F.col("l_quantity"),
+          (F.col("l_returnflag") =!= "N").as("ev"), F.col("l_discount"))
+      val m = Survival.coxPH(d, "l_quantity", "ev", Seq("l_discount"),
+        iters = 3)
+      import s.implicits._
+      Seq((math.rint(m.beta(0) * 1e6) / 1e6,
+          math.rint(math.exp(m.beta(0)) * 1e6) / 1e6,
+          math.rint(m.se(0) * 1e6) / 1e6,
+          math.rint(m.logLik * 100) / 100,
+          math.rint(m.logLik0 * 100) / 100, m.n, m.nEvents))
+        .toDF("coef_r", "hr_r", "se_r", "ll_r", "ll0_r", "n", "n_events")
+    }),
     "q_copula_serde" -> ((s, dir) => {
       // S5's copula sink hash-checked: the fitted copula goes save ->
       // JSON -> load on the driver, and the output reads marginal
@@ -2512,6 +2533,14 @@ object SparkEntry {
       // iterative rewrite isn't SQL, but OpsSpec pins the classic
       // hand-computable example
       TextOps.bpeMerges(docs(s, dir), "doc_id", "text", numMerges = 8)
+        .orderBy("merge_rank")),
+    "q_bpe_merges_fixed" -> ((s, dir) =>
+      // deterministic hash twin for the merge TABLE: 3 merge rounds over
+      // the [a-z]+-pinned vocab — DuckDB replays each round as chained
+      // CTEs (pair counts → argmax with the count-desc/left-asc tie
+      // break → list_reduce left-to-right non-overlapping rewrite)
+      TextOps.bpeMerges(docs(s, dir), "doc_id", "text", numMerges = 3,
+          tokenRegex = "^[a-z]+$")
         .orderBy("merge_rank")),
     "q_bigram_logprob" -> ((s, dir) =>
       // interpolated bigram-LM quality score (the rung above
@@ -5371,7 +5400,11 @@ object SparkEntry {
       """WITH base AS (SELECT l_linestatus AS g,
         |    CAST(l_quantity AS DOUBLE) AS t,
         |    (l_returnflag <> 'N') AS e
-        |  FROM lineitem WHERE l_orderkey < 100000),
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND CAST(l_quantity AS DOUBLE) >= 0.0
+        |    AND l_returnflag IS NOT NULL),
         |cells AS (SELECT g, t,
         |    CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
         |    CAST(count(*) AS BIGINT) AS c
@@ -5396,7 +5429,13 @@ object SparkEntry {
         |SELECT g AS l_linestatus, t, nr AS n_risk, d AS n_event,
         |  c - d AS n_censored, round(surv, 6) AS survival,
         |  CASE WHEN d = nr THEN NULL
-        |    ELSE round(surv * sqrt(gw), 6) END AS std_err
+        |    ELSE round(surv * sqrt(gw), 6) END AS std_err,
+        |  CASE WHEN d = nr OR surv >= 1.0 OR surv <= 0.0 THEN NULL
+        |    ELSE round(pow(surv, exp(1.959964
+        |      * (sqrt(gw) / abs(ln(surv))))), 6) END AS ci_lo,
+        |  CASE WHEN d = nr OR surv >= 1.0 OR surv <= 0.0 THEN NULL
+        |    ELSE round(pow(surv, exp(-1.959964
+        |      * (sqrt(gw) / abs(ln(surv))))), 6) END AS ci_hi
         |FROM s ORDER BY l_linestatus, t""".stripMargin,
     // The per-group fold over the same curve: smallest t whose ROUNDED
     // survival is ≤ ½, the subject count, and the final level.
@@ -5404,7 +5443,11 @@ object SparkEntry {
       """WITH base AS (SELECT l_linestatus AS g,
         |    CAST(l_quantity AS DOUBLE) AS t,
         |    (l_returnflag <> 'N') AS e
-        |  FROM lineitem WHERE l_orderkey < 100000),
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND CAST(l_quantity AS DOUBLE) >= 0.0
+        |    AND l_returnflag IS NOT NULL),
         |cells AS (SELECT g, t,
         |    CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
         |    CAST(count(*) AS BIGINT) AS c
@@ -5434,7 +5477,11 @@ object SparkEntry {
       """WITH base AS (SELECT l_linestatus AS g,
         |    CAST(l_quantity AS DOUBLE) AS t,
         |    (l_returnflag <> 'N') AS e
-        |  FROM lineitem WHERE l_orderkey < 100000),
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND CAST(l_quantity AS DOUBLE) >= 0.0
+        |    AND l_returnflag IS NOT NULL),
         |cells AS (SELECT g, t,
         |    CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
         |    CAST(count(*) AS BIGINT) AS c
@@ -5462,7 +5509,11 @@ object SparkEntry {
         |    CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,
         |    CAST(l_quantity AS DOUBLE) AS t,
         |    (l_returnflag <> 'N') AS e
-        |  FROM lineitem WHERE l_orderkey < 100000),
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND CAST(l_quantity AS DOUBLE) >= 0.0
+        |    AND l_returnflag IS NOT NULL),
         |cells AS (SELECT t,
         |    sum(CASE WHEN g = 'a' AND e THEN 1 ELSE 0 END) AS da,
         |    sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS ca,
@@ -5500,6 +5551,104 @@ object SparkEntry {
         |  round_even(${codyErfcSql("y")} * 1000000.0, 0) / 1000000.0
         |    AS p_value,
         |  na AS n_a, nb AS n_b FROM ye""".stripMargin,
+    // Replays every Cox/Breslow Newton step as chained CTEs: per-step
+    // cells aggregation (β from the previous step cross-joined in),
+    // t-DESC window suffix sums for the risk-set moments m0/m1/m2,
+    // score u = Σ(s − d·m1/m0) and information i = Σ d·(m2/m0 −
+    // (m1/m0)²) over event times, β' = β + u/i — then a final pass at
+    // β₃ for the observed information (→ SE) and the log-likelihood.
+    "q_cox_ph" ->
+      """WITH base AS (SELECT CAST(l_quantity AS DOUBLE) AS t,
+        |    (l_returnflag <> 'N') AS e,
+        |    CAST(l_discount AS DOUBLE) AS x
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND CAST(l_quantity AS DOUBLE) >= 0.0
+        |    AND l_returnflag IS NOT NULL
+        |    AND l_discount IS NOT NULL
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE))),
+        |c1 AS (SELECT t, sum(CASE WHEN e THEN 1 ELSE 0 END) AS d,
+        |    sum(CASE WHEN e THEN x ELSE 0.0 END) AS s,
+        |    sum(exp(0.0 * x)) AS r0, sum(x * exp(0.0 * x)) AS r1,
+        |    sum(x * x * exp(0.0 * x)) AS r2
+        |  FROM base GROUP BY t),
+        |w1 AS (SELECT t, d, s,
+        |    sum(r0) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS m0,
+        |    sum(r1) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS m1,
+        |    sum(r2) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS m2
+        |  FROM c1),
+        |n1 AS (SELECT sum(s - d * m1 / m0) AS u,
+        |    sum(d * (m2 / m0 - (m1 / m0) * (m1 / m0))) AS i,
+        |    sum(0.0 * s - d * ln(m0)) AS ll0 FROM w1 WHERE d > 0),
+        |b1 AS (SELECT u / i AS b FROM n1),
+        |c2 AS (SELECT t, any_value(b.b) AS pb,
+        |    sum(CASE WHEN e THEN 1 ELSE 0 END) AS d,
+        |    sum(CASE WHEN e THEN x ELSE 0.0 END) AS s,
+        |    sum(exp(b.b * x)) AS r0, sum(x * exp(b.b * x)) AS r1,
+        |    sum(x * x * exp(b.b * x)) AS r2
+        |  FROM base CROSS JOIN b1 b GROUP BY t),
+        |w2 AS (SELECT t, d, s, pb,
+        |    sum(r0) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS m0,
+        |    sum(r1) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS m1,
+        |    sum(r2) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS m2
+        |  FROM c2),
+        |n2 AS (SELECT any_value(pb) AS pb, sum(s - d * m1 / m0) AS u,
+        |    sum(d * (m2 / m0 - (m1 / m0) * (m1 / m0))) AS i
+        |  FROM w2 WHERE d > 0),
+        |b2 AS (SELECT pb + u / i AS b FROM n2),
+        |c3 AS (SELECT t, any_value(b.b) AS pb,
+        |    sum(CASE WHEN e THEN 1 ELSE 0 END) AS d,
+        |    sum(CASE WHEN e THEN x ELSE 0.0 END) AS s,
+        |    sum(exp(b.b * x)) AS r0, sum(x * exp(b.b * x)) AS r1,
+        |    sum(x * x * exp(b.b * x)) AS r2
+        |  FROM base CROSS JOIN b2 b GROUP BY t),
+        |w3 AS (SELECT t, d, s, pb,
+        |    sum(r0) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS m0,
+        |    sum(r1) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS m1,
+        |    sum(r2) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS m2
+        |  FROM c3),
+        |n3 AS (SELECT any_value(pb) AS pb, sum(s - d * m1 / m0) AS u,
+        |    sum(d * (m2 / m0 - (m1 / m0) * (m1 / m0))) AS i
+        |  FROM w3 WHERE d > 0),
+        |b3 AS (SELECT pb + u / i AS b FROM n3),
+        |cf AS (SELECT t, any_value(b.b) AS pb,
+        |    sum(CASE WHEN e THEN 1 ELSE 0 END) AS d,
+        |    sum(CASE WHEN e THEN x ELSE 0.0 END) AS s,
+        |    sum(exp(b.b * x)) AS r0, sum(x * exp(b.b * x)) AS r1,
+        |    sum(x * x * exp(b.b * x)) AS r2
+        |  FROM base CROSS JOIN b3 b GROUP BY t),
+        |wf AS (SELECT t, d, s, pb,
+        |    sum(r0) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS m0,
+        |    sum(r1) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS m1,
+        |    sum(r2) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS m2
+        |  FROM cf),
+        |nf AS (SELECT
+        |    sum(d * (m2 / m0 - (m1 / m0) * (m1 / m0))) AS i,
+        |    sum(pb * s - d * ln(m0)) AS ll FROM wf WHERE d > 0),
+        |nn AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS ne
+        |  FROM base)
+        |SELECT round_even(b3.b * 1000000.0, 0) / 1000000.0 AS coef_r,
+        |  round_even(exp(b3.b) * 1000000.0, 0) / 1000000.0 AS hr_r,
+        |  round_even(sqrt(1.0 / nf.i) * 1000000.0, 0) / 1000000.0
+        |    AS se_r,
+        |  round_even(nf.ll * 100.0, 0) / 100.0 AS ll_r,
+        |  round_even((SELECT ll0 FROM n1) * 100.0, 0) / 100.0 AS ll0_r,
+        |  nn.n, nn.ne AS n_events
+        |FROM b3, nf, nn""".stripMargin,
     // Replays the grouped closed-form fit on the parity halves and the
     // same KL arithmetic shape (ln + squared-difference ratio).
     "q_fit_drift" ->
@@ -5654,6 +5803,60 @@ object SparkEntry {
         |    i -> substr(t, i, 2))) AS pair, wc FROM w WHERE len(t) >= 2)
         |SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM p
         |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin,
+    // Replays 3 greedy BPE merge rounds: per round a pair-count
+    // aggregation over the space-joined symbol lists, the argmax with
+    // the Scala tie break (n desc, l asc, r asc — binary collation both
+    // engines), and the left-to-right non-overlapping rewrite as a
+    // list_reduce fold (merging into the accumulator's LAST token is
+    // equivalent to the scan because a merged token l||r can never
+    // equal l again — r is non-empty).
+    "q_bpe_merges_fixed" ->
+      """WITH tok AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |    x -> x <> '')) AS t FROM documents),
+        |v0 AS (SELECT t AS w, count(*) AS wc FROM tok
+        |  WHERE regexp_matches(t, '^[a-z]+$') GROUP BY t),
+        |s0 AS (SELECT string_split(w, '') AS sy, wc FROM v0),
+        |p1 AS (SELECT unnest(list_transform(range(1, len(sy)),
+        |    j -> sy[j] || ' ' || sy[j+1])) AS pair, wc
+        |  FROM s0 WHERE len(sy) >= 2),
+        |g1 AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+        |  FROM p1 GROUP BY pair),
+        |m1 AS (SELECT split_part(pair, ' ', 1) AS l,
+        |    split_part(pair, ' ', 2) AS r, n
+        |  FROM g1 ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+        |s1 AS (SELECT string_split(list_reduce(sy,
+        |    (acc, x) -> CASE WHEN x = m.r
+        |        AND (acc = m.l OR acc LIKE '% ' || m.l)
+        |      THEN left(acc, length(acc) - length(m.l)) || m.l || m.r
+        |      ELSE acc || ' ' || x END), ' ') AS sy, wc
+        |  FROM s0, m1 m),
+        |p2 AS (SELECT unnest(list_transform(range(1, len(sy)),
+        |    j -> sy[j] || ' ' || sy[j+1])) AS pair, wc
+        |  FROM s1 WHERE len(sy) >= 2),
+        |g2 AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+        |  FROM p2 GROUP BY pair),
+        |m2 AS (SELECT split_part(pair, ' ', 1) AS l,
+        |    split_part(pair, ' ', 2) AS r, n
+        |  FROM g2 ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+        |s2 AS (SELECT string_split(list_reduce(sy,
+        |    (acc, x) -> CASE WHEN x = m.r
+        |        AND (acc = m.l OR acc LIKE '% ' || m.l)
+        |      THEN left(acc, length(acc) - length(m.l)) || m.l || m.r
+        |      ELSE acc || ' ' || x END), ' ') AS sy, wc
+        |  FROM s1, m2 m),
+        |p3 AS (SELECT unnest(list_transform(range(1, len(sy)),
+        |    j -> sy[j] || ' ' || sy[j+1])) AS pair, wc
+        |  FROM s2 WHERE len(sy) >= 2),
+        |g3 AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+        |  FROM p3 GROUP BY pair),
+        |m3 AS (SELECT split_part(pair, ' ', 1) AS l,
+        |    split_part(pair, ' ', 2) AS r, n
+        |  FROM g3 ORDER BY n DESC, l ASC, r ASC LIMIT 1)
+        |SELECT 1 AS merge_rank, l AS "left", r AS "right", n FROM m1
+        |UNION ALL SELECT 2, l, r, n FROM m2
+        |UNION ALL SELECT 3, l, r, n FROM m3
+        |ORDER BY merge_rank""".stripMargin,
     "q_bigram_logprob" ->
       """WITH t AS (SELECT doc_id, list_filter(
         |    regexp_split_to_array(lower(coalesce(text, '')), '\s+'),

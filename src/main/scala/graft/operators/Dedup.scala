@@ -431,11 +431,19 @@ object Dedup {
     val ex = df.select(F.col(idCol).cast("long").as("id"),
         F.explode(shUdf(F.col(textCol))).as("g"))
     val sizes = ex.groupBy("id").agg(F.count(F.lit(1)).as("sz"))
-    val ok = ex.groupBy("g").agg(F.count(F.lit(1)).as("nf"))
+    val freq = ex.groupBy("g").agg(F.count(F.lit(1)).as("nf"))
+    // stop-gram drops (nf > cap) are observed + warn-logged, never
+    // silent; the observed subtree rides ONLY the "a" branch of the
+    // self-join — the same CollectMetrics node twice in one plan is an
+    // analysis error, and one branch streams every gram exactly once
+    val okObs = Observability.observeDropped(freq, "containmentPairs",
+        F.col("nf"), maxShingleFreq)
       .where(F.col("nf").between(2, maxShingleFreq))
       .select("g")
-    val keyed = ex.join(ok, Seq("g"), "left_semi")
-    val shared = keyed.as("a").join(keyed.as("b"),
+    val ok = freq.where(F.col("nf").between(2, maxShingleFreq)).select("g")
+    val keyedA = ex.join(okObs, Seq("g"), "left_semi")
+    val keyedB = ex.join(ok, Seq("g"), "left_semi")
+    val shared = keyedA.as("a").join(keyedB.as("b"),
         F.col("a.g") === F.col("b.g") && F.col("a.id") < F.col("b.id"))
       .groupBy(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"))
       .agg(F.count(F.lit(1)).as("shared"))
@@ -464,11 +472,13 @@ object Dedup {
   def fuzzyJoinBlocked(a: DataFrame, b: DataFrame, maxDistance: Int,
                        maxBlockFreq: Int = 1000): DataFrame = {
     require(maxDistance >= 0, "maxDistance must be >= 0")
-    def ok(df: DataFrame) = df.groupBy("block")
-      .agg(F.count(F.lit(1)).as("__n"))
+    // oversize-block drops observed + warn-logged per side, never silent
+    def ok(df: DataFrame, side: String) = Observability.observeDropped(
+        df.groupBy("block").agg(F.count(F.lit(1)).as("__n")),
+        s"fuzzyJoinBlocked/$side", F.col("__n"), maxBlockFreq)
       .where(F.col("__n") <= maxBlockFreq).select("block")
-    val ka = a.join(ok(a), Seq("block"), "left_semi")
-    val kb = b.join(ok(b), Seq("block"), "left_semi")
+    val ka = a.join(ok(a, "a"), Seq("block"), "left_semi")
+    val kb = b.join(ok(b, "b"), Seq("block"), "left_semi")
     ka.as("a").join(kb.as("b"), F.col("a.block") === F.col("b.block"))
       .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
         F.col("a.key").as("key_a"), F.col("b.key").as("key_b"),

@@ -24,27 +24,14 @@ import graft.functions.SpecialMath
   */
 object Survival {
 
-  /** Kaplan–Meier curve per group: for each distinct duration t (in
-    * ascending order within a group),
-    *
-    *   n_risk(t)  = #{duration ≥ t},
-    *   S(t)       = Π_{t' ≤ t} (1 − d(t')/n_risk(t')),
-    *   Var(S(t))  = S(t)² · Σ_{t' ≤ t} d/(n·(n−d))   (Greenwood),
-    *
-    * where d = events at t (censored rows count in n_risk but not d —
-    * the standard right-censoring convention: a row with event = false
-    * is known to survive PAST its duration). The final time of a group
-    * can exhaust the risk set (d = n_risk → S = 0); there the Greenwood
-    * variance is undefined and `std_err` is null.
-    *
-    * @param durationCol non-negative numeric time-to-event/censoring
-    * @param eventCol    boolean-ish: true/nonzero = event observed,
-    *                    false/0 = right-censored
-    * @return one row per (group, t): (groupCols..., t, n_risk, n_event,
-    *         n_censored, survival, std_err), survival/std_err rounded
-    *         to 6 decimals */
-  def kmByGroup(df: DataFrame, durationCol: String, eventCol: String,
-                groupCols: Seq[String]): DataFrame = {
+  /** Shared scaffolding for the per-group estimators: reduce the data to
+    * per-(group, distinct-time) cells (events `__d`, subjects `__c`) and
+    * attach the at-risk count `__nr` = #{duration ≥ t} via per-GROUP
+    * windows over that tiny frame. Null/NaN/negative durations and null
+    * event flags are excluded — the right-censoring data model. */
+  private def cellsWithRisk(df: DataFrame, durationCol: String,
+                            eventCol: String,
+                            groupCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
     require(!groupCols.exists(_.startsWith("__")),
       "group columns must not use the __ internal prefix")
@@ -59,12 +46,46 @@ object Survival {
       .agg(F.sum(F.when(F.col("__e"), 1L).otherwise(0L)).as("__d"),
         F.count(F.lit(1)).as("__c"))
     val wg = Window.partitionBy(gCols: _*)
-    val wOrd = wg.orderBy("__t")
-    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
-    val nRisk = F.sum("__c").over(wg) -
-      F.coalesce(F.sum("__c").over(wPrev), F.lit(0L))
-    val withRisk = cells.withColumn("__nr", nRisk)
+    val wPrev = wg.orderBy("__t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells.withColumn("__nr", F.sum("__c").over(wg) -
+      F.coalesce(F.sum("__c").over(wPrev), F.lit(0L)))
+  }
+
+  /** Kaplan–Meier curve per group: for each distinct duration t (in
+    * ascending order within a group),
+    *
+    *   n_risk(t)  = #{duration ≥ t},
+    *   S(t)       = Π_{t' ≤ t} (1 − d(t')/n_risk(t')),
+    *   Var(S(t))  = S(t)² · Σ_{t' ≤ t} d/(n·(n−d))   (Greenwood),
+    *
+    * where d = events at t (censored rows count in n_risk but not d —
+    * the standard right-censoring convention: a row with event = false
+    * is known to survive PAST its duration). The final time of a group
+    * can exhaust the risk set (d = n_risk → S = 0); there the Greenwood
+    * variance is undefined and `std_err` is null.
+    *
+    * 95% confidence band: the log-log (complementary log) transform —
+    * the standard band that respects S ∈ [0, 1], unlike plain S ± z·SE —
+    *
+    *   θ = ln(−ln S),  se_θ = √V / |ln S|,  V = Σ d/(n·(n−d)),
+    *   CI = [ S^exp(+z·se_θ), S^exp(−z·se_θ) ],  z = 1.959964.
+    *
+    * `ci_lo`/`ci_hi` are null wherever the transform is undefined:
+    * S = 1 (no events yet — ln S = 0) and S = 0 (risk set exhausted).
+    *
+    * @param durationCol non-negative numeric time-to-event/censoring
+    * @param eventCol    boolean-ish: true/nonzero = event observed,
+    *                    false/0 = right-censored
+    * @return one row per (group, t): (groupCols..., t, n_risk, n_event,
+    *         n_censored, survival, std_err, ci_lo, ci_hi), floats
+    *         rounded to 6 decimals */
+  def kmByGroup(df: DataFrame, durationCol: String, eventCol: String,
+                groupCols: Seq[String]): DataFrame = {
+    val gCols = groupCols.map(F.col)
+    val withRisk = cellsWithRisk(df, durationCol, eventCol, groupCols)
+    val wCum = Window.partitionBy(gCols: _*).orderBy("__t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val dOverN = F.col("__d").cast("double") / F.col("__nr")
     // d = n_risk only at a group's final time (later rows would be in
     // the risk set) — guard the ln there; the running sums never see a
@@ -80,6 +101,16 @@ object Survival {
         F.lit(null).cast("double"))
       .otherwise(F.round(
         F.col("__surv") * F.sqrt(F.sum(gwTerm).over(wCum)), 6))
+    // log-log band: S^exp(±z·√V/ln S); ln S < 0 wherever defined, so the
+    // +z branch is the LOWER limit. Null at S ∈ {0, 1}.
+    val z95 = 1.959964
+    val lnS = F.log(F.col("__surv"))
+    val seTheta = F.sqrt(F.sum(gwTerm).over(wCum)) / F.abs(lnS)
+    def band(sign: Double): Column =
+      F.when(F.col("__d") === F.col("__nr") || F.col("__surv") >= 1.0 ||
+          F.col("__surv") <= 0.0, F.lit(null).cast("double"))
+        .otherwise(F.round(
+          F.pow(F.col("__surv"), F.exp(F.lit(sign * z95) * seTheta)), 6))
     withRisk
       .withColumn("__surv", surv)
       .select(gCols ++ Seq(
@@ -88,7 +119,9 @@ object Survival {
         F.col("__d").as("n_event"),
         (F.col("__c") - F.col("__d")).as("n_censored"),
         F.round(F.col("__surv"), 6).as("survival"),
-        stdErr.as("std_err")): _*)
+        stdErr.as("std_err"),
+        band(+1.0).as("ci_lo"),
+        band(-1.0).as("ci_hi")): _*)
   }
 
   /** Nelson–Aalen cumulative-hazard estimator per group: for each
@@ -109,27 +142,11 @@ object Survival {
     *         n_censored, cum_hazard, std_err), both rounded to 6 */
   def naByGroup(df: DataFrame, durationCol: String, eventCol: String,
                 groupCols: Seq[String]): DataFrame = {
-    require(groupCols.nonEmpty, "need at least one group column")
-    require(!groupCols.exists(_.startsWith("__")),
-      "group columns must not use the __ internal prefix")
     val gCols = groupCols.map(F.col)
-    val cells = df
-      .select(gCols :+
-        F.col(durationCol).cast("double").as("__t") :+
-        F.col(eventCol).cast("boolean").as("__e"): _*)
-      .where(F.col("__t").isNotNull && !F.isnan(F.col("__t")) &&
-        F.col("__t") >= 0.0 && F.col("__e").isNotNull)
-      .groupBy(gCols :+ F.col("__t"): _*)
-      .agg(F.sum(F.when(F.col("__e"), 1L).otherwise(0L)).as("__d"),
-        F.count(F.lit(1)).as("__c"))
-    val wg = Window.partitionBy(gCols: _*)
-    val wOrd = wg.orderBy("__t")
-    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
-    val nRisk = F.sum("__c").over(wg) -
-      F.coalesce(F.sum("__c").over(wPrev), F.lit(0L))
+    val wCum = Window.partitionBy(gCols: _*).orderBy("__t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val d = F.col("__d").cast("double")
-    cells.withColumn("__nr", nRisk)
+    cellsWithRisk(df, durationCol, eventCol, groupCols)
       .withColumn("__h", F.sum(d / F.col("__nr")).over(wCum))
       .withColumn("__v",
         F.sum(d / (F.col("__nr") * F.col("__nr"))).over(wCum))
@@ -242,5 +259,183 @@ object Survival {
       F.min(F.when(F.col("survival") <= 0.5, F.col("t"))).as("median_t"),
       (F.sum("n_event") + F.sum("n_censored")).as("n"),
       F.max_by(F.col("survival"), F.col("t")).as("final_survival"))
+  }
+
+  /** A fitted Cox proportional-hazards model: per-feature coefficient,
+    * hazard ratio e^β, standard error (inverse-information diagonal),
+    * plus the Breslow partial log-likelihood at β and at β = 0. */
+  final case class CoxModel(features: Seq[String], beta: Array[Double],
+                            se: Array[Double], logLik: Double,
+                            logLik0: Double, n: Long, nEvents: Long,
+                            iters: Int) {
+    def hazardRatio(i: Int): Double = math.exp(beta(i))
+    def toDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      features.indices.map { i =>
+        (features(i), beta(i), math.exp(beta(i)), se(i),
+          beta(i) / se(i), logLik, logLik0, n, nEvents)
+      }.toDF("feature", "coef", "hazard_ratio", "se", "z_stat",
+        "log_lik", "log_lik0", "n", "n_events")
+    }
+  }
+
+  /** Cox proportional hazards (Breslow ties) by fixed Newton steps —
+    * the semi-parametric rung above [[logRank]]: WHICH covariate drives
+    * the hazard, not just whether two curves differ. The Breslow
+    * partial likelihood over distinct event times t with event count
+    * d(t) and event covariate sum s(t):
+    *
+    *   ℓ(β) = Σ_t [ βᵀs(t) − d(t)·ln m₀(t, β) ],
+    *   U(β) = Σ_t [ s(t) − d(t)·m₁/m₀ ],
+    *   I(β) = Σ_t d(t)·[ M₂/m₀ − (m₁/m₀)(m₁/m₀)ᵀ ],
+    *
+    * where m₀/m₁/M₂ are the risk-set sums Σ_{tⱼ ≥ t} {1, x, xxᵀ}·e^{βᵀx}.
+    *
+    * Scale shape — the [[logRank]] prefix-sum fold crossed with
+    * [[Regression.logisticIrls]]'s Gram aggregation: each Newton step is
+    * (1) ONE groupBy(t) aggregation with β folded into the column
+    * expressions as literals, reducing the data to per-distinct-time
+    * cells of k(k+3)/2 + 2 sums; (2) a range-partitioned DESCENDING
+    * prefix fold over that tiny cells frame (prefix in t-desc order =
+    * risk-set suffix in time), seeded per partition by broadcast
+    * offsets, each partition folding its U/I/ℓ contribution locally —
+    * driver traffic O(#partitions · k²), no global window, no row ever
+    * collected. β starts at 0 (so step 1's risk sums are plain counts);
+    * `iters` fixed Newton steps + ONE final pass at β_final for the
+    * observed information (→ standard errors) and the log-likelihood:
+    * iters + 1 passes total, independent of data size.
+    */
+  def coxPH(df: DataFrame, durationCol: String, eventCol: String,
+            xCols: Seq[String], iters: Int = 4): CoxModel = {
+    require(xCols.nonEmpty, "need at least one covariate")
+    require(iters >= 1, "need at least one Newton step")
+    val k = xCols.length
+    val spark = df.sparkSession
+    val xs = xCols.map(c => F.col(c).cast("double"))
+    val okX = xs.map(c => c.isNotNull && !F.isnan(c)).reduce(_ && _)
+    val clean = df
+      .select(F.col(durationCol).cast("double").as("__t") +:
+        F.col(eventCol).cast("boolean").as("__e") +:
+        xs.zipWithIndex.map { case (c, i) => c.as(s"__x$i") }: _*)
+      .where(F.col("__t").isNotNull && !F.isnan(F.col("__t")) &&
+        F.col("__t") >= 0.0 && F.col("__e").isNotNull && okX)
+
+    // one Newton-step pass at a fixed β: (U, I, ℓ, n, d_total)
+    def pass(beta: Array[Double]): (Array[Double], Array[Array[Double]],
+                                    Double, Long, Long) = {
+      import spark.implicits._
+      val tri = k * (k + 1) / 2
+      val xb = (0 until k).foldLeft(F.lit(0.0)) {
+        case (acc, i) => acc + F.col(s"__x$i") * beta(i)
+      }
+      val ebx = F.exp(xb)
+      val sCols = (0 until k).map(i =>
+        F.sum(F.when(F.col("__e"), F.col(s"__x$i")).otherwise(0.0)))
+      val rCols = F.sum(ebx) +:
+        (0 until k).map(i => F.sum(F.col(s"__x$i") * ebx)) ++:
+        (for { i <- 0 until k; j <- i until k }
+          yield F.sum(F.col(s"__x$i") * F.col(s"__x$j") * ebx))
+      val cells = clean.groupBy("__t").agg(
+        F.sum(F.when(F.col("__e"), 1L).otherwise(0L)).as("__d"),
+        F.count(F.lit(1)).as("__c"),
+        F.array(sCols: _*).as("__s"),
+        F.array(rCols: _*).as("__r"))
+      // t-DESCENDING prefix = risk-set suffix: rows seen so far (plus
+      // the current row — tⱼ ≥ t includes t itself) ARE the risk set
+      val sorted = cells
+        .repartitionByRange(F.col("__t").desc)
+        .sortWithinPartitions(F.col("__t").desc)
+        .select(F.col("__t"), F.col("__d"), F.col("__c"),
+          F.col("__s"), F.col("__r"))
+        .as[(Double, Long, Long, Seq[Double], Seq[Double])].rdd
+      sorted.cache()
+      try {
+        val rLen = 1 + k + tri
+        val partSums = sorted.mapPartitionsWithIndex { case (i, it) =>
+          val acc = new Array[Double](rLen)
+          var c = 0L; var d = 0L
+          it.foreach { row =>
+            var j = 0
+            while (j < rLen) { acc(j) += row._5(j); j += 1 }
+            c += row._3; d += row._2
+          }
+          Iterator((i, acc, c, d))
+        }.collect().sortBy(_._1)
+        val n = partSums.map(_._3).sum
+        val dTot = partSums.map(_._4).sum
+        require(dTot > 0, "no events observed")
+        val offsets = partSums.map(_._2).scanLeft(new Array[Double](rLen)) {
+          (a, b) => Array.tabulate(rLen)(j => a(j) + b(j))
+        }
+        val bc = spark.sparkContext.broadcast(offsets)
+        val parts = sorted.mapPartitionsWithIndex { case (pi, it) =>
+          val cum = bc.value(pi).clone()
+          val u = new Array[Double](k)
+          val inf = Array.ofDim[Double](k, k)
+          var ll = 0.0
+          it.foreach { case (_, d, _, s, r) =>
+            var j = 0
+            while (j < rLen) { cum(j) += r(j); j += 1 }
+            if (d > 0L) {
+              val m0 = cum(0)
+              val dD = d.toDouble
+              var bs = 0.0
+              var i = 0
+              while (i < k) { bs += beta(i) * s(i); i += 1 }
+              ll += bs - dD * math.log(m0)
+              i = 0
+              var off = 1 + k
+              while (i < k) {
+                u(i) += s(i) - dD * cum(1 + i) / m0
+                var jj = i
+                while (jj < k) {
+                  val v = dD * (cum(off) / m0 -
+                    (cum(1 + i) / m0) * (cum(1 + jj) / m0))
+                  inf(i)(jj) += v
+                  if (jj != i) inf(jj)(i) += v
+                  off += 1; jj += 1
+                }
+                i += 1
+              }
+            }
+          }
+          Iterator((u, inf, ll))
+        }.collect()
+        val u = new Array[Double](k)
+        val inf = Array.ofDim[Double](k, k)
+        var ll = 0.0
+        parts.foreach { case (pu, pinf, pll) =>
+          var i = 0
+          while (i < k) {
+            u(i) += pu(i)
+            var j = 0
+            while (j < k) { inf(i)(j) += pinf(i)(j); j += 1 }
+            i += 1
+          }
+          ll += pll
+        }
+        (u, inf, ll, n, dTot)
+      } finally sorted.unpersist(blocking = false)
+    }
+
+    var beta = Array.fill(k)(0.0)
+    var ll0 = 0.0
+    var it = 0
+    while (it < iters) {
+      val (u, inf, ll, _, _) = pass(beta)
+      if (it == 0) ll0 = ll
+      val delta = Regression.solve(inf, u)
+      beta = Array.tabulate(k)(i => beta(i) + delta(i))
+      it += 1
+    }
+    // final pass at β_final: observed information → SEs, final ℓ
+    val (_, infF, llF, n, dTot) = pass(beta)
+    val se = Array.tabulate(k) { i =>
+      // i-th diagonal of I⁻¹ via k solves against unit vectors would be
+      // wasteful; solve once per feature (k ≤ dozens, driver-side)
+      val ei = Array.tabulate(k)(j => if (j == i) 1.0 else 0.0)
+      math.sqrt(Regression.solve(infF, ei)(i))
+    }
+    CoxModel(xCols, beta, se, llF, ll0, n, dTot, iters)
   }
 }

@@ -273,9 +273,22 @@ object TextOps {
           (F.lit(1.0) + F.col("df"))) + F.lit(1.0)))
     val norms = w.groupBy("id")
       .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).as("norm"))
-    val keyed = w.where(F.col("df") <= maxDf)
+    // stop-token drops (df > cap) observed + warn-logged, never silent.
+    // The observed df-count frame rides ONLY the "a" branch of the
+    // self-join (the same CollectMetrics node twice in one plan is an
+    // analysis error); the "b" branch and the norms use unobserved
+    // copies, so every capped token is still counted exactly once.
+    val dfreqObs = Observability.observeDropped(dfreq,
+      "tfidfCosinePairs", F.col("df"), maxDf)
+    def postings(freq: DataFrame) = tf
+      .join(freq.where(F.col("df") <= maxDf), "token")
+      .withColumn("w", F.col("tf") *
+        (F.log((F.lit(1.0) + F.lit(nDocs.toDouble)) /
+          (F.lit(1.0) + F.col("df"))) + F.lit(1.0)))
       .select(F.col("token"), F.col("id"), F.col("w"))
-    keyed.as("a").join(keyed.as("b"),
+    val keyedA = postings(dfreqObs)
+    val keyedB = postings(dfreq)
+    keyedA.as("a").join(keyedB.as("b"),
         F.col("a.token") === F.col("b.token") &&
           F.col("a.id") < F.col("b.id"))
       .groupBy(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"))
@@ -445,13 +458,22 @@ object TextOps {
     * stays O(1) deep instead of O(rounds). Ties break (count desc, left
     * asc, right asc) — fully deterministic.
     *
+    * `tokenRegex`, when set, keeps only matching tokens (the same
+    * pre-normalization hook as [[bpePairCounts]] — pinning the symbol
+    * alphabet also makes the merge loop replayable in external SQL).
+    *
     * @return (merge_rank, left, right, n) — the learned merge table in
     *         order, the artifact a tokenizer ships */
   def bpeMerges(df: DataFrame, idCol: String, textCol: String,
-                numMerges: Int, minPairCount: Long = 2L): DataFrame = {
+                numMerges: Int, minPairCount: Long = 2L,
+                tokenRegex: String = null): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    var vocab = tokens(df, idCol, textCol)
+    val toks0 = tokens(df, idCol, textCol)
+    val filtered =
+      if (tokenRegex == null) toks0
+      else toks0.where(F.col("token").rlike(tokenRegex))
+    var vocab = filtered
       .groupBy("token").agg(F.count(F.lit(1)).as("wc"))
       .select(F.split(F.col("token"), "").as("syms"), F.col("wc"))
       .localCheckpoint(true)

@@ -401,6 +401,64 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.listenerManager.unregister(cap)
   }
 
+  test("Observability: containment/fuzzy-join/tfidf caps observe their drops") {
+    import spark.implicits._
+    val captured =
+      new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]()
+    val cap = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             d: Long): Unit =
+        Observability.observedMetricsOf(qe).foreach { case (n, r) =>
+          if (n.startsWith("graft.dropped/")) captured.put(n, r)
+        }
+      override def onFailure(f: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    def await(prefix: String): org.apache.spark.sql.Row = {
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var hit: Option[org.apache.spark.sql.Row] = None
+      while (hit.isEmpty && System.nanoTime() < deadline) {
+        hit = captured.asScala.collectFirst {
+          case (n, r) if n.startsWith(prefix) => r }
+        if (hit.isEmpty) Thread.sleep(50)
+      }
+      hit.getOrElse(fail(s"no observation for $prefix arrived"))
+    }
+    spark.listenerManager.register(cap)
+    try {
+      // containment: one 3-gram ("aa bb cc") shared by 6 docs, cap 3 →
+      // the hot gram is dropped (1 bucket, 6 postings) and no pair survives
+      val docs = docsDf((1L to 6L).map(i =>
+        (i, s"aa bb cc u${i}x u${i}y u${i}z")))
+      assert(Dedup.containmentPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.1, maxShingleFreq = 3).count() == 0L)
+      val cRow = await("graft.dropped/containmentPairs")
+      assert(cRow.getAs[Long]("dropped_buckets") == 1L, s"$cRow")
+      assert(cRow.getAs[Long]("dropped_members") == 6L, s"$cRow")
+
+      // fuzzy join: 5 a-side rows in one block vs cap 3 → the whole
+      // block drops on the a side (1 block, 5 rows) and the join is empty
+      val a = (1L to 5L).map(i => (i, s"key$i", "hot")).toDF("id", "key", "block")
+      val b = Seq((9L, "key1", "hot")).toDF("id", "key", "block")
+      assert(Dedup.fuzzyJoinBlocked(a, b, maxDistance = 2,
+        maxBlockFreq = 3).count() == 0L)
+      val fRow = await("graft.dropped/fuzzyJoinBlocked/a")
+      assert(fRow.getAs[Long]("dropped_buckets") == 1L, s"$fRow")
+      assert(fRow.getAs[Long]("dropped_members") == 5L, s"$fRow")
+
+      // tfidf: token "hot" in all 6 docs vs maxDf 3 → dropped from the
+      // postings (1 token, df 6); the unique fillers can't pair, so empty
+      val tDocs = docsDf((1L to 6L).map(i => (i, s"hot w${i}a w${i}b")))
+      assert(TextOps.tfidfCosinePairs(tDocs, "doc_id", "text",
+        threshold = 0.1, maxDf = 3).count() == 0L)
+      val tRow = await("graft.dropped/tfidfCosinePairs")
+      assert(tRow.getAs[Long]("dropped_buckets") == 1L, s"$tRow")
+      assert(tRow.getAs[Long]("dropped_members") == 6L, s"$tRow")
+    } finally spark.listenerManager.unregister(cap)
+  }
+
   test("GroupedFit: sufficient-statistic fits per group, closed-form AIC") {
     import spark.implicits._
     val a = (1 to 100).map(i => ("a", math.exp(0.01 * i)))

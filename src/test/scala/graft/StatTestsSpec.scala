@@ -132,6 +132,12 @@ class StatTestsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(risk.toSeq == Seq(5L, 4L, 3L, 2L, 1L))
     // Greenwood at t=2: 0.6·√(1/20 + 1/12) = 0.219089
     assert(math.abs(km(1).getAs[Double]("std_err") - 0.219089) < 1e-6)
+    // 95% log-log band at t=2: se_θ = √0.133333/|ln 0.6|,
+    // CI = [0.6^exp(+z·se_θ), 0.6^exp(−z·se_θ)] = [0.125730, 0.881756]
+    assert(math.abs(km(1).getAs[Double]("ci_lo") - 0.12573) < 1e-6)
+    assert(math.abs(km(1).getAs[Double]("ci_hi") - 0.881756) < 1e-6)
+    assert(math.abs(km(0).getAs[Double]("ci_lo") - 0.203809) < 1e-6)
+    assert(math.abs(km(3).getAs[Double]("ci_hi") - 0.719218) < 1e-6)
     val med = Survival.medianSurvival(df, "t", "e", Seq("g")).head()
     assert(med.getAs[Double]("median_t") == 4.0)
     assert(med.getAs[Long]("n") == 5L)
@@ -187,5 +193,62 @@ class StatTestsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(km(0).getAs[Double]("survival") == 0.5)
     assert(km(1).getAs[Double]("survival") == 0.0)
     assert(km(1).isNullAt(km(1).fieldIndex("std_err")))
+    // the band is undefined at S = 0 (and would be at S = 1)
+    assert(km(1).isNullAt(km(1).fieldIndex("ci_lo")))
+    assert(km(1).isNullAt(km(1).fieldIndex("ci_hi")))
+  }
+
+  test("coxPH converges to the hand-solved single-covariate MLE") {
+    import spark.implicits._
+    // (t, e, x): events at t=1 (x=1), t=2 (x=0), t=4 (x=0); the Breslow
+    // partial likelihood ℓ(β) = [β − ln(3e^β+2)] − ln(2e^β+2) − ln(e^β+1)
+    // has its maximum at β = −0.83411519 (Newton from 0, verified by
+    // hand: I(β̂) = 0.66106403 → se = 1.22992389)
+    val df = Seq((1.0, true, 1.0), (2.0, true, 0.0), (3.0, false, 1.0),
+      (4.0, true, 0.0), (5.0, false, 1.0)).toDF("t", "e", "x")
+    val m = Survival.coxPH(df, "t", "e", Seq("x"), iters = 4)
+    assert(math.abs(m.beta(0) - (-0.8341151943524)) < 1e-9)
+    assert(math.abs(m.hazardRatio(0) - 0.4342585459) < 1e-9)
+    assert(math.abs(m.se(0) - 1.2299238878) < 1e-8)
+    assert(math.abs(m.logLik - (-3.4433216380689)) < 1e-9)
+    assert(math.abs(m.logLik0 - (-3.6888794541139)) < 1e-9)
+    assert(m.n == 5L && m.nEvents == 3L)
+    val out = m.toDf(spark).head()
+    assert(out.getAs[String]("feature") == "x")
+    assert(math.abs(out.getAs[Double]("z_stat") -
+      (-0.8341151943524 / 1.2299238878)) < 1e-8)
+  }
+
+  test("coxPH score step at β = 0 equals the log-rank statistic " +
+       "on a binary covariate with unique event times") {
+    import spark.implicits._
+    // with x ∈ {0,1}, d(t) = 1 everywhere: U(0)²/I(0) = log-rank X²
+    // (the classical score-test identity — ties would break it via the
+    // (n−d)/(n−1) factor, so times are all distinct here)
+    val rows = Seq(
+      ("a", 1.0, true), ("a", 3.0, true), ("a", 6.0, false),
+      ("b", 2.0, true), ("b", 4.0, true), ("b", 5.0, false))
+    val lr = Survival.logRank(rows.toDF("cohort", "t", "e"),
+      "t", "e", "cohort").head()
+    val cox = rows.map { case (g, t, e) =>
+      (t, e, if (g == "a") 1.0 else 0.0) }.toDF("t", "e", "x")
+    // one Newton step from 0 is U(0)/I(0); rebuild X² = U·Δβ... instead
+    // assert via the fitted trajectory: ll0 and the score-test identity
+    // computed directly from the cells
+    val m1 = Survival.coxPH(cox, "t", "e", Seq("x"), iters = 1)
+    // β₁ = U/I, so U²/I = β₁·U; recover U from β₁·I is circular — use
+    // the analytic values instead: risk sets are small enough to check
+    // U(0) and I(0) by hand: U = Σ [x_event − n_a/n], I = Σ (n_a/n)(n_b/n)
+    val times = Seq(1.0, 2.0, 3.0, 4.0)
+    val atRisk = times.map(t => rows.filter(_._2 >= t))
+    val u0 = Seq(1.0, 0.0, 1.0, 0.0).zip(atRisk).map { case (x, rs) =>
+      x - rs.count(_._1 == "a").toDouble / rs.size
+    }.sum
+    val i0 = atRisk.map { rs =>
+      val pa = rs.count(_._1 == "a").toDouble / rs.size
+      pa * (1.0 - pa)
+    }.sum
+    assert(math.abs(m1.beta(0) - u0 / i0) < 1e-12)
+    assert(math.abs(u0 * u0 / i0 - lr.getAs[Double]("chi2")) < 1e-5)
   }
 }
