@@ -2298,6 +2298,16 @@ object SparkEntry {
             F.col("l_quantity"),
             (F.col("l_returnflag") =!= "N").as("ev")),
         "l_quantity", "ev", "cohort")),
+    "q_hazard_rates" -> ((s, dir) =>
+      // piecewise-exponential rates from the Nelson-Aalen increments —
+      // the nonparametric→parametric bridge; pure ratio-of-integer
+      // arithmetic over the same cells frame as q_km_hazard
+      Survival.piecewiseExpByGroup(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select(F.col("l_linestatus"), F.col("l_quantity"),
+            (F.col("l_returnflag") =!= "N").as("ev")),
+        "l_quantity", "ev", Seq("l_linestatus"))
+        .orderBy("l_linestatus", "t_end")),
     "q_cox_ph" -> ((s, dir) => {
       // Cox proportional hazards (Breslow ties, 3 fixed Newton steps
       // from β=0 + one information/log-lik pass): does discount drive
@@ -5551,6 +5561,34 @@ object SparkEntry {
         |  round_even(${codyErfcSql("y")} * 1000000.0, 0) / 1000000.0
         |    AS p_value,
         |  na AS n_a, nb AS n_b FROM ye""".stripMargin,
+    // Replays the Nelson–Aalen-increment piecewise rates: the same
+    // at-risk window as q_km_hazard plus a lag for interval starts.
+    "q_hazard_rates" ->
+      """WITH base AS (SELECT l_linestatus AS g,
+        |    CAST(l_quantity AS DOUBLE) AS t,
+        |    (l_returnflag <> 'N') AS e
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND CAST(l_quantity AS DOUBLE) >= 0.0
+        |    AND l_returnflag IS NOT NULL),
+        |cells AS (SELECT g, t,
+        |    CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY g, t),
+        |w AS (SELECT g, t, d, c,
+        |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT)
+        |      - CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS BIGINT) AS nr,
+        |    coalesce(lag(t) OVER (PARTITION BY g ORDER BY t), 0.0) AS tp
+        |  FROM cells)
+        |SELECT g AS l_linestatus, tp AS t_start, t AS t_end,
+        |  nr AS n_risk, d AS n_event,
+        |  CASE WHEN t - tp > 0.0
+        |    THEN round(CAST(d AS DOUBLE) / (nr * (t - tp)), 6)
+        |    ELSE NULL END AS rate
+        |FROM w ORDER BY l_linestatus, t_end""".stripMargin,
     // Replays every Cox/Breslow Newton step as chained CTEs: per-step
     // cells aggregation (β from the previous step cross-joined in),
     // t-DESC window suffix sums for the risk-set moments m0/m1/m2,

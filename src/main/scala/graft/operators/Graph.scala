@@ -90,13 +90,16 @@ object Graph {
     * from "content good pages point at" — the complementary quality
     * prior to [[pageRank]]'s single score.
     *
-    * Per round: two edge joins + two aggregations; each raw score table
-    * is checkpointed BEFORE its norm is taken so the edge join runs
-    * once, not once per consumer. Each 2-norm rides the checkpoint
-    * materialization itself as an `observe()` metric (CollectMetrics
-    * accumulates on the rows already streaming into the checkpoint — no
-    * separate norm job), lands on the driver as one scalar and re-enters
-    * the plan as a literal: 4 jobs per round, not 6.
+    * Per round: two edge joins + two aggregations — and ONLY those two
+    * jobs. The normalizing division folds ALGEBRAICALLY into the next
+    * aggregation (Σ(x/‖x‖) = literal-scaled sum, the per-row division
+    * unchanged), each 2-norm rides its checkpoint materialization as an
+    * `observe()` metric (CollectMetrics accumulates on the rows already
+    * streaming into the checkpoint — no separate norm job), and the
+    * node-completing left join (nodes missing a role score 0) runs once
+    * at the END instead of once per round — intermediate rounds only
+    * ever see nodes with in/out edges, whose absent scores contribute
+    * nothing to the sums anyway.
     *
     * @return (node, hub, authority) — nodes missing a role score 0 */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
@@ -108,48 +111,53 @@ object Graph {
       .union(e.select(F.col("dst").as("node")))
       .distinct().persist()
     val small = nodes.count() <= maxBroadcastNodes
-    var hubs = nodes.withColumn("hub", F.lit(1.0))
-    var auths: DataFrame = null
+    // raw (unnormalized) score frames + the norm to divide them by;
+    // hubs start at 1.0 for every node (norm 1.0 keeps 1.0/1.0 exact)
+    var hubsRaw = nodes.withColumn("__h", F.lit(1.0))
+    var hNorm = 1.0
+    var authsRaw: DataFrame = null
+    var aNorm = 1.0
     var it = 0
     while (it < iters) {
       val obsA = org.apache.spark.sql.Observation()
       val aRaw = e
-        .join(maybeBroadcast(hubs.withColumnRenamed("node", "src"), small),
-          "src")
+        .join(maybeBroadcast(hubsRaw.withColumnRenamed("node", "src"),
+          small), "src")
         .groupBy(F.col("dst").as("node"))
-        .agg(F.sum(F.col("hub")).as("__a"))
+        .agg(F.sum(F.col("__h") / hNorm).as("__a"))
         .observe(obsA, F.coalesce(F.sum(F.col("__a") * F.col("__a")),
           F.lit(0.0)).as("ss"))
-        .localCheckpoint(true) // ONE edge join, shared by norm + scores
-      val aNorm = math.sqrt(obsA.get("ss").asInstanceOf[Double])
-      val a = nodes.join(maybeBroadcast(aRaw, small), Seq("node"), "left")
-        .select(F.col("node"),
-          (F.coalesce(F.col("__a"), F.lit(0.0)) / aNorm).as("authority"))
         .localCheckpoint(true)
-      aRaw.unpersist(false)
+      aNorm = math.sqrt(obsA.get("ss").asInstanceOf[Double])
       val obsH = org.apache.spark.sql.Observation()
       val hRaw = e
-        .join(maybeBroadcast(a.withColumnRenamed("node", "dst"), small),
-          "dst")
+        .join(maybeBroadcast(aRaw.withColumnRenamed("node", "dst"),
+          small), "dst")
         .groupBy(F.col("src").as("node"))
-        .agg(F.sum(F.col("authority")).as("__h"))
+        .agg(F.sum(F.col("__a") / aNorm).as("__h"))
         .observe(obsH, F.coalesce(F.sum(F.col("__h") * F.col("__h")),
           F.lit(0.0)).as("ss"))
         .localCheckpoint(true)
-      val hNorm = math.sqrt(obsH.get("ss").asInstanceOf[Double])
-      val h = nodes.join(maybeBroadcast(hRaw, small), Seq("node"), "left")
-        .select(F.col("node"),
-          (F.coalesce(F.col("__h"), F.lit(0.0)) / hNorm).as("hub"))
-        .localCheckpoint(true)
-      hRaw.unpersist(false)
-      if (auths != null) auths.unpersist(false)
-      hubs.unpersist(false)
-      auths = a
-      hubs = h
+      hNorm = math.sqrt(obsH.get("ss").asInstanceOf[Double])
+      if (authsRaw != null) authsRaw.unpersist(false)
+      hubsRaw.unpersist(false)
+      authsRaw = aRaw
+      hubsRaw = hRaw
       it += 1
     }
+    // checkpoint: the result must be self-contained before the edge and
+    // node caches release below
+    val out = nodes
+      .join(maybeBroadcast(hubsRaw, small), Seq("node"), "left")
+      .join(maybeBroadcast(authsRaw, small), Seq("node"), "left")
+      .select(F.col("node"),
+        (F.coalesce(F.col("__h"), F.lit(0.0)) / hNorm).as("hub"),
+        (F.coalesce(F.col("__a"), F.lit(0.0)) / aNorm).as("authority"))
+      .localCheckpoint(true)
+    authsRaw.unpersist(false)
+    hubsRaw.unpersist(false)
     e.unpersist(false)
     nodes.unpersist(false)
-    hubs.join(maybeBroadcast(auths, small), "node")
+    out
   }
 }

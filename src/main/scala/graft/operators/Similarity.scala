@@ -24,10 +24,17 @@ object Similarity {
     * separate anything k-means can separate; what remains is a point mass. */
   private[operators] val maxSplitRounds = 4
 
-  /** Oversize leaves trained per split round (largest first): bounds the
-    * per-round sub-centroid broadcast to ≤ 64·dim·4096 doubles even on a
-    * pathologically skewed corpus; the rest retry next round (logged). */
-  private[operators] val maxLeavesPerRound = 4096
+  /** Oversize leaves trained per split round (largest first), bounded
+    * so the per-round sub-centroid driver collect stays ≤ ~256 MB at
+    * ANY embedding dimension (each leaf returns ≤ 64 centroids of
+    * `dim` doubles): 4096 leaves up to dim 128, shrinking as 1/dim
+    * beyond — dim 768 caps at ~682 leaves. The rest retry next round
+    * (logged). */
+  private[operators] def maxLeavesPerRound(dim: Int): Int = {
+    val budgetBytes = 256L * 1024 * 1024
+    val perLeafBytes = 64L * math.max(1, dim) * 8
+    math.min(4096L, math.max(64L, budgetBytes / perLeafBytes)).toInt
+  }
 
   /** Σ aᵢ·bᵢ over two array columns via the codegen'd ArrayDotProduct
     * expression (higher-order `zip_with`/`aggregate` are interpreted —
@@ -663,10 +670,12 @@ object Similarity {
         .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
       if (counts.isEmpty) settled = true
       else {
-        val oversize = counts.sortBy(-_._2).take(maxLeavesPerRound).toMap
-        if (counts.length > maxLeavesPerRound)
-          log.warn(s"semDedup: ${counts.length - maxLeavesPerRound} oversize " +
-            s"leaves beyond the per-round cap $maxLeavesPerRound deferred " +
+        val leafCap = maxLeavesPerRound(
+          if (centroids.nonEmpty) centroids(0).length else 0)
+        val oversize = counts.sortBy(-_._2).take(leafCap).toMap
+        if (counts.length > leafCap)
+          log.warn(s"semDedup: ${counts.length - leafCap} oversize " +
+            s"leaves beyond the per-round cap $leafCap deferred " +
             "to the next split round")
         // ~splitTrainCap training members per oversize leaf, selected by a
         // deterministic id-hash stride (no RNG, no embedding collect)

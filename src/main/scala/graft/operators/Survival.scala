@@ -261,6 +261,41 @@ object Survival {
       F.max_by(F.col("survival"), F.col("t")).as("final_survival"))
   }
 
+  /** Piecewise-exponential hazard rates per group — the bridge from the
+    * nonparametric [[naByGroup]] curve to a parametric rate model: on
+    * each inter-event interval (t_prev, t] the constant-hazard rate is
+    * the Nelson–Aalen increment over the interval width,
+    *
+    *   λ̂(t_prev, t] = ΔH/Δt = d(t) / (n_risk(t) · (t − t_prev)),
+    *
+    * the sufficient statistic a piecewise-exponential lifetime model (or
+    * a rate monitor alerting on hazard spikes) consumes directly. The
+    * first interval starts at 0; a zero-width interval (events AT t = 0)
+    * has no rate (null). Same scale shape as [[naByGroup]]: ONE
+    * (group, time) aggregation + per-GROUP windows on the cells frame,
+    * pure ratio-of-integer arithmetic.
+    *
+    * @return one row per (group, interval): (groupCols..., t_start,
+    *         t_end, n_risk, n_event, rate), rate rounded to 6 */
+  def piecewiseExpByGroup(df: DataFrame, durationCol: String,
+                          eventCol: String,
+                          groupCols: Seq[String]): DataFrame = {
+    val gCols = groupCols.map(F.col)
+    val wOrd = Window.partitionBy(gCols: _*).orderBy("__t")
+    val tPrev = F.coalesce(F.lag("__t", 1).over(wOrd), F.lit(0.0))
+    val width = F.col("__t") - F.col("__tp")
+    cellsWithRisk(df, durationCol, eventCol, groupCols)
+      .withColumn("__tp", tPrev)
+      .select(gCols ++ Seq(
+        F.col("__tp").as("t_start"),
+        F.col("__t").as("t_end"),
+        F.col("__nr").as("n_risk"),
+        F.col("__d").as("n_event"),
+        F.when(width > 0.0, F.round(
+            F.col("__d").cast("double") / (F.col("__nr") * width), 6))
+          .otherwise(F.lit(null).cast("double")).as("rate")): _*)
+  }
+
   /** A fitted Cox proportional-hazards model: per-feature coefficient,
     * hazard ratio e^β, standard error (inverse-information diagonal),
     * plus the Breslow partial log-likelihood at β and at β = 0. */

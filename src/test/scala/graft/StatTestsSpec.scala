@@ -198,6 +198,32 @@ class StatTestsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(km(1).isNullAt(km(1).fieldIndex("ci_hi")))
   }
 
+  test("piecewiseExpByGroup emits Nelson–Aalen increment rates") {
+    import spark.implicits._
+    // same worked example as naByGroup: increments 0.2, 0.25, 0, 0.5, 0
+    // over unit-width intervals from 0 → rates equal ΔH/Δt
+    val df = Seq((1.0, true), (2.0, true), (3.0, false), (4.0, true),
+      (5.0, false)).map { case (t, e) => ("g", t, e) }
+      .toDF("g", "t", "e")
+    val pw = Survival.piecewiseExpByGroup(df, "t", "e", Seq("g"))
+      .orderBy("t_end").collect()
+    assert(pw.map(_.getAs[Double]("t_start")).toSeq ==
+      Seq(0.0, 1.0, 2.0, 3.0, 4.0))
+    assert(pw.map(_.getAs[Double]("t_end")).toSeq ==
+      Seq(1.0, 2.0, 3.0, 4.0, 5.0))
+    val rates = pw.map(r => Option(r.getAs[Double]("rate")))
+    assert(rates(0).contains(0.2))   // 1/(5·1)
+    assert(rates(1).contains(0.25))  // 1/(4·1)
+    assert(rates(2).contains(0.0))   // censored-only cell
+    assert(rates(3).contains(0.5))   // 1/(2·1)
+    // zero-width first interval (event at t = 0) has no rate
+    val z = Survival.piecewiseExpByGroup(
+      Seq(("g", 0.0, true), ("g", 1.0, true)).toDF("g", "t", "e"),
+      "t", "e", Seq("g")).orderBy("t_end").collect()
+    assert(z(0).isNullAt(z(0).fieldIndex("rate")))
+    assert(z(1).getAs[Double]("rate") == 1.0)
+  }
+
   test("coxPH converges to the hand-solved single-covariate MLE") {
     import spark.implicits._
     // (t, e, x): events at t=1 (x=1), t=2 (x=0), t=4 (x=0); the Breslow
