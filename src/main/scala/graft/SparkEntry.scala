@@ -2308,6 +2308,62 @@ object SparkEntry {
             (F.col("l_returnflag") =!= "N").as("ev")),
         "l_quantity", "ev", Seq("l_linestatus"))
         .orderBy("l_linestatus", "t_end")),
+    "q_survival_gehan" -> ((s, dir) =>
+      // Gehan-Breslow-Wilcoxon: the log-rank fold with weight n(t) —
+      // early differences dominate; same prefix-sum construction and
+      // rounding discipline as q_survival_logrank
+      Survival.gehanWilcoxon(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select(
+            F.when(F.col("l_orderkey") % 2 === 0, "a").otherwise("b")
+              .as("cohort"),
+            F.col("l_quantity"),
+            (F.col("l_returnflag") =!= "N").as("ev")),
+        "l_quantity", "ev", "cohort")),
+    "q_auc" -> ((s, dir) =>
+      // rank-based ROC AUC (the Mann-Whitney identity): does discount
+      // rank returned lines above kept ones? U is an exact half-integer
+      // via the prefix-sum fold; auc/gini/se at the rounded auc
+      Evaluation.aucRoc(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select((F.col("l_returnflag") === "R").as("y"),
+            F.col("l_discount")),
+        "y", "l_discount")),
+    "q_calibration" -> ((s, dir) =>
+      // reliability-diagram data: 10 equal-width score bins, observed
+      // positive rate vs mean score — ONE aggregation
+      Evaluation.calibrationBins(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select((F.col("l_returnflag") === "R").as("y"),
+            (F.col("l_discount") * 10.0).as("score")),
+        "y", "score", bins = 10)
+        .orderBy("bin")),
+    "q_welch_group" -> ((s, dir) =>
+      // Welch's unequal-variance t per line status between the order-
+      // parity cohorts — ONE aggregation, normal-approx p at the
+      // 6-rounded t (corpus-scale dof)
+      StatTests.welchTTestByGroup(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select(F.col("l_linestatus"),
+            F.when(F.col("l_orderkey") % 2 === 0, "a").otherwise("b")
+              .as("cohort"),
+            F.col("l_extendedprice")),
+        Seq("l_linestatus"), "cohort", "l_extendedprice")
+        .orderBy("l_linestatus")),
+    "q_bpe_encode_fixed" -> ((s, dir) => {
+      // train 3 merges, then ENCODE the vocabulary with them — the
+      // round-trip a tokenizer artifact exists for; DuckDB replays the
+      // training CTEs plus one more rewrite and re-derives every
+      // encoded symbol sequence
+      val m = TextOps.bpeMerges(docs(s, dir), "doc_id", "text",
+          numMerges = 3, tokenRegex = "^[a-z]+$")
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+        .toSeq
+      TextOps.bpeEncode(docs(s, dir), "doc_id", "text", m,
+          tokenRegex = "^[a-z]+$")
+        .orderBy("token")
+    }),
     "q_cox_ph" -> ((s, dir) => {
       // Cox proportional hazards (Breslow ties, 3 fixed Newton steps
       // from β=0 + one information/log-lik pass): does discount drive
@@ -5561,6 +5617,193 @@ object SparkEntry {
         |  round_even(${codyErfcSql("y")} * 1000000.0, 0) / 1000000.0
         |    AS p_value,
         |  na AS n_a, nb AS n_b FROM ye""".stripMargin,
+    // The Gehan fold: the log-rank replay with weight n(t) on the
+    // score and n(t)² on the variance, rounding discipline identical.
+    "q_survival_gehan" ->
+      s"""WITH base AS (SELECT
+        |    CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    CAST(l_quantity AS DOUBLE) AS t,
+        |    (l_returnflag <> 'N') AS e
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND CAST(l_quantity AS DOUBLE) >= 0.0
+        |    AND l_returnflag IS NOT NULL),
+        |cells AS (SELECT t,
+        |    sum(CASE WHEN g = 'a' AND e THEN 1 ELSE 0 END) AS da,
+        |    sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN g = 'b' AND e THEN 1 ELSE 0 END) AS db,
+        |    sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS cb
+        |  FROM base GROUP BY t),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM cells),
+        |w AS (SELECT t, da, db,
+        |    CAST(tot.na - coalesce(CAST(sum(ca) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS DOUBLE) AS nat,
+        |    CAST(tot.nb - coalesce(CAST(sum(cb) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS DOUBLE) AS nbt,
+        |    tot.na AS na, tot.nb AS nb
+        |  FROM cells, tot),
+        |acc AS (SELECT
+        |    round_even(sum(((nat + nbt) / CAST(na + nb AS DOUBLE))
+        |      * (da - CAST(da + db AS DOUBLE) * nat / (nat + nbt)))
+        |      * 1000000.0, 0) / 1000000.0 AS zn,
+        |    round_even(sum(CASE WHEN nat + nbt > 1.0
+        |      THEN ((nat + nbt) / CAST(na + nb AS DOUBLE))
+        |        * ((nat + nbt) / CAST(na + nb AS DOUBLE))
+        |        * (CAST(da + db AS DOUBLE) * (nat / (nat + nbt))
+        |          * (nbt / (nat + nbt))
+        |          * ((nat + nbt) - CAST(da + db AS DOUBLE))
+        |          / ((nat + nbt) - 1.0))
+        |      ELSE 0.0 END) * 1000000.0, 0) / 1000000.0 AS v,
+        |    max(na) AS na, max(nb) AS nb FROM w),
+        |x AS (SELECT CASE WHEN v <= 0.0 THEN 0.0
+        |      ELSE round_even(zn * zn / v * 1000000.0, 0)
+        |        / 1000000.0 END AS chi2,
+        |    zn, v, na, nb FROM acc),
+        |ye AS (SELECT chi2, zn, v, na, nb,
+        |    sqrt(chi2 / 2.0) AS y FROM x)
+        |SELECT chi2, zn AS z_num, v AS var_gw,
+        |  round_even(${codyErfcSql("y")} * 1000000.0, 0) / 1000000.0
+        |    AS p_value,
+        |  na AS n_a, nb AS n_b FROM ye""".stripMargin,
+    // The Mann–Whitney AUC identity: prefix-sum of negatives below each
+    // distinct score, U exact, auc/gini/Hanley–McNeil SE at the
+    // 6-rounded auc.
+    "q_auc" ->
+      """WITH base AS (SELECT CAST(l_discount AS DOUBLE) AS v,
+        |    (l_returnflag = 'R') AS y
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_discount IS NOT NULL
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE))
+        |    AND l_returnflag IS NOT NULL),
+        |cells AS (SELECT v,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        |    CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS cn
+        |  FROM base GROUP BY v),
+        |w AS (SELECT cp, cn,
+        |    coalesce(CAST(sum(cn) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cumn
+        |  FROM cells),
+        |tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+        |    CAST(sum(cn) AS BIGINT) AS nn FROM cells),
+        |us AS (SELECT sum(cp * (cumn + 0.5 * cn)) AS u FROM w),
+        |a AS (SELECT round_even(us.u / (CAST(tot.np AS DOUBLE) * tot.nn)
+        |      * 1000000.0, 0) / 1000000.0 AS auc,
+        |    us.u AS u, tot.np AS np, tot.nn AS nn FROM us, tot),
+        |q AS (SELECT auc, u, np, nn, auc / (2.0 - auc) AS q1,
+        |    2.0 * auc * auc / (1.0 + auc) AS q2 FROM a)
+        |SELECT auc,
+        |  round_even((2.0 * auc - 1.0) * 1000000.0, 0) / 1000000.0
+        |    AS gini,
+        |  round_even(sqrt((auc * (1.0 - auc)
+        |      + (np - 1) * (q1 - auc * auc)
+        |      + (nn - 1) * (q2 - auc * auc))
+        |    / (CAST(np AS DOUBLE) * nn)) * 1000000.0, 0) / 1000000.0
+        |    AS se,
+        |  u AS u_stat, np AS n_pos, nn AS n_neg FROM q""".stripMargin,
+    "q_calibration" ->
+      """WITH base AS (SELECT CAST(l_discount AS DOUBLE) * 10.0 AS s,
+        |    (l_returnflag = 'R') AS y
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_discount IS NOT NULL AND l_returnflag IS NOT NULL
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE) * 10.0))
+        |SELECT least(9, greatest(0, CAST(floor(s * 10) AS INT))) AS bin,
+        |  count(*) AS n, round(avg(s), 6) AS mean_score,
+        |  round(avg(CASE WHEN y THEN 1.0 ELSE 0.0 END), 6) AS frac_pos
+        |FROM base GROUP BY 1 ORDER BY bin""".stripMargin,
+    // Welch per group: conditional count/avg/var_samp per cohort, the
+    // Welch–Satterthwaite dof, p = erfc(|t|/√2) at the 6-rounded t.
+    "q_welch_group" ->
+      s"""WITH base AS (SELECT l_linestatus AS g,
+        |    CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS c,
+        |    CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |agged AS (SELECT g,
+        |    count(CASE WHEN c = 'a' THEN 1 END) AS n_a,
+        |    count(CASE WHEN c = 'b' THEN 1 END) AS n_b,
+        |    avg(CASE WHEN c = 'a' THEN v END) AS ma,
+        |    avg(CASE WHEN c = 'b' THEN v END) AS mb,
+        |    var_samp(CASE WHEN c = 'a' THEN v END) AS va,
+        |    var_samp(CASE WHEN c = 'b' THEN v END) AS vb
+        |  FROM base GROUP BY g),
+        |st AS (SELECT g, n_a, n_b, ma, mb,
+        |    va / n_a AS sea, vb / n_b AS seb FROM agged
+        |  WHERE n_a >= 2 AND n_b >= 2 AND va / n_a + vb / n_b > 0.0),
+        |t AS (SELECT g, n_a, n_b, ma, mb, sea, seb,
+        |    round((ma - mb) / sqrt(sea + seb), 6) AS t_stat,
+        |    round((sea + seb) * (sea + seb)
+        |      / (sea * sea / (n_a - 1) + seb * seb / (n_b - 1)), 2)
+        |      AS dof FROM st),
+        |ye AS (SELECT g, n_a, n_b, ma, mb, t_stat, dof,
+        |    abs(t_stat) / sqrt(2.0) AS y FROM t)
+        |SELECT g AS l_linestatus, t_stat, dof,
+        |  round_even(${codyErfcSql("y")} * 1000000.0, 0) / 1000000.0
+        |    AS p_value,
+        |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+        |FROM ye ORDER BY l_linestatus""".stripMargin,
+    // Training replay (the q_bpe_merges_fixed CTEs, word column carried
+    // through) plus ONE more list_reduce rewrite with m3: the encoded
+    // symbol sequence of every vocabulary word.
+    "q_bpe_encode_fixed" ->
+      """WITH tok AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |    x -> x <> '')) AS t FROM documents),
+        |v0 AS (SELECT t AS w, count(*) AS wc FROM tok
+        |  WHERE regexp_matches(t, '^[a-z]+$') GROUP BY t),
+        |s0 AS (SELECT w, string_split(w, '') AS sy, wc FROM v0),
+        |p1 AS (SELECT unnest(list_transform(range(1, len(sy)),
+        |    j -> sy[j] || ' ' || sy[j+1])) AS pair, wc
+        |  FROM s0 WHERE len(sy) >= 2),
+        |g1 AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+        |  FROM p1 GROUP BY pair),
+        |m1 AS (SELECT split_part(pair, ' ', 1) AS l,
+        |    split_part(pair, ' ', 2) AS r, n
+        |  FROM g1 ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+        |s1 AS (SELECT w, string_split(list_reduce(sy,
+        |    (acc, x) -> CASE WHEN x = m.r
+        |        AND (acc = m.l OR acc LIKE '% ' || m.l)
+        |      THEN left(acc, length(acc) - length(m.l)) || m.l || m.r
+        |      ELSE acc || ' ' || x END), ' ') AS sy, wc
+        |  FROM s0, m1 m),
+        |p2 AS (SELECT unnest(list_transform(range(1, len(sy)),
+        |    j -> sy[j] || ' ' || sy[j+1])) AS pair, wc
+        |  FROM s1 WHERE len(sy) >= 2),
+        |g2 AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+        |  FROM p2 GROUP BY pair),
+        |m2 AS (SELECT split_part(pair, ' ', 1) AS l,
+        |    split_part(pair, ' ', 2) AS r, n
+        |  FROM g2 ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+        |s2 AS (SELECT w, string_split(list_reduce(sy,
+        |    (acc, x) -> CASE WHEN x = m.r
+        |        AND (acc = m.l OR acc LIKE '% ' || m.l)
+        |      THEN left(acc, length(acc) - length(m.l)) || m.l || m.r
+        |      ELSE acc || ' ' || x END), ' ') AS sy, wc
+        |  FROM s1, m2 m),
+        |p3 AS (SELECT unnest(list_transform(range(1, len(sy)),
+        |    j -> sy[j] || ' ' || sy[j+1])) AS pair, wc
+        |  FROM s2 WHERE len(sy) >= 2),
+        |g3 AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+        |  FROM p3 GROUP BY pair),
+        |m3 AS (SELECT split_part(pair, ' ', 1) AS l,
+        |    split_part(pair, ' ', 2) AS r, n
+        |  FROM g3 ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+        |s3 AS (SELECT w, list_reduce(sy,
+        |    (acc, x) -> CASE WHEN x = m.r
+        |        AND (acc = m.l OR acc LIKE '% ' || m.l)
+        |      THEN left(acc, length(acc) - length(m.l)) || m.l || m.r
+        |      ELSE acc || ' ' || x END) AS enc, wc
+        |  FROM s2, m3 m)
+        |SELECT w AS token, enc AS encoded,
+        |  CAST(len(string_split(enc, ' ')) AS BIGINT) AS n_pieces,
+        |  CAST(wc AS BIGINT) AS wc
+        |FROM s3 ORDER BY token""".stripMargin,
     // Replays the Nelson–Aalen-increment piecewise rates: the same
     // at-risk window as q_km_hazard plus a lag for interval starts.
     "q_hazard_rates" ->

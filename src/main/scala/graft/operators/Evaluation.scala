@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import graft.functions.SpecialMath
+
+/** Model-evaluation operators — the measurement layer for classifiers
+  * trained ON the cluster ([[Regression.logisticIrls]]'s quality-filter
+  * shape): does the score actually rank positives above negatives, and
+  * do predicted probabilities mean what they say? Both operators follow
+  * the repo's scale rules: the data-sized work is one aggregation (or
+  * one aggregation + the O(#partitions) prefix-sum fold), no global
+  * windows, no row ever collected.
+  */
+object Evaluation {
+
+  /** ROC AUC by the rank statistic (exactly the Mann–Whitney identity
+    * AUC = U/(n⁺·n⁻), ties counted half): the probability a random
+    * positive outscores a random negative. Computed like
+    * [[StatTests.mannWhitneyU]]: ONE conditional-count aggregate per
+    * distinct score, range-partitioned ascending, then a partition-local
+    * prefix-sum walk accumulates U — driver traffic O(#partitions). U is
+    * a half-integer (exact, bit-replayable); AUC is one division rounded
+    * to 6. Also emits the Gini coefficient 2·AUC − 1 and the
+    * Hanley–McNeil standard error (the exponential approximation —
+    * the standard large-sample CI width for an AUC point estimate).
+    *
+    * @param labelCol boolean-ish: true/nonzero = positive
+    * @return one row: (auc, gini, se, u_stat, n_pos, n_neg) */
+  def aucRoc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val s = F.col(scoreCol).cast("double")
+    val y = F.col(labelCol).cast("boolean")
+    val cells = df
+      .where(s.isNotNull && !F.isnan(s) && y.isNotNull)
+      .groupBy(s.as("v")).agg(
+        F.sum(F.when(y, 1L).otherwise(0L)).as("cp"),
+        F.sum(F.when(!y, 1L).otherwise(0L)).as("cn"))
+    val sorted = cells
+      .repartitionByRange(F.col("v")).sortWithinPartitions("v")
+      .as[(Double, Long, Long)].rdd
+    sorted.cache()
+    try {
+      val partSums = sorted.mapPartitionsWithIndex { case (i, it) =>
+        var p = 0L; var n = 0L
+        it.foreach { r => p += r._2; n += r._3 }
+        Iterator((i, p, n))
+      }.collect().sortBy(_._1)
+      val nPos = partSums.map(_._2).sum
+      val nNeg = partSums.map(_._3).sum
+      require(nPos > 0 && nNeg > 0, "need both positives and negatives")
+      val offN = partSums.map(_._3).scanLeft(0L)(_ + _)
+      val bc = spark.sparkContext.broadcast(offN)
+      // ascending over scores: every positive at score v beats the
+      // negatives strictly below v, half-credits the ties at v
+      val u = sorted.mapPartitionsWithIndex { case (i, it) =>
+        var cumN = bc.value(i)
+        var acc = 0.0
+        it.foreach { case (_, cp, cn) =>
+          acc += cp * (cumN + 0.5 * cn)
+          cumN += cn
+        }
+        Iterator(acc)
+      }.collect().sum
+      val auc = math.rint(u / (nPos.toDouble * nNeg) * 1e6) / 1e6
+      val gini = math.rint((2.0 * auc - 1.0) * 1e6) / 1e6
+      // Hanley–McNeil SE at the ROUNDED auc — deterministic replay
+      val q1 = auc / (2.0 - auc)
+      val q2 = 2.0 * auc * auc / (1.0 + auc)
+      val se = math.rint(math.sqrt(
+        (auc * (1.0 - auc) + (nPos - 1) * (q1 - auc * auc) +
+          (nNeg - 1) * (q2 - auc * auc)) / (nPos.toDouble * nNeg)) *
+        1e6) / 1e6
+      Seq((auc, gini, se, u, nPos, nNeg))
+        .toDF("auc", "gini", "se", "u_stat", "n_pos", "n_neg")
+    } finally sorted.unpersist(blocking = false)
+  }
+
+  /** Calibration table: scores bucketed into `bins` equal-width bins on
+    * [0, 1]; per bin the observed positive rate vs the mean predicted
+    * score — the reliability-diagram data. ONE aggregation; scores
+    * outside [0, 1] are clamped into the end bins (a probability model
+    * should not produce them, but a margin-based score can).
+    *
+    * @return one row per non-empty bin: (bin, n, mean_score, frac_pos),
+    *         floats rounded to 6 */
+  def calibrationBins(df: DataFrame, labelCol: String, scoreCol: String,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val s = F.col(scoreCol).cast("double")
+    val y = F.col(labelCol).cast("boolean")
+    val bin = F.least(F.lit(bins - 1), F.greatest(F.lit(0),
+      F.floor(s * bins).cast("int")))
+    df.where(s.isNotNull && !F.isnan(s) && y.isNotNull)
+      .groupBy(bin.as("bin")).agg(
+        F.count(F.lit(1)).as("n"),
+        F.round(F.avg(s), 6).as("mean_score"),
+        F.round(F.avg(F.when(y, 1.0).otherwise(0.0)), 6).as("frac_pos"))
+  }
+}

@@ -245,6 +245,67 @@ object StatTests {
       .drop("__n", "__kg", "__ssq", "__e")
   }
 
+  /** Welch's unequal-variance t-test per group — "is cohort A's mean
+    * different from cohort B's, for every tenant at once":
+    *
+    *   t  = (m̄_a − m̄_b) / √(s²_a/n_a + s²_b/n_b),
+    *   ν  = (s²_a/n_a + s²_b/n_b)² /
+    *        [(s²_a/n_a)²/(n_a−1) + (s²_b/n_b)²/(n_b−1)]   (Welch–
+    *        Satterthwaite),
+    *   p  = erfc(|t|/√2)  — the NORMAL approximation, exact as ν → ∞;
+    *        at corpus scale ν is thousands and the Student-t correction
+    *        is below the output rounding (the exact t CDF needs the
+    *        regularized incomplete beta, which external SQL engines
+    *        don't carry — same trade the MWU normal approximation makes).
+    *
+    * ONE aggregation (conditional count/avg/var_samp per cohort); t is
+    * rounded to 6 BEFORE p so the replay is deterministic. Groups
+    * missing a cohort, with n < 2 on either side, or with zero pooled
+    * variance are omitted (per-group absence over sentinels).
+    *
+    * @return one row per qualifying group: (groupCols..., t_stat, dof,
+    *         p_value, mean_a, mean_b, n_a, n_b) */
+  def welchTTestByGroup(df: DataFrame, groupCols: Seq[String],
+                        cohortCol: String, valueCol: String,
+                        labelA: String = "a",
+                        labelB: String = "b"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(!groupCols.exists(_.startsWith("__")),
+      "group columns must not use the __ internal prefix")
+    require(labelA != labelB, "cohort labels must differ")
+    val v = F.col(valueCol).cast("double")
+    val g = F.col(cohortCol).cast("string")
+    val base = df
+      .where(v.isNotNull && !F.isnan(v) && g.isin(labelA, labelB))
+      .select(groupCols.map(F.col) :+ g.as("__g") :+ v.as("__v"): _*)
+    val isA = F.col("__g") === labelA
+    val agged = base.groupBy(groupCols.map(F.col): _*).agg(
+      F.count(F.when(isA, 1)).as("n_a"),
+      F.count(F.when(!isA, 1)).as("n_b"),
+      F.avg(F.when(isA, F.col("__v"))).as("__ma"),
+      F.avg(F.when(!isA, F.col("__v"))).as("__mb"),
+      F.var_samp(F.when(isA, F.col("__v"))).as("__va"),
+      F.var_samp(F.when(!isA, F.col("__v"))).as("__vb"))
+    val sea = F.col("__va") / F.col("n_a")
+    val seb = F.col("__vb") / F.col("n_b")
+    val se2 = sea + seb
+    val pUdf = F.udf((t: Double) =>
+      math.rint(SpecialMath.erfc(math.abs(t) / math.sqrt(2.0)) * 1e6) / 1e6)
+    agged
+      .where(F.col("n_a") >= 2 && F.col("n_b") >= 2 && se2 > 0.0)
+      .withColumn("t_stat",
+        F.round((F.col("__ma") - F.col("__mb")) / F.sqrt(se2), 6))
+      .withColumn("dof", F.round(se2 * se2 /
+        (sea * sea / (F.col("n_a") - 1) +
+          seb * seb / (F.col("n_b") - 1)), 2))
+      .withColumn("p_value", pUdf(F.col("t_stat")))
+      .select(groupCols.map(F.col) ++ Seq(
+        F.col("t_stat"), F.col("dof"), F.col("p_value"),
+        F.round(F.col("__ma"), 6).as("mean_a"),
+        F.round(F.col("__mb"), 6).as("mean_b"),
+        F.col("n_a"), F.col("n_b")): _*)
+  }
+
   /** Benjamini–Hochberg FDR adjustment: q_i = min(1, min_{j≥i} m·p_(j)/j)
     * over the sorted p-values, with ties taking the LARGEST rank of
     * their block (the standard step-up procedure — the right-to-left

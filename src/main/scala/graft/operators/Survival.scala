@@ -184,6 +184,58 @@ object Survival {
   def logRank(df: DataFrame, durationCol: String, eventCol: String,
               cohortCol: String, labelA: String = "a",
               labelB: String = "b"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (oA, eA, vLr, _, _, na, nb) =
+      mantelFold(df, durationCol, eventCol, cohortCol, labelA, labelB)
+    val eAr = math.rint(eA * 1e6) / 1e6
+    val vR = math.rint(vLr * 1e6) / 1e6
+    val chi2 =
+      if (vR <= 0.0) 0.0
+      else math.rint((oA - eAr) * (oA - eAr) / vR * 1e6) / 1e6
+    val p = math.rint(SpecialMath.erfc(math.sqrt(chi2 / 2.0)) * 1e6) / 1e6
+    Seq((chi2, oA, eAr, vR, p, na, nb))
+      .toDF("chi2", "o_a", "e_a", "var_lr", "p_value", "n_a", "n_b")
+  }
+
+  /** Gehan–Breslow–Wilcoxon test: the log-rank fold with weight
+    * w(t) = n(t)/N (fraction of subjects still at risk), so EARLY
+    * differences — where the risk set is large — dominate; the standard
+    * companion when hazards cross late. Z = Σ w·(d_a − d·n_a/n),
+    * V = Σ w²·V_t, X² = Z²/V ~ χ²(1) — invariant to the weight's scale,
+    * and the 1/N normalization keeps Z and V at O(N) where 6-decimal
+    * rounding is meaningful (raw n(t)² weights push V past double's
+    * 15-digit grain at corpus sizes). Same prefix-sum scale shape as
+    * [[logRank]]; Z and V rounded to 6 before X², p at the ROUNDED X².
+    *
+    * @return one row: (chi2, z_num, var_gw, p_value, n_a, n_b) */
+  def gehanWilcoxon(df: DataFrame, durationCol: String, eventCol: String,
+                    cohortCol: String, labelA: String = "a",
+                    labelB: String = "b"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (_, _, _, zW, vW, na, nb) =
+      mantelFold(df, durationCol, eventCol, cohortCol, labelA, labelB)
+    val zR = math.rint(zW * 1e6) / 1e6
+    val vR = math.rint(vW * 1e6) / 1e6
+    val chi2 =
+      if (vR <= 0.0) 0.0
+      else math.rint(zR * zR / vR * 1e6) / 1e6
+    val p = math.rint(SpecialMath.erfc(math.sqrt(chi2 / 2.0)) * 1e6) / 1e6
+    Seq((chi2, zR, vR, p, na, nb))
+      .toDF("chi2", "z_num", "var_gw", "p_value", "n_a", "n_b")
+  }
+
+  /** Shared Mantel fold over pooled distinct event times: one (time)
+    * aggregation to per-time cohort event/total counts, range
+    * partitions ascending, at-risk counts seeded by broadcast prefix
+    * offsets, each partition folding its contributions locally —
+    * driver traffic O(#partitions). Returns the UNROUNDED sums
+    * (o_a, e_a, var_lr, z_gehan, var_gehan, n_a, n_b); callers round. */
+  private def mantelFold(df: DataFrame, durationCol: String,
+                         eventCol: String, cohortCol: String,
+                         labelA: String, labelB: String)
+      : (Long, Double, Double, Double, Double, Long, Long) = {
     require(labelA != labelB, "cohort labels must differ")
     val spark = df.sparkSession
     import spark.implicits._
@@ -217,31 +269,31 @@ object Survival {
       val offA = partSums.map(_._2).scanLeft(0L)(_ + _)
       val offB = partSums.map(_._3).scanLeft(0L)(_ + _)
       val bc = spark.sparkContext.broadcast((offA, offB))
+      val nTot = (na + nb).toDouble
       val parts = sorted.mapPartitionsWithIndex { case (i, it) =>
         var cumA = bc.value._1(i); var cumB = bc.value._2(i)
         var o = 0L; var e = 0.0; var v = 0.0
+        var z = 0.0; var vw = 0.0
         it.foreach { case (_, da, ca, db, cb) =>
           val nAt = (na - cumA).toDouble
           val nBt = (nb - cumB).toDouble
           val nT = nAt + nBt
           val dT = (da + db).toDouble
+          val wN = nT / nTot
           o += da
           e += dT * nAt / nT
-          if (nT > 1.0)
-            v += dT * (nAt / nT) * (nBt / nT) * (nT - dT) / (nT - 1.0)
+          z += wN * (da - dT * nAt / nT)
+          if (nT > 1.0) {
+            val vt = dT * (nAt / nT) * (nBt / nT) * (nT - dT) / (nT - 1.0)
+            v += vt
+            vw += wN * wN * vt
+          }
           cumA += ca; cumB += cb
         }
-        Iterator((o, e, v))
+        Iterator((o, e, v, z, vw))
       }.collect()
-      val oA = parts.map(_._1).sum
-      val eA = math.rint(parts.map(_._2).sum * 1e6) / 1e6
-      val vLr = math.rint(parts.map(_._3).sum * 1e6) / 1e6
-      val chi2 =
-        if (vLr <= 0.0) 0.0
-        else math.rint((oA - eA) * (oA - eA) / vLr * 1e6) / 1e6
-      val p = math.rint(SpecialMath.erfc(math.sqrt(chi2 / 2.0)) * 1e6) / 1e6
-      Seq((chi2, oA, eA, vLr, p, na, nb))
-        .toDF("chi2", "o_a", "e_a", "var_lr", "p_value", "n_a", "n_b")
+      (parts.map(_._1).sum, parts.map(_._2).sum, parts.map(_._3).sum,
+        parts.map(_._4).sum, parts.map(_._5).sum, na, nb)
     } finally sorted.unpersist(blocking = false)
   }
 
@@ -304,6 +356,15 @@ object Survival {
                             logLik0: Double, n: Long, nEvents: Long,
                             iters: Int) {
     def hazardRatio(i: Int): Double = math.exp(beta(i))
+    /** Relative-risk score exp(xᵀβ) as a codegen'd column (β enters as
+      * plan literals — no UDF): the per-row hazard multiplier, the
+      * ranking surface a churn/failure triage consumes. */
+    def riskScore: Column = {
+      val z = features.zipWithIndex.foldLeft(F.lit(0.0)) {
+        case (acc, (f, i)) => acc + F.col(f).cast("double") * beta(i)
+      }
+      F.exp(z)
+    }
     def toDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
       import spark.implicits._
       features.indices.map { i =>

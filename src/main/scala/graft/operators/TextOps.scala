@@ -507,6 +507,53 @@ object TextOps {
     learned.toSeq.toDF("merge_rank", "left", "right", "n")
   }
 
+  /** Apply a learned BPE merge table ([[bpeMerges]]' artifact) to the
+    * corpus vocabulary: each distinct word is split to characters and
+    * rewritten through ALL merges in rank order executor-side (the
+    * standard encoder loop — the merge list is tokenizer-sized and
+    * broadcasts as literals; the corpus is touched once for the word
+    * count and never again). The left-to-right non-overlapping rewrite
+    * per merge matches the training loop exactly, so encoding the
+    * training corpus with its own merges reproduces the training-end
+    * vocabulary state.
+    *
+    * @param merges (left, right) in merge-rank order (collect a
+    *               [[bpeMerges]] result, or ship a saved artifact)
+    * @return (token, encoded, n_pieces, wc): the space-joined symbol
+    *         sequence, its length, and the word's corpus frequency */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)],
+                tokenRegex: String = null): DataFrame = {
+    val toks0 = tokens(df, idCol, textCol)
+    val filtered =
+      if (tokenRegex == null) toks0
+      else toks0.where(F.col("token").rlike(tokenRegex))
+    val mergeList = merges.toArray
+    val encodeUdf = F.udf { (w: String) =>
+      var syms: Array[String] = w.split("")
+      var m = 0
+      while (m < mergeList.length) {
+        val (l, r) = mergeList(m)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toArray
+        m += 1
+      }
+      syms.mkString(" ")
+    }
+    filtered
+      .groupBy("token").agg(F.count(F.lit(1)).as("wc"))
+      .withColumn("encoded", encodeUdf(F.col("token")))
+      .withColumn("n_pieces",
+        F.size(F.split(F.col("encoded"), " ")).cast("long"))
+      .select("token", "encoded", "n_pieces", "wc")
+  }
+
   /** Interpolated bigram-LM quality score — the next rung above
     * [[unigramLogProb]] on the CCNet ladder: mean per-bigram
     * ln(λ·P(w₂|w₁) + (1−λ)·P(w₂)) under the corpus's own counts.

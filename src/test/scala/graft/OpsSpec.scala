@@ -401,6 +401,62 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.listenerManager.unregister(cap)
   }
 
+  test("aucRoc is the Mann–Whitney pair probability, ties half-credited") {
+    import spark.implicits._
+    // pos {0.9, 0.8, 0.3} vs neg {0.7, 0.2}: 5 of 6 pairs won → 0.833333
+    val df = Seq((true, 0.9), (true, 0.8), (true, 0.3),
+      (false, 0.7), (false, 0.2)).toDF("y", "s")
+    val r = Evaluation.aucRoc(df, "y", "s").head()
+    assert(math.abs(r.getAs[Double]("auc") - 0.833333) < 1e-6)
+    assert(math.abs(r.getAs[Double]("u_stat") - 5.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("gini") - 0.666666) < 1e-6)
+    assert(r.getAs[Long]("n_pos") == 3L && r.getAs[Long]("n_neg") == 2L)
+    // a constant score ties every pair → AUC exactly ½
+    val tied = Seq((true, 0.5), (true, 0.5), (false, 0.5))
+      .toDF("y", "s")
+    assert(Evaluation.aucRoc(tied, "y", "s").head()
+      .getAs[Double]("auc") == 0.5)
+    // perfect separation → 1.0
+    val perfect = Seq((true, 0.9), (false, 0.1)).toDF("y", "s")
+    assert(Evaluation.aucRoc(perfect, "y", "s").head()
+      .getAs[Double]("auc") == 1.0)
+  }
+
+  test("calibrationBins buckets scores and reports observed positive rates") {
+    import spark.implicits._
+    val df = Seq((true, 0.95), (false, 0.9), (true, 0.15),
+      (false, 0.1), (false, 0.12), (true, 1.0), (false, -0.1))
+      .toDF("y", "s")
+    val bins = Evaluation.calibrationBins(df, "y", "s", bins = 10)
+      .orderBy("bin").collect()
+    // clamping: 1.0 joins bin 9, −0.1 joins bin 0
+    val byBin = bins.map(r => r.getAs[Int]("bin") ->
+      (r.getAs[Long]("n"), r.getAs[Double]("frac_pos"))).toMap
+    assert(byBin(0) == ((1L, 0.0)))
+    assert(byBin(1) == ((3L, 1.0 / 3.0 match {
+      case v => math.rint(v * 1e6) / 1e6 })))
+    assert(byBin(9) == ((3L, math.rint(2.0 / 3.0 * 1e6) / 1e6)))
+  }
+
+  test("bpeEncode applies learned merges like the training rewrite") {
+    import spark.implicits._
+    // Sennrich vocab; merges (e,s), (es,t), (l,o) — encoding must
+    // reproduce the training-end symbol state of every word
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"))
+    val enc = TextOps.bpeEncode(df, "doc_id", "text", merges)
+      .collect().map(r => r.getAs[String]("token") ->
+        (r.getAs[String]("encoded"), r.getAs[Long]("n_pieces"),
+          r.getAs[Long]("wc"))).toMap
+    assert(enc("low") == (("lo w", 2L, 5L)))
+    assert(enc("lower") == (("lo w e r", 4L, 2L)))
+    assert(enc("newest") == (("n e w est", 4L, 6L)))
+    assert(enc("widest") == (("w i d est", 4L, 3L)))
+  }
+
   test("Observability: containment/fuzzy-join/tfidf caps observe their drops") {
     import spark.implicits._
     val captured =

@@ -198,6 +198,58 @@ class StatTestsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(km(1).isNullAt(km(1).fieldIndex("ci_hi")))
   }
 
+  test("welchTTestByGroup matches the hand-computed unequal-variance example") {
+    import spark.implicits._
+    // a = [1..4] (m 2.5, s² 5/3), b = [2,4,6,8,10] (m 6, s² 10):
+    // t = −3.5/√(5/12 + 2) = −2.251436, Welch ν = 5.52,
+    // p = erfc(|t|/√2) = 0.024358
+    val rows = Seq(1.0, 2.0, 3.0, 4.0).map(v => ("g", "a", v)) ++
+      Seq(2.0, 4.0, 6.0, 8.0, 10.0).map(v => ("g", "b", v))
+    val r = StatTests.welchTTestByGroup(rows.toDF("g", "c", "v"),
+      Seq("g"), "c", "v").head()
+    assert(math.abs(r.getAs[Double]("t_stat") - (-2.251436)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("dof") - 5.52) < 1e-9)
+    assert(math.abs(r.getAs[Double]("p_value") - 0.024358) < 1e-6)
+    assert(r.getAs[Double]("mean_a") == 2.5 && r.getAs[Double]("mean_b") == 6.0)
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 5L)
+    // a group missing a cohort is omitted, not sentinel'd
+    val partial = (rows ++ Seq(("h", "a", 1.0), ("h", "a", 2.0)))
+      .toDF("g", "c", "v")
+    assert(StatTests.welchTTestByGroup(partial, Seq("g"), "c", "v")
+      .count() == 1L)
+  }
+
+  test("gehanWilcoxon weights the interleaved example by risk fraction") {
+    import spark.implicits._
+    // a events at 1, 3; b at 2, 4 (N = 4): weights 1, ¾, ½, ¼ →
+    // Z = 0.5·1 − 0.25 + 0.25 + 0 = 0.5, V = 0.25 + 0.125 + 0.0625
+    // = 0.4375 → X² = 0.571429
+    val df = Seq(("a", 1.0, true), ("a", 3.0, true),
+      ("b", 2.0, true), ("b", 4.0, true)).toDF("cohort", "t", "e")
+    val r = Survival.gehanWilcoxon(df, "t", "e", "cohort").head()
+    assert(math.abs(r.getAs[Double]("z_num") - 0.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("var_gw") - 0.4375) < 1e-9)
+    assert(math.abs(r.getAs[Double]("chi2") - 0.571429) < 1e-6)
+    // identical cohorts → X² = 0, p = 1 (same contract as logRank)
+    val same = Seq(("a", 1.0, true), ("a", 2.0, true),
+      ("b", 1.0, true), ("b", 2.0, true)).toDF("cohort", "t", "e")
+    val rs = Survival.gehanWilcoxon(same, "t", "e", "cohort").head()
+    assert(rs.getAs[Double]("chi2") == 0.0)
+    assert(rs.getAs[Double]("p_value") == 1.0)
+  }
+
+  test("coxPH riskScore column is the codegen'd hazard multiplier") {
+    import spark.implicits._
+    val df = Seq((1.0, true, 1.0), (2.0, true, 0.0), (3.0, false, 1.0),
+      (4.0, true, 0.0), (5.0, false, 1.0)).toDF("t", "e", "x")
+    val m = Survival.coxPH(df, "t", "e", Seq("x"), iters = 4)
+    val scores = df.select(m.riskScore.as("s")).collect()
+      .map(_.getAs[Double]("s"))
+    // x = 1 rows score exp(β), x = 0 rows score exp(0) = 1
+    assert(math.abs(scores(0) - math.exp(m.beta(0))) < 1e-12)
+    assert(scores(1) == 1.0)
+  }
+
   test("piecewiseExpByGroup emits Nelson–Aalen increment rates") {
     import spark.implicits._
     // same worked example as naByGroup: increments 0.2, 0.25, 0, 0.5, 0
