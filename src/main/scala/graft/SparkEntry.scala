@@ -2308,6 +2308,40 @@ object SparkEntry {
             (F.col("l_returnflag") =!= "N").as("ev")),
         "l_quantity", "ev", Seq("l_linestatus"))
         .orderBy("l_linestatus", "t_end")),
+    "q_auc_by_group" -> ((s, dir) =>
+      // per-group ROC AUC ("which tenant's classifier degraded") — the
+      // Mann-Whitney prefix sum on a window PARTITIONED BY GROUP over
+      // the per-(group, score) cells frame
+      Evaluation.aucByGroup(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select(F.col("l_linestatus"),
+            (F.col("l_returnflag") === "R").as("y"), F.col("l_discount")),
+        Seq("l_linestatus"), "y", "l_discount")
+        .orderBy("l_linestatus")),
+    "q_mutual_info" -> ((s, dir) =>
+      // categorical mutual information (nats) between return flag and
+      // line status — ONE contingency aggregation; composes with
+      // quantile bucketing for binned numeric MI
+      Evaluation.mutualInformation(
+        li(s, dir).where(F.col("l_orderkey") < 100000),
+        "l_returnflag", "l_linestatus")),
+    "q_corr_by_group" -> ((s, dir) =>
+      // pairwise Pearson matrix per group in long form — all pairs in
+      // ONE aggregation (a corr column per pair)
+      Regression.corrByGroup(
+        li(s, dir).where(F.col("l_orderkey") < 100000),
+        Seq("l_linestatus"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("l_linestatus", "col_a", "col_b")),
+    "q_es_sample_group" -> ((s, dir) =>
+      // exact-k weighted sampling per language — the stratified ES
+      // form: deterministic md5 keys, per-group window rank, no global
+      // sort
+      Sampling.esWeightedSampleByGroup(docs(s, dir), Seq("lang"),
+          "n_chars", "doc_id", k = 20)
+        .select(F.col("lang"), F.col("doc_id"), F.col("n_chars"),
+          F.round(F.col("es_key"), 9).as("es_key_r"))
+        .orderBy("lang", "es_key_r", "doc_id")),
     "q_survival_gehan" -> ((s, dir) =>
       // Gehan-Breslow-Wilcoxon: the log-rank fold with weight n(t) —
       // early differences dominate; same prefix-sum construction and
@@ -5617,6 +5651,86 @@ object SparkEntry {
         |  round_even(${codyErfcSql("y")} * 1000000.0, 0) / 1000000.0
         |    AS p_value,
         |  na AS n_a, nb AS n_b FROM ye""".stripMargin,
+    "q_auc_by_group" ->
+      """WITH base AS (SELECT l_linestatus AS g,
+        |    CAST(l_discount AS DOUBLE) AS v, (l_returnflag = 'R') AS y
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_discount IS NOT NULL
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE))
+        |    AND l_returnflag IS NOT NULL),
+        |cells AS (SELECT g, v,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        |    CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS cn
+        |  FROM base GROUP BY g, v),
+        |w AS (SELECT g, cp, cn,
+        |    coalesce(CAST(sum(cn) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cumn
+        |  FROM cells),
+        |agged AS (SELECT g, sum(cp * (cumn + 0.5 * cn)) AS u,
+        |    CAST(sum(cp) AS BIGINT) AS np,
+        |    CAST(sum(cn) AS BIGINT) AS nn
+        |  FROM w GROUP BY g)
+        |SELECT g AS l_linestatus,
+        |  round(u / (CAST(np AS DOUBLE) * nn), 6) AS auc,
+        |  u AS u_stat, np AS n_pos, nn AS n_neg
+        |FROM agged WHERE np > 0 AND nn > 0
+        |ORDER BY l_linestatus""".stripMargin,
+    "q_mutual_info" ->
+      """WITH cells AS (SELECT l_returnflag AS a, l_linestatus AS b,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        |  GROUP BY 1, 2),
+        |m AS (SELECT a, b, n,
+        |    CAST(sum(n) OVER (PARTITION BY a) AS BIGINT) AS na,
+        |    CAST(sum(n) OVER (PARTITION BY b) AS BIGINT) AS nb,
+        |    CAST(sum(n) OVER () AS BIGINT) AS nt
+        |  FROM cells)
+        |SELECT round(sum((CAST(n AS DOUBLE) / nt)
+        |    * ln((CAST(n AS DOUBLE) * nt)
+        |      / (CAST(na AS DOUBLE) * nb))), 6) AS mi,
+        |  max(nt) AS n,
+        |  CAST(count(DISTINCT a) AS BIGINT) AS n_a,
+        |  CAST(count(DISTINCT b) AS BIGINT) AS n_b
+        |FROM m""".stripMargin,
+    "q_corr_by_group" ->
+      """WITH base AS (SELECT l_linestatus AS g,
+        |    CAST(l_quantity AS DOUBLE) AS q,
+        |    CAST(l_extendedprice AS DOUBLE) AS p,
+        |    CAST(l_discount AS DOUBLE) AS d
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        |    AND l_discount IS NOT NULL
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE))),
+        |agged AS (SELECT g, count(*) AS n,
+        |    corr(q, p) AS r_qp, corr(q, d) AS r_qd, corr(p, d) AS r_pd
+        |  FROM base GROUP BY g),
+        |long AS (
+        |  SELECT g, 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |    round(r_qp, 6) AS r, n FROM agged WHERE r_qp IS NOT NULL
+        |  UNION ALL
+        |  SELECT g, 'l_quantity', 'l_discount', round(r_qd, 6), n
+        |  FROM agged WHERE r_qd IS NOT NULL
+        |  UNION ALL
+        |  SELECT g, 'l_extendedprice', 'l_discount', round(r_pd, 6), n
+        |  FROM agged WHERE r_pd IS NOT NULL)
+        |SELECT g AS l_linestatus, col_a, col_b, r, CAST(n AS BIGINT) AS n
+        |FROM long ORDER BY l_linestatus, col_a, col_b""".stripMargin,
+    "q_es_sample_group" ->
+      """WITH k AS (SELECT lang, doc_id, n_chars,
+        |    -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) + 1.0) / 4294967296.0) / n_chars AS ek
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |r AS (SELECT lang, doc_id, n_chars, ek,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY ek ASC, doc_id ASC) AS rk
+        |  FROM k)
+        |SELECT lang, doc_id, n_chars, round(ek, 9) AS es_key_r
+        |FROM r WHERE rk <= 20 ORDER BY lang, es_key_r, doc_id""".stripMargin,
     // The Gehan fold: the log-rank replay with weight n(t) on the
     // score and n(t)² on the variance, rounding discipline identical.
     "q_survival_gehan" ->

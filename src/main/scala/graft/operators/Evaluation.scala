@@ -76,6 +76,81 @@ object Evaluation {
     } finally sorted.unpersist(blocking = false)
   }
 
+  /** ROC AUC per group — "which tenant's classifier degraded": the same
+    * Mann–Whitney rank identity as [[aucRoc]], but the prefix sum rides
+    * a window PARTITIONED BY GROUP over the per-(group, distinct score)
+    * cells frame — no global window, no fold; a million groups cost one
+    * shuffle on the group key. Groups missing a class are omitted.
+    *
+    * @return one row per group: (groupCols..., auc, u_stat, n_pos,
+    *         n_neg), auc rounded to 6 */
+  def aucByGroup(df: DataFrame, groupCols: Seq[String], labelCol: String,
+                 scoreCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(!groupCols.exists(_.startsWith("__")),
+      "group columns must not use the __ internal prefix")
+    import org.apache.spark.sql.expressions.Window
+    val gCols = groupCols.map(F.col)
+    val s = F.col(scoreCol).cast("double")
+    val y = F.col(labelCol).cast("boolean")
+    val cells = df
+      .where(s.isNotNull && !F.isnan(s) && y.isNotNull)
+      .groupBy(gCols :+ s.as("__v"): _*)
+      .agg(F.sum(F.when(y, 1L).otherwise(0L)).as("__cp"),
+        F.sum(F.when(!y, 1L).otherwise(0L)).as("__cn"))
+    val wPrev = Window.partitionBy(gCols: _*).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells
+      .withColumn("__cumn",
+        F.coalesce(F.sum("__cn").over(wPrev), F.lit(0L)))
+      .groupBy(gCols: _*)
+      .agg(F.sum(F.col("__cp") *
+          (F.col("__cumn") + F.lit(0.5) * F.col("__cn"))).as("u_stat"),
+        F.sum("__cp").as("n_pos"), F.sum("__cn").as("n_neg"))
+      .where(F.col("n_pos") > 0L && F.col("n_neg") > 0L)
+      .withColumn("auc", F.round(F.col("u_stat") /
+        (F.col("n_pos").cast("double") * F.col("n_neg")), 6))
+      .select(gCols ++ Seq(F.col("auc"), F.col("u_stat"),
+        F.col("n_pos"), F.col("n_neg")): _*)
+  }
+
+  /** Mutual information between two categorical columns (nats) — the
+    * feature-selection association measure ("how much does domain tell
+    * you about quality-pass"); bin numerics upstream with
+    * [[Ranks.quantileBuckets]] or [[calibrationBins]]' floor rule and
+    * this composes to binned MI. ONE (a, b) aggregation reduces the
+    * data to the contingency cells; the marginals and the
+    * Σ p·ln(p/(p_a·p_b)) fold ride windows over that tiny frame.
+    *
+    * @return one row: (mi, n, n_a, n_b) — MI in nats rounded to 6,
+    *         distinct-level counts per side */
+  def mutualInformation(df: DataFrame, aCol: String,
+                        bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = F.col(aCol).cast("string")
+    val b = F.col(bCol).cast("string")
+    val cells = df
+      .where(a.isNotNull && b.isNotNull)
+      .groupBy(a.as("__a"), b.as("__b"))
+      .agg(F.count(F.lit(1)).as("__n"))
+    val wa = Window.partitionBy("__a")
+    val wb = Window.partitionBy("__b")
+    val wAll = Window.partitionBy()
+    // the cells frame is |A|·|B| rows — the whole-frame window is a
+    // single exchange over contingency cells, never over data rows
+    cells
+      .withColumn("__na", F.sum("__n").over(wa))
+      .withColumn("__nb", F.sum("__n").over(wb))
+      .withColumn("__nt", F.sum("__n").over(wAll))
+      .agg(
+        F.round(F.sum((F.col("__n") / F.col("__nt")) *
+          F.log((F.col("__n").cast("double") * F.col("__nt")) /
+            (F.col("__na").cast("double") * F.col("__nb")))), 6).as("mi"),
+        F.max("__nt").as("n"),
+        F.countDistinct("__a").as("n_a"),
+        F.countDistinct("__b").as("n_b"))
+  }
+
   /** Calibration table: scores bucketed into `bins` equal-width bins on
     * [0, 1]; per bin the observed positive rate vs the mean predicted
     * score — the reliability-diagram data. ONE aggregation; scores

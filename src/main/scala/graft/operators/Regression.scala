@@ -121,6 +121,50 @@ object Regression {
         residVar.as("resid_var"): _*)
   }
 
+  /** Pearson correlation matrix per group, long form — the EDA
+    * companion to [[olsByGroup]]: all k(k−1)/2 pairwise correlations of
+    * a fixed column list in ONE aggregation (a covar_pop column per
+    * pair + a stddev_pop per column; r assembled in the projection so a
+    * zero-variance column yields an OMITTED pair, not ANSI-mode's
+    * divide-by-zero). Rows are completed LISTWISE (any null/NaN value
+    * column drops the row) so every pair sees the same population.
+    * Scales to 10⁶ groups on one group-key shuffle.
+    *
+    * @return one row per (group, i<j pair): (groupCols..., col_a,
+    *         col_b, r, n), r rounded to 6 */
+  def corrByGroup(df: DataFrame, groupCols: Seq[String],
+                  valueCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(valueCols.length >= 2, "need at least two value columns")
+    val vals = valueCols.map(c => F.col(c).cast("double"))
+    val complete = vals.map(c => c.isNotNull && !F.isnan(c)).reduce(_ && _)
+    val clean = df.where(complete)
+    val pairs = for {
+      i <- valueCols.indices; j <- (i + 1) until valueCols.length
+    } yield (i, j)
+    val aggCols =
+      pairs.map { case (i, j) =>
+        F.covar_pop(vals(i), vals(j)).as(s"__c${i}_$j")
+      } ++ valueCols.indices.map(i => F.stddev_pop(vals(i)).as(s"__s$i")) :+
+      F.count(F.lit(1)).as("__n")
+    val agged = clean.groupBy(groupCols.map(F.col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    val longForm = pairs.map { case (i, j) =>
+      val r = F.when(F.col(s"__s$i") > 0.0 && F.col(s"__s$j") > 0.0,
+        F.round(F.col(s"__c${i}_$j") /
+          (F.col(s"__s$i") * F.col(s"__s$j")), 6))
+      F.struct(F.lit(valueCols(i)).as("col_a"),
+        F.lit(valueCols(j)).as("col_b"), r.as("r"))
+    }
+    agged
+      .select(groupCols.map(F.col) :+ F.col("__n") :+
+        F.explode(F.array(longForm: _*)).as("__p"): _*)
+      .where(F.col("__p.r").isNotNull)
+      .select(groupCols.map(F.col) :+ F.col("__p.col_a").as("col_a") :+
+        F.col("__p.col_b").as("col_b") :+ F.col("__p.r").as("r") :+
+        F.col("__n").as("n"): _*)
+  }
+
   /** A fitted linear model: coefficient vector aligned to
     * `"intercept" +: features`, plus fit diagnostics. */
   final case class LinearModel(features: Seq[String], beta: Array[Double],

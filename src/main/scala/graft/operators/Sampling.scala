@@ -342,6 +342,36 @@ object Sampling {
       .limit(k)
   }
 
+  /** Exact-k weighted sampling without replacement PER GROUP — the
+    * stratified form of [[esWeightedSample]] ("k docs per domain,
+    * weight-proportional"): the same deterministic Efraimidis–Spirakis
+    * md5-draw keys, ranked by a window PARTITIONED BY GROUP (row_number
+    * ordered by key, id tie-break), keep rank ≤ k. No global sort, no
+    * per-group limit loop; a million groups cost one shuffle on the
+    * group key. Groups smaller than k return all their rows.
+    *
+    * @return input rows (filtered to positive finite weights) + the
+    *         es_key column */
+  def esWeightedSampleByGroup(df: DataFrame, groupCols: Seq[String],
+                              weightCol: String, keyCol: String, k: Int,
+                              esKeyCol: String = "es_key"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(groupCols.nonEmpty, "need at least one group column")
+    import org.apache.spark.sql.expressions.Window
+    val w = F.col(weightCol).cast("double")
+    val u = (F.conv(F.substring(
+        F.md5(F.col(keyCol).cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("double") + 1.0) / 4294967296.0
+    val rank = F.row_number().over(
+      Window.partitionBy(groupCols.map(F.col): _*)
+        .orderBy(F.col(esKeyCol).asc, F.col(keyCol).asc))
+    df.where(w.isNotNull && !F.isnan(w) && w > 0.0)
+      .withColumn(esKeyCol, -F.log(u) / w)
+      .withColumn("__rk", rank)
+      .where(F.col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Deterministic global shuffle — the "shuffle the corpus once before
     * training" step every LLM data pipeline ends with. Rows get a total
     * order by `md5(key ":" seed)` (tie-broken by key, so the order is a

@@ -438,6 +438,71 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byBin(9) == ((3L, math.rint(2.0 / 3.0 * 1e6) / 1e6)))
   }
 
+  test("aucByGroup ranks per group and omits single-class groups") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", true, 0.9), ("g1", true, 0.8), ("g1", true, 0.3),
+      ("g1", false, 0.7), ("g1", false, 0.2),
+      ("g2", true, 0.1), ("g2", false, 0.9),   // inverted ranking → 0
+      ("g3", true, 0.5), ("g3", true, 0.6))    // no negatives → omitted
+      .toDF("g", "y", "s")
+    val out = Evaluation.aucByGroup(df, Seq("g"), "y", "s")
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Double]("auc"))
+      .toMap
+    assert(math.abs(out("g1") - 0.833333) < 1e-6)
+    assert(out("g2") == 0.0)
+    assert(!out.contains("g3"))
+  }
+
+  test("mutualInformation: zero for independence, ln 2 for identity") {
+    import spark.implicits._
+    // balanced independent 2×2 → MI = 0
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("u", "v")
+    val r0 = Evaluation.mutualInformation(ind, "u", "v").head()
+    assert(r0.getAs[Double]("mi") == 0.0)
+    assert(r0.getAs[Long]("n") == 4L && r0.getAs[Long]("n_a") == 2L)
+    // u determines v with 2 balanced symbols → MI = ln 2 = 0.693147
+    val dep = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("u", "v")
+    assert(math.abs(Evaluation.mutualInformation(dep, "u", "v").head()
+      .getAs[Double]("mi") - 0.693147) < 1e-6)
+  }
+
+  test("corrByGroup emits the pairwise matrix long-form per group") {
+    import spark.implicits._
+    val df = (1 to 10).map { i =>
+      ("g", i.toDouble, 2.0 * i + 1.0, -i.toDouble, 7.0) }
+      .toDF("g", "a", "b", "c", "k")
+    val out = Regression.corrByGroup(df, Seq("g"), Seq("a", "b", "c", "k"))
+      .collect().map(r => (r.getAs[String]("col_a"),
+        r.getAs[String]("col_b")) -> r.getAs[Double]("r")).toMap
+    assert(out(("a", "b")) == 1.0)   // exact linear
+    assert(out(("a", "c")) == -1.0)
+    assert(out(("b", "c")) == -1.0)
+    // constant column k → null corr → pair omitted
+    assert(!out.contains(("a", "k")) && out.size == 3)
+  }
+
+  test("esWeightedSampleByGroup keeps exactly k per group, deterministically") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i =>
+      (if (i % 2 == 0) "even" else "odd", i, i * 10.0))
+      .toDF("g", "id", "w")
+    val s1 = Sampling.esWeightedSampleByGroup(df, Seq("g"), "w", "id", 5)
+      .select("g", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+      .sorted.toSeq
+    assert(s1.count(_._1 == "even") == 5 && s1.count(_._1 == "odd") == 5)
+    val s2 = Sampling.esWeightedSampleByGroup(df, Seq("g"), "w", "id", 5)
+      .select("g", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+      .sorted.toSeq
+    assert(s1 == s2)
+    // a group smaller than k returns all its rows
+    val tiny = Seq(("g", 1L, 1.0), ("g", 2L, 2.0)).toDF("g", "id", "w")
+    assert(Sampling.esWeightedSampleByGroup(tiny, Seq("g"), "w", "id", 5)
+      .count() == 2L)
+  }
+
   test("bpeEncode applies learned merges like the training rewrite") {
     import spark.implicits._
     // Sennrich vocab; merges (e,s), (es,t), (l,o) — encoding must
