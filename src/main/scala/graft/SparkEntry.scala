@@ -2308,6 +2308,22 @@ object SparkEntry {
             (F.col("l_returnflag") =!= "N").as("ev")),
         "l_quantity", "ev", Seq("l_linestatus"))
         .orderBy("l_linestatus", "t_end")),
+    "q_kmeans_fixed" -> ((s, dir) => {
+      // distributed Lloyd k-means, 2 iterations from the embeddings of
+      // vec_id 1..4, iterates QUANTIZED to 6 decimals — the rounding
+      // pins the whole trajectory so DuckDB replays both assignment +
+      // update rounds bit-for-bit (modulo 6-dp mean rounding)
+      val e = emb(s, dir)
+      val init = e.where(F.col("vec_id").between(1, 4)).orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val m = Clustering.kMeans(e, "embedding", "vec_id", k = 4,
+        iters = 2, init = init, quantizeDecimals = 6)
+      import s.implicits._
+      m.sizes.indices.map(c => (c, m.sizes(c),
+          m.centroids(c)(0), m.centroids(c)(1)))
+        .toDF("cluster", "size", "c1_r", "c2_r")
+    }),
     "q_auc_by_group" -> ((s, dir) =>
       // per-group ROC AUC ("which tenant's classifier degraded") — the
       // Mann-Whitney prefix sum on a window PARTITIONED BY GROUP over
@@ -5651,6 +5667,57 @@ object SparkEntry {
         |  round_even(${codyErfcSql("y")} * 1000000.0, 0) / 1000000.0
         |    AS p_value,
         |  na AS n_a, nb AS n_b FROM ye""".stripMargin,
+    // Replays both Lloyd rounds: init = quantized embeddings of
+    // vec_id 1..4 (cell = id rank), assignment = arg_min over squared
+    // Euclidean with the [dist, cell] lexicographic tie-break (strict-<
+    // lowest index), update = per-(cell, dim) mean QUANTIZED to 6 — the
+    // quantization makes the round-2 centroids bit-identical across
+    // engines, so sizes and components hash-match.
+    "q_kmeans_fixed" ->
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT)
+        |    AS cell,
+        |    list_transform(v, x ->
+        |      round_even(x * 1000000.0, 0) / 1000000.0) AS v
+        |  FROM e WHERE id BETWEEN 1 AND 4),
+        |d1 AS (SELECT e.id, c.cell,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS dist
+        |  FROM e CROSS JOIN c0 c),
+        |a1 AS (SELECT id, cell FROM (SELECT id, cell, row_number()
+        |    OVER (PARTITION BY id ORDER BY dist ASC, cell ASC) AS rk
+        |  FROM d1) WHERE rk = 1),
+        |u1 AS (SELECT a.cell, i.i AS i,
+        |    round_even(avg(e.v[i.i]) * 1000000.0, 0) / 1000000.0 AS x
+        |  FROM a1 a JOIN e ON e.id = a.id, range(1, 65) i(i)
+        |  GROUP BY a.cell, i.i),
+        |c1 AS (SELECT cell, list(x ORDER BY i) AS v FROM u1
+        |  GROUP BY cell),
+        |d2 AS (SELECT e.id, c.cell,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS dist
+        |  FROM e CROSS JOIN c1 c),
+        |a2 AS (SELECT id, cell FROM (SELECT id, cell, row_number()
+        |    OVER (PARTITION BY id ORDER BY dist ASC, cell ASC) AS rk
+        |  FROM d2) WHERE rk = 1),
+        |u2 AS (SELECT a.cell, i.i AS i,
+        |    round_even(avg(e.v[i.i]) * 1000000.0, 0) / 1000000.0 AS x
+        |  FROM a2 a JOIN e ON e.id = a.id, range(1, 65) i(i)
+        |  GROUP BY a.cell, i.i),
+        |c2 AS (SELECT cell, list(x ORDER BY i) AS v FROM u2
+        |  GROUP BY cell),
+        |d3 AS (SELECT e.id, c.cell,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS dist
+        |  FROM e CROSS JOIN c2 c),
+        |a3 AS (SELECT id, cell FROM (SELECT id, cell, row_number()
+        |    OVER (PARTITION BY id ORDER BY dist ASC, cell ASC) AS rk
+        |  FROM d3) WHERE rk = 1),
+        |sz AS (SELECT cell, CAST(count(*) AS BIGINT) AS size
+        |  FROM a3 GROUP BY cell)
+        |SELECT s.cell AS cluster, s.size, c.v[1] AS c1_r, c.v[2] AS c2_r
+        |FROM sz s JOIN c2 c USING (cell) ORDER BY cluster""".stripMargin,
     "q_auc_by_group" ->
       """WITH base AS (SELECT l_linestatus AS g,
         |    CAST(l_discount AS DOUBLE) AS v, (l_returnflag = 'R') AS y

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+/** Distributed k-means (Lloyd) with a FIXED iteration count — the
+  * public clustering layer a training-data pipeline uses directly
+  * (topic bucketing, diversity-aware sampling, embedding-space data
+  * maps), and the same primitive SemDeDup/IVF already use internally
+  * with bounded training samples. This variant iterates over the FULL
+  * data: per round, assignment is a broadcast-centroid map-side pass
+  * (no shuffle of embeddings beyond the cell aggregation) and the
+  * update is ONE groupBy(cell) aggregation whose state is k·(d+1)
+  * doubles — only centroid sums ever reach the driver. Jobs = iters,
+  * independent of N.
+  *
+  * Determinism: initial centroids are caller-provided (or the
+  * lowest-`idCol` rows — a pure function of the data); with
+  * `quantizeDecimals` ≥ 0 every updated centroid component is rounded
+  * to that many decimals before the next assignment pass, which pins
+  * the whole iterate trajectory across engines and run orders (the
+  * "evaluate at the rounded statistic" discipline the test oracles
+  * use) at a cost far below the cluster-separation scale.
+  */
+object Clustering {
+
+  /** A fitted model: centroids in index order, per-cluster sizes from
+    * the final assignment, within-cluster sum of squares (inertia). */
+  final case class KMeansModel(centroids: Array[Array[Double]],
+                               sizes: Array[Long], inertia: Double,
+                               n: Long, iters: Int) {
+    def k: Int = centroids.length
+  }
+
+  /** Assignment of `embCol` to the nearest of `centroids` (squared
+    * Euclidean, strict-< tie-break to the lowest index) as a `cluster`
+    * column plus the squared distance as `__d2`. */
+  private def withAssignment(df: DataFrame, embCol: String,
+                             centroids: Array[Array[Double]]): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(centroids)
+    val assignUdf = F.udf((v: Seq[Double]) => {
+      val cs = bc.value
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val ctr = cs(c)
+        var d = 0.0; var j = 0
+        val m = math.min(ctr.length, v.length)
+        while (j < m) { val t = v(j) - ctr(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      (best, bestD)
+    })
+    df.withColumn("__a", assignUdf(F.col(embCol)))
+      .withColumn("cluster", F.col("__a._1"))
+      .withColumn("__d2", F.col("__a._2"))
+      .drop("__a")
+  }
+
+  /** Fit k-means. `init` provides the starting centroids; when empty,
+    * the embeddings of the k lowest `idCol` values are used (bounded
+    * driver collect, deterministic). Empty clusters keep their previous
+    * centroid. */
+  def kMeans(df: DataFrame, embCol: String, idCol: String, k: Int,
+             iters: Int = 10,
+             init: Array[Array[Double]] = Array.empty,
+             quantizeDecimals: Int = -1): KMeansModel = {
+    require(k >= 2, "k must be >= 2")
+    require(iters >= 1, "need at least one iteration")
+    val clean = df
+      .select(F.col(idCol).as("__id"),
+        F.col(embCol).cast("array<double>").as("__emb"))
+      .where(F.col("__emb").isNotNull)
+    var centroids =
+      if (init.nonEmpty) { require(init.length == k, s"init size != $k"); init }
+      else clean.orderBy("__id").limit(k).select("__emb")
+        .collect().map(_.getAs[Seq[Double]]("__emb").toArray)
+    require(centroids.length == k, s"fewer than $k rows to initialize from")
+    val d = centroids(0).length
+    def quantize(c: Array[Double]): Array[Double] =
+      if (quantizeDecimals < 0) c
+      else {
+        val s = math.pow(10.0, quantizeDecimals)
+        c.map(x => math.rint(x * s) / s)
+      }
+    centroids = centroids.map(quantize)
+    var it = 0
+    while (it < iters) {
+      val meanAgg = F.udaf(new Pca.MeanAgg(d))
+      val sums = withAssignment(clean, "__emb", centroids)
+        .groupBy("cluster").agg(meanAgg(F.col("__emb")).as("m"))
+        .collect()
+        .map(r => r.getAs[Int]("cluster") ->
+          r.getAs[Seq[Double]]("m").toArray).toMap
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        sums.get(c) match {
+          case Some(m) if m(0) >= 1.0 =>
+            quantize(Array.tabulate(d)(i => m(1 + i) / m(0)))
+          case _ => old // empty cluster: keep the previous centroid
+        }
+      }
+      it += 1
+    }
+    val fin = withAssignment(clean, "__emb", centroids)
+      .groupBy("cluster").agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.col("__d2")).as("ss"))
+      .collect().map(r => r.getAs[Int]("cluster") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("ss"))).toMap
+    val sizes = Array.tabulate(k)(c => fin.get(c).map(_._1).getOrElse(0L))
+    val inertia = fin.values.map(_._2).sum
+    KMeansModel(centroids, sizes, inertia, sizes.sum, iters)
+  }
+
+  /** The final assignment as a DataFrame: input columns + `cluster`. */
+  def assign(df: DataFrame, embCol: String,
+             model: KMeansModel): DataFrame =
+    withAssignment(
+      df.withColumn("__emb_d", F.col(embCol).cast("array<double>")),
+      "__emb_d", model.centroids)
+      .drop("__emb_d", "__d2")
+}

@@ -438,6 +438,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byBin(9) == ((3L, math.rint(2.0 / 3.0 * 1e6) / 1e6)))
   }
 
+  test("kMeans separates well-split blobs and assigns deterministically") {
+    import spark.implicits._
+    // two tight blobs around (0,0) and (10,10); init from the lowest
+    // ids (one point in each blob by construction)
+    val rows = (0 until 20).map { i =>
+      val blob = i % 2
+      val base = if (blob == 0) 0.0 else 10.0
+      (i.toLong, Seq(base + (i / 2) * 0.01, base - (i / 2) * 0.01))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val m = Clustering.kMeans(df, "embedding", "vec_id", k = 2,
+      iters = 3, quantizeDecimals = 6)
+    assert(m.sizes.toSeq == Seq(10L, 10L))
+    assert(m.n == 20L)
+    // centroids near the blob centers
+    assert(math.abs(m.centroids(0)(0)) < 0.1)
+    assert(math.abs(m.centroids(1)(0) - 10.0) < 0.1)
+    // inertia is the within-blob spread only — far below the 2-blob span
+    assert(m.inertia < 1.0)
+    // assignment column routes every row to its blob
+    val assigned = Clustering.assign(df, "embedding", m)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert((0 until 20).forall(i => assigned(i.toLong) == i % 2))
+    // same input, same init rule → identical model
+    val m2 = Clustering.kMeans(df, "embedding", "vec_id", k = 2,
+      iters = 3, quantizeDecimals = 6)
+    assert(m2.centroids.flatten.toSeq == m.centroids.flatten.toSeq)
+  }
+
   test("aucByGroup ranks per group and omits single-class groups") {
     import spark.implicits._
     val df = Seq(
