@@ -2308,6 +2308,26 @@ object SparkEntry {
             (F.col("l_returnflag") =!= "N").as("ev")),
         "l_quantity", "ev", Seq("l_linestatus"))
         .orderBy("l_linestatus", "t_end")),
+    "q_cox_ph2" -> ((s, dir) => {
+      // the MULTI-covariate Cox path (k=2): 2 Newton steps over the
+      // 2x2 information matrix — pins the Gram aggregation + pivoted
+      // solve that q_cox_ph's scalar case can't; DuckDB replays both
+      // steps with closed-form 2x2 Cramer solves and the final
+      // information pass for the SEs
+      val d = li(s, dir).where(F.col("l_orderkey") < 100000)
+        .select(F.col("l_quantity"),
+          (F.col("l_returnflag") =!= "N").as("ev"),
+          F.col("l_discount"), F.col("l_tax"))
+      val m = Survival.coxPH(d, "l_quantity", "ev",
+        Seq("l_discount", "l_tax"), iters = 2)
+      import s.implicits._
+      m.features.indices.map(i => (m.features(i),
+          math.rint(m.beta(i) * 1e6) / 1e6,
+          math.rint(math.exp(m.beta(i)) * 1e6) / 1e6,
+          math.rint(m.se(i) * 1e6) / 1e6, m.n, m.nEvents))
+        .toDF("feature", "coef_r", "hr_r", "se_r", "n", "n_events")
+        .orderBy("feature")
+    }),
     "q_kmeans_fixed" -> ((s, dir) => {
       // distributed Lloyd k-means, 2 iterations from the embeddings of
       // vec_id 1..4, iterates QUANTIZED to 6 decimals — the rounding
@@ -5667,12 +5687,121 @@ object SparkEntry {
         |  round_even(${codyErfcSql("y")} * 1000000.0, 0) / 1000000.0
         |    AS p_value,
         |  na AS n_a, nb AS n_b FROM ye""".stripMargin,
+    // The k=2 Cox replay: per Newton step SIX risk-set moment suffix
+    // windows (m0, m1a, m1b, m2aa, m2ab, m2bb), score/information sums
+    // over event times, and the closed-form symmetric 2x2 solve
+    // (Cramer); final pass re-derives the information at beta_2 for the
+    // inverse-diagonal standard errors.
+    "q_cox_ph2" ->
+      """WITH base AS (SELECT CAST(l_quantity AS DOUBLE) AS t,
+        |    (l_returnflag <> 'N') AS e,
+        |    CAST(l_discount AS DOUBLE) AS x1,
+        |    CAST(l_tax AS DOUBLE) AS x2
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND CAST(l_quantity AS DOUBLE) >= 0.0
+        |    AND l_returnflag IS NOT NULL
+        |    AND l_discount IS NOT NULL
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE))
+        |    AND l_tax IS NOT NULL
+        |    AND NOT isnan(CAST(l_tax AS DOUBLE))),
+        |c1 AS (SELECT t, sum(CASE WHEN e THEN 1 ELSE 0 END) AS d,
+        |    sum(CASE WHEN e THEN x1 ELSE 0.0 END) AS s1,
+        |    sum(CASE WHEN e THEN x2 ELSE 0.0 END) AS s2,
+        |    sum(exp(0.0 * x1 + 0.0 * x2)) AS r0,
+        |    sum(x1 * exp(0.0 * x1 + 0.0 * x2)) AS r1a,
+        |    sum(x2 * exp(0.0 * x1 + 0.0 * x2)) AS r1b,
+        |    sum(x1 * x1 * exp(0.0 * x1 + 0.0 * x2)) AS r2aa,
+        |    sum(x1 * x2 * exp(0.0 * x1 + 0.0 * x2)) AS r2ab,
+        |    sum(x2 * x2 * exp(0.0 * x1 + 0.0 * x2)) AS r2bb
+        |  FROM base GROUP BY t),
+        |w1 AS (SELECT t, d, s1, s2,
+        |    sum(r0) OVER wd AS m0, sum(r1a) OVER wd AS m1a,
+        |    sum(r1b) OVER wd AS m1b, sum(r2aa) OVER wd AS m2aa,
+        |    sum(r2ab) OVER wd AS m2ab, sum(r2bb) OVER wd AS m2bb
+        |  FROM c1 WINDOW wd AS (ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |n1 AS (SELECT sum(s1 - d * m1a / m0) AS u1,
+        |    sum(s2 - d * m1b / m0) AS u2,
+        |    sum(d * (m2aa / m0 - (m1a / m0) * (m1a / m0))) AS iaa,
+        |    sum(d * (m2ab / m0 - (m1a / m0) * (m1b / m0))) AS iab,
+        |    sum(d * (m2bb / m0 - (m1b / m0) * (m1b / m0))) AS ibb
+        |  FROM w1 WHERE d > 0),
+        |b1 AS (SELECT
+        |    (ibb * u1 - iab * u2) / (iaa * ibb - iab * iab) AS bx1,
+        |    (iaa * u2 - iab * u1) / (iaa * ibb - iab * iab) AS bx2
+        |  FROM n1),
+        |c2 AS (SELECT t, any_value(b.bx1) AS pb1, any_value(b.bx2) AS pb2,
+        |    sum(CASE WHEN e THEN 1 ELSE 0 END) AS d,
+        |    sum(CASE WHEN e THEN x1 ELSE 0.0 END) AS s1,
+        |    sum(CASE WHEN e THEN x2 ELSE 0.0 END) AS s2,
+        |    sum(exp(x1 * b.bx1 + x2 * b.bx2)) AS r0,
+        |    sum(x1 * exp(x1 * b.bx1 + x2 * b.bx2)) AS r1a,
+        |    sum(x2 * exp(x1 * b.bx1 + x2 * b.bx2)) AS r1b,
+        |    sum(x1 * x1 * exp(x1 * b.bx1 + x2 * b.bx2)) AS r2aa,
+        |    sum(x1 * x2 * exp(x1 * b.bx1 + x2 * b.bx2)) AS r2ab,
+        |    sum(x2 * x2 * exp(x1 * b.bx1 + x2 * b.bx2)) AS r2bb
+        |  FROM base CROSS JOIN b1 b GROUP BY t),
+        |w2 AS (SELECT t, d, s1, s2, pb1, pb2,
+        |    sum(r0) OVER wd AS m0, sum(r1a) OVER wd AS m1a,
+        |    sum(r1b) OVER wd AS m1b, sum(r2aa) OVER wd AS m2aa,
+        |    sum(r2ab) OVER wd AS m2ab, sum(r2bb) OVER wd AS m2bb
+        |  FROM c2 WINDOW wd AS (ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |n2 AS (SELECT any_value(pb1) AS pb1, any_value(pb2) AS pb2,
+        |    sum(s1 - d * m1a / m0) AS u1,
+        |    sum(s2 - d * m1b / m0) AS u2,
+        |    sum(d * (m2aa / m0 - (m1a / m0) * (m1a / m0))) AS iaa,
+        |    sum(d * (m2ab / m0 - (m1a / m0) * (m1b / m0))) AS iab,
+        |    sum(d * (m2bb / m0 - (m1b / m0) * (m1b / m0))) AS ibb
+        |  FROM w2 WHERE d > 0),
+        |b2 AS (SELECT
+        |    pb1 + (ibb * u1 - iab * u2) / (iaa * ibb - iab * iab) AS bx1,
+        |    pb2 + (iaa * u2 - iab * u1) / (iaa * ibb - iab * iab) AS bx2
+        |  FROM n2),
+        |cf AS (SELECT t, sum(CASE WHEN e THEN 1 ELSE 0 END) AS d,
+        |    sum(exp(x1 * b.bx1 + x2 * b.bx2)) AS r0,
+        |    sum(x1 * exp(x1 * b.bx1 + x2 * b.bx2)) AS r1a,
+        |    sum(x2 * exp(x1 * b.bx1 + x2 * b.bx2)) AS r1b,
+        |    sum(x1 * x1 * exp(x1 * b.bx1 + x2 * b.bx2)) AS r2aa,
+        |    sum(x1 * x2 * exp(x1 * b.bx1 + x2 * b.bx2)) AS r2ab,
+        |    sum(x2 * x2 * exp(x1 * b.bx1 + x2 * b.bx2)) AS r2bb
+        |  FROM base CROSS JOIN b2 b GROUP BY t),
+        |wf AS (SELECT t, d,
+        |    sum(r0) OVER wd AS m0, sum(r1a) OVER wd AS m1a,
+        |    sum(r1b) OVER wd AS m1b, sum(r2aa) OVER wd AS m2aa,
+        |    sum(r2ab) OVER wd AS m2ab, sum(r2bb) OVER wd AS m2bb
+        |  FROM cf WINDOW wd AS (ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |nf AS (SELECT
+        |    sum(d * (m2aa / m0 - (m1a / m0) * (m1a / m0))) AS iaa,
+        |    sum(d * (m2ab / m0 - (m1a / m0) * (m1b / m0))) AS iab,
+        |    sum(d * (m2bb / m0 - (m1b / m0) * (m1b / m0))) AS ibb
+        |  FROM wf WHERE d > 0),
+        |nn AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS ne
+        |  FROM base)
+        |SELECT 'l_discount' AS feature,
+        |  round_even(b2.bx1 * 1000000.0, 0) / 1000000.0 AS coef_r,
+        |  round_even(exp(b2.bx1) * 1000000.0, 0) / 1000000.0 AS hr_r,
+        |  round_even(sqrt(nf.ibb / (nf.iaa * nf.ibb - nf.iab * nf.iab))
+        |    * 1000000.0, 0) / 1000000.0 AS se_r,
+        |  nn.n, nn.ne AS n_events FROM b2, nf, nn
+        |UNION ALL
+        |SELECT 'l_tax',
+        |  round_even(b2.bx2 * 1000000.0, 0) / 1000000.0,
+        |  round_even(exp(b2.bx2) * 1000000.0, 0) / 1000000.0,
+        |  round_even(sqrt(nf.iaa / (nf.iaa * nf.ibb - nf.iab * nf.iab))
+        |    * 1000000.0, 0) / 1000000.0,
+        |  nn.n, nn.ne FROM b2, nf, nn
+        |ORDER BY feature""".stripMargin,
     // Replays both Lloyd rounds: init = quantized embeddings of
-    // vec_id 1..4 (cell = id rank), assignment = arg_min over squared
-    // Euclidean with the [dist, cell] lexicographic tie-break (strict-<
-    // lowest index), update = per-(cell, dim) mean QUANTIZED to 6 — the
-    // quantization makes the round-2 centroids bit-identical across
-    // engines, so sizes and components hash-match.
+    // vec_id 1..4 (cell = id rank), assignment = squared-Euclidean
+    // nearest centroid via a (dist, cell)-ordered row_number window
+    // (strict-< lowest index), update = per-(cell, dim) mean QUANTIZED
+    // to 6 — the quantization makes the round-2 centroids bit-identical
+    // across engines, so sizes and components hash-match.
     "q_kmeans_fixed" ->
       """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings WHERE embedding IS NOT NULL),

@@ -297,6 +297,22 @@ class StatTestsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (-0.8341151943524 / 1.2299238878)) < 1e-8)
   }
 
+  test("coxPH solves the two-covariate system (Gram path)") {
+    import spark.implicits._
+    // independently Newton-iterated by hand: β = (−1.26753618,
+    // 0.72548918), SE = (1.23709755, 1.46711281)
+    val df = Seq((1.0, true, 1.0, 0.5), (2.0, true, 0.0, 1.0),
+      (3.0, false, 1.0, 0.0), (4.0, true, 0.0, 0.25),
+      (5.0, false, 1.0, 1.0), (6.0, true, 1.0, 0.0))
+      .toDF("t", "e", "x1", "x2")
+    val m = Survival.coxPH(df, "t", "e", Seq("x1", "x2"), iters = 6)
+    assert(math.abs(m.beta(0) - (-1.2675361757)) < 1e-8)
+    assert(math.abs(m.beta(1) - 0.7254891791) < 1e-8)
+    assert(math.abs(m.se(0) - 1.2370975508) < 1e-8)
+    assert(math.abs(m.se(1) - 1.4671128140) < 1e-8)
+    assert(m.n == 6L && m.nEvents == 4L)
+  }
+
   test("coxPH score step at β = 0 equals the log-rank statistic " +
        "on a binary covariate with unique event times") {
     import spark.implicits._
