@@ -2308,6 +2308,25 @@ object SparkEntry {
             (F.col("l_returnflag") =!= "N").as("ev")),
         "l_quantity", "ev", Seq("l_linestatus"))
         .orderBy("l_linestatus", "t_end")),
+    "q_rolling_features" -> ((s, dir) =>
+      // trailing-window behavioral features per user as-of each event
+      // (1 h and 24 h horizons): per-KEY range windows — one shuffle on
+      // user_id serves both horizons
+      Features.rollingAggregates(events(s, dir), "user_id", "ts",
+          "value", Seq(3600000000000L, 86400000000000L))
+        .select(F.col("event_id"),
+          F.col("rolling_cnt_0"),
+          F.round(F.col("rolling_sum_0"), 6).as("sum0_r"),
+          F.col("rolling_cnt_1"),
+          F.round(F.col("rolling_sum_1"), 6).as("sum1_r"))
+        .orderBy("event_id")),
+    "q_inter_arrival" -> ((s, dir) =>
+      // time since the user's previous event (event_id tie-break) —
+      // one lag window per key; exact integer nanos replay
+      Features.interArrival(events(s, dir), "user_id", "ts",
+          tieBreakCols = Seq("event_id"))
+        .select(F.col("event_id"), F.col("delta_ts"))
+        .orderBy("event_id")),
     "q_cox_ph2" -> ((s, dir) => {
       // the MULTI-covariate Cox path (k=2): 2 Newton steps over the
       // 2x2 information matrix — pins the Gram aggregation + pivoted
@@ -5687,6 +5706,30 @@ object SparkEntry {
         |  round_even(${codyErfcSql("y")} * 1000000.0, 0) / 1000000.0
         |    AS p_value,
         |  na AS n_a, nb AS n_b FROM ye""".stripMargin,
+    "q_rolling_features" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS tns, value
+        |  FROM events)
+        |SELECT event_id,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY tns
+        |    RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS rolling_cnt_0,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY tns
+        |    RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW), 6)
+        |    AS sum0_r,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY tns
+        |    RANGE BETWEEN 86400000000000 PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS rolling_cnt_1,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY tns
+        |    RANGE BETWEEN 86400000000000 PRECEDING AND CURRENT ROW), 6)
+        |    AS sum1_r
+        |FROM e ORDER BY event_id""".stripMargin,
+    "q_inter_arrival" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS tns
+        |  FROM events)
+        |SELECT event_id,
+        |  tns - lag(tns) OVER (PARTITION BY user_id
+        |    ORDER BY tns, event_id) AS delta_ts
+        |FROM e ORDER BY event_id""".stripMargin,
     // The k=2 Cox replay: per Newton step SIX risk-set moment suffix
     // windows (m0, m1a, m1b, m2aa, m2ab, m2bb), score/information sums
     // over event times, and the closed-form symmetric 2x2 solve

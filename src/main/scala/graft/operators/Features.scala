@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Time-window feature engineering over an event stream — the
+  * "behavioral features per key" layer between raw events and a model
+  * table: how many events, how much value, in the trailing N time
+  * units, as of each event. Everything rides windows PARTITIONED BY
+  * KEY with RANGE frames on the (numeric) time column — one shuffle on
+  * the key serves every requested horizon; no self-joins, no global
+  * window, no state beyond a key's in-frame rows.
+  */
+object Features {
+
+  /** Trailing-window aggregates per key: for each row and each horizon
+    * `w` in `windows` (same unit as `tsCol`, which must be numeric —
+    * the repo's event tables carry epoch-nanos BIGINT), appends
+    *
+    *   rolling_cnt_<i>  = events in [ts − w, ts],
+    *   rolling_sum_<i>  = Σ value over the same frame (null values
+    *                      count toward cnt but not sum — Spark/SQL agg
+    *                      semantics, identical in external engines).
+    *
+    * The current row is INCLUDED (as-of semantics: a feature computed
+    * at serving time knows about the triggering event). Horizons are
+    * indexed, not value-named, so callers can pass unit-converted
+    * horizons without generating unwieldy column names.
+    */
+  def rollingAggregates(df: DataFrame, keyCol: String, tsCol: String,
+                        valueCol: String,
+                        windows: Seq[Long]): DataFrame = {
+    require(windows.nonEmpty, "need at least one window length")
+    require(windows.forall(_ > 0), "window lengths must be positive")
+    val base = Window.partitionBy(F.col(keyCol)).orderBy(F.col(tsCol))
+    windows.zipWithIndex.foldLeft(df) { case (acc, (w, i)) =>
+      val frame = base.rangeBetween(-w, 0)
+      acc
+        .withColumn(s"rolling_cnt_$i",
+          F.count(F.lit(1)).over(frame))
+        .withColumn(s"rolling_sum_$i",
+          F.sum(F.col(valueCol)).over(frame))
+    }
+  }
+
+  /** Inter-arrival delta per key: time since the key's previous event
+    * (null on each key's first event) — the raw material for activity
+    * scoring, bot detection (impossibly regular gaps), and session-gap
+    * tuning. One lag window per key. Pass `tieBreakCols` (e.g. the
+    * event id) when timestamps can collide — lag over an ambiguous
+    * order is nondeterministic. */
+  def interArrival(df: DataFrame, keyCol: String, tsCol: String,
+                   deltaCol: String = "delta_ts",
+                   tieBreakCols: Seq[String] = Nil): DataFrame = {
+    val wOrd = Window.partitionBy(F.col(keyCol))
+      .orderBy(F.col(tsCol) +: tieBreakCols.map(F.col): _*)
+    df.withColumn(deltaCol,
+      F.col(tsCol) - F.lag(F.col(tsCol), 1).over(wOrd))
+  }
+}

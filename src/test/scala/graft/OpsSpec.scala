@@ -438,6 +438,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byBin(9) == ((3L, math.rint(2.0 / 3.0 * 1e6) / 1e6)))
   }
 
+  test("rollingAggregates and interArrival follow per-key time frames") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "u", 100L, 1.0), (2L, "u", 150L, 2.0), (3L, "u", 300L, 4.0),
+      (4L, "v", 100L, 8.0))
+      .toDF("event_id", "k", "ts", "value")
+    val roll = Features.rollingAggregates(df, "k", "ts", "value", Seq(100L))
+      .orderBy("event_id").collect()
+    // frames are [ts−100, ts] inclusive: event 2 sees 1+2; event 3
+    // (ts 300) sees only itself; v's row never mixes with u's
+    assert(roll.map(_.getAs[Long]("rolling_cnt_0")).toSeq ==
+      Seq(1L, 2L, 1L, 1L))
+    assert(roll.map(_.getAs[Double]("rolling_sum_0")).toSeq ==
+      Seq(1.0, 3.0, 4.0, 8.0))
+    val ia = Features.interArrival(df, "k", "ts",
+      tieBreakCols = Seq("event_id")).orderBy("event_id").collect()
+    assert(ia(0).isNullAt(ia(0).fieldIndex("delta_ts")))
+    assert(ia(1).getAs[Long]("delta_ts") == 50L)
+    assert(ia(2).getAs[Long]("delta_ts") == 150L)
+    assert(ia(3).isNullAt(ia(3).fieldIndex("delta_ts")))
+  }
+
   test("kMeans separates well-split blobs and assigns deterministically") {
     import spark.implicits._
     // two tight blobs around (0,0) and (10,10); init from the lowest
