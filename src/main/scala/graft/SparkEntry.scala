@@ -2327,6 +2327,17 @@ object SparkEntry {
           tieBreakCols = Seq("event_id"))
         .select(F.col("event_id"), F.col("delta_ts"))
         .orderBy("event_id")),
+    "q_ewma" -> ((s, dir) =>
+      // per-user EWMA (alpha = 0.2) via the secondary-sort scan — the
+      // recurrence no window frame can express; DuckDB replays the
+      // closed-form (1-a)-power sum per row
+      Features.ewmaByKey(
+        events(s, dir).where(F.col("value").isNotNull &&
+          !F.isnan(F.col("value"))),
+        "user_id", "ts", "value", alpha = 0.2,
+        tieBreakCols = Seq("event_id"))
+        .select(F.col("event_id"), F.round(F.col("ewma"), 6).as("ewma_r"))
+        .orderBy("event_id")),
     "q_cox_ph2" -> ((s, dir) => {
       // the MULTI-covariate Cox path (k=2): 2 Newton steps over the
       // 2x2 information matrix — pins the Gram aggregation + pivoted
@@ -5730,6 +5741,23 @@ object SparkEntry {
         |  tns - lag(tns) OVER (PARTITION BY user_id
         |    ORDER BY tns, event_id) AS delta_ts
         |FROM e ORDER BY event_id""".stripMargin,
+    // Replays the EWMA recurrence in closed form: ewma_i =
+    // (1−α)^(i−1)·x₁ + α·Σ_{j=2..i}(1−α)^(i−j)·x_j over each user's
+    // rank order (fine at sf0.01 row counts; the ENGINE uses the O(n)
+    // scan — this quadratic form exists only for the oracle).
+    "q_ewma" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS tns, value
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        |r AS (SELECT event_id, user_id, value, row_number()
+        |    OVER (PARTITION BY user_id ORDER BY tns, event_id) AS rn
+        |  FROM e)
+        |SELECT a.event_id,
+        |  round(sum(CASE WHEN b.rn = 1
+        |    THEN pow(0.8, a.rn - 1) * b.value
+        |    ELSE 0.2 * pow(0.8, a.rn - b.rn) * b.value END), 6)
+        |    AS ewma_r
+        |FROM r a JOIN r b ON a.user_id = b.user_id AND b.rn <= a.rn
+        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin,
     // The k=2 Cox replay: per Newton step SIX risk-set moment suffix
     // windows (m0, m1a, m1b, m2aa, m2ab, m2bb), score/information sums
     // over event times, and the closed-form symmetric 2x2 solve

@@ -43,6 +43,65 @@ object Features {
     }
   }
 
+  /** Exponentially weighted moving average per key — the standard
+    * smoothing/decay feature (activity level, drift-tolerant baseline):
+    *
+    *   ewma₁ = x₁,   ewmaᵢ = α·xᵢ + (1−α)·ewmaᵢ₋₁
+    *
+    * ordered by (tsCol, tieBreakCols) within each key. A recurrence
+    * can't ride a window frame (and the Σα(1−α)^(i−j) cumsum trick
+    * overflows past ~10⁴ rows per key), so this uses the classic
+    * secondary-sort shape: repartition ON THE KEY, sort within
+    * partitions by (key, ts, ties), then ONE streaming pass per
+    * partition carrying a single (key, ewma) register — no per-key
+    * buffering, any events-per-key cardinality. Null/NaN values emit a
+    * null ewma and leave the state untouched.
+    *
+    * @return input + `ewma` column */
+  def ewmaByKey(df: DataFrame, keyCol: String, tsCol: String,
+                valueCol: String, alpha: Double,
+                tieBreakCols: Seq[String] = Nil): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val sorted = df
+      .repartition(F.col(keyCol))
+      .sortWithinPartitions(
+        (keyCol +: tsCol +: tieBreakCols).map(F.col): _*)
+    val schema = sorted.schema
+      .add("ewma", org.apache.spark.sql.types.DoubleType)
+    val keyIdx = sorted.schema.fieldIndex(keyCol)
+    val valIdx = sorted.schema.fieldIndex(valueCol)
+    // Row-level scan (mapPartitions on the Row RDD keeps the sort)
+    val rowRdd = sorted.rdd.mapPartitions { it =>
+      var curKey: Any = null
+      var haveKey = false
+      var state = 0.0
+      var haveState = false
+      it.map { row =>
+        val k = row.get(keyIdx)
+        if (!haveKey || k != curKey) {
+          curKey = k; haveKey = true; haveState = false
+        }
+        val raw = row.get(valIdx)
+        val v: java.lang.Double = raw match {
+          case null => null
+          case n: Number =>
+            val d = n.doubleValue()
+            if (java.lang.Double.isNaN(d)) null else Double.box(d)
+          case _ => null
+        }
+        val e: Any =
+          if (v == null) null
+          else {
+            state = if (haveState) alpha * v + (1.0 - alpha) * state else v.toDouble
+            haveState = true
+            state
+          }
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ e)
+      }
+    }
+    df.sparkSession.createDataFrame(rowRdd, schema)
+  }
+
   /** Inter-arrival delta per key: time since the key's previous event
     * (null on each key's first event) — the raw material for activity
     * scoring, bot detection (impossibly regular gaps), and session-gap

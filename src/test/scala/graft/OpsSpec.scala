@@ -460,6 +460,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ia(3).isNullAt(ia(3).fieldIndex("delta_ts")))
   }
 
+  test("ewmaByKey runs the recurrence per key in (ts, tie) order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "u", 100L, 10.0), (2L, "u", 200L, 20.0), (3L, "u", 300L, 0.0),
+      (4L, "v", 100L, 4.0), (5L, "v", 100L, 8.0))  // ties → event_id order
+      .toDF("event_id", "k", "ts", "value")
+    val out = Features.ewmaByKey(df, "k", "ts", "value", alpha = 0.5,
+      tieBreakCols = Seq("event_id")).orderBy("event_id").collect()
+      .map(_.getAs[Double]("ewma"))
+    // u: 10 → .5·20+.5·10 = 15 → .5·0+.5·15 = 7.5; v: 4 → .5·8+.5·4 = 6
+    assert(out.toSeq == Seq(10.0, 15.0, 7.5, 4.0, 6.0))
+    // null values emit null and do not advance the state
+    val wNull = Seq((1L, "u", 100L, Some(10.0)), (2L, "u", 200L, None),
+      (3L, "u", 300L, Some(20.0))).toDF("event_id", "k", "ts", "value")
+    val o2 = Features.ewmaByKey(wNull, "k", "ts", "value", 0.5,
+      Seq("event_id")).orderBy("event_id").collect()
+    assert(o2(1).isNullAt(o2(1).fieldIndex("ewma")))
+    assert(o2(2).getAs[Double]("ewma") == 15.0)
+  }
+
   test("kMeans separates well-split blobs and assigns deterministically") {
     import spark.implicits._
     // two tight blobs around (0,0) and (10,10); init from the lowest
