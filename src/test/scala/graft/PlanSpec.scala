@@ -387,4 +387,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(joined.count() == expected)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("q_rolling_features: all horizons share ONE key exchange") {
+    // both RANGE frames partition on user_id — a second shuffle for the
+    // second horizon would double the job's cost for nothing
+    val plan = physicalPlan("q_rolling_features")
+    val partExchanges = "hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(partExchanges <= 1,
+      s"both horizons must ride one user_id exchange:\n${plan.take(1500)}")
+  }
+
+  test("q_auc_by_group: the AUC prefix sum is partitioned by group") {
+    val plan = physicalPlan("q_auc_by_group")
+    // the window must NOT collapse to a single partition
+    assert(!plan.contains("SinglePartition") ||
+      plan.indexOf("SinglePartition") > plan.indexOf("HashAggregate"),
+      plan.take(1500))
+  }
 }
