@@ -189,4 +189,96 @@ object Serialization {
       n.get("log_likelihood").asDouble(), n.get("n").asLong(),
       n.get("aic").asDouble(), n.get("bic").asDouble())
   }
+
+  // ---- regression / survival / clustering models (engine-side) ----
+
+  private def writeStrings(node: ObjectNode, name: String,
+                           xs: Seq[String]): Unit = {
+    val arr = node.putArray(name)
+    xs.foreach(arr.add)
+  }
+
+  private def readStrings(node: JsonNode, name: String): Seq[String] = {
+    val arr = node.get(name)
+    (0 until arr.size()).map(arr.get(_).asText())
+  }
+
+  def saveLinear(m: Regression.LinearModel, path: String): Unit = {
+    val node = mapper.createObjectNode()
+    node.put("type", "linear_model")
+    node.put("schema_version", SchemaVersion)
+    writeStrings(node, "features", m.features)
+    writeDoubles(node, "beta", m.beta)
+    node.put("n", m.n); node.put("r2", m.r2)
+    save(path, node)
+  }
+
+  def loadLinear(path: String): Regression.LinearModel = {
+    val n = load(path, "linear_model")
+    Regression.LinearModel(readStrings(n, "features"),
+      readDoubles(n, "beta"), n.get("n").asLong(), n.get("r2").asDouble())
+  }
+
+  def saveLogistic(m: Regression.LogisticModel, path: String): Unit = {
+    val node = mapper.createObjectNode()
+    node.put("type", "logistic_model")
+    node.put("schema_version", SchemaVersion)
+    writeStrings(node, "features", m.features)
+    writeDoubles(node, "beta", m.beta)
+    node.put("log_likelihood", m.logLik)
+    node.put("n", m.n); node.put("iterations", m.iterations)
+    save(path, node)
+  }
+
+  def loadLogistic(path: String): Regression.LogisticModel = {
+    val n = load(path, "logistic_model")
+    Regression.LogisticModel(readStrings(n, "features"),
+      readDoubles(n, "beta"), n.get("log_likelihood").asDouble(),
+      n.get("n").asLong(), n.get("iterations").asInt())
+  }
+
+  def saveCox(m: Survival.CoxModel, path: String): Unit = {
+    val node = mapper.createObjectNode()
+    node.put("type", "cox_model")
+    node.put("schema_version", SchemaVersion)
+    writeStrings(node, "features", m.features)
+    writeDoubles(node, "beta", m.beta)
+    writeDoubles(node, "se", m.se)
+    node.put("log_likelihood", m.logLik)
+    node.put("log_likelihood_null", m.logLik0)
+    node.put("n", m.n); node.put("n_events", m.nEvents)
+    node.put("iterations", m.iters)
+    save(path, node)
+  }
+
+  def loadCox(path: String): Survival.CoxModel = {
+    val n = load(path, "cox_model")
+    Survival.CoxModel(readStrings(n, "features"),
+      readDoubles(n, "beta"), readDoubles(n, "se"),
+      n.get("log_likelihood").asDouble(),
+      n.get("log_likelihood_null").asDouble(),
+      n.get("n").asLong(), n.get("n_events").asLong(),
+      n.get("iterations").asInt())
+  }
+
+  def saveKMeans(m: Clustering.KMeansModel, path: String): Unit = {
+    val node = mapper.createObjectNode()
+    node.put("type", "kmeans_model")
+    node.put("schema_version", SchemaVersion)
+    writeMatrix(node, "centroids", m.centroids)
+    val sizes = node.putArray("sizes")
+    m.sizes.foreach(sizes.add)
+    node.put("inertia", m.inertia)
+    node.put("n", m.n); node.put("iterations", m.iters)
+    save(path, node)
+  }
+
+  def loadKMeans(path: String): Clustering.KMeansModel = {
+    val n = load(path, "kmeans_model")
+    val sizes = n.get("sizes")
+    Clustering.KMeansModel(readMatrix(n, "centroids"),
+      Array.tabulate(sizes.size())(sizes.get(_).asLong()),
+      n.get("inertia").asDouble(), n.get("n").asLong(),
+      n.get("iterations").asInt())
+  }
 }

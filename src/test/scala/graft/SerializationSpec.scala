@@ -69,6 +69,42 @@ class SerializationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gmmBack.aic == gmm.aic)
   }
 
+  test("linear/logistic/cox/kmeans model JSON round-trips") {
+    val lin = Regression.LinearModel(Seq("x1", "x2"),
+      Array(0.5, 1.5, -2.0), 100L, 0.87)
+    Serialization.saveLinear(lin, s"$tmp/lin.json")
+    val linBack = Serialization.loadLinear(s"$tmp/lin.json")
+    assert(linBack.features == lin.features &&
+      linBack.beta.sameElements(lin.beta) && linBack.r2 == 0.87)
+
+    val logit = Regression.LogisticModel(Seq("q"), Array(-1.0, 0.25),
+      -321.5, 4000L, 3)
+    Serialization.saveLogistic(logit, s"$tmp/logit.json")
+    val logitBack = Serialization.loadLogistic(s"$tmp/logit.json")
+    assert(logitBack.beta.sameElements(logit.beta) &&
+      logitBack.logLik == -321.5 && logitBack.iterations == 3)
+
+    val cox = Survival.CoxModel(Seq("age", "dose"),
+      Array(0.03, -0.8), Array(0.01, 0.2), -55.5, -60.1, 200L, 80L, 4)
+    Serialization.saveCox(cox, s"$tmp/cox.json")
+    val coxBack = Serialization.loadCox(s"$tmp/cox.json")
+    assert(coxBack.beta.sameElements(cox.beta) &&
+      coxBack.se.sameElements(cox.se) && coxBack.nEvents == 80L &&
+      coxBack.logLik0 == -60.1)
+    assert(math.abs(coxBack.hazardRatio(1) - math.exp(-0.8)) < 1e-12)
+
+    val km = Clustering.KMeansModel(
+      Array(Array(0.0, 1.0), Array(5.0, 5.0)), Array(40L, 60L),
+      12.5, 100L, 3)
+    Serialization.saveKMeans(km, s"$tmp/km.json")
+    val kmBack = Serialization.loadKMeans(s"$tmp/km.json")
+    assert(kmBack.centroids(1).sameElements(km.centroids(1)) &&
+      kmBack.sizes.sameElements(km.sizes) && kmBack.inertia == 12.5)
+    // cross-type load fails the tag check
+    intercept[IllegalArgumentException] {
+      Serialization.loadCox(s"$tmp/km.json") }
+  }
+
   test("type tag mismatch raises") {
     val mvn = MultivariateNormalResult(Seq("a"), Array(0.0), Array(Array(1.0)), 10L)
     Serialization.saveMvn(mvn, s"$tmp/typed.json")
