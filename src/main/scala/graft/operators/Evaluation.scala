@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, functions => F}
-import graft.functions.SpecialMath
 
 /** Model-evaluation operators — the measurement layer for classifiers
   * trained ON the cluster ([[Regression.logisticIrls]]'s quality-filter
