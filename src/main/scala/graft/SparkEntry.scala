@@ -2308,6 +2308,33 @@ object SparkEntry {
             (F.col("l_returnflag") =!= "N").as("ev")),
         "l_quantity", "ev", Seq("l_linestatus"))
         .orderBy("l_linestatus", "t_end")),
+    "q_ab_test" -> ((s, dir) =>
+      // two-proportion z between the order-parity cohorts on the
+      // returned-line rate — ONE conditional aggregation; p at the
+      // 6-rounded z via the shared Cody erfc
+      Experiments.twoProportionZ(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select(
+            F.when(F.col("l_orderkey") % 2 === 0, "a").otherwise("b")
+              .as("cohort"),
+            (F.col("l_returnflag") === "R").as("conv")),
+        "cohort", "conv")),
+    "q_wilson_group" -> ((s, dir) =>
+      // conversion rate + Wilson band per line status — the interval
+      // that stays inside [0,1] at extreme rates/small segments
+      Experiments.wilsonByGroup(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select(F.col("l_linestatus"),
+            (F.col("l_returnflag") === "R").as("conv")),
+        Seq("l_linestatus"), "conv")
+        .orderBy("l_linestatus")),
+    "q_cuped" -> ((s, dir) =>
+      // CUPED: how much extendedprice variance does quantity soak up —
+      // theta and the adjusted variance in closed form from ONE moment
+      // aggregation
+      Experiments.cuped(
+        li(s, dir).where(F.col("l_orderkey") < 100000),
+        "l_extendedprice", "l_quantity")),
     "q_rolling_features" -> ((s, dir) =>
       // trailing-window behavioral features per user as-of each event
       // (1 h and 24 h horizons): per-KEY range windows — one shuffle on
@@ -5717,6 +5744,76 @@ object SparkEntry {
         |  round_even(${codyErfcSql("y")} * 1000000.0, 0) / 1000000.0
         |    AS p_value,
         |  na AS n_a, nb AS n_b FROM ye""".stripMargin,
+    "q_ab_test" ->
+      s"""WITH base AS (SELECT
+        |    CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    (l_returnflag = 'R') AS y
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_returnflag IS NOT NULL),
+        |c AS (SELECT
+        |    CAST(sum(CASE WHEN g = 'a' AND y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS xa,
+        |    CAST(sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN g = 'b' AND y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS xb,
+        |    CAST(sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nb FROM base),
+        |s AS (SELECT xa, na, xb, nb,
+        |    CAST(xa AS DOUBLE) / na AS pa, CAST(xb AS DOUBLE) / nb AS pb,
+        |    CAST(xa + xb AS DOUBLE) / (na + nb) AS pp FROM c),
+        |zc AS (SELECT xa, na, xb, nb, pa, pb,
+        |    CASE WHEN pp * (1.0 - pp) * (1.0 / na + 1.0 / nb) = 0.0
+        |      THEN 0.0
+        |      ELSE round_even((pa - pb)
+        |        / sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+        |        * 1000000.0, 0) / 1000000.0 END AS z FROM s),
+        |ye AS (SELECT *, abs(z) / sqrt(2.0) AS y FROM zc)
+        |SELECT z,
+        |  round_even(${codyErfcSql("y")} * 1000000.0, 0) / 1000000.0
+        |    AS p_value,
+        |  round_even(pa * 1000000.0, 0) / 1000000.0 AS rate_a,
+        |  round_even(pb * 1000000.0, 0) / 1000000.0 AS rate_b,
+        |  xa AS x_a, na AS n_a, xb AS x_b, nb AS n_b FROM ye""".stripMargin,
+    "q_wilson_group" ->
+      """WITH agged AS (SELECT l_linestatus AS g,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_returnflag IS NOT NULL
+        |  GROUP BY 1),
+        |w AS (SELECT g, n, x, CAST(n AS DOUBLE) AS nd,
+        |    CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM agged)
+        |SELECT g AS l_linestatus, n, x,
+        |  round(p, 6) AS rate,
+        |  round((p + ((1.959964 * 1.959964) / 2.0) / nd)
+        |      / (1.0 + (1.959964 * 1.959964) / nd)
+        |    - 1.959964 * sqrt(p * (1.0 - p) / nd
+        |        + ((1.959964 * 1.959964) / 4.0) / (nd * nd))
+        |      / (1.0 + (1.959964 * 1.959964) / nd), 6) AS ci_lo,
+        |  round((p + ((1.959964 * 1.959964) / 2.0) / nd)
+        |      / (1.0 + (1.959964 * 1.959964) / nd)
+        |    + 1.959964 * sqrt(p * (1.0 - p) / nd
+        |        + ((1.959964 * 1.959964) / 4.0) / (nd * nd))
+        |      / (1.0 + (1.959964 * 1.959964) / nd), 6) AS ci_hi
+        |FROM w ORDER BY l_linestatus""".stripMargin,
+    "q_cuped" ->
+      """WITH base AS (SELECT CAST(l_extendedprice AS DOUBLE) AS y,
+        |    CAST(l_quantity AS DOUBLE) AS x
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        |    AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))),
+        |m AS (SELECT count(*) AS n, var_pop(y) AS vy, var_pop(x) AS vx,
+        |    covar_pop(x, y) AS cxy FROM base)
+        |SELECT round_even(cxy / vx * 1000000.0, 0) / 1000000.0 AS theta,
+        |  round_even(vy * 100.0, 0) / 100.0 AS var_raw,
+        |  round_even((vy - cxy * cxy / vx) * 100.0, 0) / 100.0 AS var_adj,
+        |  round_even((1.0 - (vy - cxy * cxy / vx) / vy) * 1000000.0, 0)
+        |    / 1000000.0 AS reduction,
+        |  CAST(n AS BIGINT) AS n FROM m""".stripMargin,
     "q_rolling_features" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS tns, value
         |  FROM events)

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import graft.functions.SpecialMath
+
+/** Experimentation analytics — the A/B-measurement layer over event or
+  * document tables: did the treatment move a conversion rate, what is
+  * the uncertainty band per segment, and how much variance does a
+  * pre-period covariate soak up. Every operator is ONE aggregation
+  * (conditional sums / moment columns); p-values follow the repo's
+  * replay discipline — evaluated at the 6-decimal-ROUNDED statistic so
+  * an external engine reproduces them bit-for-bit.
+  */
+object Experiments {
+
+  /** Two-proportion z-test (pooled): does cohort A convert differently
+    * from cohort B?
+    *
+    *   p̂ = (x_a + x_b)/(n_a + n_b),
+    *   z  = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)),
+    *   p  = erfc(|z|/√2)   (two-sided).
+    *
+    * @param successCol boolean-ish conversion flag
+    * @return one row: (z, p_value, rate_a, rate_b, x_a, n_a, x_b, n_b),
+    *         z/rates rounded to 6 */
+  def twoProportionZ(df: DataFrame, cohortCol: String, successCol: String,
+                     labelA: String = "a",
+                     labelB: String = "b"): DataFrame = {
+    require(labelA != labelB, "cohort labels must differ")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = F.col(cohortCol).cast("string")
+    val y = F.col(successCol).cast("boolean")
+    val r = df
+      .where(g.isin(labelA, labelB) && y.isNotNull)
+      .agg(
+        F.sum(F.when(g === labelA && y, 1L).otherwise(0L)).as("xa"),
+        F.sum(F.when(g === labelA, 1L).otherwise(0L)).as("na"),
+        F.sum(F.when(g =!= labelA && y, 1L).otherwise(0L)).as("xb"),
+        F.sum(F.when(g =!= labelA, 1L).otherwise(0L)).as("nb"))
+      .head()
+    val (xa, na, xb, nb) = (r.getAs[Long]("xa"), r.getAs[Long]("na"),
+      r.getAs[Long]("xb"), r.getAs[Long]("nb"))
+    require(na > 0 && nb > 0, "both cohorts need rows")
+    val pa = xa.toDouble / na
+    val pb = xb.toDouble / nb
+    val pp = (xa + xb).toDouble / (na + nb)
+    val se = math.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+    val z = if (se == 0.0) 0.0
+      else math.rint((pa - pb) / se * 1e6) / 1e6
+    val p = math.rint(SpecialMath.erfc(
+      math.abs(z) / math.sqrt(2.0)) * 1e6) / 1e6
+    Seq((z, p, math.rint(pa * 1e6) / 1e6, math.rint(pb * 1e6) / 1e6,
+        xa, na, xb, nb))
+      .toDF("z", "p_value", "rate_a", "rate_b", "x_a", "n_a", "x_b", "n_b")
+  }
+
+  /** Conversion rate with the Wilson score interval per group — the
+    * band that behaves at extreme rates and small segments where the
+    * normal interval fails (negative or >1 limits):
+    *
+    *   center = (p̂ + z²/2n) / (1 + z²/n),
+    *   half   = z·√(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n).
+    *
+    * ONE aggregation; a million segments cost one group-key shuffle.
+    *
+    * @return one row per group: (groupCols..., n, x, rate, ci_lo,
+    *         ci_hi), floats rounded to 6 */
+  def wilsonByGroup(df: DataFrame, groupCols: Seq[String],
+                    successCol: String,
+                    z: Double = 1.959964): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val y = F.col(successCol).cast("boolean")
+    val agged = df.where(y.isNotNull)
+      .groupBy(groupCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.when(y, 1L).otherwise(0L)).as("x"))
+    val n = F.col("n").cast("double")
+    val p = F.col("x").cast("double") / n
+    val z2 = z * z
+    val denom = F.lit(1.0) + F.lit(z2) / n
+    val center = (p + F.lit(z2 / 2.0) / n) / denom
+    val half = F.lit(z) * F.sqrt(p * (F.lit(1.0) - p) / n +
+      F.lit(z2 / 4.0) / (n * n)) / denom
+    agged
+      .withColumn("rate", F.round(p, 6))
+      .withColumn("ci_lo", F.round(center - half, 6))
+      .withColumn("ci_hi", F.round(center + half, 6))
+      .select(groupCols.map(F.col) ++ Seq(F.col("n"), F.col("x"),
+        F.col("rate"), F.col("ci_lo"), F.col("ci_hi")): _*)
+  }
+
+  /** CUPED variance reduction diagnostic: with a pre-experiment
+    * covariate x for metric y, the adjusted metric y − θ(x − x̄) with
+    * θ = cov(x, y)/var(x) has variance var(y) − cov²/var(x) — in
+    * closed form from ONE moment aggregation, no second pass. Reports
+    * θ and the variance-reduction fraction; the adjusted-metric column
+    * itself is `metric − θ·(cov − mean)` with the returned scalars as
+    * plan literals.
+    *
+    * @return one row: (theta, var_raw, var_adj, reduction, n) —
+    *         theta/reduction rounded to 6; the variances to 2 (they
+    *         carry the metric's squared scale, where 6-decimal rounding
+    *         would sit inside distributed-sum noise) */
+  def cuped(df: DataFrame, metricCol: String,
+            covariateCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val y = F.col(metricCol).cast("double")
+    val x = F.col(covariateCol).cast("double")
+    val r = df
+      .where(y.isNotNull && !F.isnan(y) && x.isNotNull && !F.isnan(x))
+      .agg(F.count(F.lit(1)).as("n"), F.var_pop(y).as("vy"),
+        F.var_pop(x).as("vx"), F.covar_pop(x, y).as("cxy"))
+      .head()
+    val n = r.getAs[Long]("n")
+    require(n >= 2, "need at least 2 complete rows")
+    val (vy, vx, cxy) = (r.getAs[Double]("vy"), r.getAs[Double]("vx"),
+      r.getAs[Double]("cxy"))
+    require(vx > 0.0, "covariate has zero variance")
+    val theta = cxy / vx
+    val varAdj = vy - cxy * cxy / vx
+    val reduction = if (vy > 0.0) 1.0 - varAdj / vy else 0.0
+    Seq((math.rint(theta * 1e6) / 1e6, math.rint(vy * 100.0) / 100.0,
+        math.rint(varAdj * 100.0) / 100.0,
+        math.rint(reduction * 1e6) / 1e6, n))
+      .toDF("theta", "var_raw", "var_adj", "reduction", "n")
+  }
+}

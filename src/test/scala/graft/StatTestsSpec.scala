@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 import org.apache.spark.sql.{SparkSession, functions => F}
-import graft.operators.{StatTests, Survival}
+import graft.operators.{Experiments, StatTests, Survival}
 import graft.functions.SpecialMath
 
 /** Hypothesis tests (Mann–Whitney, Cramér–von Mises, chi-squared, BH
@@ -196,6 +196,38 @@ class StatTestsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the band is undefined at S = 0 (and would be at S = 1)
     assert(km(1).isNullAt(km(1).fieldIndex("ci_lo")))
     assert(km(1).isNullAt(km(1).fieldIndex("ci_hi")))
+  }
+
+  test("twoProportionZ / wilsonByGroup / cuped match hand-computed values") {
+    import spark.implicits._
+    // 40/100 vs 25/100 → z = 2.264554, p = 0.02354
+    val ab = ((1 to 100).map(i => ("a", i <= 40)) ++
+      (1 to 100).map(i => ("b", i <= 25))).toDF("g", "conv")
+    val r = Experiments.twoProportionZ(ab, "g", "conv").head()
+    assert(math.abs(r.getAs[Double]("z") - 2.264554) < 1e-6)
+    assert(math.abs(r.getAs[Double]("p_value") - 0.02354) < 1e-6)
+    assert(r.getAs[Double]("rate_a") == 0.4 && r.getAs[Long]("n_b") == 100L)
+
+    // Wilson at 50/100: [0.403832, 0.596168]
+    val w = Experiments.wilsonByGroup(
+      (1 to 100).map(i => ("g", i <= 50)).toDF("g", "conv"),
+      Seq("g"), "conv").head()
+    assert(math.abs(w.getAs[Double]("ci_lo") - 0.403832) < 1e-6)
+    assert(math.abs(w.getAs[Double]("ci_hi") - 0.596168) < 1e-6)
+    // the band stays inside [0, 1] even at rate 0
+    val z0 = Experiments.wilsonByGroup(
+      (1 to 20).map(_ => ("g", false)).toDF("g", "conv"),
+      Seq("g"), "conv").head()
+    assert(z0.getAs[Double]("ci_lo") == 0.0)
+    assert(z0.getAs[Double]("ci_hi") > 0.0 && z0.getAs[Double]("ci_hi") < 0.2)
+
+    // y = 2x exactly → theta = 2, all variance soaked up
+    val cu = Experiments.cuped(
+      (1 to 10).map(i => (2.0 * i, i.toDouble)).toDF("y", "x"),
+      "y", "x").head()
+    assert(cu.getAs[Double]("theta") == 2.0)
+    assert(cu.getAs[Double]("var_adj") == 0.0)
+    assert(cu.getAs[Double]("reduction") == 1.0)
   }
 
   test("welchTTestByGroup matches the hand-computed unequal-variance example") {
