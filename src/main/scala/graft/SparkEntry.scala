@@ -2308,6 +2308,20 @@ object SparkEntry {
             (F.col("l_returnflag") =!= "N").as("ev")),
         "l_quantity", "ev", Seq("l_linestatus"))
         .orderBy("l_linestatus", "t_end")),
+    "q_cat_profile" -> ((s, dir) =>
+      // data-card concentration profile of source within each language:
+      // entropy / normalized entropy / HHI / top share from ONE
+      // (group, value) aggregation + a per-group fold
+      Evaluation.categoricalProfile(docs(s, dir), Seq("lang"), "source")
+        .orderBy("lang")),
+    "q_dispersion_group" -> ((s, dir) =>
+      // Poisson overdispersion routing statistic per line status:
+      // dispersion index + conditional chi2 D with the Wilson-Hilferty
+      // tail at the rounded D
+      StatTests.dispersionByGroup(
+        li(s, dir).where(F.col("l_orderkey") < 100000),
+        Seq("l_linestatus"), "l_quantity")
+        .orderBy("l_linestatus")),
     "q_ab_test" -> ((s, dir) =>
       // two-proportion z between the order-parity cohorts on the
       // returned-line rate — ONE conditional aggregation; p at the
@@ -5744,6 +5758,50 @@ object SparkEntry {
         |  round_even(${codyErfcSql("y")} * 1000000.0, 0) / 1000000.0
         |    AS p_value,
         |  na AS n_a, nb AS n_b FROM ye""".stripMargin,
+    "q_cat_profile" ->
+      """WITH cells AS (SELECT lang, source AS v,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents WHERE source IS NOT NULL GROUP BY lang, v),
+        |g AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    sum(c * ln(c)) AS clc,
+        |    sum(CAST(c AS DOUBLE) * c) AS ssq,
+        |    CAST(max(c) AS BIGINT) AS top
+        |  FROM cells GROUP BY lang)
+        |SELECT lang, n, k,
+        |  round(ln(n) - clc / n, 6) AS entropy,
+        |  CASE WHEN k > 1 THEN round((ln(n) - clc / n)
+        |    / ln(CAST(k AS DOUBLE)), 6) END AS norm_entropy,
+        |  round(ssq / (CAST(n AS DOUBLE) * n), 6) AS hhi,
+        |  round(top / CAST(n AS DOUBLE), 6) AS top_share
+        |FROM g ORDER BY lang""".stripMargin,
+    "q_dispersion_group" ->
+      s"""WITH base AS (SELECT l_linestatus AS g,
+        |    CAST(l_quantity AS DOUBLE) AS v
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))),
+        |agged AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    avg(v) AS m, var_samp(v) AS s2
+        |  FROM base GROUP BY g),
+        |d AS (SELECT g, n, m, s2,
+        |    round((n - 1) * s2 / m, 6) AS d_stat,
+        |    CAST(n - 1 AS DOUBLE) AS dof
+        |  FROM agged WHERE n >= 2 AND m > 0.0),
+        |z AS (SELECT g, n, m, s2, d_stat,
+        |    (cbrt(d_stat / dof) - (1.0 - 2.0 / (9.0 * dof)))
+        |      / sqrt(2.0 / (9.0 * dof)) AS zv
+        |  FROM d),
+        |ye AS (SELECT g, n, m, s2, d_stat, zv,
+        |    abs(zv) / sqrt(2.0) AS y FROM z)
+        |SELECT g AS l_linestatus, n, round(m, 6) AS mean,
+        |  round(s2 / m, 6) AS dispersion, d_stat,
+        |  CASE WHEN zv >= 0.0
+        |    THEN round_even(0.5 * ${codyErfcSql("y")} * 1000000.0, 0)
+        |      / 1000000.0
+        |    ELSE round_even((1.0 - 0.5 * ${codyErfcSql("y")})
+        |      * 1000000.0, 0) / 1000000.0 END AS p_value
+        |FROM ye ORDER BY l_linestatus""".stripMargin,
     "q_ab_test" ->
       s"""WITH base AS (SELECT
         |    CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,

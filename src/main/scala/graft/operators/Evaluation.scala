@@ -150,6 +150,53 @@ object Evaluation {
         F.countDistinct("__b").as("n_b"))
   }
 
+  /** Categorical concentration profile per group — the data-card
+    * summary of a label/domain/source column within each segment:
+    *
+    *   entropy      = −Σ p·ln p   (nats),
+    *   norm_entropy = entropy / ln(k)   (null when k = 1),
+    *   hhi          = Σ p²   (Herfindahl concentration, 1/k..1),
+    *   top_share    = max p.
+    *
+    * ONE (group, value) aggregation reduces the data to category
+    * cells; the profile folds per GROUP over that tiny frame — a
+    * million segments cost one shuffle.
+    *
+    * @return one row per group: (groupCols..., n, k, entropy,
+    *         norm_entropy, hhi, top_share), floats rounded to 6 */
+  def categoricalProfile(df: DataFrame, groupCols: Seq[String],
+                         valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(!groupCols.exists(_.startsWith("__")),
+      "group columns must not use the __ internal prefix")
+    val v = F.col(valueCol).cast("string")
+    val cells = df.where(v.isNotNull)
+      .groupBy(groupCols.map(F.col) :+ v.as("__v"): _*)
+      .agg(F.count(F.lit(1)).as("__c"))
+    cells.groupBy(groupCols.map(F.col): _*)
+      .agg(F.sum("__c").as("n"), F.count(F.lit(1)).as("k"),
+        F.sum(F.col("__c") * F.log(F.col("__c"))).as("__clc"),
+        // doubles BEFORE the product: Σc² in long overflows once a
+        // single category nears 3×10⁹ rows
+        F.sum(F.col("__c").cast("double") * F.col("__c")).as("__ssq"),
+        F.max("__c").as("__top"))
+      // −Σ(c/n)ln(c/n) = ln n − Σ c·ln c / n — exact algebra over the
+      // three sufficient statistics, no second pass over cells
+      .withColumn("entropy", F.round(
+        F.log(F.col("n")) - F.col("__clc") / F.col("n"), 6))
+      .withColumn("norm_entropy",
+        F.when(F.col("k") > 1L, F.round(
+          (F.log(F.col("n")) - F.col("__clc") / F.col("n")) /
+            F.log(F.col("k").cast("double")), 6)))
+      .withColumn("hhi", F.round(
+        F.col("__ssq") / (F.col("n").cast("double") * F.col("n")), 6))
+      .withColumn("top_share", F.round(
+        F.col("__top") / F.col("n").cast("double"), 6))
+      .select(groupCols.map(F.col) ++ Seq(F.col("n"), F.col("k"),
+        F.col("entropy"), F.col("norm_entropy"), F.col("hhi"),
+        F.col("top_share")): _*)
+  }
+
   /** Calibration table: scores bucketed into `bins` equal-width bins on
     * [0, 1]; per bin the observed positive rate vs the mean predicted
     * score — the reliability-diagram data. ONE aggregation; scores

@@ -245,6 +245,54 @@ object StatTests {
       .drop("__n", "__kg", "__ssq", "__e")
   }
 
+  /** Poisson overdispersion test per group — "are these event counts
+    * Poisson, or is there clumping": the dispersion index s²/x̄ with
+    * the classic conditional χ² form
+    *
+    *   D = (n−1)·s²/x̄  ~  χ²(n−1) under Poisson,
+    *   p = P(χ²(n−1) > D)   (upper tail — overdispersion),
+    *
+    * with the tail evaluated through the Wilson–Hilferty cube-root
+    * normal transform z = ((D/ν)^⅓ − (1 − 2/9ν))/√(2/9ν) at the
+    * 6-rounded D — exact as ν → ∞ (the corpus regime; group sizes are
+    * thousands) and replayable by any engine carrying only erfc, the
+    * same trade [[welchTTestByGroup]] makes. ONE aggregation; groups
+    * with n < 2 or x̄ ≤ 0 are omitted. The routing statistic before
+    * choosing poisson vs negative-binomial-shaped handling for a count
+    * column.
+    *
+    * @return one row per group: (groupCols..., n, mean, dispersion,
+    *         d_stat, p_value), floats rounded to 6 */
+  def dispersionByGroup(df: DataFrame, groupCols: Seq[String],
+                        countCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(!groupCols.exists(_.startsWith("__")),
+      "group columns must not use the __ internal prefix")
+    val v = F.col(countCol).cast("double")
+    val agged = df.where(v.isNotNull && !F.isnan(v))
+      .groupBy(groupCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("n"), F.avg(v).as("__m"),
+        F.var_samp(v).as("__s2"))
+    val pUdf = F.udf { (d: Double, dof: Double) =>
+      val z = (math.cbrt(d / dof) - (1.0 - 2.0 / (9.0 * dof))) /
+        math.sqrt(2.0 / (9.0 * dof))
+      val p =
+        if (z >= 0.0) 0.5 * SpecialMath.erfc(z / math.sqrt(2.0))
+        else 1.0 - 0.5 * SpecialMath.erfc(-z / math.sqrt(2.0))
+      math.rint(p * 1e6) / 1e6
+    }
+    agged
+      .where(F.col("n") >= 2 && F.col("__m") > 0.0)
+      .withColumn("d_stat", F.round(
+        (F.col("n") - 1) * F.col("__s2") / F.col("__m"), 6))
+      .withColumn("p_value",
+        pUdf(F.col("d_stat"), (F.col("n") - 1).cast("double")))
+      .select(groupCols.map(F.col) ++ Seq(F.col("n"),
+        F.round(F.col("__m"), 6).as("mean"),
+        F.round(F.col("__s2") / F.col("__m"), 6).as("dispersion"),
+        F.col("d_stat"), F.col("p_value")): _*)
+  }
+
   /** Welch's unequal-variance t-test per group — "is cohort A's mean
     * different from cohort B's, for every tenant at once":
     *

@@ -526,6 +526,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains("g3"))
   }
 
+  test("categoricalProfile computes entropy/HHI/top-share per group") {
+    import spark.implicits._
+    // g1: uniform over 4 symbols → entropy ln4, norm 1, hhi .25, top .25
+    // g2: one symbol → entropy 0, norm null, hhi 1, top 1
+    val df = (Seq("a", "b", "c", "d").map(v => ("g1", v)) ++
+      Seq(("g2", "x"), ("g2", "x"))).toDF("g", "v")
+    val out = Evaluation.categoricalProfile(df, Seq("g"), "v")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val g1 = out("g1")
+    assert(math.abs(g1.getAs[Double]("entropy") - math.log(4.0)) < 1e-5)
+    assert(g1.getAs[Double]("norm_entropy") == 1.0)
+    assert(g1.getAs[Double]("hhi") == 0.25)
+    assert(g1.getAs[Double]("top_share") == 0.25)
+    val g2 = out("g2")
+    assert(g2.getAs[Double]("entropy") == 0.0)
+    assert(g2.isNullAt(g2.fieldIndex("norm_entropy")))
+    assert(g2.getAs[Double]("hhi") == 1.0 && g2.getAs[Long]("k") == 1L)
+  }
+
+  test("dispersionByGroup flags overdispersed counts") {
+    import spark.implicits._
+    // poisson-ish (dispersion ~1) vs clumped (var >> mean)
+    val calm = (1 to 200).map(i => ("calm", 5.0 + (i % 5) - 2.0))
+    val spiky = (1 to 200).map(i => ("spiky", if (i % 10 == 0) 50.0 else 0.0))
+    val out = StatTests.dispersionByGroup(
+      (calm ++ spiky).toDF("g", "c"), Seq("g"), "c")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("calm").getAs[Double]("dispersion") < 1.0)
+    assert(out("calm").getAs[Double]("p_value") > 0.5)
+    assert(out("spiky").getAs[Double]("dispersion") > 20.0)
+    assert(out("spiky").getAs[Double]("p_value") == 0.0)
+  }
+
   test("mutualInformation: zero for independence, ln 2 for identity") {
     import spark.implicits._
     // balanced independent 2×2 → MI = 0
