@@ -2308,6 +2308,26 @@ object SparkEntry {
             (F.col("l_returnflag") =!= "N").as("ev")),
         "l_quantity", "ev", Seq("l_linestatus"))
         .orderBy("l_linestatus", "t_end")),
+    "q_stream_abtest" -> ((s, dir) => {
+      // live A/B conversion monitor: per-(day window, variant) purchase
+      // rate with Wilson bands — watermark-bounded windowed state, the
+      // Wilson algebra stateless after the aggregate; batch replay must
+      // hash-match the plain GROUP BY + closed-form band
+      val src = eventsStream(s, dir)
+        .withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("variant",
+          F.when(F.col("user_id") % 2 === 0, "a").otherwise("b"))
+        .withColumn("conv", F.col("event_type") === "purchase")
+      val conv = graft.streaming.StreamingOps.windowedConversion(
+        src, "variant", "conv", "event_ts",
+        window = "24 hours", watermark = "1 hour")
+      graft.streaming.StreamingOps
+        .runToBatch(s, conv, "graft_stream_abtest", statePartitions = 8)
+        .select(F.unix_timestamp(F.col("window.start")).as("win_start"),
+          F.col("variant"), F.col("n"), F.col("x"), F.col("rate"),
+          F.col("ci_lo"), F.col("ci_hi"))
+        .orderBy("win_start", "variant")
+    }),
     "q_cat_profile" -> ((s, dir) =>
       // data-card concentration profile of source within each language:
       // entropy / normalized entropy / HHI / top share from ONE
@@ -5758,6 +5778,32 @@ object SparkEntry {
         |  round_even(${codyErfcSql("y")} * 1000000.0, 0) / 1000000.0
         |    AS p_value,
         |  na AS n_a, nb AS n_b FROM ye""".stripMargin,
+    "q_stream_abtest" ->
+      """WITH base AS (SELECT
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400
+        |      AS win_start,
+        |    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS variant,
+        |    (event_type = 'purchase') AS y FROM events),
+        |agged AS (SELECT win_start, variant,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |  FROM base GROUP BY 1, 2),
+        |w AS (SELECT win_start, variant, n, x,
+        |    CAST(n AS DOUBLE) AS nd,
+        |    CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM agged)
+        |SELECT win_start, variant, n, x,
+        |  round(p, 6) AS rate,
+        |  round((p + ((1.959964 * 1.959964) / 2.0) / nd)
+        |      / (1.0 + (1.959964 * 1.959964) / nd)
+        |    - 1.959964 * sqrt(p * (1.0 - p) / nd
+        |        + ((1.959964 * 1.959964) / 4.0) / (nd * nd))
+        |      / (1.0 + (1.959964 * 1.959964) / nd), 6) AS ci_lo,
+        |  round((p + ((1.959964 * 1.959964) / 2.0) / nd)
+        |      / (1.0 + (1.959964 * 1.959964) / nd)
+        |    + 1.959964 * sqrt(p * (1.0 - p) / nd
+        |        + ((1.959964 * 1.959964) / 4.0) / (nd * nd))
+        |      / (1.0 + (1.959964 * 1.959964) / nd), 6) AS ci_hi
+        |FROM w ORDER BY win_start, variant""".stripMargin,
     "q_cat_profile" ->
       """WITH cells AS (SELECT lang, source AS v,
         |    CAST(count(*) AS BIGINT) AS c

@@ -203,6 +203,40 @@ object StreamingOps {
         F.stddev_pop("v").as("std"))
   }
 
+  /** Live A/B conversion monitor: per (window, variant) the conversion
+    * count/rate plus the Wilson score band — the interval that stays
+    * inside [0, 1] when a fresh window has 3 users. Pure watermarked
+    * windowed aggregation (state = one row per (window, variant));
+    * the Wilson algebra is stateless column arithmetic after the
+    * aggregate, so ANY throughput carries the same state. The
+    * streaming face of [[graft.operators.Experiments.wilsonByGroup]].
+    */
+  def windowedConversion(df: DataFrame, variantCol: String,
+                         successCol: String, timeCol: String,
+                         window: String = "1 minute",
+                         watermark: String = "2 minutes",
+                         z: Double = 1.959964): DataFrame = {
+    val y = F.col(successCol).cast("boolean")
+    val agged = df.withWatermark(timeCol, watermark)
+      .select(F.window(F.col(timeCol), window).as("window"),
+        F.col(variantCol).cast("string").as("variant"), y.as("y"))
+      .where(F.col("y").isNotNull)
+      .groupBy("window", "variant")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.when(F.col("y"), 1L).otherwise(0L)).as("x"))
+    val n = F.col("n").cast("double")
+    val p = F.col("x").cast("double") / n
+    val z2 = z * z
+    val denom = F.lit(1.0) + F.lit(z2) / n
+    val center = (p + F.lit(z2 / 2.0) / n) / denom
+    val half = F.lit(z) * F.sqrt(p * (F.lit(1.0) - p) / n +
+      F.lit(z2 / 4.0) / (n * n)) / denom
+    agged
+      .withColumn("rate", F.round(p, 6))
+      .withColumn("ci_lo", F.round(center - half, 6))
+      .withColumn("ci_hi", F.round(center + half, 6))
+  }
+
   /** Per-window distribution-drift score against a fitted reference model:
     * the histogram rides the hist_counts typed aggregate (ONE array-state
     * row per window, partial-aggregated map-side), and the drift is the
