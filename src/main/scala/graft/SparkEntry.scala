@@ -2328,6 +2328,28 @@ object SparkEntry {
           F.col("ci_lo"), F.col("ci_hi"))
         .orderBy("win_start", "variant")
     }),
+    "q_ks_by_group" -> ((s, dir) =>
+      // exact two-sample K-S per line status between the parity
+      // cohorts — distribution-level drift per segment via per-GROUP
+      // windows on the cells frame; D hash-checked (p follows the
+      // q_drift_ks precedent: Kolmogorov tail isn't SQL)
+      Drift.ksTwoSampleByGroup(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select(F.col("l_linestatus"),
+            F.when(F.col("l_orderkey") % 2 === 0, "a").otherwise("b")
+              .as("cohort"),
+            F.col("l_extendedprice")),
+        Seq("l_linestatus"), "cohort", "l_extendedprice")
+        .select(F.col("l_linestatus"), F.col("ks_d"),
+          F.col("n_a"), F.col("n_b"))
+        .orderBy("l_linestatus")),
+    "q_grouped_nbinom" -> ((s, dir) =>
+      // negative-binomial moment fit per status — the overdispersion
+      // follow-up; closed-form (r, p) from one aggregation
+      StatTests.nbinomMomentsByGroup(
+        li(s, dir).where(F.col("l_orderkey") < 100000),
+        Seq("l_linestatus"), "l_quantity")
+        .orderBy("l_linestatus")),
     "q_cat_profile" -> ((s, dir) =>
       // data-card concentration profile of source within each language:
       // entropy / normalized entropy / HHI / top share from ONE
@@ -5804,6 +5826,44 @@ object SparkEntry {
         |        + ((1.959964 * 1.959964) / 4.0) / (nd * nd))
         |      / (1.0 + (1.959964 * 1.959964) / nd), 6) AS ci_hi
         |FROM w ORDER BY win_start, variant""".stripMargin,
+    "q_ks_by_group" ->
+      """WITH c AS (SELECT l_linestatus AS grp,
+        |    CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |m AS (SELECT grp, v,
+        |    sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS cb
+        |  FROM c GROUP BY grp, v),
+        |t AS (SELECT grp, CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM m GROUP BY grp),
+        |cum AS (SELECT grp,
+        |    CAST(sum(ca) OVER (PARTITION BY grp ORDER BY v)
+        |      AS DOUBLE) AS fa,
+        |    CAST(sum(cb) OVER (PARTITION BY grp ORDER BY v)
+        |      AS DOUBLE) AS fb
+        |  FROM m)
+        |SELECT cum.grp AS l_linestatus,
+        |  round(max(abs(fa / t.na - fb / t.nb)), 6) AS ks_d,
+        |  t.na AS n_a, t.nb AS n_b
+        |FROM cum JOIN t ON cum.grp = t.grp
+        |WHERE t.na > 0 AND t.nb > 0
+        |GROUP BY cum.grp, t.na, t.nb ORDER BY l_linestatus""".stripMargin,
+    "q_grouped_nbinom" ->
+      """WITH base AS (SELECT l_linestatus AS g,
+        |    CAST(l_quantity AS DOUBLE) AS v
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))),
+        |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n, avg(v) AS m,
+        |    var_samp(v) AS s2 FROM base GROUP BY g)
+        |SELECT g AS l_linestatus, n, round(m, 6) AS mean,
+        |  round(s2, 6) AS variance,
+        |  round(m * m / (s2 - m), 6) AS r, round(m / s2, 6) AS prob
+        |FROM a WHERE n >= 2 AND m > 0.0 AND s2 > m
+        |ORDER BY l_linestatus""".stripMargin,
     "q_cat_profile" ->
       """WITH cells AS (SELECT lang, source AS v,
         |    CAST(count(*) AS BIGINT) AS c

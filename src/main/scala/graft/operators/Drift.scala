@@ -115,6 +115,65 @@ object Drift {
     } finally sorted.unpersist(blocking = false)
   }
 
+  /** Exact two-sample K-S PER GROUP — distribution-level drift per
+    * segment, the sup-distance companion to the binned
+    * [[histDriftByGroup]] PSI: within each group, D = sup|F̂_a − F̂_b|
+    * over the pooled distinct values, via windows PARTITIONED BY GROUP
+    * on the (group, value) cells frame — no global window, no fold; a
+    * million groups cost one shuffle. p = Kolmogorov survival at
+    * √(n_a·n_b/(n_a+n_b))·D with D 6-rounded first (the replay
+    * discipline). Groups missing a cohort are omitted.
+    *
+    * @return one row per group: (groupCols..., ks_d, p_value, n_a,
+    *         n_b) */
+  def ksTwoSampleByGroup(df: DataFrame, groupCols: Seq[String],
+                         cohortCol: String, valueCol: String,
+                         labelA: String = "a",
+                         labelB: String = "b"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(!groupCols.exists(_.startsWith("__")),
+      "group columns must not use the __ internal prefix")
+    require(labelA != labelB, "cohort labels must differ")
+    import org.apache.spark.sql.expressions.Window
+    val gCols = groupCols.map(F.col)
+    val g = F.col(cohortCol).cast("string")
+    val v = F.col(valueCol).cast("double")
+    val cells = df
+      .where(v.isNotNull && !F.isnan(v) && g.isin(labelA, labelB))
+      .select(gCols :+ g.as("__g") :+ v.as("__v"): _*)
+      .groupBy(gCols :+ F.col("__v"): _*)
+      .agg(F.sum(F.when(F.col("__g") === labelA, 1L).otherwise(0L))
+          .as("__ca"),
+        F.sum(F.when(F.col("__g") =!= labelA, 1L).otherwise(0L))
+          .as("__cb"))
+    val wg = Window.partitionBy(gCols: _*)
+    val wCum = wg.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pUdf = F.udf((d: Double, na: Long, nb: Long) => {
+      val nEff = na.toDouble * nb / (na.toDouble + nb)
+      math.rint(graft.functions.SpecialMath.kolmogorovSf(
+        math.sqrt(nEff) * d) * 1e6) / 1e6
+    })
+    cells
+      .withColumn("__na", F.sum("__ca").over(wg))
+      .withColumn("__nb", F.sum("__cb").over(wg))
+      // guard BEFORE dividing: a group missing a cohort would hit
+      // ANSI divide-by-zero inside the window projection, not the
+      // later filter
+      .withColumn("__diff",
+        F.when(F.col("__na") > 0L && F.col("__nb") > 0L, F.abs(
+          F.sum("__ca").over(wCum).cast("double") / F.col("__na") -
+          F.sum("__cb").over(wCum).cast("double") / F.col("__nb"))))
+      .groupBy(gCols: _*)
+      .agg(F.round(F.max("__diff"), 6).as("ks_d"),
+        F.max("__na").as("n_a"), F.max("__nb").as("n_b"))
+      .where(F.col("n_a") > 0L && F.col("n_b") > 0L)
+      .withColumn("p_value",
+        pUdf(F.col("ks_d"), F.col("n_a"), F.col("n_b")))
+      .select(gCols ++ Seq(F.col("ks_d"), F.col("p_value"),
+        F.col("n_a"), F.col("n_b")): _*)
+  }
+
   /** D̂ from two ALREADY-BUILT KLL sketches — the per-shard union use
     * case: per-day sketches (tree-merged by [[Sketches.kllSketch]], or
     * unioned later with `KllDoublesSketch.merge`) compare here with NO

@@ -293,6 +293,39 @@ object StatTests {
         F.col("d_stat"), F.col("p_value")): _*)
   }
 
+  /** Negative-binomial moment fit per group — the follow-up when
+    * [[dispersionByGroup]] flags overdispersion: matching mean and
+    * variance gives
+    *
+    *   r = m² / (s² − m),   prob = m / s²,
+    *
+    * the closed-form parameterization (mean m = r(1−p)/p). ONE
+    * aggregation; groups that are NOT overdispersed (s² ≤ m — NB
+    * degenerates to/past Poisson) or have n < 2 are omitted, the
+    * per-group-absence convention.
+    *
+    * @return one row per group: (groupCols..., n, mean, variance, r,
+    *         prob), floats rounded to 6 */
+  def nbinomMomentsByGroup(df: DataFrame, groupCols: Seq[String],
+                           countCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(!groupCols.exists(_.startsWith("__")),
+      "group columns must not use the __ internal prefix")
+    val v = F.col(countCol).cast("double")
+    df.where(v.isNotNull && !F.isnan(v))
+      .groupBy(groupCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("n"), F.avg(v).as("__m"),
+        F.var_samp(v).as("__s2"))
+      .where(F.col("n") >= 2 && F.col("__m") > 0.0 &&
+        F.col("__s2") > F.col("__m"))
+      .select(groupCols.map(F.col) ++ Seq(F.col("n"),
+        F.round(F.col("__m"), 6).as("mean"),
+        F.round(F.col("__s2"), 6).as("variance"),
+        F.round(F.col("__m") * F.col("__m") /
+          (F.col("__s2") - F.col("__m")), 6).as("r"),
+        F.round(F.col("__m") / F.col("__s2"), 6).as("prob")): _*)
+  }
+
   /** Welch's unequal-variance t-test per group — "is cohort A's mean
     * different from cohort B's, for every tenant at once":
     *

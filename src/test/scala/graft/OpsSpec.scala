@@ -545,6 +545,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g2.getAs[Double]("hhi") == 1.0 && g2.getAs[Long]("k") == 1L)
   }
 
+  test("ksTwoSampleByGroup: zero for identical cohorts, one for disjoint") {
+    import spark.implicits._
+    val same = Seq(1.0, 2.0, 3.0).flatMap(v =>
+      Seq(("same", "a", v), ("same", "b", v)))
+    val apart = Seq(("apart", "a", 1.0), ("apart", "a", 2.0),
+      ("apart", "b", 10.0), ("apart", "b", 11.0))
+    val lone = Seq(("lone", "a", 5.0))  // missing cohort b → omitted
+    val out = operators.Drift.ksTwoSampleByGroup(
+      (same ++ apart ++ lone).toDF("g", "c", "v"), Seq("g"), "c", "v")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("same").getAs[Double]("ks_d") == 0.0)
+    assert(out("same").getAs[Double]("p_value") == 1.0)
+    assert(out("apart").getAs[Double]("ks_d") == 1.0)
+    assert(out("apart").getAs[Double]("p_value") < 0.3)
+    assert(!out.contains("lone"))
+  }
+
+  test("nbinomMomentsByGroup matches the moment equations") {
+    import spark.implicits._
+    // mean 1, s² 4 → r = 1/(4−1) = 1/3, prob = 1/4; an equidispersed
+    // group (s² ≤ m) is omitted
+    val over = Seq(0.0, 0.0, 0.0, 4.0).map(v => ("over", v))
+    val calm = Seq(1.0, 1.0, 1.0, 1.0).map(v => ("calm", v))
+    val out = StatTests.nbinomMomentsByGroup(
+      (over ++ calm).toDF("g", "c"), Seq("g"), "c")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(math.abs(out("over").getAs[Double]("r") - 1.0 / 3.0) < 1e-6)
+    assert(out("over").getAs[Double]("prob") == 0.25)
+    assert(!out.contains("calm"))
+  }
+
   test("dispersionByGroup flags overdispersed counts") {
     import spark.implicits._
     // poisson-ish (dispersion ~1) vs clumped (var >> mean)
