@@ -2328,6 +2328,28 @@ object SparkEntry {
           F.col("ci_lo"), F.col("ci_hi"))
         .orderBy("win_start", "variant")
     }),
+    "q_incremental_fit" -> ((s, dir) => {
+      // the INCREMENTAL grouped-fit path: per-batch partials (here the
+      // order-parity halves standing in for day shards), a mergeable
+      // union, and the closed-form finalize — proving fit state
+      // composes without re-reading history. DuckDB replays the full
+      // two-stage sum algebra
+      val half1 = li(s, dir).where(F.col("l_orderkey") % 2 === 0)
+      val half2 = li(s, dir).where(F.col("l_orderkey") % 2 =!= 0)
+      val parts = GroupedFit.fitPartialsByGroup(half1, "l_extendedprice",
+          Seq("l_returnflag"))
+        .unionByName(GroupedFit.fitPartialsByGroup(half2,
+          "l_extendedprice", Seq("l_returnflag")))
+      val merged = GroupedFit.mergeFitPartials(parts, Seq("l_returnflag"))
+      GroupedFit.fitFromPartials(merged, Seq("l_returnflag"))
+        .select(F.col("l_returnflag"), F.col("n"), F.col("distribution"),
+          F.round(F.get(F.col("parameters"), F.lit(0)), 4).as("p1"),
+          F.round(F.get(F.col("parameters"), F.lit(1)), 4).as("p2"),
+          F.round(F.coalesce(F.get(F.col("parameters"), F.lit(2)),
+            F.lit(-1.0)), 4).as("p3"),
+          F.round(F.col("aic"), 2).as("aic_r"))
+        .orderBy("l_returnflag", "distribution")
+    }),
     "q_ks_by_group" -> ((s, dir) =>
       // exact two-sample K-S per line status between the parity
       // cohorts — distribution-level drift per segment via per-GROUP
@@ -5826,6 +5848,39 @@ object SparkEntry {
         |        + ((1.959964 * 1.959964) / 4.0) / (nd * nd))
         |      / (1.0 + (1.959964 * 1.959964) / nd), 6) AS ci_hi
         |FROM w ORDER BY win_start, variant""".stripMargin,
+    // Replays the incremental path end-to-end: per-parity-half partial
+    // sums, the associative merge, moments from the merged sums, then
+    // the SAME family arms as q_grouped_fit.
+    "q_incremental_fit" ->
+      ("""WITH h AS (SELECT l_returnflag AS g, l_orderkey % 2 AS half,
+        |    count(*) AS pn, sum(l_extendedprice) AS psx,
+        |    sum(l_extendedprice * l_extendedprice) AS psxx,
+        |    count(*) FILTER (WHERE l_extendedprice > 0) AS pnln,
+        |    coalesce(sum(ln(l_extendedprice))
+        |      FILTER (WHERE l_extendedprice > 0), 0.0) AS pslnx,
+        |    coalesce(sum(ln(l_extendedprice) * ln(l_extendedprice))
+        |      FILTER (WHERE l_extendedprice > 0), 0.0) AS pslnx2,
+        |    min(l_extendedprice) AS pmn, max(l_extendedprice) AS pmx
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |  GROUP BY 1, 2),
+        |mg AS (SELECT g, sum(pn) AS pn, sum(psx) AS psx,
+        |    sum(psxx) AS psxx, sum(pnln) AS pnln, sum(pslnx) AS pslnx,
+        |    sum(pslnx2) AS pslnx2, min(pmn) AS pmn, max(pmx) AS pmx
+        |  FROM h GROUP BY g),
+        |s AS (SELECT g, pn AS n,
+        |    psx / pn AS m,
+        |    psxx / pn - (psx / pn) * (psx / pn) AS s2,
+        |    pmn AS mn, pmx AS mx,
+        |    CASE WHEN pnln > 0 THEN pslnx / pnln END AS mln,
+        |    CASE WHEN pnln > 0
+        |      THEN pslnx2 / pnln - (pslnx / pnln) * (pslnx / pnln)
+        |      END AS s2ln,
+        |    psxx AS sxx FROM mg),
+        |""".stripMargin + groupedFitOracleArms("g") + """
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n, distribution,
+        |  round(p1, 4) AS p1, round(p2, 4) AS p2, round(p3, 4) AS p3,
+        |  round(2.0 * k - 2.0 * ll, 2) AS aic_r
+        |FROM fits ORDER BY l_returnflag, distribution""".stripMargin),
     "q_ks_by_group" ->
       """WITH c AS (SELECT l_linestatus AS grp,
         |    CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,

@@ -63,6 +63,14 @@ object GroupedFit {
       F.avg(lnx).as("mln"),
       F.var_pop(lnx).as("s2ln"),
       F.sum(x * x).as("sxx"))
+    finalizeContinuous(agged, groupCols)
+  }
+
+  /** The closed-form family algebra shared by [[fitByGroup]] and
+    * [[fitFromPartials]]: expects a frame with one row per group
+    * carrying (n, m, s2, mn, mx, mln, s2ln, sxx). */
+  private def finalizeContinuous(agged: DataFrame,
+                                 groupCols: Seq[String]): DataFrame = {
     val n = F.col("n").cast("double")
     val twoPi = 2.0 * math.Pi
     def fam(name: String, valid: Column, params: Column, k: Int,
@@ -121,6 +129,72 @@ object GroupedFit {
         F.col("f.parameters").as("parameters") :+
         F.col("f.loglik").as("loglik") :+
         F.col("f.aic").as("aic") :+ F.col("f.bic").as("bic"): _*)
+  }
+
+  /** Mergeable per-group fit state — the INCREMENTAL form of
+    * [[fitByGroup]] for append-only corpora: compute partials per
+    * batch/day/shard, persist the tiny (group, 8-sums) table, merge
+    * any number of partial tables with [[mergeFitPartials]] (sums add,
+    * min/max fold — no raw data is ever re-read), and finalize with
+    * [[fitFromPartials]]. At 100 TB this is the difference between
+    * re-scanning history nightly and scanning only the new day.
+    *
+    * @return one row per group: (groupCols..., pn, psx, psxx, pnln,
+    *         pslnx, pslnx2, pmn, pmx) */
+  def fitPartialsByGroup(df: DataFrame, valueCol: String,
+                         groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val v = F.col(valueCol).cast("double")
+    val clean = df.where(v.isNotNull && !F.isnan(v))
+      .select(groupCols.map(F.col) :+ v.as("__v"): _*)
+    val x = F.col("__v")
+    val lnx = F.when(x > 0.0, F.log(x))
+    clean.groupBy(groupCols.map(F.col): _*).agg(
+      F.count(F.lit(1)).as("pn"),
+      F.sum(x).as("psx"),
+      F.sum(x * x).as("psxx"),
+      F.count(lnx).as("pnln"),
+      F.coalesce(F.sum(lnx), F.lit(0.0)).as("pslnx"),
+      F.coalesce(F.sum(lnx * lnx), F.lit(0.0)).as("pslnx2"),
+      F.min(x).as("pmn"),
+      F.max(x).as("pmx"))
+  }
+
+  /** Merge any number of [[fitPartialsByGroup]] tables (pass their
+    * UNION): sums add, counts add, min/min and max/max fold — the
+    * associative merge that makes the partials a day-over-day artifact. */
+  def mergeFitPartials(partials: DataFrame,
+                       groupCols: Seq[String]): DataFrame =
+    partials.groupBy(groupCols.map(F.col): _*).agg(
+      F.sum("pn").as("pn"), F.sum("psx").as("psx"),
+      F.sum("psxx").as("psxx"), F.sum("pnln").as("pnln"),
+      F.sum("pslnx").as("pslnx"), F.sum("pslnx2").as("pslnx2"),
+      F.min("pmn").as("pmn"), F.max("pmx").as("pmx"))
+
+  /** Finalize merged partials into the [[fitByGroup]] output schema:
+    * the same closed-form family algebra, with moments derived from
+    * the raw sums (m = Σx/n, s² = Σx²/n − m², ln-moments over the
+    * positive subset). Numerically this is the textbook moment form —
+    * fine for the group scales the partials pattern targets; a single
+    * astronomically-conditioned group belongs in [[fitByGroup]]'s
+    * Welford-style one-shot path instead. */
+  def fitFromPartials(partials: DataFrame,
+                      groupCols: Seq[String]): DataFrame = {
+    val pn = F.col("pn").cast("double")
+    val pnln = F.col("pnln").cast("double")
+    val m = F.col("psx") / pn
+    val mln = F.when(F.col("pnln") > 0L, F.col("pslnx") / pnln)
+    val agged = partials.select(groupCols.map(F.col) ++ Seq(
+      F.col("pn").as("n"),
+      m.as("m"),
+      (F.col("psxx") / pn - m * m).as("s2"),
+      F.col("pmn").as("mn"),
+      F.col("pmx").as("mx"),
+      mln.as("mln"),
+      F.when(F.col("pnln") > 0L,
+        F.col("pslnx2") / pnln - mln * mln).as("s2ln"),
+      F.col("psxx").as("sxx")): _*)
+    finalizeContinuous(agged, groupCols)
   }
 
   /** Discrete counterpart of [[fitByGroup]]: the sufficient-statistic

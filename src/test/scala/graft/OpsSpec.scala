@@ -716,6 +716,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.listenerManager.unregister(cap)
   }
 
+  test("GroupedFit partials: split-merge-finalize matches the one-shot fit") {
+    import spark.implicits._
+    val df = (1 to 400).map { i =>
+      (if (i % 2 == 0) "g1" else "g2", 10.0 + (i % 37) + 0.25 * (i % 11))
+    }.toDF("g", "v")
+    val whole = GroupedFit.fitByGroup(df, "v", Seq("g"))
+      .collect().map(r => (r.getString(0), r.getAs[String]("distribution"))
+        -> (r.getAs[scala.collection.Seq[Double]]("parameters").toList,
+          r.getAs[Double]("aic"))).toMap
+    // two arbitrary shards, partials unioned then merged
+    val parts = GroupedFit.fitPartialsByGroup(
+        df.where(F.col("v") < 30.0), "v", Seq("g"))
+      .unionByName(GroupedFit.fitPartialsByGroup(
+        df.where(F.col("v") >= 30.0), "v", Seq("g")))
+    val inc = GroupedFit.fitFromPartials(
+        GroupedFit.mergeFitPartials(parts, Seq("g")), Seq("g"))
+      .collect().map(r => (r.getString(0), r.getAs[String]("distribution"))
+        -> (r.getAs[scala.collection.Seq[Double]]("parameters").toList,
+          r.getAs[Double]("aic"))).toMap
+    assert(inc.keySet == whole.keySet)
+    whole.foreach { case (key, (ps, aic)) =>
+      val (ips, iaic) = inc(key)
+      ps.zip(ips).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-8, s"$key param $a vs $b") }
+      assert(math.abs(aic - iaic) < 1e-6, s"$key aic $aic vs $iaic")
+    }
+  }
+
   test("GroupedFit: sufficient-statistic fits per group, closed-form AIC") {
     import spark.implicits._
     val a = (1 to 100).map(i => ("a", math.exp(0.01 * i)))
