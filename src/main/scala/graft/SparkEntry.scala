@@ -1097,6 +1097,31 @@ object SparkEntry {
           "embedding", "vec_id", k = 5, nProbe = ctrs.length)
         .orderBy("q_id", "rank")
     }),
+    "q_ann_recall" -> ((s, dir) => {
+      // recall@5 of 1-probe IVF vs exhaustive probing over the SAME
+      // pinned index — the ANN acceptance metric, end-to-end
+      // deterministic; DuckDB re-derives both retrievals (cell-pruned
+      // and exhaustive) and the per-query intersection
+      val ctrs = emb(s, dir).where(F.col("vec_id") < 8)
+        .select(F.col("vec_id"), F.col("embedding")).collect()
+        .sortBy(_.getLong(0))
+        .map { r =>
+          val e = r.getSeq[Float](1).toArray
+          var ss = 0.0
+          e.foreach(x => ss += x.toDouble * x.toDouble)
+          val n = math.sqrt(ss)
+          e.map(_.toDouble / n)
+        }
+      val idx = Similarity.ivfBuildWith(emb(s, dir), "embedding",
+        "vec_id", ctrs)
+      val queries = emb(s, dir).where(F.col("vec_id") < 20)
+      val approx = Similarity.ivfKnnJoin(idx, queries, "embedding",
+        "vec_id", k = 5, nProbe = 1)
+      val exact = Similarity.ivfKnnJoin(idx, queries, "embedding",
+        "vec_id", k = 5, nProbe = ctrs.length)
+      Evaluation.recallAtK(approx, exact, "q_id", "c_id")
+        .orderBy("q_id")
+    }),
     "q_ann_ivf" -> ((s, dir) => {
       // IVF coarse-quantizer ANN: build index, probe 8 cells, exact rank
       val q = emb(s, dir).where(F.col("vec_id") === 0)
@@ -4378,6 +4403,52 @@ object SparkEntry {
         |    ORDER BY cosine DESC, c_id) AS rk FROM p)
         |SELECT q_id, c_id, cosine, CAST(rk AS BIGINT) AS rank
         |FROM r WHERE rk <= 5 ORDER BY q_id, rank""".stripMargin,
+    // Recall@5: both retrievals re-derived (the approx one candidates
+    // only within the query's argmin cell; the exact one over all
+    // vectors), then the per-query intersection.
+    "q_ann_recall" ->
+      """WITH nrm AS (SELECT vec_id, list_transform(range(64), d ->
+        |    CAST(embedding[d+1] AS DOUBLE) / sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) *
+        |        CAST(embedding[i+1] AS DOUBLE))), (a, c) -> a + c))) AS ne
+        |  FROM embeddings),
+        |ctr AS (SELECT vec_id AS cid, ne AS ce FROM nrm WHERE vec_id < 8),
+        |asg AS (SELECT n.vec_id, n.ne, c.cid,
+        |    list_reduce(list_prepend(0.0, list_transform(range(64), j ->
+        |      (n.ne[j+1] - c.ce[j+1]) * (n.ne[j+1] - c.ce[j+1]))),
+        |      (a, b) -> a + b) AS dist
+        |  FROM nrm n CROSS JOIN ctr c
+        |  QUALIFY row_number() OVER (PARTITION BY n.vec_id
+        |    ORDER BY dist, c.cid) = 1),
+        |q AS (SELECT vec_id AS q_id, ne AS qe, cid AS qcell
+        |  FROM asg WHERE vec_id < 20),
+        |px AS (SELECT q.q_id, n.vec_id AS c_id,
+        |    round_even(list_reduce(list_prepend(0.0, list_transform(range(64),
+        |      d -> q.qe[d+1] * n.ne[d+1])), (x, y) -> x + y)
+        |      * 1000000.0, 0) / 1000000.0 AS cosine
+        |  FROM q CROSS JOIN nrm n),
+        |rx AS (SELECT q_id, c_id FROM (SELECT q_id, c_id, row_number()
+        |    OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+        |  FROM px) WHERE rk <= 5),
+        |pa AS (SELECT q.q_id, a.vec_id AS c_id,
+        |    round_even(list_reduce(list_prepend(0.0, list_transform(range(64),
+        |      d -> q.qe[d+1] * a.ne[d+1])), (x, y) -> x + y)
+        |      * 1000000.0, 0) / 1000000.0 AS cosine
+        |  FROM q JOIN asg a ON a.cid = q.qcell),
+        |ra AS (SELECT q_id, c_id FROM (SELECT q_id, c_id, row_number()
+        |    OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+        |  FROM pa) WHERE rk <= 5),
+        |h AS (SELECT ra.q_id, CAST(count(*) AS BIGINT) AS hits
+        |  FROM ra JOIN rx ON ra.q_id = rx.q_id AND ra.c_id = rx.c_id
+        |  GROUP BY ra.q_id),
+        |kx AS (SELECT q_id, CAST(count(*) AS BIGINT) AS k_exact
+        |  FROM rx GROUP BY q_id)
+        |SELECT kx.q_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+        |  kx.k_exact,
+        |  round(CAST(coalesce(h.hits, 0) AS DOUBLE) / kx.k_exact, 6)
+        |    AS recall
+        |FROM kx LEFT JOIN h ON kx.q_id = h.q_id
+        |ORDER BY kx.q_id""".stripMargin,
     // SemDeDup with pinned centroids: normalize → argmin-assign (lowest
     // cid wins ties, mirroring the strict-< scan) → within-cell pairwise
     // dot, every step the same left-to-right double arithmetic

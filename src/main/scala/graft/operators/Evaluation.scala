@@ -150,6 +150,27 @@ object Evaluation {
         F.countDistinct("__b").as("n_b"))
   }
 
+  /** Recall@k of an approximate top-k retrieval against the exact one
+    * — the acceptance metric for every ANN/IVF/LSH configuration
+    * decision ("is nProbe = 1 good enough?"). Per query:
+    * |approx ∩ exact| / |exact|. Two id-only frames join on
+    * (query, id) — payloads never move; queries the approx run missed
+    * entirely still appear (hits 0) via the exact side's left join.
+    *
+    * @return one row per query: (queryCol, hits, k_exact, recall) */
+  def recallAtK(approx: DataFrame, exact: DataFrame, queryCol: String,
+                idCol: String): DataFrame = {
+    val hits = approx.select(F.col(queryCol), F.col(idCol))
+      .join(exact.select(F.col(queryCol), F.col(idCol)),
+        Seq(queryCol, idCol))
+      .groupBy(F.col(queryCol)).agg(F.count(F.lit(1)).as("hits"))
+    exact.groupBy(F.col(queryCol)).agg(F.count(F.lit(1)).as("k_exact"))
+      .join(hits, Seq(queryCol), "left")
+      .withColumn("hits", F.coalesce(F.col("hits"), F.lit(0L)))
+      .withColumn("recall", F.round(
+        F.col("hits").cast("double") / F.col("k_exact"), 6))
+  }
+
   /** Categorical concentration profile per group — the data-card
     * summary of a label/domain/source column within each segment:
     *

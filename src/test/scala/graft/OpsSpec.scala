@@ -510,6 +510,18 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m2.centroids.flatten.toSeq == m.centroids.flatten.toSeq)
   }
 
+  test("recallAtK intersects per query and zero-fills missed queries") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L)).toDF("q", "id")
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L)).toDF("q", "id")
+    val out = Evaluation.recallAtK(approx, exact, "q", "id")
+      .collect().map(r => r.getAs[Long]("q") ->
+        (r.getAs[Long]("hits"), r.getAs[Double]("recall"))).toMap
+    assert(out(1L) == ((2L, math.rint(2.0 / 3.0 * 1e6) / 1e6)))
+    assert(out(2L) == ((0L, 0.0)))  // approx returned nothing for q=2
+  }
+
   test("aucByGroup ranks per group and omits single-class groups") {
     import spark.implicits._
     val df = Seq(
