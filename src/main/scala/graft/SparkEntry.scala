@@ -2323,6 +2323,16 @@ object SparkEntry {
             F.col("l_quantity"),
             (F.col("l_returnflag") =!= "N").as("ev")),
         "l_quantity", "ev", "cohort")),
+    "q_rmst" -> ((s, dir) =>
+      // restricted mean survival time to tau = 30 per line status —
+      // the area under the K-M curve; the 6-rounded survival feeds the
+      // area so DuckDB replays the step integral exactly
+      Survival.rmstByGroup(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select(F.col("l_linestatus"), F.col("l_quantity"),
+            (F.col("l_returnflag") =!= "N").as("ev")),
+        "l_quantity", "ev", Seq("l_linestatus"), tau = 30.0)
+        .orderBy("l_linestatus")),
     "q_hazard_rates" -> ((s, dir) =>
       // piecewise-exponential rates from the Nelson-Aalen increments —
       // the nonparametric→parametric bridge; pure ratio-of-integer
@@ -6572,6 +6582,45 @@ object SparkEntry {
         |  CAST(len(string_split(enc, ' ')) AS BIGINT) AS n_pieces,
         |  CAST(wc AS BIGINT) AS wc
         |FROM s3 ORDER BY token""".stripMargin,
+    // Replays the K-M step integral: the q_km_curve survival frame
+    // truncated at tau, lag windows for the step widths, the tail term
+    // from the last curve point.
+    "q_rmst" ->
+      """WITH base AS (SELECT l_linestatus AS g,
+        |    CAST(l_quantity AS DOUBLE) AS t,
+        |    (l_returnflag <> 'N') AS e
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND CAST(l_quantity AS DOUBLE) >= 0.0
+        |    AND l_returnflag IS NOT NULL),
+        |cells AS (SELECT g, t,
+        |    CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY g, t),
+        |w AS (SELECT g, t, d, c,
+        |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT)
+        |      - CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS BIGINT) AS nr
+        |  FROM cells),
+        |s AS (SELECT g, t,
+        |    round(CASE WHEN d = nr THEN 0.0
+        |      ELSE exp(sum(CASE WHEN d = nr THEN 0.0
+        |        ELSE ln(1.0 - CAST(d AS DOUBLE) / nr) END)
+        |        OVER (PARTITION BY g ORDER BY t ROWS BETWEEN
+        |          UNBOUNDED PRECEDING AND CURRENT ROW)) END, 6) AS surv
+        |  FROM w),
+        |trunc AS (SELECT g, t, surv,
+        |    coalesce(lag(t) OVER (PARTITION BY g ORDER BY t), 0.0) AS tp,
+        |    coalesce(lag(surv) OVER (PARTITION BY g ORDER BY t), 1.0)
+        |      AS sp
+        |  FROM s WHERE t <= 30.0)
+        |SELECT g AS l_linestatus, 30.0 AS tau,
+        |  round(sum(sp * (t - tp))
+        |    + arg_max(surv, t) * (30.0 - max(t)), 6) AS rmst,
+        |  count(*) AS n_times
+        |FROM trunc GROUP BY g ORDER BY l_linestatus""".stripMargin,
     // Replays the Nelson–Aalen-increment piecewise rates: the same
     // at-risk window as q_km_hazard plus a lag for interval starts.
     "q_hazard_rates" ->

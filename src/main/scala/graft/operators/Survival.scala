@@ -348,6 +348,43 @@ object Survival {
           .otherwise(F.lit(null).cast("double")).as("rate")): _*)
   }
 
+  /** Restricted mean survival time per group: the area under the K-M
+    * curve up to the horizon τ,
+    *
+    *   RMST(τ) = Σ_{tᵢ ≤ τ} S(tᵢ₋₁)·(tᵢ − tᵢ₋₁) + S(t_last)·(τ − t_last),
+    *
+    * with S(t₀ = 0) = 1 — "expected survival time within the first τ
+    * units", the robust effect measure when median survival is
+    * undefined (heavy censoring) and the standard reporting companion
+    * to a hazard ratio. One [[kmByGroup]] pass + lag windows per group
+    * over the curve frame; the 6-rounded survival feeds the area so the
+    * replay is exact. Groups with no observed time ≤ τ are omitted
+    * (their curve is flat at 1 through τ).
+    *
+    * @return one row per group: (groupCols..., tau, rmst, n_times),
+    *         rmst rounded to 6 */
+  def rmstByGroup(df: DataFrame, durationCol: String, eventCol: String,
+                  groupCols: Seq[String], tau: Double): DataFrame = {
+    require(tau > 0.0, "tau must be positive")
+    val gCols = groupCols.map(F.col)
+    val km = kmByGroup(df, durationCol, eventCol, groupCols)
+      .where(F.col("t") <= tau)
+    val wOrd = Window.partitionBy(gCols: _*).orderBy("t")
+    km
+      .withColumn("__tp", F.coalesce(F.lag("t", 1).over(wOrd), F.lit(0.0)))
+      .withColumn("__sp",
+        F.coalesce(F.lag("survival", 1).over(wOrd), F.lit(1.0)))
+      .groupBy(gCols: _*)
+      .agg(
+        F.round(
+          F.sum(F.col("__sp") * (F.col("t") - F.col("__tp"))) +
+            F.max_by(F.col("survival"), F.col("t")) *
+              (F.lit(tau) - F.max(F.col("t"))), 6).as("rmst"),
+        F.count(F.lit(1)).as("n_times"))
+      .select(gCols ++ Seq(F.lit(tau).as("tau"), F.col("rmst"),
+        F.col("n_times")): _*)
+  }
+
   /** A fitted Cox proportional-hazards model: per-feature coefficient,
     * hazard ratio e^β, standard error (inverse-information diagonal),
     * plus the Breslow partial log-likelihood at β and at β = 0. */

@@ -282,6 +282,22 @@ class StatTestsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scores(1) == 1.0)
   }
 
+  test("rmstByGroup integrates the worked K-M curve") {
+    import spark.implicits._
+    // S steps: 1 on [0,1), .8 on [1,2), .6 on [2,4), .3 on [4,5);
+    // τ = 4.5 → 1 + .8 + .6·2 + .3·.5 = 3.15
+    val df = Seq((1.0, true), (2.0, true), (3.0, false), (4.0, true),
+      (5.0, false)).map { case (t, e) => ("g", t, e) }
+      .toDF("g", "t", "e")
+    val r = Survival.rmstByGroup(df, "t", "e", Seq("g"), tau = 4.5).head()
+    assert(math.abs(r.getAs[Double]("rmst") - 3.15) < 1e-9)
+    assert(r.getAs[Double]("tau") == 4.5)
+    // τ beyond the last time extends the final level: τ = 6 →
+    // 1 + .8 + 1.2 + .3 + .3·(6−5) = 3.6  (S stays .3 at t = 5)
+    val r6 = Survival.rmstByGroup(df, "t", "e", Seq("g"), tau = 6.0).head()
+    assert(math.abs(r6.getAs[Double]("rmst") - 3.6) < 1e-9)
+  }
+
   test("piecewiseExpByGroup emits Nelson–Aalen increment rates") {
     import spark.implicits._
     // same worked example as naByGroup: increments 0.2, 0.25, 0, 0.5, 0
