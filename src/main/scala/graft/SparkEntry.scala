@@ -2604,6 +2604,19 @@ object SparkEntry {
           tokenRegex = "^[a-z]+$")
         .orderBy("token")
     }),
+    "q_cox_baseline" -> ((s, dir) => {
+      // Breslow baseline cumulative hazard at the q_cox_ph fit — the
+      // absolute-risk curve S0(t) whose riskScore power gives
+      // per-subject survival predictions; two prefix-sum fold passes,
+      // no global window even with all-distinct durations
+      val d = li(s, dir).where(F.col("l_orderkey") < 100000)
+        .select(F.col("l_quantity"),
+          (F.col("l_returnflag") =!= "N").as("ev"), F.col("l_discount"))
+      val m = Survival.coxPH(d, "l_quantity", "ev", Seq("l_discount"),
+        iters = 3)
+      Survival.baselineHazard(d, "l_quantity", "ev", m)
+        .orderBy("t")
+    }),
     "q_cox_ph" -> ((s, dir) => {
       // Cox proportional hazards (Breslow ties, 3 fixed Newton steps
       // from β=0 + one information/log-lik pass): does discount drive
@@ -3082,6 +3095,74 @@ object SparkEntry {
     * only exp() ULPs differ (absorbed by the caller's rounding). Used
     * by the Mann–Whitney oracle to replay normal-approximation
     * p-values without a native SQL erfc. */
+  /** Shared q_cox_ph Newton-iteration CTEs (base data, three
+    * chained steps ending at b3 = the fitted beta) - reused by the
+    * baseline-hazard replay. */
+  private val coxPh1NewtonSql: String =
+    """WITH base AS (SELECT CAST(l_quantity AS DOUBLE) AS t,
+        |    (l_returnflag <> 'N') AS e,
+        |    CAST(l_discount AS DOUBLE) AS x
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND CAST(l_quantity AS DOUBLE) >= 0.0
+        |    AND l_returnflag IS NOT NULL
+        |    AND l_discount IS NOT NULL
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE))),
+        |c1 AS (SELECT t, sum(CASE WHEN e THEN 1 ELSE 0 END) AS d,
+        |    sum(CASE WHEN e THEN x ELSE 0.0 END) AS s,
+        |    sum(exp(0.0 * x)) AS r0, sum(x * exp(0.0 * x)) AS r1,
+        |    sum(x * x * exp(0.0 * x)) AS r2
+        |  FROM base GROUP BY t),
+        |w1 AS (SELECT t, d, s,
+        |    sum(r0) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS m0,
+        |    sum(r1) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS m1,
+        |    sum(r2) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS m2
+        |  FROM c1),
+        |n1 AS (SELECT sum(s - d * m1 / m0) AS u,
+        |    sum(d * (m2 / m0 - (m1 / m0) * (m1 / m0))) AS i,
+        |    sum(0.0 * s - d * ln(m0)) AS ll0 FROM w1 WHERE d > 0),
+        |b1 AS (SELECT u / i AS b FROM n1),
+        |c2 AS (SELECT t, any_value(b.b) AS pb,
+        |    sum(CASE WHEN e THEN 1 ELSE 0 END) AS d,
+        |    sum(CASE WHEN e THEN x ELSE 0.0 END) AS s,
+        |    sum(exp(b.b * x)) AS r0, sum(x * exp(b.b * x)) AS r1,
+        |    sum(x * x * exp(b.b * x)) AS r2
+        |  FROM base CROSS JOIN b1 b GROUP BY t),
+        |w2 AS (SELECT t, d, s, pb,
+        |    sum(r0) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS m0,
+        |    sum(r1) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS m1,
+        |    sum(r2) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS m2
+        |  FROM c2),
+        |n2 AS (SELECT any_value(pb) AS pb, sum(s - d * m1 / m0) AS u,
+        |    sum(d * (m2 / m0 - (m1 / m0) * (m1 / m0))) AS i
+        |  FROM w2 WHERE d > 0),
+        |b2 AS (SELECT pb + u / i AS b FROM n2),
+        |c3 AS (SELECT t, any_value(b.b) AS pb,
+        |    sum(CASE WHEN e THEN 1 ELSE 0 END) AS d,
+        |    sum(CASE WHEN e THEN x ELSE 0.0 END) AS s,
+        |    sum(exp(b.b * x)) AS r0, sum(x * exp(b.b * x)) AS r1,
+        |    sum(x * x * exp(b.b * x)) AS r2
+        |  FROM base CROSS JOIN b2 b GROUP BY t),
+        |w3 AS (SELECT t, d, s, pb,
+        |    sum(r0) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS m0,
+        |    sum(r1) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS m1,
+        |    sum(r2) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS m2
+        |  FROM c3),
+        |n3 AS (SELECT any_value(pb) AS pb, sum(s - d * m1 / m0) AS u,
+        |    sum(d * (m2 / m0 - (m1 / m0) * (m1 / m0))) AS i
+        |  FROM w3 WHERE d > 0),
+        |b3 AS (SELECT pb + u / i AS b FROM n3),""".stripMargin
+
   private def codyErfcSql(y: String): String = {
     val z = s"($y * $y)"
     val num1 = s"((((1.85777706184603153e-1 * $z + 3.16112374387056560) * $z" +
@@ -6655,70 +6736,31 @@ object SparkEntry {
     // score u = Σ(s − d·m1/m0) and information i = Σ d·(m2/m0 −
     // (m1/m0)²) over event times, β' = β + u/i — then a final pass at
     // β₃ for the observed information (→ SE) and the log-likelihood.
+    // The baseline-hazard replay: the shared Newton CTEs give b3, then
+    // one more cells pass at the fitted beta, the t-DESC m0 suffix
+    // window, and the ascending d/m0 cumulative — h0 per event time,
+    // s0 = exp(−H0) at the UNROUNDED running sum.
+    "q_cox_baseline" ->
+      (coxPh1NewtonSql + """
+        |cb AS (SELECT t, sum(CASE WHEN e THEN 1 ELSE 0 END) AS d,
+        |    sum(exp(b.b * x)) AS r0
+        |  FROM base CROSS JOIN b3 b GROUP BY t),
+        |wb AS (SELECT t, d,
+        |    sum(r0) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS m0
+        |  FROM cb),
+        |hb AS (SELECT t, d,
+        |    sum(CASE WHEN d > 0 AND m0 > 0.0
+        |      THEN CAST(d AS DOUBLE) / m0 ELSE 0.0 END)
+        |      OVER (ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND CURRENT ROW) AS h
+        |  FROM wb)
+        |SELECT t, CAST(d AS BIGINT) AS n_event,
+        |  round_even(h * 1000000.0, 0) / 1000000.0 AS h0,
+        |  round_even(exp(-h) * 1000000.0, 0) / 1000000.0 AS s0
+        |FROM hb WHERE d > 0 ORDER BY t""".stripMargin),
     "q_cox_ph" ->
-      """WITH base AS (SELECT CAST(l_quantity AS DOUBLE) AS t,
-        |    (l_returnflag <> 'N') AS e,
-        |    CAST(l_discount AS DOUBLE) AS x
-        |  FROM lineitem WHERE l_orderkey < 100000
-        |    AND l_quantity IS NOT NULL
-        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
-        |    AND CAST(l_quantity AS DOUBLE) >= 0.0
-        |    AND l_returnflag IS NOT NULL
-        |    AND l_discount IS NOT NULL
-        |    AND NOT isnan(CAST(l_discount AS DOUBLE))),
-        |c1 AS (SELECT t, sum(CASE WHEN e THEN 1 ELSE 0 END) AS d,
-        |    sum(CASE WHEN e THEN x ELSE 0.0 END) AS s,
-        |    sum(exp(0.0 * x)) AS r0, sum(x * exp(0.0 * x)) AS r1,
-        |    sum(x * x * exp(0.0 * x)) AS r2
-        |  FROM base GROUP BY t),
-        |w1 AS (SELECT t, d, s,
-        |    sum(r0) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
-        |      PRECEDING AND CURRENT ROW) AS m0,
-        |    sum(r1) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
-        |      PRECEDING AND CURRENT ROW) AS m1,
-        |    sum(r2) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
-        |      PRECEDING AND CURRENT ROW) AS m2
-        |  FROM c1),
-        |n1 AS (SELECT sum(s - d * m1 / m0) AS u,
-        |    sum(d * (m2 / m0 - (m1 / m0) * (m1 / m0))) AS i,
-        |    sum(0.0 * s - d * ln(m0)) AS ll0 FROM w1 WHERE d > 0),
-        |b1 AS (SELECT u / i AS b FROM n1),
-        |c2 AS (SELECT t, any_value(b.b) AS pb,
-        |    sum(CASE WHEN e THEN 1 ELSE 0 END) AS d,
-        |    sum(CASE WHEN e THEN x ELSE 0.0 END) AS s,
-        |    sum(exp(b.b * x)) AS r0, sum(x * exp(b.b * x)) AS r1,
-        |    sum(x * x * exp(b.b * x)) AS r2
-        |  FROM base CROSS JOIN b1 b GROUP BY t),
-        |w2 AS (SELECT t, d, s, pb,
-        |    sum(r0) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
-        |      PRECEDING AND CURRENT ROW) AS m0,
-        |    sum(r1) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
-        |      PRECEDING AND CURRENT ROW) AS m1,
-        |    sum(r2) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
-        |      PRECEDING AND CURRENT ROW) AS m2
-        |  FROM c2),
-        |n2 AS (SELECT any_value(pb) AS pb, sum(s - d * m1 / m0) AS u,
-        |    sum(d * (m2 / m0 - (m1 / m0) * (m1 / m0))) AS i
-        |  FROM w2 WHERE d > 0),
-        |b2 AS (SELECT pb + u / i AS b FROM n2),
-        |c3 AS (SELECT t, any_value(b.b) AS pb,
-        |    sum(CASE WHEN e THEN 1 ELSE 0 END) AS d,
-        |    sum(CASE WHEN e THEN x ELSE 0.0 END) AS s,
-        |    sum(exp(b.b * x)) AS r0, sum(x * exp(b.b * x)) AS r1,
-        |    sum(x * x * exp(b.b * x)) AS r2
-        |  FROM base CROSS JOIN b2 b GROUP BY t),
-        |w3 AS (SELECT t, d, s, pb,
-        |    sum(r0) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
-        |      PRECEDING AND CURRENT ROW) AS m0,
-        |    sum(r1) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
-        |      PRECEDING AND CURRENT ROW) AS m1,
-        |    sum(r2) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
-        |      PRECEDING AND CURRENT ROW) AS m2
-        |  FROM c3),
-        |n3 AS (SELECT any_value(pb) AS pb, sum(s - d * m1 / m0) AS u,
-        |    sum(d * (m2 / m0 - (m1 / m0) * (m1 / m0))) AS i
-        |  FROM w3 WHERE d > 0),
-        |b3 AS (SELECT pb + u / i AS b FROM n3),
+      (coxPh1NewtonSql + """
         |cf AS (SELECT t, any_value(b.b) AS pb,
         |    sum(CASE WHEN e THEN 1 ELSE 0 END) AS d,
         |    sum(CASE WHEN e THEN x ELSE 0.0 END) AS s,
@@ -6746,7 +6788,7 @@ object SparkEntry {
         |  round_even(nf.ll * 100.0, 0) / 100.0 AS ll_r,
         |  round_even((SELECT ll0 FROM n1) * 100.0, 0) / 100.0 AS ll0_r,
         |  nn.n, nn.ne AS n_events
-        |FROM b3, nf, nn""".stripMargin,
+        |FROM b3, nf, nn""".stripMargin),
     // Replays the grouped closed-form fit on the parity halves and the
     // same KL arithmetic shape (ln + squared-difference ratio).
     "q_fit_drift" ->

@@ -412,6 +412,87 @@ object Survival {
     }
   }
 
+  /** Breslow baseline cumulative hazard for a fitted [[CoxModel]] —
+    * the absolute-risk completion of the relative-hazard fit:
+    *
+    *   H₀(t) = Σ_{tᵢ ≤ t} d(tᵢ) / Σ_{tⱼ ≥ tᵢ} e^{xⱼᵀβ},
+    *   S₀(t) = exp(−H₀(t)),   S(t|x) = S₀(t)^exp(xᵀβ),
+    *
+    * so `riskScore` turns the returned curve into a per-subject
+    * survival prediction. Scale shape: ONE groupBy(t) cells aggregation
+    * (β as literals), then TWO prefix-sum fold passes over the
+    * range-partitioned cells — pass 1 computes per-partition (Σd/m₀)
+    * with the risk-set suffix m₀ seeded by broadcast r₀ offsets, pass 2
+    * emits rows with the H₀ running sum seeded by the pass-1 offsets.
+    * Driver traffic O(#partitions); no global window even when every
+    * duration is distinct.
+    *
+    * @return one row per distinct event time: (t, n_event, h0, s0),
+    *         h0/s0 rounded to 6 */
+  def baselineHazard(df: DataFrame, durationCol: String,
+                     eventCol: String, model: CoxModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val xs = model.features.map(c => F.col(c).cast("double"))
+    val okX = xs.map(c => c.isNotNull && !F.isnan(c)).reduce(_ && _)
+    val xb = model.features.indices.foldLeft(F.lit(0.0)) {
+      case (acc, i) => acc + xs(i) * model.beta(i)
+    }
+    val cells = df
+      .where(F.col(durationCol).cast("double").isNotNull &&
+        !F.isnan(F.col(durationCol).cast("double")) &&
+        F.col(durationCol).cast("double") >= 0.0 &&
+        F.col(eventCol).cast("boolean").isNotNull && okX)
+      .groupBy(F.col(durationCol).cast("double").as("t"))
+      .agg(F.sum(F.when(F.col(eventCol).cast("boolean"), 1L)
+          .otherwise(0L)).as("d"),
+        F.sum(F.exp(xb)).as("r0"))
+    val sorted = cells
+      .repartitionByRange(F.col("t")).sortWithinPartitions("t")
+      .as[(Double, Long, Double)].rdd
+    sorted.cache()
+    try {
+      val partSums = sorted.mapPartitionsWithIndex { case (i, it) =>
+        var r = 0.0
+        it.foreach(row => r += row._3)
+        Iterator((i, r))
+      }.collect().sortBy(_._1)
+      val totR0 = partSums.map(_._2).sum
+      val offR0 = partSums.map(_._2).scanLeft(0.0)(_ + _)
+      val bcR0 = spark.sparkContext.broadcast(offR0)
+      // pass 1: per-partition Σ d/m0 (m0 = suffix r0 = tot − prefix)
+      val hSums = sorted.mapPartitionsWithIndex { case (i, it) =>
+        var pre = bcR0.value(i)
+        var h = 0.0
+        it.foreach { case (_, d, r0) =>
+          val m0 = totR0 - pre
+          if (d > 0L && m0 > 0.0) h += d.toDouble / m0
+          pre += r0
+        }
+        Iterator((i, h))
+      }.collect().sortBy(_._1)
+      val offH = hSums.map(_._2).scanLeft(0.0)(_ + _)
+      val bcH = spark.sparkContext.broadcast(offH)
+      // pass 2: emit the curve rows with seeded running sums
+      val rows = sorted.mapPartitionsWithIndex { case (i, it) =>
+        var pre = bcR0.value(i)
+        var h = bcH.value(i)
+        it.flatMap { case (t, d, r0) =>
+          val m0 = totR0 - pre
+          pre += r0
+          if (d > 0L && m0 > 0.0) {
+            h += d.toDouble / m0
+            Some((t, d, math.rint(h * 1e6) / 1e6,
+              math.rint(math.exp(-h) * 1e6) / 1e6))
+          } else None
+        }
+      }
+      // materialize before the cache releases: the lazy frame would
+      // otherwise re-run the range shuffle on first use
+      rows.toDF("t", "n_event", "h0", "s0").localCheckpoint(true)
+    } finally sorted.unpersist(blocking = false)
+  }
+
   /** Cox proportional hazards (Breslow ties) by fixed Newton steps —
     * the semi-parametric rung above [[logRank]]: WHICH covariate drives
     * the hazard, not just whether two curves differ. The Breslow

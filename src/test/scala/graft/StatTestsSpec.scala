@@ -345,6 +345,24 @@ class StatTestsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (-0.8341151943524 / 1.2299238878)) < 1e-8)
   }
 
+  test("baselineHazard accumulates Breslow increments at the fitted beta") {
+    import spark.implicits._
+    // same fit as the MLE test: e^β = 0.434259; H₀ increments
+    // 1/(3e^β+2), 1/(2e^β+2), 1/(1+e^β) at t = 1, 2, 4
+    val df = Seq((1.0, true, 1.0), (2.0, true, 0.0), (3.0, false, 1.0),
+      (4.0, true, 0.0), (5.0, false, 1.0)).toDF("t", "e", "x")
+    val m = Survival.coxPH(df, "t", "e", Seq("x"), iters = 4)
+    val curve = Survival.baselineHazard(df, "t", "e", m)
+      .orderBy("t").collect()
+    assert(curve.map(_.getAs[Double]("t")).toSeq == Seq(1.0, 2.0, 4.0))
+    val h0 = curve.map(_.getAs[Double]("h0"))
+    assert(math.abs(h0(0) - 0.302776) < 1e-6)
+    assert(math.abs(h0(1) - 0.651388) < 1e-6)
+    assert(math.abs(h0(2) - 1.348612) < 1e-6)
+    assert(math.abs(curve(2).getAs[Double]("s0") - 0.2596) < 1e-6)
+    assert(curve.map(_.getAs[Long]("n_event")).toSeq == Seq(1L, 1L, 1L))
+  }
+
   test("coxPH solves the two-covariate system (Gram path)") {
     import spark.implicits._
     // independently Newton-iterated by hand: β = (−1.26753618,
