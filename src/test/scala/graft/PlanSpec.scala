@@ -404,4 +404,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan.indexOf("SinglePartition") > plan.indexOf("HashAggregate"),
       plan.take(1500))
   }
+
+  test("q_ks_by_group: the ECDF windows stay partitioned by group") {
+    val plan = physicalPlan("q_ks_by_group")
+    assert(!plan.contains("SinglePartition") ||
+      plan.indexOf("SinglePartition") > plan.indexOf("HashAggregate"),
+      plan.take(1500))
+  }
 }
