@@ -231,6 +231,14 @@ object GroupedFit {
       F.sum(x * x).as("sxx"),
       F.sum(F.when(x =!= F.floor(x), 1L).otherwise(0L)).as("nonint"),
       F.sum(lgUdf(x)).as("slg"))
+    finalizeDiscrete(agged, groupCols)
+  }
+
+  /** The discrete family algebra shared by [[fitDiscreteByGroup]] and
+    * [[fitDiscreteFromPartials]]: expects one row per group with
+    * (n, m, mn, sx, sxx, nonint, slg). */
+  private def finalizeDiscrete(agged: DataFrame,
+                               groupCols: Seq[String]): DataFrame = {
     val n = F.col("n").cast("double")
     val m = F.col("m")
     def fam(name: String, valid: Column, p: Column, ll: Column): Column =
@@ -261,6 +269,49 @@ object GroupedFit {
         F.col("f.parameters").as("parameters") :+
         F.col("f.loglik").as("loglik") :+
         F.col("f.aic").as("aic") :+ F.col("f.bic").as("bic"): _*)
+  }
+
+  /** Discrete counterpart of [[fitPartialsByGroup]]: mergeable per-group
+    * state for the bernoulli/geom/poisson closed forms. */
+  def fitDiscretePartialsByGroup(df: DataFrame, valueCol: String,
+                                 groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val v = F.col(valueCol).cast("double")
+    val clean = df.where(v.isNotNull && !F.isnan(v))
+      .select(groupCols.map(F.col) :+ v.as("__v"): _*)
+    val x = F.col("__v")
+    val lgUdf = F.udf((v: Double) => graft.functions.SpecialMath.lgamma(v + 1.0))
+    clean.groupBy(groupCols.map(F.col): _*).agg(
+      F.count(F.lit(1)).as("pn"),
+      F.sum(x).as("psx"),
+      F.sum(x * x).as("psxx"),
+      F.min(x).as("pmn"),
+      F.sum(F.when(x =!= F.floor(x), 1L).otherwise(0L)).as("pnonint"),
+      F.sum(lgUdf(x)).as("pslg"))
+  }
+
+  /** Merge unioned [[fitDiscretePartialsByGroup]] tables. */
+  def mergeDiscreteFitPartials(partials: DataFrame,
+                               groupCols: Seq[String]): DataFrame =
+    partials.groupBy(groupCols.map(F.col): _*).agg(
+      F.sum("pn").as("pn"), F.sum("psx").as("psx"),
+      F.sum("psxx").as("psxx"), F.min("pmn").as("pmn"),
+      F.sum("pnonint").as("pnonint"), F.sum("pslg").as("pslg"))
+
+  /** Finalize merged discrete partials into the [[fitDiscreteByGroup]]
+    * output schema. */
+  def fitDiscreteFromPartials(partials: DataFrame,
+                              groupCols: Seq[String]): DataFrame = {
+    val pn = F.col("pn").cast("double")
+    val agged = partials.select(groupCols.map(F.col) ++ Seq(
+      F.col("pn").as("n"),
+      (F.col("psx") / pn).as("m"),
+      F.col("pmn").as("mn"),
+      F.col("psx").as("sx"),
+      F.col("psxx").as("sxx"),
+      F.col("pnonint").as("nonint"),
+      F.col("pslg").as("slg")): _*)
+    finalizeDiscrete(agged, groupCols)
   }
 
   /** FREQUENCY-WEIGHTED [[fitByGroup]]: each row counts `weightCol`

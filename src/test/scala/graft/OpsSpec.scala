@@ -756,6 +756,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("GroupedFit discrete partials: split-merge-finalize matches one-shot") {
+    import spark.implicits._
+    val df = (1 to 300).map { i =>
+      (if (i % 3 == 0) "b" else "p",
+        if (i % 3 == 0) (i % 2).toDouble else (i % 7).toDouble)
+    }.toDF("g", "v")
+    def fp(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getAs[String]("distribution")) ->
+        (r.getAs[scala.collection.Seq[Double]]("parameters").toList,
+          r.getAs[Double]("aic"))
+    val whole = GroupedFit.fitDiscreteByGroup(df, "v", Seq("g"))
+      .collect().map(fp).toMap
+    val parts = GroupedFit.fitDiscretePartialsByGroup(
+        df.where(F.col("v") < 3.0), "v", Seq("g"))
+      .unionByName(GroupedFit.fitDiscretePartialsByGroup(
+        df.where(F.col("v") >= 3.0), "v", Seq("g")))
+    val inc = GroupedFit.fitDiscreteFromPartials(
+        GroupedFit.mergeDiscreteFitPartials(parts, Seq("g")), Seq("g"))
+      .collect().map(fp).toMap
+    assert(inc.keySet == whole.keySet && whole.nonEmpty)
+    whole.foreach { case (key, (ps, aic)) =>
+      val (ips, iaic) = inc(key)
+      ps.zip(ips).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-10, s"$key param $a vs $b") }
+      assert(math.abs(aic - iaic) < 1e-7, s"$key aic $aic vs $iaic")
+    }
+  }
+
   test("GroupedFit: sufficient-statistic fits per group, closed-form AIC") {
     import spark.implicits._
     val a = (1 to 100).map(i => ("a", math.exp(0.01 * i)))
