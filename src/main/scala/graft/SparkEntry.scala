@@ -2467,6 +2467,19 @@ object SparkEntry {
           tieBreakCols = Seq("event_id"))
         .select(F.col("event_id"), F.col("delta_ts"))
         .orderBy("event_id")),
+    "q_target_encode" -> ((s, dir) =>
+      // target encoding of line status against the returned-flag label:
+      // smoothed (m-estimate) and leave-one-out variants — category
+      // table broadcast back, no row shuffle
+      Features.targetEncode(
+        li(s, dir).where(F.col("l_orderkey") < 50000)
+          .select(F.col("l_orderkey"), F.col("l_linenumber"),
+            F.col("l_linestatus"),
+            (F.col("l_returnflag") === "R").cast("double").as("y")),
+        "l_linestatus", "y", smoothing = 20.0)
+        .select(F.col("l_orderkey"), F.col("l_linenumber"),
+          F.col("te_smooth"), F.col("te_loo"))
+        .orderBy("l_orderkey", "l_linenumber")),
     "q_ewma" -> ((s, dir) =>
       // per-user EWMA (alpha = 0.2) via the secondary-sort scan — the
       // recurrence no window frame can express; DuckDB replays the
@@ -6219,6 +6232,20 @@ object SparkEntry {
         |  tns - lag(tns) OVER (PARTITION BY user_id
         |    ORDER BY tns, event_id) AS delta_ts
         |FROM e ORDER BY event_id""".stripMargin,
+    "q_target_encode" ->
+      """WITH base AS (SELECT l_orderkey, l_linenumber, l_linestatus,
+        |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM lineitem WHERE l_orderkey < 50000),
+        |p AS (SELECT avg(y) AS prior FROM base),
+        |c AS (SELECT l_linestatus AS cat,
+        |    CAST(count(*) AS BIGINT) AS cn, sum(y) AS cs
+        |  FROM base GROUP BY 1)
+        |SELECT b.l_orderkey, b.l_linenumber,
+        |  round((c.cs + 20.0 * p.prior) / (c.cn + 20.0), 6) AS te_smooth,
+        |  CASE WHEN c.cn > 1
+        |    THEN round((c.cs - b.y) / (c.cn - 1), 6) END AS te_loo
+        |FROM base b JOIN c ON b.l_linestatus = c.cat, p
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // Replays the EWMA recurrence in closed form: ewma_i =
     // (1−α)^(i−1)·x₁ + α·Σ_{j=2..i}(1−α)^(i−j)·x_j over each user's
     // rank order (fine at sf0.01 row counts; the ENGINE uses the O(n)

@@ -43,6 +43,39 @@ object Features {
     }
   }
 
+  /** Target (mean) encoding of a categorical column with the two
+    * standard leakage defenses:
+    *
+    *   te_smooth = (Σy_cat + m·ȳ) / (n_cat + m)   (m-estimate toward
+    *               the global prior — rare categories shrink to ȳ),
+    *   te_loo    = (Σy_cat − yᵢ) / (n_cat − 1)    (leave-one-out: the
+    *               row's own label never leaks into its feature; null
+    *               for singleton categories).
+    *
+    * ONE aggregation builds the category table (cardinality-sized);
+    * it broadcasts back onto the rows — no row shuffle. The global
+    * prior is one scalar aggregate.
+    *
+    * @return input + (te_smooth, te_loo), rounded to 6 */
+  def targetEncode(df: DataFrame, catCol: String, labelCol: String,
+                   smoothing: Double = 20.0): DataFrame = {
+    require(smoothing >= 0.0, "smoothing must be >= 0")
+    val y = F.col(labelCol).cast("double")
+    val prior = df.where(y.isNotNull && !F.isnan(y))
+      .agg(F.avg(y)).head().getDouble(0)
+    val cats = df.where(y.isNotNull && !F.isnan(y))
+      .groupBy(F.col(catCol).as("__cat"))
+      .agg(F.count(F.lit(1)).as("__cn"), F.sum(y).as("__cs"))
+    df.join(F.broadcast(cats), F.col(catCol) === F.col("__cat"), "left")
+      .withColumn("te_smooth", F.round(
+        (F.coalesce(F.col("__cs"), F.lit(0.0)) + smoothing * prior) /
+          (F.coalesce(F.col("__cn"), F.lit(0L)) + smoothing), 6))
+      .withColumn("te_loo",
+        F.when(F.col("__cn") > 1L && y.isNotNull && !F.isnan(y), F.round(
+          (F.col("__cs") - y) / (F.col("__cn") - 1L), 6)))
+      .drop("__cat", "__cn", "__cs")
+  }
+
   /** Exponentially weighted moving average per key — the standard
     * smoothing/decay feature (activity level, drift-tolerant baseline):
     *

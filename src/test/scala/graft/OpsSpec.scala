@@ -460,6 +460,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ia(3).isNullAt(ia(3).fieldIndex("delta_ts")))
   }
 
+  test("targetEncode smooths to the prior and excludes own labels in LOO") {
+    import spark.implicits._
+    // cat a: ys {1, 0}; cat b: {1}; prior = 2/3, m = 1
+    val df = Seq((1L, "a", 1.0), (2L, "a", 0.0), (3L, "b", 1.0))
+      .toDF("id", "cat", "y")
+    val out = Features.targetEncode(df, "cat", "y", smoothing = 1.0)
+      .orderBy("id").collect()
+    val prior = 2.0 / 3.0
+    // a: (1 + 1·prior)/(2 + 1); b: (1 + prior)/2
+    assert(math.abs(out(0).getAs[Double]("te_smooth") -
+      math.rint((1.0 + prior) / 3.0 * 1e6) / 1e6) < 1e-12)
+    assert(math.abs(out(2).getAs[Double]("te_smooth") -
+      math.rint((1.0 + prior) / 2.0 * 1e6) / 1e6) < 1e-12)
+    // LOO: row 1 sees only row 2's label (0), row 2 sees 1; singleton
+    // b has no peers → null
+    assert(out(0).getAs[Double]("te_loo") == 0.0)
+    assert(out(1).getAs[Double]("te_loo") == 1.0)
+    assert(out(2).isNullAt(out(2).fieldIndex("te_loo")))
+  }
+
   test("ewmaByKey runs the recurrence per key in (ts, tie) order") {
     import spark.implicits._
     val df = Seq(
