@@ -2167,6 +2167,27 @@ object SparkEntry {
         "cohort", "l_extendedprice")
         .select(F.round(F.col("ks_d"), 9).as("ks_d"),
           F.col("n_a"), F.col("n_b"))),
+    "q_drift_wasserstein" -> ((s, dir) =>
+      // exact 1-D Wasserstein-1 between the parity cohorts — the
+      // magnitude-aware companion to q_drift_ks (HOW MUCH the CDFs
+      // differ, in price units): same prefix-sum construction, plus
+      // the per-partition boundary gap tiling the |Fa−Fb| integral
+      Drift.wassersteinTwoSample(
+        li(s, dir).select(
+          F.when(F.col("l_orderkey") % 2 === 0, "a").otherwise("b").as("cohort"),
+          F.col("l_extendedprice")),
+        "cohort", "l_extendedprice")),
+    "q_drift_jsd_by_group" -> ((s, dir) =>
+      // bounded symmetric drift per language: did the SOURCE mix move
+      // between the doc-parity cohorts? JSD stays finite on mass a
+      // cohort lacks (KL does not) — same smoothed cells frame as
+      // q_drift_psi_by_group, windows partitioned by group
+      Drift.jsdByGroup(
+        docs(s, dir).select(F.col("lang"),
+          F.when(F.col("doc_id") % 2 === 0, "a").otherwise("b").as("cohort"),
+          F.col("source")),
+        "cohort", "source", Seq("lang"))
+        .orderBy("lang")),
     "q_drift_ks_sketch" -> ((s, dir) => {
       // the mergeable-sketch K-S audited against the exact construction
       // (composed HERE — the operator itself is sketch-only by design):
@@ -2544,6 +2565,20 @@ object SparkEntry {
       Evaluation.mutualInformation(
         li(s, dir).where(F.col("l_orderkey") < 100000),
         "l_returnflag", "l_linestatus")),
+    "q_ranking_metrics" -> ((s, dir) =>
+      // per-query ranking metrics (RR / AP / NDCG@5): each order is a
+      // "query", its lines the candidate list ranked by discount with
+      // linenumber tie-break, graded relevance from the return flag —
+      // windows PARTITIONED BY QUERY, one aggregation per query
+      Evaluation.rankingMetrics(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select(F.col("l_orderkey"), F.col("l_linenumber"),
+            F.when(F.col("l_returnflag") === "R", 2.0)
+              .when(F.col("l_returnflag") === "A", 1.0)
+              .otherwise(0.0).as("rel"),
+            F.col("l_discount")),
+        "l_orderkey", "l_linenumber", "rel", "l_discount", k = 5)
+        .orderBy("l_orderkey")),
     "q_corr_by_group" -> ((s, dir) =>
       // pairwise Pearson matrix per group in long form — all pairs in
       // ONE aggregation (a corr column per pair)
@@ -5664,6 +5699,51 @@ object SparkEntry {
         |SELECT round(max(abs(fa / t.na - fb / t.nb)), 9) AS ks_d,
         |  t.na AS n_a, t.nb AS n_b
         |FROM cum, t GROUP BY t.na, t.nb""".stripMargin,
+    // Replays W1 = Σ |Fa − Fb|·gap over sorted distinct values: the
+    // cumulative windows plus lead(v) for the gap to the successor.
+    "q_drift_wasserstein" ->
+      """WITH c AS (SELECT
+        |    CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |m AS (SELECT v, sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS cb
+        |  FROM c GROUP BY v),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM m),
+        |cum AS (SELECT v,
+        |    CAST(sum(ca) OVER (ORDER BY v) AS DOUBLE) AS fa,
+        |    CAST(sum(cb) OVER (ORDER BY v) AS DOUBLE) AS fb,
+        |    lead(v) OVER (ORDER BY v) AS vn
+        |  FROM m)
+        |SELECT round(sum(abs(fa / t.na - fb / t.nb) * (vn - v)), 6) AS w1,
+        |  t.na AS n_a, t.nb AS n_b
+        |FROM cum, t WHERE vn IS NOT NULL
+        |GROUP BY t.na, t.nb""".stripMargin,
+    "q_drift_jsd_by_group" ->
+      """WITH c AS (SELECT lang AS grp,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    source AS k
+        |  FROM documents WHERE source IS NOT NULL),
+        |m AS (SELECT grp, k, sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS cb
+        |  FROM c GROUP BY grp, k),
+        |t AS (SELECT grp, sum(ca) AS na, sum(cb) AS nb, count(*) AS nc
+        |  FROM m GROUP BY grp),
+        |p AS (SELECT m.grp, (ca + 0.5) / (na + 0.5 * nc) AS pa,
+        |    (cb + 0.5) / (nb + 0.5 * nc) AS pb, na, nb, nc
+        |  FROM m JOIN t ON m.grp = t.grp
+        |  WHERE na > 0 AND nb > 0)
+        |SELECT grp AS lang,
+        |  round(sum(0.5 * pa * ln(pa / ((pa + pb) / 2.0))
+        |    + 0.5 * pb * ln(pb / ((pa + pb) / 2.0))), 6) AS jsd,
+        |  round(sum(0.5 * pa * ln(pa / ((pa + pb) / 2.0))
+        |    + 0.5 * pb * ln(pb / ((pa + pb) / 2.0))) / ln(2.0), 6)
+        |    AS jsd_norm,
+        |  CAST(min(na) AS BIGINT) AS n_a, CAST(min(nb) AS BIGINT) AS n_b,
+        |  CAST(min(nc) AS BIGINT) AS n_cells
+        |FROM p GROUP BY grp ORDER BY lang""".stripMargin,
     // The sketch path's audit: exact D + the within-bound boolean.
     "q_drift_ks_sketch" ->
       """WITH c AS (SELECT
@@ -6466,6 +6546,49 @@ object SparkEntry {
         |  CAST(count(DISTINCT a) AS BIGINT) AS n_a,
         |  CAST(count(DISTINCT b) AS BIGINT) AS n_b
         |FROM m""".stripMargin,
+    "q_ranking_metrics" ->
+      """WITH base AS (SELECT l_orderkey AS q, l_linenumber AS id,
+        |    CASE WHEN l_returnflag = 'R' THEN 2.0
+        |      WHEN l_returnflag = 'A' THEN 1.0 ELSE 0.0 END AS rel,
+        |    CAST(l_discount AS DOUBLE) AS s
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+        |    AND l_discount IS NOT NULL
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE))
+        |    AND l_returnflag IS NOT NULL),
+        |rk AS (SELECT q, rel,
+        |    CAST(row_number() OVER (PARTITION BY q
+        |      ORDER BY s DESC, id, rel) AS BIGINT) AS r,
+        |    CAST(row_number() OVER (PARTITION BY q ORDER BY rel DESC, id)
+        |      AS BIGINT) AS ri
+        |  FROM base),
+        |ranked AS (SELECT q, rel, r, ri,
+        |    CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY q ORDER BY r
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cumrel
+        |  FROM rk),
+        |agged AS (SELECT q,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_rel,
+        |    min(CASE WHEN rel > 0 THEN r END) AS first_r,
+        |    sum(CASE WHEN rel > 0 THEN CAST(cumrel AS DOUBLE) / r END)
+        |      AS apsum,
+        |    sum(CASE WHEN r <= 5
+        |      THEN (pow(2.0, rel) - 1.0) / log2(r + 1.0) ELSE 0.0 END)
+        |      AS dcg,
+        |    sum(CASE WHEN ri <= 5
+        |      THEN (pow(2.0, rel) - 1.0) / log2(ri + 1.0) ELSE 0.0 END)
+        |      AS idcg
+        |  FROM ranked GROUP BY q)
+        |SELECT q AS l_orderkey, n, n_rel,
+        |  round(1.0 / first_r, 6) AS rr,
+        |  CASE WHEN n_rel > 0 THEN round(apsum / n_rel, 6) END AS ap,
+        |  round(dcg, 6) AS dcg_k,
+        |  round(idcg, 6) AS idcg_k,
+        |  CASE WHEN idcg > 0 THEN round(dcg / idcg, 6) END AS ndcg_k
+        |FROM agged ORDER BY l_orderkey""".stripMargin,
     "q_corr_by_group" ->
       """WITH base AS (SELECT l_linestatus AS g,
         |    CAST(l_quantity AS DOUBLE) AS q,

@@ -115,6 +115,89 @@ object Drift {
     } finally sorted.unpersist(blocking = false)
   }
 
+  /** Exact two-sample 1-D Wasserstein-1 distance (earth mover's) between
+    * the cohorts' empirical distributions:
+    * W₁ = ∫|F̂_a − F̂_b| dx = Σᵢ |F̂_a(vᵢ) − F̂_b(vᵢ)|·(vᵢ₊₁ − vᵢ) over
+    * the pooled distinct values — the magnitude-aware companion to
+    * [[ksTwoSample]]'s sup-distance (K-S says the CDFs differ; W₁ says
+    * by HOW MUCH, in the value's own units, so it survives averaging
+    * over segments).
+    *
+    * Scale shape: the identical construction to [[ksTwoSample]] — one
+    * per-distinct-value conditional-count shuffle, range-partitioned
+    * running sums seeded by broadcast offsets. The only extra machinery
+    * is the value gap across partition boundaries: the driver collects
+    * each partition's FIRST value (≤ #partitions doubles) and hands
+    * partition i its successor's, so the per-partition folds tile the
+    * integral exactly. Partials come back in partition order — the
+    * driver-side sum is deterministic for a given dataset.
+    *
+    * @return one row: (w1, n_a, n_b), w1 rounded to 6 */
+  def wassersteinTwoSample(df: DataFrame, cohortCol: String,
+                           valueCol: String, labelA: String = "a",
+                           labelB: String = "b"): DataFrame = {
+    require(labelA != labelB, "cohort labels must differ")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .select(F.col(cohortCol).cast("string").as("g"),
+        F.col(valueCol).cast("double").as("v"))
+      .where(F.col("v").isNotNull && !F.isnan(F.col("v")) &&
+        F.col("g").isin(labelA, labelB))
+      .groupBy("v").agg(
+        F.sum(F.when(F.col("g") === labelA, 1L).otherwise(0L)).as("ca"),
+        F.sum(F.when(F.col("g") === labelB, 1L).otherwise(0L)).as("cb"))
+    val sorted = counts
+      .repartitionByRange(F.col("v")).sortWithinPartitions("v")
+      .as[(Double, Long, Long)].rdd
+    sorted.cache()
+    try {
+      val partInfo = sorted.mapPartitionsWithIndex { case (i, it) =>
+        var sa = 0L; var sb = 0L
+        var first = Double.NaN
+        it.foreach { r =>
+          if (first.isNaN) first = r._1
+          sa += r._2; sb += r._3
+        }
+        Iterator((i, sa, sb, first))
+      }.collect().sortBy(_._1)
+      val na = partInfo.map(_._2).sum
+      val nb = partInfo.map(_._3).sum
+      require(na > 0 && nb > 0, "both cohorts need rows")
+      val offA = partInfo.map(_._2).scanLeft(0L)(_ + _)
+      val offB = partInfo.map(_._3).scanLeft(0L)(_ + _)
+      // successor's first value per partition: the first non-NaN first
+      // value among the partitions to the right (empty ones skipped)
+      val nexts = new Array[Double](partInfo.length)
+      var carry = Double.NaN
+      var i = partInfo.length - 1
+      while (i >= 0) {
+        nexts(i) = carry
+        if (!partInfo(i)._4.isNaN) carry = partInfo(i)._4
+        i -= 1
+      }
+      val bc = spark.sparkContext.broadcast((offA, offB, nexts))
+      val partials = sorted.mapPartitionsWithIndex { case (pi, it) =>
+        var cumA = bc.value._1(pi); var cumB = bc.value._2(pi)
+        var acc = 0.0
+        var prev = Double.NaN
+        it.foreach { case (v, a, b) =>
+          if (!prev.isNaN)
+            acc += math.abs(cumA.toDouble / na - cumB.toDouble / nb) *
+              (v - prev)
+          cumA += a; cumB += b; prev = v
+        }
+        val succ = bc.value._3(pi)
+        if (!prev.isNaN && !succ.isNaN)
+          acc += math.abs(cumA.toDouble / na - cumB.toDouble / nb) *
+            (succ - prev)
+        Iterator((pi, acc))
+      }.collect().sortBy(_._1)
+      val w1 = math.rint(partials.map(_._2).sum * 1e6) / 1e6
+      Seq((w1, na, nb)).toDF("w1", "n_a", "n_b")
+    } finally sorted.unpersist(blocking = false)
+  }
+
   /** Exact two-sample K-S PER GROUP — distribution-level drift per
     * segment, the sup-distance companion to the binned
     * [[histDriftByGroup]] PSI: within each group, D = sup|F̂_a − F̂_b|
@@ -316,6 +399,61 @@ object Drift {
         .select(groupCols.map(F.col) :+
           F.col(cohortCol).as("__g") :+ F.col(valueCol).as("__k"): _*),
       groupCols, labelA, labelB)
+  }
+
+  /** Jensen–Shannon divergence per group between the cohorts' value
+    * PMFs — the bounded, symmetric drift score ([0, ln 2] in nats;
+    * `jsd_norm` rescales to [0, 1]) that stays finite where KL blows up
+    * on mass a cohort lacks. Same cells frame, smoothing and scale
+    * shape as [[pmfDriftByGroup]]: ONE (group, value) aggregation, the
+    * fold rides windows PARTITIONED BY GROUP over category cells — a
+    * million segments cost one shuffle. Groups missing a cohort are
+    * omitted.
+    *
+    * JSD = ½·Σ p_a·ln(p_a/m) + ½·Σ p_b·ln(p_b/m), m = (p_a+p_b)/2,
+    * with the same (c + 0.5)/(n + 0.5·cells) smoothing as PSI/KL so
+    * every term is finite and integer-count-exact.
+    *
+    * @return one row per group: (groupCols..., jsd, jsd_norm, n_a,
+    *         n_b, n_cells), jsd/jsd_norm rounded to 6 */
+  def jsdByGroup(df: DataFrame, cohortCol: String, valueCol: String,
+                 groupCols: Seq[String], labelA: String = "a",
+                 labelB: String = "b"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(labelA != labelB, "cohort labels must differ")
+    require(!groupCols.exists(_.startsWith("__")),
+      "group columns must not use the __ internal prefix")
+    val counts = df
+      .where(F.col(valueCol).isNotNull &&
+        F.col(cohortCol).isin(labelA, labelB))
+      .groupBy(groupCols.map(F.col) :+ F.col(valueCol).as("__k"): _*)
+      .agg(
+        F.sum(F.when(F.col(cohortCol) === labelA, 1L).otherwise(0L))
+          .as("__ca"),
+        F.sum(F.when(F.col(cohortCol) === labelB, 1L).otherwise(0L))
+          .as("__cb"))
+    val w = Window.partitionBy(groupCols.map(F.col): _*)
+    val tot = counts
+      .withColumn("__na", F.sum("__ca").over(w))
+      .withColumn("__nb", F.sum("__cb").over(w))
+      .withColumn("__cells", F.count(F.lit(1)).over(w))
+      .where(F.col("__na") > 0L && F.col("__nb") > 0L)
+    val pa = (F.col("__ca") + F.lit(0.5)) /
+      (F.col("__na") + F.lit(0.5) * F.col("__cells"))
+    val pb = (F.col("__cb") + F.lit(0.5)) /
+      (F.col("__nb") + F.lit(0.5) * F.col("__cells"))
+    val m = (pa + pb) / 2.0
+    tot.groupBy(groupCols.map(F.col): _*)
+      .agg(
+        F.round(F.sum(F.lit(0.5) * pa * F.log(pa / m) +
+          F.lit(0.5) * pb * F.log(pb / m)), 6).as("jsd"),
+        F.round(F.sum(F.lit(0.5) * pa * F.log(pa / m) +
+          F.lit(0.5) * pb * F.log(pb / m)) / math.log(2.0), 6)
+          .as("jsd_norm"),
+        F.first(F.col("__na")).as("n_a"),
+        F.first(F.col("__nb")).as("n_b"),
+        F.first(F.col("__cells")).as("n_cells"))
   }
 
   /** Internal columns are __-prefixed (the repo's GroupedFit discipline)

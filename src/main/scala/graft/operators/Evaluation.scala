@@ -218,6 +218,80 @@ object Evaluation {
         F.col("top_share")): _*)
   }
 
+  /** Per-query ranking metrics for a retrieval / recommendation run —
+    * the acceptance layer for the ANN and text-search operators: given
+    * (query, item, graded relevance, score) rows, how well does the
+    * score order the items?
+    *
+    *   rr      = 1 / rank of the first relevant item (MRR averaged),
+    *   ap      = mean of precision@r over relevant ranks r (MAP averaged),
+    *   ndcg_k  = DCG@k / IDCG@k with gains (2^rel − 1)/log₂(rank+1).
+    *
+    * Ties in score are broken by `idCol` ascending, and duplicate
+    * (score, id) pairs by relevance ASCENDING (the conservative read:
+    * at an unresolvable tie the irrelevant item ranks first), so the
+    * ranking — and therefore every metric — is deterministic and
+    * SQL-replayable even when `idCol` is not unique. The precision
+    * prefix sum runs over the materialized rank (a total order), never
+    * a second sort of the raw keys, so its pairing with the rank can
+    * never cross on ties. Scale shape: both rankings ride windows
+    * PARTITIONED BY QUERY (one shuffle on the query key; per-query
+    * lists are candidate lists, bounded by construction), then ONE
+    * aggregation per query. No global window, nothing collected.
+    *
+    * @param relCol graded relevance (0 = irrelevant); binary metrics
+    *               (rr, ap) treat rel > 0 as relevant
+    * @return one row per query: (queryCol, n, n_rel, rr, ap, dcg_k,
+    *         idcg_k, ndcg_k), floats rounded to 6; rr/ap/ndcg_k null
+    *         when the query has no relevant item */
+  def rankingMetrics(df: DataFrame, queryCol: String, idCol: String,
+                     relCol: String, scoreCol: String,
+                     k: Int = 10): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val s = F.col(scoreCol).cast("double")
+    val rel = F.col(relCol).cast("double")
+    val base = df
+      .where(F.col(queryCol).isNotNull && F.col(idCol).isNotNull &&
+        s.isNotNull && !F.isnan(s) && rel.isNotNull && !F.isnan(rel))
+      .select(F.col(queryCol).as("__q"), F.col(idCol).as("__id"),
+        rel.as("__rel"), s.as("__s"))
+    val byScore = Window.partitionBy("__q")
+      .orderBy(F.col("__s").desc, F.col("__id").asc, F.col("__rel").asc)
+    val byIdeal = Window.partitionBy("__q")
+      .orderBy(F.col("__rel").desc, F.col("__id").asc)
+    // same partitioning for every window → ONE exchange on __q, the
+    // orderings are local sorts; __cumrel orders by the materialized
+    // rank so its frame agrees with __r row-for-row by construction
+    val byRank = Window.partitionBy("__q").orderBy("__r")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = base
+      .withColumn("__r", F.row_number().over(byScore).cast("long"))
+      .withColumn("__ri", F.row_number().over(byIdeal).cast("long"))
+      .withColumn("__cumrel", F.sum(F.when(F.col("__rel") > 0.0, 1L)
+        .otherwise(0L)).over(byRank))
+    val gain = F.pow(F.lit(2.0), F.col("__rel")) - 1.0
+    ranked.groupBy(F.col("__q").as(queryCol)).agg(
+      F.count(F.lit(1)).as("n"),
+      F.sum(F.when(F.col("__rel") > 0.0, 1L).otherwise(0L)).as("n_rel"),
+      F.min(F.when(F.col("__rel") > 0.0, F.col("__r"))).as("__first"),
+      F.sum(F.when(F.col("__rel") > 0.0,
+        F.col("__cumrel").cast("double") / F.col("__r"))).as("__apsum"),
+      F.sum(F.when(F.col("__r") <= k,
+        gain / F.log2(F.col("__r") + 1.0)).otherwise(0.0)).as("__dcg"),
+      F.sum(F.when(F.col("__ri") <= k,
+        gain / F.log2(F.col("__ri") + 1.0)).otherwise(0.0)).as("__idcg"))
+      .withColumn("rr", F.round(F.lit(1.0) / F.col("__first"), 6))
+      .withColumn("ap", F.when(F.col("n_rel") > 0L,
+        F.round(F.col("__apsum") / F.col("n_rel"), 6)))
+      .withColumn("dcg_k", F.round(F.col("__dcg"), 6))
+      .withColumn("idcg_k", F.round(F.col("__idcg"), 6))
+      .withColumn("ndcg_k", F.when(F.col("__idcg") > 0.0,
+        F.round(F.col("__dcg") / F.col("__idcg"), 6)))
+      .select(F.col(queryCol), F.col("n"), F.col("n_rel"), F.col("rr"),
+        F.col("ap"), F.col("dcg_k"), F.col("idcg_k"), F.col("ndcg_k"))
+  }
+
   /** Calibration table: scores bucketed into `bins` equal-width bins on
     * [0, 1]; per bin the observed positive rate vs the mean predicted
     * score — the reliability-diagram data. ONE aggregation; scores

@@ -422,6 +422,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getAs[Double]("auc") == 1.0)
   }
 
+  test("rankingMetrics: hand-computed RR/AP/NDCG with score ties and a no-relevant query") {
+    import spark.implicits._
+    // q1 ranked by (s desc, id asc): id1(rel0,.9), id2(rel2,.8),
+    // id3(rel1,.8), id4(rel0,.1) — first relevant at rank 2,
+    // AP = (1/2 + 2/3)/2, DCG@5 = 3/log2(3) + 1/log2(4),
+    // IDCG@5 = 3/log2(2) + 1/log2(3)
+    val df = Seq(
+      ("q1", 1L, 0.0, 0.9), ("q1", 2L, 2.0, 0.8),
+      ("q1", 3L, 1.0, 0.8), ("q1", 4L, 0.0, 0.1),
+      ("q2", 1L, 0.0, 0.5)).toDF("q", "id", "rel", "s")
+    val out = Evaluation.rankingMetrics(df, "q", "id", "rel", "s", k = 5)
+      .orderBy("q").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Long]("n") == 4L && r1.getAs[Long]("n_rel") == 2L)
+    assert(math.abs(r1.getAs[Double]("rr") - 0.5) < 1e-12)
+    assert(math.abs(r1.getAs[Double]("ap") - 0.583333) < 1e-6)
+    assert(math.abs(r1.getAs[Double]("dcg_k") - 2.392789) < 1e-6)
+    assert(math.abs(r1.getAs[Double]("idcg_k") - 3.63093) < 1e-6)
+    assert(math.abs(r1.getAs[Double]("ndcg_k") - 0.659002) < 1e-6)
+    // q2 has no relevant item: rr/ap/ndcg are null, gains zero
+    val r2 = out(1)
+    assert(r2.getAs[Long]("n_rel") == 0L)
+    assert(r2.isNullAt(r2.fieldIndex("rr")) &&
+      r2.isNullAt(r2.fieldIndex("ap")) &&
+      r2.isNullAt(r2.fieldIndex("ndcg_k")))
+    assert(r2.getAs[Double]("dcg_k") == 0.0 &&
+      r2.getAs[Double]("idcg_k") == 0.0)
+    // k truncation: with k = 1 only rank-1 items carry gain — q1's
+    // rank 1 is irrelevant, so DCG@1 = 0 while IDCG@1 = 3
+    val k1 = Evaluation.rankingMetrics(df, "q", "id", "rel", "s", k = 1)
+      .where(F.col("q") === "q1").head()
+    assert(k1.getAs[Double]("dcg_k") == 0.0)
+    assert(math.abs(k1.getAs[Double]("idcg_k") - 3.0) < 1e-12)
+    assert(k1.getAs[Double]("ndcg_k") == 0.0)
+  }
+
   test("calibrationBins buckets scores and reports observed positive rates") {
     import spark.implicits._
     val df = Seq((true, 0.95), (false, 0.9), (true, 0.15),
@@ -575,6 +611,49 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g2.getAs[Double]("entropy") == 0.0)
     assert(g2.isNullAt(g2.fieldIndex("norm_entropy")))
     assert(g2.getAs[Double]("hhi") == 1.0 && g2.getAs[Long]("k") == 1L)
+  }
+
+  test("wassersteinTwoSample: unit shift costs exactly 1, identical cohorts 0") {
+    import spark.implicits._
+    // {0,1} vs {1,2}: |Fa−Fb| = ½ on [0,1) and ½ on [1,2) → W₁ = 1
+    val shifted = Seq(("a", 0.0), ("a", 1.0), ("b", 1.0), ("b", 2.0))
+      .toDF("g", "v")
+    val r = operators.Drift.wassersteinTwoSample(shifted, "g", "v").head()
+    assert(r.getAs[Double]("w1") == 1.0)
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    // identical samples → zero transport
+    val same = Seq(1.0, 2.5, 7.0).flatMap(v => Seq(("a", v), ("b", v)))
+      .toDF("g", "v")
+    assert(operators.Drift.wassersteinTwoSample(same, "g", "v").head()
+      .getAs[Double]("w1") == 0.0)
+    // scale equivariance: stretching values 10× stretches W₁ 10×
+    val wide = Seq(("a", 0.0), ("a", 10.0), ("b", 10.0), ("b", 20.0))
+      .toDF("g", "v")
+    assert(operators.Drift.wassersteinTwoSample(wide, "g", "v").head()
+      .getAs[Double]("w1") == 10.0)
+  }
+
+  test("jsdByGroup: zero for identical mixes, bounded by ln 2, symmetric") {
+    import spark.implicits._
+    val same = Seq("x", "x", "y").flatMap(v =>
+      Seq(("g1", "a", v), ("g1", "b", v)))
+    val apart = (1 to 8).flatMap(_ =>
+      Seq(("g2", "a", "x"), ("g2", "b", "y")))
+    val lone = Seq(("g3", "a", "x")) // missing cohort b → omitted
+    val out = operators.Drift.jsdByGroup(
+      (same ++ apart ++ lone).toDF("g", "c", "v"), "c", "v", Seq("g"))
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("g1").getAs[Double]("jsd") == 0.0)
+    val j2 = out("g2").getAs[Double]("jsd")
+    assert(j2 > 0.4 && j2 < math.log(2.0))
+    assert(math.abs(out("g2").getAs[Double]("jsd_norm") -
+      math.rint(j2 / math.log(2.0) * 1e6) / 1e6) < 2e-6)
+    assert(!out.contains("g3"))
+    // symmetry: swapping the cohort labels leaves JSD unchanged
+    val sw = operators.Drift.jsdByGroup(
+      apart.toDF("g", "c", "v"), "c", "v", Seq("g"),
+      labelA = "b", labelB = "a").head()
+    assert(sw.getAs[Double]("jsd") == j2)
   }
 
   test("ksTwoSampleByGroup: zero for identical cohorts, one for disjoint") {
