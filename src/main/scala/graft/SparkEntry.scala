@@ -2488,6 +2488,24 @@ object SparkEntry {
           tieBreakCols = Seq("event_id"))
         .select(F.col("event_id"), F.col("delta_ts"))
         .orderBy("event_id")),
+    "q_acf" -> ((s, dir) =>
+      // autocorrelation per event type at lags 1..3 over the time-
+      // ordered value series — one shuffle on the key serves the mean
+      // window, the lag windows and the final fold
+      Features.acfByKey(events(s, dir), "event_type", "ts", "value",
+          maxLag = 3, tieBreakCols = Seq("event_id"))
+        .orderBy("event_type")),
+    "q_cusum" -> ((s, dir) =>
+      // CUSUM changepoint scan per event type on the floored value
+      // series: the argmax runs on the exact integer-shaped numerator
+      // |n·CS − i·S| so the changepoint location replays bit-exactly
+      Features.cusumByKey(
+        events(s, dir)
+          .where(F.col("value").isNotNull && !F.isnan(F.col("value")))
+          .select(F.col("event_type"), F.col("ts"), F.col("event_id"),
+            F.floor(F.col("value")).cast("double").as("valq")),
+        "event_type", "ts", "valq", tieBreakCols = Seq("event_id"))
+        .orderBy("event_type")),
     "q_target_encode" -> ((s, dir) =>
       // target encoding of line status against the returned-flag label:
       // smoothed (m-estimate) and leave-one-out variants — category
@@ -6312,6 +6330,52 @@ object SparkEntry {
         |  tns - lag(tns) OVER (PARTITION BY user_id
         |    ORDER BY tns, event_id) AS delta_ts
         |FROM e ORDER BY event_id""".stripMargin,
+    "q_acf" ->
+      """WITH e AS (SELECT event_type AS k, epoch_ns(ts) AS tns,
+        |    event_id, value AS x
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |    AND ts IS NOT NULL),
+        |m AS (SELECT k, tns, event_id, x,
+        |    avg(x) OVER (PARTITION BY k) AS mu FROM e),
+        |d AS (SELECT k, x - mu AS dd,
+        |    lag(x - mu, 1) OVER (PARTITION BY k ORDER BY tns, event_id)
+        |      AS d1,
+        |    lag(x - mu, 2) OVER (PARTITION BY k ORDER BY tns, event_id)
+        |      AS d2,
+        |    lag(x - mu, 3) OVER (PARTITION BY k ORDER BY tns, event_id)
+        |      AS d3
+        |  FROM m)
+        |SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CASE WHEN sum(dd * dd) > 0
+        |    THEN round(sum(dd * d1) / sum(dd * dd), 6) END AS acf_1,
+        |  CASE WHEN sum(dd * dd) > 0
+        |    THEN round(sum(dd * d2) / sum(dd * dd), 6) END AS acf_2,
+        |  CASE WHEN sum(dd * dd) > 0
+        |    THEN round(sum(dd * d3) / sum(dd * dd), 6) END AS acf_3
+        |FROM d GROUP BY k ORDER BY event_type""".stripMargin,
+    "q_cusum" ->
+      """WITH e AS (SELECT event_type AS k, epoch_ns(ts) AS tns,
+        |    event_id, CAST(floor(value) AS DOUBLE) AS x
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        |w AS (SELECT k, tns, x,
+        |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+        |    sum(x) OVER (PARTITION BY k) AS s,
+        |    sum(x * x) OVER (PARTITION BY k) AS ssq,
+        |    sum(x) OVER (PARTITION BY k ORDER BY tns, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+        |    CAST(row_number() OVER (PARTITION BY k
+        |      ORDER BY tns, event_id) AS BIGINT) AS i
+        |  FROM e),
+        |s2 AS (SELECT k, tns, n, s, ssq,
+        |    abs(n * cs - i * s) AS num,
+        |    ssq / n - (s / n) * (s / n) AS vr FROM w),
+        |mx AS (SELECT *, max(num) OVER (PARTITION BY k) AS mxn FROM s2)
+        |SELECT k AS event_type, CAST(max(n) AS BIGINT) AS n,
+        |  round(max(mxn) / (CAST(max(n) AS DOUBLE) * sqrt(max(vr))
+        |    * sqrt(CAST(max(n) AS DOUBLE))), 6) AS cusum,
+        |  min(tns) AS cp_ts
+        |FROM mx WHERE vr > 0 AND num = mxn
+        |GROUP BY k ORDER BY event_type""".stripMargin,
     "q_target_encode" ->
       """WITH base AS (SELECT l_orderkey, l_linenumber, l_linestatus,
         |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y

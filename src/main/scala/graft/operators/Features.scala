@@ -135,6 +135,103 @@ object Features {
     df.sparkSession.createDataFrame(rowRdd, schema)
   }
 
+  /** Autocorrelation function per key at lags 1..`maxLag` — the
+    * seasonality/momentum diagnostic over each key's event series
+    * ("is this metric mean-reverting or trending per tenant?"):
+    *
+    *   acf_ℓ = Σᵢ (xᵢ−x̄)(xᵢ₋ℓ−x̄) / Σᵢ (xᵢ−x̄)²
+    *
+    * (the standard full-series-denominator estimator) over the key's
+    * rows ordered by (tsCol, tieBreakCols). One shuffle on the key
+    * serves every lag: the mean rides an unordered per-key window, the
+    * lagged deviations are `maxLag` lag windows over the same sort,
+    * and ONE aggregation folds all numerators. Keys with zero variance
+    * (or fewer than ℓ+1 rows) yield null at that lag.
+    *
+    * @return one row per key: (keyCol, n, acf_1..acf_maxLag),
+    *         rounded to 6 */
+  def acfByKey(df: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String, maxLag: Int,
+               tieBreakCols: Seq[String] = Nil): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 100, "maxLag must be in 1..100")
+    val v = F.col(valueCol).cast("double")
+    val base = df
+      .where(v.isNotNull && !F.isnan(v) && F.col(tsCol).isNotNull)
+      .select(Seq(F.col(keyCol), F.col(tsCol)) ++
+        tieBreakCols.map(F.col) :+ v.as("__x"): _*)
+    val wAll = Window.partitionBy(F.col(keyCol))
+    val wOrd = Window.partitionBy(F.col(keyCol))
+      .orderBy(F.col(tsCol) +: tieBreakCols.map(F.col): _*)
+    var cur = base
+      .withColumn("__mu", F.avg("__x").over(wAll))
+      .withColumn("__d", F.col("__x") - F.col("__mu"))
+    (1 to maxLag).foreach { l =>
+      cur = cur.withColumn(s"__dl$l", F.lag("__d", l).over(wOrd))
+    }
+    val aggs = Seq(
+      F.count(F.lit(1)).as("n"),
+      F.sum(F.col("__d") * F.col("__d")).as("__ss")) ++
+      (1 to maxLag).map(l =>
+        F.sum(F.col("__d") * F.col(s"__dl$l")).as(s"__sl$l"))
+    cur.groupBy(F.col(keyCol)).agg(aggs.head, aggs.tail: _*)
+      .select(Seq(F.col(keyCol), F.col("n")) ++
+        (1 to maxLag).map(l => F.when(F.col("__ss") > 0.0,
+          F.round(F.col(s"__sl$l") / F.col("__ss"), 6)).as(s"acf_$l")): _*)
+  }
+
+  /** CUSUM changepoint scan per key: the maximum standardized
+    * cumulative deviation from the key's mean,
+    *
+    *   stat = maxᵢ |Σ_{j≤i}(xⱼ−x̄)| / (σ̂·√n),   cp_ts = earliest ts
+    *   achieving the max
+    *
+    * — large stat ⇒ the series' level shifted somewhere; cp_ts is the
+    * classic CUSUM location estimate. The argmax is taken on the
+    * INTEGER-SHAPED numerator |n·CSᵢ − i·S| (CS = ordered cumulative
+    * sum, S = total): for integer-valued inputs every comparison is
+    * exact under any summation order, so the location replays
+    * bit-identically in an external engine; the reported stat divides
+    * by the moment-form σ̂ once per key. Scale shape: per-key windows
+    * (one shuffle on the key), one aggregation; zero-variance keys are
+    * omitted.
+    *
+    * @return one row per key: (keyCol, n, cusum, cp_ts), cusum rounded
+    *         to 6 */
+  def cusumByKey(df: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String,
+                 tieBreakCols: Seq[String] = Nil): DataFrame = {
+    val v = F.col(valueCol).cast("double")
+    val base = df
+      .where(v.isNotNull && !F.isnan(v) && F.col(tsCol).isNotNull)
+      .select(Seq(F.col(keyCol), F.col(tsCol)) ++
+        tieBreakCols.map(F.col) :+ v.as("__x"): _*)
+    val wAll = Window.partitionBy(F.col(keyCol))
+    val wOrd = Window.partitionBy(F.col(keyCol))
+      .orderBy(F.col(tsCol) +: tieBreakCols.map(F.col): _*)
+    val scanned = base
+      .withColumn("__n", F.count(F.lit(1)).over(wAll))
+      .withColumn("__s", F.sum("__x").over(wAll))
+      .withColumn("__ssq", F.sum(F.col("__x") * F.col("__x")).over(wAll))
+      .withColumn("__cs", F.sum("__x").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__i", F.row_number().over(wOrd).cast("long"))
+      .withColumn("__num", F.abs(F.col("__n") * F.col("__cs") -
+        F.col("__i") * F.col("__s")))
+    val withMax = scanned
+      .withColumn("__mx", F.max("__num").over(wAll))
+      // population variance from the exact sufficient statistics —
+      // identical arithmetic shape on the replay side
+      .withColumn("__var", F.col("__ssq") / F.col("__n") -
+        (F.col("__s") / F.col("__n")) * (F.col("__s") / F.col("__n")))
+      .where(F.col("__var") > 0.0 && F.col("__num") === F.col("__mx"))
+    withMax.groupBy(F.col(keyCol)).agg(
+      F.max("__n").as("n"),
+      F.round(F.max("__mx") /
+        (F.max("__n").cast("double") * F.sqrt(F.max("__var")) *
+          F.sqrt(F.max("__n").cast("double"))), 6).as("cusum"),
+      F.min(F.col(tsCol)).as("cp_ts"))
+  }
+
   /** Inter-arrival delta per key: time since the key's previous event
     * (null on each key's first event) — the raw material for activity
     * scoring, bot detection (impossibly regular gaps), and session-gap

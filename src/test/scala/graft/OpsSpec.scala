@@ -613,6 +613,43 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g2.getAs[Double]("hhi") == 1.0 && g2.getAs[Long]("k") == 1L)
   }
 
+  test("acfByKey: hand-computed lags on a ramp, null for constant series") {
+    import spark.implicits._
+    // ramp 1..4: d = [-1.5,-.5,.5,1.5], ss = 5; lag sums 1.25, -1.5, -2.25
+    val df = (Seq(("k", 1L, 1.0), ("k", 2L, 2.0), ("k", 3L, 3.0),
+      ("k", 4L, 4.0)) ++ Seq(("c", 1L, 7.0), ("c", 2L, 7.0)))
+      .toDF("g", "t", "v")
+    val out = operators.Features.acfByKey(df, "g", "t", "v", maxLag = 3)
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val k = out("k")
+    assert(k.getAs[Long]("n") == 4L)
+    assert(math.abs(k.getAs[Double]("acf_1") - 0.25) < 1e-9)
+    assert(math.abs(k.getAs[Double]("acf_2") + 0.3) < 1e-9)
+    assert(math.abs(k.getAs[Double]("acf_3") + 0.45) < 1e-9)
+    // zero-variance series: every lag is null
+    val c = out("c")
+    assert(c.isNullAt(c.fieldIndex("acf_1")) &&
+      c.isNullAt(c.fieldIndex("acf_2")))
+  }
+
+  test("cusumByKey: level shift located at the shift, stat = sqrt(1.5)") {
+    import spark.implicits._
+    // [0,0,0,10,10,10]: |n·CS − i·S| peaks at i=3 (=90);
+    // σ=5 → stat = 90/(6·5·√6) = √1.5
+    val df = (Seq((1L, 0.0), (2L, 0.0), (3L, 0.0), (4L, 10.0),
+      (5L, 10.0), (6L, 10.0)).map { case (t, v) => ("k", t, v) } ++
+      Seq(("flat", 1L, 3.0), ("flat", 2L, 3.0)))
+      .toDF("g", "t", "v")
+    val out = operators.Features.cusumByKey(df, "g", "t", "v")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val k = out("k")
+    assert(k.getAs[Long]("n") == 6L)
+    assert(math.abs(k.getAs[Double]("cusum") - 1.224745) < 1e-6)
+    assert(k.getAs[Long]("cp_ts") == 3L)
+    // zero-variance key omitted
+    assert(!out.contains("flat"))
+  }
+
   test("wassersteinTwoSample: unit shift costs exactly 1, identical cohorts 0") {
     import spark.implicits._
     // {0,1} vs {1,2}: |Fa−Fb| = ½ on [0,1) and ½ on [1,2) → W₁ = 1
