@@ -2488,6 +2488,22 @@ object SparkEntry {
           tieBreakCols = Seq("event_id"))
         .select(F.col("event_id"), F.col("delta_ts"))
         .orderBy("event_id")),
+    "q_retention" -> ((s, dir) =>
+      // daily cohort retention matrix over the events table: users
+      // cohorted by first-seen day (integer DIV on epoch nanos —
+      // exact), per-cell distinct-user counts, cohort share — one
+      // distinct reduction + one user window + one cell aggregation
+      Cohorts.retention(events(s, dir), "user_id", "ts",
+          periodNanos = 86400000000000L)
+        .orderBy("cohort_period", "period_offset")),
+    "q_funnel" -> ((s, dir) =>
+      // ordered view→click→purchase funnel: step k counts only at or
+      // after the user's earliest qualifying step k−1 (strict
+      // sequential semantics) — a chain of user-partitioned windows on
+      // ONE shuffle, then a steps-sized long-form frame with rates
+      Cohorts.funnel(events(s, dir), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy("step_idx")),
     "q_acf" -> ((s, dir) =>
       // autocorrelation per event type at lags 1..3 over the time-
       // ordered value series — one shuffle on the key serves the mean
@@ -6330,6 +6346,50 @@ object SparkEntry {
         |  tns - lag(tns) OVER (PARTITION BY user_id
         |    ORDER BY tns, event_id) AS delta_ts
         |FROM e ORDER BY event_id""".stripMargin,
+    "q_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id AS u,
+        |    epoch_ns(ts) // 86400000000000 AS p
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |m AS (SELECT u, p, min(p) OVER (PARTITION BY u) AS c FROM e),
+        |cells AS (SELECT c AS cohort_period, p - c AS period_offset,
+        |    CAST(count(*) AS BIGINT) AS n_users FROM m GROUP BY 1, 2),
+        |s AS (SELECT *, max(CASE WHEN period_offset = 0 THEN n_users END)
+        |    OVER (PARTITION BY cohort_period) AS cohort_size FROM cells)
+        |SELECT cohort_period, period_offset, n_users,
+        |  CAST(cohort_size AS BIGINT) AS cohort_size,
+        |  round(CAST(n_users AS DOUBLE) / cohort_size, 6) AS retention
+        |FROM s ORDER BY cohort_period, period_offset""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id AS u, epoch_ns(ts) AS tns,
+        |    event_type AS et
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |t0 AS (SELECT u, min(tns) AS t FROM e WHERE et = 'view'
+        |  GROUP BY u),
+        |t1 AS (SELECT e.u, min(e.tns) AS t FROM e
+        |  JOIN t0 ON e.u = t0.u
+        |  WHERE e.et = 'click' AND e.tns >= t0.t GROUP BY e.u),
+        |t2 AS (SELECT e.u, min(e.tns) AS t FROM e
+        |  JOIN t1 ON e.u = t1.u
+        |  WHERE e.et = 'purchase' AND e.tns >= t1.t GROUP BY e.u),
+        |c AS (SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM t0) AS u0,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM t1) AS u1,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM t2) AS u2)
+        |SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+        |  u0 AS users,
+        |  CASE WHEN u0 > 0 THEN round(CAST(u0 AS DOUBLE) / u0, 6) END
+        |    AS rate_vs_first,
+        |  CAST(NULL AS DOUBLE) AS rate_vs_prev FROM c
+        |UNION ALL SELECT CAST(1 AS BIGINT), 'click', u1,
+        |  CASE WHEN u0 > 0 THEN round(CAST(u1 AS DOUBLE) / u0, 6) END,
+        |  CASE WHEN u0 > 0 THEN round(CAST(u1 AS DOUBLE) / u0, 6) END
+        |  FROM c
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'purchase', u2,
+        |  CASE WHEN u0 > 0 THEN round(CAST(u2 AS DOUBLE) / u0, 6) END,
+        |  CASE WHEN u1 > 0 THEN round(CAST(u2 AS DOUBLE) / u1, 6) END
+        |  FROM c
+        |ORDER BY step_idx""".stripMargin,
     "q_acf" ->
       """WITH e AS (SELECT event_type AS k, epoch_ns(ts) AS tns,
         |    event_id, value AS x

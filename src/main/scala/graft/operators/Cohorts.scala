@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Behavioral product analytics over an event stream — the cohort /
+  * funnel layer every analytics engine ends up needing on top of raw
+  * events: "of the users who showed up in week W, how many came back k
+  * weeks later?" and "how far down the signup→purchase path do users
+  * get?".
+  *
+  * Scale rules as everywhere in the repo: the event-sized work is one
+  * distinct-reduction or one chain of windows PARTITIONED BY USER (a
+  * single shuffle on the user key); everything after operates on
+  * user- or cell-sized frames. Period arithmetic uses integer DIV on
+  * the epoch-nanos BIGINT timestamps — exact at any magnitude, where a
+  * double division would wobble on ~2^53-ns boundaries.
+  */
+object Cohorts {
+
+  /** Cohort retention matrix: users are cohorted by the period of
+    * their FIRST event (period = `tsCol` DIV `periodNanos`, integer
+    * floor division); for each (cohort, offset) cell, how many of the
+    * cohort's users were active `offset` periods after joining, and
+    * what share of the cohort that is.
+    *
+    * Construction: distinct (user, period) → per-user min period via a
+    * window PARTITIONED BY USER (no join back) → one (cohort, offset)
+    * cell aggregation; `cohort_size` rides a window over the tiny cell
+    * frame. Every user contributes an offset-0 row by definition, so
+    * `retention` is never null and the offset-0 diagonal is exactly 1.
+    *
+    * @param tsCol numeric epoch timestamp (the repo's event tables
+    *              carry epoch-nanos BIGINT)
+    * @return one row per non-empty cell: (cohort_period, period_offset,
+    *         n_users, cohort_size, retention), retention rounded to 6 */
+  def retention(df: DataFrame, userCol: String, tsCol: String,
+                periodNanos: Long): DataFrame = {
+    require(periodNanos > 0, "periodNanos must be positive")
+    val act = df
+      .where(F.col(userCol).isNotNull && F.col(tsCol).isNotNull)
+      .select(F.col(userCol).as("__u"),
+        F.expr(s"`$tsCol` DIV $periodNanos").as("__p"))
+      .distinct()
+    val perUser = Window.partitionBy("__u")
+    val cells = act
+      .withColumn("__c", F.min("__p").over(perUser))
+      .withColumn("__o", F.col("__p") - F.col("__c"))
+      .groupBy(F.col("__c").as("cohort_period"),
+        F.col("__o").as("period_offset"))
+      // rows are distinct (user, period), so count(*) = distinct users
+      .agg(F.count(F.lit(1)).as("n_users"))
+    val perCohort = Window.partitionBy("cohort_period")
+    cells
+      .withColumn("cohort_size",
+        F.max(F.when(F.col("period_offset") === 0L, F.col("n_users")))
+          .over(perCohort))
+      .withColumn("retention", F.round(
+        F.col("n_users").cast("double") / F.col("cohort_size"), 6))
+  }
+
+  /** Ordered funnel conversion: for each user, step k counts only if
+    * it happens AT OR AFTER the user's earliest qualifying step k−1
+    * (tᵏ = min ts of `steps(k)` events with ts ≥ tᵏ⁻¹) — the strict
+    * sequential-funnel semantics, not mere set membership.
+    *
+    * The per-user chain is `steps.length` window columns over ONE
+    * user-partitioned exchange (each window references the previous
+    * materialized column — same partitioning, so Catalyst plans a
+    * single shuffle with chained window stages), then a user-level
+    * reduction and a steps-sized long-form frame with the conversion
+    * rates.
+    *
+    * @return `steps.length` rows: (step_idx, step, users,
+    *         rate_vs_first, rate_vs_prev) — rates rounded to 6;
+    *         rate_vs_prev is null on the first step, rates null when
+    *         the base count is 0 */
+  def funnel(df: DataFrame, userCol: String, tsCol: String,
+             stepCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "need at least two funnel steps")
+    require(steps.distinct.size == steps.size, "steps must be distinct")
+    require(steps.forall(!_.contains("'")), "step names must not quote")
+    val w = Window.partitionBy(F.col(userCol))
+    var cur = df
+      .where(F.col(userCol).isNotNull && F.col(tsCol).isNotNull &&
+        F.col(stepCol).isNotNull)
+      .select(F.col(userCol), F.col(tsCol), F.col(stepCol))
+      .withColumn("__t0",
+        F.min(F.when(F.col(stepCol) === steps.head, F.col(tsCol))).over(w))
+    (1 until steps.size).foreach { k =>
+      cur = cur.withColumn(s"__t$k",
+        F.min(F.when(F.col(stepCol) === steps(k) &&
+          F.col(tsCol) >= F.col(s"__t${k - 1}"), F.col(tsCol))).over(w))
+    }
+    val tAggs = steps.indices.map(k => F.max(s"__t$k").as(s"__t$k"))
+    val perUser = cur.groupBy(F.col(userCol)).agg(tAggs.head, tAggs.tail: _*)
+    val cAggs = steps.indices.map(k => F.count(F.col(s"__t$k")).as(s"__u$k"))
+    val counts = perUser.agg(cAggs.head, cAggs.tail: _*)
+    val stacked = counts.selectExpr(
+      s"stack(${steps.size}, " + steps.indices.map(k =>
+        s"CAST($k AS BIGINT), '${steps(k)}', __u$k").mkString(", ") +
+        ") AS (step_idx, step, users)")
+    // a steps-sized frame: the single-partition windows are fine here
+    val wAll = Window.partitionBy()
+    val wOrd = Window.orderBy("step_idx")
+    stacked
+      .withColumn("__first",
+        F.max(F.when(F.col("step_idx") === 0L, F.col("users"))).over(wAll))
+      .withColumn("__prev", F.lag("users", 1).over(wOrd))
+      .withColumn("rate_vs_first", F.when(F.col("__first") > 0L,
+        F.round(F.col("users").cast("double") / F.col("__first"), 6)))
+      .withColumn("rate_vs_prev", F.when(F.col("__prev") > 0L,
+        F.round(F.col("users").cast("double") / F.col("__prev"), 6)))
+      .select("step_idx", "step", "users", "rate_vs_first", "rate_vs_prev")
+  }
+}

@@ -613,6 +613,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g2.getAs[Double]("hhi") == 1.0 && g2.getAs[Long]("k") == 1L)
   }
 
+  test("retention: first-period cohorting, distinct users per cell, diagonal 1") {
+    import spark.implicits._
+    // a: days {0,0,1} (dup event same day dedups), b: {0}, c: {1,3}
+    val df = Seq(("a", 5L), ("a", 7L), ("a", 15L), ("b", 3L),
+      ("c", 12L), ("c", 33L)).toDF("u", "t")
+    val out = operators.Cohorts.retention(df, "u", "t", periodNanos = 10L)
+      .collect().map(r => (r.getAs[Long]("cohort_period"),
+        r.getAs[Long]("period_offset")) -> r).toMap
+    assert(out((0L, 0L)).getAs[Long]("n_users") == 2L)
+    assert(out((0L, 0L)).getAs[Double]("retention") == 1.0)
+    assert(out((0L, 1L)).getAs[Long]("n_users") == 1L)
+    assert(out((0L, 1L)).getAs[Double]("retention") == 0.5)
+    assert(out((1L, 0L)).getAs[Long]("n_users") == 1L)
+    assert(out((1L, 2L)).getAs[Double]("retention") == 1.0)
+    assert(out.size == 4)
+  }
+
+  test("funnel: sequential semantics — out-of-order steps don't convert") {
+    import spark.implicits._
+    val df = Seq(
+      ("u1", 1L, "view"), ("u1", 2L, "click"), ("u1", 3L, "purchase"),
+      ("u2", 1L, "click"), ("u2", 2L, "view"), // click BEFORE view
+      ("u3", 5L, "view")).toDF("u", "t", "e")
+    val out = operators.Cohorts.funnel(df, "u", "t", "e",
+      Seq("view", "click", "purchase")).orderBy("step_idx").collect()
+    assert(out.map(_.getAs[Long]("users")).toSeq == Seq(3L, 1L, 1L))
+    assert(out(0).getAs[Double]("rate_vs_first") == 1.0)
+    assert(out(0).isNullAt(out(0).fieldIndex("rate_vs_prev")))
+    assert(math.abs(out(1).getAs[Double]("rate_vs_first") - 0.333333) < 1e-9)
+    assert(out(2).getAs[Double]("rate_vs_prev") == 1.0)
+  }
+
   test("acfByKey: hand-computed lags on a ramp, null for constant series") {
     import spark.implicits._
     // ramp 1..4: d = [-1.5,-.5,.5,1.5], ss = 5; lag sums 1.25, -1.5, -2.25
