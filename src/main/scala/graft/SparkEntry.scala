@@ -2672,6 +2672,38 @@ object SparkEntry {
             F.col("l_extendedprice")),
         Seq("l_linestatus"), "cohort", "l_extendedprice")
         .orderBy("l_linestatus")),
+    "q_anova" -> ((s, dir) =>
+      // one-way ANOVA per line status: does mean quantity differ
+      // across return flags — sufficient-statistic cells only; the
+      // F-distribution p rides the operator (unit-pinned), the oracle
+      // replays the exact SSB/SSW/F algebra
+      StatTests.anovaByGroup(
+        li(s, dir).where(F.col("l_orderkey") < 100000),
+        Seq("l_linestatus"), "l_returnflag", "l_quantity")
+        .select(F.col("l_linestatus"), F.col("f_stat"), F.col("df1"),
+          F.col("df2"), F.col("ss_between"), F.col("ss_within"),
+          F.col("n"))
+        .orderBy("l_linestatus")),
+    "q_kruskal" -> ((s, dir) =>
+      // Kruskal-Wallis per line status on the same design — midranks
+      // via the RANGE-framed peer window, exact integer tie correction
+      StatTests.kruskalWallisByGroup(
+        li(s, dir).where(F.col("l_orderkey") < 100000),
+        Seq("l_linestatus"), "l_returnflag", "l_quantity")
+        .select(F.col("l_linestatus"), F.col("h_stat"), F.col("dof"),
+          F.col("n"))
+        .orderBy("l_linestatus")),
+    "q_cohen_kappa" -> ((s, dir) =>
+      // chance-corrected agreement between two derived binary raters
+      // — ONE contingency aggregation, marginals from the cells frame
+      Evaluation.cohenKappa(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select(
+            F.when(F.col("l_returnflag") === "N", "keep")
+              .otherwise("return").as("ra"),
+            F.when(F.col("l_linestatus") === "O", "keep")
+              .otherwise("return").as("rb")),
+        "ra", "rb")),
     "q_bpe_encode_fixed" -> ((s, dir) => {
       // train 3 merges, then ENCODE the vocabulary with them — the
       // round-trip a tokenizer artifact exists for; DuckDB replays the
@@ -6850,6 +6882,89 @@ object SparkEntry {
         |FROM base GROUP BY 1 ORDER BY bin""".stripMargin,
     // Welch per group: conditional count/avg/var_samp per cohort, the
     // Welch–Satterthwaite dof, p = erfc(|t|/√2) at the 6-rounded t.
+    "q_anova" ->
+      """WITH base AS (SELECT l_linestatus AS g, l_returnflag AS l,
+        |    CAST(l_quantity AS DOUBLE) AS x
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND l_returnflag IS NOT NULL),
+        |cells AS (SELECT g, l, CAST(count(*) AS BIGINT) AS cn,
+        |    sum(x) AS s, sum(x * x) AS ssq
+        |  FROM base GROUP BY g, l),
+        |agg AS (SELECT g, CAST(sum(cn) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    sum(s) AS st, sum(s * s / cn) AS a, sum(ssq) AS t
+        |  FROM cells GROUP BY g)
+        |SELECT g AS l_linestatus,
+        |  round(((a - st * st / n) / (k - 1)) / ((t - a) / (n - k)), 6)
+        |    AS f_stat,
+        |  k - 1 AS df1, n - k AS df2,
+        |  round(a - st * st / n, 6) AS ss_between,
+        |  round(t - a, 6) AS ss_within, n
+        |FROM agg WHERE k >= 2 AND n > k AND (t - a) > 0
+        |ORDER BY l_linestatus""".stripMargin,
+    "q_kruskal" ->
+      """WITH base AS (SELECT l_linestatus AS g, l_returnflag AS l,
+        |    CAST(l_quantity AS DOUBLE) AS x
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND l_returnflag IS NOT NULL),
+        |cells AS (SELECT g, x AS v, l, CAST(count(*) AS BIGINT) AS cl
+        |  FROM base GROUP BY g, x, l),
+        |r AS (SELECT g, v, l, cl,
+        |    CAST(sum(cl) OVER (PARTITION BY g, v) AS BIGINT) AS ct,
+        |    CAST(sum(cl) OVER (PARTITION BY g ORDER BY v
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM cells),
+        |mid AS (SELECT g, l, cl, ct,
+        |    (cum - ct) + (ct + 1) / 2.0 AS mid FROM r),
+        |lvl AS (SELECT g, l, CAST(sum(cl) AS BIGINT) AS nl,
+        |    sum(cl * mid) AS rl,
+        |    CAST(sum((ct * ct - 1) * cl) AS BIGINT) AS tie
+        |  FROM mid GROUP BY g, l),
+        |agg AS (SELECT g, CAST(sum(nl) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    sum(rl * rl / nl) AS r2, CAST(sum(tie) AS BIGINT) AS ties
+        |  FROM lvl GROUP BY g)
+        |SELECT g AS l_linestatus,
+        |  round((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+        |      * r2 - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+        |    / (1.0 - ties / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |      * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 6) AS h_stat,
+        |  k - 1 AS dof, n
+        |FROM agg
+        |WHERE k >= 2 AND (1.0 - ties / (CAST(n AS DOUBLE)
+        |  * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))) > 0
+        |ORDER BY l_linestatus""".stripMargin,
+    "q_cohen_kappa" ->
+      """WITH base AS (SELECT
+        |    CASE WHEN l_returnflag = 'N' THEN 'keep' ELSE 'return' END
+        |      AS a,
+        |    CASE WHEN l_linestatus = 'O' THEN 'keep' ELSE 'return' END
+        |      AS b
+        |  FROM lineitem WHERE l_orderkey < 100000),
+        |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n
+        |  FROM base GROUP BY a, b),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT)
+        |      AS diag FROM cells),
+        |ra AS (SELECT a AS l, CAST(sum(n) AS BIGINT) AS na
+        |  FROM cells GROUP BY a),
+        |rb AS (SELECT b AS l, CAST(sum(n) AS BIGINT) AS nb
+        |  FROM cells GROUP BY b),
+        |pe AS (SELECT coalesce(sum(CAST(na AS DOUBLE) * nb), 0.0) AS pn
+        |  FROM ra JOIN rb USING (l))
+        |SELECT
+        |  CASE WHEN pn / (CAST(t.n AS DOUBLE) * t.n) < 1.0
+        |    THEN round((CAST(diag AS DOUBLE) / t.n
+        |      - pn / (CAST(t.n AS DOUBLE) * t.n))
+        |      / (1.0 - pn / (CAST(t.n AS DOUBLE) * t.n)), 6) END AS kappa,
+        |  round(CAST(diag AS DOUBLE) / t.n, 6) AS po,
+        |  round(pn / (CAST(t.n AS DOUBLE) * t.n), 6) AS pe, t.n AS n
+        |FROM tot t, pe""".stripMargin,
     "q_welch_group" ->
       s"""WITH base AS (SELECT l_linestatus AS g,
         |    CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS c,

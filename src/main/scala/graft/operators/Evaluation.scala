@@ -218,6 +218,47 @@ object Evaluation {
         F.col("top_share")): _*)
   }
 
+  /** Cohen's kappa between two label columns — inter-rater agreement
+    * corrected for chance, the acceptance test for LLM-judge /
+    * heuristic-labeler agreement ("do the two quality raters agree
+    * beyond what their marginal label rates force?"):
+    *
+    *   κ = (p_o − p_e) / (1 − p_e),   p_o = Σ p_ii,
+    *   p_e = Σ_l p_{l·}·p_{·l}.
+    *
+    * ONE (a, b) contingency aggregation; marginals reduce from the
+    * cells frame and meet in a 1-row cross join — the data is touched
+    * once. All inputs to the ratio are integer-valued (exact to 2^53),
+    * so κ replays bit-stably. κ is null when p_e = 1 (both raters
+    * constant and equal — agreement is undefined, not perfect).
+    *
+    * @return one row: (kappa, po, pe, n), floats rounded to 6 */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = F.col(aCol).cast("string")
+    val b = F.col(bCol).cast("string")
+    val cells = df.where(a.isNotNull && b.isNotNull)
+      .groupBy(a.as("__a"), b.as("__b"))
+      .agg(F.count(F.lit(1)).as("__n"))
+    val tot = cells.agg(
+      F.sum("__n").as("n"),
+      F.sum(F.when(F.col("__a") === F.col("__b"), F.col("__n"))
+        .otherwise(0L)).as("__diag"))
+    val ra = cells.groupBy(F.col("__a").as("__l"))
+      .agg(F.sum("__n").as("__na"))
+    val rb = cells.groupBy(F.col("__b").as("__l"))
+      .agg(F.sum("__n").as("__nb"))
+    val peNum = ra.join(rb, "__l")
+      .agg(F.coalesce(F.sum(F.col("__na").cast("double") * F.col("__nb")),
+        F.lit(0.0)).as("__pn"))
+    val nD = F.col("n").cast("double")
+    val po = F.col("__diag") / nD
+    val pe = F.col("__pn") / (nD * nD)
+    tot.crossJoin(peNum).select(
+      F.when(pe < 1.0, F.round((po - pe) / (F.lit(1.0) - pe), 6))
+        .as("kappa"),
+      F.round(po, 6).as("po"), F.round(pe, 6).as("pe"), F.col("n"))
+  }
+
   /** Per-query ranking metrics for a retrieval / recommendation run —
     * the acceptance layer for the ANN and text-search operators: given
     * (query, item, graded relevance, score) rows, how well does the

@@ -387,6 +387,133 @@ object StatTests {
         F.col("n_a"), F.col("n_b")): _*)
   }
 
+  /** One-way ANOVA per analysis group: does the mean of `valueCol`
+    * differ across the levels of `factorCol` within each group —
+    * the k-sample generalization of [[welchTTestByGroup]]'s question
+    * (pooled-variance form; for k = 2 it reduces to the equal-variance
+    * t-test squared).
+    *
+    * Sufficient statistics only: ONE (group, level) aggregation
+    * reduces the data to (n, Σx, Σx²) cells; SSB = Σ s²ₗ/nₗ − S²/N
+    * and SSW = Σ ssqₗ − Σ s²ₗ/nₗ fold per group over that tiny frame.
+    * F = (SSB/(k−1)) / (SSW/(N−k)); p is the F survival function at
+    * the 6-rounded statistic (the replay discipline). Groups with
+    * k < 2 levels, N ≤ k, or zero within-variance are omitted.
+    *
+    * @return one row per group: (groupCols..., f_stat, df1, df2,
+    *         ss_between, ss_within, p_value, n) */
+  def anovaByGroup(df: DataFrame, groupCols: Seq[String],
+                   factorCol: String, valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(!groupCols.exists(_.startsWith("__")),
+      "group columns must not use the __ internal prefix")
+    import org.apache.spark.sql.expressions.Window
+    val v = F.col(valueCol).cast("double")
+    val cells = df
+      .where(v.isNotNull && !F.isnan(v) && F.col(factorCol).isNotNull)
+      .groupBy(groupCols.map(F.col) :+
+        F.col(factorCol).cast("string").as("__l"): _*)
+      .agg(F.count(F.lit(1)).as("__n"), F.sum(v).as("__s"),
+        F.sum(v * v).as("__ssq"))
+    val agged = cells.groupBy(groupCols.map(F.col): _*).agg(
+      F.sum("__n").as("n"),
+      F.count(F.lit(1)).as("__k"),
+      F.sum("__s").as("__st"),
+      F.sum(F.col("__s") * F.col("__s") / F.col("__n")).as("__a"),
+      F.sum("__ssq").as("__t"))
+    val ssb = F.col("__a") -
+      F.col("__st") * F.col("__st") / F.col("n")
+    val ssw = F.col("__t") - F.col("__a")
+    val df1 = (F.col("__k") - 1L).as("df1")
+    val df2 = (F.col("n") - F.col("__k")).as("df2")
+    val pUdf = F.udf((d1: Long, d2: Long, f: Double) =>
+      math.rint((1.0 - SpecialMath.fCdf(d1.toDouble, d2.toDouble, f)) *
+        1e6) / 1e6)
+    agged
+      .where(F.col("__k") >= 2L && F.col("n") > F.col("__k") && ssw > 0.0)
+      .withColumn("f_stat", F.round(
+        (ssb / (F.col("__k") - 1L)) / (ssw / (F.col("n") - F.col("__k"))),
+        6))
+      .withColumn("df1", df1)
+      .withColumn("df2", df2)
+      .withColumn("ss_between", F.round(ssb, 6))
+      .withColumn("ss_within", F.round(ssw, 6))
+      .withColumn("p_value",
+        pUdf(F.col("df1"), F.col("df2"), F.col("f_stat")))
+      .select(groupCols.map(F.col) ++ Seq(F.col("f_stat"), F.col("df1"),
+        F.col("df2"), F.col("ss_between"), F.col("ss_within"),
+        F.col("p_value"), F.col("n")): _*)
+  }
+
+  /** Kruskal–Wallis H per analysis group — the rank-based (distribution-
+    * free) companion to [[anovaByGroup]]: do the k levels' value
+    * distributions share a location, judged on midranks so outliers and
+    * non-normality don't poison the test.
+    *
+    * Construction: ONE (group, value, level) aggregation; the midrank
+    * of each distinct value rides a RANGE-framed window (peers included
+    * — ties share the midrank by construction) partitioned by GROUP;
+    * level rank-sums and the tie correction
+    * C = 1 − Σ(t³−t)/(N³−N) fold from exact integer forms
+    * (Σ(t²−1)·cₗ sums to Σ t³−t without a second cells pass).
+    * H = [12/(N(N+1)) Σ R²ₗ/nₗ − 3(N+1)] / C; p is the χ²_{k−1}
+    * survival at the 6-rounded H. Groups with k < 2 or all-tied values
+    * (C = 0) are omitted.
+    *
+    * @return one row per group: (groupCols..., h_stat, dof, p_value,
+    *         n) */
+  def kruskalWallisByGroup(df: DataFrame, groupCols: Seq[String],
+                           factorCol: String,
+                           valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(!groupCols.exists(_.startsWith("__")),
+      "group columns must not use the __ internal prefix")
+    import org.apache.spark.sql.expressions.Window
+    val v = F.col(valueCol).cast("double")
+    val gCols = groupCols.map(F.col)
+    val cells = df
+      .where(v.isNotNull && !F.isnan(v) && F.col(factorCol).isNotNull)
+      .groupBy(gCols :+ v.as("__v") :+
+        F.col(factorCol).cast("string").as("__l"): _*)
+      .agg(F.count(F.lit(1)).as("__cl"))
+    val wVal = Window.partitionBy(gCols :+ F.col("__v"): _*)
+    val wCum = Window.partitionBy(gCols: _*).orderBy("__v")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cells
+      .withColumn("__ct", F.sum("__cl").over(wVal))
+      // RANGE frame: peers at the same __v are in-frame, so the
+      // cumulative count minus the cell total is "strictly below"
+      .withColumn("__cum", F.sum("__cl").over(wCum))
+      .withColumn("__mid",
+        (F.col("__cum") - F.col("__ct")) + (F.col("__ct") + 1L) / 2.0)
+    val byLevel = ranked.groupBy(gCols :+ F.col("__l"): _*).agg(
+      F.sum("__cl").as("__nl"),
+      F.sum(F.col("__cl") * F.col("__mid")).as("__rl"),
+      F.sum((F.col("__ct") * F.col("__ct") - 1L) * F.col("__cl"))
+        .as("__tie"))
+    val agged = byLevel.groupBy(gCols: _*).agg(
+      F.sum("__nl").as("n"),
+      F.count(F.lit(1)).as("__k"),
+      F.sum(F.col("__rl") * F.col("__rl") / F.col("__nl")).as("__r2"),
+      F.sum("__tie").as("__ties"))
+    val nD = F.col("__n_d")
+    val hRaw = F.lit(12.0) / (nD * (nD + 1.0)) * F.col("__r2") -
+      F.lit(3.0) * (nD + 1.0)
+    val corr = F.lit(1.0) -
+      F.col("__ties") / (nD * nD * nD - nD)
+    val pUdf = F.udf((k: Long, h: Double) =>
+      math.rint(SpecialMath.gammaIncC((k - 1) / 2.0, h / 2.0) * 1e6) / 1e6)
+    agged
+      .withColumn("__n_d", F.col("n").cast("double"))
+      .withColumn("__corr", corr)
+      .where(F.col("__k") >= 2L && F.col("__corr") > 0.0)
+      .withColumn("h_stat", F.round(hRaw / F.col("__corr"), 6))
+      .withColumn("dof", F.col("__k") - 1L)
+      .withColumn("p_value", pUdf(F.col("__k"), F.col("h_stat")))
+      .select(gCols ++ Seq(F.col("h_stat"), F.col("dof"),
+        F.col("p_value"), F.col("n")): _*)
+  }
+
   /** Benjamini–Hochberg FDR adjustment: q_i = min(1, min_{j≥i} m·p_(j)/j)
     * over the sorted p-values, with ties taking the LARGEST rank of
     * their block (the standard step-up procedure — the right-to-left

@@ -613,6 +613,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g2.getAs[Double]("hhi") == 1.0 && g2.getAs[Long]("k") == 1L)
   }
 
+  test("cohenKappa: classic 2x2 table gives 0.4; degenerate agreement null") {
+    import spark.implicits._
+    // yes/yes 20, no/no 15, yes/no 5, no/yes 10 → po=0.7, pe=0.5, κ=0.4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(15)(("n", "n")) ++
+      Seq.fill(5)(("y", "n")) ++ Seq.fill(10)(("n", "y"))
+    val r = Evaluation.cohenKappa(rows.toDF("a", "b"), "a", "b").head()
+    assert(math.abs(r.getAs[Double]("kappa") - 0.4) < 1e-9)
+    assert(math.abs(r.getAs[Double]("po") - 0.7) < 1e-9)
+    assert(math.abs(r.getAs[Double]("pe") - 0.5) < 1e-9)
+    assert(r.getAs[Long]("n") == 50L)
+    // both raters constant-equal: pe = 1 → kappa undefined (null)
+    val const = Seq.fill(4)(("x", "x")).toDF("a", "b")
+    val rc = Evaluation.cohenKappa(const, "a", "b").head()
+    assert(rc.isNullAt(rc.fieldIndex("kappa")))
+    // disjoint raters: po = 0, pe = 0 → κ = 0/1 = 0
+    val disj = Seq.fill(4)(("x", "y")).toDF("a", "b")
+    assert(Evaluation.cohenKappa(disj, "a", "b").head()
+      .getAs[Double]("kappa") == 0.0)
+  }
+
   test("retention: first-period cohorting, distinct users per cell, diagonal 1") {
     import spark.implicits._
     // a: days {0,0,1} (dup event same day dedups), b: {0}, c: {1,3}

@@ -33,6 +33,49 @@ class StatTestsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
   }
 
+  test("anovaByGroup matches the hand-computed three-level example") {
+    import spark.implicits._
+    // levels a=[1,2,3], b=[2,3,4], c=[3,4,5]: SSB = 6, SSW = 6,
+    // F = (6/2)/(6/6) = 3; p = (1 + d1·F/d2)^(−d2/2) = 2^(−3) = 0.125
+    val df = (Seq(1.0, 2.0, 3.0).map(("g", "a", _)) ++
+      Seq(2.0, 3.0, 4.0).map(("g", "b", _)) ++
+      Seq(3.0, 4.0, 5.0).map(("g", "c", _))).toDF("grp", "lvl", "x")
+    val r = StatTests.anovaByGroup(df, Seq("grp"), "lvl", "x").head()
+    assert(math.abs(r.getAs[Double]("f_stat") - 3.0) < 1e-9)
+    assert(r.getAs[Long]("df1") == 2L && r.getAs[Long]("df2") == 6L)
+    assert(math.abs(r.getAs[Double]("ss_between") - 6.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ss_within") - 6.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("p_value") - 0.125) < 1e-6)
+    // a constant-value group (zero within-variance) is omitted
+    val const = Seq(("z", "a", 1.0), ("z", "b", 1.0)).toDF("grp", "lvl", "x")
+    assert(StatTests.anovaByGroup(const, Seq("grp"), "lvl", "x").count() == 0)
+  }
+
+  test("kruskalWallisByGroup: untied and tied hand examples") {
+    import spark.implicits._
+    // a=[1,2], b=[3,4]: ranks 1..4, H = 0.6·(9/2 + 49/2) − 15 = 2.4
+    val plain = Seq(("g", "a", 1.0), ("g", "a", 2.0),
+      ("g", "b", 3.0), ("g", "b", 4.0)).toDF("grp", "lvl", "x")
+    val r = StatTests.kruskalWallisByGroup(plain, Seq("grp"), "lvl", "x")
+      .head()
+    assert(math.abs(r.getAs[Double]("h_stat") - 2.4) < 1e-9)
+    assert(r.getAs[Long]("dof") == 1L && r.getAs[Long]("n") == 4L)
+    // p = chi2 sf(1, 2.4)
+    assert(math.abs(r.getAs[Double]("p_value") -
+      SpecialMath.gammaIncC(0.5, 1.2)) < 1e-5)
+    // ties: a=[1,1], b=[2,2] → midranks 1.5/3.5, raw H = 2.4,
+    // C = 1 − 12/60 = 0.8 → H = 3.0
+    val tied = Seq(("g", "a", 1.0), ("g", "a", 1.0),
+      ("g", "b", 2.0), ("g", "b", 2.0)).toDF("grp", "lvl", "x")
+    val rt = StatTests.kruskalWallisByGroup(tied, Seq("grp"), "lvl", "x")
+      .head()
+    assert(math.abs(rt.getAs[Double]("h_stat") - 3.0) < 1e-9)
+    // all values identical → C = 0 → omitted
+    val flat = Seq(("g", "a", 1.0), ("g", "b", 1.0)).toDF("grp", "lvl", "x")
+    assert(StatTests.kruskalWallisByGroup(flat, Seq("grp"), "lvl", "x")
+      .count() == 0)
+  }
+
   test("mannWhitneyU on identical cohorts gives z = 0, p = 1") {
     import spark.implicits._
     val df = (Seq(1, 2, 3).map(("a", _)) ++ Seq(1, 2, 3).map(("b", _)))
