@@ -2672,6 +2672,30 @@ object SparkEntry {
             F.col("l_extendedprice")),
         Seq("l_linestatus"), "cohort", "l_extendedprice")
         .orderBy("l_linestatus")),
+    "q_huber" -> ((s, dir) => {
+      // Huber robust fit price ~ quantity (delta = 5000 price units,
+      // 3 fixed IRLS passes): iteration 1 is OLS, then min(1, d/|r|)
+      // reweighting with beta folded in as literals — one weighted
+      // Gram aggregation per pass, replayed by chained Cramer CTEs
+      import s.implicits._
+      val m = Regression.huberIrls(li(s, dir), "l_extendedprice",
+        Seq("l_quantity"), delta = 5000.0, iters = 3)
+      ("intercept" +: m.features).zip(m.beta.toSeq)
+        .toDF("feature", "coef")
+        .select(F.col("feature"), F.round(F.col("coef"), 4).as("coef_r"))
+        .withColumn("n", F.lit(m.n))
+        .orderBy("feature")
+    }),
+    "q_conformal" -> ((s, dir) =>
+      // split-conformal interval half-width per line status at 90%
+      // coverage: exact ceil((n+1)(1-alpha))-th order statistic of the
+      // absolute residuals, picked by cumulative cell counts
+      Evaluation.conformalByGroup(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select(F.col("l_linestatus"), F.col("l_extendedprice"),
+            (F.col("l_quantity") * 3000.0).as("pred")),
+        Seq("l_linestatus"), "l_extendedprice", "pred", alpha = 0.1)
+        .orderBy("l_linestatus")),
     "q_anova" -> ((s, dir) =>
       // one-way ANOVA per line status: does mean quantity differ
       // across return flags — sufficient-statistic cells only; the
@@ -6882,6 +6906,71 @@ object SparkEntry {
         |FROM base GROUP BY 1 ORDER BY bin""".stripMargin,
     // Welch per group: conditional count/avg/var_samp per cohort, the
     // Welch–Satterthwaite dof, p = erfc(|t|/√2) at the 6-rounded t.
+    // Replays 3 Huber IRLS passes as chained CTEs (the
+    // q_logistic_quality pattern): OLS first, then min(1, d/|r|)
+    // weights at the previous beta, 2x2 Cramer solves; coef at 4 dp
+    // absorbs the elimination-vs-Cramer ULP gap.
+    "q_huber" ->
+      """WITH base AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |it1 AS (SELECT count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+        |    sum(y) AS sy, sum(x * y) AS sxy FROM base),
+        |b1 AS (SELECT
+        |    (sxx * sy - sx * sxy) / (n * sxx - sx * sx) AS b0,
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b1, n FROM it1),
+        |w2 AS (SELECT x, y,
+        |    CASE WHEN abs(y - (b.b0 + x * b.b1)) <= 5000.0 THEN 1.0
+        |      ELSE 5000.0 / abs(y - (b.b0 + x * b.b1)) END AS w
+        |  FROM base CROSS JOIN b1 b),
+        |it2 AS (SELECT sum(w) AS sw, sum(w * x) AS swx,
+        |    sum(w * x * x) AS swxx, sum(w * y) AS swy,
+        |    sum(w * x * y) AS swxy FROM w2),
+        |b2 AS (SELECT
+        |    (swxx * swy - swx * swxy) / (sw * swxx - swx * swx) AS b0,
+        |    (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b1
+        |  FROM it2),
+        |w3 AS (SELECT x, y,
+        |    CASE WHEN abs(y - (b.b0 + x * b.b1)) <= 5000.0 THEN 1.0
+        |      ELSE 5000.0 / abs(y - (b.b0 + x * b.b1)) END AS w
+        |  FROM base CROSS JOIN b2 b),
+        |it3 AS (SELECT sum(w) AS sw, sum(w * x) AS swx,
+        |    sum(w * x * x) AS swxx, sum(w * y) AS swy,
+        |    sum(w * x * y) AS swxy FROM w3),
+        |b3 AS (SELECT
+        |    (swxx * swy - swx * swxy) / (sw * swxx - swx * swx) AS b0,
+        |    (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b1
+        |  FROM it3)
+        |SELECT 'intercept' AS feature, round(b0, 4) AS coef_r,
+        |  (SELECT CAST(n AS BIGINT) FROM b1) AS n FROM b3
+        |UNION ALL SELECT 'l_quantity', round(b1, 4),
+        |  (SELECT CAST(n AS BIGINT) FROM b1) FROM b3
+        |ORDER BY feature""".stripMargin,
+    "q_conformal" ->
+      """WITH base AS (SELECT l_linestatus AS g,
+        |    abs(CAST(l_extendedprice AS DOUBLE)
+        |      - CAST(l_quantity AS DOUBLE) * 3000.0) AS r
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        |    AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE) * 3000.0)),
+        |cells AS (SELECT g, r, CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY g, r),
+        |w AS (SELECT g, r, c,
+        |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n,
+        |    CAST(sum(c) OVER (PARTITION BY g ORDER BY r
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM cells),
+        |k AS (SELECT *, CAST(ceil((n + 1) * 0.9) AS BIGINT) AS kk FROM w)
+        |SELECT g AS l_linestatus, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(max(kk) AS BIGINT) AS q_rank,
+        |  min(CASE WHEN cum >= kk THEN r END) AS qhat
+        |FROM k GROUP BY g ORDER BY l_linestatus""".stripMargin,
     "q_anova" ->
       """WITH base AS (SELECT l_linestatus AS g, l_returnflag AS l,
         |    CAST(l_quantity AS DOUBLE) AS x

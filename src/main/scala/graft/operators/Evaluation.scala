@@ -218,6 +218,49 @@ object Evaluation {
         F.col("top_share")): _*)
   }
 
+  /** Split-conformal prediction interval width per group: from a
+    * CALIBRATION frame carrying a prediction and the realized value,
+    * the exact ⌈(n+1)(1−α)⌉-th smallest absolute residual q̂ — the
+    * half-width that makes [pred − q̂, pred + q̂] a distribution-free
+    * ≥(1−α) coverage interval for exchangeable future rows (the
+    * split-conformal guarantee; no model or noise assumptions).
+    *
+    * Scale shape: ONE (group, |residual|) cell aggregation; the rank
+    * walk rides windows PARTITIONED BY GROUP over the cells frame —
+    * q̂ is an exact order statistic picked by cumulative count, never a
+    * sort of raw rows. Groups too small for the level (k > n) emit a
+    * null q̂ — the honest "collect more calibration data" answer.
+    *
+    * @return one row per group: (groupCols..., n, q_rank, qhat) */
+  def conformalByGroup(df: DataFrame, groupCols: Seq[String],
+                       actualCol: String, predCol: String,
+                       alpha: Double): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(!groupCols.exists(_.startsWith("__")),
+      "group columns must not use the __ internal prefix")
+    require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0,1)")
+    import org.apache.spark.sql.expressions.Window
+    val a = F.col(actualCol).cast("double")
+    val p = F.col(predCol).cast("double")
+    val cells = df
+      .where(a.isNotNull && !F.isnan(a) && p.isNotNull && !F.isnan(p))
+      .groupBy(groupCols.map(F.col) :+ F.abs(a - p).as("__r"): _*)
+      .agg(F.count(F.lit(1)).as("__c"))
+    val wAll = Window.partitionBy(groupCols.map(F.col): _*)
+    val wOrd = Window.partitionBy(groupCols.map(F.col): _*)
+      .orderBy("__r")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("__n", F.sum("__c").over(wAll))
+      .withColumn("__k", F.ceil((F.col("__n") + 1L) *
+        F.lit(1.0 - alpha)).cast("long"))
+      .withColumn("__cum", F.sum("__c").over(wOrd))
+      .groupBy(groupCols.map(F.col): _*)
+      .agg(F.max("__n").as("n"), F.max("__k").as("q_rank"),
+        F.min(F.when(F.col("__cum") >= F.col("__k"), F.col("__r")))
+          .as("qhat"))
+  }
+
   /** Cohen's kappa between two label columns — inter-rater agreement
     * corrected for chance, the acceptance test for LLM-judge /
     * heuristic-labeler agreement ("do the two quality raters agree

@@ -301,6 +301,79 @@ object Regression {
     LogisticModel(xCols, beta, ll, n, iters)
   }
 
+  /** A fitted Huber robust linear model: β aligned to
+    * `"intercept" +: features`, the Huber threshold used, row count and
+    * fixed iteration count. */
+  final case class HuberModel(features: Seq[String], beta: Array[Double],
+                              n: Long, iterations: Int, delta: Double) {
+    /** The model's prediction as a codegen'd column over `df`'s columns. */
+    def predict: Column =
+      features.zipWithIndex.foldLeft(F.lit(beta(0))) { case (acc, (f, i)) =>
+        acc + F.col(f).cast("double") * beta(i + 1)
+      }
+  }
+
+  /** Huber robust linear regression by IRLS with a FIXED iteration
+    * count — the outlier-tolerant replacement for [[olsFit]] when the
+    * response carries heavy-tailed noise (a single corrupt row can move
+    * an OLS slope arbitrarily; under Huber weights its influence caps
+    * at `delta`).
+    *
+    * Iteration 1 is plain OLS (all weights 1); each further pass
+    * reweights rows by w = min(1, δ/|residual|) at the PREVIOUS β —
+    * the β is folded into the column expressions as literals, so every
+    * pass is ONE weighted Gram aggregation + a driver (k+1)×(k+1)
+    * solve. Total jobs = `iters`, independent of data size; fixed
+    * iterations keep the output deterministic and SQL-replayable
+    * (the q_logistic_quality chained-CTE pattern).
+    *
+    * `delta` is in RESPONSE units (standardize upstream if you want the
+    * textbook 1.345σ tuning — a data-dependent scale estimate per pass
+    * would break replay determinism).
+    */
+  def huberIrls(df: DataFrame, yCol: String, xCols: Seq[String],
+                delta: Double, iters: Int = 3): HuberModel = {
+    require(xCols.nonEmpty, "need at least one feature")
+    require(delta > 0.0, "delta must be positive")
+    require(iters >= 1, "need at least one iteration")
+    val k = xCols.length + 1
+    val feats = F.lit(1.0) +: xCols.map(c => F.col(c).cast("double"))
+    val y = F.col(yCol).cast("double")
+    val ok = (xCols.map(F.col(_).cast("double")) :+ y)
+      .map(c => c.isNotNull && !F.isnan(c)).reduce(_ && _)
+    val clean = df.where(ok)
+    var beta: Array[Double] = null
+    var n = 0L
+    var it = 0
+    while (it < iters) {
+      val w: Column =
+        if (beta == null) F.lit(1.0)
+        else {
+          val pred = feats.zipWithIndex.foldLeft(F.lit(0.0)) {
+            case (acc, (f, i)) => acc + f * beta(i)
+          }
+          val r = F.abs(y - pred)
+          F.when(r <= delta, F.lit(1.0)).otherwise(F.lit(delta) / r)
+        }
+      val cols =
+        (for { i <- 0 until k; j <- i until k }
+          yield F.sum(w * feats(i) * feats(j)).as(s"g_${i}_$j")) ++
+        (0 until k).map(i => F.sum(w * feats(i) * y).as(s"xy_$i")) :+
+        F.count(F.lit(1)).as("n")
+      val r = clean.agg(cols.head, cols.tail: _*).head()
+      n = r.getAs[Long]("n")
+      require(n > k, s"need more than $k rows, got $n")
+      val a = Array.ofDim[Double](k, k)
+      for { i <- 0 until k; j <- i until k } {
+        a(i)(j) = r.getAs[Double](s"g_${i}_$j"); a(j)(i) = a(i)(j)
+      }
+      val b = Array.tabulate(k)(i => r.getAs[Double](s"xy_$i"))
+      beta = solve(a, b)
+      it += 1
+    }
+    HuberModel(xCols, beta, n, iters, delta)
+  }
+
   // --- small dense linear algebra (k ≤ ~dozens; driver-side only) ---
 
   /** Gaussian elimination with partial pivoting; mutates copies.

@@ -90,6 +90,52 @@ class RegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .where($"g" === "bad").count() == 0L)
   }
 
+  test("huberIrls caps outlier influence where OLS is dragged") {
+    import spark.implicits._
+    // y = 1 + 2x exactly, except x = 10 carries a wild outlier
+    val rows = (1 to 9).map(i => (i.toDouble, 1.0 + 2.0 * i)) :+
+      ((10.0, 1000.0))
+    val df = rows.toDF("x", "y")
+    val ols = Regression.olsFit(df, "y", Seq("x"))
+    val hub = Regression.huberIrls(df, "y", Seq("x"), delta = 5.0,
+      iters = 8)
+    // OLS slope is pulled far above 2 by the outlier...
+    assert(ols.beta(1) > 10.0)
+    // ...Huber reweighting pulls it back near the clean slope
+    assert(math.abs(hub.beta(1) - 2.0) < 0.5)
+    assert(math.abs(hub.beta(0) - 1.0) < 3.0)
+    // clean data (zero residuals, all weights 1): exact recovery at
+    // any iteration count
+    val clean = (1 to 10).map(i => (i.toDouble, 1.0 + 2.0 * i))
+      .toDF("x", "y")
+    val hc = Regression.huberIrls(clean, "y", Seq("x"), delta = 1.0,
+      iters = 3)
+    assert(math.abs(hc.beta(0) - 1.0) < 1e-8 &&
+      math.abs(hc.beta(1) - 2.0) < 1e-8)
+  }
+
+  test("conformalByGroup picks the exact order statistic, null when k > n") {
+    import spark.implicits._
+    // residuals 1..10 in group g: alpha=0.2 → k = ceil(11·0.8) = 9
+    val df = (1 to 10).map(i => ("g", 100.0 + i, 100.0)).toDF("g", "a", "p")
+    val r = Evaluation.conformalByGroup(df, Seq("g"), "a", "p",
+      alpha = 0.2).head()
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Long]("q_rank") == 9L)
+    assert(r.getAs[Double]("qhat") == 9.0)
+    // alpha = 0.05 → k = ceil(11·0.95) = 11 > n → null qhat
+    val tight = Evaluation.conformalByGroup(df, Seq("g"), "a", "p",
+      alpha = 0.05).head()
+    assert(tight.getAs[Long]("q_rank") == 11L)
+    assert(tight.isNullAt(tight.fieldIndex("qhat")))
+    // duplicated residuals: the cumulative-count walk still lands on
+    // the right cell (residuals {1,1,1,2}: k = ceil(5·0.5) = 3 → 1.0)
+    val dup = Seq(("g", 1.0), ("g", 1.0), ("g", 1.0), ("g", 2.0))
+      .map { case (g, d) => (g, d, 0.0) }.toDF("g", "a", "p")
+    assert(Evaluation.conformalByGroup(dup, Seq("g"), "a", "p",
+      alpha = 0.5).head().getAs[Double]("qhat") == 1.0)
+  }
+
   test("olsFit recovers exact multi-feature coefficients; ridge shrinks") {
     import spark.implicits._
     val rows = (0 until 500).map { i =>
