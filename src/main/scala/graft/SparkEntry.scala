@@ -2672,6 +2672,32 @@ object SparkEntry {
             F.col("l_extendedprice")),
         Seq("l_linestatus"), "cohort", "l_extendedprice")
         .orderBy("l_linestatus")),
+    "q_isotonic" -> ((s, dir) =>
+      // isotonic (PAV) calibration of a discount-derived score against
+      // the returned-flag label: one cells aggregation, driver PAV on
+      // integer blocks; DuckDB replays the fit via the exact minimax
+      // characterization max_{j<=i} min_{k>=i} mean(y[j..k])
+      Evaluation.isotonicCalibrate(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select((F.col("l_returnflag") === "R").as("y"),
+            (F.col("l_discount") * 10.0).as("score")),
+        "y", "score", bins = 10)
+        .orderBy("bin")),
+    "q_gini" -> ((s, dir) =>
+      // Gini inequality of line revenue per line status — one rank
+      // window partitioned by group + one aggregation
+      Ranks.giniByGroup(
+        li(s, dir).where(F.col("l_orderkey") < 100000),
+        Seq("l_linestatus"), "l_extendedprice")
+        .orderBy("l_linestatus")),
+    "q_pareto" -> ((s, dir) =>
+      // supplier concentration per line status: how many suppliers
+      // carry 80% of revenue — (group, key) aggregation + per-group
+      // cumulative-share window, deterministic (value desc, key) order
+      Ranks.paretoByGroup(
+        li(s, dir).where(F.col("l_orderkey") < 100000),
+        Seq("l_linestatus"), "l_suppkey", "l_extendedprice", share = 0.8)
+        .orderBy("l_linestatus")),
     "q_huber" -> ((s, dir) => {
       // Huber robust fit price ~ quantity (delta = 5000 price units,
       // 3 fixed IRLS passes): iteration 1 is OLS, then min(1, d/|r|)
@@ -6906,6 +6932,86 @@ object SparkEntry {
         |FROM base GROUP BY 1 ORDER BY bin""".stripMargin,
     // Welch per group: conditional count/avg/var_samp per cohort, the
     // Welch–Satterthwaite dof, p = erfc(|t|/√2) at the 6-rounded t.
+    // Replays the PAV fit through its minimax characterization:
+    // iso_i = max_{j<=i} min_{k>=i} mean(y over bins j..k), all block
+    // means exact integer ratios from prefix sums over <= 10 bins.
+    "q_isotonic" ->
+      """WITH base AS (SELECT least(9, greatest(0,
+        |      CAST(floor((l_discount * 10.0) * 10) AS INT))) AS bin,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_discount IS NOT NULL
+        |    AND NOT isnan(CAST(l_discount * 10.0 AS DOUBLE))
+        |    AND l_returnflag IS NOT NULL),
+        |cells AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS pos
+        |  FROM base GROUP BY bin),
+        |ord AS (SELECT bin, n, pos,
+        |    CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS i
+        |  FROM cells),
+        |pre AS (SELECT *,
+        |    CAST(sum(n) OVER (ORDER BY i) AS BIGINT) AS cn,
+        |    CAST(sum(pos) OVER (ORDER BY i) AS BIGINT) AS cp
+        |  FROM ord),
+        |pre2 AS (SELECT *,
+        |    coalesce(CAST(lag(cn) OVER (ORDER BY i) AS BIGINT), 0)
+        |      AS cnp,
+        |    coalesce(CAST(lag(cp) OVER (ORDER BY i) AS BIGINT), 0)
+        |      AS cpp
+        |  FROM pre),
+        |pairavg AS (SELECT jr.i AS j, kr.i AS k,
+        |    CAST(kr.cp - jr.cpp AS DOUBLE) / (kr.cn - jr.cnp) AS m
+        |  FROM pre2 jr JOIN pre2 kr ON jr.i <= kr.i),
+        |step1 AS (SELECT p.j, o.i, min(p.m) AS mn
+        |  FROM pairavg p JOIN ord o ON p.j <= o.i AND p.k >= o.i
+        |  GROUP BY p.j, o.i),
+        |step2 AS (SELECT i, max(mn) AS iso FROM step1 GROUP BY i)
+        |SELECT o.bin, o.n, o.pos,
+        |  round(CAST(o.pos AS DOUBLE) / o.n, 6) AS rate,
+        |  round(s.iso, 6) AS iso_rate
+        |FROM ord o JOIN step2 s ON o.i = s.i
+        |ORDER BY o.bin""".stripMargin,
+    "q_gini" ->
+      """WITH base AS (SELECT l_linestatus AS g,
+        |    CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        |    AND CAST(l_extendedprice AS DOUBLE) >= 0.0),
+        |r AS (SELECT g, v, CAST(row_number()
+        |    OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS i
+        |  FROM base)
+        |SELECT g AS l_linestatus,
+        |  round((2.0 * sum(i * v)
+        |    - (CAST(count(*) AS BIGINT) + 1) * sum(v))
+        |    / (CAST(count(*) AS BIGINT) * sum(v)), 6) AS gini,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(v), 2) AS total
+        |FROM r GROUP BY g HAVING sum(v) > 0
+        |ORDER BY l_linestatus""".stripMargin,
+    "q_pareto" ->
+      """WITH base AS (SELECT l_linestatus AS g, l_suppkey AS k,
+        |    CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        |    AND l_suppkey IS NOT NULL),
+        |keys AS (SELECT g, k, sum(v) AS kv FROM base GROUP BY g, k),
+        |w AS (SELECT g, k, kv,
+        |    sum(kv) OVER (PARTITION BY g) AS tot,
+        |    sum(kv) OVER (PARTITION BY g ORDER BY kv DESC, k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    CAST(row_number() OVER (PARTITION BY g
+        |      ORDER BY kv DESC, k) AS BIGINT) AS r
+        |  FROM keys)
+        |SELECT g AS l_linestatus, CAST(count(*) AS BIGINT) AS n_keys,
+        |  round(max(tot), 2) AS total,
+        |  CAST(min(CASE WHEN cum >= 0.8 * tot THEN r END) AS BIGINT)
+        |    AS k_top,
+        |  round(CAST(min(CASE WHEN cum >= 0.8 * tot THEN r END)
+        |    AS DOUBLE) / count(*), 6) AS k_frac
+        |FROM w WHERE tot > 0 GROUP BY g
+        |ORDER BY l_linestatus""".stripMargin,
     // Replays 3 Huber IRLS passes as chained CTEs (the
     // q_logistic_quality pattern): OLS first, then min(1, d/|r|)
     // weights at the previous beta, 2x2 Cramer solves; coef at 4 dp

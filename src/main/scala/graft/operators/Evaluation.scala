@@ -218,6 +218,71 @@ object Evaluation {
         F.col("top_share")): _*)
   }
 
+  /** Isotonic (monotone) calibration of a score against a binary label
+    * via pool-adjacent-violators on equal-width score bins — the
+    * monotone upgrade of [[calibrationBins]]: the fitted `iso_rate` is
+    * the closest non-decreasing curve (weighted L2) to the per-bin
+    * positive rates, the standard post-hoc calibrator when Platt's
+    * sigmoid shape is wrong.
+    *
+    * Scale shape: ONE aggregation reduces the data to ≤ `bins`
+    * (n, positives) integer cells; PAV runs on the driver over that
+    * bounded frame with INTEGER block accumulators, so each fitted
+    * value is an exact positives/count ratio — which is also what the
+    * minimax characterization max_{j≤i} min_{k≥i} mean(y[j..k])
+    * evaluates to, making the fit exactly SQL-replayable.
+    *
+    * @return one row per non-empty bin: (bin, n, pos, rate, iso_rate),
+    *         rates as exact ratios rounded to 6 */
+  def isotonicCalibrate(df: DataFrame, labelCol: String, scoreCol: String,
+                        bins: Int = 20): DataFrame = {
+    require(bins >= 2 && bins <= 10000, "bins must be in 2..10000")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val s = F.col(scoreCol).cast("double")
+    val y = F.col(labelCol).cast("boolean")
+    val bin = F.least(F.lit(bins - 1), F.greatest(F.lit(0),
+      F.floor(s * bins).cast("int")))
+    val cells = df.where(s.isNotNull && !F.isnan(s) && y.isNotNull)
+      .groupBy(bin.as("bin")).agg(
+        F.count(F.lit(1)).as("n"),
+        F.sum(F.when(y, 1L).otherwise(0L)).as("pos"))
+      .orderBy("bin")
+      .as[(Int, Long, Long)].collect()
+    // PAV with integer block accumulators: pool while the previous
+    // block's rate is >= the current's (cross-multiplied as BigInt —
+    // exact at any count magnitude, no FP rate comparisons)
+    final case class Block(bin: Int, n: Long, pos: Long)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
+    cells.foreach { case (b, n, pos) =>
+      var cur = Block(b, n, pos)
+      while (stack.nonEmpty &&
+        BigInt(stack.last.pos) * cur.n >= BigInt(cur.pos) * stack.last.n) {
+        val prev = stack.remove(stack.length - 1)
+        cur = Block(prev.bin, prev.n + cur.n, prev.pos + cur.pos)
+      }
+      stack += cur
+    }
+    // expand blocks back to bins: walk the cells, advancing through
+    // blocks as their member counts are consumed; each bin's iso value
+    // is its block's exact pos/n ratio
+    val iso = new Array[Double](cells.length)
+    var bi = 0
+    var consumedN = 0L
+    var ci = 0
+    while (ci < cells.length) {
+      val blk = stack(bi)
+      iso(ci) = blk.pos.toDouble / blk.n
+      consumedN += cells(ci)._2
+      if (consumedN == blk.n) { bi += 1; consumedN = 0L }
+      ci += 1
+    }
+    cells.zipWithIndex.map { case ((b, n, pos), i) =>
+      (b, n, pos, math.rint(pos.toDouble / n * 1e6) / 1e6,
+        math.rint(iso(i) * 1e6) / 1e6)
+    }.toSeq.toDF("bin", "n", "pos", "rate", "iso_rate")
+  }
+
   /** Split-conformal prediction interval width per group: from a
     * CALIBRATION frame carrying a prediction and the realized value,
     * the exact ⌈(n+1)(1−α)⌉-th smallest absolute residual q̂ — the

@@ -118,6 +118,87 @@ object Ranks {
       .drop("__v", "__rk")
   }
 
+  /** Gini coefficient of a non-negative value column per group — the
+    * inequality summary for a data card ("how concentrated is revenue /
+    * token count / document length within each segment"):
+    *
+    *   G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx)
+    *
+    * over the group's values sorted ascending (i = 1..n). Ties make the
+    * rank assignment arbitrary but leave the sum invariant (equal x
+    * share the swapped coefficients), so the result is deterministic.
+    * One rank window PARTITIONED BY GROUP + one aggregation per group;
+    * zero-total groups are omitted (G undefined).
+    *
+    * @return one row per group: (groupCols..., gini, n, total) — gini
+    *         rounded to 6, total to 2 */
+  def giniByGroup(df: DataFrame, groupCols: Seq[String],
+                  valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(!groupCols.exists(_.startsWith("__")),
+      "group columns must not use the __ internal prefix")
+    import org.apache.spark.sql.expressions.Window
+    val v = F.col(valueCol).cast("double")
+    val gCols = groupCols.map(F.col)
+    val w = Window.partitionBy(gCols: _*).orderBy("__v")
+    val ranked = df
+      .where(v.isNotNull && !F.isnan(v) && v >= 0.0)
+      .select(gCols :+ v.as("__v"): _*)
+      .withColumn("__i", F.row_number().over(w).cast("long"))
+    ranked.groupBy(gCols: _*).agg(
+      F.count(F.lit(1)).as("n"),
+      F.sum("__v").as("__s"),
+      F.sum(F.col("__i") * F.col("__v")).as("__is"))
+      .where(F.col("__s") > 0.0)
+      .select(gCols ++ Seq(
+        F.round((F.lit(2.0) * F.col("__is") -
+          (F.col("n") + 1L) * F.col("__s")) /
+          (F.col("n") * F.col("__s")), 6).as("gini"),
+        F.col("n"), F.round(F.col("__s"), 2).as("total")): _*)
+  }
+
+  /** Pareto concentration per group: how many of the group's KEYS
+    * (customers, documents, suppliers) carry `share` of the group's
+    * total value — the "do 20% of customers make 80% of revenue"
+    * diagnostic, and the skew early-warning for partition planning.
+    *
+    * One (group, key) aggregation, then a window PARTITIONED BY GROUP
+    * ordered by (key total desc, key asc — deterministic under ties);
+    * k_top = the first rank whose cumulative share reaches `share`.
+    *
+    * @return one row per group: (groupCols..., n_keys, total, k_top,
+    *         k_frac) — total rounded to 2, k_frac to 6 */
+  def paretoByGroup(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                    valueCol: String, share: Double = 0.8): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(!groupCols.exists(_.startsWith("__")),
+      "group columns must not use the __ internal prefix")
+    require(share > 0.0 && share < 1.0, "share must be in (0,1)")
+    import org.apache.spark.sql.expressions.Window
+    val v = F.col(valueCol).cast("double")
+    val gCols = groupCols.map(F.col)
+    val keys = df
+      .where(v.isNotNull && !F.isnan(v) && F.col(keyCol).isNotNull)
+      .groupBy(gCols :+ F.col(keyCol).as("__k"): _*)
+      .agg(F.sum(v).as("__kv"))
+    val wAll = Window.partitionBy(gCols: _*)
+    val wOrd = Window.partitionBy(gCols: _*)
+      .orderBy(F.col("__kv").desc, F.col("__k").asc)
+    keys
+      .withColumn("__tot", F.sum("__kv").over(wAll))
+      .withColumn("__cum", F.sum("__kv").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__r", F.row_number().over(wOrd).cast("long"))
+      .where(F.col("__tot") > 0.0)
+      .groupBy(gCols: _*).agg(
+        F.count(F.lit(1)).as("n_keys"),
+        F.round(F.max("__tot"), 2).as("total"),
+        F.min(F.when(F.col("__cum") >= F.lit(share) * F.col("__tot"),
+          F.col("__r"))).as("k_top"))
+      .withColumn("k_frac", F.round(
+        F.col("k_top").cast("double") / F.col("n_keys"), 6))
+  }
+
   /** Spearman rank correlation of two columns with SQL rank() (min-rank)
     * tie semantics — Pearson correlation over joined rank tables. The
     * result is computed eagerly so the rank tables' cache lifecycle ends

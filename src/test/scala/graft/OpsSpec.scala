@@ -613,6 +613,54 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g2.getAs[Double]("hhi") == 1.0 && g2.getAs[Long]("k") == 1L)
   }
 
+  test("isotonicCalibrate pools adjacent violators to exact block ratios") {
+    import spark.implicits._
+    // bin rates [1/2, 1/5, 4/5]: the 0.5 > 0.2 violation pools bins
+    // 0-1 into 2/7; bin 2 stays at 0.8
+    val rows =
+      Seq((true, 0.05), (false, 0.05)) ++
+      (Seq(true, false, false, false, false).map((_, 0.15))) ++
+      (Seq(true, true, true, true, false).map((_, 0.25)))
+    val out = Evaluation.isotonicCalibrate(rows.toDF("y", "s"), "y", "s",
+      bins = 10).orderBy("bin").collect()
+    assert(out.map(_.getAs[Int]("bin")).toSeq == Seq(0, 1, 2))
+    assert(math.abs(out(0).getAs[Double]("iso_rate") - 0.285714) < 1e-6)
+    assert(math.abs(out(1).getAs[Double]("iso_rate") - 0.285714) < 1e-6)
+    assert(math.abs(out(2).getAs[Double]("iso_rate") - 0.8) < 1e-9)
+    // already-monotone rates pass through unchanged
+    val mono = Seq((false, 0.05), (true, 0.15), (true, 0.25), (true, 0.25))
+    val m = Evaluation.isotonicCalibrate(mono.toDF("y", "s"), "y", "s",
+      bins = 10).orderBy("bin").collect()
+    assert(m.map(_.getAs[Double]("iso_rate")).toSeq == Seq(0.0, 1.0, 1.0))
+  }
+
+  test("giniByGroup: zero for equal shares, (n-1)/n for one-takes-all") {
+    import spark.implicits._
+    val df = (Seq.fill(4)(5.0).map(("eq", _)) ++
+      Seq(0.0, 0.0, 0.0, 12.0).map(("uneq", _))).toDF("g", "v")
+    val out = operators.Ranks.giniByGroup(df, Seq("g"), "v")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("eq").getAs[Double]("gini") == 0.0)
+    assert(math.abs(out("uneq").getAs[Double]("gini") - 0.75) < 1e-9)
+    assert(out("uneq").getAs[Double]("total") == 12.0)
+  }
+
+  test("paretoByGroup finds the smallest prefix reaching the share") {
+    import spark.implicits._
+    // supplier totals 80/15/5: one supplier already carries 80%
+    val df = (Seq.fill(8)(("g", "a", 10.0)) ++
+      Seq(("g", "b", 15.0), ("g", "c", 5.0))).toDF("g", "k", "v")
+    val r = operators.Ranks.paretoByGroup(df, Seq("g"), "k", "v",
+      share = 0.8).head()
+    assert(r.getAs[Long]("n_keys") == 3L)
+    assert(r.getAs[Double]("total") == 100.0)
+    assert(r.getAs[Long]("k_top") == 1L)
+    assert(math.abs(r.getAs[Double]("k_frac") - 0.333333) < 1e-6)
+    // at share = 0.9 it takes two suppliers (80 + 15 = 95)
+    assert(operators.Ranks.paretoByGroup(df, Seq("g"), "k", "v",
+      share = 0.9).head().getAs[Long]("k_top") == 2L)
+  }
+
   test("cohenKappa: classic 2x2 table gives 0.4; degenerate agreement null") {
     import spark.implicits._
     // yes/yes 20, no/no 15, yes/no 5, no/yes 10 → po=0.7, pe=0.5, κ=0.4
