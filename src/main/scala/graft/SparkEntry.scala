@@ -3130,6 +3130,22 @@ object SparkEntry {
         .select("id_a", "id_b", "key_a", "key_b", "distance")
         .orderBy("id_a", "id_b")
     }),
+    "q_jw_join" -> ((s, dir) => {
+      // blocked Jaro-Winkler record linkage over distinct part names
+      // (same noun blocking as q_fuzzy_join): transposition-tolerant
+      // similarity >= 0.9, rounded to 6 before the threshold so the
+      // kept-pair set replays; DuckDB's jaro_winkler_similarity agrees
+      val names = s.read.parquet(s"$dir/part.parquet")
+        .groupBy(F.col("p_name").as("key"))
+        .agg(F.min("p_partkey").as("id"))
+        .withColumn("block",
+          F.element_at(F.split(F.col("key"), " "), -1))
+        .select("id", "key", "block")
+      Dedup.jaroWinklerJoinBlocked(names, names, minSim = 0.9)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "key_a", "key_b", "sim")
+        .orderBy("id_a", "id_b")
+    }),
     "q_grouped_ols2" -> ((s, dir) =>
       // two-feature OLS per group in ONE aggregation: centered moments
       // collapse the 3×3 normal equations to a 2×2 Cramer solve in
@@ -7741,6 +7757,18 @@ object SparkEntry {
         |  CAST(levenshtein(a.key, bb.key) AS BIGINT) AS distance
         |FROM b a JOIN b bb ON a.block = bb.block AND a.id < bb.id
         |WHERE levenshtein(a.key, bb.key) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_jw_join" ->
+      """WITH names AS (SELECT p_name AS key, min(p_partkey) AS id
+        |  FROM part GROUP BY p_name),
+        |b AS (SELECT id, key,
+        |    list_extract(string_split(key, ' '), -1) AS block
+        |  FROM names)
+        |SELECT a.id AS id_a, bb.id AS id_b, a.key AS key_a,
+        |  bb.key AS key_b,
+        |  round(jaro_winkler_similarity(a.key, bb.key), 6) AS sim
+        |FROM b a JOIN b bb ON a.block = bb.block AND a.id < bb.id
+        |WHERE round(jaro_winkler_similarity(a.key, bb.key), 6) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
     "q_grouped_ols2" ->
       """WITH s AS (SELECT l_returnflag, count(*) AS n,

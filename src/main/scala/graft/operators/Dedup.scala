@@ -487,6 +487,38 @@ object Dedup {
       .where(F.col("distance") <= maxDistance)
   }
 
+  /** Blocked Jaro–Winkler join — [[fuzzyJoinBlocked]]'s record-linkage
+    * twin for identifier-like strings where transpositions shouldn't
+    * cost full edits (names, titles, SKUs). Same contract: frames carry
+    * (id, key, block); candidates pair only within blocks (the
+    * frequency cap is observed + warn-logged, never silent), verified
+    * with [[graft.functions.StringSim.jaroWinkler]] ≥ `minSim`.
+    *
+    * The comparator is a JVM function (Spark has no built-in JW, and a
+    * custom codegen expression buys nothing here: it runs only on the
+    * block-bounded candidate pairs, never in a scan). Similarity is
+    * rounded to 6 BEFORE thresholding so the kept-pair set replays
+    * across engines regardless of last-ULP arithmetic order.
+    *
+    * @return (id_a, id_b, key_a, key_b, sim) */
+  def jaroWinklerJoinBlocked(a: DataFrame, b: DataFrame, minSim: Double,
+                             maxBlockFreq: Int = 1000): DataFrame = {
+    require(minSim > 0.0 && minSim <= 1.0, "minSim must be in (0,1]")
+    def ok(df: DataFrame, side: String) = Observability.observeDropped(
+        df.groupBy("block").agg(F.count(F.lit(1)).as("__n")),
+        s"jaroWinklerJoinBlocked/$side", F.col("__n"), maxBlockFreq)
+      .where(F.col("__n") <= maxBlockFreq).select("block")
+    val ka = a.join(ok(a, "a"), Seq("block"), "left_semi")
+    val kb = b.join(ok(b, "b"), Seq("block"), "left_semi")
+    val jw = F.udf((x: String, y: String) =>
+      math.rint(graft.functions.StringSim.jaroWinkler(x, y) * 1e6) / 1e6)
+    ka.as("a").join(kb.as("b"), F.col("a.block") === F.col("b.block"))
+      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
+        F.col("a.key").as("key_a"), F.col("b.key").as("key_b"),
+        jw(F.col("a.key"), F.col("b.key")).as("sim"))
+      .where(F.col("sim") >= minSim)
+  }
+
   /** Duplicated-substring span detection — the exact-substring dedup of
     * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
     * Better") re-expressed relationally, trading their suffix array for

@@ -613,6 +613,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g2.getAs[Double]("hhi") == 1.0 && g2.getAs[Long]("k") == 1L)
   }
 
+  test("StringSim.jaroWinkler matches the classic reference values") {
+    import graft.functions.StringSim
+    def jw(a: String, b: String) = StringSim.jaroWinkler(a, b)
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.961111) < 1e-6)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.813333) < 1e-6)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.84) < 1e-6)
+    // jaro above threshold but zero common prefix: no boost
+    assert(math.abs(jw("CRATE", "TRACE") - 0.733333) < 1e-6)
+    // prefix capped at 4
+    assert(math.abs(jw("aaaaaaaaab", "aaaaaaaaba") - 0.98) < 1e-9)
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("", "abc") == 0.0 && jw("", "") == 0.0)
+    assert(jw("a", "b") == 0.0)
+  }
+
   test("isotonicCalibrate pools adjacent violators to exact block ratios") {
     import spark.implicits._
     // bin rates [1/2, 1/5, 4/5]: the 0.5 > 0.2 violation pools bins
