@@ -2504,6 +2504,29 @@ object SparkEntry {
       Cohorts.funnel(events(s, dir), "user_id", "ts", "event_type",
           Seq("view", "click", "purchase"))
         .orderBy("step_idx")),
+    "q_funnel_latency" -> ((s, dir) =>
+      // time-to-convert per funnel transition: exact p50/p90 of the
+      // integer-nanos deltas via the cumulative cell-count walk —
+      // every output is a delta that actually occurred
+      Cohorts.funnelLatency(events(s, dir), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"))
+        .orderBy("step_idx")),
+    "q_trend" -> ((s, dir) =>
+      // rank-based trend per event type: Spearman rho of value vs time
+      // order (midranks for value ties) from one sufficient-statistic
+      // aggregation per key
+      Features.trendByKey(events(s, dir), "event_type", "ts", "value",
+          tieBreakCols = Seq("event_id"))
+        .orderBy("event_type")),
+    "q_mutual_info_group" -> ((s, dir) =>
+      // per-language MI between source and a length bucket — the
+      // contingency construction with group-partitioned windows
+      Evaluation.mutualInfoByGroup(
+        docs(s, dir).select(F.col("lang"), F.col("source"),
+          F.when(F.col("n_chars") < 500, "short").otherwise("long")
+            .as("len")),
+        Seq("lang"), "source", "len")
+        .orderBy("lang")),
     "q_acf" -> ((s, dir) =>
       // autocorrelation per event type at lags 1..3 over the time-
       // ordered value series — one shuffle on the key serves the mean
@@ -6488,6 +6511,80 @@ object SparkEntry {
         |  CASE WHEN u1 > 0 THEN round(CAST(u2 AS DOUBLE) / u1, 6) END
         |  FROM c
         |ORDER BY step_idx""".stripMargin,
+    "q_funnel_latency" ->
+      """WITH e AS (SELECT user_id AS u, epoch_ns(ts) AS tns,
+        |    event_type AS et
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |t0 AS (SELECT u, min(tns) AS t FROM e WHERE et = 'view'
+        |  GROUP BY u),
+        |t1 AS (SELECT e.u, min(e.tns) AS t FROM e
+        |  JOIN t0 ON e.u = t0.u
+        |  WHERE e.et = 'click' AND e.tns >= t0.t GROUP BY e.u),
+        |t2 AS (SELECT e.u, min(e.tns) AS t FROM e
+        |  JOIN t1 ON e.u = t1.u
+        |  WHERE e.et = 'purchase' AND e.tns >= t1.t GROUP BY e.u),
+        |d AS (SELECT CAST(1 AS BIGINT) AS step_idx, 'click' AS step,
+        |    t1.t - t0.t AS delta FROM t1 JOIN t0 USING (u)
+        |  UNION ALL SELECT CAST(2 AS BIGINT), 'purchase',
+        |    t2.t - t1.t FROM t2 JOIN t1 USING (u)),
+        |cells AS (SELECT step_idx, step, delta,
+        |    CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2, 3),
+        |w AS (SELECT *,
+        |    CAST(sum(c) OVER (PARTITION BY step_idx) AS BIGINT) AS n,
+        |    CAST(sum(c) OVER (PARTITION BY step_idx ORDER BY delta
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM cells)
+        |SELECT step_idx, step, CAST(max(n) AS BIGINT) AS n_conv,
+        |  min(CASE WHEN cum >= ceil(n * 0.5) THEN delta END) AS p50,
+        |  min(CASE WHEN cum >= ceil(n * 0.9) THEN delta END) AS p90
+        |FROM w GROUP BY step_idx, step ORDER BY step_idx""".stripMargin,
+    "q_trend" ->
+      """WITH e AS (SELECT event_type AS k, epoch_ns(ts) AS tns,
+        |    event_id, value AS x
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |    AND ts IS NOT NULL),
+        |r AS (SELECT k, x,
+        |    CAST(row_number() OVER (PARTITION BY k
+        |      ORDER BY tns, event_id) AS BIGINT) AS r,
+        |    CAST(count(*) OVER (PARTITION BY k, x) AS BIGINT) AS ct,
+        |    CAST(count(*) OVER (PARTITION BY k ORDER BY x
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM e),
+        |m AS (SELECT k, r, (cum - ct) + (ct + 1) / 2.0 AS s FROM r),
+        |a AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    sum(r) AS sr, sum(r * r) AS srr, sum(s) AS ss,
+        |    sum(s * s) AS sss, sum(r * s) AS srs
+        |  FROM m GROUP BY k)
+        |SELECT k AS event_type,
+        |  round((CAST(n AS DOUBLE) * srs - sr * ss)
+        |    / sqrt((CAST(n AS DOUBLE) * srr - sr * sr)
+        |      * (CAST(n AS DOUBLE) * sss - ss * ss)), 6) AS rho,
+        |  n
+        |FROM a WHERE (CAST(n AS DOUBLE) * srr - sr * sr) > 0
+        |  AND (CAST(n AS DOUBLE) * sss - ss * ss) > 0
+        |ORDER BY event_type""".stripMargin,
+    "q_mutual_info_group" ->
+      """WITH cells AS (SELECT lang, source AS a,
+        |    CASE WHEN n_chars < 500 THEN 'short' ELSE 'long' END AS b,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE source IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |m AS (SELECT lang, a, b, n,
+        |    CAST(sum(n) OVER (PARTITION BY lang, a) AS BIGINT) AS na,
+        |    CAST(sum(n) OVER (PARTITION BY lang, b) AS BIGINT) AS nb,
+        |    CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS nt
+        |  FROM cells)
+        |SELECT lang,
+        |  round(sum((CAST(n AS DOUBLE) / nt)
+        |    * ln((CAST(n AS DOUBLE) * nt)
+        |      / (CAST(na AS DOUBLE) * nb))), 6) AS mi,
+        |  max(nt) AS n,
+        |  CAST(count(DISTINCT a) AS BIGINT) AS n_a,
+        |  CAST(count(DISTINCT b) AS BIGINT) AS n_b
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
     "q_acf" ->
       """WITH e AS (SELECT event_type AS k, epoch_ns(ts) AS tns,
         |    event_id, value AS x

@@ -59,6 +59,61 @@ object Cohorts {
         F.col("n_users").cast("double") / F.col("cohort_size"), 6))
   }
 
+  /** Time-to-convert distribution per funnel transition: for users who
+    * complete step k under [[funnel]]'s sequential semantics, the exact
+    * p50/p90 of tᵏ − tᵏ⁻¹ — "how long does click→purchase take" — the
+    * quantiles that size retargeting windows and session timeouts.
+    *
+    * Deltas are integer timestamp differences, and each percentile is
+    * the exact ⌈q·n⌉-th smallest picked by cumulative cell counts
+    * (type-1 / lower quantile), so every output value is a value that
+    * actually occurred and the whole frame replays bit-exactly. Same
+    * single user-shuffle window chain as [[funnel]]; the percentile
+    * walk rides windows over (step, delta) cells.
+    *
+    * @return one row per transition k ≥ 1: (step_idx, step, n_conv,
+    *         p50, p90) */
+  def funnelLatency(df: DataFrame, userCol: String, tsCol: String,
+                    stepCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "need at least two funnel steps")
+    require(steps.distinct.size == steps.size, "steps must be distinct")
+    require(steps.forall(!_.contains("'")), "step names must not quote")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(F.col(userCol))
+    var cur = df
+      .where(F.col(userCol).isNotNull && F.col(tsCol).isNotNull &&
+        F.col(stepCol).isNotNull)
+      .select(F.col(userCol), F.col(tsCol), F.col(stepCol))
+      .withColumn("__t0",
+        F.min(F.when(F.col(stepCol) === steps.head, F.col(tsCol))).over(w))
+    (1 until steps.size).foreach { k =>
+      cur = cur.withColumn(s"__t$k",
+        F.min(F.when(F.col(stepCol) === steps(k) &&
+          F.col(tsCol) >= F.col(s"__t${k - 1}"), F.col(tsCol))).over(w))
+    }
+    val tAggs = steps.indices.map(k => F.max(s"__t$k").as(s"__t$k"))
+    val perUser = cur.groupBy(F.col(userCol)).agg(tAggs.head, tAggs.tail: _*)
+    val deltas = perUser.selectExpr(
+      s"stack(${steps.size - 1}, " + (1 until steps.size).map(k =>
+        s"CAST($k AS BIGINT), '${steps(k)}', __t$k - __t${k - 1}")
+        .mkString(", ") + ") AS (step_idx, step, delta)")
+      .where(F.col("delta").isNotNull)
+    val cells = deltas.groupBy("step_idx", "step", "delta")
+      .agg(F.count(F.lit(1)).as("__c"))
+    val wAll = Window.partitionBy("step_idx")
+    val wOrd = Window.partitionBy("step_idx").orderBy("delta")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("__n", F.sum("__c").over(wAll))
+      .withColumn("__cum", F.sum("__c").over(wOrd))
+      .groupBy("step_idx", "step")
+      .agg(F.max("__n").as("n_conv"),
+        F.min(F.when(F.col("__cum") >=
+          F.ceil(F.col("__n") * F.lit(0.5)), F.col("delta"))).as("p50"),
+        F.min(F.when(F.col("__cum") >=
+          F.ceil(F.col("__n") * F.lit(0.9)), F.col("delta"))).as("p90"))
+  }
+
   /** Ordered funnel conversion: for each user, step k counts only if
     * it happens AT OR AFTER the user's earliest qualifying step k−1
     * (tᵏ = min ts of `steps(k)` events with ts ≥ tᵏ⁻¹) — the strict

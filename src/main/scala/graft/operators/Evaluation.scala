@@ -150,6 +150,42 @@ object Evaluation {
         F.countDistinct("__b").as("n_b"))
   }
 
+  /** [[mutualInformation]] per group — "does domain predict quality
+    * differently per language": the same contingency construction with
+    * every window additionally PARTITIONED BY GROUP, so a million
+    * segments cost one shuffle of (group, a, b) cells.
+    *
+    * @return one row per group: (groupCols..., mi, n, n_a, n_b) */
+  def mutualInfoByGroup(df: DataFrame, groupCols: Seq[String],
+                        aCol: String, bCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(!groupCols.exists(_.startsWith("__")),
+      "group columns must not use the __ internal prefix")
+    import org.apache.spark.sql.expressions.Window
+    val gCols = groupCols.map(F.col)
+    val a = F.col(aCol).cast("string")
+    val b = F.col(bCol).cast("string")
+    val cells = df
+      .where(a.isNotNull && b.isNotNull)
+      .groupBy(gCols :+ a.as("__a") :+ b.as("__b"): _*)
+      .agg(F.count(F.lit(1)).as("__n"))
+    val wa = Window.partitionBy(gCols :+ F.col("__a"): _*)
+    val wb = Window.partitionBy(gCols :+ F.col("__b"): _*)
+    val wg = Window.partitionBy(gCols: _*)
+    cells
+      .withColumn("__na", F.sum("__n").over(wa))
+      .withColumn("__nb", F.sum("__n").over(wb))
+      .withColumn("__nt", F.sum("__n").over(wg))
+      .groupBy(gCols: _*)
+      .agg(
+        F.round(F.sum((F.col("__n") / F.col("__nt")) *
+          F.log((F.col("__n").cast("double") * F.col("__nt")) /
+            (F.col("__na").cast("double") * F.col("__nb")))), 6).as("mi"),
+        F.max("__nt").as("n"),
+        F.countDistinct("__a").as("n_a"),
+        F.countDistinct("__b").as("n_b"))
+  }
+
   /** Recall@k of an approximate top-k retrieval against the exact one
     * — the acceptance metric for every ANN/IVF/LSH configuration
     * decision ("is nProbe = 1 good enough?"). Per query:

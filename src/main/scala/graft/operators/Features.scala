@@ -179,6 +179,52 @@ object Features {
           F.round(F.col(s"__sl$l") / F.col("__ss"), 6)).as(s"acf_$l")): _*)
   }
 
+  /** Monotone-trend score per key: Spearman's ρ between each key's
+    * values and their time order — "which tenants' metric is trending,
+    * robustly" (rank-based, so spikes don't fake a trend the way a
+    * per-key OLS slope would). Time ranks come from row_number over
+    * (tsCol, tieBreakCols) — a total order; value ranks are midranks
+    * via the RANGE-framed peer window, the standard tie treatment.
+    * ρ is Pearson over the two rank columns, folded from ONE per-key
+    * aggregation of rank sufficient statistics. Keys with zero rank
+    * variance (constant values) are omitted.
+    *
+    * @return one row per key: (keyCol, rho, n), rho rounded to 6 */
+  def trendByKey(df: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String,
+                 tieBreakCols: Seq[String] = Nil): DataFrame = {
+    val v = F.col(valueCol).cast("double")
+    val base = df
+      .where(v.isNotNull && !F.isnan(v) && F.col(tsCol).isNotNull)
+      .select(Seq(F.col(keyCol), F.col(tsCol)) ++
+        tieBreakCols.map(F.col) :+ v.as("__x"): _*)
+    val wOrd = Window.partitionBy(F.col(keyCol))
+      .orderBy(F.col(tsCol) +: tieBreakCols.map(F.col): _*)
+    val wVal = Window.partitionBy(F.col(keyCol), F.col("__x"))
+    val wCum = Window.partitionBy(F.col(keyCol)).orderBy("__x")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = base
+      .withColumn("__r", F.row_number().over(wOrd).cast("long"))
+      .withColumn("__ct", F.count(F.lit(1)).over(wVal))
+      .withColumn("__cum", F.count(F.lit(1)).over(wCum))
+      .withColumn("__s",
+        (F.col("__cum") - F.col("__ct")) + (F.col("__ct") + 1L) / 2.0)
+    val agged = ranked.groupBy(F.col(keyCol)).agg(
+      F.count(F.lit(1)).as("n"),
+      F.sum("__r").as("__sr"), F.sum(F.col("__r") * F.col("__r")).as("__srr"),
+      F.sum("__s").as("__ss"), F.sum(F.col("__s") * F.col("__s")).as("__sss"),
+      F.sum(F.col("__r") * F.col("__s")).as("__srs"))
+    val nD = F.col("n").cast("double")
+    val varR = nD * F.col("__srr") - F.col("__sr") * F.col("__sr")
+    val varS = nD * F.col("__sss") - F.col("__ss") * F.col("__ss")
+    agged
+      .where(varR > 0.0 && varS > 0.0)
+      .withColumn("rho", F.round(
+        (nD * F.col("__srs") - F.col("__sr") * F.col("__ss")) /
+          F.sqrt(varR * varS), 6))
+      .select(F.col(keyCol), F.col("rho"), F.col("n"))
+  }
+
   /** CUSUM changepoint scan per key: the maximum standardized
     * cumulative deviation from the key's mean,
     *

@@ -728,6 +728,58 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2).getAs[Double]("rate_vs_prev") == 1.0)
   }
 
+  test("funnelLatency: exact type-1 percentiles of conversion deltas") {
+    import spark.implicits._
+    val df = Seq(
+      ("u1", 0L, "view"), ("u1", 10L, "click"), ("u1", 30L, "purchase"),
+      ("u2", 0L, "view"), ("u2", 20L, "click"),
+      ("u3", 0L, "view"), ("u3", 30L, "click"), ("u3", 90L, "purchase"))
+      .toDF("u", "t", "e")
+    val out = operators.Cohorts.funnelLatency(df, "u", "t", "e",
+      Seq("view", "click", "purchase")).orderBy("step_idx").collect()
+    // step 1 deltas {10,20,30}: p50 = 2nd smallest = 20, p90 = 30
+    assert(out(0).getAs[Long]("n_conv") == 3L)
+    assert(out(0).getAs[Long]("p50") == 20L)
+    assert(out(0).getAs[Long]("p90") == 30L)
+    // step 2 deltas {20,60}: p50 = 1st = 20, p90 = 2nd = 60
+    assert(out(1).getAs[Long]("n_conv") == 2L)
+    assert(out(1).getAs[Long]("p50") == 20L)
+    assert(out(1).getAs[Long]("p90") == 60L)
+  }
+
+  test("trendByKey: monotone series score ±1, midranks for ties") {
+    import spark.implicits._
+    val df = (Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex.map { case (v, i) =>
+      ("up", i.toLong, v) } ++
+      Seq(4.0, 3.0, 2.0, 1.0).zipWithIndex.map { case (v, i) =>
+        ("down", i.toLong, v) } ++
+      Seq(1.0, 2.0, 2.0, 3.0).zipWithIndex.map { case (v, i) =>
+        ("tied", i.toLong, v) } ++
+      Seq(5.0, 5.0).zipWithIndex.map { case (v, i) =>
+        ("flat", i.toLong, v) }).toDF("k", "t", "v")
+    val out = operators.Features.trendByKey(df, "k", "t", "v")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    assert(out("up").getAs[Double]("rho") == 1.0)
+    assert(out("down").getAs[Double]("rho") == -1.0)
+    // ranks (1,2,3,4) vs midranks (1,2.5,2.5,4): rho = 18/sqrt(360)
+    assert(math.abs(out("tied").getAs[Double]("rho") - 0.948683) < 1e-6)
+    assert(!out.contains("flat"))
+  }
+
+  test("mutualInfoByGroup: zero under independence, ln 2 under identity") {
+    import spark.implicits._
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("p", "q") }
+      yield ("gI", a, b))
+    val dep = Seq(("gD", "x", "p"), ("gD", "y", "q"),
+      ("gD", "x", "p"), ("gD", "y", "q"))
+    val out = Evaluation.mutualInfoByGroup(
+      (ind ++ dep).toDF("g", "a", "b"), Seq("g"), "a", "b")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("gI").getAs[Double]("mi") == 0.0)
+    assert(math.abs(out("gD").getAs[Double]("mi") - math.log(2.0)) < 1e-6)
+    assert(out("gD").getAs[Long]("n_a") == 2L)
+  }
+
   test("acfByKey: hand-computed lags on a ramp, null for constant series") {
     import spark.implicits._
     // ramp 1..4: d = [-1.5,-.5,.5,1.5], ss = 5; lag sums 1.25, -1.5, -2.25
