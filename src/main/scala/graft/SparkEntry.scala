@@ -2695,6 +2695,29 @@ object SparkEntry {
             F.col("l_extendedprice")),
         Seq("l_linestatus"), "cohort", "l_extendedprice")
         .orderBy("l_linestatus")),
+    "q_lift" -> ((s, dir) =>
+      // gains/decile table of price as a "returned" score: tie-stable
+      // desc rank buckets via the prefix-sum min-rank construction,
+      // cumulative capture + lift over <= k bucket rows
+      Evaluation.liftTable(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select((F.col("l_returnflag") === "R").as("y"),
+            F.col("l_extendedprice")),
+        "y", "l_extendedprice", k = 10)
+        .orderBy("bucket")),
+    "q_balance" -> ((s, dir) =>
+      // covariate balance between the order-parity cohorts: SMD +
+      // variance ratio per covariate, all covariates long-form through
+      // one stack and ONE conditional-moment aggregation
+      Experiments.covariateBalance(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select(F.when(F.col("l_orderkey") % 2 === 0, "a")
+            .otherwise("b").as("cohort"),
+            F.col("l_quantity"), F.col("l_discount"),
+            F.col("l_extendedprice"), F.col("l_tax")),
+        "cohort", Seq("l_quantity", "l_discount", "l_extendedprice",
+          "l_tax"))
+        .orderBy("covariate")),
     "q_isotonic" -> ((s, dir) =>
       // isotonic (PAV) calibration of a discount-derived score against
       // the returned-flag label: one cells aggregation, driver PAV on
@@ -7043,6 +7066,76 @@ object SparkEntry {
         |  count(*) AS n, round(avg(s), 6) AS mean_score,
         |  round(avg(CASE WHEN y THEN 1.0 ELSE 0.0 END), 6) AS frac_pos
         |FROM base GROUP BY 1 ORDER BY bin""".stripMargin,
+    // Lift replay: asc min-rank − 1 = cum − c over score cells, bucket
+    // = k − floor(rank·k/n), then cumulative windows over <= k buckets.
+    "q_lift" ->
+      """WITH base AS (SELECT CAST(l_extendedprice AS DOUBLE) AS s,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        |    AND l_returnflag IS NOT NULL),
+        |cells AS (SELECT s, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(y) AS BIGINT) AS p FROM base GROUP BY s),
+        |r AS (SELECT *,
+        |    CAST(sum(c) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER () AS BIGINT) AS nt FROM cells),
+        |b AS (SELECT 10 - CAST(floor((cum - c) * 10.0 / nt) AS BIGINT)
+        |    AS bucket, c, p FROM r),
+        |a AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(p) AS BIGINT) AS n_pos FROM b GROUP BY bucket),
+        |w AS (SELECT *,
+        |    CAST(sum(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+        |    CAST(sum(n_pos) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+        |    CAST(sum(n) OVER () AS BIGINT) AS tn,
+        |    CAST(sum(n_pos) OVER () AS BIGINT) AS tp FROM a)
+        |SELECT bucket, n, n_pos,
+        |  round(CAST(n_pos AS DOUBLE) / n, 6) AS rate, cum_n, cum_pos,
+        |  CASE WHEN tp > 0 THEN
+        |    round(CAST(cum_pos AS DOUBLE) / tp, 6) END AS capture,
+        |  CASE WHEN tp > 0 THEN
+        |    round((CAST(cum_pos AS DOUBLE) / cum_n)
+        |      / (CAST(tp AS DOUBLE) / tn), 6) END AS lift
+        |FROM w ORDER BY bucket""".stripMargin,
+    // Balance replay: explicit Σx²/n − x̄² population moments per
+    // cohort per covariate via UNPIVOT-style unions.
+    "q_balance" ->
+      """WITH base AS (SELECT
+        |    CASE WHEN l_orderkey % 2 = 0 THEN TRUE ELSE FALSE END AS a,
+        |    CAST(l_quantity AS DOUBLE) AS l_quantity,
+        |    CAST(l_discount AS DOUBLE) AS l_discount,
+        |    CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+        |    CAST(l_tax AS DOUBLE) AS l_tax
+        |  FROM lineitem WHERE l_orderkey < 100000),
+        |long AS (
+        |  SELECT a, 'l_quantity' AS covariate, l_quantity AS x FROM base
+        |  UNION ALL SELECT a, 'l_discount', l_discount FROM base
+        |  UNION ALL SELECT a, 'l_extendedprice', l_extendedprice
+        |    FROM base
+        |  UNION ALL SELECT a, 'l_tax', l_tax FROM base),
+        |agged AS (SELECT covariate,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    sum(CASE WHEN a THEN x ELSE 0.0 END) AS sa,
+        |    sum(CASE WHEN NOT a THEN x ELSE 0.0 END) AS sb,
+        |    sum(CASE WHEN a THEN x * x ELSE 0.0 END) AS ssa,
+        |    sum(CASE WHEN NOT a THEN x * x ELSE 0.0 END) AS ssb
+        |  FROM long WHERE x IS NOT NULL AND NOT isnan(x)
+        |  GROUP BY covariate),
+        |m AS (SELECT *, sa / n_a AS ma, sb / n_b AS mb,
+        |    ssa / n_a - (sa / n_a) * (sa / n_a) AS va,
+        |    ssb / n_b - (sb / n_b) * (sb / n_b) AS vb
+        |  FROM agged WHERE n_a > 0 AND n_b > 0)
+        |SELECT covariate, n_a, n_b, round(ma, 6) AS mean_a,
+        |  round(mb, 6) AS mean_b,
+        |  CASE WHEN (va + vb) / 2.0 > 0 THEN
+        |    round((ma - mb) / sqrt((va + vb) / 2.0), 6) END AS smd,
+        |  CASE WHEN vb > 0 THEN round(va / vb, 6) END AS var_ratio
+        |FROM m ORDER BY covariate""".stripMargin,
     // Welch per group: conditional count/avg/var_samp per cohort, the
     // Welch–Satterthwaite dof, p = erfc(|t|/√2) at the 6-rounded t.
     // Replays the PAV fit through its minimax characterization:

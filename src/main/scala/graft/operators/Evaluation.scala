@@ -477,6 +477,65 @@ object Evaluation {
         F.col("ap"), F.col("dcg_k"), F.col("idcg_k"), F.col("ndcg_k"))
   }
 
+  /** Lift / gains table: rows ranked by score DESCENDING into k
+    * equal-count buckets (bucket 1 = top scores); per bucket the
+    * positive rate, and cumulatively the capture fraction (share of all
+    * positives reached by bucket ≤ b) and the lift of the cumulative
+    * rate over the base rate — "how many conversions does calling the
+    * top two deciles get us", the targeting-budget curve.
+    *
+    * Bucketing is the deterministic tie-stable form: every row with the
+    * same score lands in the same bucket (bucket = k − ⌊(rank−1)·k/n⌋
+    * on the ascending min-rank), unlike SQL NTILE whose within-tie
+    * assignment is arbitrary. Scale shape: the [[Ranks.minRanks]]
+    * prefix-sum construction (distinct scores only, no global window) +
+    * one value join back + ONE bucket aggregation; the cumulative
+    * window runs over ≤ k bucket rows.
+    *
+    * @return one row per non-empty bucket: (bucket, n, n_pos, rate,
+    *         cum_n, cum_pos, capture, lift), floats rounded to 6;
+    *         capture/lift null when the table has no positives */
+  def liftTable(df: DataFrame, labelCol: String, scoreCol: String,
+                k: Int = 10): DataFrame = {
+    require(k >= 2, "need at least 2 buckets")
+    import org.apache.spark.sql.expressions.Window
+    val s = F.col(scoreCol).cast("double")
+    val y = F.col(labelCol).cast("boolean")
+    val base = df.where(s.isNotNull && !F.isnan(s) && y.isNotNull)
+      .select(s.as("__s"), F.when(y, 1L).otherwise(0L).as("__y"))
+    val (n, ranks0) = Ranks.minRanksWithN(base, "__s", "__rk")
+    require(n > 0L, "no complete rows")
+    val ranks = ranks0.withColumnRenamed("__s", "__v")
+    val bucketed = base
+      .join(ranks, F.col("__s") === F.col("__v"), "left")
+      .withColumn("bucket",
+        (F.lit(k) - F.floor((F.col("__rk") - 1) * k / n)).cast("long"))
+    val agged = bucketed.groupBy("bucket").agg(
+      F.count(F.lit(1)).as("n"),
+      F.sum("__y").as("n_pos"))
+    val wCum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cumN = F.col("cum_n").cast("double")
+    val cumP = F.col("cum_pos").cast("double")
+    val totN = F.col("__tn").cast("double")
+    val totP = F.col("__tp").cast("double")
+    agged
+      .withColumn("cum_n", F.sum("n").over(wCum))
+      .withColumn("cum_pos", F.sum("n_pos").over(wCum))
+      .withColumn("__tn", F.sum("n").over(wAll))
+      .withColumn("__tp", F.sum("n_pos").over(wAll))
+      .withColumn("rate",
+        F.round(F.col("n_pos").cast("double") / F.col("n"), 6))
+      .withColumn("capture",
+        F.when(F.col("__tp") > 0L, F.round(cumP / totP, 6)))
+      .withColumn("lift", F.when(F.col("__tp") > 0L,
+        F.round((cumP / cumN) / (totP / totN), 6)))
+      .select("bucket", "n", "n_pos", "rate", "cum_n", "cum_pos",
+        "capture", "lift")
+  }
+
   /** Calibration table: scores bucketed into `bins` equal-width bins on
     * [0, 1]; per bin the observed positive rate vs the mean predicted
     * score — the reliability-diagram data. ONE aggregation; scores

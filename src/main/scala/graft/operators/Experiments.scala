@@ -90,6 +90,68 @@ object Experiments {
         F.col("rate"), F.col("ci_lo"), F.col("ci_hi")): _*)
   }
 
+  /** Covariate balance table: per numeric covariate, the standardized
+    * mean difference between two cohorts,
+    *
+    *   SMD = (x̄_a − x̄_b) / √((s²_a + s²_b)/2),
+    *
+    * plus the variance ratio — the FIRST table any experiment or
+    * observational comparison should print ("did randomization work /
+    * how confounded is this split"; |SMD| > 0.1 is the conventional
+    * imbalance flag). Covariates go long-form through one `stack`, so
+    * ANY number of covariates costs ONE aggregation with conditional
+    * moment sums; variances are population moments in explicit
+    * Σx²/n − x̄² algebra so an external engine replays them exactly.
+    * `smd` is null when the pooled variance is 0, `var_ratio` when
+    * cohort B's variance is 0.
+    *
+    * @param cohortCol two-valued cohort label (rows with other values
+    *                  are ignored)
+    * @return one row per covariate: (covariate, n_a, n_b, mean_a,
+    *         mean_b, smd, var_ratio), floats rounded to 6 */
+  def covariateBalance(df: DataFrame, cohortCol: String,
+                       covariates: Seq[String], labelA: String = "a",
+                       labelB: String = "b"): DataFrame = {
+    require(covariates.nonEmpty, "need at least one covariate")
+    require(labelA != labelB, "cohort labels must differ")
+    require(covariates.forall(!_.contains("'")) &&
+      !labelA.contains("'") && !labelB.contains("'"),
+      "names must not contain quotes")
+    val g = F.col(cohortCol).cast("string")
+    val long = df
+      .where(g.isin(labelA, labelB))
+      .withColumn("__a", g === labelA)
+      .selectExpr("__a",
+        s"stack(${covariates.size}, " + covariates.map(c =>
+          s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ") +
+          ") AS (covariate, __x)")
+      .where(F.col("__x").isNotNull && !F.isnan(F.col("__x")))
+    val a = F.col("__a")
+    val x = F.col("__x")
+    val agged = long.groupBy("covariate").agg(
+      F.sum(F.when(a, 1L).otherwise(0L)).as("n_a"),
+      F.sum(F.when(!a, 1L).otherwise(0L)).as("n_b"),
+      F.sum(F.when(a, x).otherwise(0.0)).as("__sa"),
+      F.sum(F.when(!a, x).otherwise(0.0)).as("__sb"),
+      F.sum(F.when(a, x * x).otherwise(0.0)).as("__ssa"),
+      F.sum(F.when(!a, x * x).otherwise(0.0)).as("__ssb"))
+      .where(F.col("n_a") > 0L && F.col("n_b") > 0L)
+    val ma = F.col("__sa") / F.col("n_a")
+    val mb = F.col("__sb") / F.col("n_b")
+    val va = F.col("__ssa") / F.col("n_a") - ma * ma
+    val vb = F.col("__ssb") / F.col("n_b") - mb * mb
+    val pooled = (va + vb) / 2.0
+    agged
+      .withColumn("mean_a", F.round(ma, 6))
+      .withColumn("mean_b", F.round(mb, 6))
+      .withColumn("smd",
+        F.when(pooled > 0.0, F.round((ma - mb) / F.sqrt(pooled), 6)))
+      .withColumn("var_ratio",
+        F.when(vb > 0.0, F.round(va / vb, 6)))
+      .select("covariate", "n_a", "n_b", "mean_a", "mean_b", "smd",
+        "var_ratio")
+  }
+
   /** CUPED variance reduction diagnostic: with a pre-experiment
     * covariate x for metric y, the adjusted metric y − θ(x − x̄) with
     * θ = cov(x, y)/var(x) has variance var(y) − cov²/var(x) — in

@@ -766,6 +766,44 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains("flat"))
   }
 
+  test("liftTable: tie-stable desc buckets, capture and lift algebra") {
+    import spark.implicits._
+    val df = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))
+      .toDF("s", "y")
+    val out = Evaluation.liftTable(df, "y", "s", k = 2)
+      .orderBy("bucket").collect()
+    // bucket 1 = top half {3,4}: both positive, lift (2/2)/(2/4) = 2
+    assert(out(0).getAs[Long]("n") == 2L)
+    assert(out(0).getAs[Long]("n_pos") == 2L)
+    assert(out(0).getAs[Double]("rate") == 1.0)
+    assert(out(0).getAs[Double]("capture") == 1.0)
+    assert(out(0).getAs[Double]("lift") == 2.0)
+    assert(out(1).getAs[Double]("capture") == 1.0)
+    assert(out(1).getAs[Double]("lift") == 1.0)
+    // ties never split across buckets
+    val tied = Seq((5.0, true), (5.0, false), (1.0, false), (1.0, false))
+      .toDF("s", "y")
+    val t = Evaluation.liftTable(tied, "y", "s", k = 2)
+      .orderBy("bucket").collect()
+    assert(t(0).getAs[Long]("bucket") == 1L && t(0).getAs[Long]("n") == 2L)
+    assert(t(1).getAs[Long]("bucket") == 2L && t(1).getAs[Long]("n") == 2L)
+  }
+
+  test("covariateBalance: hand-computed SMD, null on zero pooled variance") {
+    import spark.implicits._
+    val df = Seq(("a", 0.0, 7.0), ("a", 2.0, 7.0),
+      ("b", 1.0, 7.0), ("b", 3.0, 7.0)).toDF("cohort", "x1", "x2")
+    val out = Experiments.covariateBalance(df, "cohort", Seq("x1", "x2"))
+      .collect().map(r => r.getAs[String]("covariate") -> r).toMap
+    // x1: means 1 vs 2, var_pop 1 each -> smd = -1, var_ratio = 1
+    assert(out("x1").getAs[Double]("mean_a") == 1.0)
+    assert(out("x1").getAs[Double]("smd") == -1.0)
+    assert(out("x1").getAs[Double]("var_ratio") == 1.0)
+    // x2 constant in both cohorts -> smd and var_ratio null
+    assert(out("x2").isNullAt(out("x2").fieldIndex("smd")))
+    assert(out("x2").isNullAt(out("x2").fieldIndex("var_ratio")))
+  }
+
   test("mutualInfoByGroup: zero under independence, ln 2 under identity") {
     import spark.implicits._
     val ind = (for { a <- Seq("x", "y"); b <- Seq("p", "q") }
