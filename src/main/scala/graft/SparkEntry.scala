@@ -1785,6 +1785,15 @@ object SparkEntry {
       // vocabulary-building pass: top tokens with doc frequency, one
       // token shuffle + bounded top-k
       TextOps.vocabTopK(docs(s, dir), "doc_id", "text", 100)),
+    "q_pmi" -> ((s, dir) =>
+      // collocation mining: top bigrams by PMI with a min-count floor;
+      // vocabulary-sized shuffles, rounded-pmi TakeOrdered top-k
+      TextOps.pmiCollocations(docs(s, dir), "doc_id", "text",
+        minCount = 5L, k = 50)),
+    "q_zipf" -> ((s, dir) =>
+      // Zipf slope of the vocabulary: ln-count vs ln-rank OLS over the
+      // top-200 terms — one vocab aggregation + a <=200-row fold
+      TextOps.zipfFit(docs(s, dir), "doc_id", "text", topN = 200)),
     "q_tfidf_top" -> ((s, dir) =>
       // per-doc top-3 terms by smoothed TF-IDF; corpus-wide df,
       // broadcast-joined to the target slice's tf
@@ -4056,6 +4065,56 @@ object SparkEntry {
         |  count(DISTINCT id) AS n_docs
         |FROM w GROUP BY token
         |ORDER BY n_occurrences DESC, token ASC LIMIT 100""".stripMargin,
+    "q_pmi" ->
+      """WITH t AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |    x -> x <> '') AS w FROM documents),
+        |bg AS (SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS b FROM t WHERE len(w) >= 2),
+        |big AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM bg
+        |  GROUP BY b),
+        |uni AS (SELECT unnest(w) AS token FROM t),
+        |freq AS (SELECT token, CAST(count(*) AS BIGINT) AS cu FROM uni
+        |  GROUP BY token),
+        |nb AS (SELECT CAST(sum(n) AS DOUBLE) AS nb FROM big),
+        |nu AS (SELECT CAST(sum(cu) AS DOUBLE) AS nu FROM freq)
+        |SELECT big.b AS bigram, big.n, f1.cu AS c1, f2.cu AS c2,
+        |  round(ln((big.n / nb.nb)
+        |    / ((f1.cu / nu.nu) * (f2.cu / nu.nu))), 6) AS pmi
+        |FROM big
+        |  JOIN freq f1 ON f1.token = split_part(big.b, ' ', 1)
+        |  JOIN freq f2 ON f2.token = split_part(big.b, ' ', 2), nb, nu
+        |WHERE big.n >= 5
+        |ORDER BY pmi DESC, bigram ASC LIMIT 50""".stripMargin,
+    "q_zipf" ->
+      """WITH w AS (SELECT
+        |  unnest(list_filter(regexp_split_to_array(lower(coalesce(text,
+        |    '')), '\s+'), x -> x <> '')) AS token FROM documents),
+        |freq AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM w
+        |  GROUP BY token),
+        |top AS (SELECT token, n FROM freq
+        |  ORDER BY n DESC, token ASC LIMIT 200),
+        |xy AS (SELECT
+        |    ln(CAST(row_number() OVER (ORDER BY n DESC, token ASC)
+        |      AS DOUBLE)) AS x,
+        |    ln(CAST(n AS DOUBLE)) AS y FROM top),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_terms, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy,
+        |    sum(x * y) AS sxy FROM xy)
+        |SELECT n_terms,
+        |  CASE WHEN n_terms * sxx - sx * sx > 0 THEN
+        |    round((n_terms * sxy - sx * sy)
+        |      / (n_terms * sxx - sx * sx), 6) END AS slope,
+        |  CASE WHEN n_terms * sxx - sx * sx > 0 THEN
+        |    round((sy - ((n_terms * sxy - sx * sy)
+        |      / (n_terms * sxx - sx * sx)) * sx) / n_terms, 6)
+        |    END AS intercept,
+        |  CASE WHEN n_terms * sxx - sx * sx > 0
+        |      AND n_terms * syy - sy * sy > 0 THEN
+        |    round((n_terms * sxy - sx * sy) * (n_terms * sxy - sx * sy)
+        |      / ((n_terms * sxx - sx * sx)
+        |        * (n_terms * syy - sy * sy)), 6) END AS r2
+        |FROM a""".stripMargin,
     "q_tfidf_top" ->
       """WITH w AS (SELECT doc_id AS id,
         |  unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),

@@ -571,19 +571,7 @@ object TextOps {
                     idCol: String, textCol: String,
                     lambda: Double = 0.7): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
-    def bigrams(df: DataFrame): DataFrame = {
-      val w = F.filter(
-        F.split(F.lower(F.coalesce(F.col(textCol), F.lit(""))), "\\s+"),
-        t => t =!= "")
-      // the <2-token guard matters: sequence(0, -1) would DESCEND
-      df.select(F.col(idCol).as("id"), w.as("__w"))
-        .where(F.size(F.col("__w")) >= 2)
-        .select(F.col("id"),
-          F.explode(F.transform(
-            F.sequence(F.lit(0), F.size(F.col("__w")) - 2),
-            i => F.concat(F.get(F.col("__w"), i), F.lit(" "),
-              F.get(F.col("__w"), i + 1)))).as("b"))
-    }
+    def bigrams(df: DataFrame): DataFrame = bigramsOf(df, idCol, textCol)
     val big = bigrams(corpus).groupBy("b").agg(F.count(F.lit(1)).as("cb"))
     val margin = big
       .select(F.split(F.col("b"), " ").getItem(0).as("w1"), F.col("cb"))
@@ -605,6 +593,107 @@ object TextOps {
           F.log(F.lit(lambda) * F.col("cb") / F.col("c1") +
             F.lit(1.0 - lambda) * F.col("cu") / totalTokens))
           / F.sum("tf"), 6).as("mean_logprob"))
+  }
+
+  /** (id, "w₁ w₂") adjacent-bigram rows, built map-side from each doc's
+    * token array (a codegen'd transform — no positional self-join);
+    * tokens cannot contain whitespace, so the key is unambiguous. */
+  private def bigramsOf(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val w = F.filter(
+      F.split(F.lower(F.coalesce(F.col(textCol), F.lit(""))), "\\s+"),
+      t => t =!= "")
+    // the <2-token guard matters: sequence(0, -1) would DESCEND
+    df.select(F.col(idCol).as("id"), w.as("__w"))
+      .where(F.size(F.col("__w")) >= 2)
+      .select(F.col("id"),
+        F.explode(F.transform(
+          F.sequence(F.lit(0), F.size(F.col("__w")) - 2),
+          i => F.concat(F.get(F.col("__w"), i), F.lit(" "),
+            F.get(F.col("__w"), i + 1)))).as("b"))
+  }
+
+  /** Top-k collocations by pointwise mutual information:
+    *
+    *   PMI(w₁, w₂) = ln( (n_b/N_b) / ((c₁/N_u)·(c₂/N_u)) )
+    *
+    * over adjacent bigrams with count ≥ `minCount` — the multi-word-
+    * expression miner ("new york", "machine learning") that feeds
+    * tokenizer merge lists and stop-phrase tables. Bigram and unigram
+    * tables aggregate in vocabulary-sized shuffles; the two totals are
+    * exact integer counts folded in as plan literals. The min-count
+    * floor is what keeps PMI from crowning one-off typo pairs (bare PMI
+    * is maximized by hapax pairs). Ranked on the 6-dp-ROUNDED pmi with
+    * a bigram tie-break so the top-k replays deterministically;
+    * orderBy+limit = TakeOrdered, never a global sort.
+    *
+    * @return k rows: (bigram, n, c1, c2, pmi), pmi rounded to 6 */
+  def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
+                      minCount: Long = 5L, k: Int = 50): DataFrame = {
+    require(minCount >= 1L, "minCount must be >= 1")
+    require(k >= 1, "k must be >= 1")
+    val big = bigramsOf(df, idCol, textCol)
+      .groupBy("b").agg(F.count(F.lit(1)).as("n"))
+    val uni = tokens(df, idCol, textCol)
+      .groupBy("token").agg(F.count(F.lit(1)).as("cu"))
+    val nb = big.agg(F.sum("n")).head().getLong(0).toDouble
+    val nu = uni.agg(F.sum("cu")).head().getLong(0).toDouble
+    val cand = big.where(F.col("n") >= minCount)
+      .withColumn("w1", F.split(F.col("b"), " ").getItem(0))
+      .withColumn("w2", F.split(F.col("b"), " ").getItem(1))
+    cand
+      .join(uni.select(F.col("token").as("w1"), F.col("cu").as("c1")),
+        Seq("w1"))
+      .join(uni.select(F.col("token").as("w2"), F.col("cu").as("c2")),
+        Seq("w2"))
+      .withColumn("pmi", F.round(F.log(
+        (F.col("n") / nb) /
+          ((F.col("c1") / nu) * (F.col("c2") / nu))), 6))
+      .orderBy(F.col("pmi").desc, F.col("b").asc)
+      .limit(k)
+      .select(F.col("b").as("bigram"), F.col("n"), F.col("c1"),
+        F.col("c2"), F.col("pmi"))
+  }
+
+  /** Zipf-law fit of the vocabulary: OLS of ln(count) on ln(rank) over
+    * the top-N terms — the data-card scalar ("slope ≈ −1 is natural
+    * text; flat means boilerplate/dedup debt, steep means template
+    * spam"). ONE vocabulary aggregation, a bounded top-N take
+    * (count desc, token asc — deterministic under ties), a rank window
+    * over ≤ N rows, and one closed-form moment fold.
+    *
+    * @return one row: (n_terms, slope, intercept, r2) rounded to 6;
+    *         slope/r2 null when the top-N has < 2 terms or zero
+    *         rank variance */
+  def zipfFit(df: DataFrame, idCol: String, textCol: String,
+              topN: Int = 1000): DataFrame = {
+    require(topN >= 2, "topN must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val vocab = tokens(df, idCol, textCol)
+      .groupBy("token").agg(F.count(F.lit(1)).as("n"))
+      .orderBy(F.col("n").desc, F.col("token").asc)
+      .limit(topN)
+    val w = Window.orderBy(F.col("n").desc, F.col("token").asc)
+    val xy = vocab
+      .withColumn("__r", F.row_number().over(w).cast("long"))
+      .select(F.log(F.col("__r").cast("double")).as("__x"),
+        F.log(F.col("n").cast("double")).as("__y"))
+    val a = xy.agg(
+      F.count(F.lit(1)).as("n_terms"),
+      F.sum("__x").as("__sx"), F.sum("__y").as("__sy"),
+      F.sum(F.col("__x") * F.col("__x")).as("__sxx"),
+      F.sum(F.col("__y") * F.col("__y")).as("__syy"),
+      F.sum(F.col("__x") * F.col("__y")).as("__sxy"))
+    val nD = F.col("n_terms").cast("double")
+    val varX = nD * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    val varY = nD * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    val cov = nD * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    a.withColumn("slope", F.when(varX > 0.0, F.round(cov / varX, 6)))
+      .withColumn("intercept", F.when(varX > 0.0, F.round(
+        (F.col("__sy") - (cov / varX) * F.col("__sx")) / nD, 6)))
+      .withColumn("r2", F.when(varX > 0.0 && varY > 0.0,
+        F.round(cov * cov / (varX * varY), 6)))
+      .select("n_terms", "slope", "intercept", "r2")
   }
 
   /** Normalization + masking + per-kind match counts in one projection. */

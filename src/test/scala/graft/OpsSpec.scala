@@ -766,6 +766,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains("flat"))
   }
 
+  test("pmiCollocations: hand-computed PMI, min-count floor") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    // bigrams: "a b"x2, "b a"x1, "b c"x1 (nb=4); uni a=2,b=2,c=1 (nu=5)
+    val out = operators.TextOps.pmiCollocations(df, "doc_id", "text",
+      minCount = 2L, k = 10).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("bigram") == "a b")
+    assert(out(0).getAs[Long]("n") == 2L)
+    val expected = math.log((2.0 / 4.0) / ((2.0 / 5.0) * (2.0 / 5.0)))
+    assert(math.abs(out(0).getAs[Double]("pmi") -
+      math.rint(expected * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("zipfFit: closed-form OLS on ln-rank/ln-count") {
+    import spark.implicits._
+    val df = Seq((1L, "a a a a b b c")).toDF("doc_id", "text")
+    val out = operators.TextOps.zipfFit(df, "doc_id", "text", topN = 10)
+      .collect()(0)
+    val xs = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys = Seq(4.0, 2.0, 1.0).map(math.log)
+    val n = 3.0
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(x => x * x).sum
+    val syy = ys.map(y => y * y).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val r2 = math.pow(n * sxy - sx * sy, 2) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(out.getAs[Long]("n_terms") == 3L)
+    assert(math.abs(out.getAs[Double]("slope") - slope) < 1e-6)
+    assert(math.abs(out.getAs[Double]("intercept") -
+      (sy - slope * sx) / n) < 1e-6)
+    assert(math.abs(out.getAs[Double]("r2") - r2) < 1e-6)
+  }
+
   test("liftTable: tie-stable desc buckets, capture and lift algebra") {
     import spark.implicits._
     val df = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))
