@@ -3137,6 +3137,32 @@ object SparkEntry {
         .select(F.col("node"), F.round(F.col("rank"), 6).as("rank_r"))
         .orderBy("node")
     }),
+    "q_degree_dist" -> ((s, dir) => {
+      // degree distribution of the same co-occurrence graph: per-
+      // direction node-degree histogram — the power-law audit that
+      // tells you whether pagerank scores carry signal
+      val base = keyCappedLineitem(s, dir, 50000,
+          Seq("l_suppkey", "l_partkey"))
+        .select(F.concat(F.lit("s"), F.col("l_suppkey")).as("a"),
+          F.concat(F.lit("p"), F.col("l_partkey")).as("b"))
+        .distinct()
+      val e = base.select(F.col("a").as("src"), F.col("b").as("dst"))
+        .union(base.select(F.col("b").as("src"), F.col("a").as("dst")))
+      Graph.degreeHistogram(e, "src", "dst")
+        .orderBy("kind", "degree")
+    }),
+    "q_benford" -> ((s, dir) =>
+      // Benford first-digit conformity of line prices per return flag:
+      // boundary-safe digit extraction, missing digits folded in
+      // algebraically — one (group, digit) aggregation
+      StatTests.benfordByGroup(
+        li(s, dir).where(F.col("l_orderkey") < 100000),
+        Seq("l_returnflag"), "l_extendedprice")
+        .orderBy("l_returnflag")),
+    "q_hill" -> ((s, dir) =>
+      // Hill tail index of document lengths over the top-200 order
+      // statistics: TakeOrdered top-(k+1), one ln fold
+      StatTests.hillTailIndex(docs(s, dir), "n_chars", k = 200)),
     "q_es_sample" -> ((s, dir) =>
       // exact-k weighted sampling without replacement (Efraimidis-
       // Spirakis keys from md5 draws): deterministic, engine-replayable,
@@ -7950,6 +7976,61 @@ object SparkEntry {
         |  ON n.node = c.dst)
         |SELECT node, round(r, 6) AS rank_r FROM r3
         |ORDER BY node""".stripMargin,
+    "q_degree_dist" ->
+      """WITH base AS (SELECT DISTINCT 's' || l_suppkey AS a,
+        |    'p' || l_partkey AS b FROM lineitem
+        |  WHERE l_orderkey < 50000),
+        |e AS (SELECT a AS src, b AS dst FROM base
+        |  UNION ALL SELECT b, a FROM base),
+        |d AS (SELECT 'out' AS kind,
+        |    CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY src
+        |  UNION ALL SELECT 'in', CAST(count(*) AS BIGINT) FROM e
+        |  GROUP BY dst)
+        |SELECT kind, degree, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM d GROUP BY kind, degree ORDER BY kind, degree""".stripMargin,
+    // Benford replay: the same boundary-safe digit branches, window
+    // marginals over (group, digit) cells, the algebraic missing-digit
+    // fold, and the even-dof closed-form Poisson-sum chi2 tail.
+    "q_benford" ->
+      """WITH base AS (SELECT l_returnflag AS g,
+        |    CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+        |  WHERE l_orderkey < 100000 AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        |    AND CAST(l_extendedprice AS DOUBLE) > 0),
+        |m AS (SELECT g, x / pow(10.0, floor(log10(x))) AS m0 FROM base),
+        |dg AS (SELECT g, CAST(CASE WHEN m0 < 1 THEN floor(m0 * 10.0)
+        |    WHEN m0 >= 10 THEN floor(m0 / 10.0)
+        |    ELSE floor(m0) END AS BIGINT) AS d FROM m),
+        |cells AS (SELECT g, d, CAST(count(*) AS BIGINT) AS o FROM dg
+        |  GROUP BY g, d),
+        |w AS (SELECT *,
+        |    CAST(sum(o) OVER (PARTITION BY g) AS BIGINT) AS n,
+        |    log10(1.0 + 1.0 / d) AS p FROM cells),
+        |a AS (SELECT g, CAST(max(n) AS BIGINT) AS n,
+        |    round(sum((o - CAST(n AS DOUBLE) * p)
+        |        * (o - CAST(n AS DOUBLE) * p)
+        |        / (CAST(n AS DOUBLE) * p) - CAST(n AS DOUBLE) * p)
+        |      + CAST(max(n) AS DOUBLE), 6) AS chi2,
+        |    round((sum(abs(o / CAST(n AS DOUBLE) - p) - p) + 1.0)
+        |      / 9.0, 6) AS mad
+        |  FROM w GROUP BY g)
+        |SELECT g AS l_returnflag, n, chi2, CAST(8 AS BIGINT) AS dof,
+        |  round_even((SELECT sum(exp(-a.chi2 / 2.0
+        |      + s.j * ln(a.chi2 / 2.0) - lgamma(s.j + 1.0)))
+        |    FROM generate_series(0, 49) s(j) WHERE s.j < 4)
+        |    * 1000000.0, 0) / 1000000.0 AS p_value,
+        |  mad FROM a ORDER BY l_returnflag""".stripMargin,
+    "q_hill" ->
+      """WITH base AS (SELECT CAST(n_chars AS DOUBLE) AS x
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |    AND CAST(n_chars AS DOUBLE) > 0),
+        |top AS (SELECT x FROM base ORDER BY x DESC LIMIT 201),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS nt, min(x) AS xr,
+        |    sum(ln(x)) AS sl FROM top)
+        |SELECT CAST(200 AS BIGINT) AS k, xr AS x_ref,
+        |  CASE WHEN nt = 201 AND sl - 201.0 * ln(xr) > 0 THEN
+        |    round(200.0 / (sl - 201.0 * ln(xr)), 6) END AS alpha
+        |FROM a""".stripMargin,
     "q_es_sample" ->
       """WITH k AS (SELECT doc_id, n_chars,
         |    -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))

@@ -160,4 +160,28 @@ object Graph {
     nodes.unpersist(false)
     out
   }
+
+  /** Degree distribution of the link graph, long form: for each
+    * direction ('out' = per-src edge count, 'in' = per-dst), how many
+    * nodes have each degree — the first plot of any graph audit (a
+    * power-law tail here is what makes [[pageRank]] scores informative,
+    * and the in-degree tail is the link-spam screen). Duplicate edges
+    * count as parallel edges, matching [[pageRank]]'s convention. Two
+    * node-keyed aggregations + one degree-sized aggregation; nothing
+    * node-sized ever reaches the driver.
+    *
+    * @return (kind, degree, n_nodes), one row per non-empty
+    *         (direction, degree) cell */
+  def degreeHistogram(edges: DataFrame, srcCol: String,
+                      dstCol: String): DataFrame = {
+    val base = edges
+      .where(F.col(srcCol).isNotNull && F.col(dstCol).isNotNull)
+    def side(col: String, kind: String) = base
+      .groupBy(F.col(col).as("__node"))
+      .agg(F.count(F.lit(1)).as("degree"))
+      .select(F.lit(kind).as("kind"), F.col("degree"))
+    side(srcCol, "out").union(side(dstCol, "in"))
+      .groupBy("kind", "degree")
+      .agg(F.count(F.lit(1)).as("n_nodes"))
+  }
 }

@@ -595,4 +595,99 @@ object StatTests {
         .drop("__p")
     } finally sorted.unpersist(blocking = false)
   }
+
+  /** Benford first-digit conformity per group — the forensic
+    * data-quality screen ("are these amounts organic or
+    * fabricated/templated"): χ² of the observed leading-digit
+    * distribution against Benford's p_d = log₁₀(1 + 1/d), plus the MAD
+    * conformity score (Nigrini's scale: < 0.006 close conformity).
+    *
+    * The leading digit is extracted WITHOUT trusting floor(log10(x)) at
+    * power-of-ten boundaries: m₀ = x/10^⌊log₁₀x⌋, then the m₀ < 1 /
+    * m₀ ≥ 10 branches re-scale once — so a 1-ULP log10 disagreement
+    * between engines lands on the same digit (10^e is IEEE-exact for
+    * integer e, and the division is correctly rounded, so m₀ is then
+    * deterministic). Missing digits fold in algebraically:
+    * Σ_all (o−np)²/np = Σ_obs ((o−np)²/np − np) + n, and
+    * Σ_all |o/n − p| = Σ_obs (|o/n − p| − p) + 1 — so the whole test is
+    * ONE (group, digit) aggregation + a per-group fold, no 9-way pivot.
+    * p = P(χ²₈ > chi2) at the 6-rounded statistic (dof 8 is even, so an
+    * external engine replays it as the closed-form Poisson sum).
+    *
+    * @return one row per group: (groupCols..., n, chi2, dof, p_value,
+    *         mad), floats rounded to 6 */
+  def benfordByGroup(df: DataFrame, groupCols: Seq[String],
+                     valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(!groupCols.exists(_.startsWith("__")),
+      "group columns must not use the __ internal prefix")
+    import org.apache.spark.sql.expressions.Window
+    val gCols = groupCols.map(F.col)
+    val x = F.col(valueCol).cast("double")
+    val m0 = x / F.pow(F.lit(10.0), F.floor(F.log10(x)))
+    val digit = F.when(m0 < 1.0, F.floor(m0 * 10.0))
+      .when(m0 >= 10.0, F.floor(m0 / 10.0))
+      .otherwise(F.floor(m0))
+    val cells = df
+      .where(x.isNotNull && !F.isnan(x) && x > 0.0)
+      .groupBy(gCols :+ digit.as("__d"): _*)
+      .agg(F.count(F.lit(1)).as("__o"))
+    val wg = Window.partitionBy(gCols: _*)
+    val p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("__d"))
+    val pUdf = F.udf((chi2: Double) =>
+      math.rint(SpecialMath.gammaIncC(4.0, chi2 / 2.0) * 1e6) / 1e6)
+    val n = F.col("__n").cast("double")
+    val e = n * F.col("__p")
+    val o = F.col("__o").cast("double")
+    cells
+      .withColumn("__n", F.sum("__o").over(wg))
+      .withColumn("__p", p)
+      .groupBy(gCols: _*)
+      .agg(
+        F.max("__n").as("n"),
+        F.round(F.sum((o - e) * (o - e) / e - e) +
+          F.max("__n").cast("double"), 6).as("chi2"),
+        F.round((F.sum(F.abs(o / n - F.col("__p")) - F.col("__p")) +
+          F.lit(1.0)) / 9.0, 6).as("mad"))
+      .withColumn("dof", F.lit(8L))
+      .withColumn("p_value", pUdf(F.col("chi2")))
+      .select(gCols ++ Seq(F.col("n"), F.col("chi2"), F.col("dof"),
+        F.col("p_value"), F.col("mad")): _*)
+  }
+
+  /** Hill tail-index estimator over the top-k order statistics of a
+    * positive column:
+    *
+    *   α̂ = k / Σ_{i=1..k} ln(x₍ᵢ₎ / x_ref),   x_ref = (k+1)-th largest
+    *
+    * — "how heavy is this tail, as a number" (α ≤ 2: infinite variance;
+    * the quantitative companion to the reference's boolean heavy-tail
+    * detector). The top-(k+1) take is orderBy+limit = TakeOrdered — a
+    * per-partition heap, never a global sort — and the multiset of
+    * selected VALUES is deterministic under ties even though row
+    * identity is not, so α replays exactly. Σln(xᵢ/x_ref) folds as
+    * Σln(xᵢ) − (k+1)·ln(x_ref) (the ref's own term contributes 0).
+    *
+    * @return one row: (k, x_ref, alpha), alpha rounded to 6 and null
+    *         when fewer than k+1 positive rows exist or the top-(k+1)
+    *         values are all equal */
+  def hillTailIndex(df: DataFrame, column: String,
+                    k: Int = 100): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val x = F.col(column).cast("double")
+    val top = df
+      .where(x.isNotNull && !F.isnan(x) && x > 0.0)
+      .select(x.as("__x"))
+      .orderBy(F.col("__x").desc)
+      .limit(k + 1)
+    val denom = F.col("__sl") - F.lit(k + 1.0) * F.log(F.col("__xr"))
+    top
+      .agg(F.count(F.lit(1)).as("__nt"), F.min("__x").as("__xr"),
+        F.sum(F.log(F.col("__x"))).as("__sl"))
+      .withColumn("k", F.lit(k.toLong))
+      .withColumn("x_ref", F.col("__xr"))
+      .withColumn("alpha", F.when(F.col("__nt") === (k + 1L) &&
+        denom > 0.0, F.round(F.lit(k.toDouble) / denom, 6)))
+      .select("k", "x_ref", "alpha")
+  }
 }

@@ -766,6 +766,55 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains("flat"))
   }
 
+  test("benfordByGroup: digit extraction and chi2/MAD algebra") {
+    import spark.implicits._
+    // digits of 0.5, 1000, 99.9, 2.0 -> 5, 1, 9, 2
+    val df = (Seq(0.5, 1000.0, 99.9, 2.0).map(("dig", _)) ++
+      (1 to 9).map(d => ("uni", d.toDouble))).toDF("g", "x")
+    val out = StatTests.benfordByGroup(df, Seq("g"), "x")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    // "uni": each digit once, n = 9: chi2 = sum_d (1-9p)^2/(9p),
+    // mad = mean |1/9 - p|
+    val ps = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+    val chi2 = ps.map(p => math.pow(1.0 - 9.0 * p, 2) / (9.0 * p)).sum
+    val mad = ps.map(p => math.abs(1.0 / 9.0 - p)).sum / 9.0
+    assert(out("uni").getAs[Long]("n") == 9L)
+    assert(math.abs(out("uni").getAs[Double]("chi2") - chi2) < 1e-5)
+    assert(math.abs(out("uni").getAs[Double]("mad") - mad) < 1e-6)
+    assert(out("uni").getAs[Long]("dof") == 8L)
+    // "dig": digits {5,1,9,2} each once -> 4 observed cells, n = 4
+    assert(out("dig").getAs[Long]("n") == 4L)
+    val obs = Seq(5, 1, 9, 2)
+    val chi2d = obs.map(d => math.pow(1.0 - 4.0 * ps(d - 1), 2) /
+      (4.0 * ps(d - 1))).sum +
+      4.0 * (1.0 - obs.map(d => ps(d - 1)).sum)
+    assert(math.abs(out("dig").getAs[Double]("chi2") - chi2d) < 1e-5)
+  }
+
+  test("hillTailIndex: exact alpha on a log ladder, null when degenerate") {
+    import spark.implicits._
+    val df = Seq(math.exp(2.0), math.exp(1.0), 1.0, 0.5).toDF("x")
+    val out = StatTests.hillTailIndex(df, "x", k = 2).collect()(0)
+    // top-3 = {e^2, e, 1}, ref = 1: alpha = 2/(2+1) = 0.666667
+    assert(out.getAs[Double]("x_ref") == 1.0)
+    assert(math.abs(out.getAs[Double]("alpha") - 0.666667) < 1e-6)
+    // all-equal top -> zero denominator -> null
+    val flat = Seq(2.0, 2.0, 2.0, 2.0).toDF("x")
+    val o2 = StatTests.hillTailIndex(flat, "x", k = 2).collect()(0)
+    assert(o2.isNullAt(o2.fieldIndex("alpha")))
+  }
+
+  test("degreeHistogram: in/out degree cells on a tiny graph") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("s", "d")
+    val out = operators.Graph.degreeHistogram(e, "s", "d")
+      .collect().map(r => (r.getAs[String]("kind"),
+        r.getAs[Long]("degree")) -> r.getAs[Long]("n_nodes")).toMap
+    assert(out(("out", 2L)) == 1L && out(("out", 1L)) == 1L)
+    assert(out(("in", 2L)) == 1L && out(("in", 1L)) == 1L)
+    assert(out.size == 4)
+  }
+
   test("pmiCollocations: hand-computed PMI, min-count floor") {
     import spark.implicits._
     val df = Seq((1L, "a b a b c")).toDF("doc_id", "text")
