@@ -2554,6 +2554,21 @@ object SparkEntry {
             F.floor(F.col("value")).cast("double").as("valq")),
         "event_type", "ts", "valq", tieBreakCols = Seq("event_id"))
         .orderBy("event_type")),
+    "q_seasonal_anomaly" -> ((s, dir) =>
+      // seasonal-naive anomaly scan: residual vs the value 7
+      // observations back per event type, z against the key's own
+      // residual distribution — one key shuffle serves lag + moments
+      Features.seasonalAnomaly(events(s, dir), "event_type", "ts",
+          "value", season = 7, zThreshold = 2.5,
+          tieBreakCols = Seq("event_id"))
+        .orderBy("event_type", "ts", "value")),
+    "q_trimmed_mean" -> ((s, dir) =>
+      // 10%-trimmed mean of line prices per return flag: exact integer
+      // cell-clamp algebra, deterministic under any tie pattern
+      Outliers.trimmedMeanByGroup(
+        li(s, dir).where(F.col("l_orderkey") < 100000),
+        Seq("l_returnflag"), "l_extendedprice", trim = 0.1)
+        .orderBy("l_returnflag")),
     "q_target_encode" -> ((s, dir) =>
       // target encoding of line status against the returned-flag label:
       // smoothed (m-estimate) and leave-one-out variants — category
@@ -6739,6 +6754,50 @@ object SparkEntry {
         |  min(tns) AS cp_ts
         |FROM mx WHERE vr > 0 AND num = mxn
         |GROUP BY k ORDER BY event_type""".stripMargin,
+    "q_seasonal_anomaly" ->
+      """WITH e AS (SELECT event_type AS k, ts, epoch_ns(ts) AS tns,
+        |    event_id, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |    AND ts IS NOT NULL),
+        |l AS (SELECT k, tns, v, lag(v, 7) OVER (PARTITION BY k
+        |    ORDER BY tns, event_id) AS expected FROM e),
+        |r AS (SELECT k, tns, v, expected, v - expected AS res FROM l
+        |  WHERE expected IS NOT NULL),
+        |m AS (SELECT *,
+        |    CAST(count(*) OVER (PARTITION BY k) AS DOUBLE) AS n,
+        |    sum(res) OVER (PARTITION BY k) AS s,
+        |    sum(res * res) OVER (PARTITION BY k) AS ss FROM r),
+        |z AS (SELECT k AS event_type, tns AS ts, v AS value, expected,
+        |    res AS residual,
+        |    CASE WHEN ss / n - (s / n) * (s / n) > 0 THEN
+        |      round((res - s / n)
+        |        / sqrt(ss / n - (s / n) * (s / n)), 6) END AS z
+        |  FROM m)
+        |SELECT * FROM z WHERE abs(z) > 2.5
+        |ORDER BY event_type, ts, value""".stripMargin,
+    // Trimmed mean replay: per-group cumulative cell counts, each cell
+    // keeps max(0, min(cum, n−⌊αn⌋) − max(cum−c, ⌊αn⌋)) copies.
+    "q_trimmed_mean" ->
+      """WITH base AS (SELECT l_returnflag AS g,
+        |    CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        |  WHERE l_orderkey < 100000 AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM base
+        |  GROUP BY g, v),
+        |w AS (SELECT *,
+        |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n,
+        |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM cells),
+        |k AS (SELECT *, greatest(0, least(cum, n - lo)
+        |      - greatest(cum - c, lo)) AS kept
+        |  FROM (SELECT *, CAST(floor(n * 0.1) AS BIGINT) AS lo FROM w))
+        |SELECT g AS l_returnflag, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(sum(kept) AS BIGINT) AS n_kept,
+        |  round(sum(v * kept) / CAST(sum(kept) AS DOUBLE), 6)
+        |    AS trimmed_mean
+        |FROM k GROUP BY g HAVING sum(kept) > 0
+        |ORDER BY g""".stripMargin,
     "q_target_encode" ->
       """WITH base AS (SELECT l_orderkey, l_linenumber, l_linestatus,
         |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y

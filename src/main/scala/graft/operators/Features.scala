@@ -225,6 +225,58 @@ object Features {
       .select(F.col(keyCol), F.col("rho"), F.col("n"))
   }
 
+  /** Seasonal-naive anomaly scan per key: residual r_t = x_t − x_{t−m}
+    * against the value m observations back (m = the season length in
+    * OBSERVATIONS, e.g. 24 for hourly data with a daily cycle), then a
+    * z-score of each residual against the key's own residual
+    * distribution — the monitoring workhorse that a plain per-key
+    * z-score can't replace (it flags every seasonal peak; the
+    * differenced form flags only breaks FROM the cycle).
+    *
+    * ONE shuffle on the key serves everything: the lag window, and the
+    * residual moments via the same key-partitioned unbounded frame
+    * (explicit Σr²/n − r̄² algebra so an external engine replays it).
+    * Rows are ordered by (tsCol, tieBreakCols) — pass tie-breakers when
+    * timestamps can collide, or the lag pairing is nondeterministic.
+    * The first m rows of each key have no lag value and emit no row;
+    * keys with zero residual variance emit null z.
+    *
+    * @return flagged rows only: (keyCol, tsCol, value, expected,
+    *         residual, z), z rounded to 6 */
+  def seasonalAnomaly(df: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: String, season: Int,
+                      zThreshold: Double = 3.0,
+                      tieBreakCols: Seq[String] = Nil): DataFrame = {
+    require(season >= 1, "season must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val v = F.col(valueCol).cast("double")
+    val base = df
+      .where(v.isNotNull && !F.isnan(v) && F.col(tsCol).isNotNull)
+      .select(Seq(F.col(keyCol), F.col(tsCol)) ++
+        tieBreakCols.map(F.col) :+ v.as("value"): _*)
+    val wOrd = Window.partitionBy(F.col(keyCol))
+      .orderBy(F.col(tsCol) +: tieBreakCols.map(F.col): _*)
+    val wKey = Window.partitionBy(F.col(keyCol))
+    val lagged = base
+      .withColumn("expected", F.lag("value", season).over(wOrd))
+      .withColumn("residual", F.col("value") - F.col("expected"))
+    val r = F.col("residual")
+    val withMoments = lagged
+      .where(r.isNotNull)
+      .withColumn("__n", F.count(F.lit(1)).over(wKey))
+      .withColumn("__s", F.sum(r).over(wKey))
+      .withColumn("__ss", F.sum(r * r).over(wKey))
+    val n = F.col("__n").cast("double")
+    val mean = F.col("__s") / n
+    val variance = F.col("__ss") / n - mean * mean
+    withMoments
+      .withColumn("z", F.when(variance > 0.0,
+        F.round((r - mean) / F.sqrt(variance), 6)))
+      .where(F.abs(F.col("z")) > zThreshold)
+      .select(F.col(keyCol), F.col(tsCol), F.col("value"),
+        F.col("expected"), F.col("residual"), F.col("z"))
+  }
+
   /** CUSUM changepoint scan per key: the maximum standardized
     * cumulative deviation from the key's mean,
     *

@@ -73,6 +73,55 @@ object Outliers {
       .drop("__med", "__mad")
   }
 
+  /** Exact trimmed mean per group: drop the lowest and highest ⌊αn⌋
+    * values of each group and average the rest — the robust location
+    * that (unlike the median) still uses 1−2α of the data, the standard
+    * "metric mean without the whale accounts" aggregate.
+    *
+    * Exactness comes from integer cell algebra, not sampling: per
+    * (group, value) counts, a per-GROUP cumulative window over the
+    * cells, and each cell contributes
+    * max(0, min(cum, n−⌊αn⌋) − max(cum−c, ⌊αn⌋)) copies — pure integer
+    * clamps, so the kept multiset (and hence the mean) is deterministic
+    * under ANY tie pattern and replays bit-exactly. One (group, value)
+    * aggregation + per-group windows; groups trimmed to emptiness
+    * (n ≤ 2⌊αn⌋) are omitted.
+    *
+    * @param trim fraction α ∈ [0, 0.5) trimmed from EACH side
+    * @return one row per group: (groupCols..., n, n_kept, trimmed_mean
+    *         rounded to 6) */
+  def trimmedMeanByGroup(df: DataFrame, groupCols: Seq[String],
+                         column: String,
+                         trim: Double = 0.1): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(trim >= 0.0 && trim < 0.5, "trim must be in [0, 0.5)")
+    import org.apache.spark.sql.expressions.Window
+    val gCols = groupCols.map(F.col)
+    val v = F.col(column).cast("double")
+    val cells = df
+      .where(v.isNotNull && !F.isnan(v))
+      .groupBy(gCols :+ v.as("__v"): _*)
+      .agg(F.count(F.lit(1)).as("__c"))
+    val wg = Window.partitionBy(gCols: _*)
+    val wCum = Window.partitionBy(gCols: _*).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lo = F.floor(F.col("__n") * trim)
+    val hi = F.col("__n") - lo
+    val kept = F.greatest(F.lit(0L),
+      F.least(F.col("__cum"), hi) -
+        F.greatest(F.col("__cum") - F.col("__c"), lo))
+    cells
+      .withColumn("__n", F.sum("__c").over(wg))
+      .withColumn("__cum", F.sum("__c").over(wCum))
+      .withColumn("__k", kept)
+      .groupBy(gCols: _*)
+      .agg(F.max("__n").as("n"),
+        F.sum("__k").as("n_kept"),
+        F.round(F.sum(F.col("__v") * F.col("__k")) /
+          F.sum("__k").cast("double"), 6).as("trimmed_mean"))
+      .where(F.col("n_kept") > 0L)
+  }
+
   /** Flag rows whose robust z-score |x−median| / (1.4826·MAD) exceeds
     * `threshold` (3.5 is the conventional cut). Appends `robust_z`
     * (rounded to 6) and `is_outlier`; rows with null/NaN values get

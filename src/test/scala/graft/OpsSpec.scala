@@ -766,6 +766,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains("flat"))
   }
 
+  test("seasonalAnomaly: flags the break, not the cycle") {
+    import spark.implicits._
+    val df = Seq(("k", 1L, 1.0), ("k", 2L, 1.0), ("k", 3L, 1.0),
+      ("k", 4L, 1.0), ("k", 5L, 10.0)).toDF("k", "t", "v")
+    val out = operators.Features.seasonalAnomaly(df, "k", "t", "v",
+      season = 1, zThreshold = 1.5).collect()
+    // residuals 0,0,0,9: mean 2.25, sd 3.897114 -> z(9) = 1.732051
+    assert(out.length == 1)
+    assert(out(0).getAs[Double]("value") == 10.0)
+    assert(out(0).getAs[Double]("expected") == 1.0)
+    assert(out(0).getAs[Double]("residual") == 9.0)
+    assert(math.abs(out(0).getAs[Double]("z") - 1.732051) < 1e-6)
+  }
+
+  test("trimmedMeanByGroup: exact cell clamps under ties") {
+    import spark.implicits._
+    val df = ((1 to 10).map(v => ("a", v.toDouble)) ++
+      Seq(1.0, 1.0, 1.0, 5.0, 9.0, 9.0, 9.0).map(("b", _))).toDF("g", "v")
+    val out = Outliers.trimmedMeanByGroup(df, Seq("g"), "v", trim = 0.2)
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    // a: n=10, lo=2 -> keep 3..8, mean 5.5
+    assert(out("a").getAs[Long]("n_kept") == 6L)
+    assert(out("a").getAs[Double]("trimmed_mean") == 5.5)
+    // b: n=7, lo=1 -> kept multiset {1,1,5,9,9}, mean 5.0
+    assert(out("b").getAs[Long]("n_kept") == 5L)
+    assert(out("b").getAs[Double]("trimmed_mean") == 5.0)
+  }
+
   test("benfordByGroup: digit extraction and chi2/MAD algebra") {
     import spark.implicits._
     // digits of 0.5, 1000, 99.9, 2.0 -> 5, 1, 9, 2
