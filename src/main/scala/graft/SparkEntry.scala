@@ -2536,6 +2536,30 @@ object SparkEntry {
             .as("len")),
         Seq("lang"), "source", "len")
         .orderBy("lang")),
+    "q_kendall" -> ((s, dir) =>
+      // Kendall tau-b of quantity vs discount: exact concordance from
+      // contingency CELLS (one cell join, O(cells^2) not O(n^2)) with
+      // full tie correction
+      Ranks.kendallTauB(
+        li(s, dir).where(F.col("l_orderkey") < 100000),
+        "l_quantity", "l_discount")),
+    "q_weighted_median" -> ((s, dir) =>
+      // quantity-weighted median price per return flag: exact type-1
+      // pick via per-group cumulative weight cells
+      Ranks.weightedMedianByGroup(
+        li(s, dir).where(F.col("l_orderkey") < 100000),
+        Seq("l_returnflag"), "l_extendedprice", "l_quantity")
+        .orderBy("l_returnflag")),
+    "q_mi_ranking" -> ((s, dir) =>
+      // filter-method feature selection: MI of each candidate feature
+      // with the length label — ALL features in one (feature, value,
+      // label) cells shuffle via stack + grouped-MI
+      Evaluation.miRanking(
+        docs(s, dir).select(F.col("lang"), F.col("source"),
+          F.when(F.col("n_chars") < 500, "short").otherwise("long")
+            .as("len")),
+        Seq("lang", "source"), "len")
+        .orderBy("feature")),
     "q_acf" -> ((s, dir) =>
       // autocorrelation per event type at lags 1..3 over the time-
       // ordered value series — one shuffle on the key serves the mean
@@ -6708,6 +6732,75 @@ object SparkEntry {
         |  CAST(count(DISTINCT a) AS BIGINT) AS n_a,
         |  CAST(count(DISTINCT b) AS BIGINT) AS n_b
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_kendall" ->
+      """WITH base AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_discount AS DOUBLE) AS y FROM lineitem
+        |  WHERE l_orderkey < 100000
+        |    AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND l_discount IS NOT NULL
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE))),
+        |cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM base
+        |  GROUP BY x, y),
+        |p AS (SELECT
+        |    CAST(coalesce(sum(CASE WHEN r.y > l.y
+        |      THEN l.c * r.c END), 0) AS BIGINT) AS con,
+        |    CAST(coalesce(sum(CASE WHEN r.y < l.y
+        |      THEN l.c * r.c END), 0) AS BIGINT) AS dis
+        |  FROM cells l JOIN cells r ON r.x > l.x AND r.y <> l.y),
+        |m AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+        |t1 AS (SELECT sum(t * (t - 1) / 2) AS n1 FROM
+        |  (SELECT CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY x)),
+        |t2 AS (SELECT sum(t * (t - 1) / 2) AS n2 FROM
+        |  (SELECT CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY y))
+        |SELECT n, con AS concordant, dis AS discordant,
+        |  CASE WHEN n * (n - 1) / 2 > n1 AND n * (n - 1) / 2 > n2 THEN
+        |    round((con - dis) / sqrt(
+        |      CAST(n * (n - 1) / 2 - n1 AS DOUBLE)
+        |      * CAST(n * (n - 1) / 2 - n2 AS DOUBLE)), 6) END AS tau_b
+        |FROM p, m, t1, t2""".stripMargin,
+    "q_weighted_median" ->
+      """WITH base AS (SELECT l_returnflag AS g,
+        |    CAST(l_extendedprice AS DOUBLE) AS v,
+        |    CAST(l_quantity AS DOUBLE) AS w FROM lineitem
+        |  WHERE l_orderkey < 100000 AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        |    AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND CAST(l_quantity AS DOUBLE) > 0),
+        |cells AS (SELECT g, v, sum(w) AS w FROM base GROUP BY g, v),
+        |c2 AS (SELECT *, sum(w) OVER (PARTITION BY g) AS tw,
+        |    sum(w) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM cells)
+        |SELECT g AS l_returnflag, round(max(tw), 6) AS total_weight,
+        |  min(CASE WHEN cum >= tw * 0.5 THEN v END) AS w_median
+        |FROM c2 GROUP BY g ORDER BY g""".stripMargin,
+    "q_mi_ranking" ->
+      """WITH base AS (SELECT lang, source,
+        |    CASE WHEN n_chars < 500 THEN 'short' ELSE 'long' END AS b
+        |  FROM documents),
+        |long AS (SELECT 'lang' AS feature, CAST(lang AS VARCHAR) AS a,
+        |    b FROM base
+        |  UNION ALL SELECT 'source', CAST(source AS VARCHAR), b
+        |  FROM base),
+        |cells AS (SELECT feature, a, b, CAST(count(*) AS BIGINT) AS n
+        |  FROM long WHERE a IS NOT NULL AND b IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |m AS (SELECT feature, a, b, n,
+        |    CAST(sum(n) OVER (PARTITION BY feature, a) AS BIGINT)
+        |      AS na,
+        |    CAST(sum(n) OVER (PARTITION BY feature, b) AS BIGINT)
+        |      AS nb,
+        |    CAST(sum(n) OVER (PARTITION BY feature) AS BIGINT) AS nt
+        |  FROM cells)
+        |SELECT feature,
+        |  round(sum((CAST(n AS DOUBLE) / nt)
+        |    * ln((CAST(n AS DOUBLE) * nt)
+        |      / (CAST(na AS DOUBLE) * nb))), 6) AS mi,
+        |  max(nt) AS n,
+        |  CAST(count(DISTINCT a) AS BIGINT) AS n_a,
+        |  CAST(count(DISTINCT b) AS BIGINT) AS n_b
+        |FROM m GROUP BY feature ORDER BY feature""".stripMargin,
     "q_acf" ->
       """WITH e AS (SELECT event_type AS k, epoch_ns(ts) AS tns,
         |    event_id, value AS x

@@ -186,6 +186,28 @@ object Evaluation {
         F.countDistinct("__b").as("n_b"))
   }
 
+  /** Feature ranking by mutual information with a label: every feature
+    * goes long-form through one `stack` and rides [[mutualInfoByGroup]]
+    * with feature-name as the group — so ranking ANY number of
+    * candidate features costs ONE shuffle of (feature, value, label)
+    * cells, not one pass per feature. The standard filter-method
+    * feature-selection table; bucket continuous features first (MI on
+    * raw continuous values degenerates toward ln n).
+    *
+    * @return one row per feature: (feature, mi, n, n_a, n_b) */
+  def miRanking(df: DataFrame, features: Seq[String],
+                labelCol: String): DataFrame = {
+    require(features.nonEmpty, "need at least one feature")
+    require(features.forall(!_.contains("'")),
+      "feature names must not contain quotes")
+    val long = df.selectExpr(
+      s"stack(${features.size}, " + features.map(f =>
+        s"'$f', CAST(`$f` AS STRING)").mkString(", ") +
+        ") AS (feature, __fv)",
+      s"`$labelCol` AS __lbl")
+    mutualInfoByGroup(long, Seq("feature"), "__fv", "__lbl")
+  }
+
   /** Recall@k of an approximate top-k retrieval against the exact one
     * — the acceptance metric for every ANN/IVF/LSH configuration
     * decision ("is nProbe = 1 good enough?"). Per query:

@@ -216,4 +216,98 @@ object Ranks {
       .head().getDouble(0)
     Seq(rho).toDF("spearman")
   }
+
+  /** Kendall τ-b rank correlation with full tie correction:
+    *
+    *   τ_b = (C − D) / √((n₀ − n₁)(n₀ − n₂)),
+    *   n₀ = n(n−1)/2, n₁/n₂ = Σ t(t−1)/2 over x / y tie groups
+    *
+    * — the concordance coefficient ("do bigger orders get bigger
+    * discounts, pair by pair") that is robust where Pearson is not and
+    * better-behaved than Spearman under heavy ties. Exact, from the
+    * CONTINGENCY CELLS rather than row pairs: C and D are one
+    * cell-level join on (x' > x) with the y comparison folded as a
+    * conditional sum — each unordered concordant/discordant pair is
+    * counted exactly once. Cost is O(cells²) in the worst case, NOT
+    * O(n²): rows reduce to (x, y) cells in one aggregation first, so
+    * the operator scales to any row count whose joint support is
+    * bounded (quantities, buckets, grades...). For continuous columns,
+    * bucket first. Pair counts are exact Longs (overflows only past
+    * ~4·10⁹ rows — switch the sums to DECIMAL(38,0) beyond that).
+    *
+    * @return one row: (n, concordant, discordant, tau_b rounded to 6;
+    *         null τ when either margin is all-ties) */
+  def kendallTauB(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val a = F.col(colA).cast("double")
+    val b = F.col(colB).cast("double")
+    val cells = df
+      .where(a.isNotNull && !F.isnan(a) && b.isNotNull && !F.isnan(b))
+      .groupBy(a.as("__x"), b.as("__y"))
+      .agg(F.count(F.lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val l = cells.select(F.col("__x").as("__xl"), F.col("__y").as("__yl"),
+      F.col("__c").as("__cl"))
+    val r = cells.select(F.col("__x").as("__xr"), F.col("__y").as("__yr"),
+      F.col("__c").as("__cr"))
+    val pairs = l.join(F.broadcast(r),
+      F.col("__xr") > F.col("__xl") && F.col("__yr") =!= F.col("__yl"))
+      .agg(
+        F.coalesce(F.sum(F.when(F.col("__yr") > F.col("__yl"),
+          F.col("__cl") * F.col("__cr")).otherwise(0L)), F.lit(0L))
+          .as("concordant"),
+        F.coalesce(F.sum(F.when(F.col("__yr") < F.col("__yl"),
+          F.col("__cl") * F.col("__cr")).otherwise(0L)), F.lit(0L))
+          .as("discordant"))
+    val margins = cells.agg(F.sum("__c").as("__n"))
+    val tx = cells.groupBy("__x").agg(F.sum("__c").as("__t"))
+      .agg(F.sum(F.col("__t") * (F.col("__t") - 1L) / 2L).as("__n1"))
+    val ty = cells.groupBy("__y").agg(F.sum("__c").as("__t"))
+      .agg(F.sum(F.col("__t") * (F.col("__t") - 1L) / 2L).as("__n2"))
+    val joined = pairs.crossJoin(margins).crossJoin(tx).crossJoin(ty)
+    val n = F.col("__n")
+    val n0 = n * (n - 1L) / 2L
+    val denom = F.sqrt((n0 - F.col("__n1")).cast("double") *
+      (n0 - F.col("__n2")).cast("double"))
+    joined
+      .withColumn("n", n)
+      .withColumn("tau_b", F.when(
+        n0 > F.col("__n1") && n0 > F.col("__n2"),
+        F.round((F.col("concordant") - F.col("discordant"))
+          .cast("double") / denom, 6)))
+      .select("n", "concordant", "discordant", "tau_b")
+  }
+
+  /** Exact weighted median per group (type-1 / lower): the smallest
+    * value whose cumulative weight reaches half the group's total —
+    * "the revenue-weighted typical price". Per-(group, value) weight
+    * cells + a per-GROUP cumulative window; the running sum's
+    * association is fixed by the (deterministic) value order, so the
+    * pick replays exactly. Rows with null/NaN values or null/NaN/
+    * negative weights are ignored; zero-total groups are omitted.
+    *
+    * @return one row per group: (groupCols..., total_weight, w_median) */
+  def weightedMedianByGroup(df: DataFrame, groupCols: Seq[String],
+                            valueCol: String,
+                            weightCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    import org.apache.spark.sql.expressions.Window
+    val gCols = groupCols.map(F.col)
+    val v = F.col(valueCol).cast("double")
+    val w = F.col(weightCol).cast("double")
+    val cells = df
+      .where(v.isNotNull && !F.isnan(v) && w.isNotNull && !F.isnan(w) &&
+        w > 0.0)
+      .groupBy(gCols :+ v.as("__v"): _*)
+      .agg(F.sum(w).as("__w"))
+    val wg = Window.partitionBy(gCols: _*)
+    val wCum = Window.partitionBy(gCols: _*).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("__tw", F.sum("__w").over(wg))
+      .withColumn("__cum", F.sum("__w").over(wCum))
+      .groupBy(gCols: _*)
+      .agg(F.round(F.max("__tw"), 6).as("total_weight"),
+        F.min(F.when(F.col("__cum") >= F.col("__tw") * 0.5,
+          F.col("__v"))).as("w_median"))
+  }
 }

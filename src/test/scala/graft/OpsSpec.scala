@@ -766,6 +766,48 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains("flat"))
   }
 
+  test("kendallTauB: classic permutation and tie-corrected zero") {
+    import spark.implicits._
+    val df = Seq((1, 2), (2, 1), (3, 4), (4, 3), (5, 5)).toDF("x", "y")
+    val out = Ranks.kendallTauB(df, "x", "y").collect()(0)
+    assert(out.getAs[Long]("concordant") == 8L)
+    assert(out.getAs[Long]("discordant") == 2L)
+    assert(out.getAs[Double]("tau_b") == 0.6)
+    // balanced ties: C = D = 1, tau_b = 0
+    val tied = Seq((1, 1), (1, 2), (2, 1), (2, 2)).toDF("x", "y")
+    val t = Ranks.kendallTauB(tied, "x", "y").collect()(0)
+    assert(t.getAs[Long]("concordant") == 1L)
+    assert(t.getAs[Long]("discordant") == 1L)
+    assert(t.getAs[Double]("tau_b") == 0.0)
+    // all x tied -> zero denominator -> null
+    val deg = Seq((1, 1), (1, 2)).toDF("x", "y")
+    val d = Ranks.kendallTauB(deg, "x", "y").collect()(0)
+    assert(d.isNullAt(d.fieldIndex("tau_b")))
+  }
+
+  test("weightedMedianByGroup: type-1 pick on cumulative weight") {
+    import spark.implicits._
+    val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 10.0),
+      ("h", 1.0, 1.0), ("h", 2.0, 1.0)).toDF("g", "v", "w")
+    val out = Ranks.weightedMedianByGroup(df, Seq("g"), "v", "w")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("g").getAs[Double]("total_weight") == 12.0)
+    assert(out("g").getAs[Double]("w_median") == 3.0)
+    // even split -> lower (type-1) pick
+    assert(out("h").getAs[Double]("w_median") == 1.0)
+  }
+
+  test("miRanking: informative feature ln 2, independent feature 0") {
+    import spark.implicits._
+    val df = Seq(("x", "u", "p"), ("x", "v", "p"),
+      ("y", "u", "q"), ("y", "v", "q")).toDF("f1", "f2", "y")
+    val out = Evaluation.miRanking(df, Seq("f1", "f2"), "y")
+      .collect().map(r => r.getAs[String]("feature") -> r).toMap
+    assert(math.abs(out("f1").getAs[Double]("mi") - math.log(2.0)) < 1e-6)
+    assert(out("f2").getAs[Double]("mi") == 0.0)
+    assert(out("f1").getAs[Long]("n") == 4L)
+  }
+
   test("seasonalAnomaly: flags the break, not the cycle") {
     import spark.implicits._
     val df = Seq(("k", 1L, 1.0), ("k", 2L, 1.0), ("k", 3L, 1.0),
