@@ -2536,6 +2536,22 @@ object SparkEntry {
             .as("len")),
         Seq("lang"), "source", "len")
         .orderBy("lang")),
+    "q_profile" -> ((s, dir) =>
+      // schema-level data card: every column profiled (null rate,
+      // EXACT distinct, numeric min/max/mean) in ONE (column, value)
+      // cells shuffle — no per-column countDistinct expansion
+      Validation.profile(docs(s, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy("column")),
+    "q_rare_collapse" -> ((s, dir) =>
+      // cardinality control: part types below 1% share collapse to
+      // _other; survivor set provably <= 1/minShare levels, broadcast
+      // back for a map-side rewrite — the row table never shuffles
+      Features.collapseRareLevels(
+        s.read.parquet(s"$dir/part.parquet"), "p_type",
+        minShare = 0.01)
+        .groupBy("collapsed").agg(F.count(F.lit(1)).as("n"))
+        .orderBy("collapsed")),
     "q_kendall" -> ((s, dir) =>
       // Kendall tau-b of quantity vs discount: exact concordance from
       // contingency CELLS (one cell join, O(cells^2) not O(n^2)) with
@@ -6732,6 +6748,52 @@ object SparkEntry {
         |  CAST(count(DISTINCT a) AS BIGINT) AS n_a,
         |  CAST(count(DISTINCT b) AS BIGINT) AS n_b
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_profile" ->
+      """WITH long AS (
+        |  SELECT 'doc_id' AS c0, CAST(doc_id AS VARCHAR) AS v
+        |    FROM documents
+        |  UNION ALL SELECT 'text', text FROM documents
+        |  UNION ALL SELECT 'lang', lang FROM documents
+        |  UNION ALL SELECT 'source', source FROM documents
+        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR)
+        |    FROM documents),
+        |cells AS (SELECT c0, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM long GROUP BY c0, v),
+        |t AS (SELECT *, TRY_CAST(v AS DOUBLE) AS num FROM cells),
+        |a AS (SELECT c0, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(coalesce(sum(CASE WHEN v IS NULL THEN c END), 0)
+        |      AS BIGINT) AS n_null,
+        |    CAST(count(v) AS BIGINT) AS n_distinct,
+        |    CAST(coalesce(sum(CASE WHEN num IS NOT NULL
+        |      AND NOT isnan(num) THEN c END), 0) AS BIGINT)
+        |      AS n_numeric,
+        |    min(CASE WHEN num IS NOT NULL AND NOT isnan(num)
+        |      THEN num END) AS min,
+        |    max(CASE WHEN num IS NOT NULL AND NOT isnan(num)
+        |      THEN num END) AS max,
+        |    round(sum(CASE WHEN num IS NOT NULL AND NOT isnan(num)
+        |        THEN num * c END)
+        |      / CAST(sum(CASE WHEN num IS NOT NULL AND NOT isnan(num)
+        |        THEN c END) AS DOUBLE), 6) AS mean
+        |  FROM t GROUP BY c0)
+        |SELECT c0 AS "column", n, n_null,
+        |  round(CAST(n_null AS DOUBLE) / n, 6) AS null_rate,
+        |  n_distinct, n_numeric, min, max, mean
+        |FROM a ORDER BY c0""".stripMargin,
+    "q_rare_collapse" ->
+      """WITH counts AS (SELECT p_type AS lvl,
+        |    CAST(count(*) AS BIGINT) AS c FROM part
+        |  WHERE p_type IS NOT NULL GROUP BY p_type),
+        |tot AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS n
+        |  FROM counts),
+        |keep AS (SELECT lvl FROM counts, tot
+        |  WHERE CAST(c AS DOUBLE) >= n * 0.01),
+        |mapped AS (SELECT CASE WHEN p.p_type IS NULL THEN NULL
+        |    WHEN k.lvl IS NOT NULL THEN p.p_type
+        |    ELSE '_other' END AS collapsed
+        |  FROM part p LEFT JOIN keep k ON p.p_type = k.lvl)
+        |SELECT collapsed, CAST(count(*) AS BIGINT) AS n FROM mapped
+        |GROUP BY collapsed ORDER BY collapsed""".stripMargin,
     "q_kendall" ->
       """WITH base AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
         |    CAST(l_discount AS DOUBLE) AS y FROM lineitem

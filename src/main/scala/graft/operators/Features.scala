@@ -225,6 +225,38 @@ object Features {
       .select(F.col(keyCol), F.col("rho"), F.col("n"))
   }
 
+  /** Collapse rare categorical levels into a single `otherLabel` — the
+    * cardinality-control step before one-hot/target encoding ("keep the
+    * levels that carry mass, stop the long tail from minting a million
+    * columns"). A level survives iff its share ≥ `minShare`, so the
+    * SURVIVOR set is at most ⌈1/minShare⌉ levels — provably bounded —
+    * and broadcasts back for a map-side rewrite: the row table never
+    * shuffles, and the level-count aggregation is the only pass over
+    * the data. Null categories stay null (they are their own signal;
+    * impute upstream if not).
+    *
+    * @return `df` + `outCol` (original level, `otherLabel`, or null) */
+  def collapseRareLevels(df: DataFrame, catCol: String,
+                         minShare: Double = 0.01,
+                         outCol: String = "collapsed",
+                         otherLabel: String = "_other"): DataFrame = {
+    require(minShare > 0.0 && minShare <= 1.0,
+      "minShare must be in (0, 1]")
+    val c = F.col(catCol).cast("string")
+    val counts = df.where(c.isNotNull)
+      .groupBy(c.as("__lvl")).agg(F.count(F.lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val n = counts.agg(F.coalesce(F.sum("__c"), F.lit(0L)))
+      .head().getLong(0)
+    val keep = counts
+      .where(F.col("__c").cast("double") >= F.lit(n.toDouble * minShare))
+      .select(F.col("__lvl"), F.lit(true).as("__keep"))
+    df.join(F.broadcast(keep), c === F.col("__lvl"), "left")
+      .withColumn(outCol, F.when(c.isNull, F.lit(null).cast("string"))
+        .when(F.col("__keep"), c).otherwise(F.lit(otherLabel)))
+      .drop("__lvl", "__keep")
+  }
+
   /** Seasonal-naive anomaly scan per key: residual r_t = x_t − x_{t−m}
     * against the value m observations back (m = the season length in
     * OBSERVATIONS, e.g. 24 for hourly data with a daily cycle), then a

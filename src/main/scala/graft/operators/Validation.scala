@@ -94,4 +94,51 @@ object Validation {
       (r.column, r.name, v, n, v == 0L)
     }.toDF("column", "rule", "violations", "n_rows", "passed")
   }
+
+  /** Column profile table — the schema-level data card ("what is in
+    * this table", the first query against any new dataset): per column
+    * the row count, null count/rate, EXACT distinct count, and for
+    * values that parse as numbers, their count and min/max/mean.
+    *
+    * ALL columns profile in ONE (column, value) cells shuffle: columns
+    * go long-form through a stack (stringified — double→string is the
+    * shortest round-trip form, so distinctness is preserved and the
+    * numeric re-parse returns the identical double), then one cells
+    * aggregation per column computes every statistic, including exact
+    * n_distinct WITHOUT a per-column countDistinct expansion. Scale
+    * state is the union of column vocabularies, never the row count.
+    *
+    * @return one row per column: (column, n, n_null, null_rate,
+    *         n_distinct, n_numeric, min, max, mean), floats rounded
+    *         to 6 */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    require(cols.forall(!_.contains("'")),
+      "column names must not contain quotes")
+    val long = df.selectExpr(
+      s"stack(${cols.size}, " + cols.map(c =>
+        s"'$c', CAST(`$c` AS STRING)").mkString(", ") +
+        ") AS (column, __v)")
+    val cells = long.groupBy("column", "__v")
+      .agg(F.count(F.lit(1)).as("__c"))
+    // ANSI-safe: malformed strings yield null, matching TRY_CAST on
+    // the replay side
+    val num = F.col("__v").try_cast("double")
+    val isNum = num.isNotNull && !F.isnan(num)
+    cells.groupBy("column").agg(
+      F.sum("__c").as("n"),
+      F.coalesce(F.sum(F.when(F.col("__v").isNull, F.col("__c"))),
+        F.lit(0L)).as("n_null"),
+      F.count(F.col("__v")).as("n_distinct"),
+      F.coalesce(F.sum(F.when(isNum, F.col("__c"))), F.lit(0L))
+        .as("n_numeric"),
+      F.min(F.when(isNum, num)).as("min"),
+      F.max(F.when(isNum, num)).as("max"),
+      F.round(F.sum(F.when(isNum, num * F.col("__c"))) /
+        F.sum(F.when(isNum, F.col("__c"))).cast("double"), 6).as("mean"))
+      .withColumn("null_rate",
+        F.round(F.col("n_null").cast("double") / F.col("n"), 6))
+      .select("column", "n", "n_null", "null_rate", "n_distinct",
+        "n_numeric", "min", "max", "mean")
+  }
 }

@@ -766,6 +766,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains("flat"))
   }
 
+  test("profile: per-column nulls, exact distinct, numeric stats") {
+    import spark.implicits._
+    val df = Seq((Some("a"), Some(1)), (Some("b"), Some(2)),
+      (None, Some(2)), (Some("a"), None)).toDF("s", "x")
+    val out = Validation.profile(df, Seq("s", "x"))
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    assert(out("s").getAs[Long]("n") == 4L)
+    assert(out("s").getAs[Long]("n_null") == 1L)
+    assert(out("s").getAs[Long]("n_distinct") == 2L)
+    assert(out("s").getAs[Long]("n_numeric") == 0L)
+    assert(out("s").isNullAt(out("s").fieldIndex("mean")))
+    assert(out("x").getAs[Long]("n_distinct") == 2L)
+    assert(out("x").getAs[Long]("n_numeric") == 3L)
+    assert(out("x").getAs[Double]("min") == 1.0)
+    assert(out("x").getAs[Double]("max") == 2.0)
+    assert(out("x").getAs[Double]("mean") == 1.666667)
+    assert(out("x").getAs[Double]("null_rate") == 0.25)
+  }
+
+  test("collapseRareLevels: bounded survivor set, null passthrough") {
+    import spark.implicits._
+    val df = (Seq.fill(8)(Some("a")) ++ Seq(Some("b"), Some("c"), None))
+      .toDF("cat")
+    val out = Features.collapseRareLevels(df, "cat", minShare = 0.2)
+      .groupBy("collapsed").count().collect()
+      .map(r => Option(r.getAs[String]("collapsed")) -> r.getAs[Long]("count"))
+      .toMap
+    assert(out(Some("a")) == 8L)
+    assert(out(Some("_other")) == 2L)
+    assert(out(None) == 1L)
+  }
+
   test("kendallTauB: classic permutation and tie-corrected zero") {
     import spark.implicits._
     val df = Seq((1, 2), (2, 1), (3, 4), (4, 3), (5, 5)).toDF("x", "y")
