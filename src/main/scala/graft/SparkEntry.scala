@@ -2536,6 +2536,44 @@ object SparkEntry {
             .as("len")),
         Seq("lang"), "source", "len")
         .orderBy("lang")),
+    "q_basket_lift" -> ((s, dir) =>
+      // market-basket pairs over order×part incidence: top-50 by lift
+      // with a min-pair floor; per-basket quadratic fan-out, size-
+      // guarded and OBSERVED, item counts joined back
+      Associations.basketPairs(
+        li(s, dir).where(F.col("l_orderkey") < 100000),
+        "l_orderkey", "l_partkey", minPairCount = 2L, k = 50)),
+    "q_rrf" -> ((s, dir) => {
+      // hybrid-retrieval fusion: supplier rankings by revenue and by
+      // quantity per line status (top-20 lists, deterministic rounded-
+      // score order) fused with reciprocal-rank fusion
+      import org.apache.spark.sql.expressions.Window
+      val base = li(s, dir).where(F.col("l_orderkey") < 100000)
+        .groupBy(F.col("l_linestatus"), F.col("l_suppkey"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") *
+          (F.lit(1.0) - F.col("l_discount"))), 2).as("rev"),
+          F.sum(F.col("l_quantity")).as("qty"))
+      def top(ord: org.apache.spark.sql.Column) = {
+        val w = Window.partitionBy("l_linestatus")
+          .orderBy(ord, F.col("l_suppkey").asc)
+        base.withColumn("rank", F.row_number().over(w).cast("long"))
+          .where(F.col("rank") <= 20)
+          .select("l_linestatus", "l_suppkey", "rank")
+      }
+      Evaluation.rrfFuse(top(F.col("rev").desc), top(F.col("qty").desc),
+        "l_linestatus", "l_suppkey", "rank", kConst = 60, topK = 10)
+        .withColumn("rrf", F.round(F.col("rrf"), 9))
+        .orderBy("l_linestatus", "fused_rank")
+    }),
+    "q_partial_corr" -> ((s, dir) =>
+      // partial correlation of quantity and revenue controlling for
+      // discount, per return flag — three correlations from ONE raw-
+      // moment aggregation
+      Regression.partialCorrByGroup(
+        li(s, dir).where(F.col("l_orderkey") < 100000),
+        Seq("l_returnflag"), "l_quantity", "l_extendedprice",
+        "l_discount")
+        .orderBy("l_returnflag")),
     "q_profile" -> ((s, dir) =>
       // schema-level data card: every column profiled (null rate,
       // EXACT distinct, numeric min/max/mean) in ONE (column, value)
@@ -6748,6 +6786,92 @@ object SparkEntry {
         |  CAST(count(DISTINCT a) AS BIGINT) AS n_a,
         |  CAST(count(DISTINCT b) AS BIGINT) AS n_b
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_basket_lift" ->
+      """WITH items AS (SELECT DISTINCT
+        |    CAST(l_orderkey AS VARCHAR) AS b,
+        |    CAST(l_partkey AS VARCHAR) AS i FROM lineitem
+        |  WHERE l_orderkey < 100000 AND l_orderkey IS NOT NULL
+        |    AND l_partkey IS NOT NULL),
+        |sz AS (SELECT b FROM (SELECT b, count(*) AS c FROM items
+        |  GROUP BY b) WHERE c <= 1000),
+        |kept AS (SELECT items.* FROM items JOIN sz USING (b)),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS n
+        |  FROM kept),
+        |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS ci FROM kept
+        |  GROUP BY i),
+        |pairs AS (SELECT l.i AS item_a, r.i AS item_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM kept l JOIN kept r ON l.b = r.b AND l.i < r.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT item_a, item_b, n_ab, ia.ci AS n_a, ib.ci AS n_b,
+        |  round(CAST(n_ab AS DOUBLE) / nb.n, 6) AS support,
+        |  round(CAST(n_ab AS DOUBLE) / ia.ci, 6) AS conf_a_b,
+        |  round(nb.n * n_ab / (CAST(ia.ci AS DOUBLE) * ib.ci), 6)
+        |    AS lift
+        |FROM pairs JOIN ic ia ON ia.i = pairs.item_a
+        |  JOIN ic ib ON ib.i = pairs.item_b, nb
+        |ORDER BY lift DESC, item_a, item_b LIMIT 50""".stripMargin,
+    "q_rrf" ->
+      """WITH base AS (SELECT l_linestatus AS st, l_suppkey AS sk,
+        |    round(sum(CAST(l_extendedprice AS DOUBLE)
+        |      * (1.0 - CAST(l_discount AS DOUBLE))), 2) AS rev,
+        |    sum(CAST(l_quantity AS DOUBLE)) AS qty
+        |  FROM lineitem WHERE l_orderkey < 100000 GROUP BY 1, 2),
+        |ta AS (SELECT * FROM (SELECT st, sk,
+        |    CAST(row_number() OVER (PARTITION BY st
+        |      ORDER BY rev DESC, sk) AS BIGINT) AS rank FROM base)
+        |  WHERE rank <= 20),
+        |tb AS (SELECT * FROM (SELECT st, sk,
+        |    CAST(row_number() OVER (PARTITION BY st
+        |      ORDER BY qty DESC, sk) AS BIGINT) AS rank FROM base)
+        |  WHERE rank <= 20),
+        |f AS (SELECT coalesce(ta.st, tb.st) AS st,
+        |    coalesce(ta.sk, tb.sk) AS sk,
+        |    coalesce(1.0 / (60.0 + ta.rank), 0.0)
+        |      + coalesce(1.0 / (60.0 + tb.rank), 0.0) AS rrf
+        |  FROM ta FULL OUTER JOIN tb
+        |    ON ta.st = tb.st AND ta.sk = tb.sk),
+        |rk AS (SELECT st, sk, rrf,
+        |    CAST(row_number() OVER (PARTITION BY st
+        |      ORDER BY rrf DESC, sk) AS BIGINT) AS fused_rank FROM f)
+        |SELECT st AS l_linestatus, sk AS l_suppkey,
+        |  round(rrf, 9) AS rrf, fused_rank
+        |FROM rk WHERE fused_rank <= 10
+        |ORDER BY l_linestatus, fused_rank""".stripMargin,
+    "q_partial_corr" ->
+      """WITH base AS (SELECT l_returnflag AS g,
+        |    CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) AS y,
+        |    CAST(l_discount AS DOUBLE) AS z FROM lineitem
+        |  WHERE l_orderkey < 100000
+        |    AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        |    AND l_discount IS NOT NULL
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE))),
+        |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(z * z) AS szz,
+        |    sum(x * y) AS sxy, sum(x * z) AS sxz, sum(y * z) AS syz
+        |  FROM base GROUP BY g),
+        |r AS (SELECT g, n,
+        |    (n * sxy - sx * sy)
+        |      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rxy,
+        |    (n * sxz - sx * sz)
+        |      / sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)) AS rxz,
+        |    (n * syz - sy * sz)
+        |      / sqrt((n * syy - sy * sy) * (n * szz - sz * sz)) AS ryz,
+        |    n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy,
+        |    n * szz - sz * sz AS vz
+        |  FROM a)
+        |SELECT g AS l_returnflag, n, round(rxy, 6) AS r_xy,
+        |  round((rxy - rxz * ryz)
+        |    / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+        |    AS r_xy_z
+        |FROM r WHERE vx > 0 AND vy > 0 AND vz > 0
+        |  AND (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0
+        |ORDER BY g""".stripMargin,
     "q_profile" ->
       """WITH long AS (
         |  SELECT 'doc_id' AS c0, CAST(doc_id AS VARCHAR) AS v

@@ -186,6 +186,47 @@ object Evaluation {
         F.countDistinct("__b").as("n_b"))
   }
 
+  /** Reciprocal-rank fusion of two retrieval tables:
+    *
+    *   rrf(q, id) = Σ_sources 1/(kConst + rank)
+    *
+    * (Cormack et al. 2009; kConst = 60 is the standard constant) — the
+    * score-free way to combine a lexical and a vector retrieval, which
+    * is exactly the hybrid-search step an embedding pipeline needs next
+    * to its ANN operators. FULL OUTER join on (query, id) — an item
+    * ranked by only one source still scores — then a per-query window
+    * picks the top `topK` with a deterministic (score desc, id) order.
+    * Each score is a sum of two exact IEEE divisions, so the fusion
+    * replays bit-exactly.
+    *
+    * @param a,b retrieval tables carrying (queryCol, idCol, rankCol),
+    *            rank 1-based
+    * @return (queryCol, idCol, rrf, fused_rank) rows, topK per query */
+  def rrfFuse(a: DataFrame, b: DataFrame, queryCol: String,
+              idCol: String, rankCol: String, kConst: Int = 60,
+              topK: Int = 10): DataFrame = {
+    require(kConst >= 0, "kConst must be >= 0")
+    require(topK >= 1, "topK must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    def side(df: DataFrame, tag: String) = df
+      .where(F.col(queryCol).isNotNull && F.col(idCol).isNotNull &&
+        F.col(rankCol).isNotNull)
+      .select(F.col(queryCol).as("__q"), F.col(idCol).as("__id"),
+        (F.lit(1.0) / (F.lit(kConst.toDouble) +
+          F.col(rankCol).cast("double"))).as(s"__s$tag"))
+    val fused = side(a, "a")
+      .join(side(b, "b"), Seq("__q", "__id"), "full_outer")
+      .withColumn("rrf", F.coalesce(F.col("__sa"), F.lit(0.0)) +
+        F.coalesce(F.col("__sb"), F.lit(0.0)))
+    val w = Window.partitionBy("__q")
+      .orderBy(F.col("rrf").desc, F.col("__id").asc)
+    fused
+      .withColumn("fused_rank", F.row_number().over(w).cast("long"))
+      .where(F.col("fused_rank") <= topK)
+      .select(F.col("__q").as(queryCol), F.col("__id").as(idCol),
+        F.col("rrf"), F.col("fused_rank"))
+  }
+
   /** Feature ranking by mutual information with a label: every feature
     * goes long-form through one `stack` and rides [[mutualInfoByGroup]]
     * with feature-name as the group — so ranking ANY number of

@@ -165,6 +165,60 @@ object Regression {
         F.col("__n").as("n"): _*)
   }
 
+  /** Partial correlation per group — the confound killer: r_xy·z is
+    * what's left of corr(x, y) after linearly removing a control z
+    * from both ("do price and discount still correlate within a
+    * quantity level?"):
+    *
+    *   r_xy·z = (r_xy − r_xz·r_yz) / √((1 − r_xz²)(1 − r_yz²))
+    *
+    * All three pairwise correlations come from ONE aggregation of
+    * explicit raw moments (Σx, Σx², Σxy... — listwise-complete rows),
+    * so a million groups cost one shuffle and an external engine
+    * replays the algebra exactly. Groups where any variance is zero or
+    * a control correlation is ±1 are omitted (the partial is undefined
+    * there).
+    *
+    * @return one row per group: (groupCols..., n, r_xy, r_xy_z),
+    *         rounded to 6 */
+  def partialCorrByGroup(df: DataFrame, groupCols: Seq[String],
+                         xCol: String, yCol: String,
+                         zCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val x = F.col(xCol).cast("double")
+    val y = F.col(yCol).cast("double")
+    val z = F.col(zCol).cast("double")
+    val complete = Seq(x, y, z)
+      .map(c => c.isNotNull && !F.isnan(c)).reduce(_ && _)
+    val agged = df.where(complete)
+      .groupBy(groupCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(x).as("__sx"), F.sum(y).as("__sy"), F.sum(z).as("__sz"),
+        F.sum(x * x).as("__sxx"), F.sum(y * y).as("__syy"),
+        F.sum(z * z).as("__szz"), F.sum(x * y).as("__sxy"),
+        F.sum(x * z).as("__sxz"), F.sum(y * z).as("__syz"))
+    val nD = F.col("n").cast("double")
+    def varOf(s: String, ss: String) =
+      nD * F.col(ss) - F.col(s) * F.col(s)
+    def covOf(sa: String, sb: String, sab: String) =
+      nD * F.col(sab) - F.col(sa) * F.col(sb)
+    val (vx, vy, vz) = (varOf("__sx", "__sxx"), varOf("__sy", "__syy"),
+      varOf("__sz", "__szz"))
+    val rxy = covOf("__sx", "__sy", "__sxy") / F.sqrt(vx * vy)
+    val rxz = covOf("__sx", "__sz", "__sxz") / F.sqrt(vx * vz)
+    val ryz = covOf("__sy", "__sz", "__syz") / F.sqrt(vy * vz)
+    val denom = (F.lit(1.0) - rxz * rxz) * (F.lit(1.0) - ryz * ryz)
+    agged
+      .where(vx > 0.0 && vy > 0.0 && vz > 0.0)
+      .withColumn("__den", denom)
+      .where(F.col("__den") > 0.0)
+      .withColumn("r_xy", F.round(rxy, 6))
+      .withColumn("r_xy_z",
+        F.round((rxy - rxz * ryz) / F.sqrt(F.col("__den")), 6))
+      .select(groupCols.map(F.col) ++ Seq(F.col("n"), F.col("r_xy"),
+        F.col("r_xy_z")): _*)
+  }
+
   /** A fitted linear model: coefficient vector aligned to
     * `"intercept" +: features`, plus fit diagnostics. */
   final case class LinearModel(features: Seq[String], beta: Array[Double],

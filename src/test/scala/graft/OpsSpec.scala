@@ -766,6 +766,62 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains("flat"))
   }
 
+  test("basketPairs: support/confidence/lift on a hand basket set") {
+    import spark.implicits._
+    val df = Seq(("b1", "a"), ("b1", "b"), ("b1", "c"),
+      ("b2", "a"), ("b2", "b"), ("b3", "a"), ("b3", "b"),
+      ("b3", "b"), ("b4", "c")).toDF("basket", "item")
+    val out = Associations.basketPairs(df, "basket", "item",
+      minPairCount = 2L, k = 10).collect()
+    // only (a,b) repeats: n_ab=3 of N=4 baskets; a in 3, b in 3
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("item_a") == "a")
+    assert(out(0).getAs[String]("item_b") == "b")
+    assert(out(0).getAs[Long]("n_ab") == 3L)
+    assert(out(0).getAs[Double]("support") == 0.75)
+    assert(out(0).getAs[Double]("conf_a_b") == 1.0)
+    assert(out(0).getAs[Double]("lift") == 1.333333)
+  }
+
+  test("rrfFuse: outer-join fusion and deterministic ranking") {
+    import spark.implicits._
+    val a = Seq(("q", "x", 1L), ("q", "y", 2L)).toDF("qy", "id", "rank")
+    val b = Seq(("q", "y", 1L), ("q", "z", 2L)).toDF("qy", "id", "rank")
+    val out = Evaluation.rrfFuse(a, b, "qy", "id", "rank", 60, 10)
+      .orderBy("fused_rank").collect()
+    assert(out.map(_.getAs[String]("id")).toSeq == Seq("y", "x", "z"))
+    assert(math.abs(out(0).getAs[Double]("rrf") -
+      (1.0 / 61 + 1.0 / 62)) < 1e-12)
+    assert(out(1).getAs[Double]("rrf") == 1.0 / 61)
+    assert(out.map(_.getAs[Long]("fused_rank")).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("partialCorrByGroup: closed-form replication") {
+    import spark.implicits._
+    val xs = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)
+    val zs = Seq(0.0, 2.0, 1.0, 3.0, 0.0, 2.0)
+    val ys = xs.zip(zs).map { case (x, z) => 2.0 * x + z }
+    val df = xs.indices.map(i => ("g", xs(i), ys(i), zs(i)))
+      .toDF("g", "x", "y", "z")
+    val out = Regression.partialCorrByGroup(df, Seq("g"), "x", "y", "z")
+      .collect()(0)
+    def r(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.length.toDouble
+      val (sa, sb) = (a.sum, b.sum)
+      val (saa, sbb) = (a.map(v => v * v).sum, b.map(v => v * v).sum)
+      val sab = a.zip(b).map { case (u, v) => u * v }.sum
+      (n * sab - sa * sb) /
+        math.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+    }
+    val (rxy, rxz, ryz) = (r(xs, ys), r(xs, zs), r(ys, zs))
+    val expected = (rxy - rxz * ryz) /
+      math.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+    assert(math.abs(out.getAs[Double]("r_xy") -
+      math.rint(rxy * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(out.getAs[Double]("r_xy_z") - expected) < 1e-6)
+    assert(out.getAs[Long]("n") == 6L)
+  }
+
   test("profile: per-column nulls, exact distinct, numeric stats") {
     import spark.implicits._
     val df = Seq((Some("a"), Some(1)), (Some("b"), Some(2)),
