@@ -2536,6 +2536,30 @@ object SparkEntry {
             .as("len")),
         Seq("lang"), "source", "len")
         .orderBy("lang")),
+    "q_pairwise_contrasts" -> ((s, dir) =>
+      // post-hoc "WHICH segments differ": all return-flag pairs,
+      // Welch z from one moment aggregation, BH-FDR across the pairs
+      StatTests.pairwiseContrasts(
+        li(s, dir).where(F.col("l_orderkey") < 100000),
+        "l_returnflag", "l_extendedprice")
+        .orderBy("group_a", "group_b")),
+    "q_cramers_v" -> ((s, dir) =>
+      // chi2 independence + Cramér's V of return flag × line status:
+      // expected counts ride cell windows, missing cells fold in
+      // algebraically, p replays as the even-dof Poisson sum
+      Evaluation.contingencyEffects(
+        li(s, dir).where(F.col("l_orderkey") < 100000),
+        "l_returnflag", "l_linestatus")),
+    "q_life_table" -> ((s, dir) =>
+      // actuarial life table of quantity-as-duration in width-10
+      // intervals: half-interval censoring adjustment, per-group cell
+      // windows — the grouped-time complement to q_km_curve
+      Survival.lifeTable(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select(F.col("l_linestatus"), F.col("l_quantity"),
+            (F.col("l_returnflag") =!= "N").as("ev")),
+        "l_quantity", "ev", Seq("l_linestatus"), width = 10.0)
+        .orderBy("l_linestatus", "period")),
     "q_basket_lift" -> ((s, dir) =>
       // market-basket pairs over order×part incidence: top-50 by lift
       // with a min-pair floor; per-basket quadratic fan-out, size-
@@ -6786,6 +6810,100 @@ object SparkEntry {
         |  CAST(count(DISTINCT a) AS BIGINT) AS n_a,
         |  CAST(count(DISTINCT b) AS BIGINT) AS n_b
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_pairwise_contrasts" ->
+      s"""WITH base AS (SELECT l_returnflag AS g,
+        |    CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        |  WHERE l_orderkey < 100000 AND l_returnflag IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |mm AS (SELECT g, CAST(count(*) AS BIGINT) AS n, avg(v) AS mu,
+        |    var_samp(v) AS vr FROM base GROUP BY g
+        |  HAVING count(*) >= 2 AND var_samp(v) IS NOT NULL),
+        |pairs AS (SELECT l.g AS group_a, r.g AS group_b, l.n AS n_a,
+        |    r.n AS n_b, l.mu AS ma, r.mu AS mb,
+        |    l.vr / l.n + r.vr / r.n AS se2
+        |  FROM mm l JOIN mm r ON l.g < r.g),
+        |zt AS (SELECT group_a, group_b, n_a, n_b,
+        |    round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |    round((ma - mb) / sqrt(se2), 6) AS z FROM pairs
+        |  WHERE se2 > 0),
+        |py AS (SELECT *, abs(z) / sqrt(2.0) AS y FROM zt),
+        |pv AS (SELECT group_a, group_b, n_a, n_b, mean_a, mean_b, z,
+        |    round_even(${codyErfcSql("y")} * 1000000.0, 0) / 1000000.0
+        |      AS p_value FROM py),
+        |f AS (SELECT *,
+        |    CAST(count(*) OVER (ORDER BY p_value RANGE BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS bh_rank,
+        |    CAST(count(*) OVER () AS BIGINT) AS m FROM pv),
+        |q AS (SELECT *, least(1.0,
+        |    min(CAST(m AS DOUBLE) * p_value / bh_rank)
+        |      OVER (ORDER BY p_value ROWS BETWEEN CURRENT ROW
+        |        AND UNBOUNDED FOLLOWING)) AS qv FROM f)
+        |SELECT group_a, group_b, n_a, n_b, mean_a, mean_b, z, p_value,
+        |  bh_rank, round(qv, 9) AS q_value, qv <= 0.05 AS reject
+        |FROM q ORDER BY group_a, group_b""".stripMargin,
+    "q_cramers_v" ->
+      """WITH cells AS (SELECT l_returnflag AS a, l_linestatus AS b,
+        |    CAST(count(*) AS BIGINT) AS o FROM lineitem
+        |  WHERE l_orderkey < 100000 AND l_returnflag IS NOT NULL
+        |    AND l_linestatus IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    CAST(sum(o) OVER (PARTITION BY a) AS BIGINT) AS na,
+        |    CAST(sum(o) OVER (PARTITION BY b) AS BIGINT) AS nb,
+        |    CAST(sum(o) OVER () AS BIGINT) AS n FROM cells),
+        |x AS (SELECT CAST(max(n) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT a) AS BIGINT) AS n_a,
+        |    CAST(count(DISTINCT b) AS BIGINT) AS n_b,
+        |    round(sum(
+        |      (o - CAST(na AS DOUBLE) * nb / CAST(n AS DOUBLE))
+        |      * (o - CAST(na AS DOUBLE) * nb / CAST(n AS DOUBLE))
+        |      / (CAST(na AS DOUBLE) * nb / CAST(n AS DOUBLE))
+        |      - CAST(na AS DOUBLE) * nb / CAST(n AS DOUBLE))
+        |      + CAST(max(n) AS DOUBLE), 6) AS chi2
+        |  FROM w)
+        |SELECT n, n_a, n_b, chi2,
+        |  CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
+        |  round_even((SELECT sum(exp(-x.chi2 / 2.0
+        |      + s.j * ln(x.chi2 / 2.0) - lgamma(s.j + 1.0)))
+        |    FROM generate_series(0, 49) s(j)
+        |    WHERE s.j < (x.n_a - 1) * (x.n_b - 1) / 2)
+        |    * 1000000.0, 0) / 1000000.0 AS p_value,
+        |  round(sqrt(chi2 / (CAST(n AS DOUBLE)
+        |    * CAST(least(n_a - 1, n_b - 1) AS DOUBLE))), 6)
+        |    AS cramers_v
+        |FROM x WHERE (n_a - 1) * (n_b - 1) > 0""".stripMargin,
+    "q_life_table" ->
+      """WITH base AS (SELECT l_linestatus AS g,
+        |    CAST(floor(CAST(l_quantity AS DOUBLE) / 10.0) + 1
+        |      AS DOUBLE) AS p,
+        |    (l_returnflag <> 'N') AS e FROM lineitem
+        |  WHERE l_orderkey < 100000 AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND CAST(l_quantity AS DOUBLE) >= 0
+        |    AND l_returnflag IS NOT NULL),
+        |cells AS (SELECT g, p,
+        |    CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS c FROM base GROUP BY g, p),
+        |w AS (SELECT *,
+        |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT)
+        |      - CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY p
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS BIGINT) AS nr FROM cells),
+        |qe AS (SELECT *, CAST(nr AS DOUBLE)
+        |    - CAST(c - d AS DOUBLE) / 2.0 AS neff FROM w),
+        |q2 AS (SELECT *, CAST(d AS DOUBLE) / neff AS qq FROM qe),
+        |s AS (SELECT *, CASE WHEN qq >= 1.0 THEN 0.0 ELSE
+        |    exp(sum(CASE WHEN qq >= 1.0 THEN 0.0
+        |      ELSE ln(1.0 - qq) END)
+        |      OVER (PARTITION BY g ORDER BY p ROWS BETWEEN UNBOUNDED
+        |        PRECEDING AND CURRENT ROW)) END AS surv FROM q2)
+        |SELECT g AS l_linestatus, CAST(p AS BIGINT) AS period,
+        |  (p - 1.0) * 10.0 AS t_start, p * 10.0 AS t_end,
+        |  nr AS n_risk, d AS n_event, c - d AS n_censored,
+        |  round(neff, 6) AS n_eff, round(qq, 6) AS hazard,
+        |  round(surv, 6) AS survival
+        |FROM s ORDER BY l_linestatus, period""".stripMargin,
     "q_basket_lift" ->
       """WITH items AS (SELECT DISTINCT
         |    CAST(l_orderkey AS VARCHAR) AS b,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, functions => F}
+import graft.functions.SpecialMath
 
 /** Model-evaluation operators — the measurement layer for classifiers
   * trained ON the cluster ([[Regression.logisticIrls]]'s quality-filter
@@ -184,6 +185,57 @@ object Evaluation {
         F.max("__nt").as("n"),
         F.countDistinct("__a").as("n_a"),
         F.countDistinct("__b").as("n_b"))
+  }
+
+  /** χ² test of independence + Cramér's V effect size for two
+    * categoricals — [[mutualInformation]]'s calibrated twin: MI says
+    * "how much information", this says "is the association beyond
+    * sampling noise (p) and how strong on a [0,1] scale (V)". Expected
+    * counts e = n_a·n_b/n ride windows over the contingency cells, and
+    * missing cells fold in algebraically (Σ_all (o−e)²/e =
+    * Σ_obs((o−e)²/e − e) + n — Σ_all e is exactly n), so sparse
+    * supports never need a pivot. p = P(χ²_dof > chi2) at the
+    * 6-rounded statistic; V = √(chi2/(n·min(r−1, c−1))) from the same
+    * rounded value.
+    *
+    * @return one row: (n, n_a, n_b, chi2, dof, p_value, cramers_v) */
+  def contingencyEffects(df: DataFrame, aCol: String,
+                         bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = F.col(aCol).cast("string")
+    val b = F.col(bCol).cast("string")
+    val cells = df
+      .where(a.isNotNull && b.isNotNull)
+      .groupBy(a.as("__a"), b.as("__b"))
+      .agg(F.count(F.lit(1)).as("__o"))
+    val wa = Window.partitionBy("__a")
+    val wb = Window.partitionBy("__b")
+    val wAll = Window.partitionBy()
+    val n = F.col("__n").cast("double")
+    val e = F.col("__na").cast("double") * F.col("__nb") / n
+    val o = F.col("__o").cast("double")
+    val pUdf = F.udf((chi2: Double, dof: Double) =>
+      math.rint(SpecialMath.gammaIncC(dof / 2.0, chi2 / 2.0) * 1e6) / 1e6)
+    cells
+      .withColumn("__na", F.sum("__o").over(wa))
+      .withColumn("__nb", F.sum("__o").over(wb))
+      .withColumn("__n", F.sum("__o").over(wAll))
+      .agg(
+        F.max("__n").as("n"),
+        F.countDistinct("__a").as("n_a"),
+        F.countDistinct("__b").as("n_b"),
+        F.round(F.sum((o - e) * (o - e) / e - e) +
+          F.max("__n").cast("double"), 6).as("chi2"))
+      .withColumn("dof",
+        ((F.col("n_a") - 1L) * (F.col("n_b") - 1L)).cast("long"))
+      .where(F.col("dof") > 0L)
+      .withColumn("p_value",
+        pUdf(F.col("chi2"), F.col("dof").cast("double")))
+      .withColumn("cramers_v", F.round(F.sqrt(F.col("chi2") /
+        (F.col("n").cast("double") *
+          F.least(F.col("n_a") - 1L, F.col("n_b") - 1L)
+            .cast("double"))), 6))
+      .select("n", "n_a", "n_b", "chi2", "dof", "p_value", "cramers_v")
   }
 
   /** Reciprocal-rank fusion of two retrieval tables:

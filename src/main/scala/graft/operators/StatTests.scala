@@ -596,6 +596,54 @@ object StatTests {
     } finally sorted.unpersist(blocking = false)
   }
 
+  /** All pairwise group contrasts with FDR control — "WHICH segments
+    * differ", the post-hoc step after [[anovaByGroup]] says "something
+    * does": for every unordered group pair, a Welch z on the group
+    * means (corpus-scale normal approximation, the
+    * [[welchTTestByGroup]] convention) with the p-values
+    * Benjamini–Hochberg-adjusted ACROSS ALL PAIRS via [[bhAdjust]] —
+    * k groups mean k(k−1)/2 hypotheses, and uncontrolled pairwise
+    * testing at k = 50 manufactures ~60 false discoveries at α = .05.
+    * ONE moment aggregation over the data; the pair join runs on the
+    * GROUPS table (k rows), never the rows.
+    *
+    * @return one row per pair: (group_a, group_b, n_a, n_b, mean_a,
+    *         mean_b, z, p_value, bh_rank, q_value, reject) — means/z
+    *         rounded to 6, p at the 6-rounded z */
+  def pairwiseContrasts(df: DataFrame, groupCol: String,
+                        valueCol: String,
+                        alpha: Double = 0.05): DataFrame = {
+    val g = F.col(groupCol).cast("string")
+    val v = F.col(valueCol).cast("double")
+    val m = df
+      .where(g.isNotNull && v.isNotNull && !F.isnan(v))
+      .groupBy(g.as("__g"))
+      .agg(F.count(F.lit(1)).as("__n"), F.avg(v).as("__m"),
+        F.var_samp(v).as("__v"))
+      .where(F.col("__n") >= 2L && F.col("__v").isNotNull)
+      .localCheckpoint(true)
+    val l = m.select(F.col("__g").as("group_a"), F.col("__n").as("n_a"),
+      F.col("__m").as("__ma"), F.col("__v").as("__va"))
+    val r = m.select(F.col("__g").as("group_b"), F.col("__n").as("n_b"),
+      F.col("__m").as("__mb"), F.col("__v").as("__vb"))
+    val se2 = F.col("__va") / F.col("n_a") + F.col("__vb") / F.col("n_b")
+    val pUdf = F.udf((z: Double) => math.rint(SpecialMath.erfc(
+      math.abs(z) / math.sqrt(2.0)) * 1e6) / 1e6)
+    val pairs = l.join(F.broadcast(r),
+      F.col("group_a") < F.col("group_b"))
+      .withColumn("__se2", se2)
+      .where(F.col("__se2") > 0.0)
+      .withColumn("z",
+        F.round((F.col("__ma") - F.col("__mb")) /
+          F.sqrt(F.col("__se2")), 6))
+      .withColumn("p_value", pUdf(F.col("z")))
+      .withColumn("mean_a", F.round(F.col("__ma"), 6))
+      .withColumn("mean_b", F.round(F.col("__mb"), 6))
+    bhAdjust(pairs, "p_value", alpha)
+      .select("group_a", "group_b", "n_a", "n_b", "mean_a", "mean_b",
+        "z", "p_value", "bh_rank", "q_value", "reject")
+  }
+
   /** Benford first-digit conformity per group — the forensic
     * data-quality screen ("are these amounts organic or
     * fabricated/templated"): χ² of the observed leading-digit

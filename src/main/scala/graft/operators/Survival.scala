@@ -124,6 +124,64 @@ object Survival {
         band(-1.0).as("ci_hi")): _*)
   }
 
+  /** Actuarial life table per group: durations bucketed into fixed
+    * intervals of `width`, with the classic actuarial censoring
+    * adjustment — subjects censored WITHIN an interval count as exposed
+    * for half of it:
+    *
+    *   n_eff(k) = n_risk(k) − w(k)/2,
+    *   q(k)     = d(k)/n_eff(k),
+    *   S(k)     = Π_{j ≤ k} (1 − q(j))
+    *
+    * — the grouped-time complement to [[kmByGroup]] (K-M jumps at exact
+    * times; the life table is the reporting format when durations are
+    * only known to the month/billing-cycle, and the half-interval
+    * adjustment is what distinguishes it from K-M on bucketed data).
+    * Same scale shape as K-M: one (group, period) aggregation +
+    * per-GROUP windows over the cells; q ≤ 1 by construction
+    * (n_eff − d ≥ w/2), with q = 1 only at a group's final period —
+    * guarded exactly like K-M's exhausted risk set.
+    *
+    * @param width interval width in duration units (> 0)
+    * @return one row per (group, period): (groupCols..., period,
+    *         t_start, t_end, n_risk, n_event, n_censored, n_eff,
+    *         hazard, survival), floats rounded to 6 */
+  def lifeTable(df: DataFrame, durationCol: String, eventCol: String,
+                groupCols: Seq[String], width: Double): DataFrame = {
+    require(width > 0.0, "width must be > 0")
+    val gCols = groupCols.map(F.col)
+    val t = F.col(durationCol).cast("double")
+    val bucketed = df
+      .where(t.isNotNull && !F.isnan(t) && t >= 0.0)
+      .withColumn("__period", (F.floor(t / width) + 1L).cast("double"))
+    val withRisk = cellsWithRisk(bucketed, "__period", eventCol,
+      groupCols)
+    val wCum = Window.partitionBy(gCols: _*).orderBy("__t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nEff = F.col("__nr").cast("double") -
+      (F.col("__c") - F.col("__d")).cast("double") / 2.0
+    val q = F.col("__d").cast("double") / F.col("__neff")
+    val lnTerm = F.when(F.col("__q") >= 1.0, F.lit(0.0))
+      .otherwise(F.log(F.lit(1.0) - F.col("__q")))
+    val surv = F.when(F.col("__q") >= 1.0, F.lit(0.0))
+      .otherwise(F.exp(F.sum(lnTerm).over(wCum)))
+    // n_eff ≥ n_risk/2 > 0 always (w ≤ n_risk), so no guard filter —
+    // a dropped period would corrupt the downstream survival products
+    withRisk
+      .withColumn("__neff", nEff)
+      .withColumn("__q", q)
+      .select(gCols ++ Seq(
+        F.col("__t").cast("long").as("period"),
+        ((F.col("__t") - 1.0) * width).as("t_start"),
+        (F.col("__t") * width).as("t_end"),
+        F.col("__nr").as("n_risk"),
+        F.col("__d").as("n_event"),
+        (F.col("__c") - F.col("__d")).as("n_censored"),
+        F.round(F.col("__neff"), 6).as("n_eff"),
+        F.round(F.col("__q"), 6).as("hazard"),
+        F.round(surv, 6).as("survival")): _*)
+  }
+
   /** Nelson–Aalen cumulative-hazard estimator per group: for each
     * distinct duration t (ascending within a group),
     *

@@ -766,6 +766,63 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains("flat"))
   }
 
+  test("pairwiseContrasts: Welch z per pair with BH control") {
+    import spark.implicits._
+    val df = (Seq(0.0, 0.0, 1.0, 1.0).map(("a", _)) ++
+      Seq(10.0, 10.0, 11.0, 11.0).map(("b", _)) ++
+      Seq(0.0, 1.0, 0.0, 1.0).map(("c", _))).toDF("g", "v")
+    val out = StatTests.pairwiseContrasts(df, "g", "v")
+      .collect().map(r => (r.getAs[String]("group_a"),
+        r.getAs[String]("group_b")) -> r).toMap
+    assert(out.size == 3)
+    // (a,b): se2 = (1/3)/4*2 = 1/6, z = -10/sqrt(1/6)
+    val zab = -10.0 / math.sqrt(1.0 / 6.0)
+    assert(math.abs(out(("a", "b")).getAs[Double]("z") -
+      math.rint(zab * 1e6) / 1e6) < 1e-9)
+    assert(out(("a", "b")).getAs[Boolean]("reject"))
+    assert(out(("b", "c")).getAs[Boolean]("reject"))
+    // identical distributions: z = 0, p = 1, never rejected
+    assert(out(("a", "c")).getAs[Double]("z") == 0.0)
+    assert(out(("a", "c")).getAs[Double]("p_value") == 1.0)
+    assert(!out(("a", "c")).getAs[Boolean]("reject"))
+  }
+
+  test("contingencyEffects: V = 1 under identity, 0 under independence") {
+    import spark.implicits._
+    val dep = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
+      .toDF("a", "b")
+    val d = Evaluation.contingencyEffects(dep, "a", "b").collect()(0)
+    assert(d.getAs[Double]("chi2") == 4.0)
+    assert(d.getAs[Long]("dof") == 1L)
+    assert(d.getAs[Double]("cramers_v") == 1.0)
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val i = Evaluation.contingencyEffects(ind, "a", "b").collect()(0)
+    assert(i.getAs[Double]("chi2") == 0.0)
+    assert(i.getAs[Double]("cramers_v") == 0.0)
+    assert(i.getAs[Double]("p_value") == 1.0)
+  }
+
+  test("lifeTable: actuarial half-interval adjustment") {
+    import spark.implicits._
+    val df = Seq((0.5, true), (0.5, false), (1.5, true))
+      .toDF("t", "e").withColumn("g", F.lit("g"))
+    val out = Survival.lifeTable(df, "t", "e", Seq("g"), width = 1.0)
+      .orderBy("period").collect()
+    // period 1: n=3 at risk, 1 event, 1 censored -> neff 2.5, q 0.4
+    assert(out(0).getAs[Long]("n_risk") == 3L)
+    assert(out(0).getAs[Long]("n_event") == 1L)
+    assert(out(0).getAs[Long]("n_censored") == 1L)
+    assert(out(0).getAs[Double]("n_eff") == 2.5)
+    assert(out(0).getAs[Double]("hazard") == 0.4)
+    assert(out(0).getAs[Double]("survival") == 0.6)
+    assert(out(0).getAs[Double]("t_start") == 0.0)
+    assert(out(0).getAs[Double]("t_end") == 1.0)
+    // period 2: exhausted risk set -> q = 1, S = 0
+    assert(out(1).getAs[Double]("hazard") == 1.0)
+    assert(out(1).getAs[Double]("survival") == 0.0)
+  }
+
   test("basketPairs: support/confidence/lift on a hand basket set") {
     import spark.implicits._
     val df = Seq(("b1", "a"), ("b1", "b"), ("b1", "c"),
