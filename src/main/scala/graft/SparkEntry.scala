@@ -2536,6 +2536,23 @@ object SparkEntry {
             .as("len")),
         Seq("lang"), "source", "len")
         .orderBy("lang")),
+    "q_negative_sample" -> ((s, dir) =>
+      // contrastive-pair negatives: 3 md5-deterministic non-self draws
+      // per document via the dense-index prefix-sum + skip-own shift —
+      // no RNG state, replays bit-exactly
+      Sampling.negativeSample(docs(s, dir), "doc_id", k = 3)
+        .orderBy("anchor", "j")),
+    "q_qini" -> ((s, dir) =>
+      // uplift/Qini deciles: price-ranked buckets, order-parity
+      // "treatment", cumulative incremental conversions over the
+      // control baseline
+      Experiments.qiniTable(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select((F.col("l_orderkey") % 2 === 0).as("treated"),
+            (F.col("l_returnflag") === "R").as("y"),
+            F.col("l_extendedprice")),
+        "treated", "y", "l_extendedprice", k = 10)
+        .orderBy("bucket")),
     "q_pairwise_contrasts" -> ((s, dir) =>
       // post-hoc "WHICH segments differ": all return-flag pairs,
       // Welch z from one moment aggregation, BH-FDR across the pairs
@@ -6810,6 +6827,71 @@ object SparkEntry {
         |  CAST(count(DISTINCT a) AS BIGINT) AS n_a,
         |  CAST(count(DISTINCT b) AS BIGINT) AS n_b
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_negative_sample" ->
+      """WITH ids AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS id
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |r AS (SELECT id, CAST(row_number() OVER (ORDER BY id)
+        |    AS BIGINT) AS rk FROM ids),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ids),
+        |a AS (SELECT id AS anchor, rk AS own, CAST(s.j AS BIGINT) AS j
+        |  FROM r, generate_series(1, 3) s(j)),
+        |d AS (SELECT anchor, j, own,
+        |    (CAST(('0x' || substr(md5(CAST(anchor AS VARCHAR) || ':'
+        |      || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % (nn.n - 1)) + 1 AS d0
+        |  FROM a, nn),
+        |i AS (SELECT anchor, j,
+        |    CASE WHEN d0 >= own THEN d0 + 1 ELSE d0 END AS idx FROM d)
+        |SELECT i.anchor, i.j, r.id AS negative
+        |FROM i JOIN r ON r.rk = i.idx
+        |ORDER BY anchor, j""".stripMargin,
+    "q_qini" ->
+      """WITH base AS (SELECT CAST(l_extendedprice AS DOUBLE) AS s,
+        |    (l_orderkey % 2 = 0) AS t,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        |    AND l_returnflag IS NOT NULL),
+        |cells AS (SELECT s, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nc,
+        |    CAST(sum(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS pt,
+        |    CAST(sum(CASE WHEN NOT t THEN y ELSE 0 END) AS BIGINT)
+        |      AS pc
+        |  FROM base GROUP BY s),
+        |rr AS (SELECT *,
+        |    CAST(sum(c) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER () AS BIGINT) AS n FROM cells),
+        |b AS (SELECT 10 - CAST(floor((cum - c) * 10.0 / n) AS BIGINT)
+        |    AS bucket, nt, nc, pt, pc FROM rr),
+        |a AS (SELECT bucket, CAST(sum(nt) AS BIGINT) AS n_t,
+        |    CAST(sum(nc) AS BIGINT) AS n_c,
+        |    CAST(sum(pt) AS BIGINT) AS pos_t,
+        |    CAST(sum(pc) AS BIGINT) AS pos_c FROM b GROUP BY bucket),
+        |w AS (SELECT *,
+        |    CAST(sum(n_t) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS ct,
+        |    CAST(sum(n_c) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cc,
+        |    CAST(sum(pos_t) OVER (ORDER BY bucket ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cpt,
+        |    CAST(sum(pos_c) OVER (ORDER BY bucket ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cpc
+        |  FROM a)
+        |SELECT bucket, n_t, n_c, pos_t, pos_c,
+        |  CASE WHEN n_t > 0 THEN
+        |    round(CAST(pos_t AS DOUBLE) / n_t, 6) END AS rate_t,
+        |  CASE WHEN n_c > 0 THEN
+        |    round(CAST(pos_c AS DOUBLE) / n_c, 6) END AS rate_c,
+        |  CASE WHEN n_t > 0 AND n_c > 0 THEN
+        |    round(CAST(pos_t AS DOUBLE) / n_t
+        |      - CAST(pos_c AS DOUBLE) / n_c, 6) END AS uplift,
+        |  CASE WHEN cc > 0 THEN round(CAST(cpt AS DOUBLE)
+        |    - CAST(cpc AS DOUBLE) * ct / cc, 6) END AS qini
+        |FROM w ORDER BY bucket""".stripMargin,
     "q_pairwise_contrasts" ->
       s"""WITH base AS (SELECT l_returnflag AS g,
         |    CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem

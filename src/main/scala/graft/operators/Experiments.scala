@@ -90,6 +90,72 @@ object Experiments {
         F.col("rate"), F.col("ci_lo"), F.col("ci_hi")): _*)
   }
 
+  /** Qini / uplift decile table — "does targeting by this score
+    * actually concentrate the treatment effect": rows ranked by an
+    * uplift score DESCENDING into k tie-stable buckets (the
+    * [[Evaluation.liftTable]] bucketing), then per cumulative prefix
+    * the incremental conversions over the control baseline,
+    *
+    *   qini(b) = cumPos_t(b) − cumPos_c(b) · cumN_t(b)/cumN_c(b)
+    *
+    * (Radcliffe's Qini curve data; a model that targets noise gives a
+    * flat curve). Same scale shape as liftTable: prefix-sum min-ranks
+    * over distinct scores, one bucket aggregation, cumulative windows
+    * over ≤ k bucket rows.
+    *
+    * @return one row per bucket: (bucket, n_t, n_c, pos_t, pos_c,
+    *         rate_t, rate_c, uplift, qini) — floats rounded to 6;
+    *         rates/uplift null for empty arms, qini null until both
+    *         cumulative arms are populated */
+  def qiniTable(df: DataFrame, treatedCol: String, labelCol: String,
+                scoreCol: String, k: Int = 10): DataFrame = {
+    require(k >= 2, "need at least 2 buckets")
+    import org.apache.spark.sql.expressions.Window
+    val s = F.col(scoreCol).cast("double")
+    val t = F.col(treatedCol).cast("boolean")
+    val y = F.col(labelCol).cast("boolean")
+    val base = df
+      .where(s.isNotNull && !F.isnan(s) && t.isNotNull && y.isNotNull)
+      .select(s.as("__s"), t.as("__t"),
+        F.when(y, 1L).otherwise(0L).as("__y"))
+    val (n, ranks0) = Ranks.minRanksWithN(base, "__s", "__rk")
+    require(n > 0L, "no complete rows")
+    val ranks = ranks0.withColumnRenamed("__s", "__v")
+    val agged = base
+      .join(ranks, F.col("__s") === F.col("__v"), "left")
+      .withColumn("bucket",
+        (F.lit(k) - F.floor((F.col("__rk") - 1) * k / n)).cast("long"))
+      .groupBy("bucket")
+      .agg(
+        F.sum(F.when(F.col("__t"), 1L).otherwise(0L)).as("n_t"),
+        F.sum(F.when(!F.col("__t"), 1L).otherwise(0L)).as("n_c"),
+        F.sum(F.when(F.col("__t"), F.col("__y")).otherwise(0L))
+          .as("pos_t"),
+        F.sum(F.when(!F.col("__t"), F.col("__y")).otherwise(0L))
+          .as("pos_c"))
+    val wCum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rateT = F.col("pos_t").cast("double") / F.col("n_t")
+    val rateC = F.col("pos_c").cast("double") / F.col("n_c")
+    agged
+      .withColumn("__ct", F.sum("n_t").over(wCum))
+      .withColumn("__cc", F.sum("n_c").over(wCum))
+      .withColumn("__cpt", F.sum("pos_t").over(wCum))
+      .withColumn("__cpc", F.sum("pos_c").over(wCum))
+      .withColumn("rate_t",
+        F.when(F.col("n_t") > 0L, F.round(rateT, 6)))
+      .withColumn("rate_c",
+        F.when(F.col("n_c") > 0L, F.round(rateC, 6)))
+      .withColumn("uplift", F.when(F.col("n_t") > 0L &&
+        F.col("n_c") > 0L, F.round(rateT - rateC, 6)))
+      .withColumn("qini", F.when(F.col("__cc") > 0L, F.round(
+        F.col("__cpt").cast("double") -
+          F.col("__cpc").cast("double") * F.col("__ct") /
+            F.col("__cc"), 6)))
+      .select("bucket", "n_t", "n_c", "pos_t", "pos_c", "rate_t",
+        "rate_c", "uplift", "qini")
+  }
+
   /** Covariate balance table: per numeric covariate, the standardized
     * mean difference between two cohorts,
     *

@@ -418,4 +418,47 @@ object Sampling {
     rdd.unpersist(blocking = false)
     pinned
   }
+
+  /** Deterministic uniform negative sampling — the contrastive-training
+    * pair generator: for every distinct id, k pseudo-random OTHER ids,
+    * reproducible across runs, partition layouts, and engines (no RNG
+    * state: draw j for anchor a is md5(a:j)).
+    *
+    * Construction: distinct ids get a dense index 1..N via the
+    * [[Ranks.minRanks]] prefix-sum (no global window); each (anchor, j)
+    * draws d ∈ [1, N−1] from the first 32 md5 bits and the index skips
+    * the anchor's own slot by the standard shift (d ≥ own → d+1) — a
+    * bijection onto the other N−1 ids, so an anchor NEVER samples
+    * itself and every other id is equally likely. Draws are with
+    * replacement across j. The index join back is one key shuffle;
+    * nothing id-sized reaches the driver. Ids must be integral
+    * (cast/hash string keys to a long upstream).
+    *
+    * @return one row per (anchor, j): (anchor, j, negative) */
+  def negativeSample(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val idsD = df
+      .select(F.col(idCol).cast("long").cast("double").as("__idd"))
+      .where(F.col("__idd").isNotNull)
+      .distinct()
+    val (n, ranks0) = Ranks.minRanksWithN(idsD, "__idd", "__rk")
+    require(n >= 2, "need at least 2 distinct ids")
+    val ranks = ranks0.select(F.col("__idd").cast("long").as("__id"),
+      F.col("__rk").cast("long").as("__rk"))
+    val anchors = ranks.select(F.col("__id").as("anchor"),
+      F.col("__rk").as("__own"),
+      F.explode(F.sequence(F.lit(1), F.lit(k))).as("j"))
+    val draw = F.conv(F.substring(F.md5(F.concat(
+      F.col("anchor").cast("string"), F.lit(":"),
+      F.col("j").cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    anchors
+      .withColumn("__d", draw % F.lit(n - 1L) + 1L)
+      .withColumn("__idx", F.when(F.col("__d") >= F.col("__own"),
+        F.col("__d") + 1L).otherwise(F.col("__d")))
+      .join(ranks.select(F.col("__rk").as("__idx"),
+        F.col("__id").as("negative")), Seq("__idx"))
+      .select(F.col("anchor"), F.col("j").cast("long").as("j"),
+        F.col("negative"))
+  }
 }

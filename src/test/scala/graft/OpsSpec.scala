@@ -766,6 +766,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains("flat"))
   }
 
+  test("negativeSample: never self, exact k, deterministic") {
+    import spark.implicits._
+    val df = (1L to 5L).toDF("id")
+    val out = Sampling.negativeSample(df, "id", k = 2)
+      .orderBy("anchor", "j").collect()
+    assert(out.length == 10)
+    assert(out.forall(r =>
+      r.getAs[Long]("anchor") != r.getAs[Long]("negative")))
+    assert(out.forall(r => (1L to 5L).contains(r.getAs[Long]("negative"))))
+    val again = Sampling.negativeSample(df, "id", k = 2)
+      .orderBy("anchor", "j").collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("qiniTable: hand-computed uplift and qini per bucket") {
+    import spark.implicits._
+    val df = Seq((4.0, true, true), (3.0, false, false),
+      (2.0, true, false), (1.0, false, true)).toDF("s", "t", "y")
+    val out = Experiments.qiniTable(df, "t", "y", "s", k = 2)
+      .orderBy("bucket").collect()
+    assert(out(0).getAs[Double]("uplift") == 1.0)
+    assert(out(0).getAs[Double]("qini") == 1.0)
+    // full-population prefix: 1 - 1*2/2 = 0
+    assert(out(1).getAs[Double]("qini") == 0.0)
+    assert(out(1).getAs[Double]("uplift") == -1.0)
+  }
+
   test("pairwiseContrasts: Welch z per pair with BH control") {
     import spark.implicits._
     val df = (Seq(0.0, 0.0, 1.0, 1.0).map(("a", _)) ++
