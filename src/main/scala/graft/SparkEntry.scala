@@ -1393,6 +1393,38 @@ object SparkEntry {
         }
       }
     }),
+    "q_stream_anomaly" -> ((s, dir) => {
+      // streaming prequential anomaly monitor: each event z-scored
+      // against its key's running Welford state AS OF ARRIVAL (state
+      // excludes the event), hash-checked against the batch
+      // prefix-window replay
+      import s.implicits._
+      val saved = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val src = eventsStream(s, dir)
+          .where(F.col("value").isNotNull && !F.isnan(F.col("value")) &&
+            F.col("ts").isNotNull && F.col("event_id").isNotNull)
+          .select(F.col("event_type").as("_1"), F.col("ts").as("_2"),
+            F.col("event_id").as("_3"),
+            F.col("value").cast("double").as("_4"))
+          .as[(String, Long, Long, Double)]
+        val flagged = graft.streaming.StreamingOps
+          .prequentialAnomaly(src, zThreshold = 2.5, minN = 30L)
+        graft.streaming.StreamingOps.runToBatch(s, flagged.toDF(),
+          "graft_stream_anomaly", outputMode = "append",
+          statePartitions = 8)
+          .select(F.col("key").as("event_type"), F.col("tns").as("ts"),
+            F.col("value"), F.col("z"), F.col("n_before"))
+          .orderBy("event_type", "ts", "value")
+      } finally {
+        saved match {
+          case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }),
     "q_stream_dedup" -> ((s, dir) => {
       // streaming exact dedup over the bounded replay, hash-checked on
       // the survivor COUNT: one md5 state row per distinct payload
@@ -3740,6 +3772,23 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, round(avg(value), 6) AS mean_r,
         |  round(stddev_pop(value), 4) AS std_r
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_anomaly" ->
+      """WITH e AS (SELECT event_type AS k, epoch_ns(ts) AS tns,
+        |    event_id, CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)
+        |    AND ts IS NOT NULL AND event_id IS NOT NULL),
+        |w AS (SELECT k, tns, v,
+        |    CAST(count(*) OVER pre AS BIGINT) AS nb,
+        |    avg(v) OVER pre AS mu, var_pop(v) OVER pre AS vr
+        |  FROM e WINDOW pre AS (PARTITION BY k ORDER BY tns, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT k AS event_type, tns AS ts, v AS value,
+        |    (v - mu) / sqrt(vr) AS zr, nb AS n_before FROM w
+        |  WHERE nb >= 30 AND vr > 0)
+        |SELECT event_type, ts, value,
+        |  round_even(zr * 1000000.0, 0) / 1000000.0 AS z, n_before
+        |FROM z WHERE abs(zr) > 2.5
+        |ORDER BY event_type, ts, value""".stripMargin,
     "q_stream_dedup" ->
       """SELECT count(DISTINCT props) AS n_survivors FROM events""",
     "q_stream_sessions" ->

@@ -402,6 +402,68 @@ object StreamingOps {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  /** A prequentially-flagged anomalous event. */
+  final case class Anomaly(key: String, tns: Long, value: Double,
+                           z: Double, n_before: Long)
+
+  /** Streaming prequential anomaly monitor on `transformWithState`:
+    * each event is z-scored against its key's running Welford state AS
+    * OF ARRIVAL (the state excludes the event itself — prequential, so
+    * a level shift flags immediately instead of polluting its own
+    * baseline), then folded in. State is (n, mean, M2) per key — three
+    * numbers, any throughput. Within a micro-batch a key's rows are
+    * sorted by (tns, eventId) before scoring, so with time-ordered
+    * batches the flag sequence is deterministic and an availableNow
+    * replay reproduces the batch prefix-window computation exactly
+    * (the harness hash-checks that equivalence).
+    *
+    * @param ds (key, timestampNanos, eventId, value); eventId breaks
+    *           timestamp ties
+    * @return flagged events only: (key, tns, value, z rounded 6,
+    *         n_before) */
+  class PrequentialAnomalyProcessor(zThreshold: Double, minN: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Long, Double), Anomaly] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimerValues, OutputMode, TimeMode}
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[KeyStats] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[KeyStats]("welford",
+        org.apache.spark.sql.Encoders.product[KeyStats], TTLConfig.NONE)
+    override def handleInputRows(key: String,
+                                 rows: Iterator[(String, Long, Long, Double)],
+                                 timerValues: TimerValues): Iterator[Anomaly] = {
+      var (n, mean, m2) = Option(state.get())
+        .map(s => (s.n, s.mean, s.m2)).getOrElse((0L, 0.0, 0.0))
+      val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Anomaly]
+      sorted.foreach { case (_, tns, _, v) =>
+        if (n >= minN && m2 > 0.0) {
+          val z = (v - mean) / math.sqrt(m2 / n)
+          if (math.abs(z) > zThreshold)
+            out += Anomaly(key, tns, v, math.rint(z * 1e6) / 1e6, n)
+        }
+        n += 1
+        val d = v - mean
+        mean += d / n
+        m2 += d * (v - mean)
+      }
+      state.update(KeyStats(key, n, mean, m2))
+      out.iterator
+    }
+  }
+
+  def prequentialAnomaly(ds: Dataset[(String, Long, Long, Double)],
+                         zThreshold: Double = 3.0,
+                         minN: Long = 30L): Dataset[Anomaly] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .transformWithState(
+        new PrequentialAnomalyProcessor(zThreshold, minN),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** An open per-key session under explicit streaming state. */
   final case class OpenSession(start: Long, last: Long, n: Long, valueSum: Double)
 

@@ -251,6 +251,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1) > 0.5, s"drifted drift ${rows(1)}")
   }
 
+  test("prequentialAnomaly: flags against pre-event state, carries state") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[(String, Long, Long, Double)]
+      val out = StreamingOps.prequentialAnomaly(
+        stream.toDS(), zThreshold = 2.0, minN = 4L)
+      val q = out.writeStream.format("memory").queryName("anom_out")
+        .outputMode("append").start()
+      // 4 baseline points (mean 0.5, var 0.25), then a level break at
+      // t=5: z = (10 - 0.5)/0.5 = 19 -> flagged with n_before = 4
+      stream.addData(("k", 1L, 1L, 0.0), ("k", 2L, 2L, 1.0),
+        ("k", 3L, 3L, 0.0), ("k", 4L, 4L, 1.0), ("k", 5L, 5L, 10.0))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("anom_out").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[Long]("tns") == 5L)
+      assert(rows(0).getAs[Double]("z") == 19.0)
+      assert(rows(0).getAs[Long]("n_before") == 4L)
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("keyedRunningStatsTws: transformWithState Welford over RocksDB state") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
