@@ -2568,6 +2568,37 @@ object SparkEntry {
             .as("len")),
         Seq("lang"), "source", "len")
         .orderBy("lang")),
+    "q_psi_quantile" -> ((s, dir) =>
+      // production-convention PSI: equal-mass bins from cohort A's
+      // EXACT decile edges (prefix-sum order statistics), both cohorts
+      // binned by the same edges, smoothed divergences
+      Drift.quantileBinDrift(
+        li(s, dir).select(
+          F.when(F.col("l_orderkey") % 2 === 0, "a").otherwise("b")
+            .as("cohort"),
+          F.col("l_extendedprice")),
+        "cohort", "l_extendedprice", bins = 10)
+        .select(F.round(F.col("psi"), 8).as("psi"),
+          F.round(F.col("kl_ab"), 8).as("kl_ab"),
+          F.round(F.col("kl_ba"), 8).as("kl_ba"),
+          F.col("n_a"), F.col("n_b"), F.col("n_cells"))),
+    "q_brier" -> ((s, dir) =>
+      // Murphy decomposition over the q_calibration bins: is the Brier
+      // error miscalibration (reliability) or missing discrimination
+      // (resolution)?
+      Evaluation.brierDecomposition(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select((F.col("l_returnflag") === "R").as("y"),
+            (F.col("l_discount") * 10.0).as("score")),
+        "y", "score", bins = 10)),
+    "q_centroid_sim" -> ((s, dir) => {
+      // domain similarity matrix: pairwise cosine between per-language
+      // embedding centroids — k^2·d cell pairs, corpus-size-independent
+      val d = docs(s, dir).select(F.col("doc_id"), F.col("lang"))
+      val e = emb(s, dir).join(d, F.col("vec_id") === F.col("doc_id"))
+      Similarity.centroidSimilarity(e, "lang", "embedding")
+        .orderBy("group_a", "group_b")
+    }),
     "q_negative_sample" -> ((s, dir) =>
       // contrastive-pair negatives: 3 md5-deterministic non-self draws
       // per document via the dense-index prefix-sum + skip-own shift —
@@ -6876,6 +6907,103 @@ object SparkEntry {
         |  CAST(count(DISTINCT a) AS BIGINT) AS n_a,
         |  CAST(count(DISTINCT b) AS BIGINT) AS n_b
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_psi_quantile" ->
+      """WITH base AS (SELECT
+        |    CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |av AS (SELECT v FROM base WHERE g = 'a'),
+        |cells AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM av
+        |  GROUP BY v),
+        |rr AS (SELECT *,
+        |    CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER () AS BIGINT) AS n FROM cells),
+        |ed AS (SELECT
+        |    max(CASE WHEN cum - c + 1 <=
+        |      CAST(ceil(n * 1 / 10.0) AS BIGINT) THEN v END) AS e1,
+        |    max(CASE WHEN cum - c + 1 <=
+        |      CAST(ceil(n * 2 / 10.0) AS BIGINT) THEN v END) AS e2,
+        |    max(CASE WHEN cum - c + 1 <=
+        |      CAST(ceil(n * 3 / 10.0) AS BIGINT) THEN v END) AS e3,
+        |    max(CASE WHEN cum - c + 1 <=
+        |      CAST(ceil(n * 4 / 10.0) AS BIGINT) THEN v END) AS e4,
+        |    max(CASE WHEN cum - c + 1 <=
+        |      CAST(ceil(n * 5 / 10.0) AS BIGINT) THEN v END) AS e5,
+        |    max(CASE WHEN cum - c + 1 <=
+        |      CAST(ceil(n * 6 / 10.0) AS BIGINT) THEN v END) AS e6,
+        |    max(CASE WHEN cum - c + 1 <=
+        |      CAST(ceil(n * 7 / 10.0) AS BIGINT) THEN v END) AS e7,
+        |    max(CASE WHEN cum - c + 1 <=
+        |      CAST(ceil(n * 8 / 10.0) AS BIGINT) THEN v END) AS e8,
+        |    max(CASE WHEN cum - c + 1 <=
+        |      CAST(ceil(n * 9 / 10.0) AS BIGINT) THEN v END) AS e9
+        |  FROM rr),
+        |binned AS (SELECT g, CAST(
+        |    (CASE WHEN v > e1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v > e2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v > e3 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v > e4 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v > e5 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v > e6 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v > e7 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v > e8 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v > e9 THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM base, ed),
+        |m AS (SELECT k, sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS cb
+        |  FROM binned GROUP BY k),
+        |t AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS nc
+        |  FROM m),
+        |p AS (SELECT (ca + 0.5) / (na + 0.5 * nc) AS pa,
+        |    (cb + 0.5) / (nb + 0.5 * nc) AS pb, na, nb, nc FROM m, t)
+        |SELECT round(sum((pa - pb) * ln(pa / pb)), 8) AS psi,
+        |  round(sum(pa * ln(pa / pb)), 8) AS kl_ab,
+        |  round(sum(pb * ln(pb / pa)), 8) AS kl_ba,
+        |  CAST(min(na) AS BIGINT) AS n_a, CAST(min(nb) AS BIGINT) AS n_b,
+        |  CAST(min(nc) AS BIGINT) AS n_cells
+        |FROM p""".stripMargin,
+    "q_brier" ->
+      """WITH base AS (SELECT CAST(l_discount AS DOUBLE) * 10.0 AS s,
+        |    (l_returnflag = 'R') AS yb FROM lineitem
+        |  WHERE l_orderkey < 100000 AND l_discount IS NOT NULL
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE) * 10.0)
+        |    AND l_returnflag IS NOT NULL),
+        |b AS (SELECT least(9, greatest(0, CAST(floor(s * 10) AS INT)))
+        |    AS bin, s, CASE WHEN yb THEN 1.0 ELSE 0.0 END AS y
+        |  FROM base),
+        |cells AS (SELECT bin, CAST(count(*) AS BIGINT) AS nk,
+        |    sum(s) AS ss, sum(y) AS sy,
+        |    sum((s - y) * (s - y)) AS sq FROM b GROUP BY bin),
+        |t AS (SELECT CAST(sum(nk) AS BIGINT) AS n, sum(sy) AS ty
+        |  FROM cells)
+        |SELECT t.n,
+        |  round(sum(sq) / CAST(t.n AS DOUBLE), 6) AS brier,
+        |  round(sum(nk * (ss / nk - sy / nk) * (ss / nk - sy / nk))
+        |    / CAST(t.n AS DOUBLE), 6) AS reliability,
+        |  round(sum(nk * (sy / nk - ty / CAST(t.n AS DOUBLE))
+        |    * (sy / nk - ty / CAST(t.n AS DOUBLE)))
+        |    / CAST(t.n AS DOUBLE), 6) AS resolution,
+        |  round(max((ty / CAST(t.n AS DOUBLE))
+        |    * (1.0 - ty / CAST(t.n AS DOUBLE))), 6) AS uncertainty
+        |FROM cells, t GROUP BY t.n, t.ty""".stripMargin,
+    "q_centroid_sim" ->
+      """WITH e AS (SELECT d.lang, g.pos AS pos,
+        |    CAST(em.embedding[g.pos + 1] AS DOUBLE) AS v
+        |  FROM embeddings em
+        |  JOIN documents d ON em.vec_id = d.doc_id,
+        |  generate_series(0, 63) AS g(pos)),
+        |c AS (SELECT lang, pos, avg(v) AS ce FROM e GROUP BY lang, pos),
+        |p AS (SELECT a.lang AS group_a, b.lang AS group_b,
+        |    sum(a.ce * b.ce) AS dt, sum(a.ce * a.ce) AS na,
+        |    sum(b.ce * b.ce) AS nb
+        |  FROM c a JOIN c b ON a.pos = b.pos AND a.lang < b.lang
+        |  GROUP BY 1, 2)
+        |SELECT group_a, group_b,
+        |  round(dt / (sqrt(na) * sqrt(nb)), 6) AS cosine
+        |FROM p WHERE na > 0 AND nb > 0
+        |ORDER BY group_a, group_b""".stripMargin,
     "q_negative_sample" ->
       """WITH ids AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS id
         |  FROM documents WHERE doc_id IS NOT NULL),

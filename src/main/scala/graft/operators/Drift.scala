@@ -491,6 +491,47 @@ object Drift {
   /** One (cell → both-cohort counts) aggregate, then the smoothed
     * divergence fold. Smoothing: p = (count + 0.5) / (n + 0.5·cells) —
     * strictly positive, integer-count-exact. */
+  /** PSI/KL over REFERENCE-QUANTILE bins — the production PSI
+    * convention for continuous features (equal-mass bins of the
+    * baseline cohort, so every bin carries ~n/bins reference rows and
+    * the statistic is scale-free), vs [[histDrift]]'s fixed grid which
+    * needs the caller to know the range. Edges are EXACT order
+    * statistics of cohort A (the ⌈n·i/bins⌉-th smallest via the
+    * [[Ranks.minRanks]] prefix-sum — no global window, no approximate
+    * percentile), folded in as plan literals; both cohorts then bin by
+    * the same edges and ride the shared smoothed-divergence fold.
+    * Heavily tied references collapse adjacent edges — those bins go
+    * empty on both sides and the smoothing absorbs them.
+    *
+    * @return one row: (psi, kl_ab, kl_ba, n_a, n_b, n_cells) */
+  def quantileBinDrift(df: DataFrame, cohortCol: String, valueCol: String,
+                       bins: Int = 10, labelA: String = "a",
+                       labelB: String = "b"): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    require(labelA != labelB, "cohort labels must differ")
+    val g = F.col(cohortCol).cast("string")
+    val v = F.col(valueCol).cast("double")
+    val clean = df
+      .where(v.isNotNull && !F.isnan(v) && g.isin(labelA, labelB))
+      .select(g.as("__g"), v.as("__v"))
+    val refVals = clean.where(F.col("__g") === labelA).select("__v")
+    val (n, ranks) = Ranks.minRanksWithN(refVals, "__v", "__rk")
+    require(n > 0L, "reference cohort is empty")
+    val edgeAggs = (1 until bins).map { i =>
+      val t = math.ceil(n.toDouble * i / bins).toLong
+      // the t-th smallest = max value whose min-rank is <= t
+      F.max(F.when(F.col("__rk") <= t, F.col("__v"))).as(s"__e$i")
+    }
+    val row = ranks.agg(edgeAggs.head, edgeAggs.tail: _*).head()
+    val edges = (1 until bins).map(i => row.getDouble(i - 1))
+    val bin = edges.foldLeft(F.lit(0)) { (acc, e) =>
+      acc + F.when(F.col("__v") > e, 1).otherwise(0)
+    }
+    divergences(clean.select(
+      F.when(F.col("__g") === labelA, "a").otherwise("b").as("g"),
+      bin.cast("long").as("k")))
+  }
+
   private def divergences(cells: DataFrame): DataFrame = {
     val counts = cells.groupBy("k")
       .agg(

@@ -651,6 +651,57 @@ object Evaluation {
         "capture", "lift")
   }
 
+  /** Murphy decomposition of the Brier score over the
+    * [[calibrationBins]] partition:
+    *
+    *   brier       = mean (s − y)²               (exact, per-row),
+    *   reliability = Σ n_k/N · (s̄_k − ȳ_k)²     (calibration error),
+    *   resolution  = Σ n_k/N · (ȳ_k − ȳ)²       (discrimination),
+    *   uncertainty = ȳ(1 − ȳ)
+    *
+    * — brier ≈ reliability − resolution + uncertainty (exact when
+    * scores are constant within bins). This is the number pair a model
+    * card wants next to AUC: is the error miscalibration (fixable by
+    * [[isotonicCalibrate]]) or lack of resolution (not fixable by any
+    * recalibration). ONE row-level aggregation into ≤ `bins` cells;
+    * the folds ride windows over the cells.
+    *
+    * @return one row: (n, brier, reliability, resolution, uncertainty),
+    *         rounded to 6 */
+  def brierDecomposition(df: DataFrame, labelCol: String,
+                         scoreCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val s = F.col(scoreCol).cast("double")
+    val y = F.when(F.col(labelCol).cast("boolean"), 1.0).otherwise(0.0)
+    val bin = F.least(F.lit(bins - 1), F.greatest(F.lit(0),
+      F.floor(s * bins).cast("int")))
+    val cells = df
+      .where(s.isNotNull && !F.isnan(s) &&
+        F.col(labelCol).cast("boolean").isNotNull)
+      .groupBy(bin.as("__bin"))
+      .agg(F.count(F.lit(1)).as("__nk"), F.sum(s).as("__ss"),
+        F.sum(y).as("__sy"),
+        F.sum((s - y) * (s - y)).as("__sq"))
+    val nD = F.col("__n").cast("double")
+    val nk = F.col("__nk").cast("double")
+    val ybar = F.col("__ty") / nD
+    val mk = F.col("__ss") / nk
+    val yk = F.col("__sy") / nk
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+    cells
+      .withColumn("__n", F.sum("__nk").over(wAll))
+      .withColumn("__ty", F.sum("__sy").over(wAll))
+      .agg(
+        F.max("__n").as("n"),
+        F.round(F.sum("__sq") / F.max(nD), 6).as("brier"),
+        F.round(F.sum(nk * (mk - yk) * (mk - yk)) / F.max(nD), 6)
+          .as("reliability"),
+        F.round(F.sum(nk * (yk - ybar) * (yk - ybar)) / F.max(nD), 6)
+          .as("resolution"),
+        F.round(F.max(ybar * (F.lit(1.0) - ybar)), 6).as("uncertainty"))
+  }
+
   /** Calibration table: scores bucketed into `bins` equal-width bins on
     * [0, 1]; per bin the observed positive rate vs the mean predicted
     * score — the reliability-diagram data. ONE aggregation; scores

@@ -424,6 +424,35 @@ object Similarity {
       .groupBy("grp", "dim")
       .agg(F.avg(F.col("v").cast("double")).as("centroid"))
 
+  /** Pairwise cosine similarity between GROUP CENTROIDS — the domain
+    * similarity matrix ("which sources/languages occupy the same
+    * embedding region"), the first input to a dedup-across-domains or
+    * mixture-rebalancing decision. Rides [[groupCentroids]] (map-side
+    * combined, shuffle carries (group, dim) partials — never vectors);
+    * the pair join runs on the groups·dims long table, so cost is
+    * k²·d/2 cell pairs, independent of corpus size.
+    *
+    * @return one row per group pair (a < b): (group_a, group_b,
+    *         cosine rounded 6); zero-norm centroids omitted */
+  def centroidSimilarity(df: DataFrame, groupCol: String,
+                         embCol: String): DataFrame = {
+    val c = groupCentroids(df, groupCol, embCol).localCheckpoint(true)
+    val l = c.select(F.col("grp").cast("string").as("group_a"),
+      F.col("dim"), F.col("centroid").as("__ca"))
+    val r = c.select(F.col("grp").cast("string").as("group_b"),
+      F.col("dim"), F.col("centroid").as("__cb"))
+    l.join(r, Seq("dim"))
+      .where(F.col("group_a") < F.col("group_b"))
+      .groupBy("group_a", "group_b")
+      .agg(F.sum(F.col("__ca") * F.col("__cb")).as("__dot"),
+        F.sum(F.col("__ca") * F.col("__ca")).as("__na"),
+        F.sum(F.col("__cb") * F.col("__cb")).as("__nb"))
+      .where(F.col("__na") > 0.0 && F.col("__nb") > 0.0)
+      .withColumn("cosine", F.round(F.col("__dot") /
+        (F.sqrt(F.col("__na")) * F.sqrt(F.col("__nb"))), 6))
+      .select("group_a", "group_b", "cosine")
+  }
+
   /** Inverse of [[quantizeEmbeddings]]: x̂_d = q_d·s_d/127. */
   def dequantizeEmbeddings(df: DataFrame, qCol: String, scales: Array[Double],
                            outCol: String = "embedding"): DataFrame =

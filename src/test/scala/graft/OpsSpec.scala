@@ -766,6 +766,45 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains("flat"))
   }
 
+  test("quantileBinDrift: zero on identical cohorts, positive on shift") {
+    import spark.implicits._
+    val same = (1 to 40).flatMap(i => Seq(("a", i.toDouble), ("b", i.toDouble)))
+      .toDF("cohort", "v")
+    val z = Drift.quantileBinDrift(same, "cohort", "v", bins = 4)
+      .collect()(0)
+    assert(z.getAs[Double]("psi") == 0.0)
+    assert(z.getAs[Long]("n_a") == 40L)
+    val shifted = ((1 to 40).map(i => ("a", i.toDouble)) ++
+      (21 to 60).map(i => ("b", i.toDouble))).toDF("cohort", "v")
+    val p = Drift.quantileBinDrift(shifted, "cohort", "v", bins = 4)
+      .collect()(0)
+    assert(p.getAs[Double]("psi") > 0.1)
+  }
+
+  test("brierDecomposition: perfectly calibrated perfect classifier") {
+    import spark.implicits._
+    val df = Seq((false, 0.0), (false, 0.0), (true, 1.0), (true, 1.0))
+      .toDF("y", "s")
+    val out = Evaluation.brierDecomposition(df, "y", "s").collect()(0)
+    assert(out.getAs[Long]("n") == 4L)
+    assert(out.getAs[Double]("brier") == 0.0)
+    assert(out.getAs[Double]("reliability") == 0.0)
+    assert(out.getAs[Double]("resolution") == 0.25)
+    assert(out.getAs[Double]("uncertainty") == 0.25)
+  }
+
+  test("centroidSimilarity: identity and orthogonality") {
+    import spark.implicits._
+    val df = Seq(("g1", Seq(1.0f, 0.0f)), ("g2", Seq(0.0f, 2.0f)),
+      ("g3", Seq(2.0f, 0.0f))).toDF("g", "emb")
+    val out = Similarity.centroidSimilarity(df, "g", "emb")
+      .collect().map(r => (r.getAs[String]("group_a"),
+        r.getAs[String]("group_b")) -> r.getAs[Double]("cosine")).toMap
+    assert(out(("g1", "g2")) == 0.0)
+    assert(out(("g1", "g3")) == 1.0)
+    assert(out(("g2", "g3")) == 0.0)
+  }
+
   test("negativeSample: never self, exact k, deterministic") {
     import spark.implicits._
     val df = (1L to 5L).toDF("id")
