@@ -2568,6 +2568,29 @@ object SparkEntry {
             .as("len")),
         Seq("lang"), "source", "len")
         .orderBy("lang")),
+    "q_transitions" -> ((s, dir) =>
+      // first-order Markov matrix of user event sequences: lag pairing
+      // on one key shuffle, |states|^2 cells, row-normalized
+      Cohorts.transitionMatrix(events(s, dir), "user_id", "ts",
+          "event_type", tieBreakCols = Seq("event_id"))
+        .orderBy("from_state", "to_state")),
+    "q_fairness" -> ((s, dir) =>
+      // per-segment fairness table: base rate, mean score, per-group
+      // AUC and its gap vs the overall AUC baseline
+      Evaluation.fairnessReport(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select(F.col("l_linestatus"),
+            (F.col("l_returnflag") === "R").as("y"),
+            F.col("l_discount")),
+        Seq("l_linestatus"), "y", "l_discount")
+        .orderBy("l_linestatus")),
+    "q_hashing_trick" -> ((s, dir) =>
+      // feature hashing: md5 dim + Weinberger sign, no vocabulary
+      // table, bit-exact across engines — sparse triples for a slice
+      Features.hashingVectorize(
+        docs(s, dir).where(F.col("doc_id") < 50), "doc_id", "text",
+        dims = 64)
+        .orderBy("id", "dim")),
     "q_psi_quantile" -> ((s, dir) =>
       // production-convention PSI: equal-mass bins from cohort A's
       // EXACT decile edges (prefix-sum order statistics), both cohorts
@@ -6907,6 +6930,73 @@ object SparkEntry {
         |  CAST(count(DISTINCT a) AS BIGINT) AS n_a,
         |  CAST(count(DISTINCT b) AS BIGINT) AS n_b
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_transitions" ->
+      """WITH e AS (SELECT user_id AS u, epoch_ns(ts) AS tns, event_id,
+        |    event_type AS st FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |l AS (SELECT st AS to_state,
+        |    lag(st) OVER (PARTITION BY u ORDER BY tns, event_id)
+        |      AS from_state FROM e),
+        |p AS (SELECT from_state, to_state,
+        |    CAST(count(*) AS BIGINT) AS n FROM l
+        |  WHERE from_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_state, to_state, n,
+        |  round(CAST(n AS DOUBLE)
+        |    / sum(n) OVER (PARTITION BY from_state), 6) AS prob
+        |FROM p ORDER BY from_state, to_state""".stripMargin,
+    "q_fairness" ->
+      """WITH base AS (SELECT l_linestatus AS g,
+        |    CAST(l_discount AS DOUBLE) AS v, (l_returnflag = 'R') AS y
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_discount IS NOT NULL
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE))
+        |    AND l_returnflag IS NOT NULL),
+        |oc AS (SELECT v,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        |    CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cn
+        |  FROM base GROUP BY v),
+        |ow AS (SELECT cp, cn,
+        |    coalesce(CAST(sum(cn) OVER (ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      AS cumn FROM oc),
+        |oa AS (SELECT round(sum(cp * (cumn + 0.5 * cn))
+        |    / (CAST(sum(cp) AS DOUBLE) * sum(cn)), 6) AS auc_overall
+        |  FROM ow),
+        |cells AS (SELECT g, v,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        |    CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cn
+        |  FROM base GROUP BY g, v),
+        |w AS (SELECT g, cp, cn,
+        |    coalesce(CAST(sum(cn) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cumn FROM cells),
+        |ga AS (SELECT g, round(sum(cp * (cumn + 0.5 * cn))
+        |    / (CAST(sum(cp) AS DOUBLE) * sum(cn)), 6) AS auc
+        |  FROM w GROUP BY g
+        |  HAVING sum(cp) > 0 AND sum(cn) > 0),
+        |rates AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    round(avg(CASE WHEN y THEN 1.0 ELSE 0.0 END), 6)
+        |      AS base_rate,
+        |    round(avg(v), 6) AS mean_score FROM base GROUP BY g)
+        |SELECT g AS l_linestatus, n, base_rate, mean_score, auc,
+        |  auc_overall, round(auc - auc_overall, 6) AS auc_gap
+        |FROM ga JOIN rates USING (g), oa
+        |ORDER BY l_linestatus""".stripMargin,
+    "q_hashing_trick" ->
+      """WITH t AS (SELECT doc_id AS id,
+        |    unnest(list_filter(regexp_split_to_array(lower(
+        |      coalesce(text, '')), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents WHERE doc_id < 50),
+        |h AS (SELECT id,
+        |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64
+        |      AS dim,
+        |    CASE WHEN CAST(('0x' || substr(md5(tok), 9, 1)) AS BIGINT)
+        |      % 2 = 0 THEN 1 ELSE -1 END AS sgn FROM t)
+        |SELECT id, dim, CAST(sum(sgn) AS BIGINT) AS value
+        |FROM h GROUP BY id, dim ORDER BY id, dim""".stripMargin,
     "q_psi_quantile" ->
       """WITH base AS (SELECT
         |    CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,

@@ -168,4 +168,40 @@ object Cohorts {
         F.round(F.col("users").cast("double") / F.col("__prev"), 6)))
       .select("step_idx", "step", "users", "rate_vs_first", "rate_vs_prev")
   }
+
+  /** First-order Markov transition matrix of per-key event sequences:
+    * for consecutive events of the same key (ordered by tsCol +
+    * tie-breakers), the count and row-normalized probability of each
+    * (from_state → to_state) transition — "what do users do AFTER a
+    * click", the behavioral model behind next-event prediction and
+    * funnel design. ONE key shuffle serves the lag pairing; the
+    * (from, to) aggregation state is |states|², not data-sized, and
+    * the row totals ride a window over those cells.
+    *
+    * @return one row per observed transition: (from_state, to_state,
+    *         n, prob rounded 6) */
+  def transitionMatrix(df: DataFrame, keyCol: String, tsCol: String,
+                       stateCol: String,
+                       tieBreakCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .where(F.col(keyCol).isNotNull && F.col(tsCol).isNotNull &&
+        F.col(stateCol).isNotNull)
+      .select(Seq(F.col(keyCol), F.col(tsCol)) ++
+        tieBreakCols.map(F.col) :+
+        F.col(stateCol).cast("string").as("__st"): _*)
+    val wOrd = Window.partitionBy(F.col(keyCol))
+      .orderBy(F.col(tsCol) +: tieBreakCols.map(F.col): _*)
+    val pairs = base
+      .withColumn("__from", F.lag("__st", 1).over(wOrd))
+      .where(F.col("__from").isNotNull)
+      .groupBy(F.col("__from").as("from_state"),
+        F.col("__st").as("to_state"))
+      .agg(F.count(F.lit(1)).as("n"))
+    val wFrom = Window.partitionBy("from_state")
+    pairs
+      .withColumn("prob", F.round(F.col("n").cast("double") /
+        F.sum("n").over(wFrom), 6))
+      .select("from_state", "to_state", "n", "prob")
+  }
 }

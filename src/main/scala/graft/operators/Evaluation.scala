@@ -114,6 +114,40 @@ object Evaluation {
         F.col("n_pos"), F.col("n_neg")): _*)
   }
 
+  /** Per-segment fairness report: base rate, mean score, and ROC AUC
+    * per group plus each group's AUC gap against the OVERALL AUC — the
+    * model-governance table ("does the quality filter rank one
+    * language's documents worse"). Rides [[aucByGroup]] (per-group
+    * prefix windows) + [[aucRoc]] (one global fold for the scalar
+    * baseline) + one rate aggregation; joins happen on the group key,
+    * data is scanned twice (once ranked, once for moments), never
+    * collected.
+    *
+    * @return one row per group with both classes present:
+    *         (groupCols..., n, base_rate, mean_score, auc, auc_overall,
+    *         auc_gap), floats rounded to 6 */
+  def fairnessReport(df: DataFrame, groupCols: Seq[String],
+                     labelCol: String, scoreCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val s = F.col(scoreCol).cast("double")
+    val y = F.col(labelCol).cast("boolean")
+    val clean = df.where(s.isNotNull && !F.isnan(s) && y.isNotNull)
+    val overallAuc = aucRoc(clean, labelCol, scoreCol)
+      .head().getAs[Double]("auc")
+    val byGroup = aucByGroup(clean, groupCols, labelCol, scoreCol)
+    val rates = clean.groupBy(groupCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("n"),
+        F.round(F.avg(F.when(y, 1.0).otherwise(0.0)), 6).as("base_rate"),
+        F.round(F.avg(s), 6).as("mean_score"))
+    byGroup.join(rates, groupCols)
+      .withColumn("auc_overall", F.lit(overallAuc))
+      .withColumn("auc_gap",
+        F.round(F.col("auc") - F.lit(overallAuc), 6))
+      .select(groupCols.map(F.col) ++ Seq(F.col("n"),
+        F.col("base_rate"), F.col("mean_score"), F.col("auc"),
+        F.col("auc_overall"), F.col("auc_gap")): _*)
+  }
+
   /** Mutual information between two categorical columns (nats) — the
     * feature-selection association measure ("how much does domain tell
     * you about quality-pass"); bin numerics upstream with

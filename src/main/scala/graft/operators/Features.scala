@@ -225,6 +225,38 @@ object Features {
       .select(F.col(keyCol), F.col("rho"), F.col("n"))
   }
 
+  /** Feature hashing ("the hashing trick"): tokens map to a fixed
+    * `dims`-dimensional sparse vector through md5 — dim from the first
+    * 32 hash bits, a ±1 sign from the next hex digit's parity (the
+    * Weinberger signed construction, which makes collision noise
+    * zero-mean) — so ANY vocabulary becomes a bounded feature space
+    * with NO vocabulary table, no fit step, and bit-exact
+    * reproducibility across runs and engines. The natural featurizer in
+    * front of [[Regression.logisticIrls]]. One token explode + one
+    * (id, dim) aggregation; output is sparse triples.
+    *
+    * @return (id, dim, value) rows — dim in [0, dims), value = signed
+    *         token count; zero-sum cells are kept (they carry collision
+    *         information) */
+  def hashingVectorize(df: DataFrame, idCol: String, textCol: String,
+                       dims: Int = 1024): DataFrame = {
+    require(dims >= 2, "dims must be >= 2")
+    val tokens = df.select(F.col(idCol).as("id"),
+      F.explode(F.filter(
+        F.split(F.lower(F.coalesce(F.col(textCol), F.lit(""))), "\\s+"),
+        t => t =!= "")).as("__tok"))
+    val h = F.conv(F.substring(
+      F.md5(F.col("__tok").cast("binary")), 1, 8), 16, 10).cast("long")
+    val sign = F.when(F.conv(F.substring(
+      F.md5(F.col("__tok").cast("binary")), 9, 1), 16, 10)
+      .cast("long") % 2L === 0L, 1L).otherwise(-1L)
+    tokens
+      .withColumn("dim", h % dims.toLong)
+      .withColumn("__sgn", sign)
+      .groupBy("id", "dim")
+      .agg(F.sum("__sgn").as("value"))
+  }
+
   /** Collapse rare categorical levels into a single `otherLabel` — the
     * cardinality-control step before one-hot/target encoding ("keep the
     * levels that carry mass, stop the long tail from minting a million

@@ -766,6 +766,56 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains("flat"))
   }
 
+  test("transitionMatrix: lag pairing and row normalization") {
+    import spark.implicits._
+    val df = Seq(("u1", 1L, "a"), ("u1", 2L, "b"), ("u1", 3L, "a"),
+      ("u2", 1L, "a"), ("u2", 2L, "b"), ("u2", 3L, "b"))
+      .toDF("u", "t", "s")
+    val out = operators.Cohorts.transitionMatrix(df, "u", "t", "s")
+      .collect().map(r => (r.getAs[String]("from_state"),
+        r.getAs[String]("to_state")) -> r).toMap
+    // from a: a->b twice; from b: b->a once, b->b once
+    assert(out(("a", "b")).getAs[Long]("n") == 2L)
+    assert(out(("a", "b")).getAs[Double]("prob") == 1.0)
+    assert(out(("b", "a")).getAs[Double]("prob") == 0.5)
+    assert(out(("b", "b")).getAs[Double]("prob") == 0.5)
+    assert(out.size == 3)
+  }
+
+  test("fairnessReport: per-group AUC gap vs overall") {
+    import spark.implicits._
+    // group g1: perfect ranking; g2: inverted
+    val df = (Seq((0.1, false), (0.9, true), (0.2, false), (0.8, true))
+      .map { case (s, y) => ("g1", s, y) } ++
+      Seq((0.9, false), (0.1, true), (0.8, false), (0.2, true))
+        .map { case (s, y) => ("g2", s, y) }).toDF("g", "s", "y")
+    val out = Evaluation.fairnessReport(df, Seq("g"), "y", "s")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out(("g1")).getAs[Double]("auc") == 1.0)
+    assert(out(("g2")).getAs[Double]("auc") == 0.0)
+    assert(out(("g1")).getAs[Double]("auc_overall") == 0.5)
+    assert(out(("g1")).getAs[Double]("auc_gap") == 0.5)
+    assert(out(("g2")).getAs[Double]("auc_gap") == -0.5)
+    assert(out(("g1")).getAs[Double]("base_rate") == 0.5)
+  }
+
+  test("hashingVectorize: bounded dims, signed counts, deterministic") {
+    import spark.implicits._
+    val df = Seq((1L, "x x y"), (2L, "x")).toDF("doc_id", "text")
+    val out = Features.hashingVectorize(df, "doc_id", "text", dims = 8)
+      .collect()
+    assert(out.forall(r => r.getAs[Long]("dim") >= 0L &&
+      r.getAs[Long]("dim") < 8L))
+    // doc 1's x-cell has |value| 2 (same token, same sign)
+    val d1 = out.filter(_.getAs[Long]("id") == 1L)
+      .map(r => math.abs(r.getAs[Long]("value"))).sorted
+    assert(d1.contains(2L))
+    val again = Features.hashingVectorize(df, "doc_id", "text", dims = 8)
+      .collect()
+    assert(out.map(_.toSeq).sortBy(_.toString).toSeq ==
+      again.map(_.toSeq).sortBy(_.toString).toSeq)
+  }
+
   test("quantileBinDrift: zero on identical cohorts, positive on shift") {
     import spark.implicits._
     val same = (1 to 40).flatMap(i => Seq(("a", i.toDouble), ("b", i.toDouble)))
