@@ -2568,6 +2568,31 @@ object SparkEntry {
             .as("len")),
         Seq("lang"), "source", "len")
         .orderBy("lang")),
+    "q_trend_test" -> ((s, dir) =>
+      // Cochran-Armitage: is the returned-rate monotone in the
+      // discount tier? one (score) cell aggregation + closed-form z
+      StatTests.cochranArmitage(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select(F.col("l_discount"),
+            (F.col("l_returnflag") === "R").as("y")),
+        "l_discount", "y")),
+    "q_mcnemar" -> ((s, dir) =>
+      // paired binary comparison on the SAME rows: returned-flag vs a
+      // discount rule — only discordant cells carry information
+      StatTests.mcnemar(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select((F.col("l_returnflag") === "R").as("fa"),
+            (F.col("l_discount") >= 0.05).as("fb")),
+        "fa", "fb")),
+    "q_odds_ratio" -> ((s, dir) =>
+      // effect sizes for the parity-cohort 2x2: OR and RR with
+      // log-scale 95% normal CIs
+      Experiments.oddsRatio(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select(F.when(F.col("l_orderkey") % 2 === 0, "a")
+            .otherwise("b").as("cohort"),
+            (F.col("l_returnflag") === "R").as("y")),
+        "cohort", "y")),
     "q_transitions" -> ((s, dir) =>
       // first-order Markov matrix of user event sequences: lag pairing
       // on one key shuffle, |states|^2 cells, row-normalized
@@ -6930,6 +6955,87 @@ object SparkEntry {
         |  CAST(count(DISTINCT a) AS BIGINT) AS n_a,
         |  CAST(count(DISTINCT b) AS BIGINT) AS n_b
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_trend_test" ->
+      s"""WITH base AS (SELECT CAST(l_discount AS DOUBLE) AS w,
+        |    (l_returnflag = 'R') AS y FROM lineitem
+        |  WHERE l_orderkey < 100000 AND l_discount IS NOT NULL
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE))
+        |    AND l_returnflag IS NOT NULL),
+        |cells AS (SELECT w, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |  FROM base GROUP BY w),
+        |a AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS tx,
+        |    CAST(count(*) AS BIGINT) AS n_levels,
+        |    sum(w * x) AS swx, sum(w * n) AS swn,
+        |    sum(w * w * n) AS swwn FROM cells),
+        |t AS (SELECT n, n_levels,
+        |    (swx - (tx / CAST(n AS DOUBLE)) * swn) AS num,
+        |    sqrt((tx / CAST(n AS DOUBLE))
+        |      * (1.0 - tx / CAST(n AS DOUBLE))
+        |      * (swwn - swn * swn / CAST(n AS DOUBLE))) AS den
+        |  FROM a),
+        |zz AS (SELECT round(num / den, 6) AS z, n, n_levels FROM t
+        |  WHERE den > 0),
+        |ye AS (SELECT z, n, n_levels, abs(z) / sqrt(2.0) AS y FROM zz)
+        |SELECT z,
+        |  round_even(${codyErfcSql("y")} * 1000000.0, 0) / 1000000.0
+        |    AS p_value, n, n_levels FROM ye""".stripMargin,
+    "q_mcnemar" ->
+      s"""WITH base AS (SELECT (l_returnflag = 'R') AS fa,
+        |    (CAST(l_discount AS DOUBLE) >= 0.05) AS fb FROM lineitem
+        |  WHERE l_orderkey < 100000 AND l_returnflag IS NOT NULL
+        |    AND l_discount IS NOT NULL),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN fa AND NOT fb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n10,
+        |    CAST(sum(CASE WHEN NOT fa AND fb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n01 FROM base),
+        |zz AS (SELECT n, n10, n01,
+        |    CASE WHEN n10 + n01 > 0 THEN
+        |      round(greatest(0.0, CAST(abs(n10 - n01) AS DOUBLE) - 1.0)
+        |        / sqrt(CAST(n10 + n01 AS DOUBLE)), 6)
+        |    ELSE 0.0 END AS z FROM a),
+        |ye AS (SELECT *, z / sqrt(2.0) AS y FROM zz)
+        |SELECT n, n10, n01, z,
+        |  round_even(${codyErfcSql("y")} * 1000000.0, 0) / 1000000.0
+        |    AS p_value FROM ye""".stripMargin,
+    "q_odds_ratio" ->
+      """WITH base AS (SELECT
+        |    CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    (l_returnflag = 'R') AS y FROM lineitem
+        |  WHERE l_orderkey < 100000 AND l_returnflag IS NOT NULL),
+        |agged AS (SELECT
+        |    CAST(sum(CASE WHEN g = 'a' AND y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x_a,
+        |    CAST(sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN g = 'b' AND y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x_b,
+        |    CAST(sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b FROM base),
+        |m AS (SELECT *, CAST(x_a AS DOUBLE) AS a,
+        |    CAST(x_b AS DOUBLE) AS b,
+        |    CAST(n_a AS DOUBLE) - CAST(x_a AS DOUBLE) AS c,
+        |    CAST(n_b AS DOUBLE) - CAST(x_b AS DOUBLE) AS d FROM agged),
+        |e AS (SELECT *,
+        |    (a > 0 AND b > 0 AND c > 0 AND d > 0) AS orok,
+        |    (a > 0 AND b > 0 AND n_a > 0 AND n_b > 0) AS rrok FROM m),
+        |f AS (SELECT *,
+        |    CASE WHEN orok THEN ln((a * d) / (b * c)) END AS lor,
+        |    CASE WHEN orok THEN
+        |      sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d) END AS seor,
+        |    CASE WHEN rrok THEN ln((a / n_a) / (b / n_b)) END AS lrr,
+        |    CASE WHEN rrok THEN sqrt(1.0 / a - 1.0 / n_a
+        |      + 1.0 / b - 1.0 / n_b) END AS serr FROM e)
+        |SELECT x_a, n_a, x_b, n_b,
+        |  round(exp(lor), 6) AS odds_ratio,
+        |  round(exp(lor - 1.959964 * seor), 6) AS or_lo,
+        |  round(exp(lor + 1.959964 * seor), 6) AS or_hi,
+        |  round(exp(lrr), 6) AS risk_ratio,
+        |  round(exp(lrr - 1.959964 * serr), 6) AS rr_lo,
+        |  round(exp(lrr + 1.959964 * serr), 6) AS rr_hi
+        |FROM f""".stripMargin,
     "q_transitions" ->
       """WITH e AS (SELECT user_id AS u, epoch_ns(ts) AS tns, event_id,
         |    event_type AS st FROM events

@@ -90,6 +90,64 @@ object Experiments {
         F.col("rate"), F.col("ci_lo"), F.col("ci_hi")): _*)
   }
 
+  /** Effect sizes for a 2×2 cohort×outcome table — what the z-test's
+    * p-value does NOT say ("significant, but how big?"):
+    *
+    *   OR = (x_a·(n_b−x_b)) / (x_b·(n_a−x_a)),
+    *   RR = (x_a/n_a) / (x_b/n_b)
+    *
+    * with 95% log-scale normal CIs (se_lnOR = √(1/a+1/b+1/c+1/d),
+    * se_lnRR = √(1/x_a − 1/n_a + 1/x_b − 1/n_b)) — the table a medical
+    * or experimentation readout leads with. ONE conditional-count
+    * aggregation; ratios/CIs are null when a zero cell makes them
+    * undefined (use a continuity-corrected upstream +0.5 if you need
+    * estimates there).
+    *
+    * @return one row: (x_a, n_a, x_b, n_b, odds_ratio, or_lo, or_hi,
+    *         risk_ratio, rr_lo, rr_hi), rounded to 6 */
+  def oddsRatio(df: DataFrame, cohortCol: String, successCol: String,
+                labelA: String = "a", labelB: String = "b",
+                z: Double = 1.959964): DataFrame = {
+    require(labelA != labelB, "cohort labels must differ")
+    val g = F.col(cohortCol).cast("string")
+    val y = F.col(successCol).cast("boolean")
+    val agged = df
+      .where(g.isin(labelA, labelB) && y.isNotNull)
+      .agg(
+        F.sum(F.when(g === labelA && y, 1L).otherwise(0L)).as("x_a"),
+        F.sum(F.when(g === labelA, 1L).otherwise(0L)).as("n_a"),
+        F.sum(F.when(g === labelB && y, 1L).otherwise(0L)).as("x_b"),
+        F.sum(F.when(g === labelB, 1L).otherwise(0L)).as("n_b"))
+    val a = F.col("x_a").cast("double")
+    val b = F.col("x_b").cast("double")
+    val c = F.col("n_a").cast("double") - a
+    val d = F.col("n_b").cast("double") - b
+    val orOk = a > 0.0 && b > 0.0 && c > 0.0 && d > 0.0
+    val lnOr = F.log((a * d) / (b * c))
+    val seOr = F.sqrt(F.lit(1.0) / a + F.lit(1.0) / b +
+      F.lit(1.0) / c + F.lit(1.0) / d)
+    val rrOk = a > 0.0 && b > 0.0 &&
+      F.col("n_a") > 0L && F.col("n_b") > 0L
+    val lnRr = F.log((a / F.col("n_a")) / (b / F.col("n_b")))
+    val seRr = F.sqrt(F.lit(1.0) / a - F.lit(1.0) / F.col("n_a") +
+      F.lit(1.0) / b - F.lit(1.0) / F.col("n_b"))
+    agged
+      .withColumn("odds_ratio",
+        F.when(orOk, F.round(F.exp(lnOr), 6)))
+      .withColumn("or_lo",
+        F.when(orOk, F.round(F.exp(lnOr - F.lit(z) * seOr), 6)))
+      .withColumn("or_hi",
+        F.when(orOk, F.round(F.exp(lnOr + F.lit(z) * seOr), 6)))
+      .withColumn("risk_ratio",
+        F.when(rrOk, F.round(F.exp(lnRr), 6)))
+      .withColumn("rr_lo",
+        F.when(rrOk, F.round(F.exp(lnRr - F.lit(z) * seRr), 6)))
+      .withColumn("rr_hi",
+        F.when(rrOk, F.round(F.exp(lnRr + F.lit(z) * seRr), 6)))
+      .select("x_a", "n_a", "x_b", "n_b", "odds_ratio", "or_lo",
+        "or_hi", "risk_ratio", "rr_lo", "rr_hi")
+  }
+
   /** Qini / uplift decile table — "does targeting by this score
     * actually concentrate the treatment effect": rows ranked by an
     * uplift score DESCENDING into k tie-stable buckets (the

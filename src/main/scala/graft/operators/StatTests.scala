@@ -596,6 +596,79 @@ object StatTests {
     } finally sorted.unpersist(blocking = false)
   }
 
+  /** Cochran–Armitage trend test: is a success rate MONOTONE in an
+    * ordered exposure ("does conversion rise with discount tier") —
+    * the dose-response test that a plain χ² dilutes (χ² sees any
+    * difference; this concentrates power on the ordered alternative):
+    *
+    *   z = Σ wᵢ(xᵢ − nᵢp̄) / √(p̄(1−p̄)(Σnᵢwᵢ² − (Σnᵢwᵢ)²/N))
+    *
+    * with wᵢ the numeric group score. ONE (score) cell aggregation +
+    * a closed-form fold; p = erfc(|z|/√2) at the 6-rounded z.
+    *
+    * @param scoreCol numeric ordered exposure level
+    * @return one row: (z, p_value, n, n_levels) */
+  def cochranArmitage(df: DataFrame, scoreCol: String,
+                      successCol: String): DataFrame = {
+    val w = F.col(scoreCol).cast("double")
+    val y = F.col(successCol).cast("boolean")
+    val cells = df
+      .where(w.isNotNull && !F.isnan(w) && y.isNotNull)
+      .groupBy(w.as("__w"))
+      .agg(F.count(F.lit(1)).as("__n"),
+        F.sum(F.when(y, 1L).otherwise(0L)).as("__x"))
+    val pUdf = F.udf((z: Double) => math.rint(SpecialMath.erfc(
+      math.abs(z) / math.sqrt(2.0)) * 1e6) / 1e6)
+    val agged = cells.agg(
+      F.sum("__n").as("n"), F.sum("__x").as("__tx"),
+      F.count(F.lit(1)).as("n_levels"),
+      F.sum(F.col("__w") * F.col("__x")).as("__swx"),
+      F.sum(F.col("__w") * F.col("__n")).as("__swn"),
+      F.sum(F.col("__w") * F.col("__w") * F.col("__n")).as("__swwn"))
+    val nD = F.col("n").cast("double")
+    val pbar = F.col("__tx").cast("double") / nD
+    val num = F.col("__swx") - pbar * F.col("__swn")
+    val varW = F.col("__swwn") - F.col("__swn") * F.col("__swn") / nD
+    val denom = F.sqrt(pbar * (F.lit(1.0) - pbar) * varW)
+    agged
+      .withColumn("__den", denom)
+      .where(F.col("__den") > 0.0)
+      .withColumn("z", F.round(num / F.col("__den"), 6))
+      .withColumn("p_value", pUdf(F.col("z")))
+      .select("z", "p_value", "n", "n_levels")
+  }
+
+  /** McNemar's test for PAIRED binary outcomes — "did switching
+    * filters change decisions on the SAME documents": only the
+    * discordant cells carry information,
+    *
+    *   z = (|n₁₀ − n₀₁| − 1) / √(n₁₀ + n₀₁)   (continuity-corrected),
+    *   p = erfc(z/√2)
+    *
+    * — the comparison a two-proportion test gets WRONG on paired data
+    * (it ignores the pairing and overstates n). ONE aggregation of
+    * conditional counts.
+    *
+    * @return one row: (n, n10, n01, z, p_value) — n10 = a-only
+    *         positives, z rounded to 6; z = 0 when no discordance */
+  def mcnemar(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = F.col(aCol).cast("boolean")
+    val b = F.col(bCol).cast("boolean")
+    val pUdf = F.udf((z: Double) => math.rint(SpecialMath.erfc(
+      z / math.sqrt(2.0)) * 1e6) / 1e6)
+    df.where(a.isNotNull && b.isNotNull)
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.when(a && !b, 1L).otherwise(0L)).as("n10"),
+        F.sum(F.when(!a && b, 1L).otherwise(0L)).as("n01"))
+      .withColumn("z", F.when(F.col("n10") + F.col("n01") > 0L,
+        F.round(F.greatest(F.lit(0.0),
+          F.abs(F.col("n10") - F.col("n01")).cast("double") - 1.0) /
+          F.sqrt((F.col("n10") + F.col("n01")).cast("double")), 6))
+        .otherwise(F.lit(0.0)))
+      .withColumn("p_value", pUdf(F.col("z")))
+      .select("n", "n10", "n01", "z", "p_value")
+  }
+
   /** All pairwise group contrasts with FDR control — "WHICH segments
     * differ", the post-hoc step after [[anovaByGroup]] says "something
     * does": for every unordered group pair, a Welch z on the group

@@ -766,6 +766,58 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains("flat"))
   }
 
+  test("cochranArmitage: monotone dose-response z, hand formula") {
+    import spark.implicits._
+    val df = (Seq.fill(4)((0.0, false)) ++
+      Seq((1.0, true), (1.0, true), (1.0, false), (1.0, false)) ++
+      Seq.fill(4)((2.0, true))).toDF("w", "y")
+    val out = StatTests.cochranArmitage(df, "w", "y").collect()(0)
+    val (n, tx) = (12.0, 6.0)
+    val (swx, swn, swwn) = (1.0 * 2 + 2.0 * 4, 1.0 * 4 + 2.0 * 4,
+      1.0 * 4 + 4.0 * 4)
+    val pb = tx / n
+    val z = (swx - pb * swn) /
+      math.sqrt(pb * (1.0 - pb) * (swwn - swn * swn / n))
+    assert(out.getAs[Long]("n") == 12L)
+    assert(out.getAs[Long]("n_levels") == 3L)
+    assert(math.abs(out.getAs[Double]("z") -
+      math.rint(z * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("mcnemar: discordant-only, continuity corrected") {
+    import spark.implicits._
+    val df = (Seq.fill(6)((true, false)) ++ Seq.fill(2)((false, true)) ++
+      Seq.fill(2)((true, true))).toDF("fa", "fb")
+    val out = StatTests.mcnemar(df, "fa", "fb").collect()(0)
+    assert(out.getAs[Long]("n10") == 6L)
+    assert(out.getAs[Long]("n01") == 2L)
+    val z = (math.abs(6.0 - 2.0) - 1.0) / math.sqrt(8.0)
+    assert(math.abs(out.getAs[Double]("z") -
+      math.rint(z * 1e6) / 1e6) < 1e-9)
+    // no discordance -> z = 0, p = 1
+    val flat = Seq.fill(4)((true, true)).toDF("fa", "fb")
+    val f = StatTests.mcnemar(flat, "fa", "fb").collect()(0)
+    assert(f.getAs[Double]("z") == 0.0)
+    assert(f.getAs[Double]("p_value") == 1.0)
+  }
+
+  test("oddsRatio: hand 2x2 effect sizes, null on zero cell") {
+    import spark.implicits._
+    val df = (Seq.fill(3)(("a", true)) ++ Seq.fill(7)(("a", false)) ++
+      Seq.fill(1)(("b", true)) ++ Seq.fill(9)(("b", false)))
+      .toDF("cohort", "y")
+    val out = Experiments.oddsRatio(df, "cohort", "y").collect()(0)
+    assert(math.abs(out.getAs[Double]("odds_ratio") - 3.857143) < 1e-6)
+    assert(out.getAs[Double]("risk_ratio") == 3.0)
+    assert(out.getAs[Double]("or_lo") < 3.857143 &&
+      out.getAs[Double]("or_hi") > 3.857143)
+    val zero = (Seq.fill(3)(("a", true)) ++ Seq.fill(2)(("b", false)))
+      .toDF("cohort", "y")
+    val zr = Experiments.oddsRatio(zero, "cohort", "y").collect()(0)
+    assert(zr.isNullAt(zr.fieldIndex("odds_ratio")))
+    assert(zr.isNullAt(zr.fieldIndex("risk_ratio")))
+  }
+
   test("transitionMatrix: lag pairing and row normalization") {
     import spark.implicits._
     val df = Seq(("u1", 1L, "a"), ("u1", 2L, "b"), ("u1", 3L, "a"),
