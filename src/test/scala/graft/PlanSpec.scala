@@ -29,6 +29,34 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def physicalPlan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("q_basket_lift: top-k by lift is a TakeOrdered, pair join keyed on basket") {
+    val plan = physicalPlan("q_basket_lift")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
+  test("q_rare_collapse: keep-list joins by broadcast, rows never shuffle for the rewrite") {
+    val plan = physicalPlan("q_rare_collapse")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("q_negative_sample: index join is hash-keyed, no cartesian") {
+    val plan = physicalPlan("q_negative_sample")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
+  test("q_lift and q_qini bucket without a global row sort") {
+    for (q <- Seq("q_lift", "q_qini")) {
+      val plan = physicalPlan(q)
+      // the only Sort allowed is inside the <= k-row cumulative window
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(400)}")
+      assert(!plan.contains("rangepartitioning(bucket"),
+        s"$q: ${plan.take(400)}")
+    }
+  }
+
   test("q_topk plans as TakeOrderedAndProject, not a global sort") {
     val plan = physicalPlan("q_topk")
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
