@@ -2568,6 +2568,22 @@ object SparkEntry {
             .as("len")),
         Seq("lang"), "source", "len")
         .orderBy("lang")),
+    "q_levene" -> ((s, dir) =>
+      // Brown-Forsythe variance homogeneity across return flags:
+      // median-centered |z| ANOVA — the assumption check q_anova leans
+      // on; p rides the operator (unit-pinned), oracle replays F
+      StatTests.brownForsythe(
+        li(s, dir).where(F.col("l_orderkey") < 100000),
+        "l_returnflag", "l_extendedprice")
+        .select(F.col("f_stat"), F.col("df1"), F.col("df2"),
+          F.col("ss_between"), F.col("ss_within"), F.col("n"))),
+    "q_jarque_bera" -> ((s, dir) =>
+      // Jarque-Bera normality per line status on quantity: one raw-
+      // moment aggregation, dof-2 survival is closed-form exp(-JB/2)
+      StatTests.jarqueBeraByGroup(
+        li(s, dir).where(F.col("l_orderkey") < 100000),
+        Seq("l_linestatus"), "l_quantity")
+        .orderBy("l_linestatus")),
     "q_trend_test" -> ((s, dir) =>
       // Cochran-Armitage: is the returned-rate monotone in the
       // discount tier? one (score) cell aggregation + closed-form z
@@ -6955,6 +6971,53 @@ object SparkEntry {
         |  CAST(count(DISTINCT a) AS BIGINT) AS n_a,
         |  CAST(count(DISTINCT b) AS BIGINT) AS n_b
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_levene" ->
+      """WITH base AS (SELECT l_returnflag AS f,
+        |    CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+        |  WHERE l_orderkey < 100000 AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        |    AND l_returnflag IS NOT NULL),
+        |med AS (SELECT f, quantile_cont(x, 0.5) AS m FROM base
+        |  GROUP BY f),
+        |zt AS (SELECT base.f, abs(x - m) AS z FROM base
+        |  JOIN med USING (f)),
+        |cells AS (SELECT f, CAST(count(*) AS BIGINT) AS cn,
+        |    sum(z) AS s, sum(z * z) AS ssq FROM zt GROUP BY f),
+        |agg AS (SELECT CAST(sum(cn) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k, sum(s) AS st,
+        |    sum(s * s / cn) AS a, sum(ssq) AS t FROM cells)
+        |SELECT round(((a - st * st / n) / (k - 1))
+        |    / ((t - a) / (n - k)), 6) AS f_stat,
+        |  k - 1 AS df1, n - k AS df2,
+        |  round(a - st * st / n, 6) AS ss_between,
+        |  round(t - a, 6) AS ss_within, n
+        |FROM agg WHERE k >= 2 AND n > k AND (t - a) > 0""".stripMargin,
+    "q_jarque_bera" ->
+      """WITH base AS (SELECT l_linestatus AS g,
+        |    CAST(l_quantity AS DOUBLE) AS x FROM lineitem
+        |  WHERE l_orderkey < 100000 AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))),
+        |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n, sum(x) AS s1,
+        |    sum(x * x) AS s2, sum(x * x * x) AS s3,
+        |    sum(x * x * x * x) AS s4 FROM base GROUP BY g),
+        |m AS (SELECT g, n, s1 / CAST(n AS DOUBLE) AS mu,
+        |    s2 / CAST(n AS DOUBLE) AS r2, s3 / CAST(n AS DOUBLE) AS r3,
+        |    s4 / CAST(n AS DOUBLE) AS r4 FROM a),
+        |c AS (SELECT g, n,
+        |    r2 - mu * mu AS m2,
+        |    r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+        |    r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+        |      - 3.0 * mu * mu * mu * mu AS m4 FROM m),
+        |k AS (SELECT g, n, m3 / pow(m2, 1.5) AS sk,
+        |    m4 / (m2 * m2) - 3.0 AS ek FROM c
+        |  WHERE m2 > 0 AND n >= 4),
+        |j AS (SELECT g, n, round(sk, 6) AS skewness,
+        |    round(ek, 6) AS kurtosis_ex,
+        |    round(CAST(n AS DOUBLE) / 6.0
+        |      * (sk * sk + ek * ek / 4.0), 6) AS jb FROM k)
+        |SELECT g AS l_linestatus, n, skewness, kurtosis_ex, jb,
+        |  round(exp(-jb / 2.0), 6) AS p_value
+        |FROM j ORDER BY l_linestatus""".stripMargin,
     "q_trend_test" ->
       s"""WITH base AS (SELECT CAST(l_discount AS DOUBLE) AS w,
         |    (l_returnflag = 'R') AS y FROM lineitem

@@ -596,6 +596,79 @@ object StatTests {
     } finally sorted.unpersist(blocking = false)
   }
 
+  /** Brown–Forsythe test for equal variances across factor levels —
+    * the assumption check [[anovaByGroup]] silently leans on, and the
+    * robust (median-centered) form of Levene's test: F of the one-way
+    * ANOVA on z = |x − median(level)|. Per-level medians come from the
+    * exact interpolated percentile (one aggregation, level-sized
+    * broadcast back); the ANOVA fold reuses [[anovaByGroup]]'s
+    * sufficient-statistic algebra.
+    *
+    * @return one row: (f_stat, df1, df2, ss_between, ss_within,
+    *         p_value, n) */
+  def brownForsythe(df: DataFrame, factorCol: String,
+                    valueCol: String): DataFrame = {
+    val v = F.col(valueCol).cast("double")
+    val clean = df
+      .where(v.isNotNull && !F.isnan(v) && F.col(factorCol).isNotNull)
+      .select(F.col(factorCol).cast("string").as("__f"), v.as("__x"))
+    val med = clean.groupBy("__f")
+      .agg(F.percentile(F.col("__x"), F.lit(0.5)).as("__med"))
+    val z = clean.join(F.broadcast(med), Seq("__f"))
+      .select(F.lit("all").as("scope"), F.col("__f"),
+        F.abs(F.col("__x") - F.col("__med")).as("__z"))
+    anovaByGroup(z, Seq("scope"), "__f", "__z").drop("scope")
+  }
+
+  /** Jarque–Bera normality test per group — "which segments' residuals
+    * are NOT Gaussian" (the routing check before anything that assumes
+    * normal tails):
+    *
+    *   JB = n/6 · (skew² + excess_kurtosis²/4)  ~  χ²₂,
+    *   p  = exp(−JB/2)   (the dof-2 survival, closed form)
+    *
+    * from ONE raw-moment aggregation (Σx..Σx⁴) with the central-moment
+    * algebra written explicitly so an external engine replays it
+    * bit-for-bit — including the p, which needs no special function at
+    * dof 2. Zero-variance groups are omitted.
+    *
+    * @return one row per group: (groupCols..., n, skewness,
+    *         kurtosis_ex, jb, p_value), floats rounded to 6, p at the
+    *         6-rounded JB */
+  def jarqueBeraByGroup(df: DataFrame, groupCols: Seq[String],
+                        valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val v = F.col(valueCol).cast("double")
+    val agged = df
+      .where(v.isNotNull && !F.isnan(v))
+      .groupBy(groupCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("n"), F.sum(v).as("__s1"),
+        F.sum(v * v).as("__s2"), F.sum(v * v * v).as("__s3"),
+        F.sum(v * v * v * v).as("__s4"))
+    val nD = F.col("n").cast("double")
+    val mu = F.col("__s1") / nD
+    val m2 = F.col("__s2") / nD - mu * mu
+    val m3 = F.col("__s3") / nD - F.lit(3.0) * mu * (F.col("__s2") / nD) +
+      F.lit(2.0) * mu * mu * mu
+    val m4 = F.col("__s4") / nD - F.lit(4.0) * mu * (F.col("__s3") / nD) +
+      F.lit(6.0) * mu * mu * (F.col("__s2") / nD) -
+      F.lit(3.0) * mu * mu * mu * mu
+    val skew = m3 / F.pow(m2, 1.5)
+    val exk = m4 / (m2 * m2) - F.lit(3.0)
+    agged
+      .withColumn("__m2", m2)
+      .where(F.col("__m2") > 0.0 && F.col("n") >= 4L)
+      .withColumn("skewness", F.round(skew, 6))
+      .withColumn("kurtosis_ex", F.round(exk, 6))
+      .withColumn("jb", F.round(nD / 6.0 *
+        (skew * skew + exk * exk / 4.0), 6))
+      .withColumn("p_value",
+        F.round(F.exp(-F.col("jb") / 2.0), 6))
+      .select(groupCols.map(F.col) ++ Seq(F.col("n"),
+        F.col("skewness"), F.col("kurtosis_ex"), F.col("jb"),
+        F.col("p_value")): _*)
+  }
+
   /** Cochran–Armitage trend test: is a success rate MONOTONE in an
     * ordered exposure ("does conversion rise with discount tier") —
     * the dose-response test that a plain χ² dilutes (χ² sees any

@@ -766,6 +766,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains("flat"))
   }
 
+  test("brownForsythe: variance gap F on median-centered deviations") {
+    import spark.implicits._
+    val df = (Seq(0.0, 1.0, 2.0, 3.0).map(("g1", _)) ++
+      Seq(0.0, 10.0, 20.0, 30.0).map(("g2", _))).toDF("f", "x")
+    val out = StatTests.brownForsythe(df, "f", "x").collect()(0)
+    // z cells: g1 {1.5,.5,.5,1.5}, g2 {15,5,5,15} -> F = 162/(101/6)
+    assert(math.abs(out.getAs[Double]("f_stat") - 9.623762) < 1e-6)
+    assert(out.getAs[Long]("df1") == 1L)
+    assert(out.getAs[Long]("df2") == 6L)
+  }
+
+  test("jarqueBeraByGroup: exact moment algebra on a hand sample") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0, 4.0).map(("g", _)).toDF("g", "x")
+    val out = StatTests.jarqueBeraByGroup(df, Seq("g"), "x").collect()(0)
+    // mu 2.5, m2 1.25, m3 0, m4 2.5625 -> skew 0, exk -1.36
+    assert(out.getAs[Double]("skewness") == 0.0)
+    assert(math.abs(out.getAs[Double]("kurtosis_ex") + 1.36) < 1e-9)
+    val jb = 4.0 / 6.0 * (0.0 + 1.36 * 1.36 / 4.0)
+    assert(math.abs(out.getAs[Double]("jb") -
+      math.rint(jb * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(out.getAs[Double]("p_value") -
+      math.rint(math.exp(-out.getAs[Double]("jb") / 2.0) * 1e6) / 1e6)
+      < 1e-9)
+  }
+
   test("cochranArmitage: monotone dose-response z, hand formula") {
     import spark.implicits._
     val df = (Seq.fill(4)((0.0, false)) ++
