@@ -2568,6 +2568,13 @@ object SparkEntry {
             .as("len")),
         Seq("lang"), "source", "len")
         .orderBy("lang")),
+    "q_dunn" -> ((s, dir) =>
+      // nonparametric post-hoc: Dunn's pairwise z on pooled midranks
+      // (prefix-sum construction, no global window), BH across pairs
+      StatTests.dunnTest(
+        li(s, dir).where(F.col("l_orderkey") < 100000),
+        "l_returnflag", "l_quantity")
+        .orderBy("group_a", "group_b")),
     "q_levene" -> ((s, dir) =>
       // Brown-Forsythe variance homogeneity across return flags:
       // median-centered |z| ANOVA — the assumption check q_anova leans
@@ -6971,6 +6978,56 @@ object SparkEntry {
         |  CAST(count(DISTINCT a) AS BIGINT) AS n_a,
         |  CAST(count(DISTINCT b) AS BIGINT) AS n_b
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_dunn" ->
+      s"""WITH base AS (SELECT l_returnflag AS l,
+        |    CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+        |  WHERE l_orderkey < 100000 AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND l_returnflag IS NOT NULL),
+        |cells AS (SELECT v, l, CAST(count(*) AS BIGINT) AS cl
+        |  FROM base GROUP BY v, l),
+        |rk AS (SELECT *,
+        |    CAST(sum(cl) OVER (PARTITION BY v) AS BIGINT) AS ct,
+        |    CAST(sum(cl) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM cells),
+        |m AS (SELECT l, cl,
+        |    (cum - ct + 1) + (ct - 1) / 2.0 AS mid FROM rk),
+        |tt AS (SELECT v, CAST(sum(cl) AS BIGINT) AS ct FROM cells
+        |  GROUP BY v),
+        |ties AS (SELECT coalesce(sum(CAST(ct AS DOUBLE) * ct * ct
+        |      - ct), 0.0) AS ts,
+        |    CAST(sum(ct) AS BIGINT) AS n FROM tt),
+        |sg AS (SELECT CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+        |    / 12.0 - ts / (12.0 * (CAST(n AS DOUBLE) - 1.0)) AS sigma2
+        |  FROM ties),
+        |lv AS (SELECT l, CAST(sum(cl) AS BIGINT) AS nl,
+        |    sum(cl * mid) AS rl FROM m GROUP BY l),
+        |p0 AS (SELECT a.l AS group_a, b.l AS group_b, a.nl AS n_a,
+        |    b.nl AS n_b, a.rl AS ra, b.rl AS rb, sg.sigma2
+        |  FROM lv a JOIN lv b ON a.l < b.l, sg WHERE sg.sigma2 > 0),
+        |zt AS (SELECT group_a, group_b, n_a, n_b,
+        |    round(ra / n_a, 6) AS mean_rank_a,
+        |    round(rb / n_b, 6) AS mean_rank_b,
+        |    round((ra / n_a - rb / n_b) / sqrt(sigma2
+        |      * (1.0 / n_a + 1.0 / n_b)), 6) AS z FROM p0),
+        |ye AS (SELECT *, abs(z) / sqrt(2.0) AS y FROM zt),
+        |pv AS (SELECT group_a, group_b, n_a, n_b, mean_rank_a,
+        |    mean_rank_b, z,
+        |    round_even(${codyErfcSql("y")} * 1000000.0, 0) / 1000000.0
+        |      AS p_value FROM ye),
+        |f AS (SELECT *,
+        |    CAST(count(*) OVER (ORDER BY p_value RANGE BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS bh_rank,
+        |    CAST(count(*) OVER () AS BIGINT) AS m FROM pv),
+        |q AS (SELECT *, least(1.0,
+        |    min(CAST(m AS DOUBLE) * p_value / bh_rank)
+        |      OVER (ORDER BY p_value ROWS BETWEEN CURRENT ROW
+        |        AND UNBOUNDED FOLLOWING)) AS qv FROM f)
+        |SELECT group_a, group_b, n_a, n_b, mean_rank_a, mean_rank_b,
+        |  z, p_value, bh_rank, round(qv, 9) AS q_value,
+        |  qv <= 0.05 AS reject
+        |FROM q ORDER BY group_a, group_b""".stripMargin,
     "q_levene" ->
       """WITH base AS (SELECT l_returnflag AS f,
         |    CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem

@@ -514,6 +514,74 @@ object StatTests {
         F.col("p_value"), F.col("n")): _*)
   }
 
+  /** Dunn's test — the nonparametric post-hoc pairwise step after
+    * [[kruskalWallisByGroup]] says "some level differs" (and the
+    * rank-based twin of [[pairwiseContrasts]]): for every level pair,
+    *
+    *   z = (R̄_a − R̄_b) / √(σ²·(1/n_a + 1/n_b)),
+    *   σ² = N(N+1)/12 − Σ(t³−t)/(12(N−1))
+    *
+    * over POOLED midranks with the standard tie correction, BH-adjusted
+    * across all pairs via [[bhAdjust]]. Pooled midranks come from the
+    * [[Ranks.minRanks]] prefix-sum + a per-value total join (midrank =
+    * minrank + (t−1)/2) — NO global window, unlike the textbook
+    * construction, so the ranking step scales like every other rank op
+    * here. The pair join runs on the k-row levels table.
+    *
+    * @return one row per level pair: (group_a, group_b, n_a, n_b,
+    *         mean_rank_a, mean_rank_b, z, p_value, bh_rank, q_value,
+    *         reject) — ranks/z rounded to 6, p at the 6-rounded z */
+  def dunnTest(df: DataFrame, factorCol: String, valueCol: String,
+               alpha: Double = 0.05): DataFrame = {
+    val v = F.col(valueCol).cast("double")
+    val base = df
+      .where(v.isNotNull && !F.isnan(v) && F.col(factorCol).isNotNull)
+      .select(F.col(factorCol).cast("string").as("__l"), v.as("__v"))
+    val vcells = base.groupBy("__v", "__l")
+      .agg(F.count(F.lit(1)).as("__cl"))
+    val totals = vcells.groupBy("__v").agg(F.sum("__cl").as("__ct"))
+    val (n, ranks0) = Ranks.minRanksWithN(base.select("__v"), "__v",
+      "__rk")
+    require(n >= 2L, "need at least 2 valid rows")
+    val mids = ranks0.withColumnRenamed("__v", "__mv")
+      .join(totals, F.col("__mv") === F.col("__v"))
+      .select(F.col("__mv"),
+        (F.col("__rk") + (F.col("__ct") - 1L).cast("double") / 2.0)
+          .as("__mid"),
+        F.col("__ct"))
+    val tieSum = mids.agg(F.coalesce(F.sum(
+      F.col("__ct").cast("double") * F.col("__ct") * F.col("__ct") -
+        F.col("__ct")), F.lit(0.0))).head().getDouble(0)
+    val nD = n.toDouble
+    val sigma2 = nD * (nD + 1.0) / 12.0 - tieSum / (12.0 * (nD - 1.0))
+    val byLevel = vcells
+      .join(mids, F.col("__v") === F.col("__mv"))
+      .groupBy("__l")
+      .agg(F.sum("__cl").as("__nl"),
+        F.sum(F.col("__cl") * F.col("__mid")).as("__rl"))
+      .localCheckpoint(true)
+    val l = byLevel.select(F.col("__l").as("group_a"),
+      F.col("__nl").as("n_a"), F.col("__rl").as("__ra"))
+    val r = byLevel.select(F.col("__l").as("group_b"),
+      F.col("__nl").as("n_b"), F.col("__rl").as("__rb"))
+    val pUdf = F.udf((z: Double) => math.rint(SpecialMath.erfc(
+      math.abs(z) / math.sqrt(2.0)) * 1e6) / 1e6)
+    val mra = F.col("__ra") / F.col("n_a")
+    val mrb = F.col("__rb") / F.col("n_b")
+    val se = F.sqrt(F.lit(sigma2) *
+      (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b")))
+    val pairs = l.join(F.broadcast(r),
+      F.col("group_a") < F.col("group_b"))
+      .where(F.lit(sigma2) > 0.0)
+      .withColumn("z", F.round((mra - mrb) / se, 6))
+      .withColumn("p_value", pUdf(F.col("z")))
+      .withColumn("mean_rank_a", F.round(mra, 6))
+      .withColumn("mean_rank_b", F.round(mrb, 6))
+    bhAdjust(pairs, "p_value", alpha)
+      .select("group_a", "group_b", "n_a", "n_b", "mean_rank_a",
+        "mean_rank_b", "z", "p_value", "bh_rank", "q_value", "reject")
+  }
+
   /** Benjamini–Hochberg FDR adjustment: q_i = min(1, min_{j≥i} m·p_(j)/j)
     * over the sorted p-values, with ties taking the LARGEST rank of
     * their block (the standard step-up procedure — the right-to-left

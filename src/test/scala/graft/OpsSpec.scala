@@ -766,6 +766,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains("flat"))
   }
 
+  test("dunnTest: pooled midranks, pairwise z, tie-free hand case") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0),
+      ("c", 5.0), ("c", 6.0)).toDF("l", "v")
+    val out = StatTests.dunnTest(df, "l", "v")
+      .collect().map(r => (r.getAs[String]("group_a"),
+        r.getAs[String]("group_b")) -> r).toMap
+    assert(out.size == 3)
+    // sigma2 = 6*7/12 = 3.5; mean ranks 1.5, 3.5, 5.5
+    assert(out(("a", "b")).getAs[Double]("mean_rank_a") == 1.5)
+    assert(out(("a", "b")).getAs[Double]("mean_rank_b") == 3.5)
+    val z = -2.0 / math.sqrt(3.5 * 1.0)
+    assert(math.abs(out(("a", "b")).getAs[Double]("z") -
+      math.rint(z * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(out(("a", "c")).getAs[Double]("z") -
+      math.rint(2.0 * z * 1e6) / 1e6) < 1e-9)
+  }
+
   test("brownForsythe: variance gap F on median-centered deviations") {
     import spark.implicits._
     val df = (Seq(0.0, 1.0, 2.0, 3.0).map(("g1", _)) ++
