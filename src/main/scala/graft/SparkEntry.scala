@@ -2568,6 +2568,25 @@ object SparkEntry {
             .as("len")),
         Seq("lang"), "source", "len")
         .orderBy("lang")),
+    "q_competing_risks" -> ((s, dir) =>
+      // Aalen-Johansen cumulative incidence: returned (cause 1) vs
+      // damaged-proxy (cause 2) competing over quantity-as-duration —
+      // 1−KM per cause would overstate both; S(t-) rides the all-cause
+      // frame, increments join on (group, time)
+      Survival.cumulativeIncidence(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select(F.col("l_linestatus"), F.col("l_quantity"),
+            F.when(F.col("l_returnflag") === "R", 1L)
+              .when(F.col("l_returnflag") === "A", 2L).otherwise(0L)
+              .as("cause")),
+        "l_quantity", "cause", Seq("l_linestatus"))
+        .orderBy("l_linestatus", "cause", "t")),
+    "q_rfm" -> ((s, dir) =>
+      // RFM segmentation: one user aggregation + three tie-stable
+      // prefix-sum bucketings; monetary pre-rounded so sum noise can't
+      // flip a near-tie across a bucket edge
+      Cohorts.rfm(events(s, dir), "user_id", "ts", "value", k = 5)
+        .orderBy("user_id")),
     "q_dunn" -> ((s, dir) =>
       // nonparametric post-hoc: Dunn's pairwise z on pooled midranks
       // (prefix-sum construction, no global window), BH across pairs
@@ -6978,6 +6997,61 @@ object SparkEntry {
         |  CAST(count(DISTINCT a) AS BIGINT) AS n_a,
         |  CAST(count(DISTINCT b) AS BIGINT) AS n_b
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_competing_risks" ->
+      """WITH base AS (SELECT l_linestatus AS g,
+        |    CAST(l_quantity AS DOUBLE) AS t,
+        |    CASE l_returnflag WHEN 'R' THEN 1 WHEN 'A' THEN 2
+        |      ELSE 0 END AS cz FROM lineitem
+        |  WHERE l_orderkey < 100000 AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND CAST(l_quantity AS DOUBLE) >= 0
+        |    AND l_returnflag IS NOT NULL),
+        |cells AS (SELECT g, t, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN cz > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d FROM base GROUP BY g, t),
+        |w AS (SELECT *,
+        |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT)
+        |      - CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS BIGINT) AS nr FROM cells),
+        |s AS (SELECT *, exp(coalesce(
+        |    sum(CASE WHEN d = nr THEN 0.0
+        |      ELSE ln(1.0 - CAST(d AS DOUBLE) / nr) END)
+        |      OVER (PARTITION BY g ORDER BY t ROWS BETWEEN UNBOUNDED
+        |        PRECEDING AND 1 PRECEDING), 0.0)) AS sprev FROM w),
+        |cc AS (SELECT g, t, CAST(cz AS BIGINT) AS cause,
+        |    CAST(count(*) AS BIGINT) AS dc FROM base WHERE cz > 0
+        |  GROUP BY g, t, cz)
+        |SELECT cc.g AS l_linestatus, cause, cc.t, s.nr AS n_risk,
+        |  dc AS n_event_cause,
+        |  round(sum(s.sprev * dc / s.nr)
+        |    OVER (PARTITION BY cc.g, cause ORDER BY cc.t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |    AS cif
+        |FROM cc JOIN s ON cc.g = s.g AND cc.t = s.t
+        |ORDER BY l_linestatus, cause, cc.t""".stripMargin,
+    "q_rfm" ->
+      """WITH per AS (SELECT user_id,
+        |    CAST(max(epoch_ns(ts)) AS BIGINT) AS recency_ts,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    round(sum(CAST(value AS DOUBLE)), 6) AS monetary
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)
+        |  GROUP BY user_id),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+        |rk AS (SELECT *, rank() OVER (ORDER BY recency_ts) AS rkr,
+        |    rank() OVER (ORDER BY frequency) AS rkf,
+        |    rank() OVER (ORDER BY monetary) AS rkm FROM per),
+        |b AS (SELECT user_id, recency_ts, frequency, monetary,
+        |    CAST(floor((CAST(rkr AS DOUBLE) - 1) * 5 / nn.n) + 1
+        |      AS BIGINT) AS r,
+        |    CAST(floor((CAST(rkf AS DOUBLE) - 1) * 5 / nn.n) + 1
+        |      AS BIGINT) AS f,
+        |    CAST(floor((CAST(rkm AS DOUBLE) - 1) * 5 / nn.n) + 1
+        |      AS BIGINT) AS m FROM rk, nn)
+        |SELECT user_id, recency_ts, frequency, monetary, r, f, m,
+        |  r * 100 + f * 10 + m AS rfm_code
+        |FROM b ORDER BY user_id""".stripMargin,
     "q_dunn" ->
       s"""WITH base AS (SELECT l_returnflag AS l,
         |    CAST(l_quantity AS DOUBLE) AS v FROM lineitem

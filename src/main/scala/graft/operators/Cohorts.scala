@@ -169,6 +169,39 @@ object Cohorts {
       .select("step_idx", "step", "users", "rate_vs_first", "rate_vs_prev")
   }
 
+  /** RFM segmentation: per user the classic Recency (latest activity
+    * time), Frequency (event count), Monetary (value sum) triple, each
+    * scored 1..k by the tie-stable [[Ranks.quantileBuckets]] (same
+    * value → same bucket, no NTILE arbitrariness; higher score =
+    * more recent / more frequent / higher value), composed into the
+    * conventional 3-digit segment code. Monetary is rounded to 6
+    * BEFORE bucketing so distributed-sum last-ULP noise cannot flip a
+    * near-tie across a bucket edge. One user aggregation + three
+    * prefix-sum rank constructions — no global windows.
+    *
+    * @param tsCol numeric event time (epoch nanos per this repo's ts
+    *              contract)
+    * @return one row per user: (userCol, recency_ts, frequency,
+    *         monetary, r, f, m, rfm_code) */
+  def rfm(df: DataFrame, userCol: String, tsCol: String,
+          valueCol: String, k: Int = 5): DataFrame = {
+    require(k >= 2 && k <= 9, "k must be in [2, 9]")
+    val v = F.col(valueCol).cast("double")
+    val per = df
+      .where(F.col(userCol).isNotNull && F.col(tsCol).isNotNull &&
+        v.isNotNull && !F.isnan(v))
+      .groupBy(F.col(userCol))
+      .agg(F.max(F.col(tsCol).cast("long")).as("recency_ts"),
+        F.count(F.lit(1)).as("frequency"),
+        F.round(F.sum(v), 6).as("monetary"))
+    val scored = Seq(("recency_ts", "r"), ("frequency", "f"),
+      ("monetary", "m")).foldLeft(per) { case (acc, (col, out)) =>
+      Ranks.quantileBuckets(acc, col, k, out)
+    }
+    scored.withColumn("rfm_code",
+      F.col("r") * 100L + F.col("f") * 10L + F.col("m"))
+  }
+
   /** First-order Markov transition matrix of per-key event sequences:
     * for consecutive events of the same key (ordered by tsCol +
     * tie-breakers), the count and row-normalized probability of each

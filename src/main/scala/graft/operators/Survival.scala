@@ -124,6 +124,68 @@ object Survival {
         band(-1.0).as("ci_hi")): _*)
   }
 
+  /** Aalen–Johansen cumulative incidence under COMPETING RISKS: when a
+    * subject can fail from multiple causes (churn vs upgrade, returned
+    * vs damaged), 1 − KM per cause OVERSTATES every cause's risk
+    * (treating other causes as censoring pretends those subjects could
+    * still fail). The correct estimator:
+    *
+    *   CIF_c(t) = Σ_{t' ≤ t} S(t'⁻) · d_c(t')/n(t'),
+    *
+    * with S(t⁻) the all-cause KM just before t. Same scale shape as
+    * [[kmByGroup]]: ONE (group, time) aggregation for the all-cause
+    * frame + ONE (group, time, cause) aggregation for the increments,
+    * joined on (group, time), per-group/cause windows over the cells.
+    * At each group's largest event time Σ_c CIF_c = 1 − S(t) exactly.
+    *
+    * @param causeCol integral: 0 = censored, ≥ 1 = failure cause
+    * @return one row per (group, cause, event time): (groupCols...,
+    *         cause, t, n_risk, n_event_cause, cif rounded 6) */
+  def cumulativeIncidence(df: DataFrame, durationCol: String,
+                          causeCol: String,
+                          groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(!groupCols.exists(_.startsWith("__")),
+      "group columns must not use the __ internal prefix")
+    val gCols = groupCols.map(F.col)
+    val t = F.col(durationCol).cast("double")
+    val cause = F.col(causeCol).cast("long")
+    val base = df
+      .where(t.isNotNull && !F.isnan(t) && t >= 0.0 && cause.isNotNull)
+      .select(gCols :+ t.as("__t") :+ cause.as("__cause"): _*)
+    val cells = base.groupBy(gCols :+ F.col("__t"): _*)
+      .agg(F.count(F.lit(1)).as("__c"),
+        F.sum(F.when(F.col("__cause") > 0L, 1L).otherwise(0L)).as("__d"))
+    val wg = Window.partitionBy(gCols: _*)
+    val wPrev = Window.partitionBy(gCols: _*).orderBy("__t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // d = n_risk only at a group's FINAL time, so the guarded ln never
+    // enters the exclusive frame of an existing later row (kmByGroup's
+    // argument)
+    val dOverN = F.col("__d").cast("double") / F.col("__nr")
+    val lnTerm = F.when(F.col("__d") === F.col("__nr"), F.lit(0.0))
+      .otherwise(F.log(F.lit(1.0) - dOverN))
+    val tFrame = cells
+      .withColumn("__nr", F.sum("__c").over(wg) -
+        F.coalesce(F.sum("__c").over(wPrev), F.lit(0L)))
+      .withColumn("__sprev",
+        F.exp(F.coalesce(F.sum(lnTerm).over(wPrev), F.lit(0.0))))
+    val causeCells = base.where(F.col("__cause") > 0L)
+      .groupBy(gCols :+ F.col("__t") :+
+        F.col("__cause").as("cause"): _*)
+      .agg(F.count(F.lit(1)).as("__dc"))
+    val wCum = Window.partitionBy(gCols :+ F.col("cause"): _*)
+      .orderBy("__t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    causeCells
+      .join(tFrame, groupCols :+ "__t")
+      .withColumn("cif", F.round(F.sum(
+        F.col("__sprev") * F.col("__dc") / F.col("__nr")).over(wCum), 6))
+      .select(gCols ++ Seq(F.col("cause"), F.col("__t").as("t"),
+        F.col("__nr").as("n_risk"), F.col("__dc").as("n_event_cause"),
+        F.col("cif")): _*)
+  }
+
   /** Actuarial life table per group: durations bucketed into fixed
     * intervals of `width`, with the classic actuarial censoring
     * adjustment — subjects censored WITHIN an interval count as exposed

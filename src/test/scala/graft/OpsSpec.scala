@@ -766,6 +766,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains("flat"))
   }
 
+  test("cumulativeIncidence: hand Aalen-Johansen, sums to 1 - S") {
+    import spark.implicits._
+    val df = Seq((1.0, 1L), (2.0, 2L), (3.0, 0L), (4.0, 1L))
+      .toDF("t", "cause").withColumn("g", F.lit("g"))
+    val out = Survival.cumulativeIncidence(df, "t", "cause", Seq("g"))
+      .collect().map(r => (r.getAs[Long]("cause"),
+        r.getAs[Double]("t")) -> r).toMap
+    assert(out((1L, 1.0)).getAs[Double]("cif") == 0.25)
+    assert(out((2L, 2.0)).getAs[Double]("cif") == 0.25)
+    // S(4-) = 0.75 * 2/3 = 0.5 -> CIF_1(4) = 0.25 + 0.5 = 0.75
+    assert(out((1L, 4.0)).getAs[Double]("cif") == 0.75)
+    assert(out((1L, 1.0)).getAs[Long]("n_risk") == 4L)
+    assert(out.size == 3)
+  }
+
+  test("rfm: tie-stable triple bucketing and segment code") {
+    import spark.implicits._
+    val df = (Seq(("u1", 10L, 1.0)) ++
+      Seq(("u2", 5L, 1.0), ("u2", 20L, 1.0)) ++
+      (1 to 3).map(i => ("u3", 30L - i, 1.0)) ++
+      (1 to 4).map(i => ("u4", 40L - i, 1.0))).toDF("u", "ts", "v")
+    val out = operators.Cohorts.rfm(df, "u", "ts", "v", k = 2)
+      .collect().map(r => r.getAs[String]("u") -> r).toMap
+    assert(out("u1").getAs[Long]("rfm_code") == 111L)
+    assert(out("u4").getAs[Long]("rfm_code") == 222L)
+    assert(out("u2").getAs[Long]("frequency") == 2L)
+    assert(out("u2").getAs[Double]("monetary") == 2.0)
+    assert(out("u2").getAs[Long]("recency_ts") == 20L)
+  }
+
   test("dunnTest: pooled midranks, pairwise z, tie-free hand case") {
     import spark.implicits._
     val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0),
