@@ -2568,6 +2568,25 @@ object SparkEntry {
             .as("len")),
         Seq("lang"), "source", "len")
         .orderBy("lang")),
+    "q_stratified_ate" -> ((s, dir) =>
+      // Rosenbaum-Rubin stratified ATE: parity "treatment" on price,
+      // stratified on quantity quintiles — per-stratum gaps weighted
+      // by size, one-armed strata excluded and counted
+      Experiments.stratifiedAte(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select((F.col("l_orderkey") % 2 === 0).as("t"),
+            F.col("l_extendedprice").as("y"),
+            F.col("l_quantity").as("score")),
+        "t", "y", "score", k = 5)),
+    "q_power" -> ((s, dir) =>
+      // experiment power readout at the observed state: achieved power
+      // + required n per arm at 80% target — closed-form normal algebra
+      Experiments.powerTwoProportion(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select(F.when(F.col("l_orderkey") % 2 === 0, "a")
+            .otherwise("b").as("cohort"),
+            (F.col("l_returnflag") === "R").as("y")),
+        "cohort", "y")),
     "q_competing_risks" -> ((s, dir) =>
       // Aalen-Johansen cumulative incidence: returned (cause 1) vs
       // damaged-proxy (cause 2) competing over quantity-as-duration —
@@ -6997,6 +7016,82 @@ object SparkEntry {
         |  CAST(count(DISTINCT a) AS BIGINT) AS n_a,
         |  CAST(count(DISTINCT b) AS BIGINT) AS n_b
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_stratified_ate" ->
+      """WITH base AS (SELECT (l_orderkey % 2 = 0) AS t,
+        |    CAST(l_extendedprice AS DOUBLE) AS y,
+        |    CAST(l_quantity AS DOUBLE) AS s FROM lineitem
+        |  WHERE l_orderkey < 100000
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        |    AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        |rk AS (SELECT *, rank() OVER (ORDER BY s) AS rks FROM base),
+        |b AS (SELECT t, y,
+        |    CAST(floor((CAST(rks AS DOUBLE) - 1) * 5 / nn.n) + 1
+        |      AS BIGINT) AS strat FROM rk, nn),
+        |st AS (SELECT strat, CAST(count(*) AS BIGINT) AS ns,
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nc,
+        |    sum(CASE WHEN t THEN y ELSE 0.0 END) AS sy_t,
+        |    sum(CASE WHEN NOT t THEN y ELSE 0.0 END) AS sy_c
+        |  FROM b GROUP BY strat),
+        |naive AS (SELECT
+        |    sum(CASE WHEN t THEN y ELSE 0.0 END)
+        |      / sum(CASE WHEN t THEN 1 ELSE 0 END)
+        |    - sum(CASE WHEN NOT t THEN y ELSE 0.0 END)
+        |      / sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS nd
+        |  FROM base)
+        |SELECT
+        |  round(sum(CASE WHEN nt > 0 AND nc > 0 THEN
+        |      CAST(ns AS DOUBLE) * (sy_t / nt - sy_c / nc) END)
+        |    / CAST(sum(CASE WHEN nt > 0 AND nc > 0 THEN ns END)
+        |      AS DOUBLE), 6) AS ate,
+        |  round(max(naive.nd), 6) AS naive_diff,
+        |  CAST(coalesce(sum(CASE WHEN nt > 0 AND nc > 0 THEN ns END),
+        |    0) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN nt > 0 AND nc > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_strata,
+        |  CAST(coalesce(sum(CASE WHEN NOT (nt > 0 AND nc > 0)
+        |    THEN ns END), 0) AS BIGINT) AS n_excluded
+        |FROM st, naive GROUP BY naive.nd""".stripMargin,
+    "q_power" ->
+      s"""WITH base AS (SELECT
+        |    CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    (l_returnflag = 'R') AS y FROM lineitem
+        |  WHERE l_orderkey < 100000 AND l_returnflag IS NOT NULL),
+        |agged AS (SELECT
+        |    CAST(sum(CASE WHEN g = 'a' AND y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x_a,
+        |    CAST(sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN g = 'b' AND y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x_b,
+        |    CAST(sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b FROM base),
+        |m AS (SELECT *, CAST(x_a AS DOUBLE) / n_a AS pa,
+        |    CAST(x_b AS DOUBLE) / n_b AS pb,
+        |    CAST(x_a + x_b AS DOUBLE) / (n_a + n_b) AS pbar
+        |  FROM agged WHERE n_a > 0 AND n_b > 0),
+        |d AS (SELECT *, abs(pa - pb) AS delta,
+        |    sqrt(pa * (1.0 - pa) / n_a + pb * (1.0 - pb) / n_b) AS se,
+        |    1.959964 * sqrt(2.0 * pbar * (1.0 - pbar))
+        |      + 0.841621 * sqrt(pa * (1.0 - pa) + pb * (1.0 - pb))
+        |      AS nnum FROM m),
+        |zz AS (SELECT *, CASE WHEN se > 0 THEN
+        |    round(delta / se - 1.959964, 6) END AS z FROM d),
+        |ye AS (SELECT *, abs(z) / sqrt(2.0) AS y FROM zz)
+        |SELECT round(pa, 6) AS rate_a, round(pb, 6) AS rate_b,
+        |  round(delta, 6) AS delta, n_a, n_b,
+        |  CASE WHEN z IS NOT NULL THEN round_even(0.5 *
+        |    (CASE WHEN z >= 0 THEN 2.0 - (${codyErfcSql("y")})
+        |      ELSE (${codyErfcSql("y")}) END)
+        |    * 1000000.0, 0) / 1000000.0 END AS power,
+        |  CASE WHEN delta > 0 THEN
+        |    round(nnum * nnum / (delta * delta), 6) END
+        |    AS n_needed_per_arm
+        |FROM ye""".stripMargin,
     "q_competing_risks" ->
       """WITH base AS (SELECT l_linestatus AS g,
         |    CAST(l_quantity AS DOUBLE) AS t,

@@ -90,6 +90,117 @@ object Experiments {
         F.col("rate"), F.col("ci_lo"), F.col("ci_hi")): _*)
   }
 
+  /** Stratified average treatment effect — the observational-data
+    * workhorse: bucket units into k strata of a balancing score
+    * (propensity from [[Regression.logisticIrls]], or any confounder
+    * proxy), estimate the treated-vs-control outcome gap WITHIN each
+    * stratum, and average the gaps weighted by stratum size:
+    *
+    *   ATE = Σ_s (n_s/N) · (ȳ_t(s) − ȳ_c(s))
+    *
+    * — the five-strata classic that removes ~90% of the bias a naive
+    * mean difference carries (Rosenbaum–Rubin). Bucketing is the
+    * tie-stable prefix-sum form; strata missing an arm are excluded
+    * from BOTH the weights and the ATE (reported as n_excluded).
+    *
+    * @return one row: (ate, naive_diff, n, n_strata, n_excluded),
+    *         floats rounded to 6 */
+  def stratifiedAte(df: DataFrame, treatedCol: String,
+                    outcomeCol: String, scoreCol: String,
+                    k: Int = 5): DataFrame = {
+    require(k >= 2, "need at least 2 strata")
+    val t = F.col(treatedCol).cast("boolean")
+    val y = F.col(outcomeCol).cast("double")
+    val s = F.col(scoreCol).cast("double")
+    val base = df
+      .where(t.isNotNull && y.isNotNull && !F.isnan(y) &&
+        s.isNotNull && !F.isnan(s))
+      .select(t.as("__t"), y.as("__y"), s.as("__s"))
+    val bucketed = Ranks.quantileBuckets(base, "__s", k, "__b")
+    val strata = bucketed.groupBy("__b").agg(
+      F.count(F.lit(1)).as("__n"),
+      F.sum(F.when(F.col("__t"), 1L).otherwise(0L)).as("__nt"),
+      F.sum(F.when(!F.col("__t"), 1L).otherwise(0L)).as("__nc"),
+      F.sum(F.when(F.col("__t"), F.col("__y")).otherwise(0.0))
+        .as("__st"),
+      F.sum(F.when(!F.col("__t"), F.col("__y")).otherwise(0.0))
+        .as("__sc"))
+    val ok = F.col("__nt") > 0L && F.col("__nc") > 0L
+    val gap = F.col("__st") / F.col("__nt") -
+      F.col("__sc") / F.col("__nc")
+    val naive = base.agg(
+      (F.sum(F.when(F.col("__t"), F.col("__y")).otherwise(0.0)) /
+        F.sum(F.when(F.col("__t"), 1L).otherwise(0L)) -
+        F.sum(F.when(!F.col("__t"), F.col("__y")).otherwise(0.0)) /
+          F.sum(F.when(!F.col("__t"), 1L).otherwise(0L))).as("__nd"))
+    strata
+      .agg(
+        F.round(F.sum(F.when(ok, F.col("__n").cast("double") * gap)) /
+          F.sum(F.when(ok, F.col("__n"))).cast("double"), 6).as("ate"),
+        F.sum(F.when(ok, F.col("__n")).otherwise(0L)).as("n"),
+        F.sum(F.when(ok, 1L).otherwise(0L)).as("n_strata"),
+        F.coalesce(F.sum(F.when(!ok, F.col("__n"))), F.lit(0L))
+          .as("n_excluded"))
+      .crossJoin(naive)
+      .withColumn("naive_diff", F.round(F.col("__nd"), 6))
+      .select("ate", "naive_diff", "n", "n_strata", "n_excluded")
+  }
+
+  /** Two-proportion power analysis from the OBSERVED experiment state —
+    * the "should we keep running" readout: at the observed rates and
+    * sizes,
+    *
+    *   power    = Φ(δ/se − z_α)          (achieved, two-arm normal),
+    *   n_needed = (z_α·√(2p̄q̄) + z_β·√(p_a·q_a + p_b·q_b))² / δ²
+    *
+    * per arm for the target power at the observed effect δ = |p_a−p_b|.
+    * ONE conditional-count aggregation; all algebra is closed-form
+    * normal with the z constants as literals, so the whole row replays
+    * exactly (Φ via erfc).
+    *
+    * @return one row: (rate_a, rate_b, delta, n_a, n_b, power,
+    *         n_needed_per_arm), floats rounded to 6; null power/
+    *         n_needed when δ = 0 or a rate is degenerate */
+  def powerTwoProportion(df: DataFrame, cohortCol: String,
+                         successCol: String, labelA: String = "a",
+                         labelB: String = "b", zAlpha: Double = 1.959964,
+                         zBeta: Double = 0.841621): DataFrame = {
+    require(labelA != labelB, "cohort labels must differ")
+    val g = F.col(cohortCol).cast("string")
+    val y = F.col(successCol).cast("boolean")
+    val agged = df
+      .where(g.isin(labelA, labelB) && y.isNotNull)
+      .agg(
+        F.sum(F.when(g === labelA && y, 1L).otherwise(0L)).as("x_a"),
+        F.sum(F.when(g === labelA, 1L).otherwise(0L)).as("n_a"),
+        F.sum(F.when(g === labelB && y, 1L).otherwise(0L)).as("x_b"),
+        F.sum(F.when(g === labelB, 1L).otherwise(0L)).as("n_b"))
+    val pa = F.col("x_a").cast("double") / F.col("n_a")
+    val pb = F.col("x_b").cast("double") / F.col("n_b")
+    val delta = F.abs(pa - pb)
+    val pbar = (F.col("x_a") + F.col("x_b")).cast("double") /
+      (F.col("n_a") + F.col("n_b"))
+    val se = F.sqrt(pa * (F.lit(1.0) - pa) / F.col("n_a") +
+      pb * (F.lit(1.0) - pb) / F.col("n_b"))
+    val powUdf = F.udf((z: Double) =>
+      math.rint(0.5 * SpecialMath.erfc(-z / math.sqrt(2.0)) * 1e6) / 1e6)
+    val nNum = F.lit(zAlpha) * F.sqrt(F.lit(2.0) * pbar *
+      (F.lit(1.0) - pbar)) + F.lit(zBeta) *
+      F.sqrt(pa * (F.lit(1.0) - pa) + pb * (F.lit(1.0) - pb))
+    agged
+      .where(F.col("n_a") > 0L && F.col("n_b") > 0L)
+      .withColumn("rate_a", F.round(pa, 6))
+      .withColumn("rate_b", F.round(pb, 6))
+      .withColumn("delta", F.round(delta, 6))
+      .withColumn("__se", se)
+      .withColumn("power", F.when(F.col("__se") > 0.0,
+        powUdf(F.round(delta / F.col("__se") - zAlpha, 6))))
+      .withColumn("n_needed_per_arm", F.when(delta > 0.0,
+        F.round(nNum * nNum / (delta * delta), 6)))
+      .select("rate_a", "rate_b", "delta", "n_a", "n_b", "power",
+        "n_needed_per_arm")
+  }
+
   /** Effect sizes for a 2×2 cohort×outcome table — what the z-test's
     * p-value does NOT say ("significant, but how big?"):
     *

@@ -766,6 +766,48 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains("flat"))
   }
 
+  test("stratifiedAte: removes the confound the naive diff carries") {
+    import spark.implicits._
+    val df = (Seq((true, 1.0, 0.0)) ++ Seq.fill(3)((false, 0.0, 0.0)) ++
+      Seq.fill(3)((true, 3.0, 1.0)) ++ Seq((false, 2.0, 1.0)))
+      .toDF("t", "y", "s")
+    val out = Experiments.stratifiedAte(df, "t", "y", "s", k = 2)
+      .collect()(0)
+    assert(out.getAs[Double]("ate") == 1.0)
+    assert(out.getAs[Double]("naive_diff") == 2.0)
+    assert(out.getAs[Long]("n_strata") == 2L)
+    assert(out.getAs[Long]("n_excluded") == 0L)
+    // one-armed stratum is excluded and counted
+    val oneArm = (Seq((true, 1.0, 0.0), (false, 0.0, 0.0)) ++
+      Seq.fill(2)((true, 5.0, 1.0))).toDF("t", "y", "s")
+    val o = Experiments.stratifiedAte(oneArm, "t", "y", "s", k = 2)
+      .collect()(0)
+    assert(o.getAs[Double]("ate") == 1.0)
+    assert(o.getAs[Long]("n_excluded") == 2L)
+  }
+
+  test("powerTwoProportion: closed-form replication") {
+    import spark.implicits._
+    val df = (Seq.fill(10)(("a", true)) ++ Seq.fill(90)(("a", false)) ++
+      Seq.fill(20)(("b", true)) ++ Seq.fill(80)(("b", false)))
+      .toDF("cohort", "y")
+    val out = Experiments.powerTwoProportion(df, "cohort", "y")
+      .collect()(0)
+    val (pa, pb, pbar) = (0.1, 0.2, 0.15)
+    val delta = 0.1
+    val se = math.sqrt(pa * 0.9 / 100 + pb * 0.8 / 100)
+    val z = math.rint((delta / se - 1.959964) * 1e6) / 1e6
+    val power = math.rint(0.5 * graft.functions.SpecialMath.erfc(
+      -z / math.sqrt(2.0)) * 1e6) / 1e6
+    val nnum = 1.959964 * math.sqrt(2 * pbar * 0.85) +
+      0.841621 * math.sqrt(pa * 0.9 + pb * 0.8)
+    assert(out.getAs[Double]("rate_a") == 0.1)
+    assert(out.getAs[Double]("delta") == 0.1)
+    assert(math.abs(out.getAs[Double]("power") - power) < 1e-9)
+    assert(math.abs(out.getAs[Double]("n_needed_per_arm") -
+      math.rint(nnum * nnum / (delta * delta) * 1e6) / 1e6) < 1e-9)
+  }
+
   test("cumulativeIncidence: hand Aalen-Johansen, sums to 1 - S") {
     import spark.implicits._
     val df = Seq((1.0, 1L), (2.0, 2L), (3.0, 0L), (4.0, 1L))
