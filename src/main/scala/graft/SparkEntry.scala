@@ -2568,6 +2568,18 @@ object SparkEntry {
             .as("len")),
         Seq("lang"), "source", "len")
         .orderBy("lang")),
+    "q_quantile_map" -> ((s, dir) =>
+      // CDF matching: cohort-b prices rewritten onto cohort-a's
+      // distribution — prefix-sum ranks both sides, range-sorted merge
+      // with a broadcast-seeded last-ref carry (as-of without the
+      // single-key window)
+      Ranks.quantileMap(
+        li(s, dir).where(F.col("l_orderkey") < 20000)
+          .select(F.when(F.col("l_orderkey") % 2 === 0, "a")
+            .otherwise("b").as("cohort"),
+            F.col("l_extendedprice")),
+        "cohort", "l_extendedprice", labelSrc = "b", labelRef = "a")
+        .orderBy("value")),
     "q_stratified_ate" -> ((s, dir) =>
       // Rosenbaum-Rubin stratified ATE: parity "treatment" on price,
       // stratified on quantity quintiles — per-stratum gaps weighted
@@ -7016,6 +7028,33 @@ object SparkEntry {
         |  CAST(count(DISTINCT a) AS BIGINT) AS n_a,
         |  CAST(count(DISTINCT b) AS BIGINT) AS n_b
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_quantile_map" ->
+      """WITH base AS (SELECT
+        |    CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        |  WHERE l_orderkey < 20000 AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base
+        |  WHERE g = 'b'),
+        |nr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base
+        |  WHERE g = 'a'),
+        |sc AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM base
+        |  WHERE g = 'b' GROUP BY v),
+        |sr AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1 AS BIGINT)
+        |    AS rk FROM sc),
+        |rc AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM base
+        |  WHERE g = 'a' GROUP BY v),
+        |rr AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1 AS BIGINT)
+        |    AS rk FROM rc),
+        |st AS (SELECT sr.v AS value,
+        |    (CAST(sr.rk AS DOUBLE) - 0.5) / ns.n AS u,
+        |    ceil(((CAST(sr.rk AS DOUBLE) - 0.5) / ns.n) * nr.n) AS t
+        |  FROM sr, ns, nr)
+        |SELECT st.value, st.u, r.v AS mapped
+        |FROM st ASOF JOIN rr r ON st.t >= r.rk
+        |ORDER BY value""".stripMargin,
     "q_stratified_ate" ->
       """WITH base AS (SELECT (l_orderkey % 2 = 0) AS t,
         |    CAST(l_extendedprice AS DOUBLE) AS y,

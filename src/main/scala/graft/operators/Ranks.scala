@@ -277,6 +277,80 @@ object Ranks {
       .select("n", "concordant", "discordant", "tau_b")
   }
 
+  /** Empirical quantile mapping (CDF matching): rewrite cohort SRC's
+    * value scale onto cohort REF's distribution — each distinct src
+    * value v maps to REF's ⌈u·n_R⌉-th order statistic at v's plotting
+    * position u = (rank_S(v) − ½)/n_S. The domain-adaptation /
+    * batch-effect-correction primitive ("make shard B's score
+    * distribution look like shard A's" before thresholds transfer).
+    *
+    * Exact and scale-safe: both rank tables come from the
+    * [[minRanks]] prefix-sum; the order-statistic lookup is a
+    * RANGE-SORTED MERGE of the two distinct-value tables with a
+    * per-partition last-ref-value carry seeded by a broadcast scan
+    * (the as-of pattern without its single-key window) — driver
+    * traffic is O(#partitions), nothing value-sized collects.
+    *
+    * @return the distinct-src-value mapping table: (value, u, mapped)
+    *         — join it back to rewrite rows */
+  def quantileMap(df: DataFrame, cohortCol: String, valueCol: String,
+                  labelSrc: String, labelRef: String): DataFrame = {
+    require(labelSrc != labelRef, "cohort labels must differ")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = F.col(cohortCol).cast("string")
+    val v = F.col(valueCol).cast("double")
+    val clean = df
+      .where(v.isNotNull && !F.isnan(v) && g.isin(labelSrc, labelRef))
+      .select(g.as("__g"), v.as("__v"))
+    val (nS, srcR) = minRanksWithN(
+      clean.where(F.col("__g") === labelSrc).select("__v"), "__v", "__rk")
+    val (nR, refR) = minRanksWithN(
+      clean.where(F.col("__g") === labelRef).select("__v"), "__v", "__rk")
+    require(nS > 0L && nR > 0L, "both cohorts need rows")
+    val srcRows = srcR.select(
+      F.ceil(((F.col("__rk") - 0.5) / nS) * nR).cast("double")
+        .as("__pos"),
+      F.lit(1).as("__side"),
+      F.lit(null).cast("double").as("__refv"),
+      F.col("__v").as("__value"),
+      ((F.col("__rk") - 0.5) / nS).as("__u"))
+    val refRows = refR.select(
+      F.col("__rk").as("__pos"), F.lit(0).as("__side"),
+      F.col("__v").as("__refv"),
+      F.lit(null).cast("double").as("__value"),
+      F.lit(null).cast("double").as("__u"))
+    // ref boundaries sort BEFORE src probes at equal position, so a
+    // probe t matches the ref value whose rank range starts at t
+    val sorted = refRows.unionByName(srcRows)
+      .repartitionByRange(F.col("__pos"), F.col("__side"))
+      .sortWithinPartitions("__pos", "__side")
+      .as[(Double, Int, Option[Double], Option[Double], Option[Double])]
+      .rdd
+    sorted.cache()
+    try {
+      val partLast = sorted.mapPartitionsWithIndex { case (i, it) =>
+        var last: Option[Double] = None
+        it.foreach { r => if (r._2 == 0) last = r._3 }
+        Iterator((i, last))
+      }.collect().sortBy(_._1).map(_._2)
+      val seeds = partLast.scanLeft(Option.empty[Double]) {
+        (acc, cur) => cur.orElse(acc)
+      }
+      val bc = spark.sparkContext.broadcast(seeds)
+      val out = sorted.mapPartitionsWithIndex { case (i, it) =>
+        var carry = bc.value(i)
+        it.flatMap { r =>
+          if (r._2 == 0) { carry = r._3; None }
+          // a ref row with rank 1 precedes every probe, so the carry
+          // is always defined by the time a probe is reached
+          else Some((r._4.get, r._5.get, carry.get))
+        }
+      }.toDF("value", "u", "mapped")
+      out.localCheckpoint(true)
+    } finally sorted.unpersist(blocking = false)
+  }
+
   /** Exact weighted median per group (type-1 / lower): the smallest
     * value whose cumulative weight reaches half the group's total —
     * "the revenue-weighted typical price". Per-(group, value) weight

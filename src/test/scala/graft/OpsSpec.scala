@@ -766,6 +766,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains("flat"))
   }
 
+  test("quantileMap: CDF matching onto the reference order statistics") {
+    import spark.implicits._
+    val df = (Seq(1.0, 2.0, 3.0, 4.0).map(("b", _)) ++
+      Seq(10.0, 20.0).map(("a", _))).toDF("cohort", "v")
+    val out = Ranks.quantileMap(df, "cohort", "v", "b", "a")
+      .orderBy("value").collect()
+    // u = .125/.375/.625/.875 -> t = 1,1,2,2 -> mapped 10,10,20,20
+    assert(out.map(_.getAs[Double]("value")).toSeq ==
+      Seq(1.0, 2.0, 3.0, 4.0))
+    assert(out.map(_.getAs[Double]("mapped")).toSeq ==
+      Seq(10.0, 10.0, 20.0, 20.0))
+    assert(out(0).getAs[Double]("u") == 0.125)
+  }
+
   test("stratifiedAte: removes the confound the naive diff carries") {
     import spark.implicits._
     val df = (Seq((true, 1.0, 0.0)) ++ Seq.fill(3)((false, 0.0, 0.0)) ++
