@@ -2568,6 +2568,28 @@ object SparkEntry {
             .as("len")),
         Seq("lang"), "source", "len")
         .orderBy("lang")),
+    "q_whiten" -> ((s, dir) => {
+      // PCA whitening invariants: unit variance per whitened coord,
+      // zero cross-covariance, zero mean — pinned as oracle constants
+      // (the q_embedding_pca pattern)
+      val m = Pca.fit(emb(s, dir), "embedding")
+      emb(s, dir).select(
+        m.whitenedProjection(F.col("embedding"), 0).as("w1"),
+        m.whitenedProjection(F.col("embedding"), 1).as("w2"))
+        .agg(F.round(F.var_pop(F.col("w1")), 6).as("var_w1"),
+          F.round(F.var_pop(F.col("w2")), 6).as("var_w2"),
+          F.round(F.abs(F.covar_pop(F.col("w1"), F.col("w2"))), 6)
+            .as("cov_w12"),
+          F.round(F.abs(F.avg(F.col("w1"))), 6).as("mean_w1"))
+    }),
+    "q_winsorized" -> ((s, dir) =>
+      // winsorized mean per return flag: the clamp sibling of
+      // q_trimmed_mean — mid-mass clamp + two boundary order
+      // statistics, all exact integer cell algebra
+      Outliers.winsorizedMeanByGroup(
+        li(s, dir).where(F.col("l_orderkey") < 100000),
+        Seq("l_returnflag"), "l_extendedprice", trim = 0.1)
+        .orderBy("l_returnflag")),
     "q_quantile_map" -> ((s, dir) =>
       // CDF matching: cohort-b prices rewritten onto cohort-a's
       // distribution — prefix-sum ranks both sides, range-sorted merge
@@ -7028,6 +7050,33 @@ object SparkEntry {
         |  CAST(count(DISTINCT a) AS BIGINT) AS n_a,
         |  CAST(count(DISTINCT b) AS BIGINT) AS n_b
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_whiten" ->
+      """SELECT CAST(1.0 AS DOUBLE) AS var_w1,
+        |  CAST(1.0 AS DOUBLE) AS var_w2,
+        |  CAST(0.0 AS DOUBLE) AS cov_w12,
+        |  CAST(0.0 AS DOUBLE) AS mean_w1""".stripMargin,
+    "q_winsorized" ->
+      """WITH base AS (SELECT l_returnflag AS g,
+        |    CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        |  WHERE l_orderkey < 100000 AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM base
+        |  GROUP BY g, v),
+        |w AS (SELECT *,
+        |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n,
+        |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM cells),
+        |k AS (SELECT *, greatest(0, least(cum, n - lo)
+        |      - greatest(cum - c, lo)) AS kept
+        |  FROM (SELECT *, CAST(floor(n * 0.1) AS BIGINT) AS lo FROM w))
+        |SELECT g AS l_returnflag, CAST(max(n) AS BIGINT) AS n,
+        |  round((sum(v * kept)
+        |    + max(lo) * min(CASE WHEN cum >= lo + 1 THEN v END)
+        |    + max(lo) * min(CASE WHEN cum >= n - lo THEN v END))
+        |    / CAST(max(n) AS DOUBLE), 6) AS winsorized_mean
+        |FROM k GROUP BY g HAVING max(n) > 2 * max(lo)
+        |ORDER BY g""".stripMargin,
     "q_quantile_map" ->
       """WITH base AS (SELECT
         |    CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,

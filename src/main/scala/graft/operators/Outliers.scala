@@ -122,6 +122,59 @@ object Outliers {
       .where(F.col("n_kept") > 0L)
   }
 
+  /** Winsorized mean per group — [[trimmedMeanByGroup]]'s sibling that
+    * CLAMPS instead of drops: the ⌊αn⌋ smallest values are replaced by
+    * the (⌊αn⌋+1)-th order statistic and the ⌊αn⌋ largest by the
+    * (n−⌊αn⌋)-th, so every row still votes but the tails can't pull
+    * (the robust mean when sample size itself is the signal). Same
+    * exact integer cell algebra: the mid-mass clamp plus the two
+    * boundary order statistics picked by cumulative cell counts —
+    * deterministic under any ties, bit-exact replay.
+    *
+    * @param trim fraction α ∈ [0, 0.5) clamped on EACH side
+    * @return one row per group: (groupCols..., n, winsorized_mean
+    *         rounded to 6) */
+  def winsorizedMeanByGroup(df: DataFrame, groupCols: Seq[String],
+                            column: String,
+                            trim: Double = 0.1): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(trim >= 0.0 && trim < 0.5, "trim must be in [0, 0.5)")
+    import org.apache.spark.sql.expressions.Window
+    val gCols = groupCols.map(F.col)
+    val v = F.col(column).cast("double")
+    val cells = df
+      .where(v.isNotNull && !F.isnan(v))
+      .groupBy(gCols :+ v.as("__v"): _*)
+      .agg(F.count(F.lit(1)).as("__c"))
+    val wg = Window.partitionBy(gCols: _*)
+    val wCum = Window.partitionBy(gCols: _*).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lo = F.floor(F.col("__n") * trim)
+    val hi = F.col("__n") - lo
+    val keptMid = F.greatest(F.lit(0L),
+      F.least(F.col("__cum"), hi) -
+        F.greatest(F.col("__cum") - F.col("__c"), lo))
+    cells
+      .withColumn("__n", F.sum("__c").over(wg))
+      .withColumn("__cum", F.sum("__c").over(wCum))
+      .withColumn("__k", keptMid)
+      .groupBy(gCols: _*)
+      .agg(F.max("__n").as("n"),
+        F.max(F.floor(F.col("__n") * trim)).as("__lo"),
+        F.sum(F.col("__v") * F.col("__k")).as("__mid"),
+        F.min(F.when(F.col("__cum") >=
+          F.floor(F.col("__n") * trim) + 1L, F.col("__v"))).as("__vlo"),
+        F.min(F.when(F.col("__cum") >=
+          F.col("__n") - F.floor(F.col("__n") * trim), F.col("__v")))
+          .as("__vhi"))
+      .where(F.col("n") > F.lit(2L) * F.col("__lo"))
+      .withColumn("winsorized_mean", F.round(
+        (F.col("__mid") + F.col("__lo") * F.col("__vlo") +
+          F.col("__lo") * F.col("__vhi")) / F.col("n").cast("double"),
+        6))
+      .select(gCols ++ Seq(F.col("n"), F.col("winsorized_mean")): _*)
+  }
+
   /** Flag rows whose robust z-score |x−median| / (1.4826·MAD) exceeds
     * `threshold` (3.5 is the conventional cut). Appends `robust_z`
     * (rounded to 6) and `is_outlier`; rows with null/NaN values get

@@ -116,6 +116,15 @@ object Pca {
       graft.functions.ArrayDot.dot(embCol.cast("array<double>"),
         F.typedlit(c.toSeq)) - meanDot
     }
+    /** PCA-whitened coordinate j: projection(j)/√λⱼ — unit variance,
+      * zero cross-correlation by construction. The decorrelation step
+      * before cosine/Mahalanobis retrieval or as the contrastive-
+      * training input transform; still a codegen'd column. */
+    def whitenedProjection(embCol: Column, j: Int): Column = {
+      require(eigenvalues(j) > 0.0,
+        s"component $j carries no variance — cannot whiten")
+      projection(embCol, j) / math.sqrt(eigenvalues(j))
+    }
   }
 
   /** (n, mean, population covariance) from two aggregation passes:

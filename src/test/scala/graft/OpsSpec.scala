@@ -766,6 +766,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains("flat"))
   }
 
+  test("winsorizedMeanByGroup: clamp algebra, exact under ties") {
+    import spark.implicits._
+    val df = ((1 to 10).map(v => ("a", v.toDouble)) ++
+      Seq(1.0, 1.0, 1.0, 5.0, 9.0, 9.0, 9.0).map(("b", _))).toDF("g", "v")
+    val out = Outliers.winsorizedMeanByGroup(df, Seq("g"), "v",
+      trim = 0.1).collect().map(r => r.getAs[String]("g") -> r).toMap
+    // a: lo=1, mid 2..9 = 44, vlo=2, vhi=9 -> 55/10
+    assert(out("a").getAs[Double]("winsorized_mean") == 5.5)
+    // b: n=7 trim .1 -> lo=0 -> plain mean 35/7
+    assert(out("b").getAs[Double]("winsorized_mean") == 5.0)
+    val tied = Seq(1.0, 1.0, 1.0, 5.0, 9.0, 9.0, 9.0).map(("b", _))
+      .toDF("g", "v")
+    val t = Outliers.winsorizedMeanByGroup(tied, Seq("g"), "v",
+      trim = 0.2).collect()(0)
+    // lo=1: mid {1,1,5,9,9}=25, vlo=1, vhi=9 -> 35/7
+    assert(t.getAs[Double]("winsorized_mean") == 5.0)
+  }
+
+  test("whitenedProjection: unit variance on a fitted basis") {
+    import spark.implicits._
+    val df = Seq(Seq(1.0f, 0.0f), Seq(2.0f, 0.0f), Seq(3.0f, 0.0f),
+      Seq(4.0f, 0.0f)).toDF("emb")
+    val m = Pca.fit(df, "emb")
+    val out = df.select(m.whitenedProjection(F.col("emb"), 0).as("w"))
+      .agg(F.var_pop(F.col("w"))).collect()(0).getDouble(0)
+    assert(math.abs(out - 1.0) < 1e-9)
+    // zero-variance second component refuses to whiten
+    intercept[IllegalArgumentException] {
+      m.whitenedProjection(F.col("emb"), 1)
+    }
+  }
+
   test("quantileMap: CDF matching onto the reference order statistics") {
     import spark.implicits._
     val df = (Seq(1.0, 2.0, 3.0, 4.0).map(("b", _)) ++
