@@ -2568,6 +2568,16 @@ object SparkEntry {
             .as("len")),
         Seq("lang"), "source", "len")
         .orderBy("lang")),
+    "q_isotonic_group" -> ((s, dir) =>
+      // per-segment isotonic calibration: PAV runs INSIDE executors
+      // over (group, bin) cells — a million segments in one shuffle
+      Evaluation.isotonicByGroup(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select(F.col("l_linestatus"),
+            (F.col("l_returnflag") === "R").as("y"),
+            (F.col("l_discount") * 10.0).as("score")),
+        "l_linestatus", "y", "score", bins = 10)
+        .orderBy("l_linestatus", "bin")),
     "q_whiten" -> ((s, dir) => {
       // PCA whitening invariants: unit variance per whitened coord,
       // zero cross-covariance, zero mean — pinned as oracle constants
@@ -8550,6 +8560,47 @@ object SparkEntry {
         |  round(s.iso, 6) AS iso_rate
         |FROM ord o JOIN step2 s ON o.i = s.i
         |ORDER BY o.bin""".stripMargin,
+    // The q_isotonic minimax replay with the group dimension threaded
+    // through every CTE (windows PARTITION BY g, joins carry g).
+    "q_isotonic_group" ->
+      """WITH base AS (SELECT l_linestatus AS g,
+        |    least(9, greatest(0,
+        |      CAST(floor((l_discount * 10.0) * 10) AS INT))) AS bin,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_discount IS NOT NULL
+        |    AND NOT isnan(CAST(l_discount * 10.0 AS DOUBLE))
+        |    AND l_returnflag IS NOT NULL
+        |    AND l_linestatus IS NOT NULL),
+        |cells AS (SELECT g, bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS pos FROM base GROUP BY g, bin),
+        |ord AS (SELECT g, bin, n, pos,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY bin)
+        |      AS BIGINT) AS i FROM cells),
+        |pre AS (SELECT *,
+        |    CAST(sum(n) OVER (PARTITION BY g ORDER BY i) AS BIGINT)
+        |      AS cn,
+        |    CAST(sum(pos) OVER (PARTITION BY g ORDER BY i) AS BIGINT)
+        |      AS cp FROM ord),
+        |pre2 AS (SELECT *,
+        |    coalesce(CAST(lag(cn) OVER (PARTITION BY g ORDER BY i)
+        |      AS BIGINT), 0) AS cnp,
+        |    coalesce(CAST(lag(cp) OVER (PARTITION BY g ORDER BY i)
+        |      AS BIGINT), 0) AS cpp FROM pre),
+        |pairavg AS (SELECT jr.g, jr.i AS j, kr.i AS k,
+        |    CAST(kr.cp - jr.cpp AS DOUBLE) / (kr.cn - jr.cnp) AS m
+        |  FROM pre2 jr JOIN pre2 kr ON jr.g = kr.g AND jr.i <= kr.i),
+        |step1 AS (SELECT p.g, p.j, o.i, min(p.m) AS mn
+        |  FROM pairavg p JOIN ord o
+        |    ON p.g = o.g AND p.j <= o.i AND p.k >= o.i
+        |  GROUP BY p.g, p.j, o.i),
+        |step2 AS (SELECT g, i, max(mn) AS iso FROM step1
+        |  GROUP BY g, i)
+        |SELECT o.g AS l_linestatus, o.bin, o.n, o.pos,
+        |  round(CAST(o.pos AS DOUBLE) / o.n, 6) AS rate,
+        |  round(s.iso, 6) AS iso_rate
+        |FROM ord o JOIN step2 s ON o.g = s.g AND o.i = s.i
+        |ORDER BY l_linestatus, o.bin""".stripMargin,
     "q_gini" ->
       """WITH base AS (SELECT l_linestatus AS g,
         |    CAST(l_extendedprice AS DOUBLE) AS v

@@ -468,6 +468,63 @@ object Evaluation {
     }.toSeq.toDF("bin", "n", "pos", "rate", "iso_rate")
   }
 
+  /** [[isotonicCalibrate]] PER GROUP — "calibrate each language's /
+    * tenant's scores on its own data": the same integer-block PAV, but
+    * run INSIDE executors via `flatMapGroups` over the (group, bin)
+    * cells — the driver never sees a cell, so a million segments
+    * calibrate in one shuffle (per-group state is ≤ `bins` blocks, the
+    * SemDeDup executor-side-training discipline). Cross-multiplied
+    * BigInt pooling keeps the fit exact at any count magnitude.
+    *
+    * @return one row per (group, non-empty bin): (groupCol, bin, n,
+    *         pos, rate, iso_rate), rates rounded to 6 */
+  def isotonicByGroup(df: DataFrame, groupCol: String, labelCol: String,
+                      scoreCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val s = F.col(scoreCol).cast("double")
+    val y = F.col(labelCol).cast("boolean")
+    val g = F.col(groupCol).cast("string")
+    val bin = F.least(F.lit(bins - 1), F.greatest(F.lit(0),
+      F.floor(s * bins).cast("int")))
+    val cells = df
+      .where(s.isNotNull && !F.isnan(s) && y.isNotNull && g.isNotNull)
+      .groupBy(g.as("__g"), bin.as("__bin"))
+      .agg(F.count(F.lit(1)).as("__n"),
+        F.sum(F.when(y, 1L).otherwise(0L)).as("__pos"))
+      .as[(String, Int, Long, Long)]
+    cells.groupByKey(_._1).flatMapGroups { (grp, it) =>
+      val arr = it.toArray.sortBy(_._2)
+      val stack = scala.collection.mutable
+        .ArrayBuffer.empty[(Int, Long, Long)]
+      arr.foreach { case (_, b, n, pos) =>
+        var cur = (b, n, pos)
+        while (stack.nonEmpty &&
+          BigInt(stack.last._3) * cur._2 >= BigInt(cur._3) * stack.last._2) {
+          val prev = stack.remove(stack.length - 1)
+          cur = (prev._1, prev._2 + cur._2, prev._3 + cur._3)
+        }
+        stack += cur
+      }
+      val iso = new Array[Double](arr.length)
+      var bi = 0
+      var consumedN = 0L
+      var ci = 0
+      while (ci < arr.length) {
+        val blk = stack(bi)
+        iso(ci) = blk._3.toDouble / blk._2
+        consumedN += arr(ci)._3
+        if (consumedN == blk._2) { bi += 1; consumedN = 0L }
+        ci += 1
+      }
+      arr.zipWithIndex.iterator.map { case ((_, b, n, pos), i) =>
+        (grp, b, n, pos, math.rint(pos.toDouble / n * 1e6) / 1e6,
+          math.rint(iso(i) * 1e6) / 1e6)
+      }
+    }.toDF(groupCol, "bin", "n", "pos", "rate", "iso_rate")
+  }
+
   /** Split-conformal prediction interval width per group: from a
     * CALIBRATION frame carrying a prediction and the realized value,
     * the exact ⌈(n+1)(1−α)⌉-th smallest absolute residual q̂ — the

@@ -766,6 +766,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains("flat"))
   }
 
+  test("isotonicByGroup: independent PAV per group") {
+    import spark.implicits._
+    // group g1: decreasing rates pool into one block (iso = global
+    // rate); g2: already monotone, untouched
+    val df = (Seq.fill(2)(("g1", 0.05, true)) ++
+      Seq.fill(2)(("g1", 0.15, false)) ++
+      Seq.fill(2)(("g2", 0.05, false)) ++
+      Seq(("g2", 0.15, true), ("g2", 0.15, false))).toDF("g", "s", "y")
+    val out = Evaluation.isotonicByGroup(df, "g", "y", "s", bins = 10)
+      .collect().map(r => (r.getAs[String]("g"),
+        r.getAs[Int]("bin")) -> r).toMap
+    assert(out(("g1", 0)).getAs[Double]("iso_rate") == 0.5)
+    assert(out(("g1", 1)).getAs[Double]("iso_rate") == 0.5)
+    assert(out(("g2", 0)).getAs[Double]("iso_rate") == 0.0)
+    assert(out(("g2", 1)).getAs[Double]("iso_rate") == 0.5)
+  }
+
   test("winsorizedMeanByGroup: clamp algebra, exact under ties") {
     import spark.implicits._
     val df = ((1 to 10).map(v => ("a", v.toDouble)) ++
