@@ -2568,6 +2568,23 @@ object SparkEntry {
             .as("len")),
         Seq("lang"), "source", "len")
         .orderBy("lang")),
+    "q_bradley_terry" -> ((s, dir) => {
+      // preference ranking: within-order supplier comparisons by line
+      // price -> Bradley-Terry MM strengths, 2 fixed rounds, every
+      // round a DuckDB-chained CTE
+      val base = keyCappedLineitem(s, dir, 20000,
+          Seq("l_orderkey", "l_suppkey", "l_extendedprice"))
+        .select(F.col("l_orderkey").as("o"),
+          F.col("l_suppkey").cast("string").as("sk"),
+          F.col("l_extendedprice").cast("double").as("p"))
+      val pairs = base.as("a").join(base.as("b"),
+        F.col("a.o") === F.col("b.o") &&
+          F.col("a.sk") =!= F.col("b.sk") &&
+          F.col("a.p") > F.col("b.p"))
+        .select(F.col("a.sk").as("winner"), F.col("b.sk").as("loser"))
+      Preference.bradleyTerry(pairs, "winner", "loser", iters = 2)
+        .orderBy("item")
+    }),
     "q_isotonic_group" -> ((s, dir) =>
       // per-segment isotonic calibration: PAV runs INSIDE executors
       // over (group, bin) cells — a million segments in one shuffle
@@ -8560,6 +8577,45 @@ object SparkEntry {
         |  round(s.iso, 6) AS iso_rate
         |FROM ord o JOIN step2 s ON o.i = s.i
         |ORDER BY o.bin""".stripMargin,
+    // Bradley-Terry replay: both MM rounds as chained CTEs (the
+    // q_pagerank pattern) with the per-round mean normalization.
+    "q_bradley_terry" ->
+      """WITH base AS (SELECT l_orderkey AS o,
+        |    CAST(l_suppkey AS VARCHAR) AS sk,
+        |    CAST(l_extendedprice AS DOUBLE) AS p FROM lineitem
+        |  WHERE l_orderkey < 20000),
+        |decided AS (SELECT a.sk AS w, b.sk AS l FROM base a
+        |  JOIN base b ON a.o = b.o AND a.sk <> b.sk AND a.p > b.p),
+        |wc AS (SELECT w, l, CAST(count(*) AS BIGINT) AS n FROM decided
+        |  GROUP BY w, l),
+        |mm AS (SELECT i, j, CAST(sum(n) AS BIGINT) AS m FROM (
+        |    SELECT w AS i, l AS j, n FROM wc
+        |    UNION ALL SELECT l, w, n FROM wc) GROUP BY i, j),
+        |items AS (SELECT DISTINCT i FROM mm),
+        |wins AS (SELECT items.i,
+        |    CAST(coalesce(ww.wn, 0) AS BIGINT) AS wins FROM items
+        |  LEFT JOIN (SELECT w AS i, CAST(sum(n) AS BIGINT) AS wn
+        |    FROM wc GROUP BY w) ww ON ww.i = items.i),
+        |s0 AS (SELECT i, 1.0 AS s FROM items),
+        |d1 AS (SELECT mm.i, sum(mm.m / (si.s + sj.s)) AS den FROM mm
+        |  JOIN s0 si ON si.i = mm.i JOIN s0 sj ON sj.i = mm.j
+        |  GROUP BY mm.i),
+        |r1 AS (SELECT w.i, CAST(w.wins AS DOUBLE) / d1.den AS s
+        |  FROM wins w JOIN d1 ON d1.i = w.i),
+        |mu1 AS (SELECT avg(s) AS mu FROM r1),
+        |s1 AS (SELECT i, s / mu1.mu AS s FROM r1, mu1),
+        |d2 AS (SELECT mm.i, sum(mm.m / (si.s + sj.s)) AS den FROM mm
+        |  JOIN s1 si ON si.i = mm.i JOIN s1 sj ON sj.i = mm.j
+        |  GROUP BY mm.i),
+        |r2 AS (SELECT w.i, CAST(w.wins AS DOUBLE) / d2.den AS s
+        |  FROM wins w JOIN d2 ON d2.i = w.i),
+        |mu2 AS (SELECT avg(s) AS mu FROM r2),
+        |s2 AS (SELECT i, s / mu2.mu AS s FROM r2, mu2)
+        |SELECT wins.i AS item, wins.wins, nm.n_matches,
+        |  round(s2.s, 6) AS strength
+        |FROM wins JOIN (SELECT i, CAST(sum(m) AS BIGINT) AS n_matches
+        |  FROM mm GROUP BY i) nm ON nm.i = wins.i
+        |JOIN s2 ON s2.i = wins.i ORDER BY item""".stripMargin,
     // The q_isotonic minimax replay with the group dimension threaded
     // through every CTE (windows PARTITION BY g, joins carry g).
     "q_isotonic_group" ->

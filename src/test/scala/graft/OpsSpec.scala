@@ -766,6 +766,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains("flat"))
   }
 
+  test("bradleyTerry: transitive ordering, symmetric ties equal") {
+    import spark.implicits._
+    val pairs = Seq(("a", "b"), ("a", "b"), ("b", "c"), ("b", "c"))
+      .toDF("w", "l")
+    val out = Preference.bradleyTerry(pairs, "w", "l", iters = 3)
+      .collect().map(r => r.getAs[String]("item") ->
+        r.getAs[Double]("strength")).toMap
+    assert(out("a") > out("b") && out("b") > out("c"))
+    val even = Seq(("a", "b"), ("b", "a")).toDF("w", "l")
+    val e = Preference.bradleyTerry(even, "w", "l", iters = 2)
+      .collect().map(r => r.getAs[String]("item") ->
+        r.getAs[Double]("strength")).toMap
+    assert(e("a") == 1.0 && e("b") == 1.0)
+  }
+
   test("isotonicByGroup: independent PAV per group") {
     import spark.implicits._
     // group g1: decreasing rates pool into one block (iso = global
