@@ -2568,6 +2568,21 @@ object SparkEntry {
             .as("len")),
         Seq("lang"), "source", "len")
         .orderBy("lang")),
+    "q_decayed" -> ((s, dir) => {
+      // recency-weighted activity per event type at an explicit
+      // reference time (the dataset's max ts — a pure function of the
+      // data, backfillable): half-life 7 days, ONE aggregation
+      val ref = events(s, dir).agg(F.max(F.col("ts"))).head().getLong(0)
+      Features.decayedByKey(events(s, dir), "event_type", "ts",
+          "value", refTs = ref, halfLife = 604800000000000.0)
+        .orderBy("event_type")
+    }),
+    "q_lsh_plan" -> ((s, dir) =>
+      // LSH banding planner: every (b, r) factorization of a 128-hash
+      // budget with its S-curve crossover and catch probability at
+      // jaccard 0.8 — closed-form planning math
+      Dedup.lshPlan(s, threshold = 0.8, nHashes = 128)
+        .orderBy("bands")),
     "q_bradley_terry" -> ((s, dir) => {
       // preference ranking: within-order supplier comparisons by line
       // price -> Bradley-Terry MM strengths, 2 fixed rounds, every
@@ -8577,6 +8592,29 @@ object SparkEntry {
         |  round(s.iso, 6) AS iso_rate
         |FROM ord o JOIN step2 s ON o.i = s.i
         |ORDER BY o.bin""".stripMargin,
+    "q_decayed" ->
+      """WITH ref AS (SELECT max(epoch_ns(ts)) AS rt FROM events),
+        |e AS (SELECT event_type AS k, epoch_ns(ts) AS t,
+        |    CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value))
+        |SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(pow(2.0, -(CAST(rt AS DOUBLE) - CAST(t AS DOUBLE))
+        |    / 604800000000000.0)), 6) AS decayed_count,
+        |  round(sum(v * pow(2.0,
+        |    -(CAST(rt AS DOUBLE) - CAST(t AS DOUBLE))
+        |    / 604800000000000.0)), 6) AS decayed_sum
+        |FROM e, ref WHERE t <= rt GROUP BY k ORDER BY k""".stripMargin,
+    "q_lsh_plan" ->
+      """WITH b AS (SELECT CAST(g.b AS BIGINT) AS bands,
+        |    CAST(128 // g.b AS BIGINT) AS r
+        |  FROM generate_series(1, 128) g(b) WHERE 128 % g.b = 0)
+        |SELECT bands, r AS "rows",
+        |  round_even(pow(1.0 / bands, 1.0 / r) * 1000000.0, 0)
+        |    / 1000000.0 AS crossover,
+        |  round_even((1.0 - pow(1.0 - pow(0.8, r), bands))
+        |    * 1000000.0, 0) / 1000000.0 AS p_catch_at_threshold
+        |FROM b ORDER BY bands""".stripMargin,
     // Bradley-Terry replay: both MM rounds as chained CTEs (the
     // q_pagerank pattern) with the per-round mean normalization.
     "q_bradley_terry" ->

@@ -695,4 +695,29 @@ object Dedup {
       .select(F.col("id").as(idCol))
     df.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** LSH banding planner: for every (bands, rows) factorization of the
+    * signature budget, the S-curve's crossover similarity (1/b)^(1/r)
+    * and the catch probability 1 − (1 − t^r)^b at the TARGET threshold
+    * — the table you read before picking [[minhashPairs]]' shape
+    * instead of cargo-culting (16, 8). Pure closed-form planning math
+    * as a one-aggregation frame (driver enumerates ≤ √n divisors).
+    *
+    * @return one row per factorization: (bands, rows, crossover,
+    *         p_catch_at_threshold), rounded to 6, bands ascending */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession,
+              threshold: Double, nHashes: Int): DataFrame = {
+    require(threshold > 0.0 && threshold < 1.0,
+      "threshold must be in (0, 1)")
+    require(nHashes >= 2, "nHashes must be >= 2")
+    import spark.implicits._
+    val rows = (1 to nHashes).filter(nHashes % _ == 0).map { b =>
+      val r = nHashes / b
+      val crossover = math.pow(1.0 / b, 1.0 / r)
+      val pCatch = 1.0 - math.pow(1.0 - math.pow(threshold, r), b)
+      (b.toLong, r.toLong, math.rint(crossover * 1e6) / 1e6,
+        math.rint(pCatch * 1e6) / 1e6)
+    }
+    rows.toDF("bands", "rows", "crossover", "p_catch_at_threshold")
+  }
 }

@@ -225,6 +225,34 @@ object Features {
       .select(F.col(keyCol), F.col("rho"), F.col("n"))
   }
 
+  /** Exponentially time-decayed aggregates per key, evaluated at an
+    * EXPLICIT reference time: decayed count and sum with weight
+    * 2^(−(T−t)/halfLife) — "activity that counts recency" (the feature
+    * stores' staple), in ONE aggregation instead of a state store. The
+    * reference time is a parameter, not a clock read, so the result is
+    * a pure function of the data — reproducible, backfillable, and
+    * engine-replayable.
+    *
+    * @param refTs      evaluation time in tsCol's units
+    * @param halfLife   half-life in the same units (> 0)
+    * @return one row per key: (keyCol, n, decayed_count, decayed_sum),
+    *         decayed values rounded to 6 */
+  def decayedByKey(df: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String, refTs: Long,
+                   halfLife: Double): DataFrame = {
+    require(halfLife > 0.0, "halfLife must be > 0")
+    val v = F.col(valueCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    val w = F.pow(F.lit(2.0),
+      -(F.lit(refTs.toDouble) - t.cast("double")) / halfLife)
+    df.where(F.col(keyCol).isNotNull && t.isNotNull && v.isNotNull &&
+        !F.isnan(v) && t <= refTs)
+      .groupBy(F.col(keyCol))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.round(F.sum(w), 6).as("decayed_count"),
+        F.round(F.sum(v * w), 6).as("decayed_sum"))
+  }
+
   /** Feature hashing ("the hashing trick"): tokens map to a fixed
     * `dims`-dimensional sparse vector through md5 — dim from the first
     * 32 hash bits, a ±1 sign from the next hex digit's parity (the

@@ -766,6 +766,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains("flat"))
   }
 
+  test("decayedByKey: half-life algebra at an explicit reference") {
+    import spark.implicits._
+    val df = Seq(("k", 0L, 4.0), ("k", 10L, 2.0), ("k", 20L, 1.0))
+      .toDF("k", "t", "v")
+    val out = Features.decayedByKey(df, "k", "t", "v", refTs = 20L,
+      halfLife = 10.0).collect()(0)
+    // weights 2^-2, 2^-1, 1 -> count 1.75, sum 1 + 1 + 1 = 3
+    assert(out.getAs[Long]("n") == 3L)
+    assert(out.getAs[Double]("decayed_count") == 1.75)
+    assert(out.getAs[Double]("decayed_sum") == 3.0)
+  }
+
+  test("lshPlan: divisor enumeration and S-curve algebra") {
+    val out = Dedup.lshPlan(spark, threshold = 0.5, nHashes = 16)
+      .collect().map(r => r.getAs[Long]("bands") -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 4L, 8L, 16L))
+    // b=4, r=4: crossover (1/4)^(1/4), catch 1-(1-0.5^4)^4
+    val c = math.pow(0.25, 0.25)
+    assert(math.abs(out(4L).getAs[Double]("crossover") -
+      math.rint(c * 1e6) / 1e6) < 1e-9)
+    val p = 1.0 - math.pow(1.0 - 0.0625, 4)
+    assert(math.abs(out(4L).getAs[Double]("p_catch_at_threshold") -
+      math.rint(p * 1e6) / 1e6) < 1e-9)
+  }
+
   test("bradleyTerry: transitive ordering, symmetric ties equal") {
     import spark.implicits._
     val pairs = Seq(("a", "b"), ("a", "b"), ("b", "c"), ("b", "c"))
