@@ -29,6 +29,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def physicalPlan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("q_quantile_map: no single-partition exchange in the rank merge") {
+    val plan = physicalPlan("q_quantile_map")
+    assert(!plan.contains("SinglePartition"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("q_bradley_terry and q_transitions avoid cartesians") {
+    for (q <- Seq("q_bradley_terry", "q_transitions")) {
+      val plan = physicalPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(400)}")
+    }
+  }
+
+  test("q_decayed is one aggregation, no shuffle beyond the key exchange") {
+    val plan = physicalPlan("q_decayed")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("Window"), plan.take(800))
+  }
+
   test("q_basket_lift: top-k by lift is a TakeOrdered, pair join keyed on basket") {
     val plan = physicalPlan("q_basket_lift")
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
