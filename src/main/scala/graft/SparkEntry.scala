@@ -2568,6 +2568,23 @@ object SparkEntry {
             .as("len")),
         Seq("lang"), "source", "len")
         .orderBy("lang")),
+    "q_cv_auc" -> ((s, dir) => {
+      // cross-validated metric: deterministic md5 folds + per-fold
+      // rank-identity AUC — the composition an eval harness runs
+      val base = li(s, dir).where(F.col("l_orderkey") < 100000)
+        .select((F.col("l_returnflag") === "R").as("y"),
+          F.col("l_discount"), F.col("l_orderkey"))
+      Evaluation.aucByGroup(
+        Sampling.kFolds(base, "l_orderkey", 5),
+        Seq("fold"), "y", "l_discount")
+        .orderBy("fold")
+    }),
+    "q_seasonal_index" -> ((s, dir) =>
+      // day-of-week seasonal index per event type: integer-exact phase
+      // buckets, one (key, phase) aggregation, key mean over <= 7 cells
+      Features.seasonalIndexByKey(events(s, dir), "event_type", "ts",
+          "value", phaseUnit = 86400000000000L, period = 7)
+        .orderBy("event_type", "phase")),
     "q_decayed" -> ((s, dir) => {
       // recency-weighted activity per event type at an explicit
       // reference time (the dataset's max ts — a pure function of the
@@ -8592,6 +8609,52 @@ object SparkEntry {
         |  round(s.iso, 6) AS iso_rate
         |FROM ord o JOIN step2 s ON o.i = s.i
         |ORDER BY o.bin""".stripMargin,
+    "q_cv_auc" ->
+      """WITH base AS (SELECT
+        |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
+        |      1, 8)) AS BIGINT) % 5 AS fold,
+        |    CAST(l_discount AS DOUBLE) AS v, (l_returnflag = 'R') AS y
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_discount IS NOT NULL
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE))
+        |    AND l_returnflag IS NOT NULL),
+        |cells AS (SELECT fold, v,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        |    CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cn
+        |  FROM base GROUP BY fold, v),
+        |w AS (SELECT fold, cp, cn,
+        |    coalesce(CAST(sum(cn) OVER (PARTITION BY fold ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cumn FROM cells)
+        |SELECT fold,
+        |  round(sum(cp * (cumn + 0.5 * cn))
+        |    / (CAST(sum(cp) AS DOUBLE) * sum(cn)), 6) AS auc,
+        |  sum(cp * (cumn + 0.5 * cn)) AS u_stat,
+        |  CAST(sum(cp) AS BIGINT) AS n_pos,
+        |  CAST(sum(cn) AS BIGINT) AS n_neg
+        |FROM w GROUP BY fold HAVING sum(cp) > 0 AND sum(cn) > 0
+        |ORDER BY fold""".stripMargin,
+    "q_seasonal_index" ->
+      """WITH e AS (SELECT event_type AS k, epoch_ns(ts) AS t,
+        |    CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |ph AS (SELECT k, v,
+        |    CAST(floor((t - t % 86400000000000)
+        |      / 86400000000000.0) AS BIGINT) % 7 AS phase FROM e),
+        |cells AS (SELECT k, phase, CAST(count(*) AS BIGINT) AS n,
+        |    sum(v) AS s FROM ph GROUP BY k, phase),
+        |w AS (SELECT *,
+        |    sum(s) OVER (PARTITION BY k) AS ks,
+        |    CAST(sum(n) OVER (PARTITION BY k) AS BIGINT) AS kn
+        |  FROM cells)
+        |SELECT k AS event_type, phase, n,
+        |  round(s / CAST(n AS DOUBLE), 6) AS phase_mean,
+        |  CASE WHEN ks / CAST(kn AS DOUBLE) <> 0.0 THEN
+        |    round((s / CAST(n AS DOUBLE))
+        |      / (ks / CAST(kn AS DOUBLE)), 6) END AS seasonal_index
+        |FROM w ORDER BY event_type, phase""".stripMargin,
     "q_decayed" ->
       """WITH ref AS (SELECT max(epoch_ns(ts)) AS rt FROM events),
         |e AS (SELECT event_type AS k, epoch_ns(ts) AS t,

@@ -225,6 +225,53 @@ object Features {
       .select(F.col(keyCol), F.col("rho"), F.col("n"))
   }
 
+  /** Seasonal index per key: the mean value at each cycle phase
+    * relative to the key's overall mean — "Mondays run 1.3× this
+    * tenant's average" — the multiplicative-seasonality summary that
+    * [[seasonalAnomaly]]'s differencing assumes and a forecast
+    * baseline multiplies by. Phase = ⌊ts/phaseUnit⌋ mod period (pure
+    * integer arithmetic — replays exactly); ONE (key, phase)
+    * aggregation, the key mean rides a window over those ≤ period
+    * cells per key.
+    *
+    * @param phaseUnit  bucket width in ts units (e.g. one day in ns)
+    * @param period     cycle length in buckets (e.g. 7 for weekly)
+    * @return one row per (key, phase): (keyCol, phase, n, phase_mean,
+    *         seasonal_index), floats rounded to 6; index null when the
+    *         key mean is 0 */
+  def seasonalIndexByKey(df: DataFrame, keyCol: String, tsCol: String,
+                         valueCol: String, phaseUnit: Long,
+                         period: Int): DataFrame = {
+    require(phaseUnit > 0L, "phaseUnit must be > 0")
+    require(period >= 2, "period must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val v = F.col(valueCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    // integer-exact floor division: the numerator is exactly divisible,
+    // so the double division is exact for any quotient < 2^53 — no
+    // boundary flip between engines (a direct t/unit double division
+    // would round t first)
+    val phase = F.pmod(
+      F.floor((t - F.pmod(t, F.lit(phaseUnit))) / phaseUnit.toDouble),
+      F.lit(period.toLong))
+    val cells = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull && v.isNotNull &&
+        !F.isnan(v))
+      .groupBy(F.col(keyCol), phase.as("phase"))
+      .agg(F.count(F.lit(1)).as("n"), F.sum(v).as("__s"))
+    val wk = Window.partitionBy(F.col(keyCol))
+    val keyMean = F.sum("__s").over(wk) /
+      F.sum("n").over(wk).cast("double")
+    val phaseMean = F.col("__s") / F.col("n").cast("double")
+    cells
+      .withColumn("__km", keyMean)
+      .withColumn("phase_mean", F.round(phaseMean, 6))
+      .withColumn("seasonal_index", F.when(F.col("__km") =!= 0.0,
+        F.round(phaseMean / F.col("__km"), 6)))
+      .select(F.col(keyCol), F.col("phase"), F.col("n"),
+        F.col("phase_mean"), F.col("seasonal_index"))
+  }
+
   /** Exponentially time-decayed aggregates per key, evaluated at an
     * EXPLICIT reference time: decayed count and sum with weight
     * 2^(−(T−t)/halfLife) — "activity that counts recency" (the feature

@@ -766,6 +766,19 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains("flat"))
   }
 
+  test("seasonalIndexByKey: phase means relative to the key mean") {
+    import spark.implicits._
+    val df = Seq(("k", 5L, 2.0), ("k", 15L, 4.0), ("k", 25L, 4.0))
+      .toDF("k", "t", "v")
+    val out = Features.seasonalIndexByKey(df, "k", "t", "v",
+      phaseUnit = 10L, period = 2).collect()
+      .map(r => r.getAs[Long]("phase") -> r).toMap
+    assert(out(0L).getAs[Double]("phase_mean") == 3.0)
+    assert(out(1L).getAs[Double]("phase_mean") == 4.0)
+    assert(out(0L).getAs[Double]("seasonal_index") == 0.9)
+    assert(out(1L).getAs[Double]("seasonal_index") == 1.2)
+  }
+
   test("decayedByKey: half-life algebra at an explicit reference") {
     import spark.implicits._
     val df = Seq(("k", 0L, 4.0), ("k", 10L, 2.0), ("k", 20L, 1.0))
