@@ -2568,6 +2568,20 @@ object SparkEntry {
             .as("len")),
         Seq("lang"), "source", "len")
         .orderBy("lang")),
+    "q_readability" -> ((s, dir) =>
+      // Coleman-Liau readability: the no-syllable formula — every
+      // count a codegen'd regexp, the score replays exactly
+      TextOps.withReadability(docs(s, dir), "text")
+        .select(F.col("doc_id"), F.col("n_letters"), F.col("n_words"),
+          F.col("n_sentences"), F.col("cli"))
+        .orderBy("doc_id")),
+    "q_attribution" -> ((s, dir) =>
+      // first/last-touch conversion attribution: one user shuffle
+      // serves both bookend models; organic conversions report nulls
+      Cohorts.touchAttribution(events(s, dir), "user_id", "ts",
+          "event_type", conversionType = "purchase",
+          tieBreakCols = Seq("event_id"))
+        .orderBy("user_id", "ts")),
     "q_cv_auc" -> ((s, dir) => {
       // cross-validated metric: deterministic md5 folds + per-fold
       // rank-identity AUC — the composition an eval harness runs
@@ -8609,6 +8623,46 @@ object SparkEntry {
         |  round(s.iso, 6) AS iso_rate
         |FROM ord o JOIN step2 s ON o.i = s.i
         |ORDER BY o.bin""".stripMargin,
+    "q_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(coalesce(text, ''),
+        |      '[A-Za-z]')) AS BIGINT) AS n_letters,
+        |    CAST(len(list_filter(regexp_split_to_array(
+        |      coalesce(text, ''), '\s+'), x -> x <> '')) AS BIGINT)
+        |      AS n_words,
+        |    CAST(greatest(1, len(regexp_extract_all(coalesce(text, ''),
+        |      '[.!?]+'))) AS BIGINT) AS n_sentences
+        |  FROM documents)
+        |SELECT doc_id, n_letters, n_words, n_sentences,
+        |  CASE WHEN n_words > 0 THEN round(
+        |    0.0588 * (CAST(n_letters AS DOUBLE) * 100.0 / n_words)
+        |    - 0.296 * (CAST(n_sentences AS DOUBLE) * 100.0 / n_words)
+        |    - 15.8, 6) END AS cli
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id AS u, epoch_ns(ts) AS tns, event_id,
+        |    event_type AS et FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |w AS (SELECT u, tns, et,
+        |    first_value(CASE WHEN et <> 'purchase' THEN et END
+        |      IGNORE NULLS) OVER cur AS ft,
+        |    first_value(CASE WHEN et <> 'purchase' THEN tns END
+        |      IGNORE NULLS) OVER cur AS fts,
+        |    last_value(CASE WHEN et <> 'purchase' THEN et END
+        |      IGNORE NULLS) OVER prev AS lt,
+        |    last_value(CASE WHEN et <> 'purchase' THEN tns END
+        |      IGNORE NULLS) OVER prev AS lts
+        |  FROM e WINDOW
+        |    cur AS (PARTITION BY u ORDER BY tns, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    prev AS (PARTITION BY u ORDER BY tns, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT u AS user_id, tns AS ts, ft AS first_touch_type,
+        |  fts AS first_touch_ts, lt AS last_touch_type,
+        |  lts AS last_touch_ts
+        |FROM w WHERE et = 'purchase'
+        |ORDER BY user_id, ts""".stripMargin,
     "q_cv_auc" ->
       """WITH base AS (SELECT
         |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),

@@ -169,6 +169,45 @@ object Cohorts {
       .select("step_idx", "step", "users", "rate_vs_first", "rate_vs_prev")
   }
 
+  /** First/last-touch conversion attribution: for every conversion
+    * event, the user's FIRST touch ever and the LAST touch strictly
+    * before the conversion (touch = any event whose type isn't the
+    * conversion type) — the two bookend models every marketing readout
+    * starts from. ONE user-keyed shuffle serves both windows; ties at
+    * the same timestamp break on the tie-breaker columns, and a
+    * conversion with no preceding touch reports nulls (organic).
+    *
+    * @return one row per conversion event: (userCol, tsCol,
+    *         first_touch_type, first_touch_ts, last_touch_type,
+    *         last_touch_ts) */
+  def touchAttribution(df: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, conversionType: String,
+                       tieBreakCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .where(F.col(userCol).isNotNull && F.col(tsCol).isNotNull &&
+        F.col(typeCol).isNotNull)
+      .select(Seq(F.col(userCol), F.col(tsCol)) ++
+        tieBreakCols.map(F.col) :+
+        F.col(typeCol).cast("string").as("__et"): _*)
+    val ord = F.col(tsCol) +: tieBreakCols.map(F.col)
+    val wAll = Window.partitionBy(F.col(userCol)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.partitionBy(F.col(userCol)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = F.when(F.col("__et") =!= conversionType,
+      F.struct(F.col("__et").as("t"), F.col(tsCol).as("ts")))
+    base
+      .withColumn("__first", F.first(touch, ignoreNulls = true).over(wAll))
+      .withColumn("__last", F.last(touch, ignoreNulls = true).over(wPrev))
+      .where(F.col("__et") === conversionType)
+      .select(F.col(userCol), F.col(tsCol),
+        F.col("__first.t").as("first_touch_type"),
+        F.col("__first.ts").as("first_touch_ts"),
+        F.col("__last.t").as("last_touch_type"),
+        F.col("__last.ts").as("last_touch_ts"))
+  }
+
   /** RFM segmentation: per user the classic Recency (latest activity
     * time), Frequency (event count), Monetary (value sum) triple, each
     * scored 1..k by the tie-stable [[Ranks.quantileBuckets]] (same

@@ -696,6 +696,39 @@ object TextOps {
       .select("n_terms", "slope", "intercept", "r2")
   }
 
+  /** Coleman–Liau readability index per document:
+    *
+    *   CLI = 0.0588·L − 0.296·S − 15.8,
+    *   L = letters per 100 words, S = sentences per 100 words
+    *
+    * — the readability formula that needs NO syllable heuristic (its
+    * design goal), so every count is a codegen'd regexp and the score
+    * replays exactly: letters = [A-Za-z] matches, words = whitespace
+    * tokens, sentences = [.!?]+ runs (min 1 — a fragment is one
+    * sentence). The curriculum/quality feature that separates
+    * grade-school text from legalese where length alone cannot.
+    *
+    * @return df + (n_letters, n_words, n_sentences, cli rounded 6);
+    *         null cli for wordless documents */
+  def withReadability(df: DataFrame, textCol: String): DataFrame = {
+    val t = F.coalesce(F.col(textCol), F.lit(""))
+    val letters = F.size(F.regexp_extract_all(t, F.lit("[A-Za-z]"),
+      F.lit(0))).cast("long")
+    val words = F.size(F.filter(F.split(t, "\\s+"), x => x =!= ""))
+      .cast("long")
+    val sentences = F.greatest(F.lit(1L),
+      F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), F.lit(0)))
+        .cast("long"))
+    df.withColumn("n_letters", letters)
+      .withColumn("n_words", words)
+      .withColumn("n_sentences", sentences)
+      .withColumn("cli", F.when(F.col("n_words") > 0L, F.round(
+        F.lit(0.0588) * (F.col("n_letters").cast("double") * 100.0 /
+          F.col("n_words")) -
+          F.lit(0.296) * (F.col("n_sentences").cast("double") * 100.0 /
+            F.col("n_words")) - F.lit(15.8), 6)))
+  }
+
   /** Normalization + masking + per-kind match counts in one projection. */
   def withCleanText(df: DataFrame, textCol: String,
                     outCol: String = "clean_text"): DataFrame = {

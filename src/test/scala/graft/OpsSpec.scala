@@ -766,6 +766,46 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains("flat"))
   }
 
+  test("withReadability: Coleman-Liau counts and formula") {
+    import spark.implicits._
+    val df = Seq((1L, "The cat sat. It purred!"), (2L, "   "))
+      .toDF("doc_id", "text")
+    val out = operators.TextOps.withReadability(df, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_letters") == 17L)
+    assert(r1.getAs[Long]("n_words") == 5L)
+    assert(r1.getAs[Long]("n_sentences") == 2L)
+    val cli = 0.0588 * (17.0 * 100 / 5) - 0.296 * (2.0 * 100 / 5) - 15.8
+    assert(math.abs(r1.getAs[Double]("cli") -
+      math.rint(cli * 1e6) / 1e6) < 1e-9)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("cli")))
+  }
+
+  test("touchAttribution: first ever and last preceding touch") {
+    import spark.implicits._
+    val df = Seq(("u", 1L, 1L, "view"), ("u", 2L, 2L, "click"),
+      ("u", 3L, 3L, "purchase"), ("u", 4L, 4L, "view"),
+      ("u", 5L, 5L, "purchase"), ("v", 1L, 6L, "purchase"))
+      .toDF("u", "t", "eid", "et")
+    val out = operators.Cohorts.touchAttribution(df, "u", "t", "et",
+      "purchase", tieBreakCols = Seq("eid"))
+      .collect().map(r => (r.getAs[String]("u"), r.getAs[Long]("t")) -> r)
+      .toMap
+    val p1 = out(("u", 3L))
+    assert(p1.getAs[String]("first_touch_type") == "view")
+    assert(p1.getAs[Long]("first_touch_ts") == 1L)
+    assert(p1.getAs[String]("last_touch_type") == "click")
+    assert(p1.getAs[Long]("last_touch_ts") == 2L)
+    val p2 = out(("u", 5L))
+    assert(p2.getAs[String]("last_touch_type") == "view")
+    assert(p2.getAs[Long]("last_touch_ts") == 4L)
+    // organic conversion: no touches at all
+    val o = out(("v", 1L))
+    assert(o.isNullAt(o.fieldIndex("first_touch_type")))
+    assert(o.isNullAt(o.fieldIndex("last_touch_type")))
+  }
+
   test("seasonalIndexByKey: phase means relative to the key mean") {
     import spark.implicits._
     val df = Seq(("k", 5L, 2.0), ("k", 15L, 4.0), ("k", 25L, 4.0))
