@@ -2568,6 +2568,12 @@ object SparkEntry {
             .as("len")),
         Seq("lang"), "source", "len")
         .orderBy("lang")),
+    "q_fk_coverage" -> ((s, dir) =>
+      // referential integrity: do lineitem supplier keys resolve in
+      // the supplier dim — row and key coverage + orphan count
+      Validation.fkCoverage(li(s, dir),
+        s.read.parquet(s"$dir/supplier.parquet"),
+        "l_suppkey", "s_suppkey")),
     "q_readability" -> ((s, dir) =>
       // Coleman-Liau readability: the no-syllable formula — every
       // count a codegen'd regexp, the score replays exactly
@@ -8623,6 +8629,23 @@ object SparkEntry {
         |  round(s.iso, 6) AS iso_rate
         |FROM ord o JOIN step2 s ON o.i = s.i
         |ORDER BY o.bin""".stripMargin,
+    "q_fk_coverage" ->
+      """WITH fk AS (SELECT CAST(l_suppkey AS VARCHAR) AS k,
+        |    CAST(count(*) AS BIGINT) AS c FROM lineitem
+        |  WHERE l_suppkey IS NOT NULL GROUP BY 1),
+        |dk AS (SELECT DISTINCT CAST(s_suppkey AS VARCHAR) AS k
+        |  FROM supplier WHERE s_suppkey IS NOT NULL)
+        |SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(CASE WHEN dk.k IS NOT NULL THEN c END), 0)
+        |    AS BIGINT) AS n_matched_rows,
+        |  round(CAST(coalesce(sum(CASE WHEN dk.k IS NOT NULL
+        |    THEN c END), 0) AS DOUBLE) / sum(c), 6) AS row_coverage,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(coalesce(sum(CASE WHEN dk.k IS NOT NULL THEN 1 END), 0)
+        |    AS BIGINT) AS n_matched_keys,
+        |  CAST(count(*) - coalesce(sum(CASE WHEN dk.k IS NOT NULL
+        |    THEN 1 END), 0) AS BIGINT) AS n_orphan_keys
+        |FROM fk LEFT JOIN dk ON fk.k = dk.k""".stripMargin,
     "q_readability" ->
       """WITH c AS (SELECT doc_id,
         |    CAST(len(regexp_extract_all(coalesce(text, ''),

@@ -95,6 +95,43 @@ object Validation {
     }.toDF("column", "rule", "violations", "n_rows", "passed")
   }
 
+  /** Referential-integrity coverage — "do the fact table's foreign
+    * keys resolve": row and distinct-key coverage of factKey against
+    * dimKey, plus the orphan count — the join-health check to run
+    * BEFORE a pipeline quietly inner-joins away 4% of its revenue
+    * rows. The fact side reduces to (key, count) cells in one
+    * aggregation; the dim side to distinct keys; one key join between
+    * the two — nothing row-sized shuffles twice.
+    *
+    * @return one row: (n_rows, n_matched_rows, row_coverage, n_keys,
+    *         n_matched_keys, n_orphan_keys), coverage rounded to 6 */
+  def fkCoverage(fact: DataFrame, dim: DataFrame, factKey: String,
+                 dimKey: String): DataFrame = {
+    val fk = fact
+      .where(F.col(factKey).isNotNull)
+      .groupBy(F.col(factKey).cast("string").as("__k"))
+      .agg(F.count(F.lit(1)).as("__c"))
+    val dk = dim
+      .where(F.col(dimKey).isNotNull)
+      .select(F.col(dimKey).cast("string").as("__k"))
+      .distinct()
+      .withColumn("__hit", F.lit(true))
+    fk.join(dk, Seq("__k"), "left")
+      .agg(
+        F.sum("__c").as("n_rows"),
+        F.coalesce(F.sum(F.when(F.col("__hit"), F.col("__c"))),
+          F.lit(0L)).as("n_matched_rows"),
+        F.count(F.lit(1)).as("n_keys"),
+        F.coalesce(F.sum(F.when(F.col("__hit"), 1L)), F.lit(0L))
+          .as("n_matched_keys"))
+      .withColumn("row_coverage", F.round(
+        F.col("n_matched_rows").cast("double") / F.col("n_rows"), 6))
+      .withColumn("n_orphan_keys",
+        F.col("n_keys") - F.col("n_matched_keys"))
+      .select("n_rows", "n_matched_rows", "row_coverage", "n_keys",
+        "n_matched_keys", "n_orphan_keys")
+  }
+
   /** Column profile table — the schema-level data card ("what is in
     * this table", the first query against any new dataset): per column
     * the row count, null count/rate, EXACT distinct count, and for

@@ -766,6 +766,18 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains("flat"))
   }
 
+  test("fkCoverage: row and key coverage with orphans") {
+    import spark.implicits._
+    val fact = Seq(1, 1, 2, 3, 3, 3).toDF("fk")
+    val dim = Seq(1, 2, 9).toDF("dk")
+    val out = Validation.fkCoverage(fact, dim, "fk", "dk").collect()(0)
+    assert(out.getAs[Long]("n_rows") == 6L)
+    assert(out.getAs[Long]("n_matched_rows") == 3L)
+    assert(out.getAs[Double]("row_coverage") == 0.5)
+    assert(out.getAs[Long]("n_keys") == 3L)
+    assert(out.getAs[Long]("n_orphan_keys") == 1L)
+  }
+
   test("withReadability: Coleman-Liau counts and formula") {
     import spark.implicits._
     val df = Seq((1L, "The cat sat. It purred!"), (2L, "   "))
