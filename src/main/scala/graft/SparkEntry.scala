@@ -2568,6 +2568,32 @@ object SparkEntry {
             .as("len")),
         Seq("lang"), "source", "len")
         .orderBy("lang")),
+    "q_eb_shrinkage" -> ((s, dir) =>
+      // empirical-Bayes shrinkage of per-supplier return rates: the
+      // beta prior moment-matched from the observed rate spread, small
+      // suppliers pulled toward it
+      Experiments.ebShrinkRates(
+        li(s, dir).where(F.col("l_orderkey") < 50000)
+          .select(F.col("l_suppkey"),
+            (F.col("l_returnflag") === "R").as("y")),
+        Seq("l_suppkey"), "y")
+        .orderBy("l_suppkey")),
+    "q_sequential" -> ((s, dir) =>
+      // group-sequential A/B monitor: weekly looks at the cumulative
+      // purchase-rate z vs the O'Brien-Fleming-shaped boundary
+      Experiments.sequentialMonitor(
+        events(s, dir)
+          .where(F.col("ts").isNotNull && F.col("user_id").isNotNull &&
+            F.col("event_type").isNotNull)
+          .select(
+            F.floor((F.col("ts") -
+              F.pmod(F.col("ts"), F.lit(604800000000000L))) /
+              604800000000000.0).cast("long").as("period"),
+            F.when(F.col("user_id") % 2 === 0, "a").otherwise("b")
+              .as("cohort"),
+            (F.col("event_type") === "purchase").as("y")),
+        "period", "cohort", "y")
+        .orderBy("period")),
     "q_fk_coverage" -> ((s, dir) =>
       // referential integrity: do lineitem supplier keys resolve in
       // the supplier dim — row and key coverage + orphan count
@@ -8629,6 +8655,73 @@ object SparkEntry {
         |  round(s.iso, 6) AS iso_rate
         |FROM ord o JOIN step2 s ON o.i = s.i
         |ORDER BY o.bin""".stripMargin,
+    "q_eb_shrinkage" ->
+      """WITH groups AS (SELECT l_suppkey AS g,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x FROM lineitem
+        |  WHERE l_orderkey < 50000 AND l_returnflag IS NOT NULL
+        |  GROUP BY 1),
+        |r AS (SELECT *, CAST(x AS DOUBLE) / n AS rr FROM groups),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS k, sum(rr) AS sr,
+        |    sum(rr * rr) AS srr FROM r),
+        |pr AS (SELECT sr / k AS m,
+        |    CASE WHEN (srr / k - (sr / k) * (sr / k)) > 0
+        |      AND (srr / k - (sr / k) * (sr / k))
+        |        < (sr / k) * (1.0 - sr / k)
+        |    THEN (sr / k) * (1.0 - sr / k)
+        |      / (srr / k - (sr / k) * (sr / k)) - 1.0
+        |    ELSE 0.0 END AS s FROM mm)
+        |SELECT g AS l_suppkey, n, x,
+        |  round(CAST(x AS DOUBLE) / n, 6) AS rate,
+        |  round((CAST(x AS DOUBLE) + m * s)
+        |    / (CAST(n AS DOUBLE) + m * s + (1.0 - m) * s), 6)
+        |    AS shrunk_rate,
+        |  round(m * s, 6) AS alpha,
+        |  round((1.0 - m) * s, 6) AS beta
+        |FROM r, pr ORDER BY l_suppkey""".stripMargin,
+    "q_sequential" ->
+      """WITH e AS (SELECT
+        |    CAST(floor((epoch_ns(ts) - epoch_ns(ts) % 604800000000000)
+        |      / 604800000000000.0) AS BIGINT) AS period,
+        |    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    (event_type = 'purchase') AS y FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |cells AS (SELECT period,
+        |    CAST(sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS na,
+        |    CAST(sum(CASE WHEN g = 'a' AND y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS xa,
+        |    CAST(sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb,
+        |    CAST(sum(CASE WHEN g = 'b' AND y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS xb
+        |  FROM e GROUP BY period),
+        |cum AS (SELECT period,
+        |    CAST(sum(na) OVER w AS BIGINT) AS n_a,
+        |    CAST(sum(xa) OVER w AS BIGINT) AS x_a,
+        |    CAST(sum(nb) OVER w AS BIGINT) AS n_b,
+        |    CAST(sum(xb) OVER w AS BIGINT) AS x_b,
+        |    CAST(row_number() OVER (ORDER BY period) AS BIGINT) AS k,
+        |    CAST(count(*) OVER () AS BIGINT) AS bigk
+        |  FROM cells WINDOW w AS (ORDER BY period ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |zt AS (SELECT *,
+        |    sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+        |      * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+        |      * (1.0 / n_a + 1.0 / n_b)) AS se
+        |  FROM cum WHERE n_a > 0 AND n_b > 0)
+        |SELECT period, n_a, x_a, n_b, x_b,
+        |  round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+        |    / se, 6) AS z,
+        |  round(1.959964 * sqrt(CAST(bigk AS DOUBLE) / k), 6)
+        |    AS boundary,
+        |  abs(round((CAST(x_a AS DOUBLE) / n_a
+        |    - CAST(x_b AS DOUBLE) / n_b) / se, 6))
+        |    > round(1.959964 * sqrt(CAST(bigk AS DOUBLE) / k), 6)
+        |    AS crossed
+        |FROM zt WHERE se > 0 ORDER BY period""".stripMargin,
     "q_fk_coverage" ->
       """WITH fk AS (SELECT CAST(l_suppkey AS VARCHAR) AS k,
         |    CAST(count(*) AS BIGINT) AS c FROM lineitem

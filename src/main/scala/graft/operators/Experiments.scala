@@ -90,6 +90,120 @@ object Experiments {
         F.col("rate"), F.col("ci_lo"), F.col("ci_hi")): _*)
   }
 
+  /** Empirical-Bayes (beta-binomial) shrinkage of per-group rates —
+    * "small segments borrow strength": the beta prior is moment-matched
+    * from the OBSERVED spread of group rates (m = mean, v = variance →
+    * α+β = m(1−m)/v − 1), and each group's estimate becomes
+    *
+    *   shrunk = (x + α)/(n + α + β)
+    *
+    * — big groups keep their data, a 3-row segment gets pulled to the
+    * prior instead of reporting 0% or 100%. ONE group aggregation; the
+    * prior is two scalars from a groups-sized fold (explicit Σr/Σr²
+    * algebra). Degenerate spreads (v = 0 or v ≥ m(1−m), where the
+    * beta-binomial moment match is undefined) fall back to α = β = 0 —
+    * shrunk = raw.
+    *
+    * @return one row per group: (groupCols..., n, x, rate, shrunk_rate,
+    *         alpha, beta), floats rounded to 6 */
+  def ebShrinkRates(df: DataFrame, groupCols: Seq[String],
+                    successCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val y = F.col(successCol).cast("boolean")
+    val groups = df.where(y.isNotNull)
+      .groupBy(groupCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.when(y, 1L).otherwise(0L)).as("x"))
+      .withColumn("__r", F.col("x").cast("double") / F.col("n"))
+      .localCheckpoint(true)
+    val row = groups.agg(F.count(F.lit(1)).as("k"),
+      F.sum("__r").as("sr"),
+      F.sum(F.col("__r") * F.col("__r")).as("srr")).head()
+    val k = row.getAs[Long]("k").toDouble
+    require(k >= 1.0, "need at least one group")
+    val m = row.getAs[Double]("sr") / k
+    val v = row.getAs[Double]("srr") / k - m * m
+    val s = if (v > 0.0 && v < m * (1.0 - m))
+      m * (1.0 - m) / v - 1.0 else 0.0
+    val alpha = m * s
+    val beta = (1.0 - m) * s
+    groups
+      .withColumn("rate", F.round(F.col("__r"), 6))
+      .withColumn("shrunk_rate", F.round(
+        (F.col("x").cast("double") + alpha) /
+          (F.col("n").cast("double") + alpha + beta), 6))
+      .withColumn("alpha", F.round(F.lit(alpha), 6))
+      .withColumn("beta", F.round(F.lit(beta), 6))
+      .select(groupCols.map(F.col) ++ Seq(F.col("n"), F.col("x"),
+        F.col("rate"), F.col("shrunk_rate"), F.col("alpha"),
+        F.col("beta")): _*)
+  }
+
+  /** Group-sequential monitor with the O'Brien–Fleming-shaped boundary:
+    * per analysis period k of K, the pooled two-proportion z on the
+    * CUMULATIVE counts against the spending boundary
+    *
+    *   b(k) = z_final · √(K/k)
+    *
+    * — early looks must clear a much higher bar, which is what makes
+    * peeking at a running experiment legitimate (naive repeated
+    * α = .05 looks inflate false positives several-fold). One (period,
+    * cohort) aggregation; cumulative counts and z ride windows over
+    * the ≤ K period cells.
+    *
+    * @param periodCol integral analysis period (1-based or any ordered
+    *                  integers)
+    * @param zFinal    the final-look critical value (1.959964 = 5%)
+    * @return one row per period: (period, n_a, x_a, n_b, x_b, z,
+    *         boundary, crossed) — cumulative counts, z/boundary
+    *         rounded to 6 */
+  def sequentialMonitor(df: DataFrame, periodCol: String,
+                        cohortCol: String, successCol: String,
+                        labelA: String = "a", labelB: String = "b",
+                        zFinal: Double = 1.959964): DataFrame = {
+    require(labelA != labelB, "cohort labels must differ")
+    import org.apache.spark.sql.expressions.Window
+    val g = F.col(cohortCol).cast("string")
+    val y = F.col(successCol).cast("boolean")
+    val p = F.col(periodCol).cast("long")
+    val cells = df
+      .where(p.isNotNull && y.isNotNull && g.isin(labelA, labelB))
+      .groupBy(p.as("period"))
+      .agg(
+        F.sum(F.when(g === labelA, 1L).otherwise(0L)).as("__na"),
+        F.sum(F.when(g === labelA && y, 1L).otherwise(0L)).as("__xa"),
+        F.sum(F.when(g === labelB, 1L).otherwise(0L)).as("__nb"),
+        F.sum(F.when(g === labelB && y, 1L).otherwise(0L)).as("__xb"))
+    val wCum = Window.orderBy("period")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("period")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wK = Window.orderBy("period")
+    val cum = cells
+      .withColumn("n_a", F.sum("__na").over(wCum))
+      .withColumn("x_a", F.sum("__xa").over(wCum))
+      .withColumn("n_b", F.sum("__nb").over(wCum))
+      .withColumn("x_b", F.sum("__xb").over(wCum))
+      .withColumn("__k", F.row_number().over(wK).cast("long"))
+      .withColumn("__bigk", F.count(F.lit(1)).over(wAll))
+    val pa = F.col("x_a").cast("double") / F.col("n_a")
+    val pb = F.col("x_b").cast("double") / F.col("n_b")
+    val pp = (F.col("x_a") + F.col("x_b")).cast("double") /
+      (F.col("n_a") + F.col("n_b"))
+    val se = F.sqrt(pp * (F.lit(1.0) - pp) *
+      (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b")))
+    cum
+      .where(F.col("n_a") > 0L && F.col("n_b") > 0L)
+      .withColumn("__se", se)
+      .where(F.col("__se") > 0.0)
+      .withColumn("z", F.round((pa - pb) / F.col("__se"), 6))
+      .withColumn("boundary", F.round(F.lit(zFinal) *
+        F.sqrt(F.col("__bigk").cast("double") / F.col("__k")), 6))
+      .withColumn("crossed", F.abs(F.col("z")) > F.col("boundary"))
+      .select("period", "n_a", "x_a", "n_b", "x_b", "z", "boundary",
+        "crossed")
+  }
+
   /** Stratified average treatment effect — the observational-data
     * workhorse: bucket units into k strata of a balancing score
     * (propensity from [[Regression.logisticIrls]], or any confounder

@@ -766,6 +766,48 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains("flat"))
   }
 
+  test("ebShrinkRates: moment-matched prior pulls small extremes") {
+    import spark.implicits._
+    def grp(g: String, x: Int) = (1 to 10).map(i => (g, i <= x))
+    val df = (grp("a", 1) ++ grp("b", 5) ++ grp("c", 9)).toDF("g", "y")
+    val out = Experiments.ebShrinkRates(df, Seq("g"), "y")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val (m, v) = (0.5, (0.01 + 0.25 + 0.81) / 3.0 - 0.25)
+    val s = m * (1 - m) / v - 1.0
+    val a = m * s
+    val shrunkA = (1.0 + a) / (10.0 + 2 * a)
+    assert(math.abs(out("a").getAs[Double]("shrunk_rate") -
+      math.rint(shrunkA * 1e6) / 1e6) < 1e-9)
+    assert(out("a").getAs[Double]("shrunk_rate") > 0.1)
+    assert(out("c").getAs[Double]("shrunk_rate") < 0.9)
+    assert(out("b").getAs[Double]("shrunk_rate") == 0.5)
+    // zero spread -> no shrink
+    val flat = (grp("a", 5) ++ grp("b", 5)).toDF("g", "y")
+    val f = Experiments.ebShrinkRates(flat, Seq("g"), "y")
+      .collect()(0)
+    assert(f.getAs[Double]("alpha") == 0.0)
+    assert(f.getAs[Double]("shrunk_rate") == f.getAs[Double]("rate"))
+  }
+
+  test("sequentialMonitor: OBF boundary shrinks toward the final look") {
+    import spark.implicits._
+    def rows(p: Long, g: String, x: Int) =
+      (1 to 10).map(i => (p, g, i <= x))
+    val df = (rows(1L, "a", 2) ++ rows(1L, "b", 2) ++
+      rows(2L, "a", 8) ++ rows(2L, "b", 2)).toDF("period", "cohort", "y")
+    val out = Experiments.sequentialMonitor(df, "period", "cohort", "y")
+      .orderBy("period").collect()
+    assert(out(0).getAs[Double]("z") == 0.0)
+    assert(math.abs(out(0).getAs[Double]("boundary") -
+      math.rint(1.959964 * math.sqrt(2.0) * 1e6) / 1e6) < 1e-9)
+    assert(!out(0).getAs[Boolean]("crossed"))
+    assert(out(1).getAs[Long]("n_a") == 20L)
+    assert(out(1).getAs[Long]("x_a") == 10L)
+    assert(out(1).getAs[Double]("boundary") == 1.959964)
+    assert(math.abs(out(1).getAs[Double]("z") - 1.988981) < 1e-5)
+    assert(out(1).getAs[Boolean]("crossed"))
+  }
+
   test("fkCoverage: row and key coverage with orphans") {
     import spark.implicits._
     val fact = Seq(1, 1, 2, 3, 3, 3).toDF("fk")
