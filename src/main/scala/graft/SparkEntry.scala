@@ -2568,6 +2568,25 @@ object SparkEntry {
             .as("len")),
         Seq("lang"), "source", "len")
         .orderBy("lang")),
+    "q_rate_ratio" -> ((s, dir) =>
+      // Poisson rate-ratio: purchases per event between the user-
+      // parity cohorts, log-scale CI + z
+      Experiments.rateRatio(
+        events(s, dir)
+          .where(F.col("user_id").isNotNull &&
+            F.col("event_type").isNotNull)
+          .select(F.when(F.col("user_id") % 2 === 0, "a").otherwise("b")
+            .as("cohort"),
+            (F.col("event_type") === "purchase").as("ev"),
+            F.lit(1.0).as("expo")),
+        "cohort", "ev", "expo")),
+    "q_median_ci" -> ((s, dir) =>
+      // distribution-free median CI per return flag from binomial-rank
+      // order statistics — every bound a value that occurred
+      Outliers.medianCiByGroup(
+        li(s, dir).where(F.col("l_orderkey") < 100000),
+        Seq("l_returnflag"), "l_extendedprice")
+        .orderBy("l_returnflag")),
     "q_eb_shrinkage" -> ((s, dir) =>
       // empirical-Bayes shrinkage of per-supplier return rates: the
       // beta prior moment-matched from the observed rate spread, small
@@ -8655,6 +8674,71 @@ object SparkEntry {
         |  round(s.iso, 6) AS iso_rate
         |FROM ord o JOIN step2 s ON o.i = s.i
         |ORDER BY o.bin""".stripMargin,
+    "q_rate_ratio" ->
+      s"""WITH base AS (SELECT
+        |    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    (event_type = 'purchase') AS y, 1.0 AS ex FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |a AS (SELECT
+        |    CAST(sum(CASE WHEN g = 'a' AND y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x_a,
+        |    round(sum(CASE WHEN g = 'a' THEN ex ELSE 0.0 END), 6)
+        |      AS e_a,
+        |    CAST(sum(CASE WHEN g = 'b' AND y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x_b,
+        |    round(sum(CASE WHEN g = 'b' THEN ex ELSE 0.0 END), 6)
+        |      AS e_b FROM base),
+        |m AS (SELECT *, CAST(x_a AS DOUBLE) / e_a AS ra,
+        |    CAST(x_b AS DOUBLE) / e_b AS rb,
+        |    (x_a > 0 AND x_b > 0 AND e_a > 0 AND e_b > 0) AS ok
+        |  FROM a),
+        |t AS (SELECT *,
+        |    CASE WHEN ok THEN ln(ra / rb) END AS lrr,
+        |    CASE WHEN ok THEN
+        |      sqrt(1.0 / x_a + 1.0 / x_b) END AS se FROM m),
+        |zt AS (SELECT *, CASE WHEN ok THEN round(lrr / se, 6) END AS z
+        |  FROM t),
+        |ye AS (SELECT *, abs(z) / sqrt(2.0) AS yv FROM zt)
+        |SELECT x_a, e_a, x_b, e_b,
+        |  CASE WHEN e_a > 0 THEN round(ra, 6) END AS rate_a,
+        |  CASE WHEN e_b > 0 THEN round(rb, 6) END AS rate_b,
+        |  CASE WHEN ok THEN round(ra / rb, 6) END AS rate_ratio,
+        |  CASE WHEN ok THEN
+        |    round(exp(lrr - 1.959964 * se), 6) END AS rr_lo,
+        |  CASE WHEN ok THEN
+        |    round(exp(lrr + 1.959964 * se), 6) END AS rr_hi,
+        |  z,
+        |  CASE WHEN ok THEN
+        |    round_even(${codyErfcSql("yv")} * 1000000.0, 0)
+        |    / 1000000.0 END AS p_value
+        |FROM ye""".stripMargin,
+    "q_median_ci" ->
+      """WITH base AS (SELECT l_returnflag AS g,
+        |    CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        |  WHERE l_orderkey < 100000 AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM base
+        |  GROUP BY g, v),
+        |w AS (SELECT *,
+        |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n,
+        |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM cells),
+        |r AS (SELECT *,
+        |    CAST(ceil(CAST(n AS DOUBLE) * 0.5) AS BIGINT) AS rmed,
+        |    greatest(1, CAST(floor(CAST(n AS DOUBLE) * 0.5
+        |      - 1.959964 * sqrt(CAST(n AS DOUBLE)) / 2.0) AS BIGINT))
+        |      AS rlo,
+        |    least(n, CAST(ceil(CAST(n AS DOUBLE) * 0.5
+        |      + 1.959964 * sqrt(CAST(n AS DOUBLE)) / 2.0) AS BIGINT)
+        |      + 1) AS rhi FROM w)
+        |SELECT g AS l_returnflag, CAST(max(n) AS BIGINT) AS n,
+        |  min(CASE WHEN cum >= rmed THEN v END) AS median,
+        |  CASE WHEN max(n) >= 2 THEN
+        |    min(CASE WHEN cum >= rlo THEN v END) END AS ci_lo,
+        |  CASE WHEN max(n) >= 2 THEN
+        |    min(CASE WHEN cum >= rhi THEN v END) END AS ci_hi
+        |FROM r GROUP BY g ORDER BY g""".stripMargin,
     "q_eb_shrinkage" ->
       """WITH groups AS (SELECT l_suppkey AS g,
         |    CAST(count(*) AS BIGINT) AS n,

@@ -90,6 +90,65 @@ object Experiments {
         F.col("rate"), F.col("ci_lo"), F.col("ci_hi")): _*)
   }
 
+  /** Poisson rate-ratio test between two cohorts with exposure — the
+    * incident-rate comparison ("errors per machine-hour, crashes per
+    * session-day") where a proportion test is the wrong model because
+    * a unit can contribute many events:
+    *
+    *   RR = (x_a/e_a)/(x_b/e_b),  se_lnRR = √(1/x_a + 1/x_b),
+    *   z  = ln RR / se,  p = erfc(|z|/√2)
+    *
+    * with the log-scale 95% CI. ONE conditional aggregation of counts
+    * and exposures. Null ratio/CI when either count is 0 (continuity-
+    * correct upstream if estimates are needed there).
+    *
+    * @param exposureCol per-row positive exposure (time at risk,
+    *                    opportunity count)
+    * @return one row: (x_a, e_a, x_b, e_b, rate_a, rate_b, rate_ratio,
+    *         rr_lo, rr_hi, z, p_value), floats rounded to 6 */
+  def rateRatio(df: DataFrame, cohortCol: String, eventCol: String,
+                exposureCol: String, labelA: String = "a",
+                labelB: String = "b",
+                zCrit: Double = 1.959964): DataFrame = {
+    require(labelA != labelB, "cohort labels must differ")
+    val g = F.col(cohortCol).cast("string")
+    val y = F.col(eventCol).cast("boolean")
+    val e = F.col(exposureCol).cast("double")
+    val pUdf = F.udf((z: Double) => math.rint(SpecialMath.erfc(
+      math.abs(z) / math.sqrt(2.0)) * 1e6) / 1e6)
+    val agged = df
+      .where(g.isin(labelA, labelB) && y.isNotNull && e.isNotNull &&
+        !F.isnan(e) && e > 0.0)
+      .agg(
+        F.sum(F.when(g === labelA && y, 1L).otherwise(0L)).as("x_a"),
+        F.round(F.sum(F.when(g === labelA, e).otherwise(0.0)), 6)
+          .as("e_a"),
+        F.sum(F.when(g === labelB && y, 1L).otherwise(0L)).as("x_b"),
+        F.round(F.sum(F.when(g === labelB, e).otherwise(0.0)), 6)
+          .as("e_b"))
+    val ra = F.col("x_a").cast("double") / F.col("e_a")
+    val rb = F.col("x_b").cast("double") / F.col("e_b")
+    val ok = F.col("x_a") > 0L && F.col("x_b") > 0L &&
+      F.col("e_a") > 0.0 && F.col("e_b") > 0.0
+    val lnRr = F.log(ra / rb)
+    val se = F.sqrt(F.lit(1.0) / F.col("x_a") +
+      F.lit(1.0) / F.col("x_b"))
+    agged
+      .withColumn("rate_a",
+        F.when(F.col("e_a") > 0.0, F.round(ra, 6)))
+      .withColumn("rate_b",
+        F.when(F.col("e_b") > 0.0, F.round(rb, 6)))
+      .withColumn("rate_ratio", F.when(ok, F.round(ra / rb, 6)))
+      .withColumn("rr_lo",
+        F.when(ok, F.round(F.exp(lnRr - F.lit(zCrit) * se), 6)))
+      .withColumn("rr_hi",
+        F.when(ok, F.round(F.exp(lnRr + F.lit(zCrit) * se), 6)))
+      .withColumn("z", F.when(ok, F.round(lnRr / se, 6)))
+      .withColumn("p_value", F.when(ok, pUdf(F.col("z"))))
+      .select("x_a", "e_a", "x_b", "e_b", "rate_a", "rate_b",
+        "rate_ratio", "rr_lo", "rr_hi", "z", "p_value")
+  }
+
   /** Empirical-Bayes (beta-binomial) shrinkage of per-group rates —
     * "small segments borrow strength": the beta prior is moment-matched
     * from the OBSERVED spread of group rates (m = mean, v = variance →

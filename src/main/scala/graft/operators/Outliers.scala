@@ -175,6 +175,55 @@ object Outliers {
       .select(gCols ++ Seq(F.col("n"), F.col("winsorized_mean")): _*)
   }
 
+  /** Distribution-free median confidence interval per group from ORDER
+    * STATISTICS: the binomial argument gives P(x₍r_lo₎ ≤ median ≤
+    * x₍r_hi₎) ≥ 1−α with
+    *
+    *   r_lo = ⌊n/2 − z·√n/2⌋,  r_hi = ⌈n/2 + z·√n/2⌉ + 1 capped at n
+    *
+    * (normal approximation to Binomial(n, ½) ranks — the standard
+    * nonparametric median CI; every bound is a value that actually
+    * occurred). Same exact cumulative-cell machinery as the trimmed
+    * mean: one (group, value) aggregation, per-group windows,
+    * conditional-min order-statistic picks. Groups with n < 2 emit
+    * null bounds.
+    *
+    * @return one row per group: (groupCols..., n, median, ci_lo,
+    *         ci_hi) — median is the type-1 lower median */
+  def medianCiByGroup(df: DataFrame, groupCols: Seq[String],
+                      column: String,
+                      z: Double = 1.959964): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    import org.apache.spark.sql.expressions.Window
+    val gCols = groupCols.map(F.col)
+    val v = F.col(column).cast("double")
+    val cells = df
+      .where(v.isNotNull && !F.isnan(v))
+      .groupBy(gCols :+ v.as("__v"): _*)
+      .agg(F.count(F.lit(1)).as("__c"))
+    val wg = Window.partitionBy(gCols: _*)
+    val wCum = Window.partitionBy(gCols: _*).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nD = F.col("__n").cast("double")
+    val half = F.lit(z) * F.sqrt(nD) / 2.0
+    val rMed = F.ceil(nD * 0.5)
+    val rLo = F.greatest(F.lit(1L), F.floor(nD * 0.5 - half))
+    val rHi = F.least(F.col("__n"), F.ceil(nD * 0.5 + half) + 1L)
+    cells
+      .withColumn("__n", F.sum("__c").over(wg))
+      .withColumn("__cum", F.sum("__c").over(wCum))
+      .groupBy(gCols: _*)
+      .agg(F.max("__n").as("n"),
+        F.min(F.when(F.col("__cum") >= rMed, F.col("__v")))
+          .as("median"),
+        F.min(F.when(F.col("__cum") >= rLo, F.col("__v"))).as("__lo"),
+        F.min(F.when(F.col("__cum") >= rHi, F.col("__v"))).as("__hi"))
+      .withColumn("ci_lo", F.when(F.col("n") >= 2L, F.col("__lo")))
+      .withColumn("ci_hi", F.when(F.col("n") >= 2L, F.col("__hi")))
+      .select(gCols ++ Seq(F.col("n"), F.col("median"), F.col("ci_lo"),
+        F.col("ci_hi")): _*)
+  }
+
   /** Flag rows whose robust z-score |x−median| / (1.4826·MAD) exceeds
     * `threshold` (3.5 is the conventional cut). Appends `robust_z`
     * (rounded to 6) and `is_outlier`; rows with null/NaN values get

@@ -766,6 +766,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains("flat"))
   }
 
+  test("rateRatio: exposure-weighted incident rates with CI") {
+    import spark.implicits._
+    // a: 4 events over exposure 8; b: 1 event over exposure 4
+    val df = ((1 to 8).map(i => ("a", i <= 4, 1.0)) ++
+      (1 to 4).map(i => ("b", i <= 1, 1.0))).toDF("cohort", "ev", "ex")
+    val out = Experiments.rateRatio(df, "cohort", "ev", "ex")
+      .collect()(0)
+    assert(out.getAs[Double]("rate_a") == 0.5)
+    assert(out.getAs[Double]("rate_b") == 0.25)
+    assert(out.getAs[Double]("rate_ratio") == 2.0)
+    val se = math.sqrt(1.0 / 4 + 1.0 / 1)
+    assert(math.abs(out.getAs[Double]("z") -
+      math.rint(math.log(2.0) / se * 1e6) / 1e6) < 1e-9)
+    assert(out.getAs[Double]("rr_lo") < 2.0 &&
+      out.getAs[Double]("rr_hi") > 2.0)
+  }
+
+  test("medianCiByGroup: order-statistic bounds bracket the median") {
+    import spark.implicits._
+    val df = (1 to 25).map(v => ("g", v.toDouble)).toDF("g", "v")
+    val out = Outliers.medianCiByGroup(df, Seq("g"), "v").collect()(0)
+    // n=25: median rank 13; half = 1.959964*5/2 = 4.89991
+    assert(out.getAs[Double]("median") == 13.0)
+    // rlo = floor(12.5 - 4.89991) = 7; rhi = ceil(12.5 + 4.89991)+1 = 19
+    assert(out.getAs[Double]("ci_lo") == 7.0)
+    assert(out.getAs[Double]("ci_hi") == 19.0)
+  }
+
   test("ebShrinkRates: moment-matched prior pulls small extremes") {
     import spark.implicits._
     def grp(g: String, x: Int) = (1 to 10).map(i => (g, i <= x))
