@@ -2568,6 +2568,20 @@ object SparkEntry {
             .as("len")),
         Seq("lang"), "source", "len")
         .orderBy("lang")),
+    "q_lorenz" -> ((s, dir) =>
+      // Lorenz curve points per line status — the plot behind the
+      // q_gini scalar; exact cumulative cell shares
+      PlotData.lorenzByGroup(
+        li(s, dir).where(F.col("l_orderkey") < 20000),
+        Seq("l_linestatus"), "l_extendedprice")
+        .orderBy("l_linestatus", "v")),
+    "q_crosstab" -> ((s, dir) =>
+      // percentage crosstab of return flag x line status: counts with
+      // row/col/total shares from cell windows
+      Evaluation.crosstab(
+        li(s, dir).where(F.col("l_orderkey") < 100000),
+        "l_returnflag", "l_linestatus")
+        .orderBy("a", "b")),
     "q_rate_ratio" -> ((s, dir) =>
       // Poisson rate-ratio: purchases per event between the user-
       // parity cohorts, log-scale CI + z
@@ -8674,6 +8688,37 @@ object SparkEntry {
         |  round(s.iso, 6) AS iso_rate
         |FROM ord o JOIN step2 s ON o.i = s.i
         |ORDER BY o.bin""".stripMargin,
+    "q_lorenz" ->
+      """WITH base AS (SELECT l_linestatus AS g,
+        |    CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        |  WHERE l_orderkey < 20000 AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        |    AND CAST(l_extendedprice AS DOUBLE) >= 0),
+        |cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c,
+        |    sum(v) AS s FROM base GROUP BY g, v),
+        |w AS (SELECT *,
+        |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n,
+        |    sum(s) OVER (PARTITION BY g) AS t,
+        |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc,
+        |    sum(s) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cs FROM cells)
+        |SELECT g AS l_linestatus, v,
+        |  round(CAST(cc AS DOUBLE) / n, 6) AS pop_share,
+        |  CASE WHEN t > 0 THEN round(cs / t, 6) END AS mass_share
+        |FROM w ORDER BY l_linestatus, v""".stripMargin,
+    "q_crosstab" ->
+      """WITH cells AS (SELECT l_returnflag AS a, l_linestatus AS b,
+        |    CAST(count(*) AS BIGINT) AS n FROM lineitem
+        |  WHERE l_orderkey < 100000 AND l_returnflag IS NOT NULL
+        |    AND l_linestatus IS NOT NULL GROUP BY 1, 2)
+        |SELECT a, b, n,
+        |  round(CAST(n AS DOUBLE)
+        |    / sum(n) OVER (PARTITION BY a), 6) AS row_pct,
+        |  round(CAST(n AS DOUBLE)
+        |    / sum(n) OVER (PARTITION BY b), 6) AS col_pct,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS total_pct
+        |FROM cells ORDER BY a, b""".stripMargin,
     "q_rate_ratio" ->
       s"""WITH base AS (SELECT
         |    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g,

@@ -221,6 +221,34 @@ object Evaluation {
         F.countDistinct("__b").as("n_b"))
   }
 
+  /** Percentage crosstab, long form: every (a, b) cell with its count
+    * and row/column/total percentages — the table every contingency
+    * discussion actually reads ([[contingencyEffects]] says IF the
+    * association is real; this shows WHERE it lives). Marginals ride
+    * windows over the cells frame; missing combinations are simply
+    * absent (a 0-row says the same thing).
+    *
+    * @return one row per observed cell: (a, b, n, row_pct, col_pct,
+    *         total_pct), percentages rounded to 6 */
+  def crosstab(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = F.col(aCol).cast("string")
+    val b = F.col(bCol).cast("string")
+    val cells = df
+      .where(a.isNotNull && b.isNotNull)
+      .groupBy(a.as("a"), b.as("b"))
+      .agg(F.count(F.lit(1)).as("n"))
+    val nD = F.col("n").cast("double")
+    cells
+      .withColumn("row_pct", F.round(
+        nD / F.sum("n").over(Window.partitionBy("a")), 6))
+      .withColumn("col_pct", F.round(
+        nD / F.sum("n").over(Window.partitionBy("b")), 6))
+      .withColumn("total_pct", F.round(
+        nD / F.sum("n").over(Window.partitionBy()), 6))
+      .select("a", "b", "n", "row_pct", "col_pct", "total_pct")
+  }
+
   /** χ² test of independence + Cramér's V effect size for two
     * categoricals — [[mutualInformation]]'s calibrated twin: MI says
     * "how much information", this says "is the association beyond

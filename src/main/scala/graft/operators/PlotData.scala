@@ -209,4 +209,38 @@ object PlotData {
     }
     rows.toDF("x", "ecdf", "model_cdf")
   }
+
+  /** Lorenz curve points per group — the PLOT behind
+    * [[Ranks.giniByGroup]]'s scalar: cumulative population share vs
+    * cumulative mass share over ascending values, one point per
+    * distinct value (ties collapse into one exact point — the curve a
+    * per-row construction would fuzz). Per-(group, value) cells +
+    * per-group cumulative windows; pure ratios of exact sums.
+    *
+    * @return one row per (group, distinct value): (groupCols..., v,
+    *         pop_share, mass_share), shares rounded to 6; negative
+    *         values rejected (Lorenz needs a non-negative measure) */
+  def lorenzByGroup(df: DataFrame, groupCols: Seq[String],
+                    valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    import org.apache.spark.sql.expressions.Window
+    val gCols = groupCols.map(F.col)
+    val v = F.col(valueCol).cast("double")
+    val cells = df
+      .where(v.isNotNull && !F.isnan(v) && v >= 0.0)
+      .groupBy(gCols :+ v.as("v"): _*)
+      .agg(F.count(F.lit(1)).as("__c"), F.sum(v).as("__s"))
+    val wg = Window.partitionBy(gCols: _*)
+    val wCum = Window.partitionBy(gCols: _*).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("__n", F.sum("__c").over(wg))
+      .withColumn("__t", F.sum("__s").over(wg))
+      .withColumn("pop_share", F.round(
+        F.sum("__c").over(wCum).cast("double") / F.col("__n"), 6))
+      .withColumn("mass_share", F.when(F.col("__t") > 0.0, F.round(
+        F.sum("__s").over(wCum) / F.col("__t"), 6)))
+      .select(gCols ++ Seq(F.col("v"), F.col("pop_share"),
+        F.col("mass_share")): _*)
+  }
 }

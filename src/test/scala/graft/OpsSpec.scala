@@ -766,6 +766,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains("flat"))
   }
 
+  test("lorenzByGroup: exact cumulative shares under ties") {
+    import spark.implicits._
+    val df = Seq(1.0, 1.0, 2.0, 4.0).map(("g", _)).toDF("g", "v")
+    val out = PlotData.lorenzByGroup(df, Seq("g"), "v")
+      .orderBy("v").collect()
+    // total 8: points (0.5, 0.25), (0.75, 0.5), (1.0, 1.0)
+    assert(out.length == 3)
+    assert(out(0).getAs[Double]("pop_share") == 0.5)
+    assert(out(0).getAs[Double]("mass_share") == 0.25)
+    assert(out(1).getAs[Double]("mass_share") == 0.5)
+    assert(out(2).getAs[Double]("pop_share") == 1.0)
+    assert(out(2).getAs[Double]("mass_share") == 1.0)
+  }
+
+  test("crosstab: row/col/total percentage algebra") {
+    import spark.implicits._
+    val df = Seq(("x", "p"), ("x", "p"), ("x", "q"), ("y", "q"))
+      .toDF("a", "b")
+    val out = Evaluation.crosstab(df, "a", "b")
+      .collect().map(r => (r.getAs[String]("a"),
+        r.getAs[String]("b")) -> r).toMap
+    assert(out(("x", "p")).getAs[Double]("row_pct") == 0.666667)
+    assert(out(("x", "p")).getAs[Double]("col_pct") == 1.0)
+    assert(out(("x", "p")).getAs[Double]("total_pct") == 0.5)
+    assert(out(("y", "q")).getAs[Double]("row_pct") == 1.0)
+    assert(out(("y", "q")).getAs[Double]("col_pct") == 0.5)
+  }
+
   test("rateRatio: exposure-weighted incident rates with CI") {
     import spark.implicits._
     // a: 4 events over exposure 8; b: 1 event over exposure 4
