@@ -2568,6 +2568,17 @@ object SparkEntry {
             .as("len")),
         Seq("lang"), "source", "len")
         .orderBy("lang")),
+    "q_effect_sizes" -> ((s, dir) =>
+      // magnitude companion to q_pairwise_contrasts: Cohen's d +
+      // Hedges' g for every return-flag pair from one moment pass
+      StatTests.effectSizes(
+        li(s, dir).where(F.col("l_orderkey") < 100000),
+        "l_returnflag", "l_extendedprice")
+        .orderBy("group_a", "group_b")),
+    "q_icc" -> ((s, dir) =>
+      // intraclass correlation of doc length within sources: are docs
+      // within a source more alike than across — one ANOVA-stats fold
+      StatTests.icc(docs(s, dir), "source", "n_chars")),
     "q_lorenz" -> ((s, dir) =>
       // Lorenz curve points per line status — the plot behind the
       // q_gini scalar; exact cumulative cell shares
@@ -8688,6 +8699,50 @@ object SparkEntry {
         |  round(s.iso, 6) AS iso_rate
         |FROM ord o JOIN step2 s ON o.i = s.i
         |ORDER BY o.bin""".stripMargin,
+    "q_effect_sizes" ->
+      """WITH base AS (SELECT l_returnflag AS g,
+        |    CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        |  WHERE l_orderkey < 100000 AND l_returnflag IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |mm AS (SELECT g, CAST(count(*) AS BIGINT) AS n, avg(v) AS mu,
+        |    var_samp(v) AS vr FROM base GROUP BY g
+        |  HAVING count(*) >= 2 AND var_samp(v) IS NOT NULL),
+        |p AS (SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a,
+        |    b.n AS n_b, a.mu AS ma, b.mu AS mb,
+        |    (CAST(a.n - 1 AS DOUBLE) * a.vr
+        |      + CAST(b.n - 1 AS DOUBLE) * b.vr)
+        |      / CAST(a.n + b.n - 2 AS DOUBLE) AS sp
+        |  FROM mm a JOIN mm b ON a.g < b.g)
+        |SELECT group_a, group_b, n_a, n_b,
+        |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |  round((ma - mb) / sqrt(sp), 6) AS cohen_d,
+        |  round(((ma - mb) / sqrt(sp)) * (1.0 - 3.0
+        |    / (4.0 * CAST(n_a + n_b AS DOUBLE) - 9.0)), 6)
+        |    AS hedges_g
+        |FROM p WHERE sp > 0 ORDER BY group_a, group_b""".stripMargin,
+    "q_icc" ->
+      """WITH base AS (SELECT source AS g,
+        |    CAST(n_chars AS DOUBLE) AS v FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |    AND NOT isnan(CAST(n_chars AS DOUBLE))),
+        |cells AS (SELECT g, CAST(count(*) AS BIGINT) AS cn,
+        |    sum(v) AS s, sum(v * v) AS ssq FROM base GROUP BY g),
+        |a AS (SELECT CAST(sum(cn) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k, sum(s) AS st,
+        |    sum(s * s / cn) AS aa, sum(ssq) AS t,
+        |    sum(cn * cn) AS sn2 FROM cells),
+        |m AS (SELECT n, k,
+        |    (aa - st * st / n) / (CAST(k AS DOUBLE) - 1.0) AS msb,
+        |    (t - aa) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) AS msw,
+        |    (CAST(n AS DOUBLE) - sn2 / CAST(n AS DOUBLE))
+        |      / (CAST(k AS DOUBLE) - 1.0) AS n0
+        |  FROM a WHERE k >= 2 AND n > k)
+        |SELECT CASE WHEN msb + (n0 - 1.0) * msw > 0 THEN
+        |    round((msb - msw) / (msb + (n0 - 1.0) * msw), 6) END
+        |    AS icc,
+        |  round(msb, 6) AS ms_between, round(msw, 6) AS ms_within,
+        |  n, k FROM m""".stripMargin,
     "q_lorenz" ->
       """WITH base AS (SELECT l_linestatus AS g,
         |    CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem

@@ -737,6 +737,97 @@ object StatTests {
         F.col("p_value")): _*)
   }
 
+  /** Standardized effect sizes for every group pair — the MAGNITUDE
+    * companion to [[pairwiseContrasts]]' p-values (at corpus n
+    * everything is "significant"; d says whether anyone should care):
+    *
+    *   d = (x̄_a − x̄_b) / s_pooled,
+    *   s²_pooled = ((n_a−1)s²_a + (n_b−1)s²_b)/(n_a+n_b−2),
+    *   g = d · (1 − 3/(4(n_a+n_b) − 9))   (Hedges' small-sample bias
+    *                                        correction)
+    *
+    * ONE moment aggregation; the pair join runs on the k-row groups
+    * table. Pairs with zero pooled variance are omitted.
+    *
+    * @return one row per pair: (group_a, group_b, n_a, n_b, mean_a,
+    *         mean_b, cohen_d, hedges_g), rounded to 6 */
+  def effectSizes(df: DataFrame, groupCol: String,
+                  valueCol: String): DataFrame = {
+    val g = F.col(groupCol).cast("string")
+    val v = F.col(valueCol).cast("double")
+    val m = df
+      .where(g.isNotNull && v.isNotNull && !F.isnan(v))
+      .groupBy(g.as("__g"))
+      .agg(F.count(F.lit(1)).as("__n"), F.avg(v).as("__m"),
+        F.var_samp(v).as("__v"))
+      .where(F.col("__n") >= 2L && F.col("__v").isNotNull)
+      .localCheckpoint(true)
+    val l = m.select(F.col("__g").as("group_a"), F.col("__n").as("n_a"),
+      F.col("__m").as("__ma"), F.col("__v").as("__va"))
+    val r = m.select(F.col("__g").as("group_b"), F.col("__n").as("n_b"),
+      F.col("__m").as("__mb"), F.col("__v").as("__vb"))
+    val pooled = ((F.col("n_a") - 1L).cast("double") * F.col("__va") +
+      (F.col("n_b") - 1L).cast("double") * F.col("__vb")) /
+      (F.col("n_a") + F.col("n_b") - 2L).cast("double")
+    val corr = F.lit(1.0) - F.lit(3.0) /
+      (F.lit(4.0) * (F.col("n_a") + F.col("n_b")).cast("double") - 9.0)
+    l.join(F.broadcast(r), F.col("group_a") < F.col("group_b"))
+      .withColumn("__sp", pooled)
+      .where(F.col("__sp") > 0.0)
+      .withColumn("cohen_d", F.round(
+        (F.col("__ma") - F.col("__mb")) / F.sqrt(F.col("__sp")), 6))
+      .withColumn("hedges_g", F.round(
+        ((F.col("__ma") - F.col("__mb")) / F.sqrt(F.col("__sp"))) *
+          corr, 6))
+      .withColumn("mean_a", F.round(F.col("__ma"), 6))
+      .withColumn("mean_b", F.round(F.col("__mb"), 6))
+      .select("group_a", "group_b", "n_a", "n_b", "mean_a", "mean_b",
+        "cohen_d", "hedges_g")
+  }
+
+  /** Intraclass correlation ICC(1) — "how much of the variance lives
+    * BETWEEN groups": from the one-way ANOVA mean squares,
+    *
+    *   ICC = (MSB − MSW) / (MSB + (n̄₀ − 1)·MSW),
+    *   n̄₀ = (N − Σnᵢ²/N)/(k − 1)   (the unbalanced-design group size)
+    *
+    * — the clustering-strength number that decides whether a mixed
+    * model / clustered standard errors are needed, and the data-card
+    * answer to "are documents within a source more alike than across".
+    * ONE sufficient-statistic aggregation, the ANOVA algebra fold.
+    *
+    * @return one row: (icc, ms_between, ms_within, n, k), floats
+    *         rounded to 6 */
+  def icc(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val g = F.col(groupCol).cast("string")
+    val v = F.col(valueCol).cast("double")
+    val cells = df
+      .where(g.isNotNull && v.isNotNull && !F.isnan(v))
+      .groupBy(g.as("__g"))
+      .agg(F.count(F.lit(1)).as("__n"), F.sum(v).as("__s"),
+        F.sum(v * v).as("__ssq"))
+    val agged = cells.agg(
+      F.sum("__n").as("n"), F.count(F.lit(1)).as("k"),
+      F.sum("__s").as("__st"),
+      F.sum(F.col("__s") * F.col("__s") / F.col("__n")).as("__a"),
+      F.sum("__ssq").as("__t"),
+      F.sum(F.col("__n") * F.col("__n")).as("__sn2"))
+    val nD = F.col("n").cast("double")
+    val kD = F.col("k").cast("double")
+    val ssb = F.col("__a") - F.col("__st") * F.col("__st") / F.col("n")
+    val ssw = F.col("__t") - F.col("__a")
+    val msb = ssb / (kD - 1.0)
+    val msw = ssw / (nD - kD)
+    val n0 = (nD - F.col("__sn2") / nD) / (kD - 1.0)
+    agged
+      .where(F.col("k") >= 2L && F.col("n") > F.col("k"))
+      .withColumn("ms_between", F.round(msb, 6))
+      .withColumn("ms_within", F.round(msw, 6))
+      .withColumn("icc", F.when(msb + (n0 - 1.0) * msw > 0.0,
+        F.round((msb - msw) / (msb + (n0 - 1.0) * msw), 6)))
+      .select("icc", "ms_between", "ms_within", "n", "k")
+  }
+
   /** Cochran–Armitage trend test: is a success rate MONOTONE in an
     * ordered exposure ("does conversion rise with discount tier") —
     * the dose-response test that a plain χ² dilutes (χ² sees any

@@ -766,6 +766,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains("flat"))
   }
 
+  test("effectSizes: pooled-sd d and Hedges correction") {
+    import spark.implicits._
+    val df = (Seq(0.0, 0.0, 1.0, 1.0).map(("a", _)) ++
+      Seq(2.0, 2.0, 3.0, 3.0).map(("b", _))).toDF("g", "v")
+    val out = StatTests.effectSizes(df, "g", "v").collect()(0)
+    val d = -2.0 / math.sqrt(1.0 / 3.0)
+    assert(math.abs(out.getAs[Double]("cohen_d") -
+      math.rint(d * 1e6) / 1e6) < 1e-9)
+    val gH = d * (1.0 - 3.0 / 23.0)
+    assert(math.abs(out.getAs[Double]("hedges_g") -
+      math.rint(gH * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("icc: perfect between-group separation gives 1") {
+    import spark.implicits._
+    val df = Seq(("g1", 1.0), ("g1", 1.0), ("g2", 5.0), ("g2", 5.0))
+      .toDF("g", "v")
+    val out = StatTests.icc(df, "g", "v").collect()(0)
+    assert(out.getAs[Double]("icc") == 1.0)
+    assert(out.getAs[Double]("ms_within") == 0.0)
+    // no between-group structure -> icc <= 0
+    val flat = Seq(("g1", 1.0), ("g1", 5.0), ("g2", 1.0), ("g2", 5.0))
+      .toDF("g", "v")
+    val f = StatTests.icc(flat, "g", "v").collect()(0)
+    assert(f.getAs[Double]("icc") <= 0.0)
+  }
+
   test("lorenzByGroup: exact cumulative shares under ties") {
     import spark.implicits._
     val df = Seq(1.0, 1.0, 2.0, 4.0).map(("g", _)).toDF("g", "v")
