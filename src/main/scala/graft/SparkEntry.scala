@@ -2568,6 +2568,26 @@ object SparkEntry {
             .as("len")),
         Seq("lang"), "source", "len")
         .orderBy("lang")),
+    "q_holm" -> ((s, dir) =>
+      // FWER control over the per-event-type chi2 p family: Holm
+      // step-down via the prefix-max fold — the q_drift_fdr base with
+      // the stricter guarantee
+      StatTests.holmAdjust(
+        StatTests.chiSquareGofByGroup(
+          events(s, dir).select(F.col("event_type"),
+            (F.col("user_id") % 7).as("v")),
+          Seq("event_type"), "v"),
+        "p_value")
+        .select("event_type", "chi2", "p_value", "holm_rank", "p_holm",
+          "reject_fwer")
+        .orderBy("event_type")),
+    "q_hist_by_group" -> ((s, dir) =>
+      // per-segment fixed-grid histogram: one (group, bin) aggregation
+      Histogram.continuousByGroup(
+        li(s, dir).where(F.col("l_orderkey") < 100000),
+        Seq("l_returnflag"), "l_extendedprice",
+        binStart = 0.0, binWidth = 5500.0, numBins = 20)
+        .orderBy("l_returnflag", "bin")),
     "q_effect_sizes" -> ((s, dir) =>
       // magnitude companion to q_pairwise_contrasts: Cohen's d +
       // Hedges' g for every return-flag pair from one moment pass
@@ -8699,6 +8719,55 @@ object SparkEntry {
         |  round(s.iso, 6) AS iso_rate
         |FROM ord o JOIN step2 s ON o.i = s.i
         |ORDER BY o.bin""".stripMargin,
+    // Holm replay: the q_drift_fdr p-value base, min-rank via cum −
+    // peers + 1, ROWS-framed prefix max of the clamped candidate.
+    "q_holm" ->
+      """WITH c AS (SELECT event_type, user_id % 7 AS v FROM events),
+        |cells AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS o
+        |  FROM c GROUP BY event_type, v),
+        |g AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS kg,
+        |    CAST(sum(o * o) AS BIGINT) AS ssq
+        |  FROM cells GROUP BY event_type),
+        |x AS (SELECT event_type,
+        |    round(ssq / (CAST(n AS DOUBLE) / 7.0) - 2.0 * n
+        |      + kg * (CAST(n AS DOUBLE) / 7.0)
+        |      + (7.0 - kg) * (CAST(n AS DOUBLE) / 7.0), 6) AS chi2,
+        |    n FROM g),
+        |p AS (SELECT event_type, chi2,
+        |    round_even((SELECT sum(exp(-x.chi2 / 2.0
+        |        + s.j * ln(x.chi2 / 2.0) - lgamma(s.j + 1.0)))
+        |      FROM generate_series(0, 49) s(j) WHERE s.j < 3)
+        |      * 1000000.0, 0) / 1000000.0 AS p_value FROM x),
+        |f AS (SELECT event_type, chi2, p_value,
+        |    CAST(count(*) OVER (ORDER BY p_value RANGE BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - CAST(count(*) OVER (PARTITION BY p_value) AS BIGINT)
+        |      + 1 AS rk,
+        |    CAST(count(*) OVER () AS BIGINT) AS m FROM p),
+        |h AS (SELECT *, max(least(1.0,
+        |    CAST(m - rk + 1 AS DOUBLE) * p_value))
+        |    OVER (ORDER BY p_value ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS ph FROM f)
+        |SELECT event_type, chi2, p_value, rk AS holm_rank,
+        |  ph AS p_holm, ph <= 0.05 AS reject_fwer
+        |FROM h ORDER BY event_type""".stripMargin,
+    "q_hist_by_group" ->
+      """WITH base AS (SELECT l_returnflag AS g,
+        |    CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        |  WHERE l_orderkey < 100000 AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        |    AND l_returnflag IS NOT NULL)
+        |SELECT g AS l_returnflag,
+        |  least(greatest(CAST(floor((v - 0.0) / 5500.0) AS BIGINT),
+        |    0), 19) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  0.0 + least(greatest(CAST(floor((v - 0.0) / 5500.0)
+        |    AS BIGINT), 0), 19) * 5500.0 AS bin_lo,
+        |  0.0 + (least(greatest(CAST(floor((v - 0.0) / 5500.0)
+        |    AS BIGINT), 0), 19) + 1) * 5500.0 AS bin_hi
+        |FROM base GROUP BY 1, 2, 4, 5
+        |ORDER BY l_returnflag, bin""".stripMargin,
     "q_effect_sizes" ->
       """WITH base AS (SELECT l_returnflag AS g,
         |    CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem

@@ -130,6 +130,35 @@ object Histogram {
   /** Distributed empirical PMF over integer-valued data: distinct values
     * + relative frequencies, sorted by value (reference:
     * discrete_fitting.py:127-149). One shuffle of ~distinct-count rows. */
+  /** Fixed-grid histogram PER GROUP, long form — the per-segment
+    * distribution snapshot ([[continuous]] is whole-column; drift ops
+    * compare cohorts; this is the raw per-group table a dashboard
+    * faceting needs). Out-of-range values clamp into the end bins
+    * (the [[graft.operators.Drift.histDrift]] convention); one
+    * (group, bin) aggregation, exchange carries ≤ groups·bins rows.
+    *
+    * @return one row per non-empty (group, bin): (groupCols..., bin,
+    *         n, bin_lo, bin_hi) */
+  def continuousByGroup(df: DataFrame, groupCols: Seq[String],
+                        column: String, binStart: Double,
+                        binWidth: Double, numBins: Int): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(numBins > 0 && binWidth > 0, "need positive bins/width")
+    val F = org.apache.spark.sql.functions
+    val v = F.col(column).cast("double")
+    val bin = F.least(
+      F.greatest(F.floor((v - F.lit(binStart)) / F.lit(binWidth)),
+        F.lit(0L)),
+      F.lit((numBins - 1).toLong))
+    df.where(v.isNotNull && !F.isnan(v))
+      .groupBy(groupCols.map(F.col) :+ bin.as("bin"): _*)
+      .agg(F.count(F.lit(1)).as("n"))
+      .withColumn("bin_lo",
+        F.lit(binStart) + F.col("bin") * F.lit(binWidth))
+      .withColumn("bin_hi",
+        F.lit(binStart) + (F.col("bin") + 1L) * F.lit(binWidth))
+  }
+
   def discretePmf(df: DataFrame, column: String): Pmf = {
     val c = F.col(column).cast("long")
     val grouped = df.select(c.as("k")).where(F.col("k").isNotNull)

@@ -514,6 +514,76 @@ object StatTests {
         F.col("p_value"), F.col("n")): _*)
   }
 
+  /** Holm–Bonferroni step-down adjustment — [[bhAdjust]]'s FWER
+    * sibling: when even ONE false discovery is unacceptable (gating a
+    * deploy on a metric family), control the family-wise error instead
+    * of the false-discovery RATE:
+    *
+    *   p_holm(i) = max_{j ≤ i} min(1, (m − j + 1)·p_(j))
+    *
+    * (ties share their block's smallest rank). Same scale shape as
+    * bhAdjust: distinct-p cells, range partitions, broadcast offsets
+    * for the rank, and a per-partition PREFIX maximum seeded by a
+    * broadcast scan of partition maxima — no global window; m may be
+    * millions.
+    *
+    * @return `df` + (holm_rank, p_holm, reject_fwer) — null p rows get
+    *         null adjustments and reject_fwer = false */
+  def holmAdjust(df: DataFrame, pCol: String,
+                 alpha: Double = 0.05): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pc = F.col(pCol).cast("double")
+    val cells = df.where(pc.isNotNull && !F.isnan(pc))
+      .groupBy(pc.as("__p")).agg(F.count(F.lit(1)).as("__c"))
+    val sorted = cells
+      .repartitionByRange(F.col("__p")).sortWithinPartitions("__p")
+      .as[(Double, Long)].rdd
+    sorted.cache()
+    try {
+      val partCounts = sorted.mapPartitionsWithIndex { case (i, it) =>
+        var s = 0L; it.foreach(s += _._2); Iterator((i, s))
+      }.collect().sortBy(_._1).map(_._2)
+      val m = partCounts.sum
+      if (m == 0L)
+        return df.withColumn("holm_rank", F.lit(null).cast("long"))
+          .withColumn("p_holm", F.lit(null).cast("double"))
+          .withColumn("reject_fwer", F.lit(false))
+      val offsets = partCounts.scanLeft(0L)(_ + _)
+      val bcOff = spark.sparkContext.broadcast(offsets)
+      // per-partition max of the candidate (m − rank + 1)·p — needs
+      // only the broadcast rank offsets, so one more pass
+      val partMax = sorted.mapPartitionsWithIndex { case (i, it) =>
+        var cum = bcOff.value(i)
+        var best = Double.NegativeInfinity
+        it.foreach { case (p, c) =>
+          val cand = math.min(1.0, (m - (cum + 1) + 1).toDouble * p)
+          if (cand > best) best = cand
+          cum += c
+        }
+        Iterator((i, best))
+      }.collect().sortBy(_._1).map(_._2)
+      val prefix = partMax.scanLeft(Double.NegativeInfinity)(math.max)
+      val bcPre = spark.sparkContext.broadcast(prefix)
+      val qTable = sorted.mapPartitionsWithIndex { case (i, it) =>
+        var cum = bcOff.value(i)
+        var run = bcPre.value(i)
+        it.map { case (p, c) =>
+          val rank = cum + 1
+          val cand = math.min(1.0, (m - rank + 1).toDouble * p)
+          if (cand > run) run = cand
+          cum += c
+          (p, rank, run)
+        }
+      }.toDF("__p", "holm_rank", "p_holm")
+      val pinned = qTable.localCheckpoint(true)
+      df.join(pinned, pc === F.col("__p"), "left")
+        .withColumn("reject_fwer",
+          F.coalesce(F.col("p_holm") <= F.lit(alpha), F.lit(false)))
+        .drop("__p")
+    } finally sorted.unpersist(blocking = false)
+  }
+
   /** Dunn's test — the nonparametric post-hoc pairwise step after
     * [[kruskalWallisByGroup]] says "some level differs" (and the
     * rank-based twin of [[pairwiseContrasts]]): for every level pair,

@@ -766,6 +766,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains("flat"))
   }
 
+  test("holmAdjust: step-down with monotone enforcement") {
+    import spark.implicits._
+    val df = Seq(("a", 0.01), ("b", 0.04), ("c", 0.03), ("d", 0.5))
+      .toDF("id", "p")
+    val out = StatTests.holmAdjust(df, "p")
+      .collect().map(r => r.getAs[String]("id") -> r).toMap
+    assert(out("a").getAs[Double]("p_holm") == 0.04)
+    assert(out("c").getAs[Double]("p_holm") == 0.09)
+    // monotone: 2*0.04 = 0.08 < 0.09 is lifted to the running max
+    assert(out("b").getAs[Double]("p_holm") == 0.09)
+    assert(out("d").getAs[Double]("p_holm") == 0.5)
+    assert(out("a").getAs[Boolean]("reject_fwer"))
+    assert(!out("b").getAs[Boolean]("reject_fwer"))
+    assert(out("a").getAs[Long]("holm_rank") == 1L)
+  }
+
+  test("continuousByGroup: clamped fixed-grid histogram per group") {
+    import spark.implicits._
+    val df = Seq(("g", 1.0), ("g", 6.0), ("g", 100.0), ("h", 1.0))
+      .toDF("grp", "v")
+    val out = Histogram.continuousByGroup(df, Seq("grp"), "v",
+      binStart = 0.0, binWidth = 5.0, numBins = 3)
+      .collect().map(r => (r.getAs[String]("grp"),
+        r.getAs[Long]("bin")) -> r).toMap
+    assert(out(("g", 0L)).getAs[Long]("n") == 1L)
+    assert(out(("g", 1L)).getAs[Long]("n") == 1L)
+    assert(out(("g", 2L)).getAs[Long]("n") == 1L) // 100 clamps in
+    assert(out(("g", 1L)).getAs[Double]("bin_lo") == 5.0)
+    assert(out(("g", 1L)).getAs[Double]("bin_hi") == 10.0)
+    assert(out(("h", 0L)).getAs[Long]("n") == 1L)
+  }
+
   test("effectSizes: pooled-sd d and Hedges correction") {
     import spark.implicits._
     val df = (Seq(0.0, 0.0, 1.0, 1.0).map(("a", _)) ++
