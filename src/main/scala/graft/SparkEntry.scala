@@ -2568,6 +2568,12 @@ object SparkEntry {
             .as("len")),
         Seq("lang"), "source", "len")
         .orderBy("lang")),
+    "q_distinctive_terms" -> ((s, dir) =>
+      // Monroe log-odds "fightin' words": what characterizes each
+      // language vs the rest — prior-shrunk z, rank-limited top-5
+      TextOps.distinctiveTerms(docs(s, dir), "doc_id", "text", "lang",
+          alpha = 0.01, k = 5)
+        .orderBy("group", "rank")),
     "q_holm" -> ((s, dir) =>
       // FWER control over the per-event-type chi2 p family: Holm
       // step-down via the prefix-max fold — the q_drift_fdr base with
@@ -8719,6 +8725,34 @@ object SparkEntry {
         |  round(s.iso, 6) AS iso_rate
         |FROM ord o JOIN step2 s ON o.i = s.i
         |ORDER BY o.bin""".stripMargin,
+    "q_distinctive_terms" ->
+      """WITH toks AS (SELECT lang AS g,
+        |    unnest(list_filter(regexp_split_to_array(lower(
+        |      coalesce(text, '')), '\s+'), x -> x <> '')) AS token
+        |  FROM documents WHERE lang IS NOT NULL),
+        |cells AS (SELECT g, token, CAST(count(*) AS BIGINT) AS y
+        |  FROM toks GROUP BY g, token),
+        |vv AS (SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v
+        |  FROM cells),
+        |w AS (SELECT g, token, y,
+        |    CAST(sum(y) OVER (PARTITION BY token) AS BIGINT) AS yw,
+        |    CAST(sum(y) OVER (PARTITION BY g) AS BIGINT) AS ng,
+        |    CAST(sum(y) OVER () AS BIGINT) AS nt FROM cells),
+        |z AS (SELECT g, token, y, yw, ng, nt,
+        |    round((ln((CAST(y AS DOUBLE) + 0.01)
+        |      / (CAST(ng AS DOUBLE) + 0.01 * vv.v
+        |        - CAST(y AS DOUBLE) - 0.01))
+        |    - ln((CAST(yw - y AS DOUBLE) + 0.01)
+        |      / (CAST(nt - ng AS DOUBLE) + 0.01 * vv.v
+        |        - CAST(yw - y AS DOUBLE) - 0.01)))
+        |    / sqrt(1.0 / (CAST(y AS DOUBLE) + 0.01)
+        |      + 1.0 / (CAST(yw - y AS DOUBLE) + 0.01)), 6) AS z
+        |  FROM w, vv),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY g
+        |    ORDER BY z DESC, token ASC) AS BIGINT) AS rank FROM z)
+        |SELECT g AS "group", token, y AS n_in_group,
+        |  CAST(yw - y AS BIGINT) AS n_rest, z, rank
+        |FROM r WHERE rank <= 5 ORDER BY "group", rank""".stripMargin,
     // Holm replay: the q_drift_fdr p-value base, min-rank via cum −
     // peers + 1, ROWS-framed prefix max of the clamped candidate.
     "q_holm" ->

@@ -766,6 +766,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains("flat"))
   }
 
+  test("distinctiveTerms: group-exclusive tokens rank first") {
+    import spark.implicits._
+    val df = Seq((1L, "aaa bbb bbb", "g1"), (2L, "aaa ccc ccc", "g2"))
+      .toDF("doc_id", "text", "lang")
+    val out = operators.TextOps.distinctiveTerms(df, "doc_id", "text",
+      "lang", k = 2).collect()
+      .map(r => (r.getAs[String]("group"), r.getAs[Long]("rank")) -> r)
+      .toMap
+    assert(out(("g1", 1L)).getAs[String]("token") == "bbb")
+    assert(out(("g2", 1L)).getAs[String]("token") == "ccc")
+    assert(out(("g1", 1L)).getAs[Double]("z") > 0.0)
+    assert(out(("g1", 1L)).getAs[Long]("n_in_group") == 2L)
+    assert(out(("g1", 1L)).getAs[Long]("n_rest") == 0L)
+  }
+
   test("holmAdjust: step-down with monotone enforcement") {
     import spark.implicits._
     val df = Seq(("a", 0.01), ("b", 0.04), ("c", 0.03), ("d", 0.5))
