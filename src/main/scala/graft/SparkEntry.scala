@@ -3853,7 +3853,170 @@ object SparkEntry {
         F.round(F.abs(F.covar_pop(F.col("p1"), F.col("p2")) /
           math.sqrt(m.eigenvalues(0) * m.eigenvalues(1))), 6).as("corr_12"),
         F.round(F.abs(F.avg(F.col("p1"))), 6).as("mean_p1"))
-    })
+    }),
+    "q_poisson_glm" -> ((s, dir) => {
+      // Poisson GLM of quantity on discount, 3 fixed Newton steps from
+      // the ln ȳ warm start (pass 1 sees the constant rate μ = ȳ) —
+      // DuckDB replays every step as a chained CTE, the
+      // q_logistic_quality pattern with W = μ
+      import s.implicits._
+      val df = li(s, dir).select(F.col("l_quantity").as("y"),
+        F.col("l_discount").as("x"))
+      val m = Regression.poissonIrls(df, "y", Seq("x"), iters = 3)
+      Seq((math.rint(m.beta(0) * 1e6) / 1e6,
+        math.rint(m.beta(1) * 1e6) / 1e6,
+        math.rint(m.logLik * 100.0) / 100.0, m.n))
+        .toDF("b0_r", "b1_r", "ll_r", "n")
+    }),
+    "q_energy_distance" -> ((s, dir) =>
+      // Székely–Rizzo energy distance A-vs-N per line status over the
+      // INTEGER-valued quantity column: every prefix sum is an exactly
+      // representable integer, so the whole statistic replays
+      // bit-for-bit through the RANGE-frame construction
+      StatTests.energyDistance(
+        li(s, dir).select(F.col("l_returnflag"), F.col("l_linestatus"),
+          F.col("l_quantity")),
+        "l_returnflag", "l_quantity", labelA = "A", labelB = "N",
+        groupCols = Seq("l_linestatus"))
+        .orderBy("l_linestatus")),
+    "q_mood_median" -> ((s, dir) =>
+      // k = 5 order priorities → df = 4 (even), so the χ² survival
+      // replays exactly via the Poisson-sum closed form; the pooled
+      // median is the exact quantile_disc(0.5) order statistic
+      StatTests.moodMedianTest(
+        s.read.parquet(s"$dir/orders.parquet"),
+        "o_orderpriority", "o_totalprice")),
+    "q_fisher_exact" -> ((s, dir) =>
+      // exact hypergeometric two-sided p on a deliberately SMALL table
+      // (the regime where the χ² approximation is invalid); the scipy
+      // 1+1e−7 inclusion gate keeps the tail sum ULP-robust across
+      // engines' lgamma
+      StatTests.fisherExact(
+        li(s, dir).where(F.col("l_orderkey") < 300)
+          .select((F.col("l_returnflag") === "R").as("fa"),
+            (F.col("l_discount") > 0.05).as("fb")),
+        "fa", "fb")),
+    "q_cochran_q" -> ((s, dir) =>
+      // do click/view/purchase have the same high-value rate across
+      // matched users? k = 3 → df = 2 (even) for exact p replay;
+      // any-success collapse per (user, type), complete blocks only
+      StatTests.cochranQ(
+        events(s, dir).select(F.col("user_id"), F.col("event_type"),
+          (F.col("value") > 60).as("hi")),
+        "user_id", "event_type", "hi",
+        Seq("click", "view", "purchase"))),
+    "q_theil_sen" -> ((s, dir) =>
+      // robust price-per-quantity trend per return flag on a bounded
+      // slice; all pairs fit under the cap, and the pairwise-slope
+      // multiset is orientation-invariant, so DuckDB replays the exact
+      // lower-median order statistic without the md5 capping order
+      Regression.theilSenByGroup(
+        li(s, dir).where(F.col("l_orderkey") < 500),
+        "l_extendedprice", "l_quantity", Seq("l_returnflag"))
+        .select(F.col("l_returnflag"), F.col("n_used"), F.col("n_pairs"),
+          F.round(F.col("slope"), 6).as("slope_r"),
+          F.round(F.col("intercept"), 6).as("intercept_r"))
+        .orderBy("l_returnflag")),
+    "q_durbin_watson" -> ((s, dir) =>
+      // serial correlation of value-on-time residuals per event type in
+      // event-id order (UNIQUE — synthetic lineitem duplicates
+      // (orderkey, linenumber), which would make the lag order
+      // engine-dependent); x = integer hours since epoch
+      Regression.durbinWatsonByGroup(
+        events(s, dir).select(F.col("event_type"),
+          F.expr("ts DIV 3600000000000").as("hrs"),
+          F.col("value"), F.col("event_id")),
+        "value", "hrs", "event_id", Seq("event_type"))
+        .select(F.col("event_type"), F.col("n"),
+          F.round(F.col("slope"), 6).as("slope_r"),
+          F.round(F.col("intercept"), 6).as("intercept_r"),
+          F.round(F.col("dw"), 6).as("dw_r"))
+        .orderBy("event_type")),
+    "q_triangle_stats" -> ((s, dir) => {
+      // per-node triangles + clustering coefficient over the parts-
+      // that-share-an-order co-occurrence graph (each order's parts
+      // form a clique → real triangles); Schank–Wagner orientation in
+      // the engine, naive a<b<c triple join in the oracle
+      val lp = li(s, dir).where(F.col("l_orderkey") < 12000)
+        .select(F.col("l_orderkey").as("k"), F.col("l_partkey").as("p"))
+        .distinct()
+      val e = lp.as("x").join(lp.as("y"), "k")
+        .where(F.col("x.p") =!= F.col("y.p"))
+        .select(F.col("x.p").as("src"), F.col("y.p").as("dst"))
+      Graph.triangleStats(e, "src", "dst")
+        .orderBy("node")
+    }),
+    "q_sbg_retention" -> ((s, dir) =>
+      // Fader–Hardie sBG churn fit over customers' 30-day order
+      // periods (lifetimes 0..80, genuinely heterogeneous churn);
+      // deterministic grid MLE — DuckDB replays the per-cell
+      // log-likelihood and the argmax via lgamma over generate_series
+      Cohorts.sbgRetention(
+        s.read.parquet(s"$dir/orders.parquet")
+          .select(F.col("o_custkey").as("u"),
+            F.col("o_orderdate").cast("timestamp").cast("long").as("ts")),
+        "u", "ts", periodNanos = 30L * 86400L)),
+    "q_ipw_ate" -> ((s, dir) =>
+      // IPW/Hájek ATE of return flag on price with discount as the
+      // confounder: the 3-step logistic propensity replays as the
+      // q_logistic_quality CTE chain, then one weighted-mean CTE
+      Experiments.ipwAte(
+        li(s, dir).select(
+          F.when(F.col("l_returnflag") === "R", 1.0).otherwise(0.0)
+            .as("t"),
+          F.col("l_discount").as("x"), F.col("l_extendedprice").as("y")),
+        "t", "y", Seq("x"), iters = 3, clip = 0.01)),
+    "q_mantel_haenszel" -> ((s, dir) =>
+      // discount→return odds pooled across line-status strata; all
+      // sufficient statistics are exact integer ratios, the RBG CI
+      // needs only ln/exp/sqrt
+      Experiments.mantelHaenszel(
+        li(s, dir).select(
+          F.when(F.col("l_discount") > 0.05, "a").otherwise("b")
+            .as("cohort"),
+          (F.col("l_returnflag") === "R").as("ret"),
+          F.col("l_linestatus")),
+        "cohort", "ret", Seq("l_linestatus"))),
+    "q_seasonal_decompose" -> ((s, dir) =>
+      // additive trend/seasonal/remainder split of each user's value
+      // series in event-id order (unique → deterministic), period 4
+      // (even → the textbook 2×4 centered MA)
+      Features.seasonalDecompose(
+        events(s, dir).where(F.col("user_id") < 10)
+          .select(F.col("user_id"), F.col("event_id"), F.col("value")),
+        "user_id", "event_id", "value", period = 4)
+        .orderBy("user_id", "event_id")),
+    "q_boxcox" -> ((s, dir) =>
+      // profile-likelihood Box–Cox λ per return flag over the strictly
+      // positive price column; the λ grid explodes map-side and the
+      // argmax replays per group over the same generate_series grid
+      Features.boxCoxByGroup(
+        li(s, dir).select(F.col("l_returnflag"),
+          F.col("l_extendedprice")),
+        "l_extendedprice", Seq("l_returnflag"))
+        .orderBy("l_returnflag")),
+    "q_good_turing" -> ((s, dir) =>
+      // simple Good–Turing adjusted counts over the documents corpus —
+      // pure integer frequency-of-frequency arithmetic until the final
+      // exact-ratio division
+      TextOps.goodTuring(docs(s, dir), "doc_id", "text")
+        .orderBy("r")),
+    "q_heaps_law" -> ((s, dir) =>
+      // Heaps' vocabulary-growth fit over 10 nested md5-deterministic
+      // corpus prefixes; cumulative token/vocab counts are exact
+      // integers, the log-log OLS replays over the same 10 points
+      TextOps.heapsLaw(docs(s, dir), "doc_id", "text", buckets = 10)
+        .orderBy("bucket")),
+    "q_avg_precision" -> ((s, dir) =>
+      // PR-AUC (step interpolation, sklearn threshold semantics) of
+      // discount as a "return" ranker per line status — every term is
+      // a ratio of exact integer counts
+      Evaluation.averagePrecisionByGroup(
+        li(s, dir).select(F.col("l_linestatus"),
+          (F.col("l_returnflag") === "R").as("ret"),
+          F.col("l_discount")),
+        Seq("l_linestatus"), "ret", "l_discount")
+        .orderBy("l_linestatus"))
   )
 
   /** The 7-family closed-form fits CTE shared by every grouped-fit
@@ -10136,6 +10299,576 @@ object SparkEntry {
       """SELECT CAST(1.0 AS DOUBLE) AS var_ratio_1,
         |  CAST(1.0 AS DOUBLE) AS var_ratio_2,
         |  CAST(0.0 AS DOUBLE) AS corr_12,
-        |  CAST(0.0 AS DOUBLE) AS mean_p1""".stripMargin
+        |  CAST(0.0 AS DOUBLE) AS mean_p1""".stripMargin,
+    // Replays all 3 Poisson-GLM Newton steps as chained CTEs from the
+    // ln ȳ warm start (pass 1 sees the constant rate μ = ȳ — the
+    // q_logistic_quality pattern with W = μ); ln y! via lgamma
+    "q_poisson_glm" ->
+      """WITH base AS (SELECT CAST(l_quantity AS DOUBLE) AS y,
+        |    CAST(l_discount AS DOUBLE) AS x
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_discount IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE))
+        |    AND CAST(l_quantity AS DOUBLE) >= 0.0),
+        |b0i AS (SELECT ln(avg(y)) AS b FROM base),
+        |p1 AS (SELECT y, x, b0i.b AS pb0, exp(b0i.b) AS mu
+        |  FROM base CROSS JOIN b0i),
+        |it1 AS (SELECT any_value(pb0) AS pb0, sum(mu) AS h00,
+        |    sum(mu * x) AS h01, sum(mu * x * x) AS h11,
+        |    sum(y - mu) AS g0, sum((y - mu) * x) AS g1,
+        |    count(*) AS n FROM p1),
+        |b1 AS (SELECT
+        |    pb0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+        |    (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1, n
+        |  FROM it1),
+        |p2 AS (SELECT y, x, b.b0 AS pb0, b.b1 AS pb1,
+        |    exp(b.b0 + b.b1 * x) AS mu
+        |  FROM base CROSS JOIN b1 b),
+        |it2 AS (SELECT any_value(pb0) AS pb0, any_value(pb1) AS pb1,
+        |    sum(mu) AS h00, sum(mu * x) AS h01, sum(mu * x * x) AS h11,
+        |    sum(y - mu) AS g0, sum((y - mu) * x) AS g1 FROM p2),
+        |b2 AS (SELECT
+        |    pb0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+        |    pb1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1
+        |  FROM it2),
+        |p3 AS (SELECT y, x, b.b0 AS pb0, b.b1 AS pb1,
+        |    exp(b.b0 + b.b1 * x) AS mu
+        |  FROM base CROSS JOIN b2 b),
+        |it3 AS (SELECT any_value(pb0) AS pb0, any_value(pb1) AS pb1,
+        |    sum(mu) AS h00, sum(mu * x) AS h01, sum(mu * x * x) AS h11,
+        |    sum(y - mu) AS g0, sum((y - mu) * x) AS g1 FROM p3),
+        |b3 AS (SELECT
+        |    pb0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+        |    pb1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1
+        |  FROM it3),
+        |ll AS (SELECT sum(y * z - exp(z) - lgamma(y + 1.0)) AS ll
+        |  FROM (SELECT y, b.b0 + b.b1 * x AS z FROM base CROSS JOIN b3 b))
+        |SELECT round_even(b3.b0 * 1e6, 0) / 1e6 AS b0_r,
+        |  round_even(b3.b1 * 1e6, 0) / 1e6 AS b1_r,
+        |  round_even(ll.ll * 100.0, 0) / 100.0 AS ll_r,
+        |  (SELECT n FROM b1) AS n
+        |FROM b3, ll""".stripMargin,
+    // Energy distance via the prefix-sum identity Σ|xᵢ−v| =
+    // v·(2c−n) − (2s−S); integer-valued quantity → every sum exact
+    "q_energy_distance" ->
+      """WITH base AS (SELECT l_linestatus AS g,
+        |    CAST(l_quantity AS DOUBLE) AS v, (l_returnflag = 'A') AS ia
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND l_returnflag IN ('A', 'N')),
+        |w AS (SELECT g, v, ia,
+        |    sum(CASE WHEN ia THEN 1 ELSE 0 END) OVER pre AS ca,
+        |    sum(CASE WHEN ia THEN v ELSE 0.0 END) OVER pre AS sa,
+        |    sum(CASE WHEN ia THEN 0 ELSE 1 END) OVER pre AS cb,
+        |    sum(CASE WHEN ia THEN 0.0 ELSE v END) OVER pre AS sb,
+        |    sum(CASE WHEN ia THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY g) AS na,
+        |    sum(CASE WHEN ia THEN 0 ELSE 1 END)
+        |      OVER (PARTITION BY g) AS nb,
+        |    sum(CASE WHEN ia THEN v ELSE 0.0 END)
+        |      OVER (PARTITION BY g) AS ta,
+        |    sum(CASE WHEN ia THEN 0.0 ELSE v END)
+        |      OVER (PARTITION BY g) AS tb
+        |  FROM base
+        |  WINDOW pre AS (PARTITION BY g ORDER BY v
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |a AS (SELECT g, CAST(max(na) AS BIGINT) AS n_a0,
+        |    CAST(max(nb) AS BIGINT) AS n_b0,
+        |    sum(CASE WHEN NOT ia
+        |      THEN v * (2.0 * ca - na) - (2.0 * sa - ta)
+        |      ELSE 0.0 END) AS crs,
+        |    sum(CASE WHEN ia THEN v * ca - sa ELSE 0.0 END) AS wa,
+        |    sum(CASE WHEN NOT ia THEN v * cb - sb ELSE 0.0 END) AS wb
+        |  FROM w GROUP BY g HAVING max(na) > 0 AND max(nb) > 0)
+        |SELECT g AS l_linestatus, n_a0 AS n_a, n_b0 AS n_b,
+        |  round_even(crs / (CAST(n_a0 AS DOUBLE) * CAST(n_b0 AS DOUBLE))
+        |    * 1e6, 0) / 1e6 AS e_cross,
+        |  round_even(2.0 * wa / (CAST(n_a0 AS DOUBLE) * CAST(n_a0 AS DOUBLE))
+        |    * 1e6, 0) / 1e6 AS e_within_a,
+        |  round_even(2.0 * wb / (CAST(n_b0 AS DOUBLE) * CAST(n_b0 AS DOUBLE))
+        |    * 1e6, 0) / 1e6 AS e_within_b,
+        |  round_even(sqrt(greatest(
+        |    2.0 * (crs / (CAST(n_a0 AS DOUBLE) * CAST(n_b0 AS DOUBLE)))
+        |    - 2.0 * wa / (CAST(n_a0 AS DOUBLE) * CAST(n_a0 AS DOUBLE))
+        |    - 2.0 * wb / (CAST(n_b0 AS DOUBLE) * CAST(n_b0 AS DOUBLE)),
+        |    0.0)) * 1e6, 0) / 1e6 AS energy_dist
+        |FROM a ORDER BY g""".stripMargin,
+    // Pooled quantile_disc(0.5) median + 2×k χ² fold; df = 4 (even) so
+    // the survival replays via the Poisson-sum closed form at the
+    // 6-dp-rounded statistic
+    "q_mood_median" ->
+      """WITH base AS (SELECT CAST(o_orderpriority AS VARCHAR) AS g,
+        |    CAST(o_totalprice AS DOUBLE) AS v
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |    AND NOT isnan(CAST(o_totalprice AS DOUBLE))
+        |    AND o_orderpriority IS NOT NULL),
+        |m AS (SELECT quantile_disc(v, 0.5) AS med FROM base),
+        |c AS (SELECT g,
+        |    CAST(sum(CASE WHEN v > m.med THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS above,
+        |    CAST(count(*) AS BIGINT) AS tot
+        |  FROM base, m GROUP BY g),
+        |t AS (SELECT CAST(sum(above) AS BIGINT) AS atot,
+        |    CAST(sum(tot) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k FROM c),
+        |x AS (SELECT round_even(sum(
+        |      (above - tot * (CAST(t.atot AS DOUBLE) / t.n))
+        |        * (above - tot * (CAST(t.atot AS DOUBLE) / t.n))
+        |        / (tot * (CAST(t.atot AS DOUBLE) / t.n))
+        |      + ((tot - above) - tot * (1.0 - CAST(t.atot AS DOUBLE) / t.n))
+        |        * ((tot - above) - tot * (1.0 - CAST(t.atot AS DOUBLE) / t.n))
+        |        / (tot * (1.0 - CAST(t.atot AS DOUBLE) / t.n)))
+        |    * 1000000.0, 0) / 1000000.0 AS chi2,
+        |    max(t.n) AS n, max(t.k) AS k
+        |  FROM c, t)
+        |SELECT (SELECT med FROM m) AS median, x.chi2,
+        |  x.k - 1 AS dof,
+        |  round_even((SELECT sum(exp(-x.chi2 / 2.0
+        |      + s.j * ln(x.chi2 / 2.0) - lgamma(s.j + 1.0)))
+        |    FROM generate_series(0, 49) s(j) WHERE s.j < ((x.k - 1) // 2))
+        |    * 1000000.0, 0) / 1000000.0 AS p_value,
+        |  x.n, x.k FROM x""".stripMargin,
+    // Exact hypergeometric tail sum over generate_series with the
+    // scipy 1+1e−7 inclusion gate
+    "q_fisher_exact" ->
+      """WITH b AS (SELECT (l_returnflag = 'R') AS fa,
+        |    (l_discount > 0.05) AS fb
+        |  FROM lineitem WHERE l_orderkey < 300
+        |    AND l_returnflag IS NOT NULL AND l_discount IS NOT NULL),
+        |c AS (SELECT
+        |    CAST(sum(CASE WHEN fa AND fb THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN fa AND NOT fb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS b,
+        |    CAST(sum(CASE WHEN NOT fa AND fb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c,
+        |    CAST(sum(CASE WHEN NOT fa AND NOT fb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d FROM b),
+        |m AS (SELECT a, b, c, d, a + b AS r1, a + c AS c1,
+        |    a + b + c + d AS n FROM c),
+        |p AS (SELECT m.a, m.b, m.c, m.d, s.j AS kk,
+        |    exp(lgamma(m.r1 + 1.0) + lgamma(m.n - m.r1 + 1.0)
+        |      + lgamma(m.c1 + 1.0) + lgamma(m.n - m.c1 + 1.0)
+        |      - lgamma(m.n + 1.0) - lgamma(s.j + 1.0)
+        |      - lgamma(m.r1 - s.j + 1.0) - lgamma(m.c1 - s.j + 1.0)
+        |      - lgamma(m.n - m.r1 - m.c1 + s.j + 1.0)) AS pk
+        |  FROM m, generate_series(0, 5000) s(j)
+        |  WHERE s.j >= greatest(0, m.r1 + m.c1 - m.n)
+        |    AND s.j <= least(m.r1, m.c1)),
+        |po AS (SELECT pk AS pobs FROM p WHERE kk = a)
+        |SELECT any_value(a) AS a, any_value(b) AS b, any_value(c) AS c,
+        |  any_value(d) AS d,
+        |  CASE WHEN any_value(b) * any_value(c) = 0 THEN NULL
+        |    ELSE round_even(CAST(any_value(a) AS DOUBLE) * any_value(d)
+        |      / (CAST(any_value(b) AS DOUBLE) * any_value(c)) * 1e6, 0)
+        |      / 1e6 END AS odds_ratio,
+        |  round_even(least(1.0, sum(CASE WHEN pk <= po.pobs * (1.0 + 1e-7)
+        |    THEN pk ELSE 0.0 END)) * 1e6, 0) / 1e6 AS p_value
+        |FROM p, po""".stripMargin,
+    // Complete-block fold: any-success per (user, type), subjects with
+    // all 3 treatments; Q is a ratio of exact integers, df = 2 (even)
+    "q_cochran_q" ->
+      """WITH cell AS (SELECT user_id AS s, event_type AS t,
+        |    max(CASE WHEN value > 60 THEN 1 ELSE 0 END) AS y
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IN ('click', 'view', 'purchase')
+        |  GROUP BY user_id, event_type),
+        |subj AS (SELECT s, count(*) AS kt, sum(y) AS ri
+        |  FROM cell GROUP BY s),
+        |comp AS (SELECT s, ri FROM subj WHERE kt = 3),
+        |sa AS (SELECT CAST(count(*) AS BIGINT) AS ns,
+        |    CAST(sum(ri) AS BIGINT) AS bb,
+        |    CAST(sum(ri * ri) AS BIGINT) AS r2 FROM comp),
+        |tj AS (SELECT cell.t, CAST(sum(cell.y) AS BIGINT) AS tj
+        |  FROM cell JOIN comp ON cell.s = comp.s GROUP BY cell.t),
+        |q AS (SELECT round_even(
+        |    (3.0 * 2.0 * sum((tj - sa.bb / 3.0) * (tj - sa.bb / 3.0)))
+        |      / (3.0 * max(sa.bb) - max(sa.r2)) * 1e6, 0) / 1e6 AS q0,
+        |    max(sa.ns) AS ns FROM tj, sa)
+        |SELECT q.q0 AS q_stat, CAST(2 AS BIGINT) AS dof,
+        |  round_even(exp(-q.q0 / 2.0) * 1e6, 0) / 1e6 AS p_value,
+        |  q.ns AS n_subjects,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM subj WHERE kt <> 3)
+        |    AS n_incomplete
+        |FROM q""".stripMargin,
+    // The pairwise-slope multiset is orientation-invariant, so the
+    // replay pairs in (orderkey, linenumber) order instead of the
+    // engine's md5 cap order (no group exceeds the cap here); lower
+    // medians are exact order statistics — note CAST-vs-floor: DuckDB
+    // CAST(double AS INT) rounds, so the rank select floors explicitly
+    "q_theil_sen" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+        |    CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) AS y,
+        |    l_orderkey, l_linenumber
+        |  FROM lineitem WHERE l_orderkey < 500
+        |    AND l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |r AS (SELECT g, x, y, row_number() OVER
+        |    (PARTITION BY g ORDER BY l_orderkey, l_linenumber) AS rid
+        |  FROM b),
+        |p AS (SELECT a.g, (b2.y - a.y) / (b2.x - a.x) AS s
+        |  FROM r a JOIN r b2 ON a.g = b2.g AND a.rid < b2.rid
+        |    AND a.x <> b2.x),
+        |sm AS (SELECT g, s,
+        |    row_number() OVER (PARTITION BY g ORDER BY s) AS sr,
+        |    count(*) OVER (PARTITION BY g) AS m FROM p),
+        |sl AS (SELECT g, s AS slope, CAST(m AS BIGINT) AS n_pairs
+        |  FROM sm WHERE sr = CAST(floor((m + 1) / 2.0) AS BIGINT)),
+        |res AS (SELECT b.g, sl.slope, sl.n_pairs,
+        |    b.y - sl.slope * b.x AS rr FROM b JOIN sl ON b.g = sl.g),
+        |rm AS (SELECT g, slope, n_pairs, rr,
+        |    row_number() OVER (PARTITION BY g ORDER BY rr) AS kr,
+        |    count(*) OVER (PARTITION BY g) AS mm FROM res)
+        |SELECT g AS l_returnflag, CAST(mm AS BIGINT) AS n_used, n_pairs,
+        |  round_even(slope * 1e6, 0) / 1e6 AS slope_r,
+        |  round_even(rr * 1e6, 0) / 1e6 AS intercept_r
+        |FROM rm WHERE kr = CAST(floor((mm + 1) / 2.0) AS BIGINT)
+        |ORDER BY g""".stripMargin,
+    // Closed-form per-group OLS from {avg, var_pop, covar_pop} then the
+    // lag-differenced residual ratio in unique event-id order
+    "q_durbin_watson" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS DOUBLE) AS x,
+        |    CAST(value AS DOUBLE) AS y, event_id AS ord
+        |  FROM events WHERE value IS NOT NULL
+        |    AND NOT isnan(CAST(value AS DOUBLE)) AND ts IS NOT NULL),
+        |f0 AS (SELECT g, CAST(count(*) AS BIGINT) AS n, avg(x) AS mx,
+        |    avg(y) AS my, var_pop(x) AS vx, covar_pop(x, y) AS cxy
+        |  FROM b GROUP BY g HAVING count(*) >= 3 AND var_pop(x) > 0.0),
+        |f AS (SELECT g, n, cxy / vx AS slope,
+        |    my - cxy / vx * mx AS ic FROM f0),
+        |e AS (SELECT b.g, f.n, f.slope, f.ic,
+        |    b.y - f.ic - f.slope * b.x AS ee, b.ord
+        |  FROM b JOIN f ON b.g = f.g),
+        |d AS (SELECT g, n, slope, ic, ee,
+        |    ee - lag(ee) OVER (PARTITION BY g ORDER BY ord) AS de FROM e)
+        |SELECT g AS event_type, max(n) AS n,
+        |  round_even(max(slope) * 1e6, 0) / 1e6 AS slope_r,
+        |  round_even(max(ic) * 1e6, 0) / 1e6 AS intercept_r,
+        |  round_even(sum(de * de) / sum(ee * ee) * 1e6, 0) / 1e6 AS dw_r
+        |FROM d GROUP BY g HAVING sum(ee * ee) > 0.0
+        |ORDER BY g""".stripMargin,
+    // Naive a<b<c triple join over the canonical undirected edge set —
+    // the oracle for the engine's degree-oriented wedge enumeration
+    "q_triangle_stats" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+        |  FROM lineitem WHERE l_orderkey < 12000),
+        |e0 AS (SELECT CAST(a.p AS VARCHAR) AS s, CAST(b.p AS VARCHAR) AS d
+        |  FROM lp a JOIN lp b ON a.k = b.k AND a.p <> b.p),
+        |und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        |  FROM e0),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+        |  FROM (SELECT a AS node FROM und
+        |    UNION ALL SELECT b AS node FROM und) GROUP BY node),
+        |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        |  FROM und e1 JOIN und e2 ON e2.a = e1.b
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+        |  FROM (SELECT u AS node FROM tri
+        |    UNION ALL SELECT v AS node FROM tri
+        |    UNION ALL SELECT w AS node FROM tri) GROUP BY node)
+        |SELECT deg.node, deg.degree,
+        |  coalesce(pn.triangles, 0) AS triangles,
+        |  CASE WHEN deg.degree >= 2 THEN
+        |    round_even(2.0 * coalesce(pn.triangles, 0)
+        |      / (deg.degree * (deg.degree - 1)) * 1e6, 0) / 1e6
+        |  ELSE 0.0 END AS clustering_coeff
+        |FROM deg LEFT JOIN pn ON deg.node = pn.node
+        |ORDER BY deg.node""".stripMargin,
+    // sBG grid MLE replay: per-user lifetimes → death cells → the full
+    // 80×80 (α, β) log-likelihood surface via lgamma → argmax with the
+    // engine's tie order (ll desc, α asc, β asc)
+    "q_sbg_retention" ->
+      """WITH act AS (SELECT o_custkey AS u,
+        |    CAST(floor(epoch(o_orderdate)) AS BIGINT) // (30 * 86400)
+        |      AS p
+        |  FROM orders WHERE o_custkey IS NOT NULL
+        |    AND o_orderdate IS NOT NULL),
+        |life AS (SELECT u, max(p) - min(p) AS l FROM act GROUP BY u),
+        |cells AS (SELECT l, CAST(count(*) AS BIGINT) AS c
+        |  FROM life GROUP BY l),
+        |tm AS (SELECT max(l) AS t FROM cells),
+        |deaths AS (SELECT l + 1 AS t, c AS d FROM cells, tm
+        |  WHERE l < tm.t),
+        |cens AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS nc
+        |  FROM cells, tm WHERE l >= tm.t),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS nu FROM cells),
+        |grid AS (SELECT gi.i * 0.1 AS a, gj.i * 0.1 AS b
+        |  FROM generate_series(1, 80) gi(i), generate_series(1, 80) gj(i)),
+        |dl AS (SELECT g.a, g.b,
+        |    sum(d * (lgamma(g.a + 1.0) + lgamma(g.b + t - 1.0)
+        |      - lgamma(g.a + 1.0 + g.b + t - 1.0)
+        |      - (lgamma(g.a) + lgamma(g.b) - lgamma(g.a + g.b)))) AS dsum
+        |  FROM grid g, deaths GROUP BY g.a, g.b),
+        |ll AS (SELECT dl.a, dl.b,
+        |    dsum + (SELECT nc FROM cens) * (lgamma(dl.a)
+        |      + lgamma(dl.b + (SELECT t FROM tm))
+        |      - lgamma(dl.a + dl.b + (SELECT t FROM tm))
+        |      - (lgamma(dl.a) + lgamma(dl.b)
+        |        - lgamma(dl.a + dl.b))) AS llv
+        |  FROM dl),
+        |best AS (SELECT a, b, llv FROM ll
+        |  ORDER BY llv DESC, a ASC, b ASC LIMIT 1)
+        |SELECT round_even(a * 1e6, 0) / 1e6 AS alpha,
+        |  round_even(b * 1e6, 0) / 1e6 AS beta,
+        |  round_even(llv * 1e6, 0) / 1e6 AS ll,
+        |  (SELECT nu FROM tot) AS n_users,
+        |  (SELECT nu FROM tot) - (SELECT nc FROM cens) AS n_churned,
+        |  (SELECT nc FROM cens) AS n_censored,
+        |  (SELECT t FROM tm) AS horizon,
+        |  round_even(a / (a + b) * 1e6, 0) / 1e6 AS mean_churn
+        |FROM best""".stripMargin,
+    // Propensity = the 3-step logistic chain (q_logistic_quality shape,
+    // label = treatment), then one clipped Hájek weighted-mean CTE
+    "q_ipw_ate" ->
+      """WITH base AS (SELECT
+        |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS t,
+        |    CAST(l_discount AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) AS y
+        |  FROM lineitem WHERE l_discount IS NOT NULL
+        |    AND l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE))
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |it1 AS (SELECT sum(0.25) AS h00, sum(0.25 * x) AS h01,
+        |    sum(0.25 * x * x) AS h11, sum(t - 0.5) AS g0,
+        |    sum((t - 0.5) * x) AS g1, count(*) AS n FROM base),
+        |b1 AS (SELECT (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+        |    (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1, n
+        |  FROM it1),
+        |p2 AS (SELECT t, x, b.b0 AS pb0, b.b1 AS pb1,
+        |    1.0 / (1.0 + exp(-(b.b0 + b.b1 * x))) AS p
+        |  FROM base CROSS JOIN b1 b),
+        |it2 AS (SELECT any_value(pb0) AS pb0, any_value(pb1) AS pb1,
+        |    sum(p * (1.0 - p)) AS h00, sum(p * (1.0 - p) * x) AS h01,
+        |    sum(p * (1.0 - p) * x * x) AS h11,
+        |    sum(t - p) AS g0, sum((t - p) * x) AS g1 FROM p2),
+        |b2 AS (SELECT
+        |    pb0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+        |    pb1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1
+        |  FROM it2),
+        |p3 AS (SELECT t, x, b.b0 AS pb0, b.b1 AS pb1,
+        |    1.0 / (1.0 + exp(-(b.b0 + b.b1 * x))) AS p
+        |  FROM base CROSS JOIN b2 b),
+        |it3 AS (SELECT any_value(pb0) AS pb0, any_value(pb1) AS pb1,
+        |    sum(p * (1.0 - p)) AS h00, sum(p * (1.0 - p) * x) AS h01,
+        |    sum(p * (1.0 - p) * x * x) AS h11,
+        |    sum(t - p) AS g0, sum((t - p) * x) AS g1 FROM p3),
+        |b3 AS (SELECT
+        |    pb0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+        |    pb1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1
+        |  FROM it3),
+        |wts AS (SELECT base.t, base.y,
+        |    least(greatest(1.0 / (1.0 + exp(-(b.b0 + b.b1 * base.x))),
+        |      0.01), 0.99) AS e
+        |  FROM base CROSS JOIN b3 b),
+        |agg AS (SELECT sum((t / e) * y) AS s1y, sum(t / e) AS s1,
+        |    sum((t / e) * (t / e)) AS s1sq,
+        |    sum(((1.0 - t) / (1.0 - e)) * y) AS s0y,
+        |    sum((1.0 - t) / (1.0 - e)) AS s0,
+        |    sum(((1.0 - t) / (1.0 - e)) * ((1.0 - t) / (1.0 - e)))
+        |      AS s0sq,
+        |    count(*) AS n FROM wts)
+        |SELECT round_even((s1y / s1 - s0y / s0) * 1e6, 0) / 1e6 AS ate,
+        |  round_even(s1y / s1 * 1e6, 0) / 1e6 AS mu_treated,
+        |  round_even(s0y / s0 * 1e6, 0) / 1e6 AS mu_control,
+        |  round_even(s1 * s1 / s1sq * 1e6, 0) / 1e6 AS ess_treated,
+        |  round_even(s0 * s0 / s0sq * 1e6, 0) / 1e6 AS ess_control,
+        |  n FROM agg""".stripMargin,
+    // Per-stratum integer cells → MH pooled ratio + RBG variance +
+    // CMH χ²(1), all exact-integer ratios and ln/exp/sqrt
+    "q_mantel_haenszel" ->
+      """WITH cells AS (SELECT l_linestatus,
+        |    CAST(sum(CASE WHEN l_discount > 0.05
+        |      AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN l_discount > 0.05
+        |      AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN l_discount <= 0.05
+        |      AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN l_discount <= 0.05
+        |      AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL
+        |  GROUP BY l_linestatus),
+        |m AS (SELECT a, b, c, d,
+        |    CAST(a AS DOUBLE) + b + c + d AS ni FROM cells
+        |  WHERE CAST(a AS DOUBLE) + b + c + d > 1.0),
+        |agg AS (SELECT sum(a * d / ni) AS sr, sum(b * c / ni) AS ss,
+        |    sum(((a + d) / ni) * (a * d / ni)) AS spr,
+        |    sum(((a + d) / ni) * (b * c / ni)
+        |      + ((b + c) / ni) * (a * d / ni)) AS sps_qr,
+        |    sum(((b + c) / ni) * (b * c / ni)) AS sqs,
+        |    sum(a - (CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c) / ni)
+        |      AS dev,
+        |    sum((CAST(a AS DOUBLE) + b) * (CAST(c AS DOUBLE) + d)
+        |      * (CAST(a AS DOUBLE) + c) * (CAST(b AS DOUBLE) + d)
+        |      / (ni * ni * (ni - 1.0))) AS var,
+        |    CAST(count(*) AS BIGINT) AS n_strata,
+        |    CAST(sum(a + b + c + d) AS BIGINT) AS n FROM m)
+        |SELECT
+        |  CASE WHEN sr > 0.0 AND ss > 0.0
+        |    THEN round_even(sr / ss * 1e6, 0) / 1e6 END AS or_mh,
+        |  CASE WHEN sr > 0.0 AND ss > 0.0
+        |    THEN round_even(exp(ln(sr / ss) - 1.959964
+        |      * sqrt(spr / (2.0 * sr * sr) + sps_qr / (2.0 * sr * ss)
+        |        + sqs / (2.0 * ss * ss))) * 1e6, 0) / 1e6 END AS or_lo,
+        |  CASE WHEN sr > 0.0 AND ss > 0.0
+        |    THEN round_even(exp(ln(sr / ss) + 1.959964
+        |      * sqrt(spr / (2.0 * sr * sr) + sps_qr / (2.0 * sr * ss)
+        |        + sqs / (2.0 * ss * ss))) * 1e6, 0) / 1e6 END AS or_hi,
+        |  CASE WHEN var > 0.0
+        |    THEN round_even(dev * dev / var * 1e6, 0) / 1e6 END
+        |    AS chi2_cmh,
+        |  n_strata, n FROM agg""".stripMargin,
+    // 2×4 centered MA + zero-centered phase means in event-id order
+    "q_seasonal_decompose" ->
+      """WITH b AS (SELECT user_id AS k, event_id AS t,
+        |    CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE user_id < 10 AND user_id IS NOT NULL
+        |    AND event_id IS NOT NULL AND value IS NOT NULL
+        |    AND NOT isnan(CAST(value AS DOUBLE))),
+        |w AS (SELECT k, t, v,
+        |    CAST((row_number() OVER ord - 1) % 4 AS BIGINT) AS phase,
+        |    sum(v) OVER sp AS s, count(v) OVER sp AS cnt,
+        |    lag(v, 2) OVER ord AS lg, lead(v, 2) OVER ord AS ld
+        |  FROM b
+        |  WINDOW ord AS (PARTITION BY k ORDER BY t),
+        |    sp AS (PARTITION BY k ORDER BY t
+        |      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)),
+        |de AS (SELECT k, t, v, phase,
+        |    CASE WHEN cnt = 5 THEN (s - (lg + ld) * 0.5) / 4.0 END
+        |      AS trd FROM w),
+        |d2 AS (SELECT k, t, v, phase, trd, v - trd AS dt FROM de),
+        |pm AS (SELECT k, phase, avg(dt) AS pmv FROM d2
+        |  WHERE dt IS NOT NULL GROUP BY k, phase),
+        |ctr AS (SELECT k, phase,
+        |    pmv - avg(pmv) OVER (PARTITION BY k) AS sea FROM pm)
+        |SELECT d2.k AS user_id, d2.t AS event_id, d2.v AS value,
+        |  d2.phase,
+        |  round_even(d2.trd * 1e6, 0) / 1e6 AS trend,
+        |  round_even(ctr.sea * 1e6, 0) / 1e6 AS seasonal,
+        |  round_even((d2.dt - ctr.sea) * 1e6, 0) / 1e6 AS remainder
+        |FROM d2 LEFT JOIN ctr ON d2.k = ctr.k AND d2.phase = ctr.phase
+        |ORDER BY d2.k, d2.t""".stripMargin,
+    // Per-(group, λ) profile-likelihood cells over the exploded grid,
+    // then the per-group argmax (ties → smaller λ)
+    "q_boxcox" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+        |    CAST(l_extendedprice AS DOUBLE) AS x
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |grid AS (SELECT i * 0.25 AS lam FROM generate_series(-8, 8) s(i)),
+        |cells AS (SELECT g, lam, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CASE WHEN x <= 0.0 THEN 1 ELSE 0 END) AS bad,
+        |    sum(CASE WHEN x > 0.0 THEN
+        |      CASE WHEN lam = 0.0 THEN ln(x)
+        |        ELSE (pow(x, lam) - 1.0) / lam END END) AS sy,
+        |    sum(CASE WHEN x > 0.0 THEN
+        |      (CASE WHEN lam = 0.0 THEN ln(x)
+        |        ELSE (pow(x, lam) - 1.0) / lam END)
+        |      * (CASE WHEN lam = 0.0 THEN ln(x)
+        |        ELSE (pow(x, lam) - 1.0) / lam END) END) AS syy,
+        |    sum(CASE WHEN x > 0.0 THEN ln(x) END) AS slx
+        |  FROM b, grid GROUP BY g, lam
+        |  HAVING sum(CASE WHEN x <= 0.0 THEN 1 ELSE 0 END) = 0
+        |    AND count(*) >= 3),
+        |lls AS (SELECT g, lam, n,
+        |    (-0.5) * n * ln(syy / n - (sy / n) * (sy / n))
+        |      + (lam - 1.0) * slx AS llv
+        |  FROM cells WHERE syy / n - (sy / n) * (sy / n) > 0.0),
+        |rk AS (SELECT g, lam, llv, n, row_number() OVER
+        |    (PARTITION BY g ORDER BY llv DESC, lam ASC) AS rn FROM lls)
+        |SELECT g AS l_returnflag, lam AS lambda,
+        |  round_even(llv * 1e6, 0) / 1e6 AS ll, n
+        |FROM rk WHERE rn = 1 ORDER BY g""".stripMargin,
+    // Frequency-of-frequency table with the (r+1)·N_{r+1}/N_r fold;
+    // p_smoothed divides the ROUNDED r* (mirrors the engine)
+    "q_good_turing" ->
+      """WITH tok AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |    x -> x <> '')) AS t FROM documents),
+        |cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS r FROM tok
+        |  GROUP BY t),
+        |nr AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM cnt
+        |  GROUP BY r),
+        |tt AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS total FROM nr),
+        |led AS (SELECT r, n_r, lead(r) OVER (ORDER BY r) AS rn,
+        |    lead(n_r) OVER (ORDER BY r) AS nn FROM nr),
+        |rs AS (SELECT r, n_r,
+        |    CASE WHEN rn = r + 1 THEN
+        |      round_even(CAST(r + 1 AS DOUBLE) * nn / n_r * 1e6, 0) / 1e6
+        |    END AS r_star FROM led)
+        |SELECT r, n_r, r_star,
+        |  round_even(r_star / CAST(tt.total AS DOUBLE) * 1e9, 0) / 1e9
+        |    AS p_smoothed
+        |FROM rs, tt ORDER BY r""".stripMargin,
+    // Nested md5-bucket prefixes → cumulative (tokens, vocab) points →
+    // log-log OLS; integers exact, the fit repeats on every row
+    "q_heaps_law" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |    x -> x <> '')) AS t FROM documents),
+        |tb AS (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |      1, 8)) AS BIGINT) % 10 AS bk, t FROM tok),
+        |pb AS (SELECT bk, CAST(count(*) AS BIGINT) AS nt FROM tb
+        |  GROUP BY bk),
+        |fs AS (SELECT t, min(bk) AS bk FROM tb GROUP BY t),
+        |fb AS (SELECT bk, CAST(count(*) AS BIGINT) AS nv FROM fs
+        |  GROUP BY bk),
+        |j AS (SELECT coalesce(pb.bk, fb.bk) AS bucket,
+        |    coalesce(nt, 0) AS nt, coalesce(nv, 0) AS nv
+        |  FROM pb FULL JOIN fb ON pb.bk = fb.bk),
+        |c AS (SELECT bucket,
+        |    CAST(sum(nt) OVER cum AS BIGINT) AS n_tokens,
+        |    CAST(sum(nv) OVER cum AS BIGINT) AS vocab
+        |  FROM j WINDOW cum AS (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p AS (SELECT bucket, n_tokens, vocab,
+        |    ln(CAST(n_tokens AS DOUBLE)) AS xx,
+        |    ln(CAST(vocab AS DOUBLE)) AS yy
+        |  FROM c WHERE n_tokens > 0 AND vocab > 0),
+        |f AS (SELECT CAST(count(*) AS DOUBLE) AS cn, sum(xx) AS sx,
+        |    sum(yy) AS sy, sum(xx * xx) AS sxx, sum(yy * yy) AS syy,
+        |    sum(xx * yy) AS sxy FROM p)
+        |SELECT p.bucket, p.n_tokens, p.vocab,
+        |  CASE WHEN f.cn * f.sxx - f.sx * f.sx > 0.0 THEN
+        |    round_even((f.cn * f.sxy - f.sx * f.sy)
+        |      / (f.cn * f.sxx - f.sx * f.sx) * 1e6, 0) / 1e6 END AS beta,
+        |  CASE WHEN f.cn * f.sxx - f.sx * f.sx > 0.0 THEN
+        |    round_even((f.sy - ((f.cn * f.sxy - f.sx * f.sy)
+        |      / (f.cn * f.sxx - f.sx * f.sx)) * f.sx) / f.cn * 1e6, 0)
+        |      / 1e6 END AS ln_k,
+        |  CASE WHEN f.cn * f.sxx - f.sx * f.sx > 0.0
+        |    AND f.cn * f.syy - f.sy * f.sy > 0.0 THEN
+        |    round_even((f.cn * f.sxy - f.sx * f.sy)
+        |      * (f.cn * f.sxy - f.sx * f.sy)
+        |      / ((f.cn * f.sxx - f.sx * f.sx)
+        |        * (f.cn * f.syy - f.sy * f.sy)) * 1e6, 0) / 1e6 END
+        |    AS r2
+        |FROM p, f ORDER BY p.bucket""".stripMargin,
+    // sklearn step-interpolated AP per group: per-(group, score) cells,
+    // descending inclusive prefix, every term an exact-integer ratio
+    "q_avg_precision" ->
+      """WITH b AS (SELECT l_linestatus AS g,
+        |    CAST(l_discount AS DOUBLE) AS s, (l_returnflag = 'R') AS y
+        |  FROM lineitem WHERE l_discount IS NOT NULL
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE))
+        |    AND l_returnflag IS NOT NULL),
+        |cells AS (SELECT g, s,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS cn
+        |  FROM b GROUP BY g, s),
+        |w AS (SELECT g, cp, cn, sum(cp) OVER wd AS tp,
+        |    sum(cp + cn) OVER wd AS pred
+        |  FROM cells WINDOW wd AS (PARTITION BY g ORDER BY s DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |a AS (SELECT g, sum(CAST(cp AS DOUBLE) * tp / pred) AS apn,
+        |    CAST(sum(cp) AS BIGINT) AS n_pos,
+        |    CAST(sum(cn) AS BIGINT) AS n_neg
+        |  FROM w GROUP BY g)
+        |SELECT g AS l_linestatus,
+        |  round_even(apn / n_pos * 1e6, 0) / 1e6 AS avg_precision,
+        |  n_pos, n_neg FROM a WHERE n_pos > 0 AND n_neg > 0
+        |ORDER BY g""".stripMargin
   )
 }

@@ -276,4 +276,89 @@ object Cohorts {
         F.sum("n").over(wFrom), 6))
       .select("from_state", "to_state", "n", "prob")
   }
+
+  /** Shifted-beta-geometric (sBG) retention model — Fader–Hardie's
+    * "How to Project Customer Retention" (JIM 2007): each user churns
+    * in period t with probability θ ~ Beta(α, β), so the retention
+    * curve is S(t) = B(α, β+t)/B(α, β) — the projectable form that
+    * extrapolates a cohort's measured head into the long tail that
+    * [[retention]]'s empirical matrix cannot see. α/(α+β) is the mean
+    * one-period churn hazard; β < 1 ⇒ fat-tailed loyalty.
+    *
+    * Lifetimes are MONOTONE by construction: a user is alive at offset
+    * t iff their LAST activity period is ≥ t, churn period c = L+1
+    * (L = last-seen offset from the user's own first period), and
+    * users with L ≥ the horizon are right-censored. One per-user
+    * aggregation reduces the data to ≤ horizon+1 (lifetime, count)
+    * cells; the MLE is a DETERMINISTIC grid argmax over
+    * (α, β) ∈ {step, 2·step, …, gridMax}² of
+    *
+    *   ℓ = Σₜ dₜ·[ln B(α+1, β+t−1) − ln B(α, β)] + n_c·[ln B(α, β+T) − ln B(α, β)]
+    *
+    * evaluated driver-side via lgamma over the tiny cell table — no
+    * data-sized work after the first aggregation, no RNG, no iterative
+    * trajectory, so an external engine replays fit AND argmax exactly
+    * (ties broken by ll desc, α asc, β asc).
+    *
+    * @return one row: (alpha, beta, ll, n_users, n_churned,
+    *         n_censored, horizon, mean_churn) — ll and mean_churn
+    *         rounded to 6 decimals.
+    */
+  def sbgRetention(df: DataFrame, userCol: String, tsCol: String,
+                   periodNanos: Long, horizon: Option[Int] = None,
+                   gridMax: Double = 8.0,
+                   gridStep: Double = 0.1): DataFrame = {
+    require(periodNanos > 0, "periodNanos must be positive")
+    require(gridMax > gridStep && gridStep > 0.0, "bad grid")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val act = df
+      .where(F.col(userCol).isNotNull && F.col(tsCol).isNotNull)
+      .select(F.col(userCol).as("__u"),
+        F.expr(s"`$tsCol` DIV $periodNanos").as("__p"))
+    val life = act.groupBy("__u")
+      .agg((F.max("__p") - F.min("__p")).as("__l"))
+      .groupBy("__l").agg(F.count(F.lit(1)).as("__n"))
+      .collect().map(r => (r.getAs[Long]("__l"), r.getAs[Long]("__n")))
+      .sortBy(_._1)
+    require(life.nonEmpty, "no usable (user, ts) rows")
+    val tMax = horizon.map(_.toLong).getOrElse(life.map(_._1).max)
+    require(tMax >= 1L, "horizon must be at least 1 period")
+    // deaths at churn period t = 1..T (users last seen at t−1), plus
+    // right-censored mass: everyone last seen at ≥ T
+    val deaths = (1L to tMax).map(t =>
+      t -> life.filter(_._1 == t - 1L).map(_._2).sum).filter(_._2 > 0L)
+    val nCens = life.filter(_._1 >= tMax).map(_._2).sum
+    val nUsers = life.map(_._2).sum
+    val nChurned = nUsers - nCens
+    import graft.functions.SpecialMath.lgamma
+    def lnB(a: Double, b: Double): Double =
+      lgamma(a) + lgamma(b) - lgamma(a + b)
+    val steps = math.round(gridMax / gridStep).toInt
+    var best = (Double.NegativeInfinity, 0.0, 0.0)
+    var i = 1
+    while (i <= steps) {
+      val a = i * gridStep
+      var j = 1
+      while (j <= steps) {
+        val b = j * gridStep
+        val lnB0 = lnB(a, b)
+        var ll = 0.0
+        deaths.foreach { case (t, dt) =>
+          ll += dt * (lnB(a + 1.0, b + t - 1.0) - lnB0)
+        }
+        if (nCens > 0L) ll += nCens * (lnB(a, b + tMax) - lnB0)
+        // strict > keeps the FIRST (α asc, β asc) grid cell on ties
+        if (ll > best._1) best = (ll, a, b)
+        j += 1
+      }
+      i += 1
+    }
+    val (ll, alpha, beta) = best
+    Seq((math.rint(alpha * 1e6) / 1e6, math.rint(beta * 1e6) / 1e6,
+        math.rint(ll * 1e6) / 1e6, nUsers, nChurned, nCens, tMax,
+        math.rint(alpha / (alpha + beta) * 1e6) / 1e6))
+      .toDF("alpha", "beta", "ll", "n_users", "n_churned",
+        "n_censored", "horizon", "mean_churn")
+  }
 }

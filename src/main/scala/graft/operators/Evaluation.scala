@@ -842,4 +842,53 @@ object Evaluation {
         F.round(F.avg(s), 6).as("mean_score"),
         F.round(F.avg(F.when(y, 1.0).otherwise(0.0)), 6).as("frac_pos"))
   }
+
+  /** Average precision (area under the precision–recall curve, step
+    * interpolation) per group — the metric that matters where
+    * [[aucByGroup]] lies: under heavy class imbalance ROC AUC stays
+    * flatteringly high while precision collapses; AP weights exactly
+    * the head of the ranking a filter actually acts on.
+    *
+    * Threshold semantics match scikit-learn's average_precision_score:
+    * thresholds at each DISTINCT score, AP = Σ_t ΔRecall_t ·
+    * Precision_t with precision taken at the threshold INCLUSIVE of
+    * its tie block (ties enter together — no arbitrary intra-tie
+    * order, deterministic across engines). Same execution shape as
+    * [[aucByGroup]]: per-(group, score) cells, one descending prefix
+    * window PARTITIONED by group, one fold.
+    *
+    * @return one row per group with both classes present:
+    *         (groupCols..., avg_precision, n_pos, n_neg)
+    */
+  def averagePrecisionByGroup(df: DataFrame, groupCols: Seq[String],
+                              labelCol: String,
+                              scoreCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(!groupCols.exists(_.startsWith("__")),
+      "group columns must not use the __ internal prefix")
+    import org.apache.spark.sql.expressions.Window
+    val gCols = groupCols.map(F.col)
+    val s = F.col(scoreCol).cast("double")
+    val y = F.col(labelCol).cast("boolean")
+    val cells = df
+      .where(s.isNotNull && !F.isnan(s) && y.isNotNull)
+      .groupBy(gCols :+ s.as("__v"): _*)
+      .agg(F.sum(F.when(y, 1L).otherwise(0L)).as("__cp"),
+        F.sum(F.when(!y, 1L).otherwise(0L)).as("__cn"))
+    val wDesc = Window.partitionBy(gCols: _*).orderBy(F.desc("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("__tp", F.sum("__cp").over(wDesc))
+      .withColumn("__pred",
+        F.sum(F.col("__cp") + F.col("__cn")).over(wDesc))
+      .groupBy(gCols: _*)
+      .agg(F.sum(F.col("__cp").cast("double") * F.col("__tp") /
+          F.col("__pred")).as("__ap_num"),
+        F.sum("__cp").as("n_pos"), F.sum("__cn").as("n_neg"))
+      .where(F.col("n_pos") > 0L && F.col("n_neg") > 0L)
+      .withColumn("avg_precision",
+        F.round(F.col("__ap_num") / F.col("n_pos"), 6))
+      .select(gCols ++ Seq(F.col("avg_precision"), F.col("n_pos"),
+        F.col("n_neg")): _*)
+  }
 }

@@ -596,4 +596,122 @@ object Experiments {
         math.rint(reduction * 1e6) / 1e6, n))
       .toDF("theta", "var_raw", "var_adj", "reduction", "n")
   }
+
+  /** Inverse-probability-weighted average treatment effect — the
+    * OBSERVATIONAL companion to [[stratifiedAte]]: where stratification
+    * needs a discrete confounder, IPW handles continuous covariates by
+    * modeling the propensity e(x) = P(T=1|x) with the fixed-Newton
+    * logistic of [[Regression.logisticIrls]] and reweighting each arm
+    * to the full population (Hájek/stabilized form — ratio of weighted
+    * sums, invariant to weight scale). Propensities are clipped to
+    * [clip, 1−clip] (overlap guard: one near-deterministic unit
+    * otherwise dominates the whole estimate).
+    *
+    * Cost: the logistic's iters+1 aggregations plus ONE weighted-mean
+    * aggregation — no row ever collected; the fixed trajectory plus
+    * the closed-form reweighting replays as chained SQL.
+    *
+    * @return one row: (ate, mu_treated, mu_control, ess_treated,
+    *         ess_control, n) — doubles rounded to 6 decimals, ESS is
+    *         the Kish effective sample size (Σw)²/Σw² per arm.
+    */
+  def ipwAte(df: DataFrame, treatedCol: String, outcomeCol: String,
+             xCols: Seq[String], iters: Int = 3,
+             clip: Double = 0.01): DataFrame = {
+    require(clip > 0.0 && clip < 0.5, "clip must be in (0, 0.5)")
+    val t = F.col(treatedCol).cast("double")
+    val y = F.col(outcomeCol).cast("double")
+    val ok = (xCols.map(F.col(_).cast("double")) :+ t :+ y)
+      .map(c => c.isNotNull && !F.isnan(c)).reduce(_ && _)
+    val clean = df.where(ok)
+    val model = Regression.logisticIrls(
+      clean.withColumn("__t", t), "__t", xCols, iters = iters)
+    val e = F.least(F.greatest(model.score, F.lit(clip)),
+      F.lit(1.0 - clip))
+    val w1 = t / e
+    val w0 = (F.lit(1.0) - t) / (F.lit(1.0) - e)
+    val r = clean.agg(
+      F.sum(w1 * y).as("s1y"), F.sum(w1).as("s1"),
+      F.sum(w1 * w1).as("s1sq"),
+      F.sum(w0 * y).as("s0y"), F.sum(w0).as("s0"),
+      F.sum(w0 * w0).as("s0sq"),
+      F.count(F.lit(1)).as("n"))
+    val mu1 = F.col("s1y") / F.col("s1")
+    val mu0 = F.col("s0y") / F.col("s0")
+    r.select(
+      F.round(mu1 - mu0, 6).as("ate"),
+      F.round(mu1, 6).as("mu_treated"),
+      F.round(mu0, 6).as("mu_control"),
+      F.round(F.col("s1") * F.col("s1") / F.col("s1sq"), 6)
+        .as("ess_treated"),
+      F.round(F.col("s0") * F.col("s0") / F.col("s0sq"), 6)
+        .as("ess_control"),
+      F.col("n"))
+  }
+
+  /** Mantel–Haenszel pooled odds ratio across strata — the classic
+    * "adjust the 2×2 for a confounder without modeling it" estimator,
+    * robust to sparse strata where per-stratum [[oddsRatio]] blows up
+    * (a stratum with an empty cell still contributes to the pooled
+    * sums). Includes the Robins–Breslow–Greenland variance for the
+    * 95% CI and the Cochran–Mantel–Haenszel χ²(1) statistic
+    * (continuity-uncorrected).
+    *
+    * One (stratum, cohort, outcome) aggregation + one fold over the
+    * stratum-sized frame: sufficient statistics are exact integer
+    * ratios, the CI needs only ln/exp/sqrt — fully SQL-replayable.
+    *
+    * @return one row: (or_mh, or_lo, or_hi, chi2_cmh, n_strata, n)
+    */
+  def mantelHaenszel(df: DataFrame, cohortCol: String, successCol: String,
+                     strataCols: Seq[String],
+                     labelA: String = "a", labelB: String = "b",
+                     z: Double = 1.959964): DataFrame = {
+    require(labelA != labelB, "cohort labels must differ")
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    val g = F.col(cohortCol).cast("string")
+    val y = F.col(successCol).cast("boolean")
+    val cells = df
+      .where(g.isin(labelA, labelB) && y.isNotNull)
+      .groupBy(strataCols.map(F.col): _*)
+      .agg(
+        F.sum(F.when(g === labelA && y, 1L).otherwise(0L)).as("a"),
+        F.sum(F.when(g === labelA && !y, 1L).otherwise(0L)).as("b"),
+        F.sum(F.when(g === labelB && y, 1L).otherwise(0L)).as("c"),
+        F.sum(F.when(g === labelB && !y, 1L).otherwise(0L)).as("d"))
+    val a = F.col("a").cast("double"); val b = F.col("b").cast("double")
+    val c = F.col("c").cast("double"); val d = F.col("d").cast("double")
+    val ni = a + b + c + d
+    val pR = a * d / ni
+    val sS = b * c / ni
+    val pP = (a + d) / ni
+    val qQ = (b + c) / ni
+    // CMH: E[a_i] and Var[a_i] under the stratum margins
+    val r1 = a + b; val r2 = c + d; val c1 = a + c; val c2 = b + d
+    val ea = r1 * c1 / ni
+    val va = r1 * r2 * c1 * c2 / (ni * ni * (ni - 1.0))
+    val agg = cells.where(ni > 1.0).agg(
+      F.sum(pR).as("sr"), F.sum(sS).as("ss"),
+      F.sum(pP * pR).as("spr"),
+      F.sum(pP * sS + qQ * pR).as("sps_qr"),
+      F.sum(qQ * sS).as("sqs"),
+      F.sum(a - ea).as("dev"), F.sum(va).as("var"),
+      F.count(F.lit(1)).as("n_strata"),
+      F.sum(F.col("a") + F.col("b") + F.col("c") + F.col("d")).as("n"))
+    val orMh = F.col("sr") / F.col("ss")
+    val lnOr = F.log(orMh)
+    val se = F.sqrt(
+      F.col("spr") / (F.lit(2.0) * F.col("sr") * F.col("sr")) +
+      F.col("sps_qr") / (F.lit(2.0) * F.col("sr") * F.col("ss")) +
+      F.col("sqs") / (F.lit(2.0) * F.col("ss") * F.col("ss")))
+    val ok = F.col("sr") > 0.0 && F.col("ss") > 0.0
+    agg.select(
+      F.when(ok, F.round(orMh, 6)).as("or_mh"),
+      F.when(ok, F.round(F.exp(lnOr - F.lit(z) * se), 6)).as("or_lo"),
+      F.when(ok, F.round(F.exp(lnOr + F.lit(z) * se), 6)).as("or_hi"),
+      F.when(F.col("var") > 0.0,
+        F.round(F.col("dev") * F.col("dev") / F.col("var"), 6))
+        .as("chi2_cmh"),
+      F.col("n_strata"), F.col("n").cast("long").as("n"))
+  }
 }

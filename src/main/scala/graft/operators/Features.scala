@@ -483,4 +483,137 @@ object Features {
     df.withColumn(deltaCol,
       F.col(tsCol) - F.lag(F.col(tsCol), 1).over(wOrd))
   }
+
+  /** Classical additive seasonal decomposition per key:
+    * x = trend + seasonal + remainder, with the trend a centered
+    * moving average of one full period (the even-period form uses the
+    * textbook 2×m MA — half weight on both end cells), the seasonal
+    * component the per-phase mean of the detrended series RE-CENTERED
+    * to sum to zero over a period, and the remainder what's left. The
+    * decomposition behind "is this drop a trend break or just
+    * Tuesday" — [[seasonalIndexByKey]] gives the ratio profile; this
+    * splits the actual series.
+    *
+    * One per-key ROWS window chain (never global) + one (key, phase)
+    * aggregation joined back broadcast-sized. Rows whose centered
+    * window is incomplete (the first/last m/2 points) get null trend,
+    * null remainder — honest edges, no padding. Period positions come
+    * from row ORDER within the key (gaps allowed — "the k-th
+    * observation", the classical-decomposition convention).
+    *
+    * @return input key/ts/value plus (phase, trend, seasonal,
+    *         remainder), doubles rounded to 6.
+    */
+  def seasonalDecompose(df: DataFrame, keyCol: String, tsCol: String,
+                        valueCol: String, period: Int): DataFrame = {
+    require(period >= 2, "period must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val v = F.col(valueCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    val clean = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull && v.isNotNull &&
+        !F.isnan(v))
+      .select(F.col(keyCol).as("__k"), t.as("__t"), v.as("__v"))
+    val wOrd = Window.partitionBy("__k").orderBy("__t")
+    val half = period / 2
+    val (trend, span) =
+      if (period % 2 == 0) {
+        // 2×m MA: (½·x_{t−m/2} + x_{…} + ½·x_{t+m/2}) / m
+        val wSpan = wOrd.rowsBetween(-half, half)
+        val s = F.sum("__v").over(wSpan)
+        val cnt = F.count("__v").over(wSpan)
+        val ends = (F.lag("__v", half).over(wOrd) +
+          F.lead("__v", half).over(wOrd)) * 0.5
+        (F.when(cnt === (period + 1).toLong,
+          (s - ends) / period.toDouble), period + 1)
+      } else {
+        val wSpan = wOrd.rowsBetween(-half, half)
+        val s = F.sum("__v").over(wSpan)
+        val cnt = F.count("__v").over(wSpan)
+        (F.when(cnt === period.toLong, s / period.toDouble), period)
+      }
+    val base = clean
+      .withColumn("phase",
+        F.pmod(F.row_number().over(wOrd) - F.lit(1), F.lit(period))
+          .cast("long"))
+      .withColumn("__tr", trend)
+      .withColumn("__de", F.col("__v") - F.col("__tr"))
+    val phaseMeans = base.where(F.col("__de").isNotNull)
+      .groupBy("__k", "phase")
+      .agg(F.avg("__de").as("__pm"))
+    val wk = Window.partitionBy("__k")
+    val centered = phaseMeans
+      .withColumn("__sea", F.col("__pm") - F.avg("__pm").over(wk))
+      .select("__k", "phase", "__sea")
+    base.join(F.broadcast(centered), Seq("__k", "phase"), "left")
+      .select(F.col("__k").as(keyCol), F.col("__t").as(tsCol),
+        F.col("__v").as(valueCol), F.col("phase"),
+        F.round(F.col("__tr"), 6).as("trend"),
+        F.round(F.col("__sea"), 6).as("seasonal"),
+        F.round(F.col("__de") - F.col("__sea"), 6).as("remainder"))
+  }
+
+  /** Box–Cox normalizing-power selection per group by profile
+    * likelihood over a FIXED λ grid — "which power transform makes
+    * each segment's metric most normal", the feature-engineering
+    * prerequisite for everything downstream that assumes
+    * symmetric-ish residuals (z-scores, control charts, OLS). Strictly
+    * positive values only; groups with any x ≤ 0 or fewer than 3 rows
+    * are omitted.
+    *
+    *   ℓ(λ) = −n/2·ln σ̂²_pop(y_λ) + (λ−1)·Σ ln x,
+    *   y_λ = (x^λ−1)/λ  (ln x at λ = 0)
+    *
+    * Scale shape: the grid is exploded MAP-SIDE (each row emits its
+    * |grid| transformed values), one (group, λ) aggregation of
+    * {n, Σy, Σy², Σln x} — exchange is groups×|grid| rows regardless
+    * of data size — then a per-group window argmax (ties → smaller λ).
+    * Deterministic, no iteration, SQL-replayable via the same
+    * generate_series explode.
+    *
+    * @param lambdas the candidate grid, default −2.0 to 2.0 by 0.25
+    * @return one row per group: (groupCols..., lambda, ll, n)
+    */
+  def boxCoxByGroup(df: DataFrame, valueCol: String,
+                    groupCols: Seq[String],
+                    lambdas: Seq[Double] =
+                      (-8 to 8).map(_ * 0.25)): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(lambdas.nonEmpty, "need a non-empty lambda grid")
+    import org.apache.spark.sql.expressions.Window
+    val x = F.col(valueCol).cast("double")
+    val g = groupCols.map(F.col)
+    val pos = df.where(x.isNotNull && !F.isnan(x))
+      .select(g :+ x.as("__x"): _*)
+    // a single non-positive value invalidates the whole group's
+    // transform — count them per group and keep all-positive groups
+    val grid = F.array(lambdas.map(F.lit): _*)
+    val lam = F.col("__lam").cast("double")
+    val y = F.when(lam === 0.0, F.log("__x"))
+      .otherwise((F.pow(F.col("__x"), lam) - 1.0) / lam)
+    val cells = pos
+      .select(g :+ F.col("__x") :+ F.explode(grid).as("__lam"): _*)
+      .groupBy(g :+ F.col("__lam"): _*)
+      .agg(
+        F.count(F.lit(1)).as("n"),
+        F.sum(F.when(F.col("__x") <= 0.0, 1L).otherwise(0L)).as("bad"),
+        F.sum(F.when(F.col("__x") > 0.0, y)).as("sy"),
+        F.sum(F.when(F.col("__x") > 0.0, y * y)).as("syy"),
+        F.sum(F.when(F.col("__x") > 0.0, F.log("__x"))).as("slx"))
+      .where(F.col("bad") === 0L && F.col("n") >= 3L)
+    val n = F.col("n").cast("double")
+    val varPop = F.col("syy") / n -
+      (F.col("sy") / n) * (F.col("sy") / n)
+    val ll = F.lit(-0.5) * n * F.log(varPop) +
+      (lam - 1.0) * F.col("slx")
+    val wg = Window.partitionBy(g: _*)
+      .orderBy(F.desc("__ll"), F.asc("__lam"))
+    cells
+      .where(varPop > 0.0)
+      .withColumn("__ll", ll)
+      .withColumn("__rk", F.row_number().over(wg))
+      .where(F.col("__rk") === 1)
+      .select(g :+ F.col("__lam").as("lambda") :+
+        F.round(F.col("__ll"), 6).as("ll") :+ F.col("n"): _*)
+  }
 }

@@ -433,6 +433,227 @@ object Regression {
   /** Gaussian elimination with partial pivoting; mutates copies.
     * Singularity is judged against the input's magnitude (an exactly
     * collinear Gram matrix eliminates to ~1e-10 pivots, not 0.0). */
+  /** A fitted Poisson model: β aligned to `"intercept" +: features`,
+    * final-β log-likelihood (including the −ln y! data term), row count
+    * and the fixed iteration count. */
+  final case class PoissonModel(features: Seq[String], beta: Array[Double],
+                                logLik: Double, n: Long, iterations: Int) {
+    /** Expected count E[y|x] = exp(xᵀβ) as a codegen'd column. */
+    def predictRate: Column = {
+      val z = features.zipWithIndex.foldLeft(F.lit(beta(0))) {
+        case (acc, (f, i)) => acc + F.col(f).cast("double") * beta(i + 1)
+      }
+      F.exp(z)
+    }
+  }
+
+  /** Poisson regression (log link) by Newton/IRLS with a FIXED
+    * iteration count — the count-response rung of the GLM ladder
+    * ([[olsFit]] gaussian, [[logisticIrls]] binomial, this one
+    * Poisson: "how does event RATE move with the covariates").
+    *
+    * The intercept warm-starts at ln ȳ (slopes 0) — the canonical GLM
+    * initialization; a β = 0 start diverges whenever E[y] ≫ 1 because
+    * the first Newton step lands at β₀ ≈ E[y] and exp overflows. From
+    * ln ȳ the first pass sees the CONSTANT rate μ = ȳ; each pass aggregates
+    * the gradient Xᵀ(y−μ) and Hessian XᵀWX (W = diag μ) as plain sums
+    * with the current β folded in as literals, the driver solves k×k,
+    * and one final pass evaluates ℓ = Σ[y·z − eᶻ − ln Γ(y+1)]. Total
+    * jobs: iters + 1, independent of data size; no row ever collected.
+    * Fixed iterations keep the trajectory deterministic and
+    * SQL-replayable (the q_logistic_quality chained-CTE pattern —
+    * DuckDB carries ln Γ via lgamma).
+    *
+    * Rows with null/NaN features or null/NaN/negative response are
+    * excluded (y is a COUNT; fractional y is accepted quasi-style).
+    */
+  def poissonIrls(df: DataFrame, countCol: String, xCols: Seq[String],
+                  iters: Int = 4): PoissonModel = {
+    require(xCols.nonEmpty, "need at least one feature")
+    require(iters >= 1, "need at least one Newton iteration")
+    val k = xCols.length + 1
+    val feats = F.lit(1.0) +: xCols.map(c => F.col(c).cast("double"))
+    val y = F.col(countCol).cast("double")
+    val ok = (xCols.map(F.col(_).cast("double")) :+ y)
+      .map(c => c.isNotNull && !F.isnan(c)).reduce(_ && _) && y >= 0.0
+    val clean = df.where(ok)
+    val meanY = clean.agg(F.avg(y)).head().getDouble(0)
+    require(meanY > 0.0, "mean response must be positive for a log link")
+    val beta0 = Array.fill(k)(0.0)
+    beta0(0) = math.log(meanY)
+    var beta = beta0
+    var n = 0L
+    var it = 0
+    while (it < iters) {
+      val z = feats.zipWithIndex.foldLeft(F.lit(0.0)) {
+        case (acc, (f, i)) => acc + f * beta(i)
+      }
+      val mu = F.exp(z)
+      val cols =
+        (for { i <- 0 until k; j <- i until k }
+          yield F.sum(mu * feats(i) * feats(j)).as(s"h_${i}_$j")) ++
+        (0 until k).map(i => F.sum((y - mu) * feats(i)).as(s"g_$i")) :+
+        F.count(F.lit(1)).as("n")
+      val r = clean.agg(cols.head, cols.tail: _*).head()
+      n = r.getAs[Long]("n")
+      val h = Array.ofDim[Double](k, k)
+      for { i <- 0 until k; j <- i until k } {
+        h(i)(j) = r.getAs[Double](s"h_${i}_$j"); h(j)(i) = h(i)(j)
+      }
+      val g = Array.tabulate(k)(i => r.getAs[Double](s"g_$i"))
+      val delta = solve(h, g)
+      beta = Array.tabulate(k)(i => beta(i) + delta(i))
+      it += 1
+    }
+    val zF = feats.zipWithIndex.foldLeft(F.lit(0.0)) {
+      case (acc, (f, i)) => acc + f * beta(i)
+    }
+    // lgamma(y+1) = ln y! — finite for any y ≥ 0 (fractional included);
+    // same JVM-lgamma-per-ROW convention as GroupedFit's Poisson loglik
+    // (the UDF touches the data once, in the single final pass)
+    val lgUdf = F.udf((v: Double) => graft.functions.SpecialMath.lgamma(v))
+    val ll = clean.agg(F.sum(y * zF - F.exp(zF) -
+      lgUdf(y + F.lit(1.0))).as("ll"))
+      .head().getAs[Double]("ll")
+    PoissonModel(xCols, beta, ll, n, iters)
+  }
+
+  /** Theil–Sen robust trend per group: the MEDIAN of all pairwise
+    * slopes (yⱼ−yᵢ)/(xⱼ−xᵢ) — ~29% breakdown point vs OLS's zero; the
+    * standard "trend that one bad day can't move" estimator.
+    *
+    * Exact all-pairs is O(n²) per group, so the group is first capped
+    * at `maxN` rows chosen DETERMINISTICALLY (md5 content order — same
+    * subset on any engine/layout); groups over the cap are fitted on
+    * the capped subset, with the drop observed + warn-logged
+    * ([[Observability.observeDropped]] — no silent caps). Pairs form
+    * via a rank self-join WITHIN each group (shuffle on the group key
+    * only), and both the slope and the intercept median are the exact
+    * LOWER median (element ⌈m/2⌉ of the sorted multiset) so the result
+    * replays bit-for-bit as an order-statistic select — no averaging
+    * convention to drift across engines.
+    *
+    * @return one row per group: (groupCols..., n_used, n_pairs,
+    *         slope, intercept) — groups with < 2 usable distinct-x
+    *         pairs are omitted.
+    */
+  def theilSenByGroup(df: DataFrame, yCol: String, xCol: String,
+                      groupCols: Seq[String], maxN: Int = 1000): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(maxN >= 2, "maxN must allow at least one pair")
+    val x = F.col(xCol).cast("double")
+    val y = F.col(yCol).cast("double")
+    val clean = df
+      .where(x.isNotNull && y.isNotNull && !F.isnan(x) && !F.isnan(y))
+      .select(groupCols.map(F.col) :+ x.as("__x") :+ y.as("__y"): _*)
+    val g = groupCols.map(F.col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*)
+      .orderBy(F.md5(F.concat_ws(" ",
+        (groupCols.map(F.col(_).cast("string")) :+
+          F.col("__x").cast("string") :+
+          F.col("__y").cast("string")): _*)))
+    val ranked = clean.withColumn("__rn", F.row_number().over(w))
+    // over-cap groups are fitted on the capped subset, never silently:
+    // the group-size frame carries the observed-drop metrics
+    // (Dedup.containmentPairs convention) and rides back in as a
+    // broadcast semi-join that keeps every group
+    val counts = clean.groupBy(g: _*).agg(F.count(F.lit(1)).as("__cnt"))
+    val obsGroups = Observability.observeDropped(counts,
+        "theilSenByGroup", F.col("__cnt"), maxN)
+      .select(g: _*)
+    val capped = ranked.where(F.col("__rn") <= maxN)
+      .join(F.broadcast(obsGroups), groupCols, "left_semi")
+    val a = capped.select(g :+ F.col("__x").as("xi") :+
+      F.col("__y").as("yi") :+ F.col("__rn").as("ri"): _*)
+    val b = capped.select(g :+ F.col("__x").as("xj") :+
+      F.col("__y").as("yj") :+ F.col("__rn").as("rj"): _*)
+    val pairs = a.join(b, groupCols)
+      .where(F.col("ri") < F.col("rj") && F.col("xi") =!= F.col("xj"))
+      .select(g :+
+        ((F.col("yj") - F.col("yi")) / (F.col("xj") - F.col("xi")))
+          .as("__s"): _*)
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(F.col("__s"))
+    val slope = pairs
+      .withColumn("__sr", F.row_number().over(ws))
+      .withColumn("__sm", F.count(F.lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(g: _*)))
+      .where(F.col("__sr") === ((F.col("__sm") + F.lit(1)) / F.lit(2))
+        .cast("int"))
+      .select(g :+ F.col("__s").as("slope") :+
+        F.col("__sm").cast("long").as("n_pairs"): _*)
+    val resid = capped.join(F.broadcast(slope), groupCols)
+      .select(g :+ F.col("slope") :+ F.col("n_pairs") :+
+        (F.col("__y") - F.col("slope") * F.col("__x")).as("__r"): _*)
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(F.col("__r"))
+    resid
+      .withColumn("__rr", F.row_number().over(wr))
+      .withColumn("__rm", F.count(F.lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(g: _*)))
+      .where(F.col("__rr") === ((F.col("__rm") + F.lit(1)) / F.lit(2))
+        .cast("int"))
+      .select(g :+ F.col("__rm").cast("long").as("n_used") :+
+        F.col("n_pairs") :+ F.col("slope") :+
+        F.col("__r").as("intercept"): _*)
+  }
+
+  /** Durbin–Watson first-order autocorrelation diagnostic per group:
+    * DW = Σₜ(eₜ−eₜ₋₁)² / Σₜeₜ² over the OLS residuals of y on x taken
+    * in `orderCol` order — the "is my per-tenant trend fit hiding
+    * serial correlation" check that belongs next to [[olsByGroup]].
+    * DW ≈ 2(1−ρ̂₁): 2 = independent, →0 positive, →4 negative serial
+    * correlation.
+    *
+    * Two aggregations + one per-group window: the OLS coefficients
+    * come from the same sufficient statistics as [[olsByGroup]]
+    * (closed form, no driver solve), broadcast back as a tiny
+    * per-group frame, residuals difference under a window PARTITIONED
+    * by group (never global). Groups with n < 3 or zero x-variance are
+    * omitted.
+    *
+    * @return one row per group: (groupCols..., n, slope, intercept, dw)
+    */
+  def durbinWatsonByGroup(df: DataFrame, yCol: String, xCol: String,
+                          orderCol: String,
+                          groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val x = F.col(xCol).cast("double")
+    val y = F.col(yCol).cast("double")
+    val t = F.col(orderCol)
+    val clean = df
+      .where(x.isNotNull && y.isNotNull && !F.isnan(x) && !F.isnan(y) &&
+        t.isNotNull)
+      .select(groupCols.map(F.col) :+ x.as("__x") :+ y.as("__y") :+
+        t.as("__t"): _*)
+    val g = groupCols.map(F.col)
+    val fit = clean.groupBy(g: _*).agg(
+        F.count(F.lit(1)).as("n"),
+        F.avg("__x").as("mx"), F.avg("__y").as("my"),
+        F.var_pop("__x").as("vx"), F.covar_pop("__x", "__y").as("cxy"))
+      .where(F.col("n") >= 3 && F.col("vx") > 0.0)
+      .select(g :+ F.col("n") :+
+        (F.col("cxy") / F.col("vx")).as("slope") :+
+        (F.col("my") - F.col("cxy") / F.col("vx") * F.col("mx"))
+          .as("intercept"): _*)
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(F.col("__t"))
+    val resid = clean.join(F.broadcast(fit), groupCols)
+      .withColumn("__e",
+        F.col("__y") - F.col("intercept") - F.col("slope") * F.col("__x"))
+      .withColumn("__d", F.col("__e") - F.lag("__e", 1).over(wd))
+    resid.groupBy(g: _*).agg(
+        F.max("n").as("__n"),
+        F.max("slope").as("__sl"), F.max("intercept").as("__ic"),
+        F.sum(F.col("__d") * F.col("__d")).as("num"),
+        F.sum(F.col("__e") * F.col("__e")).as("den"))
+      .where(F.col("den") > 0.0)
+      .select(g :+ F.col("__n").as("n") :+ F.col("__sl").as("slope") :+
+        F.col("__ic").as("intercept") :+
+        (F.col("num") / F.col("den")).as("dw"): _*)
+  }
+
   private[graft] def solve(aIn: Array[Array[Double]],
                            bIn: Array[Double]): Array[Double] = {
     val k = bIn.length

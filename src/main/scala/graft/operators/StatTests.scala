@@ -1113,4 +1113,242 @@ object StatTests {
         denom > 0.0, F.round(F.lit(k.toDouble) / denom, 6)))
       .select("k", "x_ref", "alpha")
   }
+
+  /** Two-sample ENERGY distance per group — Székely–Rizzo's
+    * D² = 2·E|X−Y| − E|X−X′| − E|Y−Y′|, the moment-free whole-
+    * distribution distance that is zero iff the distributions match
+    * (scipy.stats.energy_distance semantics, D = √D²). Complements
+    * [[Drift.ksTwoSampleByGroup]] (sup-norm) and the Wasserstein form
+    * (L¹ of the CDF gap): energy distance weights TAIL separation more
+    * and is the statistic behind the energy two-sample test.
+    *
+    * All three pairwise means reduce to prefix sums over the values in
+    * sorted order — Σᵢ|xᵢ−v| = v·(2c−n) − (2s−S) where c/s are the
+    * count/sum of sample values ≤ v — so the whole computation is ONE
+    * pass of RANGE-frame windows PARTITIONED by group (ties land in
+    * the frame together; tied pairs contribute zero so the within-
+    * sample fold counts every unordered pair exactly once) plus one
+    * aggregation. No global window, no n² join; with integer-valued
+    * data every prefix sum is an exactly-representable integer, so an
+    * external engine replays the statistic bit-for-bit.
+    *
+    * @return one row per group: (groupCols..., n_a, n_b, e_cross,
+    *         e_within_a, e_within_b, energy_dist), doubles rounded to
+    *         6 decimals. Groups missing either cohort are omitted.
+    */
+  def energyDistance(df: DataFrame, cohortCol: String, valueCol: String,
+                     labelA: String = "a", labelB: String = "b",
+                     groupCols: Seq[String] = Nil): DataFrame = {
+    require(labelA != labelB, "cohort labels must differ")
+    val v = F.col(valueCol).cast("double")
+    val gCols = if (groupCols.nonEmpty) groupCols else Seq("__g")
+    val base0 = df
+      .where(v.isNotNull && !F.isnan(v) &&
+        F.col(cohortCol).cast("string").isin(labelA, labelB))
+    val base = (if (groupCols.nonEmpty) base0
+      else base0.withColumn("__g", F.lit(1)))
+      .select(gCols.map(F.col) :+ v.as("__v") :+
+        (F.col(cohortCol).cast("string") === labelA).as("__ia"): _*)
+    val g = gCols.map(F.col)
+    import org.apache.spark.sql.expressions.Window
+    val wRange = Window.partitionBy(g: _*).orderBy(F.col("__v"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(g: _*)
+    val ia = F.when(F.col("__ia"), 1L).otherwise(0L)
+    val ib = F.lit(1L) - ia
+    val rows = base
+      .withColumn("__ca", F.sum(ia).over(wRange))
+      .withColumn("__sa", F.sum(F.col("__v") * ia).over(wRange))
+      .withColumn("__cb", F.sum(ib).over(wRange))
+      .withColumn("__sb", F.sum(F.col("__v") * ib).over(wRange))
+      .withColumn("__na", F.sum(ia).over(wAll))
+      .withColumn("__nb", F.sum(ib).over(wAll))
+      .withColumn("__ta", F.sum(F.col("__v") * ia).over(wAll))
+      .withColumn("__tb", F.sum(F.col("__v") * ib).over(wAll))
+    // Σ_{A rows i} |x_i − v| evaluated at this row's v
+    val absA = F.col("__v") * (F.lit(2.0) * F.col("__ca") - F.col("__na")) -
+      (F.lit(2.0) * F.col("__sa") - F.col("__ta"))
+    val agged = rows.groupBy(g: _*).agg(
+      F.max("__na").as("n_a0"), F.max("__nb").as("n_b0"),
+      F.sum(F.when(!F.col("__ia"), absA).otherwise(0.0)).as("cross"),
+      F.sum(F.when(F.col("__ia"),
+        F.col("__v") * F.col("__ca") - F.col("__sa")).otherwise(0.0))
+        .as("wa"),
+      F.sum(F.when(!F.col("__ia"),
+        F.col("__v") * F.col("__cb") - F.col("__sb")).otherwise(0.0))
+        .as("wb"))
+      .where(F.col("n_a0") > 0L && F.col("n_b0") > 0L)
+    val na = F.col("n_a0").cast("double"); val nb = F.col("n_b0").cast("double")
+    val eCross = F.col("cross") / (na * nb)
+    val eA = F.lit(2.0) * F.col("wa") / (na * na)
+    val eB = F.lit(2.0) * F.col("wb") / (nb * nb)
+    val d2 = F.greatest(F.lit(2.0) * eCross - eA - eB, F.lit(0.0))
+    agged.select((if (groupCols.nonEmpty) g else Nil) ++ Seq(
+      F.col("n_a0").as("n_a"), F.col("n_b0").as("n_b"),
+      F.round(eCross, 6).as("e_cross"),
+      F.round(eA, 6).as("e_within_a"),
+      F.round(eB, 6).as("e_within_b"),
+      F.round(F.sqrt(d2), 6).as("energy_dist")): _*)
+  }
+
+  /** Mood's median test — k-sample location test on the COUNTS above
+    * vs not-above the pooled median, the robust "are these cohorts
+    * centered alike" check that stays valid under wildly non-normal
+    * data where ANOVA's F is garbage (it throws away everything but
+    * the side of the median, which is exactly why a single wild tail
+    * can't move it).
+    *
+    * The pooled median is the exact `quantile_disc(0.5)` order
+    * statistic (rank-select, no sort of the data — [[Outliers]]
+    * convention); the 2×k contingency fold is one conditional-count
+    * aggregation. X² = Σ (O−E)²/E over both rows of the table,
+    * df = k−1, p = Q(df/2, X²_rounded/2) — even df replays exactly in
+    * an external engine via the Poisson-sum closed form.
+    *
+    * @return one row: (median, chi2, dof, p_value, n, k)
+    */
+  def moodMedianTest(df: DataFrame, cohortCol: String,
+                     valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = F.col(valueCol).cast("double")
+    val clean = df.where(v.isNotNull && !F.isnan(v) &&
+        F.col(cohortCol).isNotNull)
+      .select(F.col(cohortCol).cast("string").as("g"), v.as("__v"))
+    val med = Outliers.quantileDisc(clean, "__v", 0.5)
+    val cells = clean.groupBy("g").agg(
+      F.sum(F.when(F.col("__v") > med, 1L).otherwise(0L)).as("above"),
+      F.count(F.lit(1)).as("tot")).collect()
+      .sortBy(_.getAs[String]("g")) // deterministic driver fold order
+    val k = cells.length.toLong
+    require(k >= 2, "need at least two cohorts")
+    val n = cells.map(_.getAs[Long]("tot")).sum
+    val aboveTot = cells.map(_.getAs[Long]("above")).sum
+    val pAbove = aboveTot.toDouble / n
+    var chi2 = 0.0
+    cells.foreach { r =>
+      val t = r.getAs[Long]("tot").toDouble
+      val a = r.getAs[Long]("above").toDouble
+      val ea = t * pAbove; val eb = t * (1.0 - pAbove)
+      chi2 += (a - ea) * (a - ea) / ea + ((t - a) - eb) * ((t - a) - eb) / eb
+    }
+    val dof = k - 1L
+    val chiR = math.rint(chi2 * 1e6) / 1e6
+    val p = math.rint(SpecialMath.gammaIncC(dof / 2.0, chiR / 2.0) * 1e6) / 1e6
+    Seq((med, chiR, dof, p, n, k))
+      .toDF("median", "chi2", "dof", "p_value", "n", "k")
+  }
+
+  /** Fisher's EXACT test on the 2×2 table of two boolean columns —
+    * the small-cell companion to [[chiSquareTwoSample]]: the χ²
+    * approximation degrades below ~5 expected per cell, which is
+    * precisely the regime of rare-event × rare-segment tables; the
+    * hypergeometric sum is exact at ANY cell size.
+    *
+    * One conditional-count aggregation reduces the data to (a,b,c,d);
+    * the two-sided p is the textbook sum of hypergeometric pmfs ≤ the
+    * observed pmf (relative gate 1+1e−7, the scipy/R convention that
+    * keeps the inclusion boundary ULP-robust), evaluated on the driver
+    * over ≤ min(r1,c1) terms via lgamma — and replayable in an
+    * external engine as a generate_series sum over the same gate.
+    *
+    * @return one row: (a, b, c, d, odds_ratio, p_value) — odds ratio
+    *         is the sample (a·d)/(b·c), null when b·c = 0.
+    */
+  def fisherExact(df: DataFrame, flagACol: String,
+                  flagBCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fa = F.col(flagACol).cast("boolean")
+    val fb = F.col(flagBCol).cast("boolean")
+    val r = df.where(fa.isNotNull && fb.isNotNull).agg(
+      F.sum(F.when(fa && fb, 1L).otherwise(0L)).as("a"),
+      F.sum(F.when(fa && !fb, 1L).otherwise(0L)).as("b"),
+      F.sum(F.when(!fa && fb, 1L).otherwise(0L)).as("c"),
+      F.sum(F.when(!fa && !fb, 1L).otherwise(0L)).as("d")).head()
+    val a = r.getAs[Long]("a"); val b = r.getAs[Long]("b")
+    val c = r.getAs[Long]("c"); val d = r.getAs[Long]("d")
+    val n = a + b + c + d
+    require(n > 0, "empty table")
+    val r1 = a + b; val c1 = a + c
+    def lpmf(k: Long): Double =
+      SpecialMath.lgamma(r1 + 1.0) + SpecialMath.lgamma(n - r1 + 1.0) +
+      SpecialMath.lgamma(c1 + 1.0) + SpecialMath.lgamma(n - c1 + 1.0) -
+      SpecialMath.lgamma(n + 1.0) - SpecialMath.lgamma(k + 1.0) -
+      SpecialMath.lgamma(r1 - k + 1.0) - SpecialMath.lgamma(c1 - k + 1.0) -
+      SpecialMath.lgamma(n - r1 - c1 + k + 1.0)
+    val lo = math.max(0L, r1 + c1 - n); val hi = math.min(r1, c1)
+    val pObs = math.exp(lpmf(a))
+    var p = 0.0
+    var kk = lo
+    while (kk <= hi) {
+      val pk = math.exp(lpmf(kk))
+      if (pk <= pObs * (1.0 + 1e-7)) p += pk
+      kk += 1L
+    }
+    val pR = math.rint(math.min(1.0, p) * 1e6) / 1e6
+    val or: Option[Double] =
+      if (b * c == 0L) None
+      else Some(math.rint(a.toDouble * d / (b.toDouble * c) * 1e6) / 1e6)
+    Seq((a, b, c, d, or, pR))
+      .toDF("a", "b", "c", "d", "odds_ratio", "p_value")
+  }
+
+  /** Cochran's Q — the k-treatment extension of [[mcnemar]]: do k
+    * binary treatments (exposures, variants, model versions) have the
+    * same success rate across matched subjects? Operates on COMPLETE
+    * blocks only (subjects observed under every treatment; incomplete
+    * subjects are excluded, their count reported), with per-(subject,
+    * treatment) outcomes collapsed by ANY-success.
+    *
+    * Q = k(k−1)·Σⱼ(Tⱼ−B/k)² / (kB − ΣᵢRᵢ²) where Tⱼ are treatment
+    * totals, Rᵢ subject totals, B = ΣRᵢ; Q ~ χ²(k−1) under H₀. Two
+    * aggregations (subject fold, then treatment fold) — every
+    * sufficient statistic is an exact integer, so the statistic
+    * replays bit-for-bit; p from the rounded Q ([[chiSquareTwoSample]]
+    * convention, even-df-replayable when k is odd).
+    *
+    * @return one row: (q_stat, dof, p_value, n_subjects, n_incomplete)
+    */
+  def cochranQ(df: DataFrame, subjectCol: String, treatmentCol: String,
+               outcomeCol: String, treatments: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = treatments.length
+    require(k >= 2, "need at least two treatments")
+    val o = F.col(outcomeCol).cast("boolean")
+    val cell = df
+      .where(F.col(subjectCol).isNotNull && o.isNotNull &&
+        F.col(treatmentCol).cast("string").isin(treatments: _*))
+      .groupBy(F.col(subjectCol).as("s"),
+        F.col(treatmentCol).cast("string").as("t"))
+      .agg(F.max(F.when(o, 1L).otherwise(0L)).as("y"))
+    val subj = cell.groupBy("s").agg(
+      F.count(F.lit(1)).as("kt"), F.sum("y").as("ri"))
+    val nIncomplete = subj.where(F.col("kt") =!= k.toLong).count()
+    val complete = subj.where(F.col("kt") === k.toLong)
+    val subjAgg = complete.agg(
+      F.count(F.lit(1)).as("ns"), F.sum("ri").as("bb"),
+      F.sum(F.col("ri") * F.col("ri")).as("r2")).head()
+    val ns = subjAgg.getAs[Long]("ns")
+    require(ns > 0, "no complete blocks")
+    val bb = subjAgg.getAs[Long]("bb")
+    val r2 = subjAgg.getAs[Long]("r2")
+    val tj = cell.join(complete.select("s"), "s")
+      .groupBy("t").agg(F.sum("y").as("tj")).collect()
+      .map(_.getAs[Long]("tj"))
+    val tBar = bb.toDouble / k
+    val num = k.toDouble * (k - 1.0) *
+      tj.map(t => (t - tBar) * (t - tBar)).sum
+    val den = k.toDouble * bb - r2.toDouble
+    val dof = k - 1L
+    val (qR, p) =
+      if (den <= 0.0) (0.0, 1.0)
+      else {
+        val q0 = math.rint(num / den * 1e6) / 1e6
+        (q0, math.rint(SpecialMath.gammaIncC(dof / 2.0, q0 / 2.0) * 1e6) / 1e6)
+      }
+    Seq((qR, dof, p, ns, nIncomplete))
+      .toDF("q_stat", "dof", "p_value", "n_subjects", "n_incomplete")
+  }
 }

@@ -797,4 +797,106 @@ object TextOps {
       .withColumn("n_ids", F.size(F.regexp_extract_all(t, F.lit(SsnRe), F.lit(0))))
       .withColumn(outCol, maskPii(normalizeText(t)))
   }
+
+  /** Simple Good–Turing frequency table: for each observed occurrence
+    * count r, the frequency-of-frequency Nᵣ and the Turing-smoothed
+    * adjusted count r* = (r+1)·N_{r+1}/Nᵣ — the estimate behind
+    * unseen-mass smoothing in n-gram LMs ([[unigramLogProb]] uses
+    * add-α; this is the classical alternative whose leftover mass
+    * N₁/N is THE standard estimate of how much probability the corpus
+    * has never seen). r* is null where N_{r+1} = 0 (the unsmoothable
+    * tail — Gale–Sampson would regress; emitting null keeps the table
+    * honest).
+    *
+    * Two token-keyed aggregations (token counts → count-of-counts) —
+    * the second one is vocabulary-sized; the r-table that leaves it is
+    * at most √(2·tokens) rows. Pure integer counts, bit-exact replay.
+    *
+    * @return one row per observed r: (r, n_r, r_star, p_smoothed) with
+    *         p_smoothed the adjusted count over total token count N,
+    *         rounded to 9.
+    */
+  def goodTuring(df: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = tokens(df, idCol, textCol)
+      .groupBy("token").agg(F.count(F.lit(1)).as("r"))
+    val nr = counts.groupBy("r").agg(F.count(F.lit(1)).as("n_r"))
+    val wNext = Window.orderBy("r")
+    // the r-table is tiny (≤ √(2N) rows) — a single-partition window
+    // over it is bounded by the support, not the data
+    val withNext = nr
+      .withColumn("__rn", F.lead("r", 1).over(wNext))
+      .withColumn("__nn", F.lead("n_r", 1).over(wNext))
+    val total = F.sum(F.col("r") * F.col("n_r")).over(
+      Window.partitionBy())
+    withNext
+      .withColumn("r_star",
+        F.when(F.col("__rn") === F.col("r") + 1L,
+          F.round((F.col("r") + 1L).cast("double") * F.col("__nn") /
+            F.col("n_r"), 6)))
+      .withColumn("p_smoothed",
+        F.round(F.col("r_star") / total.cast("double"), 9))
+      .select("r", "n_r", "r_star", "p_smoothed")
+  }
+
+  /** Heaps'-law vocabulary-growth fit: V(N) ≈ K·N^β measured at
+    * `buckets` nested md5-deterministic corpus prefixes — the curve
+    * that answers "how much NEW vocabulary will 10× more data buy"
+    * (β ≈ 0.5 typical English; β near 1 ⇒ unbounded novelty — OCR
+    * noise or ids; β near 0 ⇒ the corpus is saturating).
+    *
+    * Nested prefixes come from [[Sampling.md5Bucket]] on the doc id —
+    * prefix f = docs with bucket < f·B — so each point is a SUPERSET
+    * of the last and both N(f) and V(f) are CUMULATIVE sums over
+    * per-bucket cells: tokens-per-bucket from one doc-keyed pass,
+    * first-seen bucket per token (min bucket) from one token-keyed
+    * pass. The log-log OLS runs over the `buckets` points inside the
+    * same plan ([[zipfFit]] shape). Deterministic, engine-replayable,
+    * two shuffles total.
+    *
+    * @return one row per prefix: (bucket, n_tokens, vocab, beta, ln_k,
+    *         r2) — the fit columns repeat on every row.
+    */
+  def heapsLaw(df: DataFrame, idCol: String, textCol: String,
+               buckets: Int = 10): DataFrame = {
+    require(buckets >= 3, "need at least 3 growth points")
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(df, idCol, textCol)
+      .withColumn("__b", Sampling.md5Bucket(F.col("id"), buckets))
+    val perBucket = toks.groupBy("__b")
+      .agg(F.count(F.lit(1)).as("__nt"))
+    val firstSeen = toks.groupBy("token")
+      .agg(F.min("__b").as("__b"))
+      .groupBy("__b").agg(F.count(F.lit(1)).as("__nv"))
+    val wCum = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // bucket-indexed cells: ≤ `buckets` rows from here on
+    val pts = perBucket
+      .join(firstSeen, Seq("__b"), "outer")
+      .na.fill(0L, Seq("__nt", "__nv"))
+      .withColumn("n_tokens", F.sum("__nt").over(wCum))
+      .withColumn("vocab", F.sum("__nv").over(wCum))
+      .where(F.col("n_tokens") > 0L && F.col("vocab") > 0L)
+      .select(F.col("__b").as("bucket"), F.col("n_tokens"),
+        F.col("vocab"),
+        F.log(F.col("n_tokens").cast("double")).as("__x"),
+        F.log(F.col("vocab").cast("double")).as("__y"))
+    val wAll = Window.partitionBy()
+    val nD = F.count(F.lit(1)).over(wAll).cast("double")
+    val sx = F.sum("__x").over(wAll); val sy = F.sum("__y").over(wAll)
+    val sxx = F.sum(F.col("__x") * F.col("__x")).over(wAll)
+    val syy = F.sum(F.col("__y") * F.col("__y")).over(wAll)
+    val sxy = F.sum(F.col("__x") * F.col("__y")).over(wAll)
+    val varX = nD * sxx - sx * sx
+    val varY = nD * syy - sy * sy
+    val cov = nD * sxy - sx * sy
+    pts
+      .withColumn("beta", F.when(varX > 0.0, F.round(cov / varX, 6)))
+      .withColumn("ln_k", F.when(varX > 0.0,
+        F.round((sy - (cov / varX) * sx) / nD, 6)))
+      .withColumn("r2", F.when(varX > 0.0 && varY > 0.0,
+        F.round(cov * cov / (varX * varY), 6)))
+      .select("bucket", "n_tokens", "vocab", "beta", "ln_k", "r2")
+  }
 }

@@ -3584,4 +3584,123 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a different seed is a different permutation
     assert(perm(df, 43L) != p1)
   }
+
+  test("triangleStats counts the single triangle exactly") {
+    import spark.implicits._
+    // a-b, b-c, a-c (one triangle) + pendant c-d; duplicate and
+    // reversed edges and a self-loop must collapse away
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("a", "c"),
+      ("c", "d"), ("d", "d")).toDF("src", "dst")
+    val r = Graph.triangleStats(edges, "src", "dst").collect()
+      .map(x => x.getAs[String]("node") ->
+        (x.getAs[Long]("degree"), x.getAs[Long]("triangles"),
+          x.getAs[Double]("clustering_coeff"))).toMap
+    assert(r("a") == ((2L, 1L, 1.0)))
+    assert(r("b") == ((2L, 1L, 1.0)))
+    assert(r("c")._1 == 3L && r("c")._2 == 1L)
+    assert(math.abs(r("c")._3 - 0.333333) < 1e-6)
+    assert(r("d") == ((1L, 0L, 0.0)))
+    // K4 has 4 triangles, every node in 3 of them, coeff 1
+    val k4 = (for { a <- Seq("w", "x", "y", "z"); b <- Seq("w", "x", "y", "z")
+      if a < b } yield (a, b)).toDF("src", "dst")
+    val rk = Graph.triangleStats(k4, "src", "dst").collect()
+    assert(rk.length == 4)
+    assert(rk.forall(_.getAs[Long]("triangles") == 3L))
+    assert(rk.forall(_.getAs[Double]("clustering_coeff") == 1.0))
+  }
+
+  test("seasonalDecompose splits a pure period-2 series exactly") {
+    import spark.implicits._
+    // x = 1,3,1,3,1,3: trend ≡ 2 on interior points, seasonal −1/+1,
+    // remainder 0; window-incomplete edges stay null
+    val df = Seq.tabulate(6)(i => ("k", (i + 1).toLong,
+      if (i % 2 == 0) 1.0 else 3.0)).toDF("key", "ts", "v")
+    val out = Features.seasonalDecompose(df, "key", "ts", "v", period = 2)
+      .orderBy("ts").collect()
+    assert(out.length == 6)
+    assert(out(0).isNullAt(out(0).fieldIndex("trend")))
+    assert(out(5).isNullAt(out(5).fieldIndex("trend")))
+    (1 to 4).foreach { i =>
+      assert(math.abs(out(i).getAs[Double]("trend") - 2.0) < 1e-9)
+      assert(math.abs(out(i).getAs[Double]("remainder")) < 1e-9)
+    }
+    // phase 0 rows carry the low season, phase 1 the high
+    out.filter(!_.isNullAt(out(0).fieldIndex("seasonal"))).foreach { r =>
+      val expect = if (r.getAs[Long]("phase") == 0L) -1.0 else 1.0
+      assert(math.abs(r.getAs[Double]("seasonal") - expect) < 1e-9)
+    }
+  }
+
+  test("boxCoxByGroup picks log for lognormal-shaped data") {
+    import spark.implicits._
+    // x = e^{−2..2}: λ=0 makes the transform exactly symmetric normal
+    val logShaped = Seq(-2.0, -1.0, 0.0, 1.0, 2.0)
+      .map(z => ("lg", math.exp(z)))
+    // already-normal-ish symmetric data prefers λ=1 over λ=0
+    val linear = Seq(8.0, 9.0, 10.0, 11.0, 12.0).map(("ln", _))
+    val df = (logShaped ++ linear).toDF("grp", "x")
+    val r = Features.boxCoxByGroup(df, "x", Seq("grp")).collect()
+      .map(x => x.getAs[String]("grp") -> x.getAs[Double]("lambda")).toMap
+    assert(r("lg") == 0.0)
+    assert(math.abs(r("ln") - 1.0) <= 0.5, s"linear got ${r("ln")}")
+    // any non-positive value drops the whole group
+    val bad = Seq(("b", 1.0), ("b", 0.0)).toDF("grp", "x")
+    assert(Features.boxCoxByGroup(bad, "x", Seq("grp")).count() == 0L)
+  }
+
+  test("goodTuring matches the a³b²c corpus") {
+    import spark.implicits._
+    val df = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val r = TextOps.goodTuring(df, "doc_id", "text").orderBy("r").collect()
+    assert(r.map(_.getAs[Long]("r")).toSeq == Seq(1L, 2L, 3L))
+    assert(r.map(_.getAs[Long]("n_r")).toSeq == Seq(1L, 1L, 1L))
+    assert(math.abs(r(0).getAs[Double]("r_star") - 2.0) < 1e-9)
+    assert(math.abs(r(0).getAs[Double]("p_smoothed") - 2.0 / 6.0) < 1e-9)
+    assert(math.abs(r(1).getAs[Double]("r_star") - 3.0) < 1e-9)
+    assert(r(2).isNullAt(r(2).fieldIndex("r_star"))) // N₄ = 0 → tail null
+  }
+
+  test("heapsLaw grows vocabulary sublinearly on a repetitive corpus") {
+    import spark.implicits._
+    // 40 docs, each repeating a small shared vocabulary plus one
+    // unique token — vocab grows, but slower than tokens
+    val df = Seq.tabulate(40) { i =>
+      (i.toLong, s"the quick fox tok$i the quick")
+    }.toDF("doc_id", "text")
+    val out = TextOps.heapsLaw(df, "doc_id", "text").orderBy("bucket")
+      .collect()
+    assert(out.length >= 3)
+    val last = out.last
+    assert(last.getAs[Long]("n_tokens") == 240L)
+    assert(last.getAs[Long]("vocab") == 43L)
+    // cumulative in both coordinates
+    assert(out.sliding(2).forall(p =>
+      p(0).getAs[Long]("n_tokens") < p(1).getAs[Long]("n_tokens") &&
+      p(0).getAs[Long]("vocab") <= p(1).getAs[Long]("vocab")))
+    val beta = last.getAs[Double]("beta")
+    assert(beta > 0.0 && beta < 1.0, s"beta $beta")
+    // fit columns repeat on every row
+    assert(out.forall(_.getAs[Double]("beta") == beta))
+  }
+
+  test("averagePrecisionByGroup matches sklearn on the 4-point example") {
+    import spark.implicits._
+    // scores desc labels (1,0,1,0): AP = 0.5·1 + 0.5·(2/3) = 5/6
+    val df = Seq(("g", 4.0, true), ("g", 3.0, false),
+      ("g", 2.0, true), ("g", 1.0, false)).toDF("grp", "s", "y")
+    val r = Evaluation.averagePrecisionByGroup(df, Seq("grp"), "y", "s")
+      .head()
+    assert(math.abs(r.getAs[Double]("avg_precision") - 5.0 / 6.0) < 1e-6)
+    assert(r.getAs[Long]("n_pos") == 2L && r.getAs[Long]("n_neg") == 2L)
+    // tie block: scores (1,1) labels (1,0) → single threshold,
+    // P = 0.5 at R = 1 → AP = 0.5
+    val tie = Seq(("t", 1.0, true), ("t", 1.0, false)).toDF("grp", "s", "y")
+    val rt = Evaluation.averagePrecisionByGroup(tie, Seq("grp"), "y", "s")
+      .head()
+    assert(math.abs(rt.getAs[Double]("avg_precision") - 0.5) < 1e-9)
+    // single-class group omitted
+    val one = Seq(("o", 1.0, true)).toDF("grp", "s", "y")
+    assert(Evaluation.averagePrecisionByGroup(
+      one, Seq("grp"), "y", "s").count() == 0L)
+  }
 }

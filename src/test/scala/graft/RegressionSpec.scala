@@ -240,4 +240,85 @@ class RegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(x(1) + 5.0) < 1e-12)
     assert(math.abs(x(2) - 2.0) < 1e-12)
   }
+
+  test("poissonIrls recovers the saturated two-group rates") {
+    import spark.implicits._
+    // x∈{0,1} two-parameter model is saturated: at convergence
+    // b0 = ln(mean y | x=0) = ln 2, b0+b1 = ln(mean y | x=1) = ln 4
+    val df = (Seq(1.0, 2.0, 3.0).map((0.0, _)) ++
+      Seq(3.0, 4.0, 5.0).map((1.0, _))).toDF("x", "y")
+    val m = Regression.poissonIrls(df, "y", Seq("x"), iters = 8)
+    assert(math.abs(m.beta(0) - math.log(2.0)) < 1e-9)
+    assert(math.abs(m.beta(0) + m.beta(1) - math.log(4.0)) < 1e-9)
+    assert(m.n == 6L)
+    // ll = Σ y·ln μ − μ − ln y! at the fitted rates
+    val expectLl = Seq((1.0, 2.0), (2.0, 2.0), (3.0, 2.0),
+      (3.0, 4.0), (4.0, 4.0), (5.0, 4.0)).map { case (y, mu) =>
+      y * math.log(mu) - mu -
+        graft.functions.SpecialMath.lgamma(y + 1.0)
+    }.sum
+    assert(math.abs(m.logLik - expectLl) < 1e-9)
+    // predictRate reproduces the group means as a column
+    val rates = df.select(m.predictRate.as("r")).collect().map(_.getDouble(0))
+    assert(math.abs(rates(0) - 2.0) < 1e-9 && math.abs(rates(3) - 4.0) < 1e-9)
+  }
+
+  test("theilSenByGroup picks the exact lower-median slope") {
+    import spark.implicits._
+    // (0,0),(1,1),(2,4): slopes {1,2,3} → lower median 2; residuals
+    // y−2x = {0,−1,0} → lower median 0
+    val df = Seq(("g", 0.0, 0.0), ("g", 1.0, 1.0), ("g", 2.0, 4.0))
+      .toDF("grp", "x", "y")
+    val r = Regression.theilSenByGroup(df, "y", "x", Seq("grp")).head()
+    assert(r.getAs[Long]("n_used") == 3L)
+    assert(r.getAs[Long]("n_pairs") == 3L)
+    assert(math.abs(r.getAs[Double]("slope") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("intercept")) < 1e-12)
+    // outlier robustness: one wild point barely moves the slope
+    val robust = (Seq.tabulate(9)(i => ("h", i.toDouble, i.toDouble)) :+
+      (("h", 9.0, 1000.0))).toDF("grp", "x", "y")
+    val r2 = Regression.theilSenByGroup(robust, "y", "x", Seq("grp")).head()
+    assert(math.abs(r2.getAs[Double]("slope") - 1.0) < 1e-12)
+    // over-cap group: fitted on the deterministic subset, not dropped
+    val r3 = Regression.theilSenByGroup(robust, "y", "x", Seq("grp"),
+      maxN = 5).head()
+    assert(r3.getAs[Long]("n_used") == 5L)
+    assert(r3.getAs[Long]("n_pairs") <= 10L)
+  }
+
+  test("durbinWatsonByGroup matches the hand-computed alternating series") {
+    import spark.implicits._
+    // x=1..4, y={2,1,4,3}: slope .6, intercept 1, residuals
+    // {.4,−1.2,1.2,−.4} → DW = 10.88/3.2 = 3.4 (negative serial corr)
+    val df = Seq(("g", 1L, 1.0, 2.0), ("g", 2L, 2.0, 1.0),
+      ("g", 3L, 3.0, 4.0), ("g", 4L, 4.0, 3.0))
+      .toDF("grp", "t", "x", "y")
+    val r = Regression.durbinWatsonByGroup(df, "y", "x", "t", Seq("grp"))
+      .head()
+    assert(r.getAs[Long]("n") == 4L)
+    assert(math.abs(r.getAs[Double]("slope") - 0.6) < 1e-12)
+    assert(math.abs(r.getAs[Double]("intercept") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("dw") - 3.4) < 1e-12)
+    // a perfect fit (zero residuals) is omitted, not NaN
+    val perfect = Seq(("p", 1L, 1.0, 1.0), ("p", 2L, 2.0, 2.0),
+      ("p", 3L, 3.0, 3.0)).toDF("grp", "t", "x", "y")
+    assert(Regression.durbinWatsonByGroup(
+      perfect, "y", "x", "t", Seq("grp")).count() == 0L)
+  }
+
+  test("ipwAte recovers a deterministic treatment effect") {
+    import spark.implicits._
+    // y ≡ 2·t regardless of x ⇒ weighted means are exactly 2 and 0
+    val df = Seq.tabulate(40) { i =>
+      (if (i % 2 == 0) 1.0 else 0.0, (i % 5).toDouble,
+        if (i % 2 == 0) 2.0 else 0.0)
+    }.toDF("t", "x", "y")
+    val r = Experiments.ipwAte(df, "t", "y", Seq("x")).head()
+    assert(math.abs(r.getAs[Double]("ate") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("mu_treated") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("mu_control")) < 1e-9)
+    assert(r.getAs[Long]("n") == 40L)
+    assert(r.getAs[Double]("ess_treated") > 0.0)
+    assert(r.getAs[Double]("ess_control") > 0.0)
+  }
 }

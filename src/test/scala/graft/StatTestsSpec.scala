@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 import org.apache.spark.sql.{SparkSession, functions => F}
-import graft.operators.{Experiments, StatTests, Survival}
+import graft.operators.{Cohorts, Experiments, StatTests, Survival}
 import graft.functions.SpecialMath
 
 /** Hypothesis tests (Mann–Whitney, Cramér–von Mises, chi-squared, BH
@@ -453,5 +453,138 @@ class StatTestsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.sum
     assert(math.abs(m1.beta(0) - u0 / i0) < 1e-12)
     assert(math.abs(u0 * u0 / i0 - lr.getAs[Double]("chi2")) < 1e-5)
+  }
+
+  test("energyDistance matches the hand-computed four-point example") {
+    import spark.implicits._
+    // A = {0,2}, B = {1,3}: E|XY| = (1+3+1+1)/4 = 1.5,
+    // E|XX'| = 2·2/4 = 1, E|YY'| = 1 → D² = 2·1.5 − 2 = 1, D = 1
+    val df = Seq(("a", 0.0), ("a", 2.0), ("b", 1.0), ("b", 3.0))
+      .toDF("cohort", "v")
+    val r = StatTests.energyDistance(df, "cohort", "v").head()
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(math.abs(r.getAs[Double]("e_cross") - 1.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("e_within_a") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("e_within_b") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("energy_dist") - 1.0) < 1e-9)
+    // identical samples → zero distance
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("cohort", "v")
+    val r2 = StatTests.energyDistance(same, "cohort", "v").head()
+    assert(r2.getAs[Double]("energy_dist") == 0.0)
+  }
+
+  test("moodMedianTest matches the hand-computed three-cohort example") {
+    import spark.implicits._
+    // pooled = 1..9, quantile_disc(0.5) = 5; above: a 0, b 1, c 3 → χ² = 6.3
+    val df = (Seq(1, 2, 3).map(("a", _)) ++ Seq(4, 5, 6).map(("b", _)) ++
+      Seq(7, 8, 9).map(("c", _))).toDF("cohort", "v")
+    val r = StatTests.moodMedianTest(df, "cohort", "v").head()
+    assert(r.getAs[Double]("median") == 5.0)
+    assert(math.abs(r.getAs[Double]("chi2") - 6.3) < 1e-9)
+    assert(r.getAs[Long]("dof") == 2L)
+    // df=2: p = exp(−χ²/2) = exp(−3.15)
+    assert(math.abs(r.getAs[Double]("p_value") - math.exp(-3.15)) < 1e-5)
+    assert(r.getAs[Long]("n") == 9L && r.getAs[Long]("k") == 3L)
+  }
+
+  test("fisherExact reproduces the tea-tasting 2x2") {
+    import spark.implicits._
+    // a=3 b=1 c=1 d=3: hypergeom(8,4,4) pmfs {1,16,36,16,1}/70,
+    // two-sided p = 34/70; OR = 9
+    val rows = Seq.fill(3)((true, true)) ++ Seq.fill(1)((true, false)) ++
+      Seq.fill(1)((false, true)) ++ Seq.fill(3)((false, false))
+    val df = rows.toDF("fa", "fb")
+    val r = StatTests.fisherExact(df, "fa", "fb").head()
+    assert(r.getAs[Long]("a") == 3L && r.getAs[Long]("b") == 1L)
+    assert(r.getAs[Long]("c") == 1L && r.getAs[Long]("d") == 3L)
+    assert(math.abs(r.getAs[Double]("p_value") - 34.0 / 70.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("odds_ratio") - 9.0) < 1e-9)
+    // a zero off-diagonal cell → null odds ratio, p still defined
+    val oneSided = (Seq.fill(4)((true, true)) ++
+      Seq.fill(4)((false, false))).toDF("fa", "fb")
+    val r2 = StatTests.fisherExact(oneSided, "fa", "fb").head()
+    assert(r2.isNullAt(r2.fieldIndex("odds_ratio")))
+    // p = 2/70 (both extreme tables)
+    assert(math.abs(r2.getAs[Double]("p_value") - 2.0 / 70.0) < 1e-6)
+  }
+
+  test("cochranQ matches the hand-computed 4-subject example") {
+    import spark.implicits._
+    // outcomes per subject over t1..t3: (1,1,0),(1,0,0),(1,1,1),(0,0,0)
+    // T = (3,2,1), B = 6, ΣR² = 14 → Q = 3·2·2/(18−14) = 3, df 2
+    val df = Seq(
+      (1, "t1", true), (1, "t2", true), (1, "t3", false),
+      (2, "t1", true), (2, "t2", false), (2, "t3", false),
+      (3, "t1", true), (3, "t2", true), (3, "t3", true),
+      (4, "t1", false), (4, "t2", false), (4, "t3", false),
+      (5, "t1", true)) // incomplete block — excluded
+      .toDF("subj", "treat", "y")
+    val r = StatTests.cochranQ(df, "subj", "treat", "y",
+      Seq("t1", "t2", "t3")).head()
+    assert(math.abs(r.getAs[Double]("q_stat") - 3.0) < 1e-9)
+    assert(r.getAs[Long]("dof") == 2L)
+    assert(math.abs(r.getAs[Double]("p_value") - math.exp(-1.5)) < 1e-5)
+    assert(r.getAs[Long]("n_subjects") == 4L)
+    assert(r.getAs[Long]("n_incomplete") == 1L)
+  }
+
+  test("mantelHaenszel pools the two-stratum example to OR 2.0") {
+    import spark.implicits._
+    // stratum 1: (4,1,1,4) → R=1.6 S=0.1; stratum 2: (2,3,3,2) →
+    // R=0.4 S=0.9; OR_MH = 2.0/1.0 = 2; CMH dev = 1.5−0.5 = 1,
+    // var = 2·(625/900) → χ² = 0.72
+    def stratum(s: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((s, "a", true)) ++ Seq.fill(b)((s, "a", false)) ++
+      Seq.fill(c)((s, "b", true)) ++ Seq.fill(d)((s, "b", false))
+    val df = (stratum("s1", 4, 1, 1, 4) ++ stratum("s2", 2, 3, 3, 2))
+      .toDF("stratum", "cohort", "y")
+    val r = Experiments.mantelHaenszel(df, "cohort", "y",
+      Seq("stratum")).head()
+    assert(math.abs(r.getAs[Double]("or_mh") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("chi2_cmh") - 0.72) < 1e-6)
+    assert(r.getAs[Long]("n_strata") == 2L && r.getAs[Long]("n") == 20L)
+    assert(r.getAs[Double]("or_lo") < 2.0 && r.getAs[Double]("or_hi") > 2.0)
+  }
+
+  test("sbgRetention recovers a homogeneous-geometric churn rate") {
+    import spark.implicits._
+    // lifetimes with exact halving: 8×L0, 4×L1, 2×L2, 1×L3, 1×L4
+    // (censored at horizon 4) — each period half the survivors churn,
+    // so the fitted mean one-period churn must sit near 0.5
+    val rows = (
+      (1 to 8).map(u => (u.toLong, Seq(0L))) ++
+      (9 to 12).map(u => (u.toLong, Seq(0L, 1L))) ++
+      (13 to 14).map(u => (u.toLong, Seq(0L, 2L))) ++
+      Seq((15L, Seq(0L, 3L)), (16L, Seq(0L, 4L)))
+    ).flatMap { case (u, ps) => ps.map(p => (u, p * 100L)) }
+    val df = rows.toDF("user", "ts")
+    val r = Cohorts.sbgRetention(df, "user", "ts", periodNanos = 100L)
+      .head()
+    assert(r.getAs[Long]("n_users") == 16L)
+    assert(r.getAs[Long]("n_censored") == 1L)
+    assert(r.getAs[Long]("n_churned") == 15L)
+    assert(r.getAs[Long]("horizon") == 4L)
+    val mc = r.getAs[Double]("mean_churn")
+    assert(mc > 0.4 && mc < 0.6, s"mean churn $mc should be near 0.5")
+    // the grid argmax really is an argmax: perturbing either parameter
+    // by one grid step cannot improve the reported log-likelihood
+    val alpha = r.getAs[Double]("alpha"); val beta = r.getAs[Double]("beta")
+    val ll = r.getAs[Double]("ll")
+    def lnB(a: Double, b: Double) = SpecialMath.lgamma(a) +
+      SpecialMath.lgamma(b) - SpecialMath.lgamma(a + b)
+    def llAt(a: Double, b: Double): Double = {
+      val deaths = Seq((1L, 8L), (2L, 4L), (3L, 2L), (4L, 1L))
+      deaths.map { case (t, d) =>
+        d * (lnB(a + 1.0, b + t - 1.0) - lnB(a, b)) }.sum +
+        1.0 * (lnB(a, b + 4.0) - lnB(a, b))
+    }
+    assert(math.abs(llAt(alpha, beta) - ll) < 1e-4)
+    // in-grid neighbors can't beat the argmax (homogeneous data pushes
+    // the MLE toward the α,β→∞ boundary, so only probe INSIDE the grid)
+    Seq((alpha - 0.1, beta), (alpha, beta - 0.1),
+        (alpha + 0.1, beta), (alpha, beta + 0.1))
+      .filter { case (a, b) => a >= 0.1 && b >= 0.1 && a <= 8.0 && b <= 8.0 }
+      .foreach { case (a, b) => assert(llAt(a, b) <= ll + 1e-9) }
   }
 }
