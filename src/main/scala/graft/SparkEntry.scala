@@ -10762,12 +10762,12 @@ object SparkEntry {
         |    sum(CASE WHEN x <= 0.0 THEN 1 ELSE 0 END) AS bad,
         |    sum(CASE WHEN x > 0.0 THEN
         |      CASE WHEN lam = 0.0 THEN ln(x)
-        |        ELSE (pow(x, lam) - 1.0) / lam END END) AS sy,
+        |        ELSE (exp(lam * ln(x)) - 1.0) / lam END END) AS sy,
         |    sum(CASE WHEN x > 0.0 THEN
         |      (CASE WHEN lam = 0.0 THEN ln(x)
-        |        ELSE (pow(x, lam) - 1.0) / lam END)
+        |        ELSE (exp(lam * ln(x)) - 1.0) / lam END)
         |      * (CASE WHEN lam = 0.0 THEN ln(x)
-        |        ELSE (pow(x, lam) - 1.0) / lam END) END) AS syy,
+        |        ELSE (exp(lam * ln(x)) - 1.0) / lam END) END) AS syy,
         |    sum(CASE WHEN x > 0.0 THEN ln(x) END) AS slx
         |  FROM b, grid GROUP BY g, lam
         |  HAVING sum(CASE WHEN x <= 0.0 THEN 1 ELSE 0 END) = 0

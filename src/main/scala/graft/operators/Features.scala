@@ -583,23 +583,28 @@ object Features {
     import org.apache.spark.sql.expressions.Window
     val x = F.col(valueCol).cast("double")
     val g = groupCols.map(F.col)
+    // ln x is computed ONCE per row BEFORE the grid explode (x^λ then
+    // evaluates as exp(λ·ln x) — one exp per (row, λ) instead of a full
+    // pow; the oracle mirrors the same shape)
     val pos = df.where(x.isNotNull && !F.isnan(x))
       .select(g :+ x.as("__x"): _*)
+      .withColumn("__lx", F.log("__x"))
     // a single non-positive value invalidates the whole group's
     // transform — count them per group and keep all-positive groups
     val grid = F.array(lambdas.map(F.lit): _*)
     val lam = F.col("__lam").cast("double")
-    val y = F.when(lam === 0.0, F.log("__x"))
-      .otherwise((F.pow(F.col("__x"), lam) - 1.0) / lam)
+    val y = F.when(lam === 0.0, F.col("__lx"))
+      .otherwise((F.exp(lam * F.col("__lx")) - 1.0) / lam)
     val cells = pos
-      .select(g :+ F.col("__x") :+ F.explode(grid).as("__lam"): _*)
+      .select(g :+ F.col("__x") :+ F.col("__lx") :+
+        F.explode(grid).as("__lam"): _*)
       .groupBy(g :+ F.col("__lam"): _*)
       .agg(
         F.count(F.lit(1)).as("n"),
         F.sum(F.when(F.col("__x") <= 0.0, 1L).otherwise(0L)).as("bad"),
         F.sum(F.when(F.col("__x") > 0.0, y)).as("sy"),
         F.sum(F.when(F.col("__x") > 0.0, y * y)).as("syy"),
-        F.sum(F.when(F.col("__x") > 0.0, F.log("__x"))).as("slx"))
+        F.sum(F.when(F.col("__x") > 0.0, F.col("__lx"))).as("slx"))
       .where(F.col("bad") === 0L && F.col("n") >= 3L)
     val n = F.col("n").cast("double")
     val varPop = F.col("syy") / n -
