@@ -4016,7 +4016,39 @@ object SparkEntry {
           (F.col("l_returnflag") === "R").as("ret"),
           F.col("l_discount")),
         Seq("l_linestatus"), "ret", "l_discount")
-        .orderBy("l_linestatus"))
+        .orderBy("l_linestatus")),
+    "q_naive_bayes" -> ((s, dir) => {
+      // multinomial NB trained on the documents corpus (lang labels),
+      // self-scored → confusion matrix; the argmax ranks the
+      // 6-dp-ROUNDED per-class log scores (ties → smaller class), so
+      // DuckDB replays train AND classify exactly
+      val d = docs(s, dir)
+      val m = TextOps.nbTrain(d, "doc_id", "text", "lang")
+      val pred = TextOps.nbScore(d, "doc_id", "text", m)
+        .select(F.col("id"), F.col("predicted")).distinct()
+      d.select(F.col("doc_id").as("id"), F.col("lang"))
+        .join(pred, "id")
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).as("n_docs"))
+        .orderBy("lang", "predicted")
+    }),
+    "q_friedman" -> ((s, dir) =>
+      // repeated-measures rank test over matched (user, event-type)
+      // mean values; k = 3 → df = 2 (even) for exact p replay
+      StatTests.friedmanTest(events(s, dir), "user_id", "event_type",
+        "value", Seq("click", "view", "purchase"))),
+    "q_label_prop" -> ((s, dir) => {
+      // 2 synchronous label-propagation rounds over the parts-that-
+      // share-an-order graph; label trajectory is pure integer/string
+      // arithmetic — DuckDB chains both rounds as CTEs
+      val lp = li(s, dir).where(F.col("l_orderkey") < 3000)
+        .select(F.col("l_orderkey").as("k"), F.col("l_partkey").as("p"))
+        .distinct()
+      val e = lp.as("x").join(lp.as("y"), "k")
+        .where(F.col("x.p") =!= F.col("y.p"))
+        .select(F.col("x.p").as("src"), F.col("y.p").as("dst"))
+      Graph.labelPropagation(e, "src", "dst", iters = 2).orderBy("node")
+    })
   )
 
   /** The 7-family closed-form fits CTE shared by every grouped-fit
@@ -10869,6 +10901,106 @@ object SparkEntry {
         |SELECT g AS l_linestatus,
         |  round_even(apn / n_pos * 1e6, 0) / 1e6 AS avg_precision,
         |  n_pos, n_neg FROM a WHERE n_pos > 0 AND n_neg > 0
-        |ORDER BY g""".stripMargin
+        |ORDER BY g""".stripMargin,
+    // Replays NB train (counts, priors, smoothed denominators) and
+    // classification (rounded-score argmax) end-to-end
+    "q_naive_bayes" ->
+      """WITH d AS (SELECT doc_id, text, lang FROM documents
+        |  WHERE lang IS NOT NULL),
+        |tok AS (SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |    x -> x <> '')) AS t FROM d),
+        |tokc AS (SELECT d.lang AS cls, tok.t,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tok JOIN d ON tok.doc_id = d.doc_id GROUP BY d.lang, tok.t),
+        |v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS vv FROM tokc),
+        |dc AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS nd
+        |  FROM d GROUP BY lang),
+        |td AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM d),
+        |tt AS (SELECT cls, CAST(sum(cnt) AS BIGINT) AS tok_total
+        |  FROM tokc GROUP BY cls),
+        |cl AS (SELECT dc.cls,
+        |    ln(CAST(dc.nd AS DOUBLE) / (SELECT tot FROM td)) AS log_prior,
+        |    ln(CAST(coalesce(tt.tok_total, 0) AS DOUBLE)
+        |      + 1.0 * (SELECT vv FROM v)) AS ln_denom
+        |  FROM dc LEFT JOIN tt ON dc.cls = tt.cls),
+        |dt AS (SELECT doc_id AS id, t, CAST(count(*) AS BIGINT) AS nt
+        |  FROM tok GROUP BY doc_id, t),
+        |dl AS (SELECT id, CAST(sum(nt) AS BIGINT) AS nd FROM dt
+        |  GROUP BY id),
+        |pc AS (SELECT dt.id, c.cls,
+        |    sum(dt.nt * ln(CAST(coalesce(tokc.cnt, 0) AS DOUBLE) + 1.0))
+        |      AS tok_ll
+        |  FROM dt CROSS JOIN (SELECT cls FROM cl) c
+        |  LEFT JOIN tokc ON tokc.cls = c.cls AND tokc.t = dt.t
+        |  GROUP BY dt.id, c.cls),
+        |sc AS (SELECT pc.id, pc.cls,
+        |    round_even((cl.log_prior + pc.tok_ll
+        |      - dl.nd * cl.ln_denom) * 1e6, 0) / 1e6 AS score
+        |  FROM pc JOIN dl ON pc.id = dl.id JOIN cl ON pc.cls = cl.cls),
+        |pr AS (SELECT id, cls, row_number() OVER
+        |    (PARTITION BY id ORDER BY score DESC, cls ASC) AS rk FROM sc)
+        |SELECT d.lang, pr.cls AS predicted,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM d JOIN pr ON d.doc_id = pr.id AND pr.rk = 1
+        |GROUP BY d.lang, pr.cls ORDER BY d.lang, pr.cls""".stripMargin,
+    // Conover rank-variance Friedman over matched per-(user, type)
+    // means; χ² = (k−1)·Σ(Rⱼ−b·r̄)² / Σ(rᵢⱼ−r̄)², r̄ = 2
+    "q_friedman" ->
+      """WITH cell AS (SELECT user_id AS s, event_type AS t,
+        |    avg(CAST(value AS DOUBLE)) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND NOT isnan(CAST(value AS DOUBLE))
+        |    AND event_type IN ('click', 'view', 'purchase')
+        |  GROUP BY user_id, event_type),
+        |cb AS (SELECT s, t, v, count(*) OVER (PARTITION BY s) AS kt
+        |  FROM cell),
+        |comp AS (SELECT s, t, v FROM cb WHERE kt = 3),
+        |rk AS (SELECT s, t,
+        |    CAST(rank() OVER (PARTITION BY s ORDER BY v) AS DOUBLE)
+        |    + (CAST(count(*) OVER (PARTITION BY s, v) AS DOUBLE) - 1.0)
+        |      / 2.0 AS r
+        |  FROM comp),
+        |h AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS b,
+        |    sum((r - 2.0) * (r - 2.0)) AS den FROM rk),
+        |tj AS (SELECT t, sum(r) AS rj FROM rk GROUP BY t),
+        |x AS (SELECT round_even(2.0 * sum((rj - h.b * 2.0)
+        |      * (rj - h.b * 2.0)) / max(h.den) * 1e6, 0) / 1e6 AS chi2,
+        |    max(h.b) AS b FROM tj, h)
+        |SELECT x.chi2, CAST(2 AS BIGINT) AS dof,
+        |  round_even(exp(-x.chi2 / 2.0) * 1e6, 0) / 1e6 AS p_value,
+        |  x.b AS n_subjects,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM
+        |    (SELECT s FROM cell GROUP BY s HAVING count(*) <> 3))
+        |    AS n_incomplete
+        |FROM x""".stripMargin,
+    // Both label-propagation rounds chained: neighbor-label counts →
+    // (count desc, label asc) argmax → coalesce for no-update nodes
+    "q_label_prop" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+        |  FROM lineitem WHERE l_orderkey < 3000),
+        |und AS (SELECT DISTINCT CAST(a.p AS VARCHAR) AS a,
+        |    CAST(b.p AS VARCHAR) AS b
+        |  FROM lp a JOIN lp b ON a.k = b.k AND a.p <> b.p),
+        |l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+        |c1 AS (SELECT und.a AS node, l0.label,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM und JOIN l0 ON und.b = l0.node GROUP BY und.a, l0.label),
+        |w1 AS (SELECT node, label, row_number() OVER
+        |    (PARTITION BY node ORDER BY c DESC, label ASC) AS rk FROM c1),
+        |l1 AS (SELECT l0.node,
+        |    coalesce(w.label, l0.label) AS label
+        |  FROM l0 LEFT JOIN (SELECT node, label FROM w1 WHERE rk = 1) w
+        |    ON l0.node = w.node),
+        |c2 AS (SELECT und.a AS node, l1.label,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM und JOIN l1 ON und.b = l1.node GROUP BY und.a, l1.label),
+        |w2 AS (SELECT node, label, row_number() OVER
+        |    (PARTITION BY node ORDER BY c DESC, label ASC) AS rk FROM c2),
+        |l2 AS (SELECT l1.node,
+        |    coalesce(w.label, l1.label) AS label
+        |  FROM l1 LEFT JOIN (SELECT node, label FROM w2 WHERE rk = 1) w
+        |    ON l1.node = w.node)
+        |SELECT node, label FROM l2 ORDER BY node""".stripMargin
   )
 }

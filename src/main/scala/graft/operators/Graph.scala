@@ -185,6 +185,61 @@ object Graph {
       .agg(F.count(F.lit(1)).as("n_nodes"))
   }
 
+  /** Synchronous label propagation with a FIXED round count — the
+    * near-linear community detector (Raghavan et al. 2007) for "which
+    * documents/domains form a cluster" at the scale where modularity
+    * solvers are untouchable. Deterministic variant: every node starts
+    * with its own id as label; each round every node adopts its
+    * neighbors' MOST FREQUENT label, ties broken by the smaller label
+    * (no RNG, no async order dependence), isolated-from-update nodes
+    * keep their label. Fixed rounds keep the trajectory replayable —
+    * an external engine can chain the rounds as CTEs.
+    *
+    * Per round: ONE edge⋈label join + ONE (node, label) count + one
+    * argmax window partitioned by node; the label frame is eagerly
+    * localCheckpointed so the plan stays O(1) deep ([[pageRank]]
+    * discipline). Edges are treated as undirected.
+    *
+    * @return (node, label) for every node
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int = 2): DataFrame = {
+    require(iters >= 1, "need at least one round")
+    import org.apache.spark.sql.expressions.Window
+    val s = F.col(srcCol).cast("string")
+    val d = F.col(dstCol).cast("string")
+    val dir = edges.where(s.isNotNull && d.isNotNull && s =!= d)
+      .select(s.as("a"), d.as("b")).distinct()
+    val und = dir.union(dir.select(F.col("b").as("a"), F.col("a").as("b")))
+      .distinct().persist()
+    val nodes = und.select(F.col("a").as("node")).distinct().persist()
+    val nNodes = nodes.count()
+    val small = nNodes <= maxBroadcastNodes
+    var labels = nodes.select(F.col("node"), F.col("node").as("label"))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < iters) {
+      val nbr = und.join(
+          maybeBroadcast(labels, small)
+            .select(F.col("node").as("b"), F.col("label")), "b")
+        .groupBy(F.col("a").as("node"), F.col("label"))
+        .agg(F.count(F.lit(1)).as("__c"))
+      val w = Window.partitionBy("node")
+        .orderBy(F.desc("__c"), F.asc("label"))
+      val winners = nbr
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") === 1)
+        .select(F.col("node"), F.col("label").as("__new"))
+      labels = labels.join(winners, Seq("node"), "left")
+        .select(F.col("node"),
+          F.coalesce(F.col("__new"), F.col("label")).as("label"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    und.unpersist(); nodes.unpersist()
+    labels
+  }
+
   /** Per-node triangle count + local clustering coefficient over the
     * UNDIRECTED simple graph (direction and edge multiplicity are
     * collapsed; self-loops dropped) — the community-density prior that

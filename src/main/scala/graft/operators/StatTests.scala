@@ -1294,6 +1294,76 @@ object StatTests {
       .toDF("a", "b", "c", "d", "odds_ratio", "p_value")
   }
 
+  /** Friedman test — the k-treatment repeated-measures rank test, the
+    * continuous-outcome sibling of [[cochranQ]] (and the nonparametric
+    * stand-in for repeated-measures ANOVA): within each subject the k
+    * treatment responses are ranked (average ranks at ties), and the
+    * statistic asks whether any treatment's mean rank departs from the
+    * null (k+1)/2. Complete blocks only; per-(subject, treatment)
+    * multiples collapse by mean.
+    *
+    * Uses Conover's general rank-variance form (exact under ties,
+    * reduces to the textbook 12/(bk(k+1))·ΣR²−3b(k+1) without them),
+    * with r̄ = (k+1)/2 and Rⱼ the rank sum of treatment j:
+    *
+    *   χ² = (k−1)·Σⱼ(Rⱼ − b·r̄)² / Σᵢⱼ(rᵢⱼ − r̄)²
+    *
+    * Execution: one cell aggregation, a per-SUBJECT rank window over
+    * the k-row blocks, one treatment fold. p = Q((k−1)/2, χ²/2) at the
+    * rounded statistic — even df replays exactly.
+    *
+    * @return one row: (chi2, dof, p_value, n_subjects, n_incomplete)
+    */
+  def friedmanTest(df: DataFrame, subjectCol: String, treatmentCol: String,
+                   valueCol: String, treatments: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = treatments.length
+    require(k >= 2, "need at least two treatments")
+    import org.apache.spark.sql.expressions.Window
+    val v = F.col(valueCol).cast("double")
+    val cell = df
+      .where(F.col(subjectCol).isNotNull && v.isNotNull && !F.isnan(v) &&
+        F.col(treatmentCol).cast("string").isin(treatments: _*))
+      .groupBy(F.col(subjectCol).as("s"),
+        F.col(treatmentCol).cast("string").as("t"))
+      .agg(F.avg(v).as("v"))
+    val wSub = Window.partitionBy("s")
+    val complete = cell
+      .withColumn("__kt", F.count(F.lit(1)).over(wSub))
+      .where(F.col("__kt") === k.toLong)
+    // average ranks: min-rank + (ties−1)/2 over the k-row block
+    val wRank = Window.partitionBy("s").orderBy("v")
+    val wTie = Window.partitionBy("s", "v")
+    val ranked = complete
+      .withColumn("__r", F.rank().over(wRank).cast("double") +
+        (F.count(F.lit(1)).over(wTie).cast("double") - 1.0) / 2.0)
+    val rBar = (k + 1.0) / 2.0
+    val head = ranked.agg(
+      F.countDistinct("s").as("b"),
+      F.sum((F.col("__r") - rBar) * (F.col("__r") - rBar)).as("den"))
+      .head()
+    val b = head.getAs[Long]("b")
+    require(b > 0, "no complete blocks")
+    val den = head.getAs[Double]("den")
+    val tj = ranked.groupBy("t").agg(F.sum("__r").as("rj")).collect()
+      .sortBy(_.getAs[String]("t")).map(_.getAs[Double]("rj"))
+    val num = (k - 1.0) * tj.map { r =>
+      val d = r - b * rBar; d * d
+    }.sum
+    val nIncomplete = cell.groupBy("s").agg(F.count(F.lit(1)).as("kt"))
+      .where(F.col("kt") =!= k.toLong).count()
+    val dof = k - 1L
+    val (chiR, p) =
+      if (den <= 0.0) (0.0, 1.0)
+      else {
+        val c = math.rint(num / den * 1e6) / 1e6
+        (c, math.rint(SpecialMath.gammaIncC(dof / 2.0, c / 2.0) * 1e6) / 1e6)
+      }
+    Seq((chiR, dof, p, b, nIncomplete))
+      .toDF("chi2", "dof", "p_value", "n_subjects", "n_incomplete")
+  }
+
   /** Cochran's Q — the k-treatment extension of [[mcnemar]]: do k
     * binary treatments (exposures, variants, model versions) have the
     * same success rate across matched subjects? Operates on COMPLETE

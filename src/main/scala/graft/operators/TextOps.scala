@@ -840,6 +840,94 @@ object TextOps {
       .select("r", "n_r", "r_star", "p_smoothed")
   }
 
+  /** Multinomial Naive Bayes trained distributed — the classical
+    * high-throughput text classifier (language ID, topic routing,
+    * spam/quality gating) as THREE aggregations, no driver-side data:
+    * per-(class, token) counts, per-class token totals + doc priors,
+    * and the overall vocabulary size. Laplace-α smoothing; the model
+    * is a pair of DataFrames (vocab-sized likelihood table + k-row
+    * class table), so a 10⁸-token vocabulary never has to broadcast.
+    *
+    * [[nbScore]] scores docs by ln P(c) + Σₜ nₜ·ln P(t|c), factored as
+    * Σₜ nₜ·ln(cnt+α) − N_d·ln(tot_c+αV) so UNSEEN tokens cost exactly
+    * their smoothed mass without materializing zero cells: one token
+    * shuffle joins doc tokens to the likelihood table per class, the
+    * k-row class table broadcasts. The predicted class ranks by the
+    * 6-dp-ROUNDED score with ties to the lexicographically smaller
+    * class — deterministic and engine-replayable (ULP noise in the
+    * log-sums cannot flip an argmax).
+    */
+  final case class NbModel(tokenLik: DataFrame, classes: DataFrame,
+                           alpha: Double)
+
+  /** Train: df must carry (idCol, textCol, classCol); null classes are
+    * dropped. Returns the model tables:
+    * tokenLik(token, cls, cnt), classes(cls, n_docs, log_prior,
+    * tok_total) plus vocabulary size folded into classes.ln_denom. */
+  def nbTrain(df: DataFrame, idCol: String, textCol: String,
+              classCol: String, alpha: Double = 1.0): NbModel = {
+    require(alpha > 0.0, "alpha must be positive")
+    val base = df.where(F.col(classCol).isNotNull)
+      .select(F.col(idCol).as("id"),
+        F.col(textCol).as("__text"),
+        F.col(classCol).cast("string").as("cls"))
+    val tok = tokens(base.select(F.col("id"), F.col("__text")),
+        "id", "__text")
+      .join(base.select("id", "cls"), "id")
+    val counts = tok.groupBy("cls", "token")
+      .agg(F.count(F.lit(1)).as("cnt"))
+    val vocab = counts.select("token").distinct().count()
+    val docTotals = base.groupBy("cls").agg(F.count(F.lit(1)).as("n_docs"))
+    val totalDocs = base.count()
+    val tokTotals = counts.groupBy("cls").agg(F.sum("cnt").as("tok_total"))
+    val classes = docTotals.join(tokTotals, Seq("cls"), "left")
+      .na.fill(0L, Seq("tok_total"))
+      .withColumn("log_prior",
+        F.log(F.col("n_docs").cast("double") / totalDocs.toDouble))
+      .withColumn("ln_denom",
+        F.log(F.col("tok_total").cast("double") + alpha * vocab))
+    NbModel(counts, classes, alpha)
+  }
+
+  /** Score + classify new docs under [[nbTrain]]'s model.
+    * @return one row per (doc, class): (id, cls, score_r) plus the
+    *         per-doc argmax as `predicted` (round-6 score, ties to the
+    *         smaller class label). */
+  def nbScore(df: DataFrame, idCol: String, textCol: String,
+              model: NbModel): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val alpha = model.alpha
+    val dt = tokens(df.select(F.col(idCol).as("id"),
+        F.col(textCol).as("__text")), "id", "__text")
+      .groupBy("id", "token").agg(F.count(F.lit(1)).as("nt"))
+    val docLen = dt.groupBy("id").agg(F.sum("nt").as("nd"))
+    val classes = F.broadcast(model.classes)
+    // (doc token, class) × likelihood: unseen tokens contribute
+    // nt·ln(α); the −N_d·ln_denom constant folds in afterwards
+    val perClass = dt
+      .crossJoin(classes.select("cls"))
+      .join(model.tokenLik, Seq("cls", "token"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy("id", "cls")
+      .agg(F.sum(F.col("nt") *
+        F.log(F.col("cnt").cast("double") + alpha)).as("tok_ll"))
+    // docLen is doc-sized — a plain id-key join, never a broadcast
+    val scored = perClass
+      .join(docLen, "id")
+      .join(classes.select("cls", "log_prior", "ln_denom"), "cls")
+      .withColumn("score_r", F.round(
+        F.col("log_prior") + F.col("tok_ll") -
+          F.col("nd").cast("double") * F.col("ln_denom"), 6))
+    val w = Window.partitionBy("id")
+      .orderBy(F.desc("score_r"), F.asc("cls"))
+    scored
+      .withColumn("__rk", F.row_number().over(w))
+      .withColumn("predicted",
+        F.max(F.when(F.col("__rk") === 1, F.col("cls"))).over(
+          Window.partitionBy("id")))
+      .select("id", "cls", "score_r", "predicted")
+  }
+
   /** Heaps'-law vocabulary-growth fit: V(N) ≈ K·N^β measured at
     * `buckets` nested md5-deterministic corpus prefixes — the curve
     * that answers "how much NEW vocabulary will 10× more data buy"

@@ -3609,6 +3609,43 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rk.forall(_.getAs[Double]("clustering_coeff") == 1.0))
   }
 
+  test("naive Bayes classifies the two-language toy corpus") {
+    import spark.implicits._
+    val train = Seq((1L, "the cat", "en"), (2L, "the dog", "en"),
+      (3L, "le chat", "fr"), (4L, "le chien", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val m = TextOps.nbTrain(train, "doc_id", "text", "lang")
+    val scored = TextOps.nbScore(
+      Seq((10L, "the cat")).toDF("doc_id", "text"), "doc_id", "text", m)
+      .collect().map(r => r.getAs[String]("cls") ->
+        (r.getAs[Double]("score_r"), r.getAs[String]("predicted"))).toMap
+    // score(en) = ln½ + ln(1+2) + ln(1+1) − 2·ln(4+6); V = 6, α = 1
+    val en = math.log(0.5) + math.log(3.0) + math.log(2.0) -
+      2.0 * math.log(10.0)
+    val fr = math.log(0.5) + math.log(1.0) + math.log(1.0) -
+      2.0 * math.log(10.0)
+    assert(math.abs(scored("en")._1 - math.rint(en * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(scored("fr")._1 - math.rint(fr * 1e6) / 1e6) < 1e-9)
+    assert(scored("en")._2 == "en" && scored("fr")._2 == "en")
+    // unseen-token doc: all token terms ln(0+1)=0 → prior − N·ln_denom;
+    // tie on score → lexicographically smaller class
+    val unseen = TextOps.nbScore(
+      Seq((11L, "zzz")).toDF("doc_id", "text"), "doc_id", "text", m)
+      .select("predicted").head().getString(0)
+    assert(unseen == "en")
+  }
+
+  test("labelPropagation finds the two cliques") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("x", "y"), ("y", "z"), ("x", "z")).toDF("src", "dst")
+    val r = Graph.labelPropagation(edges, "src", "dst", iters = 2)
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(r("a") == "a" && r("b") == "a" && r("c") == "a")
+    assert(r("x") == "x" && r("y") == "x" && r("z") == "x")
+    assert(r.size == 6)
+  }
+
   test("seasonalDecompose splits a pure period-2 series exactly") {
     import spark.implicits._
     // x = 1,3,1,3,1,3: trend ≡ 2 on interior points, seasonal −1/+1,

@@ -509,6 +509,35 @@ class StatTestsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r2.getAs[Double]("p_value") - 2.0 / 70.0) < 1e-6)
   }
 
+  test("friedmanTest matches the textbook and tied examples") {
+    import spark.implicits._
+    // three identically-ordered blocks: R = (3,6,9) → χ² = 6 (textbook
+    // 12/(bk(k+1))·ΣR² − 3b(k+1) gives the same), p = exp(−3)
+    val df = (for { b <- 1 to 3; (t, v) <- Seq(("t1", 1.0), ("t2", 2.0),
+      ("t3", 3.0)) } yield (b, t, v)).toDF("subj", "treat", "v")
+    val r = StatTests.friedmanTest(df, "subj", "treat", "v",
+      Seq("t1", "t2", "t3")).head()
+    assert(math.abs(r.getAs[Double]("chi2") - 6.0) < 1e-9)
+    assert(r.getAs[Long]("dof") == 2L)
+    assert(math.abs(r.getAs[Double]("p_value") - math.exp(-3.0)) < 1e-5)
+    assert(r.getAs[Long]("n_subjects") == 3L)
+    // ties: block (1,1,2) ranks (1.5,1.5,3) + block (1,2,3) →
+    // R = (2.5,3.5,6), num = 2·6.5 = 13, den = 1.5+2 = 3.5
+    val tied = Seq((1, "t1", 1.0), (1, "t2", 1.0), (1, "t3", 2.0),
+      (2, "t1", 1.0), (2, "t2", 2.0), (2, "t3", 3.0))
+      .toDF("subj", "treat", "v")
+    val rt = StatTests.friedmanTest(tied, "subj", "treat", "v",
+      Seq("t1", "t2", "t3")).head()
+    assert(math.abs(rt.getAs[Double]("chi2") - 13.0 / 3.5) < 1e-6)
+    // an incomplete block is excluded and counted
+    val inc = (Seq((1, "t1", 1.0), (1, "t2", 2.0), (1, "t3", 3.0),
+      (2, "t1", 1.0))).toDF("subj", "treat", "v")
+    val ri = StatTests.friedmanTest(inc, "subj", "treat", "v",
+      Seq("t1", "t2", "t3")).head()
+    assert(ri.getAs[Long]("n_subjects") == 1L)
+    assert(ri.getAs[Long]("n_incomplete") == 1L)
+  }
+
   test("cochranQ matches the hand-computed 4-subject example") {
     import spark.implicits._
     // outcomes per subject over t1..t3: (1,1,0),(1,0,0),(1,1,1),(0,0,0)
