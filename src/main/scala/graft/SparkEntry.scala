@@ -2574,6 +2574,32 @@ object SparkEntry {
       TextOps.distinctiveTerms(docs(s, dir), "doc_id", "text", "lang",
           alpha = 0.01, k = 5)
         .orderBy("group", "rank")),
+    "q_chi2_terms" -> ((s, dir) =>
+      // χ² filter selection: top-5 tokens per language by the 2×2
+      // presence×class association — every χ² input is an exact
+      // integer, so scores and the (chi2 desc, token asc) ranks
+      // replay bit-for-bit
+      TextOps.chi2Terms(docs(s, dir), "doc_id", "text", "lang", topK = 5)
+        .orderBy("cls", "rank")),
+    "q_hellinger" -> ((s, dir) =>
+      // bounded drift per return flag: Hellinger/Bhattacharyya between
+      // the parity cohorts' integer-quantity PMFs — exact integer cell
+      // ratios, one (group, value) aggregation + per-group fold
+      Drift.hellingerByGroup(
+        li(s, dir).select(F.col("l_returnflag"),
+          F.when(F.col("l_orderkey") % 2 === 0, "a").otherwise("b")
+            .as("cohort"),
+          F.col("l_quantity").cast("int").as("qty")),
+        "cohort", "qty", Seq("l_returnflag"))
+        .orderBy("l_returnflag")),
+    "q_mann_kendall" -> ((s, dir) =>
+      // monotone-trend test per event type: daily means
+      // (decimal-exact, so S replays bit-for-bit), pairwise S over the
+      // tiny period frame, tie-corrected Var(S), continuity-corrected
+      // z, Sen's slope as the lower pair median
+      Features.mannKendallByKey(events(s, dir), "event_type", "ts",
+          "value", periodUnit = 86400000000000L)
+        .orderBy("event_type")),
     "q_holm" -> ((s, dir) =>
       // FWER control over the per-event-type chi2 p family: Holm
       // step-down via the prefix-max fold — the q_drift_fdr base with
@@ -8948,6 +8974,123 @@ object SparkEntry {
         |SELECT g AS "group", token, y AS n_in_group,
         |  CAST(yw - y AS BIGINT) AS n_rest, z, rank
         |FROM r WHERE rank <= 5 ORDER BY "group", rank""".stripMargin,
+    // χ² term replay: document-distinct presence, exact-integer 2×2
+    // cells, the same left-associative double expression, rank over
+    // the ROUNDED chi2.
+    "q_chi2_terms" ->
+      """WITH base AS (SELECT doc_id AS id,
+        |    lower(coalesce(text, '')) AS txt, CAST(lang AS VARCHAR) AS cls
+        |  FROM documents WHERE lang IS NOT NULL),
+        |tk AS (SELECT DISTINCT id, token FROM (
+        |    SELECT id, unnest(list_filter(regexp_split_to_array(txt,
+        |      '\s+'), x -> x <> '')) AS token FROM base)),
+        |pres AS (SELECT t.id, t.token, bs.cls
+        |  FROM tk t JOIN base bs USING (id)),
+        |cells AS (SELECT cls, token, CAST(count(*) AS BIGINT) AS a
+        |  FROM pres GROUP BY cls, token),
+        |dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df_all
+        |  FROM pres GROUP BY token),
+        |cs AS (SELECT cls, CAST(count(*) AS BIGINT) AS nc
+        |  FROM base GROUP BY cls),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        |sc AS (SELECT c.cls, c.token, c.a, c.a AS aa,
+        |    d.df_all - c.a AS b, s.nc, s.nc - c.a AS cc,
+        |    n.n - s.nc - (d.df_all - c.a) AS dd, n.n
+        |  FROM cells c JOIN dft d USING (token)
+        |    JOIN cs s USING (cls), nt n),
+        |x AS (SELECT cls, token, nc, a, b,
+        |    round(CAST(n AS DOUBLE)
+        |      * (CAST(a AS DOUBLE) * dd - CAST(b AS DOUBLE) * cc)
+        |      * (CAST(a AS DOUBLE) * dd - CAST(b AS DOUBLE) * cc)
+        |      / ((CAST(a AS DOUBLE) + b) * (CAST(cc AS DOUBLE) + dd))
+        |      / ((CAST(a AS DOUBLE) + cc) * (CAST(b AS DOUBLE) + dd)),
+        |      6) AS chi2
+        |  FROM sc),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY cls
+        |    ORDER BY chi2 DESC, token ASC) AS BIGINT) AS rank FROM x)
+        |SELECT cls, token, nc AS n_class_docs, a AS df_in_class,
+        |  b AS df_rest, chi2, rank
+        |FROM r WHERE rank <= 5 ORDER BY cls, rank""".stripMargin,
+    // Hellinger replay: exact integer cell/total ratios, the identical
+    // sqrt-product term, sum folded per group, transforms on the
+    // clamped BC.
+    "q_hellinger" ->
+      """WITH c AS (SELECT l_returnflag AS g,
+        |    CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS coh,
+        |    CAST(l_quantity AS INT) AS v FROM lineitem
+        |  WHERE l_quantity IS NOT NULL),
+        |cells AS (SELECT g, v,
+        |    CAST(sum(CASE WHEN coh = 'a' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN coh = 'b' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM c GROUP BY g, v),
+        |w AS (SELECT g, ca, cb,
+        |    CAST(sum(ca) OVER (PARTITION BY g) AS BIGINT) AS na,
+        |    CAST(sum(cb) OVER (PARTITION BY g) AS BIGINT) AS nb
+        |  FROM cells),
+        |a AS (SELECT g, max(na) AS n_a, max(nb) AS n_b,
+        |    CAST(count(*) AS BIGINT) AS n_cells,
+        |    sum(sqrt((CAST(ca AS DOUBLE) / na)
+        |      * (CAST(cb AS DOUBLE) / nb))) AS bcr
+        |  FROM w GROUP BY g HAVING max(na) > 0 AND max(nb) > 0)
+        |SELECT g AS l_returnflag, n_a, n_b, n_cells,
+        |  round(bcr, 6) AS bc,
+        |  round(sqrt(1.0 - least(bcr, 1.0)), 6) AS hellinger,
+        |  CASE WHEN bcr > 0.0 THEN round(-ln(least(bcr, 1.0)), 6)
+        |    END AS bhattacharyya
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    // Mann–Kendall replay: decimal-exact daily means make every
+    // pairwise sign and slope bit-identical; S and the tie sums are
+    // integers, z is rounded to 6 before the shared Cody erfc.
+    "q_mann_kendall" ->
+      s"""WITH e AS (SELECT event_type AS k, epoch_ns(ts) AS t,
+        |    CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |cells AS (SELECT k, t // 86400000000000 AS p,
+        |    CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+        |      AS mv
+        |  FROM e GROUP BY k, p),
+        |pr AS (SELECT a.k AS k, a.p AS pi, a.mv AS vi,
+        |    b.p AS pj, b.mv AS vj
+        |  FROM cells a JOIN cells b ON a.k = b.k WHERE a.p < b.p),
+        |ss AS (SELECT k, CAST(sum(CASE WHEN vj > vi THEN 1
+        |      WHEN vj < vi THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM pr GROUP BY k),
+        |tg AS (SELECT k, mv, CAST(count(*) AS BIGINT) AS tt
+        |  FROM cells GROUP BY k, mv),
+        |ti AS (SELECT k, CAST(sum(tt) AS BIGINT) AS m,
+        |    CAST(sum(tt * (tt - 1) * (2 * tt + 5)) AS BIGINT) AS tcorr
+        |  FROM tg GROUP BY k HAVING sum(tt) >= 3),
+        |sl AS (SELECT k, (vj - vi) / CAST(pj - pi AS DOUBLE) AS slope
+        |  FROM pr),
+        |sr AS (SELECT k, slope,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY slope)
+        |      AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS sm
+        |  FROM sl),
+        |sen AS (SELECT k, slope AS sen_slope FROM sr
+        |  WHERE rn = CAST(floor((sm + 1) / 2.0) AS BIGINT)),
+        |st AS (SELECT ti.k AS k, ti.m AS m, ss.s_stat AS s_stat,
+        |    (CAST(ti.m AS DOUBLE) * (CAST(ti.m AS DOUBLE) - 1.0)
+        |      * (2.0 * CAST(ti.m AS DOUBLE) + 5.0)
+        |      - CAST(ti.tcorr AS DOUBLE)) / 18.0 AS vs
+        |  FROM ti JOIN ss USING (k)),
+        |zz AS (SELECT st.k AS k, m, s_stat, vs, sen_slope,
+        |    round(CASE
+        |      WHEN s_stat > 0
+        |        THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(vs)
+        |      WHEN s_stat < 0
+        |        THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(vs)
+        |      ELSE 0.0 END, 6) AS z
+        |  FROM st JOIN sen USING (k) WHERE vs > 0.0),
+        |ye AS (SELECT k, m, s_stat, vs, z, sen_slope,
+        |    abs(z) / sqrt(2.0) AS y FROM zz)
+        |SELECT k AS event_type, m, s_stat, round(vs, 6) AS var_s, z,
+        |  round(${codyErfcSql("y")}, 6) AS p_value,
+        |  round(sen_slope, 6) AS sen_slope
+        |FROM ye ORDER BY event_type""".stripMargin,
     // Holm replay: the q_drift_fdr p-value base, min-rank via cum −
     // peers + 1, ROWS-framed prefix max of the clamped candidate.
     "q_holm" ->

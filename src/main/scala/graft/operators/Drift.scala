@@ -551,4 +551,55 @@ object Drift {
       .withColumn("n_b", F.lit(nb))
       .withColumn("n_cells", F.lit(nCells))
   }
+
+  /** Hellinger distance + Bhattacharyya divergence per group over the
+    * two cohorts' categorical PMFs — the BOUNDED companions to the
+    * PSI/KL pair (KL explodes on a vanishing cell; Hellinger ∈ [0,1]
+    * is a true metric and safe to threshold, alert-dashboard style):
+    *
+    *   BC = Σ√(p_a·p_b),  H = √(1−BC),  D_B = −ln BC (null at BC = 0)
+    *
+    * One (group, cohort, value) aggregation → per-group cell frame →
+    * one fold; cell probabilities are exact integer ratios, so the
+    * only FP work is the √ and the final sum.
+    *
+    * @return one row per group with both cohorts present:
+    *         (groupCols..., n_a, n_b, n_cells, bc, hellinger,
+    *         bhattacharyya), doubles rounded to 6.
+    */
+  def hellingerByGroup(df: DataFrame, cohortCol: String, valueCol: String,
+                       groupCols: Seq[String],
+                       labelA: String = "a",
+                       labelB: String = "b"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(labelA != labelB, "cohort labels must differ")
+    val g = groupCols.map(F.col)
+    val coh = F.col(cohortCol).cast("string")
+    val cells = df
+      .where(F.col(valueCol).isNotNull && coh.isin(labelA, labelB))
+      .groupBy(g :+ F.col(valueCol).as("__v"): _*)
+      .agg(
+        F.sum(F.when(coh === labelA, 1L).otherwise(0L)).as("__ca"),
+        F.sum(F.when(coh === labelB, 1L).otherwise(0L)).as("__cb"))
+    import org.apache.spark.sql.expressions.Window
+    val wg = Window.partitionBy(g: _*)
+    val withTotals = cells
+      .withColumn("__na", F.sum("__ca").over(wg))
+      .withColumn("__nb", F.sum("__cb").over(wg))
+    val bcTerm = F.sqrt(
+      (F.col("__ca").cast("double") / F.col("__na")) *
+      (F.col("__cb").cast("double") / F.col("__nb")))
+    val agged = withTotals.groupBy(g: _*).agg(
+      F.max("__na").as("n_a"), F.max("__nb").as("n_b"),
+      F.count(F.lit(1)).as("n_cells"),
+      F.sum(bcTerm).as("__bc"))
+      .where(F.col("n_a") > 0L && F.col("n_b") > 0L)
+    val bc = F.least(F.col("__bc"), F.lit(1.0)) // FP guard: BC ≤ 1
+    agged.select(g ++ Seq(
+      F.col("n_a"), F.col("n_b"), F.col("n_cells"),
+      F.round(F.col("__bc"), 6).as("bc"),
+      F.round(F.sqrt(F.lit(1.0) - bc), 6).as("hellinger"),
+      F.when(F.col("__bc") > 0.0, F.round(-F.log(bc), 6))
+        .as("bhattacharyya")): _*)
+  }
 }

@@ -484,6 +484,93 @@ object Features {
       F.col(tsCol) - F.lag(F.col(tsCol), 1).over(wOrd))
   }
 
+  /** Mann–Kendall trend test + Sen's slope per key — the standard
+    * monotone-trend detector for metric time series ([[trendByKey]]'s
+    * Spearman coefficient DESCRIBES the trend; this one TESTS it, with
+    * the tie-corrected variance and continuity correction, and Sen's
+    * slope gives the robust per-period rate).
+    *
+    * The series is first aggregated to one value per (key, period)
+    * (mean), so the pair stage is bounded by PERIOD COUNT squared —
+    * never by row count: S = Σᵢ<ⱼ sign(vⱼ−vᵢ) and the slope pairs come
+    * from a per-key self-join over the tiny period frame. The period
+    * mean is an EXACT decimal(38,6) sum divided by the count — a
+    * plain `avg` reduces doubles in task-completion order, and a
+    * last-ULP wobble in a mean can flip a sign() pair, i.e. flip the
+    * INTEGER S itself; the decimal sum is order-independent, so every
+    * downstream double is bit-reproducible run-to-run and replayable.
+    *
+    *   Var(S) = [m(m−1)(2m+5) − Σₜ t(t−1)(2t+5)] / 18  (t = tie sizes)
+    *   z = (S∓1)/√Var (continuity-corrected), p = erfc(|z|/√2)
+    *
+    * Sen's slope is the exact LOWER median of the pairwise
+    * (vⱼ−vᵢ)/(tⱼ−tᵢ) ([[Regression.theilSenByGroup]] convention). z is
+    * rounded to 6 before the p evaluation (Cody erfc both engines).
+    *
+    * @return one row per key with ≥ 3 periods: (keyCol, m, s_stat,
+    *         var_s, z, p_value, sen_slope)
+    */
+  def mannKendallByKey(df: DataFrame, keyCol: String, tsCol: String,
+                       valueCol: String, periodUnit: Long): DataFrame = {
+    require(periodUnit > 0L, "periodUnit must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val v = F.col(valueCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    val cells = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull && v.isNotNull &&
+        !F.isnan(v))
+      .groupBy(F.col(keyCol).as("__k"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("__p"))
+      .agg((F.sum(v.cast("decimal(38,6)")).cast("double") /
+        F.count(F.lit(1))).as("__v"))
+    val a = cells.select(F.col("__k"), F.col("__p").as("pi"),
+      F.col("__v").as("vi"))
+    val b = cells.select(F.col("__k"), F.col("__p").as("pj"),
+      F.col("__v").as("vj"))
+    val pairs = a.join(b, "__k").where(F.col("pi") < F.col("pj"))
+      .withColumn("__sgn",
+        F.when(F.col("vj") > F.col("vi"), 1L)
+          .when(F.col("vj") < F.col("vi"), -1L).otherwise(0L))
+      .withColumn("__slope",
+        (F.col("vj") - F.col("vi")) /
+          (F.col("pj") - F.col("pi")).cast("double"))
+    val sS = pairs.groupBy("__k").agg(
+      F.sum("__sgn").as("s_stat"),
+      F.count(F.lit(1)).as("n_pairs"))
+    // tie groups over the period VALUES per key
+    val ties = cells.groupBy("__k", "__v").agg(F.count(F.lit(1)).as("tt"))
+      .groupBy("__k").agg(
+        F.count(F.lit(1)).as("__dv"),
+        F.sum("tt").as("m"),
+        F.sum(F.col("tt") * (F.col("tt") - 1L) *
+          (F.lit(2L) * F.col("tt") + 5L)).as("__tcorr"))
+      .where(F.col("m") >= 3L)
+    val wS = Window.partitionBy("__k").orderBy(F.col("__slope"))
+    val sen = pairs.where(F.col("pj") > F.col("pi"))
+      .withColumn("__sr", F.row_number().over(wS))
+      .withColumn("__sm", F.count(F.lit(1)).over(
+        Window.partitionBy("__k")))
+      .where(F.col("__sr") === ((F.col("__sm") + F.lit(1)) / F.lit(2))
+        .cast("int"))
+      .select(F.col("__k"), F.col("__slope").as("sen_slope"))
+    val m = F.col("m").cast("double")
+    val varS = (m * (m - 1.0) * (F.lit(2.0) * m + 5.0) -
+      F.col("__tcorr").cast("double")) / 18.0
+    val s = F.col("s_stat").cast("double")
+    val zRaw = F.when(F.col("s_stat") > 0L, (s - 1.0) / F.sqrt(varS))
+      .when(F.col("s_stat") < 0L, (s + 1.0) / F.sqrt(varS))
+      .otherwise(0.0)
+    val erfcUdf = F.udf((z: Double) =>
+      graft.functions.SpecialMath.erfc(math.abs(z) / math.sqrt(2.0)))
+    ties.join(sS, "__k").join(sen, Seq("__k"), "left")
+      .where(varS > 0.0)
+      .withColumn("z", F.round(zRaw, 6))
+      .select(F.col("__k").as(keyCol), F.col("m"), F.col("s_stat"),
+        F.round(varS, 6).as("var_s"), F.col("z"),
+        F.round(erfcUdf(F.col("z")), 6).as("p_value"),
+        F.round(F.col("sen_slope"), 6).as("sen_slope"))
+  }
+
   /** Classical additive seasonal decomposition per key:
     * x = trend + seasonal + remainder, with the trend a centered
     * moving average of one full period (the even-period form uses the

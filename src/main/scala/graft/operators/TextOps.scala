@@ -840,6 +840,69 @@ object TextOps {
       .select("r", "n_r", "r_star", "p_smoothed")
   }
 
+  /** χ² feature selection: top-k tokens per class by the χ² statistic
+    * of the 2×2 (document contains token) × (document in class) table —
+    * the classical filter-selection companion to [[distinctiveTerms]]
+    * (Monroe shrinks by a prior; χ² ranks by raw association strength,
+    * the convention sklearn's SelectKBest(chi2) users expect) and the
+    * vocabulary pruner in front of [[nbTrain]].
+    *
+    *   χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
+    *
+    * over DOCUMENT frequencies (presence, not counts — the standard
+    * form). One (class, token) distinct-presence aggregation + a
+    * broadcast class-size table + a rank-limited top-k window
+    * PARTITIONED by class; every input to χ² is an exact integer, so
+    * the scores and the (χ² desc, token asc) ranking replay
+    * bit-for-bit.
+    *
+    * @return top-k rows per class: (cls, token, n_class_docs,
+    *         df_in_class, df_rest, chi2, rank)
+    */
+  def chi2Terms(df: DataFrame, idCol: String, textCol: String,
+                classCol: String, topK: Int = 25): DataFrame = {
+    require(topK >= 1, "need topK >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.where(F.col(classCol).isNotNull)
+      .select(F.col(idCol).as("id"), F.col(textCol).as("__text"),
+        F.col(classCol).cast("string").as("cls"))
+    val present = tokens(base.select("id", "__text"), "id", "__text")
+      .select("id", "token").distinct()
+      .join(base.select("id", "cls"), "id")
+    val cellCounts = present.groupBy("cls", "token")
+      .agg(F.count(F.lit(1)).as("a"))
+    val dfTotal = present.groupBy("token")
+      .agg(F.count(F.lit(1)).as("df_all"))
+    val classSizes = base.groupBy("cls").agg(F.count(F.lit(1)).as("nc"))
+    val nTotal = base.count()
+    val scored = cellCounts
+      .join(dfTotal, "token")
+      .join(F.broadcast(classSizes), "cls")
+      .withColumn("b", F.col("df_all") - F.col("a"))
+      .withColumn("c", F.col("nc") - F.col("a"))
+      .withColumn("d",
+        F.lit(nTotal) - F.col("nc") - (F.col("df_all") - F.col("a")))
+      .withColumn("chi2", {
+        // doubles from the start: long products of 10¹⁰-scale counts
+        // would overflow at corpus scale
+        val ad = F.col("a").cast("double") * F.col("d") -
+          F.col("b").cast("double") * F.col("c")
+        F.round(F.lit(nTotal.toDouble) * ad * ad /
+          ((F.col("a").cast("double") + F.col("b")) *
+            (F.col("c").cast("double") + F.col("d"))) /
+          ((F.col("a").cast("double") + F.col("c")) *
+            (F.col("b").cast("double") + F.col("d"))), 6)
+      })
+    val w = Window.partitionBy("cls")
+      .orderBy(F.desc("chi2"), F.asc("token"))
+    scored
+      .withColumn("rank", F.row_number().over(w).cast("long"))
+      .where(F.col("rank") <= topK)
+      .select(F.col("cls"), F.col("token"),
+        F.col("nc").as("n_class_docs"), F.col("a").as("df_in_class"),
+        F.col("b").as("df_rest"), F.col("chi2"), F.col("rank"))
+  }
+
   /** Multinomial Naive Bayes trained distributed — the classical
     * high-throughput text classifier (language ID, topic routing,
     * spam/quality gating) as THREE aggregations, no driver-side data:

@@ -3609,6 +3609,69 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rk.forall(_.getAs[Double]("clustering_coeff") == 1.0))
   }
 
+  test("chi2Terms ranks the perfectly-discriminative token first") {
+    import spark.implicits._
+    // A docs: {x y}, {x}; B docs: {y z}, {z} — x is a perfect A marker
+    // (a=2,b=0,c=0,d=2 → χ² = 4), y is uninformative (χ² = 0)
+    val df = Seq((1L, "x y", "A"), (2L, "x", "A"),
+      (3L, "y z", "B"), (4L, "z", "B")).toDF("doc_id", "text", "cls")
+    val r = TextOps.chi2Terms(df, "doc_id", "text", "cls", topK = 5)
+      .collect().map(x => (x.getAs[String]("cls"), x.getAs[String]("token"))
+        -> (x.getAs[Double]("chi2"), x.getAs[Long]("rank"))).toMap
+    assert(r(("A", "x")) == ((4.0, 1L)))
+    assert(r(("A", "y")) == ((0.0, 2L)))
+    assert(r(("B", "z")) == ((4.0, 1L)))
+    assert(r(("B", "y")) == ((0.0, 2L)))
+    assert(r.size == 4) // tokens absent from a class produce no row
+  }
+
+  test("hellingerByGroup matches the hand-computed two-cohort PMFs") {
+    import spark.implicits._
+    // p_a = (.5,.5), p_b = (.75,.25): BC = √.375+√.125 ≈ 0.965926
+    val df = (Seq("x", "x", "y", "y").map(("g", "a", _)) ++
+      Seq("x", "x", "x", "y").map(("g", "b", _)))
+      .toDF("grp", "cohort", "v")
+    val r = Drift.hellingerByGroup(df, "cohort", "v", Seq("grp")).head()
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 4L)
+    assert(r.getAs[Long]("n_cells") == 2L)
+    val bc = math.sqrt(0.375) + math.sqrt(0.125)
+    assert(math.abs(r.getAs[Double]("bc") - bc) < 1e-6)
+    assert(math.abs(r.getAs[Double]("hellinger") - math.sqrt(1 - bc)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("bhattacharyya") + math.log(bc)) < 1e-6)
+    // identical PMFs → BC = 1, H = 0
+    val same = (Seq("x", "y").map(("h", "a", _)) ++
+      Seq("x", "y").map(("h", "b", _))).toDF("grp", "cohort", "v")
+    val rs = Drift.hellingerByGroup(same, "cohort", "v", Seq("grp")).head()
+    assert(rs.getAs[Double]("hellinger") == 0.0)
+    assert(rs.getAs[Double]("bc") == 1.0)
+  }
+
+  test("mannKendallByKey detects the monotone trend and handles ties") {
+    import spark.implicits._
+    // periods 0..4, values 1..5: S = 10, Var = 50/3, Sen slope = 1
+    val mono = Seq.tabulate(5)(i => ("k", i.toLong * 10L, (i + 1).toDouble))
+      .toDF("key", "ts", "v")
+    val r = Features.mannKendallByKey(mono, "key", "ts", "v",
+      periodUnit = 10L).head()
+    assert(r.getAs[Long]("m") == 5L && r.getAs[Long]("s_stat") == 10L)
+    assert(math.abs(r.getAs[Double]("var_s") - 50.0 / 3.0) < 1e-5)
+    val zExp = 9.0 / math.sqrt(50.0 / 3.0)
+    assert(math.abs(r.getAs[Double]("z") - zExp) < 1e-5)
+    val pExp = graft.functions.SpecialMath.erfc(
+      math.rint(zExp * 1e6) / 1e6 / math.sqrt(2.0))
+    assert(math.abs(r.getAs[Double]("p_value") - pExp) < 1e-5)
+    assert(r.getAs[Double]("sen_slope") == 1.0)
+    // tie: values (1,1,2) → S = 2, tie term 18, Var = 48/18,
+    // slopes {0, .5, 1} → lower median .5
+    val tied = Seq(("t", 0L, 1.0), ("t", 10L, 1.0), ("t", 20L, 2.0))
+      .toDF("key", "ts", "v")
+    val rt = Features.mannKendallByKey(tied, "key", "ts", "v",
+      periodUnit = 10L).head()
+    assert(rt.getAs[Long]("s_stat") == 2L)
+    assert(math.abs(rt.getAs[Double]("var_s") - 48.0 / 18.0) < 1e-6)
+    assert(math.abs(rt.getAs[Double]("sen_slope") - 0.5) < 1e-12)
+  }
+
   test("naive Bayes classifies the two-language toy corpus") {
     import spark.implicits._
     val train = Seq((1L, "the cat", "en"), (2L, "the dog", "en"),
