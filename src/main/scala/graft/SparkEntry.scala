@@ -2574,6 +2574,34 @@ object SparkEntry {
       TextOps.distinctiveTerms(docs(s, dir), "doc_id", "text", "lang",
           alpha = 0.01, k = 5)
         .orderBy("group", "rank")),
+    "q_ljung_box" -> ((s, dir) =>
+      // whiteness test per event type: Ljung-Box Q over the 6-rounded
+      // acf_1..4 — Q is a pure function of an already-deterministic
+      // frame; p at the rounded Q (chi2, dof 4)
+      Features.ljungBoxByKey(events(s, dir), "event_type", "ts",
+          "value", maxLag = 4, tieBreakCols = Seq("event_id"))
+        .orderBy("event_type")),
+    "q_ad_twosample" -> ((s, dir) =>
+      // tail-sensitive two-sample test between the parity cohorts:
+      // Scholz-Stephens midrank A² (exact half-integer blocks) with
+      // the exact-variance standardized T; no p column by design —
+      // T thresholds against the S-S table (spec pins 19/11 example)
+      StatTests.adTwoSample(
+        li(s, dir).select(
+          F.when(F.col("l_orderkey") % 2 === 0, "a").otherwise("b")
+            .as("cohort"),
+          F.col("l_extendedprice")),
+        "cohort", "l_extendedprice")),
+    "q_breslow_day" -> ((s, dir) =>
+      // is the discount-rate odds ratio the SAME across return flags?
+      // Breslow-Day + Tarone on the 3-stratum 2x2s — the homogeneity
+      // gate in front of q_mantel_haenszel's pooled OR
+      Experiments.breslowDay(
+        li(s, dir).select(F.col("l_returnflag"),
+          F.when(F.col("l_orderkey") % 2 === 0, "a").otherwise("b")
+            .as("cohort"),
+          (F.col("l_discount") >= 0.05).as("y")),
+        "cohort", "y", Seq("l_returnflag"))),
     "q_chi2_terms" -> ((s, dir) =>
       // χ² filter selection: top-5 tokens per language by the 2×2
       // presence×class association — every χ² input is an exact
@@ -9091,6 +9119,170 @@ object SparkEntry {
         |  round(${codyErfcSql("y")}, 6) AS p_value,
         |  round(sen_slope, 6) AS sen_slope
         |FROM ye ORDER BY event_type""".stripMargin,
+    // Ljung-Box replay: the q_acf construction at 4 lags, Q from the
+    // ROUNDED acf values, p = exp(-Q/2)(1 + Q/2) — the closed chi2(4)
+    // upper tail — round_even'd like the Scala rint.
+    "q_ljung_box" ->
+      """WITH e AS (SELECT event_type AS k, epoch_ns(ts) AS tns,
+        |    event_id, value AS x
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |    AND ts IS NOT NULL),
+        |m AS (SELECT k, tns, event_id, x,
+        |    avg(x) OVER (PARTITION BY k) AS mu FROM e),
+        |d AS (SELECT k, x - mu AS dd,
+        |    lag(x - mu, 1) OVER (PARTITION BY k ORDER BY tns, event_id)
+        |      AS d1,
+        |    lag(x - mu, 2) OVER (PARTITION BY k ORDER BY tns, event_id)
+        |      AS d2,
+        |    lag(x - mu, 3) OVER (PARTITION BY k ORDER BY tns, event_id)
+        |      AS d3,
+        |    lag(x - mu, 4) OVER (PARTITION BY k ORDER BY tns, event_id)
+        |      AS d4
+        |  FROM m),
+        |acf AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    round(sum(dd * d1) / sum(dd * dd), 6) AS acf_1,
+        |    round(sum(dd * d2) / sum(dd * dd), 6) AS acf_2,
+        |    round(sum(dd * d3) / sum(dd * dd), 6) AS acf_3,
+        |    round(sum(dd * d4) / sum(dd * dd), 6) AS acf_4
+        |  FROM d GROUP BY k HAVING sum(dd * dd) > 0 AND count(*) > 4),
+        |q AS (SELECT *, round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+        |      + 2.0)
+        |    * (acf_1 * acf_1 / (CAST(n AS DOUBLE) - 1.0)
+        |      + acf_2 * acf_2 / (CAST(n AS DOUBLE) - 2.0)
+        |      + acf_3 * acf_3 / (CAST(n AS DOUBLE) - 3.0)
+        |      + acf_4 * acf_4 / (CAST(n AS DOUBLE) - 4.0)), 6)
+        |    AS lb_stat FROM acf)
+        |SELECT k AS event_type, n, acf_1, acf_2, acf_3, acf_4,
+        |  lb_stat, CAST(4 AS BIGINT) AS dof,
+        |  round_even(exp(-lb_stat / 2.0) * (1.0 + lb_stat / 2.0)
+        |    * 1000000.0, 0) / 1000000.0 AS p_value
+        |FROM q ORDER BY event_type""".stripMargin,
+    // A-D replay: midrank blocks from before-block prefix counts (all
+    // half-integers), per-block terms in the identical shape, the
+    // Scholz-Stephens exact variance via a generate_series harmonic
+    // cumsum (ascending, the same order as the Scala loop).
+    "q_ad_twosample" ->
+      """WITH c AS (SELECT
+        |    CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    l_extendedprice AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |m AS (SELECT v, sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS cb
+        |  FROM c GROUP BY v),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb,
+        |    CAST(sum(ca + cb) AS DOUBLE) AS n FROM m),
+        |pre AS (SELECT v, ca, cb,
+        |    coalesce(CAST(sum(ca) OVER (ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS fa,
+        |    coalesce(CAST(sum(cb) OVER (ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS fb
+        |  FROM m),
+        |terms AS (SELECT
+        |    CAST(ca + cb AS DOUBLE) / n * ((n * (fa + ca / 2.0)
+        |      - na * ((fa + fb) + CAST(ca + cb AS DOUBLE) / 2.0))
+        |      * (n * (fa + ca / 2.0)
+        |      - na * ((fa + fb) + CAST(ca + cb AS DOUBLE) / 2.0)))
+        |      / (((fa + fb) + CAST(ca + cb AS DOUBLE) / 2.0)
+        |        * (n - ((fa + fb) + CAST(ca + cb AS DOUBLE) / 2.0))
+        |        - n * CAST(ca + cb AS DOUBLE) / 4.0) AS ta,
+        |    CAST(ca + cb AS DOUBLE) / n * ((n * (fb + cb / 2.0)
+        |      - nb * ((fa + fb) + CAST(ca + cb AS DOUBLE) / 2.0))
+        |      * (n * (fb + cb / 2.0)
+        |      - nb * ((fa + fb) + CAST(ca + cb AS DOUBLE) / 2.0)))
+        |      / (((fa + fb) + CAST(ca + cb AS DOUBLE) / 2.0)
+        |        * (n - ((fa + fb) + CAST(ca + cb AS DOUBLE) / 2.0))
+        |        - n * CAST(ca + cb AS DOUBLE) / 4.0) AS tb
+        |  FROM pre, tot WHERE ca + cb < n),
+        |a2 AS (SELECT round_even((n - 1.0) / n
+        |    * ((SELECT sum(ta) FROM terms) / na
+        |      + (SELECT sum(tb) FROM terms) / nb) * 1000000.0, 0)
+        |    / 1000000.0 AS a2r, na, nb, n FROM tot),
+        |har AS (SELECT i, sum(1.0 / i) OVER (ORDER BY i) AS h
+        |  FROM generate_series(1, 4000000) t(i)
+        |  WHERE i <= (SELECT CAST(n AS BIGINT) - 1 FROM tot)),
+        |hh AS (SELECT max(h) AS h FROM har),
+        |gg AS (SELECT sum((hh.h - har.h) / (tot.n - har.i)) AS g
+        |  FROM har, hh, tot WHERE har.i <= CAST(tot.n AS BIGINT) - 2),
+        |sig AS (SELECT a2.a2r AS a2r, a2.na AS na, a2.nb AS nb,
+        |    round_even(sqrt((
+        |      ((4.0 * g - 6.0) * 1.0 + (10.0 - 6.0 * g)
+        |        * (1.0 / a2.na + 1.0 / a2.nb)) * a2.n * a2.n * a2.n
+        |      + ((2.0 * g - 4.0) * 4.0 + 8.0 * h * 2.0
+        |        + (2.0 * g - 14.0 * h - 4.0)
+        |          * (1.0 / a2.na + 1.0 / a2.nb)
+        |        - 8.0 * h + 4.0 * g - 6.0) * a2.n * a2.n
+        |      + ((6.0 * h + 2.0 * g - 2.0) * 4.0
+        |        + (4.0 * h - 4.0 * g + 6.0) * 2.0
+        |        + (2.0 * h - 6.0) * (1.0 / a2.na + 1.0 / a2.nb)
+        |        + 4.0 * h) * a2.n
+        |      + ((2.0 * h + 6.0) * 4.0 - 4.0 * h * 2.0))
+        |      / ((a2.n - 1.0) * (a2.n - 2.0) * (a2.n - 3.0)))
+        |      * 1000000.0, 0) / 1000000.0 AS sr
+        |  FROM a2, hh, gg)
+        |SELECT a2r AS ad_stat, sr AS sigma,
+        |  round_even((a2r - 1.0) / sr * 1000000.0, 0) / 1000000.0
+        |    AS t_stat,
+        |  na AS n_a, nb AS n_b FROM sig""".stripMargin,
+    // Breslow-Day replay: exact integer 2x2 cells, the identical
+    // quadratic-root selection and harmonic variance, p = exp(-x/2)
+    // (the closed chi2(2) upper tail) at the rounded statistics.
+    "q_breslow_day" ->
+      """WITH c AS (SELECT l_returnflag AS st,
+        |    CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    l_discount >= 0.05 AS y FROM lineitem
+        |  WHERE l_discount IS NOT NULL),
+        |cells AS (SELECT st,
+        |    CAST(sum(CASE WHEN g = 'a' AND y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN g = 'a' AND NOT y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN g = 'b' AND y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cc,
+        |    CAST(sum(CASE WHEN g = 'b' AND NOT y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM c GROUP BY st),
+        |ok AS (SELECT st, CAST(a AS DOUBLE) AS a, CAST(b AS DOUBLE) AS b,
+        |    CAST(cc AS DOUBLE) AS cc, CAST(d AS DOUBLE) AS d
+        |  FROM cells
+        |  WHERE a + b > 0 AND cc + d > 0 AND a + cc > 0
+        |    AND a + cc < a + b + cc + d),
+        |tot AS (SELECT sum(a * d / (a + b + cc + d)) AS sr,
+        |    sum(b * cc / (a + b + cc + d)) AS ss,
+        |    CAST(count(*) AS BIGINT) AS n_strata FROM ok),
+        |q AS (SELECT ok.*, tot.sr / tot.ss AS r, tot.n_strata
+        |  FROM ok, tot WHERE tot.sr > 0 AND tot.ss > 0),
+        |rt AS (SELECT *, r - 1.0 AS qa,
+        |    -(r * ((a + b) + (a + cc)) + (cc + d) - (a + cc)) AS qb,
+        |    r * (a + b) * (a + cc) AS qc,
+        |    greatest(0.0, (a + cc) - (cc + d)) - 0.000000001 AS lo,
+        |    least(a + b, a + cc) + 0.000000001 AS hi
+        |  FROM q),
+        |rr AS (SELECT *,
+        |    (-qb + sqrt(qb * qb - qa * qc * 4.0)) / (qa * 2.0) AS r1,
+        |    (-qb - sqrt(qb * qb - qa * qc * 4.0)) / (qa * 2.0) AS r2
+        |  FROM rt),
+        |ah AS (SELECT *, CASE WHEN abs(qa) < 0.000000000001
+        |      THEN -qc / qb
+        |      WHEN r1 >= lo AND r1 <= hi THEN r1 ELSE r2 END AS ahat
+        |  FROM rr),
+        |vv AS (SELECT n_strata, r, a - ahat AS dev,
+        |    1.0 / (1.0 / ahat + 1.0 / ((a + b) - ahat)
+        |      + 1.0 / ((a + cc) - ahat)
+        |      + 1.0 / ((cc + d) - (a + cc) + ahat)) AS v
+        |  FROM ah),
+        |fold AS (SELECT max(n_strata) AS n_strata, max(r) AS r,
+        |    round(sum(dev * dev / v), 6) AS bd_stat,
+        |    round(sum(dev * dev / v)
+        |      - sum(dev) * sum(dev) / sum(v), 6) AS bd_tarone
+        |  FROM vv)
+        |SELECT round(r, 6) AS or_mh, bd_stat, bd_tarone,
+        |  n_strata - 1 AS dof,
+        |  round_even(exp(-bd_stat / 2.0) * 1000000.0, 0) / 1000000.0
+        |    AS p_value,
+        |  round_even(exp(-bd_tarone / 2.0) * 1000000.0, 0) / 1000000.0
+        |    AS p_tarone,
+        |  n_strata FROM fold WHERE n_strata > 1""".stripMargin,
     // Holm replay: the q_drift_fdr p-value base, min-rank via cum −
     // peers + 1, ROWS-framed prefix max of the clamped candidate.
     "q_holm" ->

@@ -714,4 +714,96 @@ object Experiments {
         .as("chi2_cmh"),
       F.col("n_strata"), F.col("n").cast("long").as("n"))
   }
+
+  /** Breslow–Day test of odds-ratio homogeneity across strata, with
+    * Tarone's correction — the companion question to
+    * [[mantelHaenszel]]: CMH asks "is there an effect, pooling
+    * strata"; Breslow–Day asks "is it the SAME effect in every
+    * stratum" (if not, the pooled OR is a fiction and the analysis
+    * should stratify). Per stratum, the expected exposed-case count ã
+    * under the common OR R solves the margin-fixed quadratic
+    *
+    *   (R−1)·ã² − [R(t1+k1) + t0 − k1]·ã + R·t1·k1 = 0
+    *
+    * (t1/t0 = cohort totals, k1 = case total) taking the root inside
+    * [max(0, k1−t0), min(t1, k1)], with the linear limit ã = t1·k1/n
+    * as R→1; Var(ã) is the harmonic 1/(1/ã + 1/(t1−ã) + 1/(k1−ã) +
+    * 1/(t0−k1+ã)). Then BD = Σ (a−ã)²/Var ~ χ²(K−1), and Tarone's
+    * BD_T = BD − (Σ(a−ã))²/ΣVar removes the statistic's slight
+    * anti-conservatism when R is the estimated (not true) common OR.
+    *
+    * ONE cells aggregation (the [[mantelHaenszel]] shape) → a K-row
+    * strata frame joined to the broadcast 1-row OR; every input to
+    * the quadratic is an exact integer plus the shared R, and both
+    * p-values are evaluated at the 6-rounded statistics — replayable.
+    * Degenerate strata (an empty cohort or an all/no-case margin) are
+    * excluded, as is convention. K is the stratum-column cardinality —
+    * the shuffle carries K cell rows, never data rows.
+    *
+    * @return one row: (or_mh, bd_stat, bd_tarone, dof, p_value,
+    *         p_tarone, n_strata)
+    */
+  def breslowDay(df: DataFrame, cohortCol: String, successCol: String,
+                 strataCols: Seq[String],
+                 labelA: String = "a", labelB: String = "b"): DataFrame = {
+    require(labelA != labelB, "cohort labels must differ")
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    val g = F.col(cohortCol).cast("string")
+    val y = F.col(successCol).cast("boolean")
+    val cells = df
+      .where(g.isin(labelA, labelB) && y.isNotNull)
+      .groupBy(strataCols.map(F.col): _*)
+      .agg(
+        F.sum(F.when(g === labelA && y, 1L).otherwise(0L)).as("a"),
+        F.sum(F.when(g === labelA && !y, 1L).otherwise(0L)).as("b"),
+        F.sum(F.when(g === labelB && y, 1L).otherwise(0L)).as("c"),
+        F.sum(F.when(g === labelB && !y, 1L).otherwise(0L)).as("d"))
+    val a = F.col("a").cast("double"); val b = F.col("b").cast("double")
+    val c = F.col("c").cast("double"); val d = F.col("d").cast("double")
+    val ni = a + b + c + d
+    val ok = cells.where(
+      (a + b) > 0.0 && (c + d) > 0.0 && (a + c) > 0.0 && (a + c) < ni)
+    val tot = ok.agg(
+      F.sum(a * d / ni).as("__sr"), F.sum(b * c / ni).as("__ss"),
+      F.count(F.lit(1)).as("n_strata"))
+    val joined = ok.crossJoin(F.broadcast(tot))
+      .where(F.col("__sr") > 0.0 && F.col("__ss") > 0.0)
+    val r = F.col("__sr") / F.col("__ss")
+    val t1 = a + b; val t0 = c + d; val k1 = a + c
+    val qa = r - 1.0
+    val qb = -(r * (t1 + k1) + t0 - k1)
+    val qc = r * t1 * k1
+    val disc = F.sqrt(qb * qb - qa * qc * 4.0)
+    val r1 = (-qb + disc) / (qa * 2.0)
+    val r2 = (-qb - disc) / (qa * 2.0)
+    val lo = F.greatest(F.lit(0.0), k1 - t0) - 1e-9
+    val hi = F.least(t1, k1) + 1e-9
+    val aHat = F.when(F.abs(qa) < 1e-12, -qc / qb)
+      .when(r1 >= lo && r1 <= hi, r1).otherwise(r2)
+    val vHat = F.lit(1.0) / (F.lit(1.0) / aHat + F.lit(1.0) / (t1 - aHat) +
+      F.lit(1.0) / (k1 - aHat) + F.lit(1.0) / (t0 - k1 + aHat))
+    val fold = joined
+      .select(F.col("n_strata"), r.as("__r"),
+        (a - aHat).as("__dev"), vHat.as("__v"))
+      .groupBy()
+      .agg(F.max("n_strata").as("n_strata"), F.max("__r").as("__r"),
+        F.sum(F.col("__dev") * F.col("__dev") / F.col("__v")).as("__bd"),
+        F.sum("__dev").as("__sd"), F.sum("__v").as("__sv"))
+    val pUdf = F.udf((x: Double, dof: Double) =>
+      math.rint(graft.functions.SpecialMath
+        .gammaIncC(dof / 2.0, x / 2.0) * 1e6) / 1e6)
+    val dof = (F.col("n_strata") - 1L).cast("double")
+    fold
+      .withColumn("bd_stat", F.round(F.col("__bd"), 6))
+      .withColumn("bd_tarone", F.round(F.col("__bd") -
+        F.col("__sd") * F.col("__sd") / F.col("__sv"), 6))
+      .where(F.col("n_strata") > 1L)
+      .select(
+        F.round(F.col("__r"), 6).as("or_mh"),
+        F.col("bd_stat"), F.col("bd_tarone"),
+        (F.col("n_strata") - 1L).as("dof"),
+        pUdf(F.col("bd_stat"), dof).as("p_value"),
+        pUdf(F.col("bd_tarone"), dof).as("p_tarone"),
+        F.col("n_strata"))
+  }
 }

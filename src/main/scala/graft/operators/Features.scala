@@ -179,6 +179,42 @@ object Features {
           F.round(F.col(s"__sl$l") / F.col("__ss"), 6)).as(s"acf_$l")): _*)
   }
 
+  /** Ljung–Box portmanteau test per key — "is there ANY serial
+    * correlation left in this series" ([[acfByKey]] reports the
+    * per-lag coefficients; this aggregates them into the standard
+    * whiteness test run on residuals and KPI streams):
+    *
+    *   Q = n(n+2) Σ_{k=1..h} r_k² / (n−k)  ~  χ²(h) under whiteness,
+    *   p = Q(h/2, Q/2)   (regularized upper incomplete gamma)
+    *
+    * computed FROM the 6-rounded acf values, so Q is a pure function
+    * of an already-deterministic frame and replays bit-for-bit; p is
+    * evaluated at the 6-rounded Q on both engines. Cost = exactly
+    * [[acfByKey]] (one key shuffle, h lag windows, one fold) plus a
+    * per-key scalar expression. Keys with n ≤ h or zero variance are
+    * omitted.
+    *
+    * @return one row per key: (keyCol, n, acf_1..acf_h, lb_stat, dof,
+    *         p_value)
+    */
+  def ljungBoxByKey(df: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String, maxLag: Int,
+                    tieBreakCols: Seq[String] = Nil): DataFrame = {
+    val acf = acfByKey(df, keyCol, tsCol, valueCol, maxLag, tieBreakCols)
+    val n = F.col("n").cast("double")
+    val terms = (1 to maxLag).map(k =>
+      F.col(s"acf_$k") * F.col(s"acf_$k") / (n - F.lit(k.toDouble)))
+    val pUdf = F.udf((q: Double) => math.rint(graft.functions.SpecialMath
+      .gammaIncC(maxLag / 2.0, q / 2.0) * 1e6) / 1e6)
+    acf
+      .where(F.col("n") > maxLag &&
+        (1 to maxLag).map(k => F.col(s"acf_$k").isNotNull).reduce(_ && _))
+      .withColumn("lb_stat",
+        F.round(n * (n + 2.0) * terms.reduce(_ + _), 6))
+      .withColumn("dof", F.lit(maxLag.toLong))
+      .withColumn("p_value", pUdf(F.col("lb_stat")))
+  }
+
   /** Monotone-trend score per key: Spearman's ρ between each key's
     * values and their time order — "which tenants' metric is trending,
     * robustly" (rank-based, so spikes don't fake a trend the way a

@@ -161,6 +161,99 @@ object StatTests {
     } finally sorted.unpersist(blocking = false)
   }
 
+  /** Two-sample Anderson–Darling test (Scholz–Stephens k-sample form,
+    * k = 2, midrank/tie-adjusted version A²_akN) — the tail-sensitive
+    * member of the two-sample trio: [[mannWhitneyU]] sees location,
+    * [[cvmTwoSample]] sees body shape, A² up-weights the tails by
+    * 1/(F(1−F)), which is where training-data drift usually lives.
+    *
+    *   A² = (N−1)/N · Σᵢ (1/nᵢ) Σⱼ (lⱼ/N)·(N·Mᵢⱼ − nᵢ·Bⱼ)²
+    *                                  / (Bⱼ(N−Bⱼ) − N·lⱼ/4)
+    *
+    * over distinct pooled values j with multiplicity lⱼ, Bⱼ/Mᵢⱼ the
+    * pooled/per-sample midrank prefix counts (F + l/2) — every input
+    * a half-integer, so the per-block terms are bit-identical in any
+    * engine and the fold replays to the output rounding. The
+    * standardized T = (A² − (k−1))/σ_N uses the exact Scholz–Stephens
+    * variance (harmonic sums h, g computed with an O(N) scalar driver
+    * loop — N = row COUNT, a few seconds even at 10⁹; beyond 10⁸ the
+    * asymptotic h = ln N + γ, g = π²/6 forms are used, whose error is
+    * below the 6-decimal output grain). No p-value column: the T
+    * null table is the S-S interpolation table, not a special
+    * function — threshold T against it (T ≥ 1.960 ⇒ p ≤ 0.05); the
+    * spec pins a fully hand-computed example (A² = 19/11, σ² = 2/9).
+    *
+    * Scale shape: one per-distinct-value aggregation, then the
+    * [[Ranks]] prefix-sum walk — driver traffic O(#partitions).
+    *
+    * @return one row: (ad_stat, sigma, t_stat, n_a, n_b), 6-rounded;
+    *         t from the rounded pieces so engines agree exactly */
+  def adTwoSample(df: DataFrame, cohortCol: String, valueCol: String,
+                  labelA: String = "a", labelB: String = "b"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (sorted, na, nb, offA, offB) =
+      cohortCounts(df, cohortCol, valueCol, labelA, labelB)
+    try {
+      val nTot = na + nb
+      require(nTot >= 4, "Anderson-Darling needs N >= 4")
+      val nD = nTot.toDouble
+      val bc = spark.sparkContext.broadcast((offA, offB))
+      val acc = sorted.mapPartitionsWithIndex { case (i, it) =>
+        var fa = bc.value._1(i); var fb = bc.value._2(i)
+        var sa = 0.0; var sb = 0.0
+        it.foreach { case (_, ca, cb) =>
+          val l = (ca + cb).toDouble
+          if (l < nD) { // l == N (single distinct value) is degenerate
+            val bj = (fa + fb) + l / 2.0
+            val den = bj * (nD - bj) - nD * l / 4.0
+            val ma = fa + ca / 2.0
+            val mb = fb + cb / 2.0
+            val da = nD * ma - na * bj
+            val db = nD * mb - nb * bj
+            sa += l / nD * (da * da) / den
+            sb += l / nD * (db * db) / den
+          }
+          fa += ca; fb += cb
+        }
+        Iterator((sa, sb))
+      }.collect()
+      val a2 = (nD - 1.0) / nD *
+        (acc.map(_._1).sum / na + acc.map(_._2).sum / nb)
+      // Scholz-Stephens exact variance of A² under H0 (k = 2)
+      val (h, gg) =
+        if (nTot <= 100000000L) {
+          var hh = 0.0; var i = 1L
+          while (i < nTot) { hh += 1.0 / i; i += 1 }
+          // g = Σ_{m=1}^{N-2} (h_{N-1} − h_m)/(N−m), one forward pass
+          var gSum = 0.0; var hm = 0.0; var m = 1L
+          while (m <= nTot - 2) {
+            hm += 1.0 / m
+            gSum += (hh - hm) / (nTot - m)
+            m += 1
+          }
+          (hh, gSum)
+        } else (math.log(nTot - 1.0) + 0.5772156649015329,
+          math.Pi * math.Pi / 6.0)
+      val k = 2.0
+      val hCap = 1.0 / na + 1.0 / nb
+      val av = (4.0 * gg - 6.0) * (k - 1.0) + (10.0 - 6.0 * gg) * hCap
+      val bv = (2.0 * gg - 4.0) * k * k + 8.0 * h * k +
+        (2.0 * gg - 14.0 * h - 4.0) * hCap - 8.0 * h + 4.0 * gg - 6.0
+      val cv = (6.0 * h + 2.0 * gg - 2.0) * k * k +
+        (4.0 * h - 4.0 * gg + 6.0) * k + (2.0 * h - 6.0) * hCap + 4.0 * h
+      val dv = (2.0 * h + 6.0) * k * k - 4.0 * h * k
+      val sigma = math.sqrt(
+        (av * nD * nD * nD + bv * nD * nD + cv * nD + dv) /
+          ((nD - 1.0) * (nD - 2.0) * (nD - 3.0)))
+      val a2r = math.rint(a2 * 1e6) / 1e6
+      val sr = math.rint(sigma * 1e6) / 1e6
+      val tr = math.rint((a2r - (k - 1.0)) / sr * 1e6) / 1e6
+      Seq((a2r, sr, tr, na, nb))
+        .toDF("ad_stat", "sigma", "t_stat", "n_a", "n_b")
+    } finally sorted.unpersist(blocking = false)
+  }
+
   /** Chi-squared homogeneity test of two categorical PMFs: over the
     * union support, X² = Σ_cells Σ_{g∈{a,b}} (O_gc − E_gc)²/E_gc with
     * E_gc = n_g·c_c/N, df = cells − 1, p = Q(df/2, X²/2) (regularized

@@ -3672,6 +3672,85 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(rt.getAs[Double]("sen_slope") - 0.5) < 1e-12)
   }
 
+  test("adTwoSample matches the hand-computed example and is rank-invariant") {
+    import spark.implicits._
+    // A = {1,2}, B = {3,4}: A² = 19/11, σ² = 2/9 (hand-derived: every
+    // block has l=1, B = F+.5; ΣA = ΣB = 76/33; h = 11/6, g = 4/9,
+    // H = 1 → σ² = (aN³+bN²+cN+d)/6 = 2/9)
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
+      .toDF("cohort", "v")
+    val r = StatTests.adTwoSample(df, "cohort", "v").head()
+    val a2 = math.rint(19.0 / 11.0 * 1e6) / 1e6
+    val sg = math.rint(math.sqrt(2.0 / 9.0) * 1e6) / 1e6
+    assert(r.getAs[Double]("ad_stat") == a2)
+    assert(r.getAs[Double]("sigma") == sg)
+    assert(r.getAs[Double]("t_stat") ==
+      math.rint((a2 - 1.0) / sg * 1e6) / 1e6)
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    // rank statistic: invariant under any monotone transform
+    val base = Seq.tabulate(40)(i =>
+      (if (i % 2 == 0) "a" else "b", (i * 7 % 23).toDouble))
+    val t1 = StatTests.adTwoSample(base.toDF("cohort", "v"), "cohort", "v")
+      .head().getAs[Double]("ad_stat")
+    val t2 = StatTests.adTwoSample(
+      base.map { case (c, v) => (c, math.exp(v / 10.0)) }.toDF("cohort", "v"),
+      "cohort", "v").head().getAs[Double]("ad_stat")
+    assert(t1 == t2)
+    // identical samples → A² well below the 5% critical T
+    val same = Seq.tabulate(20)(i => ("a", (i % 5).toDouble)) ++
+      Seq.tabulate(20)(i => ("b", (i % 5).toDouble))
+    val rs = StatTests.adTwoSample(same.toDF("cohort", "v"), "cohort", "v")
+      .head()
+    assert(rs.getAs[Double]("t_stat") < 1.96)
+  }
+
+  test("ljungBoxByKey matches the hand-computed trend example") {
+    import spark.implicits._
+    // x = 1..6: acf_1 = .5, acf_2 = 1/17.5; Q = 48(r1²/5 + r2²/4)
+    val df = Seq.tabulate(6)(i => ("k", i.toLong, (i + 1).toDouble))
+      .toDF("key", "ts", "v")
+    val r = Features.ljungBoxByKey(df, "key", "ts", "v", maxLag = 2).head()
+    assert(r.getAs[Double]("acf_1") == 0.5)
+    val r2 = math.rint(1.0 / 17.5 * 1e6) / 1e6
+    assert(r.getAs[Double]("acf_2") == r2)
+    val lb = math.rint(48.0 * (0.5 * 0.5 / 5.0 + r2 * r2 / 4.0) * 1e6) / 1e6
+    assert(r.getAs[Double]("lb_stat") == lb)
+    assert(r.getAs[Long]("dof") == 2L)
+    assert(r.getAs[Double]("p_value") ==
+      math.rint(graft.functions.SpecialMath.gammaIncC(1.0, lb / 2.0) * 1e6) / 1e6)
+    // white-ish alternating series: Q small and p large at lag 1
+    val flat = Seq.tabulate(40)(i =>
+      ("w", i.toLong, if (i % 2 == 0) 1.0 else 2.0))
+    val rw = Features.ljungBoxByKey(flat.toDF("key", "ts", "v"),
+      "key", "ts", "v", maxLag = 2).head()
+    assert(rw.getAs[Double]("acf_1") < 0.0) // alternation = negative acf
+  }
+
+  test("breslowDay separates homogeneous from heterogeneous strata") {
+    import spark.implicits._
+    def stratum(s: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((s, "a", true)) ++ Seq.fill(b)((s, "a", false)) ++
+        Seq.fill(c)((s, "b", true)) ++ Seq.fill(d)((s, "b", false))
+    // equal ORs (both 4.0) → BD ≈ 0, p large
+    val hom = (stratum("s1", 20, 10, 10, 20) ++
+      stratum("s2", 40, 20, 20, 40)).toDF("st", "cohort", "y")
+    val rh = Experiments.breslowDay(hom, "cohort", "y", Seq("st")).head()
+    assert(rh.getAs[Double]("bd_stat") < 1e-6)
+    assert(rh.getAs[Double]("p_value") > 0.99)
+    assert(rh.getAs[Long]("dof") == 1L && rh.getAs[Long]("n_strata") == 2L)
+    // or_mh agrees with the mantelHaenszel operator on the same frame
+    val mh = Experiments.mantelHaenszel(hom, "cohort", "y", Seq("st")).head()
+    assert(rh.getAs[Double]("or_mh") == mh.getAs[Double]("or_mh"))
+    // OR 1 vs OR 16 → BD rejects at 5% (χ²(1) crit 3.84)
+    val het = (stratum("h1", 10, 10, 10, 10) ++
+      stratum("h2", 20, 5, 5, 20)).toDF("st", "cohort", "y")
+    val rt = Experiments.breslowDay(het, "cohort", "y", Seq("st")).head()
+    assert(rt.getAs[Double]("bd_stat") > 3.84)
+    assert(rt.getAs[Double]("p_value") < 0.05)
+    assert(rt.getAs[Double]("bd_tarone") <= rt.getAs[Double]("bd_stat"))
+    assert(rt.getAs[Double]("bd_tarone") > 3.84)
+  }
+
   test("naive Bayes classifies the two-language toy corpus") {
     import spark.implicits._
     val train = Seq((1L, "the cat", "en"), (2L, "the dog", "en"),
