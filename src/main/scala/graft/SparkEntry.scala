@@ -2574,6 +2574,45 @@ object SparkEntry {
       TextOps.distinctiveTerms(docs(s, dir), "doc_id", "text", "lang",
           alpha = 0.01, k = 5)
         .orderBy("group", "rank")),
+    "q_ipf" -> ((s, dir) =>
+      // rake the (return flag x line status) cell table to a target
+      // training mix: 3 IPF rounds over the 6-cell frame — the data
+      // is touched ONCE; DuckDB replays the whole trajectory as
+      // chained window CTEs
+      Weighting.ipfWeights(li(s, dir), "l_returnflag", "l_linestatus",
+          Seq(("A", 0.3), ("N", 0.5), ("R", 0.2)),
+          Seq(("F", 0.5), ("O", 0.5)), iters = 3)
+        .orderBy("l_returnflag", "l_linestatus")),
+    "q_gamma_glm" -> ((s, dir) => {
+      // gamma GLM (log link) of price on discount, 3 Fisher-scoring
+      // steps from ln ybar: the Gram is CONSTANT under this link so
+      // each step is only the 2 gradient sums; DuckDB replays every
+      // step (q_poisson_glm pattern with the Gram hoisted)
+      import s.implicits._
+      val df = li(s, dir).select(F.col("l_extendedprice").as("y"),
+        F.col("l_discount").as("x"))
+      val m = Regression.gammaIrls(df, "y", Seq("x"), iters = 3)
+      Seq((math.rint(m.beta(0) * 1e6) / 1e6,
+        math.rint(m.beta(1) * 1e6) / 1e6,
+        math.rint(m.deviance * 100.0) / 100.0,
+        math.rint(m.dispersion * 1e6) / 1e6, m.n))
+        .toDF("b0_r", "b1_r", "dev_r", "disp_r", "n")
+    }),
+    "q_by_adjust" -> ((s, dir) => {
+      // Benjamini-Yekutieli over the q_drift_fdr p family — the
+      // dependence-robust FDR: q_BY = min(1, c(m) q_BH) exactly, so
+      // the BH machinery runs once and the harmonic scalar rides on
+      // top; reject reported at the 6-rounded q for engine parity
+      val gof = StatTests.chiSquareGofByGroup(
+        events(s, dir).select(F.col("event_type"),
+          (F.col("user_id") % 7).as("cell")),
+        Seq("event_type"), "cell")
+      StatTests.byAdjust(gof, "p_value", alpha = 0.05)
+        .select(F.col("event_type"), F.col("p_value"), F.col("by_rank"),
+          F.round(F.col("q_value_by"), 6).as("q_by"),
+          (F.round(F.col("q_value_by"), 6) <= 0.05).as("reject_r"))
+        .orderBy("event_type")
+    }),
     "q_ljung_box" -> ((s, dir) =>
       // whiteness test per event type: Ljung-Box Q over the 6-rounded
       // acf_1..4 — Q is a pure function of an already-deterministic
@@ -9119,6 +9158,112 @@ object SparkEntry {
         |  round(${codyErfcSql("y")}, 6) AS p_value,
         |  round(sen_slope, 6) AS sen_slope
         |FROM ye ORDER BY event_type""".stripMargin,
+    // IPF replay: the exact cell/total shares, then each raking round
+    // as a chained pair of partitioned window rescalings.
+    "q_ipf" ->
+      """WITH cells AS (SELECT l_returnflag AS r, l_linestatus AS c,
+        |    CAST(count(*) AS BIGINT) AS n FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        |  GROUP BY r, c),
+        |tr(rv, tr) AS (VALUES ('A', 0.3), ('N', 0.5), ('R', 0.2)),
+        |tc(cv, tc) AS (VALUES ('F', 0.5), ('O', 0.5)),
+        |j AS (SELECT cells.r, cells.c, cells.n, tr.tr, tc.tc
+        |  FROM cells JOIN tr ON cells.r = tr.rv
+        |    JOIN tc ON cells.c = tc.cv),
+        |p0 AS (SELECT r, c, n, tr, tc,
+        |    CAST(n AS DOUBLE) / sum(n) OVER () AS p, 1.0 AS w FROM j),
+        |r1 AS (SELECT r, c, n, tr, tc, p,
+        |    w * tr / sum(p * w) OVER (PARTITION BY r) AS w FROM p0),
+        |c1 AS (SELECT r, c, n, tr, tc, p,
+        |    w * tc / sum(p * w) OVER (PARTITION BY c) AS w FROM r1),
+        |r2 AS (SELECT r, c, n, tr, tc, p,
+        |    w * tr / sum(p * w) OVER (PARTITION BY r) AS w FROM c1),
+        |c2 AS (SELECT r, c, n, tr, tc, p,
+        |    w * tc / sum(p * w) OVER (PARTITION BY c) AS w FROM r2),
+        |r3 AS (SELECT r, c, n, tr, tc, p,
+        |    w * tr / sum(p * w) OVER (PARTITION BY r) AS w FROM c2),
+        |c3 AS (SELECT r, c, n, tr, tc, p,
+        |    w * tc / sum(p * w) OVER (PARTITION BY c) AS w FROM r3)
+        |SELECT r AS l_returnflag, c AS l_linestatus, n,
+        |  round(w, 6) AS weight
+        |FROM c3 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // Gamma GLM replay: constant Gram hoisted once, each Fisher step
+    // only the two gradient sums, closed 2x2 solve per step.
+    "q_gamma_glm" ->
+      """WITH base AS (SELECT CAST(l_extendedprice AS DOUBLE) AS y,
+        |    CAST(l_discount AS DOUBLE) AS x
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE))
+        |    AND CAST(l_extendedprice AS DOUBLE) > 0.0),
+        |gram AS (SELECT sum(1.0) AS h00, sum(x) AS h01,
+        |    sum(x * x) AS h11, ln(avg(y)) AS b0i,
+        |    count(*) AS n FROM base),
+        |s1 AS (SELECT sum(y / exp(g.b0i) - 1.0) AS g0,
+        |    sum((y / exp(g.b0i) - 1.0) * x) AS g1
+        |  FROM base CROSS JOIN gram g),
+        |b1 AS (SELECT
+        |    b0i + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+        |    (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1,
+        |    h00, h01, h11, n FROM gram, s1),
+        |s2 AS (SELECT sum(y / exp(b.b0 + b.b1 * x) - 1.0) AS g0,
+        |    sum((y / exp(b.b0 + b.b1 * x) - 1.0) * x) AS g1
+        |  FROM base CROSS JOIN b1 b),
+        |b2 AS (SELECT
+        |    b0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+        |    b1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1,
+        |    h00, h01, h11, n FROM b1, s2),
+        |s3 AS (SELECT sum(y / exp(b.b0 + b.b1 * x) - 1.0) AS g0,
+        |    sum((y / exp(b.b0 + b.b1 * x) - 1.0) * x) AS g1
+        |  FROM base CROSS JOIN b2 b),
+        |b3 AS (SELECT
+        |    b0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+        |    b1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1,
+        |    n FROM b2, s3),
+        |fin AS (SELECT sum(2.0 * (-ln(y / mu) + (y - mu) / mu)) AS dev,
+        |    sum(((y - mu) / mu) * ((y - mu) / mu)) AS pearson
+        |  FROM (SELECT y, exp(b.b0 + b.b1 * x) AS mu
+        |    FROM base CROSS JOIN b3 b))
+        |SELECT round_even(b3.b0 * 1e6, 0) / 1e6 AS b0_r,
+        |  round_even(b3.b1 * 1e6, 0) / 1e6 AS b1_r,
+        |  round_even(fin.dev * 100.0, 0) / 100.0 AS dev_r,
+        |  round_even(fin.pearson / (b3.n - 2) * 1e6, 0) / 1e6 AS disp_r,
+        |  b3.n AS n
+        |FROM b3, fin""".stripMargin,
+    // BY replay: the q_drift_fdr machinery times the harmonic c(m).
+    "q_by_adjust" ->
+      """WITH c AS (SELECT event_type, user_id % 7 AS v FROM events),
+        |cells AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS o
+        |  FROM c GROUP BY event_type, v),
+        |g AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS kg,
+        |    CAST(sum(o * o) AS BIGINT) AS ssq
+        |  FROM cells GROUP BY event_type),
+        |x AS (SELECT event_type,
+        |    round(ssq / (CAST(n AS DOUBLE) / 7.0) - 2.0 * n
+        |      + kg * (CAST(n AS DOUBLE) / 7.0)
+        |      + (7.0 - kg) * (CAST(n AS DOUBLE) / 7.0), 6) AS chi2,
+        |    n FROM g),
+        |p AS (SELECT event_type, chi2,
+        |    round_even((SELECT sum(exp(-x.chi2 / 2.0
+        |        + s.j * ln(x.chi2 / 2.0) - lgamma(s.j + 1.0)))
+        |      FROM generate_series(0, 49) s(j) WHERE s.j < 3)
+        |      * 1000000.0, 0) / 1000000.0 AS p_value FROM x),
+        |cm AS (SELECT sum(1.0 / i) AS c FROM generate_series(1, 4000000)
+        |  t(i) WHERE i <= (SELECT count(*) FROM p)),
+        |f AS (SELECT event_type, chi2, p_value,
+        |    CAST(count(*) OVER (ORDER BY p_value RANGE BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER () AS BIGINT) AS m FROM p),
+        |q AS (SELECT event_type, chi2, p_value, rk,
+        |    least(1.0, min(CAST(m AS DOUBLE) * p_value / rk)
+        |      OVER (ORDER BY p_value ROWS BETWEEN CURRENT ROW
+        |        AND UNBOUNDED FOLLOWING)) AS qv FROM f)
+        |SELECT event_type, p_value, rk AS by_rank,
+        |  round(least(1.0, qv * cm.c), 6) AS q_by,
+        |  round(least(1.0, qv * cm.c), 6) <= 0.05 AS reject_r
+        |FROM q, cm ORDER BY event_type""".stripMargin,
     // Ljung-Box replay: the q_acf construction at 4 lags, Q from the
     // ROUNDED acf values, p = exp(-Q/2)(1 + Q/2) — the closed chi2(4)
     // upper tail — round_even'd like the Scala rint.

@@ -827,6 +827,38 @@ object StatTests {
     } finally sorted.unpersist(blocking = false)
   }
 
+  /** Benjamini–Yekutieli FDR adjustment — [[bhAdjust]] made valid
+    * under ARBITRARY dependence between the tests (BH's guarantee
+    * needs independence or PRDS; per-group tests sharing a pooled
+    * baseline, overlapping windows, or nested segments violate it).
+    * BY inflates the BH threshold by the harmonic number
+    * c(m) = Σ_{i≤m} 1/i, and since the right-to-left running minimum
+    * commutes with a positive constant,
+    *
+    *   q_BY = min(1, c(m) · q_BH)
+    *
+    * exactly — so this runs the full [[bhAdjust]] prefix-sum
+    * machinery once and applies the scalar (c(m) itself is an O(m)
+    * driver scalar loop: milliseconds at m = 10⁶; the data is never
+    * touched a second time).
+    *
+    * @return `df` + (by_rank, q_value_by, reject_by) — null p rows
+    *         get null adjustments and reject_by = false */
+  def byAdjust(df: DataFrame, pCol: String, alpha: Double = 0.05): DataFrame = {
+    val m = df.select(F.col(pCol).cast("double").as("__p"))
+      .where(F.col("__p").isNotNull && !F.isnan(F.col("__p")))
+      .count()
+    var cm = 0.0; var i = 1L
+    while (i <= m) { cm += 1.0 / i; i += 1 }
+    bhAdjust(df, pCol, alpha)
+      .withColumn("by_rank", F.col("bh_rank"))
+      .withColumn("q_value_by",
+        F.least(F.lit(1.0), F.col("q_value") * cm))
+      .withColumn("reject_by",
+        F.coalesce(F.col("q_value_by") <= F.lit(alpha), F.lit(false)))
+      .drop("bh_rank", "q_value", "reject")
+  }
+
   /** Brown–Forsythe test for equal variances across factor levels —
     * the assumption check [[anovaByGroup]] silently leans on, and the
     * robust (median-centered) form of Levene's test: F of the one-way

@@ -3672,6 +3672,68 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(rt.getAs[Double]("sen_slope") - 0.5) < 1e-12)
   }
 
+  test("ipfWeights rakes the 2x2 to both margins and pins round 1") {
+    import spark.implicits._
+    // cells 30/10/10/50, both margins targeted 50/50
+    val df = (Seq.fill(30)(("r1", "c1")) ++ Seq.fill(10)(("r1", "c2")) ++
+      Seq.fill(10)(("r2", "c1")) ++ Seq.fill(50)(("r2", "c2")))
+      .toDF("r", "c")
+    val t = Seq(("r1", 0.5), ("r2", 0.5))
+    val u = Seq(("c1", 0.5), ("c2", 0.5))
+    // one round, hand-computed: row scale 1.25/.83333, then col scale
+    val w1 = Weighting.ipfWeights(df, "r", "c", t, u, iters = 1)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        x.getAs[Double]("weight")).toMap
+    assert(w1(("r1", "c1")) == 1.363636)
+    assert(w1(("r1", "c2")) == 1.153846)
+    assert(w1(("r2", "c1")) == 0.909091)
+    assert(w1(("r2", "c2")) == 0.769231)
+    // eight rounds: achieved margins within 1e-4 of the targets
+    val w8 = Weighting.ipfWeights(df, "r", "c", t, u, iters = 8)
+    val rows = w8.collect().map(x => ((x.getString(0), x.getString(1)),
+      x.getAs[Long]("n"), x.getAs[Double]("weight")))
+    assert(rows.map(_._2).sum == 100L)
+    def margin(f: ((String, String)) => String, v: String) =
+      rows.filter(r => f(r._1) == v).map(r => r._2 / 100.0 * r._3).sum
+    assert(math.abs(margin(_._1, "r1") - 0.5) < 1e-4)
+    assert(math.abs(margin(_._1, "r2") - 0.5) < 1e-4)
+    assert(math.abs(margin(_._2, "c1") - 0.5) < 1e-4)
+    assert(math.abs(margin(_._2, "c2") - 0.5) < 1e-4)
+  }
+
+  test("gammaIrls recovers an exact log-linear mean") {
+    import spark.implicits._
+    val df = Seq.tabulate(64)(i => {
+      val x = (i % 8).toDouble
+      (math.exp(1.0 + 0.5 * x), x)
+    }).toDF("y", "x")
+    val m = Regression.gammaIrls(df, "y", Seq("x"), iters = 8)
+    assert(math.abs(m.beta(0) - 1.0) < 1e-6)
+    assert(math.abs(m.beta(1) - 0.5) < 1e-6)
+    assert(m.deviance.abs < 1e-9 && m.dispersion.abs < 1e-9)
+    assert(m.n == 64L && m.iterations == 8)
+    // predictMean reproduces y on the training frame
+    val err = df.select(F.max(F.abs(m.predictMean - F.col("y"))))
+      .head().getDouble(0)
+    assert(err < 1e-6)
+  }
+
+  test("byAdjust equals min(1, c(m) * BH) on the pinned ladder") {
+    import spark.implicits._
+    // p = .01 .02 .04 .2 -> BH q = .04 .04 .053333 .2, c(4) = 25/12
+    val df = Seq(0.01, 0.02, 0.04, 0.2).toDF("p")
+    val r = StatTests.byAdjust(df, "p", alpha = 0.1)
+      .collect().map(x => x.getAs[Double]("p") ->
+        (x.getAs[Double]("q_value_by"), x.getAs[Boolean]("reject_by")))
+      .toMap
+    val c4 = 1.0 + 0.5 + 1.0 / 3.0 + 0.25
+    assert(math.abs(r(0.01)._1 - 0.04 * c4) < 1e-12 && r(0.01)._2)
+    assert(math.abs(r(0.02)._1 - 0.04 * c4) < 1e-12 && r(0.02)._2)
+    assert(math.abs(r(0.04)._1 - 4.0 * 0.04 / 3.0 * c4) < 1e-12)
+    assert(!r(0.04)._2 && !r(0.2)._2)
+    assert(math.abs(r(0.2)._1 - 0.2 * c4) < 1e-12)
+  }
+
   test("adTwoSample matches the hand-computed example and is rank-invariant") {
     import spark.implicits._
     // A = {1,2}, B = {3,4}: A² = 19/11, σ² = 2/9 (hand-derived: every
