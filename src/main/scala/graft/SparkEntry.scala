@@ -2574,6 +2574,33 @@ object SparkEntry {
       TextOps.distinctiveTerms(docs(s, dir), "doc_id", "text", "lang",
           alpha = 0.01, k = 5)
         .orderBy("group", "rank")),
+    "q_ks_separation" -> ((s, dir) =>
+      // credit-scoring KS per line status: the peak ECDF gap of price
+      // between returned and kept rows — argmax decided on the exact
+      // integer cross-product, so the located threshold replays
+      Evaluation.ksSeparation(
+        li(s, dir).select(F.col("l_linestatus"),
+          (F.col("l_returnflag") === "R").as("y"),
+          F.col("l_extendedprice")),
+        "y", "l_extendedprice", Seq("l_linestatus"))
+        .orderBy("l_linestatus")),
+    "q_woe" -> ((s, dir) =>
+      // WoE/IV of the decile-ish quantity bin against the returned
+      // flag — exact integer shares, ln the only transcendental
+      Evaluation.woeTable(
+        li(s, dir).select(F.floor(F.col("l_quantity") / 10).as("bin"),
+          (F.col("l_returnflag") === "R").as("y")),
+        "bin", "y")
+        .orderBy("bin")),
+    "q_split_gains" -> ((s, dir) =>
+      // decision-stump scan over two stacked features: top-5 gini
+      // cuts per feature, the whole rank-limited candidate table
+      // (deterministic — no bare argmax)
+      Evaluation.splitGains(
+        li(s, dir).select(F.col("l_quantity"), F.col("l_discount"),
+          (F.col("l_returnflag") === "R").as("y")),
+        Seq("l_quantity", "l_discount"), "y", topK = 5)
+        .orderBy("feature", "rank")),
     "q_ipf" -> ((s, dir) =>
       // rake the (return flag x line status) cell table to a target
       // training mix: 3 IPF rounds over the 6-cell frame — the data
@@ -9158,6 +9185,124 @@ object SparkEntry {
         |  round(${codyErfcSql("y")}, 6) AS p_value,
         |  round(sen_slope, 6) AS sen_slope
         |FROM ye ORDER BY event_type""".stripMargin,
+    // KS replay: distinct-score cells, partitioned cumulative counts,
+    // the integer gap numerator, rank over (num desc, score asc).
+    "q_ks_separation" ->
+      """WITH c AS (SELECT l_linestatus AS g,
+        |    CAST(l_extendedprice AS DOUBLE) AS v,
+        |    (l_returnflag = 'R') AS y FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        |    AND l_linestatus IS NOT NULL),
+        |cells AS (SELECT g, v,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS cn
+        |  FROM c GROUP BY g, v),
+        |w AS (SELECT g, v,
+        |    CAST(sum(cp) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
+        |    CAST(sum(cn) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fn,
+        |    CAST(sum(cp) OVER (PARTITION BY g) AS BIGINT) AS np,
+        |    CAST(sum(cn) OVER (PARTITION BY g) AS BIGINT) AS nn
+        |  FROM cells),
+        |num AS (SELECT g, v, np, nn, abs(fp * nn - fn * np) AS num
+        |  FROM w WHERE np > 0 AND nn > 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY g
+        |    ORDER BY num DESC, v ASC) AS rk FROM num)
+        |SELECT g AS l_linestatus,
+        |  round(CAST(num AS DOUBLE) / (CAST(np AS DOUBLE) * nn), 6)
+        |    AS ks,
+        |  v AS ks_score, np AS n_pos, nn AS n_neg
+        |FROM r WHERE rk = 1 ORDER BY l_linestatus""".stripMargin,
+    // WoE replay: exact bin shares, the 0.5 zero-cell substitution,
+    // one window total for IV.
+    "q_woe" ->
+      """WITH c AS (SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS bin,
+        |    (l_returnflag = 'R') AS y FROM lineitem
+        |  WHERE l_quantity IS NOT NULL),
+        |cells AS (SELECT bin,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+        |  FROM c GROUP BY bin),
+        |w AS (SELECT bin, n_pos, n_neg,
+        |    CAST(sum(n_pos) OVER () AS BIGINT) AS tp,
+        |    CAST(sum(n_neg) OVER () AS BIGINT) AS tn,
+        |    CASE WHEN n_pos = 0 THEN 0.5
+        |      ELSE CAST(n_pos AS DOUBLE) END AS pa,
+        |    CASE WHEN n_neg = 0 THEN 0.5
+        |      ELSE CAST(n_neg AS DOUBLE) END AS na
+        |  FROM cells),
+        |x AS (SELECT bin, n_pos, n_neg, tp, tn,
+        |    round(CAST(n_pos AS DOUBLE) / tp, 6) AS pos_share,
+        |    round(CAST(n_neg AS DOUBLE) / tn, 6) AS neg_share,
+        |    round(ln((pa / tp) / (na / tn)), 6) AS woe,
+        |    round((pa / tp - na / tn) * ln((pa / tp) / (na / tn)), 6)
+        |      AS iv_term,
+        |    round(sum((pa / tp - na / tn)
+        |      * ln((pa / tp) / (na / tn))) OVER (), 6) AS iv_total
+        |  FROM w WHERE tp > 0 AND tn > 0)
+        |SELECT bin, n_pos, n_neg, pos_share, neg_share, woe, iv_term,
+        |  iv_total FROM x ORDER BY bin""".stripMargin,
+    // Split-gain replay: stacked features, cumulative cells, the
+    // identical gini-gain expression, rank over the rounded gain.
+    "q_split_gains" ->
+      """WITH s AS (
+        |  SELECT 'l_quantity' AS feature,
+        |      CAST(l_quantity AS DOUBLE) AS v,
+        |      CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |    FROM lineitem WHERE l_quantity IS NOT NULL
+        |      AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |  UNION ALL
+        |  SELECT 'l_discount' AS feature,
+        |      CAST(l_discount AS DOUBLE) AS v,
+        |      CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |    FROM lineitem WHERE l_discount IS NOT NULL
+        |      AND NOT isnan(CAST(l_discount AS DOUBLE))),
+        |cells AS (SELECT feature, v, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(y) AS BIGINT) AS p
+        |  FROM s GROUP BY feature, v),
+        |w AS (SELECT feature, v,
+        |    CAST(sum(c) OVER (PARTITION BY feature ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n_left,
+        |    CAST(sum(p) OVER (PARTITION BY feature ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS pos_left,
+        |    CAST(sum(c) OVER (PARTITION BY feature) AS BIGINT) AS n,
+        |    CAST(sum(p) OVER (PARTITION BY feature) AS BIGINT) AS tp
+        |  FROM cells),
+        |gq AS (SELECT feature, v, n_left, pos_left, n, tp,
+        |    round((1.0 - (CAST(tp AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(tp AS DOUBLE) / CAST(n AS DOUBLE))
+        |      - ((CAST(n AS DOUBLE) - tp) / CAST(n AS DOUBLE))
+        |        * ((CAST(n AS DOUBLE) - tp) / CAST(n AS DOUBLE)))
+        |      - (CAST(n_left AS DOUBLE)
+        |        * (1.0 - (CAST(pos_left AS DOUBLE)
+        |            / CAST(n_left AS DOUBLE))
+        |          * (CAST(pos_left AS DOUBLE) / CAST(n_left AS DOUBLE))
+        |          - ((CAST(n_left AS DOUBLE) - pos_left)
+        |            / CAST(n_left AS DOUBLE))
+        |          * ((CAST(n_left AS DOUBLE) - pos_left)
+        |            / CAST(n_left AS DOUBLE)))
+        |      + (CAST(n AS DOUBLE) - n_left)
+        |        * (1.0 - ((CAST(tp AS DOUBLE) - pos_left)
+        |            / (CAST(n AS DOUBLE) - n_left))
+        |          * ((CAST(tp AS DOUBLE) - pos_left)
+        |            / (CAST(n AS DOUBLE) - n_left))
+        |          - (((CAST(n AS DOUBLE) - n_left)
+        |              - (CAST(tp AS DOUBLE) - pos_left))
+        |            / (CAST(n AS DOUBLE) - n_left))
+        |          * (((CAST(n AS DOUBLE) - n_left)
+        |              - (CAST(tp AS DOUBLE) - pos_left))
+        |            / (CAST(n AS DOUBLE) - n_left))))
+        |      / CAST(n AS DOUBLE), 6) AS gain
+        |  FROM w WHERE n_left < n),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY feature
+        |    ORDER BY gain DESC, v ASC) AS BIGINT) AS rank FROM gq)
+        |SELECT feature, v AS threshold, n_left, n - n_left AS n_right,
+        |  pos_left, tp - pos_left AS pos_right, gain, rank
+        |FROM r WHERE rank <= 5 ORDER BY feature, rank""".stripMargin,
     // IPF replay: the exact cell/total shares, then each raking round
     // as a chained pair of partitioned window rescalings.
     "q_ipf" ->

@@ -13,6 +13,169 @@ import graft.functions.SpecialMath
   */
 object Evaluation {
 
+  /** Kolmogorov–Smirnov separation of a score against a binary label —
+    * the credit-scoring "KS": max_v |F⁺(v) − F⁻(v)|, the single best
+    * cut's captured separation (AUC integrates ranking quality; KS
+    * reports the PEAK, which is what a hard threshold actually gets).
+    *
+    * The argmax is decided on the EXACT integer cross-product
+    * |cp·n⁻ − cn·n⁺| (equal to the ECDF gap times n⁺n⁻), so the
+    * located threshold is deterministic on any engine — ties take the
+    * smallest score. One (group, score) aggregation + group-
+    * partitioned cumulative windows; group cardinality bounds the
+    * window partitions, scores bound their width.
+    *
+    * @param labelCol boolean-ish: true = positive
+    * @return one row per group: (groupCols..., ks, ks_score, n_pos,
+    *         n_neg) with ks = gap at the argmax rounded to 6 */
+  def ksSeparation(df: DataFrame, labelCol: String, scoreCol: String,
+                   groupCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = F.col(scoreCol).cast("double")
+    val y = F.col(labelCol).cast("boolean")
+    val g = groupCols.map(F.col)
+    val scope = if (groupCols.isEmpty) Seq(F.lit("all").as("scope")) else g
+    val cells = df
+      .where(s.isNotNull && !F.isnan(s) && y.isNotNull &&
+        groupCols.map(F.col(_).isNotNull).foldLeft(F.lit(true))(_ && _))
+      .groupBy(scope :+ s.as("__v"): _*)
+      .agg(F.sum(F.when(y, 1L).otherwise(0L)).as("__cp"),
+        F.sum(F.when(!y, 1L).otherwise(0L)).as("__cn"))
+    val keys = if (groupCols.isEmpty) Seq(F.col("scope")) else g
+    val wOrd = Window.partitionBy(keys: _*).orderBy(F.col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys: _*)
+    val cum = cells
+      .withColumn("__fp", F.sum("__cp").over(wOrd))
+      .withColumn("__fn", F.sum("__cn").over(wOrd))
+      .withColumn("n_pos", F.sum("__cp").over(wAll))
+      .withColumn("n_neg", F.sum("__cn").over(wAll))
+      .where(F.col("n_pos") > 0L && F.col("n_neg") > 0L)
+      // exact integer gap numerator: |F⁺ − F⁻|·n⁺·n⁻
+      .withColumn("__num", F.abs(
+        F.col("__fp") * F.col("n_neg") - F.col("__fn") * F.col("n_pos")))
+    val wRank = Window.partitionBy(keys: _*)
+      .orderBy(F.col("__num").desc, F.col("__v").asc)
+    cum.withColumn("__r", F.row_number().over(wRank))
+      .where(F.col("__r") === 1)
+      .select(keys ++ Seq(
+        F.round(F.col("__num").cast("double") /
+          (F.col("n_pos").cast("double") * F.col("n_neg")), 6).as("ks"),
+        F.col("__v").as("ks_score"),
+        F.col("n_pos"), F.col("n_neg")): _*)
+  }
+
+  /** Weight-of-evidence / information-value table over a binned
+    * feature — the credit-scoring screening standard ("how much does
+    * this binned feature separate, bin by bin"); run it on
+    * [[Ranks.quantileBuckets]] output for continuous features.
+    *
+    *   WoE_b = ln( (pos_b/P) / (neg_b/N) ),
+    *   IV    = Σ_b (pos_b/P − neg_b/N) · WoE_b
+    *
+    * with the SAS-convention 0.5 substitution in a zero cell (totals
+    * stay raw). Every share is an exact integer ratio; ln is the only
+    * transcendental and both woe and iv round to 6 — replayable. ONE
+    * (bin) aggregation + a window over the bin frame.
+    *
+    * @param labelCol boolean-ish: true = positive/event
+    * @return one row per bin: (binCol, n_pos, n_neg, pos_share,
+    *         neg_share, woe, iv_term, iv_total) */
+  def woeTable(df: DataFrame, binCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val y = F.col(labelCol).cast("boolean")
+    val cells = df
+      .where(F.col(binCol).isNotNull && y.isNotNull)
+      .groupBy(F.col(binCol))
+      .agg(F.sum(F.when(y, 1L).otherwise(0L)).as("n_pos"),
+        F.sum(F.when(!y, 1L).otherwise(0L)).as("n_neg"))
+    val w = Window.partitionBy()
+    val tp = F.sum("n_pos").over(w)
+    val tn = F.sum("n_neg").over(w)
+    val posA = F.when(F.col("n_pos") === 0L, 0.5)
+      .otherwise(F.col("n_pos").cast("double"))
+    val negA = F.when(F.col("n_neg") === 0L, 0.5)
+      .otherwise(F.col("n_neg").cast("double"))
+    val woe = F.log((posA / tp) / (negA / tn))
+    val ivTerm = (posA / tp - negA / tn) * woe
+    cells
+      .withColumn("__tp", tp).withColumn("__tn", tn)
+      .withColumn("pos_share",
+        F.round(F.col("n_pos").cast("double") / tp, 6))
+      .withColumn("neg_share",
+        F.round(F.col("n_neg").cast("double") / tn, 6))
+      .withColumn("woe", F.round(woe, 6))
+      .withColumn("iv_term", F.round(ivTerm, 6))
+      .withColumn("iv_total",
+        F.round(F.sum(ivTerm).over(w), 6))
+      .where(F.col("__tp") > 0L && F.col("__tn") > 0L)
+      .drop("__tp", "__tn")
+  }
+
+  /** Decision-stump split scan: for each feature, the gini-impurity
+    * gain of every candidate threshold "x ≤ v" against a binary label
+    * — the screening pass behind supervised binning and stump/tree
+    * induction ("which features carry signal, and where does it cut").
+    * Intended for discrete or pre-quantized features (each feature's
+    * candidate count = its distinct values; quantize continuous
+    * columns first — [[Ranks.quantileBuckets]]).
+    *
+    *   gain(v) = gini(all) − [n_L·gini(L) + n_R·gini(R)]/n,
+    *   gini(S) = 1 − (pos_S/n_S)² − (neg_S/n_S)²
+    *
+    * Every count is exact; the gain is rounded to 6 and the whole
+    * candidate TABLE is emitted (rank-limited to `topK` per feature by
+    * (rounded gain desc, threshold asc)) — emitting the curve rather
+    * than a bare argmax keeps the result deterministic and lets the
+    * caller see near-optimal cuts. Features stack long-form, so
+    * one (feature, value) aggregation + feature-partitioned windows
+    * serve any number of features in one pass.
+    *
+    * @return top-k rows per feature: (feature, threshold, n_left,
+    *         n_right, pos_left, pos_right, gain, rank) */
+  def splitGains(df: DataFrame, featureCols: Seq[String],
+                 labelCol: String, topK: Int = 5): DataFrame = {
+    require(featureCols.nonEmpty, "need at least one feature")
+    require(topK >= 1, "need topK >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val y = F.col(labelCol).cast("boolean")
+    val stacked = featureCols.map { fc =>
+      val v = F.col(fc).cast("double")
+      df.where(v.isNotNull && !F.isnan(v) && y.isNotNull)
+        .select(F.lit(fc).as("feature"), v.as("__v"),
+          F.when(y, 1L).otherwise(0L).as("__y"))
+    }.reduce(_ unionAll _)
+    val cells = stacked.groupBy("feature", "__v")
+      .agg(F.count(F.lit(1)).as("__c"), F.sum("__y").as("__p"))
+    val wOrd = Window.partitionBy("feature").orderBy(F.col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("feature")
+    val withCum = cells
+      .withColumn("n_left", F.sum("__c").over(wOrd))
+      .withColumn("pos_left", F.sum("__p").over(wOrd))
+      .withColumn("__n", F.sum("__c").over(wAll))
+      .withColumn("__tp", F.sum("__p").over(wAll))
+      .where(F.col("n_left") < F.col("__n")) // x <= max splits nothing
+    val nL = F.col("n_left").cast("double")
+    val nR = (F.col("__n") - F.col("n_left")).cast("double")
+    val pL = F.col("pos_left").cast("double")
+    val pR = (F.col("__tp") - F.col("pos_left")).cast("double")
+    val n = F.col("__n").cast("double")
+    val tp = F.col("__tp").cast("double")
+    def gini(p: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+      F.lit(1.0) - (p / c) * (p / c) - ((c - p) / c) * ((c - p) / c)
+    val gain = gini(tp, n) - (nL * gini(pL, nL) + nR * gini(pR, nR)) / n
+    val scored = withCum.withColumn("gain", F.round(gain, 6))
+    val wRank = Window.partitionBy("feature")
+      .orderBy(F.col("gain").desc, F.col("__v").asc)
+    scored.withColumn("rank", F.row_number().over(wRank).cast("long"))
+      .where(F.col("rank") <= topK)
+      .select(F.col("feature"), F.col("__v").as("threshold"),
+        F.col("n_left"), (F.col("__n") - F.col("n_left")).as("n_right"),
+        F.col("pos_left"), (F.col("__tp") - F.col("pos_left")).as("pos_right"),
+        F.col("gain"), F.col("rank"))
+  }
+
   /** ROC AUC by the rank statistic (exactly the Mann–Whitney identity
     * AUC = U/(n⁺·n⁻), ties counted half): the probability a random
     * positive outscores a random negative. Computed like

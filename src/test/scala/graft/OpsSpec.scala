@@ -3672,6 +3672,56 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(rt.getAs[Double]("sen_slope") - 0.5) < 1e-12)
   }
 
+  test("ksSeparation finds the exact peak with integer-decided argmax") {
+    import spark.implicits._
+    // pos {3,4} vs neg {1,2}: perfect separation at score 2
+    val sep = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))
+      .toDF("s", "y")
+    val r = Evaluation.ksSeparation(sep, "y", "s").head()
+    assert(r.getAs[Double]("ks") == 1.0)
+    assert(r.getAs[Double]("ks_score") == 2.0)
+    // interleaved: gap peaks at 0.5, tie resolved to the SMALLEST score
+    val mix = Seq((1.0, true), (2.0, false), (3.0, true), (4.0, false))
+      .toDF("s", "y")
+    val rm = Evaluation.ksSeparation(mix, "y", "s").head()
+    assert(rm.getAs[Double]("ks") == 0.5)
+    assert(rm.getAs[Double]("ks_score") == 1.0)
+    assert(rm.getAs[Long]("n_pos") == 2L && rm.getAs[Long]("n_neg") == 2L)
+  }
+
+  test("woeTable applies the 0.5 zero-cell convention and sums IV") {
+    import spark.implicits._
+    val df = (Seq.fill(2)(("A", true)) ++ Seq.fill(2)(("A", false)) ++
+      Seq.fill(2)(("B", true))).toDF("bin", "y")
+    val r = Evaluation.woeTable(df, "bin", "y")
+      .collect().map(x => x.getAs[String]("bin") -> x).toMap
+    assert(math.abs(r("A").getAs[Double]("woe") + 0.693147) < 1e-6)
+    assert(math.abs(r("B").getAs[Double]("woe") - 0.693147) < 1e-6)
+    assert(math.abs(r("A").getAs[Double]("iv_term") - 0.346574) < 1e-6)
+    assert(math.abs(r("B").getAs[Double]("iv_term") - 0.173287) < 1e-6)
+    assert(r("A").getAs[Double]("iv_total") == r("B").getAs[Double]("iv_total"))
+    assert(math.abs(r("A").getAs[Double]("iv_total") - 0.51986) < 1e-6)
+    assert(r("B").getAs[Long]("n_neg") == 0L)
+  }
+
+  test("splitGains ranks the pure split first across stacked features") {
+    import spark.implicits._
+    // x: perfect split at 2 (gain = root gini = .5); z: uninformative
+    val df = Seq((1.0, 9.0, false), (2.0, 8.0, false),
+      (3.0, 9.0, true), (4.0, 8.0, true)).toDF("x", "z", "y")
+    val rows = Evaluation.splitGains(df, Seq("x", "z"), "y", topK = 3)
+      .collect().map(r => (r.getAs[String]("feature"),
+        r.getAs[Long]("rank")) -> r).toMap
+    val best = rows(("x", 1L))
+    assert(best.getAs[Double]("threshold") == 2.0)
+    assert(best.getAs[Double]("gain") == 0.5)
+    assert(best.getAs[Long]("n_left") == 2L && best.getAs[Long]("pos_left") == 0L)
+    assert(best.getAs[Long]("n_right") == 2L && best.getAs[Long]("pos_right") == 2L)
+    assert(rows(("x", 2L)).getAs[Double]("gain") == 0.166667)
+    // z = {8, 9} with one pos/neg each: zero gain at its single cut
+    assert(rows(("z", 1L)).getAs[Double]("gain") == 0.0)
+  }
+
   test("ipfWeights rakes the 2x2 to both margins and pins round 1") {
     import spark.implicits._
     // cells 30/10/10/50, both margins targeted 50/50
