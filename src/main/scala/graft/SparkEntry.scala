@@ -2945,12 +2945,16 @@ object SparkEntry {
     "q_levene" -> ((s, dir) =>
       // Brown-Forsythe variance homogeneity across return flags:
       // median-centered |z| ANOVA — the assumption check q_anova leans
-      // on; p rides the operator (unit-pinned), oracle replays F
+      // on; p rides the operator (unit-pinned), oracle replays F.
+      // The raw SS columns are dropped from the harness output: at
+      // price scale they are ~1e13, where a double sum's reduce-order
+      // wobble (~1e-2 absolute) exceeds any fixed-decimal rounding
+      // grain — the F RATIO is reduce-order-safe, the addends aren't
       StatTests.brownForsythe(
         li(s, dir).where(F.col("l_orderkey") < 100000),
         "l_returnflag", "l_extendedprice")
         .select(F.col("f_stat"), F.col("df1"), F.col("df2"),
-          F.col("ss_between"), F.col("ss_within"), F.col("n"))),
+          F.col("n"))),
     "q_jarque_bera" -> ((s, dir) =>
       // Jarque-Bera normality per line status on quantity: one raw-
       // moment aggregation, dof-2 survival is closed-form exp(-JB/2)
@@ -7792,9 +7796,7 @@ object SparkEntry {
         |    sum(s * s / cn) AS a, sum(ssq) AS t FROM cells)
         |SELECT round(((a - st * st / n) / (k - 1))
         |    / ((t - a) / (n - k)), 6) AS f_stat,
-        |  k - 1 AS df1, n - k AS df2,
-        |  round(a - st * st / n, 6) AS ss_between,
-        |  round(t - a, 6) AS ss_within, n
+        |  k - 1 AS df1, n - k AS df2, n
         |FROM agg WHERE k >= 2 AND n > k AND (t - a) > 0""".stripMargin,
     "q_jarque_bera" ->
       """WITH base AS (SELECT l_linestatus AS g,
