@@ -2574,6 +2574,28 @@ object SparkEntry {
       TextOps.distinctiveTerms(docs(s, dir), "doc_id", "text", "lang",
           alpha = 0.01, k = 5)
         .orderBy("group", "rank")),
+    "q_theils_u" -> ((s, dir) =>
+      // directed association: how much of language's entropy does
+      // source remove, and vice versa — both coefficients fold from
+      // ONE contingency frame
+      Evaluation.theilsU(docs(s, dir), "lang", "source")),
+    "q_holt" -> ((s, dir) =>
+      // Holt level+trend per event type over decimal-exact daily
+      // means: the recurrence is bit-reproducible, so DuckDB replays
+      // it step-for-step as a RECURSIVE CTE
+      Features.holtByKey(events(s, dir), "event_type", "ts", "value",
+          periodUnit = 86400000000000L, alpha = 0.3, beta = 0.1)
+        .orderBy("event_type", "period")),
+    "q_mahalanobis" -> ((s, dir) =>
+      // joint (quantity, price) outliers per line status: bivariate
+      // Mahalanobis against the closed-form chi2(2) cut, fully
+      // in-plan (det is magnitude-unsafe for hashing and stays
+      // operator-side; the d2 RATIO and exact counts replay)
+      Outliers.mahalanobis2ByGroup(li(s, dir), Seq("l_linestatus"),
+          "l_quantity", "l_extendedprice", alpha = 0.001)
+        .select(F.col("l_linestatus"), F.col("n"), F.col("n_flagged"),
+          F.col("flag_share"), F.col("max_d2"))
+        .orderBy("l_linestatus")),
     "q_ks_separation" -> ((s, dir) =>
       // credit-scoring KS per line status: the peak ECDF gap of price
       // between returned and kept rows — argmax decided on the exact
@@ -9187,6 +9209,103 @@ object SparkEntry {
         |  round(${codyErfcSql("y")}, 6) AS p_value,
         |  round(sen_slope, 6) AS sen_slope
         |FROM ye ORDER BY event_type""".stripMargin,
+    // Theil's U replay: one contingency frame, margin windows, the
+    // identical per-cell ln shapes for I, H(A), H(B).
+    "q_theils_u" ->
+      """WITH cells AS (SELECT CAST(lang AS VARCHAR) AS a,
+        |    CAST(source AS VARCHAR) AS b, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY a, b),
+        |w AS (SELECT a, b, n,
+        |    CAST(sum(n) OVER (PARTITION BY a) AS BIGINT) AS na,
+        |    CAST(sum(n) OVER (PARTITION BY b) AS BIGINT) AS nb,
+        |    CAST(sum(n) OVER () AS BIGINT) AS nt FROM cells),
+        |f AS (SELECT
+        |    sum((n / CAST(nt AS DOUBLE)) * ln((CAST(n AS DOUBLE)
+        |      * CAST(nt AS DOUBLE)) / (CAST(na AS DOUBLE) * nb)))
+        |      AS mi,
+        |    sum(-(n / CAST(nt AS DOUBLE))
+        |      * ln(na / CAST(nt AS DOUBLE))) AS ha,
+        |    sum(-(n / CAST(nt AS DOUBLE))
+        |      * ln(nb / CAST(nt AS DOUBLE))) AS hb,
+        |    CAST(max(nt) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT a) AS BIGINT) AS n_a,
+        |    CAST(count(DISTINCT b) AS BIGINT) AS n_b FROM w)
+        |SELECT round(mi, 6) AS mi, round(ha, 6) AS h_a,
+        |  round(hb, 6) AS h_b,
+        |  CASE WHEN ha > 0.0 THEN round(mi / ha, 6) END AS u_a_given_b,
+        |  CASE WHEN hb > 0.0 THEN round(mi / hb, 6) END AS u_b_given_a,
+        |  n, n_a, n_b FROM f""".stripMargin,
+    // Holt replay: decimal-exact daily means, then the recurrence as
+    // a recursive CTE — (1.0 - 0.3)/(1.0 - 0.1) are written as
+    // SUBTRACTIONS because 1.0-α and the literal 0.7 are DIFFERENT
+    // doubles; the trajectory must match the Scala arithmetic bit
+    // for bit.
+    "q_holt" ->
+      """WITH RECURSIVE e AS (SELECT event_type AS k, epoch_ns(ts) AS t,
+        |    CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |cells AS (SELECT k, t // 86400000000000 AS p,
+        |    CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+        |      AS mv
+        |  FROM e GROUP BY k, p),
+        |idx AS (SELECT k, p, mv, CAST(row_number() OVER (PARTITION BY k
+        |    ORDER BY p) AS BIGINT) AS i FROM cells),
+        |hw(k, i, p, mv, l, b) AS (
+        |  -- the seed MUST be CAST: a bare 0.0 is DECIMAL(2,1) and the
+        |  -- recursive column type truncates every later trend to one
+        |  -- decimal
+        |  SELECT k, i, p, mv, mv, CAST(0.0 AS DOUBLE) FROM idx
+        |  WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.k, idx.i, idx.p, idx.mv,
+        |    0.3 * idx.mv + (1.0 - 0.3) * (hw.l + hw.b),
+        |    0.1 * ((0.3 * idx.mv + (1.0 - 0.3) * (hw.l + hw.b)) - hw.l)
+        |      + (1.0 - 0.1) * hw.b
+        |  FROM hw JOIN idx ON idx.k = hw.k AND idx.i = hw.i + 1)
+        |SELECT k AS event_type, p AS period, round(mv, 6) AS v,
+        |  round(l, 6) AS level, round(b, 6) AS trend,
+        |  round(lag(l) OVER (PARTITION BY k ORDER BY i)
+        |    + lag(b) OVER (PARTITION BY k ORDER BY i), 6) AS fitted
+        |FROM hw ORDER BY event_type, period""".stripMargin,
+    // Mahalanobis replay: per-group raw moments, the explicit 2x2
+    // inverse as column arithmetic, the identical d2 shape, exact
+    // flag counts.
+    "q_mahalanobis" ->
+      """WITH base AS (SELECT l_linestatus AS g,
+        |    CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem
+        |  WHERE l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        |    AND l_linestatus IS NOT NULL),
+        |mom AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    avg(x) AS mx, avg(y) AS my,
+        |    sum(x * x) / count(*) AS sxx,
+        |    sum(y * y) / count(*) AS syy,
+        |    sum(x * y) / count(*) AS sxy
+        |  FROM base GROUP BY g),
+        |mv AS (SELECT g, n, mx, my,
+        |    sxx - mx * mx AS vx, syy - my * my AS vy,
+        |    sxy - mx * my AS cxy,
+        |    (sxx - mx * mx) * (syy - my * my)
+        |      - (sxy - mx * my) * (sxy - mx * my) AS det
+        |  FROM mom),
+        |ok AS (SELECT * FROM mv WHERE det > 0.0 AND n > 2),
+        |d AS (SELECT base.g AS g,
+        |    ((base.x - mx) * (vy * (base.x - mx) - cxy * (base.y - my))
+        |      + (base.y - my) * (vx * (base.y - my)
+        |        - cxy * (base.x - mx))) / det AS d2
+        |  FROM base JOIN ok ON base.g = ok.g)
+        |SELECT g AS l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN d2 > -2.0 * ln(0.001) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_flagged,
+        |  round(CAST(sum(CASE WHEN d2 > -2.0 * ln(0.001) THEN 1 ELSE 0
+        |    END) AS DOUBLE) / count(*), 6) AS flag_share,
+        |  round(max(d2), 6) AS max_d2
+        |FROM d GROUP BY g ORDER BY l_linestatus""".stripMargin,
     // KS replay: distinct-score cells, partitioned cumulative counts,
     // the integer gap numerator, rank over (num desc, score asc).
     "q_ks_separation" ->

@@ -348,6 +348,57 @@ object Evaluation {
         F.countDistinct("__b").as("n_b"))
   }
 
+  /** Theil's uncertainty coefficient (asymmetric association):
+    * U(A|B) = I(A;B)/H(A) — "what fraction of A's entropy does knowing
+    * B remove" — the DIRECTED companion to [[mutualInformation]]
+    * (Cramér's V and MI are symmetric; a pipeline asking "does source
+    * predict language or the other way round" needs both directions).
+    *
+    * Every entropy folds from the SAME |A|·|B| contingency frame:
+    * H(A) = −Σ_cells (n/N)·ln(na/N) (each cell carries its share of
+    * its row margin), so one cells aggregation + margin windows serves
+    * I, H(A), H(B) and both coefficients. ln is the only
+    * transcendental; everything rounds to 6.
+    *
+    * @return one row: (mi, h_a, h_b, u_a_given_b, u_b_given_a, n,
+    *         n_a, n_b) — U columns null when the entropy is 0
+    *         (a constant column is "fully explained" vacuously) */
+  def theilsU(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = F.col(aCol).cast("string")
+    val b = F.col(bCol).cast("string")
+    val cells = df
+      .where(a.isNotNull && b.isNotNull)
+      .groupBy(a.as("__a"), b.as("__b"))
+      .agg(F.count(F.lit(1)).as("__n"))
+    val wa = Window.partitionBy("__a")
+    val wb = Window.partitionBy("__b")
+    val wAll = Window.partitionBy()
+    val nt = F.col("__nt").cast("double")
+    val share = F.col("__n") / nt
+    val agged = cells
+      .withColumn("__na", F.sum("__n").over(wa))
+      .withColumn("__nb", F.sum("__n").over(wb))
+      .withColumn("__nt", F.sum("__n").over(wAll))
+      .agg(
+        F.sum(share * F.log((F.col("__n").cast("double") * nt) /
+          (F.col("__na").cast("double") * F.col("__nb")))).as("__mi"),
+        F.sum(-share * F.log(F.col("__na") / nt)).as("__ha"),
+        F.sum(-share * F.log(F.col("__nb") / nt)).as("__hb"),
+        F.max("__nt").as("n"),
+        F.countDistinct("__a").as("n_a"),
+        F.countDistinct("__b").as("n_b"))
+    agged.select(
+      F.round(F.col("__mi"), 6).as("mi"),
+      F.round(F.col("__ha"), 6).as("h_a"),
+      F.round(F.col("__hb"), 6).as("h_b"),
+      F.when(F.col("__ha") > 0.0,
+        F.round(F.col("__mi") / F.col("__ha"), 6)).as("u_a_given_b"),
+      F.when(F.col("__hb") > 0.0,
+        F.round(F.col("__mi") / F.col("__hb"), 6)).as("u_b_given_a"),
+      F.col("n"), F.col("n_a"), F.col("n_b"))
+  }
+
   /** [[mutualInformation]] per group — "does domain predict quality
     * differently per language": the same contingency construction with
     * every window additionally PARTITIONED BY GROUP, so a million

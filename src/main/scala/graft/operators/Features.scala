@@ -179,6 +179,69 @@ object Features {
           F.round(F.col(s"__sl$l") / F.col("__ss"), 6)).as(s"acf_$l")): _*)
   }
 
+  /** Holt double-exponential smoothing per key — level + linear trend
+    * over each key's period series ([[ewmaByKey]] tracks level only;
+    * this is the standard next rung for KPI forecasting: "where is
+    * this metric HEADING, per tenant"):
+    *
+    *   ℓ_t = α·v_t + (1−α)(ℓ_{t−1} + b_{t−1}),
+    *   b_t = β(ℓ_t − ℓ_{t−1}) + (1−β)·b_{t−1},
+    *   fitted_t = ℓ_{t−1} + b_{t−1}   (one-step-ahead; null at t=1)
+    *
+    * with the pinned "known" initialization ℓ₁ = v₁, b₁ = 0. The raw
+    * series first aggregates to one DECIMAL-exact mean per (key,
+    * period) ([[mannKendallByKey]]'s determinism trick), so the whole
+    * recurrence is bit-reproducible and replays step-for-step in any
+    * engine (a recursive CTE). The per-key state is the PERIOD frame —
+    * bounded by the time span, never by row count — carried through
+    * one collect_list per key; output explodes back to long form.
+    *
+    * @return one row per (key, period): (keyCol, period, v, level,
+    *         trend, fitted), doubles rounded to 6 (fitted null at the
+    *         first period)
+    */
+  def holtByKey(df: DataFrame, keyCol: String, tsCol: String,
+                valueCol: String, periodUnit: Long,
+                alpha: Double, beta: Double): DataFrame = {
+    require(periodUnit > 0L, "periodUnit must be positive")
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0,1]")
+    require(beta >= 0.0 && beta <= 1.0, "beta must be in [0,1]")
+    val v = F.col(valueCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    val cells = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull && v.isNotNull &&
+        !F.isnan(v))
+      .groupBy(F.col(keyCol).as("__k"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("__p"))
+      .agg((F.sum(v.cast("decimal(38,6)")).cast("double") /
+        F.count(F.lit(1))).as("__v"))
+    val holtUdf = F.udf((s: Seq[org.apache.spark.sql.Row]) => {
+      val pts = s.map(r => (r.getLong(0), r.getDouble(1)))
+      var l = 0.0; var b = 0.0
+      pts.zipWithIndex.map { case ((p, x), i) =>
+        if (i == 0) { l = x; b = 0.0; (p, x, l, b, Option.empty[Double]) }
+        else {
+          val fit = l + b
+          val lPrev = l
+          l = alpha * x + (1.0 - alpha) * (lPrev + b)
+          b = beta * (l - lPrev) + (1.0 - beta) * b
+          (p, x, l, b, Some(fit))
+        }
+      }
+    })
+    cells
+      .groupBy("__k")
+      .agg(F.sort_array(F.collect_list(F.struct(F.col("__p"),
+        F.col("__v")))).as("__s"))
+      .select(F.col("__k"), F.explode(holtUdf(F.col("__s"))).as("__e"))
+      .select(F.col("__k").as(keyCol),
+        F.col("__e._1").as("period"),
+        F.round(F.col("__e._2"), 6).as("v"),
+        F.round(F.col("__e._3"), 6).as("level"),
+        F.round(F.col("__e._4"), 6).as("trend"),
+        F.round(F.col("__e._5"), 6).as("fitted"))
+  }
+
   /** Ljung–Box portmanteau test per key — "is there ANY serial
     * correlation left in this series" ([[acfByKey]] reports the
     * per-lag coefficients; this aggregates them into the standard

@@ -249,4 +249,66 @@ object Outliers {
       .withColumn("is_outlier",
         F.when(c.isNotNull && !F.isnan(c), F.col("robust_z") > threshold))
   }
+
+  /** Bivariate Mahalanobis outlier report per group — joint outliers
+    * that neither marginal flags ("price AND quantity each plausible,
+    * the combination absurd"): d² = δᵀ Σ⁻¹ δ against the χ²₂ cut,
+    * whose quantile is CLOSED FORM at 2 dof (−2·ln α), so the whole
+    * operator stays in-plan for any group count — the per-group 2×2
+    * covariance inverse is just column arithmetic on the explicit
+    * Σxy/n − x̄ȳ moments (the [[Experiments.covariateBalance]]
+    * algebra), no driver solve, no collect.
+    *
+    * ONE moment aggregation per group, a broadcast-sized group-moments
+    * join back, a map-side d², then ONE report aggregation. Degenerate
+    * groups (|Σ| ≤ 0: constant or collinear columns) are omitted.
+    *
+    * @param alpha flag tail mass: d² > −2·ln(alpha)
+    * @return one row per group: (groupCols..., n, n_flagged,
+    *         flag_share, max_d2, det) — doubles rounded to 6 */
+  def mahalanobis2ByGroup(df: DataFrame, groupCols: Seq[String],
+                          xCol: String, yCol: String,
+                          alpha: Double = 0.001): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0,1)")
+    val x = F.col(xCol).cast("double")
+    val y = F.col(yCol).cast("double")
+    val g = groupCols.map(F.col)
+    val clean = df
+      .where(x.isNotNull && !F.isnan(x) && y.isNotNull && !F.isnan(y) &&
+        groupCols.map(F.col(_).isNotNull).reduce(_ && _))
+      .select(g :+ x.as("__x") :+ y.as("__y"): _*)
+    val mom = clean.groupBy(g: _*).agg(
+      F.count(F.lit(1)).as("__n"),
+      F.avg("__x").as("__mx"), F.avg("__y").as("__my"),
+      (F.sum(F.col("__x") * F.col("__x")) / F.count(F.lit(1))).as("__sxx"),
+      (F.sum(F.col("__y") * F.col("__y")) / F.count(F.lit(1))).as("__syy"),
+      (F.sum(F.col("__x") * F.col("__y")) / F.count(F.lit(1))).as("__sxy"))
+      .withColumn("__vx", F.col("__sxx") - F.col("__mx") * F.col("__mx"))
+      .withColumn("__vy", F.col("__syy") - F.col("__my") * F.col("__my"))
+      .withColumn("__cxy", F.col("__sxy") - F.col("__mx") * F.col("__my"))
+      .withColumn("__det",
+        F.col("__vx") * F.col("__vy") - F.col("__cxy") * F.col("__cxy"))
+      .where(F.col("__det") > 0.0 && F.col("__n") > 2L)
+    val joined = clean.join(F.broadcast(mom), groupCols)
+    val dx = F.col("__x") - F.col("__mx")
+    val dy = F.col("__y") - F.col("__my")
+    val d2 = (dx * (F.col("__vy") * dx - F.col("__cxy") * dy) +
+      dy * (F.col("__vx") * dy - F.col("__cxy") * dx)) / F.col("__det")
+    val thr = -2.0 * math.log(alpha)
+    joined
+      .withColumn("__d2", d2)
+      .groupBy(g: _*)
+      .agg(
+        F.count(F.lit(1)).as("n"),
+        F.sum(F.when(F.col("__d2") > thr, 1L).otherwise(0L))
+          .as("n_flagged"),
+        F.max("__d2").as("__mx2"),
+        F.max("__det").as("__dt"))
+      .select(g ++ Seq(F.col("n"), F.col("n_flagged"),
+        F.round(F.col("n_flagged").cast("double") / F.col("n"), 6)
+          .as("flag_share"),
+        F.round(F.col("__mx2"), 6).as("max_d2"),
+        F.round(F.col("__dt"), 6).as("det")): _*)
+  }
 }

@@ -3672,6 +3672,67 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(rt.getAs[Double]("sen_slope") - 0.5) < 1e-12)
   }
 
+  test("theilsU is 1 under determinism and 0 under independence") {
+    import spark.implicits._
+    val det = Seq(("a1", "b1"), ("a1", "b1"), ("a2", "b2"), ("a2", "b2"))
+      .toDF("a", "b")
+    val r = Evaluation.theilsU(det, "a", "b").head()
+    assert(math.abs(r.getAs[Double]("mi") - math.log(2.0)) < 1e-6)
+    assert(r.getAs[Double]("u_a_given_b") == 1.0)
+    assert(r.getAs[Double]("u_b_given_a") == 1.0)
+    val ind = Seq(("a1", "b1"), ("a1", "b2"), ("a2", "b1"), ("a2", "b2"))
+      .toDF("a", "b")
+    val ri = Evaluation.theilsU(ind, "a", "b").head()
+    assert(ri.getAs[Double]("mi") == 0.0)
+    assert(ri.getAs[Double]("u_a_given_b") == 0.0)
+    // asymmetry: B = f(A) but A !: f(B) -> U(B|A) = 1, U(A|B) < 1
+    val asym = Seq(("a1", "b1"), ("a2", "b1"), ("a3", "b2"), ("a4", "b2"))
+      .toDF("a", "b")
+    val ra = Evaluation.theilsU(asym, "a", "b").head()
+    assert(ra.getAs[Double]("u_b_given_a") == 1.0)
+    assert(ra.getAs[Double]("u_a_given_b") == 0.5)
+  }
+
+  test("holtByKey replays the hand-computed recurrence") {
+    import spark.implicits._
+    // v = 10, 12, 14 at alpha = beta = .5:
+    // t2: fit 10, l 11, b .5; t3: fit 11.5, l 12.75, b 1.125
+    val df = Seq(("k", 0L, 10.0), ("k", 10L, 12.0), ("k", 20L, 14.0))
+      .toDF("key", "ts", "v")
+    val rows = Features.holtByKey(df, "key", "ts", "v", periodUnit = 10L,
+        alpha = 0.5, beta = 0.5)
+      .orderBy("period").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[Double]("level") == 10.0 &&
+      rows(0).getAs[Double]("trend") == 0.0 && rows(0).isNullAt(5))
+    assert(rows(1).getAs[Double]("fitted") == 10.0)
+    assert(rows(1).getAs[Double]("level") == 11.0 &&
+      rows(1).getAs[Double]("trend") == 0.5)
+    assert(rows(2).getAs[Double]("fitted") == 11.5)
+    assert(rows(2).getAs[Double]("level") == 12.75 &&
+      rows(2).getAs[Double]("trend") == 1.125)
+  }
+
+  test("mahalanobis2ByGroup flags the joint outlier the marginals hide") {
+    import spark.implicits._
+    // 10x10 centered grid + one far point: only the far point crosses
+    // the chi2(2) 99.9% cut
+    val grid = Seq.tabulate(100)(i =>
+      ("g", (i % 10).toDouble - 4.5, (i / 10).toDouble - 4.5))
+    val df = (grid :+ (("g", 50.0, -50.0))).toDF("grp", "x", "y")
+    val r = Outliers.mahalanobis2ByGroup(df, Seq("grp"), "x", "y",
+      alpha = 0.001).head()
+    assert(r.getAs[Long]("n") == 101L)
+    assert(r.getAs[Long]("n_flagged") == 1L)
+    assert(r.getAs[Double]("max_d2") > 13.8)
+    assert(r.getAs[Double]("det") > 0.0)
+    // constant y -> degenerate covariance -> group omitted
+    val degen = Seq(("d", 1.0, 2.0), ("d", 2.0, 2.0), ("d", 3.0, 2.0))
+      .toDF("grp", "x", "y")
+    assert(Outliers.mahalanobis2ByGroup(degen, Seq("grp"), "x", "y")
+      .isEmpty)
+  }
+
   test("ksSeparation finds the exact peak with integer-decided argmax") {
     import spark.implicits._
     // pos {3,4} vs neg {1,2}: perfect separation at score 2
