@@ -2574,6 +2574,31 @@ object SparkEntry {
       TextOps.distinctiveTerms(docs(s, dir), "doc_id", "text", "lang",
           alpha = 0.01, k = 5)
         .orderBy("group", "rank")),
+    "q_fellegi_sunter" -> ((s, dir) => {
+      // probabilistic linkage on blocked customer pairs: EM over the
+      // <= 8-row agreement-pattern table (2 pinned iterations), the
+      // classic log2 match weight per pattern; the pair generation is
+      // block-bounded so the fan-out stays linear in customers
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .select(F.col("c_custkey").as("k"),
+          F.expr("c_custkey DIV 50").as("blk"),
+          F.col("c_mktsegment").as("seg"),
+          F.col("c_nationkey").as("nat"), F.col("c_acctbal").as("bal"))
+      val a = c.select(F.col("k").as("ka"), F.col("blk"),
+        F.col("seg").as("sa"), F.col("nat").as("na"),
+        F.col("bal").as("ba"))
+      val b = c.select(F.col("k").as("kb"), F.col("blk"),
+        F.col("seg").as("sb"), F.col("nat").as("nb"),
+        F.col("bal").as("bb"))
+      val pairs = a.join(b, "blk")
+        .where(F.col("ka") < F.col("kb"))
+        .select((F.col("sa") === F.col("sb")).as("seg_eq"),
+          (F.col("na") === F.col("nb")).as("nat_eq"),
+          (F.abs(F.col("ba") - F.col("bb")) < 1000.0).as("bal_close"))
+      Linkage.fellegiSunter(pairs, Seq("seg_eq", "nat_eq", "bal_close"),
+          iters = 2, priorP = 0.1)
+        .orderBy("seg_eq", "nat_eq", "bal_close")
+    }),
     "q_theils_u" -> ((s, dir) =>
       // directed association: how much of language's entropy does
       // source remove, and vice versa — both coefficients fold from
@@ -9209,6 +9234,88 @@ object SparkEntry {
         |  round(${codyErfcSql("y")}, 6) AS p_value,
         |  round(sen_slope, 6) AS sen_slope
         |FROM ye ORDER BY event_type""".stripMargin,
+    // Fellegi-Sunter replay: blocked pairs -> pattern counts, then
+    // each EM round as chained CTEs; products are parenthesized to
+    // match the Scala fold order (p * ((q1*q2)*q3)), and every 1-x
+    // is written as a SUBTRACTION (the holt literal lesson).
+    "q_fellegi_sunter" ->
+      """WITH c AS (SELECT c_custkey AS k, c_custkey // 50 AS blk,
+        |    c_mktsegment AS seg, c_nationkey AS nat, c_acctbal AS bal
+        |  FROM customer),
+        |pr AS (SELECT coalesce(a.seg = b.seg, false) AS a1,
+        |    coalesce(a.nat = b.nat, false) AS a2,
+        |    coalesce(abs(a.bal - b.bal) < 1000.0, false) AS a3
+        |  FROM c a JOIN c b ON a.blk = b.blk AND a.k < b.k),
+        |pat AS (SELECT a1, a2, a3, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM pr GROUP BY a1, a2, a3),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM pat),
+        |g1 AS (SELECT a1, a2, a3, cnt,
+        |    (0.1 * (((CASE WHEN a1 THEN 0.9 ELSE 1.0 - 0.9 END)
+        |      * (CASE WHEN a2 THEN 0.9 ELSE 1.0 - 0.9 END))
+        |      * (CASE WHEN a3 THEN 0.9 ELSE 1.0 - 0.9 END)))
+        |    / ((0.1 * (((CASE WHEN a1 THEN 0.9 ELSE 1.0 - 0.9 END)
+        |        * (CASE WHEN a2 THEN 0.9 ELSE 1.0 - 0.9 END))
+        |        * (CASE WHEN a3 THEN 0.9 ELSE 1.0 - 0.9 END)))
+        |      + ((1.0 - 0.1)
+        |        * (((CASE WHEN a1 THEN 0.1 ELSE 1.0 - 0.1 END)
+        |        * (CASE WHEN a2 THEN 0.1 ELSE 1.0 - 0.1 END))
+        |        * (CASE WHEN a3 THEN 0.1 ELSE 1.0 - 0.1 END)))) AS g
+        |  FROM pat),
+        |m1 AS (SELECT sum(g * cnt) / (SELECT n FROM tot) AS p,
+        |    sum(CASE WHEN a1 THEN g * cnt ELSE 0.0 END)
+        |      / sum(g * cnt) AS m1,
+        |    sum(CASE WHEN a2 THEN g * cnt ELSE 0.0 END)
+        |      / sum(g * cnt) AS m2,
+        |    sum(CASE WHEN a3 THEN g * cnt ELSE 0.0 END)
+        |      / sum(g * cnt) AS m3,
+        |    sum(CASE WHEN a1 THEN (1.0 - g) * cnt ELSE 0.0 END)
+        |      / sum((1.0 - g) * cnt) AS u1,
+        |    sum(CASE WHEN a2 THEN (1.0 - g) * cnt ELSE 0.0 END)
+        |      / sum((1.0 - g) * cnt) AS u2,
+        |    sum(CASE WHEN a3 THEN (1.0 - g) * cnt ELSE 0.0 END)
+        |      / sum((1.0 - g) * cnt) AS u3
+        |  FROM g1),
+        |g2 AS (SELECT a1, a2, a3, cnt,
+        |    (p * (((CASE WHEN a1 THEN m1 ELSE 1.0 - m1 END)
+        |      * (CASE WHEN a2 THEN m2 ELSE 1.0 - m2 END))
+        |      * (CASE WHEN a3 THEN m3 ELSE 1.0 - m3 END)))
+        |    / ((p * (((CASE WHEN a1 THEN m1 ELSE 1.0 - m1 END)
+        |        * (CASE WHEN a2 THEN m2 ELSE 1.0 - m2 END))
+        |        * (CASE WHEN a3 THEN m3 ELSE 1.0 - m3 END)))
+        |      + ((1.0 - p)
+        |        * (((CASE WHEN a1 THEN u1 ELSE 1.0 - u1 END)
+        |        * (CASE WHEN a2 THEN u2 ELSE 1.0 - u2 END))
+        |        * (CASE WHEN a3 THEN u3 ELSE 1.0 - u3 END)))) AS g
+        |  FROM pat, m1),
+        |m2s AS (SELECT sum(g * cnt) / (SELECT n FROM tot) AS p,
+        |    sum(CASE WHEN a1 THEN g * cnt ELSE 0.0 END)
+        |      / sum(g * cnt) AS m1,
+        |    sum(CASE WHEN a2 THEN g * cnt ELSE 0.0 END)
+        |      / sum(g * cnt) AS m2,
+        |    sum(CASE WHEN a3 THEN g * cnt ELSE 0.0 END)
+        |      / sum(g * cnt) AS m3,
+        |    sum(CASE WHEN a1 THEN (1.0 - g) * cnt ELSE 0.0 END)
+        |      / sum((1.0 - g) * cnt) AS u1,
+        |    sum(CASE WHEN a2 THEN (1.0 - g) * cnt ELSE 0.0 END)
+        |      / sum((1.0 - g) * cnt) AS u2,
+        |    sum(CASE WHEN a3 THEN (1.0 - g) * cnt ELSE 0.0 END)
+        |      / sum((1.0 - g) * cnt) AS u3
+        |  FROM g2),
+        |fin AS (SELECT a1 AS seg_eq, a2 AS nat_eq, a3 AS bal_close,
+        |    cnt AS n_pairs,
+        |    ((CASE WHEN a1 THEN m1 ELSE 1.0 - m1 END)
+        |      * (CASE WHEN a2 THEN m2 ELSE 1.0 - m2 END))
+        |      * (CASE WHEN a3 THEN m3 ELSE 1.0 - m3 END) AS pm,
+        |    ((CASE WHEN a1 THEN u1 ELSE 1.0 - u1 END)
+        |      * (CASE WHEN a2 THEN u2 ELSE 1.0 - u2 END))
+        |      * (CASE WHEN a3 THEN u3 ELSE 1.0 - u3 END) AS pu,
+        |    p FROM pat, m2s)
+        |SELECT seg_eq, nat_eq, bal_close, n_pairs,
+        |  round_even((p * pm) / ((p * pm) + ((1.0 - p) * pu))
+        |    * 1000000.0, 0) / 1000000.0 AS posterior,
+        |  round_even(ln(pm / pu) / ln(2.0) * 1000000.0, 0) / 1000000.0
+        |    AS match_weight
+        |FROM fin ORDER BY seg_eq, nat_eq, bal_close""".stripMargin,
     // Theil's U replay: one contingency frame, margin windows, the
     // identical per-cell ln shapes for I, H(A), H(B).
     "q_theils_u" ->

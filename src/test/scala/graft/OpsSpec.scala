@@ -3672,6 +3672,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(rt.getAs[Double]("sen_slope") - 0.5) < 1e-12)
   }
 
+  test("fellegiSunter separates matching from random patterns") {
+    import spark.implicits._
+    // synthetic: 100 "match" pairs agree on both fields, 900 random
+    // pairs agree on ~nothing; EM should push the (T,T) posterior
+    // toward 1 and (F,F) toward 0
+    val pairs = (Seq.fill(95)((true, true)) ++ Seq.fill(5)((true, false)) ++
+      Seq.fill(30)((false, true)) ++ Seq.fill(870)((false, false)))
+      .toDF("name_eq", "seg_eq")
+    val r = Linkage.fellegiSunter(pairs, Seq("name_eq", "seg_eq"),
+      iters = 10, priorP = 0.1)
+      .collect().map(x => (x.getBoolean(0), x.getBoolean(1)) -> x).toMap
+    val tt = r((true, true)); val ff = r((false, false))
+    assert(tt.getAs[Double]("posterior") > 0.9)
+    assert(ff.getAs[Double]("posterior") < 0.1)
+    assert(tt.getAs[Double]("match_weight") > 0.0)
+    assert(ff.getAs[Double]("match_weight") < 0.0)
+    assert(tt.getAs[Long]("n_pairs") == 95L)
+    // null agreement treated as disagreement
+    val withNull = Seq((Some(true), true), (None, false))
+      .toDF("a", "b")
+    val rn = Linkage.fellegiSunter(withNull, Seq("a", "b"), iters = 1)
+    assert(rn.count() == 2L)
+  }
+
   test("theilsU is 1 under determinism and 0 under independence") {
     import spark.implicits._
     val det = Seq(("a1", "b1"), ("a1", "b1"), ("a2", "b2"), ("a2", "b2"))
