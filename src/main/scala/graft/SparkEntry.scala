@@ -2574,6 +2574,35 @@ object SparkEntry {
       TextOps.distinctiveTerms(docs(s, dir), "doc_id", "text", "lang",
           alpha = 0.01, k = 5)
         .orderBy("group", "rank")),
+    "q_profile_diff" -> ((s, dir) =>
+      // snapshot drift card between the parity halves of documents:
+      // null-rate/mean/distinct deltas per column — deltas subtract
+      // 6-rounded profile values so they replay exactly
+      Validation.profileDiff(
+        docs(s, dir).where(F.col("doc_id") % 2 === 0),
+        docs(s, dir).where(F.col("doc_id") % 2 === 1),
+        Seq("lang", "n_chars"))
+        .orderBy("column")),
+    "q_rolling_corr" -> ((s, dir) =>
+      // 6-hour rolling correlation of value vs hour-of-day per event
+      // type — the co-movement monitor; hour is exact integer nanos
+      // arithmetic, all five sums ride ONE trailing RANGE frame
+      Features.rollingCorrByKey(
+        events(s, dir).select(F.col("event_type"), F.col("ts"),
+          F.col("value").as("x"),
+          (F.expr("ts DIV 3600000000000") % 24).cast("double")
+            .as("hr")),
+        "event_type", "ts", "x", "hr", window = 21600000000000L)),
+    "q_forecast_accuracy" -> ((s, dir) =>
+      // scorecard for the q_holt model per event type: MAE/RMSE/MAPE
+      // and MASE vs the one-day-naive baseline — composed directly on
+      // holtByKey's (v, fitted) output, so the oracle rides the same
+      // recursive-CTE replay
+      Features.forecastAccuracyByKey(
+        Features.holtByKey(events(s, dir), "event_type", "ts", "value",
+          periodUnit = 86400000000000L, alpha = 0.3, beta = 0.1),
+        "event_type", "period", "v", "fitted", seasonLag = 1)
+        .orderBy("event_type")),
     "q_fellegi_sunter" -> ((s, dir) => {
       // probabilistic linkage on blocked customer pairs: EM over the
       // <= 8-row agreement-pattern table (2 pinned iterations), the
@@ -9234,6 +9263,132 @@ object SparkEntry {
         |  round(${codyErfcSql("y")}, 6) AS p_value,
         |  round(sen_slope, 6) AS sen_slope
         |FROM ye ORDER BY event_type""".stripMargin,
+    // Profile-diff replay: the q_profile construction per parity
+    // half, full-outer joined; deltas subtract the rounded values.
+    "q_profile_diff" ->
+      """WITH la AS (SELECT 'lang' AS c0, lang AS v FROM documents
+        |    WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR)
+        |    FROM documents WHERE doc_id % 2 = 0),
+        |lb AS (SELECT 'lang' AS c0, lang AS v FROM documents
+        |    WHERE doc_id % 2 = 1
+        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR)
+        |    FROM documents WHERE doc_id % 2 = 1),
+        |ca AS (SELECT c0, v, CAST(count(*) AS BIGINT) AS c FROM la
+        |  GROUP BY c0, v),
+        |cb AS (SELECT c0, v, CAST(count(*) AS BIGINT) AS c FROM lb
+        |  GROUP BY c0, v),
+        |pa AS (SELECT c0, CAST(sum(c) AS BIGINT) AS n,
+        |    round(CAST(coalesce(sum(CASE WHEN v IS NULL THEN c END), 0)
+        |      AS DOUBLE) / sum(c), 6) AS null_rate,
+        |    CAST(count(v) AS BIGINT) AS n_distinct,
+        |    round(sum(CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL
+        |        AND NOT isnan(TRY_CAST(v AS DOUBLE))
+        |        THEN TRY_CAST(v AS DOUBLE) * c END)
+        |      / CAST(sum(CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL
+        |        AND NOT isnan(TRY_CAST(v AS DOUBLE)) THEN c END)
+        |        AS DOUBLE), 6) AS mean
+        |  FROM ca GROUP BY c0),
+        |pb AS (SELECT c0, CAST(sum(c) AS BIGINT) AS n,
+        |    round(CAST(coalesce(sum(CASE WHEN v IS NULL THEN c END), 0)
+        |      AS DOUBLE) / sum(c), 6) AS null_rate,
+        |    CAST(count(v) AS BIGINT) AS n_distinct,
+        |    round(sum(CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL
+        |        AND NOT isnan(TRY_CAST(v AS DOUBLE))
+        |        THEN TRY_CAST(v AS DOUBLE) * c END)
+        |      / CAST(sum(CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL
+        |        AND NOT isnan(TRY_CAST(v AS DOUBLE)) THEN c END)
+        |        AS DOUBLE), 6) AS mean
+        |  FROM cb GROUP BY c0)
+        |SELECT coalesce(pa.c0, pb.c0) AS "column",
+        |  pa.n AS n_a, pb.n AS n_b,
+        |  CASE WHEN pa.n > 0 THEN round(CAST(pb.n AS DOUBLE) / pa.n, 6)
+        |    END AS n_ratio,
+        |  pa.null_rate AS null_rate_a, pb.null_rate AS null_rate_b,
+        |  round(pb.null_rate - pa.null_rate, 6) AS null_rate_delta,
+        |  pa.n_distinct AS n_distinct_a, pb.n_distinct AS n_distinct_b,
+        |  pa.mean AS mean_a, pb.mean AS mean_b,
+        |  round(pb.mean - pa.mean, 6) AS mean_delta
+        |FROM pa FULL OUTER JOIN pb ON pa.c0 = pb.c0
+        |ORDER BY "column"""".stripMargin,
+    // Rolling-corr replay: the identical five-sum RANGE frame and
+    // moment-ratio shape.
+    "q_rolling_corr" ->
+      """WITH e AS (SELECT event_type AS k, epoch_ns(ts) AS ts,
+        |    CAST(value AS DOUBLE) AS x,
+        |    CAST((epoch_ns(ts) // 3600000000000) % 24 AS DOUBLE) AS hr
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |w AS (SELECT k, ts, x, hr,
+        |    CAST(count(*) OVER fr AS BIGINT) AS n_window,
+        |    sum(x) OVER fr / CAST(count(*) OVER fr AS DOUBLE) AS mx,
+        |    sum(hr) OVER fr / CAST(count(*) OVER fr AS DOUBLE) AS my,
+        |    sum(x * x) OVER fr / CAST(count(*) OVER fr AS DOUBLE) AS sxx,
+        |    sum(hr * hr) OVER fr / CAST(count(*) OVER fr AS DOUBLE)
+        |      AS syy,
+        |    sum(x * hr) OVER fr / CAST(count(*) OVER fr AS DOUBLE)
+        |      AS sxy
+        |  FROM e
+        |  WINDOW fr AS (PARTITION BY k ORDER BY ts
+        |    RANGE BETWEEN 21600000000000 PRECEDING AND CURRENT ROW)),
+        |v AS (SELECT k, ts, x, hr, n_window,
+        |    sxx - mx * mx AS vx, syy - my * my AS vy,
+        |    sxy - mx * my AS cxy FROM w)
+        |SELECT k AS event_type, ts, x, hr, n_window,
+        |  CASE WHEN n_window >= 2 AND vx > 0.0 AND vy > 0.0
+        |    THEN round(cxy / sqrt(vx * vy), 6) END AS rolling_corr
+        |FROM v""".stripMargin,
+    // Forecast-accuracy replay: the q_holt recursive trajectory, then
+    // one fold of the four error metrics over (v, fitted).
+    "q_forecast_accuracy" ->
+      """WITH RECURSIVE e AS (SELECT event_type AS k, epoch_ns(ts) AS t,
+        |    CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |cells AS (SELECT k, t // 86400000000000 AS p,
+        |    CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+        |      AS mv
+        |  FROM e GROUP BY k, p),
+        |idx AS (SELECT k, p, mv, CAST(row_number() OVER (PARTITION BY k
+        |    ORDER BY p) AS BIGINT) AS i FROM cells),
+        |hw(k, i, p, mv, l, b) AS (
+        |  SELECT k, i, p, mv, mv, CAST(0.0 AS DOUBLE) FROM idx
+        |  WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.k, idx.i, idx.p, idx.mv,
+        |    0.3 * idx.mv + (1.0 - 0.3) * (hw.l + hw.b),
+        |    0.1 * ((0.3 * idx.mv + (1.0 - 0.3) * (hw.l + hw.b)) - hw.l)
+        |      + (1.0 - 0.1) * hw.b
+        |  FROM hw JOIN idx ON idx.k = hw.k AND idx.i = hw.i + 1),
+        |out AS (SELECT k, p, round(mv, 6) AS a,
+        |    round(lag(l) OVER (PARTITION BY k ORDER BY i)
+        |      + lag(b) OVER (PARTITION BY k ORDER BY i), 6) AS pr
+        |  FROM hw),
+        |nv AS (SELECT k, a, pr,
+        |    lag(a, 1) OVER (PARTITION BY k ORDER BY p) AS naive
+        |  FROM out),
+        |ag AS (SELECT k,
+        |    CAST(sum(CASE WHEN pr IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_scored,
+        |    sum(CASE WHEN pr IS NOT NULL THEN abs(a - pr) END) AS sae,
+        |    sum(CASE WHEN pr IS NOT NULL
+        |      THEN abs(a - pr) * abs(a - pr) END) AS sse,
+        |    sum(CASE WHEN pr IS NOT NULL AND a <> 0.0
+        |      THEN abs(a - pr) / abs(a) END) AS sape,
+        |    CAST(sum(CASE WHEN pr IS NOT NULL AND a <> 0.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS nape,
+        |    sum(CASE WHEN naive IS NOT NULL
+        |      THEN abs(a - naive) END) AS snv,
+        |    CAST(sum(CASE WHEN naive IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nnv
+        |  FROM nv GROUP BY k)
+        |SELECT k AS event_type, n_scored,
+        |  round(sae / n_scored, 6) AS mae,
+        |  round(sqrt(sse / n_scored), 6) AS rmse,
+        |  CASE WHEN nape > 0 THEN round(sape / nape, 6) END AS mape,
+        |  CASE WHEN nnv > 0 AND snv / nnv > 0.0
+        |    THEN round((sae / n_scored) / (snv / nnv), 6) END AS mase
+        |FROM ag WHERE n_scored > 0 ORDER BY event_type""".stripMargin,
     // Fellegi-Sunter replay: blocked pairs -> pattern counts, then
     // each EM round as chained CTEs; products are parenthesized to
     // match the Scala fold order (p * ((q1*q2)*q3)), and every 1-x

@@ -179,6 +179,112 @@ object Features {
           F.round(F.col(s"__sl$l") / F.col("__ss"), 6)).as(s"acf_$l")): _*)
   }
 
+  /** Rolling Pearson correlation between two metrics per key over a
+    * trailing time window — "are latency and error rate moving
+    * together RIGHT NOW, per service": the co-movement monitor that a
+    * global correlation hides (it averages regimes away).
+    *
+    * All five sufficient sums ride ONE trailing RANGE frame (ties in
+    * ts share a frame, so equal rows get equal answers), and the
+    * correlation is the explicit moment ratio — engine-replayable.
+    * Rows where the window variance of either side is 0 (or fewer
+    * than `minRows` rows) get null.
+    *
+    * @param window trailing width in tsCol units (inclusive of now)
+    * @return input keys + (ts, x, y, n_window, rolling_corr) */
+  def rollingCorrByKey(df: DataFrame, keyCol: String, tsCol: String,
+                       xCol: String, yCol: String, window: Long,
+                       minRows: Long = 2L): DataFrame = {
+    require(window > 0L, "window must be positive")
+    val x = F.col(xCol).cast("double")
+    val y = F.col(yCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    val base = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull &&
+        x.isNotNull && !F.isnan(x) && y.isNotNull && !F.isnan(y))
+      .select(F.col(keyCol).as("__k"), t.as("ts"),
+        x.as("__x"), y.as("__y"))
+    val w = Window.partitionBy("__k").orderBy(F.col("ts"))
+      .rangeBetween(-window, 0)
+    val n = F.count(F.lit(1)).over(w).cast("double")
+    val mx = F.sum("__x").over(w) / n
+    val my = F.sum("__y").over(w) / n
+    val vx = F.sum(F.col("__x") * F.col("__x")).over(w) / n - mx * mx
+    val vy = F.sum(F.col("__y") * F.col("__y")).over(w) / n - my * my
+    val cxy = F.sum(F.col("__x") * F.col("__y")).over(w) / n - mx * my
+    base
+      .withColumn("n_window", F.count(F.lit(1)).over(w))
+      .withColumn("__vx", vx).withColumn("__vy", vy)
+      .withColumn("__cxy", cxy)
+      .withColumn("rolling_corr",
+        F.when(F.col("n_window") >= minRows &&
+            F.col("__vx") > 0.0 && F.col("__vy") > 0.0,
+          F.round(F.col("__cxy") /
+            F.sqrt(F.col("__vx") * F.col("__vy")), 6)))
+      .select(F.col("__k").as(keyCol), F.col("ts"),
+        F.col("__x").as(xCol), F.col("__y").as(yCol),
+        F.col("n_window"), F.col("rolling_corr"))
+  }
+
+  /** Forecast-accuracy scorecard per key: MAE, RMSE, MAPE and MASE of
+    * a prediction column against actuals — the evaluation half of the
+    * [[holtByKey]] / [[seasonalDecompose]] loop ("is the model beating
+    * the seasonal-naive baseline, per tenant" — MASE < 1 is the only
+    * scale-free yes).
+    *
+    *   MASE = MAE(model) / MAE(naive),  naive_t = a_{t−seasonLag}
+    *
+    * ONE key shuffle: a lag window builds the naive baseline, a
+    * single aggregation folds all four metrics. Scored rows = those
+    * with a non-null prediction; MAPE averages over scored rows with
+    * a ≠ 0; the MASE denominator averages |a_t − a_{t−lag}| over all
+    * rows where the lag exists. Keys with no scored rows or a zero
+    * naive error are omitted/null as appropriate.
+    *
+    * @return one row per key: (keyCol, n_scored, mae, rmse, mape,
+    *         mase), doubles rounded to 6 */
+  def forecastAccuracyByKey(df: DataFrame, keyCol: String,
+                            orderCol: String, actualCol: String,
+                            predictedCol: String,
+                            seasonLag: Int = 1): DataFrame = {
+    require(seasonLag >= 1, "seasonLag must be >= 1")
+    val a = F.col(actualCol).cast("double")
+    val p = F.col(predictedCol).cast("double")
+    val base = df
+      .where(F.col(keyCol).isNotNull && F.col(orderCol).isNotNull &&
+        a.isNotNull && !F.isnan(a))
+      .select(F.col(keyCol).as("__k"), F.col(orderCol).as("__o"),
+        a.as("__a"), p.as("__p"))
+    val w = Window.partitionBy("__k").orderBy(F.col("__o"))
+    val withNaive = base
+      .withColumn("__nv", F.lag("__a", seasonLag).over(w))
+    val scored = F.col("__p").isNotNull && !F.isnan(F.col("__p"))
+    val err = F.abs(F.col("__a") - F.col("__p"))
+    val agg = withNaive.groupBy("__k").agg(
+      F.sum(F.when(scored, 1L).otherwise(0L)).as("n_scored"),
+      F.sum(F.when(scored, err)).as("__sae"),
+      F.sum(F.when(scored, err * err)).as("__sse"),
+      F.sum(F.when(scored && F.col("__a") =!= 0.0,
+        err / F.abs(F.col("__a")))).as("__sape"),
+      F.sum(F.when(scored && F.col("__a") =!= 0.0, 1L).otherwise(0L))
+        .as("__nape"),
+      F.sum(F.when(F.col("__nv").isNotNull,
+        F.abs(F.col("__a") - F.col("__nv")))).as("__snv"),
+      F.sum(F.when(F.col("__nv").isNotNull, 1L).otherwise(0L))
+        .as("__nnv"))
+    val mae = F.col("__sae") / F.col("n_scored")
+    val naiveMae = F.col("__snv") / F.col("__nnv")
+    agg.where(F.col("n_scored") > 0L)
+      .select(F.col("__k").as(keyCol), F.col("n_scored"),
+        F.round(mae, 6).as("mae"),
+        F.round(F.sqrt(F.col("__sse") / F.col("n_scored")), 6)
+          .as("rmse"),
+        F.when(F.col("__nape") > 0L,
+          F.round(F.col("__sape") / F.col("__nape"), 6)).as("mape"),
+        F.when(F.col("__nnv") > 0L && naiveMae > 0.0,
+          F.round(mae / naiveMae, 6)).as("mase"))
+  }
+
   /** Holt double-exponential smoothing per key — level + linear trend
     * over each key's period series ([[ewmaByKey]] tracks level only;
     * this is the standard next rung for KPI forecasting: "where is

@@ -178,4 +178,35 @@ object Validation {
       .select("column", "n", "n_null", "null_rate", "n_distinct",
         "n_numeric", "min", "max", "mean")
   }
+
+  /** Snapshot drift report: [[profile]] of two frames joined per
+    * column, with the deltas a pipeline guard actually alerts on —
+    * "did the null rate jump, did the distinct count collapse, did
+    * the mean move" between yesterday's partition and today's. A
+    * full-outer join keeps columns that exist in only one snapshot
+    * (all-null other side). Deltas subtract the 6-rounded profile
+    * values, so they are exact; `n_ratio` guards the denominator.
+    *
+    * @return one row per column: (column, n_a, n_b, n_ratio,
+    *         null_rate_a, null_rate_b, null_rate_delta,
+    *         n_distinct_a, n_distinct_b, mean_a, mean_b, mean_delta)
+    */
+  def profileDiff(dfA: DataFrame, dfB: DataFrame,
+                  cols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, s: String) =
+      profile(df, cols).select(F.col("column"),
+        F.col("n").as(s"n_$s"), F.col("null_rate").as(s"null_rate_$s"),
+        F.col("n_distinct").as(s"n_distinct_$s"),
+        F.col("mean").as(s"mean_$s"))
+    side(dfA, "a").join(side(dfB, "b"), Seq("column"), "full_outer")
+      .withColumn("n_ratio", F.when(F.col("n_a") > 0L,
+        F.round(F.col("n_b").cast("double") / F.col("n_a"), 6)))
+      .withColumn("null_rate_delta",
+        F.round(F.col("null_rate_b") - F.col("null_rate_a"), 6))
+      .withColumn("mean_delta",
+        F.round(F.col("mean_b") - F.col("mean_a"), 6))
+      .select("column", "n_a", "n_b", "n_ratio", "null_rate_a",
+        "null_rate_b", "null_rate_delta", "n_distinct_a",
+        "n_distinct_b", "mean_a", "mean_b", "mean_delta")
+  }
 }

@@ -3672,6 +3672,50 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(rt.getAs[Double]("sen_slope") - 0.5) < 1e-12)
   }
 
+  test("profileDiff reports null-rate and mean drift between snapshots") {
+    import spark.implicits._
+    val a = Seq(Some(1.0), Some(2.0), Some(3.0), None).toDF("x")
+    val b = Seq(Some(10.0), None, None, None).toDF("x")
+    val r = Validation.profileDiff(a, b, Seq("x")).head()
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 4L)
+    assert(r.getAs[Double]("n_ratio") == 1.0)
+    assert(r.getAs[Double]("null_rate_a") == 0.25)
+    assert(r.getAs[Double]("null_rate_b") == 0.75)
+    assert(r.getAs[Double]("null_rate_delta") == 0.5)
+    assert(r.getAs[Double]("mean_a") == 2.0)
+    assert(r.getAs[Double]("mean_b") == 10.0)
+    assert(r.getAs[Double]("mean_delta") == 8.0)
+  }
+
+  test("rollingCorrByKey tracks co-movement inside the trailing window") {
+    import spark.implicits._
+    // y = x -> corr 1; y = -x -> corr -1 (after the window warms up)
+    val df = Seq.tabulate(6)(i => ("p", i.toLong, i.toDouble, i.toDouble)) ++
+      Seq.tabulate(6)(i => ("m", i.toLong, i.toDouble, -i.toDouble))
+    val r = Features.rollingCorrByKey(df.toDF("k", "ts", "x", "y"),
+        "k", "ts", "x", "y", window = 3L)
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> x).toMap
+    assert(r(("p", 5L)).getAs[Long]("n_window") == 4L)
+    assert(r(("p", 5L)).getAs[Double]("rolling_corr") == 1.0)
+    assert(r(("m", 5L)).getAs[Double]("rolling_corr") == -1.0)
+    assert(r(("p", 0L)).isNullAt(5)) // single-row window: null
+  }
+
+  test("forecastAccuracyByKey scores MAE/RMSE/MAPE/MASE by hand") {
+    import spark.implicits._
+    val df = Seq(("k", 1L, 10.0, Option.empty[Double]),
+      ("k", 2L, 12.0, Some(11.0)), ("k", 3L, 14.0, Some(13.0)))
+      .toDF("key", "o", "a", "p")
+    val r = Features.forecastAccuracyByKey(df, "key", "o", "a", "p",
+      seasonLag = 1).head()
+    assert(r.getAs[Long]("n_scored") == 2L)
+    assert(r.getAs[Double]("mae") == 1.0)
+    assert(r.getAs[Double]("rmse") == 1.0)
+    val mape = ((1.0 / 12.0) + (1.0 / 14.0)) / 2.0
+    assert(math.abs(r.getAs[Double]("mape") - mape) < 1e-6)
+    assert(r.getAs[Double]("mase") == 0.5) // naive MAE = 2
+  }
+
   test("fellegiSunter separates matching from random patterns") {
     import spark.implicits._
     // synthetic: 100 "match" pairs agree on both fields, 900 random
