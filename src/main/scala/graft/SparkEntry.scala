@@ -2574,6 +2574,37 @@ object SparkEntry {
       TextOps.distinctiveTerms(docs(s, dir), "doc_id", "text", "lang",
           alpha = 0.01, k = 5)
         .orderBy("group", "rank")),
+    "q_did" -> ((s, dir) =>
+      // difference-in-differences on the 2x2 (order parity x open
+      // status) panel over price: one conditional-moment aggregation,
+      // p at the 6-rounded z via the shared erfc
+      Experiments.didEstimate(
+        li(s, dir).select(
+          (F.col("l_orderkey") % 2 === 0).as("t"),
+          (F.col("l_linestatus") === "O").as("post"),
+          F.col("l_extendedprice").as("y")),
+        "t", "post", "y")),
+    "q_power_means" -> ((s, dir) =>
+      // experiment sizing on the live quantity variance: n per arm to
+      // detect a 0.5-unit lift; raw n 6-rounded BEFORE the ceiling so
+      // engines can't straddle the integer boundary
+      Experiments.powerTwoMeans(
+        li(s, dir).select(F.col("l_quantity").as("y")), "y",
+        mde = 0.5)),
+    "q_granger" -> ((s, dir) =>
+      // lead-lag screen per event type: does yesterday's mean user
+      // bucket help predict today's mean value beyond yesterday's
+      // value — nested-OLS F from one moment aggregation over
+      // decimal-exact daily means (p rides the operator's F CDF;
+      // oracle replays the statistic, the q_anova convention)
+      Regression.grangerByKey(
+        events(s, dir).select(F.col("event_type"), F.col("ts"),
+          F.col("value").as("y"),
+          (F.col("user_id") % 50).cast("double").as("x")),
+        "event_type", "ts", "y", "x", periodUnit = 86400000000000L)
+        .select(F.col("event_type"), F.col("m"), F.col("b_ylag"),
+          F.col("b_xlag"), F.col("f_stat"))
+        .orderBy("event_type")),
     "q_profile_diff" -> ((s, dir) =>
       // snapshot drift card between the parity halves of documents:
       // null-rate/mean/distinct deltas per column — deltas subtract
@@ -9263,6 +9294,129 @@ object SparkEntry {
         |  round(${codyErfcSql("y")}, 6) AS p_value,
         |  round(sen_slope, 6) AS sen_slope
         |FROM ye ORDER BY event_type""".stripMargin,
+    // DiD replay: four conditional-moment cells, the identical
+    // sample-variance algebra, p at the rounded z via Cody erfc.
+    "q_did" ->
+      s"""WITH c AS (SELECT (l_orderkey % 2 = 0) AS t,
+        |    (l_linestatus = 'O') AS post,
+        |    CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |a AS (SELECT
+        |    CAST(sum(CASE WHEN t AND NOT post THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    sum(CASE WHEN t AND NOT post THEN y ELSE 0.0 END) AS s1,
+        |    sum(CASE WHEN t AND NOT post THEN y * y ELSE 0.0 END) AS q1,
+        |    CAST(sum(CASE WHEN t AND post THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n2,
+        |    sum(CASE WHEN t AND post THEN y ELSE 0.0 END) AS s2,
+        |    sum(CASE WHEN t AND post THEN y * y ELSE 0.0 END) AS q2,
+        |    CAST(sum(CASE WHEN NOT t AND NOT post THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n3,
+        |    sum(CASE WHEN NOT t AND NOT post THEN y ELSE 0.0 END) AS s3,
+        |    sum(CASE WHEN NOT t AND NOT post THEN y * y ELSE 0.0 END)
+        |      AS q3,
+        |    CAST(sum(CASE WHEN NOT t AND post THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n4,
+        |    sum(CASE WHEN NOT t AND post THEN y ELSE 0.0 END) AS s4,
+        |    sum(CASE WHEN NOT t AND post THEN y * y ELSE 0.0 END) AS q4
+        |  FROM c),
+        |d AS (SELECT n1, n2, n3, n4,
+        |    s1 / n1 AS m1, s2 / n2 AS m2, s3 / n3 AS m3, s4 / n4 AS m4,
+        |    (q1 - n1 * (s1 / n1) * (s1 / n1))
+        |      / CAST(n1 - 1 AS DOUBLE) AS v1,
+        |    (q2 - n2 * (s2 / n2) * (s2 / n2))
+        |      / CAST(n2 - 1 AS DOUBLE) AS v2,
+        |    (q3 - n3 * (s3 / n3) * (s3 / n3))
+        |      / CAST(n3 - 1 AS DOUBLE) AS v3,
+        |    (q4 - n4 * (s4 / n4) * (s4 / n4))
+        |      / CAST(n4 - 1 AS DOUBLE) AS v4
+        |  FROM a WHERE n1 > 1 AND n2 > 1 AND n3 > 1 AND n4 > 1),
+        |e AS (SELECT n1, n2, n3, n4, m1, m2, m3, m4,
+        |    (m2 - m1) - (m4 - m3) AS did,
+        |    sqrt(v1 / n1 + v2 / n2 + v3 / n3 + v4 / n4) AS se
+        |  FROM d),
+        |zz AS (SELECT *, round(did / se, 6) AS z FROM e),
+        |ye AS (SELECT *, abs(z) / sqrt(2.0) AS y FROM zz)
+        |SELECT round(m1, 6) AS mean_t_pre, round(m2, 6) AS mean_t_post,
+        |  round(m3, 6) AS mean_c_pre, round(m4, 6) AS mean_c_post,
+        |  round(did, 6) AS did, round(se, 6) AS se, z,
+        |  round_even(${codyErfcSql("y")} * 1000000.0, 0) / 1000000.0
+        |    AS p_value,
+        |  n1 + n2 + n3 + n4 AS n FROM ye""".stripMargin,
+    // Power replay: one variance fold, pinned z literals written as
+    // the same sums the Scala computes, ceiling after the 6-round.
+    "q_power_means" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(l_quantity AS DOUBLE)) AS s,
+        |    sum(CAST(l_quantity AS DOUBLE)
+        |      * CAST(l_quantity AS DOUBLE)) AS q
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))),
+        |v AS (SELECT n,
+        |    (q - CAST(n AS DOUBLE) * (s / CAST(n AS DOUBLE))
+        |      * (s / CAST(n AS DOUBLE)))
+        |      / (CAST(n AS DOUBLE) - 1.0) AS s2 FROM a),
+        |r AS (SELECT s2, round(2.0
+        |    * ((1.959964 + 0.841621) * (1.959964 + 0.841621)) * s2
+        |    / (0.5 * 0.5), 6) AS raw
+        |  FROM v WHERE n > 1 AND s2 > 0.0)
+        |SELECT round(s2, 6) AS sigma2, 0.5 AS mde,
+        |  CAST(ceil(raw) AS BIGINT) AS n_per_arm,
+        |  CAST(ceil(raw) AS BIGINT) * 2 AS n_total FROM r""".stripMargin,
+    // Granger replay: decimal-exact daily means, one lag window, the
+    // olsByGroup2 central-moment algebra for both nested SSEs.
+    "q_granger" ->
+      """WITH e AS (SELECT event_type AS k, epoch_ns(ts) AS t,
+        |    CAST(value AS DOUBLE) AS y,
+        |    CAST(user_id % 50 AS DOUBLE) AS x FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)
+        |    AND user_id IS NOT NULL),
+        |cells AS (SELECT k, t // 86400000000000 AS p,
+        |    CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+        |      AS yv,
+        |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+        |      AS xv
+        |  FROM e GROUP BY k, p),
+        |lg AS (SELECT k, yv AS y,
+        |    lag(yv) OVER (PARTITION BY k ORDER BY p) AS a,
+        |    lag(xv) OVER (PARTITION BY k ORDER BY p) AS b
+        |  FROM cells),
+        |ok AS (SELECT * FROM lg WHERE a IS NOT NULL AND b IS NOT NULL),
+        |ag AS (SELECT k, CAST(count(*) AS BIGINT) AS m,
+        |    sum(y) AS sy, sum(a) AS sa, sum(b) AS sb,
+        |    sum(y * y) AS syy, sum(a * a) AS saa, sum(b * b) AS sbb,
+        |    sum(a * y) AS say, sum(b * y) AS sby, sum(a * b) AS sab
+        |  FROM ok GROUP BY k),
+        |mo AS (SELECT k, m, CAST(m AS DOUBLE) AS n,
+        |    sy / CAST(m AS DOUBLE) AS my, sa / CAST(m AS DOUBLE) AS ma,
+        |    sb / CAST(m AS DOUBLE) AS mb,
+        |    syy / CAST(m AS DOUBLE) AS ryy,
+        |    saa / CAST(m AS DOUBLE) AS raa,
+        |    sbb / CAST(m AS DOUBLE) AS rbb,
+        |    say / CAST(m AS DOUBLE) AS ray,
+        |    sby / CAST(m AS DOUBLE) AS rby,
+        |    sab / CAST(m AS DOUBLE) AS rab FROM ag),
+        |cv AS (SELECT k, m, n,
+        |    ryy - my * my AS vy, raa - ma * ma AS va,
+        |    rbb - mb * mb AS vb, ray - ma * my AS cay,
+        |    rby - mb * my AS cby, rab - ma * mb AS cab FROM mo),
+        |fit AS (SELECT k, m, n, vy, va, vb, cay, cby, cab,
+        |    va * vb - cab * cab AS det,
+        |    (vb * cay - cab * cby) / (va * vb - cab * cab) AS b1,
+        |    (va * cby - cab * cay) / (va * vb - cab * cab) AS b2
+        |  FROM cv),
+        |ss AS (SELECT k, m, n, va, vb, vy, det, b1, b2,
+        |    n * vy * (1.0 - cay * cay / (va * vy)) AS sser,
+        |    n * vy * (1.0 - (b1 * cay + b2 * cby) / vy) AS ssef
+        |  FROM fit)
+        |SELECT k AS event_type, m, round(b1, 6) AS b_ylag,
+        |  round(b2, 6) AS b_xlag,
+        |  round((sser - ssef) / (ssef / (n - 3.0)), 6) AS f_stat
+        |FROM ss WHERE m >= 5 AND va > 0.0 AND vb > 0.0 AND vy > 0.0
+        |  AND det > va * vb * 1e-12 AND ssef > 0.0
+        |ORDER BY event_type""".stripMargin,
     // Profile-diff replay: the q_profile construction per parity
     // half, full-outer joined; deltas subtract the rounded values.
     "q_profile_diff" ->

@@ -715,6 +715,94 @@ object Experiments {
       F.col("n_strata"), F.col("n").cast("long").as("n"))
   }
 
+  /** Difference-in-differences estimator on the classic 2×2 panel
+    * (treated × post): the causal workhorse when randomization wasn't
+    * an option but a parallel pre-trend is defensible —
+    *
+    *   DiD = (ȳ_treated,post − ȳ_treated,pre)
+    *       − (ȳ_control,post − ȳ_control,pre)
+    *
+    * with the independent-cells normal SE √(Σ s²ᵢ/nᵢ) and a two-sided
+    * p at the 6-rounded z (the shared Cody erfc). ONE conditional-
+    * moment aggregation; explicit Σy²/n − ȳ² algebra so every number
+    * replays.
+    *
+    * @return one row: (mean_t_pre, mean_t_post, mean_c_pre,
+    *         mean_c_post, did, se, z, p_value, n) */
+  def didEstimate(df: DataFrame, treatedCol: String, postCol: String,
+                  yCol: String): DataFrame = {
+    val t = F.col(treatedCol).cast("boolean")
+    val post = F.col(postCol).cast("boolean")
+    val y = F.col(yCol).cast("double")
+    val clean = df.where(t.isNotNull && post.isNotNull &&
+      y.isNotNull && !F.isnan(y))
+    def cell(ct: Boolean, cp: Boolean, tag: String) = Seq(
+      F.sum(F.when(t === ct && post === cp, 1L).otherwise(0L))
+        .as(s"n_$tag"),
+      F.sum(F.when(t === ct && post === cp, y)).as(s"s_$tag"),
+      F.sum(F.when(t === ct && post === cp, y * y)).as(s"q_$tag"))
+    val cols = cell(true, false, "tpre") ++ cell(true, true, "tpost") ++
+      cell(false, false, "cpre") ++ cell(false, true, "cpost")
+    val agged = clean.agg(cols.head, cols.tail: _*)
+    def m(tag: String) = F.col(s"s_$tag") / F.col(s"n_$tag")
+    // sample variance via the explicit sums: (Σy² − n·ȳ²)/(n−1)
+    def v(tag: String) = (F.col(s"q_$tag") -
+      F.col(s"n_$tag") * m(tag) * m(tag)) /
+      (F.col(s"n_$tag") - 1L).cast("double")
+    val did = (m("tpost") - m("tpre")) - (m("cpost") - m("cpre"))
+    val se = F.sqrt(v("tpre") / F.col("n_tpre") +
+      v("tpost") / F.col("n_tpost") + v("cpre") / F.col("n_cpre") +
+      v("cpost") / F.col("n_cpost"))
+    val erfcUdf = F.udf((z: Double) => math.rint(graft.functions
+      .SpecialMath.erfc(math.abs(z) / math.sqrt(2.0)) * 1e6) / 1e6)
+    agged
+      .where(Seq("tpre", "tpost", "cpre", "cpost")
+        .map(tag => F.col(s"n_$tag") > 1L).reduce(_ && _))
+      .withColumn("z", F.round(did / se, 6))
+      .select(
+        F.round(m("tpre"), 6).as("mean_t_pre"),
+        F.round(m("tpost"), 6).as("mean_t_post"),
+        F.round(m("cpre"), 6).as("mean_c_pre"),
+        F.round(m("cpost"), 6).as("mean_c_post"),
+        F.round(did, 6).as("did"), F.round(se, 6).as("se"),
+        F.col("z"), erfcUdf(F.col("z")).as("p_value"),
+        (F.col("n_tpre") + F.col("n_tpost") + F.col("n_cpre") +
+          F.col("n_cpost")).as("n"))
+  }
+
+  /** Sample size per arm for a two-MEANS test at the observed outcome
+    * variance — the planning companion to [[powerTwoProportion]]
+    * ("how long must this experiment run to see a Δ lift on spend"):
+    *
+    *   n/arm = ⌈ 2·(z_{α/2} + z_β)²·s² / Δ² ⌉
+    *
+    * ONE variance aggregation on the live metric; z quantiles are
+    * pinned literals (the [[mantelHaenszel]] convention) so the
+    * arithmetic replays. The raw n is 6-rounded BEFORE the ceiling so
+    * engines can't straddle an integer boundary.
+    *
+    * @param mde minimum detectable effect in the metric's units
+    * @return one row: (sigma2, mde, n_per_arm, n_total) */
+  def powerTwoMeans(df: DataFrame, yCol: String, mde: Double,
+                    zAlpha: Double = 1.959964,
+                    zBeta: Double = 0.841621): DataFrame = {
+    require(mde > 0.0, "mde must be positive")
+    val y = F.col(yCol).cast("double")
+    val agged = df.where(y.isNotNull && !F.isnan(y)).agg(
+      F.count(F.lit(1)).as("__n"), F.sum(y).as("__s"),
+      F.sum(y * y).as("__q"))
+    val n = F.col("__n").cast("double")
+    val mean = F.col("__s") / n
+    val s2 = (F.col("__q") - n * mean * mean) / (n - 1.0)
+    val zs = zAlpha + zBeta
+    val raw = F.round(F.lit(2.0) * F.lit(zs * zs) * s2 /
+      F.lit(mde * mde), 6)
+    agged.where(F.col("__n") > 1L && s2 > 0.0)
+      .select(F.round(s2, 6).as("sigma2"), F.lit(mde).as("mde"),
+        F.ceil(raw).as("n_per_arm"),
+        (F.ceil(raw) * 2L).as("n_total"))
+  }
+
   /** Breslow–Day test of odds-ratio homogeneity across strata, with
     * Tarone's correction — the companion question to
     * [[mantelHaenszel]]: CMH asks "is there an effect, pooling

@@ -605,6 +605,85 @@ object Regression {
       fin.getAs[Double]("pearson") / (n - k), n, iters)
   }
 
+  /** Granger "causality" test per key (one lag): does yesterday's x
+    * help predict today's y beyond yesterday's y — the lead/lag
+    * screening question ("does marketing spend LEAD signups, per
+    * region") as the classic nested-OLS F test:
+    *
+    *   restricted: y_t ~ y_{t−1};   full: y_t ~ y_{t−1} + x_{t−1}
+    *   F = (SSE_r − SSE_f) / (SSE_f / (n−3))  ~  F(1, n−3)
+    *
+    * Both series aggregate to DECIMAL-exact period means first
+    * ([[graft.operators.Features.mannKendallByKey]]'s determinism
+    * trick), the lag rides one ordered window (consecutive OBSERVED
+    * periods — gaps lag to the previous observation), and both SSEs
+    * come from the same explicit central-moment algebra as
+    * [[olsByGroup2]] — ONE aggregation per key, everything
+    * engine-replayable. p = 1 − F-CDF at the 6-rounded statistic.
+    *
+    * @return one row per key: (keyCol, m, b_ylag, b_xlag, f_stat,
+    *         p_value) — m = scored periods; degenerate keys omitted */
+  def grangerByKey(df: DataFrame, keyCol: String, tsCol: String,
+                   yCol: String, xCol: String,
+                   periodUnit: Long): DataFrame = {
+    require(periodUnit > 0L, "periodUnit must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val y = F.col(yCol).cast("double")
+    val x = F.col(xCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    val cells = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull &&
+        y.isNotNull && !F.isnan(y) && x.isNotNull && !F.isnan(x))
+      .groupBy(F.col(keyCol).as("__k"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("__p"))
+      .agg((F.sum(y.cast("decimal(38,6)")).cast("double") /
+        F.count(F.lit(1))).as("__y"),
+        (F.sum(x.cast("decimal(38,6)")).cast("double") /
+          F.count(F.lit(1))).as("__x"))
+    val w = Window.partitionBy("__k").orderBy(F.col("__p"))
+    val lagged = cells
+      .withColumn("__a", F.lag("__y", 1).over(w))
+      .withColumn("__b", F.lag("__x", 1).over(w))
+      .where(F.col("__a").isNotNull && F.col("__b").isNotNull)
+    val agged = lagged.groupBy("__k").agg(
+      F.count(F.lit(1)).as("m"),
+      F.sum("__y").as("sy"), F.sum("__a").as("sa"),
+      F.sum("__b").as("sb"),
+      F.sum(F.col("__y") * F.col("__y")).as("syy"),
+      F.sum(F.col("__a") * F.col("__a")).as("saa"),
+      F.sum(F.col("__b") * F.col("__b")).as("sbb"),
+      F.sum(F.col("__a") * F.col("__y")).as("say"),
+      F.sum(F.col("__b") * F.col("__y")).as("sby"),
+      F.sum(F.col("__a") * F.col("__b")).as("sab"))
+    val n = F.col("m").cast("double")
+    val my = F.col("sy") / n; val ma = F.col("sa") / n
+    val mb = F.col("sb") / n
+    val vy = F.col("syy") / n - my * my
+    val va = F.col("saa") / n - ma * ma
+    val vb = F.col("sbb") / n - mb * mb
+    val cay = F.col("say") / n - ma * my
+    val cby = F.col("sby") / n - mb * my
+    val cab = F.col("sab") / n - ma * mb
+    val det = va * vb - cab * cab
+    val b1 = (vb * cay - cab * cby) / det
+    val b2 = (va * cby - cab * cay) / det
+    val r2r = cay * cay / (va * vy)
+    val r2f = (b1 * cay + b2 * cby) / vy
+    val sseR = n * vy * (F.lit(1.0) - r2r)
+    val sseF = n * vy * (F.lit(1.0) - r2f)
+    val fStat = F.round((sseR - sseF) / (sseF / (n - 3.0)), 6)
+    val pUdf = F.udf((d2: Long, f: Double) =>
+      math.rint((1.0 - graft.functions.SpecialMath
+        .fCdf(1.0, (d2 - 3L).toDouble, f)) * 1e6) / 1e6)
+    agged
+      .where(F.col("m") >= 5L && va > 0.0 && vb > 0.0 && vy > 0.0 &&
+        det > va * vb * 1e-12 && sseF > 0.0)
+      .select(F.col("__k").as(keyCol), F.col("m"),
+        F.round(b1, 6).as("b_ylag"), F.round(b2, 6).as("b_xlag"),
+        fStat.as("f_stat"),
+        pUdf(F.col("m"), fStat).as("p_value"))
+  }
+
   /** Theil–Sen robust trend per group: the MEDIAN of all pairwise
     * slopes (yⱼ−yᵢ)/(xⱼ−xᵢ) — ~29% breakdown point vs OLS's zero; the
     * standard "trend that one bad day can't move" estimator.

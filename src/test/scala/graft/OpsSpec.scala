@@ -3672,6 +3672,59 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(rt.getAs[Double]("sen_slope") - 0.5) < 1e-12)
   }
 
+  test("didEstimate matches the hand-computed 2x2 panel") {
+    import spark.implicits._
+    // cells: T-pre {1,3}, T-post {5,7}, C-pre {1,3}, C-post {2,4}
+    // DiD = (6-2)-(3-2) = 3; each cell var 2, se = sqrt(4) = 2
+    val df = Seq((true, false, 1.0), (true, false, 3.0),
+      (true, true, 5.0), (true, true, 7.0),
+      (false, false, 1.0), (false, false, 3.0),
+      (false, true, 2.0), (false, true, 4.0)).toDF("t", "post", "y")
+    val r = Experiments.didEstimate(df, "t", "post", "y").head()
+    assert(r.getAs[Double]("did") == 3.0)
+    assert(r.getAs[Double]("se") == 2.0)
+    assert(r.getAs[Double]("z") == 1.5)
+    assert(r.getAs[Double]("mean_t_post") == 6.0)
+    val p = math.rint(graft.functions.SpecialMath.erfc(
+      1.5 / math.sqrt(2.0)) * 1e6) / 1e6
+    assert(r.getAs[Double]("p_value") == p)
+    assert(r.getAs[Long]("n") == 8L)
+  }
+
+  test("powerTwoMeans sizes the arms from the observed variance") {
+    import spark.implicits._
+    val df = Seq(1.0, 3.0).toDF("y") // s2 = 2
+    val r = Experiments.powerTwoMeans(df, "y", mde = 1.0).head()
+    assert(r.getAs[Double]("sigma2") == 2.0)
+    val zs = 1.959964 + 0.841621
+    val exp = math.ceil(math.rint(2.0 * (zs * zs) * 2.0 / 1.0 * 1e6) / 1e6)
+    assert(r.getAs[Long]("n_per_arm") == exp.toLong)
+    assert(r.getAs[Long]("n_total") == 2L * exp.toLong)
+  }
+
+  test("grangerByKey detects the lead-lag structure") {
+    import spark.implicits._
+    // y_t = x_{t-1} + .5 y_{t-1} + alternating noise: x leads y
+    val x = Seq(1.0, 3.0, 2.0, 5.0, 4.0, 7.0, 6.0, 9.0)
+    val y = x.indices.foldLeft(Vector(0.0)) { (acc, i) =>
+      if (i == 0) acc
+      else acc :+ (x(i - 1) + 0.5 * acc.last +
+        (if (i % 2 == 0) 0.1 else -0.1))
+    }
+    val df = y.indices.map(p => ("k", p.toLong * 10L, y(p), x(p)))
+      .toDF("key", "ts", "y", "x")
+    val fwd = Regression.grangerByKey(df, "key", "ts", "y", "x",
+      periodUnit = 10L).head()
+    assert(fwd.getAs[Long]("m") == 7L)
+    assert(fwd.getAs[Double]("f_stat") > 10.0)
+    assert(fwd.getAs[Double]("p_value") < 0.05)
+    assert(math.abs(fwd.getAs[Double]("b_xlag") - 1.0) < 0.2)
+    // reverse direction: y does not lead x nearly as strongly
+    val rev = Regression.grangerByKey(df, "key", "ts", "x", "y",
+      periodUnit = 10L).head()
+    assert(rev.getAs[Double]("f_stat") < fwd.getAs[Double]("f_stat"))
+  }
+
   test("profileDiff reports null-rate and mean drift between snapshots") {
     import spark.implicits._
     val a = Seq(Some(1.0), Some(2.0), Some(3.0), None).toDF("x")
