@@ -1360,6 +1360,45 @@ object SparkEntry {
           F.round(F.col("std"), 4).as("std_r"))
         .orderBy("win_start")
     }),
+    "q_stream_cusum" -> ((s, dir) => {
+      // streaming two-sided CUSUM drift alarm, hash-checked end to
+      // end: the no-reset statistic is a pure function of running
+      // sums + prefix minima, so the batch oracle replays the whole
+      // trajectory with two window functions — no recursion
+      import s.implicits._
+      val saved = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val src = eventsStream(s, dir)
+          .select(F.col("event_type").as("_1"), F.col("ts").as("_2"),
+            F.col("event_id").as("_3"), F.col("value").as("_4"))
+          .as[(String, Long, Long, Double)]
+        val out = graft.streaming.StreamingOps.runToBatch(
+          s, graft.streaming.StreamingOps
+            .streamingCusum(src, target = 50.0, slack = 1.0, h = 500.0)
+            .toDF(),
+          "graft_stream_cusum", outputMode = "update",
+          statePartitions = 8)
+        val w = Window.partitionBy("key").orderBy(F.col("n").desc)
+        val sHi = F.col("cumHi") - F.col("minHi")
+        val sLo = F.col("cumLo") - F.col("minLo")
+        out.withColumn("__rk", F.row_number().over(w))
+          .where(F.col("__rk") === 1)
+          .select(F.col("key").as("event_type"), F.col("n"),
+            F.round(sHi, 6).as("s_hi"), F.round(sLo, 6).as("s_lo"),
+            F.round(F.col("maxHi"), 6).as("max_s_hi"),
+            F.round(F.col("maxLo"), 6).as("max_s_lo"),
+            F.col("nAlarms").as("n_alarms"),
+            (sHi > 500.0 || sLo > 500.0).as("alarm"))
+          .orderBy("event_type")
+      } finally {
+        saved match {
+          case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }),
     "q_stream_welford" -> ((s, dir) => {
       // transformWithState per-key Welford over the bounded replay,
       // hash-checked: RocksDB ValueState carries (n, mean, M2) per
@@ -4543,6 +4582,42 @@ object SparkEntry {
         |  distribution, round(p1, 4) AS p1, round(p2, 4) AS p2,
         |  round(p3, 4) AS p3, round(2.0 * k - 2.0 * ll, 2) AS aic_r
         |FROM fits ORDER BY win_start, event_type, distribution""".stripMargin),
+    // CUSUM replay: per-row running sums ordered by (ts, event_id),
+    // prefix minima seeded with the implicit cum_0 = 0, per-row
+    // statistics for the peak/alarm folds, final row per key.
+    "q_stream_cusum" ->
+      """WITH e AS (SELECT event_type AS k, epoch_ns(ts) AS t,
+        |    event_id AS eid, CAST(value AS DOUBLE) AS v FROM events),
+        |w AS (SELECT k, t, eid,
+        |    sum(v - 50.0 - 1.0) OVER pre AS cum_hi,
+        |    sum(50.0 - v - 1.0) OVER pre AS cum_lo,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY t, eid)
+        |      AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n
+        |  FROM e
+        |  WINDOW pre AS (PARTITION BY k ORDER BY t, eid
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT k, rn, n, cum_hi, cum_lo,
+        |    least(0.0, min(cum_hi) OVER pre) AS min_hi,
+        |    least(0.0, min(cum_lo) OVER pre) AS min_lo
+        |  FROM w
+        |  WINDOW pre AS (PARTITION BY k ORDER BY rn
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |st AS (SELECT k, rn, n, cum_hi - min_hi AS s_hi,
+        |    cum_lo - min_lo AS s_lo FROM s),
+        |agg AS (SELECT k, max(n) AS n, max(s_hi) AS max_hi,
+        |    max(s_lo) AS max_lo,
+        |    CAST(sum(CASE WHEN s_hi > 500.0 OR s_lo > 500.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms
+        |  FROM st GROUP BY k),
+        |fin AS (SELECT k, s_hi, s_lo FROM st WHERE rn = n)
+        |SELECT agg.k AS event_type, agg.n,
+        |  round(fin.s_hi, 6) AS s_hi, round(fin.s_lo, 6) AS s_lo,
+        |  round(agg.max_hi, 6) AS max_s_hi,
+        |  round(agg.max_lo, 6) AS max_s_lo, agg.n_alarms,
+        |  (fin.s_hi > 500.0 OR fin.s_lo > 500.0) AS alarm
+        |FROM agg JOIN fin ON agg.k = fin.k
+        |ORDER BY event_type""".stripMargin,
     "q_stream_welford" ->
       """SELECT event_type, count(*) AS n, round(avg(value), 6) AS mean_r,
         |  round(stddev_pop(value), 4) AS std_r

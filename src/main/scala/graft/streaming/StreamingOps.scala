@@ -464,6 +464,79 @@ object StreamingOps {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** Per-key CUSUM drift state: running sums, their prefix minima,
+    * the statistic peaks and the alarm count. */
+  final case class CusumState(key: String, n: Long,
+                              cumHi: Double, minHi: Double,
+                              cumLo: Double, minLo: Double,
+                              maxHi: Double, maxLo: Double,
+                              nAlarms: Long) {
+    def sHi: Double = cumHi - minHi
+    def sLo: Double = cumLo - minLo
+  }
+
+  /** Streaming two-sided CUSUM drift alarm on `transformWithState` —
+    * the ACCUMULATING companion to [[prequentialAnomaly]] (which flags
+    * single outliers; CUSUM integrates small persistent shifts until
+    * they cross h, the classic "the mean moved 0.3σ three days ago"
+    * detector):
+    *
+    *   S⁺_t = max(0, S⁺_{t−1} + (x_t − target − slack)),
+    *   S⁻_t = max(0, S⁻_{t−1} + (target − x_t − slack))
+    *
+    * carried in the algebraically equal prefix-min form S⁺_t = cum_t −
+    * min_{j≤t} cum_j (cum₀ = 0), so the state is SIX numbers per key
+    * and — crucially — the no-reset statistic is a pure function of
+    * the running sums: a batch engine replays the whole trajectory
+    * with two window functions, no recursion, and the harness
+    * hash-checks that equivalence. Rows sort by (tns, eventId) within
+    * each batch (the [[PrequentialAnomalyProcessor]] determinism
+    * contract). Emits the per-key state once per batch (update mode).
+    */
+  class CusumProcessor(target: Double, slack: Double, h: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Long, Double), CusumState] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimerValues, OutputMode, TimeMode}
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[CusumState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[CusumState]("cusum",
+        org.apache.spark.sql.Encoders.product[CusumState], TTLConfig.NONE)
+    override def handleInputRows(key: String,
+                                 rows: Iterator[(String, Long, Long, Double)],
+                                 timerValues: TimerValues): Iterator[CusumState] = {
+      var s = Option(state.get())
+        .getOrElse(CusumState(key, 0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0L))
+      val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+      sorted.foreach { case (_, _, _, v) =>
+        val cumHi = s.cumHi + (v - target - slack)
+        val minHi = math.min(s.minHi, cumHi)
+        val cumLo = s.cumLo + (target - v - slack)
+        val minLo = math.min(s.minLo, cumLo)
+        val sHi = cumHi - minHi
+        val sLo = cumLo - minLo
+        s = CusumState(key, s.n + 1, cumHi, minHi, cumLo, minLo,
+          math.max(s.maxHi, sHi), math.max(s.maxLo, sLo),
+          s.nAlarms + (if (sHi > h || sLo > h) 1L else 0L))
+      }
+      state.update(s)
+      Iterator.single(s)
+    }
+  }
+
+  /** [[CusumProcessor]] wired for an exact availableNow replay
+    * (TimeMode.None, update mode): ds = (key, tsNanos, eventId,
+    * value). */
+  def streamingCusum(ds: Dataset[(String, Long, Long, Double)],
+                     target: Double, slack: Double,
+                     h: Double): Dataset[CusumState] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .transformWithState(new CusumProcessor(target, slack, h),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   /** An open per-key session under explicit streaming state. */
   final case class OpenSession(start: Long, last: Long, n: Long, valueSum: Double)
 

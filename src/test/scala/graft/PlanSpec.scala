@@ -458,4 +458,34 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan.indexOf("SinglePartition") > plan.indexOf("HashAggregate"),
       plan.take(1500))
   }
+
+  test("q_chi2_terms: class sizes broadcast, no cartesian anywhere") {
+    val plan = physicalPlan("q_chi2_terms")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
+  test("q_split_gains and q_ks_separation windows stay feature/group-partitioned") {
+    for (q <- Seq("q_split_gains", "q_ks_separation")) {
+      val plan = physicalPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(400)}")
+      // every Window should be partitioned (no global single-partition
+      // window over data rows)
+      assert(!plan.contains("Window [")
+        || !plan.contains("SinglePartition"), s"$q: ${plan.take(1200)}")
+    }
+  }
+
+  test("q_mahalanobis: group moments broadcast back, d2 is map-side") {
+    val plan = physicalPlan("q_mahalanobis")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+  }
+
+  test("q_fellegi_sunter pair generation never degenerates to a cartesian") {
+    val plan = physicalPlan("q_fellegi_sunter")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
 }

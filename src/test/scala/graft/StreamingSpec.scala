@@ -251,6 +251,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1) > 0.5, s"drifted drift ${rows(1)}")
   }
 
+  test("streamingCusum accumulates the shift and carries state across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[(String, Long, Long, Double)]
+      val out = StreamingOps.streamingCusum(stream.toDS(),
+        target = 10.0, slack = 0.5, h = 3.0)
+      val q = out.writeStream.format("memory").queryName("cusum_out")
+        .outputMode("update").start()
+      // batch 1: on-target values, S+ stays ~0
+      stream.addData(("k", 1L, 1L, 10.0), ("k", 2L, 2L, 10.5),
+        ("k", 3L, 3L, 9.5))
+      q.processAllAvailable()
+      // batch 2: persistent +2 shift — S+ = sum of (12 - 10.5) = 1.5/row
+      stream.addData(("k", 4L, 4L, 12.0), ("k", 5L, 5L, 12.0),
+        ("k", 6L, 6L, 12.0))
+      q.processAllAvailable()
+      q.stop()
+      val last = spark.table("cusum_out").collect()
+        .maxBy(_.getAs[Long]("n"))
+      assert(last.getAs[Long]("n") == 6L)
+      // hand recurrence: d = v-10.5: -.5, 0, -1, 1.5, 1.5, 1.5 ->
+      // S+ clamps at 0 through batch 1, then 1.5, 3.0, 4.5
+      val sHi = last.getAs[Double]("cumHi") - last.getAs[Double]("minHi")
+      assert(math.abs(sHi - 4.5) < 1e-12)
+      assert(last.getAs[Double]("maxHi") == sHi)
+      assert(last.getAs[Long]("nAlarms") == 1L) // only 4.5 > 3.0
+      val sLo = last.getAs[Double]("cumLo") - last.getAs[Double]("minLo")
+      assert(sLo < 3.0) // no downward drift
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("prequentialAnomaly: flags against pre-event state, carries state") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
