@@ -2613,6 +2613,37 @@ object SparkEntry {
       TextOps.distinctiveTerms(docs(s, dir), "doc_id", "text", "lang",
           alpha = 0.01, k = 5)
         .orderBy("group", "rank")),
+    "q_quantile_ci" -> ((s, dir) =>
+      // distribution-free p90 CI per line status: exact order
+      // statistics at binomial-normal rank bounds — every output is a
+      // value that occurred
+      Outliers.quantileCiByGroup(li(s, dir), Seq("l_linestatus"),
+          "l_extendedprice", q = 0.9)
+        .orderBy("l_linestatus")),
+    "q_yuen" -> ((s, dir) =>
+      // robust A/B location test between the parity cohorts: Yuen's
+      // trimmed-mean t with winsorized variance — exact rank clamps
+      // and integer band overlaps; p rides the operator's t CDF
+      StatTests.yuenTTest(
+        li(s, dir).select(
+          F.when(F.col("l_orderkey") % 2 === 0, "a").otherwise("b")
+            .as("cohort"),
+          F.col("l_extendedprice")),
+        "cohort", "l_extendedprice", trim = 0.2)
+        .select(F.col("mean_trim_a"), F.col("mean_trim_b"),
+          F.col("diff"), F.col("t_stat"), F.col("dof"), F.col("n_a"),
+          F.col("n_b"), F.col("h_a"), F.col("h_b"))),
+    "q_qte" -> ((s, dir) =>
+      // per-quantile lift between the parity cohorts at p50/p90 with
+      // marginal order-statistic CIs — the readout when the mean
+      // hides the story
+      Experiments.qteByQuantile(
+        li(s, dir).select(
+          F.when(F.col("l_orderkey") % 2 === 0, "a").otherwise("b")
+            .as("cohort"),
+          F.col("l_extendedprice")),
+        "cohort", "l_extendedprice", qs = Seq(0.5, 0.9))
+        .orderBy("q")),
     "q_did" -> ((s, dir) =>
       // difference-in-differences on the 2x2 (order parity x open
       // status) panel over price: one conditional-moment aggregation,
@@ -9369,6 +9400,138 @@ object SparkEntry {
         |  round(${codyErfcSql("y")}, 6) AS p_value,
         |  round(sen_slope, 6) AS sen_slope
         |FROM ye ORDER BY event_type""".stripMargin,
+    // Quantile-CI replay: distinct-value cells, cumulative ranks, the
+    // binomial-normal rank bounds, exact order-statistic selects.
+    "q_quantile_ci" ->
+      """WITH c AS (SELECT l_linestatus AS g,
+        |    CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM c GROUP BY g, v),
+        |w AS (SELECT g, v, c,
+        |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n,
+        |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM cells),
+        |r AS (SELECT g, v, c, n, cum,
+        |    CAST(ceil(CAST(n AS DOUBLE) * 0.9) AS BIGINT) AS rq,
+        |    greatest(1, CAST(floor(CAST(n AS DOUBLE) * 0.9
+        |      - 1.959964 * sqrt(CAST(n AS DOUBLE) * 0.9 * (1.0 - 0.9)))
+        |      AS BIGINT)) AS rlo,
+        |    least(n, CAST(ceil(CAST(n AS DOUBLE) * 0.9
+        |      + 1.959964 * sqrt(CAST(n AS DOUBLE) * 0.9 * (1.0 - 0.9)))
+        |      AS BIGINT) + 1) AS rhi
+        |  FROM w)
+        |SELECT g AS l_linestatus, max(n) AS n,
+        |  min(CASE WHEN cum >= rq THEN v END) AS quantile,
+        |  CASE WHEN max(n) >= 2
+        |    THEN min(CASE WHEN cum >= rlo THEN v END) END AS ci_lo,
+        |  CASE WHEN max(n) >= 2
+        |    THEN min(CASE WHEN cum >= rhi THEN v END) END AS ci_hi
+        |FROM r GROUP BY g ORDER BY l_linestatus""".stripMargin,
+    // Yuen replay: rank-located winsorization bounds, integer band
+    // overlaps for the trimmed sum, the exact Welch-Satterthwaite
+    // algebra; p is omitted (t CDF is not SQL — q_anova convention).
+    "q_yuen" ->
+      """WITH c AS (SELECT
+        |    CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM c GROUP BY g, v),
+        |w AS (SELECT g, v, c,
+        |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n,
+        |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM cells),
+        |gc AS (SELECT g, v, c, n, cum,
+        |    CAST(floor(CAST(n AS DOUBLE) * 0.2) AS BIGINT) AS gcut
+        |  FROM w),
+        |bnd AS (SELECT g, max(n) AS n, max(gcut) AS gcut,
+        |    min(CASE WHEN cum >= gcut + 1 THEN v END) AS lo,
+        |    min(CASE WHEN cum >= n - gcut THEN v END) AS hi
+        |  FROM gc GROUP BY g),
+        |j AS (SELECT gc.g AS g, gc.v AS v, gc.c AS c, gc.cum AS cum,
+        |    b.n AS n, b.gcut AS gcut, b.lo AS lo, b.hi AS hi
+        |  FROM gc JOIN bnd b ON gc.g = b.g),
+        |ag AS (SELECT g, max(n) AS n, max(gcut) AS gcut,
+        |    sum(v * CAST(greatest(0, least(cum, n - gcut)
+        |      - greatest(cum - c, gcut)) AS DOUBLE)) AS ts,
+        |    sum(least(greatest(v, lo), hi) * c) AS ws,
+        |    sum(least(greatest(v, lo), hi)
+        |      * least(greatest(v, lo), hi) * c) AS wq
+        |  FROM j GROUP BY g),
+        |sides AS (SELECT
+        |    max(CASE WHEN g = 'a' THEN n END) AS na,
+        |    max(CASE WHEN g = 'a' THEN n - 2 * gcut END) AS ha,
+        |    max(CASE WHEN g = 'a' THEN ts END) AS tsa,
+        |    max(CASE WHEN g = 'a' THEN ws END) AS wsa,
+        |    max(CASE WHEN g = 'a' THEN wq END) AS wqa,
+        |    max(CASE WHEN g = 'b' THEN n END) AS nb,
+        |    max(CASE WHEN g = 'b' THEN n - 2 * gcut END) AS hb,
+        |    max(CASE WHEN g = 'b' THEN ts END) AS tsb,
+        |    max(CASE WHEN g = 'b' THEN ws END) AS wsb,
+        |    max(CASE WHEN g = 'b' THEN wq END) AS wqb
+        |  FROM ag),
+        |mm AS (SELECT na, nb, ha, hb,
+        |    tsa / ha AS mta, tsb / hb AS mtb,
+        |    (wqa - na * (wsa / na) * (wsa / na))
+        |      / (na - 1.0) * (na - 1.0)
+        |      / (CAST(ha AS DOUBLE) * (ha - 1.0)) AS da,
+        |    (wqb - nb * (wsb / nb) * (wsb / nb))
+        |      / (nb - 1.0) * (nb - 1.0)
+        |      / (CAST(hb AS DOUBLE) * (hb - 1.0)) AS db
+        |  FROM sides),
+        |st AS (SELECT na, nb, ha, hb, mta, mtb, da, db,
+        |    round_even((mta - mtb) / sqrt(da + db) * 1000000.0, 0)
+        |      / 1000000.0 AS t_stat,
+        |    round_even((da + db) * (da + db)
+        |      / (da * da / (ha - 1.0) + db * db / (hb - 1.0))
+        |      * 1000000.0, 0) / 1000000.0 AS dof
+        |  FROM mm)
+        |SELECT round_even(mta * 1000000.0, 0) / 1000000.0
+        |    AS mean_trim_a,
+        |  round_even(mtb * 1000000.0, 0) / 1000000.0 AS mean_trim_b,
+        |  round_even((mta - mtb) * 1000000.0, 0) / 1000000.0 AS diff,
+        |  t_stat, dof, na AS n_a, nb AS n_b, ha AS h_a, hb AS h_b
+        |FROM st""".stripMargin,
+    // QTE replay: the quantile-CI construction per cohort and per q,
+    // joined on q.
+    "q_qte" ->
+      """WITH c AS (SELECT
+        |    CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM c GROUP BY g, v),
+        |w AS (SELECT g, v, c,
+        |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n,
+        |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM cells),
+        |qq(q) AS (VALUES (CAST(0.5 AS DOUBLE)),
+        |  (CAST(0.9 AS DOUBLE))),
+        |per AS (SELECT w.g AS g, qq.q AS q, max(w.n) AS n,
+        |    min(CASE WHEN cum >= CAST(ceil(CAST(n AS DOUBLE) * qq.q)
+        |      AS BIGINT) THEN v END) AS qv,
+        |    min(CASE WHEN cum >= greatest(1,
+        |      CAST(floor(CAST(n AS DOUBLE) * qq.q - 1.959964
+        |        * sqrt(CAST(n AS DOUBLE) * qq.q * (1.0 - qq.q)))
+        |        AS BIGINT)) THEN v END) AS lo,
+        |    min(CASE WHEN cum >= least(n,
+        |      CAST(ceil(CAST(n AS DOUBLE) * qq.q + 1.959964
+        |        * sqrt(CAST(n AS DOUBLE) * qq.q * (1.0 - qq.q)))
+        |        AS BIGINT) + 1) THEN v END) AS hi
+        |  FROM w, qq GROUP BY w.g, qq.q)
+        |SELECT a.q AS q, a.n AS n_a, b.n AS n_b, a.qv AS q_a,
+        |  b.qv AS q_b, round(b.qv - a.qv, 6) AS qte,
+        |  a.lo AS a_lo, a.hi AS a_hi, b.lo AS b_lo, b.hi AS b_hi
+        |FROM per a JOIN per b ON a.q = b.q
+        |  AND a.g = 'a' AND b.g = 'b'
+        |ORDER BY q""".stripMargin,
     // DiD replay: four conditional-moment cells, the identical
     // sample-variance algebra, p at the rounded z via Cody erfc.
     "q_did" ->

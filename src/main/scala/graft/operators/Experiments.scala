@@ -715,6 +715,68 @@ object Experiments {
       F.col("n_strata"), F.col("n").cast("long").as("n"))
   }
 
+  /** Quantile treatment effects: the per-quantile lift q_b − q_a
+    * between two cohorts, with distribution-free order-statistic CIs
+    * per side — the readout when the MEAN hides the story (an
+    * experiment that moves the p90 and nothing else is invisible to a
+    * t-test). Quantiles are EXACT order statistics (⌈nq⌉-th), the CI
+    * ranks use the binomial normal half-width z·√(nq(1−q))
+    * ([[Outliers.quantileCiByGroup]]'s construction), so every output
+    * is a value that occurred and the whole table replays.
+    *
+    * ONE distinct-value cells pass serves every requested quantile
+    * (the per-q work is a conditional fold over the tiny cells
+    * frame). CIs are MARGINAL per cohort, not joint on the
+    * difference.
+    *
+    * @return one row per q: (q, n_a, n_b, q_a, q_b, qte, a_lo, a_hi,
+    *         b_lo, b_hi) */
+  def qteByQuantile(df: DataFrame, cohortCol: String, valueCol: String,
+                    qs: Seq[Double], labelA: String = "a",
+                    labelB: String = "b",
+                    z: Double = 1.959964): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q < 1.0),
+      "quantiles must be in (0,1)")
+    require(labelA != labelB, "cohort labels must differ")
+    import org.apache.spark.sql.expressions.Window
+    val g = F.col(cohortCol).cast("string")
+    val v = F.col(valueCol).cast("double")
+    val cells = df
+      .where(v.isNotNull && !F.isnan(v) && g.isin(labelA, labelB))
+      .groupBy(g.as("__g"), v.as("__v"))
+      .agg(F.count(F.lit(1)).as("__c"))
+    val wg = Window.partitionBy("__g")
+    val wCum = Window.partitionBy("__g").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = cells
+      .withColumn("__n", F.sum("__c").over(wg))
+      .withColumn("__cum", F.sum("__c").over(wCum))
+      .localCheckpoint(true)
+    val nD = F.col("__n").cast("double")
+    val perQ = qs.map { q =>
+      val half = F.lit(z) * F.sqrt(nD * q * (1.0 - q))
+      val rQ = F.ceil(nD * q)
+      val rLo = F.greatest(F.lit(1L), F.floor(nD * q - half))
+      val rHi = F.least(F.col("__n"), F.ceil(nD * q + half) + 1L)
+      withCum.groupBy("__g").agg(
+        F.max("__n").as("n"),
+        F.min(F.when(F.col("__cum") >= rQ, F.col("__v"))).as("qv"),
+        F.min(F.when(F.col("__cum") >= rLo, F.col("__v"))).as("lo"),
+        F.min(F.when(F.col("__cum") >= rHi, F.col("__v"))).as("hi"))
+        .withColumn("q", F.lit(q))
+    }.reduce(_ unionAll _)
+    val a = perQ.where(F.col("__g") === labelA)
+      .select(F.col("q"), F.col("n").as("n_a"), F.col("qv").as("q_a"),
+        F.col("lo").as("a_lo"), F.col("hi").as("a_hi"))
+    val b = perQ.where(F.col("__g") === labelB)
+      .select(F.col("q"), F.col("n").as("n_b"), F.col("qv").as("q_b"),
+        F.col("lo").as("b_lo"), F.col("hi").as("b_hi"))
+    a.join(b, Seq("q"))
+      .select(F.col("q"), F.col("n_a"), F.col("n_b"), F.col("q_a"),
+        F.col("q_b"), F.round(F.col("q_b") - F.col("q_a"), 6).as("qte"),
+        F.col("a_lo"), F.col("a_hi"), F.col("b_lo"), F.col("b_hi"))
+  }
+
   /** Difference-in-differences estimator on the classic 2×2 panel
     * (treated × post): the causal workhorse when randomization wasn't
     * an option but a parallel pre-trend is defensible —

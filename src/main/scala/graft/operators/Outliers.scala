@@ -224,6 +224,51 @@ object Outliers {
         F.col("ci_hi")): _*)
   }
 
+  /** [[medianCiByGroup]] generalized to ANY quantile — the
+    * distribution-free order-statistic CI for p50/p90/p99 latencies
+    * and the like ("is this tenant's p99 really above SLO, or is it
+    * three samples"): the rank half-width at quantile q is
+    * z·√(n·q·(1−q)) (the binomial normal approximation), and both
+    * bounds are EXACT order statistics selected by cumulative rank —
+    * every output is a value that occurred.
+    *
+    * @return one row per group: (groupCols..., n, quantile (the
+    *         ⌈nq⌉-th order statistic), ci_lo, ci_hi) */
+  def quantileCiByGroup(df: DataFrame, groupCols: Seq[String],
+                        column: String, q: Double,
+                        z: Double = 1.959964): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(q > 0.0 && q < 1.0, "q must be in (0,1)")
+    import org.apache.spark.sql.expressions.Window
+    val gCols = groupCols.map(F.col)
+    val v = F.col(column).cast("double")
+    val cells = df
+      .where(v.isNotNull && !F.isnan(v))
+      .groupBy(gCols :+ v.as("__v"): _*)
+      .agg(F.count(F.lit(1)).as("__c"))
+    val wg = Window.partitionBy(gCols: _*)
+    val wCum = Window.partitionBy(gCols: _*).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nD = F.col("__n").cast("double")
+    val half = F.lit(z) * F.sqrt(nD * q * (1.0 - q))
+    val rQ = F.ceil(nD * q)
+    val rLo = F.greatest(F.lit(1L), F.floor(nD * q - half))
+    val rHi = F.least(F.col("__n"), F.ceil(nD * q + half) + 1L)
+    cells
+      .withColumn("__n", F.sum("__c").over(wg))
+      .withColumn("__cum", F.sum("__c").over(wCum))
+      .groupBy(gCols: _*)
+      .agg(F.max("__n").as("n"),
+        F.min(F.when(F.col("__cum") >= rQ, F.col("__v")))
+          .as("quantile"),
+        F.min(F.when(F.col("__cum") >= rLo, F.col("__v"))).as("__lo"),
+        F.min(F.when(F.col("__cum") >= rHi, F.col("__v"))).as("__hi"))
+      .withColumn("ci_lo", F.when(F.col("n") >= 2L, F.col("__lo")))
+      .withColumn("ci_hi", F.when(F.col("n") >= 2L, F.col("__hi")))
+      .select(gCols ++ Seq(F.col("n"), F.col("quantile"),
+        F.col("ci_lo"), F.col("ci_hi")): _*)
+  }
+
   /** Flag rows whose robust z-score |x−median| / (1.4826·MAD) exceeds
     * `threshold` (3.5 is the conventional cut). Appends `robust_z`
     * (rounded to 6) and `is_outlier`; rows with null/NaN values get

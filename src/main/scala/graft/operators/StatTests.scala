@@ -254,6 +254,98 @@ object StatTests {
     } finally sorted.unpersist(blocking = false)
   }
 
+  /** Yuen's trimmed-mean t-test — the robust two-sample location test
+    * ("did the experiment move typical spend", with the heavy tail
+    * that wrecks Welch's t trimmed away):
+    *
+    *   t = (x̄t_a − x̄t_b) / √(d_a + d_b),
+    *   d = s²_w·(n−1) / (h·(h−1)),  h = n − 2g,  g = ⌊trim·n⌋
+    *
+    * with s²_w the WINSORIZED variance (values clamped at the g+1-th
+    * and (n−g)-th order statistics — Yuen 1974's pairing of trimmed
+    * location with winsorized spread) and Welch–Satterthwaite df. Two
+    * passes over the distinct-value cells frame: cumulative ranks
+    * locate the clamp bounds exactly, then per-cell integer overlap
+    * arithmetic folds the trimmed sum and the winsorized moments —
+    * every count is exact, so the statistic replays. p is two-sided
+    * from the t CDF at the 6-rounded (t, df).
+    *
+    * @return one row: (mean_trim_a, mean_trim_b, diff, t_stat, dof,
+    *         p_value, n_a, n_b, h_a, h_b) */
+  def yuenTTest(df: DataFrame, cohortCol: String, valueCol: String,
+                trim: Double = 0.2,
+                labelA: String = "a", labelB: String = "b"): DataFrame = {
+    require(trim > 0.0 && trim < 0.5, "trim must be in (0, 0.5)")
+    require(labelA != labelB, "cohort labels must differ")
+    import org.apache.spark.sql.expressions.Window
+    val g = F.col(cohortCol).cast("string")
+    val v = F.col(valueCol).cast("double")
+    val cells = df
+      .where(v.isNotNull && !F.isnan(v) && g.isin(labelA, labelB))
+      .groupBy(g.as("__g"), v.as("__v"))
+      .agg(F.count(F.lit(1)).as("__c"))
+    val wg = Window.partitionBy("__g")
+    val wCum = Window.partitionBy("__g").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = cells
+      .withColumn("__n", F.sum("__c").over(wg))
+      .withColumn("__cum", F.sum("__c").over(wCum))
+    val gCut = F.floor(F.col("__n").cast("double") * trim)
+    // clamp bounds: the (g+1)-th and (n−g)-th order statistics
+    val bounds = withCum
+      .withColumn("__gc", gCut)
+      .groupBy("__g")
+      .agg(F.max("__n").as("n"), F.max("__gc").as("gc"),
+        F.min(F.when(F.col("__cum") >= F.col("__gc") + 1L,
+          F.col("__v"))).as("lo"),
+        F.min(F.when(F.col("__cum") >= F.col("__n") - F.col("__gc"),
+          F.col("__v"))).as("hi"))
+    val joined = withCum.join(F.broadcast(bounds), "__g")
+    // trimmed sum: copies of each distinct value inside rank band
+    // (g, n−g] — exact integer overlap of [cum−c+1, cum] with it
+    val contrib = F.greatest(F.lit(0L),
+      F.least(F.col("__cum"), F.col("n") - F.col("gc")) -
+        F.greatest(F.col("__cum") - F.col("__c"), F.col("gc")))
+    val wv = F.least(F.greatest(F.col("__v"), F.col("lo")), F.col("hi"))
+    val agg = joined.groupBy("__g").agg(
+      F.max("n").as("n"), F.max("gc").as("gc"),
+      F.sum(F.col("__v") * contrib.cast("double")).as("ts"),
+      F.sum(wv * F.col("__c")).as("ws"),
+      F.sum(wv * wv * F.col("__c")).as("wq"))
+    val spark = df.sparkSession
+    val rows = agg.collect().map { r =>
+      r.getAs[String]("__g") -> (r.getAs[Long]("n"), r.getAs[Long]("gc"),
+        r.getAs[Double]("ts"), r.getAs[Double]("ws"),
+        r.getAs[Double]("wq"))
+    }.toMap
+    require(rows.contains(labelA) && rows.contains(labelB),
+      "both cohorts need rows")
+    def side(l: String): (Long, Long, Double, Double) = {
+      val (n, gc, ts, ws, wq) = rows(l)
+      val h = n - 2L * gc
+      require(h >= 2L, s"cohort $l too small after trimming")
+      val mt = ts / h
+      val wbar = ws / n
+      val s2w = (wq - n * wbar * wbar) / (n - 1.0)
+      val d = s2w * (n - 1.0) / (h.toDouble * (h - 1.0))
+      (n, h, mt, d)
+    }
+    val (na, ha, mta, da) = side(labelA)
+    val (nb, hb, mtb, db) = side(labelB)
+    val t = (mta - mtb) / math.sqrt(da + db)
+    val dof = (da + db) * (da + db) /
+      (da * da / (ha - 1.0) + db * db / (hb - 1.0))
+    val tr = math.rint(t * 1e6) / 1e6
+    val dfr = math.rint(dof * 1e6) / 1e6
+    val p = math.rint(2.0 * (1.0 - SpecialMath.tCdf(dfr, math.abs(tr)))
+      * 1e6) / 1e6
+    import spark.implicits._
+    Seq((math.rint(mta * 1e6) / 1e6, math.rint(mtb * 1e6) / 1e6,
+      math.rint((mta - mtb) * 1e6) / 1e6, tr, dfr, p, na, nb, ha, hb))
+      .toDF("mean_trim_a", "mean_trim_b", "diff", "t_stat", "dof",
+        "p_value", "n_a", "n_b", "h_a", "h_b")
+  }
+
   /** Chi-squared homogeneity test of two categorical PMFs: over the
     * union support, X² = Σ_cells Σ_{g∈{a,b}} (O_gc − E_gc)²/E_gc with
     * E_gc = n_g·c_c/N, df = cells − 1, p = Q(df/2, X²/2) (regularized

@@ -3672,6 +3672,52 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(rt.getAs[Double]("sen_slope") - 0.5) < 1e-12)
   }
 
+  test("quantileCiByGroup selects exact order-statistic bounds at p90") {
+    import spark.implicits._
+    val df = Seq.tabulate(100)(i => ("g", (i + 1).toDouble)).toDF("grp", "v")
+    val r = Outliers.quantileCiByGroup(df, Seq("grp"), "v", q = 0.9).head()
+    assert(r.getAs[Long]("n") == 100L)
+    assert(r.getAs[Double]("quantile") == 90.0)
+    // half = 1.959964 * sqrt(9) = 5.879892 -> ranks 84 and 97
+    assert(r.getAs[Double]("ci_lo") == 84.0)
+    assert(r.getAs[Double]("ci_hi") == 97.0)
+  }
+
+  test("yuenTTest matches the hand-computed trimmed example") {
+    import spark.implicits._
+    // a = 1..10, b = 11..20, trim .2: g=2, h=6, trimmed means 5.5/15.5,
+    // winsorized s2 = 42.5/9, d = 42.5/30 each, dof = 10
+    val df = (Seq.tabulate(10)(i => ("a", (i + 1).toDouble)) ++
+      Seq.tabulate(10)(i => ("b", (i + 11).toDouble))).toDF("cohort", "v")
+    val r = StatTests.yuenTTest(df, "cohort", "v", trim = 0.2).head()
+    assert(r.getAs[Double]("mean_trim_a") == 5.5)
+    assert(r.getAs[Double]("mean_trim_b") == 15.5)
+    assert(r.getAs[Double]("diff") == -10.0)
+    assert(r.getAs[Long]("h_a") == 6L && r.getAs[Long]("h_b") == 6L)
+    assert(r.getAs[Double]("dof") == 10.0)
+    val d = 42.5 / 30.0
+    val tExp = math.rint(-10.0 / math.sqrt(2.0 * d) * 1e6) / 1e6
+    assert(r.getAs[Double]("t_stat") == tExp)
+    assert(r.getAs[Double]("p_value") < 0.01)
+  }
+
+  test("qteByQuantile reads the per-quantile lift off exact order stats") {
+    import spark.implicits._
+    val df = (Seq.tabulate(100)(i => ("a", (i + 1).toDouble)) ++
+      Seq.tabulate(100)(i => ("b", (i + 11).toDouble))).toDF("cohort", "v")
+    val rows = Experiments.qteByQuantile(df, "cohort", "v",
+        qs = Seq(0.5, 0.9))
+      .collect().map(r => r.getAs[Double]("q") -> r).toMap
+    val m = rows(0.5)
+    assert(m.getAs[Double]("q_a") == 50.0 && m.getAs[Double]("q_b") == 60.0)
+    assert(m.getAs[Double]("qte") == 10.0)
+    val h = rows(0.9)
+    assert(h.getAs[Double]("q_a") == 90.0 && h.getAs[Double]("q_b") == 100.0)
+    assert(h.getAs[Double]("qte") == 10.0)
+    assert(h.getAs[Double]("a_lo") == 84.0 && h.getAs[Double]("a_hi") == 97.0)
+    assert(m.getAs[Long]("n_a") == 100L && m.getAs[Long]("n_b") == 100L)
+  }
+
   test("didEstimate matches the hand-computed 2x2 panel") {
     import spark.implicits._
     // cells: T-pre {1,3}, T-post {5,7}, C-pre {1,3}, C-post {2,4}
