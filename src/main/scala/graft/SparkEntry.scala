@@ -2613,6 +2613,34 @@ object SparkEntry {
       TextOps.distinctiveTerms(docs(s, dir), "doc_id", "text", "lang",
           alpha = 0.01, k = 5)
         .orderBy("group", "rank")),
+    "q_corr_ci" -> ((s, dir) =>
+      // is the quantity-price correlation real per return flag?
+      // Fisher-z band + two-sided p, all from one moment aggregation
+      Regression.corrCiByGroup(li(s, dir), Seq("l_returnflag"),
+          "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag")),
+    "q_ips" -> ((s, dir) =>
+      // off-policy eval from logs: what reward would the "click for
+      // user_id % 7 == 0, else view" policy have earned — IPS/SNIPS
+      // with clipped weights and the effective sample size
+      Evaluation.ipsOffPolicy(
+        events(s, dir).select(F.col("event_type").as("action"),
+          ((F.col("user_id") % 10 + 1).cast("double") / 20.0).as("p"),
+          (F.col("value") / 100.0).as("r"),
+          F.when(F.col("user_id") % 7 === 0, "click").otherwise("view")
+            .as("target")),
+        "action", "p", "r", "target", clipMax = 10.0)),
+    "q_ccf" -> ((s, dir) =>
+      // lead-lag profile per event type: corr(value_t, bucket_{t+l})
+      // for l = -2..2 over decimal-exact daily means — the curve
+      // behind q_granger's single verdict
+      Features.ccfByKey(
+        events(s, dir).select(F.col("event_type"), F.col("ts"),
+          F.col("value").as("x"),
+          (F.col("user_id") % 50).cast("double").as("y")),
+        "event_type", "ts", "x", "y", maxLag = 2,
+        periodUnit = 86400000000000L)
+        .orderBy("event_type", "lag")),
     "q_quantile_ci" -> ((s, dir) =>
       // distribution-free p90 CI per line status: exact order
       // statistics at binomial-normal rank bounds — every output is a
@@ -9400,6 +9428,118 @@ object SparkEntry {
         |  round(${codyErfcSql("y")}, 6) AS p_value,
         |  round(sen_slope, 6) AS sen_slope
         |FROM ye ORDER BY event_type""".stripMargin,
+    // Fisher-z replay: explicit moments, the ln/exp tanh expansion,
+    // p at the rounded statistic via Cody erfc.
+    "q_corr_ci" ->
+      s"""WITH c AS (SELECT l_returnflag AS g,
+        |    CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem
+        |  WHERE l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy,
+        |    sum(x * y) AS sxy FROM c GROUP BY g),
+        |m AS (SELECT g, n, CAST(n AS DOUBLE) AS nd,
+        |    sx / CAST(n AS DOUBLE) AS mx, sy / CAST(n AS DOUBLE) AS my,
+        |    sxx / CAST(n AS DOUBLE) AS rxx,
+        |    syy / CAST(n AS DOUBLE) AS ryy,
+        |    sxy / CAST(n AS DOUBLE) AS rxy FROM a),
+        |v AS (SELECT g, n, nd, rxx - mx * mx AS vx, ryy - my * my AS vy,
+        |    rxy - mx * my AS cxy FROM m),
+        |r AS (SELECT g, n, nd, vx, vy,
+        |    cxy / sqrt(vx * vy) AS r FROM v),
+        |zz AS (SELECT g, n, nd, vx, vy, r,
+        |    0.5 * ln((1.0 + r) / (1.0 - r)) AS zr,
+        |    1.0 / sqrt(nd - 3.0) AS se FROM r),
+        |st AS (SELECT g, n, vx, vy, r, zr, se,
+        |    round(abs(zr) * sqrt(nd - 3.0), 6) AS stat FROM zz),
+        |ye AS (SELECT g, n, vx, vy, r, zr, se, stat,
+        |    stat / sqrt(2.0) AS y FROM st)
+        |SELECT g AS l_returnflag, n, round(r, 6) AS r,
+        |  round((exp((zr - 1.959964 * se) * 2.0) - 1.0)
+        |    / (exp((zr - 1.959964 * se) * 2.0) + 1.0), 6) AS ci_lo,
+        |  round((exp((zr + 1.959964 * se) * 2.0) - 1.0)
+        |    / (exp((zr + 1.959964 * se) * 2.0) + 1.0), 6) AS ci_hi,
+        |  round_even(${codyErfcSql("y")} * 1000000.0, 0) / 1000000.0
+        |    AS p_value
+        |FROM ye WHERE n > 3 AND vx > 0.0 AND vy > 0.0 AND abs(r) < 1.0
+        |ORDER BY l_returnflag""".stripMargin,
+    // IPS replay: the identical clipped-weight ratio arithmetic.
+    "q_ips" ->
+      """WITH c AS (SELECT event_type AS action,
+        |    CAST(user_id % 10 + 1 AS DOUBLE) / 20.0 AS p,
+        |    CAST(value AS DOUBLE) / 100.0 AS r,
+        |    CASE WHEN user_id % 7 = 0 THEN 'click' ELSE 'view' END
+        |      AS target
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)
+        |    AND event_type IS NOT NULL),
+        |w AS (SELECT *,
+        |    CASE WHEN action = target THEN 1.0 / p ELSE 0.0 END AS wr,
+        |    least(CASE WHEN action = target THEN 1.0 / p ELSE 0.0 END,
+        |      10.0) AS wc
+        |  FROM c WHERE p > 0.0),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN action = target THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nm,
+        |    sum(wc * r) AS swr, sum(wc) AS sw, sum(wc * wc) AS sww,
+        |    CAST(sum(CASE WHEN wr > 10.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nclip
+        |  FROM w)
+        |SELECT n,
+        |  round(CAST(nm AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS match_rate,
+        |  round(swr / CAST(n AS DOUBLE), 6) AS ips,
+        |  CASE WHEN sw > 0.0 THEN round(swr / sw, 6) END AS snips,
+        |  CASE WHEN sww > 0.0 THEN round(sw * sw / sww, 6) END AS ess,
+        |  round(CAST(nclip AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS clip_share
+        |FROM a WHERE n > 0""".stripMargin,
+    // CCF replay: decimal-exact daily means, one lead subquery per
+    // lag unioned, the shared moment-ratio shape.
+    "q_ccf" ->
+      """WITH e AS (SELECT event_type AS k, epoch_ns(ts) AS t,
+        |    CAST(value AS DOUBLE) AS x,
+        |    CAST(user_id % 50 AS DOUBLE) AS y FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)
+        |    AND user_id IS NOT NULL),
+        |cells AS (SELECT k, t // 86400000000000 AS p,
+        |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+        |      AS xv,
+        |    CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+        |      AS yv
+        |  FROM e GROUP BY k, p),
+        |lagged AS (
+        |  SELECT k, CAST(-2 AS BIGINT) AS lag,
+        |      lead(xv, 2) OVER (PARTITION BY k ORDER BY p) AS a,
+        |      yv AS b FROM cells
+        |  UNION ALL SELECT k, CAST(-1 AS BIGINT),
+        |      lead(xv, 1) OVER (PARTITION BY k ORDER BY p), yv
+        |    FROM cells
+        |  UNION ALL SELECT k, CAST(0 AS BIGINT), xv, yv FROM cells
+        |  UNION ALL SELECT k, CAST(1 AS BIGINT), xv,
+        |      lead(yv, 1) OVER (PARTITION BY k ORDER BY p) FROM cells
+        |  UNION ALL SELECT k, CAST(2 AS BIGINT), xv,
+        |      lead(yv, 2) OVER (PARTITION BY k ORDER BY p) FROM cells),
+        |ag AS (SELECT k, lag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(a) AS sa, sum(b) AS sb, sum(a * a) AS saa,
+        |    sum(b * b) AS sbb, sum(a * b) AS sab
+        |  FROM lagged WHERE a IS NOT NULL AND b IS NOT NULL
+        |  GROUP BY k, lag),
+        |mo AS (SELECT k, lag, n,
+        |    sa / CAST(n AS DOUBLE) AS ma, sb / CAST(n AS DOUBLE) AS mb,
+        |    saa / CAST(n AS DOUBLE) AS raa,
+        |    sbb / CAST(n AS DOUBLE) AS rbb,
+        |    sab / CAST(n AS DOUBLE) AS rab FROM ag),
+        |cv AS (SELECT k, lag, n, raa - ma * ma AS va,
+        |    rbb - mb * mb AS vb, rab - ma * mb AS cab FROM mo)
+        |SELECT k AS event_type, lag, n,
+        |  round(cab / sqrt(va * vb), 6) AS ccf
+        |FROM cv WHERE n >= 3 AND va > 0.0 AND vb > 0.0
+        |ORDER BY event_type, lag""".stripMargin,
     // Quantile-CI replay: distinct-value cells, cumulative ranks, the
     // binomial-normal rank bounds, exact order-statistic selects.
     "q_quantile_ci" ->

@@ -13,6 +13,60 @@ import graft.functions.SpecialMath
   */
 object Evaluation {
 
+  /** Off-policy evaluation by inverse propensity scoring — "what would
+    * the NEW policy's reward have been, from the OLD policy's logs"
+    * (the counterfactual readout that decides a ranking/routing change
+    * without an online experiment):
+    *
+    *   IPS   = mean( 1{a = π(x)} · r / p ),
+    *   SNIPS = Σ w·r / Σ w   (the self-normalized form — biased but
+    *           far lower variance when propensities are noisy),
+    *   ESS   = (Σw)² / Σw²  (how many effective rows back the number)
+    *
+    * with the weight clipped at `clipMax` (the standard
+    * variance/bias knob — the clipped mass is reported, not hidden).
+    * ONE aggregation; everything is explicit ratio arithmetic.
+    *
+    * @param targetActionCol the action the CANDIDATE policy takes for
+    *        the row (deterministic policies; for stochastic ones pass
+    *        its propensity in as the indicator already multiplied)
+    * @return one row: (n, match_rate, ips, snips, ess, clip_share) */
+  def ipsOffPolicy(df: DataFrame, actionCol: String,
+                   propensityCol: String, rewardCol: String,
+                   targetActionCol: String,
+                   clipMax: Double = 10.0): DataFrame = {
+    require(clipMax > 0.0, "clipMax must be positive")
+    val p = F.col(propensityCol).cast("double")
+    val r = F.col(rewardCol).cast("double")
+    val matches = F.col(actionCol).cast("string") ===
+      F.col(targetActionCol).cast("string")
+    val clean = df.where(p.isNotNull && !F.isnan(p) && p > 0.0 &&
+      r.isNotNull && !F.isnan(r) &&
+      F.col(actionCol).isNotNull && F.col(targetActionCol).isNotNull)
+    val wRaw = F.when(matches, F.lit(1.0) / p).otherwise(0.0)
+    val w = F.least(wRaw, F.lit(clipMax))
+    val agged = clean.agg(
+      F.count(F.lit(1)).as("n"),
+      F.sum(F.when(matches, 1L).otherwise(0L)).as("__nm"),
+      F.sum(w * r).as("__swr"),
+      F.sum(w).as("__sw"),
+      F.sum(w * w).as("__sww"),
+      F.sum(F.when(wRaw > F.lit(clipMax), 1L).otherwise(0L))
+        .as("__nclip"))
+    val n = F.col("n").cast("double")
+    agged.where(F.col("n") > 0L)
+      .select(F.col("n"),
+        F.round(F.col("__nm").cast("double") / n, 6).as("match_rate"),
+        F.round(F.col("__swr") / n, 6).as("ips"),
+        F.when(F.col("__sw") > 0.0,
+          F.round(F.col("__swr") / F.col("__sw"), 6)).as("snips"),
+        F.when(F.col("__sww") > 0.0,
+          F.round(F.col("__sw") * F.col("__sw") / F.col("__sww"), 6))
+          .as("ess"),
+        F.round(F.col("__nclip").cast("double") / n, 6)
+          .as("clip_share"))
+  }
+
   /** Kolmogorov–Smirnov separation of a score against a binary label —
     * the credit-scoring "KS": max_v |F⁺(v) − F⁻(v)|, the single best
     * cut's captured separation (AUC integrates ranking quality; KS

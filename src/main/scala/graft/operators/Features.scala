@@ -226,6 +226,78 @@ object Features {
         F.col("n_window"), F.col("rolling_corr"))
   }
 
+  /** Cross-correlation function per key: corr(x_t, y_{t+ℓ}) for lags
+    * ℓ = −maxLag..maxLag over the decimal-exact period means — the
+    * PROFILE behind [[graft.operators.Regression.grangerByKey]]'s
+    * single verdict ("x leads y by TWO days, not one"). Positive lag
+    * = x leads y. One key shuffle: 2·maxLag lead windows over the
+    * same sort, every lag's moments folded in ONE aggregation with
+    * per-lag row counts (each lag loses ℓ edge rows), long-form
+    * output via an in-plan explode.
+    *
+    * @return one row per (key, lag) with n ≥ 3 and both variances
+    *         positive: (keyCol, lag, n, ccf), ccf rounded to 6 */
+  def ccfByKey(df: DataFrame, keyCol: String, tsCol: String,
+               xCol: String, yCol: String, maxLag: Int,
+               periodUnit: Long): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 30, "maxLag must be in 1..30")
+    require(periodUnit > 0L, "periodUnit must be positive")
+    val x = F.col(xCol).cast("double")
+    val y = F.col(yCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    val cells = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull &&
+        x.isNotNull && !F.isnan(x) && y.isNotNull && !F.isnan(y))
+      .groupBy(F.col(keyCol).as("__k"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("__p"))
+      .agg((F.sum(x.cast("decimal(38,6)")).cast("double") /
+        F.count(F.lit(1))).as("__x"),
+        (F.sum(y.cast("decimal(38,6)")).cast("double") /
+          F.count(F.lit(1))).as("__y"))
+    val w = Window.partitionBy("__k").orderBy(F.col("__p"))
+    val lags = (-maxLag to maxLag)
+    var cur = cells
+    lags.foreach { l =>
+      // pair (x_t, y_{t+l}): shift y forward for l > 0, x for l < 0
+      val (a, b) =
+        if (l >= 0) (F.col("__x"), F.lead("__y", l).over(w))
+        else (F.lead("__x", -l).over(w), F.col("__y"))
+      cur = cur.withColumn(s"__a$l", a).withColumn(s"__b$l", b)
+    }
+    val aggs = lags.flatMap { l =>
+      val ok = F.col(s"__a$l").isNotNull && F.col(s"__b$l").isNotNull
+      Seq(
+        F.sum(F.when(ok, 1L).otherwise(0L)).as(s"n$l"),
+        F.sum(F.when(ok, F.col(s"__a$l"))).as(s"sa$l"),
+        F.sum(F.when(ok, F.col(s"__b$l"))).as(s"sb$l"),
+        F.sum(F.when(ok, F.col(s"__a$l") * F.col(s"__a$l")))
+          .as(s"saa$l"),
+        F.sum(F.when(ok, F.col(s"__b$l") * F.col(s"__b$l")))
+          .as(s"sbb$l"),
+        F.sum(F.when(ok, F.col(s"__a$l") * F.col(s"__b$l")))
+          .as(s"sab$l"))
+    }
+    val agged = cur.groupBy("__k").agg(aggs.head, aggs.tail: _*)
+    val structs = lags.map { l =>
+      val n = F.col(s"n$l").cast("double")
+      val ma = F.col(s"sa$l") / n
+      val mb = F.col(s"sb$l") / n
+      val va = F.col(s"saa$l") / n - ma * ma
+      val vb = F.col(s"sbb$l") / n - mb * mb
+      val cab = F.col(s"sab$l") / n - ma * mb
+      val ccf = F.when(F.col(s"n$l") >= 3L && va > 0.0 && vb > 0.0,
+        F.round(cab / F.sqrt(va * vb), 6))
+      F.struct(F.lit(l.toLong).as("lag"), F.col(s"n$l").as("n"),
+        ccf.as("ccf"))
+    }
+    agged
+      .select(F.col("__k").as(keyCol),
+        F.explode(F.array(structs: _*)).as("__s"))
+      .where(F.col("__s.ccf").isNotNull)
+      .select(F.col(keyCol), F.col("__s.lag").as("lag"),
+        F.col("__s.n").as("n"), F.col("__s.ccf").as("ccf"))
+  }
+
   /** Forecast-accuracy scorecard per key: MAE, RMSE, MAPE and MASE of
     * a prediction column against actuals — the evaluation half of the
     * [[holtByKey]] / [[seasonalDecompose]] loop ("is the model beating

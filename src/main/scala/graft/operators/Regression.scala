@@ -165,6 +165,59 @@ object Regression {
         F.col("__n").as("n"): _*)
   }
 
+  /** Pearson correlation with the Fisher-z confidence band per group —
+    * [[corrByGroup]] gives the point estimate; this answers "is that
+    * r = 0.3 real, given this segment has 40 rows":
+    *
+    *   z_r = atanh(r),  CI = tanh(z_r ± z/√(n−3)),
+    *   p   = erfc(|z_r|·√(n−3)/√2)   (two-sided, r = 0 null)
+    *
+    * atanh/tanh expand to their ln/exp forms so any engine replays
+    * them; r comes from explicit raw moments (ONE aggregation), p is
+    * evaluated at the 6-rounded test statistic. Groups with n ≤ 3 or
+    * zero variance (or |r| = 1, where the band degenerates) are
+    * omitted.
+    *
+    * @return one row per group: (groupCols..., n, r, ci_lo, ci_hi,
+    *         p_value) */
+  def corrCiByGroup(df: DataFrame, groupCols: Seq[String],
+                    xCol: String, yCol: String,
+                    z: Double = 1.959964): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val x = F.col(xCol).cast("double")
+    val y = F.col(yCol).cast("double")
+    val clean = df.where(x.isNotNull && !F.isnan(x) &&
+      y.isNotNull && !F.isnan(y))
+    val agged = clean.groupBy(groupCols.map(F.col): _*).agg(
+      F.count(F.lit(1)).as("n"),
+      F.sum(x).as("sx"), F.sum(y).as("sy"),
+      F.sum(x * x).as("sxx"), F.sum(y * y).as("syy"),
+      F.sum(x * y).as("sxy"))
+    val n = F.col("n").cast("double")
+    val mx = F.col("sx") / n; val my = F.col("sy") / n
+    val vx = F.col("sxx") / n - mx * mx
+    val vy = F.col("syy") / n - my * my
+    val cxy = F.col("sxy") / n - mx * my
+    val r = cxy / F.sqrt(vx * vy)
+    val zr = F.lit(0.5) * F.log((F.lit(1.0) + r) / (F.lit(1.0) - r))
+    val se = F.lit(1.0) / F.sqrt(n - 3.0)
+    def tanh(u: org.apache.spark.sql.Column) = {
+      val e = F.exp(u * 2.0)
+      (e - 1.0) / (e + 1.0)
+    }
+    val stat = F.round(F.abs(zr) * F.sqrt(n - 3.0), 6)
+    val pUdf = F.udf((s: Double) => math.rint(graft.functions
+      .SpecialMath.erfc(s / math.sqrt(2.0)) * 1e6) / 1e6)
+    agged
+      .where(F.col("n") > 3L && vx > 0.0 && vy > 0.0 &&
+        F.abs(r) < 1.0)
+      .select(groupCols.map(F.col) ++ Seq(F.col("n"),
+        F.round(r, 6).as("r"),
+        F.round(tanh(zr - F.lit(z) * se), 6).as("ci_lo"),
+        F.round(tanh(zr + F.lit(z) * se), 6).as("ci_hi"),
+        pUdf(stat).as("p_value")): _*)
+  }
+
   /** Partial correlation per group — the confound killer: r_xy·z is
     * what's left of corr(x, y) after linearly removing a control z
     * from both ("do price and discount still correlate within a

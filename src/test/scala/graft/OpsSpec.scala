@@ -3672,6 +3672,56 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(rt.getAs[Double]("sen_slope") - 0.5) < 1e-12)
   }
 
+  test("corrCiByGroup pins the Fisher-z band on a hand-checked r") {
+    import spark.implicits._
+    // x = 1..5, y = (1,2,3,4,6): r = 2.4/sqrt(2*2.96)
+    val df = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, 4.0),
+      (5.0, 6.0)).map { case (x, y) => ("g", x, y) }.toDF("grp", "x", "y")
+    val rr = Regression.corrCiByGroup(df, Seq("grp"), "x", "y").head()
+    val r = 2.4 / math.sqrt(2.0 * 2.96)
+    assert(rr.getAs[Double]("r") == math.rint(r * 1e6) / 1e6)
+    val zr = 0.5 * math.log((1.0 + r) / (1.0 - r))
+    val se = 1.0 / math.sqrt(2.0)
+    def tanh(u: Double) = (math.exp(2.0 * u) - 1.0) / (math.exp(2.0 * u) + 1.0)
+    assert(math.abs(rr.getAs[Double]("ci_lo") - tanh(zr - 1.959964 * se)) < 1e-6)
+    assert(math.abs(rr.getAs[Double]("ci_hi") - tanh(zr + 1.959964 * se)) < 1e-6)
+    assert(rr.getAs[Double]("ci_lo") < r && r < rr.getAs[Double]("ci_hi"))
+    // perfectly collinear -> |r| = 1 -> omitted
+    val lin = Seq.tabulate(6)(i => ("h", i.toDouble, i.toDouble))
+      .toDF("grp", "x", "y")
+    assert(Regression.corrCiByGroup(lin, Seq("grp"), "x", "y").isEmpty)
+  }
+
+  test("ipsOffPolicy matches the hand-computed clipped estimate") {
+    import spark.implicits._
+    val df = Seq(("x", "x", 0.5, 1.0), ("y", "x", 0.5, 5.0),
+      ("x", "x", 0.1, 1.0)).toDF("action", "target", "p", "r")
+    val out = Evaluation.ipsOffPolicy(df, "action", "p", "r", "target",
+      clipMax = 5.0).head()
+    assert(out.getAs[Long]("n") == 3L)
+    assert(math.abs(out.getAs[Double]("match_rate") - 2.0 / 3.0) < 1e-6)
+    assert(math.abs(out.getAs[Double]("ips") - 7.0 / 3.0) < 1e-6)
+    assert(out.getAs[Double]("snips") == 1.0) // (2+5)/(2+5)
+    assert(math.abs(out.getAs[Double]("ess") - 49.0 / 29.0) < 1e-6)
+    assert(math.abs(out.getAs[Double]("clip_share") - 1.0 / 3.0) < 1e-6)
+  }
+
+  test("ccfByKey locates the two-period lead exactly") {
+    import spark.implicits._
+    val x = Seq(1.0, 3.0, 2.0, 5.0, 4.0, 7.0, 6.0)
+    // y is x delayed by two periods: x leads y -> peak at lag +2
+    val rows = x.indices.map { p =>
+      val y = if (p >= 2) x(p - 2) else 0.0
+      ("k", p.toLong * 10L, x(p), y)
+    }
+    val r = Features.ccfByKey(rows.toDF("key", "ts", "x", "y"),
+        "key", "ts", "x", "y", maxLag = 3, periodUnit = 10L)
+      .collect().map(z => z.getAs[Long]("lag") -> z).toMap
+    assert(r(2L).getAs[Double]("ccf") == 1.0)
+    assert(r(2L).getAs[Long]("n") == 5L)
+    assert(r.keys.forall(l => l == 2L || r(l).getAs[Double]("ccf") < 1.0))
+  }
+
   test("quantileCiByGroup selects exact order-statistic bounds at p90") {
     import spark.implicits._
     val df = Seq.tabulate(100)(i => ("g", (i + 1).toDouble)).toDF("grp", "v")
