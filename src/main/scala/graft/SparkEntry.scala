@@ -2613,6 +2613,33 @@ object SparkEntry {
       TextOps.distinctiveTerms(docs(s, dir), "doc_id", "text", "lang",
           alpha = 0.01, k = 5)
         .orderBy("group", "rank")),
+    "q_dr" -> ((s, dir) =>
+      // doubly-robust policy value: the q_ips setup plus a pinned
+      // deterministic reward model qhat(a) = 0.3 + (len(a) % 3) * 0.2
+      // — unbiased if either the propensities or the model is right
+      Evaluation.drOffPolicy(
+        events(s, dir).select(F.col("event_type").as("action"),
+          ((F.col("user_id") % 10 + 1).cast("double") / 20.0).as("p"),
+          (F.col("value") / 100.0).as("r"),
+          F.when(F.col("user_id") % 7 === 0, "click").otherwise("view")
+            .as("target"))
+          .withColumn("qt", F.lit(0.3) +
+            (F.length(F.col("target")) % 3).cast("double") * 0.2)
+          .withColumn("ql", F.lit(0.3) +
+            (F.length(F.col("action")) % 3).cast("double") * 0.2),
+        "action", "p", "r", "target", "qt", "ql", clipMax = 10.0)),
+    "q_ratio_ci" -> ((s, dir) =>
+      // revenue-per-unit ratio metric per return flag with the
+      // delta-method CI — numerator and denominator are correlated
+      // within the row, so the naive mean-of-ratios is wrong
+      Experiments.ratioMetricCi(li(s, dir), Seq("l_returnflag"),
+          "l_extendedprice", "l_quantity")
+        .orderBy("l_returnflag")),
+    "q_post_strat" -> ((s, dir) =>
+      // price mean reweighted to a target return-flag mix — the 1-D
+      // survey correction with the stratified-sampling SE
+      Experiments.postStratifiedMean(li(s, dir), "l_returnflag",
+        "l_extendedprice", Seq(("A", 0.3), ("N", 0.5), ("R", 0.2)))),
     "q_corr_ci" -> ((s, dir) =>
       // is the quantity-price correlation real per return flag?
       // Fisher-z band + two-sided p, all from one moment aggregation
@@ -9428,6 +9455,96 @@ object SparkEntry {
         |  round(${codyErfcSql("y")}, 6) AS p_value,
         |  round(sen_slope, 6) AS sen_slope
         |FROM ye ORDER BY event_type""".stripMargin,
+    // DR replay: the q_ips weight arithmetic plus the pinned model.
+    "q_dr" ->
+      """WITH c AS (SELECT event_type AS action,
+        |    CAST(user_id % 10 + 1 AS DOUBLE) / 20.0 AS p,
+        |    CAST(value AS DOUBLE) / 100.0 AS r,
+        |    CASE WHEN user_id % 7 = 0 THEN 'click' ELSE 'view' END
+        |      AS target
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)
+        |    AND event_type IS NOT NULL),
+        |q AS (SELECT *,
+        |    0.3 + CAST(length(target) % 3 AS DOUBLE) * 0.2 AS qt,
+        |    0.3 + CAST(length(action) % 3 AS DOUBLE) * 0.2 AS ql
+        |  FROM c WHERE p > 0.0),
+        |w AS (SELECT *,
+        |    CASE WHEN action = target THEN 1.0 / p ELSE 0.0 END AS wr,
+        |    least(CASE WHEN action = target THEN 1.0 / p ELSE 0.0 END,
+        |      10.0) AS wc
+        |  FROM q),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(qt + wc * (r - ql)) AS sdr, sum(qt) AS sdm,
+        |    sum(wc * (r - ql)) AS scorr,
+        |    CAST(sum(CASE WHEN action = target THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nm,
+        |    CAST(sum(CASE WHEN wr > 10.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nclip
+        |  FROM w)
+        |SELECT n, round(sdr / CAST(n AS DOUBLE), 6) AS dr,
+        |  round(sdm / CAST(n AS DOUBLE), 6) AS dm,
+        |  round(scorr / CAST(n AS DOUBLE), 6) AS correction,
+        |  round(CAST(nm AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS match_rate,
+        |  round(CAST(nclip AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS clip_share
+        |FROM a WHERE n > 0""".stripMargin,
+    // Ratio-metric replay: explicit moments, the identical
+    // delta-method shape.
+    "q_ratio_ci" ->
+      """WITH c AS (SELECT l_returnflag AS g,
+        |    CAST(l_extendedprice AS DOUBLE) AS y,
+        |    CAST(l_quantity AS DOUBLE) AS x FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        |    AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))),
+        |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n, sum(y) AS sy,
+        |    sum(x) AS sx, sum(y * y) AS syy, sum(x * x) AS sxx,
+        |    sum(x * y) AS sxy FROM c GROUP BY g),
+        |m AS (SELECT g, n, CAST(n AS DOUBLE) AS nd,
+        |    sy / CAST(n AS DOUBLE) AS my, sx / CAST(n AS DOUBLE) AS mx,
+        |    sy, sx, syy, sxx, sxy FROM a),
+        |v AS (SELECT g, n, nd, mx, my / mx AS ratio,
+        |    (syy - nd * my * my) / (nd - 1.0) AS vy,
+        |    (sxx - nd * mx * mx) / (nd - 1.0) AS vx,
+        |    (sxy - nd * mx * my) / (nd - 1.0) AS cxy, sx FROM m),
+        |se AS (SELECT g, n, ratio,
+        |    sqrt((vy + ratio * ratio * vx - 2.0 * ratio * cxy)
+        |      / (nd * (mx * mx))) AS se, sx FROM v)
+        |SELECT g AS l_returnflag, n, round(ratio, 6) AS ratio,
+        |  round(se, 6) AS se,
+        |  round(ratio - 1.959964 * se, 6) AS ci_lo,
+        |  round(ratio + 1.959964 * se, 6) AS ci_hi
+        |FROM se WHERE n >= 2 AND abs(sx) > 0.0
+        |ORDER BY l_returnflag""".stripMargin,
+    // Post-stratification replay: strata moments joined to the target
+    // VALUES, the identical weighted fold.
+    "q_post_strat" ->
+      """WITH t(sv, t) AS (VALUES ('A', CAST(0.3 AS DOUBLE)),
+        |  ('N', CAST(0.5 AS DOUBLE)), ('R', CAST(0.2 AS DOUBLE))),
+        |cells AS (SELECT l_returnflag AS sv,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(l_extendedprice AS DOUBLE)) AS sy,
+        |    sum(CAST(l_extendedprice AS DOUBLE)
+        |      * CAST(l_extendedprice AS DOUBLE)) AS syy
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        |    AND l_returnflag IS NOT NULL
+        |  GROUP BY l_returnflag),
+        |j AS (SELECT cells.sv, n, sy, syy, t.t FROM cells
+        |  JOIN t ON cells.sv = t.sv WHERE n >= 2)
+        |SELECT
+        |  round(sum(sy) / CAST(sum(n) AS DOUBLE), 6) AS mean_raw,
+        |  round(sum(t * (sy / CAST(n AS DOUBLE))), 6) AS mean_post,
+        |  round(sqrt(sum(t * t * ((syy - CAST(n AS DOUBLE)
+        |      * (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+        |      / (CAST(n AS DOUBLE) - 1.0)) / CAST(n AS DOUBLE))), 6)
+        |    AS se,
+        |  CAST(sum(n) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_strata
+        |FROM j""".stripMargin,
     // Fisher-z replay: explicit moments, the ln/exp tanh expansion,
     // p at the rounded statistic via Cody erfc.
     "q_corr_ci" ->

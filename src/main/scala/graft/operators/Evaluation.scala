@@ -67,6 +67,60 @@ object Evaluation {
           .as("clip_share"))
   }
 
+  /** Doubly-robust off-policy estimator — [[ipsOffPolicy]] with a
+    * reward model as the control variate: unbiased if EITHER the
+    * propensities or the reward model is right, and far lower
+    * variance than raw IPS when the model is even roughly calibrated:
+    *
+    *   DR = mean( q̂(x, π(x)) + w · (r − q̂(x, a)) ),
+    *   w  = min(clipMax, 1{a = π(x)}/p)
+    *
+    * The caller supplies the model's predicted reward for the
+    * candidate action (`qHatTargetCol`) and for the logged action
+    * (`qHatLoggedCol`) — model scoring composes upstream (e.g.
+    * [[graft.operators.Regression.GammaModel.predictMean]]). ONE
+    * aggregation; also reports the plain model value (direct method)
+    * and the IPS correction term so the diagnosis is visible.
+    *
+    * @return one row: (n, dr, dm, correction, match_rate,
+    *         clip_share) */
+  def drOffPolicy(df: DataFrame, actionCol: String,
+                  propensityCol: String, rewardCol: String,
+                  targetActionCol: String, qHatTargetCol: String,
+                  qHatLoggedCol: String,
+                  clipMax: Double = 10.0): DataFrame = {
+    require(clipMax > 0.0, "clipMax must be positive")
+    val p = F.col(propensityCol).cast("double")
+    val r = F.col(rewardCol).cast("double")
+    val qt = F.col(qHatTargetCol).cast("double")
+    val ql = F.col(qHatLoggedCol).cast("double")
+    val matches = F.col(actionCol).cast("string") ===
+      F.col(targetActionCol).cast("string")
+    val clean = df.where(p.isNotNull && !F.isnan(p) && p > 0.0 &&
+      r.isNotNull && !F.isnan(r) && qt.isNotNull && !F.isnan(qt) &&
+      ql.isNotNull && !F.isnan(ql) &&
+      F.col(actionCol).isNotNull && F.col(targetActionCol).isNotNull)
+    val wRaw = F.when(matches, F.lit(1.0) / p).otherwise(0.0)
+    val w = F.least(wRaw, F.lit(clipMax))
+    val agged = clean.agg(
+      F.count(F.lit(1)).as("n"),
+      F.sum(qt + w * (r - ql)).as("__sdr"),
+      F.sum(qt).as("__sdm"),
+      F.sum(w * (r - ql)).as("__scorr"),
+      F.sum(F.when(matches, 1L).otherwise(0L)).as("__nm"),
+      F.sum(F.when(wRaw > F.lit(clipMax), 1L).otherwise(0L))
+        .as("__nclip"))
+    val n = F.col("n").cast("double")
+    agged.where(F.col("n") > 0L)
+      .select(F.col("n"),
+        F.round(F.col("__sdr") / n, 6).as("dr"),
+        F.round(F.col("__sdm") / n, 6).as("dm"),
+        F.round(F.col("__scorr") / n, 6).as("correction"),
+        F.round(F.col("__nm").cast("double") / n, 6).as("match_rate"),
+        F.round(F.col("__nclip").cast("double") / n, 6)
+          .as("clip_share"))
+  }
+
   /** Kolmogorov–Smirnov separation of a score against a binary label —
     * the credit-scoring "KS": max_v |F⁺(v) − F⁻(v)|, the single best
     * cut's captured separation (AUC integrates ranking quality; KS

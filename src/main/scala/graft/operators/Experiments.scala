@@ -715,6 +715,97 @@ object Experiments {
       F.col("n_strata"), F.col("n").cast("long").as("n"))
   }
 
+  /** Ratio-metric confidence interval by the delta method — the
+    * machinery behind every "revenue per session / CTR per user"
+    * readout, where the naive per-row mean is WRONG because numerator
+    * and denominator are correlated within the unit:
+    *
+    *   R = Σy/Σx = ȳ/x̄,
+    *   Var(R) ≈ (s²_y + R²·s²_x − 2R·s_xy) / (n·x̄²)
+    *
+    * (unit-level delta method, sample covariances). ONE moment
+    * aggregation per group; the CI is R ± z·se. Groups with n < 2 or
+    * x̄ = 0 are omitted.
+    *
+    * @return one row per group: (groupCols..., n, ratio, se, ci_lo,
+    *         ci_hi) */
+  def ratioMetricCi(df: DataFrame, groupCols: Seq[String],
+                    numCol: String, denCol: String,
+                    z: Double = 1.959964): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val y = F.col(numCol).cast("double")
+    val x = F.col(denCol).cast("double")
+    val clean = df.where(y.isNotNull && !F.isnan(y) &&
+      x.isNotNull && !F.isnan(x))
+    val agged = clean.groupBy(groupCols.map(F.col): _*).agg(
+      F.count(F.lit(1)).as("n"),
+      F.sum(y).as("sy"), F.sum(x).as("sx"),
+      F.sum(y * y).as("syy"), F.sum(x * x).as("sxx"),
+      F.sum(x * y).as("sxy"))
+    val n = F.col("n").cast("double")
+    val my = F.col("sy") / n; val mx = F.col("sx") / n
+    val ratio = my / mx
+    // sample (n−1) covariances via the explicit sums
+    val vy = (F.col("syy") - n * my * my) / (n - 1.0)
+    val vx = (F.col("sxx") - n * mx * mx) / (n - 1.0)
+    val cxy = (F.col("sxy") - n * mx * my) / (n - 1.0)
+    val se = F.sqrt((vy + ratio * ratio * vx -
+      F.lit(2.0) * ratio * cxy) / (n * (mx * mx)))
+    agged
+      .where(F.col("n") >= 2L && F.abs(F.col("sx")) > 0.0)
+      .select(groupCols.map(F.col) ++ Seq(F.col("n"),
+        F.round(ratio, 6).as("ratio"), F.round(se, 6).as("se"),
+        F.round(ratio - F.lit(z) * se, 6).as("ci_lo"),
+        F.round(ratio + F.lit(z) * se, 6).as("ci_hi")): _*)
+  }
+
+  /** Post-stratified mean — the 1-D survey correction ("our logs
+    * over-sample mobile; what's the mean as if the mix matched the
+    * population"): strata means reweighted to caller-supplied target
+    * shares, with the stratified-sampling standard error:
+    *
+    *   μ̂ = Σ_s t_s·ȳ_s,   SE = √( Σ_s t_s²·s²_s/n_s )
+    *
+    * ONE cells aggregation (the [[Weighting.ipfWeights]] one-margin
+    * special case, but with the estimate + SE instead of row
+    * weights). Strata absent from the targets are excluded; targets
+    * must sum to 1.
+    *
+    * @return one row: (mean_raw, mean_post, se, n, n_strata) */
+  def postStratifiedMean(df: DataFrame, strataCol: String,
+                         yCol: String,
+                         targets: Seq[(String, Double)]): DataFrame = {
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(targets.forall(_._2 > 0.0), "target shares must be positive")
+    require(targets.map(_._1).distinct.length == targets.length,
+      "target values must be distinct")
+    require(math.abs(targets.map(_._2).sum - 1.0) <= 1e-6,
+      "target shares must sum to 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = targets.toDF("__s", "t")
+    val y = F.col(yCol).cast("double")
+    val cells = df
+      .where(y.isNotNull && !F.isnan(y) && F.col(strataCol).isNotNull)
+      .groupBy(F.col(strataCol).cast("string").as("__s"))
+      .agg(F.count(F.lit(1)).as("n"), F.sum(y).as("sy"),
+        F.sum(y * y).as("syy"))
+      .join(F.broadcast(t), "__s")
+    val n = F.col("n").cast("double")
+    val m = F.col("sy") / n
+    val s2 = (F.col("syy") - n * m * m) / (n - 1.0)
+    cells
+      .where(F.col("n") >= 2L)
+      .agg(
+        F.round(F.sum("sy") / F.sum("n").cast("double"), 6)
+          .as("mean_raw"),
+        F.round(F.sum(F.col("t") * m), 6).as("mean_post"),
+        F.round(F.sqrt(F.sum(F.col("t") * F.col("t") * s2 / n)), 6)
+          .as("se"),
+        F.sum("n").as("n"),
+        F.count(F.lit(1)).as("n_strata"))
+  }
+
   /** Quantile treatment effects: the per-quantile lift q_b − q_a
     * between two cohorts, with distribution-free order-statistic CIs
     * per side — the readout when the MEAN hides the story (an

@@ -3672,6 +3672,51 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(rt.getAs[Double]("sen_slope") - 0.5) < 1e-12)
   }
 
+  test("drOffPolicy combines the model and the IPS correction") {
+    import spark.implicits._
+    val df = Seq(
+      ("x", "x", 0.5, 1.0, 0.8, 0.8), // w=2: 0.8 + 2*(1-0.8) = 1.2
+      ("y", "x", 0.5, 5.0, 0.7, 4.0)) // w=0: 0.7
+      .toDF("action", "target", "p", "r", "qt", "ql")
+    val out = Evaluation.drOffPolicy(df, "action", "p", "r", "target",
+      "qt", "ql", clipMax = 10.0).head()
+    assert(out.getAs[Double]("dr") == 0.95)
+    assert(out.getAs[Double]("dm") == 0.75)
+    assert(out.getAs[Double]("correction") == 0.2)
+    assert(out.getAs[Double]("match_rate") == 0.5)
+    assert(out.getAs[Double]("clip_share") == 0.0)
+  }
+
+  test("ratioMetricCi: zero variance on proportional data, sane CI otherwise") {
+    import spark.implicits._
+    val prop = Seq((2.0, 1.0), (4.0, 2.0), (6.0, 3.0))
+      .map { case (y, x) => ("g", y, x) }.toDF("grp", "y", "x")
+    val r = Experiments.ratioMetricCi(prop, Seq("grp"), "y", "x").head()
+    assert(r.getAs[Double]("ratio") == 2.0)
+    assert(r.getAs[Double]("se") == 0.0)
+    assert(r.getAs[Double]("ci_lo") == 2.0 && r.getAs[Double]("ci_hi") == 2.0)
+    val noisy = Seq((2.0, 1.0), (3.0, 2.0), (7.0, 3.0))
+      .map { case (y, x) => ("g", y, x) }.toDF("grp", "y", "x")
+    val rn = Experiments.ratioMetricCi(noisy, Seq("grp"), "y", "x").head()
+    assert(rn.getAs[Double]("ci_lo") < rn.getAs[Double]("ratio"))
+    assert(rn.getAs[Double]("ratio") < rn.getAs[Double]("ci_hi"))
+    assert(rn.getAs[Double]("ratio") == 2.0) // 12/6
+  }
+
+  test("postStratifiedMean reweights strata to the target mix") {
+    import spark.implicits._
+    val df = (Seq(1.0, 3.0).map(("A", _)) ++
+      Seq(5.0, 7.0, 9.0, 11.0).map(("B", _))).toDF("s", "y")
+    val r = Experiments.postStratifiedMean(df, "s", "y",
+      Seq(("A", 0.5), ("B", 0.5))).head()
+    assert(r.getAs[Double]("mean_raw") == 6.0)
+    assert(r.getAs[Double]("mean_post") == 5.0)
+    // se = sqrt(.25*2/2 + .25*(20/3)/4)
+    val se = math.sqrt(0.25 + 0.25 * (20.0 / 3.0) / 4.0)
+    assert(math.abs(r.getAs[Double]("se") - se) < 1e-6)
+    assert(r.getAs[Long]("n") == 6L && r.getAs[Long]("n_strata") == 2L)
+  }
+
   test("corrCiByGroup pins the Fisher-z band on a hand-checked r") {
     import spark.implicits._
     // x = 1..5, y = (1,2,3,4,6): r = 2.4/sqrt(2*2.96)
