@@ -2613,6 +2613,33 @@ object SparkEntry {
       TextOps.distinctiveTerms(docs(s, dir), "doc_id", "text", "lang",
           alpha = 0.01, k = 5)
         .orderBy("group", "rank")),
+    "q_ols_weighted" -> ((s, dir) =>
+      // price-on-quantity trend per return flag under discount-derived
+      // row weights — the fit that belongs downstream of raking
+      Regression.olsByGroupWeighted(
+        li(s, dir).select(F.col("l_returnflag"),
+          F.col("l_quantity").as("x"), F.col("l_extendedprice").as("y"),
+          (F.lit(1.0) + F.col("l_discount") * 10).as("w")),
+        "y", "x", "w", Seq("l_returnflag"))
+        .orderBy("l_returnflag")),
+    "q_srm" -> ((s, dir) =>
+      // sample-ratio-mismatch gate on the parity assignment vs the
+      // 50/50 design; dof 1 so p = erfc(sqrt(chi2/2)) replays exactly
+      Experiments.srmCheck(
+        events(s, dir).select(
+          F.when(F.col("user_id") % 2 === 0, "a").otherwise("b")
+            .as("arm")),
+        "arm", Seq(("a", 0.5), ("b", 0.5)))),
+    "q_weighted_moments" -> ((s, dir) =>
+      // weighted quantity moments per line status under the same
+      // discount weights — mean/var on the fixed mix + the effective
+      // sample size behind them
+      StatTests.weightedMomentsByGroup(
+        li(s, dir).select(F.col("l_linestatus"),
+          F.col("l_quantity").as("x"),
+          (F.lit(1.0) + F.col("l_discount") * 10).as("w")),
+        Seq("l_linestatus"), "x", "w")
+        .orderBy("l_linestatus")),
     "q_dr" -> ((s, dir) =>
       // doubly-robust policy value: the q_ips setup plus a pinned
       // deterministic reward model qhat(a) = 0.3 + (len(a) % 3) * 0.2
@@ -9455,6 +9482,82 @@ object SparkEntry {
         |  round(${codyErfcSql("y")}, 6) AS p_value,
         |  round(sen_slope, 6) AS sen_slope
         |FROM ye ORDER BY event_type""".stripMargin,
+    // Weighted-OLS replay: explicit weighted sums, the identical
+    // moment-ratio algebra.
+    "q_ols_weighted" ->
+      """WITH c AS (SELECT l_returnflag AS g,
+        |    CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) AS y,
+        |    1.0 + CAST(l_discount AS DOUBLE) * 10 AS w FROM lineitem
+        |  WHERE l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        |    AND l_discount IS NOT NULL
+        |    AND NOT isnan(1.0 + CAST(l_discount AS DOUBLE) * 10)
+        |    AND 1.0 + CAST(l_discount AS DOUBLE) * 10 >= 0.0),
+        |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n, sum(w) AS sw,
+        |    sum(w * x) AS swx, sum(w * y) AS swy,
+        |    sum(w * x * x) AS swxx, sum(w * y * y) AS swyy,
+        |    sum(w * x * y) AS swxy FROM c GROUP BY g),
+        |m AS (SELECT g, n, sw, swx / sw AS mx, swy / sw AS my,
+        |    swxx / sw AS rxx, swyy / sw AS ryy, swxy / sw AS rxy
+        |  FROM a),
+        |v AS (SELECT g, n, sw, mx, my, rxx - mx * mx AS vx,
+        |    ryy - my * my AS vy, rxy - mx * my AS cxy FROM m)
+        |SELECT g AS l_returnflag, n, round(sw, 6) AS w_sum,
+        |  round(cxy / vx, 6) AS slope,
+        |  round(my - cxy / vx * mx, 6) AS intercept,
+        |  round(cxy * cxy / (vx * vy), 6) AS r2
+        |FROM v WHERE n >= 3 AND sw > 0.0 AND vx > 0.0 AND vy > 0.0
+        |ORDER BY l_returnflag""".stripMargin,
+    // SRM replay: counts vs design expectation, dof-1 tail via erfc.
+    "q_srm" ->
+      s"""WITH c AS (SELECT
+        |    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm
+        |  FROM events WHERE user_id IS NOT NULL),
+        |cnt AS (SELECT arm, CAST(count(*) AS BIGINT) AS c FROM c
+        |  GROUP BY arm),
+        |t(av, share) AS (VALUES ('a', CAST(0.5 AS DOUBLE)),
+        |  ('b', CAST(0.5 AS DOUBLE))),
+        |j AS (SELECT t.av, coalesce(cnt.c, 0) AS c, t.share
+        |  FROM t LEFT JOIN cnt ON cnt.arm = t.av),
+        |un AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS nunexp
+        |  FROM cnt WHERE arm NOT IN ('a', 'b')),
+        |a AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM j),
+        |x AS (SELECT a.n,
+        |    round(sum((CAST(j.c AS DOUBLE) - CAST(a.n AS DOUBLE)
+        |      * j.share) * (CAST(j.c AS DOUBLE) - CAST(a.n AS DOUBLE)
+        |      * j.share) / (CAST(a.n AS DOUBLE) * j.share)), 6)
+        |      AS chi2
+        |  FROM j, a GROUP BY a.n),
+        |ye AS (SELECT n, chi2, sqrt(chi2 / 2.0) AS y FROM x),
+        |p AS (SELECT n, chi2,
+        |    round_even(${codyErfcSql("y")} * 1000000.0, 0) / 1000000.0
+        |      AS p_value FROM ye)
+        |SELECT n, chi2, CAST(1 AS BIGINT) AS dof, p_value,
+        |  p_value < 0.001 AS srm, un.nunexp AS n_unexpected
+        |FROM p, un""".stripMargin,
+    // Weighted-moments replay: the same frequency-weight sums.
+    "q_weighted_moments" ->
+      """WITH c AS (SELECT l_linestatus AS g,
+        |    CAST(l_quantity AS DOUBLE) AS x,
+        |    1.0 + CAST(l_discount AS DOUBLE) * 10 AS w FROM lineitem
+        |  WHERE l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND l_discount IS NOT NULL
+        |    AND NOT isnan(1.0 + CAST(l_discount AS DOUBLE) * 10)
+        |    AND 1.0 + CAST(l_discount AS DOUBLE) * 10 >= 0.0),
+        |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n, sum(w) AS sw,
+        |    sum(w * w) AS sww, sum(w * x) AS swx,
+        |    sum(w * x * x) AS swxx FROM c GROUP BY g),
+        |m AS (SELECT g, n, sw, sww, swx / sw AS mw,
+        |    swxx / sw - (swx / sw) * (swx / sw) AS vw FROM a)
+        |SELECT g AS l_linestatus, n, round(sw, 6) AS w_sum,
+        |  CASE WHEN sww > 0.0 THEN round(sw * sw / sww, 6) END AS ess,
+        |  round(mw, 6) AS mean_w, round(vw, 6) AS var_w,
+        |  CASE WHEN vw >= 0.0 THEN round(sqrt(vw), 6) END AS std_w
+        |FROM m WHERE sw > 0.0 ORDER BY l_linestatus""".stripMargin,
     // DR replay: the q_ips weight arithmetic plus the pinned model.
     "q_dr" ->
       """WITH c AS (SELECT event_type AS action,

@@ -715,6 +715,60 @@ object Experiments {
       F.col("n_strata"), F.col("n").cast("long").as("n"))
   }
 
+  /** Sample-ratio-mismatch check — the experiment-integrity gate that
+    * should run before ANY readout (a 50.4/49.6 split on a million
+    * users is a broken assignment pipeline, and every downstream
+    * p-value is garbage): χ² goodness of fit of the observed arm
+    * counts against the design shares.
+    *
+    *   χ² = Σ (O_a − n·s_a)² / (n·s_a),  dof = |arms with a share| − 1
+    *
+    * ONE counting aggregation; arms observed but absent from
+    * `shares` are reported with a null expectation and EXCLUDED from
+    * the statistic (they are their own red flag — see n_unexpected).
+    * p = Q(dof/2, χ²/2) at the 6-rounded statistic.
+    *
+    * @return one row: (n, chi2, dof, p_value, srm (p < alpha),
+    *         n_unexpected) */
+  def srmCheck(df: DataFrame, armCol: String,
+               shares: Seq[(String, Double)],
+               alpha: Double = 0.001): DataFrame = {
+    require(shares.nonEmpty, "shares must be non-empty")
+    require(shares.forall(_._2 > 0.0), "shares must be positive")
+    require(math.abs(shares.map(_._2).sum - 1.0) <= 1e-6,
+      "shares must sum to 1")
+    require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0,1)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = shares.toDF("__a", "share")
+    // full-outer: a DESIGNED arm with zero observed rows still owes
+    // its (0−e)²/e = e term — dropping it would hide a dead arm
+    val counts = df.where(F.col(armCol).isNotNull)
+      .groupBy(F.col(armCol).cast("string").as("__a"))
+      .agg(F.count(F.lit(1)).as("__c"))
+      .join(F.broadcast(t), Seq("__a"), "full_outer")
+      .withColumn("c", F.coalesce(F.col("__c"), F.lit(0L)))
+    val k = shares.length
+    val inDesign = F.col("share").isNotNull
+    val agged = counts.agg(
+      F.sum(F.when(inDesign, F.col("c")).otherwise(0L)).as("__nd"),
+      F.sum(F.when(!inDesign, F.col("c")).otherwise(0L))
+        .as("__nunexp"))
+      .head()
+    val nDesign = agged.getAs[Long]("__nd")
+    val nUnexpected = agged.getAs[Long]("__nunexp")
+    require(nDesign > 0L, "no rows in designed arms")
+    val o = F.col("c").cast("double")
+    val e = F.lit(nDesign.toDouble) * F.col("share")
+    val chi2 = counts.where(inDesign)
+      .agg(F.round(F.sum((o - e) * (o - e) / e), 6).as("chi2"))
+      .head().getAs[Double]("chi2")
+    val p = math.rint(graft.functions.SpecialMath
+      .gammaIncC((k - 1) / 2.0, chi2 / 2.0) * 1e6) / 1e6
+    Seq((nDesign, chi2, (k - 1).toLong, p, p < alpha, nUnexpected))
+      .toDF("n", "chi2", "dof", "p_value", "srm", "n_unexpected")
+  }
+
   /** Ratio-metric confidence interval by the delta method — the
     * machinery behind every "revenue per session / CTR per user"
     * readout, where the naive per-row mean is WRONG because numerator

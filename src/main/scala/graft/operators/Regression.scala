@@ -76,6 +76,56 @@ object Regression {
         (slope / slopeSe).as("t_stat"): _*)
   }
 
+  /** Weighted OLS per group — [[olsByGroup]] under row weights, the
+    * fit that belongs downstream of [[graft.operators.Weighting
+    * .ipfWeights]]/[[graft.operators.Features.targetEncode]]-style
+    * reweighting ("the trend in the corpus AS IF it matched the
+    * target mix"). Weighted central moments from explicit Σw, Σwx,
+    * Σwxy sums (ONE aggregation, any group count):
+    *
+    *   β₁ = Σw(x−x̄w)(y−ȳw) / Σw(x−x̄w)²,  β₀ = ȳw − β₁·x̄w
+    *
+    * Frequency-weight convention for r² (the same ratio algebra on
+    * weighted moments). Rows with null/NaN/negative weight are
+    * excluded; zero-weight rows contribute nothing.
+    *
+    * @return one row per group: (groupCols..., n, w_sum, slope,
+    *         intercept, r2) */
+  def olsByGroupWeighted(df: DataFrame, yCol: String, xCol: String,
+                         weightCol: String,
+                         groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val x = F.col(xCol).cast("double")
+    val y = F.col(yCol).cast("double")
+    val w = F.col(weightCol).cast("double")
+    val clean = df
+      .where(x.isNotNull && !F.isnan(x) && y.isNotNull && !F.isnan(y) &&
+        w.isNotNull && !F.isnan(w) && w >= 0.0)
+      .select(groupCols.map(F.col) :+ x.as("__x") :+ y.as("__y") :+
+        w.as("__w"): _*)
+    val agged = clean.groupBy(groupCols.map(F.col): _*).agg(
+      F.count(F.lit(1)).as("n"),
+      F.sum("__w").as("sw"),
+      F.sum(F.col("__w") * F.col("__x")).as("swx"),
+      F.sum(F.col("__w") * F.col("__y")).as("swy"),
+      F.sum(F.col("__w") * F.col("__x") * F.col("__x")).as("swxx"),
+      F.sum(F.col("__w") * F.col("__y") * F.col("__y")).as("swyy"),
+      F.sum(F.col("__w") * F.col("__x") * F.col("__y")).as("swxy"))
+    val sw = F.col("sw")
+    val mx = F.col("swx") / sw; val my = F.col("swy") / sw
+    val vx = F.col("swxx") / sw - mx * mx
+    val vy = F.col("swyy") / sw - my * my
+    val cxy = F.col("swxy") / sw - mx * my
+    val slope = cxy / vx
+    val r2 = (cxy * cxy) / (vx * vy)
+    agged
+      .where(F.col("n") >= 3L && sw > 0.0 && vx > 0.0 && vy > 0.0)
+      .select(groupCols.map(F.col) ++ Seq(F.col("n"),
+        F.round(sw, 6).as("w_sum"), F.round(slope, 6).as("slope"),
+        F.round(my - slope * mx, 6).as("intercept"),
+        F.round(r2, 6).as("r2")): _*)
+  }
+
   /** TWO-feature OLS per group, still ONE aggregation: with centered
     * moments the 3×3 normal equations collapse to a 2×2 Cramer solve in
     * plain column arithmetic —

@@ -254,6 +254,45 @@ object StatTests {
     } finally sorted.unpersist(blocking = false)
   }
 
+  /** Weighted mean/variance per group under row weights — the summary
+    * layer for reweighted corpora ([[graft.operators.Weighting
+    * .ipfWeights]] fixes the mix; this reads the metrics off the
+    * fixed mix). Frequency-weight convention:
+    *
+    *   x̄w = Σwx/Σw,  σ²w = Σwx²/Σw − x̄w²
+    *
+    * plus the effective sample size (Σw)²/Σw² — the honest n behind a
+    * weighted estimate. ONE aggregation of explicit weighted sums.
+    * Rows with null/NaN/negative weight are excluded.
+    *
+    * @return one row per group: (groupCols..., n, w_sum, ess, mean_w,
+    *         var_w, std_w) */
+  def weightedMomentsByGroup(df: DataFrame, groupCols: Seq[String],
+                             valueCol: String,
+                             weightCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val x = F.col(valueCol).cast("double")
+    val w = F.col(weightCol).cast("double")
+    val clean = df.where(x.isNotNull && !F.isnan(x) &&
+      w.isNotNull && !F.isnan(w) && w >= 0.0)
+    val agged = clean.groupBy(groupCols.map(F.col): _*).agg(
+      F.count(F.lit(1)).as("n"),
+      F.sum(w).as("sw"), F.sum(w * w).as("sww"),
+      F.sum(w * x).as("swx"),
+      F.sum(w * x * x).as("swxx"))
+    val sw = F.col("sw")
+    val mw = F.col("swx") / sw
+    val vw = F.col("swxx") / sw - mw * mw
+    agged.where(sw > 0.0)
+      .select(groupCols.map(F.col) ++ Seq(F.col("n"),
+        F.round(sw, 6).as("w_sum"),
+        F.when(F.col("sww") > 0.0,
+          F.round(sw * sw / F.col("sww"), 6)).as("ess"),
+        F.round(mw, 6).as("mean_w"),
+        F.round(vw, 6).as("var_w"),
+        F.when(vw >= 0.0, F.round(F.sqrt(vw), 6)).as("std_w")): _*)
+  }
+
   /** Yuen's trimmed-mean t-test — the robust two-sample location test
     * ("did the experiment move typical spend", with the heavy tail
     * that wrecks Welch's t trimmed away):

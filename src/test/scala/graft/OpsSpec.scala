@@ -3672,6 +3672,53 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(rt.getAs[Double]("sen_slope") - 0.5) < 1e-12)
   }
 
+  test("olsByGroupWeighted recovers the weighted trend") {
+    import spark.implicits._
+    // y = 2x exactly but one off-line point with zero weight: the
+    // weighted fit ignores it entirely
+    val df = Seq(("g", 1.0, 2.0, 1.0), ("g", 2.0, 4.0, 1.0),
+      ("g", 3.0, 6.0, 2.0), ("g", 4.0, 100.0, 0.0))
+      .toDF("grp", "x", "y", "w")
+    val r = Regression.olsByGroupWeighted(df, "y", "x", "w", Seq("grp"))
+      .head()
+    assert(r.getAs[Double]("slope") == 2.0)
+    assert(r.getAs[Double]("intercept") == 0.0)
+    assert(r.getAs[Double]("r2") == 1.0)
+    assert(r.getAs[Double]("w_sum") == 4.0)
+  }
+
+  test("srmCheck flags the broken split and counts unexpected arms") {
+    import spark.implicits._
+    // design 50/50, observed 600/400 -> chi2 = 40, p tiny
+    val bad = (Seq.fill(600)("a") ++ Seq.fill(400)("b")).toDF("arm")
+    val r = Experiments.srmCheck(bad, "arm",
+      Seq(("a", 0.5), ("b", 0.5))).head()
+    assert(r.getAs[Double]("chi2") == 40.0)
+    assert(r.getAs[Boolean]("srm"))
+    assert(r.getAs[Long]("dof") == 1L)
+    // clean split + an arm outside the design
+    val ok = (Seq.fill(500)("a") ++ Seq.fill(500)("b") ++
+      Seq.fill(7)("ghost")).toDF("arm")
+    val ro = Experiments.srmCheck(ok, "arm",
+      Seq(("a", 0.5), ("b", 0.5))).head()
+    assert(ro.getAs[Double]("chi2") == 0.0)
+    assert(!ro.getAs[Boolean]("srm"))
+    assert(ro.getAs[Long]("n_unexpected") == 7L)
+    assert(ro.getAs[Long]("n") == 1000L)
+  }
+
+  test("weightedMomentsByGroup matches the frequency-weight algebra") {
+    import spark.implicits._
+    // w=2 on x=1 and w=1 on x=4: mean = 6/3 = 2, var = (2+16)/3 - 4 = 2
+    val df = Seq(("g", 1.0, 2.0), ("g", 4.0, 1.0)).toDF("grp", "x", "w")
+    val r = StatTests.weightedMomentsByGroup(df, Seq("grp"), "x", "w")
+      .head()
+    assert(r.getAs[Double]("mean_w") == 2.0)
+    assert(r.getAs[Double]("var_w") == 2.0)
+    assert(r.getAs[Double]("w_sum") == 3.0)
+    assert(math.abs(r.getAs[Double]("ess") - 9.0 / 5.0) < 1e-9)
+  }
+
   test("drOffPolicy combines the model and the IPS correction") {
     import spark.implicits._
     val df = Seq(
