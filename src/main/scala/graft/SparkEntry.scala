@@ -2613,6 +2613,24 @@ object SparkEntry {
       TextOps.distinctiveTerms(docs(s, dir), "doc_id", "text", "lang",
           alpha = 0.01, k = 5)
         .orderBy("group", "rank")),
+    "q_hbos" -> ((s, dir) =>
+      // histogram-based outlier screen over three lineitem features:
+      // top-20 rows whose marginal-bin densities are jointly rare —
+      // linear-time anomaly sweep, rank-limited take, no global sort
+      Outliers.hbosScore(
+        li(s, dir).select(
+          (F.col("l_orderkey") * 10 + F.col("l_linenumber")).as("id"),
+          F.col("l_quantity"), F.col("l_extendedprice"),
+          F.col("l_discount")),
+        "id", Seq("l_quantity", "l_extendedprice", "l_discount"),
+        bins = 10, topK = 20)),
+    "q_its" -> ((s, dir) =>
+      // interrupted time series on the daily value means at a pinned
+      // mid-January break: level jump + slope change from segmented
+      // fits, decimal-exact period means
+      Regression.itsEstimate(events(s, dir), "ts", "value",
+        periodUnit = 86400000000000L,
+        breakTs = 1705363200000000000L)),
     "q_ols_weighted" -> ((s, dir) =>
       // price-on-quantity trend per return flag under discount-derived
       // row weights — the fit that belongs downstream of raking
@@ -9482,6 +9500,92 @@ object SparkEntry {
         |  round(${codyErfcSql("y")}, 6) AS p_value,
         |  round(sen_slope, 6) AS sen_slope
         |FROM ye ORDER BY event_type""".stripMargin,
+    // HBOS replay: one min/max scan, fixed-grid bins, per-feature
+    // histogram joins, the summed negative log densities, top-20.
+    "q_hbos" ->
+      """WITH c AS (SELECT l_orderkey * 10 + l_linenumber AS id,
+        |    CAST(l_quantity AS DOUBLE) AS x0,
+        |    CAST(l_extendedprice AS DOUBLE) AS x1,
+        |    CAST(l_discount AS DOUBLE) AS x2 FROM lineitem
+        |  WHERE l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        |    AND l_discount IS NOT NULL
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE))
+        |    AND l_orderkey IS NOT NULL),
+        |st AS (SELECT min(x0) AS mn0, max(x0) AS mx0, min(x1) AS mn1,
+        |    max(x1) AS mx1, min(x2) AS mn2, max(x2) AS mx2,
+        |    CAST(count(*) AS BIGINT) AS n FROM c),
+        |b AS (SELECT id, n,
+        |    CASE WHEN mx0 > mn0 THEN least(9, CAST(floor((x0 - mn0)
+        |      / ((mx0 - mn0) / 10)) AS BIGINT)) ELSE 0 END AS b0,
+        |    CASE WHEN mx1 > mn1 THEN least(9, CAST(floor((x1 - mn1)
+        |      / ((mx1 - mn1) / 10)) AS BIGINT)) ELSE 0 END AS b1,
+        |    CASE WHEN mx2 > mn2 THEN least(9, CAST(floor((x2 - mn2)
+        |      / ((mx2 - mn2) / 10)) AS BIGINT)) ELSE 0 END AS b2
+        |  FROM c, st),
+        |h0 AS (SELECT b0, CAST(count(*) AS BIGINT) AS c0 FROM b
+        |  GROUP BY b0),
+        |h1 AS (SELECT b1, CAST(count(*) AS BIGINT) AS c1 FROM b
+        |  GROUP BY b1),
+        |h2 AS (SELECT b2, CAST(count(*) AS BIGINT) AS c2 FROM b
+        |  GROUP BY b2),
+        |sc AS (SELECT b.id AS id,
+        |    round((-ln(CAST(c0 AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      + (-ln(CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      + (-ln(CAST(c2 AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+        |      AS score,
+        |    b0, b1, b2
+        |  FROM b JOIN h0 USING (b0) JOIN h1 USING (b1)
+        |    JOIN h2 USING (b2))
+        |SELECT id, score, b0 AS bin_l_quantity,
+        |  b1 AS bin_l_extendedprice, b2 AS bin_l_discount
+        |FROM sc ORDER BY score DESC, id ASC LIMIT 20""".stripMargin,
+    // ITS replay: decimal-exact daily means, conditional segment
+    // moments, the olsByGroup ratio algebra, rint-rounded outputs.
+    "q_its" ->
+      """WITH e AS (SELECT epoch_ns(ts) AS t, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND NOT isnan(value)),
+        |cells AS (SELECT t // 86400000000000 AS p,
+        |    CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+        |      AS y
+        |  FROM e GROUP BY p),
+        |seg AS (SELECT p, y,
+        |    CASE WHEN p < 1705363200000000000 // 86400000000000
+        |      THEN 'pre' ELSE 'post' END AS s FROM cells),
+        |a AS (SELECT s, CAST(count(*) AS BIGINT) AS m,
+        |    sum(CAST(p AS DOUBLE)) AS sx, sum(y) AS sy,
+        |    sum(CAST(p AS DOUBLE) * CAST(p AS DOUBLE)) AS sxx,
+        |    sum(CAST(p AS DOUBLE) * y) AS sxy FROM seg GROUP BY s),
+        |f AS (SELECT s, m,
+        |    (sxy / CAST(m AS DOUBLE) - (sx / CAST(m AS DOUBLE))
+        |      * (sy / CAST(m AS DOUBLE)))
+        |    / (sxx / CAST(m AS DOUBLE) - (sx / CAST(m AS DOUBLE))
+        |      * (sx / CAST(m AS DOUBLE))) AS slope,
+        |    sx / CAST(m AS DOUBLE) AS mx, sy / CAST(m AS DOUBLE) AS my
+        |  FROM a),
+        |i AS (SELECT s, m, slope, my - slope * mx AS icept FROM f),
+        |w AS (SELECT
+        |    max(CASE WHEN s = 'pre' THEN m END) AS n_pre,
+        |    max(CASE WHEN s = 'post' THEN m END) AS n_post,
+        |    max(CASE WHEN s = 'pre' THEN slope END) AS sp,
+        |    max(CASE WHEN s = 'post' THEN slope END) AS so,
+        |    max(CASE WHEN s = 'pre' THEN icept END) AS ip,
+        |    max(CASE WHEN s = 'post' THEN icept END) AS io
+        |  FROM i)
+        |SELECT n_pre, n_post,
+        |  round_even(sp * 1000000.0, 0) / 1000000.0 AS slope_pre,
+        |  round_even(so * 1000000.0, 0) / 1000000.0 AS slope_post,
+        |  round_even((so - sp) * 1000000.0, 0) / 1000000.0
+        |    AS slope_change,
+        |  round_even(((io + so * CAST(1705363200000000000
+        |      // 86400000000000 AS DOUBLE))
+        |    - (ip + sp * CAST(1705363200000000000
+        |      // 86400000000000 AS DOUBLE))) * 1000000.0, 0)
+        |    / 1000000.0 AS level_change
+        |FROM w""".stripMargin,
     // Weighted-OLS replay: explicit weighted sums, the identical
     // moment-ratio algebra.
     "q_ols_weighted" ->

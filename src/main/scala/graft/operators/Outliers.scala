@@ -295,6 +295,67 @@ object Outliers {
         F.when(c.isNotNull && !F.isnan(c), F.col("robust_z") > threshold))
   }
 
+  /** HBOS — histogram-based outlier score (Goldstein & Dengel 2012),
+    * the linear-time anomaly sweep that needs no distance matrix and
+    * no training: each feature gets a fixed-grid histogram, a row's
+    * score is Σ_features −ln(density of its bin) — rare corners of
+    * EVERY marginal score high. The standard first-pass screen at
+    * data-pipeline scale (isolation-forest quality on independent-ish
+    * features at a fraction of the cost).
+    *
+    * One min/max scan (broadcast back — no driver round-trip), one
+    * stacked (feature, bin) counting aggregation (state = features ×
+    * bins), histogram joins are broadcast, the score is codegen'd
+    * column arithmetic, and the report is a rank-limited top-k take —
+    * never a global sort. A constant feature contributes 0 to every
+    * score. Bin edges are computed identically in any engine (same
+    * doubles, same ops), so the whole report replays.
+    *
+    * @return topK rows by (score desc, idCol asc): (idCol, score,
+    *         then one `bin_<col>` column per feature) */
+  def hbosScore(df: DataFrame, idCol: String, cols: Seq[String],
+                bins: Int = 10, topK: Int = 20): DataFrame = {
+    require(cols.nonEmpty, "need at least one feature column")
+    require(bins >= 2, "need at least two bins")
+    require(topK >= 1, "need topK >= 1")
+    val vs = cols.map(c => F.col(c).cast("double"))
+    val ok = vs.map(v => v.isNotNull && !F.isnan(v)).reduce(_ && _) &&
+      F.col(idCol).isNotNull
+    val clean = df.where(ok)
+      .select(F.col(idCol).as("__id") +:
+        cols.zipWithIndex.map { case (c, i) =>
+          F.col(c).cast("double").as(s"__x$i")
+        }: _*)
+    val statCols = cols.indices.flatMap(i => Seq(
+      F.min(F.col(s"__x$i")).as(s"mn$i"),
+      F.max(F.col(s"__x$i")).as(s"mx$i"))) :+
+      F.count(F.lit(1)).as("__n")
+    val stats = clean.agg(statCols.head, statCols.tail: _*)
+    val withBins = cols.indices.foldLeft(
+      clean.crossJoin(F.broadcast(stats))) { (acc, i) =>
+      val mn = F.col(s"mn$i"); val mx = F.col(s"mx$i")
+      val width = (mx - mn) / bins
+      val bin = F.when(mx > mn,
+        F.least(F.lit(bins - 1L),
+          F.floor((F.col(s"__x$i") - mn) / width))).otherwise(0L)
+      acc.withColumn(s"bin_${cols(i)}", bin)
+    }
+    val scored = cols.foldLeft(withBins) { (acc, c) =>
+      val h = acc.groupBy(s"bin_$c")
+        .agg(F.count(F.lit(1)).as(s"__c_$c"))
+      acc.join(F.broadcast(h), Seq(s"bin_$c"))
+    }
+    val n = F.col("__n").cast("double")
+    val score = cols.map(c =>
+      -F.log(F.col(s"__c_$c").cast("double") / n)).reduce(_ + _)
+    scored
+      .withColumn("score", F.round(score, 6))
+      .orderBy(F.col("score").desc, F.col("__id").asc)
+      .limit(topK)
+      .select(F.col("__id").as(idCol) +: F.col("score") +:
+        cols.map(c => F.col(s"bin_$c")): _*)
+  }
+
   /** Bivariate Mahalanobis outlier report per group — joint outliers
     * that neither marginal flags ("price AND quantity each plausible,
     * the combination absurd"): d² = δᵀ Σ⁻¹ δ against the χ²₂ cut,

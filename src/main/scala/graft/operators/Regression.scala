@@ -708,6 +708,76 @@ object Regression {
       fin.getAs[Double]("pearson") / (n - k), n, iters)
   }
 
+  /** Interrupted time series (segmented regression at a KNOWN break)
+    * — the deploy/policy-change readout when there is no control
+    * group: fit the trend separately before and after `breakTs` and
+    * report the level jump and slope change AT the break:
+    *
+    *   level_change = (β₀ᵖᵒˢᵗ + β₁ᵖᵒˢᵗ·t_b) − (β₀ᵖʳᵉ + β₁ᵖʳᵉ·t_b),
+    *   slope_change = β₁ᵖᵒˢᵗ − β₁ᵖʳᵉ
+    *
+    * (the unconstrained segmented form — algebraically the full ITS
+    * interaction model). The series aggregates to DECIMAL-exact
+    * period means first, both segment fits come from one conditional
+    * moment aggregation over the period frame, and everything is the
+    * [[olsByGroup]] ratio algebra — engine-replayable end to end.
+    *
+    * @param breakTs in tsCol units; the break period t_b =
+    *        breakTs DIV periodUnit belongs to the POST segment
+    * @return one row: (n_pre, n_post, slope_pre, slope_post,
+    *         slope_change, level_change), doubles rounded to 6 */
+  def itsEstimate(df: DataFrame, tsCol: String, yCol: String,
+                  periodUnit: Long, breakTs: Long): DataFrame = {
+    require(periodUnit > 0L, "periodUnit must be positive")
+    val y = F.col(yCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    val bp = breakTs / periodUnit
+    val cells = df
+      .where(t.isNotNull && y.isNotNull && !F.isnan(y))
+      .groupBy(F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit")
+        .as("__p"))
+      .agg((F.sum(y.cast("decimal(38,6)")).cast("double") /
+        F.count(F.lit(1))).as("__y"))
+      .withColumn("__seg",
+        F.when(F.col("__p") < bp, "pre").otherwise("post"))
+    val x = F.col("__p").cast("double")
+    val agged = cells.groupBy("__seg").agg(
+      F.count(F.lit(1)).as("m"),
+      F.sum(x).as("sx"), F.sum(F.col("__y")).as("sy"),
+      F.sum(x * x).as("sxx"),
+      F.sum(x * F.col("__y")).as("sxy"))
+    val rows = agged.collect().map { r =>
+      r.getAs[String]("__seg") -> (r.getAs[Long]("m"),
+        r.getAs[Double]("sx"), r.getAs[Double]("sy"),
+        r.getAs[Double]("sxx"), r.getAs[Double]("sxy"))
+    }.toMap
+    require(rows.get("pre").exists(_._1 >= 3L) &&
+      rows.get("post").exists(_._1 >= 3L),
+      "need >= 3 periods on each side of the break")
+    def fit(seg: String): (Long, Double, Double) = {
+      val (m, sx, sy, sxx, sxy) = rows(seg)
+      val n = m.toDouble
+      val mx = sx / n; val my = sy / n
+      val vx = sxx / n - mx * mx
+      val cxy = sxy / n - mx * my
+      require(vx > 0.0, s"segment $seg has no time variance")
+      val slope = cxy / vx
+      (m, slope, my - slope * mx)
+    }
+    val (nPre, sPre, iPre) = fit("pre")
+    val (nPost, sPost, iPost) = fit("post")
+    val tb = bp.toDouble
+    val level = (iPost + sPost * tb) - (iPre + sPre * tb)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((nPre, nPost,
+      math.rint(sPre * 1e6) / 1e6, math.rint(sPost * 1e6) / 1e6,
+      math.rint((sPost - sPre) * 1e6) / 1e6,
+      math.rint(level * 1e6) / 1e6))
+      .toDF("n_pre", "n_post", "slope_pre", "slope_post",
+        "slope_change", "level_change")
+  }
+
   /** Granger "causality" test per key (one lag): does yesterday's x
     * help predict today's y beyond yesterday's y — the lead/lag
     * screening question ("does marketing spend LEAD signups, per

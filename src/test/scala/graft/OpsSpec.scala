@@ -3672,6 +3672,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(rt.getAs[Double]("sen_slope") - 0.5) < 1e-12)
   }
 
+  test("hbosScore ranks the rare-corner row first") {
+    import spark.implicits._
+    // a 5x5-ish grid plus one point alone in both marginals' top bins
+    val grid = for { i <- 0 until 5; j <- 0 until 5 }
+      yield (i.toLong * 5 + j, i.toDouble, j.toDouble)
+    val df = (grid :+ ((99L, 50.0, 50.0))).toDF("id", "x", "y")
+    val rows = Outliers.hbosScore(df, "id", Seq("x", "y"),
+      bins = 5, topK = 3).collect()
+    assert(rows.head.getAs[Long]("id") == 99L)
+    // the outlier sits alone in the last bin of each feature:
+    // score = 2 * -ln(1/26)
+    val exp = math.rint(2.0 * -math.log(1.0 / 26.0) * 1e6) / 1e6
+    assert(rows.head.getAs[Double]("score") == exp)
+    assert(rows.head.getAs[Long]("bin_x") == 4L)
+    assert(rows.length == 3)
+    assert(rows.head.getAs[Double]("score") >
+      rows(1).getAs[Double]("score"))
+  }
+
+  test("itsEstimate reads the level jump and slope change at the break") {
+    import spark.implicits._
+    // pre: y = 10 + t (t = 0..4); post (t >= 5): y = 25 + 2t
+    val rows = (0 until 10).map { p =>
+      val y = if (p < 5) 10.0 + p else 25.0 + 2.0 * p
+      (p.toLong * 10L, y)
+    }
+    val r = Regression.itsEstimate(rows.toDF("ts", "y"), "ts", "y",
+      periodUnit = 10L, breakTs = 50L).head()
+    assert(r.getAs[Long]("n_pre") == 5L && r.getAs[Long]("n_post") == 5L)
+    assert(r.getAs[Double]("slope_pre") == 1.0)
+    assert(r.getAs[Double]("slope_post") == 2.0)
+    assert(r.getAs[Double]("slope_change") == 1.0)
+    // at t_b = 5: pre line predicts 15, post line gives 35
+    assert(r.getAs[Double]("level_change") == 20.0)
+  }
+
   test("olsByGroupWeighted recovers the weighted trend") {
     import spark.implicits._
     // y = 2x exactly but one off-line point with zero weight: the
