@@ -2613,6 +2613,29 @@ object SparkEntry {
       TextOps.distinctiveTerms(docs(s, dir), "doc_id", "text", "lang",
           alpha = 0.01, k = 5)
         .orderBy("group", "rank")),
+    "q_paired_t" -> ((s, dir) =>
+      // paired comparison of two per-row scores (quantity vs scaled
+      // discount): the pairing removes between-row variance; p rides
+      // the operator's t CDF (q_anova convention)
+      StatTests.pairedTTest(
+        li(s, dir).select(F.col("l_quantity").as("a"),
+          (F.col("l_discount") * 100).as("b")),
+        "a", "b")
+        .select(F.col("n"), F.col("mean_diff"), F.col("sd_diff"),
+          F.col("t_stat"), F.col("dof"), F.col("cohen_dz"))),
+    "q_cronbach" -> ((s, dir) =>
+      // internal consistency of three scaled lineitem "items" — do
+      // they measure one construct; explicit-sum variances replay
+      StatTests.cronbachAlpha(
+        li(s, dir).select(F.col("l_quantity").as("i1"),
+          (F.col("l_discount") * 100).as("i2"),
+          (F.col("l_tax") * 100).as("i3")),
+        Seq("i1", "i2", "i3"))),
+    "q_mi_continuous" -> ((s, dir) =>
+      // nonlinear-dependence screen: MI between price and quantity
+      // through tie-stable decile bins on both sides
+      Evaluation.miContinuous(li(s, dir), "l_extendedprice",
+        "l_quantity", bins = 10)),
     "q_hbos" -> ((s, dir) =>
       // histogram-based outlier screen over three lineitem features:
       // top-20 rows whose marginal-bin densities are jointly rare —
@@ -9500,6 +9523,92 @@ object SparkEntry {
         |  round(${codyErfcSql("y")}, 6) AS p_value,
         |  round(sen_slope, 6) AS sen_slope
         |FROM ye ORDER BY event_type""".stripMargin,
+    // Paired-t replay: per-row differences, explicit moment algebra,
+    // rint-rounded outputs; p omitted (t CDF is not SQL).
+    "q_paired_t" ->
+      """WITH c AS (SELECT CAST(l_quantity AS DOUBLE)
+        |      - CAST(l_discount AS DOUBLE) * 100 AS d
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND l_discount IS NOT NULL
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE) * 100)),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(d) AS sd,
+        |    sum(d * d) AS sdd FROM c),
+        |m AS (SELECT n, sd / CAST(n AS DOUBLE) AS md,
+        |    sqrt((sdd - CAST(n AS DOUBLE) * (sd / CAST(n AS DOUBLE))
+        |      * (sd / CAST(n AS DOUBLE)))
+        |      / (CAST(n AS DOUBLE) - 1.0)) AS s FROM a)
+        |SELECT n, round_even(md * 1000000.0, 0) / 1000000.0
+        |    AS mean_diff,
+        |  round_even(s * 1000000.0, 0) / 1000000.0 AS sd_diff,
+        |  round_even(md / (s / sqrt(CAST(n AS DOUBLE)))
+        |    * 1000000.0, 0) / 1000000.0 AS t_stat,
+        |  n - 1 AS dof,
+        |  round_even(md / s * 1000000.0, 0) / 1000000.0 AS cohen_dz
+        |FROM m""".stripMargin,
+    // Cronbach replay: the same explicit-sum item/total variances.
+    "q_cronbach" ->
+      """WITH c AS (SELECT CAST(l_quantity AS DOUBLE) AS i1,
+        |    CAST(l_discount AS DOUBLE) * 100 AS i2,
+        |    CAST(l_tax AS DOUBLE) * 100 AS i3 FROM lineitem
+        |  WHERE l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND l_discount IS NOT NULL
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE) * 100)
+        |    AND l_tax IS NOT NULL
+        |    AND NOT isnan(CAST(l_tax AS DOUBLE) * 100)),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(i1) AS s0, sum(i1 * i1) AS q0,
+        |    sum(i2) AS s1, sum(i2 * i2) AS q1,
+        |    sum(i3) AS s2, sum(i3 * i3) AS q2,
+        |    sum(i1 + i2 + i3) AS st,
+        |    sum((i1 + i2 + i3) * (i1 + i2 + i3)) AS qt FROM c),
+        |v AS (SELECT n,
+        |    (q0 - CAST(n AS DOUBLE) * (s0 / CAST(n AS DOUBLE))
+        |      * (s0 / CAST(n AS DOUBLE))) / (CAST(n AS DOUBLE) - 1.0)
+        |    + (q1 - CAST(n AS DOUBLE) * (s1 / CAST(n AS DOUBLE))
+        |      * (s1 / CAST(n AS DOUBLE))) / (CAST(n AS DOUBLE) - 1.0)
+        |    + (q2 - CAST(n AS DOUBLE) * (s2 / CAST(n AS DOUBLE))
+        |      * (s2 / CAST(n AS DOUBLE))) / (CAST(n AS DOUBLE) - 1.0)
+        |      AS ivs,
+        |    (qt - CAST(n AS DOUBLE) * (st / CAST(n AS DOUBLE))
+        |      * (st / CAST(n AS DOUBLE))) / (CAST(n AS DOUBLE) - 1.0)
+        |      AS tv FROM a)
+        |SELECT n, CAST(3 AS BIGINT) AS k,
+        |  round(1.5 * (1.0 - ivs / tv), 6) AS alpha,
+        |  round(ivs, 6) AS item_var_sum, round(tv, 6) AS total_var
+        |FROM v WHERE n >= 2 AND tv > 0.0""".stripMargin,
+    // Binned-MI replay: tie-stable decile buckets via min-rank on
+    // both columns, then the q_mutual_info cell algebra.
+    "q_mi_continuous" ->
+      """WITH c AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+        |    CAST(l_quantity AS DOUBLE) AS y FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        |    AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+        |r AS (SELECT x, y, rank() OVER (ORDER BY x) AS rx,
+        |    rank() OVER (ORDER BY y) AS ry FROM c),
+        |b AS (SELECT
+        |    CAST(floor((CAST(rx AS DOUBLE) - 1) * 10 / nn.n) + 1
+        |      AS BIGINT) AS ba,
+        |    CAST(floor((CAST(ry AS DOUBLE) - 1) * 10 / nn.n) + 1
+        |      AS BIGINT) AS bb
+        |  FROM r, nn),
+        |cells AS (SELECT ba, bb, CAST(count(*) AS BIGINT) AS n
+        |  FROM b GROUP BY ba, bb),
+        |m AS (SELECT ba, bb, n,
+        |    CAST(sum(n) OVER (PARTITION BY ba) AS BIGINT) AS na,
+        |    CAST(sum(n) OVER (PARTITION BY bb) AS BIGINT) AS nb,
+        |    CAST(sum(n) OVER () AS BIGINT) AS nt FROM cells)
+        |SELECT round(sum((CAST(n AS DOUBLE) / nt)
+        |    * ln((CAST(n AS DOUBLE) * nt)
+        |      / (CAST(na AS DOUBLE) * nb))), 6) AS mi,
+        |  max(nt) AS n,
+        |  CAST(count(DISTINCT ba) AS BIGINT) AS n_a,
+        |  CAST(count(DISTINCT bb) AS BIGINT) AS n_b
+        |FROM m""".stripMargin,
     // HBOS replay: one min/max scan, fixed-grid bins, per-feature
     // histogram joins, the summed negative log densities, top-20.
     "q_hbos" ->

@@ -456,6 +456,30 @@ object Evaluation {
         F.countDistinct("__b").as("n_b"))
   }
 
+  /** Mutual information between two CONTINUOUS columns via tie-stable
+    * quantile binning — the screening number for nonlinear dependence
+    * that correlation misses entirely (a U-shape has r ≈ 0 and high
+    * MI). Both columns bucket through [[graft.operators.Ranks
+    * .quantileBuckets]] (equal values → equal buckets, deterministic
+    * under any layout), then [[mutualInformation]] runs on the
+    * bins² contingency frame. Rows with a null in either column are
+    * excluded BEFORE ranking so both margins see the same row set.
+    *
+    * @return one row: (mi, n, n_a, n_b) — mi in nats at the chosen
+    *         bin resolution */
+  def miContinuous(df: DataFrame, xCol: String, yCol: String,
+                   bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least two bins")
+    val x = F.col(xCol).cast("double")
+    val y = F.col(yCol).cast("double")
+    val clean = df
+      .where(x.isNotNull && !F.isnan(x) && y.isNotNull && !F.isnan(y))
+      .select(x.as("__x"), y.as("__y"))
+    val bx = Ranks.quantileBuckets(clean, "__x", bins, "__bx")
+    val bxy = Ranks.quantileBuckets(bx, "__y", bins, "__by")
+    mutualInformation(bxy, "__bx", "__by")
+  }
+
   /** Theil's uncertainty coefficient (asymmetric association):
     * U(A|B) = I(A;B)/H(A) — "what fraction of A's entropy does knowing
     * B remove" — the DIRECTED companion to [[mutualInformation]]

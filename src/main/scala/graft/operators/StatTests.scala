@@ -254,6 +254,84 @@ object StatTests {
     } finally sorted.unpersist(blocking = false)
   }
 
+  /** Paired t-test on two columns of the SAME rows — before/after,
+    * model-A-vs-model-B on one eval set, same-user week-over-week:
+    * the pairing removes between-unit variance that an unpaired test
+    * drowns in. d = a − b per row; t = d̄/(s_d/√n), df = n−1, with
+    * Cohen's d_z = d̄/s_d as the effect size. ONE moment aggregation
+    * of explicit sums; p is two-sided from the t CDF at the 6-rounded
+    * (t, df).
+    *
+    * @return one row: (n, mean_diff, sd_diff, t_stat, dof, p_value,
+    *         cohen_dz) */
+  def pairedTTest(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = F.col(aCol).cast("double")
+    val b = F.col(bCol).cast("double")
+    val d = a - b
+    val agged = df
+      .where(a.isNotNull && !F.isnan(a) && b.isNotNull && !F.isnan(b))
+      .agg(F.count(F.lit(1)).as("n"), F.sum(d).as("sd"),
+        F.sum(d * d).as("sdd"))
+      .head()
+    val n = agged.getAs[Long]("n")
+    require(n >= 2L, "need at least two complete pairs")
+    val nD = n.toDouble
+    val md = agged.getAs[Double]("sd") / nD
+    val s2 = (agged.getAs[Double]("sdd") - nD * md * md) / (nD - 1.0)
+    require(s2 > 0.0, "zero difference variance (all pairs identical)")
+    val s = math.sqrt(s2)
+    val t = md / (s / math.sqrt(nD))
+    val tr = math.rint(t * 1e6) / 1e6
+    val p = math.rint(2.0 * (1.0 - SpecialMath.tCdf(nD - 1.0,
+      math.abs(tr))) * 1e6) / 1e6
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, math.rint(md * 1e6) / 1e6, math.rint(s * 1e6) / 1e6, tr,
+      n - 1L, p, math.rint(md / s * 1e6) / 1e6))
+      .toDF("n", "mean_diff", "sd_diff", "t_stat", "dof", "p_value",
+        "cohen_dz")
+  }
+
+  /** Cronbach's alpha — internal consistency of k item columns (do
+    * these quality sub-scores measure ONE underlying construct, or
+    * should the composite be split):
+    *
+    *   α = k/(k−1) · (1 − Σᵢ s²ᵢ / s²_total)
+    *
+    * with sample variances and the row total Σᵢ xᵢ. Listwise-complete
+    * rows, ONE aggregation of explicit sums — replayable.
+    *
+    * @return one row: (n, k, alpha, item_var_sum, total_var) */
+  def cronbachAlpha(df: DataFrame, itemCols: Seq[String]): DataFrame = {
+    require(itemCols.length >= 2, "need at least two items")
+    val k = itemCols.length
+    val items = itemCols.map(c => F.col(c).cast("double"))
+    val ok = items.map(v => v.isNotNull && !F.isnan(v)).reduce(_ && _)
+    val total = items.reduce(_ + _)
+    val aggCols = itemCols.indices.flatMap { i =>
+      Seq(F.sum(items(i)).as(s"s$i"),
+        F.sum(items(i) * items(i)).as(s"q$i"))
+    } ++ Seq(F.sum(total).as("st"), F.sum(total * total).as("qt"),
+      F.count(F.lit(1)).as("n"))
+    val agged = df.where(ok).agg(aggCols.head, aggCols.tail: _*)
+    val n = F.col("n").cast("double")
+    def sampleVar(s: org.apache.spark.sql.Column,
+                  q: org.apache.spark.sql.Column) =
+      (q - n * (s / n) * (s / n)) / (n - 1.0)
+    val itemVarSum = itemCols.indices
+      .map(i => sampleVar(F.col(s"s$i"), F.col(s"q$i")))
+      .reduce(_ + _)
+    val totalVar = sampleVar(F.col("st"), F.col("qt"))
+    val alpha = F.lit(k.toDouble / (k - 1.0)) *
+      (F.lit(1.0) - itemVarSum / totalVar)
+    agged
+      .where(F.col("n") >= 2L && totalVar > 0.0)
+      .select(F.col("n"), F.lit(k.toLong).as("k"),
+        F.round(alpha, 6).as("alpha"),
+        F.round(itemVarSum, 6).as("item_var_sum"),
+        F.round(totalVar, 6).as("total_var"))
+  }
+
   /** Weighted mean/variance per group under row weights — the summary
     * layer for reweighted corpora ([[graft.operators.Weighting
     * .ipfWeights]] fixes the mix; this reads the metrics off the

@@ -3672,6 +3672,59 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(rt.getAs[Double]("sen_slope") - 0.5) < 1e-12)
   }
 
+  test("pairedTTest matches the hand-computed differences") {
+    import spark.implicits._
+    // d = (1, 3, 2): mean 2, s2 = 1, t = 2/(1/sqrt(3)), dof 2
+    val df = Seq((5.0, 4.0), (8.0, 5.0), (6.0, 4.0)).toDF("a", "b")
+    val r = StatTests.pairedTTest(df, "a", "b").head()
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Double]("mean_diff") == 2.0)
+    assert(r.getAs[Double]("sd_diff") == 1.0)
+    val tExp = math.rint(2.0 * math.sqrt(3.0) * 1e6) / 1e6
+    assert(r.getAs[Double]("t_stat") == tExp)
+    assert(r.getAs[Long]("dof") == 2L)
+    assert(r.getAs[Double]("cohen_dz") == 2.0)
+    assert(r.getAs[Double]("p_value") > 0.0 &&
+      r.getAs[Double]("p_value") < 0.2)
+  }
+
+  test("cronbachAlpha is 1 for duplicated items, low for noise") {
+    import spark.implicits._
+    // two identical items: item vars sum to 2v, total var = 4v ->
+    // alpha = 2*(1 - 1/2) = 1
+    val same = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (5.0, 5.0))
+      .toDF("i1", "i2")
+    val r = StatTests.cronbachAlpha(same, Seq("i1", "i2")).head()
+    assert(r.getAs[Double]("alpha") == 1.0)
+    assert(r.getAs[Long]("k") == 2L)
+    // (near-)anti-correlated items -> negative alpha (a PERFECT
+    // anti-correlation gives a constant total, var 0, and is omitted)
+    val anti = Seq((1.0, 5.0), (2.0, 4.5), (3.0, 3.0), (5.0, 1.0),
+      (4.0, 2.5)).toDF("i1", "i2")
+    val ra = StatTests.cronbachAlpha(anti, Seq("i1", "i2")).head()
+    assert(ra.getAs[Double]("alpha") < 0.0)
+    val const = Seq((1.0, 5.0), (2.0, 4.0), (3.0, 3.0)).toDF("i1", "i2")
+    assert(StatTests.cronbachAlpha(const, Seq("i1", "i2")).isEmpty)
+  }
+
+  test("miContinuous sees the U-shape correlation misses") {
+    import spark.implicits._
+    // y = (x - .5)^2 on a fine grid: r ~ 0 but MI is large
+    val df = Seq.tabulate(400) { i =>
+      val x = i / 400.0
+      (x, (x - 0.5) * (x - 0.5))
+    }.toDF("x", "y")
+    val mi = Evaluation.miContinuous(df, "x", "y", bins = 10)
+      .head().getAs[Double]("mi")
+    assert(mi > 1.0) // deterministic relationship: MI near ln(bins)
+    // independent checkerboard-ish pairing: MI near 0
+    val ind = Seq.tabulate(400)(i =>
+      ((i % 20).toDouble, (i / 20).toDouble)).toDF("x", "y")
+    val mi0 = Evaluation.miContinuous(ind, "x", "y", bins = 10)
+      .head().getAs[Double]("mi")
+    assert(mi0 < 0.05)
+  }
+
   test("hbosScore ranks the rare-corner row first") {
     import spark.implicits._
     // a 5x5-ish grid plus one point alone in both marginals' top bins
