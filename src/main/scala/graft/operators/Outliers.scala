@@ -303,11 +303,13 @@ object Outliers {
     * data-pipeline scale (isolation-forest quality on independent-ish
     * features at a fraction of the cost).
     *
-    * One min/max scan (broadcast back — no driver round-trip), one
-    * stacked (feature, bin) counting aggregation (state = features ×
-    * bins), histogram joins are broadcast, the score is codegen'd
-    * column arithmetic, and the report is a rank-limited top-k take —
-    * never a global sort. A constant feature contributes 0 to every
+    * One min/max scan (broadcast back as a 1-row nested-loop side —
+    * no driver round-trip), then one COLUMN-PRUNED bin-counting pass
+    * per feature (aggregation state = bins rows each; k pruned passes
+    * read the same bytes as one k-column pass), histogram joins are
+    * broadcast, the score is codegen'd column arithmetic, and the
+    * report is a rank-limited top-k take — never a global sort. A
+    * constant feature contributes 0 to every
     * score. Bin edges are computed identically in any engine (same
     * doubles, same ops), so the whole report replays.
     *
