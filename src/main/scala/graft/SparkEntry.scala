@@ -2613,6 +2613,16 @@ object SparkEntry {
       TextOps.distinctiveTerms(docs(s, dir), "doc_id", "text", "lang",
           alpha = 0.01, k = 5)
         .orderBy("group", "rank")),
+    "q_monotone_bins" -> ((s, dir) =>
+      // supervised monotone binning of price vs the returned flag:
+      // decile pre-bins pooled to the isotonic fit via the exact
+      // minimax formula over the 10-row bucket frame — pooled buckets
+      // share bit-identical fitted rates, so the merge replays
+      Evaluation.monotoneWoeBins(
+        li(s, dir).select(F.col("l_extendedprice").as("x"),
+          (F.col("l_returnflag") === "R").as("y")),
+        "x", "y", bins = 10)
+        .orderBy("bucket")),
     "q_paired_t" -> ((s, dir) =>
       // paired comparison of two per-row scores (quantity vs scaled
       // discount): the pairing removes between-row variance; p rides
@@ -9523,6 +9533,43 @@ object SparkEntry {
         |  round(${codyErfcSql("y")}, 6) AS p_value,
         |  round(sen_slope, 6) AS sen_slope
         |FROM ye ORDER BY event_type""".stripMargin,
+    // Monotone-bins replay: decile buckets by min-rank, interval
+    // rates from prefix sums, the (a, j, b) minimax grid, dense_rank
+    // on the bit-identical pooled fits.
+    "q_monotone_bins" ->
+      """WITH c AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        |    AND l_returnflag IS NOT NULL),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+        |r AS (SELECT x, y, rank() OVER (ORDER BY x) AS rk FROM c),
+        |b AS (SELECT CAST(floor((CAST(rk AS DOUBLE) - 1) * 10 / nn.n)
+        |    + 1 AS BIGINT) AS bucket, y FROM r, nn),
+        |cells AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS n_pos FROM b GROUP BY bucket),
+        |pre AS (SELECT bucket, n, n_pos,
+        |    CAST(sum(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+        |    CAST(sum(n_pos) OVER (ORDER BY bucket ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp
+        |  FROM cells),
+        |iv AS (SELECT a.bucket AS a, b2.bucket AS b,
+        |    CAST(b2.cp - (a.cp - a.n_pos) AS DOUBLE)
+        |      / (b2.cn - (a.cn - a.n)) AS avg
+        |  FROM pre a JOIN pre b2 ON a.bucket <= b2.bucket),
+        |im AS (SELECT j.bucket AS j, iv.a AS a, min(iv.avg) AS mn
+        |  FROM pre j JOIN iv ON iv.a <= j.bucket
+        |    AND iv.b >= j.bucket
+        |  GROUP BY j.bucket, iv.a),
+        |ft AS (SELECT j, max(mn) AS fit FROM im GROUP BY j),
+        |mg AS (SELECT j, fit, CAST(dense_rank() OVER (ORDER BY fit)
+        |    AS BIGINT) AS merged_bin FROM ft)
+        |SELECT pre.bucket AS bucket, pre.n AS n, pre.n_pos AS n_pos,
+        |  round(CAST(pre.n_pos AS DOUBLE) / pre.n, 6) AS rate,
+        |  round(mg.fit, 6) AS fitted, mg.merged_bin
+        |FROM pre JOIN mg ON pre.bucket = mg.j
+        |ORDER BY bucket""".stripMargin,
     // Paired-t replay: per-row differences, explicit moment algebra,
     // rint-rounded outputs; p omitted (t CDF is not SQL).
     "q_paired_t" ->

@@ -220,6 +220,71 @@ object Evaluation {
       .drop("__tp", "__tn")
   }
 
+  /** Monotone supervised binning — "optimal binning" in the
+    * credit-scoring sense: quantile pre-bins whose event rates are
+    * then POOLED to the isotonic (monotone nondecreasing) fit, so the
+    * final bins have provably ordered rates and [[woeTable]] WoE that
+    * can't zigzag. The isotonic fit uses the exact MINIMAX formula
+    *
+    *   fitted_j = max_{a≤j} min_{b≥j} rate(a..b)
+    *
+    * over the ≤ `bins`-row bucket frame — no sequential PAV loop, the
+    * whole fit is three joins over a tiny frame and replays in any
+    * engine (interval rates are exact integer ratios, so pooled
+    * buckets share bit-identical fitted values and the merge is an
+    * exact equality). For a DECREASING trend, negate the label
+    * upstream (isotonic in 1−rate). Data is touched once (the rank
+    * shuffle of the quantile binning).
+    *
+    * @return one row per pre-bin: (bucket, n, n_pos, rate, fitted,
+    *         merged_bin) — merged_bin is the 1-based pooled-bin id */
+  def monotoneWoeBins(df: DataFrame, xCol: String, labelCol: String,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 64, "bins must be in 2..64")
+    import org.apache.spark.sql.expressions.Window
+    val y = F.col(labelCol).cast("boolean")
+    val clean = df
+      .where(F.col(xCol).cast("double").isNotNull &&
+        !F.isnan(F.col(xCol).cast("double")) && y.isNotNull)
+      .select(F.col(xCol).cast("double").as("__x"),
+        F.when(y, 1L).otherwise(0L).as("__y"))
+    val bucketed = Ranks.quantileBuckets(clean, "__x", bins, "bucket")
+    val cells = bucketed.groupBy("bucket")
+      .agg(F.count(F.lit(1)).as("n"), F.sum("__y").as("n_pos"))
+    val wOrd = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = cells
+      .withColumn("cn", F.sum("n").over(wOrd))
+      .withColumn("cp", F.sum("n_pos").over(wOrd))
+      .localCheckpoint(true)
+    // interval rates over the <= bins-row frame: rate(a..b) from the
+    // prefix sums; the three tiny joins below never touch data rows
+    val lo = pre.select(F.col("bucket").as("a"),
+      (F.col("cn") - F.col("n")).as("cna"),
+      (F.col("cp") - F.col("n_pos")).as("cpa"))
+    val hi = pre.select(F.col("bucket").as("b"), F.col("cn").as("cnb"),
+      F.col("cp").as("cpb"))
+    val intervals = lo.join(hi, F.col("a") <= F.col("b"))
+      .select(F.col("a"), F.col("b"),
+        ((F.col("cpb") - F.col("cpa")).cast("double") /
+          (F.col("cnb") - F.col("cna"))).as("avg"))
+    val js = pre.select(F.col("bucket").as("j"))
+    val innerMin = js
+      .join(intervals, F.col("a") <= F.col("j") &&
+        F.col("b") >= F.col("j"))
+      .groupBy("j", "a").agg(F.min("avg").as("mn"))
+    val fitted = innerMin.groupBy("j").agg(F.max("mn").as("__fit"))
+    val wRank = Window.orderBy("j")
+    pre.join(fitted, F.col("bucket") === F.col("j"))
+      .withColumn("merged_bin",
+        F.dense_rank().over(wRank.orderBy(F.col("__fit"))).cast("long"))
+      .select(F.col("bucket"), F.col("n"), F.col("n_pos"),
+        F.round(F.col("n_pos").cast("double") / F.col("n"), 6)
+          .as("rate"),
+        F.round(F.col("__fit"), 6).as("fitted"),
+        F.col("merged_bin"))
+  }
+
   /** Decision-stump split scan: for each feature, the gini-impurity
     * gain of every candidate threshold "x ≤ v" against a binary label
     * — the screening pass behind supervised binning and stump/tree

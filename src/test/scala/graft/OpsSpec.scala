@@ -3672,6 +3672,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(rt.getAs[Double]("sen_slope") - 0.5) < 1e-12)
   }
 
+  test("monotoneWoeBins pools the rate violation exactly") {
+    import spark.implicits._
+    // 5 pre-bins of 4 rows; rates 0, .5, .25, .75, 1 -> PAV pools
+    // bins 2+3 to 3/8 = .375; merged ids 1,2,2,3,4
+    val pos = Map(1 -> 0, 2 -> 2, 3 -> 1, 4 -> 3, 5 -> 4)
+    val rows = (1 to 20).map { x =>
+      val b = (x - 1) / 4 + 1
+      (x.toDouble, (x - 1) % 4 < pos(b))
+    }
+    val r = Evaluation.monotoneWoeBins(rows.toDF("x", "y"), "x", "y",
+        bins = 5)
+      .collect().map(z => z.getAs[Long]("bucket") -> z).toMap
+    assert(r(1L).getAs[Double]("fitted") == 0.0)
+    assert(r(2L).getAs[Double]("fitted") == 0.375)
+    assert(r(3L).getAs[Double]("fitted") == 0.375)
+    assert(r(4L).getAs[Double]("fitted") == 0.75)
+    assert(r(5L).getAs[Double]("fitted") == 1.0)
+    assert(r(2L).getAs[Long]("merged_bin") ==
+      r(3L).getAs[Long]("merged_bin"))
+    assert(Seq(1L, 2L, 4L, 5L).map(b => r(b).getAs[Long]("merged_bin"))
+      == Seq(1L, 2L, 3L, 4L))
+    assert(r(3L).getAs[Double]("rate") == 0.25)
+    assert(r.values.map(_.getAs[Long]("n")).sum == 20L)
+  }
+
   test("pairedTTest matches the hand-computed differences") {
     import spark.implicits._
     // d = (1, 3, 2): mean 2, s2 = 1, t = 2/(1/sqrt(3)), dof 2
