@@ -1587,6 +1587,20 @@ object SparkEntry {
       Sketches.kllRankCheck(li(s, dir), "l_extendedprice",
           Seq(10000.0, 30000.0, 60000.0, 90000.0))
         .orderBy("probe")),
+    "q_sketch_cms" -> ((s, dir) => {
+      // count-min frequency sketch: a 4×256 salted-md5 counter grid
+      // (ONE bounded aggregation, additively mergeable across shards),
+      // point-estimated at the 20 lowest supplier keys — exact
+      // integers end to end, so the replay is bit-for-bit
+      val sk = Sketches.countMinBuild(
+        li(s, dir).select("l_suppkey"), "l_suppkey",
+        depth = 4, width = 256)
+      val probes = li(s, dir).select("l_suppkey")
+        .where(F.col("l_suppkey") < 20).distinct()
+      Sketches.countMinEstimate(sk, probes, "l_suppkey",
+          depth = 4, width = 256)
+        .orderBy("key")
+    }),
     "q_zorder" -> ((s, dir) => {
       // Morton-curve clustering for multi-dim data skipping: quantize
       // (l_extendedprice, l_quantity) to a 256×256 grid off one shared
@@ -3004,6 +3018,27 @@ object SparkEntry {
       Features.mannKendallByKey(events(s, dir), "event_type", "ts",
           "value", periodUnit = 86400000000000L)
         .orderBy("event_type")),
+    "q_pettitt" -> ((s, dir) =>
+      // single-changepoint test per event type on the same daily
+      // means: rank-form U_t is exactly integer (avg ranks), the
+      // break = first argmax of |U|, p = 2·exp(−6K²/(n³+n²))
+      Features.pettittByKey(events(s, dir), "event_type", "ts",
+          "value", periodUnit = 86400000000000L)
+        .orderBy("event_type")),
+    "q_kpss" -> ((s, dir) =>
+      // level-stationarity per event type: η̂ from t-ordered partial
+      // sums over a Bartlett(5) long-run variance — every quadratic
+      // form folds in t-order, so the replay associates identically
+      Features.kpssByKey(events(s, dir), "event_type", "ts",
+          "value", periodUnit = 86400000000000L, lags = 5)
+        .orderBy("event_type")),
+    "q_runs_test" -> ((s, dir) =>
+      // randomness-around-the-median screen per event type: explicit
+      // type-7 median, equal-to-median days dropped, exact integer
+      // run/side counts, z from the closed-form moments
+      Features.runsTestByKey(events(s, dir), "event_type", "ts",
+          "value", periodUnit = 86400000000000L)
+        .orderBy("event_type")),
     "q_holm" -> ((s, dir) =>
       // FWER control over the per-event-type chi2 p family: Holm
       // step-down via the prefix-max fold — the q_drift_fdr base with
@@ -3974,6 +4009,17 @@ object SparkEntry {
           F.round(F.col("t_stat"), 2).as("t_r"))
         .orderBy("l_returnflag")
     }),
+    "q_lda" -> ((s, dir) =>
+      // Fisher's closed-form discriminant: which (quantity, scaled
+      // discount) direction separates returned from kept lines —
+      // one 12-column moment aggregation, 2×2 adjugate inverse in
+      // column arithmetic, J = squared Mahalanobis gap
+      Regression.fisherLda(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select((F.col("l_returnflag") === "R").as("y"),
+            F.col("l_quantity").as("x1"),
+            (F.col("l_discount") * 100).as("x2")),
+        "y", "x1", "x2")),
     "q_ols_multi" -> ((s, dir) => {
       // multiple regression via the Gram-matrix aggregation + driver
       // (k+1)×(k+1) solve; the DuckDB oracle re-solves the same normal
@@ -4084,6 +4130,24 @@ object SparkEntry {
         .union(base.select(F.col("b").as("src"), F.col("a").as("dst")))
       Graph.pageRank(e, "src", "dst", iters = 3)
         .select(F.col("node"), F.round(F.col("rank"), 6).as("rank_r"))
+        .orderBy("node")
+    }),
+    "q_bfs" -> ((s, dir) => {
+      // multi-source BFS hop distances over the same co-occurrence
+      // graph, seeded at suppliers 0..4: frontier-only joins, exact
+      // integer distances, nodes beyond 3 hops absent — the replay
+      // runs 3 Bellman-Ford min-relax rounds (identical result ≤ k)
+      val base = keyCappedLineitem(s, dir, 50000,
+          Seq("l_suppkey", "l_partkey"))
+        .select(F.concat(F.lit("s"), F.col("l_suppkey")).as("a"),
+          F.concat(F.lit("p"), F.col("l_partkey")).as("b"))
+        .distinct()
+      val e = base.select(F.col("a").as("src"), F.col("b").as("dst"))
+        .union(base.select(F.col("b").as("src"), F.col("a").as("dst")))
+      val seeds = keyCappedLineitem(s, dir, 50000, Seq("l_suppkey"))
+        .where(F.col("l_suppkey") < 5)
+        .select(F.concat(F.lit("s"), F.col("l_suppkey")).as("node"))
+      Graph.bfsHops(e, "src", "dst", seeds, "node", maxHops = 3)
         .orderBy("node")
     }),
     "q_degree_dist" -> ((s, dir) => {
@@ -9533,6 +9597,286 @@ object SparkEntry {
         |  round(${codyErfcSql("y")}, 6) AS p_value,
         |  round(sen_slope, 6) AS sen_slope
         |FROM ye ORDER BY event_type""".stripMargin,
+    // Pettitt replay: the same daily decimal-exact means, avg ranks
+    // from min-rank + tie counts, t-ordered cumsum, integer U_t, and
+    // the first argmax of |U| (tie-stable by period).
+    "q_pettitt" ->
+      """WITH e AS (SELECT event_type AS k, epoch_ns(ts) AS t,
+        |    CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |cells AS (SELECT k, t // 86400000000000 AS p,
+        |    CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+        |      AS mv
+        |  FROM e GROUP BY k, p),
+        |r AS (SELECT k, p,
+        |    CAST(rank() OVER (PARTITION BY k ORDER BY mv) AS DOUBLE)
+        |      + (CAST(count(*) OVER (PARTITION BY k, mv) AS DOUBLE)
+        |        - 1.0) / 2.0 AS rv,
+        |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n
+        |  FROM cells),
+        |u AS (SELECT k, p, n,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY p)
+        |      AS BIGINT) AS ti,
+        |    sum(rv) OVER (PARTITION BY k ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM r),
+        |au AS (SELECT k, p, n,
+        |    CAST(abs(2.0 * cum - CAST(ti AS DOUBLE)
+        |      * CAST(n + 1 AS DOUBLE)) AS BIGINT) AS absu
+        |  FROM u WHERE ti < n),
+        |pick AS (SELECT k, p, n, absu,
+        |    row_number() OVER (PARTITION BY k
+        |      ORDER BY absu DESC, p ASC) AS rk FROM au)
+        |SELECT k AS event_type, n, absu AS k_stat, p AS cp_period,
+        |  round(least(1.0, 2.0 * exp(-6.0 * CAST(absu AS DOUBLE)
+        |    * CAST(absu AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |      * CAST(n AS DOUBLE)
+        |      + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))), 6)
+        |    AS p_value
+        |FROM pick WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    // KPSS replay: decimal-exact mean, t-ordered partial sums, every
+    // quadratic form as an ordered cumulative sum read at the last
+    // row — identical FP association to the Scala fold.
+    "q_kpss" ->
+      """WITH e AS (SELECT event_type AS k, epoch_ns(ts) AS t,
+        |    CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |cells AS (SELECT k, t // 86400000000000 AS p,
+        |    CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+        |      AS mv
+        |  FROM e GROUP BY k, p),
+        |b AS (SELECT k, p, mv,
+        |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+        |    CAST(sum(CAST(mv AS DECIMAL(38,6)))
+        |        OVER (PARTITION BY k) AS DOUBLE)
+        |      / CAST(count(*) OVER (PARTITION BY k) AS DOUBLE) AS mu
+        |  FROM cells),
+        |d AS (SELECT k, p, n, mv - mu AS ed FROM b),
+        |s AS (SELECT k, p, n, ed,
+        |    sum(ed) OVER (PARTITION BY k ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st,
+        |    lag(ed, 1) OVER (PARTITION BY k ORDER BY p) AS e1,
+        |    lag(ed, 2) OVER (PARTITION BY k ORDER BY p) AS e2,
+        |    lag(ed, 3) OVER (PARTITION BY k ORDER BY p) AS e3,
+        |    lag(ed, 4) OVER (PARTITION BY k ORDER BY p) AS e4,
+        |    lag(ed, 5) OVER (PARTITION BY k ORDER BY p) AS e5
+        |  FROM d),
+        |c AS (SELECT k, p, n,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY p)
+        |      AS BIGINT) AS ti,
+        |    sum(st * st) OVER (PARTITION BY k ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS css,
+        |    sum(ed * ed) OVER (PARTITION BY k ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cg0,
+        |    sum(ed * e1) OVER (PARTITION BY k ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cg1,
+        |    sum(ed * e2) OVER (PARTITION BY k ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cg2,
+        |    sum(ed * e3) OVER (PARTITION BY k ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cg3,
+        |    sum(ed * e4) OVER (PARTITION BY k ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cg4,
+        |    sum(ed * e5) OVER (PARTITION BY k ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cg5
+        |  FROM s),
+        |f AS (SELECT k, n, css,
+        |    cg0 / CAST(n AS DOUBLE)
+        |      + 2.0 * (1.0 - 1.0 / 6.0)
+        |        * (coalesce(cg1, 0.0) / CAST(n AS DOUBLE))
+        |      + 2.0 * (1.0 - 2.0 / 6.0)
+        |        * (coalesce(cg2, 0.0) / CAST(n AS DOUBLE))
+        |      + 2.0 * (1.0 - 3.0 / 6.0)
+        |        * (coalesce(cg3, 0.0) / CAST(n AS DOUBLE))
+        |      + 2.0 * (1.0 - 4.0 / 6.0)
+        |        * (coalesce(cg4, 0.0) / CAST(n AS DOUBLE))
+        |      + 2.0 * (1.0 - 5.0 / 6.0)
+        |        * (coalesce(cg5, 0.0) / CAST(n AS DOUBLE)) AS lrv
+        |  FROM c WHERE ti = n)
+        |SELECT k AS event_type, n, CAST(5 AS BIGINT) AS lags,
+        |  round(css / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * lrv),
+        |    6) AS kpss_stat,
+        |  round(lrv, 6) AS s2_lrv
+        |FROM f WHERE lrv > 0.0 ORDER BY event_type""".stripMargin,
+    // Runs-test replay: explicit two-middle type-7 median, drop
+    // equal-to-median days, integer run counts, closed-form moments,
+    // p via Cody's erfc at the 6-rounded z.
+    "q_runs_test" ->
+      s"""WITH e AS (SELECT event_type AS k, epoch_ns(ts) AS t,
+        |    CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |cells AS (SELECT k, t // 86400000000000 AS p,
+        |    CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+        |      AS mv
+        |  FROM e GROUP BY k, p),
+        |r AS (SELECT k, p, mv,
+        |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY mv)
+        |      AS BIGINT) AS rn
+        |  FROM cells),
+        |med AS (SELECT k, sum(mv) / count(*) AS md FROM r
+        |  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY k),
+        |sg AS (SELECT r.k AS k, r.p AS p,
+        |    CASE WHEN r.mv > med.md THEN 1 ELSE 0 END AS s
+        |  FROM r JOIN med ON r.k = med.k WHERE r.mv <> med.md),
+        |lg AS (SELECT k, s,
+        |    lag(s, 1) OVER (PARTITION BY k ORDER BY p) AS prev
+        |  FROM sg),
+        |agg AS (SELECT k,
+        |    CAST(1 + sum(CASE WHEN prev IS NOT NULL AND prev <> s
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+        |    CAST(sum(s) AS BIGINT) AS n1,
+        |    CAST(sum(1 - s) AS BIGINT) AS n2
+        |  FROM lg GROUP BY k),
+        |m AS (SELECT k, n_runs, n1, n2,
+        |    2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |      / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0 AS mu,
+        |    2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |      * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |        - (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+        |      / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |        * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |        * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0))
+        |      AS sig2
+        |  FROM agg WHERE n1 > 0 AND n2 > 0),
+        |zz AS (SELECT k, n_runs, n1, n2,
+        |    round((CAST(n_runs AS DOUBLE) - mu) / sqrt(sig2), 6) AS z
+        |  FROM m WHERE sig2 > 0.0),
+        |ye AS (SELECT k, n_runs, n1, n2, z,
+        |    abs(z) / sqrt(2.0) AS y FROM zz)
+        |SELECT k AS event_type, n_runs, n1, n2, z,
+        |  round(${codyErfcSql("y")}, 6) AS p_value
+        |FROM ye ORDER BY event_type""".stripMargin,
+    // CMS replay: the same salted-md5 4×256 counter grid and min-of-
+    // cells point estimates — exact integers end to end.
+    "q_sketch_cms" ->
+      """WITH keys AS (SELECT l_suppkey AS k FROM lineitem
+        |  WHERE l_suppkey IS NOT NULL),
+        |cells AS (SELECT r.r AS row,
+        |    CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':'
+        |      || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 256
+        |      AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM keys, range(4) r(r) GROUP BY 1, 2),
+        |probes AS (SELECT DISTINCT CAST(l_suppkey AS VARCHAR) AS key,
+        |    l_suppkey AS k
+        |  FROM lineitem WHERE l_suppkey < 20),
+        |pc AS (SELECT p.key AS key, r.r AS row,
+        |    CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':'
+        |      || CAST(p.k AS VARCHAR)), 1, 8)) AS BIGINT) % 256
+        |      AS bucket
+        |  FROM probes p, range(4) r(r))
+        |SELECT pc.key AS key,
+        |  CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS est
+        |FROM pc LEFT JOIN cells
+        |  ON pc.row = cells.row AND pc.bucket = cells.bucket
+        |GROUP BY pc.key ORDER BY key""".stripMargin,
+    // BFS replay: three Bellman-Ford min-relax rounds over the same
+    // bidirectional edge set — after k rounds every node within k hops
+    // carries its exact distance, and the dist <= k filter drops the
+    // provisional tails, so the result equals frontier BFS.
+    "q_bfs" ->
+      """WITH base AS (SELECT DISTINCT
+        |    's' || CAST(l_suppkey AS VARCHAR) AS a,
+        |    'p' || CAST(l_partkey AS VARCHAR) AS b
+        |  FROM lineitem WHERE l_orderkey < 50000),
+        |e AS (SELECT a AS src, b AS dst FROM base
+        |  UNION ALL SELECT b AS src, a AS dst FROM base),
+        |g0 AS (SELECT DISTINCT
+        |    's' || CAST(l_suppkey AS VARCHAR) AS node,
+        |    CAST(0 AS BIGINT) AS dist
+        |  FROM lineitem WHERE l_orderkey < 50000 AND l_suppkey < 5),
+        |g1 AS (SELECT node, min(dist) AS dist FROM (
+        |    SELECT node, dist FROM g0
+        |    UNION ALL
+        |    SELECT e.dst AS node, g.dist + 1 AS dist
+        |    FROM e JOIN g0 g ON e.src = g.node) GROUP BY node),
+        |g2 AS (SELECT node, min(dist) AS dist FROM (
+        |    SELECT node, dist FROM g1
+        |    UNION ALL
+        |    SELECT e.dst AS node, g.dist + 1 AS dist
+        |    FROM e JOIN g1 g ON e.src = g.node) GROUP BY node),
+        |g3 AS (SELECT node, min(dist) AS dist FROM (
+        |    SELECT node, dist FROM g2
+        |    UNION ALL
+        |    SELECT e.dst AS node, g.dist + 1 AS dist
+        |    FROM e JOIN g2 g ON e.src = g.node) GROUP BY node)
+        |SELECT node, CAST(dist AS BIGINT) AS dist FROM g3
+        |WHERE dist <= 3 ORDER BY node""".stripMargin,
+    // LDA replay: the same 12 moment sums, pooled covariance, 2×2
+    // adjugate inverse, and midpoint threshold — identical op order.
+    "q_lda" ->
+      """WITH c AS (SELECT (l_returnflag = 'R') AS y,
+        |    CAST(l_quantity AS DOUBLE) AS x1,
+        |    CAST(l_discount AS DOUBLE) * 100 AS x2
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND l_discount IS NOT NULL
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE) * 100)
+        |    AND l_returnflag IS NOT NULL),
+        |a AS (SELECT
+        |    CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n0,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    sum(CASE WHEN NOT y THEN x1 ELSE 0.0 END) AS sx0,
+        |    sum(CASE WHEN NOT y THEN x2 ELSE 0.0 END) AS sy0,
+        |    sum(CASE WHEN NOT y THEN x1 * x1 ELSE 0.0 END) AS sxx0,
+        |    sum(CASE WHEN NOT y THEN x2 * x2 ELSE 0.0 END) AS syy0,
+        |    sum(CASE WHEN NOT y THEN x1 * x2 ELSE 0.0 END) AS sxy0,
+        |    sum(CASE WHEN y THEN x1 ELSE 0.0 END) AS sx1,
+        |    sum(CASE WHEN y THEN x2 ELSE 0.0 END) AS sy1,
+        |    sum(CASE WHEN y THEN x1 * x1 ELSE 0.0 END) AS sxx1,
+        |    sum(CASE WHEN y THEN x2 * x2 ELSE 0.0 END) AS syy1,
+        |    sum(CASE WHEN y THEN x1 * x2 ELSE 0.0 END) AS sxy1
+        |  FROM c),
+        |m AS (SELECT n0, n1,
+        |    sx0 / CAST(n0 AS DOUBLE) AS mx0,
+        |    sy0 / CAST(n0 AS DOUBLE) AS my0,
+        |    sx1 / CAST(n1 AS DOUBLE) AS mx1,
+        |    sy1 / CAST(n1 AS DOUBLE) AS my1,
+        |    sxx0, syy0, sxy0, sxx1, syy1, sxy1 FROM a),
+        |s AS (SELECT n0, n1, mx0, my0, mx1, my1,
+        |    (sxx0 - CAST(n0 AS DOUBLE) * mx0 * mx0
+        |      + sxx1 - CAST(n1 AS DOUBLE) * mx1 * mx1)
+        |      / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) - 2.0)
+        |      AS sxx,
+        |    (syy0 - CAST(n0 AS DOUBLE) * my0 * my0
+        |      + syy1 - CAST(n1 AS DOUBLE) * my1 * my1)
+        |      / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) - 2.0)
+        |      AS syy,
+        |    (sxy0 - CAST(n0 AS DOUBLE) * mx0 * my0
+        |      + sxy1 - CAST(n1 AS DOUBLE) * mx1 * my1)
+        |      / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) - 2.0)
+        |      AS sxy
+        |  FROM m),
+        |w AS (SELECT n0, n1, mx0, my0, mx1, my1, sxx, syy, sxy,
+        |    sxx * syy - sxy * sxy AS det,
+        |    mx1 - mx0 AS dx, my1 - my0 AS dy FROM s),
+        |v AS (SELECT n0, n1, mx0, my0, mx1, my1, det,
+        |    (syy * dx - sxy * dy) / det AS wxr,
+        |    (sxx * dy - sxy * dx) / det AS wyr,
+        |    dx, dy FROM w),
+        |z AS (SELECT n0, n1, mx0, my0, mx1, my1, det,
+        |    wxr, wyr, dx * wxr + dy * wyr AS j,
+        |    sqrt(wxr * wxr + wyr * wyr) AS nrm FROM v)
+        |SELECT n0, n1,
+        |  round(wxr / nrm, 6) AS w1,
+        |  round(wyr / nrm, 6) AS w2,
+        |  round(wxr / nrm * (mx0 + mx1) / 2.0
+        |    + wyr / nrm * (my0 + my1) / 2.0, 6) AS threshold,
+        |  round(j, 6) AS j_stat
+        |FROM z WHERE n0 >= 2 AND n1 >= 2 AND det > 0.0 AND nrm > 0.0""".stripMargin,
     // Monotone-bins replay: decile buckets by min-rank, interval
     // rates from prefix sums, the (a, j, b) minimax grid, dense_rank
     // on the bit-identical pooled fits.

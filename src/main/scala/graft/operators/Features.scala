@@ -985,4 +985,208 @@ object Features {
       .select(g :+ F.col("__lam").as("lambda") :+
         F.round(F.col("__ll"), 6).as("ll") :+ F.col("n"): _*)
   }
+
+  /** Decimal-exact period means per key — the shared series builder
+    * for the rank/changepoint tests below (the [[mannKendallByKey]]
+    * convention: sums ride decimal(38,6) so the period value replays
+    * bit-for-bit in any engine). Output: (__k, __p, __v). */
+  private def periodCells(df: DataFrame, keyCol: String, tsCol: String,
+                          valueCol: String,
+                          periodUnit: Long): DataFrame = {
+    require(periodUnit > 0L, "periodUnit must be positive")
+    val v = F.col(valueCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    df.where(F.col(keyCol).isNotNull && t.isNotNull && v.isNotNull &&
+        !F.isnan(v))
+      .groupBy(F.col(keyCol).as("__k"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("__p"))
+      .agg((F.sum(v.cast("decimal(38,6)")).cast("double") /
+        F.count(F.lit(1))).as("__v"))
+  }
+
+  /** Pettitt changepoint test per key — "WHEN did this metric shift",
+    * the single-break complement to [[mannKendallByKey]]'s monotone
+    * trend and [[cusumByKey]]'s online alarm. On the period-mean
+    * series x₁..xₙ (t-ordered), the statistic is the rank form of
+    *
+    *   U_t = Σ_{i≤t} Σ_{j>t} sgn(xᵢ − xⱼ) = 2·Σ_{i≤t} rᵢ − t(n+1)
+    *
+    * with average ranks for ties (so U_t is exactly integer — cumsum
+    * of avg ranks is always a multiple of ½), K = max_t |U_t| over
+    * t < n, the changepoint the FIRST period attaining K (tie-stable),
+    * and the approximate significance p = min(1, 2·exp(−6K²/(n³+n²))).
+    *
+    * Entirely integer until the final exp: ranks are a per-key window,
+    * the U_t fold a t-ordered prefix sum — one shuffle to build the
+    * period cells (the series per key is periods-sized, never
+    * rows-sized, so a 100 TB input collapses to #keys × #periods cells
+    * before any window runs).
+    *
+    * @return one row per key: (keyCol, n, k_stat, cp_period, p_value)
+    *         where cp_period is the last period of the pre-break
+    *         segment (epoch DIV periodUnit). */
+  def pettittByKey(df: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String, periodUnit: Long): DataFrame = {
+    val cells = periodCells(df, keyCol, tsCol, valueCol, periodUnit)
+    val wVal = Window.partitionBy("__k").orderBy("__v")
+    val wKey = Window.partitionBy("__k")
+    val wOrd = Window.partitionBy("__k").orderBy("__p")
+    val ranked = cells
+      .withColumn("__rmin", F.rank().over(wVal))
+      .withColumn("__tc", F.count(F.lit(1))
+        .over(Window.partitionBy("__k", "__v")))
+      .withColumn("__r",
+        F.col("__rmin").cast("double") +
+          (F.col("__tc") - 1L).cast("double") / 2.0)
+      .withColumn("__n", F.count(F.lit(1)).over(wKey))
+      .withColumn("__t", F.row_number().over(wOrd).cast("long"))
+      .withColumn("__cum", F.sum("__r").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val u = (F.lit(2.0) * F.col("__cum") -
+      F.col("__t").cast("double") *
+        (F.col("__n") + 1L).cast("double")).cast("long")
+    val wPick = Window.partitionBy("__k")
+      .orderBy(F.desc("__absu"), F.asc("__p"))
+    ranked
+      .where(F.col("__t") < F.col("__n"))
+      .withColumn("__absu", F.abs(u))
+      .withColumn("__rk", F.row_number().over(wPick))
+      .where(F.col("__rk") === 1)
+      .select(F.col("__k").as(keyCol), F.col("__n").as("n"),
+        F.col("__absu").as("k_stat"), F.col("__p").as("cp_period"),
+        F.round(F.least(F.lit(1.0), F.lit(2.0) * F.exp(
+          F.lit(-6.0) * F.col("__absu").cast("double") *
+            F.col("__absu").cast("double") /
+            (F.col("__n").cast("double") * F.col("__n").cast("double") *
+              F.col("__n").cast("double") +
+              F.col("__n").cast("double") *
+                F.col("__n").cast("double")))), 6).as("p_value"))
+  }
+
+  /** KPSS level-stationarity statistic per key — the opposite null to
+    * the trend tests: "is this metric mean-reverting around a level,
+    * or does it wander" (large η̂ ⇒ reject stationarity). On the
+    * t-ordered period means with residuals e_t = x_t − x̄ and partial
+    * sums S_t = Σ_{i≤t} eᵢ:
+    *
+    *   η̂ = n⁻² Σ_t S_t² / s²(L),
+    *   s²(L) = γ₀ + 2 Σ_{l=1..L} (1 − l/(L+1)) γ_l   (Bartlett),
+    *   γ_l = n⁻¹ Σ_t e_t e_{t−l}
+    *
+    * Every Σ folds in t-order (ordered prefix sums, last row taken) so
+    * FP association is identical in any replaying engine — the
+    * unordered-double-sum wobble that bit q_embedding_cov can't occur.
+    * The mean is decimal-exact via [[periodCells]]. Keys whose
+    * Bartlett variance is ≤ 0 (constant series) are omitted.
+    *
+    * @param lags Bartlett truncation L (a fixed small int — determinism
+    *             beats the n^(1/4) auto rule for replay)
+    * @return one row per key: (keyCol, n, lags, kpss_stat, s2_lrv) */
+  def kpssByKey(df: DataFrame, keyCol: String, tsCol: String,
+                valueCol: String, periodUnit: Long,
+                lags: Int): DataFrame = {
+    require(lags >= 0 && lags <= 50, "lags must be in 0..50")
+    val cells = periodCells(df, keyCol, tsCol, valueCol, periodUnit)
+    val wKey = Window.partitionBy("__k")
+    val wOrd = Window.partitionBy("__k").orderBy("__p")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    // decimal-exact mean: sum of __v (already exact doubles) over the
+    // key — __v carries ≤6 decimals, so the decimal sum is exact
+    var cur = cells
+      .withColumn("__n", F.count(F.lit(1)).over(wKey))
+      .withColumn("__mu",
+        F.sum(F.col("__v").cast("decimal(38,6)")).over(wKey)
+          .cast("double") / F.col("__n").cast("double"))
+      .withColumn("__e", F.col("__v") - F.col("__mu"))
+      .withColumn("__s", F.sum("__e").over(wCum))
+    (1 to lags).foreach { l =>
+      cur = cur.withColumn(s"__el$l", F.lag("__e", l).over(wOrd))
+    }
+    // t-ordered prefix sums of every quadratic form; keep the last row
+    cur = cur
+      .withColumn("__css", F.sum(F.col("__s") * F.col("__s")).over(wCum))
+      .withColumn("__cg0", F.sum(F.col("__e") * F.col("__e")).over(wCum))
+    (1 to lags).foreach { l =>
+      cur = cur.withColumn(s"__cg$l",
+        F.sum(F.col("__e") * F.col(s"__el$l")).over(wCum))
+    }
+    val last = cur
+      .withColumn("__t", F.row_number().over(wOrd))
+      .where(F.col("__t") === F.col("__n"))
+    val nD = F.col("__n").cast("double")
+    val lrv = (1 to lags).foldLeft(F.col("__cg0") / nD) { (acc, l) =>
+      acc + F.lit(2.0 * (1.0 - l.toDouble / (lags + 1.0))) *
+        (F.coalesce(F.col(s"__cg$l"), F.lit(0.0)) / nD)
+    }
+    last
+      .withColumn("__lrv", lrv)
+      .where(F.col("__lrv") > 0.0)
+      .select(F.col("__k").as(keyCol), F.col("__n").as("n"),
+        F.lit(lags.toLong).as("lags"),
+        F.round(F.col("__css") / (nD * nD * F.col("__lrv")), 6)
+          .as("kpss_stat"),
+        F.round(F.col("__lrv"), 6).as("s2_lrv"))
+  }
+
+  /** Wald–Wolfowitz runs test per key — "is this series RANDOM around
+    * its median, or does it cluster" (too few runs = sticky regimes /
+    * positive autocorrelation; too many = oscillation). The median is
+    * the explicit type-7 order statistic (n odd → middle value, even →
+    * mean of the two middles — spelled out so any engine reproduces
+    * it), values EQUAL to the median are dropped (the classical
+    * convention), and on the surviving t-ordered signs
+    *
+    *   R  = 1 + Σ_{t≥2} 1[s_t ≠ s_{t−1}],
+    *   μ  = 2n₁n₂/(n₁+n₂) + 1,
+    *   σ² = 2n₁n₂(2n₁n₂−n₁−n₂) / ((n₁+n₂)²(n₁+n₂−1)),
+    *   z  = (R − μ)/σ  (6-rounded), p = erfc(|z|/√2).
+    *
+    * R, n₁, n₂ are exact integers; keys with n₁=0 or n₂=0 (one-sided
+    * series) or σ²≤0 are omitted.
+    *
+    * @return one row per key: (keyCol, n_runs, n1, n2, z, p_value) */
+  def runsTestByKey(df: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String, periodUnit: Long): DataFrame = {
+    val cells = periodCells(df, keyCol, tsCol, valueCol, periodUnit)
+    val wKey = Window.partitionBy("__k")
+    val wVal = Window.partitionBy("__k").orderBy("__v")
+    // explicit type-7 median from the two middle order statistics
+    val med = cells
+      .withColumn("__n", F.count(F.lit(1)).over(wKey))
+      .withColumn("__r", F.row_number().over(wVal).cast("long"))
+      // integer-div the middle positions: Spark's `/` on longs yields
+      // DOUBLE (15.5), which would silently match nothing for even n
+      .where(F.col("__r") === ((F.col("__n") + 1L) / 2L).cast("long") ||
+        F.col("__r") === ((F.col("__n") + 2L) / 2L).cast("long"))
+      .groupBy("__k")
+      .agg((F.sum("__v") / F.count(F.lit(1))).as("__med"))
+    val wOrd = Window.partitionBy("__k").orderBy("__p")
+    val signed = cells.join(med, "__k")
+      .where(F.col("__v") =!= F.col("__med"))
+      .withColumn("__s",
+        F.when(F.col("__v") > F.col("__med"), 1L).otherwise(0L))
+      .withColumn("__prev", F.lag("__s", 1).over(wOrd))
+    val agged = signed.groupBy("__k").agg(
+      (F.lit(1L) + F.sum(F.when(F.col("__prev").isNotNull &&
+        F.col("__prev") =!= F.col("__s"), 1L).otherwise(0L)))
+        .as("n_runs"),
+      F.sum("__s").as("n1"),
+      F.sum(F.lit(1L) - F.col("__s")).as("n2"))
+    val n1 = F.col("n1").cast("double")
+    val n2 = F.col("n2").cast("double")
+    val nn = n1 + n2
+    val mu = F.lit(2.0) * n1 * n2 / nn + 1.0
+    val sig2 = F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - nn) /
+      (nn * nn * (nn - 1.0))
+    val erfcUdf = F.udf((z: Double) =>
+      graft.functions.SpecialMath.erfc(math.abs(z) / math.sqrt(2.0)))
+    agged
+      .where(F.col("n1") > 0L && F.col("n2") > 0L && sig2 > 0.0)
+      .withColumn("z",
+        F.round((F.col("n_runs").cast("double") - mu) / F.sqrt(sig2), 6))
+      .select(F.col("__k").as(keyCol), F.col("n_runs"), F.col("n1"),
+        F.col("n2"), F.col("z"),
+        F.round(erfcUdf(F.col("z")), 6).as("p_value"))
+  }
 }

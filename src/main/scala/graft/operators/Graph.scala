@@ -83,6 +83,56 @@ object Graph {
     ranks
   }
 
+  /** Multi-source BFS shortest hop counts — "how far is every node
+    * from the seed set", the reachability/radius primitive under
+    * [[pageRank]]'s influence scores (k-hop neighborhoods, blast-radius
+    * analysis, contamination spread through a citation graph).
+    *
+    * Frontier-based: round r joins ONLY the nodes first reached at
+    * distance r against the edge table (never the full visited set),
+    * anti-joins out already-visited nodes, and appends the rest at
+    * distance r+1. Each round is one key join + one anti-join, the
+    * visited frame is eagerly localCheckpointed so the plan stays O(1)
+    * deep, and rounds whose frontier is EMPTY stop early (the count
+    * that detects it rides the checkpoint materialization — no extra
+    * scan). Unreachable nodes are absent from the output (honest
+    * semantics — emitting ∞ rows would force a full node scan).
+    *
+    * @param maxHops fixed round cap — distances are exact up to this
+    * @return (node, dist) for every node within maxHops of a source */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              sources: DataFrame, nodeCol: String,
+              maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 64, "maxHops must be in 1..64")
+    val e = edges
+      .select(F.col(srcCol).cast("string").as("src"),
+        F.col(dstCol).cast("string").as("dst"))
+      .where(F.col("src").isNotNull && F.col("dst").isNotNull)
+      .persist()
+    e.count()
+    var visited = sources
+      .select(F.col(nodeCol).cast("string").as("node")).distinct()
+      .withColumn("dist", F.lit(0L))
+      .localCheckpoint(true)
+    var frontier = visited
+    var hop = 0L
+    var frontierSize = frontier.count()
+    while (hop < maxHops && frontierSize > 0L) {
+      val next = frontier.withColumnRenamed("node", "src")
+        .join(e, "src")
+        .select(F.col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", F.lit(hop + 1L))
+        .localCheckpoint(true)
+      frontierSize = next.count()
+      visited = visited.union(next).localCheckpoint(true)
+      frontier = next
+      hop += 1L
+    }
+    e.unpersist(false)
+    visited
+  }
+
   /** HITS hubs & authorities (Kleinberg) with a fixed iteration count:
     * h₀ = 1, then per round a(v) = Σ_{u→v} h(u) normalized to unit
     * 2-norm, h(u) = Σ_{u→v} a(v) normalized likewise. On a bipartite

@@ -993,6 +993,82 @@ object Regression {
         (F.col("num") / F.col("den")).as("dw"): _*)
   }
 
+  /** Fisher linear discriminant for two classes over two features —
+    * the closed-form "which direction separates the classes" answer
+    * that [[logisticIrls]] approaches iteratively: with pooled
+    * within-class covariance S and class-mean gap Δμ = μ₁ − μ₀,
+    *
+    *   w ∝ S⁻¹ Δμ   (2×2 inverse, plain algebra),
+    *   threshold = w·(μ₀+μ₁)/2   (the midpoint rule),
+    *   J = Δμᵀ S⁻¹ Δμ            (squared Mahalanobis gap — the
+    *                              separation the direction achieves)
+    *
+    * ONE aggregation of per-class raw moments (n, Σx, Σy, Σxx, Σyy,
+    * Σxy per class = 12 codegen'd sum columns); everything after is
+    * column arithmetic on the one-row frame — no driver solve, no
+    * iteration, any data size. Degenerate inputs (a class with < 2
+    * rows, singular pooled covariance) are omitted.
+    *
+    * @param labelCol boolean/0-1 class indicator
+    * @return one row: (n0, n1, w1, w2, threshold, j_stat) with w
+    *         scaled so ‖w‖₂ = 1 and w·Δμ ≥ 0, rounded to 6 */
+  def fisherLda(df: DataFrame, labelCol: String, x1Col: String,
+                x2Col: String): DataFrame = {
+    val x = F.col(x1Col).cast("double")
+    val y = F.col(x2Col).cast("double")
+    val lbl = F.col(labelCol).cast("boolean")
+    val clean = df
+      .where(x.isNotNull && !F.isnan(x) && y.isNotNull && !F.isnan(y) &&
+        lbl.isNotNull)
+      .select(lbl.as("__c"), x.as("__x"), y.as("__y"))
+    def side(c: Boolean, col: org.apache.spark.sql.Column) =
+      F.sum(F.when(F.col("__c") === c, col).otherwise(F.lit(0.0)))
+    def cnt(c: Boolean) =
+      F.sum(F.when(F.col("__c") === c, 1L).otherwise(0L))
+    val agged = clean.agg(
+      cnt(false).as("n0"), cnt(true).as("n1"),
+      side(false, F.col("__x")).as("sx0"),
+      side(false, F.col("__y")).as("sy0"),
+      side(false, F.col("__x") * F.col("__x")).as("sxx0"),
+      side(false, F.col("__y") * F.col("__y")).as("syy0"),
+      side(false, F.col("__x") * F.col("__y")).as("sxy0"),
+      side(true, F.col("__x")).as("sx1"),
+      side(true, F.col("__y")).as("sy1"),
+      side(true, F.col("__x") * F.col("__x")).as("sxx1"),
+      side(true, F.col("__y") * F.col("__y")).as("syy1"),
+      side(true, F.col("__x") * F.col("__y")).as("sxy1"))
+    val n0 = F.col("n0").cast("double")
+    val n1 = F.col("n1").cast("double")
+    val mx0 = F.col("sx0") / n0; val my0 = F.col("sy0") / n0
+    val mx1 = F.col("sx1") / n1; val my1 = F.col("sy1") / n1
+    // pooled covariance: (scatter0 + scatter1) / (n0 + n1 − 2)
+    val dfree = n0 + n1 - 2.0
+    val sxx = (F.col("sxx0") - n0 * mx0 * mx0 +
+      F.col("sxx1") - n1 * mx1 * mx1) / dfree
+    val syy = (F.col("syy0") - n0 * my0 * my0 +
+      F.col("syy1") - n1 * my1 * my1) / dfree
+    val sxy = (F.col("sxy0") - n0 * mx0 * my0 +
+      F.col("sxy1") - n1 * mx1 * my1) / dfree
+    val det = sxx * syy - sxy * sxy
+    val dx = mx1 - mx0
+    val dy = my1 - my0
+    // w = S⁻¹ Δμ via the adjugate; J = Δμ·w
+    val wxRaw = (syy * dx - sxy * dy) / det
+    val wyRaw = (sxx * dy - sxy * dx) / det
+    val jStat = dx * wxRaw + dy * wyRaw
+    val norm = F.sqrt(wxRaw * wxRaw + wyRaw * wyRaw)
+    val wx = wxRaw / norm
+    val wy = wyRaw / norm
+    val thr = wx * (mx0 + mx1) / 2.0 + wy * (my0 + my1) / 2.0
+    agged
+      .where(F.col("n0") >= 2L && F.col("n1") >= 2L && det > 0.0 &&
+        norm > 0.0)
+      .select(F.col("n0"), F.col("n1"),
+        F.round(wx, 6).as("w1"), F.round(wy, 6).as("w2"),
+        F.round(thr, 6).as("threshold"),
+        F.round(jStat, 6).as("j_stat"))
+  }
+
   private[graft] def solve(aIn: Array[Array[Double]],
                            bIn: Array[Double]): Array[Double] = {
     val k = bIn.length

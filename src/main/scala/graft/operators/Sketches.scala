@@ -252,4 +252,65 @@ object Sketches {
             F.rint(common.cast("double") / uni * 1e6) / 1e6)
           .otherwise(0.0).as("jaccard"))
   }
+
+  /** Deterministic row-r bucket for the count-min sketch: the first 32
+    * bits of md5("r:" || key) mod `width` — the [[graft.operators
+    * .Sampling.md5Bucket]] convention with a per-row salt, so every
+    * engine (and every re-run) lands keys in identical cells. */
+  private def cmsBucket(keyCol: Column, row: Int, width: Int): Column =
+    F.conv(F.substring(
+        F.md5(F.concat(F.lit(s"$row:"), keyCol.cast("string"))
+          .cast("binary")), 1, 8), 16, 10)
+      .cast("long") % width
+
+  /** Count-min sketch build — the frequency complement to HLL's
+    * cardinality: a depth×width grid of counters (d independent salted
+    * hash rows) whose point estimate min_r cell(r, h_r(k)) never
+    * UNDER-counts and over-counts by ≤ εN with probability 1−δ
+    * (ε = e/width, δ = e^−depth — Cormode & Muthukrishnan 2005).
+    *
+    * The 100 TB story is the same as HLL's: the sketch is ONE bounded
+    * aggregation (≤ depth·width cells regardless of input rows or key
+    * cardinality), cells are additively mergeable across shards/days
+    * (counts just add), and the estimate never touches raw data again.
+    * Null keys are dropped.
+    *
+    * @return the sketch table: (row, bucket, cnt) — depth·width rows max */
+  def countMinBuild(df: DataFrame, keyCol: String, depth: Int,
+                    width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, "depth must be in 1..16")
+    require(width >= 2 && width <= (1 << 24), "width must be in 2..2^24")
+    val k = F.col(keyCol)
+    val cells = F.explode(F.array((0 until depth).map(r =>
+      F.struct(F.lit(r.toLong).as("row"),
+        cmsBucket(k, r, width).as("bucket"))): _*))
+    df.where(k.isNotNull)
+      .select(cells.as("__c"))
+      .groupBy(F.col("__c.row").as("row"), F.col("__c.bucket").as("bucket"))
+      .agg(F.count(F.lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates from a [[countMinBuild]] sketch for the
+    * keys in `probes`: est(k) = min over rows of the key's cell (0 when
+    * a cell is empty — an empty cell is an exact zero count). The probe
+    * frame is depth·|probes| rows joined against the ≤ depth·width cell
+    * table — broadcast-sized both sides, never a data scan.
+    *
+    * @return one row per probe key: (key, est) with est ≥ true count */
+  def countMinEstimate(sketch: DataFrame, probes: DataFrame,
+                       keyCol: String, depth: Int,
+                       width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, "depth must be in 1..16")
+    val k = F.col(keyCol)
+    val cells = F.explode(F.array((0 until depth).map(r =>
+      F.struct(F.lit(r.toLong).as("row"),
+        cmsBucket(k, r, width).as("bucket"))): _*))
+    probes.where(k.isNotNull)
+      .select(k.cast("string").as("key"), cells.as("__c"))
+      .select(F.col("key"), F.col("__c.row").as("row"),
+        F.col("__c.bucket").as("bucket"))
+      .join(F.broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy("key")
+      .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0L))).as("est"))
+  }
 }

@@ -4478,4 +4478,110 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Evaluation.averagePrecisionByGroup(
       one, Seq("grp"), "y", "s").count() == 0L)
   }
+
+  test("pettittByKey finds the level break and its rank statistic") {
+    import spark.implicits._
+    // 1,2,3 | 10,11,12: ranks 1..6, U = (-5,-8,-9,-8,-5), K = 9 at
+    // the third period (p = 2)
+    val df = Seq(1.0, 2.0, 3.0, 10.0, 11.0, 12.0).zipWithIndex
+      .map { case (v, i) => ("k", i.toLong * 10L, v) }
+      .toDF("key", "ts", "v")
+    val r = Features.pettittByKey(df, "key", "ts", "v",
+      periodUnit = 10L).head()
+    assert(r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Long]("k_stat") == 9L)
+    assert(r.getAs[Long]("cp_period") == 2L)
+    val pExp = math.min(1.0,
+      2.0 * math.exp(-6.0 * 81.0 / (216.0 + 36.0)))
+    assert(math.abs(r.getAs[Double]("p_value") - pExp) < 1e-5)
+    // a flat series has K = 0 (avg ranks make every U_t exactly 0)
+    // and p capped at 1
+    val flat = Seq.tabulate(4)(i => ("k", i.toLong * 10L, 5.0))
+      .toDF("key", "ts", "v")
+    val rf = Features.pettittByKey(flat, "key", "ts", "v",
+      periodUnit = 10L).head()
+    assert(rf.getAs[Long]("k_stat") == 0L)
+    assert(rf.getAs[Double]("p_value") == 1.0)
+  }
+
+  test("kpssByKey matches the hand-computed lag-0 statistic") {
+    import spark.implicits._
+    // x = 1..4: e = (-1.5,-.5,.5,1.5), S = (-1.5,-2,-1.5,0),
+    // sum S^2 = 8.5, gamma0 = 1.25, eta = 8.5/(16*1.25) = 0.425
+    val df = Seq.tabulate(4)(i => ("k", i.toLong * 10L, (i + 1).toDouble))
+      .toDF("key", "ts", "v")
+    val r = Features.kpssByKey(df, "key", "ts", "v",
+      periodUnit = 10L, lags = 0).head()
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("kpss_stat") == 0.425)
+    assert(r.getAs[Double]("s2_lrv") == 1.25)
+    // constant series -> zero long-run variance -> omitted
+    val flat = Seq.tabulate(4)(i => ("k", i.toLong * 10L, 2.0))
+      .toDF("key", "ts", "v")
+    assert(Features.kpssByKey(flat, "key", "ts", "v",
+      periodUnit = 10L, lags = 0).count() == 0L)
+  }
+
+  test("runsTestByKey counts runs against the type-7 median") {
+    import spark.implicits._
+    // 1,9,2,8,3,7 (median 5): signs B,A,B,A,B,A -> 6 runs, n1=n2=3;
+    // mu = 4, sigma^2 = 6/5, z = (6-4)/sqrt(1.2)
+    val df = Seq(1.0, 9.0, 2.0, 8.0, 3.0, 7.0).zipWithIndex
+      .map { case (v, i) => ("k", i.toLong * 10L, v) }
+      .toDF("key", "ts", "v")
+    val r = Features.runsTestByKey(df, "key", "ts", "v",
+      periodUnit = 10L).head()
+    assert(r.getAs[Long]("n_runs") == 6L)
+    assert(r.getAs[Long]("n1") == 3L && r.getAs[Long]("n2") == 3L)
+    val zExp = math.rint(2.0 / math.sqrt(1.2) * 1e6) / 1e6
+    assert(r.getAs[Double]("z") == zExp)
+    // equal-to-median values are dropped: 1,5,9,5,2,8 keeps 4 points
+    val eq = Seq(1.0, 5.0, 9.0, 5.0, 2.0, 8.0).zipWithIndex
+      .map { case (v, i) => ("k", i.toLong * 10L, v) }
+      .toDF("key", "ts", "v")
+    val re = Features.runsTestByKey(eq, "key", "ts", "v",
+      periodUnit = 10L).head()
+    assert(re.getAs[Long]("n1") + re.getAs[Long]("n2") == 4L)
+    // one-sided series (all above/below after the drop) are omitted
+    val onesided = Seq(("k", 0L, 1.0), ("k", 10L, 1.0), ("k", 20L, 2.0))
+      .toDF("key", "ts", "v")
+    assert(Features.runsTestByKey(onesided, "key", "ts", "v",
+      periodUnit = 10L).count() == 0L)
+  }
+
+  test("countMin sketch never under-counts and is exact at low load") {
+    import spark.implicits._
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
+      .toDF("k")
+    val sk = Sketches.countMinBuild(df, "k", depth = 4, width = 64)
+    assert(sk.count() <= 4L * 64L)
+    val probes = Seq("a", "b", "c", "zzz").toDF("k")
+    val est = Sketches.countMinEstimate(sk, probes, "k",
+        depth = 4, width = 64)
+      .collect().map(r => r.getAs[String]("key") ->
+        r.getAs[Long]("est")).toMap
+    // 9 keys in 64 buckets × 4 rows: collisions possible in one row,
+    // but min-of-rows is exact here and NEVER below the true count
+    assert(est("a") >= 5L && est("b") >= 3L && est("c") >= 1L)
+    assert(est("a") == 5L && est("b") == 3L && est("c") == 1L)
+    // an absent key can only over-count (0 when all its cells are empty)
+    assert(est("zzz") >= 0L)
+  }
+
+  test("bfsHops walks the path graph and stops at maxHops") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val d2 = Graph.bfsHops(e, "src", "dst", seeds, "node", maxHops = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d2 == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+    // early stop: a generous cap still terminates when the frontier
+    // empties, and a shorter path wins over a longer one
+    val e2 = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"))
+      .toDF("src", "dst")
+    val d10 = Graph.bfsHops(e2, "src", "dst", seeds, "node",
+        maxHops = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d10 == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 1L))
+  }
 }

@@ -321,4 +321,25 @@ class RegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Double]("ess_treated") > 0.0)
     assert(r.getAs[Double]("ess_control") > 0.0)
   }
+
+  test("fisherLda matches the hand-computed axis-separated classes") {
+    import spark.implicits._
+    // class 0 around (0,0), class 1 around (4,0), identity-shaped
+    // scatter: pooled S = (2/3)I, w = (1,0), threshold 2, J = 24
+    val df = Seq(
+      (false, -1.0, 0.0), (false, 1.0, 0.0),
+      (false, 0.0, -1.0), (false, 0.0, 1.0),
+      (true, 3.0, 0.0), (true, 5.0, 0.0),
+      (true, 4.0, -1.0), (true, 4.0, 1.0)).toDF("y", "x1", "x2")
+    val r = Regression.fisherLda(df, "y", "x1", "x2").head()
+    assert(r.getAs[Long]("n0") == 4L && r.getAs[Long]("n1") == 4L)
+    assert(r.getAs[Double]("w1") == 1.0)
+    assert(r.getAs[Double]("w2") == 0.0)
+    assert(r.getAs[Double]("threshold") == 2.0)
+    assert(r.getAs[Double]("j_stat") == 24.0)
+    // a singular pooled covariance (all points on one line) is omitted
+    val flat = Seq((false, 0.0, 0.0), (false, 1.0, 0.0),
+      (true, 2.0, 0.0), (true, 3.0, 0.0)).toDF("y", "x1", "x2")
+    assert(Regression.fisherLda(flat, "y", "x1", "x2").count() == 0L)
+  }
 }
