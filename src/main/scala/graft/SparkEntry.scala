@@ -2522,6 +2522,27 @@ object SparkEntry {
         li(s, dir).where(F.col("l_orderkey") < 100000),
         Seq("l_linestatus"), "l_quantity")
         .orderBy("l_linestatus")),
+    "q_zip_moments" -> ((s, dir) => {
+      // zero-inflated Poisson moment fit per event type over DENSE
+      // (user, day) activity counts — the grid join materializes the
+      // structural zeros the mixture exists to model; closed-form
+      // (λ, π) from one aggregation
+      val ev = events(s, dir)
+        .where(F.col("user_id").isNotNull && F.col("ts").isNotNull &&
+          F.col("event_type").isNotNull)
+        .select(F.col("user_id"), F.col("event_type"),
+          F.expr("CAST(ts AS BIGINT) DIV 86400000000000").as("day"))
+      val grid = ev.select("user_id").distinct()
+        .crossJoin(ev.select("day").distinct())
+        .crossJoin(ev.select("event_type").distinct())
+      val cnts = ev.groupBy("user_id", "day", "event_type")
+        .agg(F.count(F.lit(1)).as("c"))
+      val full = grid
+        .join(cnts, Seq("user_id", "day", "event_type"), "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0L)))
+      StatTests.zipMomentsByGroup(full, Seq("event_type"), "c")
+        .orderBy("event_type")
+    }),
     "q_cat_profile" -> ((s, dir) =>
       // data-card concentration profile of source within each language:
       // entropy / normalized entropy / HHI / top share from ONE
@@ -2671,6 +2692,19 @@ object SparkEntry {
           F.col("l_discount")),
         "id", Seq("l_quantity", "l_extendedprice", "l_discount"),
         bins = 10, topK = 20)),
+    "q_ecod" -> ((s, dir) =>
+      // ECDF-tail outlier screen over the same three features — the
+      // bin-free rank twin of q_hbos: exact integer tail counts via
+      // the prefix-sum min-rank construction, top-20 by the rounded
+      // max(s_left, s_right), never a global sort
+      Outliers.ecodScore(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).as("id"),
+            F.col("l_quantity"), F.col("l_extendedprice"),
+            F.col("l_discount")),
+        "id", Seq("l_quantity", "l_extendedprice", "l_discount"),
+        topK = 20)),
     "q_its" -> ((s, dir) =>
       // interrupted time series on the daily value means at a pinned
       // mid-January break: level jump + slope change from segmented
@@ -3338,6 +3372,13 @@ object SparkEntry {
       Cohorts.transitionMatrix(events(s, dir), "user_id", "ts",
           "event_type", tieBreakCols = Seq("event_id"))
         .orderBy("from_state", "to_state")),
+    "q_seq_patterns" -> ((s, dir) =>
+      // frequent 3-step user journeys: contiguous event-type trigrams
+      // under the per-user window, support = distinct users, top-25
+      // by (support desc, pattern asc) — sequence mining's first rung
+      Cohorts.sequencePatterns(events(s, dir), "user_id", "ts",
+        "event_type", size = 3, minSupport = 2L, topK = 25,
+        tieBreakCols = Seq("event_id"))),
     "q_fairness" -> ((s, dir) =>
       // per-segment fairness table: base rate, mean score, per-group
       // AUC and its gap vs the overall AUC baseline
@@ -9877,6 +9918,96 @@ object SparkEntry {
         |    + wyr / nrm * (my0 + my1) / 2.0, 6) AS threshold,
         |  round(j, 6) AS j_stat
         |FROM z WHERE n0 >= 2 AND n1 >= 2 AND det > 0.0 AND nrm > 0.0""".stripMargin,
+    // ZIP replay: the same dense user×day×type grid with zero-filled
+    // counts, then the closed-form moment inversion.
+    "q_zip_moments" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND ts IS NOT NULL AND event_type IS NOT NULL),
+        |grid AS (SELECT u.user_id, d.day, t.event_type
+        |  FROM (SELECT DISTINCT user_id FROM e) u,
+        |    (SELECT DISTINCT day FROM e) d,
+        |    (SELECT DISTINCT event_type FROM e) t),
+        |c AS (SELECT user_id, day, event_type,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2, 3),
+        |fl AS (SELECT g.event_type AS event_type,
+        |    CAST(coalesce(c.c, 0) AS DOUBLE) AS v
+        |  FROM grid g LEFT JOIN c ON g.user_id = c.user_id
+        |    AND g.day = c.day AND g.event_type = c.event_type),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    avg(v) AS m, var_samp(v) AS s2
+        |  FROM fl GROUP BY 1)
+        |SELECT event_type, n, round(m, 6) AS mean,
+        |  round(s2, 6) AS variance,
+        |  round(m + s2 / m - 1.0, 6) AS lambda,
+        |  round((s2 - m) / (m * m + s2 - m), 6) AS pi
+        |FROM a WHERE n >= 2 AND m > 0.0 AND s2 > m
+        |ORDER BY event_type""".stripMargin,
+    // ECOD replay: exact integer tail counts via RANGE windows
+    // (ties included both directions), the same −ln sums left-
+    // associated, top-20 at the ROUNDED score.
+    "q_ecod" ->
+      """WITH c AS (SELECT
+        |    l_orderkey * 10 + l_linenumber AS id,
+        |    CAST(l_quantity AS DOUBLE) AS x0,
+        |    CAST(l_extendedprice AS DOUBLE) AS x1,
+        |    CAST(l_discount AS DOUBLE) AS x2
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        |    AND l_discount IS NOT NULL
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE))),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM c),
+        |r AS (SELECT id,
+        |    CAST(count(*) OVER (ORDER BY x0 RANGE BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS DOUBLE) AS le0,
+        |    CAST(count(*) OVER (ORDER BY x0 DESC RANGE BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS ge0,
+        |    CAST(count(*) OVER (ORDER BY x1 RANGE BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS DOUBLE) AS le1,
+        |    CAST(count(*) OVER (ORDER BY x1 DESC RANGE BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS ge1,
+        |    CAST(count(*) OVER (ORDER BY x2 RANGE BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS DOUBLE) AS le2,
+        |    CAST(count(*) OVER (ORDER BY x2 DESC RANGE BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS ge2
+        |  FROM c),
+        |s AS (SELECT id,
+        |    round((- ln(le0 / nn.n)) + (- ln(le1 / nn.n))
+        |      + (- ln(le2 / nn.n)), 6) AS s_left,
+        |    round((- ln(ge0 / nn.n)) + (- ln(ge1 / nn.n))
+        |      + (- ln(ge2 / nn.n)), 6) AS s_right
+        |  FROM r, nn)
+        |SELECT id, s_left, s_right,
+        |  greatest(s_left, s_right) AS score
+        |FROM s ORDER BY score DESC, id ASC LIMIT 20""".stripMargin,
+    // Sequence-pattern replay: the same per-user lead trigrams,
+    // distinct-user support, and the (support desc, pattern asc)
+    // rank-limited take.
+    "q_seq_patterns" ->
+      """WITH e AS (SELECT user_id AS k, epoch_ns(ts) AS t, event_id,
+        |    event_type AS t0 FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |l AS (SELECT k, t0,
+        |    lead(t0, 1) OVER (PARTITION BY k ORDER BY t, event_id)
+        |      AS t1,
+        |    lead(t0, 2) OVER (PARTITION BY k ORDER BY t, event_id)
+        |      AS t2
+        |  FROM e),
+        |p AS (SELECT t0 || '>' || t1 || '>' || t2 AS pattern, k
+        |  FROM l WHERE t1 IS NOT NULL AND t2 IS NOT NULL),
+        |a AS (SELECT pattern,
+        |    CAST(count(DISTINCT k) AS BIGINT) AS support,
+        |    CAST(count(*) AS BIGINT) AS occurrences
+        |  FROM p GROUP BY 1)
+        |SELECT pattern, support, occurrences FROM a
+        |WHERE support >= 2
+        |ORDER BY support DESC, pattern ASC LIMIT 25""".stripMargin,
     // Monotone-bins replay: decile buckets by min-rank, interval
     // rates from prefix sums, the (a, j, b) minimax grid, dense_rank
     // on the bit-identical pooled fits.

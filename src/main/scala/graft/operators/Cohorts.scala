@@ -277,6 +277,53 @@ object Cohorts {
       .select("from_state", "to_state", "n", "prob")
   }
 
+  /** Frequent contiguous event sequences — the k-gram generalization
+    * of [[transitionMatrix]]'s single step: "which length-m journeys
+    * (view→click→purchase) actually recur, and across how many
+    * users". Each key's t-ordered token stream yields its contiguous
+    * m-grams by `lead` under the per-key window (sequences per key are
+    * session-sized, never corpus-sized); support counts DISTINCT keys
+    * (the sequence-mining convention — one loopy user can't fake a
+    * popular journey) alongside raw occurrences.
+    *
+    * One window pass + one (pattern, key)-distinct aggregation; the
+    * report is rank-limited top-k by (support desc, pattern asc) — a
+    * TakeOrdered, never a global sort.
+    *
+    * @param size contiguous gram length (2..5)
+    * @param minSupport keep patterns seen by at least this many keys
+    * @return topK rows: (pattern, support, occurrences) */
+  def sequencePatterns(df: DataFrame, keyCol: String, tsCol: String,
+                       tokenCol: String, size: Int, minSupport: Long,
+                       topK: Int,
+                       tieBreakCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(size >= 2 && size <= 5, "size must be in 2..5")
+    require(minSupport >= 1L, "minSupport must be >= 1")
+    require(topK >= 1, "need topK >= 1")
+    val base = df
+      .where(F.col(keyCol).isNotNull && F.col(tsCol).isNotNull &&
+        F.col(tokenCol).isNotNull)
+      .select(Seq(F.col(keyCol).as("__k"), F.col(tsCol)) ++
+        tieBreakCols.map(F.col) :+
+        F.col(tokenCol).cast("string").as("__t0"): _*)
+    val wOrd = Window.partitionBy(F.col("__k"))
+      .orderBy(F.col(tsCol) +: tieBreakCols.map(F.col): _*)
+    val withLeads = (1 until size).foldLeft(base) { (acc, l) =>
+      acc.withColumn(s"__t$l", F.lead("__t0", l).over(wOrd))
+    }
+    val parts = (0 until size).map(l => F.col(s"__t$l"))
+    withLeads
+      .where(parts.map(_.isNotNull).reduce(_ && _))
+      .select(F.concat_ws(">", parts: _*).as("pattern"), F.col("__k"))
+      .groupBy("pattern")
+      .agg(F.count_distinct(F.col("__k")).as("support"),
+        F.count(F.lit(1)).as("occurrences"))
+      .where(F.col("support") >= minSupport)
+      .orderBy(F.col("support").desc, F.col("pattern").asc)
+      .limit(topK)
+  }
+
   /** Shifted-beta-geometric (sBG) retention model — Fader–Hardie's
     * "How to Project Customer Retention" (JIM 2007): each user churns
     * in period t with probability θ ~ Beta(α, β), so the retention

@@ -358,6 +358,67 @@ object Outliers {
         cols.map(c => F.col(s"bin_$c")): _*)
   }
 
+  /** ECOD outlier screen (Li et al. 2022, "ECOD: Unsupervised Outlier
+    * Detection Using Empirical Cumulative Distribution Functions") —
+    * the rank-based sibling of [[hbosScore]]: no bins to tune, a row
+    * scores high when it sits in an extreme TAIL of every marginal.
+    * Per feature j the empirical tail probabilities are the exact
+    * integer ratios
+    *
+    *   F̂_le(x) = #{rows ≤ x}/n,   F̂_ge(x) = #{rows ≥ x}/n,
+    *
+    * aggregated as s_left = Σⱼ −ln F̂_le, s_right = Σⱼ −ln F̂_ge, and
+    * the (symmetric-variant) score = max(s_left, s_right).
+    *
+    * No global window: the per-feature ≤-counts come from the
+    * [[Ranks.minRanks]] prefix-sum construction over DISTINCT values
+    * (#{≤x} = minrank + ties − 1, #{≥x} = n − minrank + 1), joined
+    * back by value — k value-keyed joins, rank tables are
+    * distinct-values-sized, and the report is a rank-limited top-k
+    * take, never a global sort. Listwise-complete rows only.
+    *
+    * @return topK rows by (score desc, idCol asc): (idCol, s_left,
+    *         s_right, score), floats rounded to 6 */
+  def ecodScore(df: DataFrame, idCol: String, cols: Seq[String],
+                topK: Int = 20): DataFrame = {
+    require(cols.nonEmpty, "need at least one feature column")
+    require(topK >= 1, "need topK >= 1")
+    val vs = cols.map(c => F.col(c).cast("double"))
+    val ok = vs.map(v => v.isNotNull && !F.isnan(v)).reduce(_ && _) &&
+      F.col(idCol).isNotNull
+    val clean = df.where(ok)
+      .select(F.col(idCol).as("__id") +:
+        cols.zipWithIndex.map { case (c, i) =>
+          F.col(c).cast("double").as(s"__x$i")
+        }: _*)
+    var joined = clean
+    var n = 0L
+    cols.indices.foreach { i =>
+      val counts = clean.groupBy(F.col(s"__x$i"))
+        .agg(F.count(F.lit(1)).as(s"__c$i"))
+      val (total, ranks) = Ranks.minRanksWithN(clean, s"__x$i", s"__r$i")
+      n = total
+      joined = joined
+        .join(ranks, s"__x$i")
+        .join(counts, s"__x$i")
+    }
+    val nD = F.lit(n.toDouble)
+    val sLeft = cols.indices.map { i =>
+      -F.log((F.col(s"__r$i") + F.col(s"__c$i") - 1.0) / nD)
+    }.reduce(_ + _)
+    val sRight = cols.indices.map { i =>
+      -F.log((nD - F.col(s"__r$i") + 1.0) / nD)
+    }.reduce(_ + _)
+    joined
+      .withColumn("s_left", F.round(sLeft, 6))
+      .withColumn("s_right", F.round(sRight, 6))
+      .withColumn("score", F.greatest(F.col("s_left"), F.col("s_right")))
+      .orderBy(F.col("score").desc, F.col("__id").asc)
+      .limit(topK)
+      .select(F.col("__id").as(idCol), F.col("s_left"),
+        F.col("s_right"), F.col("score"))
+  }
+
   /** Bivariate Mahalanobis outlier report per group — joint outliers
     * that neither marginal flags ("price AND quantity each plausible,
     * the combination absurd"): d² = δᵀ Σ⁻¹ δ against the χ²₂ cut,

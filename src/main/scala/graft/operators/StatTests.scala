@@ -628,6 +628,42 @@ object StatTests {
         F.round(F.col("__m") / F.col("__s2"), 6).as("prob")): _*)
   }
 
+  /** Zero-inflated Poisson moment fit per group — the "is this count
+    * column MOSTLY structural zeros" answer for sparse activity data
+    * (events per user-day, defects per part): a ZIP(π, λ) mixture has
+    * mean m = (1−π)λ and variance s² = (1−π)λ(1+πλ), which inverts in
+    * closed form from the first two sample moments:
+    *
+    *   λ̂ = m + s²/m − 1,    π̂ = (s² − m)/(m² + s² − m)
+    *
+    * Valid when s² > m (zero inflation implies overdispersion — groups
+    * at or under equidispersion are omitted: a plain Poisson fits them)
+    * and m > 0. ONE aggregation like [[nbinomMomentsByGroup]], its
+    * routing sibling: nbinom says "heterogeneous rates", ZIP says "a
+    * point mass at zero plus one rate".
+    *
+    * @return one row per group: (groupCols..., n, mean, variance,
+    *         lambda, pi), floats rounded to 6 */
+  def zipMomentsByGroup(df: DataFrame, groupCols: Seq[String],
+                        countCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(!groupCols.exists(_.startsWith("__")),
+      "group columns must not use the __ internal prefix")
+    val v = F.col(countCol).cast("double")
+    val m = F.col("__m")
+    val s2 = F.col("__s2")
+    df.where(v.isNotNull && !F.isnan(v) && v >= 0.0)
+      .groupBy(groupCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("n"), F.avg(v).as("__m"),
+        F.var_samp(v).as("__s2"))
+      .where(F.col("n") >= 2 && m > 0.0 && s2 > m)
+      .select(groupCols.map(F.col) ++ Seq(F.col("n"),
+        F.round(m, 6).as("mean"),
+        F.round(s2, 6).as("variance"),
+        F.round(m + s2 / m - 1.0, 6).as("lambda"),
+        F.round((s2 - m) / (m * m + s2 - m), 6).as("pi")): _*)
+  }
+
   /** Welch's unequal-variance t-test per group — "is cohort A's mean
     * different from cohort B's, for every tenant at once":
     *

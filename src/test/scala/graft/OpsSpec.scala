@@ -4549,6 +4549,52 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       periodUnit = 10L).count() == 0L)
   }
 
+  test("zipMomentsByGroup inverts the hand-computed mixture moments") {
+    import spark.implicits._
+    // counts (0,0,0,2,2,2): m = 1, s² = 1.2 -> λ = 1.2, π = 1/6
+    val df = Seq(0, 0, 0, 2, 2, 2).map(("g", _)).toDF("g", "c")
+    val r = StatTests.zipMomentsByGroup(df, Seq("g"), "c").head()
+    assert(r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Double]("mean") == 1.0)
+    assert(r.getAs[Double]("variance") == 1.2)
+    assert(r.getAs[Double]("lambda") == 1.2)
+    assert(r.getAs[Double]("pi") == math.rint(1e6 / 6.0) / 1e6)
+    // equidispersed counts are omitted (plain Poisson fits them)
+    val eq = Seq(0, 1, 2).map(("g", _)).toDF("g", "c")
+    assert(StatTests.zipMomentsByGroup(eq, Seq("g"), "c").count() == 0L)
+  }
+
+  test("ecodScore ranks the marginal-tail extremes first") {
+    import spark.implicits._
+    val df = (1 to 5).map(v => (v.toLong, v.toDouble)).toDF("id", "x")
+    val top = Outliers.ecodScore(df, "id", Seq("x"), topK = 2)
+      .collect()
+    // both extremes score ln 5; the id tie-break puts 1 before 5
+    assert(top.map(_.getAs[Long]("id")).toSeq == Seq(1L, 5L))
+    val ln5 = math.rint(math.log(5.0) * 1e6) / 1e6
+    assert(top.forall(_.getAs[Double]("score") == ln5))
+    // the min's tail is all-left, the max's all-right
+    assert(top(0).getAs[Double]("s_left") == ln5)
+    assert(top(0).getAs[Double]("s_right") == 0.0)
+    assert(top(1).getAs[Double]("s_right") == ln5)
+  }
+
+  test("sequencePatterns counts distinct-user support for shared grams") {
+    import spark.implicits._
+    val ev = Seq(
+      ("a", 1L, "x"), ("a", 2L, "y"), ("a", 3L, "z"),
+      ("a", 4L, "x"), ("a", 5L, "y"),
+      ("b", 1L, "x"), ("b", 2L, "y"), ("b", 3L, "q"))
+      .toDF("u", "ts", "tok")
+    val r = Cohorts.sequencePatterns(ev, "u", "ts", "tok",
+      size = 2, minSupport = 2L, topK = 5).collect()
+    // only x>y recurs across users: support 2, occurrences 3
+    assert(r.length == 1)
+    assert(r(0).getAs[String]("pattern") == "x>y")
+    assert(r(0).getAs[Long]("support") == 2L)
+    assert(r(0).getAs[Long]("occurrences") == 3L)
+  }
+
   test("countMin sketch never under-counts and is exact at low load") {
     import spark.implicits._
     val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
