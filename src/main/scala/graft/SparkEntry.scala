@@ -3169,6 +3169,21 @@ object SparkEntry {
       Validation.fkCoverage(li(s, dir),
         s.read.parquet(s"$dir/supplier.parquet"),
         "l_suppkey", "s_suppkey")),
+    "q_candidate_keys" -> ((s, dir) =>
+      // candidate-key discovery: is (orderkey), (orderkey, linenumber)
+      // or (partkey) a row identifier — exact distinct/dup counts per
+      // candidate set, one pruned pass each
+      Validation.candidateKeys(
+        li(s, dir).where(F.col("l_orderkey") < 100000),
+        Seq(Seq("l_orderkey"), Seq("l_orderkey", "l_linenumber"),
+          Seq("l_partkey")))
+        .orderBy("key_cols")),
+    "q_fd_check" -> ((s, dir) =>
+      // functional-dependency audit: does user_id determine
+      // event_type (it should NOT — the violation path is the
+      // interesting one); distinct-pair then determinant reduction
+      Validation.functionalDependency(events(s, dir),
+        Seq("user_id"), "event_type")),
     "q_readability" -> ((s, dir) =>
       // Coleman-Liau readability: the no-syllable formula — every
       // count a codegen'd regexp, the score replays exactly
@@ -3770,6 +3785,22 @@ object SparkEntry {
         li(s, dir).where(F.col("l_orderkey") < 100000),
         Seq("l_linestatus"), "l_extendedprice")
         .orderBy("l_linestatus")),
+    "q_inequality" -> ((s, dir) =>
+      // moment-based inequality panel per return flag: Theil T,
+      // Atkinson(1), CV from ONE aggregation — the no-ranking
+      // companions to q_gini
+      Ranks.inequalityByGroup(
+        li(s, dir).where(F.col("l_orderkey") < 100000),
+        Seq("l_returnflag"), "l_extendedprice")
+        .orderBy("l_returnflag")),
+    "q_periodogram" -> ((s, dir) =>
+      // spectral power at the first six Fourier frequencies of each
+      // event type's daily series — which cycle length carries the
+      // variance; trig sums fold t-ordered so the replay associates
+      // identically
+      Features.periodogramByKey(events(s, dir), "event_type", "ts",
+          "value", periodUnit = 86400000000000L, maxFreq = 6)
+        .orderBy("event_type", "freq")),
     "q_pareto" -> ((s, dir) =>
       // supplier concentration per line status: how many suppliers
       // carry 80% of revenue — (group, key) aggregation + per-group
@@ -10008,6 +10039,125 @@ object SparkEntry {
         |SELECT pattern, support, occurrences FROM a
         |WHERE support >= 2
         |ORDER BY support DESC, pattern ASC LIMIT 25""".stripMargin,
+    // Candidate-key replay: per-set tuple counts, exact distinct and
+    // duplicate-row tallies, UNION ALL across the three sets.
+    "q_candidate_keys" ->
+      """WITH s1 AS (SELECT CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_orderkey IS NOT NULL
+        |  GROUP BY CAST(l_orderkey AS VARCHAR)),
+        |s2 AS (SELECT CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+        |  GROUP BY CAST(l_orderkey AS VARCHAR),
+        |    CAST(l_linenumber AS VARCHAR)),
+        |s3 AS (SELECT CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_partkey IS NOT NULL
+        |  GROUP BY CAST(l_partkey AS VARCHAR)),
+        |u AS (
+        |  SELECT 'l_orderkey' AS key_cols,
+        |    CAST(coalesce(sum(c), 0) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0)
+        |      AS BIGINT) AS n_dup_rows
+        |  FROM s1
+        |  UNION ALL
+        |  SELECT 'l_orderkey,l_linenumber',
+        |    CAST(coalesce(sum(c), 0) AS BIGINT),
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0)
+        |      AS BIGINT)
+        |  FROM s2
+        |  UNION ALL
+        |  SELECT 'l_partkey',
+        |    CAST(coalesce(sum(c), 0) AS BIGINT),
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0)
+        |      AS BIGINT)
+        |  FROM s3)
+        |SELECT key_cols, n_rows, n_distinct, n_dup_rows,
+        |  (n_rows = n_distinct AND n_rows > 0) AS is_key
+        |FROM u ORDER BY key_cols""".stripMargin,
+    // FD replay: distinct (determinant, dependent) pairs, then the
+    // determinant-group cardinality reduction.
+    "q_fd_check" ->
+      """WITH d AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS det,
+        |    CAST(event_type AS VARCHAR) AS dep
+        |  FROM events WHERE user_id IS NOT NULL),
+        |g AS (SELECT det, CAST(count(*) AS BIGINT) AS card
+        |  FROM d GROUP BY det)
+        |SELECT CAST(count(*) AS BIGINT) AS n_det_groups,
+        |  CAST(coalesce(sum(CASE WHEN card > 1 THEN 1 END), 0)
+        |    AS BIGINT) AS n_violating_groups,
+        |  CAST(coalesce(max(card), 0) AS BIGINT) AS max_dep_card,
+        |  (coalesce(sum(CASE WHEN card > 1 THEN 1 END), 0) = 0
+        |    AND count(*) > 0) AS holds
+        |FROM g""".stripMargin,
+    // Inequality replay: the same one-pass moment sums and index
+    // algebra (Theil, Atkinson(1), population CV).
+    "q_inequality" ->
+      """WITH c AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+        |    l_returnflag
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        |    AND CAST(l_extendedprice AS DOUBLE) > 0.0),
+        |a AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(v) AS s, sum(v * v) AS ss,
+        |    sum(v * ln(v)) AS sxl, sum(ln(v)) AS sl
+        |  FROM c GROUP BY l_returnflag),
+        |m AS (SELECT l_returnflag, n, s,
+        |    s / CAST(n AS DOUBLE) AS mu, ss, sxl, sl FROM a)
+        |SELECT l_returnflag, n, round(mu, 6) AS mean,
+        |  round(sxl / (CAST(n AS DOUBLE) * mu) - ln(mu), 6)
+        |    AS theil_t,
+        |  round(1.0 - exp(sl / CAST(n AS DOUBLE)) / mu, 6)
+        |    AS atkinson_1,
+        |  round(CASE WHEN ss / CAST(n AS DOUBLE) - mu * mu > 0.0
+        |    THEN sqrt(ss / CAST(n AS DOUBLE) - mu * mu)
+        |    ELSE 0.0 END / mu, 6) AS cv
+        |FROM m WHERE n >= 2 AND s > 0.0
+        |ORDER BY l_returnflag""".stripMargin,
+    // Periodogram replay: the same daily decimal-exact means, centered
+    // residuals, and per-(key, freq) t-ordered trig cumsums read at
+    // the last row.
+    "q_periodogram" ->
+      """WITH e AS (SELECT event_type AS k, epoch_ns(ts) AS t,
+        |    CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |cells AS (SELECT k, t // 86400000000000 AS p,
+        |    CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+        |      AS mv
+        |  FROM e GROUP BY k, p),
+        |b AS (SELECT k, p, mv,
+        |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+        |    CAST(sum(CAST(mv AS DECIMAL(38,6)))
+        |        OVER (PARTITION BY k) AS DOUBLE)
+        |      / CAST(count(*) OVER (PARTITION BY k) AS DOUBLE) AS mu,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY p) - 1
+        |      AS DOUBLE) AS ti
+        |  FROM cells),
+        |x AS (SELECT k, p, n, ti, mv - mu AS ed FROM b),
+        |f AS (SELECT x.k AS k, x.p AS p, x.n AS n, j.j AS j, x.ti
+        |    AS ti, x.ed AS ed FROM x, range(1, 7) j(j)),
+        |c AS (SELECT k, p, n, j,
+        |    sum(ed * cos(2.0 * pi() * CAST(j AS DOUBLE) * ti
+        |      / CAST(n AS DOUBLE)))
+        |      OVER (PARTITION BY k, j ORDER BY p
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS ca,
+        |    sum(ed * sin(2.0 * pi() * CAST(j AS DOUBLE) * ti
+        |      / CAST(n AS DOUBLE)))
+        |      OVER (PARTITION BY k, j ORDER BY p
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cb,
+        |    row_number() OVER (PARTITION BY k, j ORDER BY p) AS rn
+        |  FROM f)
+        |SELECT k AS event_type, n, CAST(j AS BIGINT) AS freq,
+        |  round((ca * ca + cb * cb) / CAST(n AS DOUBLE), 6) AS power
+        |FROM c WHERE rn = n ORDER BY event_type, freq""".stripMargin,
     // Monotone-bins replay: decile buckets by min-rank, interval
     // rates from prefix sums, the (a, j, b) minimax grid, dense_rank
     // on the bit-identical pooled fits.

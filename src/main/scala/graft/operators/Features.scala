@@ -1129,6 +1129,58 @@ object Features {
         F.round(F.col("__lrv"), 6).as("s2_lrv"))
   }
 
+  /** Raw periodogram per key — "WHICH cycle length carries this
+    * metric's variance": spectral power at the first `maxFreq` Fourier
+    * frequencies of the t-ordered, mean-centered period series,
+    *
+    *   I(j) = (a_j² + b_j²)/n,   a_j = Σ_t e_t cos(2πjt/n),
+    *                             b_j = Σ_t e_t sin(2πjt/n)
+    *
+    * — the frequency-domain companion to [[seasonalIndexByKey]] (which
+    * needs the period GIVEN; this finds it). Trig sums fold as
+    * t-ordered cumulative windows read at the last row (the
+    * [[kpssByKey]] discipline), so FP association replays identically;
+    * the mean is decimal-exact via [[periodCells]].
+    *
+    * @param maxFreq number of Fourier frequencies (1..50, j < n/2
+    *        meaningful)
+    * @return one row per (key, freq): (keyCol, n, freq, power) */
+  def periodogramByKey(df: DataFrame, keyCol: String, tsCol: String,
+                       valueCol: String, periodUnit: Long,
+                       maxFreq: Int): DataFrame = {
+    require(maxFreq >= 1 && maxFreq <= 50, "maxFreq must be in 1..50")
+    val cells = periodCells(df, keyCol, tsCol, valueCol, periodUnit)
+    val wKey = Window.partitionBy("__k")
+    val wOrd = Window.partitionBy("__k").orderBy("__p")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    var cur = cells
+      .withColumn("__n", F.count(F.lit(1)).over(wKey))
+      .withColumn("__mu",
+        F.sum(F.col("__v").cast("decimal(38,6)")).over(wKey)
+          .cast("double") / F.col("__n").cast("double"))
+      .withColumn("__e", F.col("__v") - F.col("__mu"))
+      .withColumn("__rn", F.row_number().over(wOrd))
+      .withColumn("__t", (F.col("__rn") - 1).cast("double"))
+    val nD = F.col("__n").cast("double")
+    (1 to maxFreq).foreach { j =>
+      val arg = F.lit(2.0 * math.Pi * j) * F.col("__t") / nD
+      cur = cur
+        .withColumn(s"__a$j", F.sum(F.col("__e") * F.cos(arg)).over(wCum))
+        .withColumn(s"__b$j", F.sum(F.col("__e") * F.sin(arg)).over(wCum))
+    }
+    val last = (1 to maxFreq).foldLeft(
+      cur.where(F.col("__rn") === F.col("__n"))) { (acc, j) =>
+      acc.withColumn(s"__pw$j", F.round(
+        (F.col(s"__a$j") * F.col(s"__a$j") +
+          F.col(s"__b$j") * F.col(s"__b$j")) / nD, 6))
+    }
+    val stackExpr = s"stack($maxFreq, " +
+      (1 to maxFreq).map(j => s"CAST($j AS BIGINT), __pw$j")
+        .mkString(", ") + ") as (freq, power)"
+    last.selectExpr(s"__k as `$keyCol`", "__n as n", stackExpr)
+  }
+
   /** Wald–Wolfowitz runs test per key — "is this series RANDOM around
     * its median, or does it cluster" (too few runs = sticky regimes /
     * positive autocorrelation; too many = oscillation). The median is

@@ -157,6 +157,52 @@ object Ranks {
         F.col("n"), F.round(F.col("__s"), 2).as("total")): _*)
   }
 
+  /** Inequality index panel per group — the moment-based companions to
+    * [[giniByGroup]]'s rank-based index, from ONE aggregation (no
+    * ranking pass, so it composes into any existing group-by):
+    *
+    *   Theil T     = (1/(nμ))·Σ x·ln x − ln μ      (0 = equal; top-
+    *                 sensitive, decomposable across subgroups),
+    *   Atkinson(1) = 1 − exp((1/n)·Σ ln x)/μ       (1 − geomean/μ —
+    *                 bottom-sensitive welfare loss),
+    *   CV          = σ_pop/μ                        (the plain spread)
+    *
+    * Strictly positive values only (both indices need ln x); groups
+    * with n < 2 or zero mean are omitted.
+    *
+    * @return one row per group: (groupCols..., n, mean, theil_t,
+    *         atkinson_1, cv), floats rounded to 6 */
+  def inequalityByGroup(df: DataFrame, groupCols: Seq[String],
+                        valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(!groupCols.exists(_.startsWith("__")),
+      "group columns must not use the __ internal prefix")
+    val v = F.col(valueCol).cast("double")
+    val gCols = groupCols.map(F.col)
+    val agged = df
+      .where(v.isNotNull && !F.isnan(v) && v > 0.0)
+      .select(gCols :+ v.as("__v"): _*)
+      .groupBy(gCols: _*).agg(
+        F.count(F.lit(1)).as("n"),
+        F.sum("__v").as("__s"),
+        F.sum(F.col("__v") * F.col("__v")).as("__ss"),
+        F.sum(F.col("__v") * F.log(F.col("__v"))).as("__sxl"),
+        F.sum(F.log(F.col("__v"))).as("__sl"))
+    val n = F.col("n").cast("double")
+    val mu = F.col("__s") / n
+    val theil = F.col("__sxl") / (n * mu) - F.log(mu)
+    val atk = F.lit(1.0) - F.exp(F.col("__sl") / n) / mu
+    val varPop = F.col("__ss") / n - mu * mu
+    agged
+      .where(F.col("n") >= 2L && F.col("__s") > 0.0)
+      .select(gCols ++ Seq(F.col("n"),
+        F.round(mu, 6).as("mean"),
+        F.round(theil, 6).as("theil_t"),
+        F.round(atk, 6).as("atkinson_1"),
+        F.round(F.when(varPop > 0.0, F.sqrt(varPop)).otherwise(0.0) /
+          mu, 6).as("cv")): _*)
+  }
+
   /** Pareto concentration per group: how many of the group's KEYS
     * (customers, documents, suppliers) carry `share` of the group's
     * total value — the "do 20% of customers make 80% of revenue"

@@ -209,4 +209,70 @@ object Validation {
         "null_rate_b", "null_rate_delta", "n_distinct_a",
         "n_distinct_b", "mean_a", "mean_b", "mean_delta")
   }
+
+  /** Candidate-key discovery — "which column (set)s uniquely identify
+    * a row": for each candidate set, the row count over non-null
+    * tuples, the exact distinct count, the duplicate-tuple count, and
+    * the is_key verdict. The first schema question after [[fkCoverage]]
+    * ("do the keys resolve") is "is this even a key".
+    *
+    * One (set, tuple) aggregation per candidate set over PRUNED
+    * columns (each pass reads only its set's bytes); the per-set
+    * reduction is (distinct-tuples)-sized, never row-sized twice.
+    *
+    * @param candidates each inner Seq is one candidate key (1+ cols)
+    * @return one row per candidate: (key_cols, n_rows, n_distinct,
+    *         n_dup_rows, is_key) */
+  def candidateKeys(df: DataFrame,
+                    candidates: Seq[Seq[String]]): DataFrame = {
+    require(candidates.nonEmpty, "need at least one candidate set")
+    require(candidates.forall(_.nonEmpty), "empty candidate set")
+    val results = candidates.map { cols =>
+      val nn = cols.map(F.col(_).isNotNull).reduce(_ && _)
+      df.where(nn)
+        .groupBy(cols.map(c => F.col(c).cast("string")): _*)
+        .agg(F.count(F.lit(1)).as("__c"))
+        .agg(F.lit(cols.mkString(",")).as("key_cols"),
+          F.coalesce(F.sum("__c"), F.lit(0L)).as("n_rows"),
+          F.count(F.lit(1)).as("n_distinct"),
+          F.coalesce(F.sum(F.when(F.col("__c") > 1L, F.col("__c"))),
+            F.lit(0L)).as("n_dup_rows"))
+        .withColumn("is_key",
+          F.col("n_rows") === F.col("n_distinct") &&
+            F.col("n_rows") > 0L)
+    }
+    results.reduce(_ unionAll _)
+  }
+
+  /** Functional-dependency check — does `det` determine `dep`
+    * (det → dep): group by the determinant tuple, count groups whose
+    * dependent takes more than one distinct value. The schema-inference
+    * primitive behind "is category derivable from part key" /
+    * "does user_id fix country" — an FD that ALMOST holds (violations
+    * > 0 but tiny) usually marks dirty rows, so the violating-group
+    * count and the worst group's cardinality come along.
+    *
+    * One (det, dep) distinct aggregation + one det-sized reduction.
+    * Null determinants are dropped; null dependents count as a value
+    * (a group mixing null and 'x' is a real violation).
+    *
+    * @return one row: (n_det_groups, n_violating_groups, max_dep_card,
+    *         holds) */
+  def functionalDependency(df: DataFrame, detCols: Seq[String],
+                           depCol: String): DataFrame = {
+    require(detCols.nonEmpty, "need at least one determinant column")
+    val nn = detCols.map(F.col(_).isNotNull).reduce(_ && _)
+    df.where(nn)
+      .select(detCols.map(c => F.col(c).cast("string")) :+
+        F.col(depCol).cast("string").as("__dep"): _*)
+      .distinct()
+      .groupBy(detCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("__card"))
+      .agg(F.count(F.lit(1)).as("n_det_groups"),
+        F.coalesce(F.sum(F.when(F.col("__card") > 1L, 1L)), F.lit(0L))
+          .as("n_violating_groups"),
+        F.coalesce(F.max("__card"), F.lit(0L)).as("max_dep_card"))
+      .withColumn("holds", F.col("n_violating_groups") === 0L &&
+        F.col("n_det_groups") > 0L)
+  }
 }

@@ -4549,6 +4549,66 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       periodUnit = 10L).count() == 0L)
   }
 
+  test("candidateKeys separates real keys from duplicated columns") {
+    import spark.implicits._
+    val df = Seq((1, 1), (1, 2), (2, 1)).toDF("a", "b")
+    val r = Validation.candidateKeys(df, Seq(Seq("a"), Seq("a", "b")))
+      .collect().map(x => x.getAs[String]("key_cols") -> x).toMap
+    assert(!r("a").getAs[Boolean]("is_key"))
+    assert(r("a").getAs[Long]("n_distinct") == 2L)
+    assert(r("a").getAs[Long]("n_dup_rows") == 2L)
+    assert(r("a,b").getAs[Boolean]("is_key"))
+    assert(r("a,b").getAs[Long]("n_dup_rows") == 0L)
+  }
+
+  test("functionalDependency counts violating determinant groups") {
+    import spark.implicits._
+    val bad = Seq((1, "x"), (1, "x"), (2, "y"), (2, "z")).toDF("d", "v")
+    val r = Validation.functionalDependency(bad, Seq("d"), "v").head()
+    assert(r.getAs[Long]("n_det_groups") == 2L)
+    assert(r.getAs[Long]("n_violating_groups") == 1L)
+    assert(r.getAs[Long]("max_dep_card") == 2L)
+    assert(!r.getAs[Boolean]("holds"))
+    val good = Seq((1, "x"), (1, "x"), (2, "y")).toDF("d", "v")
+    assert(Validation.functionalDependency(good, Seq("d"), "v")
+      .head().getAs[Boolean]("holds"))
+  }
+
+  test("inequalityByGroup is zero for equal values, positive for skew") {
+    import spark.implicits._
+    val eq = Seq.fill(4)(("g", 2.0)).toDF("g", "v")
+    val re = Ranks.inequalityByGroup(eq, Seq("g"), "v").head()
+    assert(re.getAs[Double]("theil_t") == 0.0)
+    assert(re.getAs[Double]("atkinson_1") == 0.0)
+    assert(re.getAs[Double]("cv") == 0.0)
+    val sk = Seq(("g", 1.0), ("g", 1.0), ("g", 1.0), ("g", 97.0))
+      .toDF("g", "v")
+    val rs = Ranks.inequalityByGroup(sk, Seq("g"), "v").head()
+    assert(rs.getAs[Double]("theil_t") > 0.5)
+    assert(rs.getAs[Double]("atkinson_1") > 0.5 &&
+      rs.getAs[Double]("atkinson_1") < 1.0)
+    assert(rs.getAs[Double]("cv") > 1.0)
+    // non-positive values are excluded (ln x needs x > 0)
+    val mixed = Seq(("g", 0.0), ("g", 2.0), ("g", 2.0)).toDF("g", "v")
+    assert(Ranks.inequalityByGroup(mixed, Seq("g"), "v")
+      .head().getAs[Long]("n") == 2L)
+  }
+
+  test("periodogramByKey concentrates a pure cosine's power at freq 1") {
+    import spark.implicits._
+    val df = (0 until 8).map(t =>
+      ("k", t.toLong, math.cos(2.0 * math.Pi * t / 8.0)))
+      .toDF("key", "ts", "v")
+    val p = Features.periodogramByKey(df, "key", "ts", "v",
+        periodUnit = 1L, maxFreq = 3)
+      .collect().map(r => r.getAs[Long]("freq") ->
+        r.getAs[Double]("power")).toMap
+    // a_1 = n/2 = 4 -> P(1) = 16/8 = 2; other bins ~0 (the 1e-4 slack
+    // absorbs the decimal(38,6) cell rounding)
+    assert(math.abs(p(1L) - 2.0) < 1e-4)
+    assert(p(2L) < 1e-4 && p(3L) < 1e-4)
+  }
+
   test("zipMomentsByGroup inverts the hand-computed mixture moments") {
     import spark.implicits._
     // counts (0,0,0,2,2,2): m = 1, s² = 1.2 -> λ = 1.2, π = 1/6
