@@ -1007,6 +1007,13 @@ object SparkEntry {
       val qv = q.where(F.col("vec_id") === 0).head().getSeq[Float](1).toArray
       Similarity.pqTopK(codes, "pq_code", "vec_id", qv, cb, 10)
     }),
+    "q_silhouette" -> ((s, dir) =>
+      // are the embedding labels real clusters: centroid-variant
+      // silhouette per label — long-form distances against the
+      // broadcast k·d centroid frame, rows never pairwise-join
+      Clustering.silhouetteByLabel(emb(s, dir), "vec_id", "embedding",
+          "label")
+        .orderBy("label")),
     "q_embedding_centroids" -> ((s, dir) => {
       // per-language embedding centroids, hash-checked: embeddings join
       // their documents row (vec_id = doc_id), posexplode, (lang, dim)
@@ -1875,6 +1882,12 @@ object SparkEntry {
       // vocabulary-sized shuffles, rounded-pmi TakeOrdered top-k
       TextOps.pmiCollocations(docs(s, dir), "doc_id", "text",
         minCount = 5L, k = 50)),
+    "q_textrank" -> ((s, dir) =>
+      // graph-based keywords: PageRank over the window-2 token
+      // co-occurrence graph, 2 fixed rounds — DuckDB replays edge
+      // construction AND both rounds as chained CTEs
+      TextOps.textRank(docs(s, dir), "doc_id", "text",
+        window = 2, iters = 2, k = 20)),
     "q_zipf" -> ((s, dir) =>
       // Zipf slope of the vocabulary: ln-count vs ln-rank OLS over the
       // top-200 terms — one vocab aggregation + a <=200-row fold
@@ -10158,6 +10171,66 @@ object SparkEntry {
         |SELECT k AS event_type, n, CAST(j AS BIGINT) AS freq,
         |  round((ca * ca + cb * cb) / CAST(n AS DOUBLE), 6) AS power
         |FROM c WHERE rn = n ORDER BY event_type, freq""".stripMargin,
+    // Silhouette replay: long-form embeddings, (label, dim) centroids,
+    // per-(row, centroid) squared distances, the same a/b/s algebra.
+    "q_silhouette" ->
+      """WITH l AS (SELECT vec_id AS id,
+        |    CAST(label AS VARCHAR) AS lb, g.pos AS dim,
+        |    CAST(embedding[g.pos + 1] AS DOUBLE) AS v
+        |  FROM embeddings, generate_series(0, 63) AS g(pos)
+        |  WHERE vec_id IS NOT NULL AND label IS NOT NULL
+        |    AND embedding IS NOT NULL),
+        |c AS (SELECT lb AS cl, dim, avg(v) AS cv
+        |  FROM l GROUP BY lb, dim),
+        |d AS (SELECT l.id AS id, l.lb AS lb, c.cl AS cl,
+        |    sum((l.v - c.cv) * (l.v - c.cv)) AS d2
+        |  FROM l JOIN c ON l.dim = c.dim GROUP BY l.id, l.lb, c.cl),
+        |p AS (SELECT id, lb,
+        |    sqrt(sum(CASE WHEN cl = lb THEN d2 END)) AS a,
+        |    sqrt(min(CASE WHEN cl <> lb THEN d2 END)) AS b
+        |  FROM d GROUP BY id, lb),
+        |s AS (SELECT lb, a, b,
+        |    CASE WHEN greatest(a, b) > 0.0
+        |      THEN (b - a) / greatest(a, b) ELSE 0.0 END AS sv
+        |  FROM p WHERE a IS NOT NULL AND b IS NOT NULL)
+        |SELECT lb AS label, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(a), 6) AS a_mean, round(avg(b), 6) AS b_mean,
+        |  round(avg(sv), 6) AS silhouette
+        |FROM s GROUP BY lb ORDER BY label""".stripMargin,
+    // TextRank replay: window-2 co-occurrence edges from the same
+    // whitespace tokens, then two PageRank rounds as chained CTEs
+    // (the q_pagerank discipline).
+    "q_textrank" ->
+      """WITH t AS (SELECT list_filter(
+        |    regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |    x -> x <> '') AS w FROM documents),
+        |p1 AS (SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS pr
+        |  FROM t WHERE len(w) >= 2),
+        |p2 AS (SELECT unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+2])) AS pr
+        |  FROM t WHERE len(w) >= 3),
+        |pp AS (SELECT split_part(pr, ' ', 1) AS a,
+        |    split_part(pr, ' ', 2) AS b
+        |  FROM (SELECT pr FROM p1 UNION ALL SELECT pr FROM p2)
+        |  WHERE split_part(pr, ' ', 1) <> split_part(pr, ' ', 2)),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT a AS src, b AS dst FROM pp
+        |  UNION ALL SELECT b AS src, a AS dst FROM pp)),
+        |deg AS (SELECT src, count(*) AS dg FROM e GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS node FROM e
+        |  UNION SELECT DISTINCT dst FROM e),
+        |r1 AS (SELECT n.node, 0.15 + 0.85 * coalesce(c.s, 0.0) AS r
+        |  FROM nodes n LEFT JOIN (SELECT e.dst, sum(1.0 / d.dg) AS s
+        |    FROM e JOIN deg d ON e.src = d.src GROUP BY e.dst) c
+        |  ON n.node = c.dst),
+        |r2 AS (SELECT n.node, 0.15 + 0.85 * coalesce(c.s, 0.0) AS r
+        |  FROM nodes n LEFT JOIN (SELECT e.dst, sum(p.r / d.dg) AS s
+        |    FROM e JOIN deg d ON e.src = d.src
+        |    JOIN r1 p ON p.node = e.src GROUP BY e.dst) c
+        |  ON n.node = c.dst)
+        |SELECT node AS token, round(r, 6) AS rank FROM r2
+        |ORDER BY rank DESC, token ASC LIMIT 20""".stripMargin,
     // Monotone-bins replay: decile buckets by min-rank, interval
     // rates from prefix sums, the (a, j, b) minimax grid, dense_rank
     // on the bit-identical pooled fits.

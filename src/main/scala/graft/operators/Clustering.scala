@@ -118,4 +118,54 @@ object Clustering {
       df.withColumn("__emb_d", F.col(embCol).cast("array<double>")),
       "__emb_d", model.centroids)
       .drop("__emb_d", "__d2")
+
+  /** Centroid-variant silhouette per label — "are these labels real
+    * CLUSTERS in embedding space": for each row, a = distance to its
+    * own label's centroid, b = the smallest distance to any OTHER
+    * label's centroid, s = (b − a)/max(a, b); the per-label mean s is
+    * the separation verdict (≈1 tight and far, ≈0 touching, <0 the
+    * label sits closer to someone else's center). The simplified
+    * (medoid-free) silhouette — exact pairwise silhouette is O(n²)
+    * and this is the form that scales.
+    *
+    * Fully relational: embeddings go LONG (posexplode), centroids are
+    * ONE (label, dim) aggregation, per-row distances to all k
+    * centroids ride a dim join against the broadcast k·d centroid
+    * frame — rows never pairwise-join, nothing collects.
+    *
+    * @return one row per label: (label, n, a_mean, b_mean, silhouette)
+    *         rounded to 6 */
+  def silhouetteByLabel(df: DataFrame, idCol: String, embCol: String,
+                        labelCol: String): DataFrame = {
+    val long = df
+      .where(F.col(idCol).isNotNull && F.col(labelCol).isNotNull &&
+        F.col(embCol).isNotNull)
+      .select(F.col(idCol).as("__id"),
+        F.col(labelCol).cast("string").as("__lb"),
+        F.posexplode(F.col(embCol).cast("array<double>"))
+          .as(Seq("__dim", "__v")))
+    val centroids = long.groupBy(F.col("__lb").as("__cl"), F.col("__dim"))
+      .agg(F.avg("__v").as("__c"))
+    val d2 = long
+      .join(F.broadcast(centroids), Seq("__dim"))
+      .groupBy("__id", "__lb", "__cl")
+      .agg(F.sum((F.col("__v") - F.col("__c")) *
+        (F.col("__v") - F.col("__c"))).as("__d2"))
+    val perRow = d2.groupBy("__id", "__lb").agg(
+      F.sqrt(F.sum(F.when(F.col("__cl") === F.col("__lb"),
+        F.col("__d2")))).as("__a"),
+      F.sqrt(F.min(F.when(F.col("__cl") =!= F.col("__lb"),
+        F.col("__d2")))).as("__b"))
+    perRow
+      .where(F.col("__a").isNotNull && F.col("__b").isNotNull)
+      .withColumn("__s",
+        F.when(F.greatest(F.col("__a"), F.col("__b")) > 0.0,
+          (F.col("__b") - F.col("__a")) /
+            F.greatest(F.col("__a"), F.col("__b"))).otherwise(0.0))
+      .groupBy(F.col("__lb").as(labelCol))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.round(F.avg("__a"), 6).as("a_mean"),
+        F.round(F.avg("__b"), 6).as("b_mean"),
+        F.round(F.avg("__s"), 6).as("silhouette"))
+  }
 }

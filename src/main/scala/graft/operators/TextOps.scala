@@ -655,6 +655,53 @@ object TextOps {
         F.col("c2"), F.col("pmi"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) — corpus
+    * keywords as the PageRank of the token co-occurrence graph:
+    * tokens are nodes, tokens within `window` positions of each other
+    * in any document share an (undirected, deduplicated) edge, and
+    * [[Graph.pageRank]] scores centrality. The graph-based
+    * complement to [[tfidfTopTerms]] (frequency-weighted) and
+    * [[distinctiveTerms]] (contrastive): TextRank rewards tokens that
+    * CONNECT the vocabulary.
+    *
+    * Co-occurrence pairs ride `lead` under the per-document window
+    * (no self-join), the edge set is vocabulary²-bounded after the
+    * distinct, and the fixed-iteration PageRank replays externally as
+    * chained CTEs — the q_pagerank discipline. Top-k by (rounded rank
+    * desc, token asc), a rank-limited take.
+    *
+    * @return topK rows: (token, rank) with rank rounded to 6 */
+  def textRank(df: DataFrame, idCol: String, textCol: String,
+               window: Int = 2, iters: Int = 2,
+               k: Int = 20): DataFrame = {
+    require(window >= 1 && window <= 5, "window must be in 1..5")
+    require(iters >= 1 && iters <= 10, "iters must be in 1..10")
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(F.col(idCol).as("id"),
+      F.posexplode(F.filter(
+        F.split(F.lower(F.coalesce(F.col(textCol), F.lit(""))), "\\s+"),
+        t => t =!= "")).as(Seq("pos", "token")))
+    val wOrd = Window.partitionBy("id").orderBy("pos")
+    val withLeads = (1 to window).foldLeft(toks) { (acc, off) =>
+      acc.withColumn(s"__l$off", F.lead("token", off).over(wOrd))
+    }
+    val pairs = (1 to window).map { off =>
+      withLeads.where(F.col(s"__l$off").isNotNull &&
+          F.col(s"__l$off") =!= F.col("token"))
+        .select(F.col("token").as("a"), F.col(s"__l$off").as("b"))
+    }.reduce(_ unionAll _)
+    val e = pairs
+      .union(pairs.select(F.col("b").as("a"), F.col("a").as("b")))
+      .distinct()
+      .select(F.col("a").as("src"), F.col("b").as("dst"))
+    Graph.pageRank(e, "src", "dst", iters)
+      .select(F.col("node").as("token"),
+        F.round(F.col("rank"), 6).as("rank"))
+      .orderBy(F.col("rank").desc, F.col("token").asc)
+      .limit(k)
+  }
+
   /** Zipf-law fit of the vocabulary: OLS of ln(count) on ln(rank) over
     * the top-N terms — the data-card scalar ("slope ≈ −1 is natural
     * text; flat means boilerplate/dedup debt, steep means template

@@ -4549,6 +4549,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       periodUnit = 10L).count() == 0L)
   }
 
+  test("silhouetteByLabel scores separated clusters near 1") {
+    import spark.implicits._
+    // label 0 straddles (0,0), label 1 straddles (10,0): a = 1 for
+    // every point, b = 9 or 11 -> mean s = (8/9 + 10/11)/2 ≈ 0.899
+    val df = Seq(
+      (1L, Seq(-1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(9.0f, 0.0f), 1), (4L, Seq(11.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Clustering.silhouetteByLabel(df, "vec_id", "embedding",
+        "label")
+      .collect().map(x => x.getAs[String]("label") -> x).toMap
+    assert(r("0").getAs[Double]("a_mean") == 1.0)
+    assert(r("0").getAs[Double]("silhouette") > 0.85)
+    assert(r("1").getAs[Double]("silhouette") > 0.85)
+    val exp = math.rint((8.0 / 9.0 + 10.0 / 11.0) / 2.0 * 1e6) / 1e6
+    assert(math.abs(r("0").getAs[Double]("silhouette") - exp) < 1e-6)
+  }
+
+  test("textRank centralizes the hub token of a star graph") {
+    import spark.implicits._
+    // window-1 pairs of "a b a c": undirected a-b, a-c; after 2
+    // rounds a = 0.15+0.85*2*0.575 = 1.1275, b = c = 0.93625
+    val docs = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val r = TextOps.textRank(docs, "doc_id", "text",
+      window = 1, iters = 2, k = 3).collect()
+    assert(r.head.getAs[String]("token") == "a")
+    assert(r.head.getAs[Double]("rank") == 1.1275)
+    assert(r.tail.forall(_.getAs[Double]("rank") == 0.93625)
+      && r.tail.map(_.getAs[String]("token")).toSeq == Seq("b", "c"))
+  }
+
   test("candidateKeys separates real keys from duplicated columns") {
     import spark.implicits._
     val df = Seq((1, 1), (1, 2), (2, 1)).toDF("a", "b")
