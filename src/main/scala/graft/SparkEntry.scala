@@ -2461,6 +2461,17 @@ object SparkEntry {
             (F.col("l_returnflag") =!= "N").as("ev")),
         "l_quantity", "ev", Seq("l_linestatus"), tau = 30.0)
         .orderBy("l_linestatus")),
+    "q_rmst_diff" -> ((s, dir) =>
+      // how much restricted mean survival does cohort b buy over a by
+      // tau = 30: Uno remaining-area variance per cohort, z from the
+      // pooled SE — the effect-size companion to q_survival_logrank
+      Survival.rmstDiff(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select(F.when(F.col("l_orderkey") % 2 === 0, "a")
+            .otherwise("b").as("g"),
+            F.col("l_quantity").as("t0"),
+            (F.col("l_returnflag") =!= "N").as("ev")),
+        "t0", "ev", "g", "a", "b", tau = 30.0)),
     "q_hazard_rates" -> ((s, dir) =>
       // piecewise-exponential rates from the Nelson-Aalen increments —
       // the nonparametric→parametric bridge; pure ratio-of-integer
@@ -3079,6 +3090,13 @@ object SparkEntry {
       Features.kpssByKey(events(s, dir), "event_type", "ts",
           "value", periodUnit = 86400000000000L, lags = 5)
         .orderBy("event_type")),
+    "q_hurst" -> ((s, dir) =>
+      // persistence vs mean-reversion per event type: R/S over block
+      // sizes 5/10/15 of the daily series, H = ln-ln OLS slope —
+      // block cumsums fold t-ordered, block means decimal-exact
+      Features.hurstByKey(events(s, dir), "event_type", "ts",
+          "value", periodUnit = 86400000000000L, sizes = Seq(5, 10, 15))
+        .orderBy("event_type", "size")),
     "q_runs_test" -> ((s, dir) =>
       // randomness-around-the-median screen per event type: explicit
       // type-7 median, equal-to-median days dropped, exact integer
@@ -10197,6 +10215,146 @@ object SparkEntry {
         |  round(avg(a), 6) AS a_mean, round(avg(b), 6) AS b_mean,
         |  round(avg(sv), 6) AS silhouette
         |FROM s GROUP BY lb ORDER BY label""".stripMargin,
+    // RMST-difference replay: the KM step curve per cohort (6-rounded
+    // survival), segment areas, Uno remaining-area variance at event
+    // rows, pooled-SE z, Cody-erfc p.
+    "q_rmst_diff" ->
+      s"""WITH base AS (SELECT
+        |    CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    CAST(l_quantity AS DOUBLE) AS t,
+        |    (l_returnflag <> 'N') AS e
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND CAST(l_quantity AS DOUBLE) >= 0.0
+        |    AND l_returnflag IS NOT NULL),
+        |cells AS (SELECT g, t,
+        |    CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY g, t),
+        |w AS (SELECT g, t, d, c,
+        |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT)
+        |      - CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS BIGINT) AS nr
+        |  FROM cells),
+        |s AS (SELECT g, t, d, c, nr,
+        |    CASE WHEN d = nr THEN 0.0
+        |      ELSE exp(sum(CASE WHEN d = nr THEN 0.0
+        |        ELSE ln(1.0 - CAST(d AS DOUBLE) / nr) END)
+        |        OVER (PARTITION BY g ORDER BY t ROWS BETWEEN
+        |          UNBOUNDED PRECEDING AND CURRENT ROW)) END AS surv
+        |  FROM w),
+        |km AS (SELECT g, t, d, c, nr, round(surv, 6) AS sv
+        |  FROM s WHERE t <= 30.0),
+        |seg AS (SELECT g, t, d, c, nr, sv,
+        |    coalesce(lag(t) OVER (PARTITION BY g ORDER BY t), 0.0)
+        |      AS tp,
+        |    coalesce(lag(sv) OVER (PARTITION BY g ORDER BY t), 1.0)
+        |      AS sp
+        |  FROM km),
+        |seg2 AS (SELECT g, t, d, c, nr, sv, sp * (t - tp) AS sg,
+        |    sum(sp * (t - tp)) OVER (PARTITION BY g ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum
+        |  FROM seg),
+        |tot AS (SELECT g,
+        |    sum(sg) + max_by(sv, t) * (30.0 - max(t)) AS rmst,
+        |    CAST(sum(c) AS BIGINT) AS n FROM seg2 GROUP BY g),
+        |pg AS (SELECT seg2.g AS g, max(tot.rmst) AS r,
+        |    sum(CASE WHEN seg2.d > 0 AND seg2.nr > seg2.d
+        |      THEN (tot.rmst - seg2.cum) * (tot.rmst - seg2.cum)
+        |        * CAST(seg2.d AS DOUBLE)
+        |        / (CAST(seg2.nr AS DOUBLE)
+        |          * CAST(seg2.nr - seg2.d AS DOUBLE))
+        |      ELSE 0.0 END) AS v,
+        |    max(tot.n) AS n
+        |  FROM seg2 JOIN tot ON seg2.g = tot.g GROUP BY seg2.g),
+        |one AS (SELECT
+        |    sum(CASE WHEN g = 'a' THEN r END) AS ra,
+        |    sum(CASE WHEN g = 'b' THEN r END) AS rb,
+        |    sum(CASE WHEN g = 'a' THEN v END) AS va,
+        |    sum(CASE WHEN g = 'b' THEN v END) AS vb,
+        |    CAST(sum(CASE WHEN g = 'a' THEN n END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN g = 'b' THEN n END) AS BIGINT) AS n_b
+        |  FROM pg),
+        |zz AS (SELECT ra, rb, va, vb, n_a, n_b,
+        |    sqrt(va + vb) AS se,
+        |    round((rb - ra) / sqrt(va + vb), 6) AS z
+        |  FROM one WHERE ra IS NOT NULL AND rb IS NOT NULL
+        |    AND sqrt(va + vb) > 0.0),
+        |ye AS (SELECT ra, rb, se, z, n_a, n_b,
+        |    abs(z) / sqrt(2.0) AS y FROM zz)
+        |SELECT 30.0 AS tau, round(ra, 6) AS rmst_a,
+        |  round(rb, 6) AS rmst_b, round(rb - ra, 6) AS diff,
+        |  round(se, 6) AS se, z AS z_stat,
+        |  round(${codyErfcSql("y")}, 6) AS p_value, n_a, n_b
+        |FROM ye""".stripMargin,
+    // Hurst replay: per-size block R/S from decimal-exact block means
+    // and t-ordered block cumsums, then the ln-ln OLS slope per key.
+    "q_hurst" -> {
+      def sizeCte(m: Int) =
+        s"""b$m AS (SELECT k, p, mv,
+          |    CAST(floor((rn - 1) / $m) AS BIGINT) AS bid FROM idx),
+          |c$m AS (SELECT k, bid, p, mv,
+          |    CAST(count(*) OVER (PARTITION BY k, bid) AS BIGINT)
+          |      AS bc,
+          |    CAST(sum(CAST(mv AS DECIMAL(38,6)))
+          |      OVER (PARTITION BY k, bid) AS DOUBLE) / $m AS bm
+          |  FROM b$m),
+          |d$m AS (SELECT k, bid, p, mv - bm AS e FROM c$m
+          |  WHERE bc = $m),
+          |e$m AS (SELECT k, bid, p, e,
+          |    sum(e) OVER (PARTITION BY k, bid ORDER BY p
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS s,
+          |    sum(e * e) OVER (PARTITION BY k, bid ORDER BY p
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS ss,
+          |    row_number() OVER (PARTITION BY k, bid ORDER BY p)
+          |      AS brn
+          |  FROM d$m),
+          |f$m AS (SELECT k, bid, max(s) AS rmax, min(s) AS rmin,
+          |    max(CASE WHEN brn = $m THEN ss END) AS ss
+          |  FROM e$m GROUP BY k, bid),
+          |g$m AS (SELECT k, (rmax - rmin) / sqrt(ss / $m) AS rs
+          |  FROM f$m WHERE ss > 0.0),
+          |h$m AS (SELECT k, CAST($m AS BIGINT) AS size,
+          |    sum(rs) / count(*) AS rsm,
+          |    CAST(count(*) AS BIGINT) AS n_blocks
+          |  FROM g$m GROUP BY k)""".stripMargin
+      s"""WITH e AS (SELECT event_type AS k, epoch_ns(ts) AS t,
+        |    CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |cells AS (SELECT k, t // 86400000000000 AS p,
+        |    CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+        |      AS mv
+        |  FROM e GROUP BY k, p),
+        |idx AS (SELECT k, p, mv,
+        |    row_number() OVER (PARTITION BY k ORDER BY p) AS rn
+        |  FROM cells),
+        |${sizeCte(5)},
+        |${sizeCte(10)},
+        |${sizeCte(15)},
+        |u AS (SELECT * FROM h5 UNION ALL SELECT * FROM h10
+        |  UNION ALL SELECT * FROM h15),
+        |pts AS (SELECT k, size, rsm, n_blocks,
+        |    ln(CAST(size AS DOUBLE)) AS x, ln(rsm) AS y FROM u),
+        |ft AS (SELECT k, CAST(count(*) AS BIGINT) AS np,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+        |    sum(x * y) AS sxy FROM pts GROUP BY k),
+        |hh AS (SELECT k,
+        |    round((CAST(np AS DOUBLE) * sxy - sx * sy)
+        |      / (CAST(np AS DOUBLE) * sxx - sx * sx), 6) AS hurst
+        |  FROM ft WHERE np >= 2
+        |    AND CAST(np AS DOUBLE) * sxx - sx * sx > 0.0)
+        |SELECT pts.k AS event_type, pts.size AS size,
+        |  pts.n_blocks AS n_blocks, round(pts.rsm, 6) AS rs_mean,
+        |  hh.hurst AS hurst
+        |FROM pts JOIN hh ON pts.k = hh.k
+        |ORDER BY event_type, size""".stripMargin
+    },
     // TextRank replay: window-2 co-occurrence edges from the same
     // whitespace tokens, then two PageRank rounds as chained CTEs
     // (the q_pagerank discipline).

@@ -1181,6 +1181,79 @@ object Features {
     last.selectExpr(s"__k as `$keyCol`", "__n as n", stackExpr)
   }
 
+  /** Rescaled-range (R/S) Hurst exponent per key — "does this metric
+    * trend-persist (H > ½), mean-revert (H < ½), or walk randomly
+    * (H ≈ ½)": Hurst's classical estimator on the period-mean series.
+    * For each block size m, the t-ordered series splits into ⌊n/m⌋
+    * full blocks; per block R = range of the centered cumulative sum,
+    * S = population std, and H is the OLS slope of ln(mean R/S) on
+    * ln(m).
+    *
+    * All block statistics ride per-(key, block) windows whose
+    * cumulative sums fold in t-order (read at the block's last row),
+    * block means are decimal-exact — the [[kpssByKey]] determinism
+    * discipline. Zero-variance blocks are dropped; keys with fewer
+    * than two sizes carrying blocks are omitted.
+    *
+    * @param sizes distinct block lengths (each 4..1024), ≥ 2 of them
+    * @return one row per (key, size): (keyCol, size, n_blocks,
+    *         rs_mean, hurst) — hurst repeated across the key's rows */
+  def hurstByKey(df: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String, periodUnit: Long,
+                 sizes: Seq[Int]): DataFrame = {
+    require(sizes.length >= 2 && sizes.distinct.length == sizes.length,
+      "need >= 2 distinct block sizes")
+    require(sizes.forall(m => m >= 4 && m <= 1024),
+      "block sizes must be in 4..1024")
+    val cells = periodCells(df, keyCol, tsCol, valueCol, periodUnit)
+    val wOrd = Window.partitionBy("__k").orderBy("__p")
+    val indexed = cells.withColumn("__rn", F.row_number().over(wOrd))
+    val perSize = sizes.map { m =>
+      val wB = Window.partitionBy("__k", "__bid")
+      val wBOrd = Window.partitionBy("__k", "__bid").orderBy("__p")
+      val wBCum = wBOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      indexed
+        .withColumn("__bid", F.floor((F.col("__rn") - 1) / F.lit(m)))
+        .withColumn("__bc", F.count(F.lit(1)).over(wB))
+        .where(F.col("__bc") === m.toLong)
+        .withColumn("__bm",
+          F.sum(F.col("__v").cast("decimal(38,6)")).over(wB)
+            .cast("double") / m)
+        .withColumn("__e", F.col("__v") - F.col("__bm"))
+        .withColumn("__s", F.sum("__e").over(wBCum))
+        .withColumn("__ss", F.sum(F.col("__e") * F.col("__e")).over(wBCum))
+        .withColumn("__rmax", F.max("__s").over(wB))
+        .withColumn("__rmin", F.min("__s").over(wB))
+        .withColumn("__brn", F.row_number().over(wBOrd))
+        .where(F.col("__brn") === m && F.col("__ss") > 0.0)
+        .withColumn("__rs", (F.col("__rmax") - F.col("__rmin")) /
+          F.sqrt(F.col("__ss") / m))
+        .groupBy("__k")
+        .agg((F.sum("__rs") / F.count(F.lit(1))).as("__rsm"),
+          F.count(F.lit(1)).as("n_blocks"))
+        .withColumn("size", F.lit(m.toLong))
+    }.reduce(_ unionAll _)
+    val pts = perSize
+      .withColumn("__x", F.log(F.col("size").cast("double")))
+      .withColumn("__y", F.log(F.col("__rsm")))
+    val det = F.col("__np").cast("double") * F.col("sxx") -
+      F.col("sx") * F.col("sx")
+    val fit = pts.groupBy("__k").agg(
+        F.count(F.lit(1)).as("__np"), F.sum("__x").as("sx"),
+        F.sum("__y").as("sy"),
+        F.sum(F.col("__x") * F.col("__x")).as("sxx"),
+        F.sum(F.col("__x") * F.col("__y")).as("sxy"))
+      .where(F.col("__np") >= 2L && det > 0.0)
+      .select(F.col("__k"),
+        F.round((F.col("__np").cast("double") * F.col("sxy") -
+          F.col("sx") * F.col("sy")) / det, 6).as("hurst"))
+    perSize.join(fit, "__k")
+      .select(F.col("__k").as(keyCol), F.col("size"),
+        F.col("n_blocks"), F.round(F.col("__rsm"), 6).as("rs_mean"),
+        F.col("hurst"))
+  }
+
   /** Wald–Wolfowitz runs test per key — "is this series RANDOM around
     * its median, or does it cluster" (too few runs = sticky regimes /
     * positive autocorrelation; too many = oscillation). The median is

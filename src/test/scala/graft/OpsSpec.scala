@@ -4549,6 +4549,47 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       periodUnit = 10L).count() == 0L)
   }
 
+  test("rmstDiff integrates the step curves and pools the variance") {
+    import spark.implicits._
+    // a: events at 1,2,3 -> RMST(10) = 1 + 2/3 + 1/3 = 2
+    // b: events at 2,4,6 -> RMST(10) = 2 + 4/3 + 2/3 = 4
+    val df = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(2.0, 4.0, 6.0).map(("b", _))).map { case (g, t) =>
+      (g, t, true)
+    }.toDF("g", "t0", "ev")
+    val r = Survival.rmstDiff(df, "t0", "ev", "g", "a", "b",
+      tau = 10.0).head()
+    assert(r.getAs[Double]("rmst_a") == 2.0)
+    assert(r.getAs[Double]("rmst_b") == 4.0)
+    assert(r.getAs[Double]("diff") == 2.0)
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    // var_a = 1/6 + (1/3)²/2, var_b = 4/6 + (2/3)²/2 -> z ≈ 1.897
+    assert(r.getAs[Double]("z_stat") > 1.8 &&
+      r.getAs[Double]("z_stat") < 2.0)
+    assert(r.getAs[Double]("p_value") > 0.0 &&
+      r.getAs[Double]("p_value") < 0.1)
+  }
+
+  test("hurstByKey reads a pure trend as strongly persistent") {
+    import spark.implicits._
+    // x_t = t over 16 periods: every m-block is the same centered
+    // ramp -> R/S(4) = 2/√1.25, R/S(8) = 8/√5.25, H ≈ 0.965
+    val df = (0 until 16).map(t => ("k", t.toLong, t.toDouble))
+      .toDF("key", "ts", "v")
+    val r = Features.hurstByKey(df, "key", "ts", "v",
+        periodUnit = 1L, sizes = Seq(4, 8))
+      .collect().map(x => x.getAs[Long]("size") -> x).toMap
+    assert(r(4L).getAs[Long]("n_blocks") == 4L)
+    assert(r(8L).getAs[Long]("n_blocks") == 2L)
+    assert(math.abs(r(4L).getAs[Double]("rs_mean") -
+      2.0 / math.sqrt(1.25)) < 1e-5)
+    assert(math.abs(r(8L).getAs[Double]("rs_mean") -
+      8.0 / math.sqrt(5.25)) < 1e-5)
+    val h = r(4L).getAs[Double]("hurst")
+    assert(h > 0.9 && h < 1.0)
+    assert(r(8L).getAs[Double]("hurst") == h)
+  }
+
   test("silhouetteByLabel scores separated clusters near 1") {
     import spark.implicits._
     // label 0 straddles (0,0), label 1 straddles (10,0): a = 1 for
