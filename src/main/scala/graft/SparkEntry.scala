@@ -3599,6 +3599,13 @@ object SparkEntry {
       Features.acfByKey(events(s, dir), "event_type", "ts", "value",
           maxLag = 3, tieBreakCols = Seq("event_id"))
         .orderBy("event_type")),
+    "q_pacf" -> ((s, dir) =>
+      // PARTIAL autocorrelation at lags 1..3 — Durbin-Levinson
+      // unrolled in closed form over the q_acf sums; the AR-order
+      // chooser next to the raw ACF
+      Features.pacfByKey(events(s, dir), "event_type", "ts", "value",
+          tieBreakCols = Seq("event_id"))
+        .orderBy("event_type")),
     "q_cusum" -> ((s, dir) =>
       // CUSUM changepoint scan per event type on the floored value
       // series: the argmax runs on the exact integer-shaped numerator
@@ -4112,6 +4119,27 @@ object SparkEntry {
           F.round(F.col("t_stat"), 2).as("t_r"))
         .orderBy("l_returnflag")
     }),
+    "q_cca" -> ((s, dir) =>
+      // first/second canonical correlations between the (quantity,
+      // discount) and (price, tax) blocks — closed-form 2×2 eigen of
+      // Σxx⁻¹ΣxyΣyy⁻¹Σyx from ONE 14-sum aggregation
+      Regression.cca2x2(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select(F.col("l_quantity").as("a0"),
+            (F.col("l_discount") * 100).as("b0"),
+            (F.col("l_extendedprice") / 1000).as("c0"),
+            (F.col("l_tax") * 100).as("d0")),
+        "a0", "b0", "c0", "d0")),
+    "q_kitagawa" -> ((s, dir) =>
+      // mean-gap decomposition between the even/odd order cohorts
+      // over line-status segments: mix vs rate effects, exact
+      // identity with a reported residual for non-common support
+      Experiments.kitagawa(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select(F.when(F.col("l_orderkey") % 2 === 0, "a")
+            .otherwise("b").as("g"),
+            F.col("l_linestatus"), F.col("l_extendedprice")),
+        "g", "a", "b", "l_linestatus", "l_extendedprice")),
     "q_lda" -> ((s, dir) =>
       // Fisher's closed-form discriminant: which (quantity, scaled
       // discount) direction separates returned from kept lines —
@@ -10215,6 +10243,158 @@ object SparkEntry {
         |  round(avg(a), 6) AS a_mean, round(avg(b), 6) AS b_mean,
         |  round(avg(sv), 6) AS silhouette
         |FROM s GROUP BY lb ORDER BY label""".stripMargin,
+    // PACF replay: the q_acf lag sums, then the unrolled
+    // Durbin-Levinson closed forms in the same op order.
+    "q_pacf" ->
+      """WITH e AS (SELECT event_type AS k, epoch_ns(ts) AS tns,
+        |    event_id, value AS x
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |    AND ts IS NOT NULL),
+        |m AS (SELECT k, tns, event_id, x,
+        |    avg(x) OVER (PARTITION BY k) AS mu FROM e),
+        |d AS (SELECT k, x - mu AS dd,
+        |    lag(x - mu, 1) OVER (PARTITION BY k ORDER BY tns, event_id)
+        |      AS d1,
+        |    lag(x - mu, 2) OVER (PARTITION BY k ORDER BY tns, event_id)
+        |      AS d2,
+        |    lag(x - mu, 3) OVER (PARTITION BY k ORDER BY tns, event_id)
+        |      AS d3
+        |  FROM m),
+        |a AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    sum(dd * dd) AS ss, sum(dd * d1) AS s1,
+        |    sum(dd * d2) AS s2, sum(dd * d3) AS s3
+        |  FROM d GROUP BY k),
+        |r AS (SELECT k, n, s1 / ss AS r1, s2 / ss AS r2, s3 / ss AS r3
+        |  FROM a WHERE ss > 0.0),
+        |p AS (SELECT k, n, r1, r2, r3,
+        |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS p2 FROM r),
+        |p2 AS (SELECT k, n, r1, r2, r3, p2,
+        |    r1 * (1.0 - p2) AS p21 FROM p)
+        |SELECT k AS event_type, n, round(r1, 6) AS pacf_1,
+        |  CASE WHEN 1.0 - r1 * r1 > 0.0 THEN round(p2, 6) END
+        |    AS pacf_2,
+        |  CASE WHEN 1.0 - r1 * r1 > 0.0
+        |      AND abs(1.0 - p21 * r1 - p2 * r2) > 0.0
+        |    THEN round((r3 - p21 * r2 - p2 * r1)
+        |      / (1.0 - p21 * r1 - p2 * r2), 6) END AS pacf_3
+        |FROM p2 ORDER BY event_type""".stripMargin,
+    // CCA replay: the same 14 moment sums, population covariance
+    // blocks, adjugate inverses, 2×2 product and quadratic eigenpair.
+    "q_cca" ->
+      """WITH c AS (SELECT CAST(l_quantity AS DOUBLE) AS a,
+        |    CAST(l_discount AS DOUBLE) * 100 AS b,
+        |    CAST(l_extendedprice AS DOUBLE) / 1000 AS cc,
+        |    CAST(l_tax AS DOUBLE) * 100 AS d
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND l_discount IS NOT NULL
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE) * 100)
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE) / 1000)
+        |    AND l_tax IS NOT NULL
+        |    AND NOT isnan(CAST(l_tax AS DOUBLE) * 100)),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(a) AS sa, sum(b) AS sb, sum(cc) AS sc, sum(d) AS sd,
+        |    sum(a * a) AS qaa, sum(a * b) AS qab, sum(a * cc) AS qac,
+        |    sum(a * d) AS qad, sum(b * b) AS qbb, sum(b * cc) AS qbc,
+        |    sum(b * d) AS qbd, sum(cc * cc) AS qcc, sum(cc * d) AS qcd,
+        |    sum(d * d) AS qdd
+        |  FROM c),
+        |v AS (SELECT n,
+        |    qaa / CAST(n AS DOUBLE) - (sa / CAST(n AS DOUBLE))
+        |      * (sa / CAST(n AS DOUBLE)) AS vaa,
+        |    qab / CAST(n AS DOUBLE) - (sa / CAST(n AS DOUBLE))
+        |      * (sb / CAST(n AS DOUBLE)) AS vab,
+        |    qbb / CAST(n AS DOUBLE) - (sb / CAST(n AS DOUBLE))
+        |      * (sb / CAST(n AS DOUBLE)) AS vbb,
+        |    qcc / CAST(n AS DOUBLE) - (sc / CAST(n AS DOUBLE))
+        |      * (sc / CAST(n AS DOUBLE)) AS vcc,
+        |    qcd / CAST(n AS DOUBLE) - (sc / CAST(n AS DOUBLE))
+        |      * (sd / CAST(n AS DOUBLE)) AS vcd,
+        |    qdd / CAST(n AS DOUBLE) - (sd / CAST(n AS DOUBLE))
+        |      * (sd / CAST(n AS DOUBLE)) AS vdd,
+        |    qac / CAST(n AS DOUBLE) - (sa / CAST(n AS DOUBLE))
+        |      * (sc / CAST(n AS DOUBLE)) AS vac,
+        |    qad / CAST(n AS DOUBLE) - (sa / CAST(n AS DOUBLE))
+        |      * (sd / CAST(n AS DOUBLE)) AS vad,
+        |    qbc / CAST(n AS DOUBLE) - (sb / CAST(n AS DOUBLE))
+        |      * (sc / CAST(n AS DOUBLE)) AS vbc,
+        |    qbd / CAST(n AS DOUBLE) - (sb / CAST(n AS DOUBLE))
+        |      * (sd / CAST(n AS DOUBLE)) AS vbd
+        |  FROM s),
+        |w AS (SELECT n, vaa, vab, vbb, vcc, vcd, vdd, vac, vad, vbc,
+        |    vbd, vaa * vbb - vab * vab AS detxx,
+        |    vcc * vdd - vcd * vcd AS detyy FROM v),
+        |pq AS (SELECT n, detxx, detyy,
+        |    (vbb * vac - vab * vbc) / detxx AS p11,
+        |    (vbb * vad - vab * vbd) / detxx AS p12,
+        |    (vaa * vbc - vab * vac) / detxx AS p21,
+        |    (vaa * vbd - vab * vad) / detxx AS p22,
+        |    (vdd * vac - vcd * vad) / detyy AS q11,
+        |    (vdd * vbc - vcd * vbd) / detyy AS q12,
+        |    (vcc * vad - vcd * vac) / detyy AS q21,
+        |    (vcc * vbd - vcd * vbc) / detyy AS q22
+        |  FROM w),
+        |mm AS (SELECT n, detxx, detyy,
+        |    p11 * q11 + p12 * q21 AS m11,
+        |    p11 * q12 + p12 * q22 AS m12,
+        |    p21 * q11 + p22 * q21 AS m21,
+        |    p21 * q12 + p22 * q22 AS m22 FROM pq),
+        |t AS (SELECT n, detxx, detyy, m11 + m22 AS tr,
+        |    m11 * m22 - m12 * m21 AS dt FROM mm),
+        |l AS (SELECT n, detxx, detyy,
+        |    tr * tr - 4.0 * dt AS disc,
+        |    (tr + sqrt(tr * tr - 4.0 * dt)) / 2.0 AS l1,
+        |    (tr - sqrt(tr * tr - 4.0 * dt)) / 2.0 AS l2 FROM t)
+        |SELECT n, round(sqrt(l1), 6) AS rho1,
+        |  round(sqrt(l2), 6) AS rho2,
+        |  round(l1, 6) AS lambda1, round(l2, 6) AS lambda2
+        |FROM l WHERE n >= 5 AND detxx > 0.0 AND detyy > 0.0
+        |  AND disc >= 0.0 AND l2 >= 0.0 AND l1 <= 1.000001""".stripMargin,
+    // Kitagawa replay: the same (cohort, segment) cells, share/rate
+    // algebra, and the exact-identity residual.
+    "q_kitagawa" ->
+      """WITH c AS (SELECT
+        |    CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    CAST(l_linestatus AS VARCHAR) AS s,
+        |    CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_linestatus IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |cells AS (SELECT s,
+        |    CAST(sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS na,
+        |    sum(CASE WHEN g = 'a' THEN v ELSE 0.0 END) AS sa,
+        |    CAST(sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb,
+        |    sum(CASE WHEN g = 'b' THEN v ELSE 0.0 END) AS sb
+        |  FROM c GROUP BY s),
+        |tot AS (SELECT CAST(sum(na) AS BIGINT) AS n_a, sum(sa) AS s_a,
+        |    CAST(sum(nb) AS BIGINT) AS n_b, sum(sb) AS s_b
+        |  FROM cells),
+        |ag AS (SELECT max(tot.n_a) AS n_a, max(tot.n_b) AS n_b,
+        |    max(tot.s_a / CAST(tot.n_a AS DOUBLE)) AS ma,
+        |    max(tot.s_b / CAST(tot.n_b AS DOUBLE)) AS mb,
+        |    sum(CASE WHEN na > 0 THEN
+        |      (CAST(nb AS DOUBLE) / CAST(tot.n_b AS DOUBLE)
+        |        - CAST(na AS DOUBLE) / CAST(tot.n_a AS DOUBLE))
+        |        * (sa / CAST(na AS DOUBLE)) ELSE 0.0 END) AS mix,
+        |    sum(CASE WHEN na > 0 AND nb > 0 THEN
+        |      CAST(nb AS DOUBLE) / CAST(tot.n_b AS DOUBLE)
+        |        * (sb / CAST(nb AS DOUBLE) - sa / CAST(na AS DOUBLE))
+        |      ELSE 0.0 END) AS rate,
+        |    CAST(count(*) AS BIGINT) AS n_segments,
+        |    CAST(sum(CASE WHEN na > 0 AND nb > 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_common
+        |  FROM cells, tot)
+        |SELECT n_a, n_b, round(ma, 6) AS mean_a,
+        |  round(mb, 6) AS mean_b, round(mb - ma, 6) AS gap,
+        |  round(mix, 6) AS mix_effect, round(rate, 6) AS rate_effect,
+        |  round(mb - ma - mix - rate, 6) AS residual,
+        |  n_segments, n_common
+        |FROM ag WHERE n_a > 0 AND n_b > 0""".stripMargin,
     // RMST-difference replay: the KM step curve per cohort (6-rounded
     // survival), segment areas, Uno remaining-area variance at event
     // rows, pooled-SE z, Cody-erfc p.

@@ -1101,4 +1101,69 @@ object Experiments {
         pUdf(F.col("bd_tarone"), dof).as("p_tarone"),
         F.col("n_strata"))
   }
+
+  /** Kitagawa (Oaxaca-Blinder two-fold) decomposition of a mean gap —
+    * "is cohort B's higher average because its rates are better, or
+    * because its MIX leans toward high-rate segments":
+    *
+    *   ȳ_b − ȳ_a = Σ_s (w_b,s − w_a,s)·r_a,s   (mix/composition)
+    *             + Σ_s w_b,s·(r_b,s − r_a,s)   (rate)
+    *             + residual                     (non-common support)
+    *
+    * with w the cohort's segment shares and r the segment means. The
+    * identity is exact when every segment appears in both cohorts;
+    * segments missing from a cohort fall into `residual` (reported,
+    * not hidden — a large residual says the mix/rate split is not
+    * meaningful). ONE (cohort, segment) aggregation; everything after
+    * is arithmetic on the segment-cells frame.
+    *
+    * @return one row: (n_a, n_b, mean_a, mean_b, gap, mix_effect,
+    *         rate_effect, residual, n_segments, n_common), floats
+    *         rounded to 6 */
+  def kitagawa(df: DataFrame, cohortCol: String, labelA: String,
+               labelB: String, segmentCol: String,
+               valueCol: String): DataFrame = {
+    require(labelA != labelB, "cohort labels must differ")
+    val g = F.col(cohortCol).cast("string")
+    val v = F.col(valueCol).cast("double")
+    val cells = df
+      .where(g.isin(labelA, labelB) && F.col(segmentCol).isNotNull &&
+        v.isNotNull && !F.isnan(v))
+      .groupBy(F.col(segmentCol).cast("string").as("__s"))
+      .agg(
+        F.sum(F.when(g === labelA, 1L).otherwise(0L)).as("na"),
+        F.sum(F.when(g === labelA, v).otherwise(0.0)).as("sa"),
+        F.sum(F.when(g === labelB, 1L).otherwise(0L)).as("nb"),
+        F.sum(F.when(g === labelB, v).otherwise(0.0)).as("sb"))
+    val tot = cells.agg(
+      F.sum("na").as("n_a"), F.sum("sa").as("s_a"),
+      F.sum("nb").as("n_b"), F.sum("sb").as("s_b"))
+    val j = cells.crossJoin(F.broadcast(tot))
+    val wa = F.col("na").cast("double") / F.col("n_a").cast("double")
+    val wb = F.col("nb").cast("double") / F.col("n_b").cast("double")
+    val ra = F.col("sa") / F.col("na").cast("double")
+    val rb = F.col("sb") / F.col("nb").cast("double")
+    val agged = j.agg(
+      F.max("n_a").as("n_a"), F.max("n_b").as("n_b"),
+      F.max(F.col("s_a") / F.col("n_a").cast("double")).as("ma"),
+      F.max(F.col("s_b") / F.col("n_b").cast("double")).as("mb"),
+      F.sum(F.when(F.col("na") > 0L, (wb - wa) * ra)
+        .otherwise(0.0)).as("mix"),
+      F.sum(F.when(F.col("na") > 0L && F.col("nb") > 0L,
+        wb * (rb - ra)).otherwise(0.0)).as("rate"),
+      F.count(F.lit(1)).as("n_segments"),
+      F.sum(F.when(F.col("na") > 0L && F.col("nb") > 0L, 1L)
+        .otherwise(0L)).as("n_common"))
+    agged
+      .where(F.col("n_a") > 0L && F.col("n_b") > 0L)
+      .select(F.col("n_a"), F.col("n_b"),
+        F.round(F.col("ma"), 6).as("mean_a"),
+        F.round(F.col("mb"), 6).as("mean_b"),
+        F.round(F.col("mb") - F.col("ma"), 6).as("gap"),
+        F.round(F.col("mix"), 6).as("mix_effect"),
+        F.round(F.col("rate"), 6).as("rate_effect"),
+        F.round(F.col("mb") - F.col("ma") - F.col("mix") -
+          F.col("rate"), 6).as("residual"),
+        F.col("n_segments"), F.col("n_common"))
+  }
 }

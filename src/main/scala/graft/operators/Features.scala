@@ -179,6 +179,61 @@ object Features {
           F.round(F.col(s"__sl$l") / F.col("__ss"), 6)).as(s"acf_$l")): _*)
   }
 
+  /** Partial autocorrelation (lags 1–3) per key — "is the lag-2
+    * dependence REAL or just lag-1 twice": the Durbin–Levinson
+    * recursion unrolled in closed form over the same centered-lag
+    * sums as [[acfByKey]] (ρ_l = Σ d·d_{-l} / Σ d²):
+    *
+    *   φ₁₁ = ρ₁,
+    *   φ₂₂ = (ρ₂ − ρ₁²)/(1 − ρ₁²),
+    *   φ₂₁ = ρ₁(1 − φ₂₂),
+    *   φ₃₃ = (ρ₃ − φ₂₁ρ₂ − φ₂₂ρ₁)/(1 − φ₂₁ρ₁ − φ₂₂ρ₂)
+    *
+    * — the AR-order chooser (PACF cuts off at p for an AR(p)). ONE
+    * window pass + one aggregation per key; lags where a recursion
+    * denominator degenerates to ≤ 0 come back null.
+    *
+    * @return one row per key: (keyCol, n, pacf_1, pacf_2, pacf_3) */
+  def pacfByKey(df: DataFrame, keyCol: String, tsCol: String,
+                valueCol: String,
+                tieBreakCols: Seq[String] = Nil): DataFrame = {
+    val v = F.col(valueCol).cast("double")
+    val base = df
+      .where(v.isNotNull && !F.isnan(v) && F.col(tsCol).isNotNull)
+      .select(Seq(F.col(keyCol), F.col(tsCol)) ++
+        tieBreakCols.map(F.col) :+ v.as("__x"): _*)
+    val wAll = Window.partitionBy(F.col(keyCol))
+    val wOrd = Window.partitionBy(F.col(keyCol))
+      .orderBy(F.col(tsCol) +: tieBreakCols.map(F.col): _*)
+    var cur = base
+      .withColumn("__mu", F.avg("__x").over(wAll))
+      .withColumn("__d", F.col("__x") - F.col("__mu"))
+    (1 to 3).foreach { l =>
+      cur = cur.withColumn(s"__dl$l", F.lag("__d", l).over(wOrd))
+    }
+    val agged = cur.groupBy(F.col(keyCol)).agg(
+      F.count(F.lit(1)).as("n"),
+      F.sum(F.col("__d") * F.col("__d")).as("__ss"),
+      F.sum(F.col("__d") * F.col("__dl1")).as("__s1"),
+      F.sum(F.col("__d") * F.col("__dl2")).as("__s2"),
+      F.sum(F.col("__d") * F.col("__dl3")).as("__s3"))
+    val r1 = F.col("__s1") / F.col("__ss")
+    val r2 = F.col("__s2") / F.col("__ss")
+    val r3 = F.col("__s3") / F.col("__ss")
+    val den2 = F.lit(1.0) - r1 * r1
+    val p2 = (r2 - r1 * r1) / den2
+    val p21 = r1 * (F.lit(1.0) - p2)
+    val den3 = F.lit(1.0) - p21 * r1 - p2 * r2
+    val p3 = (r3 - p21 * r2 - p2 * r1) / den3
+    agged
+      .where(F.col("__ss") > 0.0)
+      .select(F.col(keyCol), F.col("n"),
+        F.round(r1, 6).as("pacf_1"),
+        F.when(den2 > 0.0, F.round(p2, 6)).as("pacf_2"),
+        F.when(den2 > 0.0 && F.abs(den3) > 0.0, F.round(p3, 6))
+          .as("pacf_3"))
+  }
+
   /** Rolling Pearson correlation between two metrics per key over a
     * trailing time window — "are latency and error rate moving
     * together RIGHT NOW, per service": the co-movement monitor that a

@@ -1069,6 +1069,78 @@ object Regression {
         F.round(jStat, 6).as("j_stat"))
   }
 
+  /** First/second canonical correlations between two 2-feature blocks
+    * — "how strongly do these two GROUPS of metrics co-move as
+    * groups" (pricing block vs volume block, quality block vs
+    * engagement block): the canonical correlations are the square
+    * roots of the eigenvalues of M = Σxx⁻¹ Σxy Σyy⁻¹ Σyx, which at
+    * 2×2 is the closed-form quadratic
+    *
+    *   λ = (tr M ± √(tr²M − 4·det M)) / 2,   ρᵢ = √λᵢ
+    *
+    * — the multivariate generalization of [[partialCorrByGroup]]'s
+    * single coefficient. ONE aggregation of 14 moment sums; every
+    * matrix entry is plain column arithmetic (2×2 adjugate inverses,
+    * one 2×2 product chain), so any engine replays it. Degenerate
+    * blocks (singular Σxx/Σyy, negative discriminant) are omitted.
+    *
+    * @return one row: (n, rho1, rho2, lambda1, lambda2) rounded 6 */
+  def cca2x2(df: DataFrame, x1Col: String, x2Col: String,
+             y1Col: String, y2Col: String): DataFrame = {
+    val cols = Seq(x1Col, x2Col, y1Col, y2Col)
+    val vs = cols.map(c => F.col(c).cast("double"))
+    val ok = vs.map(c => c.isNotNull && !F.isnan(c)).reduce(_ && _)
+    val named = Seq("a", "b", "c", "d")
+    val clean = df.where(ok)
+      .select(vs.zip(named).map { case (c, n) => c.as(s"__$n") }: _*)
+    val sums = named.map(n => F.sum(F.col(s"__$n")).as(s"s_$n")) ++
+      (for {
+        i <- named.indices; j <- named.indices if i <= j
+      } yield F.sum(F.col(s"__${named(i)}") * F.col(s"__${named(j)}"))
+        .as(s"q_${named(i)}${named(j)}"))
+    val aggCols = F.count(F.lit(1)).as("n") +: sums
+    val agged = clean.agg(aggCols.head, aggCols.tail: _*)
+    val nD = F.col("n").cast("double")
+    def m(x: String) = F.col(s"s_$x") / nD
+    def cov(x: String, y: String) =
+      F.col(s"q_$x$y") / nD - m(x.take(1)) * m(y)
+    // covariance entries (population)
+    val vaa = cov("a", "a"); val vab = cov("a", "b")
+    val vbb = cov("b", "b")
+    val vcc = cov("c", "c"); val vcd = cov("c", "d")
+    val vdd = cov("d", "d")
+    val vac = cov("a", "c"); val vad = cov("a", "d")
+    val vbc = cov("b", "c"); val vbd = cov("b", "d")
+    val detxx = vaa * vbb - vab * vab
+    val detyy = vcc * vdd - vcd * vcd
+    // P = Σxx⁻¹ Σxy, Q = Σyy⁻¹ Σyx (adjugate inverses)
+    val p11 = (vbb * vac - vab * vbc) / detxx
+    val p12 = (vbb * vad - vab * vbd) / detxx
+    val p21 = (vaa * vbc - vab * vac) / detxx
+    val p22 = (vaa * vbd - vab * vad) / detxx
+    val q11 = (vdd * vac - vcd * vad) / detyy
+    val q12 = (vdd * vbc - vcd * vbd) / detyy
+    val q21 = (vcc * vad - vcd * vac) / detyy
+    val q22 = (vcc * vbd - vcd * vbc) / detyy
+    val m11 = p11 * q11 + p12 * q21
+    val m12 = p11 * q12 + p12 * q22
+    val m21 = p21 * q11 + p22 * q21
+    val m22 = p21 * q12 + p22 * q22
+    val tr = m11 + m22
+    val dt = m11 * m22 - m12 * m21
+    val disc = tr * tr - F.lit(4.0) * dt
+    val l1 = (tr + F.sqrt(disc)) / 2.0
+    val l2 = (tr - F.sqrt(disc)) / 2.0
+    agged
+      .where(F.col("n") >= 5L && detxx > 0.0 && detyy > 0.0 &&
+        disc >= 0.0 && l2 >= 0.0 && l1 <= 1.000001)
+      .select(F.col("n"),
+        F.round(F.sqrt(l1), 6).as("rho1"),
+        F.round(F.sqrt(l2), 6).as("rho2"),
+        F.round(l1, 6).as("lambda1"),
+        F.round(l2, 6).as("lambda2"))
+  }
+
   private[graft] def solve(aIn: Array[Array[Double]],
                            bIn: Array[Double]): Array[Double] = {
     val k = bIn.length

@@ -4549,6 +4549,55 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       periodUnit = 10L).count() == 0L)
   }
 
+  test("pacfByKey unrolls Durbin-Levinson on the linear ramp") {
+    import spark.implicits._
+    // x = 1..6: r1 = .5, r2 = 1/17.5, r3 = -4.75/17.5 ->
+    // pacf_2 = -0.257143, pacf_3 ≈ -0.255246
+    val df = (1 to 6).map(t => ("k", t.toLong, t.toDouble))
+      .toDF("key", "ts", "v")
+    val r = Features.pacfByKey(df, "key", "ts", "v").head()
+    assert(r.getAs[Double]("pacf_1") == 0.5)
+    assert(math.abs(r.getAs[Double]("pacf_2") - (-0.257143)) < 1e-5)
+    assert(math.abs(r.getAs[Double]("pacf_3") - (-0.255246)) < 1e-5)
+  }
+
+  test("cca2x2 recovers the Hadamard-design canonical pair") {
+    import spark.implicits._
+    // orthogonal ±1 design: x-block (h1, h2), y-block (h1+2·h3,
+    // h2+h4) -> M = diag(1/5, 1/2), rho = (√.5, √.2)
+    val h1 = Seq(1, 1, 1, 1, -1, -1, -1, -1).map(_.toDouble)
+    val h2 = Seq(1, 1, -1, -1, 1, 1, -1, -1).map(_.toDouble)
+    val h3 = Seq(1, -1, 1, -1, 1, -1, 1, -1).map(_.toDouble)
+    val h4 = Seq(1, -1, -1, 1, -1, 1, 1, -1).map(_.toDouble)
+    val df = (0 until 8).map(i =>
+      (h1(i), h2(i), h1(i) + 2.0 * h3(i), h2(i) + h4(i)))
+      .toDF("x1", "x2", "y1", "y2")
+    val r = Regression.cca2x2(df, "x1", "x2", "y1", "y2").head()
+    assert(math.abs(r.getAs[Double]("rho1") - math.sqrt(0.5)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("rho2") - math.sqrt(0.2)) < 1e-6)
+    assert(r.getAs[Double]("lambda1") == 0.5)
+    assert(r.getAs[Double]("lambda2") == 0.2)
+  }
+
+  test("kitagawa splits the gap into exact mix and rate effects") {
+    import spark.implicits._
+    // a: X=(1,1), Y=(3,3); b: X=(2), Y=(4,4,4)
+    // gap = 1.5 = mix 0.5 + rate 1.0, residual 0
+    val df = Seq(
+      ("a", "X", 1.0), ("a", "X", 1.0), ("a", "Y", 3.0),
+      ("a", "Y", 3.0),
+      ("b", "X", 2.0), ("b", "Y", 4.0), ("b", "Y", 4.0),
+      ("b", "Y", 4.0)).toDF("g", "s", "v")
+    val r = Experiments.kitagawa(df, "g", "a", "b", "s", "v").head()
+    assert(r.getAs[Double]("mean_a") == 2.0)
+    assert(r.getAs[Double]("mean_b") == 3.5)
+    assert(r.getAs[Double]("gap") == 1.5)
+    assert(r.getAs[Double]("mix_effect") == 0.5)
+    assert(r.getAs[Double]("rate_effect") == 1.0)
+    assert(r.getAs[Double]("residual") == 0.0)
+    assert(r.getAs[Long]("n_common") == 2L)
+  }
+
   test("rmstDiff integrates the step curves and pools the variance") {
     import spark.implicits._
     // a: events at 1,2,3 -> RMST(10) = 1 + 2/3 + 1/3 = 2
