@@ -1007,6 +1007,35 @@ object SparkEntry {
       val qv = q.where(F.col("vec_id") === 0).head().getSeq[Float](1).toArray
       Similarity.pqTopK(codes, "pq_code", "vec_id", qv, cb, 10)
     }),
+    "q_procrustes" -> ((s, dir) => {
+      // align the embedding table against its own exact 3-4-5 rotation
+      // in dims (0,1): the polar factor W = M(MᵀM)^(-1/2) from ONE
+      // Kahan cross-moment pass must recover the rotation — engine-
+      // attested booleans carry the non-SQL verdict, err_before
+      // replays exactly
+      val aCol = F.col("embedding").cast("array<double>")
+      val bArr = F.array((0 until 64).map {
+        case 0 => aCol(0) * 0.6 - aCol(1) * 0.8
+        case 1 => aCol(0) * 0.8 + aCol(1) * 0.6
+        case i => aCol(i)
+      }: _*)
+      val bDf = emb(s, dir)
+        .select(F.col("vec_id"), bArr.as("emb_b"))
+      Pca.procrustesAlign(emb(s, dir), "vec_id", "embedding",
+        bDf, "vec_id", "emb_b")
+    }),
+    "q_bayes_ab" -> ((s, dir) =>
+      // exact Bayesian A/B on purchase conversion between the even/odd
+      // user cohorts: P(p_b > p_a) as the closed finite Beta sum —
+      // no Monte Carlo; DuckDB replays every term via lgamma
+      Experiments.bayesAb(
+        events(s, dir)
+          .where(F.col("user_id").isNotNull &&
+            F.col("event_type").isNotNull)
+          .select(F.when(F.col("user_id") % 2 === 0, "a")
+            .otherwise("b").as("g"),
+            (F.col("event_type") === "purchase").as("y")),
+        "g", "y", "a", "b")),
     "q_silhouette" -> ((s, dir) =>
       // are the embedding labels real clusters: centroid-variant
       // silhouette per label — long-form distances against the
@@ -10217,6 +10246,75 @@ object SparkEntry {
         |SELECT k AS event_type, n, CAST(j AS BIGINT) AS freq,
         |  round((ca * ca + cb * cb) / CAST(n AS DOUBLE), 6) AS power
         |FROM c WHERE rn = n ORDER BY event_type, freq""".stripMargin,
+    // Procrustes replay: err_before from the same moment sums over the
+    // reconstructed rotated copy; the alignment verdict booleans are
+    // engine-attested and pinned TRUE (the q_sketch_hll discipline).
+    "q_procrustes" ->
+      """WITH r AS (SELECT vec_id,
+        |    CAST(embedding[1] AS DOUBLE) AS a0,
+        |    CAST(embedding[2] AS DOUBLE) AS a1
+        |  FROM embeddings WHERE vec_id IS NOT NULL
+        |    AND embedding IS NOT NULL),
+        |l AS (SELECT e.vec_id AS vec_id, g.pos AS pos,
+        |    CAST(e.embedding[g.pos + 1] AS DOUBLE) AS a,
+        |    CASE WHEN g.pos = 0 THEN r.a0 * 0.6 - r.a1 * 0.8
+        |      WHEN g.pos = 1 THEN r.a0 * 0.8 + r.a1 * 0.6
+        |      ELSE CAST(e.embedding[g.pos + 1] AS DOUBLE) END AS b
+        |  FROM embeddings e JOIN r ON e.vec_id = r.vec_id,
+        |    generate_series(0, 63) AS g(pos)
+        |  WHERE e.vec_id IS NOT NULL AND e.embedding IS NOT NULL),
+        |s AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n,
+        |    sum(a * a) AS saa, sum(b * b) AS sbb, sum(a * b) AS sab
+        |  FROM l)
+        |SELECT n, CAST(64 AS BIGINT) AS d,
+        |  round((saa + sbb - 2.0 * sab) / CAST(n AS DOUBLE), 6)
+        |    AS err_before,
+        |  TRUE AS orthogonal_ok, TRUE AS improved, TRUE AS recovered
+        |FROM s""".stripMargin,
+    // Bayes-A/B replay: the same counts, then every term of the closed
+    // Beta sum via lgamma over a bounded series.
+    "q_bayes_ab" ->
+      """WITH c AS (SELECT
+        |    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    (event_type = 'purchase') AS y
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |a AS (SELECT
+        |    CAST(sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS na,
+        |    CAST(sum(CASE WHEN g = 'a' AND y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS sa,
+        |    CAST(sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb,
+        |    CAST(sum(CASE WHEN g = 'b' AND y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS sb
+        |  FROM c),
+        |t AS (SELECT na, sa, nb, sb,
+        |    CAST(sa + 1 AS DOUBLE) AS aa,
+        |    CAST(na - sa + 1 AS DOUBLE) AS ba,
+        |    CAST(sb + 1 AS DOUBLE) AS ab2,
+        |    CAST(nb - sb + 1 AS DOUBLE) AS bb FROM a),
+        |ser AS (SELECT t.*, CAST(i.i AS DOUBLE) AS i
+        |  FROM t, generate_series(0, 100000) AS i(i)
+        |  WHERE i.i <= t.sb),
+        |p AS (SELECT max(na) AS n_a, max(sa) AS s_a, max(nb) AS n_b,
+        |    max(sb) AS s_b, max(aa) AS aa, max(ba) AS ba,
+        |    max(ab2) AS ab2, max(bb) AS bb,
+        |    sum(exp(
+        |      (lgamma(aa + i) + lgamma(ba + bb)
+        |        - lgamma(aa + i + ba + bb))
+        |      - ln(bb + i)
+        |      - (lgamma(1.0 + i) + lgamma(bb)
+        |        - lgamma(1.0 + i + bb))
+        |      - (lgamma(aa) + lgamma(ba) - lgamma(aa + ba))))
+        |      AS pr
+        |  FROM ser)
+        |SELECT n_a, s_a, n_b, s_b,
+        |  round(CAST(s_a AS DOUBLE) / n_a, 6) AS rate_a,
+        |  round(CAST(s_b AS DOUBLE) / n_b, 6) AS rate_b,
+        |  round(ab2 / (ab2 + bb) - aa / (aa + ba), 6) AS uplift,
+        |  round(pr, 6) AS prob_b_beats_a
+        |FROM p""".stripMargin,
     // Silhouette replay: long-form embeddings, (label, dim) centroids,
     // per-(row, centroid) squared distances, the same a/b/s algebra.
     "q_silhouette" ->

@@ -1102,6 +1102,63 @@ object Experiments {
         F.col("n_strata"))
   }
 
+  /** Exact Bayesian A/B verdict for conversion rates — the posterior
+    * probability that arm B's true rate beats arm A's under uniform
+    * Beta(1,1) priors: with integer posteriors α = s+1, β = n−s+1,
+    *
+    *   P(p_b > p_a) = Σ_{i=0}^{α_b−1}
+    *     exp[ lnB(α_a+i, β_a+β_b) − ln(β_b+i)
+    *          − lnB(1+i, β_b) − lnB(α_a, β_a) ]
+    *
+    * (the closed finite sum — no Monte Carlo, no RNG), evaluated
+    * driver-side in ascending i over ≤ s_b+1 terms from ONE count
+    * aggregation. The frequentist twins ([[twoProportionZ]],
+    * [[oddsRatio]]) answer "is it significant"; this answers the
+    * decision question "how sure are we B is better".
+    *
+    * @return one row: (n_a, s_a, n_b, s_b, rate_a, rate_b, uplift,
+    *         prob_b_beats_a), floats rounded to 6 */
+  def bayesAb(df: DataFrame, cohortCol: String, successCol: String,
+              labelA: String, labelB: String): DataFrame = {
+    require(labelA != labelB, "cohort labels must differ")
+    val g = F.col(cohortCol).cast("string")
+    val s = F.col(successCol).cast("boolean")
+    val row = df
+      .where(g.isin(labelA, labelB) && s.isNotNull)
+      .agg(
+        F.sum(F.when(g === labelA, 1L).otherwise(0L)).as("na"),
+        F.sum(F.when(g === labelA && s, 1L).otherwise(0L)).as("sa"),
+        F.sum(F.when(g === labelB, 1L).otherwise(0L)).as("nb"),
+        F.sum(F.when(g === labelB && s, 1L).otherwise(0L)).as("sb"))
+      .head()
+    val na = row.getAs[Long]("na"); val sa = row.getAs[Long]("sa")
+    val nb = row.getAs[Long]("nb"); val sb = row.getAs[Long]("sb")
+    require(na > 0L && nb > 0L, "both cohorts need rows")
+    val aa = sa + 1.0; val ba = na - sa + 1.0
+    val ab = sb + 1.0; val bb = nb - sb + 1.0
+    import graft.functions.SpecialMath.lgamma
+    def lbeta(x: Double, y: Double): Double =
+      lgamma(x) + lgamma(y) - lgamma(x + y)
+    val lbAB = lbeta(aa, ba)
+    var p = 0.0
+    var i = 0L
+    while (i < ab.toLong) {
+      val iD = i.toDouble
+      p += math.exp(lbeta(aa + iD, ba + bb) - math.log(bb + iD) -
+        lbeta(1.0 + iD, bb) - lbAB)
+      i += 1L
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((na, sa, nb, sb,
+      math.rint(sa.toDouble / na * 1e6) / 1e6,
+      math.rint(sb.toDouble / nb * 1e6) / 1e6,
+      math.rint((ab / (ab + bb) - aa / (aa + ba)) * 1e6) / 1e6,
+      math.rint(p * 1e6) / 1e6))
+      .toDF("n_a", "s_a", "n_b", "s_b", "rate_a", "rate_b", "uplift",
+        "prob_b_beats_a")
+  }
+
   /** Kitagawa (Oaxaca-Blinder two-fold) decomposition of a mean gap —
     * "is cohort B's higher average because its rates are better, or
     * because its MIX leans toward high-rate segments":

@@ -248,4 +248,151 @@ object Pca {
     }.toArray
     (values, vectors)
   }
+
+  /** Cross-moment accumulator for paired embeddings: Kahan-compensated
+    * [n, Σ‖a‖², Σ‖b‖², M = Σ a·bᵀ (d² cells)] — state 2(2 + d²) + 1
+    * doubles, rows never leave executors, merge order cannot move the
+    * result (the q_embedding_cov determinism lesson). */
+  private[graft] final class CrossMomentAgg(d: Int)
+      extends Aggregator[(Seq[Double], Seq[Double]), Array[Double],
+        Array[Double]] {
+    private val cells = 2 + d * d
+    private val len = 1 + 2 * cells
+    @inline private def kadd(b: Array[Double], idx: Int, x: Double): Unit = {
+      val y = x - b(idx + cells)
+      val t = b(idx) + y
+      b(idx + cells) = (t - b(idx)) - y
+      b(idx) = t
+    }
+    def zero: Array[Double] = new Array[Double](len)
+    def reduce(b: Array[Double], x: (Seq[Double], Seq[Double])): Array[Double] = {
+      val (p, q) = x
+      require(p != null && q != null && p.length == d && q.length == d,
+        s"embedding dims (${if (p == null) "null" else p.length}, " +
+          s"${if (q == null) "null" else q.length}) != $d")
+      b(0) += 1.0
+      var i = 0
+      while (i < d) {
+        kadd(b, 1, p(i) * p(i)); kadd(b, 2, q(i) * q(i)); i += 1
+      }
+      i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { kadd(b, 3 + i * d + j, p(i) * q(j)); j += 1 }
+        i += 1
+      }
+      b
+    }
+    def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      a(0) += b(0)
+      var k = 1
+      while (k <= cells) {
+        kadd(a, k, b(k)); kadd(a, k, -b(k + cells)); k += 1
+      }
+      a
+    }
+    def finish(b: Array[Double]): Array[Double] = b
+    def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder()
+  }
+
+  /** Orthogonal Procrustes alignment of two embedding spaces sharing
+    * ids — "these two encoder versions/snapshots disagree only by a
+    * rotation; find it and measure what's left": the W minimizing
+    * ‖AW − B‖_F over orthogonal W is the polar factor
+    *
+    *   W = M (MᵀM)^{−1/2},   M = AᵀB,
+    *
+    * computed from ONE paired-pass cross-moment aggregation (the d×d M
+    * plus ‖·‖² sums — rows never reach the driver) and a d×d Jacobi
+    * eigensolve of MᵀM. Both error norms are closed forms of the same
+    * sums (‖AW − B‖² = Σ‖a‖² + Σ‖b‖² − 2·tr(WᵀM)), so NO second data
+    * pass. Engine-attested booleans (orthogonality of W, improvement,
+    * near-exact recovery) carry the non-SQL part of the verdict; n, d
+    * and the pre-alignment error replay exactly.
+    *
+    * @return one row: (n, d, err_before, orthogonal_ok, improved,
+    *         recovered) where err_before = mean ‖a − b‖² rounded 6,
+    *         recovered = post-alignment mean error < 1e−6 */
+  def procrustesAlign(dfA: DataFrame, idColA: String, embColA: String,
+                      dfB: DataFrame, idColB: String,
+                      embColB: String): DataFrame = {
+    val spark = dfA.sparkSession
+    import spark.implicits._
+    val a = dfA
+      .where(F.col(idColA).isNotNull && F.col(embColA).isNotNull)
+      .select(F.col(idColA).cast("long").as("__id"),
+        F.col(embColA).cast("array<double>").as("__a"))
+    val b = dfB
+      .where(F.col(idColB).isNotNull && F.col(embColB).isNotNull)
+      .select(F.col(idColB).cast("long").as("__id"),
+        F.col(embColB).cast("array<double>").as("__b"))
+    val joined = a.join(b, "__id").persist()
+    val head = joined.select(F.size(F.col("__a")).as("d")).head()
+    val d = head.getAs[Int]("d")
+    require(d >= 2, "need embedding dim >= 2")
+    val st = joined.select(F.col("__a"), F.col("__b"))
+      .as[(Seq[Double], Seq[Double])]
+      .select(new CrossMomentAgg(d).toColumn).head()
+    joined.unpersist(blocking = false)
+    val n = st(0)
+    require(n >= 1.0, "no paired rows")
+    val saa = st(1); val sbb = st(2)
+    val m = Array.tabulate(d, d)((i, j) => st(3 + i * d + j))
+    // MᵀM, eigensolve, (MᵀM)^{-1/2}, W = M·invSqrt
+    val mtm = Array.tabulate(d, d) { (i, j) =>
+      var s = 0.0; var k = 0
+      while (k < d) { s += m(k)(i) * m(k)(j); k += 1 }; s
+    }
+    val (evals, vecs) = jacobiEigSym(mtm)
+    val sigMax = math.sqrt(math.max(evals.headOption.getOrElse(0.0), 0.0))
+    val degenerate = sigMax <= 0.0 ||
+      evals.exists(e => math.sqrt(math.max(e, 0.0)) < 1e-12 * sigMax)
+    val w =
+      if (degenerate) Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+      else {
+        // invSqrt = Σ_k v_k v_kᵀ / σ_k (vecs(k) is the k-th eigenvector)
+        val invSqrt = Array.tabulate(d, d) { (i, j) =>
+          var s = 0.0; var k = 0
+          while (k < d) {
+            s += vecs(k)(i) * vecs(k)(j) / math.sqrt(math.max(evals(k), 0.0))
+            k += 1
+          }
+          s
+        }
+        Array.tabulate(d, d) { (i, j) =>
+          var s = 0.0; var k = 0
+          while (k < d) { s += m(i)(k) * invSqrt(k)(j); k += 1 }; s
+        }
+      }
+    var trM = 0.0; var trWM = 0.0
+    var i = 0
+    while (i < d) {
+      trM += m(i)(i)
+      var j = 0
+      while (j < d) { trWM += w(i)(j) * m(i)(j); j += 1 }
+      i += 1
+    }
+    val errBefore = (saa + sbb - 2.0 * trM) / n
+    val errAfter = (saa + sbb - 2.0 * trWM) / n
+    var orthDev = 0.0
+    i = 0
+    while (i < d) {
+      var j = 0
+      while (j < d) {
+        var s = 0.0; var k = 0
+        while (k < d) { s += w(k)(i) * w(k)(j); k += 1 }
+        val target = if (i == j) 1.0 else 0.0
+        orthDev = math.max(orthDev, math.abs(s - target))
+        j += 1
+      }
+      i += 1
+    }
+    Seq((n.toLong, d.toLong, math.rint(errBefore * 1e6) / 1e6,
+      !degenerate && orthDev < 1e-8,
+      errAfter <= errBefore + 1e-12,
+      errAfter < 1e-6))
+      .toDF("n", "d", "err_before", "orthogonal_ok", "improved",
+        "recovered")
+  }
 }

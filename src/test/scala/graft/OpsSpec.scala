@@ -4549,6 +4549,45 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       periodUnit = 10L).count() == 0L)
   }
 
+  test("procrustesAlign recovers an exact planar rotation") {
+    import spark.implicits._
+    val pts = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0),
+      Seq(2.0, 3.0))
+    val a = pts.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "emb")
+    // B = A rotated 90°: (x, y) -> (-y, x)
+    val b = pts.zipWithIndex.map { case (v, i) =>
+      (i.toLong, Seq(-v(1), v(0)))
+    }.toDF("id", "emb")
+    val r = Pca.procrustesAlign(a, "id", "emb", b, "id", "emb").head()
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("d") == 2L)
+    assert(r.getAs[Double]("err_before") > 0.0)
+    assert(r.getAs[Boolean]("orthogonal_ok"))
+    assert(r.getAs[Boolean]("improved"))
+    assert(r.getAs[Boolean]("recovered"))
+    // already-aligned spaces: zero error before AND after
+    val same = Pca.procrustesAlign(a, "id", "emb", a, "id", "emb")
+      .head()
+    assert(same.getAs[Double]("err_before") == 0.0)
+    assert(same.getAs[Boolean]("recovered"))
+  }
+
+  test("bayesAb reproduces the exact Beta-sum posterior") {
+    import spark.implicits._
+    // a: 1/2, b: 2/2 -> P(p_b > p_a) = ∫ 3b²(3b²-2b³)db = 0.8
+    val df = Seq(("a", true), ("a", false), ("b", true), ("b", true))
+      .toDF("g", "y")
+    val r = Experiments.bayesAb(df, "g", "y", "a", "b").head()
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("s_b") == 2L)
+    assert(math.abs(r.getAs[Double]("prob_b_beats_a") - 0.8) < 1e-6)
+    assert(r.getAs[Double]("uplift") == 0.25)
+    // symmetry: equal evidence -> exactly the complement mass split
+    val eq = Seq(("a", true), ("a", false), ("b", true), ("b", false))
+      .toDF("g", "y")
+    val re = Experiments.bayesAb(eq, "g", "y", "a", "b").head()
+    assert(re.getAs[Double]("prob_b_beats_a") == 0.5)
+  }
+
   test("pacfByKey unrolls Durbin-Levinson on the linear ramp") {
     import spark.implicits._
     // x = 1..6: r1 = .5, r2 = 1/17.5, r3 = -4.75/17.5 ->
