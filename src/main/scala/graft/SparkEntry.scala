@@ -4243,6 +4243,20 @@ object SparkEntry {
       TextOps.bigramLogProb(docs(s, dir),
           docs(s, dir).where(F.col("doc_id") < 100), "doc_id", "text")
         .orderBy("id")),
+    "q_trigram_logprob" -> ((s, dir) =>
+      // trigram stupid backoff (the ladder's top rung): corpus n-gram
+      // tables semi-joined down to the slice's keys, then broadcast —
+      // nothing corpus-sized shuffles; DuckDB replays all three
+      // backoff branches
+      TextOps.trigramLogProb(docs(s, dir),
+          docs(s, dir).where(F.col("doc_id") < 100), "doc_id", "text")
+        .orderBy("id")),
+    "q_truncation_recall" -> ((s, dir) =>
+      // Matryoshka QA: recall@10 of 16-dim truncated cosine retrieval
+      // vs full 64-dim, per probe — both sides rounded-cosine
+      // TakeOrdered scans, overlap a broadcast join over k rows
+      Similarity.truncationRecall(emb(s, dir), "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L), dims = 16, k = 10)),
     "q_containment" -> ((s, dir) =>
       // asymmetric n-gram containment — the doc-contains-doc dedup case
       // Jaccard misses; inverted-index join with the stop-gram cap,
@@ -10315,6 +10329,44 @@ object SparkEntry {
         |  round(ab2 / (ab2 + bb) - aa / (aa + ba), 6) AS uplift,
         |  round(pr, 6) AS prob_b_beats_a
         |FROM p""".stripMargin,
+    // Truncation-recall replay: per probe, full-dim and 16-dim
+    // rounded-cosine top-10 retrievals (id tie-break), overlap counts.
+    "q_truncation_recall" -> {
+      def block(x: Int) =
+        s"""q$x AS (SELECT embedding AS qe FROM embeddings
+          |  WHERE vec_id = $x),
+          |fp$x AS (SELECT e.vec_id AS vid,
+          |    CAST(unnest(e.embedding) AS DOUBLE) AS a,
+          |    CAST(unnest(q$x.qe) AS DOUBLE) AS b
+          |  FROM embeddings e, q$x WHERE e.vec_id <> $x),
+          |fa$x AS (SELECT vid, round(sum(a*b)
+          |    / (sqrt(sum(a*a)) * sqrt(sum(b*b))), 6) AS c
+          |  FROM fp$x GROUP BY vid),
+          |ff$x AS (SELECT vid FROM fa$x
+          |  ORDER BY c DESC, vid ASC LIMIT 10),
+          |tp$x AS (SELECT e.vec_id AS vid,
+          |    CAST(unnest(e.embedding[1:16]) AS DOUBLE) AS a,
+          |    CAST(unnest(q$x.qe[1:16]) AS DOUBLE) AS b
+          |  FROM embeddings e, q$x WHERE e.vec_id <> $x),
+          |ta$x AS (SELECT vid, round(sum(a*b)
+          |    / (sqrt(sum(a*a)) * sqrt(sum(b*b))), 6) AS c
+          |  FROM tp$x GROUP BY vid),
+          |tt$x AS (SELECT vid FROM ta$x
+          |  ORDER BY c DESC, vid ASC LIMIT 10),
+          |r$x AS (SELECT CAST($x AS BIGINT) AS query_id,
+          |    CAST(16 AS BIGINT) AS dims, CAST(10 AS BIGINT) AS k,
+          |    CAST((SELECT count(*) FROM tt$x
+          |      JOIN ff$x ON tt$x.vid = ff$x.vid) AS BIGINT)
+          |      AS n_overlap)""".stripMargin
+      s"""WITH ${block(0)},
+        |${block(1)},
+        |${block(2)},
+        |u AS (SELECT * FROM r0 UNION ALL SELECT * FROM r1
+        |  UNION ALL SELECT * FROM r2)
+        |SELECT query_id, dims, k, n_overlap,
+        |  round(CAST(n_overlap AS DOUBLE) / 10.0, 6) AS recall
+        |FROM u ORDER BY query_id""".stripMargin
+    },
     // Silhouette replay: long-form embeddings, (label, dim) centroids,
     // per-(row, centroid) squared distances, the same a/b/s algebra.
     "q_silhouette" ->
@@ -13196,6 +13248,49 @@ object SparkEntry {
         |  JOIN m1 ON m1.w1 = split_part(tf.b, ' ', 1)
         |  JOIN freq ON freq.token = split_part(tf.b, ' ', 2), tot
         |GROUP BY tf.doc_id ORDER BY id""".stripMargin,
+    // Trigram stupid-backoff replay: the same three corpus count
+    // tables, key splits, and the CASE ladder with 0.4 * 0.4 written
+    // as the product (so both engines round the constant identically).
+    "q_trigram_logprob" ->
+      """WITH t AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |    x -> x <> '') AS w FROM documents),
+        |tg AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tri
+        |  FROM t WHERE len(w) >= 3),
+        |tric AS (SELECT tri, count(*) AS c3 FROM tg GROUP BY tri),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS b FROM t
+        |  WHERE len(w) >= 2),
+        |big AS (SELECT b, count(*) AS cb FROM bg GROUP BY b),
+        |uni AS (SELECT unnest(w) AS token FROM t),
+        |freq AS (SELECT token, count(*) AS cu FROM uni GROUP BY token),
+        |tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS nt FROM freq),
+        |tf AS (SELECT doc_id, tri, count(*) AS tf FROM tg
+        |  WHERE doc_id < 100 GROUP BY doc_id, tri),
+        |k AS (SELECT doc_id, tri, tf,
+        |    split_part(tri, ' ', 1) || ' ' || split_part(tri, ' ', 2)
+        |      AS b12,
+        |    split_part(tri, ' ', 2) || ' ' || split_part(tri, ' ', 3)
+        |      AS b23,
+        |    split_part(tri, ' ', 2) AS w2,
+        |    split_part(tri, ' ', 3) AS w3 FROM tf),
+        |j AS (SELECT k.doc_id AS doc_id, k.tf AS tf,
+        |    CASE WHEN tric.c3 IS NOT NULL AND b1.cb IS NOT NULL
+        |      THEN CAST(tric.c3 AS DOUBLE) / b1.cb
+        |    WHEN b2.cb IS NOT NULL AND f2.cu IS NOT NULL
+        |      THEN 0.4 * b2.cb / f2.cu
+        |    ELSE 0.4 * 0.4 * f3.cu / tot.nt END AS p
+        |  FROM k LEFT JOIN tric ON tric.tri = k.tri
+        |    LEFT JOIN big b1 ON b1.b = k.b12
+        |    LEFT JOIN big b2 ON b2.b = k.b23
+        |    LEFT JOIN freq f2 ON f2.token = k.w2
+        |    JOIN freq f3 ON f3.token = k.w3, tot)
+        |SELECT doc_id AS id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+        |  round(sum(tf * ln(p)) / CAST(sum(tf) AS DOUBLE), 6)
+        |    AS mean_logprob
+        |FROM j GROUP BY doc_id ORDER BY id""".stripMargin,
     "q_containment" ->
       """WITH t AS (SELECT doc_id, list_filter(
         |    regexp_split_to_array(lower(coalesce(text, '')), '\s+'),

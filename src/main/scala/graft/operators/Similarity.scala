@@ -57,6 +57,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** Dimension-truncation retrieval QA — "can we serve the first
+    * `dims` coordinates and keep the neighbors" (the Matryoshka /
+    * storage-tiering question): recall@k of truncated-cosine retrieval
+    * against full-dimension retrieval, per probe query. Both sides are
+    * rounded-cosine TakeOrdered top-k scans with the id tie-break (the
+    * [[bruteForceTopK]] discipline — never a global sort); the probe
+    * vectors are a bounded driver-side take, the per-query overlap one
+    * broadcast join over k rows.
+    *
+    * @param queryIds probe ids (each excluded from its own candidates)
+    * @return one row per probe: (query_id, dims, k, n_overlap, recall) */
+  def truncationRecall(df: DataFrame, idCol: String, embCol: String,
+                       queryIds: Seq[Long], dims: Int,
+                       k: Int): DataFrame = {
+    require(queryIds.nonEmpty, "need at least one probe id")
+    require(dims >= 1, "dims must be >= 1")
+    require(k >= 1, "k must be >= 1")
+    val probes = df
+      .where(F.col(idCol).isin(queryIds.map(Long.box): _*))
+      .select(F.col(idCol).cast("long"), F.col(embCol))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    val results = probes.map { case (qid, qv) =>
+      val others = df.where(F.col(idCol) =!= qid)
+      val full = bruteForceTopK(others, embCol, idCol, qv, k)
+        .select(F.col(idCol).as("__nid"), F.lit(true).as("__in_full"))
+      val trunc = others
+        .select(F.col(idCol).as("__tid"),
+          F.round(cosine(F.slice(F.col(embCol), 1, dims),
+            F.lit(qv.take(dims))), 6).as("__cos"))
+        .orderBy(F.col("__cos").desc, F.col("__tid").asc)
+        .limit(k)
+      trunc
+        .join(F.broadcast(full), trunc("__tid") === full("__nid"),
+          "left")
+        .agg(F.sum(F.when(F.col("__in_full"), 1L).otherwise(0L))
+          .as("n_overlap"))
+        .select(F.lit(qid).as("query_id"), F.lit(dims.toLong).as("dims"),
+          F.lit(k.toLong).as("k"), F.col("n_overlap"),
+          F.round(F.col("n_overlap").cast("double") / k, 6).as("recall"))
+    }
+    results.reduce(_ unionAll _)
+  }
+
   /** Deterministic pseudo-random hyperplanes (seeded, executor-free). */
   private[operators] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     Array.tabulate(nPlanes) { p =>

@@ -613,6 +613,90 @@ object TextOps {
             F.get(F.col("__w"), i + 1)))).as("b"))
   }
 
+  /** (id, "w₁ w₂ w₃") adjacent-trigram rows, the [[bigramsOf]] shape
+    * one order up — map-side transform, no positional self-join. */
+  private def trigramsOf(df: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val w = F.filter(
+      F.split(F.lower(F.coalesce(F.col(textCol), F.lit(""))), "\\s+"),
+      t => t =!= "")
+    df.select(F.col(idCol).as("id"), w.as("__w"))
+      .where(F.size(F.col("__w")) >= 3)
+      .select(F.col("id"),
+        F.explode(F.transform(
+          F.sequence(F.lit(0), F.size(F.col("__w")) - 3),
+          i => F.concat(F.get(F.col("__w"), i), F.lit(" "),
+            F.get(F.col("__w"), i + 1), F.lit(" "),
+            F.get(F.col("__w"), i + 2)))).as("tri"))
+  }
+
+  /** Trigram language-model score with STUPID BACKOFF (Brants et al.
+    * 2007 — the count-based score that scales where Kneser-Ney's
+    * held-out tuning doesn't):
+    *
+    *   s(w₃|w₁w₂) = c(w₁w₂w₃)/c(w₁w₂)          if the trigram is seen,
+    *              = 0.4 · c(w₂w₃)/c(w₂)         else if the bigram is,
+    *              = 0.4² · c(w₃)/N               otherwise
+    *
+    * — the [[bigramLogProb]] ladder one order up. Scale shape: the
+    * corpus n-gram tables are each SEMI-JOINED down to the slice's
+    * keys first (LeftSemi + broadcast slice keys — the only join
+    * combination that both preserves the probe side and builds the
+    * small side), so the corpus is scanned once per table and nothing
+    * corpus-sized ever shuffles; the shrunken tables then broadcast
+    * into the slice. Positions whose w₃ is out-of-vocabulary are
+    * dropped (n_trigrams counts scored positions).
+    *
+    * @return one row per slice doc: (id, n_trigrams, mean_logprob) */
+  def trigramLogProb(corpus: DataFrame, slice: DataFrame,
+                     idCol: String, textCol: String,
+                     backoff: Double = 0.4): DataFrame = {
+    require(backoff > 0.0 && backoff <= 1.0, "backoff must be in (0, 1]")
+    val tri = trigramsOf(corpus, idCol, textCol)
+      .groupBy("tri").agg(F.count(F.lit(1)).as("c3"))
+    val big = bigramsOf(corpus, idCol, textCol)
+      .groupBy("b").agg(F.count(F.lit(1)).as("cb"))
+    val uni = tokens(corpus, idCol, textCol)
+      .groupBy("token").agg(F.count(F.lit(1)).as("cu"))
+    val totalTokens = uni.agg(F.sum("cu")).head().getLong(0).toDouble
+    val sp = F.split(F.col("tri"), " ")
+    val tf = trigramsOf(slice, idCol, textCol)
+      .groupBy("id", "tri").agg(F.count(F.lit(1)).as("tf"))
+      .withColumn("w2", sp.getItem(1))
+      .withColumn("w3", sp.getItem(2))
+      .withColumn("b12",
+        F.concat(sp.getItem(0), F.lit(" "), sp.getItem(1)))
+      .withColumn("b23",
+        F.concat(sp.getItem(1), F.lit(" "), sp.getItem(2)))
+    val triKeys = tf.select("tri").distinct()
+    val bigKeys = tf.select(F.col("b12").as("b"))
+      .union(tf.select(F.col("b23").as("b"))).distinct()
+    val uniKeys = tf.select(F.col("w2").as("token"))
+      .union(tf.select(F.col("w3").as("token"))).distinct()
+    val triS = tri.join(F.broadcast(triKeys), Seq("tri"), "left_semi")
+    val bigS = big.join(F.broadcast(bigKeys), Seq("b"), "left_semi")
+    val uniS = uni.join(F.broadcast(uniKeys), Seq("token"), "left_semi")
+    val joined = tf
+      .join(F.broadcast(triS), Seq("tri"), "left")
+      .join(F.broadcast(bigS.select(F.col("b").as("b12"),
+        F.col("cb").as("c12"))), Seq("b12"), "left")
+      .join(F.broadcast(bigS.select(F.col("b").as("b23"),
+        F.col("cb").as("c23"))), Seq("b23"), "left")
+      .join(F.broadcast(uniS.select(F.col("token").as("w2"),
+        F.col("cu").as("c2"))), Seq("w2"), "left")
+      .join(F.broadcast(uniS.select(F.col("token").as("w3"),
+        F.col("cu").as("c3u"))), Seq("w3"))
+    val p = F.when(F.col("c3").isNotNull && F.col("c12").isNotNull,
+        F.col("c3").cast("double") / F.col("c12"))
+      .when(F.col("c23").isNotNull && F.col("c2").isNotNull,
+        F.lit(backoff) * F.col("c23") / F.col("c2"))
+      .otherwise(F.lit(backoff * backoff) * F.col("c3u") / totalTokens)
+    joined.groupBy("id")
+      .agg(F.sum("tf").cast("long").as("n_trigrams"),
+        F.round(F.sum(F.col("tf") * F.log(p)) / F.sum("tf"), 6)
+          .as("mean_logprob"))
+  }
+
   /** Top-k collocations by pointwise mutual information:
     *
     *   PMI(w₁, w₂) = ln( (n_b/N_b) / ((c₁/N_u)·(c₂/N_u)) )

@@ -4549,6 +4549,46 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       periodUnit = 10L).count() == 0L)
   }
 
+  test("trigramLogProb walks all three stupid-backoff branches") {
+    import spark.implicits._
+    // corpus tokens: a b c d | a b x  (N = 7, c(a) = 2, c("a b") = 2)
+    val corpus = Seq((1L, "a b c d"), (2L, "a b x"))
+      .toDF("doc_id", "text")
+    val slice = Seq(
+      (10L, "a b c"),  // trigram seen: p = c(abc)/c(ab) = 1/2
+      (11L, "x a b"),  // backoff bigram: p = 0.4·c(ab)/c(a) = 0.4
+      (12L, "c d a")   // unigram floor: p = 0.16·c(a)/N
+    ).toDF("doc_id", "text")
+    val r = TextOps.trigramLogProb(corpus, slice, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("id") ->
+        x.getAs[Double]("mean_logprob")).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(r(10L) == r6(math.log(0.5)))
+    assert(r(11L) == r6(math.log(0.4)))
+    assert(r(12L) == r6(math.log(0.4 * 0.4 * 2.0 / 7.0)))
+  }
+
+  test("truncationRecall penalizes tail-dimension divergence") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.5f, 10.0f)),
+      (3L, Seq(0.6f, 8.0f)),
+      (4L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    // full top-2 for q=(1,0): {1, 3}; 1-dim truncation ties all the
+    // positive-x rows at cos 1.0 -> id order picks {1, 2} -> recall .5
+    val r = Similarity.truncationRecall(df, "vec_id", "embedding",
+      queryIds = Seq(0L), dims = 1, k = 2).head()
+    assert(r.getAs[Long]("query_id") == 0L)
+    assert(r.getAs[Long]("n_overlap") == 1L)
+    assert(r.getAs[Double]("recall") == 0.5)
+    // with both dimensions kept, retrieval is identical: recall 1
+    val full = Similarity.truncationRecall(df, "vec_id", "embedding",
+      queryIds = Seq(0L), dims = 2, k = 2).head()
+    assert(full.getAs[Double]("recall") == 1.0)
+  }
+
   test("procrustesAlign recovers an exact planar rotation") {
     import spark.implicits._
     val pts = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0),
