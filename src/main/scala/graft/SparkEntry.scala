@@ -4148,6 +4148,16 @@ object SparkEntry {
           F.round(F.col("t_stat"), 2).as("t_r"))
         .orderBy("l_returnflag")
     }),
+    "q_fixed_effects" -> ((s, dir) =>
+      // within estimator: the price-on-quantity slope AFTER absorbing
+      // every supplier's own level — one per-unit demeaning window,
+      // one pooled moment aggregation
+      Regression.fixedEffectsOls(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select(F.col("l_suppkey").as("u"),
+            (F.col("l_extendedprice") / 1000).as("y"),
+            F.col("l_quantity").as("x")),
+        "u", "y", "x")),
     "q_cca" -> ((s, dir) =>
       // first/second canonical correlations between the (quantity,
       // discount) and (price, tax) blocks — closed-form 2×2 eigen of
@@ -4304,6 +4314,36 @@ object SparkEntry {
         .union(base.select(F.col("b").as("src"), F.col("a").as("dst")))
       Graph.pageRank(e, "src", "dst", iters = 3)
         .select(F.col("node"), F.round(F.col("rank"), 6).as("rank_r"))
+        .orderBy("node")
+    }),
+    "q_ppr" -> ((s, dir) => {
+      // personalized PageRank seeded at suppliers 0..4: the teleport
+      // mass pins to the seed set, so rank = proximity to those
+      // suppliers; 3 rounds, every round replayed as a chained CTE
+      val base = keyCappedLineitem(s, dir, 50000,
+          Seq("l_suppkey", "l_partkey"))
+        .select(F.concat(F.lit("s"), F.col("l_suppkey")).as("a"),
+          F.concat(F.lit("p"), F.col("l_partkey")).as("b"))
+        .distinct()
+      val e = base.select(F.col("a").as("src"), F.col("b").as("dst"))
+        .union(base.select(F.col("b").as("src"), F.col("a").as("dst")))
+      val seeds = keyCappedLineitem(s, dir, 50000, Seq("l_suppkey"))
+        .where(F.col("l_suppkey") < 5)
+        .select(F.concat(F.lit("s"), F.col("l_suppkey")).as("node"))
+      Graph.personalizedPageRank(e, "src", "dst", seeds, "node",
+          iters = 3)
+        .select(F.col("node"), F.round(F.col("rank"), 6).as("rank_r"))
+        .orderBy("node")
+    }),
+    "q_kcore" -> ((s, dir) => {
+      // 3-core peel of the co-occurrence graph: four remove-the-fringe
+      // rounds (early-stopped when stable — identical to the replay's
+      // unconditional rounds since peeling only removes)
+      val base = keyCappedLineitem(s, dir, 50000,
+          Seq("l_suppkey", "l_partkey"))
+        .select(F.concat(F.lit("s"), F.col("l_suppkey")).as("a"),
+          F.concat(F.lit("p"), F.col("l_partkey")).as("b"))
+      Graph.kCorePeel(base, "a", "b", k = 3, rounds = 4)
         .orderBy("node")
     }),
     "q_bfs" -> ((s, dir) => {
@@ -9955,6 +9995,102 @@ object SparkEntry {
         |FROM pc LEFT JOIN cells
         |  ON pc.row = cells.row AND pc.bucket = cells.bucket
         |GROUP BY pc.key ORDER BY key""".stripMargin,
+    // PPR replay: the q_pagerank chain with the teleport mass pinned
+    // to the seed indicator (1/|S| on seeds, 0 elsewhere).
+    "q_ppr" ->
+      """WITH base AS (SELECT DISTINCT 's' || l_suppkey AS a,
+        |    'p' || l_partkey AS b FROM lineitem
+        |  WHERE l_orderkey < 50000),
+        |e AS (SELECT a AS src, b AS dst FROM base
+        |  UNION ALL SELECT b, a FROM base),
+        |deg AS (SELECT src, count(*) AS dg FROM e GROUP BY src),
+        |seeds AS (SELECT DISTINCT 's' || l_suppkey AS node
+        |  FROM lineitem WHERE l_orderkey < 50000 AND l_suppkey < 5),
+        |ns AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM seeds),
+        |nodes AS (SELECT DISTINCT src AS node FROM e
+        |  UNION SELECT DISTINCT dst FROM e),
+        |ev AS (SELECT n.node AS node,
+        |    CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.c
+        |      ELSE 0.0 END AS ev
+        |  FROM nodes n LEFT JOIN seeds s ON n.node = s.node, ns),
+        |r0 AS (SELECT node, ev AS r FROM ev),
+        |r1 AS (SELECT v.node AS node, v.ev AS ev,
+        |    0.15 * v.ev + 0.85 * coalesce(c.s, 0.0) AS r
+        |  FROM ev v LEFT JOIN (SELECT e.dst, sum(p.r / d.dg) AS s
+        |    FROM e JOIN deg d ON e.src = d.src
+        |    JOIN r0 p ON p.node = e.src GROUP BY e.dst) c
+        |  ON v.node = c.dst),
+        |r2 AS (SELECT v.node AS node, v.ev AS ev,
+        |    0.15 * v.ev + 0.85 * coalesce(c.s, 0.0) AS r
+        |  FROM r1 v LEFT JOIN (SELECT e.dst, sum(p.r / d.dg) AS s
+        |    FROM e JOIN deg d ON e.src = d.src
+        |    JOIN r1 p ON p.node = e.src GROUP BY e.dst) c
+        |  ON v.node = c.dst),
+        |r3 AS (SELECT v.node AS node,
+        |    0.15 * v.ev + 0.85 * coalesce(c.s, 0.0) AS r
+        |  FROM r2 v LEFT JOIN (SELECT e.dst, sum(p.r / d.dg) AS s
+        |    FROM e JOIN deg d ON e.src = d.src
+        |    JOIN r2 p ON p.node = e.src GROUP BY e.dst) c
+        |  ON v.node = c.dst)
+        |SELECT node, round(r, 6) AS rank_r FROM r3
+        |ORDER BY node""".stripMargin,
+    // K-core replay: four unconditional peel rounds (peeling only
+    // removes, so the engine's early stop cannot diverge).
+    "q_kcore" ->
+      """WITH raw AS (SELECT 's' || l_suppkey AS a,
+        |    'p' || l_partkey AS b FROM lineitem
+        |  WHERE l_orderkey < 50000),
+        |e0 AS (SELECT DISTINCT a, b FROM (
+        |  SELECT a, b FROM raw WHERE a <> b
+        |  UNION ALL SELECT b AS a, a AS b FROM raw WHERE a <> b)),
+        |d1 AS (SELECT a, count(*) AS d FROM e0 GROUP BY a),
+        |k1 AS (SELECT a FROM d1 WHERE d >= 3),
+        |e1 AS (SELECT e0.a AS a, e0.b AS b FROM e0
+        |  JOIN k1 ON e0.a = k1.a JOIN k1 kb ON e0.b = kb.a),
+        |d2 AS (SELECT a, count(*) AS d FROM e1 GROUP BY a),
+        |k2 AS (SELECT a FROM d2 WHERE d >= 3),
+        |e2 AS (SELECT e1.a AS a, e1.b AS b FROM e1
+        |  JOIN k2 ON e1.a = k2.a JOIN k2 kb ON e1.b = kb.a),
+        |d3 AS (SELECT a, count(*) AS d FROM e2 GROUP BY a),
+        |k3 AS (SELECT a FROM d3 WHERE d >= 3),
+        |e3 AS (SELECT e2.a AS a, e2.b AS b FROM e2
+        |  JOIN k3 ON e2.a = k3.a JOIN k3 kb ON e2.b = kb.a),
+        |d4 AS (SELECT a, count(*) AS d FROM e3 GROUP BY a),
+        |k4 AS (SELECT a FROM d4 WHERE d >= 3),
+        |e4 AS (SELECT e3.a AS a, e3.b AS b FROM e3
+        |  JOIN k4 ON e3.a = k4.a JOIN k4 kb ON e3.b = kb.a)
+        |SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+        |FROM e4 GROUP BY a ORDER BY node""".stripMargin,
+    // Fixed-effects replay: per-unit demeaning windows, one pooled
+    // moment fold, the same se/t/r2 op order.
+    "q_fixed_effects" ->
+      """WITH c AS (SELECT l_suppkey AS u,
+        |    CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) / 1000 AS y
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_suppkey IS NOT NULL
+        |    AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE) / 1000)),
+        |d AS (SELECT u,
+        |    x - avg(x) OVER (PARTITION BY u) AS xd,
+        |    y - avg(y) OVER (PARTITION BY u) AS yd FROM c),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT u) AS BIGINT) AS n_units,
+        |    sum(xd * xd) AS sxx, sum(yd * yd) AS syy,
+        |    sum(xd * yd) AS sxy FROM d),
+        |f AS (SELECT n, n_units, sxx, syy, sxy,
+        |    sxy / sxx AS beta,
+        |    CAST(n AS DOUBLE) - CAST(n_units AS DOUBLE) - 1.0 AS dof
+        |  FROM a WHERE sxx > 0.0 AND syy > 0.0),
+        |g AS (SELECT n, n_units, beta, syy, sxy,
+        |    sqrt((syy - beta * sxy) / dof / sxx) AS se
+        |  FROM f WHERE dof > 0.0)
+        |SELECT n, n_units, round(beta, 6) AS beta, round(se, 6) AS se,
+        |  round(beta / se, 6) AS t_stat,
+        |  round(beta * sxy / syy, 6) AS within_r2
+        |FROM g""".stripMargin,
     // BFS replay: three Bellman-Ford min-relax rounds over the same
     // bidirectional edge set — after k rounds every node within k hops
     // carries its exact distance, and the dist <= k filter drops the

@@ -83,6 +83,115 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank — [[pageRank]] with the teleport mass
+    * pinned to a seed set instead of spread uniformly:
+    *
+    *   r_{t+1}(v) = (1−d)·e(v) + d·Σ_{u→v} r_t(u)/outdeg(u),
+    *   e(v) = 1/|S| for v ∈ S, else 0
+    *
+    * — "influence FROM these accounts" / "recommendations NEAR this
+    * user's history", the locality-aware ranking the global prior
+    * can't express. Identical per-round shape to [[pageRank]] (ONE
+    * edge⋈rank join + dst aggregation, eager localCheckpoint), the
+    * seed indicator a broadcast join computed once.
+    *
+    * @return (node, rank) for every node with an edge */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+                           dstCol: String, seeds: DataFrame,
+                           nodeCol: String, iters: Int = 10,
+                           damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
+    val e = edges.select(F.col(srcCol).cast("string").as("src"),
+      F.col(dstCol).cast("string").as("dst")).persist()
+    val deg = e.groupBy("src").agg(F.count(F.lit(1)).as("__deg"))
+    val ed = e.join(deg, "src").persist()
+    val seedSet = seeds
+      .select(F.col(nodeCol).cast("string").as("node")).distinct()
+      .withColumn("__seed", F.lit(true))
+      .persist()
+    val nSeeds = seedSet.count()
+    require(nSeeds >= 1L, "need at least one seed node")
+    val nodes = e.select(F.col("src").as("node"))
+      .union(e.select(F.col("dst").as("node")))
+      .distinct()
+      .join(seedSet, Seq("node"), "left")
+      .withColumn("__e",
+        F.when(F.col("__seed"), F.lit(1.0 / nSeeds)).otherwise(0.0))
+      .select("node", "__e")
+      .persist()
+    val small = nodes.count() <= maxBroadcastNodes
+    var ranks = nodes.select(F.col("node"), F.col("__e").as("rank"))
+    var it = 0
+    while (it < iters) {
+      val contrib = ed
+        .join(maybeBroadcast(ranks.withColumnRenamed("node", "src"), small),
+          "src")
+        .groupBy(F.col("dst").as("node"))
+        .agg(F.sum(F.col("rank") / F.col("__deg")).as("__in"))
+      val next = nodes
+        .join(maybeBroadcast(contrib, small), Seq("node"), "left")
+        .select(F.col("node"),
+          (F.lit(1.0 - damping) * F.col("__e") + F.lit(damping) *
+            F.coalesce(F.col("__in"), F.lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+      ranks = next
+      it += 1
+    }
+    e.unpersist(false)
+    ed.unpersist(false)
+    seedSet.unpersist(false)
+    nodes.unpersist(false)
+    ranks
+  }
+
+  /** Fixed-round k-core peeling — "the graph's engaged core": each
+    * round drops every node whose UNDIRECTED degree over the surviving
+    * subgraph is < k, then the edges touching it; after enough rounds
+    * the survivors are exactly the k-core (a round that drops nothing
+    * stops early — detected on the count that materializes the
+    * checkpoint). The spam-fringe remover ahead of [[pageRank]] and
+    * the cohesion census behind "how big is the real community".
+    *
+    * Per round: ONE degree aggregation + two semi-joins, the edge
+    * frame eagerly localCheckpointed. Dedupes edges and drops
+    * self-loops up front (degree = distinct neighbors).
+    *
+    * @return surviving (node, degree) under the final subgraph */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+                k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1 && rounds <= 64, "rounds must be in 1..64")
+    val und0 = edges
+      .select(F.col(srcCol).cast("string").as("a"),
+        F.col(dstCol).cast("string").as("b"))
+      .where(F.col("a").isNotNull && F.col("b").isNotNull &&
+        F.col("a") =!= F.col("b"))
+    var cur = und0.select(F.col("a"), F.col("b"))
+      .union(und0.select(F.col("b").as("a"), F.col("a").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var nEdges = cur.count()
+    var r = 0
+    var stable = false
+    while (r < rounds && !stable && nEdges > 0L) {
+      val deg = cur.groupBy(F.col("a")).agg(F.count(F.lit(1)).as("__d"))
+      val keep = deg.where(F.col("__d") >= k.toLong).select("a")
+      val next = cur
+        .join(keep, Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("a", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint(true)
+      val nNext = next.count()
+      stable = nNext == nEdges
+      nEdges = nNext
+      cur = next
+      r += 1
+    }
+    cur.groupBy(F.col("a").as("node"))
+      .agg(F.count(F.lit(1)).as("degree"))
+  }
+
   /** Multi-source BFS shortest hop counts — "how far is every node
     * from the seed set", the reachability/radius primitive under
     * [[pageRank]]'s influence scores (k-hop neighborhoods, blast-radius

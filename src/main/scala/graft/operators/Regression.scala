@@ -1069,6 +1069,55 @@ object Regression {
         F.round(jStat, 6).as("j_stat"))
   }
 
+  /** Panel fixed-effects (within) estimator — "the slope of y on x
+    * AFTER absorbing every unit's own level": demean both variables
+    * within each unit, then pool ONE slope across all units,
+    *
+    *   β = Σᵢₜ x̃ᵢₜỹᵢₜ / Σᵢₜ x̃²ᵢₜ,   x̃ = x − x̄ᵢ,
+    *
+    * the opposite aggregation direction from [[olsByGroup]] (which
+    * fits a slope PER group): here a million units contribute one
+    * pooled coefficient with their level confounders gone — the
+    * panel-econometrics workhorse. SE uses the within residual
+    * variance at dof = n − #units − 1.
+    *
+    * One per-unit window pass (unit means) + one global moment
+    * aggregation. Units with a single row demean to zero and drop out
+    * of both sums algebraically.
+    *
+    * @return one row: (n, n_units, beta, se, t_stat, within_r2) */
+  def fixedEffectsOls(df: DataFrame, unitCol: String, yCol: String,
+                      xCol: String): DataFrame = {
+    val x = F.col(xCol).cast("double")
+    val y = F.col(yCol).cast("double")
+    val clean = df
+      .where(F.col(unitCol).isNotNull && x.isNotNull && !F.isnan(x) &&
+        y.isNotNull && !F.isnan(y))
+      .select(F.col(unitCol).as("__u"), x.as("__x"), y.as("__y"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__u")
+    val dm = clean
+      .withColumn("__xd", F.col("__x") - F.avg("__x").over(w))
+      .withColumn("__yd", F.col("__y") - F.avg("__y").over(w))
+    val agged = dm.agg(
+      F.count(F.lit(1)).as("n"),
+      F.count_distinct(F.col("__u")).as("n_units"),
+      F.sum(F.col("__xd") * F.col("__xd")).as("sxx"),
+      F.sum(F.col("__yd") * F.col("__yd")).as("syy"),
+      F.sum(F.col("__xd") * F.col("__yd")).as("sxy"))
+    val beta = F.col("sxy") / F.col("sxx")
+    val dof = F.col("n").cast("double") -
+      F.col("n_units").cast("double") - 1.0
+    val rss = F.col("syy") - beta * F.col("sxy")
+    val se = F.sqrt(rss / dof / F.col("sxx"))
+    agged
+      .where(F.col("sxx") > 0.0 && F.col("syy") > 0.0 && dof > 0.0)
+      .select(F.col("n"), F.col("n_units"),
+        F.round(beta, 6).as("beta"),
+        F.round(se, 6).as("se"),
+        F.round(beta / se, 6).as("t_stat"),
+        F.round(beta * F.col("sxy") / F.col("syy"), 6).as("within_r2"))
+  }
+
   /** First/second canonical correlations between two 2-feature blocks
     * — "how strongly do these two GROUPS of metrics co-move as
     * groups" (pricing block vs volume block, quality block vs

@@ -4874,6 +4874,48 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(est("zzz") >= 0L)
   }
 
+  test("personalizedPageRank pins the teleport mass to the seeds") {
+    import spark.implicits._
+    // undirected star centered at a; seed {a}, one round:
+    // a = 0.15·1 + 0.85·(0+0) = 0.15, b = c = 0.85·(1/2) = 0.425
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "a"), ("c", "a"))
+      .toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val r = Graph.personalizedPageRank(e, "src", "dst", seeds, "node",
+        iters = 1)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r("a") - 0.15) < 1e-12)
+    assert(math.abs(r("b") - 0.425) < 1e-12)
+    assert(math.abs(r("c") - 0.425) < 1e-12)
+  }
+
+  test("kCorePeel strips the pendant and keeps the triangle") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("d", "a"))
+      .toDF("s", "t")
+    val r = Graph.kCorePeel(e, "s", "t", k = 2, rounds = 3)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // k above the graph's max core empties it
+    assert(Graph.kCorePeel(e, "s", "t", k = 3, rounds = 3).count() == 0L)
+  }
+
+  test("fixedEffectsOls absorbs unit levels and pools one slope") {
+    import spark.implicits._
+    // two units, same within-shape, levels 10 apart:
+    // beta = 1.5, se = 1/6, t = 9, within_r2 = 81/84
+    val df = Seq(
+      ("u1", 0.0, 0.0), ("u1", 1.0, 2.0), ("u1", 2.0, 3.0),
+      ("u2", 0.0, 10.0), ("u2", 1.0, 12.0), ("u2", 2.0, 13.0))
+      .toDF("u", "x", "y")
+    val r = Regression.fixedEffectsOls(df, "u", "y", "x").head()
+    assert(r.getAs[Long]("n") == 6L && r.getAs[Long]("n_units") == 2L)
+    assert(r.getAs[Double]("beta") == 1.5)
+    assert(r.getAs[Double]("se") == math.rint(1e6 / 6.0) / 1e6)
+    assert(r.getAs[Double]("t_stat") == 9.0)
+    assert(math.abs(r.getAs[Double]("within_r2") - 81.0 / 84.0) < 1e-6)
+  }
+
   test("bfsHops walks the path graph and stops at maxHops") {
     import spark.implicits._
     val e = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
