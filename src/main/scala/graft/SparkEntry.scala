@@ -4148,6 +4148,16 @@ object SparkEntry {
           F.round(F.col("t_stat"), 2).as("t_r"))
         .orderBy("l_returnflag")
     }),
+    "q_cluster_se" -> ((s, dir) =>
+      // cluster-robust CR1 standard errors for the price-on-quantity
+      // slope, clustered by supplier — randomized-by-store analyzed-
+      // by-receipt protection; the iid SE rides along for the ratio
+      Regression.clusterRobustOls(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select(F.col("l_suppkey").as("g"),
+            (F.col("l_extendedprice") / 1000).as("y"),
+            F.col("l_quantity").as("x")),
+        "g", "y", "x")),
     "q_fixed_effects" -> ((s, dir) =>
       // within estimator: the price-on-quantity slope AFTER absorbing
       // every supplier's own level — one per-unit demeaning window,
@@ -4267,6 +4277,17 @@ object SparkEntry {
       // TakeOrdered scans, overlap a broadcast join over k rows
       Similarity.truncationRecall(emb(s, dir), "vec_id", "embedding",
         queryIds = Seq(0L, 1L, 2L), dims = 16, k = 10)),
+    "q_mmr" -> ((s, dir) => {
+      // diversified retrieval: MMR re-rank of the cosine top-20 pool
+      // down to 5 (λ = ½ so both engines share every constant);
+      // 6-rounded relevances/similarities make each greedy argmax
+      // replayable
+      val q = emb(s, dir).where(F.col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      Similarity.mmrRerank(emb(s, dir).where(F.col("vec_id") =!= 0),
+        "vec_id", "embedding", q, poolK = 20, selectK = 5,
+        lambda = 0.5)
+    }),
     "q_containment" -> ((s, dir) =>
       // asymmetric n-gram containment — the doc-contains-doc dedup case
       // Jaccard misses; inverted-index join with the stop-gram cap,
@@ -10465,6 +10486,103 @@ object SparkEntry {
         |  round(ab2 / (ab2 + bb) - aa / (aa + ba), 6) AS uplift,
         |  round(pr, 6) AS prob_b_beats_a
         |FROM p""".stripMargin,
+    // MMR replay: the rounded-cosine top-20 pool, round_even pairwise
+    // similarities, and five greedy argmax steps as chained CTEs
+    // (λ = ½; ties break to the smaller id).
+    "q_mmr" -> {
+      // step i picks from the pool minus sel_{i-1} by
+      // max(0.5·rel − 0.5·maxsim-to-selected)
+      def step(i: Int) = {
+        val prevSel = (1 until i).map(j => s"SELECT vid FROM st$j")
+          .mkString(" UNION ALL ")
+        val ms =
+          if (i == 1) "0.0"
+          else s"""coalesce((SELECT max(sim.s) FROM sim
+             | WHERE sim.v1 = p.vid
+             |   AND sim.v2 IN ($prevSel)), 0.0)""".stripMargin
+        val notIn =
+          if (i == 1) ""
+          else s" WHERE p.vid NOT IN ($prevSel)"
+        s"""st$i AS MATERIALIZED (SELECT p.vid AS vid, p.c AS rel,
+           |    round_even((0.5 * p.c - 0.5 * ($ms)) * 1000000.0, 0)
+           |      / 1000000.0 AS m
+           |  FROM pool p$notIn
+           |  ORDER BY m DESC, p.vid ASC LIMIT 1)""".stripMargin
+      }
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings
+        |  WHERE vec_id = 0),
+        |pr AS (SELECT e.vec_id AS vid,
+        |    CAST(unnest(e.embedding) AS DOUBLE) AS a,
+        |    CAST(unnest(q.qe) AS DOUBLE) AS b
+        |  FROM embeddings e, q WHERE e.vec_id <> 0),
+        |rel AS (SELECT vid, round(sum(a*b)
+        |    / (sqrt(sum(a*a)) * sqrt(sum(b*b))), 6) AS c
+        |  FROM pr GROUP BY vid),
+        |pool AS MATERIALIZED (SELECT vid, c FROM rel
+        |  ORDER BY c DESC, vid ASC LIMIT 20),
+        |pe AS (SELECT p.vid AS vid, e.embedding AS emb
+        |  FROM pool p JOIN embeddings e ON e.vec_id = p.vid),
+        |pw AS (SELECT x.vid AS v1, y.vid AS v2,
+        |    CAST(unnest(x.emb) AS DOUBLE) AS a,
+        |    CAST(unnest(y.emb) AS DOUBLE) AS b
+        |  FROM pe x, pe y WHERE x.vid <> y.vid),
+        |sim AS MATERIALIZED (SELECT v1, v2, round_even(sum(a*b)
+        |    / (sqrt(sum(a*a)) * sqrt(sum(b*b))) * 1000000.0, 0)
+        |    / 1000000.0 AS s
+        |  FROM pw GROUP BY v1, v2),
+        |${step(1)},
+        |${step(2)},
+        |${step(3)},
+        |${step(4)},
+        |${step(5)},
+        |u AS (SELECT CAST(1 AS BIGINT) AS rank, vid, rel, m FROM st1
+        |  UNION ALL SELECT 2, vid, rel, m FROM st2
+        |  UNION ALL SELECT 3, vid, rel, m FROM st3
+        |  UNION ALL SELECT 4, vid, rel, m FROM st4
+        |  UNION ALL SELECT 5, vid, rel, m FROM st5)
+        |SELECT rank, CAST(vid AS BIGINT) AS id, rel AS relevance,
+        |  m AS mmr_score FROM u ORDER BY rank""".stripMargin
+    },
+    // Cluster-robust replay: global moments, residual score sums per
+    // cluster, the CR1 sandwich in the same op order.
+    "q_cluster_se" ->
+      """WITH c AS (SELECT l_suppkey AS g,
+        |    CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) / 1000 AS y
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_suppkey IS NOT NULL
+        |    AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE) / 1000)),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(x) AS mx,
+        |    avg(y) AS my,
+        |    sum(x * x) / count(*) - avg(x) * avg(x) AS vx0,
+        |    sum(x * y) / count(*) - avg(x) * avg(y) AS cxy0
+        |  FROM c),
+        |d AS (SELECT c.g AS g, m.n AS n, m.cxy0 / m.vx0 AS beta,
+        |    m.vx0 AS vx, c.x - m.mx AS xd,
+        |    c.y - m.my - (m.cxy0 / m.vx0) * (c.x - m.mx) AS e
+        |  FROM c, m),
+        |pc AS (SELECT g, max(n) AS n, max(beta) AS beta,
+        |    max(vx) AS vx, sum(xd * e) AS sc, sum(e * e) AS se2
+        |  FROM d GROUP BY g),
+        |a AS (SELECT max(n) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_clusters,
+        |    max(beta) AS beta, max(vx) AS vx,
+        |    sum(sc * sc) AS meat, sum(se2) AS rss FROM pc),
+        |f AS (SELECT n, n_clusters, beta,
+        |    vx * CAST(n AS DOUBLE) AS sxx, meat, rss,
+        |    CAST(n AS DOUBLE) AS nd,
+        |    CAST(n_clusters AS DOUBLE) AS gd FROM a
+        |  WHERE n >= 3 AND n_clusters >= 2 AND vx > 0.0)
+        |SELECT n, n_clusters, round(beta, 6) AS beta,
+        |  round(sqrt(rss / (nd - 2.0) / sxx), 6) AS se_iid,
+        |  round(sqrt(meat / (sxx * sxx) * (gd / (gd - 1.0))
+        |    * ((nd - 1.0) / (nd - 2.0))), 6) AS se_cluster,
+        |  round(beta / sqrt(meat / (sxx * sxx) * (gd / (gd - 1.0))
+        |    * ((nd - 1.0) / (nd - 2.0))), 6) AS t_cluster
+        |FROM f""".stripMargin,
     // Truncation-recall replay: per probe, full-dim and 16-dim
     // rounded-cosine top-10 retrievals (id tie-break), overlap counts.
     "q_truncation_recall" -> {

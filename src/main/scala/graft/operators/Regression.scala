@@ -1118,6 +1118,65 @@ object Regression {
         F.round(beta * F.col("sxy") / F.col("syy"), 6).as("within_r2"))
   }
 
+  /** OLS with cluster-robust (CR1) standard errors — the experiment
+    * analyst's guard against "we randomized by STORE but computed SEs
+    * by receipt": globally-demeaned slope β = Σx̃ỹ/Σx̃², then the
+    * sandwich variance over cluster score sums,
+    *
+    *   Var_CR0 = Σ_g (Σ_{i∈g} x̃ᵢeᵢ)² / (Σx̃²)²,
+    *   CR1     = CR0 · G/(G−1) · (n−1)/(n−2),
+    *
+    * with e the within-fit residuals. Two aggregations (global
+    * moments, then per-cluster score sums — both map-side combined);
+    * the iid SE comes along for the deflation-factor read-out.
+    *
+    * @return one row: (n, n_clusters, beta, se_iid, se_cluster,
+    *         t_cluster), floats rounded 6 */
+  def clusterRobustOls(df: DataFrame, clusterCol: String, yCol: String,
+                       xCol: String): DataFrame = {
+    val x = F.col(xCol).cast("double")
+    val y = F.col(yCol).cast("double")
+    val clean = df
+      .where(F.col(clusterCol).isNotNull && x.isNotNull && !F.isnan(x) &&
+        y.isNotNull && !F.isnan(y))
+      .select(F.col(clusterCol).as("__g"), x.as("__x"), y.as("__y"))
+    val mom = clean.agg(
+      F.count(F.lit(1)).as("n"), F.avg("__x").as("mx"),
+      F.avg("__y").as("my"), F.var_pop("__x").as("vx"),
+      F.var_pop("__y").as("vy"), F.covar_pop("__x", "__y").as("cxy"))
+    val withB = clean.crossJoin(F.broadcast(mom))
+      .withColumn("__xd", F.col("__x") - F.col("mx"))
+      .withColumn("__b", F.col("cxy") / F.col("vx"))
+      .withColumn("__e", F.col("__y") - F.col("my") -
+        F.col("__b") * F.col("__xd"))
+    val perCluster = withB.groupBy("__g").agg(
+      F.max("n").as("n"), F.max("__b").as("beta"),
+      F.max("vx").as("vx"), F.max("vy").as("vy"),
+      F.max("cxy").as("cxy"),
+      F.sum(F.col("__xd") * F.col("__e")).as("__sc"),
+      F.sum(F.col("__e") * F.col("__e")).as("__se2"))
+    val agged = perCluster.agg(
+      F.max("n").as("n"), F.count(F.lit(1)).as("n_clusters"),
+      F.max("beta").as("beta"), F.max("vx").as("vx"),
+      F.sum(F.col("__sc") * F.col("__sc")).as("meat"),
+      F.sum("__se2").as("rss"))
+    val nD = F.col("n").cast("double")
+    val gD = F.col("n_clusters").cast("double")
+    val sxx = F.col("vx") * nD
+    val vCr0 = F.col("meat") / (sxx * sxx)
+    val vCr1 = vCr0 * (gD / (gD - 1.0)) * ((nD - 1.0) / (nD - 2.0))
+    val seIid = F.sqrt(F.col("rss") / (nD - 2.0) / sxx)
+    val seCl = F.sqrt(vCr1)
+    agged
+      .where(F.col("n") >= 3L && F.col("n_clusters") >= 2L &&
+        F.col("vx") > 0.0)
+      .select(F.col("n"), F.col("n_clusters"),
+        F.round(F.col("beta"), 6).as("beta"),
+        F.round(seIid, 6).as("se_iid"),
+        F.round(seCl, 6).as("se_cluster"),
+        F.round(F.col("beta") / seCl, 6).as("t_cluster"))
+  }
+
   /** First/second canonical correlations between two 2-feature blocks
     * — "how strongly do these two GROUPS of metrics co-move as
     * groups" (pricing block vs volume block, quality block vs

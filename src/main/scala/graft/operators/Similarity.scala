@@ -102,6 +102,68 @@ object Similarity {
     results.reduce(_ unionAll _)
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    * 1998) — diversify a retrieval pool: greedily pick
+    *
+    *   argmax_c  λ·rel(c) − (1−λ)·max_{s ∈ selected} sim(c, s)
+    *
+    * so near-duplicates of an already-selected result stop winning on
+    * raw relevance — the retrieval-diversity step between ANN top-k
+    * and what a user (or a RAG context window) actually sees. The
+    * pool is a [[bruteForceTopK]] rounded-cosine TakeOrdered scan;
+    * the greedy loop runs on the COLLECTED pool (≤ poolK rows — a
+    * bounded take, the q_ann_recall discipline), with relevances and
+    * pairwise similarities 6-rounded BEFORE selection so every argmax
+    * (ties → smaller id) replays externally.
+    *
+    * @return selectK rows: (rank, id, relevance, mmr_score) */
+  def mmrRerank(df: DataFrame, idCol: String, embCol: String,
+                query: Array[Float], poolK: Int, selectK: Int,
+                lambda: Double = 0.7): DataFrame = {
+    require(poolK >= selectK && selectK >= 1, "need poolK >= selectK >= 1")
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
+    val q = F.lit(query)
+    val pool = df
+      .select(F.col(idCol).cast("long").as("__id"),
+        F.round(cosine(F.col(embCol), q), 6).as("__rel"),
+        F.col(embCol).cast("array<double>").as("__e"))
+      .orderBy(F.col("__rel").desc, F.col("__id").asc)
+      .limit(poolK)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { ab += a(i) * b(i); aa += a(i) * a(i)
+        bb += b(i) * b(i); i += 1 }
+      math.rint(ab / (math.sqrt(aa) * math.sqrt(bb)) * 1e6) / 1e6
+    }
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Double, Double)] // (id, rel, mmr)
+    val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+    while (selected.length < selectK && remaining.nonEmpty) {
+      val scored = remaining.map { case (id, rel, e) =>
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.map { case (sid, _, _) =>
+            cos(e, pool.find(_._1 == sid).get._3)
+          }.max
+        val mmr = math.rint((lambda * rel -
+          (1.0 - lambda) * maxSim) * 1e6) / 1e6
+        (id, rel, mmr)
+      }
+      val best = scored.minBy { case (id, _, mmr) => (-mmr, id) }
+      selected += best
+      remaining --= remaining.filter(_._1 == best._1)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    selected.zipWithIndex.map { case ((id, rel, mmr), i) =>
+      (i.toLong + 1L, id, rel, mmr)
+    }.toSeq.toDF("rank", "id", "relevance", "mmr_score")
+  }
+
   /** Deterministic pseudo-random hyperplanes (seeded, executor-free). */
   private[operators] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     Array.tabulate(nPlanes) { p =>

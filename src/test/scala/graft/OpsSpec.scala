@@ -4549,6 +4549,45 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       periodUnit = 10L).count() == 0L)
   }
 
+  test("mmrRerank trades relevance for diversity") {
+    import spark.implicits._
+    // id1 near the query, id2 a near-duplicate of id1, id3 distinct:
+    // plain top-2 = {1, 2}; MMR's second pick prefers the distinct 3
+    val df = Seq(
+      (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.9f, 0.11f)),
+      (3L, Seq(0.5f, -0.5f))).toDF("vec_id", "embedding")
+    val r = Similarity.mmrRerank(df, "vec_id", "embedding",
+      query = Array(1.0f, 0.0f), poolK = 3, selectK = 2,
+      lambda = 0.5).collect()
+    assert(r.map(_.getAs[Long]("id")).toSeq == Seq(1L, 3L))
+    assert(r(0).getAs[Long]("rank") == 1L)
+    // the first pick's mmr is exactly half its relevance (no penalty)
+    val rel1 = r(0).getAs[Double]("relevance")
+    assert(r(0).getAs[Double]("mmr_score") ==
+      math.rint(0.5 * rel1 * 1e6) / 1e6)
+    // lambda = 1 degenerates to plain relevance ranking: {1, 2}
+    val plain = Similarity.mmrRerank(df, "vec_id", "embedding",
+      query = Array(1.0f, 0.0f), poolK = 3, selectK = 2, lambda = 1.0)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(plain == Seq(1L, 2L))
+  }
+
+  test("clusterRobustOls widens the SE for cluster-correlated errors") {
+    import spark.implicits._
+    // A: (0,0),(1,2); B: (0,4),(1,5) -> beta = 1.5, meat = 0.125,
+    // CR1 = 0.375, se_cluster = √0.375, se_iid = 2.5
+    val df = Seq(("A", 0.0, 0.0), ("A", 1.0, 2.0),
+      ("B", 0.0, 4.0), ("B", 1.0, 5.0)).toDF("g", "x", "y")
+    val r = Regression.clusterRobustOls(df, "g", "y", "x").head()
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("n_clusters") == 2L)
+    assert(r.getAs[Double]("beta") == 1.5)
+    assert(r.getAs[Double]("se_iid") == 2.5)
+    assert(math.abs(r.getAs[Double]("se_cluster") -
+      math.sqrt(0.375)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("t_cluster") -
+      1.5 / math.sqrt(0.375)) < 1e-5)
+  }
+
   test("trigramLogProb walks all three stupid-backoff branches") {
     import spark.implicits._
     // corpus tokens: a b c d | a b x  (N = 7, c(a) = 2, c("a b") = 2)
