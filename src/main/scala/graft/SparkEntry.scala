@@ -2490,6 +2490,17 @@ object SparkEntry {
             (F.col("l_returnflag") =!= "N").as("ev")),
         "l_quantity", "ev", Seq("l_linestatus"), tau = 30.0)
         .orderBy("l_linestatus")),
+    "q_cond_survival" -> ((s, dir) =>
+      // conditional survival S(a+10 | a) at anchors 10/20/30 per line
+      // status — the "given you made it this far" re-forecast; as-of
+      // lookups over the tiny KM curve frame
+      Survival.conditionalSurvival(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select(F.col("l_linestatus"), F.col("l_quantity"),
+            (F.col("l_returnflag") =!= "N").as("ev")),
+        "l_quantity", "ev", Seq("l_linestatus"),
+        anchors = Seq(10.0, 20.0, 30.0), horizon = 10.0)
+        .orderBy("l_linestatus", "anchor")),
     "q_rmst_diff" -> ((s, dir) =>
       // how much restricted mean survival does cohort b buy over a by
       // tau = 30: Uno remaining-area variance per cohort, z from the
@@ -2511,6 +2522,27 @@ object SparkEntry {
             (F.col("l_returnflag") =!= "N").as("ev")),
         "l_quantity", "ev", Seq("l_linestatus"))
         .orderBy("l_linestatus", "t_end")),
+    "q_stream_funnel" -> ((s, dir) => {
+      // three-step funnel as CHAINED watermarked interval joins
+      // (view → click → purchase, each within 1h, strictly ordered):
+      // multiple stateful operators composing in one streaming query;
+      // exactly-once emission makes the availableNow run hash-match
+      // the batch triple join
+      val src = eventsStream(s, dir)
+        .withColumn("event_ts", F.timestamp_micros(F.expr("ts div 1000")))
+      def stage(t: String) = src
+        .where(F.col("event_type") === t)
+        .select(F.col("user_id"), F.col("event_ts"))
+      val paths = graft.streaming.StreamingOps.funnelPaths(
+        stage("view"), stage("click"), stage("purchase"),
+        "user_id", "event_ts", lookback = "1 hour",
+        watermark = "1 hour")
+      graft.streaming.StreamingOps
+        .runToBatch(s, paths, "graft_stream_funnel",
+          outputMode = "append", statePartitions = 8)
+        .agg(F.count(F.lit(1)).as("n_paths"),
+          F.count_distinct(F.col("user_id")).as("n_users"))
+    }),
     "q_stream_abtest" -> ((s, dir) => {
       // live A/B conversion monitor: per-(day window, variant) purchase
       // rate with Wilson bands — watermark-bounded windowed state, the
@@ -10799,6 +10831,74 @@ object SparkEntry {
         |  round(mb - ma - mix - rate, 6) AS residual,
         |  n_segments, n_common
         |FROM ag WHERE n_a > 0 AND n_b > 0""".stripMargin,
+    // Streaming-funnel replay: the batch triple interval join with
+    // the same strict ordering and 1h lookbacks.
+    "q_stream_funnel" ->
+      """WITH v AS (SELECT user_id AS u, ts AS t FROM events
+        |  WHERE event_type = 'view' AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |c AS (SELECT user_id AS u, ts AS t FROM events
+        |  WHERE event_type = 'click' AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |p AS (SELECT user_id AS u, ts AS t FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |j AS (SELECT v.u AS u FROM v
+        |  JOIN c ON c.u = v.u
+        |    AND v.t >= c.t - INTERVAL 1 HOUR AND v.t < c.t
+        |  JOIN p ON p.u = c.u
+        |    AND c.t >= p.t - INTERVAL 1 HOUR AND c.t < p.t)
+        |SELECT CAST(count(*) AS BIGINT) AS n_paths,
+        |  CAST(count(DISTINCT u) AS BIGINT) AS n_users FROM j""".stripMargin,
+    // Conditional-survival replay: the q_km_curve step function, an
+    // anchor grid, and as-of (last point ≤ anchor) lookups.
+    "q_cond_survival" ->
+      """WITH base AS (SELECT l_linestatus AS g,
+        |    CAST(l_quantity AS DOUBLE) AS t,
+        |    (l_returnflag <> 'N') AS e
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND CAST(l_quantity AS DOUBLE) >= 0.0
+        |    AND l_returnflag IS NOT NULL),
+        |cells AS (SELECT g, t,
+        |    CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY g, t),
+        |w AS (SELECT g, t, d, c,
+        |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT)
+        |      - CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS BIGINT) AS nr
+        |  FROM cells),
+        |s AS (SELECT g, t,
+        |    CASE WHEN d = nr THEN 0.0
+        |      ELSE exp(sum(CASE WHEN d = nr THEN 0.0
+        |        ELSE ln(1.0 - CAST(d AS DOUBLE) / nr) END)
+        |        OVER (PARTITION BY g ORDER BY t ROWS BETWEEN
+        |          UNBOUNDED PRECEDING AND CURRENT ROW)) END AS surv
+        |  FROM w),
+        |km AS (SELECT g, t, round(surv, 6) AS sv FROM s),
+        |anch AS (SELECT unnest([10.0, 20.0, 30.0]) AS anchor),
+        |grid AS (SELECT DISTINCT km.g AS g, anch.anchor AS anchor
+        |  FROM km, anch),
+        |sa AS (SELECT grid.g AS g, grid.anchor AS anchor,
+        |    coalesce(max_by(km.sv, km.t), 1.0) AS s_anchor
+        |  FROM grid LEFT JOIN km ON km.g = grid.g
+        |    AND km.t <= grid.anchor
+        |  GROUP BY grid.g, grid.anchor),
+        |sh AS (SELECT grid.g AS g, grid.anchor AS anchor,
+        |    coalesce(max_by(km.sv, km.t), 1.0) AS s_horizon
+        |  FROM grid LEFT JOIN km ON km.g = grid.g
+        |    AND km.t <= grid.anchor + 10.0
+        |  GROUP BY grid.g, grid.anchor)
+        |SELECT sa.g AS l_linestatus, sa.anchor AS anchor,
+        |  sa.s_anchor AS s_anchor, sh.s_horizon AS s_horizon,
+        |  CASE WHEN sa.s_anchor > 0.0
+        |    THEN round(sh.s_horizon / sa.s_anchor, 6) END
+        |    AS cond_survival
+        |FROM sa JOIN sh ON sa.g = sh.g AND sa.anchor = sh.anchor
+        |ORDER BY l_linestatus, anchor""".stripMargin,
     // RMST-difference replay: the KM step curve per cohort (6-rounded
     // survival), segment areas, Uno remaining-area variance at event
     // rows, pooled-SE z, Cody-erfc p.

@@ -505,6 +505,60 @@ object Survival {
         F.col("n_times")): _*)
   }
 
+  /** Conditional survival table — "GIVEN you survived to the anchor,
+    * what are your odds of surviving `horizon` more": for each group
+    * and anchor a,
+    *
+    *   S(a + h | a) = S(a + h) / S(a)
+    *
+    * with S the as-of (step-function) KM value at each point — the
+    * re-forecast a dashboard shows a cohort that already made it
+    * through onboarding, where the unconditional curve is stale news.
+    * Anchors where S(a) has hit 0 (or no curve point exists yet,
+    * S = 1) are handled: the as-of lookup takes the LAST curve point
+    * ≤ the anchor, defaulting to survival 1 before the first event.
+    *
+    * One [[kmByGroup]] pass; each (group, anchor) as-of lookup is a
+    * max_by over the tiny curve frame — anchors × groups rows.
+    *
+    * @return one row per (group, anchor): (groupCols..., anchor,
+    *         s_anchor, s_horizon, cond_survival), rounded 6 */
+  def conditionalSurvival(df: DataFrame, durationCol: String,
+                          eventCol: String, groupCols: Seq[String],
+                          anchors: Seq[Double],
+                          horizon: Double): DataFrame = {
+    require(anchors.nonEmpty, "need at least one anchor")
+    require(horizon > 0.0, "horizon must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gCols = groupCols.map(F.col)
+    val km = kmByGroup(df, durationCol, eventCol, groupCols)
+      .select(gCols :+ F.col("t") :+ F.col("survival"): _*)
+      .persist()
+    val anchorDf = anchors.toDF("anchor")
+    val grid = km.select(gCols: _*).distinct()
+      .crossJoin(F.broadcast(anchorDf))
+    val kmR = km.select(groupCols.map(c =>
+      F.col(c).as(s"__g_$c")) :+ F.col("t") :+ F.col("survival"): _*)
+    def asOf(at: org.apache.spark.sql.Column, out: String) =
+      grid.join(kmR,
+          groupCols.map(c => F.col(c) === F.col(s"__g_$c"))
+            .reduce(_ && _) && F.col("t") <= at, "left")
+        .groupBy(gCols :+ F.col("anchor"): _*)
+        .agg(F.coalesce(F.max_by(F.col("survival"), F.col("t")),
+          F.lit(1.0)).as(out))
+    val sA = asOf(F.col("anchor"), "s_anchor")
+    val sH = asOf(F.col("anchor") + horizon, "s_horizon")
+    val joined = sA.join(sH, groupCols :+ "anchor")
+    km.unpersist(blocking = false)
+    joined
+      .select(gCols ++ Seq(F.col("anchor"),
+        F.col("s_anchor"), F.col("s_horizon"),
+        F.when(F.col("s_anchor") > 0.0,
+          F.round(F.col("s_horizon") / F.col("s_anchor"), 6))
+          .as("cond_survival")): _*)
+  }
+
   /** Two-sample RMST difference test — "how many time units of
     * survival does cohort B buy over cohort A by horizon τ", the
     * effect-size companion to [[logRank]]'s pure significance (and the

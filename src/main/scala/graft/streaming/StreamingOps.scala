@@ -319,6 +319,51 @@ object StreamingOps {
       .drop(r(keyCol))
   }
 
+  /** Streaming three-step funnel as CHAINED watermarked interval joins
+    * — "view → click within `lookback` → purchase within `lookback`",
+    * emitted as one row per qualifying (k, t1, t2, t3) path in append
+    * mode: the multi-hop generalization of [[intervalJoin]], and the
+    * shape that proves multiple stateful operators compose (Spark
+    * 3.4+). Strict `<` ordering between consecutive steps keeps a
+    * same-timestamp pair from matching in both directions.
+    *
+    * State per hop is the lookback's worth of rows per key on each
+    * side (both sides watermarked, the join condition carries the
+    * bound, so eviction horizons derive for every buffer); matches
+    * emit exactly once, which is why the availableNow replay of a
+    * bounded source hash-matches the batch triple join.
+    *
+    * @param step1/step2/step3 frames of (keyCol, timeCol) events for
+    *        each funnel stage (pre-filtered by the caller) */
+  def funnelPaths(step1: DataFrame, step2: DataFrame, step3: DataFrame,
+                  keyCol: String, timeCol: String,
+                  lookback: String = "1 hour",
+                  watermark: String = "1 hour"): DataFrame = {
+    val s1 = step1.select(F.col(keyCol).as("k1"), F.col(timeCol).as("t1"))
+      .withWatermark("t1", watermark)
+    val s2 = step2.select(F.col(keyCol).as("k2"), F.col(timeCol).as("t2"))
+      .withWatermark("t2", watermark)
+    val s3 = step3.select(F.col(keyCol).as("k3"), F.col(timeCol).as("t3"))
+      .withWatermark("t3", watermark)
+    val hop1 = s2.join(s1,
+        F.col("k2") === F.col("k1") &&
+          F.col("t1") >= F.col("t2") - F.expr(s"INTERVAL $lookback") &&
+          F.col("t1") < F.col("t2"),
+        "inner")
+      // strip t1's event-time tag (alias with empty metadata): the next
+      // stateful operator allows at most ONE event-time column per side
+      .select(F.col("k2"), F.col("t2"),
+        F.col("t1").as("t1",
+          org.apache.spark.sql.types.Metadata.empty))
+    val hop2 = s3.join(hop1,
+      F.col("k3") === F.col("k2") &&
+        F.col("t2") >= F.col("t3") - F.expr(s"INTERVAL $lookback") &&
+        F.col("t2") < F.col("t3"),
+      "inner")
+    hop2.select(F.col("k2").as(keyCol), F.col("t1"), F.col("t2"),
+      F.col("t3"))
+  }
+
   /** Per-key running statistics via explicit streaming state
     * (mapGroupsWithState): Welford count/mean/M2 updated per micro-batch.
     * State is three doubles per key — fixed-size regardless of throughput

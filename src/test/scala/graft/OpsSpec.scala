@@ -4716,6 +4716,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("n_common") == 2L)
   }
 
+  test("conditionalSurvival is the as-of KM ratio") {
+    import spark.implicits._
+    // events at 1,2,3,4: S = .75, .5, .25, 0
+    val df = Seq(1.0, 2.0, 3.0, 4.0).map(("g", _, true))
+      .toDF("g", "t0", "ev")
+    val r = Survival.conditionalSurvival(df, "t0", "ev", Seq("g"),
+        anchors = Seq(0.5, 1.0), horizon = 2.0)
+      .collect().map(x => x.getAs[Double]("anchor") -> x).toMap
+    // anchor before the first event: S = 1, S(2.5) = S(2) = .5
+    assert(r(0.5).getAs[Double]("s_anchor") == 1.0)
+    assert(r(0.5).getAs[Double]("s_horizon") == 0.5)
+    assert(r(0.5).getAs[Double]("cond_survival") == 0.5)
+    // anchor 1: S(1) = .75, S(3) = .25 -> conditional 1/3
+    assert(r(1.0).getAs[Double]("s_anchor") == 0.75)
+    assert(r(1.0).getAs[Double]("s_horizon") == 0.25)
+    assert(r(1.0).getAs[Double]("cond_survival") ==
+      math.rint(1e6 / 3.0) / 1e6)
+  }
+
   test("rmstDiff integrates the step curves and pools the variance") {
     import spark.implicits._
     // a: events at 1,2,3 -> RMST(10) = 1 + 2/3 + 1/3 = 2

@@ -403,4 +403,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val texts = spark.table("dedup_out").collect().map(_.getAs[String]("text")).sorted
     assert(texts.toSeq == Seq("alpha", "beta", "gamma"), s"got ${texts.toSeq}")
   }
+
+  test("funnelPaths chains interval joins into ordered triples") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(1700000400000L + min * 60000L)
+    val views = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp)]
+    // user 1: view(0) -> click(10) -> buy(20): one full path
+    // user 2: click(5) BEFORE its view(10): no path
+    // user 3: view(0) -> click(90): outside the 1h lookback
+    views.addData((1L, ts(0)), (2L, ts(10)), (3L, ts(0)))
+    clicks.addData((1L, ts(10)), (2L, ts(5)), (3L, ts(90)))
+    buys.addData((1L, ts(20)), (2L, ts(15)), (3L, ts(95)))
+    def df(m: MemoryStream[(Long, java.sql.Timestamp)]) =
+      m.toDF().toDF("u", "t")
+    val paths = StreamingOps.funnelPaths(df(views), df(clicks),
+      df(buys), "u", "t", lookback = "1 hour", watermark = "1 hour")
+    val q = paths.writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("funnel_out").collect()
+    assert(rows.length == 1, s"got ${rows.length} paths")
+    assert(rows.head.getAs[Long]("u") == 1L)
+  }
 }
