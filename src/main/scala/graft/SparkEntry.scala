@@ -4180,6 +4180,25 @@ object SparkEntry {
           F.round(F.col("t_stat"), 2).as("t_r"))
         .orderBy("l_returnflag")
     }),
+    "q_mediation" -> ((s, dir) =>
+      // does discount move revenue THROUGH quantity: Baron-Kenny
+      // a/b/c/c' paths + Sobel z, all closed forms of one nine-sum
+      // moment aggregation
+      Regression.mediation(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select((F.col("l_discount") * 100).as("x"),
+            F.col("l_quantity").as("m"),
+            (F.col("l_extendedprice") / 1000).as("y")),
+        "x", "m", "y")),
+    "q_response_curve" -> ((s, dir) =>
+      // model-free return-rate curve over price deciles: tie-stable
+      // quantile buckets + per-bucket mean response with normal CI
+      Ranks.binnedResponse(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select(F.col("l_extendedprice").as("x"),
+            (F.col("l_returnflag") === "R").cast("int").as("y")),
+        "x", "y", bins = 10)
+        .orderBy("bucket")),
     "q_cluster_se" -> ((s, dir) =>
       // cluster-robust CR1 standard errors for the price-on-quantity
       // slope, clustered by supplier — randomized-by-store analyzed-
@@ -10575,6 +10594,87 @@ object SparkEntry {
         |SELECT rank, CAST(vid AS BIGINT) AS id, rel AS relevance,
         |  m AS mmr_score FROM u ORDER BY rank""".stripMargin
     },
+    // Mediation replay: the same nine moment sums (population forms),
+    // 2×2 partial slopes, Sobel variance, Cody-erfc p at rounded z.
+    "q_mediation" ->
+      s"""WITH c AS (SELECT CAST(l_discount AS DOUBLE) * 100 AS x,
+        |    CAST(l_quantity AS DOUBLE) AS m,
+        |    CAST(l_extendedprice AS DOUBLE) / 1000 AS y
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_discount IS NOT NULL
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE) * 100)
+        |    AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE) / 1000)),
+        |mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(x * x) / count(*) - avg(x) * avg(x) AS vx,
+        |    sum(m * m) / count(*) - avg(m) * avg(m) AS vm,
+        |    sum(y * y) / count(*) - avg(y) * avg(y) AS vy,
+        |    sum(x * m) / count(*) - avg(x) * avg(m) AS cxm,
+        |    sum(x * y) / count(*) - avg(x) * avg(y) AS cxy,
+        |    sum(m * y) / count(*) - avg(m) * avg(y) AS cmy
+        |  FROM c),
+        |f AS (SELECT n, CAST(n AS DOUBLE) AS nd, vx, vm, vy, cxm,
+        |    cxy, cmy, cxm / vx AS a, cxy / vx AS cc,
+        |    vx * vm - cxm * cxm AS det FROM mo),
+        |g AS (SELECT n, nd, vx, vm, vy, cxm, cxy, cmy, a, cc, det,
+        |    (vm * cxy - cxm * cmy) / det AS cp,
+        |    (vx * cmy - cxm * cxy) / det AS b FROM f),
+        |h AS (SELECT n, nd, vx, a, b, cc, cp, det, cxm, cxy, cmy,
+        |    vy, vm,
+        |    nd * (vm - a * cxm) / (nd - 2.0) AS s2a,
+        |    nd * (vy - cp * cxy - b * cmy) / (nd - 3.0) AS s2f
+        |  FROM g),
+        |i AS (SELECT n, a, b, cc, cp, s2a, s2f, vx, vm, det,
+        |    sqrt(s2a / (nd * vx)) AS sea,
+        |    sqrt(s2f * vx / (nd * det)) AS seb FROM h),
+        |zz AS (SELECT n, a, b, cc, cp,
+        |    round(a * b / sqrt(a * a * seb * seb + b * b * sea * sea),
+        |      6) AS z, s2a, s2f, vx, vm, det
+        |  FROM i),
+        |ye AS (SELECT n, a, b, cc, cp, z, s2a, s2f, vx, vm, det,
+        |    abs(z) / sqrt(2.0) AS y FROM zz)
+        |SELECT n, round(a, 6) AS a, round(b, 6) AS b,
+        |  round(cc, 6) AS c, round(cp, 6) AS c_prime,
+        |  round(a * b, 6) AS indirect, z AS sobel_z,
+        |  round(${codyErfcSql("y")}, 6) AS p_value,
+        |  CASE WHEN abs(cc) > 0.0 THEN round(a * b / cc, 6) END
+        |    AS prop_mediated
+        |FROM ye WHERE n >= 4 AND vx > 0.0 AND vm > 0.0 AND det > 0.0
+        |  AND s2a > 0.0 AND s2f > 0.0""".stripMargin,
+    // Response-curve replay: min-rank decile buckets, explicit bucket
+    // sums, the same normal CI.
+    "q_response_curve" ->
+      """WITH c AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+        |    CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+        |      AS DOUBLE) AS y
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        |    AND l_returnflag IS NOT NULL),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+        |r AS (SELECT x, y, rank() OVER (ORDER BY x) AS rk FROM c),
+        |b AS (SELECT x, y,
+        |    CAST(floor((CAST(rk AS DOUBLE) - 1) * 10 / nn.n) + 1
+        |      AS BIGINT) AS bucket
+        |  FROM r, nn),
+        |a AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(y * y) AS syy
+        |  FROM b GROUP BY bucket),
+        |f AS (SELECT bucket, n, CAST(n AS DOUBLE) AS nd, sx, sy, syy
+        |  FROM a WHERE n >= 2),
+        |g AS (SELECT bucket, n, sx / nd AS xm, sy / nd AS ym,
+        |    (syy - nd * (sy / nd) * (sy / nd)) / (nd - 1.0) AS s2,
+        |    nd FROM f),
+        |h AS (SELECT bucket, n, xm, ym,
+        |    sqrt(CASE WHEN s2 > 0.0 THEN s2 ELSE 0.0 END / nd) AS se
+        |  FROM g)
+        |SELECT bucket, n, round(xm, 6) AS x_mean,
+        |  round(ym, 6) AS y_mean,
+        |  round(ym - 1.959964 * se, 6) AS ci_lo,
+        |  round(ym + 1.959964 * se, 6) AS ci_hi
+        |FROM h ORDER BY bucket""".stripMargin,
     // Cluster-robust replay: global moments, residual score sums per
     // cluster, the CR1 sandwich in the same op order.
     "q_cluster_se" ->

@@ -79,6 +79,45 @@ object Ranks {
       .drop("__v", "__rk")
   }
 
+  /** Binned response curve — "how does the outcome move across the
+    * feature's own distribution": mean response with a normal CI per
+    * tie-stable quantile bucket of x (the [[quantileBuckets]]
+    * assignment, so equal x always lands together). The model-free
+    * partial-dependence look at one feature — the diagnostic to run
+    * BEFORE trusting a fitted slope, and the population twin of the
+    * score-space reliability table.
+    *
+    * One rank pass + one bucket aggregation of explicit sums.
+    *
+    * @return one row per bucket: (bucket, n, x_mean, y_mean, ci_lo,
+    *         ci_hi), floats rounded 6 */
+  def binnedResponse(df: DataFrame, xCol: String, yCol: String,
+                     bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 1000, "bins must be in 2..1000")
+    val x = F.col(xCol).cast("double")
+    val y = F.col(yCol).cast("double")
+    val clean = df
+      .where(x.isNotNull && !F.isnan(x) && y.isNotNull && !F.isnan(y))
+      .select(x.as("__bx"), y.as("__by"))
+    val bucketed = quantileBuckets(clean, "__bx", bins, "bucket")
+    val agged = bucketed.groupBy("bucket").agg(
+      F.count(F.lit(1)).as("n"),
+      F.sum("__bx").as("__sx"), F.sum("__by").as("__sy"),
+      F.sum(F.col("__by") * F.col("__by")).as("__syy"))
+    val nD = F.col("n").cast("double")
+    val xm = F.col("__sx") / nD
+    val ym = F.col("__sy") / nD
+    val s2 = (F.col("__syy") - nD * ym * ym) / (nD - 1.0)
+    val se = F.sqrt(F.when(s2 > 0.0, s2).otherwise(0.0) / nD)
+    val z = F.lit(1.959964)
+    agged
+      .where(F.col("n") >= 2L)
+      .select(F.col("bucket"), F.col("n"),
+        F.round(xm, 6).as("x_mean"), F.round(ym, 6).as("y_mean"),
+        F.round(ym - z * se, 6).as("ci_lo"),
+        F.round(ym + z * se, 6).as("ci_hi"))
+  }
+
   /** Rank-based inverse transform ("quantile normalization"): map each
     * value to its plotting position u = (min-rank − ½)/n and through a
     * target distribution's PPF — the feature-engineering move that

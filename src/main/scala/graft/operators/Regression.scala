@@ -1118,6 +1118,68 @@ object Regression {
         F.round(beta * F.col("sxy") / F.col("syy"), 6).as("within_r2"))
   }
 
+  /** Baron–Kenny mediation with the Sobel test — "does x move y
+    * THROUGH m, or directly": three regressions, all closed forms of
+    * ONE nine-sum moment aggregation,
+    *
+    *   a  = slope of m ~ x,            b  = partial slope of m in
+    *   c  = slope of y ~ x (total),         y ~ x + m,
+    *   c′ = partial slope of x (direct),
+    *   indirect = a·b,   Sobel z = a·b / √(a²·se_b² + b²·se_a²)
+    *
+    * with the classic first-order Sobel variance and p = erfc(|z|/√2)
+    * at the 6-rounded z. The causal-pathway decomposition behind
+    * "discounts lift revenue, but only via volume". Degenerate inputs
+    * (zero x/m variance, collinear x–m, n < 4) are omitted.
+    *
+    * @return one row: (n, a, b, c, c_prime, indirect, sobel_z,
+    *         p_value, prop_mediated), floats rounded 6 */
+  def mediation(df: DataFrame, xCol: String, mCol: String,
+                yCol: String): DataFrame = {
+    val x = F.col(xCol).cast("double")
+    val m = F.col(mCol).cast("double")
+    val y = F.col(yCol).cast("double")
+    val ok = Seq(x, m, y).map(c => c.isNotNull && !F.isnan(c))
+      .reduce(_ && _)
+    val agged = df.where(ok)
+      .select(x.as("__x"), m.as("__m"), y.as("__y"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.avg("__x").as("mx"), F.avg("__m").as("mm"),
+        F.avg("__y").as("my"),
+        F.var_pop("__x").as("vx"), F.var_pop("__m").as("vm"),
+        F.var_pop("__y").as("vy"),
+        F.covar_pop("__x", "__m").as("cxm"),
+        F.covar_pop("__x", "__y").as("cxy"),
+        F.covar_pop("__m", "__y").as("cmy"))
+    val nD = F.col("n").cast("double")
+    val vx = F.col("vx"); val vm = F.col("vm"); val vy = F.col("vy")
+    val cxm = F.col("cxm"); val cxy = F.col("cxy")
+    val cmy = F.col("cmy")
+    val a = cxm / vx
+    val c = cxy / vx
+    val det = vx * vm - cxm * cxm
+    val cPrime = (vm * cxy - cxm * cmy) / det
+    val b = (vx * cmy - cxm * cxy) / det
+    // first-stage residual variance (dof n−2), full-model (dof n−3)
+    val s2a = nD * (vm - a * cxm) / (nD - 2.0)
+    val seA = F.sqrt(s2a / (nD * vx))
+    val s2f = nD * (vy - cPrime * cxy - b * cmy) / (nD - 3.0)
+    val seB = F.sqrt(s2f * vx / (nD * det))
+    val sobel = a * b / F.sqrt(a * a * seB * seB + b * b * seA * seA)
+    val erfcUdf = F.udf((z: Double) =>
+      graft.functions.SpecialMath.erfc(math.abs(z) / math.sqrt(2.0)))
+    agged
+      .where(F.col("n") >= 4L && vx > 0.0 && vm > 0.0 && det > 0.0 &&
+        s2a > 0.0 && s2f > 0.0)
+      .withColumn("sobel_z", F.round(sobel, 6))
+      .select(F.col("n"), F.round(a, 6).as("a"), F.round(b, 6).as("b"),
+        F.round(c, 6).as("c"), F.round(cPrime, 6).as("c_prime"),
+        F.round(a * b, 6).as("indirect"), F.col("sobel_z"),
+        F.round(erfcUdf(F.col("sobel_z")), 6).as("p_value"),
+        F.when(F.abs(c) > 0.0, F.round(a * b / c, 6))
+          .as("prop_mediated"))
+  }
+
   /** OLS with cluster-robust (CR1) standard errors — the experiment
     * analyst's guard against "we randomized by STORE but computed SEs
     * by receipt": globally-demeaned slope β = Σx̃ỹ/Σx̃², then the

@@ -4549,6 +4549,43 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       periodUnit = 10L).count() == 0L)
   }
 
+  test("mediation recovers the exact Hadamard pathway split") {
+    import spark.implicits._
+    // x = h1, m = h1 + h2, y = m + h3 (orthogonal ±1 designs):
+    // a = 1, b = 1, c' = 0, c = 1 = c' + a·b, full mediation
+    val h1 = Seq(1, 1, 1, 1, -1, -1, -1, -1).map(_.toDouble)
+    val h2 = Seq(1, 1, -1, -1, 1, 1, -1, -1).map(_.toDouble)
+    val h3 = Seq(1, -1, 1, -1, 1, -1, 1, -1).map(_.toDouble)
+    val df = (0 until 8).map(i =>
+      (h1(i), h1(i) + h2(i), h1(i) + h2(i) + h3(i)))
+      .toDF("x", "m", "y")
+    val r = Regression.mediation(df, "x", "m", "y").head()
+    assert(r.getAs[Double]("a") == 1.0)
+    assert(r.getAs[Double]("b") == 1.0)
+    assert(r.getAs[Double]("c") == 1.0)
+    assert(r.getAs[Double]("c_prime") == 0.0)
+    assert(r.getAs[Double]("indirect") == 1.0)
+    assert(r.getAs[Double]("prop_mediated") == 1.0)
+    // sobel = 1/√(s2f·vx/(n·det) + s2a/(n·vx)) = 1/√(0.2 + 1/6)
+    val exp = 1.0 / math.sqrt(0.2 + 1.0 / 6.0)
+    assert(math.abs(r.getAs[Double]("sobel_z") - exp) < 1e-5)
+  }
+
+  test("binnedResponse steps with the threshold response") {
+    import spark.implicits._
+    val df = (1 to 10).map(i =>
+      (i.toDouble, if (i >= 6) 1.0 else 0.0)).toDF("x", "y")
+    val r = Ranks.binnedResponse(df, "x", "y", bins = 2)
+      .collect().map(x => x.getAs[Long]("bucket") -> x).toMap
+    assert(r(1L).getAs[Double]("x_mean") == 3.0)
+    assert(r(1L).getAs[Double]("y_mean") == 0.0)
+    assert(r(2L).getAs[Double]("x_mean") == 8.0)
+    assert(r(2L).getAs[Double]("y_mean") == 1.0)
+    // constant response within a bucket: CI collapses to the mean
+    assert(r(2L).getAs[Double]("ci_lo") == 1.0)
+    assert(r(2L).getAs[Double]("ci_hi") == 1.0)
+  }
+
   test("mmrRerank trades relevance for diversity") {
     import spark.implicits._
     // id1 near the query, id2 a near-duplicate of id1, id3 distinct:
