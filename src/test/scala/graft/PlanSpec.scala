@@ -488,4 +488,50 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct"), plan.take(800))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
+
+  test("q_trigram_logprob shrinks corpus tables semi-joined, then broadcasts") {
+    val plan = physicalPlan("q_trigram_logprob")
+    // the corpus n-gram tables must reach the slice as LeftSemi +
+    // broadcast builds — nothing corpus-sized shuffles into the probe
+    assert(plan.contains("LeftSemi"), plan.take(800))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("q_sketch_cms estimate side broadcasts the bounded cell table") {
+    val plan = physicalPlan("q_sketch_cms")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("new stat panels avoid cartesians and single-partition windows") {
+    for (q <- Seq("q_fixed_effects", "q_cluster_se", "q_mediation",
+        "q_inequality", "q_zip_moments")) {
+      val plan = physicalPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(400)}")
+      // the only tolerated SinglePartition is the final 1-row fold
+      assert(!plan.contains("Window [") ||
+        !plan.contains("SinglePartition, Window"),
+        s"$q window on SinglePartition: ${plan.take(400)}")
+    }
+  }
+
+  test("q_silhouette joins rows against broadcast centroids, never pairwise") {
+    val plan = physicalPlan("q_silhouette")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+  }
+
+  test("per-key series tests keep windows partitioned by key") {
+    for (q <- Seq("q_pettitt", "q_kpss", "q_runs_test", "q_hurst",
+        "q_periodogram", "q_pacf")) {
+      val plan = physicalPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(400)}")
+      // every window partitions by the key — no global-sort window
+      assert(!plan.contains("Window [") ||
+        plan.contains("hashpartitioning"),
+        s"$q: ${plan.take(400)}")
+    }
+  }
 }
