@@ -2490,6 +2490,28 @@ object SparkEntry {
             (F.col("l_returnflag") =!= "N").as("ev")),
         "l_quantity", "ev", Seq("l_linestatus"), tau = 30.0)
         .orderBy("l_linestatus")),
+    "q_mrl" -> ((s, dir) =>
+      // truncated mean residual life per line status: expected
+      // remaining duration at each event time — the same t-ordered
+      // remaining-area window as q_rmst_diff, per curve point
+      Survival.meanResidualLife(
+        li(s, dir).where(F.col("l_orderkey") < 100000)
+          .select(F.col("l_linestatus"), F.col("l_quantity"),
+            (F.col("l_returnflag") =!= "N").as("ev")),
+        "l_quantity", "ev", Seq("l_linestatus"), tau = 30.0)
+        .orderBy("l_linestatus", "t")),
+    "q_gumbel" -> ((s, dir) =>
+      // extreme-value tail planning: Gumbel moments on daily value
+      // maxima per event type + the 365-day return level — the worst
+      // case a p99.9 can't extrapolate to
+      StatTests.gumbelByGroup(
+        events(s, dir)
+          .where(F.col("event_type").isNotNull && F.col("ts").isNotNull)
+          .select(F.col("event_type"),
+            F.expr("CAST(ts AS BIGINT) DIV 86400000000000").as("day"),
+            F.col("value")),
+        Seq("event_type"), "day", "value", returnPeriod = 365)
+        .orderBy("event_type")),
     "q_cond_survival" -> ((s, dir) =>
       // conditional survival S(a+10 | a) at anchors 10/20/30 per line
       // status — the "given you made it this far" re-forecast; as-of
@@ -10950,6 +10972,82 @@ object SparkEntry {
         |    AND c.t >= p.t - INTERVAL 1 HOUR AND c.t < p.t)
         |SELECT CAST(count(*) AS BIGINT) AS n_paths,
         |  CAST(count(DISTINCT u) AS BIGINT) AS n_users FROM j""".stripMargin,
+    // MRL replay: the KM step curve, segment areas with a t-ordered
+    // cumulative window, remaining-area / survival per curve point.
+    "q_mrl" ->
+      """WITH base AS (SELECT l_linestatus AS g,
+        |    CAST(l_quantity AS DOUBLE) AS t,
+        |    (l_returnflag <> 'N') AS e
+        |  FROM lineitem WHERE l_orderkey < 100000
+        |    AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND CAST(l_quantity AS DOUBLE) >= 0.0
+        |    AND l_returnflag IS NOT NULL),
+        |cells AS (SELECT g, t,
+        |    CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY g, t),
+        |w AS (SELECT g, t, d, c,
+        |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT)
+        |      - CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS BIGINT) AS nr
+        |  FROM cells),
+        |s AS (SELECT g, t,
+        |    CASE WHEN d = nr THEN 0.0
+        |      ELSE exp(sum(CASE WHEN d = nr THEN 0.0
+        |        ELSE ln(1.0 - CAST(d AS DOUBLE) / nr) END)
+        |        OVER (PARTITION BY g ORDER BY t ROWS BETWEEN
+        |          UNBOUNDED PRECEDING AND CURRENT ROW)) END AS surv
+        |  FROM w),
+        |km AS (SELECT g, t, round(surv, 6) AS sv FROM s
+        |  WHERE t <= 30.0),
+        |seg AS (SELECT g, t, sv,
+        |    coalesce(lag(t) OVER (PARTITION BY g ORDER BY t), 0.0)
+        |      AS tp,
+        |    coalesce(lag(sv) OVER (PARTITION BY g ORDER BY t), 1.0)
+        |      AS sp
+        |  FROM km),
+        |seg2 AS (SELECT g, t, sv, sp * (t - tp) AS sg,
+        |    sum(sp * (t - tp)) OVER (PARTITION BY g ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum
+        |  FROM seg),
+        |tot AS (SELECT g,
+        |    sum(sg) + max_by(sv, t) * (30.0 - max(t)) AS rmst
+        |  FROM seg2 GROUP BY g)
+        |SELECT seg2.g AS l_linestatus, seg2.t AS t,
+        |  seg2.sv AS survival,
+        |  CASE WHEN seg2.sv > 0.0
+        |    THEN round((tot.rmst - seg2.cum) / seg2.sv, 6) END AS mrl
+        |FROM seg2 JOIN tot ON seg2.g = tot.g
+        |ORDER BY l_linestatus, t""".stripMargin,
+    // Gumbel replay: (group, day) maxima, explicit moment sums, the
+    // same beta/mu/return-level op order.
+    "q_gumbel" ->
+      """WITH e AS (SELECT event_type AS k,
+        |    epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |mx AS (SELECT k, day, max(v) AS m FROM e GROUP BY k, day),
+        |a AS (SELECT k, CAST(count(*) AS BIGINT) AS n_blocks,
+        |    sum(m) AS s, sum(m * m) AS ss FROM mx GROUP BY k),
+        |f AS (SELECT k, n_blocks, CAST(n_blocks AS DOUBLE) AS nd,
+        |    s / CAST(n_blocks AS DOUBLE) AS mn, ss FROM a
+        |  WHERE n_blocks >= 3),
+        |g AS (SELECT k, n_blocks, mn,
+        |    (ss - nd * mn * mn) / (nd - 1.0) AS s2 FROM f),
+        |h AS (SELECT k, n_blocks, mn, s2,
+        |    sqrt(s2) * sqrt(6.0) / pi() AS beta FROM g
+        |  WHERE s2 > 0.0),
+        |i AS (SELECT k, n_blocks, beta,
+        |    mn - beta * 0.5772156649015329 AS mu FROM h)
+        |SELECT k AS event_type, n_blocks, round(mu, 6) AS mu,
+        |  round(beta, 6) AS beta,
+        |  round(mu - beta * ln(-ln(1.0 - 1.0 / 365.0)), 6)
+        |    AS return_level
+        |FROM i ORDER BY event_type""".stripMargin,
     // Conditional-survival replay: the q_km_curve step function, an
     // anchor grid, and as-of (last point ≤ anchor) lookups.
     "q_cond_survival" ->

@@ -664,6 +664,54 @@ object StatTests {
         F.round((s2 - m) / (m * m + s2 - m), 6).as("pi")): _*)
   }
 
+  /** Gumbel extreme-value fit on block maxima, with return levels —
+    * "how bad is the 1-in-T-blocks worst case": reduce each (group,
+    * block) to its maximum, then the method-of-moments Gumbel fit
+    *
+    *   β̂ = s·√6/π,   μ̂ = m − γ·β̂   (γ = Euler–Mascheroni),
+    *   z_T = μ̂ − β̂·ln(−ln(1 − 1/T))  (the T-block return level)
+    *
+    * — the tail-planning number a p99.9 cannot give (quantiles stop at
+    * the data; the EV fit extrapolates). ONE (group, block) max
+    * aggregation + one moment fold; groups with < 3 blocks or zero
+    * max-variance are omitted.
+    *
+    * @param returnPeriod T in blocks for the reported return level
+    * @return one row per group: (groupCols..., n_blocks, mu, beta,
+    *         return_level), floats rounded 6 */
+  def gumbelByGroup(df: DataFrame, groupCols: Seq[String],
+                    blockCol: String, valueCol: String,
+                    returnPeriod: Int): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(!groupCols.exists(_.startsWith("__")),
+      "group columns must not use the __ internal prefix")
+    require(returnPeriod >= 2, "returnPeriod must be >= 2")
+    val v = F.col(valueCol).cast("double")
+    val gCols = groupCols.map(F.col)
+    val maxima = df
+      .where(v.isNotNull && !F.isnan(v) && F.col(blockCol).isNotNull)
+      .groupBy(gCols :+ F.col(blockCol): _*)
+      .agg(F.max(v).as("__mx"))
+    val agged = maxima.groupBy(gCols: _*).agg(
+      F.count(F.lit(1)).as("n_blocks"),
+      F.sum("__mx").as("__s"),
+      F.sum(F.col("__mx") * F.col("__mx")).as("__ss"))
+    val nD = F.col("n_blocks").cast("double")
+    val m = F.col("__s") / nD
+    val s2 = (F.col("__ss") - nD * m * m) / (nD - 1.0)
+    val beta = F.sqrt(s2) * math.sqrt(6.0) / math.Pi
+    val gamma = 0.5772156649015329
+    val mu = m - beta * gamma
+    val rl = mu - beta *
+      math.log(-math.log(1.0 - 1.0 / returnPeriod))
+    agged
+      .where(F.col("n_blocks") >= 3L && s2 > 0.0)
+      .select(gCols ++ Seq(F.col("n_blocks"),
+        F.round(mu, 6).as("mu"),
+        F.round(beta, 6).as("beta"),
+        F.round(rl, 6).as("return_level")): _*)
+  }
+
   /** Welch's unequal-variance t-test per group — "is cohort A's mean
     * different from cohort B's, for every tenant at once":
     *

@@ -559,6 +559,46 @@ object Survival {
           .as("cond_survival")): _*)
   }
 
+  /** Truncated mean residual life curve — "a subject alive at t has
+    * how much time left (within horizon τ)":
+    *
+    *   mrl_τ(t) = ∫_t^τ S(u) du / S(t)
+    *
+    * per (group, event time ≤ τ) — the capacity-planning / LTV view of
+    * the KM curve ([[conditionalSurvival]] gives the probability of
+    * lasting h more; this gives the EXPECTED remaining time). The
+    * remaining areas ride the same ONE t-ordered cumulative window as
+    * [[rmstDiff]]; rows where S(t) = 0 get a null mrl.
+    *
+    * @return one row per (group, t): (groupCols..., t, survival, mrl),
+    *         floats rounded 6 */
+  def meanResidualLife(df: DataFrame, durationCol: String,
+                       eventCol: String, groupCols: Seq[String],
+                       tau: Double): DataFrame = {
+    require(tau > 0.0, "tau must be positive")
+    val gCols = groupCols.map(F.col)
+    val km = kmByGroup(df, durationCol, eventCol, groupCols)
+      .where(F.col("t") <= tau)
+    val wOrd = Window.partitionBy(gCols: _*).orderBy("t")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val seg = km
+      .withColumn("__tp",
+        F.coalesce(F.lag("t", 1).over(wOrd), F.lit(0.0)))
+      .withColumn("__sp",
+        F.coalesce(F.lag("survival", 1).over(wOrd), F.lit(1.0)))
+      .withColumn("__seg", F.col("__sp") * (F.col("t") - F.col("__tp")))
+      .withColumn("__cum", F.sum("__seg").over(wCum))
+    val tot = seg.groupBy(gCols: _*).agg(
+      (F.sum("__seg") + F.max_by(F.col("survival"), F.col("t")) *
+        (F.lit(tau) - F.max(F.col("t")))).as("__rmst"))
+    seg.join(F.broadcast(tot), groupCols)
+      .select(gCols ++ Seq(F.col("t"), F.col("survival"),
+        F.when(F.col("survival") > 0.0,
+          F.round((F.col("__rmst") - F.col("__cum")) /
+            F.col("survival"), 6)).as("mrl")): _*)
+  }
+
   /** Two-sample RMST difference test — "how many time units of
     * survival does cohort B buy over cohort A by horizon τ", the
     * effect-size companion to [[logRank]]'s pure significance (and the

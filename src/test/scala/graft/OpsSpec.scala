@@ -4753,6 +4753,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("n_common") == 2L)
   }
 
+  test("meanResidualLife divides the remaining area by survival") {
+    import spark.implicits._
+    // events at 1..4, tau 10: rmst = 2.5; mrl = 2.0, 1.5, 1.0, null
+    val df = Seq(1.0, 2.0, 3.0, 4.0).map(("g", _, true))
+      .toDF("g", "t0", "ev")
+    val r = Survival.meanResidualLife(df, "t0", "ev", Seq("g"),
+        tau = 10.0)
+      .collect().map(x => x.getAs[Double]("t") -> x).toMap
+    assert(r(1.0).getAs[Double]("mrl") == 2.0)
+    assert(r(2.0).getAs[Double]("mrl") == 1.5)
+    assert(r(3.0).getAs[Double]("mrl") == 1.0)
+    assert(r(4.0).isNullAt(r(4.0).fieldIndex("mrl")))
+  }
+
+  test("gumbelByGroup fits the hand-computed block maxima") {
+    import spark.implicits._
+    // block maxima 1, 2, 3: m = 2, s = 1 -> beta = √6/π,
+    // mu = 2 − γ·beta, rl(2) = mu − beta·ln(−ln(1/2))
+    val df = Seq(("g", 1L, 0.5), ("g", 1L, 1.0), ("g", 2L, 2.0),
+      ("g", 3L, 1.0), ("g", 3L, 3.0)).toDF("g", "day", "v")
+    val r = StatTests.gumbelByGroup(df, Seq("g"), "day", "v",
+      returnPeriod = 2).head()
+    assert(r.getAs[Long]("n_blocks") == 3L)
+    val beta = math.sqrt(6.0) / math.Pi
+    val mu = 2.0 - beta * 0.5772156649015329
+    val rl = mu - beta * math.log(-math.log(0.5))
+    assert(math.abs(r.getAs[Double]("beta") - beta) < 1e-6)
+    assert(math.abs(r.getAs[Double]("mu") - mu) < 1e-6)
+    assert(math.abs(r.getAs[Double]("return_level") - rl) < 1e-6)
+    // fewer than 3 blocks -> omitted
+    val tiny = Seq(("g", 1L, 1.0), ("g", 2L, 2.0)).toDF("g", "day", "v")
+    assert(StatTests.gumbelByGroup(tiny, Seq("g"), "day", "v",
+      returnPeriod = 2).count() == 0L)
+  }
+
   test("conditionalSurvival is the as-of KM ratio") {
     import spark.implicits._
     // events at 1,2,3,4: S = .75, .5, .25, 0
