@@ -196,8 +196,13 @@ object Bench {
     // so the FULL record now goes to a file and the printed line stays
     // short: total + scale/dist checks + a pointer to the file. The
     // driver parses the line; humans and the judge read the file.
+    // the opt-in quadrature row is deliberately untimed (see `untimed`
+    // above) — record that exclusion explicitly, per the no-silent-caps
+    // rule, so 394-timed-vs-395-queries is visible in the artifact itself
+    val excludedJson = (if (only.isEmpty) untimed.toSeq.sorted else Nil)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"$scaleJson$distJson,"memo":$memoJson,"queries":$qs}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","excluded":$excludedJson$scaleJson$distJson,"memo":$memoJson,"queries":$qs}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "/root/repo/BENCH_full.json")
     try {
@@ -206,7 +211,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"BENCH full-json write failed: $e")
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size}$scaleJson$distJson,"file":"$fullPath"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"excluded":$excludedJson$scaleJson$distJson,"file":"$fullPath"}""")
     spark.stop()
   }
 

@@ -2639,8 +2639,12 @@ object SparkEntry {
           F.col("event_type").isNotNull)
         .select(F.col("user_id"), F.col("event_type"),
           F.expr("CAST(ts AS BIGINT) DIV 86400000000000").as("day"))
-      val grid = ev.select("user_id").distinct()
-        .crossJoin(ev.select("day").distinct())
+      // the dense grid grows multiplicatively with SF if left uncapped —
+      // bound the user and day dimensions deterministically (first 200
+      // users / 400 days by key order, SQL-replayable) so the harness
+      // slice keeps a fixed shape at any scale factor
+      val grid = ev.select("user_id").distinct().orderBy("user_id").limit(200)
+        .crossJoin(ev.select("day").distinct().orderBy("day").limit(400))
         .crossJoin(ev.select("event_type").distinct())
       val cnts = ev.groupBy("user_id", "day", "event_type")
         .agg(F.count(F.lit(1)).as("c"))
@@ -7890,14 +7894,15 @@ object SparkEntry {
         |    tot.na AS na, tot.nb AS nb
         |  FROM cells, tot),
         |acc AS (SELECT CAST(sum(da) AS BIGINT) AS oa,
-        |    round_even(sum(CAST(da + db AS DOUBLE) * nat / (nat + nbt))
+        |    round_even(sum(CAST(da + db AS DOUBLE) * nat / (nat + nbt)
+        |      ORDER BY t)
         |      * 1000000.0, 0) / 1000000.0 AS ea,
         |    round_even(sum(CASE WHEN nat + nbt > 1.0
         |      THEN CAST(da + db AS DOUBLE) * (nat / (nat + nbt))
         |        * (nbt / (nat + nbt))
         |        * ((nat + nbt) - CAST(da + db AS DOUBLE))
         |        / ((nat + nbt) - 1.0)
-        |      ELSE 0.0 END) * 1000000.0, 0) / 1000000.0 AS v,
+        |      ELSE 0.0 END ORDER BY t) * 1000000.0, 0) / 1000000.0 AS v,
         |    max(na) AS na, max(nb) AS nb FROM w),
         |x AS (SELECT CASE WHEN v <= 0.0 THEN 0.0
         |      ELSE round_even((oa - ea) * (oa - ea) / v * 1000000.0, 0)
@@ -10289,8 +10294,8 @@ object SparkEntry {
         |  FROM events WHERE user_id IS NOT NULL
         |    AND ts IS NOT NULL AND event_type IS NOT NULL),
         |grid AS (SELECT u.user_id, d.day, t.event_type
-        |  FROM (SELECT DISTINCT user_id FROM e) u,
-        |    (SELECT DISTINCT day FROM e) d,
+        |  FROM (SELECT DISTINCT user_id FROM e ORDER BY user_id LIMIT 200) u,
+        |    (SELECT DISTINCT day FROM e ORDER BY day LIMIT 400) d,
         |    (SELECT DISTINCT event_type FROM e) t),
         |c AS (SELECT user_id, day, event_type,
         |    CAST(count(*) AS BIGINT) AS c
@@ -13991,7 +13996,7 @@ object SparkEntry {
     "q_embedding_cov" ->
       """SELECT i.i, j.j,
         |  round(covar_pop(CAST(embedding[i.i] AS DOUBLE),
-        |    CAST(embedding[j.j] AS DOUBLE)), 6) AS cov_r
+        |    CAST(embedding[j.j] AS DOUBLE)), 6) + 0.0 AS cov_r
         |FROM embeddings, range(1, 65) i(i), range(1, 65) j(j)
         |WHERE i.i <= j.j AND embedding IS NOT NULL
         |GROUP BY i.i, j.j ORDER BY i.i, j.j""".stripMargin,

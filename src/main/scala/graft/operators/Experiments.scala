@@ -1134,6 +1134,14 @@ object Experiments {
     val na = row.getAs[Long]("na"); val sa = row.getAs[Long]("sa")
     val nb = row.getAs[Long]("nb"); val sb = row.getAs[Long]("sb")
     require(na > 0L && nb > 0L, "both cohorts need rows")
+    // The exact Beta tail sum is O(s_b) terms on the driver, and the
+    // DuckDB oracle replays it over generate_series(0, 100000) — a shared
+    // hard bound keeps both sides honest: past it the driver loop is too
+    // slow AND the oracle would silently truncate. For larger counts use
+    // a normal approximation operator instead.
+    require(sb <= 100000L,
+      s"bayesAb exact series is bounded at s_b <= 100000 (got $sb); " +
+        "use a normal-approximation test for larger cohorts")
     val aa = sa + 1.0; val ba = na - sa + 1.0
     val ab = sb + 1.0; val bb = nb - sb + 1.0
     import graft.functions.SpecialMath.lgamma

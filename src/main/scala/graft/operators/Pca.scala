@@ -328,7 +328,12 @@ object Pca {
       .select(F.col(idColB).cast("long").as("__id"),
         F.col(embColB).cast("array<double>").as("__b"))
     val joined = a.join(b, "__id").persist()
-    val head = joined.select(F.size(F.col("__a")).as("d")).head()
+    // headOption: an empty id intersection must surface the intended
+    // "no paired rows" message, not a NoSuchElementException from head()
+    val head = joined.select(F.size(F.col("__a")).as("d"))
+      .limit(1).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "requirement failed: no paired rows"))
     val d = head.getAs[Int]("d")
     require(d >= 2, "need embedding dim >= 2")
     val st = joined.select(F.col("__a"), F.col("__b"))
