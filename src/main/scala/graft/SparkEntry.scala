@@ -4678,6 +4678,22 @@ object SparkEntry {
         math.rint(m.logLik * 100.0) / 100.0, m.n))
         .toDF("b0_r", "b1_r", "ll_r", "n")
     }),
+    "q_nbinom_glm" -> ((s, dir) => {
+      // NB2 GLM of quantity on discount — the regression rung the
+      // overdispersion router (q_dispersion_group) points at. 2 Poisson
+      // warm-start steps, MoM α at that fit, 2 NB2 Fisher steps; DuckDB
+      // replays the whole trajectory as a chained CTE
+      import s.implicits._
+      val df = li(s, dir).select(F.col("l_quantity").as("y"),
+        F.col("l_discount").as("x"))
+      val m = Regression.nbinomIrls(df, "y", Seq("x"),
+        poissonIters = 2, iters = 2)
+      Seq((math.rint(m.beta(0) * 1e6) / 1e6,
+        math.rint(m.beta(1) * 1e6) / 1e6,
+        math.rint(m.alpha * 1e6) / 1e6,
+        math.rint(m.logLik * 100.0) / 100.0, m.n))
+        .toDF("b0_r", "b1_r", "alpha_r", "ll_r", "n")
+    }),
     "q_energy_distance" -> ((s, dir) =>
       // Székely–Rizzo energy distance A-vs-N per line status over the
       // INTEGER-valued quantity column: every prefix sum is an exactly
@@ -14187,6 +14203,82 @@ object SparkEntry {
         |  round_even(ll.ll * 100.0, 0) / 100.0 AS ll_r,
         |  (SELECT n FROM b1) AS n
         |FROM b3, ll""".stripMargin,
+    // NB2 replay: the Poisson warm-start steps (q_poisson_glm CTEs),
+    // the MoM alpha aggregation, then each NB2 Fisher step with
+    // w = mu/(1+alpha*mu), and the final NB log-likelihood via lgamma.
+    "q_nbinom_glm" ->
+      """WITH base AS (SELECT CAST(l_quantity AS DOUBLE) AS y,
+        |    CAST(l_discount AS DOUBLE) AS x
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_discount IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE))
+        |    AND CAST(l_quantity AS DOUBLE) >= 0.0),
+        |b0i AS (SELECT ln(avg(y)) AS b FROM base),
+        |p1 AS (SELECT y, x, b0i.b AS pb0, exp(b0i.b) AS mu
+        |  FROM base CROSS JOIN b0i),
+        |it1 AS (SELECT any_value(pb0) AS pb0, sum(mu) AS h00,
+        |    sum(mu * x) AS h01, sum(mu * x * x) AS h11,
+        |    sum(y - mu) AS g0, sum((y - mu) * x) AS g1,
+        |    count(*) AS n FROM p1),
+        |b1 AS (SELECT
+        |    pb0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+        |    (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1, n
+        |  FROM it1),
+        |p2 AS (SELECT y, x, b.b0 AS pb0, b.b1 AS pb1,
+        |    exp(b.b0 + b.b1 * x) AS mu
+        |  FROM base CROSS JOIN b1 b),
+        |it2 AS (SELECT any_value(pb0) AS pb0, any_value(pb1) AS pb1,
+        |    sum(mu) AS h00, sum(mu * x) AS h01, sum(mu * x * x) AS h11,
+        |    sum(y - mu) AS g0, sum((y - mu) * x) AS g1 FROM p2),
+        |b2 AS (SELECT
+        |    pb0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+        |    pb1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1
+        |  FROM it2),
+        |pa AS (SELECT y, exp(b.b0 + b.b1 * x) AS mu
+        |  FROM base CROSS JOIN b2 b),
+        |al AS (SELECT greatest(sum((y - mu) * (y - mu) - mu)
+        |    / sum(mu * mu), 0.000001) AS alpha FROM pa),
+        |n1 AS (SELECT y, x, b.b0 AS pb0, b.b1 AS pb1, al.alpha AS alpha,
+        |    exp(b.b0 + b.b1 * x) AS mu
+        |  FROM base CROSS JOIN b2 b CROSS JOIN al),
+        |ni1 AS (SELECT any_value(pb0) AS pb0, any_value(pb1) AS pb1,
+        |    any_value(alpha) AS alpha,
+        |    sum(mu / (1.0 + alpha * mu)) AS h00,
+        |    sum(mu / (1.0 + alpha * mu) * x) AS h01,
+        |    sum(mu / (1.0 + alpha * mu) * x * x) AS h11,
+        |    sum((y - mu) / (1.0 + alpha * mu)) AS g0,
+        |    sum((y - mu) / (1.0 + alpha * mu) * x) AS g1 FROM n1),
+        |nb1 AS (SELECT
+        |    pb0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+        |    pb1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1,
+        |    alpha FROM ni1),
+        |n2 AS (SELECT y, x, b.b0 AS pb0, b.b1 AS pb1, b.alpha AS alpha,
+        |    exp(b.b0 + b.b1 * x) AS mu
+        |  FROM base CROSS JOIN nb1 b),
+        |ni2 AS (SELECT any_value(pb0) AS pb0, any_value(pb1) AS pb1,
+        |    any_value(alpha) AS alpha,
+        |    sum(mu / (1.0 + alpha * mu)) AS h00,
+        |    sum(mu / (1.0 + alpha * mu) * x) AS h01,
+        |    sum(mu / (1.0 + alpha * mu) * x * x) AS h11,
+        |    sum((y - mu) / (1.0 + alpha * mu)) AS g0,
+        |    sum((y - mu) / (1.0 + alpha * mu) * x) AS g1 FROM n2),
+        |nb2 AS (SELECT
+        |    pb0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+        |    pb1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1,
+        |    alpha FROM ni2),
+        |llp AS (SELECT y, 1.0 / b.alpha AS r,
+        |    exp(b.b0 + b.b1 * x) AS mu
+        |  FROM base CROSS JOIN nb2 b),
+        |ll AS (SELECT sum(lgamma(y + r) - lgamma(r) - lgamma(y + 1.0)
+        |    + r * (ln(r) - ln(r + mu))
+        |    + y * (ln(mu) - ln(r + mu))) AS ll FROM llp)
+        |SELECT round_even(nb2.b0 * 1e6, 0) / 1e6 AS b0_r,
+        |  round_even(nb2.b1 * 1e6, 0) / 1e6 AS b1_r,
+        |  round_even(nb2.alpha * 1e6, 0) / 1e6 AS alpha_r,
+        |  round_even(ll.ll * 100.0, 0) / 100.0 AS ll_r,
+        |  (SELECT n FROM b1) AS n
+        |FROM nb2, ll""".stripMargin,
     // Energy distance via the prefix-sum identity Σ|xᵢ−v| =
     // v·(2c−n) − (2s−S); integer-valued quantity → every sum exact
     "q_energy_distance" ->

@@ -708,6 +708,131 @@ object Regression {
       fin.getAs[Double]("pearson") / (n - k), n, iters)
   }
 
+  /** A fitted negative-binomial (NB2) GLM: β aligned to
+    * `"intercept" +: features`, the fixed overdispersion α, final-β
+    * log-likelihood, row count and the two fixed iteration counts. */
+  final case class NbinomModel(features: Seq[String], beta: Array[Double],
+                               alpha: Double, logLik: Double, n: Long,
+                               poissonIters: Int, iterations: Int) {
+    /** Expected response E[y|x] = exp(xᵀβ) as a codegen'd column. */
+    def predictMean: Column = {
+      val z = features.zipWithIndex.foldLeft(F.lit(beta(0))) {
+        case (acc, (f, i)) => acc + F.col(f).cast("double") * beta(i + 1)
+      }
+      F.exp(z)
+    }
+  }
+
+  /** Negative-binomial (NB2) regression with log link — the rung the
+    * overdispersion router (dispersionByGroup / nbinomMomentsByGroup)
+    * points at when the Poisson variance assumption fails: Var(y|x) =
+    * μ + α·μ² instead of μ, so Poisson-GLM standard errors on
+    * overdispersed counts are too small and its IRLS over-weights the
+    * high-μ rows. Three deterministic stages, all fixed-iteration so
+    * the whole trajectory replays as a chained CTE (the q_poisson_glm
+    * pattern, reference: spark_bestfit has no GLM layer — this is
+    * engine-side adjacency):
+    *
+    *   1. `poissonIters` Poisson Newton steps from β₀ = ln ȳ (the
+    *      α → 0 limit is the natural warm start — identical arithmetic
+    *      to [[poissonIrls]]);
+    *   2. α by method of moments at the Poisson fit — the NB2 moment
+    *      identity E[(y−μ)² − μ] = α·μ² gives
+    *      α̂ = Σ((y−μ)² − μ) / Σ μ², floored at 1e−6 (an
+    *      UNDER-dispersed sample would otherwise send α negative and
+    *      the likelihood out of the family); ONE aggregation, then α
+    *      is FIXED — profiling α per step would make the trajectory
+    *      non-replayable and is statistically second-order here;
+    *   3. `iters` Fisher-scoring steps on β with the NB2 working
+    *      weights w = μ/(1+αμ): gradient Xᵀ((y−μ)/(1+αμ)), expected
+    *      information XᵀWX, driver k×k solve.
+    *
+    * Final pass evaluates ℓ = Σ[lnΓ(y+r) − lnΓ(r) − lnΓ(y+1)
+    * + r(ln r − ln(r+μ)) + y(ln μ − ln(r+μ))], r = 1/α. Total jobs:
+    * poissonIters + iters + 3, independent of data size; no row ever
+    * collected. Rows with null/NaN features or null/NaN/negative
+    * response are excluded (y is a count).
+    */
+  def nbinomIrls(df: DataFrame, countCol: String, xCols: Seq[String],
+                 poissonIters: Int = 2, iters: Int = 3): NbinomModel = {
+    require(xCols.nonEmpty, "need at least one feature")
+    require(poissonIters >= 1 && iters >= 1,
+      "need at least one iteration in each stage")
+    val k = xCols.length + 1
+    val feats = F.lit(1.0) +: xCols.map(c => F.col(c).cast("double"))
+    val y = F.col(countCol).cast("double")
+    val ok = (xCols.map(F.col(_).cast("double")) :+ y)
+      .map(c => c.isNotNull && !F.isnan(c)).reduce(_ && _) && y >= 0.0
+    val clean = df.where(ok)
+    val meanY = clean.agg(F.avg(y)).head().getDouble(0)
+    require(meanY > 0.0, "mean response must be positive for a log link")
+    def zOf(beta: Array[Double]): Column =
+      feats.zipWithIndex.foldLeft(F.lit(0.0)) {
+        case (acc, (f, i)) => acc + f * beta(i)
+      }
+    var beta = Array.fill(k)(0.0); beta(0) = math.log(meanY)
+    var n = 0L
+    // stage 1: Poisson warm start (W = μ)
+    var it = 0
+    while (it < poissonIters) {
+      val mu = F.exp(zOf(beta))
+      val cols =
+        (for { i <- 0 until k; j <- i until k }
+          yield F.sum(mu * feats(i) * feats(j)).as(s"h_${i}_$j")) ++
+        (0 until k).map(i => F.sum((y - mu) * feats(i)).as(s"g_$i")) :+
+        F.count(F.lit(1)).as("n")
+      val r = clean.agg(cols.head, cols.tail: _*).head()
+      n = r.getAs[Long]("n")
+      val h = Array.ofDim[Double](k, k)
+      for { i <- 0 until k; j <- i until k } {
+        h(i)(j) = r.getAs[Double](s"h_${i}_$j"); h(j)(i) = h(i)(j)
+      }
+      val g = Array.tabulate(k)(i => r.getAs[Double](s"g_$i"))
+      val delta = solve(h, g)
+      beta = Array.tabulate(k)(i => beta(i) + delta(i))
+      it += 1
+    }
+    // stage 2: α by MoM at the Poisson fit, then FIXED
+    val muP = F.exp(zOf(beta))
+    val ar = clean.agg(
+      F.sum((y - muP) * (y - muP) - muP).as("num"),
+      F.sum(muP * muP).as("den")).head()
+    val alpha = math.max(ar.getAs[Double]("num") /
+      ar.getAs[Double]("den"), 1e-6)
+    // stage 3: NB2 Fisher scoring, w = μ/(1+αμ)
+    it = 0
+    while (it < iters) {
+      val mu = F.exp(zOf(beta))
+      val w = mu / (F.lit(1.0) + F.lit(alpha) * mu)
+      val gw = (y - mu) / (F.lit(1.0) + F.lit(alpha) * mu)
+      val cols =
+        (for { i <- 0 until k; j <- i until k }
+          yield F.sum(w * feats(i) * feats(j)).as(s"h_${i}_$j")) ++
+        (0 until k).map(i => F.sum(gw * feats(i)).as(s"g_$i"))
+      val r = clean.agg(cols.head, cols.tail: _*).head()
+      val h = Array.ofDim[Double](k, k)
+      for { i <- 0 until k; j <- i until k } {
+        h(i)(j) = r.getAs[Double](s"h_${i}_$j"); h(j)(i) = h(i)(j)
+      }
+      val g = Array.tabulate(k)(i => r.getAs[Double](s"g_$i"))
+      val delta = solve(h, g)
+      beta = Array.tabulate(k)(i => beta(i) + delta(i))
+      it += 1
+    }
+    // final pass: NB2 log-likelihood at (β, α); lgamma per ROW via the
+    // shared JVM kernel (the poissonIrls convention), constants folded
+    val rPar = 1.0 / alpha
+    val lgR = graft.functions.SpecialMath.lgamma(rPar)
+    val lgUdf = F.udf((v: Double) => graft.functions.SpecialMath.lgamma(v))
+    val muF = F.exp(zOf(beta))
+    val ll = clean.agg(F.sum(
+      lgUdf(y + F.lit(rPar)) - F.lit(lgR) - lgUdf(y + F.lit(1.0)) +
+        F.lit(rPar) * (F.lit(math.log(rPar)) - F.log(F.lit(rPar) + muF)) +
+        y * (F.log(muF) - F.log(F.lit(rPar) + muF))).as("ll"))
+      .head().getAs[Double]("ll")
+    NbinomModel(xCols, beta, alpha, ll, n, poissonIters, iters)
+  }
+
   /** Interrupted time series (segmented regression at a KNOWN break)
     * — the deploy/policy-change readout when there is no control
     * group: fit the trend separately before and after `breakTs` and

@@ -263,6 +263,43 @@ class RegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(rates(0) - 2.0) < 1e-9 && math.abs(rates(3) - 4.0) < 1e-9)
   }
 
+  test("nbinomIrls recovers saturated two-group rates with positive alpha") {
+    import spark.implicits._
+    // x∈{0,1} saturated means: the NB2 mean equations at convergence are
+    // the same as Poisson's (weights cancel within a saturated cell), so
+    // b0 → ln(mean y | x=0), b0+b1 → ln(mean y | x=1) regardless of α.
+    // Overdispersed cells (var >> mean) force α > 0.
+    val df = (Seq(1.0, 1.0, 10.0).map((0.0, _)) ++
+      Seq(2.0, 2.0, 20.0).map((1.0, _))).toDF("x", "y")
+    val m = Regression.nbinomIrls(df, "y", Seq("x"),
+      poissonIters = 6, iters = 8)
+    assert(math.abs(m.beta(0) - math.log(4.0)) < 1e-6)
+    assert(math.abs(m.beta(0) + m.beta(1) - math.log(8.0)) < 1e-6)
+    assert(m.alpha > 0.5, s"overdispersed cells must give alpha > 0, got ${m.alpha}")
+    assert(m.n == 6L)
+    // NB2 loglik at (β, α), summed by hand
+    val r = 1.0 / m.alpha
+    import graft.functions.SpecialMath.lgamma
+    val expectLl = Seq((1.0, 4.0), (1.0, 4.0), (10.0, 4.0),
+      (2.0, 8.0), (2.0, 8.0), (20.0, 8.0)).map { case (y, mu0) =>
+      val mu = if (mu0 == 4.0) math.exp(m.beta(0))
+        else math.exp(m.beta(0) + m.beta(1))
+      lgamma(y + r) - lgamma(r) - lgamma(y + 1.0) +
+        r * (math.log(r) - math.log(r + mu)) +
+        y * (math.log(mu) - math.log(r + mu))
+    }.sum
+    assert(math.abs(m.logLik - expectLl) < 1e-6)
+    // equidispersed data floors alpha at 1e-6 and stays ≈ Poisson
+    val eq = (Seq(2.0, 2.0, 2.0).map((0.0, _)) ++
+      Seq(4.0, 4.0, 4.0).map((1.0, _))).toDF("x", "y")
+    val me = Regression.nbinomIrls(eq, "y", Seq("x"))
+    assert(me.alpha == 1e-6)
+    assert(math.abs(me.beta(0) - math.log(2.0)) < 1e-6)
+    // predictMean reproduces the cell means as a column
+    val mu = df.select(m.predictMean.as("m")).collect().map(_.getDouble(0))
+    assert(math.abs(mu(0) - 4.0) < 1e-5 && math.abs(mu(3) - 8.0) < 1e-5)
+  }
+
   test("theilSenByGroup picks the exact lower-median slope") {
     import spark.implicits._
     // (0,0),(1,1),(2,4): slopes {1,2,3} → lower median 2; residuals
