@@ -3033,6 +3033,23 @@ object SparkEntry {
       Features.holtByKey(events(s, dir), "event_type", "ts", "value",
           periodUnit = 86400000000000L, alpha = 0.3, beta = 0.1)
         .orderBy("event_type", "period")),
+    "q_ar_fit" -> ((s, dir) =>
+      // AR(3) per event type via Yule-Walker closed forms over the
+      // decimal-exact daily means — the parametric rung above Holt
+      // that q_pacf's order chooser points at; Cramer's rule on the
+      // 3x3 Toeplitz system replays in SQL from the centered-lag sums
+      Features.arFitByKey(events(s, dir), "event_type", "ts", "value",
+          periodUnit = 86400000000000L, p = 3)
+        .orderBy("event_type")),
+    "q_ar_accuracy" -> ((s, dir) =>
+      // score the AR(1) in-sample one-step predictions with the shared
+      // forecast-accuracy fold (MASE vs the weekly seasonal naive) —
+      // the acceptance metric that q_holt's fitted column also runs
+      Features.forecastAccuracyByKey(
+        Features.arFittedByKey(events(s, dir), "event_type", "ts",
+          "value", periodUnit = 86400000000000L, p = 1),
+        "event_type", "period", "v", "fitted", seasonLag = 7)
+        .orderBy("event_type")),
     "q_mahalanobis" -> ((s, dir) =>
       // joint (quantity, price) outliers per line status: bivariate
       // Mahalanobis against the closed-form chi2(2) cut, fully
@@ -9168,6 +9185,106 @@ object SparkEntry {
         |  CAST(count(DISTINCT a) AS BIGINT) AS n_a,
         |  CAST(count(DISTINCT b) AS BIGINT) AS n_b
         |FROM m GROUP BY feature ORDER BY feature""".stripMargin,
+    // AR(3) Yule-Walker replay: decimal-exact daily means, centered-lag
+    // sums, Cramer's rule on the 3x3 Toeplitz system, innovation
+    // variance and the one-step forecast from the max_by-last deviations.
+    // + 0.0 on every rounded double: tiny-negative phis round to -0.0 in
+    // DuckDB but +0.0 through Spark's BigDecimal round (house rule).
+    "q_ar_fit" ->
+      """WITH e AS (SELECT event_type AS k,
+        |    epoch_ns(ts) // 86400000000000 AS p, value AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |cells AS (SELECT k, p,
+        |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS v
+        |  FROM e GROUP BY k, p),
+        |m AS (SELECT k, p, v, avg(v) OVER (PARTITION BY k) AS mu
+        |  FROM cells),
+        |d AS (SELECT k, p, mu, v - mu AS dd,
+        |    lag(v - mu, 1) OVER w AS d1,
+        |    lag(v - mu, 2) OVER w AS d2,
+        |    lag(v - mu, 3) OVER w AS d3
+        |  FROM m WINDOW w AS (PARTITION BY k ORDER BY p)),
+        |a AS (SELECT k, CAST(count(*) AS BIGINT) AS n, max(mu) AS mu,
+        |    sum(dd * dd) AS ss, sum(dd * d1) AS s1,
+        |    sum(dd * d2) AS s2, sum(dd * d3) AS s3,
+        |    max_by(dd, p) AS e0, max_by(d1, p) AS e1,
+        |    max_by(d2, p) AS e2
+        |  FROM d GROUP BY k),
+        |r AS (SELECT k, n, mu, ss, e0, e1, e2,
+        |    s1 / ss AS r1, s2 / ss AS r2, s3 / ss AS r3
+        |  FROM a WHERE n >= 5 AND ss > 0.0),
+        |c AS (SELECT k, n, mu, ss, e0, e1, e2, r1, r2, r3,
+        |    (1.0 - r1 * r1) - r1 * (r1 - r1 * r2)
+        |      + r2 * (r1 * r1 - r2) AS det,
+        |    r1 * (1.0 - r1 * r1) - r1 * (r2 - r1 * r3)
+        |      + r2 * (r2 * r1 - r3) AS n1,
+        |    (r2 - r1 * r3) - r1 * (r1 - r1 * r2)
+        |      + r2 * (r1 * r3 - r2 * r2) AS n2,
+        |    (r3 - r2 * r1) - r1 * (r1 * r3 - r2 * r2)
+        |      + r1 * (r1 * r1 - r2) AS n3
+        |  FROM r),
+        |f AS (SELECT k, n, mu, ss, e0, e1, e2, r1, r2, r3,
+        |    n1 / det AS f1, n2 / det AS f2, n3 / det AS f3
+        |  FROM c WHERE abs(det) > 1e-12)
+        |SELECT k AS event_type, n AS n_periods,
+        |  round(mu, 6) + 0.0 AS mean,
+        |  round(f1, 6) + 0.0 AS phi_1, round(f2, 6) + 0.0 AS phi_2,
+        |  round(f3, 6) + 0.0 AS phi_3,
+        |  round(ss / n * (1.0 - (f1 * r1 + f2 * r2 + f3 * r3)), 6)
+        |    + 0.0 AS sigma2,
+        |  round(mu + (f1 * e0 + f2 * e1 + f3 * e2), 6) + 0.0 AS forecast
+        |FROM f ORDER BY event_type""".stripMargin,
+    // AR(1) in-sample predictions scored by the shared accuracy fold:
+    // phi1 = s1/ss per key, fitted = mu + phi1*d_{t-1} (rounded 6, like
+    // the engine's long-form output), then MAE/RMSE/MAPE and MASE vs
+    // the lag-7 seasonal naive over the same rounded period means.
+    "q_ar_accuracy" ->
+      """WITH e AS (SELECT event_type AS k,
+        |    epoch_ns(ts) // 86400000000000 AS p, value AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |cells AS (SELECT k, p,
+        |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS v
+        |  FROM e GROUP BY k, p),
+        |m AS (SELECT k, p, v, avg(v) OVER (PARTITION BY k) AS mu
+        |  FROM cells),
+        |d AS (SELECT k, p, v, mu, v - mu AS dd,
+        |    lag(v - mu, 1) OVER w AS d1
+        |  FROM m WINDOW w AS (PARTITION BY k ORDER BY p)),
+        |a AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    sum(dd * dd) AS ss, sum(dd * d1) AS s1
+        |  FROM d GROUP BY k),
+        |coef AS (SELECT k, s1 / ss AS f1 FROM a
+        |  WHERE n >= 3 AND ss > 0.0),
+        |fit AS (SELECT d.k, d.p, round(d.v, 6) AS a,
+        |    CASE WHEN d.d1 IS NOT NULL
+        |      THEN round(d.mu + c.f1 * d.d1, 6) END AS pr
+        |  FROM d JOIN coef c ON d.k = c.k),
+        |w2 AS (SELECT k, p, a, pr,
+        |    lag(a, 7) OVER (PARTITION BY k ORDER BY p) AS nv FROM fit),
+        |agg AS (SELECT k,
+        |    CAST(sum(CASE WHEN pr IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_scored,
+        |    sum(CASE WHEN pr IS NOT NULL THEN abs(a - pr) END) AS sae,
+        |    sum(CASE WHEN pr IS NOT NULL
+        |      THEN abs(a - pr) * abs(a - pr) END) AS sse,
+        |    sum(CASE WHEN pr IS NOT NULL AND a <> 0.0
+        |      THEN abs(a - pr) / abs(a) END) AS sape,
+        |    CAST(sum(CASE WHEN pr IS NOT NULL AND a <> 0.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS nape,
+        |    sum(CASE WHEN nv IS NOT NULL THEN abs(a - nv) END) AS snv,
+        |    CAST(sum(CASE WHEN nv IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nnv
+        |  FROM w2 GROUP BY k)
+        |SELECT k AS event_type, n_scored,
+        |  round(sae / n_scored, 6) AS mae,
+        |  round(sqrt(sse / n_scored), 6) AS rmse,
+        |  CASE WHEN nape > 0 THEN round(sape / nape, 6) END AS mape,
+        |  CASE WHEN nnv > 0 AND snv / nnv > 0.0
+        |    THEN round((sae / n_scored) / (snv / nnv), 6) END AS mase
+        |FROM agg WHERE n_scored > 0
+        |ORDER BY event_type""".stripMargin,
     "q_acf" ->
       """WITH e AS (SELECT event_type AS k, epoch_ns(ts) AS tns,
         |    event_id, value AS x

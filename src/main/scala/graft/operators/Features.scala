@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import org.apache.spark.sql.expressions.Window
 
 /** Time-window feature engineering over an event stream — the
@@ -232,6 +232,161 @@ object Features {
         F.when(den2 > 0.0, F.round(p2, 6)).as("pacf_2"),
         F.when(den2 > 0.0 && F.abs(den3) > 0.0, F.round(p3, 6))
           .as("pacf_3"))
+  }
+
+  /** Shared scaffold for the AR(p) estimators: DECIMAL-exact period
+    * means per (key, period) (the [[holtByKey]] determinism trick),
+    * per-key mean/deviation, p lag columns over the period order, and
+    * ONE aggregation of the centered-lag sums c_ℓ = Σ d·d₋ℓ plus the
+    * LAST p deviations (max_by over the period) for the one-step
+    * forecast. Returns (key, n, mu, ss, s1..sp, e0..e{p−1}). */
+  private def arSums(df: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String, periodUnit: Long,
+                     p: Int): DataFrame = {
+    require(p >= 1 && p <= 3, "AR order p must be in 1..3")
+    require(periodUnit > 0L, "periodUnit must be positive")
+    val v = F.col(valueCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    val cells = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull && v.isNotNull &&
+        !F.isnan(v))
+      .groupBy(F.col(keyCol).as("__k"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("__p"))
+      .agg((F.sum(v.cast("decimal(38,6)")).cast("double") /
+        F.count(F.lit(1))).as("__v"))
+    val wAll = Window.partitionBy("__k")
+    val wOrd = Window.partitionBy("__k").orderBy("__p")
+    var cur = cells
+      .withColumn("__mu", F.avg("__v").over(wAll))
+      .withColumn("__d", F.col("__v") - F.col("__mu"))
+    (1 to p).foreach { l =>
+      cur = cur.withColumn(s"__dl$l", F.lag("__d", l).over(wOrd))
+    }
+    val aggs = Seq(
+      F.count(F.lit(1)).as("n"),
+      F.max(F.col("__mu")).as("mu"),
+      F.sum(F.col("__d") * F.col("__d")).as("ss")) ++
+      (1 to p).map(l =>
+        F.sum(F.col("__d") * F.col(s"__dl$l")).as(s"s$l")) ++
+      (0 until p).map(j =>
+        F.max_by(if (j == 0) F.col("__d") else F.col(s"__dl$j"),
+          F.col("__p")).as(s"e$j"))
+    cur.groupBy("__k").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Yule–Walker closed forms over the [[arSums]] columns: the φ
+    * columns for order p and the keep-predicate that excludes keys
+    * whose Toeplitz system is numerically singular. */
+  private def ywPhis(p: Int): (Seq[Column], Column) = {
+    def rho(l: Int): Column = F.col(s"s$l") / F.col("ss")
+    p match {
+      case 1 => (Seq(rho(1)), F.lit(true))
+      case 2 =>
+        val r1 = rho(1); val r2 = rho(2)
+        val den = F.lit(1.0) - r1 * r1
+        (Seq(r1 * (F.lit(1.0) - r2) / den, (r2 - r1 * r1) / den),
+          F.abs(den) > 1e-12)
+      case _ =>
+        val r1 = rho(1); val r2 = rho(2); val r3 = rho(3)
+        // det of [[1,r1,r2],[r1,1,r1],[r2,r1,1]] and Cramer numerators
+        val det = (F.lit(1.0) - r1 * r1) - r1 * (r1 - r1 * r2) +
+          r2 * (r1 * r1 - r2)
+        val n1 = r1 * (F.lit(1.0) - r1 * r1) - r1 * (r2 - r1 * r3) +
+          r2 * (r2 * r1 - r3)
+        val n2 = (r2 - r1 * r3) - r1 * (r1 - r1 * r2) +
+          r2 * (r1 * r3 - r2 * r2)
+        val n3 = (r3 - r2 * r1) - r1 * (r1 * r3 - r2 * r2) +
+          r1 * (r1 * r1 - r2)
+        (Seq(n1 / det, n2 / det, n3 / det), F.abs(det) > 1e-12)
+    }
+  }
+
+  /** AR(p) fit per key via Yule–Walker closed forms, p ≤ 3 — the
+    * parametric rung above [[holtByKey]] that [[pacfByKey]]'s order
+    * chooser points at. Over DECIMAL-exact period means (one bounded
+    * point per (key, period)), solve the p×p Toeplitz system
+    * R·φ = ρ with ρ_ℓ = c_ℓ/c₀ the same full-denominator estimator as
+    * [[acfByKey]]: φ₁ = ρ₁ for p = 1, the standard 2×2 forms for
+    * p = 2, Cramer's rule for p = 3 — all plain column arithmetic, so
+    * the whole fit replays in SQL from the lag sums. Innovation
+    * variance σ² = c₀(1 − Σ φ_ℓ ρ_ℓ); one-step-ahead forecast
+    * x̂_{n+1} = x̄ + Σ φ_ℓ (x_{n+1−ℓ} − x̄) from the last p deviations
+    * (max_by over the period — no second window pass).
+    *
+    * ONE key shuffle serves the mean window, the lag windows and the
+    * final fold; per-key state is the PERIOD frame, bounded by the
+    * time span, never row count. Keys with fewer than p+2 periods,
+    * zero variance, or a (numerically) singular Toeplitz system are
+    * omitted.
+    *
+    * @return one row per key: (keyCol, n_periods, mean, phi_1..phi_p,
+    *         sigma2, forecast), doubles rounded to 6 */
+  def arFitByKey(df: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String, periodUnit: Long,
+                 p: Int): DataFrame = {
+    val sums = arSums(df, keyCol, tsCol, valueCol, periodUnit, p)
+      .where(F.col("n") >= (p + 2).toLong && F.col("ss") > 0.0)
+    val c0 = F.col("ss") / F.col("n")
+    def rho(l: Int): Column = F.col(s"s$l") / F.col("ss")
+    val (phis, keep) = ywPhis(p)
+    val sigma2 = c0 * (F.lit(1.0) -
+      phis.zipWithIndex.map { case (ph, i) => ph * rho(i + 1) }
+        .reduce(_ + _))
+    val forecast = F.col("mu") +
+      phis.zipWithIndex.map { case (ph, j) => ph * F.col(s"e$j") }
+        .reduce(_ + _)
+    sums.where(keep)
+      .select(Seq(F.col("__k").as(keyCol), F.col("n").as("n_periods"),
+        F.round(F.col("mu"), 6).as("mean")) ++
+        phis.zipWithIndex.map { case (ph, i) =>
+          F.round(ph, 6).as(s"phi_${i + 1}") } ++
+        Seq(F.round(sigma2, 6).as("sigma2"),
+          F.round(forecast, 6).as("forecast")): _*)
+  }
+
+  /** In-sample one-step AR(p) predictions per (key, period) — the
+    * long-form companion to [[arFitByKey]] that
+    * [[forecastAccuracyByKey]] scores against Holt and seasonal-naive:
+    * fitted_t = x̄ + Σ φ_ℓ (x_{t−ℓ} − x̄) with the UNROUNDED Yule–Walker
+    * φ from the same sums (fitted null for the first p periods of a
+    * key). The per-key coefficient row joins back to the period frame
+    * on the key — both sides already partitioned by it.
+    *
+    * @return one row per (key, period): (keyCol, period, v, fitted),
+    *         doubles rounded to 6 (v is the exact period mean) */
+  def arFittedByKey(df: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String, periodUnit: Long,
+                    p: Int): DataFrame = {
+    require(p >= 1 && p <= 3, "AR order p must be in 1..3")
+    val v = F.col(valueCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    val cells = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull && v.isNotNull &&
+        !F.isnan(v))
+      .groupBy(F.col(keyCol).as("__k"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("__p"))
+      .agg((F.sum(v.cast("decimal(38,6)")).cast("double") /
+        F.count(F.lit(1))).as("__v"))
+    val sums = arSums(df, keyCol, tsCol, valueCol, periodUnit, p)
+      .where(F.col("n") >= (p + 2).toLong && F.col("ss") > 0.0)
+    val (phis, keep) = ywPhis(p)
+    val coef = sums.where(keep)
+      .select(Seq(F.col("__k"), F.col("mu")) ++
+        phis.zipWithIndex.map { case (ph, i) => ph.as(s"__phi${i + 1}") }: _*)
+    val wOrd = Window.partitionBy("__k").orderBy("__p")
+    var cur = cells.join(coef, "__k")
+      .withColumn("__d", F.col("__v") - F.col("mu"))
+    (1 to p).foreach { l =>
+      cur = cur.withColumn(s"__dl$l", F.lag("__d", l).over(wOrd))
+    }
+    val lagsPresent = (1 to p).map(l => F.col(s"__dl$l").isNotNull)
+      .reduce(_ && _)
+    val fitted = F.col("mu") +
+      (1 to p).map(l => F.col(s"__phi$l") * F.col(s"__dl$l"))
+        .reduce(_ + _)
+    cur.select(F.col("__k").as(keyCol), F.col("__p").as("period"),
+      F.round(F.col("__v"), 6).as("v"),
+      F.when(lagsPresent, F.round(fitted, 6)).as("fitted"))
   }
 
   /** Rolling Pearson correlation between two metrics per key over a

@@ -4716,6 +4716,60 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r.getAs[Double]("pacf_3") - (-0.255246)) < 1e-5)
   }
 
+  test("arFitByKey solves Yule-Walker on the linear ramp") {
+    import spark.implicits._
+    // x = 1..6 (periodUnit 1): mu = 3.5, ss = 17.5, r1 = 0.5,
+    // r2 = 1/17.5 — AR(1): phi = 0.5, sigma2 = c0(1 - 0.25) = 2.1875,
+    // forecast = 3.5 + 0.5*2.5 = 4.75
+    val df = (1 to 6).map(t => ("k", t.toLong, t.toDouble))
+      .toDF("key", "ts", "v")
+    val r1 = Features.arFitByKey(df, "key", "ts", "v",
+      periodUnit = 1L, p = 1).head()
+    assert(r1.getAs[Long]("n_periods") == 6L)
+    assert(r1.getAs[Double]("mean") == 3.5)
+    assert(r1.getAs[Double]("phi_1") == 0.5)
+    assert(r1.getAs[Double]("sigma2") == 2.1875)
+    assert(r1.getAs[Double]("forecast") == 4.75)
+    // AR(2) closed forms on the same sums: phi1 = r1(1-r2)/(1-r1^2),
+    // phi2 = (r2-r1^2)/(1-r1^2) = pacf_2
+    val r2 = Features.arFitByKey(df, "key", "ts", "v",
+      periodUnit = 1L, p = 2).head()
+    assert(math.abs(r2.getAs[Double]("phi_1") - 0.628571) < 1e-6)
+    assert(math.abs(r2.getAs[Double]("phi_2") - (-0.257143)) < 1e-6)
+    assert(math.abs(r2.getAs[Double]("forecast") - 4.685714) < 1e-6)
+    // AR(3) phi_3 equals pacf_3 (last Durbin-Levinson coefficient)
+    val r3 = Features.arFitByKey(df, "key", "ts", "v",
+      periodUnit = 1L, p = 3).head()
+    assert(math.abs(r3.getAs[Double]("phi_3") - (-0.255246)) < 1e-5)
+    // too-short keys are omitted (n >= p+2)
+    val short = (1 to 3).map(t => ("s", t.toLong, t.toDouble))
+      .toDF("key", "ts", "v")
+    assert(Features.arFitByKey(short, "key", "ts", "v", 1L, p = 2)
+      .count() == 0L)
+  }
+
+  test("arFittedByKey one-step predictions feed the accuracy fold") {
+    import spark.implicits._
+    val df = (1 to 6).map(t => ("k", t.toLong, t.toDouble))
+      .toDF("key", "ts", "v")
+    val fitted = Features.arFittedByKey(df, "key", "ts", "v",
+      periodUnit = 1L, p = 1)
+      .orderBy("period").collect()
+    assert(fitted.length == 6)
+    assert(fitted.head.isNullAt(fitted.head.fieldIndex("fitted")),
+      "first period has no lag")
+    // fitted_t = 3.5 + 0.5*d_{t-1}: t=2 -> 2.25, t=6 -> 4.25
+    assert(fitted(1).getAs[Double]("fitted") == 2.25)
+    assert(fitted(5).getAs[Double]("fitted") == 4.25)
+    val acc = Features.forecastAccuracyByKey(
+      Features.arFittedByKey(df, "key", "ts", "v", 1L, p = 1),
+      "key", "period", "v", "fitted", seasonLag = 1).head()
+    assert(acc.getAs[Long]("n_scored") == 5L)
+    // errors 0.25, 0.25, 0.75, 1.25, 1.75 -> mae 0.85; naive mae = 1.0
+    assert(acc.getAs[Double]("mae") == 0.85)
+    assert(acc.getAs[Double]("mase") == 0.85)
+  }
+
   test("cca2x2 recovers the Hadamard-design canonical pair") {
     import spark.implicits._
     // orthogonal ±1 design: x-block (h1, h2), y-block (h1+2·h3,
