@@ -4891,6 +4891,21 @@ object SparkEntry {
         .where(F.col("x.p") =!= F.col("y.p"))
         .select(F.col("x.p").as("src"), F.col("y.p").as("dst"))
       Graph.labelPropagation(e, "src", "dst", iters = 2).orderBy("node")
+    }),
+    "q_modularity" -> ((s, dir) => {
+      // Newman modularity of the 2-round label-propagation communities
+      // over the same parts-share-an-order graph — the acceptance
+      // metric for the partition; integer cell counts replay exactly,
+      // Q_c is plain arithmetic on (e_c, a_c, m)
+      val lp = li(s, dir).where(F.col("l_orderkey") < 3000)
+        .select(F.col("l_orderkey").as("k"), F.col("l_partkey").as("p"))
+        .distinct()
+      val e = lp.as("x").join(lp.as("y"), "k")
+        .where(F.col("x.p") =!= F.col("y.p"))
+        .select(F.col("x.p").as("src"), F.col("y.p").as("dst"))
+      val labels = Graph.labelPropagation(e, "src", "dst", iters = 2)
+      Graph.modularityByLabel(e, "src", "dst", labels)
+        .orderBy("label")
     })
   )
 
@@ -15016,6 +15031,65 @@ object SparkEntry {
         |    coalesce(w.label, l1.label) AS label
         |  FROM l1 LEFT JOIN (SELECT node, label FROM w2 WHERE rk = 1) w
         |    ON l1.node = w.node)
-        |SELECT node, label FROM l2 ORDER BY node""".stripMargin
+        |SELECT node, label FROM l2 ORDER BY node""".stripMargin,
+    // Modularity replay: the q_label_prop LP chain for the labels, the
+    // canonical a<b edge set, exact integer e_c / degree sums, then
+    // Q_c = e_c/m - (a_c/2m)^2 per community + the __total__ fold.
+    // + 0.0: singleton communities give tiny-negative Q_c -> -0.0.
+    "q_modularity" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+        |  FROM lineitem WHERE l_orderkey < 3000),
+        |und AS (SELECT DISTINCT CAST(a.p AS VARCHAR) AS a,
+        |    CAST(b.p AS VARCHAR) AS b
+        |  FROM lp a JOIN lp b ON a.k = b.k AND a.p <> b.p),
+        |l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+        |c1 AS (SELECT und.a AS node, l0.label,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM und JOIN l0 ON und.b = l0.node GROUP BY und.a, l0.label),
+        |w1 AS (SELECT node, label, row_number() OVER
+        |    (PARTITION BY node ORDER BY c DESC, label ASC) AS rk FROM c1),
+        |l1 AS (SELECT l0.node,
+        |    coalesce(w.label, l0.label) AS label
+        |  FROM l0 LEFT JOIN (SELECT node, label FROM w1 WHERE rk = 1) w
+        |    ON l0.node = w.node),
+        |c2 AS (SELECT und.a AS node, l1.label,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM und JOIN l1 ON und.b = l1.node GROUP BY und.a, l1.label),
+        |w2 AS (SELECT node, label, row_number() OVER
+        |    (PARTITION BY node ORDER BY c DESC, label ASC) AS rk FROM c2),
+        |l2 AS (SELECT l1.node,
+        |    coalesce(w.label, l1.label) AS label
+        |  FROM l1 LEFT JOIN (SELECT node, label FROM w2 WHERE rk = 1) w
+        |    ON l1.node = w.node),
+        |canon AS (SELECT DISTINCT a, b FROM und WHERE a < b),
+        |mm AS (SELECT CAST(count(*) AS DOUBLE) AS md FROM canon),
+        |ein AS (SELECT la.label,
+        |    CAST(count(*) AS BIGINT) AS internal_edges
+        |  FROM canon c JOIN l2 la ON c.a = la.node
+        |    JOIN l2 lb ON c.b = lb.node
+        |  WHERE la.label = lb.label GROUP BY la.label),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS dg
+        |  FROM (SELECT a AS node FROM canon
+        |    UNION ALL SELECT b FROM canon) GROUP BY node),
+        |ac AS (SELECT l2.label, CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum(deg.dg) AS BIGINT) AS degree_sum
+        |  FROM deg JOIN l2 ON deg.node = l2.node GROUP BY l2.label),
+        |per AS (SELECT ac.label, ac.n_nodes,
+        |    coalesce(ein.internal_edges, 0) AS internal_edges,
+        |    ac.degree_sum,
+        |    CAST(coalesce(ein.internal_edges, 0) AS DOUBLE) / mm.md
+        |      - (CAST(ac.degree_sum AS DOUBLE) / (2.0 * mm.md))
+        |        * (CAST(ac.degree_sum AS DOUBLE) / (2.0 * mm.md)) AS q
+        |  FROM ac LEFT JOIN ein ON ac.label = ein.label, mm)
+        |SELECT label, n_nodes,
+        |  CAST(internal_edges AS BIGINT) AS internal_edges,
+        |  degree_sum, round(q, 6) + 0.0 AS q_c FROM per
+        |UNION ALL
+        |SELECT '__total__' AS label,
+        |  CAST(sum(n_nodes) AS BIGINT) AS n_nodes,
+        |  CAST(sum(internal_edges) AS BIGINT) AS internal_edges,
+        |  CAST(sum(degree_sum) AS BIGINT) AS degree_sum,
+        |  round(sum(q), 6) + 0.0 AS q_c FROM per
+        |ORDER BY label""".stripMargin
   )
 }

@@ -399,6 +399,86 @@ object Graph {
     labels
   }
 
+  /** Newman modularity of a node labeling over the UNDIRECTED simple
+    * graph — the acceptance metric for [[labelPropagation]]'s
+    * communities (the recallAtK-for-graphs analogue: without it the
+    * operator emits partitions with no quality score):
+    *
+    *   Q = Σ_c [ e_c/m − (a_c/2m)² ]
+    *
+    * with m the undirected edge count, e_c the edges internal to
+    * community c, a_c the degree sum of c's nodes (2·e_c + cut edges).
+    * Q ≈ 0 for random partitions, → 1 for strong community structure;
+    * singleton-heavy labelings go NEGATIVE — the signal that the
+    * labeling collapsed.
+    *
+    * ONE edge⋈labels join (labels broadcast when node-sized-small) +
+    * two label-keyed aggregations, all counts exact integers; the per-
+    * community contribution is plain arithmetic on (e_c, a_c, m).
+    * Direction and multiplicity collapse (least/greatest + distinct),
+    * self-loops drop — the [[triangleStats]] graph convention. Nodes
+    * missing from `labels` drop from the degree/internal counts (the
+    * inner joins); [[labelPropagation]] labels every node of this
+    * graph, so on its output the partition is complete.
+    *
+    * @return one row per community plus a `__total__` row:
+    *         (label, n_nodes, internal_edges, degree_sum, q_c),
+    *         q_c rounded to 6 */
+  def modularityByLabel(edges: DataFrame, srcCol: String, dstCol: String,
+                        labels: DataFrame, nodeCol: String = "node",
+                        labelCol: String = "label"): DataFrame = {
+    val s = F.col(srcCol).cast("string")
+    val d = F.col(dstCol).cast("string")
+    val canon = edges.where(s.isNotNull && d.isNotNull && s =!= d)
+      .select(F.least(s, d).as("a"), F.greatest(s, d).as("b"))
+      .distinct().persist()
+    val m = canon.count()
+    require(m > 0L, "modularity needs at least one edge")
+    val lab = labels
+      .where(F.col(nodeCol).isNotNull && F.col(labelCol).isNotNull)
+      .select(F.col(nodeCol).cast("string").as("node"),
+        F.col(labelCol).cast("string").as("lab"))
+    val nNodes = lab.count()
+    val labB = maybeBroadcast(lab, nNodes <= maxBroadcastNodes)
+    val eIn = canon
+      .join(labB.select(F.col("node").as("a"), F.col("lab").as("la")), "a")
+      .join(labB.select(F.col("node").as("b"), F.col("lab").as("lb")), "b")
+      .where(F.col("la") === F.col("lb"))
+      .groupBy(F.col("la").as("label"))
+      .agg(F.count(F.lit(1)).as("internal_edges"))
+    val deg = canon.select(F.col("a").as("node"))
+      .union(canon.select(F.col("b").as("node")))
+      .groupBy("node").agg(F.count(F.lit(1)).as("__deg"))
+    val aC = deg.join(labB, "node")
+      .groupBy(F.col("lab").as("label"))
+      .agg(F.count(F.lit(1)).as("n_nodes"),
+        F.sum("__deg").as("degree_sum"))
+    val md = m.toDouble
+    val eInC = F.coalesce(F.col("internal_edges"), F.lit(0L))
+    val qc = eInC.cast("double") / md -
+      (F.col("degree_sum").cast("double") / (2.0 * md)) *
+        (F.col("degree_sum").cast("double") / (2.0 * md))
+    val per = aC.join(eIn, Seq("label"), "left")
+      .select(F.col("label"), F.col("n_nodes"),
+        eInC.as("internal_edges"),
+        F.col("degree_sum"), qc.as("__q"))
+    val total = per.agg(
+      F.sum("n_nodes").as("n_nodes"),
+      F.sum("internal_edges").as("internal_edges"),
+      F.sum("degree_sum").as("degree_sum"),
+      F.sum("__q").as("__q"))
+      .select(F.lit("__total__").as("label"), F.col("n_nodes"),
+        F.col("internal_edges"), F.col("degree_sum"), F.col("__q"))
+    val out = per
+      .select(F.col("label"), F.col("n_nodes"), F.col("internal_edges"),
+        F.col("degree_sum"), F.col("__q"))
+      .union(total)
+      .select(F.col("label"), F.col("n_nodes"), F.col("internal_edges"),
+        F.col("degree_sum"), F.round(F.col("__q"), 6).as("q_c"))
+    canon.unpersist(blocking = false)
+    out
+  }
+
   /** Per-node triangle count + local clustering coefficient over the
     * UNDIRECTED simple graph (direction and edge multiplicity are
     * collapsed; self-loops dropped) — the community-density prior that

@@ -4384,6 +4384,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.size == 6)
   }
 
+  test("modularityByLabel scores the two-clique partition") {
+    import spark.implicits._
+    // two disjoint triangles, perfectly partitioned: m = 6,
+    // per clique e_c = 3, a_c = 6 -> q_c = 3/6 - (6/12)^2 = 0.25,
+    // total Q = 0.5 (the textbook two-community maximum for this graph)
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("x", "y"), ("y", "z"), ("x", "z")).toDF("src", "dst")
+    val labels = Graph.labelPropagation(edges, "src", "dst", iters = 2)
+    val out = Graph.modularityByLabel(edges, "src", "dst", labels)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("a", "x", "__total__"))
+    Seq("a", "x").foreach { c =>
+      assert(out(c).getAs[Long]("n_nodes") == 3L)
+      assert(out(c).getAs[Long]("internal_edges") == 3L)
+      assert(out(c).getAs[Long]("degree_sum") == 6L)
+      assert(out(c).getAs[Double]("q_c") == 0.25)
+    }
+    assert(out("__total__").getAs[Double]("q_c") == 0.5)
+    assert(out("__total__").getAs[Long]("internal_edges") == 6L)
+    // everything-in-one-community scores Q = 0 exactly
+    val one = labels.withColumn("label", F.lit("all"))
+    val tot = Graph.modularityByLabel(edges, "src", "dst", one)
+      .where(F.col("label") === "__total__").head()
+    assert(tot.getAs[Double]("q_c") == 0.0)
+    // singleton partition goes negative (the collapse signal)
+    val singletons = labels.withColumn("label", F.col("node"))
+    val totS = Graph.modularityByLabel(edges, "src", "dst", singletons)
+      .where(F.col("label") === "__total__").head()
+    assert(totS.getAs[Double]("q_c") < 0.0)
+  }
+
   test("seasonalDecompose splits a pure period-2 series exactly") {
     import spark.implicits._
     // x = 1,3,1,3,1,3: trend ≡ 2 on interior points, seasonal −1/+1,
