@@ -4748,6 +4748,14 @@ object SparkEntry {
           (F.col("value") > 60).as("hi")),
         "user_id", "event_type", "hi",
         Seq("click", "view", "purchase"))),
+    "q_quantile_reg" -> ((s, dir) =>
+      // p90 price vs quantity: exact per-bin order-statistic quantiles
+      // (10 equal-width quantity bins) + the count-weighted trend line
+      // through the bin centers — the conditional-quantile rung next
+      // to Theil-Sen's robust mean trend
+      Regression.quantileTrend(li(s, dir), "l_quantity",
+        "l_extendedprice", tau = 0.9, nBins = 10)
+        .orderBy("bin")),
     "q_theil_sen" -> ((s, dir) =>
       // robust price-per-quantity trend per return flag on a bounded
       // slice; all pairs fit under the cap, and the pairwise-slope
@@ -14558,6 +14566,49 @@ object SparkEntry {
     // engine's md5 cap order (no group exceeds the cap here); lower
     // medians are exact order statistics — note CAST-vs-floor: DuckDB
     // CAST(double AS INT) rounds, so the rank select floors explicitly
+    // Conditional-quantile trend replay: equal-width bins from exact
+    // min/max, the ceil(n*tau) order statistic per bin via cumulative
+    // cells, then the count-weighted OLS over the bin centers.
+    "q_quantile_reg" ->
+      """WITH base AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |mm AS (SELECT min(x) AS lo, max(x) AS hi FROM base),
+        |bx AS (SELECT least(9, greatest(0,
+        |    CAST(floor((x - mm.lo) / (mm.hi - mm.lo) * 10) AS BIGINT)))
+        |    AS b, y
+        |  FROM base, mm),
+        |cells AS (SELECT b, y, CAST(count(*) AS BIGINT) AS c
+        |  FROM bx GROUP BY b, y),
+        |w AS (SELECT b, y, c,
+        |    CAST(sum(c) OVER (PARTITION BY b) AS BIGINT) AS n,
+        |    CAST(sum(c) OVER (PARTITION BY b ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM cells),
+        |bins AS (SELECT b, CAST(max(n) AS BIGINT) AS n,
+        |    min(CASE WHEN cum >= ceil(CAST(n AS DOUBLE) * 0.9)
+        |      THEN y END) AS q_y
+        |  FROM w GROUP BY b),
+        |binc AS (SELECT b, n, q_y,
+        |    mm.lo + (CAST(b AS DOUBLE) + 0.5) * ((mm.hi - mm.lo) / 10.0)
+        |      AS x_center
+        |  FROM bins, mm),
+        |fit AS (SELECT sum(CAST(n AS DOUBLE)) AS sw,
+        |    sum(CAST(n AS DOUBLE) * x_center) AS swx,
+        |    sum(CAST(n AS DOUBLE) * q_y) AS swy,
+        |    sum(CAST(n AS DOUBLE) * x_center * x_center) AS swxx,
+        |    sum(CAST(n AS DOUBLE) * x_center * q_y) AS swxy FROM binc),
+        |l AS (SELECT (sw * swxy - swx * swy)
+        |      / (sw * swxx - swx * swx) AS slope,
+        |    sw, swx, swy FROM fit)
+        |SELECT binc.b AS bin, binc.x_center, binc.n, binc.q_y,
+        |  round(l.slope, 6) + 0.0 AS slope,
+        |  round((l.swy - l.slope * l.swx) / l.sw, 6) + 0.0 AS intercept
+        |FROM binc, l ORDER BY bin""".stripMargin,
     "q_theil_sen" ->
       """WITH b AS (SELECT l_returnflag AS g,
         |    CAST(l_quantity AS DOUBLE) AS x,

@@ -833,6 +833,76 @@ object Regression {
     NbinomModel(xCols, beta, alpha, ll, n, poissonIters, iters)
   }
 
+  /** Conditional-quantile trend ("p90 latency vs load") — the
+    * quantile-regression reading that [[theilSenByGroup]]'s robust
+    * MEAN-trend can't give: bin x into `nBins` equal-width bins, take
+    * the EXACT τ-quantile of y per bin (the ⌈n·τ⌉-th order statistic
+    * via the cumulative-cell machinery — every emitted quantile is a
+    * value that occurred), then fit the count-weighted least-squares
+    * line through the (bin center, q_τ) points. The binned exact form
+    * trades the O(n²) exact simplex solution for one (bin, value)
+    * aggregation + per-bin windows + a bins-sized fold — the shape
+    * that survives 100 TB; the trend line answers the monitoring
+    * question directly.
+    *
+    * @param tau   quantile in (0,1), e.g. 0.9 for the p90 trend
+    * @param nBins equal-width x bins (empty bins simply don't appear)
+    * @return one row per non-empty bin: (bin, x_center, n, q_y,
+    *         slope, intercept) — slope/intercept are the weighted
+    *         trend over ALL bins, repeated per row (rounded to 6);
+    *         q_y is the exact order statistic, unrounded */
+  def quantileTrend(df: DataFrame, xCol: String, yCol: String,
+                    tau: Double, nBins: Int = 20): DataFrame = {
+    require(tau > 0.0 && tau < 1.0, "tau must be in (0,1)")
+    require(nBins >= 2 && nBins <= 10000, "nBins must be in 2..10000")
+    import org.apache.spark.sql.expressions.Window
+    val x = F.col(xCol).cast("double")
+    val y = F.col(yCol).cast("double")
+    val base = df
+      .where(x.isNotNull && !F.isnan(x) && y.isNotNull && !F.isnan(y))
+      .select(x.as("__x"), y.as("__y"))
+    val mm = base.agg(F.min("__x").as("lo"), F.max("__x").as("hi")).head()
+    val lo = mm.getDouble(0); val hi = mm.getDouble(1)
+    require(hi > lo, "x must have positive range")
+    val binCol = F.least(F.lit((nBins - 1).toLong),
+      F.greatest(F.lit(0L),
+        F.floor((F.col("__x") - lo) / (hi - lo) * nBins)))
+    val cells = base.select(binCol.as("__b"), F.col("__y"))
+      .groupBy("__b", "__y").agg(F.count(F.lit(1)).as("__c"))
+    val wg = Window.partitionBy("__b")
+    val wCum = Window.partitionBy("__b").orderBy("__y")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bins = cells
+      .withColumn("__n", F.sum("__c").over(wg))
+      .withColumn("__cum", F.sum("__c").over(wCum))
+      .groupBy("__b")
+      .agg(F.max("__n").as("n"),
+        F.min(F.when(F.col("__cum") >=
+          F.ceil(F.col("__n").cast("double") * tau), F.col("__y")))
+          .as("q_y"))
+      .withColumn("x_center",
+        F.lit(lo) + (F.col("__b").cast("double") + 0.5) *
+          F.lit((hi - lo) / nBins))
+    val w = F.col("n").cast("double")
+    val fit = bins.agg(
+      F.sum(w).as("__sw"),
+      F.sum(w * F.col("x_center")).as("__swx"),
+      F.sum(w * F.col("q_y")).as("__swy"),
+      F.sum(w * F.col("x_center") * F.col("x_center")).as("__swxx"),
+      F.sum(w * F.col("x_center") * F.col("q_y")).as("__swxy"))
+    val det = F.col("__sw") * F.col("__swxx") -
+      F.col("__swx") * F.col("__swx")
+    val slope = (F.col("__sw") * F.col("__swxy") -
+      F.col("__swx") * F.col("__swy")) / det
+    val line = fit.select(
+      F.round(slope, 6).as("slope"),
+      F.round((F.col("__swy") - slope * F.col("__swx")) / F.col("__sw"),
+        6).as("intercept"))
+    bins.crossJoin(F.broadcast(line))
+      .select(F.col("__b").as("bin"), F.col("x_center"), F.col("n"),
+        F.col("q_y"), F.col("slope"), F.col("intercept"))
+  }
+
   /** Interrupted time series (segmented regression at a KNOWN break)
     * — the deploy/policy-change readout when there is no control
     * group: fit the trend separately before and after `breakTs` and

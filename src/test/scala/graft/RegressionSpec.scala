@@ -300,6 +300,31 @@ class RegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(mu(0) - 4.0) < 1e-5 && math.abs(mu(3) - 8.0) < 1e-5)
   }
 
+  test("quantileTrend picks exact per-bin order statistics and the line") {
+    import spark.implicits._
+    // x = 0..9 (one value per bin at nBins=10), y = 10x + j for
+    // j = 0..9: the p90 per bin is the ceil(10*0.9) = 9th order
+    // statistic = 10x + 8; centers are 0.9b + 0.45, so the weighted
+    // line is slope 10/0.9, intercept 3
+    val rows = for { x <- 0 until 10; j <- 0 until 10 }
+      yield (x.toDouble, 10.0 * x + j)
+    val df = rows.toDF("x", "y")
+    val out = Regression.quantileTrend(df, "x", "y", tau = 0.9,
+      nBins = 10).orderBy("bin").collect()
+    assert(out.length == 10)
+    out.zipWithIndex.foreach { case (r, b) =>
+      assert(r.getAs[Long]("n") == 10L)
+      assert(r.getAs[Double]("q_y") == 10.0 * b + 8.0,
+        s"bin $b p90 must be the exact 9th order statistic")
+    }
+    assert(math.abs(out.head.getAs[Double]("slope") - 10.0 / 0.9) < 1e-5)
+    assert(math.abs(out.head.getAs[Double]("intercept") - 3.0) < 1e-5)
+    // tau = 0.5 picks the lower median (5th of 10) = 10x + 4
+    val med = Regression.quantileTrend(df, "x", "y", tau = 0.5,
+      nBins = 10).orderBy("bin").head()
+    assert(med.getAs[Double]("q_y") == 4.0)
+  }
+
   test("theilSenByGroup picks the exact lower-median slope") {
     import spark.implicits._
     // (0,0),(1,1),(2,4): slopes {1,2,3} → lower median 2; residuals
