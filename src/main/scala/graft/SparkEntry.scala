@@ -4748,6 +4748,58 @@ object SparkEntry {
           (F.col("value") > 60).as("hi")),
         "user_id", "event_type", "hi",
         Seq("click", "view", "purchase"))),
+    "q_wilcoxon" -> ((s, dir) =>
+      // rank-based twin of q_paired_t on the same quantity-vs-scaled-
+      // discount pairs: midranks over distinct |d| cells via the
+      // prefix-sum walk; W+ is a half-integer sum so it replays exactly
+      StatTests.wilcoxonSignedRank(
+        li(s, dir).select(F.col("l_quantity").as("a"),
+          (F.col("l_discount") * 100).as("b")),
+        "a", "b")),
+    "q_sign_test" -> ((s, dir) =>
+      // the assumption-free floor under q_wilcoxon: signs only, one
+      // aggregation of exact counts, continuity-corrected normal p
+      StatTests.signTest(
+        li(s, dir).select(F.col("l_quantity").as("a"),
+          (F.col("l_discount") * 100).as("b")),
+        "a", "b")),
+    "q_bartlett" -> ((s, dir) =>
+      // normal-theory variance homogeneity across return flags on the
+      // integer-valued quantity (moment sums exact); k = 3 → df = 2 so
+      // the chi2 survival replays as exp(-T/2)
+      StatTests.bartlettTest(li(s, dir), "l_returnflag", "l_quantity")),
+    "q_cliff_delta" -> ((s, dir) =>
+      // ordinal effect size for the q_drift_mwu cohort split: exact
+      // pair counts from the same prefix-sum substrate as U
+      StatTests.cliffsDelta(
+        li(s, dir).select(
+          F.when(F.col("l_orderkey") % 2 === 0, "a").otherwise("b")
+            .as("g"),
+          F.col("l_quantity").as("v")),
+        "g", "v")),
+    "q_jonckheere" -> ((s, dir) =>
+      // ordered-alternative trend: does order value fall monotonically
+      // with priority rank? J folds from per-value level counts in one
+      // prefix-sum pass; half-integer J replays exactly
+      StatTests.jonckheereTerpstra(
+        s.read.parquet(s"$dir/orders.parquet"), "o_orderpriority",
+        "o_totalprice",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+          "5-LOW"))),
+    "q_xicor" -> ((s, dir) =>
+      // Chatterjee's xi per return flag: functional-dependence
+      // coefficient of price on quantity — x-ties broken by the unique
+      // (orderkey, linenumber) so the statistic is reproducible
+      Ranks.xicorByGroup(li(s, dir), Seq("l_returnflag"), "l_quantity",
+        "l_extendedprice", Seq("l_orderkey", "l_linenumber"))
+        .orderBy("l_returnflag")),
+    "q_circular" -> ((s, dir) =>
+      // time-of-day direction per event type: resultant-vector mean
+      // angle + Rayleigh uniformity test; trig sums rounded first so
+      // every derived stat computes from the rounded values
+      Features.circularStatsByKey(events(s, dir), "event_type", "ts",
+        periodNanos = 86400000000000L)
+        .orderBy("event_type")),
     "q_quantile_reg" -> ((s, dir) =>
       // p90 price vs quantity: exact per-bin order-statistic quantiles
       // (10 equal-width quantity bins) + the count-weighted trend line
@@ -4756,6 +4808,53 @@ object SparkEntry {
       Regression.quantileTrend(li(s, dir), "l_quantity",
         "l_extendedprice", tau = 0.9, nBins = 10)
         .orderBy("bin")),
+    "q_ridge" -> ((s, dir) =>
+      // shrinkage path for price ~ (quantity, scaled discount): one
+      // decimal-exact moment pass prices every lambda; the coefficient
+      // drift under penalty is the collinearity diagnostic in action
+      Regression.ridge2(
+        li(s, dir).select(F.col("l_extendedprice").as("y"),
+          F.col("l_quantity").as("x1"),
+          (F.col("l_discount") * 100).as("x2")),
+        "y", "x1", "x2", lambdas = Seq(0.0, 1.0e6, 1.0e8))
+        .orderBy("lambda")),
+    "q_vif" -> ((s, dir) =>
+      // multicollinearity gate over the three lineitem drivers: exact
+      // closed-form 3x3 inverse diagonal on 6-rounded correlations
+      Regression.vif3(li(s, dir),
+        Seq("l_quantity", "l_discount", "l_tax"))
+        .orderBy("feature")),
+    "q_cooks" -> ((s, dir) =>
+      // which 20 rows own the price~quantity fit: leverage + Cook's D
+      // from rounded broadcast scalars, TakeOrdered with id tie-breaks
+      Regression.olsInfluence(li(s, dir), "l_extendedprice",
+        "l_quantity",
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        topK = 20)),
+    "q_breusch_pagan" -> ((s, dir) =>
+      // does the price noise level trend with quantity (the
+      // homoskedasticity assumption slope_se makes): Koenker LM with
+      // df=1 so p replays as erfc(sqrt(LM/2))
+      Regression.breuschPagan(li(s, dir), "l_extendedprice",
+        "l_quantity")),
+    "q_chow" -> ((s, dir) =>
+      // one line or two: structural-break F between the even/odd order
+      // cohorts; p rides the operator's F CDF (q_anova convention)
+      Regression.chowTest(
+        li(s, dir).select(
+          F.when(F.col("l_orderkey") % 2 === 0, "a").otherwise("b")
+            .as("g"),
+          F.col("l_quantity").as("x"), F.col("l_extendedprice").as("y")),
+        "y", "x", "g")
+        .select(F.col("n_a"), F.col("n_b"), F.col("f_stat"),
+          F.col("df1"), F.col("df2"), F.col("slope_a"),
+          F.col("slope_b"))),
+    "q_segmented" -> ((s, dir) =>
+      // two-piece price~quantity with the breakpoint chosen by exact
+      // SSE grid search over the 50 quantity cells; argmin decided on
+      // rounded SSE with the candidate as tie-break, so it replays
+      Regression.segmentedOls(li(s, dir), "l_extendedprice",
+        "l_quantity")),
     "q_theil_sen" -> ((s, dir) =>
       // robust price-per-quantity trend per return flag on a bounded
       // slice; all pairs fit under the cap, and the pairwise-slope
@@ -4914,7 +5013,62 @@ object SparkEntry {
       val labels = Graph.labelPropagation(e, "src", "dst", iters = 2)
       Graph.modularityByLabel(e, "src", "dst", labels)
         .orderBy("label")
-    })
+    }),
+    "q_adamic_adar" -> ((s, dir) => {
+      // link prediction over the parts co-occurrence graph: which
+      // non-adjacent part pairs share the most (inverse-log-weighted)
+      // neighbors — top-20 by Adamic-Adar with lexicographic tie-break
+      val lp = li(s, dir).where(F.col("l_orderkey") < 3000)
+        .select(F.col("l_orderkey").as("k"), F.col("l_partkey").as("p"))
+        .distinct()
+      val e = lp.as("x").join(lp.as("y"), "k")
+        .where(F.col("x.p") =!= F.col("y.p"))
+        .select(F.col("x.p").as("src"), F.col("y.p").as("dst"))
+      Graph.linkPrediction(e, "src", "dst", topK = 20)
+    }),
+    "q_assortativity" -> ((s, dir) => {
+      // do high-degree parts co-occur with high-degree parts: Newman
+      // degree assortativity, exact integer sums up to one division
+      val lp = li(s, dir).where(F.col("l_orderkey") < 12000)
+        .select(F.col("l_orderkey").as("k"), F.col("l_partkey").as("p"))
+        .distinct()
+      val e = lp.as("x").join(lp.as("y"), "k")
+        .where(F.col("x.p") =!= F.col("y.p"))
+        .select(F.col("x.p").as("src"), F.col("y.p").as("dst"))
+      Graph.assortativity(e, "src", "dst")
+    }),
+    "q_iv_wald" -> ((s, dir) =>
+      // just-identified IV: even-orderkey "encouragement" -> scaled
+      // discount take-up -> price; reported with the weak-instrument
+      // first-stage F so the ratio's credibility is visible
+      Experiments.ivWald(
+        li(s, dir).select((F.col("l_orderkey") % 2 === 0).as("z"),
+          (F.col("l_discount") * 100).as("d"),
+          F.col("l_extendedprice").as("y")),
+        "z", "d", "y")),
+    "q_rdd" -> ((s, dir) =>
+      // sharp RDD at quantity 25 (bandwidth 15): local-linear fits on
+      // both sides, effect = the jump at the cutoff (not a mean diff)
+      Experiments.rddEstimate(li(s, dir), "l_quantity",
+        "l_extendedprice", cutoff = 25.0, bandwidth = 15.0)),
+    "q_perm_test" -> ((s, dir) =>
+      // assumption-free randomization test: 100 md5-coin reassignments
+      // of click-vs-view over event values, one K-way exploded pass
+      // with map-side combine; add-one p (Phipson-Smyth)
+      Experiments.permutationTest(
+        events(s, dir).where(F.col("event_type").isin("click", "view")),
+        "event_id", "event_type", "value", labelA = "click",
+        labelB = "view", k = 100)),
+    "q_psm" -> ((s, dir) =>
+      // grid-collapsed nearest-neighbor matching ATT of returned vs
+      // kept lineitems on a deterministic score: broadcast cell lookup,
+      // no row-by-row join — the matching shape that survives 100 TB
+      Experiments.psmAtt(
+        li(s, dir).select((F.col("l_returnflag") === "R").as("t"),
+          ((F.col("l_quantity") + F.col("l_linenumber")) / 100)
+            .as("s"),
+          F.col("l_extendedprice").as("y")),
+        "t", "s", "y"))
   )
 
   /** The 7-family closed-form fits CTE shared by every grouped-fit
@@ -14561,6 +14715,246 @@ object SparkEntry {
         |  (SELECT CAST(count(*) AS BIGINT) FROM subj WHERE kt <> 3)
         |    AS n_incomplete
         |FROM q""".stripMargin,
+    // Signed-rank replay: distinct-|d| cells, midrank = prefix + (t+1)/2,
+    // W+ as a sum of half-integers (exact), tie-corrected sigma, rint-
+    // rounded z, Cody erfc at the rounded z (q_drift_mwu convention).
+    "q_wilcoxon" ->
+      s"""WITH c AS (SELECT CAST(l_quantity AS DOUBLE)
+        |      - CAST(l_discount AS DOUBLE) * 100 AS d
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_discount IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE))),
+        |nz AS (SELECT CAST(count(*) AS BIGINT) AS n_zero FROM c
+        |  WHERE d = 0.0),
+        |m AS (SELECT abs(d) AS v,
+        |    CAST(sum(CASE WHEN d > 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cp,
+        |    CAST(count(*) AS BIGINT) AS ct
+        |  FROM c WHERE d <> 0.0 GROUP BY abs(d)),
+        |cum AS (SELECT v, cp, ct,
+        |    coalesce(CAST(sum(ct) OVER (ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb
+        |  FROM m),
+        |a AS (SELECT sum(cp * (cb + (ct + 1.0) / 2.0)) AS w,
+        |    sum(CAST(ct AS DOUBLE) * ct * ct - ct) AS ties,
+        |    CAST(sum(ct) AS BIGINT) AS n FROM cum),
+        |st AS (SELECT n, w, ties, CAST(n AS DOUBLE) AS nd FROM a),
+        |sg AS (SELECT n, w, nd * (nd + 1.0) / 4.0 AS mu,
+        |    sqrt(nd * (nd + 1.0) * (2.0 * nd + 1.0) / 24.0
+        |      - ties / 48.0) AS sigma FROM st),
+        |zz AS (SELECT n, w,
+        |    CASE WHEN sigma = 0.0 OR w = mu THEN 0.0
+        |      ELSE round_even((w - mu - 0.5 * sign(w - mu)) / sigma
+        |        * 1e6, 0) / 1e6 END AS z FROM sg),
+        |ye AS (SELECT n, w, z, abs(z) / sqrt(2.0) AS y FROM zz)
+        |SELECT n, nz.n_zero, w AS w_plus, z,
+        |  round_even(${codyErfcSql("y")} * 1e6, 0) / 1e6 AS p_value
+        |FROM ye, nz""".stripMargin,
+    // Sign-test replay: one aggregation of exact sign counts, the same
+    // continuity-corrected z expression, Cody erfc at the rounded z.
+    "q_sign_test" ->
+      s"""WITH c AS (SELECT CAST(l_quantity AS DOUBLE)
+        |      - CAST(l_discount AS DOUBLE) * 100 AS d
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_discount IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE))),
+        |a AS (SELECT
+        |    CAST(sum(CASE WHEN d > 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS np,
+        |    CAST(sum(CASE WHEN d < 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nn,
+        |    CAST(sum(CASE WHEN d = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nz FROM c),
+        |st AS (SELECT np, nn, nz, CAST(np + nn AS DOUBLE) AS nd FROM a),
+        |zz AS (SELECT np, nn, nz,
+        |    CASE WHEN CAST(np AS DOUBLE) = nd / 2.0 THEN 0.0
+        |      ELSE round_even((CAST(np AS DOUBLE) - nd / 2.0
+        |        - 0.5 * sign(CAST(np AS DOUBLE) - nd / 2.0))
+        |        / sqrt(nd / 4.0) * 1e6, 0) / 1e6 END AS z FROM st),
+        |ye AS (SELECT np, nn, nz, z, abs(z) / sqrt(2.0) AS y FROM zz)
+        |SELECT np AS n_pos, nn AS n_neg, nz AS n_zero, z,
+        |  round_even(${codyErfcSql("y")} * 1e6, 0) / 1e6 AS p_value
+        |FROM ye""".stripMargin,
+    // Bartlett replay: integer-exact moment sums per flag, ordered
+    // 3-term folds (the engine sorts groups by name before folding),
+    // and exp(-T/2) for the even-df chi2 survival at the rounded T.
+    "q_bartlett" ->
+      """WITH g AS (SELECT l_returnflag AS g,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(l_quantity AS DOUBLE)) AS sx,
+        |    sum(CAST(l_quantity AS DOUBLE)
+        |      * CAST(l_quantity AS DOUBLE)) AS sxx
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND l_returnflag IS NOT NULL
+        |  GROUP BY l_returnflag),
+        |s AS (SELECT g, CAST(n AS DOUBLE) AS nd,
+        |    (sxx - sx * sx / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0) AS s2 FROM g),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k, sum(nd) AS bign,
+        |    sum((nd - 1.0) * s2 ORDER BY g) AS ps,
+        |    sum(1.0 / (nd - 1.0) ORDER BY g) AS invs,
+        |    sum((nd - 1.0) * ln(s2) ORDER BY g) AS lns FROM s),
+        |t AS (SELECT k, bign,
+        |    round_even(((bign - k) * ln(ps / (bign - k)) - lns)
+        |      / (1.0 + (invs - 1.0 / (bign - k)) / (3.0 * (k - 1.0)))
+        |      * 1e6, 0) / 1e6 AS t0 FROM a)
+        |SELECT k, CAST(bign AS BIGINT) AS n, t0 AS t_stat,
+        |  CAST(k - 1 AS BIGINT) AS dof,
+        |  round_even(exp(-t0 / 2.0) * 1e6, 0) / 1e6 AS p_value
+        |FROM t""".stripMargin,
+    // Cliff's delta replay: the q_drift_mwu cumulative-count substrate,
+    // exact pair counts, rint-rounded delta, Romano magnitude bands.
+    "q_cliff_delta" ->
+      """WITH c AS (SELECT
+        |    CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    CAST(l_quantity AS DOUBLE) AS v
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))),
+        |m AS (SELECT v,
+        |    CAST(sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb
+        |  FROM c GROUP BY v),
+        |cum AS (SELECT v, ca, cb,
+        |    coalesce(CAST(sum(cb) OVER (ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cbb
+        |  FROM m),
+        |a AS (SELECT CAST(sum(ca * cbb) AS BIGINT) AS gt,
+        |    CAST(sum(ca * cb) AS BIGINT) AS tie,
+        |    CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM cum),
+        |d AS (SELECT gt, tie, na, nb, na * nb - gt - tie AS lt FROM a),
+        |f AS (SELECT gt, lt, tie, na, nb,
+        |    round_even(CAST(gt - lt AS DOUBLE)
+        |      / (CAST(na AS DOUBLE) * nb) * 1e6, 0) / 1e6 AS delta
+        |  FROM d)
+        |SELECT delta,
+        |  CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+        |    WHEN abs(delta) < 0.33 THEN 'small'
+        |    WHEN abs(delta) < 0.474 THEN 'medium'
+        |    ELSE 'large' END AS magnitude,
+        |  gt AS n_gt, lt AS n_lt, tie AS n_tie, na AS n_a, nb AS n_b
+        |FROM f""".stripMargin,
+    // Jonckheere replay: per-value level counts, shared 1-PRECEDING
+    // cumulative window per level, J as a sum of exact half-integers in
+    // the engine's level order, the no-tie variance, Cody erfc.
+    "q_jonckheere" ->
+      s"""WITH c AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,
+        |    o_orderpriority AS g
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |    AND NOT isnan(CAST(o_totalprice AS DOUBLE))
+        |    AND o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM',
+        |      '4-NOT SPECIFIED', '5-LOW')),
+        |m AS (SELECT v,
+        |    CAST(sum(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN g = '2-HIGH' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c2,
+        |    CAST(sum(CASE WHEN g = '3-MEDIUM' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c3,
+        |    CAST(sum(CASE WHEN g = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c4,
+        |    CAST(sum(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c5
+        |  FROM c GROUP BY v),
+        |cum AS (SELECT v, c1, c2, c3, c4, c5,
+        |    coalesce(CAST(sum(c1) OVER w AS BIGINT), 0) AS b1,
+        |    coalesce(CAST(sum(c2) OVER w AS BIGINT), 0) AS b2,
+        |    coalesce(CAST(sum(c3) OVER w AS BIGINT), 0) AS b3,
+        |    coalesce(CAST(sum(c4) OVER w AS BIGINT), 0) AS b4
+        |  FROM m WINDOW w AS (ORDER BY v ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |a AS (SELECT
+        |    sum(c2 * (b1 + 0.5 * c1)
+        |      + c3 * ((b1 + b2) + 0.5 * (c1 + c2))
+        |      + c4 * ((b1 + b2 + b3) + 0.5 * (c1 + c2 + c3))
+        |      + c5 * ((b1 + b2 + b3 + b4)
+        |        + 0.5 * (c1 + c2 + c3 + c4))) AS j,
+        |    CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2,
+        |    CAST(sum(c3) AS BIGINT) AS n3,
+        |    CAST(sum(c4) AS BIGINT) AS n4,
+        |    CAST(sum(c5) AS BIGINT) AS n5 FROM cum),
+        |st AS (SELECT j, n1 + n2 + n3 + n4 + n5 AS n,
+        |    CAST(n1 + n2 + n3 + n4 + n5 AS DOUBLE) AS nd,
+        |    CAST(n1 AS DOUBLE) AS d1, CAST(n2 AS DOUBLE) AS d2,
+        |    CAST(n3 AS DOUBLE) AS d3, CAST(n4 AS DOUBLE) AS d4,
+        |    CAST(n5 AS DOUBLE) AS d5 FROM a),
+        |mv AS (SELECT j, n,
+        |    (nd * nd - (d1 * d1 + d2 * d2 + d3 * d3 + d4 * d4
+        |      + d5 * d5)) / 4.0 AS mean,
+        |    sqrt((nd * nd * (2.0 * nd + 3.0)
+        |      - (d1 * d1 * (2.0 * d1 + 3.0) + d2 * d2 * (2.0 * d2 + 3.0)
+        |        + d3 * d3 * (2.0 * d3 + 3.0) + d4 * d4 * (2.0 * d4 + 3.0)
+        |        + d5 * d5 * (2.0 * d5 + 3.0))) / 72.0) AS sigma
+        |  FROM st),
+        |zz AS (SELECT j, n,
+        |    CASE WHEN sigma = 0.0 OR j = mean THEN 0.0
+        |      ELSE round_even((j - mean - 0.5 * sign(j - mean)) / sigma
+        |        * 1e6, 0) / 1e6 END AS z FROM mv),
+        |ye AS (SELECT j, n, z, abs(z) / sqrt(2.0) AS y FROM zz)
+        |SELECT j AS j_stat, z,
+        |  round_even(${codyErfcSql("y")} * 1e6, 0) / 1e6 AS p_value,
+        |  n, CAST(5 AS BIGINT) AS k FROM ye""".stripMargin,
+    // Chatterjee xi replay: RANGE-frame cumulative y-counts up and down
+    // per flag, the deterministic (x, y, orderkey, linenumber) lag
+    // order, exact integer numerator/denominator, one final ratio.
+    "q_xicor" ->
+      """WITH c AS (SELECT l_returnflag AS g,
+        |    CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) AS y,
+        |    l_orderkey AS k1, l_linenumber AS k2
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |r AS (SELECT g, x, y, k1, k2,
+        |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n,
+        |    CAST(count(*) OVER (PARTITION BY g ORDER BY y
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS r,
+        |    CAST(count(*) OVER (PARTITION BY g ORDER BY y DESC
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS l
+        |  FROM c),
+        |d AS (SELECT g, n, l,
+        |    abs(r - lag(r) OVER (PARTITION BY g ORDER BY x, k1, k2, y))
+        |      AS dr
+        |  FROM r)
+        |SELECT g AS l_returnflag, max(n) AS n,
+        |  round(1.0 - CAST(max(n) AS DOUBLE) * sum(dr)
+        |    / (2.0 * sum(l * (n - l))), 6) + 0.0 AS xi
+        |FROM d GROUP BY g ORDER BY g""".stripMargin,
+    // Circular-stats replay: fold each event to its day-phase angle,
+    // round the two trig sums FIRST (partial-sum order + trig ULPs die
+    // there), then every derived statistic from the rounded values.
+    "q_circular" ->
+      """WITH e AS (SELECT event_type AS k,
+        |    epoch_ns(ts) % 86400000000000 AS m
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |a AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    round(sum(cos(CAST(m AS DOUBLE) / 86400000000000.0
+        |      * 2.0 * pi())), 6) + 0.0 AS c_sum,
+        |    round(sum(sin(CAST(m AS DOUBLE) / 86400000000000.0
+        |      * 2.0 * pi())), 6) + 0.0 AS s_sum
+        |  FROM e GROUP BY k),
+        |b AS (SELECT k, n, c_sum, s_sum,
+        |    round(sqrt(c_sum * c_sum + s_sum * s_sum)
+        |      / CAST(n AS DOUBLE), 6) AS r_bar FROM a),
+        |z AS (SELECT k, n, c_sum, s_sum, r_bar,
+        |    round(CAST(n AS DOUBLE) * r_bar * r_bar, 6) AS rayleigh_z
+        |  FROM b)
+        |SELECT k AS event_type, n, c_sum, s_sum, r_bar,
+        |  round(atan2(s_sum, c_sum), 6) + 0.0 AS mean_angle,
+        |  round(1.0 - r_bar, 6) AS circ_var, rayleigh_z,
+        |  round(exp(-rayleigh_z) * (1.0 + (2.0 * rayleigh_z
+        |    - rayleigh_z * rayleigh_z) / (4.0 * CAST(n AS DOUBLE))), 6)
+        |    + 0.0 AS p_value
+        |FROM z ORDER BY event_type""".stripMargin,
     // The pairwise-slope multiset is orientation-invariant, so the
     // replay pairs in (orderkey, linenumber) order instead of the
     // engine's md5 cap order (no group exceeds the cap here); lower
@@ -14609,6 +15003,331 @@ object SparkEntry {
         |  round(l.slope, 6) + 0.0 AS slope,
         |  round((l.swy - l.slope * l.swx) / l.sw, 6) + 0.0 AS intercept
         |FROM binc, l ORDER BY bin""".stripMargin,
+    // Ridge-path replay: decimal-exact raw moments, centered 2x2
+    // Cramer with lambda on the diagonal, the same three lambda
+    // literals; + 0.0 everywhere F.round may meet a tiny negative.
+    "q_ridge" ->
+      """WITH g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(38,6)))
+        |      AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(CAST(l_discount AS DOUBLE) * 100
+        |      AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DOUBLE)
+        |      AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(CAST(l_quantity AS DOUBLE)
+        |      * CAST(l_quantity AS DOUBLE) AS DECIMAL(38,6)))
+        |      AS DOUBLE) AS s11,
+        |    CAST(sum(CAST(CAST(l_quantity AS DOUBLE)
+        |      * (CAST(l_discount AS DOUBLE) * 100) AS DECIMAL(38,6)))
+        |      AS DOUBLE) AS s12,
+        |    CAST(sum(CAST((CAST(l_discount AS DOUBLE) * 100)
+        |      * (CAST(l_discount AS DOUBLE) * 100) AS DECIMAL(38,6)))
+        |      AS DOUBLE) AS s22,
+        |    CAST(sum(CAST(CAST(l_quantity AS DOUBLE)
+        |      * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,6)))
+        |      AS DOUBLE) AS s1y,
+        |    CAST(sum(CAST((CAST(l_discount AS DOUBLE) * 100)
+        |      * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,6)))
+        |      AS DOUBLE) AS s2y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_discount IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE) * 100)
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |lam AS (SELECT CAST(l AS DOUBLE) AS lambda
+        |  FROM (VALUES (0.0), (1000000.0), (100000000.0)) AS t(l)),
+        |c AS (SELECT lam.lambda, g.n, CAST(g.n AS DOUBLE) AS nd,
+        |    g.s1, g.s2, g.sy,
+        |    g.s11 - g.s1 * g.s1 / CAST(g.n AS DOUBLE) AS c11,
+        |    g.s12 - g.s1 * g.s2 / CAST(g.n AS DOUBLE) AS c12,
+        |    g.s22 - g.s2 * g.s2 / CAST(g.n AS DOUBLE) AS c22,
+        |    g.s1y - g.s1 * g.sy / CAST(g.n AS DOUBLE) AS c1y,
+        |    g.s2y - g.s2 * g.sy / CAST(g.n AS DOUBLE) AS c2y
+        |  FROM g, lam),
+        |d AS (SELECT lambda, n, nd, s1, s2, sy, c1y, c2y, c12,
+        |    (c11 + lambda) * (c22 + lambda) - c12 * c12 AS det,
+        |    c11, c22 FROM c),
+        |b AS (SELECT lambda, n, nd, s1, s2, sy,
+        |    (c1y * (c22 + lambda) - c12 * c2y) / det AS b1,
+        |    ((c11 + lambda) * c2y - c12 * c1y) / det AS b2
+        |  FROM d WHERE abs(det) > 1e-12 AND n >= 4)
+        |SELECT lambda, n, round(b1, 6) + 0.0 AS beta1,
+        |  round(b2, 6) + 0.0 AS beta2,
+        |  round(sy / nd - b1 * (s1 / nd) - b2 * (s2 / nd), 6) + 0.0
+        |    AS intercept
+        |FROM b ORDER BY lambda""".stripMargin,
+    // VIF replay: 6-rounded pairwise correlations (rint convention),
+    // exact closed-form 3x3 inverse diagonal on the rounded r's.
+    "q_vif" ->
+      """WITH g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(38,6)))
+        |      AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(CAST(l_discount AS DOUBLE) AS DECIMAL(38,6)))
+        |      AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(CAST(l_tax AS DOUBLE) AS DECIMAL(38,6)))
+        |      AS DOUBLE) AS s3,
+        |    CAST(sum(CAST(CAST(l_quantity AS DOUBLE)
+        |      * CAST(l_quantity AS DOUBLE) AS DECIMAL(38,6)))
+        |      AS DOUBLE) AS s11,
+        |    CAST(sum(CAST(CAST(l_discount AS DOUBLE)
+        |      * CAST(l_discount AS DOUBLE) AS DECIMAL(38,6)))
+        |      AS DOUBLE) AS s22,
+        |    CAST(sum(CAST(CAST(l_tax AS DOUBLE)
+        |      * CAST(l_tax AS DOUBLE) AS DECIMAL(38,6)))
+        |      AS DOUBLE) AS s33,
+        |    CAST(sum(CAST(CAST(l_quantity AS DOUBLE)
+        |      * CAST(l_discount AS DOUBLE) AS DECIMAL(38,6)))
+        |      AS DOUBLE) AS s12,
+        |    CAST(sum(CAST(CAST(l_quantity AS DOUBLE)
+        |      * CAST(l_tax AS DOUBLE) AS DECIMAL(38,6)))
+        |      AS DOUBLE) AS s13,
+        |    CAST(sum(CAST(CAST(l_discount AS DOUBLE)
+        |      * CAST(l_tax AS DOUBLE) AS DECIMAL(38,6)))
+        |      AS DOUBLE) AS s23
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE))
+        |    AND NOT isnan(CAST(l_tax AS DOUBLE))),
+        |r AS (SELECT CAST(n AS DOUBLE) AS nd,
+        |    round_even((s12 - s1 * s2 / CAST(n AS DOUBLE))
+        |      / sqrt((s11 - s1 * s1 / CAST(n AS DOUBLE))
+        |        * (s22 - s2 * s2 / CAST(n AS DOUBLE))) * 1e6, 0) / 1e6
+        |      AS r12,
+        |    round_even((s13 - s1 * s3 / CAST(n AS DOUBLE))
+        |      / sqrt((s11 - s1 * s1 / CAST(n AS DOUBLE))
+        |        * (s33 - s3 * s3 / CAST(n AS DOUBLE))) * 1e6, 0) / 1e6
+        |      AS r13,
+        |    round_even((s23 - s2 * s3 / CAST(n AS DOUBLE))
+        |      / sqrt((s22 - s2 * s2 / CAST(n AS DOUBLE))
+        |        * (s33 - s3 * s3 / CAST(n AS DOUBLE))) * 1e6, 0) / 1e6
+        |      AS r23
+        |  FROM g),
+        |dt AS (SELECT r12, r13, r23,
+        |    1.0 - r12 * r12 - r13 * r13 - r23 * r23
+        |      + 2.0 * r12 * r13 * r23 AS det FROM r),
+        |v AS (SELECT 'l_quantity' AS feature,
+        |    (1.0 - r23 * r23) / det AS vif FROM dt
+        |  UNION ALL SELECT 'l_discount', (1.0 - r13 * r13) / det FROM dt
+        |  UNION ALL SELECT 'l_tax', (1.0 - r12 * r12) / det FROM dt)
+        |SELECT feature,
+        |  round_even((1.0 - 1.0 / vif) * 1e6, 0) / 1e6 AS r2_other,
+        |  round_even(vif * 1e6, 0) / 1e6 AS vif
+        |FROM v ORDER BY feature""".stripMargin,
+    // Influence replay: decimal-exact moments collapse to the same six
+    // rint-rounded scalars, per-row leverage/Cook's D as exact
+    // arithmetic on them, ORDER BY (d DESC, ids) LIMIT 20.
+    "q_cooks" ->
+      """WITH base AS (SELECT l_orderkey, l_linenumber, l_partkey,
+        |    l_suppkey, CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        |  FROM base),
+        |sc AS (SELECT CAST(n AS DOUBLE) AS nd,
+        |    sxx - sx * sx / CAST(n AS DOUBLE) AS cxx,
+        |    sxy - sx * sy / CAST(n AS DOUBLE) AS cxy,
+        |    syy - sy * sy / CAST(n AS DOUBLE) AS cyy,
+        |    sx, sy FROM g),
+        |k AS (SELECT nd,
+        |    round_even(cxy / cxx * 1e6, 0) / 1e6 AS beta,
+        |    round_even((sy / nd - (cxy / cxx) * (sx / nd)) * 1e6, 0)
+        |      / 1e6 AS alpha,
+        |    round_even(sx / nd * 1e6, 0) / 1e6 AS mx,
+        |    round_even(cxx * 1e6, 0) / 1e6 AS sxxr,
+        |    round_even((cyy - cxy * cxy / cxx) / (nd - 2.0) * 1e6, 0)
+        |      / 1e6 AS s2 FROM sc),
+        |rows_ AS (SELECT b.l_orderkey, b.l_linenumber, b.l_partkey,
+        |    b.l_suppkey, b.x, b.y,
+        |    b.y - (k.alpha + k.beta * b.x) AS e,
+        |    (1.0 / k.nd) + (b.x - k.mx) * (b.x - k.mx) / k.sxxr AS h,
+        |    k.s2 FROM base b, k),
+        |d AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    x, y, round(e, 6) + 0.0 AS resid, round(h, 6) AS leverage,
+        |    round(e * e / (s2 * (1.0 - h)) * h / (2.0 * (1.0 - h)), 6)
+        |      AS cooks_d
+        |  FROM rows_)
+        |SELECT * FROM d ORDER BY cooks_d DESC, l_orderkey,
+        |  l_linenumber, l_partkey, l_suppkey LIMIT 20""".stripMargin,
+    // Breusch-Pagan replay: rounded (alpha, beta) from decimal-exact
+    // OLS moments, raw auxiliary sums of the reproducible u^2, LM
+    // rounded at 6, p = Cody erfc(sqrt(LM/2)) (df = 1).
+    "q_breusch_pagan" ->
+      s"""WITH base AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        |  FROM base),
+        |sc AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+        |    sxx - sx * sx / CAST(n AS DOUBLE) AS cxx,
+        |    sxy - sx * sy / CAST(n AS DOUBLE) AS cxy, sx, sy FROM g),
+        |k AS (SELECT n, nd, sx, cxx,
+        |    round_even(cxy / cxx * 1e6, 0) / 1e6 AS beta,
+        |    round_even((sy / nd - (cxy / cxx) * (sx / nd)) * 1e6, 0)
+        |      / 1e6 AS alpha FROM sc),
+        |aux AS (SELECT k.n, k.nd, k.sx, k.cxx, k.beta, k.alpha,
+        |    sum((b.y - (k.alpha + k.beta * b.x))
+        |      * (b.y - (k.alpha + k.beta * b.x))) AS su,
+        |    sum(((b.y - (k.alpha + k.beta * b.x))
+        |      * (b.y - (k.alpha + k.beta * b.x)))
+        |      * ((b.y - (k.alpha + k.beta * b.x))
+        |        * (b.y - (k.alpha + k.beta * b.x)))) AS suu,
+        |    sum(b.x * ((b.y - (k.alpha + k.beta * b.x))
+        |      * (b.y - (k.alpha + k.beta * b.x)))) AS sxu
+        |  FROM base b, k
+        |  GROUP BY k.n, k.nd, k.sx, k.cxx, k.beta, k.alpha),
+        |lm AS (SELECT n, beta, alpha,
+        |    round_even(nd * ((sxu - sx * su / nd) * (sxu - sx * su / nd)
+        |      / (cxx * (suu - su * su / nd))) * 1e6, 0) / 1e6 AS lm_stat
+        |  FROM aux),
+        |ye AS (SELECT n, beta, alpha, lm_stat,
+        |    sqrt(lm_stat / 2.0) AS y FROM lm)
+        |SELECT n, lm_stat, CAST(1 AS BIGINT) AS dof,
+        |  round_even(${codyErfcSql("y")} * 1e6, 0) / 1e6 AS p_value,
+        |  beta, alpha FROM ye""".stripMargin,
+    // Chow replay: one conditional decimal-exact moment pass (FILTER
+    // mirrors the engine's masked sums exactly on decimals), centered
+    // closed-form SSEs, the same F shape; p omitted (F CDF not SQL).
+    "q_chow" ->
+      """WITH base AS (SELECT
+        |    CASE WHEN l_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+        |    CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx0,
+        |    CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy0,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx0,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy0,
+        |    CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy0,
+        |    CAST(count(*) FILTER (WHERE g = 'a') AS BIGINT) AS n1,
+        |    CAST(sum(CAST(x AS DECIMAL(38,6))) FILTER (WHERE g = 'a')
+        |      AS DOUBLE) AS sx1,
+        |    CAST(sum(CAST(y AS DECIMAL(38,6))) FILTER (WHERE g = 'a')
+        |      AS DOUBLE) AS sy1,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,6)))
+        |      FILTER (WHERE g = 'a') AS DOUBLE) AS sxx1,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,6)))
+        |      FILTER (WHERE g = 'a') AS DOUBLE) AS sxy1,
+        |    CAST(sum(CAST(y * y AS DECIMAL(38,6)))
+        |      FILTER (WHERE g = 'a') AS DOUBLE) AS syy1,
+        |    CAST(count(*) FILTER (WHERE g = 'b') AS BIGINT) AS n2,
+        |    CAST(sum(CAST(x AS DECIMAL(38,6))) FILTER (WHERE g = 'b')
+        |      AS DOUBLE) AS sx2,
+        |    CAST(sum(CAST(y AS DECIMAL(38,6))) FILTER (WHERE g = 'b')
+        |      AS DOUBLE) AS sy2,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,6)))
+        |      FILTER (WHERE g = 'b') AS DOUBLE) AS sxx2,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,6)))
+        |      FILTER (WHERE g = 'b') AS DOUBLE) AS sxy2,
+        |    CAST(sum(CAST(y * y AS DECIMAL(38,6)))
+        |      FILTER (WHERE g = 'b') AS DOUBLE) AS syy2
+        |  FROM base),
+        |sse AS (SELECT n1, n2, CAST(n0 AS DOUBLE) AS nall,
+        |    (syy0 - sy0 * sy0 / CAST(n0 AS DOUBLE))
+        |      - (sxy0 - sx0 * sy0 / CAST(n0 AS DOUBLE))
+        |        * (sxy0 - sx0 * sy0 / CAST(n0 AS DOUBLE))
+        |        / (sxx0 - sx0 * sx0 / CAST(n0 AS DOUBLE)) AS ssep,
+        |    (syy1 - sy1 * sy1 / CAST(n1 AS DOUBLE))
+        |      - (sxy1 - sx1 * sy1 / CAST(n1 AS DOUBLE))
+        |        * (sxy1 - sx1 * sy1 / CAST(n1 AS DOUBLE))
+        |        / (sxx1 - sx1 * sx1 / CAST(n1 AS DOUBLE)) AS ssea,
+        |    (syy2 - sy2 * sy2 / CAST(n2 AS DOUBLE))
+        |      - (sxy2 - sx2 * sy2 / CAST(n2 AS DOUBLE))
+        |        * (sxy2 - sx2 * sy2 / CAST(n2 AS DOUBLE))
+        |        / (sxx2 - sx2 * sx2 / CAST(n2 AS DOUBLE)) AS sseb,
+        |    (sxy1 - sx1 * sy1 / CAST(n1 AS DOUBLE))
+        |      / (sxx1 - sx1 * sx1 / CAST(n1 AS DOUBLE)) AS slopea,
+        |    (sxy2 - sx2 * sy2 / CAST(n2 AS DOUBLE))
+        |      / (sxx2 - sx2 * sx2 / CAST(n2 AS DOUBLE)) AS slopeb
+        |  FROM m)
+        |SELECT n1 AS n_a, n2 AS n_b,
+        |  round_even(((ssep - ssea - sseb) / 2.0)
+        |    / ((ssea + sseb) / (nall - 4.0)) * 1e6, 0) / 1e6 AS f_stat,
+        |  CAST(2 AS BIGINT) AS df1, CAST(nall - 4.0 AS BIGINT) AS df2,
+        |  round_even(slopea * 1e6, 0) / 1e6 AS slope_a,
+        |  round_even(slopeb * 1e6, 0) / 1e6 AS slope_b
+        |FROM sse""".stripMargin,
+    // Segmented replay: quantity cells with decimal-exact y-moments,
+    // the same prefix/total windows, centered closed-form split SSEs,
+    // argmin on (rounded SSE, candidate) — selection replays exactly.
+    "q_segmented" ->
+      """WITH base AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |cells AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        |  FROM base GROUP BY x),
+        |w AS (SELECT v,
+        |    CAST(sum(c) OVER wp AS BIGINT) AS nl,
+        |    CAST(sum(c) OVER wa AS BIGINT) AS nt,
+        |    sum(v * c) OVER wp AS sxl, sum(v * c) OVER wa AS sxt,
+        |    sum(v * v * c) OVER wp AS sxxl,
+        |    sum(v * v * c) OVER wa AS sxxt,
+        |    sum(sy) OVER wp AS syl, sum(sy) OVER wa AS syt,
+        |    sum(syy) OVER wp AS syyl, sum(syy) OVER wa AS syyt,
+        |    sum(v * sy) OVER wp AS sxyl, sum(v * sy) OVER wa AS sxyt
+        |  FROM cells
+        |  WINDOW wp AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW),
+        |  wa AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND UNBOUNDED FOLLOWING)),
+        |s AS (SELECT v, nl, nt, CAST(nl AS DOUBLE) AS nld,
+        |    CAST(nt - nl AS DOUBLE) AS nrd,
+        |    sxxl - sxl * sxl / CAST(nl AS DOUBLE) AS cxxl,
+        |    (sxxt - sxxl) - (sxt - sxl) * (sxt - sxl)
+        |      / CAST(nt - nl AS DOUBLE) AS cxxr,
+        |    sxyl - sxl * syl / CAST(nl AS DOUBLE) AS cxyl,
+        |    (sxyt - sxyl) - (sxt - sxl) * (syt - syl)
+        |      / CAST(nt - nl AS DOUBLE) AS cxyr,
+        |    syyl - syl * syl / CAST(nl AS DOUBLE) AS cyyl,
+        |    (syyt - syyl) - (syt - syl) * (syt - syl)
+        |      / CAST(nt - nl AS DOUBLE) AS cyyr,
+        |    syyt - syt * syt / CAST(nt AS DOUBLE) AS cyyt,
+        |    sxyt - sxt * syt / CAST(nt AS DOUBLE) AS cxyt,
+        |    sxxt - sxt * sxt / CAST(nt AS DOUBLE) AS cxxt,
+        |    sxl, syl, sxt, syt
+        |  FROM w),
+        |sc AS (SELECT v, nl, nt,
+        |    round((cyyl - cxyl * cxyl / cxxl)
+        |      + (cyyr - cxyr * cxyr / cxxr), 2) AS sse_split,
+        |    round(cxyl / cxxl, 6) + 0.0 AS slope_left,
+        |    round(cxyr / cxxr, 6) + 0.0 AS slope_right,
+        |    round(syl / nld - cxyl / cxxl * (sxl / nld), 6) + 0.0
+        |      AS intercept_left,
+        |    round((syt - syl) / nrd - cxyr / cxxr
+        |      * ((sxt - sxl) / nrd), 6) + 0.0 AS intercept_right,
+        |    round(((cyyl - cxyl * cxyl / cxxl)
+        |      + (cyyr - cxyr * cxyr / cxxr))
+        |      / (cyyt - cxyt * cxyt / cxxt), 6) AS sse_ratio
+        |  FROM s WHERE nl >= 3 AND nt - nl >= 3 AND cxxl > 0.0
+        |    AND cxxr > 0.0)
+        |SELECT v AS breakpoint, nl AS n_left, nt - nl AS n_right,
+        |  slope_left, slope_right, intercept_left, intercept_right,
+        |  sse_ratio
+        |FROM sc ORDER BY sse_split, v LIMIT 1""".stripMargin,
     "q_theil_sen" ->
       """WITH b AS (SELECT l_returnflag AS g,
         |    CAST(l_quantity AS DOUBLE) AS x,
@@ -15141,6 +15860,225 @@ object SparkEntry {
         |  CAST(sum(internal_edges) AS BIGINT) AS internal_edges,
         |  CAST(sum(degree_sum) AS BIGINT) AS degree_sum,
         |  round(sum(q), 6) + 0.0 AS q_c FROM per
-        |ORDER BY label""".stripMargin
+        |ORDER BY label""".stripMargin,
+    // Link-prediction replay: the symmetrized distinct edge set, the
+    // wedge join a<b (string order, both engines bytewise on digits),
+    // AA rounded per pair, ANTI JOIN vs edges, (AA desc, a, b) top-20.
+    "q_adamic_adar" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+        |  FROM lineitem WHERE l_orderkey < 3000),
+        |e0 AS (SELECT CAST(x.p AS VARCHAR) AS s, CAST(y.p AS VARCHAR)
+        |    AS d
+        |  FROM lp x JOIN lp y ON x.k = y.k AND x.p <> y.p),
+        |und AS (SELECT DISTINCT s, d FROM (
+        |  SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0)
+        |  WHERE s <> d),
+        |deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM und
+        |  GROUP BY s),
+        |wedge AS (SELECT u.d AS a, v.d AS b, u.s AS u
+        |  FROM und u JOIN und v ON u.s = v.s WHERE u.d < v.d),
+        |pairs AS (SELECT a, b, CAST(count(*) AS BIGINT) AS common,
+        |    round(sum(1.0 / ln(dg.deg)), 6) AS adamic_adar
+        |  FROM wedge JOIN deg dg ON wedge.u = dg.s GROUP BY a, b),
+        |ne AS (SELECT pairs.* FROM pairs
+        |  ANTI JOIN und ON pairs.a = und.s AND pairs.b = und.d)
+        |SELECT ne.a, ne.b, ne.common,
+        |  round(CAST(ne.common AS DOUBLE)
+        |    / (da.deg + db.deg - ne.common), 6) AS jaccard,
+        |  ne.adamic_adar
+        |FROM ne JOIN deg da ON ne.a = da.s JOIN deg db ON ne.b = db.s
+        |ORDER BY ne.adamic_adar DESC, ne.a, ne.b LIMIT 20""".stripMargin,
+    // Assortativity replay: exact integer degree sums over the
+    // directed edge multiset, Newman's ratio, one rint-rounded output.
+    "q_assortativity" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+        |  FROM lineitem WHERE l_orderkey < 12000),
+        |e0 AS (SELECT CAST(x.p AS VARCHAR) AS s, CAST(y.p AS VARCHAR)
+        |    AS d
+        |  FROM lp x JOIN lp y ON x.k = y.k AND x.p <> y.p),
+        |und AS (SELECT DISTINCT s, d FROM (
+        |  SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0)
+        |  WHERE s <> d),
+        |deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM und
+        |  GROUP BY s),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(dj.deg * dk.deg) AS BIGINT) AS sjk,
+        |    CAST(sum(dj.deg + dk.deg) AS BIGINT) AS sj,
+        |    CAST(sum(dj.deg * dj.deg + dk.deg * dk.deg) AS BIGINT)
+        |      AS sj2
+        |  FROM und JOIN deg dj ON und.s = dj.s
+        |    JOIN deg dk ON und.d = dk.s),
+        |st AS (SELECT m, sjk, sj, sj2, CAST(m AS DOUBLE) AS md,
+        |    CAST(sj AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)) AS mu
+        |  FROM a)
+        |SELECT m AS m_edges,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+        |  round_even((CAST(sjk AS DOUBLE) / md - mu * mu)
+        |    / (CAST(sj2 AS DOUBLE) / (2.0 * md) - mu * mu) * 1e6, 0)
+        |    / 1e6 AS assortativity
+        |FROM st""".stripMargin,
+    // IV replay: conditional decimal-exact arm sums, the Wald ratio,
+    // pooled-variance first-stage F, rint-rounded outputs.
+    "q_iv_wald" ->
+      """WITH c AS (SELECT (l_orderkey % 2 = 0) AS z,
+        |    CAST(l_discount AS DOUBLE) * 100 AS d,
+        |    CAST(l_extendedprice AS DOUBLE) AS y
+        |  FROM lineitem WHERE l_discount IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE) * 100)
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |m AS (SELECT
+        |    CAST(count(*) FILTER (WHERE z) AS BIGINT) AS n1,
+        |    CAST(count(*) FILTER (WHERE NOT z) AS BIGINT) AS n0,
+        |    CAST(sum(CAST(y AS DECIMAL(38,6))) FILTER (WHERE z)
+        |      AS DOUBLE) AS sy1,
+        |    CAST(sum(CAST(y AS DECIMAL(38,6))) FILTER (WHERE NOT z)
+        |      AS DOUBLE) AS sy0,
+        |    CAST(sum(CAST(d AS DECIMAL(38,6))) FILTER (WHERE z)
+        |      AS DOUBLE) AS sd1,
+        |    CAST(sum(CAST(d AS DECIMAL(38,6))) FILTER (WHERE NOT z)
+        |      AS DOUBLE) AS sd0,
+        |    CAST(sum(CAST(d * d AS DECIMAL(38,6))) FILTER (WHERE z)
+        |      AS DOUBLE) AS sdd1,
+        |    CAST(sum(CAST(d * d AS DECIMAL(38,6))) FILTER (WHERE NOT z)
+        |      AS DOUBLE) AS sdd0
+        |  FROM c),
+        |s AS (SELECT n0, n1, CAST(n1 AS DOUBLE) AS n1d,
+        |    CAST(n0 AS DOUBLE) AS n0d,
+        |    sy1 / CAST(n1 AS DOUBLE) - sy0 / CAST(n0 AS DOUBLE) AS itt,
+        |    sd1 / CAST(n1 AS DOUBLE) - sd0 / CAST(n0 AS DOUBLE) AS fs,
+        |    sd1 / CAST(n1 AS DOUBLE) AS md1,
+        |    sd0 / CAST(n0 AS DOUBLE) AS md0, sdd1, sdd0 FROM m),
+        |v AS (SELECT n0, n1, n1d, n0d, itt, fs,
+        |    ((sdd1 - n1d * md1 * md1) / (n1d - 1.0) * (n1d - 1.0)
+        |      + (sdd0 - n0d * md0 * md0) / (n0d - 1.0) * (n0d - 1.0))
+        |      / (n1d + n0d - 2.0) AS sp2 FROM s)
+        |SELECT n0, n1,
+        |  round_even(itt * 1e6, 0) / 1e6 AS itt,
+        |  round_even(fs * 1e6, 0) / 1e6 AS first_stage,
+        |  round_even(itt / fs * 1e6, 0) / 1e6 AS beta_iv,
+        |  round_even(fs * fs / (sp2 * (1.0 / n1d + 1.0 / n0d))
+        |    * 1e6, 0) / 1e6 AS first_stage_f
+        |FROM v""".stripMargin,
+    // RDD replay: conditional decimal-exact side moments on (x − c),
+    // centered local-linear fits, the jump AT the cutoff.
+    "q_rdd" ->
+      """WITH c AS (SELECT CAST(l_quantity AS DOUBLE) - 25.0 AS xc,
+        |    CAST(l_quantity AS DOUBLE) >= 25.0 AS r,
+        |    CAST(l_extendedprice AS DOUBLE) AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        |    AND abs(CAST(l_quantity AS DOUBLE) - 25.0) <= 15.0),
+        |m AS (SELECT
+        |    CAST(count(*) FILTER (WHERE NOT r) AS BIGINT) AS nl,
+        |    CAST(count(*) FILTER (WHERE r) AS BIGINT) AS nr,
+        |    CAST(sum(CAST(xc AS DECIMAL(38,6))) FILTER (WHERE NOT r)
+        |      AS DOUBLE) AS sxl,
+        |    CAST(sum(CAST(xc AS DECIMAL(38,6))) FILTER (WHERE r)
+        |      AS DOUBLE) AS sxr,
+        |    CAST(sum(CAST(y AS DECIMAL(38,6))) FILTER (WHERE NOT r)
+        |      AS DOUBLE) AS syl,
+        |    CAST(sum(CAST(y AS DECIMAL(38,6))) FILTER (WHERE r)
+        |      AS DOUBLE) AS syr,
+        |    CAST(sum(CAST(xc * xc AS DECIMAL(38,6)))
+        |      FILTER (WHERE NOT r) AS DOUBLE) AS sxxl,
+        |    CAST(sum(CAST(xc * xc AS DECIMAL(38,6))) FILTER (WHERE r)
+        |      AS DOUBLE) AS sxxr,
+        |    CAST(sum(CAST(xc * y AS DECIMAL(38,6)))
+        |      FILTER (WHERE NOT r) AS DOUBLE) AS sxyl,
+        |    CAST(sum(CAST(xc * y AS DECIMAL(38,6))) FILTER (WHERE r)
+        |      AS DOUBLE) AS sxyr
+        |  FROM c),
+        |f AS (SELECT nl, nr,
+        |    (sxyl - sxl * syl / CAST(nl AS DOUBLE))
+        |      / (sxxl - sxl * sxl / CAST(nl AS DOUBLE)) AS sl,
+        |    (sxyr - sxr * syr / CAST(nr AS DOUBLE))
+        |      / (sxxr - sxr * sxr / CAST(nr AS DOUBLE)) AS sr,
+        |    syl / CAST(nl AS DOUBLE) AS myl,
+        |    syr / CAST(nr AS DOUBLE) AS myr,
+        |    sxl / CAST(nl AS DOUBLE) AS mxl,
+        |    sxr / CAST(nr AS DOUBLE) AS mxr FROM m),
+        |i AS (SELECT nl, nr, sl, sr, myl - sl * mxl AS il,
+        |    myr - sr * mxr AS ir FROM f)
+        |SELECT nl AS n_left, nr AS n_right,
+        |  round_even(il * 1e6, 0) / 1e6 AS intercept_left,
+        |  round_even(ir * 1e6, 0) / 1e6 AS intercept_right,
+        |  round_even(sl * 1e6, 0) / 1e6 AS slope_left,
+        |  round_even(sr * 1e6, 0) / 1e6 AS slope_right,
+        |  round_even((ir - il) * 1e6, 0) / 1e6 AS effect
+        |FROM i""".stripMargin,
+    // Randomization-test replay: the same md5 fair coin per (row, k),
+    // per-k mean gaps on 6-rounded values, add-one p — all integers
+    // and rounded ratios.
+    "q_perm_test" ->
+      """WITH c AS (SELECT CAST(event_id AS VARCHAR) AS id,
+        |    event_type AS g, value AS v
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |    AND event_type IN ('click', 'view')),
+        |obs AS (SELECT
+        |    CAST(count(*) FILTER (WHERE g = 'click') AS BIGINT) AS na,
+        |    CAST(count(*) FILTER (WHERE g = 'view') AS BIGINT) AS nb,
+        |    sum(CASE WHEN g = 'click' THEN v ELSE 0.0 END) AS sa,
+        |    sum(CASE WHEN g = 'view' THEN v ELSE 0.0 END) AS sb
+        |  FROM c),
+        |ob AS (SELECT na, nb,
+        |    round_even((sa / CAST(na AS DOUBLE)
+        |      - sb / CAST(nb AS DOUBLE)) * 1e6, 0) / 1e6 AS diff_obs
+        |  FROM obs),
+        |perm AS (SELECT c.id, c.v, k.k,
+        |    CAST(('0x' || substr(md5(c.id || '#' ||
+        |      CAST(k.k AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS coin
+        |  FROM c, (SELECT unnest(range(1, 101)) AS k) k),
+        |d AS (SELECT k,
+        |    CAST(count(*) FILTER (WHERE coin = 0) AS BIGINT) AS ka,
+        |    CAST(count(*) FILTER (WHERE coin = 1) AS BIGINT) AS kb,
+        |    sum(CASE WHEN coin = 0 THEN v ELSE 0.0 END) AS sa,
+        |    sum(CASE WHEN coin = 1 THEN v ELSE 0.0 END) AS sb
+        |  FROM perm GROUP BY k),
+        |ge AS (SELECT CAST(sum(CASE WHEN
+        |      abs(round(sa / CAST(ka AS DOUBLE)
+        |        - sb / CAST(kb AS DOUBLE), 6)) >= (SELECT abs(diff_obs)
+        |          FROM ob)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+        |  FROM d WHERE ka > 0 AND kb > 0)
+        |SELECT ob.na AS n_a, ob.nb AS n_b, ob.diff_obs,
+        |  CAST(100 AS BIGINT) AS k, ge.n_ge,
+        |  round_even((1.0 + ge.n_ge) / 101.0 * 1e6, 0) / 1e6 AS p_value
+        |FROM ob, ge""".stripMargin,
+    // PSM replay: control cells on the 4-rounded score grid, nearest
+    // cell per distinct treated score (ties toward the LOWER cell),
+    // decimal-exact gap fold.
+    "q_psm" ->
+      """WITH c AS (SELECT (l_returnflag = 'R') AS t,
+        |    round((CAST(l_quantity AS DOUBLE)
+        |      + CAST(l_linenumber AS DOUBLE)) / 100, 4) AS s,
+        |    CAST(l_extendedprice AS DOUBLE) AS y
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL
+        |    AND l_quantity IS NOT NULL AND l_linenumber IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |cells AS (SELECT s, CAST(count(*) AS BIGINT) AS cnt,
+        |    round(avg(y), 6) AS my FROM c WHERE NOT t GROUP BY s),
+        |tr AS (SELECT s, y FROM c WHERE t),
+        |tcell AS (SELECT DISTINCT s FROM tr),
+        |cand AS (SELECT t.s, cl.my, abs(cl.s - t.s) AS dist,
+        |    cl.s AS cs FROM tcell t CROSS JOIN cells cl),
+        |pick AS (SELECT s, my FROM (SELECT s, my,
+        |    row_number() OVER (PARTITION BY s ORDER BY dist, cs)
+        |      AS rn FROM cand) WHERE rn = 1),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+        |    CAST(sum(CAST(t.y - p.my AS DECIMAL(38,6))) AS DOUBLE)
+        |      AS sg,
+        |    CAST(sum(CAST(abs(t.y - p.my) AS DECIMAL(38,6)))
+        |      AS DOUBLE) AS sa
+        |  FROM tr t JOIN pick p USING (s))
+        |SELECT nt AS n_treated,
+        |  (SELECT CAST(sum(cnt) AS BIGINT) FROM cells) AS n_control,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cells) AS n_cells,
+        |  round_even(sg / nt * 1e6, 0) / 1e6 AS att,
+        |  round_even(sa / nt * 1e6, 0) / 1e6 AS mean_gap
+        |FROM agg""".stripMargin
   )
 }

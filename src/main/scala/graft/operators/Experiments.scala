@@ -1231,4 +1231,243 @@ object Experiments {
           F.col("rate"), 6).as("residual"),
         F.col("n_segments"), F.col("n_common"))
   }
+
+  /** Wald / just-identified 2SLS instrumental-variable estimate with a
+    * BINARY instrument — causal effect of a treatment the analyst did
+    * not randomize, leaning on an encouragement z that moves treatment
+    * but not outcome directly:
+    *
+    *   β_IV = (ȳ_{z=1} − ȳ_{z=0}) / (d̄_{z=1} − d̄_{z=0})
+    *
+    * (intent-to-treat effect over first-stage take-up). Reported with
+    * the first-stage strength F = t² of d~z — the "weak instrument"
+    * gate (F < 10 means the ratio is statistical noise amplification).
+    * ONE aggregation of conditional DECIMAL-exact sums; all outputs
+    * are rounded ratios of those.
+    *
+    * @return one row: (n0, n1, itt, first_stage, beta_iv,
+    *         first_stage_f) */
+  def ivWald(df: DataFrame, instrumentCol: String, treatCol: String,
+             outcomeCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val z = F.col(instrumentCol).cast("boolean")
+    val d = F.col(treatCol).cast("double")
+    val y = F.col(outcomeCol).cast("double")
+    def dsum(c: org.apache.spark.sql.Column) =
+      F.sum(c.cast("decimal(38,6)")).cast("double")
+    val m = df
+      .where(z.isNotNull && d.isNotNull && !F.isnan(d) && y.isNotNull &&
+        !F.isnan(y))
+      .agg(
+        F.sum(F.when(z, 1L).otherwise(0L)).as("n1"),
+        F.sum(F.when(!z, 1L).otherwise(0L)).as("n0"),
+        dsum(F.when(z, y).otherwise(F.lit(0.0))).as("sy1"),
+        dsum(F.when(!z, y).otherwise(F.lit(0.0))).as("sy0"),
+        dsum(F.when(z, d).otherwise(F.lit(0.0))).as("sd1"),
+        dsum(F.when(!z, d).otherwise(F.lit(0.0))).as("sd0"),
+        dsum(F.when(z, d * d).otherwise(F.lit(0.0))).as("sdd1"),
+        dsum(F.when(!z, d * d).otherwise(F.lit(0.0))).as("sdd0"))
+      .head()
+    val n1 = m.getAs[Long]("n1"); val n0 = m.getAs[Long]("n0")
+    require(n1 >= 2L && n0 >= 2L, "both instrument arms need rows")
+    val n1d = n1.toDouble; val n0d = n0.toDouble
+    val my1 = m.getAs[Double]("sy1") / n1d
+    val my0 = m.getAs[Double]("sy0") / n0d
+    val md1 = m.getAs[Double]("sd1") / n1d
+    val md0 = m.getAs[Double]("sd0") / n0d
+    val itt = my1 - my0
+    val fs = md1 - md0
+    require(math.abs(fs) > 1e-12, "zero first stage (weak instrument)")
+    // first-stage F = t² with the pooled two-sample variance of d
+    val v1 = (m.getAs[Double]("sdd1") - n1d * md1 * md1) / (n1d - 1.0)
+    val v0 = (m.getAs[Double]("sdd0") - n0d * md0 * md0) / (n0d - 1.0)
+    val sp2 = ((n1d - 1.0) * v1 + (n0d - 1.0) * v0) / (n1d + n0d - 2.0)
+    val f = fs * fs / (sp2 * (1.0 / n1d + 1.0 / n0d))
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    Seq((n0, n1, r6(itt), r6(fs), r6(itt / fs), r6(f)))
+      .toDF("n0", "n1", "itt", "first_stage", "beta_iv",
+        "first_stage_f")
+  }
+
+  /** Sharp regression-discontinuity estimate: local LINEAR fits on
+    * each side of the cutoff within bandwidth h, effect = the jump
+    * between the two fits EVALUATED AT the cutoff (local-linear, not
+    * difference-of-means — means are biased by the within-bandwidth
+    * slope). Centered closed-form OLS on (x − c) per side from ONE
+    * conditional DECIMAL-exact moment pass.
+    *
+    * @return one row: (n_left, n_right, intercept_left,
+    *         intercept_right, slope_left, slope_right, effect) */
+  def rddEstimate(df: DataFrame, runningCol: String, outcomeCol: String,
+                  cutoff: Double, bandwidth: Double): DataFrame = {
+    require(bandwidth > 0.0, "bandwidth must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val x = F.col(runningCol).cast("double")
+    val y = F.col(outcomeCol).cast("double")
+    def dsum(c: org.apache.spark.sql.Column) =
+      F.sum(c.cast("decimal(38,6)")).cast("double")
+    val xc = x - F.lit(cutoff)
+    val right = x >= F.lit(cutoff)
+    def side(cond: org.apache.spark.sql.Column, tag: String) = Seq(
+      F.sum(F.when(cond, 1L).otherwise(0L)).as(s"n$tag"),
+      dsum(F.when(cond, xc).otherwise(F.lit(0.0))).as(s"sx$tag"),
+      dsum(F.when(cond, y).otherwise(F.lit(0.0))).as(s"sy$tag"),
+      dsum(F.when(cond, xc * xc).otherwise(F.lit(0.0))).as(s"sxx$tag"),
+      dsum(F.when(cond, xc * y).otherwise(F.lit(0.0))).as(s"sxy$tag"))
+    val within = df.where(x.isNotNull && !F.isnan(x) && y.isNotNull &&
+      !F.isnan(y) && F.abs(xc) <= F.lit(bandwidth))
+    val aggs = side(!right, "l") ++ side(right, "r")
+    val m = within.agg(aggs.head, aggs.tail: _*).head()
+    def fit(tag: String): (Long, Double, Double) = {
+      val n = m.getAs[Long](s"n$tag")
+      require(n >= 3L, s"side $tag needs at least three rows in bandwidth")
+      val nd = n.toDouble
+      val sx = m.getAs[Double](s"sx$tag")
+      val sy = m.getAs[Double](s"sy$tag")
+      val cxx = m.getAs[Double](s"sxx$tag") - sx * sx / nd
+      val cxy = m.getAs[Double](s"sxy$tag") - sx * sy / nd
+      require(cxx > 0.0, s"side $tag has zero running-variable variance")
+      val slope = cxy / cxx
+      (n, slope, sy / nd - slope * (sx / nd))
+    }
+    val (nl, sl, il) = fit("l")
+    val (nr, sr, ir) = fit("r")
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    Seq((nl, nr, r6(il), r6(ir), r6(sl), r6(sr), r6(ir - il)))
+      .toDF("n_left", "n_right", "intercept_left", "intercept_right",
+        "slope_left", "slope_right", "effect")
+  }
+
+  /** Deterministic randomization (permutation) test for a difference
+    * in means — the p-value that needs NO distributional assumption
+    * and no variance formula: re-assign each row's cohort by the fair
+    * md5 coin md5(id ⊕ k) for k = 1..K, and ask how often the
+    * re-randomized |Δmean| beats the observed one;
+    * p = (1 + #{≥}) / (K + 1) (add-one to keep p > 0, Phipson–Smyth).
+    *
+    * Scale shape: ONE pass with a K-way explode that map-side-combines
+    * to K×2 partial sums per partition — no row-scale shuffle, no RNG
+    * state (md5 keys the reassignment, so the test replays
+    * bit-for-bit). Both |Δ|'s compare 6-ROUNDED, so boundary ties are
+    * consistent cross-engine.
+    *
+    * @return one row: (n_a, n_b, diff_obs, k, n_ge, p_value) */
+  def permutationTest(df: DataFrame, idCol: String, cohortCol: String,
+                      valueCol: String, labelA: String = "a",
+                      labelB: String = "b", k: Int = 200): DataFrame = {
+    require(k >= 1, "need at least one permutation")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = F.col(cohortCol).cast("string")
+    val v = F.col(valueCol).cast("double")
+    val clean = df
+      .where(v.isNotNull && !F.isnan(v) && g.isin(labelA, labelB))
+      .select(F.col(idCol).cast("string").as("__id"), g.as("__g"),
+        v.as("__v"))
+    val obs = clean.agg(
+      F.sum(F.when(F.col("__g") === labelA, 1L).otherwise(0L)).as("na"),
+      F.sum(F.when(F.col("__g") === labelB, 1L).otherwise(0L)).as("nb"),
+      F.sum(F.when(F.col("__g") === labelA, F.col("__v"))
+        .otherwise(F.lit(0.0))).as("sa"),
+      F.sum(F.when(F.col("__g") === labelB, F.col("__v"))
+        .otherwise(F.lit(0.0))).as("sb")).head()
+    val na = obs.getAs[Long]("na"); val nb = obs.getAs[Long]("nb")
+    require(na > 0L && nb > 0L, "both cohorts need rows")
+    val dObs = math.rint((obs.getAs[Double]("sa") / na -
+      obs.getAs[Double]("sb") / nb) * 1e6) / 1e6
+    // md5 fair coin per (row, permutation): first 8 hex chars mod 2
+    val perm = clean
+      .select(F.col("__id"), F.col("__v"),
+        F.explode(F.sequence(F.lit(1), F.lit(k))).as("__k"))
+      .withColumn("__coin",
+        F.conv(F.substring(F.md5(F.concat_ws("#", F.col("__id"),
+          F.col("__k")).cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 2L)
+    val diffs = perm.groupBy("__k").agg(
+      F.sum(F.when(F.col("__coin") === 0L, 1L).otherwise(0L)).as("ka"),
+      F.sum(F.when(F.col("__coin") === 1L, 1L).otherwise(0L)).as("kb"),
+      F.sum(F.when(F.col("__coin") === 0L, F.col("__v"))
+        .otherwise(F.lit(0.0))).as("sa"),
+      F.sum(F.when(F.col("__coin") === 1L, F.col("__v"))
+        .otherwise(F.lit(0.0))).as("sb"))
+    val nGe = diffs
+      .where(F.col("ka") > 0L && F.col("kb") > 0L)
+      .select(F.when(
+        F.abs(F.round(F.col("sa") / F.col("ka") -
+          F.col("sb") / F.col("kb"), 6)) >= F.lit(math.abs(dObs)), 1L)
+        .otherwise(0L).as("ge"))
+      .agg(F.sum("ge")).head().getLong(0)
+    val p = math.rint((1.0 + nGe) / (k + 1.0) * 1e6) / 1e6
+    Seq((na, nb, dObs, k.toLong, nGe, p))
+      .toDF("n_a", "n_b", "diff_obs", "k", "n_ge", "p_value")
+  }
+
+  /** Propensity-score matching ATT with a score GRID: controls
+    * aggregate to mean outcome per rounded-score cell (4 decimals —
+    * ≤10⁴ cells on a [0,1] score), each treated row matches the
+    * nearest non-empty control cell (ties toward the LOWER cell), and
+    * ATT = mean(y_treated − matched control-cell mean). The estimator
+    * is the classic caliper-free nearest-neighbor-with-replacement
+    * collapsed onto a deterministic grid, so it is reproducible and
+    * replayable — and the grid keeps the match a broadcast lookup at
+    * any scale (no row×row join).
+    *
+    * Scale shape: one control aggregation (≤10⁴ cells, collected +
+    * broadcast sorted), one treated pass with a binary-search lookup,
+    * one DECIMAL-exact mean fold.
+    *
+    * @return one row: (n_treated, n_control, n_cells, att, mean_gap) */
+  def psmAtt(df: DataFrame, treatCol: String, scoreCol: String,
+             outcomeCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = F.col(treatCol).cast("boolean")
+    val s = F.col(scoreCol).cast("double")
+    val y = F.col(outcomeCol).cast("double")
+    val clean = df
+      .where(t.isNotNull && s.isNotNull && !F.isnan(s) && y.isNotNull &&
+        !F.isnan(y))
+      .select(t.as("__t"), F.round(s, 4).as("__s"), y.as("__y"))
+    val cells = clean.where(!F.col("__t"))
+      .groupBy("__s")
+      .agg(F.count(F.lit(1)).as("c"),
+        F.round(F.avg("__y"), 6).as("my"))
+      .collect()
+      .sortBy(_.getAs[Double]("__s"))
+    require(cells.nonEmpty, "no control rows")
+    val nControl = cells.map(_.getAs[Long]("c")).sum
+    val grid = cells.map(_.getAs[Double]("__s"))
+    val means = cells.map(_.getAs[Double]("my"))
+    val bcG = spark.sparkContext.broadcast(grid)
+    val bcM = spark.sparkContext.broadcast(means)
+    val matchUdf = F.udf((sc: Double) => {
+      val g = bcG.value
+      var lo = 0; var hi = g.length - 1
+      while (lo < hi) { // first cell >= sc
+        val mid = (lo + hi) / 2
+        if (g(mid) < sc) lo = mid + 1 else hi = mid
+      }
+      val cand =
+        if (g(lo) <= sc || lo == 0) lo
+        else if (math.abs(g(lo - 1) - sc) <= math.abs(g(lo) - sc)) lo - 1
+        else lo
+      bcM.value(cand)
+    })
+    def dsum(c: org.apache.spark.sql.Column) =
+      F.sum(c.cast("decimal(38,6)")).cast("double")
+    val m = clean.where(F.col("__t"))
+      .withColumn("__m", matchUdf(F.col("__s")))
+      .agg(F.count(F.lit(1)).as("nt"),
+        dsum(F.col("__y") - F.col("__m")).as("sg"),
+        dsum(F.abs(F.col("__y") - F.col("__m"))).as("sa"))
+      .head()
+    val nt = m.getAs[Long]("nt")
+    require(nt > 0L, "no treated rows")
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    Seq((nt, nControl, grid.length.toLong, r6(m.getAs[Double]("sg") / nt),
+      r6(m.getAs[Double]("sa") / nt)))
+      .toDF("n_treated", "n_control", "n_cells", "att", "mean_gap")
+  }
 }

@@ -1524,4 +1524,55 @@ object Features {
         F.col("n2"), F.col("z"),
         F.round(erfcUdf(F.col("z")), 6).as("p_value"))
   }
+
+  /** Circular statistics per key over the phase of the timestamp within
+    * a period (time-of-day, day-of-week): linear means are WRONG on a
+    * circle (23:30 and 00:30 average to noon), so fold each event to an
+    * angle θ = 2π·(ts mod period)/period and use the resultant vector:
+    *
+    *   R̄ = |Σe^{iθ}|/n (concentration),  mean dir = atan2(ΣsinΘ, ΣcosΘ),
+    *   circular variance = 1 − R̄,
+    *   Rayleigh z = n·R̄² with p ≈ e^{−z}·(1 + (2z − z²)/(4n))
+    *   (Zar 1999) — the uniformity test: "does this event type HAVE a
+    *   time-of-day at all?"
+    *
+    * ONE aggregation; the two trig sums are rounded to 6 decimals first
+    * and every derived statistic is computed FROM the rounded sums, so
+    * partial-sum order and cross-engine trig ULPs cannot reach the
+    * output (the repo's rounded-statistic convention).
+    *
+    * @param periodNanos fold period in the `tsCol` unit (epoch-nanos)
+    * @return one row per key: (key, n, c_sum, s_sum, r_bar, mean_angle,
+    *         circ_var, rayleigh_z, p_value); mean_angle in (−π, π] */
+  def circularStatsByKey(df: DataFrame, keyCol: String, tsCol: String,
+                         periodNanos: Long): DataFrame = {
+    require(periodNanos > 0L, "period must be positive")
+    val ts = F.col(tsCol).cast("long")
+    val theta = (ts % periodNanos).cast("double") /
+      F.lit(periodNanos.toDouble) * F.lit(2.0) * F.lit(math.Pi)
+    val agged = df
+      .where(F.col(keyCol).isNotNull && ts.isNotNull)
+      .groupBy(F.col(keyCol).as("__k"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.round(F.sum(F.cos(theta)), 6).as("c_sum"),
+        F.round(F.sum(F.sin(theta)), 6).as("s_sum"))
+    val nD = F.col("n").cast("double")
+    val rbar = F.sqrt(F.col("c_sum") * F.col("c_sum") +
+      F.col("s_sum") * F.col("s_sum")) / nD
+    val z = F.round(nD * F.round(rbar, 6) * F.round(rbar, 6), 6)
+    agged
+      .withColumn("r_bar", F.round(rbar, 6))
+      .withColumn("mean_angle",
+        F.round(F.atan2(F.col("s_sum"), F.col("c_sum")), 6))
+      .withColumn("circ_var", F.round(F.lit(1.0) - F.col("r_bar"), 6))
+      .withColumn("rayleigh_z", z)
+      .withColumn("p_value",
+        F.round(F.exp(-F.col("rayleigh_z")) *
+          (F.lit(1.0) + (F.lit(2.0) * F.col("rayleigh_z") -
+            F.col("rayleigh_z") * F.col("rayleigh_z")) /
+            (F.lit(4.0) * nD)), 6))
+      .select(F.col("__k").as(keyCol), F.col("n"), F.col("c_sum"),
+        F.col("s_sum"), F.col("r_bar"), F.col("mean_angle"),
+        F.col("circ_var"), F.col("rayleigh_z"), F.col("p_value"))
+  }
 }

@@ -549,4 +549,105 @@ object Graph {
     und.unpersist(); deg.unpersist(); oriented.unpersist(); tris.unpersist()
     materialized
   }
+
+  /** Link prediction over the 2-hop neighborhood: for every non-edge
+    * pair (a, b) with at least one common neighbor, the three classic
+    * scores —
+    *
+    *   common neighbors |Γa ∩ Γb|,   Jaccard |Γa∩Γb|/|Γa∪Γb|,
+    *   Adamic–Adar Σ_{u ∈ Γa∩Γb} 1/ln(deg u)
+    *
+    * — and the top-k candidates by (AA desc, a, b). Edges are treated
+    * as UNDIRECTED (symmetrized, self-loops dropped).
+    *
+    * Scale shape: one wedge join (edges ⋈ edges on the shared
+    * neighbor — the standard 2-hop expansion, bounded by Σ deg(u)²
+    * like [[triangleStats]]'s wedge set), one aggregation per pair,
+    * one anti-join against the edge set, one TakeOrdered. Degrees are
+    * exact integers; AA sums 6-rounded per pair.
+    *
+    * @return topK rows: (a, b, common, jaccard, adamic_adar) */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+                     topK: Int = 20): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val raw = edges.select(F.col(srcCol).cast("string").as("s"),
+      F.col(dstCol).cast("string").as("d"))
+    val und = raw.union(raw.select(F.col("d").as("s"), F.col("s").as("d")))
+      .where(F.col("s") =!= F.col("d")).distinct().persist()
+    try {
+      val deg = und.groupBy("s").agg(F.count(F.lit(1)).as("deg"))
+      val withDeg = und.join(deg.withColumnRenamed("s", "__u")
+        .withColumnRenamed("deg", "udeg"),
+        F.col("s") === F.col("__u")).drop("__u")
+      // wedges through u: (a ← u → b), a < b lexicographically
+      val l = withDeg.select(F.col("s").as("u"), F.col("d").as("a"),
+        F.col("udeg"))
+      val r = und.select(F.col("s").as("u"), F.col("d").as("b"))
+      val pairs = l.join(r, "u")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).as("common"),
+          F.round(F.sum(F.lit(1.0) / F.log(F.col("udeg"))), 6)
+            .as("adamic_adar"))
+      val nonEdges = pairs.join(und,
+        pairs("a") === und("s") && pairs("b") === und("d"),
+        "left_anti")
+      val degA = deg.select(F.col("s").as("a"), F.col("deg").as("da"))
+      val degB = deg.select(F.col("s").as("b"), F.col("deg").as("db"))
+      nonEdges.join(degA, "a").join(degB, "b")
+        .withColumn("jaccard",
+          F.round(F.col("common").cast("double") /
+            (F.col("da") + F.col("db") - F.col("common")), 6))
+        .orderBy(F.col("adamic_adar").desc, F.col("a").asc,
+          F.col("b").asc)
+        .limit(topK)
+        .select(F.col("a"), F.col("b"), F.col("common"),
+          F.col("jaccard"), F.col("adamic_adar"))
+        .localCheckpoint(true)
+    } finally und.unpersist(blocking = false)
+  }
+
+  /** Newman degree assortativity of an undirected graph — do hubs
+    * attach to hubs (r > 0, social nets) or to leaves (r < 0, hub-and-
+    * spoke infrastructure)? The Pearson correlation of end-point
+    * degrees over the directed edge multiset (both orientations of
+    * each undirected edge, the standard convention):
+    *
+    *   r = [Σjk/m − (Σ(j+k)/2m)²] / [Σ(j²+k²)/2m − (Σ(j+k)/2m)²]
+    *
+    * Every sum is an exact integer (degrees × counts), so r replays
+    * bit-for-bit up to the one final rounded division. One degree
+    * aggregation + one edge⋈degree join + one fold.
+    *
+    * @return one row: (m_edges, n_nodes, assortativity) */
+  def assortativity(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    val raw = edges.select(F.col(srcCol).cast("string").as("s"),
+      F.col(dstCol).cast("string").as("d"))
+    val und = raw.union(raw.select(F.col("d").as("s"), F.col("s").as("d")))
+      .where(F.col("s") =!= F.col("d")).distinct().persist()
+    try {
+      val deg = und.groupBy("s").agg(F.count(F.lit(1)).as("deg"))
+      val degS = deg.select(F.col("s"), F.col("deg").as("dj"))
+      val degD = deg.select(F.col("s").as("d"), F.col("deg").as("dk"))
+      val m = und.join(degS, "s").join(degD, "d")
+        .agg(F.count(F.lit(1)).as("m"),
+          F.sum(F.col("dj") * F.col("dk")).as("sjk"),
+          F.sum(F.col("dj") + F.col("dk")).as("sj"),
+          F.sum(F.col("dj") * F.col("dj") +
+            F.col("dk") * F.col("dk")).as("sj2"))
+        .head()
+      val nNodes = deg.count()
+      val mE = m.getAs[Long]("m").toDouble
+      val mu = m.getAs[Long]("sj") / (2.0 * mE)
+      val num = m.getAs[Long]("sjk") / mE - mu * mu
+      val den = m.getAs[Long]("sj2") / (2.0 * mE) - mu * mu
+      require(den > 0.0, "degenerate degree distribution (all equal)")
+      val spark = edges.sparkSession
+      import spark.implicits._
+      Seq((m.getAs[Long]("m"), nNodes,
+        math.rint(num / den * 1e6) / 1e6))
+        .toDF("m_edges", "n_nodes", "assortativity")
+    } finally und.unpersist(blocking = false)
+  }
 }

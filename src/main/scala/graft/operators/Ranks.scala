@@ -469,4 +469,70 @@ object Ranks {
         F.min(F.when(F.col("__cum") >= F.col("__tw") * 0.5,
           F.col("__v"))).as("w_median"))
   }
+
+  /** Chatterjee's ξ (xicor, JASA 2021) per group — the modern
+    * dependence coefficient [[spearman]] and [[kendallTauB]] miss:
+    * ξ → 0 iff X ⊥ Y and → 1 iff Y is a measurable FUNCTION of X,
+    * monotone or not (a parabola scores ξ ≈ 1, Spearman ≈ 0). The
+    * estimator orders rows by X and measures how wildly the Y-ranks
+    * jump:
+    *
+    *   ξ = 1 − n·Σᵢ|r_{i+1} − rᵢ| / (2·Σᵢ lᵢ(n−lᵢ))
+    *
+    * with rᵢ = #{y_j ≤ y_i}, lᵢ = #{y_j ≥ y_i} (the general
+    * ties-allowed form). X-ties are broken by the caller-supplied
+    * deterministic key columns rather than the paper's randomization,
+    * so the statistic is reproducible and replays exactly — document
+    * the tie-break as part of the result's identity.
+    *
+    * Scale shape: two RANGE-frame cumulative counts (y ascending /
+    * descending) plus one lag, all partitioned BY GROUP — the same
+    * key-partitioned-window contract as the rolling-feature panels;
+    * every term is an exact integer until the single final ratio.
+    *
+    * @param tieCols deterministic X-tie-break columns (need not be a
+    *                unique key — y is appended as the final tie-break,
+    *                which cannot move the statistic; see below)
+    * @return one row per group: (groupCols…, n, xi) */
+  def xicorByGroup(df: DataFrame, groupCols: Seq[String], xCol: String,
+                   yCol: String, tieCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(tieCols.nonEmpty, "need deterministic x-tie-break columns")
+    import org.apache.spark.sql.expressions.Window
+    val gCols = groupCols.map(F.col)
+    val x = F.col(xCol).cast("double")
+    val y = F.col(yCol).cast("double")
+    val clean = df
+      .where(x.isNotNull && !F.isnan(x) && y.isNotNull && !F.isnan(y))
+      .select(gCols ++ Seq(x.as("__x"), y.as("__y")) ++
+        tieCols.map(F.col): _*)
+    val wg = Window.partitionBy(gCols: _*)
+    val wUp = wg.orderBy(F.col("__y").asc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDn = wg.orderBy(F.col("__y").desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    // __y is appended as the FINAL tie-break: rows still tied after
+    // (x, tieCols…) then share y, hence share the y-rank r, so any
+    // residual order ambiguity cannot move Σ|Δr| — determinism holds
+    // even when tieCols are not a unique key
+    val wX = wg.orderBy(
+      (F.col("__x").asc +: tieCols.map(c => F.col(c).asc)) :+
+        F.col("__y").asc: _*)
+    val ranked = clean
+      .withColumn("__n", F.count(F.lit(1)).over(wg))
+      .withColumn("__r", F.count(F.lit(1)).over(wUp))
+      .withColumn("__l", F.count(F.lit(1)).over(wDn))
+      .withColumn("__dr",
+        F.abs(F.col("__r") - F.lag("__r", 1).over(wX)))
+    ranked
+      .groupBy(gCols: _*)
+      .agg(F.max("__n").as("n"),
+        F.sum("__dr").as("__num"),
+        F.sum(F.col("__l") * (F.col("__n") - F.col("__l"))).as("__den"))
+      .withColumn("xi",
+        F.when(F.col("__den") > 0L,
+          F.round(F.lit(1.0) - F.col("n").cast("double") *
+            F.col("__num") / (F.lit(2.0) * F.col("__den")), 6)))
+      .select(gCols :+ F.col("n") :+ F.col("xi"): _*)
+  }
 }

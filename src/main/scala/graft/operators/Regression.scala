@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row, functions => F}
+import graft.functions.SpecialMath
 
 /** Distributed regression over sufficient statistics — the modeling
   * complement to [[GroupedFit]]'s distribution fitting.
@@ -1560,4 +1561,390 @@ object Regression {
   private def matVec(m: Array[Array[Double]],
                      v: Array[Double]): Array[Double] =
     Array.tabulate(v.length)(i => dot(m(i), v))
+
+  /** Two-feature ridge path — [[olsByGroup2]] with an L2 penalty on the
+    * SLOPES (intercept unpenalized, the standard parameterization):
+    * for each λ in `lambdas`, solve the centered 2×2 system
+    *
+    *   [S₁₁+λ  S₁₂ ] (β₁)   (S₁y)        β₀ = ȳ − β₁x̄₁ − β₂x̄₂
+    *   [S₁₂  S₂₂+λ ] (β₂) = (S₂y),
+    *
+    * with Sᵢⱼ = Σ(xᵢ−x̄ᵢ)(xⱼ−x̄ⱼ) the centered sum moments. The whole
+    * path prices from ONE aggregation — λ only touches the 2×2 Cramer
+    * arithmetic, so "how much do the coefficients move under
+    * shrinkage" costs one pass regardless of path length. DECIMAL-
+    * exact product sums make every moment replay bit-for-bit; coefs
+    * round at 6.
+    *
+    * @return one row per λ: (lambda, n, beta1, beta2, intercept) */
+  def ridge2(df: DataFrame, yCol: String, x1Col: String, x2Col: String,
+             lambdas: Seq[Double]): DataFrame = {
+    require(lambdas.nonEmpty, "need at least one lambda")
+    require(lambdas.forall(_ >= 0.0), "lambdas must be non-negative")
+    val x1 = F.col(x1Col).cast("double")
+    val x2 = F.col(x2Col).cast("double")
+    val y = F.col(yCol).cast("double")
+    def dsum(c: org.apache.spark.sql.Column) =
+      F.sum(c.cast("decimal(38,6)")).cast("double")
+    val agged = df
+      .where(x1.isNotNull && !F.isnan(x1) && x2.isNotNull &&
+        !F.isnan(x2) && y.isNotNull && !F.isnan(y))
+      .agg(F.count(F.lit(1)).as("n"),
+        dsum(x1).as("s1"), dsum(x2).as("s2"), dsum(y).as("sy"),
+        dsum(x1 * x1).as("s11"), dsum(x1 * x2).as("s12"),
+        dsum(x2 * x2).as("s22"),
+        dsum(x1 * y).as("s1y"), dsum(x2 * y).as("s2y"))
+    val lf = agged.sparkSession.createDataFrame(
+      lambdas.map(l => Tuple1(l))).toDF("lambda")
+    val nD = F.col("n").cast("double")
+    val c11 = F.col("s11") - F.col("s1") * F.col("s1") / nD
+    val c12 = F.col("s12") - F.col("s1") * F.col("s2") / nD
+    val c22 = F.col("s22") - F.col("s2") * F.col("s2") / nD
+    val c1y = F.col("s1y") - F.col("s1") * F.col("sy") / nD
+    val c2y = F.col("s2y") - F.col("s2") * F.col("sy") / nD
+    val l = F.col("lambda")
+    val det = (c11 + l) * (c22 + l) - c12 * c12
+    val b1 = (c1y * (c22 + l) - c12 * c2y) / det
+    val b2 = ((c11 + l) * c2y - c12 * c1y) / det
+    val b0 = F.col("sy") / nD - b1 * (F.col("s1") / nD) -
+      b2 * (F.col("s2") / nD)
+    agged.crossJoin(lf)
+      .where(F.abs(det) > 1e-12 && F.col("n") >= 4L)
+      .select(F.col("lambda"), F.col("n"),
+        F.round(b1, 6).as("beta1"), F.round(b2, 6).as("beta2"),
+        F.round(b0, 6).as("intercept"))
+  }
+
+  /** Variance inflation factors for exactly three features — the
+    * multicollinearity gate in front of [[olsFit]]: VIFᵢ = 1/(1−R²ᵢ)
+    * where R²ᵢ regresses feature i on the other two; from the 3×3
+    * correlation matrix this is the closed form
+    *
+    *   VIFᵢ = (1 − r²ⱼₖ) / det R,
+    *   det R = 1 − r²₁₂ − r²₁₃ − r²₂₃ + 2·r₁₂r₁₃r₂₃.
+    *
+    * The three pairwise correlations come from ONE explicit-sum
+    * aggregation and are ROUNDED to 6 decimals first; VIF and R²ᵢ are
+    * exact arithmetic on the rounded r's, so the output replays no
+    * matter how partial sums associate.
+    *
+    * @return one row per feature: (feature, r2_other, vif) */
+  def vif3(df: DataFrame, xCols: Seq[String]): DataFrame = {
+    require(xCols.length == 3, "vif3 wants exactly three features")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cs = xCols.map(c => F.col(c).cast("double"))
+    val ok = cs.map(c => c.isNotNull && !F.isnan(c)).reduce(_ && _)
+    def dsum(c: org.apache.spark.sql.Column) =
+      F.sum(c.cast("decimal(38,6)")).cast("double")
+    val r = df.where(ok)
+      .agg(F.count(F.lit(1)).as("n"),
+        dsum(cs(0)).as("s1"), dsum(cs(1)).as("s2"), dsum(cs(2)).as("s3"),
+        dsum(cs(0) * cs(0)).as("s11"), dsum(cs(1) * cs(1)).as("s22"),
+        dsum(cs(2) * cs(2)).as("s33"),
+        dsum(cs(0) * cs(1)).as("s12"), dsum(cs(0) * cs(2)).as("s13"),
+        dsum(cs(1) * cs(2)).as("s23"))
+      .head()
+    val n = r.getAs[Long]("n").toDouble
+    require(n >= 4.0, "need at least four complete rows")
+    def corr(sij: Double, si: Double, sj: Double,
+             sii: Double, sjj: Double): Double = {
+      val c = sij - si * sj / n
+      val vi = sii - si * si / n
+      val vj = sjj - sj * sj / n
+      require(vi > 0.0 && vj > 0.0, "zero-variance feature")
+      math.rint(c / math.sqrt(vi * vj) * 1e6) / 1e6
+    }
+    val r12 = corr(r.getAs[Double]("s12"), r.getAs[Double]("s1"),
+      r.getAs[Double]("s2"), r.getAs[Double]("s11"), r.getAs[Double]("s22"))
+    val r13 = corr(r.getAs[Double]("s13"), r.getAs[Double]("s1"),
+      r.getAs[Double]("s3"), r.getAs[Double]("s11"), r.getAs[Double]("s33"))
+    val r23 = corr(r.getAs[Double]("s23"), r.getAs[Double]("s2"),
+      r.getAs[Double]("s3"), r.getAs[Double]("s22"), r.getAs[Double]("s33"))
+    val det = 1.0 - r12 * r12 - r13 * r13 - r23 * r23 +
+      2.0 * r12 * r13 * r23
+    require(math.abs(det) > 1e-12, "singular correlation matrix")
+    val out = Seq(
+      (xCols(0), r23), (xCols(1), r13), (xCols(2), r12)
+    ).map { case (name, rjk) =>
+      val vif = (1.0 - rjk * rjk) / det
+      (name, math.rint((1.0 - 1.0 / vif) * 1e6) / 1e6,
+        math.rint(vif * 1e6) / 1e6)
+    }
+    out.toDF("feature", "r2_other", "vif")
+  }
+
+  /** Simple-OLS influence diagnostics — the "which rows own this fit"
+    * screen: leverage hᵢ = 1/n + (xᵢ−x̄)²/Sxx, internally studentized
+    * residual rᵢ = eᵢ/(s·√(1−hᵢ)), Cook's distance
+    * Dᵢ = rᵢ²·hᵢ/(p·(1−hᵢ)) with p = 2. Top-k rows by D.
+    *
+    * Two jobs: one DECIMAL-exact moment aggregation collapses to six
+    * ROUNDED scalars (β̂, α̂, x̄, Sxx, s², n — every per-row statistic is
+    * then exact arithmetic on rounded broadcast values), one
+    * TakeOrdered top-k with the id columns as deterministic
+    * tie-breaks. No window, no collect of row-scale data.
+    *
+    * @return topK rows: (idCols…, x, y, resid, leverage, cooks_d) */
+  def olsInfluence(df: DataFrame, yCol: String, xCol: String,
+                   idCols: Seq[String], topK: Int): DataFrame = {
+    require(idCols.nonEmpty, "need deterministic id/tie-break columns")
+    require(topK > 0, "topK must be positive")
+    val x = F.col(xCol).cast("double")
+    val y = F.col(yCol).cast("double")
+    def dsum(c: org.apache.spark.sql.Column) =
+      F.sum(c.cast("decimal(38,6)")).cast("double")
+    val clean = df
+      .where(x.isNotNull && !F.isnan(x) && y.isNotNull && !F.isnan(y))
+      .select(idCols.map(F.col) :+ x.as("__x") :+ y.as("__y"): _*)
+    val m = clean
+      .agg(F.count(F.lit(1)).as("n"), dsum(F.col("__x")).as("sx"),
+        dsum(F.col("__y")).as("sy"),
+        dsum(F.col("__x") * F.col("__x")).as("sxx"),
+        dsum(F.col("__x") * F.col("__y")).as("sxy"),
+        dsum(F.col("__y") * F.col("__y")).as("syy"))
+      .head()
+    val n = m.getAs[Long]("n").toDouble
+    require(n >= 4.0, "need at least four rows")
+    val sx = m.getAs[Double]("sx"); val sy = m.getAs[Double]("sy")
+    val cxx = m.getAs[Double]("sxx") - sx * sx / n
+    val cxy = m.getAs[Double]("sxy") - sx * sy / n
+    val cyy = m.getAs[Double]("syy") - sy * sy / n
+    require(cxx > 0.0, "zero x variance")
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    val beta = r6(cxy / cxx)
+    val alpha = r6(sy / n - (cxy / cxx) * (sx / n))
+    val mx = r6(sx / n)
+    val sxxR = r6(cxx)
+    // SSE via the closed form (exact moments), NOT a residual re-sum
+    val s2 = r6((cyy - cxy * cxy / cxx) / (n - 2.0))
+    require(s2 > 0.0, "zero residual variance")
+    val e = F.col("__y") - (F.lit(alpha) + F.lit(beta) * F.col("__x"))
+    val h = F.lit(1.0 / n) +
+      (F.col("__x") - F.lit(mx)) * (F.col("__x") - F.lit(mx)) /
+        F.lit(sxxR)
+    val r2c = e * e / (F.lit(s2) * (F.lit(1.0) - h))
+    val d = r2c * h / (F.lit(2.0) * (F.lit(1.0) - h))
+    clean
+      .withColumn("resid", F.round(e, 6))
+      .withColumn("leverage", F.round(h, 6))
+      .withColumn("cooks_d", F.round(d, 6))
+      .orderBy(F.col("cooks_d").desc +: idCols.map(c => F.col(c).asc): _*)
+      .limit(topK)
+      .select(idCols.map(F.col) ++ Seq(F.col("__x").as("x"),
+        F.col("__y").as("y"), F.col("resid"), F.col("leverage"),
+        F.col("cooks_d")): _*)
+  }
+
+  /** Breusch–Pagan heteroskedasticity test (Koenker's studentized
+    * form): regress the squared residuals of y~x on x and report
+    * LM = n·R²_aux ~ χ²(1) — "does the noise level itself trend with
+    * the driver", the assumption [[olsByGroup]]'s slope_se silently
+    * makes. Residuals come from the 6-decimal-ROUNDED (α̂, β̂) so every
+    * per-row u² is reproducible; df = 1 means the p-value replays as
+    * erfc(√(LM/2)) — no chi-square table needed.
+    *
+    * Two aggregations (OLS moments, then auxiliary moments) — both
+    * DECIMAL-exact where products allow, LM rounded at 6.
+    *
+    * @return one row: (n, lm_stat, dof, p_value, beta, alpha) */
+  def breuschPagan(df: DataFrame, yCol: String, xCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val x = F.col(xCol).cast("double")
+    val y = F.col(yCol).cast("double")
+    def dsum(c: org.apache.spark.sql.Column) =
+      F.sum(c.cast("decimal(38,6)")).cast("double")
+    val clean = df
+      .where(x.isNotNull && !F.isnan(x) && y.isNotNull && !F.isnan(y))
+      .select(x.as("__x"), y.as("__y"))
+    val m = clean
+      .agg(F.count(F.lit(1)).as("n"), dsum(F.col("__x")).as("sx"),
+        dsum(F.col("__y")).as("sy"),
+        dsum(F.col("__x") * F.col("__x")).as("sxx"),
+        dsum(F.col("__x") * F.col("__y")).as("sxy"))
+      .head()
+    val n = m.getAs[Long]("n").toDouble
+    require(n >= 4.0, "need at least four rows")
+    val sx = m.getAs[Double]("sx"); val sy = m.getAs[Double]("sy")
+    val cxx = m.getAs[Double]("sxx") - sx * sx / n
+    val cxy = m.getAs[Double]("sxy") - sx * sy / n
+    require(cxx > 0.0, "zero x variance")
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    val beta = r6(cxy / cxx)
+    val alpha = r6(sy / n - (cxy / cxx) * (sx / n))
+    val u2 = {
+      val e = F.col("__y") -
+        (F.lit(alpha) + F.lit(beta) * F.col("__x"))
+      e * e
+    }
+    val aux = clean
+      .agg(F.sum(u2).as("su"), F.sum(u2 * u2).as("suu"),
+        F.sum(F.col("__x") * u2).as("sxu"))
+      .head()
+    val su = aux.getAs[Double]("su")
+    val suu = aux.getAs[Double]("suu")
+    val sxu = aux.getAs[Double]("sxu")
+    val cuu = suu - su * su / n
+    val cxu = sxu - sx * su / n
+    require(cuu > 0.0, "constant squared residuals")
+    val r2aux = cxu * cxu / (cxx * cuu)
+    val lm = r6(n * r2aux)
+    val p = math.rint(SpecialMath.erfc(math.sqrt(lm / 2.0)) * 1e6) / 1e6
+    Seq((n.toLong, lm, 1L, p, beta, alpha))
+      .toDF("n", "lm_stat", "dof", "p_value", "beta", "alpha")
+  }
+
+  /** Chow structural-break test at a KNOWN split: do cohorts A and B
+    * share one regression line, or does each need its own?
+    * F = [(SSE_p − SSE_a − SSE_b)/k] / [(SSE_a + SSE_b)/(n−2k)] with
+    * k = 2 (slope + intercept), SSEs in the centered closed form
+    * Syy − Sxy²/Sxx. ONE aggregation carries pooled and per-cohort
+    * moments (conditional DECIMAL-exact sums); the statistic is a
+    * ratio of same-magnitude quantities, so 6-decimal rounding is
+    * orders of magnitude above the partial-sum noise floor. p rides
+    * the operator's F CDF (q_anova convention — not SQL; hash-check
+    * the statistic columns).
+    *
+    * @return one row: (n_a, n_b, f_stat, df1, df2, p_value,
+    *         slope_a, slope_b) */
+  def chowTest(df: DataFrame, yCol: String, xCol: String,
+               cohortCol: String, labelA: String = "a",
+               labelB: String = "b"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val x = F.col(xCol).cast("double")
+    val y = F.col(yCol).cast("double")
+    val g = F.col(cohortCol).cast("string")
+    def csum(c: org.apache.spark.sql.Column, lbl: Option[String]) = {
+      val masked = lbl match {
+        case Some(l) => F.when(F.col("__g") === l, c).otherwise(F.lit(0.0))
+        case None    => c
+      }
+      F.sum(masked.cast("decimal(38,6)")).cast("double")
+    }
+    val clean = df
+      .where(x.isNotNull && !F.isnan(x) && y.isNotNull && !F.isnan(y) &&
+        g.isin(labelA, labelB))
+      .select(g.as("__g"), x.as("__x"), y.as("__y"))
+    val sums = (None :: Some(labelA) :: Some(labelB) :: Nil).zipWithIndex
+      .flatMap { case (lbl, i) =>
+        Seq(
+          F.sum(lbl.map(l => F.when(F.col("__g") === l, 1L)
+            .otherwise(0L)).getOrElse(F.lit(1L))).as(s"n$i"),
+          csum(F.col("__x"), lbl).as(s"sx$i"),
+          csum(F.col("__y"), lbl).as(s"sy$i"),
+          csum(F.col("__x") * F.col("__x"), lbl).as(s"sxx$i"),
+          csum(F.col("__x") * F.col("__y"), lbl).as(s"sxy$i"),
+          csum(F.col("__y") * F.col("__y"), lbl).as(s"syy$i"))
+      }
+    val m = clean.agg(sums.head, sums.tail: _*).head()
+    def sse(i: Int): (Long, Double, Double) = {
+      val n = m.getAs[Long](s"n$i").toDouble
+      val sx = m.getAs[Double](s"sx$i"); val sy = m.getAs[Double](s"sy$i")
+      val cxx = m.getAs[Double](s"sxx$i") - sx * sx / n
+      val cxy = m.getAs[Double](s"sxy$i") - sx * sy / n
+      val cyy = m.getAs[Double](s"syy$i") - sy * sy / n
+      require(n >= 3.0 && cxx > 0.0, "each cohort needs n >= 3 and x variance")
+      (n.toLong, cyy - cxy * cxy / cxx, cxy / cxx)
+    }
+    val (nAll, sseP, _) = sse(0)
+    val (na, sseA, slopeA) = sse(1)
+    val (nb, sseB, slopeB) = sse(2)
+    val df2 = nAll - 4.0
+    val fStat = ((sseP - sseA - sseB) / 2.0) / ((sseA + sseB) / df2)
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    val fr = r6(fStat)
+    val p = math.rint((1.0 - SpecialMath.fCdf(2.0, df2, fr)) * 1e6) / 1e6
+    Seq((na, nb, fr, 2L, df2.toLong, p, r6(slopeA), r6(slopeB)))
+      .toDF("n_a", "n_b", "f_stat", "df1", "df2", "p_value",
+        "slope_a", "slope_b")
+  }
+
+  /** Segmented (two-piece) regression with the breakpoint chosen by
+    * exact grid search over the distinct values of a LOW-CARDINALITY x
+    * (binned driver, integer quantity): for every candidate c, fit
+    * separate lines on x ≤ c and x > c from prefix/suffix moment sums
+    * over the x-cell frame, and take the SSE-minimizing c. The honest
+    * piecewise answer when [[quantileTrend]] hints the relationship
+    * bends.
+    *
+    * Scale shape: ONE x-cell aggregation (DECIMAL-exact sums), then
+    * windows over the ≤|distinct x| cell frame (the repo's bounded-
+    * cells contract); the argmin is decided on 6-decimal-ROUNDED SSE
+    * with the candidate value as tie-break, so the selection replays.
+    *
+    * @return one row: (breakpoint, n_left, n_right, slope_left,
+    *         slope_right, intercept_left, intercept_right, sse_ratio) */
+  def segmentedOls(df: DataFrame, yCol: String, xCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = F.col(xCol).cast("double")
+    val y = F.col(yCol).cast("double")
+    def dsum(c: org.apache.spark.sql.Column) =
+      F.sum(c.cast("decimal(38,6)")).cast("double")
+    val cells = df
+      .where(x.isNotNull && !F.isnan(x) && y.isNotNull && !F.isnan(y))
+      .groupBy(x.as("__x"))
+      .agg(F.count(F.lit(1)).as("c"), dsum(y).as("sy"),
+        dsum(y * y).as("syy"))
+    val w = Window.orderBy("__x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("__x")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def pre(c: String) = F.sum(F.col(c)).over(w)
+    def tot(c: String) = F.sum(F.col(c)).over(wAll)
+    val enriched = cells
+      .withColumn("nl", pre("c")).withColumn("nt", tot("c"))
+      .withColumn("sxl", F.sum(F.col("__x") * F.col("c")).over(w))
+      .withColumn("sxt", F.sum(F.col("__x") * F.col("c")).over(wAll))
+      .withColumn("sxxl",
+        F.sum(F.col("__x") * F.col("__x") * F.col("c")).over(w))
+      .withColumn("sxxt",
+        F.sum(F.col("__x") * F.col("__x") * F.col("c")).over(wAll))
+      .withColumn("syl", pre("sy")).withColumn("syt", tot("sy"))
+      .withColumn("syyl", pre("syy")).withColumn("syyt", tot("syy"))
+      .withColumn("sxyl",
+        F.sum(F.col("__x") * F.col("sy")).over(w))
+      .withColumn("sxyt",
+        F.sum(F.col("__x") * F.col("sy")).over(wAll))
+    val nl = F.col("nl").cast("double")
+    val nr = (F.col("nt") - F.col("nl")).cast("double")
+    // suffix moments: total − prefix, with the same centering
+    val sxr = F.col("sxt") - F.col("sxl")
+    val syr = F.col("syt") - F.col("syl")
+    val cxxLc = F.col("sxxl") - F.col("sxl") * F.col("sxl") / nl
+    val cxxR = (F.col("sxxt") - F.col("sxxl")) - sxr * sxr / nr
+    val cxyL = F.col("sxyl") - F.col("sxl") * F.col("syl") / nl
+    val cxyR = (F.col("sxyt") - F.col("sxyl")) - sxr * syr / nr
+    val cyyL = F.col("syyl") - F.col("syl") * F.col("syl") / nl
+    val cyyR = (F.col("syyt") - F.col("syyl")) - syr * syr / nr
+    val sseL = cyyL - cxyL * cxyL / cxxLc
+    val sseR = cyyR - cxyR * cxyR / cxxR
+    val cyyT = F.col("syyt") - F.col("syt") * F.col("syt") /
+      F.col("nt").cast("double")
+    val cxyT = F.col("sxyt") - F.col("sxt") * F.col("syt") /
+      F.col("nt").cast("double")
+    val cxxT = F.col("sxxt") - F.col("sxt") * F.col("sxt") /
+      F.col("nt").cast("double")
+    val sseT = cyyT - cxyT * cxyT / cxxT
+    val scored = enriched
+      .where(F.col("nl") >= 3L && (F.col("nt") - F.col("nl")) >= 3L &&
+        cxxLc > 0.0 && cxxR > 0.0)
+      .withColumn("sse_split", F.round(sseL + sseR, 2))
+      .withColumn("slope_left", F.round(cxyL / cxxLc, 6))
+      .withColumn("slope_right", F.round(cxyR / cxxR, 6))
+      .withColumn("intercept_left", F.round(
+        F.col("syl") / nl - cxyL / cxxLc * (F.col("sxl") / nl), 6))
+      .withColumn("intercept_right", F.round(
+        syr / nr - cxyR / cxxR * (sxr / nr), 6))
+      .withColumn("sse_ratio", F.round((sseL + sseR) / sseT, 6))
+    scored
+      .orderBy(F.col("sse_split").asc, F.col("__x").asc)
+      .limit(1)
+      .select(F.col("__x").as("breakpoint"), F.col("nl").as("n_left"),
+        (F.col("nt") - F.col("nl")).as("n_right"),
+        F.col("slope_left"), F.col("slope_right"),
+        F.col("intercept_left"), F.col("intercept_right"),
+        F.col("sse_ratio"))
+  }
 }

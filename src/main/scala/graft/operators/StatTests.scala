@@ -1839,4 +1839,299 @@ object StatTests {
     Seq((qR, dof, p, ns, nIncomplete))
       .toDF("q_stat", "dof", "p_value", "n_subjects", "n_incomplete")
   }
+
+  /** Wilcoxon signed-rank test — the rank-based companion to
+    * [[pairedTTest]]: are paired differences symmetric about zero,
+    * without the t-test's normality assumption? Zero differences are
+    * dropped (their count reported); |d| midranks come from the
+    * distinct-|d| counts, W⁺ = Σ midrank·#{d>0 at that |d|}, and the
+    * tie-corrected normal approximation
+    * σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48 with continuity correction
+    * gives z; two-sided p = erfc(|z|/√2) at the 6-decimal-ROUNDED z
+    * ([[mannWhitneyU]] convention).
+    *
+    * Scale shape: ONE distinct-|d| count aggregation, then the
+    * [[cohortCounts]]-style range-partition prefix-sum walk — W⁺ and
+    * the tie sum accumulate partition-locally, driver traffic
+    * O(#partitions). W⁺ is a sum of count×midrank half-integers, so it
+    * replays bit-for-bit.
+    *
+    * @return one row: (n, n_zero, w_plus, z, p_value) */
+  def wilcoxonSignedRank(df: DataFrame, aCol: String,
+                         bCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val a = F.col(aCol).cast("double")
+    val b = F.col(bCol).cast("double")
+    val d = a - b
+    val clean = df
+      .where(a.isNotNull && !F.isnan(a) && b.isNotNull && !F.isnan(b))
+      .select(d.as("d"))
+    val nZero = clean.where(F.col("d") === 0.0).count()
+    val cells = clean.where(F.col("d") =!= 0.0)
+      .groupBy(F.abs(F.col("d")).as("v"))
+      .agg(F.sum(F.when(F.col("d") > 0.0, 1L).otherwise(0L)).as("cp"),
+        F.count(F.lit(1)).as("ct"))
+    val sorted = cells
+      .repartitionByRange(F.col("v")).sortWithinPartitions("v")
+      .as[(Double, Long, Long)].rdd
+    sorted.cache()
+    try {
+      val partSums = sorted.mapPartitionsWithIndex { case (i, it) =>
+        var s = 0L; it.foreach(s += _._3); Iterator((i, s))
+      }.collect().sortBy(_._1)
+      val n = partSums.map(_._2).sum
+      require(n >= 2L, "need at least two nonzero differences")
+      val offsets = partSums.map(_._2).scanLeft(0L)(_ + _)
+      val bc = spark.sparkContext.broadcast(offsets)
+      val parts = sorted.mapPartitionsWithIndex { case (i, it) =>
+        var cum = bc.value(i)
+        var w = 0.0; var ties = 0.0
+        it.foreach { case (_, cp, ct) =>
+          w += cp * (cum + (ct + 1.0) / 2.0)
+          ties += ct.toDouble * ct * ct - ct
+          cum += ct
+        }
+        Iterator((w, ties))
+      }.collect()
+      val w = parts.map(_._1).sum
+      val tieSum = parts.map(_._2).sum
+      val nD = n.toDouble
+      val mu = nD * (nD + 1.0) / 4.0
+      val sigma = math.sqrt(
+        nD * (nD + 1.0) * (2.0 * nD + 1.0) / 24.0 - tieSum / 48.0)
+      val z =
+        if (sigma == 0.0 || w == mu) 0.0
+        else (w - mu - 0.5 * math.signum(w - mu)) / sigma
+      val zr = math.rint(z * 1e6) / 1e6
+      val p = math.rint(SpecialMath.erfc(
+        math.abs(zr) / math.sqrt(2.0)) * 1e6) / 1e6
+      Seq((n, nZero, w, zr, p))
+        .toDF("n", "n_zero", "w_plus", "z", "p_value")
+    } finally sorted.unpersist(blocking = false)
+  }
+
+  /** Sign test — the assumption-free floor under [[wilcoxonSignedRank]]:
+    * is the median paired difference zero, using only the SIGNS of the
+    * differences? Robust to any symmetric-or-not distribution; the
+    * price is power. Normal approximation with continuity correction
+    * (z = (n₊ − n/2 ∓ ½)/√(n/4)); two-sided p = erfc(|z|/√2) at the
+    * rounded z. ONE aggregation of exact integer counts — replays
+    * bit-for-bit.
+    *
+    * @return one row: (n_pos, n_neg, n_zero, z, p_value) */
+  def signTest(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val a = F.col(aCol).cast("double")
+    val b = F.col(bCol).cast("double")
+    val d = a - b
+    val r = df
+      .where(a.isNotNull && !F.isnan(a) && b.isNotNull && !F.isnan(b))
+      .agg(F.sum(F.when(d > 0.0, 1L).otherwise(0L)).as("np"),
+        F.sum(F.when(d < 0.0, 1L).otherwise(0L)).as("nn"),
+        F.sum(F.when(d === 0.0, 1L).otherwise(0L)).as("nz"))
+      .head()
+    val np = r.getAs[Long]("np"); val nn = r.getAs[Long]("nn")
+    val nz = r.getAs[Long]("nz")
+    val n = np + nn
+    require(n > 0L, "all differences are zero")
+    val half = n / 2.0
+    val z =
+      if (np.toDouble == half) 0.0
+      else (np - half - 0.5 * math.signum(np - half)) /
+        math.sqrt(n / 4.0)
+    val zr = math.rint(z * 1e6) / 1e6
+    val p = math.rint(SpecialMath.erfc(
+      math.abs(zr) / math.sqrt(2.0)) * 1e6) / 1e6
+    Seq((np, nn, nz, zr, p)).toDF("n_pos", "n_neg", "n_zero", "z",
+      "p_value")
+  }
+
+  /** Bartlett's test for variance homogeneity across k groups — the
+    * parametric (normal-theory) sharp end next to the robust
+    * [[brownForsythe]]: T = [(N−k)·ln s²_p − Σ(nᵢ−1)·ln s²ᵢ] / C with
+    * C = 1 + (Σ1/(nᵢ−1) − 1/(N−k)) / (3(k−1)), T ~ χ²(k−1). More
+    * powerful than Levene under normality, badly anti-conservative
+    * under heavy tails — run both and disagree loudly.
+    *
+    * ONE (n, Σx, Σx²) aggregation over the group frame (bounded by the
+    * factor's cardinality, collected like [[cochranQ]]'s treatment
+    * totals); p from the ROUNDED T via the regularized Γ survival
+    * ([[chiSquareTwoSample]] convention — exp(−T/2)-replayable when
+    * k−1 = 2). Integer-valued inputs make the moment sums exact.
+    *
+    * @return one row: (k, n, t_stat, dof, p_value) */
+  def bartlettTest(df: DataFrame, factorCol: String,
+                   valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = F.col(valueCol).cast("double")
+    val groups = df
+      .where(v.isNotNull && !F.isnan(v) && F.col(factorCol).isNotNull)
+      .groupBy(F.col(factorCol).cast("string").as("g"))
+      .agg(F.count(F.lit(1)).as("n"), F.sum(v).as("sx"),
+        F.sum(v * v).as("sxx"))
+      .collect()
+      // deterministic fold order: collect() order varies run-to-run,
+      // and a 3-term double sum is order-sensitive in the last ulps
+      .sortBy(_.getAs[String]("g"))
+    val k = groups.length
+    require(k >= 2, "need at least two groups")
+    val stats = groups.map { r =>
+      val n = r.getAs[Long]("n").toDouble
+      val sx = r.getAs[Double]("sx"); val sxx = r.getAs[Double]("sxx")
+      (n, (sxx - sx * sx / n) / (n - 1.0))
+    }
+    require(stats.forall { case (n, s2) => n >= 2.0 && s2 > 0.0 },
+      "every group needs n >= 2 and positive variance")
+    val bigN = stats.map(_._1).sum
+    val pooled = stats.map { case (n, s2) => (n - 1.0) * s2 }.sum /
+      (bigN - k)
+    val c = 1.0 + (stats.map { case (n, _) => 1.0 / (n - 1.0) }.sum -
+      1.0 / (bigN - k)) / (3.0 * (k - 1.0))
+    val t = ((bigN - k) * math.log(pooled) -
+      stats.map { case (n, s2) => (n - 1.0) * math.log(s2) }.sum) / c
+    val tr = math.rint(t * 1e6) / 1e6
+    val dof = k - 1L
+    val p = math.rint(SpecialMath.gammaIncC(dof / 2.0, tr / 2.0) * 1e6) / 1e6
+    Seq((k.toLong, bigN.toLong, tr, dof, p))
+      .toDF("k", "n", "t_stat", "dof", "p_value")
+  }
+
+  /** Cliff's delta — the ordinal effect size under [[mannWhitneyU]]:
+    * δ = (#{x>y} − #{x<y}) / (n_a·n_b) over all cross-cohort pairs,
+    * the probability a random A-value beats a random B-value minus the
+    * reverse. Reported with the Romano et al. (2006) magnitude bands
+    * (0.147 / 0.33 / 0.474) — the "is the significant difference
+    * actually big" number that should always ride next to a U test's
+    * p-value.
+    *
+    * Same [[cohortCounts]] prefix-sum substrate as the U statistic:
+    * the pair counts fold from per-distinct-value cohort counts in one
+    * partition-local pass, all exact integers — replays bit-for-bit.
+    *
+    * @return one row: (delta, magnitude, n_gt, n_lt, n_tie, n_a, n_b) */
+  def cliffsDelta(df: DataFrame, cohortCol: String, valueCol: String,
+                  labelA: String = "a", labelB: String = "b"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (sorted, na, nb, _, offB) =
+      cohortCounts(df, cohortCol, valueCol, labelA, labelB)
+    try {
+      val bc = spark.sparkContext.broadcast(offB)
+      val parts = sorted.mapPartitionsWithIndex { case (i, it) =>
+        var cumB = bc.value(i)
+        var gt = 0L; var tie = 0L
+        it.foreach { case (_, ca, cb) =>
+          gt += ca * cumB
+          tie += ca * cb
+          cumB += cb
+        }
+        Iterator((gt, tie))
+      }.collect()
+      val gt = parts.map(_._1).sum
+      val tie = parts.map(_._2).sum
+      val lt = na * nb - gt - tie
+      val delta = (gt - lt).toDouble / (na.toDouble * nb)
+      val dr = math.rint(delta * 1e6) / 1e6
+      val mag = math.abs(dr) match {
+        case x if x < 0.147 => "negligible"
+        case x if x < 0.33  => "small"
+        case x if x < 0.474 => "medium"
+        case _              => "large"
+      }
+      Seq((dr, mag, gt, lt, tie, na, nb))
+        .toDF("delta", "magnitude", "n_gt", "n_lt", "n_tie", "n_a", "n_b")
+    } finally sorted.unpersist(blocking = false)
+  }
+
+  /** Jonckheere–Terpstra test for an ORDERED alternative across k
+    * groups — the trend-aware upgrade of [[kruskalWallisByGroup]]:
+    * when the factor levels carry an a-priori order (dose, severity,
+    * priority), J = Σ_{i<j} U_ij (pairwise Mann–Whitney counts in the
+    * hypothesized direction, ties at ½) concentrates all its power on
+    * monotone location shift. Normal approximation with the no-tie
+    * variance [N²(2N+3) − Σnᵢ²(2nᵢ+3)]/72 (ties make it mildly
+    * conservative — documented, identical on both sides) and
+    * continuity correction; two-sided p = erfc(|z|/√2) at the rounded
+    * z.
+    *
+    * Scale shape: ONE per-distinct-value conditional-count aggregation
+    * (k counts per value), then a range-partition prefix-sum walk with
+    * per-level broadcast offsets — J accumulates partition-locally as
+    * exact half-integers, driver traffic O(k·#partitions).
+    *
+    * @param levels the factor levels in hypothesized ascending order
+    * @return one row: (j_stat, z, p_value, n, k) */
+  def jonckheereTerpstra(df: DataFrame, factorCol: String,
+                         valueCol: String,
+                         levels: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = levels.length
+    require(k >= 2, "need at least two ordered levels")
+    val g = F.col(factorCol).cast("string")
+    val v = F.col(valueCol).cast("double")
+    val aggs = levels.zipWithIndex.map { case (l, i) =>
+      F.sum(F.when(g === l, 1L).otherwise(0L)).as(s"c$i")
+    }
+    val counts = df
+      .where(v.isNotNull && !F.isnan(v) && g.isin(levels: _*))
+      .groupBy(v.as("v"))
+      .agg(aggs.head, aggs.tail: _*)
+    val sorted = counts
+      .repartitionByRange(F.col("v")).sortWithinPartitions("v")
+      .map(r => (r.getDouble(0),
+        Array.tabulate(k)(i => r.getLong(i + 1)))).rdd
+    sorted.cache()
+    try {
+      val partSums = sorted.mapPartitionsWithIndex { case (i, it) =>
+        val s = Array.fill(k)(0L)
+        it.foreach { case (_, cs) =>
+          var j = 0; while (j < k) { s(j) += cs(j); j += 1 }
+        }
+        Iterator((i, s))
+      }.collect().sortBy(_._1).map(_._2)
+      val totals = Array.tabulate(k)(j => partSums.map(_(j)).sum)
+      val n = totals.sum
+      require(totals.forall(_ > 0L), "every level needs rows")
+      val offsets = partSums
+        .scanLeft(Array.fill(k)(0L)) { (acc, s) =>
+          Array.tabulate(k)(j => acc(j) + s(j))
+        }
+      val bc = spark.sparkContext.broadcast(offsets)
+      val jParts = sorted.mapPartitionsWithIndex { case (i, it) =>
+        val cum = bc.value(i).clone()
+        var jj = 0.0
+        it.foreach { case (_, cs) =>
+          var lo = 0L; var tieLo = 0L
+          var j = 0
+          while (j < k) {
+            if (j > 0) jj += cs(j) * (lo + 0.5 * tieLo)
+            lo += cum(j); tieLo += cs(j)
+            cum(j) += cs(j)
+            j += 1
+          }
+        }
+        Iterator(jj)
+      }.collect()
+      // per-value lower-level prefix: lo folds cum(0..j-1) BEFORE this
+      // value, tieLo the same-value counts of lower levels
+      val jStat = jParts.sum
+      val nD = n.toDouble
+      val mean = (nD * nD - totals.map(t => t.toDouble * t).sum) / 4.0
+      val variance = (nD * nD * (2.0 * nD + 3.0) -
+        totals.map(t => t.toDouble * t * (2.0 * t + 3.0)).sum) / 72.0
+      val sigma = math.sqrt(variance)
+      val z =
+        if (sigma == 0.0 || jStat == mean) 0.0
+        else (jStat - mean - 0.5 * math.signum(jStat - mean)) / sigma
+      val zr = math.rint(z * 1e6) / 1e6
+      val p = math.rint(SpecialMath.erfc(
+        math.abs(zr) / math.sqrt(2.0)) * 1e6) / 1e6
+      Seq((jStat, zr, p, n, k.toLong))
+        .toDF("j_stat", "z", "p_value", "n", "k")
+    } finally sorted.unpersist(blocking = false)
+  }
 }

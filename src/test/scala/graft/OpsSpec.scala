@@ -5147,4 +5147,66 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(d10 == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 1L))
   }
+
+  test("linkPrediction scores the open triad, skips existing edges") {
+    import spark.implicits._
+    // path a—b—c: the only candidate is (a, c) through b
+    val e = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val rows = Graph.linkPrediction(e, "src", "dst", topK = 5).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("a") == "a" && r.getAs[String]("b") == "c")
+    assert(r.getAs[Long]("common") == 1L)
+    assert(math.abs(r.getAs[Double]("jaccard") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("adamic_adar") - 1.442695) < 1e-6)
+  }
+
+  test("assortativity: a star graph is perfectly disassortative") {
+    import spark.implicits._
+    val e = Seq(("h", "l1"), ("h", "l2"), ("h", "l3")).toDF("src", "dst")
+    val r = Graph.assortativity(e, "src", "dst").head()
+    assert(r.getAs[Long]("m_edges") == 6L)
+    assert(r.getAs[Long]("n_nodes") == 4L)
+    assert(math.abs(r.getAs[Double]("assortativity") - -1.0) < 1e-9)
+  }
+
+  test("xicorByGroup: high for a function, near zero for noise") {
+    import spark.implicits._
+    // y = x² over 20 distinct x: Σ|Δr| = 19, Σl(n−l) gives ξ = 6/7
+    val func = (1 to 20).map(i => ("g", i.toDouble, (i * i).toDouble, i))
+      .toDF("grp", "x", "y", "id")
+    val r = Ranks.xicorByGroup(func, Seq("grp"), "x", "y", Seq("id"))
+      .head()
+    assert(r.getAs[Long]("n") == 20L)
+    assert(math.abs(r.getAs[Double]("xi") - 0.857143) < 1e-5)
+    // a deterministic "shuffled" y (multiplicative-inverse permutation
+    // mod 23) has no functional structure → ξ well below the function's
+    val perm = (1 to 22).map(i => ("g", i.toDouble,
+      ((i * 9) % 23).toDouble, i)).toDF("grp", "x", "y", "id")
+    val p = Ranks.xicorByGroup(perm, Seq("grp"), "x", "y", Seq("id"))
+      .head()
+    assert(math.abs(p.getAs[Double]("xi")) < 0.45)
+  }
+
+  test("circularStatsByKey: concentrated vs antipodal timestamps") {
+    import spark.implicits._
+    val hour = 3600L * 1000000000L
+    // key "c": four events all at 06:00 → R̄ = 1, Rayleigh z = 4,
+    // p = e⁻⁴·(1 + (8−16)/16) = 0.009158
+    // key "u": two antipodal events (00:00, 12:00) → R̄ = 0, p = 1
+    val df = (Seq.fill(4)(("c", 6L * hour)) ++
+      Seq(("u", 0L), ("u", 12L * hour))).toDF("k", "ts")
+    val out = Features.circularStatsByKey(df, "k", "ts",
+      periodNanos = 24L * hour)
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    val c = out("c")
+    assert(math.abs(c.getAs[Double]("r_bar") - 1.0) < 1e-6)
+    assert(math.abs(c.getAs[Double]("rayleigh_z") - 4.0) < 1e-6)
+    assert(math.abs(c.getAs[Double]("mean_angle") - math.Pi / 2.0) < 1e-5)
+    assert(math.abs(c.getAs[Double]("p_value") - 0.009158) < 1e-5)
+    val u = out("u")
+    assert(math.abs(u.getAs[Double]("r_bar")) < 1e-6)
+    assert(math.abs(u.getAs[Double]("circ_var") - 1.0) < 1e-6)
+    assert(math.abs(u.getAs[Double]("p_value") - 1.0) < 1e-6)
+  }
 }

@@ -404,4 +404,93 @@ class RegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
       (true, 2.0, 0.0), (true, 3.0, 0.0)).toDF("y", "x1", "x2")
     assert(Regression.fisherLda(flat, "y", "x1", "x2").count() == 0L)
   }
+
+  test("ridge2: lambda=0 recovers OLS, shrinkage follows the closed form") {
+    import spark.implicits._
+    // y = 2·x1 exactly: S11=5, S12=−1, S22=1, S1y=10, S2y=−2
+    val df = Seq((2.0, 1.0, 1.0), (4.0, 2.0, 0.0), (6.0, 3.0, 1.0),
+      (8.0, 4.0, 0.0)).toDF("y", "x1", "x2")
+    val out = Regression.ridge2(df, "y", "x1", "x2",
+      Seq(0.0, 1.0)).collect().map(r => r.getAs[Double]("lambda") -> r)
+      .toMap
+    val o = out(0.0)
+    assert(math.abs(o.getAs[Double]("beta1") - 2.0) < 1e-9)
+    assert(math.abs(o.getAs[Double]("beta2")) < 1e-9)
+    assert(math.abs(o.getAs[Double]("intercept")) < 1e-9)
+    // λ=1: det=11, β1=18/11, β2=−2/11, β0=1
+    val s = out(1.0)
+    assert(math.abs(s.getAs[Double]("beta1") - 1.636364) < 1e-6)
+    assert(math.abs(s.getAs[Double]("beta2") - -0.181818) < 1e-6)
+    assert(math.abs(s.getAs[Double]("intercept") - 1.0) < 1e-6)
+  }
+
+  test("vif3: orthogonal design gives VIF = 1 on every feature") {
+    import spark.implicits._
+    val df = Seq((1.0, 1.0, 1.0), (1.0, -1.0, -1.0), (-1.0, 1.0, -1.0),
+      (-1.0, -1.0, 1.0)).toDF("a", "b", "c")
+    val rows = Regression.vif3(df, Seq("a", "b", "c")).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("vif") - 1.0) < 1e-9)
+      assert(math.abs(r.getAs[Double]("r2_other")) < 1e-9)
+    }
+  }
+
+  test("olsInfluence surfaces the high-leverage outlier first") {
+    import spark.implicits._
+    // (10, 20) is both far in x and off the line: D = 17.25, h = 0.92
+    val df = Seq((1L, 1.0, 1.0), (2L, 2.0, 2.0), (3L, 3.0, 3.0),
+      (4L, 4.0, 4.0), (5L, 10.0, 20.0)).toDF("id", "x", "y")
+    val rows = Regression.olsInfluence(df, "y", "x", Seq("id"), topK = 2)
+      .collect()
+    // α̂, β̂ are 6-rounded before the per-row pass, so per-row outputs
+    // carry up to ~5e-6·|x| of that rounding — assert at 1e-4
+    assert(rows.head.getAs[Long]("id") == 5L)
+    assert(math.abs(rows.head.getAs[Double]("cooks_d") - 17.25) < 1e-3)
+    assert(math.abs(rows.head.getAs[Double]("leverage") - 0.92) < 1e-6)
+    assert(math.abs(rows.head.getAs[Double]("resid") - 0.8) < 1e-4)
+    // next most influential is x = 1 (D = 0.474506)
+    assert(rows(1).getAs[Long]("id") == 1L)
+    assert(math.abs(rows(1).getAs[Double]("cooks_d") - 0.474506) < 1e-4)
+  }
+
+  test("breuschPagan matches the hand-computed Koenker LM") {
+    import spark.implicits._
+    val df = Seq((1.0, 1.1), (2.0, 1.9), (3.0, 3.3), (4.0, 2.7),
+      (5.0, 6.0), (6.0, 4.0), (7.0, 9.0), (8.0, 3.0)).toDF("x", "y")
+    val r = Regression.breuschPagan(df, "y", "x").head()
+    assert(r.getAs[Long]("n") == 8L && r.getAs[Long]("dof") == 1L)
+    assert(math.abs(r.getAs[Double]("lm_stat") - 4.989747) < 1e-5)
+    assert(math.abs(r.getAs[Double]("p_value") - 0.025498) < 1e-5)
+    assert(math.abs(r.getAs[Double]("beta") - 0.645238) < 1e-6)
+  }
+
+  test("chowTest detects the slope break between cohorts") {
+    import spark.implicits._
+    val a = Seq(2.1, 3.9, 6.2, 7.8, 10.0).zipWithIndex
+      .map { case (y, i) => ("a", (i + 1).toDouble, y) }
+    val b = Seq(3.2, 5.8, 9.1, 12.0, 15.1).zipWithIndex
+      .map { case (y, i) => ("b", (i + 1).toDouble, y) }
+    val r = Regression.chowTest((a ++ b).toDF("g", "x", "y"), "y", "x",
+      "g").head()
+    assert(r.getAs[Long]("n_a") == 5L && r.getAs[Long]("n_b") == 5L)
+    assert(math.abs(r.getAs[Double]("f_stat") - 465.713115) < 1e-4)
+    assert(r.getAs[Long]("df1") == 2L && r.getAs[Long]("df2") == 6L)
+    assert(math.abs(r.getAs[Double]("slope_a") - 1.97) < 1e-6)
+    assert(math.abs(r.getAs[Double]("slope_b") - 3.0) < 1e-6)
+    assert(r.getAs[Double]("p_value") < 0.001)
+  }
+
+  test("segmentedOls finds the exact piecewise breakpoint") {
+    import spark.implicits._
+    // y = x on x ≤ 3, y = 10x on x > 3: split at 3 has zero SSE
+    val df = (1 to 6).map(i =>
+      (i.toDouble, if (i <= 3) i.toDouble else 10.0 * i)).toDF("x", "y")
+    val r = Regression.segmentedOls(df, "y", "x").head()
+    assert(r.getAs[Double]("breakpoint") == 3.0)
+    assert(r.getAs[Long]("n_left") == 3L && r.getAs[Long]("n_right") == 3L)
+    assert(math.abs(r.getAs[Double]("slope_left") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("slope_right") - 10.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("sse_ratio")) < 1e-9)
+  }
 }

@@ -616,4 +616,136 @@ class StatTestsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter { case (a, b) => a >= 0.1 && b >= 0.1 && a <= 8.0 && b <= 8.0 }
       .foreach { case (a, b) => assert(llAt(a, b) <= ll + 1e-9) }
   }
+
+  test("wilcoxonSignedRank matches the hand-computed tied example") {
+    import spark.implicits._
+    // d = [-1,1,-2,1,-2,-2,1,-2]: |d| ties at 1 (×4, midrank 2.5) and
+    // 2 (×4, midrank 6.5) → W+ = 3·2.5 = 7.5; σ² = 51 − 240/48 = 48.5
+    val df = Seq((1.0, 2.0), (2.0, 1.0), (3.0, 5.0), (4.0, 3.0),
+      (5.0, 7.0), (6.0, 8.0), (7.0, 6.0), (8.0, 10.0)).toDF("a", "b")
+    val r = StatTests.wilcoxonSignedRank(df, "a", "b").head()
+    assert(r.getAs[Long]("n") == 8L && r.getAs[Long]("n_zero") == 0L)
+    assert(r.getAs[Double]("w_plus") == 7.5)
+    assert(math.abs(r.getAs[Double]("z") - -1.435916) < 1e-5)
+    assert(math.abs(r.getAs[Double]("p_value") - 0.151026) < 1e-5)
+  }
+
+  test("signTest counts signs and applies the continuity correction") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0), (2.0, 1.0), (3.0, 5.0), (4.0, 3.0),
+      (5.0, 7.0), (6.0, 8.0), (7.0, 6.0), (8.0, 10.0), (9.0, 9.0))
+      .toDF("a", "b")
+    val r = StatTests.signTest(df, "a", "b").head()
+    assert(r.getAs[Long]("n_pos") == 3L && r.getAs[Long]("n_neg") == 5L)
+    assert(r.getAs[Long]("n_zero") == 1L)
+    // z = (3 − 4 + 0.5)/√2 = −0.353553 (corrects TOWARD the null)
+    assert(math.abs(r.getAs[Double]("z") - -0.353553) < 1e-5)
+    assert(math.abs(r.getAs[Double]("p_value") - 0.723674) < 1e-4)
+  }
+
+  test("bartlettTest matches the hand-computed three-group example") {
+    import spark.implicits._
+    val df = (Seq(1.0, 2, 3, 4, 5).map(("x", _)) ++
+      Seq(2.0, 4, 6, 7, 9).map(("y", _)) ++
+      Seq(3.0, 5, 8, 9, 12).map(("z", _))).toDF("g", "v")
+    val r = StatTests.bartlettTest(df, "g", "v").head()
+    assert(r.getAs[Long]("k") == 3L && r.getAs[Long]("n") == 15L)
+    assert(math.abs(r.getAs[Double]("t_stat") - 2.077674) < 1e-5)
+    assert(r.getAs[Long]("dof") == 2L)
+    // df = 2 → p = exp(−T/2)
+    assert(math.abs(r.getAs[Double]("p_value") - 0.353866) < 1e-5)
+  }
+
+  test("cliffsDelta: exact pair counts and magnitude band") {
+    import spark.implicits._
+    // a = {1,2,3}, b = {2,3,4}: gt = 1, lt = 6, ties = 2 → δ = −5/9
+    val df = (Seq(1, 2, 3).map(("a", _)) ++ Seq(2, 3, 4).map(("b", _)))
+      .toDF("cohort", "v")
+    val r = StatTests.cliffsDelta(df, "cohort", "v").head()
+    assert(r.getAs[Long]("n_gt") == 1L && r.getAs[Long]("n_lt") == 6L)
+    assert(r.getAs[Long]("n_tie") == 2L)
+    assert(math.abs(r.getAs[Double]("delta") - -0.555556) < 1e-5)
+    assert(r.getAs[String]("magnitude") == "large")
+  }
+
+  test("ivWald recovers the hand-computed Wald ratio and first-stage F") {
+    import spark.implicits._
+    val df = Seq((true, 1.0, 5.0), (true, 1.0, 5.0), (true, 0.0, 3.0),
+      (true, 0.0, 3.0), (false, 1.0, 4.0), (false, 0.0, 2.0),
+      (false, 0.0, 2.0), (false, 0.0, 2.0)).toDF("z", "d", "y")
+    val r = Experiments.ivWald(df, "z", "d", "y").head()
+    assert(r.getAs[Long]("n1") == 4L && r.getAs[Long]("n0") == 4L)
+    assert(math.abs(r.getAs[Double]("itt") - 1.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("first_stage") - 0.25) < 1e-9)
+    assert(math.abs(r.getAs[Double]("beta_iv") - 6.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("first_stage_f") - 0.428571) < 1e-5)
+  }
+
+  test("rddEstimate measures the jump AT the cutoff, not the mean gap") {
+    import spark.implicits._
+    // left: y = x − 10 (15 at the cutoff); right: y = 2x + 50
+    // (100 at the cutoff) → effect 85, NOT mean(right) − mean(left)
+    val df = Seq((20.0, 10.0), (22.0, 12.0), (24.0, 14.0),
+      (25.0, 100.0), (27.0, 104.0), (29.0, 108.0)).toDF("x", "y")
+    val r = Experiments.rddEstimate(df, "x", "y", cutoff = 25.0,
+      bandwidth = 15.0).head()
+    assert(r.getAs[Long]("n_left") == 3L && r.getAs[Long]("n_right") == 3L)
+    assert(math.abs(r.getAs[Double]("intercept_left") - 15.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("intercept_right") - 100.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("slope_left") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("slope_right") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("effect") - 85.0) < 1e-9)
+  }
+
+  test("permutationTest: exact observed diff, deterministic p") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 10.0), (2L, "a", 10.0), (3L, "b", 0.0),
+      (4L, "b", 0.0)).toDF("id", "g", "v")
+    val r1 = Experiments.permutationTest(df, "id", "g", "v",
+      k = 50).head()
+    assert(math.abs(r1.getAs[Double]("diff_obs") - 10.0) < 1e-9)
+    assert(r1.getAs[Long]("n_a") == 2L && r1.getAs[Long]("n_b") == 2L)
+    val p1 = r1.getAs[Double]("p_value")
+    assert(p1 > 0.0 && p1 <= 1.0)
+    // md5-keyed: the same inputs give the same p, run to run
+    val r2 = Experiments.permutationTest(df, "id", "g", "v",
+      k = 50).head()
+    assert(r2.getAs[Double]("p_value") == p1)
+    assert(r2.getAs[Long]("n_ge") == r1.getAs[Long]("n_ge"))
+  }
+
+  test("psmAtt: exact-cell match, nearest fallback, lower-cell ties") {
+    import spark.implicits._
+    val df = Seq(
+      (true, 0.1, 10.0), (true, 0.3, 20.0),
+      (false, 0.1, 5.0), (false, 0.1, 5.0), (false, 0.25, 8.0))
+      .toDF("t", "s", "y")
+    val r = Experiments.psmAtt(df, "t", "s", "y").head()
+    assert(r.getAs[Long]("n_treated") == 2L)
+    assert(r.getAs[Long]("n_control") == 3L)
+    assert(r.getAs[Long]("n_cells") == 2L)
+    // 0.1 matches its own cell (gap 5); 0.3 → nearest 0.25 (gap 12)
+    assert(math.abs(r.getAs[Double]("att") - 8.5) < 1e-9)
+    // an equidistant treated score matches the LOWER cell (0.25/0.75
+    // around 0.5 — binary-exact quarters so the tie is a true tie)
+    val tie = Seq((true, 0.5, 10.0), (false, 0.25, 1.0),
+      (false, 0.75, 7.0)).toDF("t", "s", "y")
+    val t = Experiments.psmAtt(tie, "t", "s", "y").head()
+    assert(math.abs(t.getAs[Double]("att") - 9.0) < 1e-9)
+  }
+
+  test("jonckheereTerpstra matches the hand-computed ordered example") {
+    import spark.implicits._
+    // g1=[1,2,3] < g2=[2,3,4] < g3=[4,5,6]: J = 24.5 (ties at ½),
+    // mean = 13.5, var = 20.25 → z = (24.5 − 13.5 − 0.5)/4.5 = 2.333333
+    val df = (Seq(1.0, 2, 3).map(("g1", _)) ++
+      Seq(2.0, 3, 4).map(("g2", _)) ++
+      Seq(4.0, 5, 6).map(("g3", _))).toDF("lvl", "v")
+    val r = StatTests.jonckheereTerpstra(df, "lvl", "v",
+      Seq("g1", "g2", "g3")).head()
+    assert(r.getAs[Double]("j_stat") == 24.5)
+    assert(math.abs(r.getAs[Double]("z") - 2.333333) < 1e-5)
+    assert(math.abs(r.getAs[Double]("p_value") - 0.019631) < 1e-5)
+    assert(r.getAs[Long]("n") == 9L && r.getAs[Long]("k") == 3L)
+  }
 }
