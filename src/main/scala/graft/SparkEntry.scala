@@ -3050,6 +3050,36 @@ object SparkEntry {
           "value", periodUnit = 86400000000000L, p = 1),
         "event_type", "period", "v", "fitted", seasonLag = 7)
         .orderBy("event_type")),
+    "q_newey_west" -> ((s, dir) =>
+      // HAC slope uncertainty for each event type's daily trend: the
+      // Bartlett-kernel (L=5) standard error next to the naive OLS
+      // one — hac_ratio > 1 quantifies how much autocorrelation was
+      // understating the noise
+      Features.neweyWestByKey(events(s, dir), "event_type", "ts",
+          "value", periodUnit = 86400000000000L, maxLag = 5)
+        .orderBy("event_type")),
+    "q_croston" -> ((s, dir) =>
+      // intermittent-demand forecast over the sparse high-value event
+      // stream (daily sums of value > 95 spikes): smoothed sizes and
+      // intervals with the SBA bias correction; the recursion replays
+      // as a recursive CTE
+      Features.crostonByKey(
+        events(s, dir).where(F.col("value") > 95),
+        "event_type", "ts", "value", periodUnit = 86400000000000L,
+        alpha = 0.3)
+        .orderBy("event_type", "period")),
+    "q_theta_forecast" -> ((s, dir) =>
+      // theta-method one-step forecast per event type: OLS trend line
+      // + SES over the theta=2 line, averaged — the M3-winning default
+      Features.thetaForecastByKey(events(s, dir), "event_type", "ts",
+          "value", periodUnit = 86400000000000L, alpha = 0.3)
+        .orderBy("event_type")),
+    "q_spectral_entropy" -> ((s, dir) =>
+      // one forecastability number per event type: normalized Shannon
+      // entropy of the 10-frequency periodogram + the peak frequency
+      Features.spectralEntropyByKey(events(s, dir), "event_type", "ts",
+          "value", periodUnit = 86400000000000L, maxFreq = 10)
+        .orderBy("event_type")),
     "q_mahalanobis" -> ((s, dir) =>
       // joint (quantity, price) outliers per line status: bivariate
       // Mahalanobis against the closed-form chi2(2) cut, fully
@@ -10805,6 +10835,196 @@ object SparkEntry {
         |SELECT k AS event_type, n, CAST(j AS BIGINT) AS freq,
         |  round((ca * ca + cb * cb) / CAST(n AS DOUBLE), 6) AS power
         |FROM c WHERE rn = n ORDER BY event_type, freq""".stripMargin,
+    // Newey-West replay: decimal-exact per-key moment windows, the
+    // same closed-form OLS residual per cell, five Bartlett lag sums
+    // with the engine's driver-folded weight expressions.
+    "q_newey_west" ->
+      """WITH e AS (SELECT event_type AS k,
+        |    epoch_ns(ts) // 86400000000000 AS p, value AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |cells AS (SELECT k, p,
+        |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+        |      AS v
+        |  FROM e GROUP BY k, p),
+        |m AS (SELECT k, p, v,
+        |    CAST(count(*) OVER w AS BIGINT) AS n,
+        |    CAST(sum(CAST(p AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sp,
+        |    CAST(sum(CAST(v AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sv,
+        |    CAST(sum(CAST(CAST(p AS DOUBLE) * CAST(p AS DOUBLE)
+        |      AS DECIMAL(38,6))) OVER w AS DOUBLE) AS spp,
+        |    CAST(sum(CAST(CAST(p AS DOUBLE) * v AS DECIMAL(38,6)))
+        |      OVER w AS DOUBLE) AS spv
+        |  FROM cells WINDOW w AS (PARTITION BY k)),
+        |d AS (SELECT k, p, v, n, sp, sv,
+        |    spp - sp * sp / CAST(n AS DOUBLE) AS sxx,
+        |    spv - sp * sv / CAST(n AS DOUBLE) AS sxy FROM m),
+        |r AS (SELECT k, p, v, n, sp, sxx, sxy / sxx AS slope,
+        |    sv / CAST(n AS DOUBLE) - sxy / sxx
+        |      * (sp / CAST(n AS DOUBLE)) AS icept FROM d),
+        |g AS (SELECT k, p, n, sxx, slope,
+        |    v - (icept + slope * CAST(p AS DOUBLE)) AS u,
+        |    (CAST(p AS DOUBLE) - sp / CAST(n AS DOUBLE))
+        |      * (v - (icept + slope * CAST(p AS DOUBLE))) AS g
+        |  FROM r),
+        |lg AS (SELECT k, n, sxx, slope, u, g,
+        |    lag(g, 1) OVER wo AS g1, lag(g, 2) OVER wo AS g2,
+        |    lag(g, 3) OVER wo AS g3, lag(g, 4) OVER wo AS g4,
+        |    lag(g, 5) OVER wo AS g5
+        |  FROM g WINDOW wo AS (PARTITION BY k ORDER BY p)),
+        |a AS (SELECT k, max(n) AS n_periods, max(sxx) AS sxx,
+        |    max(slope) AS slope_raw, sum(u * u) AS su2,
+        |    sum(g * g) AS s0,
+        |    2.0 * (1.0 - 1.0 / 6.0) * sum(g * g1)
+        |      + 2.0 * (1.0 - 2.0 / 6.0) * sum(g * g2)
+        |      + 2.0 * (1.0 - 3.0 / 6.0) * sum(g * g3)
+        |      + 2.0 * (1.0 - 4.0 / 6.0) * sum(g * g4)
+        |      + 2.0 * (1.0 - 5.0 / 6.0) * sum(g * g5) AS meat_l
+        |  FROM lg GROUP BY k)
+        |SELECT k AS event_type, n_periods,
+        |  round(slope_raw, 6) + 0.0 AS slope,
+        |  round(sqrt((su2 / (CAST(n_periods AS DOUBLE) - 2.0)) / sxx),
+        |    6) AS se_ols,
+        |  round(sqrt(s0 + meat_l) / sxx, 6) AS se_hac,
+        |  round((sqrt(s0 + meat_l) / sxx)
+        |    / sqrt((su2 / (CAST(n_periods AS DOUBLE) - 2.0)) / sxx), 6)
+        |    AS hac_ratio
+        |FROM a WHERE n_periods > 7 AND sxx > 0.0
+        |ORDER BY event_type""".stripMargin,
+    // Croston replay: positive daily demand sums, the z/p smoothing
+    // recursion as a RECURSIVE CTE (seeds CAST to DOUBLE), the same
+    // driver-folded SBA constant expression.
+    "q_croston" ->
+      """WITH RECURSIVE e AS (SELECT event_type AS k,
+        |    epoch_ns(ts) // 86400000000000 AS p, value AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value) AND value > 95),
+        |cells AS (SELECT k, p,
+        |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS v
+        |  FROM e GROUP BY k, p
+        |  HAVING CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) > 0.0),
+        |nb AS (SELECT k, p, v,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY p)
+        |      AS BIGINT) AS rn FROM cells),
+        |r AS (
+        |  SELECT k, p, v AS size, CAST(1 AS BIGINT) AS itv, rn,
+        |    CAST(v AS DOUBLE) AS z, CAST(1.0 AS DOUBLE) AS psm
+        |  FROM nb WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.k, n.p, n.v, n.p - r.p, n.rn,
+        |    r.z + 0.3 * (n.v - r.z),
+        |    r.psm + 0.3 * (CAST(n.p - r.p AS DOUBLE) - r.psm)
+        |  FROM r JOIN nb n ON n.k = r.k AND n.rn = r.rn + 1)
+        |SELECT k AS event_type, p AS period, round(size, 6) AS size,
+        |  itv AS "interval", round(z, 6) AS z,
+        |  round(psm, 6) AS p_smooth, round(z / psm, 6) AS forecast,
+        |  round((1.0 - 0.3 / 2.0) * (z / psm), 6) AS sba
+        |FROM r ORDER BY event_type, period""".stripMargin,
+    // Theta replay: t-ORDERED aggregate moment sums (the engine folds
+    // the collected sorted series left-to-right), closed-form trend,
+    // the SES-on-theta2 recursion, the averaged one-step combination.
+    "q_theta_forecast" ->
+      """WITH RECURSIVE e AS (SELECT event_type AS k,
+        |    epoch_ns(ts) // 86400000000000 AS p, value AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |cells AS (SELECT k, p,
+        |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+        |      AS v
+        |  FROM e GROUP BY k, p),
+        |nb AS (SELECT k, p, v,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY p)
+        |      AS BIGINT) AS rn FROM cells),
+        |c0 AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(p AS DOUBLE) ORDER BY p) AS sp,
+        |    sum(v ORDER BY p) AS sv,
+        |    sum(CAST(p AS DOUBLE) * CAST(p AS DOUBLE) ORDER BY p)
+        |      AS spp,
+        |    sum(CAST(p AS DOUBLE) * v ORDER BY p) AS spv,
+        |    max(p) AS plast
+        |  FROM nb GROUP BY k),
+        |coef AS (SELECT k, n, plast,
+        |    (spv - sp * sv / CAST(n AS DOUBLE))
+        |      / (spp - sp * sp / CAST(n AS DOUBLE)) AS b,
+        |    sv / CAST(n AS DOUBLE)
+        |      - (spv - sp * sv / CAST(n AS DOUBLE))
+        |        / (spp - sp * sp / CAST(n AS DOUBLE))
+        |        * (sp / CAST(n AS DOUBLE)) AS a
+        |  FROM c0 WHERE n >= 3
+        |    AND spp - sp * sp / CAST(n AS DOUBLE) > 0.0),
+        |r AS (
+        |  SELECT nb.k, nb.rn,
+        |    2.0 * nb.v - (c.a + c.b * CAST(nb.p AS DOUBLE)) AS ses
+        |  FROM nb JOIN coef c ON nb.k = c.k WHERE nb.rn = 1
+        |  UNION ALL
+        |  SELECT n.k, n.rn,
+        |    r.ses + 0.3 * ((2.0 * n.v
+        |      - (c.a + c.b * CAST(n.p AS DOUBLE))) - r.ses)
+        |  FROM r JOIN nb n ON n.k = r.k AND n.rn = r.rn + 1
+        |    JOIN coef c ON c.k = n.k)
+        |SELECT c.k AS event_type, c.n AS n_periods,
+        |  round(c.a, 6) + 0.0 AS trend_a,
+        |  round(c.b, 6) + 0.0 AS trend_b,
+        |  round(r.ses, 6) + 0.0 AS ses_theta2,
+        |  round(0.5 * (c.a + c.b * CAST(c.plast + 1 AS DOUBLE))
+        |    + 0.5 * r.ses, 6) + 0.0 AS forecast
+        |FROM coef c JOIN r ON r.k = c.k AND r.rn = c.n
+        |ORDER BY event_type""".stripMargin,
+    // Spectral-entropy replay: the q_periodogram construction at 10
+    // frequencies, normalized-share entropy on the rounded powers,
+    // argmax peak via (power DESC, freq) row_number.
+    "q_spectral_entropy" ->
+      """WITH e AS (SELECT event_type AS k, epoch_ns(ts) AS t,
+        |    CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |cells AS (SELECT k, t // 86400000000000 AS p,
+        |    CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+        |      AS mv
+        |  FROM e GROUP BY k, p),
+        |b AS (SELECT k, p, mv,
+        |    CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+        |    CAST(sum(CAST(mv AS DECIMAL(38,6)))
+        |        OVER (PARTITION BY k) AS DOUBLE)
+        |      / CAST(count(*) OVER (PARTITION BY k) AS DOUBLE) AS mu,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY p) - 1
+        |      AS DOUBLE) AS ti
+        |  FROM cells),
+        |x AS (SELECT k, p, n, ti, mv - mu AS ed FROM b),
+        |f AS (SELECT x.k AS k, x.p AS p, x.n AS n, j.j AS j, x.ti
+        |    AS ti, x.ed AS ed FROM x, range(1, 11) j(j)),
+        |c AS (SELECT k, p, n, j,
+        |    sum(ed * cos(2.0 * pi() * CAST(j AS DOUBLE) * ti
+        |      / CAST(n AS DOUBLE)))
+        |      OVER (PARTITION BY k, j ORDER BY p
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS ca,
+        |    sum(ed * sin(2.0 * pi() * CAST(j AS DOUBLE) * ti
+        |      / CAST(n AS DOUBLE)))
+        |      OVER (PARTITION BY k, j ORDER BY p
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cb,
+        |    row_number() OVER (PARTITION BY k, j ORDER BY p) AS rn
+        |  FROM f),
+        |pw AS (SELECT k, CAST(j AS BIGINT) AS freq,
+        |    round((ca * ca + cb * cb) / CAST(n AS DOUBLE), 6) AS power
+        |  FROM c WHERE rn = n),
+        |sh AS (SELECT k, freq, power,
+        |    power / sum(power) OVER (PARTITION BY k) AS s,
+        |    sum(power) OVER (PARTITION BY k) AS tot FROM pw),
+        |flt AS (SELECT * FROM sh WHERE tot > 0.0),
+        |ent AS (SELECT k, CAST(count(*) AS BIGINT) AS m_freqs,
+        |    round(-sum(CASE WHEN s > 0.0 THEN s * ln(s) ELSE 0.0 END)
+        |      / ln(CAST(count(*) AS DOUBLE)), 6) + 0.0 AS entropy
+        |  FROM flt GROUP BY k),
+        |pk AS (SELECT k, freq AS peak_freq, round(s, 6) AS peak_share
+        |  FROM (SELECT k, freq, s, row_number() OVER (PARTITION BY k
+        |      ORDER BY power DESC, freq) AS rn FROM flt)
+        |  WHERE rn = 1)
+        |SELECT ent.k AS event_type, ent.m_freqs, ent.entropy,
+        |  pk.peak_freq, pk.peak_share
+        |FROM ent JOIN pk ON ent.k = pk.k
+        |ORDER BY event_type""".stripMargin,
     // Procrustes replay: err_before from the same moment sums over the
     // reconstructed rotated copy; the alignment verdict booleans are
     // engine-attested and pinned TRUE (the q_sketch_hll discipline).

@@ -1525,6 +1525,237 @@ object Features {
         F.round(erfcUdf(F.col("z")), 6).as("p_value"))
   }
 
+  /** Newey–West (HAC) standard error for the per-key daily-mean trend —
+    * the honest slope uncertainty when residuals are serially
+    * correlated (an OLS se on an autocorrelated KPI is too small by
+    * the autocorrelation factor; [[ljungBoxByKey]] detects the
+    * problem, this prices it):
+    *
+    *   se²_HAC = [Σgₜ² + Σ_{l=1..L} 2(1 − l/(L+1))·Σ gₜg₍ₜ₋ₗ₎] / Sxx²,
+    *   gₜ = x̃ₜ·uₜ  (centered period × OLS residual, Bartlett kernel)
+    *
+    * Everything rides per-key windows over the decimal-exact period
+    * cells ([[kpssByKey]] discipline): one unbounded-frame moment
+    * window for the closed-form OLS, L lag columns, one fold — scales
+    * to a million keys in one shuffle.
+    *
+    * @return one row per key: (keyCol, n_periods, slope, se_ols,
+    *         se_hac, hac_ratio) */
+  def neweyWestByKey(df: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String, periodUnit: Long,
+                     maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 50, "maxLag must be in 1..50")
+    val cells = periodCells(df, keyCol, tsCol, valueCol, periodUnit)
+    val wKey = Window.partitionBy("__k")
+    val wOrd = Window.partitionBy("__k").orderBy("__p")
+    val nD = F.count(F.lit(1)).over(wKey).cast("double")
+    val p = F.col("__p").cast("double")
+    val withM = cells
+      .withColumn("__n", F.count(F.lit(1)).over(wKey))
+      .withColumn("__sp",
+        F.sum(p.cast("decimal(38,6)")).over(wKey).cast("double"))
+      .withColumn("__sv",
+        F.sum(F.col("__v").cast("decimal(38,6)")).over(wKey)
+          .cast("double"))
+      .withColumn("__spp",
+        F.sum((p * p).cast("decimal(38,6)")).over(wKey).cast("double"))
+      .withColumn("__spv",
+        F.sum((p * F.col("__v")).cast("decimal(38,6)")).over(wKey)
+          .cast("double"))
+    val n = F.col("__n").cast("double")
+    val sxx = F.col("__spp") - F.col("__sp") * F.col("__sp") / n
+    val sxy = F.col("__spv") - F.col("__sp") * F.col("__sv") / n
+    val slope = sxy / sxx
+    val icept = F.col("__sv") / n - slope * (F.col("__sp") / n)
+    val u = F.col("__v") - (icept + slope * p)
+    var cur = withM
+      .withColumn("__u", u)
+      .withColumn("__g", (p - F.col("__sp") / n) * u)
+      .withColumn("__sxx", sxx)
+      .withColumn("__slope", slope)
+    (1 to maxLag).foreach { l =>
+      cur = cur.withColumn(s"__gl$l", F.lag("__g", l).over(wOrd))
+    }
+    val meatLags = (1 to maxLag).map { l =>
+      F.lit(2.0 * (1.0 - l.toDouble / (maxLag + 1.0))) *
+        F.sum(F.col("__g") * F.col(s"__gl$l"))
+    }
+    val agged = cur
+      .groupBy(F.col("__k"))
+      .agg(F.max("__n").as("n_periods"),
+        F.max("__sxx").as("sxx"),
+        F.max("__slope").as("slope_raw"),
+        F.sum(F.col("__u") * F.col("__u")).as("su2"),
+        F.sum(F.col("__g") * F.col("__g")).as("s0"),
+        meatLags.reduce(_ + _).as("meat_l"))
+    val nP = F.col("n_periods").cast("double")
+    val sxxC = F.col("sxx")
+    val seOls = F.sqrt((F.col("su2") / (nP - 2.0)) / sxxC)
+    val seHac = F.sqrt(F.col("s0") + F.col("meat_l")) / sxxC
+    agged
+      .where(F.col("n_periods") > (maxLag + 2).toLong && sxxC > 0.0)
+      .select(F.col("__k").as(keyCol), F.col("n_periods"),
+        F.round(F.col("slope_raw"), 6).as("slope"),
+        F.round(seOls, 6).as("se_ols"),
+        F.round(seHac, 6).as("se_hac"),
+        F.round(seHac / seOls, 6).as("hac_ratio"))
+  }
+
+  /** Croston's method per key for INTERMITTENT demand — the forecast
+    * for series that are mostly zero (restock requests, rare-event
+    * counts), where SES on the raw series chases zeros: smooth demand
+    * SIZES zₜ and inter-demand INTERVALS pₜ separately over demand
+    * events only,
+    *
+    *   z ← z + α(size − z),  p ← p + α(interval − p),
+    *   forecast rate = z/p,  SBA-corrected = (1 − α/2)·z/p
+    *
+    * (Syntetos–Boylan correction removes the classic ~α/2 bias).
+    * Demand events are the key's non-empty PERIOD SUMS > 0; the first
+    * interval is 1 by convention. Per-key series fold through the
+    * [[holtByKey]] sorted-collect pattern (bounded per-key periods);
+    * the deterministic recursion replays as a RECURSIVE CTE.
+    *
+    * @return one row per (key, demand event): (keyCol, period, size,
+    *         interval, z, p_smooth, forecast, sba) */
+  def crostonByKey(df: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String, periodUnit: Long,
+                   alpha: Double): DataFrame = {
+    require(periodUnit > 0L, "periodUnit must be positive")
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0,1]")
+    val v = F.col(valueCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    val cells = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull && v.isNotNull &&
+        !F.isnan(v))
+      .groupBy(F.col(keyCol).as("__k"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("__p"))
+      .agg(F.sum(v.cast("decimal(38,6)")).cast("double").as("__v"))
+      .where(F.col("__v") > 0.0)
+    val crostonUdf = F.udf((s: Seq[org.apache.spark.sql.Row]) => {
+      val pts = s.map(r => (r.getLong(0), r.getDouble(1)))
+      var z = 0.0; var pSm = 0.0; var prev = 0L
+      pts.zipWithIndex.map { case ((p, size), i) =>
+        val interval = if (i == 0) 1L else p - prev
+        if (i == 0) { z = size; pSm = 1.0 }
+        else {
+          z = z + alpha * (size - z)
+          pSm = pSm + alpha * (interval - pSm)
+        }
+        prev = p
+        (p, size, interval, z, pSm)
+      }
+    })
+    cells
+      .groupBy("__k")
+      .agg(F.sort_array(F.collect_list(F.struct(F.col("__p"),
+        F.col("__v")))).as("__s"))
+      .select(F.col("__k"), F.explode(crostonUdf(F.col("__s"))).as("__e"))
+      .select(F.col("__k").as(keyCol),
+        F.col("__e._1").as("period"),
+        F.round(F.col("__e._2"), 6).as("size"),
+        F.col("__e._3").as("interval"),
+        F.round(F.col("__e._4"), 6).as("z"),
+        F.round(F.col("__e._5"), 6).as("p_smooth"),
+        F.round(F.col("__e._4") / F.col("__e._5"), 6).as("forecast"),
+        F.round(F.lit(1.0 - alpha / 2.0) *
+          (F.col("__e._4") / F.col("__e._5")), 6).as("sba"))
+  }
+
+  /** Theta-method one-step forecast per key (Assimakopoulos &
+    * Nikolopoulos 2000, the M3 winner): decompose the period-mean
+    * series into the θ=0 line (the OLS trend, long-run signal) and the
+    * θ=2 line (2vₜ − trendₜ, double-curvature residual carrier), SES
+    * the θ=2 line with fixed α, and average the two lines' one-step
+    * extrapolations:
+    *
+    *   ŷ_{n+1} = ½·[a + b·(p_last+1)] + ½·SES_n(θ2)
+    *
+    * Trend coefficients come from the decimal-exact closed form; the
+    * SES recursion folds per key through the [[holtByKey]]
+    * sorted-collect pattern and replays as a RECURSIVE CTE.
+    *
+    * @return one row per key: (keyCol, n_periods, trend_a, trend_b,
+    *         ses_theta2, forecast) */
+  def thetaForecastByKey(df: DataFrame, keyCol: String, tsCol: String,
+                         valueCol: String, periodUnit: Long,
+                         alpha: Double): DataFrame = {
+    require(periodUnit > 0L, "periodUnit must be positive")
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0,1]")
+    val cells = periodCells(df, keyCol, tsCol, valueCol, periodUnit)
+    val sesUdf = F.udf((s: Seq[org.apache.spark.sql.Row]) => {
+      val pts = s.map(r => (r.getLong(0), r.getDouble(1)))
+      val n = pts.length.toDouble
+      val sp = pts.map(_._1.toDouble).sum
+      val sv = pts.map(_._2).sum
+      val spp = pts.map(q => q._1.toDouble * q._1).sum
+      val spv = pts.map(q => q._1.toDouble * q._2).sum
+      val sxx = spp - sp * sp / n
+      if (n < 3.0 || sxx <= 0.0) None
+      else {
+        val b = (spv - sp * sv / n) / sxx
+        val a = sv / n - b * (sp / n)
+        var ses = 0.0
+        pts.zipWithIndex.foreach { case ((p, x), i) =>
+          val theta2 = 2.0 * x - (a + b * p)
+          ses = if (i == 0) theta2 else ses + alpha * (theta2 - ses)
+        }
+        val pNext = (pts.last._1 + 1L).toDouble
+        Some((pts.length.toLong, a, b, ses,
+          0.5 * (a + b * pNext) + 0.5 * ses))
+      }
+    })
+    cells
+      .groupBy("__k")
+      .agg(F.sort_array(F.collect_list(F.struct(F.col("__p"),
+        F.col("__v")))).as("__s"))
+      .select(F.col("__k"), sesUdf(F.col("__s")).as("__e"))
+      .where(F.col("__e").isNotNull)
+      .select(F.col("__k").as(keyCol),
+        F.col("__e._1").as("n_periods"),
+        F.round(F.col("__e._2"), 6).as("trend_a"),
+        F.round(F.col("__e._3"), 6).as("trend_b"),
+        F.round(F.col("__e._4"), 6).as("ses_theta2"),
+        F.round(F.col("__e._5"), 6).as("forecast"))
+  }
+
+  /** Spectral entropy per key — ONE number for "how forecastable is
+    * this series": the normalized Shannon entropy of the
+    * [[periodogramByKey]] power distribution, 0 = a single clean
+    * periodicity, 1 = white noise (flat spectrum). Reported with the
+    * peak frequency and its power share (argmax on the ROUNDED powers,
+    * lowest frequency on ties — replays exactly).
+    *
+    * Pure column arithmetic on the periodogram's already-deterministic
+    * rounded output — cost = the periodogram itself.
+    *
+    * @return one row per key: (keyCol, m_freqs, entropy, peak_freq,
+    *         peak_share) */
+  def spectralEntropyByKey(df: DataFrame, keyCol: String, tsCol: String,
+                           valueCol: String, periodUnit: Long,
+                           maxFreq: Int): DataFrame = {
+    val pg = periodogramByKey(df, keyCol, tsCol, valueCol, periodUnit,
+      maxFreq)
+    val wKey = Window.partitionBy(keyCol)
+    val tot = F.sum(F.col("power")).over(wKey)
+    val share = F.col("power") / tot
+    val withShare = pg
+      .withColumn("__tot", tot)
+      .where(F.col("__tot") > 0.0)
+      .withColumn("__sh", share)
+    withShare
+      .groupBy(F.col(keyCol))
+      .agg(F.count(F.lit(1)).as("m_freqs"),
+        F.round(-F.sum(F.when(F.col("__sh") > 0.0,
+          F.col("__sh") * F.log(F.col("__sh"))).otherwise(F.lit(0.0))) /
+          F.log(F.count(F.lit(1)).cast("double")), 6).as("entropy"),
+        F.min_by(F.col("freq"),
+          F.struct(-F.col("power"), F.col("freq"))).as("peak_freq"),
+        F.round(F.max_by(F.col("__sh"),
+          F.struct(F.col("power"), -F.col("freq"))), 6)
+          .as("peak_share"))
+  }
+
   /** Circular statistics per key over the phase of the timestamp within
     * a period (time-of-day, day-of-week): linear means are WRONG on a
     * circle (23:30 and 00:30 average to noon), so fold each event to an

@@ -5148,6 +5148,71 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d10 == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 1L))
   }
 
+  test("neweyWestByKey matches the hand-computed Bartlett-kernel se") {
+    import spark.implicits._
+    val day = 86400000000000L
+    val vs = Seq(0.0, 1.5, 1.8, 3.2, 4.5, 4.8, 6.3, 7.1, 7.9, 9.4)
+    val df = vs.zipWithIndex.map { case (v, i) =>
+      ("k", i.toLong * day, v) }.toDF("key", "ts", "v")
+    val r = Features.neweyWestByKey(df, "key", "ts", "v",
+      periodUnit = day, maxLag = 2).head()
+    assert(r.getAs[Long]("n_periods") == 10L)
+    assert(math.abs(r.getAs[Double]("slope") - 1.00303) < 1e-5)
+    assert(math.abs(r.getAs[Double]("se_ols") - 0.031724) < 1e-5)
+    assert(math.abs(r.getAs[Double]("se_hac") - 0.013109) < 1e-5)
+    assert(math.abs(r.getAs[Double]("hac_ratio") - 0.413202) < 1e-5)
+  }
+
+  test("crostonByKey smooths sizes and intervals separately") {
+    import spark.implicits._
+    val day = 86400000000000L
+    // demand at periods 1, 3, 6 with sizes 5, 4, 6 (alpha = 0.3)
+    val df = Seq((1L, 5.0), (3L, 4.0), (6L, 6.0)).map { case (p, v) =>
+      ("k", p * day, v) }.toDF("key", "ts", "v")
+    val rows = Features.crostonByKey(df, "key", "ts", "v",
+      periodUnit = day, alpha = 0.3)
+      .orderBy("period").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[Long]("interval") == 1L)
+    assert(rows(1).getAs[Long]("interval") == 2L)
+    assert(rows(2).getAs[Long]("interval") == 3L)
+    assert(math.abs(rows(2).getAs[Double]("z") - 5.09) < 1e-9)
+    assert(math.abs(rows(2).getAs[Double]("p_smooth") - 1.81) < 1e-9)
+    assert(math.abs(rows(2).getAs[Double]("forecast") - 2.812155) < 1e-6)
+    assert(math.abs(rows(2).getAs[Double]("sba") - 2.390331) < 1e-6)
+  }
+
+  test("thetaForecastByKey: exact trend makes theta2 the series itself") {
+    import spark.implicits._
+    val day = 86400000000000L
+    // y = 2p + 3 exactly: theta2 line equals y; SES(0.3) ends 7.4538,
+    // forecast = ½(3 + 2·5) + ½·7.4538 = 10.2269
+    val df = (0 to 4).map(p => ("k", p.toLong * day, 2.0 * p + 3.0))
+      .toDF("key", "ts", "v")
+    val r = Features.thetaForecastByKey(df, "key", "ts", "v",
+      periodUnit = day, alpha = 0.3).head()
+    assert(r.getAs[Long]("n_periods") == 5L)
+    assert(math.abs(r.getAs[Double]("trend_a") - 3.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("trend_b") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ses_theta2") - 7.4538) < 1e-6)
+    assert(math.abs(r.getAs[Double]("forecast") - 10.2269) < 1e-6)
+  }
+
+  test("spectralEntropyByKey: a clean sinusoid has a low-entropy peak") {
+    import spark.implicits._
+    val day = 86400000000000L
+    val n = 20
+    val df = (0 until n).map { t =>
+      ("k", t.toLong * day, math.sin(2.0 * math.Pi * 2.0 * t / n))
+    }.toDF("key", "ts", "v")
+    val r = Features.spectralEntropyByKey(df, "key", "ts", "v",
+      periodUnit = day, maxFreq = 5).head()
+    assert(r.getAs[Long]("m_freqs") == 5L)
+    assert(r.getAs[Long]("peak_freq") == 2L)
+    assert(r.getAs[Double]("peak_share") > 0.99)
+    assert(r.getAs[Double]("entropy") < 0.1)
+  }
+
   test("linkPrediction scores the open triad, skips existing edges") {
     import spark.implicits._
     // path a—b—c: the only candidate is (a, c) through b
