@@ -5098,7 +5098,31 @@ object SparkEntry {
           ((F.col("l_quantity") + F.col("l_linenumber")) / 100)
             .as("s"),
           F.col("l_extendedprice").as("y")),
-        "t", "s", "y"))
+        "t", "s", "y")),
+    "q_scd2" -> ((s, dir) =>
+      // type-2 dimension build from the user event stream: validity
+      // intervals for each user's event_type attribute, event_id as
+      // the deterministic within-timestamp tie-break
+      Cdc.scd2Build(events(s, dir), "user_id", "ts",
+        Seq("event_type"), Seq("event_id"))
+        .orderBy("user_id", "version")),
+    "q_reconcile" -> ((s, dir) => {
+      // bucketed checksum diff of lineitem vs a copy missing every
+      // 997th order: counts + order-independent hash sums localize the
+      // damage to buckets, O(64) output for any table size
+      val a = li(s, dir)
+      val b = li(s, dir).where(F.col("l_orderkey") % 997 =!= 0)
+      Cdc.checksumReconcile(a, b, "l_orderkey",
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_returnflag", "l_linestatus"), buckets = 64)
+        .orderBy("bucket")
+    }),
+    "q_coreset" -> ((s, dir) =>
+      // greedy k-center coreset over the embedding table: the 5 most
+      // mutually-distant vectors (Gonzalez 2-approximation) + the
+      // coverage radius — deterministic left-to-right distance folds
+      Clustering.kCenterCoreset(emb(s, dir), "vec_id", "embedding",
+        k = 5))
   )
 
   /** The 7-family closed-form fits CTE shared by every grouped-fit
@@ -5183,6 +5207,45 @@ object SparkEntry {
         |    sum(d * (m2 / m0 - (m1 / m0) * (m1 / m0))) AS i
         |  FROM w3 WHERE d > 0),
         |b3 AS (SELECT pb + u / i AS b FROM n3),""".stripMargin
+
+  /** q_coreset replay: the greedy k-center chain as five materialized
+    * CTE steps. Squared distances fold left-to-right (list_reduce over
+    * a prepended 0.0) exactly like the engine's aggregate/zip_with, so
+    * every argmax comparison is bit-identical. */
+  private def coresetOracleSql: String = {
+    def dist(j: Int) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(64), " +
+        s"d -> (p.e[d+1] - c$j.e$j[d+1]) * (p.e[d+1] - c$j.e$j[d+1])))" +
+        s", (a, b) -> a + b)"
+    def minDist(n: Int) =
+      (1 to n).map(dist).reduce((x, y) => s"least($x, $y)")
+    val steps = (2 to 5).map { i =>
+      val froms = (1 until i).map(j => s"c$j").mkString(", ")
+      s"""c$i AS MATERIALIZED (SELECT p.id AS id$i, p.e AS e$i,
+         |    ${minDist(i - 1)} AS d$i
+         |  FROM pts p, $froms
+         |  ORDER BY d$i DESC, p.id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val sel = (2 to 5).map(i =>
+      s"  UNION ALL SELECT CAST($i AS BIGINT), id$i, d$i FROM c$i")
+      .mkString("\n")
+    s"""WITH pts AS MATERIALIZED (SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings WHERE vec_id IS NOT NULL
+       |    AND embedding IS NOT NULL),
+       |c1 AS MATERIALIZED (SELECT id AS id1, e AS e1 FROM pts
+       |  ORDER BY id LIMIT 1),
+       |$steps,
+       |cov AS (SELECT max(${minDist(5)}) AS r
+       |  FROM pts p, c1, c2, c3, c4, c5),
+       |sel AS (SELECT CAST(1 AS BIGINT) AS "rank", id1 AS vec_id,
+       |    0.0 AS sd FROM c1
+       |$sel)
+       |SELECT "rank", vec_id,
+       |  round_even(sd * 1e6, 0) / 1e6 AS sel_dist,
+       |  round_even(cov.r * 1e6, 0) / 1e6 AS coverage_radius
+       |FROM sel, cov ORDER BY "rank"""".stripMargin
+  }
 
   private def codyErfcSql(y: String): String = {
     val z = s"($y * $y)"
@@ -16299,6 +16362,65 @@ object SparkEntry {
         |  (SELECT CAST(count(*) AS BIGINT) FROM cells) AS n_cells,
         |  round_even(sg / nt * 1e6, 0) / 1e6 AS att,
         |  round_even(sa / nt * 1e6, 0) / 1e6 AS mean_gap
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+    // SCD2 replay: null-safe change detection under the (key, ts, id)
+    // window, lead() validity intervals, per-key version numbering.
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id AS k, epoch_ns(ts) AS t,
+        |    event_type AS a, event_id AS id
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |w AS (SELECT k, t, a, id,
+        |    row_number() OVER win AS rn,
+        |    lag(a) OVER win AS pa
+        |  FROM e WINDOW win AS (PARTITION BY k ORDER BY t, id)),
+        |c AS (SELECT k, t, a, id FROM w
+        |  WHERE rn = 1 OR a IS DISTINCT FROM pa),
+        |f AS (SELECT k, a AS event_type, t AS valid_from,
+        |    lead(t) OVER win2 AS valid_to,
+        |    CAST(row_number() OVER win2 AS BIGINT) AS version
+        |  FROM c WINDOW win2 AS (PARTITION BY k ORDER BY t, id))
+        |SELECT k AS user_id, event_type, valid_from, valid_to,
+        |  version, valid_to IS NULL AS is_current
+        |FROM f ORDER BY user_id, version""".stripMargin,
+    // Reconciliation replay: identical md5 row/bucket hashing (48-bit
+    // prefix mod 1e9), per-bucket counts + hash sums, FULL JOIN.
+    "q_reconcile" ->
+      """WITH ha AS (SELECT
+        |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
+        |      1, 8)) AS BIGINT) % 64 AS bucket,
+        |    CAST(('0x' || substr(md5(concat_ws('|',
+        |      CAST(l_orderkey AS VARCHAR),
+        |      CAST(l_linenumber AS VARCHAR),
+        |      CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR),
+        |      l_returnflag, l_linestatus)), 1, 12)) AS BIGINT)
+        |      % 1000000000 AS h
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL),
+        |hb AS (SELECT
+        |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
+        |      1, 8)) AS BIGINT) % 64 AS bucket,
+        |    CAST(('0x' || substr(md5(concat_ws('|',
+        |      CAST(l_orderkey AS VARCHAR),
+        |      CAST(l_linenumber AS VARCHAR),
+        |      CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR),
+        |      l_returnflag, l_linestatus)), 1, 12)) AS BIGINT)
+        |      % 1000000000 AS h
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL
+        |    AND l_orderkey % 997 <> 0),
+        |ga AS (SELECT bucket, CAST(count(*) AS BIGINT) AS count_a,
+        |    CAST(sum(h) AS BIGINT) AS hash_a FROM ha GROUP BY bucket),
+        |gb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS count_b,
+        |    CAST(sum(h) AS BIGINT) AS hash_b FROM hb GROUP BY bucket)
+        |SELECT coalesce(ga.bucket, gb.bucket) AS bucket,
+        |  coalesce(count_a, 0) AS count_a, coalesce(count_b, 0)
+        |    AS count_b,
+        |  coalesce(hash_a, 0) AS hash_a, coalesce(hash_b, 0) AS hash_b,
+        |  coalesce(count_a, 0) = coalesce(count_b, 0)
+        |    AND coalesce(hash_a, 0) = coalesce(hash_b, 0) AS is_match
+        |FROM ga FULL JOIN gb ON ga.bucket = gb.bucket
+        |ORDER BY bucket""".stripMargin,
+    // Coreset replay: the same greedy chain as five materialized CTE
+    // steps — left-to-right list_reduce distance folds match the
+    // engine's aggregate/zip_with bit-for-bit, argmax by (d DESC, id).
+    "q_coreset" -> coresetOracleSql
   )
 }

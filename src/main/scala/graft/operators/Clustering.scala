@@ -168,4 +168,57 @@ object Clustering {
         F.round(F.avg("__b"), 6).as("b_mean"),
         F.round(F.avg("__s"), 6).as("silhouette"))
   }
+
+  /** Greedy k-center coreset over an embedding column (Gonzalez 1985,
+    * 2-approximation to the optimal k-center cover): start from the
+    * lowest-id vector, then k−1 times pick the point FARTHEST from the
+    * selected set — the deterministic "most diverse k examples"
+    * selection a training-data pipeline uses to seed curricula, dedup
+    * review samples, or prototype sets. Reported with each pick's
+    * selection distance (the coverage radius shrinks monotonically)
+    * and the final coverage radius max-min distance of the whole set.
+    *
+    * Scale shape: k argmax jobs (one TakeOrdered each), centers
+    * broadcast as literals, squared distances fold LEFT-TO-RIGHT over
+    * the dimensions (`aggregate` over `zip_with`) so every comparison
+    * replays bit-for-bit; the tie-break is the lowest id.
+    *
+    * @return k rows: (rank, idCol, sel_dist, coverage_radius) */
+  def kCenterCoreset(df: DataFrame, idCol: String, embCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 2, "need k >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pts = df
+      .where(F.col(idCol).isNotNull && F.col(embCol).isNotNull)
+      .select(F.col(idCol).cast("long").as("__id"),
+        F.transform(F.col(embCol), x => x.cast("double")).as("__e"))
+      .persist()
+    try {
+      def sqDist(center: Array[Double]): org.apache.spark.sql.Column =
+        F.aggregate(
+          F.zip_with(F.col("__e"), F.lit(center),
+            (a, b) => (a - b) * (a - b)),
+          F.lit(0.0), (acc, x) => acc + x)
+      val seedRow = pts.orderBy(F.col("__id").asc).limit(1)
+        .select(F.col("__id"), F.col("__e")).head()
+      var centers = Vector((seedRow.getLong(0),
+        seedRow.getSeq[Double](1).toArray, 0.0))
+      (2 to k).foreach { _ =>
+        val minDist = centers.map(c => sqDist(c._2)).reduce(F.least(_, _))
+        val far = pts
+          .select(F.col("__id"), F.col("__e"), minDist.as("__d"))
+          .orderBy(F.col("__d").desc, F.col("__id").asc)
+          .limit(1).head()
+        centers = centers :+ ((far.getLong(0),
+          far.getSeq[Double](1).toArray, far.getDouble(2)))
+      }
+      val minAll = centers.map(c => sqDist(c._2)).reduce(F.least(_, _))
+      val radius = pts.agg(F.max(minAll)).head().getDouble(0)
+      centers.zipWithIndex.map { case ((id, _, d), i) =>
+        (i + 1L, id, math.rint(d * 1e6) / 1e6,
+          math.rint(radius * 1e6) / 1e6)
+      }.toDF("rank", idCol, "sel_dist", "coverage_radius")
+    } finally pts.unpersist(blocking = false)
+  }
 }

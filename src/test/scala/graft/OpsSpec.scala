@@ -5148,6 +5148,54 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d10 == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 1L))
   }
 
+  test("scd2Build collapses repeats and stamps validity intervals") {
+    import spark.implicits._
+    val df = Seq((7L, 1L, "A", 1L), (7L, 2L, "A", 2L), (7L, 3L, "B", 3L),
+      (7L, 4L, "B", 4L), (7L, 5L, "A", 5L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val rows = Cdc.scd2Build(df, "user_id", "ts", Seq("event_type"),
+      Seq("event_id")).orderBy("version").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[String]("event_type")).toSeq ==
+      Seq("A", "B", "A"))
+    assert(rows.map(_.getAs[Long]("valid_from")).toSeq == Seq(1L, 3L, 5L))
+    assert(rows(0).getAs[Long]("valid_to") == 3L)
+    assert(rows(1).getAs[Long]("valid_to") == 5L)
+    assert(rows(2).isNullAt(rows(2).fieldIndex("valid_to")))
+    assert(rows(2).getAs[Boolean]("is_current"))
+    assert(!rows(0).getAs[Boolean]("is_current"))
+  }
+
+  test("checksumReconcile localizes a one-key diff to one bucket") {
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "w"))
+      .toDF("k", "v")
+    val b = a.where(F.col("k") =!= 3L)
+    val out = Cdc.checksumReconcile(a, b, "k", Seq("k", "v"),
+      buckets = 8).collect()
+    assert(out.map(_.getAs[Long]("count_a")).sum == 4L)
+    assert(out.map(_.getAs[Long]("count_b")).sum == 3L)
+    assert(out.count(!_.getAs[Boolean]("is_match")) == 1)
+    // identical inputs reconcile clean
+    val same = Cdc.checksumReconcile(a, a, "k", Seq("k", "v"),
+      buckets = 8).collect()
+    assert(same.forall(_.getAs[Boolean]("is_match")))
+  }
+
+  test("kCenterCoreset picks farthest points with lowest-id ties") {
+    import spark.implicits._
+    val df = Seq((1L, Array(0.0f)), (2L, Array(10.0f)),
+      (3L, Array(4.0f)), (4L, Array(6.0f))).toDF("vec_id", "embedding")
+    val rows = Clustering.kCenterCoreset(df, "vec_id", "embedding",
+      k = 3).orderBy("rank").collect()
+    assert(rows.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(rows(0).getAs[Double]("sel_dist") == 0.0)
+    assert(rows(1).getAs[Double]("sel_dist") == 100.0)
+    // ids 3 and 4 tie at min-dist 16 → lowest id wins
+    assert(rows(2).getAs[Double]("sel_dist") == 16.0)
+    assert(rows.forall(_.getAs[Double]("coverage_radius") == 4.0))
+  }
+
   test("neweyWestByKey matches the hand-computed Bartlett-kernel se") {
     import spark.implicits._
     val day = 86400000000000L
