@@ -3141,6 +3141,33 @@ object SparkEntry {
         math.rint(m.dispersion * 1e6) / 1e6, m.n))
         .toDF("b0_r", "b1_r", "dev_r", "disp_r", "n")
     }),
+    "q_tweedie" -> ((s, dir) => {
+      // Tweedie GLM (p=1.5, log link) of the zero-inflated "excess
+      // value over 60" on hour-of-day: the semi-continuous family with
+      // an exact point mass at zero that Gamma rejects and Poisson
+      // mis-scales; every Fisher step replays (q_poisson_glm pattern,
+      // with the mu-dependent information re-summed per step)
+      import s.implicits._
+      val df = events(s, dir).select(
+        F.greatest(F.col("value") - 60, F.lit(0.0)).as("y"),
+        ((F.col("ts") % 86400000000000L).cast("double") /
+          F.lit(3600000000000.0)).as("x"))
+      val m = Regression.tweedieIrls(df, "y", Seq("x"), iters = 3)
+      Seq((math.rint(m.beta(0) * 1e6) / 1e6,
+        math.rint(m.beta(1) * 1e6) / 1e6,
+        math.rint(m.deviance * 100.0) / 100.0,
+        math.rint(m.dispersion * 1e6) / 1e6, m.n))
+        .toDF("b0_r", "b1_r", "dev_r", "disp_r", "n")
+    }),
+    "q_rake" -> ((s, dir) =>
+      // corpus keywords by RAKE: stopword-delimited phrase candidates,
+      // deg/freq word scores, top-20 phrases — multi-word terms beat
+      // bare frequency; all counts exact integers
+      TextOps.rakeKeywords(docs(s, dir), "text", topK = 20)),
+    "q_burstiness" -> ((s, dir) =>
+      // do the top-30 corpus terms clump into bursts: repeat
+      // probability and variance-to-mean over all docs, exact ratios
+      TextOps.burstiness(docs(s, dir), "doc_id", "text", topN = 30)),
     "q_by_adjust" -> ((s, dir) => {
       // Benjamini-Yekutieli over the q_drift_fdr p family — the
       // dependence-robust FDR: q_BY = min(1, c(m) q_BH) exactly, so
@@ -16363,6 +16390,119 @@ object SparkEntry {
         |  round_even(sg / nt * 1e6, 0) / 1e6 AS att,
         |  round_even(sa / nt * 1e6, 0) / 1e6 AS mean_gap
         |FROM agg""".stripMargin,
+    // Tweedie replay: three Fisher steps with mu-dependent gradient
+    // AND information re-summed per step (2x2 Cramer per step; the
+    // engine's Gaussian solve agrees to the output rounding), then
+    // the p=1.5 unit deviance and Pearson dispersion.
+    "q_tweedie" ->
+      """WITH base AS (SELECT greatest(value - 60, 0.0) AS y,
+        |    CAST(epoch_ns(ts) % 86400000000000 AS DOUBLE)
+        |      / 3600000000000.0 AS x
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |    AND ts IS NOT NULL),
+        |w AS (SELECT ln(avg(y)) AS b0i, CAST(count(*) AS BIGINT) AS n
+        |  FROM base),
+        |s1 AS (SELECT
+        |    sum((y - exp(w.b0i)) / sqrt(exp(w.b0i))) AS g0,
+        |    sum((y - exp(w.b0i)) / sqrt(exp(w.b0i)) * x) AS g1,
+        |    sum(sqrt(exp(w.b0i))) AS h00,
+        |    sum(sqrt(exp(w.b0i)) * x) AS h01,
+        |    sum(sqrt(exp(w.b0i)) * x * x) AS h11
+        |  FROM base CROSS JOIN w),
+        |b1 AS (SELECT
+        |    w.b0i + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01)
+        |      AS b0,
+        |    (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1,
+        |    w.n FROM w, s1),
+        |s2 AS (SELECT
+        |    sum((y - exp(b.b0 + b.b1 * x))
+        |      / sqrt(exp(b.b0 + b.b1 * x))) AS g0,
+        |    sum((y - exp(b.b0 + b.b1 * x))
+        |      / sqrt(exp(b.b0 + b.b1 * x)) * x) AS g1,
+        |    sum(sqrt(exp(b.b0 + b.b1 * x))) AS h00,
+        |    sum(sqrt(exp(b.b0 + b.b1 * x)) * x) AS h01,
+        |    sum(sqrt(exp(b.b0 + b.b1 * x)) * x * x) AS h11
+        |  FROM base CROSS JOIN b1 b),
+        |b2 AS (SELECT
+        |    b0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+        |    b1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1,
+        |    n FROM b1, s2),
+        |s3 AS (SELECT
+        |    sum((y - exp(b.b0 + b.b1 * x))
+        |      / sqrt(exp(b.b0 + b.b1 * x))) AS g0,
+        |    sum((y - exp(b.b0 + b.b1 * x))
+        |      / sqrt(exp(b.b0 + b.b1 * x)) * x) AS g1,
+        |    sum(sqrt(exp(b.b0 + b.b1 * x))) AS h00,
+        |    sum(sqrt(exp(b.b0 + b.b1 * x)) * x) AS h01,
+        |    sum(sqrt(exp(b.b0 + b.b1 * x)) * x * x) AS h11
+        |  FROM base CROSS JOIN b2 b),
+        |b3 AS (SELECT
+        |    b0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+        |    b1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1,
+        |    n FROM b2, s3),
+        |fin AS (SELECT
+        |    sum(2.0 * (-4.0 * sqrt(y) + 2.0 * y / sqrt(mu)
+        |      + 2.0 * sqrt(mu))) AS dev,
+        |    sum((y - mu) * (y - mu) / (mu * sqrt(mu))) AS pearson
+        |  FROM (SELECT y, exp(b.b0 + b.b1 * x) AS mu
+        |    FROM base CROSS JOIN b3 b))
+        |SELECT round_even(b3.b0 * 1e6, 0) / 1e6 AS b0_r,
+        |  round_even(b3.b1 * 1e6, 0) / 1e6 AS b1_r,
+        |  round_even(fin.dev * 100.0, 0) / 100.0 AS dev_r,
+        |  round_even(fin.pearson / (b3.n - 2) * 1e6, 0) / 1e6 AS disp_r,
+        |  b3.n FROM b3, fin""".stripMargin,
+    // RAKE replay: the same lowercase/collapse/stopword-delimit
+    // pipeline (RE2 and Java agree on these \b alternations), exact
+    // integer deg/freq, rounded phrase-score ranking.
+    "q_rake" ->
+      """WITH ph AS (SELECT unnest(list_filter(list_transform(
+        |    str_split(regexp_replace(regexp_replace(
+        |      lower(coalesce(text, '')), '[^a-z]+', ' ', 'g'),
+        |      '\b(the|a|an|and|or|of|to|in|is|are|was|for|on|with|as|at|by|it|be|this|that)\b',
+        |      '|', 'g'), '|'),
+        |    p -> trim(regexp_replace(p, ' +', ' ', 'g'))),
+        |    p -> p <> '')) AS phrase
+        |  FROM documents),
+        |occ AS (SELECT phrase,
+        |    CAST(len(str_split(phrase, ' ')) AS BIGINT) AS nw
+        |  FROM ph),
+        |ws AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(nw) AS BIGINT) AS deg
+        |  FROM (SELECT unnest(str_split(phrase, ' ')) AS w, nw
+        |    FROM occ) GROUP BY w),
+        |pt AS (SELECT phrase, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(max(nw) AS BIGINT) AS n_words FROM occ GROUP BY phrase),
+        |px AS (SELECT pt.phrase, pt.n_words, pt.cnt,
+        |    unnest(str_split(pt.phrase, ' ')) AS w FROM pt),
+        |sc AS (SELECT phrase, n_words, cnt,
+        |    round(sum(CAST(deg AS DOUBLE) / freq), 6) AS score
+        |  FROM px JOIN ws USING (w) GROUP BY phrase, n_words, cnt)
+        |SELECT phrase, n_words, cnt AS count, score FROM sc
+        |ORDER BY score DESC, phrase LIMIT 20""".stripMargin,
+    // Burstiness replay: one (term, doc) count aggregation, exact
+    // integer ratios, VMR over all docs (zeros via the N denominator).
+    "q_burstiness" ->
+      """WITH tok AS (SELECT doc_id AS id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |pd AS (SELECT id, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY id, w),
+        |st AS (SELECT w, CAST(sum(c) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS doc_freq,
+        |    CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS repeat_docs,
+        |    CAST(sum(c * c) AS BIGINT) AS c2 FROM pd GROUP BY w),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents
+        |  WHERE doc_id IS NOT NULL)
+        |SELECT w AS term, total, doc_freq, repeat_docs,
+        |  round(CAST(repeat_docs AS DOUBLE) / doc_freq, 6)
+        |    AS adaptation,
+        |  round(CAST(total AS DOUBLE) / doc_freq, 6) AS rate_in_docs,
+        |  round((CAST(c2 AS DOUBLE) / n.nd
+        |    - (CAST(total AS DOUBLE) / n.nd)
+        |      * (CAST(total AS DOUBLE) / n.nd))
+        |    / (CAST(total AS DOUBLE) / n.nd), 6) AS vmr
+        |FROM st, n ORDER BY total DESC, term LIMIT 30""".stripMargin,
     // SCD2 replay: null-safe change detection under the (key, ts, id)
     // window, lead() validity intervals, per-key version numbering.
     "q_scd2" ->

@@ -1562,6 +1562,85 @@ object Regression {
                      v: Array[Double]): Array[Double] =
     Array.tabulate(v.length)(i => dot(m(i), v))
 
+  /** A fitted Tweedie GLM: β aligned to `"intercept" +: features`,
+    * the (fixed) variance power, final deviance, Pearson dispersion,
+    * row count and iteration count. */
+  final case class TweedieModel(features: Seq[String],
+                                beta: Array[Double], varPower: Double,
+                                deviance: Double, dispersion: Double,
+                                n: Long, iterations: Int)
+
+  /** Tweedie GLM with log link and FIXED variance power p = 1.5 — the
+    * semi-continuous rung between Poisson (p=1) and Gamma (p=2): the
+    * compound-Poisson-Gamma family puts an exact point mass at ZERO
+    * plus a continuous positive tail, which is the actual shape of
+    * per-row revenue / claim-cost / engagement-value columns ("mostly
+    * nothing, occasionally a positive amount") that Gamma rejects
+    * (y > 0 required) and Poisson mis-scales. Fisher scoring with
+    * log-link working weights w = μ^{2−p} = √μ and score
+    * Σ(y−μ)·μ^{−½}·x; both the gradient AND the information depend on
+    * μ here (no constant-Gram shortcut like [[gammaIrls]]), so each
+    * of the `iters` fixed steps is ONE aggregation of k(k+3)/2 sums +
+    * a driver k×k solve — the q_poisson_glm chained-CTE replay shape.
+    *
+    * Final pass: unit deviance for p = 1.5,
+    * d = 2·(−4√y + 2y/√μ + 2√μ), and Pearson X² = Σ(y−μ)²/μ^{1.5}.
+    * Rows with null/NaN features or null/NaN/negative y are excluded
+    * (y = 0 is IN-family and kept — that is the point).
+    */
+  def tweedieIrls(df: DataFrame, yCol: String, xCols: Seq[String],
+                  iters: Int = 3): TweedieModel = {
+    require(xCols.nonEmpty, "need at least one feature")
+    require(iters >= 1, "need at least one scoring iteration")
+    val k = xCols.length + 1
+    val feats = F.lit(1.0) +: xCols.map(c => F.col(c).cast("double"))
+    val y = F.col(yCol).cast("double")
+    val ok = (xCols.map(F.col(_).cast("double")) :+ y)
+      .map(c => c.isNotNull && !F.isnan(c)).reduce(_ && _) && y >= 0.0
+    val clean = df.where(ok)
+    val warm = clean.agg(F.avg(y).as("ybar"),
+      F.count(F.lit(1)).as("n")).head()
+    val n = warm.getAs[Long]("n")
+    val meanY = warm.getAs[Double]("ybar")
+    require(n > k && meanY > 0.0, "need n > k and a positive mean")
+    var beta = Array.fill(k)(0.0)
+    beta(0) = math.log(meanY)
+    var it = 0
+    while (it < iters) {
+      val eta = feats.zipWithIndex.foldLeft(F.lit(0.0)) {
+        case (acc, (f, i)) => acc + f * beta(i)
+      }
+      val mu = F.exp(eta)
+      val gCols = (0 until k).map(i =>
+        F.sum((y - mu) / F.sqrt(mu) * feats(i)).as(s"g_$i"))
+      val hCols = for { i <- 0 until k; j <- i until k }
+        yield F.sum(F.sqrt(mu) * feats(i) * feats(j)).as(s"h_${i}_$j")
+      val r = clean.agg((gCols ++ hCols).head,
+        (gCols ++ hCols).tail: _*).head()
+      val g = Array.tabulate(k)(i => r.getAs[Double](s"g_$i"))
+      val h = Array.ofDim[Double](k, k)
+      for { i <- 0 until k; j <- i until k } {
+        h(i)(j) = r.getAs[Double](s"h_${i}_$j"); h(j)(i) = h(i)(j)
+      }
+      val delta = solve(h, g)
+      beta = Array.tabulate(k)(i => beta(i) + delta(i))
+      it += 1
+    }
+    val etaF = feats.zipWithIndex.foldLeft(F.lit(0.0)) {
+      case (acc, (f, i)) => acc + f * beta(i)
+    }
+    val muF = F.exp(etaF)
+    val fin = clean.agg(
+      F.sum(F.lit(2.0) * (F.lit(-4.0) * F.sqrt(y) +
+        F.lit(2.0) * y / F.sqrt(muF) + F.lit(2.0) * F.sqrt(muF)))
+        .as("dev"),
+      F.sum((y - muF) * (y - muF) /
+        (muF * F.sqrt(muF))).as("pearson"))
+      .head()
+    TweedieModel(xCols, beta, 1.5, fin.getAs[Double]("dev"),
+      fin.getAs[Double]("pearson") / (n - k), n, iters)
+  }
+
   /** Two-feature ridge path — [[olsByGroup2]] with an L2 penalty on the
     * SLOPES (intercept unpenalized, the standard parameterization):
     * for each λ in `lambdas`, solve the centered 2×2 system

@@ -1181,4 +1181,100 @@ object TextOps {
         F.round(cov * cov / (varX * varY), 6)))
       .select("bucket", "n_tokens", "vocab", "beta", "ln_k", "r2")
   }
+
+  /** RAKE keyword extraction (Rose et al. 2010) over the whole corpus:
+    * candidate phrases are maximal stopword-free token runs (text is
+    * lowercased, non-letters collapse to spaces, the shared stopword
+    * list becomes phrase delimiters); each word scores
+    * deg(w)/freq(w) where deg(w) sums the lengths of every phrase
+    * occurrence containing w (co-occurrence degree), and a phrase
+    * scores the sum of its word scores — multi-word domain terms beat
+    * bare frequency. Top-k distinct phrases by (score, phrase).
+    *
+    * Scale shape: two exploded aggregations (word stats, phrase
+    * counts) + one broadcastable join from the per-phrase word list
+    * to the word-score table — no windows, no driver data. deg/freq
+    * are exact integers; the phrase score rounds at 6.
+    *
+    * @return topK rows: (phrase, n_words, count, score) */
+  def rakeKeywords(df: DataFrame, textCol: String,
+                   topK: Int = 20): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val stopAlt = stopwords.mkString("\\b(", "|", ")\\b")
+    val cleaned = F.regexp_replace(
+      F.lower(F.coalesce(F.col(textCol), F.lit(""))), "[^a-z]+", " ")
+    val marked = F.regexp_replace(cleaned, stopAlt, "|")
+    val phrases = df
+      .select(F.explode(F.filter(
+        F.transform(F.split(marked, "\\|"),
+          p => F.trim(F.regexp_replace(p, " +", " "))),
+        p => p =!= "")).as("phrase"))
+    val occ = phrases
+      .withColumn("words", F.split(F.col("phrase"), " "))
+      .withColumn("nw", F.size(F.col("words")).cast("long"))
+    val wordStats = occ
+      .select(F.explode(F.col("words")).as("w"), F.col("nw"))
+      .groupBy("w")
+      .agg(F.count(F.lit(1)).as("freq"), F.sum("nw").as("deg"))
+      .withColumn("wscore",
+        F.col("deg").cast("double") / F.col("freq"))
+    val phraseTable = occ
+      .groupBy("phrase")
+      .agg(F.count(F.lit(1)).as("count"), F.max("nw").as("n_words"))
+    phraseTable
+      .withColumn("w", F.explode(F.split(F.col("phrase"), " ")))
+      .join(wordStats.select("w", "wscore"), "w")
+      .groupBy("phrase", "n_words", "count")
+      .agg(F.round(F.sum("wscore"), 6).as("score"))
+      .orderBy(F.col("score").desc, F.col("phrase").asc)
+      .limit(topK)
+      .select("phrase", "n_words", "count", "score")
+  }
+
+  /** Term burstiness (Church–Gale): for the topN corpus terms, does a
+    * term spread evenly across documents or clump into bursts? Reports
+    * document frequency, the repeat probability
+    * P(count ≥ 2 | count ≥ 1) (adaptation — THE burstiness signature:
+    * function words ≈ corpus rate, content words much higher), the
+    * within-document rate, and the variance-to-mean ratio over ALL
+    * documents (zeros included; VMR = 1 is Poisson). Every statistic
+    * is a ratio of exact integers from ONE (term, doc) count
+    * aggregation.
+    *
+    * @return topN rows: (term, total, doc_freq, repeat_docs,
+    *         adaptation, rate_in_docs, vmr) */
+  def burstiness(df: DataFrame, idCol: String, textCol: String,
+                 topN: Int = 30): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val nDocs = df.where(F.col(idCol).isNotNull).count()
+    require(nDocs > 0L, "no documents")
+    val perDoc = df
+      .where(F.col(idCol).isNotNull)
+      .select(F.col(idCol).as("__id"),
+        F.explode(wordTokens(F.col(textCol))).as("w"))
+      .groupBy("__id", "w").agg(F.count(F.lit(1)).as("c"))
+    val nD = F.lit(nDocs.toDouble)
+    perDoc
+      .groupBy("w")
+      .agg(F.sum("c").as("total"),
+        F.count(F.lit(1)).as("doc_freq"),
+        F.sum(F.when(F.col("c") >= 2L, 1L).otherwise(0L))
+          .as("repeat_docs"),
+        F.sum(F.col("c") * F.col("c")).as("__c2"))
+      .withColumn("adaptation",
+        F.round(F.col("repeat_docs").cast("double") /
+          F.col("doc_freq"), 6))
+      .withColumn("rate_in_docs",
+        F.round(F.col("total").cast("double") / F.col("doc_freq"), 6))
+      .withColumn("vmr", F.round(
+        (F.col("__c2").cast("double") / nD -
+          (F.col("total").cast("double") / nD) *
+            (F.col("total").cast("double") / nD)) /
+          (F.col("total").cast("double") / nD), 6))
+      .orderBy(F.col("total").desc, F.col("w").asc)
+      .limit(topN)
+      .select(F.col("w").as("term"), F.col("total"), F.col("doc_freq"),
+        F.col("repeat_docs"), F.col("adaptation"),
+        F.col("rate_in_docs"), F.col("vmr"))
+  }
 }

@@ -5148,6 +5148,40 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d10 == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 1L))
   }
 
+  test("rakeKeywords: co-occurrence degree beats bare frequency") {
+    import spark.implicits._
+    val docs = Seq("deep learning of data", "deep learning is the future",
+      "data is good").toDF("text")
+    val rows = TextOps.rakeKeywords(docs, "text", topK = 10).collect()
+    // deg(deep)=deg(learning)=4, freq=2 → score 2 each → phrase 4.0
+    val top = rows.head
+    assert(top.getAs[String]("phrase") == "deep learning")
+    assert(top.getAs[Long]("count") == 2L)
+    assert(top.getAs[Long]("n_words") == 2L)
+    assert(top.getAs[Double]("score") == 4.0)
+    val data = rows.find(_.getAs[String]("phrase") == "data").get
+    assert(data.getAs[Double]("score") == 1.0)
+    assert(data.getAs[Long]("count") == 2L)
+  }
+
+  test("burstiness: repeat probability and VMR from exact counts") {
+    import spark.implicits._
+    val docs = Seq((1L, "x x x"), (2L, "x y"), (3L, "y"))
+      .toDF("doc_id", "text")
+    val out = TextOps.burstiness(docs, "doc_id", "text", topN = 10)
+      .collect().map(r => r.getAs[String]("term") -> r).toMap
+    val x = out("x")
+    assert(x.getAs[Long]("total") == 4L && x.getAs[Long]("doc_freq") == 2L)
+    assert(x.getAs[Long]("repeat_docs") == 1L)
+    assert(math.abs(x.getAs[Double]("adaptation") - 0.5) < 1e-9)
+    assert(math.abs(x.getAs[Double]("rate_in_docs") - 2.0) < 1e-9)
+    // counts over all docs [3,1,0]: vmr = (14/9)/(4/3) = 7/6
+    assert(math.abs(x.getAs[Double]("vmr") - 1.166667) < 1e-6)
+    val y = out("y")
+    assert(y.getAs[Long]("repeat_docs") == 0L)
+    assert(math.abs(y.getAs[Double]("vmr") - 0.333333) < 1e-6)
+  }
+
   test("scd2Build collapses repeats and stamps validity intervals") {
     import spark.implicits._
     val df = Seq((7L, 1L, "A", 1L), (7L, 2L, "A", 2L), (7L, 3L, "B", 3L),

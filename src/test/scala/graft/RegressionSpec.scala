@@ -405,6 +405,26 @@ class RegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Regression.fisherLda(flat, "y", "x1", "x2").count() == 0L)
   }
 
+  test("tweedieIrls recovers a noiseless log-linear mean and accepts zeros") {
+    import spark.implicits._
+    // y = exp(0.5 + 0.3x) exactly: the score is zero at the truth, so
+    // Fisher scoring converges there
+    val clean = (0 until 20).map { i =>
+      val x = i / 10.0; (math.exp(0.5 + 0.3 * x), x)
+    }.toDF("y", "x")
+    val m = Regression.tweedieIrls(clean, "y", Seq("x"), iters = 25)
+    assert(math.abs(m.beta(0) - 0.5) < 1e-6)
+    assert(math.abs(m.beta(1) - 0.3) < 1e-6)
+    assert(math.abs(m.deviance) < 1e-8)
+    assert(m.varPower == 1.5)
+    // exact zeros are IN-family (the point of p = 1.5)
+    val zeros = Seq((0.0, 0.0), (0.0, 0.5), (2.0, 1.0), (0.0, 1.5),
+      (4.0, 2.0), (1.0, 2.5), (0.0, 3.0), (3.0, 3.5)).toDF("y", "x")
+    val z = Regression.tweedieIrls(zeros, "y", Seq("x"), iters = 5)
+    assert(z.n == 8L)
+    assert(z.deviance > 0.0 && !z.deviance.isNaN)
+  }
+
   test("ridge2: lambda=0 recovers OLS, shrinkage follows the closed form") {
     import spark.implicits._
     // y = 2·x1 exactly: S11=5, S12=−1, S22=1, S1y=10, S2y=−2
