@@ -4843,6 +4843,41 @@ object SparkEntry {
         "o_totalprice",
         Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
           "5-LOW"))),
+    "q_page_trend" -> ((s, dir) =>
+      // does per-user mean value rise monotonically along the
+      // click -> view -> purchase funnel: Page's L over complete
+      // user blocks, midranks on decimal-exact cell means
+      StatTests.pageTrend(events(s, dir), "user_id", "event_type",
+        "value", Seq("click", "view", "purchase"))),
+    "q_kendall_w" -> ((s, dir) =>
+      // how consistently do users rank the three funnel stages by
+      // value: Kendall's W with midrank tie correction; k=3 -> df=2
+      // so the chi2 survival replays as exp(-X/2)
+      StatTests.kendallW(events(s, dir), "user_id", "event_type",
+        "value", Seq("click", "view", "purchase"))),
+    "q_distance_corr" -> ((s, dir) =>
+      // exact Szekely-Rizzo distance correlation of quantity vs
+      // discount on the <=550-cell joint frame: n^2 pairs collapse to
+      // weighted cell pairs — the any-dependence test next to q_xicor
+      StatTests.distanceCorrCells(li(s, dir), "l_quantity",
+        "l_discount")),
+    "q_neyman" -> ((s, dir) =>
+      // how to spend a 10k-row sample budget across return flags:
+      // Neyman vs proportional allocation + the variance each implies
+      Sampling.neymanAllocation(li(s, dir), "l_returnflag",
+        "l_extendedprice", budget = 10000L)
+        .orderBy("stratum")),
+    "q_capture_recapture" -> ((s, dir) =>
+      // estimate the distinct-customer count from two independent 30%
+      // md5 captures: Lincoln-Petersen + bias-corrected Chapman with
+      // its SE — the coverage audit that never scans twice
+      Validation.captureRecapture(
+        s.read.parquet(s"$dir/orders.parquet"), "o_custkey",
+        pct = 30)),
+    "q_chao1" -> ((s, dir) =>
+      // how much vocabulary has this corpus NOT seen: Chao1 richness
+      // from hapax/dis counts + Good's coverage, exact integers
+      TextOps.chao1(docs(s, dir), "text")),
     "q_xicor" -> ((s, dir) =>
       // Chatterjee's xi per return flag: functional-dependence
       // coefficient of price on quantity — x-ties broken by the unique
@@ -15210,6 +15245,216 @@ object SparkEntry {
         |SELECT j AS j_stat, z,
         |  round_even(${codyErfcSql("y")} * 1e6, 0) / 1e6 AS p_value,
         |  n, CAST(5 AS BIGINT) AS k FROM ye""".stripMargin,
+    // Page-trend replay: decimal-exact (user, type) cell means,
+    // complete blocks, the same midrank construction, the 1/2/3
+    // hypothesized weights in funnel order, Cody erfc at rounded z.
+    "q_page_trend" ->
+      s"""WITH cell AS (SELECT user_id AS b, event_type AS t,
+        |    CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+        |      / count(*) AS m
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND NOT isnan(value)
+        |    AND event_type IN ('click', 'view', 'purchase')
+        |  GROUP BY user_id, event_type),
+        |kc AS (SELECT b, count(*) AS kt FROM cell GROUP BY b),
+        |ni AS (SELECT CAST(count(*) AS BIGINT) AS n_incomplete
+        |  FROM kc WHERE kt <> 3),
+        |comp AS (SELECT cell.b, cell.t, cell.m FROM cell
+        |  JOIN kc ON cell.b = kc.b AND kc.kt = 3),
+        |rk AS (SELECT b, t,
+        |    (CAST(count(*) OVER (PARTITION BY b ORDER BY m
+        |        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE)
+        |     + (4.0 - count(*) OVER (PARTITION BY b ORDER BY m DESC
+        |        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+        |      / 2.0 AS r
+        |  FROM comp),
+        |rs AS (SELECT t, sum(r) AS rj, CAST(count(*) AS BIGINT) AS bj
+        |  FROM rk GROUP BY t),
+        |lt AS (SELECT
+        |    (1.0 * (SELECT rj FROM rs WHERE t = 'click')
+        |      + 2.0 * (SELECT rj FROM rs WHERE t = 'view'))
+        |      + 3.0 * (SELECT rj FROM rs WHERE t = 'purchase') AS l,
+        |    (SELECT bj FROM rs WHERE t = 'click') AS b),
+        |mv AS (SELECT l, b,
+        |    CAST(b AS DOUBLE) * 3.0 * (3.0 + 1.0) * (3.0 + 1.0) / 4.0
+        |      AS mean,
+        |    sqrt(CAST(b AS DOUBLE) * 3.0 * 3.0 * (3.0 + 1.0)
+        |      * (3.0 * 3.0 - 1.0) / 144.0) AS sigma FROM lt),
+        |zz AS (SELECT l, b,
+        |    CASE WHEN sigma = 0.0 OR l = mean THEN 0.0
+        |      ELSE round_even((l - mean) / sigma * 1e6, 0) / 1e6 END
+        |      AS z FROM mv),
+        |ye AS (SELECT l, b, z, abs(z) / sqrt(2.0) AS y FROM zz)
+        |SELECT l AS l_stat, z,
+        |  round_even(${codyErfcSql("y")} * 1e6, 0) / 1e6 AS p_value,
+        |  b AS n_blocks, ni.n_incomplete, CAST(3 AS BIGINT) AS k
+        |FROM ye, ni""".stripMargin,
+    // Kendall-W replay: the same cells/midranks, per-row tie terms
+    // t^2-1, value-ORDERED squared-deviation fold, exp(-X/2) p.
+    "q_kendall_w" ->
+      """WITH cell AS (SELECT user_id AS b, event_type AS t,
+        |    CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+        |      / count(*) AS m
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND NOT isnan(value)
+        |    AND event_type IN ('click', 'view', 'purchase')
+        |  GROUP BY user_id, event_type),
+        |kc AS (SELECT b, count(*) AS kt FROM cell GROUP BY b),
+        |comp AS (SELECT cell.b, cell.t, cell.m FROM cell
+        |  JOIN kc ON cell.b = kc.b AND kc.kt = 3),
+        |rk AS (SELECT b, t,
+        |    (CAST(count(*) OVER (PARTITION BY b ORDER BY m
+        |        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE)
+        |     + (4.0 - count(*) OVER (PARTITION BY b ORDER BY m DESC
+        |        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+        |      / 2.0 AS r,
+        |    count(*) OVER (PARTITION BY b ORDER BY m
+        |      RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS tt
+        |  FROM comp),
+        |ag AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb,
+        |    sum(CAST(tt AS DOUBLE) * tt - 1.0) AS ties FROM rk),
+        |rs AS (SELECT t, sum(r) AS rj FROM rk GROUP BY t),
+        |sv AS (SELECT ag.nb, ag.ties,
+        |    sum((rj - CAST(ag.nb AS DOUBLE) * (3.0 + 1.0) / 2.0)
+        |      * (rj - CAST(ag.nb AS DOUBLE) * (3.0 + 1.0) / 2.0)
+        |      ORDER BY rj) AS s
+        |  FROM rs, ag GROUP BY ag.nb, ag.ties),
+        |wv AS (SELECT nb,
+        |    round_even(12.0 * s
+        |      / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE) * 3.0
+        |        * (3.0 * 3.0 - 1.0) - CAST(nb AS DOUBLE) * ties)
+        |      * 1e6, 0) / 1e6 AS w FROM sv),
+        |cv AS (SELECT nb, w,
+        |    round_even(CAST(nb AS DOUBLE) * (3.0 - 1.0) * w * 1e6, 0)
+        |      / 1e6 AS chi2 FROM wv)
+        |SELECT w, chi2, CAST(2 AS BIGINT) AS dof,
+        |  round_even(exp(-chi2 / 2.0) * 1e6, 0) / 1e6 AS p_value,
+        |  nb AS n_blocks, CAST(3 AS BIGINT) AS k FROM cv""".stripMargin,
+    // Distance-correlation replay: the weighted cell-pair cross join,
+    // double centering via joined row means, raw-ratio dCor.
+    "q_distance_corr" ->
+      """WITH c AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_discount AS DOUBLE) AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_discount IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE))),
+        |cells AS MATERIALIZED (SELECT x, y,
+        |    CAST(count(*) AS BIGINT) AS w FROM c GROUP BY x, y),
+        |nn AS (SELECT CAST(sum(w) AS BIGINT) AS n,
+        |    CAST(sum(w) AS DOUBLE) AS nd,
+        |    CAST(count(*) AS BIGINT) AS ncells FROM cells),
+        |pairs AS MATERIALIZED (SELECT k.x AS xk, k.y AS yk, k.w AS wk,
+        |    l.x AS xl, l.y AS yl, l.w AS wl,
+        |    abs(k.x - l.x) AS a, abs(k.y - l.y) AS bb
+        |  FROM cells k CROSS JOIN cells l),
+        |rm AS MATERIALIZED (SELECT xk, yk,
+        |    sum(wl * a) / nn.nd AS am, sum(wl * bb) / nn.nd AS bm
+        |  FROM pairs, nn GROUP BY xk, yk, nn.nd),
+        |g AS (SELECT
+        |    sum(CAST(wk AS DOUBLE) * wl * a) / (nn.nd * nn.nd) AS ag,
+        |    sum(CAST(wk AS DOUBLE) * wl * bb) / (nn.nd * nn.nd) AS bg
+        |  FROM pairs, nn GROUP BY nn.nd),
+        |cen AS (SELECT p.wk, p.wl,
+        |    p.a - mk.am - ml.am + g.ag AS ac,
+        |    p.bb - mk.bm - ml.bm + g.bg AS bc
+        |  FROM pairs p
+        |  JOIN rm mk ON p.xk = mk.xk AND p.yk = mk.yk
+        |  JOIN rm ml ON p.xl = ml.xk AND p.yl = ml.yk, g),
+        |s AS (SELECT
+        |    sum(CAST(wk AS DOUBLE) * wl * ac * bc) AS sab,
+        |    sum(CAST(wk AS DOUBLE) * wl * ac * ac) AS saa,
+        |    sum(CAST(wk AS DOUBLE) * wl * bc * bc) AS sbb FROM cen)
+        |SELECT nn.n AS n, nn.ncells AS n_cells,
+        |  round_even(s.sab / (nn.nd * nn.nd) * 1e6, 0) / 1e6 AS dcov2,
+        |  round_even(s.saa / (nn.nd * nn.nd) * 1e6, 0) / 1e6 AS dvar_x,
+        |  round_even(s.sbb / (nn.nd * nn.nd) * 1e6, 0) / 1e6 AS dvar_y,
+        |  round_even(sqrt(greatest(s.sab / (nn.nd * nn.nd), 0.0)
+        |    / sqrt((s.saa / (nn.nd * nn.nd))
+        |      * (s.sbb / (nn.nd * nn.nd)))) * 1e6, 0) / 1e6 AS dcor
+        |FROM s, nn""".stripMargin,
+    // Neyman replay: decimal-exact stratum moments, name-ordered
+    // folds for the shared totals, the same allocation arithmetic.
+    "q_neyman" ->
+      """WITH s AS (SELECT CAST(l_returnflag AS VARCHAR) AS h,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DOUBLE)
+        |      AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DOUBLE)
+        |      * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,6)))
+        |      AS DOUBLE) AS sxx
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        |  GROUP BY l_returnflag),
+        |st AS (SELECT h, n, CAST(n AS DOUBLE) AS nd,
+        |    sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0)) AS sd FROM s),
+        |tot AS (SELECT sum(nd ORDER BY h) AS bign,
+        |    sum(nd * sd ORDER BY h) AS denom FROM st),
+        |al AS (SELECT h, n, nd, sd,
+        |    10000.0 * (nd * sd) / tot.denom AS ney,
+        |    10000.0 * nd / tot.bign AS prop, tot.bign
+        |  FROM st, tot),
+        |vs AS (SELECT
+        |    sum(nd / bign * (nd / bign) * sd * sd / ney ORDER BY h)
+        |      AS vney,
+        |    sum(nd / bign * (nd / bign) * sd * sd / prop ORDER BY h)
+        |      AS vprop FROM al)
+        |SELECT h AS stratum, n AS n_rows,
+        |  round_even(sd * 1e6, 0) / 1e6 AS std,
+        |  round_even(ney * 1e6, 0) / 1e6 AS neyman_n,
+        |  round_even(prop * 1e6, 0) / 1e6 AS prop_n,
+        |  round_even(vs.vney * 1e6, 0) / 1e6 AS v_neyman,
+        |  round_even(vs.vprop * 1e6, 0) / 1e6 AS v_prop
+        |FROM al, vs ORDER BY stratum""".stripMargin,
+    // Capture-recapture replay: the same md5 coins, exact counts,
+    // Lincoln-Petersen / Chapman arithmetic on them.
+    "q_capture_recapture" ->
+      """WITH k AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS ks
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |c AS (SELECT ks,
+        |    CAST(('0x' || substr(md5(ks || '#' || 'c1'), 1, 8))
+        |      AS BIGINT) % 100 < 30 AS c1,
+        |    CAST(('0x' || substr(md5(ks || '#' || 'c2'), 1, 8))
+        |      AS BIGINT) % 100 < 30 AS c2
+        |  FROM k),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN c1 AND c2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ov FROM c)
+        |SELECT n1, n2, ov AS overlap, n AS true_n,
+        |  round_even(CAST(n1 AS DOUBLE) * n2 / ov * 1e6, 0) / 1e6
+        |    AS lincoln,
+        |  round_even(((n1 + 1.0) * (n2 + 1.0) / (ov + 1.0) - 1.0)
+        |    * 1e6, 0) / 1e6 AS chapman,
+        |  round_even(sqrt((n1 + 1.0) * (n2 + 1.0) * (n1 - ov)
+        |    * (n2 - ov) / ((ov + 1.0) * (ov + 1.0) * (ov + 2.0)))
+        |    * 1e6, 0) / 1e6 AS chapman_se
+        |FROM a""".stripMargin,
+    // Chao1 replay: token frequency-of-frequencies, the bias-corrected
+    // richness and Good's coverage — exact integers to the end.
+    "q_chao1" ->
+      """WITH tok AS (SELECT
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok
+        |  GROUP BY w),
+        |a AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS f1,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS f2 FROM cnt)
+        |SELECT n AS n_tokens, v AS vocab, f1, f2,
+        |  round_even((v + CAST(f1 AS DOUBLE) * (f1 - 1.0)
+        |    / (2.0 * (f2 + 1.0))) * 1e6, 0) / 1e6 AS chao1,
+        |  round_even((1.0 - CAST(f1 AS DOUBLE) / n) * 1e6, 0) / 1e6
+        |    AS coverage
+        |FROM a""".stripMargin,
     // Chatterjee xi replay: RANGE-frame cumulative y-counts up and down
     // per flag, the deterministic (x, y, orderkey, linenumber) lag
     // order, exact integer numerator/denominator, one final ratio.

@@ -435,6 +435,60 @@ object Sampling {
     * (cast/hash string keys to a long upstream).
     *
     * @return one row per (anchor, j): (anchor, j, negative) */
+  /** Neyman optimal stratified-sample allocation: given a total budget
+    * n, how many rows should each stratum contribute to minimize the
+    * variance of the estimated mean? nₕ ∝ Nₕ·Sₕ (big AND noisy strata
+    * get more), vs the naive proportional nₕ ∝ Nₕ. Reports both
+    * allocations per stratum plus the variance each design implies
+    * (V = Σ Wₕ²Sₕ²/nₕ, fpc ignored) — the design-effect numbers that
+    * justify the sampling plan before a single row moves.
+    *
+    * ONE aggregation of DECIMAL-exact stratum moments; every output is
+    * closed-form arithmetic on those (6-rounded).
+    *
+    * @return one row per stratum: (stratum, n_rows, std, neyman_n,
+    *         prop_n, v_neyman, v_prop) — the v_* columns repeat the
+    *         design totals on every row */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+                       valueCol: String, budget: Long): DataFrame = {
+    require(budget > 0L, "budget must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = F.col(valueCol).cast("double")
+    val strata = df
+      .where(F.col(stratumCol).isNotNull && v.isNotNull && !F.isnan(v))
+      .groupBy(F.col(stratumCol).cast("string").as("h"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(v.cast("decimal(38,6)")).cast("double").as("sx"),
+        F.sum((v * v).cast("decimal(38,6)")).cast("double").as("sxx"))
+      .collect()
+      .sortBy(_.getAs[String]("h"))
+    require(strata.length >= 2, "need at least two strata")
+    val stats = strata.map { r =>
+      val n = r.getAs[Long]("n").toDouble
+      val sx = r.getAs[Double]("sx"); val sxx = r.getAs[Double]("sxx")
+      require(n >= 2.0, "every stratum needs n >= 2")
+      (r.getAs[String]("h"), n,
+        math.sqrt((sxx - sx * sx / n) / (n - 1.0)))
+    }
+    val bigN = stats.map(_._2).sum
+    val denom = stats.map { case (_, n, s) => n * s }.sum
+    require(denom > 0.0, "all strata have zero variance")
+    val bD = budget.toDouble
+    val alloc = stats.map { case (h, n, s) =>
+      (h, n, s, bD * (n * s) / denom, bD * n / bigN)
+    }
+    val vNey = alloc.map { case (_, n, s, nh, _) =>
+      val w = n / bigN; w * w * s * s / nh }.sum
+    val vProp = alloc.map { case (_, n, s, _, nh) =>
+      val w = n / bigN; w * w * s * s / nh }.sum
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    alloc.map { case (h, n, s, ney, prop) =>
+      (h, n.toLong, r6(s), r6(ney), r6(prop), r6(vNey), r6(vProp))
+    }.toSeq.toDF("stratum", "n_rows", "std", "neyman_n", "prop_n",
+      "v_neyman", "v_prop")
+  }
+
   def negativeSample(df: DataFrame, idCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val idsD = df

@@ -2046,6 +2046,220 @@ object StatTests {
     } finally sorted.unpersist(blocking = false)
   }
 
+  /** Page's L trend test — the ordered-alternative companion of
+    * [[friedmanTest]] for MATCHED designs: when every block (user,
+    * panel, batch) is measured under every treatment and the
+    * treatments carry an a-priori order, L = Σⱼ j·Rⱼ (hypothesized
+    * rank × within-block rank sums, midranks on ties) concentrates
+    * power on a monotone shift the way [[jonckheereTerpstra]] does for
+    * unmatched groups. Normal approximation E[L] = bk(k+1)²/4,
+    * Var[L] = bk²(k+1)(k²−1)/144 (no-tie form — mildly conservative
+    * with midranks, identical on both sides); two-sided p from the
+    * rounded z.
+    *
+    * Blocks collapse per (block, treatment) by MEAN (decimal-exact);
+    * incomplete blocks are dropped and counted. Within-block ranks
+    * ride a k-row window — the bounded-frame contract.
+    *
+    * @param treatments the treatment levels in hypothesized ascending
+    *                   order
+    * @return one row: (l_stat, z, p_value, n_blocks, n_incomplete, k) */
+  def pageTrend(df: DataFrame, blockCol: String, treatmentCol: String,
+                valueCol: String, treatments: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val k = treatments.length
+    require(k >= 3, "need at least three ordered treatments")
+    val v = F.col(valueCol).cast("double")
+    val g = F.col(treatmentCol).cast("string")
+    val cell = df
+      .where(F.col(blockCol).isNotNull && v.isNotNull && !F.isnan(v) &&
+        g.isin(treatments: _*))
+      .groupBy(F.col(blockCol).as("b"), g.as("t"))
+      .agg((F.sum(v.cast("decimal(38,6)")).cast("double") /
+        F.count(F.lit(1))).as("m"))
+    val wB = Window.partitionBy("b")
+    val complete = cell
+      .withColumn("__kt", F.count(F.lit(1)).over(wB))
+    val nIncomplete = complete.where(F.col("__kt") =!= k.toLong)
+      .select("b").distinct().count()
+    val wUp = wB.orderBy(F.col("m").asc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDn = wB.orderBy(F.col("m").desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = complete.where(F.col("__kt") === k.toLong)
+      // midrank = (#{m' <= m} + (k + 1 - #{m' >= m})) / 2
+      .withColumn("__r",
+        (F.count(F.lit(1)).over(wUp).cast("double") +
+          (F.lit(k + 1.0) - F.count(F.lit(1)).over(wDn))) / 2.0)
+    val orderIdx = treatments.zipWithIndex
+      .map { case (t, i) => (t, (i + 1).toDouble) }.toMap
+    val rankSums = ranked.groupBy("t")
+      .agg(F.sum("__r").as("rj"), F.count(F.lit(1)).as("bj"))
+      .collect().map(r => (r.getAs[String]("t"),
+        r.getAs[Double]("rj"), r.getAs[Long]("bj")))
+      .sortBy(r => orderIdx(r._1))
+    require(rankSums.length == k, "a treatment has no complete blocks")
+    val b = rankSums.head._3
+    require(rankSums.forall(_._3 == b), "unbalanced complete blocks")
+    val l = rankSums.zipWithIndex
+      .map { case ((_, rj, _), i) => (i + 1.0) * rj }.sum
+    val bD = b.toDouble; val kD = k.toDouble
+    val mean = bD * kD * (kD + 1.0) * (kD + 1.0) / 4.0
+    val variance = bD * kD * kD * (kD + 1.0) * (kD * kD - 1.0) / 144.0
+    val sigma = math.sqrt(variance)
+    val z = if (sigma == 0.0 || l == mean) 0.0 else (l - mean) / sigma
+    val zr = math.rint(z * 1e6) / 1e6
+    val p = math.rint(SpecialMath.erfc(
+      math.abs(zr) / math.sqrt(2.0)) * 1e6) / 1e6
+    Seq((l, zr, p, b, nIncomplete, k.toLong))
+      .toDF("l_stat", "z", "p_value", "n_blocks", "n_incomplete", "k")
+  }
+
+  /** Kendall's W — coefficient of concordance: how consistently do b
+    * independent blocks (raters, users, days) rank the same k items?
+    * W = 12·S / (b²k(k²−1) − b·ΣT) with S the squared deviation of the
+    * item rank sums from their mean and ΣT = Σ(t³−t) the within-block
+    * tie correction (midranks); W = 1 is perfect agreement, 0 is
+    * rank noise. χ² = b(k−1)W against df = k−1 (even-df replay when k
+    * is odd).
+    *
+    * Same (block, item) mean-cell + bounded-window substrate as
+    * [[pageTrend]]; all sums fold from exact midranks.
+    *
+    * @return one row: (w, chi2, dof, p_value, n_blocks, k) */
+  def kendallW(df: DataFrame, blockCol: String, itemCol: String,
+               valueCol: String, items: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val k = items.length
+    require(k >= 3, "need at least three items")
+    val v = F.col(valueCol).cast("double")
+    val g = F.col(itemCol).cast("string")
+    val cell = df
+      .where(F.col(blockCol).isNotNull && v.isNotNull && !F.isnan(v) &&
+        g.isin(items: _*))
+      .groupBy(F.col(blockCol).as("b"), g.as("t"))
+      .agg((F.sum(v.cast("decimal(38,6)")).cast("double") /
+        F.count(F.lit(1))).as("m"))
+    val wB = Window.partitionBy("b")
+    val complete = cell
+      .withColumn("__kt", F.count(F.lit(1)).over(wB))
+      .where(F.col("__kt") === k.toLong)
+    val wUp = wB.orderBy(F.col("m").asc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDn = wB.orderBy(F.col("m").desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPeer = wB.orderBy(F.col("m").asc)
+      .rangeBetween(Window.currentRow, Window.currentRow)
+    val ranked = complete
+      .withColumn("__r",
+        (F.count(F.lit(1)).over(wUp).cast("double") +
+          (F.lit(k + 1.0) - F.count(F.lit(1)).over(wDn))) / 2.0)
+      .withColumn("__t", F.count(F.lit(1)).over(wPeer))
+    val agg = ranked.agg(
+      F.countDistinct(F.col("b")).as("nb"),
+      // each tie GROUP of size t contributes t³−t, counted once per
+      // member then divided by t: Σ over rows of (t³−t)/t = Σ t²−1
+      F.sum(F.col("__t").cast("double") * F.col("__t") - 1.0)
+        .as("ties")).head()
+    val b = agg.getAs[Long]("nb")
+    require(b >= 2L, "need at least two complete blocks")
+    val tieSum = agg.getAs[Double]("ties")
+    val rj = ranked.groupBy("t").agg(F.sum("__r").as("rj"))
+      .collect().map(_.getAs[Double]("rj")).sorted
+    val bD = b.toDouble; val kD = k.toDouble
+    val meanR = bD * (kD + 1.0) / 2.0
+    val s = rj.map(r => (r - meanR) * (r - meanR)).sum
+    val den = bD * bD * kD * (kD * kD - 1.0) - bD * tieSum
+    require(den > 0.0, "degenerate ranks (all tied)")
+    val w = math.rint(12.0 * s / den * 1e6) / 1e6
+    val chi2 = math.rint(bD * (kD - 1.0) * w * 1e6) / 1e6
+    val dof = k - 1L
+    val p = math.rint(SpecialMath.gammaIncC(dof / 2.0, chi2 / 2.0) *
+      1e6) / 1e6
+    Seq((w, chi2, dof, p, b, k.toLong))
+      .toDF("w", "chi2", "dof", "p_value", "n_blocks", "k")
+  }
+
+  /** Exact distance correlation (Székely–Rizzo) over LOW-CARDINALITY
+    * pairs: dCor = 0 iff X ⊥ Y (against ANY dependence, not just
+    * monotone — the population-level guarantee Pearson and Spearman
+    * lack), computed exactly on the joint (x, y, count) cell frame:
+    * the double-centered distance matrices fold over cell PAIRS with
+    * count weights, so n² row pairs collapse to |cells|² weighted cell
+    * pairs. Requires both columns low-cardinality (binned/integer
+    * drivers) — |cells|² is the frame the cross join materializes.
+    *
+    * dCov² = Σ w_k w_l A_kl B_kl / n², A = a − rowmean − colmean +
+    * grandmean; dCor² = dCov²/√(dVarX·dVarY). One cells aggregation,
+    * one broadcast cell cross join, one mean join-back, one fold.
+    *
+    * @return one row: (n, n_cells, dcov2, dvar_x, dvar_y, dcor) */
+  def distanceCorrCells(df: DataFrame, xCol: String,
+                        yCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val x = F.col(xCol).cast("double")
+    val y = F.col(yCol).cast("double")
+    val cells = df
+      .where(x.isNotNull && !F.isnan(x) && y.isNotNull && !F.isnan(y))
+      .groupBy(x.as("x"), y.as("y"))
+      .agg(F.count(F.lit(1)).as("w"))
+      .localCheckpoint(true)
+    val n = cells.agg(F.sum("w")).head().getLong(0)
+    require(n >= 2L, "need at least two rows")
+    val nD = n.toDouble
+    val l = cells.select(F.col("x").as("xk"), F.col("y").as("yk"),
+      F.col("w").as("wk"))
+    val r = cells.select(F.col("x").as("xl"), F.col("y").as("yl"),
+      F.col("w").as("wl"))
+    val pairs = l.crossJoin(F.broadcast(r))
+      .withColumn("a", F.abs(F.col("xk") - F.col("xl")))
+      .withColumn("bb", F.abs(F.col("yk") - F.col("yl")))
+    // row means per left cell (the matrix is symmetric, so row = col)
+    val rowMeans = pairs.groupBy("xk", "yk")
+      .agg((F.sum(F.col("wl") * F.col("a")) / nD).as("am"),
+        (F.sum(F.col("wl") * F.col("bb")) / nD).as("bm"))
+    val grand = pairs.agg(
+      (F.sum(F.col("wk").cast("double") * F.col("wl") * F.col("a")) /
+        (nD * nD)).as("ag"),
+      (F.sum(F.col("wk").cast("double") * F.col("wl") * F.col("bb")) /
+        (nD * nD)).as("bg")).head()
+    val ag = grand.getAs[Double]("ag"); val bg = grand.getAs[Double]("bg")
+    val mk = rowMeans.select(F.col("xk"), F.col("yk"),
+      F.col("am").as("amk"), F.col("bm").as("bmk"))
+    val ml = rowMeans.select(F.col("xk").as("xl"), F.col("yk").as("yl"),
+      F.col("am").as("aml"), F.col("bm").as("bml"))
+    val centered = pairs
+      .join(F.broadcast(mk), Seq("xk", "yk"))
+      .join(F.broadcast(ml), Seq("xl", "yl"))
+      .withColumn("ac", F.col("a") - F.col("amk") - F.col("aml") +
+        F.lit(ag))
+      .withColumn("bc", F.col("bb") - F.col("bmk") - F.col("bml") +
+        F.lit(bg))
+    val sums = centered.agg(
+      F.sum(F.col("wk").cast("double") * F.col("wl") *
+        F.col("ac") * F.col("bc")).as("sab"),
+      F.sum(F.col("wk").cast("double") * F.col("wl") *
+        F.col("ac") * F.col("ac")).as("saa"),
+      F.sum(F.col("wk").cast("double") * F.col("wl") *
+        F.col("bc") * F.col("bc")).as("sbb"),
+      F.count(F.lit(1)).as("npairs")).head()
+    val dcov2 = sums.getAs[Double]("sab") / (nD * nD)
+    val dvarX = sums.getAs[Double]("saa") / (nD * nD)
+    val dvarY = sums.getAs[Double]("sbb") / (nD * nD)
+    require(dvarX > 0.0 && dvarY > 0.0, "a degenerate (constant) margin")
+    val dcor = math.sqrt(math.max(dcov2, 0.0) /
+      math.sqrt(dvarX * dvarY))
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    val nCells = math.sqrt(sums.getAs[Long]("npairs").toDouble).round
+    Seq((n, nCells, r6(dcov2), r6(dvarX), r6(dvarY), r6(dcor)))
+      .toDF("n", "n_cells", "dcov2", "dvar_x", "dvar_y", "dcor")
+  }
+
   /** Jonckheere–Terpstra test for an ORDERED alternative across k
     * groups — the trend-aware upgrade of [[kruskalWallisByGroup]]:
     * when the factor levels carry an a-priori order (dose, severity,

@@ -1277,4 +1277,38 @@ object TextOps {
         F.col("repeat_docs"), F.col("adaptation"),
         F.col("rate_in_docs"), F.col("vmr"))
   }
+
+  /** Chao1 vocabulary-richness estimate + Good's coverage — "how many
+    * word types exist that this corpus has NOT seen yet": from the
+    * frequency-of-frequencies (hapax f₁, dis legomena f₂),
+    *
+    *   Chao1 = V + f₁(f₁−1)/(2(f₂+1))   (bias-corrected, f₂=0-safe),
+    *   coverage = 1 − f₁/N               (Good 1953)
+    *
+    * — the acceptance number for "is this corpus big enough", and the
+    * same estimator that audits how many NEAR-DUP clusters a dedup
+    * pass missed. Two aggregations (token counts → fof), all exact
+    * integers until the final two ratios.
+    *
+    * @return one row: (n_tokens, vocab, f1, f2, chao1, coverage) */
+  def chao1(df: DataFrame, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .select(F.explode(wordTokens(F.col(textCol))).as("w"))
+      .groupBy("w").agg(F.count(F.lit(1)).as("c"))
+    val m = counts.agg(
+      F.sum("c").as("n"),
+      F.count(F.lit(1)).as("v"),
+      F.sum(F.when(F.col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+      F.sum(F.when(F.col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .head()
+    val n = m.getAs[Long]("n"); val vv = m.getAs[Long]("v")
+    require(n > 0L, "no tokens")
+    val f1 = m.getAs[Long]("f1"); val f2 = m.getAs[Long]("f2")
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val chao = vv + f1.toDouble * (f1 - 1.0) / (2.0 * (f2 + 1.0))
+    Seq((n, vv, f1, f2, r6(chao), r6(1.0 - f1.toDouble / n)))
+      .toDF("n_tokens", "vocab", "f1", "f2", "chao1", "coverage")
+  }
 }

@@ -275,4 +275,49 @@ object Validation {
       .withColumn("holds", F.col("n_violating_groups") === 0L &&
         F.col("n_det_groups") > 0L)
   }
+
+  /** Capture–recapture population estimate from two DETERMINISTIC md5
+    * samples: how many distinct keys does this table/stream really
+    * have, estimated from two independent "captures" and their overlap
+    * (the wildlife-census estimator applied to data: audit a dedup
+    * pipeline's true duplicate count, or a crawler's coverage, without
+    * scanning everything twice). Lincoln–Petersen N̂ = n₁n₂/m and the
+    * bias-corrected Chapman N̂ = (n₁+1)(n₂+1)/(m+1) − 1, with
+    * Chapman's variance for a CI half-width.
+    *
+    * The two captures are md5(key ⊕ salt) % 100 < pct — reproducible,
+    * independent by salt, ONE aggregation. Counts are exact integers.
+    *
+    * @return one row: (n1, n2, overlap, true_n, lincoln, chapman,
+    *         chapman_se) */
+  def captureRecapture(df: DataFrame, keyCol: String,
+                       pct: Int = 30): DataFrame = {
+    require(pct >= 1 && pct <= 99, "pct must be in 1..99")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def coin(salt: String): Column =
+      F.conv(F.substring(F.md5(F.concat_ws("#",
+        F.col("k"), F.lit(salt)).cast("binary")),
+        1, 8), 16, 10).cast("long") % 100L < pct.toLong
+    val keys = df.where(F.col(keyCol).isNotNull)
+      .select(F.col(keyCol).cast("string").as("k")).distinct()
+    val m = keys.agg(
+      F.count(F.lit(1)).as("n"),
+      F.sum(F.when(coin("c1"), 1L).otherwise(0L)).as("n1"),
+      F.sum(F.when(coin("c2"), 1L).otherwise(0L)).as("n2"),
+      F.sum(F.when(coin("c1") && coin("c2"), 1L).otherwise(0L))
+        .as("ov")).head()
+    val n1 = m.getAs[Long]("n1"); val n2 = m.getAs[Long]("n2")
+    val ov = m.getAs[Long]("ov")
+    require(ov > 0L, "no overlap between captures — raise pct")
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val lincoln = n1.toDouble * n2 / ov
+    val chapman = (n1 + 1.0) * (n2 + 1.0) / (ov + 1.0) - 1.0
+    val varCh = (n1 + 1.0) * (n2 + 1.0) * (n1 - ov) * (n2 - ov) /
+      ((ov + 1.0) * (ov + 1.0) * (ov + 2.0))
+    Seq((n1, n2, ov, m.getAs[Long]("n"), r6(lincoln), r6(chapman),
+      r6(math.sqrt(varCh))))
+      .toDF("n1", "n2", "overlap", "true_n", "lincoln", "chapman",
+        "chapman_se")
+  }
 }

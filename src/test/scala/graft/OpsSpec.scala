@@ -5148,6 +5148,49 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d10 == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 1L))
   }
 
+  test("neymanAllocation sends the budget to big noisy strata") {
+    import spark.implicits._
+    val df = (Seq(1.0, 2, 3).map(("a", _)) ++
+      Seq(10.0, 20, 30).map(("b", _))).toDF("h", "v")
+    val out = Sampling.neymanAllocation(df, "h", "v", budget = 60L)
+      .collect().map(r => r.getAs[String]("stratum") -> r).toMap
+    assert(math.abs(out("a").getAs[Double]("std") - 1.0) < 1e-9)
+    assert(math.abs(out("b").getAs[Double]("std") - 10.0) < 1e-9)
+    assert(math.abs(out("a").getAs[Double]("neyman_n") - 5.454545) < 1e-5)
+    assert(math.abs(out("b").getAs[Double]("neyman_n") - 54.545455) < 1e-5)
+    assert(math.abs(out("a").getAs[Double]("prop_n") - 30.0) < 1e-9)
+    // Neyman strictly beats proportional on heteroskedastic strata
+    assert(out("a").getAs[Double]("v_neyman") <
+      out("a").getAs[Double]("v_prop"))
+    assert(math.abs(out("a").getAs[Double]("v_neyman") - 0.504167) < 1e-5)
+    assert(math.abs(out("a").getAs[Double]("v_prop") - 0.841667) < 1e-5)
+  }
+
+  test("captureRecapture: deterministic captures, sane estimates") {
+    import spark.implicits._
+    val df = (1L to 2000L).toDF("k")
+    val r = Validation.captureRecapture(df, "k", pct = 30).head()
+    assert(r.getAs[Long]("true_n") == 2000L)
+    val n1 = r.getAs[Long]("n1"); val n2 = r.getAs[Long]("n2")
+    assert(n1 > 450L && n1 < 750L && n2 > 450L && n2 < 750L)
+    val chap = r.getAs[Double]("chapman")
+    assert(chap > 1500.0 && chap < 2700.0)
+    // md5-keyed: bit-identical on a second run
+    val r2 = Validation.captureRecapture(df, "k", pct = 30).head()
+    assert(r2.getAs[Double]("chapman") == chap)
+  }
+
+  test("chao1: richness and coverage from the fof counts") {
+    import spark.implicits._
+    val df = Seq("a b c c", "d d").toDF("text")
+    val r = TextOps.chao1(df, "text").head()
+    assert(r.getAs[Long]("n_tokens") == 6L && r.getAs[Long]("vocab") == 4L)
+    assert(r.getAs[Long]("f1") == 2L && r.getAs[Long]("f2") == 2L)
+    // chao1 = 4 + 2·1/(2·3) = 4.333333, coverage = 1 − 2/6
+    assert(math.abs(r.getAs[Double]("chao1") - 4.333333) < 1e-5)
+    assert(math.abs(r.getAs[Double]("coverage") - 0.666667) < 1e-5)
+  }
+
   test("rakeKeywords: co-occurrence degree beats bare frequency") {
     import spark.implicits._
     val docs = Seq("deep learning of data", "deep learning is the future",

@@ -668,6 +668,51 @@ class StatTestsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[String]("magnitude") == "large")
   }
 
+  test("pageTrend: a perfect monotone funnel maxes L") {
+    import spark.implicits._
+    // 4 complete blocks, each strictly increasing a < b < c:
+    // R = (4, 8, 12), L = 56, E = 48, Var = 8 → z = 2.828427
+    val df = (1 to 4).flatMap(u => Seq((u.toLong, "a", 1.0 * u),
+      (u.toLong, "b", 2.0 * u), (u.toLong, "c", 3.0 * u)))
+      .toDF("blk", "trt", "v")
+    val r = StatTests.pageTrend(df, "blk", "trt", "v",
+      Seq("a", "b", "c")).head()
+    assert(r.getAs[Double]("l_stat") == 56.0)
+    assert(math.abs(r.getAs[Double]("z") - 2.828427) < 1e-5)
+    assert(math.abs(r.getAs[Double]("p_value") - 0.004678) < 1e-5)
+    assert(r.getAs[Long]("n_blocks") == 4L)
+    assert(r.getAs[Long]("n_incomplete") == 0L)
+  }
+
+  test("kendallW: perfect concordance gives W = 1") {
+    import spark.implicits._
+    val df = (1 to 4).flatMap(u => Seq((u.toLong, "a", 1.0 * u),
+      (u.toLong, "b", 2.0 * u), (u.toLong, "c", 3.0 * u)))
+      .toDF("blk", "item", "v")
+    val r = StatTests.kendallW(df, "blk", "item", "v",
+      Seq("a", "b", "c")).head()
+    assert(r.getAs[Double]("w") == 1.0)
+    assert(math.abs(r.getAs[Double]("chi2") - 8.0) < 1e-9)
+    // df = 2 → p = exp(−4)
+    assert(math.abs(r.getAs[Double]("p_value") - 0.018316) < 1e-5)
+  }
+
+  test("distanceCorrCells: functional dependence gives dCor = 1") {
+    import spark.implicits._
+    val dep = (1 to 4).flatMap(i => Seq.fill(i)((i.toDouble, i.toDouble)))
+      .toDF("x", "y")
+    val r = StatTests.distanceCorrCells(dep, "x", "y").head()
+    assert(r.getAs[Long]("n") == 10L && r.getAs[Long]("n_cells") == 4L)
+    assert(math.abs(r.getAs[Double]("dcor") - 1.0) < 1e-9)
+    assert(r.getAs[Double]("dcov2") == r.getAs[Double]("dvar_x"))
+    // a noise-free orthogonal grid still has finite-sample dCov > 0,
+    // but far below the functional case
+    val ind = (for { i <- 1 to 4; j <- 1 to 4 }
+      yield (i.toDouble, j.toDouble)).toDF("x", "y")
+    val r2 = StatTests.distanceCorrCells(ind, "x", "y").head()
+    assert(r2.getAs[Double]("dcor") < 0.25)
+  }
+
   test("ivWald recovers the hand-computed Wald ratio and first-stage F") {
     import spark.implicits._
     val df = Seq((true, 1.0, 5.0), (true, 1.0, 5.0), (true, 0.0, 3.0),
