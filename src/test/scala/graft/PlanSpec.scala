@@ -534,4 +534,77 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$q: ${plan.take(400)}")
     }
   }
+
+  test("round-9 rank/robust panels keep windows key-partitioned") {
+    for (q <- Seq("q_xicor", "q_scd2", "q_newey_west", "q_page_trend",
+        "q_kendall_w")) {
+      val plan = physicalPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(400)}")
+      assert(!plan.contains("Window [") ||
+        plan.contains("hashpartitioning"),
+        s"$q: ${plan.take(400)}")
+    }
+  }
+
+  test("q_cooks: influence top-k is a TakeOrdered, never a global sort") {
+    val plan = physicalPlan("q_cooks")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("link-prediction wedge shape: hash-keyed join, TakeOrdered top-k") {
+    // q_adamic_adar's result frame is checkpoint-materialized (20
+    // rows), so audit the operator's inner shape on the same edges
+    import org.apache.spark.sql.{functions => F}
+    val lp = spark.read.parquet(s"$dir/lineitem.parquet")
+      .where(F.col("l_orderkey") < 3000)
+      .select(F.col("l_orderkey").as("k"), F.col("l_partkey").as("p"))
+      .distinct()
+    val e = lp.as("x").join(lp.as("y"), "k")
+      .where(F.col("x.p") =!= F.col("y.p"))
+      .select(F.col("x.p").cast("string").as("s"),
+        F.col("y.p").cast("string").as("d"))
+    val und = e.union(e.select(F.col("d").as("s"), F.col("s").as("d")))
+      .where(F.col("s") =!= F.col("d")).distinct()
+    val wedge = und.as("u").join(und.as("v"), "s")
+      .where(F.col("u.d") < F.col("v.d"))
+      .groupBy(F.col("u.d").as("a"), F.col("v.d").as("b"))
+      .agg(F.count(F.lit(1)).as("common"))
+      .orderBy(F.col("common").desc, F.col("a")).limit(20)
+    val plan = wedge.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
+  test("q_psm: treated rows never join controls row-by-row") {
+    // the matching is a broadcast binary-search lookup, so the plan has
+    // no join of the treated frame against a row-scale control frame
+    val plan = physicalPlan("q_psm")
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("forecast recursions stay windowless per-key folds") {
+    // croston/theta collapse each key's series via sorted collect_list
+    // + a per-key UDF — no window, no cartesian, key-hash exchange only
+    for (q <- Seq("q_croston", "q_theta_forecast")) {
+      val plan = physicalPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(400)}")
+      assert(!plan.contains("Window ["), s"$q: ${plan.take(400)}")
+    }
+  }
+
+  test("q_distance_corr: cell pairs ride a broadcast join, never SMJ") {
+    val plan = physicalPlan("q_distance_corr")
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+  }
+
+  test("q_reconcile: per-side bucket aggregation, no row-scale join") {
+    val plan = physicalPlan("q_reconcile")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    // the only join is the 64-bucket full-outer — row frames aggregate
+    // before any join
+    assert(plan.contains("FullOuter") || plan.contains("full_outer"),
+      plan.take(1200))
+  }
 }
