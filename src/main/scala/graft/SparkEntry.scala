@@ -4910,6 +4910,40 @@ object SparkEntry {
           (F.col("l_discount") * 100).as("x2")),
         "y", "x1", "x2", lambdas = Seq(0.0, 1.0e6, 1.0e8))
         .orderBy("lambda")),
+    "q_probit" -> ((s, dir) => {
+      // probit twin of the logistic rung: P(returned) vs quantity in
+      // latent-SD units; Cody-erfc mean, 3 Fisher steps from beta=0,
+      // every step CTE-replayed (mu clamped so tails can't blow up w)
+      import s.implicits._
+      val df = li(s, dir).select(
+        (F.col("l_returnflag") === "R").cast("double").as("y"),
+        F.col("l_quantity").as("x"))
+      val m = Regression.probitIrls(df, "y", Seq("x"), iters = 3)
+      Seq((math.rint(m.beta(0) * 1e6) / 1e6,
+        math.rint(m.beta(1) * 1e6) / 1e6,
+        math.rint(m.logLik * 100.0) / 100.0,
+        math.rint(m.brier * 1e6) / 1e6, m.n))
+        .toDF("b0_r", "b1_r", "ll_r", "brier_r", "n")
+    }),
+    "q_lasso" -> ((s, dir) =>
+      // L1 path next to q_ridge: coordinate descent on three rounded
+      // correlations — selection, not just shrinkage; the trajectory
+      // is a pure function of rounded scalars so it replays exactly
+      Regression.lasso2(
+        li(s, dir).select(F.col("l_extendedprice").as("y"),
+          F.col("l_quantity").as("x1"),
+          (F.col("l_discount") * 100).as("x2")),
+        "y", "x1", "x2", lambdas = Seq(0.0, 0.05, 0.3))
+        .orderBy("lambda")),
+    "q_weighted_kappa" -> ((s, dir) =>
+      // ordinal agreement between two correlated quantity buckets:
+      // quadratic weights credit near misses; exact k x k cell counts
+      Evaluation.weightedKappa(
+        li(s, dir).select(
+          F.floor(F.col("l_quantity") / 10).cast("string").as("a"),
+          F.floor((F.col("l_quantity") + F.col("l_linenumber")) / 10)
+            .cast("string").as("b")),
+        "a", "b", Seq("0", "1", "2", "3", "4", "5"))),
     "q_vif" -> ((s, dir) =>
       // multicollinearity gate over the three lineitem drivers: exact
       // closed-form 3x3 inverse diagonal on 6-rounded correlations
@@ -5269,6 +5303,60 @@ object SparkEntry {
         |    sum(d * (m2 / m0 - (m1 / m0) * (m1 / m0))) AS i
         |  FROM w3 WHERE d > 0),
         |b3 AS (SELECT pb + u / i AS b FROM n3),""".stripMargin
+
+  /** q_probit replay: the clamped probit mean μ = ½·erfc(−η/√2) with
+    * the Cody erfc inlined (negative arguments via the 2−r
+    * reflection, exactly like SpecialMath.erfc). */
+  private def probitMuSql(eta: String): String = {
+    val ae = s"(abs($eta) / sqrt(2.0))"
+    val e = codyErfcSql(ae)
+    s"least(greatest(0.5 * (CASE WHEN $eta <= 0.0 THEN $e " +
+      s"ELSE 2.0 - $e END), 1e-10), (1.0 - 1e-10))"
+  }
+
+  private def probitOracleSql: String = {
+    val eta = "(b.b0 + b.b1 * x)"
+    val phi = s"exp($eta * $eta * -0.5) * 0.3989422804014327"
+    def step(i: Int): String = {
+      val prev = if (i == 1) "bs0" else s"bs${i - 1}"
+      s"""p$i AS (SELECT y, x, ${probitMuSql(eta)} AS mu,
+         |    $phi AS phi FROM base, $prev b),
+         |s$i AS (SELECT
+         |    sum((y - mu) * phi / (mu * (1.0 - mu))) AS g0,
+         |    sum((y - mu) * phi / (mu * (1.0 - mu)) * x) AS g1,
+         |    sum(phi * phi / (mu * (1.0 - mu))) AS h00,
+         |    sum(phi * phi / (mu * (1.0 - mu)) * x) AS h01,
+         |    sum(phi * phi / (mu * (1.0 - mu)) * x * x) AS h11
+         |  FROM p$i),
+         |bs$i AS (SELECT
+         |    b.b0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01)
+         |      AS b0,
+         |    b.b1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01)
+         |      AS b1
+         |  FROM $prev b, s$i)""".stripMargin
+    }
+    s"""WITH base AS (SELECT
+       |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+       |    CAST(l_quantity AS DOUBLE) AS x
+       |  FROM lineitem WHERE l_returnflag IS NOT NULL
+       |    AND l_quantity IS NOT NULL
+       |    AND NOT isnan(CAST(l_quantity AS DOUBLE))),
+       |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+       |bs0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0,
+       |  CAST(0.0 AS DOUBLE) AS b1),
+       |${step(1)},
+       |${step(2)},
+       |${step(3)},
+       |pf AS (SELECT y, ${probitMuSql(eta)} AS mu FROM base, bs3 b),
+       |fin AS (SELECT sum(y * ln(mu) + (1.0 - y) * ln(1.0 - mu))
+       |    AS ll, sum((y - mu) * (y - mu)) AS sq FROM pf)
+       |SELECT round_even(bs3.b0 * 1e6, 0) / 1e6 AS b0_r,
+       |  round_even(bs3.b1 * 1e6, 0) / 1e6 AS b1_r,
+       |  round_even(fin.ll * 100.0, 0) / 100.0 AS ll_r,
+       |  round_even(fin.sq / cnt.n * 1e6, 0) / 1e6 AS brier_r,
+       |  cnt.n
+       |FROM bs3, fin, cnt""".stripMargin
+  }
 
   /** q_coreset replay: the greedy k-center chain as five materialized
     * CTE steps. Squared distances fold left-to-right (list_reduce over
@@ -15611,6 +15699,117 @@ object SparkEntry {
         |  round(sy / nd - b1 * (s1 / nd) - b2 * (s2 / nd), 6) + 0.0
         |    AS intercept
         |FROM b ORDER BY lambda""".stripMargin,
+    // Probit replay: three Fisher steps with the Cody-erfc mean and
+    // clamped weights, 2x2 Cramer per step, final ll/Brier pass.
+    "q_probit" -> probitOracleSql,
+    // Lasso replay: decimal-exact moments, the three rint-rounded
+    // correlations, 20 coordinate-descent sweeps as a RECURSIVE CTE
+    // (b1's fresh value inlined into b2's update, as the engine
+    // sequences them), exact back-transform from the raw moments.
+    "q_lasso" ->
+      """WITH RECURSIVE g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(38,6)))
+        |      AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(CAST(l_discount AS DOUBLE) * 100
+        |      AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DOUBLE)
+        |      AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(CAST(l_quantity AS DOUBLE)
+        |      * CAST(l_quantity AS DOUBLE) AS DECIMAL(38,6)))
+        |      AS DOUBLE) AS s11,
+        |    CAST(sum(CAST(CAST(l_quantity AS DOUBLE)
+        |      * (CAST(l_discount AS DOUBLE) * 100) AS DECIMAL(38,6)))
+        |      AS DOUBLE) AS s12,
+        |    CAST(sum(CAST((CAST(l_discount AS DOUBLE) * 100)
+        |      * (CAST(l_discount AS DOUBLE) * 100) AS DECIMAL(38,6)))
+        |      AS DOUBLE) AS s22,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DOUBLE)
+        |      * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,6)))
+        |      AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(CAST(l_quantity AS DOUBLE)
+        |      * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,6)))
+        |      AS DOUBLE) AS s1y,
+        |    CAST(sum(CAST((CAST(l_discount AS DOUBLE) * 100)
+        |      * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,6)))
+        |      AS DOUBLE) AS s2y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_discount IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE) * 100)
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |mo AS (SELECT n, s1 / CAST(n AS DOUBLE) AS m1,
+        |    s2 / CAST(n AS DOUBLE) AS m2, sy / CAST(n AS DOUBLE) AS my,
+        |    sqrt(s11 / CAST(n AS DOUBLE) - (s1 / CAST(n AS DOUBLE))
+        |      * (s1 / CAST(n AS DOUBLE))) AS sd1,
+        |    sqrt(s22 / CAST(n AS DOUBLE) - (s2 / CAST(n AS DOUBLE))
+        |      * (s2 / CAST(n AS DOUBLE))) AS sd2,
+        |    sqrt(syy / CAST(n AS DOUBLE) - (sy / CAST(n AS DOUBLE))
+        |      * (sy / CAST(n AS DOUBLE))) AS sdy,
+        |    s12, s1y, s2y FROM g),
+        |co AS (SELECT n, m1, m2, my, sd1, sd2, sdy,
+        |    round_even((s12 / CAST(n AS DOUBLE) - m1 * m2)
+        |      / (sd1 * sd2) * 1e6, 0) / 1e6 AS r12,
+        |    round_even((s1y / CAST(n AS DOUBLE) - m1 * my)
+        |      / (sd1 * sdy) * 1e6, 0) / 1e6 AS r1y,
+        |    round_even((s2y / CAST(n AS DOUBLE) - m2 * my)
+        |      / (sd2 * sdy) * 1e6, 0) / 1e6 AS r2y
+        |  FROM mo),
+        |lam AS (SELECT CAST(l AS DOUBLE) AS lambda
+        |  FROM (VALUES (0.0), (0.05), (0.3)) AS t(l)),
+        |cd AS (
+        |  SELECT lambda, 0 AS i, CAST(0.0 AS DOUBLE) AS b1,
+        |    CAST(0.0 AS DOUBLE) AS b2 FROM lam
+        |  UNION ALL
+        |  SELECT lambda, i + 1,
+        |    sign(c.r1y - c.r12 * b2)
+        |      * greatest(abs(c.r1y - c.r12 * b2) - lambda, 0.0),
+        |    sign(c.r2y - c.r12 * (sign(c.r1y - c.r12 * b2)
+        |        * greatest(abs(c.r1y - c.r12 * b2) - lambda, 0.0)))
+        |      * greatest(abs(c.r2y - c.r12 * (sign(c.r1y - c.r12 * b2)
+        |        * greatest(abs(c.r1y - c.r12 * b2) - lambda, 0.0)))
+        |        - lambda, 0.0)
+        |  FROM cd, co c WHERE i < 20)
+        |SELECT lambda, round_even(b1 * 1e6, 0) / 1e6 AS beta1_std,
+        |  round_even(b2 * 1e6, 0) / 1e6 AS beta2_std,
+        |  round_even(b1 * c.sdy / c.sd1 * 1e6, 0) / 1e6 AS beta1,
+        |  round_even(b2 * c.sdy / c.sd2 * 1e6, 0) / 1e6 AS beta2,
+        |  round_even((c.my - b1 * c.sdy / c.sd1 * c.m1
+        |    - b2 * c.sdy / c.sd2 * c.m2) * 1e6, 0) / 1e6 AS intercept,
+        |  CAST((CASE WHEN b1 <> 0.0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN b2 <> 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nonzero
+        |FROM cd, co c WHERE i = 20 ORDER BY lambda""".stripMargin,
+    // Weighted-kappa replay: integer (i, j) cells, quadratic weights
+    // on both the observed and expected folds, exact margins.
+    "q_weighted_kappa" ->
+      """WITH c AS (SELECT
+        |    CAST(floor(CAST(l_quantity AS DOUBLE) / 10) AS INT) AS i,
+        |    CAST(floor((CAST(l_quantity AS DOUBLE) + l_linenumber)
+        |      / 10) AS INT) AS j
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_linenumber IS NOT NULL),
+        |m AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n
+        |  FROM c WHERE i BETWEEN 0 AND 5 AND j BETWEEN 0 AND 5
+        |  GROUP BY i, j),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+        |    sum((1.0 - (CAST(i - j AS DOUBLE) / 5.0)
+        |      * (CAST(i - j AS DOUBLE) / 5.0)) * n) AS wo FROM m),
+        |ra AS (SELECT i, CAST(sum(n) AS BIGINT) AS ni FROM m GROUP BY i),
+        |rb AS (SELECT j, CAST(sum(n) AS BIGINT) AS nj FROM m GROUP BY j),
+        |pe AS (SELECT sum((1.0 - (CAST(ra.i - rb.j AS DOUBLE) / 5.0)
+        |    * (CAST(ra.i - rb.j AS DOUBLE) / 5.0))
+        |    * CAST(ra.ni AS DOUBLE) * rb.nj) AS we
+        |  FROM ra CROSS JOIN rb)
+        |SELECT
+        |  CASE WHEN pe.we / (CAST(tot.n AS DOUBLE) * tot.n) < 1.0
+        |    THEN round((tot.wo / CAST(tot.n AS DOUBLE)
+        |      - pe.we / (CAST(tot.n AS DOUBLE) * tot.n))
+        |      / (1.0 - pe.we / (CAST(tot.n AS DOUBLE) * tot.n)), 6)
+        |    END AS kappa_w,
+        |  round(tot.wo / CAST(tot.n AS DOUBLE), 6) AS po_w,
+        |  round(pe.we / (CAST(tot.n AS DOUBLE) * tot.n), 6) AS pe_w,
+        |  tot.n
+        |FROM tot, pe""".stripMargin,
     // VIF replay: 6-rounded pairwise correlations (rint convention),
     // exact closed-form 3x3 inverse diagonal on the rounded r's.
     "q_vif" ->

@@ -1048,6 +1048,59 @@ object Evaluation {
       F.round(po, 6).as("po"), F.round(pe, 6).as("pe"), F.col("n"))
   }
 
+  /** Quadratic-weighted Cohen's κ for ORDINAL labels — [[cohenKappa]]
+    * treats a 1-vs-5 disagreement the same as 1-vs-2; with ordered
+    * categories the standard quadratic weights
+    * w(i,j) = 1 − ((i−j)/(k−1))² credit near misses:
+    *
+    *   κ_w = (Σ w·f_ij/n − Σ w·r_i·c_j/n²) / (1 − Σ w·r_i·c_j/n²)
+    *
+    * (the agreement metric behind essay-scoring and medical-rating
+    * benchmarks). Levels map to their position in `categories`; rows
+    * outside the list are excluded. One k×k cell aggregation + margin
+    * folds — every term is an exact integer ratio.
+    *
+    * @param categories the ordinal levels in ascending order
+    * @return one row: (kappa_w, po_w, pe_w, n) */
+  def weightedKappa(df: DataFrame, aCol: String, bCol: String,
+                    categories: Seq[String]): DataFrame = {
+    val k = categories.length
+    require(k >= 2, "need at least two ordered categories")
+    val a = F.col(aCol).cast("string")
+    val b = F.col(bCol).cast("string")
+    val toIdx = (c: org.apache.spark.sql.Column) =>
+      categories.zipWithIndex.foldLeft(F.lit(-1)) {
+        case (acc, (l, i)) => F.when(c === l, i).otherwise(acc)
+      }
+    val cells = df
+      .where(a.isin(categories: _*) && b.isin(categories: _*))
+      .groupBy(toIdx(a).as("__i"), toIdx(b).as("__j"))
+      .agg(F.count(F.lit(1)).as("__n"))
+    val km1 = (k - 1).toDouble
+    val w = F.lit(1.0) -
+      ((F.col("__i") - F.col("__j")).cast("double") / km1) *
+        ((F.col("__i") - F.col("__j")).cast("double") / km1)
+    val tot = cells.agg(F.sum("__n").as("n"),
+      F.sum(w * F.col("__n")).as("__wo"))
+    val ra = cells.groupBy(F.col("__i"))
+      .agg(F.sum("__n").as("__ni"))
+    val rb = cells.groupBy(F.col("__j"))
+      .agg(F.sum("__n").as("__nj"))
+    val wE = F.lit(1.0) -
+      ((F.col("__i") - F.col("__j")).cast("double") / km1) *
+        ((F.col("__i") - F.col("__j")).cast("double") / km1)
+    val peNum = ra.crossJoin(rb)
+      .agg(F.sum(wE * F.col("__ni").cast("double") * F.col("__nj"))
+        .as("__we"))
+    val nD = F.col("n").cast("double")
+    val po = F.col("__wo") / nD
+    val pe = F.col("__we") / (nD * nD)
+    tot.crossJoin(peNum).select(
+      F.when(pe < 1.0, F.round((po - pe) / (F.lit(1.0) - pe), 6))
+        .as("kappa_w"),
+      F.round(po, 6).as("po_w"), F.round(pe, 6).as("pe_w"), F.col("n"))
+  }
+
   /** Per-query ranking metrics for a retrieval / recommendation run —
     * the acceptance layer for the ANN and text-search operators: given
     * (query, item, graded relevance, score) rows, how well does the

@@ -1753,6 +1753,154 @@ object Regression {
     out.toDF("feature", "r2_other", "vif")
   }
 
+  /** A fitted probit GLM: β aligned to `"intercept" +: features`,
+    * final-β log-likelihood, mean squared (Brier) error, row count and
+    * iteration count. */
+  final case class ProbitModel(features: Seq[String],
+                               beta: Array[Double], logLik: Double,
+                               brier: Double, n: Long, iterations: Int)
+
+  /** Probit regression — the Gaussian-link twin of [[logisticIrls]]
+    * (choose it when the latent-threshold story is normal: bioassay,
+    * credit default, any "unobserved continuous propensity crosses a
+    * line" model; coefficients are effects in LATENT-SD units, not
+    * log-odds). Fisher scoring with μ = Φ(η) = ½·erfc(−η/√2) (the
+    * Cody erfc the SQL replay mirrors region-for-region),
+    * φ(η) = e^{−η²/2}·(2π)^{−½}, working weight w = φ²/(μ(1−μ)) and
+    * score Σ(y−μ)·φ/(μ(1−μ))·x; μ is clamped to [1e−10, 1−1e−10] so
+    * tail rows cannot blow up the weights. β starts at 0 (μ = ½);
+    * `iters` fixed steps, each ONE aggregation + a driver k×k solve —
+    * the q_poisson_glm chained-CTE replay shape.
+    */
+  def probitIrls(df: DataFrame, labelCol: String, xCols: Seq[String],
+                 iters: Int = 3): ProbitModel = {
+    require(xCols.nonEmpty, "need at least one feature")
+    require(iters >= 1, "need at least one scoring iteration")
+    val k = xCols.length + 1
+    val feats = F.lit(1.0) +: xCols.map(c => F.col(c).cast("double"))
+    val y = F.col(labelCol).cast("double")
+    val ok = (xCols.map(F.col(_).cast("double")) :+ y)
+      .map(c => c.isNotNull && !F.isnan(c)).reduce(_ && _) &&
+      (y === 0.0 || y === 1.0)
+    val clean = df.where(ok)
+    val n = clean.count()
+    require(n > k, "need n > k labeled rows")
+    val muUdf = F.udf((eta: Double) =>
+      0.5 * graft.functions.SpecialMath.erfc(-eta / math.sqrt(2.0)))
+    val invSqrt2Pi = 0.3989422804014327
+    def muPhi(eta: Column): (Column, Column) = {
+      val mu = F.least(F.greatest(muUdf(eta), F.lit(1e-10)),
+        F.lit(1.0 - 1e-10))
+      val phi = F.exp(eta * eta * F.lit(-0.5)) * F.lit(invSqrt2Pi)
+      (mu, phi)
+    }
+    var beta = Array.fill(k)(0.0)
+    var it = 0
+    while (it < iters) {
+      val eta = feats.zipWithIndex.foldLeft(F.lit(0.0)) {
+        case (acc, (f, i)) => acc + f * beta(i)
+      }
+      val (mu, phi) = muPhi(eta)
+      val v = mu * (F.lit(1.0) - mu)
+      val gCols = (0 until k).map(i =>
+        F.sum((y - mu) * phi / v * feats(i)).as(s"g_$i"))
+      val hCols = for { i <- 0 until k; j <- i until k }
+        yield F.sum(phi * phi / v * feats(i) * feats(j)).as(s"h_${i}_$j")
+      val r = clean.agg((gCols ++ hCols).head,
+        (gCols ++ hCols).tail: _*).head()
+      val g = Array.tabulate(k)(i => r.getAs[Double](s"g_$i"))
+      val h = Array.ofDim[Double](k, k)
+      for { i <- 0 until k; j <- i until k } {
+        h(i)(j) = r.getAs[Double](s"h_${i}_$j"); h(j)(i) = h(i)(j)
+      }
+      val delta = solve(h, g)
+      beta = Array.tabulate(k)(i => beta(i) + delta(i))
+      it += 1
+    }
+    val etaF = feats.zipWithIndex.foldLeft(F.lit(0.0)) {
+      case (acc, (f, i)) => acc + f * beta(i)
+    }
+    val (muF, _) = muPhi(etaF)
+    val fin = clean.agg(
+      F.sum(y * F.log(muF) +
+        (F.lit(1.0) - y) * F.log(F.lit(1.0) - muF)).as("ll"),
+      F.sum((y - muF) * (y - muF)).as("sq")).head()
+    ProbitModel(xCols, beta, fin.getAs[Double]("ll"),
+      fin.getAs[Double]("sq") / n, n, iters)
+  }
+
+  /** Two-feature lasso path by exact coordinate descent on SUFFICIENT
+    * STATISTICS — [[ridge2]]'s L1 sibling, closing the regularization
+    * story with actual SELECTION (ridge shrinks, lasso zeroes): on
+    * standardized features and centered response the update is the
+    * closed-form soft threshold
+    *
+    *   βⱼ ← S(r_jy − r₁₂·β_other, λ),  S(z,λ) = sign(z)·max(|z|−λ,0)
+    *
+    * so after ONE decimal-exact moment pass the whole path — every λ,
+    * every sweep — is driver arithmetic on the 6-ROUNDED correlations
+    * (which is why it replays: the trajectory is a pure function of
+    * three rounded scalars). Standardized and raw-scale coefficients
+    * both reported; `rounds` fixed sweeps, convergence is geometric.
+    *
+    * @return one row per λ: (lambda, beta1_std, beta2_std, beta1,
+    *         beta2, intercept, n_nonzero) */
+  def lasso2(df: DataFrame, yCol: String, x1Col: String, x2Col: String,
+             lambdas: Seq[Double], rounds: Int = 20): DataFrame = {
+    require(lambdas.nonEmpty, "need at least one lambda")
+    require(lambdas.forall(_ >= 0.0), "lambdas must be non-negative")
+    require(rounds >= 1, "need at least one sweep")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val x1 = F.col(x1Col).cast("double")
+    val x2 = F.col(x2Col).cast("double")
+    val y = F.col(yCol).cast("double")
+    def dsum(c: org.apache.spark.sql.Column) =
+      F.sum(c.cast("decimal(38,6)")).cast("double")
+    val m = df
+      .where(x1.isNotNull && !F.isnan(x1) && x2.isNotNull &&
+        !F.isnan(x2) && y.isNotNull && !F.isnan(y))
+      .agg(F.count(F.lit(1)).as("n"),
+        dsum(x1).as("s1"), dsum(x2).as("s2"), dsum(y).as("sy"),
+        dsum(x1 * x1).as("s11"), dsum(x1 * x2).as("s12"),
+        dsum(x2 * x2).as("s22"), dsum(y * y).as("syy"),
+        dsum(x1 * y).as("s1y"), dsum(x2 * y).as("s2y"))
+      .head()
+    val n = m.getAs[Long]("n").toDouble
+    require(n >= 4.0, "need at least four complete rows")
+    def g(c: String) = m.getAs[Double](c)
+    val (m1, m2, my) = (g("s1") / n, g("s2") / n, g("sy") / n)
+    val v1 = g("s11") / n - m1 * m1
+    val v2 = g("s22") / n - m2 * m2
+    val vy = g("syy") / n - my * my
+    require(v1 > 0.0 && v2 > 0.0 && vy > 0.0, "a degenerate column")
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val sd1 = math.sqrt(v1); val sd2 = math.sqrt(v2)
+    val sdy = math.sqrt(vy)
+    val r12 = r6((g("s12") / n - m1 * m2) / (sd1 * sd2))
+    val r1y = r6((g("s1y") / n - m1 * my) / (sd1 * sdy))
+    val r2y = r6((g("s2y") / n - m2 * my) / (sd2 * sdy))
+    def soft(z: Double, l: Double): Double =
+      math.signum(z) * math.max(math.abs(z) - l, 0.0)
+    val rows = lambdas.map { lam =>
+      var b1 = 0.0; var b2 = 0.0
+      var i = 0
+      while (i < rounds) {
+        b1 = soft(r1y - r12 * b2, lam)
+        b2 = soft(r2y - r12 * b1, lam)
+        i += 1
+      }
+      // back-transform: raw beta_j = std beta_j * sd_y / sd_j
+      val raw1 = b1 * sdy / sd1
+      val raw2 = b2 * sdy / sd2
+      val icept = my - raw1 * m1 - raw2 * m2
+      val nz = (if (b1 != 0.0) 1L else 0L) + (if (b2 != 0.0) 1L else 0L)
+      (lam, r6(b1), r6(b2), r6(raw1), r6(raw2), r6(icept), nz)
+    }
+    rows.toDF("lambda", "beta1_std", "beta2_std", "beta1", "beta2",
+      "intercept", "n_nonzero")
+  }
+
   /** Simple-OLS influence diagnostics — the "which rows own this fit"
     * screen: leverage hᵢ = 1/n + (xᵢ−x̄)²/Sxx, internally studentized
     * residual rᵢ = eᵢ/(s·√(1−hᵢ)), Cook's distance

@@ -5148,6 +5148,19 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d10 == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 1L))
   }
 
+  test("weightedKappa credits near misses quadratically") {
+    import spark.implicits._
+    // cells: (0,0)×2, (1,1)×1, (0,2)×1 → po=0.75, pe=11.5/16
+    val df = Seq(("0", "0"), ("0", "0"), ("1", "1"), ("0", "2"))
+      .toDF("a", "b")
+    val r = Evaluation.weightedKappa(df, "a", "b", Seq("0", "1", "2"))
+      .head()
+    assert(r.getAs[Long]("n") == 4L)
+    assert(math.abs(r.getAs[Double]("po_w") - 0.75) < 1e-9)
+    assert(math.abs(r.getAs[Double]("pe_w") - 0.71875) < 1e-9)
+    assert(math.abs(r.getAs[Double]("kappa_w") - 0.111111) < 1e-5)
+  }
+
   test("neymanAllocation sends the budget to big noisy strata") {
     import spark.implicits._
     val df = (Seq(1.0, 2, 3).map(("a", _)) ++

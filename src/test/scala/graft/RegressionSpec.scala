@@ -444,6 +444,37 @@ class RegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(s.getAs[Double]("intercept") - 1.0) < 1e-6)
   }
 
+  test("lasso2: lambda=0 recovers the exact fit, large lambda zeroes all") {
+    import spark.implicits._
+    // y = 2·x1 exactly — the x2 path must stay at zero
+    val df = Seq((2.0, 1.0, 1.0), (4.0, 2.0, 0.0), (6.0, 3.0, 1.0),
+      (8.0, 4.0, 0.0)).toDF("y", "x1", "x2")
+    val out = Regression.lasso2(df, "y", "x1", "x2", Seq(0.0, 2.0))
+      .collect().map(r => r.getAs[Double]("lambda") -> r).toMap
+    val o = out(0.0)
+    assert(math.abs(o.getAs[Double]("beta1") - 2.0) < 1e-5)
+    assert(o.getAs[Double]("beta2") == 0.0)
+    assert(math.abs(o.getAs[Double]("intercept")) < 1e-5)
+    assert(o.getAs[Long]("n_nonzero") == 1L)
+    val z = out(2.0)
+    assert(z.getAs[Long]("n_nonzero") == 0L)
+    assert(math.abs(z.getAs[Double]("intercept") - 5.0) < 1e-9)
+  }
+
+  test("probitIrls recovers the closed-form two-point design") {
+    import spark.implicits._
+    // x=−1: p=0.25, x=+1: p=0.75 → b0 = 0, b1 = Φ⁻¹(0.75) = 0.674490
+    val df = (Seq.fill(2)((1.0, -1.0)) ++ Seq.fill(6)((0.0, -1.0)) ++
+      Seq.fill(6)((1.0, 1.0)) ++ Seq.fill(2)((0.0, 1.0))).toDF("y", "x")
+    val m = Regression.probitIrls(df, "y", Seq("x"), iters = 8)
+    assert(m.n == 16L)
+    assert(math.abs(m.beta(0)) < 1e-4)
+    assert(math.abs(m.beta(1) - 0.674490) < 1e-4)
+    // ll = 8·(0.25·ln .25 + 0.75·ln .75) at the fit
+    assert(math.abs(m.logLik - 16.0 *
+      (0.25 * math.log(0.25) + 0.75 * math.log(0.75))) < 1e-3)
+  }
+
   test("vif3: orthogonal design gives VIF = 1 on every feature") {
     import spark.implicits._
     val df = Seq((1.0, 1.0, 1.0), (1.0, -1.0, -1.0), (-1.0, 1.0, -1.0),
