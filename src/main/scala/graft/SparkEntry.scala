@@ -3074,6 +3074,31 @@ object SparkEntry {
       Features.thetaForecastByKey(events(s, dir), "event_type", "ts",
           "value", periodUnit = 86400000000000L, alpha = 0.3)
         .orderBy("event_type")),
+    "q_kalman" -> ((s, dir) =>
+      // local-level Kalman filter over each event type's daily means
+      // (q=0.5, r=2.0): the adaptive-gain EWMA whose innovations come
+      // out whitened; the recursion replays as a recursive CTE
+      Features.kalmanLevelByKey(events(s, dir), "event_type", "ts",
+          "value", periodUnit = 86400000000000L, q = 0.5, r = 2.0)
+        .orderBy("event_type", "period")),
+    "q_pr_auc" -> ((s, dir) =>
+      // average precision of discount as a return-risk score: the
+      // rare-positive-honest metric next to q_auc, same prefix-sum
+      // substrate with suffix counts
+      Evaluation.averagePrecision(
+        li(s, dir).select((F.col("l_returnflag") === "R").as("y"),
+          F.col("l_discount").as("sc")),
+        "y", "sc")),
+    "q_beta_binomial" -> ((s, dir) =>
+      // overdispersion of per-order return counts (orders with exactly
+      // 4 lines): beta-binomial MoM alpha/beta + the intraclass rho
+      // that says how far from binomial the order-level rates sit
+      StatTests.betaBinomialMoM(
+        li(s, dir).groupBy("l_orderkey")
+          .agg(F.count(F.lit(1)).as("n"),
+            F.sum(F.when(F.col("l_returnflag") === "R", 1L)
+              .otherwise(0L)).as("k")),
+        "k", "n", trials = 4)),
     "q_spectral_entropy" -> ((s, dir) =>
       // one forecastability number per event type: normalized Shannon
       // entropy of the 10-frequency periodogram + the peak frequency
@@ -4910,6 +4935,15 @@ object SparkEntry {
           (F.col("l_discount") * 100).as("x2")),
         "y", "x1", "x2", lambdas = Seq(0.0, 1.0e6, 1.0e8))
         .orderBy("lambda")),
+    "q_cindex" -> ((s, dir) =>
+      // does discount discriminate the return hazard (the q_cox_ph
+      // acceptance metric): Harrell's C on the exact 550-cell
+      // (duration, score) frame — n^2 pairs collapse to cell pairs
+      Survival.concordanceIndex(
+        li(s, dir).select(F.col("l_quantity").as("t"),
+          (F.col("l_returnflag") =!= "N").as("ev"),
+          F.col("l_discount").as("sc")),
+        "t", "ev", "sc")),
     "q_probit" -> ((s, dir) => {
       // probit twin of the logistic rung: P(returned) vs quantity in
       // latent-SD units; Cody-erfc mean, 3 Fisher steps from beta=0,
@@ -11183,6 +11217,91 @@ object SparkEntry {
         |    + 0.5 * r.ses, 6) + 0.0 AS forecast
         |FROM coef c JOIN r ON r.k = c.k AND r.rn = c.n
         |ORDER BY event_type""".stripMargin,
+    // Kalman replay: the predict/update recursion as a RECURSIVE CTE
+    // over the numbered decimal-exact daily means (seeds CAST DOUBLE).
+    "q_kalman" ->
+      """WITH RECURSIVE e AS (SELECT event_type AS k,
+        |    epoch_ns(ts) // 86400000000000 AS p, value AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |cells AS (SELECT k, p,
+        |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+        |      AS v
+        |  FROM e GROUP BY k, p),
+        |nb AS (SELECT k, p, v,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY p)
+        |      AS BIGINT) AS rn FROM cells),
+        |r AS (
+        |  SELECT k, p, v, rn, CAST(v AS DOUBLE) AS m,
+        |    CAST(2.0 AS DOUBLE) AS pv, CAST(0.0 AS DOUBLE) AS gain,
+        |    CAST(0.0 AS DOUBLE) AS innov
+        |  FROM nb WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.k, n.p, n.v, n.rn,
+        |    r.m + ((r.pv + 0.5) / ((r.pv + 0.5) + 2.0)) * (n.v - r.m),
+        |    (1.0 - (r.pv + 0.5) / ((r.pv + 0.5) + 2.0)) * (r.pv + 0.5),
+        |    (r.pv + 0.5) / ((r.pv + 0.5) + 2.0),
+        |    n.v - r.m
+        |  FROM r JOIN nb n ON n.k = r.k AND n.rn = r.rn + 1)
+        |SELECT k AS event_type, p AS period, round(v, 6) + 0.0 AS v,
+        |  round(m, 6) + 0.0 AS level, round(gain, 6) AS gain,
+        |  round(pv, 6) AS p_var, round(innov, 6) + 0.0 AS innovation
+        |FROM r ORDER BY event_type, period""".stripMargin,
+    // AP replay: distinct-score cells, before-cumulative windows so
+    // suffix counts are total - prefix, the same per-threshold term.
+    "q_pr_auc" ->
+      """WITH c AS (SELECT (l_returnflag = 'R') AS y,
+        |    CAST(l_discount AS DOUBLE) AS v
+        |  FROM lineitem WHERE l_discount IS NOT NULL
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE))
+        |    AND l_returnflag IS NOT NULL),
+        |m AS (SELECT v,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        |    CAST(count(*) AS BIGINT) AS ct FROM c GROUP BY v),
+        |t AS (SELECT CAST(sum(cp) AS BIGINT) AS p,
+        |    CAST(sum(ct) AS BIGINT) AS tot FROM m),
+        |cum AS (SELECT v, cp, ct,
+        |    coalesce(CAST(sum(cp) OVER (ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      AS cumpb,
+        |    coalesce(CAST(sum(ct) OVER (ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      AS cumtb
+        |  FROM m),
+        |a AS (SELECT sum(CAST(cp AS DOUBLE) / t.p
+        |      * (CAST(t.p - cumpb AS DOUBLE) / (t.tot - cumtb)))
+        |    AS ap FROM cum, t GROUP BY t.p, t.tot)
+        |SELECT round_even(a.ap * 1e6, 0) / 1e6 AS ap,
+        |  round_even(CAST(t.p AS DOUBLE) / t.tot * 1e6, 0) / 1e6
+        |    AS baseline,
+        |  t.p AS n_pos, t.tot - t.p AS n_neg
+        |FROM a, t""".stripMargin,
+    // Beta-binomial replay: per-order (k out of 4) counts, exact
+    // integer moment sums, the closed MoM forms.
+    "q_beta_binomial" ->
+      """WITH o AS (SELECT l_orderkey,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k
+        |  FROM lineitem GROUP BY l_orderkey),
+        |f AS (SELECT k FROM o WHERE n = 4 AND k >= 0 AND k <= 4),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS g,
+        |    CAST(sum(k) AS BIGINT) AS sk,
+        |    CAST(sum(k * k) AS BIGINT) AS skk FROM f),
+        |mm AS (SELECT g, sk / CAST(g AS DOUBLE) AS m1,
+        |    skk / CAST(g AS DOUBLE) AS m2 FROM a),
+        |d AS (SELECT g, m1, m2,
+        |    4.0 * (m2 / m1 - m1 - 1.0) + m1 AS den FROM mm),
+        |ab AS (SELECT g, m1, m2,
+        |    (4.0 * m1 - m2) / den AS alpha,
+        |    (4.0 - m1) * (4.0 - m2 / m1) / den AS beta FROM d)
+        |SELECT CAST(4 AS BIGINT) AS n_trials, g AS n_groups,
+        |  round_even(m1 * 1e6, 0) / 1e6 AS m1,
+        |  round_even(m2 * 1e6, 0) / 1e6 AS m2,
+        |  round_even(alpha * 1e6, 0) / 1e6 AS alpha,
+        |  round_even(beta * 1e6, 0) / 1e6 AS beta,
+        |  round_even(1.0 / (alpha + beta + 1.0) * 1e6, 0) / 1e6 AS rho
+        |FROM ab""".stripMargin,
     // Spectral-entropy replay: the q_periodogram construction at 10
     // frequencies, normalized-share entropy on the rounded powers,
     // argmax peak via (power DESC, freq) row_number.
@@ -15702,6 +15821,36 @@ object SparkEntry {
     // Probit replay: three Fisher steps with the Cody-erfc mean and
     // clamped weights, 2x2 Cramer per step, final ll/Brier pass.
     "q_probit" -> probitOracleSql,
+    // C-index replay: (duration, score) cells with event counts, the
+    // t1 < t2 cell-pair join, exact integer concordance counts.
+    "q_cindex" ->
+      """WITH c AS (SELECT CAST(l_quantity AS DOUBLE) AS t,
+        |    CAST(l_discount AS DOUBLE) AS s,
+        |    (l_returnflag <> 'N') AS e
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_discount IS NOT NULL AND l_returnflag IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE))),
+        |cells AS (SELECT t, s,
+        |    CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS ev,
+        |    CAST(count(*) AS BIGINT) AS cn
+        |  FROM c GROUP BY t, s),
+        |nn AS (SELECT CAST(sum(cn) AS BIGINT) AS n FROM cells),
+        |p AS (SELECT a.ev AS e1, a.s AS s1, b.s AS s2, b.cn AS c2
+        |  FROM cells a JOIN cells b ON a.t < b.t),
+        |agg AS (SELECT
+        |    CAST(coalesce(sum(e1 * c2), 0) AS BIGINT) AS comp,
+        |    CAST(coalesce(sum(CASE WHEN s1 > s2 THEN e1 * c2 ELSE 0
+        |      END), 0) AS BIGINT) AS conc,
+        |    CAST(coalesce(sum(CASE WHEN s1 = s2 THEN e1 * c2 ELSE 0
+        |      END), 0) AS BIGINT) AS tied FROM p)
+        |SELECT nn.n, agg.comp AS n_comparable,
+        |  agg.conc AS n_concordant, agg.tied AS n_tied_score,
+        |  round_even((conc + 0.5 * tied) / comp * 1e6, 0) / 1e6
+        |    AS c_index,
+        |  round_even((2.0 * ((conc + 0.5 * tied) / comp) - 1.0)
+        |    * 1e6, 0) / 1e6 AS somers_d
+        |FROM agg, nn""".stripMargin,
     // Lasso replay: decimal-exact moments, the three rint-rounded
     // correlations, 20 coordinate-descent sweeps as a RECURSIVE CTE
     // (b1's fresh value inlined into b2's update, as the engine

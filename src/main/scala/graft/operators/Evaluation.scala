@@ -412,6 +412,65 @@ object Evaluation {
     } finally sorted.unpersist(blocking = false)
   }
 
+  /** Average precision (area under the precision–recall curve, step
+    * interpolation — the sklearn AP definition): the metric that stays
+    * honest when positives are RARE, where [[aucRoc]] saturates (a
+    * 1-in-1000 classifier can hold AUC 0.95 with useless precision).
+    * AP = Σ_v Δrecall(v)·precision(v) over distinct score thresholds
+    * descending.
+    *
+    * Same scale shape as [[aucRoc]]: per-distinct-score cells, a
+    * range-partition prefix walk (suffix counts via total − prefix, so
+    * the walk still runs ascending), driver traffic O(#partitions).
+    * Reported with the prevalence baseline (a random ranker's AP).
+    *
+    * @return one row: (ap, baseline, n_pos, n_neg) */
+  def averagePrecision(df: DataFrame, labelCol: String,
+                       scoreCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val s = F.col(scoreCol).cast("double")
+    val y = F.col(labelCol).cast("boolean")
+    val cells = df
+      .where(s.isNotNull && !F.isnan(s) && y.isNotNull)
+      .groupBy(s.as("v")).agg(
+        F.sum(F.when(y, 1L).otherwise(0L)).as("cp"),
+        F.count(F.lit(1)).as("ct"))
+    val sorted = cells
+      .repartitionByRange(F.col("v")).sortWithinPartitions("v")
+      .as[(Double, Long, Long)].rdd
+    sorted.cache()
+    try {
+      val partSums = sorted.mapPartitionsWithIndex { case (i, it) =>
+        var p = 0L; var t = 0L
+        it.foreach { r => p += r._2; t += r._3 }
+        Iterator((i, p, t))
+      }.collect().sortBy(_._1)
+      val nPos = partSums.map(_._2).sum
+      val nTot = partSums.map(_._3).sum
+      require(nPos > 0 && nTot > nPos, "need both classes")
+      val offP = partSums.map(_._2).scanLeft(0L)(_ + _)
+      val offT = partSums.map(_._3).scanLeft(0L)(_ + _)
+      val bcP = spark.sparkContext.broadcast(offP)
+      val bcT = spark.sparkContext.broadcast(offT)
+      val ap = sorted.mapPartitionsWithIndex { case (i, it) =>
+        var cumP = bcP.value(i); var cumT = bcT.value(i)
+        var acc = 0.0
+        it.foreach { case (_, cp, ct) =>
+          // at threshold = this score: TP = positives at or above,
+          // predicted-positive = rows at or above (suffix counts)
+          acc += cp.toDouble / nPos *
+            ((nPos - cumP).toDouble / (nTot - cumT))
+          cumP += cp; cumT += ct
+        }
+        Iterator(acc)
+      }.collect().sum
+      def r6(v: Double) = math.rint(v * 1e6) / 1e6
+      Seq((r6(ap), r6(nPos.toDouble / nTot), nPos, nTot - nPos))
+        .toDF("ap", "baseline", "n_pos", "n_neg")
+    } finally sorted.unpersist(blocking = false)
+  }
+
   /** ROC AUC per group — "which tenant's classifier degraded": the same
     * Mann–Whitney rank identity as [[aucRoc]], but the prefix sum rides
     * a window PARTITIONED BY GROUP over the per-(group, distinct score)

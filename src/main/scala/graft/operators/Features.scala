@@ -1719,6 +1719,58 @@ object Features {
         F.round(F.col("__e._5"), 6).as("forecast"))
   }
 
+  /** Local-level Kalman filter per key with FIXED noise variances —
+    * the model-based smoother above [[ewmaByKey]] (an EWMA whose gain
+    * ADAPTS: high while uncertainty is high after gaps/starts, settling
+    * to the steady state; the innovations y − m⁻ come out whitened and
+    * feed anomaly rules directly):
+    *
+    *   predict:  m⁻ = m,  P⁻ = P + q
+    *   update:   K = P⁻/(P⁻ + r),  m ← m⁻ + K(y − m⁻),  P ← (1−K)P⁻
+    *
+    * initialized at m = y₁, P = r (a mildly diffuse start — documented
+    * part of the result's identity). Fixed (q, r) keeps the recursion
+    * deterministic, so it replays as a RECURSIVE CTE; per-key series
+    * fold through the [[holtByKey]] sorted-collect pattern.
+    *
+    * @return one row per (key, period): (keyCol, period, v, level,
+    *         gain, p_var, innovation) */
+  def kalmanLevelByKey(df: DataFrame, keyCol: String, tsCol: String,
+                       valueCol: String, periodUnit: Long,
+                       q: Double, r: Double): DataFrame = {
+    require(q >= 0.0 && r > 0.0, "need q >= 0 and r > 0")
+    val cells = periodCells(df, keyCol, tsCol, valueCol, periodUnit)
+    val kUdf = F.udf((s: Seq[org.apache.spark.sql.Row]) => {
+      val pts = s.map(rr => (rr.getLong(0), rr.getDouble(1)))
+      var m = 0.0; var p = 0.0
+      pts.zipWithIndex.map { case ((per, y), i) =>
+        if (i == 0) {
+          m = y; p = r
+          (per, y, m, 0.0, p, 0.0)
+        } else {
+          val pPred = p + q
+          val k = pPred / (pPred + r)
+          val innov = y - m
+          m = m + k * innov
+          p = (1.0 - k) * pPred
+          (per, y, m, k, p, innov)
+        }
+      }
+    })
+    cells
+      .groupBy("__k")
+      .agg(F.sort_array(F.collect_list(F.struct(F.col("__p"),
+        F.col("__v")))).as("__s"))
+      .select(F.col("__k"), F.explode(kUdf(F.col("__s"))).as("__e"))
+      .select(F.col("__k").as(keyCol),
+        F.col("__e._1").as("period"),
+        F.round(F.col("__e._2"), 6).as("v"),
+        F.round(F.col("__e._3"), 6).as("level"),
+        F.round(F.col("__e._4"), 6).as("gain"),
+        F.round(F.col("__e._5"), 6).as("p_var"),
+        F.round(F.col("__e._6"), 6).as("innovation"))
+  }
+
   /** Spectral entropy per key — ONE number for "how forecastable is
     * this series": the normalized Shannon entropy of the
     * [[periodogramByKey]] power distribution, 0 = a single clean

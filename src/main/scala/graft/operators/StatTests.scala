@@ -1840,6 +1840,51 @@ object StatTests {
       .toDF("q_stat", "dof", "p_value", "n_subjects", "n_incomplete")
   }
 
+  /** Beta-binomial method-of-moments fit over EQUAL-SIZE trials — the
+    * overdispersion model for per-entity success COUNTS ("k returned
+    * lines out of n=4 per order", "k positive labels out of n raters"):
+    * when Var(k) exceeds the binomial n·p̄(1−p̄), the binomial p-values
+    * on entity rates are fictions; the fitted (α, β) and the intraclass
+    * correlation ρ = 1/(α+β+1) quantify how much. Classic MoM on the
+    * first two moments (requires a COMMON n — filter upstream or pass
+    * `trials`):
+    *
+    *   α̂ = (n·m₁ − m₂)/(n(m₂/m₁ − m₁ − 1) + m₁),
+    *   β̂ = (n − m₁)(n − m₂/m₁)/(n(m₂/m₁ − m₁ − 1) + m₁)
+    *
+    * ONE aggregation of exact integer sums (k, k²); every output is a
+    * rounded ratio of those.
+    *
+    * @return one row: (n_trials, n_groups, m1, m2, alpha, beta, rho) */
+  def betaBinomialMoM(df: DataFrame, kCol: String, nCol: String,
+                      trials: Int): DataFrame = {
+    require(trials >= 2, "need at least two trials per group")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = F.col(kCol).cast("long")
+    val nT = F.col(nCol).cast("long")
+    val m = df
+      .where(k.isNotNull && nT === trials.toLong && k >= 0L &&
+        k <= trials.toLong)
+      .agg(F.count(F.lit(1)).as("g"), F.sum(k).as("sk"),
+        F.sum(k * k).as("skk")).head()
+    val g = m.getAs[Long]("g")
+    require(g >= 2L, "need at least two equal-size groups")
+    val gD = g.toDouble
+    val m1 = m.getAs[Long]("sk") / gD
+    val m2 = m.getAs[Long]("skk") / gD
+    require(m1 > 0.0 && m2 / m1 > m1, "degenerate moments (no variance)")
+    val nD = trials.toDouble
+    val den = nD * (m2 / m1 - m1 - 1.0) + m1
+    require(math.abs(den) > 1e-12, "moment denominator vanishes")
+    val alpha = (nD * m1 - m2) / den
+    val beta = (nD - m1) * (nD - m2 / m1) / den
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    Seq((trials.toLong, g, r6(m1), r6(m2), r6(alpha), r6(beta),
+      r6(1.0 / (alpha + beta + 1.0))))
+      .toDF("n_trials", "n_groups", "m1", "m2", "alpha", "beta", "rho")
+  }
+
   /** Wilcoxon signed-rank test — the rank-based companion to
     * [[pairedTTest]]: are paired differences symmetric about zero,
     * without the t-test's normality assumption? Zero differences are

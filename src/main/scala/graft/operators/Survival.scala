@@ -942,4 +942,62 @@ object Survival {
     }
     CoxModel(xCols, beta, se, llF, ll0, n, dTot, iters)
   }
+
+  /** Harrell's concordance index — the acceptance metric for [[coxPH]]
+    * and any survival risk score: over all COMPARABLE pairs (the
+    * shorter time had an event, times differ), how often does the
+    * shorter-lived subject carry the HIGHER risk? Ties in score score
+    * ½; C = ½ is a coin flip, 1 perfect discrimination. Somers'
+    * D = 2C − 1 reported alongside.
+    *
+    * Exact on low-cardinality (duration, score) data: the n² pairs
+    * collapse to |cells|² weighted cell pairs (per cell: event count +
+    * total at risk), one broadcast cell cross join with t₁ < t₂ —
+    * every count an exact integer, so C replays bit-for-bit. Quantize
+    * continuous scores upstream (the same contract as
+    * [[graft.operators.StatTests.distanceCorrCells]]).
+    *
+    * @return one row: (n, n_comparable, n_concordant, n_tied_score,
+    *         c_index, somers_d) */
+  def concordanceIndex(df: DataFrame, durationCol: String,
+                       eventCol: String, scoreCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = F.col(durationCol).cast("double")
+    val e = F.col(eventCol).cast("boolean")
+    val s = F.col(scoreCol).cast("double")
+    val cells = df
+      .where(t.isNotNull && !F.isnan(t) && e.isNotNull &&
+        s.isNotNull && !F.isnan(s))
+      .groupBy(t.as("t"), s.as("s"))
+      .agg(F.sum(F.when(e, 1L).otherwise(0L)).as("ev"),
+        F.count(F.lit(1)).as("c"))
+      .localCheckpoint(true)
+    val n = cells.agg(F.sum("c")).head().getLong(0)
+    require(n >= 2L, "need at least two subjects")
+    val a = cells.select(F.col("t").as("t1"), F.col("s").as("s1"),
+      F.col("ev").as("e1"))
+    val b = cells.select(F.col("t").as("t2"), F.col("s").as("s2"),
+      F.col("c").as("c2"))
+    val sums = a.join(F.broadcast(b), F.col("t1") < F.col("t2"))
+      .agg(
+        F.coalesce(F.sum(F.col("e1") * F.col("c2")), F.lit(0L))
+          .as("comp"),
+        F.coalesce(F.sum(F.when(F.col("s1") > F.col("s2"),
+          F.col("e1") * F.col("c2")).otherwise(0L)), F.lit(0L))
+          .as("conc"),
+        F.coalesce(F.sum(F.when(F.col("s1") === F.col("s2"),
+          F.col("e1") * F.col("c2")).otherwise(0L)), F.lit(0L))
+          .as("tied"))
+      .head()
+    val comp = sums.getAs[Long]("comp")
+    require(comp > 0L, "no comparable pairs (no events or one time)")
+    val conc = sums.getAs[Long]("conc")
+    val tied = sums.getAs[Long]("tied")
+    val c = (conc + 0.5 * tied) / comp
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    Seq((n, comp, conc, tied, r6(c), r6(2.0 * c - 1.0)))
+      .toDF("n", "n_comparable", "n_concordant", "n_tied_score",
+        "c_index", "somers_d")
+  }
 }

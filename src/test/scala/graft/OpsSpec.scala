@@ -5286,6 +5286,44 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_.getAs[Double]("coverage_radius") == 4.0))
   }
 
+  test("kalmanLevelByKey follows the predict/update recursion") {
+    import spark.implicits._
+    val day = 86400000000000L
+    val df = Seq((0L, 10.0), (1L, 12.0)).map { case (p, v) =>
+      ("k", p * day, v) }.toDF("key", "ts", "v")
+    val rows = Features.kalmanLevelByKey(df, "key", "ts", "v",
+      periodUnit = day, q = 0.5, r = 2.0).orderBy("period").collect()
+    assert(rows(0).getAs[Double]("level") == 10.0)
+    assert(rows(0).getAs[Double]("p_var") == 2.0)
+    // pPred = 2.5, K = 2.5/4.5, m = 10 + K·2 = 11.111111
+    assert(math.abs(rows(1).getAs[Double]("gain") - 0.555556) < 1e-6)
+    assert(math.abs(rows(1).getAs[Double]("level") - 11.111111) < 1e-6)
+    assert(math.abs(rows(1).getAs[Double]("p_var") - 1.111111) < 1e-6)
+    assert(math.abs(rows(1).getAs[Double]("innovation") - 2.0) < 1e-9)
+  }
+
+  test("averagePrecision matches the step-interpolated hand example") {
+    import spark.implicits._
+    val df = Seq((true, 0.9), (false, 0.8), (true, 0.7), (false, 0.6))
+      .toDF("y", "sc")
+    val r = Evaluation.averagePrecision(df, "y", "sc").head()
+    // AP = 0.5·1 + 0.5·(2/3) = 0.833333
+    assert(math.abs(r.getAs[Double]("ap") - 0.833333) < 1e-5)
+    assert(math.abs(r.getAs[Double]("baseline") - 0.5) < 1e-9)
+    assert(r.getAs[Long]("n_pos") == 2L && r.getAs[Long]("n_neg") == 2L)
+  }
+
+  test("betaBinomialMoM recovers the closed moment forms") {
+    import spark.implicits._
+    // k = [0,0,1,2,2] of n=2: m1=1, m2=1.8 → α=β=1/3, ρ=0.6
+    val df = Seq(0L, 0L, 1L, 2L, 2L).map(k => (k, 2L)).toDF("k", "n")
+    val r = StatTests.betaBinomialMoM(df, "k", "n", trials = 2).head()
+    assert(r.getAs[Long]("n_groups") == 5L)
+    assert(math.abs(r.getAs[Double]("alpha") - 0.333333) < 1e-5)
+    assert(math.abs(r.getAs[Double]("beta") - 0.333333) < 1e-5)
+    assert(math.abs(r.getAs[Double]("rho") - 0.6) < 1e-5)
+  }
+
   test("neweyWestByKey matches the hand-computed Bartlett-kernel se") {
     import spark.implicits._
     val day = 86400000000000L

@@ -668,6 +668,21 @@ class StatTestsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[String]("magnitude") == "large")
   }
 
+  test("concordanceIndex: censored subjects open no pairs, ties score half") {
+    import spark.implicits._
+    // events at t=1 (s=.9 and s=.5), censored t=2 (s=.5), event t=3
+    // (s=.5): comparable = 4, concordant = 2 (the .9 wins), tied = 2
+    val df = Seq((1.0, true, 0.9), (1.0, true, 0.5), (2.0, false, 0.5),
+      (3.0, true, 0.5)).toDF("t", "ev", "sc")
+    val r = Survival.concordanceIndex(df, "t", "ev", "sc").head()
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("n_comparable") == 4L)
+    assert(r.getAs[Long]("n_concordant") == 2L)
+    assert(r.getAs[Long]("n_tied_score") == 2L)
+    assert(math.abs(r.getAs[Double]("c_index") - 0.75) < 1e-9)
+    assert(math.abs(r.getAs[Double]("somers_d") - 0.5) < 1e-9)
+  }
+
   test("pageTrend: a perfect monotone funnel maxes L") {
     import spark.implicits._
     // 4 complete blocks, each strictly increasing a < b < c:
