@@ -3074,6 +3074,21 @@ object SparkEntry {
       Features.thetaForecastByKey(events(s, dir), "event_type", "ts",
           "value", periodUnit = 86400000000000L, alpha = 0.3)
         .orderBy("event_type")),
+    "q_var1" -> ((s, dir) =>
+      // the value/volume feedback system per event type: VAR(1)
+      // coefficient matrix + spectral radius — do shocks die out, or
+      // does the system spiral; one lag-moment pass, closed-form eigen
+      Features.var1ByKey(events(s, dir), "event_type", "ts", "value",
+          periodUnit = 86400000000000L)
+        .orderBy("event_type")),
+    "q_ece" -> ((s, dir) =>
+      // can the scaled discount be read as a return probability:
+      // bin-weighted calibration gap (ECE), worst bin (MCE), and the
+      // signed net over/under-confidence
+      Evaluation.expectedCalibrationError(
+        li(s, dir).select((F.col("l_returnflag") === "R").as("y"),
+          (F.col("l_discount") * 10).as("sc")),
+        "y", "sc", bins = 10)),
     "q_kalman" -> ((s, dir) =>
       // local-level Kalman filter over each event type's daily means
       // (q=0.5, r=2.0): the adaptive-gain EWMA whose innovations come
@@ -11217,6 +11232,99 @@ object SparkEntry {
         |    + 0.5 * r.ses, 6) + 0.0 AS forecast
         |FROM coef c JOIN r ON r.k = c.k AND r.rn = c.n
         |ORDER BY event_type""".stripMargin,
+    // VAR(1) replay: decimal-exact lag moments per key, the two
+    // centered 2x2 Cramer equations, closed-form 2x2 eigen modulus.
+    "q_var1" ->
+      """WITH e AS (SELECT event_type AS k,
+        |    epoch_ns(ts) // 86400000000000 AS p, value AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |cells AS (SELECT k, p,
+        |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+        |      AS v,
+        |    CAST(count(*) AS DOUBLE) AS c
+        |  FROM e GROUP BY k, p),
+        |lg AS (SELECT k, v, c,
+        |    lag(v) OVER w AS v1, lag(c) OVER w AS c1
+        |  FROM cells WINDOW w AS (PARTITION BY k ORDER BY p)),
+        |f AS (SELECT * FROM lg WHERE v1 IS NOT NULL),
+        |m AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(v1 AS DECIMAL(38,6))) AS DOUBLE) AS sx1,
+        |    CAST(sum(CAST(c1 AS DECIMAL(38,6))) AS DOUBLE) AS sx2,
+        |    CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS sy1,
+        |    CAST(sum(CAST(c AS DECIMAL(38,6))) AS DOUBLE) AS sy2,
+        |    CAST(sum(CAST(v1 * v1 AS DECIMAL(38,6))) AS DOUBLE) AS s11,
+        |    CAST(sum(CAST(v1 * c1 AS DECIMAL(38,6))) AS DOUBLE) AS s12,
+        |    CAST(sum(CAST(c1 * c1 AS DECIMAL(38,6))) AS DOUBLE) AS s22,
+        |    CAST(sum(CAST(v1 * v AS DECIMAL(38,6))) AS DOUBLE) AS s1y1,
+        |    CAST(sum(CAST(c1 * v AS DECIMAL(38,6))) AS DOUBLE) AS s2y1,
+        |    CAST(sum(CAST(v1 * c AS DECIMAL(38,6))) AS DOUBLE) AS s1y2,
+        |    CAST(sum(CAST(c1 * c AS DECIMAL(38,6))) AS DOUBLE) AS s2y2
+        |  FROM f GROUP BY k),
+        |cc AS (SELECT k, n, sx1, sx2, sy1, sy2, s1y1, s2y1, s1y2, s2y2,
+        |    s11 - sx1 * sx1 / CAST(n AS DOUBLE) AS c11,
+        |    s12 - sx1 * sx2 / CAST(n AS DOUBLE) AS c12,
+        |    s22 - sx2 * sx2 / CAST(n AS DOUBLE) AS c22
+        |  FROM m),
+        |d AS (SELECT *, c11 * c22 - c12 * c12 AS det FROM cc),
+        |q AS (SELECT k, n, det, c11, c12, c22, sx1, sx2,
+        |    ((s1y1 - sx1 * sy1 / CAST(n AS DOUBLE)) * c22
+        |      - c12 * (s2y1 - sx2 * sy1 / CAST(n AS DOUBLE))) / det
+        |      AS a11,
+        |    (c11 * (s2y1 - sx2 * sy1 / CAST(n AS DOUBLE))
+        |      - c12 * (s1y1 - sx1 * sy1 / CAST(n AS DOUBLE))) / det
+        |      AS a12,
+        |    ((s1y2 - sx1 * sy2 / CAST(n AS DOUBLE)) * c22
+        |      - c12 * (s2y2 - sx2 * sy2 / CAST(n AS DOUBLE))) / det
+        |      AS a21,
+        |    (c11 * (s2y2 - sx2 * sy2 / CAST(n AS DOUBLE))
+        |      - c12 * (s1y2 - sx1 * sy2 / CAST(n AS DOUBLE))) / det
+        |      AS a22,
+        |    sy1, sy2 FROM d),
+        |r AS (SELECT k, n, det, a11, a12, a21, a22,
+        |    sy1 / CAST(n AS DOUBLE) - a11 * (sx1 / CAST(n AS DOUBLE))
+        |      - a12 * (sx2 / CAST(n AS DOUBLE)) AS cv,
+        |    sy2 / CAST(n AS DOUBLE) - a21 * (sx1 / CAST(n AS DOUBLE))
+        |      - a22 * (sx2 / CAST(n AS DOUBLE)) AS cc2,
+        |    a11 + a22 AS tr, a11 * a22 - a12 * a21 AS deta
+        |  FROM q),
+        |s AS (SELECT *,
+        |    CASE WHEN tr * tr - 4.0 * deta >= 0.0
+        |      THEN greatest(abs((tr + sqrt(tr * tr - 4.0 * deta))
+        |        / 2.0), abs((tr - sqrt(tr * tr - 4.0 * deta)) / 2.0))
+        |      ELSE sqrt(deta) END AS rho
+        |  FROM r)
+        |SELECT k AS event_type, n AS n_periods,
+        |  round(a11, 6) + 0.0 AS a11, round(a12, 6) + 0.0 AS a12,
+        |  round(a21, 6) + 0.0 AS a21, round(a22, 6) + 0.0 AS a22,
+        |  round(cv, 6) + 0.0 AS const_v, round(cc2, 6) + 0.0 AS const_c,
+        |  round(rho, 6) AS spec_radius, rho < 1.0 AS stable
+        |FROM s WHERE n >= 6 AND det > 1e-12
+        |ORDER BY event_type""".stripMargin,
+    // ECE replay: the calibrationBins grid, bin-count weights, the
+    // weighted absolute/signed gap folds.
+    "q_ece" ->
+      """WITH c AS (SELECT (l_returnflag = 'R') AS y,
+        |    CAST(l_discount AS DOUBLE) * 10 AS s
+        |  FROM lineitem WHERE l_discount IS NOT NULL
+        |    AND NOT isnan(CAST(l_discount AS DOUBLE) * 10)
+        |    AND l_returnflag IS NOT NULL),
+        |b AS (SELECT least(9, greatest(0,
+        |    CAST(floor(s * 10) AS INT))) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    round(avg(s), 6) AS mean_score,
+        |    round(avg(CASE WHEN y THEN 1.0 ELSE 0.0 END), 6)
+        |      AS frac_pos
+        |  FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM b)
+        |SELECT t.nt AS n,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM b) AS bins_used,
+        |  round(sum(CAST(b.n AS DOUBLE) / t.nt
+        |    * abs(b.frac_pos - b.mean_score)), 6) AS ece,
+        |  round(max(abs(b.frac_pos - b.mean_score)), 6) AS mce,
+        |  round(sum(CAST(b.n AS DOUBLE) / t.nt
+        |    * (b.frac_pos - b.mean_score)), 6) + 0.0 AS signed_gap
+        |FROM b, t GROUP BY t.nt""".stripMargin,
     // Kalman replay: the predict/update recursion as a RECURSIVE CTE
     // over the numbered decimal-exact daily means (seeds CAST DOUBLE).
     "q_kalman" ->

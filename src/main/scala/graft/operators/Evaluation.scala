@@ -1366,6 +1366,34 @@ object Evaluation {
         F.round(F.avg(F.when(y, 1.0).otherwise(0.0)), 6).as("frac_pos"))
   }
 
+  /** Expected calibration error — ONE number for "can I read this
+    * score as a probability": the bin-count-weighted mean |observed
+    * rate − mean score| over the [[calibrationBins]] grid, plus the
+    * worst bin (MCE) and the signed mean gap (net over/under-
+    * confidence). Exact integer bin counts; per-bin means fold from
+    * the same aggregation as calibrationBins, so the cost is one pass.
+    *
+    * @return one row: (n, bins_used, ece, mce, signed_gap) */
+  def expectedCalibrationError(df: DataFrame, labelCol: String,
+                               scoreCol: String,
+                               bins: Int = 10): DataFrame = {
+    val cells = calibrationBins(df, labelCol, scoreCol, bins)
+    val nTot = F.sum(F.col("n")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy())
+    val w = F.col("n").cast("double") / nTot
+    val gap = F.col("frac_pos") - F.col("mean_score")
+    cells
+      .withColumn("__w", w)
+      .withColumn("__gap", gap)
+      .agg(F.sum("n").as("n"),
+        F.count(F.lit(1)).as("bins_used"),
+        F.round(F.sum(F.col("__w") * F.abs(F.col("__gap"))), 6)
+          .as("ece"),
+        F.round(F.max(F.abs(F.col("__gap"))), 6).as("mce"),
+        F.round(F.sum(F.col("__w") * F.col("__gap")), 6)
+          .as("signed_gap"))
+  }
+
   /** Average precision (area under the precision–recall curve, step
     * interpolation) per group — the metric that matters where
     * [[aucByGroup]] lies: under heavy class imbalance ROC AUC stays

@@ -1719,6 +1719,86 @@ object Features {
         F.round(F.col("__e._5"), 6).as("forecast"))
   }
 
+  /** VAR(1) fit per key over the coupled (daily mean value, daily
+    * event count) system — [[grangerByKey]] asks "does volume predict
+    * value"; this fits the whole 2×2 feedback matrix and prices its
+    * STABILITY:
+    *
+    *   [vₜ cₜ]ᵀ = A·[vₜ₋₁ cₜ₋₁]ᵀ + const + ε,
+    *   spectral radius ρ(A) < 1 ⇔ shocks die out (stationary system);
+    *   ρ ≥ 1 ⇔ a value/volume spiral.
+    *
+    * Each equation is a centered 2-regressor OLS in closed form (the
+    * olsByGroup2 Cramer), both from ONE decimal-exact lag-moment
+    * aggregation per key; ρ(A) from the 2×2 eigenvalue closed form
+    * (complex pair ⇒ modulus √det). Keys with < 6 periods or a
+    * singular regressor covariance are omitted.
+    *
+    * @return one row per key: (keyCol, n_periods, a11, a12, a21, a22,
+    *         const_v, const_c, spec_radius, stable) */
+  def var1ByKey(df: DataFrame, keyCol: String, tsCol: String,
+                valueCol: String, periodUnit: Long): DataFrame = {
+    require(periodUnit > 0L, "periodUnit must be positive")
+    val v = F.col(valueCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    val cells = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull && v.isNotNull &&
+        !F.isnan(v))
+      .groupBy(F.col(keyCol).as("__k"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("__p"))
+      .agg((F.sum(v.cast("decimal(38,6)")).cast("double") /
+        F.count(F.lit(1))).as("__v"),
+        F.count(F.lit(1)).cast("double").as("__c"))
+    val wOrd = Window.partitionBy("__k").orderBy("__p")
+    val lagged = cells
+      .withColumn("__v1", F.lag("__v", 1).over(wOrd))
+      .withColumn("__c1", F.lag("__c", 1).over(wOrd))
+      .where(F.col("__v1").isNotNull)
+    def dsum(c: Column) = F.sum(c.cast("decimal(38,6)")).cast("double")
+    val m = lagged.groupBy("__k").agg(
+      F.count(F.lit(1)).as("n"),
+      dsum(F.col("__v1")).as("sx1"), dsum(F.col("__c1")).as("sx2"),
+      dsum(F.col("__v")).as("sy1"), dsum(F.col("__c")).as("sy2"),
+      dsum(F.col("__v1") * F.col("__v1")).as("s11"),
+      dsum(F.col("__v1") * F.col("__c1")).as("s12"),
+      dsum(F.col("__c1") * F.col("__c1")).as("s22"),
+      dsum(F.col("__v1") * F.col("__v")).as("s1y1"),
+      dsum(F.col("__c1") * F.col("__v")).as("s2y1"),
+      dsum(F.col("__v1") * F.col("__c")).as("s1y2"),
+      dsum(F.col("__c1") * F.col("__c")).as("s2y2"))
+    val n = F.col("n").cast("double")
+    val c11 = F.col("s11") - F.col("sx1") * F.col("sx1") / n
+    val c12 = F.col("s12") - F.col("sx1") * F.col("sx2") / n
+    val c22 = F.col("s22") - F.col("sx2") * F.col("sx2") / n
+    val det = c11 * c22 - c12 * c12
+    def eq(sy: String, s1y: String, s2y: String):
+        (Column, Column, Column) = {
+      val c1y = F.col(s1y) - F.col("sx1") * F.col(sy) / n
+      val c2y = F.col(s2y) - F.col("sx2") * F.col(sy) / n
+      val b1 = (c1y * c22 - c12 * c2y) / det
+      val b2 = (c11 * c2y - c12 * c1y) / det
+      val b0 = F.col(sy) / n - b1 * (F.col("sx1") / n) -
+        b2 * (F.col("sx2") / n)
+      (b1, b2, b0)
+    }
+    val (a11, a12, cv) = eq("sy1", "s1y1", "s2y1")
+    val (a21, a22, cc) = eq("sy2", "s1y2", "s2y2")
+    val tr = a11 + a22
+    val detA = a11 * a22 - a12 * a21
+    val disc = tr * tr - F.lit(4.0) * detA
+    val rho = F.when(disc >= 0.0,
+      F.greatest(F.abs((tr + F.sqrt(disc)) / 2.0),
+        F.abs((tr - F.sqrt(disc)) / 2.0)))
+      .otherwise(F.sqrt(detA))
+    m.where(F.col("n") >= 6L && det > 1e-12)
+      .select(F.col("__k").as(keyCol), F.col("n").as("n_periods"),
+        F.round(a11, 6).as("a11"), F.round(a12, 6).as("a12"),
+        F.round(a21, 6).as("a21"), F.round(a22, 6).as("a22"),
+        F.round(cv, 6).as("const_v"), F.round(cc, 6).as("const_c"),
+        F.round(rho, 6).as("spec_radius"),
+        (rho < 1.0).as("stable"))
+  }
+
   /** Local-level Kalman filter per key with FIXED noise variances —
     * the model-based smoother above [[ewmaByKey]] (an EWMA whose gain
     * ADAPTS: high while uncertainty is high after gaps/starts, settling

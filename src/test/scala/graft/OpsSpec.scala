@@ -5286,6 +5286,45 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_.getAs[Double]("coverage_radius") == 4.0))
   }
 
+  test("var1ByKey recovers an exactly-linear value/volume system") {
+    import spark.implicits._
+    val day = 86400000000000L
+    // counts cycle (1,2,4); v_d = previous day's count exactly
+    // → eq1: a11=0, a12=1, c=0; eq2 solves to a21=-1, a22=-1, c=7;
+    // tr=-1, det(A)=1, disc<0 → rho = 1 (boundary, not stable)
+    val cycle = Array(1, 2, 4)
+    val rows = (0 until 12).flatMap { d =>
+      val cnt = cycle(d % 3)
+      val v = cycle((d + 2) % 3).toDouble
+      Seq.fill(cnt)(("k", d.toLong * day, v))
+    }.toDF("key", "ts", "v")
+    val r = Features.var1ByKey(rows, "key", "ts", "v",
+      periodUnit = day).head()
+    assert(r.getAs[Long]("n_periods") == 11L)
+    assert(math.abs(r.getAs[Double]("a11")) < 1e-9)
+    assert(math.abs(r.getAs[Double]("a12") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("const_v")) < 1e-9)
+    assert(math.abs(r.getAs[Double]("a21") - -1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("a22") - -1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("const_c") - 7.0) < 1e-9)
+    // rho sits exactly ON the unit circle (a rotation): assert the
+    // radius, not the boundary-sensitive stable flag
+    assert(math.abs(r.getAs[Double]("spec_radius") - 1.0) < 1e-9)
+  }
+
+  test("expectedCalibrationError weights bin gaps by mass") {
+    import spark.implicits._
+    // bin9: n=2, gap −0.45; bin0: n=2, gap +0.95
+    val df = Seq((true, 0.95), (false, 0.95), (true, 0.05),
+      (true, 0.05)).toDF("y", "sc")
+    val r = Evaluation.expectedCalibrationError(df, "y", "sc",
+      bins = 10).head()
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("bins_used") == 2L)
+    assert(math.abs(r.getAs[Double]("ece") - 0.7) < 1e-9)
+    assert(math.abs(r.getAs[Double]("mce") - 0.95) < 1e-9)
+    assert(math.abs(r.getAs[Double]("signed_gap") - 0.25) < 1e-9)
+  }
+
   test("kalmanLevelByKey follows the predict/update recursion") {
     import spark.implicits._
     val day = 86400000000000L
