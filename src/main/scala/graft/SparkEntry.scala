@@ -4914,6 +4914,22 @@ object SparkEntry {
       Validation.captureRecapture(
         s.read.parquet(s"$dir/orders.parquet"), "o_custkey",
         pct = 30)),
+    "q_diversity" -> ((s, dir) =>
+      // the Hill diversity ladder of the corpus vocabulary: richness,
+      // effective vocab exp(H), inverse Simpson, evenness
+      TextOps.hillNumbers(docs(s, dir), "text")),
+    "q_jsd_matrix" -> ((s, dir) =>
+      // which languages' unigram distributions sit closest: pairwise
+      // Jensen-Shannon distances via ONE word-keyed join (absent-word
+      // mass enters through the matched-mass complement)
+      TextOps.jsdMatrix(docs(s, dir), "lang", "text")
+        .orderBy("slice_a", "slice_b")),
+    "q_longest_streak" -> ((s, dir) =>
+      // how long did each event type's surge LAST: longest run of
+      // above-mean days via the exact gaps-and-islands construction
+      Features.longestStreakByKey(events(s, dir), "event_type", "ts",
+          "value", periodUnit = 86400000000000L)
+        .orderBy("event_type")),
     "q_chao1" -> ((s, dir) =>
       // how much vocabulary has this corpus NOT seen: Chao1 richness
       // from hapax/dis counts + Good's coverage, exact integers
@@ -15750,6 +15766,87 @@ object SparkEntry {
         |    * (n2 - ov) / ((ov + 1.0) * (ov + 1.0) * (ov + 2.0)))
         |    * 1e6, 0) / 1e6 AS chapman_se
         |FROM a""".stripMargin,
+    // Hill-numbers replay: token counts, the Shannon and Simpson
+    // folds, rint-rounded effective-vocabulary outputs.
+    "q_diversity" ->
+      """WITH tok AS (SELECT
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok
+        |  GROUP BY w),
+        |a AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS v FROM cnt),
+        |f AS (SELECT
+        |    sum(-(c / (SELECT CAST(n AS DOUBLE) FROM a))
+        |      * ln(c / (SELECT CAST(n AS DOUBLE) FROM a))) AS h,
+        |    sum((c / (SELECT CAST(n AS DOUBLE) FROM a))
+        |      * (c / (SELECT CAST(n AS DOUBLE) FROM a))) AS simp
+        |  FROM cnt)
+        |SELECT a.n AS n_tokens, a.v AS d0,
+        |  round_even(exp(f.h) * 1e6, 0) / 1e6 AS d1,
+        |  round_even(1.0 / f.simp * 1e6, 0) / 1e6 AS d2,
+        |  round_even(exp(f.h) / a.v * 1e6, 0) / 1e6 AS evenness
+        |FROM a, f""".stripMargin,
+    // JSD-matrix replay: per-slice unigram shares, the word-keyed
+    // pair join, matched terms + ln2 mass complements.
+    "q_jsd_matrix" ->
+      """WITH tok AS (SELECT lang AS s,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |  FROM documents WHERE lang IS NOT NULL),
+        |cnt AS (SELECT s, w, CAST(count(*) AS BIGINT) AS c FROM tok
+        |  GROUP BY s, w),
+        |tot AS (SELECT s, CAST(sum(c) AS BIGINT) AS t FROM cnt
+        |  GROUP BY s),
+        |p AS (SELECT cnt.s, cnt.w, CAST(cnt.c AS DOUBLE) / tot.t AS p
+        |  FROM cnt JOIN tot ON cnt.s = tot.s),
+        |m AS (SELECT a.s AS sa, b.s AS sb,
+        |    CAST(count(*) AS BIGINT) AS n_shared_words,
+        |    sum(a.p * ln(2.0 * a.p / (a.p + b.p))) AS ta,
+        |    sum(b.p * ln(2.0 * b.p / (a.p + b.p))) AS tb,
+        |    sum(a.p) AS ma, sum(b.p) AS mb
+        |  FROM p a JOIN p b ON a.w = b.w AND a.s < b.s
+        |  GROUP BY a.s, b.s),
+        |j AS (SELECT sa, sb, n_shared_words,
+        |    (ta + (1.0 - ma) * ln(2.0) + tb + (1.0 - mb) * ln(2.0))
+        |      / 2.0 AS jsd FROM m)
+        |SELECT sa AS slice_a, sb AS slice_b, n_shared_words,
+        |  round(jsd, 6) AS jsd,
+        |  round(sqrt(greatest(jsd, 0.0)), 6) AS js_dist
+        |FROM j ORDER BY slice_a, slice_b""".stripMargin,
+    // Longest-streak replay: decimal-exact key means, strict > flag,
+    // rn - rn_by_flag islands, (len DESC, start) pick.
+    "q_longest_streak" ->
+      """WITH e AS (SELECT event_type AS k,
+        |    epoch_ns(ts) // 86400000000000 AS p, value AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |cells AS (SELECT k, p,
+        |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+        |      AS v
+        |  FROM e GROUP BY k, p),
+        |f AS (SELECT k, p, v,
+        |    CAST(count(*) OVER wk AS BIGINT) AS n,
+        |    CAST(sum(CAST(v AS DECIMAL(38,6))) OVER wk AS DOUBLE)
+        |      / CAST(count(*) OVER wk AS DOUBLE) AS mu,
+        |    row_number() OVER (PARTITION BY k ORDER BY p) AS rn
+        |  FROM cells WINDOW wk AS (PARTITION BY k)),
+        |h AS (SELECT k, p, n, rn, v > mu AS hot FROM f),
+        |g AS (SELECT k, p, n,
+        |    rn - row_number() OVER (PARTITION BY k, hot ORDER BY p)
+        |      AS grp, hot FROM h),
+        |i AS (SELECT k, grp, CAST(count(*) AS BIGINT) AS len,
+        |    min(p) AS start, CAST(max(n) AS BIGINT) AS n
+        |  FROM g WHERE hot GROUP BY k, grp),
+        |r AS (SELECT k, n, len, start,
+        |    CAST(sum(len) OVER (PARTITION BY k) AS BIGINT) AS n_above,
+        |    CAST(max(len) OVER (PARTITION BY k) AS BIGINT)
+        |      AS longest_streak,
+        |    row_number() OVER (PARTITION BY k ORDER BY len DESC, start)
+        |      AS rnk
+        |  FROM i)
+        |SELECT k AS event_type, n AS n_periods, n_above,
+        |  longest_streak, start AS streak_start
+        |FROM r WHERE rnk = 1 ORDER BY event_type""".stripMargin,
     // Chao1 replay: token frequency-of-frequencies, the bias-corrected
     // richness and Good's coverage — exact integers to the end.
     "q_chao1" ->

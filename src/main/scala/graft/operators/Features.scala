@@ -1719,6 +1719,46 @@ object Features {
         F.round(F.col("__e._5"), 6).as("forecast"))
   }
 
+  /** Longest above-mean streak per key — the gaps-and-islands run
+    * statistic over the daily series ("how long did the surge LAST",
+    * the duration companion to [[cusumByKey]]'s level shift): a period
+    * is HOT when its decimal-exact daily mean strictly exceeds the
+    * key's overall period-mean average; islands come from the classic
+    * rn − rn_by_flag difference, so everything is exact integers over
+    * key-partitioned windows.
+    *
+    * @return one row per key: (keyCol, n_periods, n_above,
+    *         longest_streak, streak_start) — streak_start is the
+    *         first period of the (earliest) longest island */
+  def longestStreakByKey(df: DataFrame, keyCol: String, tsCol: String,
+                         valueCol: String, periodUnit: Long): DataFrame = {
+    val cells = periodCells(df, keyCol, tsCol, valueCol, periodUnit)
+    val wKey = Window.partitionBy("__k")
+    val wOrd = wKey.orderBy("__p")
+    val flagged = cells
+      .withColumn("__n", F.count(F.lit(1)).over(wKey))
+      .withColumn("__mu",
+        F.sum(F.col("__v").cast("decimal(38,6)")).over(wKey)
+          .cast("double") / F.col("__n").cast("double"))
+      .withColumn("__hot", F.col("__v") > F.col("__mu"))
+      .withColumn("__rn", F.row_number().over(wOrd))
+    val wFlag = Window.partitionBy("__k", "__hot").orderBy("__p")
+    val islands = flagged
+      .withColumn("__grp", F.col("__rn") - F.row_number().over(wFlag))
+      .where(F.col("__hot"))
+      .groupBy("__k", "__grp")
+      .agg(F.count(F.lit(1)).as("len"), F.min("__p").as("start"),
+        F.max("__n").as("n"))
+    islands
+      .groupBy("__k")
+      .agg(F.max("n").as("n_periods"),
+        F.sum("len").as("n_above"),
+        F.max("len").as("longest_streak"),
+        F.min_by(F.col("start"),
+          F.struct(-F.col("len"), F.col("start"))).as("streak_start"))
+      .withColumnRenamed("__k", keyCol)
+  }
+
   /** VAR(1) fit per key over the coupled (daily mean value, daily
     * event count) system — [[grangerByKey]] asks "does volume predict
     * value"; this fits the whole 2×2 feedback matrix and prices its

@@ -1278,6 +1278,88 @@ object TextOps {
         F.col("rate_in_docs"), F.col("vmr"))
   }
 
+  /** Hill diversity numbers of the corpus vocabulary — the unified
+    * diversity ladder (ecology's answer to "which diversity index"):
+    * D0 = richness (types), D1 = exp(Shannon H) (the number of
+    * EQUALLY-COMMON types that would give this entropy — the
+    * "effective vocabulary"), D2 = inverse Simpson (effective count
+    * weighted toward the head). D1/D0 is the evenness — how far the
+    * corpus is from uniform usage. One token-count aggregation; exact
+    * integer ratios into two rounded folds.
+    *
+    * @return one row: (n_tokens, d0, d1, d2, evenness) */
+  def hillNumbers(df: DataFrame, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .select(F.explode(wordTokens(F.col(textCol))).as("w"))
+      .groupBy("w").agg(F.count(F.lit(1)).as("c"))
+    val m = counts.agg(F.sum("c").as("n"),
+      F.count(F.lit(1)).as("v")).head()
+    val n = m.getAs[Long]("n"); val v = m.getAs[Long]("v")
+    require(n > 0L, "no tokens")
+    val nD = n.toDouble
+    val folds = counts.agg(
+      F.sum(-(F.col("c") / nD) * F.log(F.col("c") / nD)).as("h"),
+      F.sum((F.col("c") / nD) * (F.col("c") / nD)).as("simp"))
+      .head()
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val d1 = math.exp(folds.getAs[Double]("h"))
+    Seq((n, v, r6(d1), r6(1.0 / folds.getAs[Double]("simp")),
+      r6(d1 / v)))
+      .toDF("n_tokens", "d0", "d1", "d2", "evenness")
+  }
+
+  /** Pairwise Jensen–Shannon distance matrix between the unigram
+    * distributions of corpus slices (languages, sources, snapshots) —
+    * "which slices speak the same language, statistically": for each
+    * pair, JSD = ½Σp₁ln(2p₁/(p₁+p₂)) + ½Σp₂ln(2p₂/(p₁+p₂)), with the
+    * words absent from the other side contributing their mass × ln 2
+    * (handled via the matched-mass complement, so ONE inner join on
+    * the word carries the whole computation — no per-pair outer
+    * joins). √JSD is a metric; both reported.
+    *
+    * Scale shape: one (slice, word) count aggregation, one
+    * word-keyed self-join restricted to slice_a < slice_b, one fold
+    * per pair — the join is |vocab|·|slices|² only where words are
+    * SHARED.
+    *
+    * @return one row per pair: (slice_a, slice_b, n_shared_words,
+    *         jsd, js_dist) */
+  def jsdMatrix(df: DataFrame, sliceCol: String,
+                textCol: String): DataFrame = {
+    val g = F.col(sliceCol).cast("string")
+    val counts = df
+      .where(g.isNotNull)
+      .select(g.as("s"), F.explode(wordTokens(F.col(textCol))).as("w"))
+      .groupBy("s", "w").agg(F.count(F.lit(1)).as("c"))
+    val totals = counts.groupBy("s").agg(F.sum("c").as("t"))
+    val withP = counts.join(F.broadcast(totals), "s")
+      .select(F.col("s"), F.col("w"),
+        (F.col("c").cast("double") / F.col("t")).as("p"))
+    val a = withP.select(F.col("s").as("sa"), F.col("w"),
+      F.col("p").as("pa"))
+    val b = withP.select(F.col("s").as("sb"), F.col("w"),
+      F.col("p").as("pb"))
+    val ln2 = math.log(2.0)
+    val matched = a.join(b, Seq("w"))
+      .where(F.col("sa") < F.col("sb"))
+      .groupBy("sa", "sb")
+      .agg(F.count(F.lit(1)).as("n_shared_words"),
+        F.sum(F.col("pa") * F.log(F.lit(2.0) * F.col("pa") /
+          (F.col("pa") + F.col("pb")))).as("ta"),
+        F.sum(F.col("pb") * F.log(F.lit(2.0) * F.col("pb") /
+          (F.col("pa") + F.col("pb")))).as("tb"),
+        F.sum(F.col("pa")).as("ma"), F.sum(F.col("pb")).as("mb"))
+    val jsd = (F.col("ta") + (F.lit(1.0) - F.col("ma")) * ln2 +
+      F.col("tb") + (F.lit(1.0) - F.col("mb")) * ln2) / 2.0
+    matched
+      .select(F.col("sa").as("slice_a"), F.col("sb").as("slice_b"),
+        F.col("n_shared_words"),
+        F.round(jsd, 6).as("jsd"),
+        F.round(F.sqrt(F.greatest(jsd, F.lit(0.0))), 6).as("js_dist"))
+  }
+
   /** Chao1 vocabulary-richness estimate + Good's coverage — "how many
     * word types exist that this corpus has NOT seen yet": from the
     * frequency-of-frequencies (hapax f₁, dis legomena f₂),

@@ -5193,6 +5193,50 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2.getAs[Double]("chapman") == chap)
   }
 
+  test("hillNumbers: the diversity ladder on a skewed vocabulary") {
+    import spark.implicits._
+    val uniform = Seq("a a b b").toDF("text")
+    val u = TextOps.hillNumbers(uniform, "text").head()
+    assert(u.getAs[Long]("d0") == 2L)
+    assert(math.abs(u.getAs[Double]("d1") - 2.0) < 1e-6)
+    assert(math.abs(u.getAs[Double]("d2") - 2.0) < 1e-6)
+    assert(math.abs(u.getAs[Double]("evenness") - 1.0) < 1e-6)
+    val skewed = Seq("a a a b").toDF("text")
+    val s = TextOps.hillNumbers(skewed, "text").head()
+    assert(math.abs(s.getAs[Double]("d1") - 1.754765) < 1e-5)
+    assert(math.abs(s.getAs[Double]("d2") - 1.6) < 1e-6)
+  }
+
+  test("jsdMatrix: half-shared vocabularies sit at JSD = ln2/2") {
+    import spark.implicits._
+    val df = Seq(("A", "a b"), ("B", "a c"), ("C", "a b"))
+      .toDF("lang", "text")
+    val out = TextOps.jsdMatrix(df, "lang", "text")
+      .collect().map(r => (r.getAs[String]("slice_a"),
+        r.getAs[String]("slice_b")) -> r).toMap
+    val ab = out(("A", "B"))
+    assert(ab.getAs[Long]("n_shared_words") == 1L)
+    assert(math.abs(ab.getAs[Double]("jsd") - 0.346574) < 1e-5)
+    assert(math.abs(ab.getAs[Double]("js_dist") - 0.588705) < 1e-5)
+    // identical slices are at distance zero
+    val ac = out(("A", "C"))
+    assert(math.abs(ac.getAs[Double]("jsd")) < 1e-9)
+  }
+
+  test("longestStreakByKey: gaps-and-islands over above-mean days") {
+    import spark.implicits._
+    val day = 86400000000000L
+    val vs = Seq(1.0, 5.0, 5.0, 1.0, 5.0, 1.0)
+    val df = vs.zipWithIndex.map { case (v, d) =>
+      ("k", d.toLong * day, v) }.toDF("key", "ts", "v")
+    val r = Features.longestStreakByKey(df, "key", "ts", "v",
+      periodUnit = day).head()
+    assert(r.getAs[Long]("n_periods") == 6L)
+    assert(r.getAs[Long]("n_above") == 3L)
+    assert(r.getAs[Long]("longest_streak") == 2L)
+    assert(r.getAs[Long]("streak_start") == 1L)
+  }
+
   test("chao1: richness and coverage from the fof counts") {
     import spark.implicits._
     val df = Seq("a b c c", "d d").toDF("text")
