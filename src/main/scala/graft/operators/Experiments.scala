@@ -1437,6 +1437,11 @@ object Experiments {
       .collect()
       .sortBy(_.getAs[Double]("__s"))
     require(cells.nonEmpty, "no control rows")
+    // the 4-decimal grid bounds this at ~10⁴ cells on a [0,1]-style
+    // score; a wild-range score column would collect unboundedly
+    require(cells.length <= 200000,
+      s"${cells.length} control score cells — psmAtt expects a " +
+        "bounded (probability-like) score; rescale or clip it first")
     val nControl = cells.map(_.getAs[Long]("c")).sum
     val grid = cells.map(_.getAs[Double]("__s"))
     val means = cells.map(_.getAs[Double]("my"))

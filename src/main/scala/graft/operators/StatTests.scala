@@ -2254,7 +2254,13 @@ object StatTests {
       .groupBy(x.as("x"), y.as("y"))
       .agg(F.count(F.lit(1)).as("w"))
       .localCheckpoint(true)
-    val n = cells.agg(F.sum("w")).head().getLong(0)
+    val cn = cells.agg(F.sum("w").as("n"),
+      F.count(F.lit(1)).as("cells")).head()
+    val n = cn.getAs[Long]("n")
+    // loud guard, not a silent cap: the cell cross join is |cells|²
+    require(cn.getAs[Long]("cells") <= 4096L,
+      s"${cn.getAs[Long]("cells")} joint cells — distanceCorrCells is " +
+        "exact on LOW-CARDINALITY pairs; bin/quantize the columns first")
     require(n >= 2L, "need at least two rows")
     val nD = n.toDouble
     val l = cells.select(F.col("x").as("xk"), F.col("y").as("yk"),

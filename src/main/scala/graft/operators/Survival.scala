@@ -973,7 +973,14 @@ object Survival {
       .agg(F.sum(F.when(e, 1L).otherwise(0L)).as("ev"),
         F.count(F.lit(1)).as("c"))
       .localCheckpoint(true)
-    val n = cells.agg(F.sum("c")).head().getLong(0)
+    val cn = cells.agg(F.sum("c").as("n"),
+      F.count(F.lit(1)).as("cells")).head()
+    val n = cn.getAs[Long]("n")
+    // loud guard, not a silent cap: the pair join is |cells|²
+    require(cn.getAs[Long]("cells") <= 4096L,
+      s"${cn.getAs[Long]("cells")} (duration, score) cells — " +
+        "concordanceIndex is exact on LOW-CARDINALITY inputs; " +
+        "quantize the score first")
     require(n >= 2L, "need at least two subjects")
     val a = cells.select(F.col("t").as("t1"), F.col("s").as("s1"),
       F.col("ev").as("e1"))
