@@ -3074,6 +3074,13 @@ object SparkEntry {
       Features.thetaForecastByKey(events(s, dir), "event_type", "ts",
           "value", periodUnit = 86400000000000L, alpha = 0.3)
         .orderBy("event_type")),
+    "q_growth_accounting" -> ((s, dir) =>
+      // the canonical DAU decomposition per day: new + retained +
+      // resurrected = active, churn counted on the day after the last
+      // active day, quick ratio as the growth health check
+      Cohorts.growthAccounting(events(s, dir), "user_id", "ts",
+          periodUnit = 86400000000000L)
+        .orderBy("period")),
     "q_var1" -> ((s, dir) =>
       // the value/volume feedback system per event type: VAR(1)
       // coefficient matrix + spectral radius — do shocks die out, or
@@ -11248,6 +11255,42 @@ object SparkEntry {
         |    + 0.5 * r.ses, 6) + 0.0 AS forecast
         |FROM coef c JOIN r ON r.k = c.k AND r.rn = c.n
         |ORDER BY event_type""".stripMargin,
+    // Growth-accounting replay: (user, day) distinct, per-user
+    // lag/lead flags, the day aggregation, full-outer churn join.
+    "q_growth_accounting" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u,
+        |    epoch_ns(ts) // 86400000000000 AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |f AS (SELECT u, d,
+        |    lag(d) OVER w AS prevd, lead(d) OVER w AS nextd
+        |  FROM ud WINDOW w AS (PARTITION BY u ORDER BY d)),
+        |g AS (SELECT d, prevd, nextd,
+        |    prevd IS NULL AS is_new,
+        |    prevd = d - 1 AS is_retained,
+        |    prevd IS NOT NULL AND prevd < d - 1 AS is_resurrected,
+        |    nextd IS NULL OR nextd > d + 1 AS churns_next FROM f),
+        |pd AS (SELECT d AS period, CAST(count(*) AS BIGINT) AS active,
+        |    CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS new_users,
+        |    CAST(sum(CASE WHEN is_retained THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS retained,
+        |    CAST(sum(CASE WHEN is_resurrected THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS resurrected
+        |  FROM g GROUP BY d),
+        |ch AS (SELECT d + 1 AS period, CAST(count(*) AS BIGINT)
+        |    AS churned FROM g WHERE churns_next GROUP BY d + 1)
+        |SELECT coalesce(pd.period, ch.period) AS period,
+        |  coalesce(active, 0) AS active,
+        |  coalesce(new_users, 0) AS new_users,
+        |  coalesce(retained, 0) AS retained,
+        |  coalesce(resurrected, 0) AS resurrected,
+        |  coalesce(churned, 0) AS churned,
+        |  CASE WHEN coalesce(churned, 0) > 0
+        |    THEN round(CAST(coalesce(new_users, 0)
+        |      + coalesce(resurrected, 0) AS DOUBLE)
+        |      / coalesce(churned, 0), 6) END AS quick_ratio
+        |FROM pd FULL JOIN ch ON pd.period = ch.period
+        |ORDER BY period""".stripMargin,
     // VAR(1) replay: decimal-exact lag moments per key, the two
     // centered 2x2 Cramer equations, closed-form 2x2 eigen modulus.
     "q_var1" ->

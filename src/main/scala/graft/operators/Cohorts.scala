@@ -408,4 +408,66 @@ object Cohorts {
       .toDF("alpha", "beta", "ll", "n_users", "n_churned",
         "n_censored", "horizon", "mean_churn")
   }
+
+  /** Growth accounting — the canonical DAU decomposition: every active
+    * user-day is exactly one of NEW (first day ever), RETAINED (also
+    * active the previous period) or RESURRECTED (returning after a
+    * gap); users active in period d but not d+1 CHURN at d+1 (they may
+    * resurrect later). The quick ratio (new+resurrected)/churned is
+    * the one-number growth health check. Identity per period:
+    * active = new + retained + resurrected, and
+    * active_d − active_{d+1} = churned_{d+1} − new_{d+1} −
+    * resurrected_{d+1}.
+    *
+    * Scale shape: one (user, period) distinct, per-USER lag/lead/min
+    * windows (one shuffle on the user key), one period aggregation,
+    * and a full-outer join with the churn-day counts (the churn day of
+    * the last active period has no activity rows). All exact integers.
+    *
+    * @return one row per period: (period, active, new_users, retained,
+    *         resurrected, churned, quick_ratio) — quick_ratio null
+    *         when nothing churned */
+  def growthAccounting(df: DataFrame, userCol: String, tsCol: String,
+                       periodUnit: Long): DataFrame = {
+    require(periodUnit > 0L, "periodUnit must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val t = F.col(tsCol).cast("long")
+    val ud = df
+      .where(F.col(userCol).isNotNull && t.isNotNull)
+      .select(F.col(userCol).as("u"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("d"))
+      .distinct()
+    val w = Window.partitionBy("u").orderBy("d")
+    val flagged = ud
+      .withColumn("prevd", F.lag("d", 1).over(w))
+      .withColumn("nextd", F.lead("d", 1).over(w))
+      .withColumn("is_new", F.col("prevd").isNull)
+      .withColumn("is_retained", F.col("prevd") === F.col("d") - 1L)
+      .withColumn("is_resurrected",
+        F.col("prevd").isNotNull && F.col("prevd") < F.col("d") - 1L)
+      .withColumn("churns_next",
+        F.col("nextd").isNull || F.col("nextd") > F.col("d") + 1L)
+    val perDay = flagged.groupBy(F.col("d").as("period"))
+      .agg(F.count(F.lit(1)).as("active"),
+        F.sum(F.when(F.col("is_new"), 1L).otherwise(0L))
+          .as("new_users"),
+        F.sum(F.when(F.col("is_retained"), 1L).otherwise(0L))
+          .as("retained"),
+        F.sum(F.when(F.col("is_resurrected"), 1L).otherwise(0L))
+          .as("resurrected"))
+    val churn = flagged.where(F.col("churns_next"))
+      .groupBy((F.col("d") + 1L).as("period"))
+      .agg(F.count(F.lit(1)).as("churned"))
+    perDay.join(churn, Seq("period"), "full_outer")
+      .select(F.col("period"),
+        F.coalesce(F.col("active"), F.lit(0L)).as("active"),
+        F.coalesce(F.col("new_users"), F.lit(0L)).as("new_users"),
+        F.coalesce(F.col("retained"), F.lit(0L)).as("retained"),
+        F.coalesce(F.col("resurrected"), F.lit(0L)).as("resurrected"),
+        F.coalesce(F.col("churned"), F.lit(0L)).as("churned"))
+      .withColumn("quick_ratio",
+        F.when(F.col("churned") > 0L,
+          F.round((F.col("new_users") + F.col("resurrected"))
+            .cast("double") / F.col("churned"), 6)))
+  }
 }

@@ -5330,6 +5330,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_.getAs[Double]("coverage_radius") == 4.0))
   }
 
+  test("growthAccounting: new/retained/resurrected/churned identity") {
+    import spark.implicits._
+    val day = 86400000000000L
+    // u1 active days 0,1,3; u2 active day 1 only
+    val df = Seq((1L, 0L), (1L, 1L), (1L, 3L), (2L, 1L))
+      .map { case (u, d) => (u, d * day) }.toDF("user_id", "ts")
+    val rows = Cohorts.growthAccounting(df, "user_id", "ts",
+      periodUnit = day).orderBy("period").collect()
+      .map(r => r.getAs[Long]("period") -> r).toMap
+    assert(rows(0L).getAs[Long]("new_users") == 1L)
+    assert(rows(1L).getAs[Long]("active") == 2L)
+    assert(rows(1L).getAs[Long]("new_users") == 1L)
+    assert(rows(1L).getAs[Long]("retained") == 1L)
+    // both users go silent after day 1 → two churns at day 2
+    assert(rows(2L).getAs[Long]("churned") == 2L)
+    assert(rows(2L).getAs[Long]("active") == 0L)
+    // u1 comes back on day 3 after a gap
+    assert(rows(3L).getAs[Long]("resurrected") == 1L)
+    assert(rows(3L).isNullAt(rows(3L).fieldIndex("quick_ratio")))
+    assert(rows(4L).getAs[Long]("churned") == 1L)
+  }
+
   test("var1ByKey recovers an exactly-linear value/volume system") {
     import spark.implicits._
     val day = 86400000000000L
