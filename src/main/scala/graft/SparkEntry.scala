@@ -4921,6 +4921,11 @@ object SparkEntry {
       Validation.captureRecapture(
         s.read.parquet(s"$dir/orders.parquet"), "o_custkey",
         pct = 30)),
+    "q_entropy_rate" -> ((s, dir) =>
+      // how predictable is the next corpus token: bigram conditional
+      // entropy H(w2|w1) and the per-token perplexity floor a bigram
+      // model must beat
+      TextOps.entropyRate(docs(s, dir), "doc_id", "text")),
     "q_diversity" -> ((s, dir) =>
       // the Hill diversity ladder of the corpus vocabulary: richness,
       // effective vocab exp(H), inverse Simpson, evenness
@@ -15809,6 +15814,34 @@ object SparkEntry {
         |    * (n2 - ov) / ((ov + 1.0) * (ov + 1.0) * (ov + 2.0)))
         |    * 1e6, 0) / 1e6 AS chapman_se
         |FROM a""".stripMargin,
+    // Entropy-rate replay: the q_bigram_logprob bigram construction,
+    // bigram and context-margin entropy folds, rint-rounded outputs.
+    "q_entropy_rate" ->
+      """WITH t AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |    x -> x <> '') AS w FROM documents),
+        |bg AS (SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS b FROM t WHERE len(w) >= 2),
+        |big AS (SELECT b, CAST(count(*) AS BIGINT) AS cb FROM bg
+        |  GROUP BY b),
+        |tot AS (SELECT CAST(sum(cb) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS vb FROM big),
+        |hb AS (SELECT sum(-(cb / (SELECT CAST(n AS DOUBLE) FROM tot))
+        |    * ln(cb / (SELECT CAST(n AS DOUBLE) FROM tot))) AS h
+        |  FROM big),
+        |ctx AS (SELECT split_part(b, ' ', 1) AS w1,
+        |    CAST(sum(cb) AS BIGINT) AS c1 FROM big GROUP BY 1),
+        |hc AS (SELECT CAST(count(*) AS BIGINT) AS vc,
+        |    sum(-(c1 / (SELECT CAST(n AS DOUBLE) FROM tot))
+        |      * ln(c1 / (SELECT CAST(n AS DOUBLE) FROM tot))) AS h
+        |  FROM ctx)
+        |SELECT tot.n AS n_bigrams, tot.vb AS vocab_bigrams,
+        |  hc.vc AS vocab_contexts,
+        |  round_even(hb.h * 1e6, 0) / 1e6 AS h_bigram,
+        |  round_even(hc.h * 1e6, 0) / 1e6 AS h_context,
+        |  round_even((hb.h - hc.h) * 1e6, 0) / 1e6 AS h_rate,
+        |  round_even(exp(hb.h - hc.h) * 1e6, 0) / 1e6 AS perplexity
+        |FROM tot, hb, hc""".stripMargin,
     // Hill-numbers replay: token counts, the Shannon and Simpson
     // folds, rint-rounded effective-vocabulary outputs.
     "q_diversity" ->

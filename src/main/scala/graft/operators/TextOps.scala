@@ -1278,6 +1278,46 @@ object TextOps {
         F.col("rate_in_docs"), F.col("vmr"))
   }
 
+  /** Corpus entropy rate — "how predictable is the next token":
+    * H(w₂|w₁) = H(bigram) − H(context margin), the information a
+    * bigram model actually has to encode per token (the gap
+    * H(unigram) − H(w₂|w₁) is what context buys). exp(H-rate) is the
+    * per-token perplexity floor for any bigram-order model of this
+    * corpus — the number to beat before training anything bigger.
+    * One bigram-count aggregation (adjacent pairs within documents,
+    * the [[bigramLogProb]] substrate) + two entropy folds; rounded 6.
+    *
+    * @return one row: (n_bigrams, vocab_bigrams, vocab_contexts,
+    *         h_bigram, h_context, h_rate, perplexity) */
+  def entropyRate(df: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val big = bigramsOf(df, idCol, textCol)
+      .groupBy("b").agg(F.count(F.lit(1)).as("cb"))
+    val tot = big.agg(F.sum("cb").as("n"),
+      F.count(F.lit(1)).as("vb")).head()
+    val n = tot.getAs[Long]("n")
+    require(n > 0L, "no bigrams")
+    val nD = n.toDouble
+    val hB = big.agg(
+      F.sum(-(F.col("cb") / nD) * F.log(F.col("cb") / nD)).as("h"))
+      .head().getDouble(0)
+    val ctx = big
+      .groupBy(F.split(F.col("b"), " ").getItem(0).as("w1"))
+      .agg(F.sum("cb").as("c1"))
+    val ctxAgg = ctx.agg(F.count(F.lit(1)).as("vc"),
+      F.sum(-(F.col("c1") / nD) * F.log(F.col("c1") / nD)).as("h"))
+      .head()
+    val hC = ctxAgg.getAs[Double]("h")
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    val rate = hB - hC
+    Seq((n, tot.getAs[Long]("vb"), ctxAgg.getAs[Long]("vc"),
+      r6(hB), r6(hC), r6(rate), r6(math.exp(rate))))
+      .toDF("n_bigrams", "vocab_bigrams", "vocab_contexts",
+        "h_bigram", "h_context", "h_rate", "perplexity")
+  }
+
   /** Hill diversity numbers of the corpus vocabulary — the unified
     * diversity ladder (ecology's answer to "which diversity index"):
     * D0 = richness (types), D1 = exp(Shannon H) (the number of

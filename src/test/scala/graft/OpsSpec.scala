@@ -5193,6 +5193,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2.getAs[Double]("chapman") == chap)
   }
 
+  test("entropyRate: a deterministic cycle is perfectly predictable") {
+    import spark.implicits._
+    // "a b a b a" → bigrams (a b)×2, (b a)×2: each context has ONE
+    // continuation → H(w2|w1) = 0, perplexity 1
+    val cyc = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    val c = TextOps.entropyRate(cyc, "doc_id", "text").head()
+    assert(c.getAs[Long]("n_bigrams") == 4L)
+    assert(math.abs(c.getAs[Double]("h_rate")) < 1e-9)
+    assert(math.abs(c.getAs[Double]("perplexity") - 1.0) < 1e-9)
+    // "a a a b" style: context 'a' splits 50/50 → H = ln 2 weighted
+    val mix = Seq((1L, "a a a b a a a b")).toDF("doc_id", "text")
+    val m = TextOps.entropyRate(mix, "doc_id", "text").head()
+    assert(m.getAs[Double]("h_rate") > 0.0)
+    assert(m.getAs[Double]("perplexity") > 1.0)
+  }
+
   test("hillNumbers: the diversity ladder on a skewed vocabulary") {
     import spark.implicits._
     val uniform = Seq("a a b b").toDF("text")
