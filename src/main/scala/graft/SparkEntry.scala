@@ -3033,6 +3033,33 @@ object SparkEntry {
       Features.holtByKey(events(s, dir), "event_type", "ts", "value",
           periodUnit = 86400000000000L, alpha = 0.3, beta = 0.1)
         .orderBy("event_type", "period")),
+    "q_holt_winters" -> ((s, dir) =>
+      // Holt–Winters additive per event type over the same daily
+      // means, weekly season (m = 7) learned from a zero seed: the
+      // triple recurrence replays step-for-step as a recursive CTE
+      // carrying the seven seasonal slots
+      Features.holtWintersByKey(events(s, dir), "event_type", "ts",
+          "value", periodUnit = 86400000000000L, seasonLength = 7,
+          alpha = 0.3, beta = 0.1, gamma = 0.2)
+        .orderBy("event_type", "period")),
+    "q_hw_accuracy" -> ((s, dir) => {
+      // did the seasonals PAY? the shared accuracy fold over
+      // Holt–Winters' and Holt's one-step fits, MASE vs the weekly
+      // seasonal naive — the acceptance metric for the triple model
+      val hw = Features.forecastAccuracyByKey(
+        Features.holtWintersByKey(events(s, dir), "event_type", "ts",
+          "value", periodUnit = 86400000000000L, seasonLength = 7,
+          alpha = 0.3, beta = 0.1, gamma = 0.2),
+        "event_type", "period", "v", "fitted", seasonLag = 7)
+        .withColumn("model", F.lit("holt_winters"))
+      val h = Features.forecastAccuracyByKey(
+        Features.holtByKey(events(s, dir), "event_type", "ts",
+          "value", periodUnit = 86400000000000L, alpha = 0.3,
+          beta = 0.1),
+        "event_type", "period", "v", "fitted", seasonLag = 7)
+        .withColumn("model", F.lit("holt"))
+      hw.unionByName(h).orderBy("model", "event_type")
+    }),
     "q_ar_fit" -> ((s, dir) =>
       // AR(3) per event type via Yule-Walker closed forms over the
       // decimal-exact daily means — the parametric rung above Holt
@@ -5012,6 +5039,20 @@ object SparkEntry {
           (F.col("l_discount") * 100).as("x2")),
         "y", "x1", "x2", lambdas = Seq(0.0, 0.05, 0.3))
         .orderBy("lambda")),
+    "q_lasso_k" -> ((s, dir) =>
+      // the k-feature elastic net past lasso2's two-feature limit:
+      // cyclic coordinate descent on the rounded 3×3 correlation
+      // matrix, α = 0.5 — selection among quantity/discount/
+      // linenumber; each sweep replays one coordinate per step as a
+      // recursive CTE
+      Regression.elasticNetPath(
+        li(s, dir).select(F.col("l_extendedprice").as("y"),
+          F.col("l_quantity").as("x1"),
+          (F.col("l_discount") * 100).as("x2"),
+          F.col("l_linenumber").cast("double").as("x3")),
+        "y", Seq("x1", "x2", "x3"), lambdas = Seq(0.0, 0.05, 0.3),
+        alpha = 0.5)
+        .orderBy("lambda", "feature")),
     "q_weighted_kappa" -> ((s, dir) =>
       // ordinal agreement between two correlated quantity buckets:
       // quadratic weights credit near misses; exact k x k cell counts
@@ -5139,6 +5180,16 @@ object SparkEntry {
           .select(F.col("user_id"), F.col("event_id"), F.col("value")),
         "user_id", "event_id", "value", period = 4)
         .orderBy("user_id", "event_id")),
+    "q_seasonal_strength" -> ((s, dir) =>
+      // Hyndman's F_s / F_t router over the period-4 decomposition:
+      // one variance fold of the already-hash-checked rounded
+      // component columns decides which users' series are genuinely
+      // seasonal / trending — the decompose's acceptance metric
+      Features.seasonalStrengthByKey(
+        events(s, dir).where(F.col("user_id") < 10)
+          .select(F.col("user_id"), F.col("event_id"), F.col("value")),
+        "user_id", "event_id", "value", period = 4)
+        .orderBy("user_id")),
     "q_boxcox" -> ((s, dir) =>
       // profile-likelihood Box–Cox λ per return flag over the strictly
       // positive price column; the λ grid explodes map-side and the
@@ -5279,6 +5330,41 @@ object SparkEntry {
       Cdc.scd2Build(events(s, dir), "user_id", "ts",
         Seq("event_type"), Seq("event_id"))
         .orderBy("user_id", "version")),
+    "q_stream_scd2" -> ((s, dir) => {
+      // streaming twin of q_scd2 on transformWithState: the open
+      // version per user is the ONLY state; closed intervals emit as
+      // they close, the open row re-emits per batch, and the
+      // closed-wins dedup reconstructs the batch dimension exactly —
+      // hash-checked against the SAME oracle as q_scd2
+      import s.implicits._
+      val saved = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val src = eventsStream(s, dir)
+          .where(F.col("user_id").isNotNull && F.col("ts").isNotNull)
+          .select(F.col("user_id").as("_1"), F.col("ts").as("_2"),
+            F.col("event_id").as("_3"), F.col("event_type").as("_4"))
+          .as[(Long, Long, Long, String)]
+        val out = graft.streaming.StreamingOps.runToBatch(
+          s, graft.streaming.StreamingOps.streamingScd2(src).toDF(),
+          "graft_stream_scd2", outputMode = "update",
+          statePartitions = 8)
+        out.groupBy(F.col("key").as("user_id"), F.col("version"))
+          .agg(F.max("attr").as("event_type"),
+            F.min("validFrom").as("valid_from"),
+            F.max("validTo").as("valid_to"))
+          .withColumn("is_current", F.col("valid_to").isNull)
+          .select("user_id", "event_type", "valid_from", "valid_to",
+            "version", "is_current")
+          .orderBy("user_id", "version")
+      } finally {
+        saved match {
+          case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }),
     "q_reconcile" -> ((s, dir) => {
       // bucketed checksum diff of lineitem vs a copy missing every
       // 997th order: counts + order-independent hash sums localize the
@@ -5469,10 +5555,223 @@ object SparkEntry {
        |    0.0 AS sd FROM c1
        |$sel)
        |SELECT "rank", vec_id,
-       |  round_even(sd * 1e6, 0) / 1e6 AS sel_dist,
-       |  round_even(cov.r * 1e6, 0) / 1e6 AS coverage_radius
+       |  round_even(sqrt(sd) * 1e6, 0) / 1e6 AS sel_dist,
+       |  round_even(sqrt(cov.r) * 1e6, 0) / 1e6 AS coverage_radius
        |FROM sel, cov ORDER BY "rank"""".stripMargin
   }
+
+  /** SCD2 replay shared by q_scd2 (batch windows) and q_stream_scd2
+    * (transformWithState) — ONE copy: the two engines must agree on
+    * the same dimension, so a contract fix can never update one and
+    * silently leave the twin stale. */
+  private def scd2OracleSql: String =
+    """WITH e AS (SELECT user_id AS k, epoch_ns(ts) AS t,
+      |    event_type AS a, event_id AS id
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |w AS (SELECT k, t, a, id,
+      |    row_number() OVER win AS rn,
+      |    lag(a) OVER win AS pa
+      |  FROM e WINDOW win AS (PARTITION BY k ORDER BY t, id)),
+      |c AS (SELECT k, t, a, id FROM w
+      |  WHERE rn = 1 OR a IS DISTINCT FROM pa),
+      |f AS (SELECT k, a AS event_type, t AS valid_from,
+      |    lead(t) OVER win2 AS valid_to,
+      |    CAST(row_number() OVER win2 AS BIGINT) AS version
+      |  FROM c WINDOW win2 AS (PARTITION BY k ORDER BY t, id))
+      |SELECT k AS user_id, event_type, valid_from, valid_to,
+      |  version, valid_to IS NULL AS is_current
+      |FROM f ORDER BY user_id, version""".stripMargin
+
+  /** q_lasso_k replay: the q_lasso recursion generalized to k = 3 —
+    * ONE coordinate per step, cycling j = i mod 3 (the engine's exact
+    * Gauss–Seidel order), with the α = 0.5 soft threshold and the
+    * elastic-net ridge shrink in the same expression shape. */
+  private def lassoKOracleSql: String = {
+    def upd(j: Int): String = {
+      val others = Seq(1, 2, 3).filter(_ != j)
+      def rr(a: Int, b: Int) = s"c.r${math.min(a, b)}${math.max(a, b)}"
+      val z = s"c.r${j}y" +
+        others.map(o => s" - ${rr(j, o)} * b$o").mkString
+      s"sign($z)\n      * greatest(abs($z) - lambda * 0.5, 0.0)\n" +
+        s"      / (1.0 + lambda * (1.0 - 0.5))"
+    }
+    def ds(expr: String, as: String) =
+      s"CAST(sum(CAST($expr AS DECIMAL(38,6))) AS DOUBLE) AS $as"
+    val x = Map(1 -> "CAST(l_quantity AS DOUBLE)",
+      2 -> "(CAST(l_discount AS DOUBLE) * 100)",
+      3 -> "CAST(l_linenumber AS DOUBLE)")
+    val yv = "CAST(l_extendedprice AS DOUBLE)"
+    val sums = (1 to 3).map(i => ds(x(i), s"s$i")) ++
+      (for { i <- 1 to 3; j <- i to 3 }
+        yield ds(s"${x(i)} * ${x(j)}", s"s$i$j")) ++
+      (1 to 3).map(i => ds(s"${x(i)} * $yv", s"s${i}y")) ++
+      Seq(ds(yv, "sy"), ds(s"$yv * $yv", "syy"))
+    def mean(i: Int) = s"s$i / CAST(n AS DOUBLE)"
+    def sd(i: Int) =
+      s"sqrt(s$i$i / CAST(n AS DOUBLE) - (${mean(i)}) * (${mean(i)}))"
+    def corr(a: String, ma: String, sda: String,
+             mb: String, sdb: String) =
+      s"round_even(($a / CAST(n AS DOUBLE) - $ma * $mb)\n" +
+        s"      / ($sda * $sdb) * 1e6, 0) / 1e6"
+    val outs = (1 to 3).map { i =>
+      s"""  SELECT lambda, 'x$i' AS feature,
+         |    round_even(b$i * 1e6, 0) / 1e6 AS beta_std,
+         |    round_even(b$i * c.sdy / c.sd$i * 1e6, 0) / 1e6 AS beta,
+         |    round_even((c.my - b1 * c.sdy / c.sd1 * c.m1
+         |      - b2 * c.sdy / c.sd2 * c.m2
+         |      - b3 * c.sdy / c.sd3 * c.m3) * 1e6, 0) / 1e6
+         |      AS intercept,
+         |    CAST((CASE WHEN b1 <> 0.0 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN b2 <> 0.0 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN b3 <> 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_nonzero
+         |  FROM cd, co c WHERE i = 60""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    ${sums.mkString(",\n    ")}
+       |  FROM lineitem WHERE l_quantity IS NOT NULL
+       |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+       |    AND l_discount IS NOT NULL
+       |    AND NOT isnan(CAST(l_discount AS DOUBLE) * 100)
+       |    AND l_linenumber IS NOT NULL
+       |    AND NOT isnan(CAST(l_linenumber AS DOUBLE))
+       |    AND l_extendedprice IS NOT NULL
+       |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+       |mo AS (SELECT n, ${(1 to 3).map(i =>
+              s"${mean(i)} AS m$i").mkString(", ")},
+       |    sy / CAST(n AS DOUBLE) AS my,
+       |    ${(1 to 3).map(i => s"${sd(i)} AS sd$i").mkString(",\n    ")},
+       |    sqrt(syy / CAST(n AS DOUBLE) - (sy / CAST(n AS DOUBLE))
+       |      * (sy / CAST(n AS DOUBLE))) AS sdy,
+       |    s12, s13, s23, s1y, s2y, s3y FROM g),
+       |co AS (SELECT n, m1, m2, m3, my, sd1, sd2, sd3, sdy,
+       |    ${corr("s12", "m1", "sd1", "m2", "sd2")} AS r12,
+       |    ${corr("s13", "m1", "sd1", "m3", "sd3")} AS r13,
+       |    ${corr("s23", "m2", "sd2", "m3", "sd3")} AS r23,
+       |    ${corr("s1y", "m1", "sd1", "my", "sdy")} AS r1y,
+       |    ${corr("s2y", "m2", "sd2", "my", "sdy")} AS r2y,
+       |    ${corr("s3y", "m3", "sd3", "my", "sdy")} AS r3y
+       |  FROM mo),
+       |lam AS (SELECT CAST(l AS DOUBLE) AS lambda
+       |  FROM (VALUES (0.0), (0.05), (0.3)) AS t(l)),
+       |cd AS (
+       |  SELECT lambda, 0 AS i, CAST(0.0 AS DOUBLE) AS b1,
+       |    CAST(0.0 AS DOUBLE) AS b2, CAST(0.0 AS DOUBLE) AS b3
+       |  FROM lam
+       |  UNION ALL
+       |  SELECT lambda, i + 1,
+       |    CASE WHEN i % 3 = 0 THEN ${upd(1)} ELSE b1 END,
+       |    CASE WHEN i % 3 = 1 THEN ${upd(2)} ELSE b2 END,
+       |    CASE WHEN i % 3 = 2 THEN ${upd(3)} ELSE b3 END
+       |  FROM cd, co c WHERE i < 60)
+       |$outs
+       |ORDER BY lambda, feature""".stripMargin
+  }
+
+  /** Shared e/cells/idx prologue for the Holt–Winters replays: the
+    * q_holt daily-mean cells with a per-key 1-based row index. */
+  private def hwIdxSql: String =
+    """e AS (SELECT event_type AS k, epoch_ns(ts) AS t,
+      |    CAST(value AS DOUBLE) AS v FROM events
+      |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      |    AND value IS NOT NULL AND NOT isnan(value)),
+      |cells AS (SELECT k, t // 86400000000000 AS p,
+      |    CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+      |      AS mv
+      |  FROM e GROUP BY k, p),
+      |idx AS (SELECT k, p, mv, CAST(row_number() OVER (PARTITION BY k
+      |    ORDER BY p) AS BIGINT) AS i FROM cells)""".stripMargin
+
+  /** The Holt–Winters recursive CTE body: m = 7 seasonal slots as
+    * scalar columns, one step per period, phase = (i − 1) mod 7. */
+  private def hwRecursionSql: String = {
+    val sOld = "CASE (idx.i - 1) % 7 " +
+      (0 until 7).map(j => s"WHEN $j THEN hw.s$j").mkString(" ") +
+      " END"
+    val lNew = s"(0.3 * (idx.mv - $sOld)\n" +
+      s"      + (1.0 - 0.3) * (hw.l + hw.b))"
+    val bNew = s"(0.1 * ($lNew - hw.l) + (1.0 - 0.1) * hw.b)"
+    def sNew(j: Int) =
+      s"CASE WHEN (idx.i - 1) % 7 = $j\n" +
+        s"      THEN 0.2 * (idx.mv - $lNew) + (1.0 - 0.2) * hw.s$j\n" +
+        s"      ELSE hw.s$j END"
+    val sCols = (0 until 7).map(j => s"s$j").mkString(", ")
+    val seedS = (0 until 7).map(_ => "CAST(0.0 AS DOUBLE)")
+      .mkString(",\n    ")
+    s"""hw(k, i, p, mv, l, b, $sCols, fit) AS (
+       |  SELECT k, i, p, mv, mv, CAST(0.0 AS DOUBLE),
+       |    $seedS,
+       |    CAST(NULL AS DOUBLE) FROM idx WHERE i = 1
+       |  UNION ALL
+       |  SELECT idx.k, idx.i, idx.p, idx.mv,
+       |    $lNew,
+       |    $bNew,
+       |    ${(0 until 7).map(sNew).mkString(",\n    ")},
+       |    hw.l + hw.b + $sOld
+       |  FROM hw JOIN idx ON idx.k = hw.k AND idx.i = hw.i + 1)"""
+      .stripMargin
+  }
+
+  private def hwOracleSql: String = {
+    val seaOut = "CASE (i - 1) % 7 " +
+      (0 until 7).map(j => s"WHEN $j THEN s$j").mkString(" ") + " END"
+    s"""WITH RECURSIVE $hwIdxSql,
+       |$hwRecursionSql
+       |SELECT k AS event_type, p AS period, round(mv, 6) AS v,
+       |  round(l, 6) + 0.0 AS level, round(b, 6) + 0.0 AS trend,
+       |  round($seaOut, 6) + 0.0 AS seasonal,
+       |  round(fit, 6) + 0.0 AS fitted
+       |FROM hw ORDER BY event_type, period""".stripMargin
+  }
+
+  /** q_hw_accuracy replay: both recurrences (HW and plain Holt) over
+    * the shared daily-mean cells, then the q_ar_accuracy fold per
+    * (model, key) with the weekly seasonal-naive MASE denominator. */
+  private def hwAccuracyOracleSql: String =
+    s"""WITH RECURSIVE $hwIdxSql,
+       |$hwRecursionSql,
+       |ho(k, i, p, mv, l, b) AS (
+       |  SELECT k, i, p, mv, mv, CAST(0.0 AS DOUBLE) FROM idx
+       |  WHERE i = 1
+       |  UNION ALL
+       |  SELECT idx.k, idx.i, idx.p, idx.mv,
+       |    0.3 * idx.mv + (1.0 - 0.3) * (ho.l + ho.b),
+       |    0.1 * ((0.3 * idx.mv + (1.0 - 0.3) * (ho.l + ho.b)) - ho.l)
+       |      + (1.0 - 0.1) * ho.b
+       |  FROM ho JOIN idx ON idx.k = ho.k AND idx.i = ho.i + 1),
+       |fitu AS (
+       |  SELECT 'holt_winters' AS model, k, p, round(mv, 6) AS a,
+       |    round(fit, 6) AS pr FROM hw
+       |  UNION ALL
+       |  SELECT 'holt', k, p, round(mv, 6),
+       |    round(lag(l) OVER (PARTITION BY k ORDER BY i)
+       |      + lag(b) OVER (PARTITION BY k ORDER BY i), 6) FROM ho),
+       |w2 AS (SELECT model, k, p, a, pr,
+       |    lag(a, 7) OVER (PARTITION BY model, k ORDER BY p) AS nv
+       |  FROM fitu),
+       |agg AS (SELECT model, k,
+       |    CAST(sum(CASE WHEN pr IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_scored,
+       |    sum(CASE WHEN pr IS NOT NULL THEN abs(a - pr) END) AS sae,
+       |    sum(CASE WHEN pr IS NOT NULL
+       |      THEN abs(a - pr) * abs(a - pr) END) AS sse,
+       |    sum(CASE WHEN pr IS NOT NULL AND a <> 0.0
+       |      THEN abs(a - pr) / abs(a) END) AS sape,
+       |    CAST(sum(CASE WHEN pr IS NOT NULL AND a <> 0.0
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS nape,
+       |    sum(CASE WHEN nv IS NOT NULL THEN abs(a - nv) END) AS snv,
+       |    CAST(sum(CASE WHEN nv IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS nnv
+       |  FROM w2 GROUP BY model, k)
+       |SELECT k AS event_type, n_scored,
+       |  round(sae / n_scored, 6) AS mae,
+       |  round(sqrt(sse / n_scored), 6) AS rmse,
+       |  CASE WHEN nape > 0 THEN round(sape / nape, 6) END AS mape,
+       |  CASE WHEN nnv > 0 AND snv / nnv > 0.0
+       |    THEN round((sae / n_scored) / (snv / nnv), 6) END AS mase,
+       |  model
+       |FROM agg WHERE n_scored > 0
+       |ORDER BY model, event_type""".stripMargin
 
   private def codyErfcSql(y: String): String = {
     val z = s"($y * $y)"
@@ -13320,6 +13619,11 @@ object SparkEntry {
         |  round(lag(l) OVER (PARTITION BY k ORDER BY i)
         |    + lag(b) OVER (PARTITION BY k ORDER BY i), 6) AS fitted
         |FROM hw ORDER BY event_type, period""".stripMargin,
+    // Holt-Winters replay: the q_holt recursion with seven seasonal
+    // slots carried as scalar columns, phase = (i-1) mod 7.
+    "q_holt_winters" -> hwOracleSql,
+    // Both recurrences + the shared q_ar_accuracy fold per model.
+    "q_hw_accuracy" -> hwAccuracyOracleSql,
     // Mahalanobis replay: per-group raw moments, the explicit 2x2
     // inverse as column arithmetic, the identical d2 shape, exact
     // flag counts.
@@ -15882,9 +16186,16 @@ object SparkEntry {
         |    sum(a.p) AS ma, sum(b.p) AS mb
         |  FROM p a JOIN p b ON a.w = b.w AND a.s < b.s
         |  GROUP BY a.s, b.s),
-        |j AS (SELECT sa, sb, n_shared_words,
-        |    (ta + (1.0 - ma) * ln(2.0) + tb + (1.0 - mb) * ln(2.0))
-        |      / 2.0 AS jsd FROM m)
+        |pr AS (SELECT a.s AS sa, b.s AS sb FROM tot a, tot b
+        |  WHERE a.s < b.s),
+        |j AS (SELECT pr.sa, pr.sb,
+        |    coalesce(m.n_shared_words, CAST(0 AS BIGINT))
+        |      AS n_shared_words,
+        |    (coalesce(m.ta, 0.0) + (1.0 - coalesce(m.ma, 0.0)) * ln(2.0)
+        |      + coalesce(m.tb, 0.0)
+        |      + (1.0 - coalesce(m.mb, 0.0)) * ln(2.0))
+        |      / 2.0 AS jsd FROM pr LEFT JOIN m
+        |    ON pr.sa = m.sa AND pr.sb = m.sb)
         |SELECT sa AS slice_a, sb AS slice_b, n_shared_words,
         |  round(jsd, 6) AS jsd,
         |  round(sqrt(greatest(jsd, 0.0)), 6) AS js_dist
@@ -16209,6 +16520,9 @@ object SparkEntry {
         |    + (CASE WHEN b2 <> 0.0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_nonzero
         |FROM cd, co c WHERE i = 20 ORDER BY lambda""".stripMargin,
+    // k=3 elastic-net replay: one coordinate per recursion step,
+    // cycling j = i mod 3 in the engine's Gauss-Seidel order.
+    "q_lasso_k" -> lassoKOracleSql,
     // Weighted-kappa replay: integer (i, j) cells, quadratic weights
     // on both the observed and expected folds, exact margins.
     "q_weighted_kappa" ->
@@ -16766,6 +17080,72 @@ object SparkEntry {
         |  round_even((d2.dt - ctr.sea) * 1e6, 0) / 1e6 AS remainder
         |FROM d2 LEFT JOIN ctr ON d2.k = ctr.k AND d2.phase = ctr.phase
         |ORDER BY d2.k, d2.t""".stripMargin,
+    // Seasonal-strength replay: the decompose chain's ROUNDED
+    // components (the hash-checked values), decimal-exact variance
+    // folds, Hyndman's clamped 1 - Var(R)/Var(S+R) per key.
+    "q_seasonal_strength" ->
+      """WITH b AS (SELECT user_id AS k, event_id AS t,
+        |    CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE user_id < 10 AND user_id IS NOT NULL
+        |    AND event_id IS NOT NULL AND value IS NOT NULL
+        |    AND NOT isnan(CAST(value AS DOUBLE))),
+        |w AS (SELECT k, t, v,
+        |    CAST((row_number() OVER ord - 1) % 4 AS BIGINT) AS phase,
+        |    sum(v) OVER sp AS s, count(v) OVER sp AS cnt,
+        |    lag(v, 2) OVER ord AS lg, lead(v, 2) OVER ord AS ld
+        |  FROM b
+        |  WINDOW ord AS (PARTITION BY k ORDER BY t),
+        |    sp AS (PARTITION BY k ORDER BY t
+        |      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)),
+        |de AS (SELECT k, t, v, phase,
+        |    CASE WHEN cnt = 5 THEN (s - (lg + ld) * 0.5) / 4.0 END
+        |      AS trd FROM w),
+        |d2 AS (SELECT k, t, v, phase, trd, v - trd AS dt FROM de),
+        |pm AS (SELECT k, phase, avg(dt) AS pmv FROM d2
+        |  WHERE dt IS NOT NULL GROUP BY k, phase),
+        |ctr AS (SELECT k, phase,
+        |    pmv - avg(pmv) OVER (PARTITION BY k) AS sea FROM pm),
+        |comp AS (SELECT d2.k,
+        |    round_even(d2.trd * 1e6, 0) / 1e6 AS tr,
+        |    round_even(ctr.sea * 1e6, 0) / 1e6 AS se,
+        |    round_even((d2.dt - ctr.sea) * 1e6, 0) / 1e6 AS re
+        |  FROM d2 LEFT JOIN ctr ON d2.k = ctr.k AND d2.phase = ctr.phase
+        |  WHERE d2.dt IS NOT NULL AND ctr.sea IS NOT NULL),
+        |ag AS (SELECT k, CAST(count(*) AS BIGINT) AS n_used,
+        |    CAST(sum(CAST(re AS DECIMAL(38,6))) AS DOUBLE) AS sr,
+        |    CAST(sum(CAST(re * re AS DECIMAL(38,6))) AS DOUBLE)
+        |      AS srr,
+        |    CAST(sum(CAST(se + re AS DECIMAL(38,6))) AS DOUBLE) AS ss,
+        |    CAST(sum(CAST((se + re) * (se + re) AS DECIMAL(38,6)))
+        |      AS DOUBLE) AS sss,
+        |    CAST(sum(CAST(tr + re AS DECIMAL(38,6))) AS DOUBLE) AS st,
+        |    CAST(sum(CAST((tr + re) * (tr + re) AS DECIMAL(38,6)))
+        |      AS DOUBLE) AS stt
+        |  FROM comp GROUP BY k)
+        |SELECT k AS user_id, n_used,
+        |  CASE WHEN sss / CAST(n_used AS DOUBLE)
+        |      - (ss / CAST(n_used AS DOUBLE))
+        |      * (ss / CAST(n_used AS DOUBLE)) > 0.0
+        |    THEN round(greatest(0.0, 1.0
+        |      - (srr / CAST(n_used AS DOUBLE)
+        |        - (sr / CAST(n_used AS DOUBLE))
+        |        * (sr / CAST(n_used AS DOUBLE)))
+        |      / (sss / CAST(n_used AS DOUBLE)
+        |        - (ss / CAST(n_used AS DOUBLE))
+        |        * (ss / CAST(n_used AS DOUBLE)))), 6) END
+        |    AS seasonal_strength,
+        |  CASE WHEN stt / CAST(n_used AS DOUBLE)
+        |      - (st / CAST(n_used AS DOUBLE))
+        |      * (st / CAST(n_used AS DOUBLE)) > 0.0
+        |    THEN round(greatest(0.0, 1.0
+        |      - (srr / CAST(n_used AS DOUBLE)
+        |        - (sr / CAST(n_used AS DOUBLE))
+        |        * (sr / CAST(n_used AS DOUBLE)))
+        |      / (stt / CAST(n_used AS DOUBLE)
+        |        - (st / CAST(n_used AS DOUBLE))
+        |        * (st / CAST(n_used AS DOUBLE)))), 6) END
+        |    AS trend_strength
+        |FROM ag WHERE n_used >= 2 ORDER BY user_id""".stripMargin,
     // Per-(group, λ) profile-likelihood cells over the exploded grid,
     // then the per-group argmax (ties → smaller λ)
     "q_boxcox" ->
@@ -17221,12 +17601,12 @@ object SparkEntry {
         |    sum(CASE WHEN coin = 0 THEN v ELSE 0.0 END) AS sa,
         |    sum(CASE WHEN coin = 1 THEN v ELSE 0.0 END) AS sb
         |  FROM perm GROUP BY k),
-        |ge AS (SELECT CAST(sum(CASE WHEN
+        |ge AS (SELECT CAST(sum(CASE WHEN ka = 0 OR kb = 0 THEN 1 WHEN
         |      abs(round(sa / CAST(ka AS DOUBLE)
         |        - sb / CAST(kb AS DOUBLE), 6)) >= (SELECT abs(diff_obs)
         |          FROM ob)
         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
-        |  FROM d WHERE ka > 0 AND kb > 0)
+        |  FROM d)
         |SELECT ob.na AS n_a, ob.nb AS n_b, ob.diff_obs,
         |  CAST(100 AS BIGINT) AS k, ge.n_ge,
         |  round_even((1.0 + ge.n_ge) / 101.0 * 1e6, 0) / 1e6 AS p_value
@@ -17379,23 +17759,10 @@ object SparkEntry {
         |FROM st, n ORDER BY total DESC, term LIMIT 30""".stripMargin,
     // SCD2 replay: null-safe change detection under the (key, ts, id)
     // window, lead() validity intervals, per-key version numbering.
-    "q_scd2" ->
-      """WITH e AS (SELECT user_id AS k, epoch_ns(ts) AS t,
-        |    event_type AS a, event_id AS id
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-        |w AS (SELECT k, t, a, id,
-        |    row_number() OVER win AS rn,
-        |    lag(a) OVER win AS pa
-        |  FROM e WINDOW win AS (PARTITION BY k ORDER BY t, id)),
-        |c AS (SELECT k, t, a, id FROM w
-        |  WHERE rn = 1 OR a IS DISTINCT FROM pa),
-        |f AS (SELECT k, a AS event_type, t AS valid_from,
-        |    lead(t) OVER win2 AS valid_to,
-        |    CAST(row_number() OVER win2 AS BIGINT) AS version
-        |  FROM c WINDOW win2 AS (PARTITION BY k ORDER BY t, id))
-        |SELECT k AS user_id, event_type, valid_from, valid_to,
-        |  version, valid_to IS NULL AS is_current
-        |FROM f ORDER BY user_id, version""".stripMargin,
+    "q_scd2" -> scd2OracleSql,
+    // The streaming twin replays to the IDENTICAL dimension — one
+    // oracle, two engines (batch windows vs transformWithState).
+    "q_stream_scd2" -> scd2OracleSql,
     // Reconciliation replay: identical md5 row/bucket hashing (48-bit
     // prefix mod 1e9), per-bucket counts + hash sums, FULL JOIN.
     "q_reconcile" ->
@@ -17403,20 +17770,24 @@ object SparkEntry {
         |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
         |      1, 8)) AS BIGINT) % 64 AS bucket,
         |    CAST(('0x' || substr(md5(concat_ws('|',
-        |      CAST(l_orderkey AS VARCHAR),
-        |      CAST(l_linenumber AS VARCHAR),
-        |      CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR),
-        |      l_returnflag, l_linestatus)), 1, 12)) AS BIGINT)
+        |      coalesce('v' || CAST(l_orderkey AS VARCHAR), 'n'),
+        |      coalesce('v' || CAST(l_linenumber AS VARCHAR), 'n'),
+        |      coalesce('v' || CAST(l_partkey AS VARCHAR), 'n'),
+        |      coalesce('v' || CAST(l_suppkey AS VARCHAR), 'n'),
+        |      coalesce('v' || l_returnflag, 'n'),
+        |      coalesce('v' || l_linestatus, 'n'))), 1, 12)) AS BIGINT)
         |      % 1000000000 AS h
         |  FROM lineitem WHERE l_orderkey IS NOT NULL),
         |hb AS (SELECT
         |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
         |      1, 8)) AS BIGINT) % 64 AS bucket,
         |    CAST(('0x' || substr(md5(concat_ws('|',
-        |      CAST(l_orderkey AS VARCHAR),
-        |      CAST(l_linenumber AS VARCHAR),
-        |      CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR),
-        |      l_returnflag, l_linestatus)), 1, 12)) AS BIGINT)
+        |      coalesce('v' || CAST(l_orderkey AS VARCHAR), 'n'),
+        |      coalesce('v' || CAST(l_linenumber AS VARCHAR), 'n'),
+        |      coalesce('v' || CAST(l_partkey AS VARCHAR), 'n'),
+        |      coalesce('v' || CAST(l_suppkey AS VARCHAR), 'n'),
+        |      coalesce('v' || l_returnflag, 'n'),
+        |      coalesce('v' || l_linestatus, 'n'))), 1, 12)) AS BIGINT)
         |      % 1000000000 AS h
         |  FROM lineitem WHERE l_orderkey IS NOT NULL
         |    AND l_orderkey % 997 <> 0),

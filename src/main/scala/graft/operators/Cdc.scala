@@ -66,7 +66,12 @@ object Cdc {
     * O(B) driver traffic and zero row transfer.
     *
     * Hash columns must be integer/string typed (float-to-string
-    * rendering differs across engines; cast or round upstream).
+    * rendering differs across engines; cast or round upstream). NULLs
+    * are encoded explicitly — each column renders as `v<value>` or the
+    * bare sentinel `n` when NULL — so rows differing only in WHICH
+    * column holds a NULL (e.g. (x, NULL) vs (NULL, x)) hash
+    * differently; a plain concat_ws would skip NULLs and let such
+    * diffs cancel silently.
     *
     * @return one row per bucket present on either side: (bucket,
     *         count_a, count_b, hash_a, hash_b, is_match) */
@@ -77,7 +82,9 @@ object Cdc {
     require(hashCols.nonEmpty, "need at least one hash column")
     def side(df: DataFrame, cntAs: String, sumAs: String): DataFrame = {
       val rowHash = F.conv(F.substring(F.md5(
-        F.concat_ws("|", hashCols.map(c => F.col(c).cast("string")): _*)
+        F.concat_ws("|", hashCols.map(c =>
+          F.coalesce(F.concat(F.lit("v"), F.col(c).cast("string")),
+            F.lit("n"))): _*)
           .cast("binary")), 1, 12), 16, 10).cast("long") % 1000000000L
       val bucket = F.conv(F.substring(F.md5(
         F.col(keyCol).cast("string").cast("binary")), 1, 8), 16, 10)

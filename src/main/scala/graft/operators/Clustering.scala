@@ -181,7 +181,10 @@ object Clustering {
     * Scale shape: k argmax jobs (one TakeOrdered each), centers
     * broadcast as literals, squared distances fold LEFT-TO-RIGHT over
     * the dimensions (`aggregate` over `zip_with`) so every comparison
-    * replays bit-for-bit; the tie-break is the lowest id.
+    * replays bit-for-bit; the tie-break is the lowest id. Selection
+    * compares SQUARED distances (argmax commutes with squaring);
+    * outputs take the sqrt so sel_dist / coverage_radius are true
+    * Euclidean distances, not squared ones.
     *
     * @return k rows: (rank, idCol, sel_dist, coverage_radius) */
   def kCenterCoreset(df: DataFrame, idCol: String, embCol: String,
@@ -216,8 +219,8 @@ object Clustering {
       val minAll = centers.map(c => sqDist(c._2)).reduce(F.least(_, _))
       val radius = pts.agg(F.max(minAll)).head().getDouble(0)
       centers.zipWithIndex.map { case ((id, _, d), i) =>
-        (i + 1L, id, math.rint(d * 1e6) / 1e6,
-          math.rint(radius * 1e6) / 1e6)
+        (i + 1L, id, math.rint(math.sqrt(d) * 1e6) / 1e6,
+          math.rint(math.sqrt(radius) * 1e6) / 1e6)
       }.toDF("rank", idCol, "sel_dist", "coverage_radius")
     } finally pts.unpersist(blocking = false)
   }

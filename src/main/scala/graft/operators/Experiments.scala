@@ -1346,6 +1346,11 @@ object Experiments {
     * md5 coin md5(id ⊕ k) for k = 1..K, and ask how often the
     * re-randomized |Δmean| beats the observed one;
     * p = (1 + #{≥}) / (K + 1) (add-one to keep p > 0, Phipson–Smyth).
+    * The coin is a free 50/50 re-RANDOMIZATION, not a fixed-margin
+    * permutation: each draw's n_a/n_b vary binomially around the
+    * half-split (the reported n_a/n_b describe only the OBSERVED
+    * assignment). Draws that degenerate to one side count as
+    * exceedances, keeping p conservative.
     *
     * Scale shape: ONE pass with a K-way explode that map-side-combines
     * to K×2 partial sums per partition — no row-scale shuffle, no RNG
@@ -1392,11 +1397,14 @@ object Experiments {
         .otherwise(F.lit(0.0))).as("sa"),
       F.sum(F.when(F.col("__coin") === 1L, F.col("__v"))
         .otherwise(F.lit(0.0))).as("sb"))
+    // degenerate all-one-side draws count as EXCEEDANCES (the
+    // conservative Phipson-Smyth direction) rather than shrinking the
+    // numerator while K+1 stays the denominator, which would deflate p
     val nGe = diffs
-      .where(F.col("ka") > 0L && F.col("kb") > 0L)
-      .select(F.when(
-        F.abs(F.round(F.col("sa") / F.col("ka") -
-          F.col("sb") / F.col("kb"), 6)) >= F.lit(math.abs(dObs)), 1L)
+      .select(F.when(F.col("ka") === 0L || F.col("kb") === 0L, 1L)
+        .when(
+          F.abs(F.round(F.col("sa") / F.col("ka") -
+            F.col("sb") / F.col("kb"), 6)) >= F.lit(math.abs(dObs)), 1L)
         .otherwise(0L).as("ge"))
       .agg(F.sum("ge")).head().getLong(0)
     val p = math.rint((1.0 + nGe) / (k + 1.0) * 1e6) / 1e6

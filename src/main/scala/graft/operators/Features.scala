@@ -630,6 +630,86 @@ object Features {
         F.round(F.col("__e._5"), 6).as("fitted"))
   }
 
+  /** Holt–Winters ADDITIVE triple smoothing per key — [[holtByKey]]'s
+    * level+trend recurrence extended with a length-m seasonal state,
+    * closing the classical-forecasting ladder (ewma → Holt → HW):
+    *
+    *   fit_t = l + b + s_{t mod m}                (one-step-ahead)
+    *   l_t = α(v_t − s_{t mod m}) + (1−α)(l + b)
+    *   b_t = β(l_t − l) + (1−β)·b
+    *   s_{t mod m} ← γ(v_t − l_t) + (1−γ)·s_{t mod m}
+    *
+    * with the pinned zero-knowledge initialization l₀ = v₀, b₀ = 0,
+    * s ≡ 0 — the seasonals LEARN from the data (the first cycle fits
+    * like Holt), so the whole trajectory is a pure deterministic
+    * function of the decimal-exact period means and replays
+    * step-for-step in a recursive CTE carrying the m seasonal slots.
+    * The phase is the 0-based ROW INDEX mod m within each key's
+    * period-ordered series (index, not period value, so gaps don't
+    * desynchronize engine and oracle).
+    *
+    * Scale shape identical to [[holtByKey]]: the per-key state is the
+    * PERIOD frame (bounded by the time span, never rows), one
+    * collect_list per key, sequential UDF fold (no window expresses
+    * the coupled recurrence), explode back to long form. Score it
+    * with [[forecastAccuracyByKey]] against Holt and seasonal-naive.
+    *
+    * @return one row per (key, period): (keyCol, period, v, level,
+    *         trend, seasonal, fitted) — fitted null at the first
+    *         period, doubles rounded to 6 */
+  def holtWintersByKey(df: DataFrame, keyCol: String, tsCol: String,
+                       valueCol: String, periodUnit: Long,
+                       seasonLength: Int, alpha: Double,
+                       beta: Double, gamma: Double): DataFrame = {
+    require(periodUnit > 0L, "periodUnit must be positive")
+    require(seasonLength >= 2, "seasonLength must be >= 2")
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0,1]")
+    require(beta >= 0.0 && beta <= 1.0, "beta must be in [0,1]")
+    require(gamma >= 0.0 && gamma <= 1.0, "gamma must be in [0,1]")
+    val m = seasonLength
+    val v = F.col(valueCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    val cells = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull && v.isNotNull &&
+        !F.isnan(v))
+      .groupBy(F.col(keyCol).as("__k"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("__p"))
+      .agg((F.sum(v.cast("decimal(38,6)")).cast("double") /
+        F.count(F.lit(1))).as("__v"))
+    val hwUdf = F.udf((s: Seq[org.apache.spark.sql.Row]) => {
+      val pts = s.map(r => (r.getLong(0), r.getDouble(1)))
+      var l = 0.0; var b = 0.0
+      val sea = Array.fill(m)(0.0)
+      pts.zipWithIndex.map { case ((p, x), i) =>
+        val ph = i % m
+        if (i == 0) {
+          l = x; b = 0.0
+          (p, x, l, b, sea(ph), Option.empty[Double])
+        } else {
+          val sOld = sea(ph)
+          val fit = l + b + sOld
+          val lPrev = l
+          l = alpha * (x - sOld) + (1.0 - alpha) * (lPrev + b)
+          b = beta * (l - lPrev) + (1.0 - beta) * b
+          sea(ph) = gamma * (x - l) + (1.0 - gamma) * sOld
+          (p, x, l, b, sea(ph), Some(fit))
+        }
+      }
+    })
+    cells
+      .groupBy("__k")
+      .agg(F.sort_array(F.collect_list(F.struct(F.col("__p"),
+        F.col("__v")))).as("__s"))
+      .select(F.col("__k"), F.explode(hwUdf(F.col("__s"))).as("__e"))
+      .select(F.col("__k").as(keyCol),
+        F.col("__e._1").as("period"),
+        F.round(F.col("__e._2"), 6).as("v"),
+        F.round(F.col("__e._3"), 6).as("level"),
+        F.round(F.col("__e._4"), 6).as("trend"),
+        F.round(F.col("__e._5"), 6).as("seasonal"),
+        F.round(F.col("__e._6"), 6).as("fitted"))
+  }
+
   /** Ljung–Box portmanteau test per key — "is there ANY serial
     * correlation left in this series" ([[acfByKey]] reports the
     * per-lag coefficients; this aggregates them into the standard
@@ -1125,6 +1205,59 @@ object Features {
         F.round(F.col("__tr"), 6).as("trend"),
         F.round(F.col("__sea"), 6).as("seasonal"),
         F.round(F.col("__de") - F.col("__sea"), 6).as("remainder"))
+  }
+
+  /** Hyndman–Wang seasonal/trend STRENGTH per key — the one-number
+    * "is this series actually seasonal (trending)" router on top of
+    * [[seasonalDecompose]], the acceptance metric the decomposition
+    * itself lacks (the modularity-for-labelPropagation analogue):
+    *
+    *   F_s = max(0, 1 − Var(R) / Var(S + R)),
+    *   F_t = max(0, 1 − Var(R) / Var(T + R))
+    *
+    * over the interior rows where the centered-MA trend (hence the
+    * remainder) is defined. Near 1 = the component dominates; near 0
+    * = noise — route to [[holtWintersByKey]] when F_s is high, plain
+    * [[holtByKey]] when it is not.
+    *
+    * Replay shape: the variances fold DECIMAL-exact sums of the
+    * decomposition's 6-ROUNDED component columns (already
+    * hash-checked values), so both engines aggregate bit-identical
+    * inputs; population variance, strengths rounded to 6. Cost =
+    * [[seasonalDecompose]] + one per-key aggregation.
+    *
+    * @return one row per key: (keyCol, n_used, seasonal_strength,
+    *         trend_strength) — null strength when the component
+    *         variance is zero */
+  def seasonalStrengthByKey(df: DataFrame, keyCol: String,
+                            tsCol: String, valueCol: String,
+                            period: Int): DataFrame = {
+    val dec = seasonalDecompose(df, keyCol, tsCol, valueCol, period)
+    def dsum(c: org.apache.spark.sql.Column) =
+      F.sum(c.cast("decimal(38,6)")).cast("double")
+    val r = F.col("remainder")
+    val sr = F.col("seasonal") + F.col("remainder")
+    val tr = F.col("trend") + F.col("remainder")
+    val agg = dec.where(r.isNotNull)
+      .groupBy(F.col(keyCol))
+      .agg(F.count(F.lit(1)).as("n_used"),
+        dsum(r).as("__sr"), dsum(r * r).as("__srr"),
+        dsum(sr).as("__ss"), dsum(sr * sr).as("__sss"),
+        dsum(tr).as("__st"), dsum(tr * tr).as("__stt"))
+    val n = F.col("n_used").cast("double")
+    def varOf(s: String, ss: String) =
+      F.col(ss) / n - (F.col(s) / n) * (F.col(s) / n)
+    val vR = varOf("__sr", "__srr")
+    val vS = varOf("__ss", "__sss")
+    val vT = varOf("__st", "__stt")
+    agg.where(F.col("n_used") >= 2L)
+      .select(F.col(keyCol), F.col("n_used"),
+        F.when(vS > 0.0, F.round(
+          F.greatest(F.lit(0.0), F.lit(1.0) - vR / vS), 6))
+          .as("seasonal_strength"),
+        F.when(vT > 0.0, F.round(
+          F.greatest(F.lit(0.0), F.lit(1.0) - vR / vT), 6))
+          .as("trend_strength"))
   }
 
   /** Box–Cox normalizing-power selection per group by profile

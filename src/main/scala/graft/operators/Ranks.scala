@@ -317,8 +317,10 @@ object Ranks {
     * O(n²): rows reduce to (x, y) cells in one aggregation first, so
     * the operator scales to any row count whose joint support is
     * bounded (quantities, buckets, grades...). For continuous columns,
-    * bucket first. Pair counts are exact Longs (overflows only past
-    * ~4·10⁹ rows — switch the sums to DECIMAL(38,0) beyond that).
+    * bucket first — a LOUD cardinality guard refuses row-scale cell
+    * frames rather than silently attempting the quadratic join. Pair
+    * counts are exact Longs (overflows only past ~4·10⁹ rows — switch
+    * the sums to DECIMAL(38,0) beyond that).
     *
     * @return one row: (n, concordant, discordant, tau_b rounded to 6;
     *         null τ when either margin is all-ties) */
@@ -330,6 +332,12 @@ object Ranks {
       .groupBy(a.as("__x"), b.as("__y"))
       .agg(F.count(F.lit(1)).as("__c"))
       .localCheckpoint(true)
+    // loud guard, not a silent cap: the concordance join is |cells|²
+    val nCells = cells.count()
+    require(nCells <= 16384L,
+      s"$nCells joint cells — kendallTauB is exact on LOW-CARDINALITY " +
+        "pairs (the cell join is O(cells²)); bin/quantize the " +
+        "columns first")
     val l = cells.select(F.col("__x").as("__xl"), F.col("__y").as("__yl"),
       F.col("__c").as("__cl"))
     val r = cells.select(F.col("__x").as("__xr"), F.col("__y").as("__yr"),

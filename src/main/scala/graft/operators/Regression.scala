@@ -1901,6 +1901,104 @@ object Regression {
       "intercept", "n_nonzero")
   }
 
+  /** k-feature lasso / elastic-net path by CYCLIC coordinate descent
+    * on the rounded correlation matrix — [[lasso2]] generalized past
+    * two features over [[olsFit]]'s one-pass Gram machinery: on
+    * standardized features and centered response the coordinate-j
+    * update is the closed-form soft threshold
+    *
+    *   β_j ← S(r_jy − Σ_{l≠j} r_jl·β_l, λα) / (1 + λ(1−α)),
+    *   S(z, t) = sign(z)·max(|z|−t, 0)
+    *
+    * (α = 1 pure lasso, α → 0 toward ridge; in between the elastic
+    * net that keeps correlated features selected together). ONE
+    * decimal-exact moment pass collapses the data to k(k+3)/2 + 3
+    * sufficient statistics; the whole path — every λ, every sweep,
+    * every coordinate — is then driver arithmetic on the 6-ROUNDED
+    * correlations, so the trajectory is a pure function of rounded
+    * scalars and replays bit-for-bit (the exact twin is a recursive
+    * CTE updating ONE coordinate per step, cycling j = step mod k).
+    * Updates are Gauss–Seidel: each coordinate sees the freshest
+    * values of the others, left-to-right subtraction order.
+    *
+    * @return one row per (λ, feature): (lambda, feature, beta_std,
+    *         beta, intercept, n_nonzero) — intercept and n_nonzero
+    *         repeat across a λ's rows for a tidy long frame */
+  def elasticNetPath(df: DataFrame, yCol: String, xCols: Seq[String],
+                     lambdas: Seq[Double], alpha: Double = 1.0,
+                     rounds: Int = 20): DataFrame = {
+    require(xCols.length >= 2, "need at least two features")
+    require(xCols.distinct.length == xCols.length, "duplicate feature")
+    require(lambdas.nonEmpty, "need at least one lambda")
+    require(lambdas.forall(_ >= 0.0), "lambdas must be non-negative")
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0,1]")
+    require(rounds >= 1, "need at least one sweep")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = xCols.length
+    val xs = xCols.map(c => F.col(c).cast("double"))
+    val y = F.col(yCol).cast("double")
+    def dsum(c: org.apache.spark.sql.Column) =
+      F.sum(c.cast("decimal(38,6)")).cast("double")
+    val ok = (xs :+ y).map(c => c.isNotNull && !F.isnan(c))
+      .reduce(_ && _)
+    val aggCols =
+      (0 until k).map(i => dsum(xs(i)).as(s"s_$i")) ++
+      (for { i <- 0 until k; j <- i until k }
+        yield dsum(xs(i) * xs(j)).as(s"s_${i}_$j")) ++
+      (0 until k).map(i => dsum(xs(i) * y).as(s"sy_$i")) ++
+      Seq(dsum(y).as("sy"), dsum(y * y).as("syy"),
+        F.count(F.lit(1)).as("n"))
+    val m = df.where(ok).agg(aggCols.head, aggCols.tail: _*).head()
+    val n = m.getAs[Long]("n").toDouble
+    require(n >= k + 2.0, s"need at least ${k + 2} complete rows")
+    def g(c: String) = m.getAs[Double](c)
+    val means = Array.tabulate(k)(i => g(s"s_$i") / n)
+    val my = g("sy") / n
+    val sds = Array.tabulate(k) { i =>
+      val v = g(s"s_${i}_$i") / n - means(i) * means(i)
+      require(v > 0.0, s"degenerate feature ${xCols(i)}")
+      math.sqrt(v)
+    }
+    val vy = g("syy") / n - my * my
+    require(vy > 0.0, "degenerate response")
+    val sdy = math.sqrt(vy)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // rounded correlation matrix + response correlations: the ONLY
+    // data-dependent inputs the coordinate descent ever sees
+    val rm = Array.tabulate(k, k) { (i, j) =>
+      if (i == j) 1.0
+      else {
+        val (a, b) = (math.min(i, j), math.max(i, j))
+        r6((g(s"s_${a}_$b") / n - means(a) * means(b)) /
+          (sds(a) * sds(b)))
+      }
+    }
+    val ry = Array.tabulate(k)(i =>
+      r6((g(s"sy_$i") / n - means(i) * my) / (sds(i) * sdy)))
+    def soft(z: Double, l: Double): Double =
+      math.signum(z) * math.max(math.abs(z) - l, 0.0)
+    val rows = lambdas.flatMap { lam =>
+      val b = Array.fill(k)(0.0)
+      var it = 0
+      while (it < rounds * k) {
+        val j = it % k
+        val z = (0 until k).filter(_ != j)
+          .foldLeft(ry(j))((acc, l) => acc - rm(j)(l) * b(l))
+        b(j) = soft(z, lam * alpha) / (1.0 + lam * (1.0 - alpha))
+        it += 1
+      }
+      val raw = Array.tabulate(k)(i => b(i) * sdy / sds(i))
+      val icept = (0 until k).foldLeft(my)((acc, i) =>
+        acc - raw(i) * means(i))
+      val nz = b.count(_ != 0.0).toLong
+      (0 until k).map(i =>
+        (lam, xCols(i), r6(b(i)), r6(raw(i)), r6(icept), nz))
+    }
+    rows.toDF("lambda", "feature", "beta_std", "beta", "intercept",
+      "n_nonzero")
+  }
+
   /** Simple-OLS influence diagnostics — the "which rows own this fit"
     * screen: leverage hᵢ = 1/n + (xᵢ−x̄)²/Sxx, internally studentized
     * residual rᵢ = eᵢ/(s·√(1−hᵢ)), Cook's distance
@@ -2098,7 +2196,9 @@ object Regression {
     *
     * Scale shape: ONE x-cell aggregation (DECIMAL-exact sums), then
     * windows over the ≤|distinct x| cell frame (the repo's bounded-
-    * cells contract); the argmin is decided on 6-decimal-ROUNDED SSE
+    * cells contract, enforced by a loud cardinality guard — a
+    * continuous x must be binned first); the argmin is decided on
+    * 6-decimal-ROUNDED SSE
     * with the candidate value as tie-break, so the selection replays.
     *
     * @return one row: (breakpoint, n_left, n_right, slope_left,
@@ -2114,6 +2214,14 @@ object Regression {
       .groupBy(x.as("__x"))
       .agg(F.count(F.lit(1)).as("c"), dsum(y).as("sy"),
         dsum(y * y).as("syy"))
+      .localCheckpoint(true)
+    // loud guard, not a silent cap: the prefix windows below sort the
+    // distinct-x cell frame on ONE reducer — fine for binned/integer
+    // x, a single-reducer blowup on a continuous column
+    val nCells = cells.count()
+    require(nCells <= 65536L,
+      s"$nCells distinct x cells — segmentedOls grid-searches the x " +
+        "support on a single reducer; bin/quantize x first")
     val w = Window.orderBy("__x")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.orderBy("__x")

@@ -1362,7 +1362,10 @@ object TextOps {
     * Scale shape: one (slice, word) count aggregation, one
     * word-keyed self-join restricted to slice_a < slice_b, one fold
     * per pair — the join is |vocab|·|slices|² only where words are
-    * SHARED.
+    * SHARED. The pair list itself comes from a slice-totals cross
+    * join (slices are few), so pairs sharing ZERO vocabulary still
+    * appear — at the metric's maximum JSD = ln 2 — instead of
+    * silently dropping out of the matrix.
     *
     * @return one row per pair: (slice_a, slice_b, n_shared_words,
     *         jsd, js_dist) */
@@ -1391,9 +1394,22 @@ object TextOps {
         F.sum(F.col("pb") * F.log(F.lit(2.0) * F.col("pb") /
           (F.col("pa") + F.col("pb")))).as("tb"),
         F.sum(F.col("pa")).as("ma"), F.sum(F.col("pb")).as("mb"))
+    // every pair appears, even with zero shared vocabulary: the
+    // coalesced zero matched-mass puts such pairs at JSD = ln 2
+    val allPairs = totals.select(F.col("s").as("sa"))
+      .crossJoin(totals.select(F.col("s").as("sb")))
+      .where(F.col("sa") < F.col("sb"))
+      .join(matched, Seq("sa", "sb"), "left")
+      .select(F.col("sa"), F.col("sb"),
+        F.coalesce(F.col("n_shared_words"), F.lit(0L))
+          .as("n_shared_words"),
+        F.coalesce(F.col("ta"), F.lit(0.0)).as("ta"),
+        F.coalesce(F.col("tb"), F.lit(0.0)).as("tb"),
+        F.coalesce(F.col("ma"), F.lit(0.0)).as("ma"),
+        F.coalesce(F.col("mb"), F.lit(0.0)).as("mb"))
     val jsd = (F.col("ta") + (F.lit(1.0) - F.col("ma")) * ln2 +
       F.col("tb") + (F.lit(1.0) - F.col("mb")) * ln2) / 2.0
-    matched
+    allPairs
       .select(F.col("sa").as("slice_a"), F.col("sb").as("slice_b"),
         F.col("n_shared_words"),
         F.round(jsd, 6).as("jsd"),

@@ -671,6 +671,90 @@ object StreamingOps {
     * parameter sizes state to keys/throughput, decoupled from corpus
     * parallelism; it is baked into the checkpoint, so pick it per query,
     * not per session. */
+  /** One SCD2 version row emitted by [[streamingScd2]]: validTo None
+    * while the version is still open. */
+  final case class Scd2Version(key: Long, attr: String, validFrom: Long,
+                               validTo: Option[Long], version: Long)
+
+  /** The open version per key plus the last-processed (ts, id) pair
+    * for the out-of-order guard. */
+  final case class Scd2State(key: Long, attr: String, validFrom: Long,
+                             version: Long, lastTs: Long, lastId: Long)
+
+  /** Streaming type-2 dimension maintenance on `transformWithState` —
+    * the streaming twin of [[graft.operators.Cdc.scd2Build]] (the
+    * batch/stream pairing discipline funnel, CUSUM and grouped-fit
+    * already follow): RocksDB ValueState carries ONLY the open version
+    * per key (attr, validFrom, version) — bounded state, the 100 TB
+    * shape. Each arriving attribute change CLOSES the open version
+    * (emitting the finished [validFrom, ts) interval) and opens the
+    * next; every batch also re-emits the still-open version, so the
+    * union of emissions, deduplicated per (key, version) with
+    * "closed wins" (max over validTo ignores the open row's null),
+    * reconstructs the batch SCD2 exactly — the harness hash-checks
+    * that equivalence against [[graft.operators.Cdc.scd2Build]]'s
+    * oracle on the same prefix.
+    *
+    * Rows sort by (tsNanos, tieId) within each batch (the
+    * [[PrequentialAnomalyProcessor]] determinism contract); a row
+    * arriving BEHIND the open version's last processed (ts, id) —
+    * cross-batch late data — fails loudly rather than silently
+    * rewriting closed history (SCD2 is an append-only contract; feed
+    * late sources through the batch builder instead).
+    */
+  class Scd2Processor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, String), Scd2Version] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimerValues, OutputMode, TimeMode}
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[Scd2State] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Scd2State]("scd2",
+        org.apache.spark.sql.Encoders.product[Scd2State], TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+                                 rows: Iterator[(Long, Long, Long, String)],
+                                 timerValues: TimerValues): Iterator[Scd2Version] = {
+      val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Version]
+      var s = Option(state.get())
+      sorted.foreach { case (_, ts, id, attr) =>
+        s match {
+          case None =>
+            s = Some(Scd2State(key, attr, ts, 1L, ts, id))
+          case Some(st) =>
+            require(ts > st.lastTs || (ts == st.lastTs && id > st.lastId),
+              s"out-of-order row for key $key: (" + ts + ", " + id +
+                ") arrived after (" + st.lastTs + ", " + st.lastId +
+                ") — SCD2 state is append-only; route late data " +
+                "through the batch builder")
+            if (attr != st.attr) {
+              out += Scd2Version(key, st.attr, st.validFrom, Some(ts),
+                st.version)
+              s = Some(Scd2State(key, attr, ts, st.version + 1L, ts, id))
+            } else {
+              s = Some(st.copy(lastTs = ts, lastId = id))
+            }
+        }
+      }
+      s.foreach { st =>
+        state.update(st)
+        out += Scd2Version(key, st.attr, st.validFrom, None, st.version)
+      }
+      out.iterator
+    }
+  }
+
+  /** [[Scd2Processor]] wired for an exact availableNow replay
+    * (TimeMode.None, update mode): ds = (key, tsNanos, tieId, attr). */
+  def streamingScd2(ds: Dataset[(Long, Long, Long, String)]):
+      Dataset[Scd2Version] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .transformWithState(new Scd2Processor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   def runToBatch(spark: org.apache.spark.sql.SparkSession, streamDf: DataFrame,
                  name: String, outputMode: String = "complete",
                  statePartitions: Int = 0): DataFrame = {

@@ -4136,6 +4136,45 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(2).getAs[Double]("trend") == 1.125)
   }
 
+  test("holtWintersByKey replays the hand-computed triple recurrence") {
+    import spark.implicits._
+    // m = 2, α = β = γ = 0.5 over v = 10, 20, 30 (zero seasonal seed):
+    // t2 (ph 1): fit 10, l 15, b 2.5, s1 2.5
+    // t3 (ph 0): fit 17.5, l 23.75, b 5.625, s0 3.125
+    val df = Seq(("k", 0L, 10.0), ("k", 10L, 20.0), ("k", 20L, 30.0))
+      .toDF("key", "ts", "v")
+    val rows = Features.holtWintersByKey(df, "key", "ts", "v",
+        periodUnit = 10L, seasonLength = 2, alpha = 0.5, beta = 0.5,
+        gamma = 0.5)
+      .orderBy("period").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[Double]("level") == 10.0 &&
+      rows(0).getAs[Double]("trend") == 0.0 &&
+      rows(0).getAs[Double]("seasonal") == 0.0 &&
+      rows(0).isNullAt(rows(0).fieldIndex("fitted")))
+    assert(rows(1).getAs[Double]("fitted") == 10.0)
+    assert(rows(1).getAs[Double]("level") == 15.0 &&
+      rows(1).getAs[Double]("trend") == 2.5 &&
+      rows(1).getAs[Double]("seasonal") == 2.5)
+    assert(rows(2).getAs[Double]("fitted") == 17.5)
+    assert(rows(2).getAs[Double]("level") == 23.75 &&
+      rows(2).getAs[Double]("trend") == 5.625 &&
+      rows(2).getAs[Double]("seasonal") == 3.125)
+  }
+
+  test("seasonalStrengthByKey: pure seasonal series scores F_s = 1") {
+    import spark.implicits._
+    // period-2 square wave: remainder ≡ 0 on interior rows → F_s = 1;
+    // trend + remainder is the constant 2.0 → trend strength null
+    val df = Seq.tabulate(12)(i => ("k", (i + 1).toLong,
+      if (i % 2 == 0) 1.0 else 3.0)).toDF("key", "ts", "v")
+    val r = Features.seasonalStrengthByKey(df, "key", "ts", "v",
+      period = 2).head()
+    assert(r.getAs[Long]("n_used") == 10L)
+    assert(r.getAs[Double]("seasonal_strength") == 1.0)
+    assert(r.isNullAt(r.fieldIndex("trend_strength")))
+  }
+
   test("mahalanobis2ByGroup flags the joint outlier the marginals hide") {
     import spark.implicits._
     // 10x10 centered grid + one far point: only the far point crosses
@@ -5237,6 +5276,11 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // identical slices are at distance zero
     val ac = out(("A", "C"))
     assert(math.abs(ac.getAs[Double]("jsd")) < 1e-9)
+    // disjoint vocabularies still appear, at the metric max JSD = ln 2
+    val df2 = Seq(("A", "a b"), ("B", "c d")).toDF("lang", "text")
+    val disj = TextOps.jsdMatrix(df2, "lang", "text").head()
+    assert(disj.getAs[Long]("n_shared_words") == 0L)
+    assert(math.abs(disj.getAs[Double]("jsd") - math.log(2.0)) < 1e-6)
   }
 
   test("longestStreakByKey: gaps-and-islands over above-mean days") {
@@ -5332,6 +5376,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(same.forall(_.getAs[Boolean]("is_match")))
   }
 
+  test("checksumReconcile catches null-position shifts and null-vs-" +
+    "sentinel rows") {
+    import spark.implicits._
+    // same key, (x, NULL) vs (NULL, x): a null-skipping concat would
+    // hash these identically — the explicit v/n encoding must not
+    val a = Seq((1L, Option("x"), Option.empty[String]))
+      .toDF("k", "c1", "c2")
+    val b = Seq((1L, Option.empty[String], Option("x")))
+      .toDF("k", "c1", "c2")
+    val out = Cdc.checksumReconcile(a, b, "k", Seq("c1", "c2"),
+      buckets = 4).collect()
+    assert(out.exists(!_.getAs[Boolean]("is_match")))
+    // a literal "n" value must not collide with an actual NULL
+    val c = Seq((1L, Option("n"))).toDF("k", "c1")
+    val d = Seq((1L, Option.empty[String])).toDF("k", "c1")
+    val out2 = Cdc.checksumReconcile(c, d, "k", Seq("c1"),
+      buckets = 4).collect()
+    assert(out2.exists(!_.getAs[Boolean]("is_match")))
+  }
+
   test("kCenterCoreset picks farthest points with lowest-id ties") {
     import spark.implicits._
     val df = Seq((1L, Array(0.0f)), (2L, Array(10.0f)),
@@ -5339,11 +5403,12 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = Clustering.kCenterCoreset(df, "vec_id", "embedding",
       k = 3).orderBy("rank").collect()
     assert(rows.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 2L, 3L))
+    // outputs are Euclidean (sqrt of the squared selection distances)
     assert(rows(0).getAs[Double]("sel_dist") == 0.0)
-    assert(rows(1).getAs[Double]("sel_dist") == 100.0)
-    // ids 3 and 4 tie at min-dist 16 → lowest id wins
-    assert(rows(2).getAs[Double]("sel_dist") == 16.0)
-    assert(rows.forall(_.getAs[Double]("coverage_radius") == 4.0))
+    assert(rows(1).getAs[Double]("sel_dist") == 10.0)
+    // ids 3 and 4 tie at squared min-dist 16 → lowest id wins
+    assert(rows(2).getAs[Double]("sel_dist") == 4.0)
+    assert(rows.forall(_.getAs[Double]("coverage_radius") == 2.0))
   }
 
   test("growthAccounting: new/retained/resurrected/churned identity") {

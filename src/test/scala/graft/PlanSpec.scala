@@ -607,4 +607,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("FullOuter") || plan.contains("full_outer"),
       plan.take(1200))
   }
+
+  test("cardinality guards refuse row-scale cell frames LOUDLY") {
+    import org.apache.spark.sql.functions.col
+    // a continuous column: every row its own cell — the quadratic
+    // cell join / single-reducer cell sort must be refused up front
+    val big = spark.range(70000).select(
+      (col("id").cast("double") + 0.25).as("x"),
+      (col("id").cast("double") * 1.7 + 0.5).as("y"))
+    val e1 = intercept[IllegalArgumentException] {
+      operators.Ranks.kendallTauB(big, "x", "y")
+    }
+    assert(e1.getMessage.contains("joint cells"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      operators.Regression.segmentedOls(big, "y", "x")
+    }
+    assert(e2.getMessage.contains("distinct x cells"), e2.getMessage)
+  }
 }

@@ -461,6 +461,44 @@ class RegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(z.getAs[Double]("intercept") - 5.0) < 1e-9)
   }
 
+  test("elasticNetPath: alpha=1 at k=2 reproduces lasso2 bit-for-bit") {
+    import spark.implicits._
+    // same cyclic Gauss-Seidel order, same rounded correlations →
+    // the generalized path must equal the 2-feature special case
+    val df = Seq((2.0, 1.0, 1.0), (4.0, 2.0, 0.0), (6.0, 3.0, 1.0),
+      (8.0, 4.0, 0.0), (10.0, 5.0, 1.0)).toDF("y", "x1", "x2")
+    val lams = Seq(0.0, 0.1, 2.0)
+    val two = Regression.lasso2(df, "y", "x1", "x2", lams)
+      .collect().map(r => r.getAs[Double]("lambda") -> r).toMap
+    val kk = Regression.elasticNetPath(df, "y", Seq("x1", "x2"), lams,
+      alpha = 1.0).collect().groupBy(_.getAs[Double]("lambda"))
+    lams.foreach { lam =>
+      val m = kk(lam).map(r => r.getAs[String]("feature") -> r).toMap
+      assert(m("x1").getAs[Double]("beta") ==
+        two(lam).getAs[Double]("beta1"))
+      assert(m("x2").getAs[Double]("beta") ==
+        two(lam).getAs[Double]("beta2"))
+      assert(m("x1").getAs[Double]("intercept") ==
+        two(lam).getAs[Double]("intercept"))
+      assert(m("x1").getAs[Long]("n_nonzero") ==
+        two(lam).getAs[Long]("n_nonzero"))
+    }
+  }
+
+  test("elasticNetPath: the net keeps duplicated features together " +
+    "where the lasso picks one") {
+    import spark.implicits._
+    // x2 = x1 exactly, y = 2·x1: r12 = r1y = r2y = 1
+    val df = Seq((2.0, 1.0, 1.0), (4.0, 2.0, 2.0), (6.0, 3.0, 3.0),
+      (8.0, 4.0, 4.0)).toDF("y", "x1", "x2")
+    val lasso = Regression.elasticNetPath(df, "y", Seq("x1", "x2"),
+      Seq(0.2), alpha = 1.0).head()
+    assert(lasso.getAs[Long]("n_nonzero") == 1L)
+    val net = Regression.elasticNetPath(df, "y", Seq("x1", "x2"),
+      Seq(0.2), alpha = 0.5).head()
+    assert(net.getAs[Long]("n_nonzero") == 2L)
+  }
+
   test("probitIrls recovers the closed-form two-point design") {
     import spark.implicits._
     // x=−1: p=0.25, x=+1: p=0.75 → b0 = 0, b1 = Φ⁻¹(0.75) = 0.674490

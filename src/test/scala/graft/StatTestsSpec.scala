@@ -620,7 +620,8 @@ class StatTestsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("wilcoxonSignedRank matches the hand-computed tied example") {
     import spark.implicits._
     // d = [-1,1,-2,1,-2,-2,1,-2]: |d| ties at 1 (×4, midrank 2.5) and
-    // 2 (×4, midrank 6.5) → W+ = 3·2.5 = 7.5; σ² = 51 − 240/48 = 48.5
+    // 2 (×4, midrank 6.5) → W+ = 3·2.5 = 7.5; Σ(t³−t) = 2·(4³−4) =
+    // 120 → σ² = 51 − 120/48 = 48.5
     val df = Seq((1.0, 2.0), (2.0, 1.0), (3.0, 5.0), (4.0, 3.0),
       (5.0, 7.0), (6.0, 8.0), (7.0, 6.0), (8.0, 10.0)).toDF("a", "b")
     val r = StatTests.wilcoxonSignedRank(df, "a", "b").head()
@@ -772,6 +773,13 @@ class StatTestsSpec extends AnyFunSuite with BeforeAndAfterAll {
       k = 50).head()
     assert(r2.getAs[Double]("p_value") == p1)
     assert(r2.getAs[Long]("n_ge") == r1.getAs[Long]("n_ge"))
+    // n = 2: every draw is either degenerate (counted as an
+    // exceedance, conservatively) or splits 1/1 with |Δ| = |Δ_obs| —
+    // so p must be exactly 1, not deflated by dropped draws
+    val tiny = Seq((1L, "a", 5.0), (2L, "b", 1.0)).toDF("id", "g", "v")
+    val r3 = Experiments.permutationTest(tiny, "id", "g", "v",
+      k = 50).head()
+    assert(r3.getAs[Double]("p_value") == 1.0)
   }
 
   test("psmAtt: exact-cell match, nearest fallback, lower-cell ties") {

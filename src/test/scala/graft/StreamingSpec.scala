@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{SparkSession, functions => F}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
 import graft.streaming.StreamingOps
@@ -283,6 +283,59 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(last.getAs[Long]("nAlarms") == 1L) // only 4.5 > 3.0
       val sLo = last.getAs[Double]("cumLo") - last.getAs[Double]("minLo")
       assert(sLo < 3.0) // no downward drift
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streamingScd2 closes versions across batches and matches the " +
+    "batch dimension") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[(Long, Long, Long, String)]
+      val out = StreamingOps.streamingScd2(stream.toDS())
+      val q = out.writeStream.format("memory").queryName("scd2_out")
+        .outputMode("update").start()
+      // batch 1: A at t=1,2 then B at t=3 — closes v1 within the batch
+      stream.addData((7L, 1L, 1L, "A"), (7L, 2L, 2L, "A"),
+        (7L, 3L, 3L, "B"))
+      q.processAllAvailable()
+      // batch 2: the cross-batch close (B → A at t=5) is the part a
+      // single availableNow replay cannot exercise
+      stream.addData((7L, 4L, 4L, "B"), (7L, 5L, 5L, "A"))
+      q.processAllAvailable()
+      q.stop()
+      // closed-wins dedup per (key, version)
+      val dim = spark.table("scd2_out")
+        .groupBy("key", "version")
+        .agg(F.max("attr").as("attr"),
+          F.min("validFrom").as("valid_from"),
+          F.max("validTo").as("valid_to"))
+        .orderBy("version").collect()
+      assert(dim.length == 3)
+      assert(dim.map(_.getAs[String]("attr")).toSeq == Seq("A", "B", "A"))
+      assert(dim.map(_.getAs[Long]("valid_from")).toSeq == Seq(1L, 3L, 5L))
+      assert(dim(0).getAs[Long]("valid_to") == 3L)
+      assert(dim(1).getAs[Long]("valid_to") == 5L)
+      assert(dim(2).isNullAt(dim(2).fieldIndex("valid_to")))
+      // identical to the batch builder on the same rows
+      val batch = graft.operators.Cdc.scd2Build(
+        Seq((7L, 1L, 1L, "A"), (7L, 2L, 2L, "A"), (7L, 3L, 3L, "B"),
+          (7L, 4L, 4L, "B"), (7L, 5L, 5L, "A"))
+          .toDF("key", "ts", "id", "attr"),
+        "key", "ts", Seq("attr"), Seq("id"))
+        .orderBy("version").collect()
+      assert(batch.map(_.getAs[String]("attr")).toSeq ==
+        dim.map(_.getAs[String]("attr")).toSeq)
+      assert(batch.map(_.getAs[Long]("valid_from")).toSeq ==
+        dim.map(_.getAs[Long]("valid_from")).toSeq)
     } finally {
       saved match {
         case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
