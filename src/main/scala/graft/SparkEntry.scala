@@ -3060,6 +3060,14 @@ object SparkEntry {
         .withColumn("model", F.lit("holt"))
       hw.unionByName(h).orderBy("model", "event_type")
     }),
+    "q_hw_forecast" -> ((s, dir) =>
+      // the two-week projection from each event type's final HW state:
+      // level + h·trend + the continuing seasonal slot — the recursion
+      // replays to the last row, then a generate_series projects
+      Features.hwForecastByKey(events(s, dir), "event_type", "ts",
+          "value", periodUnit = 86400000000000L, seasonLength = 7,
+          alpha = 0.3, beta = 0.1, gamma = 0.2, horizon = 14)
+        .orderBy("event_type", "h")),
     "q_ar_fit" -> ((s, dir) =>
       // AR(3) per event type via Yule-Walker closed forms over the
       // decimal-exact daily means — the parametric rung above Holt
@@ -4963,6 +4971,12 @@ object SparkEntry {
       // mass enters through the matched-mass complement)
       TextOps.jsdMatrix(docs(s, dir), "lang", "text")
         .orderBy("slice_a", "slice_b")),
+    "q_bm25" -> ((s, dir) =>
+      // Okapi BM25 top-20 for a fixed query over the corpus: one token
+      // explode feeds lengths and query-term tfs; the ranking is a
+      // TakeOrdered on the 6-rounded score with doc_id tie-break
+      TextOps.bm25TopK(docs(s, dir), "doc_id", "text",
+        Seq("join", "hash", "vector"), topK = 20)),
     "q_longest_streak" -> ((s, dir) =>
       // how long did each event type's surge LAST: longest run of
       // above-mean days via the exact gaps-and-islands construction
@@ -5722,6 +5736,26 @@ object SparkEntry {
        |  round($seaOut, 6) + 0.0 AS seasonal,
        |  round(fit, 6) + 0.0 AS fitted
        |FROM hw ORDER BY event_type, period""".stripMargin
+  }
+
+  /** q_hw_forecast replay: the HW recursion to each key's final row,
+    * then a generate_series projection with the continuing phase. */
+  private def hwForecastOracleSql: String = {
+    val sPick = "CASE (l2.i - 1 + h.h) % 7 " +
+      (0 until 7).map(j => s"WHEN $j THEN l2.s$j").mkString(" ") +
+      " END"
+    s"""WITH RECURSIVE $hwIdxSql,
+       |$hwRecursionSql,
+       |mx AS (SELECT k, max(i) AS mi FROM hw GROUP BY k),
+       |l2 AS (SELECT hw.* FROM hw
+       |  JOIN mx ON hw.k = mx.k AND hw.i = mx.mi),
+       |f AS (SELECT l2.k, CAST(h.h AS BIGINT) AS h,
+       |    l2.p + h.h AS period,
+       |    l2.l + CAST(h.h AS DOUBLE) * l2.b + $sPick AS fc
+       |  FROM l2, generate_series(1, 14) h(h))
+       |SELECT k AS event_type, h, period,
+       |  round(fc, 6) + 0.0 AS forecast
+       |FROM f ORDER BY event_type, h""".stripMargin
   }
 
   /** q_hw_accuracy replay: both recurrences (HW and plain Holt) over
@@ -13624,6 +13658,8 @@ object SparkEntry {
     "q_holt_winters" -> hwOracleSql,
     // Both recurrences + the shared q_ar_accuracy fold per model.
     "q_hw_accuracy" -> hwAccuracyOracleSql,
+    // HW recursion to the final per-key row + generate_series project.
+    "q_hw_forecast" -> hwForecastOracleSql,
     // Mahalanobis replay: per-group raw moments, the explicit 2x2
     // inverse as column arithmetic, the identical d2 shape, exact
     // flag counts.
@@ -16200,6 +16236,33 @@ object SparkEntry {
         |  round(jsd, 6) AS jsd,
         |  round(sqrt(greatest(jsd, 0.0)), 6) AS js_dist
         |FROM j ORDER BY slice_a, slice_b""".stripMargin,
+    // BM25 replay: one token frame feeds lengths and query-term tfs,
+    // the exact Lucene idf/tf formula, top-20 on the rounded score.
+    "q_bm25" ->
+      """WITH tok AS MATERIALIZED (SELECT doc_id AS id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |    AND text IS NOT NULL),
+        |dls AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS dl
+        |  FROM tok GROUP BY id),
+        |corpus AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(dl) AS BIGINT) AS tt FROM dls),
+        |tf AS (SELECT id, w, CAST(count(*) AS BIGINT) AS tf FROM tok
+        |  WHERE w IN ('join', 'hash', 'vector') GROUP BY id, w),
+        |dfx AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf
+        |  GROUP BY w),
+        |sc AS (SELECT tf.id,
+        |    ln(1.0 + (CAST(nd AS DOUBLE) - df + 0.5) / (df + 0.5))
+        |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl
+        |        / (CAST(tt AS DOUBLE) / nd))) AS term
+        |  FROM tf JOIN dfx ON tf.w = dfx.w
+        |    JOIN dls ON tf.id = dls.id, corpus),
+        |agg AS (SELECT id, CAST(count(*) AS BIGINT)
+        |      AS n_terms_matched,
+        |    round(sum(term), 6) AS score FROM sc GROUP BY id)
+        |SELECT id AS doc_id, n_terms_matched, score FROM agg
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // Longest-streak replay: decimal-exact key means, strict > flag,
     // rn - rn_by_flag islands, (len DESC, start) pick.
     "q_longest_streak" ->

@@ -710,6 +710,74 @@ object Features {
         F.round(F.col("__e._6"), 6).as("fitted"))
   }
 
+  /** h-step-ahead Holt–Winters ADDITIVE forecast per key — the
+    * projection [[holtWintersByKey]] stops short of: run the same
+    * triple recurrence to each key's final (level, trend, seasonals)
+    * state, then extrapolate
+    *
+    *   ŷ_{T+h} = l_T + h·b_T + s_{(T−1+h) mod m},   h = 1..horizon
+    *
+    * with the phase continuing the 0-based row-index convention (the
+    * forecast period is reported as lastPeriod + h — the contiguous-
+    * period reading; gaps in the history shift the calendar, not the
+    * recurrence). Identical scale shape to [[holtWintersByKey]]; the
+    * oracle replays the recursion to the final row and projects over
+    * a generate_series.
+    *
+    * @return horizon rows per key: (keyCol, h, period, forecast) */
+  def hwForecastByKey(df: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: String, periodUnit: Long,
+                      seasonLength: Int, alpha: Double, beta: Double,
+                      gamma: Double, horizon: Int): DataFrame = {
+    require(periodUnit > 0L, "periodUnit must be positive")
+    require(seasonLength >= 2, "seasonLength must be >= 2")
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0,1]")
+    require(beta >= 0.0 && beta <= 1.0, "beta must be in [0,1]")
+    require(gamma >= 0.0 && gamma <= 1.0, "gamma must be in [0,1]")
+    require(horizon >= 1, "horizon must be >= 1")
+    val m = seasonLength
+    val v = F.col(valueCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    val cells = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull && v.isNotNull &&
+        !F.isnan(v))
+      .groupBy(F.col(keyCol).as("__k"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("__p"))
+      .agg((F.sum(v.cast("decimal(38,6)")).cast("double") /
+        F.count(F.lit(1))).as("__v"))
+    val fcUdf = F.udf((s: Seq[org.apache.spark.sql.Row]) => {
+      val pts = s.map(r => (r.getLong(0), r.getDouble(1)))
+      var l = 0.0; var b = 0.0
+      val sea = Array.fill(m)(0.0)
+      pts.zipWithIndex.foreach { case ((_, x), i) =>
+        val ph = i % m
+        if (i == 0) { l = x; b = 0.0 }
+        else {
+          val sOld = sea(ph)
+          val lPrev = l
+          l = alpha * (x - sOld) + (1.0 - alpha) * (lPrev + b)
+          b = beta * (l - lPrev) + (1.0 - beta) * b
+          sea(ph) = gamma * (x - l) + (1.0 - gamma) * sOld
+        }
+      }
+      val lastP = pts.last._1
+      val nPts = pts.length
+      (1 to horizon).map { h =>
+        val ph = (nPts - 1 + h) % m
+        (h.toLong, lastP + h, l + h.toDouble * b + sea(ph))
+      }
+    })
+    cells
+      .groupBy("__k")
+      .agg(F.sort_array(F.collect_list(F.struct(F.col("__p"),
+        F.col("__v")))).as("__s"))
+      .select(F.col("__k"), F.explode(fcUdf(F.col("__s"))).as("__e"))
+      .select(F.col("__k").as(keyCol),
+        F.col("__e._1").as("h"),
+        F.col("__e._2").as("period"),
+        F.round(F.col("__e._3"), 6).as("forecast"))
+  }
+
   /** Ljung–Box portmanteau test per key — "is there ANY serial
     * correlation left in this series" ([[acfByKey]] reports the
     * per-lag coefficients; this aggregates them into the standard

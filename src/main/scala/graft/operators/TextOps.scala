@@ -1449,4 +1449,61 @@ object TextOps {
     Seq((n, vv, f1, f2, r6(chao), r6(1.0 - f1.toDouble / n)))
       .toDF("n_tokens", "vocab", "f1", "f2", "chao1", "coverage")
   }
+
+  /** BM25 relevance of every document against a fixed query-term set,
+    * top-k — the retrieval primitive of corpus curation ("pull the
+    * documents most about X for review / targeted dedup / eval-set
+    * mining"): the Lucene-shape Okapi BM25,
+    *
+    *   score(d) = Σ_{t∈q} ln(1 + (N − df_t + ½)/(df_t + ½)) ·
+    *              tf·(k₁+1) / (tf + k₁·(1 − b + b·dl/avgdl))
+    *
+    * Scale shape: ONE token explode feeds both the per-doc lengths
+    * and the per-(doc, query-term) tf counts (non-query tokens never
+    * shuffle for tf — an isin literal prunes them map-side); df_t is
+    * a |q|-bounded broadcast, corpus length stats one scalar frame;
+    * the ranking is a TakeOrdered top-k on the 6-ROUNDED score with
+    * the id as tie-break. Inputs stay exact integers until the final
+    * formula.
+    *
+    * @return topK rows: (idCol, n_terms_matched, score) */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], topK: Int, k1: Double = 1.2,
+               b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val lower = terms.map(_.toLowerCase)
+    require(lower.distinct.length == lower.length, "duplicate query term")
+    require(topK >= 1, "topK must be >= 1")
+    require(k1 > 0.0 && b >= 0.0 && b <= 1.0, "k1 > 0, b in [0,1]")
+    val toks = df
+      .where(F.col(idCol).isNotNull && F.col(textCol).isNotNull)
+      .select(F.col(idCol).as("id"),
+        F.explode(wordTokens(F.col(textCol))).as("w"))
+    val dls = toks.groupBy("id").agg(F.count(F.lit(1)).as("dl"))
+    val corpus = dls.agg(F.count(F.lit(1)).as("nd"),
+      F.sum("dl").as("tt"))
+    val tf = toks.where(F.col("w").isin(lower: _*))
+      .groupBy("id", "w").agg(F.count(F.lit(1)).as("tf"))
+    val dfT = tf.groupBy("w").agg(F.count(F.lit(1)).as("df"))
+    val scored = tf
+      .join(F.broadcast(dfT), "w")
+      .join(dls, "id")
+      .crossJoin(F.broadcast(corpus))
+    val nD = F.col("nd").cast("double")
+    val avgdl = F.col("tt").cast("double") / F.col("nd")
+    val idf = F.log(F.lit(1.0) +
+      (nD - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    val tfD = F.col("tf").cast("double")
+    val term = idf * (tfD * (k1 + 1.0)) /
+      (tfD + F.lit(k1) * (F.lit(1.0) - b + F.lit(b) * F.col("dl")
+        / avgdl))
+    scored
+      .groupBy("id")
+      .agg(F.count(F.lit(1)).as("n_terms_matched"),
+        F.round(F.sum(term), 6).as("score"))
+      .orderBy(F.col("score").desc, F.col("id").asc)
+      .limit(topK)
+      .select(F.col("id").as(idCol), F.col("n_terms_matched"),
+        F.col("score"))
+  }
 }

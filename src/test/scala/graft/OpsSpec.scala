@@ -4162,6 +4162,44 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(2).getAs[Double]("seasonal") == 3.125)
   }
 
+  test("hwForecastByKey projects from the final Holt-Winters state") {
+    import spark.implicits._
+    // continues the hand case: final l 23.75, b 5.625, sea [3.125, 2.5]
+    val df = Seq(("k", 0L, 10.0), ("k", 10L, 20.0), ("k", 20L, 30.0))
+      .toDF("key", "ts", "v")
+    val rows = Features.hwForecastByKey(df, "key", "ts", "v",
+        periodUnit = 10L, seasonLength = 2, alpha = 0.5, beta = 0.5,
+        gamma = 0.5, horizon = 2)
+      .orderBy("h").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("period") == 3L)
+    // h=1, phase 1: 23.75 + 5.625 + 2.5
+    assert(rows(0).getAs[Double]("forecast") == 31.875)
+    // h=2, phase 0: 23.75 + 11.25 + 3.125
+    assert(rows(1).getAs[Long]("period") == 4L)
+    assert(rows(1).getAs[Double]("forecast") == 38.125)
+  }
+
+  test("bm25TopK ranks the doc matching more query mass first") {
+    import spark.implicits._
+    val df = Seq((1L, "join join hash foo"), (2L, "hash bar baz qux"))
+      .toDF("doc_id", "text")
+    val rows = TextOps.bm25TopK(df, "doc_id", "text",
+      Seq("join", "hash"), topK = 2).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    assert(rows(0).getAs[Long]("n_terms_matched") == 2L)
+    assert(rows(1).getAs[Long]("n_terms_matched") == 1L)
+    // equal lengths → norm 1: doc1 = ln2·(2·2.2)/(2+1.2) + ln1.2,
+    // doc2 = ln1.2 (hash hits every doc → the Lucene +1 keeps idf > 0)
+    val e1 = math.log(2.0) * (2.0 * 2.2) / (2.0 + 1.2) + math.log(1.2)
+    assert(math.abs(rows(0).getAs[Double]("score") - e1) < 1e-5)
+    assert(math.abs(rows(1).getAs[Double]("score") - math.log(1.2))
+      < 1e-5)
+    // topK bounds the take
+    assert(TextOps.bm25TopK(df, "doc_id", "text", Seq("join", "hash"),
+      topK = 1).count() == 1L)
+  }
+
   test("seasonalStrengthByKey: pure seasonal series scores F_s = 1") {
     import spark.implicits._
     // period-2 square wave: remainder ≡ 0 on interior rows → F_s = 1;
