@@ -2660,6 +2660,11 @@ object SparkEntry {
       // (group, value) aggregation + a per-group fold
       Evaluation.categoricalProfile(docs(s, dir), Seq("lang"), "source")
         .orderBy("lang")),
+    "q_cluster_agreement" -> ((s, dir) =>
+      // do the source slices recover the languages: ARI + NMI +
+      // majority purity from the exact (lang, source) contingency
+      // cells, driver folds in sorted order so every ln-sum replays
+      Evaluation.clusterAgreement(docs(s, dir), "lang", "source")),
     "q_dispersion_group" -> ((s, dir) =>
       // Poisson overdispersion routing statistic per line status:
       // dispersion index + conditional chi2 D with the Wilson-Hilferty
@@ -3075,6 +3080,14 @@ object SparkEntry {
       // 3x3 Toeplitz system replays in SQL from the centered-lag sums
       Features.arFitByKey(events(s, dir), "event_type", "ts", "value",
           periodUnit = 86400000000000L, p = 3)
+        .orderBy("event_type")),
+    "q_arma" -> ((s, dir) =>
+      // ARMA(1,1) per event type by Hannan–Rissanen: AR(1) residuals
+      // at the ROUNDED phi0, then the 2×2 no-intercept normal
+      // equations — lag windows + per-key sums over the daily cells,
+      // the MA rung the AR panel stops short of
+      Features.armaByKey(events(s, dir), "event_type", "ts", "value",
+          periodUnit = 86400000000000L)
         .orderBy("event_type")),
     "q_ar_accuracy" -> ((s, dir) =>
       // score the AR(1) in-sample one-step predictions with the shared
@@ -8891,6 +8904,56 @@ object SparkEntry {
         |  round(ssq / (CAST(n AS DOUBLE) * n), 6) AS hhi,
         |  round(top / CAST(n AS DOUBLE), 6) AS top_share
         |FROM g ORDER BY lang""".stripMargin,
+    // Cluster-agreement replay: exact contingency cells, ordered
+    // list folds for the entropy/MI sums, exact Long pair counts.
+    "q_cluster_agreement" ->
+      """WITH c AS MATERIALIZED (SELECT lang AS a, source AS b,
+        |    CAST(count(*) AS BIGINT) AS c FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY lang, source),
+        |am AS MATERIALIZED (SELECT a, CAST(sum(c) AS BIGINT) AS ca
+        |  FROM c GROUP BY a),
+        |bm AS MATERIALIZED (SELECT b, CAST(sum(c) AS BIGINT) AS cb
+        |  FROM c GROUP BY b),
+        |tot AS MATERIALIZED (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_cells,
+        |    CAST(sum(c * (c - 1) / 2) AS BIGINT) AS sumc2 FROM c),
+        |ma AS (SELECT CAST(sum(ca * (ca - 1) / 2) AS BIGINT) AS a2,
+        |    list_sum(list(
+        |      -(CAST(ca AS DOUBLE) / (SELECT CAST(n AS DOUBLE)
+        |          FROM tot))
+        |      * ln(CAST(ca AS DOUBLE) / (SELECT CAST(n AS DOUBLE)
+        |          FROM tot)) ORDER BY a)) AS ha FROM am),
+        |mb AS (SELECT CAST(sum(cb * (cb - 1) / 2) AS BIGINT) AS b2,
+        |    list_sum(list(
+        |      -(CAST(cb AS DOUBLE) / (SELECT CAST(n AS DOUBLE)
+        |          FROM tot))
+        |      * ln(CAST(cb AS DOUBLE) / (SELECT CAST(n AS DOUBLE)
+        |          FROM tot)) ORDER BY b)) AS hb FROM bm),
+        |mim AS (SELECT list_sum(list(
+        |      (CAST(c.c AS DOUBLE) / (SELECT CAST(n AS DOUBLE)
+        |          FROM tot))
+        |      * ln(CAST(c.c AS DOUBLE) * (SELECT CAST(n AS DOUBLE)
+        |          FROM tot) / (CAST(am.ca AS DOUBLE) * bm.cb))
+        |      ORDER BY c.a, c.b)) AS mi
+        |  FROM c JOIN am ON c.a = am.a JOIN bm ON c.b = bm.b),
+        |pur AS (SELECT CAST(sum(mx) AS BIGINT) AS ps FROM
+        |  (SELECT b, max(c) AS mx FROM c GROUP BY b)),
+        |x AS (SELECT tot.n, tot.n_cells,
+        |    CAST(ma.a2 AS DOUBLE) * mb.b2
+        |      / (tot.n * (tot.n - 1) / 2) AS expected,
+        |    (CAST(ma.a2 AS DOUBLE) + mb.b2) / 2.0 AS maxidx,
+        |    CAST(tot.sumc2 AS DOUBLE) AS sc2, ma.ha, mb.hb, mim.mi,
+        |    pur.ps
+        |  FROM tot, ma, mb, mim, pur)
+        |SELECT n, n_cells,
+        |  CASE WHEN maxidx - expected <> 0.0 THEN
+        |    round_even((sc2 - expected) / (maxidx - expected) * 1e6,
+        |      0) / 1e6 END AS ari,
+        |  CASE WHEN ha > 0.0 AND hb > 0.0 THEN
+        |    round_even(mi / sqrt(ha * hb) * 1e6, 0) / 1e6 END AS nmi,
+        |  round_even(CAST(ps AS DOUBLE) / n * 1e6, 0) / 1e6 AS purity
+        |FROM x""".stripMargin,
     "q_dispersion_group" ->
       s"""WITH base AS (SELECT l_linestatus AS g,
         |    CAST(l_quantity AS DOUBLE) AS v
@@ -10065,6 +10128,50 @@ object SparkEntry {
         |    + 0.0 AS sigma2,
         |  round(mu + (f1 * e0 + f2 * e1 + f3 * e2), 6) + 0.0 AS forecast
         |FROM f ORDER BY event_type""".stripMargin,
+    // ARMA(1,1) HR replay: AR(1) phi0 rounded, residual lag chain,
+    // the 2x2 normal equations, sigma2 from moments at rounded coefs.
+    "q_arma" ->
+      """WITH e AS (SELECT event_type AS k,
+        |    epoch_ns(ts) // 86400000000000 AS p, value AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |cells AS (SELECT k, p,
+        |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+        |      AS v
+        |  FROM e GROUP BY k, p),
+        |m AS (SELECT k, p, v, avg(v) OVER (PARTITION BY k) AS mu
+        |  FROM cells),
+        |d AS (SELECT k, p, v, mu, v - mu AS dd,
+        |    lag(v - mu) OVER (PARTITION BY k ORDER BY p) AS d1
+        |  FROM m),
+        |a AS (SELECT k, CAST(count(*) AS BIGINT) AS n, max(mu) AS mu,
+        |    sum(dd * dd) AS ss, sum(dd * d1) AS s1 FROM d GROUP BY k),
+        |p0 AS (SELECT k, n, mu, round(s1 / ss, 6) AS phi0 FROM a
+        |  WHERE n >= 5 AND ss > 0.0),
+        |e2 AS (SELECT d.k, d.p, d.dd, d.d1,
+        |    CASE WHEN d.d1 IS NOT NULL
+        |      THEN d.dd - p0.phi0 * d.d1 END AS er
+        |  FROM d JOIN p0 ON d.k = p0.k),
+        |l2 AS (SELECT k, p, dd, d1, er,
+        |    lag(er) OVER (PARTITION BY k ORDER BY p) AS e1 FROM e2),
+        |s2 AS (SELECT k, CAST(count(*) AS BIGINT) AS n2,
+        |    sum(d1 * d1) AS s11, sum(d1 * e1) AS s12,
+        |    sum(e1 * e1) AS s22, sum(d1 * dd) AS s1y,
+        |    sum(e1 * dd) AS s2y, sum(dd * dd) AS syy
+        |  FROM l2 WHERE d1 IS NOT NULL AND e1 IS NOT NULL GROUP BY k),
+        |co AS (SELECT k, n2, s11, s12, s22, s1y, s2y, syy,
+        |    s11 * s22 - s12 * s12 AS det FROM s2),
+        |f AS (SELECT k, n2, s11, s12, s22, s1y, s2y, syy,
+        |    round((s1y * s22 - s2y * s12) / det, 6) AS phi,
+        |    round((s2y * s11 - s1y * s12) / det, 6) AS theta
+        |  FROM co WHERE n2 >= 4 AND det > 0.0)
+        |SELECT f.k AS event_type, p0.n AS n_periods,
+        |  round(p0.mu, 6) + 0.0 AS mean, p0.phi0 + 0.0 AS phi_init,
+        |  f.phi + 0.0 AS phi, f.theta + 0.0 AS theta,
+        |  round((f.syy - 2.0 * f.phi * f.s1y - 2.0 * f.theta * f.s2y
+        |    + f.phi * f.phi * f.s11 + 2.0 * f.phi * f.theta * f.s12
+        |    + f.theta * f.theta * f.s22) / f.n2, 6) + 0.0 AS sigma2
+        |FROM f JOIN p0 ON f.k = p0.k ORDER BY event_type""".stripMargin,
     // AR(1) in-sample predictions scored by the shared accuracy fold:
     // phi1 = s1/ss per key, fitted = mu + phi1*d_{t-1} (rounded 6, like
     // the engine's long-form output), then MAE/RMSE/MAPE and MASE vs

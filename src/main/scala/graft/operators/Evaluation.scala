@@ -1442,4 +1442,84 @@ object Evaluation {
       .select(gCols ++ Seq(F.col("avg_precision"), F.col("n_pos"),
         F.col("n_neg")): _*)
   }
+
+  /** External cluster-agreement scorecard between two label columns —
+    * "did the clustering recover the known slices" (kmeans vs lang,
+    * near-dup clusters vs source, two snapshot labelings against each
+    * other): adjusted Rand index, normalized mutual information and
+    * majority-vote purity, all EXACT from the integer contingency
+    * cells,
+    *
+    *   ARI = (Σ C(n_ij,2) − E) / (½[Σ C(a_i,2) + Σ C(b_j,2)] − E),
+    *   E   = Σ C(a_i,2)·Σ C(b_j,2) / C(n,2),
+    *   NMI = I(A;B) / √(H(A)·H(B)),  purity = Σ_j max_i n_ij / n.
+    *
+    * Scale shape: ONE (a, b) count aggregation; the cell frame is
+    * label-vocabulary-bounded and guarded LOUDLY, then collected and
+    * folded driver-side in sorted (a, b) order so every ln-sum
+    * replays (the oracle mirrors with ordered list folds). Pair
+    * counts stay exact Longs.
+    *
+    * @return one row: (n, n_cells, ari, nmi, purity) — ari null when
+    *         the index degenerates (single cluster both sides), nmi
+    *         null when either marginal entropy is zero */
+  def clusterAgreement(df: DataFrame, labelColA: String,
+                       labelColB: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val a = F.col(labelColA).cast("string")
+    val b = F.col(labelColB).cast("string")
+    val cellsDf = df.where(a.isNotNull && b.isNotNull)
+      .groupBy(a.as("__a"), b.as("__b"))
+      .agg(F.count(F.lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val nCells = cellsDf.count()
+    require(nCells >= 1L, "no doubly-labeled rows")
+    // loud guard, not a silent cap: the cells collect to the driver
+    require(nCells <= 65536L,
+      s"$nCells joint label cells — clusterAgreement is exact on " +
+        "bounded label vocabularies; bucket or coarsen the labels " +
+        "first")
+    val cells = cellsDf.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val n = cells.map(_._3).sum
+    val aM = cells.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._3).sum }
+    val bM = cells.groupBy(_._2).map { case (k, v) =>
+      k -> v.map(_._3).sum }
+    def c2(x: Long): Long = x * (x - 1L) / 2L
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val sumC2 = cells.foldLeft(0L)((acc, t) => acc + c2(t._3))
+    val a2 = aM.keys.toSeq.sorted.foldLeft(0L)((acc, k) =>
+      acc + c2(aM(k)))
+    val b2 = bM.keys.toSeq.sorted.foldLeft(0L)((acc, k) =>
+      acc + c2(bM(k)))
+    val nPairs = c2(n)
+    val nD = n.toDouble
+    val expected = a2.toDouble * b2 / nPairs
+    val maxIdx = (a2.toDouble + b2) / 2.0
+    val ari =
+      if (maxIdx - expected != 0.0)
+        Some(r6((sumC2.toDouble - expected) / (maxIdx - expected)))
+      else None
+    def entropy(m: Map[String, Long]): Double =
+      m.keys.toSeq.sorted.foldLeft(0.0) { (acc, k) =>
+        val q = m(k).toDouble / nD
+        acc + -q * math.log(q)
+      }
+    val ha = entropy(aM); val hb = entropy(bM)
+    val mi = cells.foldLeft(0.0) { (acc, t) =>
+      acc + (t._3.toDouble / nD) *
+        math.log(t._3.toDouble * nD / (aM(t._1).toDouble * bM(t._2)))
+    }
+    val nmi =
+      if (ha > 0.0 && hb > 0.0) Some(r6(mi / math.sqrt(ha * hb)))
+      else None
+    val ps = bM.keys.toSeq.sorted.foldLeft(0L) { (acc, k) =>
+      acc + cells.filter(_._2 == k).map(_._3).max
+    }
+    Seq((n, nCells, ari, nmi, r6(ps.toDouble / nD)))
+      .toDF("n", "n_cells", "ari", "nmi", "purity")
+  }
 }

@@ -389,6 +389,86 @@ object Features {
       F.when(lagsPresent, F.round(fitted, 6)).as("fitted"))
   }
 
+  /** ARMA(1,1) per key by the Hannan–Rissanen two-stage closed form —
+    * the moving-average rung [[arFitByKey]] stops short of (an AR fit
+    * leaves MA structure in its residuals; HR recovers it without
+    * iterative likelihood): stage 1 fits AR(1) by Yule–Walker and
+    * takes its residuals ê_t = d_t − φ₀d_{t−1} at the 6-ROUNDED φ₀;
+    * stage 2 regresses d_t on (d_{t−1}, ê_{t−1}) — a 2×2
+    * no-intercept normal-equation solve on centered data:
+    *
+    *   φ = (S₁ᵧS₂₂ − S₂ᵧS₁₂)/det,  θ = (S₂ᵧS₁₁ − S₁ᵧS₁₂)/det,
+    *   σ² from the same moments at the ROUNDED (φ, θ)
+    *
+    * so the whole fit is lag windows + per-key sums over the
+    * decimal-exact PERIOD cells (bounded by the span, never rows) and
+    * replays step-for-step. Keys with n₂ < 4, zero variance, or a
+    * singular stage-2 Gram are omitted.
+    *
+    * @return one row per key: (keyCol, n_periods, mean, phi_init,
+    *         phi, theta, sigma2), doubles rounded to 6 */
+  def armaByKey(df: DataFrame, keyCol: String, tsCol: String,
+                valueCol: String, periodUnit: Long): DataFrame = {
+    require(periodUnit > 0L, "periodUnit must be positive")
+    val v = F.col(valueCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    val cells = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull && v.isNotNull &&
+        !F.isnan(v))
+      .groupBy(F.col(keyCol).as("__k"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("__p"))
+      .agg((F.sum(v.cast("decimal(38,6)")).cast("double") /
+        F.count(F.lit(1))).as("__v"))
+    val wAll = Window.partitionBy("__k")
+    val wOrd = Window.partitionBy("__k").orderBy("__p")
+    val base = cells
+      .withColumn("__mu", F.avg("__v").over(wAll))
+      .withColumn("__d", F.col("__v") - F.col("__mu"))
+      .withColumn("__dl1", F.lag("__d", 1).over(wOrd))
+    val st1 = base.groupBy("__k").agg(
+      F.count(F.lit(1)).as("n"), F.max("__mu").as("mu"),
+      F.sum(F.col("__d") * F.col("__d")).as("ss"),
+      F.sum(F.col("__d") * F.col("__dl1")).as("s1"))
+      .where(F.col("n") >= 5L && F.col("ss") > 0.0)
+      .withColumn("phi0", F.round(F.col("s1") / F.col("ss"), 6))
+      .select("__k", "n", "mu", "phi0")
+    val withE = base.join(st1, "__k")
+      .withColumn("__e", F.when(F.col("__dl1").isNotNull,
+        F.col("__d") - F.col("phi0") * F.col("__dl1")))
+      .withColumn("__el1", F.lag("__e", 1).over(wOrd))
+    val st2 = withE
+      .where(F.col("__dl1").isNotNull && F.col("__el1").isNotNull)
+      .groupBy("__k").agg(
+        F.count(F.lit(1)).as("n2"),
+        F.sum(F.col("__dl1") * F.col("__dl1")).as("s11"),
+        F.sum(F.col("__dl1") * F.col("__el1")).as("s12"),
+        F.sum(F.col("__el1") * F.col("__el1")).as("s22"),
+        F.sum(F.col("__dl1") * F.col("__d")).as("s1y"),
+        F.sum(F.col("__el1") * F.col("__d")).as("s2y"),
+        F.sum(F.col("__d") * F.col("__d")).as("syy"))
+      .withColumn("det",
+        F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12"))
+      .where(F.col("n2") >= 4L && F.col("det") > 0.0)
+      .withColumn("phi", F.round(
+        (F.col("s1y") * F.col("s22") - F.col("s2y") * F.col("s12")) /
+          F.col("det"), 6))
+      .withColumn("theta", F.round(
+        (F.col("s2y") * F.col("s11") - F.col("s1y") * F.col("s12")) /
+          F.col("det"), 6))
+    val phi = F.col("phi"); val theta = F.col("theta")
+    val sigma2 = (F.col("syy") -
+      F.lit(2.0) * phi * F.col("s1y") -
+      F.lit(2.0) * theta * F.col("s2y") +
+      phi * phi * F.col("s11") +
+      F.lit(2.0) * phi * theta * F.col("s12") +
+      theta * theta * F.col("s22")) / F.col("n2")
+    st2.join(st1, "__k")
+      .select(F.col("__k").as(keyCol), F.col("n").as("n_periods"),
+        F.round(F.col("mu"), 6).as("mean"),
+        F.col("phi0").as("phi_init"), F.col("phi"), F.col("theta"),
+        F.round(sigma2, 6).as("sigma2"))
+  }
+
   /** Rolling Pearson correlation between two metrics per key over a
     * trailing time window — "are latency and error rate moving
     * together RIGHT NOW, per service": the co-movement monitor that a

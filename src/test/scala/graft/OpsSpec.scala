@@ -4200,6 +4200,60 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       topK = 1).count() == 1L)
   }
 
+  test("armaByKey matches an independent Hannan-Rissanen replay") {
+    import spark.implicits._
+    val vs = Seq(1.0, 3.0, 2.0, 5.0, 4.0, 6.0, 3.0, 7.0)
+    val df = vs.zipWithIndex.map { case (v, i) =>
+      ("k", i.toLong * 10L, v) }.toDF("key", "ts", "v")
+    val r = Features.armaByKey(df, "key", "ts", "v", periodUnit = 10L)
+      .head()
+    // independent plain-Scala replay of the two HR stages
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val mu = vs.sum / vs.length
+    val d = vs.map(_ - mu)
+    val ss = d.map(x => x * x).sum
+    val s1 = (1 until d.length).map(t => d(t) * d(t - 1)).sum
+    val phi0 = r6(s1 / ss)
+    val e = (1 until d.length).map(t => d(t) - phi0 * d(t - 1))
+    // stage-2 rows t = 2..n-1: y = d(t), x1 = d(t-1), x2 = e(t-1)
+    val rows2 = (2 until d.length).map(t => (d(t), d(t - 1), e(t - 2)))
+    val s11 = rows2.map(r => r._2 * r._2).sum
+    val s12 = rows2.map(r => r._2 * r._3).sum
+    val s22 = rows2.map(r => r._3 * r._3).sum
+    val s1y = rows2.map(r => r._2 * r._1).sum
+    val s2y = rows2.map(r => r._3 * r._1).sum
+    val syy = rows2.map(r => r._1 * r._1).sum
+    val det = s11 * s22 - s12 * s12
+    val phi = r6((s1y * s22 - s2y * s12) / det)
+    val theta = r6((s2y * s11 - s1y * s12) / det)
+    val sig = r6((syy - 2.0 * phi * s1y - 2.0 * theta * s2y +
+      phi * phi * s11 + 2.0 * phi * theta * s12 +
+      theta * theta * s22) / rows2.length)
+    assert(r.getAs[Long]("n_periods") == 8L)
+    assert(math.abs(r.getAs[Double]("phi_init") - phi0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("phi") - phi) < 1e-9)
+    assert(math.abs(r.getAs[Double]("theta") - theta) < 1e-9)
+    assert(math.abs(r.getAs[Double]("sigma2") - sig) < 1e-9)
+  }
+
+  test("clusterAgreement: perfect match scores 1, independence near 0") {
+    import spark.implicits._
+    val perfect = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
+      .toDF("a", "b")
+    val rp = Evaluation.clusterAgreement(perfect, "a", "b").head()
+    assert(rp.getAs[Long]("n") == 4L)
+    assert(rp.getAs[Double]("ari") == 1.0)
+    assert(rp.getAs[Double]("nmi") == 1.0)
+    assert(rp.getAs[Double]("purity") == 1.0)
+    // fully crossed labels: MI = 0, ARI = -0.5 on this 2x2 design
+    val indep = Seq(("x", "p"), ("y", "p"), ("x", "q"), ("y", "q"))
+      .toDF("a", "b")
+    val ri = Evaluation.clusterAgreement(indep, "a", "b").head()
+    assert(ri.getAs[Double]("ari") == -0.5)
+    assert(ri.getAs[Double]("nmi") == 0.0)
+    assert(ri.getAs[Double]("purity") == 0.5)
+  }
+
   test("seasonalStrengthByKey: pure seasonal series scores F_s = 1") {
     import spark.implicits._
     // period-2 square wave: remainder ≡ 0 on interior rows → F_s = 1;
