@@ -2665,6 +2665,12 @@ object SparkEntry {
       // majority purity from the exact (lang, source) contingency
       // cells, driver folds in sorted order so every ln-sum replays
       Evaluation.clusterAgreement(docs(s, dir), "lang", "source")),
+    "q_shapley" -> ((s, dir) =>
+      // exact Shapley credit for purchase conversion over the 2^4
+      // touched-channel coalitions (click/error/signup/view): the
+      // axiomatically fair split first/last-touch cannot give
+      Cohorts.shapleyAttribution(events(s, dir), "user_id",
+        "event_type", convValue = "purchase")),
     "q_dispersion_group" -> ((s, dir) =>
       // Poisson overdispersion routing statistic per line status:
       // dispersion index + conditional chi2 D with the Wilson-Hilferty
@@ -4990,6 +4996,14 @@ object SparkEntry {
       // TakeOrdered on the 6-rounded score with doc_id tie-break
       TextOps.bm25TopK(docs(s, dir), "doc_id", "text",
         Seq("join", "hash", "vector"), topK = 20)),
+    "q_moore_lewis" -> ((s, dir) =>
+      // Moore–Lewis in-domain selection: the 25 non-English docs that
+      // read most like the English slice under two add-one unigram
+      // LMs — the classic cross-entropy-difference curation ranking
+      TextOps.mooreLewisSelect(
+        docs(s, dir).where(F.col("lang") === "en"),
+        docs(s, dir).where(F.col("lang") =!= "en"),
+        "doc_id", "text", topK = 25)),
     "q_longest_streak" -> ((s, dir) =>
       // how long did each event type's surge LAST: longest run of
       // above-mean days via the exact gaps-and-islands construction
@@ -8954,6 +8968,59 @@ object SparkEntry {
         |    round_even(mi / sqrt(ha * hb) * 1e6, 0) / 1e6 END AS nmi,
         |  round_even(CAST(ps AS DOUBLE) / n * 1e6, 0) / 1e6 AS purity
         |FROM x""".stripMargin,
+    // Shapley replay: user coalition masks via bit_or, exact
+    // coalition rates, the ordered 2^C subset fold with factorial
+    // weights, per-channel touched margins.
+    "q_shapley" ->
+      """WITH b AS MATERIALIZED (SELECT CAST(user_id AS VARCHAR) AS u,
+        |    event_type AS c FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |vc AS MATERIALIZED (SELECT c AS channel,
+        |    CAST(row_number() OVER (ORDER BY c) - 1 AS BIGINT) AS bit
+        |  FROM (SELECT DISTINCT c FROM b WHERE c <> 'purchase')),
+        |cc AS (SELECT CAST(count(*) AS INT) AS cc FROM vc),
+        |tm AS (SELECT b.u, bit_or(1 << vc.bit) AS m FROM b
+        |  JOIN vc ON b.c = vc.channel GROUP BY b.u),
+        |cu AS (SELECT u, max(CASE WHEN c = 'purchase' THEN 1 ELSE 0
+        |    END) AS conv FROM b GROUP BY u),
+        |coal AS MATERIALIZED (SELECT coalesce(tm.m, 0) AS m,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cu.conv) AS BIGINT) AS nc
+        |  FROM cu LEFT JOIN tm ON cu.u = tm.u
+        |  GROUP BY coalesce(tm.m, 0)),
+        |vv AS MATERIALIZED (SELECT m,
+        |    round_even(CAST(nc AS DOUBLE) / n * 1e6, 0) / 1e6 AS v
+        |  FROM coal),
+        |subs AS MATERIALIZED (SELECT s.s FROM
+        |  generate_series(0, 4095) s(s), cc WHERE s.s < (1 << cc.cc)),
+        |ph AS (SELECT t.channel,
+        |    list_sum(list(t.w * (t.v1 - t.v0) ORDER BY t.s)) AS phi
+        |  FROM (SELECT vc.channel, subs.s,
+        |      CAST(factorial(bit_count(CAST(subs.s AS BIGINT)))
+        |          AS DOUBLE)
+        |        * factorial(cc.cc - 1
+        |          - bit_count(CAST(subs.s AS BIGINT)))
+        |        / factorial(cc.cc) AS w,
+        |      coalesce(v1.v, 0.0) AS v1, coalesce(v0.v, 0.0) AS v0
+        |    FROM vc CROSS JOIN subs CROSS JOIN cc
+        |      LEFT JOIN vv v0 ON v0.m = subs.s
+        |      LEFT JOIN vv v1 ON v1.m = (subs.s | (1 << vc.bit))
+        |    WHERE ((subs.s >> vc.bit) & 1) = 0) t
+        |  GROUP BY t.channel),
+        |nt AS (SELECT vc.channel,
+        |    CAST(coalesce(sum(CASE WHEN ((coal.m >> vc.bit) & 1) = 1
+        |      THEN coal.n END), 0) AS BIGINT) AS n_touched,
+        |    CAST(coalesce(sum(CASE WHEN ((coal.m >> vc.bit) & 1) = 1
+        |      THEN coal.nc END), 0) AS BIGINT) AS nc_t
+        |  FROM vc CROSS JOIN coal GROUP BY vc.channel)
+        |SELECT ph.channel,
+        |  round_even(ph.phi * 1e6, 0) / 1e6 AS shapley,
+        |  nt.n_touched,
+        |  CASE WHEN nt.n_touched > 0 THEN
+        |    round_even(CAST(nt.nc_t AS DOUBLE) / nt.n_touched * 1e6,
+        |      0) / 1e6 END AS conv_rate_touched
+        |FROM ph JOIN nt ON ph.channel = nt.channel
+        |ORDER BY ph.channel""".stripMargin,
     "q_dispersion_group" ->
       s"""WITH base AS (SELECT l_linestatus AS g,
         |    CAST(l_quantity AS DOUBLE) AS v
@@ -16370,6 +16437,37 @@ object SparkEntry {
         |    round(sum(term), 6) AS score FROM sc GROUP BY id)
         |SELECT id AS doc_id, n_terms_matched, score FROM agg
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // Moore-Lewis replay: two token-count tables, the full-outer LM
+    // vocab, per-token log ratios, per-doc mean, top-25.
+    "q_moore_lewis" ->
+      """WITH tt AS MATERIALIZED (SELECT doc_id AS id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |  FROM documents WHERE lang = 'en' AND doc_id IS NOT NULL
+        |    AND text IS NOT NULL),
+        |tp AS MATERIALIZED (SELECT doc_id AS id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |  FROM documents WHERE lang <> 'en' AND doc_id IS NOT NULL
+        |    AND text IS NOT NULL),
+        |ct AS (SELECT w, CAST(count(*) AS BIGINT) AS ct FROM tt
+        |  GROUP BY w),
+        |cp AS (SELECT w, CAST(count(*) AS BIGINT) AS cp FROM tp
+        |  GROUP BY w),
+        |vo AS MATERIALIZED (SELECT coalesce(ct.w, cp.w) AS w,
+        |    coalesce(ct.ct, CAST(0 AS BIGINT)) AS ctc,
+        |    coalesce(cp.cp, CAST(0 AS BIGINT)) AS cpc
+        |  FROM ct FULL JOIN cp ON ct.w = cp.w),
+        |tot AS (SELECT CAST(sum(ctc) AS BIGINT) AS nt,
+        |    CAST(sum(cpc) AS BIGINT) AS np,
+        |    CAST(count(*) AS BIGINT) AS v FROM vo),
+        |lr AS MATERIALIZED (SELECT w,
+        |    ln(CAST(ctc + 1 AS DOUBLE) / (nt + v))
+        |      - ln(CAST(cpc + 1 AS DOUBLE) / (np + v)) AS lr
+        |  FROM vo, tot),
+        |agg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    round(sum(lr) / count(*), 6) + 0.0 AS score
+        |  FROM tp JOIN lr ON tp.w = lr.w GROUP BY id)
+        |SELECT id AS doc_id, n_tokens, score FROM agg
+        |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
     // Longest-streak replay: decimal-exact key means, strict > flag,
     // rn - rn_by_flag islands, (len DESC, start) pick.
     "q_longest_streak" ->

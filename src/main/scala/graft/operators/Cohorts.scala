@@ -470,4 +470,92 @@ object Cohorts {
           F.round((F.col("new_users") + F.col("resurrected"))
             .cast("double") / F.col("churned"), 6)))
   }
+
+  /** Exact Shapley-value conversion attribution over channel SETS —
+    * the cooperative-game answer to "which touchpoints actually drive
+    * conversion" that first/last-touch ([[touchAttribution]]) cannot
+    * give (it bookends; Shapley shares the credit axiomatically):
+    * with v(S) = conversion rate of users whose touched-channel set
+    * is exactly S (0 for unobserved sets — the standard simplified
+    * game),
+    *
+    *   φ_c = Σ_{S ∌ c} |S|!·(C−|S|−1)!/C! · (v(S∪{c}) − v(S))
+    *
+    * summed over ALL 2^C coalitions in ascending bitmask order (the
+    * oracle mirrors with an ordered list fold over the same subsets).
+    * Conversion rates are 6-ROUNDED before the fold, factorials exact
+    * Longs, so the whole attribution is a pure function of the
+    * coalition table.
+    *
+    * Scale shape: ONE user aggregation builds (mask, converted) —
+    * bit_or of per-channel bits, channels alphabetical → bit index —
+    * then a coalition count bounded by 2^C; C is guarded LOUDLY at 12
+    * (collapse rare channels first). Everything after is driver
+    * arithmetic on ≤4096 exact cells.
+    *
+    * @return one row per channel: (channel, shapley, n_touched,
+    *         conv_rate_touched) */
+  def shapleyAttribution(df: DataFrame, userCol: String,
+                         channelCol: String,
+                         convValue: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val u = F.col(userCol)
+    val ch = F.col(channelCol).cast("string")
+    val base = df.where(u.isNotNull && ch.isNotNull)
+      .select(u.cast("string").as("__u"), ch.as("__c"))
+      .localCheckpoint(true)
+    val channels = base.where(F.col("__c") =!= convValue)
+      .select("__c").distinct().collect().map(_.getString(0)).sorted
+    val cc = channels.length
+    require(cc >= 1, "no non-conversion channels")
+    // loud guard: the game enumerates 2^C coalitions
+    require(cc <= 12,
+      s"$cc channels — shapleyAttribution enumerates 2^C coalitions; " +
+        "collapse rare channels first")
+    val bitOf = channels.zipWithIndex.toMap
+    val bitExpr = F.coalesce(channels.zipWithIndex
+      .map { case (c, i) => F.when(F.col("__c") === c, 1L << i) }: _*)
+    val touched = base.where(F.col("__c") =!= convValue)
+      .select(F.col("__u"), bitExpr.as("__b"))
+      .groupBy("__u").agg(F.expr("bit_or(__b)").as("__m"))
+    val convU = base.groupBy("__u").agg(
+      F.max(F.when(F.col("__c") === convValue, 1L).otherwise(0L))
+        .as("__conv"))
+    val coal = convU.join(touched, Seq("__u"), "left")
+      .select(F.coalesce(F.col("__m"), F.lit(0L)).as("__m"),
+        F.col("__conv"))
+      .groupBy("__m")
+      .agg(F.count(F.lit(1)).as("n"), F.sum("__conv").as("nc"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val vMap = coal.map { case (m, n, nc) =>
+      m -> r6(nc.toDouble / n) }.toMap.withDefaultValue(0.0)
+    val nMap = coal.map { case (m, n, _) => m -> n }.toMap
+    val ncMap = coal.map { case (m, _, nc) => m -> nc }.toMap
+    def fact(k: Int): Long = (1 to k).foldLeft(1L)(_ * _)
+    val rows = channels.map { c =>
+      val i = bitOf(c)
+      val phi = (0 until (1 << cc)).foldLeft(0.0) { (acc, s) =>
+        if (((s >> i) & 1) == 1) acc
+        else {
+          val k = java.lang.Integer.bitCount(s)
+          val w = fact(k).toDouble * fact(cc - 1 - k) / fact(cc)
+          acc + w * (vMap((s | (1 << i)).toLong) - vMap(s.toLong))
+        }
+      }
+      val touchedMasks = (0 until (1 << cc))
+        .filter(s => ((s >> i) & 1) == 1)
+      val nT = touchedMasks.foldLeft(0L)((a, s) =>
+        a + nMap.getOrElse(s.toLong, 0L))
+      val ncT = touchedMasks.foldLeft(0L)((a, s) =>
+        a + ncMap.getOrElse(s.toLong, 0L))
+      (c, r6(phi), nT,
+        if (nT > 0L) Some(r6(ncT.toDouble / nT)) else None)
+    }
+    rows.toSeq
+      .toDF("channel", "shapley", "n_touched", "conv_rate_touched")
+      .orderBy("channel")
+  }
 }

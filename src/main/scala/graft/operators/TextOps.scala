@@ -1506,4 +1506,60 @@ object TextOps {
       .select(F.col("id").as(idCol), F.col("n_terms_matched"),
         F.col("score"))
   }
+
+  /** Moore–Lewis cross-entropy-difference data selection (Moore &
+    * Lewis 2010) — THE classic "pull the most in-domain documents out
+    * of a huge general pool" primitive of LLM data curation: score
+    * every pool document by its mean per-token log-likelihood RATIO
+    * under two add-one-smoothed unigram LMs,
+    *
+    *   score(d) = (1/|d|) Σ_{t∈d} [ln p_target(t) − ln p_pool(t)],
+    *   p_slice(t) = (c_t + 1) / (N_slice + V_union)
+    *
+    * — high score = reads like the target corpus; take the top-k as
+    * the selected training slice.
+    *
+    * Scale shape: two token-count aggregations meet in ONE
+    * vocabulary-bounded full-outer join (the LM table), the pool
+    * tokens join it on the word key, one per-doc fold, TakeOrdered
+    * top-k on the 6-ROUNDED score with the id tie-break. Counts stay
+    * exact Longs; corpus totals are two scalars.
+    *
+    * @return topK rows: (idCol, n_tokens, score) */
+  def mooreLewisSelect(dfTarget: DataFrame, dfPool: DataFrame,
+                       idCol: String, textCol: String,
+                       topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    def toks(df: DataFrame) = df
+      .where(F.col(idCol).isNotNull && F.col(textCol).isNotNull)
+      .select(F.col(idCol).as("id"),
+        F.explode(wordTokens(F.col(textCol))).as("w"))
+    val tPool = toks(dfPool)
+    val cTgt = toks(dfTarget).groupBy("w")
+      .agg(F.count(F.lit(1)).as("ct"))
+    val cPool = tPool.groupBy("w").agg(F.count(F.lit(1)).as("cp"))
+    val vocab = cTgt.join(cPool, Seq("w"), "full_outer")
+      .select(F.col("w"),
+        F.coalesce(F.col("ct"), F.lit(0L)).as("ct"),
+        F.coalesce(F.col("cp"), F.lit(0L)).as("cp"))
+      .localCheckpoint(true)
+    val tot = vocab.agg(F.sum("ct").as("nt"), F.sum("cp").as("np"),
+      F.count(F.lit(1)).as("v")).head()
+    val nt = tot.getAs[Long]("nt"); val np = tot.getAs[Long]("np")
+    val v = tot.getAs[Long]("v")
+    require(nt > 0L && np > 0L, "both corpora need tokens")
+    val lr = vocab.select(F.col("w"),
+      (F.log((F.col("ct") + 1L).cast("double") /
+        F.lit((nt + v).toDouble)) -
+        F.log((F.col("cp") + 1L).cast("double") /
+          F.lit((np + v).toDouble))).as("lr"))
+    tPool.join(lr, "w")
+      .groupBy("id")
+      .agg(F.count(F.lit(1)).as("n_tokens"),
+        F.round(F.sum(F.col("lr")) / F.count(F.lit(1)), 6).as("score"))
+      .orderBy(F.col("score").desc, F.col("id").asc)
+      .limit(topK)
+      .select(F.col("id").as(idCol), F.col("n_tokens"),
+        F.col("score"))
+  }
 }

@@ -4254,6 +4254,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ri.getAs[Double]("purity") == 0.5)
   }
 
+  test("mooreLewisSelect scores the target-like pool doc higher") {
+    import spark.implicits._
+    val target = Seq((10L, "alpha beta")).toDF("doc_id", "text")
+    val pool = Seq((1L, "alpha gamma"), (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val rows = TextOps.mooreLewisSelect(target, pool, "doc_id", "text",
+      topK = 2).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    // V = 4, Nt = 2, Np = 4: lr(alpha) = ln(4/3), lr(gamma) = ln(4/9),
+    // lr(delta) = ln(2/3); per-doc means of two terms
+    val s1 = (math.log(4.0 / 3.0) + math.log(4.0 / 9.0)) / 2.0
+    val s2 = (math.log(4.0 / 9.0) + math.log(2.0 / 3.0)) / 2.0
+    assert(math.abs(rows(0).getAs[Double]("score") - s1) < 1e-5)
+    assert(math.abs(rows(1).getAs[Double]("score") - s2) < 1e-5)
+  }
+
+  test("shapleyAttribution splits credit by the exact coalition game") {
+    import spark.implicits._
+    // v({A}) = 1/2, v({B}) = 1, v({A,B}) = 1, v(∅) = 0 →
+    // φ_A = ½·½ = 0.25, φ_B = ½·1 + ½·½ = 0.75 (efficiency: sums to 1)
+    val df = Seq((1L, "A"), (1L, "buy"), (2L, "A"), (3L, "B"),
+      (3L, "buy"), (4L, "A"), (4L, "B"), (4L, "buy"))
+      .toDF("user_id", "channel")
+    val rows = Cohorts.shapleyAttribution(df, "user_id", "channel",
+        convValue = "buy")
+      .collect().map(r => r.getAs[String]("channel") -> r).toMap
+    assert(rows("A").getAs[Double]("shapley") == 0.25)
+    assert(rows("B").getAs[Double]("shapley") == 0.75)
+    assert(rows("A").getAs[Long]("n_touched") == 3L)
+    assert(rows("B").getAs[Long]("n_touched") == 2L)
+    assert(math.abs(rows("A").getAs[Double]("conv_rate_touched")
+      - 0.666667) < 1e-6)
+    assert(rows("B").getAs[Double]("conv_rate_touched") == 1.0)
+  }
+
   test("seasonalStrengthByKey: pure seasonal series scores F_s = 1") {
     import spark.implicits._
     // period-2 square wave: remainder ≡ 0 on interior rows → F_s = 1;
