@@ -4529,6 +4529,23 @@ object SparkEntry {
       // TakeOrdered scans, overlap a broadcast join over k rows
       Similarity.truncationRecall(emb(s, dir), "vec_id", "embedding",
         queryIds = Seq(0L, 1L, 2L), dims = 16, k = 10)),
+    "q_jl_project" -> ((s, dir) =>
+      // deterministic JL ±1/√k projection 64 → 16 (md5-parity matrix,
+      // left-to-right folds): the shuffle-shrinker for ANN candidate
+      // generation, long-form over the first 200 vectors
+      Similarity.jlProject(emb(s, dir).where(F.col("vec_id") < 200),
+          "vec_id", "embedding", inDim = 64, outDim = 16)
+        .select(F.col("vec_id"), F.posexplode(F.col("proj")))
+        .select(F.col("vec_id"), F.col("pos").cast("long").as("j"),
+          F.col("col").as("y"))
+        .orderBy("vec_id", "j")),
+    "q_jl_distortion" -> ((s, dir) =>
+      // the JL acceptance audit: original vs projected distance on
+      // consecutive-id pairs — ratios near 1 = safe to route ANN
+      // through the 16-dim space
+      Similarity.jlDistortion(emb(s, dir).where(F.col("vec_id") < 200),
+          "vec_id", "embedding", inDim = 64, outDim = 16)
+        .orderBy("id_a")),
     "q_mmr" -> ((s, dir) => {
       // diversified retrieval: MMR re-rank of the cosine top-20 pool
       // down to 5 (λ = ½ so both engines share every constant);
@@ -12323,6 +12340,54 @@ object SparkEntry {
     },
     // Silhouette replay: long-form embeddings, (label, dim) centroids,
     // per-(row, centroid) squared distances, the same a/b/s algebra.
+    // JL replay: the md5-parity sign matrix, left-to-right
+    // list_reduce folds, /sqrt(16), rounded components.
+    "q_jl_project" ->
+      """WITH base AS MATERIALIZED (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings WHERE vec_id IS NOT NULL
+        |    AND embedding IS NOT NULL AND len(embedding) = 64
+        |    AND vec_id < 200)
+        |SELECT vec_id, CAST(j.j AS BIGINT) AS j,
+        |  round(list_reduce(list_prepend(0.0, list_transform(range(64),
+        |    i -> e[i + 1] * CASE WHEN CAST(('0x' ||
+        |      substr(md5('jl#' || i || '#' || j.j), 1, 8)) AS BIGINT)
+        |      % 2 = 0 THEN 1.0 ELSE -1.0 END)),
+        |    (a, b) -> a + b) / sqrt(16.0), 6) + 0.0 AS y
+        |FROM base, generate_series(0, 15) j(j)
+        |ORDER BY vec_id, j""".stripMargin,
+    "q_jl_distortion" ->
+      """WITH base AS MATERIALIZED (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings WHERE vec_id IS NOT NULL
+        |    AND embedding IS NOT NULL AND len(embedding) = 64
+        |    AND vec_id < 200),
+        |p AS MATERIALIZED (SELECT vec_id, list_transform(range(16),
+        |    jj -> round(list_reduce(list_prepend(0.0,
+        |      list_transform(range(64),
+        |        i -> e[i + 1] * CASE WHEN CAST(('0x' ||
+        |          substr(md5('jl#' || i || '#' || jj), 1, 8))
+        |          AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END)),
+        |      (a, b) -> a + b) / sqrt(16.0), 6)) AS proj
+        |  FROM base),
+        |jn AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(
+        |      range(64), i -> (a.e[i + 1] - b.e[i + 1])
+        |        * (a.e[i + 1] - b.e[i + 1]))),
+        |      (x, y) -> x + y)) AS do_raw,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(
+        |      range(16), i -> (pa.proj[i + 1] - pb.proj[i + 1])
+        |        * (pa.proj[i + 1] - pb.proj[i + 1]))),
+        |      (x, y) -> x + y)) AS dp_raw
+        |  FROM base a JOIN base b ON b.vec_id = a.vec_id + 1
+        |    AND a.vec_id % 2 = 0
+        |  JOIN p pa ON pa.vec_id = a.vec_id
+        |  JOIN p pb ON pb.vec_id = b.vec_id)
+        |SELECT id_a, id_b, round(do_raw, 6) AS dist_orig,
+        |  round(dp_raw, 6) AS dist_proj,
+        |  CASE WHEN do_raw > 0.0 THEN round(dp_raw / do_raw, 6) END
+        |    AS ratio
+        |FROM jn ORDER BY id_a""".stripMargin,
     "q_silhouette" ->
       """WITH l AS (SELECT vec_id AS id,
         |    CAST(label AS VARCHAR) AS lb, g.pos AS dim,

@@ -941,4 +941,81 @@ object Similarity {
       .select(F.col("id_b").as(idCol)).distinct()
     df.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** Johnson–Lindenstrauss random projection of the embedding column
+    * to `outDim` dimensions with the deterministic ±1/√k matrix
+    * (Achlioptas 2001): entry (i, j) is the md5("jl#i#j") parity —
+    * no RNG state, so the SAME matrix materializes on every executor,
+    * every run, and in the oracle. The 100 TB use: shrink 64-dim
+    * embeddings to 16 before LSH/IVF candidate generation — 4× less
+    * shuffle and memory at a distance distortion the JL lemma bounds
+    * (audit with [[jlDistortion]] before trusting it).
+    *
+    * Fully in-plan and codegen'd: nested `transform`/`zip_with`/
+    * `aggregate` higher-order functions, components folded
+    * LEFT-TO-RIGHT over the dimensions (bit-reproducible, the
+    * [[Clustering.kCenterCoreset]] discipline) and rounded to 6.
+    *
+    * @return one row per input: (idCol, proj array<double>[outDim]) */
+  def jlProject(df: DataFrame, idCol: String, embCol: String,
+                inDim: Int, outDim: Int): DataFrame = {
+    require(inDim >= 1 && outDim >= 1 && outDim <= inDim,
+      "need 1 <= outDim <= inDim")
+    val emb = F.transform(F.col(embCol), x => x.cast("double"))
+    def signOf(i: Column, j: Column): Column =
+      F.when(F.conv(F.substring(F.md5(F.concat_ws("#", F.lit("jl"),
+        i.cast("string"), j.cast("string")).cast("binary")), 1, 8),
+        16, 10).cast("long") % 2L === 0L, F.lit(1.0))
+        .otherwise(F.lit(-1.0))
+    val proj = F.transform(F.sequence(F.lit(0), F.lit(outDim - 1)), j =>
+      F.round(F.aggregate(
+        F.zip_with(emb,
+          F.transform(F.sequence(F.lit(0), F.lit(inDim - 1)),
+            i => signOf(i, j)),
+          (x, s) => x * s),
+        F.lit(0.0), (acc, v) => acc + v) /
+        math.sqrt(outDim.toDouble), 6))
+    df.where(F.col(idCol).isNotNull && F.col(embCol).isNotNull &&
+        F.size(F.col(embCol)) === inDim)
+      .select(F.col(idCol), proj.as("proj"))
+  }
+
+  /** Distance-distortion audit of [[jlProject]] on consecutive-id
+    * pairs: ‖a−b‖ in the original space vs the projected one and
+    * their ratio — the acceptance check the JL lemma invites before
+    * routing ANN candidate generation through the smaller space
+    * (ratios concentrating near 1 = the projection is safe for this
+    * corpus). Ordered folds over both arrays; nothing collects.
+    *
+    * @return one row per (even, even+1) id pair: (id_a, id_b,
+    *         dist_orig, dist_proj, ratio) — ratio null when the
+    *         original distance is zero */
+  def jlDistortion(df: DataFrame, idCol: String, embCol: String,
+                   inDim: Int, outDim: Int): DataFrame = {
+    val p = jlProject(df, idCol, embCol, inDim, outDim)
+      .select(F.col(idCol).cast("long").as("id"), F.col("proj"))
+    val base = df
+      .where(F.col(idCol).isNotNull && F.col(embCol).isNotNull &&
+        F.size(F.col(embCol)) === inDim)
+      .select(F.col(idCol).cast("long").as("id"),
+        F.transform(F.col(embCol), x => x.cast("double")).as("e"))
+      .join(p, "id")
+    val a = base.where(F.col("id") % 2L === 0L)
+      .select(F.col("id").as("id_a"), F.col("e").as("ea"),
+        F.col("proj").as("pa"))
+    val b = base
+      .select(F.col("id").as("id_b"), F.col("e").as("eb"),
+        F.col("proj").as("pb"))
+    def sq(x: Column, y: Column): Column = (x - y) * (x - y)
+    def dist(u: String, v: String): Column =
+      F.sqrt(F.aggregate(F.zip_with(F.col(u), F.col(v), sq),
+        F.lit(0.0), (acc, x) => acc + x))
+    val dO = dist("ea", "eb")
+    val dP = dist("pa", "pb")
+    a.join(b, F.col("id_b") === F.col("id_a") + 1L)
+      .select(F.col("id_a"), F.col("id_b"),
+        F.round(dO, 6).as("dist_orig"),
+        F.round(dP, 6).as("dist_proj"),
+        F.when(dO > 0.0, F.round(dP / dO, 6)).as("ratio"))
+  }
 }

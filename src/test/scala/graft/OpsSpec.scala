@@ -4254,6 +4254,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ri.getAs[Double]("purity") == 0.5)
   }
 
+  test("jlProject is linear and jlDistortion reports consistent ratios") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array.fill(64)(1.0f)), (1L, Array.fill(64)(2.0f)))
+      .toDF("vec_id", "embedding")
+    val p = Similarity.jlProject(df, "vec_id", "embedding", 64, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(p(0L).length == 16)
+    // the projection is linear: proj(2x) = 2 proj(x) up to rounding
+    p(0L).zip(p(1L)).foreach { case (a, b) =>
+      assert(math.abs(b - 2.0 * a) < 2e-6) }
+    val d = Similarity.jlDistortion(df, "vec_id", "embedding", 64, 16)
+      .head()
+    // ‖e1 − e0‖ = √64 = 8 exactly
+    assert(d.getAs[Double]("dist_orig") == 8.0)
+    val ratio = d.getAs[Double]("ratio")
+    assert(math.abs(ratio -
+      d.getAs[Double]("dist_proj") / 8.0) < 1e-5)
+  }
+
   test("mooreLewisSelect scores the target-like pool doc higher") {
     import spark.implicits._
     val target = Seq((10L, "alpha beta")).toDF("doc_id", "text")
