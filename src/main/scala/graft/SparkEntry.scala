@@ -3440,6 +3440,24 @@ object SparkEntry {
             (F.col("l_returnflag") === "R").as("y")),
         Seq("l_suppkey"), "y")
         .orderBy("l_suppkey")),
+    "q_eb_poisson" -> ((s, dir) =>
+      // the gamma–Poisson sibling: per-supplier-bucket return RATE
+      // with line-count exposure, MoM gamma prior, small buckets pull
+      // toward the global rate
+      Experiments.ebShrinkPoisson(
+        li(s, dir).select((F.col("l_suppkey") % 20).as("bucket"),
+          F.when(F.col("l_returnflag") === "R", 1.0).otherwise(0.0)
+            .as("evt"),
+          F.lit(1.0).as("exp")),
+        Seq("bucket"), "evt", "exp")
+        .orderBy("bucket")),
+    "q_control_chart" -> ((s, dir) =>
+      // XmR individuals chart per event type over the daily means:
+      // x̄ ± 2.66·mR̄ limits (rounded), out-of-limit day count — the
+      // SPC screen for "did the process change"
+      Features.controlChartByKey(events(s, dir), "event_type", "ts",
+          "value", periodUnit = 86400000000000L)
+        .orderBy("event_type")),
     "q_sequential" -> ((s, dir) =>
       // group-sequential A/B monitor: weekly looks at the cumulative
       // purchase-rate z vs the O'Brien-Fleming-shaped boundary
@@ -14538,6 +14556,64 @@ object SparkEntry {
         |  round(m * s, 6) AS alpha,
         |  round((1.0 - m) * s, 6) AS beta
         |FROM r, pr ORDER BY l_suppkey""".stripMargin,
+    // Gamma-Poisson replay: decimal-exact group events/exposure, the
+    // k-row MoM prior fold, posterior column arithmetic.
+    "q_eb_poisson" ->
+      """WITH g AS MATERIALIZED (SELECT l_suppkey % 20 AS bucket,
+        |    CAST(sum(CAST(CASE WHEN l_returnflag = 'R' THEN 1.0
+        |      ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS ev,
+        |    CAST(sum(CAST(1.0 AS DECIMAL(38,6))) AS DOUBLE) AS ex
+        |  FROM lineitem GROUP BY 1 HAVING
+        |    CAST(sum(CAST(1.0 AS DECIMAL(38,6))) AS DOUBLE) > 0.0),
+        |r AS (SELECT bucket, ev, ex, ev / ex AS rr FROM g),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS k, sum(rr) AS sr,
+        |    sum(rr * rr) AS srr FROM r),
+        |ab AS (SELECT
+        |    CASE WHEN srr / k - (sr / k) * (sr / k) > 0.0
+        |      AND sr / k > 0.0
+        |    THEN (sr / k) * (sr / k)
+        |      / (srr / k - (sr / k) * (sr / k)) ELSE 0.0 END AS alpha,
+        |    CASE WHEN srr / k - (sr / k) * (sr / k) > 0.0
+        |      AND sr / k > 0.0
+        |    THEN (sr / k)
+        |      / (srr / k - (sr / k) * (sr / k)) ELSE 0.0 END AS beta
+        |  FROM mm)
+        |SELECT bucket, round(ev, 6) AS events, round(ex, 6)
+        |    AS exposure,
+        |  round(rr, 6) AS rate,
+        |  round((ev + alpha) / (ex + beta), 6) AS shrunk_rate,
+        |  round(alpha, 6) AS alpha, round(beta, 6) AS beta
+        |FROM r, ab ORDER BY bucket""".stripMargin,
+    // XmR replay: decimal daily cells, lag moving ranges, rounded
+    // 2.66 limits, the out-of-limit recount against them.
+    "q_control_chart" ->
+      """WITH e AS (SELECT event_type AS k,
+        |    epoch_ns(ts) // 86400000000000 AS p, value AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |cells AS MATERIALIZED (SELECT k, p,
+        |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+        |      AS v
+        |  FROM e GROUP BY k, p),
+        |mr AS (SELECT k, p, v,
+        |    abs(v - lag(v) OVER (PARTITION BY k ORDER BY p)) AS d
+        |  FROM cells),
+        |st AS (SELECT k, CAST(count(*) AS BIGINT) AS n_periods,
+        |    avg(v) AS xb, avg(d) AS mrb FROM mr GROUP BY k
+        |  HAVING count(*) >= 3),
+        |lim AS (SELECT k, n_periods, round(xb, 6) AS xbar,
+        |    round(mrb, 6) AS mr_bar,
+        |    round(xb + 2.66 * mrb, 6) AS ucl,
+        |    round(xb - 2.66 * mrb, 6) AS lcl
+        |  FROM st),
+        |fl AS (SELECT lim.k,
+        |    CAST(sum(CASE WHEN cells.v > lim.ucl
+        |      OR cells.v < lim.lcl THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_beyond
+        |  FROM lim JOIN cells ON cells.k = lim.k GROUP BY lim.k)
+        |SELECT lim.k AS event_type, n_periods, xbar, mr_bar, ucl,
+        |  lcl, n_beyond
+        |FROM lim JOIN fl ON lim.k = fl.k ORDER BY event_type""".stripMargin,
     "q_sequential" ->
       """WITH e AS (SELECT
         |    CAST(floor((epoch_ns(ts) - epoch_ns(ts) % 604800000000000)

@@ -198,6 +198,60 @@ object Experiments {
         F.col("beta")): _*)
   }
 
+  /** Gamma–Poisson (negative-binomial) empirical-Bayes shrinkage of
+    * per-group EVENT RATES with exposure — [[ebShrinkRates]]'s sibling
+    * for counts-per-volume metrics (defects per shipped line, errors
+    * per request-hour) where the beta-binomial's n-trials framing
+    * doesn't apply: method-of-moments gamma prior over the group
+    * rates (mean m = α/β, variance v = α/β² → β = m/v, α = m²/v),
+    * posterior mean (c_g + α)/(e_g + β) — small-exposure groups pull
+    * toward the global rate, big ones keep their own.
+    *
+    * Scale shape: ONE decimal-exact group aggregation, one k-row fold
+    * for the prior (k = group count), posterior as column arithmetic.
+    * Zero between-group variance degenerates to no shrink (α = β = 0).
+    *
+    * @param eventCol per-row event count (0/1 indicators work)
+    * @param exposureCol per-row exposure volume
+    * @return one row per group: (groupCols…, events, exposure, rate,
+    *         shrunk_rate, alpha, beta), doubles rounded to 6 */
+  def ebShrinkPoisson(df: DataFrame, groupCols: Seq[String],
+                      eventCol: String,
+                      exposureCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val c = F.col(eventCol).cast("double")
+    val e = F.col(exposureCol).cast("double")
+    def dsum(col: org.apache.spark.sql.Column) =
+      F.sum(col.cast("decimal(38,6)")).cast("double")
+    val groups = df
+      .where(c.isNotNull && !F.isnan(c) && e.isNotNull && !F.isnan(e))
+      .groupBy(groupCols.map(F.col): _*)
+      .agg(dsum(c).as("__ev"), dsum(e).as("__ex"))
+      .where(F.col("__ex") > 0.0)
+      .withColumn("__r", F.col("__ev") / F.col("__ex"))
+      .localCheckpoint(true)
+    val row = groups.agg(F.count(F.lit(1)).as("k"),
+      F.sum("__r").as("sr"),
+      F.sum(F.col("__r") * F.col("__r")).as("srr")).head()
+    val k = row.getAs[Long]("k").toDouble
+    require(k >= 1.0, "need at least one group with exposure")
+    val m = row.getAs[Double]("sr") / k
+    val v = row.getAs[Double]("srr") / k - m * m
+    val (alpha, beta) =
+      if (v > 0.0 && m > 0.0) (m * m / v, m / v) else (0.0, 0.0)
+    groups
+      .withColumn("rate", F.round(F.col("__r"), 6))
+      .withColumn("shrunk_rate", F.round(
+        (F.col("__ev") + alpha) / (F.col("__ex") + beta), 6))
+      .withColumn("alpha", F.round(F.lit(alpha), 6))
+      .withColumn("beta", F.round(F.lit(beta), 6))
+      .select(groupCols.map(F.col) ++ Seq(
+        F.round(F.col("__ev"), 6).as("events"),
+        F.round(F.col("__ex"), 6).as("exposure"),
+        F.col("rate"), F.col("shrunk_rate"), F.col("alpha"),
+        F.col("beta")): _*)
+  }
+
   /** Group-sequential monitor with the O'Brien–Fleming-shaped boundary:
     * per analysis period k of K, the pooled two-proportion z on the
     * CUMULATIVE counts against the spending boundary

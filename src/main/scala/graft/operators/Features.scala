@@ -469,6 +469,60 @@ object Features {
         F.round(sigma2, 6).as("sigma2"))
   }
 
+  /** XmR (individuals + moving-range) control chart per key — the
+    * Shewhart SPC screen ops teams run on every KPI stream ("is this
+    * series just noisy, or did the PROCESS change"): over the
+    * decimal-exact period means,
+    *
+    *   mR̄ = mean |x_t − x_{t−1}|,   UCL/LCL = x̄ ± 2.66·mR̄
+    *
+    * (2.66 = 3/d₂ at n = 2, the standard individuals-chart constant),
+    * with the out-of-limit count evaluated against the 6-ROUNDED
+    * limits so the verdict replays. One key shuffle; the per-key
+    * frame is periods, never rows.
+    *
+    * @return one row per key: (keyCol, n_periods, xbar, mr_bar, ucl,
+    *         lcl, n_beyond) — keys with < 3 periods omitted */
+  def controlChartByKey(df: DataFrame, keyCol: String, tsCol: String,
+                        valueCol: String,
+                        periodUnit: Long): DataFrame = {
+    require(periodUnit > 0L, "periodUnit must be positive")
+    val v = F.col(valueCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    val cells = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull && v.isNotNull &&
+        !F.isnan(v))
+      .groupBy(F.col(keyCol).as("__k"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("__p"))
+      .agg((F.sum(v.cast("decimal(38,6)")).cast("double") /
+        F.count(F.lit(1))).as("__v"))
+    val wOrd = Window.partitionBy("__k").orderBy("__p")
+    val base = cells
+      .withColumn("__mr", F.abs(F.col("__v") -
+        F.lag("__v", 1).over(wOrd)))
+    val stats = base.groupBy("__k").agg(
+      F.count(F.lit(1)).as("n_periods"),
+      F.avg("__v").as("__xbar"),
+      F.avg("__mr").as("__mrbar"))
+      .where(F.col("n_periods") >= 3L)
+      .withColumn("xbar", F.round(F.col("__xbar"), 6))
+      .withColumn("mr_bar", F.round(F.col("__mrbar"), 6))
+      .withColumn("ucl",
+        F.round(F.col("__xbar") + F.lit(2.66) * F.col("__mrbar"), 6))
+      .withColumn("lcl",
+        F.round(F.col("__xbar") - F.lit(2.66) * F.col("__mrbar"), 6))
+    val flagged = cells.join(
+      stats.select(F.col("__k"), F.col("ucl").as("__u"),
+        F.col("lcl").as("__l")), "__k")
+      .groupBy("__k")
+      .agg(F.sum(F.when(F.col("__v") > F.col("__u") ||
+        F.col("__v") < F.col("__l"), 1L).otherwise(0L)).as("n_beyond"))
+    stats.join(flagged, "__k")
+      .select(F.col("__k").as(keyCol), F.col("n_periods"),
+        F.col("xbar"), F.col("mr_bar"), F.col("ucl"), F.col("lcl"),
+        F.col("n_beyond"))
+  }
+
   /** Rolling Pearson correlation between two metrics per key over a
     * trailing time window — "are latency and error rate moving
     * together RIGHT NOW, per service": the co-movement monitor that a

@@ -4254,6 +4254,50 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ri.getAs[Double]("purity") == 0.5)
   }
 
+  test("controlChartByKey: hand-computed XmR limits and flags") {
+    import spark.implicits._
+    // x = 10, 12, 10, 12, 30: x̄ = 14.8, mR̄ = (2+2+2+18)/4 = 6,
+    // UCL = 14.8 + 15.96 = 30.76, LCL = -1.16 → nothing beyond
+    val df = Seq(10.0, 12.0, 10.0, 12.0, 30.0).zipWithIndex
+      .map { case (v, i) => ("k", i.toLong * 10L, v) }
+      .toDF("key", "ts", "v")
+    val r = Features.controlChartByKey(df, "key", "ts", "v",
+      periodUnit = 10L).head()
+    assert(r.getAs[Long]("n_periods") == 5L)
+    assert(r.getAs[Double]("xbar") == 14.8)
+    assert(r.getAs[Double]("mr_bar") == 6.0)
+    assert(r.getAs[Double]("ucl") == 30.76)
+    assert(r.getAs[Double]("lcl") == -1.16)
+    assert(r.getAs[Long]("n_beyond") == 0L)
+    // push the spike past the limit
+    val df2 = Seq(10.0, 12.0, 10.0, 12.0, 60.0).zipWithIndex
+      .map { case (v, i) => ("k", i.toLong * 10L, v) }
+      .toDF("key", "ts", "v")
+    val r2 = Features.controlChartByKey(df2, "key", "ts", "v",
+      periodUnit = 10L).head()
+    assert(r2.getAs[Long]("n_beyond") == 1L)
+  }
+
+  test("ebShrinkPoisson pulls small-exposure groups toward the prior") {
+    import spark.implicits._
+    // g1: 10 events / 100 exposure (rate .1), g2: 30/100 (rate .3),
+    // g3: 1 event / 2 exposure (rate .5, tiny) — g3 shrinks hardest
+    val df = (Seq.fill(10)(("g1", 1.0, 10.0)) ++
+      Seq.fill(10)(("g2", 3.0, 10.0)) ++ Seq(("g3", 1.0, 2.0)))
+      .toDF("g", "evt", "exp")
+    val rows = Experiments.ebShrinkPoisson(df, Seq("g"), "evt", "exp")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(rows("g3").getAs[Double]("rate") == 0.5)
+    val m = (0.1 + 0.3 + 0.5) / 3.0
+    val shr3 = rows("g3").getAs[Double]("shrunk_rate")
+    // shrunk g3 sits strictly between the global mean and its own rate
+    assert(shr3 < 0.5 && shr3 > m - 1e-9)
+    // big-exposure groups barely move
+    assert(math.abs(rows("g1").getAs[Double]("shrunk_rate") - 0.1)
+      < math.abs(shr3 - 0.5))
+    assert(rows("g1").getAs[Double]("alpha") > 0.0)
+  }
+
   test("jlProject is linear and jlDistortion reports consistent ratios") {
     import spark.implicits._
     val df = Seq(
