@@ -3458,6 +3458,24 @@ object SparkEntry {
       Features.controlChartByKey(events(s, dir), "event_type", "ts",
           "value", periodUnit = 86400000000000L)
         .orderBy("event_type")),
+    "q_demand_class" -> ((s, dir) =>
+      // Syntetos–Boylan ADI/CV² quadrant per sparse user series: the
+      // router that decides Holt/HW vs Croston before any fitting
+      Features.demandClassifyByKey(
+        events(s, dir).where(F.col("user_id") < 30),
+        "user_id", "ts", "value", periodUnit = 86400000000000L)
+        .orderBy("user_id")),
+    "q_split_leakage" -> ((s, dir) =>
+      // the eval-contamination audit: row-wise splits leak users
+      // across train/val/test — count the cross-split entities the
+      // key-wise splitter exists to zero out
+      Sampling.splitLeakageAudit(
+        events(s, dir).select(F.col("user_id"),
+          F.when(F.col("event_id") % 10 < 8, "train")
+            .when(F.col("event_id") % 10 === 8, "val")
+            .otherwise("test").as("split")),
+        "user_id", "split")
+        .orderBy("split_a", "split_b")),
     "q_sequential" -> ((s, dir) =>
       // group-sequential A/B monitor: weekly looks at the cumulative
       // purchase-rate z vs the O'Brien-Fleming-shaped boundary
@@ -14614,6 +14632,58 @@ object SparkEntry {
         |SELECT lim.k AS event_type, n_periods, xbar, mr_bar, ucl,
         |  lcl, n_beyond
         |FROM lim JOIN fl ON lim.k = fl.k ORDER BY event_type""".stripMargin,
+    // ADI/CV2 replay: decimal period demand sums, the min..max grid
+    // span, quadrant cutoffs on the rounded statistics.
+    "q_demand_class" ->
+      """WITH e AS (SELECT user_id AS k,
+        |    epoch_ns(ts) // 86400000000000 AS p, value AS x
+        |  FROM events WHERE user_id IS NOT NULL AND user_id < 30
+        |    AND ts IS NOT NULL AND value IS NOT NULL
+        |    AND NOT isnan(value)),
+        |cells AS (SELECT k, p,
+        |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS s
+        |  FROM e GROUP BY k, p),
+        |st AS (SELECT k, min(p) AS pmin, max(p) AS pmax,
+        |    CAST(sum(CASE WHEN s <> 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_nonzero,
+        |    sum(CASE WHEN s <> 0.0 THEN s END) AS ss,
+        |    sum(CASE WHEN s <> 0.0 THEN s * s END) AS ssq
+        |  FROM cells GROUP BY k),
+        |x AS (SELECT k, pmax - pmin + 1 AS n_periods, n_nonzero,
+        |    round(CAST(pmax - pmin + 1 AS DOUBLE) / n_nonzero, 6)
+        |      AS adi,
+        |    round((ssq / n_nonzero - (ss / n_nonzero)
+        |        * (ss / n_nonzero))
+        |      / ((ss / n_nonzero) * (ss / n_nonzero)), 6) + 0.0 AS cv2
+        |  FROM st WHERE n_nonzero >= 2 AND ss <> 0.0)
+        |SELECT k AS user_id, n_periods, n_nonzero, adi, cv2,
+        |  CASE WHEN adi < 1.32 AND cv2 < 0.49 THEN 'smooth'
+        |    WHEN adi >= 1.32 AND cv2 < 0.49 THEN 'intermittent'
+        |    WHEN adi < 1.32 THEN 'erratic' ELSE 'lumpy' END
+        |    AS demand_class
+        |FROM x ORDER BY user_id""".stripMargin,
+    // Leakage replay: distinct (entity, split), margins cross-join so
+    // disjoint pairs report zero, entity self-join overlap counts.
+    "q_split_leakage" ->
+      """WITH p AS MATERIALIZED (SELECT DISTINCT
+        |    CAST(user_id AS VARCHAR) AS e,
+        |    CASE WHEN event_id % 10 < 8 THEN 'train'
+        |      WHEN event_id % 10 = 8 THEN 'val' ELSE 'test' END AS s
+        |  FROM events WHERE user_id IS NOT NULL),
+        |m AS MATERIALIZED (SELECT s, CAST(count(*) AS BIGINT) AS n
+        |  FROM p GROUP BY s),
+        |ov AS (SELECT a.s AS sa, b.s AS sb,
+        |    CAST(count(*) AS BIGINT) AS nb
+        |  FROM p a JOIN p b ON a.e = b.e AND a.s < b.s
+        |  GROUP BY a.s, b.s),
+        |ap AS (SELECT a.s AS sa, a.n AS n_a, b.s AS sb, b.n AS n_b
+        |  FROM m a, m b WHERE a.s < b.s)
+        |SELECT ap.sa AS split_a, ap.sb AS split_b, ap.n_a, ap.n_b,
+        |  coalesce(ov.nb, CAST(0 AS BIGINT)) AS n_both,
+        |  round(CAST(coalesce(ov.nb, 0) AS DOUBLE)
+        |    / least(ap.n_a, ap.n_b), 6) AS leak_share
+        |FROM ap LEFT JOIN ov ON ap.sa = ov.sa AND ap.sb = ov.sb
+        |ORDER BY split_a, split_b""".stripMargin,
     "q_sequential" ->
       """WITH e AS (SELECT
         |    CAST(floor((epoch_ns(ts) - epoch_ns(ts) % 604800000000000)

@@ -469,6 +469,64 @@ object Features {
         F.round(sigma2, 6).as("sigma2"))
   }
 
+  /** Syntetos–Boylan demand-pattern classifier per key — the ROUTER
+    * in front of the forecasting shelf ("which model does this series
+    * even deserve"): over the decimal-exact period DEMAND sums with
+    * the period grid spanning each key's min..max (silent periods ARE
+    * zero demand — that is the whole point of intermittency),
+    *
+    *   ADI = n_periods / n_nonzero,   CV² = Var(nonzero sizes)/mean²,
+    *   smooth (<1.32, <0.49) / intermittent (≥1.32, <0.49) /
+    *   erratic (<1.32, ≥0.49) / lumpy (≥, ≥)
+    *
+    * — smooth → [[holtByKey]]/[[holtWintersByKey]], intermittent/
+    * lumpy → [[crostonByKey]] (the classic quadrant; cutoffs applied
+    * to the 6-ROUNDED statistics so the class replays). One key
+    * shuffle over period cells.
+    *
+    * @return one row per key: (keyCol, n_periods, n_nonzero, adi,
+    *         cv2, demand_class) — keys with < 2 nonzero periods or
+    *         zero total demand omitted */
+  def demandClassifyByKey(df: DataFrame, keyCol: String, tsCol: String,
+                          valueCol: String,
+                          periodUnit: Long): DataFrame = {
+    require(periodUnit > 0L, "periodUnit must be positive")
+    val v = F.col(valueCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    val cells = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull && v.isNotNull &&
+        !F.isnan(v))
+      .groupBy(F.col(keyCol).as("__k"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("__p"))
+      .agg(F.sum(v.cast("decimal(38,6)")).cast("double").as("__s"))
+    val nz = F.col("__s") =!= 0.0
+    val stats = cells.groupBy("__k").agg(
+      F.min("__p").as("__pmin"), F.max("__p").as("__pmax"),
+      F.sum(F.when(nz, 1L).otherwise(0L)).as("n_nonzero"),
+      F.sum(F.when(nz, F.col("__s"))).as("__ss"),
+      F.sum(F.when(nz, F.col("__s") * F.col("__s"))).as("__ssq"))
+    val nPer = F.col("__pmax") - F.col("__pmin") + 1L
+    val nzD = F.col("n_nonzero").cast("double")
+    val mean = F.col("__ss") / nzD
+    val variance = F.col("__ssq") / nzD - mean * mean
+    val adi = F.round(nPer.cast("double") / nzD, 6)
+    val cv2 = F.round(variance / (mean * mean), 6)
+    stats
+      .where(F.col("n_nonzero") >= 2L && F.col("__ss") =!= 0.0)
+      .withColumn("n_periods", nPer)
+      .withColumn("adi", adi)
+      .withColumn("cv2", cv2)
+      .withColumn("demand_class",
+        F.when(F.col("adi") < 1.32 && F.col("cv2") < 0.49, "smooth")
+          .when(F.col("adi") >= 1.32 && F.col("cv2") < 0.49,
+            "intermittent")
+          .when(F.col("adi") < 1.32, "erratic")
+          .otherwise("lumpy"))
+      .select(F.col("__k").as(keyCol), F.col("n_periods"),
+        F.col("n_nonzero"), F.col("adi"), F.col("cv2"),
+        F.col("demand_class"))
+  }
+
   /** XmR (individuals + moving-range) control chart per key — the
     * Shewhart SPC screen ops teams run on every KPI stream ("is this
     * series just noisy, or did the PROCESS change"): over the

@@ -515,4 +515,45 @@ object Sampling {
       .select(F.col("anchor"), F.col("j").cast("long").as("j"),
         F.col("negative"))
   }
+  /** Split-leakage audit: for every pair of splits, how many ENTITIES
+    * (users, documents, sessions) appear on both sides — the check
+    * that catches the classic eval contamination where rows were
+    * split row-wise but the same user's behavior leaks from train
+    * into test ([[deterministicSplit]] splits BY KEY precisely to
+    * make this zero; run the audit to prove it on any split column
+    * you didn't build that way).
+    *
+    * Scale shape: one distinct (entity, split) projection, per-split
+    * distinct counts, and a self-join on the entity restricted to
+    * split_a < split_b — the join carries only multi-split entities.
+    * The pair list comes from a margins cross-join, so disjoint
+    * splits still report n_both = 0 instead of dropping out.
+    *
+    * @return one row per split pair: (split_a, split_b, n_a, n_b,
+    *         n_both, leak_share = n_both / min(n_a, n_b) rounded 6) */
+  def splitLeakageAudit(df: DataFrame, entityCol: String,
+                        splitCol: String): DataFrame = {
+    val ent = F.col(entityCol).cast("string")
+    val sp = F.col(splitCol).cast("string")
+    val pairs = df.where(ent.isNotNull && sp.isNotNull)
+      .select(ent.as("__e"), sp.as("__s")).distinct()
+    val margins = pairs.groupBy("__s").agg(F.count(F.lit(1)).as("__n"))
+    val overlap = pairs.select(F.col("__e"), F.col("__s").as("__sa"))
+      .join(pairs.select(F.col("__e"), F.col("__s").as("__sb")), "__e")
+      .where(F.col("__sa") < F.col("__sb"))
+      .groupBy("__sa", "__sb")
+      .agg(F.count(F.lit(1)).as("__both"))
+    val allPairs = margins
+      .select(F.col("__s").as("__sa"), F.col("__n").as("n_a"))
+      .crossJoin(F.broadcast(margins
+        .select(F.col("__s").as("__sb"), F.col("__n").as("n_b"))))
+      .where(F.col("__sa") < F.col("__sb"))
+      .join(overlap, Seq("__sa", "__sb"), "left")
+      .withColumn("n_both", F.coalesce(F.col("__both"), F.lit(0L)))
+    allPairs
+      .select(F.col("__sa").as("split_a"), F.col("__sb").as("split_b"),
+        F.col("n_a"), F.col("n_b"), F.col("n_both"),
+        F.round(F.col("n_both").cast("double") /
+          F.least(F.col("n_a"), F.col("n_b")), 6).as("leak_share"))
+  }
 }

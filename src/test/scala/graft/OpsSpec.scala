@@ -4254,6 +4254,49 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ri.getAs[Double]("purity") == 0.5)
   }
 
+  test("demandClassifyByKey routes the four Syntetos-Boylan quadrants") {
+    import spark.implicits._
+    // smooth: demand every period, equal sizes (ADI 1, CV² 0)
+    val smooth = (0 until 10).map(i => ("s", i.toLong * 10L, 5.0))
+    // intermittent: every 3rd period, equal sizes (ADI ~3, CV² 0)
+    val inter = Seq(0, 3, 6, 9).map(i => ("i", i.toLong * 10L, 5.0))
+    // erratic: every period, wildly varying sizes (ADI 1, CV² high)
+    val err = Seq(1.0, 100.0, 1.0, 100.0, 1.0, 100.0).zipWithIndex
+      .map { case (v, i) => ("e", i.toLong * 10L, v) }
+    // lumpy: sparse AND wild
+    val lump = Seq((0, 1.0), (5, 100.0), (9, 1.0))
+      .map { case (i, v) => ("l", i.toLong * 10L, v) }
+    val df = (smooth ++ inter ++ err ++ lump).toDF("key", "ts", "v")
+    val rows = Features.demandClassifyByKey(df, "key", "ts", "v",
+        periodUnit = 10L)
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    assert(rows("s").getAs[String]("demand_class") == "smooth")
+    assert(rows("s").getAs[Double]("adi") == 1.0)
+    assert(rows("s").getAs[Double]("cv2") == 0.0)
+    assert(rows("i").getAs[String]("demand_class") == "intermittent")
+    assert(rows("i").getAs[Double]("adi") == 2.5)
+    assert(rows("e").getAs[String]("demand_class") == "erratic")
+    assert(rows("l").getAs[String]("demand_class") == "lumpy")
+  }
+
+  test("splitLeakageAudit counts cross-split entities, zero included") {
+    import spark.implicits._
+    // u1 in train+test, u2 train only, u3 test only, u4 val only —
+    // (train,val) and (test,val) pairs must still appear with 0
+    val df = Seq(("u1", "train"), ("u1", "test"), ("u2", "train"),
+      ("u3", "test"), ("u4", "val")).toDF("user", "split")
+    val rows = Sampling.splitLeakageAudit(df, "user", "split")
+      .collect()
+      .map(r => (r.getAs[String]("split_a"),
+        r.getAs[String]("split_b")) -> r).toMap
+    assert(rows.size == 3)
+    val tt = rows(("test", "train"))
+    assert(tt.getAs[Long]("n_both") == 1L)
+    assert(tt.getAs[Double]("leak_share") == 0.5)
+    assert(rows(("train", "val")).getAs[Long]("n_both") == 0L)
+    assert(rows(("test", "val")).getAs[Long]("n_both") == 0L)
+  }
+
   test("controlChartByKey: hand-computed XmR limits and flags") {
     import spark.implicits._
     // x = 10, 12, 10, 12, 30: x̄ = 14.8, mR̄ = (2+2+2+18)/4 = 6,

@@ -608,6 +608,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan.take(1200))
   }
 
+  test("round-10 retrieval/selection queries: no cartesians, ranked " +
+    "takes stay TakeOrdered") {
+    for (q <- Seq("q_bm25", "q_moore_lewis")) {
+      val plan = physicalPlan(q)
+      assert(!plan.contains("CartesianProduct"), q + ": " + plan.take(400))
+      // the top-k is a TakeOrderedAndProject, never a global sort+limit
+      assert(plan.contains("TakeOrderedAndProject"), q + ": " + plan.take(800))
+    }
+    val hw = physicalPlan("q_holt_winters")
+    assert(!hw.contains("CartesianProduct"), hw.take(400))
+    // the per-key fold stays windowless (collect_list + UDF, no
+    // Window operator anywhere in the plan)
+    assert(!hw.contains("Window"), hw.take(800))
+  }
+
   test("cardinality guards refuse row-scale cell frames LOUDLY") {
     import org.apache.spark.sql.functions.col
     // a continuous column: every row its own cell — the quadratic
