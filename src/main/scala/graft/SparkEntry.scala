@@ -3476,6 +3476,26 @@ object SparkEntry {
             .otherwise("test").as("split")),
         "user_id", "split")
         .orderBy("split_a", "split_b")),
+    "q_k_anonymity" -> ((s, dir) =>
+      // pre-release privacy screen: (partkey, returnflag) quasi tuple,
+      // quantity sensitive — violation shares at k = 2/5/10 plus the
+      // l-diversity floor, one group aggregation
+      Validation.kAnonymityAudit(li(s, dir),
+        Seq("l_partkey", "l_returnflag"), "l_quantity",
+        ks = Seq(2, 5, 10))
+        .orderBy("k")),
+    "q_topk_churn" -> ((s, dir) =>
+      // did the vocabulary HEAD move between slices: top-20 token
+      // overlap, newcomers/dropouts, Spearman footrule on the common
+      // ranks — the ranked complement of mass-based drift
+      Validation.topkChurn(
+        docs(s, dir).where(F.col("lang") === "en")
+          .select(F.explode(TextOps.wordTokens(F.col("text")))
+            .as("w")),
+        docs(s, dir).where(F.col("lang") =!= "en")
+          .select(F.explode(TextOps.wordTokens(F.col("text")))
+            .as("w")),
+        "w", k = 20)),
     "q_sequential" -> ((s, dir) =>
       // group-sequential A/B monitor: weekly looks at the cumulative
       // purchase-rate z vs the O'Brien-Fleming-shaped boundary
@@ -14684,6 +14704,53 @@ object SparkEntry {
         |    / least(ap.n_a, ap.n_b), 6) AS leak_share
         |FROM ap LEFT JOIN ov ON ap.sa = ov.sa AND ap.sb = ov.sb
         |ORDER BY split_a, split_b""".stripMargin,
+    // k-anonymity replay: one quasi-group aggregation, per-k folds
+    // over the group frame, exact integer counts.
+    "q_k_anonymity" ->
+      """WITH g AS MATERIALIZED (SELECT l_partkey, l_returnflag,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT l_quantity) AS BIGINT) AS l
+        |  FROM lineitem GROUP BY l_partkey, l_returnflag),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS gt,
+        |    CAST(sum(n) AS BIGINT) AS rt, CAST(min(l) AS BIGINT) AS ml,
+        |    CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS l1 FROM g),
+        |per AS (SELECT k.k,
+        |    CAST(sum(CASE WHEN g.n < k.k THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS gb,
+        |    CAST(sum(CASE WHEN g.n < k.k THEN g.n ELSE 0 END)
+        |      AS BIGINT) AS rb
+        |  FROM g, (VALUES (2), (5), (10)) k(k) GROUP BY k.k)
+        |SELECT CAST(per.k AS BIGINT) AS k, per.gb AS n_groups_below,
+        |  per.rb AS n_rows_below,
+        |  round(CAST(per.rb AS DOUBLE) / t.rt, 6) AS row_share_below,
+        |  t.gt AS n_groups, t.rt AS n_rows, t.ml AS min_l_diversity,
+        |  t.l1 AS n_groups_single_sensitive
+        |FROM per, t ORDER BY k""".stripMargin,
+    // Top-k churn replay: both ranked top-20 token lists, the common
+    // join, exact footrule and set counts.
+    "q_topk_churn" ->
+      """WITH ca AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM
+        |  (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+        |     AS w FROM documents WHERE lang = 'en') GROUP BY w),
+        |cb AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM
+        |  (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+        |     AS w FROM documents WHERE lang <> 'en') GROUP BY w),
+        |ta AS (SELECT w, r FROM (SELECT w,
+        |    row_number() OVER (ORDER BY c DESC, w) AS r FROM ca)
+        |  WHERE r <= 20),
+        |tb AS (SELECT w, r FROM (SELECT w,
+        |    row_number() OVER (ORDER BY c DESC, w) AS r FROM cb)
+        |  WHERE r <= 20),
+        |cm AS (SELECT CAST(count(*) AS BIGINT) AS nc,
+        |    CAST(coalesce(sum(abs(ta.r - tb.r)), 0) AS BIGINT) AS foot
+        |  FROM ta JOIN tb ON ta.w = tb.w)
+        |SELECT CAST(20 AS BIGINT) AS k, nc AS n_common,
+        |  round(CAST(nc AS DOUBLE) / (40 - nc), 6) AS jaccard,
+        |  CAST(20 - nc AS BIGINT) AS n_new,
+        |  CAST(20 - nc AS BIGINT) AS n_dropped,
+        |  foot AS footrule
+        |FROM cm""".stripMargin,
     "q_sequential" ->
       """WITH e AS (SELECT
         |    CAST(floor((epoch_ns(ts) - epoch_ns(ts) % 604800000000000)

@@ -320,4 +320,99 @@ object Validation {
       .toDF("n1", "n2", "overlap", "true_n", "lincoln", "chapman",
         "chapman_se")
   }
+  /** k-anonymity / l-diversity audit over a quasi-identifier tuple —
+    * the pre-release privacy screen ("can rows be re-identified by
+    * joining on these columns"): group sizes under the quasi columns,
+    * the share of rows in groups smaller than each k (those rows are
+    * k-anonymity violations at that k), and the l-diversity floor of
+    * a sensitive column (min distinct sensitive values per group;
+    * groups with a single value leak the attribute even when k holds).
+    *
+    * Scale shape: ONE quasi-group aggregation (count + distinct
+    * sensitive share the shuffle), one fold over the group frame per
+    * k — nothing row-scale collects; the group frame itself may be
+    * row-scale when quasi is near-unique, which is exactly the signal.
+    * NULL is a quasi value (grouped, not dropped) — engines agree.
+    *
+    * @return one row per k: (k, n_groups_below, n_rows_below,
+    *         row_share_below, n_groups, n_rows, min_l_diversity,
+    *         n_groups_single_sensitive) */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String,
+                      ks: Seq[Int] = Seq(2, 5, 10)): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi column")
+    require(ks.nonEmpty && ks.forall(_ >= 2), "each k must be >= 2")
+    require(ks.distinct.length == ks.length, "duplicate k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val groups = df
+      .groupBy(quasiCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("__n"),
+        F.countDistinct(F.col(sensitiveCol)).as("__l"))
+    val aggs = ks.flatMap(k => Seq(
+      F.sum(F.when(F.col("__n") < k.toLong, 1L).otherwise(0L))
+        .as(s"g_$k"),
+      F.sum(F.when(F.col("__n") < k.toLong, F.col("__n"))
+        .otherwise(0L)).as(s"r_$k"))) ++ Seq(
+      F.count(F.lit(1)).as("gt"), F.sum("__n").as("rt"),
+      F.min("__l").as("ml"),
+      F.sum(F.when(F.col("__l") === 1L, 1L).otherwise(0L)).as("l1"))
+    val row = groups.agg(aggs.head, aggs.tail: _*).head()
+    val rt = row.getAs[Long]("rt")
+    require(rt > 0L, "no rows")
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    ks.map { k =>
+      val rb = row.getAs[Long](s"r_$k")
+      (k.toLong, row.getAs[Long](s"g_$k"), rb,
+        r6(rb.toDouble / rt), row.getAs[Long]("gt"), rt,
+        row.getAs[Long]("ml"), row.getAs[Long]("l1"))
+    }.toDF("k", "n_groups_below", "n_rows_below", "row_share_below",
+      "n_groups", "n_rows", "min_l_diversity",
+      "n_groups_single_sensitive")
+  }
+
+  /** Heavy-hitter churn between two snapshots: the top-k values by
+    * count on each side, their overlap (Jaccard over the union of the
+    * two top-k sets), the newcomers/dropouts, and the Spearman
+    * footrule Σ|rank_a − rank_b| over the common items — "did the
+    * head of this distribution MOVE" (vocabulary drift, hot-key
+    * migration, trending queries), the ranked complement of the
+    * mass-based drift scores.
+    *
+    * Scale shape: two count aggregations, each taken top-k by
+    * (count DESC, value ASC) — a deterministic total order — and
+    * collected at k rows; everything after is exact integer driver
+    * arithmetic on 2k cells.
+    *
+    * @return one row: (k, n_common, jaccard, n_new, n_dropped,
+    *         footrule) */
+  def topkChurn(dfA: DataFrame, dfB: DataFrame, valueCol: String,
+                k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = dfA.sparkSession
+    import spark.implicits._
+    def top(df: DataFrame): Array[(String, Long)] = df
+      .where(F.col(valueCol).isNotNull)
+      .groupBy(F.col(valueCol).cast("string").as("__v"))
+      .agg(F.count(F.lit(1)).as("__c"))
+      .orderBy(F.col("__c").desc, F.col("__v").asc)
+      .limit(k)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val ta = top(dfA); val tb = top(dfB)
+    val rka = ta.zipWithIndex.map { case ((v, _), i) =>
+      v -> (i + 1L) }.toMap
+    val rkb = tb.zipWithIndex.map { case ((v, _), i) =>
+      v -> (i + 1L) }.toMap
+    val common = rka.keySet.intersect(rkb.keySet)
+    val union = rka.keySet.union(rkb.keySet)
+    val foot = common.toSeq.sorted.foldLeft(0L)((acc, v) =>
+      acc + math.abs(rka(v) - rkb(v)))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    Seq((k.toLong, common.size.toLong,
+      r6(common.size.toDouble / union.size),
+      (rkb.keySet -- rka.keySet).size.toLong,
+      (rka.keySet -- rkb.keySet).size.toLong, foot))
+      .toDF("k", "n_common", "jaccard", "n_new", "n_dropped",
+        "footrule")
+  }
 }

@@ -4254,6 +4254,44 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ri.getAs[Double]("purity") == 0.5)
   }
 
+  test("kAnonymityAudit counts violating rows and the l-diversity floor") {
+    import spark.implicits._
+    // groups: (a,1)×3 sens {x,y}, (a,2)×1 sens {x}, (b,1)×2 sens {x,x}
+    val df = Seq(("a", 1, "x"), ("a", 1, "y"), ("a", 1, "x"),
+      ("a", 2, "x"), ("b", 1, "x"), ("b", 1, "x"))
+      .toDF("q1", "q2", "sens")
+    val rows = Validation.kAnonymityAudit(df, Seq("q1", "q2"), "sens",
+        ks = Seq(2, 3))
+      .collect().map(r => r.getAs[Long]("k") -> r).toMap
+    val k2 = rows(2L)
+    assert(k2.getAs[Long]("n_groups") == 3L)
+    assert(k2.getAs[Long]("n_rows") == 6L)
+    assert(k2.getAs[Long]("n_groups_below") == 1L) // the singleton
+    assert(k2.getAs[Long]("n_rows_below") == 1L)
+    assert(k2.getAs[Long]("min_l_diversity") == 1L)
+    // groups with a single sensitive value: (a,2) and (b,1)
+    assert(k2.getAs[Long]("n_groups_single_sensitive") == 2L)
+    val k3 = rows(3L)
+    assert(k3.getAs[Long]("n_groups_below") == 2L) // sizes 1 and 2
+    assert(k3.getAs[Long]("n_rows_below") == 3L)
+    assert(k3.getAs[Double]("row_share_below") == 0.5)
+  }
+
+  test("topkChurn: overlap, newcomers and footrule on ranked heads") {
+    import spark.implicits._
+    // A head: x(3) y(2) z(1); B head: y(3) w(2) x(1)
+    val a = (Seq.fill(3)("x") ++ Seq.fill(2)("y") ++ Seq("z")).toDF("v")
+    val b = (Seq.fill(3)("y") ++ Seq.fill(2)("w") ++ Seq("x")).toDF("v")
+    val r = Validation.topkChurn(a, b, "v", k = 3).head()
+    assert(r.getAs[Long]("n_common") == 2L) // x and y
+    // union = {x,y,z,w} → jaccard 2/4
+    assert(r.getAs[Double]("jaccard") == 0.5)
+    assert(r.getAs[Long]("n_new") == 1L) // w
+    assert(r.getAs[Long]("n_dropped") == 1L) // z
+    // ranks: x 1→3 (|Δ|=2), y 2→1 (|Δ|=1) → footrule 3
+    assert(r.getAs[Long]("footrule") == 3L)
+  }
+
   test("demandClassifyByKey routes the four Syntetos-Boylan quadrants") {
     import spark.implicits._
     // smooth: demand every period, equal sizes (ADI 1, CV² 0)
