@@ -3440,6 +3440,26 @@ object SparkEntry {
             (F.col("l_returnflag") === "R").as("y")),
         Seq("l_suppkey"), "y")
         .orderBy("l_suppkey")),
+    "q_event_study" -> ((s, dir) => {
+      // staggered rollout read off the data itself: each user's first
+      // purchase week is their treatment cohort (never-purchasers are
+      // the control), y = weekly mean event value — the ATT(g, t)
+      // panel that generalizes the single 2×2 DiD
+      val week = 604800000000000L
+      val ev = events(s, dir)
+        .where(F.col("user_id").isNotNull && F.col("ts").isNotNull)
+      val cohort = ev.where(F.col("event_type") === "purchase")
+        .groupBy(F.col("user_id"))
+        .agg(F.min(F.expr(s"CAST(ts AS BIGINT) DIV $week"))
+          .as("cohort"))
+      val base = ev.select(F.col("user_id"),
+          F.expr(s"CAST(ts AS BIGINT) DIV $week").as("week"),
+          F.col("value"))
+        .join(cohort, Seq("user_id"), "left")
+      Experiments.eventStudy(base, "user_id", "week", "cohort",
+          "value")
+        .orderBy("cohort", "period")
+    }),
     "q_eb_poisson" -> ((s, dir) =>
       // the gamma–Poisson sibling: per-supplier-bucket return RATE
       // with line-count exposure, MoM gamma prior, small buckets pull
@@ -3476,6 +3496,18 @@ object SparkEntry {
             .otherwise("test").as("split")),
         "user_id", "split")
         .orderBy("split_a", "split_b")),
+    "q_rbo" -> ((s, dir) =>
+      // the top-weighted ranking agreement on the same two vocabulary
+      // heads: truncated rank-biased overlap at p = 0.9, shallow
+      // ranks geometrically dominant
+      Validation.rankBiasedOverlap(
+        docs(s, dir).where(F.col("lang") === "en")
+          .select(F.explode(TextOps.wordTokens(F.col("text")))
+            .as("w")),
+        docs(s, dir).where(F.col("lang") =!= "en")
+          .select(F.explode(TextOps.wordTokens(F.col("text")))
+            .as("w")),
+        "w", k = 20, p = 0.9)),
     "q_k_anonymity" -> ((s, dir) =>
       // pre-release privacy screen: (partkey, returnflag) quasi tuple,
       // quantity sensitive — violation shares at k = 2/5/10 plus the
@@ -14594,6 +14626,42 @@ object SparkEntry {
         |  round(m * s, 6) AS alpha,
         |  round((1.0 - m) * s, 6) AS beta
         |FROM r, pr ORDER BY l_suppkey""".stripMargin,
+    // Event-study replay: per-(unit, week) decimal means, the
+    // cohort-period frame, the ATT(g,t) double difference vs the
+    // never-treated baseline.
+    "q_event_study" ->
+      """WITH ev AS (SELECT user_id AS u,
+        |    epoch_ns(ts) // 604800000000000 AS w,
+        |    CAST(value AS DOUBLE) AS y, event_type AS et
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |coh AS MATERIALIZED (SELECT u, CAST(min(w) AS BIGINT) AS g
+        |  FROM ev WHERE et = 'purchase' GROUP BY u),
+        |cells AS (SELECT ev.u, ev.w,
+        |    CAST(sum(CAST(ev.y AS DECIMAL(38,6))) AS DOUBLE)
+        |      / count(*) AS cy,
+        |    max(coh.g) AS g
+        |  FROM ev LEFT JOIN coh ON ev.u = coh.u
+        |  WHERE ev.y IS NOT NULL AND NOT isnan(ev.y)
+        |  GROUP BY ev.u, ev.w),
+        |cp AS MATERIALIZED (SELECT g, w, CAST(count(*) AS BIGINT)
+        |      AS n,
+        |    CAST(sum(CAST(cy AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+        |      AS m
+        |  FROM cells GROUP BY g, w),
+        |tr AS (SELECT g AS cohort, w AS period, n AS n_treated,
+        |    m AS mgt FROM cp WHERE g IS NOT NULL AND w >= g),
+        |bt AS (SELECT g AS cohort, m AS mgb FROM cp
+        |  WHERE g IS NOT NULL AND w = g - 1),
+        |c0 AS (SELECT w AS period, n AS n_control, m AS m0t FROM cp
+        |  WHERE g IS NULL),
+        |c0b AS (SELECT w, m AS m0b FROM cp WHERE g IS NULL)
+        |SELECT tr.cohort, tr.period, tr.n_treated, c0.n_control,
+        |  round((tr.mgt - bt.mgb) - (c0.m0t - c0b.m0b), 6) + 0.0
+        |    AS att
+        |FROM tr JOIN bt ON tr.cohort = bt.cohort
+        |  JOIN c0 ON tr.period = c0.period
+        |  JOIN c0b ON c0b.w = tr.cohort - 1
+        |ORDER BY tr.cohort, tr.period""".stripMargin,
     // Gamma-Poisson replay: decimal-exact group events/exposure, the
     // k-row MoM prior fold, posterior column arithmetic.
     "q_eb_poisson" ->
@@ -14751,6 +14819,32 @@ object SparkEntry {
         |  CAST(20 - nc AS BIGINT) AS n_dropped,
         |  foot AS footrule
         |FROM cm""".stripMargin,
+    // RBO replay: the same ranked heads, per-depth prefix overlaps,
+    // the geometric fold in ascending depth order.
+    "q_rbo" ->
+      """WITH ca AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM
+        |  (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+        |     AS w FROM documents WHERE lang = 'en') GROUP BY w),
+        |cb AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM
+        |  (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+        |     AS w FROM documents WHERE lang <> 'en') GROUP BY w),
+        |ta AS MATERIALIZED (SELECT w, r FROM (SELECT w,
+        |    row_number() OVER (ORDER BY c DESC, w) AS r FROM ca)
+        |  WHERE r <= 20),
+        |tb AS MATERIALIZED (SELECT w, r FROM (SELECT w,
+        |    row_number() OVER (ORDER BY c DESC, w) AS r FROM cb)
+        |  WHERE r <= 20),
+        |dd AS MATERIALIZED (SELECT d.d, CAST((SELECT count(*)
+        |      FROM ta JOIN tb ON ta.w = tb.w
+        |      WHERE ta.r <= d.d AND tb.r <= d.d) AS BIGINT) AS xd
+        |  FROM generate_series(1, 20) d(d)),
+        |s AS (SELECT list_sum(list(power(0.9, d - 1) * xd / d
+        |    ORDER BY d)) AS acc FROM dd)
+        |SELECT CAST(20 AS BIGINT) AS k, 0.9 AS p,
+        |  round((1.0 - 0.9) * acc, 6) AS rbo,
+        |  round(CAST((SELECT xd FROM dd WHERE d = 20) AS DOUBLE)
+        |    / 20, 6) AS agreement_k
+        |FROM s""".stripMargin,
     "q_sequential" ->
       """WITH e AS (SELECT
         |    CAST(floor((epoch_ns(ts) - epoch_ns(ts) % 604800000000000)

@@ -198,6 +198,71 @@ object Experiments {
         F.col("beta")): _*)
   }
 
+  /** Staggered-adoption event study — the Callaway–Sant'Anna-shaped
+    * ATT(g, t) panel that generalizes [[didEstimate]]'s single 2×2 to
+    * MANY treatment cohorts ("feature rolled out to different users
+    * in different weeks — what did it do, per cohort, per week"):
+    * for each cohort g (first-treated period) and period t ≥ g,
+    *
+    *   ATT(g,t) = [ȳ(g,t) − ȳ(g,g−1)] − [ȳ(∞,t) − ȳ(∞,g−1)]
+    *
+    * with ȳ(∞,·) the NEVER-TREATED control means — each cell a
+    * cohort-period mean of per-(unit, period) decimal-exact means, so
+    * the whole panel is exact cell algebra and replays. Cells missing
+    * the g−1 baseline (cohort treated in the first observed period)
+    * are omitted — an event study without a pre-period is not one.
+    *
+    * Scale shape: one (unit, period) aggregation, one (cohort,
+    * period) aggregation over it, two bounded self-joins on the
+    * cohort-period frame (cohorts × periods, never rows).
+    *
+    * @param cohortCol per-row first-treatment period of the row's
+    *        unit (constant within unit; null = never treated)
+    * @return one row per (cohort, period ≥ cohort with baseline):
+    *         (cohort, period, n_treated, n_control, att) */
+  def eventStudy(df: DataFrame, unitCol: String, timeCol: String,
+                 cohortCol: String, yCol: String): DataFrame = {
+    val y = F.col(yCol).cast("double")
+    val t = F.col(timeCol).cast("long")
+    val g = F.col(cohortCol).cast("long")
+    def dsum(c: org.apache.spark.sql.Column) =
+      F.sum(c.cast("decimal(38,6)")).cast("double")
+    val cells = df
+      .where(F.col(unitCol).isNotNull && t.isNotNull && y.isNotNull &&
+        !F.isnan(y))
+      .groupBy(F.col(unitCol).as("__u"), t.as("__t"))
+      .agg((dsum(y) / F.count(F.lit(1))).as("__y"),
+        F.max(g).as("__g"))
+    val cp = cells
+      .groupBy(F.col("__g"), F.col("__t"))
+      .agg(F.count(F.lit(1)).as("__n"),
+        (dsum(F.col("__y")) / F.count(F.lit(1))).as("__m"))
+      .localCheckpoint(true)
+    val treated = cp.where(F.col("__g").isNotNull &&
+      F.col("__t") >= F.col("__g"))
+      .select(F.col("__g").as("cohort"), F.col("__t").as("period"),
+        F.col("__n").as("n_treated"), F.col("__m").as("__mgt"))
+    val baseT = cp.where(F.col("__g").isNotNull)
+      .select(F.col("__g").as("cohort"),
+        F.col("__t").as("__bt"), F.col("__m").as("__mgb"))
+    val ctrl = cp.where(F.col("__g").isNull)
+      .select(F.col("__t").as("period"), F.col("__n").as("n_control"),
+        F.col("__m").as("__m0t"))
+    val ctrlB = cp.where(F.col("__g").isNull)
+      .select(F.col("__t").as("__bt"), F.col("__m").as("__m0b"))
+    treated
+      .join(baseT, treated("cohort") === baseT("cohort") &&
+        F.col("__bt") === treated("cohort") - 1L)
+      .drop(baseT("cohort")).drop("__bt")
+      .join(ctrl, "period")
+      .join(ctrlB, F.col("__bt") === F.col("cohort") - 1L)
+      .drop("__bt")
+      .select(F.col("cohort"), F.col("period"), F.col("n_treated"),
+        F.col("n_control"),
+        F.round((F.col("__mgt") - F.col("__mgb")) -
+          (F.col("__m0t") - F.col("__m0b")), 6).as("att"))
+  }
+
   /** Gamma–Poisson (negative-binomial) empirical-Bayes shrinkage of
     * per-group EVENT RATES with exposure — [[ebShrinkRates]]'s sibling
     * for counts-per-volume metrics (defects per shipped line, errors

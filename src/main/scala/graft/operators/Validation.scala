@@ -415,4 +415,46 @@ object Validation {
       .toDF("k", "n_common", "jaccard", "n_new", "n_dropped",
         "footrule")
   }
+
+  /** Rank-biased overlap (Webber 2010, truncated form) between the
+    * two snapshots' top-k count rankings — [[topkChurn]]'s
+    * top-WEIGHTED complement: agreement at shallow depths counts
+    * geometrically more,
+    *
+    *   RBO_min = (1 − p) Σ_{d=1..k} p^{d−1} · |A_:d ∩ B_:d| / d
+    *
+    * (no tail extrapolation — the truncated lower bound, documented
+    * as such; p = 0.9 weights the top ~10 ranks with ~65% of the
+    * mass). Same deterministic (count DESC, value ASC) ranking and
+    * 2k-cell driver arithmetic as topkChurn, depth terms folded in
+    * ascending d.
+    *
+    * @return one row: (k, p, rbo, agreement_k = |A∩B|/k at full
+    *         depth) */
+  def rankBiasedOverlap(dfA: DataFrame, dfB: DataFrame,
+                        valueCol: String, k: Int,
+                        p: Double = 0.9): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(p > 0.0 && p < 1.0, "p must be in (0,1)")
+    val spark = dfA.sparkSession
+    import spark.implicits._
+    def top(df: DataFrame): Map[String, Long] = df
+      .where(F.col(valueCol).isNotNull)
+      .groupBy(F.col(valueCol).cast("string").as("__v"))
+      .agg(F.count(F.lit(1)).as("__c"))
+      .orderBy(F.col("__c").desc, F.col("__v").asc)
+      .limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => r.getString(0) -> (i + 1L) }.toMap
+    val rka = top(dfA); val rkb = top(dfB)
+    def xAt(d: Int): Long = rka.count { case (v, ra) =>
+      ra <= d && rkb.get(v).exists(_ <= d) }.toLong
+    val acc = (1 to k).foldLeft(0.0) { (s, d) =>
+      s + math.pow(p, d - 1) * xAt(d) / d
+    }
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    Seq((k.toLong, p, r6((1.0 - p) * acc),
+      r6(xAt(k).toDouble / k)))
+      .toDF("k", "p", "rbo", "agreement_k")
+  }
 }

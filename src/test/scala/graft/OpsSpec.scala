@@ -4254,6 +4254,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ri.getAs[Double]("purity") == 0.5)
   }
 
+  test("eventStudy: hand-computed ATT(g,t) against the never-treated") {
+    import spark.implicits._
+    // u1 treated in week 2 (10, 20, 30), u0 never (5, 6, 7):
+    // ATT(2,2) = (20−10) − (6−5) = 9, ATT(2,3) = (30−10) − (7−5) = 18
+    val df = Seq(
+      ("u1", 1L, 10.0, Some(2L)), ("u1", 2L, 20.0, Some(2L)),
+      ("u1", 3L, 30.0, Some(2L)),
+      ("u0", 1L, 5.0, None), ("u0", 2L, 6.0, None),
+      ("u0", 3L, 7.0, None))
+      .toDF("unit", "week", "y", "cohort")
+    val rows = Experiments.eventStudy(df, "unit", "week", "cohort", "y")
+      .orderBy("period").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("cohort") == 2L)
+    assert(rows(0).getAs[Long]("period") == 2L)
+    assert(rows(0).getAs[Double]("att") == 9.0)
+    assert(rows(1).getAs[Long]("period") == 3L)
+    assert(rows(1).getAs[Double]("att") == 18.0)
+    assert(rows.forall(_.getAs[Long]("n_treated") == 1L))
+    assert(rows.forall(_.getAs[Long]("n_control") == 1L))
+  }
+
   test("kAnonymityAudit counts violating rows and the l-diversity floor") {
     import spark.implicits._
     // groups: (a,1)×3 sens {x,y}, (a,2)×1 sens {x}, (b,1)×2 sens {x,x}
@@ -4290,6 +4312,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("n_dropped") == 1L) // z
     // ranks: x 1→3 (|Δ|=2), y 2→1 (|Δ|=1) → footrule 3
     assert(r.getAs[Long]("footrule") == 3L)
+  }
+
+  test("rankBiasedOverlap: hand-computed truncated RBO at p = 0.5") {
+    import spark.implicits._
+    // A head: x,y,z; B head: y,w,x → X_1 = 0, X_2 = 1, X_3 = 2
+    // acc = 0 + 0.5·(1/2) + 0.25·(2/3); rbo = 0.5·acc = 0.208333
+    val a = (Seq.fill(3)("x") ++ Seq.fill(2)("y") ++ Seq("z")).toDF("v")
+    val b = (Seq.fill(3)("y") ++ Seq.fill(2)("w") ++ Seq("x")).toDF("v")
+    val r = Validation.rankBiasedOverlap(a, b, "v", k = 3, p = 0.5)
+      .head()
+    assert(math.abs(r.getAs[Double]("rbo") - 0.208333) < 1e-6)
+    assert(math.abs(r.getAs[Double]("agreement_k") - 0.666667) < 1e-6)
+    // identical rankings score the truncated maximum (1-p)Σp^(d-1)
+    val full = Validation.rankBiasedOverlap(a, a, "v", k = 3, p = 0.5)
+      .head().getAs[Double]("rbo")
+    assert(math.abs(full - 0.5 * (1.0 + 0.5 + 0.25)) < 1e-6)
   }
 
   test("demandClassifyByKey routes the four Syntetos-Boylan quadrants") {
