@@ -3508,6 +3508,39 @@ object SparkEntry {
           .select(F.explode(TextOps.wordTokens(F.col("text")))
             .as("w")),
         "w", k = 20, p = 0.9)),
+    "q_interval_overlap" -> ((s, dir) => {
+      // interval x interval overlap join without a cartesian: both
+      // 30-day order windows explode to week buckets, hash-join, and
+      // each pair emits once in the overlap-start bucket
+      val ords = s.read.parquet(s"$dir/orders.parquet")
+        .select(F.col("o_orderkey"),
+          F.col("o_orderdate").cast("timestamp").cast("long")
+            .as("start"))
+      val a = ords.where(F.col("o_orderkey") < 100)
+        .select(F.col("o_orderkey").as("a_key"),
+          F.col("start").as("a_s"),
+          (F.col("start") + 30L * 86400L).as("a_e"))
+      val b = ords.where(F.col("o_orderkey") >= 100 &&
+          F.col("o_orderkey") < 300)
+        .select(F.col("o_orderkey").as("b_key"),
+          F.col("start").as("b_s"),
+          (F.col("start") + 30L * 86400L).as("b_e"))
+      RangeJoin.intervalOverlap(a, "a_s", "a_e", b, "b_s", "b_e",
+          bucketWidth = 604800L)
+        .groupBy("a_key")
+        .agg(F.count(F.lit(1)).as("n_overlaps"),
+          F.sum(F.least(F.col("a_e"), F.col("b_e")) -
+            F.greatest(F.col("a_s"), F.col("b_s")))
+            .as("overlap_secs"))
+        .orderBy("a_key")
+    }),
+    "q_period_detect" -> ((s, dir) =>
+      // which lag is this series' season: argmax of the rounded ACF
+      // over lags 2..7 per event type (ties to the smaller lag) with
+      // the 2/sqrt(n) white-noise bar — the seasonLength router
+      Features.periodDetectByKey(events(s, dir), "event_type", "ts",
+          "value", periodUnit = 86400000000000L, maxLag = 7)
+        .orderBy("event_type")),
     "q_k_anonymity" -> ((s, dir) =>
       // pre-release privacy screen: (partkey, returnflag) quasi tuple,
       // quantity sensitive — violation shares at k = 2/5/10 plus the
@@ -14772,6 +14805,74 @@ object SparkEntry {
         |    / least(ap.n_a, ap.n_b), 6) AS leak_share
         |FROM ap LEFT JOIN ov ON ap.sa = ov.sa AND ap.sb = ov.sb
         |ORDER BY split_a, split_b""".stripMargin,
+    // Interval-overlap replay: the plain inclusive overlap join on
+    // the two slices, exact integer second sums.
+    "q_interval_overlap" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(epoch(o_orderdate)) AS BIGINT) AS st
+        |  FROM orders),
+        |a AS (SELECT k AS a_key, st AS a_s, st + 30 * 86400 AS a_e
+        |  FROM o WHERE k < 100),
+        |b AS (SELECT k AS b_key, st AS b_s, st + 30 * 86400 AS b_e
+        |  FROM o WHERE k >= 100 AND k < 300)
+        |SELECT a_key, CAST(count(*) AS BIGINT) AS n_overlaps,
+        |  CAST(sum(least(a_e, b_e) - greatest(a_s, b_s)) AS BIGINT)
+        |    AS overlap_secs
+        |FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
+        |GROUP BY a_key ORDER BY a_key""".stripMargin,
+    // Period-detect replay: rounded ACF over the daily cells for lags
+    // 2..7, per-key argmax (ties to the smaller lag), 2/sqrt(n) bar.
+    "q_period_detect" ->
+      """WITH e AS (SELECT event_type AS k,
+        |    epoch_ns(ts) // 86400000000000 AS p, value AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |cells AS (SELECT k, p,
+        |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+        |      AS v
+        |  FROM e GROUP BY k, p),
+        |m AS (SELECT k, p, v, avg(v) OVER (PARTITION BY k) AS mu
+        |  FROM cells),
+        |d AS (SELECT k, v - mu AS dd,
+        |    lag(v - mu, 2) OVER w AS d2,
+        |    lag(v - mu, 3) OVER w AS d3,
+        |    lag(v - mu, 4) OVER w AS d4,
+        |    lag(v - mu, 5) OVER w AS d5,
+        |    lag(v - mu, 6) OVER w AS d6,
+        |    lag(v - mu, 7) OVER w AS d7
+        |  FROM m WINDOW w AS (PARTITION BY k ORDER BY p)),
+        |ag AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    sum(dd * dd) AS ss,
+        |    sum(dd * d2) AS s2,
+        |    sum(dd * d3) AS s3,
+        |    sum(dd * d4) AS s4,
+        |    sum(dd * d5) AS s5,
+        |    sum(dd * d6) AS s6,
+        |    sum(dd * d7) AS s7
+        |  FROM d GROUP BY k),
+        |ac AS (SELECT k, n,
+        |    CASE WHEN ss > 0.0 THEN round(s2 / ss, 6) END AS a2,
+        |    CASE WHEN ss > 0.0 THEN round(s3 / ss, 6) END AS a3,
+        |    CASE WHEN ss > 0.0 THEN round(s4 / ss, 6) END AS a4,
+        |    CASE WHEN ss > 0.0 THEN round(s5 / ss, 6) END AS a5,
+        |    CASE WHEN ss > 0.0 THEN round(s6 / ss, 6) END AS a6,
+        |    CASE WHEN ss > 0.0 THEN round(s7 / ss, 6) END AS a7
+        |  FROM ag),
+        |f AS (SELECT k, n, 2 AS l, a2 AS a FROM ac
+        |  UNION ALL SELECT k, n, 3 AS l, a3 AS a FROM ac
+        |  UNION ALL SELECT k, n, 4 AS l, a4 AS a FROM ac
+        |  UNION ALL SELECT k, n, 5 AS l, a5 AS a FROM ac
+        |  UNION ALL SELECT k, n, 6 AS l, a6 AS a FROM ac
+        |  UNION ALL SELECT k, n, 7 AS l, a7 AS a FROM ac),
+        |ok AS (SELECT k FROM ac WHERE a2 IS NOT NULL AND a3 IS NOT NULL AND a4 IS NOT NULL AND a5 IS NOT NULL AND a6 IS NOT NULL AND a7 IS NOT NULL),
+        |rk AS (SELECT f.k, f.n, f.l, f.a, row_number() OVER
+        |    (PARTITION BY f.k ORDER BY f.a DESC, f.l) AS rn
+        |  FROM f JOIN ok ON f.k = ok.k)
+        |SELECT k AS event_type, n, CAST(l AS BIGINT) AS best_lag,
+        |  a + 0.0 AS best_acf,
+        |  round(2.0 / sqrt(CAST(n AS DOUBLE)), 6) AS threshold,
+        |  a > round(2.0 / sqrt(CAST(n AS DOUBLE)), 6) AS significant
+        |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin,
     // k-anonymity replay: one quasi-group aggregation, per-k folds
     // over the group frame, exact integer counts.
     "q_k_anonymity" ->

@@ -469,6 +469,47 @@ object Features {
         F.round(sigma2, 6).as("sigma2"))
   }
 
+  /** Dominant-period detector per key — the router that picks
+    * [[holtWintersByKey]]'s seasonLength instead of guessing it: the
+    * lag ≥ 2 with the largest autocorrelation over [[acfByKey]]'s
+    * 6-ROUNDED coefficients (lag 1 is excluded — trend makes it
+    * trivially high; ties break toward the SMALLER lag via a struct
+    * argmax), plus the classic 2/√n white-noise significance bar.
+    * Keys missing any lag (series shorter than maxLag, zero variance)
+    * are omitted. Cost = exactly [[acfByKey]].
+    *
+    * @return one row per key: (keyCol, n, best_lag, best_acf,
+    *         threshold, significant) */
+  def periodDetectByKey(df: DataFrame, keyCol: String, tsCol: String,
+                        valueCol: String, periodUnit: Long,
+                        maxLag: Int): DataFrame = {
+    require(maxLag >= 2, "maxLag must be >= 2 (lag 1 is excluded)")
+    val v = F.col(valueCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    val cells = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull && v.isNotNull &&
+        !F.isnan(v))
+      .groupBy(F.col(keyCol).as("__k"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("__p"))
+      .agg((F.sum(v.cast("decimal(38,6)")).cast("double") /
+        F.count(F.lit(1))).as("__v"))
+    val acf = acfByKey(cells, "__k", "__p", "__v", maxLag)
+    val lags = 2 to maxLag
+    val ok = lags.map(l => F.col(s"acf_$l").isNotNull).reduce(_ && _)
+    val best = F.array_max(F.array(lags.map(l =>
+      F.struct(F.col(s"acf_$l").as("a"),
+        F.lit(-l).as("nl"))): _*))
+    val nD = F.col("n").cast("double")
+    val thr = F.round(F.lit(2.0) / F.sqrt(nD), 6)
+    acf.where(ok)
+      .withColumn("__b", best)
+      .select(F.col("__k").as(keyCol), F.col("n"),
+        (-F.col("__b.nl")).cast("long").as("best_lag"),
+        F.col("__b.a").as("best_acf"),
+        thr.as("threshold"),
+        (F.col("__b.a") > thr).as("significant"))
+  }
+
   /** Syntetos–Boylan demand-pattern classifier per key — the ROUTER
     * in front of the forecasting shelf ("which model does this series
     * even deserve"): over the decimal-exact period DEMAND sums with

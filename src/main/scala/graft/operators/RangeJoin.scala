@@ -50,4 +50,44 @@ object RangeJoin {
       .where(p(pointCol).between(iv(startCol), iv(endCol)))
       .drop(b)
   }
+
+  /** Interval-×-interval OVERLAP join without the cartesian — the
+    * temporal-join sibling of [[pointInInterval]] (promotion windows ×
+    * order windows, session spans × incident spans): both sides
+    * explode to the fixed-width buckets they cover, the join runs as
+    * a plain hash join on the bucket, and each overlapping pair emits
+    * EXACTLY once — the row is kept only in the canonical bucket of
+    * the overlap start, max(aStart, bStart) — so no distinct shuffle
+    * is ever needed. Overlap test is the inclusive aS ≤ bE ∧ bS ≤ aE.
+    *
+    * Column names must not collide across the two inputs (rename
+    * upstream); every input column is preserved, so the caller
+    * computes overlap length as least(aE, bE) − greatest(aS, bS).
+    *
+    * @return inner join of the overlapping interval pairs */
+  def intervalOverlap(a: DataFrame, aStart: String, aEnd: String,
+                      b: DataFrame, bStart: String, bEnd: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(a.columns.toSet.intersect(b.columns.toSet).isEmpty,
+      "column names collide across the two inputs; rename upstream")
+    val bk = {
+      var n = "__ov_bucket"
+      val taken = (a.columns ++ b.columns).toSet
+      while (taken.contains(n)) n = n + "_"
+      n
+    }
+    def buckets(df: DataFrame, s: String, e: String): DataFrame =
+      df.withColumn(bk, F.explode(F.sequence(
+        F.floor(F.col(s).cast("double") / bucketWidth).cast("long"),
+        F.floor(F.col(e).cast("double") / bucketWidth).cast("long"))))
+    val ae = buckets(a, aStart, aEnd)
+    val be = buckets(b, bStart, bEnd)
+    ae.join(be, Seq(bk))
+      .where(ae(aStart) <= be(bEnd) && be(bStart) <= ae(aEnd) &&
+        F.col(bk) === F.floor(
+          F.greatest(ae(aStart), be(bStart)).cast("double") /
+            bucketWidth).cast("long"))
+      .drop(bk)
+  }
 }

@@ -4314,6 +4314,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("footrule") == 3L)
   }
 
+  test("intervalOverlap joins overlapping pairs exactly once") {
+    import spark.implicits._
+    // a1 [0,10] overlaps b1 [5,15] and touches b2 [10,20] (inclusive);
+    // a2 [100,110] overlaps nothing; bucket width 3 splits every
+    // interval across buckets — the canonical-bucket rule must still
+    // emit each pair exactly once
+    val a = Seq((1L, 0L, 10L), (2L, 100L, 110L))
+      .toDF("a_key", "a_s", "a_e")
+    val b = Seq((10L, 5L, 15L), (11L, 10L, 20L), (12L, 50L, 60L))
+      .toDF("b_key", "b_s", "b_e")
+    val out = RangeJoin.intervalOverlap(a, "a_s", "a_e", b, "b_s",
+        "b_e", bucketWidth = 3L)
+      .select("a_key", "b_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(out.toSeq == Seq((1L, 10L), (1L, 11L)))
+  }
+
+  test("periodDetectByKey finds the planted period-3 cycle") {
+    import spark.implicits._
+    // 18 days of a clean period-3 sawtooth: ACF peaks at lag 3 and 6;
+    // the argmax must land on 3 (larger acf) and clear the 2/√n bar
+    val df = (0 until 18).map(i =>
+      ("k", i.toLong * 10L, Seq(1.0, 5.0, 9.0)(i % 3)))
+      .toDF("key", "ts", "v")
+    val r = Features.periodDetectByKey(df, "key", "ts", "v",
+      periodUnit = 10L, maxLag = 7).head()
+    assert(r.getAs[Long]("best_lag") == 3L || r.getAs[Long]("best_lag") == 6L)
+    assert(r.getAs[Boolean]("significant"))
+    assert(r.getAs[Double]("best_acf") > 0.5)
+  }
+
   test("rankBiasedOverlap: hand-computed truncated RBO at p = 0.5") {
     import spark.implicits._
     // A head: x,y,z; B head: y,w,x → X_1 = 0, X_2 = 1, X_3 = 2
