@@ -3534,6 +3534,17 @@ object SparkEntry {
             .as("overlap_secs"))
         .orderBy("a_key")
     }),
+    "q_cointegration" -> ((s, dir) =>
+      // do daily quantity and price share a long-run equilibrium per
+      // return flag: Engle-Granger two-step over the daily decimal
+      // means — OLS residuals, then the Dickey-Fuller t vs -3.34
+      Features.cointegrationByKey(
+        li(s, dir).select(F.col("l_returnflag"),
+          F.col("l_shipdate").cast("timestamp").as("ts"),
+          F.col("l_quantity").as("x"),
+          F.col("l_extendedprice").as("y")),
+        "l_returnflag", "ts", "x", "y", periodUnit = 86400L)
+        .orderBy("l_returnflag")),
     "q_period_detect" -> ((s, dir) =>
       // which lag is this series' season: argmax of the rounded ACF
       // over lags 2..7 per event type (ties to the smaller lag) with
@@ -14820,6 +14831,58 @@ object SparkEntry {
         |    AS overlap_secs
         |FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
         |GROUP BY a_key ORDER BY a_key""".stripMargin,
+    // Cointegration replay: daily decimal means of both metrics, the
+    // rounded OLS, the residual lag chain, the DF t-statistic.
+    "q_cointegration" ->
+      """WITH b AS (SELECT l_returnflag AS k,
+        |    CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400 AS p,
+        |    CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) AS y
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL
+        |    AND l_shipdate IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND NOT isnan(CAST(l_quantity AS DOUBLE))
+        |    AND l_extendedprice IS NOT NULL
+        |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))),
+        |cells AS MATERIALIZED (SELECT k, p,
+        |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+        |      AS vx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+        |      AS vy
+        |  FROM b GROUP BY k, p),
+        |mo AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    sum(vx) AS sx, sum(vy) AS sy, sum(vx * vx) AS sxx,
+        |    sum(vx * vy) AS sxy FROM cells GROUP BY k),
+        |co AS MATERIALIZED (SELECT k, n,
+        |    round((sxy - sx * sy / CAST(n AS DOUBLE))
+        |      / (sxx - sx * sx / CAST(n AS DOUBLE)), 6) AS beta,
+        |    round(sy / CAST(n AS DOUBLE)
+        |      - ((sxy - sx * sy / CAST(n AS DOUBLE))
+        |        / (sxx - sx * sx / CAST(n AS DOUBLE)))
+        |      * (sx / CAST(n AS DOUBLE)), 6) AS alpha
+        |  FROM mo WHERE n >= 8
+        |    AND sxx - sx * sx / CAST(n AS DOUBLE) > 0.0),
+        |r AS (SELECT cells.k, cells.p,
+        |    cells.vy - (co.alpha + co.beta * cells.vx) AS e
+        |  FROM cells JOIN co ON cells.k = co.k),
+        |r2 AS (SELECT k, p, e,
+        |    lag(e) OVER (PARTITION BY k ORDER BY p) AS el FROM r),
+        |r3 AS (SELECT k, e - el AS de, el FROM r2
+        |  WHERE el IS NOT NULL),
+        |g AS (SELECT k, CAST(count(*) AS BIGINT) AS m,
+        |    sum(el * de) AS sed, sum(el * el) AS see,
+        |    sum(de * de) AS sdd FROM r3 GROUP BY k),
+        |f AS (SELECT k, m, sed / see AS gam,
+        |    sdd - (sed / see) * (sed / see) * see AS sse, see FROM g
+        |  WHERE m >= 4 AND see > 0.0
+        |    AND sdd - (sed / see) * (sed / see) * see > 0.0)
+        |SELECT f.k AS l_returnflag, co.n AS n_periods,
+        |  co.beta + 0.0 AS beta, co.alpha + 0.0 AS alpha,
+        |  round(f.gam, 6) + 0.0 AS gamma,
+        |  round(f.gam / sqrt((f.sse / (CAST(f.m AS DOUBLE) - 1.0))
+        |    / f.see), 6) + 0.0 AS t_stat,
+        |  round(f.gam / sqrt((f.sse / (CAST(f.m AS DOUBLE) - 1.0))
+        |    / f.see), 6) < -3.34 AS cointegrated
+        |FROM f JOIN co ON f.k = co.k ORDER BY l_returnflag""".stripMargin,
     // Period-detect replay: rounded ACF over the daily cells for lags
     // 2..7, per-key argmax (ties to the smaller lag), 2/sqrt(n) bar.
     "q_period_detect" ->

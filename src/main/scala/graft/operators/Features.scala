@@ -469,6 +469,83 @@ object Features {
         F.round(sigma2, 6).as("sigma2"))
   }
 
+  /** Engle–Granger two-step cointegration test per key — "do these
+    * two metrics share a long-run equilibrium, or do they just both
+    * trend" (the spurious-regression guard [[grangerByKey]] and
+    * [[rollingCorrByKey]] both need): over the decimal-exact period
+    * means of the two columns,
+    *
+    *   step 1: OLS y ~ x (6-ROUNDED α, β) → residuals e_t,
+    *   step 2: Dickey–Fuller on e: Δe_t = γ·e_{t−1} + u_t,
+    *           t = γ̂ / se(γ̂),   cointegrated ⇔ t < −3.34
+    *
+    * (−3.34 = the asymptotic 5% Engle–Granger critical value for two
+    * variables, pinned; small-n readings are indicative, not exact —
+    * the standard caveat). Lag windows + per-key sums over the period
+    * frame; everything replays step-for-step.
+    *
+    * @return one row per key: (keyCol, n_periods, beta, alpha, gamma,
+    *         t_stat, cointegrated) — keys with < 8 shared periods or
+    *         degenerate variance omitted */
+  def cointegrationByKey(df: DataFrame, keyCol: String, tsCol: String,
+                         xCol: String, yCol: String,
+                         periodUnit: Long): DataFrame = {
+    require(periodUnit > 0L, "periodUnit must be positive")
+    val x = F.col(xCol).cast("double")
+    val y = F.col(yCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    def dsum(c: org.apache.spark.sql.Column) =
+      F.sum(c.cast("decimal(38,6)")).cast("double")
+    val cells = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull && x.isNotNull &&
+        !F.isnan(x) && y.isNotNull && !F.isnan(y))
+      .groupBy(F.col(keyCol).as("__k"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("__p"))
+      .agg((dsum(x) / F.count(F.lit(1))).as("__x"),
+        (dsum(y) / F.count(F.lit(1))).as("__y"))
+      .localCheckpoint(true)
+    val mom = cells.groupBy("__k").agg(
+      F.count(F.lit(1)).as("n_periods"),
+      F.sum("__x").as("sx"), F.sum("__y").as("sy"),
+      F.sum(F.col("__x") * F.col("__x")).as("sxx"),
+      F.sum(F.col("__x") * F.col("__y")).as("sxy"))
+    val nD = F.col("n_periods").cast("double")
+    val cxx = F.col("sxx") - F.col("sx") * F.col("sx") / nD
+    val cxy = F.col("sxy") - F.col("sx") * F.col("sy") / nD
+    val coef = mom
+      .where(F.col("n_periods") >= 8L && cxx > 0.0)
+      .withColumn("beta", F.round(cxy / cxx, 6))
+      .withColumn("alpha", F.round(
+        F.col("sy") / nD - (cxy / cxx) * (F.col("sx") / nD), 6))
+      .select("__k", "n_periods", "beta", "alpha")
+    val wOrd = Window.partitionBy("__k").orderBy("__p")
+    val resid = cells.join(coef, "__k")
+      .withColumn("__e", F.col("__y") -
+        (F.col("alpha") + F.col("beta") * F.col("__x")))
+      .withColumn("__el", F.lag("__e", 1).over(wOrd))
+      .where(F.col("__el").isNotNull)
+      .withColumn("__de", F.col("__e") - F.col("__el"))
+    val df2 = resid.groupBy("__k").agg(
+      F.count(F.lit(1)).as("m"),
+      F.sum(F.col("__el") * F.col("__de")).as("sed"),
+      F.sum(F.col("__el") * F.col("__el")).as("see"),
+      F.sum(F.col("__de") * F.col("__de")).as("sdd"))
+    val gam = F.col("sed") / F.col("see")
+    // SSE of the no-intercept DF regression from the same moments
+    val sse = F.col("sdd") - gam * gam * F.col("see")
+    val mD = F.col("m").cast("double")
+    val tStat = gam / F.sqrt((sse / (mD - 1.0)) / F.col("see"))
+    df2
+      .where(F.col("m") >= 4L && F.col("see") > 0.0 && sse > 0.0)
+      .withColumn("gamma", F.round(gam, 6))
+      .withColumn("t_stat", F.round(tStat, 6))
+      .withColumn("cointegrated", F.col("t_stat") < -3.34)
+      .join(coef, "__k")
+      .select(F.col("__k").as(keyCol), F.col("n_periods"),
+        F.col("beta"), F.col("alpha"), F.col("gamma"),
+        F.col("t_stat"), F.col("cointegrated"))
+  }
+
   /** Dominant-period detector per key — the router that picks
     * [[holtWintersByKey]]'s seasonLength instead of guessing it: the
     * lag ≥ 2 with the largest autocorrelation over [[acfByKey]]'s

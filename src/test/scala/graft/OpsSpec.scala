@@ -4314,6 +4314,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("footrule") == 3L)
   }
 
+  test("cointegrationByKey: equilibrium pair flags, trending pair not") {
+    import spark.implicits._
+    // y = 2x + stationary pseudo-noise → residuals mean-revert hard
+    val co = (0 until 24).map { i =>
+      val e = ((i * 37) % 7 - 3).toDouble
+      ("co", i.toLong * 10L, i.toDouble, 2.0 * i + e)
+    }
+    // y = x² → the linear fit leaves a smooth non-reverting residual
+    val no = (0 until 24).map { i =>
+      ("no", i.toLong * 10L, i.toDouble, i.toDouble * i)
+    }
+    val df = (co ++ no).toDF("key", "ts", "x", "y")
+    val rows = Features.cointegrationByKey(df, "key", "ts", "x", "y",
+        periodUnit = 10L)
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    val c = rows("co")
+    assert(math.abs(c.getAs[Double]("beta") - 2.0) < 0.2)
+    assert(c.getAs[Double]("t_stat") < -3.34)
+    assert(c.getAs[Boolean]("cointegrated"))
+    assert(!rows("no").getAs[Boolean]("cointegrated"))
+  }
+
   test("intervalOverlap joins overlapping pairs exactly once") {
     import spark.implicits._
     // a1 [0,10] overlaps b1 [5,15] and touches b2 [10,20] (inclusive);
