@@ -4800,6 +4800,12 @@ object SparkEntry {
       Graph.degreeHistogram(e, "src", "dst")
         .orderBy("kind", "degree")
     }),
+    "q_vuong" -> ((s, dir) =>
+      // is lognormal SIGNIFICANTLY better than normal for prices, or
+      // just ahead on AIC: Vuong's z on the per-row log-likelihood
+      // differences of the two closed-form MLEs
+      StatTests.vuongTest(li(s, dir), "l_extendedprice", "norm",
+        "lognorm")),
     "q_benford" -> ((s, dir) =>
       // Benford first-digit conformity of line prices per return flag:
       // boundary-safe digit extraction, missing digits folded in
@@ -5776,6 +5782,65 @@ object SparkEntry {
     * ONE coordinate per step, cycling j = i mod 3 (the engine's exact
     * Gauss–Seidel order), with the α = 0.5 soft threshold and the
     * elastic-net ridge shrink in the same expression shape. */
+  /** q_vuong replay: rounded closed-form MLEs, per-row rounded ll
+    * difference, decimal-exact moment fold, Cody erfc at the rounded
+    * z — the identical pipeline the engine runs. */
+  private def vuongOracleSql: String = {
+    val lla = "-0.5 * (ln(2.0 * pi()) + ln(v2))" +
+      " - (x - mu) * (x - mu) / (2.0 * v2)"
+    val llb = "-ln(x) + -0.5 * (ln(2.0 * pi()) + ln(vl))" +
+      " - (ln(x) - ml) * (ln(x) - ml) / (2.0 * vl)"
+    val erfc = codyErfcSql("(abs(z) / sqrt(2.0))")
+    s"""WITH b AS MATERIALIZED (SELECT
+       |    CAST(l_extendedprice AS DOUBLE) AS x
+       |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+       |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+       |    AND CAST(l_extendedprice AS DOUBLE) > 0.0),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS s,
+       |    CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS ss,
+       |    CAST(sum(CAST(ln(x) AS DECIMAL(38,6))) AS DOUBLE) AS sl,
+       |    CAST(sum(CAST(ln(x) * ln(x) AS DECIMAL(38,6))) AS DOUBLE)
+       |      AS sll
+       |  FROM b),
+       |pr AS MATERIALIZED (SELECT n,
+       |    round_even(s / CAST(n AS DOUBLE) * 1e6, 0) / 1e6 AS mu,
+       |    round_even((ss / CAST(n AS DOUBLE) - (s / CAST(n AS DOUBLE))
+       |      * (s / CAST(n AS DOUBLE))) * 1e6, 0) / 1e6 AS v2,
+       |    round_even(sl / CAST(n AS DOUBLE) * 1e6, 0) / 1e6 AS ml,
+       |    round_even((sll / CAST(n AS DOUBLE)
+       |      - (sl / CAST(n AS DOUBLE)) * (sl / CAST(n AS DOUBLE)))
+       |      * 1e6, 0) / 1e6 AS vl
+       |  FROM m),
+       |d AS (SELECT round(($lla) - ($llb), 6) AS dd,
+       |    round($lla, 6) AS la, round($llb, 6) AS lb
+       |  FROM b, pr),
+       |a AS (SELECT
+       |    CAST(sum(CAST(dd AS DECIMAL(38,6))) AS DOUBLE) AS sd,
+       |    CAST(sum(CAST(dd * dd AS DECIMAL(38,6))) AS DOUBLE) AS sdd,
+       |    CAST(sum(CAST(la AS DECIMAL(38,6))) AS DOUBLE) AS sa,
+       |    CAST(sum(CAST(lb AS DECIMAL(38,6))) AS DOUBLE) AS sb
+       |  FROM d),
+       |f AS (SELECT pr.n, sd / CAST(pr.n AS DOUBLE) AS md,
+       |    sdd / CAST(pr.n AS DOUBLE) - (sd / CAST(pr.n AS DOUBLE))
+       |      * (sd / CAST(pr.n AS DOUBLE)) AS vd,
+       |    sa / CAST(pr.n AS DOUBLE) AS ma,
+       |    sb / CAST(pr.n AS DOUBLE) AS mb FROM a, pr),
+       |g AS (SELECT n, ma, mb,
+       |    round_even(sqrt(CAST(n AS DOUBLE)) * md / sqrt(vd) * 1e6,
+       |      0) / 1e6 AS z
+       |  FROM f)
+       |SELECT n, 'norm' AS dist_a, 'lognorm' AS dist_b,
+       |  round_even(ma * 1e6, 0) / 1e6 AS mean_ll_a,
+       |  round_even(mb * 1e6, 0) / 1e6 AS mean_ll_b,
+       |  z,
+       |  round_even($erfc * 1e6, 0) / 1e6 AS p_value,
+       |  CASE WHEN round_even($erfc * 1e6, 0) / 1e6 >= 0.05
+       |    THEN 'indistinguishable'
+       |    WHEN z > 0.0 THEN 'norm' ELSE 'lognorm' END AS preferred
+       |FROM g""".stripMargin
+  }
+
   private def lassoKOracleSql: String = {
     def upd(j: Int): String = {
       val others = Seq(1, 2, 3).filter(_ != j)
@@ -16058,6 +16123,8 @@ object SparkEntry {
         |    FROM generate_series(0, 49) s(j) WHERE s.j < 4)
         |    * 1000000.0, 0) / 1000000.0 AS p_value,
         |  mad FROM a ORDER BY l_returnflag""".stripMargin,
+    // Vuong replay: shared Cody erfc at the rounded z.
+    "q_vuong" -> vuongOracleSql,
     "q_hill" ->
       """WITH base AS (SELECT CAST(n_chars AS DOUBLE) AS x
         |  FROM documents WHERE n_chars IS NOT NULL

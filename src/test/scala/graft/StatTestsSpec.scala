@@ -758,6 +758,22 @@ class StatTestsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r.getAs[Double]("effect") - 85.0) < 1e-9)
   }
 
+  test("vuongTest prefers the true generating family") {
+    import spark.implicits._
+    // exact lognormal quantile-ish sample: exp of a symmetric grid —
+    // lognorm must beat norm significantly; flipped order flips z
+    val vals = (-20 to 20).map(i => math.exp(i * 0.25))
+    val df = vals.toDF("x")
+    val r = StatTests.vuongTest(df, "x", "lognorm", "norm").head()
+    assert(r.getAs[Long]("n") == 41L)
+    assert(r.getAs[Double]("z") > 0.0)
+    assert(r.getAs[String]("preferred") == "lognorm")
+    val r2 = StatTests.vuongTest(df, "x", "norm", "lognorm").head()
+    assert(r2.getAs[Double]("z") == -r.getAs[Double]("z"))
+    assert(r2.getAs[String]("preferred") == "lognorm")
+    assert(r2.getAs[Double]("p_value") == r.getAs[Double]("p_value"))
+  }
+
   test("permutationTest: exact observed diff, deterministic p") {
     import spark.implicits._
     val df = Seq((1L, "a", 10.0), (2L, "a", 10.0), (3L, "b", 0.0),
