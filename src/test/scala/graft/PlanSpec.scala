@@ -623,6 +623,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!hw.contains("Window"), hw.take(800))
   }
 
+  test("round-10 time-series/causal/join additions: keyed windows, " +
+    "no cartesians, no single-partition exchanges") {
+    for (q <- Seq("q_arma", "q_cointegration", "q_event_study",
+        "q_interval_overlap", "q_control_chart", "q_demand_class")) {
+      val plan = physicalPlan(q)
+      assert(!plan.contains("CartesianProduct"), q + ": " + plan.take(400))
+      assert(!plan.contains("BroadcastNestedLoop"),
+        q + ": " + plan.take(400))
+      assert(!plan.contains("SinglePartition"), q + ": " + plan.take(400))
+    }
+  }
+
   test("cardinality guards refuse row-scale cell frames LOUDLY") {
     import org.apache.spark.sql.functions.col
     // a continuous column: every row its own cell — the quadratic
