@@ -3071,6 +3071,13 @@ object SparkEntry {
         .withColumn("model", F.lit("holt"))
       hw.unionByName(h).orderBy("model", "event_type")
     }),
+    "q_holt_winters_mul" -> ((s, dir) =>
+      // the ratio-seasonal twin for level-proportional swings: unit
+      // seasonal seed, strictly positive period means only
+      Features.holtWintersMulByKey(events(s, dir), "event_type", "ts",
+          "value", periodUnit = 86400000000000L, seasonLength = 7,
+          alpha = 0.3, beta = 0.1, gamma = 0.2)
+        .orderBy("event_type", "period")),
     "q_hw_forecast" -> ((s, dir) =>
       // the two-week projection from each event type's final HW state:
       // level + h·trend + the continuing seasonal slot — the recursion
@@ -4661,6 +4668,11 @@ object SparkEntry {
       // TakeOrdered scans, overlap a broadcast join over k rows
       Similarity.truncationRecall(emb(s, dir), "vec_id", "embedding",
         queryIds = Seq(0L, 1L, 2L), dims = 16, k = 10)),
+    "q_pair_cosine" -> ((s, dir) =>
+      // anisotropy audit: cosine across unrelated consecutive-id
+      // pairs — a healthy isotropic space centers near 0; drift
+      // toward +1 silently breaks every tuned cosine threshold
+      Similarity.pairCosineStats(emb(s, dir), "vec_id", "embedding")),
     "q_jl_project" -> ((s, dir) =>
       // deterministic JL ±1/√k projection 64 → 16 (md5-parity matrix,
       // left-to-right folds): the shuffle-shrinker for ANN candidate
@@ -5965,6 +5977,50 @@ object SparkEntry {
        |    hw.l + hw.b + $sOld
        |  FROM hw JOIN idx ON idx.k = hw.k AND idx.i = hw.i + 1)"""
       .stripMargin
+  }
+
+  /** The multiplicative HW recursion: unit seasonal seed, ratio
+    * updates, positive-mean keys only. */
+  private def hwMulRecursionSql: String = {
+    val sOld = "CASE (idx.i - 1) % 7 " +
+      (0 until 7).map(j => s"WHEN $j THEN hw.s$j").mkString(" ") +
+      " END"
+    val lNew = s"(0.3 * (idx.mv / $sOld)\n" +
+      s"      + (1.0 - 0.3) * (hw.l + hw.b))"
+    val bNew = s"(0.1 * ($lNew - hw.l) + (1.0 - 0.1) * hw.b)"
+    def sNew(j: Int) =
+      s"CASE WHEN (idx.i - 1) % 7 = $j\n" +
+        s"      THEN 0.2 * (idx.mv / $lNew) + (1.0 - 0.2) * hw.s$j\n" +
+        s"      ELSE hw.s$j END"
+    val sCols = (0 until 7).map(j => s"s$j").mkString(", ")
+    val seedS = (0 until 7).map(_ => "CAST(1.0 AS DOUBLE)")
+      .mkString(",\n    ")
+    s"""pos AS (SELECT k FROM cells GROUP BY k HAVING min(mv) > 0.0),
+       |idx2 AS (SELECT idx.* FROM idx JOIN pos ON idx.k = pos.k),
+       |hw(k, i, p, mv, l, b, $sCols, fit) AS (
+       |  SELECT k, i, p, mv, mv, CAST(0.0 AS DOUBLE),
+       |    $seedS,
+       |    CAST(NULL AS DOUBLE) FROM idx2 WHERE i = 1
+       |  UNION ALL
+       |  SELECT idx.k, idx.i, idx.p, idx.mv,
+       |    $lNew,
+       |    $bNew,
+       |    ${(0 until 7).map(sNew).mkString(",\n    ")},
+       |    (hw.l + hw.b) * $sOld
+       |  FROM hw JOIN idx2 idx ON idx.k = hw.k AND idx.i = hw.i + 1)"""
+      .stripMargin
+  }
+
+  private def hwMulOracleSql: String = {
+    val seaOut = "CASE (i - 1) % 7 " +
+      (0 until 7).map(j => s"WHEN $j THEN s$j").mkString(" ") + " END"
+    s"""WITH RECURSIVE $hwIdxSql,
+       |$hwMulRecursionSql
+       |SELECT k AS event_type, p AS period, round(mv, 6) AS v,
+       |  round(l, 6) + 0.0 AS level, round(b, 6) + 0.0 AS trend,
+       |  round($seaOut, 6) + 0.0 AS seasonal,
+       |  round(fit, 6) + 0.0 AS fitted
+       |FROM hw ORDER BY event_type, period""".stripMargin
   }
 
   private def hwOracleSql: String = {
@@ -12553,6 +12609,39 @@ object SparkEntry {
         |    (a, b) -> a + b) / sqrt(16.0), 6) + 0.0 AS y
         |FROM base, generate_series(0, 15) j(j)
         |ORDER BY vec_id, j""".stripMargin,
+    // Anisotropy replay: ordered pair folds, rounded cosines,
+    // decimal-exact summary.
+    "q_pair_cosine" ->
+      """WITH base AS MATERIALIZED (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings WHERE vec_id IS NOT NULL
+        |    AND embedding IS NOT NULL),
+        |pr AS (SELECT
+        |    round(
+        |      list_reduce(list_prepend(0.0, list_transform(range(64),
+        |        i -> a.e[i + 1] * b.e[i + 1])), (x, y) -> x + y)
+        |      / (sqrt(list_reduce(list_prepend(0.0,
+        |          list_transform(range(64),
+        |            i -> a.e[i + 1] * a.e[i + 1])), (x, y) -> x + y))
+        |        * sqrt(list_reduce(list_prepend(0.0,
+        |          list_transform(range(64),
+        |            i -> b.e[i + 1] * b.e[i + 1])), (x, y) -> x + y)))
+        |      , 6) AS c
+        |  FROM base a JOIN base b ON b.vec_id = a.vec_id + 1
+        |    AND a.vec_id % 2 = 0
+        |  WHERE sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(range(64),
+        |        i -> a.e[i + 1] * a.e[i + 1])), (x, y) -> x + y)) > 0.0
+        |    AND sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(range(64),
+        |        i -> b.e[i + 1] * b.e[i + 1])), (x, y) -> x + y)) > 0.0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(CAST(sum(CAST(c AS DECIMAL(38,6))) AS DOUBLE)
+        |    / count(*), 6) + 0.0 AS mean_cos,
+        |  min(c) + 0.0 AS min_cos, max(c) + 0.0 AS max_cos,
+        |  round(CAST(sum(CASE WHEN c > 0.5 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS share_above_half
+        |FROM pr""".stripMargin,
     "q_jl_distortion" ->
       """WITH base AS MATERIALIZED (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -14094,6 +14183,8 @@ object SparkEntry {
     "q_holt_winters" -> hwOracleSql,
     // Both recurrences + the shared q_ar_accuracy fold per model.
     "q_hw_accuracy" -> hwAccuracyOracleSql,
+    // Multiplicative HW: ratio recursion, unit seasonal seed.
+    "q_holt_winters_mul" -> hwMulOracleSql,
     // HW recursion to the final per-key row + generate_series project.
     "q_hw_forecast" -> hwForecastOracleSql,
     // Mahalanobis replay: per-group raw moments, the explicit 2x2

@@ -1020,6 +1020,83 @@ object Features {
         F.round(F.col("__e._6"), 6).as("fitted"))
   }
 
+  /** Holt–Winters MULTIPLICATIVE triple smoothing per key — the
+    * ratio-seasonal twin of [[holtWintersByKey]] for series whose
+    * seasonal swing GROWS with the level (revenue, traffic):
+    *
+    *   fit_t = (l + b)·s_{t mod m}
+    *   l_t = α·(v_t / s_{t mod m}) + (1−α)(l + b)
+    *   b_t = β(l_t − l) + (1−β)·b
+    *   s_{t mod m} ← γ·(v_t / l_t) + (1−γ)·s_{t mod m}
+    *
+    * with the unit-seed initialization l₀ = v₀, b₀ = 0, s ≡ 1 (the
+    * first cycle fits like Holt; ratios learn the profile). Strictly
+    * positive period means only — keys with ANY non-positive period
+    * mean are omitted (ratio seasonality is undefined there; use the
+    * additive form). Same per-key period-frame scale shape, same
+    * recursive-CTE replay.
+    *
+    * @return one row per (key, period): (keyCol, period, v, level,
+    *         trend, seasonal, fitted), fitted null at the first
+    *         period */
+  def holtWintersMulByKey(df: DataFrame, keyCol: String, tsCol: String,
+                          valueCol: String, periodUnit: Long,
+                          seasonLength: Int, alpha: Double,
+                          beta: Double, gamma: Double): DataFrame = {
+    require(periodUnit > 0L, "periodUnit must be positive")
+    require(seasonLength >= 2, "seasonLength must be >= 2")
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0,1]")
+    require(beta >= 0.0 && beta <= 1.0, "beta must be in [0,1]")
+    require(gamma >= 0.0 && gamma <= 1.0, "gamma must be in [0,1]")
+    val m = seasonLength
+    val v = F.col(valueCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    val cells = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull && v.isNotNull &&
+        !F.isnan(v))
+      .groupBy(F.col(keyCol).as("__k"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("__p"))
+      .agg((F.sum(v.cast("decimal(38,6)")).cast("double") /
+        F.count(F.lit(1))).as("__v"))
+    val wAll = Window.partitionBy("__k")
+    val positive = cells
+      .withColumn("__minv", F.min("__v").over(wAll))
+      .where(F.col("__minv") > 0.0)
+      .drop("__minv")
+    val hwUdf = F.udf((s: Seq[org.apache.spark.sql.Row]) => {
+      val pts = s.map(r => (r.getLong(0), r.getDouble(1)))
+      var l = 0.0; var b = 0.0
+      val sea = Array.fill(m)(1.0)
+      pts.zipWithIndex.map { case ((p, x), i) =>
+        val ph = i % m
+        if (i == 0) {
+          l = x; b = 0.0
+          (p, x, l, b, sea(ph), Option.empty[Double])
+        } else {
+          val sOld = sea(ph)
+          val fit = (l + b) * sOld
+          val lPrev = l
+          l = alpha * (x / sOld) + (1.0 - alpha) * (lPrev + b)
+          b = beta * (l - lPrev) + (1.0 - beta) * b
+          sea(ph) = gamma * (x / l) + (1.0 - gamma) * sOld
+          (p, x, l, b, sea(ph), Some(fit))
+        }
+      }
+    })
+    positive
+      .groupBy("__k")
+      .agg(F.sort_array(F.collect_list(F.struct(F.col("__p"),
+        F.col("__v")))).as("__s"))
+      .select(F.col("__k"), F.explode(hwUdf(F.col("__s"))).as("__e"))
+      .select(F.col("__k").as(keyCol),
+        F.col("__e._1").as("period"),
+        F.round(F.col("__e._2"), 6).as("v"),
+        F.round(F.col("__e._3"), 6).as("level"),
+        F.round(F.col("__e._4"), 6).as("trend"),
+        F.round(F.col("__e._5"), 6).as("seasonal"),
+        F.round(F.col("__e._6"), 6).as("fitted"))
+  }
+
   /** h-step-ahead Holt–Winters ADDITIVE forecast per key — the
     * projection [[holtWintersByKey]] stops short of: run the same
     * triple recurrence to each key's final (level, trend, seasonals)

@@ -980,6 +980,51 @@ object Similarity {
       .select(F.col(idCol), proj.as("proj"))
   }
 
+  /** Anisotropy audit of an embedding space (Ethayarajh 2019's
+    * observation, made operational): cosine similarity across
+    * consecutive-id pairs — an isotropic space centers near 0, while
+    * contextual-model spaces often sit near +1 ACROSS UNRELATED
+    * pairs, silently breaking every cosine threshold tuned on an
+    * isotropic assumption (semDedup cutoffs, ANN recall targets).
+    * Run this before trusting any fixed cosine threshold on a new
+    * embedding source.
+    *
+    * Ordered array folds per pair (bit-reproducible), per-pair cosine
+    * rounded 6, DECIMAL-exact summary fold. Nothing collects.
+    *
+    * @return one row: (n_pairs, mean_cos, min_cos, max_cos,
+    *         share_above_half) */
+  def pairCosineStats(df: DataFrame, idCol: String,
+                      embCol: String): DataFrame = {
+    val base = df
+      .where(F.col(idCol).isNotNull && F.col(embCol).isNotNull)
+      .select(F.col(idCol).cast("long").as("id"),
+        F.transform(F.col(embCol), x => x.cast("double")).as("e"))
+    val a = base.where(F.col("id") % 2L === 0L)
+      .select(F.col("id").as("id_a"), F.col("e").as("ea"))
+    val b = base.select(F.col("id").as("id_b"), F.col("e").as("eb"))
+    def fold(c: org.apache.spark.sql.Column) =
+      F.aggregate(c, F.lit(0.0), (acc, x) => acc + x)
+    val dot = fold(F.zip_with(F.col("ea"), F.col("eb"),
+      (x, y) => x * y))
+    val na = F.sqrt(fold(F.zip_with(F.col("ea"), F.col("ea"),
+      (x, y) => x * y)))
+    val nb = F.sqrt(fold(F.zip_with(F.col("eb"), F.col("eb"),
+      (x, y) => x * y)))
+    def dsum(c: org.apache.spark.sql.Column) =
+      F.sum(c.cast("decimal(38,6)")).cast("double")
+    a.join(b, F.col("id_b") === F.col("id_a") + 1L)
+      .where(na > 0.0 && nb > 0.0)
+      .select(F.round(dot / (na * nb), 6).as("__c"))
+      .agg(F.count(F.lit(1)).as("n_pairs"),
+        F.round(dsum(F.col("__c")) / F.count(F.lit(1)), 6)
+          .as("mean_cos"),
+        F.min("__c").as("min_cos"), F.max("__c").as("max_cos"),
+        F.round(F.sum(F.when(F.col("__c") > 0.5, 1L).otherwise(0L))
+          .cast("double") / F.count(F.lit(1)), 6)
+          .as("share_above_half"))
+  }
+
   /** Distance-distortion audit of [[jlProject]] on consecutive-id
     * pairs: ‖a−b‖ in the original space vs the projected one and
     * their ratio — the acceptance check the JL lemma invites before

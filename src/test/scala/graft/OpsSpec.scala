@@ -4162,6 +4162,47 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(2).getAs[Double]("seasonal") == 3.125)
   }
 
+  test("holtWintersMulByKey replays the ratio recurrence, drops " +
+    "non-positive keys") {
+    import spark.implicits._
+    val df = Seq(("k", 0L, 10.0), ("k", 10L, 20.0), ("k", 20L, 30.0),
+      ("neg", 0L, 5.0), ("neg", 10L, -1.0)).toDF("key", "ts", "v")
+    val rows = Features.holtWintersMulByKey(df, "key", "ts", "v",
+        periodUnit = 10L, seasonLength = 2, alpha = 0.5, beta = 0.5,
+        gamma = 0.5)
+      .orderBy("period").collect()
+    // the key with a non-positive period mean is omitted entirely
+    assert(rows.forall(_.getAs[String]("key") == "k"))
+    assert(rows.length == 3)
+    assert(rows(0).getAs[Double]("seasonal") == 1.0)
+    assert(rows(1).getAs[Double]("fitted") == 10.0)
+    assert(rows(1).getAs[Double]("level") == 15.0)
+    assert(rows(1).getAs[Double]("trend") == 2.5)
+    assert(math.abs(rows(1).getAs[Double]("seasonal") - 1.166667)
+      < 1e-6)
+    assert(rows(2).getAs[Double]("fitted") == 17.5)
+    assert(rows(2).getAs[Double]("level") == 23.75)
+    assert(rows(2).getAs[Double]("trend") == 5.625)
+    assert(math.abs(rows(2).getAs[Double]("seasonal") - 1.131579)
+      < 1e-6)
+  }
+
+  test("pairCosineStats: orthogonal and parallel pairs bracket the " +
+    "summary") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 1.0f)), (3L, Array(2.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.pairCosineStats(df, "vec_id", "embedding")
+      .head()
+    assert(r.getAs[Long]("n_pairs") == 2L)
+    assert(r.getAs[Double]("min_cos") == 0.0)
+    assert(r.getAs[Double]("max_cos") == 1.0)
+    assert(r.getAs[Double]("mean_cos") == 0.5)
+    assert(r.getAs[Double]("share_above_half") == 0.5)
+  }
+
   test("hwForecastByKey projects from the final Holt-Winters state") {
     import spark.implicits._
     // continues the hand case: final l 23.75, b 5.625, sea [3.125, 2.5]
