@@ -3541,6 +3541,13 @@ object SparkEntry {
             .as("overlap_secs"))
         .orderBy("a_key")
     }),
+    "q_adf" -> ((s, dir) =>
+      // the unit-root half of the stationarity pair (KPSS tests the
+      // other null): lag-0 ADF with drift per event type over the
+      // daily means, t vs the pinned -2.86
+      Features.adfByKey(events(s, dir), "event_type", "ts", "value",
+          periodUnit = 86400000000000L)
+        .orderBy("event_type")),
     "q_cointegration" -> ((s, dir) =>
       // do daily quantity and price share a long-run equilibrium per
       // return flag: Engle-Granger two-step over the daily decimal
@@ -14987,6 +14994,44 @@ object SparkEntry {
         |    AS overlap_secs
         |FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
         |GROUP BY a_key ORDER BY a_key""".stripMargin,
+    // ADF replay: daily cells, lag/diff chain, closed-form drift OLS,
+    // the t vs -2.86 verdict.
+    "q_adf" ->
+      """WITH e AS (SELECT event_type AS k,
+        |    epoch_ns(ts) // 86400000000000 AS p, value AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |cells AS (SELECT k, p,
+        |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+        |      AS v
+        |  FROM e GROUP BY k, p),
+        |lg AS (SELECT k, p, v,
+        |    lag(v) OVER (PARTITION BY k ORDER BY p) AS el FROM cells),
+        |r AS (SELECT k, el, v - el AS de FROM lg
+        |  WHERE el IS NOT NULL),
+        |mo AS (SELECT k, CAST(count(*) AS BIGINT) AS m,
+        |    sum(el) AS sel, sum(de) AS sde, sum(el * el) AS see,
+        |    sum(el * de) AS sed, sum(de * de) AS sdd
+        |  FROM r GROUP BY k),
+        |f AS (SELECT k, m,
+        |    (sed - sel * sde / CAST(m AS DOUBLE))
+        |      / (see - sel * sel / CAST(m AS DOUBLE)) AS gam,
+        |    see - sel * sel / CAST(m AS DOUBLE) AS sxx,
+        |    sde, sed, sdd, sel FROM mo
+        |  WHERE m >= 8 AND see - sel * sel / CAST(m AS DOUBLE) > 0.0),
+        |g AS (SELECT k, m, gam, sxx,
+        |    sdd - (sde / CAST(m AS DOUBLE)
+        |      - gam * (sel / CAST(m AS DOUBLE))) * sde - gam * sed
+        |      AS sse
+        |  FROM f),
+        |h AS (SELECT k, m, round(gam, 6) AS gamma,
+        |    round(gam / sqrt((sse / (CAST(m AS DOUBLE) - 2.0)) / sxx),
+        |      6) AS t_stat
+        |  FROM g WHERE sse > 0.0)
+        |SELECT k AS event_type, m + 1 AS n_periods,
+        |  gamma + 0.0 AS gamma, t_stat + 0.0 AS t_stat,
+        |  t_stat < -2.86 AS stationary
+        |FROM h ORDER BY event_type""".stripMargin,
     // Cointegration replay: daily decimal means of both metrics, the
     // rounded OLS, the residual lag chain, the DF t-statistic.
     "q_cointegration" ->

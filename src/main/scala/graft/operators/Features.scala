@@ -469,6 +469,62 @@ object Features {
         F.round(sigma2, 6).as("sigma2"))
   }
 
+  /** Augmented-Dickey–Fuller (lag-0, with drift) unit-root test per
+    * key — [[kpssByKey]]'s complement (KPSS's null is stationary,
+    * ADF's null is a unit root; agreeing verdicts are the only safe
+    * reading): over the decimal-exact period means,
+    *
+    *   Δx_t = a + γ·x_{t−1} + u_t,   t = γ̂/se(γ̂),
+    *   stationary ⇔ t < −2.86
+    *
+    * (−2.86 = the asymptotic 5% DF critical value with drift,
+    * pinned; small-n readings indicative). Closed-form OLS from one
+    * lag window + one moment fold per key — replays step-for-step.
+    *
+    * @return one row per key: (keyCol, n_periods, gamma, t_stat,
+    *         stationary) — keys with < 8 periods or degenerate
+    *         variance omitted */
+  def adfByKey(df: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String, periodUnit: Long): DataFrame = {
+    require(periodUnit > 0L, "periodUnit must be positive")
+    val v = F.col(valueCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    def dsum(c: org.apache.spark.sql.Column) =
+      F.sum(c.cast("decimal(38,6)")).cast("double")
+    val cells = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull && v.isNotNull &&
+        !F.isnan(v))
+      .groupBy(F.col(keyCol).as("__k"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("__p"))
+      .agg((dsum(v) / F.count(F.lit(1))).as("__v"))
+    val wOrd = Window.partitionBy("__k").orderBy("__p")
+    val lagged = cells
+      .withColumn("__el", F.lag("__v", 1).over(wOrd))
+      .where(F.col("__el").isNotNull)
+      .withColumn("__de", F.col("__v") - F.col("__el"))
+    val mom = lagged.groupBy("__k").agg(
+      F.count(F.lit(1)).as("m"),
+      F.sum("__el").as("sel"), F.sum("__de").as("sde"),
+      F.sum(F.col("__el") * F.col("__el")).as("see"),
+      F.sum(F.col("__el") * F.col("__de")).as("sed"),
+      F.sum(F.col("__de") * F.col("__de")).as("sdd"))
+    val mD = F.col("m").cast("double")
+    val sxx = F.col("see") - F.col("sel") * F.col("sel") / mD
+    val sxy = F.col("sed") - F.col("sel") * F.col("sde") / mD
+    val gam = sxy / sxx
+    val aCon = F.col("sde") / mD - gam * (F.col("sel") / mD)
+    val sse = F.col("sdd") - aCon * F.col("sde") - gam * F.col("sed")
+    val tStat = gam / F.sqrt((sse / (mD - 2.0)) / sxx)
+    mom
+      .where(F.col("m") >= 8L && sxx > 0.0 && sse > 0.0)
+      .withColumn("gamma", F.round(gam, 6))
+      .withColumn("t_stat", F.round(tStat, 6))
+      .withColumn("stationary", F.col("t_stat") < -2.86)
+      .select(F.col("__k").as(keyCol),
+        (F.col("m") + 1L).as("n_periods"), F.col("gamma"),
+        F.col("t_stat"), F.col("stationary"))
+  }
+
   /** Engle–Granger two-step cointegration test per key — "do these
     * two metrics share a long-run equilibrium, or do they just both
     * trend" (the spurious-regression guard [[grangerByKey]] and

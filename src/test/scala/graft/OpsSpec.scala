@@ -4355,6 +4355,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("footrule") == 3L)
   }
 
+  test("adfByKey: noise is stationary, a trend keeps its unit root") {
+    import spark.implicits._
+    val noise = (0 until 24).map(i =>
+      ("st", i.toLong * 10L, ((i * 37) % 7).toDouble))
+    val trend = (0 until 24).map(i =>
+      ("tr", i.toLong * 10L, i + 0.1 * ((i * 37) % 7)))
+    val df = (noise ++ trend).toDF("key", "ts", "v")
+    val rows = Features.adfByKey(df, "key", "ts", "v",
+        periodUnit = 10L)
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    assert(rows("st").getAs[Boolean]("stationary"))
+    assert(rows("st").getAs[Double]("t_stat") < -2.86)
+    assert(!rows("tr").getAs[Boolean]("stationary"))
+    assert(rows("st").getAs[Long]("n_periods") == 24L)
+  }
+
   test("cointegrationByKey: equilibrium pair flags, trending pair not") {
     import spark.implicits._
     // y = 2x + stationary pseudo-noise → residuals mean-revert hard
