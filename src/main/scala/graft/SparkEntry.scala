@@ -3044,6 +3044,14 @@ object SparkEntry {
       Features.holtByKey(events(s, dir), "event_type", "ts", "value",
           periodUnit = 86400000000000L, alpha = 0.3, beta = 0.1)
         .orderBy("event_type", "period")),
+    "q_holt_tune" -> ((s, dir) =>
+      // the fit-and-rank spirit applied to forecasting: per event
+      // type, the (alpha, beta) grid combo minimizing the one-step
+      // in-sample MAE — every combo's trajectory replays in ONE
+      // recursive CTE keyed by (key, alpha, beta)
+      Features.holtTuneByKey(events(s, dir), "event_type", "ts",
+          "value", periodUnit = 86400000000000L)
+        .orderBy("event_type")),
     "q_holt_winters" -> ((s, dir) =>
       // Holt–Winters additive per event type over the same daily
       // means, weekly season (m = 7) learned from a zero seed: the
@@ -14190,6 +14198,57 @@ object SparkEntry {
     "q_holt_winters" -> hwOracleSql,
     // Both recurrences + the shared q_ar_accuracy fold per model.
     "q_hw_accuracy" -> hwAccuracyOracleSql,
+    // Holt-tune replay: ONE recursion keyed by (k, alpha, beta) over
+    // the literal grid, rounded MAE argmin with (mae, a, b) order.
+    "q_holt_tune" ->
+      (s"""WITH RECURSIVE $hwIdxSql,
+        |grid(a, bb) AS (VALUES (0.1, 0.0),
+        |  (0.1, 0.1),
+        |  (0.1, 0.3),
+        |  (0.3, 0.0),
+        |  (0.3, 0.1),
+        |  (0.3, 0.3),
+        |  (0.5, 0.0),
+        |  (0.5, 0.1),
+        |  (0.5, 0.3),
+        |  (0.7, 0.0),
+        |  (0.7, 0.1),
+        |  (0.7, 0.3),
+        |  (0.9, 0.0),
+        |  (0.9, 0.1),
+        |  (0.9, 0.3)),
+        |ix AS (SELECT idx.k, idx.i, idx.mv, g.a, g.bb FROM idx,
+        |  grid g),
+        |ho(k, a, bb, i, l, b, sae, cnt) AS (
+        |  SELECT k, a, bb, i, mv, CAST(0.0 AS DOUBLE),
+        |    CAST(0.0 AS DOUBLE), CAST(0 AS BIGINT)
+        |  FROM ix WHERE i = 1
+        |  UNION ALL
+        |  SELECT ix.k, ix.a, ix.bb, ix.i,
+        |    ix.a * ix.mv + (1.0 - ix.a) * (ho.l + ho.b),
+        |    ix.bb * ((ix.a * ix.mv + (1.0 - ix.a) * (ho.l + ho.b))
+        |      - ho.l) + (1.0 - ix.bb) * ho.b,
+        |    ho.sae + abs(ix.mv - (ho.l + ho.b)),
+        |    ho.cnt + 1
+        |  FROM ho JOIN ix ON ix.k = ho.k AND ix.a = ho.a
+        |    AND ix.bb = ho.bb AND ix.i = ho.i + 1),
+        |lastr AS (SELECT ho.* FROM ho JOIN (SELECT k, a, bb,
+        |      max(i) AS mi FROM ho GROUP BY k, a, bb) t
+        |  ON ho.k = t.k AND ho.a = t.a AND ho.bb = t.bb
+        |    AND ho.i = t.mi),
+        |sc AS (SELECT k, a, bb,
+        |    round_even(sae / cnt * 1e6, 0) / 1e6 AS mae FROM lastr
+        |  WHERE cnt > 0),
+        |nn AS (SELECT k, CAST(count(*) AS BIGINT) AS n_periods
+        |  FROM cells GROUP BY k),
+        |rk AS (SELECT sc.k, sc.a, sc.bb, sc.mae, row_number() OVER
+        |    (PARTITION BY sc.k ORDER BY sc.mae, sc.a, sc.bb) AS rn
+        |  FROM sc)
+        |SELECT rk.k AS event_type, nn.n_periods, rk.a AS alpha,
+        |  rk.bb AS beta, rk.mae
+        |FROM rk JOIN nn ON rk.k = nn.k
+        |WHERE rk.rn = 1 AND nn.n_periods >= 3
+        |ORDER BY event_type""").stripMargin,
     // Multiplicative HW: ratio recursion, unit seasonal seed.
     "q_holt_winters_mul" -> hwMulOracleSql,
     // HW recursion to the final per-key row + generate_series project.

@@ -389,6 +389,72 @@ object Features {
       F.when(lagsPresent, F.round(fitted, 6)).as("fitted"))
   }
 
+  /** Holt parameter auto-tuning per key — the reference's fit-and-
+    * rank spirit applied to forecasting: run the level+trend
+    * recurrence over a FIXED (α, β) grid per key and keep the combo
+    * minimizing the in-sample one-step MAE (fitted_t uses only
+    * information before t, so this IS a rolling-origin backtest for
+    * exponential smoothing; ties break toward the smaller α, then β —
+    * the smoother model). The per-key state is |grid| × the period
+    * frame, still span-bounded; the trajectory of every combo replays
+    * as ONE recursive CTE keyed by (key, α, β).
+    *
+    * @return one row per key: (keyCol, n_periods, alpha, beta, mae) */
+  def holtTuneByKey(df: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String, periodUnit: Long,
+                    alphas: Seq[Double] = Seq(0.1, 0.3, 0.5, 0.7, 0.9),
+                    betas: Seq[Double] = Seq(0.0, 0.1, 0.3)): DataFrame = {
+    require(periodUnit > 0L, "periodUnit must be positive")
+    require(alphas.nonEmpty && betas.nonEmpty, "empty grid")
+    require(alphas.forall(a => a > 0.0 && a <= 1.0) &&
+      betas.forall(b => b >= 0.0 && b <= 1.0), "grid out of range")
+    val v = F.col(valueCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    val cells = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull && v.isNotNull &&
+        !F.isnan(v))
+      .groupBy(F.col(keyCol).as("__k"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("__p"))
+      .agg((F.sum(v.cast("decimal(38,6)")).cast("double") /
+        F.count(F.lit(1))).as("__v"))
+    val grid = for { a <- alphas; b <- betas } yield (a, b)
+    val tuneUdf = F.udf((s: Seq[org.apache.spark.sql.Row]) => {
+      val xs = s.map(_.getDouble(1))
+      var bestA = 0.0; var bestB = 0.0
+      var bestMae = Double.MaxValue
+      grid.foreach { case (a, bb) =>
+        var l = 0.0; var b = 0.0; var sae = 0.0; var cnt = 0L
+        xs.zipWithIndex.foreach { case (x, i) =>
+          if (i == 0) { l = x; b = 0.0 }
+          else {
+            sae += math.abs(x - (l + b))
+            cnt += 1L
+            val lPrev = l
+            l = a * x + (1.0 - a) * (lPrev + b)
+            b = bb * (l - lPrev) + (1.0 - bb) * b
+          }
+        }
+        if (cnt > 0L) {
+          val mae = math.rint(sae / cnt * 1e6) / 1e6
+          // strict < keeps the FIRST grid entry on ties; the grid
+          // iterates alphas ascending then betas ascending
+          if (mae < bestMae) { bestMae = mae; bestA = a; bestB = bb }
+        }
+      }
+      (bestA, bestB, bestMae)
+    })
+    cells
+      .groupBy("__k")
+      .agg(F.count(F.lit(1)).as("n_periods"),
+        F.sort_array(F.collect_list(F.struct(F.col("__p"),
+          F.col("__v")))).as("__s"))
+      .where(F.col("n_periods") >= 3L)
+      .withColumn("__t", tuneUdf(F.col("__s")))
+      .select(F.col("__k").as(keyCol), F.col("n_periods"),
+        F.col("__t._1").as("alpha"), F.col("__t._2").as("beta"),
+        F.col("__t._3").as("mae"))
+  }
+
   /** ARMA(1,1) per key by the Hannan–Rissanen two-stage closed form —
     * the moving-average rung [[arFitByKey]] stops short of (an AR fit
     * leaves MA structure in its residuals; HR recovers it without

@@ -4162,6 +4162,40 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(2).getAs[Double]("seasonal") == 3.125)
   }
 
+  test("holtTuneByKey picks high alpha for jumpy series, matches a " +
+    "replayed grid scan") {
+    import spark.implicits._
+    // level-shift series: high alpha adapts fastest → lowest MAE
+    val vs = Seq(10.0, 10.0, 10.0, 50.0, 50.0, 50.0, 90.0, 90.0, 90.0)
+    val df = vs.zipWithIndex.map { case (v, i) =>
+      ("k", i.toLong * 10L, v) }.toDF("key", "ts", "v")
+    val r = Features.holtTuneByKey(df, "key", "ts", "v",
+      periodUnit = 10L).head()
+    // independent replay of the same grid
+    val grid = for {
+      a <- Seq(0.1, 0.3, 0.5, 0.7, 0.9); b <- Seq(0.0, 0.1, 0.3)
+    } yield (a, b)
+    var bestA = 0.0; var bestB = 0.0; var bestM = Double.MaxValue
+    grid.foreach { case (a, bb) =>
+      var l = 0.0; var b = 0.0; var sae = 0.0; var c = 0L
+      vs.zipWithIndex.foreach { case (x, i) =>
+        if (i == 0) { l = x; b = 0.0 }
+        else {
+          sae += math.abs(x - (l + b)); c += 1
+          val lp = l
+          l = a * x + (1.0 - a) * (lp + b)
+          b = bb * (l - lp) + (1.0 - bb) * b
+        }
+      }
+      val m = math.rint(sae / c * 1e6) / 1e6
+      if (m < bestM) { bestM = m; bestA = a; bestB = bb }
+    }
+    assert(r.getAs[Double]("alpha") == bestA)
+    assert(r.getAs[Double]("beta") == bestB)
+    assert(r.getAs[Double]("mae") == bestM)
+    assert(r.getAs[Double]("alpha") >= 0.5) // jumpy → fast adaptation
+  }
+
   test("holtWintersMulByKey replays the ratio recurrence, drops " +
     "non-positive keys") {
     import spark.implicits._
