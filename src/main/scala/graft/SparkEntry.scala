@@ -3457,13 +3457,15 @@ object SparkEntry {
         .orderBy("l_suppkey")),
     "q_event_study" -> ((s, dir) => {
       // staggered rollout read off the data itself: each user's first
-      // purchase week is their treatment cohort (never-purchasers are
-      // the control), y = weekly mean event value — the ATT(g, t)
-      // panel that generalizes the single 2×2 DiD
+      // purchase week is their treatment cohort, with a deterministic
+      // user_id % 3 == 0 HOLDOUT whose purchases are ignored — the
+      // never-treated control must exist at every scale factor (at
+      // tiny SF every user purchases) — y = weekly mean event value
       val week = 604800000000000L
       val ev = events(s, dir)
         .where(F.col("user_id").isNotNull && F.col("ts").isNotNull)
-      val cohort = ev.where(F.col("event_type") === "purchase")
+      val cohort = ev.where(F.col("event_type") === "purchase" &&
+          F.col("user_id") % 3 =!= 0)
         .groupBy(F.col("user_id"))
         .agg(F.min(F.expr(s"CAST(ts AS BIGINT) DIV $week"))
           .as("cohort"))
@@ -14901,7 +14903,7 @@ object SparkEntry {
         |    CAST(value AS DOUBLE) AS y, event_type AS et
         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         |coh AS MATERIALIZED (SELECT u, CAST(min(w) AS BIGINT) AS g
-        |  FROM ev WHERE et = 'purchase' GROUP BY u),
+        |  FROM ev WHERE et = 'purchase' AND u % 3 <> 0 GROUP BY u),
         |cells AS (SELECT ev.u, ev.w,
         |    CAST(sum(CAST(ev.y AS DECIMAL(38,6))) AS DOUBLE)
         |      / count(*) AS cy,
