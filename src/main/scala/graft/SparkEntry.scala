@@ -3551,6 +3551,12 @@ object SparkEntry {
             .as("overlap_secs"))
         .orderBy("a_key")
     }),
+    "q_peaks" -> ((s, dir) =>
+      // which days actually spiked, per event type: strict local
+      // maxima of the daily means clearing both neighbors by >= 1.0
+      Features.peaksByKey(events(s, dir), "event_type", "ts", "value",
+          periodUnit = 86400000000000L, minMargin = 1.0)
+        .orderBy("event_type", "period")),
     "q_adf" -> ((s, dir) =>
       // the unit-root half of the stationarity pair (KPSS tests the
       // other null): lag-0 ADF with drift per event type over the
@@ -15055,6 +15061,25 @@ object SparkEntry {
         |    AS overlap_secs
         |FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
         |GROUP BY a_key ORDER BY a_key""".stripMargin,
+    // Peaks replay: daily cells, lag/lead neighbors, strict maxima
+    // with the margin bar.
+    "q_peaks" ->
+      """WITH e AS (SELECT event_type AS k,
+        |    epoch_ns(ts) // 86400000000000 AS p, value AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |cells AS (SELECT k, p,
+        |    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+        |      AS v
+        |  FROM e GROUP BY k, p),
+        |w AS (SELECT k, p, v,
+        |    lag(v) OVER win AS pv, lead(v) OVER win AS nv
+        |  FROM cells WINDOW win AS (PARTITION BY k ORDER BY p))
+        |SELECT k AS event_type, p AS period, round(v, 6) AS v,
+        |  round(v - greatest(pv, nv), 6) AS margin
+        |FROM w WHERE pv IS NOT NULL AND nv IS NOT NULL
+        |  AND v > pv AND v > nv AND v - greatest(pv, nv) >= 1.0
+        |ORDER BY event_type, period""".stripMargin,
     // ADF replay: daily cells, lag/diff chain, closed-form drift OLS,
     // the t vs -2.86 verdict.
     "q_adf" ->

@@ -535,6 +535,45 @@ object Features {
         F.round(sigma2, 6).as("sigma2"))
   }
 
+  /** Local-peak detector per key — the "which days actually SPIKED"
+    * primitive behind incident review and campaign attribution: a
+    * period is a peak when its decimal-exact mean strictly exceeds
+    * both neighbors AND clears the taller neighbor by `minMargin`
+    * (the margin is the cheap prominence stand-in that kills ripple
+    * noise; margins report rounded). Interior periods only — edges
+    * have one neighbor and are not decidable. One key shuffle, two
+    * lag/lead windows.
+    *
+    * @return peak rows: (keyCol, period, v, margin) */
+  def peaksByKey(df: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String, periodUnit: Long,
+                 minMargin: Double): DataFrame = {
+    require(periodUnit > 0L, "periodUnit must be positive")
+    require(minMargin >= 0.0, "minMargin must be >= 0")
+    val v = F.col(valueCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    val cells = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull && v.isNotNull &&
+        !F.isnan(v))
+      .groupBy(F.col(keyCol).as("__k"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("__p"))
+      .agg((F.sum(v.cast("decimal(38,6)")).cast("double") /
+        F.count(F.lit(1))).as("__v"))
+    val wOrd = Window.partitionBy("__k").orderBy("__p")
+    val margin = F.col("__v") -
+      F.greatest(F.col("__prev"), F.col("__next"))
+    cells
+      .withColumn("__prev", F.lag("__v", 1).over(wOrd))
+      .withColumn("__next", F.lead("__v", 1).over(wOrd))
+      .where(F.col("__prev").isNotNull && F.col("__next").isNotNull &&
+        F.col("__v") > F.col("__prev") &&
+        F.col("__v") > F.col("__next") &&
+        margin >= minMargin)
+      .select(F.col("__k").as(keyCol), F.col("__p").as("period"),
+        F.round(F.col("__v"), 6).as("v"),
+        F.round(margin, 6).as("margin"))
+  }
+
   /** Augmented-Dickey–Fuller (lag-0, with drift) unit-root test per
     * key — [[kpssByKey]]'s complement (KPSS's null is stationary,
     * ADF's null is a unit root; agreeing verdicts are the only safe

@@ -4389,6 +4389,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("footrule") == 3L)
   }
 
+  test("peaksByKey flags strict local maxima above the margin") {
+    import spark.implicits._
+    // 1, 5, 1, 3.5, 3, 9, 1: peaks at idx 1 (margin 4) and idx 5
+    // (margin 6); idx 3 is a local max but margin 0.5 < 1.0
+    val vs = Seq(1.0, 5.0, 1.0, 3.5, 3.0, 9.0, 1.0)
+    val df = vs.zipWithIndex.map { case (v, i) =>
+      ("k", i.toLong * 10L, v) }.toDF("key", "ts", "v")
+    val rows = Features.peaksByKey(df, "key", "ts", "v",
+        periodUnit = 10L, minMargin = 1.0)
+      .orderBy("period").collect()
+    assert(rows.map(_.getAs[Long]("period")).toSeq == Seq(1L, 5L))
+    assert(rows(0).getAs[Double]("margin") == 4.0)
+    assert(rows(1).getAs[Double]("margin") == 6.0)
+  }
+
   test("adfByKey: noise is stationary, a trend keeps its unit root") {
     import spark.implicits._
     val noise = (0 until 24).map(i =>
