@@ -1516,9 +1516,10 @@ object Evaluation {
     val nmi =
       if (ha > 0.0 && hb > 0.0) Some(r6(mi / math.sqrt(ha * hb)))
       else None
-    val ps = bM.keys.toSeq.sorted.foldLeft(0L) { (acc, k) =>
-      acc + cells.filter(_._2 == k).map(_._3).max
-    }
+    // one grouping pass over the cells (max per b-label), then an ordered
+    // fold over the maxima — linear in |cells| instead of |B|×|cells|
+    val maxPerB = cells.groupBy(_._2).map { case (k, ts) => k -> ts.map(_._3).max }
+    val ps = bM.keys.toSeq.sorted.foldLeft(0L)((acc, k) => acc + maxPerB(k))
     Seq((n, nCells, ari, nmi, r6(ps.toDouble / nD)))
       .toDF("n", "n_cells", "ari", "nmi", "purity")
   }

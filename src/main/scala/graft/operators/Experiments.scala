@@ -294,10 +294,15 @@ object Experiments {
       .agg(dsum(c).as("__ev"), dsum(e).as("__ex"))
       .where(F.col("__ex") > 0.0)
       .withColumn("__r", F.col("__ev") / F.col("__ex"))
+      // the prior folds the 6-rounded rates as decimals so α/β are pure
+      // functions of rounded scalars — partition-order-independent, and
+      // the oracle's sequential fold reproduces them bit-for-bit
+      .withColumn("__r6", F.round(F.col("__r"), 6))
       .localCheckpoint(true)
     val row = groups.agg(F.count(F.lit(1)).as("k"),
-      F.sum("__r").as("sr"),
-      F.sum(F.col("__r") * F.col("__r")).as("srr")).head()
+      F.sum(F.col("__r6").cast("decimal(38,6)")).cast("double").as("sr"),
+      F.sum((F.col("__r6") * F.col("__r6")).cast("decimal(38,12)"))
+        .cast("double").as("srr")).head()
     val k = row.getAs[Long]("k").toDouble
     require(k >= 1.0, "need at least one group with exposure")
     val m = row.getAs[Double]("sr") / k
@@ -305,7 +310,7 @@ object Experiments {
     val (alpha, beta) =
       if (v > 0.0 && m > 0.0) (m * m / v, m / v) else (0.0, 0.0)
     groups
-      .withColumn("rate", F.round(F.col("__r"), 6))
+      .withColumn("rate", F.col("__r6"))
       .withColumn("shrunk_rate", F.round(
         (F.col("__ev") + alpha) / (F.col("__ex") + beta), 6))
       .withColumn("alpha", F.round(F.lit(alpha), 6))

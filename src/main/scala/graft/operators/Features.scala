@@ -535,6 +535,208 @@ object Features {
         F.round(sigma2, 6).as("sigma2"))
   }
 
+  /** GARCH(1,1) conditional-variance per key by a DETERMINISTIC
+    * fixed-grid profile fit — the volatility rung [[armaByKey]] stops
+    * short of (ARMA models the MEAN; incident/latency telemetry
+    * clusters its VARIANCE, and "is the process volatility-persistent"
+    * is a different question from "is the level trending").
+    *
+    * Per key the demeaned period cells d_t (6-rounded mean, decimal-
+    * exact cells) drive the textbook recursion with variance targeting
+    * — ω is implied by the sample variance, ω = σ̄²(1−α−β), so the grid
+    * is 2-D and every combo is automatically stationary:
+    *
+    *   σ²_1 = σ̄²,   σ²_t = ω + α·d²_{t−1} + β·σ²_{t−1}
+    *
+    * scored by the Gaussian quasi-log-likelihood Σ_{t≥2} −½(ln σ²_t +
+    * d²_t/σ²_t), 6-rounded; ties keep the FIRST grid entry (α asc, β
+    * asc). Like [[holtTuneByKey]], the per-key state is the span-
+    * bounded period frame × |grid|, the whole trajectory replays as ONE
+    * recursive CTE keyed by (key, α, β), and no row-scale data ever
+    * reaches the driver.
+    *
+    * @return one row per key: (keyCol, n_periods, mean, var0, alpha,
+    *         beta, omega, loglik) — var0 the targeted unconditional
+    *         variance, loglik the winning rounded score */
+  def garchByKey(df: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String, periodUnit: Long,
+                 alphas: Seq[Double] = Seq(0.05, 0.1, 0.2),
+                 betas: Seq[Double] = Seq(0.5, 0.65, 0.75)): DataFrame = {
+    require(periodUnit > 0L, "periodUnit must be positive")
+    require(alphas.nonEmpty && betas.nonEmpty, "empty grid")
+    require(alphas.forall(_ > 0.0) && betas.forall(_ >= 0.0),
+      "alpha must be > 0 and beta >= 0")
+    require(alphas.max + betas.max < 1.0,
+      "grid must keep alpha + beta < 1 (stationarity / variance targeting)")
+    val v = F.col(valueCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    val cells = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull && v.isNotNull &&
+        !F.isnan(v))
+      .groupBy(F.col(keyCol).as("__k"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("__p"))
+      .agg((F.sum(v.cast("decimal(38,6)")).cast("double") /
+        F.count(F.lit(1))).as("__v"))
+    val st = cells.groupBy("__k")
+      .agg(F.count(F.lit(1)).as("n_periods"),
+        F.round(F.sum(F.col("__v").cast("decimal(38,6)")).cast("double") /
+          F.count(F.lit(1)), 6).as("__mu"))
+      .where(F.col("n_periods") >= 5L)
+    val dx = cells.join(st, "__k")
+      .withColumn("__d", F.col("__v") - F.col("__mu"))
+    // σ̄² folded as decimals so ω is a pure function of rounded scalars
+    val vb = dx.groupBy("__k")
+      .agg(F.round(
+        F.sum((F.col("__d") * F.col("__d")).cast("decimal(38,12)"))
+          .cast("double") / F.count(F.lit(1)), 6).as("var0"))
+      .where(F.col("var0") > 0.0)
+    val grid = for { a <- alphas; b <- betas } yield (a, b)
+    val fitUdf = F.udf((s: Seq[org.apache.spark.sql.Row], vbar: Double) => {
+      val ds = s.map(_.getDouble(1)).toArray
+      var bestA = 0.0; var bestB = 0.0
+      var bestLl = Double.NegativeInfinity
+      grid.foreach { case (a, b) =>
+        val om = vbar * (1.0 - a - b)
+        var s2 = vbar; var ll = 0.0; var i = 1
+        while (i < ds.length) {
+          s2 = om + a * ds(i - 1) * ds(i - 1) + b * s2
+          ll = ll - 0.5 * (math.log(s2) + ds(i) * ds(i) / s2)
+          i += 1
+        }
+        val llr = math.rint(ll * 1e6) / 1e6
+        // strict > keeps the FIRST grid entry on ties (α asc, β asc)
+        if (llr > bestLl) { bestLl = llr; bestA = a; bestB = b }
+      }
+      (bestA, bestB,
+        math.rint(vbar * (1.0 - bestA - bestB) * 1e6) / 1e6, bestLl)
+    })
+    dx.groupBy("__k")
+      .agg(F.sort_array(F.collect_list(F.struct(F.col("__p"),
+        F.col("__d")))).as("__s"))
+      .join(st, "__k").join(vb, "__k")
+      .withColumn("__g", fitUdf(F.col("__s"), F.col("var0")))
+      .select(F.col("__k").as(keyCol), F.col("n_periods"),
+        F.col("__mu").as("mean"), F.col("var0"),
+        F.col("__g._1").as("alpha"), F.col("__g._2").as("beta"),
+        F.col("__g._3").as("omega"), F.col("__g._4").as("loglik"))
+  }
+
+  /** ARIMA(1,d,1) per key — the differencing COMPOSITION that closes
+    * the loop [[adfByKey]] opens: the ADF verdict picks d, this
+    * operator differences the period cells d times with lag windows,
+    * fits the existing Hannan–Rissanen ARMA(1,1) closed form on the
+    * differenced series (identical expression shapes to [[armaByKey]],
+    * which IS the d = 0 rung), and recomposes the one-step-ahead
+    * forecast back to the ORIGINAL level through the last d observed
+    * values (d=1: x̂ = x_n + Δ̂; d=2: x̂ = 2x_n − x_{n−1} + Δ̂²̂).
+    *
+    * The forecast is a pure function of rounded scalars: centered
+    * prediction μ̂ + φ(Δ_n−μ̂) + θ·ê_n at the 6-rounded (φ₀, φ, θ, μ̂),
+    * with ê_n the stage-1 residual (Δ_n−μ̂) − φ₀(Δ_{n−1}−μ̂) — exactly
+    * the regressor stage 2 was trained on. Lag windows + per-key sums
+    * over span-bounded period cells; keys that lose too many periods
+    * to differencing (n−d < 5) or have a singular stage-2 Gram are
+    * omitted.
+    *
+    * @return one row per key: (keyCol, n_periods, d, mean, phi_init,
+    *         phi, theta, sigma2, forecast) — mean/sigma2 of the
+    *         DIFFERENCED series, forecast at the original level */
+  def arimaByKey(df: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String, periodUnit: Long,
+                 d: Int = 1): DataFrame = {
+    require(periodUnit > 0L, "periodUnit must be positive")
+    require(d >= 0 && d <= 2, "difference order d must be 0, 1, or 2")
+    val v = F.col(valueCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    val cells = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull && v.isNotNull &&
+        !F.isnan(v))
+      .groupBy(F.col(keyCol).as("__k"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("__p"))
+      .agg((F.sum(v.cast("decimal(38,6)")).cast("double") /
+        F.count(F.lit(1))).as("__v"))
+    val wOrd = Window.partitionBy("__k").orderBy("__p")
+    val wDesc = Window.partitionBy("__k").orderBy(F.col("__p").desc)
+    val nOrig = cells.groupBy("__k").agg(F.count(F.lit(1)).as("n_periods"))
+    var diff = cells
+    (1 to d).foreach { _ =>
+      diff = diff.withColumn("__vl", F.lag("__v", 1).over(wOrd))
+        .where(F.col("__vl").isNotNull)
+        .withColumn("__v", F.col("__v") - F.col("__vl"))
+        .drop("__vl")
+    }
+    val wAll = Window.partitionBy("__k")
+    val base = diff
+      .withColumn("__mu", F.avg("__v").over(wAll))
+      .withColumn("__d", F.col("__v") - F.col("__mu"))
+      .withColumn("__dl1", F.lag("__d", 1).over(wOrd))
+    val st1 = base.groupBy("__k").agg(
+      F.count(F.lit(1)).as("n"), F.max("__mu").as("mu"),
+      F.sum(F.col("__d") * F.col("__d")).as("ss"),
+      F.sum(F.col("__d") * F.col("__dl1")).as("s1"))
+      .where(F.col("n") >= 5L && F.col("ss") > 0.0)
+      .withColumn("phi0", F.round(F.col("s1") / F.col("ss"), 6))
+      .select("__k", "n", "mu", "phi0")
+    val withE = base.join(st1, "__k")
+      .withColumn("__e", F.when(F.col("__dl1").isNotNull,
+        F.col("__d") - F.col("phi0") * F.col("__dl1")))
+      .withColumn("__el1", F.lag("__e", 1).over(wOrd))
+    val st2 = withE
+      .where(F.col("__dl1").isNotNull && F.col("__el1").isNotNull)
+      .groupBy("__k").agg(
+        F.count(F.lit(1)).as("n2"),
+        F.sum(F.col("__dl1") * F.col("__dl1")).as("s11"),
+        F.sum(F.col("__dl1") * F.col("__el1")).as("s12"),
+        F.sum(F.col("__el1") * F.col("__el1")).as("s22"),
+        F.sum(F.col("__dl1") * F.col("__d")).as("s1y"),
+        F.sum(F.col("__el1") * F.col("__d")).as("s2y"),
+        F.sum(F.col("__d") * F.col("__d")).as("syy"))
+      .withColumn("det",
+        F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12"))
+      .where(F.col("n2") >= 4L && F.col("det") > 0.0)
+      .withColumn("phi", F.round(
+        (F.col("s1y") * F.col("s22") - F.col("s2y") * F.col("s12")) /
+          F.col("det"), 6))
+      .withColumn("theta", F.round(
+        (F.col("s2y") * F.col("s11") - F.col("s1y") * F.col("s12")) /
+          F.col("det"), 6))
+    val phi = F.col("phi"); val theta = F.col("theta")
+    val sigma2 = (F.col("syy") -
+      F.lit(2.0) * phi * F.col("s1y") -
+      F.lit(2.0) * theta * F.col("s2y") +
+      phi * phi * F.col("s11") +
+      F.lit(2.0) * phi * theta * F.col("s12") +
+      theta * theta * F.col("s22")) / F.col("n2")
+    // last two DIFFERENCED values (ê_n needs Δ_{n−1}) and the last
+    // d original levels for the binomial recomposition
+    val lastD = diff.withColumn("__rn", F.row_number().over(wDesc))
+      .where(F.col("__rn") <= 2)
+      .groupBy("__k").agg(
+        F.max(F.when(F.col("__rn") === 1, F.col("__v"))).as("dn"),
+        F.max(F.when(F.col("__rn") === 2, F.col("__v"))).as("dn1"))
+    val lastO = cells.withColumn("__rn", F.row_number().over(wDesc))
+      .where(F.col("__rn") <= 2)
+      .groupBy("__k").agg(
+        F.max(F.when(F.col("__rn") === 1, F.col("__v"))).as("o1"),
+        F.max(F.when(F.col("__rn") === 2, F.col("__v"))).as("o2"))
+    val mur = F.round(F.col("mu"), 6)
+    val fDiff = mur + phi * (F.col("dn") - mur) +
+      theta * ((F.col("dn") - mur) - F.col("phi0") * (F.col("dn1") - mur))
+    val fOrig = d match {
+      case 0 => fDiff
+      case 1 => F.col("o1") + fDiff
+      case _ => F.lit(2.0) * F.col("o1") - F.col("o2") + fDiff
+    }
+    st2.join(st1, "__k").join(lastD, "__k").join(lastO, "__k")
+      .join(nOrig, "__k")
+      .select(F.col("__k").as(keyCol), F.col("n_periods"),
+        F.lit(d).cast("int").as("d"),
+        F.round(F.col("mu"), 6).as("mean"),
+        F.col("phi0").as("phi_init"), phi, theta,
+        F.round(sigma2, 6).as("sigma2"),
+        F.round(fOrig, 6).as("forecast"))
+  }
+
   /** Local-peak detector per key — the "which days actually SPIKED"
     * primitive behind incident review and campaign attribution: a
     * period is a peak when its decimal-exact mean strictly exceeds

@@ -20,15 +20,47 @@ import org.apache.spark.sql.{DataFrame, functions => F}
   */
 object RangeJoin {
 
+  /** Per-row bucket explosion with the loud-guard contract: a reversed
+    * interval (start > end — Spark's sequence() would silently DESCEND,
+    * joining with inverted semantics) or an interval spanning more than
+    * `maxBucketsPerRow` buckets (long interval × small caller-chosen
+    * width — unbounded row multiplication) fails the job with a row-level
+    * error instead of corrupting results or melting the shuffle. The
+    * check is a codegen'd CASE inside the explode — zero extra passes. */
+  private def guardedBuckets(df: DataFrame, s: String, e: String,
+                             bucketWidth: Long, maxBucketsPerRow: Long,
+                             bk: String): DataFrame = {
+    val lo = F.floor(F.col(s).cast("double") / bucketWidth).cast("long")
+    val hi = F.floor(F.col(e).cast("double") / bucketWidth).cast("long")
+    val seq = F.when(F.col(s).cast("double") > F.col(e).cast("double"),
+        F.raise_error(F.concat(
+          F.lit(s"reversed interval ($s > $e): start="),
+          F.col(s).cast("string"), F.lit(" end="), F.col(e).cast("string")))
+          .cast("array<bigint>"))
+      .when(hi - lo >= F.lit(maxBucketsPerRow),
+        F.raise_error(F.concat(
+          F.lit(s"interval [$s,$e] spans > $maxBucketsPerRow buckets at " +
+            s"bucketWidth=$bucketWidth (start="),
+          F.col(s).cast("string"), F.lit(" end="), F.col(e).cast("string"),
+          F.lit("); widen bucketWidth or raise maxBucketsPerRow")))
+          .cast("array<bigint>"))
+      .otherwise(F.sequence(lo, hi))
+    df.withColumn(bk, F.explode(seq))
+  }
+
   /** @param points    DataFrame with a numeric point column (e.g. epoch
     *                  seconds); every input column is preserved
     * @param intervals DataFrame with numeric [startCol, endCol] bounds
     *                  (inclusive), span ≥ 0; every input column preserved
+    * @param maxBucketsPerRow loud-failure cap on one interval's bucket
+    *                  fan-out (reversed intervals also fail loudly)
     * @return inner join of points with the intervals containing them */
   def pointInInterval(points: DataFrame, pointCol: String,
                       intervals: DataFrame, startCol: String, endCol: String,
-                      bucketWidth: Long): DataFrame = {
+                      bucketWidth: Long,
+                      maxBucketsPerRow: Long = 4096L): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxBucketsPerRow > 0, "maxBucketsPerRow must be positive")
     // collision-proof bucket column; inputs may share column names, so
     // the containment filter resolves through the parent DataFrames
     // rather than bare names
@@ -42,10 +74,8 @@ object RangeJoin {
     // RAW values — truncating there would false-match fractional points
     val p = points.withColumn(b,
       F.floor(F.col(pointCol).cast("double") / bucketWidth).cast("long"))
-    val iv = intervals
-      .withColumn(b, F.explode(F.sequence(
-        F.floor(F.col(startCol).cast("double") / bucketWidth).cast("long"),
-        F.floor(F.col(endCol).cast("double") / bucketWidth).cast("long"))))
+    val iv = guardedBuckets(intervals, startCol, endCol, bucketWidth,
+      maxBucketsPerRow, b)
     p.join(iv, Seq(b))
       .where(p(pointCol).between(iv(startCol), iv(endCol)))
       .drop(b)
@@ -67,8 +97,10 @@ object RangeJoin {
     * @return inner join of the overlapping interval pairs */
   def intervalOverlap(a: DataFrame, aStart: String, aEnd: String,
                       b: DataFrame, bStart: String, bEnd: String,
-                      bucketWidth: Long): DataFrame = {
+                      bucketWidth: Long,
+                      maxBucketsPerRow: Long = 4096L): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxBucketsPerRow > 0, "maxBucketsPerRow must be positive")
     require(a.columns.toSet.intersect(b.columns.toSet).isEmpty,
       "column names collide across the two inputs; rename upstream")
     val bk = {
@@ -77,12 +109,8 @@ object RangeJoin {
       while (taken.contains(n)) n = n + "_"
       n
     }
-    def buckets(df: DataFrame, s: String, e: String): DataFrame =
-      df.withColumn(bk, F.explode(F.sequence(
-        F.floor(F.col(s).cast("double") / bucketWidth).cast("long"),
-        F.floor(F.col(e).cast("double") / bucketWidth).cast("long"))))
-    val ae = buckets(a, aStart, aEnd)
-    val be = buckets(b, bStart, bEnd)
+    val ae = guardedBuckets(a, aStart, aEnd, bucketWidth, maxBucketsPerRow, bk)
+    val be = guardedBuckets(b, bStart, bEnd, bucketWidth, maxBucketsPerRow, bk)
     ae.join(be, Seq(bk))
       .where(ae(aStart) <= be(bEnd) && be(bStart) <= ae(aEnd) &&
         F.col(bk) === F.floor(

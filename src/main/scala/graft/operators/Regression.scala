@@ -459,6 +459,132 @@ object Regression {
     LogisticModel(xCols, beta, ll, n, iters)
   }
 
+  /** A fitted multinomial (softmax) logistic model: `classes` sorted
+    * ascending with the LAST as the zero-β reference; `beta(c)` aligned
+    * to `"intercept" +: features` for class `classes(c)`, c < K−1. */
+  final case class SoftmaxModel(features: Seq[String], classes: Seq[String],
+                                beta: Array[Array[Double]], logLik: Double,
+                                n: Long, iterations: Int) {
+    private def z(c: Int): Column =
+      features.zipWithIndex.foldLeft(F.lit(beta(c)(0))) {
+        case (acc, (f, i)) => acc + F.col(f).cast("double") * beta(c)(i + 1)
+      }
+    /** P(y = classes(c) | x) as a codegen'd column. */
+    def score(c: Int): Column = {
+      val denom = (0 until classes.length - 1)
+        .foldLeft(F.lit(1.0))((acc, j) => acc + F.exp(z(j)))
+      if (c == classes.length - 1) F.lit(1.0) / denom
+      else F.exp(z(c)) / denom
+    }
+    /** argmax class as a codegen'd column; ties break toward the
+      * earliest class in ascending order (the reference class last) —
+      * the exact ladder the SQL replay uses. */
+    def predictClass: Column = {
+      val zs = (0 until classes.length - 1).map(z) :+ F.lit(0.0)
+      val m = F.greatest(zs: _*)
+      (0 until classes.length - 1)
+        .foldLeft(Option.empty[Column]) { (acc, c) =>
+          val w = F.when(zs(c) === m, F.lit(classes(c)))
+          Some(acc.fold(w)(a => a.when(zs(c) === m, F.lit(classes(c)))))
+        }.get.otherwise(F.lit(classes.last))
+    }
+  }
+
+  /** Multinomial (softmax) logistic regression by BLOCK-DIAGONAL Newton
+    * with a FIXED iteration count — [[logisticIrls]] generalized to K
+    * classes, the multi-class quality/domain/language router shape.
+    *
+    * The last class (ascending order) is the reference with β ≡ 0; each
+    * of the `iters` passes aggregates, for every non-reference class c,
+    * the class-block gradient Xᵀ(y_c − p_c) and the DIAGONAL Hessian
+    * block Xᵀ diag(p_c(1−p_c)) X as ONE aggregation with the current β
+    * folded in as plan literals, then solves K−1 independent (k+1)×(k+1)
+    * systems on the driver. Dropping the cross-class blocks is the
+    * standard bounded-curvature step (each diagonal block dominates its
+    * row in the exact Hessian, cf. Böhning 1992's multinomial lower
+    * bound), so the iteration is a convergent ascent — slightly slower
+    * per step than full Newton but identical fixed point, and each
+    * block update replays as a closed-form solve in SQL.
+    *
+    * β is 6-ROUNDED after every step: that is the replay contract — the
+    * oracle's chained CTEs propagate exactly the same rounded trajectory,
+    * so cross-engine exp/sum ULP wobble is clipped every pass instead of
+    * compounding. Total jobs: 1 (class discovery) + iters + 1 (final
+    * log-likelihood), independent of data size; no row data reaches the
+    * driver. `lambda` adds an L2 penalty (intercept exempt).
+    *
+    * Features should be standardized/bounded upstream — the linear
+    * predictors go through a plain exp (no max-shift), which is exact
+    * for the bounded-feature regime this targets and keeps the SQL
+    * replay one expression. */
+  def softmaxIrls(df: DataFrame, labelCol: String, xCols: Seq[String],
+                  iters: Int = 4, lambda: Double = 0.0): SoftmaxModel = {
+    require(xCols.nonEmpty, "need at least one feature")
+    require(iters >= 1, "need at least one Newton iteration")
+    val k = xCols.length + 1
+    val y = F.col(labelCol).cast("string")
+    val ok = (xCols.map(F.col(_).cast("double")))
+      .map(c => c.isNotNull && !F.isnan(c)).reduce(_ && _) && y.isNotNull
+    val clean = df.where(ok)
+    val classes = clean.select(y.as("__y")).distinct()
+      .orderBy("__y").collect().map(_.getString(0)).toSeq
+    require(classes.length >= 2, "need at least two classes")
+    require(classes.length <= 16,
+      s"${classes.length} classes: softmaxIrls is a small-K router " +
+        "(<= 16); bucket the label upstream")
+    val kc = classes.length - 1 // non-reference class count
+    val feats = F.lit(1.0) +: xCols.map(c => F.col(c).cast("double"))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    var beta = Array.fill(kc)(Array.fill(k)(0.0))
+    var n = 0L
+    var it = 0
+    while (it < iters) {
+      val zs = (0 until kc).map(c =>
+        feats.zipWithIndex.foldLeft(F.lit(0.0)) {
+          case (acc, (f, i)) => acc + f * beta(c)(i)
+        })
+      val denom = (0 until kc).foldLeft(F.lit(1.0))(
+        (acc, c) => acc + F.exp(zs(c)))
+      val ps = (0 until kc).map(c => F.exp(zs(c)) / denom)
+      val cols = (0 until kc).flatMap { c =>
+        val w = ps(c) * (F.lit(1.0) - ps(c))
+        val yc = (y === classes(c)).cast("double")
+        (for { i <- 0 until k; j <- i until k }
+          yield F.sum(w * feats(i) * feats(j)).as(s"h_${c}_${i}_$j")) ++
+          (0 until k).map(i =>
+            F.sum((yc - ps(c)) * feats(i)).as(s"g_${c}_$i"))
+      } :+ F.count(F.lit(1)).as("n")
+      val r = clean.agg(cols.head, cols.tail: _*).head()
+      n = r.getAs[Long]("n")
+      beta = Array.tabulate(kc) { c =>
+        val h = Array.ofDim[Double](k, k)
+        for { i <- 0 until k; j <- i until k } {
+          h(i)(j) = r.getAs[Double](s"h_${c}_${i}_$j"); h(j)(i) = h(i)(j)
+        }
+        val g = Array.tabulate(k)(i => r.getAs[Double](s"g_${c}_$i"))
+        if (lambda > 0.0) (1 until k).foreach { i =>
+          h(i)(i) += lambda; g(i) -= lambda * beta(c)(i)
+        }
+        val delta = solve(h, g)
+        Array.tabulate(k)(i => r6(beta(c)(i) + delta(i)))
+      }
+      it += 1
+    }
+    // final multinomial log-likelihood at the final rounded β:
+    // ll = Σ [z_y − ln(1 + Σ_c exp(z_c))], z_ref ≡ 0
+    val zsF = (0 until kc).map(c =>
+      feats.zipWithIndex.foldLeft(F.lit(0.0)) {
+        case (acc, (f, i)) => acc + f * beta(c)(i)
+      })
+    val denomF = (0 until kc).foldLeft(F.lit(1.0))(
+      (acc, c) => acc + F.exp(zsF(c)))
+    val zy = (0 until kc).foldLeft(F.lit(0.0))((acc, c) =>
+      acc + F.when(y === classes(c), zsF(c)).otherwise(F.lit(0.0)))
+    val ll = clean.agg(F.sum(zy - F.log(denomF)).as("ll")).head()
+      .getAs[Double]("ll")
+    SoftmaxModel(xCols, classes, beta, ll, n, iters)
+  }
+
   /** A fitted Huber robust linear model: β aligned to
     * `"intercept" +: features`, the Huber threshold used, row count and
     * fixed iteration count. */
@@ -530,6 +656,86 @@ object Regression {
       it += 1
     }
     HuberModel(xCols, beta, n, iters, delta)
+  }
+
+  /** A fitted quantile (pinball-loss) linear model: β aligned to
+    * `"intercept" +: features`, the target quantile, row count, fixed
+    * iteration count and the smoothing floor used. */
+  final case class QuantileModel(features: Seq[String], beta: Array[Double],
+                                 tau: Double, n: Long, iterations: Int,
+                                 eps: Double) {
+    /** The conditional-quantile prediction as a codegen'd column. */
+    def predict: Column =
+      features.zipWithIndex.foldLeft(F.lit(beta(0))) { case (acc, (f, i)) =>
+        acc + F.col(f).cast("double") * beta(i + 1)
+      }
+  }
+
+  /** TRUE quantile regression over continuous covariates — pinball
+    * (check) loss ρ_τ(r) = r·(τ − 𝟙[r<0]) minimized by smoothed IRLS
+    * with a FIXED iteration count, the τ-twin of [[huberIrls]] (and the
+    * continuous-x upgrade of `quantileTrend`, which needs binnable x).
+    *
+    * Iteration 1 is plain OLS; each further pass reweights rows by the
+    * standard check-loss majorizer at the PREVIOUS β,
+    *
+    *   w = (τ if r ≥ 0 else 1−τ) / max(|r|, ε)
+    *
+    * (ε floors the weight so zero-residual rows can't blow up the Gram —
+    * the usual smoothed-check device), then solves ONE weighted Gram
+    * aggregation + a driver (k+1)×(k+1) system. β is 6-ROUNDED after
+    * every solve — the replay contract: the oracle's chained CTEs
+    * propagate the identical rounded trajectory, so ULP wobble is
+    * clipped per pass instead of compounding. Total jobs = `iters`,
+    * independent of data size; fixed iterations keep the trajectory
+    * deterministic and SQL-replayable.
+    *
+    * `eps` is in RESPONSE units, like huberIrls's `delta`. */
+  def quantileIrls(df: DataFrame, yCol: String, xCols: Seq[String],
+                   tau: Double, iters: Int = 3,
+                   eps: Double = 0.001): QuantileModel = {
+    require(xCols.nonEmpty, "need at least one feature")
+    require(tau > 0.0 && tau < 1.0, "tau must be in (0,1)")
+    require(eps > 0.0, "eps must be positive")
+    require(iters >= 1, "need at least one iteration")
+    val k = xCols.length + 1
+    val feats = F.lit(1.0) +: xCols.map(c => F.col(c).cast("double"))
+    val y = F.col(yCol).cast("double")
+    val ok = (xCols.map(F.col(_).cast("double")) :+ y)
+      .map(c => c.isNotNull && !F.isnan(c)).reduce(_ && _)
+    val clean = df.where(ok)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    var beta: Array[Double] = null
+    var n = 0L
+    var it = 0
+    while (it < iters) {
+      val w: Column =
+        if (beta == null) F.lit(1.0)
+        else {
+          val pred = feats.zipWithIndex.foldLeft(F.lit(0.0)) {
+            case (acc, (f, i)) => acc + f * beta(i)
+          }
+          val r = y - pred
+          F.when(r >= 0.0, F.lit(tau)).otherwise(F.lit(1.0 - tau)) /
+            F.greatest(F.abs(r), F.lit(eps))
+        }
+      val cols =
+        (for { i <- 0 until k; j <- i until k }
+          yield F.sum(w * feats(i) * feats(j)).as(s"g_${i}_$j")) ++
+        (0 until k).map(i => F.sum(w * feats(i) * y).as(s"xy_$i")) :+
+        F.count(F.lit(1)).as("n")
+      val r = clean.agg(cols.head, cols.tail: _*).head()
+      n = r.getAs[Long]("n")
+      require(n > k, s"need more than $k rows, got $n")
+      val a = Array.ofDim[Double](k, k)
+      for { i <- 0 until k; j <- i until k } {
+        a(i)(j) = r.getAs[Double](s"g_${i}_$j"); a(j)(i) = a(i)(j)
+      }
+      val b = Array.tabulate(k)(i => r.getAs[Double](s"xy_$i"))
+      beta = solve(a, b).map(r6)
+      it += 1
+    }
+    QuantileModel(xCols, beta, tau, n, iters, eps)
   }
 
   // --- small dense linear algebra (k ≤ ~dozens; driver-side only) ---

@@ -574,16 +574,25 @@ object Similarity {
     * enumeration is shuffle-free, and the cosine is the same
     * dot/(norm·norm) arithmetic as [[bruteForceTopK]]. */
   def nearDupPairsExact(df: DataFrame, embCol: String, idCol: String,
-                        threshold: Double = 0.95): DataFrame = {
+                        threshold: Double = 0.95,
+                        maxRows: Int = 65536): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // the corpus (or audit sample) is collected and broadcast — bounded by
     // this op's contract — and each task scores a slice of rows against
     // all later rows in primitive-array loops. A broadcast join expressing
     // the same thing pays per-pair array deserialization + boxing, which
-    // at 2M pairs is ~50× the arithmetic cost.
-    val vecs = df.select(F.col(idCol).cast("long"), F.col(embCol))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    // at 2M pairs is ~50× the arithmetic cost. The contract is ENFORCED:
+    // the collect itself is capped at maxRows+1 rows, so a caller pointing
+    // this audit baseline at a corpus-scale table gets a loud failure, not
+    // a driver OOM (same discipline as clusterAgreement's cell guard).
+    val capped = df.select(F.col(idCol).cast("long"), F.col(embCol))
+      .limit(maxRows + 1).as[(Long, Array[Float])].collect()
+    require(capped.length <= maxRows,
+      s"nearDupPairsExact is an O(n²) audit baseline: input exceeds " +
+        s"maxRows=$maxRows rows; sample the corpus (or raise maxRows) — " +
+        s"use semDedup/LSH for production-scale near-dup")
+    val vecs = capped.sortBy(_._1)
     val norms = vecs.map { case (_, e) =>
       var s = 0.0; var i = 0
       while (i < e.length) { s += e(i).toDouble * e(i).toDouble; i += 1 }

@@ -2650,6 +2650,16 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // near-dup pairs: clustered same-side vectors have cosine ~1
     val nd = Similarity.nearDupPairs(df.limit(20), "embedding", "vec_id", threshold = 0.9)
     assert(nd.count() > 0)
+    // the exact audit baseline enforces its bounded-corpus contract —
+    // past maxRows the collect caps out and fails loudly, no driver OOM
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.nearDupPairsExact(df, "embedding", "vec_id",
+        threshold = 0.9, maxRows = 10)
+    }
+    assert(ex.getMessage.contains("O(n²) audit baseline"))
+    val ndx = Similarity.nearDupPairsExact(df.limit(20), "embedding",
+      "vec_id", threshold = 0.9, maxRows = 20)
+    assert(ndx.count() > 0)
   }
 
   test("PQ: codes compress 32x, ADC top-k finds the query's cluster") {
@@ -4457,6 +4467,100 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("a_key", "b_key").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(out.toSeq == Seq((1L, 10L), (1L, 11L)))
+  }
+
+  test("intervalOverlap fails loudly on pathological bucket fan-out") {
+    import spark.implicits._
+    // one long interval × tiny bucket width would explode to a million
+    // rows — the per-row guard must fail the job, not melt the shuffle
+    val aLong = Seq((1L, 0L, 1000000L)).toDF("a_key", "a_s", "a_e")
+    val b = Seq((10L, 5L, 15L)).toDF("b_key", "b_s", "b_e")
+    val ex = intercept[Exception] {
+      RangeJoin.intervalOverlap(aLong, "a_s", "a_e", b, "b_s", "b_e",
+        bucketWidth = 1L, maxBucketsPerRow = 1000L).count()
+    }
+    assert(ex.getMessage.contains("spans > 1000 buckets") ||
+      Option(ex.getCause).exists(_.getMessage.contains("spans > 1000 buckets")))
+    // reversed interval: sequence() would silently descend — must fail
+    val rev = Seq((1L, 10L, 5L)).toDF("a_key", "a_s", "a_e")
+    val ex2 = intercept[Exception] {
+      RangeJoin.intervalOverlap(rev, "a_s", "a_e", b, "b_s", "b_e",
+        bucketWidth = 3L).count()
+    }
+    assert(ex2.getMessage.contains("reversed interval") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("reversed interval")))
+  }
+
+  test("garchByKey prefers persistence on volatility-clustered data") {
+    import spark.implicits._
+    // exact-binary values, mean 0 by construction: 16 calm periods
+    // (±0.125) then 16 stormy ones (±4.0) — squared shocks cluster, so
+    // the quasi-likelihood must pick a high-persistence (α+β) combo;
+    // ω must equal var0·(1−α−β) on the 1e-6 grid
+    val rows = (0 until 32).map { i =>
+      val v = if (i < 16) (if (i % 2 == 0) 0.125 else -0.125)
+              else (if (i % 2 == 0) 4.0 else -4.0)
+      ("k", i.toLong * 10L, v)
+    }
+    val df = rows.toDF("key", "ts", "v")
+    val r = Features.garchByKey(df, "key", "ts", "v", periodUnit = 10L)
+      .head()
+    assert(r.getAs[Long]("n_periods") == 32L)
+    assert(r.getAs[Double]("mean") == 0.0)
+    assert(r.getAs[Double]("var0") > 0.0)
+    val a = r.getAs[Double]("alpha"); val b = r.getAs[Double]("beta")
+    assert(Seq(0.05, 0.1, 0.2).contains(a))
+    assert(Seq(0.5, 0.65, 0.75).contains(b))
+    assert(a + b >= 0.75, s"clustered vol should pick persistence, got ($a,$b)")
+    val om = math.rint(r.getAs[Double]("var0") * (1.0 - a - b) * 1e6) / 1e6
+    assert(r.getAs[Double]("omega") == om)
+    assert(!r.getAs[Double]("loglik").isNaN)
+    // stationarity guard: a grid whose corner reaches α+β ≥ 1 is refused
+    val ex = intercept[IllegalArgumentException] {
+      Features.garchByKey(df, "key", "ts", "v", periodUnit = 10L,
+        alphas = Seq(0.3), betas = Seq(0.8))
+    }
+    assert(ex.getMessage.contains("stationarity"))
+  }
+
+  test("arimaByKey d=0 equals armaByKey; d=1 on the cumsum recovers it") {
+    import spark.implicits._
+    // exact-binary innovations (multiples of 1/64) so the cumulative
+    // sums and their re-differences are bit-exact: arimaByKey(d=1) on
+    // the cumsum must reproduce armaByKey on the raw series, and
+    // arimaByKey(d=0) must equal armaByKey on the same input
+    val e = (0 until 24).map(i =>
+      ((i * 7) % 13 - 6) / 64.0 * (if (i % 3 == 0) 2.0 else 1.0))
+    val raw = e.zipWithIndex.map { case (v, i) => ("k", i.toLong * 10L, v) }
+    val cum = e.scanLeft(0.0)(_ + _).tail.zipWithIndex
+      .map { case (v, i) => ("k", (i + 1).toLong * 10L, v) }
+    val dfRaw = raw.toDF("key", "ts", "v")
+    // prepend the t=0 level so diff yields exactly e(1..n-1)
+    val dfCum = (Seq(("k", 0L, 0.0)) ++ cum).toDF("key", "ts", "v")
+    val arma = Features.armaByKey(dfRaw, "key", "ts", "v",
+      periodUnit = 10L).head()
+    val ar0 = Features.arimaByKey(dfRaw, "key", "ts", "v",
+      periodUnit = 10L, d = 0).head()
+    Seq("mean", "phi_init", "phi", "theta", "sigma2").foreach { c =>
+      assert(ar0.getAs[Double](c) == arma.getAs[Double](c),
+        s"d=0 $c mismatch")
+    }
+    assert(ar0.getAs[Int]("d") == 0)
+    val ar1 = Features.arimaByKey(dfCum, "key", "ts", "v",
+      periodUnit = 10L, d = 1).head()
+    // diff(cumsum(e)) == e exactly → identical ARMA scalars
+    Seq("phi_init", "phi", "theta", "sigma2").foreach { c =>
+      assert(ar1.getAs[Double](c) == arma.getAs[Double](c),
+        s"d=1-on-cumsum $c mismatch")
+    }
+    assert(ar1.getAs[Int]("d") == 1)
+    assert(ar1.getAs[Long]("n_periods") == 25L)
+    // the d=1 forecast recomposes through the last level: it differs
+    // from the last observation by the predicted increment, which is
+    // bounded by the innovation scale here
+    val lastLevel = (Seq(("k", 0L, 0.0)) ++ cum).last._3
+    val fc = ar1.getAs[Double]("forecast")
+    assert(math.abs(fc - lastLevel) < 0.5, s"forecast $fc vs last $lastLevel")
   }
 
   test("periodDetectByKey finds the planted period-3 cycle") {

@@ -582,4 +582,77 @@ class RegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r.getAs[Double]("slope_right") - 10.0) < 1e-9)
     assert(math.abs(r.getAs[Double]("sse_ratio")) < 1e-9)
   }
+
+  test("softmaxIrls separates three planted classes and sums scores to 1") {
+    import spark.implicits._
+    // class is a clean monotone function of x: lo → 'a', mid → 'b',
+    // hi → 'c'; the softmax router must recover near-perfect argmax
+    val rows = (0 until 300).map { i =>
+      val x = i / 100.0 + (i % 10) * 0.01
+      val y = if (x < 1.0) "a" else if (x < 2.0) "b" else "c"
+      (y, x)
+    }
+    val df = rows.toDF("y", "x")
+    val m = Regression.softmaxIrls(df, "y", Seq("x"), iters = 8)
+    assert(m.classes == Seq("a", "b", "c"))
+    assert(m.beta.length == 2 && m.beta(0).length == 2)
+    // every β is on the 1e-6 grid (the replay contract)
+    m.beta.flatten.foreach(b =>
+      assert(b == math.rint(b * 1e6) / 1e6))
+    val acc = df.agg(F.avg((m.predictClass === F.col("y"))
+      .cast("double"))).head().getDouble(0)
+    assert(acc > 0.95, s"train accuracy $acc")
+    // probabilities sum to 1 row-wise
+    val psum = df.select((m.score(0) + m.score(1) + m.score(2))
+      .as("s")).agg(F.max(F.abs(F.col("s") - 1.0))).head().getDouble(0)
+    assert(psum < 1e-9)
+    assert(m.logLik < 0.0 && !m.logLik.isNaN)
+    // binary data degenerates to the logistic fit's decision behavior
+    val bin = rows.filter(_._1 != "c").toDF("y", "x")
+    val mb = Regression.softmaxIrls(bin, "y", Seq("x"), iters = 8)
+    val accB = bin.agg(F.avg((mb.predictClass === F.col("y"))
+      .cast("double"))).head().getDouble(0)
+    assert(accB > 0.95)
+  }
+
+  test("softmaxIrls guards: one class, too many classes") {
+    import spark.implicits._
+    val one = Seq(("a", 1.0), ("a", 2.0)).toDF("y", "x")
+    val ex = intercept[IllegalArgumentException] {
+      Regression.softmaxIrls(one, "y", Seq("x"))
+    }
+    assert(ex.getMessage.contains("at least two classes"))
+    val many = (0 until 40).map(i => (s"c$i", i.toDouble)).toDF("y", "x")
+    val ex2 = intercept[IllegalArgumentException] {
+      Regression.softmaxIrls(many, "y", Seq("x"))
+    }
+    assert(ex2.getMessage.contains("small-K router"))
+  }
+
+  test("quantileIrls: high-τ line sits above low-τ line under skewed noise") {
+    import spark.implicits._
+    // y = 5 + 2x with asymmetric noise: 3/4 of rows get −1, 1/4 get +3
+    // (mean-zero but right-skewed) — the τ=0.9 fit must clear τ=0.1
+    // everywhere on the x range, and both slopes stay near 2
+    val rows = (0 until 400).map { i =>
+      val x = (i % 100) / 10.0
+      val noise = if (i % 4 == 0) 3.0 else -1.0
+      (x, 5.0 + 2.0 * x + noise)
+    }
+    val df = rows.toDF("x", "y")
+    val hi = Regression.quantileIrls(df, "y", Seq("x"), tau = 0.9,
+      iters = 6)
+    val lo = Regression.quantileIrls(df, "y", Seq("x"), tau = 0.1,
+      iters = 6)
+    Seq(0.0, 5.0, 9.9).foreach { x =>
+      val ph = hi.beta(0) + hi.beta(1) * x
+      val pl = lo.beta(0) + lo.beta(1) * x
+      assert(ph > pl, s"τ=0.9 ($ph) must exceed τ=0.1 ($pl) at x=$x")
+    }
+    assert(math.abs(hi.beta(1) - 2.0) < 0.3, s"slope ${hi.beta(1)}")
+    assert(math.abs(lo.beta(1) - 2.0) < 0.3, s"slope ${lo.beta(1)}")
+    // β on the 1e-6 replay grid
+    (hi.beta ++ lo.beta).foreach(b =>
+      assert(b == math.rint(b * 1e6) / 1e6))
+  }
 }
