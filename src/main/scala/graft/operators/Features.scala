@@ -1240,6 +1240,185 @@ object Features {
           F.round(mae / naiveMae, 6)).as("mase"))
   }
 
+  /** Forecast-champion selection per key — the reference's fit-and-rank
+    * discipline applied across MODEL FAMILIES: run Holt–Winters, Holt
+    * and AR(1) over the same decimal-exact period cells, score each
+    * with the shared [[forecastAccuracyByKey]] fold (MASE vs the
+    * seasonal naive — the only scale-free cross-model yardstick), and
+    * keep each key's minimum-MASE model (nulls last; ties break on the
+    * model name ascending, so the verdict is deterministic).
+    *
+    * Three recurrences + three accuracy folds + one rank window — every
+    * leg is span-bounded per key and each already replays in SQL, so
+    * the champion verdict does too.
+    *
+    * @return one row per key: (keyCol, champion, n_scored, mae, rmse,
+    *         mape, mase) — the metrics of the WINNING model */
+  def forecastChampionByKey(df: DataFrame, keyCol: String, tsCol: String,
+                            valueCol: String, periodUnit: Long,
+                            seasonLength: Int = 7, alpha: Double = 0.3,
+                            beta: Double = 0.1,
+                            gamma: Double = 0.2): DataFrame = {
+    val hw = forecastAccuracyByKey(
+      holtWintersByKey(df, keyCol, tsCol, valueCol, periodUnit,
+        seasonLength, alpha, beta, gamma),
+      keyCol, "period", "v", "fitted", seasonLag = seasonLength)
+      .withColumn("model", F.lit("holt_winters"))
+    val ho = forecastAccuracyByKey(
+      holtByKey(df, keyCol, tsCol, valueCol, periodUnit, alpha, beta),
+      keyCol, "period", "v", "fitted", seasonLag = seasonLength)
+      .withColumn("model", F.lit("holt"))
+    val ar = forecastAccuracyByKey(
+      arFittedByKey(df, keyCol, tsCol, valueCol, periodUnit, p = 1),
+      keyCol, "period", "v", "fitted", seasonLag = seasonLength)
+      .withColumn("model", F.lit("ar1"))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(F.col("mase").asc_nulls_last, F.col("model").asc)
+    hw.unionByName(ho).unionByName(ar)
+      .withColumn("__rn", F.row_number().over(w))
+      .where(F.col("__rn") === 1)
+      .select(F.col(keyCol), F.col("model").as("champion"),
+        F.col("n_scored"), F.col("mae"), F.col("rmse"), F.col("mape"),
+        F.col("mase"))
+  }
+
+  /** Generalized-ESD-style iterative outlier screen per key — `rounds`
+    * passes of "remove the most extreme period and re-test": each round
+    * recomputes mean/sd over the REMAINING period cells with ORDERED
+    * sequential folds (the replay contract — DuckDB reproduces them as
+    * `list_sum(list(x ORDER BY p))`), takes the max |v−μ|/σ with ties
+    * to the earliest period, records the 6-rounded R statistic, and
+    * removes the point. Masking-proof where a single-pass z-screen is
+    * not (one huge spike inflates σ and hides the second spike; ESD
+    * re-tests after removal — Rosner 1983). The critical-value table is
+    * deliberately NOT baked in: `threshold` is a caller-set R cutoff
+    * (3.0 ≈ the classic z discipline), keeping the output a pure
+    * function of the data.
+    *
+    * Rounds stop early when fewer than 3 periods remain or the
+    * remaining variance is zero. Per-key state is the span-bounded
+    * period frame; one key shuffle.
+    *
+    * @return one row per (key, round): (keyCol, round, period, r_stat,
+    *         flagged) */
+  def gesdByKey(df: DataFrame, keyCol: String, tsCol: String,
+                valueCol: String, periodUnit: Long, rounds: Int = 3,
+                threshold: Double = 3.0): DataFrame = {
+    require(periodUnit > 0L, "periodUnit must be positive")
+    require(rounds >= 1 && rounds <= 8,
+      "rounds must be in 1..8 (each round is a chained replay step)")
+    require(threshold > 0.0, "threshold must be positive")
+    val v = F.col(valueCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    val cells = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull && v.isNotNull &&
+        !F.isnan(v))
+      .groupBy(F.col(keyCol).as("__k"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("__p"))
+      .agg((F.sum(v.cast("decimal(38,6)")).cast("double") /
+        F.count(F.lit(1))).as("__v"))
+    val nRounds = rounds
+    val thr = threshold
+    val screenUdf = F.udf((s: Seq[org.apache.spark.sql.Row]) => {
+      var rem = s.map(r => (r.getLong(0), r.getDouble(1))).toVector
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Long, Double, Boolean)]
+      var i = 1
+      var done = false
+      while (i <= nRounds && !done) {
+        val n = rem.length
+        if (n < 3) done = true
+        else {
+          val m = rem.foldLeft(0.0)((acc, t) => acc + t._2) / n
+          val ss = rem.foldLeft(0.0)((acc, t) =>
+            acc + (t._2 - m) * (t._2 - m))
+          if (!(ss > 0.0)) done = true
+          else {
+            val sd = math.sqrt(ss / n)
+            var bp = rem(0)._1; var bd = -1.0
+            // strict > keeps the EARLIEST period on exact ties
+            rem.foreach { case (p, x) =>
+              val dev = math.abs(x - m)
+              if (dev > bd) { bd = dev; bp = p }
+            }
+            val r = math.rint(bd / sd * 1e6) / 1e6
+            out += ((i, bp, r, r > thr))
+            rem = rem.filterNot(_._1 == bp)
+            i += 1
+          }
+        }
+      }
+      out.toSeq
+    })
+    cells.groupBy("__k")
+      .agg(F.sort_array(F.collect_list(F.struct(F.col("__p"),
+        F.col("__v")))).as("__s"))
+      .withColumn("__o", F.explode(screenUdf(F.col("__s"))))
+      .select(F.col("__k").as(keyCol),
+        F.col("__o._1").as("round"), F.col("__o._2").as("period"),
+        F.col("__o._3").as("r_stat"), F.col("__o._4").as("flagged"))
+  }
+
+  /** Page–Hinkley drift detector per key — the sequential "has the
+    * level shifted upward" monitor (Page 1954; the mean-shift sibling
+    * of [[cusumByKey]], which scans retrospectively — PH runs FORWARD
+    * and replays as one recursive CTE):
+    *
+    *   m_t = mean(v_1..v_t),
+    *   PH_t = max(0, PH_{t−1} + (v_t − m_t − δ)),  alarm when PH_t > λ
+    *
+    * over the decimal-exact period cells, PH 6-rounded per step (the
+    * replay contract). δ absorbs tolerated drift, λ is the alarm bar —
+    * both in value units, caller-set.
+    *
+    * @return one row per key: (keyCol, n_periods, n_alarms,
+    *         first_alarm_period — null when no alarm, max_ph) */
+  def pageHinkleyByKey(df: DataFrame, keyCol: String, tsCol: String,
+                       valueCol: String, periodUnit: Long,
+                       delta: Double = 0.005,
+                       lambda: Double = 1.0): DataFrame = {
+    require(periodUnit > 0L, "periodUnit must be positive")
+    require(delta >= 0.0, "delta must be >= 0")
+    require(lambda > 0.0, "lambda must be positive")
+    val v = F.col(valueCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    val cells = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull && v.isNotNull &&
+        !F.isnan(v))
+      .groupBy(F.col(keyCol).as("__k"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("__p"))
+      .agg((F.sum(v.cast("decimal(38,6)")).cast("double") /
+        F.count(F.lit(1))).as("__v"))
+    val del = delta
+    val lam = lambda
+    val phUdf = F.udf((s: Seq[org.apache.spark.sql.Row]) => {
+      var sum = 0.0; var ph = 0.0; var i = 0
+      var nAlarms = 0L; var firstAlarm: java.lang.Long = null
+      var maxPh = 0.0
+      s.foreach { r =>
+        val p = r.getLong(0); val x = r.getDouble(1)
+        i += 1
+        sum = sum + x
+        val m = sum / i
+        ph = math.rint(math.max(0.0, ph + ((x - m) - del)) * 1e6) / 1e6
+        if (ph > lam) {
+          nAlarms += 1L
+          if (firstAlarm == null) firstAlarm = p
+        }
+        if (ph > maxPh) maxPh = ph
+      }
+      (i.toLong, nAlarms, firstAlarm, maxPh)
+    })
+    cells.groupBy("__k")
+      .agg(F.sort_array(F.collect_list(F.struct(F.col("__p"),
+        F.col("__v")))).as("__s"))
+      .withColumn("__r", phUdf(F.col("__s")))
+      .select(F.col("__k").as(keyCol),
+        F.col("__r._1").as("n_periods"), F.col("__r._2").as("n_alarms"),
+        F.col("__r._3").as("first_alarm_period"),
+        F.col("__r._4").as("max_ph"))
+  }
+
   /** Holt double-exponential smoothing per key — level + linear trend
     * over each key's period series ([[ewmaByKey]] tracks level only;
     * this is the standard next rung for KPI forecasting: "where is

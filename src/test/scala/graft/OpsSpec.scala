@@ -4523,6 +4523,88 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("stationarity"))
   }
 
+  test("forecastChampionByKey picks the argmin-MASE model consistently") {
+    import spark.implicits._
+    // one seasonal-ish key, one trending key; the champion must equal
+    // the argmin over the three accuracy frames computed directly
+    // (nulls last, model-name ties) — a consistency check that doesn't
+    // bet on WHICH model wins
+    val rows =
+      (0 until 35).map(i => ("sea", i.toLong * 10L,
+        (i % 7) * 10.0 + (i % 3))) ++
+      (0 until 35).map(i => ("tr", i.toLong * 10L,
+        5.0 + 2.0 * i + (if (i % 2 == 0) 0.25 else -0.25)))
+    val df = rows.toDF("key", "ts", "v")
+    val out = Features.forecastChampionByKey(df, "key", "ts", "v",
+      periodUnit = 10L)
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    assert(out.size == 2)
+    val frames = Seq(
+      "holt_winters" -> Features.forecastAccuracyByKey(
+        Features.holtWintersByKey(df, "key", "ts", "v", 10L, 7,
+          0.3, 0.1, 0.2), "key", "period", "v", "fitted", 7),
+      "holt" -> Features.forecastAccuracyByKey(
+        Features.holtByKey(df, "key", "ts", "v", 10L, 0.3, 0.1),
+        "key", "period", "v", "fitted", 7),
+      "ar1" -> Features.forecastAccuracyByKey(
+        Features.arFittedByKey(df, "key", "ts", "v", 10L, 1),
+        "key", "period", "v", "fitted", 7))
+    Seq("sea", "tr").foreach { k =>
+      val mases = frames.flatMap { case (m, f) =>
+        f.where(F.col("key") === k).collect().headOption.map { r =>
+          (m, Option(r.getAs[java.lang.Double]("mase"))
+            .map(_.doubleValue))
+        }
+      }
+      val best = mases
+        .sortBy { case (m, mo) => (mo.getOrElse(Double.MaxValue), m) }
+        .head._1
+      assert(out(k).getAs[String]("champion") == best,
+        s"key $k: champion ${out(k).getAs[String]("champion")} vs $best")
+    }
+  }
+
+  test("gesdByKey unmasks the second spike and stops at zero variance") {
+    import spark.implicits._
+    // 8 flat periods (10.0) + spikes 1000 at p=3 and 50 at p=7: round 1
+    // must remove p=3, round 2 must remove p=7 (masked by round-1's
+    // inflated sd in a single-pass z-screen), and round 3 must NOT run
+    // because the remainder has zero variance
+    val rows = (0 until 10).map { i =>
+      val v = if (i == 3) 1000.0 else if (i == 7) 50.0 else 10.0
+      ("k", i.toLong * 10L, v)
+    }
+    val out = Features.gesdByKey(rows.toDF("key", "ts", "v"), "key",
+        "ts", "v", periodUnit = 10L, rounds = 3, threshold = 2.0)
+      .orderBy("round").collect()
+    assert(out.length == 2, s"expected 2 rounds, got ${out.length}")
+    assert(out(0).getAs[Long]("period") == 3L)
+    assert(out(1).getAs[Long]("period") == 7L)
+    assert(out.forall(_.getAs[Boolean]("flagged")))
+    assert(out(0).getAs[Double]("r_stat") > out(1).getAs[Double]("r_stat"))
+  }
+
+  test("pageHinkleyByKey alarms on the level shift, stays quiet on flat") {
+    import spark.implicits._
+    // 5 periods at 0 then 5 at 10: at t=6 the deviation v−m−δ jumps to
+    // ~8.2 > λ=5, so periods 5..9 all alarm; a flat key never does
+    val rows = (0 until 10).map(i =>
+      ("shift", i.toLong * 10L, if (i < 5) 0.0 else 10.0)) ++
+      (0 until 10).map(i => ("flat", i.toLong * 10L, 7.0))
+    val out = Features.pageHinkleyByKey(rows.toDF("key", "ts", "v"),
+        "key", "ts", "v", periodUnit = 10L, delta = 0.1, lambda = 5.0)
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    val sh = out("shift")
+    assert(sh.getAs[Long]("n_periods") == 10L)
+    assert(sh.getAs[Long]("n_alarms") == 5L)
+    assert(sh.getAs[Long]("first_alarm_period") == 5L)
+    assert(sh.getAs[Double]("max_ph") > 8.0)
+    val fl = out("flat")
+    assert(fl.getAs[Long]("n_alarms") == 0L)
+    assert(fl.isNullAt(fl.fieldIndex("first_alarm_period")))
+    assert(fl.getAs[Double]("max_ph") == 0.0)
+  }
+
   test("arimaByKey d=0 equals armaByKey; d=1 on the cumsum recovers it") {
     import spark.implicits._
     // exact-binary innovations (multiples of 1/64) so the cumulative
