@@ -558,4 +558,109 @@ object Cohorts {
       .toDF("channel", "shapley", "n_touched", "conv_rate_touched")
       .orderBy("channel")
   }
+
+  /** Markov removal-effect attribution — [[shapleyAttribution]]'s
+    * sequence-aware sibling (Shapley sees touch SETS; the Markov model
+    * sees ORDER): user journeys ordered by (ts, channel) and truncated
+    * at the first conversion become first-order transitions
+    * __start → channels → {__conv, __null}; each channel's value is the
+    * drop in the chain's conversion probability when journeys may no
+    * longer pass through it,
+    *
+    *   removal_effect(c) = 1 − P(conv | channel c removed) / P(conv)
+    *
+    * P(conv) is the absorption probability from __start, computed by
+    * `iters` synchronous value-iteration rounds (the truncated
+    * path-length-≤ iters reading — deterministic, no matrix inverse),
+    * each state's p 9-rounded per round with ordered sequential folds —
+    * the replay contract (chained aggregation CTEs in SQL, one per
+    * round).
+    *
+    * Scale shape: ONE user-keyed window chain builds transitions, one
+    * aggregation shrinks them to a ≤ (channels+1)² cell frame, a LOUD
+    * require bounds the channel count before anything is collected, and
+    * the iteration is driver math on that bounded frame.
+    *
+    * @return one row per channel: (channel, p_full, p_removed,
+    *         removal_effect), effect 6-rounded */
+  def markovRemovalEffect(df: DataFrame, userCol: String, tsCol: String,
+                          channelCol: String, convEvent: String,
+                          iters: Int = 8,
+                          maxChannels: Int = 12): DataFrame = {
+    require(iters >= 1 && iters <= 64, "iters must be in 1..64")
+    require(maxChannels >= 1, "maxChannels must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = F.col(tsCol).cast("long")
+    val ev = df
+      .where(F.col(userCol).isNotNull && t.isNotNull &&
+        F.col(channelCol).isNotNull)
+      .select(F.col(userCol).as("__u"), t.as("__t"),
+        F.col(channelCol).cast("string").as("__ch"))
+    val wU = Window.partitionBy("__u").orderBy(F.col("__t"), F.col("__ch"))
+    val rn = ev.withColumn("__rn", F.row_number().over(wU).cast("long"))
+    val fc = rn.where(F.col("__ch") === convEvent)
+      .groupBy("__u").agg(F.min("__rn").as("__crn"))
+    val nodes = rn.join(fc, Seq("__u"), "left")
+      .where(F.col("__crn").isNull || F.col("__rn") <= F.col("__crn"))
+      .withColumn("__node",
+        F.when(F.col("__ch") === convEvent, F.lit("__conv"))
+          .otherwise(F.col("__ch")))
+    val wN = Window.partitionBy("__u").orderBy("__rn")
+    val mx = nodes.groupBy("__u").agg(F.max("__rn").as("__mrn"),
+      F.max((F.col("__node") === "__conv").cast("int")).as("__cv"))
+    val seqPairs = nodes.select(
+      F.coalesce(F.lag("__node", 1).over(wN), F.lit("__start"))
+        .as("src"),
+      F.col("__node").as("dst"))
+    val endPairs = nodes.join(mx, "__u")
+      .where(F.col("__rn") === F.col("__mrn") && F.col("__cv") === 0)
+      .select(F.col("__node").as("src"), F.lit("__null").as("dst"))
+    val cnt = seqPairs.unionByName(endPairs)
+      .groupBy("src", "dst").agg(F.count(F.lit(1)).as("c"))
+      .localCheckpoint(true)
+    val nCh = cnt.where(F.col("src") =!= "__start")
+      .select("src").distinct().count()
+    require(nCh >= 1L, "no channel transitions found")
+    require(nCh <= maxChannels,
+      s"$nCh channels: markovRemovalEffect is a bounded-state " +
+        s"attribution (<= $maxChannels); bucket channels upstream")
+    val outc = cnt.groupBy("src").agg(F.sum("c").as("o"))
+    val tr = cnt.join(outc, "src")
+      .select(F.col("src"), F.col("dst"),
+        (F.col("c").cast("double") / F.col("o")).as("tp"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
+      .toMap
+    val channels = tr.keys.map(_._1).filter(_ != "__start")
+      .toSeq.distinct.sorted
+    val states = "__start" +: channels
+    def r9(x: Double) = math.rint(x * 1e9) / 1e9
+    def absorb(removed: String): Double = {
+      var p = states.map(_ -> 0.0).toMap
+      var k = 0
+      while (k < iters) {
+        p = states.map { i =>
+          val tconv = tr.getOrElse((i, "__conv"), 0.0)
+          // ordered fold over the channel targets, removed one skipped
+          // (zero-contribution) — list_sum(list(... ORDER BY dst)) in
+          // the replay
+          val sum = channels.foldLeft(0.0) { (acc, j) =>
+            if (j == removed) acc
+            else acc + tr.getOrElse((i, j), 0.0) * p(j)
+          }
+          i -> r9(tconv + sum)
+        }.toMap
+        k += 1
+      }
+      p("__start")
+    }
+    val pFull = absorb("__none")
+    require(pFull > 0.0,
+      s"no conversion '$convEvent' reachable from __start")
+    channels.map { c =>
+      val pr = absorb(c)
+      (c, pFull, pr, math.rint((1.0 - pr / pFull) * 1e6) / 1e6)
+    }.toDF("channel", "p_full", "p_removed", "removal_effect")
+  }
 }

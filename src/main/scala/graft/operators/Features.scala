@@ -1419,6 +1419,73 @@ object Features {
         F.col("__r._4").as("max_ph"))
   }
 
+  /** Two-state burst detector per key, Kleinberg-style on batched
+    * counts: the observed periods' count series is scored against a
+    * base Poisson rate λ₀ (the key's mean count over observed periods,
+    * 6-rounded) and a burst rate λ₁ = s·λ₀; per period the two-state
+    * costs fold forward with a γ entry toll,
+    *
+    *   v0_t = min(v0, v1) + (λ₀ − c_t·ln λ₀)
+    *   v1_t = min(v0 + γ, v1) + (λ₁ − c_t·ln λ₁)
+    *
+    * (Poisson NLL without the state-independent ln c! term), each
+    * 6-rounded per step — the replay contract that clips cross-engine
+    * ln ULP drift. `burst_t` = v1_t < v0_t is the forward-dominance
+    * flag: the burst hypothesis is strictly cheaper having explained
+    * everything so far. Forward-only (no Viterbi backtrack), which
+    * keeps the whole trajectory ONE recursive CTE and is the standard
+    * streaming reading of the automaton (Kleinberg 2002, the batched
+    * variant). Missing periods are NOT zero-filled — rates are per
+    * OBSERVED period.
+    *
+    * @return one row per (key, period): (keyCol, period, c, v0, v1,
+    *         burst) */
+  def burstDetectByKey(df: DataFrame, keyCol: String, tsCol: String,
+                       periodUnit: Long, s: Double = 3.0,
+                       gamma: Double = 1.0): DataFrame = {
+    require(periodUnit > 0L, "periodUnit must be positive")
+    require(s > 1.0, "burst rate multiplier s must be > 1")
+    require(gamma >= 0.0, "gamma must be >= 0")
+    val t = F.col(tsCol).cast("long")
+    val cells = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull)
+      .groupBy(F.col(keyCol).as("__k"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("__p"))
+      .agg(F.count(F.lit(1)).as("__c"))
+    val lam = cells.groupBy("__k")
+      .agg(F.round(F.sum("__c").cast("double") / F.count(F.lit(1)), 6)
+        .as("__lam0"))
+      .where(F.col("__lam0") > 0.0)
+    val sf = s; val gam = gamma
+    val dpUdf = F.udf((rows: Seq[org.apache.spark.sql.Row],
+                       lam0: Double) => {
+      val l1 = sf * lam0
+      val ln0 = math.log(lam0); val ln1 = math.log(l1)
+      def r6(x: Double) = math.rint(x * 1e6) / 1e6
+      var v0 = 0.0; var v1 = 0.0
+      rows.zipWithIndex.map { case (r, i) =>
+        val p = r.getLong(0); val c = r.getLong(1).toDouble
+        if (i == 0) {
+          v0 = r6(lam0 - c * ln0)
+          v1 = r6(gam + (l1 - c * ln1))
+        } else {
+          val nv0 = r6(math.min(v0, v1) + (lam0 - c * ln0))
+          val nv1 = r6(math.min(v0 + gam, v1) + (l1 - c * ln1))
+          v0 = nv0; v1 = nv1
+        }
+        (p, r.getLong(1), v0, v1, v1 < v0)
+      }
+    })
+    cells.groupBy("__k")
+      .agg(F.sort_array(F.collect_list(F.struct(F.col("__p"),
+        F.col("__c")))).as("__s"))
+      .join(lam, "__k")
+      .withColumn("__o", F.explode(dpUdf(F.col("__s"), F.col("__lam0"))))
+      .select(F.col("__k").as(keyCol), F.col("__o._1").as("period"),
+        F.col("__o._2").as("c"), F.col("__o._3").as("v0"),
+        F.col("__o._4").as("v1"), F.col("__o._5").as("burst"))
+  }
+
   /** Holt double-exponential smoothing per key — level + linear trend
     * over each key's period series ([[ewmaByKey]] tracks level only;
     * this is the standard next rung for KPI forecasting: "where is

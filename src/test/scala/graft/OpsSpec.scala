@@ -4523,6 +4523,60 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("stationarity"))
   }
 
+  test("burstDetectByKey flags the loud stretch, not the quiet baseline") {
+    import spark.implicits._
+    // 20 quiet days (1 event) then 5 loud days (20 events): λ0 = 4.8,
+    // λ1 = 14.4 → per loud day the burst state wins by ~12.4 ≫ γ = 1,
+    // per quiet day the base wins by ~8.5 — flags must be exactly the
+    // loud window
+    val rows = (0 until 20).flatMap(d => Seq(("k", d.toLong * 10L))) ++
+      (20 until 25).flatMap(d =>
+        (0 until 20).map(j => ("k", d.toLong * 10L + (j % 10))))
+    val df = rows.toDF("key", "ts")
+    val out = Features.burstDetectByKey(df, "key", "ts",
+        periodUnit = 10L, s = 3.0, gamma = 1.0)
+      .orderBy("period").collect()
+    assert(out.length == 25)
+    out.foreach { r =>
+      val p = r.getAs[Long]("period")
+      val burst = r.getAs[Boolean]("burst")
+      assert(burst == (p >= 20L), s"period $p burst=$burst")
+    }
+    assert(out.take(20).forall(_.getAs[Long]("c") == 1L))
+    assert(out.drop(20).forall(_.getAs[Long]("c") == 20L))
+  }
+
+  test("markovRemovalEffect matches the hand-solved absorbing chain") {
+    import spark.implicits._
+    // journeys: u1 a→conv, u2 a→b→conv, u3 b→(null), u4 a→conv
+    // T: start→a .75, start→b .25; a→conv 2/3, a→b 1/3; b→conv .5
+    // P(conv) = .75; remove a → .125 (RE 5/6); remove b → .5 (RE 1/3)
+    val rows = Seq(
+      (1L, 10L, "a"), (1L, 20L, "purchase"),
+      (2L, 10L, "a"), (2L, 20L, "b"), (2L, 30L, "purchase"),
+      (3L, 10L, "b"),
+      (4L, 10L, "a"), (4L, 20L, "purchase"))
+    val out = Cohorts.markovRemovalEffect(
+        rows.toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", convEvent = "purchase")
+      .collect().map(r => r.getAs[String]("channel") -> r).toMap
+    assert(out.keySet == Set("a", "b"))
+    assert(math.abs(out("a").getAs[Double]("p_full") - 0.75) < 1e-8)
+    assert(math.abs(out("a").getAs[Double]("p_removed") - 0.125) < 1e-8)
+    assert(math.abs(out("a").getAs[Double]("removal_effect")
+      - 0.833333) < 1e-6)
+    assert(math.abs(out("b").getAs[Double]("p_removed") - 0.5) < 1e-8)
+    assert(math.abs(out("b").getAs[Double]("removal_effect")
+      - 0.333333) < 1e-6)
+    // events after the first conversion are ignored (truncation)
+    val rows2 = rows ++ Seq((1L, 30L, "b"))
+    val out2 = Cohorts.markovRemovalEffect(
+        rows2.toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", convEvent = "purchase")
+      .collect().map(r => r.getAs[String]("channel") -> r).toMap
+    assert(math.abs(out2("a").getAs[Double]("p_full") - 0.75) < 1e-8)
+  }
+
   test("forecastChampionByKey picks the argmin-MASE model consistently") {
     import spark.implicits._
     // one seasonal-ish key, one trending key; the champion must equal
