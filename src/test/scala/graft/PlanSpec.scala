@@ -635,6 +635,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("round-11 regression/time-series/attribution additions: no " +
+    "cartesians, keyed folds, no single-partition exchanges") {
+    // softmax/quantile are pure aggregations (no join at all); the
+    // per-key series ops are collect_list folds or keyed windows; the
+    // champion ranks inside a key-partitioned window; markov shrinks
+    // to the transition frame before anything non-keyed happens
+    for (q <- Seq("q_softmax", "q_quantile_fit", "q_garch", "q_arima",
+        "q_gesd", "q_page_hinkley", "q_burst", "q_forecast_champion",
+        "q_markov_attrib")) {
+      val plan = physicalPlan(q)
+      assert(!plan.contains("CartesianProduct"), q + ": " + plan.take(400))
+      assert(!plan.contains("BroadcastNestedLoop"),
+        q + ": " + plan.take(400))
+    }
+    // the per-key grid profile and the burst DP stay windowless
+    // (collect_list + UDF — no Window operator, no global sort)
+    for (q <- Seq("q_garch", "q_gesd", "q_page_hinkley", "q_burst")) {
+      val plan = physicalPlan(q)
+      assert(!plan.contains("Window ["), q + ": " + plan.take(800))
+      assert(!plan.contains("SinglePartition"), q + ": " + plan.take(400))
+    }
+  }
+
   test("cardinality guards refuse row-scale cell frames LOUDLY") {
     import org.apache.spark.sql.functions.col
     // a continuous column: every row its own cell — the quadratic
