@@ -738,6 +738,68 @@ object Regression {
     QuantileModel(xCols, beta, tau, n, iters, eps)
   }
 
+  /** Per-GROUP pinball quantile regression (y ~ b0 + b1·x within every
+    * group) — [[quantileIrls]] scaled out: the single-model IRLS holds
+    * β on the driver, which caps it at one model; here each pass is ONE
+    * weighted Gram aggregation for ALL groups at once, the 2×2 solve is
+    * Cramer's rule as COLUMN arithmetic (6-rounded), and the next
+    * pass's weights come from a broadcast join of the (small) per-group
+    * β frame — so a million groups fit in the same three jobs as one.
+    * Same smoothed-check majorizer and OLS seed as quantileIrls.
+    *
+    * Groups with n ≤ 2 or a singular Gram (constant x) drop out at the
+    * pass where it happens — the surviving frame is what joins forward.
+    *
+    * @return one row per group: (groupCols…, b0, b1, n, tau), β rounded
+    *         to 6 */
+  def quantileFitByGroup(df: DataFrame, groupCols: Seq[String],
+                         yCol: String, xCol: String, tau: Double,
+                         iters: Int = 3,
+                         eps: Double = 0.001): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(tau > 0.0 && tau < 1.0, "tau must be in (0,1)")
+    require(eps > 0.0, "eps must be positive")
+    require(iters >= 1 && iters <= 8, "iters must be in 1..8")
+    val x = F.col(xCol).cast("double")
+    val y = F.col(yCol).cast("double")
+    val ok = Seq(x, y).map(c => c.isNotNull && !F.isnan(c))
+      .reduce(_ && _) && groupCols.map(F.col(_).isNotNull).reduce(_ && _)
+    val clean = df.where(ok)
+      .select(groupCols.map(F.col) ++ Seq(x.as("__x"), y.as("__y")): _*)
+    def gram(src: DataFrame, w: Column): DataFrame =
+      src.groupBy(groupCols.map(F.col): _*)
+        .agg(F.sum(w).as("g00"),
+          F.sum(w * F.col("__x")).as("g01"),
+          F.sum(w * F.col("__x") * F.col("__x")).as("g11"),
+          F.sum(w * F.col("__y")).as("xy0"),
+          F.sum(w * F.col("__x") * F.col("__y")).as("xy1"),
+          F.count(F.lit(1)).as("n"))
+    def cramer(g: DataFrame): DataFrame = {
+      val det = F.col("g00") * F.col("g11") - F.col("g01") * F.col("g01")
+      g.where(F.col("n") > 2L && det > 0.0)
+        .select(groupCols.map(F.col) ++ Seq(
+          F.round((F.col("g11") * F.col("xy0") -
+            F.col("g01") * F.col("xy1")) / det, 6).as("b0"),
+          F.round((F.col("g00") * F.col("xy1") -
+            F.col("g01") * F.col("xy0")) / det, 6).as("b1"),
+          F.col("n")): _*)
+    }
+    var betas = cramer(gram(clean, F.lit(1.0)))
+    var it = 1
+    while (it < iters) {
+      val joined = clean.join(
+        F.broadcast(betas.select(groupCols.map(F.col) ++
+          Seq(F.col("b0"), F.col("b1")): _*)), groupCols)
+      val r = F.col("__y") - (F.col("b0") + F.col("__x") * F.col("b1"))
+      val w = (F.when(r >= 0.0, F.lit(tau)).otherwise(F.lit(1.0 - tau))) /
+        F.greatest(F.abs(r), F.lit(eps))
+      betas = cramer(gram(joined, w))
+      it += 1
+    }
+    betas.select(groupCols.map(F.col) ++ Seq(F.col("b0"), F.col("b1"),
+      F.col("n"), F.lit(tau).as("tau")): _*)
+  }
+
   // --- small dense linear algebra (k ≤ ~dozens; driver-side only) ---
 
   /** Gaussian elimination with partial pivoting; mutates copies.

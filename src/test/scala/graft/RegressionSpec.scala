@@ -655,4 +655,30 @@ class RegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     (hi.beta ++ lo.beta).foreach(b =>
       assert(b == math.rint(b * 1e6) / 1e6))
   }
+
+  test("quantileFitByGroup recovers per-group slopes; singular group drops") {
+    import spark.implicits._
+    // two groups with different slopes under the same skewed noise,
+    // plus a constant-x group that must drop at the Gram guard
+    val rows = (0 until 400).flatMap { i =>
+      val x = (i % 100) / 10.0
+      val noise = if (i % 4 == 0) 3.0 else -1.0
+      Seq(("g1", x, 5.0 + 2.0 * x + noise),
+        ("g2", x, 1.0 + 7.0 * x + noise))
+    } ++ (0 until 10).map(i => ("flat", 1.0, i.toDouble))
+    val df = rows.toDF("g", "x", "y")
+    val out = Regression.quantileFitByGroup(df, Seq("g"), "y", "x",
+        tau = 0.75, iters = 3)
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out.keySet == Set("g1", "g2"))
+    assert(math.abs(out("g1").getAs[Double]("b1") - 2.0) < 0.3)
+    assert(math.abs(out("g2").getAs[Double]("b1") - 7.0) < 0.3)
+    assert(out("g1").getAs[Double]("tau") == 0.75)
+    // per-group fit agrees with the single-model IRLS run on the slice
+    val single = Regression.quantileIrls(
+      df.where(F.col("g") === "g1"), "y", Seq("x"), tau = 0.75,
+      iters = 3)
+    assert(math.abs(out("g1").getAs[Double]("b0") - single.beta(0)) < 1e-5)
+    assert(math.abs(out("g1").getAs[Double]("b1") - single.beta(1)) < 1e-5)
+  }
 }
