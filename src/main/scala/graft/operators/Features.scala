@@ -1419,6 +1419,79 @@ object Features {
         F.col("__r._4").as("max_ph"))
   }
 
+  /** Binary-segmentation changepoints per key — the MULTI-changepoint
+    * extension of the single [[cusumByKey]] scan: level 1 finds each
+    * key's best CUSUM split over the decimal-exact period cells, level
+    * 2 re-scans the left and right segments independently (the classic
+    * binary-segmentation recursion, two levels → up to 3 changepoints).
+    *
+    * Determinism is the integer trick: cell means scale to µ-units
+    * (round(v·1e6) as BIGINT), so the scan statistic |n·CS_i − i·S| is
+    * EXACT integer arithmetic — the argmax (ties → earliest period)
+    * replays bit-for-bit with no float-order wobble; only the reported
+    * z (scale-invariant, 6-rounded) touches doubles. Splits at i = n
+    * are excluded (empty right segment); segments need ≥ 4 periods and
+    * positive variance or they report nothing.
+    *
+    * @return rows (keyCol, level, segment ∈ all/left/right, n_seg,
+    *         cp_period, z) — cp_period = the LAST period of the left
+    *         half of its segment's split */
+  def binarySegmentByKey(df: DataFrame, keyCol: String, tsCol: String,
+                         valueCol: String,
+                         periodUnit: Long): DataFrame = {
+    require(periodUnit > 0L, "periodUnit must be positive")
+    val v = F.col(valueCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    val cells = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull && v.isNotNull &&
+        !F.isnan(v))
+      .groupBy(F.col(keyCol).as("__k"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("__p"))
+      .agg((F.sum(v.cast("decimal(38,6)")).cast("double") /
+        F.count(F.lit(1))).as("__v"))
+      .withColumn("__m", F.round(F.col("__v") * 1e6, 0).cast("long"))
+    def scan(src: DataFrame, segCols: Seq[String],
+             label: Column): DataFrame = {
+      val wAll = Window.partitionBy(segCols.map(F.col): _*)
+      val wOrd = Window.partitionBy(segCols.map(F.col): _*)
+        .orderBy("__p")
+      val st = src
+        .withColumn("__n", F.count(F.lit(1)).over(wAll))
+        .withColumn("__s", F.sum("__m").over(wAll))
+        .withColumn("__ssq", F.sum(F.col("__m").cast("double") *
+          F.col("__m").cast("double")).over(wAll))
+        .withColumn("__cs", F.sum("__m").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("__i", F.row_number().over(wOrd).cast("long"))
+        .withColumn("__num", F.abs(F.col("__n") * F.col("__cs") -
+          F.col("__i") * F.col("__s")))
+      val ranked = st.where(F.col("__i") < F.col("__n"))
+        .withColumn("__rn", F.row_number().over(
+          Window.partitionBy(segCols.map(F.col): _*)
+            .orderBy(F.col("__num").desc, F.col("__p").asc)))
+        .where(F.col("__rn") === 1)
+        .withColumn("__var", F.col("__ssq") / F.col("__n") -
+          (F.col("__s").cast("double") / F.col("__n")) *
+            (F.col("__s").cast("double") / F.col("__n")))
+        .where(F.col("__n") >= 4L && F.col("__var") > 0.0)
+      ranked.select(F.col("__k"), label.as("segment"),
+        F.col("__n").as("n_seg"), F.col("__p").as("cp_period"),
+        F.round(F.col("__num").cast("double") /
+          (F.col("__n").cast("double") * F.sqrt(F.col("__var")) *
+            F.sqrt(F.col("__n").cast("double"))), 6).as("z"))
+    }
+    val l1 = scan(cells, Seq("__k"), F.lit("all")).localCheckpoint(true)
+    val seg = cells.join(
+      l1.select(F.col("__k"), F.col("cp_period").as("__cp1")), "__k")
+      .withColumn("__side",
+        F.when(F.col("__p") <= F.col("__cp1"), "left").otherwise("right"))
+    val l2 = scan(seg, Seq("__k", "__side"), F.col("__side"))
+    l1.withColumn("level", F.lit(1))
+      .unionByName(l2.withColumn("level", F.lit(2)))
+      .select(F.col("__k").as(keyCol), F.col("level"), F.col("segment"),
+        F.col("n_seg"), F.col("cp_period"), F.col("z"))
+  }
+
   /** Two-state burst detector per key, Kleinberg-style on batched
     * counts: the observed periods' count series is scored against a
     * base Poisson rate λ₀ (the key's mean count over observed periods,

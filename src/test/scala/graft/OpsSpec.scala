@@ -4523,6 +4523,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("stationarity"))
   }
 
+  test("binarySegmentByKey finds both steps of the staircase") {
+    import spark.implicits._
+    // 10 periods at 0, 10 at 100, 10 at 200: the level-1 scan ties
+    // across the whole middle plateau and must keep the EARLIEST split
+    // (p = 9); the left segment is constant (zero variance → no row);
+    // the right segment re-scan must find the second step at p = 19
+    val rows = (0 until 30).map { i =>
+      val v = if (i < 10) 0.0 else if (i < 20) 100.0 else 200.0
+      ("k", i.toLong * 10L, v)
+    }
+    val out = Features.binarySegmentByKey(rows.toDF("key", "ts", "v"),
+        "key", "ts", "v", periodUnit = 10L)
+      .collect()
+      .map(r => (r.getAs[Int]("level"), r.getAs[String]("segment")) -> r)
+      .toMap
+    assert(out.keySet == Set((1, "all"), (2, "right")))
+    val all = out((1, "all"))
+    assert(all.getAs[Long]("cp_period") == 9L)
+    assert(all.getAs[Long]("n_seg") == 30L)
+    assert(all.getAs[Double]("z") > 1.0)
+    val right = out((2, "right"))
+    assert(right.getAs[Long]("cp_period") == 19L)
+    assert(right.getAs[Long]("n_seg") == 20L)
+    assert(right.getAs[Double]("z") > 1.0)
+  }
+
   test("burstDetectByKey flags the loud stretch, not the quiet baseline") {
     import spark.implicits._
     // 20 quiet days (1 event) then 5 loud days (20 events): λ0 = 4.8,
