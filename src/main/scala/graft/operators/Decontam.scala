@@ -153,4 +153,66 @@ object Decontam {
       .agg(F.count(F.lit(1)).as("n_hits"),
         F.count_distinct(F.col("gram")).as("n_uniq_grams"))
   }
+
+  /** EMBEDDING-space decontamination — the semantic rung above the
+    * n-gram/bloom/fuzzy lexical screens (a paraphrased benchmark item
+    * shares no 8-gram but sits at cosine ≈ 1): every corpus vector is
+    * scored against the WHOLE benchmark set for its max cosine, and
+    * flagged when it clears `threshold`.
+    *
+    * The same asymmetry as the lexical screens does the work: the bench
+    * set is small (and LOUDLY bounded — the collect caps at maxBench+1
+    * rows, same discipline as nearDupPairsExact), normalized once and
+    * broadcast; each corpus row scores against it in primitive-array
+    * loops — one embarrassingly-parallel map over the corpus, no
+    * shuffle, no join. Folds run dimension-ascending from 0.0 (the
+    * list_reduce replay shape); argmax ties keep the smallest bench id.
+    *
+    * @return one row per corpus vector: (id, bench_id, max_cosine
+    *         6-rounded, contaminated) */
+  def decontamEmbedding(corpus: DataFrame, bench: DataFrame,
+                        embCol: String, idCol: String,
+                        threshold: Double = 0.9,
+                        maxBench: Int = 65536): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0,1]")
+    require(maxBench >= 1, "maxBench must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val capped = bench.select(F.col(idCol).cast("long"), F.col(embCol))
+      .limit(maxBench + 1).as[(Long, Array[Float])].collect()
+    require(capped.nonEmpty, "empty benchmark set")
+    require(capped.length <= maxBench,
+      s"benchmark set exceeds maxBench=$maxBench rows; sample it (or " +
+        "raise maxBench) — the bench side broadcasts whole")
+    val bNorm = capped.sortBy(_._1).map { case (id, e) =>
+      var ss = 0.0; var i = 0
+      while (i < e.length) { ss += e(i).toDouble * e(i).toDouble; i += 1 }
+      val n = math.sqrt(ss)
+      (id, e.map(_.toDouble / n))
+    }
+    val bc = spark.sparkContext.broadcast(bNorm)
+    val scoreUdf = F.udf((e: Seq[Float]) => {
+      val arr = e.toArray
+      var ss = 0.0; var i = 0
+      while (i < arr.length) { ss += arr(i).toDouble * arr(i).toDouble; i += 1 }
+      val n = math.sqrt(ss)
+      val q = arr.map(_.toDouble / n)
+      var bestId = -1L; var best = Double.NegativeInfinity
+      bc.value.foreach { case (id, be) =>
+        var d = 0.0; var j = 0
+        while (j < q.length) { d += q(j) * be(j); j += 1 }
+        // strict > keeps the smallest bench id on exact ties (sorted)
+        if (d > best) { best = d; bestId = id }
+      }
+      (bestId, math.rint(best * 1e6) / 1e6)
+    })
+    corpus
+      .where(F.col(idCol).isNotNull && F.col(embCol).isNotNull)
+      .select(F.col(idCol).cast("long").as("id"), F.col(embCol).as("__e"))
+      .withColumn("__s", scoreUdf(F.col("__e")))
+      .select(F.col("id"), F.col("__s._1").as("bench_id"),
+        F.col("__s._2").as("max_cosine"),
+        (F.col("__s._2") >= threshold).as("contaminated"))
+  }
 }

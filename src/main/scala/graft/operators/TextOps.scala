@@ -1562,4 +1562,43 @@ object TextOps {
       .select(F.col("id").as(idCol), F.col("n_tokens"),
         F.col("score"))
   }
+
+  /** Out-of-vocabulary rate per document against a REFERENCE slice's
+    * top-V vocabulary — the tokenizer-coverage screen ("how much of
+    * this candidate corpus would a tokenizer trained on slice A spell
+    * out as unknowns"; high OOV → domain mismatch or junk). The vocab
+    * is the reference's top V tokens by (count DESC, token ASC — the
+    * deterministic head discipline), built once and broadcast; corpus
+    * tokens LEFT-join it, so the row-scale side never shuffles on the
+    * vocabulary. Documents with zero tokens are omitted.
+    *
+    * @return one row per corpus doc: (idCol, n_tokens, n_oov,
+    *         oov_rate 6-rounded) */
+  def oovRate(corpus: DataFrame, ref: DataFrame, idCol: String,
+              textCol: String, topV: Int = 1000): DataFrame = {
+    require(topV >= 1, "topV must be >= 1")
+    val refTok = ref
+      .where(F.col(textCol).isNotNull)
+      .select(F.explode(wordTokens(F.col(textCol))).as("w"))
+      .groupBy("w").agg(F.count(F.lit(1)).as("c"))
+    // TakeOrdered head, never a global sort — the deterministic
+    // (count DESC, token ASC) top-V
+    val vocab = refTok
+      .orderBy(F.col("c").desc, F.col("w").asc)
+      .limit(topV)
+      .select(F.col("w"), F.lit(true).as("__in"))
+    val corpusTok = corpus
+      .where(F.col(idCol).isNotNull && F.col(textCol).isNotNull)
+      .select(F.col(idCol).as("__id"),
+        F.explode(wordTokens(F.col(textCol))).as("w"))
+    corpusTok.join(F.broadcast(vocab), Seq("w"), "left")
+      .groupBy("__id")
+      .agg(F.count(F.lit(1)).as("n_tokens"),
+        F.sum(F.when(F.col("__in").isNull, 1L).otherwise(0L))
+          .as("n_oov"))
+      .withColumn("oov_rate", F.round(
+        F.col("n_oov").cast("double") / F.col("n_tokens"), 6))
+      .select(F.col("__id").as(idCol), F.col("n_tokens"),
+        F.col("n_oov"), F.col("oov_rate"))
+  }
 }

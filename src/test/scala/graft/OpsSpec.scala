@@ -4523,6 +4523,52 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("stationarity"))
   }
 
+  test("decontamEmbedding flags bench copies, clears orthogonals, guards") {
+    import spark.implicits._
+    val e1 = Array.tabulate(4)(i => if (i == 0) 1.0f else 0.0f)
+    val e2 = Array.tabulate(4)(i => if (i == 1) 1.0f else 0.0f)
+    val e3 = Array.tabulate(4)(i => if (i == 2) 1.0f else 0.0f)
+    val bench = Seq((100L, e1), (101L, e2)).toDF("vec_id", "embedding")
+    val corpus = Seq((1L, e1), (2L, e2.map(_ * 3.0f)), (3L, e3))
+      .toDF("vec_id", "embedding")
+    val out = Decontam.decontamEmbedding(corpus, bench, "embedding",
+        "vec_id", threshold = 0.9)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[Double]("max_cosine") == 1.0 &&
+      out(1L).getAs[Boolean]("contaminated") &&
+      out(1L).getAs[Long]("bench_id") == 100L)
+    // scaling doesn't change cosine
+    assert(out(2L).getAs[Double]("max_cosine") == 1.0 &&
+      out(2L).getAs[Long]("bench_id") == 101L)
+    assert(out(3L).getAs[Double]("max_cosine") == 0.0 &&
+      !out(3L).getAs[Boolean]("contaminated"))
+    val ex = intercept[IllegalArgumentException] {
+      Decontam.decontamEmbedding(corpus, bench, "embedding", "vec_id",
+        threshold = 0.9, maxBench = 1)
+    }
+    assert(ex.getMessage.contains("maxBench"))
+  }
+
+  test("oovRate counts exactly against the deterministic top-V head") {
+    import spark.implicits._
+    // ref counts: the×3, cat×2, sat×1, dog×1 → top-2 vocab = {cat, the}
+    val ref = Seq((1L, "the cat sat"), (2L, "the cat the dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "the cat"),          // 0/2 OOV
+      (11L, "dog sat the"),      // 2/3 OOV
+      (12L, "zebra zebra"))      // 2/2 OOV
+      .toDF("doc_id", "text")
+    val out = TextOps.oovRate(corpus, ref, "doc_id", "text", topV = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(10L).getAs[Long]("n_oov") == 0L &&
+      out(10L).getAs[Double]("oov_rate") == 0.0)
+    assert(out(11L).getAs[Long]("n_tokens") == 3L &&
+      out(11L).getAs[Long]("n_oov") == 2L &&
+      out(11L).getAs[Double]("oov_rate") == 0.666667)
+    assert(out(12L).getAs[Double]("oov_rate") == 1.0)
+  }
+
   test("binarySegmentByKey finds both steps of the staircase") {
     import spark.implicits._
     // 10 periods at 0, 10 at 100, 10 at 200: the level-1 scan ties
