@@ -2481,4 +2481,56 @@ object StatTests {
       .toDF("n", "dist_a", "dist_b", "mean_ll_a", "mean_ll_b", "z",
         "p_value", "preferred")
   }
+
+  /** Classifier two-sample test (C2ST, Lopez-Paz & Oquab 2017) with the
+    * repo's deterministic logistic learner: label slice A 1 and slice B
+    * 0, train [[Regression.logisticIrls]] (fixed Newton steps from
+    * β = 0), and test whether the IN-SAMPLE accuracy of the sign rule
+    * beats chance,
+    *
+    *   z = (acc − ½) / √(¼/n),   p = erfc(|z|/√2)
+    *
+    * — if no classifier separates the slices, the distributions are
+    * indistinguishable TO THAT MODEL CLASS; a calibrated multivariate
+    * complement to the per-column KS/MWU screens. β is 6-rounded before
+    * the accuracy pass (the replay contract: the scoring comparisons
+    * see identical predictors in both engines), accuracy/z/p 6-rounded.
+    * Three aggregation passes + the Newton trajectory — every step a
+    * chained-CTE replay, no row ever collected.
+    *
+    * @return one row: (n, accuracy, z, p_value, b0…bK) */
+  def c2stLogistic(dfA: DataFrame, dfB: DataFrame,
+                   featureCols: Seq[String],
+                   iters: Int = 3): DataFrame = {
+    require(featureCols.nonEmpty, "need at least one feature")
+    val spark = dfA.sparkSession
+    val a = dfA.select(featureCols.map(c =>
+      F.col(c).cast("double").as(c)): _*).withColumn("__y", F.lit(1.0))
+    val b = dfB.select(featureCols.map(c =>
+      F.col(c).cast("double").as(c)): _*).withColumn("__y", F.lit(0.0))
+    val u = a.unionByName(b)
+    val m = Regression.logisticIrls(u, "__y", featureCols, iters = iters)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val beta = m.beta.map(r6)
+    val feats = F.lit(1.0) +: featureCols.map(c => F.col(c).cast("double"))
+    val z = feats.zipWithIndex.foldLeft(F.lit(0.0)) {
+      case (acc, (f, i)) => acc + f * beta(i)
+    }
+    val ok = featureCols.map(c => F.col(c).cast("double"))
+      .map(c => c.isNotNull && !F.isnan(c)).reduce(_ && _)
+    val acc = u.where(ok)
+      .agg(F.avg(((z >= 0.0) === (F.col("__y") === 1.0)).cast("double")))
+      .head().getDouble(0)
+    val acc6 = r6(acc)
+    val zStat = r6((acc6 - 0.5) / math.sqrt(0.25 / m.n))
+    val p = r6(SpecialMath.erfc(math.abs(zStat) / math.sqrt(2.0)))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("n", LongType),
+      StructField("accuracy", DoubleType), StructField("z", DoubleType),
+      StructField("p_value", DoubleType)) ++
+      beta.indices.map(i => StructField(s"b$i", DoubleType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row.fromSeq(
+        Seq[Any](m.n, acc6, zStat, p) ++ beta.toSeq)), schema)
+  }
 }

@@ -832,4 +832,23 @@ class StatTestsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r.getAs[Double]("p_value") - 0.019631) < 1e-5)
     assert(r.getAs[Long]("n") == 9L && r.getAs[Long]("k") == 3L)
   }
+
+  test("c2stLogistic separates shifted slices, clears identical ones") {
+    import spark.implicits._
+    // well-separated: A around 100, B around 0 — the classifier must
+    // reach near-perfect accuracy and a tiny p
+    val a = (0 until 200).map(i => 100.0 + (i % 10)).toDF("v")
+    val b = (0 until 200).map(i => 0.0 + (i % 10)).toDF("v")
+    val sep = StatTests.c2stLogistic(a, b, Seq("v"), iters = 6).head()
+    assert(sep.getAs[Long]("n") == 400L)
+    assert(sep.getAs[Double]("accuracy") > 0.99)
+    assert(sep.getAs[Double]("p_value") < 1e-6)
+    // identical slices: accuracy must hug 1/2 and p stay large
+    val same = StatTests.c2stLogistic(a, a, Seq("v"), iters = 6).head()
+    assert(math.abs(same.getAs[Double]("accuracy") - 0.5) < 0.05)
+    assert(same.getAs[Double]("p_value") > 0.01)
+    // β on the 1e-6 replay grid
+    assert(sep.getAs[Double]("b1") ==
+      math.rint(sep.getAs[Double]("b1") * 1e6) / 1e6)
+  }
 }
