@@ -556,4 +556,47 @@ object Sampling {
         F.round(F.col("n_both").cast("double") /
           F.least(F.col("n_a"), F.col("n_b")), 6).as("leak_share"))
   }
+
+  /** Token-budget apportionment across domains — the planning step
+    * BEFORE [[domainMixSample]] draws anything: split an integer token
+    * `budget` across domains proportionally to integer `weights` by the
+    * Hamilton largest-remainder method (floor the exact integer quotas
+    * budget·w DIV ΣW, hand the budget − Σfloor leftovers to the largest
+    * remainders, ties → domain ascending), then cap each grant at what
+    * the corpus actually HAS (whitespace-token counts from one
+    * aggregation) and report the shortfall. Pure integer arithmetic end
+    * to end — replays bit-exactly; no rounding, no floats.
+    *
+    * @return one row per weighted domain: (domain, weight, available,
+    *         alloc, granted, shortfall) */
+  def tokenBudgetAllocate(df: DataFrame, domainCol: String,
+                          textCol: String, budget: Long,
+                          weights: Map[String, Long]): DataFrame = {
+    require(budget > 0L, "budget must be positive")
+    require(weights.nonEmpty && weights.values.forall(_ > 0L),
+      "weights must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tokens = F.size(F.split(F.trim(F.col(textCol)), "\\s+"))
+    val avail: Map[String, Long] = df
+      .where(F.col(domainCol).isNotNull && F.col(textCol).isNotNull &&
+        F.trim(F.col(textCol)) =!= "")
+      .groupBy(F.col(domainCol).cast("string").as("__d"))
+      .agg(F.sum(tokens.cast("long")).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = weights.values.sum
+    val doms = weights.keys.toSeq.sorted
+    val base = doms.map(d => d -> budget * weights(d) / w).toMap
+    val rem = doms.map(d => d -> budget * weights(d) % w).toMap
+    val leftover = budget - base.values.sum
+    val extras = doms.sortBy(d => (-rem(d), d)).take(leftover.toInt).toSet
+    val rows = doms.map { d =>
+      val alloc = base(d) + (if (extras(d)) 1L else 0L)
+      val av = avail.getOrElse(d, 0L)
+      val granted = math.min(alloc, av)
+      (d, weights(d), av, alloc, granted, alloc - granted)
+    }
+    rows.toDF("domain", "weight", "available", "alloc", "granted",
+      "shortfall")
+  }
 }

@@ -4523,6 +4523,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("stationarity"))
   }
 
+  test("tokenBudgetAllocate: Hamilton remainders, ties, availability cap") {
+    import spark.implicits._
+    // budget 10, equal weights: base 3+3+3, one leftover goes to the
+    // alphabetically first domain on the all-equal remainder tie; 'c'
+    // has only 2 tokens available → granted capped, shortfall reported
+    val df = Seq(
+      ("a", "w w w w w"), ("b", "w w w w w"), ("c", "w w"))
+      .toDF("domain", "text")
+    val out = Sampling.tokenBudgetAllocate(df, "domain", "text",
+        budget = 10L, weights = Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+      .collect().map(r => r.getAs[String]("domain") -> r).toMap
+    assert(out("a").getAs[Long]("alloc") == 4L)
+    assert(out("b").getAs[Long]("alloc") == 3L)
+    assert(out("c").getAs[Long]("alloc") == 3L)
+    assert(out("a").getAs[Long]("granted") == 4L)
+    assert(out("c").getAs[Long]("available") == 2L)
+    assert(out("c").getAs[Long]("granted") == 2L)
+    assert(out("c").getAs[Long]("shortfall") == 1L)
+    // allocations always sum to the budget
+    assert(out.values.map(_.getAs[Long]("alloc")).sum == 10L)
+  }
+
   test("decontamEmbedding flags bench copies, clears orthogonals, guards") {
     import spark.implicits._
     val e1 = Array.tabulate(4)(i => if (i == 0) 1.0f else 0.0f)
