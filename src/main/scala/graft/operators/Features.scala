@@ -621,6 +621,93 @@ object Features {
         F.col("__g._3").as("omega"), F.col("__g._4").as("loglik"))
   }
 
+  /** h-step conditional-variance forecast from [[garchByKey]]'s winning
+    * grid combo — the projection rung (what hwForecastByKey is to
+    * holtWintersByKey): re-run the winning (α, β) recursion to the last
+    * state, take the one-step variance σ²_{n+1} = ω + α·d_n² + β·σ²_n,
+    * and decay toward the targeted unconditional variance,
+    *
+    *   σ̂²_{n+h} = σ̄² + (α+β)^{h−1} · (σ²_{n+1} − σ̄²)
+    *
+    * (the textbook GARCH(1,1) forecast recursion in closed form). The
+    * winner is chosen exactly as in garchByKey (rounded quasi-ll,
+    * first-entry ties), so the two queries agree on (α, β) by
+    * construction; forecasts 6-rounded.
+    *
+    * @return one row per (key, h): (keyCol, h, alpha, beta,
+    *         var_forecast) */
+  def garchForecastByKey(df: DataFrame, keyCol: String, tsCol: String,
+                         valueCol: String, periodUnit: Long,
+                         alphas: Seq[Double] = Seq(0.05, 0.1, 0.2),
+                         betas: Seq[Double] = Seq(0.5, 0.65, 0.75),
+                         horizon: Int = 14): DataFrame = {
+    require(periodUnit > 0L, "periodUnit must be positive")
+    require(horizon >= 1 && horizon <= 365, "horizon must be in 1..365")
+    require(alphas.nonEmpty && betas.nonEmpty, "empty grid")
+    require(alphas.forall(_ > 0.0) && betas.forall(_ >= 0.0),
+      "alpha must be > 0 and beta >= 0")
+    require(alphas.max + betas.max < 1.0,
+      "grid must keep alpha + beta < 1 (stationarity / variance targeting)")
+    val v = F.col(valueCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    val cells = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull && v.isNotNull &&
+        !F.isnan(v))
+      .groupBy(F.col(keyCol).as("__k"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("__p"))
+      .agg((F.sum(v.cast("decimal(38,6)")).cast("double") /
+        F.count(F.lit(1))).as("__v"))
+    val st = cells.groupBy("__k")
+      .agg(F.count(F.lit(1)).as("n_periods"),
+        F.round(F.sum(F.col("__v").cast("decimal(38,6)")).cast("double") /
+          F.count(F.lit(1)), 6).as("__mu"))
+      .where(F.col("n_periods") >= 5L)
+    val dx = cells.join(st, "__k")
+      .withColumn("__d", F.col("__v") - F.col("__mu"))
+    val vb = dx.groupBy("__k")
+      .agg(F.round(
+        F.sum((F.col("__d") * F.col("__d")).cast("decimal(38,12)"))
+          .cast("double") / F.count(F.lit(1)), 6).as("var0"))
+      .where(F.col("var0") > 0.0)
+    val grid = for { a <- alphas; b <- betas } yield (a, b)
+    val stateUdf = F.udf((s: Seq[org.apache.spark.sql.Row], vbar: Double) => {
+      val ds = s.map(_.getDouble(1)).toArray
+      var bestA = 0.0; var bestB = 0.0
+      var bestLl = Double.NegativeInfinity; var bestNext = vbar
+      grid.foreach { case (a, b) =>
+        val om = vbar * (1.0 - a - b)
+        var s2 = vbar; var ll = 0.0; var i = 1
+        while (i < ds.length) {
+          s2 = om + a * ds(i - 1) * ds(i - 1) + b * s2
+          ll = ll - 0.5 * (math.log(s2) + ds(i) * ds(i) / s2)
+          i += 1
+        }
+        val llr = math.rint(ll * 1e6) / 1e6
+        if (llr > bestLl) {
+          bestLl = llr; bestA = a; bestB = b
+          // one-step-ahead variance from the final state
+          bestNext = om + a * ds(ds.length - 1) * ds(ds.length - 1) + b * s2
+        }
+      }
+      (bestA, bestB, bestNext)
+    })
+    dx.groupBy("__k")
+      .agg(F.sort_array(F.collect_list(F.struct(F.col("__p"),
+        F.col("__d")))).as("__s"))
+      .join(vb, "__k")
+      .withColumn("__g", stateUdf(F.col("__s"), F.col("var0")))
+      .select(F.col("__k"), F.col("var0"),
+        F.col("__g._1").as("alpha"), F.col("__g._2").as("beta"),
+        F.col("__g._3").as("__s2next"))
+      .withColumn("h", F.explode(F.sequence(F.lit(1), F.lit(horizon))))
+      .select(F.col("__k").as(keyCol), F.col("h"), F.col("alpha"),
+        F.col("beta"),
+        F.round(F.col("var0") +
+          F.pow(F.col("alpha") + F.col("beta"),
+            (F.col("h") - 1).cast("double")) *
+            (F.col("__s2next") - F.col("var0")), 6).as("var_forecast"))
+  }
+
   /** ARIMA(1,d,1) per key — the differencing COMPOSITION that closes
     * the loop [[adfByKey]] opens: the ADF verdict picks d, this
     * operator differences the period cells d times with lag windows,

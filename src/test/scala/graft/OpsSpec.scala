@@ -4753,6 +4753,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fl.getAs[Double]("max_ph") == 0.0)
   }
 
+  test("garchForecastByKey agrees with garchByKey and decays to var0") {
+    import spark.implicits._
+    val rows = (0 until 32).map { i =>
+      val v = if (i < 16) (if (i % 2 == 0) 0.125 else -0.125)
+              else (if (i % 2 == 0) 4.0 else -4.0)
+      ("k", i.toLong * 10L, v)
+    }
+    val df = rows.toDF("key", "ts", "v")
+    val fit = Features.garchByKey(df, "key", "ts", "v",
+      periodUnit = 10L).head()
+    val fc = Features.garchForecastByKey(df, "key", "ts", "v",
+        periodUnit = 10L, horizon = 14)
+      .orderBy("h").collect()
+    assert(fc.length == 14)
+    // same winning combo as the fit query, by construction
+    assert(fc(0).getAs[Double]("alpha") == fit.getAs[Double]("alpha"))
+    assert(fc(0).getAs[Double]("beta") == fit.getAs[Double]("beta"))
+    val v0 = fit.getAs[Double]("var0")
+    // the gap to the unconditional variance shrinks geometrically
+    val gaps = fc.map(r => math.abs(r.getAs[Double]("var_forecast") - v0))
+    assert(gaps.head > gaps.last)
+    (1 until gaps.length).foreach(i =>
+      assert(gaps(i) <= gaps(i - 1) + 1e-9, s"gap grew at h=${i + 1}"))
+    fc.foreach(r => assert(r.getAs[Double]("var_forecast") > 0.0))
+  }
+
   test("arimaByKey d=0 equals armaByKey; d=1 on the cumsum recovers it") {
     import spark.implicits._
     // exact-binary innovations (multiples of 1/64) so the cumulative
