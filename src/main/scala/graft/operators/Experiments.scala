@@ -1607,4 +1607,79 @@ object Experiments {
       r6(m.getAs[Double]("sa") / nt)))
       .toDF("n_treated", "n_control", "n_cells", "att", "mean_gap")
   }
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013) — the
+    * standard "use the pre-period to shrink experiment noise" adjuster:
+    * with a pre-experiment covariate x,
+    *
+    *   θ = cov(y, x) / var(x)   (pooled),
+    *   ŷ_i = y_i − θ(x_i − x̄),
+    *
+    * the adjusted cohort difference is unbiased for the treatment
+    * effect and its variance drops by ρ² = θ²·var(x)/var(y) — often
+    * 40–60% on revenue-like metrics, i.e. the same power from half the
+    * sample. ONE aggregation (pooled + per-cohort sufficient
+    * statistics), the rest scalar column algebra; z uses the per-cohort
+    * adjusted variances var_g(y) − 2θ·cov_g + θ²·var_g(x). Cohorts with
+    * fewer than 2 rows or zero covariate variance are refused by the
+    * guards (the WHERE, not an exception — an empty frame is the
+    * drop-through).
+    *
+    * @return one row: (n_a, n_b, theta, effect_raw, effect_adj,
+    *         var_reduction, z, p_value), doubles 6-rounded */
+  def cuped(df: DataFrame, cohortCol: String, yCol: String,
+            preCol: String, labelA: String = "a",
+            labelB: String = "b"): DataFrame = {
+    val y = F.col(yCol).cast("double")
+    val x = F.col(preCol).cast("double")
+    val g = F.col(cohortCol).cast("string")
+    val ok = y.isNotNull && !F.isnan(y) && x.isNotNull && !F.isnan(x) &&
+      (g === labelA || g === labelB)
+    val isA = (g === labelA).cast("double")
+    val isB = (g === labelB).cast("double")
+    val r = df.where(ok).agg(
+      F.sum(isA).as("na"), F.sum(isB).as("nb"),
+      F.sum(x).as("sx"), F.sum(y).as("sy"),
+      F.sum(x * x).as("sxx"), F.sum(y * y).as("syy"),
+      F.sum(x * y).as("sxy"),
+      F.sum(isA * y).as("sya"), F.sum(isB * y).as("syb"),
+      F.sum(isA * x).as("sxa"), F.sum(isB * x).as("sxb"),
+      F.sum(isA * y * y).as("syya"), F.sum(isB * y * y).as("syyb"),
+      F.sum(isA * x * x).as("sxxa"), F.sum(isB * x * x).as("sxxb"),
+      F.sum(isA * x * y).as("sxya"), F.sum(isB * x * y).as("sxyb"))
+    val n = F.col("na") + F.col("nb")
+    val mx = F.col("sx") / n; val my = F.col("sy") / n
+    val vx = F.col("sxx") / n - mx * mx
+    val vy = F.col("syy") / n - my * my
+    val cxy = F.col("sxy") / n - mx * my
+    val theta = cxy / vx
+    val mya = F.col("sya") / F.col("na")
+    val myb = F.col("syb") / F.col("nb")
+    val mxa = F.col("sxa") / F.col("na")
+    val mxb = F.col("sxb") / F.col("nb")
+    val effRaw = myb - mya
+    val effAdj = (myb - theta * (mxb - mx)) - (mya - theta * (mxa - mx))
+    def vadj(sy2: String, sx2: String, sxy2: String,
+             myg: org.apache.spark.sql.Column,
+             mxg: org.apache.spark.sql.Column,
+             ng: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (F.col(sy2) / ng - myg * myg) -
+        F.lit(2.0) * theta * (F.col(sxy2) / ng - mxg * myg) +
+        theta * theta * (F.col(sx2) / ng - mxg * mxg)
+    val va = vadj("syya", "sxxa", "sxya", mya, mxa, F.col("na"))
+    val vb = vadj("syyb", "sxxb", "sxyb", myb, mxb, F.col("nb"))
+    val se = F.sqrt(va / F.col("na") + vb / F.col("nb"))
+    val erfcUdf = F.udf((z: Double) => math.rint(graft.functions
+      .SpecialMath.erfc(math.abs(z) / math.sqrt(2.0)) * 1e6) / 1e6)
+    r.where(F.col("na") > 1.0 && F.col("nb") > 1.0 && vx > 0.0 &&
+        vy > 0.0 && se > 0.0)
+      .withColumn("z", F.round(effAdj / se, 6))
+      .select(F.col("na").cast("long").as("n_a"),
+        F.col("nb").cast("long").as("n_b"),
+        F.round(theta, 6).as("theta"),
+        F.round(effRaw, 6).as("effect_raw"),
+        F.round(effAdj, 6).as("effect_adj"),
+        F.round(theta * theta * vx / vy, 6).as("var_reduction"),
+        F.col("z"), erfcUdf(F.col("z")).as("p_value"))
+  }
 }

@@ -4523,6 +4523,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("stationarity"))
   }
 
+  test("cuped recovers the planted effect and shrinks the variance") {
+    import spark.implicits._
+    // y = x + effect·[cohort b] + tiny noise, with x carrying almost
+    // all the variance AND a parity imbalance (even users' x averages
+    // 24, odd users' 25): the raw difference reads ~6, the θ-adjusted
+    // one must come back to the planted 5 with var_reduction ≈ 1
+    val rows = (0 until 200).map { i =>
+      val x = (i % 50).toDouble
+      val eff = if (i % 2 == 0) 0.0 else 5.0
+      val noise = if (i % 4 < 2) 0.25 else -0.25
+      (if (i % 2 == 0) "a" else "b", x, x + eff + noise)
+    }
+    val r = Experiments.cuped(rows.toDF("cohort", "x", "y"),
+      "cohort", "y", "x").head()
+    assert(r.getAs[Long]("n_a") == 100L && r.getAs[Long]("n_b") == 100L)
+    assert(math.abs(r.getAs[Double]("theta") - 1.0) < 0.05)
+    assert(math.abs(r.getAs[Double]("effect_raw") - 6.0) < 0.3)
+    assert(math.abs(r.getAs[Double]("effect_adj") - 5.0) < 0.3)
+    assert(r.getAs[Double]("var_reduction") > 0.9)
+    assert(r.getAs[Double]("p_value") < 0.01)
+  }
+
   test("tokenBudgetAllocate: Hamilton remainders, ties, availability cap") {
     import spark.implicits._
     // budget 10, equal weights: base 3+3+3, one leftover goes to the
