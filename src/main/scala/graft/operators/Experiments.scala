@@ -1608,6 +1608,54 @@ object Experiments {
       .toDF("n_treated", "n_control", "n_cells", "att", "mean_gap")
   }
 
+  /** Wald's Sequential Probability Ratio Test over a Bernoulli stream —
+    * the always-valid single-rate monitor next to [[sequentialMonitor]]
+    * (which gates a two-cohort comparison at scheduled looks; SPRT
+    * watches ONE conversion rate continuously against H₀: p = p₀ vs
+    * H₁: p = p₁):
+    *
+    *   LLR_t = x_t·ln(p₁/p₀) + (n_t − x_t)·ln((1−p₁)/(1−p₀))
+    *
+    * on the CUMULATIVE (trials, successes), decided against Wald's
+    * bounds ln((1−β)/α) (accept H₁) and ln(β/(1−α)) (accept H₀). One
+    * period aggregation + cumulative windows over the ≤ span period
+    * cells; LLR and bounds 6-rounded so the decision ladder replays.
+    *
+    * @return one row per period: (period, n_cum, x_cum, llr, decision ∈
+    *         accept_h1/accept_h0/continue) */
+  def sprtMonitor(df: DataFrame, periodCol: String, successCol: String,
+                  p0: Double, p1: Double, alpha: Double = 0.05,
+                  beta: Double = 0.2): DataFrame = {
+    require(p0 > 0.0 && p0 < 1.0 && p1 > 0.0 && p1 < 1.0 && p1 != p0,
+      "p0, p1 must be in (0,1) and differ")
+    require(alpha > 0.0 && alpha < 1.0 && beta > 0.0 && beta < 1.0,
+      "alpha, beta must be in (0,1)")
+    val y = F.col(successCol).cast("boolean")
+    val cells = df
+      .where(F.col(periodCol).isNotNull && y.isNotNull)
+      .groupBy(F.col(periodCol).cast("long").as("period"))
+      .agg(F.count(F.lit(1)).as("__n"),
+        F.sum(y.cast("long")).as("__x"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("period")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val lWin = math.log(p1 / p0)
+    val lLose = math.log((1.0 - p1) / (1.0 - p0))
+    val ub = math.rint(math.log((1.0 - beta) / alpha) * 1e6) / 1e6
+    val lb = math.rint(math.log(beta / (1.0 - alpha)) * 1e6) / 1e6
+    cells
+      .withColumn("n_cum", F.sum("__n").over(w))
+      .withColumn("x_cum", F.sum("__x").over(w))
+      .withColumn("llr", F.round(
+        F.col("x_cum").cast("double") * lWin +
+          (F.col("n_cum") - F.col("x_cum")).cast("double") * lLose, 6))
+      .withColumn("decision",
+        F.when(F.col("llr") >= ub, "accept_h1")
+          .when(F.col("llr") <= lb, "accept_h0")
+          .otherwise("continue"))
+      .select("period", "n_cum", "x_cum", "llr", "decision")
+  }
+
   /** CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013) — the
     * standard "use the pre-period to shrink experiment noise" adjuster:
     * with a pre-experiment covariate x,

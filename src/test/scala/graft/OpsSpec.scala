@@ -4523,6 +4523,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("stationarity"))
   }
 
+  test("sprtMonitor crosses the H1 bound on a hot stream, H0 on a cold one") {
+    import spark.implicits._
+    // H0 p=0.1 vs H1 p=0.3, α=β=0.05 → bounds ±ln(19) ≈ ±2.944. A
+    // stream converting at ~0.5 accumulates ≈ +0.87/trial → accept_h1
+    // within the first periods; a zero-conversion stream drifts
+    // ≈ −0.25/trial → accept_h0
+    def stream(rate10: Int) = (0 until 100).map(i =>
+      (i / 10L, (i % 10) < rate10))
+    val hot = Experiments.sprtMonitor(stream(5).toDF("week", "conv"),
+        "week", "conv", p0 = 0.1, p1 = 0.3, alpha = 0.05, beta = 0.05)
+      .orderBy("period").collect()
+    assert(hot.last.getAs[String]("decision") == "accept_h1")
+    assert(hot.last.getAs[Long]("n_cum") == 100L &&
+      hot.last.getAs[Long]("x_cum") == 50L)
+    val cold = Experiments.sprtMonitor(stream(0).toDF("week", "conv"),
+        "week", "conv", p0 = 0.1, p1 = 0.3, alpha = 0.05, beta = 0.05)
+      .orderBy("period").collect()
+    assert(cold.head.getAs[String]("decision") == "continue")
+    assert(cold.last.getAs[String]("decision") == "accept_h0")
+    // LLR is monotone per period in each stream's direction
+    assert(hot.last.getAs[Double]("llr") > hot.head.getAs[Double]("llr"))
+    assert(cold.last.getAs[Double]("llr") < cold.head.getAs[Double]("llr"))
+  }
+
   test("cuped recovers the planted effect and shrinks the variance") {
     import spark.implicits._
     // y = x + effect·[cohort b] + tiny noise, with x carrying almost
