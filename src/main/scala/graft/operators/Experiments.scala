@@ -1656,9 +1656,10 @@ object Experiments {
       .select("period", "n_cum", "x_cum", "llr", "decision")
   }
 
-  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013) — the
-    * standard "use the pre-period to shrink experiment noise" adjuster:
-    * with a pre-experiment covariate x,
+  /** CUPED-adjusted COHORT COMPARISON (Deng, Xu, Kohavi & Walker 2013)
+    * — [[cuped]] reports how much variance a covariate soaks up; this
+    * runs the actual A/B readout on the adjusted metric: with a
+    * pre-experiment covariate x,
     *
     *   θ = cov(y, x) / var(x)   (pooled),
     *   ŷ_i = y_i − θ(x_i − x̄),
@@ -1675,9 +1676,9 @@ object Experiments {
     *
     * @return one row: (n_a, n_b, theta, effect_raw, effect_adj,
     *         var_reduction, z, p_value), doubles 6-rounded */
-  def cuped(df: DataFrame, cohortCol: String, yCol: String,
-            preCol: String, labelA: String = "a",
-            labelB: String = "b"): DataFrame = {
+  def cupedCompare(df: DataFrame, cohortCol: String, yCol: String,
+                   preCol: String, labelA: String = "a",
+                   labelB: String = "b"): DataFrame = {
     val y = F.col(yCol).cast("double")
     val x = F.col(preCol).cast("double")
     val g = F.col(cohortCol).cast("string")

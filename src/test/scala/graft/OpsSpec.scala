@@ -4547,7 +4547,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cold.last.getAs[Double]("llr") < cold.head.getAs[Double]("llr"))
   }
 
-  test("cuped recovers the planted effect and shrinks the variance") {
+  test("cupedCompare recovers the planted effect and shrinks the variance") {
     import spark.implicits._
     // y = x + effect·[cohort b] + tiny noise, with x carrying almost
     // all the variance AND a parity imbalance (even users' x averages
@@ -4559,7 +4559,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val noise = if (i % 4 < 2) 0.25 else -0.25
       (if (i % 2 == 0) "a" else "b", x, x + eff + noise)
     }
-    val r = Experiments.cuped(rows.toDF("cohort", "x", "y"),
+    val r = Experiments.cupedCompare(rows.toDF("cohort", "x", "y"),
       "cohort", "y", "x").head()
     assert(r.getAs[Long]("n_a") == 100L && r.getAs[Long]("n_b") == 100L)
     assert(math.abs(r.getAs[Double]("theta") - 1.0) < 0.05)
