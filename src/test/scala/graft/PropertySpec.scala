@@ -116,4 +116,36 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       (subset && inBand) :| s"na=$na nb=$nb byLang=$byLang"
     })
   }
+
+  test("SparkEntry maps: no duplicate keys, every oracle has a query") {
+    // Scala Map literals dedup silently — a reused key SHADOWS the
+    // earlier query/oracle with no warning (q_cuped, round 11). The
+    // maps can't reveal it, so this audits the SOURCE.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")),
+      "UTF-8")
+    val entry = """"((?:q_|fit_)[a-z0-9_]+)" ->""".r
+    val all = entry.findAllMatchIn(src).toSeq
+    val (qs, os) = all.partition(m =>
+      src.substring(m.end).trim.startsWith("(("))
+    def dups(keys: Seq[String]) =
+      keys.groupBy(identity).collect { case (k, v) if v.size > 1 => k }
+    val qKeys = qs.map(_.group(1))
+    val oKeys = os.map(_.group(1))
+    assert(dups(qKeys).isEmpty,
+      s"duplicate queries-map keys: ${dups(qKeys)}")
+    assert(dups(oKeys).isEmpty,
+      s"duplicate oracleSql-map keys: ${dups(oKeys)}")
+    // an oracle without a query is a dead key (typo'd name)
+    val orphans = oKeys.toSet -- qKeys.toSet
+    assert(orphans.isEmpty, s"oracles with no matching query: $orphans")
+    // and the regex really sees the maps (sanity floor)
+    assert(qKeys.size > 400 && oKeys.size > 400,
+      s"source audit regex broke: ${qKeys.size}/${oKeys.size}")
+    // the runtime maps agree with the source census
+    assert(SparkEntry.queries.size == qKeys.distinct.size,
+      s"queries map ${SparkEntry.queries.size} vs source ${qKeys.distinct.size}")
+    assert(SparkEntry.oracleSql.size == oKeys.distinct.size,
+      s"oracleSql map ${SparkEntry.oracleSql.size} vs source ${oKeys.distinct.size}")
+  }
 }
