@@ -1523,4 +1523,5 @@ object Evaluation {
     Seq((n, nCells, ari, nmi, r6(ps.toDouble / nD)))
       .toDF("n", "n_cells", "ari", "nmi", "purity")
   }
+
 }

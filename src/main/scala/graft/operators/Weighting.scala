@@ -83,4 +83,46 @@ object Weighting {
     cur.select(F.col("__r").as(rowCol), F.col("__c").as(colCol),
       F.col("n"), F.round(F.col("__w"), 6).as("weight"))
   }
+
+  /** Kish weight diagnostics per group — the acceptance screen for ANY
+    * weight column (IPF/raking output, importance weights, inverse-
+    * propensity weights): effective sample size and design effect,
+    *
+    *   ESS = (Σw)² / Σw²,   deff = n / ESS
+    *
+    * (Kish 1965) plus the weight CV and max/min spread — a deff of 2
+    * means the weights threw away half the sample, and a huge spread
+    * says a handful of rows dominate every downstream estimate. ONE
+    * aggregation; positive weights only (zero/negative weights are
+    * excluded and counted separately).
+    *
+    * @return one row per group: (groupCols…, n, n_nonpos, ess, deff,
+    *         cv, max_over_min), doubles 6-rounded */
+  def weightDiagnostics(df: DataFrame, groupCols: Seq[String],
+                        weightCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val w = F.col(weightCol).cast("double")
+    val okRow = w.isNotNull && !F.isnan(w) &&
+      groupCols.map(F.col(_).isNotNull).reduce(_ && _)
+    val pos = w > 0.0
+    val agg = df.where(okRow)
+      .groupBy(groupCols.map(F.col): _*)
+      .agg(F.sum(F.when(pos, 1L).otherwise(0L)).as("n"),
+        F.sum(F.when(!pos, 1L).otherwise(0L)).as("n_nonpos"),
+        F.sum(F.when(pos, w)).as("__sw"),
+        F.sum(F.when(pos, w * w)).as("__sww"),
+        F.max(F.when(pos, w)).as("__wmax"),
+        F.min(F.when(pos, w)).as("__wmin"))
+      .where(F.col("n") >= 1L)
+    val ess = F.col("__sw") * F.col("__sw") / F.col("__sww")
+    agg.select(groupCols.map(F.col) ++ Seq(F.col("n"),
+      F.col("n_nonpos"),
+      F.round(ess, 6).as("ess"),
+      F.round(F.col("n").cast("double") / ess, 6).as("deff"),
+      F.round(F.sqrt(F.greatest(F.col("__sww") / F.col("n") -
+        (F.col("__sw") / F.col("n")) * (F.col("__sw") / F.col("n")),
+        F.lit(0.0))) /
+        (F.col("__sw") / F.col("n")), 6).as("cv"),
+      F.round(F.col("__wmax") / F.col("__wmin"), 6).as("max_over_min")): _*)
+  }
 }

@@ -4523,6 +4523,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("stationarity"))
   }
 
+
+  test("weightDiagnostics: Kish ESS, deff, and the nonpositive count") {
+    import spark.implicits._
+    val rows = Seq(("u", 1.0), ("u", 1.0), ("u", 1.0), ("u", 1.0),
+      ("s", 1.0), ("s", 0.0), ("s", -1.0), ("s", 3.0))
+    val out = Weighting.weightDiagnostics(rows.toDF("g", "w"),
+        Seq("g"), "w")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val u = out("u")
+    assert(u.getAs[Long]("n") == 4L && u.getAs[Long]("n_nonpos") == 0L)
+    assert(u.getAs[Double]("ess") == 4.0 &&
+      u.getAs[Double]("deff") == 1.0 && u.getAs[Double]("cv") == 0.0)
+    val s = out("s")
+    assert(s.getAs[Long]("n") == 2L && s.getAs[Long]("n_nonpos") == 2L)
+    assert(s.getAs[Double]("ess") == 1.6)   // 16/10
+    assert(s.getAs[Double]("deff") == 1.25)
+    assert(s.getAs[Double]("max_over_min") == 3.0)
+  }
+
   test("sprtMonitor crosses the H1 bound on a hot stream, H0 on a cold one") {
     import spark.implicits._
     // H0 p=0.1 vs H1 p=0.3, α=β=0.05 → bounds ±ln(19) ≈ ±2.944. A

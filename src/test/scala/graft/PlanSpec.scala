@@ -645,7 +645,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         "q_gesd", "q_page_hinkley", "q_burst", "q_forecast_champion",
         "q_markov_attrib", "q_quantile_by_group", "q_gesd_seasonal",
         "q_binary_segment", "q_decontam_embed", "q_oov_rate", "q_c2st",
-        "q_token_budget", "q_garch_forecast", "q_cuped_ab", "q_sprt")) {
+        "q_token_budget", "q_garch_forecast", "q_cuped_ab", "q_sprt",
+        "q_weight_diag")) {
       val plan = physicalPlan(q)
       assert(!plan.contains("CartesianProduct"), q + ": " + plan.take(400))
       assert(!plan.contains("BroadcastNestedLoop"),
