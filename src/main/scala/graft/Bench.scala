@@ -83,7 +83,9 @@ object Bench {
     // the public record self-correcting instead of judge-corrected. The
     // corrections are recorded in the artifact ("retimed": name →
     // first-pass seconds) per the no-silent-caps rule.
-    val retimeN = sys.env.getOrElse("SPARK_GRAFT_RETIME_TOPN", "15").toInt
+    val retimeN = sys.env.get("SPARK_GRAFT_RETIME_TOPN")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(15)
     val retimed: Map[String, (Double, Double)] =
       if (only.nonEmpty || retimeN <= 0) Map.empty
       else {

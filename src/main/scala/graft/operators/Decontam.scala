@@ -185,6 +185,20 @@ object Decontam {
     require(capped.length <= maxBench,
       s"benchmark set exceeds maxBench=$maxBench rows; sample it (or " +
         "raise maxBench) — the bench side broadcasts whole")
+    // loud-guard contract (matches the lexical screens): one uniform
+    // embedding dimension, no zero-norm vectors — a zero norm would
+    // silently emit NaN cosines and a short/long corpus vector would
+    // truncate or throw deep in the executor loop otherwise
+    val dim = capped.head._2.length
+    capped.foreach { case (id, e) =>
+      require(e != null && e.length == dim,
+        s"bench embedding $id has dimension " +
+          s"${if (e == null) "null" else e.length}, expected $dim — " +
+          "all bench vectors must share one dimension")
+      require(e.exists(_ != 0.0f),
+        s"bench embedding $id has zero norm — cosine is undefined; " +
+          "drop or re-embed it")
+    }
     val bNorm = capped.sortBy(_._1).map { case (id, e) =>
       var ss = 0.0; var i = 0
       while (i < e.length) { ss += e(i).toDouble * e(i).toDouble; i += 1 }
@@ -194,9 +208,14 @@ object Decontam {
     val bc = spark.sparkContext.broadcast(bNorm)
     val scoreUdf = F.udf((e: Seq[Float]) => {
       val arr = e.toArray
+      require(arr.length == dim,
+        s"corpus embedding has dimension ${arr.length}, expected " +
+          s"$dim (the benchmark dimension)")
       var ss = 0.0; var i = 0
       while (i < arr.length) { ss += arr(i).toDouble * arr(i).toDouble; i += 1 }
       val n = math.sqrt(ss)
+      require(n > 0.0, "corpus embedding has zero norm — cosine is " +
+        "undefined; filter zero vectors upstream")
       val q = arr.map(_.toDouble / n)
       var bestId = -1L; var best = Double.NegativeInfinity
       bc.value.foreach { case (id, be) =>

@@ -1550,8 +1550,23 @@ object Features {
         .withColumn("__cs", F.sum("__m").over(
           wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .withColumn("__i", F.row_number().over(wOrd).cast("long"))
-        .withColumn("__num", F.abs(F.col("__n") * F.col("__cs") -
-          F.col("__i") * F.col("__s")))
+        // loud overflow guard: n*cs − i*s runs in Long (the oracle uses
+        // HUGEINT); |n*cs − i*s| ≤ 2·n²·max|m|, so past that bound
+        // non-ANSI Spark would wrap silently and pick a wrong argmax.
+        // The bound check itself runs in doubles (cannot overflow).
+        .withColumn("__mx", F.max(F.abs(F.col("__m"))).over(wAll))
+        .withColumn("__num",
+          F.when(F.col("__mx").cast("double") * F.col("__n").cast("double")
+              * F.col("__n").cast("double") * 2.0 > 9.0e18,
+            F.raise_error(F.concat(
+              F.lit("binarySegment scan statistic would overflow Long: " +
+                "max|value|*1e6 * n_periods^2 * 2 > 9e18 (max|m|="),
+              F.col("__mx").cast("string"), F.lit(", n="),
+              F.col("__n").cast("string"),
+              F.lit("); rescale the value column or shorten the series")))
+              .cast("long"))
+          .otherwise(F.abs(F.col("__n") * F.col("__cs") -
+            F.col("__i") * F.col("__s"))))
       val ranked = st.where(F.col("__i") < F.col("__n"))
         .withColumn("__rn", F.row_number().over(
           Window.partitionBy(segCols.map(F.col): _*)

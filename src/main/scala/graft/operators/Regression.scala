@@ -565,8 +565,24 @@ object Regression {
         if (lambda > 0.0) (1 until k).foreach { i =>
           h(i)(i) += lambda; g(i) -= lambda * beta(c)(i)
         }
+        // enforce the bounded-feature contract loudly: unstandardized
+        // features overflow exp()/x² → Inf/NaN sufficient statistics →
+        // NaN β that would otherwise ride silently through the
+        // remaining fixed Newton steps
+        def finite(v: Double) = !v.isNaN && !v.isInfinite
+        require(h.forall(_.forall(finite)) && g.forall(finite),
+          s"softmaxIrls hit a non-finite Gram/gradient for class " +
+            s"'${classes(c)}' at iteration ${it + 1} — the linear " +
+            "predictor overflowed exp() (or x² overflowed); " +
+            "standardize or bound the features upstream (the " +
+            "documented contract)")
         val delta = solve(h, g)
-        Array.tabulate(k)(i => r6(beta(c)(i) + delta(i)))
+        val nb = Array.tabulate(k)(i => r6(beta(c)(i) + delta(i)))
+        require(nb.forall(finite),
+          s"softmaxIrls produced a non-finite beta for class " +
+            s"'${classes(c)}' at iteration ${it + 1}; standardize or " +
+            "bound the features upstream (the documented contract)")
+        nb
       }
       it += 1
     }
@@ -746,6 +762,13 @@ object Regression {
     * pass's weights come from a broadcast join of the (small) per-group
     * β frame — so a million groups fit in the same three jobs as one.
     * Same smoothed-check majorizer and OLS seed as quantileIrls.
+    *
+    * Ceiling: the forced broadcast holds each pass's β frame (~40 B per
+    * group) on every executor — fine through ~10⁷ groups, and Spark
+    * fails loudly at its 8 GB broadcast cap well before memory is at
+    * risk. For a 10⁸-group regime, drop the `F.broadcast` hints below
+    * and let AQE pick the join strategy (the passes then shuffle on the
+    * group key they are already partitioned by).
     *
     * Groups with n ≤ 2 or a singular Gram (constant x) drop out at the
     * pass where it happens — the surviving frame is what joins forward.

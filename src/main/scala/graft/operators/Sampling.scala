@@ -575,6 +575,12 @@ object Sampling {
     require(budget > 0L, "budget must be positive")
     require(weights.nonEmpty && weights.values.forall(_ > 0L),
       "weights must be positive")
+    // budget * weight runs in Long for the bit-exact integer quotas —
+    // guard the product loudly instead of wrapping silently
+    require(budget <= Long.MaxValue / weights.values.max,
+      s"budget * max(weight) overflows Long (budget=$budget, " +
+        s"max weight=${weights.values.max}); rescale the weights — " +
+        "only their ratios matter")
     val spark = df.sparkSession
     import spark.implicits._
     val tokens = F.size(F.split(F.trim(F.col(textCol)), "\\s+"))

@@ -2486,12 +2486,17 @@ object StatTests {
     * repo's deterministic logistic learner: label slice A 1 and slice B
     * 0, train [[Regression.logisticIrls]] (fixed Newton steps from
     * β = 0), and test whether the IN-SAMPLE accuracy of the sign rule
-    * beats chance,
+    * beats the majority-class baseline p₀ = max(|A|,|B|)/n,
     *
-    *   z = (acc − ½) / √(¼/n),   p = erfc(|z|/√2)
+    *   z = (acc − p₀) / √(p₀(1−p₀)/n),   p = erfc(|z|/√2)
     *
     * — if no classifier separates the slices, the distributions are
-    * indistinguishable TO THAT MODEL CLASS; a calibrated multivariate
+    * indistinguishable TO THAT MODEL CLASS. The p₀ baseline (not ½)
+    * keeps imbalanced slices honest: the fitted intercept alone reaches
+    * max(|A|,|B|)/n accuracy on identical distributions. Caveat: the
+    * accuracy is IN-SAMPLE, which biases it upward — the test is mildly
+    * anti-conservative; hold out or split if false positives are
+    * costly. A calibrated multivariate
     * complement to the per-column KS/MWU screens. β is 6-rounded before
     * the accuracy pass (the replay contract: the scoring comparisons
     * see identical predictors in both engines), accuracy/z/p 6-rounded.
@@ -2518,11 +2523,19 @@ object StatTests {
     }
     val ok = featureCols.map(c => F.col(c).cast("double"))
       .map(c => c.isNotNull && !F.isnan(c)).reduce(_ && _)
-    val acc = u.where(ok)
-      .agg(F.avg(((z >= 0.0) === (F.col("__y") === 1.0)).cast("double")))
-      .head().getDouble(0)
+    val accRow = u.where(ok)
+      .agg(F.avg(((z >= 0.0) === (F.col("__y") === 1.0)).cast("double")),
+        F.sum(F.col("__y")))
+      .head()
+    val acc = accRow.getDouble(0)
+    val nA = accRow.getDouble(1).toLong
+    // majority-class baseline: with |A| != |B| the intercept alone
+    // reaches max(nA,nB)/n accuracy even on identical distributions,
+    // so chance is p0, not 1/2 (in-sample fitting still biases the
+    // accuracy upward — the test is anti-conservative; see scaladoc)
+    val p0 = math.max(nA, m.n - nA).toDouble / m.n
     val acc6 = r6(acc)
-    val zStat = r6((acc6 - 0.5) / math.sqrt(0.25 / m.n))
+    val zStat = r6((acc6 - p0) / math.sqrt(p0 * (1.0 - p0) / m.n))
     val p = r6(SpecialMath.erfc(math.abs(zStat) / math.sqrt(2.0)))
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("n", LongType),

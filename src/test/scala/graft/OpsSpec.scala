@@ -4634,6 +4634,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         threshold = 0.9, maxBench = 1)
     }
     assert(ex.getMessage.contains("maxBench"))
+    // mixed bench dimensions fail loudly
+    val ragged = Seq((100L, e1), (101L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val exDim = intercept[IllegalArgumentException] {
+      Decontam.decontamEmbedding(corpus, ragged, "embedding", "vec_id")
+    }
+    assert(exDim.getMessage.contains("dimension"))
+    // zero-norm bench vector fails loudly instead of emitting NaN
+    val zb = Seq((100L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val exZero = intercept[IllegalArgumentException] {
+      Decontam.decontamEmbedding(corpus, zb, "embedding", "vec_id")
+    }
+    assert(exZero.getMessage.contains("zero norm"))
+    // zero-norm / wrong-dim CORPUS rows fail in the executor, loudly
+    val zc = Seq((9L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val exC = intercept[org.apache.spark.SparkException] {
+      Decontam.decontamEmbedding(zc, bench, "embedding", "vec_id")
+        .collect()
+    }
+    assert(exC.getMessage.contains("zero norm") ||
+      exC.getCause != null)
   }
 
   test("oovRate counts exactly against the deterministic top-V head") {
@@ -4680,6 +4703,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(right.getAs[Long]("cp_period") == 19L)
     assert(right.getAs[Long]("n_seg") == 20L)
     assert(right.getAs[Double]("z") > 1.0)
+  }
+
+  test("binarySegmentByKey raises loudly where the Long scan would wrap") {
+    import spark.implicits._
+    // |value|*1e6 ≈ 1e12 over 3000 periods → 2·n²·max|m| ≈ 1.8e19 > 9e18:
+    // the overflow guard must fail the job, not pick a wrapped argmax
+    val rows = (0 until 3000).map(i =>
+      ("k", i.toLong * 10L, if (i < 1500) 1.0e6 else 2.0e6))
+    val ex = intercept[Exception] {
+      Features.binarySegmentByKey(rows.toDF("key", "ts", "v"),
+        "key", "ts", "v", periodUnit = 10L).collect()
+    }
+    assert(ex.getMessage.contains("overflow") ||
+      (ex.getCause != null && ex.getCause.getMessage.contains("overflow")))
+  }
+
+  test("tokenBudgetAllocate rejects a budget*weight product past Long") {
+    import spark.implicits._
+    val df = Seq(("a", "x y z"), ("b", "p q")).toDF("domain", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetAllocate(df, "domain", "text",
+        budget = 10000000000000L,
+        weights = Map("a" -> 1000000L, "b" -> 1L))
+    }
+    assert(ex.getMessage.contains("overflows Long"))
   }
 
   test("burstDetectByKey flags the loud stretch, not the quiet baseline") {

@@ -629,6 +629,22 @@ class RegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex2.getMessage.contains("small-K router"))
   }
 
+  test("softmaxIrls fails loudly on unstandardized features (exp overflow)") {
+    import spark.implicits._
+    // feature scale ~1e200: x² overflows the Gram to Inf, the solve
+    // goes Inf−Inf = NaN — the finite-β require must fire at step 1,
+    // not let NaN ride silently through the remaining steps
+    val big = (0 until 300).map { i =>
+      val c = i % 3
+      (s"c$c", (c + 1) * 1.0e200 + (i % 7) * 1.0e198)
+    }.toDF("y", "x")
+    val ex = intercept[IllegalArgumentException] {
+      Regression.softmaxIrls(big, "y", Seq("x"), iters = 4)
+    }
+    assert(ex.getMessage.contains("non-finite"))
+    assert(ex.getMessage.contains("standardize"))
+  }
+
   test("quantileIrls: high-τ line sits above low-τ line under skewed noise") {
     import spark.implicits._
     // y = 5 + 2x with asymmetric noise: 3/4 of rows get −1, 1/4 get +3

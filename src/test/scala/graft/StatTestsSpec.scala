@@ -847,6 +847,14 @@ class StatTestsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val same = StatTests.c2stLogistic(a, a, Seq("v"), iters = 6).head()
     assert(math.abs(same.getAs[Double]("accuracy") - 0.5) < 0.05)
     assert(same.getAs[Double]("p_value") > 0.01)
+    // imbalanced identical slices (3:1): the intercept alone reaches
+    // 0.75 accuracy — the majority-class baseline must absorb it, not
+    // flag a phantom difference (the old ½ baseline would report p≈0)
+    val a3 = (0 until 600).map(i => 100.0 + (i % 10)).toDF("v")
+    val b1 = (0 until 200).map(i => 100.0 + (i % 10)).toDF("v")
+    val imb = StatTests.c2stLogistic(a3, b1, Seq("v"), iters = 6).head()
+    assert(imb.getAs[Double]("accuracy") >= 0.70)
+    assert(imb.getAs[Double]("p_value") > 0.01)
     // β on the 1e-6 replay grid
     assert(sep.getAs[Double]("b1") ==
       math.rint(sep.getAs[Double]("b1") * 1e6) / 1e6)
