@@ -773,6 +773,64 @@ object Experiments {
       F.col("n"))
   }
 
+  /** AIPW doubly-robust ATE — [[ipwAte]] with per-arm OLS outcome
+    * models as control variates: fit m₁(x) on the treated arm and
+    * m₀(x) on the control arm ([[Regression.olsFit]], β 6-rounded for
+    * the replay contract), then augment each arm's Hájek-weighted
+    * residual mean with the model mean over the WHOLE sample,
+    *
+    *   μ̂ₐ = (1/n)Σᵢ mₐ(xᵢ) + Σᵢ wₐᵢ(yᵢ − mₐ(xᵢ)) / Σᵢ wₐᵢ
+    *
+    * (w₁ = T/ê, w₀ = (1−T)/(1−ê), ê the clipped fixed-Newton logistic
+    * propensity). Consistent if EITHER the propensity model or the
+    * outcome model is right; when the outcome models are constants the
+    * augmentation telescopes and μ̂ₐ reduces EXACTLY to the Hájek IPW
+    * mean — the ipwAte agreement contract. Cost: the logistic's
+    * iters+1 aggregations + two Gram aggregations (one per arm) + ONE
+    * final augmentation aggregation; no row ever collected.
+    *
+    * @return one row: (ate, mu_treated, mu_control,
+    *         model_mean_treated, model_mean_control, n) — doubles
+    *         rounded to 6 decimals */
+  def aipwAte(df: DataFrame, treatedCol: String, outcomeCol: String,
+              xCols: Seq[String], iters: Int = 3,
+              clip: Double = 0.01): DataFrame = {
+    require(clip > 0.0 && clip < 0.5, "clip must be in (0, 0.5)")
+    val t = F.col(treatedCol).cast("double")
+    val y = F.col(outcomeCol).cast("double")
+    val ok = (xCols.map(F.col(_).cast("double")) :+ t :+ y)
+      .map(c => c.isNotNull && !F.isnan(c)).reduce(_ && _)
+    val clean = df.where(ok)
+    val model = Regression.logisticIrls(
+      clean.withColumn("__t", t), "__t", xCols, iters = iters)
+    val e = F.least(F.greatest(model.score, F.lit(clip)),
+      F.lit(1.0 - clip))
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    val m1 = Regression.olsFit(clean.where(t === 1.0), outcomeCol, xCols)
+    val m0 = Regression.olsFit(clean.where(t === 0.0), outcomeCol, xCols)
+    def pred(b: Array[Double]) =
+      xCols.zipWithIndex.foldLeft(F.lit(b(0))) { case (acc, (c, i)) =>
+        acc + F.col(c).cast("double") * b(i + 1)
+      }
+    val p1 = pred(m1.beta.map(r6)); val p0 = pred(m0.beta.map(r6))
+    val w1 = t / e
+    val w0 = (F.lit(1.0) - t) / (F.lit(1.0) - e)
+    val r = clean.agg(
+      F.sum(p1).as("sm1"), F.sum(p0).as("sm0"),
+      F.sum(w1 * (y - p1)).as("a1"), F.sum(w1).as("s1"),
+      F.sum(w0 * (y - p0)).as("a0"), F.sum(w0).as("s0"),
+      F.count(F.lit(1)).as("n"))
+    val mu1 = F.col("sm1") / F.col("n") + F.col("a1") / F.col("s1")
+    val mu0 = F.col("sm0") / F.col("n") + F.col("a0") / F.col("s0")
+    r.select(
+      F.round(mu1 - mu0, 6).as("ate"),
+      F.round(mu1, 6).as("mu_treated"),
+      F.round(mu0, 6).as("mu_control"),
+      F.round(F.col("sm1") / F.col("n"), 6).as("model_mean_treated"),
+      F.round(F.col("sm0") / F.col("n"), 6).as("model_mean_control"),
+      F.col("n"))
+  }
+
   /** Mantel–Haenszel pooled odds ratio across strata — the classic
     * "adjust the 2×2 for a confounder without modeling it" estimator,
     * robust to sparse strata where per-stratum [[oddsRatio]] blows up

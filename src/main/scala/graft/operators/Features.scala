@@ -824,6 +824,136 @@ object Features {
         F.round(fOrig, 6).as("forecast"))
   }
 
+  /** SARIMA(1,d,1)(0,1,0)ₘ per key — the SEASONAL differencing rung on
+    * top of [[arimaByKey]]: one seasonal difference at lag `season`
+    * (the m that [[periodDetectByKey]] votes for on periodic series),
+    * then `d` regular differences, then the identical Hannan–Rissanen
+    * ARMA(1,1) closed form on the doubly-differenced cells. The
+    * one-step forecast recomposes through BOTH differences from the
+    * last observed levels: with y = (1−B)^d (1−Bᵐ) x,
+    *
+    *   d=0:  x̂ₙ₊₁ = ŷ + x₍ₙ₊₁₋ₘ₎
+    *   d=1:  x̂ₙ₊₁ = ŷ + xₙ + x₍ₙ₊₁₋ₘ₎ − x₍ₙ₋ₘ₎
+    *
+    * — the binomial recomposition over the composed difference
+    * operator. Same replay contract as arimaByKey: every fitted scalar
+    * 6-rounded, the forecast a pure function of rounded scalars; keys
+    * whose differenced series is too short (n − m − d < 5) or whose
+    * stage-2 Gram is singular are omitted. Lag windows + per-key sums,
+    * one key shuffle — scale-safe to arbitrary key counts.
+    *
+    * @return one row per key: (keyCol, n_periods, season, d, mean,
+    *         phi_init, phi, theta, sigma2, forecast) — mean/sigma2 of
+    *         the doubly-differenced series, forecast at the original
+    *         level */
+  def sarimaByKey(df: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String, periodUnit: Long, season: Int,
+                  d: Int = 0): DataFrame = {
+    require(periodUnit > 0L, "periodUnit must be positive")
+    require(season >= 2, "season must be >= 2 periods")
+    require(d >= 0 && d <= 1, "regular difference order d must be 0 or 1")
+    val v = F.col(valueCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    val cells = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull && v.isNotNull &&
+        !F.isnan(v))
+      .groupBy(F.col(keyCol).as("__k"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("__p"))
+      .agg((F.sum(v.cast("decimal(38,6)")).cast("double") /
+        F.count(F.lit(1))).as("__v"))
+    val wOrd = Window.partitionBy("__k").orderBy("__p")
+    val wDesc = Window.partitionBy("__k").orderBy(F.col("__p").desc)
+    val nOrig = cells.groupBy("__k").agg(F.count(F.lit(1)).as("n_periods"))
+    // one seasonal difference, then d regular differences
+    var diff = cells
+      .withColumn("__vl", F.lag("__v", season).over(wOrd))
+      .where(F.col("__vl").isNotNull)
+      .withColumn("__v", F.col("__v") - F.col("__vl"))
+      .drop("__vl")
+    (1 to d).foreach { _ =>
+      diff = diff.withColumn("__vl", F.lag("__v", 1).over(wOrd))
+        .where(F.col("__vl").isNotNull)
+        .withColumn("__v", F.col("__v") - F.col("__vl"))
+        .drop("__vl")
+    }
+    val wAll = Window.partitionBy("__k")
+    val base = diff
+      .withColumn("__mu", F.avg("__v").over(wAll))
+      .withColumn("__d", F.col("__v") - F.col("__mu"))
+      .withColumn("__dl1", F.lag("__d", 1).over(wOrd))
+    val st1 = base.groupBy("__k").agg(
+      F.count(F.lit(1)).as("n"), F.max("__mu").as("mu"),
+      F.sum(F.col("__d") * F.col("__d")).as("ss"),
+      F.sum(F.col("__d") * F.col("__dl1")).as("s1"))
+      .where(F.col("n") >= 5L && F.col("ss") > 0.0)
+      .withColumn("phi0", F.round(F.col("s1") / F.col("ss"), 6))
+      .select("__k", "n", "mu", "phi0")
+    val withE = base.join(st1, "__k")
+      .withColumn("__e", F.when(F.col("__dl1").isNotNull,
+        F.col("__d") - F.col("phi0") * F.col("__dl1")))
+      .withColumn("__el1", F.lag("__e", 1).over(wOrd))
+    val st2 = withE
+      .where(F.col("__dl1").isNotNull && F.col("__el1").isNotNull)
+      .groupBy("__k").agg(
+        F.count(F.lit(1)).as("n2"),
+        F.sum(F.col("__dl1") * F.col("__dl1")).as("s11"),
+        F.sum(F.col("__dl1") * F.col("__el1")).as("s12"),
+        F.sum(F.col("__el1") * F.col("__el1")).as("s22"),
+        F.sum(F.col("__dl1") * F.col("__d")).as("s1y"),
+        F.sum(F.col("__el1") * F.col("__d")).as("s2y"),
+        F.sum(F.col("__d") * F.col("__d")).as("syy"))
+      .withColumn("det",
+        F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12"))
+      .where(F.col("n2") >= 4L && F.col("det") > 0.0)
+      .withColumn("phi", F.round(
+        (F.col("s1y") * F.col("s22") - F.col("s2y") * F.col("s12")) /
+          F.col("det"), 6))
+      .withColumn("theta", F.round(
+        (F.col("s2y") * F.col("s11") - F.col("s1y") * F.col("s12")) /
+          F.col("det"), 6))
+    val phi = F.col("phi"); val theta = F.col("theta")
+    val sigma2 = (F.col("syy") -
+      F.lit(2.0) * phi * F.col("s1y") -
+      F.lit(2.0) * theta * F.col("s2y") +
+      phi * phi * F.col("s11") +
+      F.lit(2.0) * phi * theta * F.col("s12") +
+      theta * theta * F.col("s22")) / F.col("n2")
+    val lastD = diff.withColumn("__rn", F.row_number().over(wDesc))
+      .where(F.col("__rn") <= 2)
+      .groupBy("__k").agg(
+        F.max(F.when(F.col("__rn") === 1, F.col("__v"))).as("dn"),
+        F.max(F.when(F.col("__rn") === 2, F.col("__v"))).as("dn1"))
+    // last levels at the lags the recomposition needs: x_n (rn=1),
+    // x_{n+1−m} (rn=m), x_{n−m} (rn=m+1)
+    val lastO = cells.withColumn("__rn", F.row_number().over(wDesc))
+      .where(F.col("__rn") <= season + 1)
+      .groupBy("__k").agg(
+        F.max(F.when(F.col("__rn") === 1, F.col("__v"))).as("o1"),
+        F.max(F.when(F.col("__rn") === season, F.col("__v"))).as("om"),
+        F.max(F.when(F.col("__rn") === season + 1, F.col("__v")))
+          .as("om1"))
+    val mur = F.round(F.col("mu"), 6)
+    val fDiff = mur + phi * (F.col("dn") - mur) +
+      theta * ((F.col("dn") - mur) - F.col("phi0") * (F.col("dn1") - mur))
+    val fOrig = d match {
+      case 0 => fDiff + F.col("om")
+      case _ => fDiff + F.col("o1") + F.col("om") - F.col("om1")
+    }
+    val need =
+      if (d == 0) F.col("om").isNotNull
+      else F.col("om").isNotNull && F.col("om1").isNotNull
+    st2.join(st1, "__k").join(lastD, "__k").join(lastO, "__k")
+      .join(nOrig, "__k")
+      .where(need)
+      .select(F.col("__k").as(keyCol), F.col("n_periods"),
+        F.lit(season).cast("int").as("season"),
+        F.lit(d).cast("int").as("d"),
+        F.round(F.col("mu"), 6).as("mean"),
+        F.col("phi0").as("phi_init"), phi, theta,
+        F.round(sigma2, 6).as("sigma2"),
+        F.round(fOrig, 6).as("forecast"))
+  }
+
   /** Local-peak detector per key — the "which days actually SPIKED"
     * primitive behind incident review and campaign attribution: a
     * period is a peak when its decimal-exact mean strictly exceeds

@@ -943,6 +943,170 @@ object Survival {
     CoxModel(xCols, beta, se, llF, ll0, n, dTot, iters)
   }
 
+  /** Cox proportional hazards with EFRON ties — the tie correction R's
+    * `coxph` defaults to, and the one that matters when durations are
+    * coarse (integer days, quantized amounts) so event times tie
+    * heavily. Where Breslow charges all d tied events the FULL risk set
+    * m₀, Efron removes the tied events gradually: for r = 0..d−1 the
+    * r-th tied event sees the risk sums minus (r/d) of the TIED-EVENT
+    * sums (e₀, e₁, E₂),
+    *
+    *   ℓ  = Σ_t [ βᵀs − Σ_r ln φ_r ],          φ_r = m₀ − (r/d)e₀
+    *   U  = Σ_t [ s − Σ_r (m₁ − (r/d)e₁)/φ_r ]
+    *   I  = Σ_t Σ_r [ (M₂ − (r/d)E₂)/φ_r − ((m₁−(r/d)e₁)/φ_r)⊗² ]
+    *
+    * With d = 1 everywhere this is EXACTLY [[coxPH]] (φ₀ = m₀) — the
+    * tie-free agreement contract. Same scale shape as coxPH: per
+    * Newton step ONE groupBy(t) cells aggregation (now carrying the
+    * event-only sums alongside the risk sums) + the t-DESC prefix
+    * fold; the within-tie r-loop runs INSIDE the fold over the tiny
+    * cells frame (Σ_t d = nEvents iterations total, executor-local).
+    * iters + 1 passes, independent of data size; no row collected. */
+  def coxPHEfron(df: DataFrame, durationCol: String, eventCol: String,
+                 xCols: Seq[String], iters: Int = 4): CoxModel = {
+    require(xCols.nonEmpty, "need at least one covariate")
+    require(iters >= 1, "need at least one Newton step")
+    val k = xCols.length
+    val spark = df.sparkSession
+    val xs = xCols.map(c => F.col(c).cast("double"))
+    val okX = xs.map(c => c.isNotNull && !F.isnan(c)).reduce(_ && _)
+    val clean = df
+      .select(F.col(durationCol).cast("double").as("__t") +:
+        F.col(eventCol).cast("boolean").as("__e") +:
+        xs.zipWithIndex.map { case (c, i) => c.as(s"__x$i") }: _*)
+      .where(F.col("__t").isNotNull && !F.isnan(F.col("__t")) &&
+        F.col("__t") >= 0.0 && F.col("__e").isNotNull && okX)
+
+    def pass(beta: Array[Double]): (Array[Double], Array[Array[Double]],
+                                    Double, Long, Long) = {
+      import spark.implicits._
+      val tri = k * (k + 1) / 2
+      val xb = (0 until k).foldLeft(F.lit(0.0)) {
+        case (acc, i) => acc + F.col(s"__x$i") * beta(i)
+      }
+      val ebx = F.exp(xb)
+      val evx = F.when(F.col("__e"), ebx).otherwise(0.0)
+      val sCols = (0 until k).map(i =>
+        F.sum(F.when(F.col("__e"), F.col(s"__x$i")).otherwise(0.0)))
+      val rCols = F.sum(ebx) +:
+        (0 until k).map(i => F.sum(F.col(s"__x$i") * ebx)) ++:
+        (for { i <- 0 until k; j <- i until k }
+          yield F.sum(F.col(s"__x$i") * F.col(s"__x$j") * ebx))
+      // event-only sums: what Efron subtracts fractionally
+      val eCols = F.sum(evx) +:
+        (0 until k).map(i => F.sum(F.col(s"__x$i") * evx)) ++:
+        (for { i <- 0 until k; j <- i until k }
+          yield F.sum(F.col(s"__x$i") * F.col(s"__x$j") * evx))
+      val cells = clean.groupBy("__t").agg(
+        F.sum(F.when(F.col("__e"), 1L).otherwise(0L)).as("__d"),
+        F.count(F.lit(1)).as("__c"),
+        F.array(sCols: _*).as("__s"),
+        F.array(rCols: _*).as("__r"),
+        F.array(eCols: _*).as("__ev"))
+      val sorted = cells
+        .repartitionByRange(F.col("__t").desc)
+        .sortWithinPartitions(F.col("__t").desc)
+        .select(F.col("__t"), F.col("__d"), F.col("__c"),
+          F.col("__s"), F.col("__r"), F.col("__ev"))
+        .as[(Double, Long, Long, Seq[Double], Seq[Double], Seq[Double])]
+        .rdd
+      sorted.cache()
+      try {
+        val rLen = 1 + k + tri
+        val partSums = sorted.mapPartitionsWithIndex { case (i, it) =>
+          val acc = new Array[Double](rLen)
+          var c = 0L; var d = 0L
+          it.foreach { row =>
+            var j = 0
+            while (j < rLen) { acc(j) += row._5(j); j += 1 }
+            c += row._3; d += row._2
+          }
+          Iterator((i, acc, c, d))
+        }.collect().sortBy(_._1)
+        val n = partSums.map(_._3).sum
+        val dTot = partSums.map(_._4).sum
+        require(dTot > 0, "no events observed")
+        val offsets = partSums.map(_._2).scanLeft(new Array[Double](rLen)) {
+          (a, b) => Array.tabulate(rLen)(j => a(j) + b(j))
+        }
+        val bc = spark.sparkContext.broadcast(offsets)
+        val parts = sorted.mapPartitionsWithIndex { case (pi, it) =>
+          val cum = bc.value(pi).clone()
+          val u = new Array[Double](k)
+          val inf = Array.ofDim[Double](k, k)
+          var ll = 0.0
+          it.foreach { case (_, d, _, s, r, ev) =>
+            var j = 0
+            while (j < rLen) { cum(j) += r(j); j += 1 }
+            if (d > 0L) {
+              val dD = d.toDouble
+              var bs = 0.0
+              var i = 0
+              while (i < k) { bs += beta(i) * s(i); i += 1 }
+              ll += bs
+              var rr = 0L
+              while (rr < d) {
+                val frac = rr.toDouble / dD
+                val phi = cum(0) - frac * ev(0)
+                ll -= math.log(phi)
+                i = 0
+                var off = 1 + k
+                while (i < k) {
+                  val a1i = (cum(1 + i) - frac * ev(1 + i)) / phi
+                  u(i) -= a1i
+                  var jj = i
+                  while (jj < k) {
+                    val a1j = (cum(1 + jj) - frac * ev(1 + jj)) / phi
+                    val v = (cum(off) - frac * ev(off)) / phi - a1i * a1j
+                    inf(i)(jj) += v
+                    if (jj != i) inf(jj)(i) += v
+                    off += 1; jj += 1
+                  }
+                  i += 1
+                }
+                rr += 1L
+              }
+              i = 0
+              while (i < k) { u(i) += s(i); i += 1 }
+            }
+          }
+          Iterator((u, inf, ll))
+        }.collect()
+        val u = new Array[Double](k)
+        val inf = Array.ofDim[Double](k, k)
+        var ll = 0.0
+        parts.foreach { case (pu, pinf, pll) =>
+          var i = 0
+          while (i < k) {
+            u(i) += pu(i)
+            var j = 0
+            while (j < k) { inf(i)(j) += pinf(i)(j); j += 1 }
+            i += 1
+          }
+          ll += pll
+        }
+        (u, inf, ll, n, dTot)
+      } finally sorted.unpersist(blocking = false)
+    }
+
+    var beta = Array.fill(k)(0.0)
+    var ll0 = 0.0
+    var it = 0
+    while (it < iters) {
+      val (u, inf, ll, _, _) = pass(beta)
+      if (it == 0) ll0 = ll
+      val delta = Regression.solve(inf, u)
+      beta = Array.tabulate(k)(i => beta(i) + delta(i))
+      it += 1
+    }
+    val (_, infF, llF, n, dTot) = pass(beta)
+    val se = Array.tabulate(k) { i =>
+      val ei = Array.tabulate(k)(j => if (j == i) 1.0 else 0.0)
+      math.sqrt(Regression.solve(infF, ei)(i))
+    }
+    CoxModel(xCols, beta, se, llF, ll0, n, dTot, iters)
+  }
+
   /** Harrell's concordance index — the acceptance metric for [[coxPH]]
     * and any survival risk score: over all COMPARABLE pairs (the
     * shorter time had an event, times differ), how often does the

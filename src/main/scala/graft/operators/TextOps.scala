@@ -554,6 +554,159 @@ object TextOps {
       .select("token", "encoded", "n_pieces", "wc")
   }
 
+  /** Unigram-LM tokenizer training (Kudo 2018, arXiv:1804.10959 — the
+    * SentencePiece unigram algorithm) with a fixed-round, fully
+    * deterministic EM + prune loop:
+    *
+    *  1. SEED: every substring of length ≤ `maxPieceLen` of the corpus
+    *     vocabulary, frequency-weighted by word count; all single chars
+    *     plus the top `maxSeed` longer pieces (freq desc, piece asc)
+    *     form the candidate table, p⁰ ∝ frequency (exact integer
+    *     ratios).
+    *  2. EM (× `emRounds`): the E-step computes EXPECTED piece counts
+    *     by forward–backward over each word — α/β recursions in raw
+    *     probability space with the fixed association (t₁+t₂)+t₃, so
+    *     the arithmetic replays bit-for-bit as a 3-state-carry
+    *     recursive CTE; occurrence posteriors γ = (αᵢ·p)·βⱼ / α_N are
+    *     aggregated weighted by word count and rint-rounded at 1e-6
+    *     (the replay grid). The M-step renormalizes over survivors.
+    *  3. PRUNE: multi-char pieces below `minCount` expected count drop
+    *     each round; single chars always survive (coverage guarantee —
+    *     α_N > 0 for every word, the SentencePiece invariant).
+    *
+    * The corpus is shuffled ONCE into the vocabulary; each round is one
+    * vocabulary-sized aggregation (the per-word DP is an executor-local
+    * O(len·maxPieceLen) loop) plus a piece-table collect bounded by
+    * maxSeed + |alphabet| — scale-independent of corpus size, the
+    * [[bpeMerges]] cost shape.
+    *
+    * @return the final piece table, top `topK` by (count desc, piece
+    *         asc): (piece, piece_len, cnt, p) */
+  def unigramLmTrain(df: DataFrame, idCol: String, textCol: String,
+                     maxPieceLen: Int = 3, maxSeed: Int = 2048,
+                     emRounds: Int = 2, minCount: Double = 1.0,
+                     topK: Int = 64, maxWordLen: Int = 24): DataFrame = {
+    require(maxPieceLen >= 2 && maxPieceLen <= 3,
+      "maxPieceLen must be 2 or 3 (the 3-state-carry replay contract)")
+    require(emRounds >= 1 && emRounds <= 8,
+      "emRounds must be in 1..8 (fixed-round loop)")
+    require(maxSeed >= 1 && maxSeed <= 65536,
+      "maxSeed must be in 1..65536 — the piece table collects")
+    require(topK >= 1, "topK must be positive")
+    require(maxWordLen >= maxPieceLen && maxWordLen <= 64,
+      "maxWordLen must be in [maxPieceLen, 64]")
+    require(minCount >= 0.0, "minCount must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = tokens(df, idCol, textCol)
+      .where(F.length(F.col("token")) <= maxWordLen)
+      .groupBy(F.col("token").as("word"))
+      .agg(F.count(F.lit(1)).as("wc"))
+      .localCheckpoint(true)
+    // seed: substring occurrences weighted by wc, cap the multi-char
+    // tail, keep every single char (coverage)
+    val n = F.length(F.col("word"))
+    val pcs = F.flatten(F.transform(F.sequence(F.lit(1), n), i =>
+      F.filter(
+        F.transform(F.sequence(F.lit(1), F.lit(maxPieceLen)), l =>
+          F.when(i + l - F.lit(1) <= n, F.col("word").substr(i, l))),
+        p => p.isNotNull)))
+    val freq = words
+      .select(F.explode(pcs).as("piece"), F.col("wc"))
+      .groupBy("piece").agg(F.sum("wc").as("freq"))
+      .localCheckpoint(true)
+    val chars = freq.where(F.length(F.col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(chars.nonEmpty, "empty corpus vocabulary")
+    require(chars.length <= 65536, "alphabet exceeds 65536 chars")
+    val multis = freq.where(F.length(F.col("piece")) >= 2)
+      .orderBy(F.col("freq").desc, F.col("piece").asc)
+      .limit(maxSeed)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val seed = chars ++ multis
+    val totF = seed.map(_._2).sum
+    var pieces: Map[String, Double] =
+      seed.map { case (p, f) => p -> f.toDouble / totF.toDouble }.toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    var lastCnt: Seq[(String, Double)] = Seq.empty
+    var round = 0
+    while (round < emRounds) {
+      val bc = spark.sparkContext.broadcast(pieces)
+      val mpl = maxPieceLen
+      val gammaUdf = F.udf { (w: String) =>
+        val pm = bc.value
+        val nn = w.length
+        val alpha = new Array[Double](nn + 1); alpha(0) = 1.0
+        var j = 1
+        while (j <= nn) {
+          val t1 = alpha(j - 1) * pm.getOrElse(w.substring(j - 1, j), 0.0)
+          val t2 = if (j >= 2)
+            alpha(j - 2) * pm.getOrElse(w.substring(j - 2, j), 0.0)
+          else 0.0
+          val t3 = if (mpl >= 3 && j >= 3)
+            alpha(j - 3) * pm.getOrElse(w.substring(j - 3, j), 0.0)
+          else 0.0
+          alpha(j) = (t1 + t2) + t3
+          j += 1
+        }
+        val beta = new Array[Double](nn + 1); beta(nn) = 1.0
+        j = nn - 1
+        while (j >= 0) {
+          val t1 = pm.getOrElse(w.substring(j, j + 1), 0.0) * beta(j + 1)
+          val t2 = if (j + 2 <= nn)
+            pm.getOrElse(w.substring(j, j + 2), 0.0) * beta(j + 2)
+          else 0.0
+          val t3 = if (mpl >= 3 && j + 3 <= nn)
+            pm.getOrElse(w.substring(j, j + 3), 0.0) * beta(j + 3)
+          else 0.0
+          beta(j) = (t1 + t2) + t3
+          j -= 1
+        }
+        val an = alpha(nn)
+        if (an <= 0.0) Seq.empty[(String, Double)]
+        else {
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Double)]
+          var i = 0
+          while (i < nn) {
+            var l = 1
+            while (l <= mpl && i + l <= nn) {
+              val pc = w.substring(i, i + l)
+              val p = pm.getOrElse(pc, 0.0)
+              if (p > 0.0)
+                out += ((pc, ((alpha(i) * p) * beta(i + l)) / an))
+              l += 1
+            }
+            i += 1
+          }
+          out.toSeq
+        }
+      }
+      val cnts = words
+        .select(F.col("wc"), F.explode(gammaUdf(F.col("word"))).as("__o"))
+        .select(F.col("__o._1").as("piece"),
+          (F.col("wc") * F.col("__o._2")).as("__wg"))
+        .groupBy("piece")
+        .agg(F.expr("rint(sum(__wg) * 1e6) / 1e6").as("cnt"))
+        .collect().map(r => (r.getString(0), r.getDouble(1)))
+      bc.destroy()
+      // prune: chars always survive; multis need minCount
+      val surv = cnts.filter { case (p, c) =>
+        p.length == 1 || c >= minCount
+      }.sortBy(_._1)
+      require(surv.nonEmpty, "EM pruned every piece — lower minCount")
+      val totR = r6(surv.map(_._2).sum)
+      pieces = surv.map { case (p, c) => p -> c / totR }.toMap
+      lastCnt = surv.toSeq
+      round += 1
+    }
+    lastCnt
+      .sortBy { case (p, c) => (-c, p) }
+      .take(topK)
+      .map { case (p, c) => (p, p.length.toLong, c, pieces(p)) }
+      .toDF("piece", "piece_len", "cnt", "p")
+  }
+
   /** Interpolated bigram-LM quality score — the next rung above
     * [[unigramLogProb]] on the CCNet ladder: mean per-bigram
     * ln(λ·P(w₂|w₁) + (1−λ)·P(w₂)) under the corpus's own counts.

@@ -4932,6 +4932,61 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(fc - lastLevel) < 0.5, s"forecast $fc vs last $lastLevel")
   }
 
+  test("sarimaByKey removes the planted weekly cycle and recomposes") {
+    import spark.implicits._
+    // x_t = s[t%7] + 0.1t + tiny deterministic ripple: the lag-7
+    // difference cancels the seasonal pattern exactly, leaving the
+    // 0.7 trend step plus the ripple difference
+    val season = Array(5.0, 1.0, 2.0, 8.0, 3.0, 9.0, 4.0)
+    val rows = (0 until 42).map { i =>
+      val v = season(i % 7) + 0.1 * i + ((i * 37) % 5) / 128.0
+      ("k", i.toLong * 10L, v)
+    }
+    val out = Features.sarimaByKey(rows.toDF("key", "ts", "v"),
+      "key", "ts", "v", periodUnit = 10L, season = 7, d = 0).head()
+    assert(out.getAs[Int]("season") == 7 && out.getAs[Int]("d") == 0)
+    assert(out.getAs[Long]("n_periods") == 42L)
+    // seasonal diff mean = 0.7 + mean ripple diff (|ripple| <= 4/128)
+    assert(math.abs(out.getAs[Double]("mean") - 0.7) < 0.05)
+    // sigma2 of the deseasonalized series is ripple-sized, nowhere
+    // near the seasonal variance (~8)
+    assert(out.getAs[Double]("sigma2") < 0.01)
+    // the forecast recomposes through x_{n+1-7}: level ~ season(0) +
+    // trend at t=42 (x_35 + one weekly step)
+    val expect = season(42 % 7) + 0.1 * 42
+    assert(math.abs(out.getAs[Double]("forecast") - expect) < 0.2,
+      s"forecast ${out.getAs[Double]("forecast")} vs ~$expect")
+  }
+
+  test("unigramLmTrain reproduces the hand-worked two-word EM") {
+    import spark.implicits._
+    // corpus "ab ab b": seed p0 = {a:2/7, b:3/7, ab:2/7}; round 1
+    // posteriors give counts {a:0.6, b:1.6, ab:1.4}; round 2 sharpens
+    // ab: {a:0.32, b:1.32, ab:1.68} — EM shifting mass to the
+    // productive piece is exactly the SentencePiece mechanism
+    val df = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val out = TextOps.unigramLmTrain(df, "doc_id", "text",
+        maxPieceLen = 3, maxSeed = 16, emRounds = 2, minCount = 1.0,
+        topK = 8)
+      .collect().map(r => r.getAs[String]("piece") -> r).toMap
+    assert(out.keySet == Set("a", "b", "ab"))
+    assert(math.abs(out("ab").getAs[Double]("cnt") - 1.68) < 1e-9)
+    assert(math.abs(out("b").getAs[Double]("cnt") - 1.32) < 1e-9)
+    assert(math.abs(out("a").getAs[Double]("cnt") - 0.32) < 1e-9)
+    val tot = 0.32 + 1.32 + 1.68
+    assert(math.abs(out("ab").getAs[Double]("p") - 1.68 / tot) < 1e-9)
+    assert(out("ab").getAs[Long]("piece_len") == 2L)
+    // single-round run reproduces the round-1 counts (prune kept all)
+    val r1 = TextOps.unigramLmTrain(df, "doc_id", "text",
+        maxPieceLen = 3, maxSeed = 16, emRounds = 1, minCount = 1.0,
+        topK = 8)
+      .collect().map(r =>
+        r.getAs[String]("piece") -> r.getAs[Double]("cnt")).toMap
+    assert(math.abs(r1("ab") - 1.4) < 1e-9)
+    assert(math.abs(r1("b") - 1.6) < 1e-9)
+    assert(math.abs(r1("a") - 0.6) < 1e-9)
+  }
+
   test("periodDetectByKey finds the planted period-3 cycle") {
     import spark.implicits._
     // 18 days of a clean period-3 sawtooth: ACF peaks at lag 3 and 6;

@@ -661,6 +661,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("round-12 additions: sarima/aipw/cox-efron/unigram-lm plans " +
+    "stay cartesian-free with keyed shuffles only") {
+    // sarima: keyed lag windows + per-key sums (the arima shape with
+    // a lag-7 difference); aipw: pure aggregations (logistic passes +
+    // two arm Grams + one augmentation agg); cox_efron: one groupBy(t)
+    // per pass + the RDD fold (plan shows the cells aggregation);
+    // unigram: vocab-sized aggregations + an explode over the word
+    // table — none may cartesian or funnel through one partition
+    for (q <- Seq("q_sarima", "q_aipw", "q_cox_efron",
+        "q_unigram_tokenizer")) {
+      val plan = physicalPlan(q)
+      assert(!plan.contains("CartesianProduct"), q + ": " + plan.take(400))
+      assert(!plan.contains("BroadcastNestedLoop"),
+        q + ": " + plan.take(400))
+    }
+  }
+
   test("cardinality guards refuse row-scale cell frames LOUDLY") {
     import org.apache.spark.sql.functions.col
     // a continuous column: every row its own cell — the quadratic

@@ -384,6 +384,43 @@ class RegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Double]("ess_control") > 0.0)
   }
 
+  test("aipwAte telescopes to ipwAte on constant outcomes, corrects bias") {
+    import spark.implicits._
+    // constant-within-arm outcomes: OLS slope is exactly 0, intercept
+    // exactly the arm mean, so the augmentation cancels and AIPW must
+    // equal the Hajek IPW readout to the rounding grid
+    val flat = Seq.tabulate(40) { i =>
+      (if (i % 2 == 0) 1.0 else 0.0, (i % 5).toDouble,
+        if (i % 2 == 0) 2.0 else 0.0)
+    }.toDF("t", "x", "y")
+    val aipw = Experiments.aipwAte(flat, "t", "y", Seq("x")).head()
+    val ipw = Experiments.ipwAte(flat, "t", "y", Seq("x")).head()
+    assert(aipw.getAs[Double]("ate") == ipw.getAs[Double]("ate"))
+    assert(aipw.getAs[Double]("mu_treated") ==
+      ipw.getAs[Double]("mu_treated"))
+    assert(aipw.getAs[Double]("mu_control") ==
+      ipw.getAs[Double]("mu_control"))
+    assert(aipw.getAs[Long]("n") == 40L)
+    // confounded outcome y = 2 + t + 3x with x-dependent assignment:
+    // the naive arm difference is badly biased; AIPW's linear outcome
+    // models are correctly specified, so it recovers the true effect 1
+    val conf = Seq.tabulate(60) { i =>
+      val x = (i % 6).toDouble
+      val t = if (x >= 3.0 == (i % 4 != 0)) 1.0 else 0.0
+      (t, x, 2.0 + t + 3.0 * x)
+    }.toDF("t", "x", "y")
+    val c = Experiments.aipwAte(conf, "t", "y", Seq("x"), iters = 3,
+      clip = 0.01).head()
+    assert(math.abs(c.getAs[Double]("ate") - 1.0) < 0.05,
+      s"aipw ate ${c.getAs[Double]("ate")}")
+    // the naive arm difference on the same data is confounding-biased
+    val naive = conf.groupBy("t").agg(F.avg("y").as("m"))
+      .collect().map(r => r.getAs[Double]("t") -> r.getAs[Double]("m"))
+      .toMap
+    assert(math.abs(naive(1.0) - naive(0.0) - 1.0) > 0.5,
+      "fixture lost its confounding — the AIPW correction is untested")
+  }
+
   test("fisherLda matches the hand-computed axis-separated classes") {
     import spark.implicits._
     // class 0 around (0,0), class 1 around (4,0), identity-shaped

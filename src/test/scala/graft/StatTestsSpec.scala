@@ -406,6 +406,38 @@ class StatTestsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(curve.map(_.getAs[Long]("n_event")).toSeq == Seq(1L, 1L, 1L))
   }
 
+  test("coxPHEfron equals coxPH tie-free, matches the pinned tied fit") {
+    import spark.implicits._
+    // tie-free: every phi_r loop has d = 1, so Efron IS Breslow —
+    // the whole Newton trajectory must agree to fold-order ULPs
+    val free = Seq((1.0, true, 1.0), (2.0, true, 0.0), (3.0, false, 1.0),
+      (4.0, true, 0.0), (5.0, false, 1.0), (6.0, true, 1.0),
+      (7.0, false, 0.0)).toDF("t", "e", "x")
+    val mb = Survival.coxPH(free, "t", "e", Seq("x"), iters = 4)
+    val me = Survival.coxPHEfron(free, "t", "e", Seq("x"), iters = 4)
+    assert(math.abs(mb.beta(0) - me.beta(0)) < 1e-9)
+    assert(math.abs(mb.se(0) - me.se(0)) < 1e-9)
+    assert(math.abs(mb.logLik - me.logLik) < 1e-9)
+    assert(mb.nEvents == me.nEvents && mb.n == me.n)
+    // heavy-tie fixture pinned against an independent Efron
+    // implementation (3 Newton steps from 0; also the converged MLE
+    // to 6 decimals): beta 0.260453, se 0.732457, ll -14.953,
+    // ll0 -15.0174 — R's coxph default ties=efron semantics
+    val tied = Seq((1.0, true, 0.0), (1.0, true, 1.0), (2.0, true, 1.0),
+      (2.0, true, 1.0), (2.0, false, 0.0), (3.0, true, 0.0),
+      (3.0, false, 1.0), (4.0, true, 1.0), (5.0, false, 0.0),
+      (5.0, true, 1.0), (6.0, true, 0.0), (7.0, false, 1.0))
+      .toDF("t", "e", "x")
+    val mt = Survival.coxPHEfron(tied, "t", "e", Seq("x"), iters = 3)
+    assert(math.abs(mt.beta(0) - 0.260453) < 1e-6)
+    assert(math.abs(mt.se(0) - 0.732457) < 1e-6)
+    assert(math.abs(mt.logLik - (-14.953)) < 1e-3)
+    assert(math.abs(mt.logLik0 - (-15.0174)) < 1e-3)
+    // Breslow on the same ties lands elsewhere — the correction is real
+    val mtb = Survival.coxPH(tied, "t", "e", Seq("x"), iters = 3)
+    assert(math.abs(mtb.beta(0) - mt.beta(0)) > 1e-3)
+  }
+
   test("coxPH solves the two-covariate system (Gram path)") {
     import spark.implicits._
     // independently Newton-iterated by hand: β = (−1.26753618,
