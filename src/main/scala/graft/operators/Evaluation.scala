@@ -1107,6 +1107,194 @@ object Evaluation {
       F.round(po, 6).as("po"), F.round(pe, 6).as("pe"), F.col("n"))
   }
 
+  /** Fleiss' κ for a FIXED panel of `raters` raters over many items —
+    * the many-rater generalization of [[cohenKappa]] (Fleiss 1971):
+    * with n_ij the count of raters placing item i in category j,
+    *
+    *   P_i = (Σ_j n_ij² − r) / (r(r−1)),   P̄ = mean_i P_i,
+    *   p_j = Σ_i n_ij / (N·r),   P_e = Σ_j p_j²,
+    *   κ = (P̄ − P_e) / (1 − P_e)
+    *
+    * Items that did not receive EXACTLY `raters` ratings are dropped
+    * (Fleiss assumes a constant panel; use [[krippendorffAlpha]] for
+    * ragged panels). Every sufficient statistic is an exact integer
+    * sum — two cell aggregations, no row collected.
+    *
+    * @return one row: (n_items, n_raters, kappa, p_bar, p_e) */
+  def fleissKappa(df: DataFrame, itemCol: String, categoryCol: String,
+                  raters: Int): DataFrame = {
+    require(raters >= 2, "need at least two raters")
+    val item = F.col(itemCol).cast("string")
+    val cat = F.col(categoryCol).cast("string")
+    val cells = df.where(item.isNotNull && cat.isNotNull)
+      .groupBy(item.as("__i"), cat.as("__c"))
+      .agg(F.count(F.lit(1)).as("__n"))
+    val kept = cells.groupBy("__i")
+      .agg(F.sum("__n").as("__m"),
+        F.sum(F.col("__n") * F.col("__n")).as("__sq"))
+      .where(F.col("__m") === raters.toLong)
+    val itemAgg = kept.agg(F.count(F.lit(1)).as("n_items"),
+      F.sum("__sq").as("__ssq"))
+    val catAgg = cells.join(kept.select("__i"), "__i")
+      .groupBy("__c").agg(F.sum("__n").as("__nc"))
+      .agg(F.sum(F.col("__nc").cast("double") * F.col("__nc"))
+        .as("__ncsq"))
+    val r = raters.toDouble
+    val nI = F.col("n_items").cast("double")
+    val pBar = (F.col("__ssq") - F.col("n_items") * raters.toLong)
+      .cast("double") / (nI * r * (r - 1.0))
+    val pE = F.col("__ncsq") / (nI * r * (nI * r))
+    itemAgg.crossJoin(catAgg)
+      .where(F.col("n_items") > 0L)
+      .select(F.col("n_items"), F.lit(raters).cast("int").as("n_raters"),
+        F.when(pE < 1.0, F.round((pBar - pE) / (F.lit(1.0) - pE), 6))
+          .as("kappa"),
+        F.round(pBar, 6).as("p_bar"), F.round(pE, 6).as("p_e"))
+  }
+
+  /** Krippendorff's α, nominal metric — chance-corrected agreement for
+    * RAGGED rater panels (any number of raters per item ≥ 2, the case
+    * Fleiss can't handle): from the coincidence-matrix identities,
+    *
+    *   D_o = Σ_i (m_i² − Σ_c n_ic²) / (m_i − 1),
+    *   D_e = (n² − Σ_c n_c²) / (n − 1),   α = 1 − D_o / D_e
+    *
+    * with m_i the ratings on item i (items with m_i < 2 contribute no
+    * pairable ratings and are dropped) and n = Σ m_i. Exact
+    * integer-ratio sums over two cell aggregations.
+    *
+    * @return one row: (n_items, n_ratings, d_o, d_e, alpha) */
+  def krippendorffAlpha(df: DataFrame, itemCol: String,
+                        categoryCol: String): DataFrame = {
+    val item = F.col(itemCol).cast("string")
+    val cat = F.col(categoryCol).cast("string")
+    val cells = df.where(item.isNotNull && cat.isNotNull)
+      .groupBy(item.as("__i"), cat.as("__c"))
+      .agg(F.count(F.lit(1)).as("__n"))
+    val kept = cells.groupBy("__i")
+      .agg(F.sum("__n").as("__m"),
+        F.sum(F.col("__n") * F.col("__n")).as("__sq"))
+      .where(F.col("__m") >= 2L)
+    val doAgg = kept.agg(F.count(F.lit(1)).as("n_items"),
+      F.sum("__m").as("n_ratings"),
+      F.sum((F.col("__m") * F.col("__m") - F.col("__sq")).cast("double")
+        / (F.col("__m") - 1L)).as("__do"))
+    val catAgg = cells.join(kept.select("__i"), "__i")
+      .groupBy("__c").agg(F.sum("__n").as("__nc"))
+      .agg(F.sum(F.col("__nc").cast("double") * F.col("__nc"))
+        .as("__ncsq"))
+    val n = F.col("n_ratings").cast("double")
+    val dE = (n * n - F.col("__ncsq")) / (n - 1.0)
+    doAgg.crossJoin(catAgg)
+      .where(F.col("n_ratings") > 1L && dE > 0.0)
+      .select(F.col("n_items"), F.col("n_ratings"),
+        F.round(F.col("__do"), 6).as("d_o"),
+        F.round(dE, 6).as("d_e"),
+        F.round(F.lit(1.0) - F.col("__do") / dE, 6).as("alpha"))
+  }
+
+  /** Goodman–Kruskal γ and λ over an ordinal×ordinal crosstab — the
+    * pair-concordance association (γ, ties dropped: (C−D)/(C+D)) plus
+    * the proportional-reduction-in-error measure for predicting y from
+    * x (λ_y|x = (Σ_x max_y n_xy − max_y n_•y)/(n − max_y n_•y)). Both
+    * columns must be orderable numerics (bucket upstream). The n² pair
+    * sum collapses to a |cells|² broadcast cell join with the
+    * [[graft.operators.Survival.concordanceIndex]] loud-cardinality
+    * contract; C, D and every λ term are exact integers.
+    *
+    * @return one row: (n, concordant, discordant, gamma, lambda_yx) */
+  def gkAssociation(df: DataFrame, xCol: String, yCol: String,
+                    maxCells: Int = 16384): DataFrame = {
+    val x = F.col(xCol).cast("double")
+    val y = F.col(yCol).cast("double")
+    val cells = df.where(x.isNotNull && !F.isnan(x) &&
+        y.isNotNull && !F.isnan(y))
+      .groupBy(x.as("__x"), y.as("__y"))
+      .agg(F.count(F.lit(1)).as("__n"))
+      .localCheckpoint(true)
+    val meta = cells.agg(F.sum("__n").as("n"),
+      F.count(F.lit(1)).as("cells")).head()
+    val nTot = meta.getAs[Long]("n")
+    require(meta.getAs[Long]("cells") <= maxCells,
+      s"${meta.getAs[Long]("cells")} (x, y) cells — gkAssociation is " +
+        "exact on LOW-CARDINALITY crosstabs; bucket the columns first")
+    require(nTot >= 2L, "need at least two rows")
+    val a = cells.select(F.col("__x").as("x1"), F.col("__y").as("y1"),
+      F.col("__n").as("n1"))
+    val b = cells.select(F.col("__x").as("x2"), F.col("__y").as("y2"),
+      F.col("__n").as("n2"))
+    val pairs = a.join(F.broadcast(b), F.col("x1") < F.col("x2"))
+    val cd = pairs.agg(
+      F.coalesce(F.sum(F.when(F.col("y1") < F.col("y2"),
+        F.col("n1") * F.col("n2")).otherwise(0L)), F.lit(0L)).as("c"),
+      F.coalesce(F.sum(F.when(F.col("y1") > F.col("y2"),
+        F.col("n1") * F.col("n2")).otherwise(0L)), F.lit(0L)).as("d"))
+    val lamNum = cells.groupBy("__x").agg(F.max("__n").as("__mx"))
+      .agg(F.sum("__mx").as("__srow"))
+    val lamDen = cells.groupBy("__y").agg(F.sum("__n").as("__ny"))
+      .agg(F.max("__ny").as("__mcol"))
+    cd.crossJoin(lamNum).crossJoin(lamDen)
+      .select(F.lit(nTot).as("n"), F.col("c").as("concordant"),
+        F.col("d").as("discordant"),
+        F.when(F.col("c") + F.col("d") > 0L,
+          F.round((F.col("c") - F.col("d")).cast("double") /
+            (F.col("c") + F.col("d")), 6)).as("gamma"),
+        F.when(F.lit(nTot) - F.col("__mcol") > 0L,
+          F.round((F.col("__srow") - F.col("__mcol")).cast("double") /
+            (F.lit(nTot) - F.col("__mcol")), 6)).as("lambda_yx"))
+  }
+
+  /** Stuart–Maxwell test of marginal homogeneity for PAIRED 3-category
+    * labels — the k = 3 generalization of McNemar (did the category
+    * MIX shift between the two readings, beyond symmetric noise?):
+    * with d_c = n_c• − n_•c for the first two categories (the third is
+    * the reference) and the covariance
+    * S_cc = n_c• + n_•c − 2n_cc, S_12 = −(n_12 + n_21),
+    *
+    *   χ² = (S₂₂d₁² − 2S₁₂d₁d₂ + S₁₁d₂²) / (S₁₁S₂₂ − S₁₂²) ~ χ²(2)
+    *
+    * so p = exp(−χ²/2) exactly. Categories order lexicographically;
+    * requires EXACTLY 3 distinct labels (k = 2 is [[mcnemar]]'s job;
+    * larger k needs a general solve). One k×k cell aggregation, all
+    * cells exact integers, a 2×2 Cramer on the driver.
+    *
+    * @return one row: (n, d1, d2, chi2, p_value) */
+  def stuartMaxwell(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val a = F.col(aCol).cast("string")
+    val b = F.col(bCol).cast("string")
+    val cells = df.where(a.isNotNull && b.isNotNull)
+      .groupBy(a.as("__a"), b.as("__b"))
+      .agg(F.count(F.lit(1)).as("__n"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2)))
+    val labels = (cells.map(_._1) ++ cells.map(_._2)).distinct.sorted
+    require(labels.length == 3,
+      s"stuartMaxwell needs exactly 3 categories, got " +
+        s"${labels.length} (${labels.take(5).mkString(", ")}); use " +
+        "mcnemar for 2")
+    def cell(i: Int, j: Int): Long = cells
+      .filter(c => c._1 == labels(i) && c._2 == labels(j))
+      .map(_._3).sum
+    def rowSum(i: Int): Long = (0 until 3).map(cell(i, _)).sum
+    def colSum(j: Int): Long = (0 until 3).map(cell(_, j)).sum
+    val n = (0 until 3).map(rowSum).sum
+    val d1 = rowSum(0) - colSum(0)
+    val d2 = rowSum(1) - colSum(1)
+    val s11 = (rowSum(0) + colSum(0) - 2L * cell(0, 0)).toDouble
+    val s22 = (rowSum(1) + colSum(1) - 2L * cell(1, 1)).toDouble
+    val s12 = -(cell(0, 1) + cell(1, 0)).toDouble
+    val det = s11 * s22 - s12 * s12
+    require(det > 0.0, "singular covariance (an off-diagonal pair of " +
+      "categories never disagrees); collapse categories")
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    val chi2 = r6((s22 * d1 * d1 - 2.0 * s12 * d1 * d2 +
+      s11 * d2 * d2) / det)
+    val p = r6(math.exp(-chi2 / 2.0))
+    Seq((n, d1, d2, chi2, p)).toDF("n", "d1", "d2", "chi2", "p_value")
+  }
+
   /** Quadratic-weighted Cohen's κ for ORDINAL labels — [[cohenKappa]]
     * treats a 1-vs-5 disagreement the same as 1-vs-2; with ordered
     * categories the standard quadratic weights

@@ -161,6 +161,191 @@ object StatTests {
     } finally sorted.unpersist(blocking = false)
   }
 
+  /** Brunner–Munzel generalized Wilcoxon test (Brunner & Munzel 2000)
+    * — the rank test that stays honest when the two cohorts have
+    * UNEQUAL variances (the nonparametric Behrens–Fisher problem,
+    * where Mann–Whitney's permutation variance is wrong): estimates
+    * p̂ = P(X < Y) + ½P(X = Y) from midranks and studentizes with
+    * per-sample rank variances,
+    *
+    *   Ŵ = n_a·n_b·(R̄_b − R̄_a) / (N·√(n_a·S_a² + n_b·S_b²)),
+    *   S_k² = Σᵢ (Rᵢ − Rᵢ⁽ᵏ⁾ − R̄_k + (n_k+1)/2)² / (n_k−1)
+    *
+    * with Rᵢ⁽ᵏ⁾ the within-sample midranks, plus the Welch-type df.
+    * Two prefix-sum fold passes over the value cells (the
+    * [[mannWhitneyU]] substrate — pass 1 rank-sum means, pass 2 the
+    * centered squares at the pass-1 means); large-sample normal p at
+    * the 6-rounded Ŵ (use the t quantile at df for small samples —
+    * documented approximation, like the MWU normal).
+    *
+    * @return one row: (n_a, n_b, p_hat, w, df, p_value) */
+  def brunnerMunzel(df: DataFrame, cohortCol: String, valueCol: String,
+                    labelA: String = "a", labelB: String = "b"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (sorted, na, nb, offA, offB) =
+      cohortCounts(df, cohortCol, valueCol, labelA, labelB)
+    try {
+      require(na > 1 && nb > 1, "need at least two rows per cohort")
+      val bc = spark.sparkContext.broadcast((offA, offB))
+      val p1 = sorted.mapPartitionsWithIndex { case (i, it) =>
+        var cumA = bc.value._1(i); var cumB = bc.value._2(i)
+        var sA = 0.0; var sB = 0.0
+        it.foreach { case (_, ca, cb) =>
+          val t = ca + cb
+          val r = (cumA + cumB) + (t + 1) / 2.0
+          sA += ca * r; sB += cb * r
+          cumA += ca; cumB += cb
+        }
+        Iterator((sA, sB))
+      }.collect()
+      val rbar1 = p1.map(_._1).sum / na
+      val rbar2 = p1.map(_._2).sum / nb
+      val c1 = rbar1 - (na + 1) / 2.0
+      val c2 = rbar2 - (nb + 1) / 2.0
+      val p2 = sorted.mapPartitionsWithIndex { case (i, it) =>
+        var cumA = bc.value._1(i); var cumB = bc.value._2(i)
+        var qA = 0.0; var qB = 0.0
+        it.foreach { case (_, ca, cb) =>
+          val t = ca + cb
+          val r = (cumA + cumB) + (t + 1) / 2.0
+          val dA = r - (cumA + (ca + 1) / 2.0) - c1
+          val dB = r - (cumB + (cb + 1) / 2.0) - c2
+          qA += ca * dA * dA; qB += cb * dB * dB
+          cumA += ca; cumB += cb
+        }
+        Iterator((qA, qB))
+      }.collect()
+      val s1 = p2.map(_._1).sum / (na - 1.0)
+      val s2 = p2.map(_._2).sum / (nb - 1.0)
+      val vA = na * s1; val vB = nb * s2
+      require(vA + vB > 0.0, "degenerate ranks (all values identical)")
+      val nTot = (na + nb).toDouble
+      def r6(x: Double) = math.rint(x * 1e6) / 1e6
+      val pHat = r6((rbar2 - (nb + 1) / 2.0) / na)
+      val w = r6(na.toDouble * nb * (rbar2 - rbar1) /
+        (nTot * math.sqrt(vA + vB)))
+      val dfW = r6((vA + vB) * (vA + vB) /
+        (vA * vA / (na - 1.0) + vB * vB / (nb - 1.0)))
+      val p = r6(SpecialMath.erfc(math.abs(w) / math.sqrt(2.0)))
+      Seq((na, nb, pHat, w, dfW, p))
+        .toDF("n_a", "n_b", "p_hat", "w", "df", "p_value")
+    } finally sorted.unpersist(blocking = false)
+  }
+
+  /** Cucconi two-sample location–scale test (Cucconi 1968; Marozzi
+    * 2009) — ONE statistic sensitive to BOTH a mean shift and a
+    * variance change, where Lepage bolts two tests together: with
+    * midranks R of sample b in the pooled ordering,
+    *
+    *   U = (6ΣR² − n_b(N+1)(2N+1)) / √(n_a·n_b(N+1)(2N+1)(8N+11)/5),
+    *   V = the same on the CONTRARY ranks N+1−R,
+    *   C = (U² + V² − 2ρUV) / (2(1−ρ²)),  ρ = 2(N²−4)/((2N+1)(8N+11)) − 1
+    *
+    * and the asymptotic p-value is exactly exp(−C). One prefix-sum
+    * fold pass over the value cells; U/V/C 6-rounded, p at the rounded
+    * C (the classic no-ties null moments, evaluated on midranks —
+    * documented approximation under heavy ties).
+    *
+    * @return one row: (n_a, n_b, u, v, rho, c, p_value) */
+  def cucconiTest(df: DataFrame, cohortCol: String, valueCol: String,
+                  labelA: String = "a", labelB: String = "b"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (sorted, na, nb, offA, offB) =
+      cohortCounts(df, cohortCol, valueCol, labelA, labelB)
+    try {
+      val bc = spark.sparkContext.broadcast((offA, offB))
+      val n = (na + nb).toDouble
+      val parts = sorted.mapPartitionsWithIndex { case (i, it) =>
+        var cumA = bc.value._1(i); var cumB = bc.value._2(i)
+        var sR2 = 0.0; var sC2 = 0.0
+        it.foreach { case (_, ca, cb) =>
+          val t = ca + cb
+          val r = (cumA + cumB) + (t + 1) / 2.0
+          val cr = n + 1.0 - r
+          sR2 += cb * r * r; sC2 += cb * cr * cr
+          cumA += ca; cumB += cb
+        }
+        Iterator((sR2, sC2))
+      }.collect()
+      val sR2 = parts.map(_._1).sum
+      val sC2 = parts.map(_._2).sum
+      val mean = nb * (n + 1.0) * (2.0 * n + 1.0)
+      val sd = math.sqrt(na.toDouble * nb * (n + 1.0) *
+        (2.0 * n + 1.0) * (8.0 * n + 11.0) / 5.0)
+      require(sd > 0.0, "degenerate sample sizes")
+      def r6(x: Double) = math.rint(x * 1e6) / 1e6
+      val u = r6((6.0 * sR2 - mean) / sd)
+      val v = r6((6.0 * sC2 - mean) / sd)
+      val rho = r6(2.0 * (n * n - 4.0) /
+        ((2.0 * n + 1.0) * (8.0 * n + 11.0)) - 1.0)
+      val c = r6((u * u + v * v - 2.0 * rho * u * v) /
+        (2.0 * (1.0 - rho * rho)))
+      val p = r6(math.exp(-c))
+      Seq((na, nb, u, v, rho, c, p))
+        .toDF("n_a", "n_b", "u", "v", "rho", "c", "p_value")
+    } finally sorted.unpersist(blocking = false)
+  }
+
+  /** Lepage two-sample location–scale test (Lepage 1971): the sum of
+    * the squared standardized Wilcoxon rank-sum (location) and
+    * Ansari–Bradley (scale) statistics, D = z_W² + z_C² ~ χ²(2) under
+    * the null; p = exp(−D/2) exactly. Ties are handled the honest way:
+    * both statistics standardize with the PERMUTATION moments of the
+    * REALIZED scores (for score s: E = n_a·Σs/N,
+    * Var = n_a·n_b·(NΣs² − (Σs)²)/(N²(N−1))), which stay exact under
+    * midranks — no tie-correction lookup tables. One prefix-sum fold
+    * pass accumulating six score sums over the value cells; z's
+    * 6-rounded before squaring.
+    *
+    * @return one row: (n_a, n_b, w_stat, z_w, ab_stat, z_ab, d,
+    *         p_value) */
+  def lepageTest(df: DataFrame, cohortCol: String, valueCol: String,
+                 labelA: String = "a", labelB: String = "b"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (sorted, na, nb, offA, offB) =
+      cohortCounts(df, cohortCol, valueCol, labelA, labelB)
+    try {
+      val bc = spark.sparkContext.broadcast((offA, offB))
+      val n = (na + nb).toDouble
+      val parts = sorted.mapPartitionsWithIndex { case (i, it) =>
+        var cumA = bc.value._1(i); var cumB = bc.value._2(i)
+        var sR = 0.0; var sR2 = 0.0; var wA = 0.0
+        var sS = 0.0; var sS2 = 0.0; var cA = 0.0
+        it.foreach { case (_, ca, cb) =>
+          val t = ca + cb
+          val r = (cumA + cumB) + (t + 1) / 2.0
+          val a = math.min(r, n + 1.0 - r)
+          sR += t * r; sR2 += t * r * r; wA += ca * r
+          sS += t * a; sS2 += t * a * a; cA += ca * a
+          cumA += ca; cumB += cb
+        }
+        Iterator((sR, sR2, wA, sS, sS2, cA))
+      }.collect()
+      val sR = parts.map(_._1).sum; val sR2 = parts.map(_._2).sum
+      val wStat = parts.map(_._3).sum
+      val sS = parts.map(_._4).sum; val sS2 = parts.map(_._5).sum
+      val abStat = parts.map(_._6).sum
+      def r6(x: Double) = math.rint(x * 1e6) / 1e6
+      def zOf(stat: Double, s1: Double, s2: Double): Double = {
+        val e = na * s1 / n
+        val v = na.toDouble * nb * (n * s2 - s1 * s1) /
+          (n * n * (n - 1.0))
+        require(v > 0.0, "degenerate scores (all values identical)")
+        r6((stat - e) / math.sqrt(v))
+      }
+      val zW = zOf(wStat, sR, sR2)
+      val zC = zOf(abStat, sS, sS2)
+      val d = r6(zW * zW + zC * zC)
+      val p = r6(math.exp(-d / 2.0))
+      Seq((na, nb, wStat, zW, abStat, zC, d, p))
+        .toDF("n_a", "n_b", "w_stat", "z_w", "ab_stat", "z_ab", "d",
+          "p_value")
+    } finally sorted.unpersist(blocking = false)
+  }
+
   /** Two-sample Anderson–Darling test (Scholz–Stephens k-sample form,
     * k = 2, midrank/tie-adjusted version A²_akN) — the tail-sensitive
     * member of the two-sample trio: [[mannWhitneyU]] sees location,

@@ -676,6 +676,92 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       share = 0.9).head().getAs[Long]("k_top") == 2L)
   }
 
+  test("fleissKappa and krippendorffAlpha match hand-worked panels") {
+    import spark.implicits._
+    // 4 items × 3 raters, two categories: P̄ = 2/3, P_e = 1/2, κ = 1/3
+    val fleissRows = Seq(
+      (1L, "x"), (1L, "x"), (1L, "x"),
+      (2L, "x"), (2L, "x"), (2L, "y"),
+      (3L, "y"), (3L, "y"), (3L, "y"),
+      (4L, "x"), (4L, "y"), (4L, "y"),
+      // a 2-rating item must be DROPPED by the fixed-panel contract
+      (5L, "x"), (5L, "y")).toDF("item", "cat")
+    val fk = Evaluation.fleissKappa(fleissRows, "item", "cat",
+      raters = 3).head()
+    assert(fk.getAs[Long]("n_items") == 4L)
+    assert(math.abs(fk.getAs[Double]("p_bar") - 0.666667) < 1e-6)
+    assert(math.abs(fk.getAs[Double]("p_e") - 0.5) < 1e-9)
+    assert(math.abs(fk.getAs[Double]("kappa") - 0.333333) < 1e-6)
+    // ragged panel: D_o = 4, D_e = 5, α = 0.2 (the singleton item
+    // contributes no pairable ratings)
+    val kRows = Seq(
+      (1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"), (3L, "a"), (3L, "b"),
+      (4L, "a"), (4L, "a"), (4L, "b"), (5L, "c")).toDF("item", "cat")
+    val ka = Evaluation.krippendorffAlpha(kRows, "item", "cat").head()
+    assert(ka.getAs[Long]("n_items") == 4L)
+    assert(ka.getAs[Long]("n_ratings") == 9L)
+    assert(math.abs(ka.getAs[Double]("d_o") - 4.0) < 1e-9)
+    assert(math.abs(ka.getAs[Double]("d_e") - 5.0) < 1e-9)
+    assert(math.abs(ka.getAs[Double]("alpha") - 0.2) < 1e-9)
+    // perfect agreement: alpha = 1
+    val perfect = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"))
+      .toDF("item", "cat")
+    assert(Evaluation.krippendorffAlpha(perfect, "item", "cat").head()
+      .getAs[Double]("alpha") == 1.0)
+  }
+
+  test("gkAssociation: perfect concordance gamma 1, lambda on a known table") {
+    import spark.implicits._
+    // monotone pairs only → gamma = 1; predictable rows → lambda
+    val mono = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (1.0, 1.0))
+      .toDF("x", "y")
+    val g1 = Evaluation.gkAssociation(mono, "x", "y").head()
+    assert(g1.getAs[Double]("gamma") == 1.0)
+    assert(g1.getAs[Long]("discordant") == 0L)
+    // classic lambda table: rows predict y beyond the modal column
+    // cells: x=1:(y1:6,y2:2), x=2:(y1:2,y2:6) → srow=12, mcol=8, n=16
+    // lambda = (12-8)/(16-8) = 0.5; gamma = (36-4)/(36+4) = 0.8
+    val tab = Seq.fill(6)((1.0, 1.0)) ++ Seq.fill(2)((1.0, 2.0)) ++
+      Seq.fill(2)((2.0, 1.0)) ++ Seq.fill(6)((2.0, 2.0))
+    val g2 = Evaluation.gkAssociation(tab.toDF("x", "y"), "x", "y").head()
+    assert(g2.getAs[Long]("concordant") == 36L)
+    assert(g2.getAs[Long]("discordant") == 4L)
+    assert(g2.getAs[Double]("gamma") == 0.8)
+    assert(g2.getAs[Double]("lambda_yx") == 0.5)
+    // cardinality guard fires loudly
+    val wide = (0 until 200).map(i => (i.toDouble, i.toDouble))
+      .toDF("x", "y")
+    val ex = intercept[IllegalArgumentException] {
+      Evaluation.gkAssociation(wide, "x", "y", maxCells = 64)
+    }
+    assert(ex.getMessage.contains("LOW-CARDINALITY"))
+  }
+
+  test("stuartMaxwell: symmetric table null, shifted margins fire") {
+    import spark.implicits._
+    // perfectly symmetric 3×3 → d = 0, chi2 = 0, p = 1
+    val sym = Seq(
+      ("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"), ("b", "c"),
+      ("c", "b"), ("a", "a"), ("b", "b"), ("c", "c")).toDF("f", "l")
+    val s0 = Evaluation.stuartMaxwell(sym, "f", "l").head()
+    assert(s0.getAs[Long]("d1") == 0L && s0.getAs[Long]("d2") == 0L)
+    assert(s0.getAs[Double]("chi2") == 0.0)
+    assert(s0.getAs[Double]("p_value") == 1.0)
+    // strong marginal shift a→b: chi2 large, p small
+    val shift = (Seq.fill(20)(("a", "b")) ++ Seq.fill(2)(("b", "a")) ++
+      Seq.fill(3)(("a", "c")) ++ Seq.fill(3)(("c", "a")) ++
+      Seq.fill(2)(("b", "c")) ++ Seq.fill(2)(("c", "b"))).toDF("f", "l")
+    val s1 = Evaluation.stuartMaxwell(shift, "f", "l").head()
+    assert(s1.getAs[Double]("chi2") > 10.0)
+    assert(s1.getAs[Double]("p_value") < 0.01)
+    // wrong k fails loudly
+    val two = Seq(("a", "b"), ("b", "a")).toDF("f", "l")
+    val ex = intercept[IllegalArgumentException] {
+      Evaluation.stuartMaxwell(two, "f", "l")
+    }
+    assert(ex.getMessage.contains("exactly 3 categories"))
+  }
+
   test("cohenKappa: classic 2x2 table gives 0.4; degenerate agreement null") {
     import spark.implicits._
     // yes/yes 20, no/no 15, yes/no 5, no/yes 10 → po=0.7, pe=0.5, κ=0.4

@@ -865,6 +865,39 @@ class StatTestsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("n") == 9L && r.getAs[Long]("k") == 3L)
   }
 
+  test("brunnerMunzel/cucconi/lepage match the independent references") {
+    import spark.implicits._
+    // fixture with ties in both samples; references computed with a
+    // standalone midrank implementation (BM agrees with R lawstat /
+    // scipy's brunnermunzel on tie-free data by construction)
+    val a = Seq(1.0, 2, 2, 3, 4, 5, 5, 6, 7, 8)
+    val b = Seq(2.0, 3, 3, 4, 5, 6, 7, 7, 8, 9, 10, 11)
+    val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v")
+    val bm = StatTests.brunnerMunzel(df, "g", "v").head()
+    assert(bm.getAs[Long]("n_a") == 10L && bm.getAs[Long]("n_b") == 12L)
+    assert(math.abs(bm.getAs[Double]("p_hat") - 0.695833) < 2e-6)
+    assert(math.abs(bm.getAs[Double]("w") - 1.717308) < 2e-6)
+    assert(math.abs(bm.getAs[Double]("df") - 19.999719) < 2e-6)
+    val cu = StatTests.cucconiTest(df, "g", "v").head()
+    assert(math.abs(cu.getAs[Double]("u") - 1.574995) < 2e-6)
+    assert(math.abs(cu.getAs[Double]("v") - (-1.434408)) < 2e-6)
+    assert(math.abs(cu.getAs[Double]("c") - 1.243856) < 2e-6)
+    assert(math.abs(cu.getAs[Double]("p_value") - 0.28827) < 2e-6 * 10)
+    val le = StatTests.lepageTest(df, "g", "v").head()
+    assert(le.getAs[Double]("w_stat") == 91.5)
+    assert(le.getAs[Double]("ab_stat") == 64.5)
+    assert(math.abs(le.getAs[Double]("z_w") - (-1.557924)) < 2e-6)
+    assert(math.abs(le.getAs[Double]("z_ab") - 0.533403) < 2e-6)
+    assert(math.abs(le.getAs[Double]("d") - 2.711645) < 2e-6)
+    assert(math.abs(le.getAs[Double]("p_value") - 0.257735) < 2e-6 * 10)
+    // identical samples: all three must read null-ish
+    val same = (a.map(("a", _)) ++ a.map(("b", _))).toDF("g", "v")
+    assert(math.abs(StatTests.brunnerMunzel(same, "g", "v").head()
+      .getAs[Double]("p_hat") - 0.5) < 1e-9)
+    assert(StatTests.lepageTest(same, "g", "v").head()
+      .getAs[Double]("p_value") > 0.9)
+  }
+
   test("c2stLogistic separates shifted slices, clears identical ones") {
     import spark.implicits._
     // well-separated: A around 100, B around 0 — the classifier must
