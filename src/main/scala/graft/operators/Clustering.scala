@@ -111,6 +111,83 @@ object Clustering {
     KMeansModel(centroids, sizes, inertia, sizes.sum, iters)
   }
 
+  /** Davies–Bouldin and Calinski–Harabasz cluster validity indices for
+    * a fitted [[KMeansModel]] — the "is k right / are these clusters
+    * real" acceptance metrics next to [[silhouetteByLabel]]:
+    *
+    *   DB = (1/k')·Σᵢ maxⱼ≠ᵢ (Sᵢ + Sⱼ)/‖cᵢ − cⱼ‖   (lower better),
+    *   CH = (B/(k'−1)) / (W/(n − k'))               (higher better)
+    *
+    * with Sᵢ the mean member→centroid distance, W the within sum of
+    * squares, B = Σ nᵢ‖cᵢ − c̄‖² the between sum (c̄ the size-weighted
+    * centroid mean), and k' the non-empty cluster count. ONE
+    * assignment pass + a per-cluster aggregation; the k×k ratio scan
+    * runs on the driver over the k-row stats (k bounded by the model).
+    *
+    * @return one row: (k, k_effective, n, db_index, ch_index, w_ssq,
+    *         b_ssq) — doubles rounded to 6 */
+  def validityIndices(df: DataFrame, embCol: String, idCol: String,
+                      model: KMeansModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val clean = df
+      .select(F.col(idCol).as("__id"),
+        F.col(embCol).cast("array<double>").as("__emb"))
+      .where(F.col("__emb").isNotNull)
+    val per = withAssignment(clean, "__emb", model.centroids)
+      .groupBy("cluster")
+      .agg(F.count(F.lit(1)).as("n"), F.sum("__d2").as("w"),
+        F.sum(F.sqrt(F.col("__d2"))).as("sd"))
+      .collect()
+      .map(r => r.getAs[Int]("cluster") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("w"),
+          r.getAs[Double]("sd"))).toMap
+    val k = model.k
+    val live = (0 until k).filter(c => per.get(c).exists(_._1 > 0L))
+    require(live.length >= 2,
+      s"only ${live.length} non-empty clusters — validity indices " +
+        "need at least 2")
+    val n = live.map(per(_)._1).sum
+    val kEff = live.length
+    require(n > kEff, "need more rows than clusters")
+    val d = model.centroids(0).length
+    // size-weighted global centroid, then B — driver arithmetic over
+    // the quantized model centroids, cluster-ascending order
+    val mean = Array.tabulate(d) { j =>
+      live.map(c => per(c)._1 * model.centroids(c)(j)).sum / n
+    }
+    val b = live.map { c =>
+      var s = 0.0; var j = 0
+      while (j < d) {
+        val t = model.centroids(c)(j) - mean(j); s += t * t; j += 1
+      }
+      per(c)._1 * s
+    }.sum
+    val w = live.map(per(_)._2).sum
+    val sMean = live.map(c => c -> per(c)._3 / per(c)._1).toMap
+    def cDist(a: Int, bb: Int): Double = {
+      var s = 0.0; var j = 0
+      while (j < d) {
+        val t = model.centroids(a)(j) - model.centroids(bb)(j)
+        s += t * t; j += 1
+      }
+      math.sqrt(s)
+    }
+    val db = live.map { i =>
+      live.filter(_ != i).map { j =>
+        val dist = cDist(i, j)
+        require(dist > 0.0,
+          s"clusters $i and $j share a centroid — k is too large")
+        (sMean(i) + sMean(j)) / dist
+      }.max
+    }.sum / kEff
+    val ch = (b / (kEff - 1.0)) / (w / (n - kEff).toDouble)
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    Seq((k, kEff, n, r6(db), r6(ch), r6(w), r6(b)))
+      .toDF("k", "k_effective", "n", "db_index", "ch_index", "w_ssq",
+        "b_ssq")
+  }
+
   /** The final assignment as a DataFrame: input columns + `cluster`. */
   def assign(df: DataFrame, embCol: String,
              model: KMeansModel): DataFrame =

@@ -1107,6 +1107,65 @@ object Evaluation {
       F.round(po, 6).as("po"), F.round(pe, 6).as("pe"), F.col("n"))
   }
 
+  /** Hosmer–Lemeshow goodness-of-calibration test, classic 10-bin
+    * form: partition predictions into fixed-width risk bins, compare
+    * observed vs expected event counts per bin,
+    *
+    *   H = Σ_b [ (O₁−E₁)²/E₁ + (O₀−E₀)²/E₀ ]  ~ χ²(8)
+    *
+    * (fixed-width bins rather than sample deciles — deterministic and
+    * sort-free at any scale; the statistic tests the same calibration
+    * hypothesis). Bins must all be populated with 0 < E₁ < n_b — the
+    * test is undefined otherwise and this fails LOUDLY rather than
+    * silently merging. p = exp(−H/2)·Σ_{k≤3}(H/2)^k/k! (the even-df
+    * χ²(8) closed form, at the 6-rounded H). One bin aggregation; the
+    * 10-row stats collect to the driver.
+    *
+    * @return one row: (n, bins, chi2, df, p_value) */
+  def hosmerLemeshow(df: DataFrame, probCol: String,
+                     labelCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bins = 10
+    val p = F.col(probCol).cast("double")
+    val y = F.col(labelCol).cast("boolean")
+    val rows = df
+      .where(p.isNotNull && !F.isnan(p) && p >= 0.0 && p <= 1.0 &&
+        y.isNotNull)
+      .groupBy(F.least(F.floor(p * bins), F.lit(bins - 1).cast("long"))
+        .as("__b"))
+      .agg(F.count(F.lit(1)).as("nb"),
+        F.sum(F.when(y, 1L).otherwise(0L)).as("o1"),
+        F.sum(p).as("e1"))
+      .collect()
+      .map(r => r.getAs[Long]("__b") ->
+        (r.getAs[Long]("nb"), r.getAs[Long]("o1"),
+          r.getAs[Double]("e1"))).toMap
+    (0 until bins).foreach { b =>
+      require(rows.contains(b.toLong),
+        s"risk bin $b is empty — Hosmer–Lemeshow needs every bin " +
+          "populated; rescale the score or use a calibration curve")
+      val (nb, _, e1) = rows(b.toLong)
+      require(e1 > 0.0 && e1 < nb,
+        s"risk bin $b has degenerate expected counts (E1=$e1 of " +
+          s"$nb) — the chi-square term divides by zero")
+    }
+    val n = rows.values.map(_._1).sum
+    val chi2 = (0 until bins).map { b =>
+      val (nb, o1, e1) = rows(b.toLong)
+      val d1 = o1 - e1
+      val e0 = nb - e1
+      d1 * d1 / e1 + d1 * d1 / e0
+    }.sum
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    val h = r6(chi2)
+    val h2 = h / 2.0
+    val pv = r6(math.exp(-h2) *
+      (1.0 + h2 + h2 * h2 / 2.0 + h2 * h2 * h2 / 6.0))
+    Seq((n, bins, h, bins - 2, pv))
+      .toDF("n", "bins", "chi2", "df", "p_value")
+  }
+
   /** Fleiss' κ for a FIXED panel of `raters` raters over many items —
     * the many-rater generalization of [[cohenKappa]] (Fleiss 1971):
     * with n_ij the count of raters placing item i in category j,

@@ -161,6 +161,77 @@ object StatTests {
     } finally sorted.unpersist(blocking = false)
   }
 
+  /** Two-sample Hotelling T² for a BIVARIATE mean difference — the
+    * multivariate t-test that respects the correlation between the two
+    * metrics (two marginal t-tests at α/2 are both leakier and blind
+    * to correlated shifts): with pooled covariance S,
+    *
+    *   T² = (n_a·n_b/N)·dᵀS⁻¹d,   F = (N−3)/(2(N−2))·T² ~ F(2, N−3)
+    *
+    * and the numerator-df-2 F survival is closed form,
+    * p = (1 + 2F/ν)^(−ν/2). ONE moment aggregation (counts, sums,
+    * cross-products per cohort), a 2×2 Cramer inverse in column
+    * arithmetic — fully SQL-replayable.
+    *
+    * @return one row: (n_a, n_b, d1, d2, t2, f, p_value) */
+  def hotellingT2(df: DataFrame, cohortCol: String, xCol: String,
+                  yCol: String, labelA: String = "a",
+                  labelB: String = "b"): DataFrame = {
+    require(labelA != labelB, "cohort labels must differ")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = F.col(cohortCol).cast("string")
+    val x = F.col(xCol).cast("double")
+    val y = F.col(yCol).cast("double")
+    val ok = Seq(x, y).map(c => c.isNotNull && !F.isnan(c))
+      .reduce(_ && _) && g.isin(labelA, labelB)
+    def side(l: String, c: org.apache.spark.sql.Column) =
+      F.sum(F.when(g === l, c).otherwise(0.0))
+    def cnt(l: String) =
+      F.sum(F.when(g === l, 1L).otherwise(0L))
+    val r = df.where(ok).agg(
+      cnt(labelA).as("na"), cnt(labelB).as("nb"),
+      side(labelA, x).as("sxa"), side(labelA, y).as("sya"),
+      side(labelA, x * x).as("sxxa"), side(labelA, y * y).as("syya"),
+      side(labelA, x * y).as("sxya"),
+      side(labelB, x).as("sxb"), side(labelB, y).as("syb"),
+      side(labelB, x * x).as("sxxb"), side(labelB, y * y).as("syyb"),
+      side(labelB, x * y).as("sxyb")).head()
+    val na = r.getAs[Long]("na"); val nb = r.getAs[Long]("nb")
+    require(na > 1 && nb > 1, "need at least two rows per cohort")
+    val n = (na + nb).toDouble
+    require(na + nb > 3, "need N > 3 for the F reference")
+    def q(s: Double, sa: Double, nn: Long) = s - sa * sa / nn
+    def qc(sxy: Double, sx: Double, sy: Double, nn: Long) =
+      sxy - sx * sy / nn
+    val mxa = r.getAs[Double]("sxa") / na
+    val mya = r.getAs[Double]("sya") / na
+    val mxb = r.getAs[Double]("sxb") / nb
+    val myb = r.getAs[Double]("syb") / nb
+    val s11 = (q(r.getAs[Double]("sxxa"), r.getAs[Double]("sxa"), na) +
+      q(r.getAs[Double]("sxxb"), r.getAs[Double]("sxb"), nb)) / (n - 2.0)
+    val s22 = (q(r.getAs[Double]("syya"), r.getAs[Double]("sya"), na) +
+      q(r.getAs[Double]("syyb"), r.getAs[Double]("syb"), nb)) / (n - 2.0)
+    val s12 = (qc(r.getAs[Double]("sxya"), r.getAs[Double]("sxa"),
+      r.getAs[Double]("sya"), na) +
+      qc(r.getAs[Double]("sxyb"), r.getAs[Double]("sxb"),
+        r.getAs[Double]("syb"), nb)) / (n - 2.0)
+    val det = s11 * s22 - s12 * s12
+    require(det > 0.0, "singular pooled covariance (a metric is " +
+      "constant or the two are collinear)")
+    val d1 = mxa - mxb
+    val d2 = mya - myb
+    val quad = (s22 * d1 * d1 - 2.0 * s12 * d1 * d2 + s11 * d2 * d2) /
+      det
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    val t2 = r6(na.toDouble * nb / n * quad)
+    val nu = n - 3.0
+    val f = r6(nu / (2.0 * (n - 2.0)) * t2)
+    val p = r6(math.pow(1.0 + 2.0 * f / nu, -nu / 2.0))
+    Seq((na, nb, r6(d1), r6(d2), t2, f, p))
+      .toDF("n_a", "n_b", "d1", "d2", "t2", "f", "p_value")
+  }
+
   /** Brunner–Munzel generalized Wilcoxon test (Brunner & Munzel 2000)
     * — the rank test that stays honest when the two cohorts have
     * UNEQUAL variances (the nonparametric Behrens–Fisher problem,

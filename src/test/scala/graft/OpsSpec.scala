@@ -676,6 +676,70 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       share = 0.9).head().getAs[Long]("k_top") == 2L)
   }
 
+  test("validityIndices: tight separated clusters beat a smeared split") {
+    import spark.implicits._
+    // two tight 2-D blobs at (0,0) and (10,10): with the true k=2
+    // centroids, DB is tiny and CH is huge
+    val pts = Seq(
+      (1L, Array(0.0, 0.1)), (2L, Array(0.1, 0.0)),
+      (3L, Array(-0.1, 0.0)), (4L, Array(0.0, -0.1)),
+      (5L, Array(10.0, 10.1)), (6L, Array(10.1, 10.0)),
+      (7L, Array(9.9, 10.0)), (8L, Array(10.0, 9.9)))
+      .toDF("id", "emb")
+    val good = Clustering.kMeans(pts, "emb", "id", k = 2, iters = 3,
+      init = Array(Array(0.0, 0.0), Array(10.0, 10.0)),
+      quantizeDecimals = 6)
+    val gi = Clustering.validityIndices(pts, "emb", "id", good).head()
+    assert(gi.getAs[Int]("k_effective") == 2 && gi.getAs[Long]("n") == 8L)
+    assert(gi.getAs[Double]("db_index") < 0.05)
+    assert(gi.getAs[Double]("ch_index") > 1000.0)
+    // W + B decompose the total sum of squares (within rounding)
+    val tot = gi.getAs[Double]("w_ssq") + gi.getAs[Double]("b_ssq")
+    assert(math.abs(tot - (8 * (0.01 + 25.0 + 25.0) / 1.0 -
+      8 * 0.0)) < 1.0) // ~400.08: 2·0.01 per blob + n·(5√2)² between
+    // a deliberately bad centroid pair (both inside one blob) scores
+    // far worse on DB
+    val bad = Clustering.kMeans(pts, "emb", "id", k = 2, iters = 1,
+      init = Array(Array(0.0, 0.05), Array(0.05, 0.0)),
+      quantizeDecimals = 6)
+    val bi = Clustering.validityIndices(pts, "emb", "id", bad).head()
+    assert(bi.getAs[Double]("db_index") > gi.getAs[Double]("db_index"))
+  }
+
+  test("hosmerLemeshow: calibrated scores pass, squared miscalibration fires") {
+    import spark.implicits._
+    // perfectly calibrated: in bin b the outcome rate equals the mean
+    // score — alternate y at exactly rate p within each tight score
+    // cell (p = 0.05..0.95, 40 rows each, o1 = round(40p))
+    val rows = (0 until 10).flatMap { b =>
+      val p = b / 10.0 + 0.05
+      val o1 = math.round(40 * p).toInt
+      (0 until 40).map(i => (p, i < o1))
+    }
+    val ok = Evaluation.hosmerLemeshow(rows.toDF("p", "y"), "p", "y")
+      .head()
+    assert(ok.getAs[Long]("n") == 400L)
+    assert(ok.getAs[Int]("df") == 8)
+    assert(ok.getAs[Double]("chi2") < 2.0)
+    assert(ok.getAs[Double]("p_value") > 0.9)
+    // same scores, outcomes at rate p² — strongly miscalibrated
+    val miss = (0 until 10).flatMap { b =>
+      val p = b / 10.0 + 0.05
+      val o1 = math.round(40 * p * p).toInt
+      (0 until 40).map(i => (p, i < o1))
+    }
+    val bad = Evaluation.hosmerLemeshow(miss.toDF("p", "y"), "p", "y")
+      .head()
+    assert(bad.getAs[Double]("chi2") > 50.0)
+    assert(bad.getAs[Double]("p_value") < 0.001)
+    // an empty bin fails loudly
+    val sparse = Seq((0.05, true), (0.95, false)).toDF("p", "y")
+    val ex = intercept[IllegalArgumentException] {
+      Evaluation.hosmerLemeshow(sparse, "p", "y")
+    }
+    assert(ex.getMessage.contains("empty"))
+  }
+
   test("fleissKappa and krippendorffAlpha match hand-worked panels") {
     import spark.implicits._
     // 4 items × 3 raters, two categories: P̄ = 2/3, P_e = 1/2, κ = 1/3

@@ -671,7 +671,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // table — none may cartesian or funnel through one partition
     for (q <- Seq("q_sarima", "q_aipw", "q_cox_efron",
         "q_unigram_tokenizer", "q_brunner_munzel", "q_cucconi",
-        "q_lepage")) {
+        "q_lepage", "q_hosmer_lemeshow", "q_hotelling",
+        "q_cluster_validity")) {
       val plan = physicalPlan(q)
       assert(!plan.contains("CartesianProduct"), q + ": " + plan.take(400))
       assert(!plan.contains("BroadcastNestedLoop"),

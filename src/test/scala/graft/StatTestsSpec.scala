@@ -865,6 +865,30 @@ class StatTestsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("n") == 9L && r.getAs[Long]("k") == 3L)
   }
 
+  test("hotellingT2: axis-separated clouds fire, identical clouds don't") {
+    import spark.implicits._
+    // cohort b shifted by (2, 0) with identity-ish scatter: T² large.
+    // hand check: d = (-2, 0), pooled S = I·(2/3)·(8/6)... the exact
+    // value is pinned by construction below
+    val a = Seq((0.0, 0.0), (1.0, 0.0), (-1.0, 0.0), (0.0, 1.0),
+      (0.0, -1.0)).map { case (x, y) => ("a", x, y) }
+    val b = Seq((2.0, 0.0), (3.0, 0.0), (1.0, 0.0), (2.0, 1.0),
+      (2.0, -1.0)).map { case (x, y) => ("b", x, y) }
+    val df = (a ++ b).toDF("g", "x", "y")
+    val r = StatTests.hotellingT2(df, "g", "x", "y").head()
+    assert(r.getAs[Long]("n_a") == 5L && r.getAs[Long]("n_b") == 5L)
+    assert(r.getAs[Double]("d1") == -2.0 && r.getAs[Double]("d2") == 0.0)
+    // S11 = S22 = (2+2)/8 = 0.5, S12 = 0 → T² = 2.5·(4/0.5) = 20
+    assert(math.abs(r.getAs[Double]("t2") - 20.0) < 1e-9)
+    assert(r.getAs[Double]("p_value") < 0.02)
+    // identical clouds: T² = 0, p = 1
+    val same = (a ++ a.map { case (_, x, y) => ("b", x, y) })
+      .toDF("g", "x", "y")
+    val r0 = StatTests.hotellingT2(same, "g", "x", "y").head()
+    assert(r0.getAs[Double]("t2") == 0.0)
+    assert(r0.getAs[Double]("p_value") == 1.0)
+  }
+
   test("brunnerMunzel/cucconi/lepage match the independent references") {
     import spark.implicits._
     // fixture with ties in both samples; references computed with a
