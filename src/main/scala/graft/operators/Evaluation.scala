@@ -1107,6 +1107,46 @@ object Evaluation {
       F.round(po, 6).as("po"), F.round(pe, 6).as("pe"), F.col("n"))
   }
 
+  /** Winkler interval score per group — the proper scoring rule for
+    * (1−α) prediction intervals (Gneiting & Raftery 2007): per row
+    *
+    *   IS = (u−l) + (2/α)(l−x)·𝟙[x<l] + (2/α)(x−u)·𝟙[x>u]
+    *
+    * so narrow AND honest intervals win; reported with the empirical
+    * coverage and mean width so the decomposition is visible. A
+    * reversed interval (l > u) fails the job loudly. ONE aggregation.
+    *
+    * @return one row per group: (groupCols…, n, coverage, mean_width,
+    *         mean_interval_score) rounded to 6 */
+  def intervalScoreByGroup(df: DataFrame, groupCols: Seq[String],
+                           actualCol: String, loCol: String,
+                           hiCol: String, alpha: Double): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0,1)")
+    val x = F.col(actualCol).cast("double")
+    val lo = F.col(loCol).cast("double")
+    val hi = F.col(hiCol).cast("double")
+    val ok = Seq(x, lo, hi).map(c => c.isNotNull && !F.isnan(c))
+      .reduce(_ && _) && groupCols.map(F.col(_).isNotNull).reduce(_ && _)
+    val w = F.when(lo > hi,
+        F.raise_error(F.concat(
+          F.lit(s"reversed interval ($loCol > $hiCol): lo="),
+          lo.cast("string"), F.lit(" hi="), hi.cast("string")))
+          .cast("double"))
+      .otherwise(hi - lo)
+    val pen = F.lit(2.0 / alpha)
+    val is = w +
+      F.when(x < lo, pen * (lo - x)).otherwise(0.0) +
+      F.when(x > hi, pen * (x - hi)).otherwise(0.0)
+    df.where(ok)
+      .groupBy(groupCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("n"),
+        F.round(F.avg((x >= lo && x <= hi).cast("double")), 6)
+          .as("coverage"),
+        F.round(F.avg(w), 6).as("mean_width"),
+        F.round(F.avg(is), 6).as("mean_interval_score"))
+  }
+
   /** Hosmer–Lemeshow goodness-of-calibration test, classic 10-bin
     * form: partition predictions into fixed-width risk bins, compare
     * observed vs expected event counts per bin,

@@ -3103,6 +3103,74 @@ object Features {
         F.round(seHac / seOls, 6).as("hac_ratio"))
   }
 
+  /** Diebold–Mariano forecast-comparison test per key — "is forecaster
+    * 1 ACTUALLY better than forecaster 2, or is the loss gap noise":
+    * on the squared-error loss differential dₜ = e₁ₜ² − e₂ₜ²,
+    *
+    *   DM = d̄ / √(σ̂²/T),
+    *   σ̂² = γ̂₀ + 2·Σ_{k≤h} (1 − k/(h+1))·γ̂ₖ    (Bartlett/HAC)
+    *
+    * with γ̂ₖ the lag-k autocovariances of dₜ — the same Newey–West
+    * kernel as [[neweyWestByKey]], because multi-step forecast errors
+    * are serially correlated and the naive t-test over-rejects.
+    * Large-sample normal p at the 6-rounded DM (the Harvey
+    * small-sample correction is omitted — documented). Key-partitioned
+    * lag windows + one per-key aggregation; keys shorter than
+    * maxLag + 3 rows are omitted.
+    *
+    * @param orderCol the time/period order within each key (caller
+    *                 guarantees uniqueness per key)
+    * @return one row per key: (keyCol, n, mean_loss1, mean_loss2,
+    *         mean_d, dm, p_value) */
+  def dieboldMarianoByKey(df: DataFrame, keyCol: String,
+                          orderCol: String, actualCol: String,
+                          f1Col: String, f2Col: String,
+                          maxLag: Int = 4): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 50, "maxLag must be in 1..50")
+    val a = F.col(actualCol).cast("double")
+    val f1 = F.col(f1Col).cast("double")
+    val f2 = F.col(f2Col).cast("double")
+    val ok = Seq(a, f1, f2).map(c => c.isNotNull && !F.isnan(c))
+      .reduce(_ && _) && F.col(keyCol).isNotNull
+    val wKey = Window.partitionBy("__k")
+    val wOrd = Window.partitionBy("__k").orderBy("__o")
+    val l1 = a - f1
+    val l2 = a - f2
+    var cur = df.where(ok)
+      .select(F.col(keyCol).as("__k"),
+        F.col(orderCol).cast("double").as("__o"),
+        (l1 * l1).as("__e1"), (l2 * l2).as("__e2"))
+      .withColumn("__d", F.col("__e1") - F.col("__e2"))
+      .withColumn("__dbar", F.avg("__d").over(wKey))
+      .withColumn("__c", F.col("__d") - F.col("__dbar"))
+    (1 to maxLag).foreach { l =>
+      cur = cur.withColumn(s"__cl$l", F.lag("__c", l).over(wOrd))
+    }
+    val meatLags = (1 to maxLag).map { l =>
+      F.lit(2.0 * (1.0 - l.toDouble / (maxLag + 1.0))) *
+        F.sum(F.col("__c") * F.col(s"__cl$l"))
+    }
+    val agged = cur.groupBy("__k").agg(
+      F.count(F.lit(1)).as("n"),
+      F.max("__dbar").as("dbar"),
+      F.avg("__e1").as("ml1"), F.avg("__e2").as("ml2"),
+      F.sum(F.col("__c") * F.col("__c")).as("g0"),
+      meatLags.reduce(_ + _).as("meat"))
+    val nD = F.col("n").cast("double")
+    val sig2 = (F.col("g0") + F.col("meat")) / nD
+    val dm = F.round(F.col("dbar") / F.sqrt(sig2 / nD), 6)
+    val erfcUdf = F.udf((x: Double) =>
+      math.rint(graft.functions.SpecialMath.erfc(
+        math.abs(x) / math.sqrt(2.0)) * 1e6) / 1e6)
+    agged
+      .where(F.col("n") > (maxLag + 2).toLong && sig2 > 0.0)
+      .select(F.col("__k").as(keyCol), F.col("n"),
+        F.round(F.col("ml1"), 6).as("mean_loss1"),
+        F.round(F.col("ml2"), 6).as("mean_loss2"),
+        F.round(F.col("dbar"), 6).as("mean_d"),
+        dm.as("dm"), erfcUdf(dm).as("p_value"))
+  }
+
   /** Croston's method per key for INTERMITTENT demand — the forecast
     * for series that are mostly zero (restock requests, rare-event
     * counts), where SES on the raw series chases zeros: smooth demand

@@ -558,6 +558,56 @@ object StatTests {
     * rows, ONE aggregation of explicit sums — replayable.
     *
     * @return one row: (n, k, alpha, item_var_sum, total_var) */
+  /** Split-half reliability with the Spearman–Brown step-up — the
+    * classic internal-consistency check next to [[cronbachAlpha]]
+    * when the "items" are repeated OBSERVATIONS per unit rather than
+    * fixed columns: each unit's measurements (ordered by `orderCol`,
+    * which the caller keeps unique per unit) split into odd/even
+    * halves, the halves' sums correlate across units, and
+    *
+    *   SB = 2r / (1 + r)
+    *
+    * estimates the full-length reliability. Units with fewer than two
+    * measurements drop (no pair to split). One keyed window + two
+    * aggregations; r from exact moment sums, 6-rounded.
+    *
+    * @return one row: (n_units, r_halves, spearman_brown) */
+  def splitHalfReliability(df: DataFrame, unitCol: String,
+                           orderCol: String,
+                           valueCol: String): DataFrame = {
+    val v = F.col(valueCol).cast("double")
+    val ok = F.col(unitCol).isNotNull && v.isNotNull && !F.isnan(v)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__u").orderBy("__o")
+    val halves = df.where(ok)
+      .select(F.col(unitCol).as("__u"),
+        F.col(orderCol).cast("double").as("__o"), v.as("__v"))
+      .withColumn("__rn", F.row_number().over(w))
+      .groupBy("__u")
+      .agg(F.count(F.lit(1)).as("__m"),
+        F.sum(F.when(F.col("__rn") % 2 === 1, F.col("__v"))
+          .otherwise(0.0)).as("__odd"),
+        F.sum(F.when(F.col("__rn") % 2 === 0, F.col("__v"))
+          .otherwise(0.0)).as("__even"))
+      .where(F.col("__m") >= 2L)
+    val r = halves.agg(
+      F.count(F.lit(1)).as("n"),
+      F.sum("__odd").as("so"), F.sum("__even").as("se"),
+      F.sum(F.col("__odd") * F.col("__odd")).as("soo"),
+      F.sum(F.col("__even") * F.col("__even")).as("see"),
+      F.sum(F.col("__odd") * F.col("__even")).as("soe"))
+    val n = F.col("n").cast("double")
+    val cov = F.col("soe") - F.col("so") * F.col("se") / n
+    val vo = F.col("soo") - F.col("so") * F.col("so") / n
+    val ve = F.col("see") - F.col("se") * F.col("se") / n
+    val corr = cov / F.sqrt(vo * ve)
+    r.where(F.col("n") > 1L && vo * ve > 0.0)
+      .select(F.col("n").as("n_units"),
+        F.round(corr, 6).as("r_halves"),
+        F.round(F.lit(2.0) * corr / (F.lit(1.0) + corr), 6)
+          .as("spearman_brown"))
+  }
+
   def cronbachAlpha(df: DataFrame, itemCols: Seq[String]): DataFrame = {
     require(itemCols.length >= 2, "need at least two items")
     val k = itemCols.length

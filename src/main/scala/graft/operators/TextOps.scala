@@ -1603,6 +1603,48 @@ object TextOps {
       .toDF("n_tokens", "vocab", "f1", "f2", "chao1", "coverage")
   }
 
+  /** First- and second-order jackknife richness estimators over
+    * INCIDENCE data (which documents a word type occurs in, not how
+    * often — the presence/absence complement of [[chao1]]'s
+    * abundance form; Burnham & Overton 1978):
+    *
+    *   Jack1 = S + Q₁(n−1)/n,
+    *   Jack2 = S + Q₁(2n−3)/n − Q₂(n−2)²/(n(n−1))
+    *
+    * with Qⱼ the species found in exactly j of the n sampling units.
+    * Two aggregations over distinct (unit, type) pairs; every term an
+    * exact integer until the final ratios.
+    *
+    * @return one row: (n_units, s_obs, q1, q2, jack1, jack2) */
+  def jackknifeRichness(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = df
+      .where(F.col(idCol).isNotNull)
+      .select(F.col(idCol).as("__u"),
+        F.explode(wordTokens(F.col(textCol))).as("__w"))
+      .distinct()
+    val perSpecies = pairs.groupBy("__w")
+      .agg(F.count(F.lit(1)).as("__q"))
+    val m = perSpecies.agg(
+      F.count(F.lit(1)).as("s"),
+      F.sum(F.when(F.col("__q") === 1L, 1L).otherwise(0L)).as("q1"),
+      F.sum(F.when(F.col("__q") === 2L, 1L).otherwise(0L)).as("q2"))
+      .head()
+    val n = pairs.select(F.countDistinct(F.col("__u"))).head().getLong(0)
+    require(n >= 2L, "need at least two sampling units")
+    val s = m.getAs[Long]("s")
+    val q1 = m.getAs[Long]("q1"); val q2 = m.getAs[Long]("q2")
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val nD = n.toDouble
+    val jack1 = s + q1 * (nD - 1.0) / nD
+    val jack2 = s + q1 * (2.0 * nD - 3.0) / nD -
+      q2 * (nD - 2.0) * (nD - 2.0) / (nD * (nD - 1.0))
+    Seq((n, s, q1, q2, r6(jack1), r6(jack2)))
+      .toDF("n_units", "s_obs", "q1", "q2", "jack1", "jack2")
+  }
+
   /** BM25 relevance of every document against a fixed query-term set,
     * top-k — the retrieval primitive of corpus curation ("pull the
     * documents most about X for review / targeted dedup / eval-set

@@ -371,6 +371,57 @@ object Validation {
       "n_groups_single_sensitive")
   }
 
+  /** t-closeness + entropy l-diversity audit per quasi-identifier
+    * group — the distributional rungs above [[kAnonymityAudit]]'s
+    * distinct-count floor: a group can hold many distinct sensitive
+    * values yet still leak if its MIX differs from the population
+    * (t-closeness, total-variation form for categorical attributes)
+    * or concentrates on one value (entropy ℓ-diversity):
+    *
+    *   TVD_g = ½·( Σ_{v∈g} |p_g(v) − p(v)| + Σ_{v∉g} p(v) ),
+    *   ℓ_ent = exp(−Σ p_g ln p_g)
+    *
+    * Scale shape: one (quasi, sensitive) cell aggregation feeds the
+    * group totals, the global marginals broadcast (sensitive support
+    * is attribute-sized), everything joins on the cells frame — no
+    * row-scale collect. NULL sensitive is a value (grouped, audited).
+    *
+    * @return one row per quasi group: (quasiCols…, n, distinct_l,
+    *         entropy_l, tvd, t_ok) rounded to 6 */
+  def tClosenessAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, t: Double): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi column")
+    require(t > 0.0 && t <= 1.0, "t must be in (0,1]")
+    val cells = df
+      .groupBy((quasiCols.map(F.col) :+
+        F.coalesce(F.col(sensitiveCol).cast("string"),
+          F.lit("__null__")).as("__s")): _*)
+      .agg(F.count(F.lit(1)).as("__c"))
+    val groupTot = cells.groupBy(quasiCols.map(F.col): _*)
+      .agg(F.sum("__c").as("__ng"),
+        F.count(F.lit(1)).as("__dl"))
+    val globTot = cells.groupBy("__s").agg(F.sum("__c").as("__ns"))
+    val nAll = cells.agg(F.sum("__c")).head().getLong(0)
+    require(nAll > 0L, "no rows")
+    val joined = cells
+      .join(groupTot, quasiCols)
+      .join(F.broadcast(globTot), "__s")
+    val pg = F.col("__c").cast("double") / F.col("__ng")
+    val p = F.col("__ns").cast("double") / nAll
+    val perGroup = joined.groupBy(quasiCols.map(F.col): _*)
+      .agg(F.max("__ng").as("n"), F.max("__dl").as("distinct_l"),
+        F.sum(F.abs(pg - p)).as("__sumabs"),
+        F.sum(p).as("__cov"),
+        F.sum(-pg * F.log(pg)).as("__h"))
+    perGroup.select((quasiCols.map(F.col) ++ Seq(
+      F.col("n"), F.col("distinct_l"),
+      F.round(F.exp(F.col("__h")), 6).as("entropy_l"),
+      F.round(F.lit(0.5) * (F.col("__sumabs") +
+        (F.lit(1.0) - F.col("__cov"))), 6).as("tvd"),
+      (F.round(F.lit(0.5) * (F.col("__sumabs") +
+        (F.lit(1.0) - F.col("__cov"))), 6) <= t).as("t_ok"))): _*)
+  }
+
   /** Heavy-hitter churn between two snapshots: the top-k values by
     * count on each side, their overlap (Jaccard over the union of the
     * two top-k sets), the newcomers/dropouts, and the Spearman

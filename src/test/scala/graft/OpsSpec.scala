@@ -676,6 +676,111 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       share = 0.9).head().getAs[Long]("k_top") == 2L)
   }
 
+  test("dieboldMarianoByKey: clear winner fires, equal forecasters don't") {
+    import spark.implicits._
+    // f1 is exact (zero loss), f2 off by a varying amount → d strictly
+    // negative, DM strongly negative
+    val rows = (0 until 40).map { i =>
+      val v = 10.0 + (i % 5)
+      ("k", i.toDouble, v, v, v + 1.0 + (i % 3) * 0.5)
+    }
+    val df = rows.toDF("k", "p", "v", "f1", "f2")
+    val r = Features.dieboldMarianoByKey(df, "k", "p", "v", "f1", "f2",
+      maxLag = 2).head()
+    assert(r.getAs[Long]("n") == 40L)
+    assert(r.getAs[Double]("mean_loss1") == 0.0)
+    assert(r.getAs[Double]("mean_loss2") > 1.0)
+    assert(r.getAs[Double]("dm") < -2.0)
+    assert(r.getAs[Double]("p_value") < 0.05)
+    // identical forecasters: the loss differential is identically 0 →
+    // sig2 = 0 → the key drops (degenerate, no verdict to report)
+    val same = rows.map { case (k, p, v, f1, _) => (k, p, v, f1, f1) }
+      .toDF("k", "p", "v", "f1", "f2")
+    assert(Features.dieboldMarianoByKey(same, "k", "p", "v", "f1",
+      "f2", maxLag = 2).count() == 0L)
+  }
+
+  test("intervalScoreByGroup: hand-scored penalties, reversed bounds raise") {
+    import spark.implicits._
+    // interval [0, 10], alpha = 0.2 → penalty 10/unit outside:
+    // x = 5 inside (IS 10), x = 12 above (10 + 10·2 = 30),
+    // x = -1 below (10 + 10·1 = 20) → mean 20, coverage 1/3
+    val df = Seq(("g", 5.0, 0.0, 10.0), ("g", 12.0, 0.0, 10.0),
+      ("g", -1.0, 0.0, 10.0)).toDF("g", "x", "lo", "hi")
+    val r = Evaluation.intervalScoreByGroup(df, Seq("g"), "x", "lo",
+      "hi", alpha = 0.2).head()
+    assert(r.getAs[Long]("n") == 3L)
+    assert(math.abs(r.getAs[Double]("coverage") - 0.333333) < 1e-6)
+    assert(r.getAs[Double]("mean_width") == 10.0)
+    assert(r.getAs[Double]("mean_interval_score") == 20.0)
+    val bad = Seq(("g", 5.0, 10.0, 0.0)).toDF("g", "x", "lo", "hi")
+    val ex = intercept[Exception] {
+      Evaluation.intervalScoreByGroup(bad, Seq("g"), "x", "lo", "hi",
+        alpha = 0.2).collect()
+    }
+    assert(ex.getMessage.contains("reversed interval") ||
+      ex.getCause != null)
+  }
+
+  test("jackknifeRichness matches the hand-worked incidence table") {
+    import spark.implicits._
+    // units: {x y}, {y z}, {y} → S = 3, Q1 = 2 (x, z), Q2 = 0, n = 3
+    // jack1 = 3 + 2·(2/3) = 4.333333; jack2 = 3 + 2·(3/3) − 0 = 5
+    val df = Seq((1L, "x y"), (2L, "y z"), (3L, "y"))
+      .toDF("doc_id", "text")
+    val r = TextOps.jackknifeRichness(df, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_units") == 3L)
+    assert(r.getAs[Long]("s_obs") == 3L)
+    assert(r.getAs[Long]("q1") == 2L && r.getAs[Long]("q2") == 0L)
+    assert(math.abs(r.getAs[Double]("jack1") - 4.333333) < 1e-6)
+    assert(r.getAs[Double]("jack2") == 5.0)
+  }
+
+  test("splitHalfReliability: identical halves give r = 1, SB = 1") {
+    import spark.implicits._
+    // each unit: 4 equal values → odd sum == even sum per unit, and
+    // the sums vary across units → perfect half correlation
+    val rows = (1 to 5).flatMap(u =>
+      (0 until 4).map(j => (u.toLong, (u * 10 + j).toLong, u.toDouble)))
+    val r = StatTests.splitHalfReliability(rows.toDF("u", "o", "v"),
+      "u", "o", "v").head()
+    assert(r.getAs[Long]("n_units") == 5L)
+    assert(r.getAs[Double]("r_halves") == 1.0)
+    assert(r.getAs[Double]("spearman_brown") == 1.0)
+    // a single-observation unit drops (nothing to split)
+    val withSingleton = rows ++ Seq((99L, 1L, 5.0))
+    val r2 = StatTests.splitHalfReliability(
+      withSingleton.toDF("u", "o", "v"), "u", "o", "v").head()
+    assert(r2.getAs[Long]("n_units") == 5L)
+  }
+
+  test("tClosenessAudit: matching mix passes, concentrated group fails") {
+    import spark.implicits._
+    // group A mirrors the global 50/50 mix → tvd 0; group B is all-'x'
+    // → tvd = 0.5·(|1−5/8| + |0−3/8|) = 0.375, entropy_l = 1
+    val df = (Seq.fill(2)(("A", "x")) ++ Seq.fill(2)(("A", "y")) ++
+      Seq.fill(3)(("B", "x")) ++ Seq.fill(1)(("B", "y")))
+      .toDF("g", "s")
+    val out = Validation.tClosenessAudit(df, Seq("g"), "s", t = 0.1)
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("A").getAs[Long]("n") == 4L)
+    assert(out("A").getAs[Long]("distinct_l") == 2L)
+    // global mix: x 5/8, y 3/8; A is 1/2-1/2 → tvd = 0.5·(2·1/8) = 0.125
+    assert(math.abs(out("A").getAs[Double]("tvd") - 0.125) < 1e-9)
+    assert(!out("A").getAs[Boolean]("t_ok"))
+    assert(math.abs(out("B").getAs[Double]("tvd") - 0.125) < 1e-9)
+    // entropy-l: A uniform over 2 → 2.0; B 3:1 → exp(H) < 2
+    assert(math.abs(out("A").getAs[Double]("entropy_l") - 2.0) < 1e-6)
+    assert(out("B").getAs[Double]("entropy_l") < 1.9)
+    // an all-one-value group: entropy_l = 1, tvd = absent mass share
+    val conc = (Seq.fill(4)(("A", "x")) ++ Seq.fill(4)(("B", "y")))
+      .toDF("g", "s")
+    val o2 = Validation.tClosenessAudit(conc, Seq("g"), "s", t = 0.4)
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(o2("A").getAs[Double]("entropy_l") == 1.0)
+    assert(math.abs(o2("A").getAs[Double]("tvd") - 0.5) < 1e-9)
+  }
+
   test("validityIndices: tight separated clusters beat a smeared split") {
     import spark.implicits._
     // two tight 2-D blobs at (0,0) and (10,10): with the true k=2

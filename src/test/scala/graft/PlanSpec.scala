@@ -672,7 +672,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (q <- Seq("q_sarima", "q_aipw", "q_cox_efron",
         "q_unigram_tokenizer", "q_brunner_munzel", "q_cucconi",
         "q_lepage", "q_hosmer_lemeshow", "q_hotelling",
-        "q_cluster_validity")) {
+        "q_cluster_validity", "q_diebold_mariano", "q_interval_score",
+        "q_split_half", "q_t_closeness")) {
       val plan = physicalPlan(q)
       assert(!plan.contains("CartesianProduct"), q + ": " + plan.take(400))
       assert(!plan.contains("BroadcastNestedLoop"),
