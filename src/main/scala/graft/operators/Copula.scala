@@ -176,6 +176,55 @@ final class GaussianCopula(
   }
 }
 
+/** Archimedean copula fitting by Kendall-τ inversion — the
+  * closed-form tail-dependence complement to [[GaussianCopula]] (which
+  * has NO tail dependence and so understates joint extremes): from the
+  * exact [[graft.operators.Ranks.kendallTauB]],
+  *
+  *   Clayton θ = 2τ/(1−τ)   (τ ∈ (0,1); lower-tail λ_L = 2^(−1/θ)),
+  *   Gumbel  θ = 1/(1−τ)    (τ ∈ [0,1); upper-tail λ_U = 2 − 2^(1/θ))
+  *
+  * (Frank needs the Debye-function inversion — no closed form — and is
+  * intentionally omitted). The τ estimate inherits kendallTauB's
+  * LOW-CARDINALITY cell contract: quantize continuous marginals first.
+  * Families whose τ-range excludes the estimate report null θ.
+  */
+object ArchimedeanCopula {
+  import org.apache.spark.sql.types._
+
+  /** @return one row: (n, tau, theta_clayton, lambda_lower,
+    *         theta_gumbel, lambda_upper) — θ/λ 6-rounded, null where
+    *         the family's τ-range excludes the estimate */
+  def fitByTau(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val spark = df.sparkSession
+    val k = Ranks.kendallTauB(df, colA, colB).head()
+    val n = k.getAs[Long]("n")
+    require(!k.isNullAt(k.fieldIndex("tau_b")),
+      "degenerate Kendall tau (a marginal is constant) — no " +
+        "Archimedean fit exists")
+    val tau = k.getAs[Double]("tau_b")
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    val thetaC: Option[Double] =
+      if (tau > 0.0 && tau < 1.0) Some(r6(2.0 * tau / (1.0 - tau)))
+      else None
+    val lambdaL = thetaC.map(t => r6(math.pow(2.0, -1.0 / t)))
+    val thetaG: Option[Double] =
+      if (tau >= 0.0 && tau < 1.0) Some(r6(1.0 / (1.0 - tau)))
+      else None
+    val lambdaU = thetaG.map(t => r6(2.0 - math.pow(2.0, 1.0 / t)))
+    val schema = StructType(Seq(
+      StructField("n", LongType), StructField("tau", DoubleType),
+      StructField("theta_clayton", DoubleType),
+      StructField("lambda_lower", DoubleType),
+      StructField("theta_gumbel", DoubleType),
+      StructField("lambda_upper", DoubleType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(
+        n, tau, thetaC.orNull, lambdaL.orNull, thetaG.orNull,
+        lambdaU.orNull)), schema)
+  }
+}
+
 object GaussianCopula {
 
   private[operators] def chol(corr: Array[Array[Double]]): Array[Array[Double]] = {

@@ -83,6 +83,69 @@ object Graph {
     ranks
   }
 
+  /** Eigenvector centrality by fixed-round power iteration — the
+    * prestige ranking where a node is important because IMPORTANT
+    * nodes point at it (PageRank without damping or the out-degree
+    * normalization; the adjacency eigenvector): per round
+    *
+    *   x ← (A + I)·x,   x ← round₆(x / ‖x‖₂)
+    *
+    * — the SHIFTED power iteration: the +I keeps the same Perron
+    * eigenvector but kills the ±λ oscillation plain A·x suffers on
+    * BIPARTITE graphs (user–item, supplier–part — exactly the graphs
+    * this runs on), with the iterate L2-normalized and 6-ROUNDED each
+    * round — the
+    * rounding pins the whole trajectory so an external engine replays
+    * every round as a chained CTE (the [[pageRank]] replay contract,
+    * hardened by per-round quantization). Works on directed edges;
+    * feed both directions for the undirected spectrum. Per round ONE
+    * edge⋈score join + dst aggregation + a scalar norm — scale-safe;
+    * iterates localCheckpoint so the plan stays O(1) deep.
+    *
+    * @return (node, score) for every node with an edge, after `iters`
+    *         rounds from the all-ones vector */
+  def eigenvectorCentrality(edges: DataFrame, srcCol: String,
+                            dstCol: String, iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 50, "iters must be in 1..50")
+    val e = edges.select(F.col(srcCol).cast("string").as("src"),
+      F.col(dstCol).cast("string").as("dst")).persist()
+    val nodes = e.select(F.col("src").as("node"))
+      .union(e.select(F.col("dst").as("node")))
+      .distinct().persist()
+    val small = nodes.count() <= maxBroadcastNodes
+    var x = nodes.withColumn("score", F.lit(1.0))
+    var it = 0
+    while (it < iters) {
+      val contrib = e
+        .join(maybeBroadcast(x.withColumnRenamed("node", "src"), small),
+          "src")
+        .groupBy(F.col("dst").as("node"))
+        .agg(F.sum(F.col("score")).as("__in"))
+      val joined = x
+        .join(maybeBroadcast(contrib, small), Seq("node"), "left")
+        .select(F.col("node"),
+          (F.coalesce(F.col("__in"), F.lit(0.0)) + F.col("score"))
+            .as("__in"))
+        .localCheckpoint(true)
+      val norm = joined.agg(F.sqrt(F.sum(
+        F.col("__in") * F.col("__in")))).head().getDouble(0)
+      require(norm > 0.0,
+        s"iterate collapsed to zero at round ${it + 1} — the graph " +
+          "has no edges into any node (or x became orthogonal)")
+      val normR = math.rint(norm * 1e6) / 1e6
+      val next = joined
+        .select(F.col("node"),
+          F.round(F.col("__in") / normR, 6).as("score"))
+        .localCheckpoint(true)
+      x.unpersist(false)
+      x = next
+      it += 1
+    }
+    e.unpersist(false)
+    nodes.unpersist(false)
+    x
+  }
+
   /** Personalized PageRank — [[pageRank]] with the teleport mass
     * pinned to a seed set instead of spread uniformly:
     *

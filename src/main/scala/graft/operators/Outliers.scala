@@ -315,6 +315,80 @@ object Outliers {
     *
     * @return topK rows by (score desc, idCol asc): (idCol, score,
     *         then one `bin_<col>` column per feature) */
+  /** Local Outlier Factor (Breunig et al. 2000), exact deterministic
+    * variant over a BOUNDED point set — the density-RELATIVE outlier
+    * score [[ecodScore]]/[[hbosScore]] can't express (a point is
+    * anomalous relative to its NEIGHBORHOOD's density, so a tight
+    * cluster inside a sparse cloud isn't mass-flagged):
+    *
+    *   reach_k(a,b) = max(d(a,b), kdist(b)),
+    *   lrd(a) = k / Σ_{b∈kNN(a)} reach_k(a,b),
+    *   LOF(a) = mean_{b∈kNN(a)} lrd(b) / lrd(a)
+    *
+    * Determinism contract: neighbors rank by (distance, id) so ties
+    * never wobble, and kNN keeps EXACTLY k (the classic ties-extend
+    * set is not replayable); quantize coordinates upstream so the
+    * distances are cross-engine exact. The pair join is n² — loudly
+    * bounded by `maxPoints`, the [[graft.operators.Ranks.kendallTauB]]
+    * cell contract (aggregate to buckets first; the LSH kNN join is
+    * the scale path for raw rows).
+    *
+    * @return one row per point: (id, k_dist, lrd, lof) rounded to 6 */
+  def localOutlierFactor(df: DataFrame, idCol: String, xCol: String,
+                         yCol: String, k: Int,
+                         maxPoints: Int = 4096): DataFrame = {
+    require(k >= 2 && k <= 64, "k must be in 2..64")
+    require(maxPoints >= k + 1 && maxPoints <= 65536,
+      "maxPoints must be in [k+1, 65536]")
+    import org.apache.spark.sql.expressions.Window
+    val x = F.col(xCol).cast("double")
+    val y = F.col(yCol).cast("double")
+    val pts = df
+      .where(F.col(idCol).isNotNull && x.isNotNull && !F.isnan(x) &&
+        y.isNotNull && !F.isnan(y))
+      .select(F.col(idCol).cast("long").as("id"), x.as("x"), y.as("y"))
+      .localCheckpoint(true)
+    val n = pts.count()
+    require(n <= maxPoints,
+      s"$n points — localOutlierFactor is exact on BOUNDED point " +
+        "sets (the pair join is n²); aggregate to buckets first")
+    require(n > k, s"need more than k=$k points, got $n")
+    val a = pts.select(F.col("id").as("ida"), F.col("x").as("xa"),
+      F.col("y").as("ya"))
+    val b = pts.select(F.col("id").as("idb"), F.col("x").as("xb"),
+      F.col("y").as("yb"))
+    val dx = F.col("xa") - F.col("xb")
+    val dy = F.col("ya") - F.col("yb")
+    val pairs = a.join(F.broadcast(b), F.col("ida") =!= F.col("idb"))
+      .select(F.col("ida"), F.col("idb"),
+        F.sqrt(dx * dx + dy * dy).as("dist"))
+    val wNn = Window.partitionBy("ida")
+      .orderBy(F.col("dist").asc, F.col("idb").asc)
+    val knn = pairs
+      .withColumn("__rn", F.row_number().over(wNn))
+      .where(F.col("__rn") <= k)
+      .localCheckpoint(true)
+    val kdist = knn.groupBy("ida").agg(F.max("dist").as("kd"))
+    // reach(a,b) = max(dist, kdist(b)); lrd = k / sum(reach)
+    val lrd = knn
+      .join(kdist.select(F.col("ida").as("idb"), F.col("kd").as("kdb")),
+        "idb")
+      .groupBy("ida")
+      .agg((F.lit(k.toDouble) /
+        F.sum(F.greatest(F.col("dist"), F.col("kdb")))).as("lrd"))
+    val lof = knn
+      .join(lrd.select(F.col("ida").as("idb"), F.col("lrd").as("lrdb")),
+        "idb")
+      .groupBy("ida").agg(F.avg("lrdb").as("__ml"))
+      .join(lrd, "ida")
+      .join(kdist, "ida")
+      .select(F.col("ida").as("id"),
+        F.round(F.col("kd"), 6).as("k_dist"),
+        F.round(F.col("lrd"), 6).as("lrd"),
+        F.round(F.col("__ml") / F.col("lrd"), 6).as("lof"))
+    lof
+  }
+
   def hbosScore(df: DataFrame, idCol: String, cols: Seq[String],
                 bins: Int = 10, topK: Int = 20): DataFrame = {
     require(cols.nonEmpty, "need at least one feature column")

@@ -676,6 +676,68 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       share = 0.9).head().getAs[Long]("k_top") == 2L)
   }
 
+  test("archimedeanFit maps tau to Clayton/Gumbel theta and tails") {
+    import spark.implicits._
+    // positively dependent with ties — tau strictly inside (0,1)
+    val df = Seq((1.0, 1L), (1.0, 1L), (2.0, 1L), (2.0, 2L),
+      (3.0, 2L), (3.0, 3L), (4.0, 3L), (4.0, 3L)).toDF("x", "y")
+    val r = ArchimedeanCopula.fitByTau(df, "x", "y").head()
+    val tau = r.getAs[Double]("tau")
+    assert(tau > 0.0 && tau < 1.0)
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    val tc = r.getAs[Double]("theta_clayton")
+    val tg = r.getAs[Double]("theta_gumbel")
+    assert(tc == r6(2.0 * tau / (1.0 - tau)))
+    assert(tg == r6(1.0 / (1.0 - tau)))
+    assert(r.getAs[Double]("lambda_lower") ==
+      r6(math.pow(2.0, -1.0 / tc)))
+    assert(r.getAs[Double]("lambda_upper") ==
+      r6(2.0 - math.pow(2.0, 1.0 / tg)))
+    // anti-dependent: Clayton has no tau < 0 fit, Gumbel neither
+    val neg = Seq((1.0, 3L), (2.0, 2L), (3.0, 1L), (1.0, 3L),
+      (2.0, 2L), (3.0, 1L)).toDF("x", "y")
+    val rn = ArchimedeanCopula.fitByTau(neg, "x", "y").head()
+    assert(rn.getAs[Double]("tau") < 0.0)
+    assert(rn.isNullAt(rn.fieldIndex("theta_clayton")))
+    assert(rn.isNullAt(rn.fieldIndex("theta_gumbel")))
+  }
+
+  test("eigenvectorCentrality ranks the star center above the leaves") {
+    import spark.implicits._
+    val base = Seq(("c", "l1"), ("c", "l2"), ("c", "l3"), ("c", "l4"))
+    val e = (base ++ base.map(_.swap)).toDF("src", "dst")
+    val out = Graph.eigenvectorCentrality(e, "src", "dst", iters = 6)
+      .collect().map(r => r.getAs[String]("node") ->
+        r.getAs[Double]("score")).toMap
+    assert(out("c") > out("l1"))
+    assert(out("l1") == out("l4")) // symmetry
+    // unit L2 norm after the final round's normalization
+    val norm = math.sqrt(out.values.map(s => s * s).sum)
+    assert(math.abs(norm - 1.0) < 1e-4)
+    // star eigenvector: center 1/sqrt(2), leaves 1/(2*sqrt(2))
+    assert(math.abs(out("c") - 1.0 / math.sqrt(2.0)) < 0.02)
+    assert(math.abs(out("l1") - 1.0 / (2.0 * math.sqrt(2.0))) < 0.02)
+  }
+
+  test("localOutlierFactor flags the planted far point, not the cluster") {
+    import spark.implicits._
+    // 9-point grid cluster + one far outlier
+    val cluster = for { i <- 0 until 3; j <- 0 until 3 }
+      yield ((i * 3 + j).toLong, i.toDouble, j.toDouble)
+    val pts = (cluster :+ (99L, 30.0, 30.0)).toDF("id", "x", "y")
+    val out = Outliers.localOutlierFactor(pts, "id", "x", "y", k = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(99L).getAs[Double]("lof") > 5.0)
+    assert(cluster.forall { case (id, _, _) =>
+      out(id).getAs[Double]("lof") < 2.0 })
+    // the cardinality guard fires loudly
+    val ex = intercept[IllegalArgumentException] {
+      Outliers.localOutlierFactor(pts, "id", "x", "y", k = 3,
+        maxPoints = 5)
+    }
+    assert(ex.getMessage.contains("BOUNDED"))
+  }
+
   test("dieboldMarianoByKey: clear winner fires, equal forecasters don't") {
     import spark.implicits._
     // f1 is exact (zero loss), f2 off by a varying amount → d strictly
