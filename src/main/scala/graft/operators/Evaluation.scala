@@ -1107,6 +1107,45 @@ object Evaluation {
       F.round(po, 6).as("po"), F.round(pe, 6).as("pe"), F.col("n"))
   }
 
+  /** Spiegelhalter's z-test of calibration — the binless companion to
+    * [[hosmerLemeshow]] (no binning choice to argue about): under
+    * perfect calibration the Brier score's conditional mean and
+    * variance are known, giving
+    *
+    *   Z = Σ (y−p)(1−2p) / √(Σ (1−2p)²·p(1−p))
+    *
+    * — positive Z means the scores are under-confident-shaped
+    * miscalibration, |Z| large means the Brier score is incompatible
+    * with calibrated probabilities. ONE aggregation; two-sided normal
+    * p at the 6-rounded Z. Rows with p ∈ {0,1} contribute zero
+    * variance and are excluded (their calibration is untestable).
+    *
+    * @return one row: (n, z, p_value) */
+  def spiegelhalterZ(df: DataFrame, probCol: String,
+                     labelCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = F.col(probCol).cast("double")
+    val y = F.col(labelCol).cast("boolean").cast("double")
+    val r = df
+      .where(p.isNotNull && !F.isnan(p) && p > 0.0 && p < 1.0 &&
+        F.col(labelCol).cast("boolean").isNotNull)
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum((y - p) * (F.lit(1.0) - F.lit(2.0) * p)).as("num"),
+        F.sum((F.lit(1.0) - F.lit(2.0) * p) *
+          (F.lit(1.0) - F.lit(2.0) * p) * p * (F.lit(1.0) - p))
+          .as("den"))
+      .head()
+    val n = r.getAs[Long]("n")
+    require(n > 0L, "no testable rows (every p is 0 or 1)")
+    val den = r.getAs[Double]("den")
+    require(den > 0.0, "zero calibration variance")
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    val z = r6(r.getAs[Double]("num") / math.sqrt(den))
+    val pv = r6(SpecialMath.erfc(math.abs(z) / math.sqrt(2.0)))
+    Seq((n, z, pv)).toDF("n", "z", "p_value")
+  }
+
   /** Winkler interval score per group — the proper scoring rule for
     * (1−α) prediction intervals (Gneiting & Raftery 2007): per row
     *

@@ -140,6 +140,29 @@ object TextOps {
   def withLanguage(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("detected_lang", langIdUdf(F.col(textCol)))
 
+  /** Language-ID confusion matrix against a labeled column — the
+    * acceptance report for [[withLanguage]]'s marker heuristic ("on
+    * which languages does the cheap detector break, and into what"):
+    * per (label, detected) cell the count and the row-share within
+    * the label. One detection pass + one cell aggregation.
+    *
+    * @return one row per (label, detected) cell: (label_lang,
+    *         detected_lang, n, share_of_label) */
+  def languageConfusion(df: DataFrame, textCol: String,
+                        labelCol: String): DataFrame = {
+    val cells = withLanguage(
+      df.where(F.col(labelCol).isNotNull), textCol)
+      .groupBy(F.col(labelCol).cast("string").as("label_lang"),
+        F.col("detected_lang"))
+      .agg(F.count(F.lit(1)).as("n"))
+    val tot = cells.groupBy("label_lang")
+      .agg(F.sum("n").as("__t"))
+    cells.join(tot, "label_lang")
+      .select(F.col("label_lang"), F.col("detected_lang"), F.col("n"),
+        F.round(F.col("n").cast("double") / F.col("__t"), 6)
+          .as("share_of_label"))
+  }
+
   // --- document fingerprinting ---
 
   /** 64-bit content fingerprint: polynomial rolling hash over the
@@ -554,55 +577,86 @@ object TextOps {
       .select("token", "encoded", "n_pieces", "wc")
   }
 
-  /** Unigram-LM tokenizer training (Kudo 2018, arXiv:1804.10959 — the
-    * SentencePiece unigram algorithm) with a fixed-round, fully
-    * deterministic EM + prune loop:
-    *
-    *  1. SEED: every substring of length ≤ `maxPieceLen` of the corpus
-    *     vocabulary, frequency-weighted by word count; all single chars
-    *     plus the top `maxSeed` longer pieces (freq desc, piece asc)
-    *     form the candidate table, p⁰ ∝ frequency (exact integer
-    *     ratios).
-    *  2. EM (× `emRounds`): the E-step computes EXPECTED piece counts
-    *     by forward–backward over each word — α/β recursions in raw
-    *     probability space with the fixed association (t₁+t₂)+t₃, so
-    *     the arithmetic replays bit-for-bit as a 3-state-carry
-    *     recursive CTE; occurrence posteriors γ = (αᵢ·p)·βⱼ / α_N are
-    *     aggregated weighted by word count and rint-rounded at 1e-6
-    *     (the replay grid). The M-step renormalizes over survivors.
-    *  3. PRUNE: multi-char pieces below `minCount` expected count drop
-    *     each round; single chars always survive (coverage guarantee —
-    *     α_N > 0 for every word, the SentencePiece invariant).
-    *
-    * The corpus is shuffled ONCE into the vocabulary; each round is one
-    * vocabulary-sized aggregation (the per-word DP is an executor-local
-    * O(len·maxPieceLen) loop) plus a piece-table collect bounded by
-    * maxSeed + |alphabet| — scale-independent of corpus size, the
-    * [[bpeMerges]] cost shape.
-    *
-    * @return the final piece table, top `topK` by (count desc, piece
-    *         asc): (piece, piece_len, cnt, p) */
-  def unigramLmTrain(df: DataFrame, idCol: String, textCol: String,
-                     maxPieceLen: Int = 3, maxSeed: Int = 2048,
-                     emRounds: Int = 2, minCount: Double = 1.0,
-                     topK: Int = 64, maxWordLen: Int = 24): DataFrame = {
+  /** Shared parameter contract of the unigram-LM family (see
+    * [[unigramLmTrain]] for the algorithm: Kudo 2018 seed → EM →
+    * prune, with the 3-state-carry replay constraints). */
+  private def unigramRequires(maxPieceLen: Int, maxSeed: Int,
+                              emRounds: Int, minCount: Double,
+                              maxWordLen: Int): Unit = {
     require(maxPieceLen >= 2 && maxPieceLen <= 3,
       "maxPieceLen must be 2 or 3 (the 3-state-carry replay contract)")
     require(emRounds >= 1 && emRounds <= 8,
       "emRounds must be in 1..8 (fixed-round loop)")
     require(maxSeed >= 1 && maxSeed <= 65536,
       "maxSeed must be in 1..65536 — the piece table collects")
-    require(topK >= 1, "topK must be positive")
     require(maxWordLen >= maxPieceLen && maxWordLen <= 64,
       "maxWordLen must be in [maxPieceLen, 64]")
     require(minCount >= 0.0, "minCount must be >= 0")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val words = tokens(df, idCol, textCol)
-      .where(F.length(F.col("token")) <= maxWordLen)
-      .groupBy(F.col("token").as("word"))
-      .agg(F.count(F.lit(1)).as("wc"))
-      .localCheckpoint(true)
+  }
+
+  /** The exact forward–backward occurrence-posterior UDF shared by the
+    * unigram-LM trainer and its fertility report — one arithmetic
+    * shape, so both replay against the same recursive-CTE oracle. */
+  private def unigramGamma(
+      bc: org.apache.spark.broadcast.Broadcast[Map[String, Double]],
+      mpl: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    F.udf { (w: String) =>
+      val pm = bc.value
+      val nn = w.length
+      val alpha = new Array[Double](nn + 1); alpha(0) = 1.0
+      var j = 1
+      while (j <= nn) {
+        val t1 = alpha(j - 1) * pm.getOrElse(w.substring(j - 1, j), 0.0)
+        val t2 = if (j >= 2)
+          alpha(j - 2) * pm.getOrElse(w.substring(j - 2, j), 0.0)
+        else 0.0
+        val t3 = if (mpl >= 3 && j >= 3)
+          alpha(j - 3) * pm.getOrElse(w.substring(j - 3, j), 0.0)
+        else 0.0
+        alpha(j) = (t1 + t2) + t3
+        j += 1
+      }
+      val beta = new Array[Double](nn + 1); beta(nn) = 1.0
+      j = nn - 1
+      while (j >= 0) {
+        val t1 = pm.getOrElse(w.substring(j, j + 1), 0.0) * beta(j + 1)
+        val t2 = if (j + 2 <= nn)
+          pm.getOrElse(w.substring(j, j + 2), 0.0) * beta(j + 2)
+        else 0.0
+        val t3 = if (mpl >= 3 && j + 3 <= nn)
+          pm.getOrElse(w.substring(j, j + 3), 0.0) * beta(j + 3)
+        else 0.0
+        beta(j) = (t1 + t2) + t3
+        j -= 1
+      }
+      val an = alpha(nn)
+      if (an <= 0.0) Seq.empty[(String, Double)]
+      else {
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Double)]
+        var i = 0
+        while (i < nn) {
+          var l = 1
+          while (l <= mpl && i + l <= nn) {
+            val pc = w.substring(i, i + l)
+            val p = pm.getOrElse(pc, 0.0)
+            if (p > 0.0)
+              out += ((pc, ((alpha(i) * p) * beta(i + l)) / an))
+            l += 1
+          }
+          i += 1
+        }
+        out.toSeq
+      }
+    }
+
+  /** The seed + fixed-round EM/prune loop shared by
+    * [[unigramLmTrain]] and [[unigramFertility]]: returns the final
+    * piece probabilities and the final surviving expected counts. */
+  private def unigramEm(words: DataFrame, maxPieceLen: Int,
+                        maxSeed: Int, emRounds: Int, minCount: Double):
+      (Map[String, Double], Seq[(String, Double)]) = {
+    val spark = words.sparkSession
     // seed: substring occurrences weighted by wc, cap the multi-char
     // tail, keep every single char (coverage)
     val n = F.length(F.col("word"))
@@ -633,55 +687,7 @@ object TextOps {
     while (round < emRounds) {
       val bc = spark.sparkContext.broadcast(pieces)
       val mpl = maxPieceLen
-      val gammaUdf = F.udf { (w: String) =>
-        val pm = bc.value
-        val nn = w.length
-        val alpha = new Array[Double](nn + 1); alpha(0) = 1.0
-        var j = 1
-        while (j <= nn) {
-          val t1 = alpha(j - 1) * pm.getOrElse(w.substring(j - 1, j), 0.0)
-          val t2 = if (j >= 2)
-            alpha(j - 2) * pm.getOrElse(w.substring(j - 2, j), 0.0)
-          else 0.0
-          val t3 = if (mpl >= 3 && j >= 3)
-            alpha(j - 3) * pm.getOrElse(w.substring(j - 3, j), 0.0)
-          else 0.0
-          alpha(j) = (t1 + t2) + t3
-          j += 1
-        }
-        val beta = new Array[Double](nn + 1); beta(nn) = 1.0
-        j = nn - 1
-        while (j >= 0) {
-          val t1 = pm.getOrElse(w.substring(j, j + 1), 0.0) * beta(j + 1)
-          val t2 = if (j + 2 <= nn)
-            pm.getOrElse(w.substring(j, j + 2), 0.0) * beta(j + 2)
-          else 0.0
-          val t3 = if (mpl >= 3 && j + 3 <= nn)
-            pm.getOrElse(w.substring(j, j + 3), 0.0) * beta(j + 3)
-          else 0.0
-          beta(j) = (t1 + t2) + t3
-          j -= 1
-        }
-        val an = alpha(nn)
-        if (an <= 0.0) Seq.empty[(String, Double)]
-        else {
-          val out = scala.collection.mutable.ArrayBuffer
-            .empty[(String, Double)]
-          var i = 0
-          while (i < nn) {
-            var l = 1
-            while (l <= mpl && i + l <= nn) {
-              val pc = w.substring(i, i + l)
-              val p = pm.getOrElse(pc, 0.0)
-              if (p > 0.0)
-                out += ((pc, ((alpha(i) * p) * beta(i + l)) / an))
-              l += 1
-            }
-            i += 1
-          }
-          out.toSeq
-        }
-      }
+      val gammaUdf = unigramGamma(bc, mpl)
       val cnts = words
         .select(F.col("wc"), F.explode(gammaUdf(F.col("word"))).as("__o"))
         .select(F.col("__o._1").as("piece"),
@@ -700,11 +706,83 @@ object TextOps {
       lastCnt = surv.toSeq
       round += 1
     }
+    (pieces, lastCnt)
+  }
+
+  /** Unigram-LM tokenizer training (Kudo 2018, arXiv:1804.10959 — the
+    * SentencePiece unigram algorithm) with a fixed-round, fully
+    * deterministic EM + prune loop: seed pieces from substring
+    * frequencies (exact integer ratios), expected counts by EXACT
+    * forward–backward in raw probability space (fixed association —
+    * the 3-state-carry recursive-CTE replay shape), rint-1e-6 count
+    * rounding, per-round pruning with single chars always surviving
+    * (the coverage invariant). The corpus shuffles ONCE into the
+    * vocabulary; each round is one vocabulary-sized aggregation plus
+    * a bounded piece-table collect — the [[bpeMerges]] cost shape.
+    *
+    * @return the final piece table, top `topK` by (count desc, piece
+    *         asc): (piece, piece_len, cnt, p) */
+  def unigramLmTrain(df: DataFrame, idCol: String, textCol: String,
+                     maxPieceLen: Int = 3, maxSeed: Int = 2048,
+                     emRounds: Int = 2, minCount: Double = 1.0,
+                     topK: Int = 64, maxWordLen: Int = 24): DataFrame = {
+    unigramRequires(maxPieceLen, maxSeed, emRounds, minCount, maxWordLen)
+    require(topK >= 1, "topK must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = tokens(df, idCol, textCol)
+      .where(F.length(F.col("token")) <= maxWordLen)
+      .groupBy(F.col("token").as("word"))
+      .agg(F.count(F.lit(1)).as("wc"))
+      .localCheckpoint(true)
+    val (pieces, lastCnt) =
+      unigramEm(words, maxPieceLen, maxSeed, emRounds, minCount)
     lastCnt
       .sortBy { case (p, c) => (-c, p) }
       .take(topK)
       .map { case (p, c) => (p, p.length.toLong, c, pieces(p)) }
       .toDF("piece", "piece_len", "cnt", "p")
+  }
+
+  /** Tokenizer fertility report under the trained unigram LM — the
+    * acceptance metric tokenizer work actually ships ("how many pieces
+    * does a word cost"): per vocabulary word, the EXPECTED piece count
+    * under the final EM distribution, which is just the sum of the
+    * occurrence posteriors the E-step already computes,
+    *
+    *   E[#pieces(w)] = Σ_{(i,l)} γ(i, l)
+    *
+    * — no Viterbi backtrace needed, and the same forward–backward
+    * arithmetic shape as [[unigramLmTrain]] (one more γ pass at the
+    * final pieces, per-WORD aggregation). Words the piece table cannot
+    * cover (α_N = 0 — impossible while chars survive) emit no row.
+    *
+    * @return one row per vocabulary word: (word, wc, n_chars,
+    *         expected_pieces) — rint-1e-6 rounded */
+  def unigramFertility(df: DataFrame, idCol: String, textCol: String,
+                       maxPieceLen: Int = 3, maxSeed: Int = 2048,
+                       emRounds: Int = 2, minCount: Double = 1.0,
+                       maxWordLen: Int = 24): DataFrame = {
+    unigramRequires(maxPieceLen, maxSeed, emRounds, minCount, maxWordLen)
+    val spark = df.sparkSession
+    val words = tokens(df, idCol, textCol)
+      .where(F.length(F.col("token")) <= maxWordLen)
+      .groupBy(F.col("token").as("word"))
+      .agg(F.count(F.lit(1)).as("wc"))
+      .localCheckpoint(true)
+    val (pieces, _) =
+      unigramEm(words, maxPieceLen, maxSeed, emRounds, minCount)
+    val bc = spark.sparkContext.broadcast(pieces)
+    val gammaUdf = unigramGamma(bc, maxPieceLen)
+    words
+      .select(F.col("word"), F.col("wc"),
+        F.explode(gammaUdf(F.col("word"))).as("__o"))
+      .groupBy("word", "wc")
+      .agg(F.expr("rint(sum(__o._2) * 1e6) / 1e6")
+        .as("expected_pieces"))
+      .select(F.col("word"), F.col("wc"),
+        F.length(F.col("word")).cast("long").as("n_chars"),
+        F.col("expected_pieces"))
   }
 
   /** Interpolated bigram-LM quality score — the next rung above

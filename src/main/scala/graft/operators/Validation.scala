@@ -371,6 +371,50 @@ object Validation {
       "n_groups_single_sensitive")
   }
 
+  /** Bloom-filter capacity planner per group — size the decontam /
+    * dedup membership filters BEFORE building them: for each group's
+    * distinct-key count n and a target false-positive rate p,
+    *
+    *   m = ⌈−n·ln p / (ln 2)²⌉ bits,   k = max(1, ⌊m/n·ln 2 + ½⌋),
+    *   fpp ≈ (1 − e^{−kn/m})^k
+    *
+    * (the standard optima; the realized fpp is re-evaluated at the
+    * ROUNDED m and k so the report is honest about the integer
+    * constraints). ONE distinct-count aggregation, closed-form column
+    * arithmetic after.
+    *
+    * @return one row per group: (groupCols…, n_distinct, m_bits,
+    *         mib, k_hashes, est_fpp) */
+  def bloomPlanByGroup(df: DataFrame, groupCols: Seq[String],
+                       keyCol: String, targetFpp: Double): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(targetFpp > 0.0 && targetFpp < 1.0,
+      "targetFpp must be in (0,1)")
+    val counts = df
+      .where(F.col(keyCol).isNotNull &&
+        groupCols.map(F.col(_).isNotNull).reduce(_ && _))
+      .groupBy(groupCols.map(F.col): _*)
+      .agg(F.countDistinct(F.col(keyCol)).as("n_distinct"))
+      .where(F.col("n_distinct") > 0L)
+    val n = F.col("n_distinct").cast("double")
+    val ln2 = F.log(F.lit(2.0))
+    val m = F.ceil(-n * F.log(F.lit(targetFpp)) / (ln2 * ln2))
+    val k = F.greatest(F.lit(1L),
+      F.floor(F.col("m_bits").cast("double") / n * ln2 + F.lit(0.5)))
+    counts
+      .withColumn("m_bits", m)
+      .withColumn("k_hashes", k)
+      .withColumn("est_fpp", F.round(F.pow(
+        F.lit(1.0) - F.exp(-(F.col("k_hashes").cast("double") * n) /
+          F.col("m_bits").cast("double")),
+        F.col("k_hashes").cast("double")), 9))
+      .select(groupCols.map(F.col) ++ Seq(F.col("n_distinct"),
+        F.col("m_bits"),
+        F.round(F.col("m_bits").cast("double") /
+          F.lit(8.0 * 1024.0 * 1024.0), 6).as("mib"),
+        F.col("k_hashes"), F.col("est_fpp")): _*)
+  }
+
   /** t-closeness + entropy l-diversity audit per quasi-identifier
     * group — the distributional rungs above [[kAnonymityAudit]]'s
     * distinct-count floor: a group can hold many distinct sensitive

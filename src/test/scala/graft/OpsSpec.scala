@@ -676,6 +676,114 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       share = 0.9).head().getAs[Long]("k_top") == 2L)
   }
 
+  test("spiegelhalterZ: calibrated scores pass, deflated rates fire") {
+    import spark.implicits._
+    val cal = (0 until 10).flatMap { b =>
+      val p = b / 10.0 + 0.05
+      val o1 = math.round(40 * p).toInt
+      (0 until 40).map(i => (p, i < o1))
+    }
+    val ok = Evaluation.spiegelhalterZ(cal.toDF("p", "y"), "p", "y")
+      .head()
+    assert(ok.getAs[Long]("n") == 400L)
+    assert(math.abs(ok.getAs[Double]("z")) < 1.0)
+    assert(ok.getAs[Double]("p_value") > 0.3)
+    // NOTE: the p-squared pattern is exactly NULL for this statistic
+    // on a symmetric score grid (the (y-p)(1-2p) terms cancel in
+    // pairs) — Spiegelhalter tests a specific miscalibration
+    // direction; use a uniform rate deflation instead
+    val miss = (0 until 10).flatMap { b =>
+      val p = b / 10.0 + 0.05
+      val o1 = math.round(40 * 0.6 * p).toInt
+      (0 until 40).map(i => (p, i < o1))
+    }
+    val bad = Evaluation.spiegelhalterZ(miss.toDF("p", "y"), "p", "y")
+      .head()
+    assert(math.abs(bad.getAs[Double]("z")) > 3.0)
+    assert(bad.getAs[Double]("p_value") < 0.01)
+    // p in {0,1} rows are untestable and excluded
+    val edge = (cal ++ Seq((0.0, false), (1.0, true))).toDF("p", "y")
+    assert(Evaluation.spiegelhalterZ(edge, "p", "y").head()
+      .getAs[Long]("n") == 400L)
+  }
+
+  test("bloomPlanByGroup reproduces the textbook 1%-fpp sizing") {
+    import spark.implicits._
+    // n = 1000, p = 0.01: m = ceil(9585.06) = 9586 bits, k = 7,
+    // realized fpp just over 1%
+    val df = (0 until 1000).map(i => ("s", i.toLong)).toDF("g", "k")
+    val r = Validation.bloomPlanByGroup(df, Seq("g"), "k", 0.01).head()
+    assert(r.getAs[Long]("n_distinct") == 1000L)
+    assert(r.getAs[Long]("m_bits") == 9586L)
+    assert(r.getAs[Long]("k_hashes") == 7L)
+    val fpp = r.getAs[Double]("est_fpp")
+    assert(fpp > 0.009 && fpp < 0.011, s"fpp $fpp")
+    // duplicate keys count once
+    val dup = (df.collect().map(r => (r.getString(0), r.getLong(1))) ++
+      Seq(("s", 1L), ("s", 2L))).toSeq.toDF("g", "k")
+    assert(Validation.bloomPlanByGroup(dup, Seq("g"), "k", 0.01)
+      .head().getAs[Long]("n_distinct") == 1000L)
+  }
+
+  test("languageConfusion: the diagonal dominates on marker-rich text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog is with this for that", "en"),
+      (2L, "der hund ist nicht mit der katze und", "de"),
+      (3L, "el perro es una cosa para los gatos como", "es"),
+      (4L, "xyzzy qwerty", "en")).toDF("doc_id", "text", "lang")
+    val out = TextOps.languageConfusion(df, "text", "lang")
+      .collect()
+      .map(r => (r.getAs[String]("label_lang"),
+        r.getAs[String]("detected_lang")) -> r).toMap
+    assert(out(("en", "en")).getAs[Long]("n") == 1L)
+    assert(out(("de", "de")).getAs[Long]("n") == 1L)
+    assert(out(("es", "es")).getAs[Long]("n") == 1L)
+    // the markerless doc lands in (en, und) with share 1/2
+    assert(out(("en", "und")).getAs[Double]("share_of_label") == 0.5)
+  }
+
+  test("mmdTest: shifted cohorts score far above identical ones") {
+    import spark.implicits._
+    val a = (0 until 100).map(i => ("a", (i % 10).toDouble))
+    val b = (0 until 100).map(i => ("b", (i % 10).toDouble + 20.0))
+    val shifted = StatTests.mmdTest((a ++ b).toDF("g", "v"), "g", "v",
+      sigma = 2.0).head()
+    // disjoint supports at sigma 2: kxy ~ 0, mmd2 ~ kxx + kyy means
+    assert(shifted.getAs[Double]("kxy_mean") < 1e-6)
+    assert(shifted.getAs[Double]("mmd2") > 0.2)
+    val same = (a ++ a.map { case (_, v) => ("b", v) }).toDF("g", "v")
+    val s0 = StatTests.mmdTest(same, "g", "v", sigma = 2.0).head()
+    assert(math.abs(s0.getAs[Double]("mmd2")) < 1e-9)
+    // cardinality guard
+    val wide = (0 until 300).map(i => ("a", i.toDouble)) ++
+      (0 until 300).map(i => ("b", i.toDouble))
+    val ex = intercept[IllegalArgumentException] {
+      StatTests.mmdTest(wide.toDF("g", "v"), "g", "v", sigma = 1.0,
+        maxCells = 100)
+    }
+    assert(ex.getMessage.contains("QUANTIZED"))
+  }
+
+  test("unigramFertility: expected pieces match the hand-worked EM") {
+    import spark.implicits._
+    // the q_unigram_tokenizer worked example: the FINAL distribution
+    // after 2 rounds is p = {a: .32, b: 1.32, ab: 1.68}/3.32, and the
+    // fertility pass scores words under IT: alpha_N('ab') =
+    // p(a)p(b) + p(ab), E[#pieces('ab')] = (p(ab) + 2 p(a)p(b)) /
+    // alpha_N = 1.0704; 'b' is always one piece
+    val df = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val out = TextOps.unigramFertility(df, "doc_id", "text",
+        maxPieceLen = 3, maxSeed = 16, emRounds = 2, minCount = 1.0)
+      .collect().map(r => r.getAs[String]("word") -> r).toMap
+    assert(out.keySet == Set("ab", "b"))
+    assert(math.abs(out("ab").getAs[Double]("expected_pieces") - 1.0704)
+      < 1e-6)
+    assert(out("ab").getAs[Long]("wc") == 2L)
+    assert(out("ab").getAs[Long]("n_chars") == 2L)
+    assert(out("b").getAs[Double]("expected_pieces") == 1.0)
+  }
+
   test("archimedeanFit maps tau to Clayton/Gumbel theta and tails") {
     import spark.implicits._
     // positively dependent with ties — tau strictly inside (0,1)

@@ -673,7 +673,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         "q_unigram_tokenizer", "q_brunner_munzel", "q_cucconi",
         "q_lepage", "q_hosmer_lemeshow", "q_hotelling",
         "q_cluster_validity", "q_diebold_mariano", "q_interval_score",
-        "q_split_half", "q_t_closeness", "q_eigencentrality")) {
+        "q_split_half", "q_t_closeness", "q_eigencentrality",
+        "q_spiegelhalter", "q_bloom_plan", "q_langid_confusion",
+        "q_tokenizer_fertility")) {
       val plan = physicalPlan(q)
       assert(!plan.contains("CartesianProduct"), q + ": " + plan.take(400))
       assert(!plan.contains("BroadcastNestedLoop"),
@@ -684,7 +686,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // frames is the cohenKappa house shape, so only forbid the
     // unbounded cartesian
     for (q <- Seq("q_fleiss_kappa", "q_krippendorff", "q_gk_assoc",
-        "q_stuart_maxwell", "q_archimedean", "q_lof")) {
+        "q_stuart_maxwell", "q_archimedean", "q_lof", "q_mmd")) {
       val plan = physicalPlan(q)
       assert(!plan.contains("CartesianProduct"), q + ": " + plan.take(400))
     }
