@@ -1107,6 +1107,88 @@ object Evaluation {
       F.round(po, 6).as("po"), F.round(pe, 6).as("pe"), F.col("n"))
   }
 
+  /** Rogan–Gladen prevalence correction — the true positive rate
+    * behind a NOISY classifier/test ("30% of documents flag as toxic,
+    * but the flagger has 85% sensitivity and 95% specificity — what is
+    * the real rate?"):
+    *
+    *   π̂ = (p_obs + spec − 1) / (sens + spec − 1),
+    *   SE = √(p_obs(1−p_obs)/n) / (sens + spec − 1)
+    *
+    * with π̂ and the normal CI clamped to [0,1] (the estimator can
+    * stray outside on sampling noise). One count aggregation; requires
+    * an informative test (sens + spec > 1) loudly.
+    *
+    * @return one row: (n, p_obs, p_true, se, lo95, hi95) rounded 6 */
+  def roganGladen(df: DataFrame, flaggedCol: String, sens: Double,
+                  spec: Double): DataFrame = {
+    require(sens > 0.0 && sens <= 1.0, "sens must be in (0,1]")
+    require(spec > 0.0 && spec <= 1.0, "spec must be in (0,1]")
+    require(sens + spec > 1.0,
+      "sens + spec must exceed 1 (an uninformative test cannot be " +
+        "inverted)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val y = F.col(flaggedCol).cast("boolean")
+    val r = df.where(y.isNotNull)
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.when(y, 1L).otherwise(0L)).as("pos"))
+      .head()
+    val n = r.getAs[Long]("n")
+    require(n > 0L, "no rows")
+    val pObs = r.getAs[Long]("pos").toDouble / n
+    val j = sens + spec - 1.0
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    def clamp(x: Double) = math.min(1.0, math.max(0.0, x))
+    val pTrue = (pObs + spec - 1.0) / j
+    val se = math.sqrt(pObs * (1.0 - pObs) / n) / j
+    Seq((n, r6(pObs), r6(clamp(pTrue)), r6(se),
+        r6(clamp(pTrue - 1.96 * se)), r6(clamp(pTrue + 1.96 * se))))
+      .toDF("n", "p_obs", "p_true", "se", "lo95", "hi95")
+  }
+
+  /** Youden-J optimal threshold from the ROC cells — WHERE to cut a
+    * score so that sensitivity + specificity is maximal (the
+    * operating point [[aucRoc]]'s area number doesn't give you):
+    * score ≥ t predicts positive, J(t) = TPR(t) − FPR(t), and the
+    * distinct score values are the only candidate thresholds. Ties in
+    * J break toward the HIGHEST threshold (fewest flags). One
+    * (score) cell aggregation + a cumulative window over the
+    * support-bounded cells frame.
+    *
+    * @return one row: (threshold, j, tpr, fpr, n_pos, n_neg) */
+  def youdenThreshold(df: DataFrame, scoreCol: String,
+                      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = F.col(scoreCol).cast("double")
+    val y = F.col(labelCol).cast("boolean")
+    val cells = df
+      .where(s.isNotNull && !F.isnan(s) && y.isNotNull)
+      .groupBy(s.as("__s"))
+      .agg(F.sum(F.when(y, 1L).otherwise(0L)).as("__p"),
+        F.sum(F.when(y, 0L).otherwise(1L)).as("__q"))
+    val wCum = Window.orderBy(F.col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val scored = cells
+      .withColumn("__np", F.sum("__p").over(wAll))
+      .withColumn("__nq", F.sum("__q").over(wAll))
+      .withColumn("__tp", F.sum("__p").over(wCum))
+      .withColumn("__fp", F.sum("__q").over(wCum))
+      .where(F.col("__np") > 0L && F.col("__nq") > 0L)
+      .withColumn("tpr", F.round(
+        F.col("__tp").cast("double") / F.col("__np"), 6))
+      .withColumn("fpr", F.round(
+        F.col("__fp").cast("double") / F.col("__nq"), 6))
+      .withColumn("j", F.round(F.col("tpr") - F.col("fpr"), 6))
+    scored
+      .orderBy(F.col("j").desc, F.col("__s").desc)
+      .limit(1)
+      .select(F.col("__s").as("threshold"), F.col("j"), F.col("tpr"),
+        F.col("fpr"), F.col("__np").as("n_pos"),
+        F.col("__nq").as("n_neg"))
+  }
+
   /** Spiegelhalter's z-test of calibration — the binless companion to
     * [[hosmerLemeshow]] (no binning choice to argue about): under
     * perfect calibration the Brier score's conditional mean and

@@ -2716,6 +2716,144 @@ object Features {
         F.count(F.lit(1))).as("__v"))
   }
 
+  /** Turning-points randomness test per key — the cheapest "is this
+    * series actually random noise" screen: count interior periods that
+    * are strict local extrema (vₜ₋₁ < vₜ > vₜ₊₁ or the reverse);
+    * under i.i.d. continuity T ~ Normal(2(n−2)/3, (16n−29)/90), so too
+    * FEW turning points = trend/momentum, too MANY = alternation /
+    * over-differencing. Exact integer count + closed-form moments; flat
+    * triples (a tie with a neighbor) are not extrema — documented
+    * (ties deflate T, as in the classic test). One keyed lag/lead
+    * window; keys with n < 5 are omitted.
+    *
+    * @return one row per key: (keyCol, n_periods, turning_points, z,
+    *         p_value) */
+  def turningPointsByKey(df: DataFrame, keyCol: String, tsCol: String,
+                         valueCol: String,
+                         periodUnit: Long): DataFrame = {
+    val cells = periodCells(df, keyCol, tsCol, valueCol, periodUnit)
+    val wOrd = Window.partitionBy("__k").orderBy("__p")
+    val tp = cells
+      .withColumn("__prev", F.lag("__v", 1).over(wOrd))
+      .withColumn("__next", F.lead("__v", 1).over(wOrd))
+      .groupBy("__k")
+      .agg(F.count(F.lit(1)).as("n_periods"),
+        F.sum(F.when(F.col("__prev").isNotNull &&
+            F.col("__next").isNotNull &&
+            ((F.col("__v") > F.col("__prev") &&
+              F.col("__v") > F.col("__next")) ||
+             (F.col("__v") < F.col("__prev") &&
+              F.col("__v") < F.col("__next"))), 1L).otherwise(0L))
+          .as("turning_points"))
+      .where(F.col("n_periods") >= 5L)
+    val n = F.col("n_periods").cast("double")
+    val mean = F.lit(2.0) * (n - 2.0) / 3.0
+    val sd = F.sqrt((F.lit(16.0) * n - 29.0) / 90.0)
+    val z = F.round((F.col("turning_points") - mean) / sd, 6)
+    val erfcUdf = F.udf((x: Double) =>
+      math.rint(graft.functions.SpecialMath.erfc(
+        math.abs(x) / math.sqrt(2.0)) * 1e6) / 1e6)
+    tp.select(F.col("__k").as(keyCol), F.col("n_periods"),
+      F.col("turning_points"), z.as("z"), erfcUdf(z).as("p_value"))
+  }
+
+  /** Bartels rank test of randomness per key (the rank version of von
+    * Neumann's ratio — robust where [[turningPointsByKey]] only counts
+    * extrema): on midranks Rₜ of the period means,
+    *
+    *   RVN = Σ(Rₜ − Rₜ₊₁)² / Σ(Rₜ − R̄)²
+    *
+    * with E[RVN] = 2 and Var ≈ 4(n−2)(5n²−2n−9)/(5n(n+1)(n−1)²);
+    * RVN ≪ 2 = positive serial dependence (trend), ≫ 2 = alternation.
+    * Midranks via a keyed rank window over the cells, one lag window,
+    * one aggregation; keys with n < 10 or zero rank variance omitted.
+    *
+    * @return one row per key: (keyCol, n_periods, rvn, z, p_value) */
+  def bartelsRankByKey(df: DataFrame, keyCol: String, tsCol: String,
+                       valueCol: String, periodUnit: Long): DataFrame = {
+    val cells = periodCells(df, keyCol, tsCol, valueCol, periodUnit)
+    val wOrd = Window.partitionBy("__k").orderBy("__p")
+    val wVal = Window.partitionBy("__k").orderBy("__v")
+    // midrank = (2·cume-like) — rank + (count_eq − 1)/2 via min-rank
+    // and per-(key, value) tie counts
+    val ranked = cells
+      .withColumn("__r0", F.rank().over(wVal).cast("double"))
+      .withColumn("__teq", F.count(F.lit(1)).over(
+        Window.partitionBy("__k", "__v")).cast("double"))
+      .withColumn("__r", F.col("__r0") + (F.col("__teq") - 1.0) / 2.0)
+    val st = ranked
+      .withColumn("__rl", F.lead("__r", 1).over(wOrd))
+      .withColumn("__rbar",
+        F.avg("__r").over(Window.partitionBy("__k")))
+      .groupBy("__k")
+      .agg(F.count(F.lit(1)).as("n_periods"),
+        F.sum(F.when(F.col("__rl").isNotNull,
+          (F.col("__r") - F.col("__rl")) *
+            (F.col("__r") - F.col("__rl"))).otherwise(0.0)).as("num"),
+        F.sum((F.col("__r") - F.col("__rbar")) *
+          (F.col("__r") - F.col("__rbar"))).as("den"))
+      .where(F.col("n_periods") >= 10L && F.col("den") > 0.0)
+    val n = F.col("n_periods").cast("double")
+    val rvn = F.col("num") / F.col("den")
+    val sd = F.sqrt(F.lit(4.0) * (n - 2.0) *
+      (F.lit(5.0) * n * n - F.lit(2.0) * n - 9.0) /
+      (F.lit(5.0) * n * (n + 1.0) * ((n - 1.0) * (n - 1.0))))
+    val z = F.round((rvn - 2.0) / sd, 6)
+    val erfcUdf = F.udf((x: Double) =>
+      math.rint(graft.functions.SpecialMath.erfc(
+        math.abs(x) / math.sqrt(2.0)) * 1e6) / 1e6)
+    st.select(F.col("__k").as(keyCol), F.col("n_periods"),
+      F.round(rvn, 6).as("rvn"), z.as("z"), erfcUdf(z).as("p_value"))
+  }
+
+  /** Cox–Stuart trend test per key — the sign test folded onto itself
+    * ("is the second half systematically above the first"): pair
+    * period i with period i + ⌈n/2⌉, count S = #{later > earlier}
+    * among the m non-tied pairs, z with continuity correction against
+    * Binomial(m, ½). Rank/magnitude-free, so wild outliers can't fake
+    * a trend ([[mannKendallByKey]]'s heavier cousin stays the power
+    * tool). One keyed equi-join on the shifted row index; keys with
+    * m < 5 omitted.
+    *
+    * @return one row per key: (keyCol, n_periods, n_pairs, s_up, z,
+    *         p_value) */
+  def coxStuartByKey(df: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String, periodUnit: Long): DataFrame = {
+    val cells = periodCells(df, keyCol, tsCol, valueCol, periodUnit)
+    val wOrd = Window.partitionBy("__k").orderBy("__p")
+    val idx = cells
+      .withColumn("__i", F.row_number().over(wOrd).cast("long"))
+      .withColumn("__n", F.count(F.lit(1)).over(
+        Window.partitionBy("__k")))
+      // integer division: Spark's `/` on longs yields DOUBLE, which
+      // would poison the join key
+      .withColumn("__h", F.expr("CAST((__n + 1) DIV 2 AS BIGINT)"))
+    val a = idx.select(F.col("__k"), F.col("__i"), F.col("__n"),
+      F.col("__h"), F.col("__v").as("__va"))
+    val b = idx.select(F.col("__k"),
+      (F.col("__i") - F.col("__h")).as("__i"), F.col("__v").as("__vb"))
+    val st = a.join(b, Seq("__k", "__i"))
+      .groupBy("__k")
+      .agg(F.max("__n").as("n_periods"),
+        F.sum(F.when(F.col("__vb") =!= F.col("__va"), 1L)
+          .otherwise(0L)).as("n_pairs"),
+        F.sum(F.when(F.col("__vb") > F.col("__va"), 1L).otherwise(0L))
+          .as("s_up"))
+      .where(F.col("n_pairs") >= 5L)
+    val m = F.col("n_pairs").cast("double")
+    val s = F.col("s_up").cast("double")
+    val z = F.round(
+      F.when(s === m / 2.0, 0.0).otherwise(
+        (s - m / 2.0 - F.lit(0.5) * F.signum(s - m / 2.0)) /
+          F.sqrt(m / 4.0)), 6)
+    val erfcUdf = F.udf((x: Double) =>
+      math.rint(graft.functions.SpecialMath.erfc(
+        math.abs(x) / math.sqrt(2.0)) * 1e6) / 1e6)
+    st.select(F.col("__k").as(keyCol), F.col("n_periods"),
+      F.col("n_pairs"), F.col("s_up"), z.as("z"),
+      erfcUdf(z).as("p_value"))
+  }
+
   /** Pettitt changepoint test per key — "WHEN did this metric shift",
     * the single-break complement to [[mannKendallByKey]]'s monotone
     * trend and [[cusumByKey]]'s online alarm. On the period-mean

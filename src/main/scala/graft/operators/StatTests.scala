@@ -161,6 +161,130 @@ object StatTests {
     } finally sorted.unpersist(blocking = false)
   }
 
+  /** Conover squared-ranks test for equal VARIANCES (Conover 1999) —
+    * the rank-based scale test that needs no normality (Bartlett) and
+    * no mean-model (Levene): rank the absolute deviations from each
+    * sample's own 6-ROUNDED mean over the pooled data, score each row
+    * by its SQUARED midrank, and standardize sample a's score sum with
+    * the permutation moments of the realized scores (exact under ties
+    * — the [[lepageTest]] machinery on s = R²):
+    *
+    *   z = (T − n_a·Σs/N) / √(n_a·n_b·(NΣs² − (Σs)²)/(N²(N−1)))
+    *
+    * Two passes: the cohort means, then one prefix-sum fold over the
+    * |deviation| cells. Means round to 1e-6 so the deviation cells are
+    * cross-engine exact.
+    *
+    * @return one row: (n_a, n_b, t_stat, z, p_value) */
+  def conoverSquaredRanks(df: DataFrame, cohortCol: String,
+                          valueCol: String, labelA: String = "a",
+                          labelB: String = "b"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = F.col(cohortCol).cast("string")
+    val v = F.col(valueCol).cast("double")
+    val clean = df
+      .where(v.isNotNull && !F.isnan(v) && g.isin(labelA, labelB))
+      .select(g.as("__g"), v.as("__v"))
+    val means = clean.groupBy("__g")
+      .agg(F.round(F.avg("__v"), 6).as("__m"))
+    val dev = clean.join(F.broadcast(means), "__g")
+      .select(F.col("__g"), F.abs(F.col("__v") - F.col("__m")).as("__d"))
+    val (sorted, na, nb, offA, offB) =
+      cohortCounts(dev, "__g", "__d", labelA, labelB)
+    try {
+      val bc = spark.sparkContext.broadcast((offA, offB))
+      val parts = sorted.mapPartitionsWithIndex { case (i, it) =>
+        var cumA = bc.value._1(i); var cumB = bc.value._2(i)
+        var sS = 0.0; var sS2 = 0.0; var tA = 0.0
+        it.foreach { case (_, ca, cb) =>
+          val t = ca + cb
+          val r = (cumA + cumB) + (t + 1) / 2.0
+          val s = r * r
+          sS += t * s; sS2 += t * s * s; tA += ca * s
+          cumA += ca; cumB += cb
+        }
+        Iterator((sS, sS2, tA))
+      }.collect()
+      val sS = parts.map(_._1).sum; val sS2 = parts.map(_._2).sum
+      val tStat = parts.map(_._3).sum
+      val n = (na + nb).toDouble
+      val e = na * sS / n
+      val vv = na.toDouble * nb * (n * sS2 - sS * sS) /
+        (n * n * (n - 1.0))
+      require(vv > 0.0, "degenerate scores (all deviations identical)")
+      def r6(x: Double) = math.rint(x * 1e6) / 1e6
+      val z = r6((tStat - e) / math.sqrt(vv))
+      val p = r6(SpecialMath.erfc(math.abs(z) / math.sqrt(2.0)))
+      Seq((na, nb, tStat, z, p))
+        .toDF("n_a", "n_b", "t_stat", "z", "p_value")
+    } finally sorted.unpersist(blocking = false)
+  }
+
+  /** D'Agostino–Pearson K² omnibus normality test — the moment-based
+    * normality screen (scipy's `normaltest`): the sample skewness goes
+    * through the D'Agostino (1970) Johnson-SU transform to Z₁, the
+    * kurtosis through the Anscombe–Glynn (1983) cube-root transform to
+    * Z₂, and K² = Z₁² + Z₂² ~ χ²(2), p = exp(−K²/2). Everything is
+    * elementary closed form over ONE power-sum aggregation (Σv..Σv⁴) —
+    * fully SQL-replayable with cbrt for the signed cube root; Z's
+    * 6-rounded before squaring.
+    *
+    * @return one row: (n, skew, kurtosis, z_skew, z_kurt, k2,
+    *         p_value) */
+  def dagostinoK2(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = F.col(valueCol).cast("double")
+    val r = df.where(v.isNotNull && !F.isnan(v))
+      .agg(F.count(F.lit(1)).as("n"), F.sum(v).as("s1"),
+        F.sum(v * v).as("s2"), F.sum(v * v * v).as("s3"),
+        F.sum(v * v * v * v).as("s4"))
+      .head()
+    val nL = r.getAs[Long]("n")
+    require(nL >= 20L, s"D'Agostino K² needs n >= 20, got $nL")
+    val n = nL.toDouble
+    val mean = r.getAs[Double]("s1") / n
+    val m2 = r.getAs[Double]("s2") / n - mean * mean
+    require(m2 > 0.0, "zero variance")
+    val m3 = r.getAs[Double]("s3") / n - 3.0 * mean *
+      (r.getAs[Double]("s2") / n) + 2.0 * mean * mean * mean
+    val m4 = r.getAs[Double]("s4") / n - 4.0 * mean *
+      (r.getAs[Double]("s3") / n) + 6.0 * mean * mean *
+      (r.getAs[Double]("s2") / n) - 3.0 * mean * mean * mean * mean
+    val g1 = m3 / math.sqrt(m2 * m2 * m2)
+    val b2 = m4 / (m2 * m2)
+    // skewness: D'Agostino 1970
+    val y = g1 * math.sqrt((n + 1.0) * (n + 3.0) / (6.0 * (n - 2.0)))
+    val beta2 = 3.0 * (n * n + 27.0 * n - 70.0) * (n + 1.0) *
+      (n + 3.0) / ((n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0))
+    val w2 = -1.0 + math.sqrt(2.0 * (beta2 - 1.0))
+    val delta = 1.0 / math.sqrt(math.log(math.sqrt(w2)))
+    val alpha = math.sqrt(2.0 / (w2 - 1.0))
+    val ya = y / alpha
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val z1 = r6(delta * math.log(ya + math.sqrt(ya * ya + 1.0)))
+    // kurtosis: Anscombe–Glynn 1983
+    val eb2 = 3.0 * (n - 1.0) / (n + 1.0)
+    val vb2 = 24.0 * n * (n - 2.0) * (n - 3.0) /
+      ((n + 1.0) * (n + 1.0) * (n + 3.0) * (n + 5.0))
+    val x = (b2 - eb2) / math.sqrt(vb2)
+    val sb1 = 6.0 * (n * n - 5.0 * n + 2.0) / ((n + 7.0) * (n + 9.0)) *
+      math.sqrt(6.0 * (n + 3.0) * (n + 5.0) /
+        (n * (n - 2.0) * (n - 3.0)))
+    val a = 6.0 + 8.0 / sb1 *
+      (2.0 / sb1 + math.sqrt(1.0 + 4.0 / (sb1 * sb1)))
+    val z2 = r6(((1.0 - 2.0 / (9.0 * a)) -
+      math.cbrt((1.0 - 2.0 / a) /
+        (1.0 + x * math.sqrt(2.0 / (a - 4.0))))) /
+      math.sqrt(2.0 / (9.0 * a)))
+    val k2 = r6(z1 * z1 + z2 * z2)
+    val p = r6(math.exp(-k2 / 2.0))
+    Seq((nL, r6(g1), r6(b2 - 3.0), z1, z2, k2, p))
+      .toDF("n", "skew", "kurtosis", "z_skew", "z_kurt", "k2",
+        "p_value")
+  }
+
   /** Maximum Mean Discrepancy (Gretton et al. 2012) with an RBF
     * kernel, V-statistic form over value CELLS — the kernel two-sample
     * distance that sees shape differences the moment tests miss,

@@ -676,6 +676,110 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       share = 0.9).head().getAs[Long]("k_top") == 2L)
   }
 
+  test("time-series randomness screens: trend vs noise-like fixtures") {
+    import spark.implicits._
+    // monotone staircase: almost no turning points, RVN ≪ 2, all
+    // second-half pairs up
+    val trend = (0 until 40).map(i => ("t", i.toLong * 10L, i.toDouble))
+    val tdf = trend.toDF("k", "ts", "v")
+    val tp = Features.turningPointsByKey(tdf, "k", "ts", "v", 10L)
+      .head()
+    assert(tp.getAs[Long]("turning_points") == 0L)
+    assert(tp.getAs[Double]("z") < -4.0)
+    assert(tp.getAs[Double]("p_value") < 0.001)
+    val bt = Features.bartelsRankByKey(tdf, "k", "ts", "v", 10L).head()
+    assert(bt.getAs[Double]("rvn") < 0.2)
+    assert(bt.getAs[Double]("p_value") < 0.001)
+    val cs = Features.coxStuartByKey(tdf, "k", "ts", "v", 10L).head()
+    assert(cs.getAs[Long]("n_pairs") == 20L)
+    assert(cs.getAs[Long]("s_up") == 20L)
+    assert(cs.getAs[Double]("p_value") < 0.001)
+    // strict alternation: every interior point is an extremum, RVN ≫ 2
+    val alt = (0 until 40).map(i =>
+      ("a", i.toLong * 10L, if (i % 2 == 0) 0.0 else 1.0))
+    val adf = alt.toDF("k", "ts", "v")
+    val tpa = Features.turningPointsByKey(adf, "k", "ts", "v", 10L)
+      .head()
+    assert(tpa.getAs[Long]("turning_points") == 38L)
+    assert(tpa.getAs[Double]("z") > 3.0)
+    val bta = Features.bartelsRankByKey(adf, "k", "ts", "v", 10L).head()
+    assert(bta.getAs[Double]("rvn") > 3.0)
+    // alternation with an even half-shift ties EVERY pair (same
+    // parity) — the operator correctly reports nothing rather than a
+    // zero-information verdict
+    assert(Features.coxStuartByKey(adf, "k", "ts", "v", 10L)
+      .count() == 0L)
+  }
+
+  test("conoverSquaredRanks: unequal spreads fire, equal spreads don't") {
+    import spark.implicits._
+    // same mean, 4x the spread in cohort b
+    val a = (0 until 60).map(i => ("a", 10.0 + (i % 5) - 2.0))
+    val b = (0 until 60).map(i => ("b", 10.0 + 4.0 * ((i % 5) - 2.0)))
+    val r = StatTests.conoverSquaredRanks((a ++ b).toDF("g", "v"),
+      "g", "v").head()
+    assert(r.getAs[Long]("n_a") == 60L && r.getAs[Long]("n_b") == 60L)
+    assert(r.getAs[Double]("z") < -3.0) // a's squared ranks run low
+    assert(r.getAs[Double]("p_value") < 0.001)
+    val same = (a ++ a.map { case (_, v) => ("b", v) }).toDF("g", "v")
+    assert(StatTests.conoverSquaredRanks(same, "g", "v").head()
+      .getAs[Double]("p_value") > 0.9)
+  }
+
+  test("dagostinoK2 matches the independent reference implementation") {
+    import spark.implicits._
+    val xs = (0 until 30).map(i =>
+      math.pow(((i * 7) % 13).toDouble, 2) / 10.0)
+    val r = StatTests.dagostinoK2(xs.toDF("v"), "v").head()
+    assert(r.getAs[Long]("n") == 30L)
+    assert(math.abs(r.getAs[Double]("skew") - 0.739118) < 2e-6)
+    assert(math.abs(r.getAs[Double]("z_skew") - 1.816773) < 2e-6)
+    assert(math.abs(r.getAs[Double]("z_kurt") - (-0.583129)) < 2e-6)
+    assert(math.abs(r.getAs[Double]("k2") - 3.640705) < 1e-5)
+    assert(math.abs(r.getAs[Double]("p_value") - 0.161969) < 1e-5)
+    // an exactly symmetric fixture zeroes the skew channel; the flat
+    // shape still fires the kurtosis channel (uniform IS non-normal)
+    val sym = (0 until 55).map(i => ((i % 11) - 5).toDouble)
+    val rs = StatTests.dagostinoK2(sym.toDF("v"), "v").head()
+    assert(rs.getAs[Double]("skew") == 0.0)
+    assert(math.abs(rs.getAs[Double]("z_skew")) < 1e-6)
+    assert(rs.getAs[Double]("z_kurt") < -2.0)
+  }
+
+  test("roganGladen inverts a known noisy-flagger mixture") {
+    import spark.implicits._
+    // true prevalence 0.2 pushed through sens .8 / spec .9:
+    // p_obs = .2*.8 + .8*.1 = 0.24 → inversion recovers 0.2 exactly
+    val rows = Seq.fill(240)(true) ++ Seq.fill(760)(false)
+    val r = Evaluation.roganGladen(rows.toDF("flag"), "flag",
+      sens = 0.8, spec = 0.9).head()
+    assert(r.getAs[Long]("n") == 1000L)
+    assert(r.getAs[Double]("p_obs") == 0.24)
+    assert(math.abs(r.getAs[Double]("p_true") - 0.2) < 1e-9)
+    assert(r.getAs[Double]("lo95") < 0.2 && r.getAs[Double]("hi95") > 0.2)
+    // uninformative test rejected loudly
+    val ex = intercept[IllegalArgumentException] {
+      Evaluation.roganGladen(rows.toDF("flag"), "flag", 0.5, 0.5)
+    }
+    assert(ex.getMessage.contains("uninformative"))
+  }
+
+  test("youdenThreshold finds the separating cut") {
+    import spark.implicits._
+    // positives score {3,4}, negatives {1,2} with slight overlap at 2
+    val rows = Seq.fill(40)((4.0, true)) ++ Seq.fill(40)((3.0, true)) ++
+      Seq.fill(10)((2.0, true)) ++ Seq.fill(40)((2.0, false)) ++
+      Seq.fill(50)((1.0, false))
+    val r = Evaluation.youdenThreshold(rows.toDF("s", "y"), "s", "y")
+      .head()
+    // t = 3: TPR = 80/90, FPR = 0 → J = 0.888889 (beats t = 2's
+    // 1 − 0.444 = 0.555)
+    assert(r.getAs[Double]("threshold") == 3.0)
+    assert(math.abs(r.getAs[Double]("j") - 0.888889) < 1e-6)
+    assert(r.getAs[Double]("fpr") == 0.0)
+    assert(r.getAs[Long]("n_pos") == 90L && r.getAs[Long]("n_neg") == 90L)
+  }
+
   test("spiegelhalterZ: calibrated scores pass, deflated rates fire") {
     import spark.implicits._
     val cal = (0 until 10).flatMap { b =>

@@ -675,7 +675,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         "q_cluster_validity", "q_diebold_mariano", "q_interval_score",
         "q_split_half", "q_t_closeness", "q_eigencentrality",
         "q_spiegelhalter", "q_bloom_plan", "q_langid_confusion",
-        "q_tokenizer_fertility")) {
+        "q_tokenizer_fertility", "q_turning_points", "q_bartels",
+        "q_cox_stuart", "q_conover", "q_dagostino", "q_rogan_gladen",
+        "q_youden")) {
       val plan = physicalPlan(q)
       assert(!plan.contains("CartesianProduct"), q + ": " + plan.take(400))
       assert(!plan.contains("BroadcastNestedLoop"),
