@@ -2716,6 +2716,69 @@ object Features {
         F.count(F.lit(1))).as("__v"))
   }
 
+  /** ADWIN-style adaptive-window change detection per key (Bifet &
+    * Gavaldà 2007, the deterministic batch readout): on the period
+    * cells normalized to [0,1] by the key's 6-rounded min/max, find
+    * the EARLIEST split where the two sub-window means differ by more
+    * than the Hoeffding cut,
+    *
+    *   ε_cut = √( (1/2m)·ln(4n/δ) ),   m = 1/(1/n₀ + 1/n₁)
+    *
+    * — the distribution-free bound that needs no variance estimate,
+    * which is what lets ADWIN run without tuning. Keyed prefix-sum
+    * windows over the cells; keys with no triggering split emit no
+    * row (no change detected at confidence δ); constant keys
+    * (min = max) are omitted (nothing to normalize).
+    *
+    * @return one row per key with a detected change: (keyCol,
+    *         n_periods, cut_period, n_left, gap, eps_cut) — gap/eps
+    *         rounded to 6 */
+  def adwinByKey(df: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String, periodUnit: Long,
+                 delta: Double = 0.05): DataFrame = {
+    require(delta > 0.0 && delta < 1.0, "delta must be in (0,1)")
+    val cells = periodCells(df, keyCol, tsCol, valueCol, periodUnit)
+    val wKey = Window.partitionBy("__k")
+    val wOrd = Window.partitionBy("__k").orderBy("__p")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val norm = cells
+      .withColumn("__mn", F.round(F.min("__v").over(wKey), 6))
+      .withColumn("__mx", F.round(F.max("__v").over(wKey), 6))
+      .where(F.col("__mx") > F.col("__mn"))
+      .withColumn("__u", (F.col("__v") - F.col("__mn")) /
+        (F.col("__mx") - F.col("__mn")))
+    val n = F.count(F.lit(1)).over(wKey).cast("double")
+    val i = F.row_number().over(wOrd).cast("double")
+    val scored = norm
+      .withColumn("__n", n)
+      .withColumn("__i", i)
+      .withColumn("__cs", F.sum("__u").over(wCum))
+      .withColumn("__ts", F.sum("__u").over(wKey))
+      .where(F.col("__i") < F.col("__n"))
+      .withColumn("__gap", F.abs(
+        F.col("__cs") / F.col("__i") -
+          (F.col("__ts") - F.col("__cs")) /
+            (F.col("__n") - F.col("__i"))))
+      .withColumn("__m", F.lit(1.0) /
+        (F.lit(1.0) / F.col("__i") +
+          F.lit(1.0) / (F.col("__n") - F.col("__i"))))
+      .withColumn("__eps", F.sqrt(
+        F.lit(1.0) / (F.lit(2.0) * F.col("__m")) *
+          F.log(F.lit(4.0) * F.col("__n") / delta)))
+      .where(F.col("__gap") >= F.col("__eps"))
+    scored
+      .withColumn("__rn", F.row_number().over(
+        Window.partitionBy("__k").orderBy("__p")))
+      .where(F.col("__rn") === 1)
+      .select(F.col("__k").as(keyCol),
+        F.col("__n").cast("long").as("n_periods"),
+        F.col("__p").as("cut_period"),
+        F.col("__i").cast("long").as("n_left"),
+        F.round(F.col("__gap"), 6).as("gap"),
+        F.round(F.col("__eps"), 6).as("eps_cut"))
+  }
+
   /** Turning-points randomness test per key — the cheapest "is this
     * series actually random noise" screen: count interior periods that
     * are strict local extrema (vₜ₋₁ < vₜ > vₜ₊₁ or the reverse);

@@ -315,6 +315,53 @@ object Outliers {
     *
     * @return topK rows by (score desc, idCol asc): (idCol, score,
     *         then one `bin_<col>` column per feature) */
+  /** Value-at-Risk and Expected Shortfall per group, EXACT on the
+    * value cells (the risk-tail readout [[ecodScore]] family doesn't
+    * give): VaR_q is the type-1 empirical quantile — the smallest
+    * value whose cumulative count reaches ⌈q·n⌉ — and
+    * ES_q = mean of all values ≥ VaR_q (the tail the VaR number
+    * hides; ES is coherent, VaR is not). Everything is exact integer
+    * counts over per-value cells + one keyed cumulative window; ES is
+    * a ratio of exact sums on integer-valued data.
+    *
+    * @return one row per group: (groupCols…, n, var_q, es_q, tail_n)
+    *         — es rounded to 6 */
+  def varEsByGroup(df: DataFrame, groupCols: Seq[String],
+                   valueCol: String, q: Double): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(q > 0.0 && q < 1.0, "q must be in (0,1)")
+    import org.apache.spark.sql.expressions.Window
+    val v = F.col(valueCol).cast("double")
+    val gCols = groupCols.map(F.col)
+    val cells = df
+      .where(v.isNotNull && !F.isnan(v) &&
+        groupCols.map(F.col(_).isNotNull).reduce(_ && _))
+      .groupBy(gCols :+ v.as("__v"): _*)
+      .agg(F.count(F.lit(1)).as("__c"), F.sum(v).as("__s"))
+    val wg = Window.partitionBy(gCols: _*)
+    val wCum = Window.partitionBy(gCols: _*).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = cells
+      .withColumn("__n", F.sum("__c").over(wg))
+      .withColumn("__cum", F.sum("__c").over(wCum))
+      .withColumn("__tgt", F.ceil(F.col("__n") * q))
+      .where(F.col("__cum") >= F.col("__tgt"))
+    val varRow = scored
+      .withColumn("__rn", F.row_number().over(
+        Window.partitionBy(gCols: _*).orderBy("__v")))
+      .where(F.col("__rn") === 1)
+      .select(gCols :+ F.col("__v").as("__var") :+
+        F.col("__n").as("n"): _*)
+    val tail = cells.join(varRow, groupCols)
+      .where(F.col("__v") >= F.col("__var"))
+      .groupBy(gCols: _*)
+      .agg(F.max("__var").as("var_q"), F.max("n").as("__n"),
+        F.sum("__s").as("__ts"), F.sum("__c").as("tail_n"))
+    tail.select(gCols ++ Seq(F.col("__n").as("n"), F.col("var_q"),
+      F.round(F.col("__ts") / F.col("tail_n"), 6).as("es_q"),
+      F.col("tail_n")): _*)
+  }
+
   /** Local Outlier Factor (Breunig et al. 2000), exact deterministic
     * variant over a BOUNDED point set — the density-RELATIVE outlier
     * score [[ecodScore]]/[[hbosScore]] can't express (a point is

@@ -2023,6 +2023,72 @@ object StatTests {
       .select("k", "x_ref", "alpha")
   }
 
+  /** Pickands and moments (Dekkers–Einmahl–de Haan) extreme-value
+    * indices over the top order statistics — the γ panel next to
+    * [[hillTailIndex]]'s α (Hill is only consistent for γ > 0;
+    * Pickands/moments cover ALL max-domains, so light tails read
+    * γ ≤ 0 instead of a bogus heavy α):
+    *
+    *   γ_P = ln((x₍ₖ₎ − x₍₂ₖ₎)/(x₍₂ₖ₎ − x₍₄ₖ₎)) / ln 2,
+    *   γ_M = M₁ + 1 − ½/(1 − M₁²/M₂),   M_r = (1/k)Σᵢ≤ₖ lnʳ(xᵢ/x₍ₖ₊₁₎)
+    *
+    * The top-4k take is TakeOrdered (no global sort) and the value
+    * multiset is deterministic under ties; 4k is loudly bounded (the
+    * order statistics collect). alpha = 1/γ_M reported when γ_M > 0.
+    *
+    * @return one row: (k, x_k, x_2k, x_4k, gamma_pickands,
+    *         gamma_moments, alpha_moments) rounded to 6 */
+  def evtTailPanel(df: DataFrame, column: String,
+                   k: Int = 100): DataFrame = {
+    require(k >= 2 && 4 * k <= 65536,
+      "k must be >= 2 with 4k <= 65536 (the order statistics collect)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val x = F.col(column).cast("double")
+    val top = df
+      .where(x.isNotNull && !F.isnan(x) && x > 0.0)
+      .select(x.as("__x"))
+      .orderBy(F.col("__x").desc)
+      .limit(4 * k)
+      .collect().map(_.getDouble(0))
+    require(top.length == 4 * k,
+      s"need at least ${4 * k} positive rows, got ${top.length}")
+    val xk = top(k - 1); val x2k = top(2 * k - 1)
+    val x4k = top(4 * k - 1)
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    val gp =
+      if (xk > x2k && x2k > x4k)
+        Some(r6(math.log((xk - x2k) / (x2k - x4k)) / math.log(2.0)))
+      else None
+    // moments over the top-k relative to the (k+1)-th largest
+    val xr = top(k)
+    val (m1, m2) =
+      if (xr > 0.0 && xk > xr) {
+        var s1 = 0.0; var s2 = 0.0; var i = 0
+        while (i < k) {
+          val l = math.log(top(i) / xr)
+          s1 += l; s2 += l * l; i += 1
+        }
+        (s1 / k, s2 / k)
+      } else (0.0, 0.0)
+    val gm =
+      if (m2 > 0.0 && m1 * m1 / m2 < 1.0)
+        Some(r6(m1 + 1.0 - 0.5 / (1.0 - m1 * m1 / m2)))
+      else None
+    val alpha = gm.filter(_ > 0.0).map(g => r6(1.0 / g))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("x_k", DoubleType), StructField("x_2k", DoubleType),
+      StructField("x_4k", DoubleType),
+      StructField("gamma_pickands", DoubleType),
+      StructField("gamma_moments", DoubleType),
+      StructField("alpha_moments", DoubleType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(
+        k.toLong, xk, x2k, x4k, gp.orNull, gm.orNull, alpha.orNull)),
+      schema)
+  }
+
   /** Two-sample ENERGY distance per group — Székely–Rizzo's
     * D² = 2·E|X−Y| − E|X−X′| − E|Y−Y′|, the moment-free whole-
     * distribution distance that is zero iff the distributions match

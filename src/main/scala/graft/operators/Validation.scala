@@ -371,6 +371,35 @@ object Validation {
       "n_groups_single_sensitive")
   }
 
+  /** Single-pass regression imputation — fill a numeric column's NULLs
+    * from an OLS fit on the OBSERVED rows (the deterministic core of
+    * chained-equation imputation; mean imputation is the β₁ = 0
+    * special case and visibly shrinks variance, which this doesn't):
+    * one Gram aggregation on observed rows, β 6-rounded (the replay
+    * contract), then a codegen'd fill — no row collected. Rows where a
+    * FEATURE is null keep their null (no model to apply; flagged
+    * separately so the gap is visible).
+    *
+    * @return the input columns plus (filled, was_imputed) */
+  def imputeByRegression(df: DataFrame, targetCol: String,
+                         xCols: Seq[String]): DataFrame = {
+    require(xCols.nonEmpty, "need at least one feature")
+    val y = F.col(targetCol).cast("double")
+    val observed = df.where(y.isNotNull && !F.isnan(y))
+    val m = Regression.olsFit(observed, targetCol, xCols)
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    val b = m.beta.map(r6)
+    val pred = xCols.zipWithIndex.foldLeft(F.lit(b(0))) {
+      case (acc, (c, i)) => acc + F.col(c).cast("double") * b(i + 1)
+    }
+    val featsOk = xCols.map(c => F.col(c).cast("double"))
+      .map(c => c.isNotNull && !F.isnan(c)).reduce(_ && _)
+    val missing = y.isNull || F.isnan(y)
+    df.withColumn("was_imputed", missing && featsOk)
+      .withColumn("filled",
+        F.when(missing && featsOk, pred).otherwise(y))
+  }
+
   /** Bloom-filter capacity planner per group — size the decontam /
     * dedup membership filters BEFORE building them: for each group's
     * distinct-key count n and a target false-positive rate p,

@@ -676,6 +676,92 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       share = 0.9).head().getAs[Long]("k_top") == 2L)
   }
 
+  test("evtTailPanel: Pareto tail reads gamma > 0, uniform reads <= 0") {
+    import spark.implicits._
+    // exact Pareto(alpha=2) quantiles: x_i = (i/n)^(-1/2) → gamma 0.5
+    val par = (1 to 2000).map(i => math.pow(i / 2000.0, -0.5))
+    val rp = StatTests.evtTailPanel(par.toDF("v"), "v", k = 100).head()
+    val gmP = rp.getAs[Double]("gamma_moments")
+    assert(math.abs(gmP - 0.5) < 0.1, s"moments gamma $gmP")
+    assert(math.abs(rp.getAs[Double]("alpha_moments") - 2.0) < 0.5)
+    assert(rp.getAs[Double]("gamma_pickands") > 0.2)
+    // uniform tail: gamma at or below 0 on both estimators
+    val uni = (1 to 2000).map(i => i / 2000.0 * 10.0)
+    val ru = StatTests.evtTailPanel(uni.toDF("v"), "v", k = 100).head()
+    assert(ru.getAs[Double]("gamma_moments") < 0.1)
+    assert(ru.getAs[Double]("gamma_pickands") < 0.1)
+    // x_k order statistics exact
+    assert(rp.getAs[Double]("x_k") == math.pow(100 / 2000.0, -0.5))
+  }
+
+  test("varEsByGroup: hand-checked tail on 100 integer values") {
+    import spark.implicits._
+    // values 1..100 once each: VaR95 = 95 (cum hits ceil(95)),
+    // tail = {95..100}: ES = 97.5, tail_n = 6
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val r = Outliers.varEsByGroup(df, Seq("g"), "v", q = 0.95).head()
+    assert(r.getAs[Long]("n") == 100L)
+    assert(r.getAs[Double]("var_q") == 95.0)
+    assert(r.getAs[Double]("es_q") == 97.5)
+    assert(r.getAs[Long]("tail_n") == 6L)
+    // duplicated mass: 90x value 1, 10x value 50: ceil(95) = 95 → VaR
+    // = 50, tail = the ten 50s
+    val dup = (Seq.fill(90)(1.0) ++ Seq.fill(10)(50.0))
+      .map(("g", _)).toDF("g", "v")
+    val r2 = Outliers.varEsByGroup(dup, Seq("g"), "v", q = 0.95).head()
+    assert(r2.getAs[Double]("var_q") == 50.0)
+    assert(r2.getAs[Double]("es_q") == 50.0)
+    assert(r2.getAs[Long]("tail_n") == 10L)
+  }
+
+  test("adwinByKey cuts at a planted shift, stays silent on stationary") {
+    import spark.implicits._
+    // 30 flat periods then 30 shifted: the Hoeffding cut must fire
+    // and point inside the neighborhood of the true change
+    val rows = (0 until 60).map { i =>
+      val v = (i % 5) / 10.0 + (if (i >= 30) 10.0 else 0.0)
+      ("k", i.toLong * 10L, v)
+    }
+    val out = Features.adwinByKey(rows.toDF("k", "ts", "v"),
+      "k", "ts", "v", periodUnit = 10L, delta = 0.05).head()
+    assert(out.getAs[Long]("n_periods") == 60L)
+    // the EARLIEST bound-exceeding split can precede the true change
+    // when the shift dwarfs the bound — detection semantics, not
+    // localization (binarySegment does localization)
+    val cut = out.getAs[Long]("cut_period")
+    assert(cut <= 30L, s"cut at $cut")
+    assert(out.getAs[Double]("gap") >= out.getAs[Double]("eps_cut"))
+    // stationary series: no row
+    val flat = (0 until 60).map(i => ("k", i.toLong * 10L,
+      (i % 5) / 10.0))
+    assert(Features.adwinByKey(flat.toDF("k", "ts", "v"),
+      "k", "ts", "v", periodUnit = 10L).count() == 0L)
+  }
+
+  test("imputeByRegression fills from the fit, not the mean") {
+    import spark.implicits._
+    // y = 2x exactly on observed; missing rows at x = 10 must fill
+    // with 20 (mean imputation would put ~5.5 there)
+    val rows = (1 to 9).map(i => (i.toDouble, Some(2.0 * i))) ++
+      Seq((10.0, None), (10.0, None))
+    val df = rows.toDF("x", "y")
+    val out = Validation.imputeByRegression(df, "y", Seq("x"))
+      .collect()
+    val imputed = out.filter(_.getAs[Boolean]("was_imputed"))
+    assert(imputed.length == 2)
+    imputed.foreach(r =>
+      assert(math.abs(r.getAs[Double]("filled") - 20.0) < 1e-6))
+    val kept = out.filter(!_.getAs[Boolean]("was_imputed"))
+    kept.foreach(r => assert(r.getAs[Double]("filled") ==
+      2.0 * r.getAs[Double]("x")))
+    // a missing FEATURE keeps the null (no model to apply)
+    val df2 = (rows ++ Seq((Double.NaN, None))).toDF("x", "y")
+    val out2 = Validation.imputeByRegression(df2, "y", Seq("x"))
+      .where(F.isnan(F.col("x"))).head()
+    assert(!out2.getAs[Boolean]("was_imputed"))
+    assert(out2.isNullAt(out2.fieldIndex("filled")))
+  }
+
   test("time-series randomness screens: trend vs noise-like fixtures") {
     import spark.implicits._
     // monotone staircase: almost no turning points, RVN ≪ 2, all
