@@ -2716,6 +2716,82 @@ object Features {
         F.count(F.lit(1))).as("__v"))
   }
 
+  /** Cochrane–Orcutt AR(1) correction for the per-key trend regression
+    * — what the [[neweyWestByKey]] diagnostic ACTS on: when residual
+    * autocorrelation inflates the OLS trend's certainty, re-estimate
+    * on the quasi-differenced series,
+    *
+    *   ρ̂ = Σeₜeₜ₋₁/Σeₜ₋₁²,   y*ₜ = yₜ − ρ̂yₜ₋₁,  x*ₜ = xₜ − ρ̂xₜ₋₁
+    *
+    * (one CO step — the textbook two-stage, not iterated; β and ρ̂
+    * 6-rounded so the whole chain replays). x is the period index.
+    * Keyed windows + two Cramer passes; keys with n < 8 or degenerate
+    * variance omitted.
+    *
+    * @return one row per key: (keyCol, n_periods, rho, slope_ols,
+    *         slope_co, icept_co) rounded to 6 */
+  def cochraneOrcuttByKey(df: DataFrame, keyCol: String, tsCol: String,
+                          valueCol: String,
+                          periodUnit: Long): DataFrame = {
+    val cells = periodCells(df, keyCol, tsCol, valueCol, periodUnit)
+    val wKey = Window.partitionBy("__k")
+    val wOrd = Window.partitionBy("__k").orderBy("__p")
+    val base = cells
+      .withColumn("__i", F.row_number().over(wOrd).cast("double"))
+    // stage 1: OLS v ~ i per key (Cramer over keyed moments)
+    val m1 = base.groupBy("__k").agg(
+      F.count(F.lit(1)).as("n"),
+      F.sum("__i").as("sx"), F.sum(F.col("__i") * F.col("__i")).as("sxx"),
+      F.sum("__v").as("sy"),
+      F.sum(F.col("__i") * F.col("__v")).as("sxy"))
+      .withColumn("__det",
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+      .where(F.col("n") >= 8L && F.col("__det") > 0.0)
+      .withColumn("b1", F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) /
+          F.col("__det"), 6))
+      .withColumn("b0", F.round(
+        (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")) /
+          F.col("__det"), 6))
+      .select("__k", "n", "b0", "b1")
+    // stage 2: rho from lag-1 residuals, then the starred OLS
+    val withE = base.join(m1, "__k")
+      .withColumn("__e", F.col("__v") -
+        (F.col("b0") + F.col("b1") * F.col("__i")))
+      .withColumn("__el", F.lag("__e", 1).over(wOrd))
+    val rho = withE.where(F.col("__el").isNotNull)
+      .groupBy("__k").agg(
+        F.sum(F.col("__e") * F.col("__el")).as("__num"),
+        F.sum(F.col("__el") * F.col("__el")).as("__den"))
+      .where(F.col("__den") > 0.0)
+      .withColumn("rho", F.round(F.col("__num") / F.col("__den"), 6))
+      .select("__k", "rho")
+    val starred = withE.join(rho, "__k")
+      .withColumn("__vl", F.lag("__v", 1).over(wOrd))
+      .withColumn("__il", F.lag("__i", 1).over(wOrd))
+      .where(F.col("__vl").isNotNull)
+      .withColumn("__ys", F.col("__v") - F.col("rho") * F.col("__vl"))
+      .withColumn("__xs", F.col("__i") - F.col("rho") * F.col("__il"))
+    val m2 = starred.groupBy("__k").agg(
+      F.max("rho").as("rho"), F.max("b1").as("slope_ols"),
+      F.max("n").as("n_periods"),
+      F.count(F.lit(1)).as("ns"),
+      F.sum("__xs").as("sx"),
+      F.sum(F.col("__xs") * F.col("__xs")).as("sxx"),
+      F.sum("__ys").as("sy"),
+      F.sum(F.col("__xs") * F.col("__ys")).as("sxy"))
+      .withColumn("__det",
+        F.col("ns") * F.col("sxx") - F.col("sx") * F.col("sx"))
+      .where(F.col("__det") > 0.0)
+    m2.select(F.col("__k").as(keyCol), F.col("n_periods"),
+      F.col("rho"), F.col("slope_ols"),
+      F.round((F.col("ns") * F.col("sxy") -
+        F.col("sx") * F.col("sy")) / F.col("__det"), 6).as("slope_co"),
+      F.round(((F.col("sy") * F.col("sxx") -
+        F.col("sx") * F.col("sxy")) / F.col("__det")) /
+        (F.lit(1.0) - F.col("rho")), 6).as("icept_co"))
+  }
+
   /** ADWIN-style adaptive-window change detection per key (Bifet &
     * Gavaldà 2007, the deterministic batch readout): on the period
     * cells normalized to [0,1] by the key's 6-rounded min/max, find

@@ -601,6 +601,62 @@ object Regression {
     SoftmaxModel(xCols, classes, beta, ll, n, iters)
   }
 
+  /** PRESS and leave-one-out cross-validation for simple regression —
+    * honest generalization error WITHOUT refitting n models: with
+    * leverage hᵢ = 1/n + (xᵢ−x̄)²/Sxx the LOO residual is eᵢ/(1−hᵢ)
+    * exactly, so
+    *
+    *   PRESS = Σ (eᵢ/(1−hᵢ))²,   R²_pred = 1 − PRESS/SST
+    *
+    * — the overfitting readout next to in-sample R² (R²_pred ≪ R²
+    * means the fit memorizes). Two aggregations (moments, then the
+    * leverage-weighted residual pass at the 6-rounded β); no row
+    * collected. The raw PRESS sum is scale-cubed and reduce-order
+    * noisy, so the SCALE-STABLE derived metrics report instead
+    * (rmse_loocv, the two R²s).
+    *
+    * @return one row: (n, beta0, beta1, rmse_loocv, r2, r2_pred)
+    *         rounded to 6 */
+  def pressStatistic(df: DataFrame, yCol: String,
+                     xCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val x = F.col(xCol).cast("double")
+    val y = F.col(yCol).cast("double")
+    val ok = Seq(x, y).map(c => c.isNotNull && !F.isnan(c))
+      .reduce(_ && _)
+    val m = df.where(ok).agg(
+      F.count(F.lit(1)).as("n"), F.sum(x).as("sx"),
+      F.sum(x * x).as("sxx"), F.sum(y).as("sy"),
+      F.sum(y * y).as("syy"), F.sum(x * y).as("sxy")).head()
+    val n = m.getAs[Long]("n")
+    require(n > 3L, "need more than 3 rows")
+    val nD = n.toDouble
+    val sx = m.getAs[Double]("sx"); val sxx = m.getAs[Double]("sxx")
+    val sy = m.getAs[Double]("sy"); val syy = m.getAs[Double]("syy")
+    val sxy = m.getAs[Double]("sxy")
+    val sxxC = sxx - sx * sx / nD
+    require(sxxC > 0.0, "constant feature")
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    val b1 = r6((nD * sxy - sx * sy) / (nD * sxx - sx * sx))
+    val b0 = r6((sy * sxx - sx * sxy) / (nD * sxx - sx * sx))
+    val xbar = sx / nD
+    val e = y - (F.lit(b0) + F.lit(b1) * x)
+    val h = F.lit(1.0 / nD) +
+      (x - xbar) * (x - xbar) / F.lit(sxxC)
+    val p2 = df.where(ok).agg(
+      F.sum((e / (F.lit(1.0) - h)) * (e / (F.lit(1.0) - h)))
+        .as("press"),
+      F.sum(e * e).as("sse")).head()
+    val press = p2.getAs[Double]("press")
+    val sst = syy - nD * (sy / nD) * (sy / nD)
+    require(sst > 0.0, "constant response")
+    Seq((n, b0, b1, r6(math.sqrt(press / nD)),
+        r6(1.0 - p2.getAs[Double]("sse") / sst),
+        r6(1.0 - press / sst)))
+      .toDF("n", "beta0", "beta1", "rmse_loocv", "r2", "r2_pred")
+  }
+
   /** A fitted Huber robust linear model: β aligned to
     * `"intercept" +: features`, the Huber threshold used, row count and
     * fixed iteration count. */

@@ -2023,6 +2023,66 @@ object StatTests {
       .select("k", "x_ref", "alpha")
   }
 
+  /** Factorability diagnostics for a 3-variable block — the two
+    * preconditions every factor/PCA write-up reports before loadings:
+    * Bartlett's sphericity test (is the correlation matrix
+    * distinguishable from identity at all),
+    *
+    *   χ² = −((n−1) − (2p+5)/6)·ln|R|  ~ χ²(p(p−1)/2 = 3)
+    *
+    * with the odd-df closed-form survival erfc(√(x/2)) +
+    * √(2x/π)·e^{−x/2}, and the Kaiser–Meyer–Olkin sampling adequacy
+    *
+    *   KMO = Σr²ᵢⱼ / (Σr²ᵢⱼ + Σq²ᵢⱼ)
+    *
+    * with q the anti-image partial correlations from R⁻¹ (closed-form
+    * 3×3 adjugate). ONE moment aggregation; correlations 6-rounded so
+    * everything downstream is driver arithmetic on pinned scalars.
+    *
+    * @return one row: (n, r12, r13, r23, det_r, chi2, df, p_value,
+    *         kmo) */
+  def factorability(df: DataFrame, c1: String, c2: String,
+                    c3: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cols = Seq(c1, c2, c3).map(c => F.col(c).cast("double"))
+    val ok = cols.map(c => c.isNotNull && !F.isnan(c)).reduce(_ && _)
+    val r = df.where(ok).agg(
+      F.count(F.lit(1)).as("n"),
+      F.round(F.corr(cols(0), cols(1)), 6).as("r12"),
+      F.round(F.corr(cols(0), cols(2)), 6).as("r13"),
+      F.round(F.corr(cols(1), cols(2)), 6).as("r23")).head()
+    val n = r.getAs[Long]("n")
+    require(n > 3L, "need more than 3 rows")
+    val r12 = r.getAs[Double]("r12"); val r13 = r.getAs[Double]("r13")
+    val r23 = r.getAs[Double]("r23")
+    val det = 1.0 + 2.0 * r12 * r13 * r23 -
+      r12 * r12 - r13 * r13 - r23 * r23
+    require(det > 0.0, "singular correlation matrix")
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    val chi2 = r6(-((n - 1.0) - (2.0 * 3.0 + 5.0) / 6.0) *
+      math.log(det))
+    val p = r6(SpecialMath.erfc(math.sqrt(chi2 / 2.0)) +
+      math.sqrt(2.0 * chi2 / math.Pi) * math.exp(-chi2 / 2.0))
+    // 3x3 inverse via adjugate; anti-image partials q_ij =
+    // -inv_ij / sqrt(inv_ii * inv_jj)
+    val i11 = (1.0 - r23 * r23) / det
+    val i22 = (1.0 - r13 * r13) / det
+    val i33 = (1.0 - r12 * r12) / det
+    val i12 = (r13 * r23 - r12) / det
+    val i13 = (r12 * r23 - r13) / det
+    val i23 = (r12 * r13 - r23) / det
+    val q12 = -i12 / math.sqrt(i11 * i22)
+    val q13 = -i13 / math.sqrt(i11 * i33)
+    val q23 = -i23 / math.sqrt(i22 * i33)
+    val sr = r12 * r12 + r13 * r13 + r23 * r23
+    val sq = q12 * q12 + q13 * q13 + q23 * q23
+    val kmo = r6(sr / (sr + sq))
+    Seq((n, r12, r13, r23, r6(det), chi2, 3, p, kmo))
+      .toDF("n", "r12", "r13", "r23", "det_r", "chi2", "df",
+        "p_value", "kmo")
+  }
+
   /** Pickands and moments (Dekkers–Einmahl–de Haan) extreme-value
     * indices over the top order statistics — the γ panel next to
     * [[hillTailIndex]]'s α (Hill is only consistent for γ > 0;

@@ -676,6 +676,68 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       share = 0.9).head().getAs[Long]("k_top") == 2L)
   }
 
+  test("factorability: correlated block fires sphericity, KMO in range") {
+    import spark.implicits._
+    // x2 = x1 + ripple, x3 independent-ish: |R| well below 1
+    val rows = (0 until 200).map { i =>
+      val x1 = (i % 10).toDouble
+      (x1, x1 + (i % 3).toDouble, ((i * 7) % 13).toDouble)
+    }
+    val r = StatTests.factorability(rows.toDF("a", "b", "c"),
+      "a", "b", "c").head()
+    assert(r.getAs[Long]("n") == 200L)
+    assert(r.getAs[Double]("r12") > 0.9)
+    assert(r.getAs[Double]("det_r") < 0.2)
+    assert(r.getAs[Double]("chi2") > 100.0)
+    assert(r.getAs[Double]("p_value") < 1e-6)
+    val kmo = r.getAs[Double]("kmo")
+    assert(kmo > 0.0 && kmo < 1.0)
+    // det identity: 1 for a perfectly uncorrelated block
+    val ind = (0 until 120).map { i =>
+      ((i % 2).toDouble, ((i / 2) % 2).toDouble, ((i / 4) % 2).toDouble)
+    }
+    val ri = StatTests.factorability(ind.toDF("a", "b", "c"),
+      "a", "b", "c").head()
+    assert(math.abs(ri.getAs[Double]("det_r") - 1.0) < 1e-6)
+    assert(ri.getAs[Double]("p_value") > 0.9)
+  }
+
+  test("pressStatistic: exact line gives r2_pred 1; noise is penalized") {
+    import spark.implicits._
+    val exact = (1 to 50).map(i => (i.toDouble, 3.0 + 2.0 * i))
+    val re = Regression.pressStatistic(exact.toDF("x", "y"), "y", "x")
+      .head()
+    assert(re.getAs[Double]("beta1") == 2.0)
+    assert(re.getAs[Double]("beta0") == 3.0)
+    assert(re.getAs[Double]("rmse_loocv") == 0.0)
+    assert(re.getAs[Double]("r2_pred") == 1.0)
+    // add an off-line point: r2_pred must fall BELOW in-sample r2
+    // (the LOO residual divides by 1−h, so PRESS > SSE always)
+    val noisy = exact ++ Seq((51.0, 3.0 + 2.0 * 51 + 40.0))
+    val rn = Regression.pressStatistic(noisy.toDF("x", "y"), "y", "x")
+      .head()
+    assert(rn.getAs[Double]("r2_pred") < rn.getAs[Double]("r2"))
+    assert(rn.getAs[Double]("rmse_loocv") > 0.0)
+  }
+
+  test("cochraneOrcutt: AR(1) errors shrink toward the true trend") {
+    import spark.implicits._
+    // y = 0.5 t + sawtooth(16) residual — a deterministic error with
+    // strong positive lag-1 autocorrelation (an AR recursion fed by a
+    // short-period ripple would NOT be: the filtered waveform's lag-1
+    // autocorr is what matters, not the filter)
+    val rows = (0 until 64).map { i =>
+      ("k", i.toLong * 10L, 0.5 * i + ((i % 16) - 7.5) / 2.0)
+    }
+    val r = Features.cochraneOrcuttByKey(rows.toDF("k", "ts", "v"),
+      "k", "ts", "v", periodUnit = 10L).head()
+    assert(r.getAs[Long]("n_periods") == 64L)
+    val rho = r.getAs[Double]("rho")
+    assert(rho > 0.5 && rho < 0.99, s"rho $rho")
+    assert(math.abs(r.getAs[Double]("slope_co") - 0.5) < 0.1)
+    assert(math.abs(r.getAs[Double]("slope_ols") - 0.5) < 0.1)
+  }
+
   test("evtTailPanel: Pareto tail reads gamma > 0, uniform reads <= 0") {
     import spark.implicits._
     // exact Pareto(alpha=2) quantiles: x_i = (i/n)^(-1/2) → gamma 0.5

@@ -677,7 +677,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         "q_spiegelhalter", "q_bloom_plan", "q_langid_confusion",
         "q_tokenizer_fertility", "q_turning_points", "q_bartels",
         "q_cox_stuart", "q_conover", "q_dagostino", "q_rogan_gladen",
-        "q_youden", "q_var_es", "q_adwin", "q_impute_regression")) {
+        "q_youden", "q_var_es", "q_adwin", "q_impute_regression",
+        "q_factorability", "q_press", "q_cochrane_orcutt")) {
       val plan = physicalPlan(q)
       assert(!plan.contains("CartesianProduct"), q + ": " + plan.take(400))
       assert(!plan.contains("BroadcastNestedLoop"),
