@@ -137,7 +137,10 @@ object Graph {
         .select(F.col("node"),
           F.round(F.col("__in") / normR, 6).as("score"))
         .localCheckpoint(true)
-      x.unpersist(false)
+      // next is materialized, so joined's checkpoint blocks are dead;
+      // round 0's x is the un-checkpointed all-ones frame (no-op skip)
+      joined.unpersist(false)
+      if (it > 0) x.unpersist(false)
       x = next
       it += 1
     }

@@ -417,12 +417,19 @@ object Outliers {
       .localCheckpoint(true)
     val kdist = knn.groupBy("ida").agg(F.max("dist").as("kd"))
     // reach(a,b) = max(dist, kdist(b)); lrd = k / sum(reach)
-    val lrd = knn
+    val reach = knn
       .join(kdist.select(F.col("ida").as("idb"), F.col("kd").as("kdb")),
         "idb")
       .groupBy("ida")
-      .agg((F.lit(k.toDouble) /
-        F.sum(F.greatest(F.col("dist"), F.col("kdb")))).as("lrd"))
+      .agg(F.sum(F.greatest(F.col("dist"), F.col("kdb"))).as("__sr"))
+    val zeroReach = reach.where(F.col("__sr") <= 0.0).count()
+    require(zeroReach == 0L,
+      s"$zeroReach points have zero reachability sum — their k " +
+        "nearest neighbors are all exact duplicates, so lrd/lof are " +
+        "undefined; deduplicate the points (or raise k past the " +
+        "duplicate multiplicity) first")
+    val lrd = reach
+      .select(F.col("ida"), (F.lit(k.toDouble) / F.col("__sr")).as("lrd"))
     val lof = knn
       .join(lrd.select(F.col("ida").as("idb"), F.col("lrd").as("lrdb")),
         "idb")

@@ -1431,7 +1431,7 @@ object Regression {
     val g = groupCols.map(F.col)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(g: _*)
-      .orderBy(F.md5(F.concat_ws(" ",
+      .orderBy(F.md5(F.concat_ws("\u0000",
         (groupCols.map(F.col(_).cast("string")) :+
           F.col("__x").cast("string") :+
           F.col("__y").cast("string")): _*)))
@@ -1610,6 +1610,103 @@ object Regression {
         F.round(wx, 6).as("w1"), F.round(wy, 6).as("w2"),
         F.round(thr, 6).as("threshold"),
         F.round(jStat, 6).as("j_stat"))
+  }
+
+  /** Multiclass Fisher LDA (k classes, 2 features) — [[fisherLda]]'s
+    * two-class discriminant generalized to the full within/between
+    * scatter form: S_W = Σ_c scatter_c, S_B = Σ_c n_c (μ_c − μ̄)(μ_c −
+    * μ̄)ᵀ, and the canonical directions are the eigenvectors of
+    * S_W⁻¹S_B — for 2 features a CLOSED-FORM 2×2 eigenproblem
+    * (λ = (tr ± √(tr² − 4 det))/2), so the whole fit is one
+    * aggregation plus scalar algebra, no iteration. λ₁ is the
+    * canonical separation ratio along the leading direction
+    * (between-class over within-class variance); λ₂ > 0 means the
+    * classes need BOTH dimensions to separate.
+    *
+    * Replay discipline: per-class moment sums accumulate as
+    * DECIMAL(38,6) (order-independent), per-class scatter
+    * contributions are 6-rounded before the k-term fold, and the
+    * eigen algebra runs on those rounded pieces — bit-replayable.
+    * The class-label set is BOUNDED (k ≤ maxClasses, loud raise):
+    * this is a discriminant over a handful of segments, not a
+    * million-class classifier.
+    *
+    * @return one row: (n, n_classes, lambda1, lambda2, w1, w2) —
+    *         (w1,w2) the unit leading direction (sign: first nonzero
+    *         component positive), 6-rounded */
+  def fisherLdaMulti(df: DataFrame, labelCol: String, x1Col: String,
+                     x2Col: String, maxClasses: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val x = F.col(x1Col).cast("double")
+    val y = F.col(x2Col).cast("double")
+    val lbl = F.col(labelCol).cast("string")
+    val clean = df
+      .where(x.isNotNull && !F.isnan(x) && y.isNotNull && !F.isnan(y) &&
+        lbl.isNotNull)
+      .select(lbl.as("__c"), x.as("__x"), y.as("__y"))
+    def dsum(c: org.apache.spark.sql.Column) =
+      F.sum(c.cast("decimal(38,6)")).cast("double")
+    val perClass = clean.groupBy("__c").agg(
+      F.count(F.lit(1)).as("n"),
+      dsum(F.col("__x")).as("sx"), dsum(F.col("__y")).as("sy"),
+      dsum(F.col("__x") * F.col("__x")).as("sxx"),
+      dsum(F.col("__y") * F.col("__y")).as("syy"),
+      dsum(F.col("__x") * F.col("__y")).as("sxy"))
+      .orderBy("__c").collect()
+    val k = perClass.length
+    require(k >= 2, s"need at least 2 classes, got $k")
+    require(k <= maxClasses,
+      s"$k distinct labels — the scatter fold is built for a BOUNDED " +
+        s"class set (maxClasses=$maxClasses); bucket the labels first")
+    require(perClass.forall(_.getAs[Long]("n") >= 2L),
+      "every class needs at least 2 rows")
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    val ns = perClass.map(_.getAs[Long]("n").toDouble)
+    val nTot = ns.sum
+    val gx = perClass.map(_.getAs[Double]("sx")).sum / nTot
+    val gy = perClass.map(_.getAs[Double]("sy")).sum / nTot
+    // within / between scatter: per-class pieces 6-rounded, then the
+    // exact k-term fold (label order) — the oracle's decimal sum
+    var wxx = 0.0; var wyy = 0.0; var wxy = 0.0
+    var bxx = 0.0; var byy = 0.0; var bxy = 0.0
+    perClass.zipWithIndex.foreach { case (r, i) =>
+      val n = ns(i)
+      val mx = r.getAs[Double]("sx") / n
+      val my = r.getAs[Double]("sy") / n
+      wxx += r6(r.getAs[Double]("sxx") - n * mx * mx)
+      wyy += r6(r.getAs[Double]("syy") - n * my * my)
+      wxy += r6(r.getAs[Double]("sxy") - n * mx * my)
+      bxx += r6(n * (mx - gx) * (mx - gx))
+      byy += r6(n * (my - gy) * (my - gy))
+      bxy += r6(n * (mx - gx) * (my - gy))
+    }
+    val det = wxx * wyy - wxy * wxy
+    require(det > 0.0,
+      "singular within-class scatter (a feature is constant within " +
+        "classes, or the features are collinear) — drop or decorrelate")
+    // M = S_W^{-1} S_B via the adjugate
+    val m11 = (wyy * bxx - wxy * bxy) / det
+    val m12 = (wyy * bxy - wxy * byy) / det
+    val m21 = (wxx * bxy - wxy * bxx) / det
+    val m22 = (wxx * byy - wxy * bxy) / det
+    val tr = m11 + m22
+    val dt = m11 * m22 - m12 * m21
+    val disc = math.sqrt(math.max(tr * tr - 4.0 * dt, 0.0))
+    val l1 = (tr + disc) / 2.0
+    val l2 = (tr - disc) / 2.0
+    val (e1, e2) =
+      if (math.abs(m12) > 1e-12) (m12, l1 - m11)
+      else if (math.abs(m21) > 1e-12) (l1 - m22, m21)
+      else if (m11 >= m22) (1.0, 0.0) else (0.0, 1.0)
+    val nrm = math.sqrt(e1 * e1 + e2 * e2)
+    require(nrm > 0.0, "degenerate leading eigenvector")
+    val flip = e1 < 0.0 || (e1 == 0.0 && e2 < 0.0)
+    val w1 = if (flip) -e1 / nrm else e1 / nrm
+    val w2 = if (flip) -e2 / nrm else e2 / nrm
+    Seq((nTot.toLong, k.toLong, r6(l1) + 0.0, r6(l2) + 0.0,
+      r6(w1) + 0.0, r6(w2) + 0.0))
+      .toDF("n", "n_classes", "lambda1", "lambda2", "w1", "w2")
   }
 
   /** Panel fixed-effects (within) estimator — "the slope of y on x
