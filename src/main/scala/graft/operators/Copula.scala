@@ -184,8 +184,9 @@ final class GaussianCopula(
   *   Clayton θ = 2τ/(1−τ)   (τ ∈ (0,1); lower-tail λ_L = 2^(−1/θ)),
   *   Gumbel  θ = 1/(1−τ)    (τ ∈ [0,1); upper-tail λ_U = 2 − 2^(1/θ))
   *
-  * (Frank needs the Debye-function inversion — no closed form — and is
-  * intentionally omitted). The τ estimate inherits kendallTauB's
+  * (Frank needs the Debye-function inversion — no closed form — so
+  * [[ArchimedeanCopula.fitFrankByTau]] inverts a PINNED deterministic
+  * quadrature grid instead). The τ estimate inherits kendallTauB's
   * LOW-CARDINALITY cell contract: quantize continuous marginals first.
   * Families whose τ-range excludes the estimate report null θ.
   */
@@ -222,6 +223,74 @@ object ArchimedeanCopula {
       java.util.Arrays.asList(org.apache.spark.sql.Row(
         n, tau, thetaC.orNull, lambdaL.orNull, thetaG.orNull,
         lambdaU.orNull)), schema)
+  }
+
+  /** Frank copula by τ inversion — the member [[fitByTau]] documents
+    * as having NO closed form: τ(θ) = 1 − (4/θ)(1 − D₁(θ)) with the
+    * Debye function D₁(θ) = (1/θ)∫₀^θ t/(eᵗ−1) dt. The inversion here
+    * is a PINNED deterministic grid (the GARCH-grid discipline, not an
+    * iterative root-finder): the integrand is evaluated at the 5000
+    * midpoints of [0, 50] at step 0.01, 1e−12-quantized, and prefix-
+    * summed EXACTLY as DECIMAL(38,12), so D₁(θⱼ) = Cⱼ/j and τ(θⱼ) are
+    * bit-identical in any engine; θ̂ linearly interpolates the
+    * bracketing grid pair at the observed |τ| (τ < τ₁ interpolates to
+    * the origin — τ(θ) → θ/9; negative τ maps to −θ by the copula's
+    * τ(−θ) = −τ(θ) oddness). |τ| beyond the grid ceiling
+    * (τ(50) ≈ 0.9226) raises loudly. Frank has NO tail dependence —
+    * λ_L = λ_U = 0 reported, the reason to pick it over
+    * Clayton/Gumbel when the dependence is body-only and symmetric.
+    *
+    * Same kendallTauB cell contract as [[fitByTau]]: quantize
+    * continuous marginals first. Grid work is O(5000) on the driver.
+    *
+    * @return one row: (n, tau, theta_frank, lambda_lower,
+    *         lambda_upper) — θ 6-rounded */
+  def fitFrankByTau(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = Ranks.kendallTauB(df, colA, colB).head()
+    val n = k.getAs[Long]("n")
+    require(!k.isNullAt(k.fieldIndex("tau_b")),
+      "degenerate Kendall tau (a marginal is constant) — no " +
+        "Archimedean fit exists")
+    val tau = k.getAs[Double]("tau_b")
+    val m = 5000
+    // exact decimal prefix sum of the 1e-12-quantized midpoint
+    // integrand: C_j replays as a DECIMAL(38,12) window sum
+    val tauGrid = new Array[Double](m + 1)
+    var acc = java.math.BigDecimal.ZERO
+    var j = 1
+    while (j <= m) {
+      val t = (j - 0.5) * 0.01
+      val f = math.rint(t / (math.exp(t) - 1.0) * 1e12) / 1e12
+      acc = acc.add(java.math.BigDecimal.valueOf(f)
+        .setScale(12, java.math.RoundingMode.HALF_UP))
+      val c = acc.doubleValue()
+      val jD = j.toDouble
+      tauGrid(j) = 1.0 - 4.0 / (jD * 0.01) * (1.0 - c / jD)
+      j += 1
+    }
+    val ta = math.abs(tau)
+    require(ta <= tauGrid(m),
+      f"|tau| = $ta%.6f exceeds the Frank grid ceiling " +
+        f"tau(50) = ${tauGrid(m)}%.6f — the dependence is too strong " +
+        "for the pinned inversion range")
+    // largest grid index with tau_j <= |tau| (tau_j is increasing)
+    var js = 0
+    j = 1
+    while (j <= m && tauGrid(j) <= ta) { js = j; j += 1 }
+    val thetaAbs =
+      if (js == 0) 0.01 * ta / tauGrid(1)
+      else if (js == m) 50.0
+      else {
+        val jD = js.toDouble
+        jD * 0.01 + 0.01 * (ta - tauGrid(js)) /
+          (tauGrid(js + 1) - tauGrid(js))
+      }
+    val theta = math.rint((if (tau < 0.0) -thetaAbs else thetaAbs) *
+      1e6) / 1e6 + 0.0
+    Seq((n, tau, theta, 0.0, 0.0))
+      .toDF("n", "tau", "theta_frank", "lambda_lower", "lambda_upper")
   }
 }
 

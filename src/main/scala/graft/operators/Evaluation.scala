@@ -1932,4 +1932,80 @@ object Evaluation {
       .toDF("n", "n_cells", "ari", "nmi", "purity")
   }
 
+  /** Lin's concordance correlation coefficient — "do two measurement
+    * methods AGREE", not merely correlate (Pearson r is blind to a
+    * constant bias or a slope ≠ 1; CCC punishes both):
+    *
+    *   ρ_c = 2·s_xy / (s_x² + s_y² + (x̄ − ȳ)²)
+    *
+    * with population moments, plus the decomposition ρ_c = r · C_b
+    * (precision × accuracy): C_b < 1 quantifies pure location/scale
+    * bias. The acceptance gate when replacing one scoring pipeline
+    * with another. ONE moment aggregation, everything a closed form
+    * of six sums — bit-replayable.
+    *
+    * @return one row: (n, ccc, pearson_r, c_b, mean_x, mean_y),
+    *         6-rounded */
+  def concordanceCcc(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val x = F.col(xCol).cast("double")
+    val y = F.col(yCol).cast("double")
+    val r = df
+      .where(x.isNotNull && !F.isnan(x) && y.isNotNull && !F.isnan(y))
+      .agg(F.count(F.lit(1)).as("n"), F.sum(x).as("sx"),
+        F.sum(y).as("sy"), F.sum(x * x).as("sxx"),
+        F.sum(y * y).as("syy"), F.sum(x * y).as("sxy"))
+      .head()
+    val n = r.getAs[Long]("n")
+    require(n >= 3L, s"need n >= 3 complete pairs, got $n")
+    val nD = n.toDouble
+    val mx = r.getAs[Double]("sx") / nD
+    val my = r.getAs[Double]("sy") / nD
+    val vx = r.getAs[Double]("sxx") / nD - mx * mx
+    val vy = r.getAs[Double]("syy") / nD - my * my
+    val cxy = r.getAs[Double]("sxy") / nD - mx * my
+    require(vx > 0.0 && vy > 0.0, "a method is constant — no agreement")
+    val ccc = 2.0 * cxy / (vx + vy + (mx - my) * (mx - my))
+    val pr = cxy / math.sqrt(vx * vy)
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6 + 0.0
+    val cb = if (pr == 0.0) Double.NaN else ccc / pr
+    require(!cb.isNaN, "zero correlation — C_b undefined")
+    Seq((n, r6(ccc), r6(pr), r6(cb), r6(mx), r6(my)))
+      .toDF("n", "ccc", "pearson_r", "c_b", "mean_x", "mean_y")
+  }
+
+  /** Bland–Altman agreement limits — the clinical-agreement
+    * companion to [[concordanceCcc]]: mean difference (bias) and the
+    * 95% limits of agreement d̄ ± 1.96·s_d, with the standard
+    * SE = s_d·√(3/n) half-widths for the limit estimates. Answers
+    * "when the two methods disagree, by HOW MUCH" in the units of
+    * the measurement. ONE moment aggregation on d = x − y.
+    *
+    * @return one row: (n, mean_diff, sd_diff, loa_lo, loa_hi,
+    *         loa_halfwidth), 6-rounded */
+  def blandAltman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val x = F.col(xCol).cast("double")
+    val y = F.col(yCol).cast("double")
+    val d = x - y
+    val r = df
+      .where(x.isNotNull && !F.isnan(x) && y.isNotNull && !F.isnan(y))
+      .agg(F.count(F.lit(1)).as("n"), F.sum(d).as("sd"),
+        F.sum(d * d).as("sdd"))
+      .head()
+    val n = r.getAs[Long]("n")
+    require(n >= 3L, s"need n >= 3 complete pairs, got $n")
+    val nD = n.toDouble
+    val md = r.getAs[Double]("sd") / nD
+    val v = (r.getAs[Double]("sdd") - nD * md * md) / (nD - 1.0)
+    require(v > 0.0, "identical methods (zero difference variance)")
+    val s = math.sqrt(v)
+    def r6(q: Double) = math.rint(q * 1e6) / 1e6 + 0.0
+    Seq((n, r6(md), r6(s), r6(md - 1.96 * s), r6(md + 1.96 * s),
+      r6(1.96 * (s * math.sqrt(3.0 / nD)))))
+      .toDF("n", "mean_diff", "sd_diff", "loa_lo", "loa_hi",
+        "loa_halfwidth")
+  }
 }

@@ -842,6 +842,14 @@ object Features {
     * stage-2 Gram is singular are omitted. Lag windows + per-key sums,
     * one key shuffle — scale-safe to arbitrary key counts.
     *
+    * CONTIGUOUS-PERIOD CONTRACT (same as [[periodDetectByKey]] /
+    * [[holtWintersByKey]]): the seasonal lag is taken by ROW POSITION
+    * over the ordered period cells, so each key's cells must cover a
+    * gap-free run of periods — a missing period silently shifts every
+    * subsequent seasonal pairing by one. Keys with gaps should be
+    * densified (zero/interpolation fill) upstream; the period-cell
+    * aggregation itself never invents empty cells.
+    *
     * @return one row per key: (keyCol, n_periods, season, d, mean,
     *         phi_init, phi, theta, sigma2, forecast) — mean/sigma2 of
     *         the doubly-differenced series, forecast at the original
@@ -2576,6 +2584,223 @@ object Features {
         F.round(F.col("__de") - F.col("__sea"), 6).as("remainder"))
   }
 
+  /** STL-style robust seasonal-trend decomposition per key — the
+    * loess rung above the classical [[seasonalDecompose]] (whose
+    * seasonal is ONE averaged profile and whose 2×m MA trend chases
+    * outliers): seasonal varies smoothly ACROSS cycles
+    * (cycle-subseries loess), the trend is a loess smoother, and one
+    * bisquare-robustness pass down-weights outliers so level shifts
+    * and spikes don't leak into either component (Cleveland et al.
+    * 1990, the batch fixed-round readout).
+    *
+    * Per inner pass, on the period cells (same cell construction as
+    * [[sarimaByKey]], same CONTIGUOUS-PERIOD contract — the
+    * phase/cycle indexing is by row position):
+    *   1. detrend d = v − T;
+    *   2. C = per-(key, phase) local-LINEAR loess of d over cycle
+    *      number (tricube × robustness weights, half-window
+    *      (seasonalSpan−1)/2 cycles, truncated at the series ends);
+    *   3. low-pass L = MA₃(MA_m(MA_m(C))) (centered truncated
+    *      windows; even m uses the ½-end-weight 2×m form, which a
+    *      full-weight width-(m+1) window would not annihilate),
+    *      seasonal S = C − L — removes trend leakage;
+    *   4. T = loess of (v − S) over row position (half-window
+    *      (trendSpan−1)/2).
+    * After each robustness round, ρ = bisquare(|R|/(6·median|R|))
+    * with the EXACT per-key median (row-position extraction), and the
+    * inner pass repeats with weighted loess. Fixed rounds, every
+    * smoothed column 6-rounded, loess moment sums DECIMAL(38,12) —
+    * the whole trajectory replays bit-for-bit in an external engine.
+    *
+    * Scale shape: everything is per-key windows and half-window-
+    * bounded self-joins on the PERIOD-CELL frame (data volume =
+    * #keys × #periods, not raw rows); each pass localCheckpoints so
+    * the plan stays O(1) deep. Keys with fewer than 2·period cells
+    * are dropped (nothing to decompose).
+    *
+    * @return one row per period cell: (keyCol, period, value,
+    *         seasonal, trend, remainder), components 6-rounded */
+  def stlByKey(df: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String, periodUnit: Long, period: Int,
+               seasonalSpan: Int = 7, trendSpan: Int = 13,
+               innerRounds: Int = 2, robustRounds: Int = 1): DataFrame = {
+    require(periodUnit > 0L, "periodUnit must be positive")
+    require(period >= 2 && period <= 1000, "period must be in 2..1000")
+    require(seasonalSpan >= 3 && seasonalSpan % 2 == 1,
+      "seasonalSpan must be odd and >= 3 (cycles)")
+    require(trendSpan >= 3 && trendSpan % 2 == 1,
+      "trendSpan must be odd and >= 3 (periods)")
+    require(innerRounds >= 1 && innerRounds <= 4,
+      "innerRounds must be in 1..4")
+    require(robustRounds >= 0 && robustRounds <= 3,
+      "robustRounds must be in 0..3")
+    val hs = (seasonalSpan - 1) / 2
+    val ht = (trendSpan - 1) / 2
+    val mh = period / 2
+    val v = F.col(valueCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    val wOrd = Window.partitionBy("__k").orderBy("__p")
+    val wKey = Window.partitionBy("__k")
+    def rint6(src: DataFrame, tmp: String, out: String): DataFrame =
+      src.withColumn(out, F.expr(s"rint($tmp * 1e6) / 1e6 + 0.0"))
+        .drop(tmp)
+    val cells = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull && v.isNotNull &&
+        !F.isnan(v))
+      .groupBy(F.col(keyCol).as("__k"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("__p"))
+      .agg((F.sum(v.cast("decimal(38,6)")).cast("double") /
+        F.count(F.lit(1))).as("__v"))
+      .withColumn("__n", F.count(F.lit(1)).over(wKey))
+      .where(F.col("__n") >= 2L * period)
+      .drop("__n")
+      .withColumn("__i", F.row_number().over(wOrd).cast("long"))
+      .withColumn("__ph", F.expr(s"(__i - 1) % $period"))
+      .withColumn("__cy", F.expr(s"CAST((__i - 1) DIV $period AS BIGINT)"))
+      .withColumn("__rho", F.lit(1.0))
+      .withColumn("__t", F.lit(0.0))
+      .withColumn("__s", F.lit(0.0))
+      .localCheckpoint(true)
+
+    // weighted local-linear loess of `valCol` at every point of `src`,
+    // over cycle number within (key, phase) [seasonal] or row position
+    // within key [trend]; returns (__k, __i, out) 6-rounded
+    def loess(src: DataFrame, valCol: String, byPhase: Boolean,
+              half: Int, out: String): DataFrame = {
+      val a = src.select("__k", "__i", "__ph", "__cy").alias("a")
+      val b = src.select(F.col("__k"), F.col("__i"), F.col("__ph"),
+        F.col("__cy"), F.col(valCol), F.col("__rho")).alias("b")
+      val posA = if (byPhase) F.col("a.__cy") else F.col("a.__i")
+      val posB = if (byPhase) F.col("b.__cy") else F.col("b.__i")
+      val cond0 = F.col("a.__k") === F.col("b.__k") &&
+        F.abs(posB - posA) <= half.toLong
+      val cond = if (byPhase) cond0 && F.col("a.__ph") === F.col("b.__ph")
+      else cond0
+      val u = (posB - posA).cast("double")
+      val d = F.abs(u) / F.lit(half + 1.0)
+      val om = F.lit(1.0) - d * d * d
+      val pairs = a.join(b, cond)
+        .select(F.col("a.__k").as("__k"), F.col("a.__i").as("__i"),
+          u.as("__u"), F.col("b." + valCol).as("__y"),
+          (om * om * om * F.col("b.__rho")).as("__w0"))
+        .withColumn("__w", F.expr("rint(__w0 * 1e12) / 1e12"))
+      def dsum(c: org.apache.spark.sql.Column, nm: String) =
+        F.sum(c.cast("decimal(38,12)")).cast("double").as(nm)
+      val s = pairs.groupBy("__k", "__i").agg(
+        dsum(F.col("__w"), "sw"),
+        dsum(F.col("__w") * F.col("__u"), "swu"),
+        dsum(F.col("__w") * F.col("__u") * F.col("__u"), "swuu"),
+        dsum(F.col("__w") * F.col("__y"), "swy"),
+        dsum(F.col("__w") * F.col("__u") * F.col("__y"), "swuy"))
+      val det = F.col("sw") * F.col("swuu") - F.col("swu") * F.col("swu")
+      val fit = s.withColumn("__f0",
+        F.when(det > 0.0,
+          (F.col("swuu") * F.col("swy") - F.col("swu") * F.col("swuy")) /
+            det)
+          .otherwise(F.col("swy") / F.col("sw")))
+      rint6(fit, "__f0", out).select("__k", "__i", out)
+    }
+
+    def ma(src: DataFrame, valCol: String, half: Int,
+           out: String): DataFrame = {
+      val w = Window.partitionBy("__k").orderBy("__i")
+        .rowsBetween(-half, half)
+      val avg = F.sum(F.col(valCol).cast("decimal(38,6)")).over(w)
+        .cast("double") / F.count(F.lit(1)).over(w).cast("double")
+      rint6(src.withColumn("__ma0", avg), "__ma0", out)
+    }
+
+    // the period-length smoother: odd m = plain centered width-m MA;
+    // even m = the 2×m half-end-weight form (a width-(m+1) window
+    // with full weights does NOT annihilate an even-period seasonal),
+    // truncated-average fallback at the series ends
+    def maPeriod(src: DataFrame, valCol: String,
+                 out: String): DataFrame =
+      if (period % 2 == 1) ma(src, valCol, mh, out)
+      else {
+        val w = Window.partitionBy("__k").orderBy("__i")
+          .rowsBetween(-mh, mh)
+        val wo = Window.partitionBy("__k").orderBy("__i")
+        val sd = F.sum(F.col(valCol).cast("decimal(38,6)")).over(w)
+          .cast("double")
+        val cnt = F.count(F.lit(1)).over(w)
+        val ends = (F.lag(valCol, mh).over(wo) +
+          F.lead(valCol, mh).over(wo)) * F.lit(0.5)
+        val expr = F.when(cnt === (period + 1).toLong,
+          (sd - ends) / F.lit(period.toDouble))
+          .otherwise(sd / cnt.cast("double"))
+        rint6(src.withColumn("__ma0", expr), "__ma0", out)
+      }
+
+    val baseCols = Seq("__k", "__p", "__i", "__ph", "__cy", "__v",
+      "__rho", "__t", "__s")
+
+    def innerPass(cur: DataFrame): DataFrame = {
+      val det = cur.withColumn("__dt", F.col("__v") - F.col("__t"))
+      val cFr = loess(det, "__dt", byPhase = true, hs, "__c")
+      val withC = det.join(cFr, Seq("__k", "__i"))
+      val l1 = maPeriod(withC, "__c", "__l1")
+      val l2 = maPeriod(l1, "__l1", "__l2")
+      val l3 = ma(l2, "__l2", 1, "__l3")
+      val withS = rint6(
+        l3.withColumn("__s0", F.col("__c") - F.col("__l3")), "__s0",
+        "__sn")
+        .withColumn("__ds", F.col("__v") - F.col("__sn"))
+      val tFr = loess(withS, "__ds", byPhase = false, ht, "__tn")
+      withS.join(tFr, Seq("__k", "__i"))
+        .withColumn("__t", F.col("__tn"))
+        .withColumn("__s", F.col("__sn"))
+        .select(baseCols.map(F.col): _*)
+        .localCheckpoint(true)
+    }
+
+    def reweight(cur: DataFrame): DataFrame = {
+      val r = cur
+        .withColumn("__ra",
+          F.abs(F.col("__v") - F.col("__t") - F.col("__s")))
+      val wRank = Window.partitionBy("__k").orderBy("__ra")
+      val med = r
+        .withColumn("__rn", F.row_number().over(wRank).cast("long"))
+        .withColumn("__cnt", F.count(F.lit(1)).over(wKey))
+        .where(F.col("__rn") * 2 === F.col("__cnt") + 1 ||
+          (F.col("__cnt") % 2 === 0 &&
+            (F.col("__rn") * 2 === F.col("__cnt") ||
+              F.col("__rn") * 2 === F.col("__cnt") + 2)))
+        .groupBy("__k").agg(F.avg("__ra").as("__h"))
+      val uCol = F.col("__ra") / (F.lit(6.0) * F.col("__h"))
+      val omU = F.lit(1.0) - uCol * uCol
+      val rho0 = F.when(F.col("__h") <= 0.0, F.lit(1.0))
+        .when(uCol < 1.0, omU * omU)
+        .otherwise(F.lit(0.0))
+      // 1e-6 floor: a window whose points ALL hit the bisquare zero
+      // (tiny median remainder + a cluster of outliers) would give a
+      // zero loess weight sum — the floor keeps every fit defined
+      // while still down-weighting outliers by 10^6
+      rint6(
+        r.join(med, "__k").withColumn("__rho0", rho0).drop("__rho"),
+        "__rho0", "__rho1")
+        .withColumn("__rho", F.greatest(F.col("__rho1"), F.lit(1e-6)))
+        .select(baseCols.map(F.col): _*)
+        .localCheckpoint(true)
+    }
+
+    var cur = cells
+    var o = 0
+    while (o <= robustRounds) {
+      var i = 0
+      while (i < innerRounds) { cur = innerPass(cur); i += 1 }
+      if (o < robustRounds) cur = reweight(cur)
+      o += 1
+    }
+    rint6(
+      cur.withColumn("__r0",
+        F.col("__v") - F.col("__t") - F.col("__s")),
+      "__r0", "remainder")
+      .select(F.col("__k").as(keyCol), F.col("__p").as("period"),
+        F.col("__v").as("value"), F.col("__s").as("seasonal"),
+        F.col("__t").as("trend"), F.col("remainder"))
+  }
+
   /** Hyndman–Wang seasonal/trend STRENGTH per key — the one-number
     * "is this series actually seasonal (trending)" router on top of
     * [[seasonalDecompose]], the acceptance metric the decomposition
@@ -2765,6 +2990,10 @@ object Features {
         F.sum(F.col("__el") * F.col("__el")).as("__den"))
       .where(F.col("__den") > 0.0)
       .withColumn("rho", F.round(F.col("__num") / F.col("__den"), 6))
+      // |rho| >= 1 means the AR(1) transform is non-stationary (and
+      // rho == 1 exactly would Inf the icept_co division) — such keys
+      // are dropped, mirroring the __det > 0 guard
+      .where(F.abs(F.col("rho")) < 1.0)
       .select("__k", "rho")
     val starred = withE.join(rho, "__k")
       .withColumn("__vl", F.lag("__v", 1).over(wOrd))
@@ -2790,6 +3019,171 @@ object Features {
       F.round(((F.col("sy") * F.col("sxx") -
         F.col("sx") * F.col("sxy")) / F.col("__det")) /
         (F.lit(1.0) - F.col("rho")), 6).as("icept_co"))
+  }
+
+  /** Lo–MacKinlay variance-ratio test per key — "is this series a
+    * random walk, or does it mean-revert / trend" on the period
+    * cells: under a random walk the variance of q-period changes is
+    * exactly q × the 1-period variance, so
+    *
+    *   VR(q) = σ̂_q² / σ̂₁²,   z = (VR − 1)/√(2(2q−1)(q−1)/(3q·n'))
+    *
+    * with the overlapping bias-corrected estimators (μ̂ the drift,
+    * m = q(n'−q+1)(1−q/n') the overlap correction). VR < 1 ⇒ mean
+    * reversion (negative autocorrelation), VR > 1 ⇒ momentum — the
+    * one-number router between [[holtByKey]]-style level models and
+    * trend followers. Keyed lag windows + one aggregation; keys with
+    * n' < 2q + 2 returns are omitted. μ̂/VR/z 6-rounded, p two-sided
+    * normal at the rounded z (Cody erfc both engines).
+    *
+    * @return one row per key: (keyCol, n_periods, vr, z, p_value) */
+  def varianceRatioByKey(df: DataFrame, keyCol: String, tsCol: String,
+                         valueCol: String, periodUnit: Long,
+                         q: Int = 5): DataFrame = {
+    require(periodUnit > 0L, "periodUnit must be positive")
+    require(q >= 2 && q <= 64, "q must be in 2..64")
+    val v = F.col(valueCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    val cells = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull && v.isNotNull &&
+        !F.isnan(v))
+      .groupBy(F.col(keyCol).as("__k"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("__p"))
+      .agg((F.sum(v.cast("decimal(38,6)")).cast("double") /
+        F.count(F.lit(1))).as("__v"))
+    val wOrd = Window.partitionBy("__k").orderBy("__p")
+    val wKey = Window.partitionBy("__k")
+    val base = cells
+      .withColumn("__l1", F.lag("__v", 1).over(wOrd))
+      .withColumn("__lq", F.lag("__v", q).over(wOrd))
+      .withColumn("__first", F.first("__v").over(
+        wOrd.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("__last", F.last("__v").over(
+        wOrd.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("__cnt", F.count(F.lit(1)).over(wKey))
+    val qD = q.toDouble
+    val mu = F.round((F.col("__last") - F.col("__first")) /
+      (F.col("__cnt") - 1.0).cast("double"), 6)
+    val withMu = base.withColumn("__mu", mu)
+      .where(F.col("__cnt") >= (2 * q + 3).toLong)
+    val d1 = F.col("__v") - F.col("__l1") - F.col("__mu")
+    val dq = F.col("__v") - F.col("__lq") - F.lit(qD) * F.col("__mu")
+    val agged = withMu.groupBy("__k").agg(
+      F.max("__cnt").as("__n"),
+      F.sum(F.when(F.col("__l1").isNotNull, d1 * d1)).as("__s1"),
+      F.sum(F.when(F.col("__lq").isNotNull, dq * dq)).as("__sq"))
+    val np = (F.col("__n") - 1L).cast("double") // number of returns
+    val sA = F.col("__s1") / (np - 1.0)
+    val mCorr = F.lit(qD) * (np - qD + 1.0) * (F.lit(1.0) - F.lit(qD) / np)
+    val vr = F.round((F.col("__sq") / mCorr) / sA, 6)
+    val phi = F.lit(2.0) * (2.0 * qD - 1.0) * (qD - 1.0) /
+      (F.lit(3.0) * qD * np)
+    val z = F.round((vr - F.lit(1.0)) / F.sqrt(phi), 6)
+    val erfcUdf = F.udf((zz: Double) =>
+      graft.functions.SpecialMath.erfc(math.abs(zz) / math.sqrt(2.0)))
+    agged
+      .where(F.col("__s1") > 0.0)
+      .select(F.col("__k").as(keyCol),
+        F.col("__n").as("n_periods"), vr.as("vr"), z.as("z"))
+      .withColumn("p_value", F.round(erfcUdf(F.col("z")), 6))
+  }
+
+  /** Breusch–Godfrey LM test for AR(1) serial correlation per key —
+    * the REGRESSION-residual autocorrelation test the Durbin–Watson
+    * rule-of-thumb approximates: after the per-key trend OLS
+    * v ~ (1, i) (the [[cochraneOrcuttByKey]] stage 1), regress the
+    * residual on (1, i, e_{t−1}) and
+    *
+    *   LM = n_aux · R²_aux  ~  χ²(1),   p = erfc(√(LM/2))
+    *
+    * — significant LM says the trend model's errors remember
+    * themselves, so its OLS standard errors are lies and the
+    * Cochrane–Orcutt / Newey–West corrections on this shelf are the
+    * next step. The 3×3 normal equations solve by Cramer in pure
+    * column arithmetic; keys with a singular aux Gram, zero residual
+    * variance, or fewer than 10 periods are omitted. b0/b1 6-rounded
+    * (the cochraneOrcutt chain), LM 6-rounded, p at the rounded LM —
+    * fully replayable.
+    *
+    * @return one row per key: (keyCol, n_periods, rho_lag1, lm_stat,
+    *         p_value) — rho_lag1 the aux lagged-residual coefficient */
+  def breuschGodfreyByKey(df: DataFrame, keyCol: String, tsCol: String,
+                          valueCol: String,
+                          periodUnit: Long): DataFrame = {
+    require(periodUnit > 0L, "periodUnit must be positive")
+    val v = F.col(valueCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    val cells = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull && v.isNotNull &&
+        !F.isnan(v))
+      .groupBy(F.col(keyCol).as("__k"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("__p"))
+      .agg((F.sum(v.cast("decimal(38,6)")).cast("double") /
+        F.count(F.lit(1))).as("__v"))
+    val wOrd = Window.partitionBy("__k").orderBy("__p")
+    val base = cells
+      .withColumn("__i", F.row_number().over(wOrd).cast("double"))
+    val m1 = base.groupBy("__k").agg(
+      F.count(F.lit(1)).as("n"),
+      F.sum("__i").as("sx"), F.sum(F.col("__i") * F.col("__i")).as("sxx"),
+      F.sum("__v").as("sy"),
+      F.sum(F.col("__i") * F.col("__v")).as("sxy"))
+      .withColumn("__det",
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+      .where(F.col("n") >= 10L && F.col("__det") > 0.0)
+      .withColumn("b1", F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) /
+          F.col("__det"), 6))
+      .withColumn("b0", F.round(
+        (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")) /
+          F.col("__det"), 6))
+      .select("__k", "b0", "b1")
+    val withE = base.join(m1, "__k")
+      .withColumn("__e", F.col("__v") -
+        (F.col("b0") + F.col("b1") * F.col("__i")))
+      .withColumn("__el", F.lag("__e", 1).over(wOrd))
+      .where(F.col("__el").isNotNull)
+    val aux = withE.groupBy("__k").agg(
+      F.count(F.lit(1)).as("n2"),
+      F.sum("__i").as("si"), F.sum(F.col("__i") * F.col("__i")).as("sii"),
+      F.sum("__el").as("se"),
+      F.sum(F.col("__el") * F.col("__el")).as("see"),
+      F.sum(F.col("__i") * F.col("__el")).as("sie"),
+      F.sum("__e").as("sy"),
+      F.sum(F.col("__i") * F.col("__e")).as("siy"),
+      F.sum(F.col("__el") * F.col("__e")).as("sey"),
+      F.sum(F.col("__e") * F.col("__e")).as("syy"))
+    val n2 = F.col("n2").cast("double")
+    // Cramer on [[n2,si,se],[si,sii,sie],[se,sie,see]] b = [sy,siy,sey]
+    val det = n2 * (F.col("sii") * F.col("see") - F.col("sie") * F.col("sie")) -
+      F.col("si") * (F.col("si") * F.col("see") - F.col("sie") * F.col("se")) +
+      F.col("se") * (F.col("si") * F.col("sie") - F.col("sii") * F.col("se"))
+    val d0 = F.col("sy") * (F.col("sii") * F.col("see") - F.col("sie") * F.col("sie")) -
+      F.col("si") * (F.col("siy") * F.col("see") - F.col("sie") * F.col("sey")) +
+      F.col("se") * (F.col("siy") * F.col("sie") - F.col("sii") * F.col("sey"))
+    val d1 = n2 * (F.col("siy") * F.col("see") - F.col("sie") * F.col("sey")) -
+      F.col("sy") * (F.col("si") * F.col("see") - F.col("sie") * F.col("se")) +
+      F.col("se") * (F.col("si") * F.col("sey") - F.col("siy") * F.col("se"))
+    val d2 = n2 * (F.col("sii") * F.col("sey") - F.col("siy") * F.col("sie")) -
+      F.col("si") * (F.col("si") * F.col("sey") - F.col("siy") * F.col("se")) +
+      F.col("sy") * (F.col("si") * F.col("sie") - F.col("sii") * F.col("se"))
+    val sse = F.col("syy") -
+      (d0 / det * F.col("sy") + d1 / det * F.col("siy") +
+        d2 / det * F.col("sey"))
+    val sst = F.col("syy") - F.col("sy") * F.col("sy") / n2
+    val lm = F.round(n2 * (F.lit(1.0) - sse / sst), 6)
+    val erfcUdf2 = F.udf((x: Double) =>
+      graft.functions.SpecialMath.erfc(math.sqrt(x / 2.0)))
+    aux
+      .where(det > 0.0 && sst > 0.0)
+      .select(F.col("__k").as(keyCol),
+        (F.col("n2") + 1L).as("n_periods"),
+        F.round(d2 / det, 6).as("rho_lag1"),
+        lm.as("lm_stat"))
+      .withColumn("p_value",
+        F.round(erfcUdf2(F.greatest(F.col("lm_stat"), F.lit(0.0))), 6))
   }
 
   /** ADWIN-style adaptive-window change detection per key (Bifet &

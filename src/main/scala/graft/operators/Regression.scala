@@ -1612,6 +1612,54 @@ object Regression {
         F.round(jStat, 6).as("j_stat"))
   }
 
+  /** Deming (errors-in-both-variables) regression — OLS assumes x is
+    * measured EXACTLY, so regressing one noisy instrument on another
+    * attenuates the slope toward 0; Deming splits the error between
+    * the axes by the known variance ratio δ = Var(ε_y)/Var(ε_x)
+    * (δ = 1 ⇒ orthogonal regression):
+    *
+    *   β = (s_yy − δ·s_xx + √((s_yy − δ·s_xx)² + 4δ·s_xy²)) / (2·s_xy)
+    *
+    * the positive root of the errors-in-variables quadratic, α = ȳ −
+    * βx̄. The method-comparison workhorse next to
+    * [[graft.operators.Evaluation.concordanceCcc]]. ONE moment
+    * aggregation, closed form — bit-replayable.
+    *
+    * @return one row: (n, slope, icept, delta, r), 6-rounded (r the
+    *         plain Pearson correlation for reference) */
+  def demingRegression(df: DataFrame, xCol: String, yCol: String,
+                       delta: Double = 1.0): DataFrame = {
+    require(delta > 0.0, "delta must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val x = F.col(xCol).cast("double")
+    val y = F.col(yCol).cast("double")
+    val r = df
+      .where(x.isNotNull && !F.isnan(x) && y.isNotNull && !F.isnan(y))
+      .agg(F.count(F.lit(1)).as("n"), F.sum(x).as("sx"),
+        F.sum(y).as("sy"), F.sum(x * x).as("sxx"),
+        F.sum(y * y).as("syy"), F.sum(x * y).as("sxy"))
+      .head()
+    val n = r.getAs[Long]("n")
+    require(n >= 3L, s"need n >= 3 complete pairs, got $n")
+    val nD = n.toDouble
+    val mx = r.getAs[Double]("sx") / nD
+    val my = r.getAs[Double]("sy") / nD
+    val vx = r.getAs[Double]("sxx") / nD - mx * mx
+    val vy = r.getAs[Double]("syy") / nD - my * my
+    val cxy = r.getAs[Double]("sxy") / nD - mx * my
+    require(vx > 0.0 && vy > 0.0, "a variable is constant")
+    require(cxy != 0.0,
+      "zero covariance — the Deming slope is undefined (0/0)")
+    val beta = (vy - delta * vx +
+      math.sqrt((vy - delta * vx) * (vy - delta * vx) +
+        4.0 * delta * cxy * cxy)) / (2.0 * cxy)
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6 + 0.0
+    Seq((n, r6(beta), r6(my - beta * mx), delta,
+      r6(cxy / math.sqrt(vx * vy))))
+      .toDF("n", "slope", "icept", "delta", "r")
+  }
+
   /** Multiclass Fisher LDA (k classes, 2 features) — [[fisherLda]]'s
     * two-class discriminant generalized to the full within/between
     * scatter form: S_W = Σ_c scatter_c, S_B = Σ_c n_c (μ_c − μ̄)(μ_c −

@@ -602,6 +602,41 @@ object StatTests {
     } finally sorted.unpersist(blocking = false)
   }
 
+  /** Scholz–Stephens exact standard deviation of A² under H0 for k
+    * samples of total size N with hCap = Σᵢ 1/nᵢ — the shared variance
+    * kernel of [[adTwoSample]] and [[adKSample]]. The harmonic sums
+    * h = h_{N−1} and g = Σ (h_{N−1} − h_m)/(N−m) run as an O(N) scalar
+    * driver loop (N is a row COUNT — a few seconds even at 10⁹);
+    * beyond 10⁸ the asymptotic h = ln N + γ, g = π²/6 forms take over,
+    * whose error is below the 6-decimal output grain. */
+  private def scholzStephensSigma(nTot: Long, k: Double,
+                                  hCap: Double): Double = {
+    val nD = nTot.toDouble
+    val (h, gg) =
+      if (nTot <= 100000000L) {
+        var hh = 0.0; var i = 1L
+        while (i < nTot) { hh += 1.0 / i; i += 1 }
+        // g = Σ_{m=1}^{N-2} (h_{N-1} − h_m)/(N−m), one forward pass
+        var gSum = 0.0; var hm = 0.0; var m = 1L
+        while (m <= nTot - 2) {
+          hm += 1.0 / m
+          gSum += (hh - hm) / (nTot - m)
+          m += 1
+        }
+        (hh, gSum)
+      } else (math.log(nTot - 1.0) + 0.5772156649015329,
+        math.Pi * math.Pi / 6.0)
+    val av = (4.0 * gg - 6.0) * (k - 1.0) + (10.0 - 6.0 * gg) * hCap
+    val bv = (2.0 * gg - 4.0) * k * k + 8.0 * h * k +
+      (2.0 * gg - 14.0 * h - 4.0) * hCap - 8.0 * h + 4.0 * gg - 6.0
+    val cv = (6.0 * h + 2.0 * gg - 2.0) * k * k +
+      (4.0 * h - 4.0 * gg + 6.0) * k + (2.0 * h - 6.0) * hCap + 4.0 * h
+    val dv = (2.0 * h + 6.0) * k * k - 4.0 * h * k
+    math.sqrt(
+      (av * nD * nD * nD + bv * nD * nD + cv * nD + dv) /
+        ((nD - 1.0) * (nD - 2.0) * (nD - 3.0)))
+  }
+
   /** Two-sample Anderson–Darling test (Scholz–Stephens k-sample form,
     * k = 2, midrank/tie-adjusted version A²_akN) — the tail-sensitive
     * member of the two-sample trio: [[mannWhitneyU]] sees location,
@@ -661,38 +696,324 @@ object StatTests {
       }.collect()
       val a2 = (nD - 1.0) / nD *
         (acc.map(_._1).sum / na + acc.map(_._2).sum / nb)
-      // Scholz-Stephens exact variance of A² under H0 (k = 2)
-      val (h, gg) =
-        if (nTot <= 100000000L) {
-          var hh = 0.0; var i = 1L
-          while (i < nTot) { hh += 1.0 / i; i += 1 }
-          // g = Σ_{m=1}^{N-2} (h_{N-1} − h_m)/(N−m), one forward pass
-          var gSum = 0.0; var hm = 0.0; var m = 1L
-          while (m <= nTot - 2) {
-            hm += 1.0 / m
-            gSum += (hh - hm) / (nTot - m)
-            m += 1
-          }
-          (hh, gSum)
-        } else (math.log(nTot - 1.0) + 0.5772156649015329,
-          math.Pi * math.Pi / 6.0)
+      val sigma = scholzStephensSigma(nTot, 2.0, 1.0 / na + 1.0 / nb)
       val k = 2.0
-      val hCap = 1.0 / na + 1.0 / nb
-      val av = (4.0 * gg - 6.0) * (k - 1.0) + (10.0 - 6.0 * gg) * hCap
-      val bv = (2.0 * gg - 4.0) * k * k + 8.0 * h * k +
-        (2.0 * gg - 14.0 * h - 4.0) * hCap - 8.0 * h + 4.0 * gg - 6.0
-      val cv = (6.0 * h + 2.0 * gg - 2.0) * k * k +
-        (4.0 * h - 4.0 * gg + 6.0) * k + (2.0 * h - 6.0) * hCap + 4.0 * h
-      val dv = (2.0 * h + 6.0) * k * k - 4.0 * h * k
-      val sigma = math.sqrt(
-        (av * nD * nD * nD + bv * nD * nD + cv * nD + dv) /
-          ((nD - 1.0) * (nD - 2.0) * (nD - 3.0)))
       val a2r = math.rint(a2 * 1e6) / 1e6
       val sr = math.rint(sigma * 1e6) / 1e6
       val tr = math.rint((a2r - (k - 1.0)) / sr * 1e6) / 1e6
       Seq((a2r, sr, tr, na, nb))
         .toDF("ad_stat", "sigma", "t_stat", "n_a", "n_b")
     } finally sorted.unpersist(blocking = false)
+  }
+
+  /** k-sample Anderson–Darling test (Scholz–Stephens 1987, the
+    * midrank/tie-adjusted A²_akN) — [[adTwoSample]] generalized to
+    * EVERY distinct cohort label at once: the multi-segment drift gate
+    * next to the ANOVA/Kruskal–Wallis location tests when the question
+    * is "do these k slices share ONE distribution", tails included.
+    *
+    *   A² = (N−1)/N · Σᵢ (1/nᵢ) Σⱼ (lⱼ/N)·(N·Mᵢⱼ − nᵢ·Bⱼ)²
+    *                                  / (Bⱼ(N−Bⱼ) − N·lⱼ/4)
+    *
+    * over distinct pooled values j with multiplicity lⱼ — the same
+    * per-block half-integer construction as the two-sample form, so
+    * every term replays bit-identically in any engine; the k = 2 case
+    * is ALGEBRAICALLY the [[adTwoSample]] statistic (pinned in the
+    * spec). T = (A² − (k−1))/σ_N with the exact Scholz–Stephens
+    * variance via [[scholzStephensSigma]]; threshold T against the
+    * S-S table (k−1 = 3: T ≥ 1.915 ⇒ p ≤ 0.05).
+    *
+    * The cohort label set is BOUNDED (each cohort is a prefix-sum
+    * lane): more than `maxCohorts` distinct labels raises loudly —
+    * bucket the labels first if the segmentation is high-cardinality.
+    *
+    * Scale shape: one per-distinct-value aggregation with k count
+    * lanes, then the [[Ranks]]-style range-partitioned prefix-sum walk
+    * — driver traffic O(k · #partitions).
+    *
+    * @return one row: (n_cohorts, n_total, ad_stat, sigma, t_stat),
+    *         statistics 6-rounded, t from the rounded pieces */
+  def adKSample(df: DataFrame, cohortCol: String, valueCol: String,
+                maxCohorts: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = F.col(cohortCol).cast("string")
+    val v = F.col(valueCol).cast("double")
+    val clean = df.where(g.isNotNull && v.isNotNull && !F.isnan(v))
+      .select(g.as("__g"), v.as("__v"))
+    val labels = clean.select("__g").distinct().orderBy("__g")
+      .as[String].collect()
+    val k = labels.length
+    require(k >= 2, s"need at least 2 cohorts, got $k")
+    require(k <= maxCohorts,
+      s"$k distinct cohort labels — the Scholz-Stephens fold carries " +
+        s"one prefix-sum lane per cohort and is built for a BOUNDED " +
+        s"label set (maxCohorts=$maxCohorts); bucket the labels first")
+    val countCols = labels.zipWithIndex.map { case (l, i) =>
+      F.sum(F.when(F.col("__g") === l, 1L).otherwise(0L)).as(s"__c$i")
+    }
+    val counts = clean.groupBy("__v")
+      .agg(countCols.head, countCols.tail: _*)
+    val sorted = counts
+      .repartitionByRange(F.col("__v")).sortWithinPartitions("__v")
+      .rdd.map(r => (r.getDouble(0),
+        Array.tabulate(k)(i => r.getLong(i + 1))))
+    sorted.cache()
+    try {
+      val partSums = sorted.mapPartitionsWithIndex { case (i, it) =>
+        val s = new Array[Long](k)
+        it.foreach { case (_, cs) =>
+          var j = 0; while (j < k) { s(j) += cs(j); j += 1 }
+        }
+        Iterator((i, s))
+      }.collect().sortBy(_._1).map(_._2)
+      val ns = Array.tabulate(k)(j => partSums.map(_(j)).sum)
+      require(ns.forall(_ > 0L), "every cohort needs rows")
+      val nTot = ns.sum
+      require(nTot >= 4, "Anderson-Darling needs N >= 4")
+      val nD = nTot.toDouble
+      // per-partition prefix offsets, one lane per cohort
+      val offs = Array.tabulate(partSums.length + 1) { p =>
+        Array.tabulate(k) { j =>
+          (0 until p).foldLeft(0L)((a, q) => a + partSums(q)(j))
+        }
+      }
+      val bc = spark.sparkContext.broadcast((offs, ns))
+      val acc = sorted.mapPartitionsWithIndex { case (i, it) =>
+        val f = bc.value._1(i).clone()
+        val nsL = bc.value._2
+        val s = new Array[Double](k)
+        it.foreach { case (_, cs) =>
+          var l = 0L
+          var j = 0; while (j < k) { l += cs(j); j += 1 }
+          if (l < nTot) { // l == N (single distinct value) is degenerate
+            var fSum = 0L
+            j = 0; while (j < k) { fSum += f(j); j += 1 }
+            val lD = l.toDouble
+            val bj = fSum + lD / 2.0
+            val den = bj * (nD - bj) - nD * lD / 4.0
+            j = 0
+            while (j < k) {
+              val mj = f(j) + cs(j) / 2.0
+              val dj = nD * mj - nsL(j) * bj
+              s(j) += lD / nD * (dj * dj) / den
+              f(j) += cs(j)
+              j += 1
+            }
+          } else {
+            j = 0; while (j < k) { f(j) += cs(j); j += 1 }
+          }
+        }
+        Iterator(s)
+      }.collect()
+      val si = Array.tabulate(k)(j => acc.map(_(j)).sum)
+      // Σᵢ sᵢ/nᵢ as a left fold in label order (the oracle's shape)
+      val inner = labels.indices.foldLeft(0.0)((a, j) => a + si(j) / ns(j))
+      val a2 = (nD - 1.0) / nD * inner
+      val hCap = labels.indices.foldLeft(0.0)((a, j) => a + 1.0 / ns(j))
+      val sigma = scholzStephensSigma(nTot, k.toDouble, hCap)
+      val a2r = math.rint(a2 * 1e6) / 1e6
+      val sr = math.rint(sigma * 1e6) / 1e6
+      val tr = math.rint((a2r - (k - 1.0)) / sr * 1e6) / 1e6
+      Seq((k.toLong, nTot, a2r, sr, tr))
+        .toDF("n_cohorts", "n_total", "ad_stat", "sigma", "t_stat")
+    } finally sorted.unpersist(blocking = false)
+  }
+
+  /** Acklam's piecewise-rational inverse normal CDF as a COLUMN
+    * expression — deliberately NOT [[SpecialMath.normPpf]] (whose
+    * erfInv kernel has no SQL twin): [[shapiroWilk]]'s oracle replays
+    * this exact piecewise-rational text in DuckDB, and the engines
+    * agree bit-for-bit only when the expression trees match. Max
+    * |ε| ≈ 1.15e−9, far below the 1e−12 grain the caller quantizes
+    * to. Source: P. J. Acklam (2003), public-domain algorithm. */
+  private def acklamProbit(p: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val qc = p - F.lit(0.5)
+    val r = qc * qc
+    val central =
+      (((((F.lit(-3.969683028665376e+01) * r +
+        F.lit(2.209460984245205e+02)) * r +
+        F.lit(-2.759285104469687e+02)) * r +
+        F.lit(1.383577518672690e+02)) * r +
+        F.lit(-3.066479806614716e+01)) * r +
+        F.lit(2.506628277459239e+00)) * qc /
+      (((((F.lit(-5.447609879822406e+01) * r +
+        F.lit(1.615858368580409e+02)) * r +
+        F.lit(-1.556989798598866e+02)) * r +
+        F.lit(6.680131188771972e+01)) * r +
+        F.lit(-1.328068155288572e+01)) * r + F.lit(1.0))
+    def tail(q: org.apache.spark.sql.Column) =
+      (((((F.lit(-7.784894002430293e-03) * q +
+        F.lit(-3.223964580411365e-01)) * q +
+        F.lit(-2.400758277161838e+00)) * q +
+        F.lit(-2.549732539343734e+00)) * q +
+        F.lit(4.374664141464968e+00)) * q +
+        F.lit(2.938163982698783e+00)) /
+      ((((F.lit(7.784695709041462e-03) * q +
+        F.lit(3.224671290700398e-01)) * q +
+        F.lit(2.445134137142996e+00)) * q +
+        F.lit(3.754408661907416e+00)) * q + F.lit(1.0))
+    F.when(p < F.lit(0.02425),
+        tail(F.sqrt(F.lit(-2.0) * F.log(p))))
+      .when(p > F.lit(0.97575),
+        -tail(F.sqrt(F.lit(-2.0) * F.log(F.lit(1.0) - p))))
+      .otherwise(central)
+  }
+
+  /** Shapiro–Wilk normality test (Royston 1995, AS R94) — the
+    * highest-power omnibus normality test on the shelf and the one
+    * users reach for first (`scipy.stats.shapiro`), next to the
+    * moment-based [[dagostinoK2]] and the EDF-based 1-sample A-D:
+    *
+    *   W = (Σᵢ aᵢ x₍ᵢ₎)² / Σᵢ (xᵢ − x̄)²
+    *
+    * with weights from the expected normal order statistics
+    * mᵢ = Φ⁻¹((i − 3/8)/(n + 1/4)) (Blom scores through the Acklam
+    * probit, 1e−12-quantized so both engines see the same mᵢ), the
+    * Royston polynomial corrections to a_n and a_{n−1} in 1/√n, and
+    * the renormalizing φ. p uses Royston's n ≥ 12 transform:
+    * z = (ln(1−W) − μ(ln n))/σ(ln n), p = upper normal tail at the
+    * 6-rounded z via the Cody erfc.
+    *
+    * BOUNDED-SAMPLE CONTRACT: the test itself saturates on large n
+    * (every real dataset rejects normality at n → ∞; R caps at 5000)
+    * — n outside [12, 5000] raises loudly; sample deterministically
+    * first. Dot products accumulate as DECIMAL(38,12) so the sums are
+    * order-independent and replay exactly.
+    *
+    * @return one row: (n, w_stat, z_stat, p_value), 6-rounded */
+  def shapiroWilk(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val v = F.col(valueCol).cast("double")
+    val clean = df.where(v.isNotNull && !F.isnan(v))
+      .select(v.as("__v")).localCheckpoint(true)
+    val n = clean.count()
+    require(n >= 12L && n <= 5000L,
+      s"Shapiro-Wilk runs on 12 <= n <= 5000 (Royston's approximation" +
+        s" range; the test saturates beyond it), got $n — sample " +
+        "deterministically first")
+    val nD = n.toDouble
+    val w = Window.partitionBy(F.lit(0)).orderBy("__v")
+    val pCol = (F.col("__i").cast("double") - F.lit(0.375)) /
+      F.lit(nD + 0.25)
+    val base = clean.repartition(1)
+      .withColumn("__i", F.row_number().over(w).cast("long"))
+      .withColumn("__m0", acklamProbit(pCol))
+      .withColumn("__m", F.expr("rint(__m0 * 1e12) / 1e12"))
+      .localCheckpoint(true)
+    val r1 = base.agg(
+      F.sum((F.col("__m") * F.col("__m")).cast("decimal(38,12)"))
+        .cast("double").as("sm2"),
+      F.max(F.when(F.col("__i") === n, F.col("__m"))).as("mn"),
+      F.max(F.when(F.col("__i") === n - 1L, F.col("__m"))).as("mn1"),
+      F.sum(F.col("__v").cast("decimal(38,6)")).cast("double").as("sx"),
+      F.sum((F.col("__v") * F.col("__v")).cast("decimal(38,6)"))
+        .cast("double").as("sxx")).head()
+    val sm2 = r1.getAs[Double]("sm2")
+    val mn = r1.getAs[Double]("mn")
+    val mn1 = r1.getAs[Double]("mn1")
+    val sx = r1.getAs[Double]("sx")
+    val sxx = r1.getAs[Double]("sxx")
+    // Royston's corrected end weights in rsn = 1/sqrt(n)
+    val rsn = 1.0 / math.sqrt(nD)
+    val aN0 = ((((-2.706056 * rsn + 4.434685) * rsn - 2.071190) * rsn -
+      0.147981) * rsn + 0.221157) * rsn + mn / math.sqrt(sm2)
+    val aN10 = ((((-3.582633 * rsn + 5.682633) * rsn - 1.752461) * rsn -
+      0.293762) * rsn + 0.042981) * rsn + mn1 / math.sqrt(sm2)
+    val phi = (sm2 - 2.0 * mn * mn - 2.0 * mn1 * mn1) /
+      (1.0 - 2.0 * aN0 * aN0 - 2.0 * aN10 * aN10)
+    require(phi > 0.0, "degenerate Royston renormalizer (phi <= 0)")
+    val aN = math.rint(aN0 * 1e12) / 1e12
+    val aN1 = math.rint(aN10 * 1e12) / 1e12
+    val sphi = math.rint(math.sqrt(phi) * 1e12) / 1e12
+    val cCol = F.when(F.col("__i") === 1L, F.lit(-aN))
+      .when(F.col("__i") === 2L, F.lit(-aN1))
+      .when(F.col("__i") === n, F.lit(aN))
+      .when(F.col("__i") === n - 1L, F.lit(aN1))
+      .otherwise(F.expr(s"rint(__m / $sphi * 1e12) / 1e12"))
+    val s = base.agg(
+      F.sum((cCol * F.col("__v")).cast("decimal(38,12)"))
+        .cast("double").as("s")).head().getAs[Double]("s")
+    val ssd = sxx - sx * sx / nD
+    require(ssd > 0.0, "zero variance (all values identical)")
+    val wStat = s * s / ssd
+    require(wStat < 1.0,
+      "W rounded to 1 — the sample IS the normal quantile grid; the " +
+        "log(1-W) transform is undefined")
+    val lnn = math.log(nD)
+    val mu = ((0.0038915 * lnn - 0.083751) * lnn - 0.31082) * lnn -
+      1.5861
+    val sg = math.exp((0.0030302 * lnn - 0.082676) * lnn - 0.4803)
+    val z = math.rint((math.log(1.0 - wStat) - mu) / sg * 1e6) / 1e6 +
+      0.0
+    val p = if (z >= 0.0)
+      0.5 * SpecialMath.erfc(z / math.sqrt(2.0))
+    else 1.0 - 0.5 * SpecialMath.erfc(-z / math.sqrt(2.0))
+    Seq((n, math.rint(wStat * 1e6) / 1e6, z,
+      math.rint(p * 1e6) / 1e6))
+      .toDF("n", "w_stat", "z_stat", "p_value")
+  }
+
+  /** Hodges–Lehmann two-sample shift estimator — the EFFECT SIZE the
+    * rank tests leave out: [[mannWhitneyU]] says "B is shifted from
+    * A"; HL says BY HOW MUCH, robustly:
+    *
+    *   Δ̂ = median{ b − a : (a, b) ∈ A × B }
+    *
+    * computed exactly over the value CELLS (each (a, b) cell pair
+    * carries weight c_a·c_b, so the pair "join" is |cells_A|×|cells_B|,
+    * never n²), with the type-1 weighted-median pick (smallest diff
+    * whose cumulative weight reaches ⌈W/2⌉) — deterministic under
+    * ties, bit-replayable. LOUD cell-product guard: quantize
+    * continuous inputs first.
+    *
+    * @return one row: (n_a, n_b, hl_shift) */
+  def hodgesLehmannShift(df: DataFrame, cohortCol: String,
+                         valueCol: String, labelA: String = "a",
+                         labelB: String = "b",
+                         maxCellProduct: Long = 4194304L): DataFrame = {
+    require(labelA != labelB, "cohort labels must differ")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = F.col(cohortCol).cast("string")
+    val v = F.col(valueCol).cast("double")
+    val clean = df
+      .where(g.isin(labelA, labelB) && v.isNotNull && !F.isnan(v))
+      .select(g.as("__g"), v.as("__v"))
+    val cells = clean.groupBy("__g", "__v")
+      .agg(F.count(F.lit(1)).as("__c")).localCheckpoint(true)
+    val counts = cells.groupBy("__g")
+      .agg(F.count(F.lit(1)).as("cells"), F.sum("__c").as("n"))
+      .collect().map(r => r.getAs[String]("__g") ->
+        (r.getAs[Long]("cells"), r.getAs[Long]("n"))).toMap
+    require(counts.contains(labelA) && counts.contains(labelB),
+      "both cohorts need rows")
+    val (cellsA, na) = counts(labelA)
+    val (cellsB, nb) = counts(labelB)
+    require(cellsA * cellsB <= maxCellProduct,
+      s"$cellsA x $cellsB value cells — the HL pair frame is the cell " +
+        s"PRODUCT (max $maxCellProduct); quantize the values first")
+    val a = cells.where(F.col("__g") === labelA)
+      .select(F.col("__v").as("va"), F.col("__c").as("ca"))
+    val b = cells.where(F.col("__g") === labelB)
+      .select(F.col("__v").as("vb"), F.col("__c").as("cb"))
+    val w = na * nb
+    val target = (w + 1L) / 2L
+    import org.apache.spark.sql.expressions.Window
+    val hl = a.join(F.broadcast(b))
+      .groupBy((F.col("vb") - F.col("va")).as("__d"))
+      .agg(F.sum(F.col("ca") * F.col("cb")).as("__w"))
+      .repartition(1)
+      .withColumn("__cum", F.sum("__w").over(
+        Window.partitionBy(F.lit(0)).orderBy("__d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(F.col("__cum") >= target)
+      .agg(F.min("__d").as("hl"))
+      .head().getAs[Double]("hl")
+    Seq((na, nb, hl)).toDF("n_a", "n_b", "hl_shift")
   }
 
   /** Paired t-test on two columns of the SAME rows — before/after,

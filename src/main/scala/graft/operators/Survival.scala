@@ -1171,4 +1171,231 @@ object Survival {
       .toDF("n", "n_comparable", "n_concordant", "n_tied_score",
         "c_index", "somers_d")
   }
+
+  /** Log-rank trend test across k ORDERED groups (Tarone 1975) — the
+    * dose-response survival question [[logRank]]'s two-sample form
+    * can't ask: "does survival get monotonically worse along these
+    * ordered segments" (quantity bands, quality tiers, exposure
+    * levels). With integer scores a_g = 0..k−1 over the sorted group
+    * labels,
+    *
+    *   U = Σ_t Σ_g a_g (d_gt − e_gt),
+    *   Var U = Σ_t d_t (n_t−d_t)/(n_t−1) · (Σ_g a_g² p_g − (Σ_g a_g p_g)²)
+    *
+    * with p_g = n_gt/n_t the at-risk shares — the hypergeometric
+    * covariance folded into one scalar per event time, so the fold
+    * carries k at-risk lanes exactly like [[graft.operators.StatTests
+    * .adKSample]]. z = U/√Var, two-sided p at the 6-rounded z; k = 2
+    * is algebraically the plain log-rank z (up to sign convention).
+    * Bounded-label loud guard; labels order the groups — encode the
+    * dose in the label sort order.
+    *
+    * @return one row: (n_cohorts, n_total, u_stat, var_u, z,
+    *         p_value), 6-rounded */
+  def logRankTrend(df: DataFrame, durationCol: String, eventCol: String,
+                   cohortCol: String, maxCohorts: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = F.col(cohortCol).cast("string")
+    val t = F.col(durationCol).cast("double")
+    val e = F.col(eventCol).cast("boolean")
+    val clean = df
+      .where(g.isNotNull && t.isNotNull && !F.isnan(t) && t >= 0.0 &&
+        e.isNotNull)
+      .select(g.as("__g"), t.as("__t"), e.as("__e"))
+    val labels = clean.select("__g").distinct().orderBy("__g")
+      .as[String].collect()
+    val k = labels.length
+    require(k >= 2, s"need at least 2 cohorts, got $k")
+    require(k <= maxCohorts,
+      s"$k distinct cohort labels — the trend fold carries one " +
+        s"at-risk lane per cohort (maxCohorts=$maxCohorts); band the " +
+        "doses first")
+    val dCols = labels.zipWithIndex.map { case (l, i) =>
+      F.sum(F.when(F.col("__g") === l && F.col("__e"), 1L)
+        .otherwise(0L)).as(s"__d$i")
+    }
+    val cCols = labels.zipWithIndex.map { case (l, i) =>
+      F.sum(F.when(F.col("__g") === l, 1L).otherwise(0L)).as(s"__c$i")
+    }
+    val cells = clean.groupBy("__t").agg((dCols ++ cCols).head,
+      (dCols ++ cCols).tail: _*)
+    val sorted = cells
+      .repartitionByRange(F.col("__t")).sortWithinPartitions("__t")
+      .rdd.map(r => (r.getDouble(0),
+        Array.tabulate(k)(i => r.getLong(i + 1)),
+        Array.tabulate(k)(i => r.getLong(k + i + 1))))
+    sorted.cache()
+    try {
+      val partSums = sorted.mapPartitionsWithIndex { case (i, it) =>
+        val s = new Array[Long](k)
+        it.foreach { case (_, _, cs) =>
+          var j = 0; while (j < k) { s(j) += cs(j); j += 1 }
+        }
+        Iterator((i, s))
+      }.collect().sortBy(_._1).map(_._2)
+      val ns = Array.tabulate(k)(j => partSums.map(_(j)).sum)
+      require(ns.forall(_ > 0L), "every cohort needs rows")
+      val nTot = ns.sum
+      val offs = Array.tabulate(partSums.length + 1) { p =>
+        Array.tabulate(k) { j =>
+          (0 until p).foldLeft(0L)((a, q) => a + partSums(q)(j))
+        }
+      }
+      val bc = spark.sparkContext.broadcast((offs, ns))
+      val acc = sorted.mapPartitionsWithIndex { case (pi, it) =>
+        val cum = bc.value._1(pi).clone()
+        val nsL = bc.value._2
+        var u = 0.0; var vv = 0.0
+        it.foreach { case (_, ds, cs) =>
+          var dT = 0L; var nT = 0L
+          var j = 0
+          while (j < k) {
+            dT += ds(j); nT += nsL(j) - cum(j); j += 1
+          }
+          if (dT > 0L && nT > 1L) {
+            val nTD = nT.toDouble
+            val dTD = dT.toDouble
+            var s1 = 0.0; var s2 = 0.0 // Σ a p, Σ a² p
+            j = 0
+            while (j < k) {
+              val p = (nsL(j) - cum(j)) / nTD
+              u += j * (ds(j) - dTD * p)
+              s1 += j * p
+              s2 += j * j * p
+              j += 1
+            }
+            vv += dTD * (nTD - dTD) / (nTD - 1.0) * (s2 - s1 * s1)
+          }
+          var j2 = 0
+          while (j2 < k) { cum(j2) += cs(j2); j2 += 1 }
+        }
+        Iterator((u, vv))
+      }.collect()
+      val u = acc.map(_._1).sum
+      val vv = acc.map(_._2).sum
+      require(vv > 0.0, "zero trend variance (no comparable events)")
+      def r6(x: Double) = math.rint(x * 1e6) / 1e6 + 0.0
+      val z = r6(r6(u) / math.sqrt(r6(vv)))
+      val p = r6(SpecialMath.erfc(math.abs(z) / math.sqrt(2.0)))
+      Seq((k.toLong, nTot, r6(u), r6(vv), z, p))
+        .toDF("n_cohorts", "n_total", "u_stat", "var_u", "z", "p_value")
+    } finally sorted.unpersist(blocking = false)
+  }
+
+  /** Weibull AFT (accelerated failure time) regression — the
+    * PARAMETRIC rung of the survival shelf, above the nonparametric
+    * [[kmByGroup]] and the semi-parametric [[coxPH]]: it fits the
+    * full lifetime law, so it EXTRAPOLATES beyond the observed
+    * horizon (median/quantile predictions Cox cannot give). Model:
+    *
+    *   ln T = μ + βx + σW,   W ~ standard Gumbel(min)
+    *
+    * (equivalently T Weibull with shape 1/σ and scale exp(μ + βx)).
+    * Censored MLE by fixed-round block Newton on (μ, β) ⊕ ln σ, both
+    * blocks updated from ONE aggregation per round at the previous
+    * 6-ROUNDED parameters — the house chained-CTE replay discipline
+    * ([[coxPH]]'s): with w = (ln t − μ − βx)/σ, z = eʷ, the score and
+    * information reduce to the seven sums Σz, Σzx, Σzx², Σ(z−δ),
+    * Σ(z−δ)x, Σw(z−δ), Σw²z. Warm start: OLS of ln t on x over the
+    * UNCENSORED rows, σ₀ from the residual moment (Var = σ²π²/6).
+    * Any round with a non-finite or non-PD information raises loudly
+    * (standardize the covariate / check for ln t outliers) — no
+    * silent sentinels.
+    *
+    * Scale shape: `iters`+1 full-scan aggregations of codegen'd
+    * column arithmetic, no shuffle beyond a scalar collect per round
+    * — the [[coxPH]] pattern without even the risk-set walk.
+    *
+    * @return one row: (n, n_events, icept, slope, sigma,
+    *         median_at_mean) — median_at_mean = exp(μ + βx̄ +
+    *         σ·ln ln 2), the predicted median lifetime at the average
+    *         covariate; everything 6-rounded */
+  def weibullAft(df: DataFrame, durationCol: String, eventCol: String,
+                 xCol: String, iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 12, "iters must be in 1..12")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = F.col(durationCol).cast("double")
+    val e = F.col(eventCol).cast("boolean")
+    val x = F.col(xCol).cast("double")
+    val clean = df
+      .where(t.isNotNull && !F.isnan(t) && t > 0.0 && e.isNotNull &&
+        x.isNotNull && !F.isnan(x))
+      .select(F.log(t).as("__lt"), x.as("__x"),
+        F.when(e, 1.0).otherwise(0.0).as("__d"))
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6 + 0.0
+    // warm start: OLS of ln t on x over uncensored rows
+    val init = clean.agg(
+      F.count(F.lit(1)).as("n"),
+      F.sum("__d").as("nev"),
+      F.sum("__x").as("sxa"),
+      F.sum(F.col("__d") * F.col("__x")).as("sx"),
+      F.sum(F.col("__d") * F.col("__x") * F.col("__x")).as("sxx"),
+      F.sum(F.col("__d") * F.col("__lt")).as("sy"),
+      F.sum(F.col("__d") * F.col("__x") * F.col("__lt")).as("sxy"),
+      F.sum(F.col("__d") * F.col("__lt") * F.col("__lt")).as("syy"))
+      .head()
+    val n = init.getAs[Long]("n")
+    val nev = init.getAs[Double]("nev")
+    require(n >= 8L && nev >= 5.0,
+      s"need n >= 8 rows and >= 5 events, got n=$n events=$nev")
+    val sx = init.getAs[Double]("sx"); val sxx = init.getAs[Double]("sxx")
+    val sy = init.getAs[Double]("sy"); val sxy = init.getAs[Double]("sxy")
+    val syy = init.getAs[Double]("syy")
+    val det0 = nev * sxx - sx * sx
+    require(det0 > 0.0, "constant covariate among events — no OLS start")
+    var bb = r6((nev * sxy - sx * sy) / det0)
+    var mu = r6((sy * sxx - sx * sxy) / det0)
+    val mse = (syy - mu * sy - bb * sxy) / nev
+    require(mse > 0.0, "zero residual variance in the OLS start")
+    // Gumbel moment: Var(ln t) = sigma^2 * pi^2 / 6
+    var sg = r6(math.sqrt(mse * 6.0) / math.Pi)
+    val xbar = init.getAs[Double]("sxa") / n
+    var it = 0
+    while (it < iters) {
+      val w = (F.col("__lt") - F.lit(mu) - F.lit(bb) * F.col("__x")) /
+        F.lit(sg)
+      val z = F.exp(w)
+      val r = clean.agg(
+        F.sum(z).as("a1"),
+        F.sum(z * F.col("__x")).as("a2"),
+        F.sum(z * F.col("__x") * F.col("__x")).as("a3"),
+        F.sum(z - F.col("__d")).as("g1"),
+        F.sum((z - F.col("__d")) * F.col("__x")).as("g2"),
+        F.sum(w * (z - F.col("__d"))).as("u3"),
+        F.sum(w * w * z).as("i3")).head()
+      val a1 = r.getAs[Double]("a1"); val a2 = r.getAs[Double]("a2")
+      val a3 = r.getAs[Double]("a3"); val g1 = r.getAs[Double]("g1")
+      val g2 = r.getAs[Double]("g2"); val u3 = r.getAs[Double]("u3")
+      val i3 = r.getAs[Double]("i3")
+      val dd = a1 * a3 - a2 * a2
+      val is = u3 + i3
+      require(java.lang.Double.isFinite(dd) &&
+        java.lang.Double.isFinite(g1) && java.lang.Double.isFinite(g2) &&
+        java.lang.Double.isFinite(is) && dd > 0.0 && is > 0.0,
+        s"Weibull AFT Newton round ${it + 1} degenerate (det=$dd, " +
+          s"I_s=$is) — standardize the covariate or check ln-duration " +
+          "outliers; refusing to emit garbage")
+      val muN = r6(mu + sg * (a3 * g1 - a2 * g2) / dd)
+      val bbN = r6(bb + sg * (a1 * g2 - a2 * g1) / dd)
+      val sgN = r6(sg * math.exp((u3 - nev) / is))
+      mu = muN; bb = bbN; sg = sgN
+      require(sg > 0.0, s"sigma collapsed at round ${it + 1}")
+      it += 1
+    }
+    val med = r6(math.exp(mu + bb * xbar + sg * math.log(math.log(2.0))))
+    Seq((n, nev.toLong, mu, bb, sg, med))
+      .toDF("n", "n_events", "icept", "slope", "sigma",
+        "median_at_mean")
+  }
+
+  /** Predicted median lifetime under a fitted [[weibullAft]] model as
+    * a codegen'd COLUMN — exp(μ + βx + σ·ln ln 2): attach to any
+    * frame carrying the covariate for scoring at scale. */
+  def weibullAftMedian(icept: Double, slope: Double, sigma: Double,
+                       x: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    F.exp(F.lit(icept) + F.lit(slope) * x +
+      F.lit(sigma * math.log(math.log(2.0))))
 }

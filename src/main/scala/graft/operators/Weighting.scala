@@ -125,4 +125,91 @@ object Weighting {
         (F.col("__sw") / F.col("n")), 6).as("cv"),
       F.round(F.col("__wmax") / F.col("__wmin"), 6).as("max_over_min")): _*)
   }
+
+  /** Entropy balancing (Hainmueller 2012) — exact-moment reweighting
+    * of the CONTROL group to the treated group's covariate means: the
+    * minimum-KL weights w_i ∝ exp(λ₁x₁ᵢ + λ₂x₂ᵢ) whose weighted
+    * control means HIT the treated means exactly, the deterministic
+    * alternative to propensity matching (no model, no trimming — one
+    * λ per balanced moment). Newton on λ: per round ONE aggregation
+    * over controls at the previous 6-ROUNDED λ gives the weighted
+    * means m and covariance H, and λ ← λ + H⁻¹(target − m) by the
+    * 2×2 Cramer — the [[graft.operators.Regression]] IRLS replay
+    * discipline. Degenerate rounds (non-PD H, non-finite sums) raise
+    * loudly — standardize wild covariates first.
+    *
+    * Scale shape: iters+1 full-scan aggregations of codegen'd
+    * exp/products — no shuffle beyond a scalar collect per round.
+    *
+    * @return one row: (n_treat, n_ctrl, lambda1, lambda2, target1,
+    *         target2, mean1, mean2, ess) — mean1/mean2 the achieved
+    *         weighted control means (≈ targets at convergence), ess
+    *         the Kish effective sample size of the weights */
+  def entropyBalance(df: DataFrame, treatCol: String, x1Col: String,
+                     x2Col: String, iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 12, "iters must be in 1..12")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tr = F.col(treatCol).cast("boolean")
+    val x1 = F.col(x1Col).cast("double")
+    val x2 = F.col(x2Col).cast("double")
+    val clean = df
+      .where(tr.isNotNull && x1.isNotNull && !F.isnan(x1) &&
+        x2.isNotNull && !F.isnan(x2))
+      .select(tr.as("__t"), x1.as("__x1"), x2.as("__x2"))
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6 + 0.0
+    val tRow = clean.where(F.col("__t"))
+      .agg(F.count(F.lit(1)).as("n"), F.avg("__x1").as("m1"),
+        F.avg("__x2").as("m2")).head()
+    val nT = tRow.getAs[Long]("n")
+    require(nT >= 2L, s"need >= 2 treated rows, got $nT")
+    val t1 = r6(tRow.getAs[Double]("m1"))
+    val t2 = r6(tRow.getAs[Double]("m2"))
+    val ctrl = clean.where(!F.col("__t"))
+    var l1 = 0.0; var l2 = 0.0
+    var nC = 0L
+    var it = 0
+    while (it < iters) {
+      val e = F.exp(F.lit(l1) * F.col("__x1") + F.lit(l2) * F.col("__x2"))
+      val r = ctrl.agg(
+        F.count(F.lit(1)).as("n"),
+        F.sum(e).as("se"),
+        F.sum(e * F.col("__x1")).as("s1"),
+        F.sum(e * F.col("__x2")).as("s2"),
+        F.sum(e * F.col("__x1") * F.col("__x1")).as("s11"),
+        F.sum(e * F.col("__x2") * F.col("__x2")).as("s22"),
+        F.sum(e * F.col("__x1") * F.col("__x2")).as("s12")).head()
+      nC = r.getAs[Long]("n")
+      require(nC >= 2L, s"need >= 2 control rows, got $nC")
+      val se = r.getAs[Double]("se")
+      val m1 = r.getAs[Double]("s1") / se
+      val m2 = r.getAs[Double]("s2") / se
+      val h11 = r.getAs[Double]("s11") / se - m1 * m1
+      val h22 = r.getAs[Double]("s22") / se - m2 * m2
+      val h12 = r.getAs[Double]("s12") / se - m1 * m2
+      val det = h11 * h22 - h12 * h12
+      require(java.lang.Double.isFinite(det) && det > 0.0 &&
+        java.lang.Double.isFinite(m1) && java.lang.Double.isFinite(m2),
+        s"entropy-balance Newton round ${it + 1} degenerate " +
+          s"(det=$det) — collinear or wild covariates; standardize " +
+          "them first")
+      val g1 = t1 - m1
+      val g2 = t2 - m2
+      l1 = r6(l1 + (h22 * g1 - h12 * g2) / det)
+      l2 = r6(l2 + (h11 * g2 - h12 * g1) / det)
+      it += 1
+    }
+    val eF = F.exp(F.lit(l1) * F.col("__x1") + F.lit(l2) * F.col("__x2"))
+    val fin = ctrl.agg(
+      F.sum(eF).as("se"), F.sum(eF * eF).as("see"),
+      F.sum(eF * F.col("__x1")).as("s1"),
+      F.sum(eF * F.col("__x2")).as("s2")).head()
+    val se = fin.getAs[Double]("se")
+    Seq((nT, nC, l1, l2, t1, t2,
+      r6(fin.getAs[Double]("s1") / se),
+      r6(fin.getAs[Double]("s2") / se),
+      r6(se * se / fin.getAs[Double]("see"))))
+      .toDF("n_treat", "n_ctrl", "lambda1", "lambda2", "target1",
+        "target2", "mean1", "mean2", "ess")
+  }
 }

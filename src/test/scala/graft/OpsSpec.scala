@@ -7310,4 +7310,181 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(u.getAs[Double]("circ_var") - 1.0) < 1e-6)
     assert(math.abs(u.getAs[Double]("p_value") - 1.0) < 1e-6)
   }
+
+  test("stlByKey: recovers trend slope and seasonal pattern, and the " +
+    "robustness pass sends an outlier to the remainder") {
+    import spark.implicits._
+    // v = 10 + 0.5 i + s(i mod 4), s = (2, -1, -2, 1), one +30 spike
+    val pat = Array(2.0, -1.0, -2.0, 1.0)
+    val n = 40
+    val df = Seq.tabulate(n) { i =>
+      val spike = if (i == 20) 30.0 else 0.0
+      ("k", (i + 1).toLong, 10.0 + 0.5 * i + pat(i % 4) + spike)
+    }.toDF("key", "ts", "v")
+    val out = Features.stlByKey(df, "key", "ts", "v", periodUnit = 1L,
+      period = 4, seasonalSpan = 7, trendSpan = 5)
+      .orderBy("period").collect()
+    assert(out.length == n)
+    def row(i: Int) = out(i) // period = ts = i+1, 0-indexed by i
+    // trend tracks the 0.5/step slope over the interior
+    val tLo = row(10).getAs[Double]("trend")
+    val tHi = row(30).getAs[Double]("trend")
+    assert(math.abs((tHi - tLo) / 20.0 - 0.5) < 0.1,
+      s"slope ${(tHi - tLo) / 20.0}")
+    // seasonal close to the planted pattern away from edges/spike
+    for (i <- 8 until 16; if i != 20) {
+      assert(math.abs(row(i).getAs[Double]("seasonal") - pat(i % 4))
+        < 0.8, s"i=$i got ${row(i).getAs[Double]("seasonal")}")
+    }
+    // the spike lands in the remainder, not the trend: remainder at
+    // the spike dominates, neighbors' trend stays on the line
+    assert(row(20).getAs[Double]("remainder") > 15.0)
+    assert(math.abs(row(19).getAs[Double]("trend") -
+      row(21).getAs[Double]("trend")) < 8.0)
+    // decomposition identity at the output rounding
+    out.foreach { r =>
+      val v = r.getAs[Double]("value")
+      val sum = r.getAs[Double]("seasonal") + r.getAs[Double]("trend") +
+        r.getAs[Double]("remainder")
+      assert(math.abs(v - sum) < 2e-6)
+    }
+    // short keys (< 2 periods of cells) are dropped
+    val short = Seq.tabulate(6)(i => ("s", (i + 1).toLong, i * 1.0))
+      .toDF("key", "ts", "v")
+    assert(Features.stlByKey(short, "key", "ts", "v", 1L, 4,
+      3, 5).count() == 0L)
+  }
+
+  test("concordanceCcc and blandAltman match hand-computed agreement") {
+    import spark.implicits._
+    // y = x: perfect agreement
+    val same = Seq(1.0, 2.0, 3.0, 4.0).map(x => (x, x)).toDF("x", "y")
+    val rs = Evaluation.concordanceCcc(same, "x", "y").head()
+    assert(rs.getAs[Double]("ccc") == 1.0)
+    assert(rs.getAs[Double]("pearson_r") == 1.0)
+    assert(rs.getAs[Double]("c_b") == 1.0)
+    // y = x + 2: r stays 1, ccc drops by the location penalty:
+    // ccc = 2*1.25/(1.25+1.25+4) = 0.384615
+    val shift = Seq(1.0, 2.0, 3.0, 4.0).map(x => (x, x + 2.0))
+      .toDF("x", "y")
+    val rr = Evaluation.concordanceCcc(shift, "x", "y").head()
+    assert(rr.getAs[Double]("pearson_r") == 1.0)
+    assert(math.abs(rr.getAs[Double]("ccc") - 0.384615) < 1e-6)
+    assert(math.abs(rr.getAs[Double]("c_b") -
+      rr.getAs[Double]("ccc")) < 1e-9)
+    // Bland-Altman on d = {-1,0,1}: bias 0, sd 1, LoA +/- 1.96
+    val ba = Seq((0.0, 1.0), (0.0, 0.0), (0.0, -1.0)).toDF("x", "y")
+    val rb = Evaluation.blandAltman(ba, "x", "y").head()
+    assert(rb.getAs[Double]("mean_diff") == 0.0)
+    assert(rb.getAs[Double]("sd_diff") == 1.0)
+    assert(rb.getAs[Double]("loa_lo") == -1.96)
+    assert(rb.getAs[Double]("loa_hi") == 1.96)
+  }
+
+  test("varianceRatioByKey: mean-reverting series flags VR << 1, " +
+    "persistent-drift series does not") {
+    import spark.implicits._
+    // alternating level: returns perfectly negatively autocorrelated
+    val rev = Seq.tabulate(60)(i =>
+      ("rev", (i + 1).toLong, if (i % 2 == 0) 0.0 else 1.0))
+    // pseudo-random walk: increments from a deterministic hash-ish
+    // pattern with persistent sign runs
+    val walk = {
+      var v = 0.0
+      Seq.tabulate(40) { i =>
+        v += (if ((i / 5) % 2 == 0) 1.0 else -1.0) +
+          ((i * 37) % 11) * 0.01
+        ("mom", (i + 1).toLong, v)
+      }
+    }
+    val out = Features.varianceRatioByKey((rev ++ walk)
+      .toDF("k", "ts", "v"), "k", "ts", "v", periodUnit = 1L, q = 5)
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    assert(out("rev").getAs[Double]("vr") < 0.3)
+    assert(out("rev").getAs[Double]("z") < -2.0)
+    assert(out("rev").getAs[Double]("p_value") < 0.05)
+    // 5-period sign runs make q-period changes LARGER than iid: VR > 1
+    assert(out("mom").getAs[Double]("vr") > 1.0)
+  }
+
+  test("breuschGodfreyByKey: smooth residual cycles fire, hash-noise " +
+    "residuals don't") {
+    import spark.implicits._
+    // slow sine around a trend: residuals strongly AR(1)
+    val ar = Seq.tabulate(60)(i => ("ar", (i + 1).toLong,
+      0.5 * i + 10.0 * math.sin(i / 8.0)))
+    // Weyl-ish equidistributed noise around the same trend: no memory
+    val wn = Seq.tabulate(60)(i => ("wn", (i + 1).toLong,
+      0.5 * i + (i * i * 0.41421356237) % 1.0 - 0.5))
+    val out = Features.breuschGodfreyByKey((ar ++ wn)
+      .toDF("k", "ts", "v"), "k", "ts", "v", periodUnit = 1L)
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    assert(out("ar").getAs[Double]("rho_lag1") > 0.7)
+    assert(out("ar").getAs[Double]("p_value") < 1e-4)
+    assert(out("wn").getAs[Double]("p_value") > 0.01)
+  }
+
+  test("entropyBalance hits the treated moments exactly and reports " +
+    "the weight cost in ESS") {
+    import spark.implicits._
+    // controls uniform over x1 = 0..9; treated concentrated high
+    val ctrl = (0 until 100).map(i =>
+      (false, (i % 10).toDouble, ((i * 3) % 7).toDouble))
+    val treat = (0 until 40).map(i =>
+      (true, 6.0 + (i % 3).toDouble, 4.0 + (i % 2).toDouble))
+    val r = Weighting.entropyBalance((ctrl ++ treat)
+      .toDF("t", "x1", "x2"), "t", "x1", "x2").head()
+    assert(r.getAs[Long]("n_treat") == 40L)
+    assert(r.getAs[Long]("n_ctrl") == 100L)
+    assert(math.abs(r.getAs[Double]("mean1") -
+      r.getAs[Double]("target1")) < 1e-3)
+    assert(math.abs(r.getAs[Double]("mean2") -
+      r.getAs[Double]("target2")) < 1e-3)
+    // tilting away from uniform costs effective sample size
+    val ess = r.getAs[Double]("ess")
+    assert(ess > 10.0 && ess < 100.0, s"ess $ess")
+  }
+
+  test("fitFrankByTau: theta round-trips through an independent " +
+    "Debye quadrature, is odd in tau, and ~9*tau near zero") {
+    import spark.implicits._
+    // monotone-ish association with ties: tau lands mid-range
+    val df = Seq.tabulate(30)(i =>
+      ((i % 10).toDouble, ((i % 10) + 3 * (i % 3)).toDouble))
+      .toDF("a", "b")
+    val r = ArchimedeanCopula.fitFrankByTau(df, "a", "b").head()
+    val tau = r.getAs[Double]("tau")
+    val theta = r.getAs[Double]("theta_frank")
+    assert(tau > 0.05 && tau < 0.95, s"fixture tau $tau")
+    assert(r.getAs[Double]("lambda_lower") == 0.0)
+    assert(r.getAs[Double]("lambda_upper") == 0.0)
+    // independent check: Simpson-rule Debye D1, tau(theta) ?= tau
+    def d1(th: Double): Double = {
+      val m = 20000
+      val h = th / m
+      def f(t: Double) = if (t == 0.0) 1.0 else t / (math.exp(t) - 1.0)
+      var s = f(0.0) + f(th)
+      var i = 1
+      while (i < m) {
+        s += (if (i % 2 == 1) 4.0 else 2.0) * f(i * h); i += 1
+      }
+      s * h / 3.0 / th
+    }
+    val tauBack = 1.0 - 4.0 / theta * (1.0 - d1(theta))
+    assert(math.abs(tauBack - tau) < 2e-3, s"round-trip $tauBack vs $tau")
+    // oddness: negating one marginal negates tau and theta
+    val neg = df.select(F.col("a"), (-F.col("b")).as("b"))
+    val rn = ArchimedeanCopula.fitFrankByTau(neg, "a", "b").head()
+    assert(rn.getAs[Double]("tau") == -tau)
+    assert(rn.getAs[Double]("theta_frank") == -theta)
+    // near independence theta ~ 9 tau (tau(theta) -> theta/9)
+    val weak = Seq.tabulate(40)(i =>
+      ((i % 8).toDouble, ((i % 2) + (i % 5)).toDouble)).toDF("a", "b")
+    val rw = ArchimedeanCopula.fitFrankByTau(weak, "a", "b").head()
+    val tw = rw.getAs[Double]("tau")
+    if (math.abs(tw) > 1e-3 && math.abs(tw) < 0.2) {
+      assert(math.abs(rw.getAs[Double]("theta_frank") / (9.0 * tw) - 1.0)
+        < 0.15, s"weak theta ${rw.getAs[Double]("theta_frank")} tau $tw")
+    }
+  }
 }

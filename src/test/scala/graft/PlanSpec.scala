@@ -695,6 +695,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("round-13 additions: shapiro/ad-ksample/frank/aft/lda/stl " +
+    "plans stay cartesian-free") {
+    // ad_ksample: per-distinct-value count lanes + the RDD prefix
+    // fold; weibull_aft: pure chained aggregations; stl: per-key
+    // windows and half-window-bounded keyed self-joins — none may
+    // produce an unbounded cartesian
+    for (q <- Seq("q_ad_ksample", "q_weibull_aft", "q_stl",
+        "q_variance_ratio", "q_breusch_godfrey", "q_entropy_balance",
+        "q_ccc", "q_deming", "q_bland_altman", "q_logrank_trend")) {
+      val plan = physicalPlan(q)
+      assert(!plan.contains("CartesianProduct"), q + ": " + plan.take(400))
+      assert(!plan.contains("BroadcastNestedLoop"),
+        q + ": " + plan.take(400))
+    }
+    // shapiro runs on a BOUNDED (<= 5000 row) slice where the
+    // single-partition window is the contract; frank/lda join one-row
+    // or k-row aggregates (the cohenKappa house shape); hl_shift is
+    // the guarded bounded cell-product join — forbid only the
+    // unbounded cartesian
+    for (q <- Seq("q_shapiro", "q_archimedean_frank", "q_lda_multi",
+        "q_hl_shift")) {
+      val plan = physicalPlan(q)
+      assert(!plan.contains("CartesianProduct"), q + ": " + plan.take(400))
+    }
+  }
+
   test("cardinality guards refuse row-scale cell frames LOUDLY") {
     import org.apache.spark.sql.functions.col
     // a continuous column: every row its own cell — the quadratic

@@ -442,6 +442,82 @@ class RegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Regression.fisherLda(flat, "y", "x1", "x2").count() == 0L)
   }
 
+  test("fisherLdaMulti: 2-class matches fisherLda's direction, " +
+    "collinear means give lambda2 = 0, planar means don't") {
+    import spark.implicits._
+    // the 2-class fisherLda fixture: leading direction must be (1,0)
+    // and the second canonical ratio exactly 0 (rank-1 between)
+    val two = Seq(
+      ("a", -1.0, 0.0), ("a", 1.0, 0.0), ("a", 0.0, -1.0),
+      ("a", 0.0, 1.0), ("b", 3.0, 0.0), ("b", 5.0, 0.0),
+      ("b", 4.0, -1.0), ("b", 4.0, 1.0)).toDF("c", "x1", "x2")
+    val r2 = Regression.fisherLdaMulti(two, "c", "x1", "x2").head()
+    assert(r2.getAs[Long]("n") == 8L && r2.getAs[Long]("n_classes") == 2L)
+    assert(r2.getAs[Double]("w1") == 1.0 && r2.getAs[Double]("w2") == 0.0)
+    assert(r2.getAs[Double]("lambda2") == 0.0)
+    assert(r2.getAs[Double]("lambda1") > 0.0)
+    // three classes with collinear means (all on the x-axis): still a
+    // one-dimensional discriminant, lambda2 = 0
+    val lin = (Seq((-1.0, 0.0), (1.0, 0.0), (0.0, -1.0), (0.0, 1.0))
+      .flatMap { case (dx, dy) => Seq(
+        ("a", dx, dy), ("b", 4.0 + dx, dy), ("c", 8.0 + dx, dy)) })
+      .toDF("c", "x1", "x2")
+    val rl = Regression.fisherLdaMulti(lin, "c", "x1", "x2").head()
+    assert(rl.getAs[Long]("n_classes") == 3L)
+    assert(rl.getAs[Double]("w1") == 1.0 && rl.getAs[Double]("w2") == 0.0)
+    assert(rl.getAs[Double]("lambda2") == 0.0)
+    // means spanning the plane: both canonical ratios positive
+    val tri = (Seq((-1.0, 0.0), (1.0, 0.0), (0.0, -1.0), (0.0, 1.0))
+      .flatMap { case (dx, dy) => Seq(
+        ("a", dx, dy), ("b", 6.0 + dx, dy), ("c", 3.0 + dx, 6.0 + dy)) })
+      .toDF("c", "x1", "x2")
+    val rt = Regression.fisherLdaMulti(tri, "c", "x1", "x2").head()
+    assert(rt.getAs[Double]("lambda1") > 0.0)
+    assert(rt.getAs[Double]("lambda2") > 0.0)
+    assert(rt.getAs[Double]("lambda1") >= rt.getAs[Double]("lambda2"))
+    // unit-norm direction
+    val nrm = math.hypot(rt.getAs[Double]("w1"), rt.getAs[Double]("w2"))
+    assert(math.abs(nrm - 1.0) < 1e-5)
+    // bounded class-set contract raises loudly
+    val many = (0 until 9).flatMap(i => Seq(
+      (s"c$i", i * 1.0, 0.0), (s"c$i", i * 1.0 + 1.0, 1.0)))
+      .toDF("c", "x1", "x2")
+    val e = intercept[IllegalArgumentException] {
+      Regression.fisherLdaMulti(many, "c", "x1", "x2")
+    }
+    assert(e.getMessage.contains("maxClasses"))
+  }
+
+  test("demingRegression recovers an exact line and beats OLS " +
+    "attenuation under x-noise") {
+    import spark.implicits._
+    // noise-free y = 2x + 1: Deming returns it exactly
+    val clean = Seq(1.0, 2.0, 3.0, 4.0, 5.0)
+      .map(x => (x, 2.0 * x + 1.0)).toDF("x", "y")
+    val r = Regression.demingRegression(clean, "x", "y").head()
+    assert(r.getAs[Double]("slope") == 2.0)
+    assert(r.getAs[Double]("icept") == 1.0)
+    assert(r.getAs[Double]("delta") == 1.0)
+    // symmetric x/y noise: the delta=1 Deming slope stays near 2
+    // while plain OLS attenuates (vx inflated by the noise)
+    val noisy = (0 until 60).map { i =>
+      val x = (i % 10).toDouble
+      val nx = ((i * 7) % 5 - 2.0) * 0.5
+      val ny = ((i * 11) % 5 - 2.0) * 0.5
+      (x + nx, 2.0 * (x + nx) + 1.0 + 2.0 * ny - 2.0 * nx)
+    }.toDF("x", "y")
+    val rn = Regression.demingRegression(noisy, "x", "y").head()
+    assert(math.abs(rn.getAs[Double]("slope") - 2.0) < 0.35,
+      s"slope ${rn.getAs[Double]("slope")}")
+    // constant-input guard
+    val e = intercept[IllegalArgumentException] {
+      Regression.demingRegression(
+        Seq((1.0, 1.0), (1.0, 2.0), (1.0, 3.0)).toDF("x", "y"),
+        "x", "y")
+    }
+    assert(e.getMessage.contains("constant"))
+  }
+
   test("tweedieIrls recovers a noiseless log-linear mean and accepts zeros") {
     import spark.implicits._
     // y = exp(0.5 + 0.3x) exactly: the score is zero at the truth, so

@@ -948,4 +948,174 @@ class StatTestsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sep.getAs[Double]("b1") ==
       math.rint(sep.getAs[Double]("b1") * 1e6) / 1e6)
   }
+
+  test("shapiroWilk: accepts normal-ish, rejects exponential, " +
+    "affine-invariant, and agrees with an independent probit") {
+    import spark.implicits._
+    val n = 40
+    // near-normal: the normal quantile grid itself (Blom positions)
+    val normish = (1 to n).map(i =>
+      new org.apache.commons.math3.distribution.NormalDistribution(
+        null, 0.0, 1.0)
+        .inverseCumulativeProbability((i - 0.375) / (n + 0.25)))
+    val rNorm = StatTests.shapiroWilk(normish.toDF("v"), "v").head()
+    assert(rNorm.getAs[Long]("n") == n.toLong)
+    assert(rNorm.getAs[Double]("w_stat") > 0.98)
+    assert(rNorm.getAs[Double]("p_value") > 0.5)
+    // exponential quantile grid: decisive rejection
+    val expo = (1 to n).map(i => -math.log(1.0 - (i - 0.5) / n.toDouble))
+    val rExp = StatTests.shapiroWilk(expo.toDF("v"), "v").head()
+    assert(rExp.getAs[Double]("w_stat") < 0.92)
+    assert(rExp.getAs[Double]("p_value") < 0.01)
+    // W is affine-invariant (location/scale cancel in the ratio)
+    val shifted = expo.map(x => 100.0 + 3.0 * x)
+    val rShift = StatTests.shapiroWilk(shifted.toDF("v"), "v").head()
+    assert(math.abs(rShift.getAs[Double]("w_stat") -
+      rExp.getAs[Double]("w_stat")) < 1e-5)
+    // independent reimplementation: commons-math probit (a DIFFERENT
+    // inverse-CDF algorithm) through the same Royston weights
+    val xs = expo.sorted.toArray
+    val nD = n.toDouble
+    val nd = new org.apache.commons.math3.distribution.NormalDistribution(
+      null, 0.0, 1.0)
+    val m = (1 to n).map(i =>
+      nd.inverseCumulativeProbability((i - 0.375) / (nD + 0.25))).toArray
+    val sm2 = m.map(x => x * x).sum
+    val rsn = 1.0 / math.sqrt(nD)
+    val aN = ((((-2.706056 * rsn + 4.434685) * rsn - 2.071190) * rsn -
+      0.147981) * rsn + 0.221157) * rsn + m(n - 1) / math.sqrt(sm2)
+    val aN1 = ((((-3.582633 * rsn + 5.682633) * rsn - 1.752461) * rsn -
+      0.293762) * rsn + 0.042981) * rsn + m(n - 2) / math.sqrt(sm2)
+    val phi = (sm2 - 2.0 * m(n - 1) * m(n - 1) -
+      2.0 * m(n - 2) * m(n - 2)) /
+      (1.0 - 2.0 * aN * aN - 2.0 * aN1 * aN1)
+    val a = Array.tabulate(n) { j =>
+      if (j == 0) -aN else if (j == 1) -aN1
+      else if (j == n - 1) aN else if (j == n - 2) aN1
+      else m(j) / math.sqrt(phi)
+    }
+    val xbar = xs.sum / nD
+    val wRef = math.pow(a.zip(xs).map { case (ai, xi) => ai * xi }.sum, 2) /
+      xs.map(x => (x - xbar) * (x - xbar)).sum
+    assert(math.abs(rExp.getAs[Double]("w_stat") - wRef) < 1e-5)
+  }
+
+  test("adKSample: k=2 is exactly adTwoSample; separated cohorts " +
+    "fire, identical cohorts don't") {
+    import spark.implicits._
+    val two = (Seq(1.0, 2.0, 3.0, 5.0, 7.0).map(("a", _)) ++
+      Seq(2.0, 4.0, 6.0, 8.0, 9.0).map(("b", _))).toDF("g", "v")
+    val r2k = StatTests.adKSample(two, "g", "v").head()
+    val r2 = StatTests.adTwoSample(two, "g", "v").head()
+    assert(r2k.getAs[Long]("n_cohorts") == 2L)
+    assert(r2k.getAs[Double]("ad_stat") == r2.getAs[Double]("ad_stat"))
+    assert(r2k.getAs[Double]("sigma") == r2.getAs[Double]("sigma"))
+    assert(r2k.getAs[Double]("t_stat") == r2.getAs[Double]("t_stat"))
+    // three well-separated cohorts: T far beyond the S-S threshold
+    val sep = ((1 to 40).map(i => ("a", i * 0.1)) ++
+      (1 to 40).map(i => ("b", 10.0 + i * 0.1)) ++
+      (1 to 40).map(i => ("c", 20.0 + i * 0.1))).toDF("g", "v")
+    assert(StatTests.adKSample(sep, "g", "v").head()
+      .getAs[Double]("t_stat") > 5.0)
+    // three identical cohorts: T small
+    val same = (1 to 40).flatMap(i =>
+      Seq(("a", i * 0.1), ("b", i * 0.1), ("c", i * 0.1))).toDF("g", "v")
+    assert(StatTests.adKSample(same, "g", "v").head()
+      .getAs[Double]("t_stat") < 1.0)
+    // bounded-label contract raises loudly
+    val many = (0 until 40).map(i => (s"g$i", i * 1.0)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      StatTests.adKSample(many, "g", "v")
+    }
+    assert(e.getMessage.contains("maxCohorts"))
+  }
+
+  test("hodgesLehmannShift matches the hand-computed weighted median " +
+    "and the bounded-cells contract raises") {
+    import spark.implicits._
+    // a = {1,2,3}, b = {4,6}: diffs 3,5,2,4,1,3 -> sorted weighted
+    // median (W=6, target 3) = 3
+    val df = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(4.0, 6.0).map(("b", _))).toDF("g", "v")
+    val r = StatTests.hodgesLehmannShift(df, "g", "v").head()
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("hl_shift") == 3.0)
+    // shift-equivariance: adding 10 to b adds 10 to the estimate
+    val df2 = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(14.0, 16.0).map(("b", _))).toDF("g", "v")
+    assert(StatTests.hodgesLehmannShift(df2, "g", "v").head()
+      .getAs[Double]("hl_shift") == 13.0)
+    val e = intercept[IllegalArgumentException] {
+      StatTests.hodgesLehmannShift(df, "g", "v", maxCellProduct = 4L)
+    }
+    assert(e.getMessage.contains("cells"))
+  }
+
+  test("logRankTrend: k=2 squares to the plain log-rank chi2, " +
+    "ordered separation fires, identical cohorts don't") {
+    import spark.implicits._
+    val two = (Seq((1.0, true), (3.0, true), (5.0, false), (7.0, true))
+      .map { case (t, e) => ("a", t, e) } ++
+      Seq((2.0, true), (4.0, true), (6.0, true), (8.0, false))
+        .map { case (t, e) => ("b", t, e) }).toDF("g", "t", "e")
+    val tr = Survival.logRankTrend(two, "t", "e", "g").head()
+    val lr = Survival.logRank(two, "t", "e", "g").head()
+    val z = tr.getAs[Double]("z")
+    assert(math.abs(z * z - lr.getAs[Double]("chi2")) < 1e-3,
+      s"z^2 ${z * z} vs chi2 ${lr.getAs[Double]("chi2")}")
+    // three ordered cohorts with strictly improving survival
+    val sep = ((1 to 30).map(i => ("c0", i * 1.0, true)) ++
+      (1 to 30).map(i => ("c1", 30.0 + i, true)) ++
+      (1 to 30).map(i => ("c2", 60.0 + i, true))).toDF("g", "t", "e")
+    assert(math.abs(Survival.logRankTrend(sep, "t", "e", "g").head()
+      .getAs[Double]("z")) > 5.0)
+    // identical cohorts: no trend
+    val same = (1 to 30).flatMap(i => Seq(("c0", i * 1.0, true),
+      ("c1", i * 1.0, true), ("c2", i * 1.0, true))).toDF("g", "t", "e")
+    assert(math.abs(Survival.logRankTrend(same, "t", "e", "g").head()
+      .getAs[Double]("z")) < 1.0)
+  }
+
+  test("weibullAft recovers planted AFT parameters and censoring " +
+    "shifts the fit the right way") {
+    import spark.implicits._
+    // planted: ln T = 1.0 + 0.05 x + 0.5 W, W standard Gumbel(min)
+    // via the quantile grid w = ln(-ln(1 - u)); x cycles 0..9
+    val n = 400
+    val rows = (0 until n).map { i =>
+      val u = (i + 0.5) / n
+      val w = math.log(-math.log(1.0 - u))
+      val x = (i % 10).toDouble
+      (math.exp(1.0 + 0.05 * x + 0.5 * w), true, x)
+    }
+    val df = rows.toDF("t", "e", "x")
+    val fit = Survival.weibullAft(df, "t", "e", "x").head()
+    assert(fit.getAs[Long]("n") == n.toLong)
+    assert(fit.getAs[Long]("n_events") == n.toLong)
+    assert(math.abs(fit.getAs[Double]("icept") - 1.0) < 0.15)
+    assert(math.abs(fit.getAs[Double]("slope") - 0.05) < 0.02)
+    assert(math.abs(fit.getAs[Double]("sigma") - 0.5) < 0.08)
+    // median at mean covariate matches the formula surface
+    val med = fit.getAs[Double]("median_at_mean")
+    val manual = math.exp(fit.getAs[Double]("icept") +
+      fit.getAs[Double]("slope") * 4.5 +
+      fit.getAs[Double]("sigma") * math.log(math.log(2.0)))
+    assert(math.abs(med - manual) < 1e-5)
+    // right-censor everything above the 70th percentile at that
+    // threshold: estimates should stay in the same neighborhood
+    // (that is the point of modeling the censoring)
+    val thr = rows.map(_._1).sorted.apply((0.7 * n).toInt)
+    val cens = rows.map { case (t, _, x) =>
+      if (t > thr) (thr, false, x) else (t, true, x) }
+    val fitC = Survival.weibullAft(cens.toDF("t", "e", "x"),
+      "t", "e", "x").head()
+    assert(fitC.getAs[Long]("n_events") < n.toLong)
+    assert(math.abs(fitC.getAs[Double]("slope") - 0.05) < 0.04)
+    assert(math.abs(fitC.getAs[Double]("sigma") - 0.5) < 0.15)
+    // the codegen median surface agrees with the scalar formula
+    val mcol = Survival.weibullAftMedian(1.0, 0.05, 0.5, F.col("x"))
+    val got = Seq(2.0).toDF("x").select(mcol.as("m")).head().getDouble(0)
+    assert(math.abs(got - math.exp(1.0 + 0.1 +
+      0.5 * math.log(math.log(2.0)))) < 1e-9)
+  }
 }
