@@ -1932,6 +1932,119 @@ object Evaluation {
       .toDF("n", "n_cells", "ari", "nmi", "purity")
   }
 
+  /** Mincer–Zarnowitz forecast-calibration regression — "are these
+    * forecasts USABLE AS-IS": regress actual on forecast and jointly
+    * test (intercept, slope) = (0, 1),
+    *
+    *   F = ((RSS_r − RSS_u)/2) / (RSS_u/(n−2)),   RSS_r = Σ(y − f)²
+    *
+    * ~ F(2, n−2) under calibration — d₁ = 2, so the p-value is the
+    * closed form (1 + 2F/d₂)^(−d₂/2), no betainc. Rejection says
+    * re-scale before consuming (the regression IS the fix: a + b·f).
+    * ONE moment aggregation; everything a ratio of the six sums.
+    *
+    * @return one row: (n, icept, slope, f_stat, p_value, rmse_raw) —
+    *         rmse_raw the uncorrected forecast RMSE, 6-rounded */
+  def mincerZarnowitz(df: DataFrame, actualCol: String,
+                      forecastCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val y = F.col(actualCol).cast("double")
+    val f = F.col(forecastCol).cast("double")
+    val r = df
+      .where(y.isNotNull && !F.isnan(y) && f.isNotNull && !F.isnan(f))
+      .agg(F.count(F.lit(1)).as("n"), F.sum(f).as("sx"),
+        F.sum(y).as("sy"), F.sum(f * f).as("sxx"),
+        F.sum(y * y).as("syy"), F.sum(f * y).as("sxy"))
+      .head()
+    val n = r.getAs[Long]("n")
+    require(n >= 5L, s"need n >= 5 pairs, got $n")
+    val nD = n.toDouble
+    val sx = r.getAs[Double]("sx"); val sy = r.getAs[Double]("sy")
+    val sxx = r.getAs[Double]("sxx"); val syy = r.getAs[Double]("syy")
+    val sxy = r.getAs[Double]("sxy")
+    val det = nD * sxx - sx * sx
+    require(det > 0.0, "constant forecast — no calibration line")
+    val b1 = (nD * sxy - sx * sy) / det
+    val b0 = (sy * sxx - sx * sxy) / det
+    val rssU = syy - (b0 * sy + b1 * sxy)
+    // restricted model y = f: RSS_r = sum (y - f)^2
+    val rssR = syy - 2.0 * sxy + sxx
+    require(rssU > 0.0, "exact fit — F undefined")
+    val d2 = nD - 2.0
+    val fStat = math.rint(((rssR - rssU) / 2.0) / (rssU / d2) * 1e6) /
+      1e6 + 0.0
+    val p = math.rint(math.pow(1.0 + 2.0 * math.max(fStat, 0.0) / d2,
+      -d2 / 2.0) * 1e6) / 1e6
+    def r6(q: Double) = math.rint(q * 1e6) / 1e6 + 0.0
+    Seq((n, r6(b0), r6(b1), fStat, p,
+      r6(math.sqrt(rssR / nD))))
+      .toDF("n", "icept", "slope", "f_stat", "p_value", "rmse_raw")
+  }
+
+  /** Rank-biased overlap (Webber et al. 2010) between two ranked
+    * retrieval lists per query — compare two RANKERS with no
+    * relevance labels (the A/B question [[rankingMetrics]]'s
+    * label-based nDCG can't ask): with geometric top-weight p,
+    *
+    *   RBO@k = (1−p) Σ_{d=1..k} p^{d−1} · |A_{1..d} ∩ B_{1..d}| / d
+    *
+    * (truncated base form — a lower bound on full RBO; the residual
+    * mass beyond k is the caller's tolerance). Computed WITHOUT a
+    * depth fan-out: an item first counts at depth m = max(rank_A,
+    * rank_B), so its total contribution is the pinned weight
+    * W(m) = (1−p)·Σ_{d=m..k} p^{d−1}/d — a k-entry table quantized
+    * to 1e−12 and summed as DECIMAL(38,12), bit-replayable. Ranks
+    * must be 1-based and dense per query; k ≤ 1000 loud guard.
+    *
+    * @return one row per query: (queryCol, n_common, overlap_at_k,
+    *         rbo) — overlap_at_k = |A_k ∩ B_k|/k, rbo 6-rounded */
+  def rboOverlap(dfA: DataFrame, dfB: DataFrame, queryCol: String,
+                 idCol: String, rankCol: String, p: Double = 0.9,
+                 k: Int = 20): DataFrame = {
+    require(p > 0.0 && p < 1.0, "p must be in (0, 1)")
+    require(k >= 1 && k <= 1000, "k must be in 1..1000")
+    val spark = dfA.sparkSession
+    import spark.implicits._
+    def side(df: DataFrame, rk: String) = df
+      .select(F.col(queryCol).cast("string").as("__q"),
+        F.col(idCol).cast("string").as("__id"),
+        F.col(rankCol).cast("long").as(rk))
+      .where(F.col("__q").isNotNull && F.col("__id").isNotNull &&
+        F.col(rk).isNotNull && F.col(rk) >= 1L && F.col(rk) <= k.toLong)
+    // pinned weight table: W(m) = (1-p) * sum_{d=m..k} p^(d-1)/d,
+    // built from 1e-12-quantized terms, exact-summed high-to-low
+    val terms = Array.tabulate(k + 1) { d =>
+      if (d == 0) java.math.BigDecimal.ZERO
+      else java.math.BigDecimal.valueOf(
+        math.rint(math.pow(p, d - 1.0) / d * 1e12) / 1e12)
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+    }
+    val wTable = new Array[Double](k + 2)
+    var acc = java.math.BigDecimal.ZERO
+    var d = k
+    while (d >= 1) {
+      acc = acc.add(terms(d))
+      wTable(d) = acc.doubleValue()
+      d -= 1
+    }
+    val wDf = (1 to k).map(m => (m.toLong, wTable(m)))
+      .toDF("__m", "__w")
+    val joined = side(dfA, "__ra").join(side(dfB, "__rb"),
+        Seq("__q", "__id"))
+      .withColumn("__m", F.greatest(F.col("__ra"), F.col("__rb")))
+      .join(F.broadcast(wDf), Seq("__m"))
+    joined.groupBy("__q").agg(
+      F.count(F.lit(1)).as("n_common"),
+      F.round(F.count(F.lit(1)).cast("double") / F.lit(k.toDouble), 6)
+        .as("overlap_at_k"),
+      F.round(F.lit(1.0 - p) *
+        F.sum(F.col("__w").cast("decimal(38,12)")).cast("double"), 6)
+        .as("rbo"))
+      .select(F.col("__q").as(queryCol), F.col("n_common"),
+        F.col("overlap_at_k"), F.col("rbo"))
+  }
+
   /** Lin's concordance correlation coefficient — "do two measurement
     * methods AGREE", not merely correlate (Pearson r is blind to a
     * constant bias or a slope ≠ 1; CCC punishes both):

@@ -3186,6 +3186,154 @@ object Features {
         F.round(erfcUdf2(F.greatest(F.col("lm_stat"), F.lit(0.0))), 6))
   }
 
+  /** Chow structural-break test per key at a KNOWN split — the
+    * inference rung next to [[binarySegmentByKey]] (which SEARCHES
+    * for a break): when the break candidate is known (deploy date,
+    * policy change), fit the trend OLS v ~ (1, i) pooled and on each
+    * side of the split, and
+    *
+    *   F = ((RSS_p − RSS₁ − RSS₂)/2) / ((RSS₁ + RSS₂)/(n − 4))
+    *
+    * ~ F(2, n−4) under no break. d₁ = 2 makes the p-value the CLOSED
+    * FORM (1 + 2F/d₂)^(−d₂/2) — replayable without betainc. Each RSS
+    * is a pure function of half-wise moment sums; keys with a
+    * singular half (n_half < 3 or zero x-variance) are omitted.
+    * F 6-rounded, p at the rounded F.
+    *
+    * @param breakFraction the split point as a fraction of the key's
+    *        ordered cells (row n·frac ends segment 1)
+    * @return one row per key: (keyCol, n_periods, n_left, f_stat,
+    *         p_value) */
+  def chowTestByKey(df: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String, periodUnit: Long,
+                    breakFraction: Double = 0.5): DataFrame = {
+    require(periodUnit > 0L, "periodUnit must be positive")
+    require(breakFraction > 0.0 && breakFraction < 1.0,
+      "breakFraction must be in (0, 1)")
+    val v = F.col(valueCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    val cells = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull && v.isNotNull &&
+        !F.isnan(v))
+      .groupBy(F.col(keyCol).as("__k"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("__p"))
+      .agg((F.sum(v.cast("decimal(38,6)")).cast("double") /
+        F.count(F.lit(1))).as("__v"))
+    val wOrd = Window.partitionBy("__k").orderBy("__p")
+    val wKey = Window.partitionBy("__k")
+    val base = cells
+      .withColumn("__i", F.row_number().over(wOrd).cast("double"))
+      .withColumn("__n", F.count(F.lit(1)).over(wKey))
+      .withColumn("__left", F.col("__i") <=
+        F.floor(F.col("__n") * breakFraction).cast("double"))
+    def seg(flag: org.apache.spark.sql.Column, tag: String) = Seq(
+      F.sum(F.when(flag, 1.0).otherwise(0.0)).as(s"n$tag"),
+      F.sum(F.when(flag, F.col("__i")).otherwise(0.0)).as(s"sx$tag"),
+      F.sum(F.when(flag, F.col("__i") * F.col("__i")).otherwise(0.0))
+        .as(s"sxx$tag"),
+      F.sum(F.when(flag, F.col("__v")).otherwise(0.0)).as(s"sy$tag"),
+      F.sum(F.when(flag, F.col("__i") * F.col("__v")).otherwise(0.0))
+        .as(s"sxy$tag"),
+      F.sum(F.when(flag, F.col("__v") * F.col("__v")).otherwise(0.0))
+        .as(s"syy$tag"))
+    val aggCols = seg(F.lit(true), "p") ++ seg(F.col("__left"), "1") ++
+      seg(!F.col("__left"), "2")
+    val agged = base.groupBy("__k").agg(aggCols.head, aggCols.tail: _*)
+    // RSS of y ~ (1, x) from raw moments:
+    // rss = syy - (b0*sy + b1*sxy), with Cramer b0/b1
+    def rss(tag: String) = {
+      val n = F.col(s"n$tag"); val sx = F.col(s"sx$tag")
+      val sxx = F.col(s"sxx$tag"); val sy = F.col(s"sy$tag")
+      val sxy = F.col(s"sxy$tag"); val syy = F.col(s"syy$tag")
+      val det = n * sxx - sx * sx
+      val b1 = (n * sxy - sx * sy) / det
+      val b0 = (sy * sxx - sx * sxy) / det
+      (syy - (b0 * sy + b1 * sxy), det)
+    }
+    val (rssP, detP) = rss("p")
+    val (rss1, det1) = rss("1")
+    val (rss2, det2) = rss("2")
+    val nTot = F.col("np")
+    val d2 = nTot - 4.0
+    val fRaw = ((rssP - rss1 - rss2) / 2.0) / ((rss1 + rss2) / d2)
+    val fR = F.round(fRaw, 6)
+    val p = F.round(
+      F.pow(F.lit(1.0) + F.lit(2.0) * fR / d2, (-d2) / 2.0), 6)
+    agged
+      .where(F.col("n1") >= 3.0 && F.col("n2") >= 3.0 &&
+        det1 > 0.0 && det2 > 0.0 && detP > 0.0 &&
+        rss1 + rss2 > 0.0 && fRaw >= 0.0)
+      .select(F.col("__k").as(keyCol),
+        F.col("np").cast("long").as("n_periods"),
+        F.col("n1").cast("long").as("n_left"),
+        fR.as("f_stat"), p.as("p_value"))
+  }
+
+  /** Pesaran–Timmermann directional-accuracy test per key — "does
+    * yesterday's direction predict today's": the sign-agreement rate
+    * between the day's change and the PREVIOUS day's change, tested
+    * against the independence baseline
+    *
+    *   P* = P_y P_x + (1−P_y)(1−P_x),
+    *   z = (P̂ − P*) / √(V(P̂) − V(P*))
+    *
+    * (Pesaran & Timmermann 1992, with the delta-method V(P*)) — the
+    * nonparametric momentum gate next to [[varianceRatioByKey]]'s
+    * variance view. Everything is a ratio of exact integer counts
+    * until the final z, which is 6-rounded before the two-sided
+    * normal p (Cody erfc). Keys with degenerate sign mixes (V̂ ≤ 0)
+    * are omitted; zero changes count as "down" (deterministic tie
+    * rule, documented here).
+    *
+    * @return one row per key: (keyCol, n_pairs, p_hat, p_star, z,
+    *         p_value) */
+  def pesaranTimmermannByKey(df: DataFrame, keyCol: String,
+                             tsCol: String, valueCol: String,
+                             periodUnit: Long): DataFrame = {
+    require(periodUnit > 0L, "periodUnit must be positive")
+    val v = F.col(valueCol).cast("double")
+    val t = F.col(tsCol).cast("long")
+    val cells = df
+      .where(F.col(keyCol).isNotNull && t.isNotNull && v.isNotNull &&
+        !F.isnan(v))
+      .groupBy(F.col(keyCol).as("__k"),
+        F.expr(s"CAST(`$tsCol` AS BIGINT) DIV $periodUnit").as("__p"))
+      .agg((F.sum(v.cast("decimal(38,6)")).cast("double") /
+        F.count(F.lit(1))).as("__v"))
+    val wOrd = Window.partitionBy("__k").orderBy("__p")
+    val base = cells
+      .withColumn("__d", F.col("__v") - F.lag("__v", 1).over(wOrd))
+      .withColumn("__dl", F.lag("__d", 1).over(wOrd))
+      .where(F.col("__d").isNotNull && F.col("__dl").isNotNull)
+      .withColumn("__uy", (F.col("__d") > 0.0).cast("long"))
+      .withColumn("__ux", (F.col("__dl") > 0.0).cast("long"))
+    val agged = base.groupBy("__k").agg(
+      F.count(F.lit(1)).as("n"),
+      F.sum("__uy").as("cy"), F.sum("__ux").as("cx"),
+      F.sum(F.when(F.col("__uy") === F.col("__ux"), 1L).otherwise(0L))
+        .as("agree"))
+    val n = F.col("n").cast("double")
+    val py = F.col("cy") / n
+    val px = F.col("cx") / n
+    val ph = F.col("agree") / n
+    val ps = py * px + (F.lit(1.0) - py) * (F.lit(1.0) - px)
+    val vh = ps * (F.lit(1.0) - ps) / n
+    val vs = ((F.lit(2.0) * py - 1.0) * (F.lit(2.0) * py - 1.0) *
+      px * (F.lit(1.0) - px) +
+      (F.lit(2.0) * px - 1.0) * (F.lit(2.0) * px - 1.0) *
+        py * (F.lit(1.0) - py) +
+      F.lit(4.0) * py * px * (F.lit(1.0) - py) * (F.lit(1.0) - px) / n) / n
+    val z = F.round((ph - ps) / F.sqrt(vh - vs), 6)
+    val erfcUdf = F.udf((zz: Double) =>
+      graft.functions.SpecialMath.erfc(math.abs(zz) / math.sqrt(2.0)))
+    agged
+      .where(F.col("n") >= 10L && vh - vs > 0.0)
+      .select(F.col("__k").as(keyCol), F.col("n").as("n_pairs"),
+        F.round(ph, 6).as("p_hat"), F.round(ps, 6).as("p_star"),
+        z.as("z"))
+      .withColumn("p_value", F.round(erfcUdf(F.col("z")), 6))
+  }
+
   /** ADWIN-style adaptive-window change detection per key (Bifet &
     * Gavaldà 2007, the deterministic batch readout): on the period
     * cells normalized to [0,1] by the key's 6-rounded min/max, find

@@ -1016,6 +1016,51 @@ object StatTests {
     Seq((na, nb, hl)).toDF("n_a", "n_b", "hl_shift")
   }
 
+  /** Doksum shift function — WHERE do two distributions differ:
+    * [[hodgesLehmannShift]] gives one number; the shift function
+    * Δ(q) = Q_B(q) − Q_A(q) at the deciles shows whether B is shifted
+    * uniformly, stretched in the tails, or compressed in the middle
+    * (the "is the new pipeline only better for long documents"
+    * question). Quantiles are the EXACT type-1 picks over per-cohort
+    * value cells (smallest value whose cumulative count reaches
+    * ⌈q·n⌉) — integer thresholds, bit-replayable, tie-deterministic.
+    * One cells aggregation + per-cohort cumulative windows.
+    *
+    * @return 9 rows: (quantile, q_a, q_b, shift), quantile = 0.1..0.9 */
+  def shiftFunction(df: DataFrame, cohortCol: String, valueCol: String,
+                    labelA: String = "a", labelB: String = "b"): DataFrame = {
+    require(labelA != labelB, "cohort labels must differ")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val g = F.col(cohortCol).cast("string")
+    val v = F.col(valueCol).cast("double")
+    val cells = df
+      .where(g.isin(labelA, labelB) && v.isNotNull && !F.isnan(v))
+      .groupBy(g.as("__g"), v.as("__v"))
+      .agg(F.count(F.lit(1)).as("__c"))
+    val wCum = Window.partitionBy("__g").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("__g")
+    val withCum = cells
+      .withColumn("__cum", F.sum("__c").over(wCum))
+      .withColumn("__n", F.sum("__c").over(wTot))
+    val qs = (1 to 9).map(_ / 10.0)
+    val qDim = qs.toDF("quantile")
+    // type-1: smallest v with cum >= ceil(q * n)
+    val picks = withCum.join(F.broadcast(qDim),
+        F.col("__cum") >= F.ceil(F.col("quantile") * F.col("__n")))
+      .groupBy("__g", "quantile").agg(F.min("__v").as("__q"))
+    val a = picks.where(F.col("__g") === labelA)
+      .select(F.col("quantile"), F.col("__q").as("q_a"))
+    val b = picks.where(F.col("__g") === labelB)
+      .select(F.col("quantile"), F.col("__q").as("q_b"))
+    a.join(b, Seq("quantile"))
+      .select(F.col("quantile"), F.col("q_a"), F.col("q_b"),
+        (F.col("q_b") - F.col("q_a")).as("shift"))
+      .orderBy("quantile")
+  }
+
   /** Paired t-test on two columns of the SAME rows — before/after,
     * model-A-vs-model-B on one eval set, same-user week-over-week:
     * the pairing removes between-unit variance that an unpaired test

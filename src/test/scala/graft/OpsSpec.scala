@@ -7445,6 +7445,108 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ess > 10.0 && ess < 100.0, s"ess $ess")
   }
 
+  test("chowTestByKey: a planted slope break fires, an unbroken " +
+    "trend doesn't") {
+    import spark.implicits._
+    // slope 1 then slope 4 after the midpoint, small Weyl noise
+    val broken = Seq.tabulate(60)(i => ("brk", (i + 1).toLong,
+      (if (i < 30) i * 1.0 else 30.0 + (i - 30) * 4.0) +
+        (i * i * 0.41421356237) % 1.0 * 0.2))
+    val smooth = Seq.tabulate(60)(i => ("ok", (i + 1).toLong,
+      i * 1.0 + (i * i * 0.41421356237) % 1.0 * 0.2))
+    val out = Features.chowTestByKey((broken ++ smooth)
+      .toDF("k", "ts", "v"), "k", "ts", "v", periodUnit = 1L)
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    assert(out("brk").getAs[Long]("n_left") == 30L)
+    assert(out("brk").getAs[Double]("p_value") < 1e-6)
+    assert(out("ok").getAs[Double]("p_value") > 0.01)
+    assert(out("brk").getAs[Double]("f_stat") >
+      out("ok").getAs[Double]("f_stat"))
+  }
+
+  test("pesaranTimmermannByKey: sign-persistent runs fire, Weyl " +
+    "noise doesn't") {
+    import spark.implicits._
+    // 6-period up/down runs: today's direction repeats yesterday's
+    // 5 times out of 6
+    val mom = {
+      var v = 0.0
+      Seq.tabulate(80) { i =>
+        v += (if ((i / 6) % 2 == 0) 1.0 else -1.0) +
+          ((i * i * 0.41421356237) % 1.0) * 0.1
+        ("mom", (i + 1).toLong, v)
+      }
+    }
+    // random-walk null: iid-sign Weyl increments (a LEVEL noise
+    // series is the wrong null — consecutive level differences share
+    // a term and are anti-persistent by construction)
+    val noise = {
+      var v = 0.0
+      Seq.tabulate(80) { i =>
+        v += (i * i * 0.41421356237) % 1.0 - 0.5
+        ("wn", (i + 1).toLong, v)
+      }
+    }
+    val out = Features.pesaranTimmermannByKey((mom ++ noise)
+      .toDF("k", "ts", "v"), "k", "ts", "v", periodUnit = 1L)
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    assert(out("mom").getAs[Double]("p_hat") > 0.7)
+    assert(out("mom").getAs[Double]("z") > 2.0)
+    assert(out("mom").getAs[Double]("p_value") < 0.05)
+    assert(out("wn").getAs[Double]("p_value") > 0.01)
+  }
+
+  test("mincerZarnowitz accepts a calibrated forecast and rejects a " +
+    "biased one") {
+    import spark.implicits._
+    // calibrated: f = y with small symmetric noise
+    val cal = (0 until 100).map { i =>
+      val y = (i % 20) * 1.0
+      (y, y + ((i * i * 0.41421356237) % 1.0 - 0.5))
+    }.toDF("y", "f")
+    val rc = Evaluation.mincerZarnowitz(cal, "y", "f").head()
+    assert(rc.getAs[Double]("p_value") > 0.05)
+    assert(math.abs(rc.getAs[Double]("slope") - 1.0) < 0.1)
+    // multiplicatively biased: slope 1/0.8 = 1.25, decisive rejection
+    val bias = (0 until 100).map { i =>
+      val y = (i % 20) * 1.0
+      (y, 0.8 * y + ((i * i * 0.41421356237) % 1.0 - 0.5) * 0.1)
+    }.toDF("y", "f")
+    val rb = Evaluation.mincerZarnowitz(bias, "y", "f").head()
+    assert(rb.getAs[Double]("p_value") < 1e-6)
+    assert(rb.getAs[Double]("slope") > 1.15)
+    assert(rb.getAs[Double]("rmse_raw") >
+      rc.getAs[Double]("rmse_raw"))
+  }
+
+  test("rboOverlap: identical rankings hit the truncated-base " +
+    "ceiling 1 - p^k, divergent tails score lower") {
+    import spark.implicits._
+    val a = (1 to 20).map(r => ("q1", s"doc$r", r.toLong))
+      .toDF("q", "id", "rk")
+    val same = Evaluation.rboOverlap(a, a, "q", "id", "rk").head()
+    assert(same.getAs[Long]("n_common") == 20L)
+    assert(same.getAs[Double]("overlap_at_k") == 1.0)
+    assert(math.abs(same.getAs[Double]("rbo") -
+      (1.0 - math.pow(0.9, 20))) < 1e-4)
+    // same top-10, disjoint tail: rbo between the all-common and
+    // the top-10-only weights
+    val b = ((1 to 10).map(r => ("q1", s"doc$r", r.toLong)) ++
+      (11 to 20).map(r => ("q1", s"other$r", r.toLong)))
+      .toDF("q", "id", "rk")
+    val part = Evaluation.rboOverlap(a, b, "q", "id", "rk").head()
+    assert(part.getAs[Long]("n_common") == 10L)
+    assert(part.getAs[Double]("rbo") <
+      same.getAs[Double]("rbo") - 0.05)
+    assert(part.getAs[Double]("rbo") > 0.3)
+    // reversed ranking still overlaps fully at k but weights late
+    val rev = (1 to 20).map(r => ("q1", s"doc${21 - r}", r.toLong))
+      .toDF("q", "id", "rk")
+    val rr = Evaluation.rboOverlap(a, rev, "q", "id", "rk").head()
+    assert(rr.getAs[Double]("overlap_at_k") == 1.0)
+    assert(rr.getAs[Double]("rbo") < part.getAs[Double]("rbo"))
+  }
+
   test("fitFrankByTau: theta round-trips through an independent " +
     "Debye quadrature, is odd in tau, and ~9*tau near zero") {
     import spark.implicits._

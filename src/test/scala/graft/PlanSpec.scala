@@ -703,7 +703,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // produce an unbounded cartesian
     for (q <- Seq("q_ad_ksample", "q_weibull_aft", "q_stl",
         "q_variance_ratio", "q_breusch_godfrey", "q_entropy_balance",
-        "q_ccc", "q_deming", "q_bland_altman", "q_logrank_trend")) {
+        "q_ccc", "q_deming", "q_bland_altman", "q_logrank_trend",
+        "q_chow", "q_pesaran_timmermann", "q_mz_calibration",
+        "q_rbo")) {
       val plan = physicalPlan(q)
       assert(!plan.contains("CartesianProduct"), q + ": " + plan.take(400))
       assert(!plan.contains("BroadcastNestedLoop"),
@@ -715,7 +717,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the guarded bounded cell-product join — forbid only the
     // unbounded cartesian
     for (q <- Seq("q_shapiro", "q_archimedean_frank", "q_lda_multi",
-        "q_hl_shift")) {
+        "q_hl_shift", "q_shift_function")) {
       val plan = physicalPlan(q)
       assert(!plan.contains("CartesianProduct"), q + ": " + plan.take(400))
     }

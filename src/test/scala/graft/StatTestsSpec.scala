@@ -1076,6 +1076,31 @@ class StatTestsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getAs[Double]("z")) < 1.0)
   }
 
+  test("shiftFunction: pure shift is flat, scale change grows with " +
+    "the quantile") {
+    import spark.implicits._
+    // b = a + 10: every decile shift exactly 10
+    val shift = ((1 to 20).map(i => ("a", i * 1.0)) ++
+      (1 to 20).map(i => ("b", i + 10.0))).toDF("g", "v")
+    val rs = StatTests.shiftFunction(shift, "g", "v").collect()
+    assert(rs.length == 9)
+    rs.foreach { r =>
+      assert(r.getAs[Double]("shift") == 10.0,
+        s"q=${r.getAs[Double]("quantile")} got ${r.getAs[Double]("shift")}")
+    }
+    // b = 2a: shift at decile q is the a-decile itself (2Q - Q = Q)
+    val scale = ((1 to 20).map(i => ("a", i * 1.0)) ++
+      (1 to 20).map(i => ("b", i * 2.0))).toDF("g", "v")
+    val rc = StatTests.shiftFunction(scale, "g", "v").collect()
+      .sortBy(_.getAs[Double]("quantile"))
+    assert(rc.head.getAs[Double]("shift") <
+      rc.last.getAs[Double]("shift"))
+    rc.foreach { r =>
+      assert(r.getAs[Double]("shift") == r.getAs[Double]("q_a"),
+        s"q=${r.getAs[Double]("quantile")}")
+    }
+  }
+
   test("weibullAft recovers planted AFT parameters and censoring " +
     "shifts the fit the right way") {
     import spark.implicits._
