@@ -704,8 +704,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (q <- Seq("q_ad_ksample", "q_weibull_aft", "q_stl",
         "q_variance_ratio", "q_breusch_godfrey", "q_entropy_balance",
         "q_ccc", "q_deming", "q_bland_altman", "q_logrank_trend",
-        "q_chow", "q_pesaran_timmermann", "q_mz_calibration",
-        "q_rbo")) {
+        "q_chow_by_key", "q_pesaran_timmermann", "q_mz_calibration",
+        "q_rbo_rankers")) {
       val plan = physicalPlan(q)
       assert(!plan.contains("CartesianProduct"), q + ": " + plan.take(400))
       assert(!plan.contains("BroadcastNestedLoop"),
