@@ -113,7 +113,13 @@ object Graph {
       .union(e.select(F.col("dst").as("node")))
       .distinct().persist()
     val small = nodes.count() <= maxBroadcastNodes
+    // per round ONE job: the joined iterate is checkpointed once, its
+    // squared 2-norm rides the checkpoint materialization as an
+    // `observe()` metric (the [[hits]] discipline — no separate norm
+    // job), and the normalized/rounded score is a LAZY projection over
+    // that checkpoint (plan depth stays O(1); nothing re-materializes)
     var x = nodes.withColumn("score", F.lit(1.0))
+    var prevCkpt: DataFrame = null
     var it = 0
     while (it < iters) {
       val contrib = e
@@ -121,27 +127,26 @@ object Graph {
           "src")
         .groupBy(F.col("dst").as("node"))
         .agg(F.sum(F.col("score")).as("__in"))
+      val obs = org.apache.spark.sql.Observation()
       val joined = x
         .join(maybeBroadcast(contrib, small), Seq("node"), "left")
         .select(F.col("node"),
           (F.coalesce(F.col("__in"), F.lit(0.0)) + F.col("score"))
             .as("__in"))
+        .observe(obs, F.coalesce(F.sum(F.col("__in") * F.col("__in")),
+          F.lit(0.0)).as("ss"))
         .localCheckpoint(true)
-      val norm = joined.agg(F.sqrt(F.sum(
-        F.col("__in") * F.col("__in")))).head().getDouble(0)
+      val norm = math.sqrt(obs.get("ss").asInstanceOf[Double])
       require(norm > 0.0,
         s"iterate collapsed to zero at round ${it + 1} — the graph " +
           "has no edges into any node (or x became orthogonal)")
       val normR = math.rint(norm * 1e6) / 1e6
-      val next = joined
+      // the previous round's checkpoint is dead once this one exists
+      if (prevCkpt != null) prevCkpt.unpersist(false)
+      prevCkpt = joined
+      x = joined
         .select(F.col("node"),
           F.round(F.col("__in") / normR, 6).as("score"))
-        .localCheckpoint(true)
-      // next is materialized, so joined's checkpoint blocks are dead;
-      // round 0's x is the un-checkpointed all-ones frame (no-op skip)
-      joined.unpersist(false)
-      if (it > 0) x.unpersist(false)
-      x = next
       it += 1
     }
     e.unpersist(false)
@@ -201,6 +206,9 @@ object Graph {
           (F.lit(1.0 - damping) * F.col("__e") + F.lit(damping) *
             F.coalesce(F.col("__in"), F.lit(0.0))).as("rank"))
         .localCheckpoint(true)
+      // release the previous round's checkpoint blocks (round 0's ranks
+      // is a plain projection over the cached nodes frame — no-op skip)
+      if (it > 0) ranks.unpersist(false)
       ranks = next
       it += 1
     }
