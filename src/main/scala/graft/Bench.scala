@@ -23,6 +23,21 @@ object Bench {
       // ObjectHashAggregate; the default 128-key fallback degrades them to
       // sort-based aggregation almost immediately
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "16384")
+      // Input split sizing (opt guide §6): split size is
+      // max(openCostInBytes, min(maxPartitionBytes, bytes/minPartitionNum)).
+      // The SF dirs are single 1-25 MB parquet files, so the default 4 MB
+      // openCost floors the split at 4 MB and caps EVERY full-table scan at
+      // ~3 tasks regardless of core count — the map side of each query runs
+      // near-sequentially. Local files have no per-open latency; charge
+      // 64 KB so bytes/minPartitionNum (defaults to the core count) drives
+      // the split and scans fan out to the session's cores. At cluster
+      // scale files are >=128 MB and the openCost floor is never the
+      // binding term, so the production value is irrelevant there — but it
+      // stays env-overridable for many-small-files object-store layouts
+      // where a 4 MB open charge is the honest model.
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES",
+          (64 * 1024).toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
 

@@ -59,6 +59,7 @@ object Preference {
       .localCheckpoint(true)
     var strength = base.select(F.col("__i"), F.lit(1.0).as("__s"))
       .localCheckpoint(true)
+    var prevCkpt: DataFrame = strength
     var it = 0
     while (it < iters) {
       val denom = matches
@@ -69,13 +70,23 @@ object Preference {
         .groupBy("__i")
         .agg(F.sum(F.col("__m") / (F.col("__si") + F.col("__sj")))
           .as("__den"))
+      // ONE job per round: the raw strengths checkpoint once, the
+      // normalizing mean rides that materialization as an observe()
+      // metric (previously a separate avg action over the UNcheckpointed
+      // frame recomputed the whole round twice), and the mean division
+      // is a lazy projection over the checkpoint.
+      val obs = org.apache.spark.sql.Observation()
       val raw = base.join(denom, Seq("__i"))
         .select(F.col("__i"),
           (F.col("wins").cast("double") / F.col("__den")).as("__s"))
-      val mean = raw.agg(F.avg("__s")).head().getDouble(0)
+        .observe(obs, F.avg("__s").as("mean"))
+        .localCheckpoint(true)
+      val mean = obs.get("mean").asInstanceOf[Double]
+      // the previous round's checkpoint blocks are dead once raw exists
+      prevCkpt.unpersist(false)
+      prevCkpt = raw
       strength = raw
         .select(F.col("__i"), (F.col("__s") / mean).as("__s"))
-        .localCheckpoint(true)
       it += 1
     }
     val nMatches = matches.groupBy("__i").agg(F.sum("__m").as("n_matches"))

@@ -417,7 +417,12 @@ object Regression {
     val y = F.col(labelCol).cast("double")
     val ok = (xCols.map(F.col(_).cast("double")) :+ y)
       .map(c => c.isNotNull && !F.isnan(c)).reduce(_ && _)
+    // every fixed round (plus warm-start/loglik passes) re-aggregates
+    // this same narrow projection; persist it once so each pass after
+    // the first reads the columnar cache instead of re-running the scan
+    // and any upstream exchange (opt guide §5). Released before return.
     val clean = df.where(ok)
+      .select((xCols :+ labelCol).distinct.map(F.col): _*).persist()
     var beta = Array.fill(k)(0.0)
     var n = 0L
     var it = 0
@@ -456,6 +461,7 @@ object Regression {
       F.log(F.lit(1.0) + F.exp(-F.abs(zF)))
     val ll = clean.agg(F.sum(y * zF - softplus).as("ll")).head()
       .getAs[Double]("ll")
+    clean.unpersist(false)
     LogisticModel(xCols, beta, ll, n, iters)
   }
 
@@ -525,7 +531,12 @@ object Regression {
     val y = F.col(labelCol).cast("string")
     val ok = (xCols.map(F.col(_).cast("double")))
       .map(c => c.isNotNull && !F.isnan(c)).reduce(_ && _) && y.isNotNull
+    // every fixed round (plus warm-start/loglik passes) re-aggregates
+    // this same narrow projection; persist it once so each pass after
+    // the first reads the columnar cache instead of re-running the scan
+    // and any upstream exchange (opt guide §5). Released before return.
     val clean = df.where(ok)
+      .select((xCols :+ labelCol).distinct.map(F.col): _*).persist()
     val classes = clean.select(y.as("__y")).distinct()
       .orderBy("__y").collect().map(_.getString(0)).toSeq
     require(classes.length >= 2, "need at least two classes")
@@ -598,6 +609,7 @@ object Regression {
       acc + F.when(y === classes(c), zsF(c)).otherwise(F.lit(0.0)))
     val ll = clean.agg(F.sum(zy - F.log(denomF)).as("ll")).head()
       .getAs[Double]("ll")
+    clean.unpersist(false)
     SoftmaxModel(xCols, classes, beta, ll, n, iters)
   }
 
@@ -697,7 +709,12 @@ object Regression {
     val y = F.col(yCol).cast("double")
     val ok = (xCols.map(F.col(_).cast("double")) :+ y)
       .map(c => c.isNotNull && !F.isnan(c)).reduce(_ && _)
+    // every fixed round (plus warm-start/loglik passes) re-aggregates
+    // this same narrow projection; persist it once so each pass after
+    // the first reads the columnar cache instead of re-running the scan
+    // and any upstream exchange (opt guide §5). Released before return.
     val clean = df.where(ok)
+      .select((xCols :+ yCol).distinct.map(F.col): _*).persist()
     var beta: Array[Double] = null
     var n = 0L
     var it = 0
@@ -727,6 +744,7 @@ object Regression {
       beta = solve(a, b)
       it += 1
     }
+    clean.unpersist(false)
     HuberModel(xCols, beta, n, iters, delta)
   }
 
@@ -775,7 +793,12 @@ object Regression {
     val y = F.col(yCol).cast("double")
     val ok = (xCols.map(F.col(_).cast("double")) :+ y)
       .map(c => c.isNotNull && !F.isnan(c)).reduce(_ && _)
+    // every fixed round (plus warm-start/loglik passes) re-aggregates
+    // this same narrow projection; persist it once so each pass after
+    // the first reads the columnar cache instead of re-running the scan
+    // and any upstream exchange (opt guide §5). Released before return.
     val clean = df.where(ok)
+      .select((xCols :+ yCol).distinct.map(F.col): _*).persist()
     def r6(x: Double) = math.rint(x * 1e6) / 1e6
     var beta: Array[Double] = null
     var n = 0L
@@ -807,6 +830,7 @@ object Regression {
       beta = solve(a, b).map(r6)
       it += 1
     }
+    clean.unpersist(false)
     QuantileModel(xCols, beta, tau, n, iters, eps)
   }
 
@@ -927,7 +951,12 @@ object Regression {
     val y = F.col(countCol).cast("double")
     val ok = (xCols.map(F.col(_).cast("double")) :+ y)
       .map(c => c.isNotNull && !F.isnan(c)).reduce(_ && _) && y >= 0.0
+    // every fixed round (plus warm-start/loglik passes) re-aggregates
+    // this same narrow projection; persist it once so each pass after
+    // the first reads the columnar cache instead of re-running the scan
+    // and any upstream exchange (opt guide §5). Released before return.
     val clean = df.where(ok)
+      .select((xCols :+ countCol).distinct.map(F.col): _*).persist()
     val meanY = clean.agg(F.avg(y)).head().getDouble(0)
     require(meanY > 0.0, "mean response must be positive for a log link")
     val beta0 = Array.fill(k)(0.0)
@@ -966,6 +995,7 @@ object Regression {
     val ll = clean.agg(F.sum(y * zF - F.exp(zF) -
       lgUdf(y + F.lit(1.0))).as("ll"))
       .head().getAs[Double]("ll")
+    clean.unpersist(false)
     PoissonModel(xCols, beta, ll, n, iters)
   }
 
@@ -1014,7 +1044,12 @@ object Regression {
     val y = F.col(yCol).cast("double")
     val ok = (xCols.map(F.col(_).cast("double")) :+ y)
       .map(c => c.isNotNull && !F.isnan(c)).reduce(_ && _) && y > 0.0
+    // every fixed round (plus warm-start/loglik passes) re-aggregates
+    // this same narrow projection; persist it once so each pass after
+    // the first reads the columnar cache instead of re-running the scan
+    // and any upstream exchange (opt guide §5). Released before return.
     val clean = df.where(ok)
+      .select((xCols :+ yCol).distinct.map(F.col): _*).persist()
     // constant Gram + the warm start in ONE pass
     val gramCols =
       (for { i <- 0 until k; j <- i until k }
@@ -1052,6 +1087,7 @@ object Regression {
       F.sum(F.lit(2.0) * (-F.log(y / muF) + (y - muF) / muF)).as("dev"),
       F.sum(((y - muF) / muF) * ((y - muF) / muF)).as("pearson"))
       .head()
+    clean.unpersist(false)
     GammaModel(xCols, beta, fin.getAs[Double]("dev"),
       fin.getAs[Double]("pearson") / (n - k), n, iters)
   }
@@ -1111,7 +1147,12 @@ object Regression {
     val y = F.col(countCol).cast("double")
     val ok = (xCols.map(F.col(_).cast("double")) :+ y)
       .map(c => c.isNotNull && !F.isnan(c)).reduce(_ && _) && y >= 0.0
+    // every fixed round (plus warm-start/loglik passes) re-aggregates
+    // this same narrow projection; persist it once so each pass after
+    // the first reads the columnar cache instead of re-running the scan
+    // and any upstream exchange (opt guide §5). Released before return.
     val clean = df.where(ok)
+      .select((xCols :+ countCol).distinct.map(F.col): _*).persist()
     val meanY = clean.agg(F.avg(y)).head().getDouble(0)
     require(meanY > 0.0, "mean response must be positive for a log link")
     def zOf(beta: Array[Double]): Column =
@@ -1178,6 +1219,7 @@ object Regression {
         F.lit(rPar) * (F.lit(math.log(rPar)) - F.log(F.lit(rPar) + muF)) +
         y * (F.log(muF) - F.log(F.lit(rPar) + muF))).as("ll"))
       .head().getAs[Double]("ll")
+    clean.unpersist(false)
     NbinomModel(xCols, beta, alpha, ll, n, poissonIters, iters)
   }
 
@@ -2089,7 +2131,12 @@ object Regression {
     val y = F.col(yCol).cast("double")
     val ok = (xCols.map(F.col(_).cast("double")) :+ y)
       .map(c => c.isNotNull && !F.isnan(c)).reduce(_ && _) && y >= 0.0
+    // every fixed round (plus warm-start/loglik passes) re-aggregates
+    // this same narrow projection; persist it once so each pass after
+    // the first reads the columnar cache instead of re-running the scan
+    // and any upstream exchange (opt guide §5). Released before return.
     val clean = df.where(ok)
+      .select((xCols :+ yCol).distinct.map(F.col): _*).persist()
     val warm = clean.agg(F.avg(y).as("ybar"),
       F.count(F.lit(1)).as("n")).head()
     val n = warm.getAs[Long]("n")
@@ -2129,6 +2176,7 @@ object Regression {
       F.sum((y - muF) * (y - muF) /
         (muF * F.sqrt(muF))).as("pearson"))
       .head()
+    clean.unpersist(false)
     TweedieModel(xCols, beta, 1.5, fin.getAs[Double]("dev"),
       fin.getAs[Double]("pearson") / (n - k), n, iters)
   }
@@ -2274,7 +2322,12 @@ object Regression {
     val ok = (xCols.map(F.col(_).cast("double")) :+ y)
       .map(c => c.isNotNull && !F.isnan(c)).reduce(_ && _) &&
       (y === 0.0 || y === 1.0)
+    // every fixed round (plus warm-start/loglik passes) re-aggregates
+    // this same narrow projection; persist it once so each pass after
+    // the first reads the columnar cache instead of re-running the scan
+    // and any upstream exchange (opt guide §5). Released before return.
     val clean = df.where(ok)
+      .select((xCols :+ labelCol).distinct.map(F.col): _*).persist()
     val n = clean.count()
     require(n > k, "need n > k labeled rows")
     val muUdf = F.udf((eta: Double) =>
@@ -2317,6 +2370,7 @@ object Regression {
       F.sum(y * F.log(muF) +
         (F.lit(1.0) - y) * F.log(F.lit(1.0) - muF)).as("ll"),
       F.sum((y - muF) * (y - muF)).as("sq")).head()
+    clean.unpersist(false)
     ProbitModel(xCols, beta, fin.getAs[Double]("ll"),
       fin.getAs[Double]("sq") / n, n, iters)
   }

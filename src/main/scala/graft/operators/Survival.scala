@@ -823,6 +823,9 @@ object Survival {
         xs.zipWithIndex.map { case (c, i) => c.as(s"__x$i") }: _*)
       .where(F.col("__t").isNotNull && !F.isnan(F.col("__t")) &&
         F.col("__t") >= 0.0 && F.col("__e").isNotNull && okX)
+      // every Newton pass re-aggregates this same narrow projection;
+      // persist once, release before return (opt guide §5)
+      .persist()
 
     // one Newton-step pass at a fixed β: (U, I, ℓ, n, d_total)
     def pass(beta: Array[Double]): (Array[Double], Array[Array[Double]],
@@ -940,6 +943,7 @@ object Survival {
       val ei = Array.tabulate(k)(j => if (j == i) 1.0 else 0.0)
       math.sqrt(Regression.solve(infF, ei)(i))
     }
+    clean.unpersist(false)
     CoxModel(xCols, beta, se, llF, ll0, n, dTot, iters)
   }
 
@@ -976,6 +980,9 @@ object Survival {
         xs.zipWithIndex.map { case (c, i) => c.as(s"__x$i") }: _*)
       .where(F.col("__t").isNotNull && !F.isnan(F.col("__t")) &&
         F.col("__t") >= 0.0 && F.col("__e").isNotNull && okX)
+      // every Newton pass re-aggregates this same narrow projection;
+      // persist once, release before return (opt guide §5)
+      .persist()
 
     def pass(beta: Array[Double]): (Array[Double], Array[Array[Double]],
                                     Double, Long, Long) = {
@@ -1104,6 +1111,7 @@ object Survival {
       val ei = Array.tabulate(k)(j => if (j == i) 1.0 else 0.0)
       math.sqrt(Regression.solve(infF, ei)(i))
     }
+    clean.unpersist(false)
     CoxModel(xCols, beta, se, llF, ll0, n, dTot, iters)
   }
 
@@ -1324,6 +1332,10 @@ object Survival {
         x.isNotNull && !F.isnan(x))
       .select(F.log(t).as("__lt"), x.as("__x"),
         F.when(e, 1.0).otherwise(0.0).as("__d"))
+      // the warm-start pass + `iters` Newton rounds all aggregate this
+      // 3-column projection; persist once, release before return
+      // (opt guide §5)
+      .persist()
     def r6(v: Double) = math.rint(v * 1e6) / 1e6 + 0.0
     // warm start: OLS of ln t on x over uncensored rows
     val init = clean.agg(
@@ -1384,6 +1396,7 @@ object Survival {
       require(sg > 0.0, s"sigma collapsed at round ${it + 1}")
       it += 1
     }
+    clean.unpersist(false)
     val med = r6(math.exp(mu + bb * xbar + sg * math.log(math.log(2.0))))
     Seq((n, nev.toLong, mu, bb, sg, med))
       .toDF("n", "n_events", "icept", "slope", "sigma",

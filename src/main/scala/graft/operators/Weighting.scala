@@ -157,6 +157,10 @@ object Weighting {
       .where(tr.isNotNull && x1.isNotNull && !F.isnan(x1) &&
         x2.isNotNull && !F.isnan(x2))
       .select(tr.as("__t"), x1.as("__x1"), x2.as("__x2"))
+      // the treated-means pass + `iters` Newton rounds + the final ESS
+      // pass all aggregate this 3-column projection; persist once,
+      // release before return (opt guide §5)
+      .persist()
     def r6(v: Double) = math.rint(v * 1e6) / 1e6 + 0.0
     val tRow = clean.where(F.col("__t"))
       .agg(F.count(F.lit(1)).as("n"), F.avg("__x1").as("m1"),
@@ -205,6 +209,7 @@ object Weighting {
       F.sum(eF * F.col("__x1")).as("s1"),
       F.sum(eF * F.col("__x2")).as("s2")).head()
     val se = fin.getAs[Double]("se")
+    clean.unpersist(false)
     Seq((nT, nC, l1, l2, t1, t2,
       r6(fin.getAs[Double]("s1") / se),
       r6(fin.getAs[Double]("s2") / se),
