@@ -23,6 +23,13 @@ object Bench {
       // ObjectHashAggregate; the default 128-key fallback degrades them to
       // sort-based aggregation almost immediately
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "16384")
+      // AQE partition coalescing for persist() materializations (off by
+      // default): without it every cached frame pins the static
+      // shuffle-partition count and all downstream cache scans inherit
+      // that many tasks regardless of data size — the partition count
+      // should derive from input size at any scale (opt guide §2.2).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        (sys.env.getOrElse("SPARK_GRAFT_AQE_CACHE", "1") == "1").toString)
       // Input split sizing (opt guide §6): split size is
       // max(openCostInBytes, min(maxPartitionBytes, bytes/minPartitionNum)).
       // The SF dirs are single 1-25 MB parquet files, so the default 4 MB

@@ -38,49 +38,63 @@ object Graph {
     * parallel edges; dedupe upstream if that is not the intent.
     *
     * Per round: ONE join of the cached edge table with the node-sized
-    * rank table + ONE aggregation on dst. Each round's rank frame is
-    * eagerly checkpointed so the plan stays O(1) deep instead of
-    * O(iters); the edge/node caches release before returning (the final
-    * checkpointed frame is self-contained).
+    * CONTRIB table + ONE aggregation on dst. A node's rank is
+    * (1−d) + d·coalesce(contrib, 0), computable inline on the edge side,
+    * so only the contrib table iterates — the per-round nodes-completion
+    * join the round-1..12 shape paid is gone (the node set is completed
+    * ONCE at the end; guide §1.2 "shape of the job"). Round 1's rank is
+    * the all-ones vector — no join at all. The out-degree rides the
+    * cached edge frame via a window over the same key the old
+    * groupBy+join shuffled on (guide §2.4: two operations keyed the same
+    * way share one exchange). Identical addend multiset per dst group →
+    * identical sums. Each round's contrib frame is eagerly checkpointed
+    * so the plan stays O(1) deep instead of O(iters); every cache
+    * releases before returning (the returned frame is self-contained).
     *
     * @return (node, rank) for every node appearing as src or dst */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 10, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
-    // persist the normalized edges FIRST: deg, ed, and nodes each scan
-    // them, and an uncached upstream (a distinct, a parsed read) would
-    // otherwise recompute per consumer
-    val e = edges.select(F.col(srcCol).cast("string").as("src"),
-      F.col(dstCol).cast("string").as("dst")).persist()
-    val deg = e.groupBy("src").agg(F.count(F.lit(1)).as("__deg"))
-    val ed = e.join(deg, "src").persist()
-    val nodes = e.select(F.col("src").as("node"))
-      .union(e.select(F.col("dst").as("node")))
+    import org.apache.spark.sql.expressions.Window
+    val ed = edges.select(F.col(srcCol).cast("string").as("src"),
+        F.col(dstCol).cast("string").as("dst"))
+      .withColumn("__deg",
+        F.count(F.lit(1)).over(Window.partitionBy("src")))
+      .persist()
+    val nodes = ed
+      .select(F.explode(F.array(F.col("src"), F.col("dst"))).as("node"))
       .distinct().persist()
     val small = nodes.count() <= maxBroadcastNodes // also materializes
-    var ranks = nodes.withColumn("rank", F.lit(1.0))
+    var contrib: DataFrame = null
     var it = 0
     while (it < iters) {
-      val contrib = ed
-        .join(maybeBroadcast(ranks.withColumnRenamed("node", "src"), small),
-          "src")
+      val withRank =
+        if (contrib == null) ed.withColumn("rank", F.lit(1.0))
+        else ed
+          .join(maybeBroadcast(contrib.withColumnRenamed("node", "src"),
+            small), Seq("src"), "left")
+          .withColumn("rank",
+            F.lit(1.0 - damping) + F.lit(damping) *
+              F.coalesce(F.col("__in"), F.lit(0.0)))
+      val next = withRank
         .groupBy(F.col("dst").as("node"))
         .agg(F.sum(F.col("rank") / F.col("__deg")).as("__in"))
-      val next = nodes
-        .join(maybeBroadcast(contrib, small), Seq("node"), "left")
-        .select(F.col("node"),
-          (F.lit(1.0 - damping) + F.lit(damping) *
-            F.coalesce(F.col("__in"), F.lit(0.0))).as("rank"))
         .localCheckpoint(true)
-      ranks.unpersist(false)
-      ranks = next
+      if (contrib != null) contrib.unpersist(false)
+      contrib = next
       it += 1
     }
-    e.unpersist(false)
+    val out = nodes
+      .join(maybeBroadcast(contrib, small), Seq("node"), "left")
+      .select(F.col("node"),
+        (F.lit(1.0 - damping) + F.lit(damping) *
+          F.coalesce(F.col("__in"), F.lit(0.0))).as("rank"))
+      .localCheckpoint(true)
+    contrib.unpersist(false)
     ed.unpersist(false)
     nodes.unpersist(false)
-    ranks
+    out
   }
 
   /** Eigenvector centrality by fixed-round power iteration — the
@@ -162,9 +176,12 @@ object Graph {
     *
     * — "influence FROM these accounts" / "recommendations NEAR this
     * user's history", the locality-aware ranking the global prior
-    * can't express. Identical per-round shape to [[pageRank]] (ONE
-    * edge⋈rank join + dst aggregation, eager localCheckpoint), the
-    * seed indicator a broadcast join computed once.
+    * can't express. Identical per-round shape to [[pageRank]]'s
+    * contrib-only iteration (ONE edge⋈contrib join + dst aggregation,
+    * eager localCheckpoint — the inline rank here is
+    * (1−d)·e + d·coalesce(contrib, 0), so the teleport indicator rides
+    * the cached edge frame, joined once at setup), the node set
+    * completed once at the end.
     *
     * @return (node, rank) for every node with an edge */
   def personalizedPageRank(edges: DataFrame, srcCol: String,
@@ -173,50 +190,62 @@ object Graph {
                            damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
-    val e = edges.select(F.col(srcCol).cast("string").as("src"),
-      F.col(dstCol).cast("string").as("dst")).persist()
-    val deg = e.groupBy("src").agg(F.count(F.lit(1)).as("__deg"))
-    val ed = e.join(deg, "src").persist()
+    import org.apache.spark.sql.expressions.Window
     val seedSet = seeds
       .select(F.col(nodeCol).cast("string").as("node")).distinct()
       .withColumn("__seed", F.lit(true))
       .persist()
     val nSeeds = seedSet.count()
     require(nSeeds >= 1L, "need at least one seed node")
-    val nodes = e.select(F.col("src").as("node"))
-      .union(e.select(F.col("dst").as("node")))
+    val seedSmall = nSeeds <= maxBroadcastNodes
+    val eVal = F.when(F.col("__seed"), F.lit(1.0 / nSeeds)).otherwise(0.0)
+    val ed = edges.select(F.col(srcCol).cast("string").as("src"),
+        F.col(dstCol).cast("string").as("dst"))
+      .withColumn("__deg",
+        F.count(F.lit(1)).over(Window.partitionBy("src")))
+      .join(maybeBroadcast(seedSet.withColumnRenamed("node", "src"),
+        seedSmall), Seq("src"), "left")
+      .withColumn("__e", eVal)
+      .select("src", "dst", "__deg", "__e")
+      .persist()
+    val nodes = ed
+      .select(F.explode(F.array(F.col("src"), F.col("dst"))).as("node"))
       .distinct()
-      .join(seedSet, Seq("node"), "left")
-      .withColumn("__e",
-        F.when(F.col("__seed"), F.lit(1.0 / nSeeds)).otherwise(0.0))
+      .join(maybeBroadcast(seedSet, seedSmall), Seq("node"), "left")
+      .withColumn("__e", eVal)
       .select("node", "__e")
       .persist()
     val small = nodes.count() <= maxBroadcastNodes
-    var ranks = nodes.select(F.col("node"), F.col("__e").as("rank"))
+    var contrib: DataFrame = null
     var it = 0
     while (it < iters) {
-      val contrib = ed
-        .join(maybeBroadcast(ranks.withColumnRenamed("node", "src"), small),
-          "src")
+      val withRank =
+        if (contrib == null) ed.withColumn("rank", F.col("__e"))
+        else ed
+          .join(maybeBroadcast(contrib.withColumnRenamed("node", "src"),
+            small), Seq("src"), "left")
+          .withColumn("rank",
+            F.lit(1.0 - damping) * F.col("__e") + F.lit(damping) *
+              F.coalesce(F.col("__in"), F.lit(0.0)))
+      val next = withRank
         .groupBy(F.col("dst").as("node"))
         .agg(F.sum(F.col("rank") / F.col("__deg")).as("__in"))
-      val next = nodes
-        .join(maybeBroadcast(contrib, small), Seq("node"), "left")
-        .select(F.col("node"),
-          (F.lit(1.0 - damping) * F.col("__e") + F.lit(damping) *
-            F.coalesce(F.col("__in"), F.lit(0.0))).as("rank"))
         .localCheckpoint(true)
-      // release the previous round's checkpoint blocks (round 0's ranks
-      // is a plain projection over the cached nodes frame — no-op skip)
-      if (it > 0) ranks.unpersist(false)
-      ranks = next
+      if (contrib != null) contrib.unpersist(false)
+      contrib = next
       it += 1
     }
-    e.unpersist(false)
+    val out = nodes
+      .join(maybeBroadcast(contrib, small), Seq("node"), "left")
+      .select(F.col("node"),
+        (F.lit(1.0 - damping) * F.col("__e") + F.lit(damping) *
+          F.coalesce(F.col("__in"), F.lit(0.0))).as("rank"))
+      .localCheckpoint(true)
+    contrib.unpersist(false)
     ed.unpersist(false)
     seedSet.unpersist(false)
     nodes.unpersist(false)
-    ranks
+    out
   }
 
   /** Fixed-round k-core peeling — "the graph's engaged core": each
