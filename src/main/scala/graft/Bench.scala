@@ -30,6 +30,15 @@ object Bench {
       // should derive from input size at any scale (opt guide §2.2).
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         (sys.env.getOrElse("SPARK_GRAFT_AQE_CACHE", "1") == "1").toString)
+      // Whole-stage-codegen class cache (static conf, default 100
+      // entries): a ~560-query sweep cycles far more generated classes
+      // than that, so the timed loop recompiles everything the untimed
+      // warm-up pass already compiled (measured: q_stl paid 181 Janino
+      // compiles = 2.8 s of its 5.5 s in the timed run). Same
+      // JIT-warmth discipline the prewarm exists for; caches compiled
+      // CODE, never results.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "32768"))
       // Input split sizing (opt guide §6): split size is
       // max(openCostInBytes, min(maxPartitionBytes, bytes/minPartitionNum)).
       // The SF dirs are single 1-25 MB parquet files, so the default 4 MB

@@ -381,25 +381,21 @@ object Fitter {
     // exact-size downsample happen on the collected rows. The fraction is
     // derived from the MINIMUM per-column count so sparse (nully) columns
     // still reach the fitting sample size; the row cap bounds the collect.
+    // The sample scan and the histogram scan below are INDEPENDENT (both
+    // depend only on the stats row), so the sample collect runs on a
+    // driver thread while the histogram job is submitted — the two scans
+    // overlap instead of serializing (opt guide §2.6).
     val reduceFactor = samplePlan.map(_.fraction).getOrElse(1.0)
     val nMin = math.max(1L, (colStats.values.map(_._3).min * reduceFactor).toLong)
     val nMaxEff = math.max(1L, (nMax * reduceFactor).toLong)
-    val sampleRows: Array[org.apache.spark.sql.Row] =
-      if (nMaxEff <= cfg.fittingSampleSize) scanDf.collect()
-      else scanDf
-        .sample(withReplacement = false,
-          math.min(1.0, cfg.fittingSampleSize * 1.2 / nMin), cfg.sampleSeed)
-        .limit(cfg.fittingSampleSize * 4).collect()
-    val samples: Map[String, Array[Double]] = fitCols.map { c =>
-      val i = columns.indexOf(c) // scanDf keeps the original column order
-      val arr = sampleRows.iterator.filterNot(_.isNullAt(i)).map(_.getDouble(i)).toArray
-      val sized =
-        if (arr.length <= cfg.fittingSampleSize) arr
-        else exactResample(arr, cfg.fittingSampleSize, cfg.sampleSeed)
-      if (sized.isEmpty)
-        throw new IllegalArgumentException(s"column '$c' has no valid data")
-      c -> sized
-    }.toMap
+    val sampleRowsF: scala.concurrent.Future[Array[org.apache.spark.sql.Row]] =
+      scala.concurrent.Future {
+        if (nMaxEff <= cfg.fittingSampleSize) scanDf.collect()
+        else scanDf
+          .sample(withReplacement = false,
+            math.min(1.0, cfg.fittingSampleSize * 1.2 / nMin), cfg.sampleSeed)
+          .limit(cfg.fittingSampleSize * 4).collect()
+      }(scala.concurrent.ExecutionContext.global)
 
     // one histogram pass for all non-singular columns: explode
     // (columnIndex, bin) pairs → ONE ~(columns·bins)-row shuffle; bin
@@ -481,6 +477,20 @@ object Fitter {
         }
       }.toMap
     }
+
+    val sampleRows: Array[org.apache.spark.sql.Row] =
+      scala.concurrent.Await.result(sampleRowsF,
+        scala.concurrent.duration.Duration.Inf)
+    val samples: Map[String, Array[Double]] = fitCols.map { c =>
+      val i = columns.indexOf(c) // scanDf keeps the original column order
+      val arr = sampleRows.iterator.filterNot(_.isNullAt(i)).map(_.getDouble(i)).toArray
+      val sized =
+        if (arr.length <= cfg.fittingSampleSize) arr
+        else exactResample(arr, cfg.fittingSampleSize, cfg.sampleSeed)
+      if (sized.isEmpty)
+        throw new IllegalArgumentException(s"column '$c' has no valid data")
+      c -> sized
+    }.toMap
 
     // ---- one fan-out job over every (column, family) pair ----
     val ctxs: Map[String, FitContext] = fitCols.map { c =>

@@ -514,21 +514,25 @@ object Outliers {
     val vs = cols.map(c => F.col(c).cast("double"))
     val ok = vs.map(v => v.isNotNull && !F.isnan(v)).reduce(_ && _) &&
       F.col(idCol).isNotNull
+    // cached: every per-feature rank construction scans this projection
+    // (k aggregations), and the scored join scans it once more
     val clean = df.where(ok)
       .select(F.col(idCol).as("__id") +:
         cols.zipWithIndex.map { case (c, i) =>
           F.col(c).cast("double").as(s"__x$i")
         }: _*)
+      .persist()
     var joined = clean
     var n = 0L
     cols.indices.foreach { i =>
-      val counts = clean.groupBy(F.col(s"__x$i"))
-        .agg(F.count(F.lit(1)).as(s"__c$i"))
-      val (total, ranks) = Ranks.minRanksWithN(clean, s"__x$i", s"__r$i")
+      // rank AND tie count ride ONE prefix-sum table — one aggregation
+      // and one value join per feature where the round-12 shape paid two
+      // of each (the counts the old separate groupBy recomputed already
+      // exist inside the rank construction)
+      val (total, ranks) =
+        Ranks.minRanksWithCounts(clean, s"__x$i", s"__r$i", s"__c$i")
       n = total
-      joined = joined
-        .join(ranks, s"__x$i")
-        .join(counts, s"__x$i")
+      joined = joined.join(ranks, s"__x$i")
     }
     val nD = F.lit(n.toDouble)
     val sLeft = cols.indices.map { i =>
@@ -537,7 +541,7 @@ object Outliers {
     val sRight = cols.indices.map { i =>
       -F.log((nD - F.col(s"__r$i") + 1.0) / nD)
     }.reduce(_ + _)
-    joined
+    val out = joined
       .withColumn("s_left", F.round(sLeft, 6))
       .withColumn("s_right", F.round(sRight, 6))
       .withColumn("score", F.greatest(F.col("s_left"), F.col("s_right")))
@@ -545,6 +549,9 @@ object Outliers {
       .limit(topK)
       .select(F.col("__id").as(idCol), F.col("s_left"),
         F.col("s_right"), F.col("score"))
+      .localCheckpoint(true) // topK rows; frees the projection cache
+    clean.unpersist(false)
+    out
   }
 
   /** Bivariate Mahalanobis outlier report per group — joint outliers

@@ -28,6 +28,16 @@ object Ranks {
     * offset) — callers that also need n avoid a second scan. */
   private[operators] def minRanksWithN(df: DataFrame, column: String,
                                        rankCol: String): (Long, DataFrame) = {
+    val (n, full) = minRanksWithCounts(df, column, rankCol, "__cnt_drop")
+    (n, full.drop("__cnt_drop"))
+  }
+
+  /** [[minRanksWithN]] additionally exposing the per-value tie count in
+    * `countCol` — callers needing both (ECOD's F̂_le = (rank+ties−1)/n)
+    * avoid a second aggregation and a second value join. */
+  private[operators] def minRanksWithCounts(df: DataFrame, column: String,
+                                            rankCol: String,
+                                            countCol: String): (Long, DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._
     val counts = df.select(F.col(column).cast("double").as("__v"))
@@ -48,8 +58,9 @@ object Ranks {
     val bc = spark.sparkContext.broadcast(offsets)
     val ranked = sorted.mapPartitionsWithIndex { case (i, it) =>
       var running = bc.value(i)
-      it.map { case (v, c) => val r = running + 1; running += c; (v, r.toDouble) }
-    }.toDF(column, rankCol)
+      it.map { case (v, c) =>
+        val r = running + 1; running += c; (v, r.toDouble, c) }
+    }.toDF(column, rankCol, countCol)
     // lineage-free copy so the rank table survives the unpersist of
     // `sorted` without recomputing the shuffle; storage is released by the
     // ContextCleaner when the caller drops the DataFrame
