@@ -322,6 +322,12 @@ object Graph {
       .where(F.col("src").isNotNull && F.col("dst").isNotNull)
       .persist()
     e.count()
+    // `visited` stays a LAZY union over the per-hop checkpointed
+    // frontier frames: each node's row is checkpoint-written exactly
+    // once (O(V) total) instead of the whole visited set re-
+    // checkpointing every hop (O(V·hops) writes); the anti-join scans
+    // the same rows either way, and the union depth is bounded by
+    // maxHops (≤ 64).
     var visited = sources
       .select(F.col(nodeCol).cast("string").as("node")).distinct()
       .withColumn("dist", F.lit(0L))
@@ -337,7 +343,7 @@ object Graph {
         .withColumn("dist", F.lit(hop + 1L))
         .localCheckpoint(true)
       frontierSize = next.count()
-      visited = visited.union(next).localCheckpoint(true)
+      if (frontierSize > 0L) visited = visited.union(next)
       frontier = next
       hop += 1L
     }

@@ -524,13 +524,21 @@ object Outliers {
       .persist()
     var joined = clean
     var n = 0L
+    // rank AND tie count ride ONE prefix-sum table — one aggregation
+    // and one value join per feature where the round-12 shape paid two
+    // of each (the counts the old separate groupBy recomputed already
+    // exist inside the rank construction). The k constructions are
+    // independent, so they run as concurrent driver-thread jobs and
+    // their scans overlap (opt guide §2.6); Await in index order keeps
+    // the join order deterministic.
+    val rankFs = cols.indices.map { i =>
+      scala.concurrent.Future(
+        Ranks.minRanksWithCounts(clean, s"__x$i", s"__r$i", s"__c$i"))(
+        scala.concurrent.ExecutionContext.global)
+    }
     cols.indices.foreach { i =>
-      // rank AND tie count ride ONE prefix-sum table — one aggregation
-      // and one value join per feature where the round-12 shape paid two
-      // of each (the counts the old separate groupBy recomputed already
-      // exist inside the rank construction)
-      val (total, ranks) =
-        Ranks.minRanksWithCounts(clean, s"__x$i", s"__r$i", s"__c$i")
+      val (total, ranks) = scala.concurrent.Await.result(rankFs(i),
+        scala.concurrent.duration.Duration.Inf)
       n = total
       joined = joined.join(ranks, s"__x$i")
     }

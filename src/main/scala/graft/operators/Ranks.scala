@@ -302,8 +302,14 @@ object Ranks {
   def spearman(df: DataFrame, colA: String, colB: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val ra = minRanks(df, colA, "__ra")
+    // the two rank constructions are independent — build colA's on a
+    // driver thread while colB's is submitted, so their scans overlap
+    // (opt guide §2.6); each is internally materialized (checkpointed)
+    val raF = scala.concurrent.Future(minRanks(df, colA, "__ra"))(
+      scala.concurrent.ExecutionContext.global)
     val rb = minRanks(df, colB, "__rb")
+    val ra = scala.concurrent.Await.result(raF,
+      scala.concurrent.duration.Duration.Inf)
     val rho = df
       .select(F.col(colA).cast("double").as(colA), F.col(colB).cast("double").as(colB))
       .join(ra, Seq(colA))
