@@ -270,24 +270,32 @@ object Graph {
         F.col(dstCol).cast("string").as("b"))
       .where(F.col("a").isNotNull && F.col("b").isNotNull &&
         F.col("a") =!= F.col("b"))
+    // each round's surviving-edge count rides the checkpoint
+    // materialization as an observe() metric (the eigencentrality
+    // discipline) — no separate count job per round
+    val obs0 = org.apache.spark.sql.Observation()
     var cur = und0.select(F.col("a"), F.col("b"))
       .union(und0.select(F.col("b").as("a"), F.col("a").as("b")))
       .distinct()
+      .observe(obs0, F.count(F.lit(1)).as("n"))
       .localCheckpoint(true)
-    var nEdges = cur.count()
+    var nEdges = obs0.get("n").asInstanceOf[Long]
     var r = 0
     var stable = false
     while (r < rounds && !stable && nEdges > 0L) {
       val deg = cur.groupBy(F.col("a")).agg(F.count(F.lit(1)).as("__d"))
       val keep = deg.where(F.col("__d") >= k.toLong).select("a")
+      val obs = org.apache.spark.sql.Observation()
       val next = cur
         .join(keep, Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("a", "b"), Seq("b"), "left_semi")
         .select("a", "b")
+        .observe(obs, F.count(F.lit(1)).as("n"))
         .localCheckpoint(true)
-      val nNext = next.count()
+      val nNext = obs.get("n").asInstanceOf[Long]
       stable = nNext == nEdges
       nEdges = nNext
+      cur.unpersist(false) // previous round's blocks are dead now
       cur = next
       r += 1
     }
