@@ -54,6 +54,12 @@ object Bench {
       .config("spark.sql.files.openCostInBytes",
         sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES",
           (64 * 1024).toString))
+      // Catalyst constraint propagation costs optimizer time superlinear
+      // in plan depth (every Project/Filter recomputes the transitive
+      // constraint set), and this harness's replay-exact plans are deep.
+      // Env-switched A/B knob; Spark default (true) unless overridden.
+      .config("spark.sql.constraintPropagation.enabled",
+        (sys.env.getOrElse("SPARK_GRAFT_CONSTRAINT_PROP", "1") == "1").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
 
@@ -275,8 +281,13 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","excluded":$excludedJson,"retimed":$retimedJson$scaleJson$distJson,"memo":$memoJson,"queries":$qs}"""
+    // a SCOPED run (debug-aid name filter) must never overwrite the
+    // committed full-sweep artifact — that is how round 13's end-of-round
+    // snapshot clobbered the 558-query record with an 8-query re-run;
+    // scoped results go to a sibling file unless the env names a path
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-      "/root/repo/BENCH_full.json")
+      if (only.isEmpty) "/root/repo/BENCH_full.json"
+      else "/tmp/BENCH_scoped.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
         (fullJson + "\n").getBytes("UTF-8"))

@@ -531,6 +531,14 @@ object ContinuousFamiliesE {
 
     private val (inX, inW) = GaussLegendre.on01(48)
     private val (pX, pW) = GaussLegendre.on01(16)
+    // the inner u-grid is FIXED: u_i = −8 + 16·x_i, so Φ(u_i), and the
+    // weight prefix (w_i·16)·φ(u_i) of every inner term, are constants —
+    // hoisted once here (same values, same left-assoc multiply order the
+    // inline expressions computed; opt guide §1.2 per-task work)
+    private val uGrid = inX.map(x => -8.0 + 16.0 * x)
+    private val cdfU = uGrid.map(SM.normCdf)
+    private val wpIn = Array.tabulate(inX.length)(i =>
+      inW(i) * 16.0 * SM.normPdf(uGrid(i)))
 
     /** density of S = χ_ν/√ν at s, in logs. */
     @inline private def logChiScaled(sv: Double, nu: Double): Double = {
@@ -543,10 +551,9 @@ object ContinuousFamiliesE {
     private def innerCdf(w: Double, k: Int): Double = {
       var sum = 0.0
       var i = 0
-      while (i < inX.length) {
-        val u = -8.0 + 16.0 * inX(i)
-        val d = SM.normCdf(u) - SM.normCdf(u - w)
-        if (d > 0) sum += inW(i) * 16.0 * SM.normPdf(u) * math.pow(d, k - 1)
+      while (i < uGrid.length) {
+        val d = cdfU(i) - SM.normCdf(uGrid(i) - w)
+        if (d > 0) sum += wpIn(i) * math.pow(d, k - 1)
         i += 1
       }
       sum
@@ -556,11 +563,11 @@ object ContinuousFamiliesE {
     private def innerPdf(w: Double, k: Int): Double = {
       var sum = 0.0
       var i = 0
-      while (i < inX.length) {
-        val u = -8.0 + 16.0 * inX(i)
-        val d = SM.normCdf(u) - SM.normCdf(u - w)
+      while (i < uGrid.length) {
+        val u = uGrid(i)
+        val d = cdfU(i) - SM.normCdf(u - w)
         val base = if (k == 2) 1.0 else if (d > 0) math.pow(d, k - 2) else 0.0
-        sum += inW(i) * 16.0 * SM.normPdf(u) * SM.normPdf(u - w) * base
+        sum += wpIn(i) * SM.normPdf(u - w) * base
         i += 1
       }
       sum
@@ -573,29 +580,95 @@ object ContinuousFamiliesE {
       (math.max(0.0, 1.0 - 12.0 * sig), 1.0 + 14.0 * sig)
     }
 
-    /** composite outer quadrature: 8 GL-16 panels over the χ_ν/√ν mass. */
-    private def outer(z: Double, k: Int, nu: Double, forPdf: Boolean): Double = {
+    /** The outer composite grid — node positions sv_j and their weight
+      * prefixes (pW·wP)·f_ν(sv_j) — depends only on ν, not on the
+      * evaluation point z, so one objective evaluation over an n-point
+      * sample can build it ONCE instead of n times (it costs an lgamma +
+      * exp per node). Nodes the inline loop skipped (sv ≤ 1e-12 or
+      * f ≤ 1e-300) are dropped here the same way, and the surviving
+      * (panel, node) order is the accumulation order, so sums are
+      * bit-identical to the original inline form. */
+    private def outerGrid(nu: Double): (Array[Double], Array[Double]) = {
       val (lo, hi) = sRange(nu)
-      var total = 0.0
+      val sv = new Array[Double](8 * pX.length)
+      val g = new Array[Double](8 * pX.length)
+      var n = 0
       var panel = 0
       while (panel < 8) {
         val aP = lo + (hi - lo) * panel / 8.0
         val wP = (hi - lo) / 8.0
         var i = 0
         while (i < pX.length) {
-          val sv = aP + wP * pX(i)
-          if (sv > 1e-12) {
-            val f = math.exp(logChiScaled(sv, nu))
-            if (f > 1e-300)
-              total += pW(i) * wP * f * (
-                if (forPdf) sv * k * (k - 1) * innerPdf(z * sv, k)
-                else k * innerCdf(z * sv, k))
+          val s = aP + wP * pX(i)
+          if (s > 1e-12) {
+            val f = math.exp(logChiScaled(s, nu))
+            if (f > 1e-300) { sv(n) = s; g(n) = pW(i) * wP * f; n += 1 }
           }
           i += 1
         }
         panel += 1
       }
+      (java.util.Arrays.copyOf(sv, n), java.util.Arrays.copyOf(g, n))
+    }
+
+    /** composite outer quadrature over a prebuilt (sv, weight) grid;
+      * term algebra and accumulation order match the original inline
+      * loop exactly (see outerGrid). */
+    private def outerOnGrid(z: Double, k: Int, sv: Array[Double],
+                            g: Array[Double], forPdf: Boolean): Double = {
+      var total = 0.0
+      var j = 0
+      while (j < sv.length) {
+        val s = sv(j)
+        total += g(j) * (
+          if (forPdf) s * k * (k - 1) * innerPdf(z * s, k)
+          else k * innerCdf(z * s, k))
+        j += 1
+      }
       total
+    }
+
+    /** composite outer quadrature: 8 GL-16 panels over the χ_ν/√ν mass. */
+    private def outer(z: Double, k: Int, nu: Double, forPdf: Boolean): Double = {
+      val (sv, g) = outerGrid(nu)
+      outerOnGrid(z, k, sv, g, forPdf)
+    }
+
+    /** MLE objective: each point needs its own double quadrature (~6k
+      * erf/exp evals), which made this single family the fan-out straggler
+      * (303 s of the sf0.01 Verify gate measured in round 13). The outer
+      * grid is hoisted per evaluation, the per-point log-densities are
+      * computed on the common ForkJoin pool, and the sum is taken in index
+      * order afterwards — each lp_i is bit-identical to the sequential
+      * path and so is the ordered sum, so the Nelder–Mead trajectory and
+      * the fitted parameters are unchanged (opt guide §1.2: per-task work;
+      * the interleave() scheduler already runs this family first, so the
+      * idle cores it parallelizes onto are the fan-out tail's own). */
+    override def logpdf0Sum(zs: Array[Double], s: Array[Double]): Double = {
+      val k = kOf(s); val nu = s(1)
+      val (sv, g) = outerGrid(nu)
+      val lps = new Array[Double](zs.length)
+      def lpAt(i: Int): Double = {
+        val z = zs(i)
+        val p = if (z <= 0) 0.0 else math.max(0.0, outerOnGrid(z, k, sv, g, forPdf = true))
+        if (p <= 0.0) Double.NegativeInfinity else math.log(p)
+      }
+      if (zs.length >= 16)
+        java.util.stream.IntStream.range(0, zs.length).parallel()
+          .forEach(i => lps(i) = lpAt(i))
+      else {
+        var i = 0
+        while (i < zs.length) { lps(i) = lpAt(i); i += 1 }
+      }
+      var ll = 0.0
+      var i = 0
+      while (i < zs.length) {
+        val lp = lps(i)
+        if (lp.isNaN || lp == Double.NegativeInfinity) return Double.NegativeInfinity
+        ll += lp
+        i += 1
+      }
+      ll
     }
 
     def cdf0(z: Double, s: Array[Double]): Double = {

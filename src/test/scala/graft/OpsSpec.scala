@@ -2628,12 +2628,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
                              e: Exception): Unit = ()
     }
     def await(prefix: String): org.apache.spark.sql.Row = {
+      // The shared listener bus can deliver a BACKLOGGED execution-end
+      // event (an earlier test's run of the same op, with zero drops)
+      // right after registration; every assertion below expects nonzero
+      // drops, so poll past zero-drop rows until the real observation
+      // overwrites them (captured.put is last-wins per name) or the
+      // deadline passes — then return whatever arrived so the assert
+      // fails with the row in the message.
       val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
       var hit: Option[org.apache.spark.sql.Row] = None
-      while (hit.isEmpty && System.nanoTime() < deadline) {
+      var done = false
+      while (!done && System.nanoTime() < deadline) {
         hit = captured.asScala.collectFirst {
           case (n, r) if n.startsWith(prefix) => r }
-        if (hit.isEmpty) Thread.sleep(50)
+        done = hit.exists(_.getAs[Long]("dropped_buckets") > 0L)
+        if (!done) Thread.sleep(50)
       }
       hit.getOrElse(fail(s"no observation for $prefix arrived"))
     }
