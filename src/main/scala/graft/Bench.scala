@@ -56,11 +56,30 @@ object Bench {
           (64 * 1024).toString))
       // Catalyst constraint propagation costs optimizer time superlinear
       // in plan depth (every Project/Filter recomputes the transitive
-      // constraint set), and this harness's replay-exact plans are deep.
-      // Env-switched A/B knob; Spark default (true) unless overridden.
+      // constraint set), and this engine's replay-exact plans are deep —
+      // it is the dominant per-query planning cost here. Measured
+      // (60-query tail sample, min-of-2 per arm): −19% with it off;
+      // plan audit (plans/r13/*_{cp,nocp}.txt): join strategies,
+      // exchanges and every EXPLICIT pushed predicate unchanged — the
+      // only delta is inferred join-key IsNotNull pushdowns, a no-op on
+      // non-null keys and bounded scan waste otherwise. The cost of
+      // constraint propagation is driver planning time PER QUERY (and
+      // per micro-batch), identical at any data scale, so off is the
+      // right default for this workload's deep generated plans;
+      // SPARK_GRAFT_CONSTRAINT_PROP=1 restores the Spark default for
+      // shallow-plan workloads where inferred null-filter pruning pays.
       .config("spark.sql.constraintPropagation.enabled",
-        (sys.env.getOrElse("SPARK_GRAFT_CONSTRAINT_PROP", "1") == "1").toString)
+        (sys.env.getOrElse("SPARK_GRAFT_CONSTRAINT_PROP", "0") == "1").toString)
       .getOrCreate()
+    // free-form session-conf overrides for measurement experiments
+    // ("k=v;k=v") — applied AFTER getOrCreate so they also take effect
+    // when an earlier builder created the session; runtime-only confs
+    sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach(_.split(";").foreach { kv =>
+      val i = kv.indexOf('=')
+      if (i > 0) try spark.conf.set(kv.take(i), kv.drop(i + 1))
+      catch { case e: Throwable =>
+        System.err.println(s"EXTRA CONF rejected: $kv -> ${e.getMessage}") }
+    })
     spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
 
     warmUp(spark)

@@ -599,8 +599,34 @@ object Evaluation {
     val clean = df
       .where(x.isNotNull && !F.isnan(x) && y.isNotNull && !F.isnan(y))
       .select(x.as("__x"), y.as("__y"))
-    val bx = Ranks.quantileBuckets(clean, "__x", bins, "__bx")
-    val bxy = Ranks.quantileBuckets(bx, "__y", bins, "__by")
+    // the two rank-table constructions are independent (both read only
+    // `clean`) — build __y's on a driver thread while __x's is
+    // submitted so their scans overlap (opt guide §2.6; the
+    // Ranks.spearman discipline). Bucket expressions and join shape are
+    // exactly quantileBuckets' — same ranks, same floor algebra — so
+    // the contingency frame and the MI are unchanged.
+    val ryF = scala.concurrent.Future(
+      Ranks.minRanksWithN(clean, "__y", "__rky"))(
+      scala.concurrent.ExecutionContext.global)
+    val (nx, rxT) = Ranks.minRanksWithN(clean, "__x", "__rkx")
+    val (ny, ryT) = scala.concurrent.Await.result(ryF,
+      scala.concurrent.duration.Duration.Inf)
+    if (nx == 0L || ny == 0L)
+      return mutualInformation(clean
+        .withColumn("__bx", F.lit(null).cast("long"))
+        .withColumn("__by", F.lit(null).cast("long")), "__bx", "__by")
+    val bx = clean
+      .join(rxT.withColumnRenamed("__x", "__vx"),
+        F.col("__x") === F.col("__vx"), "left")
+      .withColumn("__bx",
+        (F.floor((F.col("__rkx") - 1) * bins / nx) + 1).cast("long"))
+      .drop("__vx", "__rkx")
+    val bxy = bx
+      .join(ryT.withColumnRenamed("__y", "__vy"),
+        F.col("__y") === F.col("__vy"), "left")
+      .withColumn("__by",
+        (F.floor((F.col("__rky") - 1) * bins / ny) + 1).cast("long"))
+      .drop("__vy", "__rky")
     mutualInformation(bxy, "__bx", "__by")
   }
 
