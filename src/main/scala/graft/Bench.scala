@@ -13,7 +13,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -70,10 +70,18 @@ object Bench {
       // shallow-plan workloads where inferred null-filter pruning pays.
       .config("spark.sql.constraintPropagation.enabled",
         (sys.env.getOrElse("SPARK_GRAFT_CONSTRAINT_PROP", "0") == "1").toString)
-      .getOrCreate()
     // free-form session-conf overrides for measurement experiments
-    // ("k=v;k=v") — applied AFTER getOrCreate so they also take effect
-    // when an earlier builder created the session; runtime-only confs
+    // ("k=v;k=v") — applied at BUILDER time (so static confs take effect
+    // when this JVM creates the session) and re-applied after
+    // getOrCreate with logged failures (so runtime confs still land when
+    // an earlier builder created the session). PlanDump applies the same
+    // variable at the same two points, so an A/B experiment's bench and
+    // plan evidence run under identical configs.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach(_.split(";").foreach { kv =>
+      val i = kv.indexOf('=')
+      if (i > 0) builder.config(kv.take(i), kv.drop(i + 1))
+    })
+    val spark = builder.getOrCreate()
     sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach(_.split(";").foreach { kv =>
       val i = kv.indexOf('=')
       if (i > 0) try spark.conf.set(kv.take(i), kv.drop(i + 1))

@@ -646,6 +646,15 @@ object ContinuousFamiliesE {
       * idle cores it parallelizes onto are the fan-out tail's own). */
     override def logpdf0Sum(zs: Array[Double], s: Array[Double]): Double = {
       val k = kOf(s); val nu = s(1)
+      // cheap pre-scan: any off-support point (z <= 0) makes the whole
+      // sum -Inf, and early Nelder–Mead steps hit this often — the base
+      // implementation short-circuits on the first such point, so do the
+      // same here before paying n parallel double quadratures
+      var pre = 0
+      while (pre < zs.length) {
+        if (zs(pre) <= 0) return Double.NegativeInfinity
+        pre += 1
+      }
       val (sv, g) = outerGrid(nu)
       val lps = new Array[Double](zs.length)
       def lpAt(i: Int): Double = {
