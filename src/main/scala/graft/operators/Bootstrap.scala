@@ -126,6 +126,10 @@ object Bootstrap {
     // lands at which index cannot change any replicate sum. The total
     // count falls out of the same pass (offsets.last), saving a scan.
     val counts = s.groupBy("x").agg(F.count(F.lit(1)).as("c"))
+    // persist across the range-sampling and shuffle passes (the
+    // range partitioner samples its child in a separate job) --
+    // released in the finally below
+    counts.persist()
     val sorted = counts.repartitionByRange(F.col("x"))
       .sortWithinPartitions("x").as[(Long, Long)].rdd
     sorted.cache()
@@ -151,7 +155,10 @@ object Bootstrap {
         }
       }.toDF("idx", "x").localCheckpoint(true)
       (total, pinned)
-    } finally sorted.unpersist(blocking = false)
+    } finally {
+      sorted.unpersist(blocking = false)
+      counts.unpersist(blocking = false)
+    }
     val draws = spark.range(b).toDF("rep")
       .crossJoin(spark.range(n).toDF("j"))
       .select(F.col("rep"),

@@ -83,6 +83,10 @@ object Drift {
       .groupBy("v").agg(
         F.sum(F.when(F.col("g") === labelA, 1L).otherwise(0L)).as("ca"),
         F.sum(F.when(F.col("g") === labelB, 1L).otherwise(0L)).as("cb"))
+    // persist across the range-sampling and shuffle passes (the
+    // range partitioner samples its child in a separate job) --
+    // released in the finally below
+    counts.persist()
     val sorted = counts
       .repartitionByRange(F.col("v")).sortWithinPartitions("v")
       .as[(Double, Long, Long)].rdd
@@ -112,7 +116,10 @@ object Drift {
       val nEff = na.toDouble * nb / (na.toDouble + nb)
       val p = graft.functions.SpecialMath.kolmogorovSf(math.sqrt(nEff) * d)
       Seq((d, p, na, nb)).toDF("ks_d", "p_value", "n_a", "n_b")
-    } finally sorted.unpersist(blocking = false)
+    } finally {
+      sorted.unpersist(blocking = false)
+      counts.unpersist(blocking = false)
+    }
   }
 
   /** Exact two-sample 1-D Wasserstein-1 distance (earth mover's) between
@@ -147,6 +154,10 @@ object Drift {
       .groupBy("v").agg(
         F.sum(F.when(F.col("g") === labelA, 1L).otherwise(0L)).as("ca"),
         F.sum(F.when(F.col("g") === labelB, 1L).otherwise(0L)).as("cb"))
+    // persist across the range-sampling and shuffle passes (the
+    // range partitioner samples its child in a separate job) --
+    // released in the finally below
+    counts.persist()
     val sorted = counts
       .repartitionByRange(F.col("v")).sortWithinPartitions("v")
       .as[(Double, Long, Long)].rdd
@@ -195,7 +206,10 @@ object Drift {
       }.collect().sortBy(_._1)
       val w1 = math.rint(partials.map(_._2).sum * 1e6) / 1e6
       Seq((w1, na, nb)).toDF("w1", "n_a", "n_b")
-    } finally sorted.unpersist(blocking = false)
+    } finally {
+      sorted.unpersist(blocking = false)
+      counts.unpersist(blocking = false)
+    }
   }
 
   /** Exact two-sample K-S PER GROUP — distribution-level drift per

@@ -162,14 +162,22 @@ object Evaluation {
       // exact integer gap numerator: |F⁺ − F⁻|·n⁺·n⁻
       .withColumn("__num", F.abs(
         F.col("__fp") * F.col("n_neg") - F.col("__fn") * F.col("n_pos")))
-    val wRank = Window.partitionBy(keys: _*)
-      .orderBy(F.col("__num").desc, F.col("__v").asc)
-    cum.withColumn("__r", F.row_number().over(wRank))
-      .where(F.col("__r") === 1)
+    // argmax by (gap desc, score asc) as ONE hash aggregation instead of
+    // a second full sort of the cells frame (the former row_number
+    // window re-sorted every cell by __num): max of the struct
+    // (__num, −__v) maximizes the integer gap and, within a gap tie,
+    // minimizes the score — (scope, __v) is unique so the pick is the
+    // exact row the rank-1 filter chose. n_pos/n_neg are per-group
+    // constants, so max() reads them back unchanged.
+    cum
+      .groupBy(keys: _*)
+      .agg(F.max(F.struct(F.col("__num"), (-F.col("__v")).as("__nv")))
+          .as("__best"),
+        F.max("n_pos").as("n_pos"), F.max("n_neg").as("n_neg"))
       .select(keys ++ Seq(
-        F.round(F.col("__num").cast("double") /
+        F.round(F.col("__best.__num").cast("double") /
           (F.col("n_pos").cast("double") * F.col("n_neg")), 6).as("ks"),
-        F.col("__v").as("ks_score"),
+        (-F.col("__best.__nv")).as("ks_score"),
         F.col("n_pos"), F.col("n_neg")): _*)
   }
 
@@ -372,6 +380,10 @@ object Evaluation {
       .groupBy(s.as("v")).agg(
         F.sum(F.when(y, 1L).otherwise(0L)).as("cp"),
         F.sum(F.when(!y, 1L).otherwise(0L)).as("cn"))
+    // persist across the range-sampling and shuffle passes (the
+    // range partitioner samples its child in a separate job) --
+    // released in the finally below
+    cells.persist()
     val sorted = cells
       .repartitionByRange(F.col("v")).sortWithinPartitions("v")
       .as[(Double, Long, Long)].rdd
@@ -409,7 +421,10 @@ object Evaluation {
         1e6) / 1e6
       Seq((auc, gini, se, u, nPos, nNeg))
         .toDF("auc", "gini", "se", "u_stat", "n_pos", "n_neg")
-    } finally sorted.unpersist(blocking = false)
+    } finally {
+      sorted.unpersist(blocking = false)
+      cells.unpersist(blocking = false)
+    }
   }
 
   /** Average precision (area under the precision–recall curve, step
@@ -436,6 +451,10 @@ object Evaluation {
       .groupBy(s.as("v")).agg(
         F.sum(F.when(y, 1L).otherwise(0L)).as("cp"),
         F.count(F.lit(1)).as("ct"))
+    // persist across the range-sampling and shuffle passes (the
+    // range partitioner samples its child in a separate job) --
+    // released in the finally below
+    cells.persist()
     val sorted = cells
       .repartitionByRange(F.col("v")).sortWithinPartitions("v")
       .as[(Double, Long, Long)].rdd
@@ -468,7 +487,10 @@ object Evaluation {
       def r6(v: Double) = math.rint(v * 1e6) / 1e6
       Seq((r6(ap), r6(nPos.toDouble / nTot), nPos, nTot - nPos))
         .toDF("ap", "baseline", "n_pos", "n_neg")
-    } finally sorted.unpersist(blocking = false)
+    } finally {
+      sorted.unpersist(blocking = false)
+      cells.unpersist(blocking = false)
+    }
   }
 
   /** ROC AUC per group — "which tenant's classifier degraded": the same

@@ -43,6 +43,11 @@ object Ranks {
     val counts = df.select(F.col(column).cast("double").as("__v"))
       .where(F.col("__v").isNotNull && !F.isnan(F.col("__v")))
       .groupBy("__v").agg(F.count(F.lit(1)).as("__c"))
+    // range partitioning SAMPLES its child in a separate job before the
+    // shuffle job runs it again — persist the counts aggregation across
+    // the two passes so the source is scanned/aggregated once, not
+    // twice (released below once the rank table is checkpointed)
+    counts.persist()
     val sorted = counts
       .repartitionByRange(F.col("__v"))
       .sortWithinPartitions("__v")
@@ -66,6 +71,7 @@ object Ranks {
     // ContextCleaner when the caller drops the DataFrame
     val pinned = ranked.localCheckpoint(true)
     sorted.unpersist(blocking = false)
+    counts.unpersist(blocking = false)
     (offsets.last, pinned)
   }
 

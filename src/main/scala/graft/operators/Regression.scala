@@ -2000,45 +2000,78 @@ object Regression {
         .as(s"q_${named(i)}${named(j)}"))
     val aggCols = F.count(F.lit(1)).as("n") +: sums
     val agged = clean.agg(aggCols.head, aggCols.tail: _*)
-    val nD = F.col("n").cast("double")
-    def m(x: String) = F.col(s"s_$x") / nD
-    def cov(x: String, y: String) =
-      F.col(s"q_$x$y") / nD - m(x.take(1)) * m(y)
-    // covariance entries (population)
-    val vaa = cov("a", "a"); val vab = cov("a", "b")
-    val vbb = cov("b", "b")
-    val vcc = cov("c", "c"); val vcd = cov("c", "d")
-    val vdd = cov("d", "d")
-    val vac = cov("a", "c"); val vad = cov("a", "d")
-    val vbc = cov("b", "c"); val vbd = cov("b", "d")
-    val detxx = vaa * vbb - vab * vab
-    val detyy = vcc * vdd - vcd * vcd
-    // P = Σxx⁻¹ Σxy, Q = Σyy⁻¹ Σyx (adjugate inverses)
-    val p11 = (vbb * vac - vab * vbc) / detxx
-    val p12 = (vbb * vad - vab * vbd) / detxx
-    val p21 = (vaa * vbc - vab * vac) / detxx
-    val p22 = (vaa * vbd - vab * vad) / detxx
-    val q11 = (vdd * vac - vcd * vad) / detyy
-    val q12 = (vdd * vbc - vcd * vbd) / detyy
-    val q21 = (vcc * vad - vcd * vac) / detyy
-    val q22 = (vcc * vbd - vcd * vbc) / detyy
-    val m11 = p11 * q11 + p12 * q21
-    val m12 = p11 * q12 + p12 * q22
-    val m21 = p21 * q11 + p22 * q21
-    val m22 = p21 * q12 + p22 * q22
-    val tr = m11 + m22
-    val dt = m11 * m22 - m12 * m21
-    val disc = tr * tr - F.lit(4.0) * dt
-    val l1 = (tr + F.sqrt(disc)) / 2.0
-    val l2 = (tr - F.sqrt(disc)) / 2.0
-    agged
-      .where(F.col("n") >= 5L && detxx > 0.0 && detyy > 0.0 &&
-        disc >= 0.0 && l2 >= 0.0 && l1 <= 1.000001)
-      .select(F.col("n"),
-        F.round(F.sqrt(l1), 6).as("rho1"),
-        F.round(F.sqrt(l2), 6).as("rho2"),
-        F.round(l1, 6).as("lambda1"),
-        F.round(l2, 6).as("lambda2"))
+    // The eigen algebra below finishes ON THE DRIVER from the single
+    // aggregated row (15 doubles — the bounded-collect house pattern,
+    // same as yuenTTest/hotelling). As a Column tree the shared
+    // subexpressions (each cov feeding p/q feeding m/tr/dt/disc feeding
+    // both filter and all four outputs) inline into a ~20k-node
+    // expression that cost ~0.25 s of Catalyst planning and two ~450 ms
+    // Janino compiles PER EXECUTION (measured round 14, q_cca exec
+    // 1.9 s for one 1-row projection). Every operation below keeps the
+    // exact IEEE shape and order of the former Column algebra (and of
+    // the DuckDB oracle's staged CTE replay), and F.round's
+    // BigDecimal/HALF_UP rounding is reproduced verbatim, so the
+    // emitted row is identical. NaN/Inf row-emission equivalence: any
+    // non-finite det/disc/λ fails at least one gate in BOTH comparison
+    // semantics (Spark orders NaN largest, so a NaN reaching the final
+    // l1 <= 1.000001 gate still drops the row), so the empty-result
+    // cases coincide too.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val row = agged.head()
+    val n = row.getLong(0)
+    def emptyOut =
+      Seq.empty[(Long, Double, Double, Double, Double)]
+        .toDF("n", "rho1", "rho2", "lambda1", "lambda2")
+    if (n < 5L) emptyOut
+    else {
+      val nD = n.toDouble
+      def s(i: Int) = row.getDouble(1 + i)          // s_a..s_d
+      def q(i: Int) = row.getDouble(5 + i)          // q_aa,q_ab,..,q_dd (i<=j)
+      val Seq(sa, sb, sc, sd) = (0 to 3).map(s)
+      // upper-triangle order produced by the aggregation: aa ab ac ad
+      // bb bc bd cc cd dd
+      val Seq(qaa, qab, qac, qad, qbb, qbc, qbd, qcc, qcd, qdd) =
+        (0 to 9).map(q)
+      def cov(qxy: Double, sx: Double, sy: Double): Double =
+        qxy / nD - (sx / nD) * (sy / nD)
+      val vaa = cov(qaa, sa, sa); val vab = cov(qab, sa, sb)
+      val vbb = cov(qbb, sb, sb)
+      val vcc = cov(qcc, sc, sc); val vcd = cov(qcd, sc, sd)
+      val vdd = cov(qdd, sd, sd)
+      val vac = cov(qac, sa, sc); val vad = cov(qad, sa, sd)
+      val vbc = cov(qbc, sb, sc); val vbd = cov(qbd, sb, sd)
+      val detxx = vaa * vbb - vab * vab
+      val detyy = vcc * vdd - vcd * vcd
+      // P = Σxx⁻¹ Σxy, Q = Σyy⁻¹ Σyx (adjugate inverses)
+      val p11 = (vbb * vac - vab * vbc) / detxx
+      val p12 = (vbb * vad - vab * vbd) / detxx
+      val p21 = (vaa * vbc - vab * vac) / detxx
+      val p22 = (vaa * vbd - vab * vad) / detxx
+      val q11 = (vdd * vac - vcd * vad) / detyy
+      val q12 = (vdd * vbc - vcd * vbd) / detyy
+      val q21 = (vcc * vad - vcd * vac) / detyy
+      val q22 = (vcc * vbd - vcd * vbc) / detyy
+      val m11 = p11 * q11 + p12 * q21
+      val m12 = p11 * q12 + p12 * q22
+      val m21 = p21 * q11 + p22 * q21
+      val m22 = p21 * q12 + p22 * q22
+      val tr = m11 + m22
+      val dt = m11 * m22 - m12 * m21
+      val disc = tr * tr - 4.0 * dt
+      val l1 = (tr + math.sqrt(disc)) / 2.0
+      val l2 = (tr - math.sqrt(disc)) / 2.0
+      // F.round semantics exactly: BigDecimal.valueOf → setScale(6,
+      // HALF_UP) → toDouble (never math.rint — ties differ)
+      def r6(x: Double): Double =
+        java.math.BigDecimal.valueOf(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (detxx > 0.0 && detyy > 0.0 && disc >= 0.0 && l2 >= 0.0 &&
+          l1 <= 1.000001)
+        Seq((n, r6(math.sqrt(l1)), r6(math.sqrt(l2)), r6(l1), r6(l2)))
+          .toDF("n", "rho1", "rho2", "lambda1", "lambda2")
+      else emptyOut
+    }
   }
 
   private[graft] def solve(aIn: Array[Array[Double]],

@@ -55,6 +55,10 @@ object StatTests {
         F.sum(F.when(F.col("g") === labelB, 1L).otherwise(0L)).as("cb"))
     val spark = df.sparkSession
     import spark.implicits._
+    // persist across the range-sampling pass and the shuffle pass (the
+    // sampler is a separate job over the same aggregation) — released
+    // once `sorted` is materialized by the partSums collect below
+    counts.persist()
     val sorted = counts
       .repartitionByRange(F.col("v")).sortWithinPartitions("v")
       .as[(Double, Long, Long)].rdd
@@ -64,6 +68,7 @@ object StatTests {
       it.foreach { r => sa += r._2; sb += r._3 }
       Iterator((i, sa, sb))
     }.collect().sortBy(_._1)
+    counts.unpersist(blocking = false)
     val na = partSums.map(_._2).sum
     val nb = partSums.map(_._3).sum
     require(na > 0 && nb > 0, "both cohorts need rows")
@@ -754,6 +759,9 @@ object StatTests {
     }
     val counts = clean.groupBy("__v")
       .agg(countCols.head, countCols.tail: _*)
+    // persist across the range-sampling and shuffle passes (see
+    // cohortCounts) — released in the finally below
+    counts.persist()
     val sorted = counts
       .repartitionByRange(F.col("__v")).sortWithinPartitions("__v")
       .rdd.map(r => (r.getDouble(0),
@@ -817,7 +825,10 @@ object StatTests {
       val tr = math.rint((a2r - (k - 1.0)) / sr * 1e6) / 1e6
       Seq((k.toLong, nTot, a2r, sr, tr))
         .toDF("n_cohorts", "n_total", "ad_stat", "sigma", "t_stat")
-    } finally sorted.unpersist(blocking = false)
+    } finally {
+      sorted.unpersist(blocking = false)
+      counts.unpersist(blocking = false)
+    }
   }
 
   /** Acklam's piecewise-rational inverse normal CDF as a COLUMN
@@ -1261,9 +1272,15 @@ object StatTests {
     val wg = Window.partitionBy("__g")
     val wCum = Window.partitionBy("__g").orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the cumulative frame feeds BOTH the bounds aggregation and the
+    // trimmed-sum scan below; Spark does not dedupe common subplans, so
+    // without a persist the cells aggregation AND its per-cohort window
+    // sort execute twice inside the single collect job (measured round
+    // 14: ~40% of q_yuen's wall). Cells-frame-sized, released below.
     val withCum = cells
       .withColumn("__n", F.sum("__c").over(wg))
       .withColumn("__cum", F.sum("__c").over(wCum))
+      .persist()
     val gCut = F.floor(F.col("__n").cast("double") * trim)
     // clamp bounds: the (g+1)-th and (n−g)-th order statistics
     val bounds = withCum
@@ -1292,6 +1309,7 @@ object StatTests {
         r.getAs[Double]("ts"), r.getAs[Double]("ws"),
         r.getAs[Double]("wq"))
     }.toMap
+    withCum.unpersist(blocking = false)
     require(rows.contains(labelA) && rows.contains(labelB),
       "both cohorts need rows")
     def side(l: String): (Long, Long, Double, Double) = {
@@ -1779,6 +1797,10 @@ object StatTests {
     val pc = F.col(pCol).cast("double")
     val cells = df.where(pc.isNotNull && !F.isnan(pc))
       .groupBy(pc.as("__p")).agg(F.count(F.lit(1)).as("__c"))
+    // persist across the range-sampling and shuffle passes (the
+    // range partitioner samples its child in a separate job) --
+    // released in the finally below
+    cells.persist()
     val sorted = cells
       .repartitionByRange(F.col("__p")).sortWithinPartitions("__p")
       .as[(Double, Long)].rdd
@@ -1824,7 +1846,10 @@ object StatTests {
         .withColumn("reject_fwer",
           F.coalesce(F.col("p_holm") <= F.lit(alpha), F.lit(false)))
         .drop("__p")
-    } finally sorted.unpersist(blocking = false)
+    } finally {
+      sorted.unpersist(blocking = false)
+      cells.unpersist(blocking = false)
+    }
   }
 
   /** Dunn's test — the nonparametric post-hoc pairwise step after
@@ -1918,6 +1943,10 @@ object StatTests {
     val counts = df.select(F.col(pCol).cast("double").as("__p"))
       .where(F.col("__p").isNotNull && !F.isnan(F.col("__p")))
       .groupBy("__p").agg(F.count(F.lit(1)).as("__c"))
+    // persist across the range-sampling and shuffle passes (the
+    // range partitioner samples its child in a separate job) --
+    // released in the finally below
+    counts.persist()
     val sorted = counts
       .repartitionByRange(F.col("__p")).sortWithinPartitions("__p")
       .as[(Double, Long)].rdd
@@ -1974,7 +2003,10 @@ object StatTests {
         .withColumn("reject",
           F.coalesce(F.col("q_value") <= F.lit(alpha), F.lit(false)))
         .drop("__p")
-    } finally sorted.unpersist(blocking = false)
+    } finally {
+      sorted.unpersist(blocking = false)
+      counts.unpersist(blocking = false)
+    }
   }
 
   /** Benjamini–Yekutieli FDR adjustment — [[bhAdjust]] made valid
@@ -2900,6 +2932,10 @@ object StatTests {
       .groupBy(F.abs(F.col("d")).as("v"))
       .agg(F.sum(F.when(F.col("d") > 0.0, 1L).otherwise(0L)).as("cp"),
         F.count(F.lit(1)).as("ct"))
+    // persist across the range-sampling and shuffle passes (the
+    // range partitioner samples its child in a separate job) --
+    // released in the finally below
+    cells.persist()
     val sorted = cells
       .repartitionByRange(F.col("v")).sortWithinPartitions("v")
       .as[(Double, Long, Long)].rdd
@@ -2936,7 +2972,10 @@ object StatTests {
         math.abs(zr) / math.sqrt(2.0)) * 1e6) / 1e6
       Seq((n, nZero, w, zr, p))
         .toDF("n", "n_zero", "w_plus", "z", "p_value")
-    } finally sorted.unpersist(blocking = false)
+    } finally {
+      sorted.unpersist(blocking = false)
+      cells.unpersist(blocking = false)
+    }
   }
 
   /** Sign test — the assumption-free floor under [[wilcoxonSignedRank]]:
@@ -3328,6 +3367,10 @@ object StatTests {
       .where(v.isNotNull && !F.isnan(v) && g.isin(levels: _*))
       .groupBy(v.as("v"))
       .agg(aggs.head, aggs.tail: _*)
+    // persist across the range-sampling and shuffle passes (the
+    // range partitioner samples its child in a separate job) --
+    // released in the finally below
+    counts.persist()
     val sorted = counts
       .repartitionByRange(F.col("v")).sortWithinPartitions("v")
       .map(r => (r.getDouble(0),
@@ -3380,7 +3423,10 @@ object StatTests {
         math.abs(zr) / math.sqrt(2.0)) * 1e6) / 1e6
       Seq((jStat, zr, p, n, k.toLong))
         .toDF("j_stat", "z", "p_value", "n", "k")
-    } finally sorted.unpersist(blocking = false)
+    } finally {
+      sorted.unpersist(blocking = false)
+      counts.unpersist(blocking = false)
+    }
   }
   /** Vuong closed-form model comparison — "which of two fitted
     * families actually explains this column better, and is the gap

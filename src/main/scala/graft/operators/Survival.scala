@@ -373,6 +373,10 @@ object Survival {
         F.sum(F.when(F.col("g") =!= labelA && F.col("e"), 1L)
           .otherwise(0L)).as("db"),
         F.sum(F.when(F.col("g") =!= labelA, 1L).otherwise(0L)).as("cb"))
+    // persist across the range-sampling and shuffle passes (the
+    // range partitioner samples its child in a separate job) --
+    // released in the finally below
+    cells.persist()
     val sorted = cells
       .repartitionByRange(F.col("t")).sortWithinPartitions("t")
       .as[(Double, Long, Long, Long, Long)].rdd
@@ -414,7 +418,10 @@ object Survival {
       }.collect()
       (parts.map(_._1).sum, parts.map(_._2).sum, parts.map(_._3).sum,
         parts.map(_._4).sum, parts.map(_._5).sum, na, nb)
-    } finally sorted.unpersist(blocking = false)
+    } finally {
+      sorted.unpersist(blocking = false)
+      cells.unpersist(blocking = false)
+    }
   }
 
   /** Median survival per group: the smallest t with S(t) ≤ ½ (null when
@@ -737,6 +744,10 @@ object Survival {
       .agg(F.sum(F.when(F.col(eventCol).cast("boolean"), 1L)
           .otherwise(0L)).as("d"),
         F.sum(F.exp(xb)).as("r0"))
+    // persist across the range-sampling and shuffle passes (the
+    // range partitioner samples its child in a separate job) --
+    // released in the finally below
+    cells.persist()
     val sorted = cells
       .repartitionByRange(F.col("t")).sortWithinPartitions("t")
       .as[(Double, Long, Double)].rdd
@@ -780,7 +791,10 @@ object Survival {
       // materialize before the cache releases: the lazy frame would
       // otherwise re-run the range shuffle on first use
       rows.toDF("t", "n_event", "h0", "s0").localCheckpoint(true)
-    } finally sorted.unpersist(blocking = false)
+    } finally {
+      sorted.unpersist(blocking = false)
+      cells.unpersist(blocking = false)
+    }
   }
 
   /** Cox proportional hazards (Breslow ties) by fixed Newton steps —
@@ -849,6 +863,10 @@ object Survival {
         F.array(rCols: _*).as("__r"))
       // t-DESCENDING prefix = risk-set suffix: rows seen so far (plus
       // the current row — tⱼ ≥ t includes t itself) ARE the risk set
+      // persist across the range-sampling and shuffle passes (the
+      // range partitioner samples its child in a separate job) --
+      // released in the finally below
+      cells.persist()
       val sorted = cells
         .repartitionByRange(F.col("__t").desc)
         .sortWithinPartitions(F.col("__t").desc)
@@ -922,7 +940,10 @@ object Survival {
           ll += pll
         }
         (u, inf, ll, n, dTot)
-      } finally sorted.unpersist(blocking = false)
+      } finally {
+        sorted.unpersist(blocking = false)
+        cells.unpersist(blocking = false)
+      }
     }
 
     var beta = Array.fill(k)(0.0)
@@ -1010,6 +1031,10 @@ object Survival {
         F.array(sCols: _*).as("__s"),
         F.array(rCols: _*).as("__r"),
         F.array(eCols: _*).as("__ev"))
+      // persist across the range-sampling and shuffle passes (the
+      // range partitioner samples its child in a separate job) --
+      // released in the finally below
+      cells.persist()
       val sorted = cells
         .repartitionByRange(F.col("__t").desc)
         .sortWithinPartitions(F.col("__t").desc)
@@ -1093,7 +1118,10 @@ object Survival {
           ll += pll
         }
         (u, inf, ll, n, dTot)
-      } finally sorted.unpersist(blocking = false)
+      } finally {
+        sorted.unpersist(blocking = false)
+        cells.unpersist(blocking = false)
+      }
     }
 
     var beta = Array.fill(k)(0.0)
@@ -1228,6 +1256,10 @@ object Survival {
     }
     val cells = clean.groupBy("__t").agg((dCols ++ cCols).head,
       (dCols ++ cCols).tail: _*)
+    // persist across the range-sampling and shuffle passes (the
+    // range partitioner samples its child in a separate job) --
+    // released in the finally below
+    cells.persist()
     val sorted = cells
       .repartitionByRange(F.col("__t")).sortWithinPartitions("__t")
       .rdd.map(r => (r.getDouble(0),
@@ -1288,7 +1320,10 @@ object Survival {
       val p = r6(SpecialMath.erfc(math.abs(z) / math.sqrt(2.0)))
       Seq((k.toLong, nTot, r6(u), r6(vv), z, p))
         .toDF("n_cohorts", "n_total", "u_stat", "var_u", "z", "p_value")
-    } finally sorted.unpersist(blocking = false)
+    } finally {
+      sorted.unpersist(blocking = false)
+      cells.unpersist(blocking = false)
+    }
   }
 
   /** Weibull AFT (accelerated failure time) regression — the
